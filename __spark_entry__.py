@@ -3,8 +3,10 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash → CORRECTNESS_r{N}.json).
+
+Implementation lives in ``clickhouse_vs_dbt_spark/``; this module only
+aggregates the per-operator QUERIES/ORACLES registries.
 """
 
 from __future__ import annotations
@@ -13,26 +15,29 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from clickhouse_vs_dbt_spark.operators import ssb_queries
+
+_MODULES = [ssb_queries]
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: SSB Q1.1 semantics over
+    the star join (reference README.md:415-417)."""
+    return ssb_queries.q1_1(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for mod in _MODULES:
+        overlap = out.keys() & mod.QUERIES.keys()
+        if overlap:
+            raise ValueError(f"duplicate query names: {sorted(overlap)}")
+        out.update(mod.QUERIES)
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    out: dict[str, str] = {}
+    for mod in _MODULES:
+        out.update(mod.ORACLES)
+    return out

@@ -1,0 +1,23 @@
+"""clickhouse_vs_dbt_spark — a PySpark-native analytics engine with the
+query and data-processing capabilities of ``baikulov/clickhouse_vs_dbt``.
+
+The reference (see SURVEY.md) is a declarative ELT star-schema pipeline:
+typed CSV ingestion from object storage, a dbt model DAG (staging views →
+denormalized ``star`` table), and the SSB Q1 query flight with golden
+answers (reference README.md:158-438).  This package re-expresses those
+capabilities Spark-first — DataFrame/SQL plans optimized by Catalyst —
+and extends them with the large-scale training-data operators the driver
+mandates (dedup, similarity search, text analysis, multimodal plumbing,
+event-time windows, streaming).
+
+Layout:
+    session.py    SparkSession factory tuned for local[N] and for scale
+    catalog.py    fixture-table registry (typed parquet readers + views)
+    sources/      external-table readers (parquet fixtures, SSB .tbl CSV)
+    plans/        model DAG runner (dbt-analog) + the star model
+    operators/    query/operator library (SSB flight, dedup, ANN, text, events)
+    functions/    reusable column-expression helpers (dates, text, vectors)
+    streaming/    Structured Streaming variants of the event operators
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,49 @@
+"""Shared helpers for the operator library.
+
+Oracle-parity note (applies to every operator with a DuckDB oracle):
+floating-point SUM/AVG are order-dependent, and Spark's parallel partial
+aggregation sums in a different order than DuckDB.  Every money-valued
+aggregate therefore casts the per-row double expression to
+``DECIMAL(18,4)`` (a deterministic rounding of the same IEEE double in
+both engines), sums exactly in decimal (associative — order-free), and
+casts the final scalar back to double.  Both engines then produce
+bit-identical results regardless of partitioning — which also means the
+answer is stable across cluster sizes, a property worth having at 100 TB
+independent of the test harness.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from clickhouse_vs_dbt_spark.plans.star import build_star
+
+DEC = "decimal(18,4)"
+
+
+def dsum(expr: Column) -> Column:
+    """Order-insensitive exact sum of a double expression (see module doc)."""
+    return F.sum(expr.cast(DEC)).cast("double")
+
+
+def davg(expr: Column) -> Column:
+    """Order-insensitive average: exact decimal sum / count, as double."""
+    return (F.sum(expr.cast(DEC)).cast("double") / F.count(expr)).cast("double")
+
+
+def sql_dsum(expr: str) -> str:
+    """ANSI twin of :func:`dsum` for the DuckDB oracle."""
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(18,4))) AS DOUBLE)"
+
+
+def sql_davg(expr: str) -> str:
+    return (
+        f"CAST(CAST(SUM(CAST({expr} AS DECIMAL(18,4))) AS DOUBLE)"
+        f" / COUNT({expr}) AS DOUBLE)"
+    )
+
+
+def star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The star-analog relation (lazy; Catalyst prunes columns per query)."""
+    return build_star(spark, sf_dir)

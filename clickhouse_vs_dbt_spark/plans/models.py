@@ -1,0 +1,108 @@
+"""Model DAG runner — the dbt-analog (operators S2, S3, S5).
+
+The reference's dbt project declares per-folder materializations
+(``staging: +materialized: view``, ``star: +materialized: table``,
+reference README.md:254-263), resolves ``ref()``/``source()`` into a
+dependency DAG, and executes models in topological order via ``dbt run``
+(README.md:391-394, :406-409).  This module is that entire surface as a
+small idiomatic-Python registry:
+
+* ``Model`` = name + builder function + deps + materialization.
+* ``ModelRunner.run()`` topo-sorts and materializes each model:
+  - ``VIEW``  → ``createOrReplaceTempView`` (unmaterialized, recomputed
+    per query — exactly dbt's ``view`` on ClickHouse).
+  - ``TABLE`` → write parquet to a warehouse dir and re-register the
+    scan as the view (dbt ``table``: computed once, queried many times).
+    Tables can be partitioned (e.g. star by order-year → partition
+    pruning for the Q1 flight's date predicates at 100 TB) and bucketed.
+
+Within a single query Spark's lazy plan already orders work; the runner
+exists for the *cross-query* materialization boundary the reference's
+author chose deliberately: the expensive denormalizing join runs once,
+the query flight then scans its output (SURVEY.md §4 row 1).
+"""
+
+from __future__ import annotations
+
+import enum
+import shutil
+import tempfile
+from collections.abc import Callable, Sequence
+from dataclasses import dataclass, field
+from graphlib import TopologicalSorter
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class Materialization(enum.Enum):
+    VIEW = "view"
+    TABLE = "table"
+
+
+@dataclass(frozen=True)
+class Model:
+    name: str
+    builder: Callable[[SparkSession], DataFrame]
+    deps: Sequence[str] = ()
+    materialization: Materialization = Materialization.VIEW
+    partition_by: Sequence[str] = ()
+
+
+@dataclass
+class ModelRunner:
+    spark: SparkSession
+    warehouse_dir: str | None = None
+    _models: dict[str, Model] = field(default_factory=dict)
+
+    def model(
+        self,
+        name: str,
+        deps: Sequence[str] = (),
+        materialization: Materialization = Materialization.VIEW,
+        partition_by: Sequence[str] = (),
+    ) -> Callable[[Callable[[SparkSession], DataFrame]], Callable[[SparkSession], DataFrame]]:
+        """Decorator: ``@runner.model("stg_customer")`` registers a model
+        the way a dbt ``models/*.sql`` file + config block does."""
+
+        def wrap(fn: Callable[[SparkSession], DataFrame]) -> Callable[[SparkSession], DataFrame]:
+            self.add(Model(name, fn, deps, materialization, partition_by))
+            return fn
+
+        return wrap
+
+    def add(self, model: Model) -> None:
+        if model.name in self._models:
+            raise ValueError(f"duplicate model {model.name!r}")
+        self._models[model.name] = model
+
+    def order(self) -> list[str]:
+        """Topological model order (dbt's DAG resolution, operator S5)."""
+        ts = TopologicalSorter({m.name: set(m.deps) for m in self._models.values()})
+        return list(ts.static_order())
+
+    def run(self) -> dict[str, DataFrame]:
+        """Materialize every model in dependency order; each model's name
+        becomes a resolvable view for downstream models and ad-hoc SQL."""
+        out: dict[str, DataFrame] = {}
+        for name in self.order():
+            model = self._models[name]
+            missing = [d for d in model.deps if d not in out]
+            if missing:
+                raise ValueError(f"model {name!r} missing deps {missing}")
+            df = model.builder(self.spark)
+            if model.materialization is Materialization.TABLE:
+                df = self._materialize_table(model, df)
+            df.createOrReplaceTempView(name)
+            out[name] = df
+        return out
+
+    def _materialize_table(self, model: Model, df: DataFrame) -> DataFrame:
+        if self.warehouse_dir is None:
+            self.warehouse_dir = tempfile.mkdtemp(prefix="spark_models_")
+        path = f"{self.warehouse_dir}/{model.name}"
+        shutil.rmtree(path, ignore_errors=True)
+        writer = df.write.mode("overwrite")
+        if model.partition_by:
+            writer = writer.partitionBy(*model.partition_by)
+        writer.parquet(path)
+        return self.spark.read.parquet(path)

@@ -1,0 +1,61 @@
+"""SparkSession factory.
+
+The reference provisions a managed ClickHouse cluster (reference
+README.md:5-17); the Spark-native analog is a SparkSession.  Defaults are
+tuned for the driver's local[N] harness but every knob is the one you
+would also set on a 1000-executor cluster:
+
+* AQE on (runtime re-planning, skew-join splitting, partition coalescing)
+  — the direct analog of ClickHouse's adaptive pipeline.
+* ``spark.sql.shuffle.partitions`` sized to cores locally; at 100 TB you
+  let AQE coalesce from a high initial number instead.
+* UTC session timezone so date/time semantics are engine-independent
+  (and match the DuckDB correctness oracle).
+* Arrow enabled for the Pandas-UDF slow path.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def get_spark(
+    app_name: str = "clickhouse_vs_dbt_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) the SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]``; on a real
+    cluster you pass the cluster master / rely on spark-submit.
+    """
+    cpus = DEFAULT_CPUS
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(cpus) if str(cpus).isdigit() else 32
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
