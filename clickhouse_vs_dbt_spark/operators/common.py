@@ -4,7 +4,7 @@ Oracle-parity note (applies to every operator with a DuckDB oracle):
 floating-point SUM/AVG are order-dependent, and Spark's parallel partial
 aggregation sums in a different order than DuckDB.  Every money-valued
 aggregate therefore casts the per-row double expression to
-``DECIMAL(18,4)`` (a deterministic rounding of the same IEEE double in
+``DECIMAL(18,6)`` (a deterministic rounding of the same IEEE double in
 both engines), sums exactly in decimal (associative — order-free), and
 casts the final scalar back to double.  Both engines then produce
 bit-identical results regardless of partitioning — which also means the
@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 
 from clickhouse_vs_dbt_spark.plans.star import build_star
 
-DEC = "decimal(18,4)"
+DEC = "decimal(18,6)"
 
 
 def dsum(expr: Column) -> Column:
@@ -34,12 +34,12 @@ def davg(expr: Column) -> Column:
 
 def sql_dsum(expr: str) -> str:
     """ANSI twin of :func:`dsum` for the DuckDB oracle."""
-    return f"CAST(SUM(CAST({expr} AS DECIMAL(18,4))) AS DOUBLE)"
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(18,6))) AS DOUBLE)"
 
 
 def sql_davg(expr: str) -> str:
     return (
-        f"CAST(CAST(SUM(CAST({expr} AS DECIMAL(18,4))) AS DOUBLE)"
+        f"CAST(CAST(SUM(CAST({expr} AS DECIMAL(18,6))) AS DOUBLE)"
         f" / COUNT({expr}) AS DOUBLE)"
     )
 

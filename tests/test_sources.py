@@ -1,0 +1,50 @@
+"""SSB .tbl CSV source (operators S1/T1; reference README.md:158-222)."""
+
+from __future__ import annotations
+
+import pytest
+from py4j.protocol import Py4JJavaError as SparkException
+
+from clickhouse_vs_dbt_spark.sources import SSB_SCHEMAS, read_ssb_csv
+
+SUPPLIER_ROWS = [
+    "1|Supplier#000000001|addr one|CITY0|NATION0|REGION0|555-0001|",
+    "2|Supplier#000000002|addr two|CITY1|NATION1|REGION1|555-0002|",
+]
+
+
+def test_reads_trailing_pipe_tbl(spark, tmp_path):
+    p = tmp_path / "supplier.tbl"
+    p.write_text("\n".join(SUPPLIER_ROWS) + "\n")
+    df = read_ssb_csv(spark, str(p), "supplier")
+    assert df.columns == [f.name for f in SSB_SCHEMAS["supplier"].fields]
+    rows = sorted(df.collect(), key=lambda r: r.S_SUPPKEY)
+    assert rows[0].S_SUPPKEY == 1 and rows[0].S_NAME == "Supplier#000000001"
+    assert len(rows) == 2
+
+
+def test_lineorder_types(spark, tmp_path):
+    p = tmp_path / "lineorder.tbl"
+    p.write_text(
+        "1|1|10|20|30|1993-01-04|1-URGENT|0|17|2116823|17366547|4|2032150|74711|2|1993-02-22|TRUCK|\n"
+    )
+    df = read_ssb_csv(spark, str(p), "lineorder")
+    r = df.collect()[0]
+    assert r.LO_ORDERDATE.isoformat() == "1993-01-04"
+    assert r.LO_EXTENDEDPRICE == 2116823 and isinstance(r.LO_EXTENDEDPRICE, int)
+    # UInt8 columns land in Short
+    assert df.schema["LO_QUANTITY"].dataType.simpleString() == "smallint"
+    # money columns are 64-bit so sum(price*discount) cannot overflow
+    assert df.schema["LO_EXTENDEDPRICE"].dataType.simpleString() == "bigint"
+
+
+def test_failfast_on_malformed(spark, tmp_path):
+    p = tmp_path / "bad.tbl"
+    p.write_text("notanint|Supplier#1|a|b|c|d|e|\n")
+    with pytest.raises(SparkException):
+        read_ssb_csv(spark, str(p), "supplier").collect()
+
+
+def test_unknown_table(spark):
+    with pytest.raises(KeyError):
+        read_ssb_csv(spark, "/tmp/x", "nope")
