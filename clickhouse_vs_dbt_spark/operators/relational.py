@@ -1,0 +1,426 @@
+"""Extended relational operator flight.
+
+The reference stops at global aggregation (SURVEY.md §2.2 lists what it
+does NOT exercise: grouping, sorts, limits, windows, set ops, DISTINCT,
+rollup, subqueries, outer/semi/anti joins).  A user of a star-schema
+engine needs those on day one — the full SSB/TPC-H suites its data model
+targets use them — so this module adds each as a first-class operator
+with a DuckDB oracle.  Everything is built-in DataFrame/SQL (JVM-side,
+whole-stage codegen); no UDFs.
+
+Scale notes per operator are in the docstrings: the recurring themes are
+(a) partial aggregation before shuffle (automatic), (b) broadcast for
+dimension sides, (c) windows partitioned by a key — never a global
+Window.orderBy, which would single-task at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from clickhouse_vs_dbt_spark.catalog import load_table, register_views
+from clickhouse_vs_dbt_spark.operators.common import davg, dsum, sql_davg, sql_dsum
+
+NET = "l_extendedprice * (1 - l_discount)"
+
+
+# --- multi-aggregate GROUP BY (TPC-H Q1 shape) ---
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 pricing summary: 2 group keys × 8 aggregates over the
+    fact table.  Map-side partial aggregation means the shuffle carries
+    |groups|×partitions rows, not the fact table — the shape that keeps
+    this a single fact-scan at 100 TB."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(F.col("l_quantity")).alias("sum_qty"),
+            dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("sum_disc_price"),
+            dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+            ).alias("sum_charge"),
+            davg(F.col("l_quantity")).alias("avg_qty"),
+            davg(F.col("l_extendedprice")).alias("avg_price"),
+            davg(F.col("l_discount")).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+O_PRICING = f"""
+SELECT l_returnflag, l_linestatus,
+       {sql_dsum('l_quantity')} AS sum_qty,
+       {sql_dsum('l_extendedprice')} AS sum_base_price,
+       {sql_dsum('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+       {sql_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+       {sql_davg('l_quantity')} AS avg_qty,
+       {sql_davg('l_extendedprice')} AS avg_price,
+       {sql_davg('l_discount')} AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+# --- ORDER BY + LIMIT (top-k) ---
+
+def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 customers by net revenue; deterministic tie-break on key.
+    Spark executes global top-k as TakeOrderedAndProject — per-partition
+    heaps then a k-row merge, no global sort — exactly what you want on
+    a 1000-executor cluster."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(dsum(F.expr(NET)).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_custkey").asc())
+        .limit(10)
+    )
+
+
+O_TOP_CUSTOMERS = f"""
+SELECT o_custkey, {sql_dsum(NET)} AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_custkey
+ORDER BY revenue DESC, o_custkey ASC
+LIMIT 10
+"""
+
+
+# --- window functions (top-k per group) ---
+
+def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 parts per brand by revenue via row_number over a
+    partitioned window.  The window is keyed (partitionBy brand) so work
+    distributes; a global ORDER BY window would serialize at scale."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = F.broadcast(load_table(spark, sf_dir, "part"))
+    per_part = (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_partkey")
+        .agg(dsum(F.expr(NET)).alias("revenue"))
+    )
+    w = Window.partitionBy("p_brand").orderBy(
+        F.col("revenue").desc(), F.col("p_partkey").asc()
+    )
+    return (
+        per_part.withColumn("rank_in_brand", F.row_number().over(w))
+        .filter(F.col("rank_in_brand") <= 3)
+        .select("p_brand", "p_partkey", "revenue", "rank_in_brand")
+        .orderBy("p_brand", "rank_in_brand")
+    )
+
+
+O_WINDOW_RANK = f"""
+WITH per_part AS (
+  SELECT p_brand, p_partkey, {sql_dsum(NET)} AS revenue
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY p_brand, p_partkey
+)
+SELECT p_brand, p_partkey, revenue, rank_in_brand FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY p_brand
+            ORDER BY revenue DESC, p_partkey ASC) AS rank_in_brand
+  FROM per_part
+) WHERE rank_in_brand <= 3
+ORDER BY p_brand, rank_in_brand
+"""
+
+
+def q_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running revenue per customer over order dates (frame-bounded
+    window aggregate: rowsBetween unboundedPreceding..current)."""
+    o = load_table(spark, sf_dir, "orders")
+    per_day = (
+        o.groupBy("o_custkey", F.to_date("o_orderdate").alias("order_date"))
+        .agg(dsum(F.col("o_totalprice")).alias("day_total"))
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("order_date")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        per_day.withColumn(
+            "running_total",
+            F.sum(F.col("day_total").cast("decimal(18,6)")).over(w).cast("double"),
+        )
+        .filter(F.col("o_custkey") < 50)
+        .orderBy("o_custkey", "order_date")
+    )
+
+
+O_RUNNING_TOTAL = f"""
+WITH per_day AS (
+  SELECT o_custkey, CAST(o_orderdate AS DATE) AS order_date,
+         {sql_dsum('o_totalprice')} AS day_total
+  FROM orders GROUP BY 1, 2
+)
+SELECT o_custkey, order_date, day_total,
+       CAST(SUM(CAST(day_total AS DECIMAL(18,6))) OVER (
+         PARTITION BY o_custkey ORDER BY order_date
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+         AS running_total
+FROM per_day
+WHERE o_custkey < 50
+ORDER BY o_custkey, order_date
+"""
+
+
+# --- DISTINCT / set operations ---
+
+def q_distinct_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "customer").select("c_mktsegment").distinct()
+
+
+O_DISTINCT_SEGMENTS = "SELECT DISTINCT c_mktsegment FROM customer"
+
+
+def q_set_ops_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION / INTERSECT / EXCEPT over nation-key sets drawn from the
+    customer and supplier dimensions, tagged by which set op produced
+    the row (one result so all three ops get oracle coverage)."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    union = c.union(s).distinct().withColumn("set_op", F.lit("union"))
+    intersect = c.intersect(s).withColumn("set_op", F.lit("intersect"))
+    except_ = c.subtract(s).withColumn("set_op", F.lit("except"))  # EXCEPT DISTINCT
+    return union.union(intersect).union(except_)
+
+
+O_SET_OPS_NATIONS = """
+SELECT nationkey, 'union' AS set_op FROM
+  (SELECT c_nationkey AS nationkey FROM customer
+   UNION SELECT s_nationkey FROM supplier)
+UNION ALL
+SELECT nationkey, 'intersect' AS set_op FROM
+  (SELECT c_nationkey AS nationkey FROM customer
+   INTERSECT SELECT s_nationkey FROM supplier)
+UNION ALL
+SELECT nationkey, 'except' AS set_op FROM
+  (SELECT DISTINCT c_nationkey AS nationkey FROM customer
+   EXCEPT SELECT s_nationkey FROM supplier)
+"""
+
+
+# --- outer / semi / anti joins ---
+
+def q_left_join_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers LEFT JOIN orders: customers with zero orders survive
+    with count 0 (outer-join null semantics)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+        .orderBy("c_custkey")
+    )
+
+
+O_LEFT_JOIN = """
+SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey ORDER BY c_custkey
+"""
+
+
+def q_semi_join_bulk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders having at least one bulk line item (EXISTS → left-semi
+    join: probe side streams, no fan-out, no duplicate rows)."""
+    o = load_table(spark, sf_dir, "orders")
+    bulk = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 45)
+    return (
+        o.join(bulk, o.o_orderkey == bulk.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+O_SEMI_JOIN = """
+SELECT o_orderpriority, COUNT(*) AS n_orders
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 45)
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+def q_anti_join_quiet_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no orders (NOT EXISTS → left-anti join)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+O_ANTI_JOIN = """
+SELECT c_custkey, c_mktsegment
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+ORDER BY c_custkey
+"""
+
+
+# --- grouping sets / rollup / cube ---
+
+def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP (year → status → grand total); null group keys mark the
+    subtotal levels in both engines."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.rollup(F.year("o_orderdate").alias("order_year"), F.col("o_orderstatus"))
+        .agg(dsum(F.col("o_totalprice")).alias("total"), F.count(F.lit(1)).alias("n"))
+        .orderBy(
+            F.col("order_year").asc_nulls_first(),
+            F.col("o_orderstatus").asc_nulls_first(),
+        )
+    )
+
+
+O_ROLLUP = f"""
+SELECT year(o_orderdate) AS order_year, o_orderstatus,
+       {sql_dsum('o_totalprice')} AS total, COUNT(*) AS n
+FROM orders
+GROUP BY ROLLUP (year(o_orderdate), o_orderstatus)
+ORDER BY order_year ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST
+"""
+
+
+def q_cube_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.cube("l_returnflag", "l_linestatus")
+        .agg(dsum(F.col("l_quantity")).alias("sum_qty"))
+    )
+
+
+O_CUBE = f"""
+SELECT l_returnflag, l_linestatus, {sql_dsum('l_quantity')} AS sum_qty
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+# --- pivot (conditional aggregation) ---
+
+def q_pivot_status_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot linestatus into columns — relational equivalent of
+    ClickHouse sumIf / conditional aggregation."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(dsum(F.expr(NET)))
+        .withColumnRenamed("O", "rev_open")
+        .withColumnRenamed("F", "rev_finished")
+        .orderBy("l_returnflag")
+    )
+
+
+O_PIVOT = f"""
+SELECT l_returnflag,
+       {sql_dsum(f"CASE WHEN l_linestatus = 'O' THEN {NET} END")} AS rev_open,
+       {sql_dsum(f"CASE WHEN l_linestatus = 'F' THEN {NET} END")} AS rev_finished
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+# --- CTE + subquery through the SQL entry point ---
+
+def q_top_supplier_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape through ``spark.sql``: CTE + scalar subquery
+    (max over the CTE).  Demonstrates the SQL entry point produces the
+    same Catalyst plans as the DataFrame API."""
+    register_views(spark, sf_dir, ("lineitem", "supplier"))
+    return spark.sql(f"""
+        WITH revenue AS (
+          SELECT l_suppkey AS supplier_no, {sql_dsum(NET)} AS total_revenue
+          FROM lineitem GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name, total_revenue
+        FROM supplier JOIN revenue ON s_suppkey = supplier_no
+        WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+        ORDER BY s_suppkey
+    """)
+
+
+O_TOP_SUPPLIER = f"""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no, {sql_dsum(NET)} AS total_revenue
+  FROM lineitem GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
+# --- exact median (sort-based aggregate) ---
+
+def q_median_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated median per return flag (ClickHouse
+    quantileExact analog; Spark ``percentile``)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_returnflag")
+        .agg(F.expr("percentile(l_quantity, 0.5)").alias("median_qty"))
+        .orderBy("l_returnflag")
+    )
+
+
+O_MEDIAN = """
+SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS median_qty
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+QUERIES = {
+    "tpch_q1_pricing_summary": q_pricing_summary,
+    "top_customers": q_top_customers,
+    "window_rank_parts": q_window_rank,
+    "window_running_total": q_running_total,
+    "distinct_segments": q_distinct_segments,
+    "set_ops_nations": q_set_ops_nations,
+    "left_join_order_counts": q_left_join_order_counts,
+    "semi_join_bulk_orders": q_semi_join_bulk_orders,
+    "anti_join_quiet_customers": q_anti_join_quiet_customers,
+    "rollup_revenue": q_rollup_revenue,
+    "cube_qty": q_cube_qty,
+    "pivot_status_revenue": q_pivot_status_revenue,
+    "top_supplier_cte": q_top_supplier_cte,
+    "median_quantity": q_median_quantity,
+}
+
+ORACLES = {
+    "tpch_q1_pricing_summary": O_PRICING,
+    "top_customers": O_TOP_CUSTOMERS,
+    "window_rank_parts": O_WINDOW_RANK,
+    "window_running_total": O_RUNNING_TOTAL,
+    "distinct_segments": O_DISTINCT_SEGMENTS,
+    "set_ops_nations": O_SET_OPS_NATIONS,
+    "left_join_order_counts": O_LEFT_JOIN,
+    "semi_join_bulk_orders": O_SEMI_JOIN,
+    "anti_join_quiet_customers": O_ANTI_JOIN,
+    "rollup_revenue": O_ROLLUP,
+    "cube_qty": O_CUBE,
+    "pivot_status_revenue": O_PIVOT,
+    "top_supplier_cte": O_TOP_SUPPLIER,
+    "median_quantity": O_MEDIAN,
+}
