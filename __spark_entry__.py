@@ -15,9 +15,9 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from clickhouse_vs_dbt_spark.operators import relational, ssb_queries
+from clickhouse_vs_dbt_spark.operators import dedup, relational, similarity, ssb_queries
 
-_MODULES = [ssb_queries, relational]
+_MODULES = [ssb_queries, relational, dedup, similarity]
 
 
 def entry(spark: SparkSession) -> DataFrame:

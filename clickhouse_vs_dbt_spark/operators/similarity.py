@@ -1,0 +1,224 @@
+"""Approximate-nearest-neighbor similarity search over the
+``embeddings`` table (SURVEY.md §2.3).
+
+Two tiers:
+
+* brute-force top-k — broadcast the (small) query set against a single
+  scan of the corpus; per-query top-k via a partitioned window.  The
+  exact baseline; linear per query, embarrassingly parallel, the right
+  answer whenever |queries| is small.
+* LSH-bucketed top-k — random-hyperplane signatures (seeded, data-
+  independent, so signatures are reproducible cluster-wide without a
+  fit step); candidates share the query's bucket under multi-probe
+  (hamming ≤ 1), then exact cosine re-ranks.  Sublinear scan per query;
+  the 100 TB path is: signature once at ingest (map-only), cluster the
+  corpus by bucket (one shuffle), probe touches ~(b+1)/2^b of the data.
+
+Scores are rounded to 6 decimals for engine-portable output (see
+functions/vectorfns.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from clickhouse_vs_dbt_spark.catalog import load_table
+from clickhouse_vs_dbt_spark.functions.vectorfns import cosine
+
+N_QUERIES = 3  # vec_id 0..2 are the demo query vectors
+TOP_K = 5
+LSH_BITS = 8
+EMBED_DIM = 64
+
+
+def _query_set(e: DataFrame) -> DataFrame:
+    return e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+
+
+def q_ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-5 cosine neighbors for each demo query vector.
+
+    Plan shape: corpus scan ⋈ broadcast(queries) → score → per-query
+    window top-k.  The window partitions by query_id (small), so at
+    scale prefer per-partition heaps + merge; for a handful of queries
+    the shuffle carries only (n_queries × corpus) scored rows' top
+    fraction after AQE."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = F.broadcast(_query_set(e))
+    scored = (
+        e.join(q, F.col("vec_id") != F.col("query_id"))
+        .withColumn("cos_sim", cosine("query_vec", "embedding"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "rank",
+            F.round("cos_sim", 6).alias("cos_sim"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+O_ANN_TOPK = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS query_vec
+           FROM embeddings WHERE vec_id < {N_QUERIES}),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         list_cosine_similarity(q.query_vec::DOUBLE[], e.embedding::DOUBLE[]) AS cos_sim
+  FROM embeddings e JOIN q ON e.vec_id != q.query_id),
+ranked AS (
+  SELECT query_id, neighbor_id, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, rank, round(cos_sim, 6) AS cos_sim
+FROM ranked WHERE rank <= {TOP_K}
+ORDER BY query_id, rank
+"""
+
+
+def _hyperplanes() -> list[list[float]]:
+    """Seeded random hyperplanes — identical on every executor/session,
+    so signatures are reproducible without any fitted state."""
+    rng = np.random.RandomState(42)
+    return rng.randn(LSH_BITS, EMBED_DIM).tolist()
+
+
+def lsh_bucket(vec_col: str) -> F.Column:
+    """Sign-bit bucket id: bit i = [vec · H_i > 0].  Pure Catalyst
+    expressions — the hyperplanes fold in as array literals."""
+    planes = _hyperplanes()
+    bit_exprs = []
+    for i, plane in enumerate(planes):
+        arr = f"array({', '.join(f'{x}D' for x in plane)})"
+        dot = (
+            f"aggregate(zip_with(transform({vec_col}, x -> CAST(x AS DOUBLE)), {arr}, "
+            f"(x, y) -> x * y), 0D, (acc, v) -> acc + v)"
+        )
+        bit_exprs.append(f"(CASE WHEN {dot} > 0D THEN {1 << i} ELSE 0 END)")
+    return F.expr(" + ".join(bit_exprs))
+
+
+def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-5: candidates from the query's
+    bucket plus all hamming-1 buckets (multi-probe), exact cosine
+    re-rank within candidates.  Rows-only driver check; recall vs the
+    brute-force baseline is pinned in tests/test_similarity.py."""
+    e = load_table(spark, sf_dir, "embeddings").withColumn(
+        "bucket", lsh_bucket("embedding")
+    )
+    q = (
+        _query_set(e)
+        .withColumn("qbucket", lsh_bucket("query_vec"))
+        .withColumn(
+            "probe",
+            F.explode(
+                F.array(
+                    F.col("qbucket"),
+                    *[
+                        F.col("qbucket").bitwiseXOR(F.lit(1 << i))
+                        for i in range(LSH_BITS)
+                    ],
+                )
+            ),
+        )
+    )
+    scored = (
+        e.join(F.broadcast(q), (F.col("bucket") == F.col("probe")) & (F.col("vec_id") != F.col("query_id")))
+        .withColumn("cos_sim", cosine("query_vec", "embedding"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "rank",
+            F.round("cos_sim", 6).alias("cos_sim"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) approximate top-5: KMeans coarse quantizer
+    (seeded, fitted once), queries probe their ``NPROBE`` nearest
+    centroids, exact cosine re-ranks within the probed cells.
+
+    The 100 TB shape: fit the quantizer on a sample, persist cluster
+    assignments partitioned by cell at ingest (map-only after fit), and
+    each query scans ~NPROBE/K of the corpus with partition pruning on
+    the cell key.  Rows-only driver check; recall vs brute force is
+    pinned in tests/test_similarity.py.
+    """
+    import numpy as np
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    K, NPROBE = 16, 4
+    e = load_table(spark, sf_dir, "embeddings")
+    featurized = e.withColumn("fvec", array_to_vector("embedding"))
+    model = KMeans(k=K, seed=42, featuresCol="fvec", predictionCol="cell").fit(
+        featurized
+    )
+    assigned = model.transform(featurized).select("vec_id", "embedding", "label", "cell")
+
+    centers = np.array([np.asarray(c) for c in model.clusterCenters()])
+    qrows = e.filter(F.col("vec_id") < N_QUERIES).select("vec_id", "embedding").collect()
+    probes = []
+    for r in qrows:  # |queries| rows — driver-side by design (user input)
+        qv = np.array(r.embedding, dtype=np.float64)
+        d = ((centers - qv) ** 2).sum(axis=1)
+        for cell in np.argsort(d)[:NPROBE]:
+            probes.append((r.vec_id, int(cell)))
+    probe_df = spark.createDataFrame(probes, "query_id long, cell int")
+
+    q = F.broadcast(_query_set(e))
+    candidates = assigned.join(F.broadcast(probe_df), "cell").select(
+        "vec_id", "embedding", "query_id"
+    )
+    scored = (
+        candidates.join(q, "query_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("cos_sim", cosine("query_vec", "embedding"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "rank",
+            F.round("cos_sim", 6).alias("cos_sim"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+QUERIES = {
+    "ann_topk_bruteforce": q_ann_topk_bruteforce,
+    "ann_topk_lsh": q_ann_topk_lsh,
+    "ann_topk_ivf": q_ann_topk_ivf,
+}
+
+ORACLES = {
+    "ann_topk_bruteforce": O_ANN_TOPK,
+    # ann_topk_lsh: rows-only (bucket membership depends on seeded
+    # hyperplane literals; recall pinned vs brute force in tests).
+}

@@ -1,0 +1,87 @@
+"""Dedup operators: recall vs exact baselines + constructed edge cases."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from clickhouse_vs_dbt_spark.operators import dedup
+
+
+def _pairs(df):
+    return {(r.doc_a, r.doc_b) for r in df.collect()}
+
+
+def test_minhash_lsh_recall_vs_exact(spark, sf_dir):
+    exact = _pairs(dedup.q_dedup_ngram_jaccard(spark, sf_dir))
+    approx = _pairs(dedup.q_dedup_minhash_lsh(spark, sf_dir))
+    assert exact, "fixtures should contain planted near-duplicates"
+    # candidates are verified with exact Jaccard → no false positives
+    assert approx <= exact
+    # 8 bands × 4 rows at j≥0.8: miss probability (1-j^4)^8 ≤ 2%/pair
+    assert len(approx) >= 0.9 * len(exact)
+
+
+def test_exact_dedup_collapses_duplicates(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello World"), (2, "  hello   world".replace("   ", " ")), (3, "other")],
+        "doc_id long, text string",
+    )
+    out = (
+        df.withColumn("text_key", F.lower(F.trim("text")))
+        .groupBy("text_key")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+    rows = {r.keep_doc_id: r.n_copies for r in out.collect()}
+    assert rows == {1: 2, 3: 1}
+
+
+def test_simhash_identical_docs_distance_zero(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "spark join filter window group sort merge"),
+            (2, "spark join filter window group sort merge"),
+            (3, "completely different words entirely unrelated content here"),
+        ],
+        "doc_id long, text string",
+    )
+    sigs = {
+        r.doc_id: r.sig
+        for r in df.select(
+            "doc_id",
+            dedup.simhash64(F.split(F.trim("text"), r"\s+")).alias("sig"),
+        ).collect()
+    }
+    assert sigs[1] == sigs[2]
+    # different token sets should differ in many bits
+    assert bin((sigs[1] ^ sigs[3]) & ((1 << 64) - 1)).count("1") > 10
+
+
+def test_simhash_deterministic_across_runs(spark, sf_dir):
+    q = dedup.QUERIES["dedup_simhash"]
+    first = {tuple(r) for r in q(spark, sf_dir).limit(50).collect()}
+    second = {tuple(r) for r in q(spark, sf_dir).limit(50).collect()}
+    assert first == second
+
+
+def test_jaccard_threshold_boundary(spark):
+    # two docs sharing exactly 4 of 5 union shingles: j = 0.8 → kept (>=)
+    a = "w1 w2 w3 w4 w5 w6"  # shingles: 4
+    b = "w1 w2 w3 w4 w5 w7"  # shingles: 4, common 3 → j=3/5
+    df = spark.createDataFrame([(1, a), (2, b)], "doc_id long, text string")
+    df.createOrReplaceTempView("documents_tiny")
+    from clickhouse_vs_dbt_spark.functions.textfns import word_shingles
+
+    sh = df.select(
+        "doc_id", word_shingles("split(trim(text), '\\\\s+')", 3).alias("shingles")
+    ).withColumn("n_shingles", F.size("shingles"))
+    pairs = dedup._exact_jaccard_pairs(sh).collect()
+    assert len(pairs) == 1
+    assert pairs[0].jaccard == pytest.approx(3 / 5)
+
+
+def test_embedding_near_dup_blocked_by_label(spark, sf_dir):
+    out = dedup.q_dedup_embedding(spark, sf_dir).collect()
+    assert out, "threshold calibrated to yield pairs on fixtures"
+    for r in out:
+        assert r.cos_sim >= dedup.COSINE_THRESHOLD

@@ -1,0 +1,89 @@
+"""ANN similarity search: exactness of brute force, recall of LSH."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from clickhouse_vs_dbt_spark.operators import similarity
+
+
+def test_bruteforce_topk_shape(spark, sf_dir):
+    out = similarity.q_ann_topk_bruteforce(spark, sf_dir).collect()
+    by_query = {}
+    for r in out:
+        by_query.setdefault(r.query_id, []).append(r)
+    assert set(by_query) == {0, 1, 2}
+    for q, rows in by_query.items():
+        assert [r.rank for r in rows] == [1, 2, 3, 4, 5]
+        scores = [r.cos_sim for r in rows]
+        assert scores == sorted(scores, reverse=True)
+        assert all(r.neighbor_id != q for r in rows)
+
+
+def test_lsh_finds_planted_near_duplicates(spark, tmp_path):
+    # Sign-LSH's contract is high-cosine retrieval. On uniform random
+    # vectors (the fixtures) neighbors at cos≈0.4 are barely closer
+    # than noise — so recall is tested where the operator is designed
+    # to work: planted near-duplicates at cos≈0.99.
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(3, 64)
+    rows = []
+    vid = 0
+    for q in range(3):
+        rows.append((vid, [float(x) for x in base[q]], q))  # the query itself
+        vid += 1
+    for q in range(3):
+        for _ in range(5):  # 5 planted near-dups per query
+            noisy = base[q] + 0.05 * rng.randn(64)
+            rows.append((vid, [float(x) for x in noisy], q))
+            vid += 1
+    for _ in range(200):  # background noise
+        rows.append((vid, [float(x) for x in rng.randn(64)], 9))
+        vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    df.write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.q_ann_topk_bruteforce(spark, str(tmp_path)).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.q_ann_topk_lsh(spark, str(tmp_path)).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, f"LSH recall on planted near-dups: {recall}"
+
+
+def test_ivf_recall_vs_bruteforce(spark, sf_dir):
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.q_ann_topk_bruteforce(spark, sf_dir).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.q_ann_topk_ivf(spark, sf_dir).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    # nprobe/K = 4/16 of the corpus scanned; uniform data bounds recall
+    assert recall >= 0.3, f"IVF recall collapsed: {recall}"
+
+
+def test_lsh_bucket_deterministic(spark, sf_dir):
+    from clickhouse_vs_dbt_spark.catalog import load_table
+
+    e = load_table(spark, sf_dir, "embeddings").limit(20)
+    b1 = [r.b for r in e.select(similarity.lsh_bucket("embedding").alias("b")).collect()]
+    b2 = [r.b for r in e.select(similarity.lsh_bucket("embedding").alias("b")).collect()]
+    assert b1 == b2
+    assert all(0 <= b < 256 for b in b1)
+
+
+def test_query_join_is_broadcast(spark, sf_dir):
+    plan = (
+        similarity.q_ann_topk_bruteforce(spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
