@@ -15,9 +15,27 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from clickhouse_vs_dbt_spark.operators import dedup, relational, similarity, ssb_queries
+from clickhouse_vs_dbt_spark.operators import (
+    dedup,
+    multimodal,
+    relational,
+    similarity,
+    ssb_queries,
+    text,
+    timeseries,
+)
+from clickhouse_vs_dbt_spark.streaming import events_stream
 
-_MODULES = [ssb_queries, relational, dedup, similarity]
+_MODULES = [
+    ssb_queries,
+    relational,
+    dedup,
+    similarity,
+    text,
+    timeseries,
+    multimodal,
+    events_stream,
+]
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -12,6 +12,7 @@ relations.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 # Driver fixture tables (TESTDATA.md): one parquet file per table.
 FIXTURE_TABLES = (
@@ -39,6 +40,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     but columnar so Catalyst pushes filters/projection into the scan)."""
     if name not in FIXTURE_TABLES:
         raise KeyError(f"unknown fixture table {name!r}; known: {FIXTURE_TABLES}")
+    if name == "events":
+        # events.ts is TIMESTAMP(NANOS) parquet, which Spark's reader
+        # rejects; read the raw int64 nanos and truncate to Spark's
+        # native microsecond timestamps (DuckDB truncates identically,
+        # verified in tests/test_timeseries.py).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

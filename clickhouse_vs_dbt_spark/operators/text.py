@@ -1,0 +1,208 @@
+"""Text-analysis operators over ``documents`` (SURVEY.md §2.3):
+token statistics, quality scoring, heuristic language ID, and
+content fingerprinting.
+
+All four are pure Catalyst expressions (split / regexp / higher-order
+array functions) — zero Python in the row path, so they run at scan
+speed on 100 TB — and all four are oracle-checked against identical
+formulas in DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from clickhouse_vs_dbt_spark.catalog import load_table
+from clickhouse_vs_dbt_spark.functions.textfns import rolling_hash, sql_rolling_hash
+
+STOPWORDS = ("the", "a", "of", "to", "and", "in")
+WORD_RE = "[A-Za-z0-9]+"
+PUNCT_RE = r"[.,!?;:]"
+
+# language marker words for the n-gram/function-word heuristic
+LANG_MARKERS = {
+    "en": ("the", "and", "of", "to"),
+    "es": ("el", "la", "de", "que"),
+    "de": ("der", "die", "und", "das"),
+    "fr": ("le", "les", "et", "dans"),
+}
+
+
+def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc token counting: whitespace tokens, word-regex tokens
+    (the BPE-ish pre-tokenization pass), character length."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        F.size(F.split(F.trim("text"), r"\s+")).alias("n_tokens"),
+        F.expr(f"size(regexp_extract_all(text, '{WORD_RE}', 0))").alias("n_words"),
+    ).orderBy("doc_id")
+
+
+O_TOKEN_STATS = f"""
+SELECT doc_id,
+       length(text) AS n_chars,
+       len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+       len(regexp_extract_all(text, '{WORD_RE}')) AS n_words
+FROM documents ORDER BY doc_id
+"""
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality heuristics: stopword ratio, punctuation density, mean
+    token length, and a blended score.  The formula is arbitrary but
+    deterministic and engine-portable — the operator under test is the
+    expression pipeline, not the linguistics."""
+    d = load_table(spark, sf_dir, "documents")
+    stoplist = ", ".join(f"'{w}'" for w in STOPWORDS)
+    toks = "split(trim(text), '\\\\s+')"
+    return (
+        d.withColumn("n_tokens", F.expr(f"size({toks})"))
+        .withColumn(
+            "stop_ratio",
+            F.round(
+                F.expr(
+                    f"size(filter({toks}, t -> t IN ({stoplist}))) / CAST(size({toks}) AS DOUBLE)"
+                ),
+                6,
+            ),
+        )
+        .withColumn(
+            "punct_ratio",
+            F.round(
+                (
+                    F.length("text")
+                    - F.length(F.regexp_replace("text", PUNCT_RE, ""))
+                ).cast("double")
+                / F.length("text"),
+                6,
+            ),
+        )
+        .withColumn(
+            "mean_token_len",
+            F.round(
+                F.length(F.regexp_replace("text", r"\s+", "")).cast("double")
+                / F.col("n_tokens"),
+                6,
+            ),
+        )
+        .withColumn(
+            "quality_score",
+            F.round(
+                F.lit(1.0)
+                - F.least(F.lit(1.0), F.col("punct_ratio") * 5)
+                * F.lit(0.5)
+                - F.greatest(
+                    F.lit(0.0), F.lit(0.15) - F.col("stop_ratio")
+                )
+                * F.lit(2.0),
+                6,
+            ),
+        )
+        .select(
+            "doc_id", "n_tokens", "stop_ratio", "punct_ratio",
+            "mean_token_len", "quality_score",
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _o_quality() -> str:
+    stoplist = ", ".join(f"'{w}'" for w in STOPWORDS)
+    return f"""
+WITH base AS (
+  SELECT doc_id, text,
+         string_split_regex(trim(text), '\\s+') AS t
+  FROM documents
+), m AS (
+  SELECT doc_id,
+         len(t) AS n_tokens,
+         round(len(list_filter(t, x -> x IN ({stoplist}))) / CAST(len(t) AS DOUBLE), 6) AS stop_ratio,
+         round(CAST(length(text) - length(regexp_replace(text, '{PUNCT_RE}', '', 'g')) AS DOUBLE) / length(text), 6) AS punct_ratio,
+         round(CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE) / len(t), 6) AS mean_token_len
+  FROM base)
+SELECT doc_id, n_tokens, stop_ratio, punct_ratio, mean_token_len,
+       round(1.0 - least(1.0, punct_ratio * 5) * 0.5
+                 - greatest(0.0, 0.15 - stop_ratio) * 2.0, 6) AS quality_score
+FROM m ORDER BY doc_id
+"""
+
+
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID: count function-word markers per language,
+    argmax with a fixed priority order on ties, 'und' when no marker
+    hits.  (The fixture ``lang`` column is a synthetic label — kept in
+    the output for comparison, not used by the predictor.)"""
+    d = load_table(spark, sf_dir, "documents")
+    toks = "split(lower(trim(text)), '\\\\s+')"
+    counts = {
+        lang: f"size(filter({toks}, t -> t IN ({', '.join(repr(w) for w in words)})))"
+        for lang, words in LANG_MARKERS.items()
+    }
+    pred = f"""
+      CASE WHEN {counts['en']} >= {counts['es']} AND {counts['en']} >= {counts['de']}
+                AND {counts['en']} >= {counts['fr']} AND {counts['en']} > 0 THEN 'en'
+           WHEN {counts['es']} >= {counts['de']} AND {counts['es']} >= {counts['fr']}
+                AND {counts['es']} > 0 THEN 'es'
+           WHEN {counts['de']} >= {counts['fr']} AND {counts['de']} > 0 THEN 'de'
+           WHEN {counts['fr']} > 0 THEN 'fr'
+           ELSE 'und' END
+    """
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("claimed_lang"),
+        F.expr(counts["en"]).alias("en_hits"),
+        F.expr(pred).alias("pred_lang"),
+    ).orderBy("doc_id")
+
+
+def _o_langid() -> str:
+    toks = "string_split_regex(lower(trim(text)), '\\s+')"
+    counts = {
+        lang: f"len(list_filter({toks}, t -> t IN ({', '.join(repr(w) for w in words)})))"
+        for lang, words in LANG_MARKERS.items()
+    }
+    return f"""
+SELECT doc_id, lang AS claimed_lang,
+       {counts['en']} AS en_hits,
+       CASE WHEN {counts['en']} >= {counts['es']} AND {counts['en']} >= {counts['de']}
+                 AND {counts['en']} >= {counts['fr']} AND {counts['en']} > 0 THEN 'en'
+            WHEN {counts['es']} >= {counts['de']} AND {counts['es']} >= {counts['fr']}
+                 AND {counts['es']} > 0 THEN 'es'
+            WHEN {counts['de']} >= {counts['fr']} AND {counts['de']} > 0 THEN 'de'
+            WHEN {counts['fr']} > 0 THEN 'fr'
+            ELSE 'und' END AS pred_lang
+FROM documents ORDER BY doc_id
+"""
+
+
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content fingerprint: polynomial rolling hash over
+    characters (portable mod-prime fold — see functions/textfns.py)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", rolling_hash("text").alias("fingerprint")
+    ).orderBy("doc_id")
+
+
+O_FINGERPRINT = f"""
+SELECT doc_id, {sql_rolling_hash('text')} AS fingerprint
+FROM documents ORDER BY doc_id
+"""
+
+
+QUERIES = {
+    "text_token_stats": q_text_token_stats,
+    "text_quality": q_text_quality,
+    "text_langid": q_text_langid,
+    "text_fingerprint": q_text_fingerprint,
+}
+
+ORACLES = {
+    "text_token_stats": O_TOKEN_STATS,
+    "text_quality": _o_quality(),
+    "text_langid": _o_langid(),
+    "text_fingerprint": O_FINGERPRINT,
+}

@@ -1,0 +1,81 @@
+"""Text-analysis operators (SURVEY.md §2.3): token stats, quality
+scoring, language ID, fingerprinting — edge cases on tiny in-memory
+frames plus sanity over the sf0.001 fixture."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from clickhouse_vs_dbt_spark.functions.textfns import rolling_hash
+from clickhouse_vs_dbt_spark.operators import text
+
+
+def test_token_stats_fixture(spark, sf_dir):
+    out = text.q_text_token_stats(spark, sf_dir)
+    rows = out.collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r.n_chars >= r.n_words >= 0
+        assert r.n_tokens >= 1
+
+
+def test_quality_score_bounds(spark, sf_dir):
+    rows = text.q_text_quality(spark, sf_dir).collect()
+    for r in rows:
+        assert 0.0 <= r.stop_ratio <= 1.0
+        assert 0.0 <= r.punct_ratio <= 1.0
+        assert r.mean_token_len > 0
+        # score formula is bounded: 1 - [0,0.5] - [0,0.3]
+        assert 0.19 <= r.quality_score <= 1.0
+
+
+def test_langid_markers(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog of the house", "en"),
+            (2, "el perro de la casa que ladra", "es"),
+            (3, "zzz qqq www", "??"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    df.createOrReplaceTempView("_t")
+    # reuse the operator body by monkey-loading: call the expression
+    # path through a temp catalog entry is overkill — build inline.
+    from clickhouse_vs_dbt_spark.operators.text import LANG_MARKERS
+
+    toks = "split(lower(trim(text)), '\\\\s+')"
+    counts = {
+        lang: f"size(filter({toks}, t -> t IN ({', '.join(repr(w) for w in words)})))"
+        for lang, words in LANG_MARKERS.items()
+    }
+    got = {
+        r.doc_id: (r.en, r.es)
+        for r in df.select(
+            "doc_id",
+            F.expr(counts["en"]).alias("en"),
+            F.expr(counts["es"]).alias("es"),
+        ).collect()
+    }
+    assert got[1][0] > 0 and got[1][0] > got[1][1]
+    assert got[2][1] > 0 and got[2][1] > got[2][0]
+    assert got[3] == (0, 0)
+
+
+def test_rolling_hash_deterministic_and_sensitive(spark):
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, "hello world"), (3, "hello world!")],
+        "id long, text string",
+    )
+    rows = df.select("id", rolling_hash("text").alias("h")).collect()
+    h = {r.id: r.h for r in rows}
+    assert h[1] == h[2]  # deterministic
+    assert h[1] != h[3]  # content-sensitive
+    assert all(v >= 0 for v in h.values())
+
+
+def test_fingerprint_fixture_distinct(spark, sf_dir):
+    out = text.q_text_fingerprint(spark, sf_dir)
+    n = out.count()
+    nd = out.select("fingerprint").distinct().count()
+    # collisions are possible but should be rare on short fixture docs
+    assert nd > n * 0.9

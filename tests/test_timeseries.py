@@ -1,0 +1,78 @@
+"""Event-time window operators (SURVEY.md §2.3) — semantics pinned on
+tiny in-memory frames; fixture-level totals cross-checked."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from clickhouse_vs_dbt_spark.operators import timeseries
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+
+
+def test_tumbling_window_assignment(spark):
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    df = _events(
+        spark,
+        [
+            (1, t0, 1, "a", 1.0),
+            (2, t0 + datetime.timedelta(seconds=599), 1, "a", 1.0),
+            (3, t0 + datetime.timedelta(seconds=600), 1, "a", 1.0),  # next window
+        ],
+    )
+    out = (
+        df.groupBy(F.window("ts", "600 seconds").alias("w"))
+        .count()
+        .select(F.unix_timestamp("w.start").alias("s"), "count")
+        .orderBy("s")
+        .collect()
+    )
+    assert [(r.s % 600, r["count"]) for r in out] == [(0, 2), (0, 1)]
+
+
+def test_sliding_window_multiplicity(spark, sf_dir):
+    # every event lands in exactly size/slide = 2 sliding windows
+    tumb = timeseries.q_events_tumbling(spark, sf_dir).agg(F.sum("n_events")).collect()[0][0]
+    slide = timeseries.q_events_sliding(spark, sf_dir).agg(F.sum("n_events")).collect()[0][0]
+    assert slide == 2 * tumb
+
+
+def test_session_window_gap_split(spark):
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    gap = timeseries.SESSION_GAP_MIN
+    df = _events(
+        spark,
+        [
+            (1, t0, 7, "a", 1.0),
+            (2, t0 + datetime.timedelta(minutes=gap - 1), 7, "a", 1.0),  # same session
+            # next event is gap-1 min after the PREVIOUS event → still same session
+            (3, t0 + datetime.timedelta(minutes=2 * gap - 3), 7, "a", 1.0),
+            # > gap after event 3 → new session
+            (4, t0 + datetime.timedelta(minutes=3 * gap + 1), 7, "a", 1.0),
+        ],
+    )
+    out = (
+        df.groupBy(F.session_window("ts", f"{gap} minutes"), "user_id")
+        .count()
+        .collect()
+    )
+    assert sorted(r["count"] for r in out) == [1, 3]
+
+
+def test_gap_to_prev_first_event_null(spark, sf_dir):
+    out = timeseries.q_events_gap_to_prev(spark, sf_dir)
+    per_user_nulls = (
+        out.groupBy("user_id")
+        .agg(F.sum(F.col("gap_us").isNull().cast("long")).alias("nulls"))
+        .collect()
+    )
+    # exactly one NULL gap (the first event) per user
+    assert all(r.nulls == 1 for r in per_user_nulls)
+    nonneg = out.filter(F.col("gap_us") < 0).count()
+    assert nonneg == 0
