@@ -1,0 +1,93 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries from ``__spark_entry__.queries()`` at
+``$SPARK_GRAFT_SF_DIR`` (default ``/root/testdata/sf0.1``) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line::
+
+    {"metric": "headline_total", "value": N, "unit": "sec",
+     "queries": {"ssb_q1_1": sec, ...}, "sf": 0.1}
+
+Each query is forced with a ``noop``-format write — full computation on
+the executors, nothing materialized on the driver — so timings reflect
+scan + shuffle + compute, the same thing that matters on a real cluster.
+A warmup action runs first so JVM/codegen startup is not billed to the
+first query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+HEADLINE = [
+    # reference surface: SSB flight over the star join (SURVEY.md §2.1)
+    "ssb_q1_1",
+    "ssb_q1_2",
+    "ssb_q1_3",
+    "ssb_q2_brand_revenue",
+    "ssb_q3_nation_revenue",
+    "ssb_q4_profit",
+    "star_build",
+    # extended relational
+    "tpch_q1_pricing_summary",
+    "top_customers",
+    "window_rank_parts",
+    # training-data pipeline extensions (SURVEY.md §2.3)
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "ann_topk_bruteforce",
+    "text_quality",
+    "events_tumbling_window",
+]
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    import __spark_entry__ as e
+    from clickhouse_vs_dbt_spark.session import get_spark
+
+    spark = get_spark("bench")
+    qs = e.queries()
+
+    # Warmup: touch every fixture table once (file listing, footer reads,
+    # codegen warm) so per-query numbers measure the query, not startup.
+    from clickhouse_vs_dbt_spark.catalog import FIXTURE_TABLES, load_table
+
+    for t in FIXTURE_TABLES:
+        load_table(spark, sf_dir, t).limit(1).write.format("noop").mode(
+            "overwrite"
+        ).save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs.get(name)
+        if fn is None:
+            print(f"bench: missing query {name!r}", file=sys.stderr)
+            continue
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
