@@ -71,10 +71,23 @@ FROM documents GROUP BY lower(trim(text))
 # --- shared shingle relation ---
 
 def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shingles, n_shingles) with the tokenization materialized
+    ONCE behind a repartition barrier.
+
+    Two deliberate choices, both measured at sf0.1: (1) tokenizing in a
+    collapsed projection re-evaluates ``split()`` for every reference
+    inside the shingle CASE (~4×/row) — the exchange forces tokens to
+    compute once; (2) the fixture parquet is a single row-group, so the
+    repartition also spreads the CPU-bound shingle/signature map across
+    all cores (at 100 TB the scan already has thousands of splits and
+    this narrow (doc_id, tokens) shuffle just rebalances skew).
+    """
     d = load_table(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id",
-        word_shingles("split(trim(text), '\\\\s+')", 3).alias("shingles"),
+    tok = d.select("doc_id", tokens().alias("t")).repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    return tok.select(
+        "doc_id", word_shingles("t", 3).alias("shingles")
     ).withColumn("n_shingles", F.size("shingles"))
 
 
@@ -163,26 +176,32 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate set only.
 
     Pipeline: signature (map-only) → band hashes (map-only) → explode
-    bands → self-join within (band, hash) buckets → distinct candidate
-    pairs → exact-Jaccard verify.  At 100 TB each stage is a single
-    shuffle keyed by band-hash; bucket sizes stay small because only
-    near-dups collide in a band.  xxhash64 is not available in DuckDB,
-    so this operator has a rows-only driver check; the pytest suite
-    verifies recall == 1.0 against the exact operator on the fixtures
-    (banding at 8×4 makes missing a ≥0.8 pair a ~1e-5 event).
+    bands to NARROW rows (doc_id, band_id, band_hash) → self-join within
+    (band, hash) buckets → distinct candidate pairs → join the (small)
+    candidate set back to the shingle relation → exact-Jaccard verify.
+
+    Scale shape: the only large shuffle moves 3-column rows — the
+    shingle arrays themselves never shuffle (carrying them through the
+    band explode/self-join 8×-duplicates every array and was measurably
+    ~4× slower at sf0.1).  Candidate pairs are rare (only near-dups
+    collide in a band), so Spark broadcasts them for the verify
+    join-back and the shingle relation is re-scanned map-side only.
+    xxhash64 is not available in DuckDB, so this operator has a
+    rows-only driver check; the pytest suite verifies recall == 1.0
+    against the exact operator on the fixtures (banding at 8×4 makes
+    missing a ≥0.8 pair a ~1e-5 event).
     """
     sh = _shingled(spark, sf_dir).filter(F.col("n_shingles") > 0)
-    sig = sh.select("doc_id", "shingles", *minhash_signature())
+    sig = sh.select("doc_id", *minhash_signature())
     band_cols = [
         F.xxhash64(*[F.col(f"mh_{b * 4 + r}") for r in range(4)]).alias(f"band_{b}")
         for b in range(LSH_BANDS)
     ]
-    banded = sig.select(
+    bands = sig.select(
         "doc_id",
-        "shingles",
         F.posexplode(F.array(*band_cols)).alias("band_id", "band_hash"),
     )
-    a, b = banded.alias("a"), banded.alias("b")
+    a, b = bands.alias("a"), bands.alias("b")
     candidates = (
         a.join(
             b,
@@ -193,15 +212,19 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.shingles").alias("sh_a"),
-            F.col("b.shingles").alias("sh_b"),
         )
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    verified = candidates.withColumn(
-        "jaccard",
-        F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-        / F.size(F.array_union("sh_a", "sh_b")).cast("double"),
+    sh_a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sh_b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    verified = (
+        candidates.join(sh_a, "doc_a")
+        .join(sh_b, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+            / F.size(F.array_union("sh_a", "sh_b")).cast("double"),
+        )
     )
     return (
         verified.filter(F.col("jaccard") >= JACCARD_THRESHOLD)
@@ -251,8 +274,12 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     not expressible in DuckDB); pytest pins signatures and pair recall
     on constructed near-dups."""
     d = load_table(spark, sf_dir, "documents")
-    sigs = d.select("doc_id", tokens().alias("toks")).select(
-        "doc_id", simhash64("toks").alias("simhash")
+    sigs = (
+        d.select("doc_id", tokens().alias("toks"))
+        # Spread the Pandas-UDF signature pass across cores (the fixture
+        # parquet is one row-group → one task otherwise).
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .select("doc_id", simhash64("toks").alias("simhash"))
     )
     chunked = sigs.select("doc_id", "simhash", *simhash_chunks())
     pairs = None
