@@ -28,3 +28,25 @@ def to_yyyymm(col: Column | str) -> Column:
 
 def to_iso_week(col: Column | str) -> Column:
     return F.weekofyear(col)
+
+
+def year_range(col: Column | str, year: int) -> Column:
+    """Scan-pushable twin of ``to_year(col) == year``.
+
+    ``year(d) = Y`` is a function predicate — Parquet cannot use it to
+    skip row groups (and, on a date-partitioned 100 TB table, cannot
+    prune partitions).  The equivalent half-open raw-range CAN be pushed
+    (shows up under ``PushedFilters`` in ``.explain``).  Conjoin it with
+    the semantic predicate: same rows, pruned scan.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return (c >= F.lit(f"{year}-01-01")) & (c < F.lit(f"{year + 1}-01-01"))
+
+
+def yyyymm_range(col: Column | str, yyyymm: int) -> Column:
+    """Scan-pushable twin of ``to_yyyymm(col) == yyyymm`` (see
+    :func:`year_range`)."""
+    y, m = divmod(yyyymm, 100)
+    ny, nm = (y + 1, 1) if m == 12 else (y, m + 1)
+    c = F.col(col) if isinstance(col, str) else col
+    return (c >= F.lit(f"{y}-{m:02d}-01")) & (c < F.lit(f"{ny}-{nm:02d}-01"))

@@ -24,7 +24,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from clickhouse_vs_dbt_spark.catalog import load_table
-from clickhouse_vs_dbt_spark.functions.datefns import to_iso_week, to_year, to_yyyymm
+from clickhouse_vs_dbt_spark.functions.datefns import (
+    to_iso_week,
+    to_year,
+    to_yyyymm,
+    year_range,
+    yyyymm_range,
+)
 from clickhouse_vs_dbt_spark.operators.common import dsum, sql_dsum, star
 from clickhouse_vs_dbt_spark.plans.star import star_sql
 
@@ -85,6 +91,7 @@ def q1_1(spark: SparkSession, sf_dir: str) -> DataFrame:
         star(spark, sf_dir)
         .filter(
             (to_year("o_orderdate") == 1995)
+            & year_range("o_orderdate", 1995)  # scan-pushable twin
             & F.col("l_discount").between(0.01, 0.03)
             & (F.col("l_quantity") < 25)
         )
@@ -108,6 +115,7 @@ def q1_2(spark: SparkSession, sf_dir: str) -> DataFrame:
         star(spark, sf_dir)
         .filter(
             (to_yyyymm("o_orderdate") == 199601)
+            & yyyymm_range("o_orderdate", 199601)  # scan-pushable twin
             & F.col("l_discount").between(0.04, 0.06)
             & F.col("l_quantity").between(26, 35)
         )
@@ -132,6 +140,7 @@ def q1_3(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(
             (to_iso_week("o_orderdate") == 6)
             & (to_year("o_orderdate") == 1996)
+            & year_range("o_orderdate", 1996)  # scan-pushable twin
             & F.col("l_discount").between(0.05, 0.07)
             & F.col("l_quantity").between(26, 35)
         )
