@@ -24,7 +24,7 @@ from clickhouse_vs_dbt_spark.operators import (
     text,
     timeseries,
 )
-from clickhouse_vs_dbt_spark.streaming import events_stream
+from clickhouse_vs_dbt_spark.streaming import events_stream, stateful_sessions
 
 _MODULES = [
     ssb_queries,
@@ -35,6 +35,7 @@ _MODULES = [
     timeseries,
     multimodal,
     events_stream,
+    stateful_sessions,
 ]
 
 
