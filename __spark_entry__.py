@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from clickhouse_vs_dbt_spark.operators import (
     dedup,
     multimodal,
+    pipeline,
     relational,
     similarity,
     ssb_queries,
@@ -34,6 +35,7 @@ _MODULES = [
     text,
     timeseries,
     multimodal,
+    pipeline,
     events_stream,
     stateful_sessions,
 ]
