@@ -25,6 +25,7 @@ from clickhouse_vs_dbt_spark.operators import (
     text,
     timeseries,
 )
+from clickhouse_vs_dbt_spark.sources import ssb_csv
 from clickhouse_vs_dbt_spark.streaming import events_stream, stateful_sessions
 
 _MODULES = [
@@ -36,6 +37,7 @@ _MODULES = [
     timeseries,
     multimodal,
     pipeline,
+    ssb_csv,
     events_stream,
     stateful_sessions,
 ]

@@ -82,23 +82,22 @@ SSB_SCHEMAS: dict[str, T.StructType] = {
 }
 
 
-def read_ssb_csv(
+def read_tbl(
     spark: SparkSession,
     path: str,
-    table: str,
+    schema: T.StructType,
     sep: str = "|",
     date_format: str = "yyyy-MM-dd",
     strict: bool = True,
 ) -> DataFrame:
-    """Read an ssb-dbgen ``.tbl`` file with the declared schema.
+    """Read a headerless ``|``-delimited ``.tbl`` file with a declared
+    schema (the general S1+T1 scan; :func:`read_ssb_csv` binds it to the
+    reference's four DDL schemas).
 
     ssb-dbgen terminates every record with a trailing ``|`` — Spark's CSV
     reader sees that as one extra empty column, so the schema gains a
     throwaway tail column which is dropped after parse.
     """
-    if table not in SSB_SCHEMAS:
-        raise KeyError(f"unknown SSB table {table!r}")
-    schema = SSB_SCHEMAS[table]
     padded = T.StructType(
         list(schema.fields) + [T.StructField("_trailing", T.StringType(), True)]
     )
@@ -113,3 +112,78 @@ def read_ssb_csv(
         .csv(path)
     )
     return df.select(*[f.name for f in schema.fields])
+
+
+def read_ssb_csv(
+    spark: SparkSession,
+    path: str,
+    table: str,
+    sep: str = "|",
+    date_format: str = "yyyy-MM-dd",
+    strict: bool = True,
+) -> DataFrame:
+    """Read an ssb-dbgen ``.tbl`` file for one of the reference's four
+    declared tables (reference README.md:158-221)."""
+    if table not in SSB_SCHEMAS:
+        raise KeyError(f"unknown SSB table {table!r}")
+    return read_tbl(spark, path, SSB_SCHEMAS[table], sep, date_format, strict)
+
+
+# --- oracle-paired proof of the CSV scan (S1 + T1) -------------------------
+
+def q_csv_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Writes the supplier fixture as dbgen-style ``.tbl`` text (pipe
+    separated, pipe terminated, no header), re-reads it through the
+    typed FAILFAST CSV scan, and aggregates.  The oracle aggregates the
+    parquet directly — a hash match proves the CSV parse/coercion path
+    is lossless for ints, strings, and doubles."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    sup = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    d = tempfile.mkdtemp(prefix="tbl_roundtrip_")
+    (
+        sup.select(
+            F.concat_ws(
+                "|",
+                F.col("s_suppkey").cast("string"),
+                "s_name",
+                F.col("s_nationkey").cast("string"),
+                F.col("s_acctbal").cast("string"),
+            ).alias("line")
+        )
+        .select(F.concat("line", F.lit("|")).alias("value"))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .text(d)
+    )
+    schema = _st(
+        ("s_suppkey", T.LongType()),
+        ("s_name", T.StringType()),
+        ("s_nationkey", T.IntegerType()),
+        ("s_acctbal", T.DoubleType()),
+    )
+    from clickhouse_vs_dbt_spark.operators.common import dsum
+
+    back = read_tbl(spark, d, schema)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum(F.col("s_acctbal")).alias("sum_acctbal"),
+        F.countDistinct("s_nationkey").alias("n_nations"),
+        F.min("s_name").alias("min_name"),
+        F.max("s_name").alias("max_name"),
+    )
+
+
+O_CSV_ROUNDTRIP = """
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(CAST(s_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS sum_acctbal,
+       COUNT(DISTINCT s_nationkey) AS n_nations,
+       min(s_name) AS min_name,
+       max(s_name) AS max_name
+FROM supplier
+"""
+
+QUERIES = {"csv_source_roundtrip": q_csv_source_roundtrip}
+ORACLES = {"csv_source_roundtrip": O_CSV_ROUNDTRIP}
