@@ -146,11 +146,127 @@ FROM events ORDER BY event_id
 """
 
 
+# --- as-of join (driver-mandated custom operator Spark lacks natively) ---
+
+def q_events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the user's most recent view
+    at or before it.
+
+    Spark has no ASOF JOIN operator; the scalable composition is a
+    single keyed window — union the two sides (here they share one
+    table), sort per user by event time, and carry the last view
+    forward with ``last(..., ignorenulls=True)``.  One shuffle on
+    user_id, no join at all — the classic log-enrichment shape that a
+    naive range self-join would do in O(n·k).  Ties (view and purchase
+    at the same timestamp) are broken by event_id, identically in the
+    oracle, so the pairing is total and deterministic."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", F.unix_micros("ts").alias("ts_us")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    view_id = F.when(F.col("event_type") == "view", F.col("event_id"))
+    view_ts = F.when(F.col("event_type") == "view", F.col("ts_us"))
+    return (
+        e.withColumn("last_view_id", F.last(view_id, ignorenulls=True).over(w))
+        .withColumn("last_view_ts_us", F.last(view_ts, ignorenulls=True).over(w))
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts_us").alias("purchase_ts_us"),
+            "last_view_id",
+            "last_view_ts_us",
+            (F.col("ts_us") - F.col("last_view_ts_us")).alias("gap_us"),
+        )
+        .orderBy("purchase_id")
+    )
+
+
+O_ASOF = """
+WITH enriched AS (
+  SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us,
+         last_value(CASE WHEN event_type='view' THEN event_id END IGNORE NULLS) OVER w AS last_view_id,
+         last_value(CASE WHEN event_type='view' THEN epoch_us(ts) END IGNORE NULLS) OVER w AS last_view_ts_us
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+SELECT event_id AS purchase_id, user_id, ts_us AS purchase_ts_us,
+       last_view_id, last_view_ts_us, ts_us - last_view_ts_us AS gap_us
+FROM enriched WHERE event_type = 'purchase' ORDER BY purchase_id
+"""
+
+
+# --- bucketed range join (second driver-mandated custom operator) ---
+
+RANGE_JOIN_SEC = 300
+
+
+def range_self_join(e: DataFrame, width_us: int) -> DataFrame:
+    """All same-user event pairs within ``width_us`` of each other,
+    without the O(n²) theta-join: each probe row fans out to its time
+    bucket ±1 (|Δts| <= width ⇒ |Δbucket| <= 1), the join is a pure
+    equi-join on (user_id, bucket) — one hash shuffle — and the exact
+    range predicate filters the candidates.  Each qualifying pair
+    matches exactly one probe bucket, so no dedup pass is needed.
+
+    Input: (event_id, user_id, ts_us); output pairs with id_a < id_b.
+    """
+    bucket = F.floor(F.col("ts_us") / width_us).cast("long")
+    probe = e.withColumn(
+        "bucket", F.explode(F.array(bucket - 1, bucket, bucket + 1))
+    ).alias("a")
+    build = e.withColumn("bucket", bucket).alias("b")
+    return (
+        probe.join(
+            build,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.event_id") < F.col("b.event_id")),
+        )
+        .filter(
+            F.abs(F.col("a.ts_us") - F.col("b.ts_us")) <= F.lit(width_us)
+        )
+        .select(
+            F.col("a.event_id").alias("id_a"),
+            F.col("b.event_id").alias("id_b"),
+            F.col("a.user_id").alias("user_id"),
+            F.col("a.ts_us").alias("ts_a_us"),
+            F.col("b.ts_us").alias("ts_b_us"),
+        )
+    )
+
+
+def q_events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same-user event pairs within 5 minutes (bucketed range join)."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("ts_us")
+    )
+    return range_self_join(e, RANGE_JOIN_SEC * 1_000_000).orderBy("id_a", "id_b")
+
+
+O_RANGE_JOIN = f"""
+SELECT a.event_id AS id_a, b.event_id AS id_b, a.user_id AS user_id,
+       epoch_us(a.ts) AS ts_a_us, epoch_us(b.ts) AS ts_b_us
+FROM events a JOIN events b
+  ON a.user_id = b.user_id AND a.event_id < b.event_id
+ AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= {RANGE_JOIN_SEC * 1_000_000}
+ORDER BY id_a, id_b
+"""
+
+
 QUERIES = {
     "events_tumbling_window": q_events_tumbling,
     "events_sliding_window": q_events_sliding,
     "events_session_window": q_events_session,
     "events_gap_to_prev": q_events_gap_to_prev,
+    "events_asof_join": q_events_asof_join,
+    "events_range_join": q_events_range_join,
 }
 
 ORACLES = {
@@ -158,4 +274,6 @@ ORACLES = {
     "events_sliding_window": O_SLIDING,
     "events_session_window": O_SESSION,
     "events_gap_to_prev": O_GAP,
+    "events_asof_join": O_ASOF,
+    "events_range_join": O_RANGE_JOIN,
 }

@@ -76,3 +76,25 @@ def test_gap_to_prev_first_event_null(spark, sf_dir):
     assert all(r.nulls == 1 for r in per_user_nulls)
     nonneg = out.filter(F.col("gap_us") < 0).count()
     assert nonneg == 0
+
+
+def test_range_self_join_boundaries(spark):
+    """Bucket-edge cases: pair exactly at the width (included), one
+    microsecond past (excluded), cross-bucket pair, different users."""
+    from clickhouse_vs_dbt_spark.operators.timeseries import range_self_join
+
+    W = 300 * 1_000_000
+    rows = [
+        # (event_id, user_id, ts_us)
+        (1, 1, 0),
+        (2, 1, W),          # exactly width from id 1 -> included
+        (3, 1, 2 * W + 1),  # W+1 from id 2 -> excluded
+        (4, 1, 2 * W + 2),  # 1us from id 3 -> included (crosses no bucket)
+        (5, 2, W + 1),      # different user, close to id 2 -> excluded
+        (6, 1, 3 * W - 1),  # W-3 from id 4: crosses bucket boundary -> included
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts_us long")
+    got = sorted(
+        (r.id_a, r.id_b) for r in range_self_join(df, W).collect()
+    )
+    assert got == [(1, 2), (3, 4), (3, 6), (4, 6)]
