@@ -150,21 +150,27 @@ def _chunked_replay_dir(spark: SparkSession, sf_dir: str, n_chunks: int = 4) -> 
     )
     ev.repartitionByRange(n_chunks, "ts").write.mode("overwrite").parquet(d)
     max_ts = ev.agg(F.max(F.unix_micros("ts"))).first()[0]
-    sentinel = spark.createDataFrame(
-        [(-1, max_ts + 400 * 86400 * 1_000_000, -1, "sentinel", 0.0)],
-        "event_id long, ts_us long, user_id long, event_type string, value double",
-    ).select(
-        "event_id", F.timestamp_micros("ts_us").alias("ts"), "user_id", "event_type", "value"
+    # One-row sentinel: written with pyarrow directly — a Spark write
+    # job for a single row costs seconds of scheduling for nothing.
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    sentinel_us = max_ts + 400 * 86400 * 1_000_000
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([-1], pa.int64()),
+                "ts": pa.array([sentinel_us], pa.timestamp("us", tz="UTC")),
+                "user_id": pa.array([-1], pa.int64()),
+                "event_type": pa.array(["sentinel"], pa.string()),
+                "value": pa.array([0.0], pa.float64()),
+            }
+        ),
+        f"{d}/zz-sentinel.parquet",
     )
-    sentinel.coalesce(1).write.mode("overwrite").parquet(f"{d}/_sentinel_stage")
     parts = sorted(
         f for f in os.listdir(d) if f.startswith("part-") and f.endswith(".parquet")
     )
-    stage = f"{d}/_sentinel_stage"
-    sent_part = next(
-        f for f in os.listdir(stage) if f.startswith("part-") and f.endswith(".parquet")
-    )
-    os.rename(f"{stage}/{sent_part}", f"{d}/zz-sentinel.parquet")
     base = time.time() - 3600
     for i, name in enumerate(parts):
         os.utime(f"{d}/{name}", (base + 10 * i, base + 10 * i))
@@ -204,11 +210,27 @@ def run_session_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     name = f"sessions_{uuid.uuid4().hex[:8]}"
-    q = sessions.writeStream.outputMode("append").format("memory").queryName(name).start()
+    # The state-store instance count == shuffle partitions at stream
+    # start; every micro-batch commits each instance, so the replay's
+    # fixed cost is (batches × partitions).  8 is plenty for the
+    # fixture's 150 users; a real deployment sizes this to key
+    # cardinality / executor count before first start (it is fixed for
+    # the life of the checkpoint).
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
-        q.processAllAvailable()
+        q = (
+            sessions.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     finally:
-        q.stop()
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name).orderBy("user_id", "session_start_us")
 
 
