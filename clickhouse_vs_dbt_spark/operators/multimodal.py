@@ -118,13 +118,65 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+FRAME_BYTES = 64
+FRAME_STRIDE = 4
+
+
+def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over binary payloads: treat the payload as a
+    sequence of fixed-size frames and keep every 4th (the video
+    keyframe-sampling shape).  Pure Catalyst — ``explode(sequence(...))``
+    fans each payload out to its sampled frame indexes and binary
+    ``substring`` slices the frame, so sampling runs JVM-side with no
+    Python in the row path (a real codec only needs to replace the
+    slice with a decode of it, as in :func:`decode_features`).
+
+    Oracle note: payloads are UTF-8 of the ASCII-only fixture text, so
+    DuckDB's varchar ``substring``/``sha256`` see identical bytes.
+    """
+    d = with_payload(load_table(spark, sf_dir, "documents"))
+    n_frames = f"(octet_length(payload) + {FRAME_BYTES - 1}) div {FRAME_BYTES}"
+    frame = f"substring(payload, frame_idx * {FRAME_BYTES} + 1, {FRAME_BYTES})"
+    return (
+        d.select(
+            "doc_id",
+            "payload",
+            F.explode(
+                F.expr(f"sequence(0L, {n_frames} - 1, {FRAME_STRIDE})")
+            ).alias("frame_idx"),
+        )
+        .select(
+            "doc_id",
+            "frame_idx",
+            F.sha2(F.expr(frame), 256).alias("frame_sha"),
+            F.octet_length(F.expr(frame)).alias("frame_bytes"),
+        )
+        .orderBy("doc_id", "frame_idx")
+    )
+
+
+O_FRAME_SAMPLE = f"""
+WITH f AS (
+  SELECT doc_id, text,
+         unnest(range(0, (length(text) + {FRAME_BYTES - 1}) // {FRAME_BYTES},
+                      {FRAME_STRIDE})) AS frame_idx
+  FROM documents)
+SELECT doc_id, frame_idx,
+       sha256(substring(text, CAST(frame_idx * {FRAME_BYTES} + 1 AS BIGINT), {FRAME_BYTES})) AS frame_sha,
+       length(substring(text, CAST(frame_idx * {FRAME_BYTES} + 1 AS BIGINT), {FRAME_BYTES})) AS frame_bytes
+FROM f ORDER BY doc_id, frame_idx
+"""
+
+
 QUERIES = {
     "multimodal_metadata": q_multimodal_metadata,
     "multimodal_decode_features": q_multimodal_decode,
+    "multimodal_frame_sample": q_multimodal_frame_sample,
 }
 
 ORACLES = {
     "multimodal_metadata": O_MULTIMODAL_META,
     # multimodal_decode_features: rows-only (Python kernel; determinism
     # + error seam pinned in tests/test_multimodal.py).
+    "multimodal_frame_sample": O_FRAME_SAMPLE,
 }

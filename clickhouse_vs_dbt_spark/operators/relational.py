@@ -303,6 +303,62 @@ ORDER BY order_year ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST
 """
 
 
+def q_grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the general form under rollup/cube:
+    (year, status), (year), (status) but NOT the grand total, which
+    neither rollup nor cube can express alone.  Spark SQL text form
+    (the DataFrame API has no grouping-sets builder)."""
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(
+        f"""
+        SELECT year(o_orderdate) AS order_year, o_orderstatus,
+               {sql_dsum('o_totalprice')} AS total, COUNT(*) AS n
+        FROM orders
+        GROUP BY GROUPING SETS ((year(o_orderdate), o_orderstatus),
+                                (year(o_orderdate)), (o_orderstatus))
+        ORDER BY order_year ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST
+        """
+    )
+
+
+O_GROUPING_SETS = f"""
+SELECT year(o_orderdate) AS order_year, o_orderstatus,
+       {sql_dsum('o_totalprice')} AS total, COUNT(*) AS n
+FROM orders
+GROUP BY GROUPING SETS ((year(o_orderdate), o_orderstatus),
+                        (year(o_orderdate)), (o_orderstatus))
+ORDER BY order_year ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST
+"""
+
+
+def q_approx_distinct_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse-analog approximate aggregates (``uniq``/``quantile``):
+    HyperLogLog++ distinct counts and quantile sketches per order
+    status.  Sketch internals differ between engines, so there is no
+    hash oracle — tests/test_relational.py bounds the relative error
+    against the exact operators (HLL++ rsd 1.5% here; at 100 TB these
+    sketches are THE way to aggregate: fixed memory, one pass,
+    mergeable across partitions)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    j = l.join(o, l.l_orderkey == o.o_orderkey)
+    return (
+        j.groupBy("o_orderstatus")
+        .agg(
+            F.approx_count_distinct("l_partkey", rsd=0.015).alias("approx_parts"),
+            F.percentile_approx("l_quantity", [0.5, 0.9, 0.99], 10000).alias("qty_q"),
+        )
+        .select(
+            "o_orderstatus",
+            "approx_parts",
+            F.round(F.element_at("qty_q", 1), 2).alias("qty_p50"),
+            F.round(F.element_at("qty_q", 2), 2).alias("qty_p90"),
+            F.round(F.element_at("qty_q", 3), 2).alias("qty_p99"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
 def q_cube_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load_table(spark, sf_dir, "lineitem")
     return (
@@ -403,6 +459,8 @@ QUERIES = {
     "anti_join_quiet_customers": q_anti_join_quiet_customers,
     "rollup_revenue": q_rollup_revenue,
     "cube_qty": q_cube_qty,
+    "grouping_sets_revenue": q_grouping_sets_revenue,
+    "approx_distinct_quantiles": q_approx_distinct_quantiles,
     "pivot_status_revenue": q_pivot_status_revenue,
     "top_supplier_cte": q_top_supplier_cte,
     "median_quantity": q_median_quantity,
@@ -420,6 +478,9 @@ ORACLES = {
     "anti_join_quiet_customers": O_ANTI_JOIN,
     "rollup_revenue": O_ROLLUP,
     "cube_qty": O_CUBE,
+    "grouping_sets_revenue": O_GROUPING_SETS,
+    # approx_distinct_quantiles: rows-only (sketch internals are
+    # engine-specific); error-bounded vs exact in tests/test_relational.py.
     "pivot_status_revenue": O_PIVOT,
     "top_supplier_cte": O_TOP_SUPPLIER,
     "median_quantity": O_MEDIAN,

@@ -65,3 +65,33 @@ def test_all_relational_queries_registered():
     qs = entrymod.queries()
     for name in relational.QUERIES:
         assert name in qs
+
+
+def test_approx_aggregates_error_bounds(spark, sf_dir):
+    """HLL++ distinct counts within 5% of exact; approx quantiles within
+    the rank-error guarantee (accuracy 10000 -> tight at this scale)."""
+    from pyspark.sql import functions as F
+
+    from clickhouse_vs_dbt_spark.catalog import load_table
+    from clickhouse_vs_dbt_spark.operators.relational import (
+        q_approx_distinct_quantiles,
+    )
+
+    approx = {r.o_orderstatus: r for r in q_approx_distinct_quantiles(spark, sf_dir).collect()}
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    exact = {
+        r.o_orderstatus: r
+        for r in l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.countDistinct("l_partkey").alias("parts"),
+            F.expr("percentile(l_quantity, 0.5)").alias("p50"),
+        )
+        .collect()
+    }
+    assert set(approx) == set(exact) and approx
+    for k, a in approx.items():
+        e = exact[k]
+        assert abs(a.approx_parts - e.parts) / e.parts < 0.05
+        assert abs(a.qty_p50 - e.p50) / max(e.p50, 1) < 0.10
