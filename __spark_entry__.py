@@ -21,6 +21,7 @@ from clickhouse_vs_dbt_spark.operators import (
     pipeline,
     relational,
     similarity,
+    skew,
     ssb_queries,
     text,
     timeseries,
@@ -37,6 +38,7 @@ _MODULES = [
     timeseries,
     multimodal,
     pipeline,
+    skew,
     ssb_csv,
     events_stream,
     stateful_sessions,

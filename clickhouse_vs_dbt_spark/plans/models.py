@@ -46,6 +46,11 @@ class Model:
     deps: Sequence[str] = ()
     materialization: Materialization = Materialization.VIEW
     partition_by: Sequence[str] = ()
+    # (n_buckets, key columns...): hash-bucket the table on write so
+    # joins/aggs on the bucket key need no exchange (co-located join —
+    # the 100 TB answer to the fact⋈fact lineitem⋈orders shuffle).
+    bucket_by: tuple[int, Sequence[str]] | None = None
+    sort_by: Sequence[str] = ()
 
 
 @dataclass
@@ -97,6 +102,21 @@ class ModelRunner:
         return out
 
     def _materialize_table(self, model: Model, df: DataFrame) -> DataFrame:
+        if model.bucket_by is not None:
+            # Bucketed output must go through the session catalog
+            # (bucket metadata lives there, not in the parquet files).
+            n, cols = model.bucket_by
+            writer = df.write.mode("overwrite").format("parquet")
+            writer = writer.bucketBy(n, *cols)
+            if model.sort_by:
+                writer = writer.sortBy(*model.sort_by)
+            self.spark.sql(f"DROP TABLE IF EXISTS {model.name}")
+            # the in-memory catalog forgets tables across sessions but
+            # their warehouse directories persist — clear stale ones
+            wh = self.spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+            shutil.rmtree(f"{wh}/{model.name.lower()}", ignore_errors=True)
+            writer.saveAsTable(model.name)
+            return self.spark.table(model.name)
         if self.warehouse_dir is None:
             self.warehouse_dir = tempfile.mkdtemp(prefix="spark_models_")
         path = f"{self.warehouse_dir}/{model.name}"

@@ -52,6 +52,8 @@ def get_spark(
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # saveAsTable targets (bucketed models) land here, not in cwd
+        .config("spark.sql.warehouse.dir", "/tmp/spark-warehouse")
     )
     if extra_conf:
         for k, v in extra_conf.items():

@@ -64,3 +64,49 @@ def test_duplicate_model_raises(spark):
     runner.add(Model("a", lambda s: s.range(1)))
     with pytest.raises(ValueError):
         runner.add(Model("a", lambda s: s.range(1)))
+
+
+def test_bucketed_models_join_without_shuffle(spark, sf_dir):
+    """Bucketing both fact tables on the join key makes lineitem⋈orders
+    exchange-free (co-located join) — the 100 TB answer to the one
+    non-broadcast join in the star build."""
+    from clickhouse_vs_dbt_spark.catalog import load_table
+    from clickhouse_vs_dbt_spark.plans.models import Materialization, Model, ModelRunner
+
+    runner = ModelRunner(spark)
+    runner.add(
+        Model(
+            "b_lineitem",
+            lambda s: load_table(s, sf_dir, "lineitem"),
+            materialization=Materialization.TABLE,
+            bucket_by=(8, ("l_orderkey",)),
+            sort_by=("l_orderkey",),
+        )
+    )
+    runner.add(
+        Model(
+            "b_orders",
+            lambda s: load_table(s, sf_dir, "orders"),
+            materialization=Materialization.TABLE,
+            bucket_by=(8, ("o_orderkey",)),
+            sort_by=("o_orderkey",),
+        )
+    )
+    out = runner.run()
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = out["b_lineitem"].join(
+            out["b_orders"],
+            out["b_lineitem"].l_orderkey == out["b_orders"].o_orderkey,
+        )
+        n = j.count()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+    l2 = load_table(spark, sf_dir, "lineitem")
+    o2 = load_table(spark, sf_dir, "orders")
+    assert n == l2.join(o2, l2.l_orderkey == o2.o_orderkey).count()
+    assert "hashpartitioning" not in plan  # no shuffle on either side
