@@ -44,6 +44,35 @@ def sql_davg(expr: str) -> str:
     )
 
 
+_STAR_CACHE: dict[str, str] = {}
+
+
 def star(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The star-analog relation (lazy; Catalyst prunes columns per query)."""
-    return build_star(spark, sf_dir)
+    """The star-analog relation, materialized ONCE per process per
+    scale factor — the reference's core architectural choice (dbt
+    ``materialized='table'``, reference README.md:261-262, 350): the
+    denormalizing join is paid once and the whole query flight scans
+    its output.
+
+    The materialization is range-partitioned and sorted by
+    ``o_orderdate``, so parquet row-group min/max stats make the Q1
+    flight's pushed date bounds actually skip data.  At 100 TB the same
+    write gains ``partitionBy(year)`` + ``bucketBy(orderkey)`` via the
+    ModelRunner; rewriting is cheap relative to re-joining per query.
+    Results are identical to the direct join — every consumer is
+    oracle-checked against the join-every-time SQL.
+    """
+    path = _STAR_CACHE.get(sf_dir)
+    if path is None:
+        import tempfile
+
+        path = tempfile.mkdtemp(prefix="star_mat_") + "/star"
+        (
+            build_star(spark, sf_dir)
+            .repartitionByRange(8, "o_orderdate")
+            .sortWithinPartitions("o_orderdate")
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+        _STAR_CACHE[sf_dir] = path
+    return spark.read.parquet(path)
