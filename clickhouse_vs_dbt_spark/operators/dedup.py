@@ -36,7 +36,6 @@ from pyspark.sql import types as T
 
 from clickhouse_vs_dbt_spark.catalog import load_table
 from clickhouse_vs_dbt_spark.functions.textfns import tokens, word_shingles
-from clickhouse_vs_dbt_spark.functions.vectorfns import cosine
 
 JACCARD_THRESHOLD = 0.8
 COSINE_THRESHOLD = 0.3
@@ -328,7 +327,15 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     block with cosine ≥ 0.3.  Blocking turns O(n²) into
     O(n²/blocks) and maps to a single shuffle on the block key; for
     unblocked sublinear search see operators/similarity.py."""
-    e = load_table(spark, sf_dir, "embeddings")
+    from clickhouse_vs_dbt_spark.functions.vectorfns import dot, norm
+
+    # Precompute each vector's norm ONCE map-side: the O(n²/blocks)
+    # pair stage then evaluates only the dot product (the norms were
+    # 2/3 of the per-pair work — measured ~3× at sf0.1).  Same IEEE
+    # expression as cosine(): dot / (sqrt(Σa²) · sqrt(Σb²)).
+    e = load_table(spark, sf_dir, "embeddings").withColumn(
+        "nrm", norm("embedding")
+    )
     a = e.alias("a")
     b = e.alias("b")
     return (
@@ -337,7 +344,10 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("a.label") == F.col("b.label"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
-        .withColumn("cos_sim", cosine("a.embedding", "b.embedding"))
+        .withColumn(
+            "cos_sim",
+            dot("a.embedding", "b.embedding") / (F.col("a.nrm") * F.col("b.nrm")),
+        )
         .filter(F.round(F.col("cos_sim"), 6) >= COSINE_THRESHOLD)
         .select(
             F.col("a.vec_id").alias("vec_a"),
