@@ -260,8 +260,42 @@ ORDER BY id_a, id_b
 """
 
 
+# --- JSON property extraction (schema-on-read over events.props) ---
+
+def q_events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed extraction from the JSON ``props`` column via ``from_json``
+    (schema-on-read, JVM-side Jackson parse — the Spark analog of
+    ClickHouse's JSONExtract*), then per-type aggregation of the
+    extracted field."""
+    from pyspark.sql import types as T
+
+    e = load_table(spark, sf_dir, "events")
+    props = F.from_json("props", T.StructType([T.StructField("k", T.LongType())]))
+    return (
+        e.withColumn("k", props.getField("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+O_JSON_EXTRACT = """
+SELECT event_type, COUNT(*) AS n,
+       SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+       MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
+       MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 QUERIES = {
     "events_tumbling_window": q_events_tumbling,
+    "events_json_extract": q_events_json_extract,
     "events_sliding_window": q_events_sliding,
     "events_session_window": q_events_session,
     "events_gap_to_prev": q_events_gap_to_prev,
@@ -271,6 +305,7 @@ QUERIES = {
 
 ORACLES = {
     "events_tumbling_window": O_TUMBLING,
+    "events_json_extract": O_JSON_EXTRACT,
     "events_sliding_window": O_SLIDING,
     "events_session_window": O_SESSION,
     "events_gap_to_prev": O_GAP,
