@@ -27,7 +27,11 @@ from clickhouse_vs_dbt_spark.operators import (
     timeseries,
 )
 from clickhouse_vs_dbt_spark.sources import ssb_csv
-from clickhouse_vs_dbt_spark.streaming import events_stream, stateful_sessions
+from clickhouse_vs_dbt_spark.streaming import (
+    events_stream,
+    stateful_sessions,
+    stream_join,
+)
 
 _MODULES = [
     ssb_queries,
@@ -42,6 +46,7 @@ _MODULES = [
     ssb_csv,
     events_stream,
     stateful_sessions,
+    stream_join,
 ]
 
 
