@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from clickhouse_vs_dbt_spark.operators import (
     dedup,
+    incremental,
     multimodal,
     pipeline,
     relational,
@@ -30,6 +31,7 @@ from clickhouse_vs_dbt_spark.sources import ssb_csv
 from clickhouse_vs_dbt_spark.streaming import (
     events_stream,
     stateful_sessions,
+    stream_dedup,
     stream_join,
 )
 
@@ -42,11 +44,13 @@ _MODULES = [
     timeseries,
     multimodal,
     pipeline,
+    incremental,
     skew,
     ssb_csv,
     events_stream,
     stateful_sessions,
     stream_join,
+    stream_dedup,
 ]
 
 

@@ -24,6 +24,7 @@ the query flight then scans its output (SURVEY.md §4 row 1).
 
 from __future__ import annotations
 
+import contextlib
 import enum
 import shutil
 import tempfile
@@ -34,9 +35,27 @@ from graphlib import TopologicalSorter
 from pyspark.sql import DataFrame, SparkSession
 
 
+@contextlib.contextmanager
+def _conf(spark: SparkSession, key: str, value: str):
+    prior = spark.conf.get(key, None)
+    spark.conf.set(key, value)
+    try:
+        yield
+    finally:
+        if prior is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prior)
+
+
 class Materialization(enum.Enum):
     VIEW = "view"
     TABLE = "table"
+    # dbt's third core materialization: first run builds the table, later
+    # runs fold in only the new batch.  The reference stops at view/table
+    # (README.md:254-263) but its 100 TB posture demands this — you do
+    # not re-join a 100 TB star per day, you merge the day's partitions.
+    INCREMENTAL = "incremental"
 
 
 @dataclass(frozen=True)
@@ -51,6 +70,13 @@ class Model:
     # the 100 TB answer to the fact⋈fact lineitem⋈orders shuffle).
     bucket_by: tuple[int, Sequence[str]] | None = None
     sort_by: Sequence[str] = ()
+    # INCREMENTAL only.  With unique_key: dbt's ``merge`` strategy —
+    # incoming rows replace existing rows with the same key.  Without:
+    # ``insert_overwrite`` when partition_by is set (only the incoming
+    # batch's partitions are rewritten — the cheap path at 100 TB),
+    # plain append otherwise.  Incremental builders take
+    # ``(spark, existing)`` where existing is None on the first run.
+    unique_key: Sequence[str] = ()
 
 
 @dataclass
@@ -58,6 +84,9 @@ class ModelRunner:
     spark: SparkSession
     warehouse_dir: str | None = None
     _models: dict[str, Model] = field(default_factory=dict)
+    # incremental model -> (version counter, current data path); survives
+    # across run() calls so the next run sees the prior materialization.
+    _incr_state: dict[str, tuple[int, str]] = field(default_factory=dict)
 
     def model(
         self,
@@ -94,12 +123,74 @@ class ModelRunner:
             missing = [d for d in model.deps if d not in out]
             if missing:
                 raise ValueError(f"model {name!r} missing deps {missing}")
-            df = model.builder(self.spark)
-            if model.materialization is Materialization.TABLE:
-                df = self._materialize_table(model, df)
+            if model.materialization is Materialization.INCREMENTAL:
+                df = self._materialize_incremental(model)
+            else:
+                df = model.builder(self.spark)
+                if model.materialization is Materialization.TABLE:
+                    df = self._materialize_table(model, df)
             df.createOrReplaceTempView(name)
             out[name] = df
         return out
+
+    def _materialize_incremental(self, model: Model) -> DataFrame:
+        """dbt ``incremental``: the builder returns only the new batch;
+        this folds it into the prior materialization.
+
+        Strategies (selected exactly as dbt does):
+
+        * ``unique_key`` set → **merge**: prior rows whose key appears in
+          the batch are replaced (left-anti + union).  Plain parquet has
+          no ACID merge, so the merged relation is written to a fresh
+          versioned directory and the pointer swapped — the same
+          copy-on-write shape Delta/Iceberg MERGE INTO performs, minus
+          the file-level pruning a table format would add at 100 TB.
+        * ``partition_by`` set (no key) → **insert_overwrite**: dynamic
+          partition overwrite rewrites only the partitions present in
+          the batch — cost scales with the batch, not the table.
+        * neither → **append**.
+        """
+        if self.warehouse_dir is None:
+            self.warehouse_dir = tempfile.mkdtemp(prefix="spark_models_")
+        state = self._incr_state.get(model.name)
+        existing = self.spark.read.parquet(state[1]) if state else None
+        batch = model.builder(self.spark, existing)  # type: ignore[call-arg]
+
+        if existing is None:
+            version = 0
+            path = f"{self.warehouse_dir}/{model.name}_v0"
+            shutil.rmtree(path, ignore_errors=True)
+            writer = batch.write.mode("overwrite")
+            if model.partition_by:
+                writer = writer.partitionBy(*model.partition_by)
+            writer.parquet(path)
+        elif model.unique_key:
+            version = state[0] + 1
+            path = f"{self.warehouse_dir}/{model.name}_v{version}"
+            shutil.rmtree(path, ignore_errors=True)
+            keys = list(model.unique_key)
+            merged = existing.join(
+                batch.select(*keys).distinct(), on=keys, how="left_anti"
+            ).unionByName(batch)
+            writer = merged.write.mode("overwrite")
+            if model.partition_by:
+                writer = writer.partitionBy(*model.partition_by)
+            writer.parquet(path)
+            shutil.rmtree(f"{self.warehouse_dir}/{model.name}_v{state[0]}",
+                          ignore_errors=True)
+        elif model.partition_by:
+            version, path = state
+            with _conf(self.spark, "spark.sql.sources.partitionOverwriteMode",
+                       "dynamic"):
+                batch.write.mode("overwrite").partitionBy(
+                    *model.partition_by
+                ).parquet(path)
+        else:
+            version, path = state
+            batch.write.mode("append").parquet(path)
+
+        self._incr_state[model.name] = (version, path)
+        return self.spark.read.parquet(path)
 
     def _materialize_table(self, model: Model, df: DataFrame) -> DataFrame:
         if model.bucket_by is not None:

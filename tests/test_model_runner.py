@@ -110,3 +110,95 @@ def test_bucketed_models_join_without_shuffle(spark, sf_dir):
     o2 = load_table(spark, sf_dir, "orders")
     assert n == l2.join(o2, l2.l_orderkey == o2.o_orderkey).count()
     assert "hashpartitioning" not in plan  # no shuffle on either side
+
+
+def test_incremental_merge_converges_to_full_table(spark, sf_dir, tmp_path):
+    """Backfill + merge batch (with re-delivered keys) must equal the
+    full orders table — dbt incremental/unique_key semantics."""
+    from clickhouse_vs_dbt_spark.operators.incremental import (
+        REDELIVER_MOD,
+        run_incremental_orders,
+    )
+
+    merged = run_incremental_orders(spark, sf_dir)
+    orders = load_table(spark, sf_dir, "orders")
+    assert merged.count() == orders.count()
+    assert (
+        merged.select("o_orderkey").distinct().count()
+        == orders.select("o_orderkey").distinct().count()
+    )
+    # a re-delivered key exists exactly once after the merge
+    redelivered = merged.filter(F.col("o_orderkey") % REDELIVER_MOD == 0)
+    assert redelivered.count() == orders.filter(
+        F.col("o_orderkey") % REDELIVER_MOD == 0
+    ).count()
+
+
+def test_incremental_insert_overwrite_rewrites_only_batch_partitions(
+    spark, sf_dir, tmp_path
+):
+    """partition_by without unique_key → dynamic partition overwrite:
+    run 2's batch touches one partition; the other partitions' files
+    survive untouched (cost scales with the batch at 100 TB)."""
+    import os
+
+    calls = {"n": 0}
+
+    def batches(s, existing):
+        o = load_table(s, sf_dir, "orders").withColumn(
+            "order_year", F.year("o_orderdate")
+        )
+        calls["n"] += 1
+        if existing is None:
+            return o.filter(F.col("order_year").isin(1995, 1996))
+        # batch 2: a corrected reload of 1996 only (drop one priority)
+        return o.filter(
+            (F.col("order_year") == 1996)
+            & (F.col("o_orderpriority") != "1-URGENT")
+        )
+
+    runner = ModelRunner(spark, warehouse_dir=str(tmp_path))
+    runner.add(
+        Model(
+            "orders_by_year",
+            batches,
+            materialization=Materialization.INCREMENTAL,
+            partition_by=("order_year",),
+        )
+    )
+    runner.run()
+    p1995 = tmp_path / "orders_by_year_v0" / "order_year=1995"
+    files_before = {f: os.path.getmtime(p1995 / f) for f in os.listdir(p1995)}
+
+    out = runner.run()
+    files_after = {f: os.path.getmtime(p1995 / f) for f in os.listdir(p1995)}
+    assert files_before == files_after  # untouched partition kept as-is
+
+    final = out["orders_by_year"]
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "order_year", F.year("o_orderdate")
+    )
+    assert final.filter(F.col("order_year") == 1995).count() == o.filter(
+        F.col("order_year") == 1995
+    ).count()
+    assert final.filter(F.col("order_year") == 1996).count() == o.filter(
+        (F.col("order_year") == 1996)
+        & (F.col("o_orderpriority") != "1-URGENT")
+    ).count()
+    assert calls["n"] == 2
+
+
+def test_incremental_append_without_key_or_partitions(spark, sf_dir, tmp_path):
+    def batches(s, existing):
+        r = s.range(10)
+        if existing is None:
+            return r.filter(F.col("id") < 5)
+        return r.filter(F.col("id") >= 5)
+
+    runner = ModelRunner(spark, warehouse_dir=str(tmp_path))
+    runner.add(
+        Model("nums", batches, materialization=Materialization.INCREMENTAL)
+    )
+    runner.run()
+    out = runner.run()
+    assert sorted(r.id for r in out["nums"].collect()) == list(range(10))

@@ -12,3 +12,25 @@ def test_stream_equals_batch(spark, sf_dir):
     stream = run_tumbling_stream(spark, sf_dir).collect()
     assert len(stream) == len(batch)
     assert sorted(map(tuple, stream)) == sorted(map(tuple, batch))
+
+
+def test_stream_dedup_removes_duplicate_delivery(spark, sf_dir):
+    """The dual-delivery replay really carries 2x rows; dedup collapses
+    them back to exactly the fixture."""
+    import pyspark.sql.functions as F
+
+    from clickhouse_vs_dbt_spark.catalog import load_table
+    from clickhouse_vs_dbt_spark.streaming.stream_dedup import (
+        _as_duplicated_stream_dir,
+        q_events_stream_dedup,
+    )
+
+    n_fixture = load_table(spark, sf_dir, "events").count()
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(_as_duplicated_stream_dir(sf_dir))
+    assert raw.count() == 2 * n_fixture  # duplicates really arrive
+
+    deduped = q_events_stream_dedup(spark, sf_dir)
+    assert deduped.count() == n_fixture
+    assert deduped.select("event_id").distinct().count() == n_fixture
+    assert deduped.filter(F.col("value_dec").isNull()).count() == 0
