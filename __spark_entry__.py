@@ -23,10 +23,12 @@ from clickhouse_vs_dbt_spark.operators import (
     relational,
     similarity,
     skew,
+    quality,
     ssb_queries,
     text,
     timeseries,
 )
+from clickhouse_vs_dbt_spark.plans import snapshots
 from clickhouse_vs_dbt_spark.sources import ssb_csv
 from clickhouse_vs_dbt_spark.streaming import (
     events_stream,
@@ -45,6 +47,8 @@ _MODULES = [
     multimodal,
     pipeline,
     incremental,
+    quality,
+    snapshots,
     skew,
     ssb_csv,
     events_stream,
