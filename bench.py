@@ -28,8 +28,15 @@ HEADLINE = [
     "ssb_q1_2",
     "ssb_q1_3",
     "ssb_q2_brand_revenue",
+    "ssb_q2_2",
+    "ssb_q2_3",
     "ssb_q3_nation_revenue",
+    "ssb_q3_2",
+    "ssb_q3_3",
+    "ssb_q3_4",
     "ssb_q4_profit",
+    "ssb_q4_2",
+    "ssb_q4_3",
     "star_build",
     # extended relational
     "tpch_q1_pricing_summary",

@@ -265,6 +265,252 @@ ORDER BY 1, 2
 """
 
 
+# --- the rest of the 13-query SSB suite.  The fixtures have no city
+# --- columns, so SSB's city-level drill-downs (Q3.2-Q3.4, Q4.3) are
+# --- expressed one level up the same hierarchy (nation); every other
+# --- element — selectivity laddering, added dimensions per flight,
+# --- IN/BETWEEN/equality predicate progression — is kept. ---
+
+def _supplier_region(spark: SparkSession, sf_dir: str, df: DataFrame) -> DataFrame:
+    n = F.broadcast(load_table(spark, sf_dir, "nation")).alias("n")
+    r = F.broadcast(load_table(spark, sf_dir, "region")).alias("r")
+    return df.join(n, F.col("s_nationkey") == F.col("n.n_nationkey")).join(
+        r, F.col("n.n_regionkey") == F.col("r.r_regionkey")
+    )
+
+
+def q2_2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SSB Q2.2: brand BETWEEN range replaces Q2.1's category equality
+    (tighter part filter, same year×brand output)."""
+    return (
+        _supplier_region(spark, sf_dir, star(spark, sf_dir))
+        .filter(
+            (F.col("r.r_name") == "EUROPE")
+            & F.col("p_brand").between("Brand#12", "Brand#18")
+        )
+        .groupBy(to_year("o_orderdate").alias("order_year"), F.col("p_brand"))
+        .agg(dsum(NET()).alias("revenue"))
+        .orderBy("order_year", "p_brand")
+    )
+
+
+O_Q2_2 = f"""{STAR_CTE}
+SELECT year(o_orderdate) AS order_year, p_brand,
+       {sql_dsum(SQL_NET)} AS revenue
+FROM star
+JOIN nation n ON s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'EUROPE' AND p_brand BETWEEN 'Brand#12' AND 'Brand#18'
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+def q2_3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SSB Q2.3: single-brand equality — the most selective rung of the
+    Q2 ladder."""
+    return (
+        _supplier_region(spark, sf_dir, star(spark, sf_dir))
+        .filter(
+            (F.col("r.r_name") == "AMERICA") & (F.col("p_brand") == "Brand#13")
+        )
+        .groupBy(to_year("o_orderdate").alias("order_year"), F.col("p_brand"))
+        .agg(dsum(NET()).alias("revenue"))
+        .orderBy("order_year", "p_brand")
+    )
+
+
+O_Q2_3 = f"""{STAR_CTE}
+SELECT year(o_orderdate) AS order_year, p_brand,
+       {sql_dsum(SQL_NET)} AS revenue
+FROM star
+JOIN nation n ON s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'AMERICA' AND p_brand = 'Brand#13'
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+def _both_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cn = F.broadcast(load_table(spark, sf_dir, "nation")).alias("cn")
+    sn = F.broadcast(load_table(spark, sf_dir, "nation")).alias("sn")
+    return (
+        star(spark, sf_dir)
+        .join(cn, F.col("c_nationkey") == F.col("cn.n_nationkey"))
+        .join(sn, F.col("s_nationkey") == F.col("sn.n_nationkey"))
+    )
+
+
+def _q3_group(df: DataFrame) -> DataFrame:
+    return (
+        df.groupBy(
+            F.col("cn.n_name").alias("c_nation"),
+            F.col("sn.n_name").alias("s_nation"),
+            to_year("o_orderdate").alias("order_year"),
+        )
+        .agg(dsum(NET()).alias("revenue"))
+        .orderBy(F.col("order_year").asc(), F.col("revenue").desc())
+    )
+
+
+SQL_Q3_GROUP = f"""
+SELECT cn.n_name AS c_nation, sn.n_name AS s_nation,
+       year(o_orderdate) AS order_year,
+       {sql_dsum(SQL_NET)} AS revenue
+FROM star
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+"""
+
+
+def q3_2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SSB Q3.2 analog: both trading parties restricted to an IN-set of
+    nations (SSB narrows region→city; fixtures narrow region→nation)."""
+    ns = ["NATION_2", "NATION_7", "NATION_12", "NATION_17"]
+    return _q3_group(
+        _both_nations(spark, sf_dir).filter(
+            F.col("cn.n_name").isin(ns)
+            & F.col("sn.n_name").isin(ns)
+            & to_year("o_orderdate").between(1995, 1997)
+        )
+    )
+
+
+O_Q3_2 = f"""{STAR_CTE}
+{SQL_Q3_GROUP}
+WHERE cn.n_name IN ('NATION_2', 'NATION_7', 'NATION_12', 'NATION_17')
+  AND sn.n_name IN ('NATION_2', 'NATION_7', 'NATION_12', 'NATION_17')
+  AND year(o_orderdate) BETWEEN 1995 AND 1997
+GROUP BY 1, 2, 3
+ORDER BY order_year ASC, revenue DESC
+"""
+
+
+def q3_3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SSB Q3.3 analog: exactly two nations on each side."""
+    ns = ["NATION_5", "NATION_20"]
+    return _q3_group(
+        _both_nations(spark, sf_dir).filter(
+            F.col("cn.n_name").isin(ns)
+            & F.col("sn.n_name").isin(ns)
+            & to_year("o_orderdate").between(1995, 1997)
+        )
+    )
+
+
+O_Q3_3 = f"""{STAR_CTE}
+{SQL_Q3_GROUP}
+WHERE cn.n_name IN ('NATION_5', 'NATION_20')
+  AND sn.n_name IN ('NATION_5', 'NATION_20')
+  AND year(o_orderdate) BETWEEN 1995 AND 1997
+GROUP BY 1, 2, 3
+ORDER BY order_year ASC, revenue DESC
+"""
+
+
+def q3_4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SSB Q3.4: the Q3.3 pair narrowed to a single month (D2 again,
+    this time as a GROUP-BY query's filter)."""
+    ns = ["NATION_5", "NATION_20"]
+    return _q3_group(
+        _both_nations(spark, sf_dir).filter(
+            F.col("cn.n_name").isin(ns)
+            & F.col("sn.n_name").isin(ns)
+            & (to_yyyymm("o_orderdate") == 199712)
+            & yyyymm_range("o_orderdate", 199712)
+        )
+    )
+
+
+O_Q3_4 = f"""{STAR_CTE}
+{SQL_Q3_GROUP}
+WHERE cn.n_name IN ('NATION_5', 'NATION_20')
+  AND sn.n_name IN ('NATION_5', 'NATION_20')
+  AND year(o_orderdate) * 100 + month(o_orderdate) = 199712
+GROUP BY 1, 2, 3
+ORDER BY order_year ASC, revenue DESC
+"""
+
+
+def PROFIT():
+    return (
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 - F.col("l_tax"))
+    )
+
+
+SQL_PROFIT = "l_extendedprice * (1 - l_discount) * (1 - l_tax)"
+
+
+def q4_2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SSB Q4.2: Q4.1 drilled into two years, supplier nation and part
+    type added to the grouping, customer side fixed to one region."""
+    cn = F.broadcast(load_table(spark, sf_dir, "nation")).alias("cn")
+    cr = F.broadcast(load_table(spark, sf_dir, "region")).alias("cr")
+    sn = F.broadcast(load_table(spark, sf_dir, "nation")).alias("sn")
+    return (
+        star(spark, sf_dir)
+        .join(cn, F.col("c_nationkey") == F.col("cn.n_nationkey"))
+        .join(cr, F.col("cn.n_regionkey") == F.col("cr.r_regionkey"))
+        .join(sn, F.col("s_nationkey") == F.col("sn.n_nationkey"))
+        .filter(
+            (F.col("cr.r_name") == "AMERICA")
+            & to_year("o_orderdate").isin(1997, 1998)
+        )
+        .groupBy(
+            to_year("o_orderdate").alias("order_year"),
+            F.col("sn.n_name").alias("s_nation"),
+            F.col("p_type"),
+        )
+        .agg(dsum(PROFIT()).alias("profit"))
+        .orderBy("order_year", "s_nation", "p_type")
+    )
+
+
+O_Q4_2 = f"""{STAR_CTE}
+SELECT year(o_orderdate) AS order_year, sn.n_name AS s_nation, p_type,
+       {sql_dsum(SQL_PROFIT)} AS profit
+FROM star
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+JOIN region cr ON cn.n_regionkey = cr.r_regionkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+WHERE cr.r_name = 'AMERICA' AND year(o_orderdate) IN (1997, 1998)
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+"""
+
+
+def q4_3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SSB Q4.3 analog: supplier side pinned to one nation (SSB pins a
+    city), grouped to the brand level — the finest grain of the suite."""
+    sn = F.broadcast(load_table(spark, sf_dir, "nation")).alias("sn")
+    return (
+        star(spark, sf_dir)
+        .join(sn, F.col("s_nationkey") == F.col("sn.n_nationkey"))
+        .filter(
+            (F.col("sn.n_name") == "NATION_1")
+            & to_year("o_orderdate").isin(1997, 1998)
+        )
+        .groupBy(
+            to_year("o_orderdate").alias("order_year"),
+            F.col("p_brand"),
+        )
+        .agg(dsum(PROFIT()).alias("profit"))
+        .orderBy("order_year", "p_brand")
+    )
+
+
+O_Q4_3 = f"""{STAR_CTE}
+SELECT year(o_orderdate) AS order_year, p_brand,
+       {sql_dsum(SQL_PROFIT)} AS profit
+FROM star
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+WHERE sn.n_name = 'NATION_1' AND year(o_orderdate) IN (1997, 1998)
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
 QUERIES = {
     "stg_customer": q_stg_customer,
     "star_build": q_star_build,
@@ -272,8 +518,15 @@ QUERIES = {
     "ssb_q1_2": q1_2,
     "ssb_q1_3": q1_3,
     "ssb_q2_brand_revenue": q2_brand_revenue,
+    "ssb_q2_2": q2_2,
+    "ssb_q2_3": q2_3,
     "ssb_q3_nation_revenue": q3_nation_revenue,
+    "ssb_q3_2": q3_2,
+    "ssb_q3_3": q3_3,
+    "ssb_q3_4": q3_4,
     "ssb_q4_profit": q4_profit,
+    "ssb_q4_2": q4_2,
+    "ssb_q4_3": q4_3,
 }
 
 ORACLES = {
@@ -283,6 +536,13 @@ ORACLES = {
     "ssb_q1_2": O_Q1_2,
     "ssb_q1_3": O_Q1_3,
     "ssb_q2_brand_revenue": O_Q2,
+    "ssb_q2_2": O_Q2_2,
+    "ssb_q2_3": O_Q2_3,
     "ssb_q3_nation_revenue": O_Q3,
+    "ssb_q3_2": O_Q3_2,
+    "ssb_q3_3": O_Q3_3,
+    "ssb_q3_4": O_Q3_4,
     "ssb_q4_profit": O_Q4,
+    "ssb_q4_2": O_Q4_2,
+    "ssb_q4_3": O_Q4_3,
 }

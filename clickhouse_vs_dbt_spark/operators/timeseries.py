@@ -260,6 +260,93 @@ ORDER BY id_a, id_b
 """
 
 
+# --- gap filling / densification (hypertable-style rollup surface) ---
+
+def q_events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense 10-minute rollup per event_type: every (window, type) cell
+    exists even when no events landed in it — counts zero-filled, plus a
+    forward-filled "last observed sum" column (the time_bucket_gapfill /
+    locf surface of timeseries stores).
+
+    Shape: the sparse rollup is the usual keyed shuffle; the dense grid
+    is sequence()+explode over the global [min,max] window bounds (a
+    1-row cross join — no driver collect), and the fill is one window
+    function per type.  Grid size is (span/step × types), independent of
+    event count, so at 100 TB the dense side stays tiny while the sparse
+    side scales."""
+    e = load_table(spark, sf_dir, "events")
+    sparse = (
+        e.groupBy(F.window("ts", f"{TUMBLE_SEC} seconds").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value")).alias("total_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+    bounds = e.agg(
+        (F.floor(F.unix_timestamp(F.min("ts")) / TUMBLE_SEC) * TUMBLE_SEC)
+        .cast("long")
+        .alias("lo"),
+        (F.floor(F.unix_timestamp(F.max("ts")) / TUMBLE_SEC) * TUMBLE_SEC)
+        .cast("long")
+        .alias("hi"),
+    )
+    grid = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.lit(TUMBLE_SEC))).alias("window_start")
+    ).crossJoin(e.select("event_type").distinct())
+
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("window_start")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(sparse, ["window_start", "event_type"], "left")
+        .withColumn("locf_value", F.last("total_value", ignorenulls=True).over(w))
+        .select(
+            "window_start",
+            "event_type",
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.coalesce("total_value", F.lit(0.0)).alias("total_value"),
+            "locf_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+O_GAP_FILL = f"""
+WITH sparse AS (
+  SELECT CAST(floor(epoch(ts) / {TUMBLE_SEC}) * {TUMBLE_SEC} AS BIGINT) AS window_start,
+         event_type, COUNT(*) AS n_events, {sql_dsum('value')} AS total_value
+  FROM events GROUP BY 1, 2),
+bounds AS (
+  SELECT CAST(floor(epoch(min(ts)) / {TUMBLE_SEC}) * {TUMBLE_SEC} AS BIGINT) AS lo,
+         CAST(floor(epoch(max(ts)) / {TUMBLE_SEC}) * {TUMBLE_SEC} AS BIGINT) AS hi
+  FROM events),
+grid AS (
+  SELECT g.window_start, t.event_type
+  FROM (SELECT unnest(generate_series(lo, hi, {TUMBLE_SEC})) AS window_start
+        FROM bounds) g
+  CROSS JOIN (SELECT DISTINCT event_type FROM events) t)
+SELECT g.window_start, g.event_type,
+       COALESCE(s.n_events, 0) AS n_events,
+       COALESCE(s.total_value, 0.0) AS total_value,
+       last_value(s.total_value IGNORE NULLS)
+         OVER (PARTITION BY g.event_type ORDER BY g.window_start
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_value
+FROM grid g LEFT JOIN sparse s
+  ON s.window_start = g.window_start AND s.event_type = g.event_type
+ORDER BY 1, 2
+"""
+
+
 # --- JSON property extraction (schema-on-read over events.props) ---
 
 def q_events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -299,6 +386,7 @@ QUERIES = {
     "events_sliding_window": q_events_sliding,
     "events_session_window": q_events_session,
     "events_gap_to_prev": q_events_gap_to_prev,
+    "events_gap_fill": q_events_gap_fill,
     "events_asof_join": q_events_asof_join,
     "events_range_join": q_events_range_join,
 }
@@ -309,6 +397,7 @@ ORACLES = {
     "events_sliding_window": O_SLIDING,
     "events_session_window": O_SESSION,
     "events_gap_to_prev": O_GAP,
+    "events_gap_fill": O_GAP_FILL,
     "events_asof_join": O_ASOF,
     "events_range_join": O_RANGE_JOIN,
 }

@@ -22,7 +22,20 @@ def duck(sf_dir):
     return con
 
 
-QUERY_KEYS = ["ssb_q1_1", "ssb_q1_2", "ssb_q1_3", "ssb_q2_brand_revenue", "ssb_q4_profit"]
+QUERY_KEYS = [
+    "ssb_q1_1",
+    "ssb_q1_2",
+    "ssb_q1_3",
+    "ssb_q2_brand_revenue",
+    "ssb_q2_2",
+    "ssb_q2_3",
+    "ssb_q3_2",
+    "ssb_q3_3",
+    "ssb_q3_4",
+    "ssb_q4_profit",
+    "ssb_q4_2",
+    "ssb_q4_3",
+]
 
 
 @pytest.mark.parametrize("name", QUERY_KEYS)
