@@ -16,6 +16,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from clickhouse_vs_dbt_spark.operators import (
+    components,
     dedup,
     incremental,
     multimodal,
@@ -24,6 +25,7 @@ from clickhouse_vs_dbt_spark.operators import (
     similarity,
     skew,
     quality,
+    sampling,
     ssb_queries,
     text,
     timeseries,
@@ -41,6 +43,7 @@ _MODULES = [
     ssb_queries,
     relational,
     dedup,
+    components,
     similarity,
     text,
     timeseries,
@@ -49,6 +52,7 @@ _MODULES = [
     incremental,
     quality,
     snapshots,
+    sampling,
     skew,
     ssb_csv,
     events_stream,

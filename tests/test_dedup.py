@@ -85,3 +85,33 @@ def test_embedding_near_dup_blocked_by_label(spark, sf_dir):
     assert out, "threshold calibrated to yield pairs on fixtures"
     for r in out:
         assert r.cos_sim >= dedup.COSINE_THRESHOLD
+
+
+def test_connected_components_chain_and_clique(spark):
+    """Transitive closure over a 4-chain and a separate triangle."""
+    from clickhouse_vs_dbt_spark.operators.components import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12)],
+        "doc_a long, doc_b long",
+    )
+    got = {
+        (r.doc_id, r.cluster_rep)
+        for r in connected_components(edges).collect()
+    }
+    assert got == {
+        (1, 1), (2, 1), (3, 1), (4, 1),
+        (10, 10), (11, 10), (12, 10),
+    }
+
+
+def test_dedup_clusters_reps_are_component_minima(spark, sf_dir):
+    from clickhouse_vs_dbt_spark.operators.components import q_dedup_clusters
+
+    rows = q_dedup_clusters(spark, sf_dir).collect()
+    by_rep: dict[int, list[int]] = {}
+    for r in rows:
+        by_rep.setdefault(r.cluster_rep, []).append(r.doc_id)
+    for rep, members in by_rep.items():
+        assert rep == min(members)  # canonical keeper is the min id
+        assert len(members) >= 2  # only docs with a near-dup partner
