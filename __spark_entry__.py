@@ -31,7 +31,7 @@ from clickhouse_vs_dbt_spark.operators import (
     timeseries,
 )
 from clickhouse_vs_dbt_spark.plans import snapshots
-from clickhouse_vs_dbt_spark.sources import ssb_csv
+from clickhouse_vs_dbt_spark.sources import jsonl, ssb_csv
 from clickhouse_vs_dbt_spark.streaming import (
     events_stream,
     stateful_sessions,
@@ -55,6 +55,7 @@ _MODULES = [
     sampling,
     skew,
     ssb_csv,
+    jsonl,
     events_stream,
     stateful_sessions,
     stream_join,

@@ -48,3 +48,23 @@ def test_failfast_on_malformed(spark, tmp_path):
 def test_unknown_table(spark):
     with pytest.raises(KeyError):
         read_ssb_csv(spark, "/tmp/x", "nope")
+
+
+def test_jsonl_roundtrip_preserves_rows_and_types(spark, sf_dir, tmp_path):
+    from clickhouse_vs_dbt_spark.catalog import load_table
+    from clickhouse_vs_dbt_spark.sources.jsonl import (
+        DOCUMENTS_SCHEMA,
+        read_jsonl,
+        write_jsonl,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    path = str(tmp_path / "docs_jsonl")
+    write_jsonl(d, path)
+    back = read_jsonl(spark, path, DOCUMENTS_SCHEMA)
+    assert back.count() == d.count()
+    assert [f.dataType for f in back.schema.fields] == [
+        f.dataType for f in DOCUMENTS_SCHEMA.fields
+    ]
+    # content equality, order-insensitive
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, d.collect()))
