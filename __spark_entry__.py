@@ -37,6 +37,7 @@ from clickhouse_vs_dbt_spark.streaming import (
     stateful_sessions,
     stream_dedup,
     stream_join,
+    stream_upsert,
 )
 
 _MODULES = [
@@ -60,6 +61,7 @@ _MODULES = [
     stateful_sessions,
     stream_join,
     stream_dedup,
+    stream_upsert,
 ]
 
 

@@ -34,3 +34,17 @@ def test_stream_dedup_removes_duplicate_delivery(spark, sf_dir):
     assert deduped.count() == n_fixture
     assert deduped.select("event_id").distinct().count() == n_fixture
     assert deduped.filter(F.col("value_dec").isNull()).count() == 0
+
+
+def test_stream_upsert_converges_across_micro_batches(spark, sf_dir):
+    """One file per trigger → the duplicate delivery lands in a LATER
+    batch and must be merged out by the cross-batch anti-join path."""
+    from clickhouse_vs_dbt_spark.catalog import load_table
+    from clickhouse_vs_dbt_spark.streaming.stream_upsert import (
+        q_events_stream_upsert,
+    )
+
+    final = q_events_stream_upsert(spark, sf_dir, max_files_per_trigger=1)
+    n_fixture = load_table(spark, sf_dir, "events").count()
+    assert final.count() == n_fixture
+    assert final.select("event_id").distinct().count() == n_fixture
