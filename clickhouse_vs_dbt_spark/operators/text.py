@@ -14,7 +14,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from clickhouse_vs_dbt_spark.catalog import load_table
-from clickhouse_vs_dbt_spark.functions.textfns import rolling_hash, sql_rolling_hash
+from clickhouse_vs_dbt_spark.functions.textfns import (
+    rolling_hash,
+    sql_rolling_hash,
+    tokens,
+)
 
 STOPWORDS = ("the", "a", "of", "to", "and", "in")
 WORD_RE = "[A-Za-z0-9]+"
@@ -193,8 +197,74 @@ FROM documents ORDER BY doc_id
 """
 
 
+# --- context-window chunking (training-batch packing) ---
+
+CHUNK_TOKENS = 64
+CHUNK_STRIDE = 48  # 16-token overlap between consecutive chunks
+
+
+def q_text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split each document into overlapping fixed-size token windows —
+    the packing step that turns a corpus into model training samples.
+
+    Map-only Catalyst pipeline: tokenize once, derive the chunk count
+    arithmetically, ``explode(sequence(...))`` to one row per chunk,
+    ``slice`` the shared token array per row.  No shuffle at all until
+    the cosmetic final sort; at 100 TB this runs scan-local and the
+    chunk table inherits the corpus partitioning.  Chunk content is
+    emitted as an md5 over the space-joined tokens (portable to the
+    oracle) rather than the raw text, keeping the compared relation
+    narrow."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", tokens().alias("t")).withColumn(
+        "n_tokens", F.size("t")
+    )
+    n_chunks = F.when(F.col("n_tokens") <= CHUNK_TOKENS, F.lit(1)).otherwise(
+        F.ceil(
+            (F.col("n_tokens") - CHUNK_TOKENS) / F.lit(float(CHUNK_STRIDE))
+        ).cast("int")
+        + 1
+    )
+    chunk = F.slice(
+        F.col("t"), F.col("chunk_id") * CHUNK_STRIDE + 1, CHUNK_TOKENS
+    )
+    return (
+        toks.withColumn(
+            "chunk_id", F.explode(F.sequence(F.lit(0), n_chunks - 1))
+        )
+        .select(
+            "doc_id",
+            "chunk_id",
+            F.size(chunk).alias("n_chunk_tokens"),
+            F.md5(F.concat_ws(" ", chunk)).alias("chunk_md5"),
+        )
+        .orderBy("doc_id", "chunk_id")
+    )
+
+
+O_TEXT_CHUNKS = f"""
+WITH t AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
+c AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(0,
+           CASE WHEN len(toks) <= {CHUNK_TOKENS} THEN 0
+                ELSE CAST(ceil((len(toks) - {CHUNK_TOKENS}) / {CHUNK_STRIDE}.0) AS INT)
+           END)) AS chunk_id
+  FROM t)
+SELECT doc_id, chunk_id,
+       len(list_slice(toks, chunk_id * {CHUNK_STRIDE} + 1,
+                      chunk_id * {CHUNK_STRIDE} + {CHUNK_TOKENS})) AS n_chunk_tokens,
+       md5(array_to_string(list_slice(toks, chunk_id * {CHUNK_STRIDE} + 1,
+                      chunk_id * {CHUNK_STRIDE} + {CHUNK_TOKENS}), ' ')) AS chunk_md5
+FROM c
+ORDER BY doc_id, chunk_id
+"""
+
+
 QUERIES = {
     "text_token_stats": q_text_token_stats,
+    "text_chunks": q_text_chunks,
     "text_quality": q_text_quality,
     "text_langid": q_text_langid,
     "text_fingerprint": q_text_fingerprint,
@@ -202,6 +272,7 @@ QUERIES = {
 
 ORACLES = {
     "text_token_stats": O_TOKEN_STATS,
+    "text_chunks": O_TEXT_CHUNKS,
     "text_quality": _o_quality(),
     "text_langid": _o_langid(),
     "text_fingerprint": O_FINGERPRINT,

@@ -79,3 +79,41 @@ def test_fingerprint_fixture_distinct(spark, sf_dir):
     nd = out.select("fingerprint").distinct().count()
     # collisions are possible but should be rare on short fixture docs
     assert nd > n * 0.9
+
+
+def test_text_chunks_cover_every_token_with_overlap(spark, sf_dir):
+    import pyspark.sql.functions as F
+
+    from clickhouse_vs_dbt_spark.catalog import load_table
+    from clickhouse_vs_dbt_spark.functions.textfns import tokens
+    from clickhouse_vs_dbt_spark.operators.text import (
+        CHUNK_STRIDE,
+        CHUNK_TOKENS,
+        q_text_chunks,
+    )
+
+    chunks = q_text_chunks(spark, sf_dir)
+    rows = chunks.collect()
+    assert all(1 <= r.n_chunk_tokens <= CHUNK_TOKENS for r in rows)
+
+    # per-doc: chunk ids dense from 0, and the windows span all tokens
+    n_tok = {
+        r.doc_id: r.n
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.size(tokens()).alias("n"))
+        .collect()
+    }
+    per_doc: dict[int, list] = {}
+    for r in rows:
+        per_doc.setdefault(r.doc_id, []).append(r)
+    assert set(per_doc) == set(n_tok)  # every doc chunked
+    for doc_id, rs in per_doc.items():
+        ids = sorted(r.chunk_id for r in rs)
+        assert ids == list(range(len(ids)))
+        last_start = ids[-1] * CHUNK_STRIDE
+        last = next(r for r in rs if r.chunk_id == ids[-1])
+        # the final window reaches the last token
+        assert last_start + last.n_chunk_tokens == n_tok[doc_id]
+        # and no earlier window was needed past the stride ladder
+        if len(ids) > 1:
+            assert last_start < n_tok[doc_id] <= last_start + CHUNK_TOKENS
