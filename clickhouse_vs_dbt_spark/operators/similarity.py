@@ -211,14 +211,72 @@ def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label component-wise mean embedding — the reduce step of
+    IVF/k-means/prototype pipelines, as a pure relational plan.
+
+    ``posexplode`` flattens to (label, pos, component); one keyed
+    hash-aggregate computes decimal-exact per-component means (order-
+    free, so cluster-size-independent — operators/common.py); the
+    centroid vector reassembles with an ordered ``collect_list`` of
+    (pos, mean) structs per label.  Two shuffles total, both on small
+    keys; no Python, no fitted state.  At 100 TB the explode is
+    map-local and the aggregate carries labels × dims rows — tiny."""
+    from clickhouse_vs_dbt_spark.operators.common import DEC
+
+    e = load_table(spark, sf_dir, "embeddings")
+    flat = e.select(
+        "label", F.posexplode("embedding").alias("pos", "component")
+    )
+    per_comp = flat.groupBy("label", "pos").agg(
+        F.round(
+            (
+                F.sum(F.col("component").cast("double").cast(DEC)).cast("double")
+                / F.count("component")
+            ),
+            6,
+        ).alias("c"),
+        F.count("component").alias("n"),
+    )
+    return (
+        per_comp.groupBy("label")
+        .agg(
+            (F.first("n")).alias("n_vectors"),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                lambda s: s.getField("c"),
+            ).alias("centroid"),
+        )
+        .orderBy("label")
+    )
+
+
+O_CENTROIDS = f"""
+WITH flat AS (
+  SELECT label, pos - 1 AS pos, embedding[pos] AS component
+  FROM embeddings, generate_series(1, {EMBED_DIM}) AS t(pos)),
+per_comp AS (
+  SELECT label, pos,
+         round(CAST(SUM(CAST(CAST(component AS DOUBLE) AS DECIMAL(18,6))) AS DOUBLE)
+               / COUNT(component), 6) AS c,
+         COUNT(component) AS n
+  FROM flat GROUP BY label, pos)
+SELECT label, ANY_VALUE(n) AS n_vectors,
+       array_agg(c ORDER BY pos) AS centroid
+FROM per_comp GROUP BY label ORDER BY label
+"""
+
+
 QUERIES = {
     "ann_topk_bruteforce": q_ann_topk_bruteforce,
     "ann_topk_lsh": q_ann_topk_lsh,
     "ann_topk_ivf": q_ann_topk_ivf,
+    "embedding_centroids": q_embedding_centroids,
 }
 
 ORACLES = {
     "ann_topk_bruteforce": O_ANN_TOPK,
+    "embedding_centroids": O_CENTROIDS,
     # ann_topk_lsh: rows-only (bucket membership depends on seeded
     # hyperplane literals; recall pinned vs brute force in tests).
 }

@@ -87,3 +87,26 @@ def test_query_join_is_broadcast(spark, sf_dir):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_embedding_centroids_match_numpy(spark, sf_dir):
+    import numpy as np
+
+    from clickhouse_vs_dbt_spark.catalog import load_table
+    from clickhouse_vs_dbt_spark.operators.similarity import (
+        EMBED_DIM,
+        q_embedding_centroids,
+    )
+
+    got = {r.label: r for r in q_embedding_centroids(spark, sf_dir).collect()}
+    raw = load_table(spark, sf_dir, "embeddings").select("label", "embedding").collect()
+    by_label: dict = {}
+    for r in raw:
+        by_label.setdefault(r.label, []).append(np.array(r.embedding, dtype=np.float64))
+    assert set(got) == set(by_label)
+    for label, vecs in by_label.items():
+        mean = np.mean(vecs, axis=0)
+        row = got[label]
+        assert row.n_vectors == len(vecs)
+        assert len(row.centroid) == EMBED_DIM
+        assert np.allclose(row.centroid, mean, atol=2e-6)
