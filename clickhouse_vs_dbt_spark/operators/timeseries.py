@@ -260,6 +260,65 @@ ORDER BY id_a, id_b
 """
 
 
+# --- hierarchical rollups (continuous-aggregate re-aggregation) ---
+
+HOUR_SEC = 3600
+
+
+def q_events_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour rollup computed FROM the 10-minute rollup, not from raw
+    events — the continuous-aggregate / hypertable pattern: coarser
+    grains re-aggregate finer ones, so the raw table is scanned once
+    no matter how many grains exist.
+
+    Correctness requires every aggregate to be decomposable: count and
+    decimal-sum re-aggregate exactly (sum of sums); avg is carried as
+    sum+count and finalized at the coarse grain.  The oracle computes
+    the hour grain directly from raw events, so any re-aggregation
+    error (double counting, lost partials, float drift) breaks the
+    hash."""
+    e = load_table(spark, sf_dir, "events")
+    m10 = (
+        e.groupBy(F.window("ts", f"{TUMBLE_SEC} seconds").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("sum_dec"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("w10"),
+            "event_type",
+            "n_events",
+            "sum_dec",
+        )
+    )
+    return (
+        m10.groupBy(
+            (F.floor(F.col("w10") / HOUR_SEC) * HOUR_SEC)
+            .cast("long")
+            .alias("hour_start"),
+            "event_type",
+        )
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("sum_dec").cast("double").alias("total_value"),
+            (F.sum("sum_dec").cast("double") / F.sum("n_events")).alias(
+                "avg_value"
+            ),
+        )
+        .orderBy("hour_start", "event_type")
+    )
+
+
+O_ROLLUP_HIERARCHY = f"""
+SELECT CAST(floor(epoch(ts) / {HOUR_SEC}) * {HOUR_SEC} AS BIGINT) AS hour_start,
+       event_type, COUNT(*) AS n_events,
+       {sql_dsum('value')} AS total_value,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_value
+FROM events
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 # --- gap filling / densification (hypertable-style rollup surface) ---
 
 def q_events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -387,6 +446,7 @@ QUERIES = {
     "events_session_window": q_events_session,
     "events_gap_to_prev": q_events_gap_to_prev,
     "events_gap_fill": q_events_gap_fill,
+    "events_rollup_hierarchy": q_events_rollup_hierarchy,
     "events_asof_join": q_events_asof_join,
     "events_range_join": q_events_range_join,
 }
@@ -398,6 +458,7 @@ ORACLES = {
     "events_session_window": O_SESSION,
     "events_gap_to_prev": O_GAP,
     "events_gap_fill": O_GAP_FILL,
+    "events_rollup_hierarchy": O_ROLLUP_HIERARCHY,
     "events_asof_join": O_ASOF,
     "events_range_join": O_RANGE_JOIN,
 }

@@ -98,3 +98,32 @@ def test_range_self_join_boundaries(spark):
         (r.id_a, r.id_b) for r in range_self_join(df, W).collect()
     )
     assert got == [(1, 2), (3, 4), (3, 6), (4, 6)]
+
+
+def test_rollup_hierarchy_preserves_mass_and_matches_direct(spark, sf_dir):
+    import pyspark.sql.functions as F
+
+    from clickhouse_vs_dbt_spark.catalog import load_table
+    from clickhouse_vs_dbt_spark.operators.timeseries import (
+        HOUR_SEC,
+        q_events_rollup_hierarchy,
+    )
+
+    roll = q_events_rollup_hierarchy(spark, sf_dir)
+    e = load_table(spark, sf_dir, "events")
+    assert roll.agg(F.sum("n_events")).collect()[0][0] == e.count()
+
+    # re-aggregated hour grain == hour grain computed directly from raw
+    direct = (
+        e.groupBy(
+            (F.floor(F.unix_timestamp("ts") / HOUR_SEC) * HOUR_SEC)
+            .cast("long")
+            .alias("hour_start"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .orderBy("hour_start", "event_type")
+    )
+    got = [(r.hour_start, r.event_type, r.n_events) for r in roll.collect()]
+    want = [(r.hour_start, r.event_type, r.n_events) for r in direct.collect()]
+    assert got == want
