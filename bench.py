@@ -47,7 +47,12 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "ann_topk_bruteforce",
     "text_quality",
+    "text_chunks",
+    "stratified_sample",
+    "dq_checks",
     "events_tumbling_window",
+    "events_gap_fill",
+    "events_rollup_hierarchy",
 ]
 
 
