@@ -79,6 +79,16 @@ def connected_components(edges: DataFrame) -> DataFrame:
         labels = updated.select("u", "label")
         if n_changed == 0:
             break
+    else:
+        # Falling through with n_changed > 0 would silently return
+        # partially-propagated (wrong) labels — a long-chain component
+        # at scale needs more rounds, not a wrong answer.
+        sym.unpersist()
+        raise RuntimeError(
+            f"connected_components did not converge in {MAX_ROUNDS} rounds "
+            f"({n_changed} labels still changing); raise MAX_ROUNDS for "
+            "long-diameter graphs"
+        )
     sym.unpersist()
     return labels.select(F.col("u").alias("doc_id"), F.col("label").alias("cluster_rep"))
 

@@ -96,7 +96,7 @@ SQL_SHINGLED = """
                        i -> t[i]||' '||t[i+1]||' '||t[i+2])) AS shingles,
          len(list_distinct(list_transform(range(1, greatest(len(t)-1, 1)),
                        i -> t[i]||' '||t[i+1]||' '||t[i+2]))) AS n_shingles
-  FROM (SELECT doc_id, string_split(trim(text), ' ') t FROM documents)
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') t FROM documents)
 """
 
 

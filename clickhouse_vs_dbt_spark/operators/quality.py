@@ -131,7 +131,7 @@ def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
 O_DQ_CHECKS = """
 SELECT check_name, n_violations FROM (
   SELECT 'orders_orderkey_unique' AS check_name,
-         COALESCE(SUM(cnt), 0) AS n_violations
+         CAST(COALESCE(SUM(cnt), 0) AS BIGINT) AS n_violations
   FROM (SELECT COUNT(*) AS cnt FROM orders GROUP BY o_orderkey HAVING COUNT(*) > 1)
   UNION ALL
   SELECT 'orders_orderkey_not_null', COUNT(*) FROM orders WHERE o_orderkey IS NULL
@@ -147,7 +147,7 @@ SELECT check_name, n_violations FROM (
   WHERE l.l_orderkey IS NOT NULL
     AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
   UNION ALL
-  SELECT 'customer_custkey_unique', COALESCE(SUM(cnt), 0)
+  SELECT 'customer_custkey_unique', CAST(COALESCE(SUM(cnt), 0) AS BIGINT)
   FROM (SELECT COUNT(*) AS cnt FROM customer GROUP BY c_custkey HAVING COUNT(*) > 1)
   UNION ALL
   SELECT 'customer_mktsegment_not_null', COUNT(*) FROM customer

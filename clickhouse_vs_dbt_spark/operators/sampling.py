@@ -4,7 +4,7 @@
 Training corpora are routinely rebalanced: dominant languages or
 sources are downsampled to target rates, and per-class loss weights
 compensate for what remains.  Both operators here are **deterministic**
-— sampling uses a Knuth multiplicative hash of the stable ``doc_id``
+— sampling uses a Wang-style integer finalizer of the stable ``doc_id``
 rather than an RNG, so (a) the oracle can reproduce it exactly in SQL,
 (b) a re-run over 100 TB selects the identical subset (idempotent
 pipelines, resumable after partial failure), and (c) there is no seed
@@ -26,13 +26,55 @@ from clickhouse_vs_dbt_spark.catalog import load_table
 
 # per-language keep-rates (percent): downsample English, keep the rest
 RATES = {"en": 30, "de": 100, "es": 100, "fr": 100, "zh": 100}
-KNUTH = 2654435761  # 2^32 * golden ratio; doc_id * KNUTH stays < 2^63
+
+# xxhash32 primes — multiplier constants for the mixer below.
+_M1 = 2246822519
+_M2 = 3266489917
+
+
+def mix_bucket_sql(dialect: str, col: str = "doc_id") -> str:
+    """Pseudo-uniform bucket 0..99 from a stable integer id, as a SQL
+    expression string for ``dialect`` ('spark' | 'duckdb').
+
+    A single multiplicative (Knuth) hash mod 100 reduces to a fixed
+    permutation of ``id mod 100`` (the multiplier is coprime to 100), so
+    sampling would stripe by id residue (round-1 ADVICE.md).  This is a
+    Wang-style integer finalizer instead — multiply / xor-shift /
+    multiply / xor-shift in 32-bit space — so the bucket mixes every
+    input bit before the mod.  All arithmetic stays below 2^48
+    (multiplies are done in 16-bit halves), hence identical BIGINT
+    semantics in Spark and DuckDB: the oracle reproduces the subset
+    bit-for-bit, and a 100 TB re-run selects the identical rows
+    (idempotent, resumable, no seed state to coordinate)."""
+    if dialect == "spark":
+        xor = lambda a, b: f"({a} ^ {b})"  # noqa: E731
+        div = lambda a, b: f"({a} div {b})"  # noqa: E731
+    elif dialect == "duckdb":
+        xor = lambda a, b: f"xor({a}, {b})"  # noqa: E731
+        div = lambda a, b: f"({a} // {b})"  # noqa: E731
+    else:  # pragma: no cover
+        raise ValueError(dialect)
+
+    def mulmod32(h: str, m: int) -> str:
+        # (h * m) mod 2^32 without exceeding 2^48: split h into 16-bit
+        # halves; the high half's product re-enters shifted by 16.
+        return (
+            f"((({h} % 65536) * {m} + (({div(h, 65536)} * {m}) % 65536) * 65536)"
+            f" % 4294967296)"
+        )
+
+    h = f"({col} % 4294967296)"
+    h = mulmod32(h, _M1)
+    h = xor(h, div(h, 65536))
+    h = mulmod32(h, _M2)
+    h = xor(h, div(h, 65536))
+    return f"({h} % 100)"
 
 
 def _keep_bucket() -> F.Column:
     """Deterministic pseudo-uniform bucket 0..99 from doc_id (identical
     integer arithmetic in Spark and DuckDB)."""
-    return (F.col("doc_id") * F.lit(KNUTH)) % 100
+    return F.expr(mix_bucket_sql("spark"))
 
 
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -56,7 +98,7 @@ _SQL_RATE = "CASE lang " + " ".join(
 O_STRATIFIED = f"""
 SELECT doc_id, lang, source, n_chars
 FROM documents
-WHERE (doc_id * {KNUTH}) % 100 < {_SQL_RATE}
+WHERE {mix_bucket_sql('duckdb')} < {_SQL_RATE}
 ORDER BY doc_id
 """
 
@@ -81,7 +123,7 @@ def q_rebalance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 O_REBALANCE = f"""
 WITH sampled AS (
   SELECT lang FROM documents
-  WHERE (doc_id * {KNUTH}) % 100 < {_SQL_RATE}
+  WHERE {mix_bucket_sql('duckdb')} < {_SQL_RATE}
 )
 SELECT lang, COUNT(*) AS n_docs,
        round((SELECT COUNT(*) FROM sampled)::DOUBLE

@@ -211,24 +211,20 @@ def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-label component-wise mean embedding — the reduce step of
-    IVF/k-means/prototype pipelines, as a pure relational plan.
+def _centroid_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(label, pos, c, n) — decimal-exact per-component means.
 
     ``posexplode`` flattens to (label, pos, component); one keyed
-    hash-aggregate computes decimal-exact per-component means (order-
-    free, so cluster-size-independent — operators/common.py); the
-    centroid vector reassembles with an ordered ``collect_list`` of
-    (pos, mean) structs per label.  Two shuffles total, both on small
-    keys; no Python, no fitted state.  At 100 TB the explode is
-    map-local and the aggregate carries labels × dims rows — tiny."""
+    hash-aggregate computes order-free means (operators/common.py).
+    At 100 TB the explode is map-local and the aggregate carries
+    labels × dims rows — tiny."""
     from clickhouse_vs_dbt_spark.operators.common import DEC
 
     e = load_table(spark, sf_dir, "embeddings")
     flat = e.select(
         "label", F.posexplode("embedding").alias("pos", "component")
     )
-    per_comp = flat.groupBy("label", "pos").agg(
+    return flat.groupBy("label", "pos").agg(
         F.round(
             (
                 F.sum(F.col("component").cast("double").cast(DEC)).cast("double")
@@ -238,10 +234,34 @@ def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("c"),
         F.count("component").alias("n"),
     )
+
+
+def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label component-wise mean embedding — the reduce step of
+    IVF/k-means/prototype pipelines, as a pure relational plan.
+
+    Gated (driver-facing) form: one row per (label, pos) with the mean
+    component — scalar columns only, so the correctness harness can
+    canonicalize it (an array<double> column is unhashable for the
+    driver's pandas-based hasher; round-1 ADVICE.md).  The assembled
+    array form for API users is :func:`centroids`."""
     return (
-        per_comp.groupBy("label")
+        _centroid_components(spark, sf_dir)
+        .select("label", "pos", "c", F.col("n").alias("n_vectors"))
+        .orderBy("label", "pos")
+    )
+
+
+def centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-form centroids: (label, n_vectors, centroid array<double>),
+    reassembled with an ordered ``collect_list`` of (pos, mean) structs
+    per label.  Two shuffles total, both on small keys; no Python, no
+    fitted state."""
+    return (
+        _centroid_components(spark, sf_dir)
+        .groupBy("label")
         .agg(
-            (F.first("n")).alias("n_vectors"),
+            F.first("n").alias("n_vectors"),
             F.transform(
                 F.array_sort(F.collect_list(F.struct("pos", "c"))),
                 lambda s: s.getField("c"),
@@ -254,16 +274,13 @@ def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 O_CENTROIDS = f"""
 WITH flat AS (
   SELECT label, pos - 1 AS pos, embedding[pos] AS component
-  FROM embeddings, generate_series(1, {EMBED_DIM}) AS t(pos)),
-per_comp AS (
-  SELECT label, pos,
-         round(CAST(SUM(CAST(CAST(component AS DOUBLE) AS DECIMAL(18,6))) AS DOUBLE)
-               / COUNT(component), 6) AS c,
-         COUNT(component) AS n
-  FROM flat GROUP BY label, pos)
-SELECT label, ANY_VALUE(n) AS n_vectors,
-       array_agg(c ORDER BY pos) AS centroid
-FROM per_comp GROUP BY label ORDER BY label
+  FROM embeddings, generate_series(1, {EMBED_DIM}) AS t(pos))
+SELECT label, pos,
+       round(CAST(SUM(CAST(CAST(component AS DOUBLE) AS DECIMAL(18,6))) AS DOUBLE)
+             / COUNT(component), 6) AS c,
+       COUNT(component) AS n_vectors
+FROM flat GROUP BY label, pos
+ORDER BY label, pos
 """
 
 

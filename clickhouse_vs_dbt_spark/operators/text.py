@@ -244,7 +244,7 @@ def q_text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 O_TEXT_CHUNKS = f"""
 WITH t AS (
-  SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
 c AS (
   SELECT doc_id, toks,
          unnest(generate_series(0,

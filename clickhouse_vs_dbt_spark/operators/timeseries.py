@@ -432,7 +432,7 @@ def q_events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 O_JSON_EXTRACT = """
 SELECT event_type, COUNT(*) AS n,
-       SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
        MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
        MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
 FROM events GROUP BY event_type ORDER BY event_type

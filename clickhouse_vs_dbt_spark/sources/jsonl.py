@@ -70,7 +70,7 @@ def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 O_JSONL_ROUNDTRIP = f"""
-SELECT lang, source, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars,
+SELECT lang, source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars,
        {sql_dsum('CAST(length(text) AS DOUBLE)')} AS total_text_len,
        MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id
 FROM documents

@@ -95,10 +95,10 @@ def test_embedding_centroids_match_numpy(spark, sf_dir):
     from clickhouse_vs_dbt_spark.catalog import load_table
     from clickhouse_vs_dbt_spark.operators.similarity import (
         EMBED_DIM,
-        q_embedding_centroids,
+        centroids,
     )
 
-    got = {r.label: r for r in q_embedding_centroids(spark, sf_dir).collect()}
+    got = {r.label: r for r in centroids(spark, sf_dir).collect()}
     raw = load_table(spark, sf_dir, "embeddings").select("label", "embedding").collect()
     by_label: dict = {}
     for r in raw:
