@@ -10,13 +10,17 @@ Five tiers, each the idiomatic Spark shape for its scale:
                    so at 100 TB you cap posting-list length (drop
                    ubiquitous shingles — they carry no signal) or fall
                    back to MinHash below.
-* MinHash + LSH  — 32 xxhash64 min-hashes, 8 bands × 4 rows; candidates
-                   from band-bucket self-joins, then exact-Jaccard
+* MinHash + LSH  — 32 affine-permutation min-hashes over an md5-prefix
+                   base hash, 8 bands × 4 rows; candidates from
+                   band-bucket self-joins, then exact-Jaccard
                    verification of candidates only.  Linear-ish; the
-                   100 TB default.
-* SimHash        — 64-bit signatures (vectorized Pandas UDF), candidate
-                   pairs via 16-bit-chunk banding (pigeonhole: hamming
-                   ≤3 ⇒ some chunk equal), verify with bit_count(xor).
+                   100 TB default.  Engine-portable arithmetic →
+                   fully oracle-paired.
+* SimHash        — 48-bit signatures (pure Catalyst, md5-prefix token
+                   hashes + majority vote), candidate pairs via
+                   12-bit-chunk banding (pigeonhole: hamming ≤3 ⇒ some
+                   chunk equal), verify with bit_count(xor).  Also
+                   oracle-paired.
 * embedding      — cosine near-dup within label blocks (blocked
                    O(n²/blocks) exact; the ANN module has the sublinear
                    path).
@@ -27,12 +31,8 @@ real near-duplicates: 25 pairs with Jaccard ≥ 0.8 at sf0.01).
 
 from __future__ import annotations
 
-import hashlib
-
-import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 from clickhouse_vs_dbt_spark.catalog import load_table
 from clickhouse_vs_dbt_spark.functions.textfns import tokens, word_shingles
@@ -159,22 +159,59 @@ ORDER BY doc_a, doc_b
 
 # --- MinHash + LSH ---
 
-def minhash_signature(shingles_col: str = "shingles") -> list:
-    """K min-hashes, each min over xxhash64(seed, shingle) — pure
-    Catalyst expressions, one pass over the shingle array."""
-    return [
-        F.array_min(
-            F.expr(f"transform({shingles_col}, s -> xxhash64({seed}L, s))")
-        ).alias(f"mh_{seed}")
-        for seed in range(MINHASH_K)
-    ]
+# Affine-permutation MinHash over a Mersenne-prime field: the classic
+# h_i(x) = (a_i·x + b_i) mod p with p = 2^31−1, applied to a 60-bit
+# md5-prefix base hash of each shingle.  Every step is plain BIGINT
+# arithmetic (a_i·x < 2^62) plus the md5 builtin — available and
+# bit-identical in Spark AND DuckDB, so unlike xxhash64-based MinHash
+# this one is fully oracle-pairable.  The a/b constants come from a
+# fixed-seed MT19937 stream (stable across platforms) — no state to
+# coordinate across executors.
+MERSENNE = 2147483647  # 2^31 − 1
+
+def _minhash_ab() -> tuple[list[int], list[int]]:
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    a = [int(v) for v in rng.randint(1, MERSENNE, MINHASH_K)]
+    b = [int(v) for v in rng.randint(0, MERSENNE, MINHASH_K)]
+    return a, b
+
+
+MINHASH_A, MINHASH_B = _minhash_ab()
+
+
+def md5p_sql(expr: str, dialect: str) -> str:
+    """60-bit integer from the first 15 hex chars of md5(expr) —
+    the engine-portable base hash (identical in Spark and DuckDB)."""
+    if dialect == "spark":
+        return f"CAST(conv(substring(md5({expr}),1,15),16,10) AS BIGINT)"
+    return f"CAST(concat('0x', substr(md5({expr}),1,15)) AS BIGINT)"
+
+
+def minhash_fold(shingles_col: str = "shingles") -> F.Column:
+    """All K min-hashes in ONE pass over the shingle array: fold with an
+    accumulator array of K running minimums.  The base md5 hash is
+    computed once per shingle (bound as the fold's lambda variable) —
+    K separate ``array_min(transform(...))`` columns would re-hash every
+    shingle K times once Catalyst collapses the projections."""
+    ab = ", ".join(
+        f"named_struct('a', {a}L, 'b', {b}L)"
+        for a, b in zip(MINHASH_A, MINHASH_B)
+    )
+    xs = f"transform({shingles_col}, s -> {md5p_sql('s', 'spark')} % {MERSENNE})"
+    return F.expr(
+        f"aggregate({xs}, array_repeat(CAST({MERSENNE} AS BIGINT), {MINHASH_K}), "
+        f"(acc, x) -> zip_with(acc, array({ab}), "
+        f"(m, c) -> least(m, (c.a * x + c.b) % {MERSENNE})))"
+    )
 
 
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pairs, verified with exact Jaccard on the
     candidate set only.
 
-    Pipeline: signature (map-only) → band hashes (map-only) → explode
+    Pipeline: fold signature (map-only) → band hashes (map-only) → explode
     bands to NARROW rows (doc_id, band_id, band_hash) → self-join within
     (band, hash) buckets → distinct candidate pairs → join the (small)
     candidate set back to the shingle relation → exact-Jaccard verify.
@@ -185,20 +222,30 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~4× slower at sf0.1).  Candidate pairs are rare (only near-dups
     collide in a band), so Spark broadcasts them for the verify
     join-back and the shingle relation is re-scanned map-side only.
-    xxhash64 is not available in DuckDB, so this operator has a
-    rows-only driver check; the pytest suite verifies recall == 1.0
-    against the exact operator on the fixtures (banding at 8×4 makes
-    missing a ≥0.8 pair a ~1e-5 event).
+    The whole pipeline — md5-prefix base hash, affine permutations mod
+    2^31−1, band hashes — is engine-portable arithmetic, so the DuckDB
+    oracle replays it exactly (O_DEDUP_MINHASH); the pytest suite
+    additionally verifies recall == 1.0 against the exact operator on
+    the fixtures (banding at 8×4 makes missing a ≥0.8 pair a ~1e-5
+    event).
     """
     sh = _shingled(spark, sf_dir).filter(F.col("n_shingles") > 0)
-    sig = sh.select("doc_id", *minhash_signature())
-    band_cols = [
-        F.xxhash64(*[F.col(f"mh_{b * 4 + r}") for r in range(4)]).alias(f"band_{b}")
-        for b in range(LSH_BANDS)
-    ]
+    sig = sh.select("doc_id", minhash_fold().alias("mh"))
+    # All 8 band hashes in one expression (mh referenced once), then
+    # posexplode to narrow rows; the band key is itself an md5-prefix
+    # int64 of the band's 4 signature values — 8 bytes on the wire.
+    band_arr = (
+        f"transform(sequence(0, {LSH_BANDS - 1}), b -> "
+        + md5p_sql(
+            "concat_ws(',', transform(slice(mh, b * 4 + 1, 4), "
+            "v -> CAST(v AS STRING)))",
+            "spark",
+        )
+        + ")"
+    )
     bands = sig.select(
         "doc_id",
-        F.posexplode(F.array(*band_cols)).alias("band_id", "band_hash"),
+        F.posexplode(F.expr(band_arr)).alias("band_id", "band_hash"),
     )
     # The self-join would otherwise evaluate the shingle+signature map
     # twice (once per side); persist the narrow band rows instead —
@@ -239,62 +286,118 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _o_minhash() -> str:
+    """DuckDB replay of the exact MinHash-LSH pipeline above — same
+    base hash, same affine permutations, same band keys, same exact-
+    Jaccard verify."""
+    p = MERSENNE
+    mh_cols = ",\n         ".join(
+        f"list_min(list_transform(xs, x -> ({a} * x + {b}) % {p})) AS mh_{i}"
+        for i, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
+    )
+    band_selects = "\n  UNION ALL\n  ".join(
+        "SELECT doc_id, {b} AS band_id, {h} AS band_hash FROM sig".format(
+            b=b,
+            h=md5p_sql(
+                "concat_ws(',', "
+                + ", ".join(f"CAST(mh_{b * 4 + r} AS VARCHAR)" for r in range(4))
+                + ")",
+                "duckdb",
+            ),
+        )
+        for b in range(LSH_BANDS)
+    )
+    return f"""
+WITH sh AS ({SQL_SHINGLED}),
+xs AS (
+  SELECT doc_id, n_shingles, shingles,
+         list_transform(shingles, s -> {md5p_sql('s', 'duckdb')} % {p}) AS xs
+  FROM sh WHERE n_shingles > 0),
+sig AS (
+  SELECT doc_id,
+         {mh_cols}
+  FROM xs),
+bands AS (
+  {band_selects}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id),
+verified AS (
+  SELECT c.doc_a, c.doc_b,
+         CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+         / CAST(sa.n_shingles + sb.n_shingles
+                - len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) AS jaccard
+  FROM cand c
+  JOIN xs sa ON sa.doc_id = c.doc_a
+  JOIN xs sb ON sb.doc_id = c.doc_b)
+SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard
+FROM verified WHERE jaccard >= {JACCARD_THRESHOLD}
+ORDER BY doc_a, doc_b
+"""
+
+
 # --- SimHash ---
 
-@F.pandas_udf(T.LongType())
-def simhash64(token_arrays: pd.Series) -> pd.Series:
-    """64-bit SimHash over a doc's distinct tokens (blake2b token
-    hashes; majority vote per bit).  Vectorized Pandas UDF — the
-    sanctioned slow path; ~µs/doc, Arrow-batched."""
-    import numpy as np
+SIMHASH_BITS = 48  # md5-prefix bits used for the signature
+SIMHASH_CHUNK_BITS = 12  # 4 chunks × 12 bits
 
-    weights = 1 << np.arange(64, dtype=np.uint64)
-    shifts = np.arange(64, dtype=np.uint64)
-    # token → ±1 bit vector, memoized across the Arrow batch: natural
-    # language repeats tokens heavily, so most lookups hit the cache
-    # instead of re-hashing (~5× on the fixtures).
-    cache: dict[str, "np.ndarray"] = {}
-    out = []
-    for toks in token_arrays:
-        acc = np.zeros(64, dtype=np.int64)
-        for t in set(toks):
-            bits = cache.get(t)
-            if bits is None:
-                h = int.from_bytes(
-                    hashlib.blake2b(t.encode("utf-8"), digest_size=8).digest(), "big"
-                )
-                bits = np.where((np.uint64(h) >> shifts) & np.uint64(1) == 1, 1, -1)
-                cache[t] = bits
-            acc += bits
-        sig = np.uint64(((acc > 0).astype(np.uint64) * weights).sum())
-        out.append(int(sig.astype(np.int64)))  # reinterpret as signed for LongType
-    return pd.Series(out, dtype="int64")
+
+def simhash_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, simhash) — 48-bit SimHash over each doc's distinct
+    tokens, entirely in whole-stage-codegen Catalyst expressions.
+
+    Per token: one md5-prefix base hash (bound ONCE as a lambda
+    variable — a bare column reference would be inlined by projection
+    collapse and re-hashed 48×), expanded to 48 ±1 bit contributions
+    and posexploded to narrow (doc_id, bit, ±1) rows.  Majority vote =
+    two keyed aggregates: sum per (doc_id, bit), then the bit
+    recomposition per doc_id.  Both shuffles carry ≤ 48 rows/doc of
+    12 bytes after map-side combine — at 100 TB this is the linear
+    signature pass, no Python in the loop.  (The previous revision used
+    a blake2b Pandas UDF; the Catalyst form is both faster and
+    expressible in DuckDB, so the driver gate now value-checks it.)
+    """
+    tok = docs.select(
+        "doc_id", F.explode(F.array_distinct(tokens())).alias("tok")
+    )
+    bits_expr = (
+        f"transform(array({md5p_sql('tok', 'spark')}), h -> "
+        f"transform(sequence(0, {SIMHASH_BITS - 1}), "
+        f"j -> CASE WHEN (h div shiftleft(1L, j)) % 2 = 1 THEN 1 ELSE -1 END))[0]"
+    )
+    contrib = tok.select(
+        "doc_id", F.posexplode(F.expr(bits_expr)).alias("j", "s")
+    )
+    per_bit = contrib.groupBy("doc_id", "j").agg(F.sum("s").alias("sj"))
+    return per_bit.groupBy("doc_id").agg(
+        F.sum(
+            F.expr("CASE WHEN sj > 0 THEN shiftleft(1L, j) ELSE 0L END")
+        ).alias("simhash")
+    )
 
 
 def simhash_chunks(col: str = "simhash", n_chunks: int = 4) -> list:
-    """16-bit chunks for banding (pigeonhole: hamming ≤ n_chunks-1 ⇒
+    """12-bit chunks for banding (pigeonhole: hamming ≤ n_chunks-1 ⇒
     at least one chunk equal)."""
     return [
-        (F.shiftrightunsigned(F.col(col), 16 * i).bitwiseAND(F.lit(0xFFFF))).alias(
-            f"chunk_{i}"
-        )
+        (
+            F.shiftrightunsigned(F.col(col), SIMHASH_CHUNK_BITS * i).bitwiseAND(
+                F.lit((1 << SIMHASH_CHUNK_BITS) - 1)
+            )
+        ).alias(f"chunk_{i}")
         for i in range(n_chunks)
     ]
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: signatures → chunk banding → verify with
-    popcount(xor) ≤ 3.  Rows-only driver check (blake2b signatures are
-    not expressible in DuckDB); pytest pins signatures and pair recall
-    on constructed near-dups."""
+    popcount(xor) ≤ 3.  Fully oracle-paired (md5-prefix signatures are
+    portable arithmetic — O_DEDUP_SIMHASH replays them in DuckDB);
+    pytest additionally pins pair recall on constructed near-dups."""
     d = load_table(spark, sf_dir, "documents")
-    sigs = (
-        d.select("doc_id", tokens().alias("toks"))
-        # Spread the Pandas-UDF signature pass across cores (the fixture
-        # parquet is one row-group → one task otherwise).
-        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
-        .select("doc_id", simhash64("toks").alias("simhash"))
-    )
+    sigs = simhash_signatures(d)
     chunked = sigs.select("doc_id", "simhash", *simhash_chunks())
     pairs = None
     for i in range(4):
@@ -313,11 +416,55 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs = p if pairs is None else pairs.union(p)
     return (
         pairs.dropDuplicates(["doc_a", "doc_b"])
-        .withColumn("hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))))
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("int"),
+        )
         .filter(F.col("hamming") <= 3)
         .select("doc_a", "doc_b", "hamming")
         .orderBy("doc_a", "doc_b")
     )
+
+
+def _o_simhash() -> str:
+    """DuckDB replay of the SimHash pipeline — same md5-prefix token
+    hash, same majority vote, same chunk banding and popcount verify."""
+    chunk_cols = ", ".join(
+        f"(simhash // {1 << (SIMHASH_CHUNK_BITS * i)}) % {1 << SIMHASH_CHUNK_BITS}"
+        f" AS chunk_{i}"
+        for i in range(4)
+    )
+    chunk_joins = "\n  UNION ALL\n  ".join(
+        f"SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+        f"a.simhash AS sig_a, b.simhash AS sig_b "
+        f"FROM chunked a JOIN chunked b "
+        f"ON a.chunk_{i} = b.chunk_{i} AND a.doc_id < b.doc_id"
+        for i in range(4)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_distinct(string_split_regex(trim(text), '\\s+'))) AS tok
+  FROM documents),
+th AS (SELECT doc_id, {md5p_sql('tok', 'duckdb')} AS h FROM toks),
+contrib AS (
+  SELECT doc_id, j,
+         CASE WHEN (h // CAST(pow(2, j) AS BIGINT)) % 2 = 1 THEN 1 ELSE -1 END AS s
+  FROM th, generate_series(0, {SIMHASH_BITS - 1}) t(j)),
+per_bit AS (SELECT doc_id, j, SUM(s) AS sj FROM contrib GROUP BY doc_id, j),
+sig AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN sj > 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS simhash
+  FROM per_bit GROUP BY doc_id),
+chunked AS (SELECT doc_id, simhash, {chunk_cols} FROM sig),
+pairs AS (
+  {chunk_joins}),
+uniq AS (SELECT DISTINCT doc_a, doc_b, sig_a, sig_b FROM pairs)
+SELECT doc_a, doc_b, CAST(bit_count(xor(sig_a, sig_b)) AS INT) AS hamming
+FROM uniq WHERE bit_count(xor(sig_a, sig_b)) <= 3
+ORDER BY doc_a, doc_b
+"""
 
 
 # --- embedding cosine near-dup ---
@@ -380,8 +527,7 @@ QUERIES = {
 ORACLES = {
     "dedup_exact": O_DEDUP_EXACT,
     "dedup_ngram_jaccard": O_DEDUP_NGRAM,
-    # dedup_minhash_lsh / dedup_simhash: rows-only (xxhash64/blake2b not
-    # expressible in DuckDB); recall verified against the exact operator
-    # in tests/test_dedup.py.
+    "dedup_minhash_lsh": _o_minhash(),
+    "dedup_simhash": _o_simhash(),
     "dedup_embedding_cosine": O_DEDUP_EMBEDDING,
 }

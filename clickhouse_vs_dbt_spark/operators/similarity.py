@@ -112,8 +112,9 @@ def lsh_bucket(vec_col: str) -> F.Column:
 def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate top-5: candidates from the query's
     bucket plus all hamming-1 buckets (multi-probe), exact cosine
-    re-rank within candidates.  Rows-only driver check; recall vs the
-    brute-force baseline is pinned in tests/test_similarity.py."""
+    re-rank within candidates.  Oracle-paired (the seeded hyperplanes
+    embed as double literals in both engines — _o_ann_lsh); recall vs
+    the brute-force baseline is pinned in tests/test_similarity.py."""
     e = load_table(spark, sf_dir, "embeddings").withColumn(
         "bucket", lsh_bucket("embedding")
     )
@@ -151,6 +152,41 @@ def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id", "rank")
     )
+
+
+def _o_ann_lsh() -> str:
+    """DuckDB replay of the LSH probe: same hyperplane literals (the
+    text round-trips to the identical double), same sign-bit bucket,
+    same hamming-1 multi-probe, same cosine re-rank."""
+    planes = _hyperplanes()
+    bucket = " + ".join(
+        f"(CASE WHEN list_dot_product(v, {plane!r}::DOUBLE[]) > 0 THEN {1 << i} ELSE 0 END)"
+        for i, plane in enumerate(planes)
+    )
+    masks = [0] + [1 << i for i in range(LSH_BITS)]
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+b AS (SELECT vec_id, v, {bucket} AS bucket FROM e),
+q AS (SELECT vec_id AS query_id, v AS qv, bucket AS qbucket
+      FROM b WHERE vec_id < {N_QUERIES}),
+probes AS (
+  SELECT query_id, qv, xor(qbucket, m.m) AS probe
+  FROM q, (SELECT unnest({masks}) AS m) m),
+cand AS (
+  SELECT p.query_id, p.qv, c.vec_id AS neighbor_id, c.v
+  FROM probes p JOIN b c ON c.bucket = p.probe AND c.vec_id != p.query_id),
+scored AS (
+  SELECT query_id, neighbor_id, list_cosine_similarity(qv, v) AS cos_sim
+  FROM cand),
+ranked AS (
+  SELECT query_id, neighbor_id, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, rank, round(cos_sim, 6) AS cos_sim
+FROM ranked WHERE rank <= {TOP_K}
+ORDER BY query_id, rank
+"""
 
 
 def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -293,7 +329,8 @@ QUERIES = {
 
 ORACLES = {
     "ann_topk_bruteforce": O_ANN_TOPK,
+    "ann_topk_lsh": _o_ann_lsh(),
     "embedding_centroids": O_CENTROIDS,
-    # ann_topk_lsh: rows-only (bucket membership depends on seeded
-    # hyperplane literals; recall pinned vs brute force in tests).
+    # ann_topk_ivf: rows-only (KMeans fitted state is not SQL-
+    # expressible; recall pinned vs brute force in tests).
 }

@@ -46,15 +46,11 @@ def test_simhash_identical_docs_distance_zero(spark):
         "doc_id long, text string",
     )
     sigs = {
-        r.doc_id: r.sig
-        for r in df.select(
-            "doc_id",
-            dedup.simhash64(F.split(F.trim("text"), r"\s+")).alias("sig"),
-        ).collect()
+        r.doc_id: r.simhash for r in dedup.simhash_signatures(df).collect()
     }
     assert sigs[1] == sigs[2]
     # different token sets should differ in many bits
-    assert bin((sigs[1] ^ sigs[3]) & ((1 << 64) - 1)).count("1") > 10
+    assert bin((sigs[1] ^ sigs[3]) & ((1 << dedup.SIMHASH_BITS) - 1)).count("1") > 10
 
 
 def test_simhash_deterministic_across_runs(spark, sf_dir):
