@@ -29,6 +29,7 @@ from clickhouse_vs_dbt_spark.operators import (
     ssb_queries,
     text,
     timeseries,
+    tpch,
 )
 from clickhouse_vs_dbt_spark.plans import snapshots
 from clickhouse_vs_dbt_spark.sources import jsonl, ssb_csv
@@ -43,6 +44,7 @@ from clickhouse_vs_dbt_spark.streaming import (
 _MODULES = [
     ssb_queries,
     relational,
+    tpch,
     dedup,
     components,
     similarity,

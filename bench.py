@@ -42,6 +42,11 @@ HEADLINE = [
     "tpch_q1_pricing_summary",
     "top_customers",
     "window_rank_parts",
+    # adapted TPC-H flight (normalized-schema join shapes)
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q6_forecast_revenue",
+    "tpch_q18_large_orders",
     # training-data pipeline extensions (SURVEY.md §2.3)
     "dedup_exact",
     "dedup_minhash_lsh",

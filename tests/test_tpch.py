@@ -1,0 +1,51 @@
+"""Adapted TPC-H flight: result sanity + physical plan shape."""
+
+from __future__ import annotations
+
+from clickhouse_vs_dbt_spark.operators import tpch
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q6_predicates_push_into_scan(spark, sf_dir):
+    df = tpch.q_tpch_q6(spark, sf_dir)
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()
+    rows = df.collect()
+    assert len(rows) == 1 and rows[0].revenue > 0
+    # the date/discount/quantity filters must sit on the scan, pushed
+    # below the aggregate (PushedFilters shows in the scan node)
+    assert "PushedFilters: [" in _plan(df)
+
+
+def test_q3_topk_uses_heap_not_global_sort(spark, sf_dir):
+    df = tpch.q_tpch_q3(spark, sf_dir)
+    assert "TakeOrderedAndProject" in _plan(df)
+    rows = df.collect()
+    assert len(rows) == 10
+    revs = [r.revenue for r in rows]
+    assert revs == sorted(revs, reverse=True)
+
+
+def test_q5_locality_join_and_order(spark, sf_dir):
+    rows = tpch.q_tpch_q5(spark, sf_dir).collect()
+    assert 1 <= len(rows) <= 25  # at most one row per nation
+    revs = [r.revenue for r in rows]
+    assert revs == sorted(revs, reverse=True)
+
+
+def test_q5_broadcasts_nation_region(spark, sf_dir):
+    plan = _plan(tpch.q_tpch_q5(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_q18_having_threshold(spark, sf_dir):
+    rows = tpch.q_tpch_q18(spark, sf_dir).collect()
+    assert rows, "sf0.01 should contain orders with total_qty > 250"
+    assert all(r.total_qty > 250 for r in rows)
+
+
+def test_q14_pct_bounded(spark, sf_dir):
+    r = tpch.q_tpch_q14(spark, sf_dir).collect()[0]
+    assert 0.0 <= r.promo_pct <= 100.0
