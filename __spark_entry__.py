@@ -17,8 +17,10 @@ from pyspark.sql import DataFrame, SparkSession
 
 from clickhouse_vs_dbt_spark.operators import (
     components,
+    corpus,
     dedup,
     incremental,
+    kmeans,
     multimodal,
     pipeline,
     relational,
@@ -48,7 +50,9 @@ _MODULES = [
     dedup,
     components,
     similarity,
+    kmeans,
     text,
+    corpus,
     timeseries,
     multimodal,
     pipeline,

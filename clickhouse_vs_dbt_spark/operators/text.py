@@ -262,8 +262,90 @@ ORDER BY doc_id, chunk_id
 """
 
 
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals per document: distinct-token
+    ratio (rep-1) and the occurrence share of the most frequent token
+    and word-bigram (rep-2).  Highly repetitive machine-generated text
+    scores high on top_*_frac and low on distinct_ratio — the standard
+    pre-training filter family (Rae et al. 2021, "Scaling Language
+    Models", §A.1.1 — public paper, heuristic reimplemented here).
+
+    Shape: tokenize → explode uni/bigrams → two keyed count aggregates
+    each with map-side combine → per-doc max/sum, join on doc_id.  The
+    shuffles carry (doc_id, gram) counts — at 100 TB this is the same
+    linear pass as word-count; no Python, no skew (doc_id is unique)."""
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select("doc_id", tokens().alias("t"))
+    uni = base.select("doc_id", F.explode("t").alias("g"))
+    # zip_with of the two shifted slices: no CASE needed — a 1-token doc
+    # slices to two empty arrays and zips to zero bigrams.
+    bi = base.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1), "
+                "(a, b) -> concat(a, ' ', b))"
+            )
+        ).alias("g"),
+    )
+
+    def stats(g: DataFrame, max_name: str, total_name: str) -> DataFrame:
+        counts = g.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("cnt"))
+        return counts.groupBy("doc_id").agg(
+            F.max("cnt").alias(max_name),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.sum("cnt").alias(total_name),
+        )
+
+    us = stats(uni, "max_uni", "n_tokens")
+    bs = stats(bi, "max_bi", "n_bigrams").drop("n_distinct")
+    return (
+        us.join(bs, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_distinct",
+            F.round(F.col("n_distinct").cast("double") / F.col("n_tokens"), 6).alias(
+                "distinct_ratio"
+            ),
+            F.round(F.col("max_uni").cast("double") / F.col("n_tokens"), 6).alias(
+                "top_token_frac"
+            ),
+            F.coalesce(
+                F.round(F.col("max_bi").cast("double") / F.col("n_bigrams"), 6),
+                F.lit(0.0),
+            ).alias("top_bigram_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+O_TEXT_REPETITION = """
+WITH base AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents),
+uni AS (SELECT doc_id, unnest(t) AS g FROM base),
+bi AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS g
+  FROM base),
+uc AS (SELECT doc_id, g, COUNT(*) AS cnt FROM uni GROUP BY doc_id, g),
+bc AS (SELECT doc_id, g, COUNT(*) AS cnt FROM bi GROUP BY doc_id, g),
+us AS (SELECT doc_id, MAX(cnt) AS max_uni, COUNT(*) AS n_distinct,
+              CAST(SUM(cnt) AS BIGINT) AS n_tokens
+       FROM uc GROUP BY doc_id),
+bs AS (SELECT doc_id, MAX(cnt) AS max_bi, CAST(SUM(cnt) AS BIGINT) AS n_bigrams
+       FROM bc GROUP BY doc_id)
+SELECT u.doc_id, u.n_tokens, u.n_distinct,
+       round(CAST(u.n_distinct AS DOUBLE) / u.n_tokens, 6) AS distinct_ratio,
+       round(CAST(u.max_uni AS DOUBLE) / u.n_tokens, 6) AS top_token_frac,
+       coalesce(round(CAST(b.max_bi AS DOUBLE) / b.n_bigrams, 6), 0.0) AS top_bigram_frac
+FROM us u LEFT JOIN bs b USING (doc_id)
+ORDER BY u.doc_id
+"""
+
+
 QUERIES = {
     "text_token_stats": q_text_token_stats,
+    "text_repetition": q_text_repetition,
     "text_chunks": q_text_chunks,
     "text_quality": q_text_quality,
     "text_langid": q_text_langid,
@@ -272,6 +354,7 @@ QUERIES = {
 
 ORACLES = {
     "text_token_stats": O_TOKEN_STATS,
+    "text_repetition": O_TEXT_REPETITION,
     "text_chunks": O_TEXT_CHUNKS,
     "text_quality": _o_quality(),
     "text_langid": _o_langid(),
