@@ -34,7 +34,7 @@ from clickhouse_vs_dbt_spark.operators import (
     tpch,
 )
 from clickhouse_vs_dbt_spark.plans import snapshots
-from clickhouse_vs_dbt_spark.sources import jsonl, ssb_csv
+from clickhouse_vs_dbt_spark.sources import jsonl, parquet_part, ssb_csv
 from clickhouse_vs_dbt_spark.streaming import (
     events_stream,
     stateful_sessions,
@@ -63,6 +63,7 @@ _MODULES = [
     skew,
     ssb_csv,
     jsonl,
+    parquet_part,
     events_stream,
     stateful_sessions,
     stream_join,

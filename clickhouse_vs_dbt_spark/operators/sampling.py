@@ -19,7 +19,7 @@ projection and costs nothing.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from clickhouse_vs_dbt_spark.catalog import load_table
@@ -32,20 +32,20 @@ _M1 = 2246822519
 _M2 = 3266489917
 
 
-def mix_bucket_sql(dialect: str, col: str = "doc_id") -> str:
-    """Pseudo-uniform bucket 0..99 from a stable integer id, as a SQL
+def mix_hash_sql(dialect: str, col: str = "doc_id") -> str:
+    """Pseudo-uniform 32-bit hash of a stable integer id, as a SQL
     expression string for ``dialect`` ('spark' | 'duckdb').
 
     A single multiplicative (Knuth) hash mod 100 reduces to a fixed
     permutation of ``id mod 100`` (the multiplier is coprime to 100), so
     sampling would stripe by id residue (round-1 ADVICE.md).  This is a
     Wang-style integer finalizer instead — multiply / xor-shift /
-    multiply / xor-shift in 32-bit space — so the bucket mixes every
-    input bit before the mod.  All arithmetic stays below 2^48
-    (multiplies are done in 16-bit halves), hence identical BIGINT
-    semantics in Spark and DuckDB: the oracle reproduces the subset
-    bit-for-bit, and a 100 TB re-run selects the identical rows
-    (idempotent, resumable, no seed state to coordinate)."""
+    multiply / xor-shift in 32-bit space — so the output mixes every
+    input bit.  All arithmetic stays below 2^48 (multiplies are done in
+    16-bit halves), hence identical BIGINT semantics in Spark and
+    DuckDB: the oracle reproduces the value bit-for-bit, and a 100 TB
+    re-run selects the identical rows (idempotent, resumable, no seed
+    state to coordinate)."""
     if dialect == "spark":
         xor = lambda a, b: f"({a} ^ {b})"  # noqa: E731
         div = lambda a, b: f"({a} div {b})"  # noqa: E731
@@ -68,7 +68,13 @@ def mix_bucket_sql(dialect: str, col: str = "doc_id") -> str:
     h = xor(h, div(h, 65536))
     h = mulmod32(h, _M2)
     h = xor(h, div(h, 65536))
-    return f"({h} % 100)"
+    return h
+
+
+def mix_bucket_sql(dialect: str, col: str = "doc_id") -> str:
+    """Pseudo-uniform bucket 0..99 from a stable integer id (see
+    :func:`mix_hash_sql`)."""
+    return f"({mix_hash_sql(dialect, col)} % 100)"
 
 
 def _keep_bucket() -> F.Column:
@@ -131,12 +137,54 @@ SELECT lang, COUNT(*) AS n_docs,
 FROM sampled GROUP BY lang ORDER BY lang
 """
 
+RESERVOIR_K = 20  # fixed-size sample per language
+
+
+def q_reservoir_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size (k=20) per-stratum sample: the k documents with the
+    smallest mixed hash in each language — the deterministic equivalent
+    of per-stratum reservoir sampling (a uniform hash order IS a random
+    permutation of the stratum; taking its k smallest is a k-reservoir,
+    minus the RNG state).
+
+    Scale shape: one window heap per stratum — rank() over a hash order
+    needs only a per-partition top-k + merge (no global sort), and
+    re-running over 100 TB reproduces the identical sample for free
+    (resumable pipelines; no coordination across executors)."""
+    d = load_table(spark, sf_dir, "documents")
+    h = F.expr(mix_hash_sql("spark"))
+    # doc_id tie-break makes the order total even on hash collision
+    w = F.row_number().over(
+        Window.partitionBy("lang").orderBy(h.asc(), F.col("doc_id").asc())
+    )
+    return (
+        d.withColumn("rk", w)
+        .filter(F.col("rk") <= RESERVOIR_K)
+        .select("doc_id", "lang", F.col("rk").cast("int").alias("rk"))
+        .orderBy("lang", "rk")
+    )
+
+
+O_RESERVOIR = f"""
+WITH ranked AS (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY {mix_hash_sql('duckdb')} ASC, doc_id ASC) AS rk
+  FROM documents)
+SELECT doc_id, lang, CAST(rk AS INT) AS rk
+FROM ranked WHERE rk <= {RESERVOIR_K}
+ORDER BY lang, rk
+"""
+
+
 QUERIES = {
     "stratified_sample": q_stratified_sample,
     "rebalance_weights": q_rebalance_weights,
+    "reservoir_per_lang": q_reservoir_per_lang,
 }
 
 ORACLES = {
     "stratified_sample": O_STRATIFIED,
     "rebalance_weights": O_REBALANCE,
+    "reservoir_per_lang": O_RESERVOIR,
 }

@@ -320,8 +320,78 @@ ORDER BY label, pos
 """
 
 
+def q_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization — the storage/serving
+    compression step of an embedding pipeline: scale = 127/max|x|,
+    q_i = ⌊x_i·scale + 0.5⌋, plus the reconstruction MSE.
+
+    Engine-portability choices: ``floor(v + 0.5)`` instead of
+    ``round()`` (whose half-way tie behavior is not guaranteed to agree
+    between engines on doubles), and the MSE summed in DECIMAL(28,18)
+    (order-free).  The quantized vector itself is emitted as an md5
+    digest of its comma-joined components — scalar, so the driver
+    harness canonicalizes it, while still pinning every component.
+
+    Scale shape: pure map-only (one pass per vector, scale bound once
+    as a lambda variable — not re-derived per component); at 100 TB
+    this runs at scan speed with zero shuffle."""
+    e = load_table(spark, sf_dir, "embeddings")
+    m = "array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))"
+    qi = "CAST(floor(CAST(x AS DOUBLE) * s + 0.5D) AS INT)"
+    term = f"(CAST(x AS DOUBLE) - {qi} / s)"
+    packed = (
+        f"transform(array(127.0D / {m}), s -> named_struct("
+        f"'digest', md5(concat_ws(',', transform(embedding, x -> CAST({qi} AS STRING)))), "
+        f"'mse', CAST(aggregate(transform(embedding, "
+        f"x -> CAST({term} * {term} AS DECIMAL(28,18))), "
+        f"CAST(0 AS DECIMAL(28,18)), (a, t) -> CAST(a + t AS DECIMAL(28,18))) "
+        f"AS DOUBLE) / {EMBED_DIM}))[0]"
+    )
+    return (
+        e.filter(F.expr(m) > 0)
+        .select(
+            "vec_id",
+            "label",
+            F.round(F.expr(m), 6).alias("max_abs"),
+            F.expr(packed).alias("p"),
+        )
+        .select(
+            "vec_id",
+            "label",
+            "max_abs",
+            F.col("p.digest").alias("q_digest"),
+            F.round(F.col("p.mse"), 12).alias("mse"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+O_QUANTIZE = f"""
+WITH flat AS (
+  SELECT vec_id, label, pos - 1 AS pos, CAST(embedding[pos] AS DOUBLE) AS x
+  FROM embeddings, generate_series(1, {EMBED_DIM}) t(pos)),
+scaled AS (
+  SELECT vec_id, label, MAX(abs(x)) AS m, 127.0 / MAX(abs(x)) AS s
+  FROM flat GROUP BY vec_id, label
+  HAVING MAX(abs(x)) > 0),
+q AS (
+  SELECT f.vec_id, f.label, f.pos, s.m, s.s,
+         CAST(floor(f.x * s.s + 0.5) AS INT) AS qi,
+         (f.x - CAST(floor(f.x * s.s + 0.5) AS INT) / s.s) AS err
+  FROM flat f JOIN scaled s USING (vec_id)
+  WHERE s.label = f.label)
+SELECT vec_id, label, round(ANY_VALUE(m), 6) AS max_abs,
+       md5(string_agg(qi::VARCHAR, ',' ORDER BY pos)) AS q_digest,
+       round(CAST(SUM(CAST(err * err AS DECIMAL(28,18))) AS DOUBLE)
+             / {EMBED_DIM}, 12) AS mse
+FROM q GROUP BY vec_id, label
+ORDER BY vec_id
+"""
+
+
 QUERIES = {
     "ann_topk_bruteforce": q_ann_topk_bruteforce,
+    "embedding_quantize_int8": q_embedding_quantize_int8,
     "ann_topk_lsh": q_ann_topk_lsh,
     "ann_topk_ivf": q_ann_topk_ivf,
     "embedding_centroids": q_embedding_centroids,
@@ -330,6 +400,7 @@ QUERIES = {
 ORACLES = {
     "ann_topk_bruteforce": O_ANN_TOPK,
     "ann_topk_lsh": _o_ann_lsh(),
+    "embedding_quantize_int8": O_QUANTIZE,
     "embedding_centroids": O_CENTROIDS,
     # ann_topk_ivf: rows-only (KMeans fitted state is not SQL-
     # expressible; recall pinned vs brute force in tests).

@@ -110,3 +110,18 @@ def test_embedding_centroids_match_numpy(spark, sf_dir):
         assert row.n_vectors == len(vecs)
         assert len(row.centroid) == EMBED_DIM
         assert np.allclose(row.centroid, mean, atol=2e-6)
+
+
+def test_quantize_int8_reconstruction(spark, sf_dir):
+    from clickhouse_vs_dbt_spark.operators.similarity import (
+        q_embedding_quantize_int8,
+    )
+
+    rows = q_embedding_quantize_int8(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.max_abs > 0
+        # int8 step is max_abs/127; MSE of uniform-ish rounding error is
+        # well under one step squared
+        assert 0 <= r.mse < (r.max_abs / 127.0) ** 2
+        assert len(r.q_digest) == 32  # md5 hex

@@ -68,3 +68,26 @@ def test_jsonl_roundtrip_preserves_rows_and_types(spark, sf_dir, tmp_path):
     ]
     # content equality, order-insensitive
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, d.collect()))
+
+
+def test_parquet_partitioned_prunes(spark, sf_dir):
+    from clickhouse_vs_dbt_spark.sources import parquet_part
+
+    df = parquet_part.pruned_read(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "lang" in plan
+    langs = {r.lang for r in df.select("lang").distinct().collect()}
+    assert langs <= set(parquet_part.PRUNE_LANGS)
+
+
+def test_parquet_roundtrip_lossless(spark, sf_dir):
+    from clickhouse_vs_dbt_spark.catalog import load_table
+    from clickhouse_vs_dbt_spark.sources import parquet_part
+    from pyspark.sql import functions as F
+
+    back = parquet_part.pruned_read(spark, sf_dir)
+    orig = load_table(spark, sf_dir, "documents").filter(
+        F.col("lang").isin(*parquet_part.PRUNE_LANGS)
+    )
+    assert back.count() == orig.count()
+    assert sorted(back.columns) == sorted(orig.columns)
