@@ -70,24 +70,28 @@ FROM documents GROUP BY lower(trim(text))
 # --- shared shingle relation ---
 
 def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, shingles, n_shingles) with the tokenization materialized
-    ONCE behind a repartition barrier.
+    """(doc_id, shingles, n_shingles) — tokenize + 3-gram shingle.
 
-    Two deliberate choices, both measured at sf0.1: (1) tokenizing in a
-    collapsed projection re-evaluates ``split()`` for every reference
-    inside the shingle CASE (~4×/row) — the exchange forces tokens to
-    compute once; (2) the fixture parquet is a single row-group, so the
-    repartition also spreads the CPU-bound shingle/signature map across
-    all cores (at 100 TB the scan already has thousands of splits and
-    this narrow (doc_id, tokens) shuffle just rebalances skew).
-    """
-    d = load_table(spark, sf_dir, "documents")
-    tok = d.select("doc_id", tokens().alias("t")).repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
+    Two deliberate choices, both measured at sf0.1 (~5× combined):
+    (1) the repartition barrier sits on the RAW (doc_id, text) rows, so
+    the CPU-bound tokenize+shingle map runs on every core even when the
+    input is a single parquet row-group (at 100 TB the scan already has
+    thousands of splits and this narrow shuffle just rebalances skew);
+    (2) ``split()`` is bound ONCE per row as a lambda variable — under
+    projection collapse, a bare tokens column referenced by the shingle
+    CASE would re-tokenize ~4×/row."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    d = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    shingle_core = (
+        "CASE WHEN size(t) < 3 THEN CAST(array() AS array<string>) "
+        "ELSE array_distinct(transform(sequence(0, size(t)-3), "
+        "i -> concat_ws(' ', slice(t, i+1, 3)))) END"
     )
-    return tok.select(
-        "doc_id", word_shingles("t", 3).alias("shingles")
-    ).withColumn("n_shingles", F.size("shingles"))
+    bound = f"transform(array(split(trim(text), '\\\\s+')), t -> {shingle_core})[0]"
+    return (
+        d.select("doc_id", F.expr(bound).alias("shingles"))
+        .withColumn("n_shingles", F.size("shingles"))
+    )
 
 
 SQL_SHINGLED = """
@@ -189,22 +193,35 @@ def md5p_sql(expr: str, dialect: str) -> str:
     return f"CAST(concat('0x', substr(md5({expr}),1,15)) AS BIGINT)"
 
 
-def minhash_fold(shingles_col: str = "shingles") -> F.Column:
-    """All K min-hashes in ONE pass over the shingle array: fold with an
-    accumulator array of K running minimums.  The base md5 hash is
-    computed once per shingle (bound as the fold's lambda variable) —
-    K separate ``array_min(transform(...))`` columns would re-hash every
-    shingle K times once Catalyst collapses the projections."""
-    ab = ", ".join(
-        f"named_struct('a', {a}L, 'b', {b}L)"
-        for a, b in zip(MINHASH_A, MINHASH_B)
+def minhash_signature(shingled: DataFrame) -> DataFrame:
+    """(doc_id, seed, mh) — the K per-seed signature minimums as ROWS,
+    from the (doc_id, shingles) relation.
+
+    Shape: one higher-order pass computes the md5-prefix base hash per
+    shingle; a codegen'd projection emits the K affine values as an
+    inline struct array; ``posexplode`` flattens to (doc_id, seed, v);
+    ONE narrow MIN aggregate takes the per-seed minimum.  Two rejected
+    formulations, both value-identical: a fold-with-accumulator array
+    (K×|shingles| interpreted HOF invocations — slowest) and a K-wide
+    MIN aggregate (generates a janino unit whose first-call compile
+    cost exceeded the whole query).  Because the shingle relation is
+    already hash-partitioned by doc_id (the _shingled barrier), neither
+    aggregate here introduces an exchange — the signature pass stays
+    map-local at any scale, and map-side combine collapses the exploded
+    rows to K/doc before anything moves."""
+    xs = shingled.select(
+        "doc_id",
+        F.explode(
+            F.expr(f"transform(shingles, s -> {md5p_sql('s', 'spark')} % {MERSENNE})")
+        ).alias("x"),
     )
-    xs = f"transform({shingles_col}, s -> {md5p_sql('s', 'spark')} % {MERSENNE})"
-    return F.expr(
-        f"aggregate({xs}, array_repeat(CAST({MERSENNE} AS BIGINT), {MINHASH_K}), "
-        f"(acc, x) -> zip_with(acc, array({ab}), "
-        f"(m, c) -> least(m, (c.a * x + c.b) % {MERSENNE})))"
+    vals = ", ".join(
+        f"({a} * x + {b}) % {MERSENNE}" for a, b in zip(MINHASH_A, MINHASH_B)
     )
+    sv = xs.select(
+        "doc_id", F.posexplode(F.expr(f"array({vals})")).alias("seed", "v")
+    )
+    return sv.groupBy("doc_id", "seed").agg(F.min("v").alias("mh"))
 
 
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -229,30 +246,39 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     the fixtures (banding at 8×4 makes missing a ≥0.8 pair a ~1e-5
     event).
     """
-    sh = _shingled(spark, sf_dir).filter(F.col("n_shingles") > 0)
-    sig = sh.select("doc_id", minhash_fold().alias("mh"))
-    # All 8 band hashes in one expression (mh referenced once), then
-    # posexplode to narrow rows; the band key is itself an md5-prefix
-    # int64 of the band's 4 signature values — 8 bytes on the wire.
-    band_arr = (
-        f"transform(sequence(0, {LSH_BANDS - 1}), b -> "
-        + md5p_sql(
-            "concat_ws(',', transform(slice(mh, b * 4 + 1, 4), "
-            "v -> CAST(v AS STRING)))",
-            "spark",
-        )
-        + ")"
-    )
-    bands = sig.select(
-        "doc_id",
-        F.posexplode(F.expr(band_arr)).alias("band_id", "band_hash"),
-    )
-    # The self-join would otherwise evaluate the shingle+signature map
-    # twice (once per side); persist the narrow band rows instead —
-    # ~24 bytes × 8 bands per doc, disk-spillable, the standard shape
-    # for LSH at scale.
+    # Persist the shingle relation ONCE: it feeds three consumers (the
+    # signature pass and both sides of the exact-Jaccard verify) and
+    # tokenizing+shingling is the single most expensive map stage —
+    # recomputing it per consumer tripled the cold cost.  Disk-backed
+    # cache of (doc_id, shingles) ≈ the corpus itself; at 100 TB this
+    # is the standard "materialize the tokenized relation" step (write
+    # it as a table at ingest and every dedup pass reuses it).
     from pyspark import StorageLevel
 
+    sh = (
+        _shingled(spark, sf_dir)
+        .filter(F.col("n_shingles") > 0)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    sig = minhash_signature(sh)
+    # Band key = md5-prefix int64 of the band's 4 signature values in
+    # seed order — 8 bytes on the wire; one more map-local aggregate
+    # (same doc_id partitioning) rolls the 4 row-mins per band up.
+    bands = sig.groupBy(
+        "doc_id", (F.col("seed") / 4).cast("int").alias("band_id")
+    ).agg(
+        F.expr(
+            md5p_sql(
+                "concat_ws(',', transform(array_sort(collect_list(struct(seed, mh))), "
+                "t -> CAST(t.mh AS STRING)))",
+                "spark",
+            )
+        ).alias("band_hash")
+    )
+    # The self-join would otherwise evaluate the signature map twice
+    # (once per side); persist the narrow band rows too — ~24 bytes ×
+    # 8 bands per doc, disk-spillable, the standard shape for LSH at
+    # scale.
     bands = bands.persist(StorageLevel.MEMORY_AND_DISK)
     a, b = bands.alias("a"), bands.alias("b")
     candidates = (
