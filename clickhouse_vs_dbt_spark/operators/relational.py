@@ -447,8 +447,104 @@ FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """
 
 
+# --- fixed-width histogram ---
+
+HIST_WIDTH = 5
+
+
+def q_histogram_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of lineitem quantity with per-bucket
+    revenue: bucketing is a pure map expression (integer division), the
+    aggregate is one keyed shuffle over ≤ range/width groups — the
+    constant-memory histogram shape at any scale (vs. sort-based
+    percentile scans)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.withColumn(
+            "bucket",
+            F.floor(F.col("l_quantity") / HIST_WIDTH).cast("int") * HIST_WIDTH,
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            ),
+        )
+        .orderBy("bucket")
+    )
+
+
+O_HISTOGRAM = f"""
+SELECT CAST(floor(l_quantity / {HIST_WIDTH}) AS INT) * {HIST_WIDTH} AS bucket,
+       COUNT(*) AS n_items,
+       {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+FROM lineitem
+GROUP BY 1 ORDER BY bucket
+"""
+
+
+# --- unpivot (melt) ---
+
+def q_unpivot_part_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long unpivot of the part measures — the inverse of pivot,
+    needed whenever a metrics-as-columns table feeds a generic
+    per-metric pipeline.  ``unpivot`` is a zero-shuffle map-side
+    expansion (each row emits |measures| rows)."""
+    p = load_table(spark, sf_dir, "part")
+    return (
+        p.select(
+            "p_partkey",
+            F.col("p_size").cast("double").alias("p_size"),
+            F.col("p_retailprice").alias("p_retailprice"),
+        )
+        .unpivot("p_partkey", ["p_size", "p_retailprice"], "measure", "value")
+        .orderBy("p_partkey", "measure")
+    )
+
+
+O_UNPIVOT = """
+SELECT p_partkey, 'p_size' AS measure, CAST(p_size AS DOUBLE) AS value FROM part
+UNION ALL
+SELECT p_partkey, 'p_retailprice', p_retailprice FROM part
+ORDER BY p_partkey, measure
+"""
+
+
+# --- per-group exact quantiles ---
+
+def q_group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p50/p95 of the event value per event type (linear-
+    interpolation definition, identical in Spark ``percentile`` and
+    DuckDB ``quantile_cont``).  Exact per-group percentiles sort within
+    groups only; for the sketch-based global form see
+    approx_distinct_quantiles."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+            F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("event_type")
+    )
+
+
+O_GROUP_QUANTILES = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.95), 6) AS p95,
+       COUNT(*) AS n
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 QUERIES = {
     "tpch_q1_pricing_summary": q_pricing_summary,
+    "histogram_quantity": q_histogram_quantity,
+    "unpivot_part_measures": q_unpivot_part_measures,
+    "group_quantiles": q_group_quantiles,
     "top_customers": q_top_customers,
     "window_rank_parts": q_window_rank,
     "window_running_total": q_running_total,
@@ -468,6 +564,9 @@ QUERIES = {
 
 ORACLES = {
     "tpch_q1_pricing_summary": O_PRICING,
+    "histogram_quantity": O_HISTOGRAM,
+    "unpivot_part_measures": O_UNPIVOT,
+    "group_quantiles": O_GROUP_QUANTILES,
     "top_customers": O_TOP_CUSTOMERS,
     "window_rank_parts": O_WINDOW_RANK,
     "window_running_total": O_RUNNING_TOTAL,

@@ -146,6 +146,43 @@ FROM events ORDER BY event_id
 """
 
 
+def q_events_latest_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest event per user — the deduplicate-to-current-state operator
+    (ClickHouse's ReplacingMergeTree / "argMax" read pattern, here as a
+    keyed window heap).  row_number over (ts DESC, event_id DESC) keeps
+    exactly one deterministic winner per key; at 100 TB this is one
+    hash-partitioned shuffle on user_id with per-partition heaps — the
+    canonical compaction shape for CDC/state snapshots."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_id",
+            F.unix_micros("ts").alias("ts_us"),
+            "event_type",
+            "value",
+        )
+        .orderBy("user_id")
+    )
+
+
+O_LATEST_PER_USER = """
+SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type, value
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                               ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events)
+WHERE rn = 1 ORDER BY user_id
+"""
+
+
 # --- as-of join (driver-mandated custom operator Spark lacks natively) ---
 
 def q_events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -445,6 +482,7 @@ QUERIES = {
     "events_sliding_window": q_events_sliding,
     "events_session_window": q_events_session,
     "events_gap_to_prev": q_events_gap_to_prev,
+    "events_latest_per_user": q_events_latest_per_user,
     "events_gap_fill": q_events_gap_fill,
     "events_rollup_hierarchy": q_events_rollup_hierarchy,
     "events_asof_join": q_events_asof_join,
@@ -457,6 +495,7 @@ ORACLES = {
     "events_sliding_window": O_SLIDING,
     "events_session_window": O_SESSION,
     "events_gap_to_prev": O_GAP,
+    "events_latest_per_user": O_LATEST_PER_USER,
     "events_gap_fill": O_GAP_FILL,
     "events_rollup_hierarchy": O_ROLLUP_HIERARCHY,
     "events_asof_join": O_ASOF,

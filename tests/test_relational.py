@@ -95,3 +95,47 @@ def test_approx_aggregates_error_bounds(spark, sf_dir):
         e = exact[k]
         assert abs(a.approx_parts - e.parts) / e.parts < 0.05
         assert abs(a.qty_p50 - e.p50) / max(e.p50, 1) < 0.10
+
+
+def test_histogram_buckets_aligned(spark, sf_dir):
+    from clickhouse_vs_dbt_spark.operators.relational import (
+        HIST_WIDTH,
+        q_histogram_quantity,
+    )
+
+    rows = q_histogram_quantity(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.bucket % HIST_WIDTH == 0
+        assert r.n_items > 0
+
+
+def test_unpivot_doubles_rows(spark, sf_dir):
+    from clickhouse_vs_dbt_spark.catalog import load_table
+    from clickhouse_vs_dbt_spark.operators.relational import q_unpivot_part_measures
+
+    n_parts = load_table(spark, sf_dir, "part").count()
+    out = q_unpivot_part_measures(spark, sf_dir)
+    assert out.count() == 2 * n_parts
+    assert set(r.measure for r in out.select("measure").distinct().collect()) == {
+        "p_size",
+        "p_retailprice",
+    }
+
+
+def test_group_quantiles_ordered(spark, sf_dir):
+    from clickhouse_vs_dbt_spark.operators.relational import q_group_quantiles
+
+    for r in q_group_quantiles(spark, sf_dir).collect():
+        assert r.p50 <= r.p95
+        assert r.n > 0
+
+
+def test_latest_per_user_unique(spark, sf_dir):
+    from clickhouse_vs_dbt_spark.operators.timeseries import (
+        q_events_latest_per_user,
+    )
+
+    rows = q_events_latest_per_user(spark, sf_dir).collect()
+    users = [r.user_id for r in rows]
+    assert len(users) == len(set(users)) > 0
