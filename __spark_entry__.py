@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from clickhouse_vs_dbt_spark.operators import (
     components,
     corpus,
+    curation,
     dedup,
     incremental,
     kmeans,
@@ -49,6 +50,7 @@ _MODULES = [
     tpch,
     dedup,
     components,
+    curation,
     similarity,
     kmeans,
     text,

@@ -46,6 +46,8 @@ HEADLINE = [
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier_volume",
     "tpch_q6_forecast_revenue",
+    "tpch_q13_order_distribution",
+    "tpch_q17_small_qty_revenue",
     "tpch_q18_large_orders",
     # training-data pipeline extensions (SURVEY.md §2.3)
     "dedup_exact",
@@ -54,6 +56,9 @@ HEADLINE = [
     "text_quality",
     "text_chunks",
     "stratified_sample",
+    "sequence_pack",
+    "export_shards",
+    "text_pii_scrub",
     "dq_checks",
     "events_tumbling_window",
     "events_gap_fill",

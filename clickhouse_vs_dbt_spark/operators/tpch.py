@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from clickhouse_vs_dbt_spark.catalog import load_table
-from clickhouse_vs_dbt_spark.operators.common import dsum, sql_dsum
+from clickhouse_vs_dbt_spark.operators.common import davg, dsum, sql_davg, sql_dsum
 
 def _net() -> F.Column:
     # module-level F.col() would crash without an active session
@@ -352,6 +352,281 @@ WHERE (p_brand = 'Brand#1'  AND p_size BETWEEN 1  AND 15
 """
 
 
+def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 (volume shipping): bilateral trade volume between two
+    nations by ship year — the two-nation-pair disjunction over a
+    5-way join.  Both nation joins are broadcast; the OR-of-pairs
+    predicate rides the joined row, and Catalyst prunes nation rows to
+    the two named nations before broadcasting."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    nations = ("NATION_1", "NATION_2")
+    n1 = F.broadcast(
+        load_table(spark, sf_dir, "nation")
+        .filter(F.col("n_name").isin(*nations))
+        .select(
+            F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+        )
+    )
+    n2 = F.broadcast(
+        load_table(spark, sf_dir, "nation")
+        .filter(F.col("n_name").isin(*nations))
+        .select(
+            F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+        )
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(n1, s.s_nationkey == F.col("n1_key"))
+        .join(n2, c.c_nationkey == F.col("n2_key"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+        )
+        .agg(dsum(_net()).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+O_TPCH_Q7 = f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS INT) AS l_year,
+       {sql_dsum(SQL_NET)} AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE n1.n_name IN ('NATION_1', 'NATION_2')
+  AND n2.n_name IN ('NATION_1', 'NATION_2')
+  AND n1.n_name <> n2.n_name
+  AND l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+GROUP BY 1, 2, 3
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (national market share): one supplier nation's share of
+    STANDARD-part revenue sold into ASIA customers, per order year — a
+    7-way join feeding a conditional-aggregate ratio.  Share numerator
+    and denominator are both decimal-exact sums, so the double division
+    is bit-stable across partitionings."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01"))
+    )
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD")
+    ns = F.broadcast(
+        load_table(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("ns_key"), F.col("n_name").alias("supp_nation")
+        )
+    )
+    nc = F.broadcast(load_table(spark, sf_dir, "nation"))
+    r = F.broadcast(
+        load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    )
+    return (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(nc, c.c_nationkey == nc.n_nationkey)
+        .join(r, F.col("n_regionkey") == r.r_regionkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .join(ns, s.s_nationkey == F.col("ns_key"))
+        .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(
+            F.round(
+                dsum(
+                    F.when(F.col("supp_nation") == "NATION_5", _net()).otherwise(
+                        F.lit(0.0)
+                    )
+                )
+                / dsum(_net()),
+                6,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+O_TPCH_Q8 = f"""
+SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+       round({sql_dsum(f"CASE WHEN ns.n_name = 'NATION_5' THEN {SQL_NET} ELSE 0.0 END")}
+             / {sql_dsum(SQL_NET)}, 6) AS mkt_share
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation nc ON c_nationkey = nc.n_nationkey
+JOIN region   ON nc.n_regionkey = r_regionkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ns ON s_nationkey = ns.n_nationkey
+WHERE p_type = 'STANDARD' AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1998-01-01'
+GROUP BY 1 ORDER BY o_year
+"""
+
+
+def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 (shipping priority vs late lines): for late-shipped
+    lines (adaptation: shipped > 60 days after order date; the fixture
+    has no commit/receipt dates or shipmode, so the group key is
+    ``l_returnflag``), count critical- vs non-critical-priority orders.
+    The CASE-sum pair is one pass over the joined rows."""
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    )
+    crit = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") > F.expr("o_orderdate + INTERVAL 60 DAY"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(crit, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(crit, 0).otherwise(1)).cast("long").alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+O_TPCH_Q12 = """
+SELECT l_returnflag,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+  AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 (customer order-count distribution): two-level
+    aggregation — orders per customer (left join keeps zero-order
+    customers), then the distribution of those counts.  Adaptation: the
+    order exclusion predicate is on ``o_orderpriority`` (no comment
+    column).  The second aggregate's input is one row per customer, so
+    it is trivially small at any scale."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "5-LOW"
+    )
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+O_TPCH_Q13 = """
+WITH per_cust AS (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+  GROUP BY c_custkey)
+SELECT c_count, COUNT(*) AS custdist
+FROM per_cust GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (small-quantity-order revenue): revenue from lines
+    whose quantity is below 50% of the part's average quantity, for one
+    brand.  The correlated scalar subquery decorrelates into a
+    per-partkey aggregate joined back to the fact — in Spark that is an
+    explicit groupBy + join (what Catalyst's RewriteCorrelatedScalarQuery
+    produces anyway), with the brand-filtered side broadcast."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3")
+    avg_qty = l.groupBy(F.col("l_partkey").alias("ap_key")).agg(
+        davg(F.col("l_quantity")).alias("avg_qty")
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(avg_qty, l.l_partkey == F.col("ap_key"))
+        .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        .agg(
+            F.round(dsum(F.col("l_extendedprice")) / 7.0, 6).alias("avg_yearly")
+        )
+    )
+
+
+O_TPCH_Q17 = f"""
+SELECT round({sql_dsum('l_extendedprice')} / 7.0, 6) AS avg_yearly
+FROM lineitem l JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#3'
+  AND l_quantity < (
+    SELECT 0.5 * {sql_davg('l2.l_quantity')}
+    FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+"""
+
+
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 (global sales opportunity): customers with
+    above-average positive balance and no orders since 1999, counted per
+    market segment (adaptations: no phone column, so the group key is
+    ``c_mktsegment``; "no orders at all" is empty on the fixtures, so
+    the dormancy cut is date-bounded).  NOT EXISTS → left-anti join; the
+    scalar average is a one-row broadcast cross join, never a collect."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1999-01-01")
+    )
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
+        davg(F.col("c_acctbal")).alias("avg_bal")
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            dsum(F.col("c_acctbal")).alias("totacctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+O_TPCH_Q22 = f"""
+SELECT c_mktsegment, COUNT(*) AS numcust, {sql_dsum('c_acctbal')} AS totacctbal
+FROM customer c
+WHERE c_acctbal > (
+    SELECT {sql_davg('c_acctbal')} FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c.c_custkey
+                    AND o_orderdate >= TIMESTAMP '1999-01-01')
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
 QUERIES = {
     "tpch_q3_shipping_priority": q_tpch_q3,
     "tpch_q4_late_orders": q_tpch_q4,
@@ -361,6 +636,12 @@ QUERIES = {
     "tpch_q14_promo_effect": q_tpch_q14,
     "tpch_q18_large_orders": q_tpch_q18,
     "tpch_q19_bracketed_revenue": q_tpch_q19,
+    "tpch_q7_volume_shipping": q_tpch_q7,
+    "tpch_q8_market_share": q_tpch_q8,
+    "tpch_q12_priority_shipping": q_tpch_q12,
+    "tpch_q13_order_distribution": q_tpch_q13,
+    "tpch_q17_small_qty_revenue": q_tpch_q17,
+    "tpch_q22_dormant_customers": q_tpch_q22,
 }
 
 ORACLES = {
@@ -372,4 +653,10 @@ ORACLES = {
     "tpch_q14_promo_effect": O_TPCH_Q14,
     "tpch_q18_large_orders": O_TPCH_Q18,
     "tpch_q19_bracketed_revenue": O_TPCH_Q19,
+    "tpch_q7_volume_shipping": O_TPCH_Q7,
+    "tpch_q8_market_share": O_TPCH_Q8,
+    "tpch_q12_priority_shipping": O_TPCH_Q12,
+    "tpch_q13_order_distribution": O_TPCH_Q13,
+    "tpch_q17_small_qty_revenue": O_TPCH_Q17,
+    "tpch_q22_dormant_customers": O_TPCH_Q22,
 }

@@ -49,3 +49,44 @@ def test_q18_having_threshold(spark, sf_dir):
 def test_q14_pct_bounded(spark, sf_dir):
     r = tpch.q_tpch_q14(spark, sf_dir).collect()[0]
     assert 0.0 <= r.promo_pct <= 100.0
+
+
+def test_q7_bilateral_pairs_only(spark, sf_dir):
+    rows = tpch.q_tpch_q7(spark, sf_dir).collect()
+    pair = {"NATION_1", "NATION_2"}
+    for r in rows:
+        assert {r.supp_nation, r.cust_nation} == pair
+        assert r.l_year in (1996, 1997)
+        assert r.revenue > 0
+
+
+def test_q8_share_bounded(spark, sf_dir):
+    for r in tpch.q_tpch_q8(spark, sf_dir).collect():
+        assert 0.0 <= r.mkt_share <= 1.0
+
+
+def test_q12_counts_partition_late_lines(spark, sf_dir):
+    rows = tpch.q_tpch_q12(spark, sf_dir).collect()
+    for r in rows:
+        assert r.high_line_count >= 0 and r.low_line_count >= 0
+        assert r.high_line_count + r.low_line_count > 0
+
+
+def test_q13_distribution_covers_all_customers(spark, sf_dir):
+    from clickhouse_vs_dbt_spark.catalog import load_table
+
+    rows = tpch.q_tpch_q13(spark, sf_dir).collect()
+    n_cust = load_table(spark, sf_dir, "customer").count()
+    assert sum(r.custdist for r in rows) == n_cust
+
+
+def test_q17_single_scalar(spark, sf_dir):
+    rows = tpch.q_tpch_q17(spark, sf_dir).collect()
+    assert len(rows) == 1  # global aggregate, possibly null on tiny sf
+
+
+def test_q22_dormant_segments_positive(spark, sf_dir):
+    # every counted customer is above the average positive balance, so
+    # each segment's count and balance total must be strictly positive
+    for r in tpch.q_tpch_q22(spark, sf_dir).collect():
+        assert r.numcust > 0 and r.totacctbal > 0
