@@ -20,6 +20,7 @@ from clickhouse_vs_dbt_spark.operators import (
     corpus,
     curation,
     dedup,
+    funcsuite,
     incremental,
     kmeans,
     multimodal,
@@ -35,7 +36,7 @@ from clickhouse_vs_dbt_spark.operators import (
     tpch,
 )
 from clickhouse_vs_dbt_spark.plans import snapshots
-from clickhouse_vs_dbt_spark.sources import jsonl, parquet_part, ssb_csv
+from clickhouse_vs_dbt_spark.sources import jsonl, orc_src, parquet_part, ssb_csv
 from clickhouse_vs_dbt_spark.streaming import (
     events_stream,
     stateful_sessions,
@@ -48,6 +49,7 @@ _MODULES = [
     ssb_queries,
     relational,
     tpch,
+    funcsuite,
     dedup,
     components,
     curation,
@@ -65,6 +67,7 @@ _MODULES = [
     skew,
     ssb_csv,
     jsonl,
+    orc_src,
     parquet_part,
     events_stream,
     stateful_sessions,

@@ -183,6 +183,70 @@ WHERE rn = 1 ORDER BY user_id
 """
 
 
+def q_events_argmax_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse-``argMax`` parity: per-user latest event attributes
+    via ``max_by`` with a (ts, event_id) struct order — ONE hash
+    aggregate with map-side partial ``max_by``, no window sort.  This is
+    the cheaper sibling of events_latest_per_user (row_number window):
+    at 100 TB the aggregate form moves one struct per (user, partition)
+    through the shuffle instead of sorting every partition, so prefer it
+    whenever only the winning attributes (not the full row) are needed."""
+    e = load_table(spark, sf_dir, "events")
+    ord_key = "struct(ts, event_id)"
+    return (
+        e.groupBy("user_id")
+        .agg(
+            F.expr(f"max_by(event_type, {ord_key})").alias("last_event_type"),
+            F.expr(f"max_by(value, {ord_key})").alias("last_value"),
+            F.unix_micros(F.max("ts")).alias("last_ts_us"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+O_ARGMAX_STATE = """
+WITH ranked AS (
+  SELECT user_id, event_type, value, ts,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn,
+         COUNT(*) OVER (PARTITION BY user_id) AS n_events,
+         MAX(ts) OVER (PARTITION BY user_id) AS max_ts
+  FROM events)
+SELECT user_id, event_type AS last_event_type, value AS last_value,
+       epoch_us(max_ts) AS last_ts_us, n_events
+FROM ranked WHERE rn = 1 ORDER BY user_id
+"""
+
+
+def q_events_time_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-part extraction vocabulary (hour, ISO day-of-week,
+    day-of-month, month) driving a two-key activity profile — the
+    time-of-day × weekday heatmap every event pipeline builds.  Pure
+    scan-side projections into one small keyed aggregate.  Spark's
+    ``weekday`` (0=Mon) +1 equals DuckDB's ``isodow`` (1=Mon) — pinned
+    here so the engines agree on week semantics (SURVEY.md §2.1 D3)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.hour("ts").cast("int").alias("hod"),
+            (F.weekday("ts") + 1).cast("int").alias("iso_dow"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum(F.col("value")).alias("sum_value"),
+        )
+        .orderBy("hod", "iso_dow")
+    )
+
+
+O_TIME_PARTS = f"""
+SELECT CAST(hour(ts) AS INT) AS hod, CAST(isodow(ts) AS INT) AS iso_dow,
+       COUNT(*) AS n, {sql_dsum('value')} AS sum_value
+FROM events GROUP BY 1, 2 ORDER BY hod, iso_dow
+"""
+
+
 # --- as-of join (driver-mandated custom operator Spark lacks natively) ---
 
 def q_events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -483,6 +547,8 @@ QUERIES = {
     "events_session_window": q_events_session,
     "events_gap_to_prev": q_events_gap_to_prev,
     "events_latest_per_user": q_events_latest_per_user,
+    "events_argmax_state": q_events_argmax_state,
+    "events_time_parts": q_events_time_parts,
     "events_gap_fill": q_events_gap_fill,
     "events_rollup_hierarchy": q_events_rollup_hierarchy,
     "events_asof_join": q_events_asof_join,
@@ -496,6 +562,8 @@ ORACLES = {
     "events_session_window": O_SESSION,
     "events_gap_to_prev": O_GAP,
     "events_latest_per_user": O_LATEST_PER_USER,
+    "events_argmax_state": O_ARGMAX_STATE,
+    "events_time_parts": O_TIME_PARTS,
     "events_gap_fill": O_GAP_FILL,
     "events_rollup_hierarchy": O_ROLLUP_HIERARCHY,
     "events_asof_join": O_ASOF,
