@@ -42,6 +42,7 @@ from clickhouse_vs_dbt_spark.streaming import (
     stateful_sessions,
     stream_dedup,
     stream_join,
+    stream_late,
     stream_upsert,
 )
 
@@ -73,6 +74,7 @@ _MODULES = [
     stateful_sessions,
     stream_join,
     stream_dedup,
+    stream_late,
     stream_upsert,
 ]
 

@@ -48,3 +48,26 @@ def test_stream_upsert_converges_across_micro_batches(spark, sf_dir):
     n_fixture = load_table(spark, sf_dir, "events").count()
     assert final.count() == n_fixture
     assert final.select("event_id").distinct().count() == n_fixture
+
+
+def test_stream_late_drop_drops_and_withholds(spark, sf_dir):
+    """Append-mode watermark semantics: the 3-batch replay must emit
+    strictly fewer (window, type) groups than the unrestricted batch
+    tumbling aggregate — stragglers into finalized windows are dropped
+    and the final horizon is withheld."""
+    from clickhouse_vs_dbt_spark.operators.timeseries import q_events_tumbling
+    from clickhouse_vs_dbt_spark.streaming.stream_late import (
+        run_late_drop_stream,
+    )
+
+    streamed = run_late_drop_stream(spark, sf_dir)
+    batch_groups = q_events_tumbling(spark, sf_dir).count()
+    n = streamed.count()
+    assert 0 < n < batch_groups
+    # emitted groups are a subset of the batch result's keys
+    batch_keys = {
+        (r.window_start, r.event_type)
+        for r in q_events_tumbling(spark, sf_dir).collect()
+    }
+    for r in streamed.collect():
+        assert (r.window_start, r.event_type) in batch_keys
