@@ -41,6 +41,7 @@ from clickhouse_vs_dbt_spark.streaming import (
     events_stream,
     stateful_sessions,
     stream_dedup,
+    stream_enrich,
     stream_join,
     stream_late,
     stream_upsert,
@@ -74,6 +75,7 @@ _MODULES = [
     stateful_sessions,
     stream_join,
     stream_dedup,
+    stream_enrich,
     stream_late,
     stream_upsert,
 ]

@@ -185,8 +185,53 @@ GROUP BY 1 ORDER BY lat_weeks
 """
 
 
+# --- array function suite ---
+
+def q_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array vocabulary over the embedding column — element access,
+    min/max, size, and a left-to-right fold (higher-order ``aggregate``)
+    — aggregated per label.  The fold order is the same sequential
+    left-fold in both engines, so even the order-sensitive double sum is
+    bit-identical; cross-row aggregation still goes through the decimal
+    path.  All array work is per-row Catalyst codegen: zero extra
+    shuffles beyond the final keyed aggregate."""
+    e = load_table(spark, sf_dir, "embeddings")
+    fold = (
+        "aggregate(embedding, CAST(0.0 AS DOUBLE), "
+        "(a, x) -> a + CAST(x AS DOUBLE))"
+    )
+    return (
+        e.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum(F.expr("CAST(element_at(embedding, 1) AS DOUBLE)")).alias(
+                "sum_first"
+            ),
+            F.max(F.expr("CAST(array_max(embedding) AS DOUBLE)")).alias("max_comp"),
+            F.min(F.expr("CAST(array_min(embedding) AS DOUBLE)")).alias("min_comp"),
+            F.sum(F.size("embedding")).cast("long").alias("total_dims"),
+            dsum(F.expr(fold)).alias("sum_components"),
+        )
+        .orderBy("label")
+    )
+
+
+O_ARRAY_FUNCTIONS = f"""
+SELECT label, COUNT(*) AS n,
+       {sql_dsum('CAST(embedding[1] AS DOUBLE)')} AS sum_first,
+       MAX(CAST(list_max(embedding) AS DOUBLE)) AS max_comp,
+       MIN(CAST(list_min(embedding) AS DOUBLE)) AS min_comp,
+       CAST(SUM(len(embedding)) AS BIGINT) AS total_dims,
+       {sql_dsum("list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+                 "list_transform(embedding, x -> CAST(x AS DOUBLE))), "
+                 "(a, x) -> a + x)")} AS sum_components
+FROM embeddings GROUP BY label ORDER BY label
+"""
+
+
 QUERIES = {
     "string_functions_suite": q_string_functions,
+    "array_functions_suite": q_array_functions,
     "math_functions_suite": q_math_functions,
     "ntile_quartiles": q_ntile_quartiles,
     "ship_latency_histogram": q_ship_latency_histogram,
@@ -194,6 +239,7 @@ QUERIES = {
 
 ORACLES = {
     "string_functions_suite": O_STRING_FUNCTIONS,
+    "array_functions_suite": O_ARRAY_FUNCTIONS,
     "math_functions_suite": O_MATH_FUNCTIONS,
     "ntile_quartiles": O_NTILE,
     "ship_latency_histogram": O_SHIP_LATENCY,

@@ -1,0 +1,46 @@
+"""Physical-plan regression tests: the scale-critical plan properties
+claimed in SCALING.md must actually hold in the executed plan."""
+
+from __future__ import annotations
+
+from clickhouse_vs_dbt_spark.operators.curation import (
+    q_decontaminate_ngram,
+    q_export_shards,
+    q_mixture_weighted_sample,
+    q_sequence_pack,
+)
+from clickhouse_vs_dbt_spark.operators.timeseries import q_events_argmax_state
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_mixture_sample_has_no_keyed_shuffle(spark, sf_dir):
+    """The sample is a scan-side predicate + projection; the only
+    exchange allowed is the final presentation sort's range partition."""
+    plan = _plan(q_mixture_weighted_sample(spark, sf_dir))
+    assert "hashpartitioning" not in plan
+
+
+def test_decontaminate_broadcasts_eval_side(spark, sf_dir):
+    plan = _plan(q_decontaminate_ngram(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_windows_are_keyed_not_global(spark, sf_dir):
+    """sequence_pack and export_shards use partitioned windows — a
+    SinglePartition window would serialize the corpus through one task."""
+    for q in (q_sequence_pack, q_export_shards):
+        plan = _plan(q(spark, sf_dir))
+        assert "Window" in plan
+        # the window's exchange must be hash-partitioned by its key
+        assert "hashpartitioning" in plan
+
+
+def test_argmax_state_avoids_window_sort(spark, sf_dir):
+    """The aggregate form must plan as hash aggregate with partial
+    max_by — no Window operator, no per-partition sort of all events."""
+    plan = _plan(q_events_argmax_state(spark, sf_dir))
+    assert "Window" not in plan
+    assert "max_by" in plan
