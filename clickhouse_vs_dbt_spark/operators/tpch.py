@@ -627,6 +627,119 @@ GROUP BY c_mktsegment ORDER BY c_mktsegment
 """
 
 
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier): quarterly per-supplier revenue view,
+    then the supplier(s) achieving the global maximum.  The scalar max
+    is a one-row broadcast cross join against the (small) revenue
+    relation — never a collect; the equality is safe because both
+    engines compute the identical decimal-exact double."""
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01"))
+    )
+    rev = l.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        dsum(_net()).alias("total_revenue")
+    )
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("mx"))
+        .join(s, F.col("supplier_no") == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+O_TPCH_Q15 = f"""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no, {sql_dsum(SQL_NET)} AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate <  TIMESTAMP '1997-04-01'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
+def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 (suppliers who kept orders waiting): for finished
+    orders, suppliers from one nation whose line shipped late while
+    every other supplier on the order shipped on time — the EXISTS +
+    NOT EXISTS double-correlation (adaptation: "late" = shipped > 90
+    days after order date; no commit/receipt dates).  Shape: left-semi
+    join for the EXISTS, left-anti for the NOT EXISTS — both on the
+    order key, neither duplicating the probe side."""
+    late_days = "90"
+    n = F.broadcast(
+        load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    )
+    s = load_table(spark, sf_dir, "supplier").join(
+        n, F.col("s_nationkey") == n.n_nationkey
+    )
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    l1 = load_table(spark, sf_dir, "lineitem")
+    base = (
+        l1.join(o, l1.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") > F.expr(f"o_orderdate + INTERVAL {late_days} DAY"))
+        .join(s, l1.l_suppkey == s.s_suppkey)
+        .select("l_orderkey", "l_suppkey", "s_name")
+    )
+    l2 = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok2"), F.col("l_suppkey").alias("sk2")
+    )
+    o3 = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    l3 = (
+        load_table(spark, sf_dir, "lineitem")
+        .join(o3, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") > F.expr(f"o_orderdate + INTERVAL {late_days} DAY"))
+        .select(F.col("l_orderkey").alias("ok3"), F.col("l_suppkey").alias("sk3"))
+    )
+    return (
+        base.join(
+            l2,
+            (F.col("l_orderkey") == F.col("ok2"))
+            & (F.col("l_suppkey") != F.col("sk2")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l_orderkey") == F.col("ok3"))
+            & (F.col("l_suppkey") != F.col("sk3")),
+            "left_anti",
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(20)
+    )
+
+
+O_TPCH_Q21 = """
+SELECT s_name, COUNT(*) AS numwait
+FROM supplier, lineitem l1, orders, nation
+WHERE s_suppkey = l1.l_suppkey
+  AND o_orderkey = l1.l_orderkey
+  AND o_orderstatus = 'F'
+  AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+  AND s_nationkey = n_nationkey
+  AND n_name = 'NATION_3'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3 JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_shipdate > o3.o_orderdate + INTERVAL 90 DAY)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name ASC
+LIMIT 20
+"""
+
+
 QUERIES = {
     "tpch_q3_shipping_priority": q_tpch_q3,
     "tpch_q4_late_orders": q_tpch_q4,
@@ -640,7 +753,9 @@ QUERIES = {
     "tpch_q8_market_share": q_tpch_q8,
     "tpch_q12_priority_shipping": q_tpch_q12,
     "tpch_q13_order_distribution": q_tpch_q13,
+    "tpch_q15_top_supplier": q_tpch_q15,
     "tpch_q17_small_qty_revenue": q_tpch_q17,
+    "tpch_q21_waiting_suppliers": q_tpch_q21,
     "tpch_q22_dormant_customers": q_tpch_q22,
 }
 
@@ -657,6 +772,8 @@ ORACLES = {
     "tpch_q8_market_share": O_TPCH_Q8,
     "tpch_q12_priority_shipping": O_TPCH_Q12,
     "tpch_q13_order_distribution": O_TPCH_Q13,
+    "tpch_q15_top_supplier": O_TPCH_Q15,
     "tpch_q17_small_qty_revenue": O_TPCH_Q17,
+    "tpch_q21_waiting_suppliers": O_TPCH_Q21,
     "tpch_q22_dormant_customers": O_TPCH_Q22,
 }

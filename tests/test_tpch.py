@@ -90,3 +90,19 @@ def test_q22_dormant_segments_positive(spark, sf_dir):
     # each segment's count and balance total must be strictly positive
     for r in tpch.q_tpch_q22(spark, sf_dir).collect():
         assert r.numcust > 0 and r.totacctbal > 0
+
+
+def test_q15_returns_the_global_max(spark, sf_dir):
+    rows = tpch.q_tpch_q15(spark, sf_dir).collect()
+    assert rows  # at least one supplier ships in the quarter
+    revs = {r.total_revenue for r in rows}
+    assert len(revs) == 1  # all returned rows tie at the maximum
+
+
+def test_q21_semi_anti_combination(spark, sf_dir):
+    rows = tpch.q_tpch_q21(spark, sf_dir).collect()
+    assert len(rows) <= 20
+    for r in rows:
+        assert r.numwait >= 1
+    waits = [r.numwait for r in rows]
+    assert waits == sorted(waits, reverse=True)
