@@ -16,6 +16,8 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from clickhouse_vs_dbt_spark.operators import (
+    boilerplate,
+    chfuncs,
     components,
     corpus,
     curation,
@@ -34,6 +36,7 @@ from clickhouse_vs_dbt_spark.operators import (
     text,
     timeseries,
     tpch,
+    windowfns,
 )
 from clickhouse_vs_dbt_spark.plans import snapshots
 from clickhouse_vs_dbt_spark.sources import jsonl, orc_src, parquet_part, ssb_csv
@@ -49,6 +52,9 @@ from clickhouse_vs_dbt_spark.streaming import (
 
 _MODULES = [
     ssb_queries,
+    chfuncs,
+    windowfns,
+    boilerplate,
     relational,
     tpch,
     funcsuite,

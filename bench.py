@@ -63,6 +63,15 @@ HEADLINE = [
     "events_tumbling_window",
     "events_gap_fill",
     "events_rollup_hierarchy",
+    # ClickHouse analytics-function parity (operators/chfuncs.py)
+    "events_funnel_window",
+    "events_retention_matrix",
+    "events_group_array",
+    # window breadth + lateral (operators/windowfns.py)
+    "window_trailing_30d",
+    "lateral_top_orders",
+    # span-level dedup (operators/boilerplate.py)
+    "dedup_boilerplate",
 ]
 
 

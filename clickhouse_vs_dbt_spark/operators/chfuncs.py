@@ -1,0 +1,344 @@
+"""ClickHouse analytics-function parity: funnel, retention, sequence
+match, groupArray, bit aggregates, and the ``-If`` combinator family.
+
+The reference delegates execution to ClickHouse (SURVEY.md §2 intro),
+whose signature analytics surface — ``windowFunnel``, ``retention``,
+``sequenceMatch``, ``groupArray``/``arrayJoin``, ``groupBitAnd/Or/Xor``,
+``countIf``/``sumIf``/``avgIf`` — a drop-in replacement engine must
+cover.  Each operator here is the Spark-native reformulation over the
+``events`` fixture, value-checked against a DuckDB oracle.
+
+Scale shape: every operator is one or two keyed shuffles on ``user_id``
+(or ``event_type``), with map-side partial aggregation; the multi-stage
+funnel/sequence operators reuse the same user_id partitioning across
+stages, so the second aggregation is a cheap co-partitioned join, not a
+second full shuffle of the fact table.  Nothing here collects to the
+driver or leaves whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from clickhouse_vs_dbt_spark.catalog import load_table
+from clickhouse_vs_dbt_spark.operators.common import davg, dsum, sql_davg, sql_dsum
+
+FUNNEL_WINDOW_HOURS = 24
+
+
+def q_events_funnel_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``windowFunnel(86400)(ts, view, click, purchase)``
+    analog: per user, the deepest step of view → click → purchase
+    reached inside 24 h of the user's *first view* (adaptation: the
+    chain is anchored at the first step-1 event; ClickHouse scans every
+    anchor, which needs per-user sequence state — the anchored variant
+    is the declarative, shuffle-minimal form).  Output: funnel level ×
+    user count, including level 0 (users with no view at all).
+
+    Three aggregations, all keyed on ``user_id`` — the per-step
+    relations are tiny (≤1 row per user), so Catalyst broadcast-joins
+    them back against the event scan; the fact table is shuffled at
+    most once.
+    """
+    e = load_table(spark, sf_dir, "events")
+    users = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("_n")).select("user_id")
+    w_end = F.col("t1") + F.expr(f"INTERVAL {FUNNEL_WINDOW_HOURS} HOURS")
+
+    t1 = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    t2 = (
+        e.filter(F.col("event_type") == "click")
+        .join(t1, "user_id")
+        .filter((F.col("ts") > F.col("t1")) & (F.col("ts") <= w_end))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"), F.min("t1").alias("t1"))
+    )
+    t3 = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(t2, "user_id")
+        .filter((F.col("ts") > F.col("t2")) & (F.col("ts") <= w_end))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    level = (
+        users.join(t1.select("user_id", "t1"), "user_id", "left")
+        .join(t2.select("user_id", "t2"), "user_id", "left")
+        .join(t3, "user_id", "left")
+        .select(
+            F.when(F.col("t3").isNotNull(), F.lit(3))
+            .when(F.col("t2").isNotNull(), F.lit(2))
+            .when(F.col("t1").isNotNull(), F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("level")
+        )
+    )
+    return (
+        level.groupBy("level")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("level")
+    )
+
+
+O_FUNNEL_WINDOW = f"""
+WITH t1 AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY user_id),
+t2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t2, MIN(t1.t1) AS t1
+  FROM events e JOIN t1 ON e.user_id = t1.user_id
+  WHERE e.event_type = 'click' AND e.ts > t1.t1
+    AND e.ts <= t1.t1 + INTERVAL {FUNNEL_WINDOW_HOURS} HOUR
+  GROUP BY e.user_id),
+t3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t3
+  FROM events e JOIN t2 ON e.user_id = t2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > t2.t2
+    AND e.ts <= t2.t1 + INTERVAL {FUNNEL_WINDOW_HOURS} HOUR
+  GROUP BY e.user_id),
+users AS (SELECT DISTINCT user_id FROM events),
+lv AS (
+  SELECT CASE WHEN t3.t3 IS NOT NULL THEN 3
+              WHEN t2.t2 IS NOT NULL THEN 2
+              WHEN t1.t1 IS NOT NULL THEN 1
+              ELSE 0 END AS level
+  FROM users
+  LEFT JOIN t1 ON users.user_id = t1.user_id
+  LEFT JOIN t2 ON users.user_id = t2.user_id
+  LEFT JOIN t3 ON users.user_id = t3.user_id)
+SELECT level, COUNT(*) AS n_users FROM lv GROUP BY level ORDER BY level
+"""
+
+
+RETENTION_OFFSETS = (0, 1, 7)
+
+
+def q_events_retention_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``retention(day0, day1, day7)`` analog as a cohort
+    matrix: cohort = the user's first-seen date; for each cohort date,
+    how many of its users were active again exactly 0/1/7 days later.
+
+    Two aggregations: per-user first date (keyed on user), then the
+    (cohort, offset) rollup over the distinct user-day relation — the
+    user-day dedup and the first-date aggregate share the user_id
+    shuffle.
+    """
+    e = load_table(spark, sf_dir, "events")
+    days = e.select("user_id", F.to_date("ts").alias("d")).distinct()
+    cohort = days.groupBy("user_id").agg(F.min("d").alias("cohort_date"))
+    return (
+        days.join(cohort, "user_id")
+        .withColumn("day_offset", F.datediff("d", "cohort_date"))
+        .filter(F.col("day_offset").isin(*RETENTION_OFFSETS))
+        .groupBy("cohort_date", "day_offset")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("cohort_date", "day_offset")
+    )
+
+
+O_RETENTION_MATRIX = f"""
+WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+cohort AS (SELECT user_id, MIN(d) AS cohort_date FROM days GROUP BY user_id)
+SELECT cohort.cohort_date, date_diff('day', cohort.cohort_date, days.d) AS day_offset,
+       COUNT(*) AS n_users
+FROM days JOIN cohort ON days.user_id = cohort.user_id
+WHERE date_diff('day', cohort.cohort_date, days.d) IN {RETENTION_OFFSETS}
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def q_events_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``sequenceMatch('(?1).*(?2)')`` /
+    ``'(?1).*(?2).*(?3)'`` analog, per user: does a view precede a
+    purchase (``has_vp``), and does a view precede a click that
+    precedes a purchase (``has_vcp``)?  The two-step flag is a pure
+    conditional aggregate (min view < max purchase); the three-step
+    flag anchors at the first view, takes the first click after it,
+    and asks for any later purchase — same two-stage shape as the
+    funnel but unbounded in time.
+    """
+    e = load_table(spark, sf_dir, "events")
+    base = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("first_view"),
+        F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("last_purchase"),
+    )
+    first_click = (
+        e.filter(F.col("event_type") == "click")
+        .join(base.select("user_id", "first_view"), "user_id")
+        .filter(F.col("ts") > F.col("first_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_click_after"))
+    )
+    return (
+        base.join(first_click, "user_id", "left")
+        .select(
+            "user_id",
+            F.coalesce(
+                (
+                    F.col("first_view").isNotNull()
+                    & (F.col("last_purchase") > F.col("first_view"))
+                ).cast("int"),
+                F.lit(0),
+            ).alias("has_vp"),
+            F.coalesce(
+                (
+                    F.col("first_click_after").isNotNull()
+                    & (F.col("last_purchase") > F.col("first_click_after"))
+                ).cast("int"),
+                F.lit(0),
+            ).alias("has_vcp"),
+        )
+        .orderBy("user_id")
+    )
+
+
+O_SEQUENCE_MATCH = """
+WITH base AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+         MAX(CASE WHEN event_type = 'purchase' THEN ts END) AS last_purchase
+  FROM events GROUP BY user_id),
+fc AS (
+  SELECT e.user_id, MIN(e.ts) AS first_click_after
+  FROM events e JOIN base ON e.user_id = base.user_id
+  WHERE e.event_type = 'click' AND e.ts > base.first_view
+  GROUP BY e.user_id)
+SELECT base.user_id,
+       COALESCE(CAST(base.first_view IS NOT NULL
+            AND base.last_purchase > base.first_view AS INTEGER), 0) AS has_vp,
+       COALESCE(CAST(fc.first_click_after IS NOT NULL
+            AND base.last_purchase > fc.first_click_after AS INTEGER), 0) AS has_vcp
+FROM base LEFT JOIN fc ON base.user_id = fc.user_id
+ORDER BY base.user_id
+"""
+
+
+GROUP_ARRAY_K = 5
+
+
+def q_events_group_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``groupArray`` + ``arraySlice`` +
+    ``arrayStringConcat`` analog: per user, the first 5 event types in
+    time order, emitted as one comma-joined string (engine-portable —
+    no array column reaches the gate).  Order ties broken by event_id,
+    so the array is deterministic under any partitioning.
+
+    ``sort_array(collect_list(struct(...)))`` is the Spark idiom for an
+    order-preserving groupArray: collect is partial-aggregated
+    map-side, the sort is per-group over small arrays — no Window, no
+    per-partition global sort.
+    """
+    e = load_table(spark, sf_dir, "events")
+    arr = F.sort_array(
+        F.collect_list(F.struct(F.col("ts"), F.col("event_id"), F.col("event_type")))
+    )
+    return (
+        e.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.concat_ws(
+                ",",
+                F.slice(F.transform(arr, lambda x: x["event_type"]), 1, GROUP_ARRAY_K),
+            ).alias("first_types"),
+        )
+        .orderBy("user_id")
+    )
+
+
+O_GROUP_ARRAY = f"""
+SELECT user_id, COUNT(*) AS n_events,
+       array_to_string(
+         list_slice(list(event_type ORDER BY ts, event_id), 1, {GROUP_ARRAY_K}),
+         ',') AS first_types
+FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+
+def q_events_bit_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``groupBitAnd/Or/Xor`` analog over the JSON payload
+    key ``props.k``, grouped by event type.  Bitwise aggregates are
+    associative and commutative, so partial aggregation is exact under
+    any partitioning — the same property the DECIMAL sum pattern buys
+    for money columns.
+    """
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.expr("bit_and(k)").alias("k_and"),
+            F.expr("bit_or(k)").alias("k_or"),
+            F.expr("bit_xor(k)").alias("k_xor"),
+        )
+        .orderBy("event_type")
+    )
+
+
+O_BIT_AGGREGATES = """
+SELECT event_type, COUNT(*) AS n_events,
+       bit_and(k) AS k_and, bit_or(k) AS k_or, bit_xor(k) AS k_xor
+FROM (SELECT event_type, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events)
+GROUP BY event_type ORDER BY event_type
+"""
+
+
+COND_THRESHOLD = 10.0
+
+
+def q_events_cond_agg_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``-If`` combinator family — ``countIf``, ``sumIf``,
+    ``avgIf``, ``minIf``, ``maxIf``, ``uniqExactIf`` — as conditional
+    aggregates over one scan.  All six run in a single grouped
+    aggregation (one shuffle), exactly how the combinators fuse in
+    ClickHouse.
+    """
+    e = load_table(spark, sf_dir, "events")
+    hot = F.col("value") > COND_THRESHOLD
+    hv = F.when(hot, F.col("value"))
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.count_if(hot).alias("n_hot"),
+            dsum(F.when(hot, F.col("value")).otherwise(F.lit(0.0))).alias("sum_hot"),
+            davg(hv).alias("avg_hot"),
+            F.min(hv).alias("min_hot"),
+            F.max(hv).alias("max_hot"),
+            F.count_distinct(F.when(hot, F.col("user_id"))).alias("uniq_hot_users"),
+        )
+        .orderBy("event_type")
+    )
+
+
+O_COND_AGG_SUITE = f"""
+SELECT event_type,
+       COUNT(CASE WHEN value > {COND_THRESHOLD} THEN 1 END) AS n_hot,
+       {sql_dsum(f'CASE WHEN value > {COND_THRESHOLD} THEN value ELSE 0.0 END')} AS sum_hot,
+       {sql_davg(f'CASE WHEN value > {COND_THRESHOLD} THEN value END')} AS avg_hot,
+       MIN(CASE WHEN value > {COND_THRESHOLD} THEN value END) AS min_hot,
+       MAX(CASE WHEN value > {COND_THRESHOLD} THEN value END) AS max_hot,
+       COUNT(DISTINCT CASE WHEN value > {COND_THRESHOLD} THEN user_id END) AS uniq_hot_users
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+QUERIES = {
+    "events_funnel_window": q_events_funnel_window,
+    "events_retention_matrix": q_events_retention_matrix,
+    "events_sequence_match": q_events_sequence_match,
+    "events_group_array": q_events_group_array,
+    "events_bit_aggregates": q_events_bit_aggregates,
+    "events_cond_agg_suite": q_events_cond_agg_suite,
+}
+
+ORACLES = {
+    "events_funnel_window": O_FUNNEL_WINDOW,
+    "events_retention_matrix": O_RETENTION_MATRIX,
+    "events_sequence_match": O_SEQUENCE_MATCH,
+    "events_group_array": O_GROUP_ARRAY,
+    "events_bit_aggregates": O_BIT_AGGREGATES,
+    "events_cond_agg_suite": O_COND_AGG_SUITE,
+}
