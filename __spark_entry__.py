@@ -30,6 +30,7 @@ from clickhouse_vs_dbt_spark.operators import (
     relational,
     similarity,
     skew,
+    sqlbreadth,
     quality,
     sampling,
     ssb_queries,
@@ -55,6 +56,7 @@ _MODULES = [
     chfuncs,
     windowfns,
     boilerplate,
+    sqlbreadth,
     relational,
     tpch,
     funcsuite,
