@@ -31,6 +31,7 @@ from clickhouse_vs_dbt_spark.operators import (
     similarity,
     skew,
     sqlbreadth,
+    stats,
     quality,
     sampling,
     ssb_queries,
@@ -57,6 +58,7 @@ _MODULES = [
     windowfns,
     boilerplate,
     sqlbreadth,
+    stats,
     relational,
     tpch,
     funcsuite,

@@ -1,0 +1,203 @@
+"""Statistical aggregate suite: moment statistics (variance, stddev,
+skewness, kurtosis, covariance, correlation), exact weighted quantile
+(ClickHouse ``quantileExactWeighted`` analog), and a row-based
+exponential moving average (``exponentialMovingAverage`` analog).
+
+Reference ships no statistics beyond SUM (README.md:415-438); this is
+§2.2/§2.3 breadth a ClickHouse analyst expects (``varPop``, ``skewPop``,
+``kurtPop``, ``corr``, ``quantileExactWeighted``, ``exponential*``).
+
+Cross-engine determinism: moment statistics are derived from **exact
+decimal power sums** (n, Σx, Σx², Σx³, Σx⁴, Σxy, Σy, Σy²) rather than
+the engines' built-in one-pass estimators — float SUM is
+order-dependent, so Spark's partial aggregation and DuckDB's serial
+scan would disagree in the last ulps, while decimal sums are
+associative and therefore identical regardless of partitioning.  The
+closing formulas use only IEEE-correctly-rounded ops (+,-,*,/,sqrt; no
+pow/ln, which are libm-dependent) in identical textual order, so the
+doubles match bit-for-bit.  This is also the right 100 TB shape: power
+sums are a single map-side-combined pass (same cost as the built-in
+``F.skewness``), and the answer is invariant to cluster size.
+Numerical caveat (documented, not hit here): power sums cancel
+catastrophically when stddev << mean; inputs here are small-magnitude
+quantities, and the decimal accumulation is exact so the cancellation
+happens once, in the final double arithmetic.
+
+Scale notes: weighted quantile = groupBy(key, value) pre-aggregation
+(shrinks to |distinct values| per key) + one window pass per key —
+at 100 TB swap the window for ``percentile_approx`` with weights
+expanded, or a t-digest. The EMA is a bounded 20-lag window — state
+per row is constant, partition-parallel across series.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from clickhouse_vs_dbt_spark.catalog import load_table, register_views
+
+DEC = "decimal(38,6)"
+
+
+def _dsum(col):
+    return F.sum(col.cast(DEC)).cast("double")
+
+
+def q_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population variance/stddev/skewness/kurtosis of ``l_quantity``
+    and covariance/correlation against ``l_extendedprice``, per return
+    flag, from exact decimal power sums (see module doc).  Inputs are
+    exactly representable (quantity is integer-valued, price has two
+    decimals), so every power sum is exact in DECIMAL(38,6)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity")
+    y = F.col("l_extendedprice")
+    sums = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        _dsum(x).alias("s1"),
+        _dsum(x * x).alias("s2"),
+        _dsum(x * x * x).alias("s3"),
+        _dsum(x * x * x * x).alias("s4"),
+        _dsum(y).alias("t1"),
+        _dsum(y * y).alias("t2"),
+        _dsum(x * y).alias("sxy"),
+    )
+    n, s1, s2, s3, s4 = (F.col(c) for c in ("n", "s1", "s2", "s3", "s4"))
+    t1, t2, sxy = F.col("t1"), F.col("t2"), F.col("sxy")
+    m = s1 / n
+    my = t1 / n
+    var = s2 / n - m * m
+    vary = t2 / n - my * my
+    sd = F.sqrt(var)
+    m3 = s3 / n - F.lit(3.0) * m * (s2 / n) + F.lit(2.0) * m * m * m
+    m4 = (
+        s4 / n
+        - F.lit(4.0) * m * (s3 / n)
+        + F.lit(6.0) * m * m * (s2 / n)
+        - F.lit(3.0) * m * m * m * m
+    )
+    cov = sxy / n - m * my
+    return (
+        sums.select(
+            "l_returnflag",
+            n.cast("bigint").alias("n"),
+            m.alias("mean_qty"),
+            var.alias("var_pop_qty"),
+            sd.alias("stddev_pop_qty"),
+            (m3 / (sd * sd * sd)).alias("skew_qty"),
+            (m4 / (var * var)).alias("kurt_qty"),
+            cov.alias("covar_pop"),
+            (cov / (sd * F.sqrt(vary))).alias("corr_qty_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+O_STATS_MOMENTS = """
+WITH sums AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS s1,
+         CAST(SUM(CAST(l_quantity*l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS s2,
+         CAST(SUM(CAST(l_quantity*l_quantity*l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS s3,
+         CAST(SUM(CAST(l_quantity*l_quantity*l_quantity*l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS s4,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS t1,
+         CAST(SUM(CAST(l_extendedprice*l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS t2,
+         CAST(SUM(CAST(l_quantity*l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sxy
+  FROM lineitem GROUP BY l_returnflag)
+SELECT l_returnflag,
+       CAST(n AS BIGINT) AS n,
+       s1/n AS mean_qty,
+       s2/n - (s1/n)*(s1/n) AS var_pop_qty,
+       sqrt(s2/n - (s1/n)*(s1/n)) AS stddev_pop_qty,
+       (s3/n - 3.0*(s1/n)*(s2/n) + 2.0*(s1/n)*(s1/n)*(s1/n))
+         / (sqrt(s2/n - (s1/n)*(s1/n)) * sqrt(s2/n - (s1/n)*(s1/n)) * sqrt(s2/n - (s1/n)*(s1/n)))
+         AS skew_qty,
+       (s4/n - 4.0*(s1/n)*(s3/n) + 6.0*(s1/n)*(s1/n)*(s2/n) - 3.0*(s1/n)*(s1/n)*(s1/n)*(s1/n))
+         / ((s2/n - (s1/n)*(s1/n)) * (s2/n - (s1/n)*(s1/n)))
+         AS kurt_qty,
+       sxy/n - (s1/n)*(t1/n) AS covar_pop,
+       (sxy/n - (s1/n)*(t1/n))
+         / (sqrt(s2/n - (s1/n)*(s1/n)) * sqrt(t2/n - (t1/n)*(t1/n)))
+         AS corr_qty_price
+FROM sums ORDER BY l_returnflag
+"""
+
+# Weighted quantile: one SQL text, two engines (window syntax is shared).
+SQL_WEIGHTED_MEDIAN = """
+WITH w AS (
+  SELECT l_returnflag AS g, l_quantity AS x,
+         CAST(floor(l_extendedprice*100.0 + 0.5) AS BIGINT) AS wt
+  FROM lineitem),
+agg AS (SELECT g, x, SUM(wt) AS wt FROM w GROUP BY g, x),
+cum AS (
+  SELECT g, x,
+         SUM(wt) OVER (PARTITION BY g ORDER BY x) AS cw,
+         SUM(wt) OVER (PARTITION BY g) AS tot
+  FROM agg)
+SELECT g AS l_returnflag, MIN(x) AS wmedian_qty
+FROM cum WHERE cw*2 >= tot GROUP BY g ORDER BY l_returnflag
+"""
+
+
+def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``quantileExactWeighted(0.5)(l_quantity, cents)``:
+    smallest value whose cumulative integer weight reaches half the
+    total.  Weights are exact integers (price in cents), so both
+    engines agree exactly.  The groupBy(key,value) pre-aggregation
+    bounds the window input at |distinct values| rows per key."""
+    register_views(spark, sf_dir, ("lineitem",))
+    return spark.sql(SQL_WEIGHTED_MEDIAN)
+
+
+# EMA weights inlined as literals so neither engine calls pow() (libm
+# pow is not correctly-rounded and differs across runtimes).
+_EMA_ALPHA = 0.1  # smoothing toward p = 1 - alpha = 0.9
+_EMA_K = 20
+_W = [round((1.0 - _EMA_ALPHA) ** k, 12) for k in range(_EMA_K)]
+
+_NUM = " + ".join(
+    f"{w!r}*COALESCE(CAST(lag(c, {k}) OVER win AS DOUBLE), 0.0)"
+    for k, w in enumerate(_W)
+)
+_DEN = " + ".join(
+    f"CASE WHEN lag(c, {k}) OVER win IS NULL THEN 0.0 ELSE {w!r} END"
+    for k, w in enumerate(_W)
+)
+
+SQL_EMA = f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS c
+  FROM events GROUP BY event_type, CAST(ts AS DATE))
+SELECT event_type, d, c,
+       CAST(CAST(({_NUM}) / ({_DEN}) AS DECIMAL(18,6)) AS DOUBLE) AS ema20
+FROM daily
+WINDOW win AS (PARTITION BY event_type ORDER BY d)
+ORDER BY event_type, d
+"""
+
+
+def q_events_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-based 20-term exponential moving average of daily event
+    counts per type (ClickHouse ``exponentialMovingAverage`` analog,
+    normalized over the available history like pandas ``adjust=True``).
+    The 20 decay weights are Python-generated literals shared by both
+    engine texts — no runtime ``pow``, so the horizontal sum is
+    performed in identical textual order and matches bit-for-bit
+    before the final 6-decimal rounding."""
+    register_views(spark, sf_dir, ("events",))
+    return spark.sql(SQL_EMA)
+
+
+QUERIES = {
+    "stats_moments": q_stats_moments,
+    "weighted_median": q_weighted_median,
+    "events_ema": q_events_ema,
+}
+
+ORACLES = {
+    "stats_moments": O_STATS_MOMENTS,
+    "weighted_median": SQL_WEIGHTED_MEDIAN,
+    "events_ema": SQL_EMA,
+}
