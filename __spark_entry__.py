@@ -23,6 +23,8 @@ from clickhouse_vs_dbt_spark.operators import (
     curation,
     dedup,
     funcsuite,
+    fuzzy,
+    maps,
     incremental,
     kmeans,
     multimodal,
@@ -62,6 +64,8 @@ _MODULES = [
     relational,
     tpch,
     funcsuite,
+    maps,
+    fuzzy,
     dedup,
     components,
     curation,
