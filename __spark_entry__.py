@@ -42,7 +42,7 @@ from clickhouse_vs_dbt_spark.operators import (
     tpch,
     windowfns,
 )
-from clickhouse_vs_dbt_spark.plans import snapshots
+from clickhouse_vs_dbt_spark.plans import bucketing, snapshots
 from clickhouse_vs_dbt_spark.sources import jsonl, orc_src, parquet_part, ssb_csv
 from clickhouse_vs_dbt_spark.streaming import (
     events_stream,
@@ -79,6 +79,7 @@ _MODULES = [
     incremental,
     quality,
     snapshots,
+    bucketing,
     sampling,
     skew,
     ssb_csv,
