@@ -24,6 +24,8 @@ from clickhouse_vs_dbt_spark.operators import (
     dedup,
     funcsuite,
     fuzzy,
+    geo,
+    ipfns,
     maps,
     incremental,
     kmeans,
@@ -66,6 +68,8 @@ _MODULES = [
     funcsuite,
     maps,
     fuzzy,
+    geo,
+    ipfns,
     dedup,
     components,
     curation,

@@ -190,14 +190,53 @@ def q_events_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(SQL_EMA)
 
 
+# Discrete quantiles + deterministic mode: one SQL text, two engines.
+SQL_QUANTILE_DISC = """
+WITH agg AS (
+  SELECT l_returnflag AS g, l_quantity AS x, COUNT(*) AS n
+  FROM lineitem GROUP BY l_returnflag, l_quantity),
+cum AS (
+  SELECT g, x, n,
+         SUM(n) OVER (PARTITION BY g ORDER BY x) AS cw,
+         SUM(n) OVER (PARTITION BY g) AS tot
+  FROM agg),
+quart AS (
+  SELECT g,
+         MIN(CASE WHEN cw*4 >= tot THEN x END) AS p25,
+         MIN(CASE WHEN cw*2 >= tot THEN x END) AS p50,
+         MIN(CASE WHEN cw*4 >= tot*3 THEN x END) AS p75
+  FROM cum GROUP BY g),
+md AS (
+  SELECT g, x AS mode_x FROM (
+    SELECT g, x, row_number() OVER (PARTITION BY g ORDER BY n DESC, x ASC) AS rn
+    FROM agg) t
+  WHERE rn = 1)
+SELECT quart.g AS l_returnflag, p25, p50, p75, mode_x
+FROM quart JOIN md ON quart.g = md.g ORDER BY l_returnflag
+"""
+
+
+def q_quantile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``percentile_disc``(.25/.50/.75) and a deterministically
+    tie-broken ``mode`` (highest count, then smallest value — engines'
+    built-in ``mode()`` tie-breaking is unspecified, so the suite pins
+    it) per return flag.  The groupBy(key,value) pre-aggregation bounds
+    window input at |distinct values| rows per key, exactly like
+    :func:`q_weighted_median`."""
+    register_views(spark, sf_dir, ("lineitem",))
+    return spark.sql(SQL_QUANTILE_DISC)
+
+
 QUERIES = {
     "stats_moments": q_stats_moments,
     "weighted_median": q_weighted_median,
     "events_ema": q_events_ema,
+    "quantile_disc_mode": q_quantile_disc,
 }
 
 ORACLES = {
     "stats_moments": O_STATS_MOMENTS,
     "weighted_median": SQL_WEIGHTED_MEDIAN,
     "events_ema": SQL_EMA,
+    "quantile_disc_mode": SQL_QUANTILE_DISC,
 }
