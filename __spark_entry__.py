@@ -25,6 +25,7 @@ from clickhouse_vs_dbt_spark.operators import (
     funcsuite,
     fuzzy,
     geo,
+    hll,
     ipfns,
     maps,
     incremental,
@@ -70,6 +71,7 @@ _MODULES = [
     fuzzy,
     geo,
     ipfns,
+    hll,
     dedup,
     components,
     curation,
