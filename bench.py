@@ -72,6 +72,17 @@ HEADLINE = [
     "lateral_top_orders",
     # span-level dedup (operators/boilerplate.py)
     "dedup_boilerplate",
+    # statistics / sketches (operators/stats.py, operators/hll.py)
+    "stats_moments",
+    "weighted_median",
+    "hll_distinct_users",
+    # map vocabulary + fuzzy matching + geo/ip families
+    "map_functions_suite",
+    "fuzzy_part_pairs",
+    "geo_distance",
+    "ipv4_functions_suite",
+    # co-located bucketed join (plans/bucketing.py)
+    "bucketed_join_revenue",
 ]
 
 

@@ -1,4 +1,5 @@
-"""Edit-distance fuzzy matching (blocked levenshtein self-join).
+"""Edit-distance fuzzy matching: dictionary-encoded PassJoin candidate
+generation + levenshtein verify.
 
 Complements the token/shingle near-dup family in ``dedup.py`` with the
 character-level measure ClickHouse exposes as
@@ -6,15 +7,31 @@ character-level measure ClickHouse exposes as
 short-string entity resolution (product names, titles) where token
 Jaccard is too coarse.
 
-Scale shape: the naive all-pairs comparison is O(n²) and never runs;
-candidate pairs are generated by an equi-join on a **blocking key**
-(here ``p_brand``), so cost is Σ_b |block_b|² with the join itself an
-ordinary shuffle-hash join on the key.  ``levenshtein`` is evaluated
-only on post-block pairs, JVM-side (Catalyst expression, no UDF).  At
-100 TB: block on several cheap keys (brand × name-length-bucket ×
-first-char), union the candidate sets, or pre-filter with MinHash-LSH
-(dedup.py) and use edit distance as the verify stage; skewed blocks
-get salted like any skewed join key.
+Scale design, in order of leverage:
+
+1. **Dictionary-encode first.**  String attributes repeat heavily
+   (here: 20k parts share 64 distinct names; real catalogs behave the
+   same).  All matching runs on DISTINCT ``(brand, name)`` — the
+   brute-force blocked join was ~16M levenshtein calls at sf0.1, the
+   distinct-level workload is ~10³ — then results expand back to key
+   pairs with two equi-joins.  Robust to 100×: the distinct-name set
+   grows sublinearly with rows.
+2. **Segment pigeonhole (PassJoin, Li et al., VLDB 2011)** for the
+   distinct-level candidates: split each name into k+1 = 3 segments;
+   any pair within edit distance k = 2 must contain one segment
+   *exactly* (shifted ≤ k, lengths differing ≤ k).  Probe side emits 3
+   ``(segno, segment)`` keys per name; index side emits the shifted
+   same-length substrings for each assumed probe length ``L±2`` (≤ 75
+   keys, deduped); candidates come from an equi-join on
+   ``(brand, la, segno, segment)`` — tiny buckets, no all-pairs scan
+   even over the distinct names.
+3. **Verify** the deduped candidates with one levenshtein each, then
+   expand: same-name groups yield distance-0 key pairs, cross-name
+   matches yield the cross product of their key groups.
+
+The DuckDB oracle stays the *brute-force* definition over all part
+pairs, so the gate proves the whole pipeline loses no pairs.  All
+stages are Catalyst expressions — no UDFs.
 """
 
 from __future__ import annotations
@@ -25,34 +42,150 @@ from pyspark.sql import functions as F
 from clickhouse_vs_dbt_spark.catalog import load_table
 
 MAX_DIST = 2
+_NSEG = MAX_DIST + 1
+
+
+def _name_pairs(names: DataFrame) -> DataFrame:
+    """PassJoin over distinct ``(brand, name, L)`` rows: unordered
+    distinct-name pairs within MAX_DIST, as (brand, name_a, name_b,
+    dist) with name_a < name_b."""
+    base = (F.col("la") / F.lit(_NSEG)).cast("int")
+    rem = F.col("la") % F.lit(_NSEG)
+
+    seg_structs = []
+    for i in range(_NSEG):
+        b_i = (F.col("L") / F.lit(_NSEG)).cast("int")
+        r_i = F.col("L") % F.lit(_NSEG)
+        li = b_i + F.when(F.lit(i) < r_i, 1).otherwise(0)
+        si = F.lit(i) * b_i + F.least(F.lit(i), r_i)
+        seg_structs.append(
+            F.struct(
+                F.lit(i).alias("segno"),
+                F.col("name").substr(si + 1, li).alias("seg"),
+            )
+        )
+    a = names.select(
+        "brand",
+        F.col("L").alias("la"),
+        F.col("name").alias("name_a"),
+        F.explode(F.array(*seg_structs)).alias("s"),
+    ).select("brand", "la", "name_a", "s.segno", "s.seg")
+
+    combos = F.array(
+        *[
+            F.struct(
+                F.lit(dl).alias("dl"),
+                F.lit(i).alias("segno"),
+                F.lit(d).alias("d"),
+            )
+            for dl in range(-MAX_DIST, MAX_DIST + 1)
+            for i in range(_NSEG)
+            for d in range(-MAX_DIST, MAX_DIST + 1)
+        ]
+    )
+    li = base + F.when(F.col("c.segno") < rem, 1).otherwise(0)
+    si = F.col("c.segno") * base + F.least(F.col("c.segno"), rem)
+    pos = si + F.col("c.d") + 1  # 1-based
+    b = (
+        names.select(
+            "brand",
+            F.col("L").alias("lb"),
+            F.col("name").alias("name_b"),
+            F.explode(combos).alias("c"),
+        )
+        .withColumn("la", F.col("lb") + F.col("c.dl"))
+        .withColumn("pos", pos)
+        .withColumn("li", li)
+        .filter(
+            (F.col("la") >= _NSEG)
+            & (F.col("li") >= 1)
+            & (F.col("pos") >= 1)
+            & (F.col("pos") + F.col("li") - 1 <= F.col("lb"))
+        )
+        .select(
+            "brand",
+            "la",
+            "name_b",
+            F.col("c.segno").alias("segno"),
+            F.col("name_b").substr(F.col("pos"), F.col("li")).alias("seg"),
+        )
+        .dropDuplicates(["brand", "la", "name_b", "segno", "seg"])
+    )
+
+    dist = F.levenshtein(F.col("name_a"), F.col("name_b"))
+    return (
+        a.join(b, ["brand", "la", "segno", "seg"])
+        .filter(F.col("name_a") < F.col("name_b"))
+        .select("brand", "name_a", "name_b")
+        .dropDuplicates(["brand", "name_a", "name_b"])
+        .filter(dist <= MAX_DIST)
+        .withColumn("dist", dist.cast("bigint"))
+    )
 
 
 def q_fuzzy_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-identical part-name pairs within a brand: blocked self-join,
-    ``levenshtein(a, b) <= 2``, each unordered pair emitted once."""
+    """Near-identical part-name pairs within a brand (levenshtein <= 2),
+    each unordered key pair once — dictionary-encoded PassJoin pipeline,
+    value-equal to the brute-force blocked join (the oracle)."""
     p = load_table(spark, sf_dir, "part").select(
-        "p_partkey", "p_name", "p_brand"
+        F.col("p_partkey").alias("pk"),
+        F.col("p_name").alias("name"),
+        F.col("p_brand").alias("brand"),
     )
+    names = p.select("brand", "name").distinct().withColumn(
+        "L", F.length("name")
+    )
+    np_ = _name_pairs(names)
+
+    # distance-0 pairs: same (brand, name), different keys
     a, b = p.alias("a"), p.alias("b")
-    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
-    return (
+    same = (
         a.join(
             b,
-            (F.col("a.p_brand") == F.col("b.p_brand"))
-            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+            (F.col("a.brand") == F.col("b.brand"))
+            & (F.col("a.name") == F.col("b.name"))
+            & (F.col("a.pk") < F.col("b.pk")),
         )
-        .filter(dist <= MAX_DIST)
         .select(
-            F.col("a.p_brand").alias("p_brand"),
-            F.col("a.p_partkey").alias("key_a"),
-            F.col("b.p_partkey").alias("key_b"),
-            F.col("a.p_name").alias("name_a"),
-            F.col("b.p_name").alias("name_b"),
-            dist.cast("bigint").alias("dist"),
+            F.col("a.brand").alias("p_brand"),
+            F.col("a.pk").alias("key_a"),
+            F.col("b.pk").alias("key_b"),
+            F.col("a.name").alias("name_a"),
+            F.col("b.name").alias("name_b"),
+            F.lit(0).cast("bigint").alias("dist"),
         )
     )
 
+    # cross-name matches: expand each name pair to its key groups
+    ga = p.select(
+        F.col("brand"), F.col("name").alias("name_a"), F.col("pk").alias("pk1")
+    )
+    gb = p.select(
+        F.col("brand"), F.col("name").alias("name_b"), F.col("pk").alias("pk2")
+    )
+    cross = (
+        F.broadcast(np_)
+        .join(ga, ["brand", "name_a"])
+        .join(gb, ["brand", "name_b"])
+        .select(
+            F.col("brand").alias("p_brand"),
+            F.least("pk1", "pk2").alias("key_a"),
+            F.greatest("pk1", "pk2").alias("key_b"),
+            # names follow the key order the oracle emits
+            F.when(F.col("pk1") < F.col("pk2"), F.col("name_a"))
+            .otherwise(F.col("name_b"))
+            .alias("name_a"),
+            F.when(F.col("pk1") < F.col("pk2"), F.col("name_b"))
+            .otherwise(F.col("name_a"))
+            .alias("name_b"),
+            F.col("dist"),
+        )
+    )
+    return same.unionByName(cross)
 
+
+# Oracle = the obviously-correct brute-force spec; the gate proves the
+# dictionary-encoded PassJoin path equals it.
 O_FUZZY_PART_PAIRS = f"""
 SELECT a.p_brand,
        a.p_partkey AS key_a, b.p_partkey AS key_b,
