@@ -41,13 +41,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in FIXTURE_TABLES:
         raise KeyError(f"unknown fixture table {name!r}; known: {FIXTURE_TABLES}")
     if name == "events":
-        # events.ts is TIMESTAMP(NANOS) parquet, which Spark's reader
-        # rejects; read the raw int64 nanos and truncate to Spark's
-        # native microsecond timestamps (DuckDB truncates identically,
+        # events.ts has shipped as TIMESTAMP(NANOS) parquet in some
+        # fixture generations (Spark's reader rejects nanos unless told
+        # to surface them as int64) and as micros TIMESTAMP in others.
+        # Read with nanosAsLong on, then convert only if we actually got
+        # the raw int64 nanos (DuckDB truncates nanos→micros identically,
         # verified in tests/test_timeseries.py).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if dict(df.dtypes)["ts"] == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        else:
+            # micros TIMESTAMP_NTZ fixture → session-tz timestamp (UTC
+            # session, so the cast is identity on the stored micros and
+            # every downstream unix_micros/window/watermark op sees the
+            # same TimestampType either way).
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

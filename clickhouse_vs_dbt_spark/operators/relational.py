@@ -540,8 +540,111 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+# --- full outer join ---
+
+def q_full_outer_nation_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join of two independent per-nation aggregates
+    (customer vs supplier account balances).  Both sides pre-aggregate
+    to ≤ |nation| rows before the join, so the outer join itself is
+    between two tiny relations no matter how large the inputs — the
+    100 TB shape for reconciliation-style full outers (aggregate first,
+    join the summaries; never full-outer raw fact tables)."""
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    cb = c.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_cust"), dsum(F.col("c_acctbal")).alias("cust_bal")
+    )
+    sb = s.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n_supp"), dsum(F.col("s_acctbal")).alias("supp_bal")
+    )
+    return (
+        cb.join(sb, cb.c_nationkey == sb.s_nationkey, "full_outer")
+        .select(
+            F.coalesce("c_nationkey", "s_nationkey").alias("nationkey"),
+            F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+            F.coalesce("cust_bal", F.lit(0.0)).alias("cust_bal"),
+            F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+            F.coalesce("supp_bal", F.lit(0.0)).alias("supp_bal"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+O_FULL_OUTER = f"""
+WITH cb AS (
+  SELECT c_nationkey, COUNT(*) AS n_cust, {sql_dsum('c_acctbal')} AS cust_bal
+  FROM customer GROUP BY c_nationkey),
+sb AS (
+  SELECT s_nationkey, COUNT(*) AS n_supp, {sql_dsum('s_acctbal')} AS supp_bal
+  FROM supplier GROUP BY s_nationkey)
+SELECT coalesce(c_nationkey, s_nationkey) AS nationkey,
+       coalesce(n_cust, 0) AS n_cust,
+       coalesce(cust_bal, 0.0) AS cust_bal,
+       coalesce(n_supp, 0) AS n_supp,
+       coalesce(supp_bal, 0.0) AS supp_bal
+FROM cb FULL OUTER JOIN sb ON c_nationkey = s_nationkey
+ORDER BY nationkey
+"""
+
+
+# --- cross join (dimension grid densification) ---
+
+def q_cross_join_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense (region × order-status) grid via CROSS JOIN of two tiny
+    distinct sets, left-joined against observed counts — the standard
+    densification pattern (report every cell, zero-filled).  Both grid
+    sides are dimension-scale, so the cross join is a broadcast nested
+    loop over a handful of rows; the fact table contributes through one
+    keyed pre-aggregate."""
+    r = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    o = load_table(spark, sf_dir, "orders")
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    statuses = o.select("o_orderstatus").distinct()
+    observed = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy("n_regionkey", "o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    return (
+        r.crossJoin(statuses)
+        .join(
+            observed,
+            (F.col("r_regionkey") == F.col("n_regionkey"))
+            & (statuses.o_orderstatus == observed.o_orderstatus),
+            "left",
+        )
+        .select(
+            "r_name",
+            statuses.o_orderstatus.alias("status"),
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        )
+        .orderBy("r_name", "status")
+    )
+
+
+O_CROSS_JOIN_GRID = """
+WITH grid AS (
+  SELECT r_regionkey, r_name, o_orderstatus
+  FROM region CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders)),
+observed AS (
+  SELECT n_regionkey, o_orderstatus, COUNT(*) AS n_orders
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY 1, 2)
+SELECT g.r_name, g.o_orderstatus AS status,
+       coalesce(o.n_orders, 0) AS n_orders
+FROM grid g LEFT JOIN observed o
+  ON g.r_regionkey = o.n_regionkey AND g.o_orderstatus = o.o_orderstatus
+ORDER BY r_name, status
+"""
+
+
 QUERIES = {
     "tpch_q1_pricing_summary": q_pricing_summary,
+    "full_outer_nation_balance": q_full_outer_nation_balance,
+    "cross_join_grid": q_cross_join_grid,
     "histogram_quantity": q_histogram_quantity,
     "unpivot_part_measures": q_unpivot_part_measures,
     "group_quantiles": q_group_quantiles,
@@ -564,6 +667,8 @@ QUERIES = {
 
 ORACLES = {
     "tpch_q1_pricing_summary": O_PRICING,
+    "full_outer_nation_balance": O_FULL_OUTER,
+    "cross_join_grid": O_CROSS_JOIN_GRID,
     "histogram_quantity": O_HISTOGRAM,
     "unpivot_part_measures": O_UNPIVOT,
     "group_quantiles": O_GROUP_QUANTILES,

@@ -23,17 +23,29 @@ from pyspark.sql import types as T
 from clickhouse_vs_dbt_spark.operators.common import dsum
 from clickhouse_vs_dbt_spark.operators.timeseries import TUMBLE_SEC
 
-# events.ts is TIMESTAMP(NANOS) parquet read as raw int64 (see catalog.py)
-EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+# events.ts has shipped both as TIMESTAMP(NANOS) parquet (surfaced as
+# int64 via nanosAsLong, see catalog.py) and as micros TIMESTAMP_NTZ.
+# FileStreamSource needs an explicit schema, so probe the fixture's
+# actual footer once per (sf_dir) instead of hardcoding either layout.
+_SCHEMA_CACHE: dict = {}
+
+
+def events_raw_schema(spark: SparkSession, sf_dir: str) -> T.StructType:
+    if sf_dir not in _SCHEMA_CACHE:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        _SCHEMA_CACHE[sf_dir] = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    return _SCHEMA_CACHE[sf_dir]
+
+
+def normalize_ts(df: DataFrame) -> DataFrame:
+    """Whatever the footer said, emit ts as a session-tz timestamp: raw
+    int64 nanos are truncated to micros (DuckDB truncates identically);
+    micros TIMESTAMP_NTZ is cast (identity under the UTC session tz)."""
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    else:
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
 
 
 def _as_stream_dir(sf_dir: str) -> str:
@@ -49,12 +61,11 @@ def _as_stream_dir(sf_dir: str) -> str:
 
 
 def streaming_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(events_raw_schema(spark, sf_dir))
         .parquet(_as_stream_dir(sf_dir))
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return normalize_ts(raw)
 
 
 def run_tumbling_stream(

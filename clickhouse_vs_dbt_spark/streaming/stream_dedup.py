@@ -31,7 +31,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from clickhouse_vs_dbt_spark.operators.common import DEC
-from clickhouse_vs_dbt_spark.streaming.events_stream import EVENTS_RAW_SCHEMA
+from clickhouse_vs_dbt_spark.streaming.events_stream import (
+    events_raw_schema,
+    normalize_ts,
+)
 
 
 def _as_duplicated_stream_dir(sf_dir: str) -> str:
@@ -57,12 +60,11 @@ def q_events_stream_dedup(
     rather than growing state forever (choose the horizon ≥ the source's
     redelivery window).  Here both deliveries land in one micro-batch,
     which also exercises intra-batch dedup."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.readStream.schema(EVENTS_RAW_SCHEMA).parquet(
+    raw = spark.readStream.schema(events_raw_schema(spark, sf_dir)).parquet(
         _as_duplicated_stream_dir(sf_dir)
     )
     deduped = (
-        raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        normalize_ts(raw)
         .withWatermark("ts", watermark)
         .dropDuplicatesWithinWatermark(["event_id"])
         .select(

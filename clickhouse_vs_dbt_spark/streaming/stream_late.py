@@ -47,7 +47,10 @@ from pyspark.sql import functions as F
 
 from clickhouse_vs_dbt_spark.operators.common import dsum, sql_dsum
 from clickhouse_vs_dbt_spark.operators.timeseries import TUMBLE_SEC
-from clickhouse_vs_dbt_spark.streaming.events_stream import EVENTS_RAW_SCHEMA
+from clickhouse_vs_dbt_spark.streaming.events_stream import (
+    events_raw_schema,
+    normalize_ts,
+)
 
 DELAY_SEC = 3600  # watermark delay: 1 hour
 N_FILES = 3  # file i = rows with event_id % 3 == i; f2 holds the stragglers
@@ -56,8 +59,9 @@ N_FILES = 3  # file i = rows with event_id % 3 == i; f2 holds the stragglers
 def _batched_dir(spark: SparkSession, sf_dir: str) -> str:
     """Write the fixture as three single-file batches with pinned mtimes
     so FileStreamSource picks them up in order, one per trigger."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.read.schema(EVENTS_RAW_SCHEMA).parquet(f"{sf_dir}/events.parquet")
+    raw = spark.read.schema(events_raw_schema(spark, sf_dir)).parquet(
+        f"{sf_dir}/events.parquet"
+    )
     out = tempfile.mkdtemp(prefix="late_stream_")
     for i in range(N_FILES):
         tmp = os.path.join(out, f"_tmp{i}")
@@ -78,11 +82,10 @@ def run_late_drop_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     import uuid
 
     src = _batched_dir(spark, sf_dir)
-    events = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+    events = normalize_ts(
+        spark.readStream.schema(events_raw_schema(spark, sf_dir))
         .option("maxFilesPerTrigger", "1")
         .parquet(src)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     )
     agg = (
         events.withWatermark("ts", f"{DELAY_SEC} seconds")

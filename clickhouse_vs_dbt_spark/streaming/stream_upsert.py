@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from clickhouse_vs_dbt_spark.operators.common import DEC
-from clickhouse_vs_dbt_spark.streaming.events_stream import EVENTS_RAW_SCHEMA
+from clickhouse_vs_dbt_spark.streaming.events_stream import events_raw_schema
 from clickhouse_vs_dbt_spark.streaming.stream_dedup import (
     _as_duplicated_stream_dir,
 )
@@ -44,8 +44,7 @@ def q_events_stream_upsert(
     separate micro-batches, exercising the cross-batch merge path
     (existing-table anti-join); the default single batch exercises
     intra-batch dedup.  Both must converge to the fixture."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    reader = spark.readStream.schema(EVENTS_RAW_SCHEMA)
+    reader = spark.readStream.schema(events_raw_schema(spark, sf_dir))
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     raw = reader.parquet(_as_duplicated_stream_dir(sf_dir))
