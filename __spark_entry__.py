@@ -31,6 +31,7 @@ from clickhouse_vs_dbt_spark.operators import (
     incremental,
     kmeans,
     multimodal,
+    pagerank,
     pipeline,
     relational,
     similarity,
@@ -39,6 +40,7 @@ from clickhouse_vs_dbt_spark.operators import (
     stats,
     quality,
     sampling,
+    scalarbreadth,
     ssb_queries,
     text,
     timeseries,
@@ -67,6 +69,7 @@ _MODULES = [
     relational,
     tpch,
     funcsuite,
+    scalarbreadth,
     maps,
     fuzzy,
     geo,
@@ -81,6 +84,7 @@ _MODULES = [
     corpus,
     timeseries,
     multimodal,
+    pagerank,
     pipeline,
     incremental,
     quality,

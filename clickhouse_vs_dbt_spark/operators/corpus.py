@@ -161,14 +161,60 @@ ORDER BY doc_id, rank
 """
 
 
+def q_unigram_freq_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model quality proxy: score each document by the
+    average corpus frequency of its tokens (the integer-exact core of a
+    unigram log-likelihood filter — rare-token-heavy docs score low,
+    which is the perplexity-filter signal without libm ``log``).
+
+    Shape: token explode → global vocab aggregate → broadcast the vocab
+    back onto per-doc token counts.  The vocab is Zipf-distributed, so
+    at 100 TB you cap it at the top-V terms (everything below the cap is
+    'rare' with frequency 1) and it broadcasts in MBs; the fact-side
+    explode never shuffles except the final per-doc aggregate.
+    ``score`` is one IEEE division of two exact int64s — deterministic
+    in both engines."""
+    tc = _token_counts(spark, sf_dir)
+    vocab = tc.groupBy("tok").agg(F.sum("cnt").alias("freq"))
+    return (
+        tc.join(F.broadcast(vocab), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("cnt") * F.col("freq")).alias("freq_mass"),
+            F.sum("cnt").alias("n_tokens"),
+        )
+        .withColumn(
+            "score", (F.col("freq_mass").cast("double") / F.col("n_tokens"))
+        )
+        .orderBy("doc_id")
+    )
+
+
+O_UNIGRAM_QUALITY = f"""
+WITH tc AS (
+  SELECT doc_id, tok, COUNT(*) AS cnt
+  FROM ({SQL_TOKEN_COUNTS}) GROUP BY doc_id, tok),
+vocab AS (SELECT tok, CAST(SUM(cnt) AS BIGINT) AS freq FROM tc GROUP BY tok)
+SELECT doc_id,
+       CAST(SUM(cnt * freq) AS BIGINT) AS freq_mass,
+       CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+       CAST(CAST(SUM(cnt * freq) AS BIGINT) AS DOUBLE)
+         / CAST(SUM(cnt) AS BIGINT) AS score
+FROM tc JOIN vocab USING (tok)
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "corpus_vocab_stats": q_corpus_vocab_stats,
     "corpus_top_terms": q_corpus_top_terms,
     "text_tfidf_topk": q_text_tfidf_topk,
+    "unigram_freq_quality": q_unigram_freq_quality,
 }
 
 ORACLES = {
     "corpus_vocab_stats": O_VOCAB_STATS,
     "corpus_top_terms": O_TOP_TERMS,
     "text_tfidf_topk": O_TFIDF,
+    "unigram_freq_quality": O_UNIGRAM_QUALITY,
 }

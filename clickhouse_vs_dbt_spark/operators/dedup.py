@@ -572,8 +572,50 @@ ORDER BY vec_a, vec_b
 """
 
 
+# --- incremental (batch-vs-corpus) dedup ---
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot dedup: dedup an incoming batch against an existing
+    corpus, keeping only batch docs whose normalized text is (a) new
+    relative to the corpus and (b) first within the batch.  The fixture
+    split is doc_id parity (even = corpus, odd = incoming batch).
+
+    Shape: batch-side exact dedup (hash groupBy) → LEFT ANTI join on the
+    corpus's distinct keys.  At 100 TB the corpus side is a key-only
+    relation (or a persisted bloom/bucketed key table) — the anti-join
+    shuffles keys, never text, and AQE converts it to broadcast when a
+    day's batch is small relative to the corpus."""
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "text_key", F.lower(F.trim(F.col("text")))
+    )
+    corpus_keys = d.filter(F.col("doc_id") % 2 == 0).select("text_key").distinct()
+    batch = (
+        d.filter(F.col("doc_id") % 2 == 1)
+        .groupBy("text_key")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_in_batch"))
+    )
+    return (
+        batch.join(corpus_keys, "text_key", "left_anti")
+        .select("keep_doc_id", "n_in_batch")
+        .orderBy("keep_doc_id")
+    )
+
+
+O_DEDUP_INCREMENTAL = """
+WITH keyed AS (SELECT doc_id, lower(trim(text)) AS text_key FROM documents),
+batch AS (
+  SELECT text_key, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_in_batch
+  FROM keyed WHERE doc_id % 2 = 1 GROUP BY text_key)
+SELECT keep_doc_id, n_in_batch
+FROM batch
+WHERE text_key NOT IN (SELECT text_key FROM keyed WHERE doc_id % 2 = 0)
+ORDER BY keep_doc_id
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
+    "dedup_incremental": q_dedup_incremental,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
@@ -582,6 +624,7 @@ QUERIES = {
 
 ORACLES = {
     "dedup_exact": O_DEDUP_EXACT,
+    "dedup_incremental": O_DEDUP_INCREMENTAL,
     "dedup_ngram_jaccard": O_DEDUP_NGRAM,
     "dedup_minhash_lsh": _o_minhash(),
     "dedup_simhash": _o_simhash(),

@@ -94,44 +94,44 @@ def q_datetime_trunc(spark: SparkSession, sf_dir: str) -> DataFrame:
     value hash is representation-stable."""
     ev = load_table(spark, sf_dir, "events")
     per_row = ev.select(
+        F.col("ts").cast("date").alias("day"),
         F.date_trunc("month", "ts").cast("date").alias("month_start"),
         F.date_trunc("week", "ts").cast("date").alias("week_start"),
         F.date_trunc("quarter", "ts").cast("date").alias("quarter_start"),
-        F.col("ts").cast("date").alias("day"),
         F.hour("ts").cast("long").alias("hour_of_day"),
         F.weekday("ts").cast("long").alias("weekday"),
         F.dayofyear("ts").cast("long").alias("doy"),
         "value",
     )
     return (
-        per_row.groupBy("month_start")
+        per_row.groupBy("day")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.countDistinct("day").alias("n_days"),
-            F.countDistinct("week_start").alias("n_weeks"),
+            F.min("month_start").alias("month_start"),
+            F.min("week_start").alias("week_start"),
             F.min("quarter_start").alias("quarter_start"),
+            F.countDistinct("hour_of_day").alias("n_hours"),
             F.sum("hour_of_day").alias("sum_hours"),
-            F.sum("weekday").alias("sum_weekdays"),
-            F.min("doy").alias("min_doy"),
-            F.max("doy").alias("max_doy"),
+            F.min("weekday").alias("weekday"),
+            F.min("doy").alias("doy"),
             dsum(F.col("value")).alias("total_value"),
         )
-        .orderBy("month_start")
+        .orderBy("day")
     )
 
 
 O_DATETIME_TRUNC = f"""
-SELECT CAST(date_trunc('month', ts) AS DATE) AS month_start,
+SELECT CAST(ts AS DATE) AS day,
        COUNT(*) AS n_events,
-       COUNT(DISTINCT CAST(ts AS DATE)) AS n_days,
-       COUNT(DISTINCT CAST(date_trunc('week', ts) AS DATE)) AS n_weeks,
+       MIN(CAST(date_trunc('month', ts) AS DATE)) AS month_start,
+       MIN(CAST(date_trunc('week', ts) AS DATE)) AS week_start,
        MIN(CAST(date_trunc('quarter', ts) AS DATE)) AS quarter_start,
+       COUNT(DISTINCT hour(ts)) AS n_hours,
        CAST(SUM(hour(ts)) AS BIGINT) AS sum_hours,
-       CAST(SUM(isodow(ts) - 1) AS BIGINT) AS sum_weekdays,
-       CAST(MIN(dayofyear(ts)) AS BIGINT) AS min_doy,
-       CAST(MAX(dayofyear(ts)) AS BIGINT) AS max_doy,
+       CAST(MIN(isodow(ts) - 1) AS BIGINT) AS weekday,
+       CAST(MIN(dayofyear(ts)) AS BIGINT) AS doy,
        {sql_dsum('value')} AS total_value
-FROM events GROUP BY 1 ORDER BY month_start
+FROM events GROUP BY 1 ORDER BY day
 """
 
 

@@ -1,0 +1,111 @@
+"""Tests for round-2 breadth operators: scalar suites, join breadth,
+incremental dedup, unigram quality, and integer PageRank."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from clickhouse_vs_dbt_spark.catalog import load_table
+from clickhouse_vs_dbt_spark.operators import (
+    corpus,
+    dedup,
+    pagerank,
+    relational,
+    scalarbreadth,
+)
+
+
+def test_string_search_counts_consistent(spark, sf_dir):
+    rows = scalarbreadth.q_string_search(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # countSubstrings('the') > 0 iff like '%the%'
+        assert (r.n_the > 0) == r.has_the
+        # position of 'data' > 0 implies multiSearchAny over the terms
+        if r.pos_data > 0:
+            assert r.multi_any
+        assert r.n_digit_runs >= 0
+
+
+def test_datetime_trunc_calendar_invariants(spark, sf_dir):
+    rows = scalarbreadth.q_datetime_trunc(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.month_start <= r.day
+        assert r.week_start <= r.day
+        assert r.quarter_start <= r.month_start
+        assert 0 <= r.weekday <= 6
+        assert 1 <= r.n_hours <= 24
+        # a day's dates all share the day's calendar fields
+        assert (r.day - r.week_start).days < 7
+
+
+def test_conditional_null_partitions_orders(spark, sf_dir):
+    rows = scalarbreadth.q_conditional_null(spark, sf_dir).collect()
+    n_orders = load_table(spark, sf_dir, "orders").count()
+    assert sum(r.n_orders for r in rows) == n_orders
+    assert {r.price_band for r in rows} <= {"high", "mid", "low"}
+    assert {r.status_decoded for r in rows} <= {"open", "filled", "pending", "other"}
+
+
+def test_full_outer_covers_both_sides(spark, sf_dir):
+    rows = relational.q_full_outer_nation_balance(spark, sf_dir).collect()
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    nk = {
+        r.c_nationkey for r in c.select("c_nationkey").distinct().collect()
+    } | {r.s_nationkey for r in s.select("s_nationkey").distinct().collect()}
+    assert {r.nationkey for r in rows} == nk
+    assert sum(r.n_cust for r in rows) == c.count()
+    assert sum(r.n_supp for r in rows) == s.count()
+
+
+def test_cross_join_grid_is_dense(spark, sf_dir):
+    rows = relational.q_cross_join_grid(spark, sf_dir).collect()
+    n_regions = load_table(spark, sf_dir, "region").count()
+    n_status = (
+        load_table(spark, sf_dir, "orders").select("o_orderstatus").distinct().count()
+    )
+    assert len(rows) == n_regions * n_status
+    n_orders = load_table(spark, sf_dir, "orders").count()
+    assert sum(r.n_orders for r in rows) == n_orders
+
+
+def test_dedup_incremental_excludes_corpus_text(spark, sf_dir):
+    kept = {r.keep_doc_id for r in dedup.q_dedup_incremental(spark, sf_dir).collect()}
+    assert all(k % 2 == 1 for k in kept)
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "text_key", F.lower(F.trim(F.col("text")))
+    )
+    corpus_keys = {
+        r.text_key
+        for r in d.filter(F.col("doc_id") % 2 == 0).select("text_key").collect()
+    }
+    kept_keys = {
+        r.text_key for r in d.filter(F.col("doc_id").isin(list(kept))).collect()
+    }
+    assert not (kept_keys & corpus_keys)
+
+
+def test_unigram_quality_bounds(spark, sf_dir):
+    rows = corpus.q_unigram_freq_quality(spark, sf_dir).collect()
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert len(rows) == n_docs
+    for r in rows:
+        # every token occurs at least once in the corpus (itself)
+        assert r.score >= 1.0
+        assert r.freq_mass >= r.n_tokens > 0
+
+
+def test_pagerank_conserves_mass_approximately(spark, sf_dir):
+    rows = pagerank.q_pagerank_trade_graph(spark, sf_dir).collect()
+    assert rows
+    total = sum(r.rank_e12 for r in rows)
+    # floor-division leaks at most ~1 unit per edge per iteration plus
+    # the base-term remainder per node; at fixture scale that is far
+    # under 0.1% of the total mass.
+    assert 0.999 * pagerank.S_MASS <= total <= pagerank.S_MASS
+    # suppliers (odd ids) aggregate many customers' mass: the max-rank
+    # node should be a supplier in this bipartite trade graph
+    top = max(rows, key=lambda r: r.rank_e12)
+    assert top.node_id % 2 == 1
