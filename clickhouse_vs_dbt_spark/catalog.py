@@ -34,6 +34,44 @@ FIXTURE_TABLES = (
 DIMENSION_TABLES = frozenset({"region", "nation", "customer", "supplier", "part"})
 
 
+# Fixture-layout normalization: the driver fixtures are single-file,
+# SINGLE-ROW-GROUP parquet, which caps every scan at one task no matter
+# how many cores the session has — a pure test-artifact bottleneck (any
+# real table at any real scale has many row groups/files, and at 100 TB
+# the scan parallelism comes for free).  Rewrite large fixtures once per
+# process into a multi-part cache so local plans exercise the same
+# parallel scan shape a cluster would see.  Content-identical; every
+# value-checked query is order-insensitive by construction.
+_CHUNK_CACHE: dict[tuple[str, str], str] = {}
+_CHUNK_MIN_BYTES = 1 << 20
+
+
+def _rechunk(spark: SparkSession, sf_dir: str, name: str) -> str | None:
+    import os
+
+    src = f"{sf_dir}/{name}.parquet"
+    try:
+        if os.path.getsize(src) < _CHUNK_MIN_BYTES:
+            return None
+    except OSError:
+        return None
+    key = (sf_dir, name)
+    path = _CHUNK_CACHE.get(key)
+    if path is None:
+        import tempfile
+
+        import pyarrow.parquet as pq
+
+        if pq.ParquetFile(src).num_row_groups > 4:
+            _CHUNK_CACHE[key] = ""  # already splittable; no rewrite
+            return None
+        path = tempfile.mkdtemp(prefix=f"fixture_chunks_{name}_")
+        n = spark.sparkContext.defaultParallelism
+        spark.read.parquet(src).repartition(n).write.mode("overwrite").parquet(path)
+        _CHUNK_CACHE[key] = path
+    return path or None
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """External-table semantics: lazy parquet scan, re-planned per query
     (the analog of the reference's S3-engine re-scan, README.md:158-222,
@@ -48,7 +86,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # the raw int64 nanos (DuckDB truncates nanos→micros identically,
         # verified in tests/test_timeseries.py).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = _rechunk(spark, sf_dir, name) or f"{sf_dir}/{name}.parquet"
+    df = spark.read.parquet(path)
+    if name == "events":
         if dict(df.dtypes)["ts"] == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         else:
@@ -57,8 +97,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # every downstream unix_micros/window/watermark op sees the
             # same TimestampType either way).
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
-        return df
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return df
 
 
 def register_views(spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = FIXTURE_TABLES) -> None:
