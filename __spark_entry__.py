@@ -48,7 +48,14 @@ from clickhouse_vs_dbt_spark.operators import (
     windowfns,
 )
 from clickhouse_vs_dbt_spark.plans import bucketing, snapshots
-from clickhouse_vs_dbt_spark.sources import jsonl, orc_src, parquet_part, ssb_csv
+from clickhouse_vs_dbt_spark.sources import (
+    binfile,
+    evolution,
+    jsonl,
+    orc_src,
+    parquet_part,
+    ssb_csv,
+)
 from clickhouse_vs_dbt_spark.streaming import (
     events_stream,
     stateful_sessions,
@@ -96,6 +103,8 @@ _MODULES = [
     jsonl,
     orc_src,
     parquet_part,
+    evolution,
+    binfile,
     events_stream,
     stateful_sessions,
     stream_join,

@@ -83,6 +83,15 @@ HEADLINE = [
     "ipv4_functions_suite",
     # co-located bucketed join (plans/bucketing.py)
     "bucketed_join_revenue",
+    # round-2 additions: scalar breadth, join breadth, pipeline depth,
+    # iterative graph, incremental-MV maintenance
+    "string_search_suite",
+    "datetime_trunc_suite",
+    "full_outer_nation_balance",
+    "dedup_incremental",
+    "unigram_freq_quality",
+    "pagerank_trade_graph",
+    "incremental_agg_mv",
 ]
 
 

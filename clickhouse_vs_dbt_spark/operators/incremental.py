@@ -93,5 +93,81 @@ GROUP BY o_orderstatus, order_year
 ORDER BY o_orderstatus, order_year
 """
 
-QUERIES = {"incremental_orders_merge": q_incremental_orders_merge}
-ORACLES = {"incremental_orders_merge": O_INCREMENTAL_MERGE}
+# --- incremental aggregate maintenance (materialized-view analog) ---
+
+N_MV_BATCHES = 3
+_DECSUM = "decimal(38,6)"
+
+
+def run_incremental_agg_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse AggregatingMergeTree / materialized-view analog:
+    maintain a per-event-type aggregate TABLE incrementally as event
+    batches arrive, never re-scanning history.
+
+    Each arriving batch is reduced to *partial aggregate state*
+    (n, decimal sum, min/max) — the map-side-combine shape — and merged
+    with the existing state by a keyed re-aggregate.  The merge is over
+    |keys| rows, not |events|: at 100 TB each refresh costs
+    O(batch + state), which is why the MV pattern exists.  State sums
+    stay in exact decimal so batch arrival order cannot perturb the
+    result (same property as operators/common.dsum).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    state: DataFrame | None = None
+    for i in range(N_MV_BATCHES):
+        batch = ev.filter(F.col("event_id") % N_MV_BATCHES == i)
+        partial = batch.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast(_DECSUM).alias("s"),
+            F.min("value").alias("mn"),
+            F.max("value").alias("mx"),
+        )
+        if state is None:
+            state = partial
+        else:
+            state = (
+                state.unionByName(partial)
+                .groupBy("event_type")
+                .agg(
+                    F.sum("n").alias("n"),
+                    F.sum("s").cast(_DECSUM).alias("s"),
+                    F.min("mn").alias("mn"),
+                    F.max("mx").alias("mx"),
+                )
+            )
+    return state
+
+
+def q_incremental_agg_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Finalize the incrementally-maintained state; the oracle is the
+    one-shot aggregate over all events — equality proves the partial
+    states merged losslessly."""
+    state = run_incremental_agg_mv(spark, sf_dir)
+    return (
+        state.select(
+            "event_type",
+            F.col("n").cast("long").alias("n_events"),
+            F.col("s").cast("double").alias("total_value"),
+            F.col("mn").alias("min_value"),
+            F.col("mx").alias("max_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+O_INCREMENTAL_AGG_MV = f"""
+SELECT event_type, COUNT(*) AS n_events,
+       {sql_dsum('value')} AS total_value,
+       MIN(value) AS min_value, MAX(value) AS max_value
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+QUERIES = {
+    "incremental_orders_merge": q_incremental_orders_merge,
+    "incremental_agg_mv": q_incremental_agg_mv,
+}
+ORACLES = {
+    "incremental_orders_merge": O_INCREMENTAL_MERGE,
+    "incremental_agg_mv": O_INCREMENTAL_AGG_MV,
+}

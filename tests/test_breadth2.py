@@ -109,3 +109,58 @@ def test_pagerank_conserves_mass_approximately(spark, sf_dir):
     # node should be a supplier in this bipartite trade graph
     top = max(rows, key=lambda r: r.rank_e12)
     assert top.node_id % 2 == 1
+
+
+def test_schema_evolution_nulls_on_old_batch(spark, sf_dir):
+    from clickhouse_vs_dbt_spark.sources import evolution
+
+    back = spark.read.option("mergeSchema", "true").parquet(
+        evolution.evolved_dir(spark, sf_dir)
+    )
+    assert "source" in back.columns
+    old = back.filter(F.col("doc_id") % evolution.SPLIT_MOD == 0)
+    new = back.filter(F.col("doc_id") % evolution.SPLIT_MOD == 1)
+    assert old.filter(F.col("source").isNotNull()).count() == 0
+    assert new.filter(F.col("source").isNull()).count() == 0
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert back.count() == n_docs
+
+
+def test_binary_file_roundtrip_byte_exact(spark, sf_dir):
+    from clickhouse_vs_dbt_spark.sources import binfile
+
+    rows = binfile.q_binary_file_roundtrip(spark, sf_dir).collect()
+    assert len(rows) == binfile.N_FILES
+    docs = {
+        r.doc_id: r.text
+        for r in load_table(spark, sf_dir, "documents")
+        .orderBy("doc_id")
+        .limit(binfile.N_FILES)
+        .collect()
+    }
+    import hashlib
+
+    for r in rows:
+        raw = docs[r.doc_id].encode("utf-8")
+        assert r.byte_len == len(raw)
+        assert r.payload_md5 == hashlib.md5(raw).hexdigest()
+
+
+def test_incremental_agg_mv_equals_batch(spark, sf_dir):
+    from clickhouse_vs_dbt_spark.operators import incremental
+
+    mv = {
+        r.event_type: (r.n_events, round(r.total_value, 6))
+        for r in incremental.q_incremental_agg_mv(spark, sf_dir).collect()
+    }
+    direct = {
+        r.event_type: (r.n, round(r.s, 6))
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("s"),
+        )
+        .collect()
+    }
+    assert mv == direct
