@@ -63,6 +63,7 @@ from clickhouse_vs_dbt_spark.streaming import (
     stream_enrich,
     stream_join,
     stream_late,
+    stream_mv,
     stream_upsert,
 )
 
@@ -111,6 +112,7 @@ _MODULES = [
     stream_dedup,
     stream_enrich,
     stream_late,
+    stream_mv,
     stream_upsert,
 ]
 

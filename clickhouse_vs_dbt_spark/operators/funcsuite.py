@@ -229,8 +229,66 @@ FROM embeddings GROUP BY label ORDER BY label
 """
 
 
+# --- array higher-order functions, round 2 ---
+
+def q_array_hof_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remaining array HOF vocabulary (ClickHouse arrayFilter /
+    arrayExists / arrayAll / arraySort / arraySlice / arrayMap-zip
+    analogs): ``filter``, ``exists``, ``forall``, ``array_sort``,
+    ``slice``, ``zip_with`` — all Catalyst lambda expressions over the
+    embedding column, aggregated per label.  The zip_with self-product
+    is the dot-product building block of the similarity module, gated
+    here in isolation."""
+    e = load_table(spark, sf_dir, "embeddings")
+    n_pos = "size(filter(embedding, x -> x > 0))"
+    any_big = "exists(embedding, x -> x > CAST(2.0 AS FLOAT))"
+    all_small = "forall(embedding, x -> abs(x) < CAST(10.0 AS FLOAT))"
+    mid = "CAST(element_at(array_sort(embedding), 8) AS DOUBLE)"
+    head_sum = (
+        "aggregate(slice(embedding, 1, 4), CAST(0.0 AS DOUBLE), "
+        "(a, x) -> a + CAST(x AS DOUBLE))"
+    )
+    sq_sum = (
+        "aggregate(zip_with(embedding, embedding, "
+        "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        "CAST(0.0 AS DOUBLE), (a, x) -> a + x)"
+    )
+    return (
+        e.groupBy("label")
+        .agg(
+            F.sum(F.expr(n_pos)).cast("long").alias("total_pos"),
+            F.sum(F.expr(any_big).cast("long")).cast("long").alias("n_any_big"),
+            F.sum(F.expr(all_small).cast("long")).cast("long").alias("n_all_small"),
+            dsum(F.expr(mid)).alias("sum_mid_sorted"),
+            dsum(F.expr(head_sum)).alias("sum_head4"),
+            dsum(F.expr(sq_sum)).alias("sum_sq"),
+        )
+        .orderBy("label")
+    )
+
+
+O_ARRAY_HOF = f"""
+SELECT label,
+       CAST(SUM(len(list_filter(embedding, x -> x > 0))) AS BIGINT) AS total_pos,
+       CAST(SUM(CASE WHEN len(list_filter(embedding, x -> x > CAST(2.0 AS FLOAT))) > 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_any_big,
+       CAST(SUM(CASE WHEN len(list_filter(embedding,
+                              x -> NOT abs(x) < CAST(10.0 AS FLOAT))) = 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_all_small,
+       {sql_dsum('CAST(list_sort(embedding)[8] AS DOUBLE)')} AS sum_mid_sorted,
+       {sql_dsum("list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+                 "list_transform(embedding[1:4], x -> CAST(x AS DOUBLE))), "
+                 "(a, x) -> a + x)")} AS sum_head4,
+       {sql_dsum("list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+                 "list_transform(embedding, x -> CAST(x AS DOUBLE) "
+                 "* CAST(x AS DOUBLE))), (a, x) -> a + x)")} AS sum_sq
+FROM embeddings GROUP BY label ORDER BY label
+"""
+
+
 QUERIES = {
     "string_functions_suite": q_string_functions,
+    "array_hof_suite": q_array_hof_functions,
     "array_functions_suite": q_array_functions,
     "math_functions_suite": q_math_functions,
     "ntile_quartiles": q_ntile_quartiles,
@@ -239,6 +297,7 @@ QUERIES = {
 
 ORACLES = {
     "string_functions_suite": O_STRING_FUNCTIONS,
+    "array_hof_suite": O_ARRAY_HOF,
     "array_functions_suite": O_ARRAY_FUNCTIONS,
     "math_functions_suite": O_MATH_FUNCTIONS,
     "ntile_quartiles": O_NTILE,

@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from clickhouse_vs_dbt_spark.catalog import load_table
-from clickhouse_vs_dbt_spark.operators.common import dsum, sql_dsum
+from clickhouse_vs_dbt_spark.operators.common import davg, dsum, sql_davg, sql_dsum
 
 TUMBLE_SEC = 600
 SLIDE_SEC = 300
@@ -507,6 +507,124 @@ ORDER BY 1, 2
 """
 
 
+# --- linear interpolation over gaps (WITH FILL INTERPOLATE analog) ---
+
+def q_events_gap_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``ORDER BY ... WITH FILL INTERPOLATE`` analog: dense
+    10-minute buckets per event_type where empty buckets get the
+    *linear interpolation* between the nearest observed neighbors
+    (LOCF's smooth sibling; boundary gaps take the nearest side).
+
+    Shape: sparse keyed rollup + sequence() grid (as gap_fill), then
+    two IGNORE NULLS window passes per type — previous and next
+    observation with their bucket times — and one closed-form blend.
+    All blend arithmetic is IEEE ops on identically-derived operands,
+    so both engines produce bit-identical doubles.  Windows partition
+    by type: parallel across series, never a global sort."""
+    e = load_table(spark, sf_dir, "events")
+    sparse = (
+        e.groupBy(F.window("ts", f"{TUMBLE_SEC} seconds").alias("w"), "event_type")
+        .agg(davg(F.col("value")).alias("obs"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            "event_type",
+            "obs",
+        )
+    )
+    bounds = e.agg(
+        (F.floor(F.unix_timestamp(F.min("ts")) / TUMBLE_SEC) * TUMBLE_SEC)
+        .cast("long")
+        .alias("lo"),
+        (F.floor(F.unix_timestamp(F.max("ts")) / TUMBLE_SEC) * TUMBLE_SEC)
+        .cast("long")
+        .alias("hi"),
+    )
+    grid = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.lit(TUMBLE_SEC))).alias("window_start")
+    ).crossJoin(e.select("event_type").distinct())
+
+    from pyspark.sql import Window
+
+    back = Window.partitionBy("event_type").orderBy("window_start").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    fwd = Window.partitionBy("event_type").orderBy("window_start").rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    obs_ws = F.when(F.col("obs").isNotNull(), F.col("window_start"))
+    joined = (
+        grid.join(sparse, ["window_start", "event_type"], "left")
+        .withColumn("pv", F.last("obs", ignorenulls=True).over(back))
+        .withColumn("pw", F.last(obs_ws, ignorenulls=True).over(back))
+        .withColumn("nv", F.first("obs", ignorenulls=True).over(fwd))
+        .withColumn("nw", F.first(obs_ws, ignorenulls=True).over(fwd))
+    )
+    interp = (
+        F.when(F.col("obs").isNotNull(), F.col("obs"))
+        .when(F.col("pv").isNull(), F.col("nv"))
+        .when(F.col("nv").isNull(), F.col("pv"))
+        .otherwise(
+            F.col("pv")
+            + (F.col("nv") - F.col("pv"))
+            * ((F.col("window_start") - F.col("pw"))
+               / (F.col("nw") - F.col("pw")))
+        )
+    )
+    return (
+        joined.select(
+            "window_start",
+            "event_type",
+            (F.col("obs").isNotNull()).alias("observed"),
+            F.round(interp, 6).alias("value_interp"),
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+O_GAP_INTERPOLATE = f"""
+WITH sparse AS (
+  SELECT CAST(floor(epoch(ts) / {TUMBLE_SEC}) * {TUMBLE_SEC} AS BIGINT) AS window_start,
+         event_type, {sql_davg('value')} AS obs
+  FROM events GROUP BY 1, 2),
+bounds AS (
+  SELECT CAST(floor(epoch(min(ts)) / {TUMBLE_SEC}) * {TUMBLE_SEC} AS BIGINT) AS lo,
+         CAST(floor(epoch(max(ts)) / {TUMBLE_SEC}) * {TUMBLE_SEC} AS BIGINT) AS hi
+  FROM events),
+grid AS (
+  SELECT g.window_start, t.event_type
+  FROM (SELECT unnest(generate_series(lo, hi, {TUMBLE_SEC})) AS window_start
+        FROM bounds) g
+  CROSS JOIN (SELECT DISTINCT event_type FROM events) t),
+marked AS (
+  SELECT g.window_start, g.event_type, s.obs,
+         last_value(s.obs IGNORE NULLS) OVER (
+           PARTITION BY g.event_type ORDER BY g.window_start
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+         last_value(CASE WHEN s.obs IS NOT NULL THEN g.window_start END
+                    IGNORE NULLS) OVER (
+           PARTITION BY g.event_type ORDER BY g.window_start
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pw,
+         first_value(s.obs IGNORE NULLS) OVER (
+           PARTITION BY g.event_type ORDER BY g.window_start
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+         first_value(CASE WHEN s.obs IS NOT NULL THEN g.window_start END
+                     IGNORE NULLS) OVER (
+           PARTITION BY g.event_type ORDER BY g.window_start
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nw
+  FROM grid g LEFT JOIN sparse s
+    ON s.window_start = g.window_start AND s.event_type = g.event_type)
+SELECT window_start, event_type,
+       obs IS NOT NULL AS observed,
+       round(CASE WHEN obs IS NOT NULL THEN obs
+                  WHEN pv IS NULL THEN nv
+                  WHEN nv IS NULL THEN pv
+                  ELSE pv + (nv - pv) * ((window_start - pw)
+                                         / CAST(nw - pw AS DOUBLE)) END,
+             6) AS value_interp
+FROM marked ORDER BY 1, 2
+"""
+
+
 # --- JSON property extraction (schema-on-read over events.props) ---
 
 def q_events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -550,6 +668,7 @@ QUERIES = {
     "events_argmax_state": q_events_argmax_state,
     "events_time_parts": q_events_time_parts,
     "events_gap_fill": q_events_gap_fill,
+    "events_gap_interpolate": q_events_gap_interpolate,
     "events_rollup_hierarchy": q_events_rollup_hierarchy,
     "events_asof_join": q_events_asof_join,
     "events_range_join": q_events_range_join,
@@ -565,6 +684,7 @@ ORACLES = {
     "events_argmax_state": O_ARGMAX_STATE,
     "events_time_parts": O_TIME_PARTS,
     "events_gap_fill": O_GAP_FILL,
+    "events_gap_interpolate": O_GAP_INTERPOLATE,
     "events_rollup_hierarchy": O_ROLLUP_HIERARCHY,
     "events_asof_join": O_ASOF,
     "events_range_join": O_RANGE_JOIN,

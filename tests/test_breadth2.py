@@ -164,3 +164,53 @@ def test_incremental_agg_mv_equals_batch(spark, sf_dir):
         .collect()
     }
     assert mv == direct
+
+
+def test_gap_interpolate_matches_observations(spark, sf_dir):
+    from clickhouse_vs_dbt_spark.operators import timeseries
+
+    rows = timeseries.q_events_gap_interpolate(spark, sf_dir).collect()
+    assert rows
+    by_type: dict = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+    for series in by_type.values():
+        series.sort(key=lambda r: r.window_start)
+        obs_vals = [r.value_interp for r in series if r.observed]
+        lo, hi = min(obs_vals), max(obs_vals)
+        for r in series:
+            assert r.value_interp is not None
+            # interpolation never leaves the observed envelope
+            assert lo - 1e-6 <= r.value_interp <= hi + 1e-6
+
+
+def test_array_hof_suite_bounds(spark, sf_dir):
+    from clickhouse_vs_dbt_spark.operators import funcsuite
+
+    dim = len(
+        load_table(spark, sf_dir, "embeddings").first().embedding
+    )
+    rows = funcsuite.q_array_hof_functions(spark, sf_dir).collect()
+    n_total = load_table(spark, sf_dir, "embeddings").count()
+    n_seen = 0
+    for r in rows:
+        assert r.sum_sq >= 0.0
+        assert r.n_any_big >= 0 and r.n_all_small >= 0
+        assert r.total_pos >= 0
+        n_seen += 1
+    assert n_seen > 0 and dim >= 8
+
+
+def test_stream_mv_equals_batch_aggregate(spark, sf_dir):
+    from clickhouse_vs_dbt_spark.operators import incremental
+    from clickhouse_vs_dbt_spark.streaming import stream_mv
+
+    got = {
+        r.event_type: (r.n_events, round(r.total_value, 6))
+        for r in stream_mv.q_events_stream_mv(spark, sf_dir).collect()
+    }
+    want = {
+        r.event_type: (r.n_events, round(r.total_value, 6))
+        for r in incremental.q_incremental_agg_mv(spark, sf_dir).collect()
+    }
+    assert got == want
