@@ -325,7 +325,40 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+TOPK_K = 3
+
+
+def q_events_topk_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``topK(k)(x)`` parity via Spark's ``approx_top_k``
+    frequent-items sketch, exploded to harness-friendly rows.
+
+    Value-check argument: the sketch is *exact* whenever the number of
+    distinct tracked items fits its internal capacity (default 10⁴ —
+    event_type has 5), so the oracle is the exact top-k by count with a
+    deterministic tiebreak; the fixture has no boundary tie.  At real
+    cardinalities the same expression degrades gracefully to the
+    approximate heavy-hitters answer, which is the reason topK exists."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.agg(F.expr(f"approx_top_k(event_type, {TOPK_K})").alias("tk"))
+        .select(F.explode("tk").alias("t"))
+        .select(
+            F.col("t.item").alias("event_type"),
+            F.col("t.count").cast("long").alias("n_events"),
+        )
+        .orderBy(F.col("n_events").desc(), "event_type")
+    )
+
+
+O_TOPK_SKETCH = f"""
+SELECT event_type, COUNT(*) AS n_events
+FROM events GROUP BY event_type
+ORDER BY n_events DESC, event_type LIMIT {TOPK_K}
+"""
+
+
 QUERIES = {
+    "events_topk_sketch": q_events_topk_sketch,
     "events_funnel_window": q_events_funnel_window,
     "events_retention_matrix": q_events_retention_matrix,
     "events_sequence_match": q_events_sequence_match,
@@ -335,6 +368,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "events_topk_sketch": O_TOPK_SKETCH,
     "events_funnel_window": O_FUNNEL_WINDOW,
     "events_retention_matrix": O_RETENTION_MATRIX,
     "events_sequence_match": O_SEQUENCE_MATCH,

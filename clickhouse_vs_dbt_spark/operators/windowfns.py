@@ -137,14 +137,78 @@ ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey
 """
 
 
+def q_ratio_to_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share-of-total reporting (``sum(x) OVER ()`` — ClickHouse's
+    proportion-of-report idiom): revenue share of each nation within
+    its region, and of the grand total.  The unpartitioned window runs
+    over the *aggregated* relation (≤ |nation| rows), so the
+    single-task global frame is over dozens of rows at any input scale
+    — aggregate first, window the summary."""
+    from clickhouse_vs_dbt_spark.operators.common import dsum
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    per_nation = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(dsum(F.expr("l_extendedprice * (1 - l_discount)")).alias("revenue"))
+    )
+    w_all = Window.partitionBy()
+    w_reg = Window.partitionBy("r_name")
+    return (
+        per_nation.select(
+            "r_name",
+            "n_name",
+            "revenue",
+            F.round(
+                F.col("revenue") / F.sum(F.col("revenue").cast(DEC)).over(w_reg).cast("double"),
+                9,
+            ).alias("share_of_region"),
+            F.round(
+                F.col("revenue") / F.sum(F.col("revenue").cast(DEC)).over(w_all).cast("double"),
+                9,
+            ).alias("share_of_total"),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+O_RATIO_TO_TOTAL = """
+WITH per_nation AS (
+  SELECT r_name, n_name,
+         CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+              AS DOUBLE) AS revenue
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  GROUP BY r_name, n_name)
+SELECT r_name, n_name, revenue,
+       round(revenue / CAST(SUM(CAST(revenue AS DECIMAL(18,6)))
+             OVER (PARTITION BY r_name) AS DOUBLE), 9) AS share_of_region,
+       round(revenue / CAST(SUM(CAST(revenue AS DECIMAL(18,6)))
+             OVER () AS DOUBLE), 9) AS share_of_total
+FROM per_nation ORDER BY r_name, n_name
+"""
+
+
 QUERIES = {
     "window_frame_suite": q_window_frame_suite,
     "window_trailing_30d": q_window_trailing_30d,
     "lateral_top_orders": q_lateral_top_orders,
+    "ratio_to_total": q_ratio_to_total,
 }
 
 ORACLES = {
     "window_frame_suite": O_WINDOW_FRAME_SUITE,
     "window_trailing_30d": O_WINDOW_TRAILING_30D,
     "lateral_top_orders": O_LATERAL_TOP_ORDERS,
+    "ratio_to_total": O_RATIO_TO_TOTAL,
 }
