@@ -10,6 +10,8 @@ formulas in DuckDB.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -343,7 +345,56 @@ ORDER BY u.doc_id
 """
 
 
+# --- Arrow-batched Pandas UDF path, value-checked ---
+
+def q_text_char_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-diversity quality signal computed in a **vectorized
+    Pandas UDF** — the sanctioned Python escape hatch (Arrow batch
+    transfer, ~10-100× over row-at-a-time UDFs), gated through the same
+    value-check as every Catalyst operator to prove the Python path
+    loses nothing.
+
+    Per doc: distinct characters, character length, and their ratio
+    (one IEEE division of two exact ints — deterministic).  Spark-side
+    the UDF sees pandas Series batches; the DuckDB twin is
+    list_distinct(string_split(text, '')).  Use this shape only when
+    Catalyst can't express the kernel (here it could — see
+    string-function suites — which is exactly why it makes a good
+    differential test of the UDF machinery itself)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def n_distinct_chars(texts: pd.Series) -> pd.Series:
+        return texts.map(lambda t: len(set(t)))
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "doc_id",
+            n_distinct_chars("text").alias("n_uniq_chars"),
+            F.length("text").cast("long").alias("n_chars_len"),
+        )
+        .withColumn(
+            "diversity",
+            F.col("n_uniq_chars").cast("double") / F.col("n_chars_len"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+O_CHAR_DIVERSITY = """
+SELECT doc_id,
+       CAST(len(list_distinct(string_split(text, ''))) AS BIGINT)
+         AS n_uniq_chars,
+       CAST(length(text) AS BIGINT) AS n_chars_len,
+       CAST(len(list_distinct(string_split(text, ''))) AS DOUBLE)
+         / length(text) AS diversity
+FROM documents ORDER BY doc_id
+"""
+
+
 QUERIES = {
+    "text_char_diversity": q_text_char_diversity,
     "text_token_stats": q_text_token_stats,
     "text_repetition": q_text_repetition,
     "text_chunks": q_text_chunks,
@@ -353,6 +404,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "text_char_diversity": O_CHAR_DIVERSITY,
     "text_token_stats": O_TOKEN_STATS,
     "text_repetition": O_TEXT_REPETITION,
     "text_chunks": O_TEXT_CHUNKS,
