@@ -185,5 +185,72 @@ SELECT COUNT(*) AS n_rows,
 FROM supplier
 """
 
-QUERIES = {"csv_source_roundtrip": q_csv_source_roundtrip}
-ORACLES = {"csv_source_roundtrip": O_CSV_ROUNDTRIP}
+def q_csv_gzip_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same S1+T1 proof over a **gzip-compressed** CSV: write the
+    customer fixture as ``.csv.gz`` (codec=gzip), re-read through the
+    typed FAILFAST scan, aggregate.  Compression is the normal state of
+    CSV-at-rest; Spark handles the codec transparently by extension.
+
+    Scale note: gzip is NOT splittable — one file = one task regardless
+    of size, so at 100 TB compressed text must arrive as many files
+    (or be transcoded to a splittable container on first touch); the
+    parquet cache in catalog.py is that transcode step."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from clickhouse_vs_dbt_spark.operators.common import dsum
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    d = tempfile.mkdtemp(prefix="csvgz_roundtrip_")
+    (
+        cust.select(
+            "c_custkey",
+            "c_name",
+            "c_nationkey",
+            F.col("c_acctbal").cast("string").alias("c_acctbal"),
+            "c_mktsegment",
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .options(sep="|", header=False, compression="gzip")
+        .csv(d)
+    )
+    schema = _st(
+        ("c_custkey", T.LongType()),
+        ("c_name", T.StringType()),
+        ("c_nationkey", T.IntegerType()),
+        ("c_acctbal", T.DoubleType()),
+        ("c_mktsegment", T.StringType()),
+    )
+    back = (
+        spark.read.schema(schema)
+        .options(sep="|", header=False, mode="FAILFAST")
+        .csv(d)
+    )
+    return back.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum(F.col("c_acctbal")).alias("sum_acctbal"),
+        F.countDistinct("c_nationkey").alias("n_nations"),
+        F.min("c_custkey").alias("min_key"),
+        F.max("c_custkey").alias("max_key"),
+    ).orderBy("c_mktsegment")
+
+
+O_CSV_GZIP_ROUNDTRIP = """
+SELECT c_mktsegment, COUNT(*) AS n_rows,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS sum_acctbal,
+       COUNT(DISTINCT c_nationkey) AS n_nations,
+       min(c_custkey) AS min_key,
+       max(c_custkey) AS max_key
+FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+QUERIES = {
+    "csv_source_roundtrip": q_csv_source_roundtrip,
+    "csv_gzip_roundtrip": q_csv_gzip_roundtrip,
+}
+ORACLES = {
+    "csv_source_roundtrip": O_CSV_ROUNDTRIP,
+    "csv_gzip_roundtrip": O_CSV_GZIP_ROUNDTRIP,
+}

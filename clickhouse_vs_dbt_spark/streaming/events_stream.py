@@ -115,10 +115,56 @@ def q_events_tumbling_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_tumbling_stream(spark, sf_dir)
 
 
-QUERIES = {"events_tumbling_stream": q_events_tumbling_stream}
+def q_events_sliding_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window (10 min every 5 min) aggregation as a streaming
+    query — each event contributes to size/slide = 2 windows of
+    incremental state; the watermark bounds windows-in-flight exactly
+    as in the tumbling case."""
+    from clickhouse_vs_dbt_spark.operators.timeseries import SLIDE_SEC
 
-# The streaming result is definitionally equal to the batch tumbling
-# window — reuse that oracle so the driver hash-checks it too.
-from clickhouse_vs_dbt_spark.operators.timeseries import O_TUMBLING  # noqa: E402
+    events = streaming_events(spark, sf_dir)
+    agg = (
+        events.withWatermark("ts", "30 minutes")
+        .groupBy(
+            F.window("ts", f"{TUMBLE_SEC} seconds", f"{SLIDE_SEC} seconds").alias("w")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value")).alias("total_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            "n_events",
+            "total_value",
+        )
+    )
+    name = f"stream_slide_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name).orderBy("window_start")
 
-ORACLES = {"events_tumbling_stream": O_TUMBLING}
+
+QUERIES = {
+    "events_tumbling_stream": q_events_tumbling_stream,
+    "events_sliding_stream": q_events_sliding_stream,
+}
+
+# The streaming results are definitionally equal to the batch windowed
+# aggregates — reuse those oracles so the driver hash-checks them too.
+from clickhouse_vs_dbt_spark.operators.timeseries import (  # noqa: E402
+    O_SLIDING,
+    O_TUMBLING,
+)
+
+ORACLES = {
+    "events_tumbling_stream": O_TUMBLING,
+    "events_sliding_stream": O_SLIDING,
+}
