@@ -15,6 +15,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from clickhouse_vs_dbt_spark import compat
 from clickhouse_vs_dbt_spark.operators import (
     boilerplate,
     chfuncs,
@@ -69,6 +70,7 @@ from clickhouse_vs_dbt_spark.streaming import (
 
 _MODULES = [
     ssb_queries,
+    compat,
     chfuncs,
     windowfns,
     boilerplate,

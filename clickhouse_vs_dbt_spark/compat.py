@@ -1,0 +1,110 @@
+"""ClickHouse-dialect compatibility layer: SQL function registry.
+
+A user of the reference writes ``toYear(LO_ORDERDATE) = 1993``
+(reference README.md:417, 426, 435).  This module registers the
+ClickHouse scalar-function names as **Spark SQL UDFs** (``CREATE
+TEMPORARY FUNCTION ... RETURN <expr>``) — pure Catalyst expression
+substitution, inlined into the plan at analysis time (no Python, no JVM
+UDF object) — an expression written with these names produces the
+IDENTICAL plan to its built-in spelling, including whatever pushdown
+that spelling gets.  ``queries()`` gates a query written verbatim in the ClickHouse
+dialect to prove the surface.
+
+Only functions with engine-exact Spark equivalents are registered
+(SURVEY.md §2.1 D1-D3 et al.); anything with divergent semantics
+(formatDateTime patterns, timezone-dependent toStartOfWeek modes) is
+deliberately absent rather than subtly wrong.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from clickhouse_vs_dbt_spark.catalog import register_views
+from clickhouse_vs_dbt_spark.operators.common import sql_dsum
+
+# name -> (signature, body).  Each body is a single Catalyst expression.
+_COMPAT_FUNCS: dict[str, tuple[str, str]] = {
+    # date functions (the reference's entire scalar surface, D1-D3)
+    "toYear": ("(d DATE) RETURNS INT", "year(d)"),
+    "toYYYYMM": ("(d DATE) RETURNS INT", "year(d) * 100 + month(d)"),
+    "toISOWeek": ("(d DATE) RETURNS INT", "weekofyear(d)"),
+    "toMonth": ("(d DATE) RETURNS INT", "month(d)"),
+    "toDayOfMonth": ("(d DATE) RETURNS INT", "day(d)"),
+    "toDayOfWeek": ("(d DATE) RETURNS INT", "weekday(d) + 1"),  # 1=Mon..7=Sun
+    "toQuarter": ("(d DATE) RETURNS INT", "quarter(d)"),
+    "toStartOfMonth": ("(d DATE) RETURNS DATE", "CAST(date_trunc('month', d) AS DATE)"),
+    "toMonday": ("(d DATE) RETURNS DATE", "CAST(date_trunc('week', d) AS DATE)"),
+    "toStartOfQuarter": (
+        "(d DATE) RETURNS DATE",
+        "CAST(date_trunc('quarter', d) AS DATE)",
+    ),
+    "toUnixTimestamp": ("(t TIMESTAMP) RETURNS BIGINT", "unix_timestamp(t)"),
+    "addDays": ("(d DATE, n INT) RETURNS DATE", "date_add(d, n)"),
+    "dateDiff_day": ("(a DATE, b DATE) RETURNS INT", "datediff(b, a)"),
+    # arithmetic / conditional
+    "intDiv": ("(a BIGINT, b BIGINT) RETURNS BIGINT", "a div b"),
+    "modulo": ("(a BIGINT, b BIGINT) RETURNS BIGINT", "a % b"),
+    # string functions
+    "empty": ("(s STRING) RETURNS BOOLEAN", "length(s) = 0"),
+    "notEmpty": ("(s STRING) RETURNS BOOLEAN", "length(s) > 0"),
+    "lengthUTF8": ("(s STRING) RETURNS INT", "length(s)"),
+    "editDistance": ("(a STRING, b STRING) RETURNS INT", "levenshtein(a, b)"),
+    # NOTE: ClickHouse position(h, n) is NOT registered — `position` is a
+    # reserved Spark built-in (SQL-standard position(n IN h)) that SQL
+    # UDFs may not shadow; instr() already has the ClickHouse signature.
+    "splitByChar": (
+        "(sep STRING, s STRING) RETURNS ARRAY<STRING>",
+        "split(s, concat('\\\\Q', sep, '\\\\E'))",
+    ),
+}
+
+
+def register_clickhouse_compat(spark: SparkSession) -> None:
+    """Register every compat function in the session (idempotent)."""
+    for name, (sig, body) in _COMPAT_FUNCS.items():
+        spark.sql(f"CREATE OR REPLACE TEMPORARY FUNCTION {name}{sig} RETURN {body}")
+
+
+# --- gated proof: a query written verbatim in the ClickHouse dialect ---
+
+_DIALECT_SQL = """
+SELECT toYYYYMM(CAST(o_orderdate AS DATE)) AS ym,
+       toISOWeek(CAST(o_orderdate AS DATE)) AS iso_week,
+       toDayOfWeek(toStartOfMonth(CAST(o_orderdate AS DATE))) AS month_start_dow,
+       count(*) AS n_orders,
+       sum(CAST(notEmpty(o_orderpriority) AS BIGINT)) AS n_with_priority,
+       {revenue} AS total_price
+FROM orders
+WHERE toYear(CAST(o_orderdate AS DATE)) = 1995
+  AND modulo(o_orderkey, 2) = 0
+GROUP BY ym, iso_week, month_start_dow
+ORDER BY ym, iso_week
+"""
+
+
+def q_clickhouse_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SSB-style rollup written with ClickHouse function names; the
+    oracle is the same query spelled in ANSI/DuckDB built-ins."""
+    register_views(spark, sf_dir, ("orders",))
+    register_clickhouse_compat(spark)
+    return spark.sql(_DIALECT_SQL.format(revenue=sql_dsum("o_totalprice")))
+
+
+O_CLICKHOUSE_DIALECT = f"""
+SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS INT) AS ym,
+       CAST(week(o_orderdate) AS INT) AS iso_week,
+       CAST(isodow(date_trunc('month', o_orderdate)) AS INT) AS month_start_dow,
+       count(*) AS n_orders,
+       CAST(SUM(CASE WHEN length(o_orderpriority) > 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_with_priority,
+       {sql_dsum('o_totalprice')} AS total_price
+FROM orders
+WHERE year(o_orderdate) = 1995 AND o_orderkey % 2 = 0
+GROUP BY ym, iso_week, month_start_dow
+ORDER BY ym, iso_week
+"""
+
+
+QUERIES = {"clickhouse_dialect_rollup": q_clickhouse_dialect}
+ORACLES = {"clickhouse_dialect_rollup": O_CLICKHOUSE_DIALECT}

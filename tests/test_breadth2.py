@@ -214,3 +214,36 @@ def test_stream_mv_equals_batch_aggregate(spark, sf_dir):
         for r in incremental.q_incremental_agg_mv(spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_clickhouse_compat_functions(spark, sf_dir):
+    from clickhouse_vs_dbt_spark import compat
+
+    compat.register_clickhouse_compat(spark)
+    row = spark.sql(
+        """SELECT toYear(DATE'1994-02-07') AS y,
+                  toYYYYMM(DATE'1994-01-15') AS ym,
+                  toISOWeek(DATE'1994-02-07') AS w,
+                  toDayOfWeek(DATE'1994-02-07') AS dow,
+                  toMonday(DATE'1994-02-09') AS mon,
+                  intDiv(7, 2) AS idv,
+                  modulo(7, 3) AS md,
+                  editDistance('kitten', 'sitting') AS ed,
+                  empty('') AS e, notEmpty('x') AS ne,
+                  splitByChar('|', 'a|b|c') AS parts"""
+    ).first()
+    assert row.y == 1994 and row.ym == 199401 and row.w == 6
+    assert row.dow == 1  # 1994-02-07 is a Monday
+    assert str(row.mon) == "1994-02-07"
+    assert row.idv == 3 and row.md == 1 and row.ed == 3
+    assert row.e is True and row.ne is True
+    assert row.parts == ["a", "b", "c"]
+
+
+def test_clickhouse_dialect_inlines_to_builtin_plan(spark, sf_dir):
+    from clickhouse_vs_dbt_spark import compat
+
+    df = compat.q_clickhouse_dialect(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # SQL UDFs are substituted at analysis time: no python/UDF nodes
+    assert "BatchEvalPython" not in plan and "pythonUDF" not in plan
