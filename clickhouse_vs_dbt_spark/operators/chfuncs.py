@@ -357,8 +357,37 @@ ORDER BY n_events DESC, event_type LIMIT {TOPK_K}
 """
 
 
+def q_events_group_uniq_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``groupUniqArray`` analog: per user, the distinct
+    event types as one sorted comma-joined string (set semantics —
+    order-free by construction), plus the distinct count.
+    ``collect_set`` partial-aggregates map-side; the sort makes the
+    rendering deterministic."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id")
+        .agg(
+            F.concat_ws(
+                ",", F.sort_array(F.collect_set("event_type"))
+            ).alias("uniq_types"),
+            F.countDistinct("event_type").alias("n_types"),
+        )
+        .orderBy("user_id")
+    )
+
+
+O_GROUP_UNIQ_ARRAY = """
+SELECT user_id,
+       list_aggregate(list_sort(list_distinct(list(event_type))), 'string_agg', ',')
+         AS uniq_types,
+       COUNT(DISTINCT event_type) AS n_types
+FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+
 QUERIES = {
     "events_topk_sketch": q_events_topk_sketch,
+    "events_group_uniq_array": q_events_group_uniq_array,
     "events_funnel_window": q_events_funnel_window,
     "events_retention_matrix": q_events_retention_matrix,
     "events_sequence_match": q_events_sequence_match,
@@ -369,6 +398,7 @@ QUERIES = {
 
 ORACLES = {
     "events_topk_sketch": O_TOPK_SKETCH,
+    "events_group_uniq_array": O_GROUP_UNIQ_ARRAY,
     "events_funnel_window": O_FUNNEL_WINDOW,
     "events_retention_matrix": O_RETENTION_MATRIX,
     "events_sequence_match": O_SEQUENCE_MATCH,

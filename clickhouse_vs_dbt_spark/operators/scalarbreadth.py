@@ -186,14 +186,45 @@ FROM orders GROUP BY 1, 2 ORDER BY price_band, status_decoded
 """
 
 
+# --- codec family (base64/hex — ClickHouse base64Encode/hex analogs) ---
+
+def q_codec_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding vocabulary over ``supplier``: base64 of the name (and
+    its decode-roundtrip length), lowercase hex of the UTF-8 bytes, and
+    md5 hex — all byte-exact, engine-portable scalars."""
+    s = load_table(spark, sf_dir, "supplier")
+    return s.select(
+        "s_suppkey",
+        F.base64(F.col("s_name").cast("binary")).alias("name_b64"),
+        F.length(F.unbase64(F.base64(F.col("s_name").cast("binary"))))
+        .cast("long")
+        .alias("roundtrip_len"),
+        F.lower(F.hex(F.col("s_name").cast("binary"))).alias("name_hex"),
+        F.md5(F.col("s_name").cast("binary")).alias("name_md5"),
+    ).orderBy("s_suppkey")
+
+
+O_CODEC_SUITE = """
+SELECT s_suppkey,
+       base64(encode(s_name)) AS name_b64,
+       CAST(octet_length(from_base64(base64(encode(s_name)))) AS BIGINT)
+         AS roundtrip_len,
+       lower(to_hex(encode(s_name))) AS name_hex,
+       md5(s_name) AS name_md5
+FROM supplier ORDER BY s_suppkey
+"""
+
+
 QUERIES = {
     "string_search_suite": q_string_search,
+    "codec_suite": q_codec_suite,
     "datetime_trunc_suite": q_datetime_trunc,
     "conditional_null_suite": q_conditional_null,
 }
 
 ORACLES = {
     "string_search_suite": O_STRING_SEARCH,
+    "codec_suite": O_CODEC_SUITE,
     "datetime_trunc_suite": O_DATETIME_TRUNC,
     "conditional_null_suite": O_CONDITIONAL_NULL,
 }
