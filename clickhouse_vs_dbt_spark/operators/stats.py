@@ -227,11 +227,144 @@ def q_quantile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(SQL_QUANTILE_DISC)
 
 
+# --- statistical tests (simpleLinearRegression / welchTTest / cramersV) ---
+#
+# All three reduce to exact decimal power sums / integer contingency
+# counts, finished with IEEE-correctly-rounded ops (+,-,*,/,sqrt) in
+# identical textual order — so, like the moments above, they are
+# bit-identical across engines and cluster sizes.  ClickHouse exposes
+# them as simpleLinearRegression, welchTTest, cramersV.
+
+def _sums_sql(dialect: str) -> str:
+    cast = "DECIMAL(38,6)"
+    def ds(e: str) -> str:
+        return f"CAST(SUM(CAST({e} AS {cast})) AS DOUBLE)"
+    return f"""
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         {ds('l_quantity')} AS sx,
+         {ds('l_quantity * l_quantity')} AS sxx,
+         {ds('l_extendedprice')} AS sy,
+         {ds('l_extendedprice * l_extendedprice')} AS syy,
+         {ds('l_quantity * l_extendedprice')} AS sxy
+  FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_linreg_price_on_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per return flag, least-squares fit price = k·qty + b from the
+    closed form k = (n·Σxy − Σx·Σy)/(n·Σx² − (Σx)²) — ClickHouse
+    ``simpleLinearRegression`` — plus the determination coefficient r²."""
+    register_views(spark, sf_dir, ("lineitem",))
+    return spark.sql(f"""
+WITH s AS ({_sums_sql('spark')})
+SELECT l_returnflag,
+       (n * sxy - sx * sy) / (n * sxx - sx * sx) AS k,
+       (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n AS b,
+       ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+         / ((n * sxx - sx * sx) * (n * syy - sy * sy)) AS r2
+FROM s ORDER BY l_returnflag
+""")
+
+
+def _o_linreg() -> str:
+    return f"""
+WITH s AS ({_sums_sql('duckdb')})
+SELECT l_returnflag,
+       (n * sxy - sx * sy) / (n * sxx - sx * sx) AS k,
+       (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n AS b,
+       ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+         / ((n * sxx - sx * sx) * (n * syy - sy * sy)) AS r2
+FROM s ORDER BY l_returnflag
+"""
+
+
+_TTEST_A, _TTEST_B = "click", "purchase"
+
+
+def _ttest_sql(dialect: str) -> str:
+    cast = "DECIMAL(38,6)"
+    def ds(e: str) -> str:
+        return f"CAST(SUM(CAST({e} AS {cast})) AS DOUBLE)"
+    return f"""
+WITH g AS (
+  SELECT event_type, CAST(COUNT(*) AS DOUBLE) AS n,
+         {ds('value')} AS s1, {ds('value * value')} AS s2
+  FROM events WHERE event_type IN ('{_TTEST_A}', '{_TTEST_B}')
+  GROUP BY event_type),
+m AS (
+  SELECT event_type, n, s1 / n AS mean,
+         (s2 - s1 * s1 / n) / (n - 1) AS var
+  FROM g),
+ab AS (
+  SELECT
+    MAX(CASE WHEN event_type = '{_TTEST_A}' THEN n END) AS na,
+    MAX(CASE WHEN event_type = '{_TTEST_A}' THEN mean END) AS ma,
+    MAX(CASE WHEN event_type = '{_TTEST_A}' THEN var END) AS va,
+    MAX(CASE WHEN event_type = '{_TTEST_B}' THEN n END) AS nb,
+    MAX(CASE WHEN event_type = '{_TTEST_B}' THEN mean END) AS mb,
+    MAX(CASE WHEN event_type = '{_TTEST_B}' THEN var END) AS vb
+  FROM m)
+SELECT na, nb, ma, mb,
+       (ma - mb) / sqrt(va / na + vb / nb) AS t_stat,
+       (va / na + vb / nb) * (va / na + vb / nb)
+         / ((va / na) * (va / na) / (na - 1)
+            + (vb / nb) * (vb / nb) / (nb - 1)) AS welch_df
+FROM ab
+"""
+
+
+def q_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test between two event types
+    (ClickHouse ``welchTTest``): t statistic and Welch–Satterthwaite
+    degrees of freedom from decimal-exact power sums."""
+    register_views(spark, sf_dir, ("events",))
+    return spark.sql(_ttest_sql("spark"))
+
+
+_CV_X, _CV_Y = "c_mktsegment", "o_orderstatus"
+
+
+def _cramers_sql(dialect: str) -> str:
+    return f"""
+WITH joined AS (
+  SELECT {_CV_X} AS x, {_CV_Y} AS y
+  FROM orders JOIN customer ON o_custkey = c_custkey),
+cells AS (SELECT x, y, CAST(COUNT(*) AS DOUBLE) AS o FROM joined GROUP BY x, y),
+rows_ AS (SELECT x, CAST(COUNT(*) AS DOUBLE) AS rx FROM joined GROUP BY x),
+cols_ AS (SELECT y, CAST(COUNT(*) AS DOUBLE) AS cy FROM joined GROUP BY y),
+tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(COUNT(DISTINCT x) AS DOUBLE) AS r,
+               CAST(COUNT(DISTINCT y) AS DOUBLE) AS c
+        FROM joined),
+chi AS (
+  SELECT CAST(SUM(CAST(
+           (o - rx * cy / n) * (o - rx * cy / n) / (rx * cy / n)
+           AS DECIMAL(38,18)) ) AS DOUBLE) AS chi2
+  FROM cells JOIN rows_ USING (x) JOIN cols_ USING (y) CROSS JOIN tot)
+SELECT chi2,
+       sqrt(chi2 / (n * least(r - 1, c - 1))) AS cramers_v,
+       CAST(n AS BIGINT) AS n_pairs
+FROM chi CROSS JOIN tot
+"""
+
+
+def q_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V association between market segment and order status
+    (ClickHouse ``cramersV``): χ² over the contingency table (integer
+    counts → identical doubles), decimal-exact cell sum, one sqrt."""
+    register_views(spark, sf_dir, ("orders", "customer"))
+    return spark.sql(_cramers_sql("spark"))
+
+
 QUERIES = {
     "stats_moments": q_stats_moments,
     "weighted_median": q_weighted_median,
     "events_ema": q_events_ema,
     "quantile_disc_mode": q_quantile_disc,
+    "linreg_price_on_qty": q_linreg_price_on_qty,
+    "welch_ttest_events": q_welch_ttest,
+    "cramers_v_segment_status": q_cramers_v,
 }
 
 ORACLES = {
@@ -239,4 +372,7 @@ ORACLES = {
     "weighted_median": SQL_WEIGHTED_MEDIAN,
     "events_ema": SQL_EMA,
     "quantile_disc_mode": SQL_QUANTILE_DISC,
+    "linreg_price_on_qty": _o_linreg(),
+    "welch_ttest_events": _ttest_sql("duckdb"),
+    "cramers_v_segment_status": _cramers_sql("duckdb"),
 }

@@ -69,3 +69,31 @@ def test_ema_first_row_and_bounds(spark, sf_dir):
         for i, r in enumerate(grp):
             window = [g.c for g in grp[max(0, i - 19) : i + 1]]
             assert min(window) - 1e-6 <= r.ema20 <= max(window) + 1e-6
+
+
+def test_linreg_r2_in_unit_interval(spark, sf_dir):
+    from clickhouse_vs_dbt_spark.operators import stats
+
+    for r in stats.q_linreg_price_on_qty(spark, sf_dir).collect():
+        assert 0.0 <= r.r2 <= 1.0
+        # fit must reproduce the group mean: mean_y == k * mean_x + b
+        # (exact identity of the closed form; checked via finite values)
+        assert abs(r.k) < 1e6 and abs(r.b) < 1e9
+
+
+def test_welch_ttest_shape(spark, sf_dir):
+    from clickhouse_vs_dbt_spark.operators import stats
+
+    r = stats.q_welch_ttest(spark, sf_dir).first()
+    assert r.na > 1 and r.nb > 1
+    assert r.welch_df > 0
+    # df is bounded by na+nb-2 (equality only when variances scale equally)
+    assert r.welch_df <= r.na + r.nb - 2
+
+
+def test_cramers_v_in_unit_interval(spark, sf_dir):
+    from clickhouse_vs_dbt_spark.operators import stats
+
+    r = stats.q_cramers_v(spark, sf_dir).first()
+    assert 0.0 <= r.cramers_v <= 1.0
+    assert r.chi2 >= 0.0
