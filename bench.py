@@ -92,6 +92,18 @@ HEADLINE = [
     "unigram_freq_quality",
     "pagerank_trade_graph",
     "incremental_agg_mv",
+    # round-2 late additions: dialect layer, codecs, interpolation,
+    # HOF arrays, Arrow-UDF path, statistical tests, ratio-to-report
+    "clickhouse_dialect_rollup",
+    "codec_suite",
+    "events_gap_interpolate",
+    "array_hof_suite",
+    "text_char_diversity",
+    "linreg_price_on_qty",
+    "welch_ttest_events",
+    "cramers_v_segment_status",
+    "events_topk_sketch",
+    "ratio_to_total",
 ]
 
 

@@ -94,5 +94,73 @@ def q_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_sql("spark"))
 
 
-QUERIES = {"hll_distinct_users": q_hll_distinct_users}
-ORACLES = {"hll_distinct_users": _sql("duckdb")}
+def _merge_sql(dialect: str) -> str:
+    """uniqMerge analog: per-type register states MAX-merged into one
+    global register set, estimated, and compared against the direct
+    global estimate — the equality column proves sketch mergeability
+    (the AggregateFunction-state algebra that makes pre-aggregated
+    rollups exact at 100 TB: combining per-partition/per-day states
+    never re-reads raw data)."""
+    h = md5p_sql(
+        "CAST(user_id AS STRING)" if dialect == "spark" else "CAST(user_id AS VARCHAR)",
+        dialect,
+    )
+    idiv = "div" if dialect == "spark" else "//"
+    shift = (
+        "shiftleft(CAST(1 AS BIGINT), 53 - rank)"
+        if dialect == "spark"
+        else "(CAST(1 AS BIGINT) << (53 - rank))"
+    )
+    est = (
+        f"CASE WHEN {_NUM} / (s + ({M} - seen) * {_SCALE}) <= 2.5 * {M} "
+        f"          AND seen < {M} "
+        f"     THEN {M} * ln(CAST({M} AS DOUBLE) / ({M} - seen)) "
+        f"     ELSE {_NUM} / (s + ({M} - seen) * {_SCALE}) END"
+    )
+    return f"""
+WITH du AS (
+  SELECT DISTINCT event_type, user_id FROM events),
+h AS (
+  SELECT event_type, {h} AS hv FROM du),
+typed_reg AS (
+  SELECT event_type, hv % {M} AS bucket,
+         MAX(CASE WHEN hv {idiv} {M} = 0 THEN 53
+                  ELSE 53 - length(bin(hv {idiv} {M})) END) AS rank
+  FROM h GROUP BY event_type, hv % {M}),
+merged_reg AS (
+  SELECT bucket, MAX(rank) AS rank FROM typed_reg GROUP BY bucket),
+global_reg AS (
+  SELECT hv % {M} AS bucket,
+         MAX(CASE WHEN hv {idiv} {M} = 0 THEN 53
+                  ELSE 53 - length(bin(hv {idiv} {M})) END) AS rank
+  FROM h GROUP BY hv % {M}),
+m_est AS (
+  SELECT CAST(CAST({est} AS DECIMAL(18,3)) AS DOUBLE) AS e
+  FROM (SELECT COUNT(*) AS seen, CAST(SUM({shift}) AS BIGINT) AS s
+        FROM merged_reg)),
+g_est AS (
+  SELECT CAST(CAST({est} AS DECIMAL(18,3)) AS DOUBLE) AS e
+  FROM (SELECT COUNT(*) AS seen, CAST(SUM({shift}) AS BIGINT) AS s
+        FROM global_reg)),
+ex AS (SELECT COUNT(DISTINCT user_id) AS n_exact FROM events)
+SELECT ex.n_exact, m_est.e AS merged_estimate, g_est.e AS direct_estimate,
+       m_est.e = g_est.e AS merge_is_lossless
+FROM ex CROSS JOIN m_est CROSS JOIN g_est
+"""
+
+
+def q_hll_merge_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge per-event-type HLL register states into the global
+    distinct-user estimate (see :func:`_merge_sql`)."""
+    register_views(spark, sf_dir, ("events",))
+    return spark.sql(_merge_sql("spark"))
+
+
+QUERIES = {
+    "hll_distinct_users": q_hll_distinct_users,
+    "hll_merge_global": q_hll_merge_global,
+}
+ORACLES = {
+    "hll_distinct_users": _sql("duckdb"),
+    "hll_merge_global": _merge_sql("duckdb"),
+}

@@ -44,3 +44,13 @@ def test_hll_matches_python_reference_exactly(spark, sf_dir):
         assert math.isclose(
             r.rel_err, round((est - r.n_exact) / r.n_exact, 6), abs_tol=2e-6
         )
+
+
+def test_hll_merge_is_lossless(spark, sf_dir):
+    from clickhouse_vs_dbt_spark.operators import hll
+
+    r = hll.q_hll_merge_global(spark, sf_dir).first()
+    # MAX-merge of per-type registers must equal the direct global sketch
+    assert r.merge_is_lossless
+    # p=8 → ~6.5% standard error; allow 4 sigma
+    assert abs(r.merged_estimate - r.n_exact) / r.n_exact < 0.26
