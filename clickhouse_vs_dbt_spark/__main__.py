@@ -1,0 +1,141 @@
+"""CLI — the reference's two entry points as one command.
+
+The reference's UX is ``dbt run`` (build models, reference
+README.md:406-409) plus ad-hoc SQL in a client (README.md:411-438).
+This CLI is the Spark-native equivalent:
+
+    python -m clickhouse_vs_dbt_spark models [--sf-dir DIR]
+        build the staging views + materialized star via the ModelRunner
+        (the dbt-analog DAG) and report row counts.
+
+    python -m clickhouse_vs_dbt_spark sql "SELECT ..." [--sf-dir DIR]
+        run ad-hoc SQL with every fixture table registered, the star
+        view available, and the ClickHouse-dialect function names
+        (compat.py) usable verbatim — e.g.
+        ``SELECT toYYYYMM(CAST(o_orderdate AS DATE)), count(*)
+          FROM orders GROUP BY 1``.
+
+    python -m clickhouse_vs_dbt_spark query <name> [--sf-dir DIR]
+        run one of the gated queries by name (``list`` prints them).
+
+    python -m clickhouse_vs_dbt_spark list
+        list every gated query name.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.001"
+
+
+def _spark(app: str):
+    from clickhouse_vs_dbt_spark.session import get_spark
+
+    return get_spark(app)
+
+
+def _prepare(spark, sf_dir: str) -> None:
+    from clickhouse_vs_dbt_spark import compat
+    from clickhouse_vs_dbt_spark.catalog import register_views
+    from clickhouse_vs_dbt_spark.operators.common import star
+
+    register_views(spark, sf_dir)
+    star(spark, sf_dir).createOrReplaceTempView("star")
+    compat.register_clickhouse_compat(spark)
+
+
+def cmd_models(args) -> int:
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from clickhouse_vs_dbt_spark.catalog import load_table
+    from clickhouse_vs_dbt_spark.plans.models import (
+        Materialization,
+        Model,
+        ModelRunner,
+    )
+    from clickhouse_vs_dbt_spark.plans.star import build_star
+
+    spark = _spark("cli-models")
+    runner = ModelRunner(spark)
+    for t in ("customer", "orders", "lineitem", "part", "supplier"):
+        runner.add(
+            Model(
+                f"stg_{t}",
+                (lambda tt: lambda s, existing=None: load_table(s, args.sf_dir, tt))(t),
+                materialization=Materialization.VIEW,
+            )
+        )
+    runner.add(
+        Model(
+            "star",
+            lambda s, existing=None: build_star(s, args.sf_dir),
+            materialization=Materialization.TABLE,
+            deps=("stg_customer", "stg_orders", "stg_lineitem", "stg_part", "stg_supplier"),
+        )
+    )
+    out = runner.run()
+    for name in runner.order():
+        print(f"{name:16s} {out[name].count():>10d} rows")
+    return 0
+
+
+def cmd_sql(args) -> int:
+    spark = _spark("cli-sql")
+    _prepare(spark, args.sf_dir)
+    spark.sql(args.query).show(args.limit, truncate=False)
+    return 0
+
+
+def cmd_query(args) -> int:
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    if args.name not in qs:
+        print(f"unknown query {args.name!r}; see `list`", file=sys.stderr)
+        return 2
+    spark = _spark("cli-query")
+    qs[args.name](spark, args.sf_dir).show(args.limit, truncate=False)
+    return 0
+
+
+def cmd_list(args) -> int:
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entrymod
+
+    for name in sorted(entrymod.queries()):
+        print(name)
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="clickhouse_vs_dbt_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pm = sub.add_parser("models", help="build the model DAG (dbt-run analog)")
+    pm.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
+    pm.set_defaults(fn=cmd_models)
+
+    ps = sub.add_parser("sql", help="ad-hoc SQL with tables + dialect registered")
+    ps.add_argument("query")
+    ps.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
+    ps.add_argument("--limit", type=int, default=20)
+    ps.set_defaults(fn=cmd_sql)
+
+    pq = sub.add_parser("query", help="run a gated query by name")
+    pq.add_argument("name")
+    pq.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
+    pq.add_argument("--limit", type=int, default=20)
+    pq.set_defaults(fn=cmd_query)
+
+    pl = sub.add_parser("list", help="list gated query names")
+    pl.set_defaults(fn=cmd_list)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -202,3 +202,12 @@ def test_incremental_append_without_key_or_partitions(spark, sf_dir, tmp_path):
     runner.run()
     out = runner.run()
     assert sorted(r.id for r in out["nums"].collect()) == list(range(10))
+
+
+def test_cli_list_and_query(capsys):
+    from clickhouse_vs_dbt_spark.__main__ import main
+
+    assert main(["list"]) == 0
+    out = capsys.readouterr().out.splitlines()
+    assert "ssb_q1_1" in out and len(out) > 150
+    assert main(["query", "nope_not_a_query"]) == 2
