@@ -177,14 +177,63 @@ ORDER BY lang, rk
 """
 
 
+# --- deterministic train/val/test split ---
+
+SPLIT_BOUNDS = (80, 90)  # hash-bucket < 80 → train, < 90 → val, else test
+
+
+def q_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-deterministic 80/10/10 train/val/test assignment per
+    document — the split every training pipeline needs, as a map-side
+    projection of the Wang-mixed id bucket (no RNG, no seed state;
+    re-runs and late-arriving shards land in the same split forever,
+    and a doc's split never depends on what else is in the batch).
+    Emitted as per-(lang, split) counts plus a char-mass checksum so
+    the gate verifies the exact membership, not just proportions."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = F.expr(mix_bucket_sql("spark"))
+    split = (
+        F.when(bucket < SPLIT_BOUNDS[0], "train")
+        .when(bucket < SPLIT_BOUNDS[1], "val")
+        .otherwise("test")
+    )
+    return (
+        d.withColumn("split", split)
+        .groupBy("lang", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+        .orderBy("lang", "split")
+    )
+
+
+O_TRAIN_VAL_TEST = f"""
+SELECT lang,
+       CASE WHEN {mix_bucket_sql('duckdb')} < {SPLIT_BOUNDS[0]} THEN 'train'
+            WHEN {mix_bucket_sql('duckdb')} < {SPLIT_BOUNDS[1]} THEN 'val'
+            ELSE 'test' END AS split,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       MIN(doc_id) AS min_doc_id,
+       MAX(doc_id) AS max_doc_id
+FROM documents
+GROUP BY 1, 2 ORDER BY lang, split
+"""
+
+
 QUERIES = {
     "stratified_sample": q_stratified_sample,
     "rebalance_weights": q_rebalance_weights,
     "reservoir_per_lang": q_reservoir_per_lang,
+    "train_val_test_split": q_train_val_test_split,
 }
 
 ORACLES = {
     "stratified_sample": O_STRATIFIED,
+    "train_val_test_split": O_TRAIN_VAL_TEST,
     "rebalance_weights": O_REBALANCE,
     "reservoir_per_lang": O_RESERVOIR,
 }
