@@ -75,28 +75,42 @@ def _update(assigned: DataFrame) -> DataFrame:
     )
 
 
-def q_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """K=4 clusters, 2 Lloyd iterations; returns the final centroid
-    cells (cluster, pos, c, n_vectors), one row per cell."""
+def fit_centroids(
+    spark: SparkSession, sf_dir: str, iters: int = ITERS
+) -> dict[int, list[float]]:
+    """Deterministic quantizer fit: ``iters`` Lloyd rounds from the
+    first-K init; returns cluster → centroid literals (the model state
+    the deterministic IVF in operators/similarity.py broadcasts)."""
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     centroids = {
         r.vec_id: [float(x) for x in r.embedding]
         for r in e.filter(F.col("vec_id") < K).collect()
     }
-    for _ in range(ITERS):
+    for _ in range(iters):
         cells = _update(_assign(e, centroids)).collect()
         centroids = {}
         for r in cells:
             centroids.setdefault(r.cluster, [0.0] * DIM)[r.pos] = r.c
+    return centroids
+
+
+def q_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K=4 clusters, 2 Lloyd iterations; returns the final centroid
+    cells (cluster, pos, c, n_vectors), one row per cell."""
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    centroids = fit_centroids(spark, sf_dir)
     final = _update(_assign(e, centroids))
     return final.select(
         "cluster", "pos", "c", F.col("n").alias("n_vectors")
     ).orderBy("cluster", "pos")
 
 
-def _o_kmeans() -> str:
-    """DuckDB replay: the same two assign/update rounds as chained CTEs
-    (flattened per-pos), then the final assignment and means."""
+def kmeans_ctes() -> str:
+    """The DuckDB replay of the fit as a reusable WITH-chain prefix:
+    flat → cent0 → assign1 → cent1 → assign2 → cent2 (the fitted
+    quantizer) → assign3 (the final corpus assignment).  Shared by the
+    kmeans oracle and the deterministic-IVF oracle
+    (operators/similarity.py)."""
     flat = f"""
   SELECT vec_id, pos - 1 AS pos, CAST(embedding[pos] AS DOUBLE) AS x
   FROM embeddings, generate_series(1, {DIM}) t(pos)"""
@@ -117,7 +131,7 @@ def _o_kmeans() -> str:
   FROM {assigned} a JOIN flat f ON f.vec_id = a.vec_id
   GROUP BY a.cluster, f.pos"""
     return f"""
-WITH flat AS ({flat}),
+flat AS ({flat}),
 cent0 AS (
   SELECT vec_id AS cluster, pos, x AS c FROM flat WHERE vec_id < {K}),
 assign1 AS ({assign.format(ddist=DDIST, cents='cent0')}),
@@ -125,7 +139,14 @@ cent1 AS ({update.format(assigned='assign1')}),
 assign2 AS ({assign.format(ddist=DDIST, cents='cent1')}),
 cent2 AS ({update.format(assigned='assign2')}),
 assign3 AS ({assign.format(ddist=DDIST, cents='cent2')}),
-final AS ({update.format(assigned='assign3')})
+final AS ({update.format(assigned='assign3')})"""
+
+
+def _o_kmeans() -> str:
+    """DuckDB replay: the same two assign/update rounds as chained CTEs
+    (flattened per-pos), then the final assignment and means."""
+    return f"""
+WITH {kmeans_ctes()}
 SELECT cluster, pos, c, CAST(n AS BIGINT) AS n_vectors
 FROM final ORDER BY cluster, pos
 """

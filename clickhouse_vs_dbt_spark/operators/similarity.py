@@ -389,11 +389,112 @@ ORDER BY vec_id
 """
 
 
+# --- deterministic IVF: the value-checked variant ---
+
+IVF_NPROBE = 2
+
+
+def q_ann_topk_ivf_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-5 with a **deterministic quantizer** — the value-checked
+    sibling of :func:`q_ann_topk_ivf` (which keeps the Spark-ML KMeans
+    to exercise the library API but can only be rows-only-checked).
+
+    The coarse quantizer is operators/kmeans.py's decimal-exact Lloyd
+    fit (no RNG, partitioning-independent), so the ENTIRE approximate
+    pipeline — fit → corpus assignment → NPROBE probe selection →
+    candidate scan → cosine re-rank — replays bit-identically in
+    DuckDB.  Same 100 TB shape as the ML variant: centroids are model
+    state (a K×dim literal broadcast), assignment is map-only, probes
+    prune to ~NPROBE/K of the corpus."""
+    from clickhouse_vs_dbt_spark.operators.kmeans import (
+        _assign,
+        _dist2_expr,
+        fit_centroids,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    centroids = fit_centroids(spark, sf_dir)
+    assigned = _assign(e.select("vec_id", "embedding"), centroids)
+
+    structs = ", ".join(
+        f"named_struct('d', {_dist2_expr(c)}, 'c', {k})"
+        for k, c in sorted(centroids.items())
+    )
+    probe_cells = F.expr(
+        f"transform(slice(array_sort(array({structs})), 1, {IVF_NPROBE}), s -> s.c)"
+    )
+    probes = (
+        e.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+            F.explode(probe_cells).alias("cluster"),
+        )
+    )
+    scored = (
+        assigned.join(F.broadcast(probes), "cluster")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("cos_sim", cosine("query_vec", "embedding"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "rank",
+            F.round("cos_sim", 6).alias("cos_sim"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+def _o_ann_ivf_exact() -> str:
+    from clickhouse_vs_dbt_spark.operators.kmeans import DDIST, kmeans_ctes
+
+    return f"""
+WITH {kmeans_ctes()},
+qdist AS (
+  SELECT f.vec_id AS query_id, c.cluster,
+         SUM(CAST((f.x - c.c) * (f.x - c.c) AS {DDIST})) AS d
+  FROM flat f JOIN cent2 c ON f.pos = c.pos
+  WHERE f.vec_id < {N_QUERIES}
+  GROUP BY f.vec_id, c.cluster),
+probes AS (
+  SELECT query_id, cluster FROM (
+    SELECT query_id, cluster,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d, cluster) AS rn
+    FROM qdist)
+  WHERE rn <= {IVF_NPROBE}),
+scored AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[])
+           AS cos_sim
+  FROM probes p
+  JOIN assign3 a ON a.cluster = p.cluster
+  JOIN embeddings e ON e.vec_id = a.vec_id
+  JOIN embeddings q ON q.vec_id = p.query_id
+  WHERE a.vec_id != p.query_id),
+ranked AS (
+  SELECT query_id, neighbor_id, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, rank, round(cos_sim, 6) AS cos_sim
+FROM ranked WHERE rank <= {TOP_K}
+ORDER BY query_id, rank
+"""
+
+
 QUERIES = {
     "ann_topk_bruteforce": q_ann_topk_bruteforce,
     "embedding_quantize_int8": q_embedding_quantize_int8,
     "ann_topk_lsh": q_ann_topk_lsh,
     "ann_topk_ivf": q_ann_topk_ivf,
+    "ann_topk_ivf_exact": q_ann_topk_ivf_exact,
     "embedding_centroids": q_embedding_centroids,
 }
 
@@ -402,6 +503,9 @@ ORACLES = {
     "ann_topk_lsh": _o_ann_lsh(),
     "embedding_quantize_int8": O_QUANTIZE,
     "embedding_centroids": O_CENTROIDS,
-    # ann_topk_ivf: rows-only (KMeans fitted state is not SQL-
-    # expressible; recall pinned vs brute force in tests).
+    "ann_topk_ivf_exact": _o_ann_ivf_exact(),
+    # ann_topk_ivf: rows-only (Spark-ML KMeans fitted state is not SQL-
+    # expressible; recall pinned vs brute force in tests).  The
+    # deterministic-quantizer sibling ann_topk_ivf_exact value-checks
+    # the identical IVF pipeline end-to-end.
 }

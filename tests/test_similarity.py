@@ -125,3 +125,18 @@ def test_quantize_int8_reconstruction(spark, sf_dir):
         # well under one step squared
         assert 0 <= r.mse < (r.max_abs / 127.0) ** 2
         assert len(r.q_digest) == 32  # md5 hex
+
+
+def test_ivf_exact_recall_vs_bruteforce(spark, sf_dir):
+    from clickhouse_vs_dbt_spark.operators import similarity
+
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.q_ann_topk_bruteforce(spark, sf_dir).collect()
+    }
+    ivf = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.q_ann_topk_ivf_exact(spark, sf_dir).collect()
+    }
+    # NPROBE=2 of K=4 cells: expect decent overlap with the exact top-k
+    assert len(ivf & exact) >= len(exact) // 2
