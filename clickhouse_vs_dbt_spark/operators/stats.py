@@ -357,6 +357,73 @@ def q_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_cramers_sql("spark"))
 
 
+# --- histogram quantile sketch (quantileTiming / BFloat16 spirit) ---
+
+HIST_BINS = 1024
+HIST_LO, HIST_HI = 0.0, 1000.0  # value domain covered by the sketch
+
+
+def _hist_quantile_sql(dialect: str) -> str:
+    """Fixed-grid histogram quantile estimate: bucket each value into
+    one of HIST_BINS equal-width bins (clamped), then read p50/p95 off
+    the cumulative bin counts and report the bin midpoint.
+
+    This is the engine-portable form of ClickHouse's bucketing
+    quantile sketches (``quantileTiming``/``quantileBFloat16``): the
+    state is a bounded integer histogram — mergeable, order-free, and
+    (unlike t-digest/GK) bit-identical on any engine or partitioning,
+    so the whole approximate path value-checks.  Error is bounded by
+    half the bin width; the exact per-group quantile is reported
+    alongside to exhibit it."""
+    idiv = "div" if dialect == "spark" else "//"
+    q_exact = (
+        "percentile(value, 0.50)" if dialect == "spark" else "quantile_cont(value, 0.50)"
+    )
+    q_exact95 = (
+        "percentile(value, 0.95)" if dialect == "spark" else "quantile_cont(value, 0.95)"
+    )
+    width = (HIST_HI - HIST_LO) / HIST_BINS
+    bin_expr = (
+        f"least(CAST({HIST_BINS - 1} AS BIGINT), "
+        f"greatest(CAST(0 AS BIGINT), "
+        f"CAST(floor((value - {HIST_LO}) / {width!r}) AS BIGINT)))"
+    )
+    mid = f"({HIST_LO} + (bin + 0.5) * {width!r})"
+    return f"""
+WITH binned AS (
+  SELECT event_type, {bin_expr} AS bin, COUNT(*) AS cnt
+  FROM events GROUP BY event_type, {bin_expr}),
+cum AS (
+  SELECT event_type, bin, cnt,
+         SUM(cnt) OVER (PARTITION BY event_type ORDER BY bin
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_cnt,
+         SUM(cnt) OVER (PARTITION BY event_type) AS total
+  FROM binned),
+est AS (
+  SELECT event_type,
+         MIN(CASE WHEN cum_cnt * 100 >= total * 50 THEN {mid} END) AS p50_est,
+         MIN(CASE WHEN cum_cnt * 100 >= total * 95 THEN {mid} END) AS p95_est
+  FROM cum GROUP BY event_type),
+exact AS (
+  SELECT event_type,
+         round({q_exact}, 6) AS p50_exact,
+         round({q_exact95}, 6) AS p95_exact,
+         COUNT(*) AS n
+  FROM events GROUP BY event_type)
+SELECT exact.event_type, n, p50_est, p95_est, p50_exact, p95_exact,
+       round(abs(p50_est - p50_exact), 6) AS p50_abs_err
+FROM exact JOIN est ON exact.event_type = est.event_type
+ORDER BY exact.event_type
+"""
+
+
+def q_quantile_histogram_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram-sketch quantiles per event type (see
+    :func:`_hist_quantile_sql`)."""
+    register_views(spark, sf_dir, ("events",))
+    return spark.sql(_hist_quantile_sql("spark"))
+
+
 QUERIES = {
     "stats_moments": q_stats_moments,
     "weighted_median": q_weighted_median,
@@ -365,6 +432,7 @@ QUERIES = {
     "linreg_price_on_qty": q_linreg_price_on_qty,
     "welch_ttest_events": q_welch_ttest,
     "cramers_v_segment_status": q_cramers_v,
+    "quantile_histogram_sketch": q_quantile_histogram_sketch,
 }
 
 ORACLES = {
@@ -375,4 +443,5 @@ ORACLES = {
     "linreg_price_on_qty": _o_linreg(),
     "welch_ttest_events": _ttest_sql("duckdb"),
     "cramers_v_segment_status": _cramers_sql("duckdb"),
+    "quantile_histogram_sketch": _hist_quantile_sql("duckdb"),
 }
