@@ -28,6 +28,7 @@ from clickhouse_vs_dbt_spark.operators import (
     geo,
     hll,
     ipfns,
+    jsonfns,
     maps,
     incremental,
     kmeans,
@@ -84,6 +85,7 @@ _MODULES = [
     fuzzy,
     geo,
     ipfns,
+    jsonfns,
     hll,
     dedup,
     components,
