@@ -44,3 +44,34 @@ def test_argmax_state_avoids_window_sort(spark, sf_dir):
     plan = _plan(q_events_argmax_state(spark, sf_dir))
     assert "Window" not in plan
     assert "max_by" in plan
+
+
+def test_unigram_quality_broadcasts_vocab(spark, sf_dir):
+    """The Zipf vocab must ship to the token relation as a broadcast —
+    a shuffled vocab join would re-exchange the fact side."""
+    from clickhouse_vs_dbt_spark.operators.corpus import q_unigram_freq_quality
+
+    plan = _plan(q_unigram_freq_quality(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_gap_interpolate_has_no_unbounded_following_frame(spark, sf_dir):
+    """Forward scan must be the descending running frame (O(1)/row) —
+    an unbounded-following frame re-scans the partition tail per row."""
+    from clickhouse_vs_dbt_spark.operators.timeseries import (
+        q_events_gap_interpolate,
+    )
+
+    plan = _plan(q_events_gap_interpolate(spark, sf_dir))
+    assert "unboundedfollowing" not in plan.lower()
+
+
+def test_ivf_exact_probes_broadcast(spark, sf_dir):
+    """Probe set (|queries| x NPROBE rows) must broadcast onto the
+    assigned corpus — the corpus never re-shuffles for a probe."""
+    from clickhouse_vs_dbt_spark.operators.similarity import (
+        q_ann_topk_ivf_exact,
+    )
+
+    plan = _plan(q_ann_topk_ivf_exact(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
