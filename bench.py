@@ -144,6 +144,20 @@ def main() -> int:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
+    # Round-over-round comparability: the headline set grows every
+    # round, so also report the total over round 1's 27-query subset —
+    # that is the like-for-like number against BENCH_r01.json.
+    r01_subset = [
+        "ssb_q1_1", "ssb_q1_2", "ssb_q1_3", "ssb_q2_brand_revenue",
+        "ssb_q2_2", "ssb_q2_3", "ssb_q3_nation_revenue", "ssb_q3_2",
+        "ssb_q3_3", "ssb_q3_4", "ssb_q4_profit", "ssb_q4_2", "ssb_q4_3",
+        "star_build", "tpch_q1_pricing_summary", "top_customers",
+        "window_rank_parts", "dedup_exact", "dedup_minhash_lsh",
+        "ann_topk_bruteforce", "text_quality", "text_chunks",
+        "stratified_sample", "dq_checks", "events_tumbling_window",
+        "events_gap_fill", "events_rollup_hierarchy",
+    ]
+    r01_total = round(sum(timings.get(q, 0.0) for q in r01_subset), 3)
     print(
         json.dumps(
             {
@@ -152,6 +166,8 @@ def main() -> int:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "n_queries": len(timings),
+                "r01_subset_total": r01_total,
             }
         )
     )
