@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from clickhouse_vs_dbt_spark import compat
 from clickhouse_vs_dbt_spark.operators import (
+    bloomjoin,
     boilerplate,
     chfuncs,
     components,
@@ -72,6 +73,7 @@ from clickhouse_vs_dbt_spark.streaming import (
 _MODULES = [
     ssb_queries,
     compat,
+    bloomjoin,
     chfuncs,
     windowfns,
     boilerplate,

@@ -247,3 +247,15 @@ def test_clickhouse_dialect_inlines_to_builtin_plan(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     # SQL UDFs are substituted at analysis time: no python/UDF nodes
     assert "BatchEvalPython" not in plan and "pythonUDF" not in plan
+
+
+def test_bloom_semi_join_no_false_negatives(spark, sf_dir):
+    from clickhouse_vs_dbt_spark.operators import bloomjoin
+
+    rows = bloomjoin.q_bloom_semi_join(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # a Bloom filter never misses a true member
+        assert r.n_true == r.n_semi
+        assert r.n_false_pos >= 0
+        assert r.n_bloom_pass == r.n_true + r.n_false_pos
