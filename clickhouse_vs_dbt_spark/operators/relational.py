@@ -540,6 +540,47 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+# --- ClickHouse LIMIT n BY analog ---
+
+LIMIT_BY_N = 3
+
+
+def q_limit_by_analog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``LIMIT n BY key`` (first n rows per key after ORDER
+    BY) as the standard-SQL rank-filter: earliest 3 orders per status.
+    The window partitions by the LIMIT BY key, so per-partition heaps
+    do the work — no global sort at any scale (same decorrelated plan
+    Catalyst produces for the LATERAL form, lateral_top_orders)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        "o_orderdate", "o_orderkey"
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= LIMIT_BY_N)
+        .select(
+            "o_orderstatus",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("order_date"),
+            F.col("rn").cast("int").alias("rn"),
+        )
+        .orderBy("o_orderstatus", "rn")
+    )
+
+
+O_LIMIT_BY = f"""
+SELECT o_orderstatus, o_orderkey,
+       CAST(o_orderdate AS DATE) AS order_date, CAST(rn AS INT) AS rn
+FROM (
+  SELECT o_orderstatus, o_orderkey, o_orderdate,
+         ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                            ORDER BY o_orderdate, o_orderkey) AS rn
+  FROM orders)
+WHERE rn <= {LIMIT_BY_N}
+ORDER BY o_orderstatus, rn
+"""
+
+
 # --- full outer join ---
 
 def q_full_outer_nation_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -645,6 +686,7 @@ QUERIES = {
     "tpch_q1_pricing_summary": q_pricing_summary,
     "full_outer_nation_balance": q_full_outer_nation_balance,
     "cross_join_grid": q_cross_join_grid,
+    "limit_by_analog": q_limit_by_analog,
     "histogram_quantity": q_histogram_quantity,
     "unpivot_part_measures": q_unpivot_part_measures,
     "group_quantiles": q_group_quantiles,
@@ -669,6 +711,7 @@ ORACLES = {
     "tpch_q1_pricing_summary": O_PRICING,
     "full_outer_nation_balance": O_FULL_OUTER,
     "cross_join_grid": O_CROSS_JOIN_GRID,
+    "limit_by_analog": O_LIMIT_BY,
     "histogram_quantity": O_HISTOGRAM,
     "unpivot_part_measures": O_UNPIVOT,
     "group_quantiles": O_GROUP_QUANTILES,

@@ -345,6 +345,47 @@ ORDER BY u.doc_id
 """
 
 
+# --- Unicode NFC normalization (normalizeUTF8NFC analog) ---
+
+def q_text_nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``normalizeUTF8NFC`` analog via a vectorized Pandas
+    UDF (Spark has no built-in Unicode normalizer): per document,
+    whether the text is already NFC, its normalized length, and an md5
+    of the normalized form — value-checked against DuckDB's native
+    ``nfc_normalize``.  The kernel is ``unicodedata.normalize`` over
+    Arrow string batches; combining-character edge cases are pinned in
+    tests with explicitly non-NFC inputs (the fixture corpus is already
+    NFC, which the ``is_nfc`` column demonstrates rather than hides)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def nfc(texts: pd.Series) -> pd.Series:
+        import unicodedata
+
+        return texts.map(lambda t: unicodedata.normalize("NFC", t))
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", nfc("text").alias("norm"), "text")
+        .select(
+            "doc_id",
+            (F.col("norm") == F.col("text")).alias("is_nfc"),
+            F.length("norm").cast("long").alias("norm_len"),
+            F.md5(F.col("norm").cast("binary")).alias("norm_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+O_NFC_NORMALIZE = """
+SELECT doc_id,
+       nfc_normalize(text) = text AS is_nfc,
+       CAST(length(nfc_normalize(text)) AS BIGINT) AS norm_len,
+       md5(nfc_normalize(text)) AS norm_md5
+FROM documents ORDER BY doc_id
+"""
+
+
 # --- Arrow-batched Pandas UDF path, value-checked ---
 
 def q_text_char_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -394,6 +435,7 @@ FROM documents ORDER BY doc_id
 
 
 QUERIES = {
+    "text_nfc_normalize": q_text_nfc_normalize,
     "text_char_diversity": q_text_char_diversity,
     "text_token_stats": q_text_token_stats,
     "text_repetition": q_text_repetition,
@@ -404,6 +446,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "text_nfc_normalize": O_NFC_NORMALIZE,
     "text_char_diversity": O_CHAR_DIVERSITY,
     "text_token_stats": O_TOKEN_STATS,
     "text_repetition": O_TEXT_REPETITION,

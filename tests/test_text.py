@@ -4,6 +4,7 @@ frames plus sanity over the sf0.001 fixture."""
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import functions as F
 
 from clickhouse_vs_dbt_spark.functions.textfns import rolling_hash
@@ -117,3 +118,26 @@ def test_text_chunks_cover_every_token_with_overlap(spark, sf_dir):
         # and no earlier window was needed past the stride ladder
         if len(ids) > 1:
             assert last_start < n_tok[doc_id] <= last_start + CHUNK_TOKENS
+
+
+def test_nfc_normalize_combining_chars(spark):
+    """Explicit non-NFC input: e + COMBINING ACUTE must normalize to
+    the precomposed é (shorter, equal md5 with the NFC form)."""
+    import hashlib
+    import unicodedata
+
+    from pyspark.sql.functions import col, length, md5, pandas_udf
+
+    @pandas_udf("string")
+    def nfc(texts: pd.Series) -> pd.Series:
+        return texts.map(lambda t: unicodedata.normalize("NFC", t))
+
+    decomposed = "café"  # 5 code points
+    df = spark.createDataFrame([(decomposed,)], "text string").select(
+        nfc("text").alias("norm")
+    )
+    r = df.select(
+        length("norm").alias("n"), md5(col("norm").cast("binary")).alias("h")
+    ).first()
+    assert r.n == 4  # é precomposed
+    assert r.h == hashlib.md5("café".encode()).hexdigest()
