@@ -104,6 +104,9 @@ HEADLINE = [
     "cramers_v_segment_status",
     "events_topk_sketch",
     "ratio_to_total",
+    "bloom_semi_join",
+    "variant_json_suite",
+    "limit_by_analog",
 ]
 
 
