@@ -507,6 +507,66 @@ ORDER BY 1, 2
 """
 
 
+# --- max concurrent sessions (ClickHouse maxIntersections analog) ---
+
+def _max_intersections_sql(dialect: str) -> str:
+    """Sweep-line over per-user session intervals: +1 at each session
+    start, −1 after its end; the peak of the running sum is the maximum
+    number of concurrent sessions, with the earliest micros timestamp
+    at which it is attained (ClickHouse ``maxIntersections`` /
+    ``maxIntersectionsPosition``).
+
+    Intervals are closed (single-event sessions still count), enforced
+    by ordering +1 before −1 at equal timestamps.  The sweep's global
+    window runs over 2·|sessions| boundary rows — already reduced from
+    the event scale; at 100 TB partition the sweep by day and carry
+    day-boundary offsets (the same two-pass prefix-sum pattern as
+    operators/pipeline.py) instead of one global window."""
+    eus = "unix_micros" if dialect == "spark" else "epoch_us"
+    return f"""
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN {eus}(ts) - {eus}(lag(ts) OVER (PARTITION BY user_id ORDER BY ts))
+                   >= {SESSION_GAP_MIN * 60} * 1000000 OR
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS is_start
+  FROM events),
+sessions AS (
+  SELECT user_id, ts,
+         SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM marked),
+intervals AS (
+  SELECT user_id, sid, {eus}(MIN(ts)) AS st, {eus}(MAX(ts)) AS en
+  FROM sessions GROUP BY user_id, sid),
+boundaries AS (
+  SELECT st AS t, 1 AS delta FROM intervals
+  UNION ALL
+  SELECT en, -1 FROM intervals),
+sweep AS (
+  SELECT t, delta,
+         SUM(delta) OVER (ORDER BY t, delta DESC
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS concurrent
+  FROM boundaries),
+peak AS (SELECT MAX(concurrent) AS max_concurrent FROM sweep)
+SELECT CAST(p.max_concurrent AS BIGINT) AS max_concurrent,
+       CAST(MIN(s.t) AS BIGINT) AS first_peak_us,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM intervals) AS n_sessions
+FROM sweep s JOIN peak p ON s.concurrent = p.max_concurrent
+GROUP BY p.max_concurrent
+"""
+
+
+def q_events_max_intersections(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak session concurrency over the whole event stream (see
+    :func:`_max_intersections_sql`)."""
+    from clickhouse_vs_dbt_spark.catalog import register_views
+
+    register_views(spark, sf_dir, ("events",))
+    return spark.sql(_max_intersections_sql("spark"))
+
+
 # --- linear interpolation over gaps (WITH FILL INTERPOLATE analog) ---
 
 def q_events_gap_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -675,6 +735,7 @@ QUERIES = {
     "events_time_parts": q_events_time_parts,
     "events_gap_fill": q_events_gap_fill,
     "events_gap_interpolate": q_events_gap_interpolate,
+    "events_max_intersections": q_events_max_intersections,
     "events_rollup_hierarchy": q_events_rollup_hierarchy,
     "events_asof_join": q_events_asof_join,
     "events_range_join": q_events_range_join,
@@ -691,6 +752,7 @@ ORACLES = {
     "events_time_parts": O_TIME_PARTS,
     "events_gap_fill": O_GAP_FILL,
     "events_gap_interpolate": O_GAP_INTERPOLATE,
+    "events_max_intersections": _max_intersections_sql("duckdb"),
     "events_rollup_hierarchy": O_ROLLUP_HIERARCHY,
     "events_asof_join": O_ASOF,
     "events_range_join": O_RANGE_JOIN,

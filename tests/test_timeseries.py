@@ -127,3 +127,16 @@ def test_rollup_hierarchy_preserves_mass_and_matches_direct(spark, sf_dir):
     got = [(r.hour_start, r.event_type, r.n_events) for r in roll.collect()]
     want = [(r.hour_start, r.event_type, r.n_events) for r in direct.collect()]
     assert got == want
+
+
+def test_max_intersections_bounds(spark, sf_dir):
+    from clickhouse_vs_dbt_spark.catalog import load_table
+    from clickhouse_vs_dbt_spark.operators import timeseries
+
+    r = timeseries.q_events_max_intersections(spark, sf_dir).first()
+    n_users = (
+        load_table(spark, sf_dir, "events").select("user_id").distinct().count()
+    )
+    # concurrency is at most one open session per user, at least 1
+    assert 1 <= r.max_concurrent <= n_users
+    assert r.n_sessions >= n_users
