@@ -31,6 +31,7 @@ from clickhouse_vs_dbt_spark.operators import (
     ipfns,
     jsonfns,
     maps,
+    mlinfer,
     incremental,
     kmeans,
     multimodal,
@@ -94,6 +95,7 @@ _MODULES = [
     curation,
     similarity,
     kmeans,
+    mlinfer,
     text,
     corpus,
     timeseries,
