@@ -107,6 +107,8 @@ HEADLINE = [
     "bloom_semi_join",
     "variant_json_suite",
     "limit_by_analog",
+    "ml_inference_sql",
+    "events_max_intersections",
 ]
 
 
