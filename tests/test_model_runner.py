@@ -211,3 +211,20 @@ def test_cli_list_and_query(capsys):
     out = capsys.readouterr().out.splitlines()
     assert "ssb_q1_1" in out and len(out) > 150
     assert main(["query", "nope_not_a_query"]) == 2
+
+
+def test_cli_sql_dialect_roundtrip(capsys):
+    from clickhouse_vs_dbt_spark.__main__ import main
+
+    rc = main(
+        [
+            "sql",
+            "SELECT toYear(CAST(o_orderdate AS DATE)) AS y, count(*) AS n "
+            "FROM orders GROUP BY 1 ORDER BY 1",
+            "--limit",
+            "5",
+        ]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "y" in out and "n" in out
