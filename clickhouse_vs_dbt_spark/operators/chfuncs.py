@@ -385,8 +385,71 @@ FROM events GROUP BY user_id ORDER BY user_id
 """
 
 
+def q_events_sequence_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``sequenceCount('(?1)(?2)')`` analog: per user, the
+    number of NON-OVERLAPPING view→purchase matches (greedy pairing in
+    time order), plus the raw view/purchase counts.
+
+    The greedy matcher is inherently sequential per user, but the
+    per-user history is bounded — so it runs as an order-preserving
+    ``collect_list`` (map-side partial, one keyed shuffle) and a single
+    integer-state fold over the sorted codes: state = pairs·10⁶ +
+    unmatched_views, identical fold in both engines (DuckDB
+    ``list_reduce`` requires accumulator type == element type, hence
+    the integer encoding).  At 100 TB this is the same shape as
+    groupArray: per-user arrays stay bounded, nothing global."""
+    e = load_table(spark, sf_dir, "events")
+    fold = (
+        "aggregate("
+        "transform(sort_array(collect_list(struct(ts, event_id, "
+        "CAST(CASE WHEN event_type = 'view' THEN 1 "
+        "WHEN event_type = 'purchase' THEN 2 ELSE 0 END AS BIGINT)))), "
+        "t -> t.col3), "
+        "CAST(0 AS BIGINT), "
+        "(s, x) -> CASE WHEN x = 1 THEN s + 1 "
+        "WHEN x = 2 AND s % 1000000 > 0 THEN s + 1000000 - 1 "
+        "ELSE s END)"
+    )
+    return (
+        e.groupBy("user_id")
+        .agg(
+            F.expr(f"{fold} div 1000000").alias("n_pairs"),
+            F.sum((F.col("event_type") == "view").cast("long")).alias("n_views"),
+            F.sum((F.col("event_type") == "purchase").cast("long")).alias(
+                "n_purchases"
+            ),
+        )
+        .orderBy("user_id")
+    )
+
+
+O_SEQUENCE_COUNT = """
+WITH ordered AS (
+  SELECT user_id,
+         list_transform(
+           list_sort(list(struct_pack(a := ts, b := event_id,
+             c := CAST(CASE WHEN event_type = 'view' THEN 1
+                            WHEN event_type = 'purchase' THEN 2
+                            ELSE 0 END AS BIGINT)))),
+           t -> t.c) AS codes,
+         CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_views,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_purchases
+  FROM events GROUP BY user_id)
+SELECT user_id,
+       list_reduce(list_prepend(CAST(0 AS BIGINT), codes),
+         (s, x) -> CASE WHEN x = 1 THEN s + 1
+                        WHEN x = 2 AND s % 1000000 > 0 THEN s + 1000000 - 1
+                        ELSE s END) // 1000000 AS n_pairs,
+       n_views, n_purchases
+FROM ordered ORDER BY user_id
+"""
+
+
 QUERIES = {
     "events_topk_sketch": q_events_topk_sketch,
+    "events_sequence_count": q_events_sequence_count,
     "events_group_uniq_array": q_events_group_uniq_array,
     "events_funnel_window": q_events_funnel_window,
     "events_retention_matrix": q_events_retention_matrix,
@@ -398,6 +461,7 @@ QUERIES = {
 
 ORACLES = {
     "events_topk_sketch": O_TOPK_SKETCH,
+    "events_sequence_count": O_SEQUENCE_COUNT,
     "events_group_uniq_array": O_GROUP_UNIQ_ARRAY,
     "events_funnel_window": O_FUNNEL_WINDOW,
     "events_retention_matrix": O_RETENTION_MATRIX,

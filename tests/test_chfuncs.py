@@ -51,3 +51,13 @@ def test_cond_agg_consistency(spark, sf_dir):
             assert r.min_hot > chfuncs.COND_THRESHOLD
             assert r.min_hot <= r.max_hot
             assert r.uniq_hot_users <= r.n_hot
+
+
+def test_sequence_count_bounds(spark, sf_dir):
+    rows = chfuncs.q_events_sequence_count(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # greedy non-overlapping pairs can never exceed either side
+        assert 0 <= r.n_pairs <= min(r.n_views, r.n_purchases)
+    # fixture has both event types, so some user pairs them
+    assert any(r.n_pairs > 0 for r in rows)
