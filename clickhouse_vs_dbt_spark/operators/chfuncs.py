@@ -447,9 +447,57 @@ FROM ordered ORDER BY user_id
 """
 
 
+def q_events_bounding_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``boundingRatio(ts, value)`` analog: per event type,
+    the slope between the chronologically first and last points —
+    (vₗₐₛₜ − v_first) / seconds elapsed.  First/last are picked with
+    ``min_by``/``max_by`` over an injective zero-padded (micros,
+    event_id) string key (DuckDB's arg_min/arg_max take only scalar
+    keys) — one partial-aggregatable pass, no sort, no window."""
+    e = load_table(spark, sf_dir, "events")
+    key = "format_string('%020d%010d', unix_micros(ts), event_id)"
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.expr(f"min_by(value, {key})").alias("first_value"),
+            F.expr(f"max_by(value, {key})").alias("last_value"),
+            F.unix_micros(F.min("ts")).alias("first_us"),
+            F.unix_micros(F.max("ts")).alias("last_us"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            "first_value",
+            "last_value",
+            F.round(
+                (F.col("last_value") - F.col("first_value"))
+                / ((F.col("last_us") - F.col("first_us")) / F.lit(1_000_000.0)),
+                9,
+            ).alias("bounding_ratio"),
+        )
+        .orderBy("event_type")
+    )
+
+
+O_BOUNDING_RATIO = """
+SELECT event_type, COUNT(*) AS n_events,
+       arg_min(value, printf('%020d%010d', epoch_us(ts), event_id))
+         AS first_value,
+       arg_max(value, printf('%020d%010d', epoch_us(ts), event_id))
+         AS last_value,
+       round((arg_max(value, printf('%020d%010d', epoch_us(ts), event_id))
+              - arg_min(value, printf('%020d%010d', epoch_us(ts), event_id)))
+             / ((epoch_us(MAX(ts)) - epoch_us(MIN(ts))) / 1000000.0), 9)
+         AS bounding_ratio
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 QUERIES = {
     "events_topk_sketch": q_events_topk_sketch,
     "events_sequence_count": q_events_sequence_count,
+    "events_bounding_ratio": q_events_bounding_ratio,
     "events_group_uniq_array": q_events_group_uniq_array,
     "events_funnel_window": q_events_funnel_window,
     "events_retention_matrix": q_events_retention_matrix,
@@ -462,6 +510,7 @@ QUERIES = {
 ORACLES = {
     "events_topk_sketch": O_TOPK_SKETCH,
     "events_sequence_count": O_SEQUENCE_COUNT,
+    "events_bounding_ratio": O_BOUNDING_RATIO,
     "events_group_uniq_array": O_GROUP_UNIQ_ARRAY,
     "events_funnel_window": O_FUNNEL_WINDOW,
     "events_retention_matrix": O_RETENTION_MATRIX,
