@@ -388,7 +388,12 @@ def _hist_quantile_sql(dialect: str) -> str:
         f"greatest(CAST(0 AS BIGINT), "
         f"CAST(floor((value - {HIST_LO}) / {width!r}) AS BIGINT)))"
     )
-    mid = f"({HIST_LO} + (bin + 0.5) * {width!r})"
+    # CAST to DOUBLE: Spark types the `(bin + 0.5) * <literal>` product as
+    # DECIMAL, so without the cast p50_est/p95_est come back decimal(31,8)
+    # while the DuckDB oracle emits DOUBLE — numerically identical values
+    # that stringify differently and break the value hash (the round-2 red
+    # gate row; same drift class as round 1's events_json_extract).
+    mid = f"CAST(({HIST_LO} + (bin + 0.5) * {width!r}) AS DOUBLE)"
     return f"""
 WITH binned AS (
   SELECT event_type, {bin_expr} AS bin, COUNT(*) AS cnt

@@ -2,10 +2,17 @@
 
 Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin on
 DuckDB at the given scale factor, then compares row count, column names,
-and an order-insensitive value hash (columns sorted by name, rows sorted,
-values stringified with float rounding).  Usage:
+an order-insensitive value hash (columns sorted by name, rows sorted,
+values stringified with float rounding), and a coarse dtype class per
+column (int/float/decimal/str/...).  The dtype check exists because the
+only hash failures across rounds 1-2 were decimal-vs-double drift
+(events_json_extract, quantile_histogram_sketch): numerically identical
+values that stringify differently.  Usage:
 
-    python tools/oracle_check.py [sf_dir] [query ...]
+    python tools/oracle_check.py [--dtypes] [sf_dir] [query ...]
+
+``--dtypes`` compares schemas only (lazy Spark plan + DuckDB DESCRIBE),
+no data is collected — a fast whole-suite sweep for the drift class.
 """
 
 from __future__ import annotations
@@ -46,9 +53,55 @@ def table_hash(cols: list[str], rows: list[tuple]) -> str:
     return hashlib.sha256("\n".join(canon).encode()).hexdigest()[:16]
 
 
+def dtype_class(t: str) -> str:
+    """Coarse dtype class shared across Spark dtype strings and DuckDB
+    DESCRIBE types, for drift detection.  ``decimal`` is deliberately its
+    own class (never folded into float/int): decimal columns stringify
+    with trailing zeros and break value hashes against DOUBLE/BIGINT."""
+    t = t.lower().strip()
+    if t.startswith("decimal"):
+        return "decimal"
+    if t in ("float", "double", "real") or t.startswith("float"):
+        return "float"
+    if t in ("tinyint", "smallint", "int", "integer", "bigint", "hugeint",
+             "long", "short", "byte") or t.startswith(("uint", "ubigint", "usmallint", "utinyint")):
+        return "int"
+    if t in ("string", "varchar", "text", "char"):
+        return "str"
+    if t in ("boolean", "bool"):
+        return "bool"
+    if t == "date":
+        return "date"
+    if t.startswith("timestamp"):
+        return "timestamp"
+    if t.startswith(("array", "list")) or t.endswith("[]"):
+        return "list"
+    if t in ("binary", "blob"):
+        return "binary"
+    if t.startswith(("map", "struct", "variant", "json", "union")):
+        return "other"
+    return "other"
+
+
+def dtype_mismatches(sdtypes: list[tuple], odtypes: list[tuple]) -> list[str]:
+    """Per-column-name dtype class comparison; returns human-readable
+    mismatch strings (empty = parity)."""
+    omap = {n: t for n, t in odtypes}
+    out = []
+    for n, st in sdtypes:
+        if n not in omap:
+            continue  # column-name mismatch is reported separately
+        sc, oc = dtype_class(st), dtype_class(omap[n])
+        if sc != oc:
+            out.append(f"{n}: spark={st}({sc}) oracle={omap[n]}({oc})")
+    return out
+
+
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = [a for a in sys.argv[1:] if a != "--dtypes"]
+    dtypes_only = "--dtypes" in sys.argv[1:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     import __spark_entry__ as e
     from clickhouse_vs_dbt_spark.session import get_spark
@@ -70,6 +123,27 @@ def main() -> int:
         t0 = time.time()
         sdf = fn(spark, sf_dir)
         scols = sdf.columns
+        sdtypes = sdf.dtypes
+        if dtypes_only:
+            if name not in os_:
+                print(f"{name:32s} (rows-only, no oracle)")
+                continue
+            try:
+                odtypes = [
+                    (r[0], r[1])
+                    for r in con.execute(f"DESCRIBE ({os_[name]})").fetchall()
+                ]
+            except Exception as ex:
+                failures.append((name, f"oracle describe error: {ex}"))
+                print(f"{name:32s} ORACLE DESCRIBE ERROR: {ex}")
+                continue
+            mism = dtype_mismatches(sdtypes, odtypes)
+            if mism:
+                failures.append((name, "; ".join(mism)))
+                print(f"{name:32s} DTYPE MISMATCH  {'; '.join(mism)}")
+            else:
+                print(f"{name:32s} dtypes ok")
+            continue
         srows = [tuple(r) for r in sdf.collect()]
         t1 = time.time()
         if name not in os_:
@@ -81,6 +155,10 @@ def main() -> int:
             res = con.execute(os_[name])
             ocols = [d[0] for d in res.description]
             orows = [tuple(r) for r in res.fetchall()]
+            odtypes = [
+                (r[0], r[1])
+                for r in con.execute(f"DESCRIBE ({os_[name]})").fetchall()
+            ]
         except Exception as ex:
             failures.append((name, f"oracle error: {ex}"))
             print(f"{name:32s} ORACLE ERROR: {ex}")
@@ -88,17 +166,25 @@ def main() -> int:
         t2 = time.time()
         ok_rows = len(srows) == len(orows)
         ok_cols = sorted(scols) == sorted(ocols)
+        mism = dtype_mismatches(sdtypes, odtypes)
+        ok_dtypes = not mism
         sh, oh = table_hash(scols, srows), table_hash(ocols, orows)
         ok_hash = sh == oh
-        status = "OK" if (ok_rows and ok_cols and ok_hash) else "MISMATCH"
+        status = "OK" if (ok_rows and ok_cols and ok_hash and ok_dtypes) else "MISMATCH"
         print(
             f"{name:32s} {status}  rows {len(srows)}/{len(orows)}"
             f" cols={'ok' if ok_cols else f'{sorted(scols)}!={sorted(ocols)}'}"
             f" hash={'ok' if ok_hash else f'{sh}!={oh}'}"
+            f" dtypes={'ok' if ok_dtypes else '; '.join(mism)}"
             f" spark={t1-t0:.1f}s duck={t2-t1:.1f}s"
         )
         if status != "OK":
-            failures.append((name, f"rows {len(srows)}/{len(orows)} cols_ok={ok_cols} hash_ok={ok_hash}"))
+            failures.append((
+                name,
+                f"rows {len(srows)}/{len(orows)} cols_ok={ok_cols}"
+                f" hash_ok={ok_hash} dtypes_ok={ok_dtypes}"
+                + (f" [{'; '.join(mism)}]" if mism else ""),
+            ))
     print()
     if failures:
         print("FAILURES:")
