@@ -78,13 +78,21 @@ FROM vocab
 
 def q_corpus_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global top-10 tokens by frequency, deterministic tie-break on the
-    token itself; executes as a per-partition heap merge."""
+    token itself.
+
+    ``orderBy(...).limit(k)`` compiles to TakeOrderedAndProject —
+    per-partition bounded heaps merged on the driver — so the unbounded
+    web-scale vocabulary (typos, numbers, hashes) never collapses into a
+    single-task global sort.  The rank window afterwards runs over the
+    k=10 surviving rows only, which is bounded by construction."""
     tc = _token_counts(spark, sf_dir)
     vocab = tc.groupBy("tok").agg(F.sum("cnt").alias("freq"))
+    topk = vocab.orderBy(F.col("freq").desc(), F.col("tok").asc()).limit(
+        TOPK_TERMS
+    )
     w = Window.orderBy(F.col("freq").desc(), F.col("tok").asc())
     return (
-        vocab.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= TOPK_TERMS)
+        topk.withColumn("rank", F.row_number().over(w))
         .select("rank", "tok", "freq")
         .orderBy("rank")
     )

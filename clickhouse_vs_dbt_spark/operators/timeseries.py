@@ -517,12 +517,18 @@ def _max_intersections_sql(dialect: str) -> str:
     ``maxIntersectionsPosition``).
 
     Intervals are closed (single-event sessions still count), enforced
-    by ordering +1 before −1 at equal timestamps.  The sweep's global
-    window runs over 2·|sessions| boundary rows — already reduced from
-    the event scale; at 100 TB partition the sweep by day and carry
-    day-boundary offsets (the same two-pass prefix-sum pattern as
-    operators/pipeline.py) instead of one global window."""
+    by ordering +1 before −1 at equal timestamps.  The sweep is the
+    two-pass distributed prefix sum (same pattern as
+    operators/pipeline.py): boundary rows bucket by UTC day, the running
+    sum windows WITHIN each day (parallel across days), and each day
+    adds the carried sum of all prior days' deltas.  The only global
+    window runs over the per-day totals — |days| rows, bounded metadata
+    (a decade of data is ~3.7k rows) — so no task ever sees more than
+    one day's boundaries, and the 2·|sessions| global-sort single task
+    of the naive formulation never exists."""
     eus = "unix_micros" if dialect == "spark" else "epoch_us"
+    idiv = "div" if dialect == "spark" else "//"
+    day_us = 86_400_000_000
     return f"""
 WITH marked AS (
   SELECT user_id, ts,
@@ -540,15 +546,24 @@ intervals AS (
   SELECT user_id, sid, {eus}(MIN(ts)) AS st, {eus}(MAX(ts)) AS en
   FROM sessions GROUP BY user_id, sid),
 boundaries AS (
-  SELECT st AS t, 1 AS delta FROM intervals
-  UNION ALL
-  SELECT en, -1 FROM intervals),
+  SELECT t, delta, t {idiv} {day_us} AS day FROM (
+    SELECT st AS t, 1 AS delta FROM intervals
+    UNION ALL
+    SELECT en, -1 FROM intervals)),
+day_totals AS (
+  SELECT day, SUM(delta) AS day_sum FROM boundaries GROUP BY day),
+day_offsets AS (
+  SELECT day,
+         COALESCE(SUM(day_sum) OVER (ORDER BY day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS carry
+  FROM day_totals),
 sweep AS (
-  SELECT t, delta,
-         SUM(delta) OVER (ORDER BY t, delta DESC
-                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-           AS concurrent
-  FROM boundaries),
+  SELECT b.t, b.delta,
+         SUM(b.delta) OVER (PARTITION BY b.day ORDER BY b.t, b.delta DESC
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           + o.carry AS concurrent
+  FROM boundaries b JOIN day_offsets o ON b.day = o.day),
 peak AS (SELECT MAX(concurrent) AS max_concurrent FROM sweep)
 SELECT CAST(p.max_concurrent AS BIGINT) AS max_concurrent,
        CAST(MIN(s.t) AS BIGINT) AS first_peak_us,

@@ -66,6 +66,47 @@ def test_gap_interpolate_has_no_unbounded_following_frame(spark, sf_dir):
     assert "unboundedfollowing" not in plan.lower()
 
 
+def test_q1_scan_prunes_star_partitions(spark, sf_dir):
+    """The materialized star is hive-partitioned by order_year; the Q1
+    flight's year predicates must reach the scan as PartitionFilters
+    (directory pruning — skip whole years), not only as row-group
+    PushedFilters inside touched files."""
+    from clickhouse_vs_dbt_spark.operators.ssb_queries import q1_1, q1_2
+
+    for q, year in ((q1_1, 1995), (q1_2, 1996)):
+        plan = _plan(q(spark, sf_dir))
+        i = plan.find("PartitionFilters")
+        assert i >= 0
+        assert f"order_year#" in plan[i : i + 200]
+        assert f"= {year})" in plan[i : i + 200]
+
+
+def test_top_terms_is_take_ordered(spark, sf_dir):
+    """Global top-k over the unbounded vocab must plan as
+    TakeOrderedAndProject (per-partition heaps); the only Window allowed
+    is the rank pass over the k surviving rows, i.e. the heap sits
+    BELOW the window in the plan tree."""
+    from clickhouse_vs_dbt_spark.operators.corpus import q_corpus_top_terms
+
+    plan = _plan(q_corpus_top_terms(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    # deeper nodes print later: the heap must feed the window, not vice versa
+    assert plan.index("TakeOrderedAndProject") > plan.index("Window")
+
+
+def test_max_intersections_sweep_is_day_partitioned(spark, sf_dir):
+    """The sweep-line running sum must window within day buckets
+    (hashpartitioning on day) — never a global sort of all 2x|sessions|
+    boundary rows through one task.  The day-offsets carry window is the
+    only SinglePartition stage and runs over |days| rows."""
+    from clickhouse_vs_dbt_spark.operators.timeseries import (
+        q_events_max_intersections,
+    )
+
+    plan = _plan(q_events_max_intersections(spark, sf_dir))
+    assert "hashpartitioning(day" in plan
+
+
 def test_ivf_exact_probes_broadcast(spark, sf_dir):
     """Probe set (|queries| x NPROBE rows) must broadcast onto the
     assigned corpus — the corpus never re-shuffles for a probe."""
