@@ -393,12 +393,17 @@ def q_events_sequence_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     The greedy matcher is inherently sequential per user, but the
     per-user history is bounded — so it runs as an order-preserving
     ``collect_list`` (map-side partial, one keyed shuffle) and a single
-    integer-state fold over the sorted codes: state = pairs·10⁶ +
+    integer-state fold over the sorted codes: state = pairs·2³² +
     unmatched_views, identical fold in both engines (DuckDB
     ``list_reduce`` requires accumulator type == element type, hence
-    the integer encoding).  At 100 TB this is the same shape as
-    groupArray: per-user arrays stay bounded, nothing global."""
+    the integer encoding).  The 2³² radix keeps the two counters
+    alias-free for up to 2³²−1 unmatched views and 2³¹ pairs per user —
+    beyond any physical per-user event history (a user emitting one
+    event per second for a century reaches ~3.2·10⁹ < 2³²).  At 100 TB
+    this is the same shape as groupArray: per-user arrays stay bounded,
+    nothing global."""
     e = load_table(spark, sf_dir, "events")
+    radix = 1 << 32
     fold = (
         "aggregate("
         "transform(sort_array(collect_list(struct(ts, event_id, "
@@ -406,14 +411,14 @@ def q_events_sequence_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         "WHEN event_type = 'purchase' THEN 2 ELSE 0 END AS BIGINT)))), "
         "t -> t.col3), "
         "CAST(0 AS BIGINT), "
-        "(s, x) -> CASE WHEN x = 1 THEN s + 1 "
-        "WHEN x = 2 AND s % 1000000 > 0 THEN s + 1000000 - 1 "
+        f"(s, x) -> CASE WHEN x = 1 THEN s + 1 "
+        f"WHEN x = 2 AND s % {radix} > 0 THEN s + {radix} - 1 "
         "ELSE s END)"
     )
     return (
         e.groupBy("user_id")
         .agg(
-            F.expr(f"{fold} div 1000000").alias("n_pairs"),
+            F.expr(f"{fold} div {radix}").alias("n_pairs"),
             F.sum((F.col("event_type") == "view").cast("long")).alias("n_views"),
             F.sum((F.col("event_type") == "purchase").cast("long")).alias(
                 "n_purchases"
@@ -440,8 +445,8 @@ WITH ordered AS (
 SELECT user_id,
        list_reduce(list_prepend(CAST(0 AS BIGINT), codes),
          (s, x) -> CASE WHEN x = 1 THEN s + 1
-                        WHEN x = 2 AND s % 1000000 > 0 THEN s + 1000000 - 1
-                        ELSE s END) // 1000000 AS n_pairs,
+                        WHEN x = 2 AND s % 4294967296 > 0 THEN s + 4294967296 - 1
+                        ELSE s END) // 4294967296 AS n_pairs,
        n_views, n_purchases
 FROM ordered ORDER BY user_id
 """

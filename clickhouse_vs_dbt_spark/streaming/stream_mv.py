@@ -36,13 +36,21 @@ N_FILES = 3
 
 
 def _batched_dir(spark: SparkSession, sf_dir: str) -> str:
-    """Three single-file chronological batches (event_id stripes)."""
+    """Three single-file chronological batches (event_id stripes).
+
+    Batches are written from the RAW footer-schema read (same as
+    stream_late._batched_dir) — not from load_table, whose ts is already
+    normalized to TimestampType.  The stream below re-reads them with
+    ``events_raw_schema`` + ``normalize_ts``; writing normalized batches
+    here would make that declared schema lie about the file contents
+    under the nanos-int64 events layout (ts BIGINT declared, timestamp
+    stored) and normalize_ts would then divide micros by 1000 again."""
     import glob
     import shutil
 
-    from clickhouse_vs_dbt_spark.catalog import load_table
-
-    raw = load_table(spark, sf_dir, "events")
+    raw = spark.read.schema(events_raw_schema(spark, sf_dir)).parquet(
+        f"{sf_dir}/events.parquet"
+    )
     out = tempfile.mkdtemp(prefix="mv_stream_")
     for i in range(N_FILES):
         tmp = os.path.join(out, f"_tmp{i}")
