@@ -75,7 +75,8 @@ def q_star_build(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 O_STAR_BUILD = f"""{STAR_CTE}
 SELECT * REPLACE (CAST(o_orderdate AS DATE) AS o_orderdate,
-                  CAST(l_shipdate AS DATE) AS l_shipdate)
+                  CAST(l_shipdate AS DATE) AS l_shipdate),
+       CAST(year(o_orderdate) AS INT) AS order_year
 FROM star
 """
 
@@ -91,7 +92,8 @@ def q1_1(spark: SparkSession, sf_dir: str) -> DataFrame:
         star(spark, sf_dir)
         .filter(
             (to_year("o_orderdate") == 1995)
-            & year_range("o_orderdate", 1995)  # scan-pushable twin
+            & (F.col("order_year") == 1995)  # partition-pruning twin
+            & year_range("o_orderdate", 1995)  # row-group-pruning twin
             & F.col("l_discount").between(0.01, 0.03)
             & (F.col("l_quantity") < 25)
         )
@@ -115,7 +117,8 @@ def q1_2(spark: SparkSession, sf_dir: str) -> DataFrame:
         star(spark, sf_dir)
         .filter(
             (to_yyyymm("o_orderdate") == 199601)
-            & yyyymm_range("o_orderdate", 199601)  # scan-pushable twin
+            & (F.col("order_year") == 1996)  # partition-pruning twin
+            & yyyymm_range("o_orderdate", 199601)  # row-group-pruning twin
             & F.col("l_discount").between(0.04, 0.06)
             & F.col("l_quantity").between(26, 35)
         )
@@ -140,7 +143,8 @@ def q1_3(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(
             (to_iso_week("o_orderdate") == 6)
             & (to_year("o_orderdate") == 1996)
-            & year_range("o_orderdate", 1996)  # scan-pushable twin
+            & (F.col("order_year") == 1996)  # partition-pruning twin
+            & year_range("o_orderdate", 1996)  # row-group-pruning twin
             & F.col("l_discount").between(0.05, 0.07)
             & F.col("l_quantity").between(26, 35)
         )
@@ -207,6 +211,7 @@ def q3_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cr.r_name") == "EUROPE")
             & (F.col("sr.r_name") == "EUROPE")
             & to_year("o_orderdate").between(1995, 1997)
+            & F.col("order_year").between(1995, 1997)  # partition-pruning twin
         )
         .groupBy(
             F.col("cn.n_name").alias("c_nation"),
@@ -373,6 +378,7 @@ def q3_2(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cn.n_name").isin(ns)
             & F.col("sn.n_name").isin(ns)
             & to_year("o_orderdate").between(1995, 1997)
+            & F.col("order_year").between(1995, 1997)  # partition-pruning twin
         )
     )
 
@@ -395,6 +401,7 @@ def q3_3(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cn.n_name").isin(ns)
             & F.col("sn.n_name").isin(ns)
             & to_year("o_orderdate").between(1995, 1997)
+            & F.col("order_year").between(1995, 1997)  # partition-pruning twin
         )
     )
 
@@ -418,6 +425,7 @@ def q3_4(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cn.n_name").isin(ns)
             & F.col("sn.n_name").isin(ns)
             & (to_yyyymm("o_orderdate") == 199712)
+            & (F.col("order_year") == 1997)  # partition-pruning twin
             & yyyymm_range("o_orderdate", 199712)
         )
     )
@@ -456,6 +464,7 @@ def q4_2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(
             (F.col("cr.r_name") == "AMERICA")
             & to_year("o_orderdate").isin(1997, 1998)
+            & F.col("order_year").isin(1997, 1998)  # partition-pruning twin
         )
         .groupBy(
             to_year("o_orderdate").alias("order_year"),
@@ -490,6 +499,7 @@ def q4_3(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(
             (F.col("sn.n_name") == "NATION_1")
             & to_year("o_orderdate").isin(1997, 1998)
+            & F.col("order_year").isin(1997, 1998)  # partition-pruning twin
         )
         .groupBy(
             to_year("o_orderdate").alias("order_year"),
