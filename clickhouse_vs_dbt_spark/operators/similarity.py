@@ -489,12 +489,108 @@ ORDER BY query_id, rank
 """
 
 
+# --- IVF with a persisted, cell-partitioned index (the 100 TB path) ---
+
+_IVF_INDEX_CACHE: dict[str, tuple[str, dict]] = {}
+
+
+def _ivf_index(spark: SparkSession, sf_dir: str) -> tuple[str, dict]:
+    """Materialize the corpus→cell assignment ONCE per process per
+    scale factor, hive-partitioned by ``cluster`` — IVF's ingest-time
+    index build.  At 100 TB this write happens once after the quantizer
+    fit (assignment itself is map-only: centroids are plan literals),
+    and every subsequent probe reads only its NPROBE cell directories
+    via static partition pruning instead of re-scoring the corpus.
+    Returns (index path, fitted centroids)."""
+    cached = _IVF_INDEX_CACHE.get(sf_dir)
+    if cached is None:
+        import tempfile
+
+        from clickhouse_vs_dbt_spark.operators.kmeans import (
+            _assign,
+            fit_centroids,
+        )
+
+        e = load_table(spark, sf_dir, "embeddings")
+        centroids = fit_centroids(spark, sf_dir)
+        path = tempfile.mkdtemp(prefix="ivf_index_") + "/index"
+        (
+            _assign(e.select("vec_id", "embedding"), centroids)
+            .write.mode("overwrite")
+            .partitionBy("cluster")
+            .parquet(path)
+        )
+        cached = (path, centroids)
+        _IVF_INDEX_CACHE[sf_dir] = cached
+    return cached
+
+
+def q_ann_topk_ivf_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-5 probing a PERSISTED cell-partitioned index — the
+    serving-path sibling of :func:`q_ann_topk_ivf_exact` (same
+    deterministic quantizer, same oracle, identical results).
+
+    Where ``ivf_exact`` recomputes assignments inline, this variant
+    reads the :func:`_ivf_index` materialization and prunes it to the
+    probed cells with a static ``isin`` filter, so the scan's
+    ``PartitionFilters`` carry ``cluster IN (...)`` — only NPROBE
+    directories per query are opened (asserted in
+    tests/test_plans.py).  The probe-cell set is |queries|×NPROBE
+    rows of model-adjacent metadata, computed engine-side and
+    collected — the same bounded-state category as the centroids
+    themselves."""
+    from clickhouse_vs_dbt_spark.operators.kmeans import _dist2_expr
+
+    path, centroids = _ivf_index(spark, sf_dir)
+    index = spark.read.parquet(path)
+
+    e = load_table(spark, sf_dir, "embeddings")
+    structs = ", ".join(
+        f"named_struct('d', {_dist2_expr(c)}, 'c', {k})"
+        for k, c in sorted(centroids.items())
+    )
+    probe_cells = F.expr(
+        f"transform(slice(array_sort(array({structs})), 1, {IVF_NPROBE}), s -> s.c)"
+    )
+    qprobe = (
+        e.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+            F.explode(probe_cells).alias("cluster"),
+        )
+    )
+    cells = sorted({r.cluster for r in qprobe.select("cluster").collect()})
+    pruned = index.filter(F.col("cluster").isin(cells))
+
+    scored = (
+        pruned.join(F.broadcast(qprobe), "cluster")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("cos_sim", cosine("query_vec", "embedding"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "rank",
+            F.round("cos_sim", 6).alias("cos_sim"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
 QUERIES = {
     "ann_topk_bruteforce": q_ann_topk_bruteforce,
     "embedding_quantize_int8": q_embedding_quantize_int8,
     "ann_topk_lsh": q_ann_topk_lsh,
     "ann_topk_ivf": q_ann_topk_ivf,
     "ann_topk_ivf_exact": q_ann_topk_ivf_exact,
+    "ann_topk_ivf_pruned": q_ann_topk_ivf_pruned,
     "embedding_centroids": q_embedding_centroids,
 }
 
@@ -504,6 +600,9 @@ ORACLES = {
     "embedding_quantize_int8": O_QUANTIZE,
     "embedding_centroids": O_CENTROIDS,
     "ann_topk_ivf_exact": _o_ann_ivf_exact(),
+    # the persisted-index serving path probes the same cells with the
+    # same quantizer, so it value-checks against the identical replay
+    "ann_topk_ivf_pruned": _o_ann_ivf_exact(),
     # ann_topk_ivf: rows-only (Spark-ML KMeans fitted state is not SQL-
     # expressible; recall pinned vs brute force in tests).  The
     # deterministic-quantizer sibling ann_topk_ivf_exact value-checks

@@ -116,3 +116,18 @@ def test_ivf_exact_probes_broadcast(spark, sf_dir):
 
     plan = _plan(q_ann_topk_ivf_exact(spark, sf_dir))
     assert "BroadcastHashJoin" in plan
+
+
+def test_ivf_pruned_scan_prunes_cells(spark, sf_dir):
+    """The persisted IVF index is hive-partitioned by cluster; the
+    probe path must reach the scan as PartitionFilters (only NPROBE
+    cell directories opened), with the probe set broadcast."""
+    from clickhouse_vs_dbt_spark.operators.similarity import (
+        q_ann_topk_ivf_pruned,
+    )
+
+    plan = _plan(q_ann_topk_ivf_pruned(spark, sf_dir))
+    i = plan.find("PartitionFilters")
+    assert i >= 0
+    assert "cluster" in plan[i : i + 200]
+    assert "BroadcastHashJoin" in plan
