@@ -1,12 +1,26 @@
 """Multimodal-column plumbing (SURVEY.md §2.3): opaque ``binary``
 payloads with typed metadata, decode/feature-extract as Arrow-batched
-``mapInPandas`` — the schema, partitioning, UDF signature and batch
-shape are real; only the codec call itself is stubbed (image/audio
-libraries are not in this container).
+``mapInPandas``.
+
+The feature kernel is REAL byte-level decoding — container-format
+sniffing from magic bytes, exact byte statistics (mean/std from integer
+power sums, Simpson collision index, distinct-byte census), md5 — all
+computed with arithmetic that replays bit-identically in SQL, so the
+operator is fully value-checked against the DuckDB oracle.  Only the
+*pixel/sample* decode of true image/audio/video containers (which needs
+an external codec library this container lacks) remains behind a
+``NotImplementedError`` seam, raised when the sniffer identifies such a
+format.
+
+Entropy note: the diversity feature is the Simpson collision index
+Σc²/n² (the Rényi-2 entropy's log-free core) rather than Shannon
+entropy — exact integer arithmetic plus one IEEE division, so both
+engines produce identical bits; ``log2`` is a libm call whose last-ulp
+behavior is not guaranteed to agree across engines (same precedent as
+the log-free idf in operators/corpus.py).
 
 Payloads are synthesized from ``documents.text`` (UTF-8 bytes) so the
-pipeline is deterministic and the metadata operator stays
-oracle-checkable (sha256/length agree across engines).
+pipeline is deterministic and every operator stays oracle-checkable.
 """
 
 from __future__ import annotations
@@ -59,63 +73,167 @@ FROM documents ORDER BY doc_id
 """
 
 
+# (magic bytes, sniffed format) — longest-prefix-first dispatch table.
+# Every format listed here requires an external codec to go deeper than
+# byte statistics, so sniffing one raises the NotImplementedError seam.
+_MAGIC: list[tuple[bytes, str]] = [
+    (b"\x89PNG\r\n\x1a\n", "image/png"),
+    (b"\xff\xd8\xff", "image/jpeg"),
+    (b"GIF87a", "image/gif"),
+    (b"GIF89a", "image/gif"),
+    (b"RIFF", "riff/container"),
+    (b"ID3", "audio/mpeg"),
+    (b"OggS", "audio/ogg"),
+    (b"fLaC", "audio/flac"),
+    (b"\x1a\x45\xdf\xa3", "video/webm"),
+    (b"%PDF", "application/pdf"),
+]
+
+_PRINTABLE = frozenset(range(32, 127)) | {9, 10, 13}
+
+
+def sniff_format(payload: bytes) -> str:
+    """Container sniff from magic bytes; falls back to text/plain for
+    all-printable payloads, else application/octet-stream."""
+    for magic, fmt in _MAGIC:
+        if payload[: len(magic)] == magic:
+            return fmt
+    if payload[4:8] == b"ftyp":  # ISO-BMFF (mp4/mov): brand at offset 4
+        return "video/mp4"
+    if payload and all(b in _PRINTABLE for b in payload):
+        return "text/plain"
+    return "application/octet-stream"
+
+
+# Sniffed formats whose payload-level decode needs a real codec library
+# (absent in this container) — the NotImplementedError seam.
+CODEC_REQUIRED = frozenset(
+    fmt for _, fmt in _MAGIC if not fmt.startswith("application/")
+) | {"video/mp4"}
+
+
 def decode_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """mapInPandas decode/feature-extract kernel.
 
-    Real codecs (PIL/libav/…) are unavailable in this container, so the
-    decode step is STUBBED: ``synthetic/raw`` payloads produce a
-    deterministic feature vector (byte-histogram moments); any other
-    format raises NotImplementedError — the marked seam where a real
-    decoder plugs in.  Everything around the stub (Arrow batching,
-    schema contract, per-partition iteration) is the production path.
+    Byte-level decode is REAL: format sniffing (magic bytes), md5,
+    exact moment statistics from integer power sums, Simpson collision
+    index, distinct-byte census.  Float ops mirror the oracle SQL
+    operation-for-operation (exact int64 sums → one IEEE division per
+    feature, ``sqrt`` is IEEE-correctly-rounded), so results are
+    bit-identical across engines.  If the sniffer identifies an
+    image/audio/video container, pixel/sample decode would need a codec
+    this container lacks → NotImplementedError (the seam where
+    PIL/libav plug in).  Arrow batching, schema contract, and
+    per-partition iteration are the production path either way.
     """
+    import hashlib
+    import math
+
     import numpy as np
 
     for pdf in batches:
-        feats, status = [], []
-        for fmt, payload in zip(pdf["media_format"], pdf["payload"]):
-            if fmt != FAKE_FORMAT:
+        rows = {
+            "doc_id": [], "media_format": [], "n_bytes": [], "md5_hex": [],
+            "byte_mean": [], "byte_std": [], "simpson": [],
+            "distinct_bytes": [], "byte_min": [], "byte_max": [], "status": [],
+        }
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            payload = bytes(payload)
+            fmt = sniff_format(payload)
+            if fmt in CODEC_REQUIRED:
                 raise NotImplementedError(
-                    f"no codec for {fmt!r}: decode stub only handles {FAKE_FORMAT}"
+                    f"no codec for {fmt!r}: byte-level features only; "
+                    "plug a decoder in here for pixel/sample features"
                 )
-            b = np.frombuffer(payload, dtype=np.uint8).astype(np.float64)
-            feats.append(
-                [
-                    float(b.mean()),
-                    float(b.std()),
-                    float(b.min()),
-                    float(b.max()),
-                ]
-            )
-            status.append("decoded_stub")
-        yield pd.DataFrame(
-            {
-                "doc_id": pdf["doc_id"],
-                "n_bytes": pdf["payload"].map(len),
-                "status": status,
-                "features": feats,
-            }
-        )
+            b = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
+            n = int(b.size)
+            s, ss = int(b.sum()), int((b * b).sum())
+            counts = np.bincount(b, minlength=256)
+            c2 = int((counts.astype(np.int64) ** 2).sum())
+            # op-order mirrors the oracle SQL exactly (see O_DECODE)
+            mean = s / n
+            var = max(ss / n - (s / n) * (s / n), 0.0)
+            rows["doc_id"].append(doc_id)
+            rows["media_format"].append(fmt)
+            rows["n_bytes"].append(n)
+            rows["md5_hex"].append(hashlib.md5(payload).hexdigest())
+            rows["byte_mean"].append(mean)
+            rows["byte_std"].append(math.sqrt(var))
+            rows["simpson"].append(c2 / (n * n))
+            rows["distinct_bytes"].append(int((counts > 0).sum()))
+            rows["byte_min"].append(int(b.min()))
+            rows["byte_max"].append(int(b.max()))
+            rows["status"].append("decoded_bytes")
+        yield pd.DataFrame(rows)
 
 
 DECODE_SCHEMA = (
-    "doc_id long, n_bytes long, status string, features array<double>"
+    "doc_id long, media_format string, n_bytes long, md5_hex string, "
+    "byte_mean double, byte_std double, simpson double, "
+    "distinct_bytes long, byte_min int, byte_max int, status string"
 )
 
 
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode pipeline: binary payloads → mapInPandas kernel → typed
-    feature rows.  Rows-only driver check (the kernel is Python); the
-    pytest suite pins determinism and the NotImplementedError seam."""
+    per-document byte features.  Fully value-checked: every output
+    column replays exactly in the DuckDB oracle (O_DECODE)."""
     d = with_payload(load_table(spark, sf_dir, "documents"))
-    out = d.mapInPandas(decode_features, schema=DECODE_SCHEMA)
+    out = d.select("doc_id", "payload").mapInPandas(
+        decode_features, schema=DECODE_SCHEMA
+    )
     return out.select(
         "doc_id",
+        "media_format",
         "n_bytes",
+        "md5_hex",
+        F.round("byte_mean", 6).alias("byte_mean"),
+        F.round("byte_std", 6).alias("byte_std"),
+        F.round("simpson", 6).alias("simpson"),
+        "distinct_bytes",
+        "byte_min",
+        "byte_max",
         "status",
-        F.round(F.element_at("features", 1), 6).alias("byte_mean"),
-        F.round(F.element_at("features", 2), 6).alias("byte_std"),
     ).orderBy("doc_id")
+
+
+O_DECODE = """
+WITH bytes AS (
+  SELECT doc_id, unicode(substring(text, CAST(i AS INT), 1)) AS b
+  FROM (SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS i
+        FROM documents)),
+hist AS (SELECT doc_id, b, COUNT(*) AS c FROM bytes GROUP BY 1, 2),
+agg AS (
+  SELECT doc_id,
+         CAST(SUM(c) AS BIGINT) AS n,
+         CAST(SUM(b * c) AS BIGINT) AS s,
+         CAST(SUM(b * b * c) AS BIGINT) AS ss,
+         CAST(SUM(c * c) AS BIGINT) AS c2,
+         CAST(COUNT(*) AS BIGINT) AS distinct_bytes,
+         CAST(MIN(b) AS INT) AS byte_min,
+         CAST(MAX(b) AS INT) AS byte_max,
+         CAST(SUM(CASE WHEN (b BETWEEN 32 AND 126) OR b IN (9, 10, 13)
+                       THEN 0 ELSE c END) AS BIGINT) AS nonprintable
+  FROM hist GROUP BY doc_id)
+SELECT d.doc_id,
+       CASE WHEN a.nonprintable = 0 THEN 'text/plain'
+            ELSE 'application/octet-stream' END AS media_format,
+       a.n AS n_bytes,
+       md5(d.text) AS md5_hex,
+       round(CAST(a.s AS DOUBLE) / CAST(a.n AS DOUBLE), 6) AS byte_mean,
+       round(sqrt(greatest(
+         CAST(a.ss AS DOUBLE) / CAST(a.n AS DOUBLE)
+           - (CAST(a.s AS DOUBLE) / CAST(a.n AS DOUBLE))
+             * (CAST(a.s AS DOUBLE) / CAST(a.n AS DOUBLE)), 0.0)), 6)
+         AS byte_std,
+       round(CAST(a.c2 AS DOUBLE) / CAST(a.n * a.n AS DOUBLE), 6) AS simpson,
+       a.distinct_bytes,
+       a.byte_min,
+       a.byte_max,
+       'decoded_bytes' AS status
+FROM documents d JOIN agg a USING (doc_id)
+ORDER BY d.doc_id
+"""
 
 
 FRAME_BYTES = 64
@@ -176,7 +294,9 @@ QUERIES = {
 
 ORACLES = {
     "multimodal_metadata": O_MULTIMODAL_META,
-    # multimodal_decode_features: rows-only (Python kernel; determinism
-    # + error seam pinned in tests/test_multimodal.py).
+    # value-checked: the byte-level kernel mirrors O_DECODE's arithmetic
+    # op-for-op (exact int sums, IEEE division/sqrt); only codec-needing
+    # containers raise, and none exist in the fixtures by construction.
+    "multimodal_decode_features": O_DECODE,
     "multimodal_frame_sample": O_FRAME_SAMPLE,
 }

@@ -24,31 +24,44 @@ def test_decode_kernel_deterministic(spark, sf_dir):
     b = multimodal.q_multimodal_decode(spark, sf_dir).collect()
     assert a == b
     for r in a:
-        assert r.status == "decoded_stub"
+        assert r.status == "decoded_bytes"
+        assert r.media_format == "text/plain"
         assert 0.0 <= r.byte_mean <= 255.0
+        assert 0.0 < r.simpson <= 1.0
 
 
-def test_unknown_format_raises(spark):
+def test_codec_format_raises(spark):
+    """A real media container (sniffed from magic bytes) hits the
+    NotImplementedError seam — byte stats alone are not a decode."""
     df = spark.createDataFrame(
-        [(1, bytearray(b"\x00\x01"), "image/jpeg")],
-        "doc_id long, payload binary, media_format string",
+        [(1, bytearray(b"\xff\xd8\xff\xe0rest-of-jpeg"))],
+        "doc_id long, payload binary",
     )
     out = df.mapInPandas(multimodal.decode_features, schema=multimodal.DECODE_SCHEMA)
     with pytest.raises(Exception, match="no codec"):
         out.collect()
 
 
+def test_sniff_formats():
+    assert multimodal.sniff_format(b"\x89PNG\r\n\x1a\nxxxx") == "image/png"
+    assert multimodal.sniff_format(b"GIF89a....") == "image/gif"
+    assert multimodal.sniff_format(b"\x00\x00\x00\x20ftypisom") == "video/mp4"
+    assert multimodal.sniff_format(b"plain ascii text\n") == "text/plain"
+    assert multimodal.sniff_format(b"\x00\x01\x02\x03ranDom") == "application/octet-stream"
+    # offset-4 brand check must not misfire when the prefix is a magic
+    assert multimodal.sniff_format(b"OggSftyp") == "audio/ogg"
+
+
 def test_decode_feature_values(spark):
-    # payload bytes [0, 255] → mean 127.5, min 0, max 255
+    # bytes [0, 255]: mean 127.5, std 127.5, simpson (1+1)/4 = 0.5,
+    # 2 distinct bytes, min 0, max 255, octet-stream (unprintables)
     df = spark.createDataFrame(
-        [(1, bytearray([0, 255]), multimodal.FAKE_FORMAT)],
-        "doc_id long, payload binary, media_format string",
+        [(1, bytearray([0, 255]))], "doc_id long, payload binary"
     )
     r = (
         df.mapInPandas(multimodal.decode_features, schema=multimodal.DECODE_SCHEMA)
-        .select(F.element_at("features", 1).alias("mean"),
-                F.element_at("features", 3).alias("mn"),
-                F.element_at("features", 4).alias("mx"))
         .collect()[0]
     )
-    assert (r.mean, r.mn, r.mx) == (127.5, 0.0, 255.0)
+    assert (r.byte_mean, r.byte_std, r.simpson) == (127.5, 127.5, 0.5)
+    assert (r.distinct_bytes, r.byte_min, r.byte_max) == (2, 0, 255)
+    assert r.media_format == "application/octet-stream"
