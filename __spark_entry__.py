@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from clickhouse_vs_dbt_spark import compat
 from clickhouse_vs_dbt_spark.operators import (
+    aggfns,
     bloomjoin,
     boilerplate,
     chfuncs,
@@ -76,6 +77,7 @@ _MODULES = [
     compat,
     bloomjoin,
     chfuncs,
+    aggfns,
     windowfns,
     boilerplate,
     sqlbreadth,
