@@ -4,9 +4,15 @@ The reference's UX is ``dbt run`` (build models, reference
 README.md:406-409) plus ad-hoc SQL in a client (README.md:411-438).
 This CLI is the Spark-native equivalent:
 
-    python -m clickhouse_vs_dbt_spark models [--sf-dir DIR]
+    python -m clickhouse_vs_dbt_spark models [--sf-dir DIR] [--select-tags T...]
         build the staging views + materialized star via the ModelRunner
-        (the dbt-analog DAG) and report row counts.
+        (the dbt-analog DAG) and report row counts; --select-tags builds
+        only the tagged subgraph plus deps (dbt run --select tag:x).
+
+    python -m clickhouse_vs_dbt_spark docs [--sf-dir DIR]
+        print the project manifest — materialization, deps, description,
+        tags per model (the dbt-docs metadata surface, reference
+        README.md:269-292, :328-345).
 
     python -m clickhouse_vs_dbt_spark sql "SELECT ..." [--sf-dir DIR]
         run ad-hoc SQL with every fixture table registered, the star
@@ -46,9 +52,11 @@ def _prepare(spark, sf_dir: str) -> None:
     compat.register_clickhouse_compat(spark)
 
 
-def cmd_models(args) -> int:
-    from pyspark.sql import functions as F  # noqa: F401
-
+def _project_runner(spark, sf_dir: str):
+    """The reference's dbt project as a registered ModelRunner: five
+    staging passthrough views + the materialized star, with the
+    description/tags metadata the reference declares in its sources and
+    schema YAML blocks (README.md:269-292, :328-345)."""
     from clickhouse_vs_dbt_spark.catalog import load_table
     from clickhouse_vs_dbt_spark.plans.models import (
         Materialization,
@@ -57,27 +65,48 @@ def cmd_models(args) -> int:
     )
     from clickhouse_vs_dbt_spark.plans.star import build_star
 
-    spark = _spark("cli-models")
     runner = ModelRunner(spark)
     for t in ("customer", "orders", "lineitem", "part", "supplier"):
         runner.add(
             Model(
                 f"stg_{t}",
-                (lambda tt: lambda s, existing=None: load_table(s, args.sf_dir, tt))(t),
+                (lambda tt: lambda s, existing=None: load_table(s, sf_dir, tt))(t),
                 materialization=Materialization.VIEW,
+                description=f"Staging passthrough view over the {t} source table",
+                tags=("staging",),
             )
         )
     runner.add(
         Model(
             "star",
-            lambda s, existing=None: build_star(s, args.sf_dir),
+            lambda s, existing=None: build_star(s, sf_dir),
             materialization=Materialization.TABLE,
             deps=("stg_customer", "stg_orders", "stg_lineitem", "stg_part", "stg_supplier"),
+            description="Denormalized wide fact table: lineitem joined to "
+            "orders and the customer/supplier/part dimensions",
+            tags=("star", "mart"),
         )
     )
-    out = runner.run()
+    return runner
+
+
+def cmd_models(args) -> int:
+    spark = _spark("cli-models")
+    runner = _project_runner(spark, args.sf_dir)
+    out = runner.run(tags=args.select_tags or None)
     for name in runner.order():
-        print(f"{name:16s} {out[name].count():>10d} rows")
+        if name in out:
+            print(f"{name:16s} {out[name].count():>10d} rows")
+    return 0
+
+
+def cmd_docs(args) -> int:
+    """dbt-docs analog: print the project manifest (materialization,
+    deps, description, tags per model) as JSON."""
+    import json
+
+    spark = _spark("cli-docs")
+    print(json.dumps(_project_runner(spark, args.sf_dir).manifest(), indent=2))
     return 0
 
 
@@ -116,7 +145,17 @@ def main(argv: list[str] | None = None) -> int:
 
     pm = sub.add_parser("models", help="build the model DAG (dbt-run analog)")
     pm.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
+    pm.add_argument(
+        "--select-tags",
+        nargs="*",
+        help="build only models with these tags (+ their deps), like "
+        "dbt run --select tag:x",
+    )
     pm.set_defaults(fn=cmd_models)
+
+    pd = sub.add_parser("docs", help="print the project manifest (dbt-docs analog)")
+    pd.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
+    pd.set_defaults(fn=cmd_docs)
 
     ps = sub.add_parser("sql", help="ad-hoc SQL with tables + dialect registered")
     ps.add_argument("query")

@@ -64,6 +64,11 @@ class Model:
     builder: Callable[[SparkSession], DataFrame]
     deps: Sequence[str] = ()
     materialization: Materialization = Materialization.VIEW
+    # dbt-docs metadata (reference README.md:269-292 sources block,
+    # :328-345 staging YAML): human description + selection tags.
+    # ``tags`` also drive tag-selected runs (dbt `--select tag:x`).
+    description: str = ""
+    tags: Sequence[str] = ()
     partition_by: Sequence[str] = ()
     # (n_buckets, key columns...): hash-bucket the table on write so
     # joins/aggs on the bucket key need no exchange (co-located join —
@@ -94,12 +99,24 @@ class ModelRunner:
         deps: Sequence[str] = (),
         materialization: Materialization = Materialization.VIEW,
         partition_by: Sequence[str] = (),
+        description: str = "",
+        tags: Sequence[str] = (),
     ) -> Callable[[Callable[[SparkSession], DataFrame]], Callable[[SparkSession], DataFrame]]:
         """Decorator: ``@runner.model("stg_customer")`` registers a model
         the way a dbt ``models/*.sql`` file + config block does."""
 
         def wrap(fn: Callable[[SparkSession], DataFrame]) -> Callable[[SparkSession], DataFrame]:
-            self.add(Model(name, fn, deps, materialization, partition_by))
+            self.add(
+                Model(
+                    name,
+                    fn,
+                    deps,
+                    materialization,
+                    description,
+                    tags,
+                    partition_by,
+                )
+            )
             return fn
 
         return wrap
@@ -114,11 +131,45 @@ class ModelRunner:
         ts = TopologicalSorter({m.name: set(m.deps) for m in self._models.values()})
         return list(ts.static_order())
 
-    def run(self) -> dict[str, DataFrame]:
-        """Materialize every model in dependency order; each model's name
-        becomes a resolvable view for downstream models and ad-hoc SQL."""
+    def manifest(self) -> dict[str, dict]:
+        """dbt-docs analog (reference README.md:269-292, :328-345): the
+        project's metadata surface — per model: materialization, deps,
+        description, tags — in DAG order, machine-readable."""
+        return {
+            name: {
+                "materialization": m.materialization.value,
+                "deps": list(m.deps),
+                "description": m.description,
+                "tags": list(m.tags),
+            }
+            for name in self.order()
+            for m in (self._models[name],)
+        }
+
+    def select(self, tags: Sequence[str]) -> list[str]:
+        """Tag selection (dbt ``--select tag:x``): models carrying any
+        of the tags, plus their transitive dependencies, in DAG order."""
+        want = set(tags)
+        picked = {
+            m.name for m in self._models.values() if want & set(m.tags)
+        }
+        grew = True
+        while grew:
+            grew = False
+            for name in list(picked):
+                for d in self._models[name].deps:
+                    if d not in picked:
+                        picked.add(d)
+                        grew = True
+        return [n for n in self.order() if n in picked]
+
+    def run(self, tags: Sequence[str] | None = None) -> dict[str, DataFrame]:
+        """Materialize every model (or the tag-selected subgraph) in
+        dependency order; each model's name becomes a resolvable view
+        for downstream models and ad-hoc SQL."""
+        names = self.order() if tags is None else self.select(tags)
         out: dict[str, DataFrame] = {}
-        for name in self.order():
+        for name in names:
             model = self._models[name]
             missing = [d for d in model.deps if d not in out]
             if missing:

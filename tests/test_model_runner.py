@@ -228,3 +228,44 @@ def test_cli_sql_dialect_roundtrip(capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "y" in out and "n" in out
+
+
+def test_manifest_and_tag_selection(spark):
+    """dbt-docs/tag-selection analog: the manifest carries description +
+    tags per model, and a tag-selected run builds only the subgraph
+    (selected models plus transitive deps)."""
+    from clickhouse_vs_dbt_spark.plans.models import Model, ModelRunner
+
+    runner = ModelRunner(spark)
+    runner.add(
+        Model("base", lambda s: s.range(3),
+              description="three rows", tags=("staging",))
+    )
+    runner.add(
+        Model("mart_a", lambda s: s.table("base"), deps=("base",),
+              description="passthrough mart", tags=("mart",))
+    )
+    runner.add(Model("mart_b", lambda s: s.table("base"), deps=("base",)))
+
+    man = runner.manifest()
+    assert list(man) == runner.order()
+    assert man["base"]["description"] == "three rows"
+    assert man["mart_a"]["tags"] == ["mart"]
+    assert man["mart_a"]["deps"] == ["base"]
+
+    assert runner.select(["mart"]) == ["base", "mart_a"]
+    out = runner.run(tags=["mart"])
+    assert set(out) == {"base", "mart_a"}
+    assert out["mart_a"].count() == 3
+
+
+def test_cli_docs_manifest(capsys):
+    import json
+
+    from clickhouse_vs_dbt_spark.__main__ import main
+
+    assert main(["docs"]) == 0
+    man = json.loads(capsys.readouterr().out)
+    assert man["star"]["tags"] == ["star", "mart"]
+    assert man["star"]["materialization"] == "table"
+    assert "stg_customer" in man and man["stg_customer"]["description"]
