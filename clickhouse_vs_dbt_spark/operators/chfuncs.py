@@ -499,8 +499,40 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+SEQ_NEXT_SQL = """
+WITH o AS (
+  SELECT user_id, event_type, ts, event_id,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next_type
+  FROM events),
+firstv AS (
+  SELECT user_id, next_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM o WHERE event_type = 'view')
+SELECT user_id, COALESCE(next_type, '(end)') AS next_after_first_view
+FROM firstv WHERE rn = 1 ORDER BY user_id
+"""
+
+
+def q_events_sequence_next_node(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``sequenceNextNode(forward, first_match)`` analog: per
+    user, the event type that directly follows the chronologically first
+    'view' event ('(end)' if the view is the user's last event).
+
+    Shape: one keyed ``lead`` window (the next-event relation) + a
+    keyed first-match rank — both partition by user, O(1)/row, nothing
+    global; the same plan ClickHouse's sequence automaton would induce
+    restricted to a single base-condition hop."""
+    from clickhouse_vs_dbt_spark.catalog import register_views
+
+    register_views(spark, sf_dir, ("events",))
+    return spark.sql(SEQ_NEXT_SQL)
+
+
 QUERIES = {
     "events_topk_sketch": q_events_topk_sketch,
+    "events_sequence_next_node": q_events_sequence_next_node,
     "events_sequence_count": q_events_sequence_count,
     "events_bounding_ratio": q_events_bounding_ratio,
     "events_group_uniq_array": q_events_group_uniq_array,
@@ -514,6 +546,7 @@ QUERIES = {
 
 ORACLES = {
     "events_topk_sketch": O_TOPK_SKETCH,
+    "events_sequence_next_node": SEQ_NEXT_SQL,
     "events_sequence_count": O_SEQUENCE_COUNT,
     "events_bounding_ratio": O_BOUNDING_RATIO,
     "events_group_uniq_array": O_GROUP_UNIQ_ARRAY,

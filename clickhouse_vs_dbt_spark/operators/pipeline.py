@@ -167,5 +167,63 @@ FROM budgeted WHERE cum_tokens <= {TOKEN_BUDGET} ORDER BY doc_id
 """
 
 
-QUERIES = {"corpus_prep": q_corpus_prep}
-ORACLES = {"corpus_prep": _o_corpus_prep()}
+SHUFFLE_SEED = 42
+SHUFFLE_SALT = f":shuffle:{SHUFFLE_SEED}"
+
+
+def _corpus_shuffle_sql() -> str:
+    """Deterministic global training-order permutation WITHOUT a global
+    sort — the 'shuffle the corpus before epoch N' step of an LLM
+    pipeline, as the distributed two-pass rank:
+
+    1. shuffle key = md5(doc_id ‖ seed) — seeded, engine-portable,
+       uniform;
+    2. bucket by the key's first two hex chars (≤256 fixed, content-
+       derived ranges — no sampled boundaries to disagree between
+       passes);
+    3. rank WITHIN each bucket (keyed window, parallel);
+    4. exclusive-prefix the per-bucket counts (≤256 metadata rows — the
+       only unpartitioned window) and add the bucket offset.
+
+    The result is the exact permutation ``ORDER BY md5_key`` would give,
+    with the biggest task bounded at ~corpus/256 instead of the whole
+    corpus.  Identical SQL executes on both engines — value-checked
+    end-to-end."""
+    return f"""
+WITH keyed AS (
+  SELECT doc_id, md5(CAST(doc_id AS STRING) || '{SHUFFLE_SALT}') AS k
+  FROM documents),
+b AS (
+  SELECT doc_id, k,
+         ascii(substring(k, 1, 1)) * 256 + ascii(substring(k, 2, 1)) AS bucket
+  FROM keyed),
+local AS (
+  SELECT doc_id, k, bucket,
+         ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY k, doc_id) AS lr
+  FROM b),
+counts AS (SELECT bucket, COUNT(*) AS c FROM b GROUP BY bucket),
+offs AS (
+  SELECT bucket,
+         COALESCE(SUM(c) OVER (ORDER BY bucket
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS off
+  FROM counts)
+SELECT l.doc_id, CAST(l.lr + o.off AS BIGINT) AS position
+FROM local l JOIN offs o ON l.bucket = o.bucket
+ORDER BY position
+"""
+
+
+def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded global corpus permutation (see :func:`_corpus_shuffle_sql`)."""
+    from clickhouse_vs_dbt_spark.catalog import register_views
+
+    register_views(spark, sf_dir, ("documents",))
+    return spark.sql(_corpus_shuffle_sql())
+
+
+QUERIES = {"corpus_prep": q_corpus_prep, "corpus_shuffle": q_corpus_shuffle}
+ORACLES = {
+    "corpus_prep": _o_corpus_prep(),
+    "corpus_shuffle": _corpus_shuffle_sql(),
+}

@@ -13,6 +13,18 @@ Type mapping per SURVEY.md §1.2: UInt32→Long (no unsigned ints in Spark;
 sums overflow 2^32 — golden value 446_031_203_850 at README.md:419),
 UInt8→Short, LowCardinality(String)→String (dictionary encoding is a
 physical concern Parquet handles), Date→Date.
+
+Object-store transport (the reference's ``ENGINE = S3(https://…)``,
+README.md:169/192/207/220): every reader here takes a Hadoop
+filesystem URI, not a local path — ``file://``, ``s3a://``, ``abfss://``
+etc. all resolve through the same ``spark.read`` path, so the S3 form is
+``read_ssb_csv(spark, "s3a://bucket/prefix/customer.tbl", "customer")``
+with the endpoint/credentials supplied as standard Hadoop conf
+(``spark.hadoop.fs.s3a.endpoint`` / ``…access.key`` / ``…secret.key``).
+This sandbox has no object store, so the scheme-qualified path is
+exercised with ``file://`` URIs (tests/test_sources.py) — the URI
+plumbing, lazy re-scan semantics, and strict parse are identical; only
+the filesystem driver behind the scheme changes.
 """
 
 from __future__ import annotations

@@ -106,3 +106,19 @@ def test_orc_roundtrip_lossless(spark, sf_dir):
     back = read_orc(spark, path)
     assert back.schema == e.schema  # exact type preservation both ways
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, e.collect()))
+
+
+def test_tbl_read_via_scheme_qualified_uri(spark, tmp_path):
+    """Sources take Hadoop filesystem URIs, not bare paths — the
+    object-store posture (s3a://...) with file:// standing in for the
+    scheme (no object store in this sandbox; same URI plumbing)."""
+    from clickhouse_vs_dbt_spark.sources.ssb_csv import read_ssb_csv
+
+    p = tmp_path / "supplier.tbl"
+    p.write_text(
+        "1|Supplier#1|addr|CITY_0|NATION_0|REGION_0|555-1|\n"
+        "2|Supplier#2|addr|CITY_1|NATION_1|REGION_1|555-2|\n"
+    )
+    out = read_ssb_csv(spark, f"file://{p}", "supplier").collect()
+    assert [r.S_SUPPKEY for r in out] == [1, 2]
+    assert out[0].S_NATION == "NATION_0"
