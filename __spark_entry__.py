@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from clickhouse_vs_dbt_spark import compat
 from clickhouse_vs_dbt_spark.operators import (
     aggfns,
+    zorder,
     bloomjoin,
     boilerplate,
     chfuncs,
@@ -78,6 +79,7 @@ _MODULES = [
     bloomjoin,
     chfuncs,
     aggfns,
+    zorder,
     windowfns,
     boilerplate,
     sqlbreadth,
