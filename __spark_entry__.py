@@ -51,6 +51,7 @@ from clickhouse_vs_dbt_spark.operators import (
     text,
     timeseries,
     tpch,
+    tpch_ps,
     windowfns,
 )
 from clickhouse_vs_dbt_spark.plans import bucketing, snapshots
@@ -86,6 +87,7 @@ _MODULES = [
     stats,
     relational,
     tpch,
+    tpch_ps,
     funcsuite,
     scalarbreadth,
     maps,

@@ -109,6 +109,16 @@ HEADLINE = [
     "limit_by_analog",
     "ml_inference_sql",
     "events_max_intersections",
+    # round-3 additions: aggregate analogs pt 2, serving-path IVF,
+    # value-checked multimodal decode, training-order shuffle, z-order
+    "events_sum_map",
+    "events_interval_length_sum",
+    "events_rank_corr",
+    "events_delta_sum",
+    "ann_topk_ivf_pruned",
+    "multimodal_decode_features",
+    "corpus_shuffle",
+    "zorder_key_orders",
 ]
 
 

@@ -5,7 +5,9 @@ derivative of TPC-H (SURVEY.md §2.2) — so the natural widening of the
 query inventory is the classic TPC-H flight re-expressed over the
 driver fixtures' normalized schema (TESTDATA.md).  The fixture tables
 omit a few classic columns (no ``l_commitdate``/``l_receiptdate``, no
-``o_shippriority``, no ``l_shipmode``/``p_container``, no partsupp), so
+``o_shippriority``, no ``l_shipmode``/``p_container``, no partsupp —
+the five partsupp queries live in operators/tpch_ps.py over a derived
+partsupp analog), so
 each query keeps its canonical *shape* (the join graph, the aggregate
 pattern, the predicate structure) with predicates adapted to the
 available columns; the docstrings note each adaptation.

@@ -1,0 +1,212 @@
+"""The five TPC-H queries that need ``partsupp`` (Q2, Q9, Q11, Q16,
+Q20) — completed with a DERIVED partsupp analog.
+
+The driver fixtures omit partsupp, which previously left these queries
+out of the adapted flight (operators/tpch.py).  Instead of skipping
+them, this module derives a partsupp relation the way TPC-H defines it
+structurally — exactly 4 candidate suppliers per part, with
+deterministic cost/availability — as pure integer arithmetic over the
+EXISTING part/supplier tables:
+
+    ps_suppkey    = (p_partkey·7 + i·13) mod |supplier| + min(s_suppkey)
+    ps_availqty   = (p_partkey·11 + i·29) mod 9999 + 1
+    ps_supplycost = ((p_partkey·31 + i·17) mod 90000)/100 + 100
+
+Both engines evaluate the identical expressions over the same parquet,
+so the derived relation — and every query over it — is fully
+value-checked.  Fidelity note: the fixtures' lineitem was generated
+independently of this derivation, so the lineitem⋈partsupp correlation
+(Q9's profit terms, Q20's shipped-quantity threshold) is sparser than
+dbgen data (~4% of lineitem rows match a derived (part, supplier)
+pair); the queries keep their canonical join graph, subquery structure,
+and aggregate pattern, which is the capability being reproduced.
+
+Scale notes: partsupp is 4·|part| rows and derives map-only from the
+part scan — at 100 TB you materialize it once (or keep it virtual: it
+fuses into the probe-side scan).  Q11's global-total comparison
+broadcasts one scalar; Q2's per-part min is a keyed aggregate joined
+back (no window); Q16's NOT IN is a broadcast anti-join; Q20's nested
+quantity threshold is one keyed aggregate per (part, supplier).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from clickhouse_vs_dbt_spark.catalog import register_views
+from clickhouse_vs_dbt_spark.operators.common import sql_dsum
+
+_TABLES = ("part", "supplier", "nation", "region", "lineitem", "orders")
+
+
+def partsupp_cte(dialect: str) -> str:
+    gen = (
+        "SELECT explode(array(0, 1, 2, 3)) AS i"
+        if dialect == "spark"
+        else "SELECT unnest([0, 1, 2, 3]) AS i"
+    )
+    return f"""
+partsupp AS (
+  SELECT p_partkey AS ps_partkey,
+         CAST((p_partkey * 7 + i * 13) % ns.cnt + ns.smin AS BIGINT)
+           AS ps_suppkey,
+         CAST((p_partkey * 11 + i * 29) % 9999 + 1 AS INT) AS ps_availqty,
+         CAST(CAST((p_partkey * 31 + i * 17) % 90000 AS DOUBLE) / 100 + 100
+              AS DOUBLE) AS ps_supplycost
+  FROM part
+  CROSS JOIN ({gen}) gen
+  CROSS JOIN (SELECT COUNT(*) AS cnt, MIN(s_suppkey) AS smin
+              FROM supplier) ns)
+"""
+
+
+def _q2_sql(dialect: str) -> str:
+    """TPC-H Q2 (minimum-cost supplier): for each qualifying part, the
+    European supplier(s) quoting the per-part minimum supplycost.
+    Canonical correlated-min decorrelated as keyed MIN + join-back."""
+    return f"""
+WITH {partsupp_cte(dialect)},
+costs AS (
+  SELECT ps_partkey, ps_suppkey, ps_supplycost
+  FROM partsupp
+  JOIN supplier ON ps_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  JOIN region   ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'),
+mins AS (SELECT ps_partkey, MIN(ps_supplycost) AS mc
+         FROM costs GROUP BY ps_partkey)
+SELECT s.s_acctbal, s.s_name, n.n_name AS nation, p.p_partkey, p.p_type,
+       c.ps_supplycost
+FROM part p
+JOIN costs c ON p.p_partkey = c.ps_partkey
+JOIN mins  m ON m.ps_partkey = c.ps_partkey AND c.ps_supplycost = m.mc
+JOIN supplier s ON c.ps_suppkey = s.s_suppkey
+JOIN nation   n ON s.s_nationkey = n.n_nationkey
+WHERE p.p_size IN (5, 15, 25, 35, 45) AND p.p_type LIKE '%DARD'
+ORDER BY s.s_acctbal DESC, nation, s.s_name, p.p_partkey
+LIMIT 100
+"""
+
+
+def _q9_sql(dialect: str) -> str:
+    """TPC-H Q9 (product-type profit): profit by supplier nation × order
+    year for a part-name family, profit = net revenue − supplycost·qty."""
+    yr = (
+        "year(o_orderdate)"
+        if dialect == "spark"
+        else "CAST(year(o_orderdate) AS INT)"
+    )
+    return f"""
+WITH {partsupp_cte(dialect)}
+SELECT n_name AS nation, {yr} AS o_year,
+       {sql_dsum("l_extendedprice * (1 - l_discount) - ps_supplycost * l_quantity")}
+         AS sum_profit
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN partsupp ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+JOIN part     ON p_partkey = l_partkey
+WHERE p_name LIKE 'red%'
+GROUP BY n_name, {yr}
+ORDER BY nation, o_year DESC
+"""
+
+
+def _q11_sql(dialect: str) -> str:
+    """TPC-H Q11 (important stock): per-part inventory value within one
+    nation, kept where it exceeds a fraction of the nation total.  The
+    total is one broadcast scalar — no per-row recompute."""
+    return f"""
+WITH {partsupp_cte(dialect)},
+natps AS (
+  SELECT ps_partkey,
+         CAST(ps_supplycost * ps_availqty AS DECIMAL(18,6)) AS val
+  FROM partsupp
+  JOIN supplier ON ps_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_3'),
+tot AS (SELECT CAST(SUM(val) AS DOUBLE) AS t FROM natps)
+SELECT ps_partkey, CAST(SUM(val) AS DOUBLE) AS part_value
+FROM natps CROSS JOIN tot
+GROUP BY ps_partkey, t
+HAVING CAST(SUM(val) AS DOUBLE) > t * 0.001
+ORDER BY part_value DESC, ps_partkey
+"""
+
+
+def _q16_sql(dialect: str) -> str:
+    """TPC-H Q16 (supplier relationship): candidate supplier counts per
+    brand/type/size, excluding flagged suppliers (deterministic
+    complaints analog: every 10th supplier key).  NOT IN over the tiny
+    exclusion set plans as a broadcast anti-join."""
+    return f"""
+WITH {partsupp_cte(dialect)}
+SELECT p_brand, p_type, p_size,
+       COUNT(DISTINCT ps_suppkey) AS supplier_cnt
+FROM partsupp
+JOIN part ON p_partkey = ps_partkey
+WHERE p_brand <> 'Brand#13'
+  AND p_type NOT LIKE 'PROMO%'
+  AND p_size IN (1, 4, 7, 10, 15, 20, 25, 30)
+  AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                         WHERE s_suppkey % 10 = 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+def _q20_sql(dialect: str) -> str:
+    """TPC-H Q20 (excess stock): suppliers whose derived availability
+    exceeds half of what they actually shipped of a red part in 1997.
+    The nested quantity subquery decorrelates to one keyed aggregate."""
+    return f"""
+WITH {partsupp_cte(dialect)},
+shipped AS (
+  SELECT l_partkey, l_suppkey, SUM(l_quantity) AS q
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate <  TIMESTAMP '1998-01-01'
+  GROUP BY l_partkey, l_suppkey),
+cands AS (
+  SELECT DISTINCT ps_suppkey
+  FROM partsupp
+  JOIN part ON p_partkey = ps_partkey
+  LEFT JOIN shipped ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+  WHERE p_name LIKE 'red%'
+    AND ps_availqty > 0.5 * COALESCE(q, 0))
+SELECT s_name, s_acctbal
+FROM supplier JOIN cands ON s_suppkey = ps_suppkey
+ORDER BY s_name
+"""
+
+
+def _mk(sql_fn):
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        register_views(spark, sf_dir, _TABLES)
+        return spark.sql(sql_fn("spark"))
+
+    return q
+
+
+q_tpch_q2_min_cost_supplier = _mk(_q2_sql)
+q_tpch_q9_product_profit = _mk(_q9_sql)
+q_tpch_q11_important_stock = _mk(_q11_sql)
+q_tpch_q16_supplier_counts = _mk(_q16_sql)
+q_tpch_q20_excess_stock = _mk(_q20_sql)
+
+QUERIES = {
+    "tpch_q2_min_cost_supplier": q_tpch_q2_min_cost_supplier,
+    "tpch_q9_product_profit": q_tpch_q9_product_profit,
+    "tpch_q11_important_stock": q_tpch_q11_important_stock,
+    "tpch_q16_supplier_counts": q_tpch_q16_supplier_counts,
+    "tpch_q20_excess_stock": q_tpch_q20_excess_stock,
+}
+
+ORACLES = {
+    "tpch_q2_min_cost_supplier": _q2_sql("duckdb"),
+    "tpch_q9_product_profit": _q9_sql("duckdb"),
+    "tpch_q11_important_stock": _q11_sql("duckdb"),
+    "tpch_q16_supplier_counts": _q16_sql("duckdb"),
+    "tpch_q20_excess_stock": _q20_sql("duckdb"),
+}
