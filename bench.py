@@ -119,6 +119,10 @@ HEADLINE = [
     "multimodal_decode_features",
     "corpus_shuffle",
     "zorder_key_orders",
+    "corpus_pair_counts",
+    "tpch_q9_product_profit",
+    "tpch_q11_important_stock",
+    "events_sequence_next_node",
 ]
 
 

@@ -213,8 +213,51 @@ GROUP BY doc_id ORDER BY doc_id
 """
 
 
+PAIR_TOPK = 20
+
+
+def q_corpus_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacent-pair frequency counting — the inner loop of BPE/WordPiece
+    tokenizer training (count all adjacent symbol pairs, take the most
+    frequent for the next merge), at word granularity over the corpus.
+
+    Shape: per-document ordered pair explode (map-local
+    ``sequence``+``transform`` — no window, no shuffle until the count),
+    one keyed count with map-side combine, global top-k as
+    TakeOrderedAndProject.  One BPE merge round at 100 TB is exactly
+    this plan; training loops it with a merge-table broadcast."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = (
+        d.select(tokens().alias("t"))
+        .filter(F.size("t") >= 2)
+        .select(
+            F.explode(
+                F.expr("transform(sequence(0, size(t) - 2), i -> concat(t[i], ' ', t[i+1]))")
+            ).alias("pair")
+        )
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("pair").asc())
+        .limit(PAIR_TOPK)
+    )
+
+
+O_PAIR_COUNTS = f"""
+WITH arrs AS (
+  SELECT string_split_regex(trim(text), '\\s+') AS a FROM documents),
+idx AS (
+  SELECT a, unnest(range(1, len(a))) AS i FROM arrs WHERE len(a) >= 2),
+pairs AS (SELECT a[i] || ' ' || a[i + 1] AS pair FROM idx)
+SELECT pair, COUNT(*) AS freq FROM pairs
+GROUP BY pair ORDER BY freq DESC, pair ASC LIMIT {PAIR_TOPK}
+"""
+
+
 QUERIES = {
     "corpus_vocab_stats": q_corpus_vocab_stats,
+    "corpus_pair_counts": q_corpus_pair_counts,
     "corpus_top_terms": q_corpus_top_terms,
     "text_tfidf_topk": q_text_tfidf_topk,
     "unigram_freq_quality": q_unigram_freq_quality,
@@ -222,6 +265,7 @@ QUERIES = {
 
 ORACLES = {
     "corpus_vocab_stats": O_VOCAB_STATS,
+    "corpus_pair_counts": O_PAIR_COUNTS,
     "corpus_top_terms": O_TOP_TERMS,
     "text_tfidf_topk": O_TFIDF,
     "unigram_freq_quality": O_UNIGRAM_QUALITY,

@@ -64,3 +64,63 @@ def test_dsum_is_exact_decimal_sum(spark, vals):
         sum(Decimal(repr(v)).quantize(q, rounding=ROUND_HALF_UP) for v in vals)
     )
     assert got == want
+
+
+intervals_strategy = st.lists(
+    st.integers(min_value=0, max_value=2000),  # start times, overlap-dense
+    min_size=1,
+    max_size=25,
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(starts=intervals_strategy)
+def test_interval_union_matches_bruteforce(spark, starts):
+    """The prev-max-end sweep must equal the brute-force union length of
+    [st, st+W) intervals for any overlap structure."""
+    import datetime
+
+    from clickhouse_vs_dbt_spark.operators import aggfns
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (i, base + datetime.timedelta(microseconds=s), 1, "a", 0.0)
+        for i, s in enumerate(starts)
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    ).createOrReplaceTempView("events")
+    got = spark.sql(aggfns._interval_length_sql("spark")).collect()[0].covered_us
+
+    # reference implementation: classic sorted interval merge
+    ivs = sorted((s, s + aggfns.INTERVAL_US) for s in starts)
+    total, cur_lo, cur_hi = 0, None, None
+    for lo, hi in ivs:
+        if cur_hi is None or lo > cur_hi:
+            if cur_hi is not None:
+                total += cur_hi - cur_lo
+            cur_lo, cur_hi = lo, hi
+        else:
+            cur_hi = max(cur_hi, hi)
+    total += cur_hi - cur_lo
+    assert got == total
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    x=st.integers(min_value=0, max_value=(1 << 16) - 1),
+    y=st.integers(min_value=0, max_value=(1 << 16) - 1),
+)
+def test_morton_interleave_bijective(x, y):
+    """zvalue/unzvalue expression algebra mirrored in Python: interleave
+    then de-interleave is the identity for all 16-bit inputs."""
+    from clickhouse_vs_dbt_spark.operators import zorder
+
+    z = 0
+    for i in range(zorder.ZBITS):
+        z |= ((x >> i) & 1) << (2 * i)
+        z |= ((y >> i) & 1) << (2 * i + 1)
+    xb = sum((((z >> (2 * i)) & 1) << i) for i in range(zorder.ZBITS))
+    yb = sum((((z >> (2 * i + 1)) & 1) << i) for i in range(zorder.ZBITS))
+    assert (xb, yb) == (x, y)
