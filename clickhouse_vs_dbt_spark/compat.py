@@ -42,6 +42,17 @@ _COMPAT_FUNCS: dict[str, tuple[str, str]] = {
     "toUnixTimestamp": ("(t TIMESTAMP) RETURNS BIGINT", "unix_timestamp(t)"),
     "addDays": ("(d DATE, n INT) RETURNS DATE", "date_add(d, n)"),
     "dateDiff_day": ("(a DATE, b DATE) RETURNS INT", "datediff(b, a)"),
+    "toStartOfYear": ("(d DATE) RETURNS DATE", "CAST(date_trunc('year', d) AS DATE)"),
+    "toStartOfDay": (
+        "(t TIMESTAMP) RETURNS TIMESTAMP",
+        "date_trunc('day', t)",
+    ),
+    "toDate": ("(t TIMESTAMP) RETURNS DATE", "CAST(t AS DATE)"),
+    "toHour": ("(t TIMESTAMP) RETURNS INT", "hour(t)"),
+    "toMinute": ("(t TIMESTAMP) RETURNS INT", "minute(t)"),
+    "toSecond": ("(t TIMESTAMP) RETURNS INT", "second(t)"),
+    # bit functions
+    "bitCount": ("(x BIGINT) RETURNS INT", "bit_count(x)"),
     # arithmetic / conditional
     "intDiv": ("(a BIGINT, b BIGINT) RETURNS BIGINT", "a div b"),
     "modulo": ("(a BIGINT, b BIGINT) RETURNS BIGINT", "a % b"),

@@ -76,8 +76,11 @@ def star(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             build_star(spark, sf_dir)
             .withColumn("order_year", F.year("o_orderdate").cast("int"))
-            .repartitionByRange(8, "o_orderdate")
-            .sortWithinPartitions("o_orderdate")
+            # range keys lead with the partition column so each write
+            # task lands in one (occasionally two) year directories —
+            # ~1 file per year dir instead of tasks × years small files
+            .repartitionByRange(8, "order_year", "o_orderdate")
+            .sortWithinPartitions("order_year", "o_orderdate")
             .write.mode("overwrite")
             .partitionBy("order_year")
             .parquet(path)

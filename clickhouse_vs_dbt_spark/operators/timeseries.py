@@ -525,10 +525,22 @@ def _max_intersections_sql(dialect: str) -> str:
     window runs over the per-day totals — |days| rows, bounded metadata
     (a decade of data is ~3.7k rows) — so no task ever sees more than
     one day's boundaries, and the 2·|sessions| global-sort single task
-    of the naive formulation never exists."""
+    of the naive formulation never exists.
+
+    The peak (max concurrency + earliest micros attaining it) reads off
+    ONE aggregate pass over the sweep via a lexicographic struct argmax
+    — MAX((concurrent, −t)) — instead of a peak-subquery self-join,
+    which would recompute the whole sweep subtree twice; n_sessions is
+    COUNT(sweep)/2 (every session contributes exactly one +1 and one
+    −1 boundary)."""
     eus = "unix_micros" if dialect == "spark" else "epoch_us"
     idiv = "div" if dialect == "spark" else "//"
     day_us = 86_400_000_000
+    peak_struct = (
+        "named_struct('c', concurrent, 'negt', -t)"
+        if dialect == "spark"
+        else "{'c': concurrent, 'negt': -t}"
+    )
     return f"""
 WITH marked AS (
   SELECT user_id, ts,
@@ -563,13 +575,11 @@ sweep AS (
          SUM(b.delta) OVER (PARTITION BY b.day ORDER BY b.t, b.delta DESC
                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
            + o.carry AS concurrent
-  FROM boundaries b JOIN day_offsets o ON b.day = o.day),
-peak AS (SELECT MAX(concurrent) AS max_concurrent FROM sweep)
-SELECT CAST(p.max_concurrent AS BIGINT) AS max_concurrent,
-       CAST(MIN(s.t) AS BIGINT) AS first_peak_us,
-       (SELECT CAST(COUNT(*) AS BIGINT) FROM intervals) AS n_sessions
-FROM sweep s JOIN peak p ON s.concurrent = p.max_concurrent
-GROUP BY p.max_concurrent
+  FROM boundaries b JOIN day_offsets o ON b.day = o.day)
+SELECT CAST(MAX({peak_struct}).c AS BIGINT) AS max_concurrent,
+       CAST(-MAX({peak_struct}).negt AS BIGINT) AS first_peak_us,
+       CAST(COUNT(*) / 2 AS BIGINT) AS n_sessions
+FROM sweep
 """
 
 

@@ -235,6 +235,18 @@ def test_clickhouse_compat_functions(spark, sf_dir):
     assert row.y == 1994 and row.ym == 199401 and row.w == 6
     assert row.dow == 1  # 1994-02-07 is a Monday
     assert str(row.mon) == "1994-02-07"
+    row2 = spark.sql(
+        """SELECT toStartOfYear(DATE'1994-02-07') AS soy,
+                  toDate(TIMESTAMP'1994-02-07 13:45:09') AS d,
+                  toHour(TIMESTAMP'1994-02-07 13:45:09') AS h,
+                  toMinute(TIMESTAMP'1994-02-07 13:45:09') AS mi,
+                  toSecond(TIMESTAMP'1994-02-07 13:45:09') AS s,
+                  bitCount(255) AS bc,
+                  toStartOfDay(TIMESTAMP'1994-02-07 13:45:09') AS sod"""
+    ).first()
+    assert str(row2.soy) == "1994-01-01" and str(row2.d) == "1994-02-07"
+    assert (row2.h, row2.mi, row2.s, row2.bc) == (13, 45, 9, 8)
+    assert str(row2.sod) == "1994-02-07 00:00:00"
     assert row.idv == 3 and row.md == 1 and row.ed == 3
     assert row.e is True and row.ne is True
     assert row.parts == ["a", "b", "c"]
