@@ -33,6 +33,7 @@ from clickhouse_vs_dbt_spark.operators import (
     ipfns,
     jsonfns,
     maps,
+    mergetree,
     mlinfer,
     incremental,
     kmeans,
@@ -101,6 +102,7 @@ _MODULES = [
     curation,
     similarity,
     kmeans,
+    mergetree,
     mlinfer,
     text,
     corpus,
