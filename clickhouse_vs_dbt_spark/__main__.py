@@ -130,6 +130,27 @@ def cmd_query(args) -> int:
     return 0
 
 
+def cmd_explain(args) -> int:
+    """ClickHouse ``EXPLAIN`` analog: print the formatted physical plan
+    of a gated query or of ad-hoc SQL (with tables + dialect registered)
+    without executing it."""
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    if args.name_or_sql in qs:
+        spark = _spark("cli-explain")
+        df = qs[args.name_or_sql](spark, args.sf_dir)
+    else:
+        spark = _spark("cli-explain")
+        _prepare(spark, args.sf_dir)
+        df = spark.sql(args.name_or_sql)
+    print(df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    ))
+    return 0
+
+
 def cmd_list(args) -> int:
     sys.path.insert(0, "/root/repo")
     import __spark_entry__ as entrymod
@@ -171,6 +192,13 @@ def main(argv: list[str] | None = None) -> int:
 
     pl = sub.add_parser("list", help="list gated query names")
     pl.set_defaults(fn=cmd_list)
+
+    pe = sub.add_parser(
+        "explain", help="print the physical plan of a query name or SQL"
+    )
+    pe.add_argument("name_or_sql")
+    pe.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
+    pe.set_defaults(fn=cmd_explain)
 
     args = p.parse_args(argv)
     return args.fn(args)

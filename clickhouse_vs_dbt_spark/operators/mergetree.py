@@ -8,10 +8,13 @@ READ semantics — the part users consume — is one Catalyst plan here:
 
 * **ReplacingMergeTree + FINAL** (``mergetree_replacing_final``):
   a versioned changelog collapses to the max-version row per key.
-  Spark shape: keyed lexicographic struct-argmax aggregate — one
-  hash aggregate with partial merge, no window, no sort.  (The write
-  side of this idiom is ModelRunner's merge-by-unique-key incremental
-  materialization, operators/incremental.py.)
+  Spark shape: keyed ``max_by`` aggregate with map-side partials
+  (``partial_max_by`` before the exchange), no window, no join —
+  Spark picks SortAggregate because the string column sits in the
+  aggregation buffer, but the cost profile is the partial+final merge,
+  not a global sort.  (The write side of this idiom is ModelRunner's
+  merge-by-unique-key incremental materialization,
+  operators/incremental.py.)
 * **CollapsingMergeTree** (``mergetree_collapsing``): sign-column
   cancel-and-restate (a row is deleted by re-inserting it with
   sign=−1, updated by a −1/+1 pair).  The read is a keyed SUM over
@@ -38,30 +41,23 @@ from clickhouse_vs_dbt_spark.operators.common import sql_dsum
 
 
 def _replacing_sql(dialect: str) -> str:
-    latest = (
-        "MAX(named_struct('version', version, 'o_totalprice', o_totalprice,"
-        " 'o_orderstatus', o_orderstatus))"
-        if dialect == "spark"
-        else "MAX({'version': version, 'o_totalprice': o_totalprice,"
-        " 'o_orderstatus': o_orderstatus})"
-    )
+    # max_by/arg_max keeps the read a hash aggregate (ObjectHashAggregate
+    # with partial merge); a lexicographic struct MAX would plan as
+    # SortAggregate — correct but sorting where no sort is needed
+    amax = "max_by" if dialect == "spark" else "arg_max"
     return f"""
 WITH changelog AS (
   SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus, 1 AS version
   FROM orders
   UNION ALL
   SELECT o_orderkey, o_custkey, o_totalprice + 10.0, 'U', 2
-  FROM orders WHERE o_orderkey % 3 = 0),
-final_ AS (
-  SELECT o_orderkey,
-         MAX(o_custkey) AS o_custkey,
-         {latest} AS latest
-  FROM changelog GROUP BY o_orderkey)
-SELECT o_orderkey, o_custkey,
-       latest.version AS version,
-       latest.o_totalprice AS o_totalprice,
-       latest.o_orderstatus AS o_orderstatus
-FROM final_ ORDER BY o_orderkey
+  FROM orders WHERE o_orderkey % 3 = 0)
+SELECT o_orderkey,
+       MAX(o_custkey) AS o_custkey,
+       CAST(MAX(version) AS INT) AS version,
+       {amax}(o_totalprice, version) AS o_totalprice,
+       {amax}(o_orderstatus, version) AS o_orderstatus
+FROM changelog GROUP BY o_orderkey ORDER BY o_orderkey
 """
 
 

@@ -269,3 +269,11 @@ def test_cli_docs_manifest(capsys):
     assert man["star"]["tags"] == ["star", "mart"]
     assert man["star"]["materialization"] == "table"
     assert "stg_customer" in man and man["stg_customer"]["description"]
+
+
+def test_cli_explain(capsys):
+    from clickhouse_vs_dbt_spark.__main__ import main
+
+    assert main(["explain", "ssb_q1_1"]) == 0
+    out = capsys.readouterr().out
+    assert "Physical Plan" in out and "Scan parquet" in out

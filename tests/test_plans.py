@@ -131,3 +131,33 @@ def test_ivf_pruned_scan_prunes_cells(spark, sf_dir):
     assert i >= 0
     assert "cluster" in plan[i : i + 200]
     assert "BroadcastHashJoin" in plan
+
+
+def test_mergetree_reads_are_pure_aggregates(spark, sf_dir):
+    """Replacing-FINAL and Collapsing reads must plan as single keyed
+    aggregates with MAP-SIDE PARTIALS (partial_max_by / partial_sum
+    before the exchange): no Window, no join.  max_by keeps a string in
+    its aggregation buffer so Spark picks SortAggregate for the
+    replacing read — still partial+final, the property that matters."""
+    from clickhouse_vs_dbt_spark.operators.mergetree import (
+        q_mergetree_collapsing,
+        q_mergetree_replacing_final,
+    )
+
+    for q in (q_mergetree_replacing_final, q_mergetree_collapsing):
+        plan = _plan(q(spark, sf_dir))
+        assert "Window" not in plan
+        assert "SortMergeJoin" not in plan
+        assert "partial_" in plan
+
+
+def test_q16_exclusion_is_broadcast(spark, sf_dir):
+    """The NOT-IN supplier exclusion and the part join must both ship
+    the small side broadcast — the partsupp relation never shuffles."""
+    from clickhouse_vs_dbt_spark.operators.tpch_ps import (
+        q_tpch_q16_supplier_counts,
+    )
+
+    plan = _plan(q_tpch_q16_supplier_counts(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
