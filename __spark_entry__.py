@@ -72,6 +72,7 @@ from clickhouse_vs_dbt_spark.streaming import (
     stream_join,
     stream_late,
     stream_mv,
+    stream_retract,
     stream_upsert,
 )
 
@@ -129,6 +130,7 @@ _MODULES = [
     stream_enrich,
     stream_late,
     stream_mv,
+    stream_retract,
     stream_upsert,
 ]
 

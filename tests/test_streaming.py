@@ -71,3 +71,20 @@ def test_stream_late_drop_drops_and_withholds(spark, sf_dir):
     }
     for r in streamed.collect():
         assert (r.window_start, r.event_type) in batch_keys
+
+
+def test_retract_stream_equals_batch_collapse(spark, sf_dir):
+    """The foreachBatch retract fold, replayed over three orderkey-
+    striped triggers (so +1/-1 pairs split across batches and state
+    carries partial nets), must finalize to exactly the one-shot batch
+    CollapsingMergeTree read."""
+    from clickhouse_vs_dbt_spark.operators.mergetree import (
+        q_mergetree_collapsing,
+    )
+    from clickhouse_vs_dbt_spark.streaming.stream_retract import (
+        q_events_stream_retract,
+    )
+
+    got = q_events_stream_retract(spark, sf_dir).collect()
+    want = q_mergetree_collapsing(spark, sf_dir).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
