@@ -434,9 +434,67 @@ FROM documents ORDER BY doc_id
 """
 
 
+def q_text_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence segmentation statistics — the sentence-level quality
+    signals (count, mean/max length) used by pretraining filters such
+    as Gopher's rules.  Segmentation is a shared regex split on
+    terminal-punctuation runs with empty fragments dropped; all stats
+    derive from exact integer sums (one IEEE division for the mean), so
+    both engines agree bit-for-bit.  Map-only — runs at scan speed."""
+    d = load_table(spark, sf_dir, "documents")
+    sents = "filter(split(text, '[.!?]+'), s -> length(trim(s)) > 0)"
+    lens = f"transform({sents}, s -> length(trim(s)))"
+    return (
+        d.select(
+            "doc_id",
+            F.expr(f"size({sents})").cast("int").alias("n_sentences"),
+            F.expr(f"aggregate({lens}, 0L, (a, x) -> a + x)").alias("_chars"),
+            F.expr(
+                f"coalesce(array_max({lens}), 0)"
+            ).cast("int").alias("max_sentence_chars"),
+        )
+        .withColumn(
+            "avg_sentence_chars",
+            F.when(
+                F.col("n_sentences") > 0,
+                F.round(
+                    F.col("_chars").cast("double") / F.col("n_sentences"), 6
+                ),
+            ).otherwise(F.lit(0.0)),
+        )
+        .select(
+            "doc_id", "n_sentences", "avg_sentence_chars", "max_sentence_chars"
+        )
+        .orderBy("doc_id")
+    )
+
+
+O_SENTENCE_STATS = """
+WITH s AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '[.!?]+'),
+                     s -> length(trim(s)) > 0) AS sents
+  FROM documents),
+l AS (
+  SELECT doc_id,
+         CAST(len(sents) AS INT) AS n_sentences,
+         list_sum(list_transform(sents, s -> length(trim(s)))) AS chars_,
+         CAST(COALESCE(list_max(list_transform(sents, s -> length(trim(s)))), 0)
+              AS INT) AS max_sentence_chars
+  FROM s)
+SELECT doc_id, n_sentences,
+       CASE WHEN n_sentences > 0
+            THEN round(CAST(chars_ AS DOUBLE) / n_sentences, 6)
+            ELSE 0.0 END AS avg_sentence_chars,
+       max_sentence_chars
+FROM l ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "text_nfc_normalize": q_text_nfc_normalize,
     "text_char_diversity": q_text_char_diversity,
+    "text_sentence_stats": q_text_sentence_stats,
     "text_token_stats": q_text_token_stats,
     "text_repetition": q_text_repetition,
     "text_chunks": q_text_chunks,
@@ -448,6 +506,7 @@ QUERIES = {
 ORACLES = {
     "text_nfc_normalize": O_NFC_NORMALIZE,
     "text_char_diversity": O_CHAR_DIVERSITY,
+    "text_sentence_stats": O_SENTENCE_STATS,
     "text_token_stats": O_TOKEN_STATS,
     "text_repetition": O_TEXT_REPETITION,
     "text_chunks": O_TEXT_CHUNKS,
