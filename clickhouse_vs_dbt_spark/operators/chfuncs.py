@@ -499,6 +499,82 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def _strict_funnel_fold(dialect: str) -> str:
+    """windowFunnel 'strict_order' transition as one integer-state fold.
+
+    Element encoding: ``ts_sec·10 + code`` (code 1=view 2=click
+    3=purchase, 0 other).  State: ``anchor_sec·100 + best·10 + cur``
+    with ``cur = 9`` once the attempt is frozen.  Strict order means ANY
+    event that is not the expected next step aborts the attempt (the
+    ClickHouse mode where ``A→B→D→C`` does not count ``A→B→C``); the
+    analog anchors at the user's first view, and the 24 h window freezes
+    rather than aborts on expiry.  best only ever equals the deepest cur
+    reached, so the freeze transition preserves it."""
+    idiv = "div" if dialect == "spark" else "//"
+    W = FUNNEL_WINDOW_HOURS * 3600
+    return (
+        "(s, x) -> CASE "
+        "WHEN s % 10 = 9 THEN s "
+        f"WHEN s % 10 = 0 THEN CASE WHEN x % 10 = 1 "
+        f"THEN (x {idiv} 10) * 100 + 11 ELSE s END "
+        f"WHEN (x {idiv} 10) - (s {idiv} 100) > {W} "
+        f"THEN (s {idiv} 10) * 10 + 9 "
+        f"WHEN x % 10 = (s % 10) + 1 "
+        f"THEN (s {idiv} 100) * 100 + ((s % 10) + 1) * 11 "
+        f"ELSE (s {idiv} 10) * 10 + 9 END"
+    )
+
+
+def q_events_funnel_strict_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``windowFunnel(86400, 'strict_order')`` analog: per
+    user, the deepest view→click→purchase level reached when ANY
+    interleaving event aborts the attempt (see :func:`_strict_funnel_fold`);
+    output is the level histogram.  Same shape as sequenceCount: one
+    order-preserving per-user fold — map-side partial collect, one keyed
+    shuffle, per-user history bounded."""
+    e = load_table(spark, sf_dir, "events")
+    elem = (
+        "(unix_micros(ts) div 1000000) * 10 + "
+        "CAST(CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2 "
+        "WHEN 'purchase' THEN 3 ELSE 0 END AS BIGINT)"
+    )
+    fold = (
+        "aggregate("
+        f"transform(sort_array(collect_list(struct(ts, event_id, {elem}))), "
+        "t -> t.col3), "
+        "CAST(0 AS BIGINT), "
+        f"{_strict_funnel_fold('spark')})"
+    )
+    per_user = e.groupBy("user_id").agg(
+        F.expr(f"({fold} % 100) div 10").alias("level")
+    )
+    return (
+        per_user.groupBy("level")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("level")
+    )
+
+
+def _o_funnel_strict_order() -> str:
+    return f"""
+WITH codes AS (
+  SELECT user_id,
+         list_transform(
+           list_sort(list(struct_pack(a := ts, b := event_id,
+             c := (epoch_us(ts) // 1000000) * 10 +
+                  CAST(CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
+                       WHEN 'purchase' THEN 3 ELSE 0 END AS BIGINT)))),
+           t -> t.c) AS xs
+  FROM events GROUP BY user_id),
+lv AS (
+  SELECT user_id,
+         (list_reduce(list_prepend(CAST(0 AS BIGINT), xs),
+            {_strict_funnel_fold('duckdb')}) % 100) // 10 AS level
+  FROM codes)
+SELECT level, COUNT(*) AS n_users FROM lv GROUP BY level ORDER BY level
+"""
+
+
 SEQ_NEXT_SQL = """
 WITH o AS (
   SELECT user_id, event_type, ts, event_id,
@@ -533,6 +609,7 @@ def q_events_sequence_next_node(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "events_topk_sketch": q_events_topk_sketch,
     "events_sequence_next_node": q_events_sequence_next_node,
+    "events_funnel_strict_order": q_events_funnel_strict_order,
     "events_sequence_count": q_events_sequence_count,
     "events_bounding_ratio": q_events_bounding_ratio,
     "events_group_uniq_array": q_events_group_uniq_array,
@@ -547,6 +624,7 @@ QUERIES = {
 ORACLES = {
     "events_topk_sketch": O_TOPK_SKETCH,
     "events_sequence_next_node": SEQ_NEXT_SQL,
+    "events_funnel_strict_order": _o_funnel_strict_order(),
     "events_sequence_count": O_SEQUENCE_COUNT,
     "events_bounding_ratio": O_BOUNDING_RATIO,
     "events_group_uniq_array": O_GROUP_UNIQ_ARRAY,
