@@ -211,8 +211,35 @@ def q_events_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_rank_corr_sql("spark"))
 
 
+TOPK_WEIGHTED = 5
+
+
+def _topk_weighted_sql(dialect: str) -> str:
+    """topKWeighted analog: the K heaviest users by exact decimal total
+    value (the weight), deterministic tie-break on user id.  ClickHouse
+    answers this with a space-saving sketch; at the exact tier the
+    engine-portable form is a keyed aggregate + TakeOrderedAndProject
+    heap — one shuffle on user_id, never a global sort (the sketch tier
+    of the same idea is events_topk_sketch)."""
+    return f"""
+WITH w AS (
+  SELECT user_id,
+         CAST(SUM(CAST(value AS {DEC})) AS DOUBLE) AS weight,
+         COUNT(*) AS n_events
+  FROM events GROUP BY user_id)
+SELECT user_id, weight, n_events
+FROM w ORDER BY weight DESC, user_id ASC LIMIT {TOPK_WEIGHTED}
+"""
+
+
+def q_events_topk_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("events",))
+    return spark.sql(_topk_weighted_sql("spark"))
+
+
 QUERIES = {
     "events_sum_map": q_events_sum_map,
+    "events_topk_weighted": q_events_topk_weighted,
     "events_agg_combinators": q_events_agg_combinators,
     "events_delta_sum": q_events_delta_sum,
     "events_interval_length_sum": q_events_interval_length_sum,
@@ -221,6 +248,7 @@ QUERIES = {
 
 ORACLES = {
     "events_sum_map": _sum_map_sql("duckdb"),
+    "events_topk_weighted": _topk_weighted_sql("duckdb"),
     "events_agg_combinators": _combinators_sql("duckdb"),
     "events_delta_sum": _delta_sum_sql("duckdb"),
     "events_interval_length_sum": _interval_length_sql("duckdb"),
