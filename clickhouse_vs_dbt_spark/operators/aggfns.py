@@ -24,16 +24,16 @@ ClickHouse surface covered here (all absent from the reference's own
   max-rank keeps ties integral), one IEEE division at the end.
 
 Scale notes: sum_map shuffles (user, key) partial aggregates —
-map-side combine collapses duplicates first; delta_sum / interval sweep
-windows partition by their natural key (event_type, user) and are
-O(1)/row.  rank_corr's rank windows partition by event_type — with few
-heavy types the per-group sort concentrates; at 100 TB assign ranks
-with the two-pass range-partitioned scheme (repartitionByRange on the
-rank key, local sort + rank, carry per-partition counts — the
-operators/pipeline.py prefix-sum pattern) and feed the same integer
-sums.  BIGINT bounds: rank products stay exact for groups up to ~1.5e9
-rows (documented, the decimal-38 casts in the final expression never
-overflow).
+map-side combine collapses duplicates first; the interval sweep
+windows partition by their natural key (user) and are O(1)/row.
+rank_corr and delta_sum never window on bare ~5-value event_type:
+both EXECUTE the two-pass range-partitioned scheme (bucket the order
+key, rank/lag within (event_type, bucket), exclusive-prefix the
+per-bucket counts over metadata rows, broadcast the offsets back —
+the operators/pipeline.py prefix-sum pattern), so the largest sort
+task is one bucket of one type, not a whole type.  Exactness bounds
+are per-function docstrings (rank_corr's power sums are decimal-exact
+to ~1.2e9 rows/group).
 """
 
 from __future__ import annotations
@@ -115,7 +115,57 @@ def q_events_agg_combinators(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _delta_sum_sql(dialect: str) -> str:
     """deltaSum: positive time-ordered steps.  Each step is one IEEE
     subtraction of adjacent doubles (deterministic), the steps sum in
-    decimal (order-free)."""
+    decimal (order-free).
+
+    The Spark plan is the scalable two-pass ``lag``: event_type has ~5
+    values, so ``lag OVER (PARTITION BY event_type ORDER BY ts)`` would
+    sort the whole table through ~5 tasks.  Instead:
+
+    1. local ``lag``/``row_number`` within (event_type, day) — one
+       keyed window, tasks bounded at a day's worth of one type;
+    2. per-(type, day) last value via struct-argmax (hash aggregate,
+       map-side partial);
+    3. carry the previous day's last value with a ``lag`` over the
+       (type, day) metadata relation (|types|x|days| rows);
+    4. broadcast-join the carry back; day-first rows take the carried
+       value as their predecessor.
+
+    The DuckDB oracle keeps the one-window textbook form — same rows,
+    independently derived.
+    """
+    if dialect == "spark":
+        return f"""
+WITH o AS (
+  SELECT event_type, value, ts, event_id, to_date(ts) AS day FROM events),
+local AS (
+  SELECT event_type, value, day,
+         lag(value) OVER (PARTITION BY event_type, day
+                          ORDER BY ts, event_id) AS lpv,
+         ROW_NUMBER() OVER (PARTITION BY event_type, day
+                            ORDER BY ts, event_id) AS rn
+  FROM o),
+lastv AS (
+  SELECT event_type, day,
+         MAX(named_struct('ts', ts, 'event_id', event_id, 'v', value)).v
+           AS last_v
+  FROM o GROUP BY event_type, day),
+carry AS (
+  SELECT event_type, day,
+         lag(last_v) OVER (PARTITION BY event_type ORDER BY day)
+           AS prev_last
+  FROM lastv),
+j AS (
+  SELECT l.event_type, l.value,
+         CASE WHEN l.rn = 1 THEN c.prev_last ELSE l.lpv END AS pv
+  FROM local l
+  JOIN carry c ON l.event_type = c.event_type AND l.day = c.day)
+SELECT event_type,
+       CAST(SUM(CASE WHEN pv IS NOT NULL AND value > pv
+                     THEN CAST(value - pv AS {DEC})
+                     ELSE CAST(0 AS {DEC}) END) AS DOUBLE) AS delta_sum,
+       COUNT(*) AS n
+FROM j GROUP BY event_type ORDER BY event_type
+"""
     return f"""
 WITH o AS (
   SELECT event_type, value,
@@ -170,16 +220,105 @@ def q_events_interval_length_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_interval_length_sql("spark"))
 
 
+RANK_BUCKETS = 64
+
+
 def _rank_corr_sql(dialect: str) -> str:
     """rankCorr (Spearman ρ) per event type.  Average-tie ranks stay
-    integral as 2·avg = RANK() min-rank × 2 + (tie-count − 1); all five
-    power sums are exact BIGINTs, the classic corr formula is evaluated
-    once in DECIMAL(38,0) (exact) and divided as doubles."""
-    eus = "unix_micros" if dialect == "spark" else "epoch_us"
+    integral as 2·avg = RANK() min-rank × 2 + (tie-count − 1); the five
+    power sums accumulate as exact decimals, the classic corr formula
+    is evaluated once in DECIMAL(38,0) (exact) and divided as doubles.
+
+    The Spark plan assigns ranks with the two-pass range-partitioned
+    scheme (the operators/pipeline.py prefix-sum pattern), never a
+    window partitioned solely on ~5-value event_type:
+
+    1. bucket x by fixed-width ranges from a per-type min/max aggregate
+       (deterministic function of x — ties can't split), y by day;
+    2. RANK + peer-count within (event_type, bucket) — one keyed
+       window per axis, both functions sharing the window spec so each
+       axis costs a single bounded shuffle+sort;
+    3. exclusive-prefix the per-bucket counts into bucket offsets —
+       windows over |types|x|buckets| metadata rows only;
+    4. broadcast-join offsets back: global min-rank = offset + local.
+
+    Overflow bound: rx,ry ≤ 2n, so SUM(rx*ry) ~ 4n³ — past ~1.3e6
+    rows/group that exceeds BIGINT, so the products accumulate as
+    DECIMAL(19,0)→DECIMAL(38,0) sums, exact to ~1.2e9 rows per group
+    (4n⁴ < 10³⁸ in the final n·sxy term); beyond that, rescale ranks
+    before the moment pass.  The DuckDB oracle keeps the textbook
+    two-window form (its BIGINT sums auto-promote to HUGEINT)."""
     d38 = "DECIMAL(38,0)"
+    final = f"""
+SELECT event_type, CAST(n AS BIGINT) AS n,
+       round(
+         CAST(CAST(n AS {d38}) * CAST(sxy AS {d38})
+              - CAST(sx AS {d38}) * CAST(sy AS {d38}) AS DOUBLE)
+         / sqrt(CAST(CAST(n AS {d38}) * CAST(sxx AS {d38})
+                     - CAST(sx AS {d38}) * CAST(sx AS {d38}) AS DOUBLE)
+                * CAST(CAST(n AS {d38}) * CAST(syy AS {d38})
+                       - CAST(sy AS {d38}) * CAST(sy AS {d38}) AS DOUBLE)),
+         6) AS spearman_rho
+FROM s ORDER BY event_type
+"""
+    if dialect == "spark":
+        d19 = "DECIMAL(19,0)"
+        nb = RANK_BUCKETS
+        return f"""
+WITH base AS (
+  SELECT event_type, value AS x, unix_micros(ts) AS y, to_date(ts) AS day
+  FROM events),
+st AS (
+  SELECT event_type, MIN(x) AS lox, MAX(x) AS hix
+  FROM base GROUP BY event_type),
+b AS (
+  SELECT base.event_type, x, y, day,
+         LEAST({nb - 1}, GREATEST(0, CAST(floor(
+           (x - lox) / (CASE WHEN hix > lox THEN hix - lox ELSE 1.0 END)
+           * {nb}) AS INT))) AS bx
+  FROM base JOIN st ON base.event_type = st.event_type),
+local AS (
+  SELECT event_type, day, bx,
+         RANK() OVER (PARTITION BY event_type, bx ORDER BY x) AS lrx,
+         COUNT(*) OVER (PARTITION BY event_type, bx ORDER BY x
+                        RANGE BETWEEN CURRENT ROW AND CURRENT ROW)
+           AS tcx,
+         RANK() OVER (PARTITION BY event_type, day ORDER BY y) AS lry,
+         COUNT(*) OVER (PARTITION BY event_type, day ORDER BY y
+                        RANGE BETWEEN CURRENT ROW AND CURRENT ROW)
+           AS tcy
+  FROM b),
+cx AS (SELECT event_type, bx, COUNT(*) AS c FROM b GROUP BY event_type, bx),
+ox AS (
+  SELECT event_type, bx,
+         COALESCE(SUM(c) OVER (PARTITION BY event_type ORDER BY bx
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS offx
+  FROM cx),
+cy AS (SELECT event_type, day, COUNT(*) AS c FROM b GROUP BY event_type, day),
+oy AS (
+  SELECT event_type, day,
+         COALESCE(SUM(c) OVER (PARTITION BY event_type ORDER BY day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS offy
+  FROM cy),
+r AS (
+  SELECT l.event_type,
+         CAST(2 * (l.lrx + ox.offx) + l.tcx - 1 AS {d19}) AS rx,
+         CAST(2 * (l.lry + oy.offy) + l.tcy - 1 AS {d19}) AS ry
+  FROM local l
+  JOIN ox ON l.event_type = ox.event_type AND l.bx = ox.bx
+  JOIN oy ON l.event_type = oy.event_type AND l.day = oy.day),
+s AS (
+  SELECT event_type,
+         COUNT(*) AS n,
+         SUM(rx) AS sx, SUM(ry) AS sy,
+         SUM(rx * ry) AS sxy, SUM(rx * rx) AS sxx, SUM(ry * ry) AS syy
+  FROM r GROUP BY event_type)
+{final}"""
     return f"""
 WITH base AS (
-  SELECT event_type, value AS x, {eus}(ts) AS y FROM events),
+  SELECT event_type, value AS x, epoch_us(ts) AS y FROM events),
 r AS (
   SELECT event_type,
          2 * RANK() OVER (PARTITION BY event_type ORDER BY x)
@@ -193,17 +332,7 @@ s AS (
          SUM(rx) AS sx, SUM(ry) AS sy,
          SUM(rx * ry) AS sxy, SUM(rx * rx) AS sxx, SUM(ry * ry) AS syy
   FROM r GROUP BY event_type)
-SELECT event_type, CAST(n AS BIGINT) AS n,
-       round(
-         CAST(CAST(n AS {d38}) * CAST(sxy AS {d38})
-              - CAST(sx AS {d38}) * CAST(sy AS {d38}) AS DOUBLE)
-         / sqrt(CAST(CAST(n AS {d38}) * CAST(sxx AS {d38})
-                     - CAST(sx AS {d38}) * CAST(sx AS {d38}) AS DOUBLE)
-                * CAST(CAST(n AS {d38}) * CAST(syy AS {d38})
-                       - CAST(sy AS {d38}) * CAST(sy AS {d38}) AS DOUBLE)),
-         6) AS spearman_rho
-FROM s ORDER BY event_type
-"""
+{final}"""
 
 
 def q_events_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:

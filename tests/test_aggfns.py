@@ -49,6 +49,30 @@ def test_delta_sum_only_positive_steps(spark):
     assert r.delta_sum == 5.0
 
 
+def test_delta_sum_carry_crosses_day_boundary(spark):
+    # 1 → 3 (+2) on day 1; day 2 opens with 2 (3→2 ignored, carried
+    # across the bucket boundary) then 5 (+3).  Total = 5.
+    day2 = 86_400
+    _events(
+        spark,
+        [(0, 1, "a", 1.0), (1, 1, "a", 3.0),
+         (day2, 1, "a", 2.0), (day2 + 1, 1, "a", 5.0)],
+    ).createOrReplaceTempView("events")
+    r = spark.sql(aggfns._delta_sum_sql("spark")).collect()[0]
+    assert r.delta_sum == 5.0
+    assert r.n == 4
+
+
+def test_spearman_ties_use_average_ranks(spark):
+    # x = (1,1,2), y ranks = (1,2,3): avg-tie ranks give
+    # rho = 1.5 / sqrt(1.5 * 2) = 0.866025 (hand-computed)
+    _events(
+        spark, [(0, 1, "a", 1.0), (1, 1, "a", 1.0), (2, 1, "a", 2.0)]
+    ).createOrReplaceTempView("events")
+    r = spark.sql(aggfns._rank_corr_sql("spark")).collect()[0]
+    assert r.spearman_rho == 0.866025
+
+
 def test_spearman_extremes(spark):
     # value strictly increasing with ts → rho = 1; strictly decreasing → -1
     inc = [(s, 1, "up", s) for s in range(1, 6)]

@@ -142,13 +142,49 @@ def test_mergetree_reads_are_pure_aggregates(spark, sf_dir):
     from clickhouse_vs_dbt_spark.operators.mergetree import (
         q_mergetree_collapsing,
         q_mergetree_replacing_final,
+        q_mergetree_summing,
+        q_mergetree_versioned_collapsing,
     )
 
-    for q in (q_mergetree_replacing_final, q_mergetree_collapsing):
+    for q in (
+        q_mergetree_replacing_final,
+        q_mergetree_collapsing,
+        q_mergetree_summing,
+        q_mergetree_versioned_collapsing,
+    ):
         plan = _plan(q(spark, sf_dir))
         assert "Window" not in plan
         assert "SortMergeJoin" not in plan
         assert "partial_" in plan
+        # no presentation ORDER BY: a data-scale result never pays a
+        # global range sort just to look sorted
+        assert "rangepartitioning" not in plan
+
+
+def test_rank_corr_delta_sum_never_window_on_bare_event_type(spark, sf_dir):
+    """The two-pass range-partitioned scheme must be the EXECUTED plan:
+    every data-scale window keys on (event_type, bucket) — a window
+    partitioned solely by ~5-value event_type and ordered by a data
+    column (x / y / ts) would sort the whole table through ~5 tasks.
+    The only bare-event_type windows allowed are the bucket-offset /
+    carry passes, which order by the bucket id over metadata rows."""
+    import re
+
+    from clickhouse_vs_dbt_spark.operators.aggfns import (
+        q_events_delta_sum,
+        q_events_rank_corr,
+    )
+
+    bad = re.compile(
+        r"windowspecdefinition\(event_type#\d+, (x|y|ts|value)#\d+L?\s"
+    )
+    for q, bucket_key in (
+        (q_events_rank_corr, r"hashpartitioning\(event_type#\d+, bx#"),
+        (q_events_delta_sum, r"hashpartitioning\(event_type#\d+, day#"),
+    ):
+        plan = _plan(q(spark, sf_dir))
+        assert not bad.search(plan), f"bare event_type window in {q.__name__}"
+        assert re.search(bucket_key, plan), q.__name__
 
 
 def test_q16_exclusion_is_broadcast(spark, sf_dir):
