@@ -23,13 +23,28 @@ READ semantics — the part users consume — is one Catalyst plan here:
   This is also the classic CDC-changelog aggregation shape (retract
   streams), decimal-exact so both engines agree bit-for-bit.
 
-Both queries derive their changelogs deterministically from ``orders``
+* **SummingMergeTree** (``mergetree_summing``): rows sharing the sort
+  key merge by SUMMING the numeric columns — ClickHouse's
+  insert-increments counter-table idiom.  The read is one keyed
+  decimal-exact SUM; non-key, non-numeric columns (which ClickHouse
+  keeps "any of") are deliberately excluded so the result is
+  deterministic and oracle-checkable.
+* **VersionedCollapsingMergeTree** (``mergetree_versioned_collapsing``):
+  (sign, version) pairs — unlike plain Collapsing, cancels arrive in
+  any order because a −1 cancels only its own version.  The read
+  composes the two idioms above: per (key, version) sign-cancel (net
+  > 0 keeps the version's state row), then max-version FINAL per key.
+  Two stacked keyed hash aggregates — still no window, no join.
+
+All queries derive their changelogs deterministically from ``orders``
 (every 3rd order gets a v2 restatement; every 5th gets a cancel+restate
-pair; restated amounts are exact IEEE additions, not multiply-rounds —
-round(x*1.1, 2) diverges between engines on half-way doubles), so the
-full pipeline value-checks.  At 100 TB both reads are
-single keyed hash aggregates — partial-merge friendly, no shuffle
-beyond the one keyed exchange.
+pair; every 15th a v3 re-restatement; restated amounts are exact IEEE
+additions, not multiply-rounds — round(x*1.1, 2) diverges between
+engines on half-way doubles), so the full pipeline value-checks.  At
+100 TB every read is a stack of keyed hash aggregates — partial-merge
+friendly, no shuffle beyond the keyed exchanges, and no presentation
+ORDER BY (the gate hash is order-insensitive; a data-scale result
+never pays a range sort just to look sorted).
 """
 
 from __future__ import annotations
@@ -57,7 +72,7 @@ SELECT o_orderkey,
        CAST(MAX(version) AS INT) AS version,
        {amax}(o_totalprice, version) AS o_totalprice,
        {amax}(o_orderstatus, version) AS o_orderstatus
-FROM changelog GROUP BY o_orderkey ORDER BY o_orderkey
+FROM changelog GROUP BY o_orderkey
 """
 
 
@@ -82,7 +97,6 @@ SELECT o_custkey,
 FROM changelog
 GROUP BY o_custkey
 HAVING SUM(sign) > 0
-ORDER BY o_custkey
 """
 
 
@@ -92,12 +106,84 @@ def q_mergetree_collapsing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_collapsing_sql("spark"))
 
 
+def _summing_sql(dialect: str) -> str:
+    # CAST the delta literal: a bare 5.0 types as DECIMAL(2,1) in Spark
+    # and DOUBLE in DuckDB — the recurring literal-typing drift class
+    return f"""
+WITH changelog AS (
+  SELECT o_custkey, o_orderstatus, o_totalprice AS amount, 1 AS cnt
+  FROM orders
+  UNION ALL
+  SELECT o_custkey, o_orderstatus, CAST(5.0 AS DOUBLE), 1
+  FROM orders WHERE o_orderkey % 7 = 0)
+SELECT o_custkey, o_orderstatus,
+       {sql_dsum("amount")} AS amount_sum,
+       CAST(SUM(cnt) AS BIGINT) AS rows_merged
+FROM changelog
+GROUP BY o_custkey, o_orderstatus
+"""
+
+
+def q_mergetree_summing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SummingMergeTree merged read (see module doc)."""
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(_summing_sql("spark"))
+
+
+def _versioned_collapsing_sql(dialect: str) -> str:
+    # state row per (key, version) = the sign=+1 row's values (all +1
+    # rows of one version are identical by the engine's contract)
+    amax = "max_by" if dialect == "spark" else "arg_max"
+    return f"""
+WITH changelog AS (
+  SELECT o_orderkey, o_totalprice AS amount, o_orderstatus AS status,
+         1 AS version, 1 AS sign
+  FROM orders
+  UNION ALL
+  SELECT o_orderkey, o_totalprice, o_orderstatus, 1, -1
+  FROM orders WHERE o_orderkey % 3 = 0
+  UNION ALL
+  SELECT o_orderkey, o_totalprice + 10.0, 'U', 2, 1
+  FROM orders WHERE o_orderkey % 3 = 0
+  UNION ALL
+  SELECT o_orderkey, o_totalprice + 10.0, 'U', 2, -1
+  FROM orders WHERE o_orderkey % 15 = 0
+  UNION ALL
+  SELECT o_orderkey, o_totalprice + 25.0, 'X', 3, 1
+  FROM orders WHERE o_orderkey % 15 = 0),
+collapsed AS (
+  SELECT o_orderkey, version,
+         SUM(sign) AS net,
+         {amax}(amount, sign) AS amount,
+         {amax}(status, sign) AS status
+  FROM changelog GROUP BY o_orderkey, version)
+SELECT o_orderkey,
+       CAST(MAX(version) AS INT) AS version,
+       {amax}(amount, version) AS o_totalprice,
+       {amax}(status, version) AS o_orderstatus
+FROM collapsed WHERE net > 0
+GROUP BY o_orderkey
+"""
+
+
+def q_mergetree_versioned_collapsing(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """VersionedCollapsingMergeTree FINAL read (see module doc)."""
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(_versioned_collapsing_sql("spark"))
+
+
 QUERIES = {
     "mergetree_replacing_final": q_mergetree_replacing_final,
     "mergetree_collapsing": q_mergetree_collapsing,
+    "mergetree_summing": q_mergetree_summing,
+    "mergetree_versioned_collapsing": q_mergetree_versioned_collapsing,
 }
 
 ORACLES = {
     "mergetree_replacing_final": _replacing_sql("duckdb"),
     "mergetree_collapsing": _collapsing_sql("duckdb"),
+    "mergetree_summing": _summing_sql("duckdb"),
+    "mergetree_versioned_collapsing": _versioned_collapsing_sql("duckdb"),
 }

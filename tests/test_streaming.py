@@ -87,4 +87,5 @@ def test_retract_stream_equals_batch_collapse(spark, sf_dir):
 
     got = q_events_stream_retract(spark, sf_dir).collect()
     want = q_mergetree_collapsing(spark, sf_dir).collect()
-    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    # the batch read carries no presentation ORDER BY — compare as sets
+    assert sorted(tuple(r) for r in got) == sorted(tuple(r) for r in want)
