@@ -6,11 +6,14 @@ The feature kernel is REAL byte-level decoding — container-format
 sniffing from magic bytes, exact byte statistics (mean/std from integer
 power sums, Simpson collision index, distinct-byte census), md5 — all
 computed with arithmetic that replays bit-identically in SQL, so the
-operator is fully value-checked against the DuckDB oracle.  Only the
-*pixel/sample* decode of true image/audio/video containers (which needs
+operator is fully value-checked against the DuckDB oracle.  One real
+raster codec is implemented in pure Python: uncompressed 24-bit BMP
+(:func:`_decode_bmp`) — its feature rows are statistics over the
+DECODED PIXEL array, not the container bytes.  The *pixel/sample*
+decode of entropy-coded containers (PNG/JPEG/audio/video, which need
 an external codec library this container lacks) remains behind a
-``NotImplementedError`` seam, raised when the sniffer identifies such a
-format.
+``NotImplementedError`` seam, raised when the sniffer identifies such
+a format.
 
 Entropy note: the diversity feature is the Simpson collision index
 Σc²/n² (the Rényi-2 entropy's log-free core) rather than Shannon
@@ -74,8 +77,9 @@ FROM documents ORDER BY doc_id
 
 
 # (magic bytes, sniffed format) — longest-prefix-first dispatch table.
-# Every format listed here requires an external codec to go deeper than
-# byte statistics, so sniffing one raises the NotImplementedError seam.
+# Formats here need an external codec to go deeper than byte statistics
+# (the NotImplementedError seam) — EXCEPT image/bmp, whose uncompressed
+# 24-bit variant is decoded in pure Python below.
 _MAGIC: list[tuple[bytes, str]] = [
     (b"\x89PNG\r\n\x1a\n", "image/png"),
     (b"\xff\xd8\xff", "image/jpeg"),
@@ -87,29 +91,89 @@ _MAGIC: list[tuple[bytes, str]] = [
     (b"fLaC", "audio/flac"),
     (b"\x1a\x45\xdf\xa3", "video/webm"),
     (b"%PDF", "application/pdf"),
+    (b"BM", "image/bmp"),
 ]
 
 _PRINTABLE = frozenset(range(32, 127)) | {9, 10, 13}
 
 
+def _all_printable(payload: bytes) -> bool:
+    return bool(payload) and all(b in _PRINTABLE for b in payload)
+
+
 def sniff_format(payload: bytes) -> str:
     """Container sniff from magic bytes; falls back to text/plain for
-    all-printable payloads, else application/octet-stream."""
+    all-printable payloads, else application/octet-stream.
+
+    An all-printable payload is never a container, whatever its first
+    bytes: several magics are plain ASCII ('RIFF', 'ID3', 'OggS',
+    'fLaC', '%PDF', 'GIF8', 'BM'), and a text document legitimately
+    starting with those letters must sniff as text/plain, not crash
+    the decode as a codec-less container — real containers always
+    carry non-printable bytes.  (The DuckDB oracle applies the same
+    printable test, so the two sides agree by construction.)"""
+    if _all_printable(payload):
+        return "text/plain"
     for magic, fmt in _MAGIC:
         if payload[: len(magic)] == magic:
             return fmt
     if payload[4:8] == b"ftyp":  # ISO-BMFF (mp4/mov): brand at offset 4
         return "video/mp4"
-    if payload and all(b in _PRINTABLE for b in payload):
-        return "text/plain"
     return "application/octet-stream"
 
 
 # Sniffed formats whose payload-level decode needs a real codec library
-# (absent in this container) — the NotImplementedError seam.
-CODEC_REQUIRED = frozenset(
-    fmt for _, fmt in _MAGIC if not fmt.startswith("application/")
-) | {"video/mp4"}
+# (absent in this container) — the NotImplementedError seam.  BMP is
+# excluded: _decode_bmp below handles the uncompressed 24-bit variant.
+CODEC_REQUIRED = (
+    frozenset(fmt for _, fmt in _MAGIC if not fmt.startswith("application/"))
+    | {"video/mp4"}
+) - {"image/bmp"}
+
+
+def _decode_bmp(payload: bytes):
+    """Pure-Python decode of an uncompressed 24-bit BMP (the one
+    raster format whose spec needs no entropy coder): returns the
+    pixel array as shape (height, width, 3) uint8 in B,G,R byte order
+    (the file's own channel order), or raises.
+
+    Layout (Windows BITMAPFILEHEADER + BITMAPINFOHEADER, all little-
+    endian): bytes 10-13 pixel-data offset; 14-17 info-header size;
+    18-21 width (i32); 22-25 height (i32, >0 means bottom-up rows);
+    26-27 planes; 28-29 bits-per-pixel; 30-33 compression (0 = BI_RGB).
+    Rows are padded to 4-byte multiples.  Anything outside the
+    uncompressed 24-bit profile (RLE, 1/4/8/16/32 bpp, embedded
+    palettes) raises NotImplementedError — the documented codec seam,
+    now scoped to genuinely-compressed variants only."""
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise NotImplementedError("not a BMP header")
+    data_off, = struct.unpack_from("<I", payload, 10)
+    hdr_size, = struct.unpack_from("<I", payload, 14)
+    if hdr_size < 40:
+        raise NotImplementedError(f"BMP core-header variant ({hdr_size})")
+    width, height = struct.unpack_from("<ii", payload, 18)
+    planes, bpp = struct.unpack_from("<HH", payload, 26)
+    compression, = struct.unpack_from("<I", payload, 30)
+    if planes != 1 or not (0 < width <= 1 << 20) or not (0 < abs(height) <= 1 << 20):
+        raise NotImplementedError("implausible BMP dimensions")
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(
+            f"no codec for BMP bpp={bpp} compression={compression}: "
+            "only uncompressed 24-bit decodes here"
+        )
+    h = abs(height)
+    stride = (width * 3 + 3) // 4 * 4
+    if data_off + stride * h > len(payload):
+        raise NotImplementedError("truncated BMP pixel array")
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=stride * h, offset=data_off
+    ).reshape(h, stride)[:, : width * 3]
+    px = rows.reshape(h, width, 3)
+    return px[::-1] if height > 0 else px  # bottom-up → top-down
 
 
 def decode_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -145,7 +209,15 @@ def decode_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                     f"no codec for {fmt!r}: byte-level features only; "
                     "plug a decoder in here for pixel/sample features"
                 )
-            b = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
+            if fmt == "image/bmp":
+                # real pixel decode: stats run over the decoded pixel
+                # bytes, not the container bytes (md5/n_bytes still
+                # describe the container — the file identity)
+                b = _decode_bmp(payload).astype(np.int64).ravel()
+                status = "decoded_pixels"
+            else:
+                b = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
+                status = "decoded_bytes"
             n = int(b.size)
             s, ss = int(b.sum()), int((b * b).sum())
             counts = np.bincount(b, minlength=256)
@@ -155,7 +227,7 @@ def decode_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             var = max(ss / n - (s / n) * (s / n), 0.0)
             rows["doc_id"].append(doc_id)
             rows["media_format"].append(fmt)
-            rows["n_bytes"].append(n)
+            rows["n_bytes"].append(len(payload))
             rows["md5_hex"].append(hashlib.md5(payload).hexdigest())
             rows["byte_mean"].append(mean)
             rows["byte_std"].append(math.sqrt(var))
@@ -163,7 +235,7 @@ def decode_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             rows["distinct_bytes"].append(int((counts > 0).sum()))
             rows["byte_min"].append(int(b.min()))
             rows["byte_max"].append(int(b.max()))
-            rows["status"].append("decoded_bytes")
+            rows["status"].append(status)
         yield pd.DataFrame(rows)
 
 
@@ -198,10 +270,22 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 O_DECODE = """
-WITH bytes AS (
-  SELECT doc_id, unicode(substring(text, CAST(i AS INT), 1)) AS b
-  FROM (SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS i
-        FROM documents)),
+WITH hx AS (
+  -- TRUE byte stream: hex(encode(text)) then two hex digits per byte,
+  -- so multi-byte UTF-8 code points contribute each of their bytes
+  -- exactly as the mapInPandas kernel sees them (characters-as-bytes
+  -- would silently drift on any non-ASCII document)
+  SELECT doc_id, hex(encode(text)) AS h,
+         unnest(range(1, octet_length(encode(text)) + 1)) AS i
+  FROM documents),
+bytes AS (
+  SELECT doc_id,
+         (CASE WHEN u1 >= 65 THEN u1 - 55 ELSE u1 - 48 END) * 16
+           + (CASE WHEN u2 >= 65 THEN u2 - 55 ELSE u2 - 48 END) AS b
+  FROM (SELECT doc_id,
+               unicode(substring(h, CAST(2 * i - 1 AS INT), 1)) AS u1,
+               unicode(substring(h, CAST(2 * i AS INT), 1)) AS u2
+        FROM hx)),
 hist AS (SELECT doc_id, b, COUNT(*) AS c FROM bytes GROUP BY 1, 2),
 agg AS (
   SELECT doc_id,

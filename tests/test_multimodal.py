@@ -44,12 +44,110 @@ def test_codec_format_raises(spark):
 
 def test_sniff_formats():
     assert multimodal.sniff_format(b"\x89PNG\r\n\x1a\nxxxx") == "image/png"
-    assert multimodal.sniff_format(b"GIF89a....") == "image/gif"
+    assert multimodal.sniff_format(b"GIF89a..\x00..") == "image/gif"
     assert multimodal.sniff_format(b"\x00\x00\x00\x20ftypisom") == "video/mp4"
     assert multimodal.sniff_format(b"plain ascii text\n") == "text/plain"
     assert multimodal.sniff_format(b"\x00\x01\x02\x03ranDom") == "application/octet-stream"
     # offset-4 brand check must not misfire when the prefix is a magic
-    assert multimodal.sniff_format(b"OggSftyp") == "audio/ogg"
+    assert multimodal.sniff_format(b"OggS\x00ftyp") == "audio/ogg"
+
+
+def test_printable_magic_prefix_is_text_not_container():
+    """A text document that merely STARTS with an ASCII container magic
+    ('RIFF', 'ID3', '%PDF', ...) must sniff as text/plain — real
+    containers always carry non-printable bytes.  Without this rule the
+    kernel would raise NotImplementedError on ordinary prose while the
+    oracle said text/plain (a fixture-dependent crash)."""
+    for prefix in (b"RIFF", b"ID3", b"OggS", b"fLaC", b"%PDF", b"GIF89a", b"BM"):
+        assert multimodal.sniff_format(prefix + b" plain prose here") == "text/plain"
+    # same prefixes with binary content are containers again
+    assert multimodal.sniff_format(b"RIFF\x00\x01") == "riff/container"
+
+
+def _tiny_bmp(width=3, height=2, pixel_bytes=None) -> bytes:
+    """Minimal uncompressed 24-bit BMP: BITMAPFILEHEADER (14) +
+    BITMAPINFOHEADER (40) + bottom-up padded rows."""
+    import struct
+
+    stride = (width * 3 + 3) // 4 * 4
+    if pixel_bytes is None:
+        pixel_bytes = bytes(range(width * height * 3))
+    rows = b""
+    for r in range(height):  # file stores bottom row first
+        row = pixel_bytes[(height - 1 - r) * width * 3 :][: width * 3]
+        rows += row + b"\x00" * (stride - width * 3)
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(rows), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(rows), 0, 0, 0, 0)
+    return header + info + rows
+
+
+def test_bmp_decodes_real_pixels():
+    """The BMP path produces REAL pixel features — stats over the
+    decoded pixel array (padding stripped, rows un-flipped), not over
+    the container bytes — without hitting the codec seam."""
+    import pandas as pd
+
+    px = bytes(range(18))  # 3x2 RGB24 → 18 pixel bytes, values 0..17
+    payload = _tiny_bmp(3, 2, px)
+    arr = multimodal._decode_bmp(payload)
+    assert arr.shape == (2, 3, 3)
+    assert arr.ravel().tolist() == list(px)  # round-trips exactly
+
+    [out] = list(
+        multimodal.decode_features(
+            iter([pd.DataFrame({"doc_id": [7], "payload": [payload]})])
+        )
+    )
+    r = out.iloc[0]
+    n, s, ss = 18, sum(range(18)), sum(i * i for i in range(18))
+    assert r["media_format"] == "image/bmp"
+    assert r["status"] == "decoded_pixels"
+    assert r["n_bytes"] == len(payload)  # container size, not pixel count
+    assert r["byte_mean"] == s / n
+    assert r["byte_std"] == (ss / n - (s / n) * (s / n)) ** 0.5
+    assert (r["distinct_bytes"], r["byte_min"], r["byte_max"]) == (18, 0, 17)
+
+
+def test_bmp_compressed_variant_still_hits_seam():
+    """The NotImplementedError seam remains for BMP variants that DO
+    need a real codec (RLE compression, non-24 bpp)."""
+    import struct
+
+    payload = bytearray(_tiny_bmp())
+    struct.pack_into("<I", payload, 30, 1)  # compression = BI_RLE8
+    with pytest.raises(NotImplementedError, match="no codec for BMP"):
+        multimodal._decode_bmp(bytes(payload))
+
+
+def test_decode_oracle_parity_on_non_ascii_text():
+    """The O_DECODE oracle builds its byte stream from encode(text)
+    (hex-expanded), so multi-byte UTF-8 documents must agree with the
+    kernel byte-for-byte — the drift class where characters-as-bytes
+    silently diverges on any non-ASCII document."""
+    import hashlib
+
+    import duckdb
+    import pandas as pd
+
+    text = "héllo wörld ✓ — naïve café"
+    payload = text.encode("utf-8")
+    [out] = list(
+        multimodal.decode_features(
+            iter([pd.DataFrame({"doc_id": [1], "payload": [payload]})])
+        )
+    )
+    k = out.iloc[0]
+
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame({"doc_id": [1], "text": [text]}))
+    o = con.execute(multimodal.O_DECODE).fetchdf().iloc[0]
+
+    assert int(o["n_bytes"]) == len(payload) == int(k["n_bytes"])
+    assert o["md5_hex"] == hashlib.md5(payload).hexdigest() == k["md5_hex"]
+    for col in ("byte_mean", "byte_std", "simpson"):
+        assert round(float(k[col]), 6) == float(o[col]), col
+    for col in ("distinct_bytes", "byte_min", "byte_max"):
+        assert int(k[col]) == int(o[col]), col
 
 
 def test_decode_feature_values(spark):
