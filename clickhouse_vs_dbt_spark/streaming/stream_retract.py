@@ -16,6 +16,11 @@ The fixture replays the orders-derived changelog in three
 orderkey-striped file batches, splitting most keys' +1/−1 pairs across
 different triggers — the interesting case: state must carry partial
 (possibly negative) nets between triggers.
+
+The sink honors ``foreachBatch``'s exactly-once replay contract: a
+failed/retried micro-batch re-delivers the same batch_id, so committed
+state is keyed by batch_id and replays are no-ops (never
+double-counted) — see :func:`make_fold_batch`.
 """
 
 from __future__ import annotations
@@ -86,23 +91,38 @@ def _batched_dir(spark: SparkSession, sf_dir: str) -> str:
     return out
 
 
-def q_events_stream_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Replay the signed changelog through a foreachBatch retract
-    maintainer; return the finalized per-customer net state (keys whose
-    net row count is positive), identical to the one-shot collapse."""
-    src = _batched_dir(spark, sf_dir)
-    base = tempfile.mkdtemp(prefix="retract_state_")
-    state = {"version": -1}
+def make_fold_batch(base: str, state: dict):
+    """Build the ``foreachBatch`` fold with the exactly-once replay
+    contract: state versions are KEYED BY batch_id, not by a local
+    counter.  foreachBatch re-delivers a batch_id after a failure —
+    the sink must make replays no-ops:
+
+    * ``batch_id <= last_committed`` → already folded, skip entirely
+      (the post-commit replay case);
+    * otherwise derive ``v{batch_id}`` from ``v{last_committed}`` and
+      overwrite it — a retry after a FAILED write re-derives from the
+      same predecessor and clobbers the torn output (the mid-write
+      crash case) — then advance the commit marker only after the
+      write succeeds.
+
+    ``state['last_committed']`` is the commit marker; it is process-
+    local here (the fixture replays within one process) — a durable
+    deployment persists it in the state directory with an atomic
+    rename, same protocol."""
 
     def fold_batch(batch: DataFrame, batch_id: int) -> None:
+        bid = int(batch_id)
+        last = state["last_committed"]
+        if bid <= last:
+            return  # replayed, already-committed batch: no-op
         partial = batch.groupBy("o_custkey").agg(
             F.sum("sign").cast("long").alias("net_rows"),
             F.sum((F.col("amount") * F.col("sign")).cast(_DEC18))
             .cast(_DEC38)
             .alias("net_amount_dec"),
         )
-        if state["version"] >= 0:
-            prev = batch.sparkSession.read.parquet(f"{base}/v{state['version']}")
+        if last >= 0:
+            prev = batch.sparkSession.read.parquet(f"{base}/v{last}")
             partial = (
                 prev.unionByName(partial)
                 .groupBy("o_custkey")
@@ -111,8 +131,20 @@ def q_events_stream_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.sum("net_amount_dec").cast(_DEC38).alias("net_amount_dec"),
                 )
             )
-        state["version"] += 1
-        partial.write.mode("overwrite").parquet(f"{base}/v{state['version']}")
+        partial.write.mode("overwrite").parquet(f"{base}/v{bid}")
+        state["last_committed"] = bid
+
+    return fold_batch
+
+
+def q_events_stream_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay the signed changelog through a foreachBatch retract
+    maintainer; return the finalized per-customer net state (keys whose
+    net row count is positive), identical to the one-shot collapse."""
+    src = _batched_dir(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="retract_state_")
+    state = {"last_committed": -1}
+    fold_batch = make_fold_batch(base, state)
 
     stream = (
         spark.readStream.schema(_CHANGELOG_SCHEMA)
@@ -131,7 +163,7 @@ def q_events_stream_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.processAllAvailable()
     finally:
         q.stop()
-    final = spark.read.parquet(f"{base}/v{state['version']}")
+    final = spark.read.parquet(f"{base}/v{state['last_committed']}")
     return (
         final.filter(F.col("net_rows") > 0)
         .select(

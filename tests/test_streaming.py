@@ -89,3 +89,35 @@ def test_retract_stream_equals_batch_collapse(spark, sf_dir):
     want = q_mergetree_collapsing(spark, sf_dir).collect()
     # the batch read carries no presentation ORDER BY — compare as sets
     assert sorted(tuple(r) for r in got) == sorted(tuple(r) for r in want)
+
+
+def test_retract_fold_replays_are_noops(spark, tmp_path):
+    """foreachBatch re-delivers a batch_id after failure/restart; the
+    fold must key committed state by batch_id so a replay never
+    double-counts (the exactly-once sink contract)."""
+    from clickhouse_vs_dbt_spark.streaming.stream_retract import (
+        make_fold_batch,
+    )
+
+    base = str(tmp_path / "state")
+    state = {"last_committed": -1}
+    fold = make_fold_batch(base, state)
+    b0 = spark.createDataFrame(
+        [(1, 1, 100.0, 1), (1, 2, 50.0, 1)],
+        "o_orderkey long, o_custkey long, amount double, sign int",
+    )
+    b1 = spark.createDataFrame(
+        [(2, 1, 100.0, -1), (2, 1, 90.0, 1)],
+        "o_orderkey long, o_custkey long, amount double, sign int",
+    )
+    fold(b0, 0)
+    fold(b0, 0)  # post-commit replay of the same batch_id: no-op
+    fold(b1, 1)
+    fold(b0, 0)  # late replay of an old batch_id: no-op
+    assert state["last_committed"] == 1
+    final = {
+        r.o_custkey: (r.net_rows, float(r.net_amount_dec))
+        for r in spark.read.parquet(f"{base}/v1").collect()
+    }
+    # cust 1: +100 -100 +90 = 90 net over 1 row; cust 2: +50
+    assert final == {1: (1, 90.0), 2: (1, 50.0)}
