@@ -8,9 +8,14 @@ structurally — exactly 4 candidate suppliers per part, with
 deterministic cost/availability — as pure integer arithmetic over the
 EXISTING part/supplier tables:
 
-    ps_suppkey    = (p_partkey·7 + i·13) mod |supplier| + min(s_suppkey)
+    ps_suppkey    = (p_partkey·7 + i) mod |supplier| + min(s_suppkey)
     ps_availqty   = (p_partkey·11 + i·29) mod 9999 + 1
     ps_supplycost = ((p_partkey·31 + i·17) mod 90000)/100 + 100
+
+(i ∈ {0,1,2,3}; the supplier index uses stride 1, not a larger prime,
+so the four keys are distinct for ANY supplier cardinality ≥ 4 — a
+stride s collides whenever |supplier| divides s·Δi, e.g. stride 13
+breaks the 4-distinct-suppliers invariant at |supplier| ∈ {13,26,39}.)
 
 Both engines evaluate the identical expressions over the same parquet,
 so the derived relation — and every query over it — is fully
@@ -48,7 +53,7 @@ def partsupp_cte(dialect: str) -> str:
     return f"""
 partsupp AS (
   SELECT p_partkey AS ps_partkey,
-         CAST((p_partkey * 7 + i * 13) % ns.cnt + ns.smin AS BIGINT)
+         CAST((p_partkey * 7 + i) % ns.cnt + ns.smin AS BIGINT)
            AS ps_suppkey,
          CAST((p_partkey * 11 + i * 29) % 9999 + 1 AS INT) AS ps_availqty,
          CAST(CAST((p_partkey * 31 + i * 17) % 90000 AS DOUBLE) / 100 + 100
@@ -159,7 +164,12 @@ ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
 def _q20_sql(dialect: str) -> str:
     """TPC-H Q20 (excess stock): suppliers whose derived availability
     exceeds half of what they actually shipped of a red part in 1997.
-    The nested quantity subquery decorrelates to one keyed aggregate."""
+    The nested quantity subquery decorrelates to one keyed aggregate
+    joined INNER, matching canonical Q20's correlated-subquery
+    semantics: a (part, supplier) pair that shipped nothing yields a
+    NULL subquery result there, the ``>`` comparison fails, and the
+    supplier is excluded — so no LEFT JOIN + COALESCE(q, 0), which
+    would admit every never-shipped pair."""
     return f"""
 WITH {partsupp_cte(dialect)},
 shipped AS (
@@ -172,9 +182,9 @@ cands AS (
   SELECT DISTINCT ps_suppkey
   FROM partsupp
   JOIN part ON p_partkey = ps_partkey
-  LEFT JOIN shipped ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+  JOIN shipped ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
   WHERE p_name LIKE 'red%'
-    AND ps_availqty > 0.5 * COALESCE(q, 0))
+    AND ps_availqty > 0.5 * q)
 SELECT s_name, s_acctbal
 FROM supplier JOIN cands ON s_suppkey = ps_suppkey
 ORDER BY s_name
