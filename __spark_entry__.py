@@ -15,7 +15,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from clickhouse_vs_dbt_spark import compat
+from clickhouse_vs_dbt_spark import compat, dialect
 from clickhouse_vs_dbt_spark.operators import (
     aggfns,
     zorder,
@@ -79,6 +79,7 @@ from clickhouse_vs_dbt_spark.streaming import (
 _MODULES = [
     ssb_queries,
     compat,
+    dialect,
     bloomjoin,
     chfuncs,
     aggfns,

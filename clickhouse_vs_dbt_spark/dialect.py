@@ -1,0 +1,418 @@
+"""ClickHouse-SQL → Spark-SQL transpiler: the dialect constructs a
+scalar SQL UDF cannot express.
+
+``compat.py`` covers the scalar surface (``toYear`` et al.) by
+registering Catalyst-inlined SQL UDFs — same plan, same pushdown.  But a
+ClickHouse user's queries (the reference is 100% ClickHouse SQL,
+README.md:415-436 and every dbt model) also lean on constructs that are
+*syntax*, not functions, and so cannot be registered:
+
+* **aggregate combinators** — ``sumIf(x, cond)``, ``countIf(cond)``:
+  Spark SQL UDFs may not be aggregates;
+* **parametric aggregates** — ``quantile(0.5)(x)``: two adjacent
+  argument lists is not valid Spark syntax at all;
+* **variadic conditionals** — ``multiIf(c1, v1, c2, v2, ..., else)``;
+* **cast-style functions** — ``toInt32(x)``: expressible as UDFs but
+  uniform here so a query runs with zero session setup;
+* **renamed aggregates** — ``argMax``→``max_by``, ``groupArray``→
+  ``collect_list``, ``uniqExact``→``COUNT(DISTINCT ...)``.
+
+:func:`transpile` rewrites a ClickHouse query string into Spark SQL by
+tokenizing (string literals and quoted identifiers are opaque tokens —
+parens inside strings never confuse the walk) and recursively rewriting
+function-call sites with balanced-paren argument parsing.  Everything
+unrecognized passes through verbatim, so the transpiler composes with
+the compat UDF registry: ``transpile`` handles syntax, ``compat``
+handles names, and a verbatim reference query runs unmodified.
+
+This is a *front-end* — the output is ordinary Spark SQL handed to
+``spark.sql``, so Catalyst sees exactly the plan a native query would
+produce (pushdown, codegen, AQE all intact).  At 100 TB the transpiled
+query is indistinguishable from a hand-written one.
+
+Scale/parity notes: ``uniq`` maps to ``approx_count_distinct`` (both
+HLL-family — same role, different registers, so gated queries use
+``uniqExact`` and the approx mapping is covered by Spark-vs-Spark
+equivalence tests instead); ``quantile`` maps to ``percentile_approx``
+(same caveat), ``quantileExact`` to exact interpolated ``percentile``.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+
+from clickhouse_vs_dbt_spark.catalog import register_views
+from clickhouse_vs_dbt_spark.compat import register_clickhouse_compat
+
+_TOKEN_RE = re.compile(
+    r"""
+      '(?:[^']|'')*'                    # single-quoted string ('' escape)
+    | "(?:[^"]|"")*"                    # double-quoted identifier
+    | `[^`]*`                           # backtick identifier
+    | [A-Za-z_][A-Za-z0-9_]*            # bare identifier / keyword
+    | \d+(?:\.\d+)?(?:[eE][+-]?\d+)?    # number
+    | --[^\n]*                          # line comment
+    | \s+                               # whitespace (preserved)
+    | .                                 # any other single character
+    """,
+    re.VERBOSE | re.DOTALL,
+)
+
+_IDENT_RE = re.compile(r"[A-Za-z_][A-Za-z0-9_]*\Z")
+
+# plain renames: same arity, same argument order
+_RENAME = {
+    "argMax": "max_by",
+    "argMin": "min_by",
+    "groupArray": "collect_list",
+    "groupUniqArray": "collect_set",
+    "any": "any_value",
+    "anyLast": "last",
+    "uniq": "approx_count_distinct",
+    "uniqCombined": "approx_count_distinct",
+    "has": "array_contains",
+    "arraySort": "array_sort",
+    "arrayDistinct": "array_distinct",
+    "arrayConcat": "concat",
+    "indexOf": "array_position",
+    "arrayStringConcat": "array_join",
+    "ifNull": "coalesce",
+    "assumeNotNull": "coalesce",
+    "lcase": "lower",
+    "ucase": "upper",
+    "stddevPop": "stddev_pop",
+    "stddevSamp": "stddev_samp",
+    "varPop": "var_pop",
+    "varSamp": "var_samp",
+    "covarPop": "covar_pop",
+    "covarSamp": "covar_samp",
+    "arrayJoin": "explode",
+}
+
+# toXxx(x) -> CAST(x AS T)
+_CAST = {
+    "toInt8": "TINYINT",
+    "toInt16": "SMALLINT",
+    "toInt32": "INT",
+    "toInt64": "BIGINT",
+    "toUInt8": "SMALLINT",  # next-wider signed type holds the full range
+    "toUInt16": "INT",
+    "toUInt32": "BIGINT",
+    "toUInt64": "BIGINT",  # documented narrowing: Spark has no UInt64
+    "toFloat32": "FLOAT",
+    "toFloat64": "DOUBLE",
+    "toString": "STRING",
+}
+
+# -If combinator bases: CH fnIf(x, cond) == fn over rows where cond
+_IF_BASES = {
+    "sum": "sum",
+    "avg": "avg",
+    "min": "min",
+    "max": "max",
+    "uniq": "approx_count_distinct",
+    "anyLast": "last",
+    "argMax": "max_by",
+    "argMin": "min_by",
+}
+
+
+class DialectError(ValueError):
+    """Raised for malformed input (unbalanced parens in a call)."""
+
+
+def _tokens(sql: str) -> list[str]:
+    return _TOKEN_RE.findall(sql)
+
+
+def _is_ident(tok: str) -> bool:
+    return bool(_IDENT_RE.match(tok))
+
+
+def _next_code(toks: list[str], i: int) -> int:
+    """Index of the next non-whitespace, non-comment token, or len."""
+    while i < len(toks) and (toks[i].isspace() or toks[i].startswith("--")):
+        i += 1
+    return i
+
+
+def _parse_args(toks: list[str], lparen: int) -> tuple[list[str], int]:
+    """Parse a balanced ``(...)`` starting at ``lparen``; return the
+    top-level comma-split arguments (each recursively transpiled) and
+    the index just past the closing paren.  ``()`` → []."""
+    depth = 0
+    i = lparen
+    start = lparen + 1
+    spans: list[tuple[int, int]] = []
+    while i < len(toks):
+        t = toks[i]
+        if t == "(":
+            depth += 1
+        elif t == ")":
+            depth -= 1
+            if depth == 0:
+                spans.append((start, i))
+                # drop_comments: args are re-joined onto one line, so a
+                # trailing `-- comment` would swallow the separator
+                args = [
+                    _walk(toks, a, b, drop_comments=True).strip()
+                    for a, b in spans
+                    if _next_code(toks, a) < b or len(spans) > 1
+                ]
+                return args, i + 1
+        elif t == "," and depth == 1:
+            spans.append((start, i))
+            start = i + 1
+        i += 1
+    raise DialectError("unbalanced parentheses in function call")
+
+
+def _case_chain(args: list[str]) -> str:
+    """multiIf(c1, v1, ..., else) → CASE WHEN ... END."""
+    if len(args) < 3 or len(args) % 2 == 0:
+        raise DialectError(f"multiIf needs odd arity >= 3, got {len(args)}")
+    pairs = [
+        f"WHEN {args[i]} THEN {args[i + 1]}" for i in range(0, len(args) - 1, 2)
+    ]
+    return f"CASE {' '.join(pairs)} ELSE {args[-1]} END"
+
+
+def _render_call(name: str, args: list[str]) -> str:
+    joined = ", ".join(args)
+    if name == "multiIf":
+        return _case_chain(args)
+    if name in _CAST:
+        return f"CAST({joined} AS {_CAST[name]})"
+    if name == "toDecimal32" and len(args) == 2:
+        return f"CAST({args[0]} AS DECIMAL(9, {args[1]}))"
+    if name == "toDecimal64" and len(args) == 2:
+        return f"CAST({args[0]} AS DECIMAL(18, {args[1]}))"
+    if name == "uniqExact":
+        return f"count(DISTINCT {joined})"
+    if name == "uniqExactIf" and len(args) >= 2:
+        cond = args[-1]
+        exprs = ", ".join(
+            f"CASE WHEN {cond} THEN {a} END" for a in args[:-1]
+        )
+        return f"count(DISTINCT {exprs})"
+    if name == "countIf":
+        if len(args) == 1:
+            return f"count_if({args[0]})"
+        if len(args) == 2:  # countIf(x, cond): count non-NULL x where cond
+            return f"count(CASE WHEN {args[1]} THEN {args[0]} END)"
+    if name == "arrayUniq":
+        return f"size(array_distinct({joined}))"
+    if name == "splitByChar" and len(args) == 2:
+        # inlined (not left to the compat SQL UDF): Spark rejects SQL
+        # UDFs under Generate, so arrayJoin(splitByChar(...)) needs the
+        # raw expression; \\Q..\\E regex-quotes the separator
+        return f"split({args[1]}, concat('\\\\Q', {args[0]}, '\\\\E'))"
+    if name.endswith("If") and name[:-2] in _IF_BASES and len(args) >= 2:
+        base = _IF_BASES[name[:-2]]
+        cond = args[-1]
+        if name[:-2] in ("argMax", "argMin") and len(args) == 3:
+            # argMaxIf(x, ord, cond): NULL-masking ord keeps the pair out
+            return (
+                f"{base}(CASE WHEN {cond} THEN {args[0]} END, "
+                f"CASE WHEN {cond} THEN {args[1]} END)"
+            )
+        if len(args) == 2:
+            return f"{base}(CASE WHEN {cond} THEN {args[0]} END)"
+    if name in _RENAME:
+        return f"{_RENAME[name]}({joined})"
+    return f"{name}({joined})"
+
+
+def _render_parametric(name: str, params: list[str], args: list[str]) -> str:
+    """CH parametric aggregates: ``fn(params)(args)``."""
+    if name == "quantile" and len(params) == 1:
+        return f"percentile_approx({args[0]}, {params[0]})"
+    if name == "quantileExact" and len(params) == 1:
+        return f"percentile({args[0]}, {params[0]})"
+    if name == "quantiles":
+        return f"percentile_approx({args[0]}, array({', '.join(params)}))"
+    if name == "quantilesExact":
+        return f"percentile({args[0]}, array({', '.join(params)}))"
+    if name == "quantileExactIf" and len(params) == 1 and len(args) == 2:
+        return (
+            f"percentile(CASE WHEN {args[1]} THEN {args[0]} END, {params[0]})"
+        )
+    raise DialectError(f"unsupported parametric aggregate: {name}")
+
+
+_PARAMETRIC = {
+    "quantile",
+    "quantileExact",
+    "quantiles",
+    "quantilesExact",
+    "quantileExactIf",
+}
+
+
+def _walk(
+    toks: list[str], start: int, end: int, drop_comments: bool = False
+) -> str:
+    out: list[str] = []
+    i = start
+    while i < end:
+        t = toks[i]
+        if drop_comments and t.startswith("--"):
+            i += 1
+            continue
+        j = _next_code(toks, i + 1)
+        if _is_ident(t) and j < end and toks[j] == "(":
+            name = t
+            first, k = _parse_args(toks, j)
+            j2 = _next_code(toks, k)
+            if name in _PARAMETRIC and j2 < end and toks[j2] == "(":
+                second, k2 = _parse_args(toks, j2)
+                out.append(_render_parametric(name, first, second))
+                i = k2
+            else:
+                out.append(_render_call(name, first))
+                i = k
+        else:
+            out.append(t)
+            i += 1
+    return "".join(out)
+
+
+def transpile(sql: str) -> str:
+    """Rewrite a ClickHouse-dialect query into Spark SQL (see module
+    doc).  Unrecognized constructs pass through verbatim."""
+    toks = _tokens(sql)
+    return _walk(toks, 0, len(toks))
+
+
+def run_clickhouse_sql(
+    spark: SparkSession, sql: str, sf_dir: str, tables: tuple[str, ...]
+) -> DataFrame:
+    """One-call front door: register the parquet views and the scalar
+    compat UDFs, transpile, execute."""
+    register_views(spark, sf_dir, tables)
+    register_clickhouse_compat(spark)
+    return spark.sql(transpile(sql))
+
+
+# --- gated proofs: verbatim ClickHouse queries through the front door ---
+
+# 1. aggregate combinators + parametric aggregate + exact-decimal sums.
+#    sumIf accumulates DECIMAL(18,2) (o_totalprice carries 2 decimals —
+#    the cast is exact), so the sum is associative and the hash is
+#    partitioning-independent; the final toFloat64 normalizes the result
+#    dtype across engines.
+_CH_COMBINATORS = """
+SELECT o_orderstatus,
+       countIf(o_totalprice > 150000) AS n_big,
+       toFloat64(sumIf(toDecimal64(o_totalprice, 2),
+                       o_orderpriority = '1-URGENT')) AS urgent_total,
+       uniqExact(o_custkey) AS n_custs,
+       uniqExactIf(o_custkey, o_totalprice > 150000) AS n_big_custs,
+       maxIf(o_orderdate, o_orderpriority = '5-LOW') AS last_low_date,
+       argMax(o_orderpriority, o_orderkey) AS latest_priority,
+       quantileExact(0.5)(toFloat64(o_totalprice)) AS median_price
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+O_COMBINATORS = """
+SELECT o_orderstatus,
+       count(*) FILTER (WHERE o_totalprice > 150000) AS n_big,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+            FILTER (WHERE o_orderpriority = '1-URGENT') AS DOUBLE)
+         AS urgent_total,
+       count(DISTINCT o_custkey) AS n_custs,
+       count(DISTINCT CASE WHEN o_totalprice > 150000
+                           THEN o_custkey END) AS n_big_custs,
+       max(o_orderdate) FILTER (WHERE o_orderpriority = '5-LOW')
+         AS last_low_date,
+       arg_max(o_orderpriority, o_orderkey) AS latest_priority,
+       quantile_cont(CAST(o_totalprice AS DOUBLE), 0.5) AS median_price
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
+def q_dialect_combinators(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verbatim ClickHouse aggregate-combinator query (module doc)."""
+    return run_clickhouse_sql(spark, _CH_COMBINATORS, sf_dir, ("orders",))
+
+
+# 2. arrayJoin + splitByChar (compat UDF) + rename aggregates — the
+#    explode runs in the subquery select list exactly where CH puts it.
+_CH_ARRAYJOIN = """
+SELECT tok,
+       count(*) AS n,
+       uniqExact(o_orderkey) AS n_orders,
+       min(o_orderdate) AS first_seen
+FROM (
+    SELECT o_orderkey, o_orderdate,
+           arrayJoin(splitByChar('-', o_orderpriority)) AS tok
+    FROM orders
+)
+GROUP BY tok
+"""
+
+O_ARRAYJOIN = """
+SELECT tok,
+       count(*) AS n,
+       count(DISTINCT o_orderkey) AS n_orders,
+       min(o_orderdate) AS first_seen
+FROM (
+    SELECT o_orderkey, o_orderdate,
+           unnest(string_split(o_orderpriority, '-')) AS tok
+    FROM orders
+)
+GROUP BY tok
+"""
+
+
+def q_dialect_arrayjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verbatim ClickHouse arrayJoin pipeline (module doc)."""
+    return run_clickhouse_sql(spark, _CH_ARRAYJOIN, sf_dir, ("orders",))
+
+
+# 3. multiIf + cast functions + scalar compat names in one query.
+_CH_MULTIIF = """
+SELECT multiIf(o_totalprice < 75000, 'small',
+               o_totalprice < 180000, 'mid',
+               'large') AS bucket,
+       toInt32(modulo(o_orderkey, 4)) AS shard,
+       count(*) AS n,
+       uniqExact(toYear(CAST(o_orderdate AS DATE))) AS n_years,
+       max(toString(o_custkey)) AS max_cust_str
+FROM orders
+GROUP BY bucket, shard
+"""
+
+O_MULTIIF = """
+SELECT CASE WHEN o_totalprice < 75000 THEN 'small'
+            WHEN o_totalprice < 180000 THEN 'mid'
+            ELSE 'large' END AS bucket,
+       CAST(o_orderkey % 4 AS INT) AS shard,
+       count(*) AS n,
+       count(DISTINCT year(o_orderdate)) AS n_years,
+       max(CAST(o_custkey AS VARCHAR)) AS max_cust_str
+FROM orders
+GROUP BY bucket, shard
+"""
+
+
+def q_dialect_multiif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verbatim ClickHouse multiIf/cast query (module doc)."""
+    return run_clickhouse_sql(spark, _CH_MULTIIF, sf_dir, ("orders",))
+
+
+QUERIES = {
+    "dialect_combinators": q_dialect_combinators,
+    "dialect_arrayjoin": q_dialect_arrayjoin,
+    "dialect_multiif": q_dialect_multiif,
+}
+
+ORACLES = {
+    "dialect_combinators": O_COMBINATORS,
+    "dialect_arrayjoin": O_ARRAYJOIN,
+    "dialect_multiif": O_MULTIIF,
+}

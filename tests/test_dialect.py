@@ -1,0 +1,165 @@
+"""Tests for the ClickHouse-SQL → Spark-SQL transpiler (dialect.py).
+
+Two layers: pure-string rewrite checks (no Spark), and Spark-vs-Spark
+equivalence — a transpiled ClickHouse query must return exactly what the
+hand-written native Spark SQL returns, covering mappings the DuckDB gate
+can't (approx aggregates whose registers differ across engines).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from clickhouse_vs_dbt_spark.catalog import register_views
+from clickhouse_vs_dbt_spark.compat import register_clickhouse_compat
+from clickhouse_vs_dbt_spark.dialect import (
+    DialectError,
+    run_clickhouse_sql,
+    transpile,
+)
+
+# --- pure string rewrites ---
+
+REWRITES = [
+    ("sumIf(x, y > 1)", "sum(CASE WHEN y > 1 THEN x END)"),
+    ("countIf(a = 'x(,)')", "count_if(a = 'x(,)')"),
+    ("countIf(x, a > 2)", "count(CASE WHEN a > 2 THEN x END)"),
+    ("avgIf(v, k % 2 = 0)", "avg(CASE WHEN k % 2 = 0 THEN v END)"),
+    ("quantile(0.5)(x)", "percentile_approx(x, 0.5)"),
+    ("quantileExact(0.9)(x)", "percentile(x, 0.9)"),
+    ("quantiles(0.25, 0.75)(p)", "percentile_approx(p, array(0.25, 0.75))"),
+    (
+        "multiIf(a<1,'lo',a<2,'mid','hi')",
+        "CASE WHEN a<1 THEN 'lo' WHEN a<2 THEN 'mid' ELSE 'hi' END",
+    ),
+    ("toInt32(k)", "CAST(k AS INT)"),
+    ("toFloat64(x)", "CAST(x AS DOUBLE)"),
+    ("toDecimal64(x, 2)", "CAST(x AS DECIMAL(18, 2))"),
+    ("uniqExact(a, b)", "count(DISTINCT a, b)"),
+    ("uniq(a)", "approx_count_distinct(a)"),
+    ("argMax(clerk, ts)", "max_by(clerk, ts)"),
+    ("groupArray(x)", "collect_list(x)"),
+    ("groupUniqArray(x)", "collect_set(x)"),
+    ("anyLast(x)", "last(x)"),
+    ("arrayJoin(tags)", "explode(tags)"),
+    ("has(arr, 3)", "array_contains(arr, 3)"),
+    ("arrayUniq(arr)", "size(array_distinct(arr))"),
+    ("ifNull(a, b)", "coalesce(a, b)"),
+    # nesting: inner calls rewritten inside outer ones
+    ("argMax(clerk, argMin(k, v))", "max_by(clerk, min_by(k, v))"),
+    (
+        "toFloat64(sumIf(toDecimal64(p, 2), c))",
+        "CAST(sum(CASE WHEN c THEN CAST(p AS DECIMAL(18, 2)) END) AS DOUBLE)",
+    ),
+    # argMaxIf masks both expr and ordering key
+    (
+        "argMaxIf(x, o, c)",
+        "max_by(CASE WHEN c THEN x END, CASE WHEN c THEN o END)",
+    ),
+    (
+        "uniqExactIf(u, c)",
+        "count(DISTINCT CASE WHEN c THEN u END)",
+    ),
+]
+
+
+@pytest.mark.parametrize("src,expected", REWRITES, ids=[s for s, _ in REWRITES])
+def test_rewrite(src: str, expected: str):
+    assert transpile(src) == expected
+
+
+def test_passthrough_untouched():
+    """Unknown functions, keywords, strings with parens, subqueries."""
+    sql = "SELECT foo(a), count(*) FROM t WHERE s = ')(' AND k IN (1,2)"
+    out = transpile(sql)
+    assert "foo(a)" in out and "count(*)" in out and "')('" in out
+
+
+def test_string_literals_are_opaque():
+    # a paren/comma-laden literal must not perturb argument splitting
+    assert (
+        transpile("countIf(s = 'a,(b'')c')") == "count_if(s = 'a,(b'')c')"
+    )
+
+
+def test_comment_inside_args_dropped():
+    out = transpile("f(a -- trailing\n, b)")
+    assert out == "f(a, b)"
+
+
+def test_multiif_arity_check():
+    with pytest.raises(DialectError):
+        transpile("multiIf(a, b)")
+
+
+def test_unbalanced_parens():
+    with pytest.raises(DialectError):
+        transpile("sumIf(x, y")
+
+
+# --- Spark-vs-Spark equivalence (covers approx aggregates the DuckDB
+#     oracle can't hash-match) ---
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_equivalence_approx_and_arrays(spark, sf_dir):
+    ch = """
+    SELECT o_orderstatus,
+           uniq(o_custkey) AS u_approx,
+           quantile(0.5)(toFloat64(o_totalprice)) AS med_approx,
+           arraySort(groupUniqArray(o_orderpriority)) AS prios,
+           anyLast(o_orderpriority) AS last_prio,
+           avgIf(o_custkey, o_orderkey % 2 = 0) AS avg_even
+    FROM orders GROUP BY o_orderstatus
+    """
+    native = """
+    SELECT o_orderstatus,
+           approx_count_distinct(o_custkey) AS u_approx,
+           percentile_approx(CAST(o_totalprice AS DOUBLE), 0.5) AS med_approx,
+           array_sort(collect_set(o_orderpriority)) AS prios,
+           last(o_orderpriority) AS last_prio,
+           avg(CASE WHEN o_orderkey % 2 = 0 THEN o_custkey END) AS avg_even
+    FROM orders GROUP BY o_orderstatus
+    """
+    got = run_clickhouse_sql(spark, ch, sf_dir, ("orders",))
+    register_views(spark, sf_dir, ("orders",))
+    want = spark.sql(native)
+    assert _rows(got) == _rows(want)
+    assert got.columns == want.columns
+
+
+def test_equivalence_composes_with_compat_udfs(spark, sf_dir):
+    """Scalar compat names and transpiled syntax in one query."""
+    ch = """
+    SELECT toYear(CAST(o_orderdate AS DATE)) AS y,
+           countIf(notEmpty(o_orderpriority)) AS n_prio,
+           multiIf(count(*) > 100, 'big', 'small') AS size_class
+    FROM orders GROUP BY y
+    """
+    got = run_clickhouse_sql(spark, ch, sf_dir, ("orders",))
+    register_views(spark, sf_dir, ("orders",))
+    register_clickhouse_compat(spark)
+    want = spark.sql(
+        """
+        SELECT year(CAST(o_orderdate AS DATE)) AS y,
+               count_if(length(o_orderpriority) > 0) AS n_prio,
+               CASE WHEN count(*) > 100 THEN 'big' ELSE 'small' END
+                 AS size_class
+        FROM orders GROUP BY y
+        """
+    )
+    assert _rows(got) == _rows(want)
+
+
+def test_transpiled_plan_is_native(spark, sf_dir):
+    """The transpiler is a front-end: the physical plan of a transpiled
+    aggregate must show whole-stage codegen hash aggregation with no
+    Python evaluation anywhere."""
+    ch = "SELECT o_orderstatus, countIf(o_totalprice > 1000) AS n FROM orders GROUP BY o_orderstatus"
+    df = run_clickhouse_sql(spark, ch, sf_dir, ("orders",))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "HashAggregate" in plan
+    assert "Python" not in plan and "BatchEval" not in plan
