@@ -35,6 +35,16 @@ READ semantics — the part users consume — is one Catalyst plan here:
   composes the two idioms above: per (key, version) sign-cancel (net
   > 0 keeps the version's state row), then max-version FINAL per key.
   Two stacked keyed hash aggregates — still no window, no join.
+* **AggregatingMergeTree** (``mergetree_aggregating``): the table
+  stores partial aggregate states (``-State`` combinators) merged at
+  read with ``-Merge``.  Spark's partial/final aggregation IS this
+  idiom; the read builds one state row per (key, part) and merges —
+  two stacked keyed hash aggregates, no raw-row reshuffle on read.
+* **TTL GROUP BY rollup** (``mergetree_ttl_rollup``): rows past the
+  TTL horizon collapse to one aggregated row per TTL group (ClickHouse
+  ``TTL d + INTERVAL ... GROUP BY k SET v = sum(v)``); fresh rows
+  survive raw.  The read unions a date-pruned aggregate with a
+  date-pruned passthrough — only the expired slice ever shuffles.
 
 All queries derive their changelogs deterministically from ``orders``
 (every 3rd order gets a v2 restatement; every 5th gets a cancel+restate
@@ -174,11 +184,86 @@ def q_mergetree_versioned_collapsing(
     return spark.sql(_versioned_collapsing_sql("spark"))
 
 
+def _aggregating_sql(dialect: str) -> str:
+    # AggregatingMergeTree: the table stores partial aggregate STATES
+    # (ClickHouse -State combinators), one row per (key, part); a read
+    # merges states (-Merge) and finalizes.  The Spark shape IS this
+    # idiom natively — partial aggregation per part, final merge per
+    # key — expressed as two stacked keyed hash aggregates.  "Parts"
+    # are order months (what an insert-per-month ingest would produce).
+    # States kept: count, decimal-exact sum, min, max — enough to
+    # finalize count/sum/avg/min/max, the standard -SimpleState set.
+    return """
+WITH states AS (
+  SELECT o_custkey,
+         year(o_orderdate) * 100 + month(o_orderdate) AS part_id,
+         COUNT(*) AS cnt_state,
+         SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS sum_state,
+         MIN(o_totalprice) AS min_state,
+         MAX(o_totalprice) AS max_state
+  FROM orders
+  GROUP BY o_custkey, part_id)
+SELECT o_custkey,
+       CAST(SUM(cnt_state) AS BIGINT) AS n_orders,
+       CAST(SUM(sum_state) AS DOUBLE) AS total_price,
+       CAST(CAST(SUM(sum_state) AS DOUBLE) / SUM(cnt_state) AS DOUBLE)
+         AS avg_price,
+       MIN(min_state) AS min_price,
+       MAX(max_state) AS max_price
+FROM states
+GROUP BY o_custkey
+"""
+
+
+def q_mergetree_aggregating(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AggregatingMergeTree state-merge read (see _aggregating_sql)."""
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(_aggregating_sql("spark"))
+
+
+def _ttl_rollup_sql(dialect: str) -> str:
+    # TTL GROUP BY rollup (ClickHouse `TTL date + INTERVAL ... GROUP BY
+    # k SET v = sum(v)`): rows past the TTL horizon collapse to one
+    # aggregated row per TTL group at merge time; fresh rows stay raw.
+    # The read is a UNION of a filtered aggregate (expired slice) and a
+    # filtered passthrough (fresh slice) — both branches prune on the
+    # same date predicate, so at 100 TB each side scans only its
+    # partition range; no shuffle touches the fresh rows at all.  The
+    # horizon is a fixed literal (orders span 1992-1998) so the result
+    # is deterministic and oracle-checkable.
+    return f"""
+SELECT o_custkey,
+       CAST(date_trunc('month', o_orderdate) AS DATE) AS bucket_month,
+       CAST(NULL AS BIGINT) AS o_orderkey,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       {sql_dsum("o_totalprice")} AS total_price
+FROM orders
+WHERE o_orderdate < DATE '1996-01-01'
+GROUP BY o_custkey, bucket_month
+UNION ALL
+SELECT o_custkey,
+       CAST(date_trunc('month', o_orderdate) AS DATE) AS bucket_month,
+       o_orderkey,
+       CAST(1 AS BIGINT) AS n_rows,
+       CAST(CAST(o_totalprice AS DECIMAL(18,6)) AS DOUBLE) AS total_price
+FROM orders
+WHERE o_orderdate >= DATE '1996-01-01'
+"""
+
+
+def q_mergetree_ttl_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TTL GROUP BY rollup read (see _ttl_rollup_sql)."""
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(_ttl_rollup_sql("spark"))
+
+
 QUERIES = {
     "mergetree_replacing_final": q_mergetree_replacing_final,
     "mergetree_collapsing": q_mergetree_collapsing,
     "mergetree_summing": q_mergetree_summing,
     "mergetree_versioned_collapsing": q_mergetree_versioned_collapsing,
+    "mergetree_aggregating": q_mergetree_aggregating,
+    "mergetree_ttl_rollup": q_mergetree_ttl_rollup,
 }
 
 ORACLES = {
@@ -186,4 +271,6 @@ ORACLES = {
     "mergetree_collapsing": _collapsing_sql("duckdb"),
     "mergetree_summing": _summing_sql("duckdb"),
     "mergetree_versioned_collapsing": _versioned_collapsing_sql("duckdb"),
+    "mergetree_aggregating": _aggregating_sql("duckdb"),
+    "mergetree_ttl_rollup": _ttl_rollup_sql("duckdb"),
 }

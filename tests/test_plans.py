@@ -140,9 +140,11 @@ def test_mergetree_reads_are_pure_aggregates(spark, sf_dir):
     its aggregation buffer so Spark picks SortAggregate for the
     replacing read — still partial+final, the property that matters."""
     from clickhouse_vs_dbt_spark.operators.mergetree import (
+        q_mergetree_aggregating,
         q_mergetree_collapsing,
         q_mergetree_replacing_final,
         q_mergetree_summing,
+        q_mergetree_ttl_rollup,
         q_mergetree_versioned_collapsing,
     )
 
@@ -151,6 +153,8 @@ def test_mergetree_reads_are_pure_aggregates(spark, sf_dir):
         q_mergetree_collapsing,
         q_mergetree_summing,
         q_mergetree_versioned_collapsing,
+        q_mergetree_aggregating,
+        q_mergetree_ttl_rollup,
     ):
         plan = _plan(q(spark, sf_dir))
         assert "Window" not in plan
