@@ -163,11 +163,88 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+# --- insert_overwrite strategy (partition restatement) ---
+
+RESTATE_FROM_YEAR = 1996
+RESTATE_DELTA = 5.0  # exact IEEE addition — identical in both engines
+
+
+def run_insert_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dbt's ``insert_overwrite`` incremental strategy: the batch
+    rewrites exactly the partitions it contains, untouched partitions
+    survive byte-for-byte.  Run 1 backfills all order-years; run 2
+    delivers a RESTATED slice (years >= RESTATE_FROM_YEAR, price
+    shifted) — dynamic partition overwrite must replace those year
+    partitions and leave the rest alone.  Cost scales with the batch,
+    not the table: the 100 TB daily-restatement path."""
+
+    def batch(spark: SparkSession, existing: DataFrame | None) -> DataFrame:
+        orders = load_table(spark, sf_dir, "orders").withColumn(
+            "order_year", F.year("o_orderdate")
+        )
+        if existing is None:
+            return orders
+        return orders.filter(
+            F.col("order_year") >= RESTATE_FROM_YEAR
+        ).withColumn(
+            "o_totalprice", F.col("o_totalprice") + F.lit(RESTATE_DELTA)
+        )
+
+    runner = ModelRunner(spark)
+    runner.add(
+        Model(
+            "orders_restate",
+            batch,
+            materialization=Materialization.INCREMENTAL,
+            partition_by=("order_year",),
+        )
+    )
+    runner.run()  # backfill every partition
+    out = runner.run()  # restatement batch overwrites only its years
+    return out["orders_restate"]
+
+
+def q_incremental_insert_overwrite(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Rollup of the restated table.  The oracle applies the
+    restatement analytically: if overwrite had clobbered old partitions
+    the pre-cutoff years vanish (row-count mismatch); if it appended
+    instead of overwriting, restated years double-count (hash
+    mismatch)."""
+    restated = run_insert_overwrite(spark, sf_dir)
+    return (
+        restated.groupBy("order_year", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice")).alias("total_price"),
+        )
+        .orderBy("order_year", "o_orderstatus")
+    )
+
+
+O_INSERT_OVERWRITE = f"""
+SELECT EXTRACT(year FROM o_orderdate)::INT AS order_year,
+       o_orderstatus,
+       COUNT(*) AS n_orders,
+       {sql_dsum(
+           "CASE WHEN EXTRACT(year FROM o_orderdate) >= "
+           f"{RESTATE_FROM_YEAR} THEN o_totalprice + {RESTATE_DELTA} "
+           "ELSE o_totalprice END"
+       )} AS total_price
+FROM orders
+GROUP BY order_year, o_orderstatus
+ORDER BY order_year, o_orderstatus
+"""
+
+
 QUERIES = {
     "incremental_orders_merge": q_incremental_orders_merge,
     "incremental_agg_mv": q_incremental_agg_mv,
+    "incremental_insert_overwrite": q_incremental_insert_overwrite,
 }
 ORACLES = {
     "incremental_orders_merge": O_INCREMENTAL_MERGE,
     "incremental_agg_mv": O_INCREMENTAL_AGG_MV,
+    "incremental_insert_overwrite": O_INSERT_OVERWRITE,
 }
