@@ -89,6 +89,27 @@ _RENAME = {
     "covarPop": "covar_pop",
     "covarSamp": "covar_samp",
     "arrayJoin": "explode",
+    # array scalars with the argument order already matching Spark
+    "arrayMin": "array_min",
+    "arrayMax": "array_max",
+    "arrayReverse": "reverse",
+    "arrayFlatten": "flatten",
+    "arraySlice": "slice",
+    "arrayCompact": "array_compact",
+}
+
+# array higher-order functions: ClickHouse puts the lambda FIRST
+# (`arrayMap(x -> x + 1, arr)`), Spark puts it LAST (`transform(arr,
+# x -> x + 1)`); the `x -> expr` lambda syntax itself is shared, so the
+# rewrite is a rename + argument rotation.
+_HOF_ROTATE = {
+    "arrayMap": "transform",
+    "arrayFilter": "filter",
+    "arrayExists": "exists",
+    "arrayAll": "forall",
+    "arrayFirst": None,  # special-cased: element_at(filter(...), 1)
+    "arrayCount": None,  # special-cased: size(filter(...))
+    "arraySum": None,  # special-cased: aggregate fold
 }
 
 # toXxx(x) -> CAST(x AS T)
@@ -138,21 +159,26 @@ def _next_code(toks: list[str], i: int) -> int:
     return i
 
 
-def _parse_args(toks: list[str], lparen: int) -> tuple[list[str], int]:
-    """Parse a balanced ``(...)`` starting at ``lparen``; return the
-    top-level comma-split arguments (each recursively transpiled) and
-    the index just past the closing paren.  ``()`` → []."""
+def _parse_args(
+    toks: list[str], lparen: int, open_: str = "(", close: str = ")"
+) -> tuple[list[str], int]:
+    """Parse a balanced ``(...)`` (or ``[...]``) starting at ``lparen``;
+    return the top-level comma-split arguments (each recursively
+    transpiled) and the index just past the closing delimiter.
+    ``()`` → []."""
     depth = 0
     i = lparen
     start = lparen + 1
     spans: list[tuple[int, int]] = []
     while i < len(toks):
         t = toks[i]
-        if t == "(":
+        if t in ("(", "["):
             depth += 1
-        elif t == ")":
+        elif t in (")", "]"):
             depth -= 1
             if depth == 0:
+                if t != close:
+                    raise DialectError("mismatched () / [] nesting")
                 spans.append((start, i))
                 # drop_comments: args are re-joined onto one line, so a
                 # trailing `-- comment` would swallow the separator
@@ -204,6 +230,24 @@ def _render_call(name: str, args: list[str]) -> str:
             return f"count(CASE WHEN {args[1]} THEN {args[0]} END)"
     if name == "arrayUniq":
         return f"size(array_distinct({joined}))"
+    if name in _HOF_ROTATE:
+        if name == "arraySum":
+            # one-arg form sums the array itself; two-arg maps first.
+            arr = args[-1] if len(args) == 2 else args[0]
+            body = f"transform({arr}, {args[0]})" if len(args) == 2 else arr
+            return (
+                f"aggregate({body}, CAST(0 AS DOUBLE), "
+                f"(acc, x) -> acc + CAST(x AS DOUBLE))"
+            )
+        if len(args) != 2:
+            raise DialectError(f"{name} expects (lambda, array)")
+        lam, arr = args
+        if name == "arrayCount":
+            return f"size(filter({arr}, {lam}))"
+        if name == "arrayFirst":
+            # get() is null-safe on empty arrays even under ANSI mode
+            return f"get(filter({arr}, {lam}), 0)"
+        return f"{_HOF_ROTATE[name]}({arr}, {lam})"
     if name == "splitByChar" and len(args) == 2:
         # inlined (not left to the compat SQL UDF): Spark rejects SQL
         # UDFs under Generate, so arrayJoin(splitByChar(...)) needs the
@@ -256,10 +300,21 @@ def _walk(
 ) -> str:
     out: list[str] = []
     i = start
+    last_code = ""  # last non-whitespace token emitted (for [ disambiguation)
     while i < end:
         t = toks[i]
         if drop_comments and t.startswith("--"):
             i += 1
+            continue
+        if t == "[" and last_code not in ("]", ")") and not _is_ident(last_code):
+            # ClickHouse array literal [a, b, c] → array(a, b, c).
+            # After an identifier / ) / ] the bracket is indexing
+            # (arr[1]) and passes through untouched.
+            elems, k = _parse_args(toks, i, "[", "]")
+            rendered = f"array({', '.join(elems)})"
+            out.append(rendered)
+            last_code = "]"  # rendered call ends like a paren close
+            i = k
             continue
         j = _next_code(toks, i + 1)
         if _is_ident(t) and j < end and toks[j] == "(":
@@ -273,8 +328,11 @@ def _walk(
             else:
                 out.append(_render_call(name, first))
                 i = k
+            last_code = ")"
         else:
             out.append(t)
+            if not t.isspace() and not t.startswith("--"):
+                last_code = t
             i += 1
     return "".join(out)
 
@@ -405,14 +463,61 @@ def q_dialect_multiif(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_clickhouse_sql(spark, _CH_MULTIIF, sf_dir, ("orders",))
 
 
+# 4. array higher-order functions + ClickHouse array literals.  The
+#    lambda rotation (CH lambda-first, Spark array-first) and the
+#    [..]→array(..) literal rewrite both execute here; every column is
+#    scalar and deterministic (folds run in array order), so the hash
+#    check is exact.
+_CH_ARRAY_HOF = """
+SELECT o_orderkey,
+       arraySum(x -> toFloat64(x * x),
+                [1, 2, toInt64(o_orderkey % 5)]) AS sum_sq,
+       arrayCount(x -> x % 2 = 0,
+                  [1, 2, 3, toInt64(o_orderkey % 4)]) AS n_even,
+       arrayFirst(x -> x > 1, [toInt64(o_orderkey % 3), 2, 9]) AS first_gt1,
+       arrayExists(x -> x = 0, [toInt64(o_orderkey % 3)]) AS has0,
+       arrayAll(x -> x >= 0, [toInt64(o_orderkey % 3), 1]) AS all_nonneg,
+       arrayMax(arrayMap(x -> x * 10,
+                         [1, toInt64(o_orderkey % 6)])) AS max10
+FROM orders
+"""
+
+O_ARRAY_HOF = """
+SELECT o_orderkey,
+       CAST(list_sum(list_transform(
+            [1, 2, CAST(o_orderkey % 5 AS BIGINT)],
+            x -> CAST(x * x AS DOUBLE))) AS DOUBLE) AS sum_sq,
+       CAST(len(list_filter(
+            [1, 2, 3, CAST(o_orderkey % 4 AS BIGINT)],
+            x -> x % 2 = 0)) AS INT) AS n_even,
+       list_filter([CAST(o_orderkey % 3 AS BIGINT), 2, 9],
+                   x -> x > 1)[1] AS first_gt1,
+       len(list_filter([CAST(o_orderkey % 3 AS BIGINT)], x -> x = 0)) > 0
+         AS has0,
+       len(list_filter([CAST(o_orderkey % 3 AS BIGINT), 1], x -> x < 0)) = 0
+         AS all_nonneg,
+       list_aggregate(list_transform(
+            [1, CAST(o_orderkey % 6 AS BIGINT)], x -> x * 10),
+            'max') AS max10
+FROM orders
+"""
+
+
+def q_dialect_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verbatim ClickHouse array-HOF query (module doc)."""
+    return run_clickhouse_sql(spark, _CH_ARRAY_HOF, sf_dir, ("orders",))
+
+
 QUERIES = {
     "dialect_combinators": q_dialect_combinators,
     "dialect_arrayjoin": q_dialect_arrayjoin,
     "dialect_multiif": q_dialect_multiif,
+    "dialect_array_hof": q_dialect_array_hof,
 }
 
 ORACLES = {
     "dialect_combinators": O_COMBINATORS,
     "dialect_arrayjoin": O_ARRAYJOIN,
     "dialect_multiif": O_MULTIIF,
+    "dialect_array_hof": O_ARRAY_HOF,
 }

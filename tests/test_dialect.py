@@ -60,6 +60,25 @@ REWRITES = [
         "uniqExactIf(u, c)",
         "count(DISTINCT CASE WHEN c THEN u END)",
     ),
+    # array HOFs: lambda rotation (CH lambda-first → Spark array-first)
+    ("arrayMap(x -> x + 1, arr)", "transform(arr, x -> x + 1)"),
+    ("arrayFilter(x -> x > 0, arr)", "filter(arr, x -> x > 0)"),
+    ("arrayExists(x -> x = 5, arr)", "exists(arr, x -> x = 5)"),
+    ("arrayAll(x -> x >= 0, arr)", "forall(arr, x -> x >= 0)"),
+    ("arrayCount(x -> x > 2, arr)", "size(filter(arr, x -> x > 2))"),
+    ("arrayFirst(x -> x > 1, arr)", "get(filter(arr, x -> x > 1), 0)"),
+    (
+        "arraySum([1.5, 2.5])",
+        "aggregate(array(1.5, 2.5), CAST(0 AS DOUBLE), "
+        "(acc, x) -> acc + CAST(x AS DOUBLE))",
+    ),
+    ("arrayMax(arr)", "array_max(arr)"),
+    # array literals vs indexing
+    ("[1, 2, 3]", "array(1, 2, 3)"),
+    ("arr[1]", "arr[1]"),
+    ("f(a)[2]", "f(a)[2]"),
+    ("[1, f(a, b), 3]", "array(1, f(a, b), 3)"),
+    ("has([1,2,3], 2)", "array_contains(array(1, 2, 3), 2)"),
 ]
 
 
