@@ -682,8 +682,74 @@ ORDER BY r_name, status
 """
 
 
+def q_any_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``ANY LEFT JOIN``: each left row matches at most ONE
+    right row (ClickHouse picks an arbitrary one; here the
+    lexicographic-first line so the result is deterministic and
+    oracle-checkable).  Spark shape: the right side collapses to one
+    row per key via a keyed ``min_by`` aggregate BEFORE the join — a
+    shuffle of the right relation only, then a plain equi-join whose
+    right side is guaranteed unique (no fan-out, so at 100 TB the join
+    output is exactly |orders| rows, never |orders|·|lines|).  This is
+    strictly cheaper than joining raw and deduping after, which would
+    shuffle the fanned-out product."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    # the fixture's (l_orderkey, l_linenumber) is NOT unique, so the
+    # "first" row is the lexicographic minimum over every projected
+    # column — a total order (full duplicates pick identical values),
+    # hence deterministic in both engines.  min(struct(...)) keeps the
+    # collapse a keyed aggregate: no window, no fan-out.
+    first_line = li.groupBy("l_orderkey").agg(
+        F.min(
+            F.struct("l_linenumber", "l_quantity", "l_extendedprice", "l_returnflag")
+        ).alias("s")
+    ).select(
+        "l_orderkey",
+        F.col("s.l_quantity").alias("any_qty"),
+        F.col("s.l_extendedprice").alias("any_price"),
+        F.col("s.l_returnflag").alias("any_flag"),
+    )
+    return (
+        o.join(first_line, o.o_orderkey == first_line.l_orderkey, "left")
+        .groupBy("o_orderstatus", "any_flag")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.coalesce(F.col("any_price"), F.lit(0.0))).alias(
+                "first_line_price_sum"
+            ),
+            dsum(F.coalesce(F.col("any_qty"), F.lit(0.0))).alias(
+                "first_line_qty_sum"
+            ),
+        )
+    )
+
+
+O_ANY_LEFT_JOIN = f"""
+WITH first_line AS (
+  SELECT l_orderkey,
+         l_quantity AS any_qty,
+         l_extendedprice AS any_price,
+         l_returnflag AS any_flag
+  FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY l_orderkey
+        ORDER BY l_linenumber, l_quantity, l_extendedprice, l_returnflag
+    ) AS rn
+    FROM lineitem)
+  WHERE rn = 1)
+SELECT o_orderstatus, any_flag,
+       COUNT(*) AS n_orders,
+       {sql_dsum("coalesce(any_price, 0.0)")} AS first_line_price_sum,
+       {sql_dsum("coalesce(any_qty, 0.0)")} AS first_line_qty_sum
+FROM orders LEFT JOIN first_line ON o_orderkey = l_orderkey
+GROUP BY o_orderstatus, any_flag
+"""
+
+
 QUERIES = {
     "tpch_q1_pricing_summary": q_pricing_summary,
+    "any_left_join": q_any_left_join,
     "full_outer_nation_balance": q_full_outer_nation_balance,
     "cross_join_grid": q_cross_join_grid,
     "limit_by_analog": q_limit_by_analog,
@@ -709,6 +775,7 @@ QUERIES = {
 
 ORACLES = {
     "tpch_q1_pricing_summary": O_PRICING,
+    "any_left_join": O_ANY_LEFT_JOIN,
     "full_outer_nation_balance": O_FULL_OUTER,
     "cross_join_grid": O_CROSS_JOIN_GRID,
     "limit_by_analog": O_LIMIT_BY,

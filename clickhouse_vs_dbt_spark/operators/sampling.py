@@ -224,8 +224,58 @@ GROUP BY 1, 2 ORDER BY lang, split
 """
 
 
+SAMPLE_NUM, SAMPLE_DEN = 1, 10  # SAMPLE 1/10
+SAMPLE_OFFSET_NUM, SAMPLE_OFFSET_DEN = 1, 2  # OFFSET 1/2
+
+
+def q_clickhouse_sample_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``SAMPLE 1/10 OFFSET 1/2``: a deterministic
+    hash-range slice of the table on its sampling key.  ClickHouse
+    keeps rows whose ``intHash32(key)/2^32`` falls in
+    [offset, offset + fraction); the analog reuses :func:`mix_hash_sql`
+    so the slice is reproducible in both engines bit-for-bit.  OFFSET
+    exists so that disjoint sample runs (e.g. A/B analysis halves)
+    never overlap — the two properties together are why ClickHouse
+    sampling beats ``rand() < p``: idempotent re-runs and composable
+    disjoint slices.  The predicate is a map-side filter on a scan
+    projection — no shuffle, and at 100 TB the full scan cost is the
+    sample's only cost (ClickHouse pays the same unless the table is
+    physically sample-ordered)."""
+    lo = (4294967296 * SAMPLE_OFFSET_NUM) // SAMPLE_OFFSET_DEN
+    hi = lo + (4294967296 * SAMPLE_NUM) // SAMPLE_DEN
+    register_tables = load_table(spark, sf_dir, "orders")
+    h = mix_hash_sql("spark", "o_orderkey")
+    sampled = register_tables.filter(F.expr(f"{h} >= {lo} AND {h} < {hi}"))
+    return sampled.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("sampled_total"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+    )
+
+
+def _o_sample_clause() -> str:
+    lo = (4294967296 * SAMPLE_OFFSET_NUM) // SAMPLE_OFFSET_DEN
+    hi = lo + (4294967296 * SAMPLE_NUM) // SAMPLE_DEN
+    h = mix_hash_sql("duckdb", "o_orderkey")
+    return f"""
+SELECT o_orderstatus,
+       COUNT(*) AS n_sampled,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+         AS sampled_total,
+       MIN(o_orderkey) AS min_key,
+       MAX(o_orderkey) AS max_key
+FROM orders
+WHERE {h} >= {lo} AND {h} < {hi}
+GROUP BY o_orderstatus
+"""
+
+
 QUERIES = {
     "stratified_sample": q_stratified_sample,
+    "clickhouse_sample_clause": q_clickhouse_sample_clause,
     "rebalance_weights": q_rebalance_weights,
     "reservoir_per_lang": q_reservoir_per_lang,
     "train_val_test_split": q_train_val_test_split,
@@ -233,6 +283,7 @@ QUERIES = {
 
 ORACLES = {
     "stratified_sample": O_STRATIFIED,
+    "clickhouse_sample_clause": _o_sample_clause(),
     "train_val_test_split": O_TRAIN_VAL_TEST,
     "rebalance_weights": O_REBALANCE,
     "reservoir_per_lang": O_RESERVOIR,
