@@ -337,10 +337,74 @@ def _walk(
     return "".join(out)
 
 
+_KEYWORD_STOP = {
+    # tokens that end a GROUP BY expression list at depth 0
+    "WITH", "HAVING", "ORDER", "LIMIT", "SETTINGS", "UNION", ")", ";",
+}
+
+
+def _rewrite_clauses(toks: list[str]) -> list[str]:
+    """Clause-level ClickHouse syntax, before expression rewriting:
+
+    * ``PREWHERE cond`` → ``WHERE cond``.  PREWHERE is ClickHouse's
+      manual read-two-phases hint; Catalyst's predicate pushdown makes
+      the plan identical either way, so the honest mapping is WHERE.
+    * ``GROUP BY <exprs> WITH TOTALS`` → ``GROUP BY GROUPING SETS
+      ((<exprs>), ())``: the totals row is the empty grouping set,
+      which Spark computes in the same single aggregate pass
+      (grouping-set expansion), not a second scan.
+    """
+    out = list(toks)
+    # PREWHERE → WHERE (case preserved per ClickHouse's uppercase habit)
+    for i, t in enumerate(out):
+        if t == "PREWHERE":
+            out[i] = "WHERE"
+    # GROUP BY ... WITH TOTALS
+    i = 0
+    while i < len(out):
+        if out[i].upper() == "GROUP":
+            j = _next_code(out, i + 1)
+            if j < len(out) and out[j].upper() == "BY":
+                # find the end of the expression list at depth 0
+                k = j + 1
+                depth = 0
+                end = None
+                while k < len(out):
+                    t = out[k]
+                    if t in ("(", "["):
+                        depth += 1
+                    elif t in (")", "]"):
+                        if depth == 0:
+                            end = k
+                            break
+                        depth -= 1
+                    elif depth == 0 and t.upper() in _KEYWORD_STOP:
+                        end = k
+                        break
+                    k += 1
+                if end is None:
+                    end = len(out)
+                nxt = _next_code(out, end)
+                if (
+                    end < len(out)
+                    and out[end].upper() == "WITH"
+                    and nxt == end
+                    and (m := _next_code(out, end + 1)) < len(out)
+                    and out[m].upper() == "TOTALS"
+                ):
+                    exprs = "".join(out[j + 1 : end]).strip()
+                    out[j + 1 : m + 1] = [
+                        f" GROUPING SETS (({exprs}), ())"
+                    ]
+        i += 1
+    return out
+
+
 def transpile(sql: str) -> str:
     """Rewrite a ClickHouse-dialect query into Spark SQL (see module
     doc).  Unrecognized constructs pass through verbatim."""
-    toks = _tokens(sql)
+    toks = _rewrite_clauses(_tokens(sql))
+    toks = _tokens("".join(toks))  # re-tokenize after clause splices
     return _walk(toks, 0, len(toks))
 
 
@@ -508,11 +572,42 @@ def q_dialect_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_clickhouse_sql(spark, _CH_ARRAY_HOF, sf_dir, ("orders",))
 
 
+# 5. clause-level syntax: PREWHERE and GROUP BY ... WITH TOTALS.  The
+#    totals row follows the SQL-standard empty-grouping-set convention
+#    (NULL group keys), computed in the same aggregate pass.
+_CH_TOTALS = """
+SELECT o_orderstatus,
+       count(*) AS n,
+       toFloat64(sumIf(toDecimal64(o_totalprice, 2),
+                       modulo(o_orderkey, 2) = 0)) AS even_total
+FROM orders
+PREWHERE o_totalprice > 100000
+GROUP BY o_orderstatus WITH TOTALS
+"""
+
+O_TOTALS = """
+SELECT o_orderstatus,
+       count(*) AS n,
+       CAST(SUM(CASE WHEN o_orderkey % 2 = 0
+                     THEN CAST(o_totalprice AS DECIMAL(18,2)) END)
+            AS DOUBLE) AS even_total
+FROM orders
+WHERE o_totalprice > 100000
+GROUP BY GROUPING SETS ((o_orderstatus), ())
+"""
+
+
+def q_dialect_with_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verbatim ClickHouse PREWHERE + WITH TOTALS query (module doc)."""
+    return run_clickhouse_sql(spark, _CH_TOTALS, sf_dir, ("orders",))
+
+
 QUERIES = {
     "dialect_combinators": q_dialect_combinators,
     "dialect_arrayjoin": q_dialect_arrayjoin,
     "dialect_multiif": q_dialect_multiif,
     "dialect_array_hof": q_dialect_array_hof,
+    "dialect_with_totals": q_dialect_with_totals,
 }
 
 ORACLES = {
@@ -520,4 +615,5 @@ ORACLES = {
     "dialect_arrayjoin": O_ARRAYJOIN,
     "dialect_multiif": O_MULTIIF,
     "dialect_array_hof": O_ARRAY_HOF,
+    "dialect_with_totals": O_TOTALS,
 }

@@ -87,6 +87,31 @@ def test_rewrite(src: str, expected: str):
     assert transpile(src) == expected
 
 
+def test_prewhere_becomes_where():
+    out = transpile("SELECT a FROM t PREWHERE x > 1")
+    assert "PREWHERE" not in out and "WHERE x > 1" in out
+
+
+def test_with_totals_becomes_grouping_sets():
+    out = transpile("SELECT s, count(*) FROM t GROUP BY s WITH TOTALS")
+    assert "GROUPING SETS((s), ())" in out and "TOTALS" not in out
+
+
+def test_with_totals_multi_expr_and_tail_clauses():
+    out = transpile(
+        "SELECT a, b FROM t GROUP BY toYear(d), b WITH TOTALS ORDER BY a"
+    )
+    assert "GROUPING SETS((toYear(d), b), ())" in out
+    assert out.endswith("ORDER BY a")
+
+
+def test_with_rollup_and_having_untouched():
+    assert "WITH ROLLUP" in transpile("SELECT a FROM t GROUP BY a WITH ROLLUP")
+    assert "HAVING" in transpile(
+        "SELECT a FROM t GROUP BY a HAVING count(*) > 1"
+    )
+
+
 def test_passthrough_untouched():
     """Unknown functions, keywords, strings with parens, subqueries."""
     sql = "SELECT foo(a), count(*) FROM t WHERE s = ')(' AND k IN (1,2)"
