@@ -129,6 +129,14 @@ HEADLINE = [
     "mergetree_collapsing",
     "mergetree_summing",
     "mergetree_versioned_collapsing",
+    "mergetree_aggregating",
+    "mergetree_ttl_rollup",
+    # round 4: dialect front-end + ClickHouse join/sample semantics
+    "dialect_combinators",
+    "dialect_array_hof",
+    "any_left_join",
+    "clickhouse_sample_clause",
+    "incremental_insert_overwrite",
 ]
 
 

@@ -111,9 +111,14 @@ def cmd_docs(args) -> int:
 
 
 def cmd_sql(args) -> int:
+    from clickhouse_vs_dbt_spark.dialect import transpile
+
     spark = _spark("cli-sql")
     _prepare(spark, args.sf_dir)
-    spark.sql(args.query).show(args.limit, truncate=False)
+    # full ClickHouse-dialect front door: the transpiler handles syntax
+    # (combinators, parametric aggregates, multiIf, WITH TOTALS, ...);
+    # the compat UDF registry, loaded by _prepare, handles scalar names
+    spark.sql(transpile(args.query)).show(args.limit, truncate=False)
     return 0
 
 

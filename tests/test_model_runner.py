@@ -230,6 +230,23 @@ def test_cli_sql_dialect_roundtrip(capsys):
     assert "y" in out and "n" in out
 
 
+def test_cli_sql_transpiles_combinators(capsys):
+    """The sql subcommand routes through dialect.transpile, so verbatim
+    ClickHouse syntax (countIf, WITH TOTALS) runs unmodified."""
+    from clickhouse_vs_dbt_spark.__main__ import main
+
+    rc = main(
+        [
+            "sql",
+            "SELECT o_orderstatus, countIf(o_totalprice > 150000) AS n "
+            "FROM orders GROUP BY o_orderstatus WITH TOTALS",
+        ]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "NULL" in out  # the totals row (empty grouping set)
+
+
 def test_manifest_and_tag_selection(spark):
     """dbt-docs/tag-selection analog: the manifest carries description +
     tags per model, and a tag-selected run builds only the subgraph
