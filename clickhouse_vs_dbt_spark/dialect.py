@@ -353,12 +353,44 @@ def _rewrite_clauses(toks: list[str]) -> list[str]:
       ((<exprs>), ())``: the totals row is the empty grouping set,
       which Spark computes in the same single aggregate pass
       (grouping-set expansion), not a second scan.
+    * a trailing ``SETTINGS k = v, ...`` clause is DROPPED: those are
+      ClickHouse server-tuning knobs (max_threads, max_memory_usage)
+      with no Spark meaning; the session configs in ``session.py`` are
+      the cluster-level equivalent.  Dropping beats erroring — the
+      query's semantics don't depend on them.
     """
     out = list(toks)
-    # PREWHERE → WHERE (case preserved per ClickHouse's uppercase habit)
     for i, t in enumerate(out):
-        if t == "PREWHERE":
+        if t.upper() == "PREWHERE":
             out[i] = "WHERE"
+    # strip top-level SETTINGS ... (to end of statement / set-op / paren)
+    i = 0
+    depth = 0
+    while i < len(out):
+        t = out[i]
+        if t in ("(", "["):
+            depth += 1
+        elif t in (")", "]"):
+            depth -= 1
+        elif depth == 0 and t.upper() == "SETTINGS":
+            j = i
+            d2 = 0
+            while j < len(out):
+                tj = out[j]
+                if tj in ("(", "["):
+                    d2 += 1
+                elif tj in (")", "]"):
+                    if d2 == 0:
+                        break
+                    d2 -= 1
+                elif d2 == 0 and (
+                    tj == ";" or tj.upper() in ("UNION", "EXCEPT", "INTERSECT")
+                ):
+                    break
+                j += 1
+            del out[i:j]
+            continue
+        i += 1
     # GROUP BY ... WITH TOTALS
     i = 0
     while i < len(out):

@@ -105,6 +105,27 @@ def test_with_totals_multi_expr_and_tail_clauses():
     assert out.endswith("ORDER BY a")
 
 
+def test_settings_clause_dropped():
+    out = transpile(
+        "SELECT a FROM t WHERE x > 1 SETTINGS max_threads = 8, "
+        "max_memory_usage = 10000000"
+    )
+    assert "SETTINGS" not in out and "max_threads" not in out
+    assert "WHERE x > 1" in out
+
+
+def test_settings_stops_at_union():
+    out = transpile(
+        "SELECT a FROM t SETTINGS max_threads = 4 UNION ALL SELECT a FROM u"
+    )
+    assert "SETTINGS" not in out
+    assert "UNION ALL SELECT a FROM u" in out
+
+
+def test_lowercase_prewhere():
+    assert "WHERE x" in transpile("SELECT a FROM t prewhere x")
+
+
 def test_with_rollup_and_having_untouched():
     assert "WITH ROLLUP" in transpile("SELECT a FROM t GROUP BY a WITH ROLLUP")
     assert "HAVING" in transpile(
