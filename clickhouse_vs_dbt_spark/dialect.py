@@ -358,6 +358,10 @@ def _rewrite_clauses(toks: list[str]) -> list[str]:
       with no Spark meaning; the session configs in ``session.py`` are
       the cluster-level equivalent.  Dropping beats erroring — the
       query's semantics don't depend on them.
+    * a trailing ``FORMAT <name>`` clause is DROPPED likewise: it
+      selects ClickHouse's wire serialization, not query semantics —
+      the Spark equivalent is the DataFrameWriter you hand the result
+      to.
     """
     out = list(toks)
     for i, t in enumerate(out):
@@ -372,6 +376,19 @@ def _rewrite_clauses(toks: list[str]) -> list[str]:
             depth += 1
         elif t in (")", "]"):
             depth -= 1
+        elif depth == 0 and t.upper() == "FORMAT":
+            # only at statement end (ClickHouse grammar): FORMAT <name>
+            # followed by nothing or ';' — never mid-query, so a column
+            # actually named `format` is untouched
+            j = _next_code(out, i + 1)
+            k = _next_code(out, j + 1) if j < len(out) else len(out)
+            if (
+                j < len(out)
+                and _is_ident(out[j])
+                and (k >= len(out) or out[k] == ";")
+            ):
+                del out[i : j + 1]
+                continue
         elif depth == 0 and t.upper() == "SETTINGS":
             j = i
             d2 = 0

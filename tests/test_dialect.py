@@ -126,6 +126,15 @@ def test_lowercase_prewhere():
     assert "WHERE x" in transpile("SELECT a FROM t prewhere x")
 
 
+def test_format_clause_dropped_only_at_end():
+    assert transpile("SELECT a FROM t FORMAT JSONEachRow").rstrip() == (
+        "SELECT a FROM t"
+    )
+    # a column named format mid-query is NOT a FORMAT clause
+    assert "format" in transpile("SELECT format FROM t")
+    assert "FROM t" in transpile("SELECT format FROM t")
+
+
 def test_with_rollup_and_having_untouched():
     assert "WITH ROLLUP" in transpile("SELECT a FROM t GROUP BY a WITH ROLLUP")
     assert "HAVING" in transpile(
@@ -150,6 +159,69 @@ def test_string_literals_are_opaque():
 def test_comment_inside_args_dropped():
     out = transpile("f(a -- trailing\n, b)")
     assert out == "f(a, b)"
+
+
+# --- property-based robustness (hypothesis) ---
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_IDENT = st.from_regex(r"[a-z_][a-z0-9_]{0,8}", fullmatch=True)
+_NONCH_IDENT = _IDENT.filter(
+    lambda s: s not in {"format", "settings", "prewhere", "group", "any"}
+)
+
+
+@st.composite
+def ansi_exprs(draw, depth=2):
+    """Random ANSI-only expressions: no ClickHouse names, so transpile
+    must be the identity on them."""
+    if depth == 0:
+        return draw(
+            st.one_of(
+                _NONCH_IDENT,
+                st.integers(0, 999).map(str),
+                st.sampled_from(["'a b'", "'x(,)'", "' -- s'"]),
+            )
+        )
+    kind = draw(st.integers(0, 3))
+    if kind == 0:
+        return draw(ansi_exprs(depth=0))
+    if kind == 1:
+        a = draw(ansi_exprs(depth=depth - 1))
+        b = draw(ansi_exprs(depth=depth - 1))
+        op = draw(st.sampled_from(["+", "*", "=", ">", "AND"]))
+        return f"{a} {op} {b}"
+    if kind == 2:
+        fn = draw(st.sampled_from(["sum", "min", "coalesce", "fn_x"]))
+        args = draw(st.lists(ansi_exprs(depth=depth - 1), min_size=1, max_size=3))
+        return f"{fn}({', '.join(args)})"
+    inner = draw(ansi_exprs(depth=depth - 1))
+    return f"({inner})"
+
+
+@given(ansi_exprs())
+@settings(max_examples=150, deadline=None)
+def test_identity_on_ansi_expressions(expr):
+    """No ClickHouse construct present → transpile only normalizes
+    argument-list whitespace, never content: stripping all whitespace
+    must yield the identical string."""
+    out = transpile(f"SELECT {expr} FROM t WHERE {expr}")
+    canon = lambda s: "".join(s.split())  # noqa: E731
+    assert canon(out) == canon(f"SELECT {expr} FROM t WHERE {expr}")
+
+
+@given(ansi_exprs())
+@settings(max_examples=100, deadline=None)
+def test_idempotent(expr):
+    """transpile(transpile(x)) ≡ transpile(x) up to whitespace: no CH
+    name survives the first pass, so a second pass can only re-normalize
+    spacing around argument lists (e.g. ``THEN (x)`` → ``THEN(x)``),
+    never content."""
+    sql = f"SELECT sumIf({expr}, x > 1), quantile(0.5)({expr}) FROM t"
+    once = transpile(sql)
+    canon = lambda s: "".join(s.split())  # noqa: E731
+    assert canon(transpile(once)) == canon(once)
 
 
 def test_multiif_arity_check():
