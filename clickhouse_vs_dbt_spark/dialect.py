@@ -362,11 +362,145 @@ def _rewrite_clauses(toks: list[str]) -> list[str]:
       selects ClickHouse's wire serialization, not query semantics —
       the Spark equivalent is the DataFrameWriter you hand the result
       to.
+    * ``[LEFT] ARRAY JOIN <expr> AS <alias>`` → ``LATERAL VIEW
+      [OUTER] explode(<expr>) _aj AS <alias>``: ClickHouse's
+      structural row-expansion clause; LEFT keeps rows with empty
+      arrays (explode_outer semantics = LATERAL VIEW OUTER).  The
+      alias-less form (where the element shadows the array column's
+      own name) and the multi-array zip form raise
+      :class:`DialectError` with guidance, rather than silently
+      shadowing or fanning out N×M.
+    * ``GLOBAL`` before IN/JOIN is DROPPED: it is ClickHouse's
+      distributed-subquery shipping hint; Spark plans distribution
+      (broadcast vs shuffle) itself.
+    * ``FROM <t> FINAL`` raises :class:`DialectError`: FINAL changes
+      RESULTS (it forces merge-collapse of a Replacing/Collapsing
+      engine), so silently dropping it would be wrong — the mapping is
+      the explicit MergeTree reads in ``operators/mergetree.py``.
     """
     out = list(toks)
     for i, t in enumerate(out):
         if t.upper() == "PREWHERE":
             out[i] = "WHERE"
+    # GLOBAL IN / GLOBAL JOIN: drop the shipping hint
+    i = 0
+    while i < len(out):
+        if out[i].upper() == "GLOBAL":
+            j = _next_code(out, i + 1)
+            if j < len(out) and out[j].upper() in (
+                "IN", "JOIN", "ANY", "ALL", "LEFT", "INNER", "NOT",
+            ):
+                del out[i:j]
+                continue
+        i += 1
+    # FROM <t> FINAL: refuse explicitly (see module doc)
+    for i, t in enumerate(out):
+        if t.upper() == "FROM":
+            j = _next_code(out, i + 1)
+            k = _next_code(out, j + 1) if j < len(out) else len(out)
+            if (
+                j < len(out)
+                and _is_ident(out[j])
+                and k < len(out)
+                and out[k].upper() == "FINAL"
+            ):
+                raise DialectError(
+                    "FROM ... FINAL forces engine merge-collapse and "
+                    "changes results; use the explicit MergeTree reads "
+                    "(operators/mergetree.py: mergetree_replacing_final "
+                    "et al.) instead of a silent drop"
+                )
+    # ANY/ALL/ASOF join strictness keywords: refuse explicitly — each
+    # has a dedicated operator whose plan carries the right semantics.
+    # (LEFT SEMI / LEFT ANTI are valid Spark syntax and pass through.)
+    for i, t in enumerate(out):
+        if t.upper() in ("ANY", "ALL", "ASOF"):
+            j = _next_code(out, i + 1)
+            is_join = j < len(out) and out[j].upper() == "JOIN"
+            if not is_join and j < len(out) and out[j].upper() in (
+                "LEFT", "RIGHT", "INNER",
+            ):
+                k = _next_code(out, j + 1)
+                is_join = k < len(out) and out[k].upper() == "JOIN"
+            if is_join:
+                raise DialectError(
+                    f"{t.upper()} JOIN strictness is not a Spark syntax; "
+                    "use the dedicated operators (any_left_join for ANY, "
+                    "events_asof_join for ASOF; ALL is Spark's default "
+                    "join semantics — drop the keyword)"
+                )
+    # [LEFT] ARRAY JOIN expr AS alias → LATERAL VIEW [OUTER] explode
+    i = 0
+    while i < len(out):
+        if out[i].upper() == "ARRAY":
+            j = _next_code(out, i + 1)
+            if j < len(out) and out[j].upper() == "JOIN":
+                left = False
+                start = i
+                # check for a preceding LEFT
+                p = start - 1
+                while p >= 0 and (
+                    out[p].isspace() or out[p].startswith("--")
+                ):
+                    p -= 1
+                if p >= 0 and out[p].upper() == "LEFT":
+                    left = True
+                    start = p
+                # capture expr tokens until AS / clause keyword / end
+                k = j + 1
+                depth = 0
+                expr_start = k
+                as_i = None
+                while k < len(out):
+                    t = out[k]
+                    if t in ("(", "["):
+                        depth += 1
+                    elif t in (")", "]"):
+                        if depth == 0:
+                            break
+                        depth -= 1
+                    elif depth == 0:
+                        u = t.upper()
+                        if u == "AS":
+                            as_i = k
+                            break
+                        if u in _KEYWORD_STOP or u in (
+                            "WHERE", "GROUP", "PREWHERE", "INNER", "JOIN",
+                            "LEFT", "RIGHT", "FULL", "CROSS",
+                        ):
+                            break
+                        if t == ",":
+                            raise DialectError(
+                                "multi-array ARRAY JOIN (zip semantics) "
+                                "is not supported; zip explicitly with "
+                                "arrays_zip + a single ARRAY JOIN"
+                            )
+                    k += 1
+                if as_i is None:
+                    raise DialectError(
+                        "ARRAY JOIN without AS <alias> shadows the "
+                        "array column's name; write ARRAY JOIN <expr> "
+                        "AS <alias>"
+                    )
+                alias_i = _next_code(out, as_i + 1)
+                if alias_i >= len(out) or not _is_ident(out[alias_i]):
+                    raise DialectError("ARRAY JOIN: missing alias after AS")
+                after = _next_code(out, alias_i + 1)
+                if after < len(out) and out[after] == ",":
+                    raise DialectError(
+                        "multi-array ARRAY JOIN (zip semantics) is not "
+                        "supported; zip explicitly with arrays_zip + a "
+                        "single ARRAY JOIN"
+                    )
+                expr = "".join(out[expr_start:as_i]).strip()
+                alias = out[alias_i]
+                outer = " OUTER" if left else ""
+                out[start : alias_i + 1] = [
+                    f" LATERAL VIEW{outer} explode({expr}) _aj AS {alias}"
+                ]
+                i = start
+                continue
+        i += 1
     # strip top-level SETTINGS ... (to end of statement / set-op / paren)
     i = 0
     depth = 0
@@ -651,12 +785,47 @@ def q_dialect_with_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_clickhouse_sql(spark, _CH_TOTALS, sf_dir, ("orders",))
 
 
+# 6. the structural ARRAY JOIN clause (LEFT variant keeps empty-array
+#    rows) — rewritten to LATERAL VIEW [OUTER] explode, Spark's native
+#    generator placement, so the expansion runs inside the scan stage.
+_CH_ARRAY_JOIN_CLAUSE = """
+SELECT tok,
+       count(*) AS n,
+       uniqExact(o_orderkey) AS n_orders
+FROM orders
+ARRAY JOIN splitByChar('-', o_orderpriority) AS tok
+WHERE o_totalprice > 50000
+GROUP BY tok
+"""
+
+O_ARRAY_JOIN_CLAUSE = """
+SELECT tok,
+       count(*) AS n,
+       count(DISTINCT o_orderkey) AS n_orders
+FROM (
+  SELECT o_orderkey, unnest(string_split(o_orderpriority, '-')) AS tok
+  FROM orders WHERE o_totalprice > 50000
+)
+GROUP BY tok
+"""
+
+
+def q_dialect_array_join_clause(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Verbatim ClickHouse ARRAY JOIN clause query (module doc)."""
+    return run_clickhouse_sql(
+        spark, _CH_ARRAY_JOIN_CLAUSE, sf_dir, ("orders",)
+    )
+
+
 QUERIES = {
     "dialect_combinators": q_dialect_combinators,
     "dialect_arrayjoin": q_dialect_arrayjoin,
     "dialect_multiif": q_dialect_multiif,
     "dialect_array_hof": q_dialect_array_hof,
     "dialect_with_totals": q_dialect_with_totals,
+    "dialect_array_join_clause": q_dialect_array_join_clause,
 }
 
 ORACLES = {
@@ -665,4 +834,5 @@ ORACLES = {
     "dialect_multiif": O_MULTIIF,
     "dialect_array_hof": O_ARRAY_HOF,
     "dialect_with_totals": O_TOTALS,
+    "dialect_array_join_clause": O_ARRAY_JOIN_CLAUSE,
 }

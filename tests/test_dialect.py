@@ -126,6 +126,42 @@ def test_lowercase_prewhere():
     assert "WHERE x" in transpile("SELECT a FROM t prewhere x")
 
 
+def test_array_join_clause():
+    out = transpile("SELECT x, tok FROM t ARRAY JOIN tags AS tok WHERE x > 1")
+    assert "LATERAL VIEW explode(tags) _aj AS tok" in out
+    assert "ARRAY JOIN" not in out
+
+
+def test_left_array_join_is_outer():
+    out = transpile("SELECT x FROM t LEFT ARRAY JOIN tags AS tok")
+    assert "LATERAL VIEW OUTER explode(tags)" in out
+
+
+def test_array_join_rejects_aliasless_and_multi():
+    with pytest.raises(DialectError):
+        transpile("SELECT a FROM t ARRAY JOIN arr")
+    with pytest.raises(DialectError):
+        transpile("SELECT a FROM t ARRAY JOIN x AS i, y AS j")
+
+
+def test_global_hint_dropped():
+    out = transpile("SELECT a FROM t WHERE k GLOBAL IN (SELECT k FROM u)")
+    assert "GLOBAL" not in out and "IN" in out
+    out = transpile("SELECT a FROM t GLOBAL LEFT JOIN u ON t.k = u.k")
+    assert out.startswith("SELECT a FROM t LEFT JOIN u")
+
+
+def test_final_and_any_join_raise():
+    with pytest.raises(DialectError):
+        transpile("SELECT a FROM t FINAL")
+    with pytest.raises(DialectError):
+        transpile("SELECT a FROM t ANY LEFT JOIN u ON a = b")
+    # Spark-native semi/anti strictness passes through
+    assert "LEFT SEMI JOIN" in transpile(
+        "SELECT a FROM t LEFT SEMI JOIN u ON t.k = u.k"
+    )
+
+
 def test_format_clause_dropped_only_at_end():
     assert transpile("SELECT a FROM t FORMAT JSONEachRow").rstrip() == (
         "SELECT a FROM t"
