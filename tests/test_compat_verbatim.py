@@ -88,3 +88,21 @@ def test_reference_sql_verbatim_equals_native(spark, ssb_star, verbatim):
     want = spark.sql(_NATIVE[verbatim]).collect()[0]["revenue"]
     assert got is not None, "verbatim predicates matched zero rows — vacuous"
     assert got == want
+
+
+@pytest.mark.parametrize(
+    "verbatim",
+    [Q1_1_VERBATIM, Q1_2_VERBATIM, Q1_3_VERBATIM],
+    ids=["q1_1", "q1_2", "q1_3"],
+)
+def test_reference_sql_with_clickhouse_tails(spark, ssb_star, verbatim):
+    """The same verbatim queries with the clause tails a real ClickHouse
+    session appends — SETTINGS and FORMAT — run through the transpiler
+    front door and return the identical answer (transpile strips the
+    engine-specific tails, compat UDFs cover the scalar names)."""
+    from clickhouse_vs_dbt_spark.dialect import transpile
+
+    tailed = verbatim + "\nSETTINGS max_threads = 8 FORMAT TabSeparated"
+    got = spark.sql(transpile(tailed)).collect()[0]["revenue"]
+    want = spark.sql(_NATIVE[verbatim]).collect()[0]["revenue"]
+    assert got == want and got is not None
