@@ -238,13 +238,75 @@ ORDER BY order_year, o_orderstatus
 """
 
 
+# --- time travel over the copy-on-write merge versions ---
+
+
+def q_incremental_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot isolation on the merge materialization: with
+    ``keep_versions=2`` the v1 merge does NOT touch the v0 directory,
+    so ``read_version(0)`` after both runs returns exactly the
+    backfill state (pre-cutoff orders) — the ``VERSION AS OF``
+    contract.  The oracle aggregates the fixture's pre-cutoff slice
+    directly; any leakage of the merge batch into the old snapshot
+    breaks the hash."""
+
+    def orders_batch(
+        spark: SparkSession, existing: DataFrame | None
+    ) -> DataFrame:
+        orders = load_table(spark, sf_dir, "orders")
+        if existing is None:
+            return orders.filter(F.col("o_orderdate") < CUTOFF)
+        return orders.filter(
+            (F.col("o_orderdate") >= CUTOFF)
+            | (F.col("o_orderkey") % REDELIVER_MOD == 0)
+        )
+
+    runner = ModelRunner(spark)
+    runner.add(
+        Model(
+            "orders_tt",
+            orders_batch,
+            materialization=Materialization.INCREMENTAL,
+            unique_key=("o_orderkey",),
+            keep_versions=2,
+        )
+    )
+    runner.run()  # v0: backfill
+    runner.run()  # v1: merge — v0 must remain byte-identical
+    v0 = runner.read_version("orders_tt", 0)
+    return (
+        v0.groupBy(
+            "o_orderstatus", F.year("o_orderdate").alias("order_year")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice")).alias("total_price"),
+        )
+        .orderBy("o_orderstatus", "order_year")
+    )
+
+
+O_TIME_TRAVEL = f"""
+SELECT o_orderstatus,
+       EXTRACT(year FROM o_orderdate)::INT AS order_year,
+       COUNT(*) AS n_orders,
+       {sql_dsum("o_totalprice")} AS total_price
+FROM orders
+WHERE o_orderdate < DATE '{CUTOFF}'
+GROUP BY o_orderstatus, order_year
+ORDER BY o_orderstatus, order_year
+"""
+
+
 QUERIES = {
     "incremental_orders_merge": q_incremental_orders_merge,
     "incremental_agg_mv": q_incremental_agg_mv,
     "incremental_insert_overwrite": q_incremental_insert_overwrite,
+    "incremental_time_travel": q_incremental_time_travel,
 }
 ORACLES = {
     "incremental_orders_merge": O_INCREMENTAL_MERGE,
     "incremental_agg_mv": O_INCREMENTAL_AGG_MV,
     "incremental_insert_overwrite": O_INSERT_OVERWRITE,
+    "incremental_time_travel": O_TIME_TRAVEL,
 }

@@ -82,6 +82,14 @@ class Model:
     # plain append otherwise.  Incremental builders take
     # ``(spark, existing)`` where existing is None on the first run.
     unique_key: Sequence[str] = ()
+    # merge strategy only: how many materialized versions to retain.
+    # The copy-on-write merge writes each run to a fresh _v{N}
+    # directory anyway, so snapshots are free until deleted — keeping
+    # K of them gives Delta/Iceberg-style time travel
+    # (``ModelRunner.read_version``) with zero extra write cost; only
+    # retention (disk) is the price, exactly the table-format
+    # trade-off.
+    keep_versions: int = 1
 
 
 @dataclass
@@ -184,6 +192,38 @@ class ModelRunner:
             out[name] = df
         return out
 
+    def read_version(self, name: str, version: int) -> DataFrame:
+        """Time-travel read of a retained snapshot of a merge-strategy
+        incremental model (see ``Model.keep_versions``).  Versions are
+        immutable once written — a later merge writes a NEW directory —
+        so this is snapshot isolation: readers of v(N) are unaffected
+        by the v(N+1) merge, the same contract a table format's
+        ``VERSION AS OF`` gives."""
+        if name not in self._models:
+            raise KeyError(f"unknown model {name!r}")
+        state = self._incr_state.get(name)
+        if state is None:
+            raise ValueError(f"model {name!r} has no materialized versions")
+        current, _ = state
+        model = self._models[name]
+        if not model.unique_key:
+            # insert_overwrite / append mutate the v0 directory in
+            # place — there are no immutable snapshots to travel to
+            raise ValueError(
+                f"model {name!r} is not merge-strategy; time travel "
+                "requires the copy-on-write merge materialization"
+            )
+        oldest = max(current - max(model.keep_versions, 1) + 1, 0)
+        if not (oldest <= version <= current):
+            raise ValueError(
+                f"version {version} of {name!r} is outside the retained "
+                f"range [{oldest}, {current}] (keep_versions="
+                f"{model.keep_versions})"
+            )
+        return self.spark.read.parquet(
+            f"{self.warehouse_dir}/{name}_v{version}"
+        )
+
     def _materialize_incremental(self, model: Model) -> DataFrame:
         """dbt ``incremental``: the builder returns only the new batch;
         this folds it into the prior materialization.
@@ -227,8 +267,13 @@ class ModelRunner:
             if model.partition_by:
                 writer = writer.partitionBy(*model.partition_by)
             writer.parquet(path)
-            shutil.rmtree(f"{self.warehouse_dir}/{model.name}_v{state[0]}",
-                          ignore_errors=True)
+            # retention: drop versions older than the newest K
+            drop_below = version - max(model.keep_versions, 1) + 1
+            for v in range(max(drop_below, 0)):
+                shutil.rmtree(
+                    f"{self.warehouse_dir}/{model.name}_v{v}",
+                    ignore_errors=True,
+                )
         elif model.partition_by:
             version, path = state
             with _conf(self.spark, "spark.sql.sources.partitionOverwriteMode",

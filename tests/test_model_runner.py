@@ -188,6 +188,48 @@ def test_incremental_insert_overwrite_rewrites_only_batch_partitions(
     assert calls["n"] == 2
 
 
+def test_time_travel_versions_and_retention(spark, tmp_path):
+    """keep_versions=2 retains two immutable snapshots; a third merge
+    prunes v0; read_version outside the window or on a non-merge model
+    errors explicitly."""
+    import pytest as _pytest
+
+    def batches(s, existing):
+        if existing is None:
+            return s.range(5).withColumn("v", F.lit(0))
+        return s.range(2).withColumn("v", F.lit(1))
+
+    runner = ModelRunner(spark, warehouse_dir=str(tmp_path))
+    runner.add(
+        Model(
+            "tt",
+            batches,
+            materialization=Materialization.INCREMENTAL,
+            unique_key=("id",),
+            keep_versions=2,
+        )
+    )
+    runner.run()  # v0
+    runner.run()  # v1
+    v0, v1 = runner.read_version("tt", 0), runner.read_version("tt", 1)
+    assert v0.count() == 5 and v0.filter(F.col("v") == 1).count() == 0
+    assert v1.filter(F.col("v") == 1).count() == 2  # ids 0,1 replaced
+
+    runner.run()  # v2 → v0 pruned
+    assert runner.read_version("tt", 2).count() == 5
+    with _pytest.raises(ValueError, match="outside the retained"):
+        runner.read_version("tt", 0)
+
+    def plain(s, existing):
+        return s.range(3)
+
+    runner.add(Model("nontt", plain,
+                     materialization=Materialization.INCREMENTAL))
+    runner.run()
+    with _pytest.raises(ValueError, match="merge-strategy"):
+        runner.read_version("nontt", 0)
+
+
 def test_incremental_append_without_key_or_partitions(spark, sf_dir, tmp_path):
     def batches(s, existing):
         r = s.range(10)
