@@ -6,12 +6,15 @@ The feature kernel is REAL byte-level decoding — container-format
 sniffing from magic bytes, exact byte statistics (mean/std from integer
 power sums, Simpson collision index, distinct-byte census), md5 — all
 computed with arithmetic that replays bit-identically in SQL, so the
-operator is fully value-checked against the DuckDB oracle.  One real
-raster codec is implemented in pure Python: uncompressed 24-bit BMP
-(:func:`_decode_bmp`) — its feature rows are statistics over the
-DECODED PIXEL array, not the container bytes.  The *pixel/sample*
-decode of entropy-coded containers (PNG/JPEG/audio/video, which need
-an external codec library this container lacks) remains behind a
+operator is fully value-checked against the DuckDB oracle.  Three real
+codecs are implemented in pure Python — the formats whose specs need
+no entropy coder: uncompressed 24-bit BMP (:func:`_decode_bmp`) and
+binary P6 PPM (:func:`_decode_ppm`) produce statistics over the
+DECODED PIXEL array, and PCM WAV (:func:`_decode_wav`) produces
+per-sample amplitude statistics over the decoded 8/16-bit samples —
+a real image AND audio decode path.  The *pixel/sample* decode of
+entropy-coded containers (PNG/JPEG/WebP/MP3/video, which need an
+external codec library this container lacks) remains behind a
 ``NotImplementedError`` seam, raised when the sniffer identifies such
 a format.
 
@@ -114,6 +117,15 @@ def sniff_format(payload: bytes) -> str:
     printable test, so the two sides agree by construction.)"""
     if _all_printable(payload):
         return "text/plain"
+    if payload[:4] == b"RIFF":
+        # RIFF is a family: the form type at offset 8 names the member
+        if payload[8:12] == b"WAVE":
+            return "audio/wav"
+        if payload[8:12] == b"WEBP":
+            return "image/webp"
+        return "riff/container"
+    if payload[:2] == b"P6" and payload[2:3] in (b"\n", b" ", b"\t", b"\r"):
+        return "image/ppm"
     for magic, fmt in _MAGIC:
         if payload[: len(magic)] == magic:
             return fmt
@@ -123,11 +135,13 @@ def sniff_format(payload: bytes) -> str:
 
 
 # Sniffed formats whose payload-level decode needs a real codec library
-# (absent in this container) — the NotImplementedError seam.  BMP is
-# excluded: _decode_bmp below handles the uncompressed 24-bit variant.
+# (absent in this container) — the NotImplementedError seam.  Three
+# formats are excluded because their specs need no entropy coder and
+# are decoded in pure Python below: uncompressed 24-bit BMP, binary
+# P6 PPM, and PCM WAV.
 CODEC_REQUIRED = (
     frozenset(fmt for _, fmt in _MAGIC if not fmt.startswith("application/"))
-    | {"video/mp4"}
+    | {"video/mp4", "image/webp"}
 ) - {"image/bmp"}
 
 
@@ -176,6 +190,89 @@ def _decode_bmp(payload: bytes):
     return px[::-1] if height > 0 else px  # bottom-up → top-down
 
 
+def _decode_ppm(payload: bytes):
+    """Pure-Python decode of binary (P6) PPM: ASCII header of
+    ``P6 <w> <h> <maxval>`` with ``#`` comments and arbitrary
+    whitespace, then raw RGB triplets.  Returns (h, w, 3) uint8.
+    maxval > 255 (16-bit samples) raises — outside the 1-byte
+    profile."""
+    import numpy as np
+
+    pos = 2
+    fields: list[int] = []
+    n = len(payload)
+    while len(fields) < 3 and pos < n:
+        c = payload[pos]
+        if c in b"#":
+            while pos < n and payload[pos] not in b"\n":
+                pos += 1
+        elif c in b" \t\r\n":
+            pos += 1
+        elif 48 <= c <= 57:
+            v = 0
+            while pos < n and 48 <= payload[pos] <= 57:
+                v = v * 10 + payload[pos] - 48
+                pos += 1
+            fields.append(v)
+        else:
+            raise NotImplementedError("malformed PPM header")
+    if len(fields) < 3:
+        raise NotImplementedError("truncated PPM header")
+    width, height, maxval = fields
+    if not (0 < width <= 1 << 20 and 0 < height <= 1 << 20):
+        raise NotImplementedError("implausible PPM dimensions")
+    if maxval > 255:
+        raise NotImplementedError("16-bit PPM samples not decoded here")
+    pos += 1  # exactly one whitespace byte separates header from pixels
+    need = width * height * 3
+    if pos + need > n:
+        raise NotImplementedError("truncated PPM pixel array")
+    return np.frombuffer(
+        payload, dtype=np.uint8, count=need, offset=pos
+    ).reshape(height, width, 3)
+
+
+def _decode_wav(payload: bytes):
+    """Pure-Python decode of PCM WAV (RIFF/WAVE): walks the chunk list,
+    reads the fmt chunk (audio_format must be 1 = integer PCM, 8- or
+    16-bit), and returns the data chunk as an int64 sample array
+    (channels interleaved — amplitude statistics are per-sample).
+    Compressed/float WAV raises — the codec seam."""
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise NotImplementedError("not a RIFF/WAVE header")
+    pos = 12
+    fmt = None
+    data = None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size, = struct.unpack_from("<I", payload, pos + 4)
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt " and len(body) >= 16:
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise NotImplementedError("WAV missing fmt or data chunk")
+    audio_format, _ch, _rate, _brate, _align, bits = fmt
+    if audio_format != 1 or bits not in (8, 16):
+        raise NotImplementedError(
+            f"no codec for WAV format={audio_format} bits={bits}: "
+            "only 8/16-bit integer PCM decodes here"
+        )
+    if bits == 16:
+        samples = np.frombuffer(data[: len(data) // 2 * 2], dtype="<i2")
+    else:  # 8-bit WAV is unsigned
+        samples = np.frombuffer(data, dtype=np.uint8)
+    if samples.size == 0:
+        raise NotImplementedError("empty WAV data chunk")
+    return samples.astype(np.int64)
+
+
 def decode_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """mapInPandas decode/feature-extract kernel.
 
@@ -209,18 +306,29 @@ def decode_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                     f"no codec for {fmt!r}: byte-level features only; "
                     "plug a decoder in here for pixel/sample features"
                 )
-            if fmt == "image/bmp":
+            if fmt in ("image/bmp", "image/ppm"):
                 # real pixel decode: stats run over the decoded pixel
                 # bytes, not the container bytes (md5/n_bytes still
                 # describe the container — the file identity)
-                b = _decode_bmp(payload).astype(np.int64).ravel()
+                dec = _decode_bmp if fmt == "image/bmp" else _decode_ppm
+                b = dec(payload).astype(np.int64).ravel()
                 status = "decoded_pixels"
+            elif fmt == "audio/wav":
+                # real sample decode: amplitude statistics over PCM
+                # samples (16-bit signed or 8-bit unsigned)
+                b = _decode_wav(payload)
+                status = "decoded_samples"
             else:
                 b = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
                 status = "decoded_bytes"
             n = int(b.size)
             s, ss = int(b.sum()), int((b * b).sum())
-            counts = np.bincount(b, minlength=256)
+            # distinct-value census: bincount needs non-negative small
+            # values; 16-bit samples use the unique path
+            if b.size and (b.min() < 0 or b.max() > 255):
+                counts = np.unique(b, return_counts=True)[1]
+            else:
+                counts = np.bincount(b, minlength=256)
             c2 = int((counts.astype(np.int64) ** 2).sum())
             # op-order mirrors the oracle SQL exactly (see O_DECODE)
             mean = s / n

@@ -108,6 +108,107 @@ def test_bmp_decodes_real_pixels():
     assert (r["distinct_bytes"], r["byte_min"], r["byte_max"]) == (18, 0, 17)
 
 
+def _tiny_ppm(w=3, h=2, px=None) -> bytes:
+    px = bytes(range(w * h * 3)) if px is None else px
+    return b"P6\n# comment\n%d %d\n255\n" % (w, h) + px
+
+
+def _tiny_wav(samples, bits=16) -> bytes:
+    import struct
+
+    if bits == 16:
+        data = b"".join(struct.pack("<h", s) for s in samples)
+    else:
+        data = bytes(samples)
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000 * bits // 8, bits // 8, bits)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_ppm_decodes_real_pixels():
+    """Binary P6 PPM decodes to real pixel features, header comments
+    and all."""
+    import pandas as pd
+
+    payload = _tiny_ppm()
+    arr = multimodal._decode_ppm(payload)
+    assert arr.shape == (2, 3, 3)
+    assert arr.ravel().tolist() == list(range(18))
+
+    [out] = list(
+        multimodal.decode_features(
+            iter([pd.DataFrame({"doc_id": [1], "payload": [payload]})])
+        )
+    )
+    r = out.iloc[0]
+    assert r["media_format"] == "image/ppm"
+    assert r["status"] == "decoded_pixels"
+    assert (r["byte_min"], r["byte_max"], r["distinct_bytes"]) == (0, 17, 18)
+
+
+def test_ppm_16bit_hits_seam():
+    with pytest.raises(NotImplementedError, match="16-bit PPM"):
+        multimodal._decode_ppm(b"P6\n2 2\n65535\n" + bytes(24))
+
+
+def test_wav_decodes_real_samples():
+    """PCM WAV decodes to per-sample amplitude statistics — signed
+    16-bit values, so the census runs on the unique-value path."""
+    import pandas as pd
+
+    samples = [-32768, -1, 0, 1, 32767, 0]
+    payload = _tiny_wav(samples)
+    arr = multimodal._decode_wav(payload)
+    assert arr.tolist() == samples
+    assert multimodal.sniff_format(payload) == "audio/wav"
+
+    [out] = list(
+        multimodal.decode_features(
+            iter([pd.DataFrame({"doc_id": [2], "payload": [payload]})])
+        )
+    )
+    r = out.iloc[0]
+    n = len(samples)
+    s = sum(samples)
+    ss = sum(x * x for x in samples)
+    assert r["status"] == "decoded_samples"
+    assert r["byte_mean"] == s / n
+    assert r["byte_std"] == (ss / n - (s / n) * (s / n)) ** 0.5
+    # value census over samples: {-32768,-1,0,1,32767}, 0 appears twice
+    assert r["distinct_bytes"] == 5
+    assert r["simpson"] == (1 + 1 + 4 + 1 + 1) / (n * n)
+    assert (r["byte_min"], r["byte_max"]) == (-32768, 32767)
+
+
+def test_wav_8bit_and_float_variants():
+    import struct
+
+    eight = _tiny_wav([0, 128, 255], bits=8)
+    assert multimodal._decode_wav(eight).tolist() == [0, 128, 255]
+    # IEEE-float WAV (format 3) stays behind the seam
+    payload = bytearray(_tiny_wav([0, 1]))
+    struct.pack_into("<H", payload, 20, 3)
+    with pytest.raises(NotImplementedError, match="no codec for WAV"):
+        multimodal._decode_wav(bytes(payload))
+
+
+def test_webp_still_behind_seam():
+    import pandas as pd
+
+    payload = b"RIFF\x10\x00\x00\x00WEBPVP8 \x00\x01\x02"
+    assert multimodal.sniff_format(payload) == "image/webp"
+    with pytest.raises(NotImplementedError, match="no codec"):
+        list(
+            multimodal.decode_features(
+                iter([pd.DataFrame({"doc_id": [3], "payload": [payload]})])
+            )
+        )
+
+
 def test_bmp_compressed_variant_still_hits_seam():
     """The NotImplementedError seam remains for BMP variants that DO
     need a real codec (RLE compression, non-24 bpp)."""
