@@ -298,8 +298,95 @@ ORDER BY o_orderstatus, order_year
 """
 
 
+# --- mutations (ALTER TABLE DELETE / UPDATE analog) + compaction ---
+
+MUT_DELETE = "o_orderstatus = 'F' AND o_orderkey % 10 = 0"
+MUT_SET = {"o_totalprice": "o_totalprice + 1.0"}  # exact IEEE addition
+MUT_WHERE = "o_orderpriority = '1-URGENT'"
+
+
+def _orders_full_model(spark: SparkSession, sf_dir: str, name: str) -> ModelRunner:
+    def batch(s: SparkSession, existing: DataFrame | None) -> DataFrame:
+        return load_table(s, sf_dir, "orders")
+
+    runner = ModelRunner(spark)
+    runner.add(
+        Model(
+            name,
+            batch,
+            materialization=Materialization.INCREMENTAL,
+            unique_key=("o_orderkey",),
+        )
+    )
+    runner.run()
+    return runner
+
+
+def q_mutation_delete_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``ALTER TABLE orders DELETE WHERE ... / UPDATE ...``
+    via the copy-on-write mutation (plans/models.py `mutate`): deletes
+    a key slice, bumps urgent orders' price by an exact IEEE +1.0.
+    The oracle applies both mutations analytically over the fixture —
+    a missed delete or a double-applied update breaks count or sum."""
+    runner = _orders_full_model(spark, sf_dir, "orders_mut")
+    mutated = runner.mutate(
+        "orders_mut",
+        delete_where=MUT_DELETE,
+        set_exprs=MUT_SET,
+        update_where=MUT_WHERE,
+    )
+    return (
+        mutated.groupBy("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice")).alias("total_price"),
+        )
+        .orderBy("o_orderstatus", "o_orderpriority")
+    )
+
+
+O_MUTATION = f"""
+SELECT o_orderstatus, o_orderpriority,
+       COUNT(*) AS n_orders,
+       {sql_dsum(
+           "CASE WHEN o_orderpriority = '1-URGENT' "
+           "THEN o_totalprice + 1.0 ELSE o_totalprice END"
+       )} AS total_price
+FROM orders
+WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 10 = 0)
+GROUP BY o_orderstatus, o_orderpriority
+ORDER BY o_orderstatus, o_orderpriority
+"""
+
+
+def q_maintenance_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE TABLE analog: compaction is a pure layout rewrite — the
+    post-compaction aggregate must hash identically to the plain
+    fixture aggregate (content untouched), which is exactly what the
+    oracle asserts."""
+    runner = _orders_full_model(spark, sf_dir, "orders_opt")
+    compacted = runner.compact("orders_opt", target_files=1)
+    return (
+        compacted.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice")).alias("total_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+O_COMPACTION = f"""
+SELECT o_orderstatus, COUNT(*) AS n_orders,
+       {sql_dsum("o_totalprice")} AS total_price
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
 QUERIES = {
     "incremental_orders_merge": q_incremental_orders_merge,
+    "mutation_delete_update": q_mutation_delete_update,
+    "maintenance_compaction": q_maintenance_compaction,
     "incremental_agg_mv": q_incremental_agg_mv,
     "incremental_insert_overwrite": q_incremental_insert_overwrite,
     "incremental_time_travel": q_incremental_time_travel,
@@ -309,4 +396,6 @@ ORACLES = {
     "incremental_agg_mv": O_INCREMENTAL_AGG_MV,
     "incremental_insert_overwrite": O_INSERT_OVERWRITE,
     "incremental_time_travel": O_TIME_TRAVEL,
+    "mutation_delete_update": O_MUTATION,
+    "maintenance_compaction": O_COMPACTION,
 }

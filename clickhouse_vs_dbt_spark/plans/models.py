@@ -33,6 +33,7 @@ from dataclasses import dataclass, field
 from graphlib import TopologicalSorter
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 @contextlib.contextmanager
@@ -224,6 +225,88 @@ class ModelRunner:
             f"{self.warehouse_dir}/{name}_v{version}"
         )
 
+    def mutate(
+        self,
+        name: str,
+        delete_where: str | None = None,
+        set_exprs: dict[str, str] | None = None,
+        update_where: str | None = None,
+    ) -> DataFrame:
+        """ClickHouse ``ALTER TABLE ... DELETE / UPDATE`` analog
+        (ClickHouse mutations rewrite whole parts asynchronously; the
+        Spark-native equivalent is the same copy-on-write): read the
+        current version, apply the delete predicate and/or the SET
+        assignments, write the next version.  Retention and
+        ``read_version`` apply as for merges, so a mutation is
+        time-travelable and crash-safe (a torn write never touches the
+        current version's directory).  At 100 TB a table format would
+        prune the rewrite to affected files; the semantics here are
+        identical with whole-relation rewrite cost."""
+        state = self._incr_state.get(name)
+        if state is None:
+            raise ValueError(f"model {name!r} has no materialized versions")
+        model = self._models[name]
+        if not model.unique_key:
+            raise ValueError(
+                f"model {name!r} is not merge-strategy; mutations need "
+                "the copy-on-write versioned materialization"
+            )
+        version, path = state
+        cur = self.spark.read.parquet(path)
+        if delete_where:
+            cur = cur.filter(f"NOT ({delete_where})")
+        if set_exprs:
+            cond = update_where or "true"
+            for col, expr in set_exprs.items():
+                cur = cur.withColumn(
+                    col,
+                    F.expr(
+                        f"CASE WHEN {cond} THEN {expr} ELSE {col} END"
+                    ),
+                )
+        return self._write_version(model, version + 1, cur)
+
+    def compact(self, name: str, target_files: int = 1) -> DataFrame:
+        """``OPTIMIZE TABLE`` analog: rewrite the current version into
+        ``target_files`` files per partition directory (coalesce) as a
+        NEW version — pure layout change, bit-identical content, undone
+        by time travel like any other version.  The small-files problem
+        this fixes is the same one ClickHouse merges away in the
+        background."""
+        state = self._incr_state.get(name)
+        if state is None:
+            raise ValueError(f"model {name!r} has no materialized versions")
+        model = self._models[name]
+        if not model.unique_key:
+            raise ValueError(
+                f"model {name!r} is not merge-strategy; compaction needs "
+                "the copy-on-write versioned materialization"
+            )
+        version, path = state
+        cur = self.spark.read.parquet(path).coalesce(max(target_files, 1))
+        return self._write_version(model, version + 1, cur)
+
+    def _write_version(
+        self, model: Model, version: int, df: DataFrame
+    ) -> DataFrame:
+        """Write ``df`` as the model's version ``version``, apply the
+        retention policy, update state, re-register the temp view."""
+        new_path = f"{self.warehouse_dir}/{model.name}_v{version}"
+        shutil.rmtree(new_path, ignore_errors=True)
+        writer = df.write.mode("overwrite")
+        if model.partition_by:
+            writer = writer.partitionBy(*model.partition_by)
+        writer.parquet(new_path)
+        drop_below = version - max(model.keep_versions, 1) + 1
+        for v in range(max(drop_below, 0)):
+            shutil.rmtree(
+                f"{self.warehouse_dir}/{model.name}_v{v}", ignore_errors=True
+            )
+        self._incr_state[model.name] = (version, new_path)
+        out = self.spark.read.parquet(new_path)
+        out.createOrReplaceTempView(model.name)
+        return out
+
     def _materialize_incremental(self, model: Model) -> DataFrame:
         """dbt ``incremental``: the builder returns only the new batch;
         this folds it into the prior materialization.
@@ -256,24 +339,11 @@ class ModelRunner:
                 writer = writer.partitionBy(*model.partition_by)
             writer.parquet(path)
         elif model.unique_key:
-            version = state[0] + 1
-            path = f"{self.warehouse_dir}/{model.name}_v{version}"
-            shutil.rmtree(path, ignore_errors=True)
             keys = list(model.unique_key)
             merged = existing.join(
                 batch.select(*keys).distinct(), on=keys, how="left_anti"
             ).unionByName(batch)
-            writer = merged.write.mode("overwrite")
-            if model.partition_by:
-                writer = writer.partitionBy(*model.partition_by)
-            writer.parquet(path)
-            # retention: drop versions older than the newest K
-            drop_below = version - max(model.keep_versions, 1) + 1
-            for v in range(max(drop_below, 0)):
-                shutil.rmtree(
-                    f"{self.warehouse_dir}/{model.name}_v{v}",
-                    ignore_errors=True,
-                )
+            return self._write_version(model, state[0] + 1, merged)
         elif model.partition_by:
             version, path = state
             with _conf(self.spark, "spark.sql.sources.partitionOverwriteMode",

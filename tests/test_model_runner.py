@@ -230,6 +230,60 @@ def test_time_travel_versions_and_retention(spark, tmp_path):
         runner.read_version("nontt", 0)
 
 
+def test_mutation_is_versioned_and_compaction_reduces_files(spark, tmp_path):
+    """mutate() writes a NEW version (the pre-mutation snapshot stays
+    readable under keep_versions=2); compact() is content-identical
+    with fewer files."""
+    import os
+
+    import pytest as _pytest
+
+    def batch(s, existing):
+        if existing is None:
+            return s.range(0, 100, 1, 8).withColumn(
+                "v", (F.col("id") % 10).cast("int")
+            )
+        return s.range(0, 0).withColumn("v", F.lit(0).cast("int"))
+
+    runner = ModelRunner(spark, warehouse_dir=str(tmp_path))
+    runner.add(
+        Model(
+            "m",
+            batch,
+            materialization=Materialization.INCREMENTAL,
+            unique_key=("id",),
+            keep_versions=2,
+        )
+    )
+    runner.run()  # v0
+
+    out = runner.mutate(
+        "m",
+        delete_where="id % 10 = 0",
+        set_exprs={"v": "v + 100"},
+        update_where="id < 50",
+    )
+    assert out.count() == 90
+    assert out.filter("id % 10 = 0").count() == 0
+    assert out.filter("id = 1").collect()[0]["v"] == 101
+    assert out.filter("id = 51").collect()[0]["v"] == 1
+    # pre-mutation snapshot intact
+    assert runner.read_version("m", 0).count() == 100
+
+    n_files = lambda v: len(  # noqa: E731
+        [f for f in os.listdir(tmp_path / f"m_v{v}") if f.endswith(".parquet")]
+    )
+    assert n_files(1) > 1
+    compacted = runner.compact("m", target_files=1)
+    assert n_files(2) == 1
+    assert sorted(r["id"] for r in compacted.collect()) == sorted(
+        r["id"] for r in runner.read_version("m", 1).collect()
+    )
+
+    with _pytest.raises(ValueError, match="no materialized versions"):
+        runner.mutate("ghost", delete_where="true")
+
+
 def test_incremental_append_without_key_or_partitions(spark, sf_dir, tmp_path):
     def batches(s, existing):
         r = s.range(10)
