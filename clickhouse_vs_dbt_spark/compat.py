@@ -41,6 +41,19 @@ _COMPAT_FUNCS: dict[str, tuple[str, str]] = {
     ),
     "toUnixTimestamp": ("(t TIMESTAMP) RETURNS BIGINT", "unix_timestamp(t)"),
     "addDays": ("(d DATE, n INT) RETURNS DATE", "date_add(d, n)"),
+    "subtractDays": ("(d DATE, n INT) RETURNS DATE", "date_sub(d, n)"),
+    "addMonths": ("(d DATE, n INT) RETURNS DATE", "add_months(d, n)"),
+    "addYears": ("(d DATE, n INT) RETURNS DATE", "add_months(d, n * 12)"),
+    "toDayOfYear": ("(d DATE) RETURNS INT", "dayofyear(d)"),
+    "toStartOfHour": (
+        "(t TIMESTAMP) RETURNS TIMESTAMP",
+        "date_trunc('hour', t)",
+    ),
+    "toStartOfMinute": (
+        "(t TIMESTAMP) RETURNS TIMESTAMP",
+        "date_trunc('minute', t)",
+    ),
+    "toLastDayOfMonth": ("(d DATE) RETURNS DATE", "last_day(d)"),
     "dateDiff_day": ("(a DATE, b DATE) RETURNS INT", "datediff(b, a)"),
     "toStartOfYear": ("(d DATE) RETURNS DATE", "CAST(date_trunc('year', d) AS DATE)"),
     "toStartOfDay": (

@@ -72,6 +72,9 @@ _RENAME = {
     "anyLast": "last",
     "uniq": "approx_count_distinct",
     "uniqCombined": "approx_count_distinct",
+    "uniqCombined64": "approx_count_distinct",
+    "uniqHLL12": "approx_count_distinct",
+    "uniqTheta": "approx_count_distinct",
     "has": "array_contains",
     "arraySort": "array_sort",
     "arrayDistinct": "array_distinct",
@@ -109,7 +112,12 @@ _HOF_ROTATE = {
     "arrayAll": "forall",
     "arrayFirst": None,  # special-cased: element_at(filter(...), 1)
     "arrayCount": None,  # special-cased: size(filter(...))
-    "arraySum": None,  # special-cased: aggregate fold
+    # special-cased: ordered aggregate fold.  Deliberate type widening:
+    # ClickHouse returns Int64 for integer arrays; this always returns
+    # DOUBLE (the fold accumulates in double so one mapping serves int
+    # and float arrays).  Integer-exact below 2^53; wrap in toInt64()
+    # for CH-identical typing on integer arrays.
+    "arraySum": None,
 }
 
 # toXxx(x) -> CAST(x AS T)
@@ -215,6 +223,11 @@ def _render_call(name: str, args: list[str]) -> str:
         return f"CAST({args[0]} AS DECIMAL(9, {args[1]}))"
     if name == "toDecimal64" and len(args) == 2:
         return f"CAST({args[0]} AS DECIMAL(18, {args[1]}))"
+    if name == "median" and len(args) == 1:
+        # CH median is the approximate-quantile register at p=0.5
+        return f"percentile_approx({args[0]}, 0.5)"
+    if name == "medianExact" and len(args) == 1:
+        return f"percentile({args[0]}, 0.5)"
     if name == "uniqExact":
         return f"count(DISTINCT {joined})"
     if name == "uniqExactIf" and len(args) >= 2:
@@ -283,6 +296,10 @@ def _render_parametric(name: str, params: list[str], args: list[str]) -> str:
         return (
             f"percentile(CASE WHEN {args[1]} THEN {args[0]} END, {params[0]})"
         )
+    if name in ("quantileTDigest", "quantileTiming") and len(params) == 1:
+        # both are ClickHouse approximate-quantile registers; the Spark
+        # register is percentile_approx — same role, different sketch
+        return f"percentile_approx({args[0]}, {params[0]})"
     raise DialectError(f"unsupported parametric aggregate: {name}")
 
 
@@ -292,6 +309,8 @@ _PARAMETRIC = {
     "quantiles",
     "quantilesExact",
     "quantileExactIf",
+    "quantileTDigest",
+    "quantileTiming",
 }
 
 

@@ -79,6 +79,13 @@ REWRITES = [
     ("f(a)[2]", "f(a)[2]"),
     ("[1, f(a, b), 3]", "array(1, f(a, b), 3)"),
     ("has([1,2,3], 2)", "array_contains(array(1, 2, 3), 2)"),
+    # approx-register aliases
+    ("uniqHLL12(x)", "approx_count_distinct(x)"),
+    ("uniqTheta(x)", "approx_count_distinct(x)"),
+    ("quantileTDigest(0.95)(x)", "percentile_approx(x, 0.95)"),
+    ("quantileTiming(0.99)(t)", "percentile_approx(t, 0.99)"),
+    ("median(x)", "percentile_approx(x, 0.5)"),
+    ("medianExact(x)", "percentile(x, 0.5)"),
 ]
 
 
@@ -325,6 +332,26 @@ def test_equivalence_composes_with_compat_udfs(spark, sf_dir):
         """
     )
     assert _rows(got) == _rows(want)
+
+
+def test_new_compat_date_scalars(spark):
+    """Each newly-registered scalar equals its Spark built-in on a
+    probe date/timestamp."""
+    register_clickhouse_compat(spark)
+    row = spark.sql(
+        """
+        SELECT subtractDays(DATE'2024-03-15', 20) = date_sub(DATE'2024-03-15', 20) AS a,
+               addMonths(DATE'2024-03-15', 11) = add_months(DATE'2024-03-15', 11) AS b,
+               addYears(DATE'2024-03-15', 3) = add_months(DATE'2024-03-15', 36) AS c,
+               toDayOfYear(DATE'2024-03-01') = 61 AS d,
+               toStartOfHour(TIMESTAMP'2024-03-15 10:47:33') =
+                 TIMESTAMP'2024-03-15 10:00:00' AS e,
+               toStartOfMinute(TIMESTAMP'2024-03-15 10:47:33') =
+                 TIMESTAMP'2024-03-15 10:47:00' AS f,
+               toLastDayOfMonth(DATE'2024-02-10') = DATE'2024-02-29' AS g
+        """
+    ).collect()[0]
+    assert all(row), row.asDict()
 
 
 def test_transpiled_plan_is_native(spark, sf_dir):
