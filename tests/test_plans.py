@@ -201,3 +201,43 @@ def test_q16_exclusion_is_broadcast(spark, sf_dir):
     plan = _plan(q_tpch_q16_supplier_counts(spark, sf_dir))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_with_totals_is_single_pass_expand(spark, sf_dir):
+    """WITH TOTALS → GROUPING SETS must compute the totals row via
+    grouping-set Expand in the SAME aggregate pass: exactly one scan,
+    no union of a per-group and a global aggregate."""
+    from clickhouse_vs_dbt_spark.dialect import q_dialect_with_totals
+
+    plan = _plan(q_dialect_with_totals(spark, sf_dir))
+    assert "Expand" in plan
+    assert plan.count("Scan parquet") == 1
+    assert "Union" not in plan
+
+
+def test_array_join_clause_generates_in_scan_stage(spark, sf_dir):
+    """The ARRAY JOIN rewrite must plan as Generate explode directly
+    over the scan — no exchange between scan and generator, filter
+    still pushed to the scan."""
+    from clickhouse_vs_dbt_spark.dialect import q_dialect_array_join_clause
+
+    plan = _plan(q_dialect_array_join_clause(spark, sf_dir))
+    assert "Generate explode" in plan
+    gen = plan.index("Generate explode")
+    scan = plan.index("Scan parquet")
+    assert gen < scan  # generator sits directly above the scan
+    assert "Exchange" not in plan[gen:scan]
+    assert "PushedFilters: [IsNotNull(o_totalprice)" in plan
+
+
+def test_transpiled_sample_is_map_side_filter(spark, sf_dir):
+    """SAMPLE OFFSET: the hash-range predicate must evaluate in the
+    scan stage's Filter with no data-scale exchange beyond the final
+    keyed aggregate."""
+    from clickhouse_vs_dbt_spark.operators.sampling import (
+        q_clickhouse_sample_clause,
+    )
+
+    plan = _plan(q_clickhouse_sample_clause(spark, sf_dir))
+    assert plan.count("Exchange") <= 1  # only the keyed agg exchange
+    assert "Window" not in plan and "Join" not in plan
