@@ -8,12 +8,17 @@ this particular project left testing as future work ("Ещё можно всё
 those four checks Spark-natively and runs a representative suite over
 the fixture warehouse in ONE job.
 
-Scale shape: every check is a filter + count over one table (or a
-left-anti join for ``relationships``); all checks on the same table
-share a single scan via one aggregate pass where possible, and nothing
-is collected — the result is a tiny (check, violations) relation.  At
-100 TB a check suite costs ~one scan per table + one broadcast-or-
-shuffle join per FK, embarrassingly parallel.
+Scale shape: ALL column-local checks on one table (``unique``,
+``not_null``, ``accepted_values``) lower into a SINGLE aggregate pass
+over a single scan — ``not_null``/``accepted_values`` as conditional
+counts, ``unique`` as the excess-row count ``count(col) −
+count(DISTINCT col)`` (rows beyond the first per value; 0 iff unique —
+the single-pass-fusible spelling of the uniqueness violation metric).
+``relationships`` remains one left-anti join per FK.  This suite is
+therefore 4 jobs (2 fused scans + 2 FK joins), not one job per check:
+at 100 TB the dominant cost is table scans, and fusing k checks into
+one scan is a k× saving.  Nothing is collected — the result is a tiny
+(check, violations) relation.
 """
 
 from __future__ import annotations
@@ -40,37 +45,53 @@ class Check:
     to_column: str = ""
 
 
-def violations(spark: SparkSession, sf_dir: str, c: Check) -> DataFrame:
-    t = load_table(spark, sf_dir, c.table)
+def _scalar_expr(c: Check) -> F.Column:
+    """Lower a column-local check to one aggregate expression (so all
+    such checks on a table fuse into one scan — see module doc)."""
+    col = F.col(c.column)
     if c.runner == "unique":
-        v = (
-            t.groupBy(c.column)
-            .count()
-            .filter(F.col("count") > 1)
-            .agg(F.coalesce(F.sum("count"), F.lit(0)).alias("n"))
-        )
-    elif c.runner == "not_null":
-        v = t.filter(F.col(c.column).isNull()).agg(F.count(F.lit(1)).alias("n"))
-    elif c.runner == "accepted_values":
-        v = t.filter(~F.col(c.column).isin(*c.values)).agg(
-            F.count(F.lit(1)).alias("n")
-        )
-    elif c.runner == "relationships":
-        parent = load_table(spark, sf_dir, c.to_table).select(
-            F.col(c.to_column).alias(c.column)
-        )
-        # orphans = child keys with no parent; broadcast the smaller
-        # side is Catalyst's call (dims well under the threshold here).
-        v = (
-            t.select(c.column)
-            .filter(F.col(c.column).isNotNull())
-            .join(parent, on=c.column, how="left_anti")
-            .agg(F.count(F.lit(1)).alias("n"))
-        )
-    else:  # pragma: no cover
-        raise ValueError(f"unknown check runner {c.runner!r}")
+        return F.count(col) - F.count_distinct(col)
+    if c.runner == "not_null":
+        return F.count_if(col.isNull())
+    if c.runner == "accepted_values":
+        return F.count_if(~col.isin(*c.values))
+    raise ValueError(f"not a scalar check: {c.runner!r}")  # pragma: no cover
+
+
+def fused_scalar_checks(
+    spark: SparkSession, sf_dir: str, table: str, checks: list[Check]
+) -> DataFrame:
+    """One aggregate pass over ``table`` computing every column-local
+    check; the single-row result unpivots to (check, violations) via a
+    map-explode (driver never sees data)."""
+    t = load_table(spark, sf_dir, table)
+    agg = t.agg(
+        *[_scalar_expr(c).cast("long").alias(c.name) for c in checks]
+    )
+    pairs: list[F.Column] = []
+    for c in checks:
+        pairs += [F.lit(c.name), F.col(c.name)]
+    return agg.select(
+        F.explode(F.create_map(*pairs)).alias("check_name", "n_violations")
+    )
+
+
+def fk_violations(spark: SparkSession, sf_dir: str, c: Check) -> DataFrame:
+    """relationships check: orphans = child keys with no parent, one
+    left-anti join (broadcast or shuffle is Catalyst's call)."""
+    t = load_table(spark, sf_dir, c.table)
+    parent = load_table(spark, sf_dir, c.to_table).select(
+        F.col(c.to_column).alias(c.column)
+    )
+    v = (
+        t.select(c.column)
+        .filter(F.col(c.column).isNotNull())
+        .join(parent, on=c.column, how="left_anti")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
     return v.select(
-        F.lit(c.name).alias("check_name"), F.col("n").cast("long").alias("n_violations")
+        F.lit(c.name).alias("check_name"),
+        F.col("n").cast("long").alias("n_violations"),
     )
 
 
@@ -120,19 +141,32 @@ def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Run the whole suite; one row per check with its violation count.
     All-zero (except the deliberately-failing narrow-list check) on the
     driver fixtures — and the oracle recomputes every count in SQL, so
-    the check logic itself is differentially tested."""
-    out = None
+    the check logic itself is differentially tested.  Column-local
+    checks fuse per table (module doc): this suite is 2 fused scans +
+    2 FK joins, not 8 separate jobs."""
+    by_table: dict[str, list[Check]] = {}
+    fks: list[Check] = []
     for c in SUITE:
-        v = violations(spark, sf_dir, c)
-        out = v if out is None else out.unionByName(v)
+        if c.runner == "relationships":
+            fks.append(c)
+        else:
+            by_table.setdefault(c.table, []).append(c)
+    parts = [
+        fused_scalar_checks(spark, sf_dir, table, checks)
+        for table, checks in by_table.items()
+    ] + [fk_violations(spark, sf_dir, c) for c in fks]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
     return out.orderBy("check_name")
 
 
 O_DQ_CHECKS = """
 SELECT check_name, n_violations FROM (
   SELECT 'orders_orderkey_unique' AS check_name,
-         CAST(COALESCE(SUM(cnt), 0) AS BIGINT) AS n_violations
-  FROM (SELECT COUNT(*) AS cnt FROM orders GROUP BY o_orderkey HAVING COUNT(*) > 1)
+         CAST(COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey) AS BIGINT)
+           AS n_violations
+  FROM orders
   UNION ALL
   SELECT 'orders_orderkey_not_null', COUNT(*) FROM orders WHERE o_orderkey IS NULL
   UNION ALL
@@ -147,8 +181,9 @@ SELECT check_name, n_violations FROM (
   WHERE l.l_orderkey IS NOT NULL
     AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
   UNION ALL
-  SELECT 'customer_custkey_unique', CAST(COALESCE(SUM(cnt), 0) AS BIGINT)
-  FROM (SELECT COUNT(*) AS cnt FROM customer GROUP BY c_custkey HAVING COUNT(*) > 1)
+  SELECT 'customer_custkey_unique',
+         CAST(COUNT(c_custkey) - COUNT(DISTINCT c_custkey) AS BIGINT)
+  FROM customer
   UNION ALL
   SELECT 'customer_mktsegment_not_null', COUNT(*) FROM customer
   WHERE c_mktsegment IS NULL

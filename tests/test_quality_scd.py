@@ -25,20 +25,27 @@ def test_dq_checks_catch_real_violations(spark, tmp_path, monkeypatch):
     tables = {"orders": bad_orders, "customer": customers}
     monkeypatch.setattr(q, "load_table", lambda s, d, name: tables[name])
 
-    def n(check):
-        return q.violations(spark, "", check).collect()[0].n_violations
+    checks = [
+        q.Check("u", "orders", "unique", "o_orderkey"),
+        q.Check("nn", "orders", "not_null", "o_orderkey"),
+        q.Check("av", "orders", "accepted_values", "o_orderstatus",
+                values=("P", "O", "F")),
+    ]
+    got = {
+        r.check_name: r.n_violations
+        for r in q.fused_scalar_checks(spark, "", "orders", checks).collect()
+    }
+    # unique = excess rows beyond the first per value: key 1 has one
+    # excess row (3 non-null keys, 2 distinct)
+    assert got == {"u": 1, "nn": 1, "av": 1}
 
-    assert n(q.Check("u", "orders", "unique", "o_orderkey")) == 2
-    assert n(q.Check("nn", "orders", "not_null", "o_orderkey")) == 1
-    assert (
-        n(q.Check("av", "orders", "accepted_values", "o_orderstatus",
-                  values=("P", "O", "F"))) == 1
-    )
     # null FK is not an orphan (matches dbt); 99 is
-    assert (
-        n(q.Check("fk", "orders", "relationships", "o_custkey",
-                  to_table="customer", to_column="c_custkey")) == 1
-    )
+    fk = q.fk_violations(
+        spark, "",
+        q.Check("fk", "orders", "relationships", "o_custkey",
+                to_table="customer", to_column="c_custkey"),
+    ).collect()[0]
+    assert fk.n_violations == 1
 
 
 def _snap_rows(df):
