@@ -55,6 +55,13 @@ engines on half-way doubles), so the full pipeline value-checks.  At
 friendly, no shuffle beyond the keyed exchanges, and no presentation
 ORDER BY (the gate hash is order-insensitive; a data-scale result
 never pays a range sort just to look sorted).
+
+Scan shape: the Spark side derives each changelog with a SINGLE scan —
+per-row conditional entry arrays exploded map-side
+(``explode(concat(array(...), CASE WHEN ... END))``) — where the
+naive spelling is a 2-5 branch UNION ALL re-scanning the table per
+branch.  The DuckDB oracle keeps the UNION ALL spelling as the
+executable spec, so the fusion itself is differentially tested.
 """
 
 from __future__ import annotations
@@ -86,10 +93,33 @@ FROM changelog GROUP BY o_orderkey
 """
 
 
+# Spark-side single-scan changelog: one generator over one scan
+# replaces the UNION ALL's repeated scans (module doc).
+_REPLACING_SPARK = """
+WITH changelog AS (
+  SELECT o_orderkey, o_custkey,
+         e.o_totalprice, e.o_orderstatus, e.version
+  FROM orders
+  LATERAL VIEW explode(concat(
+    array(struct(o_totalprice AS o_totalprice,
+                 o_orderstatus AS o_orderstatus, 1 AS version)),
+    CASE WHEN o_orderkey % 3 = 0
+         THEN array(struct(o_totalprice + 10.0 AS o_totalprice,
+                           'U' AS o_orderstatus, 2 AS version))
+         ELSE array() END)) _g AS e)
+SELECT o_orderkey,
+       MAX(o_custkey) AS o_custkey,
+       CAST(MAX(version) AS INT) AS version,
+       max_by(o_totalprice, version) AS o_totalprice,
+       max_by(o_orderstatus, version) AS o_orderstatus
+FROM changelog GROUP BY o_orderkey
+"""
+
+
 def q_mergetree_replacing_final(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ReplacingMergeTree FINAL read (see module doc)."""
     register_views(spark, sf_dir, ("orders",))
-    return spark.sql(_replacing_sql("spark"))
+    return spark.sql(_REPLACING_SPARK)
 
 
 def _collapsing_sql(dialect: str) -> str:
@@ -110,10 +140,29 @@ HAVING SUM(sign) > 0
 """
 
 
+_COLLAPSING_SPARK = f"""
+WITH changelog AS (
+  SELECT o_custkey, e.amount, e.sign
+  FROM orders
+  LATERAL VIEW explode(concat(
+    array(struct(o_totalprice AS amount, 1 AS sign)),
+    CASE WHEN o_orderkey % 5 = 0
+         THEN array(struct(o_totalprice AS amount, -1 AS sign),
+                    struct(o_totalprice - 10.0 AS amount, 1 AS sign))
+         ELSE array() END)) _g AS e)
+SELECT o_custkey,
+       CAST(SUM(sign) AS BIGINT) AS net_rows,
+       {sql_dsum("amount * sign")} AS net_amount
+FROM changelog
+GROUP BY o_custkey
+HAVING SUM(sign) > 0
+"""
+
+
 def q_mergetree_collapsing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CollapsingMergeTree sign-column read (see module doc)."""
     register_views(spark, sf_dir, ("orders",))
-    return spark.sql(_collapsing_sql("spark"))
+    return spark.sql(_COLLAPSING_SPARK)
 
 
 def _summing_sql(dialect: str) -> str:
@@ -134,10 +183,27 @@ GROUP BY o_custkey, o_orderstatus
 """
 
 
+_SUMMING_SPARK = f"""
+WITH changelog AS (
+  SELECT o_custkey, o_orderstatus, e.amount, e.cnt
+  FROM orders
+  LATERAL VIEW explode(concat(
+    array(struct(o_totalprice AS amount, 1 AS cnt)),
+    CASE WHEN o_orderkey % 7 = 0
+         THEN array(struct(CAST(5.0 AS DOUBLE) AS amount, 1 AS cnt))
+         ELSE array() END)) _g AS e)
+SELECT o_custkey, o_orderstatus,
+       {sql_dsum("amount")} AS amount_sum,
+       CAST(SUM(cnt) AS BIGINT) AS rows_merged
+FROM changelog
+GROUP BY o_custkey, o_orderstatus
+"""
+
+
 def q_mergetree_summing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SummingMergeTree merged read (see module doc)."""
     register_views(spark, sf_dir, ("orders",))
-    return spark.sql(_summing_sql("spark"))
+    return spark.sql(_SUMMING_SPARK)
 
 
 def _versioned_collapsing_sql(dialect: str) -> str:
@@ -176,12 +242,46 @@ GROUP BY o_orderkey
 """
 
 
+_VERSIONED_SPARK = """
+WITH changelog AS (
+  SELECT o_orderkey, e.amount, e.status, e.version, e.sign
+  FROM orders
+  LATERAL VIEW explode(concat(
+    array(struct(o_totalprice AS amount, o_orderstatus AS status,
+                 1 AS version, 1 AS sign)),
+    CASE WHEN o_orderkey % 3 = 0
+         THEN array(struct(o_totalprice AS amount, o_orderstatus AS status,
+                           1 AS version, -1 AS sign),
+                    struct(o_totalprice + 10.0 AS amount, 'U' AS status,
+                           2 AS version, 1 AS sign))
+         ELSE array() END,
+    CASE WHEN o_orderkey % 15 = 0
+         THEN array(struct(o_totalprice + 10.0 AS amount, 'U' AS status,
+                           2 AS version, -1 AS sign),
+                    struct(o_totalprice + 25.0 AS amount, 'X' AS status,
+                           3 AS version, 1 AS sign))
+         ELSE array() END)) _g AS e),
+collapsed AS (
+  SELECT o_orderkey, version,
+         SUM(sign) AS net,
+         max_by(amount, sign) AS amount,
+         max_by(status, sign) AS status
+  FROM changelog GROUP BY o_orderkey, version)
+SELECT o_orderkey,
+       CAST(MAX(version) AS INT) AS version,
+       max_by(amount, version) AS o_totalprice,
+       max_by(status, version) AS o_orderstatus
+FROM collapsed WHERE net > 0
+GROUP BY o_orderkey
+"""
+
+
 def q_mergetree_versioned_collapsing(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     """VersionedCollapsingMergeTree FINAL read (see module doc)."""
     register_views(spark, sf_dir, ("orders",))
-    return spark.sql(_versioned_collapsing_sql("spark"))
+    return spark.sql(_VERSIONED_SPARK)
 
 
 def _aggregating_sql(dialect: str) -> str:
@@ -251,10 +351,26 @@ WHERE o_orderdate >= DATE '1996-01-01'
 """
 
 
+# single-scan spelling: fresh rows keep their o_orderkey as a group
+# key (singleton groups = raw passthrough); expired rows group under
+# NULL — one scan + one keyed aggregate instead of UNION ALL's two
+# scans, same result by construction.
+_TTL_SPARK = f"""
+SELECT o_custkey,
+       CAST(date_trunc('month', o_orderdate) AS DATE) AS bucket_month,
+       CASE WHEN o_orderdate >= DATE '1996-01-01'
+            THEN o_orderkey END AS o_orderkey,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       {sql_dsum("o_totalprice")} AS total_price
+FROM orders
+GROUP BY o_custkey, bucket_month, 3
+"""
+
+
 def q_mergetree_ttl_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TTL GROUP BY rollup read (see _ttl_rollup_sql)."""
     register_views(spark, sf_dir, ("orders",))
-    return spark.sql(_ttl_rollup_sql("spark"))
+    return spark.sql(_TTL_SPARK)
 
 
 QUERIES = {

@@ -163,6 +163,10 @@ def test_mergetree_reads_are_pure_aggregates(spark, sf_dir):
         # no presentation ORDER BY: a data-scale result never pays a
         # global range sort just to look sorted
         assert "rangepartitioning" not in plan
+        # single-scan changelog derivation: the conditional entry
+        # arrays explode map-side; a UNION ALL spelling would re-scan
+        # the table once per changelog branch
+        assert plan.count("Scan parquet") == 1, q.__name__
 
 
 def test_rank_corr_delta_sum_never_window_on_bare_event_type(spark, sf_dir):
