@@ -429,6 +429,36 @@ def _rewrite_clauses(toks: list[str]) -> list[str]:
                     "(operators/mergetree.py: mergetree_replacing_final "
                     "et al.) instead of a silent drop"
                 )
+    # structural clauses with dedicated operators: refuse with pointers
+    # (a silent pass-through would surface as an opaque Spark parse
+    # error; a silent drop would change results)
+    for i, t in enumerate(out):
+        u = t.upper()
+        j = _next_code(out, i + 1)
+        k = _next_code(out, j + 1) if j < len(out) else len(out)
+        if (
+            u == "LIMIT"
+            and k < len(out)
+            and out[k].upper() == "BY"
+            and j < len(out)
+            and out[j].replace(".", "").isdigit()
+        ):
+            raise DialectError(
+                "LIMIT n BY is not Spark syntax; rank with row_number() "
+                "OVER (PARTITION BY ...) <= n (see limit_by_analog)"
+            )
+        if u == "WITH" and j < len(out) and out[j].upper() == "FILL":
+            raise DialectError(
+                "ORDER BY ... WITH FILL is not Spark syntax; generate "
+                "the spine with sequence() + explode and left-join "
+                "(see events_gap_fill / events_gap_interpolate)"
+            )
+        if u == "INTO" and j < len(out) and out[j].upper() == "OUTFILE":
+            raise DialectError(
+                "INTO OUTFILE is a client-side ClickHouse feature; use "
+                "DataFrameWriter (df.write...) — see export_shards for "
+                "the deterministic sharded-export pattern"
+            )
     # ANY/ALL/ASOF join strictness keywords: refuse explicitly — each
     # has a dedicated operator whose plan carries the right semantics.
     # (LEFT SEMI / LEFT ANTI are valid Spark syntax and pass through.)

@@ -158,6 +158,20 @@ def test_global_hint_dropped():
     assert out.startswith("SELECT a FROM t LEFT JOIN u")
 
 
+def test_structural_clauses_raise_with_pointers():
+    for sql, msg in (
+        ("SELECT a FROM t ORDER BY a LIMIT 3 BY b", "limit_by_analog"),
+        ("SELECT a FROM t ORDER BY a WITH FILL", "events_gap_fill"),
+        ("SELECT a FROM t INTO OUTFILE 'x.csv'", "export_shards"),
+    ):
+        with pytest.raises(DialectError, match=msg):
+            transpile(sql)
+    # plain LIMIT and CTE WITH are untouched
+    assert transpile("SELECT a FROM t LIMIT 3") == "SELECT a FROM t LIMIT 3"
+    out = transpile("WITH c AS (SELECT 1 AS x) SELECT x FROM c")
+    assert out.startswith("WITH c AS")
+
+
 def test_final_and_any_join_raise():
     with pytest.raises(DialectError):
         transpile("SELECT a FROM t FINAL")
