@@ -134,9 +134,14 @@ HEADLINE = [
     # round 4: dialect front-end + ClickHouse join/sample semantics
     "dialect_combinators",
     "dialect_array_hof",
+    "dialect_with_totals",
+    "dialect_array_join_clause",
     "any_left_join",
     "clickhouse_sample_clause",
     "incremental_insert_overwrite",
+    "incremental_time_travel",
+    "mutation_delete_update",
+    "maintenance_compaction",
 ]
 
 
