@@ -85,6 +85,16 @@ _RENAME = {
     "assumeNotNull": "coalesce",
     "lcase": "lower",
     "ucase": "upper",
+    # string/regex family with engine-exact Spark equivalents
+    "match": "regexp_like",
+    "replaceRegexpAll": "regexp_replace",
+    "replaceAll": "replace",
+    "leftPad": "lpad",
+    "rightPad": "rpad",
+    "trimBoth": "trim",
+    "concatWithSeparator": "concat_ws",
+    "startsWith": "startswith",
+    "endsWith": "endswith",
     "stddevPop": "stddev_pop",
     "stddevSamp": "stddev_samp",
     "varPop": "var_pop",
@@ -261,6 +271,12 @@ def _render_call(name: str, args: list[str]) -> str:
             # get() is null-safe on empty arrays even under ANSI mode
             return f"get(filter({arr}, {lam}), 0)"
         return f"{_HOF_ROTATE[name]}({arr}, {lam})"
+    if name == "extractAll" and len(args) == 2:
+        # whole-match profile (group index 0): Spark's default group 1
+        # errors on group-less patterns.  Deliberate divergence for
+        # patterns WITH a capture group — ClickHouse would return the
+        # group; write regexp_extract_all(s, re, 1) directly for that.
+        return f"regexp_extract_all({args[0]}, {args[1]}, 0)"
     if name == "splitByChar" and len(args) == 2:
         # inlined (not left to the compat SQL UDF): Spark rejects SQL
         # UDFs under Generate, so arrayJoin(splitByChar(...)) needs the

@@ -79,6 +79,14 @@ REWRITES = [
     ("f(a)[2]", "f(a)[2]"),
     ("[1, f(a, b), 3]", "array(1, f(a, b), 3)"),
     ("has([1,2,3], 2)", "array_contains(array(1, 2, 3), 2)"),
+    # string/regex renames
+    ("extractAll(s, '[0-9]+')", "regexp_extract_all(s, '[0-9]+', 0)"),
+    ("match(s, '^a.*b$')", "regexp_like(s, '^a.*b$')"),
+    ("replaceRegexpAll(s, 'a+', 'A')", "regexp_replace(s, 'a+', 'A')"),
+    ("replaceAll(s, 'x', 'y')", "replace(s, 'x', 'y')"),
+    ("leftPad(s, 5, '0')", "lpad(s, 5, '0')"),
+    ("startsWith(s, 'pre')", "startswith(s, 'pre')"),
+    ("concatWithSeparator('-', a, b)", "concat_ws('-', a, b)"),
     # approx-register aliases
     ("uniqHLL12(x)", "approx_count_distinct(x)"),
     ("uniqTheta(x)", "approx_count_distinct(x)"),
