@@ -589,6 +589,19 @@ def _rewrite_clauses(toks: list[str]) -> list[str]:
                 del out[i : j + 1]
                 continue
         elif depth == 0 and t.upper() == "SETTINGS":
+            # only the real clause shape `SETTINGS name = value` — a
+            # column that happens to be named settings is never
+            # followed by `ident =`
+            g1 = _next_code(out, i + 1)
+            g2 = _next_code(out, g1 + 1) if g1 < len(out) else len(out)
+            if not (
+                g1 < len(out)
+                and _is_ident(out[g1])
+                and g2 < len(out)
+                and out[g2] == "="
+            ):
+                i += 1
+                continue
             j = i
             d2 = 0
             while j < len(out):

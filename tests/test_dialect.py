@@ -137,6 +137,14 @@ def test_settings_stops_at_union():
     assert "UNION ALL SELECT a FROM u" in out
 
 
+def test_column_named_settings_untouched():
+    assert transpile("SELECT settings FROM t") == "SELECT settings FROM t"
+    assert (
+        transpile("SELECT a FROM t WHERE settings > 1")
+        == "SELECT a FROM t WHERE settings > 1"
+    )
+
+
 def test_lowercase_prewhere():
     assert "WHERE x" in transpile("SELECT a FROM t prewhere x")
 
