@@ -417,14 +417,26 @@ def _rewrite_clauses(toks: list[str]) -> list[str]:
     for i, t in enumerate(out):
         if t.upper() == "PREWHERE":
             out[i] = "WHERE"
-    # GLOBAL IN / GLOBAL JOIN: drop the shipping hint
+    # GLOBAL IN / GLOBAL [NOT] IN / GLOBAL [strictness] [type] JOIN:
+    # drop the shipping hint.  Only when the follower really is the
+    # join/in grammar — a column named global followed by e.g. the
+    # left() function must survive.
     i = 0
     while i < len(out):
         if out[i].upper() == "GLOBAL":
             j = _next_code(out, i + 1)
-            if j < len(out) and out[j].upper() in (
-                "IN", "JOIN", "ANY", "ALL", "LEFT", "INNER", "NOT",
-            ):
+            u1 = out[j].upper() if j < len(out) else ""
+            k = _next_code(out, j + 1) if j < len(out) else len(out)
+            u2 = out[k].upper() if k < len(out) else ""
+            is_hint = (
+                u1 in ("IN", "JOIN")
+                or (u1 == "NOT" and u2 == "IN")
+                or (
+                    u1 in ("ANY", "ALL", "LEFT", "INNER", "RIGHT")
+                    and u2 in ("JOIN", "LEFT", "INNER", "RIGHT")
+                )
+            )
+            if is_hint:
                 del out[i:j]
                 continue
         i += 1
@@ -464,11 +476,18 @@ def _rewrite_clauses(toks: list[str]) -> list[str]:
                 "OVER (PARTITION BY ...) <= n (see limit_by_analog)"
             )
         if u == "WITH" and j < len(out) and out[j].upper() == "FILL":
-            raise DialectError(
-                "ORDER BY ... WITH FILL is not Spark syntax; generate "
-                "the spine with sequence() + explode and left-join "
-                "(see events_gap_fill / events_gap_interpolate)"
-            )
+            # only mid-query (after ORDER BY): a CTE named fill starts
+            # a statement or a parenthesized subquery
+            p = i - 1
+            while p >= 0 and (out[p].isspace() or out[p].startswith("--")):
+                p -= 1
+            if p >= 0 and out[p] not in ("(", ";"):
+                raise DialectError(
+                    "ORDER BY ... WITH FILL is not Spark syntax; "
+                    "generate the spine with sequence() + explode and "
+                    "left-join (see events_gap_fill / "
+                    "events_gap_interpolate)"
+                )
         if u == "INTO" and j < len(out) and out[j].upper() == "OUTFILE":
             raise DialectError(
                 "INTO OUTFILE is a client-side ClickHouse feature; use "

@@ -137,6 +137,17 @@ def test_settings_stops_at_union():
     assert "UNION ALL SELECT a FROM u" in out
 
 
+def test_global_column_and_fill_cte_untouched():
+    assert (
+        transpile("SELECT global left(s, 2) FROM t")
+        == "SELECT global left(s, 2) FROM t"
+    )
+    out = transpile("WITH fill AS (SELECT 1 AS x) SELECT x FROM fill")
+    assert out.startswith("WITH fill AS")
+    with pytest.raises(DialectError):  # the real clause still raises
+        transpile("SELECT a FROM t ORDER BY a WITH FILL")
+
+
 def test_column_named_settings_untouched():
     assert transpile("SELECT settings FROM t") == "SELECT settings FROM t"
     assert (
