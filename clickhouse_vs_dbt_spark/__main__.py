@@ -147,9 +147,11 @@ def cmd_explain(args) -> int:
         spark = _spark("cli-explain")
         df = qs[args.name_or_sql](spark, args.sf_dir)
     else:
+        from clickhouse_vs_dbt_spark.dialect import transpile
+
         spark = _spark("cli-explain")
         _prepare(spark, args.sf_dir)
-        df = spark.sql(args.name_or_sql)
+        df = spark.sql(transpile(args.name_or_sql))
     print(df._jdf.queryExecution().explainString(
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     ))
