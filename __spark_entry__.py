@@ -60,6 +60,7 @@ from clickhouse_vs_dbt_spark.sources import (
     binfile,
     evolution,
     jsonl,
+    objectstore,
     orc_src,
     parquet_part,
     ssb_csv,
@@ -120,6 +121,7 @@ _MODULES = [
     skew,
     ssb_csv,
     jsonl,
+    objectstore,
     orc_src,
     parquet_part,
     evolution,

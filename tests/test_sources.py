@@ -122,3 +122,25 @@ def test_tbl_read_via_scheme_qualified_uri(spark, tmp_path):
     out = read_ssb_csv(spark, f"file://{p}", "supplier").collect()
     assert [r.S_SUPPKEY for r in out] == [1, 2]
     assert out[0].S_NATION == "NATION_0"
+
+
+def test_objectstore_scan_routes_through_viewfs(spark, sf_dir):
+    """The read must actually plan against the mounted viewfs:// scheme
+    (not silently resolve to file:), with the price predicate pushed
+    into the parquet scan through the mounted FileSystem."""
+    from clickhouse_vs_dbt_spark.sources.objectstore import (
+        CUTOFF_PRICE,
+        _mount_name,
+        mount,
+    )
+    from pyspark.sql import functions as F
+
+    name = _mount_name(sf_dir)
+    mount(spark, name, "tables", sf_dir)
+    df = spark.read.parquet(f"viewfs://{name}/tables/orders.parquet").filter(
+        F.col("o_totalprice") > CUTOFF_PRICE
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert f"viewfs://{name}" in plan
+    assert "PushedFilters: [IsNotNull(o_totalprice), GreaterThan(o_totalprice" in plan
+    assert df.count() > 0
