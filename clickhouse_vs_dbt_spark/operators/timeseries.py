@@ -749,7 +749,94 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+# --- LTTB downsampling (ClickHouse largestTriangleThreeBuckets) ---
+
+LTTB_N_OUT = 24
+
+
+def lttb_select(xs, ys, n_out: int):
+    """Largest-Triangle-Three-Buckets downsampling (Steinarsson 2013;
+    ClickHouse ships it as the ``largestTriangleThreeBuckets``
+    aggregate).  Returns the indices of the selected points: endpoints
+    always kept; the interior splits into ``n_out - 2`` buckets and
+    each bucket contributes the point maximizing the triangle area
+    with the previously selected point and the NEXT bucket's centroid.
+    Ties break to the earliest index (strict ``>``), so the result is
+    deterministic."""
+    n = len(xs)
+    if n_out >= n or n_out < 3:
+        return list(range(n))
+    idx = [0]
+    buckets = n_out - 2
+    # interior points 1..n-2 split into `buckets` near-equal ranges
+    bounds = [1 + (n - 2) * i // buckets for i in range(buckets + 1)]
+    prev = 0
+    for b in range(buckets):
+        lo, hi = bounds[b], bounds[b + 1]
+        nlo, nhi = (bounds[b + 1], bounds[b + 2]) if b + 1 < buckets else (
+            n - 1,
+            n,
+        )
+        cx = sum(xs[nlo:nhi]) / (nhi - nlo)
+        cy = sum(ys[nlo:nhi]) / (nhi - nlo)
+        ax, ay = xs[prev], ys[prev]
+        best, best_area = lo, -1.0
+        for i in range(lo, hi):
+            area = abs(
+                (ax - cx) * (ys[i] - ay) - (ax - xs[i]) * (cy - ay)
+            )
+            if area > best_area:
+                best, best_area = i, area
+        idx.append(best)
+        prev = best
+    idx.append(n - 1)
+    return idx
+
+
+def q_events_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type LTTB downsample to LTTB_N_OUT visual points.
+
+    Spark shape: the selection is inherently SEQUENTIAL within a
+    series (each bucket's pick depends on the previous pick), so it
+    runs as a keyed ``applyInPandas`` — one series per group, Arrow
+    batches, state bounded by the series length, series processed in
+    parallel across the cluster.  That is the 100 TB dashboard-render
+    path: |series| × n_out output rows from arbitrarily long inputs.
+    Ordering inside a series is (ts, event_id) — a total order, so
+    the pick is deterministic under any partitioning.
+
+    Rows-only gate by declared design: the bucket-sequential argmax
+    chain is not expressible in DuckDB SQL (recursive CTEs disallow
+    the per-step aggregate); the algorithm is instead value-pinned in
+    tests/test_timeseries.py against a hand-computed case and
+    structural invariants on the fixture."""
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events")
+
+    def kernel(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        xs = pdf["ts"].astype("int64").tolist()  # epoch micros
+        ys = pdf["value"].tolist()
+        keep = lttb_select(xs, ys, LTTB_N_OUT)
+        out = pdf.iloc[keep][["event_type", "event_id", "value"]].copy()
+        out["ts_us"] = [xs[i] for i in keep]
+        out["out_idx"] = range(len(keep))
+        return out[["event_type", "out_idx", "ts_us", "event_id", "value"]]
+
+    return ev.select("event_type", "event_id", "ts", "value").groupBy(
+        "event_type"
+    ).applyInPandas(
+        kernel,
+        schema=(
+            "event_type string, out_idx int, ts_us long, "
+            "event_id long, value double"
+        ),
+    )
+
+
 QUERIES = {
+    "events_lttb_downsample": q_events_lttb_downsample,
     "events_tumbling_window": q_events_tumbling,
     "events_json_extract": q_events_json_extract,
     "events_sliding_window": q_events_sliding,

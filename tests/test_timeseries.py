@@ -140,3 +140,50 @@ def test_max_intersections_bounds(spark, sf_dir):
     # concurrency is at most one open session per user, at least 1
     assert 1 <= r.max_concurrent <= n_users
     assert r.n_sessions >= n_users
+
+
+def test_lttb_hand_case():
+    """6 points → 4: endpoints + the per-bucket max-area picks, worked
+    by hand (areas 16.25 vs 2.5 in bucket 1; 11 vs 3.5 in bucket 2)."""
+    from clickhouse_vs_dbt_spark.operators.timeseries import lttb_select
+
+    xs = [0.0, 1.0, 2.0, 3.0, 4.0, 5.0]
+    ys = [0.0, 10.0, 0.0, 0.0, 5.0, 1.0]
+    assert lttb_select(xs, ys, 4) == [0, 1, 3, 5]
+    # degenerate sizes: everything kept
+    assert lttb_select(xs, ys, 6) == list(range(6))
+    assert lttb_select(xs, ys, 10) == list(range(6))
+
+
+def test_lttb_downsample_invariants(spark, sf_dir):
+    """Per series: exactly min(N_OUT, n) rows, endpoints kept, output
+    points are actual input points, ts non-decreasing."""
+    from clickhouse_vs_dbt_spark.operators.timeseries import (
+        LTTB_N_OUT,
+        q_events_lttb_downsample,
+    )
+    from clickhouse_vs_dbt_spark.catalog import load_table
+    import pyspark.sql.functions as F
+
+    out = q_events_lttb_downsample(spark, sf_dir).collect()
+    ev = load_table(spark, sf_dir, "events")
+    per_type = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    }
+    by_type: dict = {}
+    for r in out:
+        by_type.setdefault(r.event_type, []).append(r)
+    assert set(by_type) == set(per_type)
+    ev_rows = {
+        (r.event_type, r.event_id): r
+        for r in ev.select("event_type", "event_id", "value").collect()
+    }
+    for et, rows in by_type.items():
+        rows.sort(key=lambda r: r.out_idx)
+        assert len(rows) == min(LTTB_N_OUT, per_type[et])
+        ts_list = [r.ts_us for r in rows]
+        assert ts_list == sorted(ts_list)
+        for r in rows:  # every output is a real input point
+            assert (et, r.event_id) in ev_rows
+            assert ev_rows[(et, r.event_id)].value == r.value
