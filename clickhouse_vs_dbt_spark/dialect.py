@@ -916,7 +916,44 @@ def q_dialect_array_join_clause(
     )
 
 
+# 7. string/regex family — every rename evaluated against a DuckDB
+#    oracle spelled in its native functions.
+_CH_STRINGS = """
+SELECT o_orderkey,
+       match(o_orderpriority, '^[1-3]-') AS is_high,
+       replaceAll(o_orderpriority, '-', '_') AS prio_u,
+       replaceRegexpAll(o_orderpriority, '[AEIOU]', '.') AS devowel,
+       leftPad(toString(modulo(o_orderkey, 997)), 5, '0') AS padded,
+       startsWith(o_orderpriority, '1') AS p1,
+       endsWith(o_orderpriority, 'URGENT') AS urgent,
+       arrayStringConcat(extractAll(o_orderpriority, '[A-Z]+'), '/')
+         AS words
+FROM orders
+WHERE modulo(o_orderkey, 3) = 0
+"""
+
+O_STRINGS = """
+SELECT o_orderkey,
+       regexp_matches(o_orderpriority, '^[1-3]-') AS is_high,
+       replace(o_orderpriority, '-', '_') AS prio_u,
+       regexp_replace(o_orderpriority, '[AEIOU]', '.', 'g') AS devowel,
+       lpad(CAST(o_orderkey % 997 AS VARCHAR), 5, '0') AS padded,
+       starts_with(o_orderpriority, '1') AS p1,
+       ends_with(o_orderpriority, 'URGENT') AS urgent,
+       array_to_string(regexp_extract_all(o_orderpriority, '[A-Z]+', 0),
+                       '/') AS words
+FROM orders
+WHERE o_orderkey % 3 = 0
+"""
+
+
+def q_dialect_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verbatim ClickHouse string/regex query (module doc)."""
+    return run_clickhouse_sql(spark, _CH_STRINGS, sf_dir, ("orders",))
+
+
 QUERIES = {
+    "dialect_strings": q_dialect_strings,
     "dialect_combinators": q_dialect_combinators,
     "dialect_arrayjoin": q_dialect_arrayjoin,
     "dialect_multiif": q_dialect_multiif,
@@ -926,6 +963,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "dialect_strings": O_STRINGS,
     "dialect_combinators": O_COMBINATORS,
     "dialect_arrayjoin": O_ARRAYJOIN,
     "dialect_multiif": O_MULTIIF,
