@@ -152,10 +152,17 @@ _IF_BASES = {
     "min": "min",
     "max": "max",
     "uniq": "approx_count_distinct",
+    "any": "any_value",
     "anyLast": "last",
     "argMax": "max_by",
     "argMin": "min_by",
 }
+
+# bases whose Spark function RETAINS nulls by default: the CASE mask
+# turns non-matching rows into NULLs, so these must pass
+# ignoreNulls=true or a trailing non-matching row yields NULL instead
+# of the last/any match
+_IF_NULL_SENSITIVE = {"any_value", "last"}
 
 
 class DialectError(ValueError):
@@ -292,7 +299,8 @@ def _render_call(name: str, args: list[str]) -> str:
                 f"CASE WHEN {cond} THEN {args[1]} END)"
             )
         if len(args) == 2:
-            return f"{base}(CASE WHEN {cond} THEN {args[0]} END)"
+            tail = ", true" if base in _IF_NULL_SENSITIVE else ""
+            return f"{base}(CASE WHEN {cond} THEN {args[0]} END{tail})"
     if name in _RENAME:
         return f"{_RENAME[name]}({joined})"
     return f"{name}({joined})"

@@ -60,6 +60,11 @@ REWRITES = [
         "uniqExactIf(u, c)",
         "count(DISTINCT CASE WHEN c THEN u END)",
     ),
+    # null-sensitive bases get ignoreNulls, else the CASE mask's NULLs
+    # on non-matching rows would be picked
+    ("anyIf(x, c)", "any_value(CASE WHEN c THEN x END, true)"),
+    ("anyLastIf(x, c)", "last(CASE WHEN c THEN x END, true)"),
+    ("sumIf(x, c)", "sum(CASE WHEN c THEN x END)"),
     # array HOFs: lambda rotation (CH lambda-first → Spark array-first)
     ("arrayMap(x -> x + 1, arr)", "transform(arr, x -> x + 1)"),
     ("arrayFilter(x -> x > 0, arr)", "filter(arr, x -> x > 0)"),
@@ -373,6 +378,16 @@ def test_equivalence_composes_with_compat_udfs(spark, sf_dir):
         """
     )
     assert _rows(got) == _rows(want)
+
+
+def test_anylastif_picks_last_match_not_null(spark):
+    """Regression: without ignoreNulls, last() over the CASE mask
+    returns NULL whenever the final row fails the condition."""
+    expr = transpile("anyLastIf(x, x < 3)")
+    row = spark.sql(
+        f"SELECT {expr} AS v FROM VALUES (1), (2), (5) AS t(x)"
+    ).collect()[0]
+    assert row.v == 2
 
 
 def test_new_compat_date_scalars(spark):
