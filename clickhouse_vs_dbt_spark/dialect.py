@@ -68,8 +68,6 @@ _RENAME = {
     "argMin": "min_by",
     "groupArray": "collect_list",
     "groupUniqArray": "collect_set",
-    "any": "any_value",
-    "anyLast": "last",
     "uniq": "approx_count_distinct",
     "uniqCombined": "approx_count_distinct",
     "uniqCombined64": "approx_count_distinct",
@@ -240,6 +238,12 @@ def _render_call(name: str, args: list[str]) -> str:
         return f"CAST({args[0]} AS DECIMAL(9, {args[1]}))"
     if name == "toDecimal64" and len(args) == 2:
         return f"CAST({args[0]} AS DECIMAL(18, {args[1]}))"
+    if name == "any" and len(args) == 1:
+        # ClickHouse aggregates skip NULLs; Spark's any_value/last
+        # retain them unless ignoreNulls is passed
+        return f"any_value({args[0]}, true)"
+    if name == "anyLast" and len(args) == 1:
+        return f"last({args[0]}, true)"
     if name == "median" and len(args) == 1:
         # CH median is the approximate-quantile register at p=0.5
         return f"percentile_approx({args[0]}, 0.5)"

@@ -40,7 +40,8 @@ REWRITES = [
     ("argMax(clerk, ts)", "max_by(clerk, ts)"),
     ("groupArray(x)", "collect_list(x)"),
     ("groupUniqArray(x)", "collect_set(x)"),
-    ("anyLast(x)", "last(x)"),
+    ("any(x)", "any_value(x, true)"),
+    ("anyLast(x)", "last(x, true)"),
     ("arrayJoin(tags)", "explode(tags)"),
     ("has(arr, 3)", "array_contains(arr, 3)"),
     ("arrayUniq(arr)", "size(array_distinct(arr))"),
