@@ -324,6 +324,11 @@ def _render_parametric(name: str, params: list[str], args: list[str]) -> str:
         return (
             f"percentile(CASE WHEN {args[1]} THEN {args[0]} END, {params[0]})"
         )
+    if name == "groupArraySorted" and len(params) == 1 and len(args) == 1:
+        # exact: the n smallest values in order (CH semantics)
+        return (
+            f"slice(array_sort(collect_list({args[0]})), 1, {params[0]})"
+        )
     if name in ("quantileTDigest", "quantileTiming") and len(params) == 1:
         # both are ClickHouse approximate-quantile registers; the Spark
         # register is percentile_approx — same role, different sketch
@@ -339,6 +344,7 @@ _PARAMETRIC = {
     "quantileExactIf",
     "quantileTDigest",
     "quantileTiming",
+    "groupArraySorted",
 }
 
 

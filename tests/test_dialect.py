@@ -98,6 +98,10 @@ REWRITES = [
     ("uniqTheta(x)", "approx_count_distinct(x)"),
     ("quantileTDigest(0.95)(x)", "percentile_approx(x, 0.95)"),
     ("quantileTiming(0.99)(t)", "percentile_approx(t, 0.99)"),
+    (
+        "groupArraySorted(3)(x)",
+        "slice(array_sort(collect_list(x)), 1, 3)",
+    ),
     ("median(x)", "percentile_approx(x, 0.5)"),
     ("medianExact(x)", "percentile(x, 0.5)"),
 ]
