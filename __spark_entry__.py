@@ -15,7 +15,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from clickhouse_vs_dbt_spark import compat, dialect
+from clickhouse_vs_dbt_spark import compat, ddl, dialect
 from clickhouse_vs_dbt_spark.operators import (
     aggfns,
     zorder,
@@ -81,6 +81,7 @@ _MODULES = [
     ssb_queries,
     compat,
     dialect,
+    ddl,
     bloomjoin,
     chfuncs,
     aggfns,

@@ -1,0 +1,128 @@
+"""Tests for the ClickHouse DDL transpiler (ddl.py)."""
+
+from __future__ import annotations
+
+import pytest
+
+from clickhouse_vs_dbt_spark.ddl import (
+    DialectError,
+    convert_type,
+    transpile_ddl,
+)
+
+TYPES = [
+    ("UInt32", "BIGINT"),
+    ("UInt8", "SMALLINT"),
+    ("Int64", "BIGINT"),
+    ("Float64", "DOUBLE"),
+    ("String", "STRING"),
+    ("LowCardinality(String)", "STRING"),
+    ("Nullable(Int32)", "INT"),
+    ("Nullable(LowCardinality(String))", "STRING"),
+    ("Date", "DATE"),
+    ("DateTime", "TIMESTAMP"),
+    ("DateTime64(3)", "TIMESTAMP"),
+    ("Decimal(18, 6)", "DECIMAL(18, 6)"),
+    ("Decimal64(4)", "DECIMAL(18, 4)"),
+    ("FixedString(16)", "STRING"),
+    ("Enum8('a' = 1, 'b' = 2)", "STRING"),
+    ("Array(Nullable(Float64))", "ARRAY<DOUBLE>"),
+    ("Map(String, UInt64)", "MAP<STRING, BIGINT>"),
+    ("Tuple(a UInt8, b String)", "STRUCT<a: SMALLINT, b: STRING>"),
+    ("Array(Array(UInt8))", "ARRAY<ARRAY<SMALLINT>>"),
+]
+
+
+@pytest.mark.parametrize("ch,spark_t", TYPES, ids=[t for t, _ in TYPES])
+def test_convert_type(ch, spark_t):
+    assert convert_type(ch) == spark_t
+
+
+def test_unknown_type_raises():
+    with pytest.raises(DialectError):
+        convert_type("AggregateFunction(sum, UInt64)")
+
+
+def test_mergetree_ddl_maps_to_parquet_with_partition():
+    out = transpile_ddl(
+        "CREATE TABLE IF NOT EXISTS t (d Date, k UInt32, v Float64) "
+        "ENGINE = MergeTree PARTITION BY k ORDER BY (d, k) "
+        "SETTINGS index_granularity = 8192"
+    )
+    assert "USING parquet" in out
+    assert "PARTITIONED BY (k)" in out
+    assert "IF NOT EXISTS" in out
+    assert "ORDER BY" not in out and "SETTINGS" not in out
+
+
+def test_expression_partition_is_dropped():
+    out = transpile_ddl(
+        "CREATE TABLE t (d Date, v UInt32) ENGINE = MergeTree "
+        "PARTITION BY toYYYYMM(d) ORDER BY d"
+    )
+    assert "PARTITIONED BY" not in out
+
+
+def test_column_suffixes_dropped():
+    out = transpile_ddl(
+        "CREATE TABLE t (a UInt32 DEFAULT 0, b String CODEC(ZSTD), "
+        "c Date COMMENT 'x') ENGINE = MergeTree ORDER BY a"
+    )
+    assert "a BIGINT" in out and "b STRING" in out and "c DATE" in out
+    assert "DEFAULT" not in out and "CODEC" not in out
+
+
+# reference README.md:172-193 character-for-character (placeholder
+# database prefix substituted as the reference instructs)
+LINEORDER_DDL = """CREATE TABLE src_lineorder
+        (
+            LO_ORDERKEY             UInt32,
+            LO_LINENUMBER           UInt8,
+            LO_CUSTKEY              UInt32,
+            LO_PARTKEY              UInt32,
+            LO_SUPPKEY              UInt32,
+            LO_ORDERDATE            Date,
+            LO_ORDERPRIORITY        LowCardinality(String),
+            LO_SHIPPRIORITY         UInt8,
+            LO_QUANTITY             UInt8,
+            LO_EXTENDEDPRICE        UInt32,
+            LO_ORDTOTALPRICE        UInt32,
+            LO_DISCOUNT             UInt8,
+            LO_REVENUE              UInt32,
+            LO_SUPPLYCOST           UInt32,
+            LO_TAX                  UInt8,
+            LO_COMMITDATE           Date,
+            LO_SHIPMODE             LowCardinality(String)
+        )
+        ENGINE = S3('https://storage.yandexcloud.net/<my-bucket-name>/<my-folder-name>/lineorder.tbl', 'CSV')
+        ;"""
+
+
+def test_reference_lineorder_ddl_creates_table(spark, tmp_path):
+    """The reference's 17-column lineorder DDL, verbatim, becomes a
+    live external csv table with the SURVEY §1.2 type mapping."""
+    tbl = tmp_path / "lineorder.tbl"
+    tbl.write_text(
+        "1|1|7|3|2|1995-03-04|1-URGENT|0|17|1200|2400|4|1152|800|2|"
+        "1995-04-01|TRUCK\n"
+        "2|1|8|4|3|1996-07-15|5-LOW|0|22|3300|3300|0|3300|1000|1|"
+        "1996-08-01|MAIL\n"
+    )
+    spark.sql("DROP TABLE IF EXISTS src_lineorder")
+    spark.sql(
+        transpile_ddl(
+            LINEORDER_DDL, path_override=str(tbl), options={"sep": "|"}
+        )
+    )
+    rows = spark.sql(
+        "SELECT LO_ORDERKEY, LO_ORDERDATE, LO_REVENUE, LO_SHIPMODE "
+        "FROM src_lineorder ORDER BY LO_ORDERKEY"
+    ).collect()
+    assert len(rows) == 2
+    assert rows[0].LO_REVENUE == 1152 and rows[1].LO_SHIPMODE == "MAIL"
+    assert str(rows[0].LO_ORDERDATE) == "1995-03-04"
+    dtypes = dict(spark.table("src_lineorder").dtypes)
+    assert dtypes["LO_ORDERKEY"] == "bigint"  # UInt32 → BIGINT
+    assert dtypes["LO_QUANTITY"] == "smallint"  # UInt8 → SMALLINT
+    assert dtypes["LO_ORDERDATE"] == "date"
+    spark.sql("DROP TABLE src_lineorder")
