@@ -31,53 +31,53 @@ def q_events_funnel_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ClickHouse ``windowFunnel(86400)(ts, view, click, purchase)``
     analog: per user, the deepest step of view → click → purchase
     reached inside 24 h of the user's *first view* (adaptation: the
-    chain is anchored at the first step-1 event; ClickHouse scans every
-    anchor, which needs per-user sequence state — the anchored variant
-    is the declarative, shuffle-minimal form).  Output: funnel level ×
-    user count, including level 0 (users with no view at all).
+    chain is anchored at the first step-1 event; the anchored variant
+    is the deterministic, oracle-checkable form).  Output: funnel
+    level × user count, including level 0 (no view at all).
 
-    Three aggregations, all keyed on ``user_id`` — the per-step
-    relations are tiny (≤1 row per user), so Catalyst broadcast-joins
-    them back against the event scan; the fact table is shuffled at
-    most once.
-    """
+    Spark shape — the same shape ClickHouse itself uses: ONE scan,
+    one keyed shuffle, then a per-user SEQUENCE FOLD.  Events collect
+    per user as a sorted (ts, type) array and a codegen'd
+    ``aggregate()`` HOF runs the three-step automaton over it —
+    (t1, t2, t3) state updated per event, all JVM-side, no Python.
+    The previous spelling (per-step filtered aggregates joined back)
+    re-scanned the events table four times; this is 1 scan + 1
+    exchange, and per-user state is exactly what ClickHouse's
+    windowFunnel holds per user too.  Differentially tested: the
+    DuckDB oracle keeps the per-step join spelling, so fold ≡ joins
+    is checked by the gate hash."""
+    win_us = FUNNEL_WINDOW_HOURS * 3600 * 1_000_000
     e = load_table(spark, sf_dir, "events")
-    users = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("_n")).select("user_id")
-    w_end = F.col("t1") + F.expr(f"INTERVAL {FUNNEL_WINDOW_HOURS} HOURS")
-
-    t1 = (
-        e.filter(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t1"))
+    per_user = e.groupBy("user_id").agg(
+        F.expr(
+            "array_sort(collect_list(struct(unix_micros(ts) AS ts, "
+            "event_type AS et)))"
+        ).alias("evs")
     )
-    t2 = (
-        e.filter(F.col("event_type") == "click")
-        .join(t1, "user_id")
-        .filter((F.col("ts") > F.col("t1")) & (F.col("ts") <= w_end))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t2"), F.min("t1").alias("t1"))
+    null_state = (
+        "named_struct('t1', CAST(NULL AS BIGINT), 't2', "
+        "CAST(NULL AS BIGINT), 't3', CAST(NULL AS BIGINT))"
     )
-    t3 = (
-        e.filter(F.col("event_type") == "purchase")
-        .join(t2, "user_id")
-        .filter((F.col("ts") > F.col("t2")) & (F.col("ts") <= w_end))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t3"))
-    )
-    level = (
-        users.join(t1.select("user_id", "t1"), "user_id", "left")
-        .join(t2.select("user_id", "t2"), "user_id", "left")
-        .join(t3, "user_id", "left")
-        .select(
-            F.when(F.col("t3").isNotNull(), F.lit(3))
-            .when(F.col("t2").isNotNull(), F.lit(2))
-            .when(F.col("t1").isNotNull(), F.lit(1))
-            .otherwise(F.lit(0))
-            .alias("level")
-        )
-    )
+    fold = f"""
+    aggregate(evs, {null_state},
+      (acc, e) -> CASE
+        WHEN e.et = 'view' AND acc.t1 IS NULL
+          THEN named_struct('t1', e.ts, 't2', acc.t2, 't3', acc.t3)
+        WHEN e.et = 'click' AND acc.t1 IS NOT NULL AND acc.t2 IS NULL
+             AND e.ts > acc.t1 AND e.ts <= acc.t1 + {win_us}
+          THEN named_struct('t1', acc.t1, 't2', e.ts, 't3', acc.t3)
+        WHEN e.et = 'purchase' AND acc.t2 IS NOT NULL AND acc.t3 IS NULL
+             AND e.ts > acc.t2 AND e.ts <= acc.t1 + {win_us}
+          THEN named_struct('t1', acc.t1, 't2', acc.t2, 't3', e.ts)
+        ELSE acc END,
+      acc -> CASE WHEN acc.t3 IS NOT NULL THEN 3
+                  WHEN acc.t2 IS NOT NULL THEN 2
+                  WHEN acc.t1 IS NOT NULL THEN 1
+                  ELSE 0 END)
+    """
     return (
-        level.groupBy("level")
+        per_user.select(F.expr(fold).alias("level"))
+        .groupBy("level")
         .agg(F.count(F.lit(1)).alias("n_users"))
         .orderBy("level")
     )
