@@ -131,7 +131,9 @@ def convert_type(ch: str) -> str:
     raise DialectError(f"unsupported ClickHouse type: {name!r}")
 
 
-_COL_STOP = ("DEFAULT", "MATERIALIZED", "ALIAS", "CODEC", "COMMENT", "TTL")
+_COL_STOP = frozenset(
+    ("DEFAULT", "MATERIALIZED", "ALIAS", "CODEC", "COMMENT", "TTL")
+)
 
 
 def _convert_coldef(d: str) -> str:
@@ -139,13 +141,34 @@ def _convert_coldef(d: str) -> str:
     if len(parts) != 2:
         raise DialectError(f"unparseable column definition: {d!r}")
     name, rest = parts
-    # cut the type expression at the first suffix keyword
-    low = rest
+    # cut the type expression at the first suffix keyword — scanning
+    # OUTSIDE quotes and parens, so an Enum value or default string
+    # literally containing DEFAULT/ALIAS/... never truncates the type
     cut = len(rest)
-    for kw in _COL_STOP:
-        m = re.search(rf"\b{kw}\b", low, re.IGNORECASE)
-        if m:
-            cut = min(cut, m.start())
+    depth = 0
+    in_str = False
+    i = 0
+    while i < len(rest):
+        c = rest[i]
+        if in_str:
+            if c == "'":
+                in_str = False
+        elif c == "'":
+            in_str = True
+        elif c in "([":
+            depth += 1
+        elif c in ")]":
+            depth -= 1
+        elif depth == 0 and (c.isalpha() or c == "_"):
+            j = i
+            while j < len(rest) and (rest[j].isalnum() or rest[j] == "_"):
+                j += 1
+            if rest[i:j].upper() in _COL_STOP and i > 0:
+                cut = i
+                break
+            i = j
+            continue
+        i += 1
     return f"{name} {convert_type(rest[:cut].strip())}"
 
 

@@ -53,6 +53,7 @@ _TOKEN_RE = re.compile(
     | `[^`]*`                           # backtick identifier
     | [A-Za-z_][A-Za-z0-9_]*            # bare identifier / keyword
     | \d+(?:\.\d+)?(?:[eE][+-]?\d+)?    # number
+    | /\*.*?\*/                         # block comment (opaque)
     | --[^\n]*                          # line comment
     | \s+                               # whitespace (preserved)
     | .                                 # any other single character
@@ -118,7 +119,11 @@ _HOF_ROTATE = {
     "arrayFilter": "filter",
     "arrayExists": "exists",
     "arrayAll": "forall",
-    "arrayFirst": None,  # special-cased: element_at(filter(...), 1)
+    # special-cased: get(filter(...), 0).  Deliberate divergence on NO
+    # MATCH: ClickHouse returns the element type's default (0, ''),
+    # this returns NULL — the SQL-idiomatic miss value; coalesce() the
+    # result for CH-identical behavior.
+    "arrayFirst": None,
     "arrayCount": None,  # special-cased: size(filter(...))
     # special-cased: ordered aggregate fold.  Deliberate type widening:
     # ClickHouse returns Int64 for integer arrays; this always returns
@@ -163,6 +168,16 @@ _IF_BASES = {
 _IF_NULL_SENSITIVE = {"any_value", "last"}
 
 
+# keywords after which a `[` must be an array literal, never indexing
+# (indexing only ever follows a column/alias identifier or ) / ])
+_LITERAL_CONTEXT_KEYWORDS = frozenset(
+    """SELECT FROM WHERE THEN WHEN ELSE CASE END AND OR NOT IN AS ON
+    HAVING BY SET VALUES RETURN LIKE ILIKE RLIKE ALL ANY DISTINCT UNION
+    EXCEPT INTERSECT LIMIT OFFSET BETWEEN IS NULL JOIN GROUP ORDER
+    ARRAY""".split()
+)
+
+
 class DialectError(ValueError):
     """Raised for malformed input (unbalanced parens in a call)."""
 
@@ -175,9 +190,13 @@ def _is_ident(tok: str) -> bool:
     return bool(_IDENT_RE.match(tok))
 
 
+def _is_skippable(tok: str) -> bool:
+    return tok.isspace() or tok.startswith("--") or tok.startswith("/*")
+
+
 def _next_code(toks: list[str], i: int) -> int:
     """Index of the next non-whitespace, non-comment token, or len."""
-    while i < len(toks) and (toks[i].isspace() or toks[i].startswith("--")):
+    while i < len(toks) and _is_skippable(toks[i]):
         i += 1
     return i
 
@@ -356,13 +375,20 @@ def _walk(
     last_code = ""  # last non-whitespace token emitted (for [ disambiguation)
     while i < end:
         t = toks[i]
-        if drop_comments and t.startswith("--"):
+        if drop_comments and (t.startswith("--") or t.startswith("/*")):
             i += 1
             continue
-        if t == "[" and last_code not in ("]", ")") and not _is_ident(last_code):
+        if t == "[" and (
+            last_code not in ("]", ")")
+            and (
+                not _is_ident(last_code)
+                or last_code.upper() in _LITERAL_CONTEXT_KEYWORDS
+            )
+        ):
             # ClickHouse array literal [a, b, c] → array(a, b, c).
-            # After an identifier / ) / ] the bracket is indexing
-            # (arr[1]) and passes through untouched.
+            # After a column/alias identifier or ) / ] the bracket is
+            # indexing (arr[1]); after a KEYWORD (SELECT, THEN, IN,
+            # AND, ...) or an operator it can only be a literal.
             elems, k = _parse_args(toks, i, "[", "]")
             rendered = f"array({', '.join(elems)})"
             out.append(rendered)
@@ -384,7 +410,7 @@ def _walk(
             last_code = ")"
         else:
             out.append(t)
-            if not t.isspace() and not t.startswith("--"):
+            if not _is_skippable(t):
                 last_code = t
             i += 1
     return "".join(out)
@@ -458,17 +484,26 @@ def _rewrite_clauses(toks: list[str]) -> list[str]:
                 del out[i:j]
                 continue
         i += 1
-    # FROM <t> FINAL: refuse explicitly (see module doc)
+    # FROM <t> FINAL: refuse explicitly (see module doc).  The table
+    # reference may be qualified (db.tbl) or backtick-quoted — consume
+    # the whole dotted name run before looking for FINAL.
+    def _is_name_part(tok: str) -> bool:
+        return _is_ident(tok) or tok.startswith("`")
+
     for i, t in enumerate(out):
         if t.upper() == "FROM":
             j = _next_code(out, i + 1)
-            k = _next_code(out, j + 1) if j < len(out) else len(out)
-            if (
-                j < len(out)
-                and _is_ident(out[j])
-                and k < len(out)
-                and out[k].upper() == "FINAL"
+            if j >= len(out) or not _is_name_part(out[j]):
+                continue
+            k = _next_code(out, j + 1)
+            while (
+                k < len(out)
+                and out[k] == "."
+                and (n2 := _next_code(out, k + 1)) < len(out)
+                and _is_name_part(out[n2])
             ):
+                k = _next_code(out, n2 + 1)
+            if k < len(out) and out[k].upper() == "FINAL":
                 raise DialectError(
                     "FROM ... FINAL forces engine merge-collapse and "
                     "changes results; use the explicit MergeTree reads "
@@ -484,20 +519,29 @@ def _rewrite_clauses(toks: list[str]) -> list[str]:
         k = _next_code(out, j + 1) if j < len(out) else len(out)
         if (
             u == "LIMIT"
-            and k < len(out)
-            and out[k].upper() == "BY"
             and j < len(out)
             and out[j].replace(".", "").isdigit()
         ):
-            raise DialectError(
-                "LIMIT n BY is not Spark syntax; rank with row_number() "
-                "OVER (PARTITION BY ...) <= n (see limit_by_analog)"
-            )
+            # accept all ClickHouse forms: LIMIT n BY, LIMIT n, m BY,
+            # LIMIT n OFFSET m BY
+            k2 = k
+            if k2 < len(out) and (
+                out[k2] == "," or out[k2].upper() == "OFFSET"
+            ):
+                m2 = _next_code(out, k2 + 1)
+                if m2 < len(out) and out[m2].replace(".", "").isdigit():
+                    k2 = _next_code(out, m2 + 1)
+            if k2 < len(out) and out[k2].upper() == "BY":
+                raise DialectError(
+                    "LIMIT n BY is not Spark syntax; rank with "
+                    "row_number() OVER (PARTITION BY ...) <= n "
+                    "(see limit_by_analog)"
+                )
         if u == "WITH" and j < len(out) and out[j].upper() == "FILL":
             # only mid-query (after ORDER BY): a CTE named fill starts
             # a statement or a parenthesized subquery
             p = i - 1
-            while p >= 0 and (out[p].isspace() or out[p].startswith("--")):
+            while p >= 0 and _is_skippable(out[p]):
                 p -= 1
             if p >= 0 and out[p] not in ("(", ";"):
                 raise DialectError(
@@ -541,9 +585,7 @@ def _rewrite_clauses(toks: list[str]) -> list[str]:
                 start = i
                 # check for a preceding LEFT
                 p = start - 1
-                while p >= 0 and (
-                    out[p].isspace() or out[p].startswith("--")
-                ):
+                while p >= 0 and _is_skippable(out[p]):
                     p -= 1
                 if p >= 0 and out[p].upper() == "LEFT":
                     left = True
@@ -625,10 +667,11 @@ def _rewrite_clauses(toks: list[str]) -> list[str]:
             ):
                 del out[i : j + 1]
                 continue
-        elif depth == 0 and t.upper() == "SETTINGS":
-            # only the real clause shape `SETTINGS name = value` — a
-            # column that happens to be named settings is never
-            # followed by `ident =`
+        elif t.upper() == "SETTINGS":
+            # at any depth (ClickHouse allows SETTINGS on subquery
+            # SELECTs too); only the real clause shape `SETTINGS name =
+            # value` — a column that happens to be named settings is
+            # never followed by `ident =`
             g1 = _next_code(out, i + 1)
             g2 = _next_code(out, g1 + 1) if g1 < len(out) else len(out)
             if not (

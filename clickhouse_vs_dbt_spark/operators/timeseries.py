@@ -816,7 +816,9 @@ def q_events_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def kernel(pdf: "pd.DataFrame") -> "pd.DataFrame":
         pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
-        xs = pdf["ts"].astype("int64").tolist()  # epoch micros
+        # Arrow delivers datetime64[ns] (the serializer coerces to
+        # nanoseconds); divide to the module's epoch-micros convention
+        xs = (pdf["ts"].astype("int64") // 1000).tolist()
         ys = pdf["value"].tolist()
         keep = lttb_select(xs, ys, LTTB_N_OUT)
         out = pdf.iloc[keep][["event_type", "event_id", "value"]].copy()

@@ -257,13 +257,18 @@ class ModelRunner:
             cur = cur.filter(f"NOT ({delete_where})")
         if set_exprs:
             cond = update_where or "true"
-            for col, expr in set_exprs.items():
-                cur = cur.withColumn(
-                    col,
-                    F.expr(
+            # withColumns (plural) projects ALL assignments against the
+            # pre-mutation row simultaneously — ClickHouse's ALTER
+            # UPDATE semantics; chained withColumn would let
+            # {'a': 'b', 'b': 'a'} see the already-updated a.
+            cur = cur.withColumns(
+                {
+                    col: F.expr(
                         f"CASE WHEN {cond} THEN {expr} ELSE {col} END"
-                    ),
-                )
+                    )
+                    for col, expr in set_exprs.items()
+                }
+            )
         return self._write_version(model, version + 1, cur)
 
     def compact(self, name: str, target_files: int = 1) -> DataFrame:

@@ -63,8 +63,15 @@ def _mount_name(sf_dir: str) -> str:
 
 def q_objectstore_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Source + sink through a mounted non-file scheme (module doc)."""
+    import os
+
     name = _mount_name(sf_dir)
-    scratch = tempfile.mkdtemp(prefix="objectstore_sink_")
+    # scratch is DETERMINISTIC per mount table: Hadoop caches the
+    # viewfs FileSystem by authority and never re-reads mount links, so
+    # a fresh mkdtemp per call would be silently ignored on the second
+    # call in a session (and leak an empty dir per call)
+    scratch = os.path.join(tempfile.gettempdir(), f"objectstore_{name}")
+    os.makedirs(scratch, exist_ok=True)
     mount(spark, name, "tables", sf_dir)
     mount(spark, name, "scratch", scratch)
 

@@ -63,6 +63,17 @@ def test_expression_partition_is_dropped():
     assert "PARTITIONED BY" not in out
 
 
+def test_stop_keyword_inside_string_literal_does_not_cut():
+    """An Enum value (or any string) containing DEFAULT/ALIAS must not
+    truncate the type expression (round-4 review finding)."""
+    out = transpile_ddl(
+        "CREATE TABLE t (s Enum8('DEFAULT' = 1, 'ALIAS' = 2), "
+        "n UInt8 DEFAULT 7) ENGINE = MergeTree ORDER BY n"
+    )
+    assert "s STRING" in out and "n SMALLINT" in out
+    assert "DEFAULT" not in out
+
+
 def test_column_suffixes_dropped():
     out = transpile_ddl(
         "CREATE TABLE t (a UInt32 DEFAULT 0, b String CODEC(ZSTD), "

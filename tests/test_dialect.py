@@ -209,6 +209,41 @@ def test_structural_clauses_raise_with_pointers():
     assert out.startswith("WITH c AS")
 
 
+def test_review_fixes_round4():
+    """Fixes from the round-4 code review, pinned."""
+    # FINAL refusal covers qualified and backtick table names
+    for sql in (
+        "SELECT a FROM db.tbl FINAL",
+        "SELECT a FROM `tbl` FINAL",
+        "SELECT a FROM db.`t b` FINAL",
+    ):
+        with pytest.raises(DialectError, match="FINAL"):
+            transpile(sql)
+    # array literal directly after a keyword is a literal, not indexing
+    assert transpile("SELECT [1, 2, 3] AS a FROM t") == (
+        "SELECT array(1, 2, 3) AS a FROM t"
+    )
+    assert "array(1)" in transpile("SELECT x FROM t WHERE y IN [1]")
+    assert transpile("arr[1]") == "arr[1]"  # indexing still untouched
+    # block comments are opaque: parens/commas inside never confuse
+    assert transpile("sumIf(x /* ( */ , c)") == (
+        "sum(CASE WHEN c THEN x END)"
+    )
+    # all ClickHouse LIMIT ... BY spellings refuse with the pointer
+    for sql in (
+        "SELECT a FROM t LIMIT 2, 3 BY b",
+        "SELECT a FROM t LIMIT 2 OFFSET 3 BY b",
+    ):
+        with pytest.raises(DialectError, match="limit_by_analog"):
+            transpile(sql)
+    assert transpile("SELECT a FROM t LIMIT 2, 3").endswith("LIMIT 2, 3")
+    # SETTINGS strips inside subqueries too
+    out = transpile(
+        "SELECT * FROM (SELECT a FROM t SETTINGS max_threads = 1)"
+    )
+    assert "SETTINGS" not in out and "FROM t" in out
+
+
 def test_final_and_any_join_raise():
     with pytest.raises(DialectError):
         transpile("SELECT a FROM t FINAL")

@@ -284,6 +284,32 @@ def test_mutation_is_versioned_and_compaction_reduces_files(spark, tmp_path):
         runner.mutate("ghost", delete_where="true")
 
 
+def test_mutate_set_exprs_evaluate_simultaneously(spark, tmp_path):
+    """ClickHouse ALTER UPDATE evaluates all SET expressions against
+    the pre-mutation row: {'a': 'b', 'b': 'a'} swaps the columns."""
+
+    def batch(s, existing):
+        if existing is None:
+            return s.range(3).selectExpr(
+                "id", "id * 10 AS a", "id * 100 AS b"
+            )
+        return s.range(0)
+
+    runner = ModelRunner(spark, warehouse_dir=str(tmp_path))
+    runner.add(
+        Model(
+            "swap",
+            batch,
+            materialization=Materialization.INCREMENTAL,
+            unique_key=("id",),
+        )
+    )
+    runner.run()
+    out = runner.mutate("swap", set_exprs={"a": "b", "b": "a"})
+    r = {row.id: (row.a, row.b) for row in out.collect()}
+    assert r[2] == (200, 20)  # swapped, not both equal to old b
+
+
 def test_incremental_append_without_key_or_partitions(spark, sf_dir, tmp_path):
     def batches(s, existing):
         r = s.range(10)

@@ -184,6 +184,16 @@ def test_lttb_downsample_invariants(spark, sf_dir):
         assert len(rows) == min(LTTB_N_OUT, per_type[et])
         ts_list = [r.ts_us for r in rows]
         assert ts_list == sorted(ts_list)
+        # ts_us really is MICROseconds (regression: Arrow hands the
+        # kernel datetime64[ns], which is 1000x off unless divided)
+        micros = {
+            (r.event_type, r.event_id): r.us
+            for r in ev.selectExpr(
+                "event_type", "event_id", "unix_micros(ts) AS us"
+            ).collect()
+        }
+        for r in rows:
+            assert micros[(et, r.event_id)] == r.ts_us
         for r in rows:  # every output is a real input point
             assert (et, r.event_id) in ev_rows
             assert ev_rows[(et, r.event_id)].value == r.value
