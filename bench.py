@@ -142,6 +142,8 @@ HEADLINE = [
     "incremental_time_travel",
     "mutation_delete_update",
     "maintenance_compaction",
+    "dialect_strings",
+    "events_lttb_downsample",
 ]
 
 
