@@ -13,11 +13,20 @@ event-time windows, streaming).
 Layout:
     session.py    SparkSession factory tuned for local[N] and for scale
     catalog.py    fixture-table registry (typed parquet readers + views)
-    sources/      external-table readers (parquet fixtures, SSB .tbl CSV)
-    plans/        model DAG runner (dbt-analog) + the star model
+    compat.py     ClickHouse scalar names as Catalyst-inlined SQL UDFs
+    dialect.py    ClickHouse-SQL → Spark-SQL transpiler (see MIGRATION.md)
+    ddl.py        ClickHouse CREATE TABLE → Spark DDL transpiler
+    sources/      external-table readers (parquet fixtures, SSB .tbl CSV,
+                  object-store transport via mounted FS schemes)
+    plans/        model DAG runner (dbt-analog; versions/mutations) + star
     operators/    query/operator library (SSB flight, dedup, ANN, text, events)
     functions/    reusable column-expression helpers (dates, text, vectors)
     streaming/    Structured Streaming variants of the event operators
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
+
+from clickhouse_vs_dbt_spark.dialect import (  # noqa: E402,F401
+    run_clickhouse_sql,
+    transpile,
+)
