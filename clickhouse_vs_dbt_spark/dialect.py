@@ -389,8 +389,13 @@ def _walk(
             # After a column/alias identifier or ) / ] the bracket is
             # indexing (arr[1]); after a KEYWORD (SELECT, THEN, IN,
             # AND, ...) or an operator it can only be a literal.
+            # `x IN [a, b]` (membership in a literal array) becomes
+            # Spark's list form `IN (a, b)`.
             elems, k = _parse_args(toks, i, "[", "]")
-            rendered = f"array({', '.join(elems)})"
+            if last_code.upper() == "IN":
+                rendered = f"({', '.join(elems)})"
+            else:
+                rendered = f"array({', '.join(elems)})"
             out.append(rendered)
             last_code = "]"  # rendered call ends like a paren close
             i = k

@@ -223,7 +223,10 @@ def test_review_fixes_round4():
     assert transpile("SELECT [1, 2, 3] AS a FROM t") == (
         "SELECT array(1, 2, 3) AS a FROM t"
     )
-    assert "array(1)" in transpile("SELECT x FROM t WHERE y IN [1]")
+    # IN with an array literal becomes the Spark list form
+    assert transpile("SELECT x FROM t WHERE y IN [1, 2]").endswith(
+        "WHERE y IN (1, 2)"
+    )
     assert transpile("arr[1]") == "arr[1]"  # indexing still untouched
     # block comments are opaque: parens/commas inside never confuse
     assert transpile("sumIf(x /* ( */ , c)") == (
