@@ -69,7 +69,7 @@ def test_spearman_ties_use_average_ranks(spark):
     _events(
         spark, [(0, 1, "a", 1.0), (1, 1, "a", 1.0), (2, 1, "a", 2.0)]
     ).createOrReplaceTempView("events")
-    r = spark.sql(aggfns._rank_corr_sql("spark")).collect()[0]
+    r = aggfns.run_rank_corr(spark).collect()[0]
     assert r.spearman_rho == 0.866025
 
 
@@ -79,7 +79,7 @@ def test_spearman_extremes(spark):
     dec = [(s, 1, "down", 10 - s) for s in range(1, 6)]
     _events(spark, inc + dec).createOrReplaceTempView("events")
     rows = {r.event_type: r.spearman_rho for r in
-            spark.sql(aggfns._rank_corr_sql("spark")).collect()}
+            aggfns.run_rank_corr(spark).collect()}
     assert rows == {"up": 1.0, "down": -1.0}
 
 
