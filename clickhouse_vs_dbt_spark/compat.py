@@ -85,9 +85,18 @@ _COMPAT_FUNCS: dict[str, tuple[str, str]] = {
 
 
 def register_clickhouse_compat(spark: SparkSession) -> None:
-    """Register every compat function in the session (idempotent)."""
+    """Register every compat function in the session (idempotent).
+
+    Guarded by a session conf flag: registration is ~30 DDL round
+    trips, and every dialect front-door call invokes this — once per
+    session is enough (temp functions live for the session)."""
+    flag = "spark.clickhouse_vs_dbt_spark.compat.registered"
+    if spark.conf.get(flag, None) == str(len(_COMPAT_FUNCS)):
+        return
     for name, (sig, body) in _COMPAT_FUNCS.items():
         spark.sql(f"CREATE OR REPLACE TEMPORARY FUNCTION {name}{sig} RETURN {body}")
+    # value = function count, so adding a function re-registers
+    spark.conf.set(flag, str(len(_COMPAT_FUNCS)))
 
 
 # --- gated proof: a query written verbatim in the ClickHouse dialect ---
