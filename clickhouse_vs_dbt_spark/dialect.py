@@ -18,12 +18,32 @@ README.md:415-436 and every dbt model) also lean on constructs that are
   ``collect_list``, ``uniqExact``→``COUNT(DISTINCT ...)``.
 
 :func:`transpile` rewrites a ClickHouse query string into Spark SQL by
-tokenizing (string literals and quoted identifiers are opaque tokens —
-parens inside strings never confuse the walk) and recursively rewriting
-function-call sites with balanced-paren argument parsing.  Everything
-unrecognized passes through verbatim, so the transpiler composes with
-the compat UDF registry: ``transpile`` handles syntax, ``compat``
-handles names, and a verbatim reference query runs unmodified.
+tokenizing (string literals, quoted identifiers, and comments are
+opaque tokens — parens inside them never confuse the walk) and
+recursively rewriting function-call sites with balanced-paren argument
+parsing.  Everything unrecognized passes through verbatim, so the
+transpiler composes with the compat UDF registry: ``transpile``
+handles syntax, ``compat`` handles names, and a verbatim reference
+query runs unmodified.
+
+The full surface (each backed by gated oracle queries and unit tests):
+
+* clause level — ``PREWHERE``→WHERE, ``GROUP BY ... WITH TOTALS``→
+  grouping sets, ``[LEFT] ARRAY JOIN``→LATERAL VIEW [OUTER] explode,
+  ``GLOBAL`` hint and ``SETTINGS``/``FORMAT`` tails stripped;
+* expression level — combinators (``sumIf`` family, null-sensitive
+  bases get ignoreNulls), parametric aggregates (``quantile*``,
+  ``groupArraySorted``), ``multiIf``, ``to*`` casts, array HOFs with
+  lambda rotation, ``[..]`` array literals (``IN [..]`` becomes the
+  list form), the string/regex family, approx-register aliases;
+* refusals with pointers — constructs whose silent handling would
+  change results (``FINAL``, ANY/ASOF join strictness, ``LIMIT n BY``,
+  ``WITH FILL``, ``INTO OUTFILE``, multi-array ARRAY JOIN) raise
+  :class:`DialectError` naming the dedicated operator instead of
+  surfacing an opaque Spark parse error.
+
+DDL statements have their own transpiler (``ddl.py``); MIGRATION.md is
+the user-facing map of both.
 
 This is a *front-end* — the output is ordinary Spark SQL handed to
 ``spark.sql``, so Catalyst sees exactly the plan a native query would
