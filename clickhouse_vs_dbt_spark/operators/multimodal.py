@@ -6,17 +6,17 @@ The feature kernel is REAL byte-level decoding — container-format
 sniffing from magic bytes, exact byte statistics (mean/std from integer
 power sums, Simpson collision index, distinct-byte census), md5 — all
 computed with arithmetic that replays bit-identically in SQL, so the
-operator is fully value-checked against the DuckDB oracle.  Three real
-codecs are implemented in pure Python — the formats whose specs need
-no entropy coder: uncompressed 24-bit BMP (:func:`_decode_bmp`) and
-binary P6 PPM (:func:`_decode_ppm`) produce statistics over the
-DECODED PIXEL array, and PCM WAV (:func:`_decode_wav`) produces
+operator is fully value-checked against the DuckDB oracle.  Four real
+codecs are implemented in pure Python/stdlib: uncompressed 24-bit BMP
+(:func:`_decode_bmp`), binary P6 PPM (:func:`_decode_ppm`), and —
+a genuinely entropy-coded format — non-interlaced 8-bit PNG
+(:func:`_decode_png`: chunk walk, stdlib-``zlib`` inflate, full
+None/Sub/Up/Average/Paeth scanline unfiltering) produce statistics
+over the DECODED PIXEL array; PCM WAV (:func:`_decode_wav`) produces
 per-sample amplitude statistics over the decoded 8/16-bit samples —
-a real image AND audio decode path.  The *pixel/sample* decode of
-entropy-coded containers (PNG/JPEG/WebP/MP3/video, which need an
-external codec library this container lacks) remains behind a
-``NotImplementedError`` seam, raised when the sniffer identifies such
-a format.
+real image AND audio decode paths.  Only formats whose codecs are
+truly absent from this container (JPEG/WebP/MP3/video, palette or
+interlaced PNG) remain behind the ``NotImplementedError`` seam.
 
 Entropy note: the diversity feature is the Simpson collision index
 Σc²/n² (the Rényi-2 entropy's log-free core) rather than Shannon
@@ -142,7 +142,7 @@ def sniff_format(payload: bytes) -> str:
 CODEC_REQUIRED = (
     frozenset(fmt for _, fmt in _MAGIC if not fmt.startswith("application/"))
     | {"video/mp4", "image/webp"}
-) - {"image/bmp"}
+) - {"image/bmp", "image/png"}
 
 
 def _decode_bmp(payload: bytes):
@@ -273,6 +273,82 @@ def _decode_wav(payload: bytes):
     return samples.astype(np.int64)
 
 
+def _decode_png(payload: bytes):
+    """Pure-stdlib decode of non-interlaced 8-bit PNG (gray / gray+A /
+    RGB / RGBA): chunk walk, concatenated-IDAT zlib inflate, and
+    scanline unfiltering (None/Sub/Up/Average/Paeth).  PNG's entropy
+    coder is DEFLATE, which ships in Python's ``zlib`` — so this is a
+    REAL decode with no external codec.  Palette, 16-bit, and Adam7
+    variants raise — the remaining seam.  Returns (h, w, ch) uint8."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise NotImplementedError("not a PNG signature")
+    pos = 8
+    hdr = None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        ln, typ = struct.unpack_from(">I4s", payload, pos)
+        data = payload[pos + 8 : pos + 8 + ln]
+        if typ == b"IHDR":
+            hdr = struct.unpack(">IIBBBBB", data)
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln
+    if hdr is None or not idat:
+        raise NotImplementedError("PNG missing IHDR/IDAT")
+    w, h, depth, ctype, comp, filt, interlace = hdr
+    ch = {0: 1, 2: 3, 4: 2, 6: 4}.get(ctype)
+    if depth != 8 or interlace != 0 or comp != 0 or filt != 0 or ch is None:
+        raise NotImplementedError(
+            f"no codec for PNG depth={depth} colortype={ctype} "
+            f"interlace={interlace}: 8-bit non-interlaced "
+            "gray/RGB/alpha decodes here"
+        )
+    if not (0 < w <= 1 << 20 and 0 < h <= 1 << 20):
+        raise NotImplementedError("implausible PNG dimensions")
+    raw = zlib.decompress(bytes(idat))
+    stride = w * ch
+    if len(raw) < h * (stride + 1):
+        raise NotImplementedError("truncated PNG pixel data")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    p = 0
+    for y in range(h):
+        f = raw[p]
+        row = np.frombuffer(raw, np.uint8, stride, p + 1).copy()
+        p += stride + 1
+        if f == 0:
+            pass
+        elif f == 2:  # Up — uint8 add wraps mod 256, per spec
+            row += prev
+        elif f in (1, 3, 4):  # Sub / Average / Paeth: sequential
+            cur = row.astype(np.int32)
+            for i in range(stride):
+                a = int(cur[i - ch]) if i >= ch else 0
+                b = int(prev[i])
+                if f == 1:
+                    cur[i] = (cur[i] + a) % 256
+                elif f == 3:
+                    cur[i] = (cur[i] + (a + b) // 2) % 256
+                else:
+                    c = int(prev[i - ch]) if i >= ch else 0
+                    pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
+                    pr = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                    cur[i] = (cur[i] + pr) % 256
+            row = cur.astype(np.uint8)
+        else:
+            raise NotImplementedError(f"PNG filter type {f}")
+        out[y] = row
+        prev = row
+    return out.reshape(h, w, ch)
+
+
 def decode_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """mapInPandas decode/feature-extract kernel.
 
@@ -306,11 +382,15 @@ def decode_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                     f"no codec for {fmt!r}: byte-level features only; "
                     "plug a decoder in here for pixel/sample features"
                 )
-            if fmt in ("image/bmp", "image/ppm"):
+            if fmt in ("image/bmp", "image/ppm", "image/png"):
                 # real pixel decode: stats run over the decoded pixel
                 # bytes, not the container bytes (md5/n_bytes still
                 # describe the container — the file identity)
-                dec = _decode_bmp if fmt == "image/bmp" else _decode_ppm
+                dec = {
+                    "image/bmp": _decode_bmp,
+                    "image/ppm": _decode_ppm,
+                    "image/png": _decode_png,
+                }[fmt]
                 b = dec(payload).astype(np.int64).ravel()
                 status = "decoded_pixels"
             elif fmt == "audio/wav":

@@ -196,6 +196,102 @@ def test_wav_8bit_and_float_variants():
         multimodal._decode_wav(bytes(payload))
 
 
+def _tiny_png(w, h, ch, scanlines: bytes) -> bytes:
+    """Assemble a PNG from raw (filter_byte + row_bytes) scanlines."""
+    import struct
+    import zlib
+
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(scanlines))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png_decodes_all_filter_types():
+    """Real PNG decode through stdlib zlib: one row per filter type
+    (None, Sub, Up, Average, Paeth), expected pixels computed from the
+    spec's unfilter definitions by hand."""
+    import numpy as np
+
+    # 3-pixel-wide grayscale (ch=1), 5 rows, one per filter
+    rows = [
+        (0, [10, 20, 30]),  # None → 10 20 30
+        (1, [5, 5, 5]),  # Sub: +left → 5 10 15
+        (2, [1, 2, 3]),  # Up: +above(5,10,15) → 6 12 18
+        (3, [4, 4, 4]),  # Avg: +(left+up)//2 → 7 13 19  (see below)
+        (4, [1, 1, 1]),  # Paeth → 8 14 20
+    ]
+    # Avg row: p0 = 4 + (0+6)//2 = 7; p1 = 4 + (7+12)//2 = 13;
+    #          p2 = 4 + (13+18)//2 = 19
+    # Paeth row: predictors are left/up/up-left minimizing the
+    # estimate; row above is 7 13 19 → 8, then paeth(8,13,7)=13+1=14,
+    # paeth(14,19,13)=19+1=20
+    scan = b"".join(bytes([f] + v) for f, v in rows)
+    payload = _tiny_png(3, 5, 1, scan)
+    assert multimodal.sniff_format(payload) == "image/png"
+    arr = multimodal._decode_png(payload)
+    assert arr.shape == (5, 3, 1)
+    expected = [
+        [10, 20, 30],
+        [5, 10, 15],
+        [6, 12, 18],
+        [7, 13, 19],
+        [8, 14, 20],
+    ]
+    assert arr.reshape(5, 3).tolist() == expected
+
+    # RGB roundtrip through the kernel
+    import pandas as pd
+
+    px = bytes(range(18))
+    rgb = _tiny_png(3, 2, 3, b"\x00" + px[:9] + b"\x00" + px[9:])
+    [out] = list(
+        multimodal.decode_features(
+            iter([pd.DataFrame({"doc_id": [9], "payload": [rgb]})])
+        )
+    )
+    r = out.iloc[0]
+    assert r["media_format"] == "image/png"
+    assert r["status"] == "decoded_pixels"
+    assert (r["byte_min"], r["byte_max"], r["distinct_bytes"]) == (0, 17, 18)
+
+
+def test_png_palette_and_interlace_stay_behind_seam():
+    import struct
+    import zlib
+
+    def build(ctype=3, interlace=0):
+        def chunk(typ, data):
+            return (
+                struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+            )
+        ihdr = struct.pack(">IIBBBBB", 2, 1, 8, ctype, 0, 0, interlace)
+        return (
+            b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(b"\x00\x01\x02"))
+            + chunk(b"IEND", b"")
+        )
+
+    with pytest.raises(NotImplementedError, match="no codec for PNG"):
+        multimodal._decode_png(build(ctype=3))  # palette
+    with pytest.raises(NotImplementedError, match="no codec for PNG"):
+        multimodal._decode_png(build(ctype=0, interlace=1))  # Adam7
+
+
 def test_webp_still_behind_seam():
     import pandas as pd
 
