@@ -372,6 +372,13 @@ def _render_parametric(name: str, params: list[str], args: list[str]) -> str:
         # both are ClickHouse approximate-quantile registers; the Spark
         # register is percentile_approx — same role, different sketch
         return f"percentile_approx({args[0]}, {params[0]})"
+    if name in ("topK", "topKWeighted"):
+        raise DialectError(
+            f"{name} returns a sketch-ordered array with no Spark "
+            "expression equivalent; use the dedicated operators "
+            "(events_topk_sketch for the sketch tier, "
+            "events_topk_weighted for the exact tier)"
+        )
     raise DialectError(f"unsupported parametric aggregate: {name}")
 
 
@@ -384,6 +391,8 @@ _PARAMETRIC = {
     "quantileTDigest",
     "quantileTiming",
     "groupArraySorted",
+    "topK",
+    "topKWeighted",
 }
 
 

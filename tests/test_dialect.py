@@ -356,6 +356,11 @@ def test_idempotent(expr):
     assert canon(transpile(once)) == canon(once)
 
 
+def test_topk_parametric_raises_with_pointer():
+    with pytest.raises(DialectError, match="events_topk_sketch"):
+        transpile("SELECT topK(5)(user_id) FROM t")
+
+
 def test_multiif_arity_check():
     with pytest.raises(DialectError):
         transpile("multiIf(a, b)")
