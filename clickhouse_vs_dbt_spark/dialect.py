@@ -33,12 +33,24 @@ The full surface (each backed by gated oracle queries and unit tests):
   ``GLOBAL`` hint and ``SETTINGS``/``FORMAT`` tails stripped;
 * expression level — combinators (``sumIf`` family, null-sensitive
   bases get ignoreNulls), parametric aggregates (``quantile*``,
-  ``groupArraySorted``), ``multiIf``, ``to*`` casts, array HOFs with
-  lambda rotation, ``[..]`` array literals (``IN [..]`` becomes the
-  list form), the string/regex family, approx-register aliases;
+  ``groupArraySorted``, exact ``topK``), ``multiIf``, ``to*`` casts,
+  array HOFs with lambda rotation, ``[..]`` array literals (``IN
+  [..]`` becomes the list form), 1-based ``arr[n]`` subscripts →
+  ``try_element_at`` (ClickHouse indexes from 1, negatives from the
+  end — exactly ``try_element_at``'s contract; out-of-bounds yields
+  NULL here vs the element type's default in ClickHouse, the same
+  documented miss-value divergence as ``arrayFirst``), the
+  string/regex family, approx-register aliases;
+* structural rewrites — ``LIMIT n BY`` → ``row_number()`` window +
+  filter (the ``limit_by_analog`` pattern), ``ASOF [LEFT] JOIN …
+  USING (…)`` → correlated ``LATERAL`` top-1 subquery (scale path:
+  ``events_asof_join``'s union-window plan), ``ORDER BY x WITH FILL``
+  → ``sequence()`` spine + left join (the ``events_gap_fill``
+  pattern; missing rows carry NULL, not ClickHouse's type defaults);
 * refusals with pointers — constructs whose silent handling would
-  change results (``FINAL``, ANY/ASOF join strictness, ``LIMIT n BY``,
-  ``WITH FILL``, ``INTO OUTFILE``, multi-array ARRAY JOIN) raise
+  change results (``FINAL``, ANY join strictness, ASOF ``ON`` form,
+  ``topKWeighted``, ``WITH FILL`` on DESC/INTERVAL/multi-key,
+  ``INTO OUTFILE``, multi-array ARRAY JOIN) raise
   :class:`DialectError` naming the dedicated operator instead of
   surfacing an opaque Spark parse error.
 
@@ -267,6 +279,41 @@ def _case_chain(args: list[str]) -> str:
     return f"CASE {' '.join(pairs)} ELSE {args[-1]} END"
 
 
+def _topk_exact(x: str, k: str) -> str:
+    """Exact deterministic top-k-by-frequency as one aggregate
+    expression (ClickHouse ``topK(k)(x)``'s exact tier).
+
+    Sort the group's values, run-length-encode them with a JVM-side
+    ``aggregate()`` fold (the typed empty accumulator comes from
+    ``transform(slice(sorted, 1, 0), ...)`` so no element type needs
+    to be known at transpile time), sort (count desc, value asc) and
+    slice k.  All whole-stage-codegen; O(group) state like
+    ``groupArraySorted``.  ClickHouse's ``topK`` is an approximate
+    sketch — this is the deterministic exact tier (documented
+    divergence: exact counts, value-ordered ties); the sketch-shaped
+    scale operator is ``events_topk_sketch``.
+    """
+    sorted_ = f"array_sort(collect_list({x}))"
+    zero = (
+        f"transform(slice({sorted_}, 1, 0), "
+        f"v -> named_struct('v', v, 'c', CAST(0 AS BIGINT)))"
+    )
+    step = (
+        "(acc, v) -> IF(size(acc) > 0 AND element_at(acc, -1).v = v, "
+        "concat(slice(acc, 1, size(acc) - 1), "
+        "array(named_struct('v', v, 'c', element_at(acc, -1).c + 1))), "
+        "concat(acc, array(named_struct('v', v, 'c', CAST(1 AS BIGINT)))))"
+    )
+    cmp = (
+        "(a, b) -> CASE WHEN a.c > b.c THEN -1 WHEN a.c < b.c THEN 1 "
+        "WHEN a.v < b.v THEN -1 WHEN a.v > b.v THEN 1 ELSE 0 END"
+    )
+    return (
+        f"transform(slice(array_sort(aggregate({sorted_}, {zero}, "
+        f"{step}), {cmp}), 1, {k}), s -> s.v)"
+    )
+
+
 def _render_call(name: str, args: list[str]) -> str:
     joined = ", ".join(args)
     if name == "multiIf":
@@ -346,6 +393,28 @@ def _render_call(name: str, args: list[str]) -> str:
             return f"{base}(CASE WHEN {cond} THEN {args[0]} END{tail})"
     if name in _RENAME:
         return f"{_RENAME[name]}({joined})"
+    if name in _PARAMETRIC:
+        # plain one-list form of a parametric aggregate: ClickHouse
+        # applies the parameter's documented default (level 0.5 for
+        # the quantile family, k=10 for topK); the remaining forms
+        # have no meaningful default → refuse naming the parametric
+        # spelling rather than surfacing an opaque Spark
+        # undefined-function error.
+        if name == "quantile" and len(args) == 1:
+            return f"percentile_approx({args[0]}, 0.5)"
+        if name == "quantileExact" and len(args) == 1:
+            return f"percentile({args[0]}, 0.5)"
+        if (
+            name in ("quantileTDigest", "quantileTiming")
+            and len(args) == 1
+        ):
+            return f"percentile_approx({args[0]}, 0.5)"
+        if name == "topK" and len(args) == 1:
+            return _topk_exact(args[0], "10")
+        raise DialectError(
+            f"{name} is a parametric aggregate — write "
+            f"{name}(params)({joined})"
+        )
     return f"{name}({joined})"
 
 
@@ -372,12 +441,16 @@ def _render_parametric(name: str, params: list[str], args: list[str]) -> str:
         # both are ClickHouse approximate-quantile registers; the Spark
         # register is percentile_approx — same role, different sketch
         return f"percentile_approx({args[0]}, {params[0]})"
-    if name in ("topK", "topKWeighted"):
+    if name == "topK" and len(params) == 1 and len(args) == 1:
+        # exact tier of ClickHouse's approximate sketch (see
+        # _topk_exact); events_topk_sketch is the sketch-shaped
+        # scale operator
+        return _topk_exact(args[0], params[0])
+    if name == "topKWeighted":
         raise DialectError(
-            f"{name} returns a sketch-ordered array with no Spark "
-            "expression equivalent; use the dedicated operators "
-            "(events_topk_sketch for the sketch tier, "
-            "events_topk_weighted for the exact tier)"
+            "topKWeighted's weighted sketch has no value-checkable "
+            "Spark expression equivalent; use the dedicated operator "
+            "events_topk_weighted (exact weighted tier)"
         )
     raise DialectError(f"unsupported parametric aggregate: {name}")
 
@@ -402,33 +475,57 @@ def _walk(
     out: list[str] = []
     i = start
     last_code = ""  # last non-whitespace token emitted (for [ disambiguation)
+    # `primary_start` tracks the out-index where the current indexable
+    # primary expression (ident, dotted name, rendered call, literal,
+    # or parenthesized group) begins, so a following [expr] subscript
+    # can wrap it in try_element_at (ClickHouse subscripts are
+    # 1-based, negatives count from the end — try_element_at's exact
+    # contract; module doc covers the NULL-vs-default miss value).
+    primary_start: int | None = None
+    paren_stack: list[int] = []  # out-indices of plain open parens
     while i < end:
         t = toks[i]
         if drop_comments and (t.startswith("--") or t.startswith("/*")):
             i += 1
             continue
-        if t == "[" and (
-            last_code not in ("]", ")")
-            and (
+        if t == "[":
+            literal = last_code not in ("]", ")") and (
                 not _is_ident(last_code)
                 or last_code.upper() in _LITERAL_CONTEXT_KEYWORDS
             )
-        ):
-            # ClickHouse array literal [a, b, c] → array(a, b, c).
-            # After a column/alias identifier or ) / ] the bracket is
-            # indexing (arr[1]); after a KEYWORD (SELECT, THEN, IN,
-            # AND, ...) or an operator it can only be a literal.
-            # `x IN [a, b]` (membership in a literal array) becomes
-            # Spark's list form `IN (a, b)`.
-            elems, k = _parse_args(toks, i, "[", "]")
-            if last_code.upper() == "IN":
-                rendered = f"({', '.join(elems)})"
-            else:
-                rendered = f"array({', '.join(elems)})"
-            out.append(rendered)
-            last_code = "]"  # rendered call ends like a paren close
-            i = k
-            continue
+            if literal:
+                # ClickHouse array literal [a, b, c] → array(a, b, c).
+                # After a column/alias identifier or ) / ] the bracket
+                # is indexing (arr[1]); after a KEYWORD (SELECT, THEN,
+                # IN, AND, ...) or an operator it can only be a
+                # literal.  `x IN [a, b]` (membership in a literal
+                # array) becomes Spark's list form `IN (a, b)`.
+                elems, k = _parse_args(toks, i, "[", "]")
+                if last_code.upper() == "IN":
+                    rendered = f"({', '.join(elems)})"
+                else:
+                    rendered = f"array({', '.join(elems)})"
+                primary_start = len(out)
+                out.append(rendered)
+                last_code = "]"  # rendered call ends like a paren close
+                i = k
+                continue
+            if primary_start is not None:
+                # 1-based subscript: base[expr] → try_element_at(base,
+                # expr).  Chains (arr[1][2], map access m['k']) loop
+                # naturally — the wrapped call is itself a primary.
+                idx, k = _parse_args(toks, i, "[", "]")
+                if len(idx) != 1:
+                    raise DialectError(
+                        "subscript takes exactly one expression"
+                    )
+                base = "".join(out[primary_start:]).rstrip()
+                out[primary_start:] = [
+                    f"try_element_at({base}, {idx[0]})"
+                ]
+                last_code = ")"
+                i = k
+                continue
         j = _next_code(toks, i + 1)
         if _is_ident(t) and j < end and toks[j] == "(":
             name = t
@@ -436,16 +533,35 @@ def _walk(
             j2 = _next_code(toks, k)
             if name in _PARAMETRIC and j2 < end and toks[j2] == "(":
                 second, k2 = _parse_args(toks, j2)
+                primary_start = len(out)
                 out.append(_render_parametric(name, first, second))
                 i = k2
             else:
+                primary_start = len(out)
                 out.append(_render_call(name, first))
                 i = k
             last_code = ")"
         else:
-            out.append(t)
             if not _is_skippable(t):
+                if _is_ident(t):
+                    if last_code != "." or primary_start is None:
+                        primary_start = len(out)
+                elif t == ".":
+                    if not (
+                        _is_ident(last_code) or last_code in (")", "]")
+                    ):
+                        primary_start = None
+                elif t == "(":
+                    paren_stack.append(len(out))
+                    primary_start = None
+                elif t == ")":
+                    primary_start = (
+                        paren_stack.pop() if paren_stack else None
+                    )
+                else:
+                    primary_start = None
                 last_code = t
+            out.append(t)
             i += 1
     return "".join(out)
 
@@ -478,7 +594,12 @@ def _rewrite_clauses(toks: list[str]) -> list[str]:
     * ``[LEFT] ARRAY JOIN <expr> AS <alias>`` → ``LATERAL VIEW
       [OUTER] explode(<expr>) _aj AS <alias>``: ClickHouse's
       structural row-expansion clause; LEFT keeps rows with empty
-      arrays (explode_outer semantics = LATERAL VIEW OUTER).  The
+      arrays (explode_outer semantics = LATERAL VIEW OUTER).
+      Documented divergence: on an empty array, LEFT ARRAY JOIN
+      yields the element type's DEFAULT (0/'') in ClickHouse but
+      NULL here — the same NULL-as-miss-value policy as arrayFirst
+      and arr[n]; ``coalesce()`` the alias for CH-identical output.
+      The
       alias-less form (where the element shadows the array column's
       own name) and the multi-array zip form raise
       :class:`DialectError` with guidance, rather than silently
@@ -550,27 +671,6 @@ def _rewrite_clauses(toks: list[str]) -> list[str]:
     for i, t in enumerate(out):
         u = t.upper()
         j = _next_code(out, i + 1)
-        k = _next_code(out, j + 1) if j < len(out) else len(out)
-        if (
-            u == "LIMIT"
-            and j < len(out)
-            and out[j].replace(".", "").isdigit()
-        ):
-            # accept all ClickHouse forms: LIMIT n BY, LIMIT n, m BY,
-            # LIMIT n OFFSET m BY
-            k2 = k
-            if k2 < len(out) and (
-                out[k2] == "," or out[k2].upper() == "OFFSET"
-            ):
-                m2 = _next_code(out, k2 + 1)
-                if m2 < len(out) and out[m2].replace(".", "").isdigit():
-                    k2 = _next_code(out, m2 + 1)
-            if k2 < len(out) and out[k2].upper() == "BY":
-                raise DialectError(
-                    "LIMIT n BY is not Spark syntax; rank with "
-                    "row_number() OVER (PARTITION BY ...) <= n "
-                    "(see limit_by_analog)"
-                )
         if u == "WITH" and j < len(out) and out[j].upper() == "FILL":
             # only mid-query (after ORDER BY): a CTE named fill starts
             # a statement or a parenthesized subquery
@@ -775,12 +875,546 @@ def _rewrite_clauses(toks: list[str]) -> list[str]:
     return out
 
 
-def transpile(sql: str) -> str:
+def _match_close(toks: list[str], open_i: int) -> int:
+    """Index of the ) matching the ( at ``open_i``."""
+    depth = 0
+    for i in range(open_i, len(toks)):
+        if toks[i] in ("(", "["):
+            depth += 1
+        elif toks[i] in (")", "]"):
+            depth -= 1
+            if depth == 0:
+                return i
+    raise DialectError("unbalanced parentheses")
+
+
+def _find_limit_by(toks: list[str]):
+    """Locate the first ClickHouse ``LIMIT [o,]n BY`` clause at any
+    depth; return (seg_start, seg_end, limit_i, offset, count,
+    by_start) or None.  seg bounds delimit the enclosing SELECT (the
+    whole statement, or the parenthesized subquery's interior)."""
+    stack: list[int] = []
+    for i, t in enumerate(toks):
+        if t in ("(", "["):
+            stack.append(i)
+        elif t in (")", "]"):
+            if stack:
+                stack.pop()
+        elif t.upper() == "LIMIT":
+            j = _next_code(toks, i + 1)
+            if j >= len(toks) or not toks[j].isdigit():
+                continue
+            off, cnt = 0, int(toks[j])
+            k = _next_code(toks, j + 1)
+            if k < len(toks) and toks[k] == ",":
+                m = _next_code(toks, k + 1)
+                if m < len(toks) and toks[m].isdigit():
+                    off, cnt = cnt, int(toks[m])
+                    k = _next_code(toks, m + 1)
+            elif k < len(toks) and toks[k].upper() == "OFFSET":
+                m = _next_code(toks, k + 1)
+                if m < len(toks) and toks[m].isdigit():
+                    off = int(toks[m])
+                    k = _next_code(toks, m + 1)
+            if k < len(toks) and toks[k].upper() == "BY":
+                seg_start = stack[-1] + 1 if stack else 0
+                seg_end = _match_close(toks, stack[-1]) if stack else len(toks)
+                return seg_start, seg_end, i, off, cnt, k + 1
+    return None
+
+
+def _rewrite_limit_by(toks: list[str]) -> list[str]:
+    """``SELECT … [ORDER BY o] LIMIT [off,]n BY exprs [LIMIT m]`` →
+    the ``limit_by_analog`` pattern: rank rows per distinct value of
+    the BY expressions with ``row_number()`` over the query's ORDER
+    BY (ClickHouse applies ORDER BY before LIMIT BY) and keep ranks
+    (off, off+n].  ``SELECT * EXCEPT`` drops the rank column, so the
+    output schema matches ClickHouse's exactly.  One extra shuffle
+    (the window partitioning) — the same plan a hand-written Spark
+    spelling needs."""
+    while True:
+        hit = _find_limit_by(toks)
+        if hit is None:
+            return toks
+        seg_start, seg_end, limit_i, off, cnt, by_start = hit
+        # optional ORDER BY before the LIMIT, at segment depth 0
+        ord_start = ord_exprs_start = None
+        depth = 0
+        for i in range(seg_start, limit_i):
+            t = toks[i]
+            if t in ("(", "["):
+                depth += 1
+            elif t in (")", "]"):
+                depth -= 1
+            elif depth == 0 and t.upper() == "ORDER":
+                j = _next_code(toks, i + 1)
+                if j < limit_i and toks[j].upper() == "BY":
+                    ord_start, ord_exprs_start = i, j + 1
+        # BY expression list ends at segment-depth-0 LIMIT or seg_end
+        depth = 0
+        by_end = seg_end
+        tail = ""
+        for i in range(by_start, seg_end):
+            t = toks[i]
+            if t in ("(", "["):
+                depth += 1
+            elif t in (")", "]"):
+                depth -= 1
+            elif depth == 0 and t.upper() == "LIMIT":
+                by_end = i
+                tail = "".join(toks[i:seg_end]).strip()
+                break
+        by_text = "".join(toks[by_start:by_end]).strip()
+        if not by_text:
+            raise DialectError("LIMIT ... BY: empty BY expression list")
+        head_end = ord_start if ord_start is not None else limit_i
+        head_text = "".join(toks[seg_start:head_end]).strip()
+        ord_text = (
+            "".join(toks[ord_exprs_start:limit_i]).strip()
+            if ord_start is not None
+            else ""
+        )
+        win_ord = ord_text or by_text
+        cond = f"__limit_by_rn <= {off + cnt}"
+        if off:
+            cond += f" AND __limit_by_rn > {off}"
+        repl = (
+            "SELECT * EXCEPT (__limit_by_rn) FROM (SELECT *, "
+            f"row_number() OVER (PARTITION BY {by_text} "
+            f"ORDER BY {win_ord}) AS __limit_by_rn "
+            f"FROM ({head_text}) __limit_by_src) WHERE {cond}"
+        )
+        if ord_text:
+            repl += f" ORDER BY {ord_text}"
+        if tail:
+            repl += f" {tail}"
+        toks[seg_start:seg_end] = [repl]
+        toks = _tokens("".join(toks))
+
+
+_FILL_STOP = {"FROM", "TO", "STEP", "LIMIT", "INTERPOLATE", ";"}
+
+
+def _rewrite_with_fill(toks: list[str]) -> list[str]:
+    """Top-level ``ORDER BY x WITH FILL [FROM a] [TO b] [STEP s]`` →
+    the ``events_gap_fill`` pattern: explode a ``sequence()`` spine
+    and left-join the query to it.  FROM/TO default to the query's
+    own min/max (scalar subqueries); TO is exclusive (ClickHouse
+    semantics) via ``(b) - 1`` — integer keys only, the common
+    ClickHouse usage (INTERVAL steps refuse).  Missing rows carry
+    NULL in the non-key columns where ClickHouse fills type defaults
+    — the module's documented miss-value divergence.  Multi-key,
+    DESC, and INTERPOLATE forms refuse with pointers."""
+    # find the LAST top-level ORDER BY (set-op tails bind to it)
+    depth = 0
+    ord_i = None
+    for i, t in enumerate(toks):
+        if t in ("(", "["):
+            depth += 1
+        elif t in (")", "]"):
+            depth -= 1
+        elif depth == 0 and t.upper() == "ORDER":
+            j = _next_code(toks, i + 1)
+            if j < len(toks) and toks[j].upper() == "BY":
+                ord_i = i
+    if ord_i is None:
+        return toks
+    by_i = _next_code(toks, ord_i + 1)
+    # scan the ORDER BY list for a depth-0 WITH FILL
+    depth = 0
+    fill_i = None
+    i = by_i + 1
+    while i < len(toks):
+        t = toks[i]
+        if t in ("(", "["):
+            depth += 1
+        elif t in (")", "]"):
+            depth -= 1
+        elif depth == 0 and t.upper() == "WITH":
+            j = _next_code(toks, i + 1)
+            if j < len(toks) and toks[j].upper() == "FILL":
+                fill_i = i
+                fill_kw_end = j + 1
+                break
+            break  # WITH TOTALS / ROLLUP / CUBE — not ours
+        elif depth == 0 and t.upper() in ("LIMIT", "SETTINGS", "FORMAT", ";"):
+            break
+        i += 1
+    if fill_i is None:
+        return toks
+    key_toks = [
+        t for t in toks[by_i + 1 : fill_i] if not _is_skippable(t)
+    ]
+    if key_toks and key_toks[-1].upper() == "ASC":
+        key_toks = key_toks[:-1]
+    if key_toks and key_toks[-1].upper() == "DESC":
+        raise DialectError(
+            "ORDER BY ... DESC WITH FILL (descending fill) is not "
+            "supported; fill ascending or use events_gap_fill"
+        )
+    if len(key_toks) != 1 or not _is_ident(key_toks[0]):
+        raise DialectError(
+            "WITH FILL supports a single plain column/alias key here; "
+            "for multi-key or expression fills use events_gap_fill"
+        )
+    x = key_toks[0]
+    # parse FROM / TO / STEP expression spans
+    spans: dict[str, str] = {}
+    i = fill_kw_end
+    tail = ""
+    while i < len(toks):
+        j = _next_code(toks, i)
+        if j >= len(toks) or toks[j] == ";":
+            break
+        u = toks[j].upper()
+        if u == "INTERPOLATE":
+            raise DialectError(
+                "WITH FILL INTERPOLATE is not supported; use "
+                "events_gap_interpolate"
+            )
+        if u == "LIMIT":
+            tail = "".join(toks[j:]).strip()
+            break
+        if u not in ("FROM", "TO", "STEP"):
+            raise DialectError(f"WITH FILL: unexpected token {toks[j]}")
+        k = _next_code(toks, j + 1)
+        depth = 0
+        e = k
+        while e < len(toks):
+            t = toks[e]
+            if t in ("(", "["):
+                depth += 1
+            elif t in (")", "]"):
+                depth -= 1
+            elif depth == 0 and (
+                t.upper() in _FILL_STOP or t == ";"
+            ):
+                break
+            e += 1
+        expr = "".join(toks[k:e]).strip()
+        if not expr:
+            raise DialectError(f"WITH FILL {u}: missing expression")
+        if expr.upper().startswith("INTERVAL"):
+            raise DialectError(
+                "WITH FILL STEP INTERVAL (date/time spines) is not "
+                "supported here; use events_gap_fill"
+            )
+        spans[u] = expr
+        i = e
+    core = "".join(toks[:ord_i]).strip()
+    from_e = spans.get("FROM") or f"(SELECT min({x}) FROM ({core}))"
+    to_e = (
+        f"({spans['TO']}) - 1"
+        if "TO" in spans
+        else f"(SELECT max({x}) FROM ({core}))"
+    )
+    step = spans.get("STEP", "1")
+    repl = (
+        f"SELECT * FROM (SELECT explode(sequence({from_e}, {to_e}, "
+        f"{step})) AS {x}) __fill_spine LEFT JOIN ({core}) __fill_base "
+        f"USING ({x}) ORDER BY {x}"
+    )
+    if tail:
+        repl += f" {tail}"
+    return _tokens(repl)
+
+
+def _match_open(toks: list[str], close_i: int) -> int:
+    """Index of the ( matching the ) at ``close_i`` (backward scan)."""
+    depth = 0
+    for i in range(close_i, -1, -1):
+        if toks[i] in (")", "]"):
+            depth += 1
+        elif toks[i] in ("(", "["):
+            depth -= 1
+            if depth == 0:
+                return i
+    raise DialectError("unbalanced parentheses")
+
+
+def _prev_code(toks: list[str], i: int) -> int:
+    """Index of the previous non-whitespace/comment token, or -1."""
+    while i >= 0 and _is_skippable(toks[i]):
+        i -= 1
+    return i
+
+
+def _asof_union_window(
+    toks, splice_start, strict, l_alias, right_ref, r_alias, keys,
+    uclose, resolve_columns,
+):
+    """The scale-shaped ASOF rewrite (events_asof_join's plan): tag
+    right rows side=1 and the left's DISTINCT key pairs side=0, union,
+    carry each right value column forward with ``last_value(...,
+    true)`` over (eq keys, ORDER BY ts, side DESC — a tie on ts picks
+    the right row, ClickHouse's ``>=`` strictness), keep the side=0
+    rows, and equi-join back with USING.  One window shuffle on the
+    equality keys + the join-back — linear, no per-row candidate
+    scan.  Returns the replacement string, or None when the left
+    relation isn't a simple FROM item or the right columns can't be
+    resolved (caller falls back to the LATERAL form)."""
+    # left relation: [FROM] <dotted name | (subquery)> [AS] [alias]
+    q = _prev_code(toks, splice_start - 1)
+    if q < 0 or not _is_ident(toks[q]):
+        return None
+    p2 = _prev_code(toks, q - 1)
+    rel_start = q
+    if p2 >= 0 and toks[p2] == ".":
+        # dotted name used without alias: walk the chain back
+        i = p2
+        while i >= 0 and toks[i] == ".":
+            j = _prev_code(toks, i - 1)
+            if j < 0 or not _is_ident(toks[j]):
+                return None
+            rel_start = j
+            i = _prev_code(toks, j - 1)
+        before = i
+    elif p2 >= 0 and toks[p2] == ")":
+        rel_start = _match_open(toks, p2)
+        before = _prev_code(toks, rel_start - 1)
+        if before >= 0 and toks[before].upper() == "AS":
+            before = _prev_code(toks, before - 1)
+    elif p2 >= 0 and toks[p2].upper() == "AS":
+        j = _prev_code(toks, p2 - 1)
+        if j >= 0 and toks[j] == ")":
+            rel_start = _match_open(toks, j)
+        elif j >= 0 and _is_ident(toks[j]):
+            rel_start = j
+            while True:
+                k2 = _prev_code(toks, rel_start - 1)
+                if k2 >= 0 and toks[k2] == ".":
+                    j2 = _prev_code(toks, k2 - 1)
+                    if j2 < 0 or not _is_ident(toks[j2]):
+                        return None
+                    rel_start = j2
+                else:
+                    break
+        else:
+            return None
+        before = _prev_code(toks, rel_start - 1)
+    elif p2 >= 0 and _is_ident(toks[p2]) and toks[p2].upper() not in (
+        "FROM", "JOIN", "WHERE", "ON", "AND", "SELECT",
+    ):
+        # table name + alias (possibly dotted table)
+        rel_start = p2
+        while True:
+            k2 = _prev_code(toks, rel_start - 1)
+            if k2 >= 0 and toks[k2] == ".":
+                j2 = _prev_code(toks, k2 - 1)
+                if j2 < 0 or not _is_ident(toks[j2]):
+                    return None
+                rel_start = j2
+            else:
+                break
+        before = _prev_code(toks, rel_start - 1)
+    else:
+        before = p2
+    if before < 0 or toks[before].upper() != "FROM":
+        return None  # left side is a join chain / comma list
+    left_rel = "".join(toks[rel_start : q + 1]).strip()
+    rcols = resolve_columns(right_ref)
+    if not rcols:
+        return None
+    if any(k not in rcols for k in keys):
+        return None
+    vals = [c for c in rcols if c not in keys]
+    kcsv = ", ".join(keys)
+    eq = keys[:-1]
+    ts = keys[-1]
+    win = (
+        f"OVER (PARTITION BY {', '.join(eq)} ORDER BY {ts}, "
+        "__asof_side DESC ROWS BETWEEN UNBOUNDED PRECEDING AND "
+        "CURRENT ROW)"
+    )
+    carried = ", ".join(
+        f"last_value({c}, true) {win} AS {c}" for c in vals
+    )
+    matched = f"last_value(CASE WHEN __asof_side = 1 THEN 1 END, true) {win}"
+    nulls = ", ".join(f"NULL AS {c}" for c in vals)
+    keep = "__asof_side = 0"
+    inner_cols = f"{kcsv}, __asof_side"
+    if strict != "LEFT":
+        inner_cols += f", {matched} AS __asof_matched"
+        keep += " AND __asof_matched = 1"
+    jkind = "LEFT JOIN" if strict == "LEFT" else "JOIN"
+    sel_vals = f", {', '.join(vals)}" if vals else ""
+    carried_part = f", {carried}" if vals else ""
+    nulls_part = f", {nulls}" if vals else ""
+    r1 = f"SELECT {kcsv}, 1 AS __asof_side{sel_vals} FROM {right_ref} {r_alias}"
+    l0 = f"SELECT DISTINCT {kcsv}, 0 AS __asof_side{nulls_part} FROM {left_rel}"
+    return (
+        f" {jkind} (SELECT {kcsv}{sel_vals} FROM "
+        f"(SELECT {inner_cols}{carried_part} FROM "
+        f"({r1} UNION ALL {l0}) __asof_u) __asof_w WHERE {keep}) "
+        f"{r_alias} USING ({kcsv})"
+    )
+
+
+def _rewrite_asof(toks: list[str], resolve_columns=None) -> list[str]:
+    """``<left> ASOF [LEFT] JOIN <right> [alias] USING (k…, ts)`` —
+    for each left row, the right row with the greatest ``ts <=``
+    left's (ClickHouse's default ``>=`` strictness), equal on the
+    leading keys.  LEFT keeps unmatched rows (NULLs); plain ASOF JOIN
+    is inner.
+
+    Two emission shapes.  With a column resolver (the
+    ``run_clickhouse_sql`` front door provides one backed by the
+    session catalog) and a simple left FROM item, it emits the
+    union + last_value-window plan (see :func:`_asof_union_window`) —
+    the 100 TB shape, one keyed window shuffle.  Otherwise it falls
+    back to a correlated LATERAL top-1 subquery whose USING columns
+    are dropped via ``SELECT * EXCEPT`` — correct, but Catalyst's
+    decorrelation builds a ts-domain nested-loop join (quadratic in
+    the worst case), so the front door always prefers the resolver
+    path; ``events_asof_join`` is the standalone operator.  The ON
+    form refuses with that pointer."""
+    while True:
+        found = None
+        for i, t in enumerate(toks):
+            if t.upper() == "ASOF":
+                found = i
+                break
+        if found is None:
+            return toks
+        i = found
+        splice_start = i
+        strict = "INNER"
+        # LEFT ASOF JOIN spelling
+        p = i - 1
+        while p >= 0 and _is_skippable(toks[p]):
+            p -= 1
+        if p >= 0 and toks[p].upper() == "LEFT":
+            strict = "LEFT"
+            splice_start = p
+        j = _next_code(toks, i + 1)
+        if j < len(toks) and toks[j].upper() in ("LEFT", "INNER"):
+            if toks[j].upper() == "LEFT":
+                strict = "LEFT"
+            j = _next_code(toks, j + 1)
+        if j >= len(toks) or toks[j].upper() != "JOIN":
+            raise DialectError("ASOF: expected JOIN")
+        # left-side qualifier: the table name or alias just before
+        q = splice_start - 1
+        while q >= 0 and _is_skippable(toks[q]):
+            q -= 1
+        if q < 0 or not _is_ident(toks[q]):
+            raise DialectError(
+                "ASOF JOIN needs a named/aliased left table to "
+                "correlate on; alias the left side"
+            )
+        l_alias = toks[q]
+        # right side: dotted table name or (subquery), optional alias
+        r = _next_code(toks, j + 1)
+        if r >= len(toks):
+            raise DialectError("ASOF JOIN: missing right side")
+        if toks[r] == "(":
+            close = _match_close(toks, r)
+            right_ref = "".join(toks[r : close + 1])
+            r2 = _next_code(toks, close + 1)
+            inner_from = right_ref  # subquery needs its alias below
+            need_alias = True
+        else:
+            if not _is_ident(toks[r]):
+                raise DialectError("ASOF JOIN: malformed right side")
+            name_end = r
+            k = _next_code(toks, r + 1)
+            while (
+                k < len(toks)
+                and toks[k] == "."
+                and (n2 := _next_code(toks, k + 1)) < len(toks)
+                and _is_ident(toks[n2])
+            ):
+                name_end = n2
+                k = _next_code(toks, n2 + 1)
+            right_ref = "".join(toks[r : name_end + 1])
+            inner_from = right_ref
+            need_alias = False
+            r2 = _next_code(toks, name_end + 1)
+        r_alias = None
+        if r2 < len(toks) and toks[r2].upper() == "AS":
+            r2 = _next_code(toks, r2 + 1)
+        if (
+            r2 < len(toks)
+            and _is_ident(toks[r2])
+            and toks[r2].upper() not in ("USING", "ON")
+        ):
+            r_alias = toks[r2]
+            r2 = _next_code(toks, r2 + 1)
+        if r2 >= len(toks) or toks[r2].upper() != "USING":
+            raise DialectError(
+                "ASOF JOIN ... ON is not auto-rewritten (inequality "
+                "direction is free-form there); use the USING (keys..., "
+                "ts) form or the events_asof_join operator"
+            )
+        if r_alias is None:
+            if need_alias:
+                raise DialectError("ASOF JOIN: subquery right side needs an alias")
+            r_alias = right_ref.split(".")[-1].strip("`")
+        u = _next_code(toks, r2 + 1)
+        if u >= len(toks) or toks[u] != "(":
+            raise DialectError("ASOF JOIN USING: expected (columns)")
+        uclose = _match_close(toks, u)
+        keys = [
+            t for t in toks[u + 1 : uclose] if _is_ident(t)
+        ]
+        if len(keys) < 2:
+            raise DialectError(
+                "ASOF JOIN USING needs at least one equality key plus "
+                "the trailing inequality column"
+            )
+        eq, ts = keys[:-1], keys[-1]
+        repl = None
+        if resolve_columns is not None:
+            repl = _asof_union_window(
+                toks, splice_start, strict, l_alias, inner_from,
+                r_alias, keys, uclose, resolve_columns,
+            )
+        if repl is None:
+            conds = " AND ".join(
+                f"{r_alias}.{k} = {l_alias}.{k}" for k in eq
+            )
+            jkind = "LEFT JOIN" if strict == "LEFT" else "JOIN"
+            repl = (
+                f" {jkind} LATERAL (SELECT * EXCEPT ({', '.join(keys)}) "
+                f"FROM {inner_from} {r_alias} WHERE {conds} AND "
+                f"{r_alias}.{ts} <= {l_alias}.{ts} "
+                f"ORDER BY {r_alias}.{ts} DESC LIMIT 1) {r_alias} ON true"
+            )
+        toks[splice_start : uclose + 1] = [repl]
+        toks = _tokens("".join(toks))
+
+
+def transpile(sql: str, resolve_columns=None) -> str:
     """Rewrite a ClickHouse-dialect query into Spark SQL (see module
-    doc).  Unrecognized constructs pass through verbatim."""
-    toks = _rewrite_clauses(_tokens(sql))
+    doc).  Unrecognized constructs pass through verbatim.
+    ``resolve_columns`` (relation text → column names, or None) lets
+    the ASOF rewrite emit its scale-shaped union-window plan; without
+    it the correct-but-local LATERAL fallback is used."""
+    toks = _tokens(sql)
+    toks = _rewrite_limit_by(toks)
+    toks = _rewrite_with_fill(toks)
+    toks = _rewrite_asof(toks, resolve_columns)
+    toks = _rewrite_clauses(toks)
     toks = _tokens("".join(toks))  # re-tokenize after clause splices
     return _walk(toks, 0, len(toks))
+
+
+def catalog_resolver(spark: SparkSession):
+    """Column resolver backed by the session catalog: accepts a table
+    name or a parenthesized (ClickHouse-dialect) subquery, returns its
+    column names via a LIMIT 0 analysis (no execution), or None."""
+
+    def resolve(rel: str):
+        rel = rel.strip()
+        try:
+            if rel.startswith("("):
+                inner = transpile(rel[1:-1])
+                rel = f"({inner}) __asof_probe"
+            return spark.sql(f"SELECT * FROM {rel} LIMIT 0").columns
+        except Exception:
+            return None
+
+    return resolve
 
 
 def run_clickhouse_sql(
@@ -790,7 +1424,7 @@ def run_clickhouse_sql(
     compat UDFs, transpile, execute."""
     register_views(spark, sf_dir, tables)
     register_clickhouse_compat(spark)
-    return spark.sql(transpile(sql))
+    return spark.sql(transpile(sql, resolve_columns=catalog_resolver(spark)))
 
 
 # --- gated proofs: verbatim ClickHouse queries through the front door ---
@@ -1047,8 +1681,148 @@ def q_dialect_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_clickhouse_sql(spark, _CH_STRINGS, sf_dir, ("orders",))
 
 
+# 8. LIMIT n BY — ClickHouse's per-group top-n clause, auto-rewritten
+#    to the row_number() window (the limit_by_analog pattern).  The
+#    ORDER BY tiebreak on o_orderkey makes the pick deterministic.
+_CH_LIMIT_BY = """
+SELECT o_orderstatus, o_orderkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 2 BY o_orderstatus
+"""
+
+O_LIMIT_BY = """
+SELECT o_orderstatus, o_orderkey, o_totalprice FROM (
+  SELECT o_orderstatus, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_orderstatus
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+) WHERE rn <= 2
+"""
+
+
+def q_dialect_limit_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verbatim ClickHouse LIMIT n BY query (module doc)."""
+    return run_clickhouse_sql(spark, _CH_LIMIT_BY, sf_dir, ("orders",))
+
+
+# 9. ASOF LEFT JOIN ... USING — for each purchase event, the user's
+#    latest click at-or-before it.  Event timestamps are globally
+#    unique in the testdata, so the top-1 pick is deterministic.  The
+#    DuckDB oracle uses its native ASOF JOIN.
+_CH_ASOF = """
+SELECT e.event_id, e.user_id, e.ts, c.click_value
+FROM events e
+ASOF LEFT JOIN (
+    SELECT user_id, ts, value AS click_value
+    FROM events
+    WHERE event_type = 'click'
+) c USING (user_id, ts)
+WHERE e.event_type = 'purchase'
+"""
+
+O_ASOF = """
+SELECT e.event_id, e.user_id, e.ts, c.click_value
+FROM events e
+ASOF LEFT JOIN (
+    SELECT user_id, ts, value AS click_value
+    FROM events
+    WHERE event_type = 'click'
+) c ON e.user_id = c.user_id AND e.ts >= c.ts
+WHERE e.event_type = 'purchase'
+"""
+
+
+def q_dialect_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verbatim ClickHouse ASOF LEFT JOIN USING query (module doc)."""
+    return run_clickhouse_sql(spark, _CH_ASOF, sf_dir, ("events",))
+
+
+# 10. ORDER BY ... WITH FILL — yearly order counts on a gap-free
+#     1992..1999 spine (TO 2000 exclusive, ClickHouse semantics);
+#     missing years carry NULL counts (documented divergence from
+#     ClickHouse's zero-fill).
+_CH_WITH_FILL = """
+SELECT toYear(o_orderdate) AS yr, count(*) AS n
+FROM orders
+GROUP BY yr
+ORDER BY yr WITH FILL FROM 1992 TO 2000
+"""
+
+O_WITH_FILL = """
+SELECT yr, n
+FROM (SELECT unnest(range(1992, 2000)) AS yr) s
+LEFT JOIN (
+  SELECT year(o_orderdate) AS yr, count(*) AS n
+  FROM orders GROUP BY 1
+) b USING (yr)
+ORDER BY yr
+"""
+
+
+def q_dialect_with_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verbatim ClickHouse ORDER BY WITH FILL query (module doc)."""
+    return run_clickhouse_sql(spark, _CH_WITH_FILL, sf_dir, ("orders",))
+
+
+# 11. topK(k)(x) — exact deterministic tier (count desc, value asc):
+#     the 3 most frequent priorities per order status.
+_CH_TOPK = """
+SELECT o_orderstatus, topK(3)(o_orderpriority) AS top_prios
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+O_TOPK = """
+SELECT o_orderstatus,
+       list_slice(list(o_orderpriority ORDER BY c DESC, o_orderpriority),
+                  1, 3) AS top_prios
+FROM (
+  SELECT o_orderstatus, o_orderpriority, count(*) AS c
+  FROM orders GROUP BY 1, 2
+)
+GROUP BY o_orderstatus
+"""
+
+
+def q_dialect_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verbatim ClickHouse topK query, exact tier (module doc)."""
+    return run_clickhouse_sql(spark, _CH_TOPK, sf_dir, ("orders",))
+
+
+# 12. 1-based array subscripts (positive and negative) over a split —
+#     ClickHouse arr[1] is the first element, arr[-1] the last; both
+#     map to try_element_at.  DuckDB list indexing is 1-based too, so
+#     the oracle spells it natively.
+_CH_SUBSCRIPT = """
+SELECT o_orderkey,
+       splitByChar('-', o_orderpriority)[1] AS prio_num,
+       splitByChar('-', o_orderpriority)[-1] AS prio_word
+FROM orders
+WHERE modulo(o_orderkey, 7) = 0
+"""
+
+O_SUBSCRIPT = """
+SELECT o_orderkey,
+       string_split(o_orderpriority, '-')[1] AS prio_num,
+       string_split(o_orderpriority, '-')[-1] AS prio_word
+FROM orders
+WHERE o_orderkey % 7 = 0
+"""
+
+
+def q_dialect_subscript(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verbatim ClickHouse 1-based subscript query (module doc)."""
+    return run_clickhouse_sql(spark, _CH_SUBSCRIPT, sf_dir, ("orders",))
+
+
 QUERIES = {
     "dialect_strings": q_dialect_strings,
+    "dialect_limit_by": q_dialect_limit_by,
+    "dialect_asof_join": q_dialect_asof_join,
+    "dialect_with_fill": q_dialect_with_fill,
+    "dialect_topk": q_dialect_topk,
+    "dialect_subscript": q_dialect_subscript,
     "dialect_combinators": q_dialect_combinators,
     "dialect_arrayjoin": q_dialect_arrayjoin,
     "dialect_multiif": q_dialect_multiif,
@@ -1059,6 +1833,11 @@ QUERIES = {
 
 ORACLES = {
     "dialect_strings": O_STRINGS,
+    "dialect_limit_by": O_LIMIT_BY,
+    "dialect_asof_join": O_ASOF,
+    "dialect_with_fill": O_WITH_FILL,
+    "dialect_topk": O_TOPK,
+    "dialect_subscript": O_SUBSCRIPT,
     "dialect_combinators": O_COMBINATORS,
     "dialect_arrayjoin": O_ARRAYJOIN,
     "dialect_multiif": O_MULTIIF,

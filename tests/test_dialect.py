@@ -79,10 +79,20 @@ REWRITES = [
         "(acc, x) -> acc + CAST(x AS DOUBLE))",
     ),
     ("arrayMax(arr)", "array_max(arr)"),
-    # array literals vs indexing
+    # array literals vs indexing (ClickHouse subscripts are 1-based,
+    # negatives from the end → try_element_at, NULL on out-of-bounds)
     ("[1, 2, 3]", "array(1, 2, 3)"),
-    ("arr[1]", "arr[1]"),
-    ("f(a)[2]", "f(a)[2]"),
+    ("arr[1]", "try_element_at(arr, 1)"),
+    ("f(a)[2]", "try_element_at(f(a), 2)"),
+    ("arr[-1]", "try_element_at(arr, -1)"),
+    ("t.arr[1]", "try_element_at(t.arr, 1)"),
+    ("m['k']", "try_element_at(m, 'k')"),
+    (
+        "arr[1][2]",
+        "try_element_at(try_element_at(arr, 1), 2)",
+    ),
+    ("[10, 20][1]", "try_element_at(array(10, 20), 1)"),
+    ("(arr)[1]", "try_element_at((arr), 1)"),
     ("[1, f(a, b), 3]", "array(1, f(a, b), 3)"),
     ("has([1,2,3], 2)", "array_contains(array(1, 2, 3), 2)"),
     # string/regex renames
@@ -104,6 +114,11 @@ REWRITES = [
     ),
     ("median(x)", "percentile_approx(x, 0.5)"),
     ("medianExact(x)", "percentile(x, 0.5)"),
+    # plain one-list parametric forms take ClickHouse's documented
+    # parameter defaults (quantile level 0.5, topK k=10)
+    ("quantile(x)", "percentile_approx(x, 0.5)"),
+    ("quantileExact(x)", "percentile(x, 0.5)"),
+    ("quantileTDigest(x)", "percentile_approx(x, 0.5)"),
 ]
 
 
@@ -154,8 +169,9 @@ def test_global_column_and_fill_cte_untouched():
     )
     out = transpile("WITH fill AS (SELECT 1 AS x) SELECT x FROM fill")
     assert out.startswith("WITH fill AS")
-    with pytest.raises(DialectError):  # the real clause still raises
-        transpile("SELECT a FROM t ORDER BY a WITH FILL")
+    # the real clause now rewrites to the sequence() spine
+    out = transpile("SELECT a FROM t ORDER BY a WITH FILL")
+    assert "sequence(" in out and "WITH FILL" not in out
 
 
 def test_column_named_settings_untouched():
@@ -196,9 +212,21 @@ def test_global_hint_dropped():
 
 
 def test_structural_clauses_raise_with_pointers():
+    # constructs that still refuse (unsupported variants) keep their
+    # operator pointers
     for sql, msg in (
-        ("SELECT a FROM t ORDER BY a LIMIT 3 BY b", "limit_by_analog"),
-        ("SELECT a FROM t ORDER BY a WITH FILL", "events_gap_fill"),
+        (
+            "SELECT a FROM t ORDER BY a DESC WITH FILL",
+            "events_gap_fill",
+        ),
+        (
+            "SELECT a FROM t ORDER BY a WITH FILL INTERPOLATE (b)",
+            "events_gap_interpolate",
+        ),
+        (
+            "SELECT a FROM t ORDER BY d WITH FILL STEP INTERVAL 1 DAY",
+            "events_gap_fill",
+        ),
         ("SELECT a FROM t INTO OUTFILE 'x.csv'", "export_shards"),
     ):
         with pytest.raises(DialectError, match=msg):
@@ -207,6 +235,82 @@ def test_structural_clauses_raise_with_pointers():
     assert transpile("SELECT a FROM t LIMIT 3") == "SELECT a FROM t LIMIT 3"
     out = transpile("WITH c AS (SELECT 1 AS x) SELECT x FROM c")
     assert out.startswith("WITH c AS")
+
+
+def test_limit_by_rewrites_to_window():
+    out = transpile("SELECT a, v FROM t ORDER BY v DESC LIMIT 3 BY a")
+    assert "row_number() OVER(PARTITION BY a ORDER BY v DESC)" in out
+    assert "__limit_by_rn <= 3" in out
+    assert "EXCEPT(__limit_by_rn)" in out
+    assert out.rstrip().endswith("ORDER BY v DESC")
+    # offset forms: LIMIT off, n BY and LIMIT n OFFSET off BY
+    out = transpile("SELECT a, v FROM t LIMIT 2, 3 BY a")
+    assert "__limit_by_rn <= 5" in out and "__limit_by_rn > 2" in out
+    out = transpile("SELECT a, v FROM t LIMIT 3 OFFSET 2 BY a")
+    assert "__limit_by_rn <= 5" in out and "__limit_by_rn > 2" in out
+    # trailing global LIMIT survives on the outside
+    out = transpile("SELECT a, v FROM t LIMIT 2 BY a LIMIT 10")
+    assert out.rstrip().endswith("LIMIT 10")
+    # inside a subquery
+    out = transpile(
+        "SELECT * FROM (SELECT a, v FROM t LIMIT 1 BY a) WHERE v > 0"
+    )
+    assert "__limit_by_rn <= 1" in out and out.startswith("SELECT * FROM(")
+
+
+def test_with_fill_rewrites_to_spine():
+    out = transpile(
+        "SELECT yr, n FROM t ORDER BY yr WITH FILL FROM 1992 TO 2000"
+    )
+    assert "sequence(1992,(2000) - 1, 1)" in "".join(out.split()).replace(",", ", ") or "sequence(1992" in out
+    assert "LEFT JOIN" in out and "USING(yr)" in out
+    assert out.rstrip().endswith("ORDER BY yr")
+    # STEP and min/max defaults
+    out = transpile("SELECT yr, n FROM t ORDER BY yr WITH FILL STEP 2")
+    assert "SELECT min(yr) FROM" in out and "SELECT max(yr) FROM" in out
+    assert ", 2)" in out
+    # trailing LIMIT stays outside
+    out = transpile(
+        "SELECT yr FROM t ORDER BY yr WITH FILL FROM 1 TO 9 LIMIT 4"
+    )
+    assert out.rstrip().endswith("LIMIT 4")
+
+
+def test_asof_join_using_rewrites_to_lateral():
+    out = transpile(
+        "SELECT e.id, q.px FROM events e ASOF LEFT JOIN quotes q "
+        "USING (uid, ts)"
+    )
+    assert "LEFT JOIN LATERAL" in out
+    assert "EXCEPT(uid, ts)" in out
+    assert "q.uid = e.uid" in out and "q.ts <= e.ts" in out
+    assert "ORDER BY q.ts DESC LIMIT 1) q ON true" in out
+    # inner strictness (plain ASOF JOIN) drops unmatched left rows
+    out = transpile(
+        "SELECT * FROM l ASOF JOIN r USING (k, ts)"
+    )
+    assert "LEFT JOIN LATERAL" not in out and "JOIN LATERAL" in out
+    # LEFT ASOF JOIN spelling + subquery right side
+    out = transpile(
+        "SELECT * FROM l LEFT ASOF JOIN "
+        "(SELECT k, ts, v FROM r) rr USING (k, ts)"
+    )
+    assert "LEFT JOIN LATERAL" in out and "rr ON true" in out
+    # ON form still refuses with the operator pointer
+    with pytest.raises(DialectError, match="events_asof_join"):
+        transpile(
+            "SELECT * FROM l ASOF JOIN r ON l.k = r.k AND l.ts >= r.ts"
+        )
+
+
+def test_topk_transpiles_to_exact_tier():
+    out = transpile("SELECT topK(3)(x) FROM t")
+    assert "collect_list(x)" in out and "slice(array_sort(" in out
+    # plain form takes ClickHouse's default k=10
+    out = transpile("SELECT topK(x) FROM t")
+    assert ", 10)" in out
+    with pytest.raises(DialectError, match="events_topk_weighted"):
+        transpile("SELECT topKWeighted(5)(x, w) FROM t")
 
 
 def test_review_fixes_round4():
@@ -227,18 +331,12 @@ def test_review_fixes_round4():
     assert transpile("SELECT x FROM t WHERE y IN [1, 2]").endswith(
         "WHERE y IN (1, 2)"
     )
-    assert transpile("arr[1]") == "arr[1]"  # indexing still untouched
+    # 1-based indexing rewrite (round-5: was pass-through)
+    assert transpile("arr[1]") == "try_element_at(arr, 1)"
     # block comments are opaque: parens/commas inside never confuse
     assert transpile("sumIf(x /* ( */ , c)") == (
         "sum(CASE WHEN c THEN x END)"
     )
-    # all ClickHouse LIMIT ... BY spellings refuse with the pointer
-    for sql in (
-        "SELECT a FROM t LIMIT 2, 3 BY b",
-        "SELECT a FROM t LIMIT 2 OFFSET 3 BY b",
-    ):
-        with pytest.raises(DialectError, match="limit_by_analog"):
-            transpile(sql)
     assert transpile("SELECT a FROM t LIMIT 2, 3").endswith("LIMIT 2, 3")
     # SETTINGS strips inside subqueries too
     out = transpile(
@@ -356,9 +454,11 @@ def test_idempotent(expr):
     assert canon(transpile(once)) == canon(once)
 
 
-def test_topk_parametric_raises_with_pointer():
-    with pytest.raises(DialectError, match="events_topk_sketch"):
-        transpile("SELECT topK(5)(user_id) FROM t")
+def test_plain_parametric_without_default_raises():
+    with pytest.raises(DialectError, match="parametric"):
+        transpile("SELECT quantiles(x) FROM t")
+    with pytest.raises(DialectError, match="parametric"):
+        transpile("SELECT groupArraySorted(x) FROM t")
 
 
 def test_multiif_arity_check():
@@ -467,3 +567,30 @@ def test_transpiled_plan_is_native(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "HashAggregate" in plan
     assert "Python" not in plan and "BatchEval" not in plan
+
+
+def test_asof_union_window_with_resolver():
+    """With a column resolver the ASOF rewrite emits the scale-shaped
+    union + last_value-window spelling, not the LATERAL fallback."""
+    resolve = lambda rel: (  # noqa: E731
+        ["uid", "ts", "px", "qty"] if "quotes" in rel else None
+    )
+    out = transpile(
+        "SELECT * FROM trades t ASOF LEFT JOIN quotes q USING (uid, ts)",
+        resolve_columns=resolve,
+    )
+    assert "LATERAL" not in out
+    assert "UNION ALL" in out and "last_value(px, true)" in out
+    assert "USING(uid, ts)" in out and "SELECT DISTINCT uid" in out
+    # inner strictness adds the matched filter
+    out = transpile(
+        "SELECT * FROM trades t ASOF JOIN quotes q USING (uid, ts)",
+        resolve_columns=resolve,
+    )
+    assert "__asof_matched = 1" in out
+    # unresolvable right side falls back to the LATERAL form
+    out = transpile(
+        "SELECT * FROM trades t ASOF LEFT JOIN unknown_t u USING (uid, ts)",
+        resolve_columns=resolve,
+    )
+    assert "LATERAL" in out

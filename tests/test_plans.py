@@ -245,3 +245,25 @@ def test_transpiled_sample_is_map_side_filter(spark, sf_dir):
     plan = _plan(q_clickhouse_sample_clause(spark, sf_dir))
     assert plan.count("Exchange") <= 1  # only the keyed agg exchange
     assert "Window" not in plan and "Join" not in plan
+
+
+def test_asof_dialect_avoids_nested_loop_domain_join(spark, sf_dir):
+    """The ASOF USING rewrite through the front door (resolver
+    available) must emit the union + last_value-window plan — one
+    keyed window shuffle, linear.  Catalyst's LATERAL decorrelation
+    fallback builds a ts-domain BroadcastNestedLoopJoin (quadratic),
+    which must never be the front-door plan."""
+    from clickhouse_vs_dbt_spark.dialect import q_dialect_asof_join
+
+    plan = _plan(q_dialect_asof_join(spark, sf_dir))
+    assert "NestedLoop" not in plan
+    assert "last_value" in plan and "Union" in plan
+
+
+def test_limit_by_dialect_is_single_keyed_window(spark, sf_dir):
+    """LIMIT n BY must plan as one row_number window partitioned by
+    the BY keys — no join, no extra aggregate."""
+    from clickhouse_vs_dbt_spark.dialect import q_dialect_limit_by
+
+    plan = _plan(q_dialect_limit_by(spark, sf_dir))
+    assert "row_number" in plan and "Join" not in plan
