@@ -144,6 +144,15 @@ HEADLINE = [
     "maintenance_compaction",
     "dialect_strings",
     "events_lttb_downsample",
+    # round-5 additions: structural dialect rewrites (LIMIT BY, ASOF
+    # union-window, WITH FILL spine, exact topK, 1-based subscripts)
+    # and the MATERIALIZED VIEW DDL front door
+    "dialect_limit_by",
+    "dialect_asof_join",
+    "dialect_with_fill",
+    "dialect_topk",
+    "dialect_subscript",
+    "ddl_mv_roundtrip",
 ]
 
 
@@ -218,20 +227,43 @@ def main() -> int:
         "events_gap_fill", "events_rollup_hierarchy",
     ]
     r01_total = round(sum(timings.get(q, 0.0) for q in r01_subset), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "n_queries": len(timings),
-                "r01_subset_total": r01_total,
-                "calib_sec": calib,
-            }
-        )
-    )
+    payload = {
+        "metric": "headline_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "n_queries": len(timings),
+        "r01_subset_total": r01_total,
+        "calib_sec": calib,
+        # calibration-normalized figures: seconds ÷ calib_sec — the
+        # cross-round-comparable axis (SCALING.md "environment drift").
+        # Units: multiples of the fixed 2B-row codegen workload.
+        "headline_norm": round(total / calib, 2) if calib else None,
+        "r01_subset_norm": round(r01_total / calib, 2) if calib else None,
+        "queries_norm": {
+            k: round(v / calib, 2) for k, v in timings.items()
+        } if calib else None,
+    }
+    print(json.dumps(payload))
+    # The driver's BENCH_r{N}.json stores only the tail of stdout, which
+    # truncated the per-query map in round 4 — so also self-archive the
+    # COMPLETE payload next to the driver artifacts (next round index =
+    # one past the newest existing BENCH_r*.json).
+    try:
+        import glob
+
+        here = os.path.dirname(os.path.abspath(__file__))
+        rounds = [
+            int(m.group(1))
+            for p in glob.glob(os.path.join(here, "BENCH_r*.json"))
+            if (m := re.search(r"BENCH_r(\d+)\.json$", p))
+        ]
+        n = (max(rounds) + 1) if rounds else 1
+        with open(os.path.join(here, f"BENCH_full_r{n:02d}.json"), "w") as f:
+            json.dump(payload, f, indent=1, sort_keys=True)
+    except OSError as exc:  # self-archive is best-effort
+        print(f"bench: full-artifact write failed: {exc}", file=sys.stderr)
     return 0
 
 

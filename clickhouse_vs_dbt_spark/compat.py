@@ -90,13 +90,20 @@ def register_clickhouse_compat(spark: SparkSession) -> None:
     Guarded by a session conf flag: registration is ~30 DDL round
     trips, and every dialect front-door call invokes this — once per
     session is enough (temp functions live for the session)."""
+    import hashlib
+
     flag = "spark.clickhouse_vs_dbt_spark.compat.registered"
-    if spark.conf.get(flag, None) == str(len(_COMPAT_FUNCS)):
+    # key = content hash of the registry (not its count): editing a UDF
+    # body without changing the count must still re-register, or a
+    # session keeps serving the stale definition
+    digest = hashlib.sha256(
+        repr(sorted(_COMPAT_FUNCS.items())).encode()
+    ).hexdigest()[:16]
+    if spark.conf.get(flag, None) == digest:
         return
     for name, (sig, body) in _COMPAT_FUNCS.items():
         spark.sql(f"CREATE OR REPLACE TEMPORARY FUNCTION {name}{sig} RETURN {body}")
-    # value = function count, so adding a function re-registers
-    spark.conf.set(flag, str(len(_COMPAT_FUNCS)))
+    spark.conf.set(flag, digest)
 
 
 # --- gated proof: a query written verbatim in the ClickHouse dialect ---

@@ -60,7 +60,6 @@ _SCALAR = {
     "UUID": "STRING",
     "Date": "DATE",
     "Date32": "DATE",
-    "DateTime": "TIMESTAMP",
     "Bool": "BOOLEAN",
     "IPv4": "STRING",
     "IPv6": "STRING",
@@ -98,6 +97,20 @@ def convert_type(ch: str) -> str:
     if not m:
         raise DialectError(f"unparseable ClickHouse type: {ch!r}")
     name, _, inner = m.groups()
+    if name in ("DateTime", "DateTime64"):
+        # DateTime('tz') / DateTime64(p[, 'tz']): a timezone argument
+        # changes how the stored instants render — silently dropping
+        # it would shift timestamp interpretation relative to the
+        # ClickHouse table, so it refuses with the session-level
+        # mapping (the session TZ is pinned UTC in session.py; set
+        # spark.sql.session.timeZone for a different rendering zone).
+        if inner and "'" in inner:
+            raise DialectError(
+                f"{name} carries a timezone argument ({inner.strip()}); "
+                "Spark timestamps are zone-less TIMESTAMP — drop the "
+                "argument and set spark.sql.session.timeZone instead"
+            )
+        return "TIMESTAMP"
     if name in _SCALAR:
         return _SCALAR[name]
     if name in ("LowCardinality", "Nullable"):
@@ -106,8 +119,6 @@ def convert_type(ch: str) -> str:
         return "STRING"
     if name in ("Enum8", "Enum16"):
         return "STRING"
-    if name == "DateTime" or name == "DateTime64":
-        return "TIMESTAMP"
     if name == "Decimal":
         p, s = (x.strip() for x in inner.split(","))
         return f"DECIMAL({p}, {s})"
@@ -238,6 +249,242 @@ def transpile_ddl(
     )
 
 
+# --- CREATE MATERIALIZED VIEW ---
+
+_MV_RE = re.compile(
+    r"""CREATE\s+MATERIALIZED\s+VIEW\s+(?:IF\s+NOT\s+EXISTS\s+)?
+        (?P<name>[^\s(]+)\s*
+        (?:ON\s+CLUSTER\s+\S+\s*)?
+        (?:TO\s+(?P<target>[^\s(]+)\s*)?
+        (?:ENGINE\s*=\s*(?P<engine>[A-Za-z0-9_]+)\s*(?:\([^)]*\))?\s*)?
+        .*?                    # ORDER BY / PARTITION BY / SETTINGS tail
+        (?:POPULATE\s+)?
+        AS\s+(?P<select>SELECT\b.*?)\s*;?\s*\Z
+    """,
+    re.VERBOSE | re.DOTALL | re.IGNORECASE,
+)
+
+_MERGEABLE = {"count": "sum", "count_if": "sum", "sum": "sum",
+              "min": "min", "max": "max"}
+
+
+def _split_select_list(select_sql: str) -> tuple[str, str]:
+    """Return (select-list text, rest-from-FROM) of a transpiled
+    single-SELECT statement, splitting at the depth-0 FROM."""
+    s = select_sql
+    m = re.match(r"(?is)\s*SELECT\s+", s)
+    if not m:
+        raise DialectError("materialized view body must be a SELECT")
+    i = m.end()
+    depth = 0
+    in_str = False
+    while i < len(s):
+        c = s[i]
+        if in_str:
+            if c == "'":
+                in_str = False
+        elif c == "'":
+            in_str = True
+        elif c in "([":
+            depth += 1
+        elif c in ")]":
+            depth -= 1
+        elif depth == 0 and s[i : i + 4].upper() == "FROM" and (
+            i + 4 == len(s) or not (s[i + 4].isalnum() or s[i + 4] == "_")
+        ) and not (s[i - 1].isalnum() or s[i - 1] == "_"):
+            return s[m.end() : i].strip(), s[i:]
+        i += 1
+    raise DialectError("materialized view SELECT has no FROM clause")
+
+
+def _last_top_as(item: str) -> tuple[str, str | None]:
+    """Split ``expr AS alias`` at the LAST depth-0 AS (CAST(x AS T)
+    stays inside its parens)."""
+    depth = 0
+    in_str = False
+    last = None
+    i = 0
+    while i < len(item):
+        c = item[i]
+        if in_str:
+            if c == "'":
+                in_str = False
+        elif c == "'":
+            in_str = True
+        elif c in "([":
+            depth += 1
+        elif c in ")]":
+            depth -= 1
+        elif depth == 0 and item[i : i + 2].upper() == "AS" and (
+            i == 0 or not (item[i - 1].isalnum() or item[i - 1] == "_")
+        ) and (
+            i + 2 == len(item)
+            or not (item[i + 2].isalnum() or item[i + 2] == "_")
+        ):
+            last = i
+        i += 1
+    if last is None:
+        return item.strip(), None
+    return item[:last].strip(), item[last + 2 :].strip()
+
+
+class MaterializedView:
+    """ClickHouse ``CREATE MATERIALIZED VIEW ... ENGINE =
+    AggregatingMergeTree AS SELECT`` analog: the view's SELECT is
+    applied to each arriving batch as *partial aggregate state* and
+    merged into the maintained state by a keyed re-aggregate — the
+    ``run_incremental_agg_mv`` machinery behind a DDL front door.
+    Each refresh costs O(batch + |keys|), never a history re-scan —
+    exactly why ClickHouse users pair S3 sources with MVs
+    (reference README.md pairs src tables with aggregating models).
+
+    Only re-aggregable aggregates are maintainable incrementally:
+    count/countIf → SUM of partial counts, sum → SUM, min/max →
+    MIN/MAX.  ``avg`` and ``uniqExact`` refuse at transpile time with
+    the standard rewrites (sum+count columns; the HLL merge algebra in
+    operators/hll.py), mirroring ClickHouse's own ``-State`` rules.
+
+    State lives as an in-session relation re-registered under the
+    view's name after each refresh; pass ``target_path`` to
+    checkpoint it as parquet per refresh (the ``TO table`` analog)."""
+
+    def __init__(self, name, select_sql, source, keys, aggs, target):
+        self.name = name
+        self.select_sql = select_sql  # transpiled, source replaced by {src}
+        self.source = source
+        self.keys = keys  # group-key output column names
+        self.aggs = aggs  # [(alias, merge_fn_name)]
+        self.target = target
+        self._state = None
+
+    def _partial(self, spark: "SparkSession", src: str) -> "DataFrame":
+        return spark.sql(self.select_sql.format(src=src))
+
+    def populate(self, spark: "SparkSession") -> "DataFrame":
+        """POPULATE analog: one full build from the source relation."""
+        self._state = self._partial(spark, self.source)
+        self._state.createOrReplaceTempView(self.name)
+        return self._state
+
+    def apply_batch(
+        self, spark: "SparkSession", batch: "DataFrame"
+    ) -> "DataFrame":
+        """Fold one inserted batch into the maintained state (the MV
+        insert-trigger semantics)."""
+        from pyspark.sql import functions as F
+
+        tmp = f"__mv_batch_{self.name}"
+        batch.createOrReplaceTempView(tmp)
+        partial = self._partial(spark, tmp)
+        if self._state is None:
+            self._state = partial
+        else:
+            dtypes = dict(partial.dtypes)
+            merged = (
+                self._state.unionByName(partial)
+                .groupBy(*self.keys)
+                .agg(
+                    *(
+                        getattr(F, fn)(a).cast(dtypes[a]).alias(a)
+                        for a, fn in self.aggs
+                    )
+                )
+            )
+            # restore the declared column order
+            self._state = merged.select(*partial.columns)
+        self._state.createOrReplaceTempView(self.name)
+        if self.target:
+            self._state.write.mode("overwrite").parquet(self.target)
+        return self._state
+
+
+def transpile_materialized_view(
+    sql: str, target_path: str | None = None
+) -> MaterializedView:
+    """Parse a ClickHouse CREATE MATERIALIZED VIEW statement (class
+    doc) into a :class:`MaterializedView`.  The AS SELECT body goes
+    through the dialect transpiler, so combinators (``countIf``,
+    ``sumIf``), ``toDecimal64`` casts, and zero-arg ``count()`` run
+    verbatim."""
+    from clickhouse_vs_dbt_spark.dialect import transpile
+
+    m = _MV_RE.match(sql.strip())
+    if not m:
+        raise DialectError("unrecognized CREATE MATERIALIZED VIEW shape")
+    select = transpile(m.group("select"))
+    sel_list, rest = _split_select_list(select)
+    fm = re.match(r"(?is)FROM\s+([A-Za-z_][A-Za-z0-9_.]*)\s*(.*)", rest)
+    if not fm:
+        raise DialectError(
+            "materialized view FROM must name a single source table"
+        )
+    source, tail = fm.groups()
+    # keep the WHERE prefix of the tail; the GROUP BY is re-derived
+    # from the non-aggregate select items (normalized to aliases)
+    gb = re.search(r"(?is)\bGROUP\s+BY\b", tail)
+    where = (tail[: gb.start()] if gb else tail).strip()
+    if where and not re.match(r"(?is)WHERE\b", where):
+        raise DialectError(
+            f"unsupported clause between FROM and GROUP BY: {where[:40]!r}"
+        )
+    keys: list[str] = []
+    aggs: list[tuple[str, str]] = []
+    items = []
+    for item in _split_top(sel_list):
+        expr, alias = _last_top_as(item)
+        cm = re.match(r"(?is)\s*([A-Za-z_][A-Za-z0-9_]*)\s*\(", expr)
+        fn = cm.group(1).lower() if cm else None
+        is_call_all = cm and expr.rstrip().endswith(")")
+        if fn in _MERGEABLE and is_call_all:
+            if "DISTINCT" in expr.upper():
+                raise DialectError(
+                    f"{fn}(DISTINCT ...) is not incrementally mergeable; "
+                    "use the HLL merge algebra (operators/hll.py) or an "
+                    "exact two-level MV"
+                )
+            if alias is None:
+                raise DialectError(
+                    f"aggregate column {expr!r} needs an AS alias"
+                )
+            aggs.append((alias, _MERGEABLE[fn]))
+            items.append(f"{expr} AS {alias}")
+            continue
+        if fn in ("avg", "uniq", "uniqexact", "any", "quantile"):
+            raise DialectError(
+                f"{fn} is not incrementally mergeable as-is; maintain "
+                "sum+count (avg), the HLL register (uniq — "
+                "operators/hll.py), or a -State column design"
+            )
+        if re.search(r"(?i)\b(count|sum|min|max|avg)\s*\(", expr):
+            raise DialectError(
+                f"cannot merge wrapped aggregate {expr!r}; keep the "
+                "aggregate outermost and finalize in a reader view"
+            )
+        key = alias or expr
+        if not re.match(r"[A-Za-z_][A-Za-z0-9_]*\Z", key):
+            raise DialectError(
+                f"group-key expression {expr!r} needs an AS alias"
+            )
+        keys.append(key)
+        items.append(f"{expr} AS {key}" if alias else expr)
+    if not aggs:
+        raise DialectError(
+            "materialized view has no aggregate columns; use a plain "
+            "view (ModelRunner.view) for passthrough MVs"
+        )
+    group = f" GROUP BY {', '.join(keys)}" if keys else ""
+    where_part = f" {where}" if where else ""
+    tmpl = f"SELECT {', '.join(items)} FROM {{src}}{where_part}{group}"
+    return MaterializedView(
+        name=m.group("name"),
+        select_sql=tmpl,
+        source=source,
+        keys=keys,
+        aggs=aggs,
+        target=target_path or None,
+    )
+
+
 # --- gated proof: the reference's own src_customer DDL, verbatim ---
 
 from pyspark.sql import DataFrame, SparkSession  # noqa: E402
@@ -328,7 +575,82 @@ FROM customer
 GROUP BY c_mktsegment
 """
 
-QUERIES = {"ddl_source_roundtrip": q_ddl_source_roundtrip}
-ORACLES = {"ddl_source_roundtrip": O_DDL_SOURCE_ROUNDTRIP}
+# --- gated proof: MATERIALIZED VIEW round-trip ---
 
-__all__ = ["transpile_ddl", "convert_type", "DialectError"]
+# The ClickHouse MV a migrating user pairs with an S3 source: an
+# AggregatingMergeTree rollup maintained per inserted batch.  Runs
+# verbatim through transpile_materialized_view (countIf combinator,
+# toDecimal64 cast, zero-arg count() all dialect-transpiled).
+REFERENCE_MV_DDL = """CREATE MATERIALIZED VIEW mv_events_by_type
+ENGINE = AggregatingMergeTree
+ORDER BY event_type
+POPULATE
+AS SELECT
+    event_type,
+    count() AS n_events,
+    countIf(value > 10) AS n_hot,
+    sum(toDecimal64(value, 2)) AS total_value,
+    min(value) AS min_value,
+    max(value) AS max_value
+FROM events
+WHERE user_id % 2 = 0
+GROUP BY event_type;"""
+
+N_MV_DDL_BATCHES = 3
+
+
+def q_ddl_mv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end MV maintenance through the DDL front door: the
+    verbatim CREATE MATERIALIZED VIEW transpiles, then three event
+    batches are applied as inserts (each reduced to partial state and
+    merged keyed — O(batch + |keys|), no history re-scan) and the
+    final state is read back through the registered view name.  The
+    oracle is the one-shot aggregate over all events: equality proves
+    the incremental merge is lossless (exact decimal sums make it
+    batch-order independent)."""
+    mv = transpile_materialized_view(REFERENCE_MV_DDL)
+    ev = load_table(spark, sf_dir, "events")
+    for i in range(N_MV_DDL_BATCHES):
+        mv.apply_batch(
+            spark, ev.filter(F.col("event_id") % N_MV_DDL_BATCHES == i)
+        )
+    return spark.sql(
+        f"""
+        SELECT event_type,
+               CAST(n_events AS BIGINT) AS n_events,
+               CAST(n_hot AS BIGINT) AS n_hot,
+               CAST(total_value AS DOUBLE) AS total_value,
+               min_value, max_value
+        FROM {mv.name} ORDER BY event_type
+        """
+    )
+
+
+O_DDL_MV_ROUNDTRIP = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       COUNT(CASE WHEN value > 10 THEN 1 END) AS n_hot,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+       MIN(value) AS min_value,
+       MAX(value) AS max_value
+FROM events
+WHERE user_id % 2 = 0
+GROUP BY event_type ORDER BY event_type
+"""
+
+QUERIES = {
+    "ddl_source_roundtrip": q_ddl_source_roundtrip,
+    "ddl_mv_roundtrip": q_ddl_mv_roundtrip,
+}
+ORACLES = {
+    "ddl_source_roundtrip": O_DDL_SOURCE_ROUNDTRIP,
+    "ddl_mv_roundtrip": O_DDL_MV_ROUNDTRIP,
+}
+
+__all__ = [
+    "transpile_ddl",
+    "transpile_materialized_view",
+    "MaterializedView",
+    "convert_type",
+    "DialectError",
+]

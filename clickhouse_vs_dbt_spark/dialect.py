@@ -348,6 +348,8 @@ def _render_call(name: str, args: list[str]) -> str:
             return f"count_if({args[0]})"
         if len(args) == 2:  # countIf(x, cond): count non-NULL x where cond
             return f"count(CASE WHEN {args[1]} THEN {args[0]} END)"
+    if name == "count" and not args:
+        return "count(*)"  # ClickHouse's zero-arg count()
     if name == "arrayUniq":
         return f"size(array_distinct({joined}))"
     if name in _HOF_ROTATE:

@@ -263,12 +263,9 @@ FROM s ORDER BY event_type
 """
     if dialect == "spark":
         d19 = "DECIMAL(19,0)"
-        # NESTED subqueries, not CTEs: Spark's cached-relation
-        # substitution does not fire for a cached view referenced
-        # inside a WITH clause (verified: the same reference outside a
-        # CTE substitutes InMemoryRelation, inside it re-scans), and
-        # the whole point of caching rc_b is that its three consumers
-        # read the columnar cache instead of re-deriving from parquet.
+        # rc_b is the parquet-scratch view written by run_rank_corr:
+        # all three consumers below are plain scans of the written
+        # files (column-pruned), so the events table is derived once.
         local = """
   SELECT event_type, day, bx,
          RANK() OVER (PARTITION BY event_type, bx ORDER BY x) AS lrx,
@@ -343,11 +340,11 @@ s AS (
 
 def _rank_corr_base_sql() -> str:
     """The bucketed base relation (event_type, x, y, day, bx) — built
-    once, PERSISTED, and consumed by the ranking window, cx, and cy
-    (three consumers; without the persist each re-derives it from the
-    events scan — at 100 TB that is three table scans instead of one
-    cached columnar read, the same persist pattern boilerplate.py
-    uses for its gram relation)."""
+    once, written to parquet scratch by :func:`run_rank_corr`, and
+    consumed by the ranking window, cx, and cy (three consumers;
+    without the materialization each re-derives it from the events
+    scan — at 100 TB that is three table scans instead of one write +
+    three pruned reads of a 5-column relation)."""
     nb = RANK_BUCKETS
     return f"""
 WITH base AS (
@@ -366,21 +363,24 @@ FROM base JOIN st ON base.event_type = st.event_type
 
 def run_rank_corr(spark: SparkSession) -> DataFrame:
     """Execute the Spark rank-corr plan against whatever ``events``
-    view is registered (tests register synthetic ones)."""
-    try:  # drop a previous call's cache entry before replacing the view
-        spark.catalog.uncacheTable("rc_b")
-    except Exception:
-        pass
-    spark.sql(_rank_corr_base_sql()).createOrReplaceTempView("rc_b")
-    # cacheTable (not DataFrame.persist): the cache must key on the
-    # VIEW's plan so the three rc_b references in the main query all
-    # substitute the InMemoryRelation — a persisted DataFrame's plan
-    # lacks the View wrapper and never matches.  Local-vs-scale
-    # trade-off, measured: at sf0.1 the cache costs ~+0.7 s (page-
-    # cached NVMe re-scans are nearly free, materialization is not);
-    # at 100 TB the same plan turns six events-table scans into one
-    # scan + three columnar-cache reads, which is the design target.
-    spark.catalog.cacheTable("rc_b")
+    view is registered (tests register synthetic ones).
+
+    The bucketed base (event_type, x, y, day, bx) has three consumers
+    (the ranking windows, the bx histogram, the day histogram).  It is
+    materialized ONCE as parquet scratch and the consumers read the
+    written files — the same bounded-artifact pattern as the IVF index
+    in similarity.py.  Earlier rounds used ``cacheTable`` here; a
+    MEMORY_AND_DISK cache of a data-scale relation is itself a
+    resource cliff at 100 TB (executor storage memory), while the
+    parquet scratch gives the identical single-derivation property
+    with disk-bounded footprint, column pruning, and no eviction
+    hazard — the narrow 5-column projection is also far smaller than
+    the source table."""
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix="rank_corr_base_") + "/rc_b"
+    spark.sql(_rank_corr_base_sql()).write.mode("overwrite").parquet(path)
+    spark.read.parquet(path).createOrReplaceTempView("rc_b")
     return spark.sql(_rank_corr_sql("spark"))
 
 

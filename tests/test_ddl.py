@@ -137,3 +137,85 @@ def test_reference_lineorder_ddl_creates_table(spark, tmp_path):
     assert dtypes["LO_QUANTITY"] == "smallint"  # UInt8 → SMALLINT
     assert dtypes["LO_ORDERDATE"] == "date"
     spark.sql("DROP TABLE src_lineorder")
+
+
+def test_datetime_timezone_refuses():
+    """DateTime('tz') / DateTime64(p,'tz') must refuse, not silently
+    drop the zone (round-4 advice): a dropped zone shifts timestamp
+    interpretation relative to the ClickHouse table."""
+    import pytest
+
+    from clickhouse_vs_dbt_spark.ddl import DialectError, convert_type
+
+    assert convert_type("DateTime") == "TIMESTAMP"
+    assert convert_type("DateTime64(3)") == "TIMESTAMP"
+    for t in ("DateTime('Europe/Moscow')", "DateTime64(3, 'UTC')"):
+        with pytest.raises(DialectError, match="timezone"):
+            convert_type(t)
+
+
+def test_materialized_view_transpile_shapes():
+    import pytest
+
+    from clickhouse_vs_dbt_spark.ddl import (
+        DialectError,
+        transpile_materialized_view,
+    )
+
+    mv = transpile_materialized_view(
+        "CREATE MATERIALIZED VIEW mv1 ENGINE = AggregatingMergeTree "
+        "ORDER BY k AS SELECT k, count() AS n, sum(v) AS s "
+        "FROM src WHERE v > 0 GROUP BY k"
+    )
+    assert mv.name == "mv1" and mv.source == "src"
+    assert mv.keys == ["k"]
+    assert mv.aggs == [("n", "sum"), ("s", "sum")]
+    assert "WHERE v > 0" in mv.select_sql and "{src}" in mv.select_sql
+    # avg and DISTINCT refuse with rewrite pointers
+    with pytest.raises(DialectError, match="sum\\+count"):
+        transpile_materialized_view(
+            "CREATE MATERIALIZED VIEW m AS SELECT k, avg(v) AS a "
+            "FROM src GROUP BY k"
+        )
+    with pytest.raises(DialectError, match="hll"):
+        transpile_materialized_view(
+            "CREATE MATERIALIZED VIEW m AS SELECT k, "
+            "uniqExact(u) AS nu FROM src GROUP BY k"
+        )
+
+
+def test_materialized_view_batch_merge_equals_full(spark):
+    """Three-batch incremental maintenance == one-shot aggregate."""
+    from pyspark.sql import functions as F
+
+    from clickhouse_vs_dbt_spark.ddl import transpile_materialized_view
+
+    df = spark.range(300).select(
+        (F.col("id") % 7).alias("k"),
+        (F.col("id") % 13).cast("double").alias("v"),
+        F.col("id").alias("event_id"),
+    )
+    df.createOrReplaceTempView("mv_src_t")
+    mv = transpile_materialized_view(
+        "CREATE MATERIALIZED VIEW mv_t AS SELECT k, count() AS n, "
+        "sum(toDecimal64(v, 2)) AS s, min(v) AS mn, max(v) AS mx "
+        "FROM mv_src_t GROUP BY k"
+    )
+    for i in range(3):
+        mv.apply_batch(spark, df.filter(F.col("event_id") % 3 == i))
+    got = {
+        r["k"]: (r["n"], float(r["s"]), r["mn"], r["mx"])
+        for r in spark.table("mv_t").collect()
+    }
+    want = {
+        r["k"]: (r["n"], float(r["s"]), r["mn"], r["mx"])
+        for r in df.groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("v").cast("decimal(18,2)")).alias("s"),
+            F.min("v").alias("mn"),
+            F.max("v").alias("mx"),
+        )
+        .collect()
+    }
+    assert got == want

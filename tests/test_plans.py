@@ -193,6 +193,9 @@ def test_rank_corr_delta_sum_never_window_on_bare_event_type(spark, sf_dir):
         plan = _plan(q(spark, sf_dir))
         assert not bad.search(plan), f"bare event_type window in {q.__name__}"
         assert re.search(bucket_key, plan), q.__name__
+        # the base relation is parquet scratch, never a data-scale
+        # memory cache (round-5: replaced cacheTable)
+        assert "InMemoryRelation" not in plan, q.__name__
 
 
 def test_q16_exclusion_is_broadcast(spark, sf_dir):
@@ -267,3 +270,17 @@ def test_limit_by_dialect_is_single_keyed_window(spark, sf_dir):
 
     plan = _plan(q_dialect_limit_by(spark, sf_dir))
     assert "row_number" in plan and "Join" not in plan
+
+
+def test_funnel_fold_prefilters_chain_types(spark, sf_dir):
+    """The windowFunnel fold must collect only the three chain event
+    types — the pushed scan filter keeps non-chain events out of the
+    per-user arrays and the keyed shuffle."""
+    from clickhouse_vs_dbt_spark.operators.chfuncs import (
+        q_events_funnel_window,
+    )
+
+    plan = _plan(q_events_funnel_window(spark, sf_dir))
+    assert "In(event_type, [click,purchase,view])" in plan or (
+        "event_type" in plan and "purchase" in plan and "IN" in plan.upper()
+    )
