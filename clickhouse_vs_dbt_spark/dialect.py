@@ -314,10 +314,77 @@ def _topk_exact(x: str, k: str) -> str:
     )
 
 
+def _window_funnel_fold(win_us: str, ts: str, conds: list[str]) -> str:
+    """Generic ClickHouse ``windowFunnel(W)(ts, c1, …, cN)`` as one
+    codegen aggregate fold — the N-condition generalization of the
+    ``events_funnel_window`` automaton.
+
+    Exact max-anchor DP: events sort by time; state is ``a[i]`` = the
+    LATEST chain-start timestamp over all strictly-increasing chains
+    matching ``c1..ci`` seen so far (latest is the right extremal —
+    any extension needs ``ts − anchor ≤ W``, and the latest anchor is
+    the closest).  Each event updates all levels from the PREVIOUS
+    state (an event never chains onto itself), which makes the fold
+    exact under unique event timestamps — ClickHouse's own
+    implementation is the same one-anchor-per-level greedy.  Result =
+    number of non-NULL levels (NULLs are always a suffix).  All
+    JVM-side ``transform``/``aggregate`` HOFs: one keyed shuffle when
+    used under GROUP BY, no Python, O(N) state per group."""
+    n = len(conds)
+    elem = (
+        f"struct(unix_micros(CAST({ts} AS TIMESTAMP)) AS t, "
+        f"array({', '.join(conds)}) AS m)"
+    )
+    evs = f"array_sort(collect_list({elem}))"
+    zero = f"array_repeat(CAST(NULL AS BIGINT), {n})"
+    step = (
+        "(acc, e) -> transform(acc, (a, i) -> CASE "
+        "WHEN NOT coalesce(element_at(e.m, i + 1), false) THEN a "
+        "WHEN i = 0 THEN greatest(coalesce(a, e.t), e.t) "
+        "WHEN element_at(acc, i) IS NOT NULL "
+        f"AND e.t - element_at(acc, i) <= {win_us} "
+        "THEN greatest(coalesce(a, element_at(acc, i)), "
+        "element_at(acc, i)) ELSE a END)"
+    )
+    fin = "acc -> size(filter(acc, x -> x IS NOT NULL))"
+    return f"aggregate({evs}, {zero}, {step}, {fin})"
+
+
+_SEQ_PATTERN_RE = re.compile(r"\(\?(\d+)\)")
+
+
+def _sequence_chain_len(pattern: str) -> int:
+    """Validate a ``'(?1).*(?2)…'`` sequenceMatch pattern (the
+    any-gap subsequence form) and return its chain length; other
+    pattern features (adjacency, time guards ``(?t<=n)``) refuse."""
+    body = pattern.strip().strip("'")
+    idxs = [int(m) for m in _SEQ_PATTERN_RE.findall(body)]
+    canonical = ".*".join(f"(?{i})" for i in range(1, len(idxs) + 1))
+    if idxs != list(range(1, len(idxs) + 1)) or body != canonical:
+        raise DialectError(
+            f"sequenceMatch pattern {pattern} is not the (?1).*(?2)… "
+            "subsequence form; use the dedicated operators "
+            "(events_sequence_match / events_funnel_strict_order)"
+        )
+    return len(idxs)
+
+
 def _render_call(name: str, args: list[str]) -> str:
     joined = ", ".join(args)
     if name == "multiIf":
         return _case_chain(args)
+    if name == "retention" and args:
+        # retention(c1, …, cN): r[1] = any event matched c1;
+        # r[i>1] = c1 matched AND ci matched (each on any event of the
+        # group) — a product of per-condition max flags, one pass.
+        first = f"max(CASE WHEN {args[0]} THEN 1 ELSE 0 END)"
+        parts = [f"CAST({first} AS INT)"]
+        for c in args[1:]:
+            parts.append(
+                f"CAST({first} * max(CASE WHEN {c} THEN 1 ELSE 0 END) "
+                "AS INT)"
+            )
+        return f"array({', '.join(parts)})"
     if name in _CAST:
         return f"CAST({joined} AS {_CAST[name]})"
     if name == "toDecimal32" and len(args) == 2:
@@ -448,6 +515,34 @@ def _render_parametric(name: str, params: list[str], args: list[str]) -> str:
         # _topk_exact); events_topk_sketch is the sketch-shaped
         # scale operator
         return _topk_exact(args[0], params[0])
+    if name == "windowFunnel" and len(args) >= 2:
+        if len(params) != 1:
+            raise DialectError(
+                "windowFunnel modes ('strict_order'/'strict_dedup'/"
+                "'strict_increase') are not transpiled; use "
+                "events_funnel_strict_order for strict_order — the "
+                "plain windowFunnel(W)(...) form transpiles"
+            )
+        win_us = f"CAST({params[0]} AS BIGINT) * 1000000"
+        return _window_funnel_fold(win_us, args[0], args[1:])
+    if name == "sequenceMatch" and len(params) == 1 and len(args) >= 2:
+        n = _sequence_chain_len(params[0])
+        if n != len(args) - 1:
+            raise DialectError(
+                f"sequenceMatch pattern references {n} conditions but "
+                f"{len(args) - 1} were supplied"
+            )
+        # unbounded window: the subsequence form has no time guard
+        win = str((1 << 62) - 1)
+        return (
+            f"CAST({_window_funnel_fold(win, args[0], args[1:])} = {n} "
+            "AS SMALLINT)"
+        )
+    if name == "sequenceCount":
+        raise DialectError(
+            "sequenceCount's non-overlapping greedy matcher is the "
+            "dedicated operator events_sequence_count"
+        )
     if name == "topKWeighted":
         raise DialectError(
             "topKWeighted's weighted sketch has no value-checkable "
@@ -468,6 +563,9 @@ _PARAMETRIC = {
     "groupArraySorted",
     "topK",
     "topKWeighted",
+    "windowFunnel",
+    "sequenceMatch",
+    "sequenceCount",
 }
 
 
@@ -1386,6 +1484,107 @@ def _rewrite_asof(toks: list[str], resolve_columns=None) -> list[str]:
         toks = _tokens("".join(toks))
 
 
+def _rewrite_any_join(toks: list[str], resolve_columns=None) -> list[str]:
+    """``<left> ANY [LEFT] JOIN <right> [alias] USING (k…)`` — each
+    left row matches at most ONE right row.  With a column resolver,
+    the right side collapses to one row per key BEFORE the join via a
+    keyed ``min(struct(vals))`` aggregate (the ``any_left_join``
+    operator's plan: right-side-only shuffle, unique build side, no
+    fan-out — at 100 TB the join output is exactly |left| rows).
+    ClickHouse picks an arbitrary matching row; the collapse picks the
+    lexicographic minimum — a deterministic refinement, documented.
+    The ON form and resolver-less calls fall through to the refusal
+    with the operator pointer."""
+    if resolve_columns is None:
+        return toks
+    while True:
+        found = None
+        for i, t in enumerate(toks):
+            if t.upper() != "ANY":
+                continue
+            j = _next_code(toks, i + 1)
+            u1 = toks[j].upper() if j < len(toks) else ""
+            if u1 in ("LEFT", "INNER"):
+                j2 = _next_code(toks, j + 1)
+                if j2 < len(toks) and toks[j2].upper() == "JOIN":
+                    found = (i, j2, u1)
+                    break
+            elif u1 == "JOIN":
+                strict = "INNER"
+                p = _prev_code(toks, i - 1)
+                if p >= 0 and toks[p].upper() in ("LEFT", "INNER"):
+                    strict = toks[p].upper()
+                    found = (p, j, strict)
+                else:
+                    found = (i, j, strict)
+                break
+        if found is None:
+            return toks
+        splice_start, join_i, strict = found
+        # right side: dotted table name or (subquery), optional alias
+        r = _next_code(toks, join_i + 1)
+        if r < len(toks) and toks[r] == "(":
+            close = _match_close(toks, r)
+            right_ref = "".join(toks[r : close + 1])
+            r2 = _next_code(toks, close + 1)
+            need_alias = True
+        elif r < len(toks) and _is_ident(toks[r]):
+            name_end = r
+            k = _next_code(toks, r + 1)
+            while (
+                k < len(toks)
+                and toks[k] == "."
+                and (n2 := _next_code(toks, k + 1)) < len(toks)
+                and _is_ident(toks[n2])
+            ):
+                name_end = n2
+                k = _next_code(toks, n2 + 1)
+            right_ref = "".join(toks[r : name_end + 1])
+            need_alias = False
+            r2 = _next_code(toks, name_end + 1)
+        else:
+            return toks  # malformed — let the backstop refuse
+        r_alias = None
+        if r2 < len(toks) and toks[r2].upper() == "AS":
+            r2 = _next_code(toks, r2 + 1)
+        if (
+            r2 < len(toks)
+            and _is_ident(toks[r2])
+            and toks[r2].upper() not in ("USING", "ON")
+        ):
+            r_alias = toks[r2]
+            r2 = _next_code(toks, r2 + 1)
+        if r2 >= len(toks) or toks[r2].upper() != "USING":
+            return toks  # ON form → backstop refusal with pointer
+        if r_alias is None:
+            if need_alias:
+                return toks
+            r_alias = right_ref.split(".")[-1].strip("`")
+        u = _next_code(toks, r2 + 1)
+        if u >= len(toks) or toks[u] != "(":
+            return toks
+        uclose = _match_close(toks, u)
+        keys = [t for t in toks[u + 1 : uclose] if _is_ident(t)]
+        rcols = resolve_columns(right_ref)
+        if not rcols or any(k not in rcols for k in keys):
+            return toks
+        vals = [c for c in rcols if c not in keys]
+        kcsv = ", ".join(keys)
+        if vals:
+            picked = ", ".join(f"__any_s.{c} AS {c}" for c in vals)
+            collapsed = (
+                f"(SELECT {kcsv}, {picked} FROM (SELECT {kcsv}, "
+                f"min(struct({', '.join(vals)})) AS __any_s "
+                f"FROM {right_ref} GROUP BY {kcsv}) __any_g)"
+            )
+        else:
+            collapsed = f"(SELECT DISTINCT {kcsv} FROM {right_ref})"
+        jkind = "LEFT JOIN" if strict == "LEFT" else "JOIN"
+        repl = f" {jkind} {collapsed} {r_alias} USING ({kcsv})"
+        toks[splice_start : uclose + 1] = [repl]
+        toks = _tokens("".join(toks))
+
+
 def transpile(sql: str, resolve_columns=None) -> str:
     """Rewrite a ClickHouse-dialect query into Spark SQL (see module
     doc).  Unrecognized constructs pass through verbatim.
@@ -1396,6 +1595,7 @@ def transpile(sql: str, resolve_columns=None) -> str:
     toks = _rewrite_limit_by(toks)
     toks = _rewrite_with_fill(toks)
     toks = _rewrite_asof(toks, resolve_columns)
+    toks = _rewrite_any_join(toks, resolve_columns)
     toks = _rewrite_clauses(toks)
     toks = _tokens("".join(toks))  # re-tokenize after clause splices
     return _walk(toks, 0, len(toks))
@@ -1818,8 +2018,159 @@ def q_dialect_subscript(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_clickhouse_sql(spark, _CH_SUBSCRIPT, sf_dir, ("orders",))
 
 
+# 12b. ANY LEFT JOIN ... USING — the right side collapses to its
+#      lexicographic-first row per key before the join (deterministic
+#      refinement of ClickHouse's arbitrary pick — same policy as the
+#      any_left_join operator, whose oracle spelling this reuses).
+_CH_ANY_JOIN = """
+SELECT o_orderstatus, any_flag,
+       count() AS n_orders,
+       toFloat64(sum(toDecimal64(coalesce(any_price, 0), 2))) AS price_sum
+FROM orders
+ANY LEFT JOIN (
+    SELECT l_orderkey AS o_orderkey, l_linenumber, l_quantity,
+           l_extendedprice AS any_price, l_returnflag AS any_flag
+    FROM lineitem
+) fl USING (o_orderkey)
+GROUP BY o_orderstatus, any_flag
+"""
+
+O_ANY_JOIN = """
+WITH fl AS (
+  SELECT l_orderkey AS o_orderkey, any_price, any_flag
+  FROM (
+    SELECT l_orderkey, l_extendedprice AS any_price,
+           l_returnflag AS any_flag,
+           row_number() OVER (PARTITION BY l_orderkey
+               ORDER BY l_linenumber, l_quantity, l_extendedprice,
+                        l_returnflag) AS rn
+    FROM lineitem) WHERE rn = 1)
+SELECT o_orderstatus, any_flag,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(coalesce(any_price, 0) AS DECIMAL(18,2)))
+            AS DOUBLE) AS price_sum
+FROM orders LEFT JOIN fl USING (o_orderkey)
+GROUP BY o_orderstatus, any_flag
+"""
+
+
+def q_dialect_any_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verbatim ClickHouse ANY LEFT JOIN USING query (module doc)."""
+    return run_clickhouse_sql(
+        spark, _CH_ANY_JOIN, sf_dir, ("orders", "lineitem")
+    )
+
+
+# 13. windowFunnel — the generic N-condition transpile (multi-anchor,
+#     strictly-increasing, window anchored at the chain's first event).
+#     The DuckDB oracle is the independent JOIN spelling of the same
+#     semantics, so fold ≡ joins is checked by the gate hash.
+_CH_WINDOW_FUNNEL = """
+SELECT lvl, count() AS n_users FROM (
+  SELECT user_id,
+         windowFunnel(86400)(ts, event_type = 'view',
+                             event_type = 'click',
+                             event_type = 'purchase') AS lvl
+  FROM events GROUP BY user_id
+) GROUP BY lvl ORDER BY lvl
+"""
+
+O_WINDOW_FUNNEL = """
+WITH l1 AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'view'),
+l2 AS (
+  SELECT DISTINCT v.user_id
+  FROM events v JOIN events c ON c.user_id = v.user_id
+  WHERE v.event_type = 'view' AND c.event_type = 'click'
+    AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 24 HOUR),
+l3 AS (
+  SELECT DISTINCT v.user_id
+  FROM events v
+  JOIN events c ON c.user_id = v.user_id
+  JOIN events p ON p.user_id = v.user_id
+  WHERE v.event_type = 'view' AND c.event_type = 'click'
+    AND p.event_type = 'purchase'
+    AND c.ts > v.ts AND p.ts > c.ts
+    AND p.ts <= v.ts + INTERVAL 24 HOUR),
+users AS (SELECT DISTINCT user_id FROM events),
+lv AS (
+  SELECT CASE WHEN users.user_id IN (SELECT user_id FROM l3) THEN 3
+              WHEN users.user_id IN (SELECT user_id FROM l2) THEN 2
+              WHEN users.user_id IN (SELECT user_id FROM l1) THEN 1
+              ELSE 0 END AS lvl
+  FROM users)
+SELECT lvl, COUNT(*) AS n_users FROM lv GROUP BY lvl ORDER BY lvl
+"""
+
+
+def q_dialect_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verbatim ClickHouse windowFunnel query (module doc)."""
+    return run_clickhouse_sql(spark, _CH_WINDOW_FUNNEL, sf_dir, ("events",))
+
+
+# 14. retention — the per-condition flag product, verbatim.
+_CH_RETENTION = """
+SELECT user_id,
+       retention(event_type = 'view', event_type = 'click',
+                 event_type = 'purchase') AS r
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+O_RETENTION = """
+SELECT user_id,
+       [CAST(MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS INT),
+        CAST(MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+             * MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS INT),
+        CAST(MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+             * MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS INT)]
+         AS r
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+def q_dialect_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verbatim ClickHouse retention query (module doc)."""
+    return run_clickhouse_sql(spark, _CH_RETENTION, sf_dir, ("events",))
+
+
+# 15. sequenceMatch — the (?1).*(?2) subsequence form; oracle is the
+#     exists-ordered-pair join spelling.
+_CH_SEQ_MATCH = """
+SELECT user_id,
+       sequenceMatch('(?1).*(?2)')(ts, event_type = 'click',
+                                   event_type = 'purchase') AS cp
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+O_SEQ_MATCH = """
+SELECT e.user_id,
+       CAST(MAX(CASE WHEN EXISTS (
+           SELECT 1 FROM events p
+           WHERE p.user_id = e.user_id AND p.event_type = 'purchase'
+             AND p.ts > e.ts)
+         AND e.event_type = 'click' THEN 1 ELSE 0 END) AS SMALLINT) AS cp
+FROM events e
+GROUP BY e.user_id
+ORDER BY e.user_id
+"""
+
+
+def q_dialect_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verbatim ClickHouse sequenceMatch query (module doc)."""
+    return run_clickhouse_sql(spark, _CH_SEQ_MATCH, sf_dir, ("events",))
+
+
 QUERIES = {
     "dialect_strings": q_dialect_strings,
+    "dialect_any_join": q_dialect_any_join,
+    "dialect_window_funnel": q_dialect_window_funnel,
+    "dialect_retention": q_dialect_retention,
+    "dialect_sequence_match": q_dialect_sequence_match,
     "dialect_limit_by": q_dialect_limit_by,
     "dialect_asof_join": q_dialect_asof_join,
     "dialect_with_fill": q_dialect_with_fill,
@@ -1835,6 +2186,10 @@ QUERIES = {
 
 ORACLES = {
     "dialect_strings": O_STRINGS,
+    "dialect_any_join": O_ANY_JOIN,
+    "dialect_window_funnel": O_WINDOW_FUNNEL,
+    "dialect_retention": O_RETENTION,
+    "dialect_sequence_match": O_SEQ_MATCH,
     "dialect_limit_by": O_LIMIT_BY,
     "dialect_asof_join": O_ASOF,
     "dialect_with_fill": O_WITH_FILL,

@@ -594,3 +594,56 @@ def test_asof_union_window_with_resolver():
         resolve_columns=resolve,
     )
     assert "LATERAL" in out
+
+
+def test_analytics_aggregate_transpiles():
+    # retention → flag products
+    out = transpile("SELECT retention(a = 1, b = 2) AS r FROM t GROUP BY u")
+    assert "max(CASE WHEN a = 1 THEN 1 ELSE 0 END)" in out
+    assert out.count("array(") == 1
+    # windowFunnel → exact max-anchor DP fold
+    out = transpile(
+        "SELECT windowFunnel(3600)(ts, a = 1, b = 2, c = 3) AS lvl "
+        "FROM t GROUP BY u"
+    )
+    assert "aggregate(array_sort(collect_list(" in out
+    assert "array_repeat(CAST(NULL AS BIGINT), 3)" in out
+    assert "CAST(3600 AS BIGINT) * 1000000" in out
+    # windowFunnel modes refuse with the strict-order pointer
+    with pytest.raises(DialectError, match="events_funnel_strict_order"):
+        transpile(
+            "SELECT windowFunnel(3600, 'strict_order')(ts, a, b) FROM t"
+        )
+    # sequenceMatch subsequence form → unbounded-window fold = N
+    out = transpile(
+        "SELECT sequenceMatch('(?1).*(?2)')(ts, a = 1, b = 2) FROM t"
+    )
+    assert "= 2 AS SMALLINT" in out
+    # non-subsequence patterns refuse
+    with pytest.raises(DialectError, match="events_sequence_match"):
+        transpile("SELECT sequenceMatch('(?1)(?2)')(ts, a, b) FROM t")
+    with pytest.raises(DialectError, match="events_sequence_count"):
+        transpile("SELECT sequenceCount('(?1).*(?2)')(ts, a, b) FROM t")
+    # zero-arg count() maps to count(*)
+    assert transpile("count()") == "count(*)"
+
+
+def test_any_join_using_collapses_right_side():
+    resolve = lambda rel: (  # noqa: E731
+        ["k", "v1", "v2"] if "r" in rel else None
+    )
+    out = transpile(
+        "SELECT * FROM l ANY LEFT JOIN r USING (k)",
+        resolve_columns=resolve,
+    )
+    assert "min(struct(v1, v2))" in out
+    assert "GROUP BY k" in out and "LEFT JOIN" in out
+    assert "USING(k)" in out
+    # LEFT ANY JOIN spelling, inner strictness
+    out = transpile(
+        "SELECT * FROM l ANY JOIN r USING (k)", resolve_columns=resolve
+    )
+    assert "LEFT JOIN" not in out and "JOIN(SELECT" in "".join(out.split())
+    # without a resolver the refusal with the operator pointer stands
+    with pytest.raises(DialectError, match="any_left_join"):
+        transpile("SELECT * FROM l ANY LEFT JOIN r USING (k)")
