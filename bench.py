@@ -153,6 +153,11 @@ HEADLINE = [
     "dialect_topk",
     "dialect_subscript",
     "ddl_mv_roundtrip",
+    # round-5 analytics-aggregate transpiles + ANY-join collapse
+    "dialect_window_funnel",
+    "dialect_retention",
+    "dialect_sequence_match",
+    "dialect_any_join",
 ]
 
 

@@ -65,8 +65,23 @@ SHOWCASE = [
                                  "predicate evaluated map-side in the "
                                  "scan stage — no shuffle"),
     ("events_funnel_window", "windowFunnel as a per-user sequence fold: "
-                             "one scan, one keyed exchange, codegen'd "
-                             "aggregate() automaton — no per-step joins"),
+                             "chain-type prefilter pushed to the scan, "
+                             "one keyed exchange, codegen'd aggregate() "
+                             "automaton — no per-step joins"),
+    ("dialect_asof_join", "ASOF USING auto-rewrite: union + last_value "
+                          "window, one keyed shuffle — never the "
+                          "quadratic lateral-decorrelation domain join"),
+    ("dialect_limit_by", "LIMIT n BY auto-rewrite: single row_number "
+                         "window partitioned by the BY keys, no join"),
+    ("dialect_any_join", "ANY JOIN USING auto-rewrite: right side "
+                         "collapsed per key pre-join (right-only "
+                         "shuffle, |left|-row output)"),
+    ("dialect_window_funnel", "generic windowFunnel transpile: exact "
+                              "max-anchor DP fold, one keyed shuffle, "
+                              "all whole-stage codegen"),
+    ("events_rank_corr", "two-pass range-partitioned ranking over a "
+                         "parquet-scratch base (written once, three "
+                         "pruned reads — no data-scale memory cache)"),
 ]
 
 
