@@ -158,6 +158,7 @@ HEADLINE = [
     "dialect_retention",
     "dialect_sequence_match",
     "dialect_any_join",
+    "dialect_with_fill_date",
 ]
 
 

@@ -1100,11 +1100,14 @@ def _rewrite_with_fill(toks: list[str]) -> list[str]:
     the ``events_gap_fill`` pattern: explode a ``sequence()`` spine
     and left-join the query to it.  FROM/TO default to the query's
     own min/max (scalar subqueries); TO is exclusive (ClickHouse
-    semantics) via ``(b) - 1`` — integer keys only, the common
-    ClickHouse usage (INTERVAL steps refuse).  Missing rows carry
-    NULL in the non-key columns where ClickHouse fills type defaults
-    — the module's documented miss-value divergence.  Multi-key,
-    DESC, and INTERPOLATE forms refuse with pointers."""
+    semantics) via a ``filter(…, x -> x < TO)`` over the inclusive
+    sequence — type-agnostic, so integer keys and date/timestamp
+    keys with ``STEP INTERVAL 1 DAY`` take the same shape.  (A
+    date-typed key with no explicit STEP errors at runtime — write
+    the INTERVAL step.)  Missing rows carry NULL in the non-key
+    columns where ClickHouse fills type defaults — the module's
+    documented miss-value divergence.  Multi-key, DESC, and
+    INTERPOLATE forms refuse with pointers."""
     # find the LAST top-level ORDER BY (set-op tails bind to it)
     depth = 0
     ord_i = None
@@ -1194,24 +1197,28 @@ def _rewrite_with_fill(toks: list[str]) -> list[str]:
         expr = "".join(toks[k:e]).strip()
         if not expr:
             raise DialectError(f"WITH FILL {u}: missing expression")
-        if expr.upper().startswith("INTERVAL"):
-            raise DialectError(
-                "WITH FILL STEP INTERVAL (date/time spines) is not "
-                "supported here; use events_gap_fill"
-            )
         spans[u] = expr
         i = e
     core = "".join(toks[:ord_i]).strip()
     from_e = spans.get("FROM") or f"(SELECT min({x}) FROM ({core}))"
-    to_e = (
-        f"({spans['TO']}) - 1"
-        if "TO" in spans
-        else f"(SELECT max({x}) FROM ({core}))"
-    )
     step = spans.get("STEP", "1")
+    if "TO" in spans:
+        # TO is exclusive (ClickHouse semantics); sequence() is
+        # inclusive, so generate through TO and filter below it —
+        # step-size- and type-agnostic (integers, dates/timestamps
+        # with STEP INTERVAL all take the same shape).
+        to = spans["TO"]
+        spine = (
+            f"filter(sequence({from_e}, {to}, {step}), "
+            f"__fill_x -> __fill_x < ({to}))"
+        )
+    else:
+        spine = (
+            f"sequence({from_e}, (SELECT max({x}) FROM ({core})), {step})"
+        )
     repl = (
-        f"SELECT * FROM (SELECT explode(sequence({from_e}, {to_e}, "
-        f"{step})) AS {x}) __fill_spine LEFT JOIN ({core}) __fill_base "
+        f"SELECT * FROM (SELECT explode({spine}) AS {x}) __fill_spine "
+        f"LEFT JOIN ({core}) __fill_base "
         f"USING ({x}) ORDER BY {x}"
     )
     if tail:
@@ -1967,6 +1974,37 @@ def q_dialect_with_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_clickhouse_sql(spark, _CH_WITH_FILL, sf_dir, ("orders",))
 
 
+# 10b. WITH FILL on a DATE key with STEP INTERVAL — one user's sparse
+#      purchase days on a gap-free January spine (TO exclusive).
+_CH_WITH_FILL_DATE = """
+SELECT CAST(ts AS DATE) AS d, count() AS n
+FROM events
+WHERE event_type = 'purchase' AND user_id = 7
+GROUP BY d
+ORDER BY d WITH FILL FROM CAST('2024-01-01' AS DATE)
+                     TO CAST('2024-02-01' AS DATE)
+                     STEP INTERVAL 1 DAY
+"""
+
+O_WITH_FILL_DATE = """
+SELECT d, n
+FROM (SELECT unnest(generate_series(DATE '2024-01-01',
+                                    DATE '2024-01-31',
+                                    INTERVAL 1 DAY))::DATE AS d) s
+LEFT JOIN (
+  SELECT CAST(ts AS DATE) AS d, count(*) AS n
+  FROM events WHERE event_type = 'purchase' AND user_id = 7
+  GROUP BY 1
+) b USING (d)
+ORDER BY d
+"""
+
+
+def q_dialect_with_fill_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verbatim ClickHouse date-spine WITH FILL query (module doc)."""
+    return run_clickhouse_sql(spark, _CH_WITH_FILL_DATE, sf_dir, ("events",))
+
+
 # 11. topK(k)(x) — exact deterministic tier (count desc, value asc):
 #     the 3 most frequent priorities per order status.
 _CH_TOPK = """
@@ -2174,6 +2212,7 @@ QUERIES = {
     "dialect_limit_by": q_dialect_limit_by,
     "dialect_asof_join": q_dialect_asof_join,
     "dialect_with_fill": q_dialect_with_fill,
+    "dialect_with_fill_date": q_dialect_with_fill_date,
     "dialect_topk": q_dialect_topk,
     "dialect_subscript": q_dialect_subscript,
     "dialect_combinators": q_dialect_combinators,
@@ -2193,6 +2232,7 @@ ORACLES = {
     "dialect_limit_by": O_LIMIT_BY,
     "dialect_asof_join": O_ASOF,
     "dialect_with_fill": O_WITH_FILL,
+    "dialect_with_fill_date": O_WITH_FILL_DATE,
     "dialect_topk": O_TOPK,
     "dialect_subscript": O_SUBSCRIPT,
     "dialect_combinators": O_COMBINATORS,

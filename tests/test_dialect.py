@@ -223,10 +223,6 @@ def test_structural_clauses_raise_with_pointers():
             "SELECT a FROM t ORDER BY a WITH FILL INTERPOLATE (b)",
             "events_gap_interpolate",
         ),
-        (
-            "SELECT a FROM t ORDER BY d WITH FILL STEP INTERVAL 1 DAY",
-            "events_gap_fill",
-        ),
         ("SELECT a FROM t INTO OUTFILE 'x.csv'", "export_shards"),
     ):
         with pytest.raises(DialectError, match=msg):
@@ -262,9 +258,17 @@ def test_with_fill_rewrites_to_spine():
     out = transpile(
         "SELECT yr, n FROM t ORDER BY yr WITH FILL FROM 1992 TO 2000"
     )
-    assert "sequence(1992,(2000) - 1, 1)" in "".join(out.split()).replace(",", ", ") or "sequence(1992" in out
+    assert "sequence(1992, 2000, 1)" in out
+    assert "__fill_x < (2000)" in out  # exclusive TO via filter
     assert "LEFT JOIN" in out and "USING(yr)" in out
     assert out.rstrip().endswith("ORDER BY yr")
+    # date spine with INTERVAL step transpiles the same shape
+    out = transpile(
+        "SELECT d, n FROM t ORDER BY d WITH FILL "
+        "FROM CAST('2024-01-01' AS DATE) TO CAST('2024-02-01' AS DATE) "
+        "STEP INTERVAL 1 DAY"
+    )
+    assert "INTERVAL 1 DAY" in out and "filter(sequence(" in out
     # STEP and min/max defaults
     out = transpile("SELECT yr, n FROM t ORDER BY yr WITH FILL STEP 2")
     assert "SELECT min(yr) FROM" in out and "SELECT max(yr) FROM" in out
