@@ -26,6 +26,11 @@ This CLI is the Spark-native equivalent:
 
     python -m clickhouse_vs_dbt_spark list
         list every gated query name.
+
+    python -m clickhouse_vs_dbt_spark ddl "CREATE TABLE ..." [--execute]
+        transpile ClickHouse DDL — CREATE TABLE prints (or, with
+        --execute, creates) the Spark DDL; CREATE MATERIALIZED VIEW
+        prints the parsed incremental-maintenance contract.
 """
 
 from __future__ import annotations
@@ -111,14 +116,45 @@ def cmd_docs(args) -> int:
 
 
 def cmd_sql(args) -> int:
-    from clickhouse_vs_dbt_spark.dialect import transpile
+    from clickhouse_vs_dbt_spark.dialect import catalog_resolver, transpile
 
     spark = _spark("cli-sql")
     _prepare(spark, args.sf_dir)
     # full ClickHouse-dialect front door: the transpiler handles syntax
     # (combinators, parametric aggregates, multiIf, WITH TOTALS, ...);
-    # the compat UDF registry, loaded by _prepare, handles scalar names
-    spark.sql(transpile(args.query)).show(args.limit, truncate=False)
+    # the compat UDF registry, loaded by _prepare, handles scalar names;
+    # the catalog resolver unlocks the scale-shaped ASOF/ANY rewrites
+    spark.sql(
+        transpile(args.query, resolve_columns=catalog_resolver(spark))
+    ).show(args.limit, truncate=False)
+    return 0
+
+
+def cmd_ddl(args) -> int:
+    """Transpile (and optionally execute) ClickHouse DDL: CREATE TABLE
+    prints/creates the Spark DDL; CREATE MATERIALIZED VIEW prints the
+    parsed maintenance contract (source, keys, merge plan)."""
+    import re as _re
+
+    from clickhouse_vs_dbt_spark import ddl as ddlmod
+
+    stmt = args.ddl.strip()
+    if _re.match(r"(?is)CREATE\s+MATERIALIZED\s+VIEW", stmt):
+        mv = ddlmod.transpile_materialized_view(stmt)
+        print(f"-- materialized view {mv.name} over {mv.source}")
+        print(f"-- keys: {', '.join(mv.keys)}")
+        print(
+            "-- merge: "
+            + ", ".join(f"{a} via {fn}" for a, fn in mv.aggs)
+        )
+        print(mv.select_sql.format(src=mv.source))
+        return 0
+    out = ddlmod.transpile_ddl(stmt, path_override=args.path or None)
+    print(out)
+    if args.execute:
+        spark = _spark("cli-ddl")
+        spark.sql(out)
+        print("-- executed")
     return 0
 
 
@@ -147,11 +183,16 @@ def cmd_explain(args) -> int:
         spark = _spark("cli-explain")
         df = qs[args.name_or_sql](spark, args.sf_dir)
     else:
-        from clickhouse_vs_dbt_spark.dialect import transpile
+        from clickhouse_vs_dbt_spark.dialect import (
+            catalog_resolver,
+            transpile,
+        )
 
         spark = _spark("cli-explain")
         _prepare(spark, args.sf_dir)
-        df = spark.sql(transpile(args.name_or_sql))
+        df = spark.sql(transpile(
+            args.name_or_sql, resolve_columns=catalog_resolver(spark)
+        ))
     print(df._jdf.queryExecution().explainString(
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     ))
@@ -196,6 +237,14 @@ def main(argv: list[str] | None = None) -> int:
     pq.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
     pq.add_argument("--limit", type=int, default=20)
     pq.set_defaults(fn=cmd_query)
+
+    pddl = sub.add_parser(
+        "ddl", help="transpile ClickHouse DDL (CREATE TABLE / MATERIALIZED VIEW)"
+    )
+    pddl.add_argument("ddl")
+    pddl.add_argument("--path", default="", help="override the storage path")
+    pddl.add_argument("--execute", action="store_true")
+    pddl.set_defaults(fn=cmd_ddl)
 
     pl = sub.add_parser("list", help="list gated query names")
     pl.set_defaults(fn=cmd_list)
