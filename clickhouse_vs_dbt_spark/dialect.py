@@ -1060,6 +1060,14 @@ def _rewrite_limit_by(toks: list[str]) -> list[str]:
                 depth += 1
             elif t in (")", "]"):
                 depth -= 1
+            elif depth == 0 and t.upper() in (
+                "UNION", "EXCEPT", "INTERSECT",
+            ):
+                raise DialectError(
+                    "LIMIT n BY followed by a set operation is "
+                    "ambiguous; parenthesize the branch the LIMIT BY "
+                    "belongs to"
+                )
             elif depth == 0 and t.upper() == "LIMIT":
                 by_end = i
                 tail = "".join(toks[i:seg_end]).strip()

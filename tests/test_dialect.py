@@ -651,3 +651,14 @@ def test_any_join_using_collapses_right_side():
     # without a resolver the refusal with the operator pointer stands
     with pytest.raises(DialectError, match="any_left_join"):
         transpile("SELECT * FROM l ANY LEFT JOIN r USING (k)")
+
+
+def test_limit_by_union_guard_and_parenthesized_branch():
+    with pytest.raises(DialectError, match="parenthesize"):
+        transpile(
+            "SELECT a FROM t LIMIT 1 BY a UNION ALL SELECT a FROM u"
+        )
+    out = transpile(
+        "(SELECT a FROM t LIMIT 1 BY a) UNION ALL SELECT a FROM u"
+    )
+    assert "__limit_by_rn" in out and "UNION ALL" in out
