@@ -159,6 +159,7 @@ HEADLINE = [
     "dialect_sequence_match",
     "dialect_any_join",
     "dialect_with_fill_date",
+    "ddl_final_read",
 ]
 
 

@@ -195,6 +195,25 @@ _DDL_RE = re.compile(
 )
 
 
+class EngineInfo:
+    """Engine metadata captured from a CREATE TABLE that went through
+    :func:`transpile_ddl` — the context that lets the dialect
+    transpiler rewrite ``FROM t FINAL`` instead of refusing (FINAL's
+    meaning depends on the engine + ORDER BY key + version column,
+    which only the DDL knows)."""
+
+    __slots__ = ("engine", "keys", "version")
+
+    def __init__(self, engine: str, keys: tuple, version: str | None):
+        self.engine = engine
+        self.keys = keys
+        self.version = version
+
+
+#: table name (as written, plus its last component) → EngineInfo
+ENGINE_INFO: dict[str, EngineInfo] = {}
+
+
 def transpile_ddl(
     sql: str,
     path_override: str | None = None,
@@ -204,7 +223,10 @@ def transpile_ddl(
 
     ``path_override`` replaces the S3 URL (local testing / relocation);
     ``options`` adds datasource options (e.g. ``{"sep": "|"}`` for
-    pipe-separated .tbl files).
+    pipe-separated .tbl files).  MergeTree-family engines additionally
+    register their (engine, ORDER BY keys, version column) in
+    :data:`ENGINE_INFO` so the dialect front door can serve
+    ``FROM t FINAL`` reads.
     """
     # find the column list by balancing parens from the first '('
     m = _DDL_RE.match(sql.strip())
@@ -231,6 +253,23 @@ def transpile_ddl(
         opts["path"] = path_override or url
     else:
         using = "parquet"  # MergeTree family: storage format mapping
+        if path_override:
+            opts["path"] = path_override
+        # capture engine metadata for dialect FINAL reads
+        om = re.search(
+            r"(?is)ORDER\s+BY\s+(?:\(([^)]*)\)|"
+            r"([A-Za-z_][A-Za-z0-9_]*))",
+            tail,
+        )
+        keys = tuple(
+            k.strip()
+            for k in ((om.group(1) or om.group(2)).split(",") if om else [])
+            if k.strip()
+        )
+        version = eargs[0].strip() if eargs else None
+        info = EngineInfo(engine, keys, version)
+        ENGINE_INFO[name] = info
+        ENGINE_INFO[name.split(".")[-1].strip("`")] = info
 
     part = ""
     pm = re.search(r"PARTITION\s+BY\s+([A-Za-z_][A-Za-z0-9_]*)\b(?!\s*\()",
@@ -638,13 +677,90 @@ WHERE user_id % 2 = 0
 GROUP BY event_type ORDER BY event_type
 """
 
+# --- gated proof: FROM t FINAL through DDL engine context ---
+
+REFERENCE_REPLACING_DDL = """CREATE TABLE orders_versioned
+(
+    o_orderkey    UInt64,
+    o_orderstatus String,
+    o_totalprice  Float64,
+    ver           UInt8
+)
+ENGINE = ReplacingMergeTree(ver)
+ORDER BY o_orderkey;"""
+
+
+def q_ddl_final_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-4 verdict's #1 refusal, closed when context exists:
+    ``FROM t FINAL`` runs verbatim once the table's CREATE TABLE went
+    through ``transpile_ddl`` (which records engine / ORDER BY key /
+    version column).  A two-version orders relation is written, the
+    verbatim ReplacingMergeTree DDL creates the external table, and a
+    ClickHouse FINAL aggregate reads the collapsed (max-version) rows.
+    The DuckDB oracle derives the identical versioned relation inline
+    and collapses with a window — independent spelling, same rows."""
+    import tempfile
+
+    o = load_table(spark, sf_dir, "orders")
+    v1 = o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.lit(1).cast("smallint").alias("ver"),
+    )
+    v2 = o.filter(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey",
+        F.lit("U").alias("o_orderstatus"),
+        (F.col("o_totalprice") + F.lit(100.0)).alias("o_totalprice"),
+        F.lit(2).cast("smallint").alias("ver"),
+    )
+    path = tempfile.mkdtemp(prefix="ddl_final_") + "/orders_versioned"
+    v1.unionByName(v2).write.mode("overwrite").parquet(path)
+    spark.sql("DROP TABLE IF EXISTS orders_versioned")
+    spark.sql(transpile_ddl(REFERENCE_REPLACING_DDL, path_override=path))
+    from clickhouse_vs_dbt_spark.dialect import run_clickhouse_sql
+
+    return run_clickhouse_sql(
+        spark,
+        """
+        SELECT o_orderstatus,
+               count() AS n,
+               toFloat64(sum(toDecimal64(o_totalprice, 2))) AS total
+        FROM orders_versioned FINAL
+        GROUP BY o_orderstatus
+        """,
+        sf_dir,
+        ("orders",),
+    )
+
+
+O_DDL_FINAL_READ = """
+WITH vers AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice, 1 AS ver FROM orders
+  UNION ALL
+  SELECT o_orderkey, 'U', o_totalprice + 100.0, 2
+  FROM orders WHERE o_orderkey % 3 = 0),
+final AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY o_orderkey
+        ORDER BY ver DESC, o_orderstatus DESC, o_totalprice DESC) AS rn
+    FROM vers) WHERE rn = 1)
+SELECT o_orderstatus, COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM final GROUP BY o_orderstatus
+"""
+
+
 QUERIES = {
     "ddl_source_roundtrip": q_ddl_source_roundtrip,
     "ddl_mv_roundtrip": q_ddl_mv_roundtrip,
+    "ddl_final_read": q_ddl_final_read,
 }
 ORACLES = {
     "ddl_source_roundtrip": O_DDL_SOURCE_ROUNDTRIP,
     "ddl_mv_roundtrip": O_DDL_MV_ROUNDTRIP,
+    "ddl_final_read": O_DDL_FINAL_READ,
 }
 
 __all__ = [

@@ -1600,17 +1600,87 @@ def _rewrite_any_join(toks: list[str], resolve_columns=None) -> list[str]:
         toks = _tokens("".join(toks))
 
 
-def transpile(sql: str, resolve_columns=None) -> str:
+def _rewrite_final(toks, resolve_columns=None, engine_info=None):
+    """``FROM t FINAL`` when ``t``'s CREATE TABLE went through
+    ``ddl.transpile_ddl`` (so its engine, ORDER BY key, and version
+    column are known): ReplacingMergeTree collapses to the max-version
+    row per key via a keyed ``max_by(struct(vals), struct(ver, …))``
+    aggregate — one right-sized shuffle of the read, the
+    ``mergetree_replacing_final`` plan, no window.  Version ties (or
+    a version-less engine) break on the remaining columns
+    lexicographically — a deterministic refinement of ClickHouse's
+    keep-last-inserted.  Other engines and unknown tables fall through
+    to the refusal with the operator pointer."""
+    if resolve_columns is None or engine_info is None:
+        return toks
+    i = 0
+    while i < len(toks):
+        if toks[i].upper() != "FROM":
+            i += 1
+            continue
+        j = _next_code(toks, i + 1)
+        if j >= len(toks) or not (_is_ident(toks[j]) or toks[j].startswith("`")):
+            i += 1
+            continue
+        name_end = j
+        k = _next_code(toks, j + 1)
+        while (
+            k < len(toks)
+            and toks[k] == "."
+            and (n2 := _next_code(toks, k + 1)) < len(toks)
+            and (_is_ident(toks[n2]) or toks[n2].startswith("`"))
+        ):
+            name_end = n2
+            k = _next_code(toks, n2 + 1)
+        if k >= len(toks) or toks[k].upper() != "FINAL":
+            i += 1
+            continue
+        name = "".join(toks[j : name_end + 1])
+        info = engine_info(name)
+        if info is None or not str(info.engine).startswith("Replacing"):
+            i += 1
+            continue  # backstop refusal names the MergeTree operators
+        cols = resolve_columns(name)
+        keys = list(info.keys)
+        if not cols or not keys or any(c not in cols for c in keys):
+            i += 1
+            continue
+        vals = [c for c in cols if c not in keys]
+        kcsv = ", ".join(keys)
+        alias = name.split(".")[-1].strip("`")
+        if vals:
+            ordcols = ([info.version] if info.version in vals else []) + [
+                c for c in vals if c != info.version
+            ]
+            picked = ", ".join(f"__f_s.{c} AS {c}" for c in vals)
+            collapse = (
+                f"(SELECT {kcsv}, {picked} FROM (SELECT {kcsv}, "
+                f"max_by(struct({', '.join(vals)}), "
+                f"struct({', '.join(ordcols)})) AS __f_s "
+                f"FROM {name} GROUP BY {kcsv}) __f_g) {alias}"
+            )
+        else:
+            collapse = f"(SELECT DISTINCT {kcsv} FROM {name}) {alias}"
+        toks[j : k + 1] = [collapse]
+        toks = _tokens("".join(toks))
+        i = 0
+    return toks
+
+
+def transpile(sql: str, resolve_columns=None, engine_info=None) -> str:
     """Rewrite a ClickHouse-dialect query into Spark SQL (see module
     doc).  Unrecognized constructs pass through verbatim.
     ``resolve_columns`` (relation text → column names, or None) lets
-    the ASOF rewrite emit its scale-shaped union-window plan; without
-    it the correct-but-local LATERAL fallback is used."""
+    the ASOF/ANY rewrites emit their scale-shaped plans; without it
+    the correct-but-local fallbacks/refusals apply.  ``engine_info``
+    (table name → ``ddl.EngineInfo`` or None) unlocks ``FROM t
+    FINAL`` reads for tables whose DDL ran through the front door."""
     toks = _tokens(sql)
     toks = _rewrite_limit_by(toks)
     toks = _rewrite_with_fill(toks)
     toks = _rewrite_asof(toks, resolve_columns)
     toks = _rewrite_any_join(toks, resolve_columns)
+    toks = _rewrite_final(toks, resolve_columns, engine_info)
     toks = _rewrite_clauses(toks)
     toks = _tokens("".join(toks))  # re-tokenize after clause splices
     return _walk(toks, 0, len(toks))
@@ -1639,9 +1709,18 @@ def run_clickhouse_sql(
 ) -> DataFrame:
     """One-call front door: register the parquet views and the scalar
     compat UDFs, transpile, execute."""
+    from clickhouse_vs_dbt_spark import ddl as _ddl  # lazy: ddl imports us
+
     register_views(spark, sf_dir, tables)
     register_clickhouse_compat(spark)
-    return spark.sql(transpile(sql, resolve_columns=catalog_resolver(spark)))
+    return spark.sql(
+        transpile(
+            sql,
+            resolve_columns=catalog_resolver(spark),
+            engine_info=lambda n: _ddl.ENGINE_INFO.get(n)
+            or _ddl.ENGINE_INFO.get(n.split(".")[-1].strip("`")),
+        )
+    )
 
 
 # --- gated proofs: verbatim ClickHouse queries through the front door ---

@@ -219,3 +219,44 @@ def test_materialized_view_batch_merge_equals_full(spark):
         .collect()
     }
     assert got == want
+
+
+def test_engine_info_registered_and_final_rewrites():
+    from clickhouse_vs_dbt_spark.ddl import (
+        ENGINE_INFO,
+        transpile_ddl,
+    )
+    from clickhouse_vs_dbt_spark.dialect import transpile
+
+    transpile_ddl(
+        "CREATE TABLE db.tv (k UInt64, v Float64, ver UInt8) "
+        "ENGINE = ReplacingMergeTree(ver) ORDER BY (k)"
+    )
+    info = ENGINE_INFO["tv"]
+    assert info.engine == "ReplacingMergeTree"
+    assert info.keys == ("k",) and info.version == "ver"
+    out = transpile(
+        "SELECT k, v FROM tv FINAL",
+        resolve_columns=lambda n: ["k", "v", "ver"] if "tv" in n else None,
+        engine_info=lambda n: ENGINE_INFO.get(n),
+    )
+    assert "FINAL" not in out
+    assert "max_by(struct(v, ver), struct(ver, v))" in out
+    assert "GROUP BY k" in out
+    # unknown table / non-Replacing engine still refuses
+    import pytest
+
+    from clickhouse_vs_dbt_spark.dialect import DialectError
+
+    with pytest.raises(DialectError, match="FINAL"):
+        transpile("SELECT a FROM unknown_t FINAL")
+    transpile_ddl(
+        "CREATE TABLE cm (k UInt64, s Int8) "
+        "ENGINE = CollapsingMergeTree(s) ORDER BY (k)"
+    )
+    with pytest.raises(DialectError, match="FINAL"):
+        transpile(
+            "SELECT k FROM cm FINAL",
+            resolve_columns=lambda n: ["k", "s"],
+            engine_info=lambda n: ENGINE_INFO.get(n),
+        )

@@ -662,3 +662,30 @@ def test_limit_by_union_guard_and_parenthesized_branch():
         "(SELECT a FROM t LIMIT 1 BY a) UNION ALL SELECT a FROM u"
     )
     assert "__limit_by_rn" in out and "UNION ALL" in out
+
+
+def test_asof_union_window_equals_lateral_fallback(spark, sf_dir):
+    """The two ASOF emission shapes (catalog-resolver union-window vs
+    LATERAL top-1) are independent plans of the same semantics — they
+    must return identical rows."""
+    from clickhouse_vs_dbt_spark.catalog import register_views
+    from clickhouse_vs_dbt_spark.compat import register_clickhouse_compat
+    from clickhouse_vs_dbt_spark.dialect import catalog_resolver
+
+    ch = """
+    SELECT e.event_id, e.user_id, e.ts, c.click_value
+    FROM events e
+    ASOF LEFT JOIN (
+        SELECT user_id, ts, value AS click_value
+        FROM events WHERE event_type = 'click'
+    ) c USING (user_id, ts)
+    WHERE e.event_type = 'purchase'
+    """
+    register_views(spark, sf_dir, ("events",))
+    register_clickhouse_compat(spark)
+    with_resolver = spark.sql(
+        transpile(ch, resolve_columns=catalog_resolver(spark))
+    )
+    lateral = spark.sql(transpile(ch))
+    assert "last_value" in with_resolver._jdf.queryExecution().toString()
+    assert _rows(with_resolver) == _rows(lateral)
