@@ -384,8 +384,12 @@ class MaterializedView:
     operators/hll.py), mirroring ClickHouse's own ``-State`` rules.
 
     State lives as an in-session relation re-registered under the
-    view's name after each refresh; pass ``target_path`` to
-    checkpoint it as parquet per refresh (the ``TO table`` analog)."""
+    view's name after each refresh; pass ``target_path`` to make it
+    durable — each refresh then writes a new parquet version under
+    that directory and the merge reads the previous version back from
+    disk (the ``TO table`` analog; also what lets a long-running
+    STREAMING maintainer fold unboundedly many micro-batches without
+    growing a lineage chain — see :meth:`maintain_stream`)."""
 
     def __init__(self, name, select_sql, source, keys, aggs, target):
         self.name = name
@@ -395,15 +399,43 @@ class MaterializedView:
         self.aggs = aggs  # [(alias, merge_fn_name)]
         self.target = target
         self._state = None
+        self._version = -1
 
     def _partial(self, spark: "SparkSession", src: str) -> "DataFrame":
         return spark.sql(self.select_sql.format(src=src))
 
-    def populate(self, spark: "SparkSession") -> "DataFrame":
-        """POPULATE analog: one full build from the source relation."""
-        self._state = self._partial(spark, self.source)
+    def _prev_state(self, spark: "SparkSession"):
+        if self.target and self._version >= 0:
+            return spark.read.parquet(f"{self.target}/v{self._version}")
+        return self._state
+
+    def _publish(self, spark: "SparkSession", df: "DataFrame"):
+        if self.target:
+            self._version += 1
+            path = f"{self.target}/v{self._version}"
+            df.write.mode("overwrite").parquet(path)
+            df = spark.read.parquet(path)
+        self._state = df
         self._state.createOrReplaceTempView(self.name)
         return self._state
+
+    def read_state(self, spark: "SparkSession"):
+        """(Re-)register the latest persisted state in ``spark`` and
+        return it.  Needed after streaming maintenance: foreachBatch
+        runs its folds in a cloned micro-batch session whose temp
+        views are invisible to the main session."""
+        if self.target and self._version >= 0:
+            df = spark.read.parquet(f"{self.target}/v{self._version}")
+            df.createOrReplaceTempView(self.name)
+            self._state = df
+            return df
+        if self._state is not None:
+            self._state.createOrReplaceTempView(self.name)
+        return self._state
+
+    def populate(self, spark: "SparkSession") -> "DataFrame":
+        """POPULATE analog: one full build from the source relation."""
+        return self._publish(spark, self._partial(spark, self.source))
 
     def apply_batch(
         self, spark: "SparkSession", batch: "DataFrame"
@@ -415,12 +447,13 @@ class MaterializedView:
         tmp = f"__mv_batch_{self.name}"
         batch.createOrReplaceTempView(tmp)
         partial = self._partial(spark, tmp)
-        if self._state is None:
-            self._state = partial
+        prev = self._prev_state(spark)
+        if prev is None:
+            merged = partial
         else:
             dtypes = dict(partial.dtypes)
             merged = (
-                self._state.unionByName(partial)
+                prev.unionByName(partial)
                 .groupBy(*self.keys)
                 .agg(
                     *(
@@ -428,13 +461,36 @@ class MaterializedView:
                         for a, fn in self.aggs
                     )
                 )
-            )
-            # restore the declared column order
-            self._state = merged.select(*partial.columns)
-        self._state.createOrReplaceTempView(self.name)
-        if self.target:
-            self._state.write.mode("overwrite").parquet(self.target)
-        return self._state
+            ).select(*partial.columns)  # restore declared column order
+        return self._publish(spark, merged)
+
+    def maintain_stream(self, stream_df, checkpoint_dir: str | None = None):
+        """Structured Streaming maintenance: a ``foreachBatch`` sink
+        that folds every micro-batch into the maintained state —
+        ClickHouse's MV insert trigger, streaming edition (the
+        ``stream_mv`` machinery behind the DDL front door).  Each
+        trigger costs O(batch + |keys|); with a ``target_path`` the
+        state is re-read from its persisted parquet version per
+        trigger, so the plan never accumulates a cross-batch lineage
+        chain.  Returns the started StreamingQuery."""
+        import os
+        import tempfile
+        import uuid
+
+        if not self.target:
+            self.target = tempfile.mkdtemp(prefix=f"mv_state_{self.name}_")
+        ckpt = checkpoint_dir or os.path.join(
+            tempfile.gettempdir(), f"mv_ckpt_{self.name}_{uuid.uuid4().hex[:8]}"
+        )
+
+        def _fold(batch: "DataFrame", batch_id: int) -> None:
+            self.apply_batch(batch.sparkSession, batch)
+
+        return (
+            stream_df.writeStream.foreachBatch(_fold)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
 
 
 def transpile_materialized_view(
@@ -752,14 +808,60 @@ FROM final GROUP BY o_orderstatus
 """
 
 
+def q_ddl_mv_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME verbatim CREATE MATERIALIZED VIEW, maintained by
+    Structured Streaming: events replay as three file-triggered
+    micro-batches through :meth:`MaterializedView.maintain_stream`
+    (foreachBatch → partial state → keyed merge, state re-read from
+    its persisted parquet version per trigger).  Convergence to the
+    one-shot aggregate — the identical oracle as the batch roundtrip —
+    proves one DDL front door drives both maintenance modes."""
+    import tempfile
+
+    from clickhouse_vs_dbt_spark.streaming.events_stream import (
+        events_raw_schema,
+        normalize_ts,
+    )
+    from clickhouse_vs_dbt_spark.streaming.stream_mv import _batched_dir
+
+    mv = transpile_materialized_view(
+        REFERENCE_MV_DDL.replace("mv_events_by_type", "mv_events_stream"),
+        target_path=tempfile.mkdtemp(prefix="ddl_mv_stream_"),
+    )
+    src = _batched_dir(spark, sf_dir)
+    stream = normalize_ts(
+        spark.readStream.schema(events_raw_schema(spark, sf_dir))
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = mv.maintain_stream(stream)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    mv.read_state(spark)
+    return spark.sql(
+        f"""
+        SELECT event_type,
+               CAST(n_events AS BIGINT) AS n_events,
+               CAST(n_hot AS BIGINT) AS n_hot,
+               CAST(total_value AS DOUBLE) AS total_value,
+               min_value, max_value
+        FROM {mv.name} ORDER BY event_type
+        """
+    )
+
+
 QUERIES = {
     "ddl_source_roundtrip": q_ddl_source_roundtrip,
     "ddl_mv_roundtrip": q_ddl_mv_roundtrip,
+    "ddl_mv_stream": q_ddl_mv_stream,
     "ddl_final_read": q_ddl_final_read,
 }
 ORACLES = {
     "ddl_source_roundtrip": O_DDL_SOURCE_ROUNDTRIP,
     "ddl_mv_roundtrip": O_DDL_MV_ROUNDTRIP,
+    "ddl_mv_stream": O_DDL_MV_ROUNDTRIP,
     "ddl_final_read": O_DDL_FINAL_READ,
 }
 
