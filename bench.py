@@ -160,6 +160,7 @@ HEADLINE = [
     "dialect_any_join",
     "dialect_with_fill_date",
     "ddl_final_read",
+    "dialect_combinators2",
 ]
 
 

@@ -448,6 +448,97 @@ def _render_call(name: str, args: list[str]) -> str:
         # UDFs under Generate, so arrayJoin(splitByChar(...)) needs the
         # raw expression; \\Q..\\E regex-quotes the separator
         return f"split({args[1]}, concat('\\\\Q', {args[0]}, '\\\\E'))"
+    if (
+        name.endswith("Array")
+        and name[: -len("Array")] in ("sum", "min", "max", "avg", "count")
+        and len(args) == 1
+    ):
+        # -Array combinator: the aggregate over every ELEMENT of the
+        # row arrays in the group.  sum/avg accumulate in DOUBLE (the
+        # arraySum policy — integer-exact below 2^53, documented).
+        base = name[: -len("Array")]
+        a = args[0]
+        elem_sum = (
+            f"sum(aggregate({a}, CAST(0 AS DOUBLE), "
+            "(acc, x) -> acc + CAST(x AS DOUBLE)))"
+        )
+        if base == "sum":
+            return elem_sum
+        if base == "min":
+            return f"min(array_min({a}))"
+        if base == "max":
+            return f"max(array_max({a}))"
+        if base == "count":
+            return f"sum(CAST(size({a}) AS BIGINT))"
+        return f"({elem_sum} / sum(CAST(size({a}) AS BIGINT)))"
+    if (
+        name.endswith("Distinct")
+        and name[: -len("Distinct")] in ("sum", "avg", "count")
+        and len(args) == 1
+    ):
+        # -Distinct combinator: aggregate over the distinct values
+        return f"{name[: -len('Distinct')]}(DISTINCT {args[0]})"
+    if name.endswith("OrNull") and len(args) >= 1:
+        base = name[: -len("OrNull")]
+        # CH -OrNull: NULL instead of the default when no rows matched.
+        # Spark sum/min/max/avg are already NULL on empty input; count
+        # needs the explicit nullif.
+        if base == "count":
+            return f"nullif(count({joined}), 0)"
+        if base in ("sum", "min", "max", "avg"):
+            return f"{base}({joined})"
+        if base in _RENAME:
+            return f"{_RENAME[base]}({joined})"
+    for suffix in ("SimpleState", "MergeState", "State", "Merge"):
+        if name.endswith(suffix) and len(name) > len(suffix):
+            base = name[: -len(suffix)]
+            if base.endswith("If"):
+                base = base[:-2]
+            if base in _IF_BASES or base in _RENAME or base in (
+                "sum", "min", "max", "avg", "count", "uniq", "quantile",
+                "groupArray",
+            ):
+                raise DialectError(
+                    f"{name}: ClickHouse -State/-Merge partial-aggregate "
+                    "registers are engine-internal byte states; the Spark "
+                    "shape is native partial/final aggregation — see "
+                    "mergetree_aggregating (and incremental_agg_mv / "
+                    "transpile_materialized_view for maintained state)"
+                )
+    if name in ("sumMap", "minMap", "maxMap") and len(args) == 2:
+        # -Map aggregates: per-key reduction over (keys[], values[])
+        # row pairs, returned as a struct of parallel sorted arrays
+        # (ClickHouse returns the same tuple-of-arrays).  Shape: zip
+        # per row, collect per group, sort by key, run-length-reduce —
+        # the _topk_exact fold with a sum/min/max merge; values
+        # accumulate in DOUBLE (the arraySum policy; the fold order is
+        # the sorted-array order, so the result is deterministic).
+        op = {"sumMap": "+", "minMap": None, "maxMap": None}[name]
+        merge = (
+            f"element_at(acc, -1).v {op} p.v"
+            if op
+            else (
+                f"{'least' if name == 'minMap' else 'greatest'}"
+                "(element_at(acc, -1).v, p.v)"
+            )
+        )
+        pairs = (
+            f"array_sort(flatten(collect_list(zip_with({args[0]}, "
+            f"{args[1]}, (a, b) -> named_struct('k', a, 'v', "
+            "CAST(b AS DOUBLE))))))"
+        )
+        zero = f"transform(slice({pairs}, 1, 0), p -> p)"
+        step = (
+            "(acc, p) -> IF(size(acc) > 0 AND element_at(acc, -1).k = p.k, "
+            "concat(slice(acc, 1, size(acc) - 1), "
+            f"array(named_struct('k', p.k, 'v', {merge}))), "
+            "concat(acc, array(p)))"
+        )
+        rle = f"aggregate({pairs}, {zero}, {step})"
+        return (
+            f"named_struct('keys', transform({rle}, s -> s.k), "
+            f"'values', transform({rle}, s -> s.v))"
+        )
     if name.endswith("If") and name[:-2] in _IF_BASES and len(args) >= 2:
         base = _IF_BASES[name[:-2]]
         cond = args[-1]
@@ -2186,6 +2277,55 @@ def q_dialect_any_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# 12c. combinator families round 2: -Array, -Distinct, -OrNull over
+#      inline arrays (integer-valued doubles keep the DOUBLE-policy
+#      sums exact under any partitioning), plus sumMap's
+#      tuple-of-sorted-arrays shape.
+_CH_COMBINATORS2 = """
+SELECT user_id % 10 AS cohort,
+       sumArray([toFloat64(user_id % 3), toFloat64(event_id % 5)]) AS sa,
+       minArray([value, 100.0]) AS mna,
+       maxArray([value, -1.0]) AS mxa,
+       countArray([value, value]) AS ca,
+       avgArray([toFloat64(event_id % 7)]) AS aa,
+       sumDistinct(user_id % 7) AS sd,
+       countOrNull(CASE WHEN value > 1000 THEN 1 END) AS cn,
+       (sumMap([event_type], [value])).keys AS mk,
+       (sumMap([event_type], [value])).values AS mv
+FROM events
+GROUP BY cohort
+"""
+
+O_COMBINATORS2 = """
+WITH scalars AS (
+  SELECT user_id % 10 AS cohort,
+         SUM(CAST(user_id % 3 AS DOUBLE) + CAST(event_id % 5 AS DOUBLE))
+           AS sa,
+         LEAST(MIN(value), 100.0) AS mna,
+         GREATEST(MAX(value), -1.0) AS mxa,
+         CAST(2 * COUNT(*) AS BIGINT) AS ca,
+         AVG(CAST(event_id % 7 AS DOUBLE)) AS aa,
+         SUM(DISTINCT user_id % 7) AS sd,
+         NULLIF(COUNT(CASE WHEN value > 1000 THEN 1 END), 0) AS cn
+  FROM events GROUP BY 1),
+per_key AS (
+  SELECT user_id % 10 AS cohort, event_type AS k, SUM(value) AS v
+  FROM events GROUP BY 1, 2),
+maps AS (
+  SELECT cohort, list(k ORDER BY k) AS mk, list(v ORDER BY k) AS mv
+  FROM per_key GROUP BY cohort)
+SELECT s.cohort, s.sa, s.mna, s.mxa, s.ca, s.aa, s.sd, s.cn,
+       m.mk, m.mv
+FROM scalars s JOIN maps m ON s.cohort = m.cohort
+"""
+
+
+def q_dialect_combinators2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verbatim ClickHouse -Array/-Distinct/-OrNull/-Map combinator
+    query (module doc)."""
+    return run_clickhouse_sql(spark, _CH_COMBINATORS2, sf_dir, ("events",))
+
+
 # 13. windowFunnel — the generic N-condition transpile (multi-anchor,
 #     strictly-increasing, window anchored at the chain's first event).
 #     The DuckDB oracle is the independent JOIN spelling of the same
@@ -2293,6 +2433,7 @@ def q_dialect_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "dialect_strings": q_dialect_strings,
     "dialect_any_join": q_dialect_any_join,
+    "dialect_combinators2": q_dialect_combinators2,
     "dialect_window_funnel": q_dialect_window_funnel,
     "dialect_retention": q_dialect_retention,
     "dialect_sequence_match": q_dialect_sequence_match,
@@ -2313,6 +2454,7 @@ QUERIES = {
 ORACLES = {
     "dialect_strings": O_STRINGS,
     "dialect_any_join": O_ANY_JOIN,
+    "dialect_combinators2": O_COMBINATORS2,
     "dialect_window_funnel": O_WINDOW_FUNNEL,
     "dialect_retention": O_RETENTION,
     "dialect_sequence_match": O_SEQ_MATCH,

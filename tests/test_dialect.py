@@ -689,3 +689,20 @@ def test_asof_union_window_equals_lateral_fallback(spark, sf_dir):
     lateral = spark.sql(transpile(ch))
     assert "last_value" in with_resolver._jdf.queryExecution().toString()
     assert _rows(with_resolver) == _rows(lateral)
+
+
+def test_combinator_families_round5():
+    assert transpile("minArray(a)") == "min(array_min(a))"
+    assert transpile("maxArray(a)") == "max(array_max(a))"
+    assert transpile("countArray(a)") == "sum(CAST(size(a) AS BIGINT))"
+    assert "sum(aggregate(a" in transpile("sumArray(a)")
+    assert "/ sum(CAST(size(a) AS BIGINT))" in transpile("avgArray(a)")
+    assert transpile("sumDistinct(x)") == "sum(DISTINCT x)"
+    assert transpile("countOrNull(x)") == "nullif(count(x), 0)"
+    assert transpile("sumOrNull(x)") == "sum(x)"  # already NULL-on-empty
+    out = transpile("sumMap(k, v)")
+    assert "zip_with(k, v" in out and "named_struct('keys'" in out
+    assert "least(" in transpile("minMap(k, v)")
+    for bad in ("sumState(x)", "uniqMerge(s)", "sumIfState(x, c)"):
+        with pytest.raises(DialectError, match="mergetree_aggregating"):
+            transpile(f"SELECT {bad} FROM t")
