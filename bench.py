@@ -161,6 +161,8 @@ HEADLINE = [
     "dialect_with_fill_date",
     "ddl_final_read",
     "dialect_combinators2",
+    "dialect_with_fill_interp",
+    "ddl_final_versioned",
 ]
 
 

@@ -202,12 +202,19 @@ class EngineInfo:
     meaning depends on the engine + ORDER BY key + version column,
     which only the DDL knows)."""
 
-    __slots__ = ("engine", "keys", "version")
+    __slots__ = ("engine", "keys", "version", "sign")
 
-    def __init__(self, engine: str, keys: tuple, version: str | None):
+    def __init__(
+        self,
+        engine: str,
+        keys: tuple,
+        version: str | None,
+        sign: str | None = None,
+    ):
         self.engine = engine
         self.keys = keys
         self.version = version
+        self.sign = sign
 
 
 #: table name (as written, plus its last component) → EngineInfo
@@ -266,8 +273,17 @@ def transpile_ddl(
             for k in ((om.group(1) or om.group(2)).split(",") if om else [])
             if k.strip()
         )
-        version = eargs[0].strip() if eargs else None
-        info = EngineInfo(engine, keys, version)
+        # engine-arg meaning depends on the engine family:
+        # Replacing(ver), Collapsing(sign), VersionedCollapsing(sign, ver)
+        version = sign_col = None
+        if engine.startswith("VersionedCollapsing"):
+            sign_col = eargs[0].strip() if eargs else None
+            version = eargs[1].strip() if len(eargs) > 1 else None
+        elif engine.startswith("Collapsing"):
+            sign_col = eargs[0].strip() if eargs else None
+        else:
+            version = eargs[0].strip() if eargs else None
+        info = EngineInfo(engine, keys, version, sign_col)
         ENGINE_INFO[name] = info
         ENGINE_INFO[name.split(".")[-1].strip("`")] = info
 
@@ -852,17 +868,127 @@ def q_ddl_mv_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- gated proof: VersionedCollapsing FINAL through DDL context ---
+
+REFERENCE_VC_DDL = """CREATE TABLE orders_vc
+(
+    o_orderkey    UInt64,
+    o_orderstatus String,
+    o_totalprice  Float64,
+    sign          Int8,
+    ver           UInt32
+)
+ENGINE = VersionedCollapsingMergeTree(sign, ver)
+ORDER BY o_orderkey;"""
+
+
+def q_ddl_final_versioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VersionedCollapsingMergeTree FINAL through the DDL front door:
+    every order inserts at ver 1; every third key cancels ver 1 and
+    re-states at ver 2; every fifteenth key cancels ver 2 too (net
+    delete).  ``FROM orders_vc FINAL`` must return the max-version
+    non-cancelled state rows — updated prices for %3 keys, nothing for
+    %15 keys.  Oracle: the same relation collapsed with a
+    net-sign + window spelling in DuckDB."""
+    import tempfile
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    p1 = o.select(
+        "*",
+        F.lit(1).cast("tinyint").alias("sign"),
+        F.lit(1).cast("long").alias("ver"),
+    )
+    third = F.col("o_orderkey") % 3 == 0
+    c1 = o.filter(third).select(
+        "*",
+        F.lit(-1).cast("tinyint").alias("sign"),
+        F.lit(1).cast("long").alias("ver"),
+    )
+    p2 = (
+        o.filter(third)
+        .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(50.0))
+        .select(
+            "*",
+            F.lit(1).cast("tinyint").alias("sign"),
+            F.lit(2).cast("long").alias("ver"),
+        )
+    )
+    c2 = (
+        o.filter(F.col("o_orderkey") % 15 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(50.0))
+        .select(
+            "*",
+            F.lit(-1).cast("tinyint").alias("sign"),
+            F.lit(2).cast("long").alias("ver"),
+        )
+    )
+    path = tempfile.mkdtemp(prefix="ddl_final_vc_") + "/orders_vc"
+    p1.unionByName(c1).unionByName(p2).unionByName(c2).write.mode(
+        "overwrite"
+    ).parquet(path)
+    spark.sql("DROP TABLE IF EXISTS orders_vc")
+    spark.sql(transpile_ddl(REFERENCE_VC_DDL, path_override=path))
+    from clickhouse_vs_dbt_spark.dialect import run_clickhouse_sql
+
+    return run_clickhouse_sql(
+        spark,
+        """
+        SELECT o_orderstatus,
+               count() AS n,
+               toFloat64(sum(toDecimal64(o_totalprice, 2))) AS total
+        FROM orders_vc FINAL
+        GROUP BY o_orderstatus
+        """,
+        sf_dir,
+        ("orders",),
+    )
+
+
+O_DDL_FINAL_VERSIONED = """
+WITH rows AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice, 1 AS sign, 1 AS ver
+  FROM orders
+  UNION ALL
+  SELECT o_orderkey, o_orderstatus, o_totalprice, -1, 1
+  FROM orders WHERE o_orderkey % 3 = 0
+  UNION ALL
+  SELECT o_orderkey, o_orderstatus, o_totalprice + 50.0, 1, 2
+  FROM orders WHERE o_orderkey % 3 = 0
+  UNION ALL
+  SELECT o_orderkey, o_orderstatus, o_totalprice + 50.0, -1, 2
+  FROM orders WHERE o_orderkey % 15 = 0),
+survivors AS (
+  SELECT r.* FROM rows r
+  JOIN (SELECT o_orderkey, ver FROM rows
+        GROUP BY 1, 2 HAVING SUM(sign) > 0) s
+    USING (o_orderkey, ver)
+  WHERE r.sign = 1),
+final AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY o_orderkey
+                                 ORDER BY ver DESC) AS rn
+    FROM survivors) WHERE rn = 1)
+SELECT o_orderstatus, COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM final GROUP BY o_orderstatus
+"""
+
+
 QUERIES = {
     "ddl_source_roundtrip": q_ddl_source_roundtrip,
     "ddl_mv_roundtrip": q_ddl_mv_roundtrip,
     "ddl_mv_stream": q_ddl_mv_stream,
     "ddl_final_read": q_ddl_final_read,
+    "ddl_final_versioned": q_ddl_final_versioned,
 }
 ORACLES = {
     "ddl_source_roundtrip": O_DDL_SOURCE_ROUNDTRIP,
     "ddl_mv_roundtrip": O_DDL_MV_ROUNDTRIP,
     "ddl_mv_stream": O_DDL_MV_ROUNDTRIP,
     "ddl_final_read": O_DDL_FINAL_READ,
+    "ddl_final_versioned": O_DDL_FINAL_VERSIONED,
 }
 
 __all__ = [

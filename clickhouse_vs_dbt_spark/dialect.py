@@ -335,7 +335,16 @@ def _window_funnel_fold(win_us: str, ts: str, conds: list[str]) -> str:
         f"struct(unix_micros(CAST({ts} AS TIMESTAMP)) AS t, "
         f"array({', '.join(conds)}) AS m)"
     )
-    evs = f"array_sort(collect_list({elem}))"
+    # events matching NO condition leave the DP state untouched, so
+    # they are dropped before they ever reach the per-group array:
+    # collect_list skips NULLs, making the CASE a map-side prefilter —
+    # per-group state holds only condition-relevant events (the same
+    # chain-type prefilter q_events_funnel_window applies by hand).
+    any_cond = " OR ".join(f"coalesce(({c}), false)" for c in conds)
+    evs = (
+        f"array_sort(collect_list(CASE WHEN {any_cond} "
+        f"THEN {elem} END))"
+    )
     zero = f"array_repeat(CAST(NULL AS BIGINT), {n})"
     step = (
         "(acc, e) -> transform(acc, (a, i) -> CASE "
@@ -1194,7 +1203,7 @@ def _rewrite_limit_by(toks: list[str]) -> list[str]:
 _FILL_STOP = {"FROM", "TO", "STEP", "LIMIT", "INTERPOLATE", ";"}
 
 
-def _rewrite_with_fill(toks: list[str]) -> list[str]:
+def _rewrite_with_fill(toks: list[str], resolve_columns=None) -> list[str]:
     """Top-level ``ORDER BY x WITH FILL [FROM a] [TO b] [STEP s]`` →
     the ``events_gap_fill`` pattern: explode a ``sequence()`` spine
     and left-join the query to it.  FROM/TO default to the query's
@@ -1260,8 +1269,9 @@ def _rewrite_with_fill(toks: list[str]) -> list[str]:
             "for multi-key or expression fills use events_gap_fill"
         )
     x = key_toks[0]
-    # parse FROM / TO / STEP expression spans
+    # parse FROM / TO / STEP expression spans (+ optional INTERPOLATE)
     spans: dict[str, str] = {}
+    interp: list[str] = []
     i = fill_kw_end
     tail = ""
     while i < len(toks):
@@ -1270,10 +1280,26 @@ def _rewrite_with_fill(toks: list[str]) -> list[str]:
             break
         u = toks[j].upper()
         if u == "INTERPOLATE":
-            raise DialectError(
-                "WITH FILL INTERPOLATE is not supported; use "
-                "events_gap_interpolate"
-            )
+            # INTERPOLATE [(col, ...)] — bare-column LOCF form; the
+            # expression form (col AS expr, a per-row recurrence) and
+            # keyed/serieswise fills are events_gap_interpolate
+            j2 = _next_code(toks, j + 1)
+            if j2 < len(toks) and toks[j2] == "(":
+                close = _match_close(toks, j2)
+                inner = [
+                    t for t in toks[j2 + 1 : close] if not _is_skippable(t)
+                ]
+                if any(t not in (",",) and not _is_ident(t) for t in inner):
+                    raise DialectError(
+                        "WITH FILL INTERPOLATE (col AS expr) recurrences "
+                        "are not supported; use events_gap_interpolate"
+                    )
+                interp = [t for t in inner if t != ","]
+                i = close + 1
+            else:
+                interp = ["*"]  # all non-key columns
+                i = j + 1
+            continue
         if u == "LIMIT":
             tail = "".join(toks[j:]).strip()
             break
@@ -1315,11 +1341,51 @@ def _rewrite_with_fill(toks: list[str]) -> list[str]:
         spine = (
             f"sequence({from_e}, (SELECT max({x}) FROM ({core})), {step})"
         )
-    repl = (
-        f"SELECT * FROM (SELECT explode({spine}) AS {x}) __fill_spine "
-        f"LEFT JOIN ({core}) __fill_base "
-        f"USING ({x}) ORDER BY {x}"
+    joined = (
+        f"(SELECT explode({spine}) AS {x}) __fill_spine "
+        f"LEFT JOIN ({core}) __fill_base USING ({x})"
     )
+    if interp:
+        # LOCF carry over the spined axis.  The ORDER BY x window is
+        # deliberately un-keyed: a WITH FILL result is spine-bounded
+        # (presentation scale) — serieswise/keyed interpolation at
+        # data scale is events_gap_interpolate.  Divergence: original
+        # rows whose column is genuinely NULL also carry (ClickHouse
+        # interpolates gap rows only) — the module's NULL-policy note.
+        cols = (
+            resolve_columns(f"({core})") if resolve_columns else None
+        )
+        if not cols or x not in cols:
+            raise DialectError(
+                "WITH FILL INTERPOLATE needs the catalog resolver to "
+                "list the query's columns (run through "
+                "run_clickhouse_sql), or use events_gap_interpolate"
+            )
+        others = [c for c in cols if c != x]
+        if interp == ["*"]:
+            interp = others
+        if any(c not in others for c in interp):
+            raise DialectError(
+                f"INTERPOLATE names columns not in the query: "
+                f"{[c for c in interp if c not in others]}"
+            )
+        carry = (
+            "last_value({c}, true) OVER (ORDER BY {x} ROWS BETWEEN "
+            "UNBOUNDED PRECEDING AND CURRENT ROW) AS {c}"
+        )
+        proj = ", ".join(
+            [x]
+            + [
+                carry.format(c=c, x=x) if c in interp else c
+                for c in others
+            ]
+        )
+        repl = (
+            f"SELECT {proj} FROM (SELECT * FROM {joined}) __fill_j "
+            f"ORDER BY {x}"
+        )
+    else:
+        repl = f"SELECT * FROM {joined} ORDER BY {x}"
     if tail:
         repl += f" {tail}"
     return _tokens(repl)
@@ -1700,8 +1766,11 @@ def _rewrite_final(toks, resolve_columns=None, engine_info=None):
     ``mergetree_replacing_final`` plan, no window.  Version ties (or
     a version-less engine) break on the remaining columns
     lexicographically — a deterministic refinement of ClickHouse's
-    keep-last-inserted.  Other engines and unknown tables fall through
-    to the refusal with the operator pointer."""
+    keep-last-inserted.  VersionedCollapsingMergeTree(sign, ver)
+    collapses to the +1 row of the highest non-cancelled version
+    (two stacked keyed aggregates).  Plain Collapsing (insertion-order
+    dependent, no version to break ties), other engines, and unknown
+    tables fall through to the refusal with the operator pointer."""
     if resolve_columns is None or engine_info is None:
         return toks
     i = 0
@@ -1728,7 +1797,11 @@ def _rewrite_final(toks, resolve_columns=None, engine_info=None):
             continue
         name = "".join(toks[j : name_end + 1])
         info = engine_info(name)
-        if info is None or not str(info.engine).startswith("Replacing"):
+        eng = str(info.engine) if info is not None else ""
+        if not (
+            eng.startswith("Replacing")
+            or eng.startswith("VersionedCollapsing")
+        ):
             i += 1
             continue  # backstop refusal names the MergeTree operators
         cols = resolve_columns(name)
@@ -1739,7 +1812,33 @@ def _rewrite_final(toks, resolve_columns=None, engine_info=None):
         vals = [c for c in cols if c not in keys]
         kcsv = ", ".join(keys)
         alias = name.split(".")[-1].strip("`")
-        if vals:
+        if eng.startswith("VersionedCollapsing"):
+            # active row per key: the +1 (state) row of the highest
+            # version whose (key, version) group is not fully
+            # sign-cancelled — two stacked keyed aggregates, the
+            # mergetree_versioned_collapsing plan
+            sign, ver = info.sign, info.version
+            if not sign or not ver or sign not in vals or ver not in vals:
+                i += 1
+                continue
+            svals = [c for c in vals if c != ver]
+            ordc = ", ".join([c for c in svals if c != sign] or [sign])
+            scsv = ", ".join(svals)
+            mask = f"CASE WHEN {sign} = 1 THEN"
+            collapse = (
+                f"(SELECT {kcsv}, "
+                f"{', '.join(f'__f_s.{c} AS {c}' for c in svals)}, "
+                f"__f_ver AS {ver} FROM (SELECT {kcsv}, "
+                f"max_by(__f_s0, {ver}) AS __f_s, "
+                f"max({ver}) AS __f_ver FROM (SELECT {kcsv}, {ver}, "
+                f"max_by({mask} struct({scsv}) END, "
+                f"{mask} struct({ordc}) END) AS __f_s0, "
+                f"sum({sign}) AS __f_net FROM {name} "
+                f"GROUP BY {kcsv}, {ver}) __f_g "
+                f"WHERE __f_net > 0 AND __f_s0 IS NOT NULL "
+                f"GROUP BY {kcsv}) __f_h) {alias}"
+            )
+        elif vals:
             ordcols = ([info.version] if info.version in vals else []) + [
                 c for c in vals if c != info.version
             ]
@@ -1768,7 +1867,7 @@ def transpile(sql: str, resolve_columns=None, engine_info=None) -> str:
     FINAL`` reads for tables whose DDL ran through the front door."""
     toks = _tokens(sql)
     toks = _rewrite_limit_by(toks)
-    toks = _rewrite_with_fill(toks)
+    toks = _rewrite_with_fill(toks, resolve_columns)
     toks = _rewrite_asof(toks, resolve_columns)
     toks = _rewrite_any_join(toks, resolve_columns)
     toks = _rewrite_final(toks, resolve_columns, engine_info)
@@ -2183,6 +2282,36 @@ def q_dialect_with_fill_date(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_clickhouse_sql(spark, _CH_WITH_FILL_DATE, sf_dir, ("events",))
 
 
+# 10c. WITH FILL ... INTERPOLATE — filled years carry the previous
+#      customer count forward (LOCF); 1999-2000 are spine-only rows.
+_CH_WITH_FILL_INTERP = """
+SELECT toYear(o_orderdate) AS yr, uniqExact(o_custkey) AS nc
+FROM orders
+GROUP BY yr
+ORDER BY yr WITH FILL FROM 1992 TO 2001 INTERPOLATE (nc)
+"""
+
+O_WITH_FILL_INTERP = """
+SELECT yr,
+       last_value(nc IGNORE NULLS) OVER (
+           ORDER BY yr ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS nc
+FROM (SELECT unnest(range(1992, 2001)) AS yr) s
+LEFT JOIN (
+  SELECT year(o_orderdate) AS yr, count(DISTINCT o_custkey) AS nc
+  FROM orders GROUP BY 1
+) b USING (yr)
+ORDER BY yr
+"""
+
+
+def q_dialect_with_fill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verbatim ClickHouse WITH FILL INTERPOLATE query (module doc)."""
+    return run_clickhouse_sql(
+        spark, _CH_WITH_FILL_INTERP, sf_dir, ("orders",)
+    )
+
+
 # 11. topK(k)(x) — exact deterministic tier (count desc, value asc):
 #     the 3 most frequent priorities per order status.
 _CH_TOPK = """
@@ -2441,6 +2570,7 @@ QUERIES = {
     "dialect_asof_join": q_dialect_asof_join,
     "dialect_with_fill": q_dialect_with_fill,
     "dialect_with_fill_date": q_dialect_with_fill_date,
+    "dialect_with_fill_interp": q_dialect_with_fill_interp,
     "dialect_topk": q_dialect_topk,
     "dialect_subscript": q_dialect_subscript,
     "dialect_combinators": q_dialect_combinators,
@@ -2462,6 +2592,7 @@ ORACLES = {
     "dialect_asof_join": O_ASOF,
     "dialect_with_fill": O_WITH_FILL,
     "dialect_with_fill_date": O_WITH_FILL_DATE,
+    "dialect_with_fill_interp": O_WITH_FILL_INTERP,
     "dialect_topk": O_TOPK,
     "dialect_subscript": O_SUBSCRIPT,
     "dialect_combinators": O_COMBINATORS,

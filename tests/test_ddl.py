@@ -260,3 +260,23 @@ def test_engine_info_registered_and_final_rewrites():
             resolve_columns=lambda n: ["k", "s"],
             engine_info=lambda n: ENGINE_INFO.get(n),
         )
+
+
+def test_versioned_collapsing_final_rewrites():
+    from clickhouse_vs_dbt_spark.ddl import ENGINE_INFO, transpile_ddl
+    from clickhouse_vs_dbt_spark.dialect import transpile
+
+    transpile_ddl(
+        "CREATE TABLE vc (k UInt64, v Float64, sign Int8, ver UInt32) "
+        "ENGINE = VersionedCollapsingMergeTree(sign, ver) ORDER BY (k)"
+    )
+    info = ENGINE_INFO["vc"]
+    assert info.sign == "sign" and info.version == "ver"
+    out = transpile(
+        "SELECT k, v FROM vc FINAL",
+        resolve_columns=lambda n: ["k", "v", "sign", "ver"],
+        engine_info=lambda n: ENGINE_INFO.get(n),
+    )
+    assert "FINAL" not in out
+    assert "sum(sign) AS __f_net" in out and "__f_net > 0" in out
+    assert "max_by(__f_s0, ver)" in out
