@@ -163,6 +163,7 @@ HEADLINE = [
     "dialect_combinators2",
     "dialect_with_fill_interp",
     "ddl_final_versioned",
+    "dialect_array_join_zip",
 ]
 
 

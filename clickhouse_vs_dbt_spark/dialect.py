@@ -924,58 +924,70 @@ def _rewrite_clauses(toks: list[str]) -> list[str]:
                 if p >= 0 and out[p].upper() == "LEFT":
                     left = True
                     start = p
-                # capture expr tokens until AS / clause keyword / end
+                # capture one or more `expr AS alias` items (the
+                # comma-separated multi-array form is ClickHouse's ZIP
+                # semantics: arrays walk in lockstep)
+                pairs: list[tuple[str, str]] = []
                 k = j + 1
-                depth = 0
-                expr_start = k
-                as_i = None
-                while k < len(out):
-                    t = out[k]
-                    if t in ("(", "["):
-                        depth += 1
-                    elif t in (")", "]"):
-                        if depth == 0:
-                            break
-                        depth -= 1
-                    elif depth == 0:
-                        u = t.upper()
-                        if u == "AS":
-                            as_i = k
-                            break
-                        if u in _KEYWORD_STOP or u in (
-                            "WHERE", "GROUP", "PREWHERE", "INNER", "JOIN",
-                            "LEFT", "RIGHT", "FULL", "CROSS",
-                        ):
-                            break
-                        if t == ",":
-                            raise DialectError(
-                                "multi-array ARRAY JOIN (zip semantics) "
-                                "is not supported; zip explicitly with "
-                                "arrays_zip + a single ARRAY JOIN"
-                            )
-                    k += 1
-                if as_i is None:
-                    raise DialectError(
-                        "ARRAY JOIN without AS <alias> shadows the "
-                        "array column's name; write ARRAY JOIN <expr> "
-                        "AS <alias>"
+                end_i = None
+                while True:
+                    depth = 0
+                    expr_start = k
+                    as_i = None
+                    while k < len(out):
+                        t = out[k]
+                        if t in ("(", "["):
+                            depth += 1
+                        elif t in (")", "]"):
+                            if depth == 0:
+                                break
+                            depth -= 1
+                        elif depth == 0:
+                            u = t.upper()
+                            if u == "AS":
+                                as_i = k
+                                break
+                            if u in _KEYWORD_STOP or u in (
+                                "WHERE", "GROUP", "PREWHERE", "INNER",
+                                "JOIN", "LEFT", "RIGHT", "FULL", "CROSS",
+                            ):
+                                break
+                            if t == ",":
+                                break
+                        k += 1
+                    if as_i is None:
+                        raise DialectError(
+                            "ARRAY JOIN without AS <alias> shadows the "
+                            "array column's name; write ARRAY JOIN "
+                            "<expr> AS <alias>"
+                        )
+                    alias_i = _next_code(out, as_i + 1)
+                    if alias_i >= len(out) or not _is_ident(out[alias_i]):
+                        raise DialectError(
+                            "ARRAY JOIN: missing alias after AS"
+                        )
+                    pairs.append(
+                        ("".join(out[expr_start:as_i]).strip(),
+                         out[alias_i])
                     )
-                alias_i = _next_code(out, as_i + 1)
-                if alias_i >= len(out) or not _is_ident(out[alias_i]):
-                    raise DialectError("ARRAY JOIN: missing alias after AS")
-                after = _next_code(out, alias_i + 1)
-                if after < len(out) and out[after] == ",":
-                    raise DialectError(
-                        "multi-array ARRAY JOIN (zip semantics) is not "
-                        "supported; zip explicitly with arrays_zip + a "
-                        "single ARRAY JOIN"
-                    )
-                expr = "".join(out[expr_start:as_i]).strip()
-                alias = out[alias_i]
+                    after = _next_code(out, alias_i + 1)
+                    if after < len(out) and out[after] == ",":
+                        k = after + 1
+                        continue
+                    end_i = alias_i
+                    break
                 outer = " OUTER" if left else ""
-                out[start : alias_i + 1] = [
-                    f" LATERAL VIEW{outer} explode({expr}) _aj AS {alias}"
-                ]
+                if len(pairs) == 1:
+                    gen = f"explode({pairs[0][0]}) _aj AS {pairs[0][1]}"
+                else:
+                    # zip semantics via inline(arrays_zip(...)): one
+                    # generator, aliases positional.  Divergence:
+                    # ClickHouse errors on unequal lengths; arrays_zip
+                    # NULL-pads to the longest — a graceful refinement.
+                    exprs = ", ".join(e for e, _ in pairs)
+                    aliases = ", ".join(a for _, a in pairs)
+                    gen = f"inline(arrays_zip({exprs})) _aj AS {aliases}"
+                out[start : end_i + 1] = [f" LATERAL VIEW{outer} {gen}"]
                 i = start
                 continue
         i += 1
@@ -2131,6 +2143,31 @@ def q_dialect_array_join_clause(
     )
 
 
+# 6b. multi-array ARRAY JOIN — ClickHouse's zip semantics (arrays walk
+#     in lockstep), rewritten to one inline(arrays_zip(...)) generator.
+_CH_ARRAY_JOIN_ZIP = """
+SELECT pos, tok, count() AS n
+FROM orders
+ARRAY JOIN splitByChar('-', o_orderpriority) AS tok, [1, 2] AS pos
+GROUP BY pos, tok
+"""
+
+O_ARRAY_JOIN_ZIP = """
+SELECT pos, tok, count(*) AS n
+FROM (
+  SELECT unnest(string_split(o_orderpriority, '-')) AS tok,
+         unnest([1, 2]) AS pos
+  FROM orders
+)
+GROUP BY 1, 2
+"""
+
+
+def q_dialect_array_join_zip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verbatim ClickHouse multi-array ARRAY JOIN query (module doc)."""
+    return run_clickhouse_sql(spark, _CH_ARRAY_JOIN_ZIP, sf_dir, ("orders",))
+
+
 # 7. string/regex family — every rename evaluated against a DuckDB
 #    oracle spelled in its native functions.
 _CH_STRINGS = """
@@ -2579,6 +2616,7 @@ QUERIES = {
     "dialect_array_hof": q_dialect_array_hof,
     "dialect_with_totals": q_dialect_with_totals,
     "dialect_array_join_clause": q_dialect_array_join_clause,
+    "dialect_array_join_zip": q_dialect_array_join_zip,
 }
 
 ORACLES = {
@@ -2601,4 +2639,5 @@ ORACLES = {
     "dialect_array_hof": O_ARRAY_HOF,
     "dialect_with_totals": O_TOTALS,
     "dialect_array_join_clause": O_ARRAY_JOIN_CLAUSE,
+    "dialect_array_join_zip": O_ARRAY_JOIN_ZIP,
 }

@@ -197,11 +197,14 @@ def test_left_array_join_is_outer():
     assert "LATERAL VIEW OUTER explode(tags)" in out
 
 
-def test_array_join_rejects_aliasless_and_multi():
+def test_array_join_rejects_aliasless_and_zips_multi():
     with pytest.raises(DialectError):
         transpile("SELECT a FROM t ARRAY JOIN arr")
-    with pytest.raises(DialectError):
-        transpile("SELECT a FROM t ARRAY JOIN x AS i, y AS j")
+    # multi-array form is ClickHouse's zip semantics -> inline(arrays_zip)
+    out = transpile("SELECT i, j FROM t ARRAY JOIN x AS i, y AS j")
+    assert "inline(arrays_zip(x, y)) _aj AS i, j" in out
+    out = transpile("SELECT i, j FROM t LEFT ARRAY JOIN x AS i, y AS j")
+    assert "LATERAL VIEW OUTER inline" in out
 
 
 def test_global_hint_dropped():
