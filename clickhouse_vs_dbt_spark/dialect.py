@@ -2448,18 +2448,21 @@ def q_dialect_any_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 #      sums exact under any partitioning), plus sumMap's
 #      tuple-of-sorted-arrays shape.
 _CH_COMBINATORS2 = """
-SELECT user_id % 10 AS cohort,
-       sumArray([toFloat64(user_id % 3), toFloat64(event_id % 5)]) AS sa,
-       minArray([value, 100.0]) AS mna,
-       maxArray([value, -1.0]) AS mxa,
-       countArray([value, value]) AS ca,
-       avgArray([toFloat64(event_id % 7)]) AS aa,
-       sumDistinct(user_id % 7) AS sd,
-       countOrNull(CASE WHEN value > 1000 THEN 1 END) AS cn,
-       (sumMap([event_type], [value])).keys AS mk,
-       (sumMap([event_type], [value])).values AS mv
-FROM events
-GROUP BY cohort
+SELECT cohort, sa, mna, mxa, ca, aa, sd, cn,
+       (sm).keys AS mk, (sm).values AS mv
+FROM (
+  SELECT user_id % 10 AS cohort,
+         sumArray([toFloat64(user_id % 3), toFloat64(event_id % 5)]) AS sa,
+         minArray([value, 100.0]) AS mna,
+         maxArray([value, -1.0]) AS mxa,
+         countArray([value, value]) AS ca,
+         avgArray([toFloat64(event_id % 7)]) AS aa,
+         sumDistinct(user_id % 7) AS sd,
+         countOrNull(CASE WHEN value > 1000 THEN 1 END) AS cn,
+         sumMap([event_type], [value]) AS sm
+  FROM events
+  GROUP BY cohort
+)
 """
 
 O_COMBINATORS2 = """
