@@ -9,13 +9,15 @@ computed with arithmetic that replays bit-identically in SQL, so the
 operator is fully value-checked against the DuckDB oracle.  Four real
 codecs are implemented in pure Python/stdlib: uncompressed 24-bit BMP
 (:func:`_decode_bmp`), binary P6 PPM (:func:`_decode_ppm`), and —
-a genuinely entropy-coded format — non-interlaced 8-bit PNG
+a genuinely entropy-coded format — non-interlaced PNG, 8-bit
+gray/RGB/alpha AND 1/2/4/8-bit palette
 (:func:`_decode_png`: chunk walk, stdlib-``zlib`` inflate, full
-None/Sub/Up/Average/Paeth scanline unfiltering) produce statistics
+None/Sub/Up/Average/Paeth scanline unfiltering, sub-byte index
+unpacking, PLTE lookup) produce statistics
 over the DECODED PIXEL array; PCM WAV (:func:`_decode_wav`) produces
 per-sample amplitude statistics over the decoded 8/16-bit samples —
 real image AND audio decode paths.  Only formats whose codecs are
-truly absent from this container (JPEG/WebP/MP3/video, palette or
+truly absent from this container (JPEG/WebP/MP3/video, 16-bit or
 interlaced PNG) remain behind the ``NotImplementedError`` seam.
 
 Entropy note: the diversity feature is the Simpson collision index
@@ -274,12 +276,14 @@ def _decode_wav(payload: bytes):
 
 
 def _decode_png(payload: bytes):
-    """Pure-stdlib decode of non-interlaced 8-bit PNG (gray / gray+A /
-    RGB / RGBA): chunk walk, concatenated-IDAT zlib inflate, and
-    scanline unfiltering (None/Sub/Up/Average/Paeth).  PNG's entropy
-    coder is DEFLATE, which ships in Python's ``zlib`` — so this is a
-    REAL decode with no external codec.  Palette, 16-bit, and Adam7
-    variants raise — the remaining seam.  Returns (h, w, ch) uint8."""
+    """Pure-stdlib decode of non-interlaced PNG: 8-bit gray / gray+A /
+    RGB / RGBA, plus PALETTE (indexed) images at 1/2/4/8-bit depth —
+    chunk walk, concatenated-IDAT zlib inflate, scanline unfiltering
+    (None/Sub/Up/Average/Paeth), sub-byte index unpacking, and PLTE
+    lookup to RGB.  PNG's entropy coder is DEFLATE, which ships in
+    Python's ``zlib`` — so this is a REAL decode with no external
+    codec.  16-bit and Adam7-interlaced variants raise — the remaining
+    seam.  Returns (h, w, ch) uint8 (palette images return ch=3)."""
     import struct
     import zlib
 
@@ -289,12 +293,15 @@ def _decode_png(payload: bytes):
         raise NotImplementedError("not a PNG signature")
     pos = 8
     hdr = None
+    plte = None
     idat = bytearray()
     while pos + 8 <= len(payload):
         ln, typ = struct.unpack_from(">I4s", payload, pos)
         data = payload[pos + 8 : pos + 8 + ln]
         if typ == b"IHDR":
             hdr = struct.unpack(">IIBBBBB", data)
+        elif typ == b"PLTE":
+            plte = data
         elif typ == b"IDAT":
             idat += data
         elif typ == b"IEND":
@@ -303,17 +310,23 @@ def _decode_png(payload: bytes):
     if hdr is None or not idat:
         raise NotImplementedError("PNG missing IHDR/IDAT")
     w, h, depth, ctype, comp, filt, interlace = hdr
-    ch = {0: 1, 2: 3, 4: 2, 6: 4}.get(ctype)
-    if depth != 8 or interlace != 0 or comp != 0 or filt != 0 or ch is None:
+    ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
+    depth_ok = depth == 8 or (ctype == 3 and depth in (1, 2, 4))
+    if not depth_ok or interlace != 0 or comp != 0 or filt != 0 or ch is None:
         raise NotImplementedError(
             f"no codec for PNG depth={depth} colortype={ctype} "
-            f"interlace={interlace}: 8-bit non-interlaced "
-            "gray/RGB/alpha decodes here"
+            f"interlace={interlace}: non-interlaced 8-bit "
+            "gray/RGB/alpha and 1/2/4/8-bit palette decode here"
         )
+    if ctype == 3 and plte is None:
+        raise NotImplementedError("no codec for PNG palette without PLTE")
     if not (0 < w <= 1 << 20 and 0 < h <= 1 << 20):
         raise NotImplementedError("implausible PNG dimensions")
     raw = zlib.decompress(bytes(idat))
-    stride = w * ch
+    # sub-byte palette rows pack depth-bit indices; filters operate on
+    # BYTES with a 1-byte left distance per spec
+    stride = (w * depth * ch + 7) // 8
+    bpp = max(1, (depth * ch) // 8)
     if len(raw) < h * (stride + 1):
         raise NotImplementedError("truncated PNG pixel data")
     out = np.zeros((h, stride), dtype=np.uint8)
@@ -330,14 +343,14 @@ def _decode_png(payload: bytes):
         elif f in (1, 3, 4):  # Sub / Average / Paeth: sequential
             cur = row.astype(np.int32)
             for i in range(stride):
-                a = int(cur[i - ch]) if i >= ch else 0
+                a = int(cur[i - bpp]) if i >= bpp else 0
                 b = int(prev[i])
                 if f == 1:
                     cur[i] = (cur[i] + a) % 256
                 elif f == 3:
                     cur[i] = (cur[i] + (a + b) // 2) % 256
                 else:
-                    c = int(prev[i - ch]) if i >= ch else 0
+                    c = int(prev[i - bpp]) if i >= bpp else 0
                     pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
                     pr = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
                     cur[i] = (cur[i] + pr) % 256
@@ -346,6 +359,21 @@ def _decode_png(payload: bytes):
             raise NotImplementedError(f"PNG filter type {f}")
         out[y] = row
         prev = row
+    if ctype == 3:
+        if depth == 8:
+            idx = out[:, :w]
+        else:
+            # big-endian bit groups within each byte, leftmost first
+            bits = np.unpackbits(out, axis=1)[:, : w * depth]
+            weights = 1 << np.arange(depth - 1, -1, -1, dtype=np.uint8)
+            idx = (
+                bits.reshape(h, w, depth).astype(np.uint8) * weights
+            ).sum(axis=2).astype(np.uint8)
+        pal = np.frombuffer(plte, np.uint8)
+        pal = pal[: (len(pal) // 3) * 3].reshape(-1, 3)
+        if pal.size == 0 or int(idx.max()) >= len(pal):
+            raise NotImplementedError("PNG palette index out of range")
+        return pal[idx]  # (h, w, 3)
     return out.reshape(h, w, ch)
 
 

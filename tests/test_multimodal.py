@@ -269,27 +269,68 @@ def test_png_decodes_all_filter_types():
     assert (r["byte_min"], r["byte_max"], r["distinct_bytes"]) == (0, 17, 18)
 
 
-def test_png_palette_and_interlace_stay_behind_seam():
+def _palette_png(w, h, depth, scanlines: bytes, plte: bytes) -> bytes:
     import struct
     import zlib
 
-    def build(ctype=3, interlace=0):
-        def chunk(typ, data):
-            return (
-                struct.pack(">I", len(data)) + typ + data
-                + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
-            )
-        ihdr = struct.pack(">IIBBBBB", 2, 1, 8, ctype, 0, 0, interlace)
+    def chunk(typ, data):
         return (
-            b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
-            + chunk(b"IDAT", zlib.compress(b"\x00\x01\x02"))
-            + chunk(b"IEND", b"")
+            struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
         )
 
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, 3, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        + chunk(b"PLTE", plte)
+        + chunk(b"IDAT", zlib.compress(scanlines))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png_palette_decodes():
+    """Indexed PNGs decode through PLTE lookup — 8-bit and sub-byte
+    (4-bit) index packing, expected pixels hand-computed."""
+    pal = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 7, 8, 9])  # 4 entries
+    # 8-bit indices, 3x2, None filter
+    p8 = _palette_png(3, 2, 8, b"\x00\x00\x01\x02" + b"\x00\x03\x00\x01", pal)
+    arr = multimodal._decode_png(p8)
+    assert arr.shape == (2, 3, 3)
+    assert arr[0].tolist() == [[255, 0, 0], [0, 255, 0], [0, 0, 255]]
+    assert arr[1].tolist() == [[7, 8, 9], [255, 0, 0], [0, 255, 0]]
+    # 4-bit indices: 3 pixels/row -> 2 bytes/row; 0x01 0x20 = idx 0,1,2
+    p4 = _palette_png(3, 1, 4, b"\x00\x01\x20", pal)
+    arr = multimodal._decode_png(p4)
+    assert arr.shape == (1, 3, 3)
+    assert arr[0].tolist() == [[255, 0, 0], [0, 255, 0], [0, 0, 255]]
+    # palette without PLTE, out-of-range index, Adam7 still raise
+    import struct
+    import zlib
+
+    def chunk(typ, data):
+        return (
+            struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    no_plte = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 1, 8, 3, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b"\x00\x01\x02"))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(NotImplementedError, match="PLTE"):
+        multimodal._decode_png(no_plte)
+    with pytest.raises(NotImplementedError, match="index out of range"):
+        multimodal._decode_png(_palette_png(1, 1, 8, b"\x00\x09", pal))
+    adam7 = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 1, 8, 0, 0, 0, 1))
+        + chunk(b"IDAT", zlib.compress(b"\x00\x01\x02"))
+        + chunk(b"IEND", b"")
+    )
     with pytest.raises(NotImplementedError, match="no codec for PNG"):
-        multimodal._decode_png(build(ctype=3))  # palette
-    with pytest.raises(NotImplementedError, match="no codec for PNG"):
-        multimodal._decode_png(build(ctype=0, interlace=1))  # Adam7
+        multimodal._decode_png(adam7)
 
 
 def test_webp_still_behind_seam():
