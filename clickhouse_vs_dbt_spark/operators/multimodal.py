@@ -6,19 +6,23 @@ The feature kernel is REAL byte-level decoding — container-format
 sniffing from magic bytes, exact byte statistics (mean/std from integer
 power sums, Simpson collision index, distinct-byte census), md5 — all
 computed with arithmetic that replays bit-identically in SQL, so the
-operator is fully value-checked against the DuckDB oracle.  Four real
-codecs are implemented in pure Python/stdlib: uncompressed 24-bit BMP
-(:func:`_decode_bmp`), binary P6 PPM (:func:`_decode_ppm`), and —
-a genuinely entropy-coded format — non-interlaced PNG, 8-bit
-gray/RGB/alpha AND 1/2/4/8-bit palette
+operator is fully value-checked against the DuckDB oracle.  Five real
+codecs are implemented in pure Python/stdlib/numpy: uncompressed
+24-bit BMP (:func:`_decode_bmp`), binary P6 PPM (:func:`_decode_ppm`),
+non-interlaced PNG — 8-bit gray/RGB/alpha and 1/2/4/8-bit palette
 (:func:`_decode_png`: chunk walk, stdlib-``zlib`` inflate, full
 None/Sub/Up/Average/Paeth scanline unfiltering, sub-byte index
-unpacking, PLTE lookup) produce statistics
-over the DECODED PIXEL array; PCM WAV (:func:`_decode_wav`) produces
-per-sample amplitude statistics over the decoded 8/16-bit samples —
-real image AND audio decode paths.  Only formats whose codecs are
-truly absent from this container (JPEG/WebP/MP3/video, 16-bit or
-interlaced PNG) remain behind the ``NotImplementedError`` seam.
+unpacking, PLTE lookup) — and BASELINE SEQUENTIAL JPEG
+(:func:`_decode_jpeg`: canonical-Huffman entropy decode, DC
+prediction, zigzag/run-length AC, dequantization, separable float
+IDCT, sampling-factor reassembly, JFIF YCbCr→RGB), both genuinely
+entropy-coded formats, producing statistics over the DECODED PIXEL
+array; PCM WAV (:func:`_decode_wav`) produces per-sample amplitude
+statistics over the decoded 8/16-bit samples — real image AND audio
+decode paths.  Only formats whose codecs are truly absent from this
+container (GIF's LZW, WebP/MP3/video, progressive/arithmetic JPEG,
+16-bit or interlaced PNG) remain behind the ``NotImplementedError``
+seam.
 
 Entropy note: the diversity feature is the Simpson collision index
 Σc²/n² (the Rényi-2 entropy's log-free core) rather than Shannon
@@ -144,7 +148,7 @@ def sniff_format(payload: bytes) -> str:
 CODEC_REQUIRED = (
     frozenset(fmt for _, fmt in _MAGIC if not fmt.startswith("application/"))
     | {"video/mp4", "image/webp"}
-) - {"image/bmp", "image/png"}
+) - {"image/bmp", "image/png", "image/jpeg"}
 
 
 def _decode_bmp(payload: bytes):
@@ -377,6 +381,250 @@ def _decode_png(payload: bytes):
     return out.reshape(h, w, ch)
 
 
+_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+
+class _JpegBits:
+    """MSB-first bit reader over a byte-unstuffed entropy segment."""
+
+    __slots__ = ("data", "pos", "bit")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.bit = 0
+
+    def read_bit(self) -> int:
+        if self.pos >= len(self.data):
+            raise NotImplementedError("JPEG entropy stream truncated")
+        b = (self.data[self.pos] >> (7 - self.bit)) & 1
+        self.bit += 1
+        if self.bit == 8:
+            self.bit = 0
+            self.pos += 1
+        return b
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+
+def _jpeg_huff_decode(bits: _JpegBits, table: dict) -> int:
+    code, length = 0, 0
+    while length < 16:
+        code = (code << 1) | bits.read_bit()
+        length += 1
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise NotImplementedError("invalid JPEG Huffman code")
+
+
+def _jpeg_extend(v: int, t: int) -> int:
+    if t == 0:
+        return 0
+    return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def _decode_jpeg(payload: bytes):
+    """Pure-Python/numpy decode of baseline sequential JPEG (SOF0/1,
+    Huffman): marker walk, DQT/DHT table builds (canonical Huffman),
+    byte-unstuffed entropy read with restart-marker handling, DC
+    prediction + AC run-length block decode in zigzag order,
+    dequantization, float separable 8×8 IDCT, sampling-factor
+    reassembly with chroma pixel-replication upsampling, and JFIF
+    YCbCr→RGB.  The second genuinely entropy-coded format decoded with
+    no external codec (PNG's DEFLATE being the first).  Progressive
+    (SOF2), arithmetic-coded, and 12-bit variants raise — the seam.
+    Returns (h, w, ch) uint8 (1 channel for grayscale, 3 for color)."""
+    import struct
+
+    import numpy as np
+
+    if payload[:2] != b"\xff\xd8":
+        raise NotImplementedError("not a JPEG SOI")
+    qt: dict[int, list[int]] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    frame = None
+    restart_interval = 0
+    pos = 2
+    scan = None
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise NotImplementedError("JPEG marker desync")
+        marker = payload[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        seg_len, = struct.unpack_from(">H", payload, pos + 2)
+        seg = payload[pos + 4 : pos + 2 + seg_len]
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(seg):
+                pq, tq = seg[i] >> 4, seg[i] & 15
+                i += 1
+                if pq == 0:
+                    qt[tq] = list(seg[i : i + 64])
+                    i += 64
+                else:
+                    qt[tq] = list(
+                        struct.unpack_from(f">{64}H", seg, i)
+                    )
+                    i += 128
+        elif marker in (0xC0, 0xC1):  # baseline / extended sequential
+            prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
+            if prec != 8:
+                raise NotImplementedError(f"no codec for {prec}-bit JPEG")
+            comps = []
+            for c in range(nc):
+                cid, samp, tq = struct.unpack_from(">BBB", seg, 6 + c * 3)
+                comps.append((cid, samp >> 4, samp & 15, tq))
+            frame = (h, w, comps)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                "no codec for progressive/arithmetic JPEG: baseline "
+                "sequential Huffman decodes here"
+            )
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(seg):
+                tc, th = seg[i] >> 4, seg[i] & 15
+                counts = list(seg[i + 1 : i + 17])
+                i += 17
+                table: dict = {}
+                code = 0
+                for length in range(1, 17):
+                    for _ in range(counts[length - 1]):
+                        table[(length, code)] = seg[i]
+                        code += 1
+                        i += 1
+                    code <<= 1
+                huff[(tc, th)] = table
+        elif marker == 0xDD:  # DRI
+            restart_interval, = struct.unpack_from(">H", seg, 0)
+        elif marker == 0xDA:  # SOS
+            ns = seg[0]
+            sel = {}
+            for c in range(ns):
+                cid, tabs = seg[1 + c * 2], seg[2 + c * 2]
+                sel[cid] = (tabs >> 4, tabs & 15)
+            scan = (sel, pos + 2 + seg_len)
+            break
+        pos += 2 + seg_len
+    if frame is None or scan is None:
+        raise NotImplementedError("JPEG missing SOF/SOS")
+    h, w, comps = frame
+    if not (0 < w <= 1 << 16 and 0 < h <= 1 << 16):
+        raise NotImplementedError("implausible JPEG dimensions")
+    sel, data_start = scan
+    # unstuff the entropy segment; restart markers split it
+    segments: list[bytes] = []
+    cur = bytearray()
+    i = data_start
+    while i < len(payload):
+        b = payload[i]
+        if b == 0xFF and i + 1 < len(payload):
+            nxt = payload[i + 1]
+            if nxt == 0x00:
+                cur.append(0xFF)
+                i += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:  # RSTn
+                segments.append(bytes(cur))
+                cur = bytearray()
+                i += 2
+                continue
+            break  # EOI or next marker
+        cur.append(b)
+        i += 1
+    segments.append(bytes(cur))
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    planes = {
+        cid: np.zeros((mcuy * 8 * v, mcux * 8 * hs), dtype=np.float64)
+        for cid, hs, v, _ in comps
+    }
+    # orthonormal IDCT basis: S = M.T @ F @ M
+    xs = np.arange(8)
+    M = np.cos((2 * xs[None, :] + 1) * xs[:, None] * np.pi / 16) / 2.0
+    M[0, :] /= np.sqrt(2.0)
+    pred = {cid: 0 for cid, *_ in comps}
+    seg_idx = 0
+    bits = _JpegBits(segments[0])
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if (
+                restart_interval
+                and mcu_count
+                and mcu_count % restart_interval == 0
+            ):
+                seg_idx += 1
+                if seg_idx >= len(segments):
+                    raise NotImplementedError("JPEG restart segment missing")
+                bits = _JpegBits(segments[seg_idx])
+                pred = {cid: 0 for cid, *_ in comps}
+            mcu_count += 1
+            for cid, hs, vs, tq in comps:
+                dc_t, ac_t = sel[cid]
+                q = qt[tq]
+                for by in range(vs):
+                    for bx in range(hs):
+                        coef = np.zeros(64, dtype=np.float64)
+                        t = _jpeg_huff_decode(bits, huff[(0, dc_t)])
+                        diff = _jpeg_extend(bits.read_bits(t), t)
+                        pred[cid] += diff
+                        coef[0] = pred[cid] * q[0]
+                        k = 0
+                        while k < 63:
+                            rs = _jpeg_huff_decode(bits, huff[(1, ac_t)])
+                            if rs == 0:
+                                break  # EOB
+                            r, s = rs >> 4, rs & 15
+                            if rs == 0xF0:
+                                k += 16
+                                continue
+                            k += r + 1
+                            if k > 63:
+                                raise NotImplementedError(
+                                    "JPEG AC index overflow"
+                                )
+                            coef[_ZIGZAG[k]] = (
+                                _jpeg_extend(bits.read_bits(s), s) * q[k]
+                            )
+                        block = M.T @ coef.reshape(8, 8) @ M + 128.0
+                        y0 = (my * vs + by) * 8
+                        x0 = (mx * hs + bx) * 8
+                        planes[cid][y0 : y0 + 8, x0 : x0 + 8] = block
+    out_planes = []
+    for cid, hs, vs, _ in comps:
+        p = planes[cid]
+        p = np.repeat(np.repeat(p, vmax // vs, axis=0), hmax // hs, axis=1)
+        out_planes.append(p[:h, :w])
+    if len(out_planes) == 1:
+        g = np.clip(np.round(out_planes[0]), 0, 255).astype(np.uint8)
+        return g.reshape(h, w, 1)
+    if len(out_planes) != 3:
+        raise NotImplementedError(
+            f"no codec for {len(out_planes)}-component JPEG"
+        )
+    y, cb, cr = out_planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r, g, b], axis=2)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
 def decode_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """mapInPandas decode/feature-extract kernel.
 
@@ -410,7 +658,7 @@ def decode_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                     f"no codec for {fmt!r}: byte-level features only; "
                     "plug a decoder in here for pixel/sample features"
                 )
-            if fmt in ("image/bmp", "image/ppm", "image/png"):
+            if fmt in ("image/bmp", "image/ppm", "image/png", "image/jpeg"):
                 # real pixel decode: stats run over the decoded pixel
                 # bytes, not the container bytes (md5/n_bytes still
                 # describe the container — the file identity)
@@ -418,6 +666,7 @@ def decode_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                     "image/bmp": _decode_bmp,
                     "image/ppm": _decode_ppm,
                     "image/png": _decode_png,
+                    "image/jpeg": _decode_jpeg,
                 }[fmt]
                 b = dec(payload).astype(np.int64).ravel()
                 status = "decoded_pixels"

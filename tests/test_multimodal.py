@@ -31,10 +31,12 @@ def test_decode_kernel_deterministic(spark, sf_dir):
 
 
 def test_codec_format_raises(spark):
-    """A real media container (sniffed from magic bytes) hits the
-    NotImplementedError seam — byte stats alone are not a decode."""
+    """A real media container (sniffed from magic bytes) whose codec
+    is genuinely absent hits the NotImplementedError seam — byte stats
+    alone are not a decode.  (JPEG no longer qualifies: baseline
+    decode is real now; GIF's LZW is still behind the seam.)"""
     df = spark.createDataFrame(
-        [(1, bytearray(b"\xff\xd8\xff\xe0rest-of-jpeg"))],
+        [(1, bytearray(b"GIF89a\x01\x00\x01\x00\x80\x00\x00rest"))],
         "doc_id long, payload binary",
     )
     out = df.mapInPandas(multimodal.decode_features, schema=multimodal.DECODE_SCHEMA)
@@ -401,3 +403,113 @@ def test_decode_feature_values(spark):
     assert (r.byte_mean, r.byte_std, r.simpson) == (127.5, 127.5, 0.5)
     assert (r.distinct_bytes, r.byte_min, r.byte_max) == (2, 0, 255)
     assert r.media_format == "application/octet-stream"
+
+
+class _BitWriter:
+    def __init__(self):
+        self.bits = []
+
+    def put(self, value, n):
+        for i in range(n - 1, -1, -1):
+            self.bits.append((value >> i) & 1)
+
+    def tobytes(self):
+        bits = self.bits + [1] * (-len(self.bits) % 8)
+        out = bytearray()
+        for i in range(0, len(bits), 8):
+            b = 0
+            for j in range(8):
+                b = (b << 1) | bits[i + j]
+            out.append(b)
+        return bytes(out)
+
+
+def _jpeg_seg(marker, body):
+    import struct
+
+    return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+
+def _jpeg_dht(tc, th, by_length):
+    counts = [0] * 16
+    syms = []
+    for length, symbols in by_length:
+        counts[length - 1] = len(symbols)
+        syms.extend(symbols)
+    return _jpeg_seg(0xC4, bytes([tc << 4 | th] + counts + syms))
+
+
+def test_jpeg_baseline_gray_decodes():
+    """Hand-constructed 16x8 grayscale baseline JPEG: two DC-only
+    blocks (flat 138 / flat 118 after IDCT + level shift), quant all
+    ones, custom canonical Huffman tables.  Exercises Huffman decode,
+    DC prediction (block2's diff is -160 from block1's 80), EOB, and
+    the IDCT scaling."""
+    import struct
+
+    dqt = _jpeg_seg(0xDB, bytes([0x00] + [1] * 64))
+    sof = _jpeg_seg(0xC0, struct.pack(">BHHB", 8, 8, 16, 1) + bytes([1, 0x11, 0]))
+    # DC: cat7 -> '0' (len1), cat8 -> '10' (len2); AC: EOB '0'
+    dht_dc = _jpeg_dht(0, 0, [(1, [7]), (2, [8])])
+    dht_ac = _jpeg_dht(1, 0, [(1, [0x00])])
+    sos = _jpeg_seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    bw = _BitWriter()
+    bw.put(0b0, 1); bw.put(80, 7)          # DC diff +80 (cat 7)
+    bw.put(0b0, 1)                          # EOB
+    bw.put(0b10, 2); bw.put(-160 + 255, 8)  # DC diff -160 (cat 8)
+    bw.put(0b0, 1)                          # EOB
+    payload = (
+        b"\xff\xd8" + dqt + sof + dht_dc + dht_ac + sos
+        + bw.tobytes() + b"\xff\xd9"
+    )
+    assert multimodal.sniff_format(payload) == "image/jpeg"
+    arr = multimodal._decode_jpeg(payload)
+    assert arr.shape == (8, 16, 1)
+    assert (arr[:, :8, 0] == 138).all()   # 80/8 + 128
+    assert (arr[:, 8:, 0] == 118).all()   # (80-160)/8 + 128
+
+
+def test_jpeg_baseline_color_decodes():
+    """8x8 4:4:4 color JPEG: flat Y=138, Cb=128, Cr=130 — verifies the
+    per-component DC predictors and the JFIF YCbCr->RGB conversion."""
+    import struct
+
+    import numpy as np
+
+    dqt = _jpeg_seg(0xDB, bytes([0x00] + [1] * 64))
+    sof = _jpeg_seg(
+        0xC0,
+        struct.pack(">BHHB", 8, 8, 8, 3)
+        + bytes([1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0]),
+    )
+    # DC: cat0 '0', cat5 '10', cat7 '110'; AC: EOB '0'
+    dht_dc = _jpeg_dht(0, 0, [(1, [0]), (2, [5]), (3, [7])])
+    dht_ac = _jpeg_dht(1, 0, [(1, [0x00])])
+    sos = _jpeg_seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
+    bw = _BitWriter()
+    bw.put(0b110, 3); bw.put(80, 7); bw.put(0b0, 1)  # Y: +80, EOB
+    bw.put(0b0, 1); bw.put(0b0, 1)                    # Cb: diff 0, EOB
+    bw.put(0b10, 2); bw.put(16, 5); bw.put(0b0, 1)    # Cr: +16, EOB
+    payload = (
+        b"\xff\xd8" + dqt + sof + dht_dc + dht_ac + sos
+        + bw.tobytes() + b"\xff\xd9"
+    )
+    arr = multimodal._decode_jpeg(payload)
+    assert arr.shape == (8, 8, 3)
+    y, cb, cr = 138.0, 128.0, 130.0
+    exp = [
+        int(np.clip(round(y + 1.402 * (cr - 128)), 0, 255)),
+        int(np.clip(round(y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)), 0, 255)),
+        int(np.clip(round(y + 1.772 * (cb - 128)), 0, 255)),
+    ]
+    assert arr[0, 0].tolist() == exp
+    assert (arr == arr[0, 0]).all()
+
+
+def test_jpeg_progressive_stays_behind_seam():
+    import struct
+
+    sof2 = _jpeg_seg(0xC2, struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
+    payload = b"\xff\xd8" + sof2 + b"\xff\xd9"
+    with pytest.raises(NotImplementedError, match="progressive"):
+        multimodal._decode_jpeg(payload)
