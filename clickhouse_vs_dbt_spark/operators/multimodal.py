@@ -6,7 +6,7 @@ The feature kernel is REAL byte-level decoding — container-format
 sniffing from magic bytes, exact byte statistics (mean/std from integer
 power sums, Simpson collision index, distinct-byte census), md5 — all
 computed with arithmetic that replays bit-identically in SQL, so the
-operator is fully value-checked against the DuckDB oracle.  Five real
+operator is fully value-checked against the DuckDB oracle.  Six real
 codecs are implemented in pure Python/stdlib/numpy: uncompressed
 24-bit BMP (:func:`_decode_bmp`), binary P6 PPM (:func:`_decode_ppm`),
 non-interlaced PNG — 8-bit gray/RGB/alpha and 1/2/4/8-bit palette
@@ -15,12 +15,13 @@ None/Sub/Up/Average/Paeth scanline unfiltering, sub-byte index
 unpacking, PLTE lookup) — and BASELINE SEQUENTIAL JPEG
 (:func:`_decode_jpeg`: canonical-Huffman entropy decode, DC
 prediction, zigzag/run-length AC, dequantization, separable float
-IDCT, sampling-factor reassembly, JFIF YCbCr→RGB), both genuinely
-entropy-coded formats, producing statistics over the DECODED PIXEL
-array; PCM WAV (:func:`_decode_wav`) produces per-sample amplitude
+IDCT, sampling-factor reassembly, JFIF YCbCr→RGB) and GIF
+(:func:`_decode_gif`: LSB-first variable-width LZW, 4-pass
+deinterlace, palette lookup) — three genuinely entropy-coded
+formats — producing statistics over the DECODED PIXEL array; PCM WAV (:func:`_decode_wav`) produces per-sample amplitude
 statistics over the decoded 8/16-bit samples — real image AND audio
 decode paths.  Only formats whose codecs are truly absent from this
-container (GIF's LZW, WebP/MP3/video, progressive/arithmetic JPEG,
+container (WebP/MP3/video, progressive/arithmetic JPEG,
 16-bit or interlaced PNG) remain behind the ``NotImplementedError``
 seam.
 
@@ -148,7 +149,7 @@ def sniff_format(payload: bytes) -> str:
 CODEC_REQUIRED = (
     frozenset(fmt for _, fmt in _MAGIC if not fmt.startswith("application/"))
     | {"video/mp4", "image/webp"}
-) - {"image/bmp", "image/png", "image/jpeg"}
+) - {"image/bmp", "image/png", "image/jpeg", "image/gif"}
 
 
 def _decode_bmp(payload: bytes):
@@ -379,6 +380,129 @@ def _decode_png(payload: bytes):
             raise NotImplementedError("PNG palette index out of range")
         return pal[idx]  # (h, w, 3)
     return out.reshape(h, w, ch)
+
+
+def _lzw_decode(data: bytes, mcs: int, expected: int) -> list[int]:
+    """GIF-variant LZW: LSB-first variable-width codes (mcs+1 .. 12
+    bits), CLEAR/END control codes, standard KwKwK handling."""
+    clear, end = 1 << mcs, (1 << mcs) + 1
+    nbits = len(data) * 8
+    bitpos = 0
+
+    def read_code(width: int) -> int:
+        nonlocal bitpos
+        if bitpos + width > nbits:
+            raise NotImplementedError("truncated GIF LZW stream")
+        v = 0
+        for i in range(width):
+            p = bitpos + i
+            v |= ((data[p >> 3] >> (p & 7)) & 1) << i
+        bitpos += width
+        return v
+
+    width = mcs + 1
+    table: dict[int, list[int]] = {i: [i] for i in range(clear)}
+    next_code = end + 1
+    prev: list[int] | None = None
+    out: list[int] = []
+    while len(out) < expected:
+        code = read_code(width)
+        if code == clear:
+            width = mcs + 1
+            table = {i: [i] for i in range(clear)}
+            next_code = end + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if code in table:
+            entry = table[code]
+        elif code == next_code and prev is not None:
+            entry = prev + prev[:1]  # KwKwK
+        else:
+            raise NotImplementedError("invalid GIF LZW code")
+        out.extend(entry)
+        if prev is not None and next_code < 4096:
+            table[next_code] = prev + entry[:1]
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    if len(out) < expected:
+        raise NotImplementedError("GIF LZW stream ended early")
+    return out[:expected]
+
+
+def _decode_gif(payload: bytes):
+    """Pure-Python decode of a GIF87a/89a first frame: logical screen
+    descriptor, global/local color table, extension-block skip, and
+    the LZW-compressed index stream (:func:`_lzw_decode` — GIF's
+    entropy coder, LSB-first variable-width codes), with Adam-style
+    4-pass deinterlacing when flagged.  The third genuinely
+    entropy-coded format decoded with no external codec.  Returns
+    (h, w, 3) uint8 via palette lookup."""
+    import struct
+
+    import numpy as np
+
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise NotImplementedError("not a GIF header")
+    w, h, packed, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 7)
+        gct = payload[pos : pos + 3 * n]
+        pos += 3 * n
+    while pos < len(payload):
+        b = payload[pos]
+        if b == 0x3B:  # trailer
+            break
+        if b == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while pos < len(payload) and payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if b != 0x2C:
+            raise NotImplementedError(f"unexpected GIF block 0x{b:02x}")
+        _l, _t, iw, ih, p2 = struct.unpack_from("<HHHHB", payload, pos + 1)
+        pos += 10
+        ct = gct
+        if p2 & 0x80:
+            n = 2 << (p2 & 7)
+            ct = payload[pos : pos + 3 * n]
+            pos += 3 * n
+        if ct is None:
+            raise NotImplementedError("GIF image without a color table")
+        if not (0 < iw <= 1 << 16 and 0 < ih <= 1 << 16):
+            raise NotImplementedError("implausible GIF dimensions")
+        mcs = payload[pos]
+        pos += 1
+        data = bytearray()
+        while pos < len(payload) and payload[pos] != 0:
+            ln = payload[pos]
+            data += payload[pos + 1 : pos + 1 + ln]
+            pos += 1 + ln
+        idx = np.array(
+            _lzw_decode(bytes(data), mcs, iw * ih), dtype=np.int32
+        ).reshape(ih, iw)
+        if p2 & 0x40:  # interlaced: 4-pass row order
+            order = (
+                list(range(0, ih, 8))
+                + list(range(4, ih, 8))
+                + list(range(2, ih, 4))
+                + list(range(1, ih, 2))
+            )
+            out_rows = np.zeros_like(idx)
+            out_rows[order] = idx
+            idx = out_rows
+        pal = np.frombuffer(ct, np.uint8)
+        pal = pal[: (len(pal) // 3) * 3].reshape(-1, 3)
+        if pal.size == 0 or int(idx.max()) >= len(pal):
+            raise NotImplementedError("GIF palette index out of range")
+        return pal[idx]  # first frame only
+    raise NotImplementedError("GIF contains no image block")
 
 
 _ZIGZAG = [
@@ -658,7 +782,8 @@ def decode_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                     f"no codec for {fmt!r}: byte-level features only; "
                     "plug a decoder in here for pixel/sample features"
                 )
-            if fmt in ("image/bmp", "image/ppm", "image/png", "image/jpeg"):
+            if fmt in ("image/bmp", "image/ppm", "image/png",
+                       "image/jpeg", "image/gif"):
                 # real pixel decode: stats run over the decoded pixel
                 # bytes, not the container bytes (md5/n_bytes still
                 # describe the container — the file identity)
@@ -667,6 +792,7 @@ def decode_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                     "image/ppm": _decode_ppm,
                     "image/png": _decode_png,
                     "image/jpeg": _decode_jpeg,
+                    "image/gif": _decode_gif,
                 }[fmt]
                 b = dec(payload).astype(np.int64).ravel()
                 status = "decoded_pixels"

@@ -33,10 +33,10 @@ def test_decode_kernel_deterministic(spark, sf_dir):
 def test_codec_format_raises(spark):
     """A real media container (sniffed from magic bytes) whose codec
     is genuinely absent hits the NotImplementedError seam — byte stats
-    alone are not a decode.  (JPEG no longer qualifies: baseline
-    decode is real now; GIF's LZW is still behind the seam.)"""
+    alone are not a decode.  (JPEG/GIF no longer qualify: their
+    decodes are real now; Ogg's Vorbis/Opus stays behind the seam.)"""
     df = spark.createDataFrame(
-        [(1, bytearray(b"GIF89a\x01\x00\x01\x00\x80\x00\x00rest"))],
+        [(1, bytearray(b"OggS\x00\x02\x00\x00rest-of-ogg"))],
         "doc_id long, payload binary",
     )
     out = df.mapInPandas(multimodal.decode_features, schema=multimodal.DECODE_SCHEMA)
@@ -513,3 +513,79 @@ def test_jpeg_progressive_stays_behind_seam():
     payload = b"\xff\xd8" + sof2 + b"\xff\xd9"
     with pytest.raises(NotImplementedError, match="progressive"):
         multimodal._decode_jpeg(payload)
+
+
+def _gif_bytes(w, h, codes_widths, palette, interlace=False, mcs=2):
+    """Assemble a GIF89a with LSB-first LZW codes given as
+    (code, width) pairs."""
+    import struct
+
+    bits = []
+    for code, width in codes_widths:
+        for i in range(width):
+            bits.append((code >> i) & 1)
+    data = bytearray()
+    for i in range(0, len(bits), 8):
+        b = 0
+        for j, bit in enumerate(bits[i : i + 8]):
+            b |= bit << j
+        data.append(b)
+    gct_field = 0  # 2 entries
+    n_pal = 2 << gct_field
+    pal = bytes(palette) + bytes(3 * n_pal - len(palette))
+    p2 = 0x40 if interlace else 0
+    return (
+        b"GIF89a"
+        + struct.pack("<HHBBB", w, h, 0x80 | gct_field, 0, 0)
+        + pal
+        + b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, p2)
+        + bytes([mcs, len(data)]) + bytes(data) + b"\x00"
+        + b"\x3b"
+    )
+
+
+def test_gif_decodes_lzw():
+    """Hand-constructed 2x2 GIF: CLEAR + root codes + END, with the
+    decoder's width bump at next_code=8 accounted for."""
+    pal = [255, 0, 0, 0, 0, 255]
+    payload = _gif_bytes(
+        2, 2,
+        [(4, 3), (0, 3), (1, 3), (1, 3), (0, 4), (5, 4)],
+        pal,
+    )
+    assert multimodal.sniff_format(payload) == "image/gif"
+    arr = multimodal._decode_gif(payload)
+    assert arr.shape == (2, 2, 3)
+    assert arr[0, 0].tolist() == [255, 0, 0]
+    assert arr[0, 1].tolist() == [0, 0, 255]
+    assert arr[1, 0].tolist() == [0, 0, 255]
+    assert arr[1, 1].tolist() == [255, 0, 0]
+
+
+def test_gif_deinterlaces():
+    """1x4 interlaced GIF: storage order is rows 0,2,1,3 — the decoder
+    must reorder to 0,1,2,3."""
+    pal = [255, 0, 0, 0, 0, 255]
+    # pixel values in STORAGE order: row0=0, row2=1, row1=1, row3=0
+    payload = _gif_bytes(
+        1, 4,
+        [(4, 3), (0, 3), (1, 3), (1, 3), (0, 4), (5, 4)],
+        pal,
+        interlace=True,
+    )
+    arr = multimodal._decode_gif(payload)
+    # display order rows: 0 -> 0(red), 1 -> 1(blue), 2 -> 1(blue), 3 -> 0(red)
+    assert arr[:, 0].tolist() == [
+        [255, 0, 0], [0, 0, 255], [0, 0, 255], [255, 0, 0],
+    ]
+
+
+def test_gif_kwkwk_and_dictionary_growth():
+    """LZW dictionary path: sequence CLEAR,0,6(=[0,0] via KwKwK),END
+    over a 1x3 image exercises the code-not-yet-in-table branch."""
+    pal = [255, 0, 0, 0, 0, 255]
+    payload = _gif_bytes(
+        1, 3, [(4, 3), (0, 3), (6, 3), (5, 3)], pal
+    )
+    arr = multimodal._decode_gif(payload)
+    assert arr[:, 0].tolist() == [[255, 0, 0]] * 3
