@@ -18,12 +18,16 @@ prediction, zigzag/run-length AC, dequantization, separable float
 IDCT, sampling-factor reassembly, JFIF YCbCr→RGB) and GIF
 (:func:`_decode_gif`: LSB-first variable-width LZW, 4-pass
 deinterlace, palette lookup) — three genuinely entropy-coded
-formats — producing statistics over the DECODED PIXEL array; PCM WAV (:func:`_decode_wav`) produces per-sample amplitude
-statistics over the decoded 8/16-bit samples — real image AND audio
-decode paths.  Only formats whose codecs are truly absent from this
-container (WebP/MP3/video, progressive/arithmetic JPEG,
-16-bit or interlaced PNG) remain behind the ``NotImplementedError``
-seam.
+formats — producing statistics over the DECODED PIXEL array; PCM WAV
+(:func:`_decode_wav`) produces per-sample amplitude statistics over
+the decoded 8/16-bit samples — real image AND audio decode paths.
+Formats whose codecs are truly absent from this container
+(WebP/MP3/video, progressive/arithmetic JPEG, 16-bit or interlaced
+PNG) stay behind the ``NotImplementedError`` seam, and the kernel
+ROUTES that seam per row — ``status = codec_missing`` (seam) or
+``decode_error`` (corrupt container bytes) with byte-statistics
+fallback — because at corpus scale corrupt files are certain and one
+bad payload must never fail the Spark task.
 
 Entropy note: the diversity feature is the Simpson collision index
 Σc²/n² (the Rényi-2 entropy's log-free core) rather than Shannon
@@ -765,6 +769,8 @@ def decode_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """
     import hashlib
     import math
+    import struct as _struct
+    import zlib as _zlib
 
     import numpy as np
 
@@ -777,33 +783,53 @@ def decode_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
             payload = bytes(payload)
             fmt = sniff_format(payload)
-            if fmt in CODEC_REQUIRED:
-                raise NotImplementedError(
-                    f"no codec for {fmt!r}: byte-level features only; "
-                    "plug a decoder in here for pixel/sample features"
-                )
-            if fmt in ("image/bmp", "image/ppm", "image/png",
-                       "image/jpeg", "image/gif"):
-                # real pixel decode: stats run over the decoded pixel
-                # bytes, not the container bytes (md5/n_bytes still
-                # describe the container — the file identity)
-                dec = {
-                    "image/bmp": _decode_bmp,
-                    "image/ppm": _decode_ppm,
-                    "image/png": _decode_png,
-                    "image/jpeg": _decode_jpeg,
-                    "image/gif": _decode_gif,
-                }[fmt]
-                b = dec(payload).astype(np.int64).ravel()
-                status = "decoded_pixels"
-            elif fmt == "audio/wav":
-                # real sample decode: amplitude statistics over PCM
-                # samples (16-bit signed or 8-bit unsigned)
-                b = _decode_wav(payload)
-                status = "decoded_samples"
-            else:
+            # Per-row fault isolation: at corpus scale corrupt or
+            # unsupported files are certain, and one bad payload must
+            # NOT fail the Spark task — it degrades to byte statistics
+            # with a status the pipeline can filter/alert on.
+            # codec_missing = the documented NotImplementedError seam
+            # (format needs a codec this container lacks, or a variant
+            # outside a decoder's profile); decode_error = a payload
+            # that lied about its container (truncated/corrupt bytes).
+            try:
+                if fmt in CODEC_REQUIRED:
+                    raise NotImplementedError(
+                        f"no codec for {fmt!r}: byte-level features "
+                        "only; plug a decoder in here"
+                    )
+                if fmt in ("image/bmp", "image/ppm", "image/png",
+                           "image/jpeg", "image/gif"):
+                    # real pixel decode: stats run over the decoded
+                    # pixel bytes, not the container bytes (md5 /
+                    # n_bytes still describe the file identity)
+                    dec = {
+                        "image/bmp": _decode_bmp,
+                        "image/ppm": _decode_ppm,
+                        "image/png": _decode_png,
+                        "image/jpeg": _decode_jpeg,
+                        "image/gif": _decode_gif,
+                    }[fmt]
+                    b = dec(payload).astype(np.int64).ravel()
+                    status = "decoded_pixels"
+                elif fmt == "audio/wav":
+                    # real sample decode: amplitude statistics over
+                    # PCM samples (16-bit signed or 8-bit unsigned)
+                    b = _decode_wav(payload)
+                    status = "decoded_samples"
+                else:
+                    b = np.frombuffer(payload, dtype=np.uint8).astype(
+                        np.int64
+                    )
+                    status = "decoded_bytes"
+            except NotImplementedError:
                 b = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
-                status = "decoded_bytes"
+                status = "codec_missing"
+            except (ValueError, IndexError, KeyError, OverflowError,
+                    EOFError, MemoryError, _struct.error, _zlib.error):
+                # malformed container bytes — never let one corrupt
+                # file kill the batch
+                b = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
+                status = "decode_error"
             n = int(b.size)
             s, ss = int(b.sum()), int((b * b).sum())
             # distinct-value census: bincount needs non-negative small

@@ -30,18 +30,29 @@ def test_decode_kernel_deterministic(spark, sf_dir):
         assert 0.0 < r.simpson <= 1.0
 
 
-def test_codec_format_raises(spark):
-    """A real media container (sniffed from magic bytes) whose codec
-    is genuinely absent hits the NotImplementedError seam — byte stats
-    alone are not a decode.  (JPEG/GIF no longer qualify: their
-    decodes are real now; Ogg's Vorbis/Opus stays behind the seam.)"""
+def test_codec_format_routes_to_status(spark):
+    """Per-row fault isolation: a codec-less container degrades to
+    byte statistics with status=codec_missing, and a corrupt payload
+    that lies about its container gets status=decode_error — neither
+    kills the Spark task (at corpus scale corrupt files are certain)."""
     df = spark.createDataFrame(
-        [(1, bytearray(b"OggS\x00\x02\x00\x00rest-of-ogg"))],
+        [
+            (1, bytearray(b"OggS\x00\x02\x00\x00rest-of-ogg")),
+            (2, bytearray(b"\x89PNG\r\n\x1a\n\x00garbage-not-chunks")),
+            (3, bytearray(b"\xff\xd8\xff\xe0truncated-jpeg")),
+        ],
         "doc_id long, payload binary",
     )
-    out = df.mapInPandas(multimodal.decode_features, schema=multimodal.DECODE_SCHEMA)
-    with pytest.raises(Exception, match="no codec"):
-        out.collect()
+    out = df.mapInPandas(
+        multimodal.decode_features, schema=multimodal.DECODE_SCHEMA
+    ).collect()
+    st = {r["doc_id"]: r["status"] for r in out}
+    assert st[1] == "codec_missing"
+    assert st[2] in ("codec_missing", "decode_error")
+    assert st[3] in ("codec_missing", "decode_error")
+    # byte stats still real on the fallback path
+    r1 = next(r for r in out if r["doc_id"] == 1)
+    assert r1["n_bytes"] == 19 and r1["media_format"] == "audio/ogg"
 
 
 def test_sniff_formats():
@@ -336,16 +347,18 @@ def test_png_palette_decodes():
 
 
 def test_webp_still_behind_seam():
+    """WebP (VP8 entropy coding) stays behind the seam — the kernel
+    routes it to codec_missing rather than raising (fault isolation)."""
     import pandas as pd
 
     payload = b"RIFF\x10\x00\x00\x00WEBPVP8 \x00\x01\x02"
     assert multimodal.sniff_format(payload) == "image/webp"
-    with pytest.raises(NotImplementedError, match="no codec"):
-        list(
-            multimodal.decode_features(
-                iter([pd.DataFrame({"doc_id": [3], "payload": [payload]})])
-            )
+    [out] = list(
+        multimodal.decode_features(
+            iter([pd.DataFrame({"doc_id": [3], "payload": [payload]})])
         )
+    )
+    assert out.iloc[0]["status"] == "codec_missing"
 
 
 def test_bmp_compressed_variant_still_hits_seam():
