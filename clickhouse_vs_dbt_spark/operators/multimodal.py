@@ -9,10 +9,11 @@ computed with arithmetic that replays bit-identically in SQL, so the
 operator is fully value-checked against the DuckDB oracle.  Six real
 codecs are implemented in pure Python/stdlib/numpy: uncompressed
 24-bit BMP (:func:`_decode_bmp`), binary P6 PPM (:func:`_decode_ppm`),
-non-interlaced PNG — 8-bit gray/RGB/alpha and 1/2/4/8-bit palette
-(:func:`_decode_png`: chunk walk, stdlib-``zlib`` inflate, full
-None/Sub/Up/Average/Paeth scanline unfiltering, sub-byte index
-unpacking, PLTE lookup) — and BASELINE SEQUENTIAL JPEG
+FULL PNG — 8/16-bit gray/RGB/alpha, 1/2/4/8-bit palette, and their
+Adam7-interlaced variants (:func:`_decode_png`: chunk walk,
+stdlib-``zlib`` inflate, per-pass None/Sub/Up/Average/Paeth scanline
+unfiltering, sub-byte index unpacking, PLTE lookup, interlace
+scatter) — and BASELINE SEQUENTIAL JPEG
 (:func:`_decode_jpeg`: canonical-Huffman entropy decode, DC
 prediction, zigzag/run-length AC, dequantization, separable float
 IDCT, sampling-factor reassembly, JFIF YCbCr→RGB) and GIF
@@ -22,8 +23,8 @@ formats — producing statistics over the DECODED PIXEL array; PCM WAV
 (:func:`_decode_wav`) produces per-sample amplitude statistics over
 the decoded 8/16-bit samples — real image AND audio decode paths.
 Formats whose codecs are truly absent from this container
-(WebP/MP3/video, progressive/arithmetic JPEG, 16-bit or interlaced
-PNG) stay behind the ``NotImplementedError`` seam, and the kernel
+(WebP/MP3/video, progressive/arithmetic JPEG) stay behind the
+``NotImplementedError`` seam, and the kernel
 ROUTES that seam per row — ``status = codec_missing`` (seam) or
 ``decode_error`` (corrupt container bytes) with byte-statistics
 fallback — because at corpus scale corrupt files are certain and one
@@ -284,63 +285,16 @@ def _decode_wav(payload: bytes):
     return samples.astype(np.int64)
 
 
-def _decode_png(payload: bytes):
-    """Pure-stdlib decode of non-interlaced PNG: 8-bit gray / gray+A /
-    RGB / RGBA, plus PALETTE (indexed) images at 1/2/4/8-bit depth —
-    chunk walk, concatenated-IDAT zlib inflate, scanline unfiltering
-    (None/Sub/Up/Average/Paeth), sub-byte index unpacking, and PLTE
-    lookup to RGB.  PNG's entropy coder is DEFLATE, which ships in
-    Python's ``zlib`` — so this is a REAL decode with no external
-    codec.  16-bit and Adam7-interlaced variants raise — the remaining
-    seam.  Returns (h, w, ch) uint8 (palette images return ch=3)."""
-    import struct
-    import zlib
-
+def _png_unfilter(raw, off, h, stride, bpp):
+    """Unfilter ``h`` scanlines (None/Sub/Up/Average/Paeth) starting
+    at byte ``off``; returns ((h, stride) uint8, bytes consumed)."""
     import numpy as np
 
-    if payload[:8] != b"\x89PNG\r\n\x1a\n":
-        raise NotImplementedError("not a PNG signature")
-    pos = 8
-    hdr = None
-    plte = None
-    idat = bytearray()
-    while pos + 8 <= len(payload):
-        ln, typ = struct.unpack_from(">I4s", payload, pos)
-        data = payload[pos + 8 : pos + 8 + ln]
-        if typ == b"IHDR":
-            hdr = struct.unpack(">IIBBBBB", data)
-        elif typ == b"PLTE":
-            plte = data
-        elif typ == b"IDAT":
-            idat += data
-        elif typ == b"IEND":
-            break
-        pos += 12 + ln
-    if hdr is None or not idat:
-        raise NotImplementedError("PNG missing IHDR/IDAT")
-    w, h, depth, ctype, comp, filt, interlace = hdr
-    ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
-    depth_ok = depth == 8 or (ctype == 3 and depth in (1, 2, 4))
-    if not depth_ok or interlace != 0 or comp != 0 or filt != 0 or ch is None:
-        raise NotImplementedError(
-            f"no codec for PNG depth={depth} colortype={ctype} "
-            f"interlace={interlace}: non-interlaced 8-bit "
-            "gray/RGB/alpha and 1/2/4/8-bit palette decode here"
-        )
-    if ctype == 3 and plte is None:
-        raise NotImplementedError("no codec for PNG palette without PLTE")
-    if not (0 < w <= 1 << 20 and 0 < h <= 1 << 20):
-        raise NotImplementedError("implausible PNG dimensions")
-    raw = zlib.decompress(bytes(idat))
-    # sub-byte palette rows pack depth-bit indices; filters operate on
-    # BYTES with a 1-byte left distance per spec
-    stride = (w * depth * ch + 7) // 8
-    bpp = max(1, (depth * ch) // 8)
-    if len(raw) < h * (stride + 1):
+    if len(raw) - off < h * (stride + 1):
         raise NotImplementedError("truncated PNG pixel data")
     out = np.zeros((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.uint8)
-    p = 0
+    p = off
     for y in range(h):
         f = raw[p]
         row = np.frombuffer(raw, np.uint8, stride, p + 1).copy()
@@ -368,23 +322,119 @@ def _decode_png(payload: bytes):
             raise NotImplementedError(f"PNG filter type {f}")
         out[y] = row
         prev = row
+    return out, p - off
+
+
+def _png_rows_to_values(rows, w, depth, ch):
+    """(h, stride) unfiltered bytes → (h, w, ch) sample values:
+    uint8 for depth ≤ 8 (sub-byte bit groups unpacked big-endian),
+    uint16 for depth 16 (network byte order)."""
+    import numpy as np
+
+    h = rows.shape[0]
+    if depth == 16:
+        v = rows.reshape(h, -1, 2)
+        vals = (v[:, :, 0].astype(np.uint16) << 8) | v[:, :, 1]
+        return vals.reshape(h, w, ch)
+    if depth == 8:
+        return rows[:, : w * ch].reshape(h, w, ch)
+    bits = np.unpackbits(rows, axis=1)[:, : w * depth]
+    weights = 1 << np.arange(depth - 1, -1, -1, dtype=np.uint8)
+    vals = (bits.reshape(h, w, depth).astype(np.uint8) * weights).sum(
+        axis=2
+    ).astype(np.uint8)
+    return vals.reshape(h, w, 1)
+
+
+# Adam7 pass grid: (x_start, y_start, x_step, y_step)
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
+def _decode_png(payload: bytes):
+    """Pure-stdlib decode of PNG: gray / gray+A / RGB / RGBA at 8- and
+    16-bit depth, PALETTE (indexed) images at 1/2/4/8-bit depth, and
+    Adam7 INTERLACED variants of all of them — chunk walk,
+    concatenated-IDAT zlib inflate, per-pass scanline unfiltering
+    (None/Sub/Up/Average/Paeth), sub-byte index unpacking, PLTE
+    lookup, and interlace pixel scatter.  PNG's entropy coder is
+    DEFLATE, which ships in Python's ``zlib`` — so this is a REAL
+    decode with no external codec.  Returns (h, w, ch) uint8 for
+    depth ≤ 8 (palette images return ch=3) and uint16 for 16-bit."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise NotImplementedError("not a PNG signature")
+    pos = 8
+    hdr = None
+    plte = None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        ln, typ = struct.unpack_from(">I4s", payload, pos)
+        data = payload[pos + 8 : pos + 8 + ln]
+        if typ == b"IHDR":
+            hdr = struct.unpack(">IIBBBBB", data)
+        elif typ == b"PLTE":
+            plte = data
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln
+    if hdr is None or not idat:
+        raise NotImplementedError("PNG missing IHDR/IDAT")
+    w, h, depth, ctype, comp, filt, interlace = hdr
+    ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
+    depth_ok = (
+        depth in (8, 16) if ctype != 3 else depth in (1, 2, 4, 8)
+    )
+    if (
+        not depth_ok
+        or interlace not in (0, 1)
+        or comp != 0
+        or filt != 0
+        or ch is None
+    ):
+        raise NotImplementedError(
+            f"no codec for PNG depth={depth} colortype={ctype} "
+            f"interlace={interlace}"
+        )
+    if ctype == 3 and plte is None:
+        raise NotImplementedError("no codec for PNG palette without PLTE")
+    if not (0 < w <= 1 << 20 and 0 < h <= 1 << 20):
+        raise NotImplementedError("implausible PNG dimensions")
+    raw = zlib.decompress(bytes(idat))
+    bpp = max(1, (depth * ch) // 8)
+    dtype = np.uint16 if depth == 16 else np.uint8
+    if interlace == 0:
+        stride = (w * depth * ch + 7) // 8
+        rows, _ = _png_unfilter(raw, 0, h, stride, bpp)
+        vals = _png_rows_to_values(rows, w, depth, ch)
+    else:
+        vals = np.zeros((h, w, ch), dtype=dtype)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            pstride = (pw * depth * ch + 7) // 8
+            rows, used = _png_unfilter(raw, off, ph, pstride, bpp)
+            off += used
+            vals[y0::dy, x0::dx] = _png_rows_to_values(rows, pw, depth, ch)
     if ctype == 3:
-        if depth == 8:
-            idx = out[:, :w]
-        else:
-            # big-endian bit groups within each byte, leftmost first
-            bits = np.unpackbits(out, axis=1)[:, : w * depth]
-            weights = 1 << np.arange(depth - 1, -1, -1, dtype=np.uint8)
-            idx = (
-                bits.reshape(h, w, depth).astype(np.uint8) * weights
-            ).sum(axis=2).astype(np.uint8)
+        idx = vals.reshape(h, w)
         pal = np.frombuffer(plte, np.uint8)
         pal = pal[: (len(pal) // 3) * 3].reshape(-1, 3)
         if pal.size == 0 or int(idx.max()) >= len(pal):
             raise NotImplementedError("PNG palette index out of range")
         return pal[idx]  # (h, w, 3)
-    return out.reshape(h, w, ch)
-
+    return vals
 
 def _lzw_decode(data: bytes, mcs: int, expected: int) -> list[int]:
     """GIF-variant LZW: LSB-first variable-width codes (mcs+1 .. 12

@@ -336,14 +336,16 @@ def test_png_palette_decodes():
         multimodal._decode_png(no_plte)
     with pytest.raises(NotImplementedError, match="index out of range"):
         multimodal._decode_png(_palette_png(1, 1, 8, b"\x00\x09", pal))
+    # Adam7 2x1 grayscale now DECODES: pass 1 carries pixel (0,0),
+    # pass 6 carries pixel (1,0)
     adam7 = (
         b"\x89PNG\r\n\x1a\n"
         + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 1, 8, 0, 0, 0, 1))
-        + chunk(b"IDAT", zlib.compress(b"\x00\x01\x02"))
+        + chunk(b"IDAT", zlib.compress(b"\x00\x0a" + b"\x00\x14"))
         + chunk(b"IEND", b"")
     )
-    with pytest.raises(NotImplementedError, match="no codec for PNG"):
-        multimodal._decode_png(adam7)
+    arr = multimodal._decode_png(adam7)
+    assert arr.reshape(1, 2).tolist() == [[10, 20]]
 
 
 def test_webp_still_behind_seam():
@@ -602,3 +604,51 @@ def test_gif_kwkwk_and_dictionary_growth():
     )
     arr = multimodal._decode_gif(payload)
     assert arr[:, 0].tolist() == [[255, 0, 0]] * 3
+
+
+def test_png_16bit_and_adam7_decode():
+    """16-bit grayscale decodes to uint16 samples (network byte
+    order); a 4x4 Adam7 interlaced gray image reassembles the pass
+    scatter correctly."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    def chunk(typ, data):
+        return (
+            struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    # 2x1 gray, 16-bit: samples 0x0102, 0xFF00
+    p16 = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 1, 16, 0, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b"\x00\x01\x02\xff\x00"))
+        + chunk(b"IEND", b"")
+    )
+    arr = multimodal._decode_png(p16)
+    assert arr.dtype == np.uint16
+    assert arr.reshape(1, 2).tolist() == [[0x0102, 0xFF00]]
+
+    # 4x4 gray Adam7: target image v[y][x] = 16*y + x.
+    # Pass order/pixels: p1 (0,0); p4 (2,0),(2,2)->x=2 rows 0,2;
+    # p5 row 2 x=0,2; p6 x=1,3 rows 0,2; p7 rows 1,3 all x.
+    img = [[16 * y + x for x in range(4)] for y in range(4)]
+    passes = []
+    for x0, y0, dx, dy in multimodal._ADAM7:
+        xs = list(range(x0, 4, dx))
+        ys = list(range(y0, 4, dy))
+        if not xs or not ys:
+            continue
+        for y in ys:
+            passes.append(bytes([0] + [img[y][x] for x in xs]))
+    p_adam = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 1))
+        + chunk(b"IDAT", zlib.compress(b"".join(passes)))
+        + chunk(b"IEND", b"")
+    )
+    arr = multimodal._decode_png(p_adam)
+    assert arr.reshape(4, 4).tolist() == img
