@@ -15,7 +15,9 @@ Layout:
     catalog.py    fixture-table registry (typed parquet readers + views)
     compat.py     ClickHouse scalar names as Catalyst-inlined SQL UDFs
     dialect.py    ClickHouse-SQL → Spark-SQL transpiler (see MIGRATION.md)
-    ddl.py        ClickHouse CREATE TABLE → Spark DDL transpiler
+    ddl.py        ClickHouse DDL transpiler: CREATE TABLE (+ engine
+                  metadata for FINAL reads) and CREATE MATERIALIZED
+                  VIEW (incremental batch/streaming maintenance)
     sources/      external-table readers (parquet fixtures, SSB .tbl CSV,
                   object-store transport via mounted FS schemes)
     plans/        model DAG runner (dbt-analog; versions/mutations) + star
@@ -24,7 +26,7 @@ Layout:
     streaming/    Structured Streaming variants of the event operators
 """
 
-__version__ = "0.2.0"
+__version__ = "0.3.0"
 
 from clickhouse_vs_dbt_spark.dialect import (  # noqa: E402,F401
     run_clickhouse_sql,

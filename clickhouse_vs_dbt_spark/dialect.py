@@ -31,28 +31,43 @@ The full surface (each backed by gated oracle queries and unit tests):
 * clause level — ``PREWHERE``→WHERE, ``GROUP BY ... WITH TOTALS``→
   grouping sets, ``[LEFT] ARRAY JOIN``→LATERAL VIEW [OUTER] explode,
   ``GLOBAL`` hint and ``SETTINGS``/``FORMAT`` tails stripped;
-* expression level — combinators (``sumIf`` family, null-sensitive
-  bases get ignoreNulls), parametric aggregates (``quantile*``,
-  ``groupArraySorted``, exact ``topK``), ``multiIf``, ``to*`` casts,
-  array HOFs with lambda rotation, ``[..]`` array literals (``IN
-  [..]`` becomes the list form), 1-based ``arr[n]`` subscripts →
-  ``try_element_at`` (ClickHouse indexes from 1, negatives from the
-  end — exactly ``try_element_at``'s contract; out-of-bounds yields
-  NULL here vs the element type's default in ClickHouse, the same
-  documented miss-value divergence as ``arrayFirst``), the
-  string/regex family, approx-register aliases;
-* structural rewrites — ``LIMIT n BY`` → ``row_number()`` window +
-  filter (the ``limit_by_analog`` pattern), ``ASOF [LEFT] JOIN …
-  USING (…)`` → correlated ``LATERAL`` top-1 subquery (scale path:
-  ``events_asof_join``'s union-window plan), ``ORDER BY x WITH FILL``
-  → ``sequence()`` spine + left join (the ``events_gap_fill``
-  pattern; missing rows carry NULL, not ClickHouse's type defaults);
+* expression level — combinators (``sumIf`` family with
+  ignoreNulls-correct null-sensitive bases; ``-Array``,
+  ``-Distinct``, ``-OrNull``; ``-State``/``-Merge`` refuse to the
+  partial-aggregate machinery), parametric aggregates (``quantile*``,
+  ``groupArraySorted``, exact ``topK``; plain one-list forms take
+  ClickHouse's documented defaults), analytics aggregates
+  (``windowFunnel(W)(ts, c1..cN)`` as an exact max-anchor DP fold,
+  ``retention`` flag products, ``sequenceMatch`` ``(?1).*(?2)``
+  subsequence form, ``sumMap``/``minMap``/``maxMap`` sorted-RLE
+  folds), ``multiIf``, ``to*`` casts, array HOFs with lambda
+  rotation, ``[..]`` array literals (``IN [..]`` becomes the list
+  form), 1-based ``arr[n]`` subscripts → ``try_element_at``
+  (ClickHouse indexes from 1, negatives from the end — exactly
+  ``try_element_at``'s contract; out-of-bounds yields NULL here vs
+  the element type's default in ClickHouse, the same documented
+  miss-value divergence as ``arrayFirst``), the string/regex family,
+  approx-register aliases;
+* structural rewrites — ``LIMIT [off,]n BY`` → ``row_number()``
+  window + filter (the ``limit_by_analog`` pattern, any depth),
+  ``ASOF [LEFT] JOIN … USING`` → union + ``last_value``-window plan
+  via the catalog resolver (``events_asof_join``'s shape; LATERAL
+  top-1 fallback), ``ANY [LEFT] JOIN … USING`` → keyed min-struct
+  collapse of the right side, ``ORDER BY x WITH FILL`` →
+  ``sequence()`` spine + left join for integer AND date/INTERVAL
+  keys, with bare-column ``INTERPOLATE`` as a LOCF carry (the
+  ``events_gap_fill`` pattern; missing rows carry NULL, not
+  ClickHouse's type defaults), multi-array ``ARRAY JOIN`` →
+  ``inline(arrays_zip(...))`` zip semantics, and ``FROM t FINAL`` →
+  the engine's explicit collapse read when the table's DDL ran
+  through ``ddl.transpile_ddl`` (Replacing and VersionedCollapsing);
 * refusals with pointers — constructs whose silent handling would
-  change results (``FINAL``, ANY join strictness, ASOF ``ON`` form,
-  ``topKWeighted``, ``WITH FILL`` on DESC/INTERVAL/multi-key,
-  ``INTO OUTFILE``, multi-array ARRAY JOIN) raise
-  :class:`DialectError` naming the dedicated operator instead of
-  surfacing an opaque Spark parse error.
+  change results (``FINAL`` without DDL context or on
+  Collapsing/Summing engines, ASOF/ANY ``ON`` forms,
+  ``topKWeighted``, ``sequenceCount``, ``WITH FILL`` on
+  DESC/multi-key/expression keys or INTERPOLATE recurrences,
+  ``INTO OUTFILE``) raise :class:`DialectError` naming the dedicated
+  operator instead of surfacing an opaque Spark parse error.
 
 DDL statements have their own transpiler (``ddl.py``); MIGRATION.md is
 the user-facing map of both.
