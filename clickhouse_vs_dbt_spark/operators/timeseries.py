@@ -777,13 +777,20 @@ def lttb_select(xs, ys, n_out: int):
             n - 1,
             n,
         )
-        cx = sum(xs[nlo:nhi]) / (nhi - nlo)
-        cy = sum(ys[nlo:nhi]) / (nhi - nlo)
+        # the centroid division is multiplied through (area·cnt — a
+        # positive scaling, argmax-invariant): with integer inputs
+        # every operation below is EXACT integer arithmetic, which is
+        # what lets the DuckDB oracle replay the identical pick chain
+        # in HUGEINT (O_LTTB) instead of racing float rounding
+        cnt = nhi - nlo
+        sx = sum(xs[nlo:nhi])
+        sy = sum(ys[nlo:nhi])
         ax, ay = xs[prev], ys[prev]
-        best, best_area = lo, -1.0
+        best, best_area = lo, -1
         for i in range(lo, hi):
             area = abs(
-                (ax - cx) * (ys[i] - ay) - (ax - xs[i]) * (cy - ay)
+                (ax * cnt - sx) * (ys[i] - ay)
+                - (ax - xs[i]) * (sy - ay * cnt)
             )
             if area > best_area:
                 best, best_area = i, area
@@ -819,7 +826,10 @@ def q_events_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         # Arrow delivers datetime64[ns] (the serializer coerces to
         # nanoseconds); divide to the module's epoch-micros convention
         xs = (pdf["ts"].astype("int64") // 1000).tolist()
-        ys = pdf["value"].tolist()
+        # y in exact integer cents (values carry 2 decimals): the
+        # whole pick chain is then integer-exact and replayable by
+        # the recursive-CTE oracle — the scaling is argmax-invariant
+        ys = [int(round(v * 100)) for v in pdf["value"]]
         keep = lttb_select(xs, ys, LTTB_N_OUT)
         out = pdf.iloc[keep][["event_type", "event_id", "value"]].copy()
         out["ts_us"] = [xs[i] for i in keep]
@@ -836,6 +846,76 @@ def q_events_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
 
+
+# LTTB oracle: the bucket-sequential pick chain replayed as a
+# recursive CTE — the recursion carries (prev pick, prev x, prev y)
+# per series and each step's argmax is a correlated ORDER BY/LIMIT 1
+# subquery over the bucket (legal in DuckDB's recursive terms, unlike
+# a bare aggregate).  All arithmetic is exact: x in epoch micros
+# (BIGINT), y in cents, areas in HUGEINT via the multiplied-through
+# centroid — bit-identical to the kernel's integer fold, so the gate
+# hash-checks the full selection, not just row counts.
+_LTTB_B = LTTB_N_OUT - 2
+O_LTTB = f"""
+WITH RECURSIVE base AS (
+  SELECT event_type, epoch_us(ts) AS x,
+         CAST(round(value * 100) AS BIGINT) AS yc,
+         value, event_id,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY ts, event_id) - 1 AS i
+  FROM events),
+nn AS (SELECT event_type, COUNT(*) AS n FROM base GROUP BY 1),
+bs AS (
+  SELECT nn.event_type, gs.b,
+         1 + (nn.n - 2) * gs.b // {_LTTB_B} AS lo,
+         1 + (nn.n - 2) * (gs.b + 1) // {_LTTB_B} AS hi,
+         CASE WHEN gs.b < {_LTTB_B - 1}
+              THEN 1 + (nn.n - 2) * (gs.b + 1) // {_LTTB_B}
+              ELSE nn.n - 1 END AS nlo,
+         CASE WHEN gs.b < {_LTTB_B - 1}
+              THEN 1 + (nn.n - 2) * (gs.b + 2) // {_LTTB_B}
+              ELSE nn.n END AS nhi
+  FROM nn, (SELECT unnest(range({_LTTB_B})) AS b) gs),
+cent AS (
+  SELECT bo.event_type, bo.b,
+         CAST(SUM(ba.x) AS HUGEINT) AS sx,
+         CAST(SUM(ba.yc) AS HUGEINT) AS sy,
+         CAST(COUNT(*) AS HUGEINT) AS cnt
+  FROM bs bo JOIN base ba ON ba.event_type = bo.event_type
+   AND ba.i >= bo.nlo AND ba.i < bo.nhi
+  GROUP BY 1, 2),
+walk AS (
+  SELECT ba.event_type, -1 AS b, ba.i AS pick, ba.x AS px, ba.yc AS py
+  FROM base ba WHERE ba.i = 0
+  UNION ALL
+  SELECT w.event_type, w.b + 1, p.i, p.x, p.yc
+  FROM walk w JOIN base p
+    ON p.event_type = w.event_type
+   AND p.i = (
+     SELECT ba.i
+     FROM base ba, bs bo, cent ce
+     WHERE ba.event_type = w.event_type
+       AND bo.event_type = w.event_type AND bo.b = w.b + 1
+       AND ce.event_type = w.event_type AND ce.b = w.b + 1
+       AND ba.i >= bo.lo AND ba.i < bo.hi
+     ORDER BY abs(
+         (CAST(w.px AS HUGEINT) * ce.cnt - ce.sx)
+           * CAST(ba.yc - w.py AS HUGEINT)
+         - CAST(w.px - ba.x AS HUGEINT)
+           * (ce.sy - CAST(w.py AS HUGEINT) * ce.cnt)
+       ) DESC, ba.i ASC
+     LIMIT 1)
+  WHERE w.b < {_LTTB_B - 1}),
+sel AS (
+  SELECT event_type, b + 1 AS out_idx, pick FROM walk
+  UNION ALL
+  SELECT event_type, {LTTB_N_OUT - 1}, n - 1 FROM nn)
+SELECT s.event_type, CAST(s.out_idx AS INT) AS out_idx,
+       ba.x AS ts_us, ba.event_id, ba.value
+FROM sel s JOIN base ba
+  ON ba.event_type = s.event_type AND ba.i = s.pick
+ORDER BY s.event_type, s.out_idx
+"""
 
 QUERIES = {
     "events_lttb_downsample": q_events_lttb_downsample,
@@ -856,6 +936,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "events_lttb_downsample": O_LTTB,
     "events_tumbling_window": O_TUMBLING,
     "events_json_extract": O_JSON_EXTRACT,
     "events_sliding_window": O_SLIDING,
