@@ -31,6 +31,10 @@ This CLI is the Spark-native equivalent:
         transpile ClickHouse DDL — CREATE TABLE prints (or, with
         --execute, creates) the Spark DDL; CREATE MATERIALIZED VIEW
         prints the parsed incremental-maintenance contract.
+
+    python -m clickhouse_vs_dbt_spark script migration.sql
+        run a multi-statement ClickHouse script (DDL + MVs + queries)
+        end-to-end — the migration-runbook front door.
 """
 
 from __future__ import annotations
@@ -127,6 +131,26 @@ def cmd_sql(args) -> int:
     spark.sql(
         transpile(args.query, resolve_columns=catalog_resolver(spark))
     ).show(args.limit, truncate=False)
+    return 0
+
+
+def cmd_script(args) -> int:
+    """Run a multi-statement ClickHouse script file (migration
+    runbook): CREATE TABLE / CREATE MATERIALIZED VIEW / queries in
+    one pass, with the engine-metadata handoff that makes later
+    FROM t FINAL statements work."""
+    from clickhouse_vs_dbt_spark.dialect import run_clickhouse_script
+
+    with open(args.file) as f:
+        script = f.read()
+    spark = _spark("cli-script")
+    _prepare(spark, args.sf_dir)
+    for kind, res in run_clickhouse_script(spark, script):
+        if kind == "query":
+            res.show(args.limit, truncate=False)
+        else:
+            name = res.name if kind == "materialized_view" else res
+            print(f"-- created {kind} {name}")
     return 0
 
 
@@ -237,6 +261,14 @@ def main(argv: list[str] | None = None) -> int:
     pq.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
     pq.add_argument("--limit", type=int, default=20)
     pq.set_defaults(fn=cmd_query)
+
+    psc = sub.add_parser(
+        "script", help="run a multi-statement ClickHouse script file"
+    )
+    psc.add_argument("file")
+    psc.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
+    psc.add_argument("--limit", type=int, default=20)
+    psc.set_defaults(fn=cmd_script)
 
     pddl = sub.add_parser(
         "ddl", help="transpile ClickHouse DDL (CREATE TABLE / MATERIALIZED VIEW)"

@@ -1921,6 +1921,82 @@ def catalog_resolver(spark: SparkSession):
     return resolve
 
 
+def split_statements(script: str) -> list[str]:
+    """Split a ClickHouse script on top-level ``;`` (string literals,
+    quoted identifiers, and comments are opaque via the tokenizer)."""
+    toks = _tokens(script)
+    out: list[str] = []
+    cur: list[str] = []
+    for t in toks:
+        if t == ";":
+            stmt = "".join(cur).strip()
+            if stmt:
+                out.append(stmt)
+            cur = []
+        else:
+            cur.append(t)
+    stmt = "".join(cur).strip()
+    if stmt:
+        out.append(stmt)
+    return out
+
+
+def run_clickhouse_script(
+    spark: SparkSession,
+    script: str,
+    path_overrides: dict[str, str] | None = None,
+):
+    """Run a multi-statement ClickHouse script — the migration-runbook
+    front door: paste a ClickHouse init file (CREATE TABLE DDL,
+    CREATE MATERIALIZED VIEW, queries) and it executes end-to-end.
+
+    Routing per statement: ``CREATE MATERIALIZED VIEW`` →
+    :func:`ddl.transpile_materialized_view` + POPULATE (the view name
+    becomes queryable; feed later inserts via ``apply_batch`` /
+    ``maintain_stream``); ``CREATE TABLE`` → :func:`ddl.transpile_ddl`
+    (engine metadata registered, so later ``FROM t FINAL`` statements
+    in the same script work); everything else → :func:`transpile`
+    with the catalog resolver.  ``path_overrides`` maps table name →
+    storage path for relocating S3/MergeTree DDL.  Returns the list
+    of (statement-kind, name-or-DataFrame) results; the last SELECT's
+    DataFrame is the conventional script result."""
+    import re as _re
+
+    from clickhouse_vs_dbt_spark import ddl as _ddl
+
+    register_clickhouse_compat(spark)
+    resolver = catalog_resolver(spark)
+    engine_info = lambda n: _ddl.ENGINE_INFO.get(n) or _ddl.ENGINE_INFO.get(  # noqa: E731
+        n.split(".")[-1].strip("`")
+    )
+    results = []
+    for stmt in split_statements(script):
+        if _re.match(r"(?is)\s*CREATE\s+MATERIALIZED\s+VIEW", stmt):
+            mv = _ddl.transpile_materialized_view(stmt)
+            mv.populate(spark)
+            results.append(("materialized_view", mv))
+        elif _re.match(r"(?is)\s*CREATE\s+TABLE", stmt):
+            name = _re.sub(
+                r"(?is)^\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?", "", stmt
+            ).split()[0].split("(")[0]
+            override = (path_overrides or {}).get(
+                name.split(".")[-1].strip("`")
+            )
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+            spark.sql(_ddl.transpile_ddl(stmt, path_override=override))
+            results.append(("table", name))
+        else:
+            df = spark.sql(
+                transpile(
+                    stmt,
+                    resolve_columns=resolver,
+                    engine_info=engine_info,
+                )
+            )
+            results.append(("query", df))
+    return results
+
+
 def run_clickhouse_sql(
     spark: SparkSession, sql: str, sf_dir: str, tables: tuple[str, ...]
 ) -> DataFrame:

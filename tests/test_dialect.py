@@ -709,3 +709,47 @@ def test_combinator_families_round5():
     for bad in ("sumState(x)", "uniqMerge(s)", "sumIfState(x, c)"):
         with pytest.raises(DialectError, match="mergetree_aggregating"):
             transpile(f"SELECT {bad} FROM t")
+
+
+def test_run_clickhouse_script_end_to_end(spark, tmp_path):
+    """Migration-runbook front door: one script creates a
+    ReplacingMergeTree table (verbatim DDL), a materialized view, and
+    reads with FINAL — statement splitting, routing, and the
+    engine-metadata handoff all in one pass."""
+    from clickhouse_vs_dbt_spark.dialect import run_clickhouse_script
+
+    src = tmp_path / "kv"
+    spark.createDataFrame(
+        [(1, 10.0, 1), (1, 20.0, 2), (2, 5.0, 1)],
+        "k long, v double, ver long",
+    ).write.mode("overwrite").parquet(str(src))
+    script = """
+    CREATE TABLE kv_t (k UInt64, v Float64, ver UInt32)
+    ENGINE = ReplacingMergeTree(ver) ORDER BY k;
+
+    CREATE MATERIALIZED VIEW kv_mv ENGINE = AggregatingMergeTree
+    ORDER BY k AS SELECT k, count() AS n, sum(toDecimal64(v, 2)) AS s
+    FROM kv_t GROUP BY k;
+
+    -- the FINAL read works because the DDL above registered the engine
+    SELECT k, v FROM kv_t FINAL ORDER BY k;
+    """
+    results = run_clickhouse_script(
+        spark, script, path_overrides={"kv_t": str(src)}
+    )
+    kinds = [k for k, _ in results]
+    assert kinds == ["table", "materialized_view", "query"]
+    final_rows = results[2][1].collect()
+    assert [(r.k, r.v) for r in final_rows] == [(1, 20.0), (2, 5.0)]
+    mv_rows = {r.k: r.n for r in spark.table("kv_mv").collect()}
+    assert mv_rows == {1: 2, 2: 1}
+
+
+def test_split_statements_respects_literals():
+    from clickhouse_vs_dbt_spark.dialect import split_statements
+
+    stmts = split_statements(
+        "SELECT 'a;b' AS x; -- c;d\nSELECT 2;"
+    )
+    assert len(stmts) == 2
+    assert "'a;b'" in stmts[0]
