@@ -652,3 +652,40 @@ def test_png_16bit_and_adam7_decode():
     )
     arr = multimodal._decode_png(p_adam)
     assert arr.reshape(4, 4).tolist() == img
+
+
+def test_decode_kernel_survives_arbitrary_garbage():
+    """Fault-isolation property: NO payload, however malformed, may
+    raise out of the kernel — corrupt files at corpus scale must
+    degrade to a status, never kill the task.  Adversarial prefixes
+    put every decoder's parser under garbage tails."""
+    import pandas as pd
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    prefixes = [
+        b"", b"\x89PNG\r\n\x1a\n", b"\xff\xd8\xff", b"GIF89a",
+        b"RIFF\x00\x00\x00\x00WAVE", b"BM", b"P6\n",
+        b"RIFF\x00\x00\x00\x00WEBP",
+    ]
+
+    @given(
+        st.sampled_from(prefixes),
+        st.binary(min_size=0, max_size=200),
+    )
+    @settings(max_examples=120, deadline=None)
+    def _run(prefix, tail):
+        payload = prefix + tail
+        if not payload:
+            return  # empty payloads are out of the kernel's contract
+        [out] = list(
+            multimodal.decode_features(
+                iter([pd.DataFrame({"doc_id": [1], "payload": [payload]})])
+            )
+        )
+        assert out.iloc[0]["status"] in (
+            "decoded_bytes", "decoded_pixels", "decoded_samples",
+            "codec_missing", "decode_error",
+        )
+
+    _run()
