@@ -55,7 +55,7 @@ from clickhouse_vs_dbt_spark.operators import (
     tpch_ps,
     windowfns,
 )
-from clickhouse_vs_dbt_spark.plans import bucketing, snapshots
+from clickhouse_vs_dbt_spark.plans import bucketing, models as plan_models, snapshots
 from clickhouse_vs_dbt_spark.sources import (
     binfile,
     evolution,
@@ -118,6 +118,7 @@ _MODULES = [
     quality,
     snapshots,
     bucketing,
+    plan_models,
     sampling,
     skew,
     ssb_csv,

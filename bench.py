@@ -164,6 +164,7 @@ HEADLINE = [
     "dialect_with_fill_interp",
     "ddl_final_versioned",
     "dialect_array_join_zip",
+    "dbt_star_verbatim",
 ]
 
 

@@ -416,3 +416,39 @@ def test_cli_explain(capsys):
     assert main(["explain", "ssb_q1_1"]) == 0
     out = capsys.readouterr().out
     assert "Physical Plan" in out and "Scan parquet" in out
+
+
+def test_render_dbt_model_jinja_lite():
+    import pytest
+
+    from clickhouse_vs_dbt_spark.plans.models import render_dbt_model
+
+    out = render_dbt_model(
+        "{{ config(materialized='table') }}\nSELECT * FROM "
+        "{{ ref('stg_x') }} JOIN {{ ref('stg_y') }} USING (k)",
+        {"stg_x": "x_view", "stg_y": "y_view"},
+    )
+    assert "config" not in out and "ref(" not in out
+    assert "FROM x_view JOIN y_view" in out
+    with pytest.raises(KeyError, match="stg_z"):
+        render_dbt_model("{{ ref('stg_z') }}", {})
+
+
+def test_reference_star_sql_is_verbatim():
+    """The embedded model must match the reference's star.sql shape:
+    jinja config header, all 38 aliased output columns, the three
+    dimension joins — so the 'character-for-character' claim is
+    checkable without network access."""
+    from clickhouse_vs_dbt_spark.plans.models import REFERENCE_STAR_SQL
+
+    assert REFERENCE_STAR_SQL.startswith(
+        "{{ config(materialized='table') }}"
+    )
+    assert REFERENCE_STAR_SQL.count(" AS ") >= 38 + 4  # cols + aliases
+    for frag in (
+        "l.LO_ORDERKEY AS LO_ORDERKEY",
+        "p.P_CONTAINER AS P_CONTAINER",
+        "INNER JOIN {{ ref('stg_customers') }} AS c ON c.C_CUSTKEY = l.LO_CUSTKEY",
+        "INNER JOIN {{ ref('stg_part') }} AS p ON p.P_PARTKEY = l.LO_PARTKEY",
+    ):
+        assert frag in REFERENCE_STAR_SQL
