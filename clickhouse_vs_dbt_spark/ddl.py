@@ -313,7 +313,7 @@ _MV_RE = re.compile(
         (?:TO\s+(?P<target>[^\s(]+)\s*)?
         (?:ENGINE\s*=\s*(?P<engine>[A-Za-z0-9_]+)\s*(?:\([^)]*\))?\s*)?
         .*?                    # ORDER BY / PARTITION BY / SETTINGS tail
-        (?:POPULATE\s+)?
+        (?P<populate>POPULATE\s+)?
         AS\s+(?P<select>SELECT\b.*?)\s*;?\s*\Z
     """,
     re.VERBOSE | re.DOTALL | re.IGNORECASE,
@@ -586,7 +586,7 @@ def transpile_materialized_view(
     group = f" GROUP BY {', '.join(keys)}" if keys else ""
     where_part = f" {where}" if where else ""
     tmpl = f"SELECT {', '.join(items)} FROM {{src}}{where_part}{group}"
-    return MaterializedView(
+    mv = MaterializedView(
         name=m.group("name"),
         select_sql=tmpl,
         source=source,
@@ -594,6 +594,8 @@ def transpile_materialized_view(
         aggs=aggs,
         target=target_path or None,
     )
+    mv.populate_requested = bool(m.group("populate"))
+    return mv
 
 
 # --- gated proof: the reference's own src_customer DDL, verbatim ---

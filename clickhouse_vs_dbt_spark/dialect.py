@@ -1952,14 +1952,16 @@ def run_clickhouse_script(
 
     Routing per statement: ``CREATE MATERIALIZED VIEW`` →
     :func:`ddl.transpile_materialized_view` + POPULATE (the view name
-    becomes queryable; feed later inserts via ``apply_batch`` /
-    ``maintain_stream``); ``CREATE TABLE`` → :func:`ddl.transpile_ddl`
+    becomes queryable); ``CREATE TABLE`` → :func:`ddl.transpile_ddl`
     (engine metadata registered, so later ``FROM t FINAL`` statements
-    in the same script work); everything else → :func:`transpile`
-    with the catalog resolver.  ``path_overrides`` maps table name →
-    storage path for relocating S3/MergeTree DDL.  Returns the list
-    of (statement-kind, name-or-DataFrame) results; the last SELECT's
-    DataFrame is the conventional script result."""
+    in the same script work); ``INSERT INTO t …`` → the insert runs
+    AND every materialized view created earlier in the script whose
+    source is ``t`` folds the inserted block into its state —
+    ClickHouse's MV insert-trigger contract; everything else →
+    :func:`transpile` with the catalog resolver.  ``path_overrides``
+    maps table name → storage path for relocating S3/MergeTree DDL.
+    Returns the list of (statement-kind, name-or-DataFrame) results;
+    the last SELECT's DataFrame is the conventional script result."""
     import re as _re
 
     from clickhouse_vs_dbt_spark import ddl as _ddl
@@ -1969,11 +1971,16 @@ def run_clickhouse_script(
     engine_info = lambda n: _ddl.ENGINE_INFO.get(n) or _ddl.ENGINE_INFO.get(  # noqa: E731
         n.split(".")[-1].strip("`")
     )
+    mvs: list = []
     results = []
     for stmt in split_statements(script):
         if _re.match(r"(?is)\s*CREATE\s+MATERIALIZED\s+VIEW", stmt):
             mv = _ddl.transpile_materialized_view(stmt)
-            mv.populate(spark)
+            # ClickHouse semantics: only POPULATE backfills existing
+            # rows; otherwise the MV starts empty and sees inserts only
+            if getattr(mv, "populate_requested", False):
+                mv.populate(spark)
+            mvs.append(mv)
             results.append(("materialized_view", mv))
         elif _re.match(r"(?is)\s*CREATE\s+TABLE", stmt):
             name = _re.sub(
@@ -1985,6 +1992,56 @@ def run_clickhouse_script(
             spark.sql(f"DROP TABLE IF EXISTS {name}")
             spark.sql(_ddl.transpile_ddl(stmt, path_override=override))
             results.append(("table", name))
+        elif (
+            im := _re.match(
+                r"(?is)\s*INSERT\s+INTO\s+(?:TABLE\s+)?"
+                r"([A-Za-z_][A-Za-z0-9_.`]*)\s*(.*)",
+                stmt,
+                _re.DOTALL,
+            )
+        ) is not None:
+            target, body = im.group(1), im.group(2)
+            cols = spark.table(target).columns
+            # optional explicit column list: must cover every table
+            # column (ClickHouse would fill defaults; Spark inserts
+            # are full-row)
+            cm = _re.match(r"(?s)\s*\(([^)]*)\)\s*(.*)", body)
+            ins_cols = cols
+            if cm and _re.match(
+                r"(?is)\s*(SELECT|VALUES|WITH)\b", cm.group(2)
+            ):
+                ins_cols = [c.strip() for c in cm.group(1).split(",")]
+                body = cm.group(2)
+                if sorted(ins_cols) != sorted(cols):
+                    raise DialectError(
+                        f"INSERT column list must cover all of "
+                        f"{target}'s columns (partial inserts would "
+                        "need ClickHouse default-fill)"
+                    )
+            if not _re.match(r"(?is)\s*(SELECT|VALUES|WITH)\b", body):
+                raise DialectError(
+                    "INSERT body must be SELECT/VALUES/WITH"
+                )
+            # the inserted block, as a DataFrame: VALUES and SELECT
+            # bodies are both SELECT-able — the same rows the insert
+            # writes are what the MV triggers fold
+            body_sql = transpile(
+                body, resolve_columns=resolver, engine_info=engine_info
+            )
+            batch = spark.sql(
+                body_sql
+                if _re.match(r"(?is)\s*(SELECT|WITH)\b", body_sql)
+                else f"SELECT * FROM ({body_sql})"
+            )
+            batch = batch.toDF(*ins_cols).select(*cols)
+            batch.write.insertInto(target)
+            short = target.split(".")[-1].strip("`")
+            fired = []
+            for mv in mvs:
+                if mv.source.split(".")[-1].strip("`") == short:
+                    mv.apply_batch(spark, batch)
+                    fired.append(mv.name)
+            results.append(("insert", (target, fired)))
         else:
             df = spark.sql(
                 transpile(

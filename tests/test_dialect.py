@@ -728,7 +728,8 @@ def test_run_clickhouse_script_end_to_end(spark, tmp_path):
     ENGINE = ReplacingMergeTree(ver) ORDER BY k;
 
     CREATE MATERIALIZED VIEW kv_mv ENGINE = AggregatingMergeTree
-    ORDER BY k AS SELECT k, count() AS n, sum(toDecimal64(v, 2)) AS s
+    ORDER BY k POPULATE
+    AS SELECT k, count() AS n, sum(toDecimal64(v, 2)) AS s
     FROM kv_t GROUP BY k;
 
     -- the FINAL read works because the DDL above registered the engine
@@ -753,3 +754,39 @@ def test_split_statements_respects_literals():
     )
     assert len(stmts) == 2
     assert "'a;b'" in stmts[0]
+
+
+def test_script_insert_fires_mv_triggers(spark, tmp_path):
+    """ClickHouse MV insert-trigger contract: INSERT INTO the source
+    table folds the inserted block into every MV created earlier in
+    the script; a no-POPULATE MV starts empty and sees inserts only."""
+    from clickhouse_vs_dbt_spark.dialect import run_clickhouse_script
+
+    src = tmp_path / "evt"
+    spark.createDataFrame(
+        [(1, 10.0)], "k long, v double"
+    ).write.mode("overwrite").parquet(str(src))
+    script = """
+    CREATE TABLE evt_t (k UInt64, v Float64) ENGINE = MergeTree ORDER BY k;
+
+    CREATE MATERIALIZED VIEW evt_mv ENGINE = AggregatingMergeTree
+    ORDER BY k AS SELECT k, count() AS n, sum(toDecimal64(v, 2)) AS s
+    FROM evt_t GROUP BY k;
+
+    INSERT INTO evt_t VALUES (1, 2.5), (2, 4.0);
+    INSERT INTO evt_t (v, k) SELECT 7.5, 2;
+
+    SELECT k, n, toFloat64(s) AS s FROM evt_mv ORDER BY k;
+    """
+    results = run_clickhouse_script(
+        spark, script, path_overrides={"evt_t": str(src)}
+    )
+    kinds = [k for k, _ in results]
+    assert kinds == ["table", "materialized_view", "insert", "insert", "query"]
+    assert results[2][1] == ("evt_t", ["evt_mv"])
+    rows = {r.k: (r.n, r.s) for r in results[4][1].collect()}
+    # MV had no POPULATE: the pre-existing (1, 10.0) row is NOT in
+    # state; only the two inserted blocks are
+    assert rows == {1: (1, 2.5), 2: (2, 11.5)}
+    # the table itself holds pre-existing + inserted rows
+    assert spark.table("evt_t").count() == 4
