@@ -165,6 +165,8 @@ HEADLINE = [
     "ddl_final_versioned",
     "dialect_array_join_zip",
     "dbt_star_verbatim",
+    "dialect_numbers",
+    "dialect_file_read",
 ]
 
 

@@ -90,7 +90,7 @@ import re
 
 from pyspark.sql import DataFrame, SparkSession
 
-from clickhouse_vs_dbt_spark.catalog import register_views
+from clickhouse_vs_dbt_spark.catalog import load_table, register_views
 from clickhouse_vs_dbt_spark.compat import register_clickhouse_compat
 
 _TOKEN_RE = re.compile(
@@ -441,6 +441,31 @@ def _render_call(name: str, args: list[str]) -> str:
             return f"count(CASE WHEN {args[1]} THEN {args[0]} END)"
     if name == "count" and not args:
         return "count(*)"  # ClickHouse's zero-arg count()
+    if name == "numbers" and len(args) in (1, 2):
+        # table function: numbers(n) / numbers(offset, n) → Spark's
+        # range() relation with the column renamed to CH's `number`
+        if len(args) == 1:
+            return f"(SELECT id AS number FROM range({args[0]}))"
+        return (
+            f"(SELECT id AS number FROM range({args[0]}, "
+            f"({args[0]}) + ({args[1]})))"
+        )
+    if name in ("file", "s3", "url") and len(args) >= 2:
+        # table functions over external storage: self-describing
+        # formats map to Spark's direct file query (``parquet.`path```
+        # — the same Hadoop FileSystem resolution ENGINE=S3 uses).
+        # Typed CSV needs a declared schema → transpile_ddl.
+        fmt = args[-1].strip().strip("'").upper()
+        path = args[0].strip().strip("'")
+        fmt_map = {"PARQUET": "parquet", "ORC": "orc",
+                   "JSONEACHROW": "json"}
+        if fmt in fmt_map and len(args) in (2, 4):
+            return f"{fmt_map[fmt]}.`{path}`"
+        raise DialectError(
+            f"{name}(...) table function: Parquet/ORC/JSONEachRow map "
+            "to direct file queries; typed CSV (schema required) goes "
+            "through transpile_ddl (ENGINE=S3) instead"
+        )
     if name == "arrayUniq":
         return f"size(array_distinct({joined}))"
     if name in _HOF_ROTATE:
@@ -2352,6 +2377,58 @@ def q_dialect_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_clickhouse_sql(spark, _CH_STRINGS, sf_dir, ("orders",))
 
 
+# 7b. table functions: numbers() spine + file() direct parquet query.
+_CH_NUMBERS = """
+SELECT number % 7 AS r,
+       count() AS n,
+       sum(number) AS total
+FROM numbers(1000)
+GROUP BY r
+"""
+
+O_NUMBERS = """
+SELECT number % 7 AS r, COUNT(*) AS n, SUM(number) AS total
+FROM (SELECT unnest(range(1000)) AS number)
+GROUP BY 1
+"""
+
+
+def q_dialect_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verbatim ClickHouse numbers() table-function query (module
+    doc)."""
+    return run_clickhouse_sql(spark, _CH_NUMBERS, sf_dir, ())
+
+
+def q_dialect_file_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verbatim ClickHouse ``file(path, 'Parquet')`` table function:
+    a deterministic orders projection is written as parquet scratch
+    and the CH query reads it back through Spark's direct file query
+    (``parquet.`path``` — the same FileSystem machinery s3()/url()
+    resolve through; swapping scheme is configuration)."""
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix="dialect_file_") + "/orders_slice"
+    load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    ).filter("o_orderkey % 5 = 0").write.mode("overwrite").parquet(path)
+    ch = f"""
+    SELECT o_orderstatus,
+           count() AS n,
+           toFloat64(sum(toDecimal64(o_totalprice, 2))) AS total
+    FROM file('{path}', 'Parquet')
+    GROUP BY o_orderstatus
+    """
+    return run_clickhouse_sql(spark, ch, sf_dir, ("orders",))
+
+
+O_FILE_READ = """
+SELECT o_orderstatus, COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM orders WHERE o_orderkey % 5 = 0
+GROUP BY o_orderstatus
+"""
+
+
 # 8. LIMIT n BY — ClickHouse's per-group top-n clause, auto-rewritten
 #    to the row_number() window (the limit_by_analog pattern).  The
 #    ORDER BY tiebreak on o_orderkey makes the pick deterministic.
@@ -2751,6 +2828,8 @@ QUERIES = {
     "dialect_strings": q_dialect_strings,
     "dialect_any_join": q_dialect_any_join,
     "dialect_combinators2": q_dialect_combinators2,
+    "dialect_numbers": q_dialect_numbers,
+    "dialect_file_read": q_dialect_file_read,
     "dialect_window_funnel": q_dialect_window_funnel,
     "dialect_retention": q_dialect_retention,
     "dialect_sequence_match": q_dialect_sequence_match,
@@ -2774,6 +2853,8 @@ ORACLES = {
     "dialect_strings": O_STRINGS,
     "dialect_any_join": O_ANY_JOIN,
     "dialect_combinators2": O_COMBINATORS2,
+    "dialect_numbers": O_NUMBERS,
+    "dialect_file_read": O_FILE_READ,
     "dialect_window_funnel": O_WINDOW_FUNNEL,
     "dialect_retention": O_RETENTION,
     "dialect_sequence_match": O_SEQ_MATCH,

@@ -790,3 +790,18 @@ def test_script_insert_fires_mv_triggers(spark, tmp_path):
     assert rows == {1: (1, 2.5), 2: (2, 11.5)}
     # the table itself holds pre-existing + inserted rows
     assert spark.table("evt_t").count() == 4
+
+
+def test_table_functions_rewrite():
+    out = transpile("SELECT count() FROM numbers(100)")
+    assert out == "SELECT count(*) FROM (SELECT id AS number FROM range(100))"
+    out = transpile("SELECT number FROM numbers(5, 10)")
+    assert "range(5, (5) + (10))" in out
+    assert "parquet.`/x/y`" in transpile(
+        "SELECT * FROM file('/x/y', 'Parquet')"
+    )
+    assert "json.`s3://b/p`" in transpile(
+        "SELECT * FROM s3('s3://b/p', 'JSONEachRow')"
+    )
+    with pytest.raises(DialectError, match="transpile_ddl"):
+        transpile("SELECT * FROM s3('s3://b/p.csv', 'CSV')")
