@@ -1966,6 +1966,113 @@ def split_statements(script: str) -> list[str]:
     return out
 
 
+def _table_location(spark: "SparkSession", target: str) -> str:
+    rows = spark.sql(f"DESCRIBE FORMATTED {target}").collect()
+    for r in rows:
+        if str(r[0]).strip() == "Location":
+            return str(r[1]).removeprefix("file:")
+    raise DialectError(f"cannot determine storage location of {target}")
+
+
+def _copy_on_write(spark: "SparkSession", target: str, df) -> None:
+    """Materialize ``df`` and atomically replace ``target``'s files —
+    the mutation rewrite ClickHouse performs asynchronously for
+    ``ALTER TABLE … DELETE/UPDATE`` (SURVEY: mutations are
+    whole-part rewrites there too; here it is one job writing the
+    surviving rows + a file swap, the ModelRunner.mutate pattern for
+    plain script tables)."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    path = _table_location(spark, target)
+    tmp = tempfile.mkdtemp(prefix="ch_mutate_")
+    df.write.mode("overwrite").parquet(tmp)
+    for f in glob.glob(os.path.join(path, "*")):
+        if os.path.isdir(f):
+            shutil.rmtree(f)
+        else:
+            os.remove(f)
+    for f in glob.glob(os.path.join(tmp, "*")):
+        shutil.move(f, os.path.join(path, os.path.basename(f)))
+    spark.sql(f"REFRESH TABLE {target}")
+
+
+def _apply_mutation(
+    spark: "SparkSession", target: str, kind: str, rest: str,
+    resolver, engine_info,
+) -> None:
+    """``ALTER TABLE t DELETE WHERE c`` /
+    ``ALTER TABLE t UPDATE col = expr[, …] WHERE c`` — ClickHouse's
+    mutation statements as copy-on-write rewrites.  NULL conditions
+    keep the row (DELETE) / leave it unchanged (UPDATE), matching
+    ClickHouse's boolean evaluation."""
+    import re as _re
+
+    if kind.upper() == "DELETE":
+        wm = _re.match(r"(?is)\s*WHERE\s+(.*)", rest, _re.DOTALL)
+        if not wm:
+            raise DialectError("ALTER TABLE ... DELETE needs WHERE")
+        cond = transpile(
+            wm.group(1), resolve_columns=resolver, engine_info=engine_info
+        )
+        df = spark.sql(
+            f"SELECT * FROM {target} "
+            f"WHERE NOT coalesce(({cond}), false)"
+        )
+        _copy_on_write(spark, target, df)
+        return
+    # UPDATE assignments: split on top-level commas before WHERE
+    um = _re.match(r"(?is)\s*(.*?)\s+WHERE\s+(.*)", rest, _re.DOTALL)
+    if not um:
+        raise DialectError("ALTER TABLE ... UPDATE needs WHERE")
+    assigns_text, cond_text = um.groups()
+    cond = transpile(
+        cond_text, resolve_columns=resolver, engine_info=engine_info
+    )
+    assigns: dict[str, str] = {}
+    # token-level split on depth-0 commas (string literals opaque)
+    toks = _tokens(assigns_text)
+    depth = 0
+    cur: list[str] = []
+    parts: list[str] = []
+    for t in toks:
+        if t in ("(", "["):
+            depth += 1
+        elif t in (")", "]"):
+            depth -= 1
+        if t == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(t)
+    parts.append("".join(cur))
+    for part in parts:
+        col, _, expr = part.partition("=")
+        col = col.strip()
+        if not col or not expr.strip():
+            raise DialectError(f"malformed UPDATE assignment: {part!r}")
+        assigns[col] = transpile(
+            expr, resolve_columns=resolver, engine_info=engine_info
+        )
+    cols = spark.table(target).columns
+    unknown = [c for c in assigns if c not in cols]
+    if unknown:
+        raise DialectError(f"UPDATE references unknown columns {unknown}")
+    proj = ", ".join(
+        (
+            f"CASE WHEN coalesce(({cond}), false) THEN ({assigns[c]}) "
+            f"ELSE {c} END AS {c}"
+        )
+        if c in assigns
+        else c
+        for c in cols
+    )
+    df = spark.sql(f"SELECT {proj} FROM {target}")
+    _copy_on_write(spark, target, df)
+
+
 def run_clickhouse_script(
     spark: SparkSession,
     script: str,
@@ -2067,6 +2174,19 @@ def run_clickhouse_script(
                     mv.apply_batch(spark, batch)
                     fired.append(mv.name)
             results.append(("insert", (target, fired)))
+        elif (
+            am := _re.match(
+                r"(?is)\s*ALTER\s+TABLE\s+([A-Za-z_][A-Za-z0-9_.`]*)\s+"
+                r"(DELETE|UPDATE)\s+(.*)",
+                stmt,
+                _re.DOTALL,
+            )
+        ) is not None:
+            _apply_mutation(
+                spark, am.group(1), am.group(2), am.group(3),
+                resolver, engine_info,
+            )
+            results.append(("mutation", (am.group(1), am.group(2).upper())))
         else:
             df = spark.sql(
                 transpile(

@@ -805,3 +805,34 @@ def test_table_functions_rewrite():
     )
     with pytest.raises(DialectError, match="transpile_ddl"):
         transpile("SELECT * FROM s3('s3://b/p.csv', 'CSV')")
+
+
+def test_script_mutations_delete_update(spark, tmp_path):
+    """ALTER TABLE ... DELETE / UPDATE run as copy-on-write rewrites;
+    NULL conditions keep rows / leave them unchanged (ClickHouse's
+    boolean evaluation)."""
+    from clickhouse_vs_dbt_spark.dialect import run_clickhouse_script
+
+    src = tmp_path / "mt"
+    spark.createDataFrame(
+        [(1, 10.0, "a"), (2, 20.0, "b"), (3, None, "c"), (4, 40.0, "d")],
+        "k long, v double, tag string",
+    ).write.mode("overwrite").parquet(str(src))
+    script = """
+    CREATE TABLE mt_t (k UInt64, v Float64, tag String)
+    ENGINE = MergeTree ORDER BY k;
+
+    ALTER TABLE mt_t DELETE WHERE v > 30;
+    ALTER TABLE mt_t UPDATE v = v + 1, tag = concat(tag, '!') WHERE k = 1;
+
+    SELECT k, v, tag FROM mt_t ORDER BY k;
+    """
+    results = run_clickhouse_script(
+        spark, script, path_overrides={"mt_t": str(src)}
+    )
+    assert [k for k, _ in results] == [
+        "table", "mutation", "mutation", "query",
+    ]
+    rows = [(r.k, r.v, r.tag) for r in results[3][1].collect()]
+    # k=4 deleted; k=3 (NULL v) survived the DELETE; k=1 updated
+    assert rows == [(1, 11.0, "a!"), (2, 20.0, "b"), (3, None, "c")]
