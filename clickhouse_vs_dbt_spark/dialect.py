@@ -2187,6 +2187,34 @@ def run_clickhouse_script(
                 resolver, engine_info,
             )
             results.append(("mutation", (am.group(1), am.group(2).upper())))
+        elif (
+            om := _re.match(
+                r"(?is)\s*OPTIMIZE\s+TABLE\s+"
+                r"([A-Za-z_][A-Za-z0-9_.`]*)\s*(FINAL)?\s*$",
+                stmt,
+            )
+        ) is not None:
+            # OPTIMIZE TABLE = compaction (content-identical file
+            # rewrite); OPTIMIZE ... FINAL additionally forces the
+            # engine merge-collapse — for a ReplacingMergeTree /
+            # VersionedCollapsing table with registered DDL the
+            # collapsed relation replaces the stored rows, exactly
+            # ClickHouse's forced merge
+            target = om.group(1)
+            if om.group(2):
+                collapsed = transpile(
+                    f"SELECT * FROM {target} FINAL",
+                    resolve_columns=resolver,
+                    engine_info=engine_info,
+                )
+                df = spark.sql(collapsed)
+            else:
+                df = spark.table(target)
+            n_files = max(1, len(spark.table(target).inputFiles()) // 4)
+            _copy_on_write(spark, target, df.coalesce(n_files))
+            results.append(
+                ("optimize", (target, bool(om.group(2))))
+            )
         else:
             df = spark.sql(
                 transpile(

@@ -836,3 +836,31 @@ def test_script_mutations_delete_update(spark, tmp_path):
     rows = [(r.k, r.v, r.tag) for r in results[3][1].collect()]
     # k=4 deleted; k=3 (NULL v) survived the DELETE; k=1 updated
     assert rows == [(1, 11.0, "a!"), (2, 20.0, "b"), (3, None, "c")]
+
+
+def test_script_optimize_final_collapses(spark, tmp_path):
+    """OPTIMIZE TABLE t FINAL on a ReplacingMergeTree script table
+    physically collapses the stored rows to the max-version state
+    (ClickHouse's forced merge); a subsequent plain read sees the
+    deduplicated data."""
+    from clickhouse_vs_dbt_spark.dialect import run_clickhouse_script
+
+    src = tmp_path / "rv"
+    spark.createDataFrame(
+        [(1, 10.0, 1), (1, 20.0, 2), (2, 5.0, 1)],
+        "k long, v double, ver long",
+    ).write.mode("overwrite").parquet(str(src))
+    script = """
+    CREATE TABLE rv_t (k UInt64, v Float64, ver UInt32)
+    ENGINE = ReplacingMergeTree(ver) ORDER BY k;
+
+    OPTIMIZE TABLE rv_t FINAL;
+
+    SELECT k, v FROM rv_t ORDER BY k;
+    """
+    results = run_clickhouse_script(
+        spark, script, path_overrides={"rv_t": str(src)}
+    )
+    assert [k for k, _ in results] == ["table", "optimize", "query"]
+    rows = [(r.k, r.v) for r in results[2][1].collect()]
+    assert rows == [(1, 20.0), (2, 5.0)]  # merged: one row per key
