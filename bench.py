@@ -167,6 +167,7 @@ HEADLINE = [
     "dbt_star_verbatim",
     "dialect_numbers",
     "dialect_file_read",
+    "ch_script_lifecycle",
 ]
 
 

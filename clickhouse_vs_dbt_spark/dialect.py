@@ -2972,8 +2972,80 @@ def q_dialect_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_clickhouse_sql(spark, _CH_SEQ_MATCH, sf_dir, ("events",))
 
 
+# 16. full operational lifecycle through the script runner: CREATE
+#     (Replacing DDL) → INSERT … SELECT FROM file() (fires nothing —
+#     no MV — but exercises the trigger path) → ALTER DELETE →
+#     OPTIMIZE FINAL (physical merge-collapse) → SELECT.  The oracle
+#     replays every step relationally in DuckDB.
+def q_ch_script_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One verbatim ClickHouse script driving a table's whole life
+    (module doc #16); every statement routes through
+    :func:`run_clickhouse_script`."""
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="ch_lifecycle_")
+    tbl_path = base + "/tbl"
+    ins_path = base + "/ins"
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    # version-1 rows for all orders
+    o.selectExpr("*", "CAST(1 AS BIGINT) AS ver").write.mode(
+        "overwrite"
+    ).parquet(tbl_path)
+    # version-2 restatements for every third key, shipped via file()
+    o.filter("o_orderkey % 3 = 0").selectExpr(
+        "o_orderkey",
+        "'U' AS o_orderstatus",
+        "o_totalprice + 100.0 AS o_totalprice",
+        "CAST(2 AS BIGINT) AS ver",
+    ).write.mode("overwrite").parquet(ins_path)
+    script = f"""
+    CREATE TABLE lc_t (o_orderkey UInt64, o_orderstatus String,
+                       o_totalprice Float64, ver UInt64)
+    ENGINE = ReplacingMergeTree(ver) ORDER BY o_orderkey;
+
+    INSERT INTO lc_t SELECT * FROM file('{ins_path}', 'Parquet');
+
+    ALTER TABLE lc_t DELETE WHERE o_orderkey % 15 = 0;
+
+    OPTIMIZE TABLE lc_t FINAL;
+
+    SELECT o_orderstatus, count() AS n,
+           toFloat64(sum(toDecimal64(o_totalprice, 2))) AS total
+    FROM lc_t GROUP BY o_orderstatus;
+    """
+    spark.sql("DROP TABLE IF EXISTS lc_t")
+    register_views(spark, sf_dir, ("orders",))
+    results = run_clickhouse_script(
+        spark, script, path_overrides={"lc_t": tbl_path}
+    )
+    return results[-1][1]
+
+
+O_CH_SCRIPT_LIFECYCLE = """
+WITH all_rows AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice, 1 AS ver FROM orders
+  UNION ALL
+  SELECT o_orderkey, 'U', o_totalprice + 100.0, 2
+  FROM orders WHERE o_orderkey % 3 = 0),
+after_delete AS (
+  SELECT * FROM all_rows WHERE NOT (o_orderkey % 15 = 0)),
+merged AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY o_orderkey
+        ORDER BY ver DESC, o_orderstatus DESC, o_totalprice DESC) AS rn
+    FROM after_delete) WHERE rn = 1)
+SELECT o_orderstatus, COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM merged GROUP BY o_orderstatus
+"""
+
+
 QUERIES = {
     "dialect_strings": q_dialect_strings,
+    "ch_script_lifecycle": q_ch_script_lifecycle,
     "dialect_any_join": q_dialect_any_join,
     "dialect_combinators2": q_dialect_combinators2,
     "dialect_numbers": q_dialect_numbers,
@@ -2999,6 +3071,7 @@ QUERIES = {
 
 ORACLES = {
     "dialect_strings": O_STRINGS,
+    "ch_script_lifecycle": O_CH_SCRIPT_LIFECYCLE,
     "dialect_any_join": O_ANY_JOIN,
     "dialect_combinators2": O_COMBINATORS2,
     "dialect_numbers": O_NUMBERS,
