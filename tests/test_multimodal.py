@@ -689,3 +689,41 @@ def test_decode_kernel_survives_arbitrary_garbage():
         )
 
     _run()
+
+
+def test_jpeg_420_subsampling_decodes():
+    """16x16 4:2:0 JPEG (Y 2x2 blocks per MCU, chroma 1 block,
+    pixel-replication upsampling): flat planes decode to one RGB."""
+    import struct
+
+    import numpy as np
+
+    dqt = _jpeg_seg(0xDB, bytes([0x00] + [1] * 64))
+    sof = _jpeg_seg(
+        0xC0,
+        struct.pack(">BHHB", 8, 16, 16, 3)
+        + bytes([1, 0x22, 0, 2, 0x11, 0, 3, 0x11, 0]),
+    )
+    dht_dc = _jpeg_dht(0, 0, [(1, [0]), (2, [5]), (3, [7])])
+    dht_ac = _jpeg_dht(1, 0, [(1, [0x00])])
+    sos = _jpeg_seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
+    bw = _BitWriter()
+    # one MCU: 4 Y blocks (first +80, rest diff 0), Cb diff 0, Cr +16
+    bw.put(0b110, 3); bw.put(80, 7); bw.put(0b0, 1)
+    for _ in range(3):
+        bw.put(0b0, 1); bw.put(0b0, 1)  # Y diff 0, EOB
+    bw.put(0b0, 1); bw.put(0b0, 1)      # Cb
+    bw.put(0b10, 2); bw.put(16, 5); bw.put(0b0, 1)  # Cr
+    payload = (
+        b"\xff\xd8" + dqt + sof + dht_dc + dht_ac + sos
+        + bw.tobytes() + b"\xff\xd9"
+    )
+    arr = multimodal._decode_jpeg(payload)
+    assert arr.shape == (16, 16, 3)
+    y, cb, cr = 138.0, 128.0, 130.0
+    exp = [
+        int(np.clip(round(y + 1.402 * (cr - 128)), 0, 255)),
+        int(np.clip(round(y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)), 0, 255)),
+        int(np.clip(round(y + 1.772 * (cb - 128)), 0, 255)),
+    ]
+    assert (arr == np.array(exp, dtype=np.uint8)).all()
