@@ -426,12 +426,18 @@ class MaterializedView:
         return self._state
 
     def _publish(self, spark: "SparkSession", df: "DataFrame"):
-        if self.target:
-            self._version += 1
-            path = f"{self.target}/v{self._version}"
-            df.write.mode("overwrite").parquet(path)
-            df = spark.read.parquet(path)
-        self._state = df
+        # state is ALWAYS materialized (AggregatingMergeTree state is
+        # stored, not recomputed): a lazy lineage would silently break
+        # the moment the source's files are mutated/compacted away
+        # (ALTER DELETE / OPTIMIZE rewrite them)
+        if not self.target:
+            import tempfile
+
+            self.target = tempfile.mkdtemp(prefix=f"mv_state_{self.name}_")
+        self._version += 1
+        path = f"{self.target}/v{self._version}"
+        df.write.mode("overwrite").parquet(path)
+        self._state = spark.read.parquet(path)
         self._state.createOrReplaceTempView(self.name)
         return self._state
 
