@@ -168,6 +168,7 @@ HEADLINE = [
     "dialect_numbers",
     "dialect_file_read",
     "ch_script_lifecycle",
+    "ddl_final_summing",
 ]
 
 

@@ -984,12 +984,69 @@ FROM final GROUP BY o_orderstatus
 """
 
 
+# --- gated proof: SummingMergeTree FINAL through DDL context ---
+
+REFERENCE_SUM_DDL = """CREATE TABLE orders_sum
+(
+    k      UInt64,
+    qty    Int64,
+    amount Decimal(18, 2),
+    tag    String
+)
+ENGINE = SummingMergeTree
+ORDER BY k;"""
+
+
+def q_ddl_final_summing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SummingMergeTree FINAL through the DDL front door: orders fold
+    onto ~1000 keys; FINAL must return per-key sums of the numeric
+    columns (exact decimal amounts) with a deterministic
+    representative for the string column.  The dtype-aware resolver
+    decides which columns sum."""
+    import tempfile
+
+    o = load_table(spark, sf_dir, "orders")
+    rows = o.selectExpr(
+        "o_orderkey % 1000 AS k",
+        "CAST(1 AS BIGINT) AS qty",
+        "CAST(o_totalprice AS DECIMAL(18,2)) AS amount",
+        "o_orderstatus AS tag",
+    )
+    path = tempfile.mkdtemp(prefix="ddl_final_sum_") + "/orders_sum"
+    rows.write.mode("overwrite").parquet(path)
+    spark.sql("DROP TABLE IF EXISTS orders_sum")
+    spark.sql(transpile_ddl(REFERENCE_SUM_DDL, path_override=path))
+    from clickhouse_vs_dbt_spark.dialect import run_clickhouse_sql
+
+    return run_clickhouse_sql(
+        spark,
+        """
+        SELECT k, qty, toFloat64(amount) AS amount, tag
+        FROM orders_sum FINAL
+        """,
+        sf_dir,
+        ("orders",),
+    )
+
+
+O_DDL_FINAL_SUMMING = """
+SELECT k, SUM(qty) AS qty,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS amount,
+       MIN(o_orderstatus) AS tag
+FROM (SELECT o_orderkey % 1000 AS k, 1 AS qty, o_totalprice,
+             o_orderstatus
+      FROM orders)
+GROUP BY k
+"""
+
+
 QUERIES = {
     "ddl_source_roundtrip": q_ddl_source_roundtrip,
     "ddl_mv_roundtrip": q_ddl_mv_roundtrip,
     "ddl_mv_stream": q_ddl_mv_stream,
     "ddl_final_read": q_ddl_final_read,
     "ddl_final_versioned": q_ddl_final_versioned,
+    "ddl_final_summing": q_ddl_final_summing,
 }
 ORACLES = {
     "ddl_source_roundtrip": O_DDL_SOURCE_ROUNDTRIP,
@@ -997,6 +1054,7 @@ ORACLES = {
     "ddl_mv_stream": O_DDL_MV_ROUNDTRIP,
     "ddl_final_read": O_DDL_FINAL_READ,
     "ddl_final_versioned": O_DDL_FINAL_VERSIONED,
+    "ddl_final_summing": O_DDL_FINAL_SUMMING,
 }
 
 __all__ = [

@@ -1853,6 +1853,7 @@ def _rewrite_final(toks, resolve_columns=None, engine_info=None):
         if not (
             eng.startswith("Replacing")
             or eng.startswith("VersionedCollapsing")
+            or eng.startswith("Summing")
         ):
             i += 1
             continue  # backstop refusal names the MergeTree operators
@@ -1864,7 +1865,48 @@ def _rewrite_final(toks, resolve_columns=None, engine_info=None):
         vals = [c for c in cols if c not in keys]
         kcsv = ", ".join(keys)
         alias = name.split(".")[-1].strip("`")
-        if eng.startswith("VersionedCollapsing"):
+        if eng.startswith("Summing"):
+            # SummingMergeTree FINAL: per ORDER BY key, SUM the
+            # summable columns (the engine-arg list if given, else
+            # every numeric non-key column — types via the resolver's
+            # dtypes probe) and keep a deterministic representative
+            # (min) for the rest, a refinement of ClickHouse's
+            # any-from-first-part.
+            dt_fn = getattr(resolve_columns, "dtypes", None)
+            dts = dict(dt_fn(name) or []) if dt_fn else {}
+            if not dts:
+                i += 1
+                continue
+            numeric = {
+                c for c, t in dts.items()
+                if t in ("tinyint", "smallint", "int", "bigint",
+                         "float", "double")
+                or t.startswith("decimal")
+            }
+            # Summing(col) stores its single arg in the version slot;
+            # an unparsed tuple form falls back to all-numeric
+            explicit = (
+                {info.version}
+                if info.version and _IDENT_RE.match(info.version)
+                else None
+            )
+            sum_cols = [
+                c for c in vals
+                if c in numeric and (explicit is None or c in explicit)
+            ]
+            if not sum_cols:
+                i += 1
+                continue
+            rest = [c for c in vals if c not in sum_cols]
+            sel = ", ".join(
+                [kcsv]
+                + [f"sum({c}) AS {c}" for c in sum_cols]
+                + [f"min({c}) AS {c}" for c in rest]
+            )
+            collapse = (
+                f"(SELECT {sel} FROM {name} GROUP BY {kcsv}) {alias}"
+            )
+        elif eng.startswith("VersionedCollapsing"):
             # active row per key: the +1 (state) row of the highest
             # version whose (key, version) group is not fully
             # sign-cancelled — two stacked keyed aggregates, the
@@ -1931,18 +1973,31 @@ def transpile(sql: str, resolve_columns=None, engine_info=None) -> str:
 def catalog_resolver(spark: SparkSession):
     """Column resolver backed by the session catalog: accepts a table
     name or a parenthesized (ClickHouse-dialect) subquery, returns its
-    column names via a LIMIT 0 analysis (no execution), or None."""
+    column names via a LIMIT 0 analysis (no execution), or None.  The
+    returned callable also carries a ``.dtypes`` attribute returning
+    [(name, spark dtype string)] — the SummingMergeTree FINAL rewrite
+    needs types to know which columns sum."""
+
+    def _probe(rel: str):
+        rel = rel.strip()
+        if rel.startswith("("):
+            inner = transpile(rel[1:-1])
+            rel = f"({inner}) __asof_probe"
+        return spark.sql(f"SELECT * FROM {rel} LIMIT 0")
 
     def resolve(rel: str):
-        rel = rel.strip()
         try:
-            if rel.startswith("("):
-                inner = transpile(rel[1:-1])
-                rel = f"({inner}) __asof_probe"
-            return spark.sql(f"SELECT * FROM {rel} LIMIT 0").columns
+            return _probe(rel).columns
         except Exception:
             return None
 
+    def dtypes(rel: str):
+        try:
+            return _probe(rel).dtypes
+        except Exception:
+            return None
+
+    resolve.dtypes = dtypes
     return resolve
 
 

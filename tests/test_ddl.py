@@ -280,3 +280,37 @@ def test_versioned_collapsing_final_rewrites():
     assert "FINAL" not in out
     assert "sum(sign) AS __f_net" in out and "__f_net > 0" in out
     assert "max_by(__f_s0, ver)" in out
+
+
+def test_summing_final_rewrites(spark):
+    """SummingMergeTree FINAL: numeric non-key columns sum, strings
+    take the deterministic min representative; the explicit
+    Summing(col) arg restricts the summed set."""
+    from clickhouse_vs_dbt_spark.ddl import ENGINE_INFO, transpile_ddl
+    from clickhouse_vs_dbt_spark.dialect import transpile
+
+    transpile_ddl(
+        "CREATE TABLE smt (k UInt64, a Int64, b Float64, t String) "
+        "ENGINE = SummingMergeTree ORDER BY k"
+    )
+    resolve = lambda rel: ["k", "a", "b", "t"]  # noqa: E731
+    resolve.dtypes = lambda rel: [
+        ("k", "bigint"), ("a", "bigint"), ("b", "double"), ("t", "string")
+    ]
+    out = transpile(
+        "SELECT k, a FROM smt FINAL",
+        resolve_columns=resolve,
+        engine_info=lambda n: ENGINE_INFO.get(n),
+    )
+    assert "sum(a) AS a" in out and "sum(b) AS b" in out
+    assert "min(t) AS t" in out and "GROUP BY k" in out
+    transpile_ddl(
+        "CREATE TABLE smt2 (k UInt64, a Int64, b Float64) "
+        "ENGINE = SummingMergeTree(a) ORDER BY k"
+    )
+    out = transpile(
+        "SELECT k FROM smt2 FINAL",
+        resolve_columns=resolve,
+        engine_info=lambda n: ENGINE_INFO.get("smt2"),
+    )
+    assert "sum(a) AS a" in out and "min(b) AS b" in out
