@@ -169,6 +169,7 @@ HEADLINE = [
     "dialect_file_read",
     "ch_script_lifecycle",
     "ddl_final_summing",
+    "dialect_scalar_extras",
 ]
 
 

@@ -155,6 +155,10 @@ _RENAME = {
     "arrayFlatten": "flatten",
     "arraySlice": "slice",
     "arrayCompact": "array_compact",
+    "bitShiftLeft": "shiftleft",
+    "bitShiftRight": "shiftright",
+    "isNaN": "isnan",
+    "bitCount": "bit_count",
 }
 
 # array higher-order functions: ClickHouse puts the lambda FIRST
@@ -468,6 +472,52 @@ def _render_call(name: str, args: list[str]) -> str:
         )
     if name == "arrayUniq":
         return f"size(array_distinct({joined}))"
+    if name == "avgWeighted" and len(args) == 2:
+        # weighted mean; accumulates in DOUBLE (the arraySum policy)
+        x, w = args
+        return (
+            f"(sum(CAST(({x}) AS DOUBLE) * ({w})) / "
+            f"sum(CAST(({w}) AS DOUBLE)))"
+        )
+    if name == "anyHeavy" and len(args) == 1:
+        # CH's heavy-hitter pick → Spark's exact mode (deterministic
+        # refinement of "some frequent value")
+        return f"mode({args[0]})"
+    if name == "countEqual" and len(args) == 2:
+        return f"size(filter({args[0]}, __ce -> __ce = ({args[1]})))"
+    if name == "arrayAvg" and len(args) == 1:
+        a = args[0]
+        return (
+            f"(aggregate({a}, CAST(0 AS DOUBLE), "
+            f"(acc, x) -> acc + CAST(x AS DOUBLE)) / size({a}))"
+        )
+    if name == "arrayProduct" and len(args) == 1:
+        return (
+            f"aggregate({args[0]}, CAST(1 AS DOUBLE), "
+            "(acc, x) -> acc * CAST(x AS DOUBLE))"
+        )
+    if name == "intDiv" and len(args) == 2:
+        return f"(({args[0]}) DIV ({args[1]}))"
+    if name == "intDivOrZero" and len(args) == 2:
+        return (
+            f"(CASE WHEN ({args[1]}) = 0 THEN 0 "
+            f"ELSE ({args[0]}) DIV ({args[1]}) END)"
+        )
+    if name == "bitAnd" and len(args) == 2:
+        return f"(({args[0]}) & ({args[1]}))"
+    if name == "bitOr" and len(args) == 2:
+        return f"(({args[0]}) | ({args[1]}))"
+    if name == "bitXor" and len(args) == 2:
+        return f"(({args[0]}) ^ ({args[1]}))"
+    if name == "bitNot" and len(args) == 1:
+        return f"(~({args[0]}))"
+    if name == "isFinite" and len(args) == 1:
+        x = args[0]
+        return (
+            f"(NOT isnan({x}) AND abs({x}) != CAST('Infinity' AS DOUBLE))"
+        )
+    if name == "isInfinite" and len(args) == 1:
+        return f"(abs({args[0]}) = CAST('Infinity' AS DOUBLE))"
     if name in _HOF_ROTATE:
         if name == "arraySum":
             # one-arg form sums the array itself; two-arg maps first.
@@ -2923,6 +2973,75 @@ def q_dialect_combinators2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_clickhouse_sql(spark, _CH_COMBINATORS2, sf_dir, ("events",))
 
 
+# 12d. scalar/aggregate extras round 3: weighted mean, heavy-hitter
+#      pick, bit ops, integer division, array reductions — one pass.
+_CH_SCALAR_EXTRAS = """
+SELECT s.event_id,
+       s.grp,
+       s.idv, s.idz, s.ba, s.bx, s.bsl, s.ceq, s.aavg, s.aprod,
+       s.fin, s.nan,
+       a.aw
+FROM (
+    SELECT event_id,
+           user_id % 5 AS grp,
+           intDiv(event_id, 7) % 11 AS idv,
+           intDivOrZero(event_id, user_id % 3) AS idz,
+           bitAnd(event_id, 255) AS ba,
+           bitXor(user_id, 42) AS bx,
+           bitShiftLeft(toInt32(user_id % 8), 2) AS bsl,
+           countEqual([1, 2, 2, toInt64(event_id % 3)], 2) AS ceq,
+           arrayAvg([toFloat64(user_id % 4), 2.0]) AS aavg,
+           arrayProduct([2.0, toFloat64(event_id % 3 + 1)]) AS aprod,
+           isFinite(value) AS fin,
+           isNaN(value) AS nan
+    FROM events
+    WHERE event_id % 97 = 0
+) s
+JOIN (
+    SELECT user_id % 5 AS grp,
+           avgWeighted(value, toFloat64(event_id % 9 + 1)) AS aw
+    FROM events
+    WHERE event_id % 97 = 0
+    GROUP BY grp
+) a ON a.grp = s.grp
+"""
+
+O_SCALAR_EXTRAS = """
+SELECT s.event_id, s.grp,
+       s.idv, s.idz, s.ba, s.bx, s.bsl, s.ceq, s.aavg, s.aprod,
+       s.fin, s.nan, a.aw
+FROM (
+  SELECT e.event_id,
+         e.user_id % 5 AS grp,
+         (e.event_id // 7) % 11 AS idv,
+         CASE WHEN e.user_id % 3 = 0 THEN 0
+              ELSE e.event_id // (e.user_id % 3) END AS idz,
+         e.event_id & 255 AS ba,
+         xor(e.user_id, 42) AS bx,
+         CAST((e.user_id % 8) << 2 AS INT) AS bsl,
+         CAST(len(list_filter([1, 2, 2, e.event_id % 3],
+                              x -> x = 2)) AS INT) AS ceq,
+         (CAST(e.user_id % 4 AS DOUBLE) + 2.0) / 2 AS aavg,
+         2.0 * CAST(e.event_id % 3 + 1 AS DOUBLE) AS aprod,
+         isfinite(e.value) AS fin,
+         isnan(e.value) AS nan
+  FROM events e WHERE e.event_id % 97 = 0
+) s
+JOIN (
+  SELECT (user_id % 5) AS grp,
+         SUM(value * CAST(event_id % 9 + 1 AS DOUBLE))
+           / SUM(CAST(event_id % 9 + 1 AS DOUBLE)) AS aw
+  FROM events WHERE event_id % 97 = 0 GROUP BY 1
+) a ON a.grp = s.grp
+"""
+
+
+def q_dialect_scalar_extras(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verbatim ClickHouse scalar/aggregate extras query (module
+    doc)."""
+    return run_clickhouse_sql(spark, _CH_SCALAR_EXTRAS, sf_dir, ("events",))
+
+
 # 13. windowFunnel — the generic N-condition transpile (multi-anchor,
 #     strictly-increasing, window anchored at the chain's first event).
 #     The DuckDB oracle is the independent JOIN spelling of the same
@@ -3105,6 +3224,7 @@ QUERIES = {
     "dialect_combinators2": q_dialect_combinators2,
     "dialect_numbers": q_dialect_numbers,
     "dialect_file_read": q_dialect_file_read,
+    "dialect_scalar_extras": q_dialect_scalar_extras,
     "dialect_window_funnel": q_dialect_window_funnel,
     "dialect_retention": q_dialect_retention,
     "dialect_sequence_match": q_dialect_sequence_match,
@@ -3131,6 +3251,7 @@ ORACLES = {
     "dialect_combinators2": O_COMBINATORS2,
     "dialect_numbers": O_NUMBERS,
     "dialect_file_read": O_FILE_READ,
+    "dialect_scalar_extras": O_SCALAR_EXTRAS,
     "dialect_window_funnel": O_WINDOW_FUNNEL,
     "dialect_retention": O_RETENTION,
     "dialect_sequence_match": O_SEQ_MATCH,

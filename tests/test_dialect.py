@@ -864,3 +864,22 @@ def test_script_optimize_final_collapses(spark, tmp_path):
     assert [k for k, _ in results] == ["table", "optimize", "query"]
     rows = [(r.k, r.v) for r in results[2][1].collect()]
     assert rows == [(1, 20.0), (2, 5.0)]  # merged: one row per key
+
+
+def test_scalar_extras_round5():
+    assert "sum(CAST((x) AS DOUBLE) * (w))" in transpile("avgWeighted(x, w)")
+    assert transpile("anyHeavy(x)") == "mode(x)"
+    assert transpile("intDiv(a, b)") == "((a) DIV (b))"
+    assert "WHEN (b) = 0 THEN 0" in transpile("intDivOrZero(a, b)")
+    assert transpile("bitAnd(a, b)") == "((a) & (b))"
+    assert transpile("bitXor(a, b)") == "((a) ^ (b))"
+    assert transpile("bitNot(a)") == "(~(a))"
+    assert transpile("bitShiftLeft(a, 2)") == "shiftleft(a, 2)"
+    assert transpile("bitCount(a)") == "bit_count(a)"
+    assert transpile("isNaN(x)") == "isnan(x)"
+    assert "NOT isnan(x)" in transpile("isFinite(x)")
+    assert "filter(arr, __ce -> __ce = (3))" in transpile(
+        "countEqual(arr, 3)"
+    )
+    assert "/ size(arr))" in transpile("arrayAvg(arr)")
+    assert "acc * CAST(x AS DOUBLE)" in transpile("arrayProduct(arr)")
