@@ -200,6 +200,8 @@ _CAST = {
 }
 
 # -If combinator bases: CH fnIf(x, cond) == fn over rows where cond
+# (the CASE mask's NULLs are skipped by every base here — including
+# the collect family, where collect_list/collect_set drop NULLs)
 _IF_BASES = {
     "sum": "sum",
     "avg": "avg",
@@ -210,6 +212,12 @@ _IF_BASES = {
     "anyLast": "last",
     "argMax": "max_by",
     "argMin": "min_by",
+    "stddevPop": "stddev_pop",
+    "stddevSamp": "stddev_samp",
+    "varPop": "var_pop",
+    "varSamp": "var_samp",
+    "groupArray": "collect_list",
+    "groupUniqArray": "collect_set",
 }
 
 # bases whose Spark function RETAINS nulls by default: the CASE mask
@@ -430,6 +438,15 @@ def _render_call(name: str, args: list[str]) -> str:
         return f"percentile_approx({args[0]}, 0.5)"
     if name == "medianExact" and len(args) == 1:
         return f"percentile({args[0]}, 0.5)"
+    if name == "medianIf" and len(args) == 2:
+        return (
+            f"percentile_approx(CASE WHEN {args[1]} THEN {args[0]} END, "
+            "0.5)"
+        )
+    if name == "today" and not args:
+        return "current_date()"
+    if name == "yesterday" and not args:
+        return "date_sub(current_date(), 1)"
     if name == "uniqExact":
         return f"count(DISTINCT {joined})"
     if name == "uniqExactIf" and len(args) >= 2:
@@ -700,6 +717,20 @@ def _render_parametric(name: str, params: list[str], args: list[str]) -> str:
         # both are ClickHouse approximate-quantile registers; the Spark
         # register is percentile_approx — same role, different sketch
         return f"percentile_approx({args[0]}, {params[0]})"
+    if name == "quantileDeterministic" and len(params) == 1 and args:
+        # (x, determinator): the determinator only stabilizes CH's
+        # sampling — percentile_approx is already deterministic
+        return f"percentile_approx({args[0]}, {params[0]})"
+    if (
+        name.endswith("If")
+        and name[:-2] in ("quantile", "quantileTDigest", "quantileTiming")
+        and len(params) == 1
+        and len(args) == 2
+    ):
+        return (
+            f"percentile_approx(CASE WHEN {args[1]} THEN {args[0]} END, "
+            f"{params[0]})"
+        )
     if name == "topK" and len(params) == 1 and len(args) == 1:
         # exact tier of ClickHouse's approximate sketch (see
         # _topk_exact); events_topk_sketch is the sketch-shaped
@@ -748,6 +779,10 @@ _PARAMETRIC = {
     "quantiles",
     "quantilesExact",
     "quantileExactIf",
+    "quantileIf",
+    "quantileTDigestIf",
+    "quantileTimingIf",
+    "quantileDeterministic",
     "quantileTDigest",
     "quantileTiming",
     "groupArraySorted",

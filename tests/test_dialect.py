@@ -883,3 +883,29 @@ def test_scalar_extras_round5():
     )
     assert "/ size(arr))" in transpile("arrayAvg(arr)")
     assert "acc * CAST(x AS DOUBLE)" in transpile("arrayProduct(arr)")
+
+
+def test_if_family_round5b():
+    assert transpile("stddevPopIf(x, c)") == (
+        "stddev_pop(CASE WHEN c THEN x END)"
+    )
+    assert transpile("varSampIf(x, c)") == (
+        "var_samp(CASE WHEN c THEN x END)"
+    )
+    assert transpile("groupArrayIf(x, c)") == (
+        "collect_list(CASE WHEN c THEN x END)"
+    )
+    assert transpile("groupUniqArrayIf(x, c)") == (
+        "collect_set(CASE WHEN c THEN x END)"
+    )
+    assert transpile("medianIf(x, c)") == (
+        "percentile_approx(CASE WHEN c THEN x END, 0.5)"
+    )
+    assert transpile("quantileIf(0.9)(x, c)") == (
+        "percentile_approx(CASE WHEN c THEN x END, 0.9)"
+    )
+    assert transpile("quantileDeterministic(0.5)(x, seed)") == (
+        "percentile_approx(x, 0.5)"
+    )
+    assert transpile("today()") == "current_date()"
+    assert transpile("yesterday()") == "date_sub(current_date(), 1)"
