@@ -2115,12 +2115,16 @@ def _table_location(spark: "SparkSession", target: str) -> str:
 
 
 def _copy_on_write(spark: "SparkSession", target: str, df) -> None:
-    """Materialize ``df`` and atomically replace ``target``'s files —
-    the mutation rewrite ClickHouse performs asynchronously for
-    ``ALTER TABLE … DELETE/UPDATE`` (SURVEY: mutations are
-    whole-part rewrites there too; here it is one job writing the
-    surviving rows + a file swap, the ModelRunner.mutate pattern for
-    plain script tables)."""
+    """Materialize ``df`` and replace ``target``'s files — the
+    mutation rewrite ClickHouse performs asynchronously for
+    ``ALTER TABLE … DELETE/UPDATE`` (mutations are whole-part
+    rewrites there too; here it is one job writing the surviving rows
+    + a file swap, the ModelRunner.mutate pattern for plain script
+    tables).  The driver-side move is the local-filesystem analog of
+    a commit protocol: on object storage the same two phases are the
+    job commit (write to a staging prefix) and a prefix swap /
+    manifest pointer flip — data volume moved is identical, and the
+    write job itself is fully distributed either way."""
     import glob
     import os
     import shutil
