@@ -69,8 +69,12 @@ The full surface (each backed by gated oracle queries and unit tests):
   ``INTO OUTFILE``) raise :class:`DialectError` naming the dedicated
   operator instead of surfacing an opaque Spark parse error.
 
-DDL statements have their own transpiler (``ddl.py``); MIGRATION.md is
-the user-facing map of both.
+DDL statements have their own transpiler (``ddl.py``), and
+:func:`run_clickhouse_script` is the multi-statement migration-runbook
+front door: CREATE TABLE / CREATE MATERIALIZED VIEW (+POPULATE) /
+INSERT (firing MV triggers) / ALTER DELETE-UPDATE mutations /
+OPTIMIZE [FINAL] / queries, in one pass.  MIGRATION.md is the
+user-facing map of all of it.
 
 This is a *front-end* — the output is ordinary Spark SQL handed to
 ``spark.sql``, so Catalyst sees exactly the plan a native query would
