@@ -170,6 +170,7 @@ HEADLINE = [
     "ch_script_lifecycle",
     "ddl_final_summing",
     "dialect_scalar_extras",
+    "dialect_json_url",
 ]
 
 

@@ -241,6 +241,65 @@ _LITERAL_CONTEXT_KEYWORDS = frozenset(
 )
 
 
+# JSONExtract family → get_json_object (+ cast); simpleJSON*/
+# visitParam* are ClickHouse's fast-path aliases of the same contract
+_JSON_EXTRACT = {
+    "JSONExtractString": None,
+    "JSONExtractRaw": None,
+    "JSONExtractInt": "BIGINT",
+    "JSONExtractUInt": "BIGINT",
+    "JSONExtractFloat": "DOUBLE",
+    "JSONExtractBool": "BOOLEAN",
+    "simpleJSONExtractString": None,
+    "simpleJSONExtractRaw": None,
+    "simpleJSONExtractInt": "BIGINT",
+    "simpleJSONExtractUInt": "BIGINT",
+    "simpleJSONExtractFloat": "DOUBLE",
+    "simpleJSONExtractBool": "BOOLEAN",
+    "visitParamExtractString": None,
+    "visitParamExtractRaw": None,
+    "visitParamExtractInt": "BIGINT",
+    "visitParamExtractUInt": "BIGINT",
+    "visitParamExtractFloat": "DOUBLE",
+    "visitParamExtractBool": "BOOLEAN",
+}
+
+# URL scalar family → parse_url parts (optional post-wrap template)
+_URL_PARTS = {
+    "domain": ("HOST", None),
+    "domainWithoutWWW": ("HOST", "regexp_replace({u}, '^www\\\\.', '')"),
+    "protocol": ("PROTOCOL", None),
+    "path": ("PATH", None),
+    "pathFull": ("PATH", None),  # divergence: query part not appended
+    "queryString": ("QUERY", None),
+    "fragment": ("REF", None),
+    "topLevelDomain": (
+        "HOST",
+        "regexp_extract({u}, '\\\\.([^.]+)$', 1)",
+    ),
+}
+
+# ClickHouse formatDateTime uses strftime-style codes; Spark
+# date_format takes JDK patterns — literal format strings convert
+_STRFTIME_MAP = [
+    ("%Y", "yyyy"), ("%y", "yy"), ("%m", "MM"), ("%d", "dd"),
+    ("%H", "HH"), ("%M", "mm"), ("%S", "ss"), ("%j", "DDD"),
+    ("%F", "yyyy-MM-dd"), ("%T", "HH:mm:ss"), ("%e", "d"),
+    ("%G", "YYYY"), ("%V", "ww"), ("%a", "EEE"), ("%b", "MMM"),
+    ("%%", "%"),
+]
+
+
+def _strftime_to_jdk(fmt: str) -> str:
+    for ch_code, jdk in _STRFTIME_MAP:
+        fmt = fmt.replace(ch_code, jdk)
+    if "%" in fmt:
+        raise DialectError(
+            f"formatDateTime: unsupported strftime code in {fmt!r}"
+        )
+    return fmt
+
+
 class DialectError(ValueError):
     """Raised for malformed input (unbalanced parens in a call)."""
 
@@ -539,6 +598,35 @@ def _render_call(name: str, args: list[str]) -> str:
         )
     if name == "isInfinite" and len(args) == 1:
         return f"(abs({args[0]}) = CAST('Infinity' AS DOUBLE))"
+    if (
+        name in _JSON_EXTRACT
+        and len(args) >= 2
+        and all(a.startswith("'") and a.endswith("'") for a in args[1:])
+    ):
+        # JSONExtract*(j, 'k1'[, 'k2', ...]) → get_json_object with a
+        # $.k1.k2 path; the key chain must be literal (dynamic paths
+        # have no Spark path-expression equivalent)
+        path = "$." + ".".join(a[1:-1] for a in args[1:])
+        base = f"get_json_object({args[0]}, '{path}')"
+        cast = _JSON_EXTRACT[name]
+        return f"CAST({base} AS {cast})" if cast else base
+    if name == "JSONHas" and len(args) >= 2 and all(
+        a.startswith("'") for a in args[1:]
+    ):
+        path = "$." + ".".join(a[1:-1] for a in args[1:])
+        return f"(get_json_object({args[0]}, '{path}') IS NOT NULL)"
+    if name in _URL_PARTS and len(args) == 1:
+        part, post = _URL_PARTS[name]
+        expr = f"parse_url({args[0]}, '{part}')"
+        return post.format(u=expr) if post else expr
+    if name == "splitByString" and len(args) == 2:
+        return f"split({args[1]}, concat('\\\\Q', {args[0]}, '\\\\E'))"
+    if name == "alphaTokens" and len(args) == 1:
+        return f"array_remove(split({args[0]}, '[^A-Za-z]+'), '')"
+    if name == "formatDateTime" and len(args) == 2 and (
+        args[1].startswith("'") and args[1].endswith("'")
+    ):
+        return f"date_format({args[0]}, '{_strftime_to_jdk(args[1][1:-1])}')"
     if name in _HOF_ROTATE:
         if name == "arraySum":
             # one-arg form sums the array itself; two-arg maps first.
@@ -3085,6 +3173,47 @@ def q_dialect_scalar_extras(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_clickhouse_sql(spark, _CH_SCALAR_EXTRAS, sf_dir, ("events",))
 
 
+# 12e. JSON / URL / strftime / tokenizer scalar families.
+_CH_JSON_URL = """
+SELECT event_id,
+       JSONExtractInt(props, 'k') AS k,
+       JSONExtractString(props, 'k') AS ks,
+       JSONHas(props, 'missing') AS has_miss,
+       formatDateTime(ts, '%Y-%m-%d %H') AS fdt,
+       domain(concat('https://ex', toString(user_id % 3),
+                     '.org/p/q?x=1')) AS dom,
+       path(concat('https://ex.org/p', toString(user_id % 5),
+                   '?x=1')) AS pth,
+       alphaTokens(concat('ab1cd', toString(event_id % 10), 'xy')) AS toks,
+       splitByString('--', concat('a--b--', event_type)) AS parts
+FROM events
+WHERE event_id % 53 = 0
+"""
+
+O_JSON_URL = """
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+       json_extract_string(props, '$.k') AS ks,
+       json_extract(props, '$.missing') IS NOT NULL AS has_miss,
+       strftime(ts, '%Y-%m-%d %H') AS fdt,
+       regexp_extract('https://ex' || (user_id % 3) || '.org/p/q?x=1',
+                      '^[a-z]+://([^/]+)', 1) AS dom,
+       regexp_extract('https://ex.org/p' || (user_id % 5) || '?x=1',
+                      '^[a-z]+://[^/?#]+([^?#]*)', 1) AS pth,
+       list_filter(string_split_regex('ab1cd' || (event_id % 10) || 'xy',
+                                      '[^A-Za-z]+'), x -> x != '') AS toks,
+       string_split('a--b--' || event_type, '--') AS parts
+FROM events
+WHERE event_id % 53 = 0
+"""
+
+
+def q_dialect_json_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verbatim ClickHouse JSON/URL/strftime scalar query (module
+    doc)."""
+    return run_clickhouse_sql(spark, _CH_JSON_URL, sf_dir, ("events",))
+
+
 # 13. windowFunnel — the generic N-condition transpile (multi-anchor,
 #     strictly-increasing, window anchored at the chain's first event).
 #     The DuckDB oracle is the independent JOIN spelling of the same
@@ -3268,6 +3397,7 @@ QUERIES = {
     "dialect_numbers": q_dialect_numbers,
     "dialect_file_read": q_dialect_file_read,
     "dialect_scalar_extras": q_dialect_scalar_extras,
+    "dialect_json_url": q_dialect_json_url,
     "dialect_window_funnel": q_dialect_window_funnel,
     "dialect_retention": q_dialect_retention,
     "dialect_sequence_match": q_dialect_sequence_match,
@@ -3295,6 +3425,7 @@ ORACLES = {
     "dialect_numbers": O_NUMBERS,
     "dialect_file_read": O_FILE_READ,
     "dialect_scalar_extras": O_SCALAR_EXTRAS,
+    "dialect_json_url": O_JSON_URL,
     "dialect_window_funnel": O_WINDOW_FUNNEL,
     "dialect_retention": O_RETENTION,
     "dialect_sequence_match": O_SEQ_MATCH,

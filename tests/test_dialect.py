@@ -909,3 +909,38 @@ def test_if_family_round5b():
     )
     assert transpile("today()") == "current_date()"
     assert transpile("yesterday()") == "date_sub(current_date(), 1)"
+
+
+def test_json_url_strftime_families():
+    assert transpile("JSONExtractString(j, 'a', 'b')") == (
+        "get_json_object(j, '$.a.b')"
+    )
+    assert transpile("JSONExtractInt(j, 'k')") == (
+        "CAST(get_json_object(j, '$.k') AS BIGINT)"
+    )
+    assert transpile("visitParamExtractFloat(j, 'k')") == (
+        "CAST(get_json_object(j, '$.k') AS DOUBLE)"
+    )
+    assert transpile("JSONHas(j, 'k')") == (
+        "(get_json_object(j, '$.k') IS NOT NULL)"
+    )
+    # dynamic key falls through verbatim (no silent wrong path)
+    assert transpile("JSONExtractString(j, col)") == (
+        "JSONExtractString(j, col)"
+    )
+    assert transpile("domain(u)") == "parse_url(u, 'HOST')"
+    assert "regexp_replace(parse_url(u, 'HOST'), '^www\\\\.', '')" == (
+        transpile("domainWithoutWWW(u)")
+    )
+    assert transpile("queryString(u)") == "parse_url(u, 'QUERY')"
+    assert transpile("formatDateTime(d, '%Y-%m-%d %H:%M:%S')") == (
+        "date_format(d, 'yyyy-MM-dd HH:mm:ss')"
+    )
+    with pytest.raises(DialectError, match="strftime"):
+        transpile("formatDateTime(d, '%Q')")
+    assert "array_remove(split(s, '[^A-Za-z]+'), '')" == (
+        transpile("alphaTokens(s)")
+    )
+    assert transpile("splitByString('--', s)") == (
+        "split(s, concat('\\\\Q', '--', '\\\\E'))"
+    )
