@@ -944,3 +944,38 @@ def test_json_url_strftime_families():
     assert transpile("splitByString('--', s)") == (
         "split(s, concat('\\\\Q', '--', '\\\\E'))"
     )
+
+
+def test_structural_rewrites_compose():
+    """Multiple structural constructs in ONE statement: the passes
+    splice sequentially and must not corrupt each other."""
+    resolve = lambda rel: (  # noqa: E731
+        ["id", "ts", "px"] if "quotes" in rel
+        else ["id", "cat"] if "dims" in rel
+        else None
+    )
+    out = transpile(
+        "SELECT t.id, q.px, d.cat FROM trades t "
+        "ASOF LEFT JOIN quotes q USING (id, ts) "
+        "ANY LEFT JOIN dims d USING (id) "
+        "ORDER BY t.id LIMIT 2 BY cat",
+        resolve_columns=resolve,
+    )
+    assert "last_value(px, true)" in out          # ASOF union-window
+    assert "min(struct(cat))" in out              # ANY collapse
+    assert "__limit_by_rn" in out                 # LIMIT BY window
+    assert "ASOF" not in out and "ANY" not in out.replace("ANY", "ANY")
+    # FINAL + LIMIT BY compose through the engine-info path
+    from clickhouse_vs_dbt_spark.ddl import ENGINE_INFO, transpile_ddl
+
+    transpile_ddl(
+        "CREATE TABLE cmp_t (k UInt64, v Float64, ver UInt32) "
+        "ENGINE = ReplacingMergeTree(ver) ORDER BY k"
+    )
+    out = transpile(
+        "SELECT k, v FROM cmp_t FINAL ORDER BY v DESC LIMIT 1 BY k",
+        resolve_columns=lambda n: ["k", "v", "ver"],
+        engine_info=lambda n: ENGINE_INFO.get(n),
+    )
+    assert "FINAL" not in out
+    assert "max_by(struct(v, ver)" in out and "__limit_by_rn" in out
