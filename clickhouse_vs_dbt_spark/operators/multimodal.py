@@ -19,9 +19,11 @@ prediction, zigzag/run-length AC, dequantization, separable float
 IDCT, sampling-factor reassembly, JFIF YCbCr→RGB) and GIF
 (:func:`_decode_gif`: LSB-first variable-width LZW, 4-pass
 deinterlace, palette lookup) — three genuinely entropy-coded
-formats — producing statistics over the DECODED PIXEL array; PCM WAV
+formats — producing statistics over the DECODED PIXEL array; WAV
 (:func:`_decode_wav`) produces per-sample amplitude statistics over
-the decoded 8/16-bit samples — real image AND audio decode paths.
+integer PCM (8/16/24/32-bit), IEEE-float (quantized to 16-bit
+amplitude), and WAVE_FORMAT_EXTENSIBLE streams — real image AND
+audio decode paths.
 Formats whose codecs are truly absent from this container
 (WebP/MP3/video, progressive/arithmetic JPEG) stay behind the
 ``NotImplementedError`` seam, and the kernel
@@ -246,10 +248,11 @@ def _decode_ppm(payload: bytes):
 
 def _decode_wav(payload: bytes):
     """Pure-Python decode of PCM WAV (RIFF/WAVE): walks the chunk list,
-    reads the fmt chunk (audio_format must be 1 = integer PCM, 8- or
-    16-bit), and returns the data chunk as an int64 sample array
-    (channels interleaved — amplitude statistics are per-sample).
-    Compressed/float WAV raises — the codec seam."""
+    reads the fmt chunk (integer PCM at 8/16/24/32 bits, IEEE-float
+    at 32/64 bits — quantized to 16-bit amplitude — and the
+    WAVE_FORMAT_EXTENSIBLE wrapper of either), and returns the data
+    chunk as an int64 sample array (channels interleaved — amplitude
+    statistics are per-sample).  Compressed WAV raises — the seam."""
     import struct
 
     import numpy as np
@@ -258,6 +261,7 @@ def _decode_wav(payload: bytes):
         raise NotImplementedError("not a RIFF/WAVE header")
     pos = 12
     fmt = None
+    fmt_body = None
     data = None
     while pos + 8 <= len(payload):
         cid = payload[pos : pos + 4]
@@ -265,19 +269,48 @@ def _decode_wav(payload: bytes):
         body = payload[pos + 8 : pos + 8 + size]
         if cid == b"fmt " and len(body) >= 16:
             fmt = struct.unpack_from("<HHIIHH", body, 0)
+            fmt_body = body
         elif cid == b"data":
             data = body
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if fmt is None or data is None:
         raise NotImplementedError("WAV missing fmt or data chunk")
     audio_format, _ch, _rate, _brate, _align, bits = fmt
-    if audio_format != 1 or bits not in (8, 16):
+    if audio_format == 0xFFFE and fmt_body is not None and len(fmt_body) >= 26:
+        # WAVE_FORMAT_EXTENSIBLE: the real format tag leads the
+        # SubFormat GUID at offset 24 of the fmt body
+        audio_format, = struct.unpack_from("<H", fmt_body, 24)
+    ok = (audio_format == 1 and bits in (8, 16, 24, 32)) or (
+        audio_format == 3 and bits in (32, 64)
+    )
+    if not ok:
         raise NotImplementedError(
             f"no codec for WAV format={audio_format} bits={bits}: "
-            "only 8/16-bit integer PCM decodes here"
+            "integer PCM (8/16/24/32) and IEEE-float (32/64) decode here"
         )
-    if bits == 16:
+    if audio_format == 3:
+        # IEEE float: quantize to 16-bit integer amplitude so the
+        # sample statistics stay integer-exact and engine-portable
+        dt = "<f4" if bits == 32 else "<f8"
+        width = bits // 8
+        f = np.frombuffer(data[: len(data) // width * width], dtype=dt)
+        samples = np.clip(
+            np.round(f.astype(np.float64) * 32767.0), -32768, 32767
+        )
+    elif bits == 16:
         samples = np.frombuffer(data[: len(data) // 2 * 2], dtype="<i2")
+    elif bits == 24:
+        # 3-byte little-endian signed: widen via a zero pad + shift
+        n = len(data) // 3
+        b3 = np.frombuffer(data[: n * 3], dtype=np.uint8).reshape(n, 3)
+        widened = (
+            b3[:, 0].astype(np.int32)
+            | (b3[:, 1].astype(np.int32) << 8)
+            | (b3[:, 2].astype(np.int32) << 16)
+        )
+        samples = np.where(widened >= 1 << 23, widened - (1 << 24), widened)
+    elif bits == 32:
+        samples = np.frombuffer(data[: len(data) // 4 * 4], dtype="<i4")
     else:  # 8-bit WAV is unsigned
         samples = np.frombuffer(data, dtype=np.uint8)
     if samples.size == 0:

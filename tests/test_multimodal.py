@@ -727,3 +727,48 @@ def test_jpeg_420_subsampling_decodes():
         int(np.clip(round(y + 1.772 * (cb - 128)), 0, 255)),
     ]
     assert (arr == np.array(exp, dtype=np.uint8)).all()
+
+
+def test_wav_extended_profiles():
+    """24-bit PCM, 32-bit IEEE float (quantized to 16-bit amplitude),
+    and the WAVE_FORMAT_EXTENSIBLE wrapper all decode."""
+    import struct
+
+    def wav(fmt_tag, bits, data, extensible=False):
+        if extensible:
+            sub = struct.pack("<H", fmt_tag) + b"\x00" * 14
+            fmt = struct.pack(
+                "<HHIIHHH", 0xFFFE, 1, 8000, 8000 * bits // 8,
+                bits // 8, bits, 22,
+            ) + struct.pack("<HI", bits, 0) + sub
+        else:
+            fmt = struct.pack(
+                "<HHIIHH", fmt_tag, 1, 8000, 8000 * bits // 8,
+                bits // 8, bits,
+            )
+        body = (
+            b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data
+        )
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    # 24-bit PCM: 1, -1, 8388607, -8388608
+    d24 = (
+        b"\x01\x00\x00" + b"\xff\xff\xff"
+        + b"\xff\xff\x7f" + b"\x00\x00\x80"
+    )
+    s = multimodal._decode_wav(wav(1, 24, d24))
+    assert s.tolist() == [1, -1, 8388607, -8388608]
+    # 32-bit float: 0.5 -> 16384 (round), -1.0 -> -32767
+    df = struct.pack("<2f", 0.5, -1.0)
+    s = multimodal._decode_wav(wav(3, 32, df))
+    assert s.tolist() == [round(0.5 * 32767), -32767]
+    # extensible wrapper around 16-bit PCM
+    d16 = struct.pack("<2h", 1000, -1000)
+    s = multimodal._decode_wav(wav(1, 16, d16, extensible=True))
+    assert s.tolist() == [1000, -1000]
+    # compressed (e.g. format 85 = MP3-in-WAV) stays behind the seam
+    import pytest
+
+    with pytest.raises(NotImplementedError, match="no codec for WAV"):
+        multimodal._decode_wav(wav(85, 16, d16))
