@@ -8,7 +8,8 @@ power sums, Simpson collision index, distinct-byte census), md5 — all
 computed with arithmetic that replays bit-identically in SQL, so the
 operator is fully value-checked against the DuckDB oracle.  Six real
 codecs are implemented in pure Python/stdlib/numpy: uncompressed
-24-bit BMP (:func:`_decode_bmp`), binary P6 PPM (:func:`_decode_ppm`),
+BMP — 8-bit palette / 24-bit / 32-bit BGRX (:func:`_decode_bmp`) —
+the binary netpbm family P4/P5/P6 (:func:`_decode_ppm`),
 FULL PNG — 8/16-bit gray/RGB/alpha, 1/2/4/8-bit palette, and their
 Adam7-interlaced variants (:func:`_decode_png`: chunk walk,
 stdlib-``zlib`` inflate, per-pass None/Sub/Up/Average/Paeth scanline
@@ -138,7 +139,9 @@ def sniff_format(payload: bytes) -> str:
         if payload[8:12] == b"WEBP":
             return "image/webp"
         return "riff/container"
-    if payload[:2] == b"P6" and payload[2:3] in (b"\n", b" ", b"\t", b"\r"):
+    if payload[:2] in (b"P4", b"P5", b"P6") and payload[2:3] in (
+        b"\n", b" ", b"\t", b"\r"
+    ):
         return "image/ppm"
     for magic, fmt in _MAGIC:
         if payload[: len(magic)] == magic:
@@ -160,19 +163,20 @@ CODEC_REQUIRED = (
 
 
 def _decode_bmp(payload: bytes):
-    """Pure-Python decode of an uncompressed 24-bit BMP (the one
-    raster format whose spec needs no entropy coder): returns the
-    pixel array as shape (height, width, 3) uint8 in B,G,R byte order
-    (the file's own channel order), or raises.
+    """Pure-Python decode of uncompressed BMP (8-bit palette, 24-bit,
+    and 32-bit BGRX profiles): returns the pixel array as shape
+    (height, width, 3) uint8 in B,G,R byte order (the file's own
+    channel order), or raises.
 
     Layout (Windows BITMAPFILEHEADER + BITMAPINFOHEADER, all little-
     endian): bytes 10-13 pixel-data offset; 14-17 info-header size;
     18-21 width (i32); 22-25 height (i32, >0 means bottom-up rows);
     26-27 planes; 28-29 bits-per-pixel; 30-33 compression (0 = BI_RGB).
-    Rows are padded to 4-byte multiples.  Anything outside the
-    uncompressed 24-bit profile (RLE, 1/4/8/16/32 bpp, embedded
-    palettes) raises NotImplementedError — the documented codec seam,
-    now scoped to genuinely-compressed variants only."""
+    Rows are padded to 4-byte multiples; 8-bit images look up the
+    BGRX palette quads that follow the info header.  RLE compression
+    and 1/4/16-bpp variants raise NotImplementedError — the
+    documented codec seam, scoped to genuinely-compressed or exotic
+    layouts."""
     import struct
 
     import numpy as np
@@ -188,34 +192,56 @@ def _decode_bmp(payload: bytes):
     compression, = struct.unpack_from("<I", payload, 30)
     if planes != 1 or not (0 < width <= 1 << 20) or not (0 < abs(height) <= 1 << 20):
         raise NotImplementedError("implausible BMP dimensions")
-    if bpp != 24 or compression != 0:
+    if bpp not in (8, 24, 32) or compression != 0:
         raise NotImplementedError(
             f"no codec for BMP bpp={bpp} compression={compression}: "
-            "only uncompressed 24-bit decodes here"
+            "uncompressed 8-bit palette / 24-bit / 32-bit decode here"
         )
     h = abs(height)
-    stride = (width * 3 + 3) // 4 * 4
+    bypp = bpp // 8
+    stride = (width * bypp + 3) // 4 * 4
     if data_off + stride * h > len(payload):
         raise NotImplementedError("truncated BMP pixel array")
     rows = np.frombuffer(
         payload, dtype=np.uint8, count=stride * h, offset=data_off
-    ).reshape(h, stride)[:, : width * 3]
-    px = rows.reshape(h, width, 3)
+    ).reshape(h, stride)[:, : width * bypp]
+    if bpp == 8:
+        # palette between the info header and the pixel array: BGRX
+        # quads; used-colors field (offset 46) 0 means the full 256
+        used, = struct.unpack_from("<I", payload, 46)
+        n_pal = used or 256
+        pal_off = 14 + hdr_size
+        pal = np.frombuffer(
+            payload, dtype=np.uint8, count=n_pal * 4, offset=pal_off
+        ).reshape(n_pal, 4)[:, :3]  # B, G, R (X dropped)
+        idx = rows.reshape(h, width)
+        if int(idx.max()) >= n_pal:
+            raise NotImplementedError("BMP palette index out of range")
+        px = pal[idx]
+    else:
+        px = rows.reshape(h, width, bypp)
+        if bpp == 32:
+            px = px[:, :, :3]  # B, G, R (padding/alpha byte dropped)
     return px[::-1] if height > 0 else px  # bottom-up → top-down
 
 
 def _decode_ppm(payload: bytes):
-    """Pure-Python decode of binary (P6) PPM: ASCII header of
-    ``P6 <w> <h> <maxval>`` with ``#`` comments and arbitrary
-    whitespace, then raw RGB triplets.  Returns (h, w, 3) uint8.
+    """Pure-Python decode of the binary netpbm family: P6 (PPM RGB),
+    P5 (PGM gray), and P4 (PBM bitmap, MSB-first packed bits) — ASCII
+    header with ``#`` comments and arbitrary whitespace, then raw
+    samples.  Returns (h, w, 3|1) uint8 (P4 yields 0/1 values).
     maxval > 255 (16-bit samples) raises — outside the 1-byte
     profile."""
     import numpy as np
 
+    magic = payload[:2]
+    if magic not in (b"P4", b"P5", b"P6"):
+        raise NotImplementedError("not a binary netpbm header")
+    want = 2 if magic == b"P4" else 3  # PBM has no maxval field
     pos = 2
     fields: list[int] = []
     n = len(payload)
-    while len(fields) < 3 and pos < n:
+    while len(fields) < want and pos < n:
         c = payload[pos]
         if c in b"#":
             while pos < n and payload[pos] not in b"\n":
@@ -230,20 +256,32 @@ def _decode_ppm(payload: bytes):
             fields.append(v)
         else:
             raise NotImplementedError("malformed PPM header")
-    if len(fields) < 3:
+    if len(fields) < want:
         raise NotImplementedError("truncated PPM header")
-    width, height, maxval = fields
+    width, height = fields[0], fields[1]
+    maxval = fields[2] if want == 3 else 1
     if not (0 < width <= 1 << 20 and 0 < height <= 1 << 20):
         raise NotImplementedError("implausible PPM dimensions")
     if maxval > 255:
         raise NotImplementedError("16-bit PPM samples not decoded here")
     pos += 1  # exactly one whitespace byte separates header from pixels
-    need = width * height * 3
+    if magic == b"P4":
+        stride = (width + 7) // 8
+        need = stride * height
+        if pos + need > n:
+            raise NotImplementedError("truncated PBM pixel array")
+        rows = np.frombuffer(
+            payload, dtype=np.uint8, count=need, offset=pos
+        ).reshape(height, stride)
+        bits = np.unpackbits(rows, axis=1)[:, :width]
+        return bits.reshape(height, width, 1)
+    ch = 1 if magic == b"P5" else 3
+    need = width * height * ch
     if pos + need > n:
         raise NotImplementedError("truncated PPM pixel array")
     return np.frombuffer(
         payload, dtype=np.uint8, count=need, offset=pos
-    ).reshape(height, width, 3)
+    ).reshape(height, width, ch)
 
 
 def _decode_wav(payload: bytes):

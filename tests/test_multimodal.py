@@ -772,3 +772,36 @@ def test_wav_extended_profiles():
 
     with pytest.raises(NotImplementedError, match="no codec for WAV"):
         multimodal._decode_wav(wav(85, 16, d16))
+
+
+def test_bmp_palette_and_32bpp_decode():
+    """8-bit palette BMP (BGRX quads after the info header) and 32-bpp
+    BGRX both decode; bottom-up row flip applies."""
+    import struct
+
+    # 2x1, 8bpp, palette [red(BGR 0,0,255), green(0,255,0)]
+    pal = bytes([0, 0, 255, 0]) + bytes([0, 255, 0, 0])
+    data_off = 54 + len(pal)
+    rows = bytes([0, 1, 0, 0])  # stride 4
+    header = struct.pack("<2sIHHI", b"BM", data_off + len(rows), 0, 0, data_off)
+    info = struct.pack("<IiiHHIIiiII", 40, 2, 1, 1, 8, 0, len(rows), 0, 0, 2, 0)
+    arr = multimodal._decode_bmp(header + info + pal + rows)
+    assert arr.shape == (1, 2, 3)
+    assert arr[0, 0].tolist() == [0, 0, 255]   # B,G,R = red
+    assert arr[0, 1].tolist() == [0, 255, 0]   # green
+    # 1x1 32bpp BGRX
+    header = struct.pack("<2sIHHI", b"BM", 54 + 4, 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, 1, 1, 1, 32, 0, 4, 0, 0, 0, 0)
+    arr = multimodal._decode_bmp(header + info + bytes([10, 20, 30, 0]))
+    assert arr[0, 0].tolist() == [10, 20, 30]
+
+
+def test_pgm_pbm_decode():
+    """P5 grayscale and P4 packed-bit netpbm variants decode."""
+    arr = multimodal._decode_ppm(b"P5\n3 2\n255\n" + bytes(range(6)))
+    assert arr.shape == (2, 3, 1)
+    assert arr.ravel().tolist() == [0, 1, 2, 3, 4, 5]
+    # P4: 3x2 bits -> one byte per row; 0b101xxxxx then 0b010xxxxx
+    arr = multimodal._decode_ppm(b"P4\n3 2\n" + bytes([0b10100000, 0b01000000]))
+    assert arr.reshape(2, 3).tolist() == [[1, 0, 1], [0, 1, 0]]
+    assert multimodal.sniff_format(b"P5\n1 1\n255\n\x00") == "image/ppm"
