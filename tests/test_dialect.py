@@ -979,3 +979,57 @@ def test_structural_rewrites_compose():
     )
     assert "FINAL" not in out
     assert "max_by(struct(v, ver)" in out and "__limit_by_rn" in out
+
+
+@st.composite
+def ch_exprs(draw, depth=2):
+    """Random ClickHouse-flavored expressions spanning every rewrite
+    family — transpile() must emit text Spark's parser accepts."""
+    if depth == 0:
+        return draw(
+            st.one_of(
+                _IDENT,
+                st.integers(0, 99).map(str),
+                st.sampled_from(["'s'", "[1, 2]", "value"]),
+            )
+        )
+    inner = lambda: draw(ch_exprs(depth=depth - 1))  # noqa: E731
+    kind = draw(st.integers(0, 11))
+    if kind == 0:
+        return f"sumIf({inner()}, {inner()} > 1)"
+    if kind == 1:
+        return f"quantile(0.5)({inner()})"
+    if kind == 2:
+        return f"multiIf({inner()} > 0, {inner()}, {inner()})"
+    if kind == 3:
+        return f"toInt64({inner()})"
+    if kind == 4:
+        return f"arrayMap(x -> x + 1, [{inner()}, 2])"
+    if kind == 5:
+        return f"[{inner()}, {inner()}][1]"
+    if kind == 6:
+        return f"sumMap([{inner()}], [toFloat64({inner()})])"
+    if kind == 7:
+        return f"retention({inner()} > 0, {inner()} > 1)"
+    if kind == 8:
+        return f"topK(3)({inner()})"
+    if kind == 9:
+        return f"intDiv({inner()}, 7)"
+    if kind == 10:
+        return f"JSONExtractString({inner()}, 'k')"
+    return f"avgWeighted({inner()}, {inner()})"
+
+
+@given(ch_exprs())
+@settings(max_examples=80, deadline=None)
+def test_transpiled_output_parses(spark_parser, expr):
+    """Every emission family must produce parser-valid Spark SQL —
+    parse-only (no analysis), so unresolved names don't matter."""
+    out = transpile(f"SELECT {expr} AS c FROM t GROUP BY g")
+    spark_parser(out)  # raises ParseException on bad emission
+
+
+@pytest.fixture(scope="module")
+def spark_parser(spark):
+    parser = spark._jsparkSession.sessionState().sqlParser()
+    return lambda sql: parser.parsePlan(sql)
