@@ -14,10 +14,11 @@ FULL PNG — 8/16-bit gray/RGB/alpha, 1/2/4/8-bit palette, and their
 Adam7-interlaced variants (:func:`_decode_png`: chunk walk,
 stdlib-``zlib`` inflate, per-pass None/Sub/Up/Average/Paeth scanline
 unfiltering, sub-byte index unpacking, PLTE lookup, interlace
-scatter) — and BASELINE SEQUENTIAL JPEG
+scatter) — and HUFFMAN JPEG, baseline sequential AND progressive
 (:func:`_decode_jpeg`: canonical-Huffman entropy decode, DC
-prediction, zigzag/run-length AC, dequantization, separable float
-IDCT, sampling-factor reassembly, JFIF YCbCr→RGB) and GIF
+prediction, zigzag/run-length AC, spectral-band scans with EOB runs
+and successive-approximation refinement, dequantization, separable
+float IDCT, sampling-factor reassembly, JFIF YCbCr→RGB) and GIF
 (:func:`_decode_gif`: LSB-first variable-width LZW, 4-pass
 deinterlace, palette lookup) — three genuinely entropy-coded
 formats — producing statistics over the DECODED PIXEL array; WAV
@@ -26,7 +27,7 @@ integer PCM (8/16/24/32-bit), IEEE-float (quantized to 16-bit
 amplitude), and WAVE_FORMAT_EXTENSIBLE streams — real image AND
 audio decode paths.
 Formats whose codecs are truly absent from this container
-(WebP/MP3/video, progressive/arithmetic JPEG) stay behind the
+(WebP/MP3/video, arithmetic-coded JPEG) stay behind the
 ``NotImplementedError`` seam, and the kernel
 ROUTES that seam per row — ``status = codec_missing`` (seam) or
 ``decode_error`` (corrupt container bytes) with byte-statistics
@@ -682,17 +683,46 @@ def _jpeg_extend(v: int, t: int) -> int:
     return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
 
 
+def _jpeg_unstuff(payload: bytes, start: int):
+    """Unstuff one entropy-coded interval starting at ``start``:
+    returns (segments split at restart markers, index of the next
+    marker's 0xFF byte)."""
+    segments: list[bytes] = []
+    cur = bytearray()
+    i = start
+    while i < len(payload):
+        b = payload[i]
+        if b == 0xFF and i + 1 < len(payload):
+            nxt = payload[i + 1]
+            if nxt == 0x00:
+                cur.append(0xFF)
+                i += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:  # RSTn
+                segments.append(bytes(cur))
+                cur = bytearray()
+                i += 2
+                continue
+            break  # EOI or next real marker
+        cur.append(b)
+        i += 1
+    segments.append(bytes(cur))
+    return segments, i
+
+
 def _decode_jpeg(payload: bytes):
-    """Pure-Python/numpy decode of baseline sequential JPEG (SOF0/1,
-    Huffman): marker walk, DQT/DHT table builds (canonical Huffman),
-    byte-unstuffed entropy read with restart-marker handling, DC
-    prediction + AC run-length block decode in zigzag order,
-    dequantization, float separable 8×8 IDCT, sampling-factor
-    reassembly with chroma pixel-replication upsampling, and JFIF
-    YCbCr→RGB.  The second genuinely entropy-coded format decoded with
-    no external codec (PNG's DEFLATE being the first).  Progressive
-    (SOF2), arithmetic-coded, and 12-bit variants raise — the seam.
-    Returns (h, w, ch) uint8 (1 channel for grayscale, 3 for color)."""
+    """Pure-Python/numpy decode of Huffman JPEG — BASELINE sequential
+    (SOF0/1) and PROGRESSIVE (SOF2): marker walk, DQT/DHT canonical
+    table builds, byte-unstuffed entropy read with restart handling,
+    and per-scan coefficient accumulation — baseline fills each
+    block's full spectrum in one scan; progressive layers DC
+    first/refinement scans and per-component spectral-band AC scans
+    with EOB-run and successive-approximation correction bits.  All
+    scans land in per-component coefficient planes, then one shared
+    assembly pass dequantizes, runs the separable float 8×8 IDCT,
+    reassembles sampling factors with replication upsampling, and
+    applies JFIF YCbCr→RGB.  Arithmetic-coded and 12-bit variants
+    raise — the remaining (rare) seam.  Returns (h, w, ch) uint8."""
     import struct
 
     import numpy as np
@@ -702,9 +732,50 @@ def _decode_jpeg(payload: bytes):
     qt: dict[int, list[int]] = {}
     huff: dict[tuple[int, int], dict] = {}
     frame = None
+    progressive = False
     restart_interval = 0
     pos = 2
-    scan = None
+    # per-component raw coefficient planes: cid -> (by, bx, 64) float64
+    coefs: dict[int, "np.ndarray"] = {}
+    geom: dict[int, tuple] = {}  # cid -> (blocks_y, blocks_x, hs, vs, tq)
+    pred: dict[int, int] = {}
+    hmax = vmax = mcux = mcuy = 0
+
+    def init_planes():
+        nonlocal hmax, vmax, mcux, mcuy
+        h, w, comps = frame
+        hmax = max(c[1] for c in comps)
+        vmax = max(c[2] for c in comps)
+        mcux = -(-w // (8 * hmax))
+        mcuy = -(-h // (8 * vmax))
+        for cid, hs, vs, tq in comps:
+            by, bx = mcuy * vs, mcux * hs
+            coefs[cid] = np.zeros((by, bx, 64), dtype=np.float64)
+            geom[cid] = (by, bx, hs, vs, tq)
+
+    def decode_dc_first(bits, cid, dc_t, al, byi, bxi):
+        t = _jpeg_huff_decode(bits, huff[(0, dc_t)])
+        diff = _jpeg_extend(bits.read_bits(t), t)
+        pred[cid] += diff
+        coefs[cid][byi, bxi, 0] = pred[cid] << al
+
+    def decode_block_baseline(bits, cid, dc_t, ac_t, byi, bxi):
+        decode_dc_first(bits, cid, dc_t, 0, byi, bxi)
+        blk = coefs[cid][byi, bxi]
+        k = 0
+        while k < 63:
+            rs = _jpeg_huff_decode(bits, huff[(1, ac_t)])
+            if rs == 0:
+                break  # EOB
+            r, sz = rs >> 4, rs & 15
+            if rs == 0xF0:
+                k += 16
+                continue
+            k += r + 1
+            if k > 63:
+                raise NotImplementedError("JPEG AC index overflow")
+            blk[_ZIGZAG[k]] = _jpeg_extend(bits.read_bits(sz), sz)
+
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             raise NotImplementedError("JPEG marker desync")
@@ -713,6 +784,7 @@ def _decode_jpeg(payload: bytes):
             break
         seg_len, = struct.unpack_from(">H", payload, pos + 2)
         seg = payload[pos + 4 : pos + 2 + seg_len]
+        nxt = pos + 2 + seg_len
         if marker == 0xDB:  # DQT
             i = 0
             while i < len(seg):
@@ -722,11 +794,10 @@ def _decode_jpeg(payload: bytes):
                     qt[tq] = list(seg[i : i + 64])
                     i += 64
                 else:
-                    qt[tq] = list(
-                        struct.unpack_from(f">{64}H", seg, i)
-                    )
+                    qt[tq] = list(struct.unpack_from(f">{64}H", seg, i))
                     i += 128
-        elif marker in (0xC0, 0xC1):  # baseline / extended sequential
+        elif marker in (0xC0, 0xC1, 0xC2):
+            progressive = marker == 0xC2
             prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
             if prec != 8:
                 raise NotImplementedError(f"no codec for {prec}-bit JPEG")
@@ -735,11 +806,13 @@ def _decode_jpeg(payload: bytes):
                 cid, samp, tq = struct.unpack_from(">BBB", seg, 6 + c * 3)
                 comps.append((cid, samp >> 4, samp & 15, tq))
             frame = (h, w, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
-                        0xCB, 0xCD, 0xCE, 0xCF):
+            if not (0 < w <= 1 << 16 and 0 < h <= 1 << 16):
+                raise NotImplementedError("implausible JPEG dimensions")
+            init_planes()
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "no codec for progressive/arithmetic JPEG: baseline "
-                "sequential Huffman decodes here"
+                "no codec for lossless/arithmetic JPEG variants"
             )
         elif marker == 0xC4:  # DHT
             i = 0
@@ -758,107 +831,168 @@ def _decode_jpeg(payload: bytes):
                 huff[(tc, th)] = table
         elif marker == 0xDD:  # DRI
             restart_interval, = struct.unpack_from(">H", seg, 0)
-        elif marker == 0xDA:  # SOS
+        elif marker == 0xDA:  # SOS — one scan (several in progressive)
+            if frame is None:
+                raise NotImplementedError("JPEG SOS before SOF")
             ns = seg[0]
-            sel = {}
+            sel = []
             for c in range(ns):
-                cid, tabs = seg[1 + c * 2], seg[2 + c * 2]
-                sel[cid] = (tabs >> 4, tabs & 15)
-            scan = (sel, pos + 2 + seg_len)
-            break
-        pos += 2 + seg_len
-    if frame is None or scan is None:
-        raise NotImplementedError("JPEG missing SOF/SOS")
+                sel.append((seg[1 + c * 2], seg[2 + c * 2]))
+            ss, se, a = seg[1 + ns * 2], seg[2 + ns * 2], seg[3 + ns * 2]
+            ah, al = a >> 4, a & 15
+            segments, nxt = _jpeg_unstuff(payload, pos + 2 + seg_len)
+            h, w, comps = frame
+            byid = {c[0]: c for c in comps}
+            if ns > 1 or (not progressive):
+                # interleaved MCU scan (baseline full-spectrum, or
+                # progressive DC when ss == 0)
+                for cid, _ in sel:
+                    pred[cid] = 0
+                seg_idx = 0
+                bits = _JpegBits(segments[0])
+                mcu_count = 0
+                for my in range(mcuy):
+                    for mx in range(mcux):
+                        if (
+                            restart_interval
+                            and mcu_count
+                            and mcu_count % restart_interval == 0
+                        ):
+                            seg_idx += 1
+                            bits = _JpegBits(segments[seg_idx])
+                            for cid, _ in sel:
+                                pred[cid] = 0
+                        mcu_count += 1
+                        for cid, tabs in sel:
+                            _, hs, vs, _tq = byid[cid]
+                            for by in range(vs):
+                                for bx in range(hs):
+                                    byi = my * vs + by
+                                    bxi = mx * hs + bx
+                                    if not progressive:
+                                        decode_block_baseline(
+                                            bits, cid, tabs >> 4,
+                                            tabs & 15, byi, bxi,
+                                        )
+                                    elif ss == 0 and ah == 0:
+                                        decode_dc_first(
+                                            bits, cid, tabs >> 4, al,
+                                            byi, bxi,
+                                        )
+                                    elif ss == 0:
+                                        if bits.read_bit():
+                                            blk = coefs[cid][byi, bxi]
+                                            blk[0] = (
+                                                int(blk[0]) | (1 << al)
+                                                if blk[0] >= 0
+                                                else -(
+                                                    (-int(blk[0]))
+                                                    | (1 << al)
+                                                )
+                                            )
+                                    else:
+                                        raise NotImplementedError(
+                                            "interleaved AC progressive scan"
+                                        )
+            else:
+                # non-interleaved single-component scan
+                cid, tabs = sel[0]
+                _, hs, vs, _tq = byid[cid]
+                cw = -(-(w * hs) // hmax)
+                chh = -(-(h * vs) // vmax)
+                nbx = -(-cw // 8)
+                nby = -(-chh // 8)
+                pred[cid] = 0
+                seg_idx = 0
+                bits = _JpegBits(segments[0])
+                eobrun = 0
+                blk_count = 0
+                for byi in range(nby):
+                    for bxi in range(nbx):
+                        if (
+                            restart_interval
+                            and blk_count
+                            and blk_count % restart_interval == 0
+                        ):
+                            seg_idx += 1
+                            bits = _JpegBits(segments[seg_idx])
+                            pred[cid] = 0
+                            eobrun = 0
+                        blk_count += 1
+                        blk = coefs[cid][byi, bxi]
+                        if ss == 0 and ah == 0:
+                            decode_dc_first(bits, cid, tabs >> 4, al,
+                                            byi, bxi)
+                        elif ss == 0:
+                            if bits.read_bit():
+                                blk[0] = (
+                                    int(blk[0]) | (1 << al)
+                                    if blk[0] >= 0
+                                    else -((-int(blk[0])) | (1 << al))
+                                )
+                        elif ah == 0:
+                            # AC first scan with EOB runs
+                            if eobrun > 0:
+                                eobrun -= 1
+                                continue
+                            k = ss
+                            while k <= se:
+                                rs = _jpeg_huff_decode(
+                                    bits, huff[(1, tabs & 15)]
+                                )
+                                r, sz = rs >> 4, rs & 15
+                                if sz == 0:
+                                    if r < 15:
+                                        eobrun = (1 << r) - 1
+                                        if r:
+                                            eobrun += bits.read_bits(r)
+                                        break
+                                    k += 16  # ZRL
+                                    continue
+                                k += r
+                                if k > se:
+                                    raise NotImplementedError(
+                                        "JPEG AC band overflow"
+                                    )
+                                blk[_ZIGZAG[k]] = (
+                                    _jpeg_extend(bits.read_bits(sz), sz)
+                                    << al
+                                )
+                                k += 1
+                        else:
+                            # AC refinement scan
+                            eobrun = _jpeg_ac_refine(
+                                bits, huff[(1, tabs & 15)], blk,
+                                ss, se, al, eobrun,
+                            )
+            pos = nxt
+            continue
+        pos = nxt
+    if frame is None:
+        raise NotImplementedError("JPEG missing SOF")
+    # --- shared assembly: dequantize, IDCT, upsample, color space ---
     h, w, comps = frame
-    if not (0 < w <= 1 << 16 and 0 < h <= 1 << 16):
-        raise NotImplementedError("implausible JPEG dimensions")
-    sel, data_start = scan
-    # unstuff the entropy segment; restart markers split it
-    segments: list[bytes] = []
-    cur = bytearray()
-    i = data_start
-    while i < len(payload):
-        b = payload[i]
-        if b == 0xFF and i + 1 < len(payload):
-            nxt = payload[i + 1]
-            if nxt == 0x00:
-                cur.append(0xFF)
-                i += 2
-                continue
-            if 0xD0 <= nxt <= 0xD7:  # RSTn
-                segments.append(bytes(cur))
-                cur = bytearray()
-                i += 2
-                continue
-            break  # EOI or next marker
-        cur.append(b)
-        i += 1
-    segments.append(bytes(cur))
-    hmax = max(c[1] for c in comps)
-    vmax = max(c[2] for c in comps)
-    mcux = -(-w // (8 * hmax))
-    mcuy = -(-h // (8 * vmax))
-    planes = {
-        cid: np.zeros((mcuy * 8 * v, mcux * 8 * hs), dtype=np.float64)
-        for cid, hs, v, _ in comps
-    }
-    # orthonormal IDCT basis: S = M.T @ F @ M
     xs = np.arange(8)
     M = np.cos((2 * xs[None, :] + 1) * xs[:, None] * np.pi / 16) / 2.0
     M[0, :] /= np.sqrt(2.0)
-    pred = {cid: 0 for cid, *_ in comps}
-    seg_idx = 0
-    bits = _JpegBits(segments[0])
-    mcu_count = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if (
-                restart_interval
-                and mcu_count
-                and mcu_count % restart_interval == 0
-            ):
-                seg_idx += 1
-                if seg_idx >= len(segments):
-                    raise NotImplementedError("JPEG restart segment missing")
-                bits = _JpegBits(segments[seg_idx])
-                pred = {cid: 0 for cid, *_ in comps}
-            mcu_count += 1
-            for cid, hs, vs, tq in comps:
-                dc_t, ac_t = sel[cid]
-                q = qt[tq]
-                for by in range(vs):
-                    for bx in range(hs):
-                        coef = np.zeros(64, dtype=np.float64)
-                        t = _jpeg_huff_decode(bits, huff[(0, dc_t)])
-                        diff = _jpeg_extend(bits.read_bits(t), t)
-                        pred[cid] += diff
-                        coef[0] = pred[cid] * q[0]
-                        k = 0
-                        while k < 63:
-                            rs = _jpeg_huff_decode(bits, huff[(1, ac_t)])
-                            if rs == 0:
-                                break  # EOB
-                            r, s = rs >> 4, rs & 15
-                            if rs == 0xF0:
-                                k += 16
-                                continue
-                            k += r + 1
-                            if k > 63:
-                                raise NotImplementedError(
-                                    "JPEG AC index overflow"
-                                )
-                            coef[_ZIGZAG[k]] = (
-                                _jpeg_extend(bits.read_bits(s), s) * q[k]
-                            )
-                        block = M.T @ coef.reshape(8, 8) @ M + 128.0
-                        y0 = (my * vs + by) * 8
-                        x0 = (mx * hs + bx) * 8
-                        planes[cid][y0 : y0 + 8, x0 : x0 + 8] = block
     out_planes = []
-    for cid, hs, vs, _ in comps:
-        p = planes[cid]
-        p = np.repeat(np.repeat(p, vmax // vs, axis=0), hmax // hs, axis=1)
-        out_planes.append(p[:h, :w])
+    for cid, hs, vs, tq in comps:
+        if tq not in qt:
+            raise NotImplementedError("JPEG missing quantization table")
+        q = np.zeros(64, dtype=np.float64)
+        zz = np.array(_ZIGZAG)
+        q[zz] = np.array(qt[tq], dtype=np.float64)
+        by, bx, *_ = geom[cid]
+        plane = np.zeros((by * 8, bx * 8), dtype=np.float64)
+        cf = coefs[cid] * q  # dequantize (broadcast over raster order)
+        for yi in range(by):
+            for xi in range(bx):
+                block = M.T @ cf[yi, xi].reshape(8, 8) @ M + 128.0
+                plane[yi * 8 : yi * 8 + 8, xi * 8 : xi * 8 + 8] = block
+        plane = np.repeat(
+            np.repeat(plane, vmax // vs, axis=0), hmax // hs, axis=1
+        )
+        out_planes.append(plane[:h, :w])
     if len(out_planes) == 1:
         g = np.clip(np.round(out_planes[0]), 0, 255).astype(np.uint8)
         return g.reshape(h, w, 1)
@@ -873,6 +1007,64 @@ def _decode_jpeg(payload: bytes):
     rgb = np.stack([r, g, b], axis=2)
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
 
+
+def _jpeg_ac_refine(bits, table, blk, ss, se, al, eobrun):
+    """Progressive AC successive-approximation refinement (ITU T.81
+    G.1.2.3): existing nonzero coefficients in the band absorb one
+    correction bit each as they are passed; new coefficients appear
+    as ±(1 << al) after a run of zero-history positions; EOB runs
+    still refine the nonzero history they skip over."""
+    bit = 1 << al
+
+    def correct(k):
+        v = int(blk[_ZIGZAG[k]])
+        if v and bits.read_bit():
+            if v > 0 and not (v & bit):
+                blk[_ZIGZAG[k]] = v + bit
+            elif v < 0 and not ((-v) & bit):
+                blk[_ZIGZAG[k]] = v - bit
+
+    if eobrun > 0:
+        # block consumed by a pending EOB run: refine the whole band's
+        # nonzero history, no symbols read
+        for i in range(ss, se + 1):
+            correct(i)
+        return eobrun - 1
+    k = ss
+    ended_by_eob = False
+    while k <= se:
+        rs = _jpeg_huff_decode(bits, table)
+        r, sz = rs >> 4, rs & 15
+        newval = 0
+        if sz == 0:
+            if r < 15:
+                eobrun = (1 << r) - 1
+                if r:
+                    eobrun += bits.read_bits(r)
+                ended_by_eob = True
+                break
+            # ZRL: skip 16 zero-history positions (refining en route)
+        else:
+            if sz != 1:
+                raise NotImplementedError("JPEG refinement size != 1")
+            newval = bit if bits.read_bit() else -bit
+        while k <= se:
+            v = int(blk[_ZIGZAG[k]])
+            if v:
+                correct(k)
+            else:
+                if r == 0:
+                    break
+                r -= 1
+            k += 1
+        if newval and k <= se:
+            blk[_ZIGZAG[k]] = newval
+        k += 1
+    if ended_by_eob:
+        # this block's EOB refines its remaining nonzero history
+        for i in range(k, se + 1):
+            correct(i)
+    return eobrun
 
 def decode_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """mapInPandas decode/feature-extract kernel.

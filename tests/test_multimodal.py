@@ -521,12 +521,60 @@ def test_jpeg_baseline_color_decodes():
     assert (arr == arr[0, 0]).all()
 
 
-def test_jpeg_progressive_stays_behind_seam():
+def test_jpeg_progressive_decodes():
+    """Hand-constructed PROGRESSIVE (SOF2) grayscale 8x8: DC first
+    scan at Al=1, AC first scan for band 1..63 at Al=1, DC
+    refinement, and an AC refinement whose EOB pass flips the
+    existing coefficient's low bit — final coefficients DC=80,
+    AC[0,1]=3, pixels computed from the IDCT definition."""
     import struct
 
-    sof2 = _jpeg_seg(0xC2, struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
-    payload = b"\xff\xd8" + sof2 + b"\xff\xd9"
-    with pytest.raises(NotImplementedError, match="progressive"):
+    import numpy as np
+
+    dqt = _jpeg_seg(0xDB, bytes([0x00] + [1] * 64))
+    sof2 = _jpeg_seg(
+        0xC2, struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0])
+    )
+    dht_dc = _jpeg_dht(0, 0, [(1, [6])])
+    dht_ac = _jpeg_dht(1, 0, [(1, [0x00]), (2, [0x01])])
+
+    def sos(ss, se, ah, al, bits_fn):
+        bw = _BitWriter()
+        bits_fn(bw)
+        return (
+            _jpeg_seg(0xDA, bytes([1, 1, 0x00, ss, se, (ah << 4) | al]))
+            + bw.tobytes()
+        )
+
+    scan1 = sos(0, 0, 0, 1, lambda bw: (bw.put(0b0, 1), bw.put(40, 6)))
+    scan2 = sos(
+        1, 63, 0, 1,
+        lambda bw: (bw.put(0b10, 2), bw.put(1, 1), bw.put(0b0, 1)),
+    )
+    scan3 = sos(0, 0, 1, 0, lambda bw: bw.put(0b0, 1))
+    scan4 = sos(1, 63, 1, 0, lambda bw: (bw.put(0b0, 1), bw.put(1, 1)))
+    payload = (
+        b"\xff\xd8" + dqt + sof2 + dht_dc + dht_ac
+        + scan1 + scan2 + scan3 + scan4 + b"\xff\xd9"
+    )
+    arr = multimodal._decode_jpeg(payload)
+    assert arr.shape == (8, 8, 1)
+    F = np.zeros((8, 8))
+    F[0, 0] = 80.0   # (40 << 1), refinement bit 0
+    F[0, 1] = 3.0    # (1 << 1) then +1 from the refinement EOB pass
+    xs = np.arange(8)
+    M = np.cos((2 * xs[None, :] + 1) * xs[:, None] * np.pi / 16) / 2.0
+    M[0, :] /= np.sqrt(2.0)
+    exp = np.clip(np.round(M.T @ F @ M + 128.0), 0, 255).astype(int)
+    assert (arr.reshape(8, 8) == exp).all()
+
+
+def test_jpeg_arithmetic_stays_behind_seam():
+    import struct
+
+    sof9 = _jpeg_seg(0xC9, struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
+    payload = b"\xff\xd8" + sof9 + b"\xff\xd9"
+    with pytest.raises(NotImplementedError, match="arithmetic"):
         multimodal._decode_jpeg(payload)
 
 
