@@ -552,6 +552,14 @@ def _render_call(name: str, args: list[str]) -> str:
         )
     if name == "arrayUniq":
         return f"size(array_distinct({joined}))"
+    if name == "transform" and len(args) == 4:
+        # ClickHouse's SCALAR transform(x, [from...], [to...], default)
+        # — a value mapping, distinguished by arity from the 2-arg
+        # array HOF that arrayMap rewrites to
+        return (
+            f"coalesce(try_element_at(map_from_arrays({args[1]}, "
+            f"{args[2]}), {args[0]}), {args[3]})"
+        )
     if name == "avgWeighted" and len(args) == 2:
         # weighted mean; accumulates in DOUBLE (the arraySum policy)
         x, w = args

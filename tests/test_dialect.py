@@ -1033,3 +1033,26 @@ def test_transpiled_output_parses(spark_parser, expr):
 def spark_parser(spark):
     parser = spark._jsparkSession.sessionState().sqlParser()
     return lambda sql: parser.parsePlan(sql)
+
+
+def test_scalar_transform_and_explain_passthrough(spark):
+    # 4-arg scalar transform → map lookup with default; the 2-arg HOF
+    # spelling (via arrayMap) is untouched by arity dispatch
+    out = transpile("transform(x, ['a', 'b'], [1, 2], 0)")
+    assert out == (
+        "coalesce(try_element_at(map_from_arrays(array('a', 'b'), "
+        "array(1, 2)), x), 0)"
+    )
+    from clickhouse_vs_dbt_spark.catalog import register_views
+
+    register_views(spark, "/root/testdata/sf0.001", ("orders",))
+    rows = spark.sql(
+        transpile(
+            "SELECT transform(o_orderstatus, ['O', 'F'], [1, 2], 0) AS c, "
+            "count() AS n FROM orders GROUP BY c"
+        )
+    ).collect()
+    assert {r.c for r in rows} <= {0, 1, 2}
+    # EXPLAIN passes through with the inner query rewritten
+    out = transpile("EXPLAIN SELECT sumIf(x, c) FROM t")
+    assert out.startswith("EXPLAIN SELECT sum(CASE WHEN c THEN x END)")
