@@ -853,3 +853,38 @@ def test_pgm_pbm_decode():
     arr = multimodal._decode_ppm(b"P4\n3 2\n" + bytes([0b10100000, 0b01000000]))
     assert arr.reshape(2, 3).tolist() == [[1, 0, 1], [0, 1, 0]]
     assert multimodal.sniff_format(b"P5\n1 1\n255\n\x00") == "image/ppm"
+
+
+def test_gif_skips_extension_blocks():
+    """Real GIF89a files carry a Graphics Control Extension before the
+    image descriptor — the block walk must skip it."""
+    pal = [255, 0, 0, 0, 0, 255]
+    base = _gif_bytes(2, 2, [(4, 3), (0, 3), (1, 3), (1, 3), (0, 4), (5, 4)], pal)
+    # splice a GCE (0x21 0xF9, size 4, data, terminator) after the GCT
+    head_len = 6 + 7 + 6  # header + LSD + 2-entry palette
+    gce = b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+    payload = base[:head_len] + gce + base[head_len:]
+    arr = multimodal._decode_gif(payload)
+    assert arr[0, 0].tolist() == [255, 0, 0]
+
+
+def test_jpeg_skips_app_segments():
+    """Real JPEGs start with APP0/JFIF (and often carry EXIF APP1) —
+    the marker walk must skip unknown APPn/COM segments."""
+    import struct
+
+    dqt = _jpeg_seg(0xDB, bytes([0x00] + [1] * 64))
+    sof = _jpeg_seg(0xC0, struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
+    dht_dc = _jpeg_dht(0, 0, [(1, [7])])
+    dht_ac = _jpeg_dht(1, 0, [(1, [0x00])])
+    sos = _jpeg_seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    bw = _BitWriter()
+    bw.put(0b0, 1); bw.put(80, 7); bw.put(0b0, 1)
+    app0 = _jpeg_seg(0xE0, b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00")
+    com = _jpeg_seg(0xFE, b"a comment")
+    payload = (
+        b"\xff\xd8" + app0 + com + dqt + sof + dht_dc + dht_ac + sos
+        + bw.tobytes() + b"\xff\xd9"
+    )
+    arr = multimodal._decode_jpeg(payload)
+    assert (arr[:, :, 0] == 138).all()
