@@ -171,6 +171,7 @@ HEADLINE = [
     "ddl_final_summing",
     "dialect_scalar_extras",
     "dialect_json_url",
+    "multimodal_png_roundtrip",
 ]
 
 

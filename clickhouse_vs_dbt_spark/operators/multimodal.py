@@ -1300,10 +1300,106 @@ FROM f ORDER BY doc_id, frame_idx
 """
 
 
+def _encode_png_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas encoder: wrap each document's UTF-8 bytes as a
+    single-row 8-bit grayscale PNG (filter 0 scanline, one zlib
+    stream) — a REAL, spec-valid PNG whose pixel values ARE the text
+    bytes.  Deterministic: zlib.compress at the default level is
+    byte-stable for fixed input."""
+    import struct
+    import zlib
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    for pdf in batches:
+        payloads = []
+        for text in pdf["text"]:
+            raw = str(text).encode("utf-8")
+            ihdr = struct.pack(">IIBBBBB", len(raw), 1, 8, 0, 0, 0, 0)
+            payloads.append(
+                b"\x89PNG\r\n\x1a\n"
+                + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", zlib.compress(b"\x00" + raw))
+                + chunk(b"IEND", b"")
+            )
+        yield pd.DataFrame(
+            {"doc_id": pdf["doc_id"], "payload": payloads}
+        )
+
+
+def q_multimodal_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PNG decoder itself under the differential gate: every
+    document's bytes are encoded as a real zlib-compressed grayscale
+    PNG (mapInPandas), then the decode kernel must sniff image/png,
+    inflate + unfilter the scanline, and produce PIXEL statistics —
+    which, for this construction, equal the original text's byte
+    statistics, so the DuckDB oracle value-checks the whole decode
+    path without needing a codec.  Container-level columns (md5,
+    n_bytes) are excluded — they describe the PNG wrapper."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    )
+    encoded = d.mapInPandas(
+        _encode_png_kernel, schema="doc_id long, payload binary"
+    )
+    out = encoded.mapInPandas(decode_features, schema=DECODE_SCHEMA)
+    return out.select(
+        "doc_id",
+        "media_format",
+        F.round("byte_mean", 6).alias("byte_mean"),
+        F.round("byte_std", 6).alias("byte_std"),
+        "distinct_bytes",
+        "byte_min",
+        "byte_max",
+        "status",
+    ).orderBy("doc_id")
+
+
+O_PNG_ROUNDTRIP = """
+WITH hx AS (
+  SELECT doc_id, hex(encode(text)) AS h,
+         unnest(range(1, octet_length(encode(text)) + 1)) AS i
+  FROM documents),
+bytes AS (
+  SELECT doc_id,
+         (CASE WHEN u1 >= 65 THEN u1 - 55 ELSE u1 - 48 END) * 16
+           + (CASE WHEN u2 >= 65 THEN u2 - 55 ELSE u2 - 48 END) AS b
+  FROM (SELECT doc_id,
+               unicode(substring(h, CAST(2 * i - 1 AS INT), 1)) AS u1,
+               unicode(substring(h, CAST(2 * i AS INT), 1)) AS u2
+        FROM hx)),
+agg AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(b) AS BIGINT) AS s,
+         CAST(SUM(b * b) AS BIGINT) AS ss,
+         CAST(COUNT(DISTINCT b) AS BIGINT) AS distinct_bytes,
+         CAST(MIN(b) AS INT) AS byte_min,
+         CAST(MAX(b) AS INT) AS byte_max
+  FROM bytes GROUP BY doc_id)
+SELECT doc_id, 'image/png' AS media_format,
+       round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 6) AS byte_mean,
+       round(sqrt(greatest(
+         CAST(ss AS DOUBLE) / CAST(n AS DOUBLE)
+           - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+             * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)), 0.0)), 6)
+         AS byte_std,
+       distinct_bytes, byte_min, byte_max,
+       'decoded_pixels' AS status
+FROM agg
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "multimodal_metadata": q_multimodal_metadata,
     "multimodal_decode_features": q_multimodal_decode,
     "multimodal_frame_sample": q_multimodal_frame_sample,
+    "multimodal_png_roundtrip": q_multimodal_png_roundtrip,
 }
 
 ORACLES = {
@@ -1313,4 +1409,5 @@ ORACLES = {
     # containers raise, and none exist in the fixtures by construction.
     "multimodal_decode_features": O_DECODE,
     "multimodal_frame_sample": O_FRAME_SAMPLE,
+    "multimodal_png_roundtrip": O_PNG_ROUNDTRIP,
 }
