@@ -172,6 +172,7 @@ HEADLINE = [
     "dialect_scalar_extras",
     "dialect_json_url",
     "multimodal_png_roundtrip",
+    "multimodal_jpeg_roundtrip",
 ]
 
 

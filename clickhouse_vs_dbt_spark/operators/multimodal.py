@@ -1395,11 +1395,138 @@ ORDER BY doc_id
 """
 
 
+JPEG_RT_BYTES = 64  # bytes per document carried through the JPEG gate
+
+
+def _encode_jpeg_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas encoder: the first JPEG_RT_BYTES of each document
+    become one flat 8×8 block each in a baseline grayscale JPEG —
+    DC = (b − 128)·8 with an all-ones quantization table, so the
+    decoder's IDCT returns exactly ``b`` for every pixel of the block
+    (a LOSSLESS construction through a normally-lossy format).  DC
+    diffs are Huffman-coded with a 12-symbol uniform-4-bit canonical
+    table; ACs are all EOB."""
+    import struct
+    import zlib as _z  # noqa: F401  (parity with the PNG kernel imports)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    # canonical tables: DC cats 0..11 all at code length 4; AC EOB at 1
+    dc_counts = [0, 0, 0, 12] + [0] * 12
+    dht_dc = seg(0xC4, bytes([0x00] + dc_counts + list(range(12))))
+    dht_ac = seg(0xC4, bytes([0x10, 1] + [0] * 15 + [0x00]))
+    dqt = seg(0xDB, bytes([0x00] + [1] * 64))
+
+    for pdf in batches:
+        payloads = []
+        for text in pdf["text"]:
+            raw = str(text).encode("utf-8")[:JPEG_RT_BYTES] or b"\x00"
+            n = len(raw)
+            sof = seg(
+                0xC0,
+                struct.pack(">BHHB", 8, 8, 8 * n, 1) + bytes([1, 0x11, 0]),
+            )
+            sos = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+            bits: list[int] = []
+
+            def put(v: int, w: int) -> None:
+                for i in range(w - 1, -1, -1):
+                    bits.append((v >> i) & 1)
+
+            pred = 0
+            for b in raw:
+                dc = (b - 128) * 8
+                diff = dc - pred
+                pred = dc
+                cat = diff.bit_length() if diff else 0
+                put(0b0000 + cat, 4)  # uniform 4-bit DC code = category
+                if cat:
+                    put(diff if diff > 0 else diff + (1 << cat) - 1, cat)
+                put(0, 1)  # AC EOB
+            pad = (-len(bits)) % 8
+            bits.extend([1] * pad)
+            data = bytearray()
+            for i in range(0, len(bits), 8):
+                byte = 0
+                for j in range(8):
+                    byte = (byte << 1) | bits[i + j]
+                data.append(byte)
+                if byte == 0xFF:
+                    data.append(0x00)  # byte stuffing
+            payloads.append(
+                b"\xff\xd8" + dqt + sof + dht_dc + dht_ac + sos
+                + bytes(data) + b"\xff\xd9"
+            )
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+
+def q_multimodal_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The JPEG decoder under the differential gate: each document's
+    first 64 bytes ride through a real baseline JPEG (Huffman DC
+    coding, byte stuffing, IDCT) as flat blocks and come back exactly
+    — pixel statistics equal the byte statistics of the truncated
+    text, value-checked by DuckDB."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    encoded = d.mapInPandas(
+        _encode_jpeg_kernel, schema="doc_id long, payload binary"
+    )
+    out = encoded.mapInPandas(decode_features, schema=DECODE_SCHEMA)
+    return out.select(
+        "doc_id",
+        "media_format",
+        F.round("byte_mean", 6).alias("byte_mean"),
+        F.round("byte_std", 6).alias("byte_std"),
+        "distinct_bytes",
+        "byte_min",
+        "byte_max",
+        "status",
+    ).orderBy("doc_id")
+
+
+O_JPEG_ROUNDTRIP = f"""
+WITH hx AS (
+  SELECT doc_id, hex(encode(text)) AS h,
+         unnest(range(1, least(octet_length(encode(text)),
+                               {JPEG_RT_BYTES}) + 1)) AS i
+  FROM documents),
+bytes AS (
+  SELECT doc_id,
+         (CASE WHEN u1 >= 65 THEN u1 - 55 ELSE u1 - 48 END) * 16
+           + (CASE WHEN u2 >= 65 THEN u2 - 55 ELSE u2 - 48 END) AS b
+  FROM (SELECT doc_id,
+               unicode(substring(h, CAST(2 * i - 1 AS INT), 1)) AS u1,
+               unicode(substring(h, CAST(2 * i AS INT), 1)) AS u2
+        FROM hx)),
+agg AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(b) AS BIGINT) AS s,
+         CAST(SUM(b * b) AS BIGINT) AS ss,
+         CAST(COUNT(DISTINCT b) AS BIGINT) AS distinct_bytes,
+         CAST(MIN(b) AS INT) AS byte_min,
+         CAST(MAX(b) AS INT) AS byte_max
+  FROM bytes GROUP BY doc_id)
+SELECT doc_id, 'image/jpeg' AS media_format,
+       round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 6) AS byte_mean,
+       round(sqrt(greatest(
+         CAST(ss AS DOUBLE) / CAST(n AS DOUBLE)
+           - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+             * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)), 0.0)), 6)
+         AS byte_std,
+       distinct_bytes, byte_min, byte_max,
+       'decoded_pixels' AS status
+FROM agg
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "multimodal_metadata": q_multimodal_metadata,
     "multimodal_decode_features": q_multimodal_decode,
     "multimodal_frame_sample": q_multimodal_frame_sample,
     "multimodal_png_roundtrip": q_multimodal_png_roundtrip,
+    "multimodal_jpeg_roundtrip": q_multimodal_jpeg_roundtrip,
 }
 
 ORACLES = {
@@ -1410,4 +1537,5 @@ ORACLES = {
     "multimodal_decode_features": O_DECODE,
     "multimodal_frame_sample": O_FRAME_SAMPLE,
     "multimodal_png_roundtrip": O_PNG_ROUNDTRIP,
+    "multimodal_jpeg_roundtrip": O_JPEG_ROUNDTRIP,
 }
