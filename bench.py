@@ -173,6 +173,7 @@ HEADLINE = [
     "dialect_json_url",
     "multimodal_png_roundtrip",
     "multimodal_jpeg_roundtrip",
+    "multimodal_gif_roundtrip",
 ]
 
 

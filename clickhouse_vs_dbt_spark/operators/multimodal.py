@@ -1521,12 +1521,171 @@ ORDER BY doc_id
 """
 
 
+GIF_RT_BYTES = 256  # bytes per document carried through the GIF gate
+
+
+def _encode_media_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas encoder for the WAV and GIF gates: each document's
+    bytes become (a) an 8-bit PCM WAV whose samples ARE the bytes and
+    (b) a GIF whose LZW-coded pixel indices are the first
+    GIF_RT_BYTES bytes over an identity grayscale palette — both
+    lossless by construction.  The GIF writer emits root codes only
+    (valid LZW) while mirroring the decoder's dictionary growth to
+    bump the variable code width at the right moments."""
+    import struct
+
+    def wav_of(raw: bytes) -> bytes:
+        fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+        body = (
+            b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(raw)) + raw
+        )
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    def gif_of(raw: bytes) -> bytes:
+        n = len(raw)
+        pal = bytes(v for b in range(256) for v in (b, b, b))
+        bits: list[int] = []
+
+        def put(code: int, width: int) -> None:
+            for i in range(width):
+                bits.append((code >> i) & 1)  # LSB-first
+
+        mcs = 8
+        clear, end = 1 << mcs, (1 << mcs) + 1
+        width = mcs + 1
+        put(clear, width)
+        next_code = end + 1
+        prev_emitted = False
+        for b in raw:
+            put(b, width)
+            if prev_emitted and next_code < 4096:
+                next_code += 1
+                if next_code == (1 << width) and width < 12:
+                    width += 1
+            prev_emitted = True
+        put(end, width)
+        data = bytearray()
+        for i in range(0, len(bits), 8):
+            byte = 0
+            for j, bit in enumerate(bits[i : i + 8]):
+                byte |= bit << j
+            data.append(byte)
+        sub = bytearray()
+        for i in range(0, len(data), 255):
+            blockdata = data[i : i + 255]
+            sub += bytes([len(blockdata)]) + blockdata
+        return (
+            b"GIF89a"
+            + struct.pack("<HHBBB", n, 1, 0x80 | 7, 0, 0)  # 256-entry GCT
+            + pal
+            + b"\x2c" + struct.pack("<HHHHB", 0, 0, n, 1, 0)
+            + bytes([mcs]) + bytes(sub) + b"\x00" + b"\x3b"
+        )
+
+    for pdf in batches:
+        wavs, gifs = [], []
+        for text in pdf["text"]:
+            raw = str(text).encode("utf-8")
+            wavs.append(wav_of(raw or b"\x00"))
+            gifs.append(gif_of((raw or b"\x00")[:GIF_RT_BYTES]))
+        yield pd.DataFrame(
+            {"doc_id": pdf["doc_id"], "wav": wavs, "gif": gifs}
+        )
+
+
+def _roundtrip_stats(encoded: DataFrame, col: str) -> DataFrame:
+    out = encoded.selectExpr(
+        "doc_id", f"{col} AS payload"
+    ).mapInPandas(decode_features, schema=DECODE_SCHEMA)
+    return out.select(
+        "doc_id",
+        "media_format",
+        F.round("byte_mean", 6).alias("byte_mean"),
+        F.round("byte_std", 6).alias("byte_std"),
+        "distinct_bytes",
+        "byte_min",
+        "byte_max",
+        "status",
+    ).orderBy("doc_id")
+
+
+def q_multimodal_wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WAV chunk walk + 8-bit PCM sample decode under the gate:
+    sample statistics equal the document's byte statistics."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    enc = d.mapInPandas(
+        _encode_media_kernel, schema="doc_id long, wav binary, gif binary"
+    )
+    return _roundtrip_stats(enc, "wav")
+
+
+def q_multimodal_gif_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The GIF variable-width LZW decode under the gate: pixel
+    statistics over the identity-palette decode equal the byte
+    statistics of the document's first GIF_RT_BYTES bytes (each byte
+    replicated ×3 by the RGB palette — statistics are invariant)."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    enc = d.mapInPandas(
+        _encode_media_kernel, schema="doc_id long, wav binary, gif binary"
+    )
+    return _roundtrip_stats(enc, "gif")
+
+
+def _o_bytes_stats(limit_expr: str, fmt: str, status: str) -> str:
+    return f"""
+WITH hx AS (
+  SELECT doc_id, hex(encode(text)) AS h,
+         unnest(range(1, {limit_expr} + 1)) AS i
+  FROM documents),
+bytes AS (
+  SELECT doc_id,
+         (CASE WHEN u1 >= 65 THEN u1 - 55 ELSE u1 - 48 END) * 16
+           + (CASE WHEN u2 >= 65 THEN u2 - 55 ELSE u2 - 48 END) AS b
+  FROM (SELECT doc_id,
+               unicode(substring(h, CAST(2 * i - 1 AS INT), 1)) AS u1,
+               unicode(substring(h, CAST(2 * i AS INT), 1)) AS u2
+        FROM hx)),
+agg AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(b) AS BIGINT) AS s,
+         CAST(SUM(b * b) AS BIGINT) AS ss,
+         CAST(COUNT(DISTINCT b) AS BIGINT) AS distinct_bytes,
+         CAST(MIN(b) AS INT) AS byte_min,
+         CAST(MAX(b) AS INT) AS byte_max
+  FROM bytes GROUP BY doc_id)
+SELECT doc_id, '{fmt}' AS media_format,
+       round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 6) AS byte_mean,
+       round(sqrt(greatest(
+         CAST(ss AS DOUBLE) / CAST(n AS DOUBLE)
+           - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+             * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)), 0.0)), 6)
+         AS byte_std,
+       distinct_bytes, byte_min, byte_max,
+       '{status}' AS status
+FROM agg
+ORDER BY doc_id
+"""
+
+
+O_WAV_ROUNDTRIP = _o_bytes_stats(
+    "octet_length(encode(text))", "audio/wav", "decoded_samples"
+)
+O_GIF_ROUNDTRIP = _o_bytes_stats(
+    f"least(octet_length(encode(text)), {GIF_RT_BYTES})",
+    "image/gif", "decoded_pixels",
+)
+
+
 QUERIES = {
     "multimodal_metadata": q_multimodal_metadata,
     "multimodal_decode_features": q_multimodal_decode,
     "multimodal_frame_sample": q_multimodal_frame_sample,
     "multimodal_png_roundtrip": q_multimodal_png_roundtrip,
     "multimodal_jpeg_roundtrip": q_multimodal_jpeg_roundtrip,
+    "multimodal_wav_roundtrip": q_multimodal_wav_roundtrip,
+    "multimodal_gif_roundtrip": q_multimodal_gif_roundtrip,
 }
 
 ORACLES = {
@@ -1538,4 +1697,6 @@ ORACLES = {
     "multimodal_frame_sample": O_FRAME_SAMPLE,
     "multimodal_png_roundtrip": O_PNG_ROUNDTRIP,
     "multimodal_jpeg_roundtrip": O_JPEG_ROUNDTRIP,
+    "multimodal_wav_roundtrip": O_WAV_ROUNDTRIP,
+    "multimodal_gif_roundtrip": O_GIF_ROUNDTRIP,
 }
