@@ -2350,6 +2350,16 @@ def run_clickhouse_script(
     mvs: list = []
     results = []
     for stmt in split_statements(script):
+        # leading comments would defeat statement classification (and
+        # the DDL shape regexes) — drop them; inline/trailing comments
+        # stay with the statement body
+        toks = _tokens(stmt)
+        i0 = 0
+        while i0 < len(toks) and _is_skippable(toks[i0]):
+            i0 += 1
+        stmt = "".join(toks[i0:])
+        if not stmt:
+            continue
         if _re.match(r"(?is)\s*CREATE\s+MATERIALIZED\s+VIEW", stmt):
             mv = _ddl.transpile_materialized_view(stmt)
             # ClickHouse semantics: only POPULATE backfills existing

@@ -1056,3 +1056,25 @@ def test_scalar_transform_and_explain_passthrough(spark):
     # EXPLAIN passes through with the inner query rewritten
     out = transpile("EXPLAIN SELECT sumIf(x, c) FROM t")
     assert out.startswith("EXPLAIN SELECT sum(CASE WHEN c THEN x END)")
+
+
+def test_migration_demo_script_runs_on_managed_tables(spark):
+    """tools/migration_demo.sql (the shipped demo) runs end-to-end
+    WITHOUT path overrides — MergeTree DDL becomes a managed Spark
+    table, so a user can paste a ClickHouse script with zero setup."""
+    from clickhouse_vs_dbt_spark.dialect import run_clickhouse_script
+
+    spark.sql("DROP TABLE IF EXISTS demo_events")
+    with open("/root/repo/tools/migration_demo.sql") as f:
+        script = f.read()
+    results = run_clickhouse_script(spark, script)
+    kinds = [k for k, _ in results]
+    assert kinds == [
+        "table", "materialized_view", "insert", "mutation",
+        "optimize", "query", "query",
+    ]
+    final_rows = [(r.k, r.v) for r in results[5][1].collect()]
+    assert final_rows == [(1, 3.5), (2, 9.0)]
+    mv_rows = {r.k: (r.n, r.total) for r in results[6][1].collect()}
+    assert mv_rows == {1: (2, 6.0), 2: (1, 9.0), 3: (1, 4.0)}
+    spark.sql("DROP TABLE IF EXISTS demo_events")
