@@ -163,6 +163,16 @@ _RENAME = {
     "bitShiftRight": "shiftright",
     "isNaN": "isnan",
     "bitCount": "bit_count",
+    "trimLeft": "ltrim",
+    "trimRight": "rtrim",
+    "reverseUTF8": "reverse",
+    "substringUTF8": "substring",
+    "positionUTF8": "instr",
+    "toUpperUTF8": "upper",
+    "toLowerUTF8": "lower",
+    "concatAssumeInjective": "concat",
+    "roundBankers": "bround",
+    "base64Encode": "base64",
 }
 
 # array higher-order functions: ClickHouse puts the lambda FIRST
@@ -627,6 +637,27 @@ def _render_call(name: str, args: list[str]) -> str:
         part, post = _URL_PARTS[name]
         expr = f"parse_url({args[0]}, '{part}')"
         return post.format(u=expr) if post else expr
+    if name == "positionCaseInsensitive" and len(args) == 2:
+        return f"instr(lower({args[0]}), lower({args[1]}))"
+    if name == "multiSearchAny" and len(args) == 2:
+        return f"exists({args[1]}, __ms -> instr({args[0]}, __ms) > 0)"
+    if name == "countSubstrings" and len(args) == 2:
+        h, nd = args
+        return (
+            f"((length({h}) - length(replace({h}, {nd}, ''))) "
+            f"DIV length({nd}))"
+        )
+    if name in ("base64Decode", "tryBase64Decode") and len(args) == 1:
+        return f"CAST(unbase64({args[0]}) AS STRING)"
+    if name == "exp2" and len(args) == 1:
+        return f"power(2, {args[0]})"
+    if name == "exp10" and len(args) == 1:
+        return f"power(10, {args[0]})"
+    if name == "negate" and len(args) == 1:
+        return f"(-({args[0]}))"
+    if name in ("plus", "minus", "multiply", "divide") and len(args) == 2:
+        op = {"plus": "+", "minus": "-", "multiply": "*", "divide": "/"}[name]
+        return f"(({args[0]}) {op} ({args[1]}))"
     if name == "splitByString" and len(args) == 2:
         return f"split({args[1]}, concat('\\\\Q', {args[0]}, '\\\\E'))"
     if name == "alphaTokens" and len(args) == 1:

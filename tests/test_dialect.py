@@ -1078,3 +1078,36 @@ def test_migration_demo_script_runs_on_managed_tables(spark):
     mv_rows = {r.k: (r.n, r.total) for r in results[6][1].collect()}
     assert mv_rows == {1: (2, 6.0), 2: (1, 9.0), 3: (1, 4.0)}
     spark.sql("DROP TABLE IF EXISTS demo_events")
+
+
+def test_scalar_tranche_round5c(spark):
+    cases = {
+        "trimLeft(s)": "ltrim(s)",
+        "positionUTF8(h, n)": "instr(h, n)",
+        "roundBankers(x, 2)": "bround(x, 2)",
+        "base64Encode(s)": "base64(s)",
+        "base64Decode(s)": "CAST(unbase64(s) AS STRING)",
+        "positionCaseInsensitive(h, n)": "instr(lower(h), lower(n))",
+        "multiSearchAny(h, ['a', 'b'])": (
+            "exists(array('a', 'b'), __ms -> instr(h, __ms) > 0)"
+        ),
+        "countSubstrings(h, n)": (
+            "((length(h) - length(replace(h, n, ''))) DIV length(n))"
+        ),
+        "exp2(x)": "power(2, x)",
+        "plus(a, b)": "((a) + (b))",
+        "divide(a, b)": "((a) / (b))",
+        "negate(a)": "(-(a))",
+    }
+    for src, want in cases.items():
+        assert transpile(src) == want, src
+    # value spot-checks on a live session
+    row = spark.sql(
+        transpile(
+            "SELECT countSubstrings('abcabcab', 'ab') AS c, "
+            "multiSearchAny('hello', ['xx', 'ell']) AS m, "
+            "base64Decode(base64Encode('hi')) AS r, "
+            "roundBankers(2.5, 0) AS rb"
+        )
+    ).collect()[0]
+    assert (row.c, row.m, row.r, row.rb) == (3, True, "hi", 2.0)
