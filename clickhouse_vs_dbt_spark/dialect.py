@@ -173,6 +173,9 @@ _RENAME = {
     "concatAssumeInjective": "concat",
     "roundBankers": "bround",
     "base64Encode": "base64",
+    "mapKeys": "map_keys",
+    "mapValues": "map_values",
+    "mapContains": "map_contains_key",
 }
 
 # array higher-order functions: ClickHouse puts the lambda FIRST
@@ -637,6 +640,24 @@ def _render_call(name: str, args: list[str]) -> str:
         part, post = _URL_PARTS[name]
         expr = f"parse_url({args[0]}, '{part}')"
         return post.format(u=expr) if post else expr
+    if name == "arrayEnumerate" and len(args) == 1:
+        return f"sequence(1, size({args[0]}))"
+    if name == "arrayDifference" and len(args) == 1:
+        a = args[0]
+        return (
+            f"zip_with({a}, concat(array(element_at({a}, 1)), "
+            f"slice({a}, 1, size({a}) - 1)), (__x, __y) -> __x - __y)"
+        )
+    if name == "arrayCumSum" and len(args) == 1:
+        # prefix sums via per-index folds: O(n²) in the array length —
+        # fine for the bounded arrays these appear on (the DOUBLE
+        # accumulation is the arraySum policy)
+        a = args[0]
+        return (
+            f"transform(sequence(1, size({a})), __i -> "
+            f"aggregate(slice({a}, 1, __i), CAST(0 AS DOUBLE), "
+            f"(__s, __x) -> __s + CAST(__x AS DOUBLE)))"
+        )
     if name == "positionCaseInsensitive" and len(args) == 2:
         return f"instr(lower({args[0]}), lower({args[1]}))"
     if name == "multiSearchAny" and len(args) == 2:

@@ -1111,3 +1111,19 @@ def test_scalar_tranche_round5c(spark):
         )
     ).collect()[0]
     assert (row.c, row.m, row.r, row.rb) == (3, True, "hi", 2.0)
+
+
+def test_map_and_array_enumeration_scalars(spark):
+    assert transpile("mapKeys(m)") == "map_keys(m)"
+    assert transpile("mapContains(m, 'k')") == "map_contains_key(m, 'k')"
+    assert transpile("arrayEnumerate(a)") == "sequence(1, size(a))"
+    row = spark.sql(
+        transpile(
+            "SELECT arrayDifference([2, 5, 9]) AS d, "
+            "arrayCumSum([1.5, 2.0, 3.0]) AS cs, "
+            "arrayEnumerate(['a', 'b']) AS en"
+        )
+    ).collect()[0]
+    assert row.d == [0, 3, 4]
+    assert row.cs == [1.5, 3.5, 6.5]
+    assert row.en == [1, 2]
