@@ -888,6 +888,13 @@ def _render_parametric(name: str, params: list[str], args: list[str]) -> str:
         # _topk_exact); events_topk_sketch is the sketch-shaped
         # scale operator
         return _topk_exact(args[0], params[0])
+    if name == "uniqUpTo" and len(params) == 1 and args:
+        # exact distinct count saturating at k+1 (CH's contract:
+        # "k+1 means more than k")
+        return (
+            f"least(count(DISTINCT {', '.join(args)}), "
+            f"CAST(({params[0]}) + 1 AS BIGINT))"
+        )
     if name == "windowFunnel" and len(args) >= 2:
         if len(params) != 1:
             raise DialectError(
@@ -935,6 +942,7 @@ _PARAMETRIC = {
     "quantileTDigestIf",
     "quantileTimingIf",
     "quantileDeterministic",
+    "uniqUpTo",
     "quantileTDigest",
     "quantileTiming",
     "groupArraySorted",

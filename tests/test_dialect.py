@@ -1127,3 +1127,19 @@ def test_map_and_array_enumeration_scalars(spark):
     assert row.d == [0, 3, 4]
     assert row.cs == [1.5, 3.5, 6.5]
     assert row.en == [1, 2]
+
+
+def test_uniq_up_to_parametric(spark):
+    assert transpile("uniqUpTo(3)(x)") == (
+        "least(count(DISTINCT x), CAST((3) + 1 AS BIGINT))"
+    )
+    from clickhouse_vs_dbt_spark.catalog import register_views
+
+    register_views(spark, "/root/testdata/sf0.001", ("orders",))
+    row = spark.sql(
+        transpile(
+            "SELECT uniqUpTo(2)(o_orderstatus) AS u2, "
+            "uniqUpTo(10)(o_orderstatus) AS u10 FROM orders"
+        )
+    ).collect()[0]
+    assert row.u2 == 3 and row.u10 == 3  # 3 statuses: saturates at 2+1
