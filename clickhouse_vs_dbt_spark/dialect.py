@@ -1420,7 +1420,7 @@ def _find_limit_by(toks: list[str]):
     return None
 
 
-def _rewrite_limit_by(toks: list[str]) -> list[str]:
+def _rewrite_limit_by(toks: list[str], resolve_columns=None) -> list[str]:
     """``SELECT … [ORDER BY o] LIMIT [off,]n BY exprs [LIMIT m]`` →
     the ``limit_by_analog`` pattern: rank rows per distinct value of
     the BY expressions with ``row_number()`` over the query's ORDER
@@ -1428,7 +1428,16 @@ def _rewrite_limit_by(toks: list[str]) -> list[str]:
     (off, off+n].  ``SELECT * EXCEPT`` drops the rank column, so the
     output schema matches ClickHouse's exactly.  One extra shuffle
     (the window partitioning) — the same plan a hand-written Spark
-    spelling needs."""
+    spelling needs.
+
+    Two window placements, because Spark forbids lateral column
+    aliases inside windows but allows unselected base columns there
+    (and vice versa for a wrapping subquery): by default the window
+    ranks OVER the query's own output (select aliases resolve); when
+    the catalog resolver shows that a BY/ORDER identifier is NOT in
+    the query's output (ClickHouse's rank-by-unselected-column
+    idiom), the window is injected INTO the select list instead, where
+    base-table columns are in scope."""
     while True:
         hit = _find_limit_by(toks)
         if hit is None:
@@ -1483,14 +1492,70 @@ def _rewrite_limit_by(toks: list[str]) -> list[str]:
         cond = f"__limit_by_rn <= {off + cnt}"
         if off:
             cond += f" AND __limit_by_rn > {off}"
-        repl = (
-            "SELECT * EXCEPT (__limit_by_rn) FROM (SELECT *, "
+        win = (
             f"row_number() OVER (PARTITION BY {by_text} "
-            f"ORDER BY {win_ord}) AS __limit_by_rn "
-            f"FROM ({head_text}) __limit_by_src) WHERE {cond}"
+            f"ORDER BY {win_ord}) AS __limit_by_rn"
         )
-        if ord_text:
-            repl += f" ORDER BY {ord_text}"
+        inject = False
+        if resolve_columns is not None:
+            head_cols = resolve_columns(f"({head_text})")
+            if head_cols is not None:
+                refs = {
+                    t
+                    for t in _tokens(f"{by_text}, {win_ord}")
+                    if _is_ident(t)
+                    and t.upper() not in (
+                        "ASC", "DESC", "NULLS", "FIRST", "LAST",
+                        "AND", "OR", "NOT", "CASE", "WHEN", "THEN",
+                        "ELSE", "END", "IS", "NULL", "IN",
+                    )
+                }
+                inject = any(r not in head_cols for r in refs)
+        if inject:
+            # rank inside the query's own select list, where
+            # unselected base-table columns are in scope
+            head_toks = _tokens(head_text)
+            depth = 0
+            from_i = None
+            for hi, ht in enumerate(head_toks):
+                if ht in ("(", "["):
+                    depth += 1
+                elif ht in (")", "]"):
+                    depth -= 1
+                elif depth == 0 and ht.upper() == "FROM":
+                    from_i = hi
+                    break
+            if from_i is None:
+                raise DialectError("LIMIT BY: query has no FROM clause")
+            head_with_rn = (
+                "".join(head_toks[:from_i])
+                + f", {win} "
+                + "".join(head_toks[from_i:])
+            )
+            repl = (
+                f"SELECT * EXCEPT (__limit_by_rn) FROM ({head_with_rn}) "
+                f"__limit_by_src WHERE {cond}"
+            )
+            # an outer ORDER BY on unselected sort columns cannot
+            # resolve over the projected output — drop it (relational
+            # result identical; presentation order is not part of the
+            # hash contract)
+            ord_ok = ord_text and all(
+                t in (head_cols or [])
+                for t in _tokens(ord_text)
+                if _is_ident(t)
+                and t.upper() not in ("ASC", "DESC", "NULLS", "FIRST",
+                                      "LAST")
+            )
+            if ord_ok:
+                repl += f" ORDER BY {ord_text}"
+        else:
+            repl = (
+                "SELECT * EXCEPT (__limit_by_rn) FROM (SELECT *, "
+                f"{win} FROM ({head_text}) __limit_by_src) WHERE {cond}"
+            )
+            if ord_text:
+                repl += f" ORDER BY {ord_text}"
         if tail:
             repl += f" {tail}"
         toks[seg_start:seg_end] = [repl]
@@ -2205,7 +2270,7 @@ def transpile(sql: str, resolve_columns=None, engine_info=None) -> str:
     (table name → ``ddl.EngineInfo`` or None) unlocks ``FROM t
     FINAL`` reads for tables whose DDL ran through the front door."""
     toks = _tokens(sql)
-    toks = _rewrite_limit_by(toks)
+    toks = _rewrite_limit_by(toks, resolve_columns)
     toks = _rewrite_with_fill(toks, resolve_columns)
     toks = _rewrite_asof(toks, resolve_columns)
     toks = _rewrite_any_join(toks, resolve_columns)

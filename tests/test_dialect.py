@@ -1143,3 +1143,96 @@ def test_uniq_up_to_parametric(spark):
         )
     ).collect()[0]
     assert row.u2 == 3 and row.u10 == 3  # 3 statuses: saturates at 2+1
+
+
+_MIGRATION_SNIPPETS = [
+    # one representative verbatim ClickHouse statement per MIGRATION.md
+    # "runs verbatim" family — the broad front-door regression net
+    "SELECT toYYYYMM(CAST(o_orderdate AS DATE)) AS ym, count() AS n "
+    "FROM orders GROUP BY ym ORDER BY ym LIMIT 3",
+    "SELECT o_orderstatus, sumIf(o_totalprice, o_orderkey % 2 = 0) AS s "
+    "FROM orders GROUP BY o_orderstatus",
+    "SELECT quantilesExact(0.25, 0.75)(toFloat64(o_totalprice)) AS qs "
+    "FROM orders",
+    "SELECT uniq(o_custkey) AS u, uniqUpTo(5)(o_orderstatus) AS u5 "
+    "FROM orders",
+    "SELECT argMax(o_orderpriority, o_totalprice) AS p FROM orders",
+    "SELECT multiIf(o_totalprice < 1000, 'lo', 'hi') AS b, count() AS n "
+    "FROM orders GROUP BY b",
+    "SELECT arrayMap(x -> x * 2, [1, 2, 3])[2] AS v FROM orders LIMIT 1",
+    "SELECT splitByChar('-', o_orderpriority)[1] AS tok FROM orders "
+    "LIMIT 5",
+    # LIMIT BY keys must appear in the select output (the rewrite
+    # ranks over the query's own columns so select ALIASES work —
+    # ClickHouse's own examples select their BY keys too)
+    "SELECT o_orderkey, o_orderstatus FROM orders "
+    "ORDER BY o_totalprice DESC, o_orderkey LIMIT 2 BY o_orderstatus",
+    "SELECT tok, count() AS n FROM orders "
+    "ARRAY JOIN splitByChar('-', o_orderpriority) AS tok GROUP BY tok",
+    "SELECT i, c FROM orders ARRAY JOIN [1, 2] AS i, ['a', 'b'] AS c "
+    "LIMIT 4",
+    "SELECT o_orderstatus, count() AS n FROM orders "
+    "PREWHERE o_totalprice > 1000 GROUP BY o_orderstatus WITH TOTALS",
+    "SELECT yr, n FROM (SELECT toYear(CAST(o_orderdate AS DATE)) AS yr, "
+    "count() AS n FROM orders GROUP BY yr) ORDER BY yr "
+    "WITH FILL FROM 1992 TO 1999",
+    "SELECT topK(2)(o_orderstatus) AS t FROM orders",
+    "SELECT retention(o_totalprice > 0, o_totalprice > 100000) AS r "
+    "FROM orders",
+    "SELECT number % 3 AS g, count() AS n FROM numbers(100) GROUP BY g",
+    "SELECT sumMap([o_orderstatus], [1.0]) AS sm FROM orders",
+    "SELECT formatDateTime(CAST(o_orderdate AS DATE), '%Y-%m') AS ym "
+    "FROM orders LIMIT 3",
+    "SELECT domain('https://example.org/a/b?c=1') AS d FROM orders "
+    "LIMIT 1",
+    "SELECT o_orderstatus, groupArrayIf(o_orderkey, o_orderkey < 10) AS g "
+    "FROM orders GROUP BY o_orderstatus",
+    "SELECT countDistinct FROM (SELECT uniqExact(o_custkey) AS "
+    "countDistinct FROM orders)",
+    "SELECT avgWeighted(o_totalprice, toFloat64(o_orderkey % 7 + 1)) AS aw "
+    "FROM orders SETTINGS max_threads = 4",
+]
+
+
+def test_migration_surface_smoke(spark):
+    """Every MIGRATION.md 'runs verbatim' family executes end-to-end
+    through the front door against the live fixtures — a broad
+    regression net over the whole transpiler surface."""
+    from clickhouse_vs_dbt_spark.dialect import run_clickhouse_sql
+
+    for sql in _MIGRATION_SNIPPETS:
+        rows = run_clickhouse_sql(
+            spark, sql, "/root/testdata/sf0.001", ("orders",)
+        ).collect()
+        assert rows is not None, sql
+
+
+def test_limit_by_unselected_columns_inject_path(spark):
+    """ClickHouse's rank-by-unselected-column idiom: BY/ORDER columns
+    absent from the select output move the window INTO the select
+    list (base-column scope) — live-checked against the window
+    spelling."""
+    from clickhouse_vs_dbt_spark.catalog import register_views
+    from clickhouse_vs_dbt_spark.dialect import catalog_resolver
+
+    register_views(spark, "/root/testdata/sf0.001", ("orders",))
+    got = spark.sql(
+        transpile(
+            "SELECT o_orderkey FROM orders "
+            "ORDER BY o_totalprice DESC, o_orderkey LIMIT 2 BY o_orderstatus",
+            resolve_columns=catalog_resolver(spark),
+        )
+    )
+    assert got.columns == ["o_orderkey"]
+    want = spark.sql(
+        """
+        SELECT o_orderkey FROM (
+          SELECT o_orderkey, row_number() OVER (
+              PARTITION BY o_orderstatus
+              ORDER BY o_totalprice DESC, o_orderkey) AS rn
+          FROM orders) WHERE rn <= 2
+        """
+    )
+    assert sorted(r.o_orderkey for r in got.collect()) == sorted(
+        r.o_orderkey for r in want.collect()
+    )
