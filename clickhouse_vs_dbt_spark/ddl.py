@@ -217,8 +217,54 @@ class EngineInfo:
         self.sign = sign
 
 
-#: table name (as written, plus its last component) → EngineInfo
+#: normalized table name AS WRITTEN in the DDL (backticks stripped;
+#: qualified stays qualified, bare stays bare) → EngineInfo.  Bare
+#: short-name lookups resolve through :func:`lookup_engine_info`,
+#: which verifies last-component uniqueness instead of silently
+#: serving whichever registration happened last (db1.t vs db2.t
+#: previously aliased to the same bare key — wrong FINAL collapse).
 ENGINE_INFO: dict[str, EngineInfo] = {}
+
+
+def _norm_table(name: str) -> str:
+    return name.strip().replace("`", "")
+
+
+def register_engine_info(name: str, info: EngineInfo) -> None:
+    ENGINE_INFO[_norm_table(name)] = info
+
+
+def unregister_engine_info(name: str) -> None:
+    """Invalidate on DROP TABLE (and before an explicit-overwrite
+    re-CREATE).  A bare name also drops every qualified entry whose
+    last component matches — the dropped Spark table shadows them
+    all from the dialect's point of view."""
+    n = _norm_table(name)
+    ENGINE_INFO.pop(n, None)
+    if "." not in n:
+        for k in [k for k in ENGINE_INFO if k.split(".")[-1] == n]:
+            ENGINE_INFO.pop(k, None)
+
+
+def lookup_engine_info(name: str) -> EngineInfo | None:
+    """Engine metadata for ``name``: exact match first; a bare lookup
+    then falls back to a UNIQUE qualified registration (ambiguity
+    raises rather than guessing); a qualified lookup falls back to a
+    bare registration of its last component (the Spark default-db
+    spelling of the same table)."""
+    n = _norm_table(name)
+    if n in ENGINE_INFO:
+        return ENGINE_INFO[n]
+    short = n.split(".")[-1]
+    if "." not in n:
+        hits = [k for k in ENGINE_INFO if k.split(".")[-1] == short]
+        if len(hits) > 1:
+            raise DialectError(
+                f"table {short!r} is ambiguous across registered DDL "
+                f"({sorted(hits)}); qualify the name"
+            )
+        return ENGINE_INFO[hits[0]] if hits else None
+    return ENGINE_INFO.get(short)
 
 
 def transpile_ddl(
@@ -284,8 +330,7 @@ def transpile_ddl(
         else:
             version = eargs[0].strip() if eargs else None
         info = EngineInfo(engine, keys, version, sign_col)
-        ENGINE_INFO[name] = info
-        ENGINE_INFO[name.split(".")[-1].strip("`")] = info
+        register_engine_info(name, info)
 
     part = ""
     pm = re.search(r"PARTITION\s+BY\s+([A-Za-z_][A-Za-z0-9_]*)\b(?!\s*\()",
@@ -1030,7 +1075,7 @@ def q_ddl_final_summing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 O_DDL_FINAL_SUMMING = """
-SELECT k, SUM(qty) AS qty,
+SELECT k, CAST(SUM(qty) AS BIGINT) AS qty,
        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS amount,
        MIN(o_orderstatus) AS tag
 FROM (SELECT o_orderkey % 1000 AS k, 1 AS qty, o_totalprice,

@@ -299,18 +299,23 @@ _STRFTIME_MAP = [
     ("%H", "HH"), ("%M", "mm"), ("%S", "ss"), ("%j", "DDD"),
     ("%F", "yyyy-MM-dd"), ("%T", "HH:mm:ss"), ("%e", "d"),
     ("%G", "YYYY"), ("%V", "ww"), ("%a", "EEE"), ("%b", "MMM"),
-    ("%%", "%"),
 ]
 
 
 def _strftime_to_jdk(fmt: str) -> str:
+    # escape '%%' (literal percent) FIRST: doing it after the code
+    # substitutions would both mis-expand '%%Y' (literal % + Y) as
+    # '%' + yyyy and leave a residual '%' that the unsupported-code
+    # check below rejects even though '%%' is supported
+    sentinel = "\x00"
+    fmt = fmt.replace("%%", sentinel)
     for ch_code, jdk in _STRFTIME_MAP:
         fmt = fmt.replace(ch_code, jdk)
     if "%" in fmt:
         raise DialectError(
             f"formatDateTime: unsupported strftime code in {fmt!r}"
         )
-    return fmt
+    return fmt.replace(sentinel, "%")
 
 
 class DialectError(ValueError):
@@ -640,13 +645,25 @@ def _render_call(name: str, args: list[str]) -> str:
         part, post = _URL_PARTS[name]
         expr = f"parse_url({args[0]}, '{part}')"
         return post.format(u=expr) if post else expr
+    # empty-array guard for the index-spine family: Spark's
+    # sequence(1, 0) yields the DESCENDING [1, 0] (ClickHouse returns
+    # []), so the spine is built over greatest(size, 1) and sliced
+    # back to size — slice(…, 1, 0) is the legal empty result
     if name == "arrayEnumerate" and len(args) == 1:
-        return f"sequence(1, size({args[0]}))"
-    if name == "arrayDifference" and len(args) == 1:
         a = args[0]
         return (
-            f"zip_with({a}, concat(array(element_at({a}, 1)), "
-            f"slice({a}, 1, size({a}) - 1)), (__x, __y) -> __x - __y)"
+            f"slice(sequence(1, greatest(size({a}), 1)), 1, size({a}))"
+        )
+    if name == "arrayDifference" and len(args) == 1:
+        # the shifted copy is built from slices only (slice(a, 1, 1)
+        # is [] on an empty array; element_at(a, 1) would raise) and
+        # the n-1 length is clamped at 0 (negative slice length is a
+        # runtime error)
+        a = args[0]
+        return (
+            f"zip_with({a}, concat(slice({a}, 1, 1), "
+            f"slice({a}, 1, greatest(size({a}) - 1, 0))), "
+            f"(__x, __y) -> __x - __y)"
         )
     if name == "arrayCumSum" and len(args) == 1:
         # prefix sums via per-index folds: O(n²) in the array length —
@@ -654,7 +671,8 @@ def _render_call(name: str, args: list[str]) -> str:
         # accumulation is the arraySum policy)
         a = args[0]
         return (
-            f"transform(sequence(1, size({a})), __i -> "
+            f"transform(slice(sequence(1, greatest(size({a}), 1)), "
+            f"1, size({a})), __i -> "
             f"aggregate(slice({a}, 1, __i), CAST(0 AS DOUBLE), "
             f"(__s, __x) -> __s + CAST(__x AS DOUBLE)))"
         )
@@ -1860,25 +1878,32 @@ def _asof_union_window(
         "__asof_side DESC ROWS BETWEEN UNBOUNDED PRECEDING AND "
         "CURRENT ROW)"
     )
-    carried = ", ".join(
-        f"last_value({c}, true) {win} AS {c}" for c in vals
-    )
+    # Carry the matched right row ATOMICALLY: one last_value over a
+    # side-tagged struct of all value columns (NULL struct on side=0
+    # spine rows, so IGNORE NULLS skips them).  Per-column carries
+    # would backfill a NULL value column from an OLDER right row,
+    # fabricating a row ClickHouse never returns — ASOF yields the
+    # single matched row including its NULLs.
+    ns = ", ".join(f"'{c}', {c}" for c in vals)
+    row_struct = f"CASE WHEN __asof_side = 1 THEN named_struct({ns}) END"
     matched = f"last_value(CASE WHEN __asof_side = 1 THEN 1 END, true) {win}"
     nulls = ", ".join(f"NULL AS {c}" for c in vals)
     keep = "__asof_side = 0"
     inner_cols = f"{kcsv}, __asof_side"
+    if vals:
+        inner_cols += f", last_value({row_struct}, true) {win} AS __asof_r"
     if strict != "LEFT":
         inner_cols += f", {matched} AS __asof_matched"
         keep += " AND __asof_matched = 1"
     jkind = "LEFT JOIN" if strict == "LEFT" else "JOIN"
     sel_vals = f", {', '.join(vals)}" if vals else ""
-    carried_part = f", {carried}" if vals else ""
+    proj_vals = f", {', '.join(f'__asof_r.{c} AS {c}' for c in vals)}" if vals else ""
     nulls_part = f", {nulls}" if vals else ""
     r1 = f"SELECT {kcsv}, 1 AS __asof_side{sel_vals} FROM {right_ref} {r_alias}"
     l0 = f"SELECT DISTINCT {kcsv}, 0 AS __asof_side{nulls_part} FROM {left_rel}"
     return (
-        f" {jkind} (SELECT {kcsv}{sel_vals} FROM "
-        f"(SELECT {inner_cols}{carried_part} FROM "
+        f" {jkind} (SELECT {kcsv}{proj_vals} FROM "
+        f"(SELECT {inner_cols} FROM "
         f"({r1} UNION ALL {l0}) __asof_u) __asof_w WHERE {keep}) "
         f"{r_alias} USING ({kcsv})"
     )
@@ -2446,6 +2471,7 @@ def run_clickhouse_script(
     spark: SparkSession,
     script: str,
     path_overrides: dict[str, str] | None = None,
+    overwrite_existing: bool = False,
 ):
     """Run a multi-statement ClickHouse script — the migration-runbook
     front door: paste a ClickHouse init file (CREATE TABLE DDL,
@@ -2461,6 +2487,11 @@ def run_clickhouse_script(
     ClickHouse's MV insert-trigger contract; everything else →
     :func:`transpile` with the catalog resolver.  ``path_overrides``
     maps table name → storage path for relocating S3/MergeTree DDL.
+    ``CREATE TABLE`` honors ClickHouse's own existence semantics —
+    plain CREATE raises on an existing table, ``IF NOT EXISTS`` keeps
+    it untouched; pass ``overwrite_existing=True`` for the explicit
+    drop-and-recreate runbook behavior.  ``DROP TABLE`` invalidates
+    the table's registered engine metadata.
     Returns the list of (statement-kind, name-or-DataFrame) results;
     the last SELECT's DataFrame is the conventional script result."""
     import re as _re
@@ -2469,9 +2500,7 @@ def run_clickhouse_script(
 
     register_clickhouse_compat(spark)
     resolver = catalog_resolver(spark)
-    engine_info = lambda n: _ddl.ENGINE_INFO.get(n) or _ddl.ENGINE_INFO.get(  # noqa: E731
-        n.split(".")[-1].strip("`")
-    )
+    engine_info = _ddl.lookup_engine_info
     mvs: list = []
     results = []
     for stmt in split_statements(script):
@@ -2494,15 +2523,50 @@ def run_clickhouse_script(
             mvs.append(mv)
             results.append(("materialized_view", mv))
         elif _re.match(r"(?is)\s*CREATE\s+TABLE", stmt):
+            ine = bool(
+                _re.match(r"(?is)\s*CREATE\s+TABLE\s+IF\s+NOT\s+EXISTS", stmt)
+            )
             name = _re.sub(
                 r"(?is)^\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?", "", stmt
             ).split()[0].split("(")[0]
             override = (path_overrides or {}).get(
                 name.split(".")[-1].strip("`")
             )
-            spark.sql(f"DROP TABLE IF EXISTS {name}")
+            # honor the statement's own semantics (ClickHouse: plain
+            # CREATE errors on an existing table; IF NOT EXISTS keeps
+            # it); overwrite_existing=True is the explicit runbook
+            # opt-in to drop-and-recreate
+            exists = spark.catalog.tableExists(name.strip("`"))
+            if exists and not overwrite_existing:
+                if ine:
+                    results.append(("table", name))
+                    continue
+                raise DialectError(
+                    f"table {name} already exists (ClickHouse CREATE "
+                    "TABLE errors here); write CREATE TABLE IF NOT "
+                    "EXISTS to keep it, or pass "
+                    "overwrite_existing=True to drop and recreate"
+                )
+            if exists:
+                spark.sql(f"DROP TABLE IF EXISTS {name}")
+                _ddl.unregister_engine_info(name)
             spark.sql(_ddl.transpile_ddl(stmt, path_override=override))
             results.append(("table", name))
+        elif (
+            dm := _re.match(
+                r"(?is)\s*DROP\s+TABLE\s+(IF\s+EXISTS\s+)?"
+                r"([A-Za-z_][A-Za-z0-9_.`]*)\s*$",
+                stmt,
+            )
+        ) is not None:
+            name = dm.group(2)
+            if not dm.group(1) and not spark.catalog.tableExists(
+                name.strip("`")
+            ):
+                raise DialectError(f"DROP TABLE: {name} does not exist")
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+            _ddl.unregister_engine_info(name)
+            results.append(("drop", name))
         elif (
             im := _re.match(
                 r"(?is)\s*INSERT\s+INTO\s+(?:TABLE\s+)?"
@@ -2619,8 +2683,7 @@ def run_clickhouse_sql(
         transpile(
             sql,
             resolve_columns=catalog_resolver(spark),
-            engine_info=lambda n: _ddl.ENGINE_INFO.get(n)
-            or _ddl.ENGINE_INFO.get(n.split(".")[-1].strip("`")),
+            engine_info=_ddl.lookup_engine_info,
         )
     )
 
@@ -2914,7 +2977,8 @@ GROUP BY r
 """
 
 O_NUMBERS = """
-SELECT number % 7 AS r, COUNT(*) AS n, SUM(number) AS total
+SELECT number % 7 AS r, COUNT(*) AS n,
+       CAST(SUM(number) AS BIGINT) AS total
 FROM (SELECT unnest(range(1000)) AS number)
 GROUP BY 1
 """
@@ -3102,17 +3166,22 @@ def q_dialect_with_fill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # 11. topK(k)(x) — exact deterministic tier (count desc, value asc):
-#     the 3 most frequent priorities per order status.
+#     the 3 most frequent priorities per order status.  The gate
+#     boundary serializes the array with arrayStringConcat — the
+#     driver's canonicalizer (pandas sort_values) cannot hash
+#     list-typed cells (CORRECTNESS_r05 adjudication).
 _CH_TOPK = """
-SELECT o_orderstatus, topK(3)(o_orderpriority) AS top_prios
+SELECT o_orderstatus,
+       arrayStringConcat(topK(3)(o_orderpriority), ',') AS top_prios
 FROM orders
 GROUP BY o_orderstatus
 """
 
 O_TOPK = """
 SELECT o_orderstatus,
-       list_slice(list(o_orderpriority ORDER BY c DESC, o_orderpriority),
-                  1, 3) AS top_prios
+       array_to_string(
+         list_slice(list(o_orderpriority ORDER BY c DESC, o_orderpriority),
+                    1, 3), ',') AS top_prios
 FROM (
   SELECT o_orderstatus, o_orderpriority, count(*) AS c
   FROM orders GROUP BY 1, 2
@@ -3198,10 +3267,11 @@ def q_dialect_any_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 12c. combinator families round 2: -Array, -Distinct, -OrNull over
 #      inline arrays (integer-valued doubles keep the DOUBLE-policy
 #      sums exact under any partitioning), plus sumMap's
-#      tuple-of-sorted-arrays shape.
+#      tuple-of-sorted-arrays shape.  The sumMap pair arrays are
+#      exploded via ARRAY JOIN at the gate boundary so every output
+#      column is scalar (driver canonicalizer, CORRECTNESS_r05).
 _CH_COMBINATORS2 = """
-SELECT cohort, sa, mna, mxa, ca, aa, sd, cn,
-       (sm).keys AS mk, (sm).values AS mv
+SELECT cohort, sa, mna, mxa, ca, aa, sd, cn, mk, mv
 FROM (
   SELECT user_id % 10 AS cohort,
          sumArray([toFloat64(user_id % 3), toFloat64(event_id % 5)]) AS sa,
@@ -3215,6 +3285,7 @@ FROM (
   FROM events
   GROUP BY cohort
 )
+ARRAY JOIN (sm).keys AS mk, (sm).values AS mv
 """
 
 O_COMBINATORS2 = """
@@ -3226,18 +3297,15 @@ WITH scalars AS (
          GREATEST(MAX(value), -1.0) AS mxa,
          CAST(2 * COUNT(*) AS BIGINT) AS ca,
          AVG(CAST(event_id % 7 AS DOUBLE)) AS aa,
-         SUM(DISTINCT user_id % 7) AS sd,
+         CAST(SUM(DISTINCT user_id % 7) AS BIGINT) AS sd,
          NULLIF(COUNT(CASE WHEN value > 1000 THEN 1 END), 0) AS cn
   FROM events GROUP BY 1),
 per_key AS (
-  SELECT user_id % 10 AS cohort, event_type AS k, SUM(value) AS v
-  FROM events GROUP BY 1, 2),
-maps AS (
-  SELECT cohort, list(k ORDER BY k) AS mk, list(v ORDER BY k) AS mv
-  FROM per_key GROUP BY cohort)
+  SELECT user_id % 10 AS cohort, event_type AS mk, SUM(value) AS mv
+  FROM events GROUP BY 1, 2)
 SELECT s.cohort, s.sa, s.mna, s.mxa, s.ca, s.aa, s.sd, s.cn,
-       m.mk, m.mv
-FROM scalars s JOIN maps m ON s.cohort = m.cohort
+       p.mk, p.mv
+FROM scalars s JOIN per_key p ON s.cohort = p.cohort
 """
 
 
@@ -3327,8 +3395,11 @@ SELECT event_id,
                      '.org/p/q?x=1')) AS dom,
        path(concat('https://ex.org/p', toString(user_id % 5),
                    '?x=1')) AS pth,
-       alphaTokens(concat('ab1cd', toString(event_id % 10), 'xy')) AS toks,
-       splitByString('--', concat('a--b--', event_type)) AS parts
+       arrayStringConcat(
+         alphaTokens(concat('ab1cd', toString(event_id % 10), 'xy')),
+         '/') AS toks,
+       arrayStringConcat(
+         splitByString('--', concat('a--b--', event_type)), '/') AS parts
 FROM events
 WHERE event_id % 53 = 0
 """
@@ -3343,9 +3414,12 @@ SELECT event_id,
                       '^[a-z]+://([^/]+)', 1) AS dom,
        regexp_extract('https://ex.org/p' || (user_id % 5) || '?x=1',
                       '^[a-z]+://[^/?#]+([^?#]*)', 1) AS pth,
-       list_filter(string_split_regex('ab1cd' || (event_id % 10) || 'xy',
-                                      '[^A-Za-z]+'), x -> x != '') AS toks,
-       string_split('a--b--' || event_type, '--') AS parts
+       array_to_string(
+         list_filter(string_split_regex('ab1cd' || (event_id % 10) || 'xy',
+                                        '[^A-Za-z]+'), x -> x != ''),
+         '/') AS toks,
+       array_to_string(string_split('a--b--' || event_type, '--'), '/')
+         AS parts
 FROM events
 WHERE event_id % 53 = 0
 """
@@ -3403,24 +3477,32 @@ def q_dialect_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_clickhouse_sql(spark, _CH_WINDOW_FUNNEL, sf_dir, ("events",))
 
 
-# 14. retention — the per-condition flag product, verbatim.
+# 14. retention — the per-condition flag product, verbatim.  The
+#     fixed-length flag array is projected to scalar columns at the
+#     gate boundary via ClickHouse 1-based subscripts (driver's
+#     canonicalizer cannot hash list cells, CORRECTNESS_r05).
 _CH_RETENTION = """
-SELECT user_id,
-       retention(event_type = 'view', event_type = 'click',
-                 event_type = 'purchase') AS r
-FROM events
-GROUP BY user_id
+SELECT user_id, r[1] AS r1, r[2] AS r2, r[3] AS r3
+FROM (
+  SELECT user_id,
+         retention(event_type = 'view', event_type = 'click',
+                   event_type = 'purchase') AS r
+  FROM events
+  GROUP BY user_id
+)
 ORDER BY user_id
 """
 
 O_RETENTION = """
 SELECT user_id,
-       [CAST(MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS INT),
-        CAST(MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
-             * MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS INT),
-        CAST(MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
-             * MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS INT)]
-         AS r
+       CAST(MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS INT)
+         AS r1,
+       CAST(MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+            * MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS INT)
+         AS r2,
+       CAST(MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+            * MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+            AS INT) AS r3
 FROM events
 GROUP BY user_id
 ORDER BY user_id

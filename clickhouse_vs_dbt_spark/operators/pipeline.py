@@ -159,8 +159,9 @@ emb AS (
   WHERE l.pred_lang = 'en' AND q.quality_score >= {QUALITY_MIN}
     AND q.n_tokens BETWEEN {TOKENS_MIN} AND {TOKENS_MAX}
 ), budgeted AS (
-  SELECT *, SUM(n_tokens) OVER (ORDER BY doc_id
-              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+  SELECT *, CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS cum_tokens
   FROM survivors)
 SELECT doc_id, n_tokens, quality_score, pred_lang, emb_norm, cum_tokens
 FROM budgeted WHERE cum_tokens <= {TOKEN_BUDGET} ORDER BY doc_id

@@ -232,13 +232,16 @@ def test_engine_info_registered_and_final_rewrites():
         "CREATE TABLE db.tv (k UInt64, v Float64, ver UInt8) "
         "ENGINE = ReplacingMergeTree(ver) ORDER BY (k)"
     )
-    info = ENGINE_INFO["tv"]
+    from clickhouse_vs_dbt_spark.ddl import lookup_engine_info
+
+    info = lookup_engine_info("tv")  # bare lookup → unique qualified hit
     assert info.engine == "ReplacingMergeTree"
     assert info.keys == ("k",) and info.version == "ver"
+    assert ENGINE_INFO["db.tv"] is info  # keyed as written, no bare alias
     out = transpile(
         "SELECT k, v FROM tv FINAL",
         resolve_columns=lambda n: ["k", "v", "ver"] if "tv" in n else None,
-        engine_info=lambda n: ENGINE_INFO.get(n),
+        engine_info=lookup_engine_info,
     )
     assert "FINAL" not in out
     assert "max_by(struct(v, ver), struct(ver, v))" in out
@@ -314,3 +317,85 @@ def test_summing_final_rewrites(spark):
         engine_info=lambda n: ENGINE_INFO.get("smt2"),
     )
     assert "sum(a) AS a" in out and "min(b) AS b" in out
+
+
+def test_engine_info_qualified_keying_and_invalidation():
+    """ADVICE r5: ENGINE_INFO must not silently serve db2.t's metadata
+    for db1.t through a shared bare-name alias, and DROP must
+    invalidate."""
+    import pytest
+
+    from clickhouse_vs_dbt_spark.ddl import (
+        lookup_engine_info,
+        transpile_ddl,
+        unregister_engine_info,
+    )
+    from clickhouse_vs_dbt_spark.dialect import DialectError
+
+    transpile_ddl(
+        "CREATE TABLE dbx.amb (k UInt64, v UInt32) "
+        "ENGINE = ReplacingMergeTree(v) ORDER BY k"
+    )
+    transpile_ddl(
+        "CREATE TABLE dby.amb (k UInt64, s Int8) "
+        "ENGINE = CollapsingMergeTree(s) ORDER BY k"
+    )
+    # qualified lookups resolve independently
+    assert lookup_engine_info("dbx.amb").engine == "ReplacingMergeTree"
+    assert lookup_engine_info("dby.amb").engine == "CollapsingMergeTree"
+    # bare lookup across two qualified registrations refuses to guess
+    with pytest.raises(DialectError, match="ambiguous"):
+        lookup_engine_info("amb")
+    unregister_engine_info("dby.amb")
+    assert lookup_engine_info("amb").engine == "ReplacingMergeTree"
+    # bare unregister clears the remaining qualified entry too
+    unregister_engine_info("amb")
+    assert lookup_engine_info("amb") is None
+    # qualified lookup of a bare-registered table falls back
+    transpile_ddl(
+        "CREATE TABLE amb (k UInt64, v UInt32) "
+        "ENGINE = ReplacingMergeTree(v) ORDER BY k"
+    )
+    assert lookup_engine_info("default.amb").engine == "ReplacingMergeTree"
+    unregister_engine_info("amb")
+
+
+def test_script_create_table_existence_semantics(spark, tmp_path):
+    """ADVICE r5: plain CREATE TABLE on an existing table raises (no
+    silent drop-and-recreate); IF NOT EXISTS keeps the existing table;
+    overwrite_existing=True restores the runbook drop+recreate."""
+    import pytest
+
+    from clickhouse_vs_dbt_spark.dialect import (
+        DialectError,
+        run_clickhouse_script,
+    )
+
+    spark.sql("DROP TABLE IF EXISTS sem_t")
+    # managed table (no path override): Spark DROP removes the data,
+    # matching ClickHouse DROP semantics; external path-backed tables
+    # keep their files per Spark's external-table contract
+    ddl = (
+        "CREATE TABLE sem_t (k UInt64, v Float64) "
+        "ENGINE = MergeTree ORDER BY k"
+    )
+    run_clickhouse_script(spark, ddl + ";")
+    spark.sql("INSERT INTO sem_t VALUES (1, 1.0)")
+    # IF NOT EXISTS keeps the table (row survives)
+    run_clickhouse_script(
+        spark,
+        "CREATE TABLE IF NOT EXISTS sem_t (k UInt64, v Float64) "
+        "ENGINE = MergeTree ORDER BY k;",
+    )
+    assert spark.table("sem_t").count() == 1
+    # plain CREATE on an existing table raises
+    with pytest.raises(DialectError, match="already exists"):
+        run_clickhouse_script(spark, ddl + ";")
+    # the explicit opt-in drops and recreates (row gone)
+    run_clickhouse_script(spark, ddl + ";", overwrite_existing=True)
+    assert spark.table("sem_t").count() == 0
+    # DROP TABLE without IF EXISTS on a missing table raises
+    run_clickhouse_script(spark, "DROP TABLE sem_t;")
+    with pytest.raises(DialectError, match="does not exist"):
+        run_clickhouse_script(spark, "DROP TABLE sem_t;")
+    run_clickhouse_script(spark, "DROP TABLE IF EXISTS sem_t;")

@@ -587,7 +587,13 @@ def test_asof_union_window_with_resolver():
         resolve_columns=resolve,
     )
     assert "LATERAL" not in out
-    assert "UNION ALL" in out and "last_value(px, true)" in out
+    assert "UNION ALL" in out
+    # the matched right row is carried atomically as ONE struct (a
+    # per-column carry would backfill NULL value columns from older
+    # right rows — rows ClickHouse never returns)
+    assert "named_struct('px', px, 'qty', qty)" in out
+    assert "__asof_r.px AS px" in out and "__asof_r.qty AS qty" in out
+    assert out.count("last_value") == 1
     assert "USING(uid, ts)" in out and "SELECT DISTINCT uid" in out
     # inner strictness adds the matched filter
     out = transpile(
@@ -692,6 +698,37 @@ def test_asof_union_window_equals_lateral_fallback(spark, sf_dir):
     lateral = spark.sql(transpile(ch))
     assert "last_value" in with_resolver._jdf.queryExecution().toString()
     assert _rows(with_resolver) == _rows(lateral)
+
+
+def test_asof_carries_matched_row_atomically(spark):
+    """A NULL value column in the MATCHED right row must come through
+    as NULL — a per-column last_value carry would backfill it from an
+    older right row, fabricating a mixed row ClickHouse never
+    returns."""
+    from clickhouse_vs_dbt_spark.dialect import catalog_resolver
+
+    spark.sql("DROP VIEW IF EXISTS asof_l")
+    spark.sql("DROP VIEW IF EXISTS asof_r")
+    spark.sql(
+        "CREATE TEMP VIEW asof_l AS SELECT * FROM VALUES "
+        "(1, 3L) AS t(uid, ts)"
+    )
+    spark.sql(
+        "CREATE TEMP VIEW asof_r AS SELECT * FROM VALUES "
+        "(1, 1L, 10.0, 5L), (1, 2L, CAST(NULL AS DOUBLE), 7L) "
+        "AS t(uid, ts, px, qty)"
+    )
+    out = spark.sql(
+        transpile(
+            "SELECT l.uid, l.ts, r.px, r.qty FROM asof_l l "
+            "ASOF LEFT JOIN asof_r r USING (uid, ts)",
+            resolve_columns=catalog_resolver(spark),
+        )
+    ).collect()
+    assert len(out) == 1
+    row = out[0]
+    # matched row is (ts=2, px=NULL, qty=7): px stays NULL
+    assert row.qty == 7 and row.px is None
 
 
 def test_combinator_families_round5():
@@ -938,6 +975,12 @@ def test_json_url_strftime_families():
     )
     with pytest.raises(DialectError, match="strftime"):
         transpile("formatDateTime(d, '%Q')")
+    # '%%' is a literal percent and must survive (ADVICE r5: the
+    # residual-% check used to reject it); it also must not pair with
+    # a following code letter ('%%Y' is literal '%' + 'Y')
+    assert transpile("formatDateTime(d, '100%% %Y')") == (
+        "date_format(d, '100% yyyy')"
+    )
     assert "array_remove(split(s, '[^A-Za-z]+'), '')" == (
         transpile("alphaTokens(s)")
     )
@@ -961,7 +1004,8 @@ def test_structural_rewrites_compose():
         "ORDER BY t.id LIMIT 2 BY cat",
         resolve_columns=resolve,
     )
-    assert "last_value(px, true)" in out          # ASOF union-window
+    assert "named_struct('px', px)" in out        # ASOF union-window
+    assert "__asof_r.px AS px" in out
     assert "min(struct(cat))" in out              # ANY collapse
     assert "__limit_by_rn" in out                 # LIMIT BY window
     assert "ASOF" not in out and "ANY" not in out.replace("ANY", "ANY")
@@ -1116,7 +1160,9 @@ def test_scalar_tranche_round5c(spark):
 def test_map_and_array_enumeration_scalars(spark):
     assert transpile("mapKeys(m)") == "map_keys(m)"
     assert transpile("mapContains(m, 'k')") == "map_contains_key(m, 'k')"
-    assert transpile("arrayEnumerate(a)") == "sequence(1, size(a))"
+    assert transpile("arrayEnumerate(a)") == (
+        "slice(sequence(1, greatest(size(a), 1)), 1, size(a))"
+    )
     row = spark.sql(
         transpile(
             "SELECT arrayDifference([2, 5, 9]) AS d, "
@@ -1127,6 +1173,17 @@ def test_map_and_array_enumeration_scalars(spark):
     assert row.d == [0, 3, 4]
     assert row.cs == [1.5, 3.5, 6.5]
     assert row.en == [1, 2]
+    # empty-array edges (ADVICE r5): ClickHouse returns [] for all
+    # three; the naive sequence(1, 0) spine would give [1, 0] and the
+    # naive size-1 slice length would raise at runtime
+    row = spark.sql(
+        transpile(
+            "SELECT arrayEnumerate(CAST(array() AS ARRAY<BIGINT>)) AS en, "
+            "arrayDifference(CAST(array() AS ARRAY<BIGINT>)) AS d, "
+            "arrayCumSum(CAST(array() AS ARRAY<BIGINT>)) AS cs"
+        )
+    ).collect()[0]
+    assert row.en == [] and row.d == [] and row.cs == []
 
 
 def test_uniq_up_to_parametric(spark):

@@ -97,6 +97,33 @@ def dtype_mismatches(sdtypes: list[tuple], odtypes: list[tuple]) -> list[str]:
     return out
 
 
+def driver_hazards(sdtypes: list[tuple], odtypes: list[tuple]) -> list[str]:
+    """Output shapes the *driver's* gate cannot hash even though this
+    local gate could — the local gate must be strictly stricter
+    (CORRECTNESS_r05 adjudication):
+
+    * list/map/struct-typed Spark output columns — the driver's
+      canonicalizer does a pandas ``sort_values`` over the object
+      column and dies on ``unhashable type: 'list'``;
+    * HUGEINT (INT128) DuckDB oracle columns — un-cast integer SUMs;
+      pandas coerces them to float64, so the driver stringifies
+      ``71071.0`` against Spark's ``71071`` and the hash misses.
+    """
+    out = []
+    for n, st in sdtypes:
+        if dtype_class(st) in ("list", "other") and st.lower().startswith(
+            ("array", "map", "struct")
+        ):
+            out.append(f"{n}: spark output type {st} is driver-unhashable")
+    for n, ot in odtypes:
+        if ot.lower().strip() == "hugeint":
+            out.append(
+                f"{n}: oracle HUGEINT (cast the SUM to BIGINT) — "
+                "pandas coerces INT128 to float64 in the driver gate"
+            )
+    return out
+
+
 def main() -> int:
     argv = [a for a in sys.argv[1:] if a != "--dtypes"]
     dtypes_only = "--dtypes" in sys.argv[1:]
@@ -138,6 +165,7 @@ def main() -> int:
                 print(f"{name:32s} ORACLE DESCRIBE ERROR: {ex}")
                 continue
             mism = dtype_mismatches(sdtypes, odtypes)
+            mism += driver_hazards(sdtypes, odtypes)
             if mism:
                 failures.append((name, "; ".join(mism)))
                 print(f"{name:32s} DTYPE MISMATCH  {'; '.join(mism)}")
@@ -167,6 +195,7 @@ def main() -> int:
         ok_rows = len(srows) == len(orows)
         ok_cols = sorted(scols) == sorted(ocols)
         mism = dtype_mismatches(sdtypes, odtypes)
+        mism += driver_hazards(sdtypes, odtypes)
         ok_dtypes = not mism
         sh, oh = table_hash(scols, srows), table_hash(ocols, orows)
         ok_hash = sh == oh
