@@ -69,6 +69,20 @@ def with_payload(d: DataFrame) -> DataFrame:
     )
 
 
+def docs_for_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, text) spread across the session's full parallelism.
+
+    The documents table is a single parquet file at test scale, so a
+    straight scan gives the codec mapInPandas stages ONE partition —
+    serializing every encode/decode on one core.  The Python-kernel
+    cost dominates these stages by orders of magnitude, so the tiny
+    round-robin shuffle is the right trade at every scale (at real
+    scale the input is many files and the repartition keeps cores
+    busy when file sizes skew)."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return d.repartition(spark.sparkContext.defaultParallelism)
+
+
 def q_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Typed metadata over binary payloads: byte length, sha256, and
     deterministic fake dimensions (pure arithmetic so the oracle can
@@ -510,38 +524,56 @@ def _decode_png(payload: bytes):
 
 def _lzw_decode(data: bytes, mcs: int, expected: int) -> list[int]:
     """GIF-variant LZW: LSB-first variable-width codes (mcs+1 .. 12
-    bits), CLEAR/END control codes, standard KwKwK handling."""
+    bits), CLEAR/END control codes, standard KwKwK handling.
+
+    Codes are extracted in vectorized chunks: the code width is fixed
+    until ``next_code`` reaches ``1 << width`` (it grows at most once
+    per consumed code), so up to that many codes are sliced out of a
+    numpy bit array in one gather instead of a per-bit Python loop.
+    A CLEAR (or a width bump) mid-chunk just discards the not-yet
+    consumed tail of the chunk — the bit cursor only advances as
+    codes are consumed, so re-reading at the new width is exact."""
+    import numpy as np
+
     clear, end = 1 << mcs, (1 << mcs) + 1
-    nbits = len(data) * 8
+    bits = np.unpackbits(np.frombuffer(data, np.uint8), bitorder="little")
+    nbits = len(bits)
     bitpos = 0
-
-    def read_code(width: int) -> int:
-        nonlocal bitpos
-        if bitpos + width > nbits:
-            raise NotImplementedError("truncated GIF LZW stream")
-        v = 0
-        for i in range(width):
-            p = bitpos + i
-            v |= ((data[p >> 3] >> (p & 7)) & 1) << i
-        bitpos += width
-        return v
-
     width = mcs + 1
-    table: dict[int, list[int]] = {i: [i] for i in range(clear)}
+    table: list[list[int] | None] = [[i] for i in range(clear)]
+    table += [None, None]  # CLEAR / END positions
     next_code = end + 1
     prev: list[int] | None = None
     out: list[int] = []
+    pending: list[int] = []
+    pi = 0
     while len(out) < expected:
-        code = read_code(width)
+        if pi >= len(pending):
+            # refill: codes guaranteed to share the current width
+            k = (1 << width) - next_code if width < 12 else 1 << 12
+            k = max(1, min(k, expected - len(out) + 1))
+            avail = (nbits - bitpos) // width
+            if avail <= 0:
+                raise NotImplementedError("truncated GIF LZW stream")
+            k = min(k, avail)
+            idx = bitpos + width * np.arange(k)
+            pend = bits[idx[:, None] + np.arange(width)].astype(np.int64)
+            pending = (pend @ (1 << np.arange(width, dtype=np.int64))).tolist()
+            pi = 0
+        code = pending[pi]
+        pi += 1
+        bitpos += width
         if code == clear:
             width = mcs + 1
-            table = {i: [i] for i in range(clear)}
+            table = [[i] for i in range(clear)]
+            table += [None, None]
             next_code = end + 1
             prev = None
+            pending, pi = [], 0  # width may differ: re-read
             continue
         if code == end:
             break
-        if code in table:
+        if code < len(table) and table[code] is not None:
             entry = table[code]
         elif code == next_code and prev is not None:
             entry = prev + prev[:1]  # KwKwK
@@ -549,10 +581,11 @@ def _lzw_decode(data: bytes, mcs: int, expected: int) -> list[int]:
             raise NotImplementedError("invalid GIF LZW code")
         out.extend(entry)
         if prev is not None and next_code < 4096:
-            table[next_code] = prev + entry[:1]
+            table.append(prev + entry[:1])
             next_code += 1
             if next_code == (1 << width) and width < 12:
                 width += 1
+                pending, pi = [], 0  # subsequent codes are wider
         prev = entry
     if len(out) < expected:
         raise NotImplementedError("GIF LZW stream ended early")
@@ -640,38 +673,95 @@ _ZIGZAG = [
 
 
 class _JpegBits:
-    """MSB-first bit reader over a byte-unstuffed entropy segment."""
+    """MSB-first bit reader over a byte-unstuffed entropy segment.
 
-    __slots__ = ("data", "pos", "bit")
+    Keeps a small integer accumulator refilled a byte at a time so a
+    multi-bit read is one shift/mask instead of a per-bit loop — the
+    entropy read is the decoder's hot path (one call per Huffman
+    symbol / magnitude field, thousands per image)."""
+
+    __slots__ = ("data", "pos", "acc", "nacc", "n")
 
     def __init__(self, data: bytes):
         self.data = data
         self.pos = 0
-        self.bit = 0
+        self.acc = 0
+        self.nacc = 0
+        self.n = len(data)
 
     def read_bit(self) -> int:
-        if self.pos >= len(self.data):
-            raise NotImplementedError("JPEG entropy stream truncated")
-        b = (self.data[self.pos] >> (7 - self.bit)) & 1
-        self.bit += 1
-        if self.bit == 8:
-            self.bit = 0
+        if self.nacc == 0:
+            if self.pos >= self.n:
+                raise NotImplementedError("JPEG entropy stream truncated")
+            self.acc = self.data[self.pos]
             self.pos += 1
-        return b
+            self.nacc = 8
+        self.nacc -= 1
+        return (self.acc >> self.nacc) & 1
 
     def read_bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
+        if n == 0:
+            return 0
+        while self.nacc < n:
+            if self.pos >= self.n:
+                raise NotImplementedError("JPEG entropy stream truncated")
+            self.acc = (self.acc << 8) | self.data[self.pos]
+            self.pos += 1
+            self.nacc += 8
+        self.nacc -= n
+        v = (self.acc >> self.nacc) & ((1 << n) - 1)
+        self.acc &= (1 << self.nacc) - 1
         return v
 
+    def bits_left(self) -> int:
+        return self.nacc + 8 * (self.n - self.pos)
 
-def _jpeg_huff_decode(bits: _JpegBits, table: dict) -> int:
+    def peek_bits(self, n: int) -> int:
+        """Next n bits without consuming (caller checked bits_left)."""
+        while self.nacc < n:
+            self.acc = (self.acc << 8) | self.data[self.pos]
+            self.pos += 1
+            self.nacc += 8
+        return (self.acc >> (self.nacc - n)) & ((1 << n) - 1)
+
+    def skip_bits(self, n: int) -> None:
+        self.nacc -= n
+        self.acc &= (1 << self.nacc) - 1
+
+
+class _JpegHuff:
+    """Canonical Huffman table with a peek-maxlen LUT: one table
+    lookup decodes a whole symbol (vs 1 bit-read + dict probe per
+    code bit).  The (length, code) dict is kept for the stream-tail
+    case where fewer than maxlen bits remain."""
+
+    __slots__ = ("codes", "lut", "maxlen")
+
+    def __init__(self, codes: dict):
+        self.codes = codes
+        self.maxlen = max((l for l, _ in codes), default=1)
+        lut = [None] * (1 << self.maxlen)
+        for (length, code), sym in codes.items():
+            shift = self.maxlen - length
+            base = code << shift
+            for fill in range(1 << shift):
+                lut[base | fill] = (sym, length)
+        self.lut = lut
+
+
+def _jpeg_huff_decode(bits: _JpegBits, table: "_JpegHuff") -> int:
+    if bits.bits_left() >= table.maxlen:
+        ent = table.lut[bits.peek_bits(table.maxlen)]
+        if ent is None:
+            raise NotImplementedError("invalid JPEG Huffman code")
+        bits.skip_bits(ent[1])
+        return ent[0]
+    codes = table.codes
     code, length = 0, 0
     while length < 16:
         code = (code << 1) | bits.read_bit()
         length += 1
-        sym = table.get((length, code))
+        sym = codes.get((length, code))
         if sym is not None:
             return sym
     raise NotImplementedError("invalid JPEG Huffman code")
@@ -730,7 +820,7 @@ def _decode_jpeg(payload: bytes):
     if payload[:2] != b"\xff\xd8":
         raise NotImplementedError("not a JPEG SOI")
     qt: dict[int, list[int]] = {}
-    huff: dict[tuple[int, int], dict] = {}
+    huff: dict[tuple[int, int], _JpegHuff] = {}
     frame = None
     progressive = False
     restart_interval = 0
@@ -828,7 +918,7 @@ def _decode_jpeg(payload: bytes):
                         code += 1
                         i += 1
                     code <<= 1
-                huff[(tc, th)] = table
+                huff[(tc, th)] = _JpegHuff(table)
         elif marker == 0xDD:  # DRI
             restart_interval, = struct.unpack_from(">H", seg, 0)
         elif marker == 0xDA:  # SOS — one scan (several in progressive)
@@ -983,12 +1073,17 @@ def _decode_jpeg(payload: bytes):
         zz = np.array(_ZIGZAG)
         q[zz] = np.array(qt[tq], dtype=np.float64)
         by, bx, *_ = geom[cid]
-        plane = np.zeros((by * 8, bx * 8), dtype=np.float64)
-        cf = coefs[cid] * q  # dequantize (broadcast over raster order)
-        for yi in range(by):
-            for xi in range(bx):
-                block = M.T @ cf[yi, xi].reshape(8, 8) @ M + 128.0
-                plane[yi * 8 : yi * 8 + 8, xi * 8 : xi * 8 + 8] = block
+        cf = (coefs[cid] * q).reshape(by * bx, 8, 8)  # dequantize
+        # batched separable IDCT: two broadcast matmuls over every
+        # block of the component instead of a per-block Python loop
+        # (the loop form spent ~5µs of dispatch per 8×8 matmul pair;
+        # einsum would re-derive its contraction path per payload)
+        blocks = (M.T @ cf) @ M + 128.0
+        plane = (
+            blocks.reshape(by, bx, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(by * 8, bx * 8)
+        )
         plane = np.repeat(
             np.repeat(plane, vmax // vs, axis=0), hmax // hs, axis=1
         )
@@ -1340,9 +1435,7 @@ def q_multimodal_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     statistics, so the DuckDB oracle value-checks the whole decode
     path without needing a codec.  Container-level columns (md5,
     n_bytes) are excluded — they describe the PNG wrapper."""
-    d = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "text"
-    )
+    d = docs_for_codec(spark, sf_dir)
     encoded = d.mapInPandas(
         _encode_png_kernel, schema="doc_id long, payload binary"
     )
@@ -1428,35 +1521,34 @@ def _encode_jpeg_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
                 struct.pack(">BHHB", 8, 8, 8 * n, 1) + bytes([1, 0x11, 0]),
             )
             sos = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
-            bits: list[int] = []
-
-            def put(v: int, w: int) -> None:
-                for i in range(w - 1, -1, -1):
-                    bits.append((v >> i) & 1)
-
+            # MSB-first bitstream as one big int (acc<<w | field per
+            # block — 3 int ops instead of w per-bit list appends);
+            # big-endian to_bytes IS the MSB-first packing, and byte
+            # stuffing is a single bytes.replace
+            acc, nbits = 0, 0
             pred = 0
             for b in raw:
                 dc = (b - 128) * 8
                 diff = dc - pred
                 pred = dc
                 cat = diff.bit_length() if diff else 0
-                put(0b0000 + cat, 4)  # uniform 4-bit DC code = category
                 if cat:
-                    put(diff if diff > 0 else diff + (1 << cat) - 1, cat)
-                put(0, 1)  # AC EOB
-            pad = (-len(bits)) % 8
-            bits.extend([1] * pad)
-            data = bytearray()
-            for i in range(0, len(bits), 8):
-                byte = 0
-                for j in range(8):
-                    byte = (byte << 1) | bits[i + j]
-                data.append(byte)
-                if byte == 0xFF:
-                    data.append(0x00)  # byte stuffing
+                    v = diff if diff > 0 else diff + (1 << cat) - 1
+                    # 4-bit DC code (= category) + cat value bits + EOB
+                    acc = (acc << (5 + cat)) | (cat << (cat + 1)) | (v << 1)
+                    nbits += 5 + cat
+                else:
+                    acc = acc << 5  # cat 0 code + EOB
+                    nbits += 5
+            pad = (-nbits) % 8
+            acc = (acc << pad) | ((1 << pad) - 1)
+            nbits += pad
+            data = acc.to_bytes(nbits // 8, "big").replace(
+                b"\xff", b"\xff\x00"
+            )
             payloads.append(
                 b"\xff\xd8" + dqt + sof + dht_dc + dht_ac + sos
-                + bytes(data) + b"\xff\xd9"
+                + data + b"\xff\xd9"
             )
         yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
@@ -1467,7 +1559,7 @@ def q_multimodal_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     coding, byte stuffing, IDCT) as flat blocks and come back exactly
     — pixel statistics equal the byte statistics of the truncated
     text, value-checked by DuckDB."""
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    d = docs_for_codec(spark, sf_dir)
     encoded = d.mapInPandas(
         _encode_jpeg_kernel, schema="doc_id long, payload binary"
     )
@@ -1545,11 +1637,16 @@ def _encode_media_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFra
     def gif_of(raw: bytes) -> bytes:
         n = len(raw)
         pal = bytes(v for b in range(256) for v in (b, b, b))
-        bits: list[int] = []
+        # LSB-first bitstream as one big int: bit k of the stream is
+        # bit k of the int, so little-endian to_bytes IS the GIF
+        # packing — each code is one shift-or instead of a per-bit
+        # list append
+        acc, nbits = 0, 0
 
         def put(code: int, width: int) -> None:
-            for i in range(width):
-                bits.append((code >> i) & 1)  # LSB-first
+            nonlocal acc, nbits
+            acc |= code << nbits
+            nbits += width
 
         mcs = 8
         clear, end = 1 << mcs, (1 << mcs) + 1
@@ -1565,12 +1662,7 @@ def _encode_media_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFra
                     width += 1
             prev_emitted = True
         put(end, width)
-        data = bytearray()
-        for i in range(0, len(bits), 8):
-            byte = 0
-            for j, bit in enumerate(bits[i : i + 8]):
-                byte |= bit << j
-            data.append(byte)
+        data = acc.to_bytes((nbits + 7) // 8, "little")
         sub = bytearray()
         for i in range(0, len(data), 255):
             blockdata = data[i : i + 255]
@@ -1613,7 +1705,7 @@ def _roundtrip_stats(encoded: DataFrame, col: str) -> DataFrame:
 def q_multimodal_wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The WAV chunk walk + 8-bit PCM sample decode under the gate:
     sample statistics equal the document's byte statistics."""
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    d = docs_for_codec(spark, sf_dir)
     enc = d.mapInPandas(
         _encode_media_kernel, schema="doc_id long, wav binary, gif binary"
     )
@@ -1625,7 +1717,7 @@ def q_multimodal_gif_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     statistics over the identity-palette decode equal the byte
     statistics of the document's first GIF_RT_BYTES bytes (each byte
     replicated ×3 by the RGB palette — statistics are invariant)."""
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    d = docs_for_codec(spark, sf_dir)
     enc = d.mapInPandas(
         _encode_media_kernel, schema="doc_id long, wav binary, gif binary"
     )
