@@ -61,13 +61,18 @@ The full surface (each backed by gated oracle queries and unit tests):
   ``inline(arrays_zip(...))`` zip semantics, and ``FROM t FINAL`` →
   the engine's explicit collapse read when the table's DDL ran
   through ``ddl.transpile_ddl`` (Replacing and VersionedCollapsing);
+* ``ASOF [LEFT] JOIN … ON`` — free-form conjuncts with ≥1 equality
+  and exactly one inequality (any of >=, >, <=, <, either operand
+  order; keys may be named differently per side) rewrite to the same
+  union-window plan, with the window's ts ordering and tie preference
+  derived from the inequality's direction and strictness;
 * refusals with pointers — constructs whose silent handling would
   change results (``FINAL`` without DDL context or on
-  Collapsing/Summing engines, ASOF/ANY ``ON`` forms,
-  ``topKWeighted``, ``sequenceCount``, ``WITH FILL`` on
-  DESC/multi-key/expression keys or INTERPOLATE recurrences,
-  ``INTO OUTFILE``) raise :class:`DialectError` naming the dedicated
-  operator instead of surfacing an opaque Spark parse error.
+  Collapsing/Summing engines, ANY ``ON`` form, ``topKWeighted``,
+  ``sequenceCount``, ``WITH FILL`` on DESC/multi-key/expression keys
+  or INTERPOLATE recurrences, ``INTO OUTFILE``) raise
+  :class:`DialectError` naming the dedicated operator instead of
+  surfacing an opaque Spark parse error.
 
 DDL statements have their own transpiler (``ddl.py``), and
 :func:`run_clickhouse_script` is the multi-statement migration-runbook
@@ -1594,8 +1599,15 @@ def _rewrite_with_fill(toks: list[str], resolve_columns=None) -> list[str]:
     date-typed key with no explicit STEP errors at runtime — write
     the INTERVAL step.)  Missing rows carry NULL in the non-key
     columns where ClickHouse fills type defaults — the module's
-    documented miss-value divergence.  Multi-key, DESC, and
-    INTERPOLATE forms refuse with pointers."""
+    documented miss-value divergence.
+
+    ``ORDER BY k1, ..., x WITH FILL`` (multi-key) treats the leading
+    keys as a grouping axis: the spine is built PER distinct leading-
+    key combination (one grouped min/max aggregate — keyed and
+    scale-shaped, no global spine), joined back USING all keys.
+    ``ORDER BY x DESC WITH FILL`` walks the spine downward (negative
+    step; FROM defaults to max, TO stays exclusive on the low side).
+    Expression keys refuse with the events_gap_fill pointer."""
     # find the LAST top-level ORDER BY (set-op tails bind to it)
     depth = 0
     ord_i = None
@@ -1636,19 +1648,35 @@ def _rewrite_with_fill(toks: list[str], resolve_columns=None) -> list[str]:
     key_toks = [
         t for t in toks[by_i + 1 : fill_i] if not _is_skippable(t)
     ]
-    if key_toks and key_toks[-1].upper() == "ASC":
-        key_toks = key_toks[:-1]
-    if key_toks and key_toks[-1].upper() == "DESC":
+    # ORDER BY list: plain leading keys (grouping axis), the LAST one
+    # carries the fill; ASC/DESC per key, DESC allowed on the fill key
+    groups: list[list[str]] = [[]]
+    for t in key_toks:
+        if t == ",":
+            groups.append([])
+        else:
+            groups[-1].append(t)
+    keys: list[tuple[str, bool]] = []  # (ident, desc)
+    for g in groups:
+        desc = False
+        if g and g[-1].upper() == "ASC":
+            g = g[:-1]
+        elif g and g[-1].upper() == "DESC":
+            desc = True
+            g = g[:-1]
+        if len(g) != 1 or not _is_ident(g[0]):
+            raise DialectError(
+                "WITH FILL keys must be plain columns/aliases here; "
+                "for expression fills use events_gap_fill"
+            )
+        keys.append((g[0], desc))
+    lead = keys[:-1]
+    if any(d for _, d in lead):
         raise DialectError(
-            "ORDER BY ... DESC WITH FILL (descending fill) is not "
-            "supported; fill ascending or use events_gap_fill"
+            "WITH FILL: DESC on a leading (grouping) key is not "
+            "supported; use events_gap_fill"
         )
-    if len(key_toks) != 1 or not _is_ident(key_toks[0]):
-        raise DialectError(
-            "WITH FILL supports a single plain column/alias key here; "
-            "for multi-key or expression fills use events_gap_fill"
-        )
-    x = key_toks[0]
+    x, x_desc = keys[-1]
     # parse FROM / TO / STEP expression spans (+ optional INTERPOLATE)
     spans: dict[str, str] = {}
     interp: list[str] = []
@@ -1705,26 +1733,50 @@ def _rewrite_with_fill(toks: list[str], resolve_columns=None) -> list[str]:
         spans[u] = expr
         i = e
     core = "".join(toks[:ord_i]).strip()
-    from_e = spans.get("FROM") or f"(SELECT min({x}) FROM ({core}))"
     step = spans.get("STEP", "1")
+    if x_desc and not step.lstrip().startswith("-"):
+        step = f"-({step})"  # descending fill walks the spine down
+    # spine endpoint defaults: ascending runs min→max, descending
+    # max→min; with leading keys the defaults are PER GROUP (min/max
+    # computed in one grouped aggregate — no global spine, so the
+    # rewrite stays keyed and scale-shaped like events_gap_fill)
+    if lead:
+        gsel = ", ".join(k for k, _ in lead)
+        lo, hi = "__fill_mn", "__fill_mx"
+    else:
+        lo = f"(SELECT min({x}) FROM ({core}))"
+        hi = f"(SELECT max({x}) FROM ({core}))"
+    from_e = spans.get("FROM") or (hi if x_desc else lo)
     if "TO" in spans:
         # TO is exclusive (ClickHouse semantics); sequence() is
-        # inclusive, so generate through TO and filter below it —
+        # inclusive, so generate through TO and filter short of it —
         # step-size- and type-agnostic (integers, dates/timestamps
-        # with STEP INTERVAL all take the same shape).
+        # with STEP INTERVAL all take the same shape).  For DESC the
+        # walk is downward, so exclusive means strictly above TO.
         to = spans["TO"]
+        cmp_op = ">" if x_desc else "<"
         spine = (
             f"filter(sequence({from_e}, {to}, {step}), "
-            f"__fill_x -> __fill_x < ({to}))"
+            f"__fill_x -> __fill_x {cmp_op} ({to}))"
         )
     else:
-        spine = (
-            f"sequence({from_e}, (SELECT max({x}) FROM ({core})), {step})"
+        to_e = lo if x_desc else hi
+        spine = f"sequence({from_e}, {to_e}, {step})"
+    if lead:
+        grp = (
+            f"SELECT {gsel}, min({x}) AS __fill_mn, "
+            f"max({x}) AS __fill_mx FROM ({core}) GROUP BY {gsel}"
         )
-    joined = (
-        f"(SELECT explode({spine}) AS {x}) __fill_spine "
-        f"LEFT JOIN ({core}) __fill_base USING ({x})"
-    )
+        joined = (
+            f"(SELECT {gsel}, explode({spine}) AS {x} "
+            f"FROM ({grp}) __fill_g) __fill_spine "
+            f"LEFT JOIN ({core}) __fill_base USING ({gsel}, {x})"
+        )
+    else:
+        joined = (
+            f"(SELECT explode({spine}) AS {x}) __fill_spine "
+            f"LEFT JOIN ({core}) __fill_base USING ({x})"
+        )
     if interp:
         # LOCF carry over the spined axis.  The ORDER BY x window is
         # deliberately un-keyed: a WITH FILL result is spine-bounded
@@ -1741,7 +1793,8 @@ def _rewrite_with_fill(toks: list[str], resolve_columns=None) -> list[str]:
                 "list the query's columns (run through "
                 "run_clickhouse_sql), or use events_gap_interpolate"
             )
-        others = [c for c in cols if c != x]
+        lead_names = [k for k, _ in lead]
+        others = [c for c in cols if c != x and c not in lead_names]
         if interp == ["*"]:
             interp = others
         if any(c not in others for c in interp):
@@ -1749,23 +1802,29 @@ def _rewrite_with_fill(toks: list[str], resolve_columns=None) -> list[str]:
                 f"INTERPOLATE names columns not in the query: "
                 f"{[c for c in interp if c not in others]}"
             )
+        part = (
+            f"PARTITION BY {', '.join(lead_names)} " if lead_names else ""
+        )
+        xord = f"{x} DESC" if x_desc else x
         carry = (
-            "last_value({c}, true) OVER (ORDER BY {x} ROWS BETWEEN "
-            "UNBOUNDED PRECEDING AND CURRENT ROW) AS {c}"
+            f"last_value({{c}}, true) OVER ({part}ORDER BY {xord} "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS {c}"
         )
         proj = ", ".join(
-            [x]
-            + [
-                carry.format(c=c, x=x) if c in interp else c
-                for c in others
-            ]
+            lead_names
+            + [x]
+            + [carry.format(c=c) if c in interp else c for c in others]
         )
+        order = ", ".join(lead_names + [xord])
         repl = (
             f"SELECT {proj} FROM (SELECT * FROM {joined}) __fill_j "
-            f"ORDER BY {x}"
+            f"ORDER BY {order}"
         )
     else:
-        repl = f"SELECT * FROM {joined} ORDER BY {x}"
+        order = ", ".join(
+            [k for k, _ in lead] + [f"{x} DESC" if x_desc else x]
+        )
+        repl = f"SELECT * FROM {joined} ORDER BY {order}"
     if tail:
         repl += f" {tail}"
     return _tokens(repl)
@@ -1791,9 +1850,26 @@ def _prev_code(toks: list[str], i: int) -> int:
     return i
 
 
+#: ASOF inequality direction → (window ts ordering, tie preference).
+#: "ge" is `l.ts >= r.ts` (ClickHouse default): latest right at-or-
+#: before, ties match.  Strict forms exclude the equal-ts right row
+#: by sorting the left spine row BEFORE it (side ASC on ties).
+_ASOF_DIRS = {
+    "ge": ("", "DESC"), "gt": ("", "ASC"),
+    "le": (" DESC", "DESC"), "lt": (" DESC", "ASC"),
+}
+_ASOF_OPS = {">=": "ge", ">": "gt", "<=": "le", "<": "lt"}
+#: mirrored predicate on the right column + scan order for the
+#: LATERAL top-1 fallback
+_ASOF_LATERAL = {
+    "ge": ("<=", "DESC"), "gt": ("<", "DESC"),
+    "le": (">=", "ASC"), "lt": (">", "ASC"),
+}
+
+
 def _asof_union_window(
-    toks, splice_start, strict, l_alias, right_ref, r_alias, keys,
-    uclose, resolve_columns,
+    toks, splice_start, strict, l_alias, right_ref, r_alias, key_pairs,
+    uclose, resolve_columns, direction="ge",
 ):
     """The scale-shaped ASOF rewrite (events_asof_join's plan): tag
     right rows side=1 and the left's DISTINCT key pairs side=0, union,
@@ -1867,15 +1943,25 @@ def _asof_union_window(
     rcols = resolve_columns(right_ref)
     if not rcols:
         return None
-    if any(k not in rcols for k in keys):
+    if any(rk not in rcols for _, rk in key_pairs):
         return None
-    vals = [c for c in rcols if c not in keys]
-    kcsv = ", ".join(keys)
-    eq = keys[:-1]
-    ts = keys[-1]
+    rkeys = {rk for _, rk in key_pairs}
+    vals = [c for c in rcols if c not in rkeys]
+    if any(lk in vals for lk, _ in key_pairs):
+        return None  # right value column shadows a canonical key name
+    # left-side names are canonical throughout the union/window/
+    # join-back (the ON form may pair differently-named columns)
+    lnames = [lk for lk, _ in key_pairs]
+    kcsv = ", ".join(lnames)
+    r_keys_sel = ", ".join(
+        lk if lk == rk else f"{rk} AS {lk}" for lk, rk in key_pairs
+    )
+    eq = lnames[:-1]
+    ts = lnames[-1]
+    ts_dir, side_dir = _ASOF_DIRS[direction]
     win = (
-        f"OVER (PARTITION BY {', '.join(eq)} ORDER BY {ts}, "
-        "__asof_side DESC ROWS BETWEEN UNBOUNDED PRECEDING AND "
+        f"OVER (PARTITION BY {', '.join(eq)} ORDER BY {ts}{ts_dir}, "
+        f"__asof_side {side_dir} ROWS BETWEEN UNBOUNDED PRECEDING AND "
         "CURRENT ROW)"
     )
     # Carry the matched right row ATOMICALLY: one last_value over a
@@ -1899,7 +1985,10 @@ def _asof_union_window(
     sel_vals = f", {', '.join(vals)}" if vals else ""
     proj_vals = f", {', '.join(f'__asof_r.{c} AS {c}' for c in vals)}" if vals else ""
     nulls_part = f", {nulls}" if vals else ""
-    r1 = f"SELECT {kcsv}, 1 AS __asof_side{sel_vals} FROM {right_ref} {r_alias}"
+    r1 = (
+        f"SELECT {r_keys_sel}, 1 AS __asof_side{sel_vals} "
+        f"FROM {right_ref} {r_alias}"
+    )
     l0 = f"SELECT DISTINCT {kcsv}, 0 AS __asof_side{nulls_part} FROM {left_rel}"
     return (
         f" {jkind} (SELECT {kcsv}{proj_vals} FROM "
@@ -1999,48 +2088,150 @@ def _rewrite_asof(toks: list[str], resolve_columns=None) -> list[str]:
         ):
             r_alias = toks[r2]
             r2 = _next_code(toks, r2 + 1)
-        if r2 >= len(toks) or toks[r2].upper() != "USING":
+        if r2 >= len(toks) or toks[r2].upper() not in ("USING", "ON"):
             raise DialectError(
-                "ASOF JOIN ... ON is not auto-rewritten (inequality "
-                "direction is free-form there); use the USING (keys..., "
-                "ts) form or the events_asof_join operator"
+                "ASOF JOIN: expected USING (keys..., ts) or ON "
+                "<equality conjuncts AND one inequality>"
             )
         if r_alias is None:
             if need_alias:
                 raise DialectError("ASOF JOIN: subquery right side needs an alias")
             r_alias = right_ref.split(".")[-1].strip("`")
-        u = _next_code(toks, r2 + 1)
-        if u >= len(toks) or toks[u] != "(":
-            raise DialectError("ASOF JOIN USING: expected (columns)")
-        uclose = _match_close(toks, u)
-        keys = [
-            t for t in toks[u + 1 : uclose] if _is_ident(t)
-        ]
-        if len(keys) < 2:
-            raise DialectError(
-                "ASOF JOIN USING needs at least one equality key plus "
-                "the trailing inequality column"
+        if toks[r2].upper() == "USING":
+            u = _next_code(toks, r2 + 1)
+            if u >= len(toks) or toks[u] != "(":
+                raise DialectError("ASOF JOIN USING: expected (columns)")
+            uclose = _match_close(toks, u)
+            keys = [
+                t for t in toks[u + 1 : uclose] if _is_ident(t)
+            ]
+            if len(keys) < 2:
+                raise DialectError(
+                    "ASOF JOIN USING needs at least one equality key plus "
+                    "the trailing inequality column"
+                )
+            key_pairs = [(k, k) for k in keys]
+            direction = "ge"  # ClickHouse USING default: l.ts >= r.ts
+        else:
+            key_pairs, direction, uclose = _parse_asof_on(
+                toks, r2, l_alias, r_alias
             )
-        eq, ts = keys[:-1], keys[-1]
+        lts, rts = key_pairs[-1]
         repl = None
         if resolve_columns is not None:
             repl = _asof_union_window(
                 toks, splice_start, strict, l_alias, inner_from,
-                r_alias, keys, uclose, resolve_columns,
+                r_alias, key_pairs, uclose, resolve_columns, direction,
             )
         if repl is None:
             conds = " AND ".join(
-                f"{r_alias}.{k} = {l_alias}.{k}" for k in eq
+                f"{r_alias}.{rk} = {l_alias}.{lk}"
+                for lk, rk in key_pairs[:-1]
             )
+            rop, rord = _ASOF_LATERAL[direction]
             jkind = "LEFT JOIN" if strict == "LEFT" else "JOIN"
+            rkeys_csv = ", ".join(
+                dict.fromkeys(rk for _, rk in key_pairs)
+            )
             repl = (
-                f" {jkind} LATERAL (SELECT * EXCEPT ({', '.join(keys)}) "
+                f" {jkind} LATERAL (SELECT * EXCEPT ({rkeys_csv}) "
                 f"FROM {inner_from} {r_alias} WHERE {conds} AND "
-                f"{r_alias}.{ts} <= {l_alias}.{ts} "
-                f"ORDER BY {r_alias}.{ts} DESC LIMIT 1) {r_alias} ON true"
+                f"{r_alias}.{rts} {rop} {l_alias}.{lts} "
+                f"ORDER BY {r_alias}.{rts} {rord} LIMIT 1) {r_alias} ON true"
             )
         toks[splice_start : uclose + 1] = [repl]
         toks = _tokens("".join(toks))
+
+
+def _parse_asof_on(toks, on_i, l_alias, r_alias):
+    """Parse ``ON a.x = b.x AND ... AND a.ts >= b.ts`` into
+    (key_pairs, direction, last_token_index).  Each conjunct must be
+    ``<alias>.<col> <op> <alias>.<col>`` with one side qualified by
+    the right alias — ClickHouse ASOF ON requires >=1 equality and
+    EXACTLY one inequality (which defines the match direction)."""
+    stop = {
+        "WHERE", "GROUP", "ORDER", "LIMIT", "HAVING", "UNION",
+        "SETTINGS", "WINDOW", "JOIN", "LEFT", "RIGHT", "INNER",
+        "FULL", "CROSS", "ASOF", "ANY", "QUALIFY",
+    }
+    i = _next_code(toks, on_i + 1)
+    end = i
+    depth = 0
+    while end < len(toks):
+        t = toks[end]
+        if t == "(":
+            depth += 1
+        elif t == ")":
+            if depth == 0:
+                break
+            depth -= 1
+        elif depth == 0 and (
+            t == ";" or (_is_ident(t) and t.upper() in stop)
+        ):
+            break
+        end += 1
+    span = [t for t in toks[i:end] if not _is_skippable(t)]
+    # split on top-level AND
+    conjuncts: list[list[str]] = [[]]
+    d = 0
+    for t in span:
+        if t == "(":
+            d += 1
+        elif t == ")":
+            d -= 1
+        if d == 0 and t.upper() == "AND":
+            conjuncts.append([])
+        else:
+            conjuncts[-1].append(t)
+    eq_pairs: list[tuple[str, str]] = []
+    ineq: tuple[str, str, str] | None = None
+    for c in conjuncts:
+        # the tokenizer splits '>=' into '>' '=': merge adjacent
+        # comparison-operator characters back into one token
+        merged: list[str] = []
+        for t in c:
+            if merged and merged[-1] in (">", "<") and t == "=":
+                merged[-1] += t
+            else:
+                merged.append(t)
+        c = merged
+        if (
+            len(c) != 7
+            or c[1] != "." or c[5] != "."
+            or not all(_is_ident(c[k]) for k in (0, 2, 4, 6))
+            or c[3] not in ("=", ">=", "<=", ">", "<")
+        ):
+            raise DialectError(
+                "ASOF JOIN ON: each conjunct must be "
+                "<alias>.<col> <op> <alias>.<col> (op in =, >=, <=, >, <)"
+            )
+        a_q, a_c, op, b_q, b_c = c[0], c[2], c[3], c[4], c[6]
+        if a_q == r_alias and b_q != r_alias:
+            # normalize to left-first: flip the operator
+            a_q, a_c, b_q, b_c = b_q, b_c, a_q, a_c
+            op = {"=": "=", ">=": "<=", "<=": ">=", ">": "<", "<": ">"}[op]
+        if b_q != r_alias or a_q == r_alias:
+            raise DialectError(
+                "ASOF JOIN ON: each conjunct must compare a left-side "
+                f"column with a {r_alias!r}-qualified column"
+            )
+        if op == "=":
+            eq_pairs.append((a_c, b_c))
+        elif ineq is not None:
+            raise DialectError(
+                "ASOF JOIN ON allows exactly one inequality conjunct"
+            )
+        else:
+            ineq = (a_c, b_c, _ASOF_OPS[op])
+    if not eq_pairs or ineq is None:
+        raise DialectError(
+            "ASOF JOIN ON needs at least one equality conjunct and "
+            "exactly one inequality conjunct"
+        )
+    # splice end: last non-skippable token of the ON clause (keeping
+    # the whitespace before the next keyword out of the splice)
+    last = _prev_code(toks, end - 1)
+    return eq_pairs + [(ineq[0], ineq[1])], ineq[2], last
 
 
 def _rewrite_any_join(toks: list[str], resolve_columns=None) -> list[str]:
@@ -3077,6 +3268,38 @@ def q_dialect_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_clickhouse_sql(spark, _CH_ASOF, sf_dir, ("events",))
 
 
+# 9b. ASOF LEFT JOIN ... ON — the free-form conjunct spelling with
+#     differently-named key columns and a STRICT inequality (each
+#     purchase matched to the latest click strictly before it).  The
+#     DuckDB oracle uses its native ASOF JOIN with the same ON.
+_CH_ASOF_ON = """
+SELECT e.event_id, e.user_id, e.ts, c.click_value
+FROM events e
+ASOF LEFT JOIN (
+    SELECT user_id AS uid, ts AS cts, value AS click_value
+    FROM events
+    WHERE event_type = 'click'
+) c ON e.user_id = c.uid AND e.ts > c.cts
+WHERE e.event_type = 'purchase'
+"""
+
+O_ASOF_ON = """
+SELECT e.event_id, e.user_id, e.ts, c.click_value
+FROM events e
+ASOF LEFT JOIN (
+    SELECT user_id AS uid, ts AS cts, value AS click_value
+    FROM events
+    WHERE event_type = 'click'
+) c ON e.user_id = c.uid AND e.ts > c.cts
+WHERE e.event_type = 'purchase'
+"""
+
+
+def q_dialect_asof_on(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verbatim ClickHouse ASOF LEFT JOIN ON query (module doc)."""
+    return run_clickhouse_sql(spark, _CH_ASOF_ON, sf_dir, ("events",))
+
+
 # 10. ORDER BY ... WITH FILL — yearly order counts on a gap-free
 #     1992..1999 spine (TO 2000 exclusive, ClickHouse semantics);
 #     missing years carry NULL counts (documented divergence from
@@ -3162,6 +3385,67 @@ def q_dialect_with_fill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Verbatim ClickHouse WITH FILL INTERPOLATE query (module doc)."""
     return run_clickhouse_sql(
         spark, _CH_WITH_FILL_INTERP, sf_dir, ("orders",)
+    )
+
+
+# 10d. DESC fill — the spine walks downward from FROM (inclusive) to
+#      TO (exclusive on the low side), mirroring ClickHouse.
+_CH_WITH_FILL_DESC = """
+SELECT toYear(o_orderdate) AS yr, count(*) AS n
+FROM orders
+GROUP BY yr
+ORDER BY yr DESC WITH FILL FROM 1999 TO 1990
+"""
+
+O_WITH_FILL_DESC = """
+SELECT yr, n
+FROM (SELECT unnest(range(1999, 1990, -1)) AS yr) s
+LEFT JOIN (
+  SELECT year(o_orderdate) AS yr, count(*) AS n
+  FROM orders GROUP BY 1
+) b USING (yr)
+ORDER BY yr DESC
+"""
+
+
+def q_dialect_with_fill_desc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verbatim ClickHouse descending WITH FILL query (module doc)."""
+    return run_clickhouse_sql(spark, _CH_WITH_FILL_DESC, sf_dir, ("orders",))
+
+
+# 10e. multi-key fill — leading keys group the spine: each user gets
+#      a gap-free day axis between their own first and last purchase
+#      day (one grouped min/max aggregate; no global spine).
+_CH_WITH_FILL_MULTI = """
+SELECT user_id, CAST(ts AS DATE) AS d, count() AS n
+FROM events
+WHERE event_type = 'purchase' AND user_id % 19 = 3
+GROUP BY user_id, d
+ORDER BY user_id, d WITH FILL STEP INTERVAL 1 DAY
+"""
+
+O_WITH_FILL_MULTI = """
+WITH base AS (
+  SELECT user_id, CAST(ts AS DATE) AS d, count(*) AS n
+  FROM events WHERE event_type = 'purchase' AND user_id % 19 = 3
+  GROUP BY 1, 2),
+g AS (SELECT user_id, min(d) AS mn, max(d) AS mx FROM base GROUP BY 1),
+spine AS (
+  SELECT user_id,
+         unnest(generate_series(mn, mx, INTERVAL 1 DAY))::DATE AS d
+  FROM g)
+SELECT s.user_id, s.d, b.n
+FROM spine s LEFT JOIN base b USING (user_id, d)
+ORDER BY s.user_id, s.d
+"""
+
+
+def q_dialect_with_fill_multikey(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Verbatim ClickHouse multi-key WITH FILL query (module doc)."""
+    return run_clickhouse_sql(
+        spark, _CH_WITH_FILL_MULTI, sf_dir, ("events",)
     )
 
 
@@ -3628,8 +3912,11 @@ QUERIES = {
     "dialect_sequence_match": q_dialect_sequence_match,
     "dialect_limit_by": q_dialect_limit_by,
     "dialect_asof_join": q_dialect_asof_join,
+    "dialect_asof_on": q_dialect_asof_on,
     "dialect_with_fill": q_dialect_with_fill,
     "dialect_with_fill_date": q_dialect_with_fill_date,
+    "dialect_with_fill_desc": q_dialect_with_fill_desc,
+    "dialect_with_fill_multikey": q_dialect_with_fill_multikey,
     "dialect_with_fill_interp": q_dialect_with_fill_interp,
     "dialect_topk": q_dialect_topk,
     "dialect_subscript": q_dialect_subscript,
@@ -3656,8 +3943,11 @@ ORACLES = {
     "dialect_sequence_match": O_SEQ_MATCH,
     "dialect_limit_by": O_LIMIT_BY,
     "dialect_asof_join": O_ASOF,
+    "dialect_asof_on": O_ASOF_ON,
     "dialect_with_fill": O_WITH_FILL,
     "dialect_with_fill_date": O_WITH_FILL_DATE,
+    "dialect_with_fill_desc": O_WITH_FILL_DESC,
+    "dialect_with_fill_multikey": O_WITH_FILL_MULTI,
     "dialect_with_fill_interp": O_WITH_FILL_INTERP,
     "dialect_topk": O_TOPK,
     "dialect_subscript": O_SUBSCRIPT,

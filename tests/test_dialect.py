@@ -219,7 +219,7 @@ def test_structural_clauses_raise_with_pointers():
     # operator pointers
     for sql, msg in (
         (
-            "SELECT a FROM t ORDER BY a DESC WITH FILL",
+            "SELECT a, b FROM t ORDER BY max(a), b WITH FILL",
             "events_gap_fill",
         ),
         (
@@ -230,6 +230,14 @@ def test_structural_clauses_raise_with_pointers():
     ):
         with pytest.raises(DialectError, match=msg):
             transpile(sql)
+    # DESC and multi-key fills are supported now (r6): DESC walks the
+    # spine downward; leading keys group it
+    out = transpile("SELECT a FROM t ORDER BY a DESC WITH FILL")
+    assert "sequence(" in out and "-(1)" in out and "ORDER BY a DESC" in out
+    out = transpile(
+        "SELECT k, a FROM t ORDER BY k, a WITH FILL STEP 2"
+    )
+    assert "GROUP BY k" in out and "USING(k, a)" in out
     # plain LIMIT and CTE WITH are untouched
     assert transpile("SELECT a FROM t LIMIT 3") == "SELECT a FROM t LIMIT 3"
     out = transpile("WITH c AS (SELECT 1 AS x) SELECT x FROM c")
@@ -303,11 +311,11 @@ def test_asof_join_using_rewrites_to_lateral():
         "(SELECT k, ts, v FROM r) rr USING (k, ts)"
     )
     assert "LEFT JOIN LATERAL" in out and "rr ON true" in out
-    # ON form still refuses with the operator pointer
-    with pytest.raises(DialectError, match="events_asof_join"):
-        transpile(
-            "SELECT * FROM l ASOF JOIN r ON l.k = r.k AND l.ts >= r.ts"
-        )
+    # ON form (resolver-less) takes the LATERAL fallback too
+    out = transpile(
+        "SELECT * FROM l ASOF JOIN r ON l.k = r.k AND l.ts >= r.ts"
+    )
+    assert "JOIN LATERAL" in out and "r.ts <= l.ts" in out
 
 
 def test_topk_transpiles_to_exact_tier():
@@ -698,6 +706,56 @@ def test_asof_union_window_equals_lateral_fallback(spark, sf_dir):
     lateral = spark.sql(transpile(ch))
     assert "last_value" in with_resolver._jdf.queryExecution().toString()
     assert _rows(with_resolver) == _rows(lateral)
+
+
+def test_asof_on_form_directions(spark):
+    """ASOF ... ON: all four inequality directions and the flipped
+    operand order produce exact matches; differently-named keys are
+    canonicalized to the left side's names."""
+    from clickhouse_vs_dbt_spark.dialect import catalog_resolver
+
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW aon_l AS SELECT * FROM VALUES "
+        "(1, 10L), (1, 20L) AS t(uid, lts)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW aon_r AS SELECT * FROM VALUES "
+        "(1, 10L, 100.0), (1, 15L, 150.0), (1, 25L, 250.0) "
+        "AS t(ruid, rts, v)"
+    )
+
+    def run(ineq):
+        q = transpile(
+            "SELECT l.uid, l.lts, r.v FROM aon_l l "
+            f"ASOF LEFT JOIN aon_r r ON l.uid = r.ruid AND {ineq} "
+            "ORDER BY l.lts",
+            resolve_columns=catalog_resolver(spark),
+        )
+        assert "LATERAL" not in q
+        return [(row.lts, row.v) for row in spark.sql(q).collect()]
+
+    # ge: latest right at-or-before (tie matches)
+    assert run("l.lts >= r.rts") == [(10, 100.0), (20, 150.0)]
+    # gt: latest strictly-before (tie excluded)
+    assert run("l.lts > r.rts") == [(10, None), (20, 150.0)]
+    # le: earliest right at-or-after (tie matches)
+    assert run("l.lts <= r.rts") == [(10, 100.0), (20, 250.0)]
+    # lt: earliest strictly-after
+    assert run("l.lts < r.rts") == [(10, 150.0), (20, 250.0)]
+    # flipped operand order normalizes (r.rts <= l.lts == ge)
+    assert run("r.rts <= l.lts") == [(10, 100.0), (20, 150.0)]
+
+
+def test_asof_on_form_refusals():
+    with pytest.raises(DialectError, match="exactly one inequality"):
+        transpile(
+            "SELECT * FROM l ASOF JOIN r ON l.k = r.k "
+            "AND l.a > r.a AND l.b > r.b"
+        )
+    with pytest.raises(DialectError, match="at least one equality"):
+        transpile("SELECT * FROM l ASOF JOIN r ON l.a > r.a")
+    with pytest.raises(DialectError, match="conjunct"):
+        transpile("SELECT * FROM l ASOF JOIN r ON l.k = r.k AND l.a > 5")
 
 
 def test_asof_carries_matched_row_atomically(spark):
