@@ -1085,6 +1085,96 @@ GROUP BY k
 """
 
 
+# --- gated proof: plain CollapsingMergeTree FINAL through DDL context ---
+
+REFERENCE_COLLAPSING_DDL = """CREATE TABLE orders_cl
+(
+    o_orderkey    UInt64,
+    o_orderstatus String,
+    o_totalprice  Float64,
+    sign          Int8
+)
+ENGINE = CollapsingMergeTree(sign)
+ORDER BY o_orderkey;"""
+
+
+def q_ddl_final_collapsing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plain CollapsingMergeTree FINAL through the DDL front door:
+    every order inserts a +1 state row; every fifth key adds a
+    cancel (-1) + restated (+1, price+25) pair; every fifteenth key
+    cancels the restatement too (net delete).  ``FROM orders_cl
+    FINAL`` must keep exactly the surviving state row per key.  The
+    deterministic lexicographic-max refinement coincides with
+    ClickHouse's insertion-order pick here because the restated
+    price is strictly higher than the cancelled original."""
+    import tempfile
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    s1 = o.select("*", F.lit(1).cast("tinyint").alias("sign"))
+    fifth = F.col("o_orderkey") % 5 == 0
+    c1 = o.filter(fifth).select(
+        "*", F.lit(-1).cast("tinyint").alias("sign")
+    )
+    s2 = (
+        o.filter(fifth)
+        .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(25.0))
+        .select("*", F.lit(1).cast("tinyint").alias("sign"))
+    )
+    c2 = (
+        o.filter(F.col("o_orderkey") % 15 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(25.0))
+        .select("*", F.lit(-1).cast("tinyint").alias("sign"))
+    )
+    path = tempfile.mkdtemp(prefix="ddl_final_cl_") + "/orders_cl"
+    s1.unionByName(c1).unionByName(s2).unionByName(c2).write.mode(
+        "overwrite"
+    ).parquet(path)
+    spark.sql("DROP TABLE IF EXISTS orders_cl")
+    spark.sql(transpile_ddl(REFERENCE_COLLAPSING_DDL, path_override=path))
+    from clickhouse_vs_dbt_spark.dialect import run_clickhouse_sql
+
+    return run_clickhouse_sql(
+        spark,
+        """
+        SELECT o_orderstatus,
+               count() AS n,
+               toFloat64(sum(toDecimal64(o_totalprice, 2))) AS total
+        FROM orders_cl FINAL
+        GROUP BY o_orderstatus
+        """,
+        sf_dir,
+        ("orders",),
+    )
+
+
+O_DDL_FINAL_COLLAPSING = """
+WITH rows AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice, 1 AS sign FROM orders
+  UNION ALL
+  SELECT o_orderkey, o_orderstatus, o_totalprice, -1
+  FROM orders WHERE o_orderkey % 5 = 0
+  UNION ALL
+  SELECT o_orderkey, o_orderstatus, o_totalprice + 25.0, 1
+  FROM orders WHERE o_orderkey % 5 = 0
+  UNION ALL
+  SELECT o_orderkey, o_orderstatus, o_totalprice + 25.0, -1
+  FROM orders WHERE o_orderkey % 15 = 0),
+kept AS (SELECT o_orderkey FROM rows GROUP BY 1 HAVING SUM(sign) > 0),
+final AS (
+  SELECT * FROM (
+    SELECT r.*, row_number() OVER (
+        PARTITION BY r.o_orderkey
+        ORDER BY r.o_orderstatus DESC, r.o_totalprice DESC) AS rn
+    FROM rows r JOIN kept USING (o_orderkey)
+    WHERE r.sign = 1) WHERE rn = 1)
+SELECT o_orderstatus, COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM final GROUP BY o_orderstatus
+"""
+
+
 QUERIES = {
     "ddl_source_roundtrip": q_ddl_source_roundtrip,
     "ddl_mv_roundtrip": q_ddl_mv_roundtrip,
@@ -1092,6 +1182,7 @@ QUERIES = {
     "ddl_final_read": q_ddl_final_read,
     "ddl_final_versioned": q_ddl_final_versioned,
     "ddl_final_summing": q_ddl_final_summing,
+    "ddl_final_collapsing": q_ddl_final_collapsing,
 }
 ORACLES = {
     "ddl_source_roundtrip": O_DDL_SOURCE_ROUNDTRIP,
@@ -1100,6 +1191,7 @@ ORACLES = {
     "ddl_final_read": O_DDL_FINAL_READ,
     "ddl_final_versioned": O_DDL_FINAL_VERSIONED,
     "ddl_final_summing": O_DDL_FINAL_SUMMING,
+    "ddl_final_collapsing": O_DDL_FINAL_COLLAPSING,
 }
 
 __all__ = [

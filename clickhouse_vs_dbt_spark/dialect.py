@@ -2346,9 +2346,12 @@ def _rewrite_final(toks, resolve_columns=None, engine_info=None):
     lexicographically — a deterministic refinement of ClickHouse's
     keep-last-inserted.  VersionedCollapsingMergeTree(sign, ver)
     collapses to the +1 row of the highest non-cancelled version
-    (two stacked keyed aggregates).  Plain Collapsing (insertion-order
-    dependent, no version to break ties), other engines, and unknown
-    tables fall through to the refusal with the operator pointer."""
+    (two stacked keyed aggregates).  Plain CollapsingMergeTree keeps,
+    per key with positive sign sum, the lexicographic-max +1 row — a
+    deterministic refinement of ClickHouse's insertion-order pick
+    (exact when at most one state row survives per key, the engine's
+    intended usage).  Other engines and unknown tables fall through
+    to the refusal with the operator pointer."""
     if resolve_columns is None or engine_info is None:
         return toks
     i = 0
@@ -2379,6 +2382,7 @@ def _rewrite_final(toks, resolve_columns=None, engine_info=None):
         if not (
             eng.startswith("Replacing")
             or eng.startswith("VersionedCollapsing")
+            or eng.startswith("Collapsing")
             or eng.startswith("Summing")
         ):
             i += 1
@@ -2457,6 +2461,30 @@ def _rewrite_final(toks, resolve_columns=None, engine_info=None):
                 f"GROUP BY {kcsv}, {ver}) __f_g "
                 f"WHERE __f_net > 0 AND __f_s0 IS NOT NULL "
                 f"GROUP BY {kcsv}) __f_h) {alias}"
+            )
+        elif eng.startswith("Collapsing"):
+            # plain Collapsing: per key, survivors are keys whose sign
+            # sum is positive; the kept row is the lexicographic-max
+            # +1 (state) row — a deterministic refinement of
+            # ClickHouse's keep-last-inserted (parquet relations have
+            # no insertion order; exact whenever at most one state
+            # row survives per key, the engine's intended usage)
+            sign = info.sign
+            if not sign or sign not in vals:
+                i += 1
+                continue
+            ordc = ", ".join([c for c in vals if c != sign] or [sign])
+            scsv = ", ".join(vals)
+            mask = f"CASE WHEN {sign} = 1 THEN"
+            collapse = (
+                f"(SELECT {kcsv}, "
+                f"{', '.join(f'__f_s.{c} AS {c}' for c in vals)} "
+                f"FROM (SELECT {kcsv}, "
+                f"max_by({mask} struct({scsv}) END, "
+                f"{mask} struct({ordc}) END) AS __f_s, "
+                f"sum({sign}) AS __f_net FROM {name} "
+                f"GROUP BY {kcsv}) __f_g "
+                f"WHERE __f_net > 0 AND __f_s IS NOT NULL) {alias}"
             )
         elif vals:
             ordcols = ([info.version] if info.version in vals else []) + [

@@ -253,16 +253,20 @@ def test_engine_info_registered_and_final_rewrites():
 
     with pytest.raises(DialectError, match="FINAL"):
         transpile("SELECT a FROM unknown_t FINAL")
+    # plain Collapsing rewrites inline now (r6): sign-sum survivor
+    # gate + lexicographic-max state-row pick
     transpile_ddl(
-        "CREATE TABLE cm (k UInt64, s Int8) "
+        "CREATE TABLE cm (k UInt64, v Float64, s Int8) "
         "ENGINE = CollapsingMergeTree(s) ORDER BY (k)"
     )
-    with pytest.raises(DialectError, match="FINAL"):
-        transpile(
-            "SELECT k FROM cm FINAL",
-            resolve_columns=lambda n: ["k", "s"],
-            engine_info=lambda n: ENGINE_INFO.get(n),
-        )
+    out = transpile(
+        "SELECT k, v FROM cm FINAL",
+        resolve_columns=lambda n: ["k", "v", "s"],
+        engine_info=lambda n: ENGINE_INFO.get(n),
+    )
+    assert "FINAL" not in out
+    assert "sum(s) AS __f_net" in out and "__f_net > 0" in out
+    assert "CASE WHEN s = 1 THEN struct(v, s) END" in out
 
 
 def test_versioned_collapsing_final_rewrites():
