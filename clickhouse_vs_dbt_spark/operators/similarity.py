@@ -190,40 +190,53 @@ ORDER BY query_id, rank
 
 
 def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF (inverted-file) approximate top-5: KMeans coarse quantizer
-    (seeded, fitted once), queries probe their ``NPROBE`` nearest
-    centroids, exact cosine re-ranks within the probed cells.
+    """IVF (inverted-file) approximate top-5, SERVING-PATH spelling:
+    the probe list (query_id → cell) is computed against the fitted
+    centroids, collected, and shipped back as a tiny broadcast
+    relation — the shape of a service where the query set arrives
+    from outside the cluster (contrast :func:`q_ann_topk_ivf_exact`,
+    which keeps probe selection in-plan end-to-end).
 
-    The 100 TB shape: fit the quantizer on a sample, persist cluster
-    assignments partitioned by cell at ingest (map-only after fit), and
-    each query scans ~NPROBE/K of the corpus with partition pruning on
-    the cell key.  Rows-only driver check; recall vs brute force is
-    pinned in tests/test_similarity.py.
-    """
-    import numpy as np
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
-    K, NPROBE = 16, 4
-    e = load_table(spark, sf_dir, "embeddings")
-    featurized = e.withColumn("fvec", array_to_vector("embedding"))
-    model = KMeans(k=K, seed=42, featuresCol="fvec", predictionCol="cell").fit(
-        featurized
+    The quantizer is operators/kmeans.py's deterministic decimal-exact
+    Lloyd fit, so the pipeline value-checks against the kmeans_ctes
+    DuckDB replay (r6: converted from the rows-only Spark-ML KMeans
+    spelling — a seeded ML fit is stable inside Spark but not
+    replayable by an independent engine; the pyspark.ml API itself is
+    exercised in tests/test_similarity.py).  The 100 TB shape: fit on
+    a sample, assignment map-only, each query scans ~NPROBE/K of the
+    corpus."""
+    from clickhouse_vs_dbt_spark.operators.kmeans import (
+        _assign,
+        _dist2_expr,
+        fit_centroids,
     )
-    assigned = model.transform(featurized).select("vec_id", "embedding", "label", "cell")
 
-    centers = np.array([np.asarray(c) for c in model.clusterCenters()])
-    qrows = e.filter(F.col("vec_id") < N_QUERIES).select("vec_id", "embedding").collect()
-    probes = []
-    for r in qrows:  # |queries| rows — driver-side by design (user input)
-        qv = np.array(r.embedding, dtype=np.float64)
-        d = ((centers - qv) ** 2).sum(axis=1)
-        for cell in np.argsort(d)[:NPROBE]:
-            probes.append((r.vec_id, int(cell)))
-    probe_df = spark.createDataFrame(probes, "query_id long, cell int")
+    e = load_table(spark, sf_dir, "embeddings")
+    centroids = fit_centroids(spark, sf_dir)
+    assigned = _assign(e.select("vec_id", "embedding"), centroids)
+
+    structs = ", ".join(
+        f"named_struct('d', {_dist2_expr(c)}, 'c', {k})"
+        for k, c in sorted(centroids.items())
+    )
+    probe_cells = F.expr(
+        f"transform(slice(array_sort(array({structs})), 1, {IVF_NPROBE}), s -> s.c)"
+    )
+    probe_rows = (
+        e.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.explode(probe_cells).alias("cluster"),
+        )
+        .collect()
+    )  # |queries| × NPROBE rows — driver-sized serving input by design
+    probe_df = spark.createDataFrame(
+        [(r.query_id, r.cluster) for r in probe_rows],
+        "query_id long, cluster int",
+    )
 
     q = F.broadcast(_query_set(e))
-    candidates = assigned.join(F.broadcast(probe_df), "cell").select(
+    candidates = assigned.join(F.broadcast(probe_df), "cluster").select(
         "vec_id", "embedding", "query_id"
     )
     scored = (
@@ -599,6 +612,7 @@ ORACLES = {
     "ann_topk_lsh": _o_ann_lsh(),
     "embedding_quantize_int8": O_QUANTIZE,
     "embedding_centroids": O_CENTROIDS,
+    "ann_topk_ivf": _o_ann_ivf_exact(),
     "ann_topk_ivf_exact": _o_ann_ivf_exact(),
     # the persisted-index serving path probes the same cells with the
     # same quantizer, so it value-checks against the identical replay

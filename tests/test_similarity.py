@@ -140,3 +140,35 @@ def test_ivf_exact_recall_vs_bruteforce(spark, sf_dir):
     }
     # NPROBE=2 of K=4 cells: expect decent overlap with the exact top-k
     assert len(ivf & exact) >= len(exact) // 2
+
+
+def test_spark_ml_kmeans_api_quantizer(spark, sf_dir):
+    """The pyspark.ml KMeans API as an IVF coarse quantizer — kept as
+    a pinned test after ann_topk_ivf moved to the deterministic Lloyd
+    fit (r6): a seeded ML fit is reproducible within Spark, so the
+    library path stays exercised here even though the gated query no
+    longer uses it."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    from clickhouse_vs_dbt_spark.catalog import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    featurized = e.withColumn("fvec", array_to_vector("embedding"))
+    model = KMeans(
+        k=8, seed=42, featuresCol="fvec", predictionCol="cell"
+    ).fit(featurized)
+    assigned = model.transform(featurized)
+    cells = assigned.groupBy("cell").count().collect()
+    assert 1 < len(cells) <= 8
+    assert sum(r["count"] for r in cells) == e.count()
+    # seed determinism within Spark: refit reproduces the assignment
+    model2 = KMeans(
+        k=8, seed=42, featuresCol="fvec", predictionCol="cell"
+    ).fit(featurized)
+    a1 = {r.vec_id: r.cell for r in assigned.select("vec_id", "cell").collect()}
+    a2 = {
+        r.vec_id: r.cell
+        for r in model2.transform(featurized).select("vec_id", "cell").collect()
+    }
+    assert a1 == a2
