@@ -67,12 +67,11 @@ The full surface (each backed by gated oracle queries and unit tests):
   union-window plan, with the window's ts ordering and tie preference
   derived from the inequality's direction and strictness;
 * refusals with pointers — constructs whose silent handling would
-  change results (``FINAL`` without DDL context or on
-  Collapsing/Summing engines, ANY ``ON`` form, ``topKWeighted``,
-  ``sequenceCount``, ``WITH FILL`` on DESC/multi-key/expression keys
-  or INTERPOLATE recurrences, ``INTO OUTFILE``) raise
-  :class:`DialectError` naming the dedicated operator instead of
-  surfacing an opaque Spark parse error.
+  change results (``FINAL`` without DDL context, ANY ``ON`` form,
+  ``WITH FILL`` on expression keys or INTERPOLATE recurrences,
+  non-subsequence ``sequenceMatch``/``sequenceCount`` patterns,
+  ``INTO OUTFILE``) raise :class:`DialectError` naming the dedicated
+  operator instead of surfacing an opaque Spark parse error.
 
 DDL statements have their own transpiler (``ddl.py``), and
 :func:`run_clickhouse_script` is the multi-statement migration-runbook
@@ -424,6 +423,65 @@ def _topk_exact(x: str, k: str) -> str:
     return (
         f"transform(slice(array_sort(aggregate({sorted_}, {zero}, "
         f"{step}), {cmp}), 1, {k}), s -> s.v)"
+    )
+
+
+def _topk_weighted_exact(x: str, w: str, k: str) -> str:
+    """Exact deterministic weighted top-k (ClickHouse
+    ``topKWeighted(k)(x, w)``'s exact tier): per group, SUM the
+    weights per value, order (weight desc, value asc), keep k.  Same
+    RLE-fold construction as :func:`_topk_exact` with the +1 count
+    replaced by the value's weight; ClickHouse's sketch is
+    approximate — this is the deterministic exact tier (the dedicated
+    scale operator is ``events_topk_weighted``)."""
+    sorted_ = (
+        f"array_sort(collect_list(named_struct('v', {x}, "
+        f"'w', CAST({w} AS BIGINT))))"
+    )
+    zero = (
+        f"transform(slice({sorted_}, 1, 0), "
+        f"s -> named_struct('v', s.v, 'c', CAST(0 AS BIGINT)))"
+    )
+    step = (
+        "(acc, s) -> IF(size(acc) > 0 AND element_at(acc, -1).v = s.v, "
+        "concat(slice(acc, 1, size(acc) - 1), "
+        "array(named_struct('v', s.v, 'c', element_at(acc, -1).c + s.w))), "
+        "concat(acc, array(named_struct('v', s.v, 'c', s.w))))"
+    )
+    cmp = (
+        "(a, b) -> CASE WHEN a.c > b.c THEN -1 WHEN a.c < b.c THEN 1 "
+        "WHEN a.v < b.v THEN -1 WHEN a.v > b.v THEN 1 ELSE 0 END"
+    )
+    return (
+        f"transform(slice(array_sort(aggregate({sorted_}, {zero}, "
+        f"{step}), {cmp}), 1, {k}), s -> s.v)"
+    )
+
+
+def _sequence_count_fold(ts: str, conds: list[str]) -> str:
+    """ClickHouse ``sequenceCount('(?1).*(?2)…')(ts, c1…cN)`` — count
+    of NON-OVERLAPPING subsequence matches with ClickHouse's restart
+    semantics (after a chain completes, the scan resumes AFTER its
+    last event; pending partial progress is discarded).  One integer-
+    state codegen fold over the time-sorted condition vectors:
+    ``state = chains·N + stage`` — an event matching the needed
+    ``stage+1`` condition advances the stage; completing stage N
+    increments the chain count and resets.  Same collect/sort/fold
+    shape as :func:`_window_funnel_fold` — bounded per-group state,
+    one keyed shuffle."""
+    n = len(conds)
+    cs = ", ".join(conds)
+    sorted_ = (
+        f"transform(array_sort(collect_list(named_struct('t', {ts}, "
+        f"'cs', array({cs})))), s -> s.cs)"
+    )
+    step = (
+        f"(s, cs) -> CASE WHEN element_at(cs, CAST(s % {n} + 1 AS INT)) "
+        f"THEN IF(s % {n} = {n - 1}, (s div {n} + 1) * {n}, s + 1) "
+        "ELSE s END"
+    )
+    return (
+        f"(aggregate({sorted_}, CAST(0 AS BIGINT), {step}) div {n})"
     )
 
 
@@ -862,6 +920,8 @@ def _render_call(name: str, args: list[str]) -> str:
             return f"percentile_approx({args[0]}, 0.5)"
         if name == "topK" and len(args) == 1:
             return _topk_exact(args[0], "10")
+        if name == "topKWeighted" and len(args) == 2:
+            return _topk_weighted_exact(args[0], args[1], "10")
         raise DialectError(
             f"{name} is a parametric aggregate — write "
             f"{name}(params)({joined})"
@@ -941,17 +1001,21 @@ def _render_parametric(name: str, params: list[str], args: list[str]) -> str:
             f"CAST({_window_funnel_fold(win, args[0], args[1:])} = {n} "
             "AS SMALLINT)"
         )
-    if name == "sequenceCount":
-        raise DialectError(
-            "sequenceCount's non-overlapping greedy matcher is the "
-            "dedicated operator events_sequence_count"
-        )
-    if name == "topKWeighted":
-        raise DialectError(
-            "topKWeighted's weighted sketch has no value-checkable "
-            "Spark expression equivalent; use the dedicated operator "
-            "events_topk_weighted (exact weighted tier)"
-        )
+    if name == "sequenceCount" and len(params) == 1 and len(args) >= 2:
+        n = _sequence_chain_len(params[0])
+        if n != len(args) - 1:
+            raise DialectError(
+                f"sequenceCount pattern references {n} conditions but "
+                f"{len(args) - 1} were supplied"
+            )
+        # ClickHouse restart semantics (see _sequence_count_fold);
+        # the pending-pool greedy variant is events_sequence_count
+        return _sequence_count_fold(args[0], args[1:])
+    if name == "topKWeighted" and len(params) == 1 and len(args) == 2:
+        # exact tier of ClickHouse's weighted sketch (see
+        # _topk_weighted_exact); events_topk_weighted is the
+        # dedicated scale operator
+        return _topk_weighted_exact(args[0], args[1], params[0])
     raise DialectError(f"unsupported parametric aggregate: {name}")
 
 
@@ -3855,6 +3919,80 @@ def q_dialect_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_clickhouse_sql(spark, _CH_SEQ_MATCH, sf_dir, ("events",))
 
 
+# 15b. sequenceCount — non-overlapping chain count with ClickHouse's
+#      restart-after-match semantics.  The oracle is an INDEPENDENT
+#      relational spelling (run-length alternation counting: collapse
+#      consecutive view/purchase runs; chains = half the run count
+#      after dropping a leading purchase-run), so the fold semantics
+#      are differentially proven, not copied.
+_CH_SEQ_COUNT = """
+SELECT user_id,
+       sequenceCount('(?1).*(?2)')(ts, event_type = 'view',
+                                   event_type = 'purchase') AS n_chains
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+O_SEQ_COUNT = """
+WITH vp AS (
+  SELECT user_id, ts,
+         CASE WHEN event_type = 'view' THEN 1 ELSE 2 END AS c
+  FROM events WHERE event_type IN ('view', 'purchase')),
+runs AS (
+  SELECT user_id, c,
+         CASE WHEN lag(c) OVER (PARTITION BY user_id ORDER BY ts)
+                   IS DISTINCT FROM c THEN 1 ELSE 0 END AS is_start,
+         CASE WHEN lag(c) OVER (PARTITION BY user_id ORDER BY ts)
+                   IS NULL AND c = 2 THEN 1 ELSE 0 END AS leading_p
+  FROM vp),
+agg AS (
+  SELECT user_id, SUM(is_start) AS m, MAX(leading_p) AS lp
+  FROM runs GROUP BY user_id)
+SELECT u.user_id,
+       CAST(coalesce((a.m - a.lp) // 2, 0) AS BIGINT) AS n_chains
+FROM (SELECT DISTINCT user_id FROM events) u
+LEFT JOIN agg a USING (user_id)
+ORDER BY u.user_id
+"""
+
+
+def q_dialect_sequence_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verbatim ClickHouse sequenceCount query (module doc)."""
+    return run_clickhouse_sql(spark, _CH_SEQ_COUNT, sf_dir, ("events",))
+
+
+# 11b. topKWeighted(k)(x, w) — exact weighted tier (weight-sum desc,
+#      value asc), serialized at the gate boundary like topK.
+_CH_TOPK_WEIGHTED = """
+SELECT o_orderstatus,
+       arrayStringConcat(
+         topKWeighted(3)(o_orderpriority, toUInt64(o_orderkey % 7 + 1)),
+         ',') AS top_prios
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+O_TOPK_WEIGHTED = """
+SELECT o_orderstatus,
+       array_to_string(
+         list_slice(list(o_orderpriority ORDER BY w DESC,
+                         o_orderpriority), 1, 3), ',') AS top_prios
+FROM (
+  SELECT o_orderstatus, o_orderpriority,
+         SUM(o_orderkey % 7 + 1) AS w
+  FROM orders GROUP BY 1, 2
+)
+GROUP BY o_orderstatus
+"""
+
+
+def q_dialect_topk_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verbatim ClickHouse topKWeighted query, exact tier (module
+    doc)."""
+    return run_clickhouse_sql(spark, _CH_TOPK_WEIGHTED, sf_dir, ("orders",))
+
+
 # 16. full operational lifecycle through the script runner: CREATE
 #     (Replacing DDL) → INSERT … SELECT FROM file() (fires nothing —
 #     no MV — but exercises the trigger path) → ALTER DELETE →
@@ -3938,6 +4076,8 @@ QUERIES = {
     "dialect_window_funnel": q_dialect_window_funnel,
     "dialect_retention": q_dialect_retention,
     "dialect_sequence_match": q_dialect_sequence_match,
+    "dialect_sequence_count": q_dialect_sequence_count,
+    "dialect_topk_weighted": q_dialect_topk_weighted,
     "dialect_limit_by": q_dialect_limit_by,
     "dialect_asof_join": q_dialect_asof_join,
     "dialect_asof_on": q_dialect_asof_on,
@@ -3969,6 +4109,8 @@ ORACLES = {
     "dialect_window_funnel": O_WINDOW_FUNNEL,
     "dialect_retention": O_RETENTION,
     "dialect_sequence_match": O_SEQ_MATCH,
+    "dialect_sequence_count": O_SEQ_COUNT,
+    "dialect_topk_weighted": O_TOPK_WEIGHTED,
     "dialect_limit_by": O_LIMIT_BY,
     "dialect_asof_join": O_ASOF,
     "dialect_asof_on": O_ASOF_ON,

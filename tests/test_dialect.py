@@ -324,8 +324,13 @@ def test_topk_transpiles_to_exact_tier():
     # plain form takes ClickHouse's default k=10
     out = transpile("SELECT topK(x) FROM t")
     assert ", 10)" in out
-    with pytest.raises(DialectError, match="events_topk_weighted"):
-        transpile("SELECT topKWeighted(5)(x, w) FROM t")
+    # topKWeighted transpiles to the exact weighted tier (r6):
+    # per-value weight sums instead of +1 counts
+    out = transpile("SELECT topKWeighted(5)(x, w) FROM t")
+    assert "'w', CAST(w AS BIGINT)" in out and ", 5)" in out
+    assert "element_at(acc, -1).c + s.w" in out
+    out = transpile("SELECT topKWeighted(x, w) FROM t")
+    assert ", 10)" in out
 
 
 def test_review_fixes_round4():
@@ -643,8 +648,13 @@ def test_analytics_aggregate_transpiles():
     # non-subsequence patterns refuse
     with pytest.raises(DialectError, match="events_sequence_match"):
         transpile("SELECT sequenceMatch('(?1)(?2)')(ts, a, b) FROM t")
-    with pytest.raises(DialectError, match="events_sequence_count"):
-        transpile("SELECT sequenceCount('(?1).*(?2)')(ts, a, b) FROM t")
+    # sequenceCount subsequence form transpiles (r6): restart-
+    # semantics staged fold, state = chains*N + stage
+    out = transpile("SELECT sequenceCount('(?1).*(?2)')(ts, a, b) FROM t")
+    assert "aggregate(" in out and "div 2" in out
+    assert "array(a, b)" in out
+    with pytest.raises(DialectError, match="subsequence"):
+        transpile("SELECT sequenceCount('(?1)(?2)')(ts, a, b) FROM t")
     # zero-arg count() maps to count(*)
     assert transpile("count()") == "count(*)"
 
