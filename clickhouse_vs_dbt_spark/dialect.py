@@ -67,11 +67,12 @@ The full surface (each backed by gated oracle queries and unit tests):
   union-window plan, with the window's ts ordering and tie preference
   derived from the inequality's direction and strictness;
 * refusals with pointers — constructs whose silent handling would
-  change results (``FINAL`` without DDL context, ANY ``ON`` form,
-  ``WITH FILL`` on expression keys or INTERPOLATE recurrences,
-  non-subsequence ``sequenceMatch``/``sequenceCount`` patterns,
-  ``INTO OUTFILE``) raise :class:`DialectError` naming the dedicated
-  operator instead of surfacing an opaque Spark parse error.
+  change results (``FINAL`` without DDL context, ANY ``ON`` with
+  non-equality conjuncts, ``WITH FILL`` on expression keys or
+  INTERPOLATE recurrences, non-subsequence
+  ``sequenceMatch``/``sequenceCount`` patterns, ``INTO OUTFILE``)
+  raise :class:`DialectError` naming the dedicated operator instead
+  of surfacing an opaque Spark parse error.
 
 DDL statements have their own transpiler (``ddl.py``), and
 :func:`run_clickhouse_script` is the multi-statement migration-runbook
@@ -2368,17 +2369,31 @@ def _rewrite_any_join(toks: list[str], resolve_columns=None) -> list[str]:
         ):
             r_alias = toks[r2]
             r2 = _next_code(toks, r2 + 1)
-        if r2 >= len(toks) or toks[r2].upper() != "USING":
-            return toks  # ON form → backstop refusal with pointer
+        if r2 >= len(toks) or toks[r2].upper() not in ("USING", "ON"):
+            return toks  # malformed — let the backstop refuse
         if r_alias is None:
             if need_alias:
                 return toks
             r_alias = right_ref.split(".")[-1].strip("`")
-        u = _next_code(toks, r2 + 1)
-        if u >= len(toks) or toks[u] != "(":
-            return toks
-        uclose = _match_close(toks, u)
-        keys = [t for t in toks[u + 1 : uclose] if _is_ident(t)]
+        if toks[r2].upper() == "ON":
+            # ON form: all conjuncts must be equalities with exactly
+            # one side right-qualified; the right side collapses to
+            # one row per its referenced key columns and the ON
+            # clause itself stays verbatim (no fan-out possible:
+            # build side is unique on every joined column)
+            keys = _parse_any_on_keys(toks, r2, r_alias)
+            if keys is None:
+                return toks  # non-equi / unqualified → backstop
+            splice_end = r2  # keep ON + conjuncts in place
+            using = None
+        else:
+            u = _next_code(toks, r2 + 1)
+            if u >= len(toks) or toks[u] != "(":
+                return toks
+            uclose = _match_close(toks, u)
+            keys = [t for t in toks[u + 1 : uclose] if _is_ident(t)]
+            splice_end = uclose
+            using = keys
         rcols = resolve_columns(right_ref)
         if not rcols or any(k not in rcols for k in keys):
             return toks
@@ -2394,9 +2409,69 @@ def _rewrite_any_join(toks: list[str], resolve_columns=None) -> list[str]:
         else:
             collapsed = f"(SELECT DISTINCT {kcsv} FROM {right_ref})"
         jkind = "LEFT JOIN" if strict == "LEFT" else "JOIN"
-        repl = f" {jkind} {collapsed} {r_alias} USING ({kcsv})"
-        toks[splice_start : uclose + 1] = [repl]
+        if using is not None:
+            repl = f" {jkind} {collapsed} {r_alias} USING ({kcsv})"
+            toks[splice_start : splice_end + 1] = [repl]
+        else:
+            repl = f" {jkind} {collapsed} {r_alias} ON"
+            toks[splice_start : splice_end + 1] = [repl]
         toks = _tokens("".join(toks))
+
+
+def _parse_any_on_keys(toks, on_i, r_alias):
+    """The right-side key columns of an all-equality ANY JOIN ON
+    clause, or None when any conjunct is not ``<a>.<c> = <b>.<c>``
+    with exactly one side ``r_alias``-qualified (the backstop refusal
+    then points at ``any_left_join``)."""
+    stop = {
+        "WHERE", "GROUP", "ORDER", "LIMIT", "HAVING", "UNION",
+        "SETTINGS", "WINDOW", "JOIN", "LEFT", "RIGHT", "INNER",
+        "FULL", "CROSS", "ASOF", "ANY", "QUALIFY",
+    }
+    i = _next_code(toks, on_i + 1)
+    end = i
+    depth = 0
+    while end < len(toks):
+        t = toks[end]
+        if t == "(":
+            depth += 1
+        elif t == ")":
+            if depth == 0:
+                break
+            depth -= 1
+        elif depth == 0 and (
+            t == ";" or (_is_ident(t) and t.upper() in stop)
+        ):
+            break
+        end += 1
+    span = [t for t in toks[i:end] if not _is_skippable(t)]
+    conjuncts: list[list[str]] = [[]]
+    d = 0
+    for t in span:
+        if t == "(":
+            d += 1
+        elif t == ")":
+            d -= 1
+        if d == 0 and t.upper() == "AND":
+            conjuncts.append([])
+        else:
+            conjuncts[-1].append(t)
+    keys: list[str] = []
+    for c in conjuncts:
+        if (
+            len(c) != 7
+            or c[1] != "." or c[5] != "."
+            or not all(_is_ident(c[k]) for k in (0, 2, 4, 6))
+            or c[3] != "="
+        ):
+            return None
+        a_q, a_c, b_q, b_c = c[0], c[2], c[4], c[6]
+        if (a_q == r_alias) == (b_q == r_alias):
+            return None  # both or neither right-qualified
+        keys.append(a_c if a_q == r_alias else b_c)
+    if not keys:
+        return None
+    return list(dict.fromkeys(keys))
 
 
 def _rewrite_final(toks, resolve_columns=None, engine_info=None):
@@ -3640,6 +3715,50 @@ def q_dialect_any_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# 12b2. ANY LEFT JOIN ... ON — the free-form equality-conjunct
+#       spelling (differently-named key columns); the right side
+#       collapses per its ON-referenced columns and the ON clause
+#       survives verbatim, so no fan-out is possible.
+_CH_ANY_JOIN_ON = """
+SELECT o.o_orderstatus, fl.any_flag,
+       count() AS n_orders,
+       toFloat64(sum(toDecimal64(coalesce(fl.any_price, 0), 2)))
+         AS price_sum
+FROM orders o
+ANY LEFT JOIN (
+    SELECT l_orderkey, l_linenumber, l_quantity,
+           l_extendedprice AS any_price, l_returnflag AS any_flag
+    FROM lineitem
+) fl ON o.o_orderkey = fl.l_orderkey
+GROUP BY o.o_orderstatus, fl.any_flag
+"""
+
+O_ANY_JOIN_ON = """
+WITH fl AS (
+  SELECT l_orderkey, any_price, any_flag
+  FROM (
+    SELECT l_orderkey, l_extendedprice AS any_price,
+           l_returnflag AS any_flag,
+           row_number() OVER (PARTITION BY l_orderkey
+               ORDER BY l_linenumber, l_quantity, l_extendedprice,
+                        l_returnflag) AS rn
+    FROM lineitem) WHERE rn = 1)
+SELECT o.o_orderstatus, fl.any_flag,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(coalesce(fl.any_price, 0) AS DECIMAL(18,2)))
+            AS DOUBLE) AS price_sum
+FROM orders o LEFT JOIN fl ON o.o_orderkey = fl.l_orderkey
+GROUP BY o.o_orderstatus, fl.any_flag
+"""
+
+
+def q_dialect_any_join_on(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verbatim ClickHouse ANY LEFT JOIN ON query (module doc)."""
+    return run_clickhouse_sql(
+        spark, _CH_ANY_JOIN_ON, sf_dir, ("orders", "lineitem")
+    )
+
+
 # 12c. combinator families round 2: -Array, -Distinct, -OrNull over
 #      inline arrays (integer-valued doubles keep the DOUBLE-policy
 #      sums exact under any partitioning), plus sumMap's
@@ -4068,6 +4187,7 @@ QUERIES = {
     "dialect_strings": q_dialect_strings,
     "ch_script_lifecycle": q_ch_script_lifecycle,
     "dialect_any_join": q_dialect_any_join,
+    "dialect_any_join_on": q_dialect_any_join_on,
     "dialect_combinators2": q_dialect_combinators2,
     "dialect_numbers": q_dialect_numbers,
     "dialect_file_read": q_dialect_file_read,
@@ -4101,6 +4221,7 @@ ORACLES = {
     "dialect_strings": O_STRINGS,
     "ch_script_lifecycle": O_CH_SCRIPT_LIFECYCLE,
     "dialect_any_join": O_ANY_JOIN,
+    "dialect_any_join_on": O_ANY_JOIN_ON,
     "dialect_combinators2": O_COMBINATORS2,
     "dialect_numbers": O_NUMBERS,
     "dialect_file_read": O_FILE_READ,

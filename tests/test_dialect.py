@@ -678,6 +678,26 @@ def test_any_join_using_collapses_right_side():
     # without a resolver the refusal with the operator pointer stands
     with pytest.raises(DialectError, match="any_left_join"):
         transpile("SELECT * FROM l ANY LEFT JOIN r USING (k)")
+    # ON form (r6): all-equality conjuncts collapse the right side
+    # keyed on its ON-referenced columns; the ON clause stays verbatim
+    out = transpile(
+        "SELECT * FROM l ANY LEFT JOIN r rr ON l.a = rr.k1 "
+        "AND rr.k2 = l.b",
+        resolve_columns=lambda rel: (
+            ["k1", "k2", "v1"] if "r" in rel else None
+        ),
+    )
+    assert "min(struct(v1))" in out and "GROUP BY k1, k2" in out
+    assert "ON l.a = rr.k1" in out and "rr.k2 = l.b" in out
+    # a non-equality conjunct falls through to the refusal
+    with pytest.raises(DialectError, match="any_left_join"):
+        transpile(
+            "SELECT * FROM l ANY LEFT JOIN r rr ON l.a = rr.k1 "
+            "AND l.b > rr.k2",
+            resolve_columns=lambda rel: (
+                ["k1", "k2", "v1"] if "r" in rel else None
+            ),
+        )
 
 
 def test_limit_by_union_guard_and_parenthesized_branch():
