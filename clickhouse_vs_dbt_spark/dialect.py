@@ -877,17 +877,25 @@ def _render_call(name: str, args: list[str]) -> str:
             f"{args[1]}, (a, b) -> named_struct('k', a, 'v', "
             "CAST(b AS DOUBLE))))))"
         )
-        zero = f"transform(slice({pairs}, 1, 0), p -> p)"
         step = (
             "(acc, p) -> IF(size(acc) > 0 AND element_at(acc, -1).k = p.k, "
             "concat(slice(acc, 1, size(acc) - 1), "
             f"array(named_struct('k', p.k, 'v', {merge}))), "
             "concat(acc, array(p)))"
         )
-        rle = f"aggregate({pairs}, {zero}, {step})"
+        # bind the sorted pair array and the RLE result ONCE each via
+        # single-element transform lambdas — spelling them inline
+        # would re-collect and re-sort the whole group per reference
+        # (Spark does not CSE across aggregate/transform boundaries;
+        # measured 4x the work on dialect_combinators2)
         return (
-            f"named_struct('keys', transform({rle}, s -> s.k), "
-            f"'values', transform({rle}, s -> s.v))"
+            "element_at(transform(array("
+            f"{pairs}"
+            "), __mp -> element_at(transform(array("
+            f"aggregate(__mp, slice(__mp, 1, 0), {step})"
+            "), __mr -> named_struct("
+            "'keys', transform(__mr, s -> s.k), "
+            "'values', transform(__mr, s -> s.v))), 1)), 1)"
         )
     if name.endswith("If") and name[:-2] in _IF_BASES and len(args) >= 2:
         base = _IF_BASES[name[:-2]]
