@@ -174,6 +174,18 @@ HEADLINE = [
     "multimodal_png_roundtrip",
     "multimodal_jpeg_roundtrip",
     "multimodal_gif_roundtrip",
+    # round-6 additions: ON-form joins, DESC/multi-key fills,
+    # Collapsing FINAL, exact weighted topK, sequenceCount, and the
+    # value-checked IVF / portable-sketch conversions
+    "dialect_asof_on",
+    "dialect_any_join_on",
+    "dialect_with_fill_desc",
+    "dialect_with_fill_multikey",
+    "ddl_final_collapsing",
+    "dialect_topk_weighted",
+    "dialect_sequence_count",
+    "ann_topk_ivf",
+    "approx_distinct_quantiles",
 ]
 
 
