@@ -75,12 +75,21 @@ def _update(assigned: DataFrame) -> DataFrame:
     )
 
 
+_FIT_CACHE: dict[tuple[str, int], dict[int, list[float]]] = {}
+
+
 def fit_centroids(
     spark: SparkSession, sf_dir: str, iters: int = ITERS
 ) -> dict[int, list[float]]:
     """Deterministic quantizer fit: ``iters`` Lloyd rounds from the
     first-K init; returns cluster → centroid literals (the model state
-    the deterministic IVF in operators/similarity.py broadcasts)."""
+    the deterministic IVF in operators/similarity.py broadcasts).
+    The fit is a pure function of (sf_dir, iters), so it is memoized
+    per process — quantizer fitting is ingest-time model state, not
+    per-query work (three IVF queries share it)."""
+    cached = _FIT_CACHE.get((sf_dir, iters))
+    if cached is not None:
+        return cached
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     centroids = {
         r.vec_id: [float(x) for x in r.embedding]
@@ -91,6 +100,7 @@ def fit_centroids(
         centroids = {}
         for r in cells:
             centroids.setdefault(r.cluster, [0.0] * DIM)[r.pos] = r.c
+    _FIT_CACHE[(sf_dir, iters)] = centroids
     return centroids
 
 
