@@ -130,6 +130,7 @@ _RENAME = {
     "uniqCombined64": "approx_count_distinct",
     "uniqHLL12": "approx_count_distinct",
     "uniqTheta": "approx_count_distinct",
+    "toTypeName": "typeof",
     "has": "array_contains",
     "arraySort": "array_sort",
     "arrayDistinct": "array_distinct",
@@ -554,6 +555,24 @@ def _render_call(name: str, args: list[str]) -> str:
     joined = ", ".join(args)
     if name == "multiIf":
         return _case_chain(args)
+    if (
+        name in ("CAST", "cast", "accurateCast", "accurateCastOrNull")
+        and len(args) == 2
+        and args[1].startswith("'")
+        and args[1].endswith("'")
+    ):
+        # ClickHouse's function-form cast with a string type name:
+        # CAST(x, 'UInt64') / accurateCast(OrNull).  accurateCast
+        # raises on overflow where plain CAST truncates — Spark's
+        # ANSI-off CAST is the truncating tier; OrNull maps to
+        # TRY_CAST (NULL on failure, the documented analog).
+        from clickhouse_vs_dbt_spark.ddl import convert_type
+
+        t = convert_type(args[1][1:-1])
+        fn = "TRY_CAST" if name == "accurateCastOrNull" else "CAST"
+        return f"{fn}({args[0]} AS {t})"
+    if name == "untuple" and len(args) == 1:
+        return f"{args[0]}.*"
     if name == "retention" and args:
         # retention(c1, …, cN): r[1] = any event matched c1;
         # r[i>1] = c1 matched AND ci matched (each on any event of the
@@ -944,7 +963,7 @@ def _render_parametric(name: str, params: list[str], args: list[str]) -> str:
         return f"percentile_approx({args[0]}, {params[0]})"
     if name == "quantileExact" and len(params) == 1:
         return f"percentile({args[0]}, {params[0]})"
-    if name == "quantiles":
+    if name in ("quantiles", "quantilesTiming", "quantilesTDigest"):
         return f"percentile_approx({args[0]}, array({', '.join(params)}))"
     if name == "quantilesExact":
         return f"percentile({args[0]}, array({', '.join(params)}))"
@@ -1033,6 +1052,8 @@ _PARAMETRIC = {
     "quantileExact",
     "quantiles",
     "quantilesExact",
+    "quantilesTiming",
+    "quantilesTDigest",
     "quantileExactIf",
     "quantileIf",
     "quantileTDigestIf",
@@ -2652,6 +2673,249 @@ def _rewrite_final(toks, resolve_columns=None, engine_info=None):
     return toks
 
 
+def _rewrite_with_scalars(toks: list[str]) -> list[str]:
+    """ClickHouse's expression-form WITH: ``WITH <expr> AS ident, …
+    SELECT`` (including scalar subqueries, ``WITH (SELECT max(x) FROM
+    t) AS mx``) — the expr substitutes for every later use of the
+    identifier.  Standard ``ident AS (subquery)`` CTE items are left
+    for Spark.  Mixed lists keep the CTE items and inline the
+    expression items."""
+    i = _next_code(toks, 0)
+    if i >= len(toks) or toks[i].upper() != "WITH":
+        return toks
+    # parse top-level comma-separated items until the SELECT
+    items: list[tuple[int, int]] = []  # (start, end) token spans
+    j = i + 1
+    start = j
+    depth = 0
+    sel = None
+    while j < len(toks):
+        t = toks[j]
+        if t in ("(", "["):
+            depth += 1
+        elif t in (")", "]"):
+            depth -= 1
+        elif depth == 0 and t == ",":
+            items.append((start, j))
+            start = j + 1
+        elif depth == 0 and _is_ident(t) and t.upper() == "SELECT":
+            sel = j
+            items.append((start, j))
+            break
+        j += 1
+    if sel is None:
+        return toks
+    keep: list[str] = []
+    subs: dict[str, str] = {}
+    for s0, e0 in items:
+        body = [t for t in toks[s0:e0] if not _is_skippable(t)]
+        if not body:
+            return toks  # malformed; pass through
+        if (
+            len(body) >= 3
+            and _is_ident(body[0])
+            and body[1].upper() == "AS"
+            and body[2] == "("
+        ):
+            keep.append("".join(toks[s0:e0]).strip())  # standard CTE
+            continue
+        if (
+            len(body) >= 3
+            and body[-2].upper() == "AS"
+            and _is_ident(body[-1])
+        ):
+            # strip the trailing "AS ident" from the ORIGINAL span
+            # (whitespace preserved) and inline the parenthesized expr
+            ident_i = e0 - 1
+            while toks[ident_i] != body[-1]:
+                ident_i -= 1
+            as_i = _prev_code(toks, ident_i - 1)
+            expr = "".join(toks[s0:as_i]).strip()
+            subs[body[-1]] = f"({expr})"
+            continue
+        return toks  # unrecognized item shape; pass through
+    if not subs:
+        return toks
+    rest = toks[sel:]
+    out: list[str] = []
+    for k, t in enumerate(rest):
+        prev = _prev_code(rest, k - 1)
+        nxt = _next_code(rest, k + 1)
+        if (
+            t in subs
+            and (prev < 0 or rest[prev] != ".")
+            and (nxt >= len(rest) or rest[nxt] not in (".", "("))
+        ):
+            out.append(subs[t])
+        else:
+            out.append(t)
+    prefix = f"WITH {', '.join(keep)} " if keep else ""
+    return _tokens(prefix + "".join(out))
+
+
+def _rewrite_distinct_on(toks: list[str]) -> list[str]:
+    """``SELECT DISTINCT ON (k…) …`` → the equivalent ``LIMIT 1 BY
+    k…`` (ClickHouse documents the two as identical), spliced before
+    any trailing top-level LIMIT so the LIMIT BY machinery handles
+    ranking, schema, and the global-limit composition."""
+    while True:
+        hit = None
+        for i, t in enumerate(toks):
+            if t.upper() != "DISTINCT":
+                continue
+            p = _prev_code(toks, i - 1)
+            n1 = _next_code(toks, i + 1)
+            if (
+                p >= 0
+                and toks[p].upper() == "SELECT"
+                and n1 < len(toks)
+                and toks[n1].upper() == "ON"
+            ):
+                o = _next_code(toks, n1 + 1)
+                if o < len(toks) and toks[o] == "(":
+                    hit = (i, o)
+                    break
+        if hit is None:
+            return toks
+        i, o = hit
+        oclose = _match_close(toks, o)
+        cols = "".join(
+            t for t in toks[o + 1 : oclose] if not t.startswith("--")
+        ).strip()
+        # find the splice point: first depth-0 LIMIT after the column
+        # list, else the end of this SELECT's segment
+        depth = 0
+        j = oclose + 1
+        ins = None
+        while j < len(toks):
+            t = toks[j]
+            if t in ("(", "["):
+                depth += 1
+            elif t in (")", "]"):
+                if depth == 0:
+                    break
+                depth -= 1
+            elif depth == 0 and t == ";":
+                break
+            elif depth == 0 and _is_ident(t) and t.upper() in (
+                "LIMIT", "UNION", "INTERSECT", "EXCEPT",
+            ):
+                break
+            j += 1
+        ins = j
+        toks = (
+            toks[: i]
+            + toks[oclose + 1 : ins]
+            + _tokens(f" LIMIT 1 BY {cols} ")
+            + toks[ins:]
+        )
+
+
+def _rewrite_limit_ties(toks: list[str]) -> list[str]:
+    """``… ORDER BY o LIMIT n WITH TIES`` → rank() window ≤ n over
+    the query's own output (peers of the n-th row survive, ClickHouse
+    semantics).  Requires the top-level ORDER BY (as ClickHouse
+    does)."""
+    # find depth-0 LIMIT n WITH TIES
+    depth = 0
+    hit = None
+    for i, t in enumerate(toks):
+        if t in ("(", "["):
+            depth += 1
+        elif t in (")", "]"):
+            depth -= 1
+        elif depth == 0 and _is_ident(t) and t.upper() == "WITH":
+            j = _next_code(toks, i + 1)
+            if j < len(toks) and toks[j].upper() == "TIES":
+                n_i = _prev_code(toks, i - 1)
+                l_i = _prev_code(toks, n_i - 1) if n_i >= 0 else -1
+                if (
+                    l_i >= 0
+                    and toks[l_i].upper() == "LIMIT"
+                    and n_i >= 0
+                ):
+                    hit = (l_i, n_i, j)
+                break
+    if hit is None:
+        return toks
+    l_i, n_i, ties_end = hit
+    tail = "".join(toks[ties_end + 1 :]).strip()
+    if tail and tail != ";":
+        raise DialectError("LIMIT ... WITH TIES must end the query")
+    n = toks[n_i]
+    # the top-level ORDER BY before the LIMIT
+    depth = 0
+    ord_i = None
+    for i in range(l_i):
+        t = toks[i]
+        if t in ("(", "["):
+            depth += 1
+        elif t in (")", "]"):
+            depth -= 1
+        elif depth == 0 and _is_ident(t) and t.upper() == "ORDER":
+            j = _next_code(toks, i + 1)
+            if j < len(toks) and toks[j].upper() == "BY":
+                ord_i = i
+    if ord_i is None:
+        raise DialectError(
+            "LIMIT ... WITH TIES needs a top-level ORDER BY (ties are "
+            "defined by it)"
+        )
+    by_i = _next_code(toks, ord_i + 1)
+    ord_exprs = "".join(toks[by_i + 1 : l_i]).strip()
+    core = "".join(toks[:ord_i]).strip()
+    return _tokens(
+        f"SELECT * EXCEPT (__ties_rk) FROM (SELECT *, rank() OVER "
+        f"(ORDER BY {ord_exprs}) AS __ties_rk FROM ({core}) __ties_b) "
+        f"__ties_w WHERE __ties_rk <= {n} ORDER BY {ord_exprs}"
+    )
+
+
+def _rewrite_type_casts(toks: list[str]) -> list[str]:
+    """``expr::CHType`` — map the ClickHouse type name after the
+    ``::`` cast operator to its Spark type (Spark supports ``::``
+    natively, only the type vocabulary differs).  Unknown names pass
+    through (they may already be Spark types)."""
+    from clickhouse_vs_dbt_spark.ddl import convert_type
+
+    i = 0
+    while i < len(toks) - 1:
+        if toks[i] == ":" and toks[i + 1] == ":":
+            t_i = _next_code(toks, i + 2)
+            if t_i < len(toks) and _is_ident(toks[t_i]):
+                t_end = t_i
+                n1 = _next_code(toks, t_i + 1)
+                if n1 < len(toks) and toks[n1] == "(":
+                    t_end = _match_close(toks, n1)
+                type_txt = "".join(toks[t_i : t_end + 1])
+                try:
+                    spark_t = convert_type(type_txt)
+                except Exception:
+                    i += 1
+                    continue
+                toks[t_i : t_end + 1] = [spark_t]
+                i = t_i
+                continue
+        i += 1
+    return toks
+
+
+def _check_sample_clause(toks: list[str]) -> None:
+    """``FROM t SAMPLE k [OFFSET m]`` depends on the table's SAMPLE BY
+    key (DDL context this front door does not carry) — refuse with
+    the dedicated operator instead of letting Spark parse SAMPLE as a
+    table alias (a silent semantic change)."""
+    for i, t in enumerate(toks):
+        if _is_ident(t) and t.upper() == "SAMPLE":
+            j = _next_code(toks, i + 1)
+            if j < len(toks) and re.match(r"\d", toks[j]):
+                raise DialectError(
+                    "SAMPLE k [OFFSET m] needs the table's SAMPLE BY "
+                    "key; use the clickhouse_sample_clause operator "
+                    "(deterministic hash-range slice)"
+                )
+
+
 def transpile(sql: str, resolve_columns=None, engine_info=None) -> str:
     """Rewrite a ClickHouse-dialect query into Spark SQL (see module
     doc).  Unrecognized constructs pass through verbatim.
@@ -2661,6 +2925,11 @@ def transpile(sql: str, resolve_columns=None, engine_info=None) -> str:
     (table name → ``ddl.EngineInfo`` or None) unlocks ``FROM t
     FINAL`` reads for tables whose DDL ran through the front door."""
     toks = _tokens(sql)
+    _check_sample_clause(toks)
+    toks = _rewrite_type_casts(toks)
+    toks = _rewrite_with_scalars(toks)
+    toks = _rewrite_limit_ties(toks)
+    toks = _rewrite_distinct_on(toks)
     toks = _rewrite_limit_by(toks, resolve_columns)
     toks = _rewrite_with_fill(toks, resolve_columns)
     toks = _rewrite_asof(toks, resolve_columns)
@@ -4120,6 +4389,63 @@ def q_dialect_topk_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_clickhouse_sql(spark, _CH_TOPK_WEIGHTED, sf_dir, ("orders",))
 
 
+# 17. DISTINCT ON — ClickHouse documents it as identical to LIMIT 1
+#     BY; the ORDER BY makes the kept row per user deterministic
+#     (latest event, event_id tiebreak).
+_CH_DISTINCT_ON = """
+SELECT DISTINCT ON (user_id) user_id, event_id, event_type
+FROM events
+ORDER BY user_id, ts DESC, event_id
+"""
+
+O_DISTINCT_ON = """
+SELECT user_id, event_id, event_type FROM (
+  SELECT user_id, event_id, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id) AS rn
+  FROM events) WHERE rn = 1
+"""
+
+
+def q_dialect_distinct_on(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verbatim ClickHouse DISTINCT ON query (module doc)."""
+    return run_clickhouse_sql(spark, _CH_DISTINCT_ON, sf_dir, ("events",))
+
+
+# 18. expression-form WITH + ::Type casts + toTypeName + LIMIT WITH
+#     TIES in one statement — the "modern ClickHouse SQL" surface a
+#     migrant's ad-hoc queries lean on.
+_CH_MODERN = """
+WITH (SELECT max(o_totalprice) FROM orders) AS mx,
+     0.5 AS half
+SELECT o_orderkey,
+       o_totalprice::Decimal(18, 2) AS price,
+       toTypeName(o_orderkey) AS keytype,
+       (mx - o_totalprice) * half AS half_gap,
+       o_orderdate
+FROM orders
+ORDER BY o_orderdate
+LIMIT 100 WITH TIES
+"""
+
+O_MODERN = """
+WITH mx AS (SELECT max(o_totalprice) AS v FROM orders)
+SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+       'bigint' AS keytype,
+       (mx.v - o_totalprice) * 0.5 AS half_gap,
+       o_orderdate
+FROM orders, mx
+QUALIFY rank() OVER (ORDER BY o_orderdate) <= 100
+ORDER BY o_orderdate
+"""
+
+
+def q_dialect_modern_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verbatim ClickHouse scalar-WITH / :: / toTypeName / WITH TIES
+    query (module doc)."""
+    return run_clickhouse_sql(spark, _CH_MODERN, sf_dir, ("orders",))
+
+
 # 16. full operational lifecycle through the script runner: CREATE
 #     (Replacing DDL) → INSERT … SELECT FROM file() (fires nothing —
 #     no MV — but exercises the trigger path) → ALTER DELETE →
@@ -4206,6 +4532,8 @@ QUERIES = {
     "dialect_sequence_match": q_dialect_sequence_match,
     "dialect_sequence_count": q_dialect_sequence_count,
     "dialect_topk_weighted": q_dialect_topk_weighted,
+    "dialect_distinct_on": q_dialect_distinct_on,
+    "dialect_modern_sql": q_dialect_modern_sql,
     "dialect_limit_by": q_dialect_limit_by,
     "dialect_asof_join": q_dialect_asof_join,
     "dialect_asof_on": q_dialect_asof_on,
@@ -4240,6 +4568,8 @@ ORACLES = {
     "dialect_sequence_match": O_SEQ_MATCH,
     "dialect_sequence_count": O_SEQ_COUNT,
     "dialect_topk_weighted": O_TOPK_WEIGHTED,
+    "dialect_distinct_on": O_DISTINCT_ON,
+    "dialect_modern_sql": O_MODERN,
     "dialect_limit_by": O_LIMIT_BY,
     "dialect_asof_join": O_ASOF,
     "dialect_asof_on": O_ASOF_ON,

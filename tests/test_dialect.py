@@ -1381,3 +1381,58 @@ def test_limit_by_unselected_columns_inject_path(spark):
     assert sorted(r.o_orderkey for r in got.collect()) == sorted(
         r.o_orderkey for r in want.collect()
     )
+
+
+def test_modern_sql_rewrites(spark):
+    """r6 batch: DISTINCT ON, LIMIT WITH TIES, ::CHType casts,
+    2-arg/accurate casts, toTypeName, scalar-WITH inlining, plural
+    quantile registers, untuple, SAMPLE refusal."""
+    # DISTINCT ON == LIMIT 1 BY (ClickHouse-documented equivalence)
+    out = transpile(
+        "SELECT DISTINCT ON (k) k, v FROM t ORDER BY k, v DESC"
+    )
+    assert "__limit_by_rn" in out and "DISTINCT" not in out
+    # WITH TIES: rank window over the ORDER BY
+    out = transpile("SELECT a FROM t ORDER BY a LIMIT 3 WITH TIES")
+    assert "rank() OVER" in out and "__ties_rk <= 3" in out
+    with pytest.raises(DialectError, match="ORDER BY"):
+        transpile("SELECT a FROM t LIMIT 3 WITH TIES")
+    # ::CHType maps the type vocabulary, Spark keeps the operator
+    assert transpile("SELECT a::UInt64 FROM t") == (
+        "SELECT a::BIGINT FROM t"
+    )
+    assert "::DECIMAL(18, 2)" in transpile("SELECT x::Decimal(18,2) FROM t")
+    # function-form casts
+    assert transpile("CAST(a, 'UInt32')") == "CAST(a AS BIGINT)"
+    assert transpile("accurateCastOrNull(a, 'Int64')") == (
+        "TRY_CAST(a AS BIGINT)"
+    )
+    assert transpile("toTypeName(x)") == "typeof(x)"
+    assert transpile("quantilesTiming(0.5, 0.9)(x)") == (
+        "percentile_approx(x, array(0.5, 0.9))"
+    )
+    assert transpile("SELECT untuple(s) FROM t") == "SELECT s.* FROM t"
+    # scalar-WITH forms inline; standard CTEs survive
+    assert transpile("WITH 5 AS k SELECT a + k FROM t") == (
+        "SELECT a + (5) FROM t"
+    )
+    out = transpile(
+        "WITH (SELECT max(a) FROM t) AS mx, c AS (SELECT a FROM t) "
+        "SELECT mx - a FROM c"
+    )
+    assert out.startswith("WITH c AS")
+    assert "((SELECT max(a) FROM t)) - a" in out
+    # SAMPLE refuses with the operator pointer (Spark would silently
+    # parse SAMPLE as a table alias)
+    with pytest.raises(DialectError, match="clickhouse_sample_clause"):
+        transpile("SELECT * FROM t SAMPLE 0.1")
+    # execution check for the tie semantics: peers of the n-th row
+    # survive
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW ties_t AS SELECT * FROM VALUES "
+        "(1), (2), (2), (3) AS t(v)"
+    )
+    rows = spark.sql(
+        transpile("SELECT v FROM ties_t ORDER BY v LIMIT 2 WITH TIES")
+    ).collect()
+    assert sorted(r.v for r in rows) == [1, 2, 2]
