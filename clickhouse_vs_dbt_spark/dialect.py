@@ -573,6 +573,18 @@ def _render_call(name: str, args: list[str]) -> str:
         return f"{fn}({args[0]} AS {t})"
     if name == "untuple" and len(args) == 1:
         return f"{args[0]}.*"
+    if name in ("remote", "remoteSecure", "cluster", "clusterAllReplicas"):
+        raise DialectError(
+            f"{name}() addresses another ClickHouse server — point "
+            "Spark at the data instead (register the table or use "
+            "file()/s3() direct reads)"
+        )
+    if name == "COLUMNS":
+        raise DialectError(
+            "COLUMNS('regex') dynamic column selection has no Spark "
+            "equivalent; list the columns (SELECT * EXCEPT (...) "
+            "passes through)"
+        )
     if name == "retention" and args:
         # retention(c1, …, cN): r[1] = any event matched c1;
         # r[i>1] = c1 matched AND ci matched (each on any event of the
@@ -2900,6 +2912,26 @@ def _rewrite_type_casts(toks: list[str]) -> list[str]:
     return toks
 
 
+def _check_star_modifiers(toks: list[str]) -> None:
+    """``* REPLACE (...)`` / ``* APPLY (...)`` — ClickHouse star
+    modifiers Spark's parser would misread; refuse with guidance
+    (``* EXCEPT (...)`` is Spark-native and passes through)."""
+    for i, t in enumerate(toks):
+        if t != "*":
+            continue
+        j = _next_code(toks, i + 1)
+        if j < len(toks) and _is_ident(toks[j]) and toks[j].upper() in (
+            "REPLACE", "APPLY",
+        ):
+            k = _next_code(toks, j + 1)
+            if k < len(toks) and toks[k] == "(":
+                raise DialectError(
+                    f"* {toks[j].upper()} (...) star modifiers are "
+                    "not Spark syntax; spell the projection out "
+                    "(* EXCEPT (...) passes through)"
+                )
+
+
 def _check_sample_clause(toks: list[str]) -> None:
     """``FROM t SAMPLE k [OFFSET m]`` depends on the table's SAMPLE BY
     key (DDL context this front door does not carry) — refuse with
@@ -2926,6 +2958,7 @@ def transpile(sql: str, resolve_columns=None, engine_info=None) -> str:
     FINAL`` reads for tables whose DDL ran through the front door."""
     toks = _tokens(sql)
     _check_sample_clause(toks)
+    _check_star_modifiers(toks)
     toks = _rewrite_type_casts(toks)
     toks = _rewrite_with_scalars(toks)
     toks = _rewrite_limit_ties(toks)
