@@ -186,6 +186,8 @@ HEADLINE = [
     "dialect_sequence_count",
     "ann_topk_ivf",
     "approx_distinct_quantiles",
+    "dialect_distinct_on",
+    "dialect_modern_sql",
 ]
 
 
