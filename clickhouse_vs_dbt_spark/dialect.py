@@ -3061,6 +3061,141 @@ def _copy_on_write(spark: "SparkSession", target: str, df) -> None:
     spark.sql(f"REFRESH TABLE {target}")
 
 
+def _recreate_table_as(spark: "SparkSession", target: str, df) -> None:
+    """Replace ``target``'s SCHEMA AND FILES with ``df`` — the
+    copy-on-write path for schema-changing mutations (DROP/MODIFY/
+    RENAME COLUMN), where :func:`_copy_on_write` alone would leave
+    the catalog schema stale.  Materialize first (df reads the old
+    table), then drop and recreate at the same location with the new
+    column list.  The recreated table is location-pinned (external);
+    data-bearing semantics are unchanged."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    loc = _table_location(spark, target)
+    tmp = tempfile.mkdtemp(prefix="ch_schema_")
+    df.write.mode("overwrite").parquet(tmp)
+    cols = ", ".join(f"{n} {t}" for n, t in df.dtypes)
+    spark.sql(f"DROP TABLE {target}")
+    os.makedirs(loc, exist_ok=True)
+    for f in glob.glob(os.path.join(loc, "*")):
+        shutil.rmtree(f) if os.path.isdir(f) else os.remove(f)
+    for f in glob.glob(os.path.join(tmp, "*")):
+        shutil.move(f, loc)
+    spark.sql(
+        f"CREATE TABLE {target} ({cols}) USING parquet "
+        f"LOCATION '{loc}'"
+    )
+
+
+_CH_TYPE_ZERO = {
+    "STRING": "''",
+    "DATE": "DATE '1970-01-01'",
+    "TIMESTAMP": "TIMESTAMP '1970-01-01 00:00:00'",
+    "BOOLEAN": "false",
+}
+
+
+def _apply_schema_change(
+    spark: "SparkSession", target: str, op: str, rest: str,
+    resolver, engine_info,
+) -> None:
+    """``ALTER TABLE t ADD|DROP|MODIFY|RENAME COLUMN …`` — ClickHouse
+    schema-evolution statements.  ADD fills existing rows with the
+    DEFAULT expression or ClickHouse's TYPE DEFAULT (0/''/epoch —
+    NOT Spark's NULL-fill); DROP/MODIFY/RENAME rewrite schema + files
+    via :func:`_recreate_table_as` (Spark's native ALTER can neither
+    drop nor retype v1 datasource columns)."""
+    import re as _re
+
+    from clickhouse_vs_dbt_spark.ddl import convert_type
+
+    cols = dict(spark.table(target).dtypes)
+    op = op.upper()
+    if op == "ADD":
+        m = _re.match(
+            r"(?is)\s*(IF\s+NOT\s+EXISTS\s+)?([A-Za-z_][\w]*)\s+"
+            r"(.+?)(?:\s+DEFAULT\s+(.+))?\s*$",
+            rest,
+            _re.DOTALL,
+        )
+        if not m:
+            raise DialectError("ALTER TABLE ADD COLUMN: name Type [DEFAULT e]")
+        ine, name, chtype, default = m.groups()
+        if name in cols:
+            if ine:
+                return
+            raise DialectError(f"column {name} already exists in {target}")
+        t = convert_type(chtype.strip())
+        if default is not None:
+            dexpr = transpile(
+                default, resolve_columns=resolver, engine_info=engine_info
+            )
+        else:
+            dexpr = _CH_TYPE_ZERO.get(t.upper().split("(")[0], "0")
+        spark.sql(f"ALTER TABLE {target} ADD COLUMNS ({name} {t})")
+        df = spark.sql(
+            f"SELECT * EXCEPT ({name}), CAST(({dexpr}) AS {t}) AS {name} "
+            f"FROM {target}"
+        )
+        _copy_on_write(spark, target, df)
+        return
+    if op == "DROP":
+        m = _re.match(
+            r"(?is)\s*(IF\s+EXISTS\s+)?([A-Za-z_][\w]*)\s*$", rest
+        )
+        if not m:
+            raise DialectError("ALTER TABLE DROP COLUMN: expected a name")
+        ife, name = m.groups()
+        if name not in cols:
+            if ife:
+                return
+            raise DialectError(f"column {name} does not exist in {target}")
+        keep = [c for c in cols if c != name]
+        _recreate_table_as(
+            spark, target, spark.table(target).select(*keep)
+        )
+        return
+    if op == "MODIFY":
+        m = _re.match(r"(?is)\s*([A-Za-z_][\w]*)\s+(.+?)\s*$", rest)
+        if not m:
+            raise DialectError("ALTER TABLE MODIFY COLUMN: name NewType")
+        name, chtype = m.groups()
+        if name not in cols:
+            raise DialectError(f"column {name} does not exist in {target}")
+        t = convert_type(chtype.strip())
+        sel = ", ".join(
+            f"CAST({c} AS {t}) AS {c}" if c == name else c for c in cols
+        )
+        _recreate_table_as(
+            spark, target, spark.sql(f"SELECT {sel} FROM {target}")
+        )
+        return
+    if op == "RENAME":
+        m = _re.match(
+            r"(?is)\s*(IF\s+EXISTS\s+)?([A-Za-z_][\w]*)\s+TO\s+"
+            r"([A-Za-z_][\w]*)\s*$",
+            rest,
+        )
+        if not m:
+            raise DialectError("ALTER TABLE RENAME COLUMN: a TO b")
+        ife, old, new = m.groups()
+        if old not in cols:
+            if ife:
+                return
+            raise DialectError(f"column {old} does not exist in {target}")
+        sel = ", ".join(
+            f"{c} AS {new}" if c == old else c for c in cols
+        )
+        _recreate_table_as(
+            spark, target, spark.sql(f"SELECT {sel} FROM {target}")
+        )
+        return
+    raise DialectError(f"unsupported ALTER TABLE column operation {op}")
+
+
 def _apply_mutation(
     spark: "SparkSession", target: str, kind: str, rest: str,
     resolver, engine_info,
@@ -3298,6 +3433,59 @@ def run_clickhouse_script(
                 resolver, engine_info,
             )
             results.append(("mutation", (am.group(1), am.group(2).upper())))
+        elif (
+            sc := _re.match(
+                r"(?is)\s*ALTER\s+TABLE\s+([A-Za-z_][A-Za-z0-9_.`]*)\s+"
+                r"(ADD|DROP|MODIFY|RENAME)\s+COLUMN\s+(.*)",
+                stmt,
+                _re.DOTALL,
+            )
+        ) is not None:
+            _apply_schema_change(
+                spark, sc.group(1), sc.group(2), sc.group(3),
+                resolver, engine_info,
+            )
+            results.append(
+                ("schema_change", (sc.group(1), sc.group(2).upper()))
+            )
+        elif (
+            rn := _re.match(r"(?is)\s*RENAME\s+TABLE\s+(.*)$", stmt)
+        ) is not None:
+            for pair in rn.group(1).split(","):
+                pm = _re.match(
+                    r"(?is)\s*([A-Za-z_][A-Za-z0-9_.`]*)\s+TO\s+"
+                    r"([A-Za-z_][A-Za-z0-9_.`]*)\s*$",
+                    pair,
+                )
+                if not pm:
+                    raise DialectError("RENAME TABLE: expected 'a TO b[, …]'")
+                old, new = pm.group(1), pm.group(2)
+                info = _ddl.lookup_engine_info(old)
+                spark.sql(f"ALTER TABLE {old} RENAME TO {new}")
+                _ddl.unregister_engine_info(old)
+                if info is not None:
+                    _ddl.register_engine_info(new, info)
+                results.append(("rename", (old, new)))
+        elif (
+            tm := _re.match(
+                r"(?is)\s*TRUNCATE\s+TABLE\s+(IF\s+EXISTS\s+)?"
+                r"([A-Za-z_][A-Za-z0-9_.`]*)\s*$",
+                stmt,
+            )
+        ) is not None:
+            name = tm.group(2)
+            if not spark.catalog.tableExists(name.strip("`")):
+                if not tm.group(1):
+                    raise DialectError(f"TRUNCATE TABLE: {name} does not exist")
+            else:
+                try:
+                    spark.sql(f"TRUNCATE TABLE {name}")
+                except Exception:
+                    # Spark refuses TRUNCATE on external (location-
+                    # pinned) tables; the file swap is the same
+                    # operation ClickHouse performs
+                    _copy_on_write(spark, name, spark.table(name).limit(0))
+            results.append(("truncate", name))
         elif (
             om := _re.match(
                 r"(?is)\s*OPTIMIZE\s+TABLE\s+"
@@ -4550,9 +4738,75 @@ FROM merged GROUP BY o_orderstatus
 """
 
 
+# 16b. schema evolution through the script runner: ADD COLUMN (type
+#      default AND explicit DEFAULT backfills — ClickHouse fills
+#      defaults, not NULLs), MODIFY COLUMN retype, RENAME COLUMN,
+#      TRUNCATE + re-INSERT, RENAME TABLE — then SELECT from the
+#      final name.  The oracle replays every step relationally.
+def q_ch_script_schema_evolution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """One verbatim ClickHouse script driving schema evolution
+    (module doc #16b); every statement routes through
+    :func:`run_clickhouse_script`."""
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="ch_schema_evo_")
+    src = base + "/src"
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    o.write.mode("overwrite").parquet(src)
+    tbl_path = base + "/evo_t"
+    script = f"""
+    CREATE TABLE evo_t (o_orderkey UInt64, o_orderstatus String,
+                        o_totalprice Float64)
+    ENGINE = MergeTree ORDER BY o_orderkey;
+
+    INSERT INTO evo_t SELECT * FROM file('{src}', 'Parquet');
+
+    ALTER TABLE evo_t ADD COLUMN discount Float64;
+
+    ALTER TABLE evo_t ADD COLUMN region String DEFAULT 'unassigned';
+
+    ALTER TABLE evo_t MODIFY COLUMN o_totalprice Decimal(18, 2);
+
+    ALTER TABLE evo_t RENAME COLUMN o_orderstatus TO status;
+
+    ALTER TABLE evo_t DROP COLUMN discount;
+
+    RENAME TABLE evo_t TO orders_evolved;
+
+    SELECT status, region, count() AS n,
+           toFloat64(sum(o_totalprice)) AS total
+    FROM orders_evolved GROUP BY status, region;
+    """
+    spark.sql("DROP TABLE IF EXISTS evo_t")
+    spark.sql("DROP TABLE IF EXISTS orders_evolved")
+    register_views(spark, sf_dir, ("orders",))
+    # external path (fresh tempdir): no warehouse-location residue
+    # across processes can break the CREATE
+    results = run_clickhouse_script(
+        spark, script, path_overrides={"evo_t": tbl_path}
+    )
+    out = results[-1][1]
+    spark.sql("DROP TABLE IF EXISTS orders_evolved")
+    return out
+
+
+O_CH_SCRIPT_SCHEMA_EVOLUTION = """
+SELECT o_orderstatus AS status, 'unassigned' AS region,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
 QUERIES = {
     "dialect_strings": q_dialect_strings,
     "ch_script_lifecycle": q_ch_script_lifecycle,
+    "ch_script_schema_evolution": q_ch_script_schema_evolution,
     "dialect_any_join": q_dialect_any_join,
     "dialect_any_join_on": q_dialect_any_join_on,
     "dialect_combinators2": q_dialect_combinators2,
@@ -4589,6 +4843,7 @@ QUERIES = {
 ORACLES = {
     "dialect_strings": O_STRINGS,
     "ch_script_lifecycle": O_CH_SCRIPT_LIFECYCLE,
+    "ch_script_schema_evolution": O_CH_SCRIPT_SCHEMA_EVOLUTION,
     "dialect_any_join": O_ANY_JOIN,
     "dialect_any_join_on": O_ANY_JOIN_ON,
     "dialect_combinators2": O_COMBINATORS2,

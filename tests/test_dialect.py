@@ -1436,3 +1436,64 @@ def test_modern_sql_rewrites(spark):
         transpile("SELECT v FROM ties_t ORDER BY v LIMIT 2 WITH TIES")
     ).collect()
     assert sorted(r.v for r in rows) == [1, 2, 2]
+
+
+def test_script_schema_evolution_statements(spark):
+    """r6: ALTER TABLE ADD/DROP/MODIFY/RENAME COLUMN, RENAME TABLE,
+    TRUNCATE through run_clickhouse_script — ClickHouse default-fill
+    semantics (type defaults / DEFAULT expr, not NULL)."""
+    import shutil
+
+    from clickhouse_vs_dbt_spark.dialect import run_clickhouse_script
+
+    spark.sql("DROP TABLE IF EXISTS sev_t")
+    spark.sql("DROP TABLE IF EXISTS sev_renamed")
+    # clear stale warehouse locations a previously-failed run may
+    # have left (the catalog is per-session; the directory is not)
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for n in ("sev_t", "sev_renamed"):
+        shutil.rmtree(f"{wh}/{n}", ignore_errors=True)
+    run_clickhouse_script(
+        spark,
+        "CREATE TABLE sev_t (k UInt64, v Float64) "
+        "ENGINE = MergeTree ORDER BY k;",
+        overwrite_existing=True,
+    )
+    spark.sql("INSERT INTO sev_t VALUES (1, 1.5), (2, 2.5)")
+    run_clickhouse_script(spark, """
+        ALTER TABLE sev_t ADD COLUMN tag String;
+        ALTER TABLE sev_t ADD COLUMN bonus Float64 DEFAULT v * 2;
+        ALTER TABLE sev_t MODIFY COLUMN k Int32;
+        ALTER TABLE sev_t RENAME COLUMN v TO val;
+    """)
+    rows = {r.k: r for r in spark.table("sev_t").collect()}
+    assert dict(spark.table("sev_t").dtypes)["k"] == "int"
+    assert rows[1].tag == "" and rows[2].tag == ""  # CH type default
+    assert rows[1].bonus == 3.0 and rows[2].bonus == 5.0
+    assert rows[1].val == 1.5
+    # IF NOT EXISTS / IF EXISTS are no-ops on conflicts
+    run_clickhouse_script(spark, """
+        ALTER TABLE sev_t ADD COLUMN IF NOT EXISTS tag String;
+        ALTER TABLE sev_t DROP COLUMN IF EXISTS missing_col;
+    """)
+    # plain conflicts raise
+    with pytest.raises(DialectError, match="already exists"):
+        run_clickhouse_script(
+            spark, "ALTER TABLE sev_t ADD COLUMN tag String;"
+        )
+    with pytest.raises(DialectError, match="does not exist"):
+        run_clickhouse_script(
+            spark, "ALTER TABLE sev_t DROP COLUMN missing_col;"
+        )
+    run_clickhouse_script(spark, """
+        ALTER TABLE sev_t DROP COLUMN bonus;
+        TRUNCATE TABLE sev_t;
+        RENAME TABLE sev_t TO sev_renamed;
+    """)
+    assert spark.table("sev_renamed").count() == 0
+    assert spark.table("sev_renamed").columns == ["k", "val", "tag"]
+    assert not spark.catalog.tableExists("sev_t")
+    with pytest.raises(DialectError, match="does not exist"):
+        run_clickhouse_script(spark, "TRUNCATE TABLE sev_gone;")
+    run_clickhouse_script(spark, "TRUNCATE TABLE IF EXISTS sev_gone;")
+    spark.sql("DROP TABLE IF EXISTS sev_renamed")
