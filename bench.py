@@ -188,6 +188,7 @@ HEADLINE = [
     "approx_distinct_quantiles",
     "dialect_distinct_on",
     "dialect_modern_sql",
+    "ch_script_schema_evolution",
 ]
 
 

@@ -3356,6 +3356,31 @@ def run_clickhouse_script(
             spark.sql(_ddl.transpile_ddl(stmt, path_override=override))
             results.append(("table", name))
         elif (
+            vm := _re.match(
+                r"(?is)\s*CREATE\s+(OR\s+REPLACE\s+)?(TEMPORARY\s+)?"
+                r"VIEW\s+",
+                stmt,
+            )
+        ) is not None:
+            # views are session-scoped here: the script's sources are
+            # session (temp) views, and Spark refuses a persistent
+            # view over temporary objects
+            out = transpile(
+                stmt, resolve_columns=resolver, engine_info=engine_info
+            )
+            if not vm.group(2):
+                out = _re.sub(
+                    r"(?is)^\s*CREATE\s+(OR\s+REPLACE\s+)?VIEW",
+                    lambda m: "CREATE "
+                    + (m.group(1) or "")
+                    + "TEMPORARY VIEW",
+                    out,
+                    count=1,
+                )
+            spark.sql(out)
+            vname = stmt[vm.end():].split()[0].split("(")[0]
+            results.append(("view", vname))
+        elif (
             dm := _re.match(
                 r"(?is)\s*DROP\s+TABLE\s+(IF\s+EXISTS\s+)?"
                 r"([A-Za-z_][A-Za-z0-9_.`]*)\s*$",

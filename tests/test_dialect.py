@@ -1497,3 +1497,22 @@ def test_script_schema_evolution_statements(spark):
         run_clickhouse_script(spark, "TRUNCATE TABLE sev_gone;")
     run_clickhouse_script(spark, "TRUNCATE TABLE IF EXISTS sev_gone;")
     spark.sql("DROP TABLE IF EXISTS sev_renamed")
+
+
+def test_script_create_view_is_session_scoped(spark, sf_dir):
+    """CREATE [OR REPLACE] VIEW in a script becomes a session (temp)
+    view — the script's sources are session views and Spark refuses
+    persistent views over temporary objects."""
+    from clickhouse_vs_dbt_spark.catalog import register_views
+    from clickhouse_vs_dbt_spark.dialect import run_clickhouse_script
+
+    register_views(spark, sf_dir, ("orders",))
+    res = run_clickhouse_script(spark, """
+    CREATE OR REPLACE VIEW v_test_years AS
+    SELECT toYear(o_orderdate) AS yr, count() AS n
+    FROM orders GROUP BY yr;
+    SELECT count(*) AS ny FROM v_test_years;
+    DROP VIEW v_test_years;
+    """)
+    assert res[0] == ("view", "v_test_years")
+    assert res[1][1].collect()[0].ny >= 7
