@@ -2827,7 +2827,9 @@ def _rewrite_limit_ties(toks: list[str]) -> list[str]:
     """``… ORDER BY o LIMIT n WITH TIES`` → rank() window ≤ n over
     the query's own output (peers of the n-th row survive, ClickHouse
     semantics).  Requires the top-level ORDER BY (as ClickHouse
-    does)."""
+    does); the ORDER BY expressions must be selectable from the
+    query's output (select the sort column, or use LIMIT n BY for the
+    rank-by-unselected idiom the resolver path supports)."""
     # find depth-0 LIMIT n WITH TIES
     depth = 0
     hit = None
@@ -2876,10 +2878,13 @@ def _rewrite_limit_ties(toks: list[str]) -> list[str]:
     by_i = _next_code(toks, ord_i + 1)
     ord_exprs = "".join(toks[by_i + 1 : l_i]).strip()
     core = "".join(toks[:ord_i]).strip()
+    # the outer sort uses the rank column (monotone in the ORDER BY
+    # expressions), so ORDER BY columns absent from the projection —
+    # ClickHouse's sort-by-unselected idiom — still work
     return _tokens(
         f"SELECT * EXCEPT (__ties_rk) FROM (SELECT *, rank() OVER "
         f"(ORDER BY {ord_exprs}) AS __ties_rk FROM ({core}) __ties_b) "
-        f"__ties_w WHERE __ties_rk <= {n} ORDER BY {ord_exprs}"
+        f"__ties_w WHERE __ties_rk <= {n} ORDER BY __ties_rk"
     )
 
 

@@ -1293,6 +1293,26 @@ def test_uniq_up_to_parametric(spark):
 _MIGRATION_SNIPPETS = [
     # one representative verbatim ClickHouse statement per MIGRATION.md
     # "runs verbatim" family — the broad front-door regression net
+    # --- r6 modern-SQL tier ---
+    "SELECT DISTINCT ON (o_orderstatus) o_orderstatus, o_orderkey "
+    "FROM orders ORDER BY o_orderstatus, o_totalprice DESC",
+    "SELECT o_orderkey, o_orderdate FROM orders ORDER BY o_orderdate "
+    "LIMIT 5 WITH TIES",
+    "WITH (SELECT max(o_totalprice) FROM orders) AS mx "
+    "SELECT count() AS n FROM orders WHERE o_totalprice > mx * 0.9",
+    "SELECT o_orderkey::String AS ks, "
+    "CAST(o_totalprice, 'UInt64') AS tp, "
+    "accurateCastOrNull(o_orderpriority, 'Int32') AS pnull, "
+    "toTypeName(o_orderkey) AS tn FROM orders LIMIT 3",
+    "SELECT o_orderstatus, "
+    "arrayStringConcat(topKWeighted(2)(o_orderpriority, "
+    "toUInt64(o_orderkey % 3 + 1)), '|') AS tw "
+    "FROM orders GROUP BY o_orderstatus",
+    "SELECT toYear(o_orderdate) AS yr, count() AS n FROM orders "
+    "GROUP BY yr ORDER BY yr DESC WITH FILL FROM 1999 TO 1991",
+    "SELECT o_orderstatus, toYear(o_orderdate) AS yr, count() AS n "
+    "FROM orders GROUP BY o_orderstatus, yr "
+    "ORDER BY o_orderstatus, yr WITH FILL",
     "SELECT toYYYYMM(CAST(o_orderdate AS DATE)) AS ym, count() AS n "
     "FROM orders GROUP BY ym ORDER BY ym LIMIT 3",
     "SELECT o_orderstatus, sumIf(o_totalprice, o_orderkey % 2 = 0) AS s "
