@@ -2753,9 +2753,11 @@ def _rewrite_with_scalars(toks: list[str]) -> list[str]:
     for k, t in enumerate(rest):
         prev = _prev_code(rest, k - 1)
         nxt = _next_code(rest, k + 1)
+        prev_t = rest[prev] if prev >= 0 else ""
         if (
             t in subs
-            and (prev < 0 or rest[prev] != ".")
+            and prev_t != "."
+            and prev_t.upper() != "AS"  # alias target, not a use
             and (nxt >= len(rest) or rest[nxt] not in (".", "("))
         ):
             out.append(subs[t])
