@@ -406,9 +406,10 @@ def q_events_sequence_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-user history is bounded — so it runs as an order-preserving
     ``collect_list`` (map-side partial, one keyed shuffle) and a single
     integer-state fold over the sorted codes: state = pairs·2³² +
-    unmatched_views, identical fold in both engines (DuckDB
-    ``list_reduce`` requires accumulator type == element type, hence
-    the integer encoding).  The 2³² radix keeps the two counters
+    unmatched_views.  The DuckDB oracle uses the INDEPENDENT closed
+    form (parenthesis matching: pairs = purchases − max prefix excess
+    of purchases over views), so the fold is differentially proven
+    rather than replayed.  The 2³² radix keeps the two counters
     alias-free for up to 2³²−1 unmatched views and 2³¹ pairs per user —
     beyond any physical per-user event history (a user emitting one
     event per second for a century reaches ~3.2·10⁹ < 2³²).  At 100 TB
@@ -440,27 +441,29 @@ def q_events_sequence_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The greedy pending-pool pairing is parenthesis matching (view =
+# open, purchase = close), so it has a CLOSED FORM: matched pairs =
+# purchases − max prefix excess of purchases over views.  The closed
+# form replaces the original list_reduce fold — DuckDB 1.0.0's
+# list_reduce misattributes lambda results across grouped rows at
+# some vector-chunk shapes (caught by the sf0.001 cross-scale sweep,
+# r6), and the independent spelling is stronger differential
+# evidence for the Spark fold anyway.
 O_SEQUENCE_COUNT = """
-WITH ordered AS (
+WITH pre AS (
   SELECT user_id,
-         list_transform(
-           list_sort(list(struct_pack(a := ts, b := event_id,
-             c := CAST(CASE WHEN event_type = 'view' THEN 1
-                            WHEN event_type = 'purchase' THEN 2
-                            ELSE 0 END AS BIGINT)))),
-           t -> t.c) AS codes,
-         CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT)
-           AS n_views,
-         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
-           AS n_purchases
-  FROM events GROUP BY user_id)
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS p,
+         CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS v,
+         SUM(CASE WHEN event_type = 'purchase' THEN 1
+                  WHEN event_type = 'view' THEN -1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS excess
+  FROM events)
 SELECT user_id,
-       list_reduce(list_prepend(CAST(0 AS BIGINT), codes),
-         (s, x) -> CASE WHEN x = 1 THEN s + 1
-                        WHEN x = 2 AND s % 4294967296 > 0 THEN s + 4294967296 - 1
-                        ELSE s END) // 4294967296 AS n_pairs,
-       n_views, n_purchases
-FROM ordered ORDER BY user_id
+       CAST(SUM(p) - GREATEST(MAX(excess), 0) AS BIGINT) AS n_pairs,
+       CAST(SUM(v) AS BIGINT) AS n_views,
+       CAST(SUM(p) AS BIGINT) AS n_purchases
+FROM pre GROUP BY user_id ORDER BY user_id
 """
 
 

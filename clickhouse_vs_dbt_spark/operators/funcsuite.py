@@ -222,9 +222,8 @@ SELECT label, COUNT(*) AS n,
        MAX(CAST(list_max(embedding) AS DOUBLE)) AS max_comp,
        MIN(CAST(list_min(embedding) AS DOUBLE)) AS min_comp,
        CAST(SUM(len(embedding)) AS BIGINT) AS total_dims,
-       {sql_dsum("list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
-                 "list_transform(embedding, x -> CAST(x AS DOUBLE))), "
-                 "(a, x) -> a + x)")} AS sum_components
+       {sql_dsum("coalesce(list_sum(list_transform(embedding, "
+                 "x -> CAST(x AS DOUBLE))), 0.0)")} AS sum_components
 FROM embeddings GROUP BY label ORDER BY label
 """
 
@@ -276,12 +275,11 @@ SELECT label,
                               x -> NOT abs(x) < CAST(10.0 AS FLOAT))) = 0
                      THEN 1 ELSE 0 END) AS BIGINT) AS n_all_small,
        {sql_dsum('CAST(list_sort(embedding)[8] AS DOUBLE)')} AS sum_mid_sorted,
-       {sql_dsum("list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
-                 "list_transform(embedding[1:4], x -> CAST(x AS DOUBLE))), "
-                 "(a, x) -> a + x)")} AS sum_head4,
-       {sql_dsum("list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
-                 "list_transform(embedding, x -> CAST(x AS DOUBLE) "
-                 "* CAST(x AS DOUBLE))), (a, x) -> a + x)")} AS sum_sq
+       {sql_dsum("coalesce(list_sum(list_transform(embedding[1:4], "
+                 "x -> CAST(x AS DOUBLE))), 0.0)")} AS sum_head4,
+       {sql_dsum("coalesce(list_sum(list_transform(embedding, "
+                 "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 0.0)")}
+         AS sum_sq
 FROM embeddings GROUP BY label ORDER BY label
 """
 

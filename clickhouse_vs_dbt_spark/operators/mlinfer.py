@@ -47,11 +47,15 @@ def _logit_expr(dialect: str) -> str:
             f"CAST({BIAS!r} AS {DLOGIT}), (acc, t) -> CAST(acc + t AS {DLOGIT}))"
         )
     arr = "[" + ", ".join(repr(c) for c in w) + "]"
+    # decimal addition is exact and associative, so the stepwise fold
+    # equals bias + list_sum of the per-term decimals (list_reduce
+    # avoided: DuckDB 1.0.0 misattributes grouped lambda results at
+    # some vector-chunk shapes — r6 cross-scale sweep finding)
     return (
-        f"list_reduce(list_prepend(CAST({BIAS!r} AS {DLOGIT}), "
-        f"list_transform(list_zip(embedding::DOUBLE[], {arr}::DOUBLE[]), "
-        f"t -> CAST(t[1] * t[2] AS {DLOGIT}))), "
-        f"(acc, t) -> CAST(acc + t AS {DLOGIT}))"
+        f"CAST(CAST({BIAS!r} AS {DLOGIT}) + "
+        f"list_sum(list_transform(list_zip(embedding::DOUBLE[], "
+        f"{arr}::DOUBLE[]), t -> CAST(t[1] * t[2] AS {DLOGIT}))) "
+        f"AS {DLOGIT})"
     )
 
 
