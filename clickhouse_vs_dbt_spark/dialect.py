@@ -131,6 +131,13 @@ _RENAME = {
     "uniqHLL12": "approx_count_distinct",
     "uniqTheta": "approx_count_distinct",
     "toTypeName": "typeof",
+    "leftUTF8": "left",
+    "rightUTF8": "right",
+    "substringIndex": "substring_index",
+    "decodeURLComponent": "url_decode",
+    "encodeURLComponent": "url_encode",
+    "toUnixTimestamp64Milli": "unix_millis",
+    "fromUnixTimestamp64Milli": "timestamp_millis",
     "has": "array_contains",
     "arraySort": "array_sort",
     "arrayDistinct": "array_distinct",
@@ -573,6 +580,156 @@ def _render_call(name: str, args: list[str]) -> str:
         return f"{fn}({args[0]} AS {t})"
     if name == "untuple" and len(args) == 1:
         return f"{args[0]}.*"
+    # --- URL family round 2 (r6 probe batch) ---
+    if name == "cutQueryString" and len(args) == 1:
+        return f"regexp_replace({args[0]}, '\\\\?[^#]*', '')"
+    if name == "cutFragment" and len(args) == 1:
+        return f"regexp_replace({args[0]}, '#.*$', '')"
+    if name == "cutQueryStringAndFragment" and len(args) == 1:
+        return f"regexp_replace({args[0]}, '\\\\?.*$', '')"
+    if name == "cutWWW" and len(args) == 1:
+        return (
+            f"regexp_replace({args[0]}, "
+            "'^((?:[a-z]+://)?)www\\\\.', '$1')"
+        )
+    if name == "extractURLParameter" and len(args) == 2:
+        # ClickHouse returns '' on a missing parameter, not NULL
+        return (
+            f"coalesce(parse_url({args[0]}, 'QUERY', {args[1]}), '')"
+        )
+    if name == "queryStringAndFragment" and len(args) == 1:
+        u = args[0]
+        return (
+            f"concat(coalesce(parse_url({u}, 'QUERY'), ''), "
+            f"CASE WHEN parse_url({u}, 'REF') IS NOT NULL "
+            f"THEN concat('#', parse_url({u}, 'REF')) ELSE '' END)"
+        )
+    if name == "netloc" and len(args) == 1:
+        return f"parse_url({args[0]}, 'AUTHORITY')"
+    if name == "port" and len(args) == 1:
+        # ClickHouse returns 0 when no explicit port
+        ex = (
+            f"regexp_extract({args[0]}, "
+            "'^[a-z]+://[^/?#]*:([0-9]+)', 1)"
+        )
+        return f"CAST(CASE WHEN {ex} = '' THEN '0' ELSE {ex} END AS INT)"
+    if name == "firstSignificantSubdomain" and len(args) == 1:
+        # ClickHouse's documented heuristic: the label BEFORE the TLD,
+        # except when the second-to-last label is com/net/org/co (a
+        # public second-level zone) — then the label before that
+        parts = f"split(parse_url({args[0]}, 'HOST'), '\\\\.')"
+        return (
+            f"CASE WHEN try_element_at({parts}, -2) IN "
+            "('com', 'net', 'org', 'co') "
+            f"THEN coalesce(try_element_at({parts}, -3), "
+            f"try_element_at({parts}, -2)) "
+            f"ELSE try_element_at({parts}, -2) END"
+        )
+    # --- misc scalar additions (r6 probe batch) ---
+    if name == "monthName" and len(args) == 1:
+        return f"date_format({args[0]}, 'MMMM')"
+    if (
+        name == "dateName"
+        and len(args) == 2
+        and args[0].startswith("'")
+    ):
+        unit = args[0][1:-1].lower()
+        pats = {
+            "year": "yyyy", "month": "MMMM", "day": "d",
+            "weekday": "EEEE", "hour": "H", "minute": "m",
+            "second": "s",
+        }
+        if unit not in pats:
+            raise DialectError(f"dateName: unsupported unit {unit!r}")
+        return f"date_format({args[1]}, '{pats[unit]}')"
+    if name == "toStartOfSecond" and len(args) == 1:
+        return f"date_trunc('second', {args[0]})"
+    if name == "toMillisecond" and len(args) == 1:
+        return (
+            f"CAST((unix_micros({args[0]}) div 1000) % 1000 AS INT)"
+        )
+    if name == "toISOYear" and len(args) == 1:
+        return f"CAST(date_format({args[0]}, 'YYYY') AS INT)"
+    if name == "toYearWeek":
+        raise DialectError(
+            "toYearWeek's default mode counts Sunday-start weeks "
+            "(mode-dependent); use toISOYear(d) * 100 + toISOWeek(d) "
+            "for the ISO spelling"
+        )
+    if name == "bitTest" and len(args) == 2:
+        return (
+            f"CAST(shiftright({args[0]}, CAST({args[1]} AS INT)) & 1 "
+            "AS SMALLINT)"
+        )
+    if name in ("bitTestAll", "bitTestAny") and len(args) >= 2:
+        op = " AND " if name == "bitTestAll" else " OR "
+        tests = op.join(
+            f"(shiftright({args[0]}, CAST({a} AS INT)) & 1) = 1"
+            for a in args[1:]
+        )
+        return f"CAST({tests} AS SMALLINT)"
+    if name in ("bitRotateLeft", "bitRotateRight") and len(args) == 2:
+        x, n = args
+        a, b = ("shiftleft", "shiftrightunsigned")
+        if name == "bitRotateRight":
+            a, b = b, a
+        return (
+            f"({a}(CAST({x} AS BIGINT), CAST({n} AS INT)) | "
+            f"{b}(CAST({x} AS BIGINT), 64 - CAST({n} AS INT)))"
+        )
+    if name == "intExp2" and len(args) == 1:
+        return f"shiftleft(CAST(1 AS BIGINT), CAST({args[0]} AS INT))"
+    if name == "intExp10" and len(args) == 1:
+        return f"CAST(power(10, {args[0]}) AS BIGINT)"
+    if name == "splitByRegexp" and len(args) == 2:
+        return f"split({args[1]}, {args[0]})"
+    if name == "splitByWhitespace" and len(args) == 1:
+        return f"array_remove(split(trim({args[0]}), '\\\\s+'), '')"
+    if name == "ngrams" and len(args) == 2:
+        # character n-grams; the slice-greatest spine avoids Spark's
+        # descending sequence(1, 0) on short strings
+        s, n = args
+        cnt = f"length({s}) - ({n}) + 1"
+        return (
+            f"transform(slice(sequence(1, greatest({cnt}, 1)), 1, "
+            f"greatest({cnt}, 0)), __i -> substring({s}, __i, {n}))"
+        )
+    if name == "arrayRotateLeft" and len(args) == 2:
+        a, n = args
+        k = f"((({n}) % size({a})) + size({a})) % size({a})"
+        return (
+            f"CASE WHEN size({a}) = 0 THEN {a} ELSE "
+            f"concat(slice({a}, {k} + 1, size({a}) - ({k})), "
+            f"slice({a}, 1, {k})) END"
+        )
+    if name == "arrayJaccardIndex" and len(args) == 2:
+        a, b = args
+        return (
+            f"CAST(size(array_intersect({a}, {b})) AS DOUBLE) / "
+            f"size(array_union({a}, {b}))"
+        )
+    if name == "formatReadableSize" and len(args) == 1:
+        x = args[0]
+        units = "array('B', 'KiB', 'MiB', 'GiB', 'TiB', 'PiB', 'EiB')"
+        p = (
+            f"CAST(least(greatest(floor(log(1024, "
+            f"greatest(abs(CAST({x} AS DOUBLE)), 1.0))), 0), 6) AS INT)"
+        )
+        return (
+            f"concat(format_number(CAST({x} AS DOUBLE) / "
+            f"power(1024, {p}), 2), ' ', element_at({units}, {p} + 1))"
+        )
+    if name == "formatReadableQuantity" and len(args) == 1:
+        x = args[0]
+        units = "array('', ' thousand', ' million', ' billion', ' trillion')"
+        p = (
+            f"CAST(least(greatest(floor(log(1000, "
+            f"greatest(abs(CAST({x} AS DOUBLE)), 1.0))), 0), 4) AS INT)"
+        )
+        return (
+            f"concat(format_number(CAST({x} AS DOUBLE) / "
+            f"power(1000, {p}), 2), element_at({units}, {p} + 1))"
+        )
     if name in ("remote", "remoteSecure", "cluster", "clusterAllReplicas"):
         raise DialectError(
             f"{name}() addresses another ClickHouse server — point "
@@ -977,6 +1134,20 @@ def _render_parametric(name: str, params: list[str], args: list[str]) -> str:
         return f"percentile({args[0]}, {params[0]})"
     if name in ("quantiles", "quantilesTiming", "quantilesTDigest"):
         return f"percentile_approx({args[0]}, array({', '.join(params)}))"
+    if (
+        name in ("quantileExactLow", "quantileExactHigh")
+        and len(params) == 1
+        and len(args) == 1
+    ):
+        # ClickHouse's non-interpolating exact tiers: the element at
+        # floor/ceil((n-1)·level) of the sorted group (Low keeps the
+        # lower of two middle elements, High the upper)
+        x, p = args[0], params[0]
+        fn = "floor" if name == "quantileExactLow" else "ceil"
+        return (
+            f"element_at(array_sort(collect_list({x})), "
+            f"CAST({fn}((count({x}) - 1) * ({p})) + 1 AS INT))"
+        )
     if name == "quantilesExact":
         return f"percentile({args[0]}, array({', '.join(params)}))"
     if name == "quantileExactIf" and len(params) == 1 and len(args) == 2:
@@ -1066,6 +1237,8 @@ _PARAMETRIC = {
     "quantilesExact",
     "quantilesTiming",
     "quantilesTDigest",
+    "quantileExactLow",
+    "quantileExactHigh",
     "quantileExactIf",
     "quantileIf",
     "quantileTDigestIf",

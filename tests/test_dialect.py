@@ -1536,3 +1536,68 @@ def test_script_create_view_is_session_scoped(spark, sf_dir):
     """)
     assert res[0] == ("view", "v_test_years")
     assert res[1][1].collect()[0].ny >= 7
+
+
+def test_probe3_scalar_family_values(spark):
+    """r6 probe batch 3: URL-cut family, dateName, bit tests/rotates,
+    array rotate/jaccard, ngrams, formatReadable*, exact-low/high
+    quantiles — value-pinned."""
+    row = spark.sql(
+        transpile(
+            "SELECT "
+            "cutQueryString('http://e.com/p?a=1#f') AS cq, "
+            "cutFragment('http://e.com/p?a=1#f') AS cf, "
+            "cutWWW('https://www.ex.org/p') AS cw, "
+            "extractURLParameter('http://e.com/?a=1&b=2', 'b') AS ep, "
+            "extractURLParameter('http://e.com/?a=1', 'z') AS em, "
+            "queryStringAndFragment('http://e.com/?a=1#fr') AS qf, "
+            "port('http://e.com:8123/x') AS pt, "
+            "port('http://e.com/x') AS p0, "
+            "firstSignificantSubdomain('https://news.yandex.com.tr/') AS fs, "
+            "firstSignificantSubdomain('https://a.b.example.org/') AS fs2, "
+            "monthName(CAST('2024-03-05' AS DATE)) AS mn, "
+            "dateName('weekday', CAST('2024-03-05' AS DATE)) AS wd, "
+            "bitTest(5, 0) AS bt0, bitTest(5, 1) AS bt1, "
+            "bitTestAll(5, 0, 2) AS bta, bitTestAny(5, 1, 2) AS btn, "
+            "bitRotateLeft(1, 2) AS brl, "
+            "intExp2(10) AS ie2, intExp10(3) AS ie10, "
+            "arrayRotateLeft([1, 2, 3, 4], 1) AS arl, "
+            "arrayJaccardIndex([1, 2, 3], [2, 3, 4]) AS aj, "
+            "ngrams('abcd', 2) AS ng, "
+            "ngrams('a', 3) AS ng0, "
+            "splitByWhitespace('  a  b c ') AS sw, "
+            "splitByRegexp('[0-9]+', 'a1b22c') AS sr, "
+            "formatReadableSize(1536) AS frs, "
+            "formatReadableQuantity(1500000) AS frq, "
+            "substringIndex('a.b.c', '.', 2) AS si, "
+            "toStartOfSecond(CAST('2024-01-01 01:02:03.456' AS TIMESTAMP)) AS ss, "
+            "toMillisecond(CAST('2024-01-01 01:02:03.456' AS TIMESTAMP)) AS ms"
+        )
+    ).collect()[0]
+    assert row.cq == "http://e.com/p#f" and row.cf == "http://e.com/p?a=1"
+    assert row.cw == "https://ex.org/p"
+    assert row.ep == "2" and row.em == ""
+    assert row.qf == "a=1#fr"
+    assert row.pt == 8123 and row.p0 == 0
+    assert row.fs == "yandex" and row.fs2 == "example"
+    assert row.mn == "March" and row.wd == "Tuesday"
+    assert (row.bt0, row.bt1, row.bta, row.btn) == (1, 0, 1, 1)
+    assert row.brl == 4 and row.ie2 == 1024 and row.ie10 == 1000
+    assert row.arl == [2, 3, 4, 1]
+    assert abs(row.aj - 0.5) < 1e-12
+    assert row.ng == ["ab", "bc", "cd"] and row.ng0 == []
+    assert row.sw == ["a", "b", "c"] and row.sr == ["a", "b", "c"]
+    assert row.frs == "1.50 KiB" and row.frq == "1.50 million"
+    assert row.si == "a.b"
+    assert str(row.ss) == "2024-01-01 01:02:03" and row.ms == 456
+    # exact-tier quantiles: lower/upper of the two middle elements
+    q = spark.sql(
+        transpile(
+            "SELECT quantileExactLow(0.5)(v) AS lo, "
+            "quantileExactHigh(0.5)(v) AS hi "
+            "FROM (SELECT explode(array(1, 2, 3, 4)) AS v)"
+        )
+    ).collect()[0]
+    assert (q.lo, q.hi) == (2, 3)
+    with pytest.raises(DialectError, match="toISOWeek"):
+        transpile("toYearWeek(d)")
