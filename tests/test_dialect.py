@@ -1412,9 +1412,11 @@ def test_modern_sql_rewrites(spark):
         "SELECT DISTINCT ON (k) k, v FROM t ORDER BY k, v DESC"
     )
     assert "__limit_by_rn" in out and "DISTINCT" not in out
-    # WITH TIES: rank window over the ORDER BY
+    # WITH TIES: two-pass boundary plan (top-n keys, then a
+    # broadcast boundary filter) — no global rank() window
     out = transpile("SELECT a FROM t ORDER BY a LIMIT 3 WITH TIES")
-    assert "rank() OVER" in out and "__ties_rk <= 3" in out
+    assert "__ties_bnd" in out and "LIMIT 3" in out
+    assert "OVER" not in out
     with pytest.raises(DialectError, match="ORDER BY"):
         transpile("SELECT a FROM t LIMIT 3 WITH TIES")
     # ::CHType maps the type vocabulary, Spark keeps the operator
@@ -1452,10 +1454,47 @@ def test_modern_sql_rewrites(spark):
         "CREATE OR REPLACE TEMP VIEW ties_t AS SELECT * FROM VALUES "
         "(1), (2), (2), (3) AS t(v)"
     )
-    rows = spark.sql(
+    ties_df = spark.sql(
         transpile("SELECT v FROM ties_t ORDER BY v LIMIT 2 WITH TIES")
+    )
+    assert sorted(r.v for r in ties_df.collect()) == [1, 2, 2]
+    # scale check: the executed plan has no unpartitioned window
+    plan = ties_df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "TakeOrderedAndProject" in plan
+    # DESC direction: peers of the n-th-largest survive
+    rows = spark.sql(
+        transpile("SELECT v FROM ties_t ORDER BY v DESC LIMIT 2 WITH TIES")
     ).collect()
-    assert sorted(r.v for r in rows) == [1, 2, 2]
+    assert sorted(r.v for r in rows) == [2, 2, 3]
+    # multi-key, mixed directions, ties on the full key tuple
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW ties_t2 AS SELECT * FROM VALUES "
+        "(1, 'a'), (1, 'b'), (2, 'a'), (2, 'a'), (2, 'b') AS t(k, s)"
+    )
+    rows = spark.sql(
+        transpile(
+            "SELECT k, s FROM ties_t2 ORDER BY k DESC, s LIMIT 3 "
+            "WITH TIES"
+        )
+    ).collect()
+    assert sorted((r.k, r.s) for r in rows) == [
+        (2, "a"),
+        (2, "a"),
+        (2, "b"),
+    ]
+    # NULL keys follow Spark ordering (ASC ⇒ NULLS FIRST)
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW ties_t3 AS SELECT * FROM VALUES "
+        "(NULL), (NULL), (1), (2) AS t(v)"
+    )
+    rows = spark.sql(
+        transpile("SELECT v FROM ties_t3 ORDER BY v LIMIT 2 WITH TIES")
+    ).collect()
+    assert sorted((r.v is None, r.v or 0) for r in rows) == [
+        (True, 0),
+        (True, 0),
+    ]
 
 
 def test_script_schema_evolution_statements(spark):
@@ -1569,6 +1608,12 @@ def test_probe3_scalar_family_values(spark):
             "splitByRegexp('[0-9]+', 'a1b22c') AS sr, "
             "formatReadableSize(1536) AS frs, "
             "formatReadableQuantity(1500000) AS frq, "
+            "formatReadableSize(1047552) AS frs2, "
+            "formatReadableQuantity(10000000000000000) AS frq2, "
+            "cutQueryStringAndFragment('http://e.com/p?a=1#f') AS cqf, "
+            "cutQueryStringAndFragment('http://e.com/p#frag') AS cqf2, "
+            "toISOYear(CAST('2021-01-01' AS DATE)) AS iy, "
+            "toISOYear(CAST('2024-06-15' AS DATE)) AS iy2, "
             "substringIndex('a.b.c', '.', 2) AS si, "
             "toStartOfSecond(CAST('2024-01-01 01:02:03.456' AS TIMESTAMP)) AS ss, "
             "toMillisecond(CAST('2024-01-01 01:02:03.456' AS TIMESTAMP)) AS ms"
@@ -1588,6 +1633,13 @@ def test_probe3_scalar_family_values(spark):
     assert row.ng == ["ab", "bc", "cd"] and row.ng0 == []
     assert row.sw == ["a", "b", "c"] and row.sr == ["a", "b", "c"]
     assert row.frs == "1.50 KiB" and row.frq == "1.50 million"
+    # no thousands separators (ClickHouse prints none; r6 advice)
+    assert row.frs2 == "1023.00 KiB"
+    assert row.frq2 == "10000.00 trillion"
+    # '?' and bare-'#' URLs both lose their tail (r6 advice)
+    assert row.cqf == "http://e.com/p" and row.cqf2 == "http://e.com/p"
+    # ISO week-year: 2021-01-01 belongs to ISO year 2020
+    assert row.iy == 2020 and row.iy2 == 2024
     assert row.si == "a.b"
     assert str(row.ss) == "2024-01-01 01:02:03" and row.ms == 456
     # exact-tier quantiles: lower/upper of the two middle elements
