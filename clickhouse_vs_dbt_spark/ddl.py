@@ -202,7 +202,7 @@ class EngineInfo:
     meaning depends on the engine + ORDER BY key + version column,
     which only the DDL knows)."""
 
-    __slots__ = ("engine", "keys", "version", "sign")
+    __slots__ = ("engine", "keys", "version", "sign", "sample_by")
 
     def __init__(
         self,
@@ -210,11 +210,17 @@ class EngineInfo:
         keys: tuple,
         version: str | None,
         sign: str | None = None,
+        sample_by: str | None = None,
     ):
         self.engine = engine
         self.keys = keys
         self.version = version
         self.sign = sign
+        # sampling-key COLUMN from ``SAMPLE BY`` (the column inside
+        # intHash32(...)-style wrappers) — lets the dialect serve
+        # ``FROM t SAMPLE k [OFFSET m]`` as a deterministic
+        # hash-range slice instead of refusing
+        self.sample_by = sample_by
 
 
 #: normalized table name AS WRITTEN in the DDL (backticks stripped;
@@ -329,7 +335,28 @@ def transpile_ddl(
             sign_col = eargs[0].strip() if eargs else None
         else:
             version = eargs[0].strip() if eargs else None
-        info = EngineInfo(engine, keys, version, sign_col)
+        # SAMPLE BY expr → the sampling-key column (unwrap the
+        # ClickHouse integer-hash functions; our slice applies its
+        # own portable mixer to the column, operators/sampling.py)
+        sample_by = None
+        sm = re.search(
+            r"(?is)SAMPLE\s+BY\s+(.+?)(?=\bORDER\s+BY|\bPARTITION\s+BY"
+            r"|\bPRIMARY\s+KEY|\bSETTINGS\b|\bTTL\b|$)",
+            tail,
+        )
+        if sm:
+            idents = [
+                w
+                for w in re.findall(r"[A-Za-z_][A-Za-z0-9_]*", sm.group(1))
+                if w.lower()
+                not in (
+                    "inthash32", "inthash64", "cityhash64", "siphash64",
+                    "xxhash32", "xxhash64", "halfmd5",
+                )
+            ]
+            if len(idents) == 1:
+                sample_by = idents[0]
+        info = EngineInfo(engine, keys, version, sign_col, sample_by)
         register_engine_info(name, info)
 
     part = ""

@@ -3204,40 +3204,321 @@ def _rewrite_type_casts(toks: list[str]) -> list[str]:
     return toks
 
 
-def _check_star_modifiers(toks: list[str]) -> None:
-    """``* REPLACE (...)`` / ``* APPLY (...)`` — ClickHouse star
-    modifiers Spark's parser would misread; refuse with guidance
-    (``* EXCEPT (...)`` is Spark-native and passes through)."""
-    for i, t in enumerate(toks):
-        if t != "*":
-            continue
-        j = _next_code(toks, i + 1)
-        if j < len(toks) and _is_ident(toks[j]) and toks[j].upper() in (
-            "REPLACE", "APPLY",
+_STAR_CLAUSE_STOPS = {
+    "WHERE", "GROUP", "HAVING", "ORDER", "LIMIT", "WINDOW",
+    "QUALIFY", "UNION", "INTERSECT", "SETTINGS", "FORMAT", "EXCEPT",
+}
+
+
+def _split_commas(toks: list[str]) -> list[list[str]]:
+    """Split a token span on top-level commas."""
+    parts: list[list[str]] = []
+    cur: list[str] = []
+    depth = 0
+    for t in toks:
+        if t in ("(", "["):
+            depth += 1
+        elif t in (")", "]"):
+            depth -= 1
+        if depth == 0 and t == ",":
+            parts.append(cur)
+            cur = []
+        else:
+            cur.append(t)
+    parts.append(cur)
+    return parts
+
+
+def _star_from_relation(toks: list[str], star_i: int) -> str | None:
+    """Text of the FROM relation belonging to the SELECT containing
+    the star at ``star_i`` (same nesting depth), or None.  The
+    relation span ends at the next same-depth clause keyword or the
+    closing paren of the enclosing subquery."""
+    depth = 0
+    from_i = None
+    for i in range(star_i, len(toks)):
+        t = toks[i]
+        if t in ("(", "["):
+            depth += 1
+        elif t in (")", "]"):
+            if depth == 0:
+                return None
+            depth -= 1
+        elif depth == 0 and _is_ident(t) and t.upper() == "FROM":
+            from_i = i
+            break
+    if from_i is None:
+        return None
+    depth = 0
+    end = len(toks)
+    for i in range(from_i + 1, len(toks)):
+        t = toks[i]
+        if t in ("(", "["):
+            depth += 1
+        elif t in (")", "]"):
+            if depth == 0:
+                end = i
+                break
+            depth -= 1
+        elif (
+            depth == 0
+            and _is_ident(t)
+            and t.upper() in _STAR_CLAUSE_STOPS
+        ):
+            end = i
+            break
+    rel = "".join(toks[from_i + 1 : end]).strip()
+    return rel or None
+
+
+def _rewrite_star_modifiers(toks: list[str], resolve_columns=None):
+    """ClickHouse star modifiers: ``* [EXCEPT (…)] [REPLACE (expr AS
+    name, …)] [APPLY (f)]…`` — expand through the catalog resolver
+    into an explicit projection (``* EXCEPT`` alone is Spark-native
+    and passes through).  EXCEPT drops columns, REPLACE substitutes
+    an expression while keeping the column name, each APPLY wraps
+    every surviving column ``c`` as ``f(c)`` named ``f(c)`` —
+    ClickHouse's documented naming.  Pure token-level expansion, so
+    Catalyst still sees a plain projection (column pruning intact)."""
+    while True:
+        hit = None
+        for i, t in enumerate(toks):
+            if t != "*":
+                continue
+            j = _next_code(toks, i + 1)
+            if not (
+                j < len(toks)
+                and _is_ident(toks[j])
+                and toks[j].upper() in ("EXCEPT", "REPLACE", "APPLY")
+            ):
+                continue
+            # parse the full modifier chain after this star
+            mods: list[tuple[str, list[str]]] = []
+            end = i
+            pos = j
+            while (
+                pos < len(toks)
+                and _is_ident(toks[pos])
+                and toks[pos].upper() in ("EXCEPT", "REPLACE", "APPLY")
+            ):
+                kind = toks[pos].upper()
+                p = _next_code(toks, pos + 1)
+                if p >= len(toks) or toks[p] != "(":
+                    break
+                close = _match_close(toks, p)
+                inner = toks[p + 1 : close]
+                if kind == "EXCEPT":
+                    fc = _next_code(inner, 0)
+                    if (
+                        fc < len(inner)
+                        and _is_ident(inner[fc])
+                        and inner[fc].upper() == "SELECT"
+                    ):
+                        break  # set-operation EXCEPT, not a modifier
+                mods.append((kind, inner))
+                end = close
+                pos = _next_code(toks, close + 1)
+            if mods and any(k != "EXCEPT" for k, _ in mods):
+                hit = (i, end, mods)
+                break
+        if hit is None:
+            return toks
+        star_i, end, mods = hit
+        rel = _star_from_relation(toks, end + 1)
+        cols = (
+            resolve_columns(rel)
+            if (resolve_columns is not None and rel)
+            else None
+        )
+        if not cols:
+            raise DialectError(
+                "* REPLACE/APPLY needs the star's column list; run "
+                "through run_clickhouse_sql (catalog resolver) or "
+                "spell the projection out"
+            )
+        except_set: set[str] = set()
+        replace_map: dict[str, str] = {}
+        applies: list[str] = []
+        for kind, inner in mods:
+            if kind == "EXCEPT":
+                for item in _split_commas(inner):
+                    name = "".join(
+                        t for t in item if not _is_skippable(t)
+                    ).strip('`"')
+                    if name:
+                        except_set.add(name.lower())
+            elif kind == "REPLACE":
+                for item in _split_commas(inner):
+                    code = [
+                        k
+                        for k, t in enumerate(item)
+                        if not _is_skippable(t)
+                    ]
+                    if (
+                        len(code) < 3
+                        or item[code[-2]].upper() != "AS"
+                    ):
+                        raise DialectError(
+                            "* REPLACE items must be 'expr AS name'"
+                        )
+                    name = item[code[-1]].strip('`"')
+                    expr = "".join(item[: code[-2]]).strip()
+                    replace_map[name.lower()] = expr
+            else:  # APPLY
+                fn = "".join(
+                    t for t in inner if not _is_skippable(t)
+                ).strip()
+                if not fn:
+                    raise DialectError("* APPLY needs a function name")
+                applies.append(fn)
+        items: list[str] = []
+        for c in cols:
+            if c.lower() in except_set:
+                continue
+            expr = replace_map.get(c.lower(), f"`{c}`")
+            name = c
+            for f in applies:
+                expr = f"{f}({expr})"
+                name = f"{f}({name})"
+            items.append(f"{expr} AS `{name}`")
+        if not items:
+            raise DialectError(
+                "* EXCEPT removed every column of the star"
+            )
+        toks[star_i : end + 1] = _tokens(", ".join(items))
+
+
+def _sample_fraction(toks: list[str], i: int) -> tuple:
+    """Parse ``num [/ den]`` starting at code index ``i`` → (Fraction,
+    index after the last consumed token).  Integer ≥ 1 without a
+    denominator is ClickHouse's approximate-row-count form, which
+    needs table statistics — refused."""
+    from fractions import Fraction
+
+    num = toks[i]
+    j = _next_code(toks, i + 1)
+    if j < len(toks) and toks[j] == "/":
+        k = _next_code(toks, j + 1)
+        if k >= len(toks) or not re.match(r"\d+$", toks[k]):
+            raise DialectError("malformed SAMPLE fraction")
+        return Fraction(int(num), int(toks[k])), k + 1
+    f = Fraction(num)
+    if f >= 1:
+        raise DialectError(
+            "SAMPLE <row-count> needs table statistics; use a "
+            "fraction (SAMPLE 0.1 or SAMPLE 1/10)"
+        )
+    return f, i + 1
+
+
+def _rewrite_sample_clause(toks: list[str], engine_info=None):
+    """``FROM t SAMPLE k [OFFSET m]`` → deterministic hash-range
+    slice on the table's ``SAMPLE BY`` column (captured by the DDL
+    front door): keep rows whose portable 32-bit mix of the key falls
+    in ``[2^32·m, 2^32·(m+k))`` — ClickHouse's intHash32-range
+    semantics with the repo's engine-portable mixer
+    (operators/sampling.py), so re-runs are idempotent and slices
+    with distinct OFFSETs are disjoint.  The predicate is a map-side
+    filter inside a wrapping subquery — no shuffle, scan-cost only.
+    Without registered DDL (no SAMPLE BY key) the clause refuses, as
+    letting Spark parse SAMPLE as a table alias would be a silent
+    semantic change."""
+    while True:
+        hit = None
+        for i, t in enumerate(toks):
+            if _is_ident(t) and t.upper() == "SAMPLE":
+                j = _next_code(toks, i + 1)
+                if j < len(toks) and re.match(r"\d", toks[j]):
+                    hit = (i, j)
+                    break
+        if hit is None:
+            return toks
+        s_i, n_i = hit
+        frac, after = _sample_fraction(toks, n_i)
+        off_frac = None
+        j = _next_code(toks, after)
+        if (
+            j < len(toks)
+            and _is_ident(toks[j])
+            and toks[j].upper() == "OFFSET"
         ):
             k = _next_code(toks, j + 1)
-            if k < len(toks) and toks[k] == "(":
-                raise DialectError(
-                    f"* {toks[j].upper()} (...) star modifiers are "
-                    "not Spark syntax; spell the projection out "
-                    "(* EXCEPT (...) passes through)"
-                )
+            if k >= len(toks) or not re.match(r"\d", toks[k]):
+                raise DialectError("SAMPLE ... OFFSET needs a fraction")
+            off_frac, after = _sample_fraction(toks, k)
+        end = after - 1  # last token of the SAMPLE clause
+        # the relation before SAMPLE: walk back to the nearest FROM at
+        # the same depth; the span must be a simple table reference
+        depth = 0
+        from_i = None
+        for b in range(s_i - 1, -1, -1):
+            t = toks[b]
+            if t in (")", "]"):
+                depth += 1
+            elif t in ("(", "["):
+                if depth == 0:
+                    break
+                depth -= 1
+            elif (
+                depth == 0 and _is_ident(t) and t.upper() == "FROM"
+            ):
+                from_i = b
+                break
+        if from_i is None:
+            raise DialectError("SAMPLE clause without a FROM table")
+        rel_code = [
+            t
+            for t in toks[from_i + 1 : s_i]
+            if not _is_skippable(t)
+        ]
+        alias = None
+        if (
+            len(rel_code) >= 2
+            and _is_ident(rel_code[-1])
+            and rel_code[-1].upper() not in ("AS",)
+            and (
+                len(rel_code) == 2
+                or rel_code[-2].upper() == "AS"
+                or _is_ident(rel_code[-2])
+                or rel_code[-2] == "."
+            )
+        ):
+            # trailing bare identifier not part of a dotted name
+            if rel_code[-2] != "." and rel_code[-1].upper() != "FINAL":
+                alias = rel_code[-1]
+                rel_code = rel_code[:-1]
+                if rel_code and rel_code[-1].upper() == "AS":
+                    rel_code = rel_code[:-1]
+        table = "".join(rel_code).strip()
+        if not table or not re.match(
+            r"[A-Za-z_][A-Za-z0-9_.]*$", table
+        ):
+            raise DialectError(
+                "SAMPLE applies to a plain table reference; "
+                f"got {table!r}"
+            )
+        info = engine_info(table) if engine_info is not None else None
+        key = getattr(info, "sample_by", None) if info else None
+        if not key:
+            raise DialectError(
+                f"SAMPLE on {table!r} needs the table's SAMPLE BY key "
+                "— run its CREATE TABLE through the DDL front door, "
+                "or use the clickhouse_sample_clause operator "
+                "(deterministic hash-range slice)"
+            )
+        from clickhouse_vs_dbt_spark.operators.sampling import (
+            mix_hash_sql,
+        )
 
-
-def _check_sample_clause(toks: list[str]) -> None:
-    """``FROM t SAMPLE k [OFFSET m]`` depends on the table's SAMPLE BY
-    key (DDL context this front door does not carry) — refuse with
-    the dedicated operator instead of letting Spark parse SAMPLE as a
-    table alias (a silent semantic change)."""
-    for i, t in enumerate(toks):
-        if _is_ident(t) and t.upper() == "SAMPLE":
-            j = _next_code(toks, i + 1)
-            if j < len(toks) and re.match(r"\d", toks[j]):
-                raise DialectError(
-                    "SAMPLE k [OFFSET m] needs the table's SAMPLE BY "
-                    "key; use the clickhouse_sample_clause operator "
-                    "(deterministic hash-range slice)"
-                )
+        lo = int(4294967296 * (off_frac or 0))
+        hi = lo + int(4294967296 * frac)
+        h = mix_hash_sql("spark", key)
+        pred = f"{h} >= {lo} AND {h} < {hi}"
+        repl = (
+            f"(SELECT * FROM {table} WHERE {pred}) "
+            f"{alias or table.split('.')[-1]}"
+        )
+        toks[from_i + 1 : end + 1] = _tokens(f" {repl} ")
 
 
 def transpile(sql: str, resolve_columns=None, engine_info=None) -> str:
@@ -3249,8 +3530,8 @@ def transpile(sql: str, resolve_columns=None, engine_info=None) -> str:
     (table name → ``ddl.EngineInfo`` or None) unlocks ``FROM t
     FINAL`` reads for tables whose DDL ran through the front door."""
     toks = _tokens(sql)
-    _check_sample_clause(toks)
-    _check_star_modifiers(toks)
+    toks = _rewrite_sample_clause(toks, engine_info)
+    toks = _rewrite_star_modifiers(toks, resolve_columns)
     toks = _rewrite_type_casts(toks)
     toks = _rewrite_with_scalars(toks)
     toks = _rewrite_limit_ties(toks)
@@ -4984,6 +5265,99 @@ def q_dialect_modern_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_clickhouse_sql(spark, _CH_MODERN, sf_dir, ("orders",))
 
 
+# 19. star modifiers — ``* EXCEPT … REPLACE … APPLY …`` expands via
+#     the catalog resolver into an explicit projection (ClickHouse
+#     SELECT-modifier docs); APPLY names follow ClickHouse (`f(col)`).
+_CH_STAR_MODIFIERS = """
+SELECT * EXCEPT (s_acctbal)
+         REPLACE (concat(s_name, '-x') AS s_name)
+         APPLY (toString) APPLY (length)
+FROM supplier
+"""
+
+O_STAR_MODIFIERS = """
+SELECT length(CAST(s_suppkey AS VARCHAR))
+         AS "length(toString(s_suppkey))",
+       length(CAST(concat(s_name, '-x') AS VARCHAR))
+         AS "length(toString(s_name))",
+       length(CAST(s_nationkey AS VARCHAR))
+         AS "length(toString(s_nationkey))"
+FROM supplier
+"""
+
+
+def q_dialect_star_modifiers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Verbatim ClickHouse star-modifier query (module doc #19)."""
+    return run_clickhouse_sql(
+        spark, _CH_STAR_MODIFIERS, sf_dir, ("supplier",)
+    )
+
+
+# 20. SAMPLE clause — the DDL declares ``SAMPLE BY intHash32(key)``;
+#     the SELECT's ``SAMPLE 3/10 OFFSET 1/5`` becomes a deterministic
+#     hash-range slice on that key (see _rewrite_sample_clause).  The
+#     script proves the full path: DDL capture → clause rewrite.
+_CH_SAMPLE_SCRIPT = """
+CREATE TABLE sample_orders
+(
+    o_orderkey      Int64,
+    o_custkey       Int64,
+    o_orderstatus   String,
+    o_totalprice    Float64,
+    o_orderdate     DateTime,
+    o_orderpriority String
+)
+ENGINE = MergeTree
+ORDER BY o_orderkey
+SAMPLE BY intHash32(o_orderkey);
+
+SELECT o_orderstatus,
+       count() AS n_sampled,
+       toFloat64(sum(toDecimal64(o_totalprice, 2))) AS sampled_total,
+       min(o_orderkey) AS min_key,
+       max(o_orderkey) AS max_key
+FROM sample_orders SAMPLE 3/10 OFFSET 1/5
+GROUP BY o_orderstatus;
+"""
+
+
+def _o_sample_dialect() -> str:
+    from clickhouse_vs_dbt_spark.operators.sampling import mix_hash_sql
+
+    lo = (4294967296 * 1) // 5
+    hi = lo + (4294967296 * 3) // 10
+    h = mix_hash_sql("duckdb", "o_orderkey")
+    return f"""
+SELECT o_orderstatus,
+       COUNT(*) AS n_sampled,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS sampled_total,
+       MIN(o_orderkey) AS min_key,
+       MAX(o_orderkey) AS max_key
+FROM orders
+WHERE {h} >= {lo} AND {h} < {hi}
+GROUP BY o_orderstatus
+"""
+
+
+def q_dialect_sample_clause(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Verbatim ClickHouse DDL + SAMPLE-clause script (module doc
+    #20); the CREATE TABLE is relocated onto the orders parquet."""
+    results = run_clickhouse_script(
+        spark,
+        _CH_SAMPLE_SCRIPT,
+        path_overrides={
+            "sample_orders": f"{sf_dir}/orders.parquet"
+        },
+        overwrite_existing=True,
+    )
+    return results[-1][1]
+
+
 # 16. full operational lifecycle through the script runner: CREATE
 #     (Replacing DDL) → INSERT … SELECT FROM file() (fires nothing —
 #     no MV — but exercises the trigger path) → ALTER DELETE →
@@ -5138,6 +5512,8 @@ QUERIES = {
     "dialect_topk_weighted": q_dialect_topk_weighted,
     "dialect_distinct_on": q_dialect_distinct_on,
     "dialect_modern_sql": q_dialect_modern_sql,
+    "dialect_star_modifiers": q_dialect_star_modifiers,
+    "dialect_sample_clause": q_dialect_sample_clause,
     "dialect_limit_by": q_dialect_limit_by,
     "dialect_asof_join": q_dialect_asof_join,
     "dialect_asof_on": q_dialect_asof_on,
@@ -5175,6 +5551,8 @@ ORACLES = {
     "dialect_topk_weighted": O_TOPK_WEIGHTED,
     "dialect_distinct_on": O_DISTINCT_ON,
     "dialect_modern_sql": O_MODERN,
+    "dialect_star_modifiers": O_STAR_MODIFIERS,
+    "dialect_sample_clause": _o_sample_dialect(),
     "dialect_limit_by": O_LIMIT_BY,
     "dialect_asof_join": O_ASOF,
     "dialect_asof_on": O_ASOF_ON,

@@ -1497,6 +1497,95 @@ def test_modern_sql_rewrites(spark):
     ]
 
 
+def test_star_modifiers(spark):
+    """r7: * EXCEPT/REPLACE/APPLY expansion via the catalog
+    resolver; EXCEPT alone stays Spark-native."""
+    from clickhouse_vs_dbt_spark.dialect import catalog_resolver
+
+    # EXCEPT-only passes through (Spark-native)
+    assert "EXCEPT" in transpile("SELECT * EXCEPT (a, b) FROM t")
+    # REPLACE/APPLY need the column list
+    with pytest.raises(DialectError, match="column list"):
+        transpile("SELECT * REPLACE (a + 1 AS a) FROM t")
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW star_t AS SELECT * FROM VALUES "
+        "(1, 2, 'x'), (3, 4, 'y') AS t(a, b, s)"
+    )
+    res = catalog_resolver(spark)
+    # REPLACE keeps the name, substitutes the expression
+    rows = spark.sql(
+        transpile(
+            "SELECT * REPLACE (a * 10 AS a) FROM star_t",
+            resolve_columns=res,
+        )
+    ).collect()
+    assert [tuple(r) for r in rows] == [(10, 2, "x"), (30, 4, "y")]
+    # EXCEPT + REPLACE + chained APPLY, ClickHouse f(col) naming
+    df = spark.sql(
+        transpile(
+            "SELECT * EXCEPT (s) REPLACE (b + 1 AS b) "
+            "APPLY (toString) APPLY (length) FROM star_t",
+            resolve_columns=res,
+        )
+    )
+    assert df.columns == [
+        "length(toString(a))",
+        "length(toString(b))",
+    ]
+    assert sorted(tuple(r) for r in df.collect()) == [(1, 1), (1, 1)]
+    # a set-operation EXCEPT after a star is NOT a modifier
+    out = transpile(
+        "SELECT * FROM a EXCEPT (SELECT * FROM b)", resolve_columns=res
+    )
+    assert "EXCEPT" in out
+
+
+def test_sample_clause_route(spark, sf_dir):
+    """r7: FROM t SAMPLE k [OFFSET m] routes to the deterministic
+    hash-range slice when the DDL declared SAMPLE BY; slices with
+    distinct OFFSETs are disjoint and cover the table."""
+    from clickhouse_vs_dbt_spark import ddl as _ddl
+    from clickhouse_vs_dbt_spark.dialect import run_clickhouse_script
+
+    # row-count form refuses (needs stats)
+    with pytest.raises(DialectError, match="fraction"):
+        transpile("SELECT * FROM t SAMPLE 1000")
+    # no registered SAMPLE BY key → refusal with operator pointer
+    with pytest.raises(DialectError, match="SAMPLE BY"):
+        transpile("SELECT * FROM t SAMPLE 0.1")
+    script = f"""
+CREATE TABLE samp_t (o_orderkey Int64, o_custkey Int64,
+  o_orderstatus String, o_totalprice Float64, o_orderdate DateTime,
+  o_orderpriority String)
+ENGINE = MergeTree ORDER BY o_orderkey
+SAMPLE BY intHash32(o_orderkey);
+SELECT count() AS n FROM samp_t SAMPLE 1/2;
+"""
+    res = run_clickhouse_script(
+        spark,
+        script,
+        path_overrides={"samp_t": f"{sf_dir}/orders.parquet"},
+        overwrite_existing=True,
+    )
+    n_lo = res[-1][1].collect()[0].n
+    total = spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+    info = _ddl.lookup_engine_info("samp_t")
+    assert info is not None and info.sample_by == "o_orderkey"
+    # second half via OFFSET: disjoint, exact partition of the table
+    df_hi = spark.sql(
+        transpile(
+            "SELECT count() AS n FROM samp_t SAMPLE 1/2 OFFSET 1/2",
+            engine_info=_ddl.lookup_engine_info,
+        )
+    )
+    n_hi = df_hi.collect()[0].n
+    assert n_lo + n_hi == total
+    assert 0 < n_lo < total
+    # the slice is a map-side filter: no shuffle in the scan subtree
+    plan = df_hi._jdf.queryExecution().executedPlan().toString()
+    assert "SAMPLE" not in plan
+
+
 def test_script_schema_evolution_statements(spark):
     """r6: ALTER TABLE ADD/DROP/MODIFY/RENAME COLUMN, RENAME TABLE,
     TRUNCATE through run_clickhouse_script — ClickHouse default-fill
