@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import contextlib
 import enum
+import re
 import shutil
 import tempfile
 from collections.abc import Callable, Sequence
@@ -134,6 +135,68 @@ class ModelRunner:
         if model.name in self._models:
             raise ValueError(f"duplicate model {model.name!r}")
         self._models[model.name] = model
+
+    def sql_model(
+        self,
+        name: str,
+        text: str,
+        deps: Sequence[str] = (),
+        refs: dict[str, str] | None = None,
+        tags: Sequence[str] = (),
+        description: str = "",
+    ) -> None:
+        """Register a verbatim dbt model FILE (jinja SQL).  The
+        ``{{ config(...) }}`` block selects the materialization —
+        ``view``/``table``/``incremental`` with dbt's strategy
+        selection (``unique_key`` → merge, ``partition_by`` →
+        insert_overwrite, neither → append).  ``{{ ref('x') }}``
+        resolves to the model's view name (override via ``refs``);
+        for incremental models ``{% if is_incremental() %}`` renders
+        against THIS runner's materialization state (False on the
+        first run, True once a prior materialization exists) and
+        ``{{ this }}`` points at the prior materialization — so a
+        real dbt incremental model file runs unmodified."""
+        cfg = parse_dbt_config(text)
+        mat = Materialization(cfg.get("materialized", "view"))
+        uk = cfg.get("unique_key", ())
+        uk = (uk,) if isinstance(uk, str) else tuple(uk)
+        pb = cfg.get("partition_by", ())
+        pb = (pb,) if isinstance(pb, str) else tuple(pb)
+        ref_map = {d: d for d in deps}
+        ref_map.update(refs or {})
+
+        if mat is Materialization.INCREMENTAL:
+
+            def builder(spark, existing, _text=text):
+                this_view = f"__this_{name}"
+                if existing is not None:
+                    existing.createOrReplaceTempView(this_view)
+                return spark.sql(
+                    render_dbt_model(
+                        _text,
+                        ref_map,
+                        is_incremental=existing is not None,
+                        this=this_view,
+                    )
+                )
+
+        else:
+
+            def builder(spark, _text=text):
+                return spark.sql(render_dbt_model(_text, ref_map, this=name))
+
+        self.add(
+            Model(
+                name,
+                builder,
+                deps,
+                mat,
+                description,
+                tags,
+                partition_by=pb,
+                unique_key=uk,
+            )
+        )
 
     def order(self) -> list[str]:
         """Topological model order (dbt's DAG resolution, operator S5)."""
@@ -392,14 +455,42 @@ class ModelRunner:
 
 # --- verbatim dbt model: the reference's star.sql, character-for-character ---
 
-def render_dbt_model(text: str, refs: dict[str, str]) -> str:
-    """Minimal dbt-jinja renderer: strip ``{{ config(...) }}`` and
-    substitute ``{{ ref('name') }}`` with the mapped relation — the
-    only two jinja constructs the reference's models use
-    (README.md:350-394).  Everything else passes through verbatim."""
+def render_dbt_model(
+    text: str,
+    refs: dict[str, str],
+    is_incremental: bool = False,
+    this: str | None = None,
+) -> str:
+    """Minimal dbt-jinja renderer: strip ``{{ config(...) }}``,
+    substitute ``{{ ref('name') }}`` with the mapped relation
+    (README.md:350-394), resolve ``{% if is_incremental() %} …
+    [{% else %} …] {% endif %}`` guards against the runner's
+    materialization state, and substitute ``{{ this }}`` with the
+    current materialization's relation — the constructs a real dbt
+    incremental model file uses.  Everything else passes through
+    verbatim."""
     import re
 
-    text = re.sub(r"\{\{\s*config\([^}]*\)\s*\}\}", "", text)
+    text = re.sub(r"\{\{\s*config\((?:[^}]|\}(?!\}))*\)\s*\}\}", "", text)
+
+    def guard(m):
+        keep, els = m.group(1), m.group(2) or ""
+        return keep if is_incremental else els
+
+    text = re.sub(
+        r"\{%-?\s*if\s+is_incremental\(\)\s*-?%\}(.*?)"
+        r"(?:\{%-?\s*else\s*-?%\}(.*?))?\{%-?\s*endif\s*-?%\}",
+        guard,
+        text,
+        flags=re.S,
+    )
+    if "{{ this }}" in text or re.search(r"\{\{\s*this\s*\}\}", text):
+        if this is None:
+            raise KeyError(
+                "model uses {{ this }} but no current relation was "
+                "provided"
+            )
+        text = re.sub(r"\{\{\s*this\s*\}\}", this, text)
 
     def sub(m):
         name = m.group(1)
@@ -408,6 +499,31 @@ def render_dbt_model(text: str, refs: dict[str, str]) -> str:
         return refs[name]
 
     return re.sub(r"\{\{\s*ref\(\'([^\']+)\'\)\s*\}\}", sub, text)
+
+
+_CFG_RE = re.compile(r"\{\{\s*config\(((?:[^}]|\}(?!\}))*)\)\s*\}\}")
+
+
+def parse_dbt_config(text: str) -> dict:
+    """Config keys from a model file's ``{{ config(...) }}`` block:
+    ``materialized``, ``unique_key`` (string or list), and
+    ``partition_by`` — the keys the ModelRunner materializations
+    consume.  Python-literal parsing of the kwargs (dbt config blocks
+    are literal kwargs in practice)."""
+    m = _CFG_RE.search(text)
+    if not m:
+        return {}
+    import ast
+
+    try:
+        call = ast.parse(f"f({m.group(1)})", mode="eval").body
+        return {
+            kw.arg: ast.literal_eval(kw.value)
+            for kw in call.keywords
+            if kw.arg is not None
+        }
+    except (SyntaxError, ValueError) as e:
+        raise ValueError(f"unparseable dbt config block: {e}") from e
 
 
 # reference README.md:349-394 character-for-character (the project's
