@@ -227,6 +227,7 @@ _CAST = {
     "toFloat32": "FLOAT",
     "toFloat64": "DOUBLE",
     "toString": "STRING",
+    "toDateTime": "TIMESTAMP",
 }
 
 # -If combinator bases: CH fnIf(x, cond) == fn over rows where cond
@@ -926,15 +927,18 @@ def _render_call(name: str, args: list[str]) -> str:
             f"(__x, __y) -> __x - __y)"
         )
     if name == "arrayCumSum" and len(args) == 1:
-        # prefix sums via per-index folds: O(n²) in the array length —
-        # fine for the bounded arrays these appear on (the DOUBLE
-        # accumulation is the arraySum policy)
+        # prefix sums in ONE left fold: each step appends running
+        # total + x (try_element_at(-1) reads the prior prefix; NULL
+        # on the empty accumulator → coalesce seeds 0).  Linear in
+        # lambda evaluations — the previous per-index re-fold was
+        # O(n²) (r6 verdict item 9).  DOUBLE accumulation is the
+        # arraySum policy.
         a = args[0]
         return (
-            f"transform(slice(sequence(1, greatest(size({a}), 1)), "
-            f"1, size({a})), __i -> "
-            f"aggregate(slice({a}, 1, __i), CAST(0 AS DOUBLE), "
-            f"(__s, __x) -> __s + CAST(__x AS DOUBLE)))"
+            f"aggregate({a}, CAST(array() AS ARRAY<DOUBLE>), "
+            f"(__acc, __x) -> array_append(__acc, "
+            f"coalesce(try_element_at(__acc, -1), CAST(0 AS DOUBLE)) "
+            f"+ CAST(__x AS DOUBLE)))"
         )
     if name == "positionCaseInsensitive" and len(args) == 2:
         return f"instr(lower({args[0]}), lower({args[1]}))"
@@ -1038,16 +1042,46 @@ def _render_call(name: str, args: list[str]) -> str:
     for suffix in ("SimpleState", "MergeState", "State", "Merge"):
         if name.endswith(suffix) and len(name) > len(suffix):
             base = name[: -len(suffix)]
-            if base.endswith("If"):
+            has_if = base.endswith("If")
+            if has_if:
                 base = base[:-2]
+            if base in ("sum", "min", "max", "count"):
+                # self-merging tier: for these aggregates the partial
+                # state IS the partial value (merge(sums)=sum of
+                # partials, merge(counts)=sum, merge(mins)=min), so
+                # -State emits the plain partial aggregate and -Merge
+                # re-aggregates it — count's merge sums.  Exactly the
+                # two-level plan AggregatingMergeTree materializes
+                # (operators/mergetree.py mergetree_aggregating).
+                fn = base
+                if base == "count" and suffix in ("Merge", "MergeState"):
+                    fn = "sum"
+                if has_if:
+                    cond = args[-1]
+                    inner = args[0] if len(args) >= 2 else None
+                    if base == "count" and suffix not in (
+                        "Merge", "MergeState",
+                    ):
+                        return f"count_if({cond})"
+                    if inner is None:
+                        raise DialectError(f"{name} needs (x, cond)")
+                    return f"{fn}(CASE WHEN {cond} THEN {inner} END)"
+                if base == "count" and not args:
+                    if suffix in ("Merge", "MergeState"):
+                        raise DialectError(
+                            f"{name}() needs the state column"
+                        )
+                    return "count(*)"
+                return f"{fn}({joined})"
             if base in _IF_BASES or base in _RENAME or base in (
-                "sum", "min", "max", "avg", "count", "uniq", "quantile",
-                "groupArray",
+                "avg", "uniq", "quantile", "groupArray",
             ):
                 raise DialectError(
-                    f"{name}: ClickHouse -State/-Merge partial-aggregate "
-                    "registers are engine-internal byte states; the Spark "
-                    "shape is native partial/final aggregation — see "
+                    f"{name}: this ClickHouse -State/-Merge register is "
+                    "an engine-internal byte state with no portable "
+                    "Spark value (avg → keep a sumState+countState "
+                    "pair; uniq → the HLL sketch operators, hll.py); "
+                    "sum/count/min/max States ARE transpiled — see "
                     "mergetree_aggregating (and incremental_agg_mv / "
                     "transpile_materialized_view for maintained state)"
                 )
@@ -1932,31 +1966,51 @@ def _rewrite_with_fill(toks: list[str], resolve_columns=None) -> list[str]:
         i += 1
     if fill_i is None:
         return toks
-    key_toks = [
-        t for t in toks[by_i + 1 : fill_i] if not _is_skippable(t)
-    ]
     # ORDER BY list: plain leading keys (grouping axis), the LAST one
-    # carries the fill; ASC/DESC per key, DESC allowed on the fill key
+    # carries the fill; ASC/DESC per key, DESC allowed on the fill
+    # key.  The fill key may be an EXPRESSION (ORDER BY
+    # toStartOfDay(ts) WITH FILL …): it is computed as a derived
+    # column over the query (named by its expression text, the
+    # ClickHouse auto-name) and the spine machinery runs on that
+    # column unchanged — the result then carries the fill axis as an
+    # output column (documented divergence: ClickHouse fills a
+    # positional sort axis without projecting it).
     groups: list[list[str]] = [[]]
-    for t in key_toks:
-        if t == ",":
+    depth = 0
+    for t in toks[by_i + 1 : fill_i]:
+        if t in ("(", "["):
+            depth += 1
+        elif t in (")", "]"):
+            depth -= 1
+        if depth == 0 and t == ",":
             groups.append([])
         else:
             groups[-1].append(t)
     keys: list[tuple[str, bool]] = []  # (ident, desc)
-    for g in groups:
+    fill_expr = None  # (expr_sql, auto_name) for an expression key
+    for gi, g in enumerate(groups):
+        code = [k for k, t in enumerate(g) if not _is_skippable(t)]
         desc = False
-        if g and g[-1].upper() == "ASC":
-            g = g[:-1]
-        elif g and g[-1].upper() == "DESC":
+        if code and g[code[-1]].upper() == "ASC":
+            g = g[: code[-1]]
+            code = code[:-1]
+        elif code and g[code[-1]].upper() == "DESC":
             desc = True
-            g = g[:-1]
-        if len(g) != 1 or not _is_ident(g[0]):
+            g = g[: code[-1]]
+            code = code[:-1]
+        if len(code) == 1 and _is_ident(g[code[0]]):
+            keys.append((g[code[0]], desc))
+            continue
+        if gi != len(groups) - 1 or not code:
             raise DialectError(
-                "WITH FILL keys must be plain columns/aliases here; "
-                "for expression fills use events_gap_fill"
+                "WITH FILL leading (grouping) keys must be plain "
+                "columns/aliases; for expression grouping keys use "
+                "events_gap_fill"
             )
-        keys.append((g[0], desc))
+        expr = "".join(g).strip()
+        auto = "".join(t for t in g if not _is_skippable(t))
+        fill_expr = (expr, auto)
+        keys.append((f"`{auto}`", desc))
     lead = keys[:-1]
     if any(d for _, d in lead):
         raise DialectError(
@@ -2020,6 +2074,11 @@ def _rewrite_with_fill(toks: list[str], resolve_columns=None) -> list[str]:
         spans[u] = expr
         i = e
     core = "".join(toks[:ord_i]).strip()
+    if fill_expr is not None:
+        e, auto = fill_expr
+        core = (
+            f"SELECT *, {e} AS `{auto}` FROM ({core}) __fill_expr_src"
+        )
     step = spans.get("STEP", "1")
     if x_desc and not step.lstrip().startswith("-"):
         step = f"-({step})"  # descending fill walks the spine down
@@ -4651,6 +4710,44 @@ def q_dialect_with_fill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# 10f. expression-key fill (r7) — ``ORDER BY toStartOfDay(ts) WITH
+#      FILL STEP INTERVAL 1 DAY``: the expression is computed as a
+#      derived column (ClickHouse's expression auto-name) and the
+#      spine machinery runs on it unchanged; the fill axis appears as
+#      an output column (documented divergence in _rewrite_with_fill).
+_CH_WITH_FILL_EXPR = """
+SELECT ts, value
+FROM events
+WHERE event_type = 'purchase' AND user_id = 7
+ORDER BY toStartOfDay(ts) WITH FILL
+  FROM toDateTime('2024-01-01 00:00:00')
+  TO toDateTime('2024-02-01 00:00:00')
+  STEP INTERVAL 1 DAY
+"""
+
+O_WITH_FILL_EXPR = """
+SELECT d AS "toStartOfDay(ts)", ts, value
+FROM (SELECT unnest(generate_series(TIMESTAMP '2024-01-01',
+                                    TIMESTAMP '2024-01-31',
+                                    INTERVAL 1 DAY)) AS d) s
+LEFT JOIN (
+  SELECT date_trunc('day', ts) AS d, ts, value
+  FROM events WHERE event_type = 'purchase' AND user_id = 7
+) b USING (d)
+ORDER BY 1
+"""
+
+
+def q_dialect_with_fill_expr(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Verbatim ClickHouse expression-key WITH FILL query (module doc
+    #10f)."""
+    return run_clickhouse_sql(
+        spark, _CH_WITH_FILL_EXPR, sf_dir, ("events",)
+    )
+
+
 # 10d. DESC fill — the spine walks downward from FROM (inclusive) to
 #      TO (exclusive on the low side), mirroring ClickHouse.
 _CH_WITH_FILL_DESC = """
@@ -5295,6 +5392,52 @@ def q_dialect_star_modifiers(
     )
 
 
+# 21. -State/-Merge two-level aggregation — the AggregatingMergeTree
+#     query pattern: an inner GROUP BY materializes partial states,
+#     the outer one merges them.  For the self-merging tier
+#     (sum/count/min/max) the state is the partial value itself, so
+#     both levels are native Spark aggregates — partial/final
+#     aggregation with map-side combine, the 100 TB-correct shape.
+_CH_STATE_MERGE = """
+SELECT o_orderstatus,
+       toFloat64(sumMerge(s)) AS total_price,
+       countMerge(c) AS n_orders,
+       minMerge(mn) AS min_key,
+       maxMerge(mx) AS max_key
+FROM (
+    SELECT o_orderstatus, o_orderpriority,
+           sumState(toDecimal64(o_totalprice, 2)) AS s,
+           countState() AS c,
+           minState(o_orderkey) AS mn,
+           maxState(o_orderkey) AS mx
+    FROM orders
+    GROUP BY o_orderstatus, o_orderpriority
+)
+GROUP BY o_orderstatus
+"""
+
+O_STATE_MERGE = """
+SELECT o_orderstatus,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS total_price,
+       COUNT(*) AS n_orders,
+       MIN(o_orderkey) AS min_key,
+       MAX(o_orderkey) AS max_key
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
+def q_dialect_state_merge(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Verbatim ClickHouse -State/-Merge two-level aggregate (module
+    doc #21)."""
+    return run_clickhouse_sql(
+        spark, _CH_STATE_MERGE, sf_dir, ("orders",)
+    )
+
+
 # 20. SAMPLE clause — the DDL declares ``SAMPLE BY intHash32(key)``;
 #     the SELECT's ``SAMPLE 3/10 OFFSET 1/5`` becomes a deterministic
 #     hash-range slice on that key (see _rewrite_sample_clause).  The
@@ -5514,6 +5657,7 @@ QUERIES = {
     "dialect_modern_sql": q_dialect_modern_sql,
     "dialect_star_modifiers": q_dialect_star_modifiers,
     "dialect_sample_clause": q_dialect_sample_clause,
+    "dialect_state_merge": q_dialect_state_merge,
     "dialect_limit_by": q_dialect_limit_by,
     "dialect_asof_join": q_dialect_asof_join,
     "dialect_asof_on": q_dialect_asof_on,
@@ -5522,6 +5666,7 @@ QUERIES = {
     "dialect_with_fill_desc": q_dialect_with_fill_desc,
     "dialect_with_fill_multikey": q_dialect_with_fill_multikey,
     "dialect_with_fill_interp": q_dialect_with_fill_interp,
+    "dialect_with_fill_expr": q_dialect_with_fill_expr,
     "dialect_topk": q_dialect_topk,
     "dialect_subscript": q_dialect_subscript,
     "dialect_combinators": q_dialect_combinators,
@@ -5553,6 +5698,7 @@ ORACLES = {
     "dialect_modern_sql": O_MODERN,
     "dialect_star_modifiers": O_STAR_MODIFIERS,
     "dialect_sample_clause": _o_sample_dialect(),
+    "dialect_state_merge": O_STATE_MERGE,
     "dialect_limit_by": O_LIMIT_BY,
     "dialect_asof_join": O_ASOF,
     "dialect_asof_on": O_ASOF_ON,
@@ -5561,6 +5707,7 @@ ORACLES = {
     "dialect_with_fill_desc": O_WITH_FILL_DESC,
     "dialect_with_fill_multikey": O_WITH_FILL_MULTI,
     "dialect_with_fill_interp": O_WITH_FILL_INTERP,
+    "dialect_with_fill_expr": O_WITH_FILL_EXPR,
     "dialect_topk": O_TOPK,
     "dialect_subscript": O_SUBSCRIPT,
     "dialect_combinators": O_COMBINATORS,

@@ -831,9 +831,22 @@ def test_combinator_families_round5():
     out = transpile("sumMap(k, v)")
     assert "zip_with(k, v" in out and "named_struct('keys'" in out
     assert "least(" in transpile("minMap(k, v)")
-    for bad in ("sumState(x)", "uniqMerge(s)", "sumIfState(x, c)"):
+    # r7: sum/count/min/max -State/-Merge transpile (self-merging
+    # partials); avg/uniq registers still refuse with guidance
+    assert transpile("sumState(x)") == "sum(x)"
+    assert transpile("countState()") == "count(*)"
+    assert transpile("countState(x)") == "count(x)"
+    assert transpile("minState(x)") == "min(x)"
+    assert transpile("sumMerge(s)") == "sum(s)"
+    assert transpile("countMerge(c)") == "sum(c)"  # merging counts sums
+    assert transpile("maxMerge(s)") == "max(s)"
+    assert transpile("sumIfState(x, c)") == "sum(CASE WHEN c THEN x END)"
+    assert transpile("countIfState(c)") == "count_if(c)"
+    for bad in ("uniqMerge(s)", "avgState(x)", "quantileState(x)"):
         with pytest.raises(DialectError, match="mergetree_aggregating"):
             transpile(f"SELECT {bad} FROM t")
+    with pytest.raises(DialectError, match="state column"):
+        transpile("countMerge()")
 
 
 def test_run_clickhouse_script_end_to_end(spark, tmp_path):
