@@ -657,10 +657,29 @@ def _render_call(name: str, args: list[str]) -> str:
         # is the supported ISO week-year accessor (r6 advice)
         return f"CAST(extract(YEAROFWEEK FROM {args[0]}) AS INT)"
     if name == "toYearWeek":
+        mode = args[1].strip() if len(args) >= 2 else "0"
+        if mode == "3":
+            # mode 3 == ISO-8601: week-year * 100 + ISO week
+            return (
+                f"(extract(YEAROFWEEK FROM {args[0]}) * 100 + "
+                f"extract(WEEK FROM {args[0]}))"
+            )
+        if mode == "0":
+            # MySQL/ClickHouse mode 0: weeks start Sunday; the week
+            # belongs to the year of its starting Sunday, numbered by
+            # which Sunday of that year starts it (the first Sunday
+            # always falls in days 1..7, so floor((doy-1)/7)+1 counts
+            # it exactly).  Matches YEARWEEK(d, 0) incl. the
+            # early-January previous-year 52/53 carryover.
+            s = f"date_sub({args[0]}, dayofweek({args[0]}) - 1)"
+            return (
+                f"(year({s}) * 100 + "
+                f"CAST(floor((dayofyear({s}) - 1) / 7) AS INT) + 1)"
+            )
         raise DialectError(
-            "toYearWeek's default mode counts Sunday-start weeks "
-            "(mode-dependent); use toISOYear(d) * 100 + toISOWeek(d) "
-            "for the ISO spelling"
+            f"toYearWeek mode {mode} is not transpiled (0 = "
+            "Sunday-start and 3 = ISO are); use toISOYear(d) * 100 "
+            "+ toISOWeek(d) for the ISO spelling"
         )
     if name == "bitTest" and len(args) == 2:
         return (
@@ -3330,59 +3349,102 @@ def _star_from_relation(toks: list[str], star_i: int) -> str | None:
     return rel or None
 
 
+def _parse_star_mods(
+    toks: list[str], pos: int
+) -> tuple[list[tuple[str, list[str]]], int]:
+    """Parse a chain of ``EXCEPT (…) / REPLACE (…) / APPLY (…)``
+    star modifiers starting at code index ``pos`` → (mods, index of
+    the last consumed token, or pos-1 when empty)."""
+    mods: list[tuple[str, list[str]]] = []
+    end = pos - 1
+    while (
+        pos < len(toks)
+        and _is_ident(toks[pos])
+        and toks[pos].upper() in ("EXCEPT", "REPLACE", "APPLY")
+    ):
+        kind = toks[pos].upper()
+        p = _next_code(toks, pos + 1)
+        if p >= len(toks) or toks[p] != "(":
+            break
+        close = _match_close(toks, p)
+        inner = toks[p + 1 : close]
+        if kind == "EXCEPT":
+            fc = _next_code(inner, 0)
+            if (
+                fc < len(inner)
+                and _is_ident(inner[fc])
+                and inner[fc].upper() == "SELECT"
+            ):
+                break  # set-operation EXCEPT, not a modifier
+        mods.append((kind, inner))
+        end = close
+        pos = _next_code(toks, close + 1)
+    return mods, end
+
+
 def _rewrite_star_modifiers(toks: list[str], resolve_columns=None):
-    """ClickHouse star modifiers: ``* [EXCEPT (…)] [REPLACE (expr AS
-    name, …)] [APPLY (f)]…`` — expand through the catalog resolver
-    into an explicit projection (``* EXCEPT`` alone is Spark-native
-    and passes through).  EXCEPT drops columns, REPLACE substitutes
-    an expression while keeping the column name, each APPLY wraps
-    every surviving column ``c`` as ``f(c)`` named ``f(c)`` —
-    ClickHouse's documented naming.  Pure token-level expansion, so
-    Catalyst still sees a plain projection (column pruning intact)."""
+    """ClickHouse star modifiers and dynamic column selection:
+    ``* [EXCEPT (…)] [REPLACE (expr AS name, …)] [APPLY (f)]…`` and
+    ``COLUMNS('regex'|col, …) [modifiers…]`` — expand through the
+    catalog resolver into an explicit projection (``* EXCEPT`` alone
+    is Spark-native and passes through).  EXCEPT drops columns,
+    REPLACE substitutes an expression while keeping the column name,
+    each APPLY wraps every surviving column ``c`` as ``f(c)`` named
+    ``f(c)`` — ClickHouse's documented naming.  ``COLUMNS('re')``
+    selects the relation's columns whose name matches the regex
+    (re.search, ClickHouse's partial-match semantics) in table
+    order.  Pure token-level expansion, so Catalyst still sees a
+    plain projection (column pruning intact)."""
     while True:
         hit = None
         for i, t in enumerate(toks):
-            if t != "*":
-                continue
-            j = _next_code(toks, i + 1)
-            if not (
-                j < len(toks)
-                and _is_ident(toks[j])
-                and toks[j].upper() in ("EXCEPT", "REPLACE", "APPLY")
-            ):
-                continue
-            # parse the full modifier chain after this star
-            mods: list[tuple[str, list[str]]] = []
-            end = i
-            pos = j
-            while (
-                pos < len(toks)
-                and _is_ident(toks[pos])
-                and toks[pos].upper() in ("EXCEPT", "REPLACE", "APPLY")
-            ):
-                kind = toks[pos].upper()
-                p = _next_code(toks, pos + 1)
+            base_cols_filter = None  # COLUMNS(...) selection
+            if t == "*":
+                j = _next_code(toks, i + 1)
+                mods, end = _parse_star_mods(toks, j)
+                if not (mods and any(k != "EXCEPT" for k, _ in mods)):
+                    continue
+            elif _is_ident(t) and t.upper() == "COLUMNS":
+                p = _next_code(toks, i + 1)
                 if p >= len(toks) or toks[p] != "(":
-                    break
+                    continue
                 close = _match_close(toks, p)
-                inner = toks[p + 1 : close]
-                if kind == "EXCEPT":
-                    fc = _next_code(inner, 0)
-                    if (
-                        fc < len(inner)
-                        and _is_ident(inner[fc])
-                        and inner[fc].upper() == "SELECT"
-                    ):
-                        break  # set-operation EXCEPT, not a modifier
-                mods.append((kind, inner))
-                end = close
-                pos = _next_code(toks, close + 1)
-            if mods and any(k != "EXCEPT" for k, _ in mods):
-                hit = (i, end, mods)
-                break
+                inner = [
+                    t2
+                    for t2 in toks[p + 1 : close]
+                    if not _is_skippable(t2)
+                ]
+                if (
+                    len(inner) == 1
+                    and inner[0].startswith("'")
+                    and inner[0].endswith("'")
+                ):
+                    pat = inner[0][1:-1]
+                    base_cols_filter = lambda cols, _p=pat: [
+                        c for c in cols if re.search(_p, c)
+                    ]
+                elif inner and all(
+                    (_is_ident(t2) or t2 == ",") for t2 in inner
+                ):
+                    names = [t2 for t2 in inner if t2 != ","]
+                    base_cols_filter = lambda cols, _n=names: [
+                        c
+                        for c in cols
+                        if c.lower() in {x.lower() for x in _n}
+                    ]
+                else:
+                    continue  # not a recognized COLUMNS form
+                j = _next_code(toks, close + 1)
+                mods, end = _parse_star_mods(toks, j)
+                if end < j:
+                    end = close
+            else:
+                continue
+            hit = (i, end, mods, base_cols_filter)
+            break
         if hit is None:
             return toks
-        star_i, end, mods = hit
+        star_i, end, mods, base_cols_filter = hit
         rel = _star_from_relation(toks, end + 1)
         cols = (
             resolve_columns(rel)
@@ -3391,10 +3453,16 @@ def _rewrite_star_modifiers(toks: list[str], resolve_columns=None):
         )
         if not cols:
             raise DialectError(
-                "* REPLACE/APPLY needs the star's column list; run "
-                "through run_clickhouse_sql (catalog resolver) or "
-                "spell the projection out"
+                "* REPLACE/APPLY and COLUMNS(...) need the relation's "
+                "column list; run through run_clickhouse_sql (catalog "
+                "resolver) or spell the projection out"
             )
+        if base_cols_filter is not None:
+            cols = base_cols_filter(cols)
+            if not cols:
+                raise DialectError(
+                    "COLUMNS(...) matched no columns of the relation"
+                )
         except_set: set[str] = set()
         replace_map: dict[str, str] = {}
         applies: list[str] = []
@@ -5438,6 +5506,31 @@ def q_dialect_state_merge(
     )
 
 
+# 22. COLUMNS('regex') dynamic column selection + APPLY — expands via
+#     the catalog resolver to the matching columns in table order
+#     (re.search, ClickHouse's partial-match semantics), then the
+#     aggregate APPLY wraps each.
+_CH_COLUMNS_SELECT = """
+SELECT COLUMNS('key$') APPLY (max) FROM orders
+"""
+
+O_COLUMNS_SELECT = """
+SELECT max(o_orderkey) AS "max(o_orderkey)",
+       max(o_custkey) AS "max(o_custkey)"
+FROM orders
+"""
+
+
+def q_dialect_columns_select(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Verbatim ClickHouse COLUMNS('regex') APPLY query (module doc
+    #22)."""
+    return run_clickhouse_sql(
+        spark, _CH_COLUMNS_SELECT, sf_dir, ("orders",)
+    )
+
+
 # 20. SAMPLE clause — the DDL declares ``SAMPLE BY intHash32(key)``;
 #     the SELECT's ``SAMPLE 3/10 OFFSET 1/5`` becomes a deterministic
 #     hash-range slice on that key (see _rewrite_sample_clause).  The
@@ -5658,6 +5751,7 @@ QUERIES = {
     "dialect_star_modifiers": q_dialect_star_modifiers,
     "dialect_sample_clause": q_dialect_sample_clause,
     "dialect_state_merge": q_dialect_state_merge,
+    "dialect_columns_select": q_dialect_columns_select,
     "dialect_limit_by": q_dialect_limit_by,
     "dialect_asof_join": q_dialect_asof_join,
     "dialect_asof_on": q_dialect_asof_on,
@@ -5699,6 +5793,7 @@ ORACLES = {
     "dialect_star_modifiers": O_STAR_MODIFIERS,
     "dialect_sample_clause": _o_sample_dialect(),
     "dialect_state_merge": O_STATE_MERGE,
+    "dialect_columns_select": O_COLUMNS_SELECT,
     "dialect_limit_by": O_LIMIT_BY,
     "dialect_asof_join": O_ASOF,
     "dialect_asof_on": O_ASOF_ON,

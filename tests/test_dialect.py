@@ -1551,6 +1551,21 @@ def test_star_modifiers(spark):
         "SELECT * FROM a EXCEPT (SELECT * FROM b)", resolve_columns=res
     )
     assert "EXCEPT" in out
+    # COLUMNS('regex'): matching columns in table order; list form too
+    rows = spark.sql(
+        transpile("SELECT COLUMNS('^[ab]$') FROM star_t",
+                  resolve_columns=res)
+    )
+    assert rows.columns == ["a", "b"]
+    rows = spark.sql(
+        transpile("SELECT COLUMNS(s, a) APPLY (count) FROM star_t",
+                  resolve_columns=res)
+    )
+    assert rows.columns == ["count(a)", "count(s)"]
+    assert [tuple(r) for r in rows.collect()] == [(2, 2)]
+    with pytest.raises(DialectError, match="matched no columns"):
+        transpile("SELECT COLUMNS('zzz') FROM star_t",
+                  resolve_columns=res)
 
 
 def test_sample_clause_route(spark, sf_dir):
@@ -1753,5 +1768,23 @@ def test_probe3_scalar_family_values(spark):
         )
     ).collect()[0]
     assert (q.lo, q.hi) == (2, 3)
+    # r7: toYearWeek modes 0 (Sunday-start, MySQL YEARWEEK) and 3
+    # (ISO) transpile; other modes still refuse
+    yw = spark.sql(
+        transpile(
+            "SELECT toYearWeek(CAST('2024-01-03' AS DATE)) AS w0a, "
+            "toYearWeek(CAST('2024-01-07' AS DATE)) AS w0b, "
+            "toYearWeek(CAST('2023-01-01' AS DATE)) AS w0c, "
+            "toYearWeek(CAST('2024-12-31' AS DATE)) AS w0d, "
+            "toYearWeek(CAST('2021-01-01' AS DATE), 3) AS w3"
+        )
+    ).collect()[0]
+    # YEARWEEK ground truth: '2024-01-03'→202353 (carryover),
+    # '2024-01-07' (first Sunday)→202401, '2023-01-01'→202301,
+    # '2024-12-31'→202452; ISO '2021-01-01'→202053
+    assert (yw.w0a, yw.w0b, yw.w0c, yw.w0d) == (
+        202353, 202401, 202301, 202452,
+    )
+    assert yw.w3 == 202053
     with pytest.raises(DialectError, match="toISOWeek"):
-        transpile("toYearWeek(d)")
+        transpile("toYearWeek(d, 1)")
