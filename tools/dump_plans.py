@@ -82,6 +82,17 @@ SHOWCASE = [
     ("events_rank_corr", "two-pass range-partitioned ranking over a "
                          "parquet-scratch base (written once, three "
                          "pruned reads — no data-scale memory cache)"),
+    ("dialect_modern_sql", "LIMIT n WITH TIES as the two-pass boundary "
+                           "plan: TakeOrderedAndProject over the sort "
+                           "keys, broadcast boundary filter — no "
+                           "unpartitioned Window (r7)"),
+    ("dialect_sample_clause", "SAMPLE 3/10 OFFSET 1/5 via DDL-captured "
+                              "SAMPLE BY: hash-range predicate "
+                              "evaluated map-side in the scan (r7)"),
+    ("dialect_state_merge", "-State/-Merge transpile: two stacked "
+                            "hash aggregates with map-side partials — "
+                            "AggregatingMergeTree's partial/final "
+                            "shape natively (r7)"),
 ]
 
 

@@ -127,8 +127,14 @@ def driver_hazards(sdtypes: list[tuple], odtypes: list[tuple]) -> list[str]:
 def main() -> int:
     argv = [a for a in sys.argv[1:] if a != "--dtypes"]
     dtypes_only = "--dtypes" in sys.argv[1:]
+    emit_path = None
+    if "--emit" in argv:
+        i = argv.index("--emit")
+        emit_path = argv[i + 1]
+        del argv[i : i + 2]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     only = set(argv[1:])
+    emitted: dict[str, dict] = {}
 
     import __spark_entry__ as e
     from clickhouse_vs_dbt_spark.session import get_spark
@@ -178,6 +184,14 @@ def main() -> int:
             print(f"{name:32s} rows={len(srows):7d} (rows-only, no oracle) spark={t1-t0:.1f}s")
             if len(srows) == 0:
                 failures.append((name, "zero rows (rows-only check)"))
+            emitted[name] = {
+                "rows_match": len(srows) > 0,
+                "schema_match": None,
+                "hash_match": None,
+                "spark_rows": len(srows),
+                "oracle_rows": None,
+                "err": None,
+            }
             continue
         try:
             res = con.execute(os_[name])
@@ -190,6 +204,14 @@ def main() -> int:
         except Exception as ex:
             failures.append((name, f"oracle error: {ex}"))
             print(f"{name:32s} ORACLE ERROR: {ex}")
+            emitted[name] = {
+                "rows_match": False,
+                "schema_match": False,
+                "hash_match": False,
+                "spark_rows": len(srows),
+                "oracle_rows": None,
+                "err": str(ex)[:300],
+            }
             continue
         t2 = time.time()
         ok_rows = len(srows) == len(orows)
@@ -214,6 +236,36 @@ def main() -> int:
                 f" hash_ok={ok_hash} dtypes_ok={ok_dtypes}"
                 + (f" [{'; '.join(mism)}]" if mism else ""),
             ))
+        emitted[name] = {
+            "rows_match": ok_rows,
+            "schema_match": ok_cols and ok_dtypes,
+            "hash_match": ok_hash,
+            "spark_rows": len(srows),
+            "oracle_rows": len(orows),
+            "err": None,
+        }
+    if emit_path:
+        import json
+
+        with open(emit_path, "w") as f:
+            json.dump(
+                {
+                    "sf_dir": sf_dir,
+                    "n_queries": len(emitted),
+                    "n_green": sum(
+                        1
+                        for v in emitted.values()
+                        if v["rows_match"]
+                        and v["schema_match"] is not False
+                        and v["hash_match"] is not False
+                    ),
+                    "queries": emitted,
+                },
+                f,
+                indent=1,
+                sort_keys=True,
+            )
+        print(f"wrote {emit_path} ({len(emitted)} queries)")
     print()
     if failures:
         print("FAILURES:")
