@@ -758,6 +758,294 @@ def _render_call(name: str, args: list[str]) -> str:
             f"concat(format_string('%.2f', CAST({x} AS DOUBLE) / "
             f"power(1000, {p})), element_at({units}, {p} + 1))"
         )
+    # --- r7 probe batch: migrant-surface scalar family ---
+    if name == "rand" and not args:
+        # ClickHouse rand() is uniform UInt32, leaned on for `rand() %
+        # k` bucketing — Spark's rand() is [0,1) DOUBLE, so the modulo
+        # idiom silently breaks without the integer mapping
+        return "CAST(floor(rand() * 4294967296) AS BIGINT)"
+    if name in ("MD5", "SHA1", "SHA224", "SHA256") and len(args) == 1:
+        # ClickHouse returns BINARY digests (FixedString(N)) — the
+        # hex(MD5(s)) idiom needs binary here or it double-hexes
+        if name == "MD5":
+            return f"unhex(md5({args[0]}))"
+        if name == "SHA1":
+            return f"unhex(sha1({args[0]}))"
+        bits = name[3:]
+        return f"unhex(sha2({args[0]}, {bits}))"
+    if name in (
+        "cityHash64", "sipHash64", "farmHash64", "metroHash64",
+        "farmFingerprint64", "halfMD5", "xxHash64",
+    ) and args:
+        # role parity, not bit parity: stable 64-bit bucketing hash
+        # within THIS engine (xxhash64/seed-42).  Values differ from
+        # ClickHouse's — re-derive persisted hashes on migration
+        # (MIGRATION.md).
+        return f"xxhash64({joined})"
+    if name == "xxHash32" and args:
+        return f"(xxhash64({joined}) & 4294967295)"
+    if name == "arrayZip" and len(args) >= 2:
+        return f"arrays_zip({joined})"
+    if name == "hasAll" and len(args) == 2:
+        return f"(size(array_except({args[1]}, {args[0]})) = 0)"
+    if name == "hasAny" and len(args) == 2:
+        return f"arrays_overlap({args[0]}, {args[1]})"
+    if name == "arrayIntersect" and len(args) >= 2:
+        out = args[0]
+        for a in args[1:]:
+            out = f"array_intersect({out}, {a})"
+        return out
+    if name == "arrayPushBack" and len(args) == 2:
+        return f"array_append({args[0]}, {args[1]})"
+    if name == "arrayPushFront" and len(args) == 2:
+        return f"array_prepend({args[0]}, {args[1]})"
+    if name == "arrayPopBack" and len(args) == 1:
+        a = args[0]
+        return f"slice({a}, 1, greatest(size({a}) - 1, 0))"
+    if name == "arrayPopFront" and len(args) == 1:
+        a = args[0]
+        return f"slice({a}, 2, greatest(size({a}) - 1, 0))"
+    if name == "arrayResize" and len(args) in (2, 3):
+        a, n = args[0], args[1]
+        # pad value: the explicit 3rd arg, else a NULL of the element
+        # type (try_element_at past the end) — ClickHouse pads the
+        # type default; documented divergence
+        fill = (
+            args[2]
+            if len(args) == 3
+            else f"try_element_at({a}, size({a}) + 1)"
+        )
+        return (
+            f"IF({n} <= size({a}), slice({a}, 1, {n}), "
+            f"concat({a}, array_repeat({fill}, "
+            f"CAST({n} AS INT) - size({a}))))"
+        )
+    if name == "arrayReverseSort" and len(args) == 1:
+        return f"reverse(array_sort({args[0]}))"
+    if name == "arrayCumSumNonNegative" and len(args) == 1:
+        # same linear fold as arrayCumSum, clamped at zero each step
+        a = args[0]
+        return (
+            f"aggregate({a}, CAST(array() AS ARRAY<DOUBLE>), "
+            f"(__acc, __x) -> array_append(__acc, greatest("
+            f"coalesce(try_element_at(__acc, -1), CAST(0 AS DOUBLE)) "
+            f"+ CAST(__x AS DOUBLE), CAST(0 AS DOUBLE))))"
+        )
+    if name == "arrayWithConstant" and len(args) == 2:
+        return f"array_repeat({args[1]}, CAST({args[0]} AS INT))"
+    if name == "arrayFold" and len(args) == 3:
+        # ClickHouse arrayFold(lambda, arr, init) == Spark
+        # aggregate(arr, init, lambda) — same (acc, x) lambda shape
+        return f"aggregate({args[1]}, {args[2]}, {args[0]})"
+    if name == "arrayFirstIndex" and len(args) == 2:
+        lam, a = args
+        return (
+            f"coalesce(array_position(transform({a}, {lam}), true), 0)"
+        )
+    if name == "arrayLast" and len(args) == 2:
+        # NULL when nothing matches (ClickHouse: type default) — the
+        # arrayFirst divergence policy
+        lam, a = args
+        return f"try_element_at(filter({a}, {lam}), -1)"
+    if name == "arrayLastIndex" and len(args) == 2:
+        # array_position returns 0 (not NULL) on no match
+        lam, a = args
+        pos = f"array_position(reverse(transform({a}, {lam})), true)"
+        return f"IF(coalesce({pos}, 0) = 0, 0, size({a}) - {pos} + 1)"
+    if name in ("trunc", "truncate") and len(args) in (1, 2) and not (
+        len(args) == 2 and args[1].strip().startswith("'")
+    ):
+        # numeric truncation toward zero — Spark's trunc() is a DATE
+        # function, so the bare passthrough would silently change
+        # semantics (trunc(d, 'MM') date form passes through)
+        x = args[0]
+        if len(args) == 1:
+            return (
+                f"CAST(IF({x} >= 0, floor({x}), ceil({x})) AS DOUBLE)"
+            )
+        p = f"power(10, {args[1]})"
+        return (
+            f"(CAST(IF({x} >= 0, floor({x} * {p}), "
+            f"ceil({x} * {p})) AS DOUBLE) / {p})"
+        )
+    if name == "toMonday" and len(args) == 1:
+        d = args[0]
+        return f"CAST(date_sub({d}, (dayofweek({d}) + 5) % 7) AS DATE)"
+    if name == "toStartOfWeek" and len(args) in (1, 2):
+        d = args[0]
+        mode = args[1].strip() if len(args) == 2 else "0"
+        if mode == "0":  # Sunday start (ClickHouse default)
+            return f"CAST(date_sub({d}, dayofweek({d}) - 1) AS DATE)"
+        if mode in ("1", "3"):  # Monday start
+            return (
+                f"CAST(date_sub({d}, (dayofweek({d}) + 5) % 7) AS DATE)"
+            )
+        raise DialectError(
+            f"toStartOfWeek mode {mode} is not transpiled (0/1/3 are)"
+        )
+    if name in (
+        "toStartOfFifteenMinutes", "toStartOfTenMinutes",
+        "toStartOfFiveMinutes", "timeSlot",
+    ) and len(args) == 1:
+        secs = {
+            "toStartOfFifteenMinutes": 900,
+            "toStartOfTenMinutes": 600,
+            "toStartOfFiveMinutes": 300,
+            "timeSlot": 1800,
+        }[name]
+        return (
+            f"timestamp_seconds(unix_timestamp({args[0]}) "
+            f"div {secs} * {secs})"
+        )
+    if name == "toRelativeDayNum" and len(args) == 1:
+        return f"datediff({args[0]}, DATE'1970-01-01')"
+    if name == "toRelativeHourNum" and len(args) == 1:
+        return f"(unix_timestamp({args[0]}) div 3600)"
+    if name == "toRelativeMinuteNum" and len(args) == 1:
+        return f"(unix_timestamp({args[0]}) div 60)"
+    if name in ("dateAdd", "dateSub") and len(args) == 3:
+        unit = args[0].strip().strip("'\"").upper()
+        if unit in (
+            "YEAR", "QUARTER", "MONTH", "WEEK", "DAY",
+            "HOUR", "MINUTE", "SECOND",
+        ):
+            n = args[1] if name == "dateAdd" else f"-({args[1]})"
+            return f"timestampadd({unit}, {n}, {args[2]})"
+    if name == "dateDiff" and len(args) in (3, 4):
+        unit = args[0].strip().strip("'\"").upper()
+        if unit in (
+            "YEAR", "QUARTER", "MONTH", "WEEK", "DAY",
+            "HOUR", "MINUTE", "SECOND",
+        ):
+            return f"timestampdiff({unit}, {args[1]}, {args[2]})"
+    if name == "makeDate" and len(args) == 3:
+        return f"make_date({joined})"
+    if name == "makeDateTime" and len(args) == 6:
+        return f"make_timestamp({joined})"
+    if name == "parseDateTimeBestEffort" and len(args) == 1:
+        return f"CAST({args[0]} AS TIMESTAMP)"
+    if name == "parseDateTimeBestEffortOrNull" and len(args) == 1:
+        return f"TRY_CAST({args[0]} AS TIMESTAMP)"
+    if name in ("parseDateTime", "parseDateTimeOrNull") and len(
+        args
+    ) == 2 and args[1].strip().startswith("'"):
+        fmt = _strftime_to_jdk(args[1].strip()[1:-1])
+        fn = (
+            "to_timestamp"
+            if name == "parseDateTime"
+            else "try_to_timestamp"
+        )
+        return f"{fn}({args[0]}, '{fmt}')"
+    if name == "fromUnixTimestamp" and len(args) == 1:
+        # ClickHouse returns DateTime — Spark's from_unixtime returns
+        # a STRING, so the passthrough-adjacent name must remap
+        return f"timestamp_seconds({args[0]})"
+    if name == "generateUUIDv4" and not args:
+        return "uuid()"
+    if name.startswith("emptyArray") and not args:
+        t = {
+            "String": "STRING", "Int8": "TINYINT", "Int16": "SMALLINT",
+            "Int32": "INT", "Int64": "BIGINT", "UInt8": "SMALLINT",
+            "UInt16": "INT", "UInt32": "BIGINT", "UInt64": "BIGINT",
+            "Float32": "FLOAT", "Float64": "DOUBLE", "Date": "DATE",
+            "DateTime": "TIMESTAMP",
+        }.get(name[len("emptyArray"):])
+        if t:
+            return f"CAST(array() AS ARRAY<{t}>)"
+    if name == "range" and len(args) in (1, 2, 3):
+        if len(args) == 1:
+            n = args[0]
+            # [0, n): sequence is inclusive, slice trims; n=0 → []
+            return (
+                f"slice(sequence(0, greatest(CAST({n} AS BIGINT), 1) "
+                f"- 1), 1, CAST({n} AS INT))"
+            )
+        a, b = args[0], args[1]
+        step = args[2] if len(args) == 3 else "1"
+        return (
+            f"filter(sequence({a}, {b}, {step}), __r -> __r < ({b}))"
+        )
+    if name == "tuple" and args:
+        return f"struct({joined})"
+    if name == "isValidJSON" and len(args) == 1:
+        return f"(try_parse_json({args[0]}) IS NOT NULL)"
+    if name == "JSONLength" and len(args) == 1:
+        j = args[0]
+        return (
+            f"coalesce(json_array_length({j}), "
+            f"size(json_object_keys({j})))"
+        )
+    if name == "toJSONString" and len(args) == 1:
+        return f"to_json({args[0]})"
+    if name == "multiMatchAny" and len(args) == 2:
+        return f"exists({args[1]}, __mm -> {args[0]} RLIKE __mm)"
+    if name == "multiSearchFirstPosition" and len(args) == 2:
+        h, ns = args
+        return (
+            f"coalesce(array_min(filter(transform({ns}, "
+            f"__n -> instr({h}, __n)), __p -> __p > 0)), 0)"
+        )
+    if name == "extract" and len(args) == 2:
+        # extract(haystack, re): first match — group 1 when the
+        # pattern captures, else the whole match (ClickHouse rule);
+        # '' on no match both engines
+        h, p = args
+        grp = "1" if (
+            p.strip().startswith("'") and re.search(r"(?<!\\)\(", p)
+        ) else "0"
+        return f"regexp_extract({h}, {p}, {grp})"
+    if name == "notLike" and len(args) == 2:
+        return f"(NOT ({args[0]} LIKE {args[1]}))"
+    if name == "countMatches" and len(args) == 2:
+        return f"regexp_count({args[0]}, {args[1]})"
+    if name == "levenshteinDistance" and len(args) == 2:
+        return f"levenshtein({args[0]}, {args[1]})"
+    if name == "initcapUTF8" and len(args) == 1:
+        return f"initcap({args[0]})"
+    if name == "IPv4NumToString" and len(args) == 1:
+        x = args[0]
+        o = lambda e: f"CAST({e} AS STRING)"  # noqa: E731
+        return (
+            f"concat_ws('.', {o(f'({x} div 16777216) % 256')}, "
+            f"{o(f'({x} div 65536) % 256')}, "
+            f"{o(f'({x} div 256) % 256')}, {o(f'{x} % 256')})"
+        )
+    if name in ("IPv4StringToNum", "toIPv4") and len(args) == 1:
+        return (
+            f"aggregate(split({args[0]}, '\\\\.'), CAST(0 AS BIGINT), "
+            f"(__a, __o) -> __a * 256 + CAST(__o AS BIGINT))"
+        )
+    if name == "isIPv4String" and len(args) == 1:
+        octet = "(25[0-5]|2[0-4][0-9]|1?[0-9]?[0-9])"
+        return (
+            f"({args[0]} RLIKE '^{octet}\\\\.{octet}\\\\."
+            f"{octet}\\\\.{octet}$')"
+        )
+    if name == "bar" and len(args) == 4:
+        x, mn, mx, w = args
+        # ClickHouse renders eighth-block resolution: full blocks +
+        # one partial from ▏▎▍▌▋▊▉
+        u = (
+            f"greatest(least(({x} - ({mn})) / (({mx}) - ({mn})) "
+            f"* ({w}), CAST({w} AS DOUBLE)), CAST(0 AS DOUBLE))"
+        )
+        return (
+            f"element_at(transform(array({u}), __u -> concat("
+            f"repeat('█', CAST(floor(__u) AS INT)), "
+            f"element_at(array('', '▏', '▎', '▍', '▌', '▋', '▊', "
+            f"'▉', '█'), CAST(round((__u - floor(__u)) * 8) AS INT) "
+            f"+ 1))), 1)"
+        )
+    if name in (
+        "wordShingleMinHash", "ngramMinHash", "wordShingleSimHash",
+        "ngramSimHash",
+    ):
+        raise DialectError(
+            f"{name}: document-level near-dup hashing is the dedup "
+            "operator family (operators/dedup.py: dedup_minhash_lsh, "
+            "dedup_simhash) — sketch registers are not portable "
+            "scalar values"
+        )
     if name in ("remote", "remoteSecure", "cluster", "clusterAllReplicas"):
         raise DialectError(
             f"{name}() addresses another ClickHouse server — point "

@@ -1510,6 +1510,114 @@ def test_modern_sql_rewrites(spark):
     ]
 
 
+def test_probe4_scalar_family_values(spark):
+    """r7 probe batch: hashes-as-binary, array family round 3, numeric
+    trunc, week starts, interval arithmetic, parse/make datetime,
+    range/tuple, JSON checks, multi-search, IPv4, bar — value-pinned."""
+    row = spark.sql(
+        transpile(
+            "SELECT "
+            "hex(MD5('abc')) AS md5hex, "
+            "hex(SHA256('abc')) AS sha256hex, "
+            "hasAll([1, 2, 3], [1, 3]) AS ha, "
+            "hasAll([1, 2], [3]) AS ha2, "
+            "hasAny([1, 2], [2, 9]) AS hy, "
+            "arrayIntersect([1, 2, 3], [2, 3, 4]) AS ai, "
+            "arrayPushBack([1, 2], 3) AS apb, "
+            "arrayPushFront([2, 3], 1) AS apf, "
+            "arrayPopBack([1, 2, 3]) AS apo, "
+            "arrayPopFront([1, 2, 3]) AS apf2, "
+            "arrayResize([1, 2, 3], 2) AS ar1, "
+            "arrayResize([1, 2], 4, 9) AS ar2, "
+            "arrayReverseSort([3, 1, 2]) AS ars, "
+            "arrayCumSum([1, 2, 3]) AS acs, "
+            "arrayCumSum(emptyArrayInt64()) AS acs0, "
+            "arrayCumSumNonNegative([1, -3, 2]) AS acn, "
+            "arrayWithConstant(3, 'x') AS awc, "
+            "arrayFold((acc, x) -> acc + x, [1, 2, 3], 10) AS af, "
+            "arrayFirstIndex(x -> x > 1, [1, 2, 3]) AS afi, "
+            "arrayFirstIndex(x -> x > 9, [1]) AS afi0, "
+            "arrayLast(x -> x < 3, [1, 2, 3]) AS al, "
+            "arrayLastIndex(x -> x < 3, [1, 2, 3]) AS ali, "
+            "arrayLastIndex(x -> x > 9, [1]) AS ali0, "
+            "trunc(2.7) AS tr1, trunc(-2.7) AS tr2, "
+            "truncate(2.789, 2) AS tr3, "
+            "toMonday(CAST('2024-03-07' AS DATE)) AS tm, "
+            "toStartOfWeek(CAST('2024-03-07' AS DATE)) AS tsw, "
+            "toStartOfWeek(CAST('2024-03-07' AS DATE), 1) AS tsw1, "
+            "toStartOfFifteenMinutes(CAST('2024-01-01 01:23:45' AS "
+            "TIMESTAMP)) AS t15, "
+            "timeSlot(CAST('2024-01-01 01:40:45' AS TIMESTAMP)) AS ts30, "
+            "toRelativeDayNum(CAST('1970-01-11' AS DATE)) AS trd, "
+            "dateAdd(DAY, 3, CAST('2024-01-01' AS DATE)) AS da, "
+            "dateDiff('day', CAST('2024-01-01' AS DATE), "
+            "CAST('2024-01-11' AS DATE)) AS dd, "
+            "makeDate(2024, 2, 29) AS mdt, "
+            "parseDateTime('02/2024', '%m/%Y') AS pd2, "
+            "fromUnixTimestamp(86400) AS fut, "
+            "range(4) AS r1, range(0) AS r0, range(0, 10, 3) AS r3, "
+            "isValidJSON('{\"a\":1}') AS vj, isValidJSON('nope') AS vj0, "
+            "JSONLength('[1,2,3]') AS jl, "
+            "multiMatchAny('hello', ['^x', 'l+o$']) AS mma, "
+            "multiSearchFirstPosition('hello', ['xx', 'll', 'l']) AS msf, "
+            "extract('key=val', 'key=(\\\\w+)') AS ex1, "
+            "extract('abc', 'b.') AS ex2, "
+            "notLike('abc', 'a%') AS nl, "
+            "countMatches('aaa', 'a') AS cm, "
+            "levenshteinDistance('kitten', 'sitting') AS lev, "
+            "IPv4NumToString(3232235777) AS ip1, "
+            "IPv4StringToNum('192.168.1.1') AS ip2, "
+            "isIPv4String('192.168.1.1') AS ip3, "
+            "isIPv4String('999.1.1.1') AS ip4, "
+            "bar(5, 0, 10, 10) AS b1"
+        )
+    ).collect()[0]
+    assert row.md5hex == "900150983CD24FB0D6963F7D28E17F72"
+    assert row.sha256hex.startswith("BA7816BF8F01CFEA")
+    assert (row.ha, row.ha2, row.hy) == (True, False, True)
+    assert row.ai == [2, 3]
+    assert row.apb == [1, 2, 3] and row.apf == [1, 2, 3]
+    assert row.apo == [1, 2] and row.apf2 == [2, 3]
+    assert row.ar1 == [1, 2] and row.ar2 == [1, 2, 9, 9]
+    assert row.ars == [3, 2, 1]
+    assert row.acs == [1.0, 3.0, 6.0] and row.acs0 == []
+    assert row.acn == [1.0, 0.0, 2.0]
+    assert row.awc == ["x", "x", "x"]
+    assert row.af == 16
+    assert (row.afi, row.afi0) == (2, 0)
+    assert row.al == 2
+    assert (row.ali, row.ali0) == (2, 0)
+    assert (row.tr1, row.tr2, row.tr3) == (2.0, -2.0, 2.78)
+    assert str(row.tm) == "2024-03-04"
+    assert str(row.tsw) == "2024-03-03" and str(row.tsw1) == "2024-03-04"
+    assert str(row.t15) == "2024-01-01 01:15:00"
+    assert str(row.ts30) == "2024-01-01 01:30:00"
+    assert row.trd == 10
+    assert str(row.da).startswith("2024-01-04")
+    assert row.dd == 10
+    assert str(row.mdt) == "2024-02-29"
+    assert str(row.pd2).startswith("2024-02-01")
+    assert str(row.fut) == "1970-01-02 00:00:00"
+    assert row.r1 == [0, 1, 2, 3] and row.r0 == [] and row.r3 == [0, 3, 6, 9]
+    assert (row.vj, row.vj0) == (True, False)
+    assert row.jl == 3
+    assert row.mma is True and row.msf == 3
+    assert (row.ex1, row.ex2) == ("val", "bc")
+    assert row.nl is False and row.cm == 3 and row.lev == 3
+    assert row.ip1 == "192.168.1.1" and row.ip2 == 3232235777
+    assert (row.ip3, row.ip4) == (True, False)
+    assert row.b1 == "█████"
+    # bucketing-hash role mappings (stable in-engine, not CH-bit-equal)
+    out = transpile("SELECT cityHash64(x), xxHash32(y) FROM t")
+    assert "xxhash64(x)" in out and "& 4294967295" in out
+    # ClickHouse rand() is uniform UInt32 (rand() % k idiom)
+    assert "4294967296" in transpile("rand()")
+    # Spark-native date trunc passes through untouched
+    assert transpile("trunc(d, 'MM')") == "trunc(d, 'MM')"
+    with pytest.raises(DialectError, match="dedup"):
+        transpile("wordShingleMinHash(s)")
+
+
 def test_star_modifiers(spark):
     """r7: * EXCEPT/REPLACE/APPLY expansion via the catalog
     resolver; EXCEPT alone stays Spark-native."""
