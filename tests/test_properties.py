@@ -124,3 +124,112 @@ def test_morton_interleave_bijective(x, y):
     xb = sum((((z >> (2 * i)) & 1) << i) for i in range(zorder.ZBITS))
     yb = sum((((z >> (2 * i + 1)) & 1) << i) for i in range(zorder.ZBITS))
     assert (xb, yb) == (x, y)
+
+
+ties_strategy = st.tuples(
+    st.lists(
+        st.integers(min_value=0, max_value=6),  # dense duplicates
+        min_size=0,
+        max_size=25,
+    ),
+    st.integers(min_value=1, max_value=10),
+    st.booleans(),  # DESC?
+)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(data=ties_strategy)
+def test_limit_with_ties_matches_bruteforce(spark, data):
+    """r7: the two-pass boundary rewrite of LIMIT n WITH TIES must
+    keep exactly the first n rows of the sort order PLUS all peers of
+    the n-th row — ClickHouse semantics — for any duplicate pattern,
+    n, and direction."""
+    from clickhouse_vs_dbt_spark.dialect import transpile
+
+    vals, n, desc = data
+    rows = [(v,) for v in vals]
+    df = (
+        spark.createDataFrame(rows, "v long")
+        if rows
+        else spark.createDataFrame([], "v long")
+    )
+    df.createOrReplaceTempView("ties_prop_t")
+    d = " DESC" if desc else ""
+    got = sorted(
+        r.v
+        for r in spark.sql(
+            transpile(
+                f"SELECT v FROM ties_prop_t ORDER BY v{d} "
+                f"LIMIT {n} WITH TIES"
+            )
+        ).collect()
+    )
+    s = sorted(vals, reverse=desc)
+    want = sorted(
+        s if len(s) <= n else [x for x in s if (x >= s[n - 1] if desc else x <= s[n - 1])]
+    )
+    assert got == want
+
+
+yearweek_strategy = st.dates(
+    min_value=__import__("datetime").date(1995, 1, 1),
+    max_value=__import__("datetime").date(2030, 12, 31),
+)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(ds=st.lists(yearweek_strategy, min_size=1, max_size=20))
+def test_toyearweek_mode0_matches_ground_truth(spark, ds):
+    """r7: toYearWeek mode 0 must equal the Sunday-start YEARWEEK
+    definition computed independently in Python (the week belongs to
+    the year of its starting Sunday, numbered by which Sunday of that
+    year starts it)."""
+    import datetime as dt
+
+    from clickhouse_vs_dbt_spark.dialect import transpile
+
+    def ground(d: dt.date) -> int:
+        # back to the Sunday on/before d (Python: Monday=0 .. Sunday=6)
+        s = d - dt.timedelta(days=(d.weekday() + 1) % 7)
+        return s.year * 100 + (s.timetuple().tm_yday - 1) // 7 + 1
+
+    df = spark.createDataFrame([(d,) for d in ds], "d date")
+    df.createOrReplaceTempView("yw_prop_t")
+    got = [
+        r.yw
+        for r in spark.sql(
+            transpile("SELECT toYearWeek(d) AS yw FROM yw_prop_t")
+        ).collect()
+    ]
+    want = [ground(d) for d in ds]
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    arr=st.lists(
+        st.integers(min_value=-100, max_value=100), min_size=0, max_size=30
+    )
+)
+def test_array_cumsum_fold_matches_prefix_sums(spark, arr):
+    """r7: the linear arrayCumSum fold must equal Python prefix sums
+    (and the NonNegative variant its clamped recurrence)."""
+    from clickhouse_vs_dbt_spark.dialect import transpile
+
+    lit = "array(" + ", ".join(map(str, arr)) + ")"
+    row = spark.sql(
+        transpile(
+            f"SELECT arrayCumSum({lit}) AS cs, "
+            f"arrayCumSumNonNegative({lit}) AS cn"
+        )
+    ).collect()[0]
+    acc, want = 0, []
+    for x in arr:
+        acc += x
+        want.append(float(acc))
+    assert row.cs == want
+    acc, wantn = 0, []
+    for x in arr:
+        acc = max(acc + x, 0)
+        wantn.append(float(acc))
+    assert row.cn == wantn
