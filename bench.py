@@ -189,6 +189,13 @@ HEADLINE = [
     "dialect_distinct_on",
     "dialect_modern_sql",
     "ch_script_schema_evolution",
+    # round-7 additions
+    "dialect_star_modifiers",
+    "dialect_sample_clause",
+    "dialect_state_merge",
+    "dialect_with_fill_expr",
+    "dialect_columns_select",
+    "mixture_token_budget",
 ]
 
 

@@ -278,8 +278,123 @@ FROM h ORDER BY shard_id, pos
 """
 
 
+# --- token-budget mixture (take-until-quota per source) ---
+
+# per-source token quotas; a pretraining mixture is specified as token
+# counts per source, not keep-rates — the sampler must take documents
+# until the quota is hit, deterministically, and include the document
+# that straddles the boundary (standard "greedy fill" semantics).
+TOKEN_BUDGETS = {"src0": 400, "src1": 1200}
+DEFAULT_TOKEN_BUDGET = 800
+_N_PREFIX_BUCKETS = 64
+_PREFIX_DIV = 4294967296 // _N_PREFIX_BUCKETS
+
+
+def q_mixture_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Take documents per source in deterministic hash order until the
+    source's token quota is reached (the straddling document is kept).
+
+    The running token total is a **distributed prefix sum**, not a
+    per-source window: a per-source cumulative window puts the whole
+    source in ONE task — a scale-killer when a source is tens of TB.
+    Instead (the corpus_shuffle bucketed-rank pattern):
+
+    1. bucket = hash div (2^32/64) — buckets are monotone in the hash
+       order, so (bucket, hash) equals the global hash order;
+    2. per-(source, bucket) token totals — a tiny aggregate
+       (sources × 64 rows);
+    3. exclusive bucket offsets via a window over that tiny relation;
+    4. broadcast the offsets back; the within-bucket running sum is a
+       window partitioned by (source, bucket) — 64-way parallel per
+       source, each partition 1/64th of the source.
+
+    Documents whose cumulative start lies inside the quota survive.
+    Deterministic (no RNG): re-runs pick the identical mixture, and
+    raising a quota only ADDS documents (the prefix property) — the
+    incremental-top-up behavior a curriculum rebuild wants."""
+    d = load_table(spark, sf_dir, "documents")
+    h = mix_hash_sql("spark", "doc_id")
+    base = d.selectExpr(
+        "doc_id",
+        "source",
+        f"{h} AS __h",
+        f"CAST({h} div {_PREFIX_DIV} AS INT) AS __b",
+        "CAST(size(split(trim(text), '\\\\s+')) AS BIGINT) AS n_tokens",
+    )
+    per_bucket = base.groupBy("source", "__b").agg(
+        F.sum("n_tokens").alias("__bt")
+    )
+    w_off = (
+        Window.partitionBy("source")
+        .orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = per_bucket.select(
+        "source",
+        "__b",
+        F.coalesce(F.sum("__bt").over(w_off), F.lit(0)).alias("__off"),
+    )
+    w_run = (
+        Window.partitionBy("source", "__b")
+        .orderBy("__h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    budget = F.coalesce(
+        *[
+            F.when(F.col("source") == k, F.lit(v))
+            for k, v in TOKEN_BUDGETS.items()
+        ],
+        F.lit(DEFAULT_TOKEN_BUDGET),
+    )
+    picked = (
+        base.join(F.broadcast(offsets), ["source", "__b"])
+        .withColumn(
+            "__cum", F.col("__off") + F.sum("n_tokens").over(w_run)
+        )
+        .filter(F.col("__cum") - F.col("n_tokens") < budget)
+    )
+    return (
+        picked.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+        .orderBy("source")
+    )
+
+
+_SQL_BUDGET = "CASE " + " ".join(
+    f"WHEN source = '{k}' THEN {v}" for k, v in TOKEN_BUDGETS.items()
+) + f" ELSE {DEFAULT_TOKEN_BUDGET} END"
+
+# the oracle computes the SAME selection with one global per-source
+# cumulative window — valid at oracle scale, and equal to the bucketed
+# plan because bucket = hash div D is monotone in the hash order
+O_MIXTURE_TOKEN_BUDGET = f"""
+WITH t AS (
+  SELECT doc_id, source,
+         {mix_hash_sql('duckdb', 'doc_id')} AS h,
+         CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+           AS n_tokens
+  FROM documents),
+c AS (
+  SELECT *, SUM(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+                                ROWS UNBOUNDED PRECEDING) AS cum
+  FROM t)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id
+FROM c
+WHERE cum - n_tokens < ({_SQL_BUDGET})
+GROUP BY source ORDER BY source
+"""
+
+
 QUERIES = {
     "decontaminate_ngram": q_decontaminate_ngram,
+    "mixture_token_budget": q_mixture_token_budget,
     "sequence_pack": q_sequence_pack,
     "mixture_weighted_sample": q_mixture_weighted_sample,
     "text_pii_scrub": q_text_pii_scrub,
@@ -288,6 +403,7 @@ QUERIES = {
 
 ORACLES = {
     "decontaminate_ngram": O_DECONTAMINATE,
+    "mixture_token_budget": O_MIXTURE_TOKEN_BUDGET,
     "sequence_pack": O_SEQUENCE_PACK,
     "mixture_weighted_sample": O_MIXTURE,
     "text_pii_scrub": O_PII_SCRUB,

@@ -102,3 +102,39 @@ def test_export_shards_is_a_permutation(spark, sf_dir):
         by_shard.setdefault(r.shard_id, []).append(r.pos)
     for shard, ps in by_shard.items():
         assert sorted(ps) == list(range(1, len(ps) + 1))
+
+
+def test_mixture_token_budget_quota_and_straddle(spark, sf_dir):
+    """r7: per-source greedy fill — each source's selection stops at
+    the first document whose cumulative start crosses the quota (that
+    straddling document is KEPT), in deterministic hash order; no
+    source exceeds quota by more than one document's tokens."""
+    from clickhouse_vs_dbt_spark.operators.curation import (
+        DEFAULT_TOKEN_BUDGET,
+        TOKEN_BUDGETS,
+        q_mixture_token_budget,
+    )
+
+    out = {r.source: r for r in q_mixture_token_budget(spark, sf_dir).collect()}
+    docs = load_table(spark, sf_dir, "documents")
+    totals = {
+        r.source: r.t
+        for r in docs.selectExpr(
+            "source",
+            "CAST(size(split(trim(text), '\\\\s+')) AS BIGINT) AS n",
+        )
+        .groupBy("source")
+        .agg(F.sum("n").alias("t"))
+        .collect()
+    }
+    max_tok = docs.selectExpr(
+        "CAST(size(split(trim(text), '\\\\s+')) AS BIGINT) AS n"
+    ).agg(F.max("n")).collect()[0][0]
+    assert set(out) == set(totals)
+    for src, r in out.items():
+        budget = TOKEN_BUDGETS.get(src, DEFAULT_TOKEN_BUDGET)
+        if totals[src] <= budget:
+            assert r.n_tokens == totals[src]  # quota exceeds corpus
+        else:
+            # filled: reached the quota, overshoot bounded by one doc
+            assert budget <= r.n_tokens < budget + max_tok
