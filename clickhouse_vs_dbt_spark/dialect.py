@@ -1036,6 +1036,83 @@ def _render_call(name: str, args: list[str]) -> str:
             f"'▉', '█'), CAST(round((__u - floor(__u)) * 8) AS INT) "
             f"+ 1))), 1)"
         )
+    if name == "lagInFrame" and len(args) in (1, 2, 3):
+        # lag respecting the window frame — Spark's lag has the same
+        # (x, offset, default) signature; the frame nuance only
+        # matters for explicit non-default frames (documented)
+        return f"lag({joined})"
+    if name == "leadInFrame" and len(args) in (1, 2, 3):
+        return f"lead({joined})"
+    if name == "sumCount" and len(args) == 1:
+        return (
+            f"named_struct('sum', sum({args[0]}), "
+            f"'count', count({args[0]}))"
+        )
+    if name == "simpleLinearRegression" and len(args) == 2:
+        # fits y = k·x + b; Spark's regr_* take (y, x)
+        x, y = args
+        return (
+            f"named_struct('k', regr_slope({y}, {x}), "
+            f"'b', regr_intercept({y}, {x}))"
+        )
+    if name == "skewPop" and len(args) == 1:
+        return f"skewness({args[0]})"
+    if name == "kurtPop" and len(args) == 1:
+        # ClickHouse kurtPop is non-excess (m4/m2²); Spark kurtosis
+        # is excess — shift back by 3
+        return f"(kurtosis({args[0]}) + 3)"
+    if name == "boundingRatio" and len(args) == 2:
+        # slope between the leftmost and rightmost (x, y) points
+        x, y = args
+        return (
+            f"((max_by({y}, {x}) - min_by({y}, {x})) / "
+            f"(max({x}) - min({x})))"
+        )
+    if name in (
+        "runningDifference", "runningAccumulate", "neighbor",
+        "rowNumberInAllBlocks", "runningConcurrency",
+    ):
+        raise DialectError(
+            f"{name} depends on ClickHouse block boundaries "
+            "(explicitly non-deterministic there); write the window "
+            "spelling — e.g. x - lagInFrame(x, 1) OVER (ORDER BY …) "
+            "/ sum(x) OVER (ORDER BY … ROWS UNBOUNDED PRECEDING) / "
+            "row_number() OVER (ORDER BY …)"
+        )
+    if name in (
+        "deltaSum", "deltaSumTimestamp", "groupArrayMovingSum",
+        "groupArrayMovingAvg",
+    ):
+        raise DialectError(
+            f"{name} is order-dependent inside an aggregate (ClickHouse "
+            "evaluates it in insertion order, which a distributed "
+            "engine does not preserve); write the window spelling "
+            "over an explicit ORDER BY, or use the events_delta_sum "
+            "operator (operators/aggfns.py) for the scalable two-pass "
+            "lag plan"
+        )
+    if name == "largestTriangleThreeBuckets":
+        raise DialectError(
+            "largestTriangleThreeBuckets: use the events_lttb_downsample "
+            "operator (operators/timeseries.py) — exact-integer LTTB "
+            "with a value-checked oracle"
+        )
+    if name == "exponentialMovingAverage":
+        raise DialectError(
+            "exponentialMovingAverage is order-dependent inside an "
+            "aggregate; use the keyed time-series operators "
+            "(operators/timeseries.py) or a window recurrence"
+        )
+    if name in (
+        "studentTTest", "welchTTest", "mannWhitneyUTest",
+        "cramersV", "cramersVBiasCorrected", "theilsU", "contingency",
+        "entropy",
+    ):
+        raise DialectError(
+            f"{name}: two-level statistics (per-group counts feeding "
+            "a global statistic) — compose from operators/stats.py "
+            "aggregates (corr/covar/stddev/var map directly)"
+        )
     if name in (
         "wordShingleMinHash", "ngramMinHash", "wordShingleSimHash",
         "ngramSimHash",
@@ -1503,6 +1580,12 @@ def _render_parametric(name: str, params: list[str], args: list[str]) -> str:
         return (
             f"percentile(CASE WHEN {args[1]} THEN {args[0]} END, {params[0]})"
         )
+    if name == "histogram" and len(params) == 1 and len(args) == 1:
+        # adaptive histogram: Spark's histogram_numeric is the same
+        # streaming-merge construction (centers + heights); ClickHouse
+        # returns (lower, upper, height) triples vs Spark's (x, y)
+        # centers — same role, documented shape difference
+        return f"histogram_numeric({args[0]}, {params[0]})"
     if name == "groupArraySorted" and len(params) == 1 and len(args) == 1:
         # exact: the n smallest values in order (CH semantics)
         return (
@@ -1602,6 +1685,7 @@ _PARAMETRIC = {
     "windowFunnel",
     "sequenceMatch",
     "sequenceCount",
+    "histogram",
 }
 
 

@@ -1618,6 +1618,53 @@ def test_probe4_scalar_family_values(spark):
         transpile("wordShingleMinHash(s)")
 
 
+def test_probe5_stat_window_family(spark):
+    """r7 probe batch 5: window lag/lead-in-frame, regression/moment
+    aggregates, histogram, and the block-order refusal tier."""
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW p5t AS SELECT * FROM VALUES "
+        "(1.0, 2.0), (2.0, 4.0), (3.0, 6.5), (4.0, 8.0) AS t(x, y)"
+    )
+    row = spark.sql(
+        transpile(
+            "SELECT sumCount(x) AS sc, "
+            "simpleLinearRegression(x, y) AS lr, "
+            "skewPop(x) AS sk, kurtPop(x) AS ku, "
+            "boundingRatio(x, y) AS br, "
+            "histogram(2)(x) AS h FROM p5t"
+        )
+    ).collect()[0]
+    assert float(row.sc["sum"]) == 10.0 and row.sc["count"] == 4
+    # y = 2.05x + 0 by least squares on these points
+    assert abs(row.lr["k"] - 2.05) < 1e-9 and abs(row.lr["b"]) < 1e-9
+    assert abs(row.sk) < 1e-9  # symmetric data
+    assert abs(row.ku - 1.64) < 1e-9  # m4/m2² (non-excess, CH kurtPop)
+    assert abs(float(row.br) - 2.0) < 1e-9  # (8-2)/(4-1)
+    assert len(row.h) == 2  # adaptive 2-bucket histogram
+    diffs = [
+        r.d
+        for r in spark.sql(
+            transpile(
+                "SELECT x - lagInFrame(x, 1) OVER (ORDER BY x) AS d "
+                "FROM p5t"
+            )
+        ).collect()
+    ]
+    assert diffs[0] is None and all(float(d) == 1.0 for d in diffs[1:])
+    # block-order / order-dependent constructs refuse with the window
+    # spelling; LTTB points at the operator
+    for bad, msg in [
+        ("runningDifference(x)", "block"),
+        ("neighbor(x, -1)", "block"),
+        ("deltaSum(x)", "order-dependent"),
+        ("groupArrayMovingSum(x)", "order-dependent"),
+        ("largestTriangleThreeBuckets(9)(x, y)", "events_lttb"),
+        ("studentTTest(x, y)", "stats"),
+    ]:
+        with pytest.raises(DialectError, match=msg):
+            transpile(f"SELECT {bad} FROM p5t")
+
+
 def test_star_modifiers(spark):
     """r7: * EXCEPT/REPLACE/APPLY expansion via the catalog
     resolver; EXCEPT alone stays Spark-native."""
