@@ -4611,6 +4611,35 @@ def run_clickhouse_script(
             results.append(
                 ("optimize", (target, bool(om.group(2))))
             )
+        elif (
+            em := _re.match(
+                r"(?is)\s*EXPLAIN\s+(AST|SYNTAX|QUERY\s+TREE|PLAN|"
+                r"PIPELINE|ESTIMATE)?\s*(SELECT|WITH)(.*)$",
+                stmt,
+            )
+        ) is not None:
+            mode = (em.group(1) or "PLAN").strip().upper()
+            inner = transpile(
+                em.group(2) + em.group(3),
+                resolve_columns=resolver,
+                engine_info=engine_info,
+            )
+            if mode == "AST":
+                raise DialectError(
+                    "EXPLAIN AST is ClickHouse-parser-internal; use "
+                    "EXPLAIN SYNTAX (the transpiled Spark SQL) or "
+                    "EXPLAIN PLAN (the physical plan)"
+                )
+            if mode == "SYNTAX":
+                # ClickHouse EXPLAIN SYNTAX prints the rewritten
+                # query; here that is the transpiled Spark SQL — the
+                # single most useful migration view of a statement
+                df = spark.createDataFrame(
+                    [(inner,)], "explain string"
+                )
+            else:  # PLAN / PIPELINE / QUERY TREE / ESTIMATE
+                df = spark.sql(f"EXPLAIN FORMATTED {inner}")
+            results.append(("explain", df))
         else:
             df = spark.sql(
                 transpile(

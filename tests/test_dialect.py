@@ -1943,3 +1943,25 @@ def test_probe3_scalar_family_values(spark):
     assert yw.w3 == 202053
     with pytest.raises(DialectError, match="toISOWeek"):
         transpile("toYearWeek(d, 1)")
+
+
+def test_explain_statements_route(spark, sf_dir):
+    """r7: EXPLAIN SYNTAX returns the transpiled Spark SQL; EXPLAIN
+    [PLAN] returns the physical plan; EXPLAIN AST refuses."""
+    from clickhouse_vs_dbt_spark.catalog import register_views
+    from clickhouse_vs_dbt_spark.dialect import run_clickhouse_script
+
+    register_views(spark, sf_dir, ("orders",))
+    res = run_clickhouse_script(
+        spark,
+        "EXPLAIN SYNTAX SELECT countIf(o_totalprice > 100) FROM orders;"
+        "EXPLAIN SELECT count() FROM orders;",
+    )
+    kinds = [k for k, _ in res]
+    assert kinds == ["explain", "explain"]
+    syntax = res[0][1].collect()[0].explain
+    assert "count_if(o_totalprice > 100)" in syntax
+    plan = res[1][1].collect()[0][0]
+    assert "Physical Plan" in plan or "Aggregate" in plan
+    with pytest.raises(DialectError, match="EXPLAIN SYNTAX"):
+        run_clickhouse_script(spark, "EXPLAIN AST SELECT 1")
