@@ -1036,6 +1036,159 @@ def _render_call(name: str, args: list[str]) -> str:
             f"'▉', '█'), CAST(round((__u - floor(__u)) * 8) AS INT) "
             f"+ 1))), 1)"
         )
+    # --- r7 probe batch 6: interval/map/misc migrant scalars ---
+    if name == "toStartOfInterval" and len(args) == 2:
+        im = re.match(
+            r"(?is)\s*INTERVAL\s+(\d+)\s+(\w+)\s*$", args[1]
+        )
+        if im:
+            n, unit = int(im.group(1)), im.group(2).upper()
+            t = args[0]
+            secs = {"SECOND": 1, "MINUTE": 60, "HOUR": 3600,
+                    "DAY": 86400}.get(unit)
+            if secs is not None:
+                w = n * secs
+                if w == 86400:
+                    return f"date_trunc('day', {t})"
+                return (
+                    f"timestamp_seconds(unix_timestamp({t}) "
+                    f"div {w} * {w})"
+                )
+            if n == 1 and unit in (
+                "WEEK", "MONTH", "QUARTER", "YEAR",
+            ):
+                return f"date_trunc('{unit.lower()}', {t})"
+        raise DialectError(
+            "toStartOfInterval: INTERVAL n SECOND/MINUTE/HOUR/DAY or "
+            "INTERVAL 1 WEEK/MONTH/QUARTER/YEAR"
+        )
+    if name.startswith("toInterval") and len(args) == 1:
+        pos = {
+            "Year": 0, "Month": 1, "Week": 2, "Day": 3,
+            "Hour": 4, "Minute": 5, "Second": 6,
+        }.get(name[len("toInterval"):])
+        if pos is not None:
+            mk = ["0"] * 7
+            mk[pos] = args[0]
+            return f"make_interval({', '.join(mk)})"
+        if name == "toIntervalQuarter":
+            return f"make_interval(0, ({args[0]}) * 3)"
+    if name == "mapFromArrays" and len(args) == 2:
+        return f"map_from_arrays({args[0]}, {args[1]})"
+    if name == "mapFilter" and len(args) == 2:
+        # lambda-first → map-first rotation (the array HOF policy)
+        return f"map_filter({args[1]}, {args[0]})"
+    if name == "mapUpdate" and len(args) == 2:
+        # b's keys overwrite a's — Spark's map_concat refuses
+        # duplicate keys, so build from filtered entries
+        a, b = args
+        return (
+            f"map_from_entries(concat(filter(map_entries({a}), "
+            f"__e -> NOT array_contains(map_keys({b}), __e.key)), "
+            f"map_entries({b})))"
+        )
+    if name == "mapContainsKeyLike" and len(args) == 2:
+        return (
+            f"exists(map_keys({args[0]}), __k -> __k LIKE {args[1]})"
+        )
+    if name == "JSONExtractRaw" and len(args) >= 2:
+        path = "$." + ".".join(a.strip().strip("'") for a in args[1:])
+        return f"get_json_object({args[0]}, '{path}')"
+    if name == "toBool" and len(args) == 1:
+        return f"CAST({args[0]} AS BOOLEAN)"
+    if name in (
+        "toInt128", "toInt256", "toUInt128", "toUInt256",
+    ) and len(args) == 1:
+        # documented narrowing: DECIMAL(38,0) is the widest exact
+        # integer Spark carries
+        return f"CAST({args[0]} AS DECIMAL(38, 0))"
+    if name == "currentDatabase" and not args:
+        return "current_database()"
+    if name == "currentUser" and not args:
+        return "current_user()"
+    if name == "timezone" and not args:
+        return "current_timezone()"
+    if name in ("addHours", "addMinutes", "addSeconds", "addWeeks",
+                "addQuarters", "subtractHours", "subtractMinutes",
+                "subtractSeconds", "subtractWeeks",
+                "subtractQuarters") and len(args) == 2:
+        unit = name.removeprefix("add").removeprefix("subtract")
+        unit = {"Hours": "HOUR", "Minutes": "MINUTE",
+                "Seconds": "SECOND", "Weeks": "WEEK",
+                "Quarters": "QUARTER"}[unit]
+        n = args[1] if name.startswith("add") else f"-({args[1]})"
+        return f"timestampadd({unit}, {n}, {args[0]})"
+    if name == "toLastDayOfWeek" and len(args) == 1:
+        d = args[0]
+        # Sunday-start week (ClickHouse default mode) ends Saturday
+        return f"CAST(date_add({d}, 7 - dayofweek({d})) AS DATE)"
+    if name == "toDaysSinceYearZero" and len(args) == 1:
+        return f"(datediff({args[0]}, DATE'1970-01-01') + 719528)"
+    if name == "fromDaysSinceYearZero" and len(args) == 1:
+        return f"date_add(DATE'1970-01-01', ({args[0]}) - 719528)"
+    if name == "moduloOrZero" and len(args) == 2:
+        return f"IF(({args[1]}) = 0, 0, ({args[0]}) % ({args[1]}))"
+    if name == "max2" and len(args) == 2:
+        return f"greatest({args[0]}, {args[1]})"
+    if name == "min2" and len(args) == 2:
+        return f"least({args[0]}, {args[1]})"
+    if name == "clamp" and len(args) == 3:
+        return f"least(greatest({args[0]}, {args[1]}), {args[2]})"
+    if name == "arrayShuffle" and len(args) == 1:
+        return f"shuffle({args[0]})"
+    if name == "arrayRandomSample" and len(args) == 2:
+        return f"slice(shuffle({args[0]}), 1, CAST({args[1]} AS INT))"
+    if name == "randNormal" and len(args) == 2:
+        return f"(({args[0]}) + ({args[1]}) * randn())"
+    if name == "randUniform" and len(args) == 2:
+        return f"(({args[0]}) + rand() * (({args[1]}) - ({args[0]})))"
+    if name == "randBernoulli" and len(args) == 1:
+        return f"CAST(IF(rand() < ({args[0]}), 1, 0) AS INT)"
+    if name == "randExponential" and len(args) == 1:
+        return f"(-ln(rand()) / ({args[0]}))"
+    if name == "positiveModulo" and len(args) == 2:
+        return f"pmod({args[0]}, {args[1]})"
+    if name == "toDecimalString" and len(args) == 2:
+        return (
+            f"format_string(concat('%.', CAST({args[1]} AS STRING), "
+            f"'f'), CAST({args[0]} AS DOUBLE))"
+        )
+    if name == "toValidUTF8" and len(args) == 1:
+        # JVM strings are already valid UTF-8 by construction
+        return args[0]
+    if name == "tokens" and len(args) == 1:
+        return (
+            f"filter(split({args[0]}, '[^a-zA-Z0-9]+'), "
+            f"__t -> __t != '')"
+        )
+    if name in ("snowflakeToDateTime", "snowflakeToDateTime64") and args:
+        # Twitter snowflake: ms since 2010-11-04 epoch in bits 22+
+        return (
+            f"timestamp_millis(({args[0]} div 4194304) "
+            f"+ 1288834974657)"
+        )
+    if name in ("dateTimeToSnowflake", "dateTime64ToSnowflake") and len(
+        args
+    ) == 1:
+        return f"((unix_millis({args[0]}) - 1288834974657) * 4194304)"
+    if name == "formatDateTimeInJodaSyntax" and len(args) == 2:
+        return f"date_format({args[0]}, {args[1]})"
+    if name == "fromUnixTimestampInJodaSyntax" and len(args) == 2:
+        return f"from_unixtime({args[0]}, {args[1]})"
+    if name in ("normalizeUTF8NFC", "normalizeUTF8NFD",
+                "normalizeUTF8NFKC", "normalizeUTF8NFKD"):
+        raise DialectError(
+            f"{name}: Spark SQL has no Unicode-normalization builtin; "
+            "use the text_nfc_normalize operator (operators/text.py, "
+            "Arrow-vectorized)"
+        )
+    if name in ("stem", "synonyms", "detectLanguage",
+                "detectCharset", "detectLanguageMixed"):
+        raise DialectError(
+            f"{name}: model-backed NLP — use the text operators "
+            "(operators/text.py: text_langid n-gram language ID, "
+            "text_quality, corpus.py stemming-free token stats)"
+        )
     if name == "lagInFrame" and len(args) in (1, 2, 3):
         # lag respecting the window frame — Spark's lag has the same
         # (x, offset, default) signature; the frame nuance only

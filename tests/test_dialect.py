@@ -1945,6 +1945,64 @@ def test_probe3_scalar_family_values(spark):
         transpile("toYearWeek(d, 1)")
 
 
+def test_probe6_scalar_family_values(spark):
+    """r7 probe batch 6: arbitrary-interval trunc, interval
+    constructors, map family, wide-int casts, timestampadd sugar,
+    year-zero day counts, snowflake codecs, misc — value-pinned."""
+    row = spark.sql(
+        transpile(
+            "SELECT "
+            "toStartOfInterval(CAST('2024-01-01 01:23:45' AS TIMESTAMP),"
+            " INTERVAL 15 MINUTE) AS i15, "
+            "toStartOfInterval(CAST('2024-03-07 10:00:00' AS TIMESTAMP),"
+            " INTERVAL 1 MONTH) AS im, "
+            "CAST('2024-01-01' AS DATE) + toIntervalDay(3) AS ivd, "
+            "mapFromArrays(['a','b'], [1,2]) AS mfa, "
+            "mapFilter((k, v) -> v > 1, map('a', 1, 'b', 2)) AS mf, "
+            "mapUpdate(map('a', 1, 'b', 2), map('b', 9, 'c', 3)) AS mu, "
+            "mapContainsKeyLike(map('abc', 1), 'ab%') AS mck, "
+            "JSONExtractRaw('{\"k\":{\"x\":1}}', 'k') AS jer, "
+            "toBool(1) AS tb, toInt128(5) AS ti, "
+            "timezone() AS tz, "
+            "addHours(CAST('2024-01-01 00:00:00' AS TIMESTAMP), 2) AS ah, "
+            "subtractWeeks(CAST('2024-01-15' AS DATE), 1) AS sw, "
+            "toLastDayOfWeek(CAST('2024-03-07' AS DATE)) AS lw, "
+            "toDaysSinceYearZero(CAST('1970-01-01' AS DATE)) AS dsy, "
+            "fromDaysSinceYearZero(719528) AS fdy, "
+            "moduloOrZero(7, 0) AS mz, max2(1, 2) AS mx, "
+            "clamp(5, 1, 3) AS cl, positiveModulo(-3, 5) AS pm, "
+            "toDecimalString(3.14159, 3) AS tds, "
+            "tokens('a-b c_d!') AS tk, "
+            "snowflakeToDateTime(1426860702823350272) AS sf, "
+            "formatDateTimeInJodaSyntax(CAST('2024-01-02' AS DATE), "
+            "'yyyy-MM') AS jd"
+        )
+    ).collect()[0]
+    assert str(row.i15) == "2024-01-01 01:15:00"
+    assert str(row.im) == "2024-03-01 00:00:00"
+    assert str(row.ivd) == "2024-01-04"
+    assert row.mfa == {"a": 1, "b": 2} and row.mf == {"b": 2}
+    assert row.mu == {"a": 1, "b": 9, "c": 3}  # b overwritten by update
+    assert row.mck is True
+    assert row.jer == '{"x":1}'
+    assert row.tb is True and int(row.ti) == 5
+    assert row.tz == "UTC"
+    assert str(row.ah) == "2024-01-01 02:00:00"
+    assert str(row.sw).startswith("2024-01-08")
+    assert str(row.lw) == "2024-03-09"  # Saturday of the Sunday week
+    assert row.dsy == 719528 and str(row.fdy) == "1970-01-01"
+    assert (row.mz, row.mx, row.cl, row.pm) == (0, 2, 3, 2)
+    assert row.tds == "3.142"
+    assert row.tk == ["a", "b", "c", "d"]
+    # ClickHouse's own documented example value
+    assert str(row.sf) == "2021-08-15 10:57:56"
+    assert row.jd == "2024-01"
+    with pytest.raises(DialectError, match="text_nfc_normalize"):
+        transpile("normalizeUTF8NFC(s)")
+    with pytest.raises(DialectError, match="text_langid"):
+        transpile("detectLanguage(s)")
+
+
 def test_explain_statements_route(spark, sf_dir):
     """r7: EXPLAIN SYNTAX returns the transpiled Spark SQL; EXPLAIN
     [PLAN] returns the physical plan; EXPLAIN AST refuses."""
