@@ -120,10 +120,22 @@ def cmd_docs(args) -> int:
 
 
 def cmd_sql(args) -> int:
-    from clickhouse_vs_dbt_spark.dialect import catalog_resolver, transpile
+    import re as _re
+
+    from clickhouse_vs_dbt_spark.dialect import (
+        catalog_resolver,
+        run_clickhouse_script,
+        transpile,
+    )
 
     spark = _spark("cli-sql")
     _prepare(spark, args.sf_dir)
+    # EXPLAIN statements route through the script runner (EXPLAIN
+    # SYNTAX prints the transpiled Spark SQL — the migration view)
+    if _re.match(r"(?is)\s*EXPLAIN\b", args.query):
+        res = run_clickhouse_script(spark, args.query)
+        res[-1][1].show(args.limit, truncate=False)
+        return 0
     # full ClickHouse-dialect front door: the transpiler handles syntax
     # (combinators, parametric aggregates, multiIf, WITH TOTALS, ...);
     # the compat UDF registry, loaded by _prepare, handles scalar names;
