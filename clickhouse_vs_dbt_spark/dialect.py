@@ -33,8 +33,10 @@ The full surface (each backed by gated oracle queries and unit tests):
   ``GLOBAL`` hint and ``SETTINGS``/``FORMAT`` tails stripped;
 * expression level — combinators (``sumIf`` family with
   ignoreNulls-correct null-sensitive bases; ``-Array``,
-  ``-Distinct``, ``-OrNull``; ``-State``/``-Merge`` refuse to the
-  partial-aggregate machinery), parametric aggregates (``quantile*``,
+  ``-Distinct``, ``-OrNull``; sum/count/min/max ``-State``/``-Merge``
+  transpile as native partial/final aggregation — self-merging
+  states — while avg/uniq registers refuse to the partial-aggregate
+  machinery), parametric aggregates (``quantile*``,
   ``groupArraySorted``, exact ``topK``; plain one-list forms take
   ClickHouse's documented defaults), analytics aggregates
   (``windowFunnel(W)(ts, c1..cN)`` as an exact max-anchor DP fold,
@@ -66,11 +68,20 @@ The full surface (each backed by gated oracle queries and unit tests):
   order; keys may be named differently per side) rewrite to the same
   union-window plan, with the window's ts ordering and tie preference
   derived from the inequality's direction and strictness;
+* round-7 structural tier — ``LIMIT n WITH TIES`` as a two-pass
+  boundary plan (TakeOrderedAndProject over the sort keys + broadcast
+  boundary filter; no global window), ``* EXCEPT/REPLACE/APPLY`` star
+  modifiers and ``COLUMNS('regex')`` expanded via the catalog
+  resolver, fractional ``SAMPLE k [OFFSET m]`` as the deterministic
+  hash-range slice on the DDL-captured ``SAMPLE BY`` key,
+  expression-key ``WITH FILL`` via a derived column, ``EXPLAIN
+  SYNTAX/PLAN`` statement routing in the script runner;
 * refusals with pointers — constructs whose silent handling would
   change results (``FINAL`` without DDL context, ANY ``ON`` with
-  non-equality conjuncts, ``WITH FILL`` on expression keys or
-  INTERPOLATE recurrences, non-subsequence
-  ``sequenceMatch``/``sequenceCount`` patterns, ``INTO OUTFILE``)
+  non-equality conjuncts, INTERPOLATE recurrences, non-subsequence
+  ``sequenceMatch``/``sequenceCount`` patterns, ``INTO OUTFILE``,
+  block-boundary-dependent ``runningDifference``/``neighbor``,
+  order-dependent-in-aggregate ``deltaSum``/``groupArrayMoving*``)
   raise :class:`DialectError` naming the dedicated operator instead
   of surfacing an opaque Spark parse error.
 
