@@ -292,7 +292,18 @@ def transpile_ddl(
     if not m:
         raise DialectError("unrecognized CREATE TABLE shape")
     name = m.group("name")
-    cols = ",\n  ".join(_convert_coldef(c) for c in _split_top(m.group("cols")))
+    # table-level INDEX (data-skipping), PROJECTION, and CONSTRAINT
+    # entries are physical-layout/engine concerns with no Spark DDL
+    # form and are DROPPED: parquet min/max + dictionary stats already
+    # serve the minmax/set skip-index role (plus operators/zorder.py
+    # for locality), projections map to materialized views
+    # (ddl.transpile_materialized_view), constraints to dq_checks
+    col_defs = [
+        c
+        for c in _split_top(m.group("cols"))
+        if not re.match(r"(?is)\s*(INDEX|PROJECTION|CONSTRAINT)\s", c)
+    ]
+    cols = ",\n  ".join(_convert_coldef(c) for c in col_defs)
     engine = m.group("engine")
     eargs = _split_top(m.group("eargs") or "")
     tail = m.group("tail") or ""

@@ -403,3 +403,33 @@ def test_script_create_table_existence_semantics(spark, tmp_path):
     with pytest.raises(DialectError, match="does not exist"):
         run_clickhouse_script(spark, "DROP TABLE sem_t;")
     run_clickhouse_script(spark, "DROP TABLE IF EXISTS sem_t;")
+
+
+def test_ddl_drops_index_projection_constraint(spark, tmp_path):
+    """r7: table-level INDEX (data-skipping), PROJECTION, and
+    CONSTRAINT entries are layout/engine concerns — dropped, with the
+    column list preserved and the table readable."""
+    from clickhouse_vs_dbt_spark.ddl import transpile_ddl
+
+    src = tmp_path / "skip_t"
+    spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string").write.mode(
+        "overwrite"
+    ).parquet(str(src))
+    out = transpile_ddl(
+        """CREATE TABLE skip_t (
+  id UInt64,
+  s String,
+  INDEX idx_s s TYPE bloom_filter GRANULARITY 4,
+  INDEX idx_id id TYPE minmax GRANULARITY 1,
+  PROJECTION p_agg (SELECT s, count() GROUP BY s),
+  CONSTRAINT c_pos CHECK id > 0
+) ENGINE = MergeTree ORDER BY id""",
+        path_override=str(src),
+    )
+    assert "INDEX" not in out and "PROJECTION" not in out
+    assert "CONSTRAINT" not in out
+    spark.sql("DROP TABLE IF EXISTS skip_t")
+    spark.sql(out)
+    assert spark.table("skip_t").count() == 2
+    assert spark.table("skip_t").columns == ["id", "s"]
+    spark.sql("DROP TABLE IF EXISTS skip_t")
