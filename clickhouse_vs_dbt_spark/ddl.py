@@ -336,6 +336,14 @@ def transpile_ddl(
             for k in ((om.group(1) or om.group(2)).split(",") if om else [])
             if k.strip()
         )
+        # Replicated* variants carry (zk_path, replica) as their first
+        # two engine args and behave as their base family otherwise —
+        # strip both so Replacing(ver)/Collapsing(sign) parse the
+        # right columns (replication itself is the storage layer's
+        # job here: object store + task retries)
+        if engine.startswith("Replicated"):
+            engine = engine[len("Replicated"):]
+            eargs = eargs[2:]
         # engine-arg meaning depends on the engine family:
         # Replacing(ver), Collapsing(sign), VersionedCollapsing(sign, ver)
         version = sign_col = None

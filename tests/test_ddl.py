@@ -433,3 +433,31 @@ def test_ddl_drops_index_projection_constraint(spark, tmp_path):
     assert spark.table("skip_t").count() == 2
     assert spark.table("skip_t").columns == ["id", "s"]
     spark.sql("DROP TABLE IF EXISTS skip_t")
+
+
+def test_replicated_engine_args_strip(spark, tmp_path):
+    """r7: Replicated* engines carry (zk_path, replica) as leading
+    engine args — they must strip so the version/sign columns parse,
+    and FROM t FINAL collapses on the REAL version column."""
+    from clickhouse_vs_dbt_spark.ddl import lookup_engine_info
+    from clickhouse_vs_dbt_spark.dialect import run_clickhouse_script
+
+    src = tmp_path / "rfin"
+    spark.createDataFrame(
+        [(1, "a", 1), (1, "b", 2), (2, "x", 1)],
+        "k long, v string, ver long",
+    ).write.mode("overwrite").parquet(str(src))
+    res = run_clickhouse_script(
+        spark,
+        """
+CREATE TABLE rfin (k UInt64, v String, ver UInt64)
+ENGINE = ReplicatedReplacingMergeTree('/ch/rfin', '{replica}', ver)
+ORDER BY k;
+SELECT k, v FROM rfin FINAL ORDER BY k;
+""",
+        path_overrides={"rfin": str(src)},
+        overwrite_existing=True,
+    )
+    info = lookup_engine_info("rfin")
+    assert info.engine == "ReplacingMergeTree" and info.version == "ver"
+    assert [tuple(r) for r in res[-1][1].collect()] == [(1, "b"), (2, "x")]
