@@ -115,6 +115,27 @@ def convert_type(ch: str) -> str:
         return _SCALAR[name]
     if name in ("LowCardinality", "Nullable"):
         return convert_type(inner)
+    if name in ("AggregateFunction", "SimpleAggregateFunction"):
+        # SimpleAggregateFunction stores the plain value;
+        # AggregateFunction stores an engine-internal register — for
+        # the self-merging tier (sum/count/min/max, where the state
+        # IS the partial value: the dialect's -State/-Merge mapping)
+        # the value type is the faithful Spark column.  avg/uniq
+        # registers have no portable value representation.
+        parts = _split_top(inner)
+        fn = parts[0].strip().split("(")[0].lower()
+        if name == "SimpleAggregateFunction" or fn in (
+            "sum", "count", "min", "max", "any", "anylast",
+        ):
+            if fn == "count":
+                return "BIGINT"
+            return convert_type(parts[1].strip())
+        raise DialectError(
+            f"AggregateFunction({fn}, …) stores an engine-internal "
+            "byte register with no portable value; keep a "
+            "sumState+countState pair for avg, or the HLL sketch "
+            "operators (operators/hll.py) for uniq"
+        )
     if name == "FixedString":
         return "STRING"
     if name in ("Enum8", "Enum16"):

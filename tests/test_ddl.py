@@ -461,3 +461,23 @@ SELECT k, v FROM rfin FINAL ORDER BY k;
     info = lookup_engine_info("rfin")
     assert info.engine == "ReplacingMergeTree" and info.version == "ver"
     assert [tuple(r) for r in res[-1][1].collect()] == [(1, "b"), (2, "x")]
+
+
+def test_aggregate_function_column_types():
+    """r7: AggregateFunction columns — self-merging tier maps to the
+    value type (the -State/-Merge contract), registers refuse."""
+    import pytest
+
+    from clickhouse_vs_dbt_spark.ddl import DialectError, transpile_ddl
+
+    out = transpile_ddl(
+        "CREATE TABLE afc (k UInt64, s AggregateFunction(sum, UInt64), "
+        "c AggregateFunction(count), mx SimpleAggregateFunction(max, "
+        "Float64)) ENGINE = AggregatingMergeTree ORDER BY k"
+    )
+    assert "s BIGINT" in out and "c BIGINT" in out and "mx DOUBLE" in out
+    with pytest.raises(DialectError, match="sumState"):
+        transpile_ddl(
+            "CREATE TABLE bad (u AggregateFunction(uniq, UInt64)) "
+            "ENGINE = AggregatingMergeTree ORDER BY tuple()"
+        )
