@@ -39,8 +39,11 @@ def test_convert_type(ch, spark_t):
 
 
 def test_unknown_type_raises():
+    # r7: self-merging AggregateFunction types map to the value type
+    # (the -State/-Merge contract); genuinely unknown names still raise
+    assert convert_type("AggregateFunction(sum, UInt64)") == "BIGINT"
     with pytest.raises(DialectError):
-        convert_type("AggregateFunction(sum, UInt64)")
+        convert_type("SomeMadeUpType(42)")
 
 
 def test_mergetree_ddl_maps_to_parquet_with_partition():
