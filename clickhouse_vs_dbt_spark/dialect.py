@@ -1675,6 +1675,86 @@ def _render_call(name: str, args: list[str]) -> str:
             "'keys', transform(__mr, s -> s.k), "
             "'values', transform(__mr, s -> s.v))), 1)), 1)"
         )
+    # --- stacked combinators (r7) ---
+    if (
+        name.endswith("ArrayIf")
+        and name[: -len("ArrayIf")] in ("sum", "min", "max", "avg",
+                                        "count")
+        and len(args) == 2
+    ):
+        # -ArrayIf: the condition masks ROWS; rows failing it
+        # contribute no elements (a NULL array is skipped by the
+        # element fold) — delegate to the -Array mapping
+        base = name[: -len("If")]
+        return _render_call(
+            base, [f"CASE WHEN {args[1]} THEN {args[0]} END"]
+        )
+    if name in ("countIfOrNull",) and len(args) == 1:
+        return f"nullif(count_if({args[0]}), 0)"
+    if (
+        name.endswith("IfOrNull")
+        and name[: -len("IfOrNull")] in ("sum", "min", "max", "avg")
+        and len(args) == 2
+    ):
+        # sum/min/max/avg are already NULL when nothing matched
+        return _render_call(name[: -len("OrNull")], args)
+    if name == "uniqExactOrNull" and len(args) >= 1:
+        return f"nullif(count(DISTINCT {joined}), 0)"
+    if (
+        name.endswith("DistinctIf")
+        and name[: -len("DistinctIf")] in ("sum", "avg", "count")
+        and len(args) == 2
+    ):
+        base = name[: -len("DistinctIf")]
+        return (
+            f"{base}(DISTINCT CASE WHEN {args[1]} THEN {args[0]} END)"
+        )
+    if (
+        name.endswith("ForEach")
+        and name[: -len("ForEach")] in ("sum", "min", "max")
+        and len(args) == 1
+    ):
+        # element-wise reduction across the rows' arrays (ragged
+        # lengths: missing positions contribute identity)
+        base = name[: -len("ForEach")]
+        a = args[0]
+        cast = "CAST(__e AS DOUBLE)"  # the arraySum DOUBLE policy
+        if base == "sum":
+            merge = (
+                "coalesce(__p, CAST(0 AS DOUBLE)) + "
+                "coalesce(__q, CAST(0 AS DOUBLE))"
+            )
+        else:
+            fn = "least" if base == "min" else "greatest"
+            merge = f"{fn}(coalesce(__p, __q), coalesce(__q, __p))"
+        return (
+            f"aggregate(collect_list({a}), "
+            f"CAST(array() AS ARRAY<DOUBLE>), "
+            f"(__acc, __x) -> CASE WHEN size(__acc) >= size(__x) "
+            f"THEN zip_with(__acc, transform(__x, __e -> {cast}), "
+            f"(__p, __q) -> {merge}) "
+            f"ELSE zip_with(transform(__x, __e -> {cast}), __acc, "
+            f"(__q, __p) -> {merge}) END)"
+        )
+    if (
+        name.endswith("If")
+        and name[:-2] in (
+            "corr", "covarPop", "covarSamp", "stddevPop",
+            "stddevSamp", "varPop", "varSamp",
+        )
+        and len(args) >= 2
+    ):
+        base = {
+            "corr": "corr", "covarPop": "covar_pop",
+            "covarSamp": "covar_samp", "stddevPop": "stddev_pop",
+            "stddevSamp": "stddev_samp", "varPop": "var_pop",
+            "varSamp": "var_samp",
+        }[name[:-2]]
+        cond = args[-1]
+        masked = ", ".join(
+            f"CASE WHEN {cond} THEN {a} END" for a in args[:-1]
+        )
+        return f"{base}({masked})"
     if name.endswith("If") and name[:-2] in _IF_BASES and len(args) >= 2:
         base = _IF_BASES[name[:-2]]
         cond = args[-1]

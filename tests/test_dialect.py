@@ -1945,6 +1945,40 @@ def test_probe3_scalar_family_values(spark):
         transpile("toYearWeek(d, 1)")
 
 
+def test_probe7_stacked_combinators(spark):
+    """r7: stacked combinator suffixes — -ArrayIf, -IfOrNull,
+    -DistinctIf, -ForEach, and -If over the second-moment aggregates
+    — value-pinned."""
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW cbt AS SELECT * FROM VALUES "
+        "(1, 10.0, array(1, 2), true), (2, 20.0, array(3), false), "
+        "(3, 30.0, array(4, 5, 6), true), (1, 40.0, array(), true) "
+        "AS t(k, v, a, c)"
+    )
+    row = spark.sql(
+        transpile(
+            "SELECT sumArrayIf(a, c) AS sai, minArrayIf(a, c) AS mai, "
+            "countIfOrNull(k > 99) AS cio, countIfOrNull(k = 1) AS cio2, "
+            "sumIfOrNull(v, k > 99) AS sio, "
+            "uniqExactOrNull(k) AS ueo, "
+            "sumDistinctIf(k, c) AS sdi, countDistinctIf(k, c) AS cdi, "
+            "sumForEach(a) AS sfe, minForEach(a) AS mfe, "
+            "maxForEach(a) AS xfe, "
+            "corrIf(k, v, c) AS ci, stddevPopIf(v, c) AS sp "
+            "FROM cbt"
+        )
+    ).collect()[0]
+    assert row.sai == 18.0 and row.mai == 1
+    assert row.cio is None and row.cio2 == 2 and row.sio is None
+    assert row.ueo == 3
+    assert row.sdi == 4 and row.cdi == 2
+    assert row.sfe == [8.0, 7.0, 6.0]
+    assert row.mfe == [1.0, 2.0, 6.0] and row.xfe == [4.0, 5.0, 6.0]
+    # hand-computed over the c rows (1,10) (3,30) (1,40)
+    assert abs(row.ci - (20 / 9) / (0.94280904 * 12.47219129)) < 1e-6
+    assert abs(row.sp - 12.47219129) < 1e-6
+
+
 def test_probe6_scalar_family_values(spark):
     """r7 probe batch 6: arbitrary-interval trunc, interval
     constructors, map family, wide-int casts, timestampadd sugar,
