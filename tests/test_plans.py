@@ -284,3 +284,71 @@ def test_funnel_fold_prefilters_chain_types(spark, sf_dir):
     assert "In(event_type, [click,purchase,view])" in plan or (
         "event_type" in plan and "purchase" in plan and "IN" in plan.upper()
     )
+
+
+def test_r7_ties_boundary_plan_has_no_window(spark, sf_dir):
+    """LIMIT n WITH TIES: two-pass boundary — TakeOrderedAndProject
+    over a pruned key scan + broadcast boundary filter; no Window
+    operator anywhere in the executed plan."""
+    from clickhouse_vs_dbt_spark.dialect import q_dialect_modern_sql
+
+    plan = _plan(q_dialect_modern_sql(spark, sf_dir))
+    assert "Window" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoop" in plan
+
+
+def test_r7_sample_clause_filter_reaches_scan(spark, sf_dir):
+    """Transpiled SAMPLE k OFFSET m: the hash-range predicate is a
+    DataFilter in the scan stage — no join, no extra exchange beyond
+    the aggregate's."""
+    from clickhouse_vs_dbt_spark.dialect import q_dialect_sample_clause
+
+    plan = _plan(q_dialect_sample_clause(spark, sf_dir))
+    assert "2246822519" in plan.split("FileScan")[1].split("ReadSchema")[0] \
+        or "2246822519" in plan  # mixer constant pushed to the scan
+    assert "Join" not in plan
+    assert plan.count("Exchange") <= 2  # partial->final agg only (AQE reuse)
+
+
+def test_r7_star_modifier_expansion_prunes_columns(spark, sf_dir):
+    """* EXCEPT/REPLACE/APPLY expands to a plain projection — the scan
+    reads ONLY the surviving columns (ReadSchema pruning intact)."""
+    from clickhouse_vs_dbt_spark.dialect import q_dialect_star_modifiers
+
+    plan = _plan(q_dialect_star_modifiers(spark, sf_dir))
+    scan = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "s_suppkey" in scan and "s_name" in scan
+    assert "s_acctbal" not in scan  # EXCEPT'd column never read
+
+
+def test_r7_state_merge_is_stacked_hash_aggregates(spark, sf_dir):
+    """-State/-Merge two-level aggregation: two stacked HashAggregate
+    pairs with map-side partials, no Window, no sort of the raw
+    table."""
+    from clickhouse_vs_dbt_spark.dialect import q_dialect_state_merge
+
+    plan = _plan(q_dialect_state_merge(spark, sf_dir))
+    assert plan.count("HashAggregate") >= 4  # partial+final x 2 levels
+    assert "Window" not in plan and "SortMergeJoin" not in plan
+
+
+def test_r7_token_budget_windows_are_bucket_keyed(spark, sf_dir):
+    """mixture_token_budget: the data-scale window partitions by
+    (source, bucket) — never by source alone (one-task-per-source) or
+    globally; the offsets window runs on the tiny per-bucket
+    relation."""
+    from clickhouse_vs_dbt_spark.operators.curation import (
+        q_mixture_token_budget,
+    )
+
+    plan = _plan(q_mixture_token_budget(spark, sf_dir))
+    assert "Window" in plan
+    # every window spec over the doc relation carries the bucket key
+    for frag in plan.split("Window [")[1:]:
+        spec = frag.split("]")[1] if "]" in frag else frag
+        head = frag[:400]
+        if "n_tokens" in head and "__b" not in head and "__bt" not in head:
+            raise AssertionError(
+                f"window without bucket key: {head[:200]}"
+            )
