@@ -1216,12 +1216,21 @@ def test_migration_demo_script_runs_on_managed_tables(spark):
     kinds = [k for k, _ in results]
     assert kinds == [
         "table", "materialized_view", "insert", "mutation",
-        "optimize", "query", "query",
+        "optimize", "query", "query", "query", "query", "query",
+        "explain",
     ]
     final_rows = [(r.k, r.v) for r in results[5][1].collect()]
     assert final_rows == [(1, 3.5), (2, 9.0)]
     mv_rows = {r.k: (r.n, r.total) for r in results[6][1].collect()}
     assert mv_rows == {1: (2, 6.0), 2: (1, 9.0), 3: (1, 4.0)}
+    # r7 statements: star modifiers, State/Merge, WITH TIES, EXPLAIN
+    star = results[7][1]
+    assert star.columns == ["k", "v"]
+    sm = {r.k: r.total for r in results[8][1].collect()}
+    assert set(sm) == {1, 2}
+    ties = sorted(r.v for r in results[9][1].collect())
+    assert len(ties) >= 2
+    assert "count_if" in results[10][1].collect()[0].explain
     spark.sql("DROP TABLE IF EXISTS demo_events")
 
 

@@ -20,3 +20,15 @@ OPTIMIZE TABLE demo_events FINAL;
 SELECT k, v FROM demo_events FINAL ORDER BY k LIMIT 1 BY k;
 
 SELECT k, n, toFloat64(s) AS total FROM demo_mv ORDER BY k;
+
+-- round-7 surface: star modifiers, -State/-Merge, WITH TIES, EXPLAIN
+SELECT * EXCEPT (ver) REPLACE (v * 2 AS v) FROM demo_events ORDER BY k;
+
+SELECT k, sumMerge(s) AS total FROM
+  (SELECT k, sumState(toDecimal64(v, 2)) AS s
+   FROM demo_events GROUP BY k, ver)
+GROUP BY k ORDER BY k;
+
+SELECT v FROM demo_events ORDER BY v LIMIT 2 WITH TIES;
+
+EXPLAIN SYNTAX SELECT countIf(v > 3) FROM demo_events;
