@@ -4020,6 +4020,16 @@ def _rewrite_star_modifiers(toks: list[str], resolve_columns=None):
                 mods, end = _parse_star_mods(toks, j)
                 if not (mods and any(k != "EXCEPT" for k, _ in mods)):
                     continue
+                p = _prev_code(toks, i - 1)
+                if p >= 0 and toks[p] == ".":
+                    # qualified t.* — the resolver lists the WHOLE
+                    # FROM relation's columns, which would expand the
+                    # wrong set; refuse rather than mis-expand
+                    raise DialectError(
+                        "REPLACE/APPLY on a qualified star (t.*) is "
+                        "not supported; use a bare * or spell the "
+                        "projection out"
+                    )
             elif _is_ident(t) and t.upper() == "COLUMNS":
                 p = _next_code(toks, i + 1)
                 if p >= len(toks) or toks[p] != "(":

@@ -1730,6 +1730,10 @@ def test_star_modifiers(spark):
     with pytest.raises(DialectError, match="matched no columns"):
         transpile("SELECT COLUMNS('zzz') FROM star_t",
                   resolve_columns=res)
+    # qualified t.* with modifiers would expand the wrong column set
+    with pytest.raises(DialectError, match="qualified star"):
+        transpile("SELECT t.* REPLACE (a + 1 AS a) FROM star_t t",
+                  resolve_columns=res)
 
 
 def test_sample_clause_route(spark, sf_dir):
