@@ -160,6 +160,9 @@ def cmd_script(args) -> int:
     for kind, res in run_clickhouse_script(spark, script):
         if kind == "query":
             res.show(args.limit, truncate=False)
+        elif kind == "explain":
+            for r in res.collect():
+                print(r[0])
         else:
             name = res.name if kind == "materialized_view" else res
             print(f"-- created {kind} {name}")

@@ -129,6 +129,10 @@ def convert_type(ch: str) -> str:
         ):
             if fn == "count":
                 return "BIGINT"
+            if len(parts) < 2:
+                raise DialectError(
+                    f"{name}({fn}) needs the value type argument"
+                )
             return convert_type(parts[1].strip())
         raise DialectError(
             f"AggregateFunction({fn}, …) stores an engine-internal "
@@ -364,7 +368,18 @@ def transpile_ddl(
         # job here: object store + task retries)
         if engine.startswith("Replicated"):
             engine = engine[len("Replicated"):]
-            eargs = eargs[2:]
+            # the (zk_path, replica) pair is two leading STRING
+            # literals; the zk-defaults form omits them entirely
+            # (ReplicatedReplacingMergeTree(ver)), so strip only
+            # quoted leading args — column args are bare identifiers
+            stripped = 0
+            while (
+                stripped < 2
+                and eargs
+                and eargs[0].strip().startswith("'")
+            ):
+                eargs = eargs[1:]
+                stripped += 1
         # engine-arg meaning depends on the engine family:
         # Replacing(ver), Collapsing(sign), VersionedCollapsing(sign, ver)
         version = sign_col = None

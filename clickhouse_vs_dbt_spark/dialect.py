@@ -859,10 +859,16 @@ def _render_call(name: str, args: list[str]) -> str:
         lam, a = args
         return f"try_element_at(filter({a}, {lam}), -1)"
     if name == "arrayLastIndex" and len(args) == 2:
-        # array_position returns 0 (not NULL) on no match
+        # array_position returns 0 (not NULL) on no match; bind the
+        # reversed-scan position ONCE via the single-element
+        # transform trick (the bar() mapping's pattern)
         lam, a = args
         pos = f"array_position(reverse(transform({a}, {lam})), true)"
-        return f"IF(coalesce({pos}, 0) = 0, 0, size({a}) - {pos} + 1)"
+        return (
+            f"element_at(transform(array({pos}), __lp -> "
+            f"IF(coalesce(__lp, 0) = 0, CAST(0 AS BIGINT), "
+            f"size({a}) - __lp + 1)), 1)"
+        )
     if name in ("trunc", "truncate") and len(args) in (1, 2) and not (
         len(args) == 2 and args[1].strip().startswith("'")
     ):
@@ -973,8 +979,16 @@ def _render_call(name: str, args: list[str]) -> str:
             )
         a, b = args[0], args[1]
         step = args[2] if len(args) == 3 else "1"
+        # half-open [a, b) in either direction; empty (not an error)
+        # when the bounds are inconsistent with the step — Spark's
+        # sequence() throws on reversed bounds, ClickHouse returns []
+        empty = f"slice(sequence({a}, {a}), 1, 0)"
         return (
-            f"filter(sequence({a}, {b}, {step}), __r -> __r < ({b}))"
+            f"CASE WHEN ({step}) > 0 AND ({a}) < ({b}) THEN "
+            f"filter(sequence({a}, {b}, {step}), __r -> __r < ({b})) "
+            f"WHEN ({step}) < 0 AND ({a}) > ({b}) THEN "
+            f"filter(sequence({a}, {b}, {step}), __r -> __r > ({b})) "
+            f"ELSE {empty} END"
         )
     if name == "tuple" and args:
         return f"struct({joined})"
@@ -1001,8 +1015,10 @@ def _render_call(name: str, args: list[str]) -> str:
         # pattern captures, else the whole match (ClickHouse rule);
         # '' on no match both engines
         h, p = args
+        # a CAPTURE group is '(' neither escaped nor opening '(?...'
         grp = "1" if (
-            p.strip().startswith("'") and re.search(r"(?<!\\)\(", p)
+            p.strip().startswith("'")
+            and re.search(r"(?<!\\)\((?!\?)", p)
         ) else "0"
         return f"regexp_extract({h}, {p}, {grp})"
     if name == "notLike" and len(args) == 2:
@@ -1604,12 +1620,21 @@ def _render_call(name: str, args: list[str]) -> str:
                 fn = base
                 if base == "count" and suffix in ("Merge", "MergeState"):
                     fn = "sum"
+                if has_if and suffix in ("Merge", "MergeState"):
+                    # fnIfMerge(state): the condition was applied at
+                    # -IfState creation; the merge takes ONLY the
+                    # state column and must not re-mask
+                    if len(args) != 1:
+                        raise DialectError(
+                            f"{name} takes the single state column "
+                            "(the -If condition was applied by the "
+                            "-IfState producer)"
+                        )
+                    return f"{fn}({args[0]})"
                 if has_if:
                     cond = args[-1]
                     inner = args[0] if len(args) >= 2 else None
-                    if base == "count" and suffix not in (
-                        "Merge", "MergeState",
-                    ):
+                    if base == "count":
                         return f"count_if({cond})"
                     if inner is None:
                         raise DialectError(f"{name} needs (x, cond)")
@@ -2610,17 +2635,7 @@ def _rewrite_with_fill(toks: list[str], resolve_columns=None) -> list[str]:
     # column unchanged — the result then carries the fill axis as an
     # output column (documented divergence: ClickHouse fills a
     # positional sort axis without projecting it).
-    groups: list[list[str]] = [[]]
-    depth = 0
-    for t in toks[by_i + 1 : fill_i]:
-        if t in ("(", "["):
-            depth += 1
-        elif t in (")", "]"):
-            depth -= 1
-        if depth == 0 and t == ",":
-            groups.append([])
-        else:
-            groups[-1].append(t)
+    groups = _split_commas(toks[by_i + 1 : fill_i])
     keys: list[tuple[str, bool]] = []  # (ident, desc)
     fill_expr = None  # (expr_sql, auto_name) for an expression key
     for gi, g in enumerate(groups):
@@ -3706,20 +3721,7 @@ def _ties_sort_keys(
     """Split an ORDER BY token span on top-level commas into
     ``(expr_sql, desc, nulls_first)`` triples.  Direction defaults
     follow Spark: ASC ⇒ NULLS FIRST, DESC ⇒ NULLS LAST."""
-    parts: list[list[str]] = []
-    cur: list[str] = []
-    depth = 0
-    for t in ord_toks:
-        if t in ("(", "["):
-            depth += 1
-        elif t in (")", "]"):
-            depth -= 1
-        if depth == 0 and t == ",":
-            parts.append(cur)
-            cur = []
-        else:
-            cur.append(t)
-    parts.append(cur)
+    parts = _split_commas(ord_toks)
     keys: list[tuple[str, bool, bool]] = []
     for p in parts:
         code = [
@@ -4124,6 +4126,16 @@ def _rewrite_star_modifiers(toks: list[str], resolve_columns=None):
                 if not fn:
                     raise DialectError("* APPLY needs a function name")
                 applies.append(fn)
+        # ClickHouse rejects EXCEPT/REPLACE names that match nothing —
+        # silently dropping them would hide typos
+        known = {c.lower() for c in cols}
+        bad = sorted(
+            (except_set | set(replace_map)) - known
+        )
+        if bad:
+            raise DialectError(
+                f"star modifier names not in the relation: {bad}"
+            )
         items: list[str] = []
         for c in cols:
             if c.lower() in except_set:
@@ -4173,9 +4185,14 @@ def _rewrite_sample_clause(toks: list[str], engine_info=None):
     (operators/sampling.py), so re-runs are idempotent and slices
     with distinct OFFSETs are disjoint.  The predicate is a map-side
     filter inside a wrapping subquery — no shuffle, scan-cost only.
-    Without registered DDL (no SAMPLE BY key) the clause refuses, as
-    letting Spark parse SAMPLE as a table alias would be a silent
-    semantic change."""
+    ``FROM t FINAL SAMPLE k`` keeps FINAL inside the subquery (the
+    later _rewrite_final pass collapses it); sampling BEFORE the
+    collapse is sound because ClickHouse requires the sample key in
+    the primary key — every collapse group carries one sample-key
+    value, so groups are kept or dropped atomically.  Without
+    registered DDL (no SAMPLE BY key) the clause refuses, as letting
+    Spark parse SAMPLE as a table alias would be a silent semantic
+    change."""
     while True:
         hit = None
         for i, t in enumerate(toks):
@@ -4224,6 +4241,13 @@ def _rewrite_sample_clause(toks: list[str], engine_info=None):
             for t in toks[from_i + 1 : s_i]
             if not _is_skippable(t)
         ]
+        # FROM t FINAL SAMPLE k — keep FINAL inside the wrapped
+        # subquery; _rewrite_final (which runs later in the pipeline)
+        # serves it from the registered DDL
+        final_kw = ""
+        if rel_code and rel_code[-1].upper() == "FINAL":
+            final_kw = " FINAL"
+            rel_code = rel_code[:-1]
         alias = None
         if (
             len(rel_code) >= 2
@@ -4268,7 +4292,7 @@ def _rewrite_sample_clause(toks: list[str], engine_info=None):
         h = mix_hash_sql("spark", key)
         pred = f"{h} >= {lo} AND {h} < {hi}"
         repl = (
-            f"(SELECT * FROM {table} WHERE {pred}) "
+            f"(SELECT * FROM {table}{final_kw} WHERE {pred}) "
             f"{alias or table.split('.')[-1]}"
         )
         toks[from_i + 1 : end + 1] = _tokens(f" {repl} ")

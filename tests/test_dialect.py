@@ -2070,3 +2070,74 @@ def test_explain_statements_route(spark, sf_dir):
     assert "Physical Plan" in plan or "Aggregate" in plan
     with pytest.raises(DialectError, match="EXPLAIN SYNTAX"):
         run_clickhouse_script(spark, "EXPLAIN AST SELECT 1")
+
+
+def test_r7_review_fixes(spark, sf_dir, tmp_path):
+    """Round-7 self-review batch: -IfMerge single-state form, safe
+    range() bounds, non-capturing-group extract, unknown star-modifier
+    names, FINAL + SAMPLE combination, Replicated zk-defaults DDL."""
+    from clickhouse_vs_dbt_spark import ddl as _ddl
+    from clickhouse_vs_dbt_spark.dialect import run_clickhouse_script
+
+    # fnIfMerge takes the single already-filtered state
+    assert transpile("sumIfMerge(s)") == "sum(s)"
+    assert transpile("countIfMerge(c)") == "sum(c)"
+    assert transpile("maxIfMerge(s)") == "max(s)"
+    with pytest.raises(DialectError, match="single state"):
+        transpile("sumIfMerge(s, c)")
+    # range(): reversed/negative-step bounds return [] like ClickHouse
+    row = spark.sql(
+        transpile(
+            "SELECT range(5, 3) AS r1, range(10, 0, -2) AS r2, "
+            "range(3, 9, 2) AS r3"
+        )
+    ).collect()[0]
+    assert row.r1 == []
+    assert row.r2 == [10, 8, 6, 4, 2]
+    assert row.r3 == [3, 5, 7]
+    # extract(): non-capturing group is NOT a capture group
+    row = spark.sql(
+        transpile("SELECT extract('abc', '(?:ab)c') AS e")
+    ).collect()[0]
+    assert row.e == "abc"
+    # unknown EXCEPT/REPLACE names raise (ClickHouse errors too)
+    from clickhouse_vs_dbt_spark.dialect import catalog_resolver
+
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW rf_t AS SELECT 1 AS a, 2 AS b"
+    )
+    with pytest.raises(DialectError, match="not in the relation"):
+        transpile(
+            "SELECT * REPLACE (a + 1 AS a_typo) FROM rf_t",
+            resolve_columns=catalog_resolver(spark),
+        )
+    # FINAL + SAMPLE: sample slice of the collapsed relation
+    src = tmp_path / "fs_t"
+    spark.createDataFrame(
+        [(i, float(i), 1) for i in range(1, 41)]
+        + [(1, 99.0, 2)],  # replacing update for key 1
+        "k long, v double, ver long",
+    ).write.mode("overwrite").parquet(str(src))
+    res = run_clickhouse_script(
+        spark,
+        """
+CREATE TABLE fs_t (k UInt64, v Float64, ver UInt64)
+ENGINE = ReplacingMergeTree(ver) ORDER BY k
+SAMPLE BY intHash32(k);
+SELECT count() AS n, max(v) AS mx FROM fs_t FINAL SAMPLE 1/1;
+""",
+        path_overrides={"fs_t": str(src)},
+        overwrite_existing=True,
+    )
+    r = res[-1][1].collect()[0]
+    assert r.n == 40  # full-width sample of the COLLAPSED relation
+    assert r.mx == 99.0  # key 1 carries its max-version value
+    # Replicated zk-defaults form: version column survives
+    _ddl.transpile_ddl(
+        "CREATE TABLE rzk (k UInt64, ver UInt64) "
+        "ENGINE = ReplicatedReplacingMergeTree(ver) ORDER BY k"
+    )
+    info = _ddl.lookup_engine_info("rzk")
+    assert info.engine == "ReplacingMergeTree" and info.version == "ver"
+    with pytest.raises(_ddl.DialectError, match="value type"):
+        _ddl.convert_type("AggregateFunction(sum)")
