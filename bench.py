@@ -196,6 +196,7 @@ HEADLINE = [
     "dialect_with_fill_expr",
     "dialect_columns_select",
     "mixture_token_budget",
+    "dialect_dictionary",
 ]
 
 

@@ -277,6 +277,85 @@ def unregister_engine_info(name: str) -> None:
             ENGINE_INFO.pop(k, None)
 
 
+class DictInfo:
+    """ClickHouse dictionary metadata from ``CREATE DICTIONARY``
+    (reference surface: external key-value lookup tables served by
+    ``dictGet*``).  The Spark mapping keeps the SOURCE relation as a
+    regular table and rewrites lookups into correlated scalar
+    subqueries, which Catalyst decorrelates into (broadcast) left
+    outer joins against the aggregated dictionary — the dimension-
+    lookup plan a hand-written join would get."""
+
+    __slots__ = ("key", "source", "attrs")
+
+    def __init__(self, key: str, source: str, attrs: tuple):
+        self.key = key
+        self.source = source
+        self.attrs = attrs
+
+
+DICT_INFO: dict[str, DictInfo] = {}
+
+
+def register_dict_info(name: str, info: DictInfo) -> None:
+    DICT_INFO[_norm_table(name)] = info
+
+
+def lookup_dict_info(name: str) -> DictInfo | None:
+    return DICT_INFO.get(_norm_table(name))
+
+
+_DICT_RE = re.compile(
+    r"(?is)^\s*CREATE\s+DICTIONARY\s+(IF\s+NOT\s+EXISTS\s+)?"
+    r"(?P<name>[A-Za-z_][A-Za-z0-9_.`]*)\s*\((?P<cols>.*)\)\s*"
+    r"PRIMARY\s+KEY\s+(?P<key>[A-Za-z_][A-Za-z0-9_]*)\s*"
+    r"(?P<tail>.*)$"
+)
+
+
+def transpile_dictionary(sql: str) -> str:
+    """Parse a ClickHouse ``CREATE DICTIONARY`` and register its
+    lookup metadata.  Supported SOURCE: ``CLICKHOUSE(... TABLE 'src'
+    ...)`` — the dictionary reads a registered table/view; LAYOUT and
+    LIFETIME are in-memory-serving/refresh concerns with no batch
+    equivalent and are dropped.  Returns the registered source table
+    name (there is no Spark object to create — lookups rewrite to
+    joins against the source)."""
+    m = _DICT_RE.match(sql.strip().rstrip(";"))
+    if not m:
+        raise DialectError(
+            "unrecognized CREATE DICTIONARY shape (need a column "
+            "list and PRIMARY KEY <col>)"
+        )
+    name, cols, key, tail = (
+        m.group("name"), m.group("cols"), m.group("key"),
+        m.group("tail"),
+    )
+    sm = re.search(
+        r"(?is)SOURCE\s*\(\s*CLICKHOUSE\s*\((?P<args>[^)]*)\)",
+        tail,
+    )
+    if not sm:
+        raise DialectError(
+            "CREATE DICTIONARY: only SOURCE(CLICKHOUSE(TABLE 'src')) "
+            "is supported — point the dictionary at a registered "
+            "table/view"
+        )
+    tm = re.search(r"(?is)TABLE\s+'([^']+)'", sm.group("args"))
+    if not tm:
+        raise DialectError(
+            "CREATE DICTIONARY SOURCE(CLICKHOUSE(...)): missing "
+            "TABLE 'name'"
+        )
+    attrs = tuple(
+        c.strip().split()[0].strip("`")
+        for c in _split_top(cols)
+        if c.strip()
+    )
+    register_dict_info(name, DictInfo(key, tm.group(1), attrs))
+    return tm.group(1)
+
+
 def lookup_engine_info(name: str) -> EngineInfo | None:
     """Engine metadata for ``name``: exact match first; a bare lookup
     then falls back to a UNIQUE qualified registration (ambiguity

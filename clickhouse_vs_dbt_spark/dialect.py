@@ -1063,6 +1063,65 @@ def _render_call(name: str, args: list[str]) -> str:
             f"'▉', '█'), CAST(round((__u - floor(__u)) * 8) AS INT) "
             f"+ 1))), 1)"
         )
+    # --- dictionaries (r7): dictGet* → correlated scalar subquery ---
+    if name in (
+        "dictGet", "dictGetOrDefault", "dictGetOrNull", "dictHas",
+        "dictGetString", "dictGetUInt64", "dictGetInt64",
+        "dictGetUInt32", "dictGetInt32", "dictGetFloat64",
+        "dictGetDate", "dictGetDateTime",
+    ):
+        from clickhouse_vs_dbt_spark.ddl import lookup_dict_info
+
+        if not args or not args[0].strip().startswith("'"):
+            raise DialectError(
+                f"{name}: the dictionary name must be a string literal"
+            )
+        dname = args[0].strip()[1:-1]
+        info = lookup_dict_info(dname)
+        if info is None:
+            raise DialectError(
+                f"dictionary {dname!r} is not registered — run its "
+                "CREATE DICTIONARY through run_clickhouse_script "
+                "first"
+            )
+        if name == "dictHas":
+            if len(args) != 2:
+                raise DialectError("dictHas('dict', key)")
+            return (
+                f"((SELECT count(1) FROM {info.source} "
+                f"WHERE `{info.key}` = ({args[1]})) > 0)"
+            )
+        if len(args) < 3 or not args[1].strip().startswith("'"):
+            raise DialectError(
+                f"{name}('dict', 'attr', key[, default])"
+            )
+        attr = args[1].strip()[1:-1]
+        if attr not in info.attrs:
+            raise DialectError(
+                f"dictionary {dname!r} has no attribute {attr!r} "
+                f"(attributes: {sorted(info.attrs)})"
+            )
+        # max() over the unique key's single row keeps the subquery
+        # in the aggregated-decorrelatable class; Catalyst rewrites
+        # it into a (broadcast) left outer join on the key — the
+        # dimension-lookup plan.  Missing keys yield NULL where
+        # ClickHouse returns the attribute type's default — use
+        # dictGetOrDefault for an explicit miss value.
+        sub = (
+            f"(SELECT max(`{attr}`) FROM {info.source} "
+            f"WHERE `{info.key}` = ({args[2]}))"
+        )
+        cast = {
+            "dictGetString": "STRING", "dictGetUInt64": "BIGINT",
+            "dictGetInt64": "BIGINT", "dictGetUInt32": "BIGINT",
+            "dictGetInt32": "INT", "dictGetFloat64": "DOUBLE",
+            "dictGetDate": "DATE", "dictGetDateTime": "TIMESTAMP",
+        }.get(name)
+        if cast:
+            sub = f"CAST({sub} AS {cast})"
+        if name == "dictGetOrDefault" and len(args) == 4:
+            return f"coalesce({sub}, {args[3]})"
+        return sub
     # --- r7 probe batch 6: interval/map/misc migrant scalars ---
     if name == "toStartOfInterval" and len(args) == 2:
         im = re.match(
@@ -4667,7 +4726,10 @@ def run_clickhouse_script(
         stmt = "".join(toks[i0:])
         if not stmt:
             continue
-        if _re.match(r"(?is)\s*CREATE\s+MATERIALIZED\s+VIEW", stmt):
+        if _re.match(r"(?is)\s*CREATE\s+DICTIONARY", stmt):
+            src = _ddl.transpile_dictionary(stmt)
+            results.append(("dictionary", src))
+        elif _re.match(r"(?is)\s*CREATE\s+MATERIALIZED\s+VIEW", stmt):
             mv = _ddl.transpile_materialized_view(stmt)
             # ClickHouse semantics: only POPULATE backfills existing
             # rows; otherwise the MV starts empty and sees inserts only
@@ -6210,6 +6272,47 @@ def q_dialect_columns_select(
     )
 
 
+# 23. dictionaries — CREATE DICTIONARY registers the lookup contract;
+#     dictGet rewrites to a correlated scalar subquery that Catalyst
+#     decorrelates into a broadcast left-outer join (the dimension-
+#     lookup plan).  The oracle is the equivalent explicit join.
+_CH_DICTIONARY_SCRIPT = """
+CREATE DICTIONARY nation_dict_g (
+    n_nationkey UInt64,
+    n_name String,
+    n_regionkey UInt64
+)
+PRIMARY KEY n_nationkey
+SOURCE(CLICKHOUSE(TABLE 'nation'))
+LAYOUT(HASHED())
+LIFETIME(MIN 0 MAX 300);
+
+SELECT dictGet('nation_dict_g', 'n_name', c_nationkey) AS nation,
+       count() AS n_custs,
+       toFloat64(sum(toDecimal64(c_acctbal, 2))) AS total_bal
+FROM customer
+GROUP BY 1
+ORDER BY 1;
+"""
+
+O_DICTIONARY = """
+SELECT n.n_name AS nation,
+       COUNT(*) AS n_custs,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+         AS total_bal
+FROM customer c LEFT JOIN nation n ON n.n_nationkey = c.c_nationkey
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_dialect_dictionary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verbatim ClickHouse CREATE DICTIONARY + dictGet enrichment
+    (module doc #23)."""
+    register_views(spark, sf_dir, ("nation", "customer"))
+    results = run_clickhouse_script(spark, _CH_DICTIONARY_SCRIPT)
+    return results[-1][1]
+
+
 # 20. SAMPLE clause — the DDL declares ``SAMPLE BY intHash32(key)``;
 #     the SELECT's ``SAMPLE 3/10 OFFSET 1/5`` becomes a deterministic
 #     hash-range slice on that key (see _rewrite_sample_clause).  The
@@ -6431,6 +6534,7 @@ QUERIES = {
     "dialect_sample_clause": q_dialect_sample_clause,
     "dialect_state_merge": q_dialect_state_merge,
     "dialect_columns_select": q_dialect_columns_select,
+    "dialect_dictionary": q_dialect_dictionary,
     "dialect_limit_by": q_dialect_limit_by,
     "dialect_asof_join": q_dialect_asof_join,
     "dialect_asof_on": q_dialect_asof_on,
@@ -6473,6 +6577,7 @@ ORACLES = {
     "dialect_sample_clause": _o_sample_dialect(),
     "dialect_state_merge": O_STATE_MERGE,
     "dialect_columns_select": O_COLUMNS_SELECT,
+    "dialect_dictionary": O_DICTIONARY,
     "dialect_limit_by": O_LIMIT_BY,
     "dialect_asof_join": O_ASOF,
     "dialect_asof_on": O_ASOF_ON,

@@ -2141,3 +2141,42 @@ SELECT count() AS n, max(v) AS mx FROM fs_t FINAL SAMPLE 1/1;
     assert info.engine == "ReplacingMergeTree" and info.version == "ver"
     with pytest.raises(_ddl.DialectError, match="value type"):
         _ddl.convert_type("AggregateFunction(sum)")
+
+
+def test_dictionary_dictget(spark, sf_dir):
+    """r7: CREATE DICTIONARY + dictGet/dictGetOrDefault/dictHas —
+    correlated scalar subqueries decorrelated into broadcast joins;
+    refusals for unknown dictionaries/attributes."""
+    from clickhouse_vs_dbt_spark.catalog import register_views
+    from clickhouse_vs_dbt_spark.dialect import run_clickhouse_script
+
+    register_views(spark, sf_dir, ("nation", "customer"))
+    res = run_clickhouse_script(
+        spark,
+        """
+CREATE DICTIONARY nd_t (n_nationkey UInt64, n_name String,
+  n_regionkey UInt64)
+PRIMARY KEY n_nationkey
+SOURCE(CLICKHOUSE(TABLE 'nation'))
+LAYOUT(FLAT()) LIFETIME(300);
+
+SELECT c_custkey,
+       dictGet('nd_t', 'n_name', c_nationkey) AS nation,
+       dictGetOrDefault('nd_t', 'n_name', 9999, 'missing') AS dflt,
+       dictHas('nd_t', c_nationkey) AS has_key,
+       dictHas('nd_t', 9999) AS has_missing
+FROM customer ORDER BY c_custkey LIMIT 2;
+""",
+    )
+    assert res[0][0] == "dictionary"
+    rows = res[-1][1].collect()
+    assert all(r.nation.startswith("NATION_") for r in rows)
+    assert all(r.dflt == "missing" for r in rows)
+    assert all(r.has_key and not r.has_missing for r in rows)
+    # the lookup plans as a broadcast join, not a per-row probe
+    plan = res[-1][1]._jdf.queryExecution().executedPlan().toString()
+    assert "Broadcast" in plan
+    with pytest.raises(DialectError, match="not registered"):
+        transpile("SELECT dictGet('nope', 'a', k) FROM t")
+    with pytest.raises(DialectError, match="no attribute"):
+        transpile("SELECT dictGet('nd_t', 'bogus', k) FROM t")
