@@ -331,6 +331,14 @@ def transpile_dictionary(sql: str) -> str:
         m.group("name"), m.group("cols"), m.group("key"),
         m.group("tail"),
     )
+    if re.match(r"\s*,", tail):
+        # PRIMARY KEY a, b — registering only 'a' would serve
+        # partial-key lookups silently
+        raise DialectError(
+            "CREATE DICTIONARY: composite PRIMARY KEY is not "
+            "supported; join the source table explicitly for "
+            "multi-key lookups"
+        )
     sm = re.search(
         r"(?is)SOURCE\s*\(\s*CLICKHOUSE\s*\((?P<args>[^)]*)\)",
         tail,
