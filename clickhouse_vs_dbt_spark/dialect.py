@@ -4235,6 +4235,41 @@ def _sample_fraction(toks: list[str], i: int) -> tuple:
     return f, i + 1
 
 
+def _rewrite_system_tables(toks: list[str]) -> list[str]:
+    """``system.one`` → a literal one-row relation (the ClickHouse
+    dual table); ``system.numbers``/``numbers_mt`` (unbounded) refuse
+    toward the bounded ``numbers(n)`` table function; other
+    ``system.*`` introspection tables refuse toward Spark's catalog
+    (SHOW TABLES / DESCRIBE run natively through the script front
+    door)."""
+    i = 0
+    while i < len(toks) - 2:
+        if (
+            _is_ident(toks[i])
+            and toks[i].lower() == "system"
+            and toks[i + 1] == "."
+            and _is_ident(toks[i + 2])
+        ):
+            obj = toks[i + 2].lower()
+            if obj == "one":
+                toks[i : i + 3] = _tokens(
+                    "(SELECT 1 AS dummy) __system_one"
+                )
+            elif obj in ("numbers", "numbers_mt"):
+                raise DialectError(
+                    "system.numbers is unbounded; use the numbers(n) "
+                    "table function (range relation)"
+                )
+            else:
+                raise DialectError(
+                    f"system.{obj} is ClickHouse server introspection; "
+                    "use Spark's catalog (SHOW TABLES / DESCRIBE "
+                    "TABLE run natively through the script runner)"
+                )
+        i += 1
+    return toks
+
+
 def _rewrite_sample_clause(toks: list[str], engine_info=None):
     """``FROM t SAMPLE k [OFFSET m]`` → deterministic hash-range
     slice on the table's ``SAMPLE BY`` column (captured by the DDL
@@ -4366,6 +4401,7 @@ def transpile(sql: str, resolve_columns=None, engine_info=None) -> str:
     (table name → ``ddl.EngineInfo`` or None) unlocks ``FROM t
     FINAL`` reads for tables whose DDL ran through the front door."""
     toks = _tokens(sql)
+    toks = _rewrite_system_tables(toks)
     toks = _rewrite_sample_clause(toks, engine_info)
     toks = _rewrite_star_modifiers(toks, resolve_columns)
     toks = _rewrite_type_casts(toks)

@@ -2180,3 +2180,15 @@ FROM customer ORDER BY c_custkey LIMIT 2;
         transpile("SELECT dictGet('nope', 'a', k) FROM t")
     with pytest.raises(DialectError, match="no attribute"):
         transpile("SELECT dictGet('nd_t', 'bogus', k) FROM t")
+
+
+def test_system_tables(spark):
+    """r7: system.one maps to the one-row dual; unbounded/introspection
+    system tables refuse with pointers."""
+    assert spark.sql(
+        transpile("SELECT 41 + 1 AS x FROM system.one")
+    ).collect()[0].x == 42
+    with pytest.raises(DialectError, match="numbers\\(n\\)"):
+        transpile("SELECT number FROM system.numbers LIMIT 5")
+    with pytest.raises(DialectError, match="introspection"):
+        transpile("SELECT count() FROM system.parts")
