@@ -4235,6 +4235,132 @@ def _sample_fraction(toks: list[str], i: int) -> tuple:
     return f, i + 1
 
 
+#: tokens that bound a ternary operand (same nesting depth).  AND/OR
+#: are deliberately NOT stops: ClickHouse gives ?: lower precedence
+#: than the logical operators (C rules), so `a AND b ? x : y` is
+#: `(a AND b) ? x : y` and the else side absorbs `c AND d`.
+_TERNARY_STOP = {
+    "SELECT", "FROM", "WHERE", "GROUP", "ORDER", "HAVING", "LIMIT",
+    "BY", "AS", "WHEN", "THEN", "ELSE", "END", "UNION",
+    "ON", "JOIN", "SETTINGS", "CASE", "WITH", "ASC", "DESC",
+}
+
+
+def _rewrite_ternary(toks: list[str]) -> list[str]:
+    """ClickHouse's C-style ternary ``cond ? a : b`` → ``IF(cond, a,
+    b)``.  Runs after the ``::`` cast rewrite, so a remaining ``?``
+    at expression level is always a ternary (strings/comments are
+    opaque tokens).  Operand boundaries are the nearest same-depth
+    comma/paren/clause keyword; nested ternaries resolve over
+    repeated passes (branches of the emitted IF re-scan)."""
+    fuse = 0
+    while "?" in toks and fuse < 50:
+        fuse += 1
+        q = toks.index("?")
+        # matching ':' — count nested '?' at any depth to its right
+        need = 0
+        colon = None
+        depth = 0
+        for j in range(q + 1, len(toks)):
+            t = toks[j]
+            if t in ("(", "["):
+                depth += 1
+            elif t in (")", "]"):
+                depth -= 1
+            elif t == "?" and depth == 0:
+                need += 1
+            elif t == ":" and depth == 0:
+                if need == 0:
+                    colon = j
+                    break
+                need -= 1
+        if colon is None:
+            raise DialectError("ternary '?' without matching ':'")
+        # condition start: walk left at the same depth
+        depth = 0
+        start = 0
+        for j in range(q - 1, -1, -1):
+            t = toks[j]
+            if t in (")", "]"):
+                depth += 1
+            elif t in ("(", "["):
+                if depth == 0:
+                    start = j + 1
+                    break
+                depth -= 1
+            elif depth == 0 and (
+                t == ","
+                or (_is_ident(t) and t.upper() in _TERNARY_STOP)
+            ):
+                start = j + 1
+                break
+        # else-branch end: walk right from the colon
+        depth = 0
+        end = len(toks)
+        for j in range(colon + 1, len(toks)):
+            t = toks[j]
+            if t in ("(", "["):
+                depth += 1
+            elif t in (")", "]"):
+                if depth == 0:
+                    end = j
+                    break
+                depth -= 1
+            elif depth == 0 and (
+                t in (",", ";")
+                or (_is_ident(t) and t.upper() in _TERNARY_STOP)
+            ):
+                end = j
+                break
+        cond = "".join(toks[start:q]).strip()
+        then = "".join(toks[q + 1 : colon]).strip()
+        els = "".join(toks[colon + 1 : end]).strip()
+        if not cond or not then or not els:
+            raise DialectError("malformed ternary expression")
+        toks[start:end] = _tokens(f" IF({cond}, {then}, {els}) ")
+    return toks
+
+
+def _rewrite_in_table(toks: list[str], resolve_columns=None):
+    """ClickHouse ``x IN table_name`` (implicit SELECT *) → ``x IN
+    (SELECT * FROM table_name)`` — only when the catalog resolver
+    confirms the identifier IS a relation (an unresolvable name
+    passes through untouched, so scalar/column right sides keep
+    their meaning)."""
+    if resolve_columns is None:
+        return toks
+    i = 0
+    while i < len(toks):
+        t = toks[i]
+        if _is_ident(t) and t.upper() == "IN":
+            j = _next_code(toks, i + 1)
+            if (
+                j < len(toks)
+                and _is_ident(toks[j])
+                and toks[j].upper() not in ("SELECT",)
+            ):
+                # dotted names too (db.t)
+                end = j
+                k = _next_code(toks, j + 1)
+                while (
+                    k < len(toks)
+                    and toks[k] == "."
+                    and _next_code(toks, k + 1) < len(toks)
+                    and _is_ident(toks[_next_code(toks, k + 1)])
+                ):
+                    end = _next_code(toks, k + 1)
+                    k = _next_code(toks, end + 1)
+                rel = "".join(
+                    x for x in toks[j : end + 1] if not _is_skippable(x)
+                )
+                if resolve_columns(rel) is not None:
+                    toks[j : end + 1] = _tokens(
+                        f"(SELECT * FROM {rel})"
+                    )
+        i += 1
+    return toks
+
+
 def _rewrite_system_tables(toks: list[str]) -> list[str]:
     """``system.one`` → a literal one-row relation (the ClickHouse
     dual table); ``system.numbers``/``numbers_mt`` (unbounded) refuse
@@ -4405,6 +4531,8 @@ def transpile(sql: str, resolve_columns=None, engine_info=None) -> str:
     toks = _rewrite_sample_clause(toks, engine_info)
     toks = _rewrite_star_modifiers(toks, resolve_columns)
     toks = _rewrite_type_casts(toks)
+    toks = _rewrite_ternary(toks)
+    toks = _rewrite_in_table(toks, resolve_columns)
     toks = _rewrite_with_scalars(toks)
     toks = _rewrite_limit_ties(toks)
     toks = _rewrite_distinct_on(toks)

@@ -2192,3 +2192,60 @@ def test_system_tables(spark):
         transpile("SELECT number FROM system.numbers LIMIT 5")
     with pytest.raises(DialectError, match="introspection"):
         transpile("SELECT count() FROM system.parts")
+
+
+def test_ternary_and_in_table(spark):
+    """r7: C-style ternary (ClickHouse precedence: ?: below AND/OR)
+    and `x IN table` implicit-subquery form."""
+    from clickhouse_vs_dbt_spark.dialect import catalog_resolver
+
+    assert transpile("SELECT a ? b : c FROM t") == (
+        "SELECT IF(a, b, c) FROM t"
+    )
+    # ?: binds looser than AND on both sides
+    assert transpile("SELECT a AND b ? x : y AND z FROM t") == (
+        "SELECT IF(a AND b, x, y AND z) FROM t"
+    )
+    r = spark.sql(
+        transpile(
+            "SELECT 5 > 3 ? 'yes' : 'no' AS v, "
+            "1 = 2 ? (3 > 2 ? 'a' : 'b') : 'c' AS w"
+        )
+    ).collect()[0]
+    assert (r.v, r.w) == ("yes", "c")
+    with pytest.raises(DialectError, match="ternary"):
+        transpile("SELECT a ? b FROM t")
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW in_keys AS "
+        "SELECT 2 AS k UNION ALL SELECT 4"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW in_src AS "
+        "SELECT explode(sequence(1, 5)) AS k"
+    )
+    res = catalog_resolver(spark)
+    got = [
+        r.k
+        for r in spark.sql(
+            transpile(
+                "SELECT k FROM in_src WHERE k IN in_keys ORDER BY k",
+                resolve_columns=res,
+            )
+        ).collect()
+    ]
+    assert got == [2, 4]
+    got = [
+        r.k
+        for r in spark.sql(
+            transpile(
+                "SELECT k FROM in_src WHERE k NOT IN in_keys "
+                "ORDER BY k",
+                resolve_columns=res,
+            )
+        ).collect()
+    ]
+    assert got == [1, 3, 5]
+    # a non-table identifier on the right of IN is left untouched
+    assert "zzz_x" in transpile(
+        "SELECT k IN zzz_x FROM in_src", resolve_columns=res
+    )
