@@ -5035,6 +5035,23 @@ def run_clickhouse_script(
             )
             results.append(("mutation", (am.group(1), am.group(2).upper())))
         elif (
+            ld := _re.match(
+                r"(?is)\s*DELETE\s+FROM\s+([A-Za-z_][A-Za-z0-9_.`]*)"
+                r"\s+(WHERE\s+.*)$",
+                stmt,
+                _re.DOTALL,
+            )
+        ) is not None:
+            # ClickHouse 23+ lightweight DELETE — same relational
+            # effect as ALTER TABLE ... DELETE; served by the same
+            # copy-on-write mutation (parquet tables have no row-level
+            # delete)
+            _apply_mutation(
+                spark, ld.group(1), "DELETE", ld.group(2),
+                resolver, engine_info,
+            )
+            results.append(("mutation", (ld.group(1), "DELETE")))
+        elif (
             sc := _re.match(
                 r"(?is)\s*ALTER\s+TABLE\s+([A-Za-z_][A-Za-z0-9_.`]*)\s+"
                 r"(ADD|DROP|MODIFY|RENAME)\s+COLUMN\s+(.*)",

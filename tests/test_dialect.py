@@ -2249,3 +2249,26 @@ def test_ternary_and_in_table(spark):
     assert "zzz_x" in transpile(
         "SELECT k IN zzz_x FROM in_src", resolve_columns=res
     )
+
+
+def test_lightweight_delete(spark, tmp_path):
+    """r7: ClickHouse 23+ lightweight DELETE FROM t WHERE ... routes
+    to the same copy-on-write mutation as ALTER TABLE ... DELETE."""
+    from clickhouse_vs_dbt_spark.dialect import run_clickhouse_script
+
+    src = tmp_path / "lwdel"
+    spark.createDataFrame(
+        [(1, 1.0), (2, 2.0), (3, 3.0)], "k long, v double"
+    ).write.mode("overwrite").parquet(str(src))
+    res = run_clickhouse_script(
+        spark,
+        """
+CREATE TABLE lwdel (k UInt64, v Float64) ENGINE = MergeTree ORDER BY k;
+DELETE FROM lwdel WHERE k = 2;
+SELECT k FROM lwdel ORDER BY k;
+""",
+        path_overrides={"lwdel": str(src)},
+        overwrite_existing=True,
+    )
+    assert res[1][0] == "mutation"
+    assert [r.k for r in res[-1][1].collect()] == [1, 3]
