@@ -1705,17 +1705,106 @@ def _render_call(name: str, args: list[str]) -> str:
                         )
                     return "count(*)"
                 return f"{fn}({joined})"
+            if base == "avg" and suffix in ("State", "Merge", "MergeState"):
+                # avg's portable state is the (sum, count) pair CH
+                # itself decomposes avgState into; merge divides in
+                # DOUBLE — CH avg/avgMerge returns Float64 regardless
+                # of the input type, so double division is faithful
+                if suffix == "State":
+                    if has_if:
+                        if len(args) != 2:
+                            raise DialectError(f"{name} needs (x, cond)")
+                        x, cond = args
+                        return (
+                            f"named_struct('s', sum(CASE WHEN {cond} "
+                            f"THEN {x} END), 'c', count(CASE WHEN "
+                            f"{cond} THEN {x} END))"
+                        )
+                    if len(args) != 1:
+                        raise DialectError(f"{name} takes one argument")
+                    return (
+                        f"named_struct('s', sum({args[0]}), "
+                        f"'c', count({args[0]}))"
+                    )
+                if len(args) != 1:
+                    raise DialectError(
+                        f"{name} takes the single state column"
+                    )
+                st = args[0]
+                if suffix == "MergeState":
+                    return (
+                        f"named_struct('s', sum(({st}).s), "
+                        f"'c', sum(({st}).c))"
+                    )
+                return (
+                    f"(CAST(sum(({st}).s) AS DOUBLE) / "
+                    f"CAST(sum(({st}).c) AS DOUBLE))"
+                )
+            if base == "uniqExact" and suffix in (
+                "State", "Merge", "MergeState",
+            ):
+                # uniqExact's state is the value set itself (exact
+                # distinct needs it, in CH too — memory grows with
+                # cardinality); sorted array for deterministic output
+                # if the state itself is ever selected
+                if suffix == "State":
+                    if has_if:
+                        if len(args) != 2:
+                            raise DialectError(f"{name} needs (x, cond)")
+                        x, cond = args
+                        return (
+                            f"array_sort(collect_set("
+                            f"CASE WHEN {cond} THEN {x} END))"
+                        )
+                    if len(args) != 1:
+                        raise DialectError(f"{name} takes one argument")
+                    return f"array_sort(collect_set({args[0]}))"
+                if len(args) != 1:
+                    raise DialectError(
+                        f"{name} takes the single state column"
+                    )
+                merged = (
+                    f"array_distinct(flatten(collect_list({args[0]})))"
+                )
+                if suffix == "MergeState":
+                    return f"array_sort({merged})"
+                return f"CAST(size({merged}) AS BIGINT)"
+            if base == "groupArray" and suffix in (
+                "State", "Merge", "MergeState",
+            ):
+                # groupArray's state is the collected array; CH's
+                # insertion order is nondeterministic under
+                # distributed merge and so is collect_list's — sort
+                # the merged result (arraySort) for stable output
+                if suffix == "State":
+                    if has_if:
+                        if len(args) != 2:
+                            raise DialectError(f"{name} needs (x, cond)")
+                        x, cond = args
+                        return (
+                            f"collect_list(CASE WHEN {cond} "
+                            f"THEN {x} END)"
+                        )
+                    if len(args) != 1:
+                        raise DialectError(f"{name} takes one argument")
+                    return f"collect_list({args[0]})"
+                if len(args) != 1:
+                    raise DialectError(
+                        f"{name} takes the single state column"
+                    )
+                return f"flatten(collect_list({args[0]}))"
             if base in _IF_BASES or base in _RENAME or base in (
-                "avg", "uniq", "quantile", "groupArray",
+                "uniq", "quantile",
             ):
                 raise DialectError(
                     f"{name}: this ClickHouse -State/-Merge register is "
                     "an engine-internal byte state with no portable "
-                    "Spark value (avg → keep a sumState+countState "
-                    "pair; uniq → the HLL sketch operators, hll.py); "
-                    "sum/count/min/max States ARE transpiled — see "
-                    "mergetree_aggregating (and incremental_agg_mv / "
-                    "transpile_materialized_view for maintained state)"
+                    "Spark value (uniq → the HLL sketch operators, "
+                    "hll.py; quantile → a nondeterministic reservoir); "
+                    "sum/count/min/max/avg/uniqExact/groupArray States "
+                    "ARE transpiled — see mergetree_aggregating (and "
+                    "incremental_agg_mv / transpile_materialized_view "
+                    "for maintained state)"
                 )
     if name in ("sumMap", "minMap", "maxMap") and len(args) == 2:
         # -Map aggregates: per-key reduction over (keys[], values[])
@@ -6428,6 +6517,55 @@ def q_dialect_state_merge(
     )
 
 
+# 21b. non-self-merging states with PORTABLE Spark representations:
+#      avg's state is the (sum, count) pair (merge divides in DOUBLE
+#      — CH avgMerge returns Float64), uniqExact's state is the
+#      value set itself (exact distinct carries it in CH too), and
+#      groupArray's state is the collected array (flatten on merge).
+#      Both levels stay native Spark aggregates — partial/final with
+#      map-side combine; only uniq (HLL byte state → hll.py) and
+#      quantile (reservoir) still refuse.
+_CH_STATE_MERGE2 = """
+SELECT o_orderpriority,
+       avgMerge(a) AS avg_price,
+       uniqExactMerge(u) AS n_cust,
+       arrayStringConcat(arraySort(groupArrayMerge(g)), ',') AS key_mods
+FROM (
+    SELECT o_orderpriority, o_orderstatus,
+           avgState(toDecimal64(o_totalprice, 2)) AS a,
+           uniqExactState(o_custkey) AS u,
+           groupArrayIfState(o_orderkey % 7, o_orderkey % 997 = 0) AS g
+    FROM orders
+    GROUP BY o_orderpriority, o_orderstatus
+)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+O_STATE_MERGE2 = """
+SELECT o_orderpriority,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         / CAST(COUNT(o_totalprice) AS DOUBLE) AS avg_price,
+       COUNT(DISTINCT o_custkey) AS n_cust,
+       COALESCE(array_to_string(
+         list_sort(list(o_orderkey % 7) FILTER (WHERE o_orderkey % 997 = 0)),
+         ','), '') AS key_mods
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def q_dialect_state_merge2(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Verbatim ClickHouse avg/uniqExact/groupArray -State/-Merge
+    two-level aggregate (module doc #21b)."""
+    return run_clickhouse_sql(
+        spark, _CH_STATE_MERGE2, sf_dir, ("orders",)
+    )
+
+
 # 22. COLUMNS('regex') dynamic column selection + APPLY — expands via
 #     the catalog resolver to the matching columns in table order
 #     (re.search, ClickHouse's partial-match semantics), then the
@@ -6714,6 +6852,7 @@ QUERIES = {
     "dialect_star_modifiers": q_dialect_star_modifiers,
     "dialect_sample_clause": q_dialect_sample_clause,
     "dialect_state_merge": q_dialect_state_merge,
+    "dialect_state_merge2": q_dialect_state_merge2,
     "dialect_columns_select": q_dialect_columns_select,
     "dialect_dictionary": q_dialect_dictionary,
     "dialect_limit_by": q_dialect_limit_by,
@@ -6757,6 +6896,7 @@ ORACLES = {
     "dialect_star_modifiers": O_STAR_MODIFIERS,
     "dialect_sample_clause": _o_sample_dialect(),
     "dialect_state_merge": O_STATE_MERGE,
+    "dialect_state_merge2": O_STATE_MERGE2,
     "dialect_columns_select": O_COLUMNS_SELECT,
     "dialect_dictionary": O_DICTIONARY,
     "dialect_limit_by": O_LIMIT_BY,

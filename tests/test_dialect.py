@@ -842,11 +842,46 @@ def test_combinator_families_round5():
     assert transpile("maxMerge(s)") == "max(s)"
     assert transpile("sumIfState(x, c)") == "sum(CASE WHEN c THEN x END)"
     assert transpile("countIfState(c)") == "count_if(c)"
-    for bad in ("uniqMerge(s)", "avgState(x)", "quantileState(x)"):
+    for bad in ("uniqMerge(s)", "quantileState(x)"):
         with pytest.raises(DialectError, match="mergetree_aggregating"):
             transpile(f"SELECT {bad} FROM t")
     with pytest.raises(DialectError, match="state column"):
         transpile("countMerge()")
+    # r7b: portable non-self-merging states — avg = (sum, count)
+    # struct, uniqExact = sorted value set, groupArray = the array
+    assert transpile("avgState(x)") == (
+        "named_struct('s', sum(x), 'c', count(x))"
+    )
+    assert transpile("avgMerge(a)") == (
+        "(CAST(sum((a).s) AS DOUBLE) / CAST(sum((a).c) AS DOUBLE))"
+    )
+    assert transpile("avgMergeState(a)") == (
+        "named_struct('s', sum((a).s), 'c', sum((a).c))"
+    )
+    assert transpile("avgIfState(x, c)") == (
+        "named_struct('s', sum(CASE WHEN c THEN x END), "
+        "'c', count(CASE WHEN c THEN x END))"
+    )
+    assert transpile("avgIfMerge(a)") == (
+        "(CAST(sum((a).s) AS DOUBLE) / CAST(sum((a).c) AS DOUBLE))"
+    )
+    assert transpile("uniqExactState(x)") == "array_sort(collect_set(x))"
+    assert transpile("uniqExactMerge(u)") == (
+        "CAST(size(array_distinct(flatten(collect_list(u)))) AS BIGINT)"
+    )
+    assert transpile("uniqExactMergeState(u)") == (
+        "array_sort(array_distinct(flatten(collect_list(u))))"
+    )
+    assert transpile("uniqExactIfState(x, c)") == (
+        "array_sort(collect_set(CASE WHEN c THEN x END))"
+    )
+    assert transpile("groupArrayState(x)") == "collect_list(x)"
+    assert transpile("groupArrayMerge(g)") == "flatten(collect_list(g))"
+    assert transpile("groupArrayIfState(x, c)") == (
+        "collect_list(CASE WHEN c THEN x END)"
+    )
+    with pytest.raises(DialectError, match="state column"):
+        transpile("avgMerge(a, b)")
 
 
 def test_run_clickhouse_script_end_to_end(spark, tmp_path):
