@@ -3867,8 +3867,13 @@ def _ties_sort_keys(
     ord_toks: list[str],
 ) -> list[tuple[str, bool, bool]]:
     """Split an ORDER BY token span on top-level commas into
-    ``(expr_sql, desc, nulls_first)`` triples.  Direction defaults
-    follow Spark: ASC ⇒ NULLS FIRST, DESC ⇒ NULLS LAST."""
+    ``(expr_sql, desc, nulls_first)`` triples.  When the query does
+    not spell NULLS FIRST/LAST, the default is ClickHouse's, not
+    Spark's: NULLS LAST for BOTH directions (Spark would place NULLs
+    first under ASC, silently swapping which rows a row-selecting
+    LIMIT … WITH TIES keeps over a nullable key — ADVICE r7).  The
+    caller always emits the placement explicitly into the rewritten
+    SQL, so Spark's own default never applies."""
     parts = _split_commas(ord_toks)
     keys: list[tuple[str, bool, bool]] = []
     for p in parts:
@@ -3894,7 +3899,7 @@ def _ties_sort_keys(
             desc = p[code[-1]].upper() == "DESC"
             p = p[: code[-1]]
         if nulls_first is None:
-            nulls_first = not desc
+            nulls_first = False  # ClickHouse default: NULLS LAST
         expr = "".join(p).strip()
         if not expr:
             raise DialectError("empty ORDER BY expression")
@@ -4221,7 +4226,23 @@ def _rewrite_star_modifiers(toks: list[str], resolve_columns=None):
         if hit is None:
             return toks
         star_i, end, mods, base_cols_filter = hit
-        rel = _star_from_relation(toks, end + 1)
+        # COLUMNS as a function ARGUMENT — f(COLUMNS('re')) — passes
+        # each matched column as a separate bare argument
+        # (ClickHouse's documented call semantics); the projection
+        # form's `expr AS name` items would inject aliases into an
+        # argument list and produce invalid Spark SQL (ADVICE r7).
+        # The FROM relation then lives OUTSIDE the enclosing call's
+        # parens, so resolve it from past the call's close.
+        in_call = False
+        rel_from = end + 1
+        if base_cols_filter is not None:
+            p = _prev_code(toks, star_i - 1)
+            if p >= 0 and toks[p] == "(":
+                pp = _prev_code(toks, p - 1)
+                if pp >= 0 and _is_ident(toks[pp]):
+                    in_call = True
+                    rel_from = _match_close(toks, p) + 1
+        rel = _star_from_relation(toks, rel_from)
         cols = (
             resolve_columns(rel)
             if (resolve_columns is not None and rel)
@@ -4239,6 +4260,18 @@ def _rewrite_star_modifiers(toks: list[str], resolve_columns=None):
                 raise DialectError(
                     "COLUMNS(...) matched no columns of the relation"
                 )
+            if in_call:
+                if mods:
+                    raise DialectError(
+                        "COLUMNS(...) modifiers (EXCEPT/REPLACE/"
+                        "APPLY) are not supported inside a function "
+                        "call; apply the function via APPLY or "
+                        "spell the arguments out"
+                    )
+                toks[star_i : end + 1] = _tokens(
+                    ", ".join(f"`{c}`" for c in cols)
+                )
+                continue
         except_set: set[str] = set()
         replace_map: dict[str, str] = {}
         applies: list[str] = []
@@ -4332,6 +4365,10 @@ _TERNARY_STOP = {
     "SELECT", "FROM", "WHERE", "GROUP", "ORDER", "HAVING", "LIMIT",
     "BY", "AS", "WHEN", "THEN", "ELSE", "END", "UNION",
     "ON", "JOIN", "SETTINGS", "CASE", "WITH", "ASC", "DESC",
+    # the SELECT quantifiers: without these, `SELECT DISTINCT a ? b
+    # : c` would absorb DISTINCT into the condition and emit
+    # IF(DISTINCT a, …) — an opaque Spark parse error (ADVICE r7)
+    "DISTINCT", "ALL",
 }
 
 
@@ -4596,8 +4633,14 @@ def _rewrite_sample_clause(toks: list[str], engine_info=None):
             mix_hash_sql,
         )
 
+        # lo/hi truncate the EXACT rational off and off+frac, so a
+        # slice's upper bound equals the next slice's lower bound for
+        # ANY fractions — adjacent slices partition the hash space
+        # with no orphaned values (truncating offset and width
+        # independently leaves gaps for non-dyadic fractions,
+        # ADVICE r7); off+frac == 1 lands exactly on 2^32
         lo = int(4294967296 * (off_frac or 0))
-        hi = lo + int(4294967296 * frac)
+        hi = int(4294967296 * ((off_frac or 0) + frac))
         h = mix_hash_sql("spark", key)
         pred = f"{h} >= {lo} AND {h} < {hi}"
         repl = (
@@ -6411,23 +6454,32 @@ def q_dialect_distinct_on(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     TIES in one statement — the "modern ClickHouse SQL" surface a
 #     migrant's ad-hoc queries lean on.
 _CH_MODERN = """
-WITH (SELECT max(o_totalprice) FROM orders) AS mx,
+WITH (SELECT max(o_totalprice::Decimal(18, 2)) FROM orders) AS mx,
      0.5 AS half
 SELECT o_orderkey,
        o_totalprice::Decimal(18, 2) AS price,
        toTypeName(o_orderkey) AS keytype,
-       ((mx - o_totalprice) * half)::Decimal(18, 3) AS half_gap,
+       ((mx - o_totalprice::Decimal(18, 2)) * half)::Decimal(18, 3)
+           AS half_gap,
        o_orderdate
 FROM orders
 ORDER BY o_orderdate
 LIMIT 100 WITH TIES
 """
 
+# half_gap is exact end-to-end: o_totalprice is a 2-decimal value, so
+# the double->DECIMAL(18,2) cast is unambiguous in any rounding mode;
+# subtraction and the *0.5 (a decimal literal on both engines) stay in
+# decimal, and the final DECIMAL(18,3) cast widens scale without
+# rounding. No binary-float boundary exists on either side (VERDICT r7
+# adjudicated two driver reds to double->decimal rounding drift).
 O_MODERN = """
-WITH mx AS (SELECT max(o_totalprice) AS v FROM orders)
+WITH mx AS (SELECT max(CAST(o_totalprice AS DECIMAL(18,2))) AS v
+            FROM orders)
 SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price,
        'bigint' AS keytype,
-       CAST((mx.v - o_totalprice) * 0.5 AS DECIMAL(18,3)) AS half_gap,
+       CAST((mx.v - CAST(o_totalprice AS DECIMAL(18,2))) * 0.5
+            AS DECIMAL(18,3)) AS half_gap,
        o_orderdate
 FROM orders, mx
 QUALIFY rank() OVER (ORDER BY o_orderdate) <= 100
@@ -6663,8 +6715,11 @@ GROUP BY o_orderstatus;
 def _o_sample_dialect() -> str:
     from clickhouse_vs_dbt_spark.operators.sampling import mix_hash_sql
 
+    # mirror the engine's exact-rational slice bounds: truncate off
+    # and off+frac (NOT off and width independently) so the oracle's
+    # half-open range is bit-identical to the transpiled predicate
     lo = (4294967296 * 1) // 5
-    hi = lo + (4294967296 * 3) // 10
+    hi = (4294967296 * (1 * 10 + 3 * 5)) // 50  # = 2^32 * (1/5 + 3/10)
     h = mix_hash_sql("duckdb", "o_orderkey")
     return f"""
 SELECT o_orderstatus,

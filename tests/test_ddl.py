@@ -484,3 +484,50 @@ def test_aggregate_function_column_types():
             "CREATE TABLE bad (u AggregateFunction(uniq, UInt64)) "
             "ENGINE = AggregatingMergeTree ORDER BY tuple()"
         )
+
+
+def test_engine_whitelist_refuses_and_maps():
+    """r8: non-table engines must not silently map to parquet
+    (VERDICT r7 "What's wrong" #2).  Distributed resolves to a view
+    over its underlying table; Kafka/Buffer/unknown refuse with
+    pointers; MergeTree family + Memory/Log still transpile."""
+    # Distributed(cluster, db, table[, key]) -> identity view: Spark
+    # tables are already cluster-distributed
+    out = transpile_ddl(
+        "CREATE TABLE orders_all (o_orderkey UInt64) "
+        "ENGINE = Distributed('main', 'default', orders, o_orderkey)"
+    )
+    assert out.strip() == "CREATE VIEW orders_all AS SELECT * FROM orders"
+    out = transpile_ddl(
+        "CREATE TABLE IF NOT EXISTS t_all (k UInt64) "
+        "ENGINE = Distributed('c', 'db', 't')"
+    )
+    assert "CREATE VIEW IF NOT EXISTS t_all" in out
+    with pytest.raises(DialectError, match="Distributed needs"):
+        transpile_ddl(
+            "CREATE TABLE bad (k UInt64) ENGINE = Distributed('c')"
+        )
+    # streaming-flavored engines refuse with a pointer, never parquet
+    with pytest.raises(DialectError, match="streaming/"):
+        transpile_ddl(
+            "CREATE TABLE q (k UInt64) "
+            "ENGINE = Kafka('broker:9092', 'topic', 'grp', 'JSONEachRow')"
+        )
+    with pytest.raises(DialectError, match="foreachBatch"):
+        transpile_ddl(
+            "CREATE TABLE b (k UInt64) "
+            "ENGINE = Buffer(default, t, 16, 10, 100, 10000, 1000000, "
+            "10000000, 100000000)"
+        )
+    with pytest.raises(DialectError, match="no Spark table mapping"):
+        transpile_ddl(
+            "CREATE TABLE u (k UInt64) ENGINE = URL('http://x', CSV)"
+        )
+    # whitelisted families still transpile to parquet tables
+    for eng in ("MergeTree", "ReplacingMergeTree(ver)",
+                "ReplicatedMergeTree('/p', 'r')", "Memory", "TinyLog"):
+        out = transpile_ddl(
+            f"CREATE TABLE wl (k UInt64, ver UInt64) ENGINE = {eng} "
+            "ORDER BY k"
+        )
+        assert "USING parquet" in out

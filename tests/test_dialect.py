@@ -1540,7 +1540,10 @@ def test_modern_sql_rewrites(spark):
         (2, "a"),
         (2, "b"),
     ]
-    # NULL keys follow Spark ordering (ASC ⇒ NULLS FIRST)
+    # NULL keys follow CLICKHOUSE ordering (NULLS LAST both ways
+    # unless spelled) — ASC keeps the smallest values, not the NULLs
+    # (ADVICE r7: Spark's ASC ⇒ NULLS FIRST default would silently
+    # return the NULL rows instead)
     spark.sql(
         "CREATE OR REPLACE TEMP VIEW ties_t3 AS SELECT * FROM VALUES "
         "(NULL), (NULL), (1), (2) AS t(v)"
@@ -1548,10 +1551,22 @@ def test_modern_sql_rewrites(spark):
     rows = spark.sql(
         transpile("SELECT v FROM ties_t3 ORDER BY v LIMIT 2 WITH TIES")
     ).collect()
-    assert sorted((r.v is None, r.v or 0) for r in rows) == [
-        (True, 0),
-        (True, 0),
-    ]
+    assert sorted(r.v for r in rows) == [1, 2]
+    # explicit NULLS FIRST is honored verbatim
+    rows = spark.sql(
+        transpile(
+            "SELECT v FROM ties_t3 ORDER BY v NULLS FIRST LIMIT 2 "
+            "WITH TIES"
+        )
+    ).collect()
+    assert all(r.v is None for r in rows) and len(rows) == 2
+    # DESC also defaults NULLS LAST (ClickHouse), keeping the largest
+    rows = spark.sql(
+        transpile(
+            "SELECT v FROM ties_t3 ORDER BY v DESC LIMIT 2 WITH TIES"
+        )
+    ).collect()
+    assert sorted(r.v for r in rows) == [1, 2]
 
 
 def test_probe4_scalar_family_values(spark):
@@ -1769,6 +1784,19 @@ def test_star_modifiers(spark):
     with pytest.raises(DialectError, match="qualified star"):
         transpile("SELECT t.* REPLACE (a + 1 AS a) FROM star_t t",
                   resolve_columns=res)
+    # r8: COLUMNS as a function argument expands to bare per-column
+    # arguments (ClickHouse call semantics), no AS aliases injected
+    rows = spark.sql(
+        transpile("SELECT count(COLUMNS('^s$')) AS n FROM star_t",
+                  resolve_columns=res)
+    ).collect()
+    assert rows[0].n == 2
+    out = transpile("SELECT sum(COLUMNS('^[ab]$')) FROM star_t",
+                    resolve_columns=res)
+    assert "AS" not in out.split("FROM")[0]  # bare args: sum(`a`, `b`)
+    with pytest.raises(DialectError, match="inside a function call"):
+        transpile("SELECT sum(COLUMNS('a') APPLY (abs)) FROM star_t",
+                  resolve_columns=res)
 
 
 def test_sample_clause_route(spark, sf_dir):
@@ -1815,6 +1843,28 @@ SELECT count() AS n FROM samp_t SAMPLE 1/2;
     # the slice is a map-side filter: no shuffle in the scan subtree
     plan = df_hi._jdf.queryExecution().executedPlan().toString()
     assert "SAMPLE" not in plan
+    # r8 (ADVICE): non-dyadic fractions — adjacent slices share exact
+    # bounds (hi = trunc(2^32·(off+frac)), not off and width
+    # truncated independently), so three 1/3 slices partition the
+    # table with no orphaned hash values and the last ends at 2^32
+    sqls = [
+        transpile(
+            "SELECT count() AS n FROM samp_t SAMPLE 1/3"
+            + (f" OFFSET {off}" if off else ""),
+            engine_info=_ddl.lookup_engine_info,
+        )
+        for off in ("", "1/3", "2/3")
+    ]
+    import re as _re
+
+    bounds = [
+        tuple(int(x) for x in _re.findall(r">= (\d+) AND.*< (\d+)", s)[0])
+        for s in sqls
+    ]
+    assert bounds[0][1] == bounds[1][0] and bounds[1][1] == bounds[2][0]
+    assert bounds[2][1] == 4294967296
+    ns = [spark.sql(s).collect()[0].n for s in sqls]
+    assert sum(ns) == total
 
 
 def test_script_schema_evolution_statements(spark):
