@@ -570,6 +570,188 @@ def _sequence_chain_len(pattern: str) -> int:
     return len(idxs)
 
 
+# --- portable uniq/quantile -State/-Merge registers ---------------
+#
+# ClickHouse's uniqState/quantileState are engine-internal byte blobs;
+# the portable equivalents below re-express the STATE ALGEBRA (build
+# partial, store, MAX/concat-merge, finalize) over plain Spark values,
+# so AggregatingMergeTree rollups migrate without rows-only gates:
+#
+# * uniqState → the repo's HLL register sketch (operators/hll.py,
+#   p=8): state = sorted set of (bucket·64 + rank) codes — BOUNDED
+#   (≤ 256·53 entries regardless of input size), order-free, and
+#   MAX-mergeable by construction (merging code sets then taking the
+#   per-bucket max rank equals sketching the union).  uniqMerge
+#   finalizes with the standard HLL estimator + linear counting.
+#   Estimates differ from ClickHouse's own uniq (different hash), as
+#   any re-implementation must; uniq is documented approximate.
+# * quantileState/quantileExactState → the exact sorted multiset
+#   (ClickHouse's OWN quantileExact state is all values; for plain
+#   quantile this upgrades the nondeterministic reservoir to a
+#   deterministic exact value — documented strictness upgrade).
+#   State grows with group rows, exactly as CH quantileExact's does.
+# * quantileTimingState → the value-binned sketch (CH-documented
+#   domain: 1ms precision, clamped to [0, 30000]): state is the
+#   run-length (value, count) encoding of the clamped multiset —
+#   BOUNDED at ≤ 30001 entries once compacted, concat-mergeable.
+
+_HLL_M = 256  # registers (p=8) — matches operators/hll.py
+
+
+def _hll_num() -> str:
+    from clickhouse_vs_dbt_spark.operators.hll import M, _NUM
+
+    assert M == _HLL_M
+    return _NUM
+
+
+def _uniq_state_sql(x: str) -> str:
+    """(bucket, rank) code set of the HLL(p=8) sketch of ``x``."""
+    from clickhouse_vs_dbt_spark.operators.dedup import md5p_sql
+
+    h = md5p_sql(f"CAST({x} AS STRING)", "spark")
+    w = f"({h}) div {_HLL_M}"
+    rank = (
+        f"CASE WHEN {w} = 0 THEN 53 ELSE 53 - length(bin({w})) END"
+    )
+    return (
+        f"array_sort(collect_set(CAST(({h}) % {_HLL_M} * 64 "
+        f"+ ({rank}) AS INT)))"
+    )
+
+
+def _uniq_merge_sql(st: str, restate: bool) -> str:
+    """Merge uniq states; ``restate`` re-emits the merged code set
+    (uniqMergeState), else finalizes to the BIGINT estimate."""
+    merged = f"array_distinct(flatten(collect_list({st})))"
+    if restate:
+        return f"array_sort({merged})"
+    m, scale = _HLL_M, 1 << 53
+    # per-bucket max rank, then the HLL harmonic estimate with the
+    # standard linear-counting small-range correction (identical
+    # formula to operators/hll.py; floor(e+0.5) absorbs last-ulp ln
+    # drift at the integer boundary)
+    regs = (
+        f"transform(sequence(0, {m - 1}), b -> "
+        f"array_max(transform(filter(ents, e -> e div 64 = b), "
+        f"e -> e % 64)))"
+    )
+    den = (
+        "aggregate(regs, CAST(0 AS BIGINT), (acc, r) -> acc + "
+        f"CASE WHEN r IS NULL THEN CAST({scale} AS BIGINT) "
+        "ELSE shiftleft(CAST(1 AS BIGINT), 53 - r) END)"
+    )
+    seen = "size(filter(regs, r -> r IS NOT NULL))"
+    raw = f"{_hll_num()} / CAST({den} AS DOUBLE)"
+    est = (
+        f"CASE WHEN {raw} <= 2.5 * {m} AND {seen} < {m} "
+        f"THEN {m} * ln(CAST({m} AS DOUBLE) / ({m} - {seen})) "
+        f"ELSE {raw} END"
+    )
+    return (
+        f"transform(array({merged}), ents -> "
+        f"transform(array({regs}), regs -> "
+        f"CAST(floor({est} + 0.5) AS BIGINT))[0])[0]"
+    )
+
+
+def _q_state_sql(x: str) -> str:
+    """Exact-multiset quantile state: the sorted value array."""
+    return f"array_sort(collect_list(CAST({x} AS DOUBLE)))"
+
+
+def _q_merge_sql(st: str, level: str, restate: bool) -> str:
+    """Merge sorted-multiset quantile states; finalize with the
+    standard (n-1)·p linear interpolation (Spark ``percentile`` /
+    SQL percentile_cont semantics, matching the plain quantileExact
+    mapping)."""
+    merged = f"array_sort(flatten(collect_list({st})))"
+    if restate:
+        return merged
+    h = f"(CAST(size(L) - 1 AS DOUBLE) * CAST({level} AS DOUBLE))"
+    lo = f"CAST(floor({h}) AS INT)"
+    # (1-d)·lower + d·higher — Spark percentile's own arithmetic
+    # shape, so merged-state results are bit-identical to the plain
+    # quantileExact mapping (and the last-ulp rounding matches)
+    interp = (
+        f"(1.0D - ({h} - floor({h}))) * element_at(L, {lo} + 1) "
+        f"+ ({h} - floor({h})) * "
+        f"element_at(L, least({lo} + 2, size(L)))"
+    )
+    return (
+        f"transform(array({merged}), L -> "
+        f"CASE WHEN size(L) = 0 THEN CAST(NULL AS DOUBLE) "
+        f"ELSE {interp} END)[0]"
+    )
+
+
+def _qt_clamp_sql(x: str) -> str:
+    # CH quantileTiming domain: 1ms precision, [0, 30000]; floor(x+.5)
+    # rounds half-up identically on any engine (no banker's rounding)
+    return (
+        f"CAST(least(30000, greatest(0, "
+        f"CAST(floor(CAST({x} AS DOUBLE) + 0.5) AS INT))) AS INT)"
+    )
+
+
+def _qt_state_sql(x: str) -> str:
+    """Run-length (v, c) encoding of the clamped-int multiset —
+    bounded at ≤ 30001 entries, built by one linear fold over the
+    group's sorted values."""
+    fold = (
+        "aggregate(L, named_struct("
+        "'vs', CAST(array() AS ARRAY<INT>), "
+        "'cs', CAST(array() AS ARRAY<BIGINT>), "
+        "'cur', CAST(NULL AS INT), 'n', CAST(0 AS BIGINT)), "
+        "(a, x) -> CASE "
+        "WHEN a.cur IS NULL THEN named_struct('vs', a.vs, 'cs', a.cs, "
+        "'cur', x, 'n', CAST(1 AS BIGINT)) "
+        "WHEN x = a.cur THEN named_struct('vs', a.vs, 'cs', a.cs, "
+        "'cur', a.cur, 'n', a.n + 1) "
+        "ELSE named_struct('vs', concat(a.vs, array(a.cur)), "
+        "'cs', concat(a.cs, array(a.n)), 'cur', x, "
+        "'n', CAST(1 AS BIGINT)) END, "
+        "a -> CASE WHEN a.cur IS NULL "
+        "THEN CAST(array() AS ARRAY<STRUCT<v: INT, c: BIGINT>>) "
+        "ELSE zip_with(concat(a.vs, array(a.cur)), "
+        "concat(a.cs, array(a.n)), "
+        "(v, c) -> named_struct('v', v, 'c', c)) END)"
+    )
+    return (
+        f"transform(array(array_sort(collect_list("
+        f"{_qt_clamp_sql(x)}))), L -> {fold})[0]"
+    )
+
+
+def _qt_merge_sql(st: str, level: str, restate: bool) -> str:
+    """Merge run-length timing states (entries with repeated v are a
+    valid state — the read-off fold accumulates per ENTRY in sorted
+    order); finalize = smallest v whose cumulative count reaches
+    ceil(level·n) (exact integer arithmetic, no float read-off)."""
+    merged = f"array_sort(flatten(collect_list({st})))"
+    if restate:
+        return merged
+    total = "aggregate(E, CAST(0 AS BIGINT), (a, e) -> a + e.c)"
+    pos = (
+        f"greatest(CAST(1 AS BIGINT), "
+        f"CAST(ceil(CAST({level} AS DECIMAL(9, 6)) * {total}) "
+        f"AS BIGINT))"
+    )
+    walk = (
+        "aggregate(E, named_struct('acc', CAST(0 AS BIGINT), "
+        "'ans', CAST(NULL AS INT)), "
+        "(a, e) -> CASE WHEN a.ans IS NOT NULL THEN a "
+        "WHEN a.acc + e.c >= pos THEN "
+        "named_struct('acc', a.acc + e.c, 'ans', e.v) "
+        "ELSE named_struct('acc', a.acc + e.c, 'ans', a.ans) END, "
+        "a -> CAST(a.ans AS DOUBLE))"
+    )
+    return (
+        f"transform(array({merged}), E -> "
+        f"transform(array({pos}), pos -> {walk})[0])[0]"
+    )
+
+
 def _render_call(name: str, args: list[str]) -> str:
     joined = ", ".join(args)
     if name == "multiIf":
@@ -1793,18 +1975,90 @@ def _render_call(name: str, args: list[str]) -> str:
                         f"{name} takes the single state column"
                     )
                 return f"flatten(collect_list({args[0]}))"
-            if base in _IF_BASES or base in _RENAME or base in (
-                "uniq", "quantile",
+            if base in ("uniq", "uniqCombined", "uniqCombined64",
+                        "uniqHLL12") and suffix in (
+                "State", "Merge", "MergeState",
             ):
+                # portable HLL register sketch (module-level helper
+                # docs above _render_call); the If form masks at
+                # -State creation like the other registers
+                if suffix == "State":
+                    if has_if:
+                        if len(args) != 2:
+                            raise DialectError(f"{name} needs (x, cond)")
+                        x = f"CASE WHEN {args[1]} THEN {args[0]} END"
+                    else:
+                        if len(args) != 1:
+                            raise DialectError(
+                                f"{name} takes one argument (tuple "
+                                "keys: hash them into one expression)"
+                            )
+                        x = args[0]
+                    return _uniq_state_sql(x)
+                if len(args) != 1:
+                    raise DialectError(
+                        f"{name} takes the single state column"
+                    )
+                return _uniq_merge_sql(
+                    args[0], restate=suffix == "MergeState"
+                )
+            if base in ("quantile", "quantileExact") and suffix in (
+                "State", "Merge", "MergeState",
+            ):
+                if suffix == "State":
+                    if has_if:
+                        if len(args) != 2:
+                            raise DialectError(f"{name} needs (x, cond)")
+                        x = f"CASE WHEN {args[1]} THEN {args[0]} END"
+                    else:
+                        if len(args) != 1:
+                            raise DialectError(
+                                f"{name} takes one argument"
+                            )
+                        x = args[0]
+                    return _q_state_sql(x)
+                if len(args) != 1:
+                    raise DialectError(
+                        f"{name} takes the single state column "
+                        "(spell the level parametrically: "
+                        f"{name}(0.9)(state))"
+                    )
+                return _q_merge_sql(
+                    args[0], "0.5", restate=suffix == "MergeState"
+                )
+            if base == "quantileTiming" and suffix in (
+                "State", "Merge", "MergeState",
+            ):
+                if suffix == "State":
+                    if has_if:
+                        if len(args) != 2:
+                            raise DialectError(f"{name} needs (x, cond)")
+                        x = f"CASE WHEN {args[1]} THEN {args[0]} END"
+                    else:
+                        if len(args) != 1:
+                            raise DialectError(
+                                f"{name} takes one argument"
+                            )
+                        x = args[0]
+                    return _qt_state_sql(x)
+                if len(args) != 1:
+                    raise DialectError(
+                        f"{name} takes the single state column "
+                        "(spell the level parametrically: "
+                        f"{name}(0.9)(state))"
+                    )
+                return _qt_merge_sql(
+                    args[0], "0.5", restate=suffix == "MergeState"
+                )
+            if base in _IF_BASES or base in _RENAME:
                 raise DialectError(
                     f"{name}: this ClickHouse -State/-Merge register is "
                     "an engine-internal byte state with no portable "
-                    "Spark value (uniq → the HLL sketch operators, "
-                    "hll.py; quantile → a nondeterministic reservoir); "
-                    "sum/count/min/max/avg/uniqExact/groupArray States "
-                    "ARE transpiled — see mergetree_aggregating (and "
-                    "incremental_agg_mv / transpile_materialized_view "
-                    "for maintained state)"
+                    "Spark value; sum/count/min/max/avg/uniqExact/"
+                    "groupArray/uniq/quantile/quantileExact/"
+                    "quantileTiming States ARE transpiled — see "
+                    "mergetree_aggregating (and incremental_agg_mv / "
+                    "transpile_materialized_view for maintained state)"
                 )
     if name in ("sumMap", "minMap", "maxMap") and len(args) == 2:
         # -Map aggregates: per-key reduction over (keys[], values[])
@@ -2012,6 +2266,19 @@ def _render_parametric(name: str, params: list[str], args: list[str]) -> str:
         # both are ClickHouse approximate-quantile registers; the Spark
         # register is percentile_approx — same role, different sketch
         return f"percentile_approx({args[0]}, {params[0]})"
+    if (
+        name in ("quantileMerge", "quantileExactMerge")
+        and len(params) == 1
+        and len(args) == 1
+    ):
+        # parametric level over the portable sorted-multiset state
+        return _q_merge_sql(args[0], params[0], restate=False)
+    if (
+        name == "quantileTimingMerge"
+        and len(params) == 1
+        and len(args) == 1
+    ):
+        return _qt_merge_sql(args[0], params[0], restate=False)
     if name == "quantileDeterministic" and len(params) == 1 and args:
         # (x, determinator): the determinator only stabilizes CH's
         # sampling — percentile_approx is already deterministic
@@ -2093,6 +2360,9 @@ _PARAMETRIC = {
     "quantileTDigestIf",
     "quantileTimingIf",
     "quantileDeterministic",
+    "quantileMerge",
+    "quantileExactMerge",
+    "quantileTimingMerge",
     "uniqUpTo",
     "quantileTDigest",
     "quantileTiming",
@@ -6618,6 +6888,115 @@ def q_dialect_state_merge2(
     )
 
 
+# 21c. the last -State refusals closed (r8): uniqState → the
+#      portable HLL code-set state (bounded ≤ 256·53 entries,
+#      MAX-mergeable registers — the AggregatingMergeTree
+#      uniqState/uniqMerge pattern, CH's single most common MV
+#      shape), quantileState → the exact sorted multiset (CH's own
+#      quantileExact state; deterministic where CH's reservoir is
+#      not), quantileTimingState → the run-length value-binned
+#      sketch over CH's documented 1ms/[0,30000] domain (bounded
+#      state).  Both levels remain native Spark aggregates with
+#      map-side combine; finalize is a per-output-row higher-order
+#      fold.  See the helper docs above _render_call.
+_CH_STATE_MERGE3 = """
+SELECT o_orderstatus,
+       uniqMerge(u) AS uniq_cust,
+       quantileMerge(0.9)(q) AS p90_price,
+       quantileTimingMerge(0.5)(qt) AS med_price_pct
+FROM (
+    SELECT toYYYYMM(o_orderdate) AS ym, o_orderstatus,
+           uniqState(o_custkey) AS u,
+           quantileState(o_totalprice) AS q,
+           quantileTimingState(o_totalprice / 100) AS qt
+    FROM orders
+    GROUP BY ym, o_orderstatus
+)
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+def _o_state_merge3() -> str:
+    """DuckDB oracle for #21c — the merged-state results equal the
+    same sketches computed directly per status (register merge is a
+    MAX, multiset merge a concat), so the oracle computes each
+    portable algorithm once over the raw rows with bit-identical
+    arithmetic (same md5-prefix hash, same estimator literals, same
+    interpolation shape, exact-integer timing read-off)."""
+    from clickhouse_vs_dbt_spark.operators.dedup import md5p_sql
+    from clickhouse_vs_dbt_spark.operators.hll import M, _NUM, _SCALE
+
+    h = md5p_sql("CAST(o_custkey AS VARCHAR)", "duckdb")
+    lo = "CAST(floor(h) AS BIGINT) + 1"
+    hi = "least(CAST(floor(h) AS BIGINT) + 2, len(L))"
+    est = (
+        f"CASE WHEN {_NUM} / (s + ({M} - seen) * {_SCALE}) <= 2.5 * {M} "
+        f"AND seen < {M} "
+        f"THEN {M} * ln(CAST({M} AS DOUBLE) / ({M} - seen)) "
+        f"ELSE {_NUM} / (s + ({M} - seen) * {_SCALE}) END"
+    )
+    clamp = (
+        "CAST(least(30000, greatest(0, CAST(floor("
+        "CAST(o_totalprice / 100 AS DOUBLE) + 0.5) AS INT))) AS INT)"
+    )
+    return f"""
+WITH du AS (SELECT DISTINCT o_orderstatus, o_custkey FROM orders),
+hv AS (SELECT o_orderstatus, {h} AS hv FROM du),
+reg AS (
+  SELECT o_orderstatus, hv % {M} AS bucket,
+         MAX(CASE WHEN hv // {M} = 0 THEN 53
+                  ELSE 53 - length(bin(hv // {M})) END) AS rank
+  FROM hv GROUP BY o_orderstatus, hv % {M}),
+uc AS (
+  SELECT o_orderstatus,
+         CAST(floor({est} + 0.5) AS BIGINT) AS uniq_cust
+  FROM (SELECT o_orderstatus, COUNT(*) AS seen,
+               CAST(SUM(CAST(1 AS BIGINT) << (53 - rank)) AS BIGINT) AS s
+        FROM reg GROUP BY o_orderstatus)),
+qs AS (
+  SELECT o_orderstatus,
+         list_sort(list(CAST(o_totalprice AS DOUBLE))) AS L
+  FROM orders GROUP BY o_orderstatus),
+p90 AS (
+  SELECT o_orderstatus,
+         (CAST(1.0 AS DOUBLE) - (h - floor(h))) * L[{lo}]
+           + (h - floor(h)) * L[{hi}] AS p90_price
+  FROM (SELECT o_orderstatus, L,
+               (CAST(len(L) - 1 AS DOUBLE) * CAST(0.9 AS DOUBLE)) AS h
+        FROM qs)),
+tb AS (
+  SELECT o_orderstatus, {clamp} AS v, CAST(COUNT(*) AS BIGINT) AS c
+  FROM orders GROUP BY o_orderstatus, {clamp}),
+tc AS (
+  SELECT o_orderstatus, v,
+         SUM(c) OVER (PARTITION BY o_orderstatus ORDER BY v) AS cum,
+         SUM(c) OVER (PARTITION BY o_orderstatus) AS n
+  FROM tb),
+tmed AS (
+  SELECT o_orderstatus,
+         CAST(MIN(CASE WHEN cum >= greatest(CAST(1 AS BIGINT),
+               CAST(ceil(CAST(0.5 AS DECIMAL(9,6)) * n) AS BIGINT))
+              THEN v END) AS DOUBLE) AS med_price_pct
+  FROM tc GROUP BY o_orderstatus)
+SELECT uc.o_orderstatus, uniq_cust, p90_price, med_price_pct
+FROM uc
+JOIN p90 ON uc.o_orderstatus = p90.o_orderstatus
+JOIN tmed ON uc.o_orderstatus = tmed.o_orderstatus
+ORDER BY uc.o_orderstatus
+"""
+
+
+def q_dialect_state_merge3(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Verbatim ClickHouse uniq/quantile/quantileTiming
+    -State/-Merge two-level aggregate (module doc #21c)."""
+    return run_clickhouse_sql(
+        spark, _CH_STATE_MERGE3, sf_dir, ("orders",)
+    )
+
+
 # 22. COLUMNS('regex') dynamic column selection + APPLY — expands via
 #     the catalog resolver to the matching columns in table order
 #     (re.search, ClickHouse's partial-match semantics), then the
@@ -6908,6 +7287,7 @@ QUERIES = {
     "dialect_sample_clause": q_dialect_sample_clause,
     "dialect_state_merge": q_dialect_state_merge,
     "dialect_state_merge2": q_dialect_state_merge2,
+    "dialect_state_merge3": q_dialect_state_merge3,
     "dialect_columns_select": q_dialect_columns_select,
     "dialect_dictionary": q_dialect_dictionary,
     "dialect_limit_by": q_dialect_limit_by,
@@ -6952,6 +7332,7 @@ ORACLES = {
     "dialect_sample_clause": _o_sample_dialect(),
     "dialect_state_merge": O_STATE_MERGE,
     "dialect_state_merge2": O_STATE_MERGE2,
+    "dialect_state_merge3": _o_state_merge3(),
     "dialect_columns_select": O_COLUMNS_SELECT,
     "dialect_dictionary": O_DICTIONARY,
     "dialect_limit_by": O_LIMIT_BY,

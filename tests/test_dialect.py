@@ -2357,3 +2357,75 @@ SELECT k FROM lwdel ORDER BY k;
     )
     assert res[1][0] == "mutation"
     assert [r.k for r in res[-1][1].collect()] == [1, 3]
+
+
+def test_r8_uniq_quantile_state_merge(spark):
+    """r8: the last -State/-Merge refusals closed — uniqState →
+    portable HLL code-set state, quantile[Exact]State → exact sorted
+    multiset, quantileTimingState → run-length 1ms-binned state.
+    Value checks against the exact aggregates they approximate."""
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW sm_t AS "
+        "SELECT id % 4 AS g, id % 7 AS sg, id AS k, "
+        "CAST(id AS DOUBLE) * 1.5 AS v FROM range(2000)"
+    )
+    q = transpile(
+        """
+SELECT g, uniqMerge(u) AS uc,
+       quantileMerge(0.9)(q) AS p90,
+       quantileExactMerge(0.5)(q) AS p50,
+       quantileTimingMerge(0.5)(qt) AS tmed
+FROM (SELECT g, sg, uniqState(k) AS u, quantileState(v) AS q,
+             quantileTimingState(v) AS qt
+      FROM sm_t GROUP BY g, sg)
+GROUP BY g ORDER BY g
+"""
+    )
+    rows = {r.g: r for r in spark.sql(q).collect()}
+    exact = {
+        r.g: r
+        for r in spark.sql(
+            "SELECT g, count(DISTINCT k) AS uc, percentile(v, 0.9) AS "
+            "p90, percentile(v, 0.5) AS p50 FROM sm_t GROUP BY g"
+        ).collect()
+    }
+    for g in range(4):
+        # HLL estimate within 20% of exact (p=8 → ~6.5% typical)
+        assert abs(rows[g].uc - exact[g].uc) / exact[g].uc < 0.20
+        # sorted-multiset interpolation is EXACT percentile semantics
+        assert rows[g].p90 == exact[g].p90
+        assert rows[g].p50 == exact[g].p50
+        # timing: discrete 1ms-binned read-off lands within one value
+        # spacing (6 here: v = 1.5·id over id stepping 4) of the
+        # interpolated median
+        assert abs(rows[g].tmed - exact[g].p50) <= 6.0
+    # merge algebra: merging per-subgroup states == direct state
+    d = transpile(
+        "SELECT g, uniqMerge(u) AS uc FROM (SELECT g, uniqState(k) "
+        "AS u FROM sm_t GROUP BY g) GROUP BY g ORDER BY g"
+    )
+    assert [r.uc for r in spark.sql(d).collect()] == [
+        rows[g].uc for g in range(4)
+    ]
+    # -If masks at State creation; Merge takes only the state
+    qi = transpile(
+        "SELECT uniqMerge(u) AS uc, quantileMerge(0.5)(q) AS p50 "
+        "FROM (SELECT uniqIfState(k, k < 100) AS u, "
+        "quantileIfState(v, k < 100) AS q FROM sm_t)"
+    )
+    r = spark.sql(qi).collect()[0]
+    assert abs(r.uc - 100) <= 20 and r.p50 == 74.25
+    # MergeState re-emits a mergeable state
+    qm = transpile(
+        "SELECT uniqMerge(u2) AS uc FROM (SELECT uniqMergeState(u) "
+        "AS u2 FROM (SELECT g, uniqState(k) AS u FROM sm_t "
+        "GROUP BY g))"
+    )
+    full = spark.sql(
+        transpile("SELECT uniqMerge(u) AS uc FROM (SELECT uniqState(k)"
+                  " AS u FROM sm_t)")
+    ).collect()[0].uc
+    assert spark.sql(qm).collect()[0].uc == full
+    # other byte-state registers still refuse with updated guidance
+    with pytest.raises(DialectError, match="ARE transpiled"):
+        transpile("SELECT argMaxState(x, y) FROM t")
