@@ -553,6 +553,174 @@ def _window_funnel_fold(win_us: str, ts: str, conds: list[str]) -> str:
 
 _SEQ_PATTERN_RE = re.compile(r"\(\?(\d+)\)")
 
+_SEQ_TOK_RE = re.compile(
+    r"\(\?(\d+)\)"                                   # (?N) condition ref
+    r"|\(\?t\s*(<=|>=|==|<|>|=)\s*(\d+)\s*\)"        # (?t OP n) guard
+    r"|(\.\*)"                                       # .* any-gap
+    r"|\s+"
+)
+
+
+def _parse_sequence_pattern(pattern: str):
+    """Parse a ClickHouse sequenceMatch pattern into ``(refs,
+    links)``: ``refs`` is the 1-based condition index per matched
+    position, ``links[i]`` describes what may separate ref ``i`` and
+    ``i+1`` — ``('adj',)`` for bare concatenation (the next RELEVANT
+    event must match: events matching no supplied condition are
+    invisible, per CH's documented example), ``('any',)`` for
+    ``.*``, or ``('guard', uppers, lowers)`` for time guards
+    (``(?t<n)`` caps the gap, ``(?t>n)`` floors it; CH documents
+    that a guard admits arbitrary events between, so a guard link
+    does NOT imply adjacency).  Mixed upper+lower guards on ONE
+    link refuse: the exact fold tracks per-level extremal anchor
+    times, which decide any single-sided existence question
+    exactly, but a two-sided window needs the full anchor set."""
+    body = pattern.strip().strip("'")
+    refs: list[int] = []
+    links: list[tuple] = []
+    saw_any = False
+    uppers: list[tuple[str, int]] = []
+    lowers: list[tuple[str, int]] = []
+    pos = 0
+    while pos < len(body):
+        m = _SEQ_TOK_RE.match(body, pos)
+        if not m:
+            raise DialectError(
+                f"unrecognized sequenceMatch pattern text at "
+                f"{body[pos:pos + 12]!r} (supported: (?N), .*, "
+                "(?t<n)/(?t<=n)/(?t>n)/(?t>=n))"
+            )
+        pos = m.end()
+        if m.group(1):
+            if refs and not (saw_any or uppers or lowers):
+                links.append(("adj",))
+            elif refs:
+                if uppers and lowers:
+                    raise DialectError(
+                        "sequenceMatch mixed (?t<..) and (?t>..) "
+                        "guards on one link need the full anchor set "
+                        "(two-sided window); split the pattern or "
+                        "use events_sequence_match"
+                    )
+                if uppers or lowers:
+                    links.append(("guard", tuple(uppers), tuple(lowers)))
+                else:
+                    links.append(("any",))
+            elif uppers or lowers:
+                raise DialectError(
+                    "sequenceMatch time guard before the first "
+                    "condition reference has nothing to anchor to"
+                )
+            refs.append(int(m.group(1)))
+            saw_any = False
+            uppers, lowers = [], []
+        elif m.group(2):
+            op, secs = m.group(2), int(m.group(3))
+            if op in ("==", "="):
+                raise DialectError(
+                    "sequenceMatch (?t==n) exact-gap guards are not "
+                    "transpiled (the exact fold keeps extremal "
+                    "anchors, not the full set); use (?t<=n)(?t>=n) "
+                    "split patterns or events_sequence_match"
+                )
+            (uppers if op in ("<", "<=") else lowers).append((op, secs))
+        # group(4) '.*' / whitespace: mark and continue
+        elif m.group(4):
+            saw_any = True
+    if not refs:
+        raise DialectError("sequenceMatch pattern has no (?N) refs")
+    if saw_any or uppers or lowers:
+        # trailing .* is a no-op; a trailing guard dangles
+        if uppers or lowers:
+            raise DialectError(
+                "sequenceMatch time guard after the last condition "
+                "reference has nothing to anchor to"
+            )
+    return refs, links
+
+
+def _sequence_match_fold(
+    ts: str, conds: list[str], refs: list[int], links: list[tuple]
+) -> str:
+    """Generalized ``sequenceMatch`` DP fold (adjacency + single-sided
+    time guards; r8, VERDICT r7 item 4).
+
+    Per pattern position ``i`` the state keeps the (min, max, last)
+    event times over all events that can END a match of refs
+    ``1..i`` — min answers lower-bound guards, max upper-bound
+    guards and plain reachability, ``last`` (+ the previous event's
+    time) answers adjacency (the immediately preceding RELEVANT
+    event extended position ``i``).  Each event updates every
+    position from the PREVIOUS state (no self-chaining), so the fold
+    is exact under unique event timestamps like the windowFunnel DP
+    it generalizes.  Irrelevant events (no supplied condition
+    matches) are dropped map-side — ClickHouse's documented
+    visibility rule — so per-group state holds only relevant events
+    and the whole match is one keyed codegen aggregate."""
+    n = len(refs)
+    elem = (
+        f"named_struct('t', unix_micros(CAST({ts} AS TIMESTAMP)), "
+        f"'m', array({', '.join(conds)}))"
+    )
+    any_cond = " OR ".join(f"coalesce(({c}), false)" for c in conds)
+    evs = (
+        f"array_sort(collect_list(CASE WHEN {any_cond} "
+        f"THEN {elem} END))"
+    )
+    null_lv = (
+        "named_struct('mn', CAST(NULL AS BIGINT), "
+        "'mx', CAST(NULL AS BIGINT), 'la', CAST(NULL AS BIGINT))"
+    )
+    zero = (
+        f"named_struct('lv', array_repeat({null_lv}, {n}), "
+        f"'p', CAST(NULL AS BIGINT))"
+    )
+    gain = (
+        "named_struct('mn', least(coalesce(a.mn, e.t), e.t), "
+        "'mx', greatest(coalesce(a.mx, e.t), e.t), 'la', e.t)"
+    )
+    branches = []
+    for j in range(n):
+        hit = f"coalesce(element_at(e.m, {refs[j]}), false)"
+        if j == 0:
+            feas = "true"
+        else:
+            prev = f"element_at(acc.lv, {j})"
+            link = links[j - 1]
+            if link[0] == "any":
+                feas = f"{prev}.mx IS NOT NULL"
+            elif link[0] == "adj":
+                feas = (
+                    f"{prev}.la IS NOT NULL AND acc.p IS NOT NULL "
+                    f"AND {prev}.la = acc.p"
+                )
+            else:  # single-sided guards
+                _, ups, los = link
+                cl = []
+                for op, secs in ups:
+                    cl.append(
+                        f"{prev}.mx IS NOT NULL AND "
+                        f"e.t - {prev}.mx {op} {secs * 1_000_000}"
+                    )
+                for op, secs in los:
+                    cl.append(
+                        f"{prev}.mn IS NOT NULL AND "
+                        f"e.t - {prev}.mn {op} {secs * 1_000_000}"
+                    )
+                feas = " AND ".join(f"({c})" for c in cl)
+        branches.append(
+            f"WHEN i = {j} THEN IF(({hit}) AND ({feas}), {gain}, a)"
+        )
+    step = (
+        "(acc, e) -> named_struct('lv', transform(acc.lv, (a, i) -> "
+        f"CASE {' '.join(branches)} ELSE a END), 'p', e.t)"
+    )
+    fin = (
+        f"acc -> CAST(IF(element_at(acc.lv, {n}).mx IS NOT NULL, "
+        "1, 0) AS SMALLINT)"
+    )
+    return f"aggregate({evs}, {zero}, {step}, {fin})"
+
 
 def _sequence_chain_len(pattern: str) -> int:
     """Validate a ``'(?1).*(?2)…'`` sequenceMatch pattern (the
@@ -2316,18 +2484,32 @@ def _render_parametric(name: str, params: list[str], args: list[str]) -> str:
         win_us = f"CAST({params[0]} AS BIGINT) * 1000000"
         return _window_funnel_fold(win_us, args[0], args[1:])
     if name == "sequenceMatch" and len(params) == 1 and len(args) >= 2:
-        n = _sequence_chain_len(params[0])
-        if n != len(args) - 1:
+        refs, links = _parse_sequence_pattern(params[0])
+        if max(refs) > len(args) - 1:
             raise DialectError(
-                f"sequenceMatch pattern references {n} conditions but "
-                f"{len(args) - 1} were supplied"
+                f"sequenceMatch pattern references condition "
+                f"(?{max(refs)}) but only {len(args) - 1} were "
+                "supplied"
             )
-        # unbounded window: the subsequence form has no time guard
-        win = str((1 << 62) - 1)
-        return (
-            f"CAST({_window_funnel_fold(win, args[0], args[1:])} = {n} "
-            "AS SMALLINT)"
-        )
+        # extra unreferenced conditions are legal and MEANINGFUL:
+        # they make events visible to adjacency (CH's documented
+        # chain-breaking example) — only the pure-subsequence case
+        # with no extras may take the shared windowFunnel path
+        if (
+            refs == list(range(1, len(refs) + 1))
+            and max(refs) == len(args) - 1
+            and all(k[0] == "any" for k in links)
+        ):
+            # plain ordered subsequence: the windowFunnel DP with an
+            # unbounded window (shared, plan-tested path)
+            win = str((1 << 62) - 1)
+            return (
+                f"CAST({_window_funnel_fold(win, args[0], args[1:])} "
+                f"= {len(refs)} AS SMALLINT)"
+            )
+        # adjacency / time guards / repeated-or-reordered refs:
+        # the generalized extremal-anchor fold (r8)
+        return _sequence_match_fold(args[0], args[1:], refs, links)
     if name == "sequenceCount" and len(params) == 1 and len(args) >= 2:
         n = _sequence_chain_len(params[0])
         if n != len(args) - 1:
@@ -6666,6 +6848,78 @@ def q_dialect_sequence_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_clickhouse_sql(spark, _CH_SEQ_COUNT, sf_dir, ("events",))
 
 
+# 15c. sequenceMatch adjacency + time guards (r8, VERDICT r7 item 4):
+#      the generalized extremal-anchor fold (_sequence_match_fold).
+#      Three shapes real CH funnels use: an upper-bound guard
+#      (view→purchase within the hour), bare adjacency (purchase
+#      IMMEDIATELY after click among the supplied event kinds —
+#      unreferenced third condition makes 'view' visible so it
+#      breaks chains, CH's documented rule), and a lower-bound guard
+#      over a REPEATED ref ((?1)…(?1): two views a day apart).
+#      Oracles are independent relational spellings (EXISTS pair
+#      with the epoch-µs gap; window-next over the visible subset;
+#      min/max span) — differential proof, not a re-derivation.
+_CH_SEQ_GUARD = """
+SELECT user_id,
+       sequenceMatch('(?1)(?t<=3600)(?2)')(
+           ts, event_type = 'view', event_type = 'purchase') AS vp_1h,
+       sequenceMatch('(?1)(?2)')(
+           ts, event_type = 'click', event_type = 'purchase',
+           event_type = 'view') AS cp_adj,
+       sequenceMatch('(?1)(?t>86400)(?1)')(
+           ts, event_type = 'view') AS vv_1d
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+O_SEQ_GUARD = """
+WITH vp AS (
+  SELECT e.user_id, MAX(CASE WHEN EXISTS (
+      SELECT 1 FROM events p
+      WHERE p.user_id = e.user_id AND p.event_type = 'purchase'
+        AND p.ts > e.ts
+        AND epoch_us(p.ts) - epoch_us(e.ts) <= 3600000000)
+    AND e.event_type = 'view' THEN 1 ELSE 0 END) AS m
+  FROM events e GROUP BY e.user_id),
+vis AS (
+  SELECT user_id, ts, event_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts)
+           AS nxt
+  FROM events
+  WHERE event_type IN ('click', 'purchase', 'view')),
+adj AS (
+  SELECT user_id,
+         MAX(CASE WHEN event_type = 'click' AND nxt = 'purchase'
+                  THEN 1 ELSE 0 END) AS m
+  FROM vis GROUP BY user_id),
+vv AS (
+  SELECT user_id,
+         CASE WHEN COUNT(*) >= 2 AND
+              epoch_us(MAX(ts)) - epoch_us(MIN(ts)) > 86400000000
+              THEN 1 ELSE 0 END AS m
+  FROM events WHERE event_type = 'view' GROUP BY user_id),
+u AS (SELECT DISTINCT user_id FROM events)
+SELECT u.user_id,
+       CAST(coalesce(vp.m, 0) AS SMALLINT) AS vp_1h,
+       CAST(coalesce(adj.m, 0) AS SMALLINT) AS cp_adj,
+       CAST(coalesce(vv.m, 0) AS SMALLINT) AS vv_1d
+FROM u
+LEFT JOIN vp USING (user_id)
+LEFT JOIN adj USING (user_id)
+LEFT JOIN vv USING (user_id)
+ORDER BY u.user_id
+"""
+
+
+def q_dialect_sequence_guard(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Verbatim ClickHouse sequenceMatch adjacency/time-guard query
+    (module doc #15c)."""
+    return run_clickhouse_sql(spark, _CH_SEQ_GUARD, sf_dir, ("events",))
+
+
 # 11b. topKWeighted(k)(x, w) — exact weighted tier (weight-sum desc,
 #      value asc), serialized at the gate boundary like topK.
 _CH_TOPK_WEIGHTED = """
@@ -7280,6 +7534,7 @@ QUERIES = {
     "dialect_retention": q_dialect_retention,
     "dialect_sequence_match": q_dialect_sequence_match,
     "dialect_sequence_count": q_dialect_sequence_count,
+    "dialect_sequence_guard": q_dialect_sequence_guard,
     "dialect_topk_weighted": q_dialect_topk_weighted,
     "dialect_distinct_on": q_dialect_distinct_on,
     "dialect_modern_sql": q_dialect_modern_sql,
@@ -7325,6 +7580,7 @@ ORACLES = {
     "dialect_retention": O_RETENTION,
     "dialect_sequence_match": O_SEQ_MATCH,
     "dialect_sequence_count": O_SEQ_COUNT,
+    "dialect_sequence_guard": O_SEQ_GUARD,
     "dialect_topk_weighted": O_TOPK_WEIGHTED,
     "dialect_distinct_on": O_DISTINCT_ON,
     "dialect_modern_sql": O_MODERN,

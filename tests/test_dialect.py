@@ -2429,3 +2429,49 @@ GROUP BY g ORDER BY g
     # other byte-state registers still refuse with updated guidance
     with pytest.raises(DialectError, match="ARE transpiled"):
         transpile("SELECT argMaxState(x, y) FROM t")
+
+
+def test_r8_sequence_match_guards(spark):
+    """r8: sequenceMatch adjacency + single-sided time guards via the
+    generalized extremal-anchor fold; CH's documented visibility rule
+    (events matching no supplied condition are invisible; an extra
+    supplied condition makes them chain-breakers)."""
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW seq8_t AS SELECT u, "
+        "CAST(ts AS TIMESTAMP) AS ts, e FROM VALUES "
+        "(1, 1, 'A'), (1, 2, 'B'), (1, 3, 'C'), "
+        "(2, 1, 'A'), (2, 2, 'C'), (2, 3, 'B'), "
+        "(3, 1, 'A'), (3, 100, 'B') AS t(u, ts, e)"
+    )
+
+    def run(pat, conds="e = 'A', e = 'B'"):
+        q = transpile(
+            f"SELECT u, sequenceMatch('{pat}')(ts, {conds}) AS m "
+            "FROM seq8_t GROUP BY u ORDER BY u"
+        )
+        return [r.m for r in spark.sql(q).collect()]
+
+    # bare adjacency: C is invisible with 2 conditions...
+    assert run("(?1)(?2)") == [1, 1, 1]
+    # ...and breaks the chain once supplied as a condition (the CH
+    # docs' number=1,2,3 example shape)
+    assert run("(?1)(?2)", "e = 'A', e = 'B', e = 'C'") == [1, 0, 1]
+    # upper-bound guard: subsequence within the window
+    assert run("(?1)(?t<5)(?2)") == [1, 1, 0]
+    assert run("(?1)(?t<=99)(?2)") == [1, 1, 1]
+    # lower-bound guard: at least N seconds apart
+    assert run("(?1)(?t>10)(?2)") == [0, 0, 1]
+    # repeated ref: two A's — none of these users has two
+    assert run("(?1).*(?1)", "e = 'A'") == [0, 0, 0]
+    # reordered refs
+    assert run("(?2).*(?1)") == [0, 0, 0]
+    # refusals: mixed guards on one link, exact-gap, dangling guard
+    for bad, msg in [
+        ("(?1)(?t<5)(?t>1)(?2)", "mixed"),
+        ("(?1)(?t==5)(?2)", "exact-gap"),
+        ("(?t<5)(?1)(?2)", "before the first"),
+        ("(?1)(?2)(?t<5)", "after the last"),
+        ("(?1)(?9)", r"\(\?9\)"),
+    ]:
+        with pytest.raises(DialectError, match=msg):
+            run(bad)
