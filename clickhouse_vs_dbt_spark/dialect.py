@@ -4786,11 +4786,13 @@ def _rewrite_star_modifiers(toks: list[str], resolve_columns=None):
         toks[star_i : end + 1] = _tokens(", ".join(items))
 
 
-def _sample_fraction(toks: list[str], i: int) -> tuple:
+def _sample_fraction(toks: list[str], i: int, allow_rows=False) -> tuple:
     """Parse ``num [/ den]`` starting at code index ``i`` → (Fraction,
     index after the last consumed token).  Integer ≥ 1 without a
-    denominator is ClickHouse's approximate-row-count form, which
-    needs table statistics — refused."""
+    denominator is ClickHouse's approximate-row-count form: with
+    ``allow_rows`` it returns ``("rows", n)`` (the caller derives the
+    fraction from a scalar ``COUNT(*)`` subquery, r8); in OFFSET
+    position it refuses (CH offsets are fractions of the keyspace)."""
     from fractions import Fraction
 
     num = toks[i]
@@ -4802,9 +4804,11 @@ def _sample_fraction(toks: list[str], i: int) -> tuple:
         return Fraction(int(num), int(toks[k])), k + 1
     f = Fraction(num)
     if f >= 1:
+        if allow_rows and f.denominator == 1:
+            return ("rows", int(f)), i + 1
         raise DialectError(
-            "SAMPLE <row-count> needs table statistics; use a "
-            "fraction (SAMPLE 0.1 or SAMPLE 1/10)"
+            "SAMPLE OFFSET takes a fraction of the keyspace "
+            "(OFFSET 1/2), not a row count"
         )
     return f, i + 1
 
@@ -5002,7 +5006,7 @@ def _rewrite_sample_clause(toks: list[str], engine_info=None):
         if hit is None:
             return toks
         s_i, n_i = hit
-        frac, after = _sample_fraction(toks, n_i)
+        frac, after = _sample_fraction(toks, n_i, allow_rows=True)
         off_frac = None
         j = _next_code(toks, after)
         if (
@@ -5014,6 +5018,11 @@ def _rewrite_sample_clause(toks: list[str], engine_info=None):
             if k >= len(toks) or not re.match(r"\d", toks[k]):
                 raise DialectError("SAMPLE ... OFFSET needs a fraction")
             off_frac, after = _sample_fraction(toks, k)
+        if isinstance(frac, tuple) and off_frac is not None:
+            raise DialectError(
+                "SAMPLE <row-count> OFFSET is not supported; "
+                "use fractional SAMPLE k OFFSET m"
+            )
         end = after - 1  # last token of the SAMPLE clause
         # the relation before SAMPLE: walk back to the nearest FROM at
         # the same depth; the span must be a simple table reference
@@ -5085,16 +5094,33 @@ def _rewrite_sample_clause(toks: list[str], engine_info=None):
             mix_hash_sql,
         )
 
-        # lo/hi truncate the EXACT rational off and off+frac, so a
-        # slice's upper bound equals the next slice's lower bound for
-        # ANY fractions — adjacent slices partition the hash space
-        # with no orphaned values (truncating offset and width
-        # independently leaves gaps for non-dyadic fractions,
-        # ADVICE r7); off+frac == 1 lands exactly on 2^32
-        lo = int(4294967296 * (off_frac or 0))
-        hi = int(4294967296 * ((off_frac or 0) + frac))
         h = mix_hash_sql("spark", key)
-        pred = f"{h} >= {lo} AND {h} < {hi}"
+        if isinstance(frac, tuple):  # SAMPLE <row-count> (r8)
+            # ClickHouse's approximate-row-count form: "at least n
+            # rows".  The fraction comes from a scalar COUNT(*)
+            # subquery at EXECUTION time (a metadata-cheap count; no
+            # table statistics needed at transpile time) — the slice
+            # stays the same deterministic hash range, just with a
+            # runtime upper bound.  OFFSET is keyspace-fractional in
+            # CH and refuses with the row form (checked at parse).
+            n_rows = frac[1]
+            hi_dyn = (
+                f"CAST(least(CAST(4294967296 AS DOUBLE), "
+                f"4294967296.0 * {n_rows} / greatest(CAST(1 AS "
+                f"BIGINT), (SELECT COUNT(*) FROM {table}))) AS BIGINT)"
+            )
+            pred = f"{h} < {hi_dyn}"
+        else:
+            # lo/hi truncate the EXACT rational off and off+frac, so
+            # a slice's upper bound equals the next slice's lower
+            # bound for ANY fractions — adjacent slices partition the
+            # hash space with no orphaned values (truncating offset
+            # and width independently leaves gaps for non-dyadic
+            # fractions, ADVICE r7); off+frac == 1 lands exactly on
+            # 2^32
+            lo = int(4294967296 * (off_frac or 0))
+            hi = int(4294967296 * ((off_frac or 0) + frac))
+            pred = f"{h} >= {lo} AND {h} < {hi}"
         repl = (
             f"(SELECT * FROM {table}{final_kw} WHERE {pred}) "
             f"{alias or table.split('.')[-1]}"
@@ -7383,6 +7409,74 @@ def q_dialect_sample_clause(
     return results[-1][1]
 
 
+# 20b. SAMPLE <row-count> (r8, VERDICT r7 item 8): the integer form
+#      derives its fraction from a scalar COUNT(*) subquery at
+#      execution time — same deterministic hash-range slice, runtime
+#      upper bound (ClickHouse's "at least n rows" approximate
+#      contract).  The oracle mirrors the dynamic bound arithmetic
+#      bit-for-bit (double multiply + truncating cast on both
+#      engines).
+_CH_SAMPLE_ROWS_SCRIPT = """
+CREATE TABLE sample_orders_n
+(
+    o_orderkey      Int64,
+    o_custkey       Int64,
+    o_orderstatus   String,
+    o_totalprice    Float64,
+    o_orderdate     DateTime,
+    o_orderpriority String
+)
+ENGINE = MergeTree
+ORDER BY o_orderkey
+SAMPLE BY intHash32(o_orderkey);
+
+SELECT o_orderstatus,
+       count() AS n_sampled,
+       min(o_orderkey) AS min_key,
+       max(o_orderkey) AS max_key
+FROM sample_orders_n SAMPLE 3000
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus;
+"""
+
+
+def _o_sample_rows() -> str:
+    from clickhouse_vs_dbt_spark.operators.sampling import mix_hash_sql
+
+    h = mix_hash_sql("duckdb", "o_orderkey")
+    hi = (
+        "CAST(least(CAST(4294967296 AS DOUBLE), 4294967296.0 * 3000 "
+        "/ greatest(CAST(1 AS BIGINT), "
+        "(SELECT COUNT(*) FROM orders))) AS BIGINT)"
+    )
+    return f"""
+SELECT o_orderstatus,
+       COUNT(*) AS n_sampled,
+       MIN(o_orderkey) AS min_key,
+       MAX(o_orderkey) AS max_key
+FROM orders
+WHERE {h} < {hi}
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+def q_dialect_sample_rows(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Verbatim ClickHouse DDL + integer SAMPLE n script (module doc
+    #20b)."""
+    results = run_clickhouse_script(
+        spark,
+        _CH_SAMPLE_ROWS_SCRIPT,
+        path_overrides={
+            "sample_orders_n": f"{sf_dir}/orders.parquet"
+        },
+        overwrite_existing=True,
+    )
+    return results[-1][1]
+
+
 # 16. full operational lifecycle through the script runner: CREATE
 #     (Replacing DDL) → INSERT … SELECT FROM file() (fires nothing —
 #     no MV — but exercises the trigger path) → ALTER DELETE →
@@ -7540,6 +7634,7 @@ QUERIES = {
     "dialect_modern_sql": q_dialect_modern_sql,
     "dialect_star_modifiers": q_dialect_star_modifiers,
     "dialect_sample_clause": q_dialect_sample_clause,
+    "dialect_sample_rows": q_dialect_sample_rows,
     "dialect_state_merge": q_dialect_state_merge,
     "dialect_state_merge2": q_dialect_state_merge2,
     "dialect_state_merge3": q_dialect_state_merge3,
@@ -7586,6 +7681,7 @@ ORACLES = {
     "dialect_modern_sql": O_MODERN,
     "dialect_star_modifiers": O_STAR_MODIFIERS,
     "dialect_sample_clause": _o_sample_dialect(),
+    "dialect_sample_rows": _o_sample_rows(),
     "dialect_state_merge": O_STATE_MERGE,
     "dialect_state_merge2": O_STATE_MERGE2,
     "dialect_state_merge3": _o_state_merge3(),

@@ -1806,12 +1806,17 @@ def test_sample_clause_route(spark, sf_dir):
     from clickhouse_vs_dbt_spark import ddl as _ddl
     from clickhouse_vs_dbt_spark.dialect import run_clickhouse_script
 
-    # row-count form refuses (needs stats)
-    with pytest.raises(DialectError, match="fraction"):
-        transpile("SELECT * FROM t SAMPLE 1000")
     # no registered SAMPLE BY key → refusal with operator pointer
+    # (fraction AND r8 row-count forms both need the key)
     with pytest.raises(DialectError, match="SAMPLE BY"):
         transpile("SELECT * FROM t SAMPLE 0.1")
+    with pytest.raises(DialectError, match="SAMPLE BY"):
+        transpile("SELECT * FROM t SAMPLE 1000")
+    # row-count OFFSET combinations refuse
+    with pytest.raises(DialectError, match="row-count> OFFSET"):
+        transpile("SELECT * FROM t SAMPLE 1000 OFFSET 1/2")
+    with pytest.raises(DialectError, match="fraction of the keyspace"):
+        transpile("SELECT * FROM t SAMPLE 1/2 OFFSET 3")
     script = f"""
 CREATE TABLE samp_t (o_orderkey Int64, o_custkey Int64,
   o_orderstatus String, o_totalprice Float64, o_orderdate DateTime,
@@ -1865,6 +1870,23 @@ SELECT count() AS n FROM samp_t SAMPLE 1/2;
     assert bounds[2][1] == 4294967296
     ns = [spark.sql(s).collect()[0].n for s in sqls]
     assert sum(ns) == total
+    # r8: integer SAMPLE n — fraction derived from a scalar COUNT(*)
+    # subquery at execution time; "at least roughly n rows"
+    n_rows = spark.sql(
+        transpile(
+            "SELECT count() AS n FROM samp_t SAMPLE 200",
+            engine_info=_ddl.lookup_engine_info,
+        )
+    ).collect()[0].n
+    assert 0.5 * 200 <= n_rows <= 2.0 * 200
+    # the full-table row form keeps everything (hi clamps at 2^32)
+    n_all = spark.sql(
+        transpile(
+            f"SELECT count() AS n FROM samp_t SAMPLE {total * 10}",
+            engine_info=_ddl.lookup_engine_info,
+        )
+    ).collect()[0].n
+    assert n_all == total
 
 
 def test_script_schema_evolution_statements(spark):
