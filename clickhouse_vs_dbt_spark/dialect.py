@@ -134,6 +134,23 @@ _IDENT_RE = re.compile(r"[A-Za-z_][A-Za-z0-9_]*\Z")
 _RENAME = {
     "argMax": "max_by",
     "argMin": "min_by",
+    # -Stable statistics: same math, numerically-stable summation —
+    # Spark's two-pass merge formulas are the stable tier already
+    "corrStable": "corr",
+    "covarPopStable": "covar_pop",
+    "covarSampStable": "covar_samp",
+    "varPopStable": "var_pop",
+    "varSampStable": "var_samp",
+    "stddevPopStable": "stddev_pop",
+    "stddevSampStable": "stddev_samp",
+    "groupBitAnd": "bit_and",
+    "groupBitOr": "bit_or",
+    "groupBitXor": "bit_xor",
+    "dateTrunc": "date_trunc",
+    "regexpExtract": "regexp_extract",
+    "translateUTF8": "translate",
+    "initcapUTF8": "initcap",
+    "JSONArrayLength": "json_array_length",
     "groupArray": "collect_list",
     "groupUniqArray": "collect_set",
     "uniq": "approx_count_distinct",
@@ -1618,7 +1635,7 @@ def _render_call(name: str, args: list[str]) -> str:
             "use the text_nfc_normalize operator (operators/text.py, "
             "Arrow-vectorized)"
         )
-    if name in ("stem", "synonyms", "detectLanguage",
+    if name in ("stem", "synonyms", "lemmatize", "detectLanguage",
                 "detectCharset", "detectLanguageMixed"):
         raise DialectError(
             f"{name}: model-backed NLP — use the text operators "
@@ -1650,6 +1667,120 @@ def _render_call(name: str, args: list[str]) -> str:
         # ClickHouse kurtPop is non-excess (m4/m2²); Spark kurtosis
         # is excess — shift back by 3
         return f"(kurtosis({args[0]}) + 3)"
+    if name == "skewSamp" and len(args) == 1:
+        # CH skewSamp = m3/s³ (s = SAMPLE stddev, m3 the /n central
+        # moment) = population skewness scaled by (σ²_pop/σ²_samp)^1.5
+        x = args[0]
+        return (
+            f"(skewness({x}) * pow(var_pop({x}) / var_samp({x}), 1.5))"
+        )
+    if name == "kurtSamp" and len(args) == 1:
+        # CH kurtSamp = m4/s⁴ = non-excess kurtosis · (σ²p/σ²s)²
+        x = args[0]
+        return (
+            f"((kurtosis({x}) + 3) * "
+            f"pow(var_pop({x}) / var_samp({x}), 2))"
+        )
+    if name == "sumKahan" and len(args) == 1:
+        # compensated float summation: the repo's decimal-exact sum IS
+        # the deterministic superset of Kahan (operators/common.py)
+        return f"CAST(sum(CAST({args[0]} AS DECIMAL(27, 6))) AS DOUBLE)"
+    if name == "groupBitmap" and len(args) == 1:
+        # CH returns the roaring-bitmap CARDINALITY — exact distinct
+        return f"count(DISTINCT {args[0]})"
+    if name == "maxIntersections" and len(args) == 2:
+        # max number of simultaneously-overlapping [start, end)
+        # intervals: classic sweep — ±1 deltas sorted by point (ends
+        # before starts at ties: struct sort puts d=-1 first), one
+        # running-max fold; bounded per-group state, codegen HOFs
+        s0, e0 = args
+        pts = (
+            f"array_sort(flatten(collect_list(array("
+            f"named_struct('p', CAST({s0} AS DOUBLE), 'd', 1), "
+            f"named_struct('p', CAST({e0} AS DOUBLE), 'd', -1)))))"
+        )
+        return (
+            f"aggregate({pts}, named_struct('c', 0, 'm', 0), "
+            "(a, x) -> named_struct('c', a.c + x.d, "
+            "'m', greatest(a.m, a.c + x.d)), "
+            "a -> CAST(a.m AS BIGINT))"
+        )
+    if name == "toUnixTimestamp" and len(args) == 1:
+        return f"unix_timestamp({args[0]})"
+    if name == "toTime" and len(args) == 1:
+        # CH: move the time-of-day onto the fixed date 1970-01-02
+        return (
+            f"timestamp(concat('1970-01-02 ', "
+            f"date_format({args[0]}, 'HH:mm:ss')))"
+        )
+    if name == "ifNotFinite" and len(args) == 2:
+        x, y = args
+        return (
+            f"IF(isnan({x}) OR abs({x}) = CAST('Infinity' AS DOUBLE), "
+            f"{y}, {x})"
+        )
+    if name == "roundToExp2" and len(args) == 1:
+        # CH: < 1 → 0, else round DOWN to the nearest power of two
+        # (log2 of an exact power of two is exact in IEEE, so the
+        # floor boundary is stable)
+        x = args[0]
+        return (
+            f"CAST(IF(({x}) < 1, 0, pow(2, floor(log2({x})))) "
+            "AS BIGINT)"
+        )
+    if name == "roundDuration" and len(args) == 1:
+        # CH's fixed duration ladder (seconds), rounded down
+        x = args[0]
+        ladder = [36000, 18000, 7200, 3600, 1800, 1200, 600, 300,
+                  240, 180, 120, 60, 30, 10, 1]
+        whens = " ".join(
+            f"WHEN ({x}) >= {v} THEN {v}" for v in ladder
+        )
+        return f"(CASE {whens} ELSE 0 END)"
+    if name == "roundAge" and len(args) == 1:
+        # CH's fixed age buckets
+        x = args[0]
+        return (
+            f"(CASE WHEN ({x}) < 1 THEN 0 WHEN ({x}) <= 17 THEN 17 "
+            f"WHEN ({x}) <= 24 THEN 18 WHEN ({x}) <= 34 THEN 25 "
+            f"WHEN ({x}) <= 44 THEN 35 WHEN ({x}) <= 54 THEN 45 "
+            "ELSE 55 END)"
+        )
+    if name == "toUUIDOrNull" and len(args) == 1:
+        # UUID maps to STRING (ddl type map); validate + normalize
+        s0 = args[0]
+        return (
+            f"CASE WHEN {s0} RLIKE "
+            "'^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-"
+            "[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$' "
+            f"THEN lower({s0}) END"
+        )
+    if name == "mapAdd" and len(args) == 2:
+        # Map-typed form: union keys, sum values (missing = 0)
+        a, b = args
+        return (
+            f"map_zip_with({a}, {b}, "
+            "(k, x, y) -> coalesce(x, 0) + coalesce(y, 0))"
+        )
+    if name == "JSONExtractKeysAndValues" and len(args) == 2:
+        from clickhouse_vs_dbt_spark.ddl import convert_type
+
+        t = convert_type(args[1].strip().strip("'"))
+        return (
+            f"map_entries(from_json({args[0]}, "
+            f"'map<string, {t.lower()}>'))"
+        )
+    if name == "greatCircleDistance" and len(args) == 4:
+        # haversine on ClickHouse's spherical model (R documented in
+        # its geo reference); args are (lon1, lat1, lon2, lat2) in
+        # degrees, result meters
+        lon1, lat1, lon2, lat2 = args
+        hav = (
+            f"pow(sin(radians(({lat2}) - ({lat1})) / 2), 2) + "
+            f"cos(radians({lat1})) * cos(radians({lat2})) * "
+            f"pow(sin(radians(({lon2}) - ({lon1})) / 2), 2)"
+        )
+        return f"(2 * 6372797.560856 * asin(sqrt({hav})))"
     if name == "boundingRatio" and len(args) == 2:
         # slope between the leftmost and rightmost (x, y) points
         x, y = args
@@ -6672,6 +6803,88 @@ def q_dialect_scalar_extras(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_clickhouse_sql(spark, _CH_SCALAR_EXTRAS, sf_dir, ("events",))
 
 
+# r8 probe batch gated query: bit aggregates, bitmap cardinality,
+# Kahan sum (decimal-exact tier), interval sweep, and the fixed
+# round-to-bucket scalars — per order status, value-gated.
+_CH_PROBE8 = """
+SELECT o_orderstatus,
+       groupBitOr(o_orderkey % 256) AS bits_or,
+       groupBitXor(o_orderkey % 1024) AS bits_xor,
+       groupBitAnd(o_orderkey % 4 + 12) AS bits_and,
+       groupBitmap(o_custkey % 1000) AS bm_card,
+       sumKahan(o_totalprice) AS kahan_total,
+       maxIntersections(o_orderkey % 100,
+                        o_orderkey % 100 + 5) AS max_overlap,
+       min(roundAge(o_orderkey % 90)) AS min_age_bucket,
+       max(roundDuration(o_orderkey % 7000)) AS max_dur_bucket,
+       max(roundToExp2(o_orderkey % 1000)) AS max_exp2
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+O_PROBE8 = """
+WITH pts AS (
+  SELECT o_orderstatus, CAST(o_orderkey % 100 AS DOUBLE) AS p, 1 AS d
+  FROM orders
+  UNION ALL
+  SELECT o_orderstatus, CAST(o_orderkey % 100 + 5 AS DOUBLE), -1
+  FROM orders),
+sweep AS (
+  SELECT o_orderstatus,
+         SUM(d) OVER (PARTITION BY o_orderstatus
+                      ORDER BY p, d
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW) AS cum
+  FROM pts),
+mi AS (
+  SELECT o_orderstatus, CAST(MAX(cum) AS BIGINT) AS max_overlap
+  FROM sweep GROUP BY o_orderstatus),
+agg AS (
+  SELECT o_orderstatus,
+         bit_or(o_orderkey % 256) AS bits_or,
+         bit_xor(o_orderkey % 1024) AS bits_xor,
+         bit_and(o_orderkey % 4 + 12) AS bits_and,
+         COUNT(DISTINCT o_custkey % 1000) AS bm_card,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(27, 6))) AS DOUBLE)
+           AS kahan_total,
+         MIN(CASE WHEN o_orderkey % 90 < 1 THEN 0
+                  WHEN o_orderkey % 90 <= 17 THEN 17
+                  WHEN o_orderkey % 90 <= 24 THEN 18
+                  WHEN o_orderkey % 90 <= 34 THEN 25
+                  WHEN o_orderkey % 90 <= 44 THEN 35
+                  WHEN o_orderkey % 90 <= 54 THEN 45
+                  ELSE 55 END) AS min_age_bucket,
+         MAX(CASE WHEN o_orderkey % 7000 >= 3600 THEN 3600
+                  WHEN o_orderkey % 7000 >= 1800 THEN 1800
+                  WHEN o_orderkey % 7000 >= 1200 THEN 1200
+                  WHEN o_orderkey % 7000 >= 600 THEN 600
+                  WHEN o_orderkey % 7000 >= 300 THEN 300
+                  WHEN o_orderkey % 7000 >= 240 THEN 240
+                  WHEN o_orderkey % 7000 >= 180 THEN 180
+                  WHEN o_orderkey % 7000 >= 120 THEN 120
+                  WHEN o_orderkey % 7000 >= 60 THEN 60
+                  WHEN o_orderkey % 7000 >= 30 THEN 30
+                  WHEN o_orderkey % 7000 >= 10 THEN 10
+                  WHEN o_orderkey % 7000 >= 1 THEN 1
+                  ELSE 0 END) AS max_dur_bucket,
+         MAX(CASE WHEN o_orderkey % 1000 < 1 THEN 0
+                  ELSE CAST(pow(2, floor(log2(o_orderkey % 1000)))
+                            AS BIGINT) END) AS max_exp2
+  FROM orders GROUP BY o_orderstatus)
+SELECT agg.o_orderstatus, bits_or, bits_xor, bits_and, bm_card,
+       kahan_total, max_overlap, min_age_bucket, max_dur_bucket,
+       max_exp2
+FROM agg JOIN mi ON agg.o_orderstatus = mi.o_orderstatus
+ORDER BY agg.o_orderstatus
+"""
+
+
+def q_dialect_probe8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verbatim ClickHouse r8 probe-batch query (module doc)."""
+    return run_clickhouse_sql(spark, _CH_PROBE8, sf_dir, ("orders",))
+
+
 # 12e. JSON / URL / strftime / tokenizer scalar families.
 _CH_JSON_URL = """
 SELECT event_id,
@@ -7623,6 +7836,7 @@ QUERIES = {
     "dialect_numbers": q_dialect_numbers,
     "dialect_file_read": q_dialect_file_read,
     "dialect_scalar_extras": q_dialect_scalar_extras,
+    "dialect_probe8": q_dialect_probe8,
     "dialect_json_url": q_dialect_json_url,
     "dialect_window_funnel": q_dialect_window_funnel,
     "dialect_retention": q_dialect_retention,
@@ -7670,6 +7884,7 @@ ORACLES = {
     "dialect_numbers": O_NUMBERS,
     "dialect_file_read": O_FILE_READ,
     "dialect_scalar_extras": O_SCALAR_EXTRAS,
+    "dialect_probe8": O_PROBE8,
     "dialect_json_url": O_JSON_URL,
     "dialect_window_funnel": O_WINDOW_FUNNEL,
     "dialect_retention": O_RETENTION,

@@ -645,9 +645,10 @@ def test_analytics_aggregate_transpiles():
         "SELECT sequenceMatch('(?1).*(?2)')(ts, a = 1, b = 2) FROM t"
     )
     assert "= 2 AS SMALLINT" in out
-    # non-subsequence patterns refuse
-    with pytest.raises(DialectError, match="events_sequence_match"):
-        transpile("SELECT sequenceMatch('(?1)(?2)')(ts, a, b) FROM t")
+    # adjacency patterns transpile since r8 (the generalized
+    # extremal-anchor fold; see test_r8_sequence_match_guards)
+    out = transpile("SELECT sequenceMatch('(?1)(?2)')(ts, a, b) FROM t")
+    assert ".la" in out and "'p', e.t" in out
     # sequenceCount subsequence form transpiles (r6): restart-
     # semantics staged fold, state = chains*N + stage
     out = transpile("SELECT sequenceCount('(?1).*(?2)')(ts, a, b) FROM t")
@@ -842,9 +843,12 @@ def test_combinator_families_round5():
     assert transpile("maxMerge(s)") == "max(s)"
     assert transpile("sumIfState(x, c)") == "sum(CASE WHEN c THEN x END)"
     assert transpile("countIfState(c)") == "count_if(c)"
-    for bad in ("uniqMerge(s)", "quantileState(x)"):
-        with pytest.raises(DialectError, match="mergetree_aggregating"):
-            transpile(f"SELECT {bad} FROM t")
+    # uniq/quantile states transpile since r8 (portable sketches;
+    # test_r8_uniq_quantile_state_merge); argMax's byte state refuses
+    assert "collect_list" in transpile("quantileState(x)")
+    assert "collect_list" in transpile("SELECT uniqMerge(s) FROM t")
+    with pytest.raises(DialectError, match="mergetree_aggregating"):
+        transpile("SELECT argMaxState(x, y) FROM t")
     with pytest.raises(DialectError, match="state column"):
         transpile("countMerge()")
     # r7b: portable non-self-merging states — avg = (sum, count)
@@ -2497,3 +2501,84 @@ def test_r8_sequence_match_guards(spark):
     ]:
         with pytest.raises(DialectError, match=msg):
             run(bad)
+
+
+def test_r8_probe_scalar_batch(spark):
+    """r8 probe batch: -Stable statistics, bit aggregates, sumKahan,
+    groupBitmap, maxIntersections, date/round/UUID/map/JSON scalars,
+    great-circle distance — value-pinned."""
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW p8_t AS SELECT id AS k, "
+        "CAST(id AS DOUBLE) AS x, CAST(id * 2 AS DOUBLE) AS y "
+        "FROM range(1, 11)"
+    )
+
+    def one(expr, view="p8_t"):
+        return spark.sql(
+            transpile(f"SELECT {expr} AS r FROM {view}")
+        ).collect()[0].r
+
+    # -Stable family → the plain estimators
+    assert one("corrStable(x, y)") == pytest.approx(1.0)
+    assert one("varPopStable(x)") == pytest.approx(8.25)
+    assert one("stddevSampStable(x)") == pytest.approx(3.0276503540975)
+    # bit aggregates / bitmap cardinality
+    assert one("groupBitAnd(k)") == 0
+    assert one("groupBitOr(k)") == 15
+    assert one("groupBitXor(k)") == 11
+    assert one("groupBitmap(k % 3)") == 3
+    # sumKahan: decimal-exact sum back to double
+    assert one("sumKahan(x)") == 55.0
+    # skew/kurt sample variants (vs population scaling)
+    import math
+
+    pop_over_samp = 8.25 / spark.sql(
+        "SELECT var_samp(x) AS v FROM p8_t"
+    ).collect()[0].v
+    assert one("skewSamp(x)") == pytest.approx(
+        one("skewPop(x)") * pop_over_samp ** 1.5
+    )
+    assert one("kurtSamp(x)") == pytest.approx(
+        one("kurtPop(x)") * pop_over_samp ** 2
+    )
+    # maxIntersections: [1,5) [2,6) [5,9) → peak 2 (half-open)
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW iv_t AS SELECT * FROM VALUES "
+        "(1, 5), (2, 6), (5, 9) AS t(s, e)"
+    )
+    assert one("maxIntersections(s, e)", "iv_t") == 2
+    # scalars
+    assert transpile("dateTrunc('month', d)") == "date_trunc('month', d)"
+    assert one("toUnixTimestamp(CAST('1970-01-02 00:00:00' AS "
+               "TIMESTAMP)) + 0 + k - k") == 86400
+    assert str(one("toTime(CAST('2024-05-06 07:08:09' AS TIMESTAMP))")
+               ) == "1970-01-02 07:08:09"
+    assert one("ifNotFinite(CAST('Infinity' AS DOUBLE), -1.0)") == -1.0
+    assert one("ifNotFinite(x, -1.0) + 0 * k") != -1.0
+    assert one("roundToExp2(100)") == 64
+    assert one("roundToExp2(0.3)") == 0
+    assert one("roundDuration(250)") == 240
+    assert one("roundDuration(0)") == 0
+    assert one("roundAge(30)") == 25
+    assert one("roundAge(60)") == 55
+    u = "123e4567-E89B-12d3-a456-426614174000"
+    assert one(f"toUUIDOrNull('{u}')") == u.lower()
+    assert one("toUUIDOrNull('nope')") is None
+    # map / JSON
+    assert one("mapAdd(map('a', 1, 'b', 2), map('b', 3, 'c', 4))") == {
+        "a": 1, "b": 5, "c": 4,
+    }
+    kv = one("JSONExtractKeysAndValues('{\"a\": 7, \"b\": 8}', 'Int64')")
+    assert [(r["key"], r["value"]) for r in kv] == [("a", 7), ("b", 8)]
+    assert one("JSONArrayLength('[1, 2, 3]')") == 3
+    # great-circle: identical points → 0; quarter-meridian sanity
+    assert one("greatCircleDistance(0.0, 0.0, 0.0, 0.0)") == 0.0
+    quarter = one("greatCircleDistance(0.0, 0.0, 0.0, 90.0)")
+    assert quarter == pytest.approx(6372797.560856 * math.pi / 2)
+    # regexp/translate/initcap renames
+    assert one("regexpExtract('ab12', '([0-9]+)', 1)") == "12"
+    assert one("translateUTF8('abc', 'ab', 'xy')") == "xyc"
+    assert one("initcapUTF8('hi there')") == "Hi There"
+    # model-backed NLP refuses with pointers
+    with pytest.raises(DialectError, match="model-backed"):
+        transpile("SELECT lemmatize('en', s) FROM t")

@@ -35,3 +35,39 @@ def test_full_oracle_sweep():
     )
     tail = proc.stdout[-6000:] + "\n--- stderr ---\n" + proc.stderr[-2000:]
     assert proc.returncode == 0, tail
+
+
+@pytest.mark.slow
+def test_rotating_never_sampled_slice_cross_scale():
+    """r8 (VERDICT r7 item 7): a rotating 20-query slice of the
+    queries the DRIVER has never sampled (union of CORRECTNESS_r*.json
+    keys), re-verified at sf0.001 — the full sweep above covers
+    sf0.01, and one scale alone can hide data-dependent oracle bugs
+    (the r6 DuckDB list_reduce chunk-shape class).  Rotation advances
+    with the round count (number of CORRECTNESS files), so successive
+    rounds walk the whole tail."""
+    import glob
+    import json
+
+    sampled: set[str] = set()
+    rounds = sorted(glob.glob("/root/repo/CORRECTNESS_r*.json"))
+    for f in rounds:
+        sampled |= set(json.load(open(f)))
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entry
+
+    never = sorted(set(entry.queries()) - sampled)
+    if not never:
+        pytest.skip("every query has been driver-sampled")
+    off = (len(rounds) * 20) % max(len(never), 1)
+    slice_ = (never + never)[off : off + 20][: len(never)]
+    proc = subprocess.run(
+        [sys.executable, "tools/oracle_check.py",
+         "/root/testdata/sf0.001", *slice_],
+        cwd="/root/repo",
+        capture_output=True,
+        text=True,
+        timeout=3600,
+    )
+    tail = proc.stdout[-6000:] + "\n--- stderr ---\n" + proc.stderr[-2000:]
+    assert proc.returncode == 0, tail
