@@ -568,6 +568,120 @@ def _window_funnel_fold(win_us: str, ts: str, conds: list[str]) -> str:
     return f"aggregate({evs}, {zero}, {step}, {fin})"
 
 
+def _window_funnel_modes_fold(
+    win_us: str,
+    ts: str,
+    conds: list[str],
+    strict_order: bool,
+    strict_dedup: bool,
+    strict_increase: bool,
+) -> str:
+    """windowFunnel with ClickHouse's mode flags (r8), mirroring the
+    documented mode semantics over per-EVENT processing:
+
+    * per level the state keeps ``(a, l)`` = (chain-start anchor,
+      timestamp of the event that completed the level) — exactly the
+      ``{first, second}`` pair ClickHouse's own greedy keeps;
+    * ``strict_increase``: advancing level ``i`` additionally needs
+      ``e.t > lv[i-1].l`` (strictly increasing event times);
+    * ``strict_dedup``: an event matching a condition whose level is
+      ALREADY set freezes the search at the level reached (CH:
+      "repeating event interrupts further search");
+    * ``strict_order``: once the chain has started (a cond-1 event
+      seen), an event matching NO condition — or matching a
+      condition whose predecessor level is unset — freezes the
+      search; cond-1 refreshes and window-expired advances do NOT
+      break (CH's exact break rules).  strict_order is the one mode
+      whose fold must see the FULL event stream (a non-matching
+      event is exactly what breaks it), so its map-side prefilter is
+      disabled; the other modes keep it.
+
+    Divergence note: ClickHouse processes one (ts, cond) ENTRY per
+    matched condition, so an event matching several conditions can
+    self-chain; this fold processes per event from the previous
+    state (no self-chaining), identical for the usual
+    mutually-exclusive conditions and unique timestamps — the same
+    contract as the base fold."""
+    n = len(conds)
+    elem = (
+        f"named_struct('t', unix_micros(CAST({ts} AS TIMESTAMP)), "
+        f"'m', array({', '.join(conds)}))"
+    )
+    if strict_order:
+        evs = f"array_sort(collect_list({elem}))"
+    else:
+        any_cond = " OR ".join(
+            f"coalesce(({c}), false)" for c in conds
+        )
+        evs = (
+            f"array_sort(collect_list(CASE WHEN {any_cond} "
+            f"THEN {elem} END))"
+        )
+    null_lv = (
+        "named_struct('a', CAST(NULL AS BIGINT), "
+        "'l', CAST(NULL AS BIGINT))"
+    )
+    zero = (
+        f"named_struct('lv', array_repeat({null_lv}, {n}), "
+        "'dead', false, 'st', false)"
+    )
+    branches = []
+    for j in range(n):
+        hit = f"coalesce(element_at(e.m, {j + 1}), false)"
+        if j == 0:
+            upd = (
+                "named_struct('a', greatest(coalesce(s.a, e.t), e.t), "
+                "'l', e.t)"
+            )
+            feas = hit
+        else:
+            prev = f"element_at(acc.lv, {j})"
+            feas = (
+                f"{hit} AND {prev}.a IS NOT NULL "
+                f"AND e.t - {prev}.a <= {win_us}"
+            )
+            if strict_increase:
+                feas += f" AND e.t > {prev}.l"
+            upd = (
+                f"named_struct('a', greatest(coalesce(s.a, {prev}.a), "
+                f"{prev}.a), 'l', e.t)"
+            )
+        branches.append(f"WHEN i = {j} THEN IF({feas}, {upd}, s)")
+    new_lv = (
+        "transform(acc.lv, (s, i) -> "
+        f"CASE {' '.join(branches)} ELSE s END)"
+    )
+    dead_terms = []
+    if strict_dedup:
+        dead_terms.append(
+            f"size(filter(sequence(1, {n}), i -> "
+            "coalesce(element_at(e.m, i), false) "
+            "AND element_at(acc.lv, i).a IS NOT NULL)) > 0"
+        )
+    if strict_order:
+        anym = "exists(e.m, b -> coalesce(b, false))"
+        blocked = (
+            f"size(filter(sequence(2, {n}), i -> "
+            "coalesce(element_at(e.m, i), false) "
+            "AND element_at(acc.lv, i - 1).a IS NULL)) > 0"
+        )
+        started = (
+            "(acc.st OR coalesce(element_at(e.m, 1), false))"
+        )
+        dead_terms.append(
+            f"({started} AND (NOT {anym} OR {blocked}))"
+        )
+    dead = " OR ".join(f"({d})" for d in dead_terms) or "false"
+    step = (
+        "(acc, e) -> IF(acc.dead, acc, named_struct("
+        f"'lv', IF({dead}, acc.lv, {new_lv}), "
+        f"'dead', {dead}, "
+        "'st', acc.st OR coalesce(element_at(e.m, 1), false)))"
+    )
+    fin = "acc -> size(filter(acc.lv, s -> s.a IS NOT NULL))"
+    return f"aggregate({evs}, {zero}, {step}, {fin})"
+
+
 _SEQ_PATTERN_RE = re.compile(r"\(\?(\d+)\)")
 
 _SEQ_TOK_RE = re.compile(
@@ -2605,15 +2719,30 @@ def _render_parametric(name: str, params: list[str], args: list[str]) -> str:
             f"CAST(({params[0]}) + 1 AS BIGINT))"
         )
     if name == "windowFunnel" and len(args) >= 2:
-        if len(params) != 1:
-            raise DialectError(
-                "windowFunnel modes ('strict_order'/'strict_dedup'/"
-                "'strict_increase') are not transpiled; use "
-                "events_funnel_strict_order for strict_order — the "
-                "plain windowFunnel(W)(...) form transpiles"
-            )
         win_us = f"CAST({params[0]} AS BIGINT) * 1000000"
-        return _window_funnel_fold(win_us, args[0], args[1:])
+        if len(params) == 1:
+            return _window_funnel_fold(win_us, args[0], args[1:])
+        modes = set()
+        for p in params[1:]:
+            m = p.strip().strip("'").lower()
+            if m == "strict":  # deprecated CH alias
+                m = "strict_dedup"
+            if m not in (
+                "strict_order", "strict_dedup", "strict_increase",
+            ):
+                raise DialectError(
+                    f"unknown windowFunnel mode {p}; supported: "
+                    "'strict_order', 'strict_dedup', 'strict_increase'"
+                )
+            modes.add(m)
+        return _window_funnel_modes_fold(
+            win_us,
+            args[0],
+            args[1:],
+            strict_order="strict_order" in modes,
+            strict_dedup="strict_dedup" in modes,
+            strict_increase="strict_increase" in modes,
+        )
     if name == "sequenceMatch" and len(params) == 1 and len(args) >= 2:
         refs, links = _parse_sequence_pattern(params[0])
         if max(refs) > len(args) - 1:
@@ -6885,6 +7014,86 @@ def q_dialect_probe8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_clickhouse_sql(spark, _CH_PROBE8, sf_dir, ("orders",))
 
 
+# r8: windowFunnel strict modes (_window_funnel_modes_fold).  The
+# gated mode is strict_dedup, whose semantics admit an EXACT
+# relational spelling under mutually-exclusive conditions: the chain
+# is pinned to FIRST occurrences (a repeat of an already-reached
+# condition freezes the search), so level 2 is the first in-window
+# click after the first view (a second view kills first), and level
+# 3 the first purchase after that click, before any killing repeat.
+# strict_order/strict_increase are value-pinned on crafted sequences
+# in test_r8_window_funnel_modes (their oracles would need the full
+# greedy replay; DuckDB 1.0 list_reduce mis-evaluates struct-state
+# lambdas, measured r8, so no mirror-fold oracle).
+_CH_FUNNEL_DEDUP = """
+SELECT lvl, count() AS n_users FROM (
+    SELECT user_id,
+           windowFunnel(86400, 'strict_dedup')(
+               ts, event_type = 'view', event_type = 'click',
+               event_type = 'purchase') AS lvl
+    FROM events
+    GROUP BY user_id
+)
+GROUP BY lvl
+ORDER BY lvl
+"""
+
+O_FUNNEL_DEDUP = """
+WITH rel AS (
+  SELECT user_id, ts, event_type FROM events
+  WHERE event_type IN ('view', 'click', 'purchase')),
+v1 AS (
+  SELECT user_id, MIN(ts) AS v1 FROM rel
+  WHERE event_type = 'view' GROUP BY user_id),
+k1 AS (
+  SELECT r.user_id, MIN(r.ts) AS kill1
+  FROM rel r JOIN v1 USING (user_id)
+  WHERE r.event_type = 'view' AND r.ts > v1.v1
+  GROUP BY r.user_id),
+cs AS (
+  SELECT r.user_id, MIN(r.ts) AS cstar
+  FROM rel r JOIN v1 USING (user_id) LEFT JOIN k1 USING (user_id)
+  WHERE r.event_type = 'click' AND r.ts > v1.v1
+    AND epoch_us(r.ts) - epoch_us(v1.v1) <= 86400000000
+    AND (k1.kill1 IS NULL OR r.ts < k1.kill1)
+  GROUP BY r.user_id),
+k2 AS (
+  SELECT r.user_id, MIN(r.ts) AS kill2
+  FROM rel r JOIN cs USING (user_id)
+  WHERE r.event_type = 'click' AND r.ts > cs.cstar
+  GROUP BY r.user_id),
+p3 AS (
+  SELECT DISTINCT r.user_id
+  FROM rel r
+  JOIN cs USING (user_id) JOIN v1 USING (user_id)
+  LEFT JOIN k1 USING (user_id) LEFT JOIN k2 USING (user_id)
+  WHERE r.event_type = 'purchase' AND r.ts > cs.cstar
+    AND epoch_us(r.ts) - epoch_us(v1.v1) <= 86400000000
+    AND (k1.kill1 IS NULL OR r.ts < k1.kill1)
+    AND (k2.kill2 IS NULL OR r.ts < k2.kill2)),
+u AS (SELECT DISTINCT user_id FROM events),
+lvl_per_user AS (
+  SELECT u.user_id,
+         CASE WHEN u.user_id IN (SELECT user_id FROM p3) THEN 3
+              WHEN u.user_id IN (SELECT user_id FROM cs) THEN 2
+              WHEN u.user_id IN (SELECT user_id FROM v1) THEN 1
+              ELSE 0 END AS lvl
+  FROM u)
+SELECT lvl, COUNT(*) AS n_users
+FROM lvl_per_user GROUP BY lvl ORDER BY lvl
+"""
+
+
+def q_dialect_funnel_dedup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Verbatim ClickHouse windowFunnel strict_dedup query (module
+    doc)."""
+    return run_clickhouse_sql(
+        spark, _CH_FUNNEL_DEDUP, sf_dir, ("events",)
+    )
+
+
 # 12e. JSON / URL / strftime / tokenizer scalar families.
 _CH_JSON_URL = """
 SELECT event_id,
@@ -7837,6 +8046,7 @@ QUERIES = {
     "dialect_file_read": q_dialect_file_read,
     "dialect_scalar_extras": q_dialect_scalar_extras,
     "dialect_probe8": q_dialect_probe8,
+    "dialect_funnel_dedup": q_dialect_funnel_dedup,
     "dialect_json_url": q_dialect_json_url,
     "dialect_window_funnel": q_dialect_window_funnel,
     "dialect_retention": q_dialect_retention,
@@ -7885,6 +8095,7 @@ ORACLES = {
     "dialect_file_read": O_FILE_READ,
     "dialect_scalar_extras": O_SCALAR_EXTRAS,
     "dialect_probe8": O_PROBE8,
+    "dialect_funnel_dedup": O_FUNNEL_DEDUP,
     "dialect_json_url": O_JSON_URL,
     "dialect_window_funnel": O_WINDOW_FUNNEL,
     "dialect_retention": O_RETENTION,

@@ -2582,3 +2582,56 @@ def test_r8_probe_scalar_batch(spark):
     # model-backed NLP refuses with pointers
     with pytest.raises(DialectError, match="model-backed"):
         transpile("SELECT lemmatize('en', s) FROM t")
+
+
+def test_r8_window_funnel_modes(spark):
+    """r8: windowFunnel 'strict_order'/'strict_dedup'/
+    'strict_increase' modes — value-pinned on crafted sequences
+    (CH's documented break rules; see _window_funnel_modes_fold)."""
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW wf8_t AS SELECT u, "
+        "CAST(ts AS TIMESTAMP) AS ts, e FROM VALUES "
+        "(1, 1, 'V'), (1, 2, 'C'), (1, 3, 'P'), "      # clean chain
+        "(2, 1, 'V'), (2, 2, 'C'), (2, 3, 'X'), (2, 4, 'P'), "
+        "(3, 1, 'V'), (3, 2, 'V'), (3, 3, 'C'), (3, 4, 'P'), "
+        "(4, 1, 'V'), (4, 2, 'C'), (4, 3, 'C'), (4, 4, 'P'), "
+        "(5, 1, 'P'), (5, 2, 'V'), (5, 3, 'C'), (5, 4, 'P') "
+        "AS t(u, ts, e)"
+    )
+
+    def run(modes=""):
+        q = transpile(
+            f"SELECT u, windowFunnel(100{modes})(ts, e = 'V', "
+            "e = 'C', e = 'P') AS l FROM wf8_t GROUP BY u ORDER BY u"
+        )
+        return [r.l for r in spark.sql(q).collect()]
+
+    assert run() == [3, 3, 3, 3, 3]
+    # strict_order: the X event breaks u2 at level 2; an early
+    # out-of-order P (u5) before the first V does NOT break (chain
+    # not started); repeats refresh, never break
+    assert run(", 'strict_order'") == [3, 2, 3, 3, 3]
+    # strict_dedup: a repeat of an already-reached condition freezes
+    # (u3: second view at level 1; u4: second click at level 2); a
+    # purchase BEFORE its predecessor level is reached neither kills
+    # nor counts (u5 completes)
+    assert run(", 'strict_dedup'") == [3, 3, 1, 2, 3]
+    # deprecated alias
+    assert run(", 'strict'") == [3, 3, 1, 2, 3]
+    # strict_increase: with unique timestamps == base
+    assert run(", 'strict_increase'") == [3, 3, 3, 3, 3]
+    # ...but equal timestamps cannot chain under it
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW wf8_tie AS SELECT u, "
+        "CAST(ts AS TIMESTAMP) AS ts, e FROM VALUES "
+        "(1, 1, 'V'), (1, 1, 'C'), (1, 2, 'P') AS t(u, ts, e)"
+    )
+    q = transpile(
+        "SELECT u, windowFunnel(100, 'strict_increase')(ts, e = 'V', "
+        "e = 'C', e = 'P') AS l FROM wf8_tie GROUP BY u"
+    )
+    assert spark.sql(q).collect()[0].l == 1
+    # combined modes and refusal of unknown modes
+    assert run(", 'strict_order', 'strict_increase'") == [3, 2, 3, 3, 3]
+    with pytest.raises(DialectError, match="unknown windowFunnel"):
+        run(", 'strict_nonsense'")
