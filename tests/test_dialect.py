@@ -635,11 +635,15 @@ def test_analytics_aggregate_transpiles():
     assert "aggregate(array_sort(collect_list(" in out
     assert "array_repeat(CAST(NULL AS BIGINT), 3)" in out
     assert "CAST(3600 AS BIGINT) * 1000000" in out
-    # windowFunnel modes refuse with the strict-order pointer
-    with pytest.raises(DialectError, match="events_funnel_strict_order"):
-        transpile(
-            "SELECT windowFunnel(3600, 'strict_order')(ts, a, b) FROM t"
-        )
+    # windowFunnel modes transpile since r8 (the per-level
+    # (anchor, last) fold; test_r8_window_funnel_modes); unknown
+    # modes refuse
+    out = transpile(
+        "SELECT windowFunnel(3600, 'strict_order')(ts, a, b) FROM t"
+    )
+    assert "'dead'" in out and "'st'" in out
+    with pytest.raises(DialectError, match="unknown windowFunnel"):
+        transpile("SELECT windowFunnel(3600, 'bogus')(ts, a, b) FROM t")
     # sequenceMatch subsequence form → unbounded-window fold = N
     out = transpile(
         "SELECT sequenceMatch('(?1).*(?2)')(ts, a = 1, b = 2) FROM t"
