@@ -6003,6 +6003,115 @@ def run_clickhouse_script(
                 ("optimize", (target, bool(om.group(2))))
             )
         elif (
+            ex := _re.match(
+                r"(?is)\s*EXCHANGE\s+TABLES\s+"
+                r"([A-Za-z_][A-Za-z0-9_.`]*)\s+AND\s+"
+                r"([A-Za-z_][A-Za-z0-9_.`]*)\s*$",
+                stmt,
+            )
+        ) is not None:
+            # the blue/green reload idiom: build into a staging
+            # table, EXCHANGE, drop the old.  Spark has no atomic
+            # two-table swap, so this is three renames through a
+            # temp name — same end state; the non-atomic window is
+            # documented (ClickHouse's own EXCHANGE needs Atomic
+            # databases to be atomic)
+            a, b = ex.group(1), ex.group(2)
+            for t in (a, b):
+                if not spark.catalog.tableExists(t.strip("`")):
+                    raise DialectError(
+                        f"EXCHANGE TABLES: {t} does not exist"
+                    )
+            tmp = f"__exchange_tmp_{a.split('.')[-1].strip('`')}"
+            spark.sql(f"DROP TABLE IF EXISTS {tmp}")
+            spark.sql(f"ALTER TABLE {a} RENAME TO {tmp}")
+            spark.sql(f"ALTER TABLE {b} RENAME TO {a}")
+            spark.sql(f"ALTER TABLE {tmp} RENAME TO {b}")
+            ia = _ddl.lookup_engine_info(a)
+            ib = _ddl.lookup_engine_info(b)
+            _ddl.unregister_engine_info(a)
+            _ddl.unregister_engine_info(b)
+            if ib is not None:
+                _ddl.register_engine_info(a, ib)
+            if ia is not None:
+                _ddl.register_engine_info(b, ia)
+            results.append(("exchange", (a, b)))
+        elif (
+            sm := _re.match(
+                r"(?is)\s*SET\s+([A-Za-z_][A-Za-z0-9_]*)\s*=\s*(.+?)"
+                r"\s*$",
+                stmt,
+            )
+        ) is not None:
+            # performance-tuning settings have no semantic content —
+            # Spark owns its own scheduling/memory — so they no-op
+            # (recorded); settings that CHANGE RESULTS refuse rather
+            # than silently diverge
+            setting = sm.group(1).lower()
+            perf_only = setting in (
+                "max_threads", "max_memory_usage", "max_block_size",
+                "max_execution_time", "max_insert_threads",
+                "max_bytes_before_external_group_by",
+                "max_bytes_before_external_sort",
+                "optimize_read_in_order", "use_uncompressed_cache",
+                "distributed_product_mode", "prefer_localhost_replica",
+                "send_logs_level", "log_queries",
+                "allow_experimental_analyzer",
+            )
+            if not perf_only:
+                raise DialectError(
+                    f"SET {setting} may change query results (e.g. "
+                    "join_use_nulls, aggregate_functions_null_for_"
+                    "empty); only performance-tuning settings no-op "
+                    "here — remove the SET or port its intent"
+                )
+            results.append(("set_noop", (setting, sm.group(2))))
+        elif _re.match(r"(?is)\s*SYSTEM\s+", stmt):
+            op = " ".join(stmt.split()[1:3]).upper().rstrip(";")
+            if any(
+                op.startswith(p)
+                for p in ("FLUSH", "RELOAD", "DROP DNS", "DROP MARK",
+                          "DROP UNCOMPRESSED")
+            ):
+                # cache/log maintenance: nothing to maintain here
+                results.append(("system_noop", op))
+            else:
+                raise DialectError(
+                    f"SYSTEM {op} drives ClickHouse server internals "
+                    "(merges/replication/fetches) with no Spark "
+                    "equivalent; FLUSH/RELOAD/cache-drop forms no-op"
+                )
+        elif (
+            cm2 := _re.match(
+                r"(?is)\s*CHECK\s+TABLE\s+"
+                r"([A-Za-z_][A-Za-z0-9_.`]*)\s*$",
+                stmt,
+            )
+        ) is not None:
+            # ClickHouse returns result=1 when the table's data reads
+            # back intact; the Spark equivalent is a full-scan count
+            # (any corrupt parquet footer/page throws)
+            target = cm2.group(1)
+            n = spark.table(target).count()
+            df = spark.createDataFrame(
+                [(1, n)], "result int, n_rows long"
+            )
+            results.append(("check", df))
+        elif _re.match(r"(?is)\s*(ATTACH|DETACH)\s+", stmt):
+            raise DialectError(
+                "ATTACH/DETACH manage ClickHouse's on-disk metadata "
+                "lifecycle; Spark external tables already separate "
+                "data from catalog — use CREATE TABLE (the DDL front "
+                "door) / DROP TABLE (data files remain at the "
+                "location)"
+            )
+        elif _re.match(r"(?is)\s*KILL\s+", stmt):
+            raise DialectError(
+                "KILL QUERY/MUTATION targets ClickHouse's process "
+                "list; cancel Spark jobs through the SparkContext "
+                "(spark.sparkContext.cancelJobGroup) or the UI"
+            )
+        elif (
             em := _re.match(
                 r"(?is)\s*EXPLAIN\s+(AST|SYNTAX|QUERY\s+TREE|PLAN|"
                 r"PIPELINE|ESTIMATE)?\s*(SELECT|WITH)(.*)$",
@@ -7899,6 +8008,64 @@ def q_dialect_sample_rows(
     return results[-1][1]
 
 
+# 16b (r8). the blue/green full-reload runbook: load the restated
+#     dataset into a staging table, EXCHANGE TABLES to cut over, read
+#     from the live name.  The oracle applies the restatement
+#     analytically over the raw rows — if the swap had gone the wrong
+#     way (live keeps the old partial load) both the counts and the
+#     totals diverge.
+_CH_BLUE_GREEN = """
+CREATE TABLE bg_live
+(o_orderkey Int64, o_orderstatus String, o_totalprice Float64)
+ENGINE = MergeTree ORDER BY o_orderkey;
+
+CREATE TABLE bg_stage
+(o_orderkey Int64, o_orderstatus String, o_totalprice Float64)
+ENGINE = MergeTree ORDER BY o_orderkey;
+
+INSERT INTO bg_live
+SELECT o_orderkey, o_orderstatus, o_totalprice
+FROM orders WHERE o_orderkey % 2 = 0;
+
+INSERT INTO bg_stage
+SELECT o_orderkey, o_orderstatus, o_totalprice + 10
+FROM orders;
+
+EXCHANGE TABLES bg_live AND bg_stage;
+
+SET max_threads = 16;
+
+SELECT o_orderstatus, count() AS n,
+       toFloat64(sum(toDecimal64(o_totalprice, 2))) AS total
+FROM bg_live
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus;
+"""
+
+O_BLUE_GREEN = """
+SELECT o_orderstatus, COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice + 10 AS DECIMAL(18,2))) AS DOUBLE)
+         AS total
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+def q_ch_script_blue_green(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Verbatim ClickHouse blue/green reload script (module doc
+    #16b)."""
+    register_views(spark, sf_dir, ("orders",))
+    for t in ("bg_live", "bg_stage", "__exchange_tmp_bg_live"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    results = run_clickhouse_script(
+        spark, _CH_BLUE_GREEN, overwrite_existing=True
+    )
+    return results[-1][1]
+
+
 # 16. full operational lifecycle through the script runner: CREATE
 #     (Replacing DDL) → INSERT … SELECT FROM file() (fires nothing —
 #     no MV — but exercises the trigger path) → ALTER DELETE →
@@ -8038,6 +8205,7 @@ GROUP BY o_orderstatus
 QUERIES = {
     "dialect_strings": q_dialect_strings,
     "ch_script_lifecycle": q_ch_script_lifecycle,
+    "ch_script_blue_green": q_ch_script_blue_green,
     "ch_script_schema_evolution": q_ch_script_schema_evolution,
     "dialect_any_join": q_dialect_any_join,
     "dialect_any_join_on": q_dialect_any_join_on,
@@ -8087,6 +8255,7 @@ QUERIES = {
 ORACLES = {
     "dialect_strings": O_STRINGS,
     "ch_script_lifecycle": O_CH_SCRIPT_LIFECYCLE,
+    "ch_script_blue_green": O_BLUE_GREEN,
     "ch_script_schema_evolution": O_CH_SCRIPT_SCHEMA_EVOLUTION,
     "dialect_any_join": O_ANY_JOIN,
     "dialect_any_join_on": O_ANY_JOIN_ON,

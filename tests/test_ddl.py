@@ -531,3 +531,55 @@ def test_engine_whitelist_refuses_and_maps():
             "ORDER BY k"
         )
         assert "USING parquet" in out
+
+
+def test_r8_operational_statements(spark, tmp_path):
+    """r8: EXCHANGE TABLES (blue/green swap), SET (perf no-op /
+    semantic refuse), SYSTEM maintenance no-ops, CHECK TABLE,
+    ATTACH/DETACH and KILL refusals through the script runner."""
+    from clickhouse_vs_dbt_spark.dialect import run_clickhouse_script
+
+    spark.sql("DROP TABLE IF EXISTS ex_live")
+    spark.sql("DROP TABLE IF EXISTS ex_stage")
+    import shutil
+
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for n in ("ex_live", "ex_stage", "__exchange_tmp_ex_live"):
+        shutil.rmtree(f"{wh}/{n}", ignore_errors=True)
+    res = run_clickhouse_script(
+        spark,
+        """
+CREATE TABLE ex_live (k UInt64) ENGINE = MergeTree ORDER BY k;
+CREATE TABLE ex_stage (k UInt64) ENGINE = MergeTree ORDER BY k;
+INSERT INTO ex_live VALUES (1);
+INSERT INTO ex_stage VALUES (2), (3);
+EXCHANGE TABLES ex_live AND ex_stage;
+SET max_threads = 8;
+SYSTEM FLUSH LOGS;
+CHECK TABLE ex_live;
+SELECT count() AS n FROM ex_live;
+""",
+        overwrite_existing=True,
+    )
+    kinds = [k for k, _ in res]
+    assert "exchange" in kinds and "set_noop" in kinds
+    assert "system_noop" in kinds and "check" in kinds
+    # the swap: live now holds the staged rows
+    assert res[-1][1].collect()[0].n == 2
+    assert spark.table("ex_stage").count() == 1
+    check_df = [v for k, v in res if k == "check"][0]
+    row = check_df.collect()[0]
+    assert row.result == 1 and row.n_rows == 2
+    # semantic settings refuse
+    with pytest.raises(DialectError, match="change query results"):
+        run_clickhouse_script(spark, "SET join_use_nulls = 1;")
+    with pytest.raises(DialectError, match="server internals"):
+        run_clickhouse_script(spark, "SYSTEM STOP MERGES;")
+    with pytest.raises(DialectError, match="ATTACH/DETACH"):
+        run_clickhouse_script(spark, "DETACH TABLE ex_live;")
+    with pytest.raises(DialectError, match="KILL"):
+        run_clickhouse_script(spark, "KILL QUERY WHERE query_id = 'x';")
+    with pytest.raises(DialectError, match="does not exist"):
+        run_clickhouse_script(
+            spark, "EXCHANGE TABLES ex_live AND nope_t;"
+        )
