@@ -8057,9 +8057,18 @@ def q_ch_script_blue_green(
 ) -> DataFrame:
     """Verbatim ClickHouse blue/green reload script (module doc
     #16b)."""
+    import shutil
+
     register_views(spark, sf_dir, ("orders",))
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix(
+        "file:"
+    )
     for t in ("bg_live", "bg_stage", "__exchange_tmp_bg_live"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
+        # a managed table renamed by EXCHANGE keeps its original
+        # directory, so a later DROP can orphan the other name's
+        # location — clear both before re-running the script
+        shutil.rmtree(f"{wh}/{t}", ignore_errors=True)
     results = run_clickhouse_script(
         spark, _CH_BLUE_GREEN, overwrite_existing=True
     )
