@@ -197,6 +197,16 @@ HEADLINE = [
     "dialect_columns_select",
     "mixture_token_budget",
     "dialect_dictionary",
+    "dialect_state_merge2",
+    # round-8 additions: portable uniq/quantile states, sequence
+    # guards, funnel modes, runtime-fraction SAMPLE n, the r8 scalar
+    # probe batch, and the EXCHANGE TABLES blue/green script
+    "dialect_state_merge3",
+    "dialect_sequence_guard",
+    "dialect_sample_rows",
+    "dialect_probe8",
+    "dialect_funnel_dedup",
+    "ch_script_blue_green",
 ]
 
 
