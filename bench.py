@@ -207,6 +207,7 @@ HEADLINE = [
     "dialect_probe8",
     "dialect_funnel_dedup",
     "ch_script_blue_green",
+    "ch_script_retention",
 ]
 
 

@@ -227,7 +227,10 @@ class EngineInfo:
     meaning depends on the engine + ORDER BY key + version column,
     which only the DDL knows)."""
 
-    __slots__ = ("engine", "keys", "version", "sign", "sample_by")
+    __slots__ = (
+        "engine", "keys", "version", "sign", "sample_by",
+        "partition_by", "is_deleted",
+    )
 
     def __init__(
         self,
@@ -236,6 +239,8 @@ class EngineInfo:
         version: str | None,
         sign: str | None = None,
         sample_by: str | None = None,
+        partition_by: str | None = None,
+        is_deleted: str | None = None,
     ):
         self.engine = engine
         self.keys = keys
@@ -246,6 +251,13 @@ class EngineInfo:
         # ``FROM t SAMPLE k [OFFSET m]`` as a deterministic
         # hash-range slice instead of refusing
         self.sample_by = sample_by
+        # PARTITION BY column (plain-column form) — lets the script
+        # runner serve ALTER TABLE ... DROP PARTITION (r8)
+        self.partition_by = partition_by
+        # ReplacingMergeTree(ver, is_deleted) 2-arg form (CH 23.2+):
+        # FINAL additionally drops keys whose surviving row has
+        # is_deleted = 1
+        self.is_deleted = is_deleted
 
 
 #: normalized table name AS WRITTEN in the DDL (backticks stripped;
@@ -519,7 +531,7 @@ def transpile_ddl(
                 stripped += 1
         # engine-arg meaning depends on the engine family:
         # Replacing(ver), Collapsing(sign), VersionedCollapsing(sign, ver)
-        version = sign_col = None
+        version = sign_col = is_deleted = None
         if engine.startswith("VersionedCollapsing"):
             sign_col = eargs[0].strip() if eargs else None
             version = eargs[1].strip() if len(eargs) > 1 else None
@@ -527,6 +539,11 @@ def transpile_ddl(
             sign_col = eargs[0].strip() if eargs else None
         else:
             version = eargs[0].strip() if eargs else None
+            # ReplacingMergeTree(ver, is_deleted) — CH 23.2+ soft
+            # deletes: FINAL drops keys whose surviving row has
+            # is_deleted = 1
+            if engine.startswith("Replacing") and len(eargs) > 1:
+                is_deleted = eargs[1].strip()
         # SAMPLE BY expr → the sampling-key column (unwrap the
         # ClickHouse integer-hash functions; our slice applies its
         # own portable mixer to the column, operators/sampling.py)
@@ -548,7 +565,15 @@ def transpile_ddl(
             ]
             if len(idents) == 1:
                 sample_by = idents[0]
-        info = EngineInfo(engine, keys, version, sign_col, sample_by)
+        pcol = re.search(
+            r"(?is)PARTITION\s+BY\s+([A-Za-z_][A-Za-z0-9_]*)\b(?!\s*\()",
+            tail,
+        )
+        info = EngineInfo(
+            engine, keys, version, sign_col, sample_by,
+            partition_by=pcol.group(1) if pcol else None,
+            is_deleted=is_deleted,
+        )
         register_engine_info(name, info)
 
     part = ""

@@ -4421,11 +4421,22 @@ def _rewrite_final(toks, resolve_columns=None, engine_info=None):
                 c for c in vals if c != info.version
             ]
             picked = ", ".join(f"__f_s.{c} AS {c}" for c in vals)
+            # ReplacingMergeTree(ver, is_deleted) soft deletes (CH
+            # 23.2+): FINAL drops keys whose SURVIVING (max-version)
+            # row carries is_deleted = 1 — the delete marker wins
+            # only if it is the latest version, exactly CH's rule
+            dele = getattr(info, "is_deleted", None)
+            del_filter = (
+                f" WHERE __f_s.{dele} != 1"
+                if dele and dele in vals
+                else ""
+            )
             collapse = (
                 f"(SELECT {kcsv}, {picked} FROM (SELECT {kcsv}, "
                 f"max_by(struct({', '.join(vals)}), "
                 f"struct({', '.join(ordcols)})) AS __f_s "
-                f"FROM {name} GROUP BY {kcsv}) __f_g) {alias}"
+                f"FROM {name} GROUP BY {kcsv}) __f_g{del_filter}) "
+                f"{alias}"
             )
         else:
             collapse = f"(SELECT DISTINCT {kcsv} FROM {name}) {alias}"
@@ -5936,6 +5947,54 @@ def run_clickhouse_script(
             results.append(
                 ("schema_change", (sc.group(1), sc.group(2).upper()))
             )
+        elif (
+            dp := _re.match(
+                r"(?is)\s*ALTER\s+TABLE\s+([A-Za-z_][A-Za-z0-9_.`]*)"
+                r"\s+(DROP|DETACH)\s+PARTITION\s+(.+?)\s*$",
+                stmt,
+            )
+        ) is not None:
+            # partition lifecycle — the retention statement every CH
+            # deployment runs.  DROP PARTITION maps to Spark's own
+            # partition drop on the PARTITION BY column the DDL
+            # captured (metadata-only, no data rewrite — the same
+            # O(1) part-unlink contract as ClickHouse).  DETACH has
+            # no re-attachable Spark state → refuse.
+            target, verb, part = dp.group(1), dp.group(2), dp.group(3)
+            if verb.upper() == "DETACH":
+                raise DialectError(
+                    "DETACH PARTITION keeps re-attachable on-disk "
+                    "state ClickHouse-side; use DROP PARTITION, or "
+                    "copy the slice out first (CREATE TABLE ... AS "
+                    "SELECT ... WHERE <partition predicate>)"
+                )
+            info = _ddl.lookup_engine_info(target)
+            pcol = getattr(info, "partition_by", None) if info else None
+            if not pcol:
+                raise DialectError(
+                    f"DROP PARTITION on {target} needs the table's "
+                    "plain-column PARTITION BY from its CREATE TABLE "
+                    "(run the DDL through the front door); "
+                    "expression partitions have no Spark partition "
+                    "mapping — use ALTER TABLE ... DELETE WHERE"
+                )
+            spark.sql(
+                f"ALTER TABLE {target} DROP IF EXISTS "
+                f"PARTITION ({pcol} = {part.strip()})"
+            )
+            results.append(("drop_partition", (target, part.strip())))
+        elif _re.match(
+            r"(?is)\s*ALTER\s+TABLE\s+[A-Za-z_][A-Za-z0-9_.`]*\s+"
+            r"(ADD|DROP|MATERIALIZE|CLEAR)\s+(PROJECTION|INDEX)\s+",
+            stmt,
+        ):
+            # projections / data-skipping indexes are physical-layout
+            # accelerators with no result-set content: parquet
+            # min/max + dictionary stats and operators/zorder.py
+            # already serve the skip role, materialized views the
+            # projection role — recorded no-op, same contract as the
+            # CREATE TABLE-level INDEX/PROJECTION drop
+            results.append(("layout_noop", stmt.split(";")[0][:80]))
         elif (
             rn := _re.match(r"(?is)\s*RENAME\s+TABLE\s+(.*)$", stmt)
         ) is not None:
@@ -8075,6 +8134,66 @@ def q_ch_script_blue_green(
     return results[-1][1]
 
 
+# 16c (r8). the retention runbook: a PARTITION BY year table, one
+#     ALTER TABLE ... DROP PARTITION per expired slice (metadata-only
+#     partition unlink — ClickHouse's O(1) part-drop contract, served
+#     by Spark's own DROP PARTITION on the DDL-captured column), a
+#     projection ALTER that no-ops, then the rollup read.  The
+#     oracle drops the slice analytically.
+_CH_RETENTION_SCRIPT = """
+CREATE TABLE ret_orders
+(o_orderkey Int64, o_orderstatus String, o_totalprice Float64,
+ o_year Int32)
+ENGINE = MergeTree PARTITION BY o_year ORDER BY o_orderkey;
+
+INSERT INTO ret_orders
+SELECT o_orderkey, o_orderstatus, o_totalprice,
+       toYear(o_orderdate) AS o_year
+FROM orders;
+
+ALTER TABLE ret_orders ADD PROJECTION by_status
+(SELECT o_orderstatus, count() GROUP BY o_orderstatus);
+
+ALTER TABLE ret_orders DROP PARTITION 1995;
+
+SELECT o_year, o_orderstatus, count() AS n,
+       toFloat64(sum(toDecimal64(o_totalprice, 2))) AS total
+FROM ret_orders
+GROUP BY o_year, o_orderstatus
+ORDER BY o_year, o_orderstatus;
+"""
+
+O_RETENTION_SCRIPT = """
+SELECT EXTRACT(year FROM o_orderdate)::INT AS o_year, o_orderstatus,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS total
+FROM orders
+WHERE EXTRACT(year FROM o_orderdate) != 1995
+GROUP BY o_year, o_orderstatus
+ORDER BY o_year, o_orderstatus
+"""
+
+
+def q_ch_script_retention(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Verbatim ClickHouse partition-retention script (module doc
+    #16c)."""
+    import shutil
+
+    register_views(spark, sf_dir, ("orders",))
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix(
+        "file:"
+    )
+    spark.sql("DROP TABLE IF EXISTS ret_orders")
+    shutil.rmtree(f"{wh}/ret_orders", ignore_errors=True)
+    results = run_clickhouse_script(
+        spark, _CH_RETENTION_SCRIPT, overwrite_existing=True
+    )
+    return results[-1][1]
+
+
 # 16. full operational lifecycle through the script runner: CREATE
 #     (Replacing DDL) → INSERT … SELECT FROM file() (fires nothing —
 #     no MV — but exercises the trigger path) → ALTER DELETE →
@@ -8215,6 +8334,7 @@ QUERIES = {
     "dialect_strings": q_dialect_strings,
     "ch_script_lifecycle": q_ch_script_lifecycle,
     "ch_script_blue_green": q_ch_script_blue_green,
+    "ch_script_retention": q_ch_script_retention,
     "ch_script_schema_evolution": q_ch_script_schema_evolution,
     "dialect_any_join": q_dialect_any_join,
     "dialect_any_join_on": q_dialect_any_join_on,
@@ -8265,6 +8385,7 @@ ORACLES = {
     "dialect_strings": O_STRINGS,
     "ch_script_lifecycle": O_CH_SCRIPT_LIFECYCLE,
     "ch_script_blue_green": O_BLUE_GREEN,
+    "ch_script_retention": O_RETENTION_SCRIPT,
     "ch_script_schema_evolution": O_CH_SCRIPT_SCHEMA_EVOLUTION,
     "dialect_any_join": O_ANY_JOIN,
     "dialect_any_join_on": O_ANY_JOIN_ON,

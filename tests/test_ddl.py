@@ -583,3 +583,66 @@ SELECT count() AS n FROM ex_live;
         run_clickhouse_script(
             spark, "EXCHANGE TABLES ex_live AND nope_t;"
         )
+
+
+def test_r8_drop_partition_and_soft_delete(spark, tmp_path):
+    """r8: ALTER TABLE ... DROP PARTITION (metadata partition drop on
+    the DDL-captured PARTITION BY column), projection/index ALTER
+    no-ops, and ReplacingMergeTree(ver, is_deleted) soft-delete
+    FINAL."""
+    import shutil
+
+    from clickhouse_vs_dbt_spark.dialect import run_clickhouse_script
+
+    spark.sql("DROP TABLE IF EXISTS part_t")
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    shutil.rmtree(f"{wh}/part_t", ignore_errors=True)
+    res = run_clickhouse_script(
+        spark,
+        """
+CREATE TABLE part_t (k UInt64, v Float64, y UInt16)
+ENGINE = MergeTree PARTITION BY y ORDER BY k;
+INSERT INTO part_t VALUES (1, 1.0, 2023), (2, 2.0, 2024), (3, 3.0, 2024);
+ALTER TABLE part_t ADD PROJECTION p1 (SELECT k, v ORDER BY v);
+ALTER TABLE part_t DROP PARTITION 2023;
+SELECT count() AS n, min(y) AS miny FROM part_t;
+""",
+        overwrite_existing=True,
+    )
+    kinds = [k for k, _ in res]
+    assert "drop_partition" in kinds and "layout_noop" in kinds
+    row = res[-1][1].collect()[0]
+    assert row.n == 2 and row.miny == 2024
+    # DETACH PARTITION refuses; non-partitioned tables refuse
+    with pytest.raises(DialectError, match="DETACH PARTITION"):
+        run_clickhouse_script(
+            spark, "ALTER TABLE part_t DETACH PARTITION 2024;"
+        )
+    with pytest.raises(DialectError, match="PARTITION BY"):
+        run_clickhouse_script(
+            spark, "ALTER TABLE nopart_t DROP PARTITION 2024;"
+        )
+    # ReplacingMergeTree(ver, is_deleted): FINAL drops keys whose
+    # latest version carries the delete marker
+    src = tmp_path / "softdel"
+    spark.createDataFrame(
+        [
+            (1, "a", 1, 0), (1, "b", 2, 0),        # survives as b
+            (2, "x", 1, 0), (2, "x", 2, 1),        # deleted at v2
+            (3, "y", 2, 1), (3, "z", 3, 0),        # re-inserted at v3
+        ],
+        "k long, v string, ver long, is_deleted int",
+    ).write.mode("overwrite").parquet(str(src))
+    res = run_clickhouse_script(
+        spark,
+        """
+CREATE TABLE softdel (k UInt64, v String, ver UInt64, is_deleted UInt8)
+ENGINE = ReplacingMergeTree(ver, is_deleted) ORDER BY k;
+SELECT k, v FROM softdel FINAL ORDER BY k;
+""",
+        path_overrides={"softdel": str(src)},
+        overwrite_existing=True,
+    )
+    assert [tuple(r) for r in res[-1][1].collect()] == [
+        (1, "b"), (3, "z"),
+    ]
