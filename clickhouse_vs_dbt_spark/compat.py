@@ -18,6 +18,7 @@ deliberately absent rather than subtly wrong.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
 from clickhouse_vs_dbt_spark.catalog import register_views
@@ -103,7 +104,89 @@ def register_clickhouse_compat(spark: SparkSession) -> None:
         return
     for name, (sig, body) in _COMPAT_FUNCS.items():
         spark.sql(f"CREATE OR REPLACE TEMPORARY FUNCTION {name}{sig} RETURN {body}")
+    _register_vectorized(spark)
     spark.conf.set(flag, digest)
+
+
+def _betainc(x: float, a: float, b: float) -> float:
+    """Regularized incomplete beta I_x(a, b) — Lentz continued
+    fraction (Numerical Recipes betacf form, public-domain algorithm).
+    Powers the exact Student-t tail; |error| < 1e-12 over the
+    (df/2, 1/2) parameter slice the t CDF uses."""
+    import math
+
+    if x <= 0.0:
+        return 0.0
+    if x >= 1.0:
+        return 1.0
+    ln_front = (
+        math.lgamma(a + b) - math.lgamma(a) - math.lgamma(b)
+        + a * math.log(x) + b * math.log1p(-x)
+    )
+    if x > (a + 1.0) / (a + b + 2.0):
+        return 1.0 - _betainc(1.0 - x, b, a)
+    tiny = 1e-300
+    qab, qap, qam = a + b, a + 1.0, a - 1.0
+    c, d = 1.0, 1.0 - qab * x / qap
+    if abs(d) < tiny:
+        d = tiny
+    d = 1.0 / d
+    h = d
+    for m in range(1, 300):
+        m2 = 2 * m
+        aa = m * (b - m) * x / ((qam + m2) * (a + m2))
+        d = 1.0 + aa * d
+        if abs(d) < tiny:
+            d = tiny
+        c = 1.0 + aa / c
+        if abs(c) < tiny:
+            c = tiny
+        d = 1.0 / d
+        h *= d * c
+        aa = -(a + m) * (qab + m) * x / ((a + m2) * (qap + m2))
+        d = 1.0 + aa * d
+        if abs(d) < tiny:
+            d = tiny
+        c = 1.0 + aa / c
+        if abs(c) < tiny:
+            c = tiny
+        d = 1.0 / d
+        delta = d * c
+        h *= delta
+        if abs(delta - 1.0) < 1e-14:
+            break
+    return math.exp(ln_front) * h / a
+
+
+def t_pvalue(t: float, df: float) -> float:
+    """Two-sided Student-t p-value: I_{df/(df+t²)}(df/2, 1/2)."""
+    if t is None or df is None or df <= 0:
+        return None
+    if t != t or df != df:  # NaN
+        return float("nan")
+    return _betainc(df / (df + t * t), df / 2.0, 0.5)
+
+
+def _register_vectorized(spark: SparkSession) -> None:
+    """The few compat functions whose math has no Catalyst spelling —
+    registered as Arrow-batched pandas UDFs.  ``ch_t_pvalue`` is only
+    ever applied to AGGREGATE OUTPUT rows (one per group), so the
+    Python hop costs one Arrow batch per result partition, never a
+    per-input-row path."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def ch_t_pvalue(t: pd.Series, df: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                float("nan") if pd.isna(tv) or pd.isna(dv)
+                else t_pvalue(float(tv), float(dv))
+                for tv, dv in zip(t, df)
+            ],
+            dtype="float64",
+        )
+
+    spark.udf.register("ch_t_pvalue", ch_t_pvalue)
 
 
 # --- gated proof: a query written verbatim in the ClickHouse dialect ---

@@ -1937,15 +1937,63 @@ def _render_call(name: str, args: list[str]) -> str:
             "aggregate; use the keyed time-series operators "
             "(operators/timeseries.py) or a window recurrence"
         )
+    if name in ("studentTTest", "welchTTest") and len(args) == 2:
+        # Two-sample t-tests are FLAT aggregates (five conditional
+        # power sums), so they rewrite inline — CH returns
+        # Tuple(t, p); here a named struct ('t_stat','p_value') that
+        # positional ``.1``/``.2`` access still reaches via the
+        # _rewrite_tuple_index pass.  Sums accumulate as exact
+        # DECIMAL(38,6) (associative — partitioning-independent
+        # results; quantizes the sample to 6 decimals, the
+        # operators/stats.py _ttest_sql contract); the p-value is the
+        # exact Student-t two-sided tail via the regularized
+        # incomplete beta (compat.py ch_t_pvalue, an Arrow UDF that
+        # runs once per OUTPUT group row, never per input row).
+        x, raw_ind = args
+        # CH's sample_index is UInt8 0/1 and booleans are UInt8 —
+        # normalize once so `event_type = 'x'` works as an index
+        ind = f"CAST(({raw_ind}) AS INT)"
+        d = "DECIMAL(38,6)"
+        n0 = f"CAST(count_if(({ind}) = 0) AS DOUBLE)"
+        n1 = f"CAST(count_if(({ind}) = 1) AS DOUBLE)"
+        s0 = (f"CAST(sum(CASE WHEN ({ind}) = 0 THEN "
+              f"CAST({x} AS {d}) END) AS DOUBLE)")
+        s1 = (f"CAST(sum(CASE WHEN ({ind}) = 1 THEN "
+              f"CAST({x} AS {d}) END) AS DOUBLE)")
+        q0 = (f"CAST(sum(CASE WHEN ({ind}) = 0 THEN "
+              f"CAST(({x}) * ({x}) AS {d}) END) AS DOUBLE)")
+        q1 = (f"CAST(sum(CASE WHEN ({ind}) = 1 THEN "
+              f"CAST(({x}) * ({x}) AS {d}) END) AS DOUBLE)")
+        m0, m1 = f"(({s0}) / ({n0}))", f"(({s1}) / ({n1}))"
+        v0 = f"((({q0}) - ({s0}) * ({s0}) / ({n0})) / (({n0}) - 1))"
+        v1 = f"((({q1}) - ({s1}) * ({s1}) / ({n1})) / (({n1}) - 1))"
+        if name == "studentTTest":
+            sp2 = (f"(((({n0}) - 1) * ({v0}) + (({n1}) - 1) * ({v1}))"
+                   f" / (({n0}) + ({n1}) - 2))")
+            t = (f"((({m0}) - ({m1})) / sqrt(({sp2}) * "
+                 f"(1.0 / ({n0}) + 1.0 / ({n1}))))")
+            df = f"(({n0}) + ({n1}) - 2)"
+        else:
+            se0, se1 = f"(({v0}) / ({n0}))", f"(({v1}) / ({n1}))"
+            t = f"((({m0}) - ({m1})) / sqrt(({se0}) + ({se1})))"
+            df = (f"((({se0}) + ({se1})) * (({se0}) + ({se1})) / "
+                  f"(({se0}) * ({se0}) / (({n0}) - 1) + "
+                  f"({se1}) * ({se1}) / (({n1}) - 1)))")
+        return (f"named_struct('t_stat', {t}, "
+                f"'p_value', ch_t_pvalue({t}, {df}))")
     if name in (
-        "studentTTest", "welchTTest", "mannWhitneyUTest",
+        "mannWhitneyUTest",
         "cramersV", "cramersVBiasCorrected", "theilsU", "contingency",
         "entropy",
     ):
         raise DialectError(
-            f"{name}: two-level statistics (per-group counts feeding "
-            "a global statistic) — compose from operators/stats.py "
-            "aggregates (corr/covar/stddev/var map directly)"
+            f"{name}: two-level statistics (per-value counts feeding "
+            "a global statistic) — use the gated operators: "
+            "stats_mann_whitney (rank-sum over distinct-value counts) "
+            "and stats_categorical_assoc (cramersV[BiasCorrected] / "
+            "theilsU / entropy over the contingency table) in "
+            "operators/stats.py; studentTTest/welchTTest transpile "
+            "directly"
         )
     if name in (
         "wordShingleMinHash", "ngramMinHash", "wordShingleSimHash",
@@ -5424,7 +5472,58 @@ def transpile(sql: str, resolve_columns=None, engine_info=None) -> str:
     toks = _rewrite_final(toks, resolve_columns, engine_info)
     toks = _rewrite_clauses(toks)
     toks = _tokens("".join(toks))  # re-tokenize after clause splices
-    return _walk(toks, 0, len(toks))
+    return _rewrite_tuple_index(_walk(toks, 0, len(toks)))
+
+
+def _rewrite_tuple_index(sql: str) -> str:
+    """ClickHouse positional tuple access on a rewritten
+    tuple-returning function — ``sumCount(x).1``,
+    ``studentTTest(v, i).2`` — lands here as
+    ``named_struct('f', …).N``, which Spark's parser rejects.  Map
+    the 1-based position to the struct's Nth field name (the names
+    are always inline string literals, since every tuple-returning
+    rewrite in this module emits a literal named_struct).  Positional
+    access on anything else (a column alias, an untyped expression)
+    passes through untouched — Spark will name the unresolved
+    reference in its own error."""
+    toks = _tokens(sql)
+    i = 2
+    while i < len(toks):
+        if (
+            toks[i - 1] == "."
+            and toks[i].isdigit()
+            and toks[i - 2] == ")"
+        ):
+            # match backward to the opening paren
+            depth, j = 1, i - 3
+            while j >= 0 and depth:
+                if toks[j] == ")":
+                    depth += 1
+                elif toks[j] == "(":
+                    depth -= 1
+                j -= 1
+            k = j  # token before the '('
+            while k >= 0 and toks[k].isspace():
+                k -= 1
+            if k >= 0 and toks[k].lower() == "named_struct":
+                # field names: string literals at depth-1 positions
+                # 1, 3, 5… of the argument list
+                names, depth, argpos = [], 0, 0
+                for t in toks[j + 1:i - 2]:
+                    if t == "(":
+                        depth += 1
+                    elif t == ")":
+                        depth -= 1
+                    elif depth == 1:
+                        if t == ",":
+                            argpos += 1
+                        elif argpos % 2 == 0 and t[:1] in "'\"":
+                            names.append(t[1:-1])
+                n = int(toks[i])
+                if 1 <= n <= len(names):
+                    toks[i] = f"`{names[n - 1]}`"
+        i += 1
+    return "".join(toks)
 
 
 def catalog_resolver(spark: SparkSession):
@@ -8330,6 +8429,59 @@ GROUP BY o_orderstatus
 """
 
 
+# 26. two-sample t-tests — CH's studentTTest/welchTTest aggregates
+#     with positional tuple access, rewritten to flat conditional
+#     power sums (exact DECIMAL(38,6) accumulation).  The oracle
+#     re-derives the t statistics from the same power-sum algebra;
+#     the p-value halves of the tuples have no DuckDB spelling
+#     (regularized incomplete beta) and are value-pinned against
+#     closed forms in tests/test_stats.py instead.
+_CH_TTEST = """
+SELECT round(studentTTest(value, event_type = 'error').1, 6)
+         AS t_student,
+       round(welchTTest(value, event_type = 'error').1, 6) AS t_welch
+FROM events
+WHERE event_type IN ('purchase', 'error') AND value IS NOT NULL
+"""
+
+O_TTEST = """
+WITH g AS (
+  SELECT
+    CAST(COUNT(CASE WHEN event_type <> 'error' THEN 1 END) AS DOUBLE)
+      AS n0,
+    CAST(COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS DOUBLE)
+      AS n1,
+    CAST(SUM(CASE WHEN event_type <> 'error'
+             THEN CAST(value AS DECIMAL(38,6)) END) AS DOUBLE) AS s0,
+    CAST(SUM(CASE WHEN event_type = 'error'
+             THEN CAST(value AS DECIMAL(38,6)) END) AS DOUBLE) AS s1,
+    CAST(SUM(CASE WHEN event_type <> 'error'
+             THEN CAST(value * value AS DECIMAL(38,6)) END) AS DOUBLE)
+      AS q0,
+    CAST(SUM(CASE WHEN event_type = 'error'
+             THEN CAST(value * value AS DECIMAL(38,6)) END) AS DOUBLE)
+      AS q1
+  FROM events
+  WHERE event_type IN ('purchase', 'error') AND value IS NOT NULL),
+m AS (
+  SELECT n0, n1, s0 / n0 AS m0, s1 / n1 AS m1,
+         (q0 - s0 * s0 / n0) / (n0 - 1) AS v0,
+         (q1 - s1 * s1 / n1) / (n1 - 1) AS v1
+  FROM g)
+SELECT round((m0 - m1) / sqrt(
+         ((n0 - 1) * v0 + (n1 - 1) * v1) / (n0 + n1 - 2)
+         * (1.0 / n0 + 1.0 / n1)), 6) AS t_student,
+       round((m0 - m1) / sqrt(v0 / n0 + v1 / n1), 6) AS t_welch
+FROM m
+"""
+
+
+def q_dialect_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verbatim ClickHouse studentTTest/welchTTest query (module
+    doc)."""
+    return run_clickhouse_sql(spark, _CH_TTEST, sf_dir, ("events",))
+
+
 QUERIES = {
     "dialect_strings": q_dialect_strings,
     "ch_script_lifecycle": q_ch_script_lifecycle,
@@ -8353,6 +8505,7 @@ QUERIES = {
     "dialect_topk_weighted": q_dialect_topk_weighted,
     "dialect_distinct_on": q_dialect_distinct_on,
     "dialect_modern_sql": q_dialect_modern_sql,
+    "dialect_ttest": q_dialect_ttest,
     "dialect_star_modifiers": q_dialect_star_modifiers,
     "dialect_sample_clause": q_dialect_sample_clause,
     "dialect_sample_rows": q_dialect_sample_rows,
@@ -8404,6 +8557,7 @@ ORACLES = {
     "dialect_topk_weighted": O_TOPK_WEIGHTED,
     "dialect_distinct_on": O_DISTINCT_ON,
     "dialect_modern_sql": O_MODERN,
+    "dialect_ttest": O_TTEST,
     "dialect_star_modifiers": O_STAR_MODIFIERS,
     "dialect_sample_clause": _o_sample_dialect(),
     "dialect_sample_rows": _o_sample_rows(),

@@ -429,6 +429,131 @@ def q_quantile_histogram_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_hist_quantile_sql("spark"))
 
 
+def _categorical_assoc_sql(dialect: str) -> str:
+    """cramersV / cramersVBiasCorrected / theilsU / entropy between
+    ``c_mktsegment`` and ``o_orderstatus`` (ClickHouse's categorical
+    association family, which the dialect refuses inline because they
+    are two-level statistics).  One contingency-table pass:
+
+    - cell / row / column counts are exact BIGINTs from GROUP BYs on
+      categorical keys (bounded cardinality — the joins below touch
+      |r|×|c| metadata rows, never fact rows);
+    - every floating term (χ² cells, p·log₂p) is a deterministic
+      per-cell double accumulated as DECIMAL(38,18) — associative, so
+      the result is partitioning-independent;
+    - Theil's U(x|y) = (H(x) − H(x|y)) / H(x) with
+      H(x|y) = −Σ_cells (o/n)·log₂(o/cy);
+    - bias correction (Bergsma 2013): φ²⁺ = max(0, φ² − (r−1)(c−1)/
+      (n−1)), r⁺ = r − (r−1)²/(n−1), c⁺ = c − (c−1)²/(n−1).
+    """
+    return f"""
+WITH joined AS (
+  SELECT {_CV_X} AS x, {_CV_Y} AS y
+  FROM orders JOIN customer ON o_custkey = c_custkey),
+cells AS (SELECT x, y, CAST(COUNT(*) AS DOUBLE) AS o FROM joined GROUP BY x, y),
+rows_ AS (SELECT x, CAST(COUNT(*) AS DOUBLE) AS rx FROM joined GROUP BY x),
+cols_ AS (SELECT y, CAST(COUNT(*) AS DOUBLE) AS cy FROM joined GROUP BY y),
+tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(COUNT(DISTINCT x) AS DOUBLE) AS r,
+               CAST(COUNT(DISTINCT y) AS DOUBLE) AS c
+        FROM joined),
+hx AS (SELECT CAST(SUM(CAST(-(rx / n) * log2(rx / n)
+                            AS DECIMAL(38,18))) AS DOUBLE) AS h_x
+       FROM rows_ CROSS JOIN tot),
+hy AS (SELECT CAST(SUM(CAST(-(cy / n) * log2(cy / n)
+                            AS DECIMAL(38,18))) AS DOUBLE) AS h_y
+       FROM cols_ CROSS JOIN tot),
+chi AS (
+  SELECT
+    CAST(SUM(CAST((o - rx * cy / n) * (o - rx * cy / n) / (rx * cy / n)
+                  AS DECIMAL(38,18))) AS DOUBLE) AS chi2,
+    CAST(SUM(CAST(-(o / n) * log2(o / cy)
+                  AS DECIMAL(38,18))) AS DOUBLE) AS h_x_given_y
+  FROM cells JOIN rows_ USING (x) JOIN cols_ USING (y) CROSS JOIN tot)
+SELECT round(sqrt(chi2 / (n * least(r - 1, c - 1))), 6) AS cramers_v,
+       round(sqrt(
+         greatest(0.0, chi2 / n - (r - 1) * (c - 1) / (n - 1))
+         / least(r - (r - 1) * (r - 1) / (n - 1) - 1,
+                 c - (c - 1) * (c - 1) / (n - 1) - 1)), 6)
+         AS cramers_v_bc,
+       round((h_x - h_x_given_y) / h_x, 6) AS theils_u,
+       round(h_x, 6) AS entropy_x,
+       round(h_y, 6) AS entropy_y,
+       CAST(n AS BIGINT) AS n_pairs
+FROM chi CROSS JOIN hx CROSS JOIN hy CROSS JOIN tot
+"""
+
+
+def q_stats_categorical_assoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``cramersVBiasCorrected``/``theilsU``/``entropy``
+    as one contingency-table pass (module doc on _categorical_assoc_sql)."""
+    register_views(spark, sf_dir, ("orders", "customer"))
+    return spark.sql(_categorical_assoc_sql("spark"))
+
+
+_MWU_A, _MWU_B = "purchase", "error"
+
+
+def _mann_whitney_sql(dialect: str) -> str:
+    """Mann–Whitney U (ClickHouse ``mannWhitneyUTest``) without
+    per-row ranks: with average-tie ranks, the rank-sum of sample 1
+    only needs per-DISTINCT-VALUE counts —
+
+        2·avgrank(v) = 2·(rows before v) + count(v) + 1
+        2·R₁ = Σ_v c₁(v) · (2·cumbefore(v) + ct(v) + 1)
+
+    so the plan is one GROUP BY value (the only fact-row shuffle)
+    followed by a prefix sum over the DISTINCT VALUES — metadata
+    scale: `events.value` carries 2 decimals, so the distinct set is
+    domain-bounded (≤ ~100k rows) regardless of fact-row count, the
+    same bounded-window contract as rank_corr's bucket offsets.  All
+    rank algebra stays in exact BIGINT ×2 arithmetic (U doubles to
+    dodge the ½ from tie averages); the z statistic applies the tie
+    correction  σ² = n₁n₂/12 · (N+1 − Σ(t³−t)/(N(N−1)))  as one
+    double expression over the exact integers — deterministic."""
+    return f"""
+WITH s AS (
+  SELECT value AS v,
+         CAST(COUNT(*) AS BIGINT) AS ct,
+         CAST(COUNT(CASE WHEN event_type = '{_MWU_A}' THEN 1 END)
+              AS BIGINT) AS c1
+  FROM events
+  WHERE event_type IN ('{_MWU_A}', '{_MWU_B}') AND value IS NOT NULL
+  GROUP BY value),
+r AS (
+  SELECT ct, c1,
+         COALESCE(SUM(ct) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS cumbefore
+  FROM s),
+agg AS (
+  SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+         CAST(SUM(ct - c1) AS BIGINT) AS n2,
+         CAST(SUM(ct) AS BIGINT) AS n,
+         CAST(SUM(c1 * (2 * cumbefore + ct + 1)) AS BIGINT) AS r1x2,
+         CAST(SUM(ct * ct * ct - ct) AS BIGINT) AS tiesum
+  FROM r)
+SELECT n1, n2,
+       CAST(r1x2 - n1 * (n1 + 1) AS BIGINT) AS u1_x2,
+       CAST(2 * n1 * n2 - (r1x2 - n1 * (n1 + 1)) AS BIGINT) AS u2_x2,
+       round((CAST(r1x2 - n1 * (n1 + 1) AS DOUBLE) / 2
+              - CAST(n1 AS DOUBLE) * n2 / 2)
+             / sqrt(CAST(n1 AS DOUBLE) * n2 / 12.0
+                    * (CAST(n AS DOUBLE) + 1
+                       - CAST(tiesum AS DOUBLE)
+                         / (CAST(n AS DOUBLE) * (n - 1)))), 6)
+         AS z_stat
+FROM agg
+"""
+
+
+def q_stats_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney U between two event types (module doc on
+    _mann_whitney_sql)."""
+    register_views(spark, sf_dir, ("events",))
+    return spark.sql(_mann_whitney_sql("spark"))
+
+
 QUERIES = {
     "stats_moments": q_stats_moments,
     "weighted_median": q_weighted_median,
@@ -438,6 +563,8 @@ QUERIES = {
     "welch_ttest_events": q_welch_ttest,
     "cramers_v_segment_status": q_cramers_v,
     "quantile_histogram_sketch": q_quantile_histogram_sketch,
+    "stats_categorical_assoc": q_stats_categorical_assoc,
+    "stats_mann_whitney": q_stats_mann_whitney,
 }
 
 ORACLES = {
@@ -449,4 +576,6 @@ ORACLES = {
     "welch_ttest_events": _ttest_sql("duckdb"),
     "cramers_v_segment_status": _cramers_sql("duckdb"),
     "quantile_histogram_sketch": _hist_quantile_sql("duckdb"),
+    "stats_categorical_assoc": _categorical_assoc_sql("duckdb"),
+    "stats_mann_whitney": _mann_whitney_sql("duckdb"),
 }

@@ -1726,7 +1726,9 @@ def test_probe5_stat_window_family(spark):
         ("deltaSum(x)", "order-dependent"),
         ("groupArrayMovingSum(x)", "order-dependent"),
         ("largestTriangleThreeBuckets(9)(x, y)", "events_lttb"),
-        ("studentTTest(x, y)", "stats"),
+        ("mannWhitneyUTest(x, y)", "stats_mann_whitney"),
+        ("theilsU(x, y)", "stats_categorical_assoc"),
+        ("entropy(x)", "stats_categorical_assoc"),
     ]:
         with pytest.raises(DialectError, match=msg):
             transpile(f"SELECT {bad} FROM p5t")

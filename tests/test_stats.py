@@ -97,3 +97,123 @@ def test_cramers_v_in_unit_interval(spark, sf_dir):
     r = stats.q_cramers_v(spark, sf_dir).first()
     assert 0.0 <= r.cramers_v <= 1.0
     assert r.chi2 >= 0.0
+
+
+def test_t_pvalue_closed_forms():
+    """The compat incomplete-beta t CDF against exact closed forms:
+    df=1 is Cauchy, df=2 has an algebraic tail, df→∞ is normal."""
+    import math
+
+    from clickhouse_vs_dbt_spark.compat import t_pvalue
+
+    for t in (0.25, 0.5, 1.0, 2.5, 7.0):
+        assert abs(t_pvalue(t, 1) - (1 - 2 * math.atan(t) / math.pi)) < 1e-12
+        assert abs(t_pvalue(t, 2) - (1 - t / math.sqrt(2 + t * t))) < 1e-12
+        assert abs(t_pvalue(t, 1e7) - math.erfc(t / math.sqrt(2))) < 1e-6
+    # symmetry and edge behavior
+    assert abs(t_pvalue(-2.0, 5) - t_pvalue(2.0, 5)) < 1e-15
+    assert t_pvalue(0.0, 5) == 1.0
+    # textbook critical value: t(df=20, p=0.05) = 2.086
+    assert abs(t_pvalue(2.086, 20) - 0.05) < 1e-4
+
+
+def test_tuple_index_rewrite():
+    """Positional tuple access on tuple-returning rewrites maps to
+    the struct field name; access on anything else passes through."""
+    from clickhouse_vs_dbt_spark.dialect import transpile
+
+    out = transpile("SELECT sumCount(x).1 AS s, sumCount(x).2 AS c FROM t")
+    assert ".`sum`" in out and ".`count`" in out
+    out = transpile("SELECT studentTTest(v, i).2 FROM t")
+    assert ".`p_value`" in out
+    # no named_struct before the paren: untouched
+    assert "upper(x).1" in transpile("SELECT upper(x).1 FROM t")
+
+
+def test_dialect_ttest_matches_numpy(spark, sf_dir):
+    """End-to-end studentTTest/welchTTest (t AND p halves) against a
+    direct numpy computation + the closed-form t CDF."""
+    import numpy as np
+    import pandas as pd
+
+    from clickhouse_vs_dbt_spark.compat import t_pvalue
+    from clickhouse_vs_dbt_spark.dialect import run_clickhouse_sql
+
+    r = run_clickhouse_sql(
+        spark,
+        """
+        SELECT studentTTest(value, event_type = 'error').1 AS t_s,
+               studentTTest(value, event_type = 'error').2 AS p_s,
+               welchTTest(value, event_type = 'error').1 AS t_w,
+               welchTTest(value, event_type = 'error').2 AS p_w
+        FROM events
+        WHERE event_type IN ('purchase', 'error') AND value IS NOT NULL
+        """,
+        sf_dir,
+        ("events",),
+    ).first()
+
+    pdf = pd.read_parquet(f"{sf_dir}/events.parquet")
+    pdf = pdf[pdf.event_type.isin(["purchase", "error"])].dropna(
+        subset=["value"]
+    )
+    a = pdf[pdf.event_type != "error"].value.values
+    b = pdf[pdf.event_type == "error"].value.values
+    na, nb = len(a), len(b)
+    va, vb = a.var(ddof=1), b.var(ddof=1)
+    sp2 = ((na - 1) * va + (nb - 1) * vb) / (na + nb - 2)
+    t_s = (a.mean() - b.mean()) / np.sqrt(sp2 * (1 / na + 1 / nb))
+    t_w = (a.mean() - b.mean()) / np.sqrt(va / na + vb / nb)
+    df_w = (va / na + vb / nb) ** 2 / (
+        (va / na) ** 2 / (na - 1) + (vb / nb) ** 2 / (nb - 1)
+    )
+    assert abs(r.t_s - t_s) < 1e-6
+    assert abs(r.t_w - t_w) < 1e-6
+    assert abs(r.p_s - t_pvalue(t_s, na + nb - 2)) < 1e-9
+    assert abs(r.p_w - t_pvalue(t_w, df_w)) < 1e-9
+
+
+def test_mann_whitney_matches_bruteforce(spark, sf_dir):
+    """The distinct-value rank algebra against a direct average-rank
+    computation in pandas (scipy-free)."""
+    import numpy as np
+    import pandas as pd
+
+    from clickhouse_vs_dbt_spark.operators import stats
+
+    r = stats.q_stats_mann_whitney(spark, sf_dir).first()
+
+    pdf = pd.read_parquet(f"{sf_dir}/events.parquet")
+    pdf = pdf[pdf.event_type.isin(["purchase", "error"])].dropna(
+        subset=["value"]
+    )
+    ranks = pdf.value.rank(method="average")
+    r1 = ranks[pdf.event_type == "purchase"].sum()
+    n1 = int((pdf.event_type == "purchase").sum())
+    n2 = int((pdf.event_type == "error").sum())
+    u1 = r1 - n1 * (n1 + 1) / 2
+    assert r.n1 == n1 and r.n2 == n2
+    assert r.u1_x2 == int(round(2 * u1))
+    assert r.u1_x2 + r.u2_x2 == 2 * n1 * n2
+    # z against direct tie-corrected formula
+    n = n1 + n2
+    _, counts = np.unique(pdf.value.values, return_counts=True)
+    ties = (counts.astype(np.int64) ** 3 - counts).sum()
+    sigma = np.sqrt(n1 * n2 / 12 * ((n + 1) - ties / (n * (n - 1))))
+    z = (u1 - n1 * n2 / 2) / sigma
+    assert abs(r.z_stat - z) < 1e-5
+
+
+def test_categorical_assoc_bounds(spark, sf_dir):
+    """Association measures live in [0,1]; entropies are bounded by
+    log2(cardinality); bias correction only shrinks V."""
+    import math
+
+    from clickhouse_vs_dbt_spark.operators import stats
+
+    r = stats.q_stats_categorical_assoc(spark, sf_dir).first()
+    assert 0.0 <= r.cramers_v <= 1.0
+    assert 0.0 <= r.cramers_v_bc <= r.cramers_v + 1e-9
+    assert 0.0 <= r.theils_u <= 1.0
+    assert 0.0 < r.entropy_x <= math.log2(5) + 1e-9  # 5 mktsegments
+    assert 0.0 < r.entropy_y <= math.log2(3) + 1e-9  # 3 statuses
