@@ -1982,18 +1982,26 @@ def _render_call(name: str, args: list[str]) -> str:
         return (f"named_struct('t_stat', {t}, "
                 f"'p_value', ch_t_pvalue({t}, {df}))")
     if name in (
-        "mannWhitneyUTest",
+        "mannWhitneyUTest", "kolmogorovSmirnovTest",
         "cramersV", "cramersVBiasCorrected", "theilsU", "contingency",
         "entropy",
     ):
         raise DialectError(
             f"{name}: two-level statistics (per-value counts feeding "
             "a global statistic) — use the gated operators: "
-            "stats_mann_whitney (rank-sum over distinct-value counts) "
-            "and stats_categorical_assoc (cramersV[BiasCorrected] / "
-            "theilsU / entropy over the contingency table) in "
-            "operators/stats.py; studentTTest/welchTTest transpile "
-            "directly"
+            "stats_mann_whitney (rank-sum over distinct-value "
+            "counts), stats_ks_test (ECDF max-gap + asymptotic "
+            "Kolmogorov tail), and stats_categorical_assoc "
+            "(cramersV[BiasCorrected] / theilsU / entropy over the "
+            "contingency table) in operators/stats.py; "
+            "studentTTest/welchTTest transpile directly"
+        )
+    if name == "meanZTest":
+        raise DialectError(
+            "meanZTest takes GIVEN population variances — spell the "
+            "z statistic directly: (avgIf(x, i=0) - avgIf(x, i=1)) / "
+            "sqrt(v0/countIf(i=0) + v1/countIf(i=1)); for estimated "
+            "variances use studentTTest/welchTTest (which transpile)"
         )
     if name in (
         "wordShingleMinHash", "ngramMinHash", "wordShingleSimHash",

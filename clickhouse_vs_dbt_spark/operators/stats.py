@@ -554,6 +554,74 @@ def q_stats_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_mann_whitney_sql("spark"))
 
 
+def _ks_series(dialect: str, lam: str) -> str:
+    """Asymptotic Kolmogorov tail Q(λ) = 2·Σ_{k≥1} (−1)^{k−1}
+    e^{−2k²λ²}, truncated at k=100 (the terms decay as e^{−2k²λ²};
+    for any λ where p > 1e-12 the tail beyond k=100 is below double
+    precision).  Each engine spells the finite sum natively — the
+    terms are identical doubles, so round(…, 6) agrees."""
+    if dialect == "spark":
+        return (
+            f"2 * aggregate(sequence(1, 100), CAST(0 AS DOUBLE), "
+            f"(acc, k) -> acc + (CASE WHEN k % 2 = 1 THEN 1.0 ELSE "
+            f"-1.0 END) * exp(-2.0 * k * k * ({lam}) * ({lam})))"
+        )
+    return (
+        f"2 * list_sum(list_transform(range(1, 101), "
+        f"k -> (CASE WHEN k % 2 = 1 THEN 1.0 ELSE -1.0 END) "
+        f"* exp(-2.0 * k * k * ({lam}) * ({lam}))))"
+    )
+
+
+def _ks_test_sql(dialect: str) -> str:
+    """Two-sample Kolmogorov–Smirnov (ClickHouse
+    ``kolmogorovSmirnovTest``) on the distinct-value ECDF: both
+    empirical CDFs only jump at data points, so sup|F₁−F₂| is the max
+    over distinct values of the inclusive cumulative counts — exact
+    integer cumulatives divided once per row (deterministic doubles).
+    Same plan shape as stats_mann_whitney: one GROUP BY value over
+    fact rows, then a prefix window over the domain-bounded distinct
+    set.  p is the asymptotic Kolmogorov tail at
+    λ = D·√(n₁n₂/(n₁+n₂)), clamped to [0, 1]."""
+    lam = "d_stat * sqrt(n1 * n2 / (n1 + n2))"
+    return f"""
+WITH s AS (
+  SELECT value AS v,
+         CAST(COUNT(CASE WHEN event_type = '{_MWU_A}' THEN 1 END)
+              AS BIGINT) AS c1,
+         CAST(COUNT(CASE WHEN event_type = '{_MWU_B}' THEN 1 END)
+              AS BIGINT) AS c2
+  FROM events
+  WHERE event_type IN ('{_MWU_A}', '{_MWU_B}') AND value IS NOT NULL
+  GROUP BY value),
+c AS (
+  SELECT SUM(c1) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS f1,
+         SUM(c2) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS f2
+  FROM s),
+t AS (SELECT CAST(SUM(c1) AS DOUBLE) AS n1,
+             CAST(SUM(c2) AS DOUBLE) AS n2
+      FROM s),
+d AS (
+  SELECT MAX(ABS(CAST(f1 AS DOUBLE) / n1 - CAST(f2 AS DOUBLE) / n2))
+           AS d_stat
+  FROM c CROSS JOIN t)
+SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+       round(d_stat, 6) AS d_stat,
+       round(least(1.0, greatest(0.0, {_ks_series(dialect, lam)})), 6)
+         AS p_asymp
+FROM d CROSS JOIN t
+"""
+
+
+def q_stats_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample KS test between two event types (module doc on
+    _ks_test_sql)."""
+    register_views(spark, sf_dir, ("events",))
+    return spark.sql(_ks_test_sql("spark"))
+
+
 QUERIES = {
     "stats_moments": q_stats_moments,
     "weighted_median": q_weighted_median,
@@ -565,6 +633,7 @@ QUERIES = {
     "quantile_histogram_sketch": q_quantile_histogram_sketch,
     "stats_categorical_assoc": q_stats_categorical_assoc,
     "stats_mann_whitney": q_stats_mann_whitney,
+    "stats_ks_test": q_stats_ks_test,
 }
 
 ORACLES = {
@@ -578,4 +647,5 @@ ORACLES = {
     "quantile_histogram_sketch": _hist_quantile_sql("duckdb"),
     "stats_categorical_assoc": _categorical_assoc_sql("duckdb"),
     "stats_mann_whitney": _mann_whitney_sql("duckdb"),
+    "stats_ks_test": _ks_test_sql("duckdb"),
 }

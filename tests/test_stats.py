@@ -217,3 +217,36 @@ def test_categorical_assoc_bounds(spark, sf_dir):
     assert 0.0 <= r.theils_u <= 1.0
     assert 0.0 < r.entropy_x <= math.log2(5) + 1e-9  # 5 mktsegments
     assert 0.0 < r.entropy_y <= math.log2(3) + 1e-9  # 3 statuses
+
+
+def test_ks_test_matches_bruteforce(spark, sf_dir):
+    """ECDF max-gap against a direct numpy two-sample KS computation,
+    and the asymptotic tail against its series definition."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from clickhouse_vs_dbt_spark.operators import stats
+
+    r = stats.q_stats_ks_test(spark, sf_dir).first()
+
+    pdf = pd.read_parquet(f"{sf_dir}/events.parquet")
+    pdf = pdf[pdf.event_type.isin(["purchase", "error"])].dropna(
+        subset=["value"]
+    )
+    a = np.sort(pdf[pdf.event_type == "purchase"].value.values)
+    b = np.sort(pdf[pdf.event_type == "error"].value.values)
+    allv = np.unique(np.concatenate([a, b]))
+    f1 = np.searchsorted(a, allv, side="right") / len(a)
+    f2 = np.searchsorted(b, allv, side="right") / len(b)
+    d = np.abs(f1 - f2).max()
+    assert r.n1 == len(a) and r.n2 == len(b)
+    assert abs(r.d_stat - d) < 1e-6
+
+    lam = d * math.sqrt(len(a) * len(b) / (len(a) + len(b)))
+    q = 2 * sum(
+        (-1) ** (k - 1) * math.exp(-2 * k * k * lam * lam)
+        for k in range(1, 101)
+    )
+    assert abs(r.p_asymp - min(1.0, max(0.0, q))) < 1e-6
