@@ -98,7 +98,8 @@ def register_clickhouse_compat(spark: SparkSession) -> None:
     # body without changing the count must still re-register, or a
     # session keeps serving the stale definition
     digest = hashlib.sha256(
-        repr(sorted(_COMPAT_FUNCS.items())).encode()
+        (repr(sorted(_COMPAT_FUNCS.items()))
+         + f"|vectorized_v{_VECTORIZED_VERSION}").encode()
     ).hexdigest()[:16]
     if spark.conf.get(flag, None) == digest:
         return
@@ -167,6 +168,11 @@ def t_pvalue(t: float, df: float) -> float:
     return _betainc(df / (df + t * t), df / 2.0, 0.5)
 
 
+#: bump when the vectorized set below changes — the registration
+#: digest must move or live sessions keep stale definitions
+_VECTORIZED_VERSION = 2
+
+
 def _register_vectorized(spark: SparkSession) -> None:
     """The few compat functions whose math has no Catalyst spelling —
     registered as Arrow-batched pandas UDFs.  ``ch_t_pvalue`` is only
@@ -187,6 +193,37 @@ def _register_vectorized(spark: SparkSession) -> None:
         )
 
     spark.udf.register("ch_t_pvalue", ch_t_pvalue)
+
+    import math
+
+    def _unary_math(fn):
+        def _safe(v):
+            try:
+                return fn(float(v))
+            except (ValueError, OverflowError):
+                # poles / overflow (e.g. tgamma at non-positive
+                # integers) — CH returns inf/nan there
+                return float("inf")
+
+        def apply(x: pd.Series) -> pd.Series:
+            return pd.Series(
+                [float("nan") if pd.isna(v) else _safe(v) for v in x],
+                dtype="float64",
+            )
+
+        return apply
+
+    # erf/erfc/lgamma/tgamma have no Catalyst spelling and numpy
+    # ships none either — libm via math.*, Arrow-batched transfer
+    for ch_name, fn in (
+        ("ch_erf", math.erf),
+        ("ch_erfc", math.erfc),
+        ("ch_lgamma", math.lgamma),
+        ("ch_tgamma", math.gamma),
+    ):
+        spark.udf.register(
+            ch_name, pandas_udf("double")(_unary_math(fn))
+        )
 
 
 # --- gated proof: a query written verbatim in the ClickHouse dialect ---

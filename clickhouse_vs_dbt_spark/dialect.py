@@ -1795,6 +1795,136 @@ def _render_call(name: str, args: list[str]) -> str:
             f"((kurtosis({x}) + 3) * "
             f"pow(var_pop({x}) / var_samp({x}), 2))"
         )
+    # --- r8 scalar batch 2 (pass-through audit: names Spark lacks) ---
+    if name == "firstValue" and len(args) == 1:
+        return f"first_value({args[0]})"
+    if name == "lastValue" and len(args) == 1:
+        return f"last_value({args[0]})"
+    if name == "singleValueOrNull" and len(args) == 1:
+        # the value iff the group has exactly one row, else NULL
+        x = args[0]
+        return f"(CASE WHEN count({x}) = 1 THEN max({x}) END)"
+    if name == "subtractMonths" and len(args) == 2:
+        return f"add_months({args[0]}, -({args[1]}))"
+    if name == "subtractYears" and len(args) == 2:
+        return f"add_months({args[0]}, -12 * ({args[1]}))"
+    if name == "age" and len(args) == 3 and args[0][:1] in "'\"":
+        # CH age() counts COMPLETE elapsed units — Spark's
+        # timestampdiff has the same contract (dateDiff, already
+        # mapped, counts boundary crossings instead)
+        unit = args[0][1:-1].upper()
+        if unit in (
+            "SECOND", "MINUTE", "HOUR", "DAY", "WEEK", "MONTH",
+            "QUARTER", "YEAR",
+        ):
+            return f"timestampdiff({unit}, {args[1]}, {args[2]})"
+        raise DialectError(f"age: unsupported unit {unit!r}")
+    if name == "timeSlots" and len(args) in (2, 3):
+        # array of Size-aligned slot starts covering
+        # [StartTime, StartTime + Duration] — a sequence over epoch
+        # slots mapped back to timestamps, pure codegen
+        ts, dur = args[0], args[1]
+        size = args[2] if len(args) == 3 else "1800"
+        lo = f"(unix_timestamp({ts}) div ({size}))"
+        hi = f"((unix_timestamp({ts}) + ({dur})) div ({size}))"
+        return (
+            f"transform(sequence({lo}, {hi}), "
+            f"__sl -> timestamp_seconds(__sl * ({size})))"
+        )
+    if name == "arrayShingles" and len(args) == 2:
+        a, n = args
+        # sequence(1, 0) would generate a DESCENDING ramp, so guard
+        # the shorter-than-n case to CH's empty result explicitly
+        return (
+            f"(CASE WHEN size({a}) < ({n}) THEN array() "
+            f"ELSE transform(sequence(1, size({a}) - ({n}) + 1), "
+            f"__si -> slice({a}, __si, {n})) END)"
+        )
+    if name == "arrayAUC" and len(args) == 2:
+        # ROC AUC from (scores, labels) arrays: rank-sum form
+        # AUC = (Σ avgrank(pos) − P(P+1)/2) / (P·N) with average-tie
+        # ranks — O(n²) lambda per row, matching CH's per-row cost
+        # class (arrays are row-local; this is not a table scan)
+        sc, lb = args
+        p = f"size(filter({lb}, __v -> __v > 0))"
+        npos_rank = (
+            f"aggregate(sequence(1, size({sc})), CAST(0 AS DOUBLE), "
+            f"(__acc, __i) -> __acc + IF(element_at({lb}, __i) > 0, "
+            f"size(filter({sc}, __v -> __v < element_at({sc}, __i))) "
+            f"+ (size(filter({sc}, __v -> __v = element_at({sc}, __i)"
+            f")) + 1) / 2.0, CAST(0 AS DOUBLE)))"
+        )
+        return (
+            f"(({npos_rank} - ({p}) * (({p}) + 1) / 2.0) "
+            f"/ (({p}) * (size({sc}) - ({p}))))"
+        )
+    if name == "caseWithExpression" and len(args) >= 4:
+        # caseWithExpression(x, v1, r1, …, default) — the CASE x
+        # WHEN form spelled as a function
+        x, rest = args[0], args[1:]
+        default = rest[-1]
+        pairs = rest[:-1]
+        if len(pairs) % 2:
+            raise DialectError(
+                "caseWithExpression needs (x, v1, r1, …, default)"
+            )
+        whens = "".join(
+            f" WHEN {pairs[i]} THEN {pairs[i + 1]}"
+            for i in range(0, len(pairs), 2)
+        )
+        return f"(CASE {x}{whens} ELSE {default} END)"
+    if name == "toFixedString" and len(args) == 2:
+        s, n = args
+        # CH throws when the value exceeds N — keep that contract
+        # (silent rpad-truncation would corrupt join keys)
+        return (
+            f"(CASE WHEN length({s}) > ({n}) THEN "
+            f"CAST(raise_error('toFixedString: value longer than "
+            f"fixed size') AS STRING) "
+            f"ELSE rpad({s}, {n}, chr(0)) END)"
+        )
+    if name == "sigmoid" and len(args) == 1:
+        return f"(1.0 / (1.0 + exp(-({args[0]}))))"
+    if name in ("erf", "erfc", "lgamma", "tgamma") and len(args) == 1:
+        # no Catalyst spelling exists — Arrow-batched UDFs from the
+        # compat registry (libm-exact, vectorized transfer); the only
+        # sanctioned non-expression scalars besides ch_t_pvalue
+        return f"ch_{name}({args[0]})"
+    if name in ("normalizeQuery", "normalizedQueryHash"):
+        raise DialectError(
+            f"{name}: ClickHouse's literal-masking rules are "
+            "version-specific (silent divergence risk) — spell the "
+            "masking explicitly, e.g. regexp_replace(regexp_replace("
+            "q, '''[^'']*''', '?'), '\\\\b\\\\d+\\\\b', '?') "
+            "[+ xxhash64 for the hash]"
+        )
+    if name == "extractGroups" and len(args) == 2:
+        s, pat = args
+        if pat[:1] not in "'\"":
+            raise DialectError(
+                "extractGroups needs a literal pattern (the capture-"
+                "group count drives the expansion); use "
+                "regexp_extract(s, re, i) for dynamic patterns"
+            )
+        body, groups, i = pat[1:-1], 0, 0
+        while i < len(body):
+            if body[i] == "\\":
+                i += 2
+                continue
+            if body[i] == "(" and body[i + 1:i + 2] != "?":
+                groups += 1
+            i += 1
+        if not groups:
+            raise DialectError("extractGroups: pattern has no groups")
+        parts = ", ".join(
+            f"regexp_extract({s}, {pat}, {g})"
+            for g in range(1, groups + 1)
+        )
+        # CH returns [] when nothing matches (not ['','',…])
+        return (
+            f"(CASE WHEN regexp_like({s}, {pat}) "
+            f"THEN array({parts}) ELSE array() END)"
+        )
     if name == "sumKahan" and len(args) == 1:
         # compensated float summation: the repo's decimal-exact sum IS
         # the deterministic superset of Kahan (operators/common.py)
@@ -2731,10 +2861,28 @@ def _render_parametric(name: str, params: list[str], args: list[str]) -> str:
         return (
             f"slice(array_sort(collect_list({args[0]})), 1, {params[0]})"
         )
-    if name in ("quantileTDigest", "quantileTiming") and len(params) == 1:
-        # both are ClickHouse approximate-quantile registers; the Spark
+    if (
+        name in ("quantileTDigest", "quantileTiming", "quantileBFloat16")
+        and len(params) == 1
+    ):
+        # all ClickHouse approximate-quantile registers; the Spark
         # register is percentile_approx — same role, different sketch
         return f"percentile_approx({args[0]}, {params[0]})"
+    if name == "groupArraySample" and params:
+        raise DialectError(
+            "groupArraySample draws a RANDOM per-group sample "
+            "(non-deterministic) — use the deterministic hash-range "
+            "sampling operators (operators/sampling.py) or "
+            "groupArraySorted(n)(x) for a stable selection"
+        )
+    if name == "groupArrayLast" and params:
+        raise DialectError(
+            "groupArrayLast keeps the LAST n in insertion order — "
+            "order-dependent in a distributed engine; spell the "
+            "order: groupArraySorted over a negated key, or "
+            "slice(array_sort(collect_list(struct(ts, x))), ...) "
+            "with an explicit timestamp"
+        )
     if (
         name in ("quantileMerge", "quantileExactMerge")
         and len(params) == 1
@@ -2846,6 +2994,9 @@ def _render_parametric(name: str, params: list[str], args: list[str]) -> str:
 
 _PARAMETRIC = {
     "quantile",
+    "quantileBFloat16",
+    "groupArraySample",
+    "groupArrayLast",
     "quantileExact",
     "quantiles",
     "quantilesExact",
@@ -8490,6 +8641,72 @@ def q_dialect_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_clickhouse_sql(spark, _CH_TTEST, sf_dir, ("events",))
 
 
+# 27. r8 scalar batch 2 (the pass-through audit): date-shift family,
+#     age(), timeSlots-adjacent CASE form, arrayShingles/arrayAUC,
+#     toFixedString, extractGroups, sigmoid, singleValueOrNull.  The
+#     literal-argument rows (shingles of a literal array, AUC of
+#     literal score/label vectors) pin constants the oracle re-states;
+#     erf/erfc/lgamma/tgamma are value-checked against libm in
+#     tests/test_stats.py (DuckDB has no spelling for them).
+_CH_PROBE9 = """
+SELECT o_orderstatus,
+       round(sigmoid(toFloat64(count()) / 10000), 6) AS sig_n,
+       subtractMonths(toDate(max(o_orderdate)), 2) AS m2,
+       subtractYears(toDate(max(o_orderdate)), 1) AS y1,
+       toDate(subtractWeeks(toDate(max(o_orderdate)), 3)) AS w3,
+       age('day', toDate(min(o_orderdate)), toDate(max(o_orderdate)))
+         AS span_days,
+       caseWithExpression(o_orderstatus, 'F', 'final',
+                          'P', 'pending', 'other') AS status_name,
+       arraySum(arrayShingles([1, 2, 3, 4], 2)[1]) AS sh1_sum,
+       arraySum(arrayShingles([1, 2, 3, 4], 2)[2]) AS sh2_sum,
+       toFloat64(round(arrayAUC([0.1, 0.4, 0.35, 0.8],
+                                [0, 0, 1, 1]), 6)) AS auc,
+       length(toFixedString(o_orderstatus, 4)) AS fixlen,
+       extractGroups(max(o_orderpriority), '(\\\\d)-(\\\\w+)')[2]
+         AS prio_word,
+       singleValueOrNull(o_orderstatus) AS sv
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+O_PROBE9 = r"""
+SELECT o_orderstatus,
+       round(1.0 / (1.0 + exp(-(CAST(COUNT(*) AS DOUBLE) / 10000))),
+             6) AS sig_n,
+       CAST(CAST(max(o_orderdate) AS DATE) - INTERVAL 2 MONTH
+            AS DATE) AS m2,
+       CAST(CAST(max(o_orderdate) AS DATE) - INTERVAL 1 YEAR
+            AS DATE) AS y1,
+       CAST(CAST(max(o_orderdate) AS DATE) - INTERVAL 21 DAY
+            AS DATE) AS w3,
+       CAST(date_diff('day', CAST(min(o_orderdate) AS DATE),
+                      CAST(max(o_orderdate) AS DATE)) AS BIGINT)
+         AS span_days,
+       CASE o_orderstatus WHEN 'F' THEN 'final'
+            WHEN 'P' THEN 'pending' ELSE 'other' END AS status_name,
+       CAST(3 AS DOUBLE) AS sh1_sum,
+       CAST(5 AS DOUBLE) AS sh2_sum,
+       CAST(0.75 AS DOUBLE) AS auc,
+       4 AS fixlen,
+       CASE WHEN regexp_matches(max(o_orderpriority), '(\d)-(\w+)')
+            THEN regexp_extract(max(o_orderpriority),
+                                '(\d)-(\w+)', 2)
+            END AS prio_word,
+       CASE WHEN COUNT(o_orderstatus) = 1 THEN MAX(o_orderstatus)
+            END AS sv
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+def q_dialect_probe9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verbatim ClickHouse scalar-batch-2 query (module doc)."""
+    return run_clickhouse_sql(spark, _CH_PROBE9, sf_dir, ("orders",))
+
+
 QUERIES = {
     "dialect_strings": q_dialect_strings,
     "ch_script_lifecycle": q_ch_script_lifecycle,
@@ -8514,6 +8731,7 @@ QUERIES = {
     "dialect_distinct_on": q_dialect_distinct_on,
     "dialect_modern_sql": q_dialect_modern_sql,
     "dialect_ttest": q_dialect_ttest,
+    "dialect_probe9": q_dialect_probe9,
     "dialect_star_modifiers": q_dialect_star_modifiers,
     "dialect_sample_clause": q_dialect_sample_clause,
     "dialect_sample_rows": q_dialect_sample_rows,
@@ -8566,6 +8784,7 @@ ORACLES = {
     "dialect_distinct_on": O_DISTINCT_ON,
     "dialect_modern_sql": O_MODERN,
     "dialect_ttest": O_TTEST,
+    "dialect_probe9": O_PROBE9,
     "dialect_star_modifiers": O_STAR_MODIFIERS,
     "dialect_sample_clause": _o_sample_dialect(),
     "dialect_sample_rows": _o_sample_rows(),

@@ -2641,3 +2641,69 @@ def test_r8_window_funnel_modes(spark):
     assert run(", 'strict_order', 'strict_increase'") == [3, 2, 3, 3, 3]
     with pytest.raises(DialectError, match="unknown windowFunnel"):
         run(", 'strict_nonsense'")
+
+
+def test_r8_scalar_batch2(spark):
+    """Pass-through-audit batch: names ClickHouse resolves but Spark
+    lacks — libm specials via Arrow compat UDFs, date-shift family,
+    age(), array shingles/AUC, CASE-function, fixed strings, group
+    extraction; refusals for the non-deterministic aggregates."""
+    import math
+
+    from clickhouse_vs_dbt_spark.compat import register_clickhouse_compat
+    from clickhouse_vs_dbt_spark.dialect import (
+        DialectError,
+        transpile,
+    )
+
+    register_clickhouse_compat(spark)
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW b2t AS SELECT 1.5 AS x, "
+        "CAST('2024-03-15' AS DATE) AS d, "
+        "CAST('2024-01-05 10:20:00' AS TIMESTAMP) AS ts, "
+        "'hello world' AS s, array(0.1, 0.4, 0.35, 0.8) AS sc, "
+        "array(0, 0, 1, 1) AS lb, array(1, 2, 3, 4, 5) AS a"
+    )
+
+    def one(expr):
+        return spark.sql(transpile(f"SELECT {expr} AS r FROM b2t")).first().r
+
+    assert abs(one("erf(x)") - math.erf(1.5)) < 1e-12
+    assert abs(one("erfc(x)") - math.erfc(1.5)) < 1e-12
+    assert abs(one("lgamma(x)") - math.lgamma(1.5)) < 1e-12
+    assert abs(one("tgamma(x)") - math.gamma(1.5)) < 1e-12
+    assert abs(one("sigmoid(x)") - 1 / (1 + math.exp(-1.5))) < 1e-12
+    assert str(one("subtractMonths(d, 2)")) == "2024-01-15"
+    assert str(one("subtractYears(d, 1)")) == "2023-03-15"
+    # age counts COMPLETE months: Jan 5 -> Mar 15 spans 2 full months
+    assert one("age('month', toDate(ts), d)") == 2
+    slots = one("timeSlots(ts, 3600)")
+    assert [s.strftime("%H:%M") for s in slots] == [
+        "10:00", "10:30", "11:00",
+    ]
+    assert one("arrayShingles(a, 2)") == [
+        [1, 2], [2, 3], [3, 4], [4, 5],
+    ]
+    assert one("arrayShingles(a, 9)") == []
+    # pos scores {.35, .8} vs neg {.1, .4}: 3 of 4 pairs ordered
+    assert abs(one("arrayAUC(sc, lb)") - 0.75) < 1e-12
+    assert one("caseWithExpression(x, 1.5, 'a', 'z')") == "a"
+    assert one("toFixedString(s, 15)") == "hello world\x00\x00\x00\x00"
+    assert one("extractGroups(s, '(h\\\\w+) (w\\\\w+)')") == [
+        "hello", "world",
+    ]
+    assert one("extractGroups(s, '(zz)(yy)')") == []
+    assert one("singleValueOrNull(x)") == 1.5
+    assert one("firstValue(x)") == 1.5
+
+    import pytest as _pytest
+
+    for bad, msg in [
+        ("groupArraySample(3)(x)", "RANDOM"),
+        ("groupArrayLast(3)(x)", "insertion order"),
+        ("normalizeQuery(s)", "masking"),
+        ("extractGroups(s, x)", "literal pattern"),
+        ("meanZTest(1.0, 1.0, 0.95)(x, x)", "population variances"),
+    ]:
+        with _pytest.raises(DialectError, match=msg):
+            transpile(f"SELECT {bad} FROM b2t")
