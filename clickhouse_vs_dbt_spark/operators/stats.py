@@ -435,9 +435,13 @@ def _categorical_assoc_sql(dialect: str) -> str:
     association family, which the dialect refuses inline because they
     are two-level statistics).  One contingency-table pass:
 
-    - cell / row / column counts are exact BIGINTs from GROUP BYs on
-      categorical keys (bounded cardinality — the joins below touch
-      |r|×|c| metadata rows, never fact rows);
+    - FACT ROWS are touched exactly once: the contingency table
+      (GROUP BY x, y — partial+final hash aggregate over the
+      broadcast-dim join) is the only fact-scale operation; row /
+      column / grand totals re-aggregate the |r|×|c| cell table
+      (integer-valued double sums — exact below 2⁵³), and the final
+      joins run over metadata-scale relations (broadcast-hinted on
+      the Spark side);
     - every floating term (χ² cells, p·log₂p) is a deterministic
       per-cell double accumulated as DECIMAL(38,18) — associative, so
       the result is partitioning-independent;
@@ -446,17 +450,21 @@ def _categorical_assoc_sql(dialect: str) -> str:
     - bias correction (Bergsma 2013): φ²⁺ = max(0, φ² − (r−1)(c−1)/
       (n−1)), r⁺ = r − (r−1)²/(n−1), c⁺ = c − (c−1)²/(n−1).
     """
+    hint = (
+        "/*+ BROADCAST(rows_), BROADCAST(cols_), BROADCAST(tot) */ "
+        if dialect == "spark" else ""
+    )
     return f"""
 WITH joined AS (
   SELECT {_CV_X} AS x, {_CV_Y} AS y
   FROM orders JOIN customer ON o_custkey = c_custkey),
 cells AS (SELECT x, y, CAST(COUNT(*) AS DOUBLE) AS o FROM joined GROUP BY x, y),
-rows_ AS (SELECT x, CAST(COUNT(*) AS DOUBLE) AS rx FROM joined GROUP BY x),
-cols_ AS (SELECT y, CAST(COUNT(*) AS DOUBLE) AS cy FROM joined GROUP BY y),
-tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+rows_ AS (SELECT x, SUM(o) AS rx FROM cells GROUP BY x),
+cols_ AS (SELECT y, SUM(o) AS cy FROM cells GROUP BY y),
+tot AS (SELECT SUM(o) AS n,
                CAST(COUNT(DISTINCT x) AS DOUBLE) AS r,
                CAST(COUNT(DISTINCT y) AS DOUBLE) AS c
-        FROM joined),
+        FROM cells),
 hx AS (SELECT CAST(SUM(CAST(-(rx / n) * log2(rx / n)
                             AS DECIMAL(38,18))) AS DOUBLE) AS h_x
        FROM rows_ CROSS JOIN tot),
@@ -464,7 +472,7 @@ hy AS (SELECT CAST(SUM(CAST(-(cy / n) * log2(cy / n)
                             AS DECIMAL(38,18))) AS DOUBLE) AS h_y
        FROM cols_ CROSS JOIN tot),
 chi AS (
-  SELECT
+  SELECT {hint}
     CAST(SUM(CAST((o - rx * cy / n) * (o - rx * cy / n) / (rx * cy / n)
                   AS DECIMAL(38,18))) AS DOUBLE) AS chi2,
     CAST(SUM(CAST(-(o / n) * log2(o / cy)

@@ -352,3 +352,40 @@ def test_r7_token_budget_windows_are_bucket_keyed(spark, sf_dir):
             raise AssertionError(
                 f"window without bucket key: {head[:200]}"
             )
+
+
+def test_mwu_ks_single_fact_aggregation(spark, sf_dir):
+    """stats_mann_whitney / stats_ks_test: the only operation touching
+    fact rows is ONE hash aggregate (GROUP BY value — partial +
+    final); the prefix window runs over the aggregated distinct-value
+    set (domain-bounded metadata), so exactly one fact shuffle and no
+    Sort before the aggregate."""
+    from clickhouse_vs_dbt_spark.operators.stats import (
+        q_stats_ks_test,
+        q_stats_mann_whitney,
+    )
+
+    for q in (q_stats_mann_whitney, q_stats_ks_test):
+        plan = _plan(q(spark, sf_dir))
+        # partial+final aggregate pair over the scan
+        assert plan.count("HashAggregate") >= 2
+        # the single-partition exchange exists only downstream of the
+        # aggregate (the distinct-value window), never on fact rows:
+        # the scan's exchange must be hash-partitioned on the value key
+        assert "hashpartitioning(value" in plan or (
+            "hashpartitioning(v" in plan
+        )
+
+
+def test_categorical_assoc_joins_are_metadata_scale(spark, sf_dir):
+    """stats_categorical_assoc: the cells/rows/cols joins run over the
+    |r|x|c| contingency table (metadata), so they must plan as
+    broadcast joins — a shuffled merge join would imply fact-scale
+    relations on both sides."""
+    from clickhouse_vs_dbt_spark.operators.stats import (
+        q_stats_categorical_assoc,
+    )
+
+    plan = _plan(q_stats_categorical_assoc(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
