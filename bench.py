@@ -208,6 +208,13 @@ HEADLINE = [
     "dialect_funnel_dedup",
     "ch_script_blue_green",
     "ch_script_retention",
+    # round-8 statistical-test family + scalar batch 2
+    "dialect_ttest",
+    "stats_mann_whitney",
+    "stats_ks_test",
+    "stats_categorical_assoc",
+    "dialect_probe9",
+    "dialect_sequence_guard2",
 ]
 
 

@@ -700,18 +700,21 @@ def _parse_sequence_pattern(pattern: str):
     event must match: events matching no supplied condition are
     invisible, per CH's documented example), ``('any',)`` for
     ``.*``, or ``('guard', uppers, lowers)`` for time guards
-    (``(?t<n)`` caps the gap, ``(?t>n)`` floors it; CH documents
-    that a guard admits arbitrary events between, so a guard link
-    does NOT imply adjacency).  Mixed upper+lower guards on ONE
-    link refuse: the exact fold tracks per-level extremal anchor
-    times, which decide any single-sided existence question
-    exactly, but a two-sided window needs the full anchor set."""
+    (``(?t<n)`` caps the gap, ``(?t>n)`` floors it, ``(?t==n)``
+    pins it; CH documents that a guard admits arbitrary events
+    between, so a guard link does NOT imply adjacency).  Guard
+    tuples carry ``(uppers, lowers, exacts)``; single-sided guards
+    resolve against per-level extremal anchors, while mixed or
+    exact guards switch the fold to per-level anchor LISTS (same
+    memory class as the collected event array the fold already
+    holds — CH's own sequenceMatch buffers the full group too)."""
     body = pattern.strip().strip("'")
     refs: list[int] = []
     links: list[tuple] = []
     saw_any = False
     uppers: list[tuple[str, int]] = []
     lowers: list[tuple[str, int]] = []
+    exacts: list[tuple[str, int]] = []
     pos = 0
     while pos < len(body):
         m = _SEQ_TOK_RE.match(body, pos)
@@ -723,46 +726,40 @@ def _parse_sequence_pattern(pattern: str):
             )
         pos = m.end()
         if m.group(1):
-            if refs and not (saw_any or uppers or lowers):
+            if refs and not (saw_any or uppers or lowers or exacts):
                 links.append(("adj",))
             elif refs:
-                if uppers and lowers:
-                    raise DialectError(
-                        "sequenceMatch mixed (?t<..) and (?t>..) "
-                        "guards on one link need the full anchor set "
-                        "(two-sided window); split the pattern or "
-                        "use events_sequence_match"
-                    )
-                if uppers or lowers:
-                    links.append(("guard", tuple(uppers), tuple(lowers)))
+                if uppers or lowers or exacts:
+                    links.append((
+                        "guard", tuple(uppers), tuple(lowers),
+                        tuple(exacts),
+                    ))
                 else:
                     links.append(("any",))
-            elif uppers or lowers:
+            elif uppers or lowers or exacts:
                 raise DialectError(
                     "sequenceMatch time guard before the first "
                     "condition reference has nothing to anchor to"
                 )
             refs.append(int(m.group(1)))
             saw_any = False
-            uppers, lowers = [], []
+            uppers, lowers, exacts = [], [], []
         elif m.group(2):
             op, secs = m.group(2), int(m.group(3))
             if op in ("==", "="):
-                raise DialectError(
-                    "sequenceMatch (?t==n) exact-gap guards are not "
-                    "transpiled (the exact fold keeps extremal "
-                    "anchors, not the full set); use (?t<=n)(?t>=n) "
-                    "split patterns or events_sequence_match"
+                exacts.append(("=", secs))
+            else:
+                (uppers if op in ("<", "<=") else lowers).append(
+                    (op, secs)
                 )
-            (uppers if op in ("<", "<=") else lowers).append((op, secs))
         # group(4) '.*' / whitespace: mark and continue
         elif m.group(4):
             saw_any = True
     if not refs:
         raise DialectError("sequenceMatch pattern has no (?N) refs")
-    if saw_any or uppers or lowers:
+    if saw_any or uppers or lowers or exacts:
         # trailing .* is a no-op; a trailing guard dangles
-        if uppers or lowers:
+        if uppers or lowers or exacts:
             raise DialectError(
                 "sequenceMatch time guard after the last condition "
                 "reference has nothing to anchor to"
@@ -825,8 +822,9 @@ def _sequence_match_fold(
                     f"{prev}.la IS NOT NULL AND acc.p IS NOT NULL "
                     f"AND {prev}.la = acc.p"
                 )
-            else:  # single-sided guards
-                _, ups, los = link
+            else:  # single-sided guards (mixed/exact take the
+                # anchor-list fold, dispatched before this one)
+                _, ups, los, _exs = link
                 cl = []
                 for op, secs in ups:
                     cl.append(
@@ -848,6 +846,84 @@ def _sequence_match_fold(
     )
     fin = (
         f"acc -> CAST(IF(element_at(acc.lv, {n}).mx IS NOT NULL, "
+        "1, 0) AS SMALLINT)"
+    )
+    return f"aggregate({evs}, {zero}, {step}, {fin})"
+
+
+def _needs_anchor_lists(links: list[tuple]) -> bool:
+    """True when some guard link is two-sided or exact — the
+    extremal (min, max) anchors can't decide those existence
+    questions; the fold must keep every anchor time per level."""
+    return any(
+        k[0] == "guard" and (k[3] or (k[1] and k[2])) for k in links
+    )
+
+
+def _sequence_match_fold_anchors(
+    ts: str, conds: list[str], refs: list[int], links: list[tuple]
+) -> str:
+    """``sequenceMatch`` fold for two-sided / exact time guards (r8):
+    per pattern position the state keeps the ASCENDING LIST of all
+    event times that completed refs ``1..i`` (events are folded in
+    time order, so plain append stays sorted — the first element is
+    the extremal min, the last the max/latest).  A guard link tests
+    ``exists(anchors, a -> every guard op holds for e.t - a)`` —
+    all guards on one link constrain the SAME gap, hence the same
+    anchor.  Memory is O(relevant events × positions), the same
+    class as the collected event array (and as ClickHouse's own
+    buffered-group implementation); single-sided-only patterns keep
+    the O(1)-state extremal fold instead."""
+    n = len(refs)
+    elem = (
+        f"named_struct('t', unix_micros(CAST({ts} AS TIMESTAMP)), "
+        f"'m', array({', '.join(conds)}))"
+    )
+    any_cond = " OR ".join(f"coalesce(({c}), false)" for c in conds)
+    evs = (
+        f"array_sort(collect_list(CASE WHEN {any_cond} "
+        f"THEN {elem} END))"
+    )
+    zero = (
+        f"named_struct('lv', array_repeat(CAST(array() AS "
+        f"ARRAY<BIGINT>), {n}), 'p', CAST(NULL AS BIGINT))"
+    )
+    gain = "concat(a, array(e.t))"
+    branches = []
+    for j in range(n):
+        hit = f"coalesce(element_at(e.m, {refs[j]}), false)"
+        if j == 0:
+            feas = "true"
+        else:
+            prev = f"element_at(acc.lv, {j})"
+            link = links[j - 1]
+            if link[0] == "any":
+                feas = f"size({prev}) > 0"
+            elif link[0] == "adj":
+                feas = (
+                    f"size({prev}) > 0 AND acc.p IS NOT NULL "
+                    f"AND element_at({prev}, -1) = acc.p"
+                )
+            else:
+                _, ups, los, exs = link
+                gap_ops = [
+                    f"e.t - __a {op} {secs * 1_000_000}"
+                    for op, secs in (*ups, *los, *exs)
+                ]
+                feas = (
+                    f"exists({prev}, __a -> "
+                    + " AND ".join(f"({c})" for c in gap_ops)
+                    + ")"
+                )
+        branches.append(
+            f"WHEN i = {j} THEN IF(({hit}) AND ({feas}), {gain}, a)"
+        )
+    step = (
+        "(acc, e) -> named_struct('lv', transform(acc.lv, (a, i) -> "
+        f"CASE {' '.join(branches)} ELSE a END), 'p', e.t)"
+    )
+    fin = (
+        f"acc -> CAST(IF(size(element_at(acc.lv, {n})) > 0, "
         "1, 0) AS SMALLINT)"
     )
     return f"aggregate({evs}, {zero}, {step}, {fin})"
@@ -2972,7 +3048,12 @@ def _render_parametric(name: str, params: list[str], args: list[str]) -> str:
                 f"= {len(refs)} AS SMALLINT)"
             )
         # adjacency / time guards / repeated-or-reordered refs:
-        # the generalized extremal-anchor fold (r8)
+        # the generalized extremal-anchor fold (r8); two-sided or
+        # exact gap guards need the full per-level anchor lists
+        if _needs_anchor_lists(links):
+            return _sequence_match_fold_anchors(
+                args[0], args[1:], refs, links
+            )
         return _sequence_match_fold(args[0], args[1:], refs, links)
     if name == "sequenceCount" and len(params) == 1 and len(args) >= 2:
         n = _sequence_chain_len(params[0])
@@ -7794,6 +7875,61 @@ def q_dialect_sequence_guard(
     return run_clickhouse_sql(spark, _CH_SEQ_GUARD, sf_dir, ("events",))
 
 
+# 15d. two-sided and exact time guards — the anchor-list fold (the
+#      single-sided forms above keep the O(1)-state extremal fold).
+#      A two-sided guard means: some view event is followed by a
+#      purchase whose gap lies INSIDE the window — neither the
+#      earliest nor the latest anchor alone can decide it.
+_CH_SEQ_GUARD2 = """
+SELECT user_id,
+       sequenceMatch('(?1)(?t<=3600)(?t>=60)(?2)')(
+           ts, event_type = 'view', event_type = 'purchase')
+         AS vp_window,
+       sequenceMatch('(?1)(?t==60)(?2)')(
+           ts, event_type = 'view', event_type = 'purchase')
+         AS vp_exact
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+O_SEQ_GUARD2 = """
+WITH w AS (
+  SELECT e.user_id, MAX(CASE WHEN e.event_type = 'view' AND EXISTS (
+      SELECT 1 FROM events p
+      WHERE p.user_id = e.user_id AND p.event_type = 'purchase'
+        AND epoch_us(p.ts) - epoch_us(e.ts) >= 60000000
+        AND epoch_us(p.ts) - epoch_us(e.ts) <= 3600000000)
+    THEN 1 ELSE 0 END) AS m
+  FROM events e GROUP BY e.user_id),
+x AS (
+  SELECT e.user_id, MAX(CASE WHEN e.event_type = 'view' AND EXISTS (
+      SELECT 1 FROM events p
+      WHERE p.user_id = e.user_id AND p.event_type = 'purchase'
+        AND epoch_us(p.ts) - epoch_us(e.ts) = 60000000)
+    THEN 1 ELSE 0 END) AS m
+  FROM events e GROUP BY e.user_id),
+u AS (SELECT DISTINCT user_id FROM events)
+SELECT u.user_id,
+       CAST(coalesce(w.m, 0) AS SMALLINT) AS vp_window,
+       CAST(coalesce(x.m, 0) AS SMALLINT) AS vp_exact
+FROM u
+LEFT JOIN w USING (user_id)
+LEFT JOIN x USING (user_id)
+ORDER BY u.user_id
+"""
+
+
+def q_dialect_sequence_guard2(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Verbatim ClickHouse sequenceMatch two-sided/exact guard query
+    (module doc #15d)."""
+    return run_clickhouse_sql(
+        spark, _CH_SEQ_GUARD2, sf_dir, ("events",)
+    )
+
+
 # 11b. topKWeighted(k)(x, w) — exact weighted tier (weight-sum desc,
 #      value asc), serialized at the gate boundary like topK.
 _CH_TOPK_WEIGHTED = """
@@ -8727,6 +8863,7 @@ QUERIES = {
     "dialect_sequence_match": q_dialect_sequence_match,
     "dialect_sequence_count": q_dialect_sequence_count,
     "dialect_sequence_guard": q_dialect_sequence_guard,
+    "dialect_sequence_guard2": q_dialect_sequence_guard2,
     "dialect_topk_weighted": q_dialect_topk_weighted,
     "dialect_distinct_on": q_dialect_distinct_on,
     "dialect_modern_sql": q_dialect_modern_sql,
@@ -8780,6 +8917,7 @@ ORACLES = {
     "dialect_sequence_match": O_SEQ_MATCH,
     "dialect_sequence_count": O_SEQ_COUNT,
     "dialect_sequence_guard": O_SEQ_GUARD,
+    "dialect_sequence_guard2": O_SEQ_GUARD2,
     "dialect_topk_weighted": O_TOPK_WEIGHTED,
     "dialect_distinct_on": O_DISTINCT_ON,
     "dialect_modern_sql": O_MODERN,

@@ -2497,10 +2497,15 @@ def test_r8_sequence_match_guards(spark):
     assert run("(?1).*(?1)", "e = 'A'") == [0, 0, 0]
     # reordered refs
     assert run("(?2).*(?1)") == [0, 0, 0]
-    # refusals: mixed guards on one link, exact-gap, dangling guard
+    # two-sided guards (anchor-list fold, r8): A→B gaps are u1=1s,
+    # u2=2s (C invisible), u3=99s; strict window (1, 5) admits u2 only
+    assert run("(?1)(?t<5)(?t>1)(?2)") == [0, 1, 0]
+    assert run("(?1)(?t<=5)(?t>=1)(?2)") == [1, 1, 0]
+    # exact-gap guard
+    assert run("(?1)(?t==1)(?2)") == [1, 0, 0]
+    assert run("(?1)(?t==99)(?2)") == [0, 0, 1]
+    # refusals: dangling guards, out-of-range ref
     for bad, msg in [
-        ("(?1)(?t<5)(?t>1)(?2)", "mixed"),
-        ("(?1)(?t==5)(?2)", "exact-gap"),
         ("(?t<5)(?1)(?2)", "before the first"),
         ("(?1)(?2)(?t<5)", "after the last"),
         ("(?1)(?9)", r"\(\?9\)"),
@@ -2707,3 +2712,57 @@ def test_r8_scalar_batch2(spark):
     ]:
         with _pytest.raises(DialectError, match=msg):
             transpile(f"SELECT {bad} FROM b2t")
+
+
+def test_sequence_guard_anchor_fold_bruteforce(spark):
+    """Anchor-list fold vs a direct Python DP over deterministic
+    event sets: 3-level pattern with a two-sided guard on one link
+    and an upper guard on the other."""
+    import itertools
+
+    # deterministic battery: all orderings of A/B/C at fixed gaps
+    rows = []
+    u = 0
+    for perm in itertools.permutations([("A", 0), ("B", 3), ("C", 7)]):
+        u += 1
+        for ev, t in perm:
+            rows.append((u, t, ev))
+    # plus same-letter repeats with varied gaps
+    for gaps in [(0, 2, 4), (0, 6, 12), (0, 1, 9)]:
+        u += 1
+        rows.append((u, gaps[0], "A"))
+        rows.append((u, gaps[1], "B"))
+        rows.append((u, gaps[2], "C"))
+    values = ", ".join(f"({u}, {t}, '{e}')" for u, t, e in rows)
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW seqbf_t AS SELECT u, "
+        f"CAST(ts AS TIMESTAMP) AS ts, e FROM VALUES {values} "
+        "AS t(u, ts, e)"
+    )
+    pat = "(?1)(?t<=6)(?t>=2)(?2)(?t<5)(?3)"
+    q = transpile(
+        f"SELECT u, sequenceMatch('{pat}')(ts, e = 'A', e = 'B', "
+        "e = 'C') AS m FROM seqbf_t GROUP BY u ORDER BY u"
+    )
+    got = {r.u: r.m for r in spark.sql(q).collect()}
+
+    def brute(events):
+        evs = sorted(events)  # (t, e), all relevant here
+        # anchors[i] = times completing refs 1..i+1
+        anchors = [[], [], []]
+        for t, e in evs:
+            if e == "C":
+                if any(t - a < 5 for a in anchors[1]):
+                    anchors[2].append(t)
+            if e == "B":
+                if any(2 <= t - a <= 6 for a in anchors[0]):
+                    anchors[1].append(t)
+            if e == "A":
+                anchors[0].append(t)
+        return 1 if anchors[2] else 0
+
+    by_user: dict[int, list] = {}
+    for uu, t, e in rows:
+        by_user.setdefault(uu, []).append((t, e))
+    for uu, evs in by_user.items():
+        assert got[uu] == brute(evs), (uu, sorted(evs))
