@@ -215,6 +215,7 @@ HEADLINE = [
     "stats_categorical_assoc",
     "dialect_probe9",
     "dialect_sequence_guard2",
+    "dialect_vector_math",
 ]
 
 

@@ -2001,6 +2001,274 @@ def _render_call(name: str, args: list[str]) -> str:
             f"(CASE WHEN regexp_like({s}, {pat}) "
             f"THEN array({parts}) ELSE array() END)"
         )
+    # --- r8 scalar batch 3: vectors, array HOFs, tokens, MJD ---
+    if name in ("dotProduct", "scalarProduct") and len(args) == 2:
+        a, b = args
+        return (
+            f"aggregate(zip_with({a}, {b}, (__p, __q) -> "
+            f"CAST(__p AS DOUBLE) * __q), CAST(0 AS DOUBLE), "
+            f"(__ac, __v) -> __ac + __v)"
+        )
+    if name in ("L1Norm", "L2Norm", "L2SquaredNorm", "LinfNorm") \
+            and len(args) == 1:
+        a = args[0]
+        if name == "LinfNorm":
+            return f"array_max(transform({a}, __v -> abs(CAST(__v AS DOUBLE))))"
+        term = {
+            "L1Norm": "abs(CAST(__v AS DOUBLE))",
+            "L2Norm": "CAST(__v AS DOUBLE) * __v",
+            "L2SquaredNorm": "CAST(__v AS DOUBLE) * __v",
+        }[name]
+        s = (
+            f"aggregate(transform({a}, __v -> {term}), "
+            f"CAST(0 AS DOUBLE), (__ac, __v) -> __ac + __v)"
+        )
+        return f"sqrt({s})" if name == "L2Norm" else s
+    if name in (
+        "L1Distance", "L2Distance", "L2SquaredDistance",
+        "LinfDistance", "cosineDistance",
+    ) and len(args) == 2:
+        a, b = args
+        diff = f"zip_with({a}, {b}, (__p, __q) -> CAST(__p AS DOUBLE) - __q)"
+
+        def _dsum(arr_expr: str, term: str) -> str:
+            return (
+                f"aggregate(transform({arr_expr}, __v -> {term}), "
+                f"CAST(0 AS DOUBLE), (__ac, __v) -> __ac + __v)"
+            )
+
+        if name == "L1Distance":
+            return _dsum(diff, "abs(__v)")
+        if name == "L2Distance":
+            return f"sqrt({_dsum(diff, '__v * __v')})"
+        if name == "L2SquaredDistance":
+            return _dsum(diff, "__v * __v")
+        if name == "LinfDistance":
+            return f"array_max(transform({diff}, __v -> abs(__v)))"
+        dot = (
+            f"aggregate(zip_with({a}, {b}, (__p, __q) -> "
+            f"CAST(__p AS DOUBLE) * __q), CAST(0 AS DOUBLE), "
+            f"(__ac, __v) -> __ac + __v)"
+        )
+        na = f"sqrt({_dsum(a, 'CAST(__v AS DOUBLE) * __v')})"
+        nb = f"sqrt({_dsum(b, 'CAST(__v AS DOUBLE) * __v')})"
+        return f"(1.0 - ({dot}) / (({na}) * ({nb})))"
+    if name == "arrayFold" and len(args) == 3:
+        # CH arrayFold(lambda, arr, init) ≡ Spark
+        # aggregate(arr, init, lambda) — same (acc, x) lambda order
+        lam, arr, init = args
+        return f"aggregate({arr}, {init}, {lam})"
+    if name in ("arrayPartialSort", "arrayPartialReverseSort") \
+            and len(args) == 2:
+        # CH guarantees the first N positions sorted and leaves the
+        # tail UNSPECIFIED — the full sort is a deterministic
+        # refinement of that contract (the unspecified tail would
+        # otherwise be partitioning-dependent)
+        arr = args[1]
+        srt = f"array_sort({arr})"
+        if name.endswith("ReverseSort"):
+            return f"reverse({srt})"
+        return srt
+    if name == "arraySplit" and len(args) == 2:
+        # split BEFORE each element the predicate accepts (CH
+        # semantics); a left fold appends to the last group or opens
+        # a new one.  The empty-input branch builds a typed empty
+        # array-of-arrays by slicing a dummy singleton to length 0
+        # (try_element_at keeps it null-safe), so both CASE arms
+        # carry the element type without naming it.
+        lam, arr = args
+        pred = f"element_at(transform(array(__v), {lam}), 1)"
+        return (
+            f"(CASE WHEN size({arr}) = 0 THEN "
+            f"slice(array(array(try_element_at({arr}, 1))), 1, 0) "
+            f"ELSE aggregate(slice({arr}, 2, size({arr}) - 1), "
+            f"array(array(element_at({arr}, 1))), "
+            f"(__sp, __v) -> IF({pred}, "
+            f"concat(__sp, array(array(__v))), "
+            f"concat(slice(__sp, 1, size(__sp) - 1), "
+            f"array(concat(element_at(__sp, -1), array(__v))))))"
+            f" END)"
+        )
+    if name == "arrayFirstOrNull" and len(args) == 2:
+        lam, arr = args
+        return f"try_element_at(filter({arr}, {lam}), 1)"
+    if name == "arrayLastOrNull" and len(args) == 2:
+        lam, arr = args
+        return f"try_element_at(filter({arr}, {lam}), -1)"
+    if name == "arrayStringConcat" and len(args) == 1:
+        return f"array_join({args[0]}, '')"
+    if name == "hasSubstr" and len(args) == 2:
+        # element-wise <=> instead of whole-array = : scalar
+        # comparison coerces mixed numeric element types (a DECIMAL
+        # literal needle against a DOUBLE column), array equality
+        # does not; <=> also matches CH's NULL-equals-NULL rule
+        a, b = args
+        win = (
+            f"forall(zip_with(slice({a}, __i, size({b})), {b}, "
+            f"(__p, __q) -> __p <=> __q), __e -> __e)"
+        )
+        return (
+            f"(CASE WHEN size({b}) = 0 THEN true "
+            f"WHEN size({a}) < size({b}) THEN false "
+            f"ELSE exists(sequence(1, size({a}) - size({b}) + 1), "
+            f"__i -> {win}) END)"
+        )
+    if name == "toWeek" and len(args) in (1, 2):
+        d = args[0]
+        mode = args[1].strip() if len(args) == 2 else "0"
+        if mode == "3":
+            return f"extract(WEEK FROM {d})"
+        if mode == "0":
+            # MySQL WEEK(d, 0): Sunday-start, week 0 for days before
+            # the year's first Sunday (unlike toYearWeek's carryover)
+            s = f"date_sub({d}, dayofweek({d}) - 1)"
+            return (
+                f"(CASE WHEN year({s}) < year({d}) THEN 0 ELSE "
+                f"CAST(floor((dayofyear({s}) - 1) / 7) AS INT) + 1 "
+                f"END)"
+            )
+        raise DialectError(
+            f"toWeek mode {mode} is not transpiled (0 = Sunday-start "
+            "with week 0, 3 = ISO are)"
+        )
+    if name == "toModifiedJulianDay" and len(args) == 1:
+        return f"datediff(CAST({args[0]} AS DATE), DATE'1858-11-17')"
+    if name == "fromModifiedJulianDay" and len(args) == 1:
+        return f"date_add(DATE'1858-11-17', CAST({args[0]} AS INT))"
+    if name in ("leftPadUTF8", "rightPadUTF8") and len(args) in (2, 3):
+        fn = "lpad" if name.startswith("left") else "rpad"
+        return f"{fn}({joined})"  # Spark strings are UTF-8 native
+    if name == "mapConcat" and len(args) >= 2:
+        # key collisions: Spark's map_concat raises under the default
+        # EXCEPTION dedup policy — loud, never silently divergent;
+        # the merge spelling is mapUpdate (last-wins, already mapped)
+        return f"map_concat({joined})"
+    if name == "toUUID" and len(args) == 1:
+        s0 = args[0]
+        return (
+            f"(CASE WHEN {s0} RLIKE "
+            "'^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-"
+            "[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$' "
+            f"THEN lower({s0}) ELSE CAST(raise_error("
+            f"'toUUID: invalid UUID string') AS STRING) END)"
+        )
+    if name == "hasToken" and len(args) == 2:
+        s0, tok = args
+        if tok[:1] not in "'\"":
+            raise DialectError(
+                "hasToken needs a literal token (ClickHouse requires "
+                "a constant too); use regexp_like with boundary "
+                "guards for dynamic needles"
+            )
+        body = tok[1:-1]
+        if not body.replace("_", "").isalnum():
+            raise DialectError(
+                "hasToken: the needle must be a single token "
+                "(alphanumeric/underscore)"
+            )
+        return (
+            f"regexp_like({s0}, '(?<![0-9A-Za-z_])"
+            f"{body}(?![0-9A-Za-z_])')"
+        )
+    if name == "formatReadableDecimalSize" and len(args) == 1:
+        x = args[0]
+        units = "array('B', 'KB', 'MB', 'GB', 'TB', 'PB', 'EB')"
+        p = (
+            f"CAST(least(greatest(floor(log(1000, "
+            f"greatest(abs(CAST({x} AS DOUBLE)), 1.0))), 0), 6) AS INT)"
+        )
+        return (
+            f"concat(format_string('%.2f', CAST({x} AS DOUBLE) / "
+            f"power(1000, {p})), ' ', element_at({units}, {p} + 1))"
+        )
+    if name == "parseTimeDelta" and len(args) == 1:
+        lit = args[0]
+        if lit[:1] not in "'\"":
+            raise DialectError(
+                "parseTimeDelta needs a literal duration string; "
+                "compute dynamic durations with arithmetic on "
+                "toIntervalSecond/Minute/Hour"
+            )
+        import re as _re
+
+        total, pos0 = 0.0, 0
+        body = lit[1:-1]
+        unit_s = {
+            "s": 1, "sec": 1, "second": 1, "seconds": 1,
+            "m": 60, "min": 60, "minute": 60, "minutes": 60,
+            "h": 3600, "hr": 3600, "hour": 3600, "hours": 3600,
+            "d": 86400, "day": 86400, "days": 86400,
+            "w": 604800, "week": 604800, "weeks": 604800,
+        }
+        for mm in _re.finditer(
+            r"\s*(\d+(?:\.\d+)?)\s*([a-zA-Z]+)\s*", body
+        ):
+            if mm.start() != pos0:
+                raise DialectError(
+                    f"parseTimeDelta: unrecognized text in {body!r}"
+                )
+            pos0 = mm.end()
+            unit = mm.group(2).lower()
+            if unit not in unit_s:
+                raise DialectError(
+                    f"parseTimeDelta: unknown unit {unit!r}"
+                )
+            total += float(mm.group(1)) * unit_s[unit]
+        if pos0 != len(body) or pos0 == 0:
+            raise DialectError(
+                f"parseTimeDelta: cannot parse {body!r}"
+            )
+        return f"CAST({total} AS DOUBLE)"
+    if name == "multiSearchFirstIndex" and len(args) >= 2:
+        s0 = args[0]
+        needles = ", ".join(args[1:]) if len(args) > 2 else None
+        arr = f"array({needles})" if needles else args[1]
+        if arr.startswith("["):
+            arr = f"array({arr[1:-1]})"
+        pairs = (
+            f"zip_with(transform({arr}, __n -> instr({s0}, __n)), "
+            f"sequence(1, size({arr})), "
+            f"(__p, __i) -> named_struct('p', __p, 'i', __i))"
+        )
+        return (
+            f"coalesce(try_element_at(array_sort(filter({pairs}, "
+            f"__e -> __e.p > 0)), 1).i, 0)"
+        )
+    if name in ("nonNegativeDerivative",
+                "runningDifferenceStartingWithFirstValue"):
+        raise DialectError(
+            f"{name} depends on ClickHouse block boundaries "
+            "(non-deterministic there); write the window spelling — "
+            "(x - lagInFrame(x, 1) OVER (ORDER BY ts)) scaled by the "
+            "time delta"
+        )
+    if name == "nowInBlock":
+        raise DialectError(
+            "nowInBlock varies per ClickHouse block (explicitly "
+            "non-deterministic); use now() — which transpiles — for "
+            "a query-constant timestamp"
+        )
+    if name == "serverUUID" and not args:
+        raise DialectError(
+            "serverUUID() identifies a ClickHouse server instance; "
+            "there is no server here — derive an environment id from "
+            "spark.conf (spark.app.id) if needed"
+        )
+    if name == "mapApply":
+        raise DialectError(
+            "mapApply's lambda returns a (k, v) tuple that Spark's "
+            "map HOFs don't model — use transform_keys / "
+            "transform_values (both pass through) or "
+            "map_from_entries(transform(map_entries(m), ...))"
+        )
+    if name in ("ngramDistance", "ngramSearch",
+                "ngramDistanceCaseInsensitive"):
+        raise DialectError(
+            f"{name}: n-gram similarity is the fuzzy/text operator "
+            "family (operators/fuzzy.py fuzzy_part_pairs, "
+            "operators/dedup.py ngram Jaccard) — value-gated "
+            "distributed implementations"
+        )
     if name == "sumKahan" and len(args) == 1:
         # compensated float summation: the repo's decimal-exact sum IS
         # the deterministic superset of Kahan (operators/common.py)
@@ -8843,6 +9111,61 @@ def q_dialect_probe9(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_clickhouse_sql(spark, _CH_PROBE9, sf_dir, ("orders",))
 
 
+# 28. ClickHouse vector-math family over the embeddings table —
+#     dot/norm/distance/cosine as codegen HOF folds (batch 3).  The
+#     float32→double promotion happens per element on BOTH engines
+#     (Spark CAST in the lambda, DuckDB list element cast), and each
+#     lane sums in array order inside one row — deterministic, no
+#     partitioning dependence; round-6 gates the doubles.
+_CH_VECTOR = """
+SELECT label,
+       round(toFloat64(sum(toDecimal64(round(L2Norm(embedding), 6),
+                                       6))) / count(), 6) AS avg_l2,
+       round(toFloat64(sum(toDecimal64(round(L1Norm(embedding), 6),
+                                       6))) / count(), 6) AS avg_l1,
+       round(max(LinfNorm(embedding)), 6) AS max_linf,
+       round(toFloat64(sum(toDecimal64(round(
+           dotProduct(embedding, embedding), 6), 6))) / count(), 6)
+         AS avg_self_dot
+FROM embeddings
+GROUP BY label
+ORDER BY label
+"""
+
+# per-row doubles are rounded to 6 decimals, cast to exact DECIMAL,
+# and summed associatively (the repo's double-aggregate discipline) —
+# the group mean is then one double division, partitioning-free
+O_VECTOR = """
+WITH n AS (
+  SELECT label,
+    sqrt(list_sum(list_transform(embedding,
+         v -> CAST(v AS DOUBLE) * v))) AS l2,
+    list_sum(list_transform(embedding,
+         v -> abs(CAST(v AS DOUBLE)))) AS l1,
+    list_max(list_transform(embedding,
+         v -> abs(CAST(v AS DOUBLE)))) AS linf,
+    list_sum(list_transform(embedding,
+         v -> CAST(v AS DOUBLE) * v)) AS selfdot
+  FROM embeddings)
+SELECT label,
+       round(CAST(SUM(CAST(round(l2, 6) AS DECIMAL(18,6))) AS DOUBLE)
+             / COUNT(*), 6) AS avg_l2,
+       round(CAST(SUM(CAST(round(l1, 6) AS DECIMAL(18,6))) AS DOUBLE)
+             / COUNT(*), 6) AS avg_l1,
+       round(max(linf), 6) AS max_linf,
+       round(CAST(SUM(CAST(round(selfdot, 6) AS DECIMAL(18,6)))
+                  AS DOUBLE) / COUNT(*), 6) AS avg_self_dot
+FROM n GROUP BY label ORDER BY label
+"""
+
+
+def q_dialect_vector_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verbatim ClickHouse vector-math query (module doc)."""
+    return run_clickhouse_sql(
+        spark, _CH_VECTOR, sf_dir, ("embeddings",)
+    )
+
+
 QUERIES = {
     "dialect_strings": q_dialect_strings,
     "ch_script_lifecycle": q_ch_script_lifecycle,
@@ -8869,6 +9192,7 @@ QUERIES = {
     "dialect_modern_sql": q_dialect_modern_sql,
     "dialect_ttest": q_dialect_ttest,
     "dialect_probe9": q_dialect_probe9,
+    "dialect_vector_math": q_dialect_vector_math,
     "dialect_star_modifiers": q_dialect_star_modifiers,
     "dialect_sample_clause": q_dialect_sample_clause,
     "dialect_sample_rows": q_dialect_sample_rows,
@@ -8923,6 +9247,7 @@ ORACLES = {
     "dialect_modern_sql": O_MODERN,
     "dialect_ttest": O_TTEST,
     "dialect_probe9": O_PROBE9,
+    "dialect_vector_math": O_VECTOR,
     "dialect_star_modifiers": O_STAR_MODIFIERS,
     "dialect_sample_clause": _o_sample_dialect(),
     "dialect_sample_rows": _o_sample_rows(),

@@ -2766,3 +2766,76 @@ def test_sequence_guard_anchor_fold_bruteforce(spark):
         by_user.setdefault(uu, []).append((t, e))
     for uu, evs in by_user.items():
         assert got[uu] == brute(evs), (uu, sorted(evs))
+
+
+def test_r8_scalar_batch3(spark):
+    """Vector math, array HOFs, token/MJD/week scalars from the
+    second pass-through audit — value-pinned."""
+    import math
+
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW b3t AS SELECT "
+        "CAST(array(3.0, 1.0, 2.0) AS ARRAY<DOUBLE>) AS a, "
+        "CAST(array(1.0, 0.0, 2.0) AS ARRAY<DOUBLE>) AS b, "
+        "CAST(array() AS ARRAY<DOUBLE>) AS empty, "
+        "'hello world_x foo' AS s, "
+        "CAST('2024-01-01' AS DATE) AS jan1, "
+        "CAST('2024-01-07' AS DATE) AS jan7, "
+        "map('k', 1) AS m, map('z', 9) AS m2"
+    )
+
+    def one(expr):
+        return spark.sql(transpile(f"SELECT {expr} AS r FROM b3t")).first().r
+
+    assert one("dotProduct(a, b)") == 7.0
+    assert one("L1Norm(a)") == 6.0
+    assert abs(one("L2Norm(a)") - math.sqrt(14)) < 1e-12
+    assert one("LinfNorm(a)") == 3.0
+    assert one("L2SquaredNorm(a)") == 14.0
+    assert one("L1Distance(a, b)") == 3.0
+    assert abs(one("L2Distance(a, b)") - math.sqrt(5)) < 1e-12
+    assert one("LinfDistance(a, b)") == 2.0
+    assert abs(one("cosineDistance(a, a)")) < 1e-12
+    assert one("arrayFold((acc, v) -> acc + v, a, CAST(0 AS DOUBLE))") == 6.0
+    assert one("arrayPartialSort(2, a)") == [1.0, 2.0, 3.0]
+    # CH example semantics: a cut before the FIRST element is a no-op
+    assert one("arraySplit(v -> v > 1.5, a)") == [[3.0, 1.0], [2.0]]
+    assert one("arraySplit(v -> v > 1.5, empty)") == []
+    assert one("arrayFirstOrNull(v -> v > 1.5, a)") == 3.0
+    assert one("arrayLastOrNull(v -> v > 99, a)") is None
+    assert one("arrayStringConcat(['x', 'y'])") == "xy"
+    assert one("hasSubstr(a, [1.0, 2.0])") is True
+    assert one("hasSubstr(a, [2.0, 1.0])") is False
+    assert one("hasSubstr(a, empty)") is True
+    # MySQL WEEK mode 0: week 0 before the year's first Sunday
+    assert one("toWeek(jan1)") == 0
+    assert one("toWeek(jan7)") == 1
+    assert one("toWeek(jan1, 3)") == 1
+    assert one("toModifiedJulianDay('2024-01-05')") == 60314
+    assert str(one("fromModifiedJulianDay(60314)")) == "2024-01-05"
+    assert one("leftPadUTF8(s, 20)").startswith("   hello")
+    assert one("mapConcat(m, m2)") == {"k": 1, "z": 9}
+    assert (
+        one("toUUID('123e4567-E89B-12d3-a456-426614174000')")
+        == "123e4567-e89b-12d3-a456-426614174000"
+    )
+    assert one("hasToken(s, 'world_x')") is True
+    assert one("hasToken(s, 'world')") is False
+    assert one("formatReadableDecimalSize(123456)") == "123.46 KB"
+    assert one("parseTimeDelta('1h30m')") == 5400.0
+    assert one("multiSearchFirstIndex(s, ['lo', 'wo'])") == 1
+    assert one("multiSearchFirstIndex(s, ['zz', 'wo'])") == 2
+    assert one("multiSearchFirstIndex(s, ['zz'])") == 0
+
+    for bad, msg in [
+        ("nonNegativeDerivative(a, s)", "block"),
+        ("nowInBlock()", "per ClickHouse block"),
+        ("serverUUID()", "server instance"),
+        ("mapApply((k, v) -> (k, v), m)", "transform_keys"),
+        ("ngramDistance(s, s)", "fuzzy"),
+        ("hasToken(s, s)", "literal token"),
+        ("parseTimeDelta(s)", "literal duration"),
+        ("toWeek(jan1, 7)", "mode 7"),
+    ]:
+        with pytest.raises(DialectError, match=msg):
+            transpile(f"SELECT {bad} FROM b3t")
