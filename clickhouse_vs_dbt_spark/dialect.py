@@ -2370,11 +2370,14 @@ def _render_call(name: str, args: list[str]) -> str:
         )
         return f"(2 * 6372797.560856 * asin(sqrt({hav})))"
     if name == "boundingRatio" and len(args) == 2:
-        # slope between the leftmost and rightmost (x, y) points
+        # slope between the leftmost and rightmost (x, y) points;
+        # try_divide: a zero x-range yields NULL instead of an ANSI
+        # divide-by-zero error (CH yields nan — NULL is the
+        # deterministic Spark-typed analog)
         x, y = args
         return (
-            f"((max_by({y}, {x}) - min_by({y}, {x})) / "
-            f"(max({x}) - min({x})))"
+            f"try_divide(max_by({y}, {x}) - min_by({y}, {x}), "
+            f"max({x}) - min({x}))"
         )
     if name in (
         "runningDifference", "runningAccumulate", "neighbor",
@@ -2644,6 +2647,10 @@ def _render_call(name: str, args: list[str]) -> str:
         path = "$." + ".".join(a[1:-1] for a in args[1:])
         base = f"get_json_object({args[0]}, '{path}')"
         cast = _JSON_EXTRACT[name]
+        if cast == "BOOLEAN":
+            # CH returns false for a non-bool value at the path —
+            # a plain ANSI CAST would throw instead
+            return f"coalesce(TRY_CAST({base} AS BOOLEAN), false)"
         return f"CAST({base} AS {cast})" if cast else base
     if name == "JSONHas" and len(args) >= 2 and all(
         a.startswith("'") for a in args[1:]
@@ -3003,6 +3010,104 @@ def _render_call(name: str, args: list[str]) -> str:
                     "mergetree_aggregating (and incremental_agg_mv / "
                     "transpile_materialized_view for maintained state)"
                 )
+    if name in ("sumMap", "minMap", "maxMap") and len(args) == 1:
+        # Map-typed argument form (CH 22.x+): same per-key reduction,
+        # but returned as a MAP (CH returns Map for Map input) — run
+        # the tuple-of-arrays fold over (map_keys, map_values) and
+        # re-assemble
+        m = args[0]
+        inner = _render_call(
+            name, [f"map_keys({m})", f"map_values({m})"]
+        )
+        return (
+            f"element_at(transform(array({inner}), "
+            f"__mt -> map_from_arrays(__mt.keys, __mt.values)), 1)"
+        )
+    if name == "groupConcat" and len(args) in (1, 2):
+        # CH groupConcat/group_concat — same unspecified-order
+        # contract as groupArray→collect_list (documented)
+        sep = args[1] if len(args) == 2 else "''"
+        return f"array_join(collect_list({args[0]}), {sep})"
+    if name == "groupArrayIntersect" and len(args) == 1:
+        # intersection of the array column across the group's rows —
+        # left fold with array_intersect over the collected arrays
+        # (state is one array that only shrinks)
+        a = args[0]
+        return (
+            f"element_at(transform(array(collect_list({a})), "
+            f"__ls -> CASE WHEN size(__ls) = 0 THEN "
+            f"slice(element_at(__ls, 1), 1, 0) "
+            f"ELSE aggregate(slice(__ls, 2, size(__ls) - 1), "
+            f"element_at(__ls, 1), "
+            f"(__ac, __ar) -> array_intersect(__ac, __ar)) END), 1)"
+        )
+    if name in (
+        "corrMatrix", "covarSampMatrix", "covarPopMatrix",
+    ) and len(args) >= 2:
+        # pairwise matrix over the argument columns as nested arrays
+        # (CH's Array(Array(Float64)) shape) — n² flat aggregates,
+        # one pass
+        fn = {
+            "corrMatrix": "corr",
+            "covarSampMatrix": "covar_samp",
+            "covarPopMatrix": "covar_pop",
+        }[name]
+        rows_ = ", ".join(
+            "array(" + ", ".join(
+                f"CAST({fn}({r}, {c}) AS DOUBLE)" for c in args
+            ) + ")"
+            for r in args
+        )
+        return f"array({rows_})"
+    if name == "sumWithOverflow":
+        raise DialectError(
+            "sumWithOverflow keeps the input width and wraps on "
+            "overflow (a ClickHouse storage micro-optimization) — "
+            "use sum(), which widens, or CAST the result back if the "
+            "wrap semantics are really wanted"
+        )
+    if name in ("JSONExtractKeys", "simpleJSONExtractKeys") \
+            and len(args) >= 1:
+        j = args[0]
+        if len(args) > 1 and all(a[:1] == "'" for a in args[1:]):
+            path = "$." + ".".join(a[1:-1] for a in args[1:])
+            j = f"get_json_object({j}, '{path}')"
+        return f"json_object_keys({j})"
+    if name in ("JSONType", "JSONAllPaths", "JSONDynamicPaths",
+                "JSONSharedDataPaths", "JSONMergePatch"):
+        raise DialectError(
+            f"{name}: ClickHouse's JSON type-introspection contract "
+            "(UInt64-vs-Int64 classification, dynamic-path layout) "
+            "has no faithful get_json_object spelling — classify on "
+            "the raw text of get_json_object(j, path), or "
+            "schema_of_json for structure"
+        )
+    if name == "cutToFirstSignificantSubdomain" and len(args) == 1:
+        parts = f"split(parse_url({args[0]}, 'HOST'), '\\\\.')"
+        return (
+            f"CASE WHEN try_element_at({parts}, -2) IN "
+            "('com', 'net', 'org', 'co') "
+            f"THEN concat_ws('.', try_element_at({parts}, -3), "
+            f"try_element_at({parts}, -2), "
+            f"try_element_at({parts}, -1)) "
+            f"ELSE concat_ws('.', try_element_at({parts}, -2), "
+            f"try_element_at({parts}, -1)) END"
+        )
+    if name in ("punycodeEncode", "punycodeDecode", "idnaEncode",
+                "idnaDecode"):
+        raise DialectError(
+            f"{name}: IDN/punycode needs an ICU-class codec Spark "
+            "SQL does not ship; pre-encode the column (Python "
+            "idna/codecs in an ingestion step) or compare on the "
+            "raw form"
+        )
+    if name in ("queryID", "initialQueryID", "hostName", "uptime",
+                "blockNumber", "blockSize", "rowNumberInBlock"):
+        raise DialectError(
+            f"{name}() exposes ClickHouse server/block internals "
+            "with no Spark analog — spark.sparkContext.applicationId "
+            "/ monotonically_increasing_id() cover the usual intents"
+        )
     if name in ("sumMap", "minMap", "maxMap") and len(args) == 2:
         # -Map aggregates: per-key reduction over (keys[], values[])
         # row pairs, returned as a struct of parallel sorted arrays
@@ -3212,6 +3317,59 @@ def _render_parametric(name: str, params: list[str], args: list[str]) -> str:
         # all ClickHouse approximate-quantile registers; the Spark
         # register is percentile_approx — same role, different sketch
         return f"percentile_approx({args[0]}, {params[0]})"
+    if name == "quantileGK" and len(params) == 2 and len(args) == 1:
+        # Greenwald-Khanna(accuracy, level) — percentile_approx IS
+        # a GK-family sketch with the same (expr, level, accuracy)
+        # contract
+        acc, level = params
+        return f"percentile_approx({args[0]}, {level}, {acc})"
+    if (
+        name in ("quantileExactInclusive", "quantilesExactInclusive")
+        and params and len(args) == 1
+    ):
+        # CH ExactInclusive == PERCENTILE.INC == Spark's exact
+        # percentile (type-7 linear interpolation)
+        levels = (
+            params[0] if len(params) == 1
+            else f"array({', '.join(params)})"
+        )
+        if name.startswith("quantiles"):
+            levels = f"array({', '.join(params)})"
+        return f"percentile({args[0]}, {levels})"
+    if (
+        name in ("quantileExactExclusive", "quantilesExactExclusive")
+        and params and len(args) == 1
+    ):
+        # PERCENTILE.EXC (type 6): h = (n+1)p over the sorted values,
+        # clamped to the ends — computed on the sorted collected
+        # array, bound once via the single-element-transform trick
+        x = args[0]
+        def exc(p: str) -> str:
+            h = f"((size(__q) + 1) * CAST({p} AS DOUBLE))"
+            f0 = f"CAST(floor({h}) AS INT)"
+            return (
+                f"CASE WHEN size(__q) = 0 THEN CAST(NULL AS DOUBLE) "
+                f"WHEN {h} < 1 THEN element_at(__q, 1) "
+                f"WHEN {h} >= size(__q) THEN element_at(__q, -1) "
+                f"ELSE element_at(__q, {f0}) + ({h} - floor({h})) * "
+                f"(element_at(__q, {f0} + 1) - element_at(__q, {f0}))"
+                f" END"
+            )
+        if name.startswith("quantiles"):
+            body = f"array({', '.join(exc(p) for p in params)})"
+        else:
+            body = exc(params[0])
+        return (
+            f"element_at(transform(array(array_sort(collect_list("
+            f"CAST({x} AS DOUBLE)))), __q -> {body}), 1)"
+        )
+    if name == "quantileInterpolatedWeighted" and params:
+        raise DialectError(
+            "quantileInterpolatedWeighted's interpolation over "
+            "cumulative weights has no exact register here — "
+            "quantileExactWeighted (which transpiles) is the exact "
+            "weighted quantile with step semantics"
+        )
     if name == "groupArraySample" and params:
         raise DialectError(
             "groupArraySample draws a RANDOM per-group sample "
@@ -3344,6 +3502,12 @@ def _render_parametric(name: str, params: list[str], args: list[str]) -> str:
 _PARAMETRIC = {
     "quantile",
     "quantileBFloat16",
+    "quantileGK",
+    "quantileExactInclusive",
+    "quantileExactExclusive",
+    "quantilesExactInclusive",
+    "quantilesExactExclusive",
+    "quantileInterpolatedWeighted",
     "groupArraySample",
     "groupArrayLast",
     "quantileExact",

@@ -2839,3 +2839,63 @@ def test_r8_scalar_batch3(spark):
     ]:
         with pytest.raises(DialectError, match=msg):
             transpile(f"SELECT {bad} FROM b3t")
+
+
+def test_r8_scalar_batch4(spark):
+    """Aggregate/JSON audit batch: groupConcat, Map-typed -Map forms,
+    matrix aggregates, exclusive/inclusive exact quantiles, GK
+    register, JSON keys/bool, boundingRatio zero-range."""
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW b4t AS SELECT "
+        "CAST(id AS DOUBLE) AS x, CAST(id * 2 AS DOUBLE) AS y, "
+        "CAST(id AS STRING) AS s, "
+        "map('a', CAST(id AS DOUBLE), 'b', 2.0) AS m, "
+        "array(CAST(id AS DOUBLE), 99.0) AS arr, "
+        "'{\"a\": [1, 2], \"b\": true}' AS j FROM range(1, 5)"
+    )
+
+    def one(expr):
+        return spark.sql(transpile(f"SELECT {expr} AS r FROM b4t")).first().r
+
+    assert one("groupConcat(s, ',')") == "1,2,3,4"
+    assert one("sumMap(m)") == {"a": 10.0, "b": 8.0}
+    assert one("maxMap(m)") == {"a": 4.0, "b": 2.0}
+    assert one("minMap(m)") == {"a": 1.0, "b": 2.0}
+    assert one("groupArrayIntersect(arr)") == [99.0]
+    assert one("corrMatrix(x, y)") == [[1.0, 1.0], [1.0, 1.0]]
+    assert one("covarPopMatrix(x, x)") == [[1.25, 1.25], [1.25, 1.25]]
+    # type-7 (INC) vs type-6 (EXC) interpolation on [1, 2, 3, 4]
+    assert one("quantileExactInclusive(0.25)(x)") == 1.75
+    assert one("quantileExactExclusive(0.25)(x)") == 1.25
+    assert one("quantilesExactInclusive(0.25, 0.75)(x)") == [1.75, 3.25]
+    assert one("quantilesExactExclusive(0.25, 0.75)(x)") == [1.25, 3.75]
+    # EXC clamps outside [1/(n+1), n/(n+1)]
+    assert one("quantileExactExclusive(0.01)(x)") == 1.0
+    assert one("quantileExactExclusive(0.99)(x)") == 4.0
+    assert 1.0 <= one("quantileGK(100, 0.5)(x)") <= 4.0
+    assert one("JSONExtractKeys(j)") == ["a", "b"]
+    assert one("JSONExtractBool(j, 'b')") is True
+    # CH returns false (not an error, not NULL) for non-bool values
+    assert one("JSONExtractBool(j, 'a')") is False
+    assert one("boundingRatio(x, y)") == 2.0
+    assert one("boundingRatio(y - y, x)") is None  # zero x-range
+    assert (
+        one("cutToFirstSignificantSubdomain("
+            "'https://a.b.example.co.uk/x')") == "example.co.uk"
+    )
+    assert (
+        one("cutToFirstSignificantSubdomain("
+            "'https://news.example.com/x')") == "example.com"
+    )
+
+    for bad, msg in [
+        ("sumWithOverflow(x)", "wrap"),
+        ("JSONType(j)", "introspection"),
+        ("JSONMergePatch(j, j)", "introspection"),
+        ("punycodeEncode(s)", "ICU"),
+        ("queryID()", "internals"),
+        ("hostName()", "internals"),
+        ("quantileInterpolatedWeighted(0.5)(x, 1)", "ExactWeighted"),
+    ]:
+        with pytest.raises(DialectError, match=msg):
+            transpile(f"SELECT {bad} FROM b4t")
