@@ -3606,6 +3606,30 @@ def _walk(
                 out.append(_render_parametric(name, first, second))
                 i = k2
             else:
+                if (
+                    j2 < end
+                    and toks[j2] == "("
+                    and name.upper() not in (
+                        # heads that legitimately precede a paren
+                        # group in SQL text
+                        "VALUES", "IN", "EXISTS", "ANY", "ALL",
+                        "SOME", "OVER",
+                    )
+                    and not name.endswith("State")
+                    and not name.endswith("Merge")
+                ):
+                    # fn(params)(args) with an unknown head would
+                    # pass through as `fn(params) (args)` — never
+                    # valid Spark SQL, so the user would get an
+                    # opaque parse error; let a name-specific
+                    # refusal (with its pointer) speak first, else
+                    # name the gap generically
+                    _render_call(name, first)  # may raise specific
+                    raise DialectError(
+                        f"parametric aggregate {name}(…)(…) is not "
+                        "transpiled; supported parametric registers: "
+                        + ", ".join(sorted(_PARAMETRIC))
+                    )
                 primary_start = len(out)
                 out.append(_render_call(name, first))
                 i = k
