@@ -3412,11 +3412,38 @@ def _render_parametric(name: str, params: list[str], args: list[str]) -> str:
             f"percentile_approx(CASE WHEN {args[1]} THEN {args[0]} END, "
             f"{params[0]})"
         )
-    if name == "topK" and len(params) == 1 and len(args) == 1:
+    if name == "topK" and len(params) in (1, 2, 3) and len(args) == 1:
         # exact tier of ClickHouse's approximate sketch (see
         # _topk_exact); events_topk_sketch is the sketch-shaped
-        # scale operator
+        # scale operator.  Extended params: load_factor is a sketch
+        # sizing hint (meaningless for the exact tier — ignored);
+        # the 'counts' mode changes the result SHAPE and refuses
+        if len(params) == 3 and "counts" in params[2].lower():
+            raise DialectError(
+                "topK(N, lf, 'counts') returns (value, count) "
+                "tuples — spell it directly: the _topk_exact RLE "
+                "fold (see sumMap) keeps the counts before the "
+                "final value projection"
+            )
         return _topk_exact(args[0], params[0])
+    if (
+        name in ("uniqCombined", "uniqCombined64")
+        and len(params) == 1
+        and len(args) >= 1
+    ):
+        # precision form: K = log2(registers); Spark's HLL knob is
+        # relative standard deviation — the textbook equivalence is
+        # rsd = 1.04 / sqrt(2^K) (same register count), folded to a
+        # constant at transpile time for literal K
+        try:
+            k = int(params[0])
+        except ValueError:
+            raise DialectError(
+                f"{name} precision must be a literal integer"
+            )
+        rsd = max(0.01, min(0.36, 1.04 / (2.0 ** (k / 2.0))))
+        cols = ", ".join(args)
+        return f"approx_count_distinct({cols}, {rsd:.6f})"
     if name == "uniqUpTo" and len(params) == 1 and args:
         # exact distinct count saturating at k+1 (CH's contract:
         # "k+1 means more than k")
@@ -3501,6 +3528,8 @@ def _render_parametric(name: str, params: list[str], args: list[str]) -> str:
 
 _PARAMETRIC = {
     "quantile",
+    "uniqCombined",
+    "uniqCombined64",
     "quantileBFloat16",
     "quantileGK",
     "quantileExactInclusive",

@@ -2899,3 +2899,27 @@ def test_r8_scalar_batch4(spark):
     ]:
         with pytest.raises(DialectError, match=msg):
             transpile(f"SELECT {bad} FROM b4t")
+
+
+def test_parametric_uniq_topk_extended(spark):
+    """uniqCombined precision form (K → rsd equivalence) and topK's
+    extended params; unknown parametric heads refuse with the
+    register list instead of emitting invalid SQL."""
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW pq_t AS "
+        "SELECT id % 7 AS x FROM range(0, 100)"
+    )
+
+    def one(expr):
+        return spark.sql(transpile(f"SELECT {expr} AS r FROM pq_t")).first().r
+
+    assert one("uniqCombined(12)(x)") == 7
+    assert one("uniqCombined64(14)(x)") == 7
+    assert one("topK(3, 10)(x)") == one("topK(3)(x)")
+    for bad, msg in [
+        ("topK(3, 10, 'counts')(x)", "counts"),
+        ("sumMapFiltered(['a'])(x, x)", "parametric registers"),
+        ("uniqCombined(x)(x)", "literal integer"),
+    ]:
+        with pytest.raises(DialectError, match=msg):
+            transpile(f"SELECT {bad} FROM pq_t")
