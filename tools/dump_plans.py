@@ -93,6 +93,17 @@ SHOWCASE = [
                             "hash aggregates with map-side partials — "
                             "AggregatingMergeTree's partial/final "
                             "shape natively (r7)"),
+    ("stats_mann_whitney", "rank statistic without a fact sort: one "
+                           "partial+final aggregate on value is the "
+                           "only fact shuffle; the prefix window runs "
+                           "over the domain-bounded distinct set (r8)"),
+    ("stats_categorical_assoc", "fact rows touched once (contingency "
+                                "aggregate over a broadcast-dim join); "
+                                "marginals re-aggregate |r|×|c| cells, "
+                                "broadcast-hinted joins (r8)"),
+    ("dialect_vector_math", "vector norms as codegen HOF folds inside "
+                            "the scan stage — no UDF, no extra "
+                            "exchange (r8)"),
 ]
 
 
