@@ -2923,3 +2923,36 @@ def test_parametric_uniq_topk_extended(spark):
     ]:
         with pytest.raises(DialectError, match=msg):
             transpile(f"SELECT {bad} FROM pq_t")
+
+
+def test_sequence_fold_equivalence(spark):
+    """The anchor-list fold must agree with the extremal fold on every
+    single-sided pattern (the extremal fold is the O(1)-state
+    optimization of the same semantics)."""
+    from clickhouse_vs_dbt_spark.dialect import (
+        _parse_sequence_pattern,
+        _sequence_match_fold,
+        _sequence_match_fold_anchors,
+    )
+
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW eqf_t AS SELECT u, "
+        "CAST(ts AS TIMESTAMP) AS ts, e FROM VALUES "
+        "(1, 1, 'A'), (1, 2, 'B'), (1, 3, 'A'), (1, 9, 'B'), "
+        "(2, 1, 'B'), (2, 5, 'A'), (2, 6, 'B'), "
+        "(3, 1, 'A'), (3, 50, 'B'), (3, 51, 'A'), (3, 99, 'B') "
+        "AS t(u, ts, e)"
+    )
+    conds = ["e = 'A'", "e = 'B'"]
+    for pat in [
+        "(?1)(?2)", "(?1).*(?2)", "(?1)(?t<5)(?2)", "(?1)(?t>=4)(?2)",
+        "(?2)(?t<50)(?1)", "(?1)(?t<=8)(?2)",
+    ]:
+        refs, links = _parse_sequence_pattern(f"'{pat}'")
+        a = _sequence_match_fold("ts", conds, refs, links)
+        b = _sequence_match_fold_anchors("ts", conds, refs, links)
+        got = spark.sql(
+            f"SELECT u, {a} AS ma, {b} AS mb FROM eqf_t GROUP BY u"
+        ).collect()
+        for r in got:
+            assert r.ma == r.mb, (pat, r.u, r.ma, r.mb)
