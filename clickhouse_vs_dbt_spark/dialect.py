@@ -3444,6 +3444,28 @@ def _render_parametric(name: str, params: list[str], args: list[str]) -> str:
         rsd = max(0.01, min(0.36, 1.04 / (2.0 ** (k / 2.0))))
         cols = ", ".join(args)
         return f"approx_count_distinct({cols}, {rsd:.6f})"
+    if (
+        name in ("sumMapFiltered", "minMapFiltered", "maxMapFiltered")
+        and len(params) == 1
+        and len(args) == 2
+    ):
+        # keep only the whitelisted keys BEFORE the per-key fold —
+        # the filter runs row-local, so the collected state only
+        # ever holds whitelisted pairs
+        keys, vals = args
+        keep = params[0]
+        if keep.startswith("["):
+            keep = f"array({keep[1:-1]})"
+        flt = (
+            f"filter(zip_with({keys}, {vals}, "
+            f"(__fk, __fv) -> named_struct('k', __fk, 'v', __fv)), "
+            f"__fp -> array_contains({keep}, __fp.k))"
+        )
+        return _render_call(
+            name.removesuffix("Filtered"),
+            [f"transform({flt}, __fp -> __fp.k)",
+             f"transform({flt}, __fp -> __fp.v)"],
+        )
     if name == "uniqUpTo" and len(params) == 1 and args:
         # exact distinct count saturating at k+1 (CH's contract:
         # "k+1 means more than k")
@@ -3530,6 +3552,9 @@ _PARAMETRIC = {
     "quantile",
     "uniqCombined",
     "uniqCombined64",
+    "sumMapFiltered",
+    "minMapFiltered",
+    "maxMapFiltered",
     "quantileBFloat16",
     "quantileGK",
     "quantileExactInclusive",

@@ -2956,3 +2956,20 @@ def test_sequence_fold_equivalence(spark):
         ).collect()
         for r in got:
             assert r.ma == r.mb, (pat, r.u, r.ma, r.mb)
+
+
+def test_summap_filtered(spark):
+    """-MapFiltered: the key whitelist applies row-local BEFORE the
+    per-key fold, so collected state only holds whitelisted pairs."""
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW smf_t AS SELECT array('a', 'b') "
+        "AS k, array(CAST(id AS DOUBLE), 2.0) AS v FROM range(1, 4)"
+    )
+    r = spark.sql(
+        transpile("SELECT sumMapFiltered(['a'])(k, v) AS r FROM smf_t")
+    ).first().r
+    assert r.keys == ["a"] and r.values == [6.0]
+    r = spark.sql(
+        transpile("SELECT maxMapFiltered(['b'])(k, v) AS r FROM smf_t")
+    ).first().r
+    assert r.keys == ["b"] and r.values == [2.0]
