@@ -2918,7 +2918,7 @@ def test_parametric_uniq_topk_extended(spark):
     assert one("topK(3, 10)(x)") == one("topK(3)(x)")
     for bad, msg in [
         ("topK(3, 10, 'counts')(x)", "counts"),
-        ("sumMapFiltered(['a'])(x, x)", "parametric registers"),
+        ("sequenceNextNode('forward')(x, x)", "parametric registers"),
         ("uniqCombined(x)(x)", "literal integer"),
     ]:
         with pytest.raises(DialectError, match=msg):
