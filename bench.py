@@ -216,6 +216,7 @@ HEADLINE = [
     "dialect_probe9",
     "dialect_sequence_guard2",
     "dialect_vector_math",
+    "dialect_meanz",
 ]
 
 

@@ -2475,10 +2475,10 @@ def _render_call(name: str, args: list[str]) -> str:
         )
     if name == "meanZTest":
         raise DialectError(
-            "meanZTest takes GIVEN population variances — spell the "
-            "z statistic directly: (avgIf(x, i=0) - avgIf(x, i=1)) / "
-            "sqrt(v0/countIf(i=0) + v1/countIf(i=1)); for estimated "
-            "variances use studentTTest/welchTTest (which transpile)"
+            "meanZTest is parametric — write "
+            "meanZTest(variance_x, variance_y, confidence)(x, index) "
+            "(which transpiles); for estimated variances use "
+            "studentTTest/welchTTest"
         )
     if name in (
         "wordShingleMinHash", "ngramMinHash", "wordShingleSimHash",
@@ -3545,10 +3545,56 @@ def _render_parametric(name: str, params: list[str], args: list[str]) -> str:
         # _topk_weighted_exact); events_topk_weighted is the
         # dedicated scale operator
         return _topk_weighted_exact(args[0], args[1], params[0])
+    if name == "meanZTest" and len(params) == 3 and len(args) == 2:
+        # meanZTest(σx², σy², conf)(x, ind): the variances are GIVEN
+        # population constants, so the whole statistic is a FLAT
+        # conditional-sum aggregate — z = (x̄₀-x̄₁)/√(σx²/n₀+σy²/n₁),
+        # p = erfc(|z|/√2), CI on the mean difference at `conf`.
+        # The confidence quantile Φ⁻¹((1+conf)/2) folds to a constant
+        # at transpile time (CH parametric params are literals), via
+        # the stdlib's exact inverse normal CDF — no runtime UDF on
+        # the CI path; the p-value reuses the libm-exact ch_erfc
+        # compat UDF (applied to aggregate OUTPUT rows only).
+        vx, vy, conf = params
+        try:
+            conf_f = float(conf)
+            float(vx), float(vy)
+        except ValueError:
+            raise DialectError(
+                "meanZTest(variance_x, variance_y, confidence) takes "
+                "numeric literal parameters"
+            )
+        if not 0.0 < conf_f < 1.0:
+            raise DialectError(
+                "meanZTest confidence level must be in (0, 1)"
+            )
+        from statistics import NormalDist
+
+        zcrit = NormalDist().inv_cdf((1.0 + conf_f) / 2.0)
+        x, raw_ind = args
+        ind = f"CAST(({raw_ind}) AS INT)"
+        d = "DECIMAL(38,6)"
+        n0 = f"CAST(count_if(({ind}) = 0) AS DOUBLE)"
+        n1 = f"CAST(count_if(({ind}) = 1) AS DOUBLE)"
+        s0 = (f"CAST(sum(CASE WHEN ({ind}) = 0 THEN "
+              f"CAST({x} AS {d}) END) AS DOUBLE)")
+        s1 = (f"CAST(sum(CASE WHEN ({ind}) = 1 THEN "
+              f"CAST({x} AS {d}) END) AS DOUBLE)")
+        m0, m1 = f"(({s0}) / ({n0}))", f"(({s1}) / ({n1}))"
+        se = f"sqrt(({vx}) / ({n0}) + ({vy}) / ({n1}))"
+        diff = f"(({m0}) - ({m1}))"
+        z = f"(({diff}) / ({se}))"
+        return (
+            f"named_struct('z_stat', {z}, "
+            f"'p_value', ch_erfc(abs({z}) / sqrt(2.0)), "
+            f"'ci_low', ({diff}) - ({zcrit!r}) * ({se}), "
+            f"'ci_high', ({diff}) + ({zcrit!r}) * ({se}))"
+        )
     raise DialectError(f"unsupported parametric aggregate: {name}")
 
 
 _PARAMETRIC = {
+    "meanZTest",
     "quantile",
     "uniqCombined",
     "uniqCombined64",
@@ -9287,6 +9333,54 @@ def q_dialect_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_clickhouse_sql(spark, _CH_TTEST, sf_dir, ("events",))
 
 
+# 26b. meanZTest — the GIVEN-population-variance z-test (parametric:
+#      meanZTest(σx², σy², conf)(x, ind)).  The gate checks the z
+#      statistic and both confidence-interval bounds (pure conditional
+#      -sum arithmetic, restated by the oracle); the `.2` p-value path
+#      (erfc, which DuckDB cannot spell) is value-checked against
+#      libm in tests/test_dialect.py, the dialect_ttest precedent.
+#      1.959963984540054 is Φ⁻¹(0.975), the same constant the
+#      transpiler folds from the 0.95 literal via NormalDist.inv_cdf.
+_CH_MEANZ = """
+SELECT round(meanZTest(400.0, 380.0, 0.95)(value, event_type = 'error').1, 6)
+         AS z_stat,
+       round(meanZTest(400.0, 380.0, 0.95)(value, event_type = 'error').3, 6)
+         AS ci_low,
+       round(meanZTest(400.0, 380.0, 0.95)(value, event_type = 'error').4, 6)
+         AS ci_high
+FROM events
+WHERE event_type IN ('purchase', 'error') AND value IS NOT NULL
+"""
+
+O_MEANZ = """
+WITH g AS (
+  SELECT
+    CAST(COUNT(CASE WHEN event_type <> 'error' THEN 1 END) AS DOUBLE)
+      AS n0,
+    CAST(COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS DOUBLE)
+      AS n1,
+    CAST(SUM(CASE WHEN event_type <> 'error'
+             THEN CAST(value AS DECIMAL(38,6)) END) AS DOUBLE) AS s0,
+    CAST(SUM(CASE WHEN event_type = 'error'
+             THEN CAST(value AS DECIMAL(38,6)) END) AS DOUBLE) AS s1
+  FROM events
+  WHERE event_type IN ('purchase', 'error') AND value IS NOT NULL),
+m AS (
+  SELECT s0 / n0 - s1 / n1 AS diff,
+         sqrt(400.0 / n0 + 380.0 / n1) AS se
+  FROM g)
+SELECT round(diff / se, 6) AS z_stat,
+       round(diff - 1.959963984540054 * se, 6) AS ci_low,
+       round(diff + 1.959963984540054 * se, 6) AS ci_high
+FROM m
+"""
+
+
+def q_dialect_meanz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verbatim ClickHouse meanZTest query (module doc)."""
+    return run_clickhouse_sql(spark, _CH_MEANZ, sf_dir, ("events",))
+
+
 # 27. r8 scalar batch 2 (the pass-through audit): date-shift family,
 #     age(), timeSlots-adjacent CASE form, arrayShingles/arrayAUC,
 #     toFixedString, extractGroups, sigmoid, singleValueOrNull.  The
@@ -9433,6 +9527,7 @@ QUERIES = {
     "dialect_distinct_on": q_dialect_distinct_on,
     "dialect_modern_sql": q_dialect_modern_sql,
     "dialect_ttest": q_dialect_ttest,
+    "dialect_meanz": q_dialect_meanz,
     "dialect_probe9": q_dialect_probe9,
     "dialect_vector_math": q_dialect_vector_math,
     "dialect_star_modifiers": q_dialect_star_modifiers,
@@ -9488,6 +9583,7 @@ ORACLES = {
     "dialect_distinct_on": O_DISTINCT_ON,
     "dialect_modern_sql": O_MODERN,
     "dialect_ttest": O_TTEST,
+    "dialect_meanz": O_MEANZ,
     "dialect_probe9": O_PROBE9,
     "dialect_vector_math": O_VECTOR,
     "dialect_star_modifiers": O_STAR_MODIFIERS,

@@ -173,6 +173,66 @@ def test_dialect_ttest_matches_numpy(spark, sf_dir):
     assert abs(r.p_w - t_pvalue(t_w, df_w)) < 1e-9
 
 
+def test_dialect_meanz_matches_numpy(spark, sf_dir):
+    """End-to-end meanZTest (all four tuple slots) against a direct
+    numpy computation: z, erfc p-value, and the CI bounds built from
+    the stdlib inverse normal CDF the transpiler folds."""
+    import math
+    from statistics import NormalDist
+
+    import numpy as np
+    import pandas as pd
+
+    from clickhouse_vs_dbt_spark.dialect import run_clickhouse_sql
+
+    r = run_clickhouse_sql(
+        spark,
+        """
+        SELECT meanZTest(400.0, 380.0, 0.9)(value, event_type = 'error').1
+                 AS z,
+               meanZTest(400.0, 380.0, 0.9)(value, event_type = 'error').2
+                 AS p,
+               meanZTest(400.0, 380.0, 0.9)(value, event_type = 'error').3
+                 AS lo,
+               meanZTest(400.0, 380.0, 0.9)(value, event_type = 'error').4
+                 AS hi
+        FROM events
+        WHERE event_type IN ('purchase', 'error') AND value IS NOT NULL
+        """,
+        sf_dir,
+        ("events",),
+    ).first()
+
+    pdf = pd.read_parquet(f"{sf_dir}/events.parquet")
+    pdf = pdf[pdf.event_type.isin(["purchase", "error"])].dropna(
+        subset=["value"]
+    )
+    a = pdf[pdf.event_type != "error"].value.values
+    b = pdf[pdf.event_type == "error"].value.values
+    se = np.sqrt(400.0 / len(a) + 380.0 / len(b))
+    diff = a.mean() - b.mean()
+    zcrit = NormalDist().inv_cdf(0.95)
+    assert abs(r.z - diff / se) < 1e-6
+    assert abs(r.p - math.erfc(abs(diff / se) / math.sqrt(2))) < 1e-9
+    assert abs(r.lo - (diff - zcrit * se)) < 1e-6
+    assert abs(r.hi - (diff + zcrit * se)) < 1e-6
+
+
+def test_meanz_refusals():
+    """Non-literal parameters, out-of-range confidence, and the plain
+    (non-parametric) call each refuse with the pointer message."""
+    import pytest
+
+    from clickhouse_vs_dbt_spark.dialect import DialectError, transpile
+
+    with pytest.raises(DialectError, match="numeric literal"):
+        transpile("SELECT meanZTest(v0, v1, 0.95)(x, i) FROM t")
+    with pytest.raises(DialectError, match="confidence level"):
+        transpile("SELECT meanZTest(1.0, 1.0, 1.5)(x, i) FROM t")
+    with pytest.raises(DialectError, match="parametric"):
+        transpile("SELECT meanZTest(x, i) FROM t")
+
+
 def test_mann_whitney_matches_bruteforce(spark, sf_dir):
     """The distinct-value rank algebra against a direct average-rank
     computation in pandas (scipy-free)."""
