@@ -217,6 +217,7 @@ HEADLINE = [
     "dialect_sequence_guard2",
     "dialect_vector_math",
     "dialect_meanz",
+    "dialect_probe10",
 ]
 
 

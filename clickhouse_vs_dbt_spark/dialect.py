@@ -2254,21 +2254,72 @@ def _render_call(name: str, args: list[str]) -> str:
             "there is no server here — derive an environment id from "
             "spark.conf (spark.app.id) if needed"
         )
+    if name == "mapApply" and len(args) == 2:
+        # mapApply((k, v) -> (k', v'), m): the lambda returns a (k, v)
+        # TUPLE, which Spark's two-arg map HOFs (transform_keys /
+        # transform_values) can't model jointly — rewrite over the
+        # entry array instead: map_from_entries(transform(map_entries
+        # (m), e -> struct(k', v'))) with the lambda's parameter
+        # identifiers substituted by e.key / e.value (token-level, so
+        # nested rewrites inside the body are preserved).
+        return _rewrite_map_apply(args[0], args[1])
     if name == "mapApply":
         raise DialectError(
-            "mapApply's lambda returns a (k, v) tuple that Spark's "
-            "map HOFs don't model — use transform_keys / "
-            "transform_values (both pass through) or "
-            "map_from_entries(transform(map_entries(m), ...))"
+            "mapApply takes exactly (lambda, map) — "
+            "mapApply((k, v) -> (k2, v2), m)"
         )
-    if name in ("ngramDistance", "ngramSearch",
-                "ngramDistanceCaseInsensitive"):
-        raise DialectError(
-            f"{name}: n-gram similarity is the fuzzy/text operator "
-            "family (operators/fuzzy.py fuzzy_part_pairs, "
-            "operators/dedup.py ngram Jaccard) — value-gated "
-            "distributed implementations"
+    if name in (
+        "ngramDistance", "ngramDistanceUTF8", "ngramSearch",
+        "ngramSearchUTF8", "ngramDistanceCaseInsensitive",
+        "ngramDistanceCaseInsensitiveUTF8",
+        "ngramSearchCaseInsensitive", "ngramSearchCaseInsensitiveUTF8",
+    ) and len(args) == 2:
+        # ClickHouse's documented contracts over 4-gram MULTISETS:
+        # distance = |symmetric difference| / (|A| + |B|); search =
+        # |needle ∩ haystack| / |needle| ("how much of the needle is
+        # in the haystack").  Computed EXACTLY here via character
+        # 4-grams and row-local HOF folds (CH approximates with
+        # hashed grams — same contract, collision-free refinement;
+        # character grams ARE CH's UTF8 flavor, byte==char on ASCII).
+        # O(G²) in the per-row gram count via the filter recount —
+        # scalar-argument territory, like arrayAUC.  Degenerate
+        # inputs (no 4-grams on the normalizing side) return NULL
+        # (the SQL-idiomatic miss — CH's empty-input behavior is
+        # version-specific); coalesce() to pin a value.
+        h, n = args
+        if "CaseInsensitive" in name:
+            h, n = f"lower({h})", f"lower({n})"
+        def grams(s: str) -> str:
+            return (
+                f"CASE WHEN length({s}) >= 4 THEN "
+                f"transform(sequence(1, length({s}) - 3), "
+                f"__i -> substring({s}, __i, 4)) "
+                f"ELSE CAST(array() AS ARRAY<STRING>) END"
+            )
+        ga, gb = grams(h), grams(n)
+        base = (
+            f"transform(array(struct({ga} AS a, {gb} AS b)), __g -> "
         )
+        if name.startswith("ngramDistance"):
+            body = (
+                "CASE WHEN size(__g.a) + size(__g.b) = 0 THEN "
+                "CAST(NULL AS DOUBLE) ELSE "
+                "aggregate(array_distinct(concat(__g.a, __g.b)), "
+                "0.0D, (__acc, __x) -> __acc + abs("
+                "size(filter(__g.a, __y -> __y = __x)) - "
+                "size(filter(__g.b, __y -> __y = __x)))) "
+                "/ (size(__g.a) + size(__g.b)) END"
+            )
+        else:
+            body = (
+                "CASE WHEN size(__g.b) = 0 THEN CAST(NULL AS DOUBLE) "
+                "ELSE aggregate(array_distinct(__g.b), 0.0D, "
+                "(__acc, __x) -> __acc + least("
+                "size(filter(__g.a, __y -> __y = __x)), "
+                "size(filter(__g.b, __y -> __y = __x)))) "
+                "/ size(__g.b) END"
+            )
+        return f"element_at({base}{body}), 1)"
     if name == "sumKahan" and len(args) == 1:
         # compensated float summation: the repo's decimal-exact sum IS
         # the deterministic superset of Kahan (operators/common.py)
@@ -3269,6 +3320,79 @@ def _render_call(name: str, args: list[str]) -> str:
             f"{name}(params)({joined})"
         )
     return f"{name}({joined})"
+
+
+def _rewrite_map_apply(lam: str, m: str) -> str:
+    """``mapApply((k, v) -> (k2, v2), m)`` → entry-array rewrite (see
+    the _render_call site).  The lambda arrives already walked, so its
+    body may contain nested rewrites; substitution is token-level on
+    the two parameter identifiers (qualified ``x.k`` field accesses
+    are left alone)."""
+    toks = _tokens(lam)
+    depth, arrow = 0, None
+    for i in range(len(toks) - 1):
+        t = toks[i]
+        if t in ("(", "["):
+            depth += 1
+        elif t in (")", "]"):
+            depth -= 1
+        elif t == "-" and toks[i + 1] == ">" and depth == 0:
+            arrow = i
+            break
+    if arrow is None:
+        raise DialectError(
+            "mapApply's first argument must be a "
+            "(k, v) -> (k2, v2) lambda"
+        )
+    params = [t for t in toks[:arrow] if _is_ident(t)]
+    if len(params) != 2:
+        raise DialectError(
+            "mapApply's lambda takes exactly two parameters (key, "
+            "value)"
+        )
+    body = [t for t in toks[arrow + 2:]]
+    while body and body[0].isspace():
+        body.pop(0)
+    while body and body[-1].isspace():
+        body.pop()
+    if not body or body[0] != "(" or body[-1] != ")":
+        raise DialectError(
+            "mapApply's lambda must return a (key, value) tuple"
+        )
+    inner = body[1:-1]
+    depth, cut = 0, None
+    for i, t in enumerate(inner):
+        if t in ("(", "["):
+            depth += 1
+        elif t in (")", "]"):
+            depth -= 1
+        elif t == "," and depth == 0:
+            cut = i
+            break
+    if cut is None:
+        raise DialectError(
+            "mapApply's lambda must return a (key, value) tuple"
+        )
+    sub = {params[0]: "__e.key", params[1]: "__e.value"}
+
+    def render(ts: list[str]) -> str:
+        out: list[str] = []
+        for j, t in enumerate(ts):
+            prev = next(
+                (ts[p] for p in range(j - 1, -1, -1)
+                 if not ts[p].isspace()), ""
+            )
+            if _is_ident(t) and t in sub and prev != ".":
+                out.append(sub[t])
+            else:
+                out.append(t)
+        return "".join(out).strip()
+
+    ke, ve = render(inner[:cut]), render(inner[cut + 1:])
+    return (
+        f"map_from_entries(transform(map_entries({m}), "
+        f"__e -> struct({ke} AS key, {ve} AS value)))"
+    )
 
 
 def _render_parametric(name: str, params: list[str], args: list[str]) -> str:
@@ -9447,6 +9571,41 @@ def q_dialect_probe9(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_clickhouse_sql(spark, _CH_PROBE9, sf_dir, ("orders",))
 
 
+# 27b. r8 scalar batch 5: ngramDistance/ngramSearch (exact 4-gram
+#      multiset contracts — see _render_call) and the mapApply
+#      tuple-lambda rewrite over the entry array.  Literal-argument
+#      rows pin constants the oracle re-states (the probe style);
+#      per-shape behavior (degenerate inputs, case folding, multiset
+#      counts) is unit-tested in tests/test_dialect.py.
+_CH_PROBE10 = """
+SELECT count() AS n_parts,
+       round(ngramDistance('clickhouse', 'clickhome'), 6) AS ngd,
+       round(ngramSearch('the quick brown fox', 'quick fox'), 6)
+         AS ngs,
+       ngramDistanceCaseInsensitive('ABCD', 'abcd') AS ngd_ci,
+       mapApply((k, v) -> (upper(k), v * 10),
+                map('a', 1, 'b', 2))['B'] AS map_b,
+       mapApply((k, v) -> (k, v + length(k)), map('xy', 5))['xy']
+         AS map_xy
+FROM part
+"""
+
+O_PROBE10 = """
+SELECT COUNT(*) AS n_parts,
+       CAST(0.384615 AS DOUBLE) AS ngd,
+       CAST(0.666667 AS DOUBLE) AS ngs,
+       CAST(0.0 AS DOUBLE) AS ngd_ci,
+       20 AS map_b,
+       7 AS map_xy
+FROM part
+"""
+
+
+def q_dialect_probe10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verbatim ClickHouse scalar-batch-5 query (module doc)."""
+    return run_clickhouse_sql(spark, _CH_PROBE10, sf_dir, ("part",))
+
+
 # 28. ClickHouse vector-math family over the embeddings table —
 #     dot/norm/distance/cosine as codegen HOF folds (batch 3).  The
 #     float32→double promotion happens per element on BOTH engines
@@ -9529,6 +9688,7 @@ QUERIES = {
     "dialect_ttest": q_dialect_ttest,
     "dialect_meanz": q_dialect_meanz,
     "dialect_probe9": q_dialect_probe9,
+    "dialect_probe10": q_dialect_probe10,
     "dialect_vector_math": q_dialect_vector_math,
     "dialect_star_modifiers": q_dialect_star_modifiers,
     "dialect_sample_clause": q_dialect_sample_clause,
@@ -9585,6 +9745,7 @@ ORACLES = {
     "dialect_ttest": O_TTEST,
     "dialect_meanz": O_MEANZ,
     "dialect_probe9": O_PROBE9,
+    "dialect_probe10": O_PROBE10,
     "dialect_vector_math": O_VECTOR,
     "dialect_star_modifiers": O_STAR_MODIFIERS,
     "dialect_sample_clause": _o_sample_dialect(),

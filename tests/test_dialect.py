@@ -2831,8 +2831,9 @@ def test_r8_scalar_batch3(spark):
         ("nonNegativeDerivative(a, s)", "block"),
         ("nowInBlock()", "per ClickHouse block"),
         ("serverUUID()", "server instance"),
-        ("mapApply((k, v) -> (k, v), m)", "transform_keys"),
-        ("ngramDistance(s, s)", "fuzzy"),
+        ("mapApply(m)", "exactly"),
+        ("mapApply(k -> k, m)", "two parameters"),
+        ("mapApply((k, v) -> k, m)", "tuple"),
         ("hasToken(s, s)", "literal token"),
         ("parseTimeDelta(s)", "literal duration"),
         ("toWeek(jan1, 7)", "mode 7"),
@@ -2899,6 +2900,48 @@ def test_r8_scalar_batch4(spark):
     ]:
         with pytest.raises(DialectError, match=msg):
             transpile(f"SELECT {bad} FROM b4t")
+
+
+def test_r8_scalar_batch5(spark):
+    """ngramDistance/ngramSearch exact 4-gram multiset contracts and
+    the mapApply tuple-lambda entry-array rewrite."""
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW b5t AS SELECT "
+        "'clickhouse' AS h, 'clickhome' AS n, "
+        "map('a', 1, 'b', 2) AS m FROM range(1)"
+    )
+
+    def one(expr):
+        return spark.sql(transpile(f"SELECT {expr} AS r FROM b5t")).first().r
+
+    # distance: |symdiff| / (|A| + |B|); 7 + 6 grams, 5 shared
+    assert round(one("ngramDistance(h, n)"), 6) == 0.384615
+    assert one("ngramDistance(h, h)") == 0.0
+    assert one("ngramDistanceUTF8(h, h)") == 0.0
+    assert one("ngramDistanceCaseInsensitive('ABCD', 'abcd')") == 0.0
+    # degenerate (no 4-grams anywhere) → NULL, coalesce to pin
+    assert one("ngramDistance('ab', 'cd')") is None
+    assert one("coalesce(ngramDistance('ab', 'cd'), 0.0)") == 0.0
+    # one-sided empty gram set: 0 shared over |A| + 0
+    assert one("ngramDistance(h, 'ab')") == 1.0
+    # search: |needle ∩ haystack| / |needle| (non-symmetric)
+    assert one("ngramSearch('the quick brown fox', 'quick')") == 1.0
+    assert round(
+        one("ngramSearch('the quick brown fox', 'quick fox')"), 6
+    ) == 0.666667
+    assert one("ngramSearch(h, 'zzzz')") == 0.0
+    assert one("ngramSearch(h, 'ab')") is None  # empty needle grams
+    # multiset counting: repeated grams count with multiplicity
+    assert one("ngramDistance('aaaaa', 'aaaa')") == (1.0 / 3.0)
+    assert one("ngramSearchCaseInsensitive('ABCDEF', 'bcde')") == 1.0
+
+    assert one("mapApply((k, v) -> (upper(k), v * 10), m)") == {
+        "A": 10, "B": 20
+    }
+    # body may use both params on either slot; nested rewrites run
+    assert one(
+        "mapApply((k, v) -> (concat(k, toString(v)), v + length(k)), m)"
+    ) == {"a1": 2, "b2": 3}
 
 
 def test_parametric_uniq_topk_extended(spark):
