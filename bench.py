@@ -218,6 +218,7 @@ HEADLINE = [
     "dialect_vector_math",
     "dialect_meanz",
     "dialect_probe10",
+    "dialect_normalize",
 ]
 
 

@@ -170,7 +170,7 @@ def t_pvalue(t: float, df: float) -> float:
 
 #: bump when the vectorized set below changes — the registration
 #: digest must move or live sessions keep stale definitions
-_VECTORIZED_VERSION = 2
+_VECTORIZED_VERSION = 3
 
 
 def _register_vectorized(spark: SparkSession) -> None:
@@ -224,6 +224,24 @@ def _register_vectorized(spark: SparkSession) -> None:
         spark.udf.register(
             ch_name, pandas_udf("double")(_unary_math(fn))
         )
+
+    import unicodedata
+
+    @pandas_udf("string")
+    def ch_normalize_utf8(s: pd.Series, form: pd.Series) -> pd.Series:
+        # Unicode normalization (NFC/NFD/NFKC/NFKD) — same tables CH
+        # links (ICU) for the canonical/compatibility forms; the form
+        # argument is a per-row constant emitted by the transpiler
+        return pd.Series(
+            [
+                None if v is None
+                else unicodedata.normalize(f, v)
+                for v, f in zip(s, form)
+            ],
+            dtype="object",
+        )
+
+    spark.udf.register("ch_normalize_utf8", ch_normalize_utf8)
 
 
 # --- gated proof: a query written verbatim in the ClickHouse dialect ---

@@ -1820,11 +1820,14 @@ def _render_call(name: str, args: list[str]) -> str:
         return f"from_unixtime({args[0]}, {args[1]})"
     if name in ("normalizeUTF8NFC", "normalizeUTF8NFD",
                 "normalizeUTF8NFKC", "normalizeUTF8NFKD"):
-        raise DialectError(
-            f"{name}: Spark SQL has no Unicode-normalization builtin; "
-            "use the text_nfc_normalize operator (operators/text.py, "
-            "Arrow-vectorized)"
-        )
+        if len(args) != 1:
+            raise DialectError(f"{name} takes one string argument")
+        # Spark SQL has no normalization builtin — route through the
+        # Arrow compat UDF (compat.py ch_normalize_utf8, the same
+        # vectorized path as operators/text.py's text_nfc_normalize);
+        # the form rides along as a constant column
+        form = name.removeprefix("normalizeUTF8")
+        return f"ch_normalize_utf8({args[0]}, '{form}')"
     if name in ("stem", "synonyms", "lemmatize", "detectLanguage",
                 "detectCharset", "detectLanguageMixed"):
         raise DialectError(
@@ -9606,6 +9609,39 @@ def q_dialect_probe10(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_clickhouse_sql(spark, _CH_PROBE10, sf_dir, ("part",))
 
 
+# 27c. normalizeUTF8NFC/NFD/NFKC/NFKD — Unicode normalization over the
+#      documents corpus via the Arrow compat UDF (ch_normalize_utf8).
+#      The NFC half is data-dependent and restated by DuckDB's
+#      nfc_normalize over the same rows; the NFD/NFKC/NFKD halves pin
+#      canonical single-codepoint facts (é ↔ e+U+0301, Kelvin sign
+#      U+212A →(NFKC) 'K') the oracle re-states as constants.
+_CH_NORMALIZE = """
+SELECT count() AS n_docs,
+       sum(toInt64(length(normalizeUTF8NFC(text)))) AS nfc_len,
+       normalizeUTF8NFC('é') AS nfc_lit,
+       length(normalizeUTF8NFC('é')) AS nfc_lit_len,
+       length(normalizeUTF8NFD('é')) AS nfd_len,
+       normalizeUTF8NFKC('K') AS kelvin_nfkc
+FROM documents
+"""
+
+O_NORMALIZE = """
+SELECT COUNT(*) AS n_docs,
+       CAST(SUM(length(nfc_normalize(text))) AS BIGINT) AS nfc_len,
+       nfc_normalize('é') AS nfc_lit,
+       CAST(length(nfc_normalize('é')) AS INT)
+         AS nfc_lit_len,
+       2 AS nfd_len,
+       'K' AS kelvin_nfkc
+FROM documents
+"""
+
+
+def q_dialect_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verbatim ClickHouse Unicode-normalization query (module doc)."""
+    return run_clickhouse_sql(spark, _CH_NORMALIZE, sf_dir, ("documents",))
+
+
 # 28. ClickHouse vector-math family over the embeddings table —
 #     dot/norm/distance/cosine as codegen HOF folds (batch 3).  The
 #     float32→double promotion happens per element on BOTH engines
@@ -9689,6 +9725,7 @@ QUERIES = {
     "dialect_meanz": q_dialect_meanz,
     "dialect_probe9": q_dialect_probe9,
     "dialect_probe10": q_dialect_probe10,
+    "dialect_normalize": q_dialect_normalize,
     "dialect_vector_math": q_dialect_vector_math,
     "dialect_star_modifiers": q_dialect_star_modifiers,
     "dialect_sample_clause": q_dialect_sample_clause,
@@ -9746,6 +9783,7 @@ ORACLES = {
     "dialect_meanz": O_MEANZ,
     "dialect_probe9": O_PROBE9,
     "dialect_probe10": O_PROBE10,
+    "dialect_normalize": O_NORMALIZE,
     "dialect_vector_math": O_VECTOR,
     "dialect_star_modifiers": O_STAR_MODIFIERS,
     "dialect_sample_clause": _o_sample_dialect(),

@@ -2161,8 +2161,8 @@ def test_probe6_scalar_family_values(spark):
     # ClickHouse's own documented example value
     assert str(row.sf) == "2021-08-15 10:57:56"
     assert row.jd == "2024-01"
-    with pytest.raises(DialectError, match="text_nfc_normalize"):
-        transpile("normalizeUTF8NFC(s)")
+    # normalizeUTF8* transpile since r8 (test_normalize_utf8_forms)
+    assert "ch_normalize_utf8" in transpile("normalizeUTF8NFC(s)")
     with pytest.raises(DialectError, match="text_langid"):
         transpile("detectLanguage(s)")
 
@@ -2708,7 +2708,7 @@ def test_r8_scalar_batch2(spark):
         ("groupArrayLast(3)(x)", "insertion order"),
         ("normalizeQuery(s)", "masking"),
         ("extractGroups(s, x)", "literal pattern"),
-        ("meanZTest(1.0, 1.0, 0.95)(x, x)", "population variances"),
+        ("meanZTest(1.0, 1.0, 1.95)(x, x)", "confidence level"),
     ]:
         with _pytest.raises(DialectError, match=msg):
             transpile(f"SELECT {bad} FROM b2t")
@@ -2942,6 +2942,38 @@ def test_r8_scalar_batch5(spark):
     assert one(
         "mapApply((k, v) -> (concat(k, toString(v)), v + length(k)), m)"
     ) == {"a1": 2, "b2": 3}
+
+
+def test_normalize_utf8_forms(spark):
+    """All four Unicode normalization forms through the Arrow compat
+    UDF, checked against unicodedata ground truth."""
+    import unicodedata
+
+    decomposed = "e\u0301"   # e + combining acute
+    composed = "\u00e9"      # \u00e9
+    kelvin = "\u212a"        # Kelvin sign, NFKC -> K
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW nrm_t AS SELECT "
+        f"'{decomposed}' AS d, '{composed}' AS c, '{kelvin}' AS k "
+        "FROM range(1)"
+    )
+
+    def one(expr):
+        return spark.sql(
+            transpile(f"SELECT {expr} AS r FROM nrm_t")
+        ).first().r
+
+    from clickhouse_vs_dbt_spark.compat import register_clickhouse_compat
+    register_clickhouse_compat(spark)
+    assert one("normalizeUTF8NFC(d)") == composed
+    assert one("normalizeUTF8NFD(c)") == decomposed
+    assert one("normalizeUTF8NFKC(k)") == "K"
+    assert one("normalizeUTF8NFKD(c)") == unicodedata.normalize(
+        "NFKD", composed
+    )
+    assert one("normalizeUTF8NFC(NULL)") is None
+    with pytest.raises(DialectError, match="one string argument"):
+        transpile("SELECT normalizeUTF8NFC(a, b) FROM t")
 
 
 def test_parametric_uniq_topk_extended(spark):
