@@ -2944,6 +2944,63 @@ def test_r8_scalar_batch5(spark):
     ) == {"a1": 2, "b2": 3}
 
 
+def test_ngram_scalars_differential(spark):
+    """ngramDistance/ngramSearch over a seeded battery of string
+    pairs, all checked in ONE Spark pass against an independent
+    Python multiset reference."""
+    import random
+    from collections import Counter
+
+    rng = random.Random(81)
+    alpha = "abcd "
+    pairs = [
+        ("".join(rng.choice(alpha) for _ in range(rng.randint(0, 12))),
+         "".join(rng.choice(alpha) for _ in range(rng.randint(0, 12))))
+        for _ in range(40)
+    ] + [("", ""), ("abcd", ""), ("aaaa", "aaaaaa"), ("abcde", "abcde")]
+
+    def grams(s):
+        return Counter(s[i:i + 4] for i in range(len(s) - 3))
+
+    def ref_dist(h, n):
+        a, b = grams(h), grams(n)
+        ta, tb = sum(a.values()), sum(b.values())
+        if ta + tb == 0:
+            return None
+        sym = sum(abs(a[g] - b[g]) for g in set(a) | set(b))
+        return sym / (ta + tb)
+
+    def ref_search(h, n):
+        a, b = grams(h), grams(n)
+        tb = sum(b.values())
+        if tb == 0:
+            return None
+        return sum(min(a[g], b[g]) for g in b) / tb
+
+    values = ", ".join(f"('{h}', '{n}')" for h, n in pairs)
+    spark.sql(
+        f"CREATE OR REPLACE TEMP VIEW ngt AS SELECT * FROM (VALUES "
+        f"{values}) AS t(h, n)"
+    )
+    rows = spark.sql(
+        transpile(
+            "SELECT h, n, ngramDistance(h, n) AS d, "
+            "ngramSearch(h, n) AS s FROM ngt"
+        )
+    ).collect()
+    assert len(rows) == len(pairs)
+    for r in rows:
+        ed, es = ref_dist(r.h, r.n), ref_search(r.h, r.n)
+        if ed is None:
+            assert r.d is None, (r.h, r.n, r.d)
+        else:
+            assert abs(r.d - ed) < 1e-12, (r.h, r.n, r.d, ed)
+        if es is None:
+            assert r.s is None, (r.h, r.n, r.s)
+        else:
+            assert abs(r.s - es) < 1e-12, (r.h, r.n, r.s, es)
+
+
 def test_normalize_utf8_forms(spark):
     """All four Unicode normalization forms through the Arrow compat
     UDF, checked against unicodedata ground truth."""
