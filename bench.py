@@ -219,6 +219,7 @@ HEADLINE = [
     "dialect_meanz",
     "dialect_probe10",
     "dialect_normalize",
+    "ddl_mv_avg",
 ]
 
 
@@ -264,7 +265,13 @@ def main() -> int:
     # Queries in REPEATS get more runs: their round-over-round history
     # showed >±15% swings with no code change (bench variance on a ~1 s
     # query), so a deeper best-of pins the steady-state number.
-    REPEATS = {"bloom_semi_join": 4}
+    REPEATS = {
+        "bloom_semi_join": 4,
+        # >±50% round-over-round swings with untouched code (r6-r8):
+        # deeper best-of pins the steady state
+        "fuzzy_part_pairs": 4,
+        "maintenance_compaction": 4,
+    }
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs.get(name)

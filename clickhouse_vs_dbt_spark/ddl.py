@@ -684,9 +684,12 @@ class MaterializedView:
 
     Only re-aggregable aggregates are maintainable incrementally:
     count/countIf → SUM of partial counts, sum → SUM, min/max →
-    MIN/MAX.  ``avg`` and ``uniqExact`` refuse at transpile time with
-    the standard rewrites (sum+count columns; the HLL merge algebra in
-    operators/hll.py), mirroring ClickHouse's own ``-State`` rules.
+    MIN/MAX; ``avg``/``avgIf`` decompose into exact-decimal sum +
+    count state columns (ClickHouse's own avgState pair) finalized as
+    a ratio in the registered read view (``read_items``).
+    ``uniqExact`` refuses at transpile time with the standard rewrite
+    (the HLL merge algebra in operators/hll.py), mirroring
+    ClickHouse's own ``-State`` rules.
 
     State lives as an in-session relation re-registered under the
     view's name after each refresh; pass ``target_path`` to make it
@@ -696,15 +699,30 @@ class MaterializedView:
     STREAMING maintainer fold unboundedly many micro-batches without
     growing a lineage chain — see :meth:`maintain_stream`)."""
 
-    def __init__(self, name, select_sql, source, keys, aggs, target):
+    def __init__(
+        self, name, select_sql, source, keys, aggs, target,
+        read_items=None,
+    ):
         self.name = name
         self.select_sql = select_sql  # transpiled, source replaced by {src}
         self.source = source
         self.keys = keys  # group-key output column names
         self.aggs = aggs  # [(alias, merge_fn_name)]
         self.target = target
+        # read-view projection over the STORED state: identical to the
+        # state columns except for finalized forms (avg = __s / __c);
+        # the stored state keeps the mergeable decomposition, the
+        # registered view serves the declared column
+        self.read_items = read_items
         self._state = None
         self._version = -1
+
+    def _register(self, spark: "SparkSession", raw: "DataFrame"):
+        view = (
+            raw.selectExpr(*self.read_items) if self.read_items else raw
+        )
+        view.createOrReplaceTempView(self.name)
+        return view
 
     def _partial(self, spark: "SparkSession", src: str) -> "DataFrame":
         return spark.sql(self.select_sql.format(src=src))
@@ -727,8 +745,7 @@ class MaterializedView:
         path = f"{self.target}/v{self._version}"
         df.write.mode("overwrite").parquet(path)
         self._state = spark.read.parquet(path)
-        self._state.createOrReplaceTempView(self.name)
-        return self._state
+        return self._register(spark, self._state)
 
     def read_state(self, spark: "SparkSession"):
         """(Re-)register the latest persisted state in ``spark`` and
@@ -737,11 +754,10 @@ class MaterializedView:
         views are invisible to the main session."""
         if self.target and self._version >= 0:
             df = spark.read.parquet(f"{self.target}/v{self._version}")
-            df.createOrReplaceTempView(self.name)
             self._state = df
-            return df
+            return self._register(spark, df)
         if self._state is not None:
-            self._state.createOrReplaceTempView(self.name)
+            return self._register(spark, self._state)
         return self._state
 
     def populate(self, spark: "SparkSession") -> "DataFrame":
@@ -836,6 +852,7 @@ def transpile_materialized_view(
     keys: list[str] = []
     aggs: list[tuple[str, str]] = []
     items = []
+    read_items: list[str] = []
     for item in _split_top(sel_list):
         expr, alias = _last_top_as(item)
         cm = re.match(r"(?is)\s*([A-Za-z_][A-Za-z0-9_]*)\s*\(", expr)
@@ -854,12 +871,42 @@ def transpile_materialized_view(
                 )
             aggs.append((alias, _MERGEABLE[fn]))
             items.append(f"{expr} AS {alias}")
+            read_items.append(alias)
             continue
-        if fn in ("avg", "uniq", "uniqexact", "any", "quantile"):
+        if fn == "avg" and is_call_all:
+            # avg IS incrementally maintainable once decomposed:
+            # store sum+count state columns (both SUM-mergeable —
+            # ClickHouse's own avgState is exactly this pair) and
+            # finalize the ratio in the registered read view.  The
+            # already-transpiled body makes avgIf arrive here as
+            # avg(CASE WHEN ...), so the conditional form rides along.
+            if "DISTINCT" in expr.upper():
+                raise DialectError(
+                    "avg(DISTINCT ...) is not incrementally mergeable"
+                )
+            if alias is None:
+                raise DialectError(
+                    f"aggregate column {expr!r} needs an AS alias"
+                )
+            arg = expr[cm.end():].rstrip()[:-1]
+            s_col, c_col = f"{alias}__s", f"{alias}__c"
+            aggs.append((s_col, "sum"))
+            aggs.append((c_col, "sum"))
+            # exact decimal sum state: batch-order-independent merge
+            # (the operators/common.py contract); CH avg is Float64
+            items.append(
+                f"sum(CAST(({arg}) AS DECIMAL(27, 6))) AS {s_col}"
+            )
+            items.append(f"count({arg}) AS {c_col}")
+            read_items.append(
+                f"CAST({s_col} AS DOUBLE) / {c_col} AS {alias}"
+            )
+            continue
+        if fn in ("uniq", "uniqexact", "any", "quantile"):
             raise DialectError(
                 f"{fn} is not incrementally mergeable as-is; maintain "
-                "sum+count (avg), the HLL register (uniq — "
-                "operators/hll.py), or a -State column design"
+                "the HLL register (uniq — operators/hll.py) or a "
+                "-State column design"
             )
         if re.search(r"(?i)\b(count|sum|min|max|avg)\s*\(", expr):
             raise DialectError(
@@ -873,6 +920,7 @@ def transpile_materialized_view(
             )
         keys.append(key)
         items.append(f"{expr} AS {key}" if alias else expr)
+        read_items.append(key)
     if not aggs:
         raise DialectError(
             "materialized view has no aggregate columns; use a plain "
@@ -888,6 +936,7 @@ def transpile_materialized_view(
         keys=keys,
         aggs=aggs,
         target=target_path or None,
+        read_items=read_items,
     )
     mv.populate_requested = bool(m.group("populate"))
     return mv
@@ -1043,6 +1092,58 @@ SELECT event_type,
        MAX(value) AS max_value
 FROM events
 WHERE user_id % 2 = 0
+GROUP BY event_type ORDER BY event_type
+"""
+
+
+REFERENCE_MV_AVG_DDL = """CREATE MATERIALIZED VIEW mv_events_avg
+ENGINE = AggregatingMergeTree
+ORDER BY event_type
+AS SELECT
+    event_type,
+    count() AS n_events,
+    avg(value) AS avg_value,
+    avgIf(value, value > 10) AS avg_hot
+FROM events
+GROUP BY event_type;"""
+
+
+def q_ddl_mv_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``avg`` (and the transpiled ``avgIf`` conditional form) in MV
+    position — the round-8 closure of the "avg is not incrementally
+    mergeable as-is" refusal: the transpiler decomposes each avg into
+    exact-decimal sum + count STATE columns (both SUM-mergeable, the
+    same pair ClickHouse's avgState stores) and finalizes the Float64
+    ratio only in the registered read view.  Three disjoint batches
+    are folded keyed; the oracle's one-shot AVG over all rows matches
+    exactly because the decimal partial sums are associative (batch-
+    order independent) and the division happens once at read."""
+    mv = transpile_materialized_view(REFERENCE_MV_AVG_DDL)
+    ev = load_table(spark, sf_dir, "events")
+    for i in range(N_MV_DDL_BATCHES):
+        mv.apply_batch(
+            spark, ev.filter(F.col("event_id") % N_MV_DDL_BATCHES == i)
+        )
+    return spark.sql(
+        f"""
+        SELECT event_type,
+               CAST(n_events AS BIGINT) AS n_events,
+               round(avg_value, 6) AS avg_value,
+               round(avg_hot, 6) AS avg_hot
+        FROM {mv.name} ORDER BY event_type
+        """
+    )
+
+
+O_DDL_MV_AVG = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       round(CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE)
+             / COUNT(value), 6) AS avg_value,
+       round(CAST(SUM(CASE WHEN value > 10
+                      THEN CAST(value AS DECIMAL(27,6)) END) AS DOUBLE)
+             / COUNT(CASE WHEN value > 10 THEN 1 END), 6) AS avg_hot
+FROM events
 GROUP BY event_type ORDER BY event_type
 """
 
@@ -1422,6 +1523,7 @@ FROM final GROUP BY o_orderstatus
 QUERIES = {
     "ddl_source_roundtrip": q_ddl_source_roundtrip,
     "ddl_mv_roundtrip": q_ddl_mv_roundtrip,
+    "ddl_mv_avg": q_ddl_mv_avg,
     "ddl_mv_stream": q_ddl_mv_stream,
     "ddl_final_read": q_ddl_final_read,
     "ddl_final_versioned": q_ddl_final_versioned,
@@ -1431,6 +1533,7 @@ QUERIES = {
 ORACLES = {
     "ddl_source_roundtrip": O_DDL_SOURCE_ROUNDTRIP,
     "ddl_mv_roundtrip": O_DDL_MV_ROUNDTRIP,
+    "ddl_mv_avg": O_DDL_MV_AVG,
     "ddl_mv_stream": O_DDL_MV_ROUNDTRIP,
     "ddl_final_read": O_DDL_FINAL_READ,
     "ddl_final_versioned": O_DDL_FINAL_VERSIONED,

@@ -174,11 +174,17 @@ def test_materialized_view_transpile_shapes():
     assert mv.keys == ["k"]
     assert mv.aggs == [("n", "sum"), ("s", "sum")]
     assert "WHERE v > 0" in mv.select_sql and "{src}" in mv.select_sql
-    # avg and DISTINCT refuse with rewrite pointers
-    with pytest.raises(DialectError, match="sum\\+count"):
+    # avg decomposes to sum+count state with a ratio read view (r8)
+    mva = transpile_materialized_view(
+        "CREATE MATERIALIZED VIEW m AS SELECT k, avg(v) AS a "
+        "FROM src GROUP BY k"
+    )
+    assert mva.aggs == [("a__s", "sum"), ("a__c", "sum")]
+    assert mva.read_items[-1].endswith("AS a")
+    with pytest.raises(DialectError, match="DISTINCT"):
         transpile_materialized_view(
-            "CREATE MATERIALIZED VIEW m AS SELECT k, avg(v) AS a "
-            "FROM src GROUP BY k"
+            "CREATE MATERIALIZED VIEW m AS SELECT k, "
+            "avg(DISTINCT v) AS a FROM src GROUP BY k"
         )
     with pytest.raises(DialectError, match="hll"):
         transpile_materialized_view(
