@@ -220,6 +220,7 @@ HEADLINE = [
     "dialect_probe10",
     "dialect_normalize",
     "ddl_mv_avg",
+    "ddl_mv_uniq",
 ]
 
 

@@ -672,6 +672,30 @@ def _last_top_as(item: str) -> tuple[str, str | None]:
     return item[:last].strip(), item[last + 2 :].strip()
 
 
+def _strip_nested(s: str) -> str:
+    """Drop everything inside (), [] and '...' — leaves only the
+    top-level characters, for top-level-comma checks."""
+    out: list[str] = []
+    depth, in_str = 0, False
+    for c in s:
+        if in_str:
+            if c == "'":
+                in_str = False
+            continue
+        if c == "'":
+            in_str = True
+            continue
+        if c in "([":
+            depth += 1
+            continue
+        if c in ")]":
+            depth -= 1
+            continue
+        if depth == 0:
+            out.append(c)
+    return "".join(out)
+
+
 class MaterializedView:
     """ClickHouse ``CREATE MATERIALIZED VIEW ... ENGINE =
     AggregatingMergeTree AS SELECT`` analog: the view's SELECT is
@@ -779,15 +803,21 @@ class MaterializedView:
             merged = partial
         else:
             dtypes = dict(partial.dtypes)
+
+            def merge_col(a: str, fn: str):
+                if fn == "set_union":
+                    # uniq/uniqExact states merge as a set union
+                    # (deterministically sorted for stable storage)
+                    return F.expr(
+                        f"array_sort(array_distinct(flatten("
+                        f"collect_list({a}))))"
+                    ).alias(a)
+                return getattr(F, fn)(a).cast(dtypes[a]).alias(a)
+
             merged = (
                 prev.unionByName(partial)
                 .groupBy(*self.keys)
-                .agg(
-                    *(
-                        getattr(F, fn)(a).cast(dtypes[a]).alias(a)
-                        for a, fn in self.aggs
-                    )
-                )
+                .agg(*(merge_col(a, fn) for a, fn in self.aggs))
             ).select(*partial.columns)  # restore declared column order
         return self._publish(spark, merged)
 
@@ -858,7 +888,11 @@ def transpile_materialized_view(
         cm = re.match(r"(?is)\s*([A-Za-z_][A-Za-z0-9_]*)\s*\(", expr)
         fn = cm.group(1).lower() if cm else None
         is_call_all = cm and expr.rstrip().endswith(")")
-        if fn in _MERGEABLE and is_call_all:
+        count_distinct = (
+            fn == "count" and is_call_all
+            and re.match(r"(?is)\s*DISTINCT\b", expr[cm.end():])
+        )
+        if fn in _MERGEABLE and is_call_all and not count_distinct:
             if "DISTINCT" in expr.upper():
                 raise DialectError(
                     f"{fn}(DISTINCT ...) is not incrementally mergeable; "
@@ -902,16 +936,73 @@ def transpile_materialized_view(
                 f"CAST({s_col} AS DOUBLE) / {c_col} AS {alias}"
             )
             continue
-        if fn in ("uniq", "uniqexact", "any", "quantile"):
+        if (fn == "approx_count_distinct" or count_distinct) and is_call_all:
+            # uniq / uniqExact in MV position (arriving in their
+            # transpiled Spark spellings): uniq maintains the portable
+            # HLL (bucket, rank) code-set state (bounded at M·64 codes
+            # per key — scale-safe) finalized to the estimate in the
+            # read view; uniqExact maintains the exact distinct set
+            # (CH's own uniqExact state is the full set too — it grows
+            # with cardinality, the documented trade).  Both merge as
+            # a set union.
+            src_fn = "uniqExact" if count_distinct else "uniq"
+            if alias is None:
+                raise DialectError(
+                    f"aggregate column {expr!r} needs an AS alias"
+                )
+            arg = expr[cm.end():].rstrip()[:-1]
+            if count_distinct:
+                arg = re.sub(r"(?is)^\s*DISTINCT\b", "", arg).strip()
+            if "," in _strip_nested(arg):
+                raise DialectError(
+                    f"{src_fn} in MV position takes a single expression"
+                )
+            st_col = f"{alias}__st"
+            aggs.append((st_col, "set_union"))
+            if count_distinct:
+                items.append(
+                    f"array_sort(collect_set(CAST(({arg}) AS STRING)))"
+                    f" AS {st_col}"
+                )
+                read_items.append(
+                    f"CAST(size({st_col}) AS BIGINT) AS {alias}"
+                )
+            else:
+                from clickhouse_vs_dbt_spark.dialect import (
+                    _uniq_finalize_sql,
+                    _uniq_state_sql,
+                )
+
+                items.append(f"{_uniq_state_sql(arg)} AS {st_col}")
+                read_items.append(
+                    f"{_uniq_finalize_sql(st_col)} AS {alias}"
+                )
+            continue
+        if fn in ("any", "quantile"):
             raise DialectError(
-                f"{fn} is not incrementally mergeable as-is; maintain "
-                "the HLL register (uniq — operators/hll.py) or a "
-                "-State column design"
+                f"{fn} is not incrementally mergeable as-is; use a "
+                "-State column design (quantile[Exact]State "
+                "transpiles) or keep the raw column"
             )
         if re.search(r"(?i)\b(count|sum|min|max|avg)\s*\(", expr):
             raise DialectError(
                 f"cannot merge wrapped aggregate {expr!r}; keep the "
                 "aggregate outermost and finalize in a reader view"
+            )
+        if re.search(
+            r"(?i)\b(percentile(_approx)?|approx_count_distinct|"
+            r"collect_(list|set)|first|last|any_value|stddev\w*|"
+            r"var\w*|corr|covar\w*)\s*\(",
+            expr,
+        ):
+            # an aggregate with no mergeable decomposition must never
+            # fall through to the GROUP-BY-key path (it would silently
+            # group by the aggregate's value) — refuse loudly
+            raise DialectError(
+                f"{expr!r} is not incrementally mergeable in MV "
+                "position; use a -State column design "
+                "(quantile[Exact]State transpiles) or keep the raw "
+                "column and aggregate at read time"
             )
         key = alias or expr
         if not re.match(r"[A-Za-z_][A-Za-z0-9_]*\Z", key):
@@ -1145,6 +1236,80 @@ SELECT event_type,
              / COUNT(CASE WHEN value > 10 THEN 1 END), 6) AS avg_hot
 FROM events
 GROUP BY event_type ORDER BY event_type
+"""
+
+
+REFERENCE_MV_UNIQ_DDL = """CREATE MATERIALIZED VIEW mv_events_uniq
+ENGINE = AggregatingMergeTree
+ORDER BY event_type
+AS SELECT
+    event_type,
+    count() AS n_events,
+    uniq(user_id) AS u_hll,
+    uniqExact(user_id) AS u_exact
+FROM events
+GROUP BY event_type;"""
+
+
+def q_ddl_mv_uniq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``uniq``/``uniqExact`` in MV position — CH's single most
+    common AggregatingMergeTree pattern (uniqState columns), closed
+    in r8: ``uniq`` maintains the portable HLL (bucket, rank)
+    code-set state (bounded per key, merged as a set union across
+    batch inserts) finalized to the estimate in the read view;
+    ``uniqExact`` maintains the exact distinct set.  The oracle
+    recomputes the identical HLL algebra (same md5-prefix hash, same
+    estimator literals) and COUNT(DISTINCT) one-shot over all rows —
+    equality proves the batch-split state merge is lossless."""
+    mv = transpile_materialized_view(REFERENCE_MV_UNIQ_DDL)
+    ev = load_table(spark, sf_dir, "events")
+    for i in range(N_MV_DDL_BATCHES):
+        mv.apply_batch(
+            spark, ev.filter(F.col("event_id") % N_MV_DDL_BATCHES == i)
+        )
+    return spark.sql(
+        f"""
+        SELECT event_type,
+               CAST(n_events AS BIGINT) AS n_events,
+               u_hll, u_exact
+        FROM {mv.name} ORDER BY event_type
+        """
+    )
+
+
+def _o_ddl_mv_uniq() -> str:
+    """DuckDB oracle for q_ddl_mv_uniq (docstring there)."""
+    from clickhouse_vs_dbt_spark.operators.dedup import md5p_sql
+    from clickhouse_vs_dbt_spark.operators.hll import M, _NUM, _SCALE
+
+    h = md5p_sql("CAST(user_id AS VARCHAR)", "duckdb")
+    est = (
+        f"CASE WHEN {_NUM} / (s + ({M} - seen) * {_SCALE}) <= 2.5 * {M} "
+        f"AND seen < {M} "
+        f"THEN {M} * ln(CAST({M} AS DOUBLE) / ({M} - seen)) "
+        f"ELSE {_NUM} / (s + ({M} - seen) * {_SCALE}) END"
+    )
+    return f"""
+WITH du AS (SELECT DISTINCT event_type, user_id FROM events
+            WHERE user_id IS NOT NULL),
+hv AS (SELECT event_type, {h} AS hv FROM du),
+reg AS (
+  SELECT event_type, hv % {M} AS bucket,
+         MAX(CASE WHEN hv // {M} = 0 THEN 53
+                  ELSE 53 - length(bin(hv // {M})) END) AS rank
+  FROM hv GROUP BY event_type, hv % {M}),
+uc AS (
+  SELECT event_type, CAST(floor({est} + 0.5) AS BIGINT) AS u_hll
+  FROM (SELECT event_type, COUNT(*) AS seen,
+               CAST(SUM(CAST(1 AS BIGINT) << (53 - rank)) AS BIGINT)
+                 AS s
+        FROM reg GROUP BY event_type))
+SELECT e.event_type,
+       COUNT(*) AS n_events,
+       MIN(uc.u_hll) AS u_hll,
+       CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS u_exact
+FROM events e JOIN uc ON e.event_type = uc.event_type
+GROUP BY e.event_type ORDER BY e.event_type
 """
 
 # --- gated proof: FROM t FINAL through DDL engine context ---
@@ -1524,6 +1689,7 @@ QUERIES = {
     "ddl_source_roundtrip": q_ddl_source_roundtrip,
     "ddl_mv_roundtrip": q_ddl_mv_roundtrip,
     "ddl_mv_avg": q_ddl_mv_avg,
+    "ddl_mv_uniq": q_ddl_mv_uniq,
     "ddl_mv_stream": q_ddl_mv_stream,
     "ddl_final_read": q_ddl_final_read,
     "ddl_final_versioned": q_ddl_final_versioned,
@@ -1534,6 +1700,7 @@ ORACLES = {
     "ddl_source_roundtrip": O_DDL_SOURCE_ROUNDTRIP,
     "ddl_mv_roundtrip": O_DDL_MV_ROUNDTRIP,
     "ddl_mv_avg": O_DDL_MV_AVG,
+    "ddl_mv_uniq": _o_ddl_mv_uniq(),
     "ddl_mv_stream": O_DDL_MV_ROUNDTRIP,
     "ddl_final_read": O_DDL_FINAL_READ,
     "ddl_final_versioned": O_DDL_FINAL_VERSIONED,

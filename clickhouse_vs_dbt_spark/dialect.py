@@ -995,12 +995,11 @@ def _uniq_state_sql(x: str) -> str:
     )
 
 
-def _uniq_merge_sql(st: str, restate: bool) -> str:
-    """Merge uniq states; ``restate`` re-emits the merged code set
-    (uniqMergeState), else finalizes to the BIGINT estimate."""
-    merged = f"array_distinct(flatten(collect_list({st})))"
-    if restate:
-        return f"array_sort({merged})"
+def _uniq_finalize_sql(ents_expr: str) -> str:
+    """Per-ROW HLL estimate from a (bucket, rank) code-set expression
+    — the read-off half of the portable uniq state, shared by
+    uniqMerge (over a freshly merged set) and the MV read view (over
+    a stored state column, ddl.py)."""
     m, scale = _HLL_M, 1 << 53
     # per-bucket max rank, then the HLL harmonic estimate with the
     # standard linear-counting small-range correction (identical
@@ -1024,10 +1023,19 @@ def _uniq_merge_sql(st: str, restate: bool) -> str:
         f"ELSE {raw} END"
     )
     return (
-        f"transform(array({merged}), ents -> "
+        f"transform(array({ents_expr}), ents -> "
         f"transform(array({regs}), regs -> "
         f"CAST(floor({est} + 0.5) AS BIGINT))[0])[0]"
     )
+
+
+def _uniq_merge_sql(st: str, restate: bool) -> str:
+    """Merge uniq states; ``restate`` re-emits the merged code set
+    (uniqMergeState), else finalizes to the BIGINT estimate."""
+    merged = f"array_distinct(flatten(collect_list({st})))"
+    if restate:
+        return f"array_sort({merged})"
+    return _uniq_finalize_sql(merged)
 
 
 def _q_state_sql(x: str) -> str:

@@ -186,10 +186,17 @@ def test_materialized_view_transpile_shapes():
             "CREATE MATERIALIZED VIEW m AS SELECT k, "
             "avg(DISTINCT v) AS a FROM src GROUP BY k"
         )
-    with pytest.raises(DialectError, match="hll"):
+    # uniq/uniqExact decompose to set-union state columns (r8)
+    mvu = transpile_materialized_view(
+        "CREATE MATERIALIZED VIEW m AS SELECT k, "
+        "uniqExact(u) AS nu, uniq(u) AS nh FROM src GROUP BY k"
+    )
+    assert mvu.aggs == [("nu__st", "set_union"), ("nh__st", "set_union")]
+    assert mvu.read_items[1].startswith("CAST(size(nu__st)")
+    with pytest.raises(DialectError, match="-State"):
         transpile_materialized_view(
             "CREATE MATERIALIZED VIEW m AS SELECT k, "
-            "uniqExact(u) AS nu FROM src GROUP BY k"
+            "quantile(0.5)(u) AS q FROM src GROUP BY k"
         )
 
 
