@@ -221,6 +221,7 @@ HEADLINE = [
     "dialect_normalize",
     "ddl_mv_avg",
     "ddl_mv_uniq",
+    "ddl_mv_quantile",
 ]
 
 

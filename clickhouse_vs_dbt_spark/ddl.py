@@ -812,6 +812,12 @@ class MaterializedView:
                         f"array_sort(array_distinct(flatten("
                         f"collect_list({a}))))"
                     ).alias(a)
+                if fn == "sorted_union":
+                    # quantileExact multiset states merge as a sorted
+                    # concat (duplicates kept — it IS a multiset)
+                    return F.expr(
+                        f"array_sort(flatten(collect_list({a})))"
+                    ).alias(a)
                 return getattr(F, fn)(a).cast(dtypes[a]).alias(a)
 
             merged = (
@@ -978,11 +984,52 @@ def transpile_materialized_view(
                     f"{_uniq_finalize_sql(st_col)} AS {alias}"
                 )
             continue
-        if fn in ("any", "quantile"):
+        if fn == "percentile" and is_call_all:
+            # quantileExact(p)(x) arrives transpiled as
+            # percentile(x, p): maintain the exact sorted-multiset
+            # state (CH's own quantileExactState — grows with the
+            # group, the documented trade) merged as a sorted concat,
+            # interpolated in the read view
+            if alias is None:
+                raise DialectError(
+                    f"aggregate column {expr!r} needs an AS alias"
+                )
+            inner = expr[cm.end():].rstrip()[:-1]
+            parts = _split_top(inner)
+            if len(parts) != 2:
+                raise DialectError(
+                    "quantileExact in MV position takes a single "
+                    "level: quantileExact(p)(x)"
+                )
+            x, level = parts[0].strip(), parts[1].strip()
+            try:
+                lv = float(level)
+            except ValueError:
+                raise DialectError(
+                    "quantileExact's MV level must be a numeric "
+                    "literal"
+                )
+            if not 0.0 <= lv <= 1.0:
+                raise DialectError(
+                    "quantile level must be in [0, 1]"
+                )
+            from clickhouse_vs_dbt_spark.dialect import _q_finalize_sql
+
+            st_col = f"{alias}__st"
+            aggs.append((st_col, "sorted_union"))
+            items.append(
+                f"array_sort(collect_list(CAST(({x}) AS DOUBLE)))"
+                f" AS {st_col}"
+            )
+            read_items.append(
+                f"{_q_finalize_sql(st_col, level)} AS {alias}"
+            )
+            continue
+        if fn == "any":
             raise DialectError(
-                f"{fn} is not incrementally mergeable as-is; use a "
-                "-State column design (quantile[Exact]State "
-                "transpiles) or keep the raw column"
+                "any is not incrementally mergeable as-is (CH's any "
+                "is arrival-order-dependent); keep the raw column or "
+                "use min/max for a deterministic representative"
             )
         if re.search(r"(?i)\b(count|sum|min|max|avg)\s*\(", expr):
             raise DialectError(
@@ -1275,6 +1322,55 @@ def q_ddl_mv_uniq(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM {mv.name} ORDER BY event_type
         """
     )
+
+
+REFERENCE_MV_QUANTILE_DDL = """CREATE MATERIALIZED VIEW mv_events_q
+ENGINE = AggregatingMergeTree
+ORDER BY event_type
+AS SELECT
+    event_type,
+    count() AS n_events,
+    quantileExact(0.5)(value) AS med_value,
+    quantileExact(0.9)(value) AS p90_value
+FROM events
+GROUP BY event_type;"""
+
+
+def q_ddl_mv_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``quantileExact`` in MV position — the exact sorted-multiset
+    state (CH's quantileExactState) maintained across batch inserts
+    as a sorted concat and interpolated only in the read view.  The
+    oracle's one-shot quantile_cont over all rows matches because the
+    merged multiset IS the full value multiset (batch-split
+    invariant), and both engines interpolate with the identical
+    (n-1)·p arithmetic."""
+    mv = transpile_materialized_view(REFERENCE_MV_QUANTILE_DDL)
+    ev = load_table(spark, sf_dir, "events")
+    for i in range(N_MV_DDL_BATCHES):
+        mv.apply_batch(
+            spark, ev.filter(F.col("event_id") % N_MV_DDL_BATCHES == i)
+        )
+    return spark.sql(
+        f"""
+        SELECT event_type,
+               CAST(n_events AS BIGINT) AS n_events,
+               round(med_value, 6) AS med_value,
+               round(p90_value, 6) AS p90_value
+        FROM {mv.name} ORDER BY event_type
+        """
+    )
+
+
+O_DDL_MV_QUANTILE = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       round(quantile_cont(CAST(value AS DOUBLE), 0.5), 6)
+         AS med_value,
+       round(quantile_cont(CAST(value AS DOUBLE), 0.9), 6)
+         AS p90_value
+FROM events
+GROUP BY event_type ORDER BY event_type
+"""
 
 
 def _o_ddl_mv_uniq() -> str:
@@ -1690,6 +1786,7 @@ QUERIES = {
     "ddl_mv_roundtrip": q_ddl_mv_roundtrip,
     "ddl_mv_avg": q_ddl_mv_avg,
     "ddl_mv_uniq": q_ddl_mv_uniq,
+    "ddl_mv_quantile": q_ddl_mv_quantile,
     "ddl_mv_stream": q_ddl_mv_stream,
     "ddl_final_read": q_ddl_final_read,
     "ddl_final_versioned": q_ddl_final_versioned,
@@ -1701,6 +1798,7 @@ ORACLES = {
     "ddl_mv_roundtrip": O_DDL_MV_ROUNDTRIP,
     "ddl_mv_avg": O_DDL_MV_AVG,
     "ddl_mv_uniq": _o_ddl_mv_uniq(),
+    "ddl_mv_quantile": O_DDL_MV_QUANTILE,
     "ddl_mv_stream": O_DDL_MV_ROUNDTRIP,
     "ddl_final_read": O_DDL_FINAL_READ,
     "ddl_final_versioned": O_DDL_FINAL_VERSIONED,

@@ -1043,14 +1043,11 @@ def _q_state_sql(x: str) -> str:
     return f"array_sort(collect_list(CAST({x} AS DOUBLE)))"
 
 
-def _q_merge_sql(st: str, level: str, restate: bool) -> str:
-    """Merge sorted-multiset quantile states; finalize with the
-    standard (n-1)·p linear interpolation (Spark ``percentile`` /
-    SQL percentile_cont semantics, matching the plain quantileExact
-    mapping)."""
-    merged = f"array_sort(flatten(collect_list({st})))"
-    if restate:
-        return merged
+def _q_finalize_sql(st_expr: str, level: str) -> str:
+    """Per-ROW (n-1)·p linear interpolation over a sorted-multiset
+    state expression (Spark ``percentile`` / SQL percentile_cont
+    semantics, matching the plain quantileExact mapping) — shared by
+    quantileMerge and the MV read view (ddl.py)."""
     h = f"(CAST(size(L) - 1 AS DOUBLE) * CAST({level} AS DOUBLE))"
     lo = f"CAST(floor({h}) AS INT)"
     # (1-d)·lower + d·higher — Spark percentile's own arithmetic
@@ -1062,10 +1059,19 @@ def _q_merge_sql(st: str, level: str, restate: bool) -> str:
         f"element_at(L, least({lo} + 2, size(L)))"
     )
     return (
-        f"transform(array({merged}), L -> "
+        f"transform(array({st_expr}), L -> "
         f"CASE WHEN size(L) = 0 THEN CAST(NULL AS DOUBLE) "
         f"ELSE {interp} END)[0]"
     )
+
+
+def _q_merge_sql(st: str, level: str, restate: bool) -> str:
+    """Merge sorted-multiset quantile states; finalize per
+    :func:`_q_finalize_sql`."""
+    merged = f"array_sort(flatten(collect_list({st})))"
+    if restate:
+        return merged
+    return _q_finalize_sql(merged, level)
 
 
 def _qt_clamp_sql(x: str) -> str:

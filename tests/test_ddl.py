@@ -193,10 +193,23 @@ def test_materialized_view_transpile_shapes():
     )
     assert mvu.aggs == [("nu__st", "set_union"), ("nh__st", "set_union")]
     assert mvu.read_items[1].startswith("CAST(size(nu__st)")
+    # quantileExact decomposes to the sorted-multiset state (r8);
+    # the sampling quantile (→ percentile_approx) refuses rather than
+    # falling through to the group-key path
+    mvq = transpile_materialized_view(
+        "CREATE MATERIALIZED VIEW m AS SELECT k, "
+        "quantileExact(0.5)(u) AS q FROM src GROUP BY k"
+    )
+    assert mvq.aggs == [("q__st", "sorted_union")]
     with pytest.raises(DialectError, match="-State"):
         transpile_materialized_view(
             "CREATE MATERIALIZED VIEW m AS SELECT k, "
             "quantile(0.5)(u) AS q FROM src GROUP BY k"
+        )
+    with pytest.raises(DialectError, match="level must be"):
+        transpile_materialized_view(
+            "CREATE MATERIALIZED VIEW m AS SELECT k, "
+            "quantileExact(lv)(u) AS q FROM src GROUP BY k"
         )
 
 
