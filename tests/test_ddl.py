@@ -213,6 +213,62 @@ def test_materialized_view_transpile_shapes():
         )
 
 
+def test_mv_state_aggs_batch_order_invariant(spark):
+    """avg / uniq / uniqExact / quantileExact state maintenance is
+    batch-ORDER invariant: folding the same three batches in two
+    different orders yields identical read-view rows, and both equal
+    the one-shot aggregate (exact-decimal sums, set unions, and
+    sorted multisets are all associative+commutative)."""
+    from pyspark.sql import functions as F
+
+    from clickhouse_vs_dbt_spark.ddl import transpile_materialized_view
+
+    df = spark.range(400).select(
+        (F.col("id") % 5).alias("k"),
+        (F.col("id") % 17).cast("double").alias("v"),
+        (F.col("id") % 23).alias("u"),
+        F.col("id").alias("event_id"),
+    )
+    df.createOrReplaceTempView("mv_src_o")
+    ddl = (
+        "CREATE MATERIALIZED VIEW mv_o{n} AS SELECT k, "
+        "avg(v) AS a, uniq(u) AS nh, uniqExact(u) AS ne, "
+        "quantileExact(0.5)(v) AS med FROM mv_src_o GROUP BY k"
+    )
+
+    def run(order, n):
+        mv = transpile_materialized_view(ddl.format(n=n))
+        for i in order:
+            mv.apply_batch(
+                spark, df.filter(F.col("event_id") % 3 == i)
+            )
+        return {
+            r["k"]: (round(r["a"], 10), r["nh"], r["ne"],
+                     round(r["med"], 10))
+            for r in spark.table(f"mv_o{n}").collect()
+        }
+
+    got1 = run([0, 1, 2], 1)
+    got2 = run([2, 0, 1], 2)
+    assert got1 == got2
+    want = {
+        r["k"]: (round(r["a"], 10), r["ne"], round(r["med"], 10))
+        for r in df.groupBy("k")
+        .agg(
+            F.avg("v").alias("a"),
+            F.count_distinct("u").alias("ne"),
+            F.expr("percentile(v, 0.5)").alias("med"),
+        )
+        .collect()
+    }
+    for k, (a, nh, ne, med) in got1.items():
+        wa, wne, wmed = want[k]
+        assert (a, ne, med) == (wa, wne, wmed)
+        # uniq is the HLL sketch: linear-counting range here, but a
+        # bucket collision can still shave a count — bound the error
+        assert abs(nh - wne) <= max(1, 0.05 * wne)
+
+
 def test_materialized_view_batch_merge_equals_full(spark):
     """Three-batch incremental maintenance == one-shot aggregate."""
     from pyspark.sql import functions as F
