@@ -222,6 +222,7 @@ HEADLINE = [
     "ddl_mv_avg",
     "ddl_mv_uniq",
     "ddl_mv_quantile",
+    "ch_script_detach",
 ]
 
 

@@ -6760,6 +6760,61 @@ def _apply_mutation(
     _copy_on_write(spark, target, df)
 
 
+def _move_detached_partition(
+    spark: "SparkSession", target: str, pcol: str, part: str,
+    detach: bool,
+) -> None:
+    """DETACH/ATTACH PARTITION support (see the script-runner branch):
+    rename ``<table>/<pcol>=<v>`` to/from ``<table>/.detached/`` via
+    the table's own Hadoop FileSystem (works for any scheme the table
+    lives on), then drop/add the partition in the catalog."""
+    loc = None
+    for row in spark.sql(f"DESCRIBE FORMATTED {target}").collect():
+        if row.col_name.strip() == "Location":
+            loc = row.data_type.strip()
+            break
+    if not loc:
+        raise DialectError(
+            f"{target} has no resolvable storage location"
+        )
+    val = part.strip().strip("'\"")
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    HPath = jvm.org.apache.hadoop.fs.Path
+    live = HPath(f"{loc}/{pcol}={val}")
+    parked = HPath(f"{loc}/.detached/{pcol}={val}")
+    fs = live.getFileSystem(conf)
+    src, dst = (live, parked) if detach else (parked, live)
+    if not fs.exists(src):
+        raise DialectError(
+            f"partition {pcol} = {part} has no "
+            f"{'live' if detach else 'detached'} directory at "
+            f"{src.toString()}"
+        )
+    if fs.exists(dst):
+        raise DialectError(
+            f"{'detached' if detach else 'live'} partition "
+            f"{pcol} = {part} already exists at {dst.toString()}"
+        )
+    fs.mkdirs(dst.getParent())
+    if not fs.rename(src, dst):
+        raise DialectError(
+            f"filesystem refused to move {src.toString()} → "
+            f"{dst.toString()}"
+        )
+    if detach:
+        spark.sql(
+            f"ALTER TABLE {target} DROP IF EXISTS "
+            f"PARTITION ({pcol} = {part})"
+        )
+    else:
+        spark.sql(
+            f"ALTER TABLE {target} ADD IF NOT EXISTS "
+            f"PARTITION ({pcol} = {part})"
+        )
+    spark.sql(f"REFRESH TABLE {target}")
+
+
 def run_clickhouse_script(
     spark: SparkSession,
     script: str,
@@ -6986,39 +7041,48 @@ def run_clickhouse_script(
         elif (
             dp := _re.match(
                 r"(?is)\s*ALTER\s+TABLE\s+([A-Za-z_][A-Za-z0-9_.`]*)"
-                r"\s+(DROP|DETACH)\s+PARTITION\s+(.+?)\s*$",
+                r"\s+(DROP|DETACH|ATTACH)\s+PARTITION\s+(.+?)\s*$",
                 stmt,
             )
         ) is not None:
-            # partition lifecycle — the retention statement every CH
+            # partition lifecycle — the retention statements every CH
             # deployment runs.  DROP PARTITION maps to Spark's own
             # partition drop on the PARTITION BY column the DDL
             # captured (metadata-only, no data rewrite — the same
-            # O(1) part-unlink contract as ClickHouse).  DETACH has
-            # no re-attachable Spark state → refuse.
+            # O(1) part-unlink contract as ClickHouse).  DETACH moves
+            # the partition directory into the table's `.detached/`
+            # (dot-prefixed — invisible to Spark's file listings,
+            # ClickHouse's own detached/ convention) and unregisters
+            # the partition; ATTACH moves it back and re-registers.
+            # The move is a filesystem RENAME: O(1) metadata on
+            # HDFS/local; on object stores it is a server-side copy
+            # of that partition's objects only (documented cost).
             target, verb, part = dp.group(1), dp.group(2), dp.group(3)
-            if verb.upper() == "DETACH":
-                raise DialectError(
-                    "DETACH PARTITION keeps re-attachable on-disk "
-                    "state ClickHouse-side; use DROP PARTITION, or "
-                    "copy the slice out first (CREATE TABLE ... AS "
-                    "SELECT ... WHERE <partition predicate>)"
-                )
+            verb = verb.upper()
             info = _ddl.lookup_engine_info(target)
             pcol = getattr(info, "partition_by", None) if info else None
             if not pcol:
                 raise DialectError(
-                    f"DROP PARTITION on {target} needs the table's "
+                    f"{verb} PARTITION on {target} needs the table's "
                     "plain-column PARTITION BY from its CREATE TABLE "
                     "(run the DDL through the front door); "
                     "expression partitions have no Spark partition "
                     "mapping — use ALTER TABLE ... DELETE WHERE"
                 )
-            spark.sql(
-                f"ALTER TABLE {target} DROP IF EXISTS "
-                f"PARTITION ({pcol} = {part.strip()})"
-            )
-            results.append(("drop_partition", (target, part.strip())))
+            part = part.strip()
+            if verb == "DROP":
+                spark.sql(
+                    f"ALTER TABLE {target} DROP IF EXISTS "
+                    f"PARTITION ({pcol} = {part})"
+                )
+                results.append(("drop_partition", (target, part)))
+            else:
+                _move_detached_partition(
+                    spark, target, pcol, part, detach=(verb == "DETACH")
+                )
+                results.append(
+                    (f"{verb.lower()}_partition", (target, part))
+                )
         elif _re.match(
             r"(?is)\s*ALTER\s+TABLE\s+[A-Za-z_][A-Za-z0-9_.`]*\s+"
             r"(ADD|DROP|MATERIALIZE|CLEAR)\s+(PROJECTION|INDEX)\s+",
@@ -9285,6 +9349,90 @@ def q_ch_script_retention(
     return results[-1][1]
 
 
+# 16d. DETACH / ATTACH PARTITION — ClickHouse's park-and-restore
+#      partition lifecycle (detached/ directory), r8: the partition
+#      directory renames into the table's `.detached/` (dot-prefixed,
+#      invisible to listings) and back, with catalog partition
+#      drop/add on each side.  The detached-state aggregate is
+#      COLLECTED before re-attach (bounded per-year rows) so the
+#      verdict can't be rewritten by the later filesystem move; the
+#      oracle restates both stages relationally.
+_CH_DETACH_SCRIPT1 = """
+CREATE TABLE det_orders
+(o_orderkey Int64, o_orderstatus String, o_totalprice Float64,
+ o_year Int32)
+ENGINE = MergeTree PARTITION BY o_year ORDER BY o_orderkey;
+
+INSERT INTO det_orders
+SELECT o_orderkey, o_orderstatus, o_totalprice,
+       toYear(o_orderdate) AS o_year
+FROM orders;
+
+ALTER TABLE det_orders DETACH PARTITION 1995;
+
+SELECT o_year, count() AS n,
+       toFloat64(sum(toDecimal64(o_totalprice, 2))) AS total
+FROM det_orders
+GROUP BY o_year
+ORDER BY o_year;
+"""
+
+_CH_DETACH_SCRIPT2 = """
+ALTER TABLE det_orders ATTACH PARTITION 1995;
+
+SELECT o_year, count() AS n,
+       toFloat64(sum(toDecimal64(o_totalprice, 2))) AS total
+FROM det_orders
+GROUP BY o_year
+ORDER BY o_year;
+"""
+
+O_DETACH_SCRIPT = """
+WITH y AS (
+  SELECT EXTRACT(year FROM o_orderdate)::INT AS o_year,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+           AS total
+  FROM orders GROUP BY 1)
+SELECT 'detached' AS stage, o_year, n, total FROM y
+WHERE o_year != 1995
+UNION ALL
+SELECT 'attached' AS stage, o_year, n, total FROM y
+ORDER BY stage, o_year
+"""
+
+
+def q_ch_script_detach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verbatim ClickHouse DETACH/ATTACH PARTITION scripts (module
+    doc #16d)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    register_views(spark, sf_dir, ("orders",))
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix(
+        "file:"
+    )
+    spark.sql("DROP TABLE IF EXISTS det_orders")
+    shutil.rmtree(f"{wh}/det_orders", ignore_errors=True)
+    r1 = run_clickhouse_script(
+        spark, _CH_DETACH_SCRIPT1, overwrite_existing=True
+    )
+    # pin the detached-state verdict before the files move back
+    # (bounded: one row per order year)
+    detached_rows = r1[-1][1].collect()
+    r2 = run_clickhouse_script(spark, _CH_DETACH_SCRIPT2)
+    stage1 = spark.createDataFrame(
+        detached_rows, r1[-1][1].schema
+    ).withColumn("stage", F.lit("detached"))
+    stage2 = r2[-1][1].withColumn("stage", F.lit("attached"))
+    return (
+        stage1.unionByName(stage2)
+        .select("stage", "o_year", "n", "total")
+        .orderBy("stage", "o_year")
+    )
+
+
 # 16. full operational lifecycle through the script runner: CREATE
 #     (Replacing DDL) → INSERT … SELECT FROM file() (fires nothing —
 #     no MV — but exercises the trigger path) → ALTER DELETE →
@@ -9716,6 +9864,7 @@ QUERIES = {
     "ch_script_lifecycle": q_ch_script_lifecycle,
     "ch_script_blue_green": q_ch_script_blue_green,
     "ch_script_retention": q_ch_script_retention,
+    "ch_script_detach": q_ch_script_detach,
     "ch_script_schema_evolution": q_ch_script_schema_evolution,
     "dialect_any_join": q_dialect_any_join,
     "dialect_any_join_on": q_dialect_any_join_on,
@@ -9774,6 +9923,7 @@ ORACLES = {
     "ch_script_lifecycle": O_CH_SCRIPT_LIFECYCLE,
     "ch_script_blue_green": O_BLUE_GREEN,
     "ch_script_retention": O_RETENTION_SCRIPT,
+    "ch_script_detach": O_DETACH_SCRIPT,
     "ch_script_schema_evolution": O_CH_SCRIPT_SCHEMA_EVOLUTION,
     "dialect_any_join": O_ANY_JOIN,
     "dialect_any_join_on": O_ANY_JOIN_ON,

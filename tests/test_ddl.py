@@ -695,10 +695,28 @@ SELECT count() AS n, min(y) AS miny FROM part_t;
     assert "drop_partition" in kinds and "layout_noop" in kinds
     row = res[-1][1].collect()[0]
     assert row.n == 2 and row.miny == 2024
-    # DETACH PARTITION refuses; non-partitioned tables refuse
-    with pytest.raises(DialectError, match="DETACH PARTITION"):
+    # DETACH parks the partition dir (invisible), ATTACH restores it
+    # (r8); re-detaching a missing partition and non-partitioned
+    # tables refuse
+    run_clickhouse_script(
+        spark, "ALTER TABLE part_t DETACH PARTITION 2024;"
+    )
+    assert spark.table("part_t").count() == 0  # 2023 already dropped
+    import os
+
+    assert os.path.isdir(f"{wh}/part_t/.detached/y=2024")
+    with pytest.raises(DialectError, match="no live directory"):
         run_clickhouse_script(
             spark, "ALTER TABLE part_t DETACH PARTITION 2024;"
+        )
+    run_clickhouse_script(
+        spark, "ALTER TABLE part_t ATTACH PARTITION 2024;"
+    )
+    rows = spark.table("part_t").collect()
+    assert len(rows) == 2 and all(r.y == 2024 for r in rows)
+    with pytest.raises(DialectError, match="no detached directory"):
+        run_clickhouse_script(
+            spark, "ALTER TABLE part_t ATTACH PARTITION 2024;"
         )
     with pytest.raises(DialectError, match="PARTITION BY"):
         run_clickhouse_script(
