@@ -223,6 +223,7 @@ HEADLINE = [
     "ddl_mv_uniq",
     "ddl_mv_quantile",
     "ch_script_detach",
+    "ch_script_partition_ops",
 ]
 
 

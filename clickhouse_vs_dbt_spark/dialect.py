@@ -6815,6 +6815,97 @@ def _move_detached_partition(
     spark.sql(f"REFRESH TABLE {target}")
 
 
+def _table_location(spark: "SparkSession", target: str) -> str:
+    for row in spark.sql(f"DESCRIBE FORMATTED {target}").collect():
+        if row.col_name.strip() == "Location":
+            return row.data_type.strip()
+    raise DialectError(f"{target} has no resolvable storage location")
+
+
+def _copy_partition_between(
+    spark: "SparkSession", dst_t: str, src_t: str, part: str, mode: str,
+) -> None:
+    """Cross-table partition lifecycle (ClickHouse ALTER TABLE forms):
+    ``attach_from`` copies the partition directory (source keeps its
+    data), ``replace`` drops the destination partition first then
+    copies, ``move`` renames the directory across table locations and
+    unregisters it at the source.  Same-structure tables only — CH's
+    own precondition."""
+    import clickhouse_vs_dbt_spark.ddl as _ddl
+
+    cols = {}
+    for t in (dst_t, src_t):
+        info = _ddl.lookup_engine_info(t)
+        pcol = getattr(info, "partition_by", None) if info else None
+        if not pcol:
+            raise DialectError(
+                f"{mode.upper().replace('_', ' ')} PARTITION needs "
+                f"{t}'s plain-column PARTITION BY from its CREATE "
+                "TABLE (run the DDL through the front door)"
+            )
+        cols[t] = pcol
+    if cols[dst_t] != cols[src_t]:
+        raise DialectError(
+            f"partition keys differ: {dst_t} is partitioned by "
+            f"{cols[dst_t]}, {src_t} by {cols[src_t]}"
+        )
+    if spark.table(dst_t).schema != spark.table(src_t).schema:
+        raise DialectError(
+            f"{dst_t} and {src_t} have different structures — "
+            "ClickHouse requires identical structure for partition "
+            "exchange"
+        )
+    pcol, val = cols[dst_t], part.strip().strip("'\"")
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    HPath = jvm.org.apache.hadoop.fs.Path
+    src = HPath(f"{_table_location(spark, src_t)}/{pcol}={val}")
+    dst = HPath(f"{_table_location(spark, dst_t)}/{pcol}={val}")
+    fs = src.getFileSystem(conf)
+    if not fs.exists(src):
+        raise DialectError(
+            f"{src_t} has no partition {pcol} = {part} at "
+            f"{src.toString()}"
+        )
+    if fs.exists(dst):
+        if mode == "replace":
+            spark.sql(
+                f"ALTER TABLE {dst_t} DROP IF EXISTS "
+                f"PARTITION ({pcol} = {part})"
+            )
+            fs.delete(dst, True)
+        else:
+            raise DialectError(
+                f"{dst_t} already has partition {pcol} = {part}; "
+                "append-attach into an existing partition is not "
+                "supported — use REPLACE PARTITION ... FROM or "
+                "INSERT ... SELECT"
+            )
+    if mode == "move":
+        if not fs.rename(src, dst):
+            raise DialectError(
+                f"filesystem refused to move {src.toString()} → "
+                f"{dst.toString()}"
+            )
+        spark.sql(
+            f"ALTER TABLE {src_t} DROP IF EXISTS "
+            f"PARTITION ({pcol} = {part})"
+        )
+    else:
+        FileUtil = jvm.org.apache.hadoop.fs.FileUtil
+        if not FileUtil.copy(fs, src, fs, dst, False, conf):
+            raise DialectError(
+                f"filesystem refused to copy {src.toString()} → "
+                f"{dst.toString()}"
+            )
+    spark.sql(
+        f"ALTER TABLE {dst_t} ADD IF NOT EXISTS "
+        f"PARTITION ({pcol} = {part})"
+    )
+    spark.sql(f"REFRESH TABLE {dst_t}")
+    spark.sql(f"REFRESH TABLE {src_t}")
+
+
 def run_clickhouse_script(
     spark: SparkSession,
     script: str,
@@ -7038,6 +7129,34 @@ def run_clickhouse_script(
             results.append(
                 ("schema_change", (sc.group(1), sc.group(2).upper()))
             )
+        elif (
+            xp := _re.match(
+                r"(?is)\s*ALTER\s+TABLE\s+([A-Za-z_][A-Za-z0-9_.`]*)"
+                r"\s+(ATTACH|REPLACE)\s+PARTITION\s+(.+?)\s+FROM\s+"
+                r"([A-Za-z_][A-Za-z0-9_.`]*)\s*$",
+                stmt,
+            )
+        ) is not None:
+            # cross-table partition lifecycle: ATTACH ... FROM copies
+            # the partition (source keeps it), REPLACE ... FROM drops
+            # the destination's partition first (CH semantics)
+            dst_t, verb, part, src_t = xp.groups()
+            mode = "attach_from" if verb.upper() == "ATTACH" else "replace"
+            _copy_partition_between(spark, dst_t, src_t, part, mode)
+            results.append((f"{mode}_partition", (dst_t, src_t, part)))
+        elif (
+            mvp := _re.match(
+                r"(?is)\s*ALTER\s+TABLE\s+([A-Za-z_][A-Za-z0-9_.`]*)"
+                r"\s+MOVE\s+PARTITION\s+(.+?)\s+TO\s+TABLE\s+"
+                r"([A-Za-z_][A-Za-z0-9_.`]*)\s*$",
+                stmt,
+            )
+        ) is not None:
+            # MOVE ... TO TABLE renames the directory across table
+            # locations — the source loses the partition
+            src_t, part, dst_t = mvp.groups()
+            _copy_partition_between(spark, dst_t, src_t, part, "move")
+            results.append(("move_partition", (src_t, dst_t, part)))
         elif (
             dp := _re.match(
                 r"(?is)\s*ALTER\s+TABLE\s+([A-Za-z_][A-Za-z0-9_.`]*)"
@@ -9402,6 +9521,89 @@ ORDER BY stage, o_year
 """
 
 
+# 16e. cross-table partition lifecycle (r8): ATTACH PARTITION FROM
+#      (copy — source keeps its data), MOVE PARTITION TO TABLE
+#      (directory rename across table locations), REPLACE PARTITION
+#      FROM (drop-then-copy).  po_fix holds a filtered 1994 slice so
+#      the REPLACE is observable (dst's 1995 becomes odd-keys-only).
+#      Final state: src keeps 1995+1997 (1996 moved away); dst holds
+#      odd-1995 + full 1996.  The oracle restates both tables
+#      relationally from orders.
+_CH_PARTITION_OPS = """
+CREATE TABLE po_src
+(o_orderkey Int64, o_totalprice Float64, o_year Int32)
+ENGINE = MergeTree PARTITION BY o_year ORDER BY o_orderkey;
+
+CREATE TABLE po_dst
+(o_orderkey Int64, o_totalprice Float64, o_year Int32)
+ENGINE = MergeTree PARTITION BY o_year ORDER BY o_orderkey;
+
+CREATE TABLE po_fix
+(o_orderkey Int64, o_totalprice Float64, o_year Int32)
+ENGINE = MergeTree PARTITION BY o_year ORDER BY o_orderkey;
+
+INSERT INTO po_src
+SELECT o_orderkey, o_totalprice, toYear(o_orderdate) AS o_year
+FROM orders WHERE toYear(o_orderdate) IN (1995, 1996, 1997);
+
+INSERT INTO po_fix
+SELECT o_orderkey, o_totalprice, toYear(o_orderdate) AS o_year
+FROM orders
+WHERE toYear(o_orderdate) = 1995 AND o_orderkey % 2 = 1;
+
+ALTER TABLE po_dst ATTACH PARTITION 1995 FROM po_src;
+ALTER TABLE po_src MOVE PARTITION 1996 TO TABLE po_dst;
+ALTER TABLE po_dst REPLACE PARTITION 1995 FROM po_fix;
+
+SELECT 'src' AS tbl, o_year, count() AS n,
+       toFloat64(sum(toDecimal64(o_totalprice, 2))) AS total
+FROM po_src GROUP BY o_year
+UNION ALL
+SELECT 'dst' AS tbl, o_year, count() AS n,
+       toFloat64(sum(toDecimal64(o_totalprice, 2))) AS total
+FROM po_dst GROUP BY o_year
+ORDER BY tbl, o_year;
+"""
+
+O_PARTITION_OPS = """
+WITH y AS (
+  SELECT o_orderkey,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS p,
+         EXTRACT(year FROM o_orderdate)::INT AS o_year
+  FROM orders)
+SELECT 'src' AS tbl, o_year, COUNT(*) AS n,
+       CAST(SUM(p) AS DOUBLE) AS total
+FROM y WHERE o_year IN (1995, 1997) GROUP BY o_year
+UNION ALL
+SELECT 'dst' AS tbl, o_year, COUNT(*) AS n,
+       CAST(SUM(p) AS DOUBLE) AS total
+FROM y
+WHERE o_year = 1996 OR (o_year = 1995 AND o_orderkey % 2 = 1)
+GROUP BY o_year
+ORDER BY tbl, o_year
+"""
+
+
+def q_ch_script_partition_ops(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Verbatim ClickHouse cross-table partition script (module doc
+    #16e)."""
+    import shutil
+
+    register_views(spark, sf_dir, ("orders",))
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix(
+        "file:"
+    )
+    for t in ("po_src", "po_dst", "po_fix"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"{wh}/{t}", ignore_errors=True)
+    results = run_clickhouse_script(
+        spark, _CH_PARTITION_OPS, overwrite_existing=True
+    )
+    return results[-1][1]
+
+
 def q_ch_script_detach(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Verbatim ClickHouse DETACH/ATTACH PARTITION scripts (module
     doc #16d)."""
@@ -9865,6 +10067,7 @@ QUERIES = {
     "ch_script_blue_green": q_ch_script_blue_green,
     "ch_script_retention": q_ch_script_retention,
     "ch_script_detach": q_ch_script_detach,
+    "ch_script_partition_ops": q_ch_script_partition_ops,
     "ch_script_schema_evolution": q_ch_script_schema_evolution,
     "dialect_any_join": q_dialect_any_join,
     "dialect_any_join_on": q_dialect_any_join_on,
@@ -9924,6 +10127,7 @@ ORACLES = {
     "ch_script_blue_green": O_BLUE_GREEN,
     "ch_script_retention": O_RETENTION_SCRIPT,
     "ch_script_detach": O_DETACH_SCRIPT,
+    "ch_script_partition_ops": O_PARTITION_OPS,
     "ch_script_schema_evolution": O_CH_SCRIPT_SCHEMA_EVOLUTION,
     "dialect_any_join": O_ANY_JOIN,
     "dialect_any_join_on": O_ANY_JOIN_ON,

@@ -722,6 +722,53 @@ SELECT count() AS n, min(y) AS miny FROM part_t;
         run_clickhouse_script(
             spark, "ALTER TABLE nopart_t DROP PARTITION 2024;"
         )
+    # cross-table partition ops (r8): copy keeps the source, move
+    # drains it; append-attach into an occupied partition and
+    # mismatched structures refuse
+    shutil.rmtree(f"{wh}/part_u", ignore_errors=True)
+    run_clickhouse_script(
+        spark,
+        """
+CREATE TABLE part_u (k UInt64, v Float64, y UInt16)
+ENGINE = MergeTree PARTITION BY y ORDER BY k;
+ALTER TABLE part_u ATTACH PARTITION 2024 FROM part_t;
+""",
+        overwrite_existing=True,
+    )
+    assert spark.table("part_u").count() == 2
+    assert spark.table("part_t").count() == 2  # copy, not move
+    with pytest.raises(DialectError, match="already has partition"):
+        run_clickhouse_script(
+            spark,
+            "ALTER TABLE part_u ATTACH PARTITION 2024 FROM part_t;",
+        )
+    run_clickhouse_script(
+        spark,
+        "ALTER TABLE part_u REPLACE PARTITION 2024 FROM part_t;",
+    )
+    assert spark.table("part_u").count() == 2
+    shutil.rmtree(f"{wh}/part_v", ignore_errors=True)
+    run_clickhouse_script(
+        spark,
+        """
+CREATE TABLE part_v (k UInt64, v Float64, y UInt16)
+ENGINE = MergeTree PARTITION BY y ORDER BY k;
+ALTER TABLE part_t MOVE PARTITION 2024 TO TABLE part_v;
+""",
+        overwrite_existing=True,
+    )
+    assert spark.table("part_v").count() == 2
+    assert spark.table("part_t").count() == 0  # move drains the source
+    with pytest.raises(DialectError, match="different structures"):
+        run_clickhouse_script(
+            spark,
+            """
+CREATE TABLE part_w (k UInt64, y UInt16)
+ENGINE = MergeTree PARTITION BY y ORDER BY k;
+ALTER TABLE part_w ATTACH PARTITION 2024 FROM part_t;
+""",
+            overwrite_existing=True,
+        )
     # ReplacingMergeTree(ver, is_deleted): FINAL drops keys whose
     # latest version carries the delete marker
     src = tmp_path / "softdel"
