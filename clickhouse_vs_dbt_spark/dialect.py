@@ -6768,15 +6768,7 @@ def _move_detached_partition(
     rename ``<table>/<pcol>=<v>`` to/from ``<table>/.detached/`` via
     the table's own Hadoop FileSystem (works for any scheme the table
     lives on), then drop/add the partition in the catalog."""
-    loc = None
-    for row in spark.sql(f"DESCRIBE FORMATTED {target}").collect():
-        if row.col_name.strip() == "Location":
-            loc = row.data_type.strip()
-            break
-    if not loc:
-        raise DialectError(
-            f"{target} has no resolvable storage location"
-        )
+    loc = _table_location_uri(spark, target)
     val = part.strip().strip("'\"")
     jvm = spark.sparkContext._jvm
     conf = spark.sparkContext._jsc.hadoopConfiguration()
@@ -6815,10 +6807,14 @@ def _move_detached_partition(
     spark.sql(f"REFRESH TABLE {target}")
 
 
-def _table_location(spark: "SparkSession", target: str) -> str:
+def _table_location_uri(spark: "SparkSession", target: str) -> str:
+    """Schemed storage URI (``file:/…``, ``s3a://…``) — for Hadoop
+    FileSystem operations, where the scheme picks the filesystem.
+    The scheme-stripped :func:`_table_location` serves the local
+    glob/shutil callers instead."""
     for row in spark.sql(f"DESCRIBE FORMATTED {target}").collect():
-        if row.col_name.strip() == "Location":
-            return row.data_type.strip()
+        if str(row[0]).strip() == "Location":
+            return str(row[1]).strip()
     raise DialectError(f"{target} has no resolvable storage location")
 
 
@@ -6859,8 +6855,8 @@ def _copy_partition_between(
     jvm = spark.sparkContext._jvm
     conf = spark.sparkContext._jsc.hadoopConfiguration()
     HPath = jvm.org.apache.hadoop.fs.Path
-    src = HPath(f"{_table_location(spark, src_t)}/{pcol}={val}")
-    dst = HPath(f"{_table_location(spark, dst_t)}/{pcol}={val}")
+    src = HPath(f"{_table_location_uri(spark, src_t)}/{pcol}={val}")
+    dst = HPath(f"{_table_location_uri(spark, dst_t)}/{pcol}={val}")
     fs = src.getFileSystem(conf)
     if not fs.exists(src):
         raise DialectError(
