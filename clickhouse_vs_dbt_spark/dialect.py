@@ -6697,6 +6697,32 @@ def _apply_mutation(
     ClickHouse's boolean evaluation."""
     import re as _re
 
+    # optional IN PARTITION p (before WHERE): scope the rewrite to
+    # that partition's directory only — ClickHouse's own mutation
+    # granularity is the part, and at 100 TB rewriting one partition
+    # instead of the table is the difference between a maintenance
+    # job and an outage
+    part_val = None
+    pm = _re.match(
+        r"(?is)^(.*?)\bIN\s+PARTITION\s+('[^']*'|[\w.]+)\s+"
+        r"(WHERE\b.*)$",
+        rest,
+        _re.DOTALL,
+    )
+    if pm:
+        import clickhouse_vs_dbt_spark.ddl as _ddl
+
+        part_val = pm.group(2)
+        rest = (pm.group(1) + " " + pm.group(3)).strip()
+        tinfo = _ddl.lookup_engine_info(target)
+        pcol = getattr(tinfo, "partition_by", None) if tinfo else None
+        if not pcol:
+            raise DialectError(
+                "IN PARTITION needs the table's plain-column "
+                "PARTITION BY from its CREATE TABLE (run the DDL "
+                "through the front door)"
+            )
+
     if kind.upper() == "DELETE":
         wm = _re.match(r"(?is)\s*WHERE\s+(.*)", rest, _re.DOTALL)
         if not wm:
@@ -6704,6 +6730,13 @@ def _apply_mutation(
         cond = transpile(
             wm.group(1), resolve_columns=resolver, engine_info=engine_info
         )
+        if part_val is not None:
+            df = spark.sql(
+                f"SELECT * FROM {target} WHERE {pcol} = {part_val} "
+                f"AND NOT coalesce(({cond}), false)"
+            )
+            _partition_scoped_rewrite(spark, target, pcol, part_val, df)
+            return
         df = spark.sql(
             f"SELECT * FROM {target} "
             f"WHERE NOT coalesce(({cond}), false)"
@@ -6756,8 +6789,43 @@ def _apply_mutation(
         else c
         for c in cols
     )
+    if part_val is not None:
+        df = spark.sql(
+            f"SELECT {proj} FROM {target} WHERE {pcol} = {part_val}"
+        )
+        _partition_scoped_rewrite(spark, target, pcol, part_val, df)
+        return
     df = spark.sql(f"SELECT {proj} FROM {target}")
     _copy_on_write(spark, target, df)
+
+
+def _partition_scoped_rewrite(
+    spark: "SparkSession", target: str, pcol: str, part: str, df,
+) -> None:
+    """Rewrite ONE partition's files from ``df`` (that partition's
+    surviving/updated rows) — the IN PARTITION mutation path.  Same
+    two-phase shape as :func:`_copy_on_write` (stage the new files,
+    then swap), but scoped to the partition directory: data read and
+    written is proportional to the partition, not the table.  The
+    staged files drop the partition column (hive layout — the value
+    lives in the directory name)."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    base = _table_location(spark, target)
+    val = part.strip().strip("'\"")
+    pdir = os.path.join(base, f"{pcol}={val}")
+    tmp = tempfile.mkdtemp(prefix="ch_mutate_part_")
+    df.drop(pcol).write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(pdir, ignore_errors=True)
+    os.makedirs(pdir, exist_ok=True)
+    for f in glob.glob(os.path.join(tmp, "*")):
+        if os.path.basename(f).startswith("_"):
+            continue
+        shutil.move(f, os.path.join(pdir, os.path.basename(f)))
+    spark.sql(f"REFRESH TABLE {target}")
 
 
 def _move_detached_partition(
@@ -9522,9 +9590,11 @@ ORDER BY stage, o_year
 #      (directory rename across table locations), REPLACE PARTITION
 #      FROM (drop-then-copy).  po_fix holds a filtered 1994 slice so
 #      the REPLACE is observable (dst's 1995 becomes odd-keys-only).
-#      Final state: src keeps 1995+1997 (1996 moved away); dst holds
-#      odd-1995 + full 1996.  The oracle restates both tables
-#      relationally from orders.
+#      Final state: src keeps 1995 + (1997 minus keys%10=0 — DELETE
+#      IN PARTITION); dst holds odd-1995 + 1996 with keys%100=0
+#      doubled (UPDATE IN PARTITION — both mutations rewrite ONE
+#      partition directory, not the table).  The oracle restates
+#      both tables relationally from orders.
 _CH_PARTITION_OPS = """
 CREATE TABLE po_src
 (o_orderkey Int64, o_totalprice Float64, o_year Int32)
@@ -9551,6 +9621,10 @@ ALTER TABLE po_dst ATTACH PARTITION 1995 FROM po_src;
 ALTER TABLE po_src MOVE PARTITION 1996 TO TABLE po_dst;
 ALTER TABLE po_dst REPLACE PARTITION 1995 FROM po_fix;
 
+ALTER TABLE po_dst UPDATE o_totalprice = o_totalprice * 2
+IN PARTITION 1996 WHERE o_orderkey % 100 = 0;
+ALTER TABLE po_src DELETE IN PARTITION 1997 WHERE o_orderkey % 10 = 0;
+
 SELECT 'src' AS tbl, o_year, count() AS n,
        toFloat64(sum(toDecimal64(o_totalprice, 2))) AS total
 FROM po_src GROUP BY o_year
@@ -9569,10 +9643,15 @@ WITH y AS (
   FROM orders)
 SELECT 'src' AS tbl, o_year, COUNT(*) AS n,
        CAST(SUM(p) AS DOUBLE) AS total
-FROM y WHERE o_year IN (1995, 1997) GROUP BY o_year
+FROM y
+WHERE o_year = 1995
+   OR (o_year = 1997 AND o_orderkey % 10 != 0)
+GROUP BY o_year
 UNION ALL
 SELECT 'dst' AS tbl, o_year, COUNT(*) AS n,
-       CAST(SUM(p) AS DOUBLE) AS total
+       CAST(SUM(CASE WHEN o_year = 1996 AND o_orderkey % 100 = 0
+                THEN CAST(p * 2 AS DECIMAL(18,2)) ELSE p END)
+            AS DOUBLE) AS total
 FROM y
 WHERE o_year = 1996 OR (o_year = 1995 AND o_orderkey % 2 = 1)
 GROUP BY o_year

@@ -759,6 +759,24 @@ ALTER TABLE part_t MOVE PARTITION 2024 TO TABLE part_v;
     )
     assert spark.table("part_v").count() == 2
     assert spark.table("part_t").count() == 0  # move drains the source
+    # IN PARTITION mutations rewrite one partition dir only (r8)
+    run_clickhouse_script(
+        spark,
+        "ALTER TABLE part_v UPDATE v = v + 100 "
+        "IN PARTITION 2024 WHERE k = 2;",
+    )
+    got = {r.k: r.v for r in spark.table("part_v").collect()}
+    assert got == {2: 102.0, 3: 3.0}
+    run_clickhouse_script(
+        spark,
+        "ALTER TABLE part_v DELETE IN PARTITION 2024 WHERE k = 3;",
+    )
+    assert [r.k for r in spark.table("part_v").collect()] == [2]
+    with pytest.raises(DialectError, match="plain-column"):
+        run_clickhouse_script(
+            spark,
+            "ALTER TABLE nopart_t DELETE IN PARTITION 1 WHERE k = 1;",
+        )
     with pytest.raises(DialectError, match="different structures"):
         run_clickhouse_script(
             spark,
