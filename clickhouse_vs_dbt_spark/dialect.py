@@ -6828,6 +6828,57 @@ def _partition_scoped_rewrite(
     spark.sql(f"REFRESH TABLE {target}")
 
 
+def _freeze_partition(
+    spark: "SparkSession", target: str, part: str | None,
+) -> str:
+    """FREEZE [PARTITION p] (see the script-runner branch): snapshot
+    partition directories into ``<table>/.shadow/<increment>/``,
+    returning the snapshot path."""
+    import clickhouse_vs_dbt_spark.ddl as _ddl
+
+    loc = _table_location_uri(spark, target)
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    HPath = jvm.org.apache.hadoop.fs.Path
+    FileUtil = jvm.org.apache.hadoop.fs.FileUtil
+    root = HPath(loc)
+    fs = root.getFileSystem(conf)
+    shadow = HPath(f"{loc}/.shadow")
+    n = 0
+    while fs.exists(HPath(f"{loc}/.shadow/{n}")):
+        n += 1
+    snap = HPath(f"{loc}/.shadow/{n}")
+    fs.mkdirs(snap)
+    if part is not None:
+        info = _ddl.lookup_engine_info(target)
+        pcol = getattr(info, "partition_by", None) if info else None
+        if not pcol:
+            raise DialectError(
+                f"FREEZE PARTITION on {target} needs the table's "
+                "plain-column PARTITION BY from its CREATE TABLE"
+            )
+        val = part.strip().strip("'\"")
+        src = HPath(f"{loc}/{pcol}={val}")
+        if not fs.exists(src):
+            raise DialectError(
+                f"{target} has no partition {pcol} = {part} to freeze"
+            )
+        srcs = [src]
+    else:
+        srcs = [
+            st.getPath()
+            for st in fs.listStatus(root)
+            if st.isDirectory()
+            and not st.getPath().getName().startswith(".")
+        ]
+    for src in srcs:
+        FileUtil.copy(
+            fs, src, fs, HPath(f"{snap.toString()}/{src.getName()}"),
+            False, conf,
+        )
+    return snap.toString()
+
+
 def _move_detached_partition(
     spark: "SparkSession", target: str, pcol: str, part: str,
     detach: bool,
@@ -7221,6 +7272,34 @@ def run_clickhouse_script(
             src_t, part, dst_t = mvp.groups()
             _copy_partition_between(spark, dst_t, src_t, part, "move")
             results.append(("move_partition", (src_t, dst_t, part)))
+        elif (
+            fz := _re.match(
+                r"(?is)\s*ALTER\s+TABLE\s+([A-Za-z_][A-Za-z0-9_.`]*)"
+                r"\s+FREEZE(?:\s+PARTITION\s+(.+?))?\s*$",
+                stmt,
+            )
+        ) is not None:
+            # FREEZE [PARTITION p] — CH's backup snapshot into
+            # shadow/: copy the partition directory (or every
+            # partition) into the table's `.shadow/<n>/`.  CH
+            # hardlinks; a generic FileSystem has no hardlink
+            # contract, so this is a copy of that slice — same
+            # restore semantics (the snapshot is immutable once
+            # taken), cost proportional to the frozen slice.
+            target, part = fz.group(1), fz.group(2)
+            snap = _freeze_partition(spark, target, part)
+            results.append(("freeze", (target, snap)))
+        elif _re.match(
+            r"(?is)\s*ALTER\s+TABLE\s+[A-Za-z_][A-Za-z0-9_.`]*"
+            r"\s+FETCH\s+PARTITION\b",
+            stmt,
+        ):
+            raise DialectError(
+                "FETCH PARTITION pulls a partition from a ClickHouse "
+                "replica; there are no replicas here — use ATTACH "
+                "PARTITION ... FROM <table> (runs) or read the remote "
+                "data as an external table (ENGINE = S3 / file())"
+            )
         elif (
             dp := _re.match(
                 r"(?is)\s*ALTER\s+TABLE\s+([A-Za-z_][A-Za-z0-9_.`]*)"

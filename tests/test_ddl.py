@@ -759,6 +759,19 @@ ALTER TABLE part_t MOVE PARTITION 2024 TO TABLE part_v;
     )
     assert spark.table("part_v").count() == 2
     assert spark.table("part_t").count() == 0  # move drains the source
+    # FREEZE snapshots partition dirs into .shadow/<n> (r8); FETCH
+    # refuses with the replica pointer; reads are unaffected
+    res_fz = run_clickhouse_script(
+        spark, "ALTER TABLE part_v FREEZE PARTITION 2024;"
+    )
+    assert res_fz[0][0] == "freeze"
+    assert os.path.isdir(f"{wh}/part_v/.shadow/0/y=2024")
+    assert spark.table("part_v").count() == 2
+    with pytest.raises(DialectError, match="replica"):
+        run_clickhouse_script(
+            spark,
+            "ALTER TABLE part_v FETCH PARTITION 2024 FROM '/ch/x';",
+        )
     # IN PARTITION mutations rewrite one partition dir only (r8)
     run_clickhouse_script(
         spark,
