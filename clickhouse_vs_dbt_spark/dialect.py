@@ -6828,6 +6828,41 @@ def _partition_scoped_rewrite(
     spark.sql(f"REFRESH TABLE {target}")
 
 
+def _clear_column_in_partition(
+    spark: "SparkSession", target: str, colname: str, part: str,
+) -> None:
+    """CLEAR COLUMN (see the script-runner branch): type-default the
+    column within one partition via the partition-scoped rewrite."""
+    import clickhouse_vs_dbt_spark.ddl as _ddl
+
+    info = _ddl.lookup_engine_info(target)
+    pcol = getattr(info, "partition_by", None) if info else None
+    if not pcol:
+        raise DialectError(
+            f"CLEAR COLUMN on {target} needs the table's plain-column "
+            "PARTITION BY from its CREATE TABLE"
+        )
+    dtypes = dict(spark.table(target).dtypes)
+    if colname not in dtypes:
+        raise DialectError(
+            f"column {colname} does not exist in {target}"
+        )
+    if colname == pcol:
+        raise DialectError(
+            "cannot CLEAR the partition column itself"
+        )
+    t = dtypes[colname]
+    zero = _CH_TYPE_ZERO.get(t.upper().split("(")[0], "0")
+    sel = ", ".join(
+        f"CAST(({zero}) AS {t}) AS {c}" if c == colname else c
+        for c in dtypes
+    )
+    df = spark.sql(
+        f"SELECT {sel} FROM {target} WHERE {pcol} = {part}"
+    )
+    _partition_scoped_rewrite(spark, target, pcol, part, df)
+
+
 def _freeze_partition(
     spark: "SparkSession", target: str, part: str | None,
 ) -> str:
@@ -7272,6 +7307,21 @@ def run_clickhouse_script(
             src_t, part, dst_t = mvp.groups()
             _copy_partition_between(spark, dst_t, src_t, part, "move")
             results.append(("move_partition", (src_t, dst_t, part)))
+        elif (
+            cc := _re.match(
+                r"(?is)\s*ALTER\s+TABLE\s+([A-Za-z_][A-Za-z0-9_.`]*)"
+                r"\s+CLEAR\s+COLUMN\s+(?:IF\s+EXISTS\s+)?"
+                r"([A-Za-z_][\w]*)\s+IN\s+PARTITION\s+(.+?)\s*$",
+                stmt,
+            )
+        ) is not None:
+            # CLEAR COLUMN c IN PARTITION p — reset the column to its
+            # TYPE DEFAULT (CH's 0/''/epoch rule, the ADD COLUMN fill)
+            # in that partition only; same partition-scoped rewrite as
+            # the IN PARTITION mutations
+            target, colname, part = cc.groups()
+            _clear_column_in_partition(spark, target, colname, part)
+            results.append(("clear_column", (target, colname, part)))
         elif (
             fz := _re.match(
                 r"(?is)\s*ALTER\s+TABLE\s+([A-Za-z_][A-Za-z0-9_.`]*)"

@@ -790,6 +790,19 @@ ALTER TABLE part_t MOVE PARTITION 2024 TO TABLE part_v;
             spark,
             "ALTER TABLE nopart_t DELETE IN PARTITION 1 WHERE k = 1;",
         )
+    # CLEAR COLUMN type-defaults the column in one partition (r8)
+    run_clickhouse_script(
+        spark,
+        "ALTER TABLE part_v CLEAR COLUMN v IN PARTITION 2024;",
+    )
+    assert [(r.k, r.v) for r in spark.table("part_v").collect()] == [
+        (2, 0.0)
+    ]
+    with pytest.raises(DialectError, match="partition column"):
+        run_clickhouse_script(
+            spark,
+            "ALTER TABLE part_v CLEAR COLUMN y IN PARTITION 2024;",
+        )
     with pytest.raises(DialectError, match="different structures"):
         run_clickhouse_script(
             spark,
