@@ -224,6 +224,7 @@ HEADLINE = [
     "ddl_mv_quantile",
     "ch_script_detach",
     "ch_script_partition_ops",
+    "dialect_probe11",
 ]
 
 

@@ -217,6 +217,13 @@ _RENAME = {
     "mapKeys": "map_keys",
     "mapValues": "map_values",
     "mapContains": "map_contains_key",
+    # r8 batch 6 (third pass-through audit): engine-exact equivalents
+    "toLastDayOfMonth": "last_day",
+    "toQuarter": "quarter",
+    "toDayOfYear": "dayofyear",
+    "editDistance": "levenshtein",
+    "editDistanceUTF8": "levenshtein",
+    "arrayZipUnaligned": "arrays_zip",  # Spark zips pad NULL (CH rule)
 }
 
 # array higher-order functions: ClickHouse puts the lambda FIRST
@@ -2018,6 +2025,202 @@ def _render_call(name: str, args: list[str]) -> str:
             f"(CASE WHEN regexp_like({s}, {pat}) "
             f"THEN array({parts}) ELSE array() END)"
         )
+    # --- r8 batch 6: third pass-through audit ---
+    if name in ("toNullable", "materialize", "identity") and len(args) == 1:
+        # CH type/engine hints with no Spark meaning — the identity
+        # expression (Spark columns are already nullable; there is no
+        # constant-folding to defeat)
+        return f"({args[0]})"
+    if name == "splitByNonAlpha" and len(args) == 1:
+        # alphanumeric runs survive; separators are everything else
+        return (
+            f"filter(split({args[0]}, '[^A-Za-z0-9]+'), "
+            f"__t -> __t != '')"
+        )
+    if name == "stringJaccardIndex" and len(args) == 2:
+        # Jaccard over the two strings' character sets (CH: byte
+        # sets; identical on ASCII, character-level on UTF8 here —
+        # the UTF8-safe refinement).  Both empty → 0 gram sets →
+        # NULL (coalesce to pin), one empty → 0.0.
+        a, b = args
+        # split('', '') yields [''] — drop that artifact so empty
+        # strings have EMPTY char sets (both empty → NULL, one
+        # empty → 0.0)
+        ca = f"array_remove(array_distinct(split({a}, '')), '')"
+        cb = f"array_remove(array_distinct(split({b}, '')), '')"
+        return (
+            f"element_at(transform(array(struct({ca} AS a, {cb} AS b)"
+            f"), __g -> CASE WHEN size(array_union(__g.a, __g.b)) = 0"
+            f" THEN CAST(NULL AS DOUBLE) ELSE "
+            f"CAST(size(array_intersect(__g.a, __g.b)) AS DOUBLE) / "
+            f"size(array_union(__g.a, __g.b)) END), 1)"
+        )
+    if name in ("arrayRotateLeft", "arrayRotateRight") and len(args) == 2:
+        a, n = args
+        # normalize the shift into [0, size) — negative n rotates the
+        # other way, n > size wraps (CH semantics); the size-0 guard
+        # keeps the modulus away from ANSI division-by-zero
+        sz = f"greatest(size({a}), 1)"
+        eff = f"((({n}) % ({sz})) + ({sz})) % ({sz})"
+        if name == "arrayRotateRight":
+            eff = f"(({sz}) - ({eff})) % ({sz})"
+        return (
+            f"element_at(transform(array(struct({a} AS a, "
+            f"CAST({eff} AS INT) AS k)), __r -> CASE WHEN "
+            f"size(__r.a) = 0 THEN __r.a ELSE concat("
+            f"slice(__r.a, __r.k + 1, size(__r.a) - __r.k), "
+            f"slice(__r.a, 1, __r.k)) END), 1)"
+        )
+    if name in ("arrayShiftLeft", "arrayShiftRight"):
+        if len(args) != 3:
+            raise DialectError(
+                f"{name}(arr, n) fills vacated slots with the element "
+                "TYPE DEFAULT, which needs type information — pass "
+                "the fill value explicitly: "
+                f"{name}(arr, n, fill)"
+            )
+        a, n, fill = args
+        sz = f"size({a})"
+        k = f"least(greatest(CAST({n} AS INT), 0), {sz})"
+        pad = f"array_repeat({fill}, {k})"
+        if name == "arrayShiftLeft":
+            body = (
+                f"concat(slice({a}, ({k}) + 1, ({sz}) - ({k})), {pad})"
+            )
+        else:
+            body = f"concat({pad}, slice({a}, 1, ({sz}) - ({k})))"
+        # negative n shifts the opposite direction (CH rule) — refuse
+        # rather than silently mis-shift when n is a negative literal
+        # (DialectError subclasses ValueError, so raise OUTSIDE the
+        # literal-parse guard)
+        neg = False
+        try:
+            neg = float(n) < 0
+        except ValueError:
+            pass
+        if neg:
+            raise DialectError(
+                f"{name} with a negative count shifts the other "
+                "way — spell the opposite function"
+            )
+        return body
+    if name == "arrayDotProduct" and len(args) == 2:
+        name = "dotProduct"  # alias — falls through to the mapping
+    if name == "proportionsZTest" and len(args) == 6:
+        # two-proportion z-test (scalar: all six args are values) —
+        # pool_type and confidence must be literals so the variance
+        # form and the normal quantile fold at transpile time
+        sx, sy, tx, ty, conf, pool = args
+        pool_l = pool.strip().strip("'\"").lower()
+        if pool_l not in ("pooled", "unpooled"):
+            raise DialectError(
+                "proportionsZTest pool_type must be the literal "
+                "'pooled' or 'unpooled'"
+            )
+        try:
+            conf_f = float(conf)
+        except ValueError:
+            raise DialectError(
+                "proportionsZTest confidence level must be a numeric "
+                "literal"
+            )
+        if not 0.0 < conf_f < 1.0:
+            raise DialectError(
+                "proportionsZTest confidence level must be in (0, 1)"
+            )
+        from statistics import NormalDist
+
+        zcrit = NormalDist().inv_cdf((1.0 + conf_f) / 2.0)
+        # all arithmetic in DOUBLE: a bare 1.0 literal parses as
+        # DECIMAL(2,1) in Spark and 1.0/101 would round at decimal
+        # scale (measured 1e-8 drift in se)
+        one_ = "CAST(1 AS DOUBLE)"
+        p1 = f"(CAST({sx} AS DOUBLE) / ({tx}))"
+        p2 = f"(CAST({sy} AS DOUBLE) / ({ty}))"
+        diff = f"(({p1}) - ({p2}))"
+        if pool_l == "pooled":
+            pp = f"(CAST(({sx}) + ({sy}) AS DOUBLE) / (({tx}) + ({ty})))"
+            se = (
+                f"sqrt(({pp}) * ({one_} - ({pp})) * "
+                f"({one_} / ({tx}) + {one_} / ({ty})))"
+            )
+        else:
+            se = (
+                f"sqrt(({p1}) * ({one_} - ({p1})) / ({tx}) + "
+                f"({p2}) * ({one_} - ({p2})) / ({ty}))"
+            )
+        z = f"(({diff}) / ({se}))"
+        return (
+            f"named_struct('z_stat', {z}, "
+            f"'p_value', ch_erfc(abs({z}) / sqrt(2.0)), "
+            f"'ci_low', ({diff}) - ({zcrit!r}) * ({se}), "
+            f"'ci_high', ({diff}) + ({zcrit!r}) * ({se}))"
+        )
+    if name in (
+        "damerauLevenshteinDistance", "jaroSimilarity",
+        "jaroWinklerSimilarity",
+    ):
+        raise DialectError(
+            f"{name}: no Spark register — editDistance (→ exact "
+            "levenshtein) and the ngramDistance/ngramSearch family "
+            "transpile; operators/fuzzy.py serves the distributed "
+            "fuzzy-match path"
+        )
+    if name == "byteSize":
+        raise DialectError(
+            "byteSize reports ClickHouse's in-memory value "
+            "representation — engine-internal; octet_length(x) "
+            "measures string bytes"
+        )
+    if name in ("multiplyDecimal", "divideDecimal"):
+        raise DialectError(
+            f"{name}'s result scale depends on the declared Decimal "
+            "types — spell the arithmetic with an explicit cast: "
+            "CAST(a * b AS DECIMAL(38, s))"
+        )
+    if name in ("generateUUIDv7", "generateSnowflakeID"):
+        raise DialectError(
+            f"{name}: time-ordered unique ids — use uuid() (random) "
+            "or monotonically_increasing_id() + a timestamp column "
+            "(the snowflake codecs transpile: dateTimeToSnowflake)"
+        )
+    if name in ("UUIDStringToNum", "UUIDNumToString"):
+        raise DialectError(
+            f"{name}: ClickHouse's internal UUID byte order is "
+            "engine-specific; unhex(replace(s, '-', '')) gives the "
+            "textual byte order"
+        )
+    if name in ("emptyArrayToSingle", "defaultValueOfArgumentType",
+                "defaultValueOfTypeName"):
+        raise DialectError(
+            f"{name} needs the element TYPE DEFAULT, which needs "
+            "type information — spell it explicitly: CASE WHEN "
+            "size(a) = 0 THEN array(<default>) ELSE a END"
+        )
+    if name in ("groupArrayInsertAt", "aggThrow"):
+        raise DialectError(
+            f"{name}: position-keyed array build fills gaps with the "
+            "TYPE DEFAULT (needs type info) — build with "
+            "map_from_entries(collect_list(struct(pos, x))) and read "
+            "positions from the map"
+            if name == "groupArrayInsertAt"
+            else "aggThrow is ClickHouse's fault-injection test "
+            "aggregate — nothing to compute"
+        )
+    if name == "regexpQuoteMeta":
+        raise DialectError(
+            "regexpQuoteMeta: ClickHouse's escape set is "
+            "version-specific — escape the known metacharacters "
+            "explicitly with replace(), or match literally with "
+            "position()/contains()"
+        )
+    if name == "formatReadableTimeDelta":
+        raise DialectError(
+            "formatReadableTimeDelta's unit-list rendering is "
+            "locale/version-styled — parseTimeDelta (inverse) "
+            "transpiles; build the display string with concat_ws + "
+            "div/mod arithmetic"
+        )
     # --- r8 scalar batch 3: vectors, array HOFs, tokens, MJD ---
     if name in ("dotProduct", "scalarProduct") and len(args) == 2:
         a, b = args
@@ -2548,15 +2751,25 @@ def _render_call(name: str, args: list[str]) -> str:
             "(which transpiles); for estimated variances use "
             "studentTTest/welchTTest"
         )
-    if name in (
-        "wordShingleMinHash", "ngramMinHash", "wordShingleSimHash",
-        "ngramSimHash",
+    if name.startswith(
+        ("wordShingleMinHash", "ngramMinHash", "wordShingleSimHash",
+         "ngramSimHash")
     ):
         raise DialectError(
             f"{name}: document-level near-dup hashing is the dedup "
             "operator family (operators/dedup.py: dedup_minhash_lsh, "
             "dedup_simhash) — sketch registers are not portable "
             "scalar values"
+        )
+    if name.startswith(
+        ("h3", "geoToH3", "stringToH3", "geoToS2", "s2To", "s2Cap",
+         "s2Rect", "s2Cell", "s2Get")
+    ):
+        raise DialectError(
+            f"{name}: H3/S2 cell indexing needs the geo cell "
+            "libraries (not in this environment) — geo_distance / "
+            "greatCircleDistance and lat/lon grid bucketing "
+            "(operators/geo.py) serve the spatial-join role"
         )
     if name in ("remote", "remoteSecure", "cluster", "clusterAllReplicas"):
         raise DialectError(
@@ -10210,6 +10423,53 @@ def q_dialect_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_clickhouse_sql(spark, _CH_NORMALIZE, sf_dir, ("documents",))
 
 
+# 27d. r8 scalar batch 6 (third pass-through audit): date scalars,
+#      editDistance (exact levenshtein), char-set Jaccard, rotations/
+#      shifts, the two-proportion z-test.  Data-dependent halves are
+#      restated by DuckDB builtins (quarter / last_day / dayofyear /
+#      levenshtein); the literal halves pin constants (probe style);
+#      the z-test constants were folded with the same stdlib normal
+#      quantile the transpiler uses.
+_CH_PROBE11 = """
+SELECT o_orderstatus,
+       toQuarter(toDate(max(o_orderdate))) AS q,
+       toLastDayOfMonth(toDate(max(o_orderdate))) AS eom,
+       toDayOfYear(toDate(min(o_orderdate))) AS doy,
+       editDistance(o_orderstatus, 'OF') AS ed,
+       round(stringJaccardIndex('clickhouse', 'warehouse'), 6) AS ji,
+       arrayStringConcat(arrayMap(x -> toString(x),
+         arrayRotateLeft([1, 2, 3, 4, 5], 2)), ',') AS rotl,
+       arrayStringConcat(arrayMap(x -> toString(x),
+         arrayShiftRight([1, 2, 3], 1, 0)), ',') AS shr,
+       round(proportionsZTest(25, 30, 100, 110, 0.95, 'unpooled').1, 6)
+         AS pz,
+       round(proportionsZTest(25, 30, 100, 110, 0.95, 'unpooled').4, 6)
+         AS pz_hi,
+       toNullable(count()) AS n
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+O_PROBE11 = """
+SELECT o_orderstatus,
+       CAST(quarter(CAST(max(o_orderdate) AS DATE)) AS INT) AS q,
+       last_day(CAST(max(o_orderdate) AS DATE)) AS eom,
+       CAST(dayofyear(CAST(min(o_orderdate) AS DATE)) AS INT) AS doy,
+       CAST(levenshtein(o_orderstatus, 'OF') AS INT) AS ed,
+       CAST(0.416667 AS DOUBLE) AS ji,
+       '3,4,5,1,2' AS rotl,
+       '0,1,2' AS shr,
+       CAST(-0.374742 AS DOUBLE) AS pz,
+       CAST(0.09614 AS DOUBLE) AS pz_hi,
+       COUNT(*) AS n
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
+def q_dialect_probe11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verbatim ClickHouse scalar-batch-6 query (module doc)."""
+    return run_clickhouse_sql(spark, _CH_PROBE11, sf_dir, ("orders",))
+
+
 # 28. ClickHouse vector-math family over the embeddings table —
 #     dot/norm/distance/cosine as codegen HOF folds (batch 3).  The
 #     float32→double promotion happens per element on BOTH engines
@@ -10295,6 +10555,7 @@ QUERIES = {
     "dialect_meanz": q_dialect_meanz,
     "dialect_probe9": q_dialect_probe9,
     "dialect_probe10": q_dialect_probe10,
+    "dialect_probe11": q_dialect_probe11,
     "dialect_normalize": q_dialect_normalize,
     "dialect_vector_math": q_dialect_vector_math,
     "dialect_star_modifiers": q_dialect_star_modifiers,
@@ -10355,6 +10616,7 @@ ORACLES = {
     "dialect_meanz": O_MEANZ,
     "dialect_probe9": O_PROBE9,
     "dialect_probe10": O_PROBE10,
+    "dialect_probe11": O_PROBE11,
     "dialect_normalize": O_NORMALIZE,
     "dialect_vector_math": O_VECTOR,
     "dialect_star_modifiers": O_STAR_MODIFIERS,

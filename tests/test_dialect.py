@@ -3001,6 +3001,86 @@ def test_ngram_scalars_differential(spark):
             assert abs(r.s - es) < 1e-12, (r.h, r.n, r.s, es)
 
 
+def test_r8_scalar_batch6(spark):
+    """Third pass-through audit: date scalars, edit distance,
+    identity hints, rotations/shifts, Jaccard, unaligned zip, the
+    two-proportion z-test; new refusals stop former silent
+    pass-throughs."""
+    import math
+    from statistics import NormalDist
+
+    from clickhouse_vs_dbt_spark.compat import register_clickhouse_compat
+
+    register_clickhouse_compat(spark)
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW b6t AS SELECT "
+        "DATE'2024-02-10' AS d, 'kitten' AS s1, 'sitting' AS s2, "
+        "array(1, 2, 3, 4, 5) AS a FROM range(1)"
+    )
+
+    def one(expr):
+        return spark.sql(transpile(f"SELECT {expr} AS r FROM b6t")).first().r
+
+    assert str(one("toLastDayOfMonth(d)")) == "2024-02-29"
+    assert one("toQuarter(d)") == 1
+    assert one("toDayOfYear(d)") == 41
+    assert one("editDistance(s1, s2)") == 3
+    assert one("toNullable(7)") == 7
+    assert one("materialize(3) + identity(4)") == 7
+    assert one("splitByNonAlpha('ab1, cd-2;x')") == ["ab1", "cd", "2", "x"]
+    # char-set Jaccard: {a,b,c} vs {b,c,d} → 2/4
+    assert one("stringJaccardIndex('abc', 'bcd')") == 0.5
+    assert one("stringJaccardIndex('', '')") is None
+    assert one("stringJaccardIndex(s1, '')") == 0.0
+    assert one("arrayRotateLeft(a, 2)") == [3, 4, 5, 1, 2]
+    assert one("arrayRotateRight(a, 2)") == [4, 5, 1, 2, 3]
+    assert one("arrayRotateLeft(a, -1)") == [5, 1, 2, 3, 4]
+    assert one("arrayRotateLeft(a, 7)") == [3, 4, 5, 1, 2]  # wraps
+    assert one("arrayRotateLeft(emptyArrayInt32(), 2)") == []
+    assert one("arrayShiftLeft(a, 2, 0)") == [3, 4, 5, 0, 0]
+    assert one("arrayShiftRight(a, 2, 9)") == [9, 9, 1, 2, 3]
+    assert one("arrayShiftLeft(a, 9, 0)") == [0, 0, 0, 0, 0]
+    assert [tuple(r) for r in one("arrayZipUnaligned([1, 2], ['x'])")] \
+        == [(1, "x"), (2, None)]
+    assert one("arrayDotProduct([1.0, 2.0], [3.0, 4.0])") == 11.0
+
+    r = spark.sql(transpile(
+        "SELECT proportionsZTest(10, 11, 100, 101, 0.95, 'pooled') "
+        "AS t FROM b6t"
+    )).first().t
+    p1, p2 = 10 / 100, 11 / 101
+    pp = 21 / 201
+    se = math.sqrt(pp * (1 - pp) * (1 / 100 + 1 / 101))
+    z = (p1 - p2) / se
+    zc = NormalDist().inv_cdf(0.975)
+    assert abs(r.z_stat - z) < 1e-12
+    assert abs(r.p_value - math.erfc(abs(z) / math.sqrt(2))) < 1e-12
+    assert abs(r.ci_low - ((p1 - p2) - zc * se)) < 1e-12
+    assert abs(r.ci_high - ((p1 - p2) + zc * se)) < 1e-12
+
+    for bad, msg in [
+        ("arrayShiftLeft(a, 2)", "TYPE DEFAULT"),
+        ("arrayShiftLeft(a, -2, 0)", "other way"),
+        ("multiplyDecimal(d, d)", "explicit cast"),
+        ("h3ToGeo(s1)", "cell"),
+        ("geoToS2(1.0, 2.0)", "cell"),
+        ("jaroSimilarity(s1, s2)", "levenshtein"),
+        ("damerauLevenshteinDistance(s1, s2)", "levenshtein"),
+        ("byteSize(s1)", "octet_length"),
+        ("generateUUIDv7()", "uuid"),
+        ("UUIDStringToNum(s1)", "byte order"),
+        ("emptyArrayToSingle(a)", "TYPE DEFAULT"),
+        ("groupArrayInsertAt(s1, 3)", "TYPE DEFAULT"),
+        ("regexpQuoteMeta(s1)", "escape"),
+        ("formatReadableTimeDelta(3600)", "parseTimeDelta"),
+        ("wordShingleMinHashCaseInsensitive(s1)", "dedup"),
+        ("proportionsZTest(1, 2, 3, 4, 0.95, pool)", "literal"),
+        ("proportionsZTest(1, 2, 3, 4, cl, 'pooled')", "numeric"),
+    ]:
+        with pytest.raises(DialectError, match=msg):
+            transpile(f"SELECT {bad} FROM b6t")
+
+
 def test_normalize_utf8_forms(spark):
     """All four Unicode normalization forms through the Arrow compat
     UDF, checked against unicodedata ground truth."""
