@@ -225,6 +225,7 @@ HEADLINE = [
     "ch_script_detach",
     "ch_script_partition_ops",
     "dialect_probe11",
+    "dialect_window_derivative",
 ]
 
 

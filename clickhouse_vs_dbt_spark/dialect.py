@@ -6621,8 +6621,83 @@ def transpile(sql: str, resolve_columns=None, engine_info=None) -> str:
     toks = _rewrite_any_join(toks, resolve_columns)
     toks = _rewrite_final(toks, resolve_columns, engine_info)
     toks = _rewrite_clauses(toks)
+    toks = _rewrite_window_derivative(toks)
     toks = _tokens("".join(toks))  # re-tokenize after clause splices
     return _rewrite_tuple_index(_walk(toks, 0, len(toks)))
+
+
+def _rewrite_window_derivative(toks: list[str]) -> list[str]:
+    """``nonNegativeDerivative(metric, ts) OVER (w)`` — ClickHouse's
+    rate-of-change WINDOW function.  The aggregate (windowless) form
+    is block-dependent and refuses (_render_call); the OVER form is
+    fully deterministic and expands to its defining expression with
+    the window duplicated onto both lag() references:
+    ``max(0, Δmetric / Δseconds)`` — CAST(ts AS DOUBLE) is epoch
+    seconds for timestamps and the identity for numerics, matching
+    CH's per-second rate.  First row and zero-Δt rows yield 0 (the
+    nullif guard keeps ANSI division-by-zero out)."""
+    out: list[str] = []
+    i, n_, changed = 0, len(toks), False
+    while i < n_:
+        t = toks[i]
+        if _is_ident(t) and t == "nonNegativeDerivative":
+            j = _next_code(toks, i + 1)
+            if j < n_ and toks[j] == "(":
+                args, k = _parse_args(toks, j)
+                j2 = _next_code(toks, k)
+                if (
+                    j2 < n_ and _is_ident(toks[j2])
+                    and toks[j2].upper() == "OVER"
+                ):
+                    j3 = _next_code(toks, j2 + 1)
+                    if j3 < n_ and toks[j3] == "(":
+                        depth, e = 1, j3 + 1
+                        while e < n_ and depth:
+                            if toks[e] == "(":
+                                depth += 1
+                            elif toks[e] == ")":
+                                depth -= 1
+                            e += 1
+                        if len(args) != 2:
+                            raise DialectError(
+                                "nonNegativeDerivative OVER takes "
+                                "(metric, timestamp); the 3-arg "
+                                "interval form scales by a constant "
+                                "— multiply the result by the "
+                                "interval's seconds"
+                            )
+                        m, ts = args
+                        # lag() rejects explicit frames — strip any
+                        # ROWS/RANGE clause from the window copy (lag
+                        # is frame-insensitive, so semantics hold)
+                        wt = toks[j3:e]
+                        depth2 = 0
+                        for wi, wtk in enumerate(wt):
+                            if wtk == "(":
+                                depth2 += 1
+                            elif wtk == ")":
+                                depth2 -= 1
+                            elif (
+                                depth2 == 1 and _is_ident(wtk)
+                                and wtk.upper() in ("ROWS", "RANGE")
+                            ):
+                                wt = wt[:wi] + [")"]
+                                break
+                        w = "".join(wt)
+                        out.append(
+                            f"coalesce(greatest(toFloat64(0), "
+                            f"(toFloat64({m}) - toFloat64("
+                            f"lagInFrame({m}, 1) OVER {w})) / "
+                            f"nullIf(toFloat64({ts}) - toFloat64("
+                            f"lagInFrame({ts}, 1) OVER {w}), "
+                            f"toFloat64(0))), toFloat64(0))"
+                        )
+                        i = e
+                        changed = True
+                        continue
+        out.append(t)
+        i += 1
+    return _tokens("".join(out)) if changed else out
 
 
 def _rewrite_tuple_index(sql: str) -> str:
@@ -10470,6 +10545,52 @@ def q_dialect_probe11(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_clickhouse_sql(spark, _CH_PROBE11, sf_dir, ("orders",))
 
 
+# 27e. nonNegativeDerivative in WINDOW position (r8) — the
+#      deterministic OVER form expands to max(0, Δvalue/Δseconds)
+#      with the window duplicated onto both lag references (frame
+#      clause stripped for lag).  The oracle restates the expansion
+#      with DuckDB's own lag + epoch arithmetic.
+_CH_WINDOW_DERIVATIVE = """
+SELECT event_type,
+       round(sum(r), 4) AS sum_rate,
+       round(max(r), 4) AS max_rate
+FROM (
+    SELECT event_type,
+           nonNegativeDerivative(value, ts)
+             OVER (PARTITION BY event_type ORDER BY ts, event_id) AS r
+    FROM events WHERE value IS NOT NULL
+)
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+O_WINDOW_DERIVATIVE = """
+WITH w AS (
+  SELECT event_type,
+         coalesce(greatest(0.0,
+           (value - lag(value) OVER
+              (PARTITION BY event_type ORDER BY ts, event_id))
+           / nullif(epoch(ts) - epoch(lag(ts) OVER
+              (PARTITION BY event_type ORDER BY ts, event_id)), 0.0)),
+           0.0) AS r
+  FROM events WHERE value IS NOT NULL)
+SELECT event_type,
+       round(sum(r), 4) AS sum_rate,
+       round(max(r), 4) AS max_rate
+FROM w GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q_dialect_window_derivative(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Verbatim ClickHouse nonNegativeDerivative window query (module
+    doc)."""
+    return run_clickhouse_sql(
+        spark, _CH_WINDOW_DERIVATIVE, sf_dir, ("events",)
+    )
+
+
 # 28. ClickHouse vector-math family over the embeddings table —
 #     dot/norm/distance/cosine as codegen HOF folds (batch 3).  The
 #     float32→double promotion happens per element on BOTH engines
@@ -10556,6 +10677,7 @@ QUERIES = {
     "dialect_probe9": q_dialect_probe9,
     "dialect_probe10": q_dialect_probe10,
     "dialect_probe11": q_dialect_probe11,
+    "dialect_window_derivative": q_dialect_window_derivative,
     "dialect_normalize": q_dialect_normalize,
     "dialect_vector_math": q_dialect_vector_math,
     "dialect_star_modifiers": q_dialect_star_modifiers,
@@ -10617,6 +10739,7 @@ ORACLES = {
     "dialect_probe9": O_PROBE9,
     "dialect_probe10": O_PROBE10,
     "dialect_probe11": O_PROBE11,
+    "dialect_window_derivative": O_WINDOW_DERIVATIVE,
     "dialect_normalize": O_NORMALIZE,
     "dialect_vector_math": O_VECTOR,
     "dialect_star_modifiers": O_STAR_MODIFIERS,

@@ -3081,6 +3081,33 @@ def test_r8_scalar_batch6(spark):
             transpile(f"SELECT {bad} FROM b6t")
 
 
+def test_window_derivative(spark):
+    """nonNegativeDerivative OVER: rising slope, negative clamp,
+    zero-Δt and first-row zeros; frame clauses are stripped for the
+    lag references; the windowless form still refuses."""
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW wd_t AS SELECT * FROM VALUES "
+        "(1, 10.0, TIMESTAMP'2024-01-01 00:00:00'), "
+        "(1, 30.0, TIMESTAMP'2024-01-01 00:00:10'), "
+        "(1, 25.0, TIMESTAMP'2024-01-01 00:00:20'), "
+        "(1, 27.0, TIMESTAMP'2024-01-01 00:00:20') AS t(g, m, ts)"
+    )
+    rows = spark.sql(transpile(
+        "SELECT round(nonNegativeDerivative(m, ts) OVER "
+        "(PARTITION BY g ORDER BY ts, m "
+        "ROWS BETWEEN 1 PRECEDING AND CURRENT ROW), 4) AS r "
+        "FROM wd_t ORDER BY ts, m"
+    )).collect()
+    assert [r.r for r in rows] == [0.0, 2.0, 0.0, 0.0]
+    with pytest.raises(DialectError, match="block"):
+        transpile("SELECT nonNegativeDerivative(m, ts) FROM wd_t")
+    with pytest.raises(DialectError, match="interval"):
+        transpile(
+            "SELECT nonNegativeDerivative(m, ts, i) OVER "
+            "(ORDER BY ts) FROM wd_t"
+        )
+
+
 def test_normalize_utf8_forms(spark):
     """All four Unicode normalization forms through the Arrow compat
     UDF, checked against unicodedata ground truth."""
