@@ -1250,9 +1250,14 @@ def test_migration_demo_script_runs_on_managed_tables(spark):
     """tools/migration_demo.sql (the shipped demo) runs end-to-end
     WITHOUT path overrides — MergeTree DDL becomes a managed Spark
     table, so a user can paste a ClickHouse script with zero setup."""
+    import shutil
+
     from clickhouse_vs_dbt_spark.dialect import run_clickhouse_script
 
-    spark.sql("DROP TABLE IF EXISTS demo_events")
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("demo_events", "demo_part"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"{wh}/{t}", ignore_errors=True)
     with open("/root/repo/tools/migration_demo.sql") as f:
         script = f.read()
     results = run_clickhouse_script(spark, script)
@@ -1261,6 +1266,10 @@ def test_migration_demo_script_runs_on_managed_tables(spark):
         "table", "materialized_view", "insert", "mutation",
         "optimize", "query", "query", "query", "query", "query",
         "explain",
+        # round-8 tail: MV state aggregates + partition lifecycle
+        "materialized_view", "query", "table", "insert",
+        "detach_partition", "attach_partition", "mutation", "freeze",
+        "query", "query",
     ]
     final_rows = [(r.k, r.v) for r in results[5][1].collect()]
     assert final_rows == [(1, 3.5), (2, 9.0)]
@@ -1274,7 +1283,16 @@ def test_migration_demo_script_runs_on_managed_tables(spark):
     ties = sorted(r.v for r in results[9][1].collect())
     assert len(ties) >= 2
     assert "count_if" in results[10][1].collect()[0].explain
-    spark.sql("DROP TABLE IF EXISTS demo_events")
+    # r8 statements: avg/uniqExact MV, partition lifecycle, meanZTest
+    # POPULATE sees the post-DELETE post-OPTIMIZE-FINAL state: k=3
+    # deleted, k=1 collapsed to its max-version row (v=3.5, 1 ver)
+    mva = {r.k: (r.mean_v, r.n_vers) for r in results[12][1].collect()}
+    assert mva == {1: (3.5, 1), 2: (9.0, 1)}
+    part_rows = [(r.k, r.v) for r in results[19][1].collect()]
+    assert part_rows == [(1, 1.0), (2, 20.0), (3, 3.0)]
+    assert results[20][1].collect()[0].z is not None
+    for t in ("demo_events", "demo_part"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
 def test_scalar_tranche_round5c(spark):

@@ -32,3 +32,26 @@ GROUP BY k ORDER BY k;
 SELECT v FROM demo_events ORDER BY v LIMIT 2 WITH TIES;
 
 EXPLAIN SYNTAX SELECT countIf(v > 3) FROM demo_events;
+
+-- round-8 surface: MV state aggregates, partition lifecycle,
+-- z-tests, window derivative
+CREATE MATERIALIZED VIEW demo_mv_avg ENGINE = AggregatingMergeTree
+ORDER BY k POPULATE
+AS SELECT k, avg(v) AS mean_v, uniqExact(ver) AS n_vers
+FROM demo_events GROUP BY k;
+
+SELECT k, round(mean_v, 4) AS mean_v, n_vers FROM demo_mv_avg ORDER BY k;
+
+CREATE TABLE demo_part (k UInt64, v Float64, y UInt16)
+ENGINE = MergeTree PARTITION BY y ORDER BY k;
+
+INSERT INTO demo_part VALUES (1, 1.0, 2023), (2, 2.0, 2024), (3, 3.0, 2024);
+
+ALTER TABLE demo_part DETACH PARTITION 2023;
+ALTER TABLE demo_part ATTACH PARTITION 2023;
+ALTER TABLE demo_part UPDATE v = v * 10 IN PARTITION 2024 WHERE k = 2;
+ALTER TABLE demo_part FREEZE PARTITION 2024;
+
+SELECT k, v, y FROM demo_part ORDER BY k;
+
+SELECT round(meanZTest(1.0, 1.0, 0.95)(v, k % 2).1, 4) AS z FROM demo_part;
