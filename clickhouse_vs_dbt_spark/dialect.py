@@ -292,6 +292,25 @@ _IF_BASES = {
 # of the last/any match
 _IF_NULL_SENSITIVE = {"any_value", "last"}
 
+# ClickHouse aggregate heads with NO portable -State/-Merge algebra
+# here (lowercased, digit-stripped): their -State/-Merge forms must
+# REFUSE with the supported list rather than pass through into an
+# opaque Spark unresolved-function error
+_CH_AGG_HEADS = frozenset(
+    """topk topkweighted summap minmap maxmap summapfiltered histogram
+    grouparrayintersect groupbitmap groupbitand groupbitor groupbitxor
+    corr covarpop covarsamp skewpop skewsamp kurtpop kurtsamp sumcount
+    sumkahan maxintersections quantiletdigest quantilebfloat
+    quantilegk quantiletdigestweighted quantileddsketch sequencematch
+    sequencecount windowfunnel retention deltasum deltasumtimestamp
+    grouparraymovingavg grouparraymovingsum grouparraysample
+    grouparraylast grouparraysorted anyheavy argmax argmin
+    exponentialmovingaverage uniqtheta intervalLengthSum
+    simplelinearregression stochasticlinearregression
+    stochasticlogisticregression largesttrianglethreebuckets
+    intervallengthsum""".lower().split()
+)
+
 
 # keywords after which a `[` must be an array literal, never indexing
 # (indexing only ever follows a column/alias identifier or ) / ])
@@ -3281,7 +3300,11 @@ def _render_call(name: str, args: list[str]) -> str:
                 return _qt_merge_sql(
                     args[0], "0.5", restate=suffix == "MergeState"
                 )
-            if base in _IF_BASES or base in _RENAME:
+            if (
+                base in _IF_BASES
+                or base in _RENAME
+                or base.rstrip("0123456789").lower() in _CH_AGG_HEADS
+            ):
                 raise DialectError(
                     f"{name}: this ClickHouse -State/-Merge register is "
                     "an engine-internal byte state with no portable "
@@ -3291,6 +3314,48 @@ def _render_call(name: str, args: list[str]) -> str:
                     "mergetree_aggregating (and incremental_agg_mv / "
                     "transpile_materialized_view for maintained state)"
                 )
+    if (
+        name.endswith(("ArgMax", "ArgMin"))
+        and name[:-6] in ("sum", "min", "max", "avg", "count")
+        and len(args) == 2
+    ):
+        # -ArgMin/-ArgMax combinators (CH 23+): aggregate x over ONLY
+        # the rows whose y equals the group's extremal y.  Two-level
+        # within one aggregate — expressed as a collect + HOF fold
+        # over (x, y) structs bound next to the group's max/min(y)
+        # (group-payload memory, the documented collect-tier class).
+        base, ext = name[:-6], name[-3:].lower()
+        x, y = args
+        xe = f"CAST({x} AS DOUBLE)" if base in ("sum", "avg") else x
+        g = (
+            f"struct(collect_list(struct({xe} AS x, {y} AS y)) AS l, "
+            f"{ext}({y}) AS m)"
+        )
+        sel = "filter(__g.l, __e -> __e.y <=> __g.m)"
+        if base == "count":
+            body = f"CAST(size({sel}) AS BIGINT)"
+        elif base in ("min", "max"):
+            body = f"array_{base}(transform({sel}, __e -> __e.x))"
+        elif base == "sum":
+            body = (
+                f"aggregate({sel}, CAST(0 AS DOUBLE), "
+                f"(__a, __e) -> __a + __e.x)"
+            )
+        else:  # avg
+            body = (
+                f"aggregate({sel}, CAST(0 AS DOUBLE), "
+                f"(__a, __e) -> __a + __e.x) / size({sel})"
+            )
+        return f"transform(array({g}), __g -> {body})[0]"
+    if name in ("anyRespectNulls", "any_respect_nulls") and len(args) == 1:
+        # RESPECT NULLS flavor of any — same unspecified-order
+        # contract, NULLs eligible
+        return f"any_value({args[0]}, false)"
+    if name in ("anyLastRespectNulls", "firstValueRespectNulls",
+                "first_value_respect_nulls", "lastValueRespectNulls",
+                "last_value_respect_nulls") and len(args) == 1:
+        fn = "first" if "first" in name.lower() else "last"
+        return f"{fn}({args[0]}, false)"
     if name in ("sumMap", "minMap", "maxMap") and len(args) == 1:
         # Map-typed argument form (CH 22.x+): same per-key reduction,
         # but returned as a MAP (CH returns Map for Map input) — run
@@ -3677,6 +3742,13 @@ def _render_parametric(name: str, params: list[str], args: list[str]) -> str:
         # contract
         acc, level = params
         return f"percentile_approx({args[0]}, {level}, {acc})"
+    if name == "quantilesGK" and len(params) >= 2 and len(args) == 1:
+        # plural form: quantilesGK(accuracy, l1, l2, …)(x)
+        acc, levels = params[0], params[1:]
+        return (
+            f"percentile_approx({args[0]}, "
+            f"array({', '.join(levels)}), {acc})"
+        )
     if (
         name in ("quantileExactInclusive", "quantilesExactInclusive")
         and params and len(args) == 1
@@ -3949,6 +4021,7 @@ def _render_parametric(name: str, params: list[str], args: list[str]) -> str:
 
 _PARAMETRIC = {
     "meanZTest",
+    "quantilesGK",
     "quantile",
     "uniqCombined",
     "uniqCombined64",
@@ -6606,6 +6679,19 @@ def transpile(sql: str, resolve_columns=None, engine_info=None) -> str:
     (table name → ``ddl.EngineInfo`` or None) unlocks ``FROM t
     FINAL`` reads for tables whose DDL ran through the front door."""
     toks = _tokens(sql)
+    for _i, _t in enumerate(toks):
+        if _is_ident(_t) and _t.upper() == "PASTE":
+            _j = _next_code(toks, _i + 1)
+            if (
+                _j < len(toks) and _is_ident(toks[_j])
+                and toks[_j].upper() == "JOIN"
+            ):
+                raise DialectError(
+                    "PASTE JOIN matches rows by BLOCK position "
+                    "(non-deterministic under any parallel scan) — "
+                    "join on explicit row_number() OVER (ORDER BY …) "
+                    "keys instead"
+                )
     toks = _rewrite_system_tables(toks)
     toks = _rewrite_sample_clause(toks, engine_info)
     toks = _rewrite_star_modifiers(toks, resolve_columns)

@@ -3099,6 +3099,48 @@ def test_r8_scalar_batch6(spark):
             transpile(f"SELECT {bad} FROM b6t")
 
 
+def test_r8_scalar_batch7(spark):
+    """-ArgMin/-ArgMax combinators, plural quantilesGK, RESPECT NULLS
+    aliases; unknown -Merge registers and PASTE JOIN refuse instead
+    of passing through opaquely."""
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW b7t AS SELECT * FROM VALUES "
+        "(1, 10.0, 5), (1, 20.0, 9), (1, 30.0, 9), (2, 7.0, 1) "
+        "AS t(g, x, y)"
+    )
+    r = {
+        q.g: q for q in spark.sql(transpile(
+            "SELECT g, sumArgMax(x, y) AS s, countArgMax(x, y) AS c, "
+            "minArgMax(x, y) AS mn, avgArgMax(x, y) AS a, "
+            "maxArgMin(x, y) AS mx FROM b7t GROUP BY g"
+        )).collect()
+    }
+    assert (r[1].s, r[1].c, float(r[1].mn), r[1].a, float(r[1].mx)) \
+        == (50.0, 2, 20.0, 25.0, 10.0)
+    assert (r[2].s, r[2].c) == (7.0, 1)
+    q = spark.sql(transpile(
+        "SELECT quantilesGK(100, 0.25, 0.75)(x) AS q FROM b7t"
+    )).first().q
+    assert len(q) == 2 and float(q[0]) <= float(q[1])
+    rn = spark.sql(transpile(
+        "SELECT anyRespectNulls(y) AS a, "
+        "firstValueRespectNulls(y) AS f, "
+        "lastValueRespectNulls(y) AS l FROM b7t"
+    )).first()
+    assert rn.a is not None and rn.f is not None
+
+    for bad, msg in [
+        ("topKMerge(3)(s)", "engine-internal"),
+        ("sumMapMerge(s)", "engine-internal"),
+        ("histogramState(10)(x)", "engine-internal"),
+        ("windowFunnelMerge(s)", "engine-internal"),
+    ]:
+        with pytest.raises(DialectError, match=msg):
+            transpile(f"SELECT {bad} FROM b7t")
+    with pytest.raises(DialectError, match="row_number"):
+        transpile("SELECT * FROM a PASTE JOIN b")
+
+
 def test_window_derivative(spark):
     """nonNegativeDerivative OVER: rising slope, negative clamp,
     zero-Δt and first-row zeros; frame clauses are stripped for the
