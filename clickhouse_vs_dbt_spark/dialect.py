@@ -5226,12 +5226,29 @@ def _rewrite_asof(toks: list[str], resolve_columns=None) -> list[str]:
             r_alias = right_ref.split(".")[-1].strip("`")
         if toks[r2].upper() == "USING":
             u = _next_code(toks, r2 + 1)
-            if u >= len(toks) or toks[u] != "(":
-                raise DialectError("ASOF JOIN USING: expected (columns)")
-            uclose = _match_close(toks, u)
-            keys = [
-                t for t in toks[u + 1 : uclose] if _is_ident(t)
-            ]
+            if u < len(toks) and toks[u] == "(":
+                uclose = _match_close(toks, u)
+                keys = [
+                    t for t in toks[u + 1 : uclose] if _is_ident(t)
+                ]
+            elif u < len(toks) and _is_ident(toks[u]):
+                # paren-less CH form: USING k1, …, ts
+                keys, uclose, p = [toks[u]], u, u
+                while True:
+                    q1 = _next_code(toks, p + 1)
+                    if q1 >= len(toks) or toks[q1] != ",":
+                        break
+                    q2 = _next_code(toks, q1 + 1)
+                    if q2 >= len(toks) or not _is_ident(toks[q2]):
+                        break
+                    keys.append(toks[q2])
+                    uclose = q2
+                    p = q2
+            else:
+                raise DialectError(
+                    "ASOF JOIN USING: expected (columns) or a "
+                    "comma-separated column list"
+                )
             if len(keys) < 2:
                 raise DialectError(
                     "ASOF JOIN USING needs at least one equality key plus "
@@ -5450,11 +5467,26 @@ def _rewrite_any_join(toks: list[str], resolve_columns=None) -> list[str]:
             using = None
         else:
             u = _next_code(toks, r2 + 1)
-            if u >= len(toks) or toks[u] != "(":
+            if u < len(toks) and toks[u] == "(":
+                uclose = _match_close(toks, u)
+                keys = [t for t in toks[u + 1 : uclose] if _is_ident(t)]
+                splice_end = uclose
+            elif u < len(toks) and _is_ident(toks[u]):
+                # paren-less CH form: USING k1, k2 — idents and commas
+                # up to the next clause boundary
+                keys, splice_end, p = [toks[u]], u, u
+                while True:
+                    q1 = _next_code(toks, p + 1)
+                    if q1 >= len(toks) or toks[q1] != ",":
+                        break
+                    q2 = _next_code(toks, q1 + 1)
+                    if q2 >= len(toks) or not _is_ident(toks[q2]):
+                        break
+                    keys.append(toks[q2])
+                    splice_end = q2
+                    p = q2
+            else:
                 return toks
-            uclose = _match_close(toks, u)
-            keys = [t for t in toks[u + 1 : uclose] if _is_ident(t)]
-            splice_end = uclose
             using = keys
         rcols = resolve_columns(right_ref)
         if not rcols or any(k not in rcols for k in keys):

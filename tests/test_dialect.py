@@ -3141,6 +3141,46 @@ def test_r8_scalar_batch7(spark):
         transpile("SELECT * FROM a PASTE JOIN b")
 
 
+def test_parenless_using(spark):
+    """ClickHouse's paren-less USING k1, k2 form in ANY and ASOF
+    joins (plus the GLOBAL prefix) — same plans as the (k1, k2)
+    spelling."""
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW pu1 AS SELECT * FROM VALUES "
+        "(1, 'a'), (2, 'b') AS t(k, lv)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW pu2 AS SELECT * FROM VALUES "
+        "(1, 10.0), (1, 20.0), (2, 5.0) AS t(k, v)"
+    )
+    res = lambda rel: {  # noqa: E731
+        "pu1": ["k", "lv"], "pu2": ["k", "v"],
+    }.get(rel.strip())
+    rows = spark.sql(transpile(
+        "SELECT k, lv, v FROM pu1 GLOBAL ANY LEFT JOIN pu2 USING k "
+        "ORDER BY k",
+        resolve_columns=res,
+    )).collect()
+    assert [(r.k, float(r.v)) for r in rows] == [(1, 10.0), (2, 5.0)]
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW pa1 AS SELECT * FROM VALUES "
+        "(1, 5), (1, 9) AS t(k, ts)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW pa2 AS SELECT * FROM VALUES "
+        "(1, 4, 'x'), (1, 8, 'y') AS t(k, ts, tag)"
+    )
+    res2 = lambda rel: {  # noqa: E731
+        "pa1": ["k", "ts"], "pa2": ["k", "ts", "tag"],
+    }.get(rel.strip())
+    rows2 = spark.sql(transpile(
+        "SELECT k, ts, tag FROM pa1 ASOF LEFT JOIN pa2 USING k, ts "
+        "ORDER BY ts",
+        resolve_columns=res2,
+    )).collect()
+    assert [(r.ts, r.tag) for r in rows2] == [(5, "x"), (9, "y")]
+
+
 def test_window_derivative(spark):
     """nonNegativeDerivative OVER: rising slope, negative clamp,
     zero-Δt and first-row zeros; frame clauses are stripped for the
