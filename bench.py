@@ -226,6 +226,7 @@ HEADLINE = [
     "ch_script_partition_ops",
     "dialect_probe11",
     "dialect_window_derivative",
+    "dialect_argmax_combinators",
 ]
 
 

@@ -10709,6 +10709,55 @@ def q_dialect_window_derivative(
     )
 
 
+# 27f. -ArgMin/-ArgMax combinators (r8 batch 7) — aggregate x over
+#      only the rows carrying the group's extremal y.  Exact-valued
+#      columns only (counts, integer sums, min/max picks) so the
+#      order-insensitive hash is stable; the DuckDB oracle filters on
+#      a windowed max/min of the same key.
+_CH_ARGMAX_COMBINATORS = """
+SELECT o_orderstatus,
+       countArgMax(o_totalprice, toYYYYMM(o_orderdate)) AS n_last,
+       toInt64(sumArgMax(o_orderkey % 97, toYYYYMM(o_orderdate)))
+         AS key_sum_last,
+       minArgMax(o_totalprice, toYYYYMM(o_orderdate)) AS min_last,
+       maxArgMin(o_totalprice, toYYYYMM(o_orderdate)) AS max_first
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+O_ARGMAX_COMBINATORS = """
+WITH t AS (
+  SELECT o_orderstatus, o_orderkey, o_totalprice,
+         EXTRACT(year FROM o_orderdate) * 100
+           + EXTRACT(month FROM o_orderdate) AS ym,
+         MAX(EXTRACT(year FROM o_orderdate) * 100
+             + EXTRACT(month FROM o_orderdate))
+           OVER (PARTITION BY o_orderstatus) AS ym_max,
+         MIN(EXTRACT(year FROM o_orderdate) * 100
+             + EXTRACT(month FROM o_orderdate))
+           OVER (PARTITION BY o_orderstatus) AS ym_min
+  FROM orders)
+SELECT o_orderstatus,
+       COUNT(CASE WHEN ym = ym_max THEN 1 END) AS n_last,
+       CAST(SUM(CASE WHEN ym = ym_max THEN o_orderkey % 97 END)
+            AS BIGINT) AS key_sum_last,
+       MIN(CASE WHEN ym = ym_max THEN o_totalprice END) AS min_last,
+       MAX(CASE WHEN ym = ym_min THEN o_totalprice END) AS max_first
+FROM t GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
+def q_dialect_argmax_combinators(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Verbatim ClickHouse -ArgMax/-ArgMin combinator query (module
+    doc)."""
+    return run_clickhouse_sql(
+        spark, _CH_ARGMAX_COMBINATORS, sf_dir, ("orders",)
+    )
+
+
 # 28. ClickHouse vector-math family over the embeddings table —
 #     dot/norm/distance/cosine as codegen HOF folds (batch 3).  The
 #     float32→double promotion happens per element on BOTH engines
@@ -10796,6 +10845,7 @@ QUERIES = {
     "dialect_probe10": q_dialect_probe10,
     "dialect_probe11": q_dialect_probe11,
     "dialect_window_derivative": q_dialect_window_derivative,
+    "dialect_argmax_combinators": q_dialect_argmax_combinators,
     "dialect_normalize": q_dialect_normalize,
     "dialect_vector_math": q_dialect_vector_math,
     "dialect_star_modifiers": q_dialect_star_modifiers,
@@ -10858,6 +10908,7 @@ ORACLES = {
     "dialect_probe10": O_PROBE10,
     "dialect_probe11": O_PROBE11,
     "dialect_window_derivative": O_WINDOW_DERIVATIVE,
+    "dialect_argmax_combinators": O_ARGMAX_COMBINATORS,
     "dialect_normalize": O_NORMALIZE,
     "dialect_vector_math": O_VECTOR,
     "dialect_star_modifiers": O_STAR_MODIFIERS,
