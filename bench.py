@@ -227,6 +227,7 @@ HEADLINE = [
     "dialect_probe11",
     "dialect_window_derivative",
     "dialect_argmax_combinators",
+    "dialect_exp_decay",
 ]
 
 

@@ -6744,6 +6744,72 @@ def transpile(sql: str, resolve_columns=None, engine_info=None) -> str:
     return _rewrite_tuple_index(_walk(toks, 0, len(toks)))
 
 
+def _exp_time_decayed(
+    kind: str, params: list[str], args: list[str], w: str,
+) -> str:
+    """``exponentialTimeDecayed{Sum,Count,Max,Avg}(λ)(v, t) OVER (w)``
+    — ClickHouse's decay-weighted window aggregates: each frame row i
+    contributes weight exp((tᵢ − t_cur)/λ) (≤ 1 under ORDER BY t, so
+    the exponent never overflows).  Expanded EXACTLY as a fold over
+    the frame's collected (v, t) arrays bound beside the current t —
+    O(frame) memory per row, the documented cost of a decay window
+    (CH buffers the frame too)."""
+    if len(params) != 1:
+        raise DialectError(
+            f"exponentialTimeDecayed{kind} takes one time-constant "
+            "parameter"
+        )
+    lam = params[0]
+    if kind == "Count":
+        if len(args) != 1:
+            raise DialectError(
+                "exponentialTimeDecayedCount takes (time)"
+            )
+        ts = args[0]
+        v = None
+    else:
+        if len(args) != 2:
+            raise DialectError(
+                f"exponentialTimeDecayed{kind} takes (value, time)"
+            )
+        v, ts = args
+    tsd = f"toFloat64({ts})"
+    g = (
+        f"struct("
+        + (f"collect_list(toFloat64({v})) OVER {w} AS vs, "
+           if v is not None else "")
+        + f"collect_list({tsd}) OVER {w} AS t0, {tsd} AS tc)"
+    )
+    wgt = f"exp((__t - __g.tc) / toFloat64({lam}))"
+    if kind == "Count":
+        body = (
+            f"aggregate(__g.t0, toFloat64(0), "
+            f"(__a, __t) -> __a + {wgt})"
+        )
+    elif kind == "Max":
+        body = (
+            f"array_max(zip_with(__g.vs, __g.t0, "
+            f"(__v, __t) -> __v * {wgt}))"
+        )
+    else:
+        s = (
+            f"aggregate(zip_with(__g.vs, __g.t0, "
+            f"(__v, __t) -> __v * {wgt}), toFloat64(0), "
+            f"(__a, __x) -> __a + __x)"
+        )
+        if kind == "Sum":
+            body = s
+        else:  # Avg
+            c = (
+                f"aggregate(__g.t0, toFloat64(0), "
+                f"(__a, __t) -> __a + {wgt})"
+            )
+            body = f"({s}) / ({c})"
+    # NOTE: emitted into the PRE-walk token stream, so the subscript
+    # is the CH 1-based form (the walker maps it to try_element_at)
+    return f"transform(array({g}), __g -> {body})[1]"
+
+
 def _rewrite_window_derivative(toks: list[str]) -> list[str]:
     """``nonNegativeDerivative(metric, ts) OVER (w)`` — ClickHouse's
     rate-of-change WINDOW function.  The aggregate (windowless) form
@@ -6758,6 +6824,42 @@ def _rewrite_window_derivative(toks: list[str]) -> list[str]:
     i, n_, changed = 0, len(toks), False
     while i < n_:
         t = toks[i]
+        if _is_ident(t) and t.startswith("exponentialTimeDecayed"):
+            kind = t.removeprefix("exponentialTimeDecayed")
+            j = _next_code(toks, i + 1)
+            if kind in ("Sum", "Count", "Max", "Avg") and (
+                j < n_ and toks[j] == "("
+            ):
+                params, k = _parse_args(toks, j)
+                j2 = _next_code(toks, k)
+                if j2 < n_ and toks[j2] == "(":
+                    args, k2 = _parse_args(toks, j2)
+                    j3 = _next_code(toks, k2)
+                    if (
+                        j3 < n_ and _is_ident(toks[j3])
+                        and toks[j3].upper() == "OVER"
+                    ):
+                        j4 = _next_code(toks, j3 + 1)
+                        if j4 < n_ and toks[j4] == "(":
+                            depth, e = 1, j4 + 1
+                            while e < n_ and depth:
+                                if toks[e] == "(":
+                                    depth += 1
+                                elif toks[e] == ")":
+                                    depth -= 1
+                                e += 1
+                            out.append(_exp_time_decayed(
+                                kind, params, args,
+                                "".join(toks[j4:e]),
+                            ))
+                            i = e
+                            changed = True
+                            continue
+            raise DialectError(
+                "exponentialTimeDecayed* is a WINDOW function — "
+                "write exponentialTimeDecayedSum(λ)(v, t) OVER "
+                "(PARTITION BY … ORDER BY t [frame])"
+            )
         if _is_ident(t) and t == "nonNegativeDerivative":
             j = _next_code(toks, i + 1)
             if j < n_ and toks[j] == "(":
@@ -10709,6 +10811,51 @@ def q_dialect_window_derivative(
     )
 
 
+# 27g. exponentialTimeDecayed{Sum,Count} window functions (r8) — the
+#      decay-weighted frame folds (_exp_time_decayed).  The oracle
+#      restates each row's fold as a pairwise self-join on a small
+#      deterministic slice (lexicographic (ts, event_id) frame — the
+#      unique order key makes RANGE == ROWS), then reduces.
+_CH_EXP_DECAY = """
+SELECT round(sum(s), 2) AS total_decayed,
+       round(max(c), 6) AS max_count
+FROM (
+    SELECT exponentialTimeDecayedSum(3600)(value, ts)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id) AS s,
+           exponentialTimeDecayedCount(3600)(ts)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id) AS c
+    FROM events
+    WHERE event_type = 'purchase' AND user_id % 50 = 0
+      AND value IS NOT NULL
+)
+"""
+
+O_EXP_DECAY = """
+WITH e AS (
+  SELECT user_id, event_id, value, epoch(ts) AS t
+  FROM events
+  WHERE event_type = 'purchase' AND user_id % 50 = 0
+    AND value IS NOT NULL),
+p AS (
+  SELECT a.user_id, a.event_id,
+         SUM(b.value * exp((b.t - a.t) / 3600.0)) AS s,
+         SUM(exp((b.t - a.t) / 3600.0)) AS c
+  FROM e a JOIN e b
+    ON b.user_id = a.user_id
+   AND (b.t < a.t OR (b.t = a.t AND b.event_id <= a.event_id))
+  GROUP BY a.user_id, a.event_id)
+SELECT round(SUM(s), 2) AS total_decayed,
+       round(MAX(c), 6) AS max_count
+FROM p
+"""
+
+
+def q_dialect_exp_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verbatim ClickHouse exponentialTimeDecayed window query
+    (module doc)."""
+    return run_clickhouse_sql(spark, _CH_EXP_DECAY, sf_dir, ("events",))
+
+
 # 27f. -ArgMin/-ArgMax combinators (r8 batch 7) — aggregate x over
 #      only the rows carrying the group's extremal y.  Exact-valued
 #      columns only (counts, integer sums, min/max picks) so the
@@ -10846,6 +10993,7 @@ QUERIES = {
     "dialect_probe11": q_dialect_probe11,
     "dialect_window_derivative": q_dialect_window_derivative,
     "dialect_argmax_combinators": q_dialect_argmax_combinators,
+    "dialect_exp_decay": q_dialect_exp_decay,
     "dialect_normalize": q_dialect_normalize,
     "dialect_vector_math": q_dialect_vector_math,
     "dialect_star_modifiers": q_dialect_star_modifiers,
@@ -10909,6 +11057,7 @@ ORACLES = {
     "dialect_probe11": O_PROBE11,
     "dialect_window_derivative": O_WINDOW_DERIVATIVE,
     "dialect_argmax_combinators": O_ARGMAX_COMBINATORS,
+    "dialect_exp_decay": O_EXP_DECAY,
     "dialect_normalize": O_NORMALIZE,
     "dialect_vector_math": O_VECTOR,
     "dialect_star_modifiers": O_STAR_MODIFIERS,

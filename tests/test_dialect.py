@@ -3181,6 +3181,44 @@ def test_parenless_using(spark):
     assert [(r.ts, r.tag) for r in rows2] == [(5, "x"), (9, "y")]
 
 
+def test_exp_time_decayed_windows(spark):
+    """The four decay-weighted window aggregates against hand
+    computation; windowless use refuses with the OVER spelling."""
+    import math
+
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW ed_t AS SELECT * FROM VALUES "
+        "(1, 1.0, 0), (1, 2.0, 10), (1, 4.0, 20) AS t(g, v, ts)"
+    )
+    r = spark.sql(transpile(
+        "SELECT ts, "
+        "round(exponentialTimeDecayedSum(10)(v, ts) OVER "
+        "(PARTITION BY g ORDER BY ts), 6) AS s, "
+        "round(exponentialTimeDecayedCount(10)(ts) OVER "
+        "(PARTITION BY g ORDER BY ts), 6) AS c, "
+        "round(exponentialTimeDecayedMax(10)(v, ts) OVER "
+        "(PARTITION BY g ORDER BY ts), 6) AS m, "
+        "round(exponentialTimeDecayedAvg(10)(v, ts) OVER "
+        "(PARTITION BY g ORDER BY ts), 6) AS a "
+        "FROM ed_t ORDER BY ts"
+    )).collect()
+    ref_s = 1 * math.exp(-2) + 2 * math.exp(-1) + 4
+    ref_c = math.exp(-2) + math.exp(-1) + 1
+    last = r[-1]
+    assert last.s == round(ref_s, 6)
+    assert last.c == round(ref_c, 6)
+    assert last.m == 4.0
+    assert last.a == round(ref_s / ref_c, 6)
+    assert r[0].s == 1.0 and r[0].c == 1.0
+    with pytest.raises(DialectError, match="OVER"):
+        transpile("SELECT exponentialTimeDecayedSum(10)(v, ts) FROM t")
+    with pytest.raises(DialectError, match="time-constant"):
+        transpile(
+            "SELECT exponentialTimeDecayedSum(1, 2)(v, ts) OVER "
+            "(ORDER BY ts) FROM t"
+        )
+
+
 def test_window_derivative(spark):
     """nonNegativeDerivative OVER: rising slope, negative clamp,
     zero-Δt and first-row zeros; frame clauses are stripped for the
