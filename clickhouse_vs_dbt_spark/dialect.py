@@ -3094,6 +3094,38 @@ def _render_call(name: str, args: list[str]) -> str:
             return f"{base}({joined})"
         if base in _RENAME:
             return f"{_RENAME[base]}({joined})"
+    if name.endswith("OrDefault") and len(args) >= 1:
+        base = name[: -len("OrDefault")]
+        has_if = base.endswith("If")
+        if has_if:
+            base = base[:-2]
+        # CH -OrDefault: the result-TYPE default instead of NULL when
+        # no rows matched — 0 for every numeric-result base here
+        # (sum/count/avg/uniq*); min/max return the ARGUMENT type
+        # whose default is unknowable without type info → refuse
+        inner = None
+        if base == "count":
+            inner = f"count({joined})"  # count is already 0 on empty
+            return inner
+        if base in ("sum", "avg"):
+            fn = base
+            if has_if:
+                x, cond = args[0], args[-1]
+                inner = f"{fn}(CASE WHEN {cond} THEN {x} END)"
+            else:
+                inner = f"{fn}({joined})"
+            return f"coalesce({inner}, 0)"
+        if base in ("uniq", "uniqExact", "uniqCombined", "uniqHLL12"):
+            mapped = _render_call(
+                base + ("If" if has_if else ""), args
+            )
+            return f"coalesce({mapped}, 0)"
+        if base in ("min", "max", "any", "anyLast", "argMax", "argMin"):
+            raise DialectError(
+                f"{name}: the {base} default is the ARGUMENT type's "
+                "zero value, which needs type information — spell it "
+                f"as coalesce({base}(x), <default>)"
+            )
     for suffix in ("SimpleState", "MergeState", "State", "Merge"):
         if name.endswith(suffix) and len(name) > len(suffix):
             base = name[: -len(suffix)]

@@ -3181,6 +3181,28 @@ def test_parenless_using(spark):
     assert [(r.ts, r.tag) for r in rows2] == [(5, "x"), (9, "y")]
 
 
+def test_or_default_combinator(spark):
+    """-OrDefault: the result-TYPE default (0 for the numeric-result
+    bases) instead of NULL on empty match sets; argument-typed bases
+    refuse (default unknowable without type info)."""
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW od_t AS "
+        "SELECT CAST(id AS DOUBLE) v FROM range(3)"
+    )
+
+    def one(e):
+        return spark.sql(transpile(f"SELECT {e} AS r FROM od_t")).first().r
+
+    assert one("sumOrDefault(v)") == 3.0
+    assert one("sumIfOrDefault(v, v > 99)") == 0.0
+    assert one("avgOrDefault(CASE WHEN v > 99 THEN v END)") == 0.0
+    assert one("countOrDefault(v)") == 3
+    assert one("uniqExactOrDefault(CASE WHEN v > 99 THEN v END)") == 0
+    for bad in ("maxOrDefault(v)", "anyOrDefault(v)"):
+        with pytest.raises(DialectError, match="ARGUMENT type"):
+            transpile(f"SELECT {bad} FROM od_t")
+
+
 def test_exp_time_decayed_windows(spark):
     """The four decay-weighted window aggregates against hand
     computation; windowless use refuses with the OVER spelling."""
