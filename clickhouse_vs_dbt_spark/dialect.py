@@ -6843,15 +6843,22 @@ def _exp_time_decayed(
 
 
 def _rewrite_window_derivative(toks: list[str]) -> list[str]:
-    """``nonNegativeDerivative(metric, ts) OVER (w)`` — ClickHouse's
-    rate-of-change WINDOW function.  The aggregate (windowless) form
-    is block-dependent and refuses (_render_call); the OVER form is
-    fully deterministic and expands to its defining expression with
-    the window duplicated onto both lag() references:
-    ``max(0, Δmetric / Δseconds)`` — CAST(ts AS DOUBLE) is epoch
-    seconds for timestamps and the identity for numerics, matching
-    CH's per-second rate.  First row and zero-Δt rows yield 0 (the
-    nullif guard keeps ANSI division-by-zero out)."""
+    """Window-positioned ClickHouse functions that expand to their
+    defining expressions with the OVER clause duplicated/captured:
+
+    * ``nonNegativeDerivative(metric, ts) OVER (w)`` — the
+      rate-of-change window function.  The aggregate (windowless)
+      form is block-dependent and refuses (_render_call); the OVER
+      form is fully deterministic: ``max(0, Δmetric / Δseconds)``
+      with the window copied onto both lag() references (frame
+      clause stripped — lag is frame-insensitive).  CAST(ts AS
+      DOUBLE) is epoch seconds for timestamps and the identity for
+      numerics, matching CH's per-second rate.  First row and
+      zero-Δt rows yield 0 (the nullif guard keeps ANSI
+      division-by-zero out).
+    * ``exponentialTimeDecayed{Sum,Count,Max,Avg}(λ)(v, t) OVER (w)``
+      — the decay-weighted window aggregates (see
+      :func:`_exp_time_decayed`)."""
     out: list[str] = []
     i, n_, changed = 0, len(toks), False
     while i < n_:
