@@ -228,6 +228,7 @@ HEADLINE = [
     "dialect_window_derivative",
     "dialect_argmax_combinators",
     "dialect_exp_decay",
+    "dialect_probe13",
 ]
 
 

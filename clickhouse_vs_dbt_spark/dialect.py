@@ -2044,6 +2044,134 @@ def _render_call(name: str, args: list[str]) -> str:
             f"(CASE WHEN regexp_like({s}, {pat}) "
             f"THEN array({parts}) ELSE array() END)"
         )
+    # --- r8 batch 8: tuples, bitmaps, XML escapes, relative nums ---
+    if name == "tupleElement" and len(args) == 2:
+        t_, sel = args
+        sel_s = sel.strip()
+        if sel_s[:1] in "'\"":
+            return f"({t_}).{sel_s.strip(chr(39) + chr(34))}"
+        raise DialectError(
+            "tupleElement with a positional index needs the tuple's "
+            "field names (Spark structs are name-addressed) — "
+            "positional .N access works on the tuple-RETURNING "
+            "rewrites (sumCount(x).1); on columns use t.fieldname"
+        )
+    if name == "tupleToNameValuePairs":
+        raise DialectError(
+            "tupleToNameValuePairs introspects the tuple's type — "
+            "spell the pairs explicitly: array(struct('a', t.a), …)"
+        )
+    # roaring-bitmap family: the portable representation is the
+    # SORTED DISTINCT ARRAY (same value set, no compressed container
+    # — documented); every op below preserves that canonical form
+    if name == "bitmapBuild" and len(args) == 1:
+        return f"array_sort(array_distinct({args[0]}))"
+    if name == "bitmapToArray" and len(args) == 1:
+        return f"array_sort(array_distinct({args[0]}))"
+    if name == "bitmapCardinality" and len(args) == 1:
+        return f"size(array_distinct({args[0]}))"
+    if name in ("bitmapAnd", "bitmapOr", "bitmapXor",
+                "bitmapAndnot") and len(args) == 2:
+        a, b = args
+        inner = {
+            "bitmapAnd": f"array_intersect({a}, {b})",
+            "bitmapOr": f"array_union({a}, {b})",
+            "bitmapXor": (
+                f"array_except(array_union({a}, {b}), "
+                f"array_intersect({a}, {b}))"
+            ),
+            "bitmapAndnot": f"array_except({a}, {b})",
+        }[name]
+        return f"array_sort({inner})"
+    if name in ("bitmapAndCardinality", "bitmapOrCardinality",
+                "bitmapXorCardinality",
+                "bitmapAndnotCardinality") and len(args) == 2:
+        inner = _render_call(name[: -len("Cardinality")], args)
+        return f"size({inner})"
+    if name == "bitmapContains" and len(args) == 2:
+        return f"array_contains({args[0]}, {args[1]})"
+    if name == "bitmapHasAny" and len(args) == 2:
+        return f"arrays_overlap({args[0]}, {args[1]})"
+    if name == "bitmapHasAll" and len(args) == 2:
+        return f"(size(array_except({args[1]}, {args[0]})) = 0)"
+    if name in ("bitmapMin", "bitmapMax") and len(args) == 1:
+        return f"array_{name[-3:].lower()}({args[0]})"
+    if name == "arrayUnion" and len(args) >= 2:
+        out = args[0]
+        for nxt in args[1:]:
+            out = f"array_union({out}, {nxt})"
+        return out
+    if name == "arraySymmetricDifference" and len(args) == 2:
+        a, b = args
+        return (
+            f"array_except(array_union({a}, {b}), "
+            f"array_intersect({a}, {b}))"
+        )
+    if name == "encodeXMLComponent" and len(args) == 1:
+        # the five XML predefined entities; & FIRST so later entities
+        # aren't double-escaped
+        s = args[0]
+        for lit, ent in (("&", "&amp;"), ("<", "&lt;"), (">", "&gt;"),
+                         ('"', "&quot;"), ("'", "&apos;")):
+            q = "'" + lit.replace("'", "\\'") + "'"
+            e = f"'{ent}'"
+            s = f"replace({s}, {q}, {e})"
+        return s
+    if name == "decodeXMLComponent" and len(args) == 1:
+        # reverse order: entities first, & LAST
+        s = args[0]
+        for ent, lit in (("&lt;", "<"), ("&gt;", ">"),
+                         ("&quot;", '"'), ("&apos;", "'"),
+                         ("&amp;", "&")):
+            q = "'" + lit.replace("'", "\\'") + "'"
+            e = f"'{ent}'"
+            s = f"replace({s}, {e}, {q})"
+        return s
+    if name == "decodeHTMLComponent":
+        raise DialectError(
+            "decodeHTMLComponent needs the full HTML entity table — "
+            "decodeXMLComponent (the five predefined entities) "
+            "transpiles"
+        )
+    if name in ("sleep", "sleepEachRow"):
+        raise DialectError(
+            f"{name} is ClickHouse's throttling test function — "
+            "nothing to compute"
+        )
+    if name == "bitSlice":
+        raise DialectError(
+            "bitSlice addresses sub-byte bit ranges of a string — "
+            "use conv()/shiftright/& arithmetic on integers, or "
+            "substring() for byte ranges"
+        )
+    if name == "toRelativeSecondNum" and len(args) == 1:
+        return f"unix_timestamp({args[0]})"
+    if name == "toRelativeYearNum" and len(args) == 1:
+        return f"year({args[0]})"
+    if name == "toRelativeMonthNum" and len(args) == 1:
+        # CH DateLUT: year·12 + month (1-based month)
+        return f"(year({args[0]}) * 12 + month({args[0]}))"
+    if name == "toRelativeQuarterNum" and len(args) == 1:
+        # CH DateLUT: year·4 + (month-1)/3 (0-based quarter)
+        return (
+            f"(year({args[0]}) * 4 + (month({args[0]}) - 1) div 3)"
+        )
+    if name == "toRelativeWeekNum":
+        raise DialectError(
+            "toRelativeWeekNum's week anchor is DateLUT-internal "
+            "(version-specific) — use "
+            "datediff(toStartOfWeek(d), toDate('1970-01-05')) div 7 "
+            "for an explicit Monday-anchored week number"
+        )
+    if name == "fromUnixTimestamp64Micro" and len(args) == 1:
+        return f"timestamp_micros({args[0]})"
+    if name == "toUnixTimestamp64Micro" and len(args) == 1:
+        return f"unix_micros({args[0]})"
+    if name == "fromUnixTimestamp64Nano" and len(args) == 1:
+        # Spark timestamps are µs precision — ns truncate (documented)
+        return f"timestamp_micros(({args[0]}) div 1000)"
+    if name == "toUnixTimestamp64Nano" and len(args) == 1:
+        return f"(unix_micros({args[0]}) * 1000)"
     # --- r8 batch 6: third pass-through audit ---
     if name in ("toNullable", "materialize", "identity") and len(args) == 1:
         # CH type/engine hints with no Spark meaning — the identity
@@ -10850,6 +10978,48 @@ def q_dialect_window_derivative(
     )
 
 
+# 27h. r8 scalar batch 8: the roaring-bitmap family (portable
+#      representation: the sorted distinct array — same value set,
+#      no compressed container), XML escapes, tuple field access,
+#      relative-epoch numbers, micro/nano timestamp codecs.  Literal
+#      halves pin constants; the relative nums restate as the CH
+#      DateLUT arithmetic (year·12+month / year·4+quarter₀).
+_CH_PROBE13 = """
+SELECT o_orderstatus,
+       toRelativeMonthNum(toDate(max(o_orderdate))) AS rm,
+       toRelativeQuarterNum(toDate(max(o_orderdate))) AS rq,
+       bitmapCardinality(bitmapBuild([1, 2, 2, 3])) AS bc,
+       arrayStringConcat(arrayMap(x -> toString(x),
+         bitmapXor(bitmapBuild([1, 2, 3]), bitmapBuild([2, 4]))), ',')
+         AS bx,
+       bitmapHasAll(bitmapBuild([1, 2, 3]), bitmapBuild([1, 3]))
+         AS bh,
+       encodeXMLComponent('<a&b>') AS ex,
+       count() AS n
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+O_PROBE13 = """
+SELECT o_orderstatus,
+       CAST(EXTRACT(year FROM max(o_orderdate)) * 12
+            + EXTRACT(month FROM max(o_orderdate)) AS INT) AS rm,
+       CAST(EXTRACT(year FROM max(o_orderdate)) * 4
+            + (EXTRACT(month FROM max(o_orderdate)) - 1) // 3
+            AS INT) AS rq,
+       3 AS bc,
+       '1,3,4' AS bx,
+       true AS bh,
+       '&lt;a&amp;b&gt;' AS ex,
+       COUNT(*) AS n
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
+def q_dialect_probe13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verbatim ClickHouse scalar-batch-8 query (module doc)."""
+    return run_clickhouse_sql(spark, _CH_PROBE13, sf_dir, ("orders",))
+
+
 # 27g. exponentialTimeDecayed{Sum,Count} window functions (r8) — the
 #      decay-weighted frame folds (_exp_time_decayed).  The oracle
 #      restates each row's fold as a pairwise self-join on a small
@@ -11033,6 +11203,7 @@ QUERIES = {
     "dialect_window_derivative": q_dialect_window_derivative,
     "dialect_argmax_combinators": q_dialect_argmax_combinators,
     "dialect_exp_decay": q_dialect_exp_decay,
+    "dialect_probe13": q_dialect_probe13,
     "dialect_normalize": q_dialect_normalize,
     "dialect_vector_math": q_dialect_vector_math,
     "dialect_star_modifiers": q_dialect_star_modifiers,
@@ -11097,6 +11268,7 @@ ORACLES = {
     "dialect_window_derivative": O_WINDOW_DERIVATIVE,
     "dialect_argmax_combinators": O_ARGMAX_COMBINATORS,
     "dialect_exp_decay": O_EXP_DECAY,
+    "dialect_probe13": O_PROBE13,
     "dialect_normalize": O_NORMALIZE,
     "dialect_vector_math": O_VECTOR,
     "dialect_star_modifiers": O_STAR_MODIFIERS,

@@ -3181,6 +3181,62 @@ def test_parenless_using(spark):
     assert [(r.ts, r.tag) for r in rows2] == [(5, "x"), (9, "y")]
 
 
+def test_r8_scalar_batch8(spark):
+    """Tuple access, the bitmap family (set-as-sorted-array), XML
+    escapes, relative nums, micro/nano timestamp codecs."""
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW b8t AS SELECT "
+        "array(3, 1, 2, 3) AS a, array(2, 4) AS b, "
+        "named_struct('x', 1, 'y', 'z') AS tup, "
+        "'<a href=\"q\">&x</a>' AS xs, DATE'2023-04-01' AS d, "
+        "TIMESTAMP'2024-01-01 00:00:01.5' AS ts FROM range(1)"
+    )
+
+    def one(e):
+        return spark.sql(transpile(f"SELECT {e} AS r FROM b8t")).first().r
+
+    assert one("tupleElement(tup, 'y')") == "z"
+    assert one("bitmapBuild(a)") == [1, 2, 3]
+    assert one("bitmapCardinality(a)") == 3
+    assert one("bitmapAnd(bitmapBuild(a), bitmapBuild(b))") == [2]
+    assert one("bitmapXor(bitmapBuild(a), bitmapBuild(b))") == [1, 3, 4]
+    assert one("bitmapAndnot(bitmapBuild(a), bitmapBuild(b))") == [1, 3]
+    assert one(
+        "bitmapOrCardinality(bitmapBuild(a), bitmapBuild(b))"
+    ) == 4
+    assert one("bitmapHasAny(a, b)") is True
+    assert one("bitmapHasAll(a, array(1, 2))") is True
+    assert one("bitmapHasAll(a, array(1, 9))") is False
+    assert one("bitmapContains(a, 2)") is True
+    assert (one("bitmapMin(bitmapBuild(a))"),
+            one("bitmapMax(bitmapBuild(a))")) == (1, 3)
+    assert one("arrayUnion(a, b)") == [3, 1, 2, 4]
+    assert one("arraySymmetricDifference(a, b)") == [3, 1, 4]
+    assert one("encodeXMLComponent(xs)") \
+        == "&lt;a href=&quot;q&quot;&gt;&amp;x&lt;/a&gt;"
+    assert one("decodeXMLComponent(encodeXMLComponent(xs))") \
+        == '<a href="q">&x</a>'
+    # CH doc examples: 2023-04 → month 24280, quarter 8093
+    assert one("toRelativeMonthNum(d)") == 24280
+    assert one("toRelativeQuarterNum(d)") == 8093
+    assert one("toRelativeYearNum(d)") == 2023
+    assert one("toRelativeSecondNum(ts)") == 1704067201
+    assert one("toUnixTimestamp64Micro(ts)") == 1704067201500000
+    assert str(one("fromUnixTimestamp64Micro(1704067201500000)")) \
+        == "2024-01-01 00:00:01.500000"
+    assert one("toUnixTimestamp64Nano(ts)") == 1704067201500000000
+    for bad, msg in [
+        ("tupleElement(tup, 1)", "name-addressed"),
+        ("tupleToNameValuePairs(tup)", "introspects"),
+        ("sleep(1)", "throttling"),
+        ("bitSlice(xs, 1, 2)", "bit ranges"),
+        ("toRelativeWeekNum(d)", "anchor"),
+        ("decodeHTMLComponent(xs)", "entity table"),
+    ]:
+        with pytest.raises(DialectError, match=msg):
+            transpile(f"SELECT {bad} FROM b8t")
+
+
 def test_or_default_combinator(spark):
     """-OrDefault: the result-TYPE default (0 for the numeric-result
     bases) instead of NULL on empty match sets; argument-typed bases
