@@ -3237,6 +3237,49 @@ def test_r8_scalar_batch8(spark):
             transpile(f"SELECT {bad} FROM b8t")
 
 
+def test_bitmap_family_differential(spark):
+    """Bitmap ops over a seeded battery of array pairs, all checked
+    in ONE Spark pass against Python set algebra."""
+    import random
+
+    rng = random.Random(82)
+    pairs = [
+        (sorted(rng.sample(range(20), rng.randint(0, 8))),
+         sorted(rng.sample(range(20), rng.randint(0, 8))))
+        for _ in range(25)
+    ] + [([], []), ([1, 2], []), ([], [3])]
+    values = ", ".join(
+        f"(array({', '.join(map(str, a)) or 'CAST(NULL AS INT)'}), "
+        f"array({', '.join(map(str, b)) or 'CAST(NULL AS INT)'}))"
+        for a, b in pairs
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW bmt AS SELECT "
+        "filter(c1, x -> x IS NOT NULL) AS a, "
+        "filter(c2, x -> x IS NOT NULL) AS b "
+        f"FROM (VALUES {values}) AS t(c1, c2)"
+    )
+    rows = spark.sql(transpile(
+        "SELECT a, b, bitmapAnd(bitmapBuild(a), bitmapBuild(b)) AS i, "
+        "bitmapOr(bitmapBuild(a), bitmapBuild(b)) AS u, "
+        "bitmapXor(bitmapBuild(a), bitmapBuild(b)) AS x, "
+        "bitmapAndnot(bitmapBuild(a), bitmapBuild(b)) AS d, "
+        "bitmapOrCardinality(a, b) AS uc, "
+        "bitmapHasAny(a, b) AS any_, bitmapHasAll(a, b) AS all_ "
+        "FROM bmt"
+    )).collect()
+    assert len(rows) == len(pairs)
+    for r in rows:
+        sa, sb = set(r.a), set(r.b)
+        assert r.i == sorted(sa & sb)
+        assert r.u == sorted(sa | sb)
+        assert r.x == sorted(sa ^ sb)
+        assert r.d == sorted(sa - sb)
+        assert r.uc == len(sa | sb)
+        assert r.any_ == bool(sa & sb)
+        assert r.all_ == (sb <= sa)
+
+
 def test_or_default_combinator(spark):
     """-OrDefault: the result-TYPE default (0 for the numeric-result
     bases) instead of NULL on empty match sets; argument-typed bases
