@@ -3064,6 +3064,61 @@ def _render_call(name: str, args: list[str]) -> str:
         )
     if name == "isInfinite" and len(args) == 1:
         return f"(abs({args[0]}) = CAST('Infinity' AS DOUBLE))"
+    # --- r8 batch 9: SQL/JSON standard forms + typed/array extract ---
+    if name == "lengthUTF8" and len(args) == 1:
+        return f"length({args[0]})"  # Spark length counts characters
+    if name == "isValidUTF8" and len(args) == 1:
+        # Spark STRING values are valid UTF-8 by construction (the
+        # JVM/Arrow string types enforce it) — constant true with
+        # NULL propagation; validate raw BYTES before casting if the
+        # data arrives as binary
+        s = args[0]
+        return f"IF({s} IS NULL, CAST(NULL AS BOOLEAN), true)"
+    if name == "JSON_VALUE" and len(args) == 2:
+        # SQL/JSON scalar access — get_json_object returns unquoted
+        # scalars like CH; CH yields '' on a miss where this yields
+        # NULL (the SQL-idiomatic miss; coalesce(x, '') to pin)
+        return f"get_json_object({args[0]}, {args[1]})"
+    if name == "JSON_EXISTS" and len(args) == 2:
+        return f"(get_json_object({args[0]}, {args[1]}) IS NOT NULL)"
+    if name == "JSON_QUERY" and len(args) == 2:
+        # CH wraps every match in a one-element JSON array
+        base = f"get_json_object({args[0]}, {args[1]})"
+        return (
+            f"CASE WHEN {base} IS NOT NULL "
+            f"THEN concat('[', {base}, ']') END"
+        )
+    if name == "JSONExtractArrayRaw" and len(args) >= 1 and all(
+        a.startswith("'") and a.endswith("'") for a in args[1:]
+    ):
+        path = "$" + "".join("." + a[1:-1] for a in args[1:])
+        arr = f"get_json_object({args[0]}, '{path}')"
+        # element text re-serializes canonically (from_json round
+        # trip) — same values, whitespace normalized (documented)
+        return f"from_json({arr}, 'array<string>')"
+    if name == "JSONExtract" and len(args) >= 3 and args[-1].startswith("'"):
+        cht = args[-1].strip("'\"")
+        from clickhouse_vs_dbt_spark.ddl import convert_type
+        try:
+            t = convert_type(cht)
+        except Exception:
+            t = None
+        if t is None or t.upper().startswith(("STRUCT", "ARRAY", "MAP")):
+            raise DialectError(
+                f"JSONExtract to type {cht!r}: only scalar ClickHouse "
+                "types map (a JSON string cannot CAST to a composite) "
+                "— use from_json with an explicit Spark schema for "
+                "structured extraction"
+            )
+        inner = _render_call("JSONExtractRaw", args[:-1])
+        return f"CAST({inner} AS {t})"
+    if name == "JSONExtractKeysAndValuesRaw":
+        raise DialectError(
+            "JSONExtractKeysAndValuesRaw needs per-key dynamic JSON "
+            "paths (get_json_object paths are literal-only) — "
+            "JSONExtractKeysAndValues with a value type transpiles, "
+            "or parse with from_json('map<string,string>')"
+        )
     if (
         name in _JSON_EXTRACT
         and len(args) >= 2

@@ -3237,6 +3237,38 @@ def test_r8_scalar_batch8(spark):
             transpile(f"SELECT {bad} FROM b8t")
 
 
+def test_r8_scalar_batch9(spark):
+    """SQL/JSON standard forms, typed/array JSONExtract, UTF8
+    length/validity."""
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW b9t AS SELECT "
+        "'{\"a\": 5, \"b\": [1, {\"c\": 2}], \"s\": \"hi\"}' AS j, "
+        "'h\\u00e9llo' AS s FROM range(1)"
+    )
+
+    def one(e):
+        return spark.sql(transpile(f"SELECT {e} AS r FROM b9t")).first().r
+
+    assert one("lengthUTF8(s)") == 5  # characters, not bytes
+    assert one("isValidUTF8(s)") is True
+    assert one("isValidUTF8(CAST(NULL AS STRING))") is None
+    assert one("JSON_VALUE(j, '$.a')") == "5"
+    assert one("JSON_EXISTS(j, '$.a')") is True
+    assert one("JSON_EXISTS(j, '$.z')") is False
+    assert one("JSON_QUERY(j, '$.a')") == "[5]"  # CH wraps in array
+    assert one("JSON_QUERY(j, '$.z')") is None
+    assert one("JSONExtractArrayRaw(j, 'b')") == ["1", '{"c":2}']
+    assert one("JSONExtract(j, 'a', 'Int64')") == 5
+    assert one("JSONExtract(j, 's', 'String')") == "hi"
+    assert one("JSONExtract(j, 'a', 'Float64')") == 5.0
+    for bad, msg in [
+        ("JSONExtractKeysAndValuesRaw(j)", "dynamic"),
+        ("JSONExtract(j, 'a', 'Tuple(x Int32)')", "scalar"),
+    ]:
+        with pytest.raises(DialectError, match=msg):
+            transpile(f"SELECT {bad} FROM b9t")
+
+
 def test_bitmap_family_differential(spark):
     """Bitmap ops over a seeded battery of array pairs, all checked
     in ONE Spark pass against Python set algebra."""
