@@ -67,6 +67,7 @@ from clickhouse_vs_dbt_spark.sources import (
 )
 from clickhouse_vs_dbt_spark.streaming import (
     events_stream,
+    kafka_source,
     stateful_sessions,
     stream_dedup,
     stream_enrich,
@@ -129,6 +130,7 @@ _MODULES = [
     evolution,
     binfile,
     events_stream,
+    kafka_source,
     stateful_sessions,
     stream_join,
     stream_dedup,

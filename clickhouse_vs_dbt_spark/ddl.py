@@ -317,6 +317,43 @@ def lookup_dict_info(name: str) -> DictInfo | None:
     return DICT_INFO.get(_norm_table(name))
 
 
+class KafkaInfo:
+    """``ENGINE = Kafka`` source metadata (CH Kafka-engine analog:
+    the table is a *streaming consumer*, not storage — queryable only
+    through an attached materialized view).  The Spark mapping is a
+    ``readStream`` source: ``streaming.kafka_source.kafka_read_stream``
+    builds ``spark.readStream.format("kafka")`` + a value parse from
+    the declared column schema, and the existing
+    :meth:`MaterializedView.maintain_stream` foreachBatch machinery is
+    the MV insert-trigger twin.  ``schema_ddl`` is the Spark column
+    DDL converted from the CREATE TABLE column list — the wire-format
+    parse schema (JSONEachRow → from_json, CSV → from_csv)."""
+
+    __slots__ = ("brokers", "topic", "group", "fmt", "schema_ddl")
+
+    def __init__(self, brokers, topic, group, fmt, schema_ddl):
+        self.brokers = brokers
+        self.topic = topic
+        self.group = group
+        self.fmt = fmt
+        self.schema_ddl = schema_ddl
+
+
+KAFKA_INFO: dict[str, KafkaInfo] = {}
+
+
+def register_kafka_info(name: str, info: KafkaInfo) -> None:
+    KAFKA_INFO[_norm_table(name)] = info
+
+
+def lookup_kafka_info(name: str) -> KafkaInfo | None:
+    return KAFKA_INFO.get(_norm_table(name))
+
+
+def unregister_kafka_info(name: str) -> None:
+    KAFKA_INFO.pop(_norm_table(name), None)
+
+
 _DICT_RE = re.compile(
     r"(?is)^\s*CREATE\s+DICTIONARY\s+(IF\s+NOT\s+EXISTS\s+)?"
     r"(?P<name>[A-Za-z_][A-Za-z0-9_.`]*)\s*\((?P<cols>.*)\)\s*"
@@ -461,20 +498,61 @@ def transpile_ddl(
         target = eargs[2].strip().strip("'\"`")
         ine = "IF NOT EXISTS " if m.group("ine") else ""
         return f"CREATE VIEW {ine}{name} AS SELECT * FROM {target}"
+    elif engine == "Kafka":
+        # ENGINE = Kafka is a STREAMING CONSUMER, not storage (CH
+        # reads from it destructively; MVs attached to it consume
+        # continuously).  Register the source metadata and return no
+        # batch DDL — reads go through
+        # streaming.kafka_source.kafka_read_stream (spark.readStream)
+        # feeding MaterializedView.maintain_stream, the foreachBatch
+        # twin of the CH MV insert trigger.  Both CH spellings parse:
+        # positional Kafka(brokers, topic, group, format) and the
+        # SETTINGS kafka_* = '...' form (SETTINGS override
+        # positionals, matching CH).
+        pos = [a.strip().strip("'\"") for a in eargs]
+        st = {
+            k.lower(): v
+            for k, v in re.findall(
+                r"(?is)(kafka_[a-z_]+)\s*=\s*'([^']*)'", tail
+            )
+        }
+        brokers = st.get(
+            "kafka_broker_list", pos[0] if len(pos) > 0 else None
+        )
+        topic = st.get(
+            "kafka_topic_list", pos[1] if len(pos) > 1 else None
+        )
+        group = st.get(
+            "kafka_group_name", pos[2] if len(pos) > 2 else None
+        )
+        fmt = st.get("kafka_format", pos[3] if len(pos) > 3 else None)
+        if not (brokers and topic and fmt):
+            raise DialectError(
+                "ENGINE = Kafka needs broker list, topic and format — "
+                "Kafka('host:9092', 'topic', 'group', 'JSONEachRow') "
+                "or SETTINGS kafka_broker_list/kafka_topic_list/"
+                "kafka_format"
+            )
+        if fmt.upper() not in ("JSONEACHROW", "CSV", "CSVWITHNAMES"):
+            raise DialectError(
+                f"ENGINE = Kafka format {fmt!r} has no Spark value "
+                "parser here (JSONEachRow, CSV and CSVWithNames map "
+                "to from_json/from_csv)"
+            )
+        register_kafka_info(
+            name, KafkaInfo(brokers, topic, group, fmt, cols)
+        )
+        return ""  # no batch DDL: callers skip empty statements
     elif not (
         (engine[len("Replicated"):] if engine.startswith("Replicated")
          else engine).endswith("MergeTree")
         or engine in ("Memory", "Log", "TinyLog", "StripeLog")
     ):
-        # refuse-on-silent-divergence: Kafka/Buffer/etc. are NOT
+        # refuse-on-silent-divergence: Buffer/Merge/etc. are NOT
         # "a local table"; mapping them to parquet would silently
-        # change semantics (the r7 verdict's transpile_ddl defect)
+        # change semantics (the r7 verdict's transpile_ddl defect).
+        # Kafka maps above (readStream source, r9).
         hint = {
-            "Kafka": (
-                "use streaming/ (spark.readStream + foreachBatch) — "
-                "the Spark equivalent of a Kafka engine table feeding "
-                "a materialized view"
-            ),
             "Buffer": (
                 "Spark writes are already batched; for buffered "
                 "ingest use streaming/ foreachBatch micro-batching"

@@ -1920,9 +1920,12 @@ def _render_call(name: str, args: list[str]) -> str:
     if name == "lastValue" and len(args) == 1:
         return f"last_value({args[0]})"
     if name == "singleValueOrNull" and len(args) == 1:
-        # the value iff the group has exactly one row, else NULL
+        # the value iff the group has exactly ONE DISTINCT non-NULL
+        # value (CH implements `x = ALL (subquery)`), else NULL — a
+        # multi-row group sharing one value still yields the value
+        # (ADVICE r8: the row-count form returned NULL there)
         x = args[0]
-        return f"(CASE WHEN count({x}) = 1 THEN max({x}) END)"
+        return f"(CASE WHEN count(DISTINCT {x}) = 1 THEN max({x}) END)"
     if name == "subtractMonths" and len(args) == 2:
         return f"add_months({args[0]}, -({args[1]}))"
     if name == "subtractYears" and len(args) == 2:
@@ -2228,29 +2231,22 @@ def _render_call(name: str, args: list[str]) -> str:
             )
         a, n, fill = args
         sz = f"size({a})"
-        k = f"least(greatest(CAST({n} AS INT), 0), {sz})"
+        # negative n shifts the OPPOSITE direction (CH rule) — emit a
+        # runtime sign branch rather than clamping to no-op (ADVICE
+        # r8: the old least/greatest form silently dropped the shift
+        # for runtime-negative expressions)
+        k = f"CAST(least(abs(CAST({n} AS BIGINT)), {sz}) AS INT)"
         pad = f"array_repeat({fill}, {k})"
-        if name == "arrayShiftLeft":
-            body = (
-                f"concat(slice({a}, ({k}) + 1, ({sz}) - ({k})), {pad})"
-            )
-        else:
-            body = f"concat({pad}, slice({a}, 1, ({sz}) - ({k})))"
-        # negative n shifts the opposite direction (CH rule) — refuse
-        # rather than silently mis-shift when n is a negative literal
-        # (DialectError subclasses ValueError, so raise OUTSIDE the
-        # literal-parse guard)
-        neg = False
-        try:
-            neg = float(n) < 0
-        except ValueError:
-            pass
-        if neg:
-            raise DialectError(
-                f"{name} with a negative count shifts the other "
-                "way — spell the opposite function"
-            )
-        return body
+        left = (
+            f"concat(slice({a}, ({k}) + 1, ({sz}) - ({k})), {pad})"
+        )
+        right = f"concat({pad}, slice({a}, 1, ({sz}) - ({k})))"
+        if name == "arrayShiftRight":
+            left, right = right, left
+        return (
+            f"(CASE WHEN CAST({n} AS BIGINT) >= 0 "
+            f"THEN {left} ELSE {right} END)"
+        )
     if name == "arrayDotProduct" and len(args) == 2:
         name = "dotProduct"  # alias — falls through to the mapping
     if name == "proportionsZTest" and len(args) == 6:
@@ -2528,14 +2524,18 @@ def _render_call(name: str, args: list[str]) -> str:
                 "guards for dynamic needles"
             )
         body = tok[1:-1]
-        if not body.replace("_", "").isalnum():
+        # CH tokenizes on ALL non-alphanumeric ASCII — underscore is
+        # a separator, not a token char (ADVICE r8): hasToken(
+        # 'foo_bar', 'foo') = 1, and 'foo_bar' is an invalid needle
+        if not (body.isascii() and body.isalnum()):
             raise DialectError(
                 "hasToken: the needle must be a single token "
-                "(alphanumeric/underscore)"
+                "(ASCII alphanumeric only — ClickHouse splits on "
+                "every non-alphanumeric byte, including '_')"
             )
         return (
-            f"regexp_like({s0}, '(?<![0-9A-Za-z_])"
-            f"{body}(?![0-9A-Za-z_])')"
+            f"regexp_like({s0}, '(?<![0-9A-Za-z])"
+            f"{body}(?![0-9A-Za-z])')"
         )
     if name == "formatReadableDecimalSize" and len(args) == 1:
         x = args[0]
@@ -3082,11 +3082,27 @@ def _render_call(name: str, args: list[str]) -> str:
     if name == "JSON_EXISTS" and len(args) == 2:
         return f"(get_json_object({args[0]}, {args[1]}) IS NOT NULL)"
     if name == "JSON_QUERY" and len(args) == 2:
-        # CH wraps every match in a one-element JSON array
+        # CH wraps every match in a one-element JSON array.
+        # get_json_object strips the quotes off string scalars, so a
+        # bare extract of "world" would produce invalid JSON [world]
+        # (ADVICE r8) — re-serialize anything that is not already a
+        # JSON literal through to_json (Jackson re-escapes properly;
+        # the {"q": prefix is 5 chars + the brace, value sits at 6).
+        # Residual caveat (inherent to get_json_object): a STRING
+        # scalar whose text parses as a JSON number ("5") is
+        # indistinguishable from the number 5 and stays unquoted.
         base = f"get_json_object({args[0]}, {args[1]})"
+        req = f"to_json(named_struct('q', {base}))"
+        lit = (
+            f"({base} RLIKE '^[\\\\[{{]' OR {base} IN "
+            f"('true', 'false', 'null') OR {base} RLIKE "
+            f"'^-?(0|[1-9][0-9]*)(\\\\.[0-9]+)?([eE][+-]?[0-9]+)?$')"
+        )
         return (
-            f"CASE WHEN {base} IS NOT NULL "
-            f"THEN concat('[', {base}, ']') END"
+            f"CASE WHEN {base} IS NULL THEN NULL "
+            f"WHEN {lit} THEN concat('[', {base}, ']') "
+            f"ELSE concat('[', substring({req}, 6, "
+            f"length({req}) - 6), ']') END"
         )
     if name == "JSONExtractArrayRaw" and len(args) >= 1 and all(
         a.startswith("'") and a.endswith("'") for a in args[1:]
@@ -6893,10 +6909,15 @@ def _rewrite_sample_clause(toks: list[str], engine_info=None):
             # runtime upper bound.  OFFSET is keyspace-fractional in
             # CH and refuses with the row form (checked at parse).
             n_rows = frac[1]
+            # floor() BEFORE the BIGINT cast: Spark's double->bigint
+            # cast truncates but DuckDB's rounds-to-nearest, so an
+            # explicitly-truncating form keeps the engine and oracle
+            # bounds bit-identical (ADVICE r8)
             hi_dyn = (
-                f"CAST(least(CAST(4294967296 AS DOUBLE), "
+                f"CAST(floor(least(CAST(4294967296 AS DOUBLE), "
                 f"4294967296.0 * {n_rows} / greatest(CAST(1 AS "
-                f"BIGINT), (SELECT COUNT(*) FROM {table}))) AS BIGINT)"
+                f"BIGINT), (SELECT COUNT(*) FROM {table})))) "
+                f"AS BIGINT)"
             )
             pred = f"{h} < {hi_dyn}"
         else:
@@ -7872,7 +7893,9 @@ def run_clickhouse_script(
             if exists:
                 spark.sql(f"DROP TABLE IF EXISTS {name}")
                 _ddl.unregister_engine_info(name)
-            spark.sql(_ddl.transpile_ddl(stmt, path_override=override))
+            out_ddl = _ddl.transpile_ddl(stmt, path_override=override)
+            if out_ddl:  # ENGINE=Kafka registers a readStream
+                spark.sql(out_ddl)  # source and emits no batch DDL
             results.append(("table", name))
         elif (
             vm := _re.match(
@@ -7907,6 +7930,12 @@ def run_clickhouse_script(
             )
         ) is not None:
             name = dm.group(2)
+            if _ddl.lookup_kafka_info(name) is not None:
+                # a Kafka queue has no backing Spark table — dropping
+                # it just detaches the registered stream source
+                _ddl.unregister_kafka_info(name)
+                results.append(("drop", name))
+                continue
             if not dm.group(1) and not spark.catalog.tableExists(
                 name.strip("`")
             ):
@@ -9794,10 +9823,10 @@ _CH_MODERN = """
 WITH (SELECT max(o_totalprice::Decimal(18, 2)) FROM orders) AS mx,
      0.5 AS half
 SELECT o_orderkey,
-       o_totalprice::Decimal(18, 2) AS price,
+       toFloat64(o_totalprice::Decimal(18, 2)) AS price,
        toTypeName(o_orderkey) AS keytype,
-       ((mx - o_totalprice::Decimal(18, 2)) * half)::Decimal(18, 3)
-           AS half_gap,
+       toFloat64(((mx - o_totalprice::Decimal(18, 2)) * half)
+                     ::Decimal(18, 3)) AS half_gap,
        o_orderdate
 FROM orders
 ORDER BY o_orderdate
@@ -9808,15 +9837,21 @@ LIMIT 100 WITH TIES
 # the double->DECIMAL(18,2) cast is unambiguous in any rounding mode;
 # subtraction and the *0.5 (a decimal literal on both engines) stay in
 # decimal, and the final DECIMAL(18,3) cast widens scale without
-# rounding. No binary-float boundary exists on either side (VERDICT r7
-# adjudicated two driver reds to double->decimal rounding drift).
+# rounding. The ::Decimal internals (the construct under test) are
+# unchanged; the OUTER projection casts both decimal columns to
+# Float64/DOUBLE because the driver's hasher stringifies Spark
+# ``Decimal('40334.475')`` against DuckDB-via-pandas float64
+# ``40334.475`` and trailing-zero scale breaks the hash even on
+# bit-identical values (VERDICT r8 adjudication; the 3-decimal value
+# is exact, so the double conversion is identical on both engines).
 O_MODERN = """
 WITH mx AS (SELECT max(CAST(o_totalprice AS DECIMAL(18,2))) AS v
             FROM orders)
-SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+SELECT o_orderkey,
+       CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price,
        'bigint' AS keytype,
-       CAST((mx.v - CAST(o_totalprice AS DECIMAL(18,2))) * 0.5
-            AS DECIMAL(18,3)) AS half_gap,
+       CAST(CAST((mx.v - CAST(o_totalprice AS DECIMAL(18,2))) * 0.5
+                 AS DECIMAL(18,3)) AS DOUBLE) AS half_gap,
        o_orderdate
 FROM orders, mx
 QUALIFY rank() OVER (ORDER BY o_orderdate) <= 100
@@ -10231,10 +10266,14 @@ def _o_sample_rows() -> str:
     from clickhouse_vs_dbt_spark.operators.sampling import mix_hash_sql
 
     h = mix_hash_sql("duckdb", "o_orderkey")
+    # floor() matches the engine side exactly: DuckDB CAST(DOUBLE AS
+    # BIGINT) rounds to nearest while Spark's truncates (ADVICE r8) —
+    # both sides now truncate explicitly, so the bounds are
+    # bit-identical even when 2^32*n/COUNT(*) has fraction >= 0.5
     hi = (
-        "CAST(least(CAST(4294967296 AS DOUBLE), 4294967296.0 * 3000 "
-        "/ greatest(CAST(1 AS BIGINT), "
-        "(SELECT COUNT(*) FROM orders))) AS BIGINT)"
+        "CAST(floor(least(CAST(4294967296 AS DOUBLE), "
+        "4294967296.0 * 3000 / greatest(CAST(1 AS BIGINT), "
+        "(SELECT COUNT(*) FROM orders)))) AS BIGINT)"
     )
     return f"""
 SELECT o_orderstatus,
@@ -10859,8 +10898,8 @@ SELECT o_orderstatus,
             THEN regexp_extract(max(o_orderpriority),
                                 '(\d)-(\w+)', 2)
             END AS prio_word,
-       CASE WHEN COUNT(o_orderstatus) = 1 THEN MAX(o_orderstatus)
-            END AS sv
+       CASE WHEN COUNT(DISTINCT o_orderstatus) = 1
+            THEN MAX(o_orderstatus) END AS sv
 FROM orders
 GROUP BY o_orderstatus
 ORDER BY o_orderstatus

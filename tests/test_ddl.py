@@ -589,11 +589,40 @@ def test_engine_whitelist_refuses_and_maps():
         transpile_ddl(
             "CREATE TABLE bad (k UInt64) ENGINE = Distributed('c')"
         )
-    # streaming-flavored engines refuse with a pointer, never parquet
-    with pytest.raises(DialectError, match="streaming/"):
+    # Kafka maps to a registered readStream source (r9) — no batch
+    # DDL, metadata captured for streaming.kafka_source
+    from clickhouse_vs_dbt_spark.ddl import (
+        lookup_kafka_info,
+        unregister_kafka_info,
+    )
+
+    out = transpile_ddl(
+        "CREATE TABLE q (k UInt64) "
+        "ENGINE = Kafka('broker:9092', 'topic', 'grp', 'JSONEachRow')"
+    )
+    assert out == ""
+    ki = lookup_kafka_info("q")
+    assert (ki.brokers, ki.topic, ki.group, ki.fmt) == (
+        "broker:9092", "topic", "grp", "JSONEachRow",
+    )
+    assert "BIGINT" in ki.schema_ddl.upper()
+    unregister_kafka_info("q")
+    # the SETTINGS spelling parses too and overrides positionals
+    transpile_ddl(
+        "CREATE TABLE q2 (k UInt64) ENGINE = Kafka "
+        "SETTINGS kafka_broker_list = 'h:9092', "
+        "kafka_topic_list = 'tp', kafka_group_name = 'g2', "
+        "kafka_format = 'CSV'"
+    )
+    ki2 = lookup_kafka_info("q2")
+    assert (ki2.brokers, ki2.topic, ki2.fmt) == ("h:9092", "tp", "CSV")
+    unregister_kafka_info("q2")
+    with pytest.raises(DialectError, match="Kafka needs broker"):
+        transpile_ddl("CREATE TABLE q3 (k UInt64) ENGINE = Kafka")
+    with pytest.raises(DialectError, match="no Spark value parser"):
         transpile_ddl(
-            "CREATE TABLE q (k UInt64) "
-            "ENGINE = Kafka('broker:9092', 'topic', 'grp', 'JSONEachRow')"
+            "CREATE TABLE q4 (k UInt64) "
+            "ENGINE = Kafka('h:9092', 't', 'g', 'Avro')"
         )
     with pytest.raises(DialectError, match="foreachBatch"):
         transpile_ddl(

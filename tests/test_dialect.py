@@ -2717,6 +2717,24 @@ def test_r8_scalar_batch2(spark):
     ]
     assert one("extractGroups(s, '(zz)(yy)')") == []
     assert one("singleValueOrNull(x)") == 1.5
+    # CH contract: one DISTINCT non-NULL value across N>1 rows still
+    # yields the value; two distinct values yield NULL (ADVICE r8 —
+    # the old row-count form returned NULL for the first case)
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW svn_t AS "
+        "SELECT * FROM VALUES ('a', 7), ('a', 7), ('a', NULL), "
+        "('b', 1), ('b', 2), ('c', CAST(NULL AS INT)) AS t(g, v)"
+    )
+    svn = {
+        r.g: r.sv
+        for r in spark.sql(
+            transpile(
+                "SELECT g, singleValueOrNull(v) AS sv FROM svn_t "
+                "GROUP BY g"
+            )
+        ).collect()
+    }
+    assert svn == {"a": 7, "b": None, "c": None}
     assert one("firstValue(x)") == 1.5
 
     import pytest as _pytest
@@ -2837,8 +2855,14 @@ def test_r8_scalar_batch3(spark):
         one("toUUID('123e4567-E89B-12d3-a456-426614174000')")
         == "123e4567-e89b-12d3-a456-426614174000"
     )
-    assert one("hasToken(s, 'world_x')") is True
-    assert one("hasToken(s, 'world')") is False
+    # CH splits tokens on every non-alphanumeric ASCII byte — '_' is
+    # a separator (ADVICE r8), so 'world' IS a token of 'world_x' and
+    # an underscore needle is rejected like CH's "needle must not
+    # contain separators" error
+    assert one("hasToken(s, 'world')") is True
+    assert one("hasToken(s, 'worl')") is False
+    with pytest.raises(DialectError, match="ASCII alphanumeric"):
+        transpile("SELECT hasToken(s, 'world_x') FROM b3t")
     assert one("formatReadableDecimalSize(123456)") == "123.46 KB"
     assert one("parseTimeDelta('1h30m')") == 5400.0
     assert one("multiSearchFirstIndex(s, ['lo', 'wo'])") == 1
@@ -3058,6 +3082,12 @@ def test_r8_scalar_batch6(spark):
     assert one("arrayShiftLeft(a, 2, 0)") == [3, 4, 5, 0, 0]
     assert one("arrayShiftRight(a, 2, 9)") == [9, 9, 1, 2, 3]
     assert one("arrayShiftLeft(a, 9, 0)") == [0, 0, 0, 0, 0]
+    # negative n shifts the opposite direction (CH rule; ADVICE r8 —
+    # runtime negatives used to clamp to a silent no-op)
+    assert one("arrayShiftLeft(a, -2, 9)") == [9, 9, 1, 2, 3]
+    assert one("arrayShiftRight(a, -2, 0)") == [3, 4, 5, 0, 0]
+    assert one("arrayShiftLeft(a, 1 - 3, 9)") == [9, 9, 1, 2, 3]
+    assert one("arrayShiftRight(a, -9, 0)") == [0, 0, 0, 0, 0]
     assert [tuple(r) for r in one("arrayZipUnaligned([1, 2], ['x'])")] \
         == [(1, "x"), (2, None)]
     assert one("arrayDotProduct([1.0, 2.0], [3.0, 4.0])") == 11.0
@@ -3078,7 +3108,6 @@ def test_r8_scalar_batch6(spark):
 
     for bad, msg in [
         ("arrayShiftLeft(a, 2)", "TYPE DEFAULT"),
-        ("arrayShiftLeft(a, -2, 0)", "other way"),
         ("multiplyDecimal(d, d)", "explicit cast"),
         ("h3ToGeo(s1)", "cell"),
         ("geoToS2(1.0, 2.0)", "cell"),
@@ -3257,6 +3286,16 @@ def test_r8_scalar_batch9(spark):
     assert one("JSON_EXISTS(j, '$.z')") is False
     assert one("JSON_QUERY(j, '$.a')") == "[5]"  # CH wraps in array
     assert one("JSON_QUERY(j, '$.z')") is None
+    # string scalars re-serialize as valid JSON (ADVICE r8: the bare
+    # get_json_object form produced invalid [hi]); composites and
+    # literals pass through raw
+    assert one("JSON_QUERY(j, '$.s')") == '["hi"]'
+    assert one("JSON_QUERY(j, '$.b')") == "[[1,{\"c\":2}]]"
+    assert (
+        one("JSON_QUERY('{\"q\": \"say \\\\\"x\\\\\"\"}', '$.q')")
+        == '["say \\"x\\""]'
+    )
+    assert one("JSON_QUERY('{\"t\": true}', '$.t')") == "[true]"
     assert one("JSONExtractArrayRaw(j, 'b')") == ["1", '{"c":2}']
     assert one("JSONExtract(j, 'a', 'Int64')") == 5
     assert one("JSONExtract(j, 's', 'String')") == "hi"

@@ -121,3 +121,63 @@ def test_retract_fold_replays_are_noops(spark, tmp_path):
     }
     # cust 1: +100 -100 +90 = 90 net over 1 row; cust 2: +50
     assert final == {1: (1, 90.0), 2: (1, 50.0)}
+
+
+def test_kafka_engine_end_to_end(spark, sf_dir):
+    """ENGINE = Kafka through the script runner (r9): the queue DDL
+    registers a readStream source instead of refusing, the attached
+    MV folds the replayed envelope batches, and the state converges
+    to the one-shot batch aggregate."""
+    from clickhouse_vs_dbt_spark.ddl import lookup_kafka_info
+    from clickhouse_vs_dbt_spark.streaming.kafka_source import (
+        q_ddl_kafka_stream,
+    )
+    from clickhouse_vs_dbt_spark.catalog import load_table
+    from pyspark.sql import functions as F
+
+    got = {tuple(r) for r in q_ddl_kafka_stream(spark, sf_dir).collect()}
+    ev = load_table(spark, sf_dir, "events")
+    want = {
+        tuple(r)
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.when(F.col("value") > 10, 1)).alias("n_hot"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+            F.min(F.unix_micros("ts")).alias("first_us"),
+            F.max(F.unix_micros("ts")).alias("last_us"),
+        )
+        .collect()
+    }
+    assert got == want
+    # the queue stays registered (metadata) but never becomes a table
+    assert lookup_kafka_info("events_queue") is not None
+    assert not spark.catalog.tableExists("events_queue")
+
+
+def test_kafka_value_parse_csv_and_drop(spark):
+    """The CSV wire format parses through from_csv, and DROP TABLE of
+    a Kafka queue detaches the registered source."""
+    from clickhouse_vs_dbt_spark.ddl import (
+        lookup_kafka_info,
+        transpile_ddl,
+    )
+    from clickhouse_vs_dbt_spark.dialect import run_clickhouse_script
+    from clickhouse_vs_dbt_spark.streaming.kafka_source import (
+        parse_kafka_value,
+    )
+
+    transpile_ddl(
+        "CREATE TABLE csv_q (k Int64, name String, v Float64) "
+        "ENGINE = Kafka('h:9092', 't', 'g', 'CSV')"
+    )
+    raw = spark.createDataFrame(
+        [(b"1", b"7,foo,1.5"), (b"2", b"8,bar,2.5")],
+        "key binary, value binary",
+    )
+    got = sorted(tuple(r) for r in parse_kafka_value(raw, "csv_q").collect())
+    assert got == [(7, "foo", 1.5), (8, "bar", 2.5)]
+    run_clickhouse_script(spark, "DROP TABLE csv_q;")
+    assert lookup_kafka_info("csv_q") is None

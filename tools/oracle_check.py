@@ -108,6 +108,12 @@ def driver_hazards(sdtypes: list[tuple], odtypes: list[tuple]) -> list[str]:
     * HUGEINT (INT128) DuckDB oracle columns — un-cast integer SUMs;
       pandas coerces them to float64, so the driver stringifies
       ``71071.0`` against Spark's ``71071`` and the hash misses.
+    * DECIMAL-typed Spark output columns — ``sdf.toPandas()`` keeps
+      them as Python ``Decimal`` objects (trailing-zero scale,
+      ``Decimal('40334.475')`` repr) while ``duckdb.df()`` coerces
+      DECIMAL to float64, so the driver's stringify mismatches on
+      bit-identical values (dialect_modern_sql, red r6-r8; VERDICT r8
+      adjudication).  Cast decimal outputs to DOUBLE on both sides.
     """
     out = []
     for n, st in sdtypes:
@@ -115,6 +121,12 @@ def driver_hazards(sdtypes: list[tuple], odtypes: list[tuple]) -> list[str]:
             ("array", "map", "struct")
         ):
             out.append(f"{n}: spark output type {st} is driver-unhashable")
+        if dtype_class(st) == "decimal":
+            out.append(
+                f"{n}: spark DECIMAL output ({st}) — toPandas keeps "
+                "Decimal objects vs duckdb.df float64 in the driver "
+                "gate; cast to DOUBLE on both engine and oracle sides"
+            )
     for n, ot in odtypes:
         if ot.lower().strip() == "hugeint":
             out.append(
