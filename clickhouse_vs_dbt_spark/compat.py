@@ -170,7 +170,7 @@ def t_pvalue(t: float, df: float) -> float:
 
 #: bump when the vectorized set below changes — the registration
 #: digest must move or live sessions keep stale definitions
-_VECTORIZED_VERSION = 3
+_VECTORIZED_VERSION = 4
 
 
 def _register_vectorized(spark: SparkSession) -> None:
@@ -242,6 +242,53 @@ def _register_vectorized(spark: SparkSession) -> None:
         )
 
     spark.udf.register("ch_normalize_utf8", ch_normalize_utf8)
+
+    import encodings.idna as _idna
+
+    def _idn_one(v: str, mode: str) -> str:
+        # plain punycode has no label splitting or xn-- prefix;
+        # IDNA (2003, the nameprep tables CH's example outputs match:
+        # straße → strasse) applies per dot-label with ASCII labels
+        # passing through
+        if mode in ("penc",):
+            return v.encode("punycode").decode("ascii")
+        if mode in ("pdec", "ptry"):
+            return v.encode("ascii").decode("punycode")
+        if mode in ("ienc", "itry"):
+            return ".".join(
+                _idna.ToASCII(lbl).decode("ascii") if lbl else ""
+                for lbl in v.split(".")
+            )
+        return ".".join(
+            _idna.ToUnicode(lbl) if lbl else "" for lbl in v.split(".")
+        )
+
+    @pandas_udf("string")
+    def ch_idn(s: pd.Series, mode: pd.Series) -> pd.Series:
+        """punycode/IDNA family over Python's built-in codecs (RFC
+        3492 / IDNA2003 nameprep — the same tables ClickHouse's ICU
+        build uses for these functions).  ``mode`` is a per-row
+        constant from the transpiler; try-modes return '' on invalid
+        input (the CH contract), strict modes re-raise (loud task
+        failure, CH throws there too)."""
+        out = []
+        for v, m in zip(s, mode):
+            if v is None:
+                out.append(None)
+                continue
+            try:
+                out.append(_idn_one(v, m))
+            except (UnicodeError, ValueError) as e:
+                if m in ("ptry", "itry"):
+                    out.append("")
+                else:
+                    raise ValueError(
+                        f"ch_idn {m}: invalid input {v!r} "
+                        f"(ClickHouse throws here too): {e}"
+                    ) from e
+        return pd.Series(out, dtype="object")
+
+    spark.udf.register("ch_idn", ch_idn)
 
 
 # --- gated proof: a query written verbatim in the ClickHouse dialect ---

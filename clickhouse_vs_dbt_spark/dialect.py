@@ -3531,6 +3531,46 @@ def _render_call(name: str, args: list[str]) -> str:
                 return _qt_merge_sql(
                     args[0], "0.5", restate=suffix == "MergeState"
                 )
+            if base in ("argMax", "argMin") and suffix in (
+                "State", "Merge", "MergeState",
+            ):
+                # argMax/argMin's portable state is the extremal
+                # (value, arg) pair — a struct MAX/MIN (struct compare
+                # is value-major), the same max-by-struct state CH
+                # packs into its byte register.  NULL values are
+                # masked at -State creation (CH skips NULL-valued
+                # rows); ties on the value break DETERMINISTICALLY by
+                # the extremal arg where CH keeps an arrival-order-
+                # dependent "any" (documented strictness upgrade, the
+                # quantileState precedent).
+                ext = "max" if base == "argMax" else "min"
+                if suffix == "State":
+                    if has_if:
+                        if len(args) != 3:
+                            raise DialectError(
+                                f"{name} needs (arg, val, cond)"
+                            )
+                        a, v, cond = args
+                        mask = f"({cond}) AND ({v}) IS NOT NULL"
+                    else:
+                        if len(args) != 2:
+                            raise DialectError(
+                                f"{name} needs (arg, val)"
+                            )
+                        a, v = args
+                        mask = f"({v}) IS NOT NULL"
+                    return (
+                        f"{ext}(CASE WHEN {mask} THEN "
+                        f"named_struct('v', {v}, 'a', {a}) END)"
+                    )
+                if len(args) != 1:
+                    raise DialectError(
+                        f"{name} takes the single state column"
+                    )
+                merged = f"{ext}({args[0]})"
+                if suffix == "MergeState":
+                    return merged
+                return f"({merged}).a"
             if (
                 base in _IF_BASES
                 or base in _RENAME
@@ -3541,9 +3581,10 @@ def _render_call(name: str, args: list[str]) -> str:
                     "an engine-internal byte state with no portable "
                     "Spark value; sum/count/min/max/avg/uniqExact/"
                     "groupArray/uniq/quantile/quantileExact/"
-                    "quantileTiming States ARE transpiled — see "
-                    "mergetree_aggregating (and incremental_agg_mv / "
-                    "transpile_materialized_view for maintained state)"
+                    "quantileTiming/argMax/argMin States ARE "
+                    "transpiled — see mergetree_aggregating (and "
+                    "incremental_agg_mv / transpile_materialized_view "
+                    "for maintained state)"
                 )
     if (
         name.endswith(("ArgMax", "ArgMin"))
@@ -3670,14 +3711,22 @@ def _render_call(name: str, args: list[str]) -> str:
             f"ELSE concat_ws('.', try_element_at({parts}, -2), "
             f"try_element_at({parts}, -1)) END"
         )
-    if name in ("punycodeEncode", "punycodeDecode", "idnaEncode",
-                "idnaDecode"):
-        raise DialectError(
-            f"{name}: IDN/punycode needs an ICU-class codec Spark "
-            "SQL does not ship; pre-encode the column (Python "
-            "idna/codecs in an ingestion step) or compare on the "
-            "raw form"
-        )
+    if name in ("punycodeEncode", "punycodeDecode",
+                "tryPunycodeDecode", "idnaEncode", "tryIdnaEncode",
+                "idnaDecode") and len(args) == 1:
+        # RFC 3492 / IDNA2003 via Python's built-in codecs (compat.py
+        # ch_idn, Arrow-batched — no Catalyst spelling exists, the
+        # erf/normalizeUTF8 precedent); try-forms yield '' on invalid
+        # input, strict forms fail the task loudly (CH throws)
+        mode = {
+            "punycodeEncode": "penc",
+            "punycodeDecode": "pdec",
+            "tryPunycodeDecode": "ptry",
+            "idnaEncode": "ienc",
+            "tryIdnaEncode": "itry",
+            "idnaDecode": "idec",
+        }[name]
+        return f"ch_idn({args[0]}, '{mode}')"
     if name in ("queryID", "initialQueryID", "hostName", "uptime",
                 "blockNumber", "blockSize", "rowNumberInBlock"):
         raise DialectError(
@@ -4027,20 +4076,60 @@ def _render_parametric(name: str, params: list[str], args: list[str]) -> str:
             "quantileExactWeighted (which transpiles) is the exact "
             "weighted quantile with step semantics"
         )
-    if name == "groupArraySample" and params:
-        raise DialectError(
-            "groupArraySample draws a RANDOM per-group sample "
-            "(non-deterministic) — use the deterministic hash-range "
-            "sampling operators (operators/sampling.py) or "
-            "groupArraySorted(n)(x) for a stable selection"
+    if name == "groupArraySample" and params and len(args) == 1:
+        # deterministic tier of CH's RANDOM per-group sample (the
+        # topK exact-tier precedent): rank every element by the
+        # engine-portable md5 prefix of (value, seed) and keep the n
+        # smallest — a seeded uniform selection that is reproducible
+        # across runs AND engines (CH's own is not, by design).
+        # Output sorts by the rank, a deterministic spelling of CH's
+        # arbitrary order.
+        if len(params) not in (1, 2):
+            raise DialectError(
+                "groupArraySample takes (n[, seed])(x)"
+            )
+        n = params[0]
+        seed = params[1] if len(params) == 2 else "0"
+        from clickhouse_vs_dbt_spark.operators.dedup import md5p_sql
+
+        h = md5p_sql(
+            f"concat(CAST(__gs AS STRING), ':', CAST({seed} AS STRING))",
+            "spark",
+        )
+        return (
+            f"transform(slice(array_sort(transform("
+            f"collect_list({args[0]}), __gs -> "
+            f"named_struct('h', {h}, 'x', __gs))), 1, {n}), "
+            f"__gp -> __gp.x)"
         )
     if name == "groupArrayLast" and params:
+        # CH keeps the LAST n in INSERTION order — order-dependent in
+        # any distributed engine (CH's own result shifts with merge
+        # order).  The deterministic tier requires the order spelled:
+        # the two-arg extension groupArrayLast(n)(x, ord) keeps the
+        # last n by ord (slice from the end of the ord-sorted
+        # multiset); the bare one-arg form refuses.
+        if len(args) == 2 and len(params) == 1:
+            x, ordc = args
+            n = params[0]
+            # single-element-transform binding so the collected array
+            # aggregates ONCE; slice start 0 is illegal, so the
+            # empty/short cases guard explicitly
+            k = f"least(CAST({n} AS INT), size(__ga))"
+            return (
+                f"element_at(transform(array(array_sort("
+                f"collect_list(named_struct('o', {ordc}, 'x', {x})))), "
+                f"__ga -> CASE WHEN size(__ga) = 0 OR ({n}) <= 0 "
+                f"THEN slice(transform(__ga, __ge -> __ge.x), 1, 0) "
+                f"ELSE transform("
+                f"slice(__ga, -{k}, {k}), __gl -> __gl.x) END), 1)"
+            )
         raise DialectError(
             "groupArrayLast keeps the LAST n in insertion order — "
             "order-dependent in a distributed engine; spell the "
-            "order: groupArraySorted over a negated key, or "
-            "slice(array_sort(collect_list(struct(ts, x))), ...) "
-            "with an explicit timestamp"
+            "order with the deterministic two-arg tier "
+            "groupArrayLast(n)(x, ord) (last n by ord), or "
+            "groupArraySorted over a negated key"
         )
     if (
         name in ("quantileMerge", "quantileExactMerge")
@@ -6938,6 +7027,108 @@ def _rewrite_sample_clause(toks: list[str], engine_info=None):
         toks[from_i + 1 : end + 1] = _tokens(f" {repl} ")
 
 
+_PASTE_NOT_ALIAS = frozenset(
+    "WHERE GROUP ORDER LIMIT UNION INTERSECT EXCEPT SETTINGS HAVING "
+    "QUALIFY JOIN INNER LEFT RIGHT FULL CROSS PASTE ON USING WINDOW "
+    "FORMAT".split()
+)
+
+
+def _top_order_by(body: list[str]) -> str | None:
+    """The top-level ``ORDER BY`` key list of a subquery body (text up
+    to the next top-level LIMIT/OFFSET/SETTINGS), or None."""
+    depth = 0
+    n = len(body)
+    for i, t in enumerate(body):
+        if t in ("(", "["):
+            depth += 1
+        elif t in (")", "]"):
+            depth -= 1
+        elif depth == 0 and _is_ident(t) and t.upper() == "ORDER":
+            j = _next_code(body, i + 1)
+            if j < n and _is_ident(body[j]) and body[j].upper() == "BY":
+                d2, end = 0, n
+                for m in range(j + 1, n):
+                    t2 = body[m]
+                    if t2 in ("(", "["):
+                        d2 += 1
+                    elif t2 in (")", "]"):
+                        d2 -= 1
+                    elif (
+                        d2 == 0 and _is_ident(t2)
+                        and t2.upper() in ("LIMIT", "OFFSET", "SETTINGS")
+                    ):
+                        end = m
+                        break
+                keys = "".join(body[j + 1:end]).strip()
+                return keys or None
+    return None
+
+
+def _rewrite_paste_join(toks: list[str]) -> list[str]:
+    """``(q1) PASTE JOIN (q2)`` → inner join on ``row_number()`` over
+    each side's own top-level ORDER BY keys (VERDICT r8 item 5).
+
+    ClickHouse matches rows by BLOCK position, which is only
+    deterministic when each side carries an explicit ORDER BY — so
+    exactly that form maps (the position IS the row_number over the
+    declared order), and the orderless/plain-table forms refuse
+    rather than zip an arbitrary scan order.  ``JOIN ... USING``
+    emits the shared position column once, left columns then right
+    columns — CH's PASTE output order — and ``SELECT * EXCEPT``
+    drops it; unequal lengths keep min(n) rows like CH.  Scale note:
+    each row_number is a global window (one total sort per side) —
+    the inherent cost of positional semantics, same as CH's own
+    single-stream requirement here."""
+    while True:
+        pi = None
+        for i, t in enumerate(toks):
+            if _is_ident(t) and t.upper() == "PASTE":
+                j = _next_code(toks, i + 1)
+                if (
+                    j < len(toks) and _is_ident(toks[j])
+                    and toks[j].upper() == "JOIN"
+                ):
+                    pi, ji = i, j
+                    break
+        if pi is None:
+            return toks
+        need = (
+            "PASTE JOIN matches rows by BLOCK position — only the "
+            "deterministic form maps: both sides must be "
+            "parenthesized subqueries with a top-level ORDER BY "
+            "(and no alias; qualify columns inside the subqueries)"
+        )
+        ri = _next_code(toks, ji + 1)
+        if ri >= len(toks) or toks[ri] != "(":
+            raise DialectError(need)
+        rclose = _match_close(toks, ri)
+        ai = _next_code(toks, rclose + 1)
+        if ai < len(toks) and _is_ident(toks[ai]) and (
+            toks[ai].upper() not in _PASTE_NOT_ALIAS
+        ):
+            raise DialectError(need)
+        lclose = _prev_code(toks, pi - 1)
+        if lclose < 0 or toks[lclose] != ")":
+            raise DialectError(need)
+        lopen = _match_open(toks, lclose)
+        l_body = toks[lopen + 1:lclose]
+        r_body = toks[ri + 1:rclose]
+        lo, ro = _top_order_by(l_body), _top_order_by(r_body)
+        if lo is None or ro is None:
+            raise DialectError(need)
+        l_sql, r_sql = "".join(l_body), "".join(r_body)
+        repl = (
+            f"(SELECT * EXCEPT (__paste_n) FROM "
+            f"(SELECT *, row_number() OVER (ORDER BY {lo}) "
+            f"AS __paste_n FROM ({l_sql})) "
+            f"JOIN (SELECT *, row_number() OVER (ORDER BY {ro}) "
+            f"AS __paste_n FROM ({r_sql})) "
+            f"USING (__paste_n))"
+        )
+        toks[lopen:rclose + 1] = _tokens(repl)
+
+
 def transpile(sql: str, resolve_columns=None, engine_info=None) -> str:
     """Rewrite a ClickHouse-dialect query into Spark SQL (see module
     doc).  Unrecognized constructs pass through verbatim.
@@ -6947,19 +7138,7 @@ def transpile(sql: str, resolve_columns=None, engine_info=None) -> str:
     (table name → ``ddl.EngineInfo`` or None) unlocks ``FROM t
     FINAL`` reads for tables whose DDL ran through the front door."""
     toks = _tokens(sql)
-    for _i, _t in enumerate(toks):
-        if _is_ident(_t) and _t.upper() == "PASTE":
-            _j = _next_code(toks, _i + 1)
-            if (
-                _j < len(toks) and _is_ident(toks[_j])
-                and toks[_j].upper() == "JOIN"
-            ):
-                raise DialectError(
-                    "PASTE JOIN matches rows by BLOCK position "
-                    "(non-deterministic under any parallel scan) — "
-                    "join on explicit row_number() OVER (ORDER BY …) "
-                    "keys instead"
-                )
+    toks = _rewrite_paste_join(toks)
     toks = _rewrite_system_tables(toks)
     toks = _rewrite_sample_clause(toks, engine_info)
     toks = _rewrite_star_modifiers(toks, resolve_columns)
@@ -10099,6 +10278,221 @@ def q_dialect_state_merge3(
     )
 
 
+# 21d (r9). argMax/argMin -State/-Merge: the portable state is the
+#     extremal (value, arg) struct — struct compare is value-major, so
+#     MAX/MIN merges partial states losslessly (the max-by-struct
+#     register CH packs into argMaxState).  NULL values mask at state
+#     creation; value ties break deterministically by the extremal arg
+#     (CH keeps an arrival-order "any" — documented strictness
+#     upgrade).  Both levels stay native Spark aggregates with
+#     map-side combine; the -If form masks at -State creation.
+_CH_STATE_MERGE4 = """
+SELECT o_orderstatus,
+       argMaxMerge(hi) AS top_prio,
+       argMinMerge(lo) AS cheapest_key,
+       argMaxIfMerge(hiu) AS top_prio_urgent
+FROM (
+    SELECT toYYYYMM(o_orderdate) AS ym, o_orderstatus,
+           argMaxState(o_orderpriority, o_totalprice) AS hi,
+           argMinState(o_orderkey, o_totalprice) AS lo,
+           argMaxIfState(o_orderpriority, o_totalprice,
+                         o_orderkey % 2 = 0) AS hiu
+    FROM orders
+    GROUP BY ym, o_orderstatus
+)
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+# the oracle computes the identical extremal-struct fold in one level
+# (merge of per-ym extremal structs = the global extremal struct, by
+# associativity of struct MAX/MIN) with the same NULL mask and the
+# same value-major/arg-tiebreak compare
+O_STATE_MERGE4 = """
+SELECT o_orderstatus,
+       max(CASE WHEN o_totalprice IS NOT NULL THEN
+           {'v': o_totalprice, 'a': o_orderpriority} END).a
+         AS top_prio,
+       min(CASE WHEN o_totalprice IS NOT NULL THEN
+           {'v': o_totalprice, 'a': o_orderkey} END).a
+         AS cheapest_key,
+       max(CASE WHEN o_orderkey % 2 = 0
+                 AND o_totalprice IS NOT NULL THEN
+           {'v': o_totalprice, 'a': o_orderpriority} END).a
+         AS top_prio_urgent
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+def q_dialect_state_merge4(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Verbatim ClickHouse argMax/argMin -State/-Merge two-level
+    aggregate (module doc #21d)."""
+    return run_clickhouse_sql(
+        spark, _CH_STATE_MERGE4, sf_dir, ("orders",)
+    )
+
+
+# 21e (r9). PASTE JOIN: positional zip of two ordered subqueries —
+#     maps to an inner join on row_number() over each side's own
+#     ORDER BY (see _rewrite_paste_join); the cheapest and the
+#     priciest orders zip rank-for-rank.
+_CH_PASTE_JOIN = """
+SELECT cheap_key, cheap_price, rich_key, rich_price
+FROM (SELECT o_orderkey AS cheap_key,
+             o_totalprice AS cheap_price
+      FROM orders
+      ORDER BY cheap_price, cheap_key
+      LIMIT 100)
+PASTE JOIN (SELECT o_orderkey AS rich_key,
+                   o_totalprice AS rich_price
+            FROM orders
+            ORDER BY rich_price DESC, rich_key
+            LIMIT 100)
+ORDER BY cheap_key
+"""
+
+O_PASTE_JOIN = """
+WITH l AS (SELECT o_orderkey AS cheap_key,
+                  o_totalprice AS cheap_price,
+                  row_number() OVER (ORDER BY o_totalprice,
+                                     o_orderkey) AS rn
+           FROM orders QUALIFY rn <= 100),
+     r AS (SELECT o_orderkey AS rich_key,
+                  o_totalprice AS rich_price,
+                  row_number() OVER (ORDER BY o_totalprice DESC,
+                                     o_orderkey) AS rn
+           FROM orders QUALIFY rn <= 100)
+SELECT cheap_key, cheap_price, rich_key, rich_price
+FROM l JOIN r USING (rn)
+ORDER BY cheap_key
+"""
+
+
+def q_dialect_paste_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Verbatim ClickHouse PASTE JOIN over two ordered subqueries
+    (module doc #21e)."""
+    return run_clickhouse_sql(
+        spark, _CH_PASTE_JOIN, sf_dir, ("orders",)
+    )
+
+
+# 21f (r9). deterministic tiers of the order/randomness-dependent
+#     group-array aggregates (VERDICT r8 item 8, the topK exact-tier
+#     precedent): groupArraySample(n, seed) ranks elements by the
+#     engine-portable md5 prefix of (value, seed) and keeps the n
+#     smallest — seeded, reproducible across engines where CH's is
+#     random; groupArrayLast(n)(x, ord) is the two-arg deterministic
+#     tier (last n by ord — CH's insertion order is undefined under
+#     distributed merge, so the bare form refuses).  Arrays project
+#     through arrayStringConcat at the gate boundary (the driver's
+#     canonicalizer cannot hash list cells — the retention precedent).
+_CH_GROUP_ARRAY_TIERS = """
+SELECT o_orderstatus,
+       arrayStringConcat(arrayMap(k -> toString(k),
+           groupArraySample(5, 42)(o_orderkey)), ',') AS sample_keys,
+       arrayStringConcat(groupArrayLast(4)(o_orderpriority,
+                                           o_orderkey), ',')
+         AS last_prios
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+def _o_group_array_tiers() -> str:
+    from clickhouse_vs_dbt_spark.operators.dedup import md5p_sql
+
+    h = md5p_sql(
+        "concat(CAST(k AS VARCHAR), ':', '42')", "duckdb"
+    )
+    return f"""
+WITH b AS (
+  SELECT o_orderstatus AS st, o_orderkey AS k,
+         o_orderpriority AS p, {h} AS hv
+  FROM orders),
+samp AS (
+  SELECT st, string_agg(CAST(k AS VARCHAR), ',' ORDER BY hv)
+           AS sample_keys
+  FROM (SELECT st, k, hv,
+               row_number() OVER (PARTITION BY st ORDER BY hv) AS rn
+        FROM b)
+  WHERE rn <= 5 GROUP BY st),
+lastp AS (
+  SELECT st, string_agg(p, ',' ORDER BY k) AS last_prios
+  FROM (SELECT st, p, k,
+               row_number() OVER (PARTITION BY st ORDER BY k DESC)
+                 AS rn
+        FROM b)
+  WHERE rn <= 4 GROUP BY st)
+SELECT samp.st AS o_orderstatus, sample_keys, last_prios
+FROM samp JOIN lastp ON samp.st = lastp.st
+ORDER BY o_orderstatus
+"""
+
+
+def q_dialect_group_array_tiers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Verbatim ClickHouse groupArraySample / groupArrayLast
+    deterministic tiers (module doc #21f)."""
+    return run_clickhouse_sql(
+        spark, _CH_GROUP_ARRAY_TIERS, sf_dir, ("orders",)
+    )
+
+
+# 21g (r9). punycode/IDNA family over Python's built-in RFC 3492 /
+#     IDNA2003 codecs (compat.py ch_idn — the refusal wall closed;
+#     Arrow-batched, no Catalyst spelling exists).  The oracle
+#     exercises the pure-ASCII algebra on table data (punycode of
+#     ASCII is s || '-'; IDNA passes ASCII labels through) plus one
+#     non-ASCII literal row pinned to the RFC-computed value — the
+#     non-ASCII tables themselves are unit-tested against the codec
+#     (test_r9_idn_family).
+_CH_IDN_FAMILY = """
+SELECT name,
+       punycodeEncode(name) AS puny,
+       tryPunycodeDecode(punycodeEncode(name)) AS round_trip,
+       idnaEncode(concat(name, '.example.com')) AS idna_host
+FROM (
+    SELECT replaceAll(lower(n_name), ' ', '-') AS name FROM nation
+    UNION ALL
+    SELECT 'münchen'
+)
+ORDER BY name
+"""
+
+O_IDN_FAMILY = """
+SELECT name,
+       CASE WHEN name = 'münchen' THEN 'mnchen-3ya'
+            ELSE name || '-' END AS puny,
+       name AS round_trip,
+       CASE WHEN name = 'münchen'
+            THEN 'xn--mnchen-3ya.example.com'
+            ELSE name || '.example.com' END AS idna_host
+FROM (
+    SELECT replace(lower(n_name), ' ', '-') AS name FROM nation
+    UNION ALL
+    SELECT 'münchen'
+)
+ORDER BY name
+"""
+
+
+def q_dialect_idn_family(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Verbatim ClickHouse punycode/IDNA query (module doc #21g)."""
+    return run_clickhouse_sql(
+        spark, _CH_IDN_FAMILY, sf_dir, ("nation",)
+    )
+
+
 # 22. COLUMNS('regex') dynamic column selection + APPLY — expands via
 #     the catalog resolver to the matching columns in table order
 #     (re.search, ClickHouse's partial-match semantics), then the
@@ -11306,6 +11700,10 @@ QUERIES = {
     "dialect_state_merge": q_dialect_state_merge,
     "dialect_state_merge2": q_dialect_state_merge2,
     "dialect_state_merge3": q_dialect_state_merge3,
+    "dialect_state_merge4": q_dialect_state_merge4,
+    "dialect_paste_join": q_dialect_paste_join,
+    "dialect_group_array_tiers": q_dialect_group_array_tiers,
+    "dialect_idn_family": q_dialect_idn_family,
     "dialect_columns_select": q_dialect_columns_select,
     "dialect_dictionary": q_dialect_dictionary,
     "dialect_limit_by": q_dialect_limit_by,
@@ -11371,6 +11769,10 @@ ORACLES = {
     "dialect_state_merge": O_STATE_MERGE,
     "dialect_state_merge2": O_STATE_MERGE2,
     "dialect_state_merge3": _o_state_merge3(),
+    "dialect_state_merge4": O_STATE_MERGE4,
+    "dialect_paste_join": O_PASTE_JOIN,
+    "dialect_group_array_tiers": _o_group_array_tiers(),
+    "dialect_idn_family": O_IDN_FAMILY,
     "dialect_columns_select": O_COLUMNS_SELECT,
     "dialect_dictionary": O_DICTIONARY,
     "dialect_limit_by": O_LIMIT_BY,

@@ -866,3 +866,39 @@ SELECT k, v FROM softdel FINAL ORDER BY k;
     assert [tuple(r) for r in res[-1][1].collect()] == [
         (1, "b"), (3, "z"),
     ]
+
+
+def test_mv_argmax_incremental(spark, tmp_path):
+    """argMax/argMin in MV position (r9): the extremal (value, arg)
+    struct state merges losslessly across batches — including a value
+    tie that straddles a batch boundary, where a naive max_by-of-
+    partial-args would pick arbitrarily."""
+    from clickhouse_vs_dbt_spark.ddl import transpile_materialized_view
+
+    mv = transpile_materialized_view(
+        """CREATE MATERIALIZED VIEW mv_am_test
+ENGINE = AggregatingMergeTree
+ORDER BY g
+AS SELECT g, argMax(a, v) AS top_a, argMin(a, v) AS low_a
+FROM src GROUP BY g;""",
+        target_path=str(tmp_path / "state"),
+    )
+    b0 = spark.createDataFrame(
+        [("x", 10.0, "p"), ("x", 3.0, "q"), ("y", 1.0, "m")],
+        "g string, v double, a string",
+    )
+    # the v=10 tie arrives in a LATER batch with a larger arg: the
+    # struct merge must flip top_a to 'z' (value-major, arg tiebreak)
+    b1 = spark.createDataFrame(
+        [("x", 10.0, "z"), ("x", 0.5, "w"), ("y", 2.0, "n")],
+        "g string, v double, a string",
+    )
+    mv.apply_batch(spark, b0)
+    mv.apply_batch(spark, b1)
+    got = {
+        r.g: (r.top_a, r.low_a)
+        for r in spark.sql(
+            "SELECT g, top_a, low_a FROM mv_am_test"
+        ).collect()
+    }
+    assert got == {"x": ("z", "w"), "y": ("n", "m")}

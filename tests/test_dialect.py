@@ -848,11 +848,19 @@ def test_combinator_families_round5():
     assert transpile("sumIfState(x, c)") == "sum(CASE WHEN c THEN x END)"
     assert transpile("countIfState(c)") == "count_if(c)"
     # uniq/quantile states transpile since r8 (portable sketches;
-    # test_r8_uniq_quantile_state_merge); argMax's byte state refuses
+    # test_r8_uniq_quantile_state_merge); argMax/argMin since r9
+    # (extremal (value, arg) struct state, test_r9_argmax_state_merge)
     assert "collect_list" in transpile("quantileState(x)")
     assert "collect_list" in transpile("SELECT uniqMerge(s) FROM t")
+    assert transpile("argMaxState(x, y)") == (
+        "max(CASE WHEN (y) IS NOT NULL THEN "
+        "named_struct('v', y, 'a', x) END)"
+    )
+    assert transpile("argMinMerge(s)") == "(min(s)).a"
+    assert transpile("argMaxMergeState(s)") == "max(s)"
+    # topK's byte register still refuses
     with pytest.raises(DialectError, match="mergetree_aggregating"):
-        transpile("SELECT argMaxState(x, y) FROM t")
+        transpile("SELECT topKState(x) FROM t")
     with pytest.raises(DialectError, match="state column"):
         transpile("countMerge()")
     # r7b: portable non-self-merging states — avg = (sum, count)
@@ -2477,8 +2485,10 @@ GROUP BY g ORDER BY g
     ).collect()[0].uc
     assert spark.sql(qm).collect()[0].uc == full
     # other byte-state registers still refuse with updated guidance
+    # argMax/argMin transpile since r9 (test_r9_argmax_state_merge);
+    # topK's byte register is the remaining refusal
     with pytest.raises(DialectError, match="ARE transpiled"):
-        transpile("SELECT argMaxState(x, y) FROM t")
+        transpile("SELECT topKState(x) FROM t")
 
 
 def test_r8_sequence_match_guards(spark):
@@ -2740,7 +2750,6 @@ def test_r8_scalar_batch2(spark):
     import pytest as _pytest
 
     for bad, msg in [
-        ("groupArraySample(3)(x)", "RANDOM"),
         ("groupArrayLast(3)(x)", "insertion order"),
         ("normalizeQuery(s)", "masking"),
         ("extractGroups(s, x)", "literal pattern"),
@@ -3166,8 +3175,41 @@ def test_r8_scalar_batch7(spark):
     ]:
         with pytest.raises(DialectError, match=msg):
             transpile(f"SELECT {bad} FROM b7t")
-    with pytest.raises(DialectError, match="row_number"):
+    # plain-table PASTE (no declared order) still refuses; the
+    # ordered-subquery form maps since r9 (test_r9_paste_join)
+    with pytest.raises(DialectError, match="ORDER BY"):
         transpile("SELECT * FROM a PASTE JOIN b")
+
+
+def test_r9_paste_join(spark):
+    """r9: PASTE JOIN of two ordered subqueries → row_number zip
+    (VERDICT r8 item 5): min-length trim, per-side order, and the
+    refusals for orderless/aliased/plain-table sides."""
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW pj_t AS "
+        "SELECT id AS k, CAST(id * 2 AS DOUBLE) AS v FROM range(10)"
+    )
+    q = transpile(
+        "SELECT * FROM (SELECT k AS a FROM pj_t ORDER BY a LIMIT 4) "
+        "PASTE JOIN (SELECT k AS b, v FROM pj_t "
+        "ORDER BY b DESC LIMIT 6)"
+    )
+    rows = [tuple(r) for r in spark.sql(q).orderBy("a").collect()]
+    # left asc 0..3 zips right desc 9..6; min(4, 6) rows; left
+    # columns precede right columns (CH PASTE output order)
+    assert rows == [
+        (0, 9, 18.0), (1, 8, 16.0), (2, 7, 14.0), (3, 6, 12.0),
+    ]
+    for bad in [
+        # orderless side
+        "SELECT * FROM (SELECT k FROM pj_t ORDER BY k) "
+        "PASTE JOIN (SELECT k FROM pj_t)",
+        # aliased side (two scopes cannot merge into the zip)
+        "SELECT * FROM (SELECT k FROM pj_t ORDER BY k) "
+        "PASTE JOIN (SELECT k AS b FROM pj_t ORDER BY b) AS r",
+    ]:
+        with pytest.raises(DialectError, match="ORDER BY"):
+            transpile(bad)
 
 
 def test_parenless_using(spark):
@@ -3542,3 +3584,115 @@ def test_summap_filtered(spark):
         transpile("SELECT maxMapFiltered(['b'])(k, v) AS r FROM smf_t")
     ).first().r
     assert r.keys == ["b"] and r.values == [2.0]
+
+
+def test_r9_argmax_state_merge(spark):
+    """r9: argMax/argMin -State/-Merge via the extremal (value, arg)
+    struct state — NULL values mask at state creation, value ties
+    break deterministically by the extremal arg, and the two-level
+    merge equals the one-level fold (struct MAX/MIN associativity)."""
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW am_t AS SELECT * FROM VALUES "
+        "(1, 1, 10.0, 'a'), (1, 2, 10.0, 'z'), (1, 3, NULL, 'n'), "
+        "(2, 1, 5.0, 'p'), (2, 2, 7.0, 'q'), "
+        "(3, 1, CAST(NULL AS DOUBLE), 'only') "
+        "AS t(g, sg, v, a)"
+    )
+    q = transpile(
+        """
+SELECT g, argMaxMerge(hi) AS am, argMinMerge(lo) AS an
+FROM (SELECT g, sg, argMaxState(a, v) AS hi, argMinState(a, v) AS lo
+      FROM am_t GROUP BY g, sg)
+GROUP BY g ORDER BY g
+"""
+    )
+    rows = {r.g: (r.am, r.an) for r in spark.sql(q).collect()}
+    # g=1: tie on v=10 -> 'z' (max arg); min ignores the NULL v row
+    # g=3: all values NULL -> state NULL -> NULL result (CH returns
+    # the arg default; NULL is the Spark-idiomatic empty marker)
+    assert rows == {1: ("z", "a"), 2: ("q", "p"), 3: (None, None)}
+    # one-level fold equals the two-level merge (associativity):
+    # a single-group subquery is the degenerate two-level plan
+    q1 = transpile(
+        "SELECT g, argMaxMerge(st) AS am FROM (SELECT g, "
+        "argMaxState(a, v) AS st FROM am_t GROUP BY g) "
+        "GROUP BY g ORDER BY g"
+    )
+    assert {r.g: r.am for r in spark.sql(q1).collect()} == {
+        1: "z", 2: "q", 3: None,
+    }
+    # the -If form masks at state creation
+    qif = transpile(
+        "SELECT argMaxIfMerge(st) AS am FROM (SELECT "
+        "argMaxIfState(a, v, sg < 2) AS st FROM am_t GROUP BY g)"
+    )
+    assert spark.sql(qif).first().am == "a"
+
+
+def test_r9_group_array_tiers(spark):
+    """r9: deterministic tiers of groupArraySample (seeded md5-rank
+    selection — reproducible, engine-portable) and groupArrayLast
+    (two-arg last-n-by-ord; the bare insertion-order form still
+    refuses)."""
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW gat_t AS "
+        "SELECT id % 2 AS g, id AS x FROM range(20)"
+    )
+    q = transpile(
+        "SELECT g, groupArraySample(3)(x) AS s, "
+        "groupArraySample(3, 7)(x) AS s7, "
+        "groupArrayLast(3)(x, x) AS l3 FROM gat_t GROUP BY g "
+        "ORDER BY g"
+    )
+    rows = spark.sql(q).collect()
+    for r in rows:
+        assert len(r.s) == 3 and len(r.s7) == 3
+        assert set(r.s) <= set(range(r.g, 20, 2))
+        # different seed -> (almost surely) different selection,
+        # same seed -> identical across runs
+    assert rows == spark.sql(q).collect()
+    # last 3 by x itself = the 3 largest, ascending
+    assert [list(r.l3) for r in rows] == [[14, 16, 18], [15, 17, 19]]
+    # n > group size clamps; n <= 0 yields empty
+    r2 = spark.sql(
+        transpile(
+            "SELECT groupArraySample(99)(x) AS s, "
+            "groupArrayLast(99)(x, x) AS l, "
+            "groupArrayLast(0)(x, x) AS z FROM gat_t"
+        )
+    ).first()
+    assert len(r2.s) == 20 and len(r2.l) == 20 and r2.z == []
+    with pytest.raises(DialectError, match="insertion order"):
+        transpile("SELECT groupArrayLast(3)(x) FROM gat_t")
+
+
+def test_r9_idn_family(spark):
+    """r9: punycode/IDNA family over Python's built-in codecs — the
+    refusal wall closed (VERDICT r8 'What's missing' #5): RFC 3492
+    plain punycode (no label split, no xn-- prefix), IDNA2003
+    per-label ToASCII/ToUnicode (nameprep: straße → strasse), try
+    forms '' on invalid input, strict forms fail loudly."""
+    from clickhouse_vs_dbt_spark.compat import register_clickhouse_compat
+
+    register_clickhouse_compat(spark)
+
+    def one(e):
+        return spark.sql(transpile(f"SELECT {e} AS r")).first().r
+
+    assert one("punycodeEncode('München')") == "Mnchen-3ya"
+    assert one("punycodeEncode('abc')") == "abc-"
+    assert one("punycodeDecode('Mnchen-3ya')") == "München"
+    assert one("tryPunycodeDecode('!!bad!!')") == ""
+    assert (
+        one("idnaEncode('straße.münchen-süd.example.com')")
+        == "strasse.xn--mnchen-sd-q9ah.example.com"
+    )
+    assert (
+        one("idnaDecode('strasse.xn--mnchen-sd-q9ah.example.com')")
+        == "strasse.münchen-süd.example.com"
+    )
+    assert one("idnaEncode('plain.example.com')") == "plain.example.com"
+    assert one("punycodeEncode(CAST(NULL AS STRING))") is None
+    # strict decode of invalid punycode fails the task loudly
+    with pytest.raises(Exception, match="ch_idn|PythonException"):
+        one("punycodeDecode('!!bad!!')")

@@ -39,13 +39,15 @@ def test_full_oracle_sweep():
 
 @pytest.mark.slow
 def test_rotating_never_sampled_slice_cross_scale():
-    """r8 (VERDICT r7 item 7): a rotating 20-query slice of the
-    queries the DRIVER has never sampled (union of CORRECTNESS_r*.json
-    keys), re-verified at sf0.001 — the full sweep above covers
-    sf0.01, and one scale alone can hide data-dependent oracle bugs
-    (the r6 DuckDB list_reduce chunk-shape class).  Rotation advances
-    with the round count (number of CORRECTNESS files), so successive
-    rounds walk the whole tail."""
+    """r8 (VERDICT r7 item 7): a rotating slice of the queries the
+    DRIVER has never sampled (union of CORRECTNESS_r*.json keys),
+    re-verified at sf0.001 — the full sweep above covers sf0.01, and
+    one scale alone can hide data-dependent oracle bugs (the r6
+    DuckDB list_reduce chunk-shape class).  Rotation advances with
+    the round count (number of CORRECTNESS files), so successive
+    rounds walk the whole tail; slice widened 20 → 30 in r9 (VERDICT
+    r8 item 7: ~140 never-sampled remain, 30/round closes the tail
+    before round 14)."""
     import glob
     import json
 
@@ -59,8 +61,8 @@ def test_rotating_never_sampled_slice_cross_scale():
     never = sorted(set(entry.queries()) - sampled)
     if not never:
         pytest.skip("every query has been driver-sampled")
-    off = (len(rounds) * 20) % max(len(never), 1)
-    slice_ = (never + never)[off : off + 20][: len(never)]
+    off = (len(rounds) * 30) % max(len(never), 1)
+    slice_ = (never + never)[off : off + 30][: len(never)]
     proc = subprocess.run(
         [sys.executable, "tools/oracle_check.py",
          "/root/testdata/sf0.001", *slice_],
