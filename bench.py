@@ -229,6 +229,14 @@ HEADLINE = [
     "dialect_argmax_combinators",
     "dialect_exp_decay",
     "dialect_probe13",
+    # round-9 additions: Kafka queue+MV runbook, argMax states,
+    # PASTE JOIN, deterministic group-array tiers, punycode/IDNA
+    "ddl_kafka_stream",
+    "dialect_state_merge4",
+    "ddl_mv_argmax",
+    "dialect_paste_join",
+    "dialect_group_array_tiers",
+    "dialect_idn_family",
 ]
 
 

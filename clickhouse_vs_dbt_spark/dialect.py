@@ -35,8 +35,10 @@ The full surface (each backed by gated oracle queries and unit tests):
   ignoreNulls-correct null-sensitive bases; ``-Array``,
   ``-Distinct``, ``-OrNull``; sum/count/min/max ``-State``/``-Merge``
   transpile as native partial/final aggregation — self-merging
-  states — while avg/uniq registers refuse to the partial-aggregate
-  machinery), parametric aggregates (``quantile*``,
+  states — avg as the (sum, count) pair, uniq/quantile/
+  quantileTiming as portable sketches, argMax/argMin as the extremal
+  (value, arg) struct — r9; only genuinely engine-internal registers
+  like topKState still refuse), parametric aggregates (``quantile*``,
   ``groupArraySorted``, exact ``topK``; plain one-list forms take
   ClickHouse's documented defaults), analytics aggregates
   (``windowFunnel(W)(ts, c1..cN)`` as an exact max-anchor DP fold,
@@ -76,6 +78,10 @@ The full surface (each backed by gated oracle queries and unit tests):
   hash-range slice on the DDL-captured ``SAMPLE BY`` key,
   expression-key ``WITH FILL`` via a derived column, ``EXPLAIN
   SYNTAX/PLAN`` statement routing in the script runner;
+* round-9 tier — ``PASTE JOIN`` of ordered subqueries → row_number
+  zip (``_rewrite_paste_join``), deterministic ``groupArraySample``/
+  ``groupArrayLast(n)(x, ord)`` tiers, punycode/IDNA via stdlib
+  codecs (compat ``ch_idn``);
 * refusals with pointers — constructs whose silent handling would
   change results (``FINAL`` without DDL context, ANY ``ON`` with
   non-equality conjuncts, INTERPOLATE recurrences, non-subsequence
