@@ -8137,6 +8137,16 @@ def run_clickhouse_script(
             )
         ) is not None:
             target, body = im.group(1), im.group(2)
+            if _ddl.lookup_kafka_info(target) is not None:
+                # CH INSERT INTO a Kafka table PRODUCES to the topic —
+                # a broker write this batch runner does not own
+                raise DialectError(
+                    f"INSERT INTO {target}: a Kafka engine table is a "
+                    "topic producer — write the DataFrame with "
+                    "df.write/writeStream.format('kafka') (or feed "
+                    "the attached MV through "
+                    "streaming.kafka_source.kafka_read_stream)"
+                )
             cols = spark.table(target).columns
             # optional explicit column list: must cover every table
             # column (ClickHouse would fill defaults; Spark inserts
@@ -8556,6 +8566,19 @@ def run_clickhouse_script(
                 df = spark.sql(f"EXPLAIN FORMATTED {inner}")
             results.append(("explain", df))
         else:
+            # a registered Kafka queue in a batch query would surface
+            # as an opaque table-not-found — refuse with the contract
+            # instead (CH direct reads CONSUME the queue; the
+            # queryable object is the attached MV)
+            for t in _tokens(stmt):
+                if _is_ident(t) and _ddl.lookup_kafka_info(t) is not None:
+                    raise DialectError(
+                        f"{t} is a Kafka engine table — a streaming "
+                        "consumer, not a batch relation (CH direct "
+                        "reads consume the queue); query the attached "
+                        "materialized view, or read the stream with "
+                        "streaming.kafka_source.kafka_read_stream"
+                    )
             df = spark.sql(
                 transpile(
                     stmt,

@@ -181,3 +181,31 @@ def test_kafka_value_parse_csv_and_drop(spark):
     assert got == [(7, "foo", 1.5), (8, "bar", 2.5)]
     run_clickhouse_script(spark, "DROP TABLE csv_q;")
     assert lookup_kafka_info("csv_q") is None
+
+
+def test_kafka_queue_batch_access_refuses(spark):
+    """Batch access to a Kafka queue refuses with the contract
+    instead of an opaque table-not-found: direct SELECT consumes in
+    CH (query the MV instead), INSERT produces to the broker."""
+    import pytest
+
+    from clickhouse_vs_dbt_spark.ddl import (
+        DialectError,
+        transpile_ddl,
+        unregister_kafka_info,
+    )
+    from clickhouse_vs_dbt_spark.dialect import run_clickhouse_script
+
+    transpile_ddl(
+        "CREATE TABLE guard_q (k Int64) "
+        "ENGINE = Kafka('h:9092', 't', 'g', 'JSONEachRow')"
+    )
+    try:
+        with pytest.raises(DialectError, match="streaming consumer"):
+            run_clickhouse_script(spark, "SELECT count() FROM guard_q;")
+        with pytest.raises(DialectError, match="topic producer"):
+            run_clickhouse_script(
+                spark, "INSERT INTO guard_q SELECT 1;"
+            )
+    finally:
+        unregister_kafka_info("guard_q")
