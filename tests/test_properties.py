@@ -233,3 +233,72 @@ def test_array_cumsum_fold_matches_prefix_sums(spark, arr):
         acc = max(acc + x, 0)
         wantn.append(float(acc))
     assert row.cn == wantn
+
+
+pj_side_strategy = st.lists(
+    st.integers(min_value=-50, max_value=50),
+    min_size=1,
+    max_size=15,
+    unique=True,  # the rewrite orders by the PROJECTED keys, so the
+    # declared order must be total over them (the unprojected-
+    # tiebreaker form is the documented refusal-by-Spark-error)
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(left=pj_side_strategy, right=pj_side_strategy)
+def test_paste_join_zips_by_declared_order(spark, left, right):
+    """PASTE JOIN (r9) must equal the Python zip of the two sides
+    sorted by their declared keys, trimmed to min length — for any
+    sizes and negative values."""
+    from clickhouse_vs_dbt_spark.dialect import transpile
+
+    spark.createDataFrame(
+        [(v,) for v in left], "v long"
+    ).createOrReplaceTempView("pj_l")
+    spark.createDataFrame(
+        [(v,) for v in right], "v long"
+    ).createOrReplaceTempView("pj_r")
+    q = transpile(
+        "SELECT * FROM (SELECT v AS a FROM pj_l ORDER BY a) "
+        "PASTE JOIN (SELECT v AS b FROM pj_r ORDER BY b DESC)"
+    )
+    got = sorted(tuple(r) for r in spark.sql(q).collect())
+    want = sorted(zip(sorted(left), sorted(right, reverse=True)))
+    assert got == want
+
+
+argmax_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),  # group
+        st.integers(min_value=0, max_value=4),  # sub-group (merge split)
+        st.one_of(st.none(), st.integers(min_value=-9, max_value=9)),  # v
+        st.integers(min_value=0, max_value=99),  # arg
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(rows=argmax_strategy)
+def test_argmax_state_merge_matches_bruteforce(spark, rows):
+    """argMaxState/argMaxMerge (r9) through an arbitrary sub-group
+    split must equal the direct fold: max value, ties broken by max
+    arg, NULL values skipped, all-NULL groups yield NULL."""
+    from clickhouse_vs_dbt_spark.dialect import transpile
+
+    spark.createDataFrame(
+        rows, "g long, sg long, v long, a long"
+    ).createOrReplaceTempView("amp_t")
+    q = transpile(
+        "SELECT g, argMaxMerge(st) AS am FROM (SELECT g, sg, "
+        "argMaxState(a, v) AS st FROM amp_t GROUP BY g, sg) "
+        "GROUP BY g"
+    )
+    got = {r.g: r.am for r in spark.sql(q).collect()}
+    want = {}
+    for g in {r[0] for r in rows}:
+        pairs = [(v, a) for gg, _, v, a in rows if gg == g and v is not None]
+        want[g] = max(pairs)[1] if pairs else None
+    assert got == want
