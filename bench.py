@@ -237,6 +237,7 @@ HEADLINE = [
     "dialect_paste_join",
     "dialect_group_array_tiers",
     "dialect_idn_family",
+    "dialect_json_merge",
 ]
 
 

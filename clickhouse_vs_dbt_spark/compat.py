@@ -170,7 +170,7 @@ def t_pvalue(t: float, df: float) -> float:
 
 #: bump when the vectorized set below changes — the registration
 #: digest must move or live sessions keep stale definitions
-_VECTORIZED_VERSION = 4
+_VECTORIZED_VERSION = 5
 
 
 def _register_vectorized(spark: SparkSession) -> None:
@@ -289,6 +289,46 @@ def _register_vectorized(spark: SparkSession) -> None:
         return pd.Series(out, dtype="object")
 
     spark.udf.register("ch_idn", ch_idn)
+
+    import json as _json
+
+    def _merge_patch(t, p):
+        # RFC 7386: a non-object patch replaces; null patch values
+        # delete; objects merge recursively (target key order kept,
+        # patch-added keys appended — the CH/DuckDB output order)
+        if not isinstance(p, dict):
+            return p
+        if not isinstance(t, dict):
+            t = {}
+        for k, v in p.items():
+            if v is None:
+                t.pop(k, None)
+            else:
+                t[k] = _merge_patch(t.get(k), v)
+        return t
+
+    @pandas_udf("string")
+    def ch_json_merge_patch(a: pd.Series, b: pd.Series) -> pd.Series:
+        out = []
+        for ta, tb in zip(a, b):
+            if ta is None or tb is None:
+                out.append(None)
+                continue
+            try:
+                merged = _merge_patch(_json.loads(ta), _json.loads(tb))
+            except ValueError as e:
+                raise ValueError(
+                    f"JSONMergePatch: invalid JSON input "
+                    f"(ClickHouse throws here too): {e}"
+                ) from e
+            out.append(
+                _json.dumps(
+                    merged, separators=(",", ":"), ensure_ascii=False
+                )
+            )
+        return pd.Series(out, dtype="object")
+
+    spark.udf.register("ch_json_merge_patch", ch_json_merge_patch)
 
 
 # --- gated proof: a query written verbatim in the ClickHouse dialect ---

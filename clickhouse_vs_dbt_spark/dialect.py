@@ -3697,8 +3697,19 @@ def _render_call(name: str, args: list[str]) -> str:
             path = "$." + ".".join(a[1:-1] for a in args[1:])
             j = f"get_json_object({j}, '{path}')"
         return f"json_object_keys({j})"
+    if name == "JSONMergePatch" and len(args) >= 2:
+        # RFC 7386 merge patch via the stdlib json module (compat.py
+        # ch_json_merge_patch, Arrow-batched) — compact serialization,
+        # target key order preserved then patch-added keys, exactly
+        # the output shape CH and DuckDB's json_merge_patch produce;
+        # variadic folds left like CH.  Invalid JSON fails the task
+        # loudly (CH throws).
+        out = args[0]
+        for nxt in args[1:]:
+            out = f"ch_json_merge_patch({out}, {nxt})"
+        return out
     if name in ("JSONType", "JSONAllPaths", "JSONDynamicPaths",
-                "JSONSharedDataPaths", "JSONMergePatch"):
+                "JSONSharedDataPaths"):
         raise DialectError(
             f"{name}: ClickHouse's JSON type-introspection contract "
             "(UInt64-vs-Int64 classification, dynamic-path layout) "
@@ -10522,6 +10533,45 @@ def q_dialect_idn_family(
     )
 
 
+# 21h (r9). JSONMergePatch — RFC 7386 via the stdlib json module; the
+#     DuckDB oracle runs its native json_merge_patch (verified output-
+#     identical: compact serialization, target-order keys).  The JSON
+#     operands are built TEXTUALLY from table data so both engines see
+#     byte-identical inputs; variadic folds left.
+_CH_JSON_MERGE = """
+SELECT n_nationkey,
+       JSONMergePatch(
+           concat('{"name":"', n_name, '","rk":', toString(n_regionkey),
+                  ',"tmp":1}'),
+           concat('{"rk":', toString(n_regionkey + 100),
+                  ',"tmp":null}'),
+           '{"src":"patched"}') AS merged
+FROM nation
+ORDER BY n_nationkey
+"""
+
+O_JSON_MERGE = """
+SELECT n_nationkey,
+       CAST(json_merge_patch(json_merge_patch(
+           concat('{"name":"', n_name, '","rk":',
+                  CAST(n_regionkey AS VARCHAR), ',"tmp":1}'),
+           concat('{"rk":', CAST(n_regionkey + 100 AS VARCHAR),
+                  ',"tmp":null}')),
+           '{"src":"patched"}') AS VARCHAR) AS merged
+FROM nation
+ORDER BY n_nationkey
+"""
+
+
+def q_dialect_json_merge(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Verbatim ClickHouse JSONMergePatch query (module doc #21h)."""
+    return run_clickhouse_sql(
+        spark, _CH_JSON_MERGE, sf_dir, ("nation",)
+    )
+
+
 # 22. COLUMNS('regex') dynamic column selection + APPLY — expands via
 #     the catalog resolver to the matching columns in table order
 #     (re.search, ClickHouse's partial-match semantics), then the
@@ -11733,6 +11783,7 @@ QUERIES = {
     "dialect_paste_join": q_dialect_paste_join,
     "dialect_group_array_tiers": q_dialect_group_array_tiers,
     "dialect_idn_family": q_dialect_idn_family,
+    "dialect_json_merge": q_dialect_json_merge,
     "dialect_columns_select": q_dialect_columns_select,
     "dialect_dictionary": q_dialect_dictionary,
     "dialect_limit_by": q_dialect_limit_by,
@@ -11802,6 +11853,7 @@ ORACLES = {
     "dialect_paste_join": O_PASTE_JOIN,
     "dialect_group_array_tiers": _o_group_array_tiers(),
     "dialect_idn_family": O_IDN_FAMILY,
+    "dialect_json_merge": O_JSON_MERGE,
     "dialect_columns_select": O_COLUMNS_SELECT,
     "dialect_dictionary": O_DICTIONARY,
     "dialect_limit_by": O_LIMIT_BY,

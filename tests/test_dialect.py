@@ -2943,8 +2943,6 @@ def test_r8_scalar_batch4(spark):
     for bad, msg in [
         ("sumWithOverflow(x)", "wrap"),
         ("JSONType(j)", "introspection"),
-        ("JSONMergePatch(j, j)", "introspection"),
-        ("punycodeEncode(s)", "ICU"),
         ("queryID()", "internals"),
         ("hostName()", "internals"),
         ("quantileInterpolatedWeighted(0.5)(x, 1)", "ExactWeighted"),
@@ -3696,3 +3694,35 @@ def test_r9_idn_family(spark):
     # strict decode of invalid punycode fails the task loudly
     with pytest.raises(Exception, match="ch_idn|PythonException"):
         one("punycodeDecode('!!bad!!')")
+
+
+def test_r9_json_merge_patch(spark):
+    """r9: JSONMergePatch via the stdlib RFC 7386 merge — null patch
+    values delete, nested objects merge recursively, non-objects
+    replace, variadic folds left, NULL propagates, invalid JSON fails
+    loudly."""
+    from clickhouse_vs_dbt_spark.compat import register_clickhouse_compat
+
+    register_clickhouse_compat(spark)
+
+    def one(e):
+        return spark.sql(transpile(f"SELECT {e} AS r")).first().r
+
+    assert (
+        one("""JSONMergePatch('{"a":1,"b":{"c":2,"d":3}}',
+                              '{"b":{"c":null,"e":9},"f":[1,2]}')""")
+        == '{"a":1,"b":{"d":3,"e":9},"f":[1,2]}'
+    )
+    # non-object patch replaces wholesale; arrays never merge
+    assert one("""JSONMergePatch('{"a":1}', '[5]')""") == "[5]"
+    assert one("""JSONMergePatch('{"a":[1,2]}', '{"a":[3]}')""") == (
+        '{"a":[3]}'
+    )
+    # variadic folds left
+    assert (
+        one("""JSONMergePatch('{"a":1}', '{"b":2}', '{"a":null}')""")
+        == '{"b":2}'
+    )
+    assert one("JSONMergePatch(CAST(NULL AS STRING), '{}')") is None
+    with pytest.raises(Exception, match="JSONMergePatch|PythonException"):
+        one("JSONMergePatch('not json', '{}')")
