@@ -238,6 +238,7 @@ HEADLINE = [
     "dialect_group_array_tiers",
     "dialect_idn_family",
     "dialect_json_merge",
+    "dialect_probe14",
 ]
 
 

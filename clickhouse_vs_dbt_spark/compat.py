@@ -170,7 +170,7 @@ def t_pvalue(t: float, df: float) -> float:
 
 #: bump when the vectorized set below changes — the registration
 #: digest must move or live sessions keep stale definitions
-_VECTORIZED_VERSION = 5
+_VECTORIZED_VERSION = 6
 
 
 def _register_vectorized(spark: SparkSession) -> None:
@@ -329,6 +329,43 @@ def _register_vectorized(spark: SparkSession) -> None:
         return pd.Series(out, dtype="object")
 
     spark.udf.register("ch_json_merge_patch", ch_json_merge_patch)
+
+    def _json_type(v) -> str:
+        # bool BEFORE int (bool subclasses int in Python); integer
+        # width classification follows simdjson: unsigned only when
+        # the value exceeds int64 range
+        if v is None:
+            return "Null"
+        if isinstance(v, bool):
+            return "Bool"
+        if isinstance(v, dict):
+            return "Object"
+        if isinstance(v, list):
+            return "Array"
+        if isinstance(v, str):
+            return "String"
+        if isinstance(v, int):
+            return "UInt64" if v > (1 << 63) - 1 else "Int64"
+        return "Double"
+
+    @pandas_udf("string")
+    def ch_json_type(s: pd.Series) -> pd.Series:
+        """Root JSON type name (CH JSONType spelling: Object/Array/
+        String/Int64/UInt64/Double/Bool/Null); unparseable input
+        yields 'Null', the miss marker these functions use instead of
+        throwing."""
+        out = []
+        for v in s:
+            if v is None:
+                out.append(None)
+                continue
+            try:
+                out.append(_json_type(_json.loads(v)))
+            except ValueError:
+                out.append("Null")
+        return pd.Series(out, dtype="object")
+
+    spark.udf.register("ch_json_type", ch_json_type)
 
 
 # --- gated proof: a query written verbatim in the ClickHouse dialect ---

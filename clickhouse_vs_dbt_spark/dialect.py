@@ -3537,6 +3537,30 @@ def _render_call(name: str, args: list[str]) -> str:
                 return _qt_merge_sql(
                     args[0], "0.5", restate=suffix == "MergeState"
                 )
+            if base in ("sumMap", "minMap", "maxMap") and suffix in (
+                "State", "Merge", "MergeState",
+            ) and not has_if:
+                # -Map aggregates are SELF-MERGING: the partial
+                # per-key reduction (the sumMap result struct of
+                # sorted parallel arrays) is closed under another
+                # per-key reduction, so -State emits the plain
+                # aggregate and -Merge re-folds the state structs'
+                # (keys, values) pairs through the identical RLE fold
+                if suffix == "State":
+                    if len(args) not in (1, 2):
+                        raise DialectError(
+                            f"{name} takes (keys, values) or (map)"
+                        )
+                    return _render_call(base, args)
+                if len(args) != 1:
+                    raise DialectError(
+                        f"{name} takes the single state column "
+                        "(the tuple-of-arrays sumMap state)"
+                    )
+                st = args[0]
+                return _render_call(
+                    base, [f"({st}).keys", f"({st}).values"]
+                )
             if base in ("argMax", "argMin") and suffix in (
                 "State", "Merge", "MergeState",
             ):
@@ -3587,10 +3611,10 @@ def _render_call(name: str, args: list[str]) -> str:
                     "an engine-internal byte state with no portable "
                     "Spark value; sum/count/min/max/avg/uniqExact/"
                     "groupArray/uniq/quantile/quantileExact/"
-                    "quantileTiming/argMax/argMin States ARE "
-                    "transpiled — see mergetree_aggregating (and "
-                    "incremental_agg_mv / transpile_materialized_view "
-                    "for maintained state)"
+                    "quantileTiming/argMax/argMin/sumMap/minMap/"
+                    "maxMap States ARE transpiled — see "
+                    "mergetree_aggregating (and incremental_agg_mv / "
+                    "transpile_materialized_view for maintained state)"
                 )
     if (
         name.endswith(("ArgMax", "ArgMin"))
@@ -3708,6 +3732,13 @@ def _render_call(name: str, args: list[str]) -> str:
         for nxt in args[1:]:
             out = f"ch_json_merge_patch({out}, {nxt})"
         return out
+    if name == "JSONType" and len(args) == 1:
+        # root-document form via the stdlib json parse (compat.py
+        # ch_json_type) — CH's type names incl. the simdjson
+        # Int64/UInt64 width split; path-argument forms keep the
+        # refusal below (CH's 1-based/negative index walk over the
+        # raw document has no faithful get_json_object spelling)
+        return f"ch_json_type({args[0]})"
     if name in ("JSONType", "JSONAllPaths", "JSONDynamicPaths",
                 "JSONSharedDataPaths"):
         raise DialectError(
@@ -10572,6 +10603,88 @@ def q_dialect_json_merge(
     )
 
 
+# 21i (r9). sumMap -State/-Merge (self-merging per-key partials —
+#     the partial tuple-of-arrays IS the state, merge re-folds the
+#     pairs) and root-form JSONType (stdlib parse classification,
+#     simdjson's Int64/UInt64 width split).  The inner level groups
+#     by month, the outer merges to per-status per-key totals; the
+#     JSONType column classifies per-row constructed documents.
+_CH_PROBE14 = """
+SELECT o_orderstatus,
+       arrayStringConcat(arrayMap(k -> toString(k),
+           tupleElement(sumMapMerge(sm), 'keys')), ',')
+         AS merged_keys,
+       arrayStringConcat(arrayMap(v -> toString(v),
+           tupleElement(sumMapMerge(sm), 'values')), ',')
+         AS merged_vals,
+       arrayStringConcat(arrayMap(v -> toString(v),
+           tupleElement(minMapMerge(mm), 'values')), ',')
+         AS min_vals,
+       countIf(jt = 'Object') AS n_obj,
+       countIf(jt = 'Array') AS n_arr,
+       countIf(jt = 'UInt64') AS n_u64,
+       countIf(jt = 'Int64') AS n_i64,
+       countIf(jt = 'Null') AS n_null
+FROM (
+    SELECT toYYYYMM(o_orderdate) AS ym, o_orderstatus,
+           sumMapState([o_orderkey % 3], [1]) AS sm,
+           minMapState([o_orderkey % 3], [o_orderkey]) AS mm,
+           JSONType(caseWithExpression(min(o_orderkey) % 5,
+               0, '{"a":1}',
+               1, '[1,2]',
+               2, '18446744073709551615',
+               3, '-7',
+               'not json')) AS jt
+    FROM orders
+    GROUP BY ym, o_orderstatus
+)
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+O_PROBE14 = """
+WITH sm AS (
+  SELECT o_orderstatus,
+         string_agg(CAST(k AS VARCHAR), ',' ORDER BY k) AS merged_keys,
+         string_agg(CAST(CAST(c AS DOUBLE) AS VARCHAR), ','
+                    ORDER BY k) AS merged_vals,
+         string_agg(CAST(CAST(mn AS DOUBLE) AS VARCHAR), ','
+                    ORDER BY k) AS min_vals
+  FROM (SELECT o_orderstatus, o_orderkey % 3 AS k,
+               COUNT(*) AS c, MIN(o_orderkey) AS mn
+        FROM orders GROUP BY 1, 2)
+  GROUP BY o_orderstatus),
+jt AS (
+  SELECT o_orderstatus,
+         COUNT(CASE WHEN m = 0 THEN 1 END) AS n_obj,
+         COUNT(CASE WHEN m = 1 THEN 1 END) AS n_arr,
+         COUNT(CASE WHEN m = 2 THEN 1 END) AS n_u64,
+         COUNT(CASE WHEN m = 3 THEN 1 END) AS n_i64,
+         COUNT(CASE WHEN m = 4 THEN 1 END) AS n_null
+  FROM (SELECT o_orderstatus, MIN(o_orderkey) % 5 AS m
+        FROM (SELECT o_orderstatus,
+                     CAST(strftime(o_orderdate, '%Y%m') AS BIGINT)
+                       AS ym, o_orderkey
+              FROM orders)
+        GROUP BY o_orderstatus, ym)
+  GROUP BY o_orderstatus)
+SELECT sm.o_orderstatus, merged_keys, merged_vals, min_vals,
+       n_obj, n_arr, n_u64, n_i64, n_null
+FROM sm JOIN jt ON sm.o_orderstatus = jt.o_orderstatus
+ORDER BY sm.o_orderstatus
+"""
+
+
+def q_dialect_probe14(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Verbatim ClickHouse sumMap/minMap -State/-Merge + JSONType
+    query (module doc #21i)."""
+    return run_clickhouse_sql(
+        spark, _CH_PROBE14, sf_dir, ("orders",)
+    )
+
+
 # 22. COLUMNS('regex') dynamic column selection + APPLY — expands via
 #     the catalog resolver to the matching columns in table order
 #     (re.search, ClickHouse's partial-match semantics), then the
@@ -11784,6 +11897,7 @@ QUERIES = {
     "dialect_group_array_tiers": q_dialect_group_array_tiers,
     "dialect_idn_family": q_dialect_idn_family,
     "dialect_json_merge": q_dialect_json_merge,
+    "dialect_probe14": q_dialect_probe14,
     "dialect_columns_select": q_dialect_columns_select,
     "dialect_dictionary": q_dialect_dictionary,
     "dialect_limit_by": q_dialect_limit_by,
@@ -11854,6 +11968,7 @@ ORACLES = {
     "dialect_group_array_tiers": _o_group_array_tiers(),
     "dialect_idn_family": O_IDN_FAMILY,
     "dialect_json_merge": O_JSON_MERGE,
+    "dialect_probe14": O_PROBE14,
     "dialect_columns_select": O_COLUMNS_SELECT,
     "dialect_dictionary": O_DICTIONARY,
     "dialect_limit_by": O_LIMIT_BY,

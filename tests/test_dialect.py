@@ -2942,7 +2942,8 @@ def test_r8_scalar_batch4(spark):
 
     for bad, msg in [
         ("sumWithOverflow(x)", "wrap"),
-        ("JSONType(j)", "introspection"),
+        ("JSONType(j, 'a')", "introspection"),  # path form refuses
+        ("JSONAllPaths(j)", "introspection"),
         ("queryID()", "internals"),
         ("hostName()", "internals"),
         ("quantileInterpolatedWeighted(0.5)(x, 1)", "ExactWeighted"),
@@ -3167,7 +3168,7 @@ def test_r8_scalar_batch7(spark):
 
     for bad, msg in [
         ("topKMerge(3)(s)", "engine-internal"),
-        ("sumMapMerge(s)", "engine-internal"),
+        ("histogramMerge(s)", "engine-internal"),
         ("histogramState(10)(x)", "engine-internal"),
         ("windowFunnelMerge(s)", "engine-internal"),
     ]:
@@ -3726,3 +3727,47 @@ def test_r9_json_merge_patch(spark):
     assert one("JSONMergePatch(CAST(NULL AS STRING), '{}')") is None
     with pytest.raises(Exception, match="JSONMergePatch|PythonException"):
         one("JSONMergePatch('not json', '{}')")
+
+
+def test_r9_summap_state_and_json_type(spark):
+    """r9: sumMap/minMap/maxMap -State/-Merge (self-merging per-key
+    partials) and root-form JSONType classification."""
+    from clickhouse_vs_dbt_spark.compat import register_clickhouse_compat
+
+    register_clickhouse_compat(spark)
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW smm_t AS SELECT id % 2 AS sg, "
+        "array(id % 3) AS k, array(CAST(1 AS INT)) AS one, "
+        "array(id) AS v FROM range(12)"
+    )
+    q = transpile(
+        "SELECT tupleElement(sumMapMerge(s), 'keys') AS mk, "
+        "tupleElement(sumMapMerge(s), 'values') AS mv, "
+        "tupleElement(maxMapMerge(x), 'values') AS xv "
+        "FROM (SELECT sg, sumMapState(k, one) AS s, "
+        "maxMapState(k, v) AS x FROM smm_t GROUP BY sg)"
+    )
+    r = spark.sql(q).first()
+    assert list(r.mk) == [0, 1, 2]
+    assert [float(v) for v in r.mv] == [4.0, 4.0, 4.0]
+    # max id per id%3 bucket over range(12): 9, 10, 11
+    assert [float(v) for v in r.xv] == [9.0, 10.0, 11.0]
+    with pytest.raises(DialectError, match="single state column"):
+        transpile("SELECT sumMapMerge(a, b) FROM smm_t")
+
+    def one(e):
+        return spark.sql(transpile(f"SELECT {e} AS r")).first().r
+
+    assert one("JSONType('{\"a\":1}')") == "Object"
+    assert one("JSONType('[1,2]')") == "Array"
+    assert one("JSONType('\"x\"')") == "String"
+    assert one("JSONType('true')") == "Bool"
+    assert one("JSONType('-7')") == "Int64"
+    assert one("JSONType('9223372036854775807')") == "Int64"
+    assert one("JSONType('9223372036854775808')") == "UInt64"
+    assert one("JSONType('1.5')") == "Double"
+    assert one("JSONType('null')") == "Null"
+    assert one("JSONType('not json')") == "Null"
+    assert one("JSONType(CAST(NULL AS STRING))") is None
+    with pytest.raises(DialectError, match="introspection"):
+        transpile("SELECT JSONType('{}', 'a')")
