@@ -104,6 +104,15 @@ SHOWCASE = [
     ("dialect_vector_math", "vector norms as codegen HOF folds inside "
                             "the scan stage — no UDF, no extra "
                             "exchange (r8)"),
+    ("dialect_state_merge4", "argMax state merge: two stacked keyed "
+                             "hash aggregates over ONE (value, arg) "
+                             "struct per group — constant state, "
+                             "map-side combine at both levels (r9)"),
+    ("dialect_paste_join", "PASTE JOIN: per-side TakeOrdered (LIMIT-"
+                           "bounded) + row_number windows feeding a "
+                           "single position join — the inherent "
+                           "positional-semantics sort, nothing "
+                           "quadratic (r9)"),
 ]
 
 
