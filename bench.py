@@ -239,6 +239,7 @@ HEADLINE = [
     "dialect_idn_family",
     "dialect_json_merge",
     "dialect_probe14",
+    "dialect_interval_sweeps",
 ]
 
 

@@ -2717,6 +2717,47 @@ def _render_call(name: str, args: list[str]) -> str:
             "'m', greatest(a.m, a.c + x.d)), "
             "a -> CAST(a.m AS BIGINT))"
         )
+    if name == "maxIntersectionsPosition" and len(args) == 2:
+        # the LEFTMOST sweep point where the overlap count reaches
+        # its maximum (CH returns the start position of the peak) —
+        # the same ±1 sweep as maxIntersections with an argmax carry;
+        # strict > keeps the first peak on ties
+        s0, e0 = args
+        pts = (
+            f"array_sort(flatten(collect_list(array("
+            f"named_struct('p', CAST({s0} AS DOUBLE), 'd', 1), "
+            f"named_struct('p', CAST({e0} AS DOUBLE), 'd', -1)))))"
+        )
+        return (
+            f"aggregate({pts}, "
+            "named_struct('c', 0, 'm', 0, 'pos', "
+            "CAST(NULL AS DOUBLE)), "
+            "(a, x) -> named_struct('c', a.c + x.d, "
+            "'m', greatest(a.m, a.c + x.d), "
+            "'pos', IF(a.c + x.d > a.m, x.p, a.pos)), "
+            "a -> a.pos)"
+        )
+    if name == "intervalLengthSum" and len(args) == 2:
+        # total length of the UNION of [start, end] intervals
+        # (overlaps merged, empty/inverted intervals contribute 0):
+        # sort by start, one sweep fold carrying (total, cur_end) —
+        # bounded per-group state, codegen HOFs; values accumulate in
+        # DOUBLE (the arraySum policy)
+        s0, e0 = args
+        iv = (
+            f"array_sort(collect_list(named_struct("
+            f"'s', CAST({s0} AS DOUBLE), 'e', CAST({e0} AS DOUBLE))))"
+        )
+        return (
+            f"aggregate({iv}, "
+            "named_struct('t', CAST(0 AS DOUBLE), "
+            "'ce', CAST(NULL AS DOUBLE)), "
+            "(a, x) -> named_struct("
+            "'t', a.t + greatest(CAST(0 AS DOUBLE), "
+            "x.e - greatest(x.s, coalesce(a.ce, x.s))), "
+            "'ce', greatest(coalesce(a.ce, x.e), x.e)), "
+            "a -> a.t)"
+        )
     if name == "toUnixTimestamp" and len(args) == 1:
         return f"unix_timestamp({args[0]})"
     if name == "toTime" and len(args) == 1:
@@ -2885,17 +2926,27 @@ def _render_call(name: str, args: list[str]) -> str:
     if name in (
         "mannWhitneyUTest", "kolmogorovSmirnovTest",
         "cramersV", "cramersVBiasCorrected", "theilsU", "contingency",
-        "entropy",
+        "entropy", "categoricalInformationValue", "rankCorr",
     ):
         raise DialectError(
-            f"{name}: two-level statistics (per-value counts feeding "
-            "a global statistic) — use the gated operators: "
+            f"{name}: two-level statistics (per-value counts/ranks "
+            "feeding a global statistic) — use the gated operators: "
             "stats_mann_whitney (rank-sum over distinct-value "
             "counts), stats_ks_test (ECDF max-gap + asymptotic "
-            "Kolmogorov tail), and stats_categorical_assoc "
-            "(cramersV[BiasCorrected] / theilsU / entropy over the "
-            "contingency table) in operators/stats.py; "
+            "Kolmogorov tail), stats_categorical_assoc "
+            "(cramersV[BiasCorrected] / theilsU / entropy / IV over "
+            "the contingency table) and events_rank_corr (Spearman "
+            "via two-pass range-partitioned ranking) in operators/; "
             "studentTTest/welchTTest transpile directly"
+        )
+    if name in (
+        "stochasticLinearRegression", "stochasticLogisticRegression",
+    ):
+        raise DialectError(
+            f"{name}: SGD training inside an aggregate is batch-order"
+            "-dependent (CH documents the non-determinism) — "
+            "simpleLinearRegression transpiles exactly (closed-form "
+            "least squares), and operators/mlinfer.py serves scoring"
         )
     if name == "meanZTest":
         raise DialectError(
@@ -10685,6 +10736,76 @@ def q_dialect_probe14(
     )
 
 
+# 21j (r9). interval sweeps: intervalLengthSum (union length, overlaps
+#     merged) and maxIntersectionsPosition (leftmost peak point) —
+#     both as bounded per-group sweep folds (the maxIntersections
+#     machinery); the oracle runs the identical sweep with window
+#     functions (running-max prev-end / cumulative ±1 with
+#     first-global-max pick).
+_CH_INTERVAL_SWEEPS = """
+SELECT o_orderstatus,
+       intervalLengthSum(o_orderkey % 97,
+                         o_orderkey % 97 + o_orderkey % 7) AS ils,
+       maxIntersections(o_orderkey % 97,
+                        o_orderkey % 97 + o_orderkey % 7) AS mi,
+       maxIntersectionsPosition(o_orderkey % 97,
+                                o_orderkey % 97 + o_orderkey % 7)
+         AS mip
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+O_INTERVAL_SWEEPS = """
+WITH seg AS (
+  SELECT o_orderstatus AS st,
+         CAST(o_orderkey % 97 AS DOUBLE) AS s,
+         CAST(o_orderkey % 97 + o_orderkey % 7 AS DOUBLE) AS e
+  FROM orders),
+ord AS (
+  SELECT st, s, e,
+         MAX(e) OVER (PARTITION BY st ORDER BY s, e
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND 1 PRECEDING) AS prev_ce
+  FROM seg),
+ils AS (
+  SELECT st, SUM(greatest(CAST(0 AS DOUBLE),
+                 e - greatest(s, coalesce(prev_ce, s)))) AS ils
+  FROM ord GROUP BY st),
+pts AS (
+  SELECT st, s AS p, 1 AS d FROM seg
+  UNION ALL
+  SELECT st, e, -1 FROM seg),
+sweep AS (
+  SELECT st, p, d,
+         SUM(d) OVER (PARTITION BY st ORDER BY p, d
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW) AS cum,
+         row_number() OVER (PARTITION BY st ORDER BY p, d) AS rn
+  FROM pts),
+mi AS (
+  SELECT st, CAST(MAX(cum) AS BIGINT) AS mi,
+         arg_min(p, rn) FILTER (
+           WHERE cum = (SELECT MAX(s2.cum) FROM sweep s2
+                        WHERE s2.st = sweep.st)) AS mip
+  FROM sweep GROUP BY st)
+SELECT ils.st AS o_orderstatus, ils.ils AS ils, mi.mi AS mi,
+       mi.mip AS mip
+FROM ils JOIN mi ON ils.st = mi.st
+ORDER BY o_orderstatus
+"""
+
+
+def q_dialect_interval_sweeps(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Verbatim ClickHouse interval-sweep aggregates (module doc
+    #21j)."""
+    return run_clickhouse_sql(
+        spark, _CH_INTERVAL_SWEEPS, sf_dir, ("orders",)
+    )
+
+
 # 22. COLUMNS('regex') dynamic column selection + APPLY — expands via
 #     the catalog resolver to the matching columns in table order
 #     (re.search, ClickHouse's partial-match semantics), then the
@@ -11898,6 +12019,7 @@ QUERIES = {
     "dialect_idn_family": q_dialect_idn_family,
     "dialect_json_merge": q_dialect_json_merge,
     "dialect_probe14": q_dialect_probe14,
+    "dialect_interval_sweeps": q_dialect_interval_sweeps,
     "dialect_columns_select": q_dialect_columns_select,
     "dialect_dictionary": q_dialect_dictionary,
     "dialect_limit_by": q_dialect_limit_by,
@@ -11969,6 +12091,7 @@ ORACLES = {
     "dialect_idn_family": O_IDN_FAMILY,
     "dialect_json_merge": O_JSON_MERGE,
     "dialect_probe14": O_PROBE14,
+    "dialect_interval_sweeps": O_INTERVAL_SWEEPS,
     "dialect_columns_select": O_COLUMNS_SELECT,
     "dialect_dictionary": O_DICTIONARY,
     "dialect_limit_by": O_LIMIT_BY,

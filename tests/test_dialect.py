@@ -3771,3 +3771,42 @@ def test_r9_summap_state_and_json_type(spark):
     assert one("JSONType(CAST(NULL AS STRING))") is None
     with pytest.raises(DialectError, match="introspection"):
         transpile("SELECT JSONType('{}', 'a')")
+
+
+def test_r9_interval_sweeps(spark):
+    """r9: intervalLengthSum (union length, overlaps merged,
+    inverted intervals contribute 0) and maxIntersectionsPosition
+    (leftmost peak point, first peak kept on ties)."""
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW ivs_t AS SELECT * FROM VALUES "
+        "(0, 3), (2, 5), (10, 11), (7, 6) AS t(s, e)"
+    )
+
+    def one(e):
+        return spark.sql(
+            transpile(f"SELECT {e} AS r FROM ivs_t")
+        ).first().r
+
+    # union [0,5] + [10,11] = 6; the inverted [7,6] adds 0
+    assert one("intervalLengthSum(s, e)") == 6.0
+    assert one("maxIntersectionsPosition(s, e)") == 2.0
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW ivs_t2 AS SELECT * FROM VALUES "
+        "(1, 10), (2, 3), (2, 4), (8, 9) AS t(s, e)"
+    )
+    r = spark.sql(
+        transpile(
+            "SELECT maxIntersections(s, e) AS m, "
+            "maxIntersectionsPosition(s, e) AS p, "
+            "intervalLengthSum(s, e) AS l FROM ivs_t2"
+        )
+    ).first()
+    assert (r.m, r.p, r.l) == (3, 2.0, 9.0)
+    # two-level statistics now include rankCorr / IV; SGD refuses
+    for bad, msg in [
+        ("rankCorr(s, e)", "events_rank_corr"),
+        ("categoricalInformationValue(s, e)", "contingency table"),
+        ("stochasticLinearRegression(s, e)", "batch-order"),
+    ]:
+        with pytest.raises(DialectError, match=msg):
+            transpile(f"SELECT {bad} FROM ivs_t")
