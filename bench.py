@@ -240,6 +240,7 @@ HEADLINE = [
     "dialect_json_merge",
     "dialect_probe14",
     "dialect_interval_sweeps",
+    "dialect_probe15",
 ]
 
 

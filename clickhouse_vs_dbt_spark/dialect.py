@@ -1389,13 +1389,32 @@ def _render_call(name: str, args: list[str]) -> str:
         return f"unhex(sha2({args[0]}, {bits}))"
     if name in (
         "cityHash64", "sipHash64", "farmHash64", "metroHash64",
-        "farmFingerprint64", "halfMD5", "xxHash64",
+        "farmFingerprint64", "halfMD5", "xxHash64", "wyHash64",
     ) and args:
         # role parity, not bit parity: stable 64-bit bucketing hash
         # within THIS engine (xxhash64/seed-42).  Values differ from
         # ClickHouse's — re-derive persisted hashes on migration
         # (MIGRATION.md).
         return f"xxhash64({joined})"
+    if name == "sipHash128" and args:
+        # 128-bit fingerprint role → the md5 digest (binary, same
+        # width); same role-parity caveat as the 64-bit family
+        inner = (
+            args[0] if len(args) == 1
+            else f"concat_ws(char(1), {joined})"
+        )
+        return f"unhex(md5({inner}))"
+    if name in ("javaHash", "hiveHash") and args:
+        # INTEROP hashes: their whole purpose is bit-compat with an
+        # external system (Java String.hashCode / Hive bucketing), so
+        # the role-parity xxhash64 mapping would silently break the
+        # external contract — refuse instead
+        raise DialectError(
+            f"{name} exists for bit-compatibility with an external "
+            "system; a role-parity rewrite would break that contract "
+            "— compute it in the external system's runtime, or use "
+            "xxHash64/cityHash64 for engine-internal bucketing"
+        )
     if name == "xxHash32" and args:
         return f"(xxhash64({joined}) & 4294967295)"
     if name == "arrayZip" and len(args) >= 2:
@@ -2760,6 +2779,68 @@ def _render_call(name: str, args: list[str]) -> str:
         )
     if name == "toUnixTimestamp" and len(args) == 1:
         return f"unix_timestamp({args[0]})"
+    if name in ("toUTCTimestamp", "fromUTCTimestamp") and len(args) == 2:
+        # CH added these AS Spark-compat functions — identical
+        # contract to Spark's to_utc_timestamp/from_utc_timestamp
+        fn = ("to_utc_timestamp" if name.startswith("to")
+              else "from_utc_timestamp")
+        return f"{fn}({args[0]}, {args[1]})"
+    if name == "YYYYMMDDToDate" and len(args) == 1:
+        # invalid numbers yield NULL (Spark's parse-miss marker; CH
+        # yields its zero date — the documented miss-value divergence
+        # class, same as arrayFirst/subscripts)
+        return (
+            f"try_to_date(CAST(CAST({args[0]} AS BIGINT) AS STRING), "
+            "'yyyyMMdd')"
+        )
+    if name == "YYYYMMDDhhmmssToDateTime" and len(args) == 1:
+        return (
+            f"try_to_timestamp(CAST(CAST({args[0]} AS BIGINT) AS "
+            "STRING), 'yyyyMMddHHmmss')"
+        )
+    if name == "toDateTime64" and len(args) == 2:
+        try:
+            prec = int(args[1])
+        except ValueError:
+            raise DialectError(
+                "toDateTime64 precision must be a literal integer"
+            )
+        if prec > 6:
+            raise DialectError(
+                "toDateTime64 precision > 6: Spark timestamps are "
+                "microsecond-resolution — sub-micro digits would "
+                "silently truncate"
+            )
+        return f"CAST({args[0]} AS TIMESTAMP)"
+    if name in ("mapExists", "mapAll") and len(args) == 2:
+        # lambda-first → map-first rotation; run the predicate
+        # through Spark's native map_filter so the (k, v) lambda
+        # passes through untouched
+        lam, m = args
+        sz = f"size(map_filter({m}, {lam}))"
+        if name == "mapExists":
+            return f"({sz} > 0)"
+        return f"({sz} = size({m}))"
+    if name in ("mapSort", "mapReverseSort") and len(args) == 1:
+        ents = f"array_sort(map_entries({args[0]}))"
+        if name == "mapReverseSort":
+            ents = f"reverse({ents})"
+        return f"map_from_entries({ents})"
+    if name in ("mapPartialSort", "mapPartialReverseSort"):
+        raise DialectError(
+            f"{name}: the limit-sort leaves the tail order "
+            "UNSPECIFIED (CH documents it as arbitrary) — use "
+            "mapSort/mapReverseSort for the deterministic full sort"
+        )
+    if name in (
+        "minSampleSizeContinuous", "minSampleSizeConversion",
+    ):
+        raise DialectError(
+            f"{name}: needs normal quantiles of runtime power/alpha "
+            "arguments (no Catalyst inverse-CDF); for literal "
+            "confidence the meanZTest transpile-time fold pattern "
+            "applies — compute the closed form in the caller"
+        )
     if name == "toTime" and len(args) == 1:
         # CH: move the time-of-day onto the fixed date 1970-01-02
         return (
@@ -3460,6 +3541,29 @@ def _render_call(name: str, args: list[str]) -> str:
                     f"(CAST(sum(({st}).s) AS DOUBLE) / "
                     f"CAST(sum(({st}).c) AS DOUBLE))"
                 )
+            if base == "groupBitmap" and suffix in (
+                "State", "Merge", "MergeState",
+            ) and not has_if:
+                # groupBitmap's portable state IS the repo's bitmap
+                # representation (sorted distinct array — the r8
+                # bitmap family), so -State collects it and -Merge
+                # unions + counts, exactly uniqExact's shape
+                if suffix == "State":
+                    if len(args) != 1:
+                        raise DialectError(
+                            f"{name} takes one argument"
+                        )
+                    return f"array_sort(collect_set({args[0]}))"
+                if len(args) != 1:
+                    raise DialectError(
+                        f"{name} takes the single state column"
+                    )
+                merged = (
+                    f"array_distinct(flatten(collect_list({args[0]})))"
+                )
+                if suffix == "MergeState":
+                    return f"array_sort({merged})"
+                return f"CAST(size({merged}) AS BIGINT)"
             if base == "uniqExact" and suffix in (
                 "State", "Merge", "MergeState",
             ):
@@ -3739,6 +3843,34 @@ def _render_call(name: str, args: list[str]) -> str:
             f"ELSE aggregate(slice(__ls, 2, size(__ls) - 1), "
             f"element_at(__ls, 1), "
             f"(__ac, __ar) -> array_intersect(__ac, __ar)) END), 1)"
+        )
+    if name in (
+        "groupBitmapAnd", "groupBitmapOr", "groupBitmapXor",
+    ) and len(args) == 1:
+        # bitmap-column aggregates over the repo's sorted-distinct-
+        # array bitmap representation (r8 bitmap family):
+        # And = |∩ of the group's bitmaps| (the groupArrayIntersect
+        # fold), Or = |∪| (distinct flatten), Xor = |symmetric
+        # difference fold| (a value survives iff present in an odd
+        # number of bitmaps)
+        b = args[0]
+        if name == "groupBitmapOr":
+            return (
+                f"CAST(size(array_distinct(flatten("
+                f"collect_list({b})))) AS BIGINT)"
+            )
+        if name == "groupBitmapAnd":
+            inner = _render_call("groupArrayIntersect", [b])
+            return f"CAST(size({inner}) AS BIGINT)"
+        return (
+            f"element_at(transform(array(collect_list("
+            f"array_distinct({b}))), "
+            f"__ls -> CASE WHEN size(__ls) = 0 THEN CAST(0 AS BIGINT) "
+            f"ELSE CAST(size(aggregate(slice(__ls, 2, size(__ls) - 1), "
+            f"element_at(__ls, 1), "
+            f"(__ac, __ar) -> array_union("
+            f"array_except(__ac, __ar), array_except(__ar, __ac)))) "
+            f"AS BIGINT) END), 1)"
         )
     if name in (
         "corrMatrix", "covarSampMatrix", "covarPopMatrix",
@@ -10806,6 +10938,54 @@ def q_dialect_interval_sweeps(
     )
 
 
+# 21k (r9). bitmap-column aggregates over the sorted-distinct-array
+#     bitmap representation: within each (status, parity) group every
+#     row carries the SAME 2-element bitmap, so And/Or = 2 and Xor
+#     flips with the group's row-count parity — a value-sensitive
+#     check of all three folds; the two-level groupBitmapState/Merge
+#     equals the direct distinct count; plus the Spark-compat date
+#     arrivals (YYYYMMDDToDate, toUTCTimestamp).
+_CH_PROBE15 = """
+SELECT o_orderstatus, par,
+       groupBitmapAnd(bm) AS b_and,
+       groupBitmapOr(bm) AS b_or,
+       groupBitmapXor(bm) AS b_xor,
+       min(YYYYMMDDToDate(20240100 + par + 1)) AS d1,
+       toDate(min(toUTCTimestamp(
+           makeDateTime(2024, 3, 15, 10, 0, 0), 'UTC'))) AS d2
+FROM (
+    SELECT o_orderstatus, o_orderkey % 2 AS par,
+           bitmapBuild([o_orderkey % 2, o_orderkey % 2 + 2]) AS bm
+    FROM orders
+)
+GROUP BY o_orderstatus, par
+ORDER BY o_orderstatus, par
+"""
+
+O_PROBE15 = """
+SELECT o_orderstatus, o_orderkey % 2 AS par,
+       CAST(2 AS BIGINT) AS b_and,
+       CAST(2 AS BIGINT) AS b_or,
+       CAST(CASE WHEN COUNT(*) % 2 = 1 THEN 2 ELSE 0 END AS BIGINT)
+         AS b_xor,
+       DATE '2024-01-01' + CAST(o_orderkey % 2 AS INT) AS d1,
+       DATE '2024-03-15' AS d2
+FROM orders
+GROUP BY o_orderstatus, par
+ORDER BY o_orderstatus, par
+"""
+
+
+def q_dialect_probe15(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Verbatim ClickHouse bitmap-aggregate + date-arrival query
+    (module doc #21k)."""
+    return run_clickhouse_sql(
+        spark, _CH_PROBE15, sf_dir, ("orders",)
+    )
+
+
 # 22. COLUMNS('regex') dynamic column selection + APPLY — expands via
 #     the catalog resolver to the matching columns in table order
 #     (re.search, ClickHouse's partial-match semantics), then the
@@ -12020,6 +12200,7 @@ QUERIES = {
     "dialect_json_merge": q_dialect_json_merge,
     "dialect_probe14": q_dialect_probe14,
     "dialect_interval_sweeps": q_dialect_interval_sweeps,
+    "dialect_probe15": q_dialect_probe15,
     "dialect_columns_select": q_dialect_columns_select,
     "dialect_dictionary": q_dialect_dictionary,
     "dialect_limit_by": q_dialect_limit_by,
@@ -12092,6 +12273,7 @@ ORACLES = {
     "dialect_json_merge": O_JSON_MERGE,
     "dialect_probe14": O_PROBE14,
     "dialect_interval_sweeps": O_INTERVAL_SWEEPS,
+    "dialect_probe15": O_PROBE15,
     "dialect_columns_select": O_COLUMNS_SELECT,
     "dialect_dictionary": O_DICTIONARY,
     "dialect_limit_by": O_LIMIT_BY,

@@ -3810,3 +3810,67 @@ def test_r9_interval_sweeps(spark):
     ]:
         with pytest.raises(DialectError, match=msg):
             transpile(f"SELECT {bad} FROM ivs_t")
+
+
+def test_r9_pass_through_audit_batch(spark):
+    """r9 runtime pass-through audit: names that transpiled verbatim
+    and died with UNRESOLVED_ROUTINE now map or refuse.  Spark-compat
+    date arrivals, map predicates/sorts, bitmap-column aggregates,
+    and the hash-policy extensions."""
+    from clickhouse_vs_dbt_spark.compat import register_clickhouse_compat
+
+    register_clickhouse_compat(spark)
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW pab AS SELECT id AS x, "
+        "map('a', CAST(id AS INT), 'b', CAST(-1 AS INT)) AS m, "
+        "array(CAST(id % 2 AS INT), CAST(id % 2 + 2 AS INT)) AS b "
+        "FROM range(5)"
+    )
+
+    def one(e):
+        return spark.sql(
+            transpile(f"SELECT {e} AS r FROM pab LIMIT 1")
+        ).first().r
+
+    assert str(one("YYYYMMDDToDate(20240315)")) == "2024-03-15"
+    assert one("YYYYMMDDToDate(20241399)") is None  # invalid -> NULL
+    assert str(one(
+        "toUTCTimestamp(makeDateTime(2024, 3, 15, 10, 0, 0), "
+        "'America/New_York')"
+    )) == "2024-03-15 14:00:00"
+    assert str(one("toDateTime64('2024-03-15 10:00:00.123', 3)")) \
+        == "2024-03-15 10:00:00.123000"
+    assert one("mapExists((k, v) -> v > 0, m)") is False  # id=0 row
+    assert one("mapAll((k, v) -> v <= 0, m)") is True
+    assert one("mapSort(m)") == {"a": 0, "b": -1}
+    assert len(one("sipHash128(toString(x))")) == 16  # binary digest
+    # bitmap-column aggregates: every row's bitmap within a parity
+    # class is identical -> And=Or=2; Xor flips with row parity
+    r = spark.sql(
+        transpile(
+            "SELECT x % 2 AS g, groupBitmapAnd(b) AS a, "
+            "groupBitmapOr(b) AS o, groupBitmapXor(b) AS xx "
+            "FROM pab GROUP BY g ORDER BY g"
+        )
+    ).collect()
+    # g=0: 3 rows (odd) -> xor 2; g=1: 2 rows (even) -> xor 0
+    assert [(q.g, q.a, q.o, q.xx) for q in r] == [
+        (0, 2, 2, 2), (1, 2, 2, 0),
+    ]
+    # two-level bitmap state merge = direct distinct count
+    assert spark.sql(
+        transpile(
+            "SELECT groupBitmapMerge(st) AS c FROM (SELECT x % 2 AS "
+            "g, groupBitmapState(x % 3) AS st FROM pab GROUP BY g)"
+        )
+    ).first().c == 3
+    for bad, msg in [
+        ("javaHash(toString(x))", "bit-compat"),
+        ("hiveHash(toString(x))", "bit-compat"),
+        ("toDateTime64('x', 9)", "microsecond"),
+        ("mapPartialSort((k, v) -> v, 1, m)", "UNSPECIFIED"),
+        ("minSampleSizeContinuous(1.0, 2.0, 0.8, 0.05, 1.0)",
+         "quantiles"),
+    ]:
+        with pytest.raises(DialectError, match=msg):
+            transpile(f"SELECT {bad} FROM pab")
