@@ -241,6 +241,7 @@ HEADLINE = [
     "dialect_probe14",
     "dialect_interval_sweeps",
     "dialect_probe15",
+    "dialect_probe16",
 ]
 
 

@@ -2779,6 +2779,85 @@ def _render_call(name: str, args: list[str]) -> str:
         )
     if name == "toUnixTimestamp" and len(args) == 1:
         return f"unix_timestamp({args[0]})"
+    if name == "countSubstringsCaseInsensitive" and len(args) == 2:
+        return _render_call(
+            "countSubstrings", [f"lower({args[0]})", f"lower({args[1]})"]
+        )
+    if name in ("startsWithUTF8", "endsWithUTF8") and len(args) == 2:
+        # Spark strings are UTF-8 native — same function
+        fn = "startswith" if name.startswith("starts") else "endswith"
+        return f"{fn}({args[0]}, {args[1]})"
+    if name == "extractURLParameters" and len(args) == 1:
+        return (
+            f"filter(split(parse_url({args[0]}, 'QUERY'), '&'), "
+            f"__up -> __up != '')"
+        )
+    if name == "extractURLParameterNames" and len(args) == 1:
+        return (
+            f"transform(filter(split(parse_url({args[0]}, 'QUERY'), "
+            f"'&'), __up -> __up != ''), "
+            f"__up -> element_at(split(__up, '='), 1))"
+        )
+    if name in ("URLHierarchy", "URLPathHierarchy"):
+        raise DialectError(
+            f"{name}: ClickHouse's prefix-ladder boundary rules "
+            "(/?# handling, trailing-separator inclusion) are "
+            "engine-version-specific — build the ladder explicitly "
+            "from path()/splitByChar('/', …) prefixes"
+        )
+    if name == "cutToFirstSignificantSubdomainWithWWW" and len(args) == 1:
+        # same cut as cutToFirstSignificantSubdomain, keeping a www.
+        # prefix when it directly precedes the cut
+        host = f"parse_url({args[0]}, 'HOST')"
+        cut = _render_call("cutToFirstSignificantSubdomain", args)
+        return (
+            f"element_at(transform(array({cut}), __cw -> "
+            f"IF({host} = concat('www.', __cw), "
+            f"concat('www.', __cw), __cw)), 1)"
+        )
+    if name == "arrayEnumerateDense" and len(args) == 1:
+        # index of each value's FIRST occurrence among the distinct
+        # values, in first-appearance order — exactly array_position
+        # over array_distinct (both 1-based)
+        return (
+            f"element_at(transform(array({args[0]}), __ae -> "
+            f"transform(__ae, __av -> CAST(array_position("
+            f"array_distinct(__ae), __av) AS INT))), 1)"
+        )
+    if name == "arrayEnumerateUniq" and len(args) == 1:
+        # per-value occurrence counter (1st, 2nd, … of each value) —
+        # row-local O(n²) prefix count, the documented lambda class;
+        # the empty-array guard avoids sequence(1, 0)'s descending
+        # ramp
+        return (
+            f"element_at(transform(array({args[0]}), __ae -> "
+            f"CASE WHEN size(__ae) = 0 THEN CAST(array() AS "
+            f"ARRAY<INT>) ELSE "
+            f"transform(sequence(1, size(__ae)), __ai -> "
+            f"CAST(size(filter(slice(__ae, 1, __ai), "
+            f"__ax -> __ax = element_at(__ae, __ai))) AS INT)) "
+            f"END), 1)"
+        )
+    if name == "arrayElementOrNull" and len(args) == 2:
+        return f"try_element_at({args[0]}, {args[1]})"
+    if name == "timeDiff" and len(args) == 2:
+        # t2 − t1 in whole seconds (CH truncates to the second grid)
+        return (
+            f"(unix_timestamp({args[1]}) - unix_timestamp({args[0]}))"
+        )
+    if name in ("addMilliseconds", "addMicroseconds",
+                "subtractMilliseconds", "subtractMicroseconds") \
+            and len(args) == 2:
+        unit = ("MILLISECOND" if "Milli" in name else "MICROSECOND")
+        n = args[1] if name.startswith("add") else f"-({args[1]})"
+        return f"timestampadd({unit}, {n}, {args[0]})"
+    if name in ("addNanoseconds", "subtractNanoseconds"):
+        raise DialectError(
+            f"{name}: Spark timestamps are microsecond-resolution — "
+            "sub-micro arithmetic would silently truncate"
+        )
+    if name == "serverTimezone" and not args:
+        return "current_timezone()"
     if name in ("toUTCTimestamp", "fromUTCTimestamp") and len(args) == 2:
         # CH added these AS Spark-compat functions — identical
         # contract to Spark's to_utc_timestamp/from_utc_timestamp
@@ -3361,6 +3440,46 @@ def _render_call(name: str, args: list[str]) -> str:
         args[1].startswith("'") and args[1].endswith("'")
     ):
         return f"date_format({args[0]}, '{_strftime_to_jdk(args[1][1:-1])}')"
+    if name in ("arraySort", "arrayReverseSort") and len(args) == 2:
+        # KEY-FUNCTION sort form arraySort(f, arr): Spark's two-arg
+        # array_sort takes a COMPARATOR, not a key, so the bare
+        # rename emitted invalid SQL (r9 audit).  Decorate-sort-
+        # undecorate with the ORIGINAL POSITION as tiebreak — CH's
+        # sorts are stable; for the descending form the position is
+        # negated before the ascending struct sort and the result
+        # reversed, which restores ascending positions within equal
+        # keys (stable descending).
+        lam, arr = args
+        lm = re.match(
+            r"(?s)\s*\(?\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)?\s*->\s*(.+)$",
+            lam,
+        )
+        if not lm:
+            raise DialectError(
+                f"{name} key lambda must take exactly one parameter"
+            )
+        p, body = lm.group(1), lm.group(2).strip()
+        key = "".join(
+            "element_at(__aa, __ai)" if (_is_ident(t) and t == p)
+            else t
+            for t in _tokens(body)
+        )
+        rev = name == "arrayReverseSort"
+        pos = "-__ai" if rev else "__ai"
+        sort = (
+            f"array_sort(transform(sequence(1, size(__aa)), "
+            f"__ai -> named_struct('k', {key}, 'i', {pos})))"
+        )
+        if rev:
+            sort = f"reverse({sort})"
+        undec = "element_at(__aa, -__as.i)" if rev else (
+            "element_at(__aa, __as.i)"
+        )
+        return (
+            f"element_at(transform(array({arr}), __aa -> "
+            f"CASE WHEN size(__aa) = 0 THEN __aa "
+            f"ELSE transform({sort}, __as -> {undec}) END), 1)"
+        )
     if name in _HOF_ROTATE:
         if name == "arraySum":
             # one-arg form sums the array itself; two-arg maps first.
@@ -10986,6 +11105,77 @@ def q_dialect_probe15(
     )
 
 
+# 21l (r9). audit batch 3, value-gated: the key-function sort (CH's
+#     arraySort(f, arr) — previously emitted invalid Spark), the
+#     enumerate families, CI substring count, UTF8 prefix/suffix and
+#     timeDiff/addMilliseconds.  The oracle spells the 3-element
+#     sort/enumerations as explicit comparisons (engine-independent).
+_CH_PROBE16 = """
+SELECT o_orderkey,
+       arrayStringConcat(arrayMap(x -> toString(x),
+           arraySort(v -> -v, arr)), ',') AS sorted_desc,
+       arrayStringConcat(arrayMap(x -> toString(x),
+           arrayEnumerateDense(arr)), ',') AS dense,
+       arrayStringConcat(arrayMap(x -> toString(x),
+           arrayEnumerateUniq(arr)), ',') AS uniqn,
+       countSubstringsCaseInsensitive(o_orderpriority, 'E') AS ce,
+       startsWithUTF8(o_orderpriority, '1') AS sw1,
+       timeDiff(o_orderdate,
+                addMilliseconds(o_orderdate, 1500)) AS td
+FROM (
+    SELECT o_orderkey, o_orderpriority, o_orderdate,
+           [o_orderkey % 7, o_orderkey % 5, o_orderkey % 3] AS arr
+    FROM orders
+)
+ORDER BY o_orderkey
+LIMIT 100
+"""
+
+O_PROBE16 = """
+WITH b AS (
+  SELECT o_orderkey, o_orderpriority,
+         o_orderkey % 7 AS e1, o_orderkey % 5 AS e2,
+         o_orderkey % 3 AS e3
+  FROM orders)
+SELECT o_orderkey,
+       concat(CAST(greatest(e1, e2, e3) AS VARCHAR), ',',
+              CAST(e1 + e2 + e3 - greatest(e1, e2, e3)
+                   - least(e1, e2, e3) AS VARCHAR), ',',
+              CAST(least(e1, e2, e3) AS VARCHAR)) AS sorted_desc,
+       concat('1,',
+              CAST(CASE WHEN e2 = e1 THEN 1 ELSE 2 END AS VARCHAR),
+              ',',
+              CAST(CASE WHEN e3 = e1 THEN 1
+                        WHEN e3 = e2 THEN
+                          CASE WHEN e2 = e1 THEN 1 ELSE 2 END
+                        WHEN e2 = e1 THEN 2 ELSE 3 END AS VARCHAR))
+         AS dense,
+       concat('1,',
+              CAST(1 + CASE WHEN e2 = e1 THEN 1 ELSE 0 END
+                   AS VARCHAR), ',',
+              CAST(1 + CASE WHEN e3 = e1 THEN 1 ELSE 0 END
+                   + CASE WHEN e3 = e2 THEN 1 ELSE 0 END AS VARCHAR))
+         AS uniqn,
+       CAST(length(lower(o_orderpriority))
+            - length(replace(lower(o_orderpriority), 'e', ''))
+            AS BIGINT) AS ce,
+       starts_with(o_orderpriority, '1') AS sw1,
+       CAST(1 AS BIGINT) AS td
+FROM b
+ORDER BY o_orderkey
+LIMIT 100
+"""
+
+
+def q_dialect_probe16(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Verbatim ClickHouse audit-batch-3 query (module doc #21l)."""
+    return run_clickhouse_sql(
+        spark, _CH_PROBE16, sf_dir, ("orders",)
+    )
+
+
 # 22. COLUMNS('regex') dynamic column selection + APPLY — expands via
 #     the catalog resolver to the matching columns in table order
 #     (re.search, ClickHouse's partial-match semantics), then the
@@ -12201,6 +12391,7 @@ QUERIES = {
     "dialect_probe14": q_dialect_probe14,
     "dialect_interval_sweeps": q_dialect_interval_sweeps,
     "dialect_probe15": q_dialect_probe15,
+    "dialect_probe16": q_dialect_probe16,
     "dialect_columns_select": q_dialect_columns_select,
     "dialect_dictionary": q_dialect_dictionary,
     "dialect_limit_by": q_dialect_limit_by,
@@ -12274,6 +12465,7 @@ ORACLES = {
     "dialect_probe14": O_PROBE14,
     "dialect_interval_sweeps": O_INTERVAL_SWEEPS,
     "dialect_probe15": O_PROBE15,
+    "dialect_probe16": O_PROBE16,
     "dialect_columns_select": O_COLUMNS_SELECT,
     "dialect_dictionary": O_DICTIONARY,
     "dialect_limit_by": O_LIMIT_BY,

@@ -3874,3 +3874,54 @@ def test_r9_pass_through_audit_batch(spark):
     ]:
         with pytest.raises(DialectError, match=msg):
             transpile(f"SELECT {bad} FROM pab")
+
+
+def test_r9_audit3_strings_urls_arrays(spark):
+    """r9 audit batch 3: the key-function sort forms emitted INVALID
+    Spark (array_sort's two-arg form takes a comparator, not a key) —
+    now a stable decorate-sort-undecorate; plus UTF8 prefix/suffix,
+    CI substring count, URL parameter extraction, enumerate families,
+    millisecond arithmetic and timeDiff."""
+    from clickhouse_vs_dbt_spark.compat import register_clickhouse_compat
+
+    register_clickhouse_compat(spark)
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW a3t AS SELECT 'Hello World' AS "
+        "s, 'https://www.example.com/a?q=1&r=2' AS u, "
+        "array(30, 10, 20, 10) AS a, array() AS emp, "
+        "CAST('2024-03-15 10:30:45' AS TIMESTAMP) AS ts FROM range(1)"
+    )
+
+    def one(e):
+        return spark.sql(transpile(f"SELECT {e} AS r FROM a3t")).first().r
+
+    # stable key sorts: the two 10s keep their original order in both
+    # directions (CH sorts are stable)
+    assert one("arraySort(v -> -v, a)") == [30, 20, 10, 10]
+    assert one("arrayReverseSort(v -> v % 20, a)") == [30, 10, 10, 20]
+    assert one("arraySort(v -> -v, emp)") == []
+    assert one("arrayEnumerateDense(a)") == [1, 2, 3, 2]
+    assert one("arrayEnumerateUniq(a)") == [1, 1, 1, 2]
+    assert one("arrayEnumerateUniq(emp)") == []
+    assert one("arrayElementOrNull(a, 9)") is None
+    assert one("countSubstringsCaseInsensitive(s, 'L')") == 3
+    assert one("startsWithUTF8(s, 'Hello')") is True
+    assert one("endsWithUTF8(s, 'World')") is True
+    assert one("extractURLParameters(u)") == ["q=1", "r=2"]
+    assert one("extractURLParameterNames(u)") == ["q", "r"]
+    assert one("cutToFirstSignificantSubdomainWithWWW(u)") == (
+        "www.example.com"
+    )
+    assert one("timeDiff(ts, ts + INTERVAL 90 SECOND)") == 90
+    assert str(one("addMilliseconds(ts, 1500)")) == (
+        "2024-03-15 10:30:46.500000"
+    )
+    assert one("serverTimezone()") == "UTC"
+    for bad, msg in [
+        ("URLHierarchy(u)", "prefix-ladder"),
+        ("URLPathHierarchy(u)", "prefix-ladder"),
+        ("addNanoseconds(ts, 5)", "microsecond"),
+        ("arraySort((x, y) -> x, a)", "one parameter"),
+    ]:
+        with pytest.raises(DialectError, match=msg):
+            transpile(f"SELECT {bad} FROM a3t")
