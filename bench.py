@@ -242,6 +242,7 @@ HEADLINE = [
     "dialect_interval_sweeps",
     "dialect_probe15",
     "dialect_probe16",
+    "dialect_probe17",
 ]
 
 

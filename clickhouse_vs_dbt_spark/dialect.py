@@ -3226,6 +3226,9 @@ def _render_call(name: str, args: list[str]) -> str:
             "through transpile_ddl (ENGINE=S3) instead"
         )
     if name == "arrayUniq":
+        if len(args) >= 2:
+            # multi-array form: distinct TUPLES across parallel arrays
+            return f"size(array_distinct(arrays_zip({joined})))"
         return f"size(array_distinct({joined}))"
     if name == "transform" and len(args) == 4:
         # ClickHouse's SCALAR transform(x, [from...], [to...], default)
@@ -3440,6 +3443,151 @@ def _render_call(name: str, args: list[str]) -> str:
         args[1].startswith("'") and args[1].endswith("'")
     ):
         return f"date_format({args[0]}, '{_strftime_to_jdk(args[1][1:-1])}')"
+    if name in ("arrayMin", "arrayMax", "arrayAvg", "arrayCumSum",
+                "arrayCumSumNonNegative", "arrayProduct") \
+            and len(args) == 2:
+        # CH's optional key-lambda form f(x) applied before the
+        # element aggregate — map the array through the lambda and
+        # delegate to the single-arg handler
+        lam, arr = args
+        return _render_call(name, [f"transform({arr}, {lam})"])
+    if name in ("arrayROCAUC",) and len(args) == 2:
+        return _render_call("arrayAUC", args)
+    if name in ("arrayAUCUnscaled", "arrayROCAUCUnscaled") \
+            and len(args) == 2:
+        # unscaled = AUC · |pos| · |neg| (the raw rank-sum area)
+        auc = _render_call("arrayAUC", args)
+        lab = args[1]
+        return (
+            f"({auc} * size(filter({lab}, __lp -> __lp > 0)) "
+            f"* size(filter({lab}, __ln -> NOT (__ln > 0))))"
+        )
+    if name in ("arrayFill", "arrayReverseFill") and len(args) == 2:
+        # LOCF inside an array: elements where the predicate is
+        # FALSE take the nearest PRECEDING true element (arrayFill) /
+        # FOLLOWING (reverseFill = the same fold over the reversed
+        # array, reversed back).  The leading run before any true
+        # element keeps its values (CH rule: the first element is
+        # never replaced from nothing).
+        lam, arr = args
+        lm = re.match(
+            r"(?s)\s*\(?\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)?\s*->\s*(.+)$",
+            lam,
+        )
+        if not lm:
+            raise DialectError(
+                f"{name} predicate must take exactly one parameter"
+            )
+        p, body = lm.group(1), lm.group(2).strip()
+        pred = "".join(
+            "__af_x" if (_is_ident(t) and t == p) else t
+            for t in _tokens(body)
+        )
+        src = f"reverse({arr})" if name == "arrayReverseFill" else arr
+        fold = (
+            f"aggregate({src}, slice({src}, 1, 0), "
+            f"(__af_a, __af_x) -> concat(__af_a, array("
+            f"IF(({pred}) OR size(__af_a) = 0, __af_x, "
+            f"element_at(__af_a, -1)))))"
+        )
+        if name == "arrayReverseFill":
+            fold = f"reverse({fold})"
+        return fold
+    if name in ("arraySplit", "arrayReverseSplit") and len(args) == 2:
+        # arraySplit starts a new subarray BEFORE each element where
+        # the predicate is true (the first subarray always starts at
+        # element 1); arrayReverseSplit ends one AFTER it.  Fold
+        # building array<array<T>>; CH returns [[]]-free results for
+        # the empty array ([]) — guarded.
+        lam, arr = args
+        lm = re.match(
+            r"(?s)\s*\(?\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)?\s*->\s*(.+)$",
+            lam,
+        )
+        if not lm:
+            raise DialectError(
+                f"{name} predicate must take exactly one parameter"
+            )
+        p, body = lm.group(1), lm.group(2).strip()
+        pred = "".join(
+            "__as_x" if (_is_ident(t) and t == p) else t
+            for t in _tokens(body)
+        )
+        if name == "arraySplit":
+            step = (
+                f"IF(({pred}), concat(__as_a, array(array(__as_x))), "
+                f"concat(slice(__as_a, 1, size(__as_a) - 1), "
+                f"array(concat(element_at(__as_a, -1), "
+                f"array(__as_x)))))"
+            )
+            fold = (
+                f"aggregate(slice(__aa, 2, size(__aa) - 1), "
+                f"array(slice(__aa, 1, 1)), "
+                f"(__as_a, __as_x) -> {step})"
+            )
+        else:
+            # append, then close the subarray after a true element;
+            # drop a trailing empty subarray at finish
+            step = (
+                f"IF(({pred}), concat(slice(__as_a, 1, "
+                f"size(__as_a) - 1), array(concat("
+                f"element_at(__as_a, -1), array(__as_x))), "
+                f"array(slice(__aa, 1, 0))), "
+                f"concat(slice(__as_a, 1, size(__as_a) - 1), "
+                f"array(concat(element_at(__as_a, -1), "
+                f"array(__as_x)))))"
+            )
+            fold = (
+                f"aggregate(__aa, array(slice(__aa, 1, 0)), "
+                f"(__as_a, __as_x) -> {step}, "
+                f"__as_a -> IF(size(element_at(__as_a, -1)) = 0, "
+                f"slice(__as_a, 1, size(__as_a) - 1), __as_a))"
+            )
+        return (
+            f"element_at(transform(array({arr}), __aa -> "
+            f"CASE WHEN size(__aa) = 0 THEN "
+            f"slice(array(__aa), 1, 0) ELSE {fold} END), 1)"
+        )
+    if name == "arraySlice" and len(args) == 2:
+        # offset-to-end form: positive offsets run to the end,
+        # negative offsets take the |offset|-element tail
+        a, off = args
+        return (
+            f"element_at(transform(array({a}), __aa -> "
+            f"IF(({off}) > 0, slice(__aa, ({off}), "
+            f"greatest(size(__aa) - ({off}) + 1, 0)), "
+            f"slice(__aa, ({off}), -({off})))), 1)"
+        )
+    if name == "mapPopulateSeries" and len(args) == 1:
+        # fill integer key gaps [min..max] with 0 (CH's default-fill
+        # series form)
+        m0 = args[0]
+        return (
+            f"element_at(transform(array({m0}), __mp -> "
+            f"CASE WHEN size(__mp) = 0 THEN __mp "
+            f"ELSE map_from_arrays("
+            f"sequence(array_min(map_keys(__mp)), "
+            f"array_max(map_keys(__mp))), "
+            f"transform(sequence(array_min(map_keys(__mp)), "
+            f"array_max(map_keys(__mp))), "
+            f"__mk -> coalesce(try_element_at(__mp, __mk), 0)) "
+            f") END), 1)"
+        )
+    if name == "flattenTuple":
+        raise DialectError(
+            "flattenTuple is Tuple-TYPE introspection (flattens the "
+            "nested column layout) — project the struct fields "
+            "explicitly (t.a.b AS a_b)"
+        )
+    if name == "toStartOfMicrosecond" and len(args) == 1:
+        return f"CAST({args[0]} AS TIMESTAMP)"  # already micro-grid
+    if name == "toStartOfMillisecond" and len(args) == 1:
+        return f"date_trunc('MILLISECOND', {args[0]})"
+    if name == "toStartOfNanosecond" and len(args) == 1:
+        raise DialectError(
+            "toStartOfNanosecond: Spark timestamps are microsecond-"
+            "resolution — the nano grid does not exist here"
+        )
     if name in ("arraySort", "arrayReverseSort") and len(args) == 2:
         # KEY-FUNCTION sort form arraySort(f, arr): Spark's two-arg
         # array_sort takes a COMPARATOR, not a key, so the bare
@@ -3511,9 +3659,23 @@ def _render_call(name: str, args: list[str]) -> str:
         return f"split({args[1]}, concat('\\\\Q', {args[0]}, '\\\\E'))"
     if (
         name.endswith("Array")
-        and name[: -len("Array")] in ("sum", "min", "max", "avg", "count")
+        and name[: -len("Array")] in (
+            "sum", "min", "max", "avg", "count", "groupArray",
+            "uniq", "uniqExact",
+        )
         and len(args) == 1
     ):
+        if name == "groupArrayArray":
+            # -Array on groupArray concatenates the group's arrays
+            return f"flatten(collect_list({args[0]}))"
+        if name in ("uniqArray", "uniqExactArray"):
+            # distinct count across all elements — the exact tier
+            # (uniq is documented-approximate; exact is the
+            # deterministic upgrade, the quantile precedent)
+            return (
+                f"CAST(size(array_distinct(flatten("
+                f"collect_list({args[0]})))) AS BIGINT)"
+            )
         # -Array combinator: the aggregate over every ELEMENT of the
         # row arrays in the group.  sum/avg accumulate in DOUBLE (the
         # arraySum policy — integer-exact below 2^53, documented).
@@ -11176,6 +11338,74 @@ def q_dialect_probe16(
     )
 
 
+# 21m (r9). audit batch 4, value-gated: arrayFill (in-array LOCF),
+#     arraySplit (pred-boundary subarrays), the offset-to-end
+#     arraySlice, multi-array arrayUniq (distinct tuples) and the
+#     key-lambda element aggregates.  The oracle spells each 3-element
+#     result as explicit per-position CASE logic.
+_CH_PROBE17 = """
+SELECT o_orderkey,
+       arrayStringConcat(arrayMap(g -> arrayStringConcat(
+           arrayMap(x -> toString(x), g), ','),
+           arraySplit(v -> v % 2 = 0, arr)), ';') AS split_txt,
+       arrayStringConcat(arrayMap(x -> toString(x),
+           arrayFill(v -> v % 2 = 0, arr)), ',') AS fill_txt,
+       arrayStringConcat(arrayMap(x -> toString(x),
+           arraySlice(arr, 2)), ',') AS tail_txt,
+       arrayUniq(arr, arr2) AS u2,
+       toInt64(arrayMin(v -> -v, arr)) AS negmin
+FROM (
+    SELECT o_orderkey,
+           [o_orderkey % 7, o_orderkey % 5, o_orderkey % 3] AS arr,
+           [o_orderkey % 3, o_orderkey % 5, o_orderkey % 7] AS arr2
+    FROM orders
+)
+ORDER BY o_orderkey
+LIMIT 100
+"""
+
+O_PROBE17 = """
+WITH b AS (
+  SELECT o_orderkey,
+         o_orderkey % 7 AS e1, o_orderkey % 5 AS e2,
+         o_orderkey % 3 AS e3,
+         o_orderkey % 3 AS f1, o_orderkey % 5 AS f2,
+         o_orderkey % 7 AS f3
+  FROM orders)
+SELECT o_orderkey,
+       concat(CAST(e1 AS VARCHAR),
+              CASE WHEN e2 % 2 = 0 THEN ';' ELSE ',' END,
+              CAST(e2 AS VARCHAR),
+              CASE WHEN e3 % 2 = 0 THEN ';' ELSE ',' END,
+              CAST(e3 AS VARCHAR)) AS split_txt,
+       concat(CAST(e1 AS VARCHAR), ',',
+              CAST(CASE WHEN e2 % 2 = 0 THEN e2 ELSE e1 END
+                   AS VARCHAR), ',',
+              CAST(CASE WHEN e3 % 2 = 0 THEN e3
+                        WHEN e2 % 2 = 0 THEN e2 ELSE e1 END
+                   AS VARCHAR)) AS fill_txt,
+       concat(CAST(e2 AS VARCHAR), ',', CAST(e3 AS VARCHAR))
+         AS tail_txt,
+       CAST(1 + CASE WHEN e2 = e1 AND f2 = f1 THEN 0 ELSE 1 END
+            + CASE WHEN (e3 = e1 AND f3 = f1)
+                     OR (e3 = e2 AND f3 = f2) THEN 0 ELSE 1 END
+            AS INT) AS u2,
+       -greatest(e1, e2, e3) AS negmin
+FROM b
+ORDER BY o_orderkey
+LIMIT 100
+"""
+
+
+def q_dialect_probe17(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Verbatim ClickHouse audit-batch-4 query (module doc #21m)."""
+    return run_clickhouse_sql(
+        spark, _CH_PROBE17, sf_dir, ("orders",)
+    )
+
+
 # 22. COLUMNS('regex') dynamic column selection + APPLY — expands via
 #     the catalog resolver to the matching columns in table order
 #     (re.search, ClickHouse's partial-match semantics), then the
@@ -12392,6 +12622,7 @@ QUERIES = {
     "dialect_interval_sweeps": q_dialect_interval_sweeps,
     "dialect_probe15": q_dialect_probe15,
     "dialect_probe16": q_dialect_probe16,
+    "dialect_probe17": q_dialect_probe17,
     "dialect_columns_select": q_dialect_columns_select,
     "dialect_dictionary": q_dialect_dictionary,
     "dialect_limit_by": q_dialect_limit_by,
@@ -12466,6 +12697,7 @@ ORACLES = {
     "dialect_interval_sweeps": O_INTERVAL_SWEEPS,
     "dialect_probe15": O_PROBE15,
     "dialect_probe16": O_PROBE16,
+    "dialect_probe17": O_PROBE17,
     "dialect_columns_select": O_COLUMNS_SELECT,
     "dialect_dictionary": O_DICTIONARY,
     "dialect_limit_by": O_LIMIT_BY,

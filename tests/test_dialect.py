@@ -3925,3 +3925,63 @@ def test_r9_audit3_strings_urls_arrays(spark):
     ]:
         with pytest.raises(DialectError, match=msg):
             transpile(f"SELECT {bad} FROM a3t")
+
+
+def test_r9_audit4_array_folds(spark):
+    """r9 audit batch 4: arrayFill/ReverseFill (in-array LOCF),
+    arraySplit/ReverseSplit (pred-boundary subarrays, CH's
+    first-element rule), offset-to-end arraySlice, multi-array
+    arrayUniq, key-lambda element aggregates, -Array combinators on
+    groupArray/uniq, AUC variants, mapPopulateSeries, sub-second
+    grids."""
+    from clickhouse_vs_dbt_spark.compat import register_clickhouse_compat
+
+    register_clickhouse_compat(spark)
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW a4t AS SELECT array(3, 1, 2) "
+        "AS a, array(1, 0, 2, 0, 3) AS f, array() AS emp, "
+        "array(0.1, 0.4, 0.35, 0.8) AS sc, array(0, 0, 1, 1) AS lb, "
+        "array('p', 'q') AS sa, map(2, 10, 5, 50) AS m FROM range(1)"
+    )
+
+    def one(e):
+        return spark.sql(transpile(f"SELECT {e} AS r FROM a4t")).first().r
+
+    assert one("arrayMin(v -> -v, a)") == -3
+    assert one("arrayAvg(v -> v * 2, a)") == 4.0
+    assert one("arrayUniq(a, a)") == 3
+    assert one("arrayUniq(a)") == 3
+    # LOCF: zeros take the nearest preceding (following) non-zero
+    assert one("arrayFill(v -> v != 0, f)") == [1, 1, 2, 2, 3]
+    assert one("arrayReverseFill(v -> v != 0, f)") == [1, 2, 2, 3, 3]
+    # split BEFORE true elements (first element never splits off an
+    # empty head — the CH flag-on-first rule); reverse splits AFTER
+    assert [list(g) for g in one("arraySplit(v -> v = 0, f)")] == [
+        [1], [0, 2], [0, 3],
+    ]
+    assert [list(g) for g in one("arrayReverseSplit(v -> v = 0, f)")] \
+        == [[1, 0], [2, 0], [3]]
+    assert one("arraySplit(v -> v = 0, emp)") == []
+    assert one("arraySlice(a, 2)") == [1, 2]
+    assert one("arraySlice(a, -2)") == [1, 2]
+    assert one("arraySlice(a, 9)") == []
+    assert one("arrayAUCUnscaled(sc, lb)") == 3.0  # 0.75 * 2 pos * 2 neg
+    assert abs(one("arrayROCAUC(sc, lb)") - 0.75) < 1e-12
+    assert one("mapPopulateSeries(m)") == {2: 10, 3: 0, 4: 0, 5: 50}
+    assert spark.sql(
+        transpile("SELECT groupArrayArray(sa) AS r FROM a4t")
+    ).first().r == ["p", "q"]
+    assert spark.sql(
+        transpile("SELECT uniqArray(a) AS r FROM a4t")
+    ).first().r == 3
+    assert str(one(
+        "toStartOfMillisecond(CAST('2024-03-15 10:30:45.123456' "
+        "AS TIMESTAMP))"
+    )) == "2024-03-15 10:30:45.123000"
+    for bad, msg in [
+        ("flattenTuple(m)", "introspection|Tuple-TYPE"),
+        ("toStartOfNanosecond(CAST('2024-01-01' AS TIMESTAMP))",
+         "microsecond"),
+    ]:
+        with pytest.raises(DialectError, match=msg):
+            transpile(f"SELECT {bad} FROM a4t")
