@@ -3573,6 +3573,73 @@ def _render_call(name: str, args: list[str]) -> str:
             f"__mk -> coalesce(try_element_at(__mp, __mk), 0)) "
             f") END), 1)"
         )
+    if name == "initializeAggregation" and len(args) >= 2 \
+            and args[0][:1] in "'\"":
+        # per-ROW state constructor for the PORTABLE state families
+        # (the -State registers that transpile): lets INSERTs seed
+        # AggregatingMergeTree-style state columns from single values
+        head = args[0].strip().strip("'\"")
+        vals = args[1:]
+        x = vals[0]
+        if head in ("sumState", "minState", "maxState", "anyState"):
+            return f"({x})"
+        if head == "countState":
+            return f"IF(({x}) IS NULL, CAST(0 AS BIGINT), " \
+                   f"CAST(1 AS BIGINT))"
+        if head == "avgState":
+            return (
+                f"named_struct('s', {x}, 'c', "
+                f"IF(({x}) IS NULL, CAST(0 AS BIGINT), "
+                f"CAST(1 AS BIGINT)))"
+            )
+        if head in ("uniqExactState", "groupBitmapState"):
+            return f"IF(({x}) IS NULL, slice(array({x}), 1, 0), " \
+                   f"array({x}))"
+        if head == "groupArrayState":
+            return f"IF(({x}) IS NULL, slice(array({x}), 1, 0), " \
+                   f"array({x}))"
+        if head == "uniqState":
+            # the single-value HLL code set: one (bucket·64 + rank)
+            # code from the same md5-prefix hash the aggregate uses
+            from clickhouse_vs_dbt_spark.operators.dedup import (
+                md5p_sql,
+            )
+
+            h = md5p_sql(f"CAST({x} AS STRING)", "spark")
+            w = f"(({h}) div {_HLL_M})"
+            rank = (
+                f"CASE WHEN {w} = 0 THEN 53 "
+                f"ELSE 53 - length(bin({w})) END"
+            )
+            code = (
+                f"CAST(({h}) % {_HLL_M} * 64 + ({rank}) AS INT)"
+            )
+            return (
+                f"IF(({x}) IS NULL, "
+                f"slice(array({code}), 1, 0), array({code}))"
+            )
+        if head in ("argMaxState", "argMinState") and len(vals) == 2:
+            a, v = vals
+            return (
+                f"IF(({v}) IS NULL, NULL, "
+                f"named_struct('v', {v}, 'a', {a}))"
+            )
+        raise DialectError(
+            f"initializeAggregation({head!r}): only the portable "
+            "-State families seed per-row (sum/count/min/max/avg/"
+            "uniq/uniqExact/groupBitmap/groupArray/argMax/argMin)"
+        )
+    if name in ("dumpColumnStructure", "defaultValueOfTypeName"):
+        raise DialectError(
+            f"{name}: ClickHouse type-introspection — use "
+            "toTypeName (mapped) or the Spark schema API"
+        )
+    if name in ("formatRow", "formatRowNoNewline"):
+        raise DialectError(
+            f"{name}: row serialization needs the output FORMAT "
+            "machinery — spell it directly: to_json(struct(...)) "
+            "for JSONEachRow, concat_ws(',', ...) for CSV"
+        )
     if name == "flattenTuple":
         raise DialectError(
             "flattenTuple is Tuple-TYPE introspection (flattens the "
@@ -7668,7 +7735,71 @@ def transpile(sql: str, resolve_columns=None, engine_info=None) -> str:
     toks = _rewrite_clauses(toks)
     toks = _rewrite_window_derivative(toks)
     toks = _tokens("".join(toks))  # re-tokenize after clause splices
-    return _rewrite_tuple_index(_walk(toks, 0, len(toks)))
+    return _rewrite_distinct_window(
+        _rewrite_tuple_index(_walk(toks, 0, len(toks)))
+    )
+
+
+def _rewrite_distinct_window(sql: str) -> str:
+    """``COUNT(DISTINCT x) OVER w`` → ``size(collect_set(x)) OVER w``
+    — Spark refuses DISTINCT window aggregates, but uniqExact is a
+    legal CH window function and the frame-local distinct set is the
+    exact same value (collect_set drops NULLs like COUNT DISTINCT).
+    Runs on the final rendered SQL so it catches uniqExact arriving
+    through any rewrite path."""
+    toks = _tokens(sql)
+    i = 0
+    while i < len(toks):
+        t = toks[i]
+        if _is_ident(t) and t.upper() == "COUNT":
+            j = _next_code(toks, i + 1)
+            if j < len(toks) and toks[j] == "(":
+                k = _next_code(toks, j + 1)
+                if (
+                    k < len(toks) and _is_ident(toks[k])
+                    and toks[k].upper() == "DISTINCT"
+                ):
+                    close = _match_close(toks, j)
+                    after = _next_code(toks, close + 1)
+                    if (
+                        after < len(toks) and _is_ident(toks[after])
+                        and toks[after].upper() == "OVER"
+                    ):
+                        inner = "".join(toks[k + 1:close]).strip()
+                        # single-expression form only: the multi-arg
+                        # NULL rule (row skipped when ANY is NULL)
+                        # has no struct spelling — leave it to fail
+                        # loudly
+                        depth = 0
+                        multi = False
+                        for it in _tokens(inner):
+                            if it in ("(", "["):
+                                depth += 1
+                            elif it in (")", "]"):
+                                depth -= 1
+                            elif it == "," and depth == 0:
+                                multi = True
+                                break
+                        # the OVER clause moves INSIDE size(): a
+                        # parenthesized spec or a named window
+                        spec_i = _next_code(toks, after + 1)
+                        if not multi and spec_i < len(toks):
+                            if toks[spec_i] == "(":
+                                spec_end = _match_close(toks, spec_i)
+                            elif _is_ident(toks[spec_i]):
+                                spec_end = spec_i
+                            else:
+                                spec_end = None
+                            if spec_end is not None:
+                                over = "".join(
+                                    toks[after:spec_end + 1]
+                                )
+                                toks[i:spec_end + 1] = _tokens(
+                                    f"size(collect_set({inner}) "
+                                    f"{over})"
+                                )
+        i += 1
+    return "".join(toks)
 
 
 def _exp_time_decayed(

@@ -3985,3 +3985,58 @@ def test_r9_audit4_array_folds(spark):
     ]:
         with pytest.raises(DialectError, match=msg):
             transpile(f"SELECT {bad} FROM a4t")
+
+
+def test_r9_distinct_window_and_state_seed(spark):
+    """r9 audit batch 5: uniqExact as a WINDOW function (Spark
+    refuses DISTINCT window aggregates — rewritten to the frame-local
+    collect_set size) and initializeAggregation seeding the portable
+    -State families per row."""
+    from clickhouse_vs_dbt_spark.compat import register_clickhouse_compat
+
+    register_clickhouse_compat(spark)
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW dw_t AS SELECT id AS x, "
+        "CAST(id AS DOUBLE) AS v, id % 3 AS g FROM range(12)"
+    )
+    rows = {
+        (r.g, r.u)
+        for r in spark.sql(
+            transpile(
+                "SELECT g, uniqExact(x % 2) OVER (PARTITION BY g) "
+                "AS u FROM dw_t"
+            )
+        ).collect()
+    }
+    assert rows == {(0, 2), (1, 2), (2, 2)}
+    r = spark.sql(
+        transpile(
+            """
+SELECT sumMerge(ss) AS s, countMerge(cs) AS c, avgMerge(avs) AS av,
+       uniqExactMerge(us) AS ue, argMaxMerge(ams) AS am
+FROM (SELECT initializeAggregation('sumState', x) AS ss,
+             initializeAggregation('countState', x) AS cs,
+             initializeAggregation('avgState', v) AS avs,
+             initializeAggregation('uniqExactState', x % 4) AS us,
+             initializeAggregation('argMaxState', toString(x), v)
+               AS ams
+      FROM dw_t)"""
+        )
+    ).first()
+    assert (r.s, r.c, r.av, r.ue, r.am) == (66, 12, 5.5, 4, "11")
+    # a seeded uniq state merges with aggregate-built states
+    t = spark.sql(
+        transpile(
+            "SELECT uniqMerge(u) AS t FROM ("
+            "(SELECT uniqState(x % 4) AS u FROM dw_t) UNION ALL "
+            "(SELECT initializeAggregation('uniqState', 99) AS u))"
+        )
+    ).first().t
+    assert t == 5
+    for bad, msg in [
+        ("initializeAggregation('topKState', x)", "portable"),
+        ("formatRow('CSV', x)", "serialization"),
+        ("dumpColumnStructure(x)", "introspection"),
+    ]:
+        with pytest.raises(DialectError, match=msg):
+            transpile(f"SELECT {bad} FROM dw_t")
