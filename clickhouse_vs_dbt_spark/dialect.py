@@ -1194,6 +1194,21 @@ def _render_call(name: str, args: list[str]) -> str:
         fn = "TRY_CAST" if name == "accurateCastOrNull" else "CAST"
         return f"{fn}({args[0]} AS {t})"
     if name == "untuple" and len(args) == 1:
+        # Spark's struct-expansion `.*` only resolves on a NAMED
+        # reference (column / field path), not on an inline struct
+        # expression — refuse the literal form with the rewrite
+        # instead of emitting a parse error (r9 audit)
+        if not re.match(
+            r"\s*[A-Za-z_][A-Za-z0-9_]*(\s*\.\s*"
+            r"[A-Za-z_][A-Za-z0-9_]*)*\s*$",
+            args[0],
+        ):
+            raise DialectError(
+                "untuple over an inline tuple expression: Spark "
+                "expands only named struct references — alias the "
+                "tuple in a subquery (SELECT t.* FROM (SELECT "
+                "<tuple> AS t))"
+            )
         return f"{args[0]}.*"
     # --- URL family round 2 (r6 probe batch) ---
     if name == "cutQueryString" and len(args) == 1:
@@ -7728,6 +7743,7 @@ def transpile(sql: str, resolve_columns=None, engine_info=None) -> str:
     toks = _rewrite_limit_ties(toks)
     toks = _rewrite_distinct_on(toks)
     toks = _rewrite_limit_by(toks, resolve_columns)
+    toks = _rewrite_limit_offset_comma(toks)
     toks = _rewrite_with_fill(toks, resolve_columns)
     toks = _rewrite_asof(toks, resolve_columns)
     toks = _rewrite_any_join(toks, resolve_columns)
@@ -7738,6 +7754,36 @@ def transpile(sql: str, resolve_columns=None, engine_info=None) -> str:
     return _rewrite_distinct_window(
         _rewrite_tuple_index(_walk(toks, 0, len(toks)))
     )
+
+
+def _rewrite_limit_offset_comma(toks: list[str]) -> list[str]:
+    """ClickHouse/MySQL ``LIMIT offset, n`` → ``LIMIT n OFFSET
+    offset`` (Spark has no comma form).  Runs AFTER the LIMIT BY
+    rewrite, so any surviving ``LIMIT a, b`` is the plain offset
+    form (r9 audit)."""
+    i = 0
+    while i < len(toks):
+        t = toks[i]
+        if _is_ident(t) and t.upper() == "LIMIT":
+            a = _next_code(toks, i + 1)
+            if a < len(toks) and re.fullmatch(r"\d+", toks[a] or ""):
+                c = _next_code(toks, a + 1)
+                if c < len(toks) and toks[c] == ",":
+                    b = _next_code(toks, c + 1)
+                    if b < len(toks) and re.fullmatch(
+                        r"\d+", toks[b] or ""
+                    ):
+                        nxt = _next_code(toks, b + 1)
+                        if not (
+                            nxt < len(toks) and _is_ident(toks[nxt])
+                            and toks[nxt].upper() == "BY"
+                        ):
+                            off, n = toks[a], toks[b]
+                            toks[i:b + 1] = _tokens(
+                                f"LIMIT {n} OFFSET {off}"
+                            )
+        i += 1
+    return toks
 
 
 def _rewrite_distinct_window(sql: str) -> str:

@@ -357,7 +357,11 @@ def test_review_fixes_round4():
     assert transpile("sumIf(x /* ( */ , c)") == (
         "sum(CASE WHEN c THEN x END)"
     )
-    assert transpile("SELECT a FROM t LIMIT 2, 3").endswith("LIMIT 2, 3")
+    # LIMIT off, n maps to LIMIT n OFFSET off since r9 (Spark has no
+    # comma form — it used to pass through into a parse error)
+    assert transpile("SELECT a FROM t LIMIT 2, 3").endswith(
+        "LIMIT 3 OFFSET 2"
+    )
     # SETTINGS strips inside subqueries too
     out = transpile(
         "SELECT * FROM (SELECT a FROM t SETTINGS max_threads = 1)"
@@ -4040,3 +4044,31 @@ FROM (SELECT initializeAggregation('sumState', x) AS ss,
     ]:
         with pytest.raises(DialectError, match=msg):
             transpile(f"SELECT {bad} FROM dw_t")
+
+
+def test_r9_limit_offset_comma_and_untuple_guard(spark):
+    """r9 audit batch 6: the MySQL/CH ``LIMIT offset, n`` comma form
+    (Spark parse error before) and the untuple inline-expression
+    guard (Spark expands only named struct references)."""
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW lc_t AS SELECT id AS x, "
+        "id % 3 AS g FROM range(12)"
+    )
+    assert transpile("SELECT x FROM lc_t ORDER BY x LIMIT 2, 3") \
+        .endswith("LIMIT 3 OFFSET 2")
+    assert [
+        r.x
+        for r in spark.sql(
+            transpile("SELECT x FROM lc_t ORDER BY x LIMIT 2, 3")
+        ).collect()
+    ] == [2, 3, 4]
+    # LIMIT o,n BY still routes through the per-key window rewrite
+    q = transpile("SELECT x, g FROM lc_t ORDER BY x LIMIT 1, 1 BY g")
+    assert sorted((r.x, r.g) for r in spark.sql(q).collect()) == [
+        (3, 0), (4, 1), (5, 2),
+    ]
+    with pytest.raises(DialectError, match="named struct"):
+        transpile("SELECT untuple((1, 'a'))")
+    assert transpile("SELECT untuple(t) FROM x") == (
+        "SELECT t.* FROM x"
+    )
