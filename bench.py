@@ -243,6 +243,7 @@ HEADLINE = [
     "dialect_probe15",
     "dialect_probe16",
     "dialect_probe17",
+    "dialect_probe18",
 ]
 
 

@@ -11583,6 +11583,51 @@ def q_dialect_probe17(
     )
 
 
+# 21n (r9). uniqExact as a WINDOW function (DISTINCT window rewrite)
+#     and the LIMIT offset, n comma form — the window computes over
+#     the FULL relation before the subquery's order/limit (both
+#     engines), so u is the per-status distinct count and the comma
+#     limit slices the ordered keys.
+_CH_PROBE18 = """
+SELECT o_orderstatus, u, min(k) AS first_key, count() AS n_rows
+FROM (
+    SELECT o_orderstatus, o_orderkey AS k,
+           uniqExact(o_custkey % 100)
+             OVER (PARTITION BY o_orderstatus) AS u
+    FROM orders
+    ORDER BY o_orderkey
+    LIMIT 10, 50
+)
+GROUP BY o_orderstatus, u
+ORDER BY o_orderstatus
+"""
+
+O_PROBE18 = """
+WITH lim AS (
+  SELECT o_orderstatus, o_orderkey AS k
+  FROM orders ORDER BY o_orderkey LIMIT 50 OFFSET 10),
+uq AS (
+  SELECT o_orderstatus,
+         CAST(COUNT(DISTINCT o_custkey % 100) AS INT) AS u
+  FROM orders GROUP BY o_orderstatus)
+SELECT l.o_orderstatus, uq.u, MIN(l.k) AS first_key,
+       COUNT(*) AS n_rows
+FROM lim l JOIN uq ON l.o_orderstatus = uq.o_orderstatus
+GROUP BY l.o_orderstatus, uq.u
+ORDER BY l.o_orderstatus
+"""
+
+
+def q_dialect_probe18(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Verbatim ClickHouse distinct-window + comma-limit query
+    (module doc #21n)."""
+    return run_clickhouse_sql(
+        spark, _CH_PROBE18, sf_dir, ("orders",)
+    )
+
+
 # 22. COLUMNS('regex') dynamic column selection + APPLY — expands via
 #     the catalog resolver to the matching columns in table order
 #     (re.search, ClickHouse's partial-match semantics), then the
@@ -12800,6 +12845,7 @@ QUERIES = {
     "dialect_probe15": q_dialect_probe15,
     "dialect_probe16": q_dialect_probe16,
     "dialect_probe17": q_dialect_probe17,
+    "dialect_probe18": q_dialect_probe18,
     "dialect_columns_select": q_dialect_columns_select,
     "dialect_dictionary": q_dialect_dictionary,
     "dialect_limit_by": q_dialect_limit_by,
@@ -12875,6 +12921,7 @@ ORACLES = {
     "dialect_probe15": O_PROBE15,
     "dialect_probe16": O_PROBE16,
     "dialect_probe17": O_PROBE17,
+    "dialect_probe18": O_PROBE18,
     "dialect_columns_select": O_COLUMNS_SELECT,
     "dialect_dictionary": O_DICTIONARY,
     "dialect_limit_by": O_LIMIT_BY,
