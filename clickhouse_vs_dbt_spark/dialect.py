@@ -2546,6 +2546,57 @@ def _render_call(name: str, args: list[str]) -> str:
         # EXCEPTION dedup policy — loud, never silently divergent;
         # the merge spelling is mapUpdate (last-wins, already mapped)
         return f"map_concat({joined})"
+    if name == "mapConcat" and len(args) == 1:
+        return f"({args[0]})"  # single-map form is the identity
+    if name in ("lowerUTF8", "upperUTF8") and len(args) == 1:
+        # Spark's lower/upper are Unicode-aware (JVM strings)
+        fn = "lower" if name.startswith("lower") else "upper"
+        return f"{fn}({args[0]})"
+    if name == "format" and len(args) >= 2 and args[0][:1] in "'\"":
+        # CH format('{} {}', a, b) — {}/{n} placeholders.  Spark's
+        # format_string is printf-style: rewrite the LITERAL pattern
+        # ({} → %s in order, {n} → %<n+1>$s, % escaped); dynamic
+        # patterns refuse (the placeholder walk needs the literal)
+        pat = args[0][1:-1]
+        out_parts: list[str] = []
+        idx = 0
+        j = 0
+        while j < len(pat):
+            c = pat[j]
+            if c == "%":
+                out_parts.append("%%")
+                j += 1
+            elif c == "{":
+                k = pat.find("}", j)
+                if k < 0:
+                    raise DialectError(
+                        "format: unbalanced '{' in the pattern"
+                    )
+                inner = pat[j + 1:k].strip()
+                if inner == "":
+                    out_parts.append("%s")
+                    idx += 1
+                elif inner.isdigit():
+                    out_parts.append(f"%{int(inner) + 1}$s")
+                else:
+                    raise DialectError(
+                        "format: only {} and {n} placeholders map "
+                        "(named placeholders have no format_string "
+                        "spelling)"
+                    )
+                j = k + 1
+            else:
+                out_parts.append(c)
+                j += 1
+        newpat = "".join(out_parts)
+        rest = ", ".join(args[1:])
+        return f"format_string('{newpat}', {rest})"
+    if name == "format" and len(args) >= 2:
+        raise DialectError(
+            "format needs a literal pattern (the {} placeholder walk "
+            "happens at transpile time) — use format_string directly "
+            "for dynamic printf patterns"
+        )
     if name == "toUUID" and len(args) == 1:
         s0 = args[0]
         return (

@@ -1,0 +1,214 @@
+"""Runtime pass-through audit: every KNOWN ClickHouse name must MAP
+or REFUSE — never leak through the transpiler into Spark's opaque
+UNRESOLVED_ROUTINE / parse errors.
+
+The r9 audits ran this probe ad hoc and found ~40 leaks (including a
+genuine miscompile: the key-function ``arraySort(f, arr)`` renamed to
+an invalid two-arg ``array_sort``).  This file pins the contract: the
+candidate list below is every ClickHouse spelling the audits have
+exercised; each must either execute on a live session or raise
+DialectError.  A name that reaches a Spark analysis error is a bug.
+
+Unknown/user-defined names still pass through verbatim by design —
+this list contains only REAL ClickHouse surface.
+
+Usage:  python tools/passthrough_audit.py        # exits 1 on leaks
+Wired into pytest as tests/test_passthrough_audit.py.
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+# (expression, FROM-view) pairs; the view provides typed columns:
+#   x BIGINT, v DOUBLE, g BIGINT, s STRING, u STRING (a URL),
+#   a ARRAY<INT>, sa ARRAY<STRING>, m MAP<STRING, INT>,
+#   im MAP<INT, INT>, ts TIMESTAMP, b ARRAY<INT> (bitmap-ish)
+VIEW_SQL = (
+    "SELECT id AS x, CAST(id AS DOUBLE) AS v, id % 3 AS g, "
+    "'Hello World' AS s, "
+    "'https://www.example.com:8080/a/b?q=1&r=2#f' AS u, "
+    "array(CAST(3 AS INT), CAST(1 AS INT), CAST(2 AS INT)) AS a, "
+    "array('p', 'q') AS sa, map('k', CAST(1 AS INT)) AS m, "
+    "map(CAST(2 AS INT), CAST(10 AS INT)) AS im, "
+    "CAST('2024-03-15 10:30:45' AS TIMESTAMP) AS ts, "
+    "array(CAST(id % 2 AS INT), CAST(id % 2 + 2 AS INT)) AS b "
+    "FROM range(8)"
+)
+
+CANDIDATES = [
+    # aggregates (plain / parametric / combinator / state)
+    "sum(x)", "sumIf(x, g = 1)", "sumKahan(v)", "sumCount(x)",
+    "avg(v)", "avgWeighted(v, x)", "any(s)", "anyLast(s)",
+    "anyHeavy(x)", "argMax(s, v)", "argMin(s, v)",
+    "argMaxState(s, v)",
+    "uniq(x)", "uniqExact(x)", "uniqCombined(x)", "uniqHLL12(x)",
+    "uniqTheta(x)", "uniqUpTo(5)(x)", "uniqArray(a)",
+    "groupArray(x)", "groupArraySorted(3)(x)", "groupUniqArray(x)",
+    "groupArrayIntersect(a)", "groupArrayArray(sa)",
+    "groupArraySample(3)(x)", "groupArraySample(3, 7)(x)",
+    "groupBitOr(x)", "groupBitAnd(x + 12)", "groupBitXor(x)",
+    "groupBitmap(x)", "groupBitmapAnd(b)", "groupBitmapOr(b)",
+    "groupBitmapXor(b)", "groupBitmapState(x)",
+    "quantile(0.5)(v)", "quantileExact(0.9)(v)",
+    "quantileTiming(0.5)(v)", "quantileTDigest(0.5)(v)",
+    "quantilesExactInclusive(0.25, 0.75)(v)",
+    "quantileExactExclusive(0.5)(v)", "quantileGK(100, 0.5)(v)",
+    "topK(3)(g)", "topKWeighted(3)(g, x)",
+    "sumMap([g], [1])", "minMap([g], [x])", "maxMap([g], [x])",
+    "sumMapState([g], [1])",
+    "corr(v, v)", "covarPop(v, v)", "covarSamp(v, v)",
+    "skewPop(v)", "kurtPop(v)", "skewSamp(v)", "kurtSamp(v)",
+    "simpleLinearRegression(v, v)", "boundingRatio(v, v)",
+    "maxIntersections(g, g + 2)", "maxIntersectionsPosition(g, g + 2)",
+    "intervalLengthSum(g, g + 2)", "studentTTest(v, g = 1)",
+    "welchTTest(v, g = 1)", "deltaSumTimestamp(v, ts)",
+    "windowFunnel(3600)(ts, g = 0, g = 1)",
+    "retention(g = 0, g = 1)", "sequenceMatch('(?1).*(?2)')(ts, g = 0, g = 1)",
+    "initializeAggregation('sumState', x)",
+    # scalar: strings
+    "position(s, 'l')", "positionCaseInsensitive(s, 'HELLO')",
+    "positionUTF8(s, 'World')", "countSubstrings(s, 'l')",
+    "countSubstringsCaseInsensitive(s, 'L')",
+    "startsWith(s, 'He')", "endsWith(s, 'ld')",
+    "startsWithUTF8(s, 'He')", "endsWithUTF8(s, 'ld')",
+    "leftUTF8(s, 3)", "rightUTF8(s, 3)", "substringUTF8(s, 2, 3)",
+    "lengthUTF8(s)", "reverseUTF8(s)", "lowerUTF8(s)", "upperUTF8(s)",
+    "trimLeft(s)", "trimRight(s)", "trimBoth(s)",
+    "splitByChar(' ', s)", "splitByString(' ', s)",
+    "splitByRegexp('\\\\s+', s)", "alphaTokens(s)", "ngrams(s, 2)",
+    "tokens(s)", "substringIndex(s, ' ', 1)", "soundex(s)",
+    "editDistance(s, s)", "levenshteinDistance(s, s)",
+    "stringJaccardIndex(s, s)", "normalizeUTF8NFC(s)",
+    "concatWithSeparator('-', s, s)", "repeat(s, 2)", "space(3)",
+    "format('{} {}', s, s)", "translateUTF8(s, 'lo', 'xy')",
+    "punycodeEncode(s)", "tryPunycodeDecode('abc-')",
+    "idnaEncode('example.com')", "JSONMergePatch('{}', '{\"a\":1}')",
+    "JSONType('{}')", "JSON_QUERY('{\"a\":1}', '$.a')",
+    "JSON_VALUE('{\"a\":1}', '$.a')", "JSONExtractInt('{\"a\":1}', 'a')",
+    # scalar: URL
+    "protocol(u)", "domain(u)", "domainWithoutWWW(u)",
+    "topLevelDomain(u)", "port(u)", "path(u)", "pathFull(u)",
+    "queryString(u)", "fragment(u)", "queryStringAndFragment(u)",
+    "cutQueryString(u)", "cutFragment(u)", "cutWWW(u)",
+    "extractURLParameter(u, 'q')", "extractURLParameters(u)",
+    "extractURLParameterNames(u)", "firstSignificantSubdomain(u)",
+    "cutToFirstSignificantSubdomain(u)",
+    "cutToFirstSignificantSubdomainWithWWW(u)", "netloc(u)",
+    "encodeURLComponent(s)", "decodeURLComponent(s)",
+    # scalar: arrays
+    "arrayMap(v0 -> v0 + 1, a)", "arrayFilter(v0 -> v0 > 1, a)",
+    "arrayExists(v0 -> v0 > 1, a)", "arrayAll(v0 -> v0 > 0, a)",
+    "arrayCount(v0 -> v0 > 1, a)", "arrayFirst(v0 -> v0 > 1, a)",
+    "arrayFirstIndex(v0 -> v0 > 1, a)",
+    "arrayLastIndex(v0 -> v0 > 1, a)", "arraySum(a)",
+    "arraySum(v0 -> v0 * 2, a)", "arrayAvg(a)",
+    "arrayAvg(v0 -> v0 * 2, a)", "arrayMin(a)", "arrayMax(a)",
+    "arrayMin(v0 -> -v0, a)", "arrayProduct(a)",
+    "arrayCumSum(a)", "arrayCumSum(v0 -> v0, a)",
+    "arrayDifference(a)", "arrayCompact(a)", "arrayDistinct(a)",
+    "arrayUniq(a)", "arrayUniq(a, a)", "arraySort(a)",
+    "arraySort(v0 -> -v0, a)", "arrayReverseSort(a)",
+    "arrayReverseSort(v0 -> v0, a)", "arrayPartialSort(2, a)",
+    "arrayFill(v0 -> v0 > 1, a)", "arrayReverseFill(v0 -> v0 > 1, a)",
+    "arraySplit(v0 -> v0 = 1, a)", "arrayReverseSplit(v0 -> v0 = 1, a)",
+    "arrayEnumerateDense(a)", "arrayEnumerateUniq(a)",
+    "arrayPopBack(a)", "arrayPopFront(a)", "arrayPushBack(a, 9)",
+    "arrayPushFront(a, 9)", "arrayConcat(a, a)", "arrayResize(a, 5, 0)",
+    "arraySlice(a, 2)", "arraySlice(a, 2, 1)", "arrayWithConstant(3, 7)",
+    "arrayElementOrNull(a, 9)", "indexOf(a, 2)", "countEqual(a, 2)",
+    "arrayFlatten([a, a])", "arrayZip(a, a)", "arrayZipUnaligned(a, sa)",
+    "arrayIntersect(a, a)", "arrayRotateLeft(a, 1)",
+    "arrayShiftLeft(a, 1, 0)", "arrayShingles(a, 2)",
+    "arrayAUC([0.1, 0.9], [0, 1])", "arrayROCAUC([0.1, 0.9], [0, 1])",
+    "arrayAUCUnscaled([0.1, 0.9], [0, 1])",
+    "arrayStringConcat(sa, ',')", "arrayJaccardIndex(a, a)",
+    "arrayFold((acc, v0) -> acc + v0, a, CAST(0 AS BIGINT))",
+    "hasAll(a, [1])", "hasAny(a, [1])", "hasSubstr(a, [1])",
+    # scalar: maps
+    "mapKeys(m)", "mapValues(m)", "mapContains(m, 'k')",
+    "mapFilter((k0, v0) -> v0 > 0, m)", "mapExists((k0, v0) -> v0 > 0, m)",
+    "mapAll((k0, v0) -> v0 > 0, m)", "mapSort(m)", "mapReverseSort(m)",
+    "mapUpdate(m, m)", "mapConcat(m)", "mapAdd(im, im)",
+    "mapPopulateSeries(im)", "mapFromArrays(a, a)",
+    "mapContainsKeyLike(m, 'k%')",
+    # scalar: dates
+    "toYear(ts)", "toYYYYMM(ts)", "toISOWeek(ts)", "toQuarter(ts)",
+    "toDayOfYear(ts)", "toHour(ts)", "toMinute(ts)", "toSecond(ts)",
+    "toMillisecond(ts)", "toStartOfMonth(ts)", "toStartOfWeek(ts)",
+    "toMonday(ts)", "toStartOfHour(ts)", "toStartOfMinute(ts)",
+    "toStartOfSecond(ts)", "toStartOfFiveMinutes(ts)",
+    "toStartOfFifteenMinutes(ts)", "toStartOfQuarter(ts)",
+    "toStartOfYear(ts)", "toStartOfMillisecond(ts)",
+    "toStartOfMicrosecond(ts)",
+    "toStartOfInterval(ts, toIntervalMinute(5))",
+    "toLastDayOfMonth(ts)", "toLastDayOfWeek(ts)",
+    "addDays(ts, 1)", "addHours(ts, 1)", "addMilliseconds(ts, 500)",
+    "addMicroseconds(ts, 500)", "subtractMonths(ts, 1)",
+    "dateDiff('day', ts, ts)", "timeDiff(ts, ts)",
+    "age('day', ts, ts)", "dateName('month', ts)", "monthName(ts)",
+    "toUnixTimestamp(ts)", "fromUnixTimestamp(0)",
+    "toUTCTimestamp(ts, 'UTC')", "fromUTCTimestamp(ts, 'UTC')",
+    "YYYYMMDDToDate(20240315)", "YYYYMMDDhhmmssToDateTime(20240315103045)",
+    "toDateTime64('2024-01-01 00:00:00', 3)", "makeDate(2024, 3, 15)",
+    "makeDateTime(2024, 3, 15, 0, 0, 0)", "toModifiedJulianDay('2024-01-05')",
+    "toRelativeDayNum(ts)", "timeSlots(ts, 3600)", "serverTimezone()",
+    "toTime(ts)", "toDaysSinceYearZero(ts)",
+    # scalar: math / hash / misc
+    "cbrt(v)", "degrees(v)", "radians(v)", "intExp2(x)", "intExp10(x)",
+    "erf(v / 10)", "erfc(v / 10)", "lgamma(v + 1)", "tgamma(v + 1)",
+    "sigmoid(v)", "roundToExp2(x + 1)", "roundAge(x * 10)",
+    "roundDuration(x * 100)", "roundBankers(v, 1)",
+    "moduloOrZero(x, 0)", "ifNotFinite(v, 0)", "isFinite(v)",
+    "isInfinite(v)", "isNaN(v)", "greatCircleDistance(0, 0, 1, 1)",
+    "xxHash64(s)", "xxHash32(s)", "cityHash64(s)", "sipHash64(s)",
+    "sipHash128(s)", "farmHash64(s)", "wyHash64(s)", "halfMD5(s)",
+    "MD5(s)", "SHA256(s)", "hex(x)", "unhex(hex(x))", "bin(x)",
+    "base64Encode(s)", "base64Decode(base64Encode(s))",
+    "tryBase64Decode(s)", "toUUID('123e4567-e89b-12d3-a456-426614174000')",
+    "generateUUIDv4()", "rand()", "randNormal(0, 1)", "randUniform(0, 1)",
+    "toTypeName(x)", "transform(g, [0, 1], ['a', 'b'], 'z')",
+    "formatReadableDecimalSize(123456)", "formatReadableSize(123456)",
+    "parseTimeDelta('1h30m')", "sleep(0)".replace("sleep(0)", "least(x, 1)"),
+    "multiIf(g = 0, 'a', g = 1, 'b', 'c')", "if(g = 0, 'a', 'b')",
+    "toInt64(v)", "toFloat64(x)", "toString(x)", "toDecimal64(v, 2)",
+    "accurateCast(x, 'Int32')", "accurateCastOrNull(x, 'Int32')",
+    "untuple(m)".replace("untuple(m)", "tupleElement((1, 'a'), 1)"),
+]
+
+
+def run_audit() -> list[tuple[str, str]]:
+    from clickhouse_vs_dbt_spark.compat import register_clickhouse_compat
+    from clickhouse_vs_dbt_spark.dialect import DialectError, transpile
+    from clickhouse_vs_dbt_spark.session import get_spark
+
+    spark = get_spark()
+    register_clickhouse_compat(spark)
+    spark.sql(f"CREATE OR REPLACE TEMP VIEW __pt_audit AS {VIEW_SQL}")
+    leaks: list[tuple[str, str]] = []
+    for expr in CANDIDATES:
+        try:
+            out = transpile(f"SELECT {expr} AS r FROM __pt_audit")
+            spark.sql(out).first()
+        except DialectError:
+            pass  # a refusal with a pointer honors the contract
+        except Exception as ex:  # noqa: BLE001 — any Spark error is a leak
+            leaks.append((expr, f"{type(ex).__name__}: {ex}"))
+    return leaks
+
+
+def main() -> int:
+    leaks = run_audit()
+    if leaks:
+        for expr, err in leaks:
+            print(f"LEAK {expr}\n     {err[:160]}")
+        print(f"{len(leaks)} pass-through leak(s)")
+        return 1
+    print(f"all {len(CANDIDATES)} candidates map or refuse")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
