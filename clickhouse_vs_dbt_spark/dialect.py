@@ -80,8 +80,14 @@ The full surface (each backed by gated oracle queries and unit tests):
   SYNTAX/PLAN`` statement routing in the script runner;
 * round-9 tier — ``PASTE JOIN`` of ordered subqueries → row_number
   zip (``_rewrite_paste_join``), deterministic ``groupArraySample``/
-  ``groupArrayLast(n)(x, ord)`` tiers, punycode/IDNA via stdlib
-  codecs (compat ``ch_idn``);
+  ``groupArrayLast(n)(x, ord)`` tiers, punycode/IDNA/JSONMergePatch
+  via stdlib codecs (compat ``ch_idn``/``ch_json_merge_patch``),
+  ``LIMIT offset, n``, ``uniqExact(x) OVER w`` (DISTINCT-window
+  rewrite), ``initializeAggregation`` state seeding, and the
+  runtime pass-through audits' fold family (interval sweeps,
+  arrayFill/Split, key-function sorts, bitmap-column aggregates,
+  enumerate families) — the whole contract pinned by
+  ``tools/passthrough_audit.py``;
 * refusals with pointers — constructs whose silent handling would
   change results (``FINAL`` without DDL context, ANY ``ON`` with
   non-equality conjuncts, INTERPOLATE recurrences, non-subsequence
