@@ -75,9 +75,27 @@ def _rechunk(spark: SparkSession, sf_dir: str, name: str) -> str | None:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """External-table semantics: lazy parquet scan, re-planned per query
     (the analog of the reference's S3-engine re-scan, README.md:158-222,
-    but columnar so Catalyst pushes filters/projection into the scan)."""
+    but columnar so Catalyst pushes filters/projection into the scan).
+
+    The *unexecuted* DataFrame is memoized per session: building it
+    costs a parquet-footer schema read plus analysis (~130 ms of JVM
+    round trips), paid by every front-door call that touches a fixture
+    table, while the logical plan itself is immutable — the scan still
+    re-plans and re-reads per query exactly as before (VERDICT r9
+    item 1: this fixed per-call constant, not the query, drove the
+    ``dialect_retention`` norm drift).  Views are NOT memoized —
+    ``register_views`` re-issues the cheap ``createOrReplaceTempView``
+    every call, so a test that swapped in its own ``events`` view is
+    always restored, never silently kept."""
     if name not in FIXTURE_TABLES:
         raise KeyError(f"unknown fixture table {name!r}; known: {FIXTURE_TABLES}")
+    cache: dict = getattr(spark, "_cvds_table_cache", None) or {}
+    if not hasattr(spark, "_cvds_table_cache"):
+        spark._cvds_table_cache = cache
+    key = (sf_dir, name)
+    hit = cache.get(key)
+    if hit is not None:
+        return hit
     if name == "events":
         # events.ts has shipped as TIMESTAMP(NANOS) parquet in some
         # fixture generations (Spark's reader rejects nanos unless told
@@ -97,6 +115,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # every downstream unix_micros/window/watermark op sees the
             # same TimestampType either way).
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    cache[key] = df
     return df
 
 

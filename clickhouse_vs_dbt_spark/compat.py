@@ -170,7 +170,7 @@ def t_pvalue(t: float, df: float) -> float:
 
 #: bump when the vectorized set below changes — the registration
 #: digest must move or live sessions keep stale definitions
-_VECTORIZED_VERSION = 6
+_VECTORIZED_VERSION = 8  # r10: idnaDecode never-throw; fuzzy family
 
 
 def _register_vectorized(spark: SparkSession) -> None:
@@ -259,9 +259,20 @@ def _register_vectorized(spark: SparkSession) -> None:
                 _idna.ToASCII(lbl).decode("ascii") if lbl else ""
                 for lbl in v.split(".")
             )
-        return ".".join(
-            _idna.ToUnicode(lbl) if lbl else "" for lbl in v.split(".")
-        )
+
+        # idnaDecode: ClickHouse has NO try-variant because decode
+        # never throws — an invalid/undecodable label is returned
+        # unchanged (ADVICE r9).  Catch per LABEL, not per value, so
+        # valid labels around a broken one still decode.
+        def _to_unicode(lbl: str) -> str:
+            if not lbl:
+                return ""
+            try:
+                return _idna.ToUnicode(lbl)
+            except (UnicodeError, ValueError):
+                return lbl
+
+        return ".".join(_to_unicode(lbl) for lbl in v.split("."))
 
     @pandas_udf("string")
     def ch_idn(s: pd.Series, mode: pd.Series) -> pd.Series:
@@ -366,6 +377,115 @@ def _register_vectorized(spark: SparkSession) -> None:
         return pd.Series(out, dtype="object")
 
     spark.udf.register("ch_json_type", ch_json_type)
+
+    # --- fuzzy string metrics (VERDICT r9 item 5) ---------------------
+    # damerauLevenshteinDistance / jaroSimilarity /
+    # jaroWinklerSimilarity: textbook public algorithms (Damerau 1964 /
+    # Jaro 1989 / Winkler 1990, the Wikipedia reference forms) with no
+    # Catalyst spelling — Arrow-batched like erf/punycode above.
+    # ClickHouse semantics (its StringDistance.h operates on BYTES):
+    # we compute char-level, identical for ASCII inputs; the UTF-8
+    # divergence class is the same one editDistance→levenshtein
+    # already documents.  DuckDB ships the same three metrics
+    # (damerau_levenshtein / jaro_similarity / jaro_winkler_similarity)
+    # which is what the dialect_fuzzy_family gate replays.
+
+    def _dam_lev(a: str, b: str) -> int:
+        # UNRESTRICTED Damerau-Levenshtein (transpositions may be
+        # edited afterwards — 'CA'→'ABC' is 2, not OSA's 3): the
+        # char-last-seen table form from the standard reference.
+        da: dict[str, int] = {}
+        la, lb = len(a), len(b)
+        maxd = la + lb
+        d = [[maxd] * (lb + 2) for _ in range(la + 2)]
+        for i in range(la + 1):
+            d[i + 1][1] = i
+        for j in range(lb + 1):
+            d[1][j + 1] = j
+        for i in range(1, la + 1):
+            db = 0
+            for j in range(1, lb + 1):
+                k = da.get(b[j - 1], 0)
+                l_ = db
+                if a[i - 1] == b[j - 1]:
+                    cost = 0
+                    db = j
+                else:
+                    cost = 1
+                d[i + 1][j + 1] = min(
+                    d[i][j] + cost,          # substitute
+                    d[i + 1][j] + 1,          # insert
+                    d[i][j + 1] + 1,          # delete
+                    d[k][l_] + (i - k - 1) + 1 + (j - l_ - 1),
+                )
+            da[a[i - 1]] = i
+        return d[la + 1][lb + 1]
+
+    def _jaro(a: str, b: str) -> float:
+        la, lb = len(a), len(b)
+        if la == 0 and lb == 0:
+            return 1.0
+        if la == 0 or lb == 0:
+            return 0.0
+        window = max(la, lb) // 2 - 1
+        a_match = [False] * la
+        b_match = [False] * lb
+        m = 0
+        for i in range(la):
+            lo, hi = max(0, i - window), min(lb, i + window + 1)
+            for j in range(lo, hi):
+                if not b_match[j] and a[i] == b[j]:
+                    a_match[i] = b_match[j] = True
+                    m += 1
+                    break
+        if m == 0:
+            return 0.0
+        t = 0
+        j = 0
+        for i in range(la):
+            if a_match[i]:
+                while not b_match[j]:
+                    j += 1
+                if a[i] != b[j]:
+                    t += 1
+                j += 1
+        t //= 2
+        return (m / la + m / lb + (m - t) / m) / 3.0
+
+    def _jaro_winkler(a: str, b: str) -> float:
+        # standard Winkler boost: prefix ≤ 4, scale 0.1 (both the CH
+        # and DuckDB defaults)
+        sim = _jaro(a, b)
+        prefix = 0
+        for x, y in zip(a[:4], b[:4]):
+            if x != y:
+                break
+            prefix += 1
+        return sim + prefix * 0.1 * (1.0 - sim)
+
+    def _binary_str(fn, dtype):
+        def apply(a: pd.Series, b: pd.Series) -> pd.Series:
+            return pd.Series(
+                [
+                    None if va is None or vb is None else fn(va, vb)
+                    for va, vb in zip(a, b)
+                ],
+                dtype=dtype,
+            )
+
+        return apply
+
+    spark.udf.register(
+        "ch_damerau_levenshtein",
+        pandas_udf("bigint")(_binary_str(_dam_lev, "object")),
+    )
+    spark.udf.register(
+        "ch_jaro", pandas_udf("double")(_binary_str(_jaro, "object"))
+    )
+    spark.udf.register(
+        "ch_jaro_winkler",
+        pandas_udf("double")(_binary_str(_jaro_winkler, "object")),
+    )
 
 
 # --- gated proof: a query written verbatim in the ClickHouse dialect ---

@@ -260,9 +260,18 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority
 
 
 def q_anti_join_quiet_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Customers with no orders (NOT EXISTS → left-anti join)."""
+    """Customers with no URGENT order (NOT EXISTS → left-anti join).
+
+    The correlated subquery carries a filter so the expected result is
+    non-empty at every fixture scale (203 rows at sf0.01, 18 at
+    sf0.001) — the original no-orders-at-all predicate matched zero
+    customers on the driver fixtures, making the gate vacuous: a 0=0
+    row-count match proves the plan runs, not that the anti-join
+    semantics are right (VERDICT r9 item 3)."""
     c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
     return (
         c.join(o, c.c_custkey == o.o_custkey, "left_anti")
         .select("c_custkey", "c_mktsegment")
@@ -273,7 +282,9 @@ def q_anti_join_quiet_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 O_ANTI_JOIN = """
 SELECT c_custkey, c_mktsegment
 FROM customer c
-WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
 ORDER BY c_custkey
 """
 

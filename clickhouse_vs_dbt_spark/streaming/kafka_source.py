@@ -75,6 +75,26 @@ def parse_kafka_value(raw: DataFrame, name: str) -> DataFrame:
         parsed = F.from_json(val, info.schema_ddl)
     elif info.fmt.upper() == "CSV":
         parsed = F.from_csv(val, info.schema_ddl)
+    elif info.fmt.upper() == "CSVWITHNAMES":
+        # CSVWithNames: ClickHouse reads the FIRST line of each Kafka
+        # message as a header and the remaining lines as data rows
+        # (input_format_with_names_use_header) — so a message is a
+        # multi-row block, not one row.  Split on newlines, drop the
+        # header line, explode the data lines, from_csv each — all
+        # JVM built-ins, no Python in the hot path.  Blank trailing
+        # lines (a terminal newline) are dropped; a header-only
+        # message yields no rows, matching CH.  (ADVICE r9: this
+        # branch previously whitelisted in DDL but raised here.)
+        lines = F.split(val, "\r?\n")
+        body = F.filter(
+            F.slice(lines, 2, F.greatest(F.size(lines) - 1, F.lit(0))),
+            lambda s: s != "",
+        )
+        return (
+            raw.select(F.explode(body).alias("__line"))
+            .select(F.from_csv(F.col("__line"), info.schema_ddl).alias("__r"))
+            .select("__r.*")
+        )
     else:  # unreachable: transpile_ddl whitelists the formats
         raise DialectError(f"unsupported Kafka format {info.fmt!r}")
     return raw.select(parsed.alias("__r")).select("__r.*")

@@ -2876,6 +2876,11 @@ def test_r8_scalar_batch3(spark):
     assert one("hasToken(s, 'worl')") is False
     with pytest.raises(DialectError, match="ASCII alphanumeric"):
         transpile("SELECT hasToken(s, 'world_x') FROM b3t")
+    # …but non-ASCII bytes are TOKEN characters, not separators
+    # (ADVICE r9): 'fooé' does not contain the token 'foo'
+    assert one("hasToken('fooé bar', 'foo')") is False
+    assert one("hasToken('éfoo', 'foo')") is False
+    assert one("hasToken('foo ému', 'foo')") is True
     assert one("formatReadableDecimalSize(123456)") == "123.46 KB"
     assert one("parseTimeDelta('1h30m')") == 5400.0
     assert one("multiSearchFirstIndex(s, ['lo', 'wo'])") == 1
@@ -3213,6 +3218,19 @@ def test_r9_paste_join(spark):
     ]:
         with pytest.raises(DialectError, match="ORDER BY"):
             transpile(bad)
+    # positional ORDER BY key: positional in the subquery, CONSTANT in
+    # the copied row_number() window — silently nondeterministic zip,
+    # refuse (ADVICE r9)
+    with pytest.raises(DialectError, match="positional"):
+        transpile(
+            "SELECT * FROM (SELECT k FROM pj_t ORDER BY 1) "
+            "PASTE JOIN (SELECT v FROM pj_t ORDER BY v)"
+        )
+    with pytest.raises(DialectError, match="positional"):
+        transpile(
+            "SELECT * FROM (SELECT k FROM pj_t ORDER BY k) "
+            "PASTE JOIN (SELECT k AS b, v FROM pj_t ORDER BY b, 2)"
+        )
 
 
 def test_parenless_using(spark):
@@ -3696,6 +3714,14 @@ def test_r9_idn_family(spark):
     )
     assert one("idnaEncode('plain.example.com')") == "plain.example.com"
     assert one("punycodeEncode(CAST(NULL AS STRING))") is None
+    # idnaDecode NEVER throws (it has no try-variant in CH for that
+    # reason, ADVICE r9): an undecodable label passes through
+    # unchanged, valid labels around it still decode
+    assert one("idnaDecode('xn--INVALID-')") == "xn--INVALID-"
+    assert (
+        one("idnaDecode('xn--tda.xn--zzzzz99999')")
+        == "ü.xn--zzzzz99999"
+    )
     # strict decode of invalid punycode fails the task loudly
     with pytest.raises(Exception, match="ch_idn|PythonException"):
         one("punycodeDecode('!!bad!!')")
@@ -4072,3 +4098,59 @@ def test_r9_limit_offset_comma_and_untuple_guard(spark):
     assert transpile("SELECT untuple(t) FROM x") == (
         "SELECT t.* FROM x"
     )
+
+
+def test_r10_in_frame_guard(spark):
+    """lagInFrame/leadInFrame frame contract (VERDICT r9 item 4):
+    frame-equivalent spellings map (explicit frames stripped — Spark's
+    lag/lead reject them), divergent frames refuse instead of silently
+    ignoring the frame."""
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW if_t AS "
+        "SELECT id AS x FROM range(5)"
+    )
+    # default frame: lagInFrame == lag
+    d = [
+        r.d for r in spark.sql(transpile(
+            "SELECT x - lagInFrame(x, 1) OVER (ORDER BY x) AS d "
+            "FROM if_t"
+        )).collect()
+    ]
+    assert d[0] is None and all(int(v) == 1 for v in d[1:])
+    # explicit full-lookback frame: allowed, frame stripped for Spark
+    q = transpile(
+        "SELECT lagInFrame(x, 1) OVER (ORDER BY x ROWS BETWEEN "
+        "UNBOUNDED PRECEDING AND CURRENT ROW) AS p FROM if_t"
+    )
+    assert "ROWS" not in q.upper()
+    assert [r.p for r in spark.sql(q).collect()] == [None, 0, 1, 2, 3]
+    # clipped lookback: CH respects the frame, Spark's lag cannot
+    with pytest.raises(DialectError, match="UNBOUNDED PRECEDING"):
+        transpile(
+            "SELECT lagInFrame(x, 3) OVER (ORDER BY x ROWS BETWEEN "
+            "2 PRECEDING AND CURRENT ROW) FROM if_t"
+        )
+    # leadInFrame under the DEFAULT frame never equals lead() in CH
+    # (frame ends at CURRENT ROW): refuse with the spell-it hint
+    with pytest.raises(DialectError, match="UNBOUNDED FOLLOWING"):
+        transpile("SELECT leadInFrame(x, 1) OVER (ORDER BY x) FROM if_t")
+    # the full-frame spelling IS lead(): maps and runs
+    q = transpile(
+        "SELECT leadInFrame(x, 1) OVER (ORDER BY x ROWS BETWEEN "
+        "UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS nx FROM if_t"
+    )
+    assert [r.nx for r in spark.sql(q).collect()] == [1, 2, 3, 4, None]
+    # named window with an explicit frame: refuse (stripping a shared
+    # WINDOW definition would change its other users)
+    with pytest.raises(DialectError, match="inline"):
+        transpile(
+            "SELECT lagInFrame(x, 1) OVER w FROM if_t WINDOW w AS "
+            "(ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND "
+            "CURRENT ROW)"
+        )
+    # named window without a frame resolves and maps
+    q = transpile(
+        "SELECT lagInFrame(x, 1) OVER w AS p FROM if_t "
+        "WINDOW w AS (ORDER BY x)"
+    )
+    assert [r.p for r in spark.sql(q).collect()] == [None, 0, 1, 2, 3]

@@ -183,6 +183,41 @@ def test_kafka_value_parse_csv_and_drop(spark):
     assert lookup_kafka_info("csv_q") is None
 
 
+def test_kafka_value_parse_csv_with_names(spark):
+    """CSVWithNames: each Kafka message is a BLOCK — header line first,
+    data lines after (CH input_format_with_names_use_header).  The
+    parser drops the header, explodes the data lines, and a
+    header-only or trailing-newline message yields no phantom rows
+    (ADVICE r9: the DDL whitelisted the format but the parser raised)."""
+    from clickhouse_vs_dbt_spark.ddl import transpile_ddl, unregister_kafka_info
+    from clickhouse_vs_dbt_spark.streaming.kafka_source import (
+        parse_kafka_value,
+    )
+
+    transpile_ddl(
+        "CREATE TABLE csvn_q (k Int64, name String, v Float64) "
+        "ENGINE = Kafka('h:9092', 't', 'g', 'CSVWithNames')"
+    )
+    try:
+        raw = spark.createDataFrame(
+            [
+                # two data rows + trailing newline
+                (b"1", b"k,name,v\n7,foo,1.5\n8,bar,2.5\n"),
+                # single data row, no trailing newline
+                (b"2", b"k,name,v\n9,baz,3.5"),
+                # header-only message → no rows
+                (b"3", b"k,name,v"),
+            ],
+            "key binary, value binary",
+        )
+        got = sorted(
+            tuple(r) for r in parse_kafka_value(raw, "csvn_q").collect()
+        )
+        assert got == [(7, "foo", 1.5), (8, "bar", 2.5), (9, "baz", 3.5)]
+    finally:
+        unregister_kafka_info("csvn_q")
+
+
 def test_kafka_queue_batch_access_refuses(spark):
     """Batch access to a Kafka queue refuses with the contract
     instead of an opaque table-not-found: direct SELECT consumes in
@@ -207,5 +242,15 @@ def test_kafka_queue_batch_access_refuses(spark):
             run_clickhouse_script(
                 spark, "INSERT INTO guard_q SELECT 1;"
             )
+        # the guard is TABLE-position only (ADVICE r9): a column alias
+        # or string that collides with the queue name must not refuse
+        [(got,)] = run_clickhouse_script(
+            spark, "SELECT 1 AS guard_q;"
+        )[0][1].collect()
+        assert got == 1
+        [(got,)] = run_clickhouse_script(
+            spark, "SELECT length('guard_q') AS n;"
+        )[0][1].collect()
+        assert got == 7
     finally:
         unregister_kafka_info("guard_q")
