@@ -170,7 +170,7 @@ def t_pvalue(t: float, df: float) -> float:
 
 #: bump when the vectorized set below changes — the registration
 #: digest must move or live sessions keep stale definitions
-_VECTORIZED_VERSION = 8  # r10: idnaDecode never-throw; fuzzy family
+_VECTORIZED_VERSION = 9  # r10: idna; fuzzy family; JSON path walk
 
 
 def _register_vectorized(spark: SparkSession) -> None:
@@ -377,6 +377,110 @@ def _register_vectorized(spark: SparkSession) -> None:
         return pd.Series(out, dtype="object")
 
     spark.udf.register("ch_json_type", ch_json_type)
+
+    # --- path-form JSON introspection (VERDICT r9 item 6) -------------
+    # The r9 root-form JSONType classifier, extended through CH's
+    # indices_or_keys path walk: a string step accesses a member by
+    # key; an integer step accesses the n-th member (1-based, negative
+    # from the end) of an object OR array — the documented CH
+    # contract.  Steps arrive as a transpile-time JSON-encoded list
+    # (the dialect requires literal steps; get_json_object's paths are
+    # literal-only for the same reason), so the walk runs on parsed
+    # stdlib values and the "5"-vs-5 raw-text ambiguity of
+    # get_json_object never arises.  A miss at any step yields the
+    # family's miss marker ('Null' / [] / NULL) instead of throwing,
+    # like every CH JSON* function.
+
+    def _walk_steps(doc, steps: list):
+        for st in steps:
+            if isinstance(st, str):
+                if not isinstance(doc, dict) or st not in doc:
+                    return None, False
+                doc = doc[st]
+            else:
+                seq = (
+                    list(doc.values()) if isinstance(doc, dict)
+                    else doc if isinstance(doc, list) else None
+                )
+                if seq is None or st == 0 or abs(st) > len(seq):
+                    return None, False
+                doc = seq[st - 1 if st > 0 else st]
+        return doc, True
+
+    def _json_path_udf(per_value, dtype):
+        def apply(s: pd.Series, steps: pd.Series) -> pd.Series:
+            out = []
+            for v, stp in zip(s, steps):
+                if v is None:
+                    out.append(None)
+                    continue
+                try:
+                    node, ok = _walk_steps(
+                        _json.loads(v), _json.loads(stp)
+                    )
+                except ValueError:
+                    node, ok = None, False
+                out.append(per_value(node, ok))
+            return pd.Series(out, dtype=dtype)
+
+        return apply
+
+    spark.udf.register(
+        "ch_json_type_path",
+        pandas_udf("string")(_json_path_udf(
+            lambda node, ok: _json_type(node) if ok else "Null",
+            "object",
+        )),
+    )
+
+    def _all_paths(node, ok):
+        # dot-joined object-key chains to every leaf (arrays and
+        # scalars are leaves — CH's JSON dynamic paths are key
+        # chains); scalar/array root → [] like CH; sorted for a
+        # deterministic gate (CH reports storage order)
+        if not ok or not isinstance(node, dict):
+            return []
+        paths: list[str] = []
+
+        def rec(d: dict, prefix: str) -> None:
+            for k, v in d.items():
+                p = f"{prefix}.{k}" if prefix else k
+                if isinstance(v, dict) and v:
+                    rec(v, p)
+                else:
+                    paths.append(p)
+
+        rec(node, "")
+        return sorted(paths)
+
+    spark.udf.register(
+        "ch_json_all_paths",
+        pandas_udf("array<string>")(_json_path_udf(_all_paths, "object")),
+    )
+
+    def _kv_raw(node, ok):
+        # top-level key → raw compact JSON value, DOCUMENT order (the
+        # CH Array(Tuple(String, String)) contract); compact
+        # separators match DuckDB's json text form (the r9
+        # JSONMergePatch precedent)
+        if not ok or not isinstance(node, dict):
+            return []
+        return [
+            {
+                "k": k,
+                "v": _json.dumps(
+                    v, separators=(",", ":"), ensure_ascii=False
+                ),
+            }
+            for k, v in node.items()
+        ]
+
+    spark.udf.register(
+        "ch_json_kv_raw",
+        pandas_udf("array<struct<k:string,v:string>>")(
+            _json_path_udf(_kv_raw, "object")
+        ),
+    )
 
     # --- fuzzy string metrics (VERDICT r9 item 5) ---------------------
     # damerauLevenshteinDistance / jaroSimilarity /

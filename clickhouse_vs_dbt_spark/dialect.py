@@ -1179,6 +1179,30 @@ def _qt_merge_sql(st: str, level: str, restate: bool) -> str:
     )
 
 
+def _literal_json_steps(args: list[str]) -> str | None:
+    """Encode CH ``indices_or_keys`` path arguments as a SQL string
+    literal holding a JSON list (consumed by the compat.py stdlib
+    path-walk UDFs).  Steps must be simple literals — a quoted string
+    without escapes, or a (possibly negative) integer; anything else
+    returns None so the caller can refuse with a pointer."""
+    import json as _j
+
+    steps: list = []
+    for a in args:
+        a = a.strip()
+        if (
+            len(a) >= 2 and a[0] == a[-1] and a[0] in "'\""
+            and "\\" not in a and a[0] not in a[1:-1]
+        ):
+            steps.append(a[1:-1])
+        elif re.fullmatch(r"-?\d+", a):
+            steps.append(int(a))
+        else:
+            return None
+    enc = _j.dumps(steps, ensure_ascii=False).replace("'", "''")
+    return f"'{enc}'"
+
+
 def _render_call(name: str, args: list[str]) -> str:
     joined = ", ".join(args)
     if name == "multiIf":
@@ -3432,13 +3456,19 @@ def _render_call(name: str, args: list[str]) -> str:
             )
         inner = _render_call("JSONExtractRaw", args[:-1])
         return f"CAST({inner} AS {t})"
-    if name == "JSONExtractKeysAndValuesRaw":
-        raise DialectError(
-            "JSONExtractKeysAndValuesRaw needs per-key dynamic JSON "
-            "paths (get_json_object paths are literal-only) — "
-            "JSONExtractKeysAndValues with a value type transpiles, "
-            "or parse with from_json('map<string,string>')"
-        )
+    if name == "JSONExtractKeysAndValuesRaw" and len(args) >= 1:
+        # key → raw compact JSON value at the (literal) path, document
+        # order, via the stdlib path walk (VERDICT r9 item 6) — the
+        # result is ARRAY<STRUCT<k,v>>, CH's Array(Tuple) shape
+        steps = _literal_json_steps(args[1:])
+        if steps is None:
+            raise DialectError(
+                "JSONExtractKeysAndValuesRaw: path steps must be "
+                "literal strings/integers (the stdlib walk is encoded "
+                "at transpile time; get_json_object paths are "
+                "literal-only for the same reason)"
+            )
+        return f"ch_json_kv_raw({args[0]}, {steps})"
     if (
         name in _JSON_EXTRACT
         and len(args) >= 2
@@ -4323,11 +4353,14 @@ def _render_call(name: str, args: list[str]) -> str:
         )
         return f"array({rows_})"
     if name == "sumWithOverflow":
+        # backstop: the width-declared form is consumed by the
+        # _rewrite_sum_with_overflow pre-pass (r10); anything that
+        # reaches here lacked the inline width
         raise DialectError(
             "sumWithOverflow keeps the input width and wraps on "
-            "overflow (a ClickHouse storage micro-optimization) — "
-            "use sum(), which widens, or CAST the result back if the "
-            "wrap semantics are really wanted"
+            "overflow — declare the width inline "
+            "(sumWithOverflow(toUInt32(x)) / toInt64(x) etc.), or "
+            "use sum(), which widens"
         )
     if name in ("JSONExtractKeys", "simpleJSONExtractKeys") \
             and len(args) >= 1:
@@ -4350,18 +4383,35 @@ def _render_call(name: str, args: list[str]) -> str:
     if name == "JSONType" and len(args) == 1:
         # root-document form via the stdlib json parse (compat.py
         # ch_json_type) — CH's type names incl. the simdjson
-        # Int64/UInt64 width split; path-argument forms keep the
-        # refusal below (CH's 1-based/negative index walk over the
-        # raw document has no faithful get_json_object spelling)
+        # Int64/UInt64 width split
         return f"ch_json_type({args[0]})"
-    if name in ("JSONType", "JSONAllPaths", "JSONDynamicPaths",
-                "JSONSharedDataPaths"):
+    if name == "JSONType" and len(args) >= 2:
+        # path form (VERDICT r9 item 6): CH's indices_or_keys walk —
+        # string key / 1-based index / negative-from-end index,
+        # integers also index OBJECT members by position — runs in
+        # the stdlib classifier UDF on PARSED values, so the
+        # "5"-vs-5 raw-text ambiguity of get_json_object never
+        # arises; a miss at any step classifies as 'Null' like the
+        # root form's unparseable-input marker
+        steps = _literal_json_steps(args[1:])
+        if steps is None:
+            raise DialectError(
+                "JSONType: path steps must be literal "
+                "strings/integers (the stdlib walk is encoded at "
+                "transpile time)"
+            )
+        return f"ch_json_type_path({args[0]}, {steps})"
+    if name == "JSONAllPaths" and len(args) == 1:
+        # every object-key chain to a leaf (arrays/scalars are
+        # leaves), dot-joined, sorted for determinism (CH reports
+        # storage order) — scalar/array root yields [] like CH
+        return f"ch_json_all_paths({args[0]}, '[]')"
+    if name in ("JSONDynamicPaths", "JSONSharedDataPaths"):
         raise DialectError(
-            f"{name}: ClickHouse's JSON type-introspection contract "
-            "(UInt64-vs-Int64 classification, dynamic-path layout) "
-            "has no faithful get_json_object spelling — classify on "
-            "the raw text of get_json_object(j, path), or "
-            "schema_of_json for structure"
+            f"{name}: introspects the JSON COLUMN's storage layout "
+            "(which paths went dynamic vs shared) — engine-internal "
+            "with no document-level answer; JSONAllPaths maps since "
+            "r10 for document path enumeration"
         )
     if name == "cutToFirstSignificantSubdomain" and len(args) == 1:
         parts = f"split(parse_url({args[0]}, 'HOST'), '\\\\.')"
@@ -7852,6 +7902,7 @@ def transpile(sql: str, resolve_columns=None, engine_info=None) -> str:
     toks = _rewrite_final(toks, resolve_columns, engine_info)
     toks = _rewrite_clauses(toks)
     toks = _rewrite_window_derivative(toks)
+    toks = _rewrite_sum_with_overflow(toks)
     toks = _guard_in_frame(toks)
     toks = _tokens("".join(toks))  # re-tokenize after clause splices
     return _rewrite_distinct_window(
@@ -8015,6 +8066,108 @@ def _exp_time_decayed(
     # NOTE: emitted into the PRE-walk token stream, so the subscript
     # is the CH 1-based form (the walker maps it to try_element_at)
     return f"transform(array({g}), __g -> {body})[1]"
+
+
+def _rewrite_sum_with_overflow(toks: list[str]) -> list[str]:
+    """``sumWithOverflow(toUIntN(x))`` / ``(toIntN(x))`` → modular
+    wrap at the DECLARED width (VERDICT r9 item 7).
+
+    CH's sumWithOverflow keeps the INPUT width and wraps on overflow;
+    the width lives in the CH table DDL, which the transpiler cannot
+    see for a bare column — so exactly the spelling that declares the
+    width inline maps, and the bare form refuses with the
+    wrap-the-argument hint (refuse-on-silent-divergence).  Widths ≤ 32
+    wrap via ``pmod`` on the widening BIGINT sum (ANSI-safe: ≤ 2³¹
+    rows × < 2³² values < 2⁶³).  64-bit widths split each term into
+    hi/lo 32-bit words (arithmetic shift + mask are exact in two's
+    complement), sum the words separately, and recombine modulo 2⁶⁴ —
+    no intermediate exceeds the signed-64 range, so ANSI mode never
+    throws.  UInt64 results surface as DECIMAL(20,0) (the unsigned
+    value; BIGINT cannot represent ≥ 2⁶³)."""
+    out: list[str] = []
+    i, n_, changed = 0, len(toks), False
+    while i < n_:
+        t = toks[i]
+        if _is_ident(t) and t == "sumWithOverflow":
+            j = _next_code(toks, i + 1)
+            if j < n_ and toks[j] == "(":
+                # RAW tokens, not _parse_args: rendering maps
+                # toUInt8 → CAST(… AS SMALLINT), which erases the CH
+                # width/signedness this rewrite needs
+                k = _match_close(toks, j) + 1
+                inside = toks[j + 1:k - 1]
+                f = _next_code(inside, 0)
+                m = (
+                    re.fullmatch(r"to(U?)Int(8|16|32|64)", inside[f])
+                    if f < len(inside) and _is_ident(inside[f])
+                    else None
+                )
+                # the declared cast must BE the whole single argument:
+                # its close paren is the last code token of the arg
+                if m is not None:
+                    fo = _next_code(inside, f + 1)
+                    ok = (
+                        fo < len(inside) and inside[fo] == "("
+                        and _next_code(
+                            inside, _match_close(inside, fo) + 1
+                        ) >= len(inside)
+                    )
+                else:
+                    ok = False
+                if not ok:
+                    raise DialectError(
+                        "sumWithOverflow keeps the input width and "
+                        "wraps on overflow, and the width lives in "
+                        "the ClickHouse DDL — declare it inline "
+                        "(sumWithOverflow(toUInt32(x)) / toInt64(x) "
+                        "etc.), or use sum(), which widens"
+                    )
+                unsigned, bits = m.group(1) == "U", int(m.group(2))
+                x = "".join(inside)
+                if bits <= 32:
+                    # per-term pre-wrap: congruent to CH's
+                    # wrap-each-term-then-wrap-the-sum ((a mod W +
+                    # b mod W) mod W = (a+b) mod W) and keeps every
+                    # intermediate < 2³¹ rows × < 2³² — the widening
+                    # sum can never hit Spark's ANSI overflow even on
+                    # out-of-range inputs
+                    w = 1 << bits
+                    wrapped = f"pmod(sum(pmod(toInt64({x}), {w})), {w})"
+                    if unsigned:
+                        expr = wrapped
+                    else:
+                        expr = (
+                            f"IF({wrapped} >= {w // 2}, "
+                            f"{wrapped} - {w}, {wrapped})"
+                        )
+                else:
+                    lo = f"sum(toInt64({x}) & 4294967295)"
+                    hi = (
+                        f"((sum(shiftright(toInt64({x}), 32)) + "
+                        f"shiftright({lo}, 32)) & 4294967295)"
+                    )
+                    l_ = f"({lo} & 4294967295)"
+                    signed = (
+                        f"CASE WHEN {hi} >= 2147483648 THEN "
+                        f"({hi} - 4294967296) * 4294967296 + {l_} "
+                        f"ELSE {hi} * 4294967296 + {l_} END"
+                    )
+                    if unsigned:
+                        expr = (
+                            f"CASE WHEN ({signed}) < 0 THEN "
+                            f"CAST(({signed}) AS DECIMAL(20, 0)) + "
+                            f"18446744073709551616 ELSE "
+                            f"CAST(({signed}) AS DECIMAL(20, 0)) END"
+                        )
+                    else:
+                        expr = f"({signed})"
+                out.append(expr)
+                i = k
+                changed = True
+                continue
+        out.append(t)
+        i += 1
+    return _tokens("".join(out)) if changed else out
 
 
 def _frame_spec(spec: list[str]) -> tuple[bool, bool, bool]:
@@ -13058,6 +13211,123 @@ def q_dialect_vector_math(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# 31 (r10). sumWithOverflow at every declared width (VERDICT r9
+#     item 7): the width comes from the inline toUIntN/toIntN cast
+#     (the CH DDL width is invisible to the transpiler; the bare form
+#     refuses with that hint).  The fixture's 64-bit column wraps the
+#     sum several times over (~2⁶¹ per row × |orders| rows), the
+#     narrow widths exercise signed adjustment and per-term pre-wrap.
+#     DuckDB's HUGEINT sum makes the oracle exact modular arithmetic.
+_CH_SUM_OVERFLOW = """
+SELECT sumWithOverflow(toUInt8(k % 256)) AS u8,
+       sumWithOverflow(toInt8(k % 128 - 64)) AS i8,
+       sumWithOverflow(toUInt32(k * 999331)) AS u32,
+       sumWithOverflow(toInt64(big)) AS i64,
+       toString(sumWithOverflow(toUInt64(big))) AS u64
+FROM (SELECT o_orderkey AS k,
+             2305843009213693951 - o_orderkey * 7 AS big
+      FROM orders)
+"""
+# u64 gates as a STRING: the exact unsigned value exceeds BIGINT and a
+# DOUBLE cast would blur the wrap (53-bit mantissa at ~2⁶⁴ scale) —
+# the decimal-output driver hazard (CORRECTNESS r5/r9) avoided without
+# losing a single bit.
+
+O_SUM_OVERFLOW = """
+WITH t AS (SELECT o_orderkey AS k,
+                  2305843009213693951 - o_orderkey * 7 AS big
+           FROM orders),
+s AS (SELECT CAST(SUM(k % 256) AS HUGEINT) AS s8,
+             CAST(SUM(k % 128 - 64) AS HUGEINT) AS si8,
+             CAST(SUM(k * 999331) AS HUGEINT) AS s32,
+             CAST(SUM(CAST(big AS HUGEINT)) AS HUGEINT) AS s64
+      FROM t)
+SELECT CAST(s8 % 256 AS BIGINT) AS u8,
+       CAST(CASE WHEN ((si8 % 256) + 256) % 256 >= 128
+                 THEN ((si8 % 256) + 256) % 256 - 256
+                 ELSE ((si8 % 256) + 256) % 256 END AS BIGINT) AS i8,
+       CAST(s32 % 4294967296 AS BIGINT) AS u32,
+       CAST(CASE WHEN ((s64 % 18446744073709551616)
+                       + 18446744073709551616) % 18446744073709551616
+                      >= 9223372036854775808
+                 THEN ((s64 % 18446744073709551616)
+                       + 18446744073709551616) % 18446744073709551616
+                      - 18446744073709551616
+                 ELSE ((s64 % 18446744073709551616)
+                       + 18446744073709551616) % 18446744073709551616
+            END AS BIGINT) AS i64,
+       CAST(((s64 % 18446744073709551616) + 18446744073709551616)
+            % 18446744073709551616 AS VARCHAR) AS u64
+FROM s
+"""
+
+
+def q_dialect_sum_overflow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verbatim ClickHouse sumWithOverflow query (module doc)."""
+    return run_clickhouse_sql(spark, _CH_SUM_OVERFLOW, sf_dir, ("orders",))
+
+
+# 30 (r10). path-form JSON introspection (VERDICT r9 item 6):
+#     JSONType(doc, steps…) / JSONAllPaths / JSONExtractKeysAndValuesRaw
+#     through the stdlib path walk (compat.py) — four constructed
+#     document shapes cover object/array/scalar walks, positive and
+#     negative member indexing, the UInt64 width split, miss-at-step
+#     and unparseable-input markers.  The oracle pins the expected
+#     classification per document shape (the walk is deterministic on
+#     literals, so the constants ARE the contract — the
+#     groupArraySample seeded-tier precedent).
+_CH_JSON_PATHS = """
+SELECT DISTINCT
+       o_orderkey % 4 AS tag,
+       JSONType(doc, 'a') AS t_a,
+       JSONType(doc, 'a', 'b') AS t_ab,
+       JSONType(doc, 'a', 'b', -1) AS t_tail,
+       JSONType(doc, 2) AS t_pos2,
+       JSONType(doc, 'missing') AS t_miss,
+       arrayStringConcat(JSONAllPaths(doc), ',') AS paths,
+       arrayStringConcat(arrayMap(t ->
+           concat(tupleElement(t, 'k'), '=', tupleElement(t, 'v')),
+           JSONExtractKeysAndValuesRaw(doc)), ';') AS kv
+FROM (
+  SELECT o_orderkey,
+         caseWithExpression(o_orderkey % 4,
+           0, '{"a":{"b":[1,"x",true]},"n":18446744073709551615}',
+           1, '{"a":{"b":-7},"s":"5","z":{"q":{"r":1.5}}}',
+           2, '{"a":[],"e":{}}',
+           'not json') AS doc
+  FROM orders WHERE o_orderkey <= 64
+)
+ORDER BY tag
+"""
+
+O_JSON_PATHS = """
+SELECT DISTINCT
+       o_orderkey % 4 AS tag,
+       CASE o_orderkey % 4 WHEN 0 THEN 'Object' WHEN 1 THEN 'Object'
+            WHEN 2 THEN 'Array' ELSE 'Null' END AS t_a,
+       CASE o_orderkey % 4 WHEN 0 THEN 'Array' WHEN 1 THEN 'Int64'
+            ELSE 'Null' END AS t_ab,
+       CASE o_orderkey % 4 WHEN 0 THEN 'Bool' ELSE 'Null' END AS t_tail,
+       CASE o_orderkey % 4 WHEN 0 THEN 'UInt64' WHEN 1 THEN 'String'
+            WHEN 2 THEN 'Object' ELSE 'Null' END AS t_pos2,
+       'Null' AS t_miss,
+       CASE o_orderkey % 4 WHEN 0 THEN 'a.b,n' WHEN 1 THEN 'a.b,s,z.q.r'
+            WHEN 2 THEN 'a,e' ELSE '' END AS paths,
+       CASE o_orderkey % 4
+            WHEN 0 THEN 'a={"b":[1,"x",true]};n=18446744073709551615'
+            WHEN 1 THEN 'a={"b":-7};s="5";z={"q":{"r":1.5}}'
+            WHEN 2 THEN 'a=[];e={}' ELSE '' END AS kv
+FROM orders WHERE o_orderkey <= 64
+ORDER BY tag
+"""
+
+
+def q_dialect_json_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verbatim ClickHouse path-form JSON introspection query (module
+    doc)."""
+    return run_clickhouse_sql(spark, _CH_JSON_PATHS, sf_dir, ("orders",))
+
+
 # 29 (r10). fuzzy string-metric family (VERDICT r9 item 5):
 #     damerauLevenshteinDistance / jaroSimilarity /
 #     jaroWinklerSimilarity as Arrow-batched textbook implementations
@@ -13131,6 +13401,8 @@ QUERIES = {
     "dialect_normalize": q_dialect_normalize,
     "dialect_vector_math": q_dialect_vector_math,
     "dialect_fuzzy_family": q_dialect_fuzzy_family,
+    "dialect_json_paths": q_dialect_json_paths,
+    "dialect_sum_overflow": q_dialect_sum_overflow,
     "dialect_star_modifiers": q_dialect_star_modifiers,
     "dialect_sample_clause": q_dialect_sample_clause,
     "dialect_sample_rows": q_dialect_sample_rows,
@@ -13208,6 +13480,8 @@ ORACLES = {
     "dialect_normalize": O_NORMALIZE,
     "dialect_vector_math": O_VECTOR,
     "dialect_fuzzy_family": O_FUZZY_FAMILY,
+    "dialect_json_paths": O_JSON_PATHS,
+    "dialect_sum_overflow": O_SUM_OVERFLOW,
     "dialect_star_modifiers": O_STAR_MODIFIERS,
     "dialect_sample_clause": _o_sample_dialect(),
     "dialect_sample_rows": _o_sample_rows(),

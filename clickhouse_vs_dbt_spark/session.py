@@ -18,9 +18,12 @@ would also set on a 1000-executor cluster:
   invert this: set a high initial number (or
   ``spark.sql.adaptive.coalescePartitions.initialPartitionNum``) and
   let AQE coalesce down — the env override below is that knob.
-* ``coalescePartitions.parallelismFirst=false`` — the production
-  setting from Spark's own tuning guide: honor the 64 MB advisory
-  partition size instead of fragmenting to keep every core busy.
+* ``coalescePartitions.parallelismFirst`` stays at Spark's default
+  (true): the tuning-guide production setting (false) coalesces by
+  BYTES, which serialized compute-heavy per-group folds into one task
+  — measured r10, ``dialect_interval_sweeps`` (3 groups × ~50k-struct
+  sweep folds behind a kilobyte-scale shuffle) ran 3.1 s under
+  parallelism-first=false vs 1.2 s at the default.
 * UTC session timezone so date/time semantics are engine-independent
   (and match the DuckDB correctness oracle).
 * Arrow enabled for the Pandas-UDF slow path.
@@ -65,9 +68,6 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        .config(
-            "spark.sql.adaptive.coalescePartitions.parallelismFirst", "false"
-        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

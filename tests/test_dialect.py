@@ -4154,3 +4154,78 @@ def test_r10_in_frame_guard(spark):
         "WINDOW w AS (ORDER BY x)"
     )
     assert [r.p for r in spark.sql(q).collect()] == [None, 0, 1, 2, 3]
+
+
+def test_r10_sum_with_overflow(spark):
+    """sumWithOverflow wraps at the INLINE-declared width (the CH DDL
+    width is invisible to the transpiler, so the bare-column form
+    refuses with the wrap-the-argument hint).  Python bignum arithmetic
+    is the reference."""
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW swo_t AS SELECT "
+        "CAST(2305843009213693951 - id * 7 AS BIGINT) AS big, "
+        "CAST(id AS BIGINT) AS x FROM range(5000)"
+    )
+    row = spark.sql(transpile(
+        "SELECT sumWithOverflow(toUInt8(x % 256)) AS u8, "
+        "sumWithOverflow(toInt8(x % 128 - 64)) AS i8, "
+        "sumWithOverflow(toUInt32(x * 999331)) AS u32, "
+        "sumWithOverflow(toInt64(big)) AS i64, "
+        "toString(sumWithOverflow(toUInt64(big))) AS u64 FROM swo_t"
+    )).collect()[0]
+
+    def wrap(v, bits, unsigned):
+        m = v % (1 << bits)
+        return m if unsigned or m < (1 << (bits - 1)) else m - (1 << bits)
+
+    bigs = [2305843009213693951 - i * 7 for i in range(5000)]
+    xs = list(range(5000))
+    assert row.u8 == wrap(sum(x % 256 for x in xs), 8, True)
+    assert row.i8 == wrap(sum(x % 128 - 64 for x in xs), 8, False)
+    assert row.u32 == wrap(sum(x * 999331 for x in xs), 32, True)
+    assert row.i64 == wrap(sum(bigs), 64, False)
+    assert int(row.u64) == wrap(sum(bigs), 64, True)
+    with pytest.raises(DialectError, match="declare it inline"):
+        transpile("SELECT sumWithOverflow(x) FROM swo_t")
+
+
+def test_r10_json_path_walk(spark):
+    """Path-form JSONType / JSONAllPaths / JSONExtractKeysAndValuesRaw
+    via the stdlib indices_or_keys walk: string key, 1-based and
+    negative member index (objects AND arrays), miss markers, the
+    UInt64 width split surviving through a path (get_json_object's raw
+    text could not distinguish \"5\" from 5 — the walk classifies
+    parsed values)."""
+    from clickhouse_vs_dbt_spark.compat import register_clickhouse_compat
+
+    register_clickhouse_compat(spark)
+    doc = (
+        '{"a": {"b": [1, "x", {"c": true}]}, '
+        '"n": 18446744073709551615, "s": "5"}'
+    )
+    one = lambda e: spark.sql(  # noqa: E731
+        transpile(f"SELECT {e} AS v")
+    ).collect()[0].v
+    assert one(f"JSONType('{doc}', 'a')") == "Object"
+    assert one(f"JSONType('{doc}', 'a', 'b')") == "Array"
+    assert one(f"JSONType('{doc}', 'a', 'b', 2)") == "String"
+    assert one(f"JSONType('{doc}', 'a', 'b', -1)") == "Object"
+    assert one(f"JSONType('{doc}', 'n')") == "UInt64"
+    assert one(f"JSONType('{doc}', 's')") == "String"
+    assert one(f"JSONType('{doc}', 2)") == "UInt64"  # 2nd member = n
+    assert one(f"JSONType('{doc}', 'zz')") == "Null"
+    assert one("JSONType('not json', 'a')") == "Null"
+    assert one(f"arrayStringConcat(JSONAllPaths('{doc}'), ',')") == (
+        "a.b,n,s"
+    )
+    assert one("arrayStringConcat(JSONAllPaths('[1,2]'), ',')") == ""
+    kv = one(
+        "arrayStringConcat(arrayMap(t -> concat(tupleElement(t, 'k'), "
+        f"'=', tupleElement(t, 'v')), JSONExtractKeysAndValuesRaw("
+        f"'{doc}', 'a')), ';')"
+    )
+    assert kv == 'b=[1,"x",{"c":true}]'
+    with pytest.raises(DialectError, match="literal"):
+        transpile("SELECT JSONType(j, k) FROM t")
+    with pytest.raises(DialectError, match="storage layout"):
+        transpile("SELECT JSONDynamicPaths(j) FROM t")
