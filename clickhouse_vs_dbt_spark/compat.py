@@ -170,7 +170,7 @@ def t_pvalue(t: float, df: float) -> float:
 
 #: bump when the vectorized set below changes — the registration
 #: digest must move or live sessions keep stale definitions
-_VECTORIZED_VERSION = 9  # r10: idna; fuzzy family; JSON path walk
+_VECTORIZED_VERSION = 10  # r10: idna; fuzzy; JSON path walk + query
 
 
 def _register_vectorized(spark: SparkSession) -> None:
@@ -480,6 +480,23 @@ def _register_vectorized(spark: SparkSession) -> None:
         pandas_udf("array<struct<k:string,v:string>>")(
             _json_path_udf(_kv_raw, "object")
         ),
+    )
+
+    def _json_query(node, ok):
+        # CH JSON_QUERY wraps the match in a one-element JSON array;
+        # the stdlib walk sees PARSED values, so a string scalar whose
+        # text looks like a number ("5") keeps its quotes — the
+        # residual get_json_object ambiguity (dialect JSON_QUERY
+        # docstring) closed for literal simple paths (r10 stretch)
+        if not ok:
+            return None
+        return "[" + _json.dumps(
+            node, separators=(",", ":"), ensure_ascii=False
+        ) + "]"
+
+    spark.udf.register(
+        "ch_json_query",
+        pandas_udf("string")(_json_path_udf(_json_query, "object")),
     )
 
     # --- fuzzy string metrics (VERDICT r9 item 5) ---------------------

@@ -1626,6 +1626,76 @@ def _render_call(name: str, args: list[str]) -> str:
         return f"timestamp_seconds({args[0]})"
     if name == "generateUUIDv4" and not args:
         return "uuid()"
+    if name in ("generateUUIDv4", "generateUUIDv7") and len(args) == 1:
+        # DETERMINISTIC tier (VERDICT r9 missing-item 3, the seeded
+        # groupArraySample precedent): CH uses the expression argument
+        # only to defeat common-subexpression elimination — the result
+        # is still random; here the md5 of the argument supplies every
+        # non-version bit, so the id is a pure function of the
+        # argument (a documented determinism upgrade serving test
+        # reproducibility; version/variant nibbles keep the RFC 4122
+        # v4/v7 shape, but the v7 timestamp field is hash bits, not
+        # wall clock — use the zero-arg form for time-ordered ids)
+        ver = name[-1]
+        h = f"md5(CAST({args[0]} AS STRING))"
+        var = (
+            "element_at(array('8', '9', 'a', 'b'), "
+            f"(instr('0123456789abcdef', substr({h}, 17, 1)) - 1) "
+            "% 4 + 1)"
+        )
+        return (
+            f"concat(substr({h}, 1, 8), '-', substr({h}, 9, 4), "
+            f"'-{ver}', substr({h}, 14, 3), '-', {var}, "
+            f"substr({h}, 18, 3), '-', substr({h}, 21, 12))"
+        )
+    if name == "generateUUIDv7" and not args:
+        # faithful time-ordered v7: 48-bit wall-clock milliseconds,
+        # version nibble 7, RFC variant, random tail from uuid()
+        # entropy (each md5() call draws a fresh uuid — independent
+        # random hex, exactly what the rand_b section wants).
+        # current_timestamp() is per-QUERY constant in Spark, so rows
+        # of one query share the ms field — CH varies within the
+        # query; ordering across queries/batches still holds
+        t = "lpad(lower(hex(unix_millis(current_timestamp()))), 12, '0')"
+        r = "md5(CAST(uuid() AS STRING))"
+        var = (
+            "element_at(array('8', '9', 'a', 'b'), "
+            f"(instr('0123456789abcdef', substr({r}, 17, 1)) - 1) "
+            "% 4 + 1)"
+        )
+        return (
+            f"concat(substr({t}, 1, 8), '-', substr({t}, 9, 4), "
+            f"'-7', substr({r}, 1, 3), '-', {var}, "
+            f"substr({r}, 5, 3), '-', substr({r}, 8, 12))"
+        )
+    if name == "generateSnowflakeID" and not args:
+        # CH layout: 41-bit ms since the UNIX epoch | 10-bit machine |
+        # 12-bit counter — ms<<22 plus 22 random low bits (machine id
+        # and counter have no Spark analog; random keeps uniqueness
+        # probabilistic like CH's machine-id fallback).  Pairs with
+        # snowflakeIDToDateTime below for the roundtrip
+        return (
+            "(unix_millis(current_timestamp()) * 4194304 + "
+            "CAST(rand() * 4194304 AS BIGINT))"
+        )
+    if name == "generateSnowflakeID" and len(args) == 1:
+        # deterministic tier: 60 bits folded from the argument's md5
+        # (top bits zero like the real sign/reserved bits); trades
+        # time-ordering for reproducibility, like the UUID tier above
+        h = f"md5(CAST({args[0]} AS STRING))"
+        return (
+            f"aggregate(transform(sequence(1, 15), __i -> "
+            f"(instr('0123456789abcdef', substr({h}, __i, 1)) - 1) * "
+            "shiftleft(CAST(1 AS BIGINT), (15 - __i) * 4)), "
+            "CAST(0 AS BIGINT), (__a, __x) -> __a + __x)"
+        )
+    if name in (
+        "snowflakeIDToDateTime", "snowflakeIDToDateTime64"
+    ) and len(args) == 1:
+        # the generateSnowflakeID inverse: ms live in bits 22+ with
+        # the UNIX epoch (unlike the deprecated snowflakeToDateTime
+        # pair, which uses the Twitter epoch — both map)
+        return f"timestamp_millis({args[0]} div 4194304)"
     if name.startswith("emptyArray") and not args:
         t = {
             "String": "STRING", "Int8": "TINYINT", "Int16": "SMALLINT",
@@ -2396,12 +2466,9 @@ def _render_call(name: str, args: list[str]) -> str:
             "types — spell the arithmetic with an explicit cast: "
             "CAST(a * b AS DECIMAL(38, s))"
         )
-    if name in ("generateUUIDv7", "generateSnowflakeID"):
-        raise DialectError(
-            f"{name}: time-ordered unique ids — use uuid() (random) "
-            "or monotonically_increasing_id() + a timestamp column "
-            "(the snowflake codecs transpile: dateTimeToSnowflake)"
-        )
+    # generateUUIDv7/generateSnowflakeID map above (r10): zero-arg →
+    # faithful time-ordered construction; one-arg → the deterministic
+    # md5 tier (documented determinism upgrade for test users)
     if name in ("UUIDStringToNum", "UUIDNumToString"):
         raise DialectError(
             f"{name}: ClickHouse's internal UUID byte order is "
@@ -3410,15 +3477,37 @@ def _render_call(name: str, args: list[str]) -> str:
     if name == "JSON_EXISTS" and len(args) == 2:
         return f"(get_json_object({args[0]}, {args[1]}) IS NOT NULL)"
     if name == "JSON_QUERY" and len(args) == 2:
-        # CH wraps every match in a one-element JSON array.
+        # Literal SIMPLE paths ($.key.key[0]…) run through the stdlib
+        # path walk on PARSED values (compat.py ch_json_query, r10
+        # stretch): exact quoting with no raw-text ambiguity — a
+        # string scalar "5" keeps its quotes where get_json_object
+        # could not tell it from the number 5.  JSONPath [n] is
+        # 0-based; the walk is 1-based.
+        m = re.fullmatch(
+            r"['\"]\$((?:\.[A-Za-z_][A-Za-z0-9_]*|\[\d+\])*)['\"]",
+            args[1].strip(),
+        )
+        if m is not None:
+            import json as _j
+
+            steps: list = []
+            for key, idx in re.findall(
+                r"\.([A-Za-z_][A-Za-z0-9_]*)|\[(\d+)\]", m.group(1)
+            ):
+                steps.append(key if key else int(idx) + 1)
+            enc = _j.dumps(steps, ensure_ascii=False).replace("'", "''")
+            return f"ch_json_query({args[0]}, '{enc}')"
+        # Dynamic or wildcard paths fall back to get_json_object: CH
+        # wraps every match in a one-element JSON array, and
         # get_json_object strips the quotes off string scalars, so a
         # bare extract of "world" would produce invalid JSON [world]
         # (ADVICE r8) — re-serialize anything that is not already a
         # JSON literal through to_json (Jackson re-escapes properly;
         # the {"q": prefix is 5 chars + the brace, value sits at 6).
-        # Residual caveat (inherent to get_json_object): a STRING
-        # scalar whose text parses as a JSON number ("5") is
-        # indistinguishable from the number 5 and stays unquoted.
+        # Residual caveat (inherent to get_json_object, and only on
+        # THIS fallback path since r10): a STRING scalar whose text
+        # parses as a JSON number ("5") is indistinguishable from the
+        # number 5 and stays unquoted.
         base = f"get_json_object({args[0]}, {args[1]})"
         req = f"to_json(named_struct('q', {base}))"
         lit = (
@@ -13211,6 +13300,57 @@ def q_dialect_vector_math(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# 32 (r10). deterministic id-generator tier (VERDICT r9 missing-item
+#     3): generateUUIDv4/v7(expr) and generateSnowflakeID(expr) derive
+#     every non-version bit from md5(expr) — a pure function of the
+#     argument, so DuckDB replays the identical derivation (md5 is
+#     md5).  The zero-arg forms are faithfully random/time-ordered and
+#     therefore unit-tested for SHAPE, not value-gated.
+_CH_UUID_GENERATORS = """
+SELECT k,
+       generateUUIDv7(k) AS u7,
+       generateUUIDv4(concat('s', toString(k))) AS u4,
+       generateSnowflakeID(k) AS sf
+FROM (SELECT o_orderkey AS k FROM orders WHERE o_orderkey <= 40)
+ORDER BY k
+"""
+
+O_UUID_GENERATORS = """
+WITH t AS (SELECT o_orderkey AS k,
+                  md5(CAST(o_orderkey AS VARCHAR)) AS h7,
+                  md5('s' || CAST(o_orderkey AS VARCHAR)) AS h4
+           FROM orders WHERE o_orderkey <= 40)
+SELECT k,
+       substr(h7, 1, 8) || '-' || substr(h7, 9, 4) || '-7' ||
+       substr(h7, 14, 3) || '-' ||
+       list_extract(['8', '9', 'a', 'b'],
+           ((strpos('0123456789abcdef', substr(h7, 17, 1)) - 1) % 4)
+           + 1) ||
+       substr(h7, 18, 3) || '-' || substr(h7, 21, 12) AS u7,
+       substr(h4, 1, 8) || '-' || substr(h4, 9, 4) || '-4' ||
+       substr(h4, 14, 3) || '-' ||
+       list_extract(['8', '9', 'a', 'b'],
+           ((strpos('0123456789abcdef', substr(h4, 17, 1)) - 1) % 4)
+           + 1) ||
+       substr(h4, 18, 3) || '-' || substr(h4, 21, 12) AS u4,
+       CAST(list_sum(list_transform(range(1, 16), i ->
+           CAST(strpos('0123456789abcdef', substr(h7, i, 1)) - 1
+                AS BIGINT) * (CAST(1 AS BIGINT) << ((15 - i) * 4))))
+            AS BIGINT) AS sf
+FROM t
+ORDER BY k
+"""
+
+
+def q_dialect_uuid_generators(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Verbatim ClickHouse seeded id-generator query (module doc)."""
+    return run_clickhouse_sql(
+        spark, _CH_UUID_GENERATORS, sf_dir, ("orders",)
+    )
+
+
 # 31 (r10). sumWithOverflow at every declared width (VERDICT r9
 #     item 7): the width comes from the inline toUIntN/toIntN cast
 #     (the CH DDL width is invisible to the transpiler; the bare form
@@ -13403,6 +13543,7 @@ QUERIES = {
     "dialect_fuzzy_family": q_dialect_fuzzy_family,
     "dialect_json_paths": q_dialect_json_paths,
     "dialect_sum_overflow": q_dialect_sum_overflow,
+    "dialect_uuid_generators": q_dialect_uuid_generators,
     "dialect_star_modifiers": q_dialect_star_modifiers,
     "dialect_sample_clause": q_dialect_sample_clause,
     "dialect_sample_rows": q_dialect_sample_rows,
@@ -13482,6 +13623,7 @@ ORACLES = {
     "dialect_fuzzy_family": O_FUZZY_FAMILY,
     "dialect_json_paths": O_JSON_PATHS,
     "dialect_sum_overflow": O_SUM_OVERFLOW,
+    "dialect_uuid_generators": O_UUID_GENERATORS,
     "dialect_star_modifiers": O_STAR_MODIFIERS,
     "dialect_sample_clause": _o_sample_dialect(),
     "dialect_sample_rows": _o_sample_rows(),

@@ -3332,6 +3332,7 @@ def test_r8_scalar_batch8(spark):
 def test_r8_scalar_batch9(spark):
     """SQL/JSON standard forms, typed/array JSONExtract, UTF8
     length/validity."""
+    register_clickhouse_compat(spark)  # r10: JSON_QUERY simple paths
     spark.sql(
         "CREATE OR REPLACE TEMP VIEW b9t AS SELECT "
         "'{\"a\": 5, \"b\": [1, {\"c\": 2}], \"s\": \"hi\"}' AS j, "
@@ -3363,8 +3364,15 @@ def test_r8_scalar_batch9(spark):
     assert one("JSONExtract(j, 'a', 'Int64')") == 5
     assert one("JSONExtract(j, 's', 'String')") == "hi"
     assert one("JSONExtract(j, 'a', 'Float64')") == 5.0
+    # r10: JSONExtractKeysAndValuesRaw maps via the stdlib walk (was
+    # a refusal through r9)
+    kv = one(
+        "arrayStringConcat(arrayMap(t -> concat(tupleElement(t, 'k'), "
+        "'=', tupleElement(t, 'v')), JSONExtractKeysAndValuesRaw(j)), "
+        "';')"
+    )
+    assert kv == 'a=5;b=[1,{"c":2}];s="hi"'
     for bad, msg in [
-        ("JSONExtractKeysAndValuesRaw(j)", "dynamic"),
         ("JSONExtract(j, 'a', 'Tuple(x Int32)')", "scalar"),
     ]:
         with pytest.raises(DialectError, match=msg):
@@ -4229,3 +4237,45 @@ def test_r10_json_path_walk(spark):
         transpile("SELECT JSONType(j, k) FROM t")
     with pytest.raises(DialectError, match="storage layout"):
         transpile("SELECT JSONDynamicPaths(j) FROM t")
+
+
+def test_r10_id_generators(spark):
+    """generateUUIDv4/v7 + generateSnowflakeID: zero-arg forms are
+    faithfully random/time-ordered (shape + clock checks), one-arg
+    forms are the deterministic md5 tier (pure function of the
+    argument — the seeded groupArraySample precedent)."""
+    import re as _re
+    import time as _time
+
+    row = spark.sql(transpile(
+        "SELECT generateUUIDv4() AS u4, generateUUIDv7() AS u7, "
+        "generateSnowflakeID() AS sf, "
+        "snowflakeIDToDateTime(generateSnowflakeID()) AS sf_ts, "
+        "generateUUIDv7(42) AS d7a, generateUUIDv7(42) AS d7b, "
+        "generateSnowflakeID(42) AS dsf"
+    )).collect()[0]
+    v4re = _re.compile(
+        r"^[0-9a-f]{8}-[0-9a-f]{4}-4[0-9a-f]{3}-[89ab][0-9a-f]{3}-"
+        r"[0-9a-f]{12}$"
+    )
+    v7re = _re.compile(
+        r"^[0-9a-f]{8}-[0-9a-f]{4}-7[0-9a-f]{3}-[89ab][0-9a-f]{3}-"
+        r"[0-9a-f]{12}$"
+    )
+    assert v4re.match(row.u4) and v7re.match(row.u7)
+    # v7 timestamp field is the wall clock (48-bit ms)
+    ms = int(row.u7[:8] + row.u7[9:13], 16)
+    assert abs(ms / 1000 - _time.time()) < 300
+    # snowflake ms field (bits 22+) round-trips through the decoder
+    assert abs(row.sf_ts.timestamp() - _time.time()) < 300
+    assert row.sf // 4194304 > 0
+    # deterministic tier: equal argument → equal id, valid v7 shape
+    assert row.d7a == row.d7b and v7re.match(row.d7a)
+    assert 0 <= row.dsf < (1 << 60)
+    # distinct arguments give distinct ids
+    rows = spark.sql(transpile(
+        "SELECT generateUUIDv7(number) AS u, "
+        "generateSnowflakeID(number) AS s FROM numbers(64)"
+    )).collect()
+    assert len({r.u for r in rows}) == 64
+    assert len({r.s for r in rows}) == 64
