@@ -2492,12 +2492,14 @@ def _render_call(name: str, args: list[str]) -> str:
             else "aggThrow is ClickHouse's fault-injection test "
             "aggregate — nothing to compute"
         )
-    if name == "regexpQuoteMeta":
-        raise DialectError(
-            "regexpQuoteMeta: ClickHouse's escape set is "
-            "version-specific — escape the known metacharacters "
-            "explicitly with replace(), or match literally with "
-            "position()/contains()"
+    if name == "regexpQuoteMeta" and len(args) == 1:
+        # backslash-escape CH's documented metacharacter set
+        # \0 \\ | ( ) ^ $ . [ ] ? * + { : -  (stable across releases;
+        # the NUL byte cannot occur in a Spark STRING, so the \0 rule
+        # is vacuously satisfied) — r10, was a refusal
+        return (
+            f"regexp_replace({args[0]}, "
+            "'([\\\\\\\\|()^$.\\\\[\\\\]?*+{:-])', '\\\\\\\\$1')"
         )
     if name == "formatReadableTimeDelta":
         raise DialectError(

@@ -4279,3 +4279,22 @@ def test_r10_id_generators(spark):
     )).collect()
     assert len({r.u for r in rows}) == 64
     assert len({r.s for r in rows}) == 64
+
+
+def test_r10_regexp_quote_meta(spark):
+    """regexpQuoteMeta backslash-escapes CH's documented metacharacter
+    set (was a refusal through r9); the escaped text matches itself
+    literally through regexp_like."""
+    one = lambda e: spark.sql(  # noqa: E731
+        transpile(f"SELECT {e} AS v")
+    ).collect()[0].v
+    assert one("regexpQuoteMeta('a.b*c[d]-e{f:g|h')") == (
+        "a\\.b\\*c\\[d\\]\\-e\\{f\\:g\\|h"
+    )
+    assert one("regexpQuoteMeta('plain')") == "plain"
+    raw = "x.y[z]*+?{:-|^$()"
+    got = spark.sql(transpile(
+        f"SELECT regexp_like('{raw}', "
+        f"concat('^', regexpQuoteMeta('{raw}'), '$')) AS v"
+    )).collect()[0].v
+    assert got is True

@@ -176,6 +176,25 @@ CANDIDATES = [
     "toInt64(v)", "toFloat64(x)", "toString(x)", "toDecimal64(v, 2)",
     "accurateCast(x, 'Int32')", "accurateCastOrNull(x, 'Int32')",
     "untuple(m)".replace("untuple(m)", "tupleElement((1, 'a'), 1)"),
+    # r10 additions: fuzzy metrics, JSON path walk, width-declared
+    # overflow sums, id generators, regexpQuoteMeta
+    "damerauLevenshteinDistance(s, 'Hello')", "jaroSimilarity(s, s)",
+    "jaroWinklerSimilarity(s, 'Hello World')",
+    "JSONType('{\"a\":1}')", "JSONType('{\"a\":[1]}', 'a', -1)",
+    "JSONAllPaths('{\"a\":{\"b\":1}}')",
+    "JSONExtractKeysAndValuesRaw('{\"a\":{\"b\":1}}')",
+    "JSONExtractKeysAndValuesRaw('{\"a\":{\"b\":1}}', 'a')",
+    "JSON_QUERY('{\"s\":\"5\"}', '$.s')",
+    "sumWithOverflow(toUInt8(x))", "sumWithOverflow(toInt64(x))",
+    "sumWithOverflow(toUInt64(x))", "sumWithOverflow(x)",
+    "generateUUIDv7()", "generateUUIDv7(x)", "generateUUIDv4(x)",
+    "generateSnowflakeID()", "generateSnowflakeID(x)",
+    "snowflakeIDToDateTime(generateSnowflakeID(x))",
+    "regexpQuoteMeta(s)",
+    "lagInFrame(x, 1) OVER (ORDER BY x)",
+    "leadInFrame(x, 1) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED "
+    "PRECEDING AND UNBOUNDED FOLLOWING)",
+    "leadInFrame(x, 1) OVER (ORDER BY x)",
 ]
 
 
