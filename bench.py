@@ -280,13 +280,17 @@ def main() -> int:
     # to a single anomalous run in either direction, and calib_runs in
     # the archive lets any round's denominator be audited after the
     # fact.
-    calib_runs: list[float] = []
-    for _ in range(5):
-        t0 = time.perf_counter()
+    def _calib_kernel() -> None:
         spark.range(0, 2_000_000_000, 1, 32).selectExpr(
             # (id % 2^20) bounds the product below 2^52: ANSI-safe
             "sum((id % 1048576) * 2654435761 % 1000003) AS s"
         ).write.format("noop").mode("overwrite").save()
+
+    _calib_kernel()  # untimed: the first run is JIT-cold (~1.8× slow)
+    calib_runs: list[float] = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        _calib_kernel()
         calib_runs.append(round(time.perf_counter() - t0, 3))
     calib = round(sorted(calib_runs)[len(calib_runs) // 2], 3)
 

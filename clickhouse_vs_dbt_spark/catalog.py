@@ -89,8 +89,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     always restored, never silently kept."""
     if name not in FIXTURE_TABLES:
         raise KeyError(f"unknown fixture table {name!r}; known: {FIXTURE_TABLES}")
-    cache: dict = getattr(spark, "_cvds_table_cache", None) or {}
-    if not hasattr(spark, "_cvds_table_cache"):
+    cache: dict | None = getattr(spark, "_cvds_table_cache", None)
+    if cache is None:  # not `or {}`: an attached-but-empty dict must
+        cache = {}     # stay the live cache (code-review r10)
         spark._cvds_table_cache = cache
     key = (sf_dir, name)
     hit = cache.get(key)

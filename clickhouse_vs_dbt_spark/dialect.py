@@ -1199,7 +1199,14 @@ def _literal_json_steps(args: list[str]) -> str | None:
             steps.append(int(a))
         else:
             return None
-    enc = _j.dumps(steps, ensure_ascii=False).replace("'", "''")
+    # the encoded JSON rides inside a single-quoted Spark literal with
+    # backslash escapes ACTIVE: double every backslash json.dumps
+    # emitted (a key like he"llo encodes as \" — un-doubled, Spark
+    # would unescape it back into invalid JSON and the walk would
+    # silently return the miss marker; code-review r10), then the
+    # usual quote doubling
+    enc = _j.dumps(steps, ensure_ascii=False)
+    enc = enc.replace("\\", "\\\\").replace("'", "''")
     return f"'{enc}'"
 
 
@@ -8261,6 +8268,25 @@ def _rewrite_sum_with_overflow(toks: list[str]) -> list[str]:
     return _tokens("".join(out)) if changed else out
 
 
+def _is_frame_kw(toks: list[str], i: int) -> bool:
+    """True when ``toks[i]`` (already known to spell ROWS/RANGE/GROUPS)
+    actually OPENS a frame clause — i.e. the next code token is a
+    frame-bound word or a numeric/interval bound.  A COLUMN merely
+    named ``rows``/``range`` (``ORDER BY range``) is followed by a
+    sort direction, comma, the frame keyword itself, or the closing
+    paren — never by these (code-review r10: the bare name match
+    refused valid specs and could strip a sort key)."""
+    j = _next_code(toks, i + 1)
+    if j >= len(toks):
+        return False
+    nxt = toks[j]
+    if _is_ident(nxt) and nxt.upper() in (
+        "BETWEEN", "UNBOUNDED", "CURRENT", "INTERVAL",
+    ):
+        return True
+    return bool(re.fullmatch(r"\d+(\.\d+)?", nxt))
+
+
 def _frame_spec(spec: list[str]) -> tuple[bool, bool, bool]:
     """Inspect a parenthesized window-spec token list: returns
     ``(has_explicit_frame, frame_start_is_unbounded_preceding,
@@ -8276,6 +8302,7 @@ def _frame_spec(spec: list[str]) -> tuple[bool, bool, bool]:
         elif (
             depth == 1 and _is_ident(t)
             and t.upper() in ("ROWS", "RANGE", "GROUPS")
+            and _is_frame_kw(spec, i)
         ):
             words = [
                 x.upper() for x in spec[i + 1:len(spec) - 1]
@@ -8405,6 +8432,7 @@ def _guard_in_frame(toks: list[str]) -> list[str]:
                 elif (
                     depth == 1 and _is_ident(wtk)
                     and wtk.upper() in ("ROWS", "RANGE", "GROUPS")
+                    and _is_frame_kw(toks, wi)
                 ):
                     toks[wi:sp_close + 1] = [")"]
                     break
@@ -8509,6 +8537,7 @@ def _rewrite_window_derivative(toks: list[str]) -> list[str]:
                             elif (
                                 depth2 == 1 and _is_ident(wtk)
                                 and wtk.upper() in ("ROWS", "RANGE")
+                                and _is_frame_kw(wt, wi)
                             ):
                                 wt = wt[:wi] + [")"]
                                 break
@@ -9756,22 +9785,60 @@ def run_clickhouse_script(
             # collide with a queue name must not refuse an unrelated
             # query (ADVICE r9).
             stoks = _tokens(stmt)
-            for ti, t in enumerate(stoks):
-                if not (_is_ident(t) and t.upper() in ("FROM", "JOIN")):
-                    continue
-                rel = _next_code(stoks, ti + 1)
-                if (
-                    rel < len(stoks) and _is_ident(stoks[rel])
-                    and _ddl.lookup_kafka_info(stoks[rel]) is not None
-                ):
-                    raise DialectError(
-                        f"{stoks[rel]} is a Kafka engine table — a "
-                        "streaming consumer, not a batch relation (CH "
-                        "direct reads consume the queue); query the "
-                        "attached materialized view, or read the "
-                        "stream with "
-                        "streaming.kafka_source.kafka_read_stream"
-                    )
+            depth = 0
+            in_from = False  # inside a FROM list at depth 0
+            expect_rel = False  # the next identifier is a relation
+            _CLAUSE_KW = (
+                "WHERE", "GROUP", "ORDER", "LIMIT", "HAVING",
+                "WINDOW", "UNION", "INTERSECT", "EXCEPT",
+                "SETTINGS", "FORMAT", "SELECT", "ON", "USING",
+            )
+            ti = 0
+            while ti < len(stoks):
+                t = stoks[ti]
+                if t in ("(", "["):
+                    depth += 1
+                elif t in (")", "]"):
+                    depth -= 1
+                elif depth == 0 and _is_ident(t):
+                    up = t.upper()
+                    if up in ("FROM", "JOIN"):
+                        in_from = up == "FROM" or in_from
+                        expect_rel = True
+                    elif up in _CLAUSE_KW:
+                        in_from = expect_rel = False
+                    elif expect_rel:
+                        # dotted chain: db.kafka_q must refuse on the
+                        # LAST component too (code-review r10)
+                        parts = [t]
+                        nj = _next_code(stoks, ti + 1)
+                        while (
+                            nj < len(stoks) and stoks[nj] == "."
+                        ):
+                            nk = _next_code(stoks, nj + 1)
+                            if nk < len(stoks) and _is_ident(stoks[nk]):
+                                parts.append(stoks[nk])
+                                ti = nk
+                                nj = _next_code(stoks, nk + 1)
+                            else:
+                                break
+                        for cand in (".".join(parts), parts[-1]):
+                            if _ddl.lookup_kafka_info(cand) is not None:
+                                raise DialectError(
+                                    f"{cand} is a Kafka engine table "
+                                    "— a streaming consumer, not a "
+                                    "batch relation (CH direct reads "
+                                    "consume the queue); query the "
+                                    "attached materialized view, or "
+                                    "read the stream with streaming."
+                                    "kafka_source.kafka_read_stream"
+                                )
+                        expect_rel = False
+                elif depth == 0 and t == "," and in_from:
+                    # comma-separated FROM list re-arms relation
+                    # position (code-review r10)
+                    expect_rel = True
+                ti += 1
             df = spark.sql(
                 transpile(
                     stmt,
@@ -13482,18 +13549,29 @@ SELECT p_partkey,
        damerauLevenshteinDistance(p_name, p_type) AS dl,
        levenshteinDistance(p_name, p_type) AS lev,
        round(jaroSimilarity(p_name, p_type), 6) AS js,
-       round(jaroWinklerSimilarity(p_name, p_type), 6) AS jw
+       round(jaroWinklerSimilarity(p_name, p_type), 6) AS jw,
+       round(jaroSimilarity(substring(p_name, 1, 1),
+                            substring(p_type, 1, 1)), 6) AS js1,
+       round(jaroWinklerSimilarity(substring(p_name, 1, 4),
+                                   substring(p_type, 1, 4)), 6) AS jw4
 FROM part
 WHERE p_partkey <= 300
 ORDER BY p_partkey
 """
+# js1/jw4 pin the short-string edges the long p_name/p_type pairs never
+# reach: the 1-char match window clamp and Winkler's 0.7 boost
+# threshold (code-review r10) — both replayed natively by DuckDB.
 
 O_FUZZY_FAMILY = """
 SELECT p_partkey,
        damerau_levenshtein(p_name, p_type) AS dl,
        levenshtein(p_name, p_type) AS lev,
        ROUND(jaro_similarity(p_name, p_type), 6) AS js,
-       ROUND(jaro_winkler_similarity(p_name, p_type), 6) AS jw
+       ROUND(jaro_winkler_similarity(p_name, p_type), 6) AS jw,
+       ROUND(jaro_similarity(substring(p_name, 1, 1),
+                             substring(p_type, 1, 1)), 6) AS js1,
+       ROUND(jaro_winkler_similarity(substring(p_name, 1, 4),
+                                     substring(p_type, 1, 4)), 6) AS jw4
 FROM part
 WHERE p_partkey <= 300
 ORDER BY p_partkey

@@ -57,8 +57,8 @@ def get_spark(
         if env and env.isdigit():
             shuffle_partitions = int(env)
         else:
-            # data-scale default for the local harness (module doc);
-            # never below 8, never above the core count
+            # data-scale default for the local harness (module doc):
+            # 8, capped at the core count on smaller machines
             cores = int(cpus) if str(cpus).isdigit() else 32
             shuffle_partitions = max(min(cores, 8), 1)
 

@@ -78,21 +78,43 @@ def parse_kafka_value(raw: DataFrame, name: str) -> DataFrame:
     elif info.fmt.upper() == "CSVWITHNAMES":
         # CSVWithNames: ClickHouse reads the FIRST line of each Kafka
         # message as a header and the remaining lines as data rows
-        # (input_format_with_names_use_header) — so a message is a
-        # multi-row block, not one row.  Split on newlines, drop the
-        # header line, explode the data lines, from_csv each — all
-        # JVM built-ins, no Python in the hot path.  Blank trailing
-        # lines (a terminal newline) are dropped; a header-only
-        # message yields no rows, matching CH.  (ADVICE r9: this
-        # branch previously whitelisted in DDL but raised here.)
+        # (input_format_with_names_use_header maps columns BY NAME) —
+        # so a message is a multi-row block, not one row.  Split on
+        # newlines, VALIDATE the header against the declared column
+        # list, explode the data lines, from_csv each — all JVM
+        # built-ins, no Python in the hot path.  A message whose
+        # header is not the canonical declared order yields NULL
+        # columns for its rows (the same malformed-record contract as
+        # the CSV branch above: reordered-column blocks would need a
+        # per-message dynamic projection, which from_csv's fixed
+        # schema cannot express — refusing them loudly beats parsing
+        # them positionally wrong; code-review r10).  Blank trailing
+        # lines are dropped; a header-only message yields no rows.
+        # Known limit, documented: a quoted field containing a raw
+        # newline spans lines and its fragments parse to NULL columns
+        # (the line splitter is newline-based, like CH's own
+        # row-delimited Kafka framing).
+        from pyspark.sql.types import StructType
+
+        names = StructType.fromDDL(info.schema_ddl).fieldNames()
         lines = F.split(val, "\r?\n")
+        header_ok = F.trim(F.element_at(lines, 1)) == F.lit(
+            ",".join(names)
+        )
         body = F.filter(
             F.slice(lines, 2, F.greatest(F.size(lines) - 1, F.lit(0))),
             lambda s: s != "",
         )
         return (
-            raw.select(F.explode(body).alias("__line"))
-            .select(F.from_csv(F.col("__line"), info.schema_ddl).alias("__r"))
+            raw.select(
+                header_ok.alias("__hok"), F.explode(body).alias("__line")
+            )
+            .select(
+                F.when(
+                    F.col("__hok"),
+                    F.from_csv(F.col("__line"), info.schema_ddl),
+                ).alias("__r")
+            )
             .select("__r.*")
         )
     else:  # unreachable: transpile_ddl whitelists the formats

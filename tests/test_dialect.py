@@ -2950,9 +2950,11 @@ def test_r8_scalar_batch4(spark):
     )
 
     for bad, msg in [
-        ("sumWithOverflow(x)", "wrap"),
-        ("JSONType(j, 'a')", "introspection"),  # path form refuses
-        ("JSONAllPaths(j)", "introspection"),
+        ("sumWithOverflow(x)", "wrap"),  # width-declared forms map, r10
+        # path-form JSONType/JSONAllPaths map since r10
+        # (test_r10_json_path_walk); the storage-layout introspectors
+        # keep refusing
+        ("JSONDynamicPaths(j)", "storage layout"),
         ("queryID()", "internals"),
         ("hostName()", "internals"),
         ("quantileInterpolatedWeighted(0.5)(x, 1)", "ExactWeighted"),
@@ -3128,14 +3130,13 @@ def test_r8_scalar_batch6(spark):
         ("multiplyDecimal(d, d)", "explicit cast"),
         ("h3ToGeo(s1)", "cell"),
         ("geoToS2(1.0, 2.0)", "cell"),
-        ("jaroSimilarity(s1, s2)", "levenshtein"),
-        ("damerauLevenshteinDistance(s1, s2)", "levenshtein"),
+        # jaro*/damerauLevenshtein/generateUUIDv7/regexpQuoteMeta map
+        # since r10 (test_r10_id_generators, test_r10_regexp_quote_meta,
+        # dialect_fuzzy_family)
         ("byteSize(s1)", "octet_length"),
-        ("generateUUIDv7()", "uuid"),
         ("UUIDStringToNum(s1)", "byte order"),
         ("emptyArrayToSingle(a)", "TYPE DEFAULT"),
         ("groupArrayInsertAt(s1, 3)", "TYPE DEFAULT"),
-        ("regexpQuoteMeta(s1)", "escape"),
         ("formatReadableTimeDelta(3600)", "parseTimeDelta"),
         ("wordShingleMinHashCaseInsensitive(s1)", "dedup"),
         ("proportionsZTest(1, 2, 3, 4, 0.95, pool)", "literal"),
@@ -3807,8 +3808,10 @@ def test_r9_summap_state_and_json_type(spark):
     assert one("JSONType('null')") == "Null"
     assert one("JSONType('not json')") == "Null"
     assert one("JSONType(CAST(NULL AS STRING))") is None
-    with pytest.raises(DialectError, match="introspection"):
-        transpile("SELECT JSONType('{}', 'a')")
+    # path-form JSONType maps since r10 (test_r10_json_path_walk);
+    # the storage-layout introspectors still refuse
+    with pytest.raises(DialectError, match="storage layout"):
+        transpile("SELECT JSONSharedDataPaths(j) FROM t")
 
 
 def test_r9_interval_sweeps(spark):
@@ -4298,3 +4301,45 @@ def test_r10_regexp_quote_meta(spark):
         f"concat('^', regexpQuoteMeta('{raw}'), '$')) AS v"
     )).collect()[0].v
     assert got is True
+
+
+def test_r10_review_fixes(spark):
+    """Code-review regressions (r10): jaro short-string window clamp +
+    Winkler 0.7 boost threshold; frame keywords vs columns NAMED
+    rows/range; JSONPath integer subscripts index lists only; step
+    literals with embedded quotes survive SQL-literal escaping."""
+    from clickhouse_vs_dbt_spark.compat import register_clickhouse_compat
+
+    register_clickhouse_compat(spark)
+    one = lambda e: spark.sql(  # noqa: E731
+        transpile(f"SELECT {e} AS v")
+    ).collect()[0].v
+    # window clamp: single-char equal strings are identical, not 0
+    assert one("jaroSimilarity('a', 'a')") == 1.0
+    assert one("jaroWinklerSimilarity('a', 'a')") == 1.0
+    # Winkler boost only above the 0.7 threshold (DuckDB/CH gate):
+    # jaro('abcd','abxx') = 2/3 and stays 2/3 despite the 2-char prefix
+    assert abs(one("jaroWinklerSimilarity('abcd', 'abxx')") - 2 / 3) < 1e-12
+    # a column merely NAMED range/rows is not a frame clause
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW fr_t AS SELECT id AS x, "
+        "id % 2 AS range, id % 3 AS rows FROM range(6)"
+    )
+    q = transpile(
+        "SELECT lagInFrame(x, 1) OVER (PARTITION BY range ORDER BY x) "
+        "AS p FROM fr_t"
+    )
+    assert spark.sql(q).count() == 6
+    # ...and a real frame AFTER a sort key named rows still strips
+    # without deleting the key
+    q = transpile(
+        "SELECT leadInFrame(x, 1) OVER (ORDER BY rows, x ROWS BETWEEN "
+        "UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS n FROM fr_t"
+    )
+    assert "ORDER BY rows, x" in q and "BETWEEN" not in q.upper()
+    spark.sql(q).collect()
+    # JSON_QUERY integer subscripts are JSONPath: lists only
+    assert one("JSON_QUERY('{\"a\":{\"x\":7}}', '$.a[0]')") is None
+    assert one("JSON_QUERY('{\"a\":[7,8]}', '$.a[1]')") == "[8]"
+    # a path key containing a double quote survives the literal
+    assert one('JSONType(\'{"he\\\\"llo": 5}\', \'he"llo\')') == "Int64"

@@ -214,6 +214,16 @@ def test_kafka_value_parse_csv_with_names(spark):
             tuple(r) for r in parse_kafka_value(raw, "csvn_q").collect()
         )
         assert got == [(7, "foo", 1.5), (8, "bar", 2.5), (9, "baz", 3.5)]
+        # a REORDERED header cannot be parsed positionally against the
+        # fixed from_csv schema — its rows yield NULL columns (the
+        # malformed-record contract), never silently transposed values
+        # (code-review r10)
+        bad = spark.createDataFrame(
+            [(b"4", b"v,name,k\n1.5,foo,7")],
+            "key binary, value binary",
+        )
+        rows = parse_kafka_value(bad, "csvn_q").collect()
+        assert len(rows) == 1 and tuple(rows[0]) == (None, None, None)
     finally:
         unregister_kafka_info("csvn_q")
 
@@ -252,5 +262,18 @@ def test_kafka_queue_batch_access_refuses(spark):
             spark, "SELECT length('guard_q') AS n;"
         )[0][1].collect()
         assert got == 7
+        # ...but table position includes comma-separated FROM lists
+        # and the last component of dotted names (code-review r10)
+        spark.sql(
+            "CREATE OR REPLACE TEMP VIEW other_t AS SELECT 1 AS a"
+        )
+        with pytest.raises(DialectError, match="streaming consumer"):
+            run_clickhouse_script(
+                spark, "SELECT * FROM other_t, guard_q;"
+            )
+        with pytest.raises(DialectError, match="streaming consumer"):
+            run_clickhouse_script(
+                spark, "SELECT count() FROM db.guard_q;"
+            )
     finally:
         unregister_kafka_info("guard_q")
