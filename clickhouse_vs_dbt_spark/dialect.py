@@ -8605,6 +8605,38 @@ def _rewrite_tuple_index(sql: str) -> str:
                 n = int(toks[i])
                 if 1 <= n <= len(names):
                     toks[i] = f"`{names[n - 1]}`"
+            elif k >= 0 and toks[k].lower() == "try_element_at":
+                # kv[n].N — CH's UNNAMED Array(Tuple) element access
+                # (JSONExtractKeysAndValuesRaw is the tuple-returning
+                # rewrite whose names are NOT inline literals): the
+                # struct fields are the fixed (k, v) pair (r10)
+                inner = _next_code(toks, j + 2)
+                if (
+                    inner < len(toks)
+                    and _is_ident(toks[inner])
+                    and toks[inner] == "ch_json_kv_raw"
+                    and toks[i] in ("1", "2")
+                ):
+                    toks[i] = "`k`" if toks[i] == "1" else "`v`"
+        elif (
+            toks[i - 1] == "."
+            and toks[i].isdigit()
+            and _is_ident(toks[i - 2])
+        ):
+            # positional access on a bare identifier (a lambda var or
+            # a tuple-valued alias): Spark structs are name-addressed
+            # and no type information exists here — refuse with the
+            # pointer instead of leaking an opaque unresolved-column
+            # error (the pass-through contract)
+            raise DialectError(
+                f"{toks[i - 2]}.{toks[i]}: positional tuple access "
+                "on a column/lambda variable — Spark structs are "
+                "name-addressed; use the field names (the "
+                "JSONExtractKeysAndValuesRaw element fields are "
+                f"{toks[i - 2]}.k / {toks[i - 2]}.v; other "
+                "tuple-returning rewrites document theirs), or index "
+                "the element directly (arr[n].1 works)"
+            )
         i += 1
     return "".join(toks)
 

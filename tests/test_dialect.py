@@ -4343,3 +4343,25 @@ def test_r10_review_fixes(spark):
     assert one("JSON_QUERY('{\"a\":[7,8]}', '$.a[1]')") == "[8]"
     # a path key containing a double quote survives the literal
     assert one('JSONType(\'{"he\\\\"llo": 5}\', \'he"llo\')') == "Int64"
+
+
+def test_r10_positional_tuple_on_kv_raw(spark):
+    """CH's JSONExtractKeysAndValuesRaw returns an UNNAMED tuple, so
+    verbatim queries use positional access: ``kv[n].1/.2`` maps to the
+    fixed (k, v) fields; positional access on a lambda var / alias
+    (where no type info exists) refuses with the field-name pointer
+    instead of leaking an opaque Spark error."""
+    from clickhouse_vs_dbt_spark.compat import register_clickhouse_compat
+
+    register_clickhouse_compat(spark)
+    row = spark.sql(transpile(
+        "SELECT JSONExtractKeysAndValuesRaw('{\"a\":5,\"b\":[1]}')[1].1"
+        " AS k1, "
+        "JSONExtractKeysAndValuesRaw('{\"a\":5,\"b\":[1]}')[2].2 AS v2"
+    )).collect()[0]
+    assert (row.k1, row.v2) == ("a", "[1]")
+    with pytest.raises(DialectError, match="name-addressed"):
+        transpile(
+            "SELECT arrayMap(t -> t.1, "
+            "JSONExtractKeysAndValuesRaw(j)) FROM d"
+        )
