@@ -1368,6 +1368,64 @@ def _render_call(name: str, args: list[str]) -> str:
             f"({a}(CAST({x} AS BIGINT), CAST({n} AS INT)) | "
             f"{b}(CAST({x} AS BIGINT), 64 - CAST({n} AS INT)))"
         )
+    if name == "bitHammingDistance" and len(args) == 2:
+        return f"bit_count({args[0]} ^ {args[1]})"
+    if name == "byteSwap":
+        # the width-declared form is consumed by the
+        # _rewrite_byte_swap pre-pass (raw tokens: the rendered CAST
+        # erases UInt-vs-Int width exactly as in sumWithOverflow)
+        raise DialectError(
+            "byteSwap's result depends on the integer's DECLARED "
+            "width (UInt32 swaps 4 bytes, UInt64 swaps 8), which "
+            "lives in the ClickHouse DDL — declare it inline: "
+            "byteSwap(toUInt32(x)) / byteSwap(toUInt64(x))"
+        )
+    if name in ("gcd", "lcm") and len(args) == 2:
+        # Euclid as a bounded Catalyst fold: 92 iterations cover the
+        # worst (consecutive-Fibonacci) int64 pair; each step is
+        # (a, b) → (b, a mod b) until b = 0.  Pure codegen, no UDF.
+        a, b = args
+        g = (
+            f"aggregate(sequence(1, 92), "
+            f"named_struct('a', abs(CAST({a} AS BIGINT)), "
+            f"'b', abs(CAST({b} AS BIGINT))), "
+            "(__acc, __i) -> IF(__acc.b = 0, __acc, "
+            "named_struct('a', __acc.b, 'b', __acc.a % __acc.b)), "
+            "__acc -> __acc.a)"
+        )
+        if name == "gcd":
+            return g
+        # lcm(a, b) = |a / gcd * b|; divide first to avoid overflow
+        return (
+            f"abs(abs(CAST({a} AS BIGINT)) div {g} "
+            f"* abs(CAST({b} AS BIGINT)))"
+        )
+    if name == "isZeroOrNull" and len(args) == 1:
+        return f"CAST({args[0]} IS NULL OR {args[0]} = 0 AS SMALLINT)"
+    if name == "arrayElement" and len(args) == 2:
+        # the functional spelling of arr[n]: same 1-based/negative
+        # contract, same documented NULL-vs-type-default OOB seam
+        return f"try_element_at({args[0]}, {args[1]})"
+    if name == "randCanonical" and not args:
+        return "rand()"
+    if name == "UTCTimestamp" and not args:
+        # session timezone is pinned UTC (session.py), so now() and
+        # UTCTimestamp() coincide by construction
+        return "current_timestamp()"
+    if name == "now64" and len(args) <= 2:
+        # DateTime64(p) — Spark timestamps are micros, covering every
+        # p ≤ 6; finer grids have no representation
+        if args and args[0].strip().isdigit() and int(args[0]) > 6:
+            raise DialectError(
+                "now64 precision > 6: Spark timestamps are "
+                "microsecond-resolution"
+            )
+        return "current_timestamp()"
+    if name == "addInterval" and len(args) == 2:
+        # interval + interval — Spark adds same-class intervals
+        # natively and errors LOUDLY on mixed year-month/day-time
+        # (CH builds a tuple there; no silent divergence either way)
+        return f"({args[0]} + {args[1]})"
     if name == "intExp2" and len(args) == 1:
         return f"shiftleft(CAST(1 AS BIGINT), CAST({args[0]} AS INT))"
     if name == "intExp10" and len(args) == 1:
@@ -8001,6 +8059,7 @@ def transpile(sql: str, resolve_columns=None, engine_info=None) -> str:
     toks = _rewrite_clauses(toks)
     toks = _rewrite_window_derivative(toks)
     toks = _rewrite_sum_with_overflow(toks)
+    toks = _rewrite_byte_swap(toks)
     toks = _guard_in_frame(toks)
     toks = _tokens("".join(toks))  # re-tokenize after clause splices
     return _rewrite_distinct_window(
@@ -8263,6 +8322,61 @@ def _rewrite_sum_with_overflow(toks: list[str]) -> list[str]:
                 i = k
                 changed = True
                 continue
+        out.append(t)
+        i += 1
+    return _tokens("".join(out)) if changed else out
+
+
+def _rewrite_byte_swap(toks: list[str]) -> list[str]:
+    """``byteSwap(toUIntN(x))`` / ``(toIntN(x))`` → byte reversal at
+    the DECLARED width (r10 audit batch 5) — raw-token pre-pass for
+    the same reason as ``_rewrite_sum_with_overflow``: the rendered
+    CAST erases the CH width (toUInt32 → BIGINT).  Logical shifts
+    reassemble the N/8 bytes in reverse; two's complement keeps the
+    byte view identical for signed inputs.  UInt64's swapped value can
+    exceed Int64 range — it surfaces as the signed reinterpretation of
+    the same 8 bytes (the documented UInt64-as-BIGINT narrowing)."""
+    out: list[str] = []
+    i, n_, changed = 0, len(toks), False
+    while i < n_:
+        t = toks[i]
+        if _is_ident(t) and t == "byteSwap":
+            j = _next_code(toks, i + 1)
+            if j < n_ and toks[j] == "(":
+                k = _match_close(toks, j) + 1
+                inside = toks[j + 1:k - 1]
+                f = _next_code(inside, 0)
+                m = (
+                    re.fullmatch(r"to(U?)Int(8|16|32|64)", inside[f])
+                    if f < len(inside) and _is_ident(inside[f])
+                    else None
+                )
+                if m is not None:
+                    fo = _next_code(inside, f + 1)
+                    ok = (
+                        fo < len(inside) and inside[fo] == "("
+                        and _next_code(
+                            inside, _match_close(inside, fo) + 1
+                        ) >= len(inside)
+                    )
+                else:
+                    ok = False
+                if ok:
+                    width = int(m.group(2)) // 8
+                    x = f"CAST(toInt64({''.join(inside)}) AS BIGINT)"
+                    if width == 1:
+                        expr = f"({x} & 255)"
+                    else:
+                        terms = " + ".join(
+                            f"shiftleft(shiftrightunsigned({x}, "
+                            f"{8 * b}) & 255, {8 * (width - 1 - b)})"
+                            for b in range(width)
+                        )
+                        expr = f"({terms})"
+                    out.append(expr)
+                    i = k
+                    changed = True
+                    continue
         out.append(t)
         i += 1
     return _tokens("".join(out)) if changed else out

@@ -4365,3 +4365,33 @@ def test_r10_positional_tuple_on_kv_raw(spark):
             "SELECT arrayMap(t -> t.1, "
             "JSONExtractKeysAndValuesRaw(j)) FROM d"
         )
+
+
+def test_r10_scalar_batch5(spark):
+    """r10 audit batch 5: gcd/lcm Euclid folds, width-declared
+    byteSwap, bit Hamming distance, null/zero vocabulary, functional
+    array element access, id/time conveniences."""
+    one = lambda e: spark.sql(  # noqa: E731
+        transpile(f"SELECT {e} AS v")
+    ).collect()[0].v
+    assert one("gcd(12, 18)") == 6
+    assert one("lcm(4, 6)") == 12
+    assert one("gcd(0, 5)") == 5
+    assert one("gcd(-12, 18)") == 6  # CH gcd is on absolute values
+    # worst-case Euclid depth: consecutive Fibonacci numbers
+    assert one("gcd(7540113804746346429, 4660046610375530309)") == 1
+    assert one("byteSwap(toUInt32(3351772109))") == 3455829959
+    assert one("byteSwap(toUInt8(200))") == 200
+    assert one("byteSwap(toUInt16(4135))") == 10000
+    with pytest.raises(DialectError, match="declare it inline"):
+        transpile("SELECT byteSwap(x) FROM t")
+    assert one("bitHammingDistance(111, 109)") == 1
+    assert one("isZeroOrNull(0)") == 1
+    assert one("isZeroOrNull(CAST(NULL AS BIGINT))") == 1
+    assert one("isZeroOrNull(3)") == 0
+    assert one("arrayElement([10, 20, 30], -1)") == 30
+    assert one("arrayElement([10, 20, 30], 9)") is None
+    assert 0 <= one("randCanonical()") < 1
+    assert one("now64(3) IS NOT NULL") is True
+    with pytest.raises(DialectError, match="microsecond"):
+        transpile("SELECT now64(9)")

@@ -195,6 +195,44 @@ CANDIDATES = [
     "leadInFrame(x, 1) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED "
     "PRECEDING AND UNBOUNDED FOLLOWING)",
     "leadInFrame(x, 1) OVER (ORDER BY x)",
+    # r10 audit batch 5: datetime grid starts, arithmetic/null
+    # vocabulary, array mutators, map constructors, bit tests —
+    # spellings no prior batch exercised
+    "toStartOfHour(ts)", "toStartOfMinute(ts)",
+    "toStartOfFiveMinutes(ts)", "toStartOfTenMinutes(ts)",
+    "toStartOfFifteenMinutes(ts)", "toStartOfSecond(ts)",
+    "timeSlot(ts)", "monthName(ts)", "toDaysSinceYearZero(ts)",
+    "fromDaysSinceYearZero(739000)", "UTCTimestamp()",
+    "toMonday(ts)", "toLastDayOfWeek(ts)", "toRelativeHourNum(ts)",
+    "addInterval(INTERVAL 1 DAY, INTERVAL 2 DAY)",
+    "plus(x, 1)", "minus(x, 1)", "multiply(x, 2)", "divide(v, 2)",
+    "negate(x)", "abs(x)", "intDivOrZero(x, 0)", "moduloOrZero(x, 0)",
+    "gcd(x + 1, 6)", "lcm(x + 1, 6)", "max2(v, 1.0)", "min2(v, 1.0)",
+    "isZeroOrNull(x)", "ifNull(s, 'd')", "nullIf(x, 3)",
+    "assumeNotNull(x)", "toNullable(x)", "e()", "pi()",
+    "exp2(v)", "exp10(v)", "log2(v + 1)", "log10(v + 1)",
+    "log1p(v)", "cbrt(v)", "degrees(v)", "radians(v)", "sign(v - 3)",
+    "intExp2(3)", "intExp10(3)", "roundBankers(v / 7, 2)",
+    "byteSwap(x)", "byteSwap(toUInt32(x))", "byteSwap(toInt64(x))",
+    "bitCount(x + 255)", "bitTest(x + 5, 0)",
+    "bitTestAll(x + 5, 0, 2)", "bitTestAny(x + 5, 1, 3)",
+    "bitNot(x)", "bitHammingDistance(x, x + 1)",
+    "arrayDifference(a)", "arrayIntersect(a, a)", "arrayResize(a, 5)",
+    "arrayResize(a, 5, 0)", "arrayPushBack(a, 9)",
+    "arrayPushFront(a, 9)", "arrayPopBack(a)", "arrayPopFront(a)",
+    "hasAll(a, [1, 2])", "hasAny(a, [7, 2])", "indexOf(a, 2)",
+    "countEqual(a, 2)", "arrayEnumerate(a)", "arrayEnumerateDense(a)",
+    "arrayEnumerateUniq(a)", "arrayCompact(a)", "arrayReverse(a)",
+    "arrayConcat(a, a)", "arrayElement(a, 1)",
+    "arrayStringConcat(sa, '-')", "arrayFlatten([a, a])",
+    "mapFromArrays(sa, a)".replace("(sa, a)", "(sa, [1, 2])"),
+    "mapKeys(m)", "mapValues(m)", "mapContains(m, 'k')",
+    "mapContainsKeyLike(m, 'k%')", "mapUpdate(m, map('z', 9))",
+    "tupleToNameValuePairs((1, 2))",
+    "randCanonical()", "randBernoulli(0.5)", "randExponential(1.0)",
+    "toYearWeek(ts)", "toISOYear(ts)", "toModifiedJulianDay('2024-03-15')",
+    "fromModifiedJulianDay(60384)", "toUnixTimestamp64Milli(ts)",
+    "now()", "now64()", "today()", "yesterday()",
 ]
 
 
