@@ -170,7 +170,7 @@ def t_pvalue(t: float, df: float) -> float:
 
 #: bump when the vectorized set below changes — the registration
 #: digest must move or live sessions keep stale definitions
-_VECTORIZED_VERSION = 11  # r10: jaro window clamp + winkler threshold
+_VECTORIZED_VERSION = 12  # r10: + base58 codecs
 
 
 def _register_vectorized(spark: SparkSession) -> None:
@@ -480,6 +480,52 @@ def _register_vectorized(spark: SparkSession) -> None:
         pandas_udf("array<struct<k:string,v:string>>")(
             _json_path_udf(_kv_raw, "object")
         ),
+    )
+
+    # base58 (Bitcoin alphabet, the CH base58Encode/Decode contract):
+    # pure public algorithm over the string's UTF-8 bytes — leading
+    # zero bytes map to leading '1's.  Arrow-batched like the other
+    # codec UDFs; decode throws on invalid input like CH.
+    _B58 = "123456789ABCDEFGHJKLMNPQRSTUVWXYZabcdefghijkmnopqrstuvwxyz"
+
+    def _b58enc(s: str) -> str:
+        raw = s.encode("utf-8")
+        n = int.from_bytes(raw, "big")
+        out = []
+        while n:
+            n, r = divmod(n, 58)
+            out.append(_B58[r])
+        pad = len(raw) - len(raw.lstrip(b"\0"))
+        return "1" * pad + "".join(reversed(out))
+
+    def _b58dec(s: str) -> str:
+        n = 0
+        for c in s:
+            i = _B58.find(c)
+            if i < 0:
+                raise ValueError(
+                    f"base58Decode: invalid character {c!r} "
+                    "(ClickHouse throws here too)"
+                )
+            n = n * 58 + i
+        body = n.to_bytes((n.bit_length() + 7) // 8, "big") if n else b""
+        pad = len(s) - len(s.lstrip("1"))
+        return (b"\0" * pad + body).decode("utf-8")
+
+    def _unary_str(fn):
+        def apply(x: pd.Series) -> pd.Series:
+            return pd.Series(
+                [None if v is None else fn(v) for v in x],
+                dtype="object",
+            )
+
+        return apply
+
+    spark.udf.register(
+        "ch_base58_encode", pandas_udf("string")(_unary_str(_b58enc))
+    )
+    spark.udf.register(
+        "ch_base58_decode", pandas_udf("string")(_unary_str(_b58dec))
     )
 
     def _walk_jsonpath(doc, steps: list):

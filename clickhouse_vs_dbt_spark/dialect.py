@@ -2006,6 +2006,29 @@ def _render_call(name: str, args: list[str]) -> str:
                 "Quarters": "QUARTER"}[unit]
         n = args[1] if name.startswith("add") else f"-({args[1]})"
         return f"timestampadd({unit}, {n}, {args[0]})"
+    if name in ("timestampAdd", "timestampSub", "dateAdd", "dateSub") \
+            and len(args) == 2 \
+            and re.match(r"(?i)^\s*INTERVAL\b", args[1] or ""):
+        # the (ts, INTERVAL n unit) 2-arg spelling (the 3-arg unit
+        # forms map elsewhere) — native interval arithmetic
+        op = "-" if name.endswith("Sub") else "+"
+        return f"({args[0]} {op} {args[1]})"
+    if name in (
+        "tuplePlus", "tupleMinus", "tupleMultiply", "tupleDivide",
+        "tupleNegate", "tupleMultiplyByNumber", "tupleDivideByNumber",
+        "tupleHammingDistance",
+    ):
+        raise DialectError(
+            f"{name}: tuple vector arithmetic needs the tuple's arity "
+            "and element types (Spark structs are heterogeneous "
+            "records, not vectors) — spell the vectors as ARRAYS: "
+            "zip_with arithmetic, arrayDotProduct, L1/L2Distance and "
+            "bitHammingDistance all transpile"
+        )
+    if name == "char" and len(args) >= 2:
+        # multi-codepoint form: CH concatenates one char per argument
+        # (the 1-arg form passes through to Spark's native char)
+        return "concat(" + ", ".join(f"char({a})" for a in args) + ")"
     if name == "toLastDayOfWeek" and len(args) == 1:
         d = args[0]
         # Sunday-start week (ClickHouse default mode) ends Saturday
@@ -3684,10 +3707,18 @@ def _render_call(name: str, args: list[str]) -> str:
             f"coalesce(try_element_at(__acc, -1), CAST(0 AS DOUBLE)) "
             f"+ CAST(__x AS DOUBLE)))"
         )
-    if name == "positionCaseInsensitive" and len(args) == 2:
+    if name in (
+        "positionCaseInsensitive", "positionCaseInsensitiveUTF8"
+    ) and len(args) == 2:
+        # the UTF8 variant coincides char-level (instr is char-based
+        # already — the documented position() UTF8 seam)
         return f"instr(lower({args[0]}), lower({args[1]}))"
     if name == "multiSearchAny" and len(args) == 2:
         return f"exists({args[1]}, __ms -> instr({args[0]}, __ms) > 0)"
+    if name == "multiSearchAllPositions" and len(args) == 2:
+        # 1-based first position per needle, 0 when absent — instr's
+        # exact contract, mapped over the needle array (r10 batch 6)
+        return f"transform({args[1]}, __ms -> instr({args[0]}, __ms))"
     if name == "countSubstrings" and len(args) == 2:
         h, nd = args
         return (
@@ -3696,6 +3727,12 @@ def _render_call(name: str, args: list[str]) -> str:
         )
     if name in ("base64Decode", "tryBase64Decode") and len(args) == 1:
         return f"CAST(unbase64({args[0]}) AS STRING)"
+    if name in ("base58Encode", "base58Decode") and len(args) == 1:
+        # Bitcoin-alphabet base58 (compat.py Arrow UDFs, r10 batch 6);
+        # decode throws on invalid characters like CH
+        fn = ("ch_base58_encode" if name == "base58Encode"
+              else "ch_base58_decode")
+        return f"{fn}({args[0]})"
     if name == "exp2" and len(args) == 1:
         return f"power(2, {args[0]})"
     if name == "exp10" and len(args) == 1:

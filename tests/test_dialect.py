@@ -4395,3 +4395,38 @@ def test_r10_scalar_batch5(spark):
     assert one("now64(3) IS NOT NULL") is True
     with pytest.raises(DialectError, match="microsecond"):
         transpile("SELECT now64(9)")
+
+
+def test_r10_scalar_batch6(spark):
+    """r10 audit batch 6: base58 codecs, multi-needle positions, the
+    2-arg INTERVAL timestamp arithmetic, multi-codepoint char, tuple
+    vector-math refusals."""
+    from clickhouse_vs_dbt_spark.compat import register_clickhouse_compat
+
+    register_clickhouse_compat(spark)
+    one = lambda e: spark.sql(  # noqa: E731
+        transpile(f"SELECT {e} AS v")
+    ).collect()[0].v
+    # Bitcoin-alphabet vectors (leading zero byte → leading '1')
+    assert one("base58Encode('Hello')") == "9Ajdvzr"
+    assert one("base58Decode(base58Encode('Hello World!'))") == (
+        "Hello World!"
+    )
+    assert one("base58Encode('')") == ""
+    with pytest.raises(Exception, match="invalid character|Python"):
+        one("base58Decode('0OIl')")  # excluded alphabet chars
+    assert one(
+        "multiSearchAllPositions('Hello World', "
+        "['Hello', 'zz', 'World'])"
+    ) == [1, 0, 7]
+    assert one("positionCaseInsensitiveUTF8('Hello', 'ELL')") == 2
+    assert str(one(
+        "timestampAdd(CAST('2024-03-15' AS TIMESTAMP), "
+        "INTERVAL 1 DAY)"
+    )).startswith("2024-03-16")
+    assert str(one(
+        "dateSub(CAST('2024-03-15' AS DATE), INTERVAL 1 MONTH)"
+    )).startswith("2024-02-15")
+    assert one("char(72, 105)") == "Hi"
+    with pytest.raises(DialectError, match="ARRAYS"):
+        transpile("SELECT tuplePlus((1, 2), (3, 4))")

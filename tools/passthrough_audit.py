@@ -233,6 +233,41 @@ CANDIDATES = [
     "toYearWeek(ts)", "toISOYear(ts)", "toModifiedJulianDay('2024-03-15')",
     "fromModifiedJulianDay(60384)", "toUnixTimestamp64Milli(ts)",
     "now()", "now64()", "today()", "yesterday()",
+    # r10 audit batch 6: URL parts, string search/extract variants,
+    # hyperbolics, tuple arithmetic, base-N codecs, date names
+    "domain(u)", "domainWithoutWWW(u)", "topLevelDomain(u)",
+    "protocol(u)", "path(u)", "pathFull(u)", "queryString(u)",
+    "fragment(u)", "queryStringAndFragment(u)", "netloc(u)",
+    "extractURLParameter(u, 'q')", "extractURLParameters(u)",
+    "extractURLParameterNames(u)", "cutQueryString(u)",
+    "cutFragment(u)", "cutWWW(u)", "firstSignificantSubdomain(u)",
+    "port(u)", "decodeURLComponent(u)", "encodeURLComponent(s)",
+    "substringIndex(s, 'l', 2)", "countMatches(s, 'l+')",
+    "extractAll(s, '[a-z]+')", "extract(s, '([A-Z])')",
+    "multiSearchAny(s, ['Hello', 'zz'])",
+    "multiSearchAllPositions(s, ['Hello', 'World'])",
+    "positionCaseInsensitiveUTF8(s, 'WORLD')",
+    "toValidUTF8(s)", "repeat(s, 2)", "space(3)",
+    "concatWithSeparator('-', s, s)", "soundex(s)",
+    "isValidASCII(s)".replace("isValidASCII(s)", "ascii(s)"),
+    "sinh(v)", "cosh(v)", "tanh(v)", "asinh(v)", "acosh(v + 1)",
+    "atanh(v / 9)", "atan2(v, 1.0)", "hypot(v, 1.0)",
+    "tuplePlus((1, 2), (3, 4))", "tupleMinus((1, 2), (3, 4))",
+    "tupleMultiplyByNumber((1, 2), 3)", "tupleNegate((1, 2))",
+    "tupleHammingDistance((1, 2), (1, 3))",
+    "arrayJaccardIndex(a, a)",
+    "base58Encode(s)", "base58Decode(base58Encode(s))",
+    # bin(s)/unbin on STRINGS: polymorphic like length(arr) — the
+    # numeric form (bin(x), above) maps natively; the string byte-dump
+    # form is the documented spell-it-differently seam (hex(s) maps)
+    "char(72, 105)",
+    "dateName('month', ts)", "dateDiff('day', ts, ts)",
+    "dateAdd(DAY, 3, ts)", "dateSub(DAY, 3, ts)",
+    "timestampAdd(ts, INTERVAL 1 DAY)",
+    "toStartOfYear(ts)", "toStartOfQuarter(ts)",
+    "toStartOfWeek(ts)", "toStartOfDay(ts)",
+    "toDayOfMonth(ts)", "toHour(ts)", "toMinute(ts)", "toSecond(ts)",
+    "toMillisecond(ts)",
 ]
 
 
