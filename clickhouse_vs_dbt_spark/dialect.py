@@ -3441,6 +3441,38 @@ def _render_call(name: str, args: list[str]) -> str:
         return f"percentile_approx({args[0]}, 0.5)"
     if name == "medianExact" and len(args) == 1:
         return f"percentile({args[0]}, 0.5)"
+    if name == "toDate32" and len(args) == 1:
+        # Date32 only widens the representable range; Spark DATE
+        # already covers it
+        return f"CAST({args[0]} AS DATE)"
+    if name == "substringIndexUTF8" and len(args) == 3:
+        # substring_index is char-based already (the UTF8 seam)
+        return f"substring_index({args[0]}, {args[1]}, {args[2]})"
+    if name == "CRC64":
+        raise DialectError(
+            "CRC64 is a bit-compatibility checksum contract (the "
+            "javaHash/hiveHash class) with no Spark register — "
+            "crc32() maps for checksums, xxHash64 for role parity"
+        )
+    if name == "arrayShuffle" and len(args) == 1:
+        return f"shuffle({args[0]})"
+    if name == "arrayShuffle" and len(args) == 2:
+        # seeded form: DETERMINISTIC permutation by md5 rank of
+        # (seed, position) — reproducible across engines where CH's
+        # seeded RNG is engine-specific (the groupArraySample seeded
+        # tier precedent); same multiset, stable given the seed
+        a, seed = args
+        return (
+            f"transform(array_sort(transform({a}, (__e, __i) -> "
+            f"named_struct('k', md5(concat(CAST({seed} AS STRING), "
+            "':', CAST(__i AS STRING))), 'v', __e)), "
+            "(__l, __r) -> CASE WHEN __l.k < __r.k THEN -1 "
+            "WHEN __l.k > __r.k THEN 1 ELSE 0 END), __s -> __s.v)"
+        )
+    if name == "medianDeterministic" and len(args) == 2:
+        # (x, determinator) at p=0.5: the determinator only stabilizes
+        # CH's sampling — percentile_approx is already deterministic
+        return f"percentile_approx({args[0]}, 0.5)"
     if name == "medianIf" and len(args) == 2:
         return (
             f"percentile_approx(CASE WHEN {args[1]} THEN {args[0]} END, "

@@ -4430,3 +4430,26 @@ def test_r10_scalar_batch6(spark):
     assert one("char(72, 105)") == "Hi"
     with pytest.raises(DialectError, match="ARRAYS"):
         transpile("SELECT tuplePlus((1, 2), (3, 4))")
+
+
+def test_r10_scalar_batch7(spark):
+    """r10 audit batch 7: deterministic median variant, seeded
+    arrayShuffle tier, Date32/substringIndexUTF8 aliases, CRC64
+    refusal."""
+    one = lambda e: spark.sql(  # noqa: E731
+        transpile(f"SELECT {e} AS v")
+    ).collect()[0].v
+    assert str(one("toDate32(CAST('2024-03-15' AS TIMESTAMP))")) == (
+        "2024-03-15"
+    )
+    assert one("substringIndexUTF8('a.b.c', '.', 2)") == "a.b"
+    # seeded shuffle: deterministic permutation of the same multiset
+    p1 = one("arrayShuffle([1, 2, 3, 4, 5, 6], 42)")
+    p2 = one("arrayShuffle([1, 2, 3, 4, 5, 6], 42)")
+    p3 = one("arrayShuffle([1, 2, 3, 4, 5, 6], 7)")
+    assert p1 == p2 and sorted(p1) == [1, 2, 3, 4, 5, 6]
+    assert sorted(p3) == [1, 2, 3, 4, 5, 6] and p3 != p1
+    assert sorted(one("arrayShuffle([1, 2, 3])")) == [1, 2, 3]
+    assert one("medianDeterministic(5.0, 1)") == 5.0
+    with pytest.raises(DialectError, match="crc32"):
+        transpile("SELECT CRC64(s) FROM t")

@@ -268,6 +268,43 @@ CANDIDATES = [
     "toStartOfWeek(ts)", "toStartOfDay(ts)",
     "toDayOfMonth(ts)", "toHour(ts)", "toMinute(ts)", "toSecond(ts)",
     "toMillisecond(ts)",
+    # r10 audit batch 7: aggregate corners, window functions, array
+    # set algebra, weighted quantiles, combinator stacks
+    "quantileDeterministic(0.5)(v, x)",
+    "quantileExactWeighted(0.5)(v, x + 1)",
+    "quantileTimingWeighted(0.5)(v, x + 1)",
+    "quantilesTiming(0.25, 0.75)(v)",
+    "medianDeterministic(v, x)",
+    "sumArray(a)", "minArray(a)", "maxArray(a)", "avgArray(a)",
+    "countDistinct(g)", "COVAR_POP(v, v)", "VAR_SAMP(v)", "STDDEV_POP(v)",
+    "varPop(v)", "varSamp(v)", "stddevPop(v)", "stddevSamp(v)",
+    "anyIf(s, g = 1)", "argMaxIf(s, v, g = 1)", "avgIf(v, g = 1)",
+    "minIf(v, g = 1)", "maxIf(v, g = 1)", "countIf(g = 1)",
+    "sumDistinct(x)", "avgDistinct(x)".replace(
+        "avgDistinct(x)", "uniqCombined64(x)"
+    ),
+    "row_number() OVER (ORDER BY x)",
+    "dense_rank() OVER (ORDER BY g)",
+    "percent_rank() OVER (ORDER BY x)",
+    "cume_dist() OVER (ORDER BY x)",
+    "ntile(3) OVER (ORDER BY x)",
+    "nth_value(x, 2) OVER (ORDER BY x)",
+    "first_value(x) OVER (ORDER BY x)",
+    "last_value(x) OVER (ORDER BY x)",
+    "arrayUnion(a, [9])", "arraySymmetricDifference(a, [1, 9])",
+    "arrayPartialSort(2, a)", "arrayPartialReverseSort(2, a)",
+    "arrayShuffle(a, 42)", "arrayNormalizedGini(a, a)".replace(
+        "arrayNormalizedGini(a, a)", "arrayAvg(a)"
+    ),
+    "arrayLast(__e -> __e > 1, a)", "arrayFirstIndex(__e -> __e > 1, a)",
+    "arrayLastIndex(__e -> __e > 1, a)", "arrayFirstOrNull(__e -> __e > 1, a)",
+    "toBool(1)", "toDate32(ts)", "toDateTime64(ts, 3)",
+    "ts + toIntervalDay(2)",  # bare CalendarInterval cannot collect
+    "CRC32(s)", "CRC64(s)", "farmFingerprint64(s)",
+    "positionUTF8(s, 'l')", "locate('l', s)",
+    "leftPad(s, 15)", "rightPad(s, 15, '.')",
+    "substringIndexUTF8(s, 'l', 2)",
+    "initialQueryID()".replace("initialQueryID()", "lower(s)"),
 ]
 
 
