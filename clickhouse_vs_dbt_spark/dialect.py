@@ -1850,6 +1850,92 @@ def _render_call(name: str, args: list[str]) -> str:
             f"({args[0]} RLIKE '^{octet}\\\\.{octet}\\\\."
             f"{octet}\\\\.{octet}$')"
         )
+    if name == "isIPv6String" and len(args) == 1:
+        # the complete RFC 4291 textual grammar (all :: compressions
+        # + IPv4-mapped tails) as one anchored alternation — the
+        # standard reference pattern, r10 batch 8
+        h = "[0-9A-Fa-f]{1,4}"
+        o4 = "(25[0-5]|(2[0-4]|1?[0-9])?[0-9])"
+        v4 = f"({o4}\\\\.){{3}}{o4}"
+        pat = (
+            f"^(({h}:){{7}}{h}|({h}:){{1,7}}:|({h}:){{1,6}}:{h}|"
+            f"({h}:){{1,5}}(:{h}){{1,2}}|({h}:){{1,4}}(:{h}){{1,3}}|"
+            f"({h}:){{1,3}}(:{h}){{1,4}}|({h}:){{1,2}}(:{h}){{1,5}}|"
+            f"{h}:((:{h}){{1,6}})|:((:{h}){{1,7}}|:)|"
+            f"::(ffff(:0{{1,4}})?:)?{v4}|({h}:){{1,4}}:{v4})$"
+        )
+        return f"({args[0]} RLIKE '{pat}')"
+    if name == "IPv4CIDRToRange" and len(args) == 2:
+        # (ip, prefix) → the subnet's (lo, hi) pair; the numeric mask
+        # is exact BIGINT arithmetic, the dotted strings reuse the
+        # IPv4NumToString fold.  Fields are positional via the
+        # named_struct literal machinery (range.1/.2 work)
+        ip, b = args
+        width = f"shiftleft(CAST(1 AS BIGINT), 32 - CAST({b} AS INT))"
+        lo = f"(CAST({ip} AS BIGINT) - pmod(CAST({ip} AS BIGINT), {width}))"
+        hi = f"({lo} + {width} - 1)"
+        return (
+            f"named_struct('lo', "
+            + _render_call("IPv4NumToString", [lo])
+            + ", 'hi', "
+            + _render_call("IPv4NumToString", [hi])
+            + ")"
+        )
+    if name == "IPv4ToIPv6" and len(args) == 1:
+        # ::ffff:a.b.c.d — the mapped-IPv6 TEXT form (CH returns the
+        # 16-byte binary; the textual form is the portable register)
+        return (
+            "concat('::ffff:', "
+            + _render_call("IPv4NumToString", [args[0]])
+            + ")"
+        )
+    if name == "mortonEncode" and len(args) == 2:
+        # 2-D Morton interleave — the zorder operator's own expression
+        # (operators/zorder.py zvalue_expr), inlined at 32 bits/dim
+        from clickhouse_vs_dbt_spark.operators.zorder import zvalue_expr
+        return zvalue_expr(
+            f"CAST({args[0]} AS BIGINT)", f"CAST({args[1]} AS BIGINT)",
+            bits=32,
+        )
+    if name == "mortonEncode":
+        raise DialectError(
+            "mortonEncode: the 2-argument interleave maps (the zorder "
+            "layout operator); >2 dimensions exceed the 64-bit code "
+            "at 32 bits/dim — interleave pairwise or use zorder_key_"
+            "orders' layout machinery"
+        )
+    if name == "mortonDecode" and len(args) == 2 and args[0] == "2":
+        from clickhouse_vs_dbt_spark.operators.zorder import unzvalue_expr
+        z = f"CAST({args[1]} AS BIGINT)"
+        return (
+            f"named_struct('x', {unzvalue_expr(z, True, bits=32)}, "
+            f"'y', {unzvalue_expr(z, False, bits=32)})"
+        )
+    if name in ("hilbertEncode", "hilbertDecode"):
+        raise DialectError(
+            f"{name}: Hilbert-curve indexing has no Spark register — "
+            "mortonEncode/mortonDecode map (same locality role, "
+            "simpler bit algebra), and operators/zorder.py is the "
+            "layout machinery"
+        )
+    if name.startswith("reinterpretAs"):
+        raise DialectError(
+            f"{name}: raw byte reinterpretation depends on CH's "
+            "little-endian in-memory layout — spell the bytes "
+            "explicitly: hex()/unhex() + conv() transpile"
+        )
+    if name == "toStringCutToZero" and len(args) == 1:
+        return f"substring_index({args[0]}, chr(0), 1)"
+    if name == "toColumnTypeName" and len(args) == 1:
+        # role parity with toTypeName (CH shows the internal column
+        # representation; typeof is the Spark-side truth either way)
+        return f"typeof({args[0]})"
+    if name in ("simpleJSONHas", "visitParamHas") and len(args) == 2 \
+            and args[1][:1] in "'\"":
+        return (
+            f"(get_json_object({args[0]}, "
+            f"'$.{args[1][1:-1]}') IS NOT NULL)"
+        )
     if name == "bar" and len(args) == 4:
         x, mn, mx, w = args
         # ClickHouse renders eighth-block resolution: full blocks +
@@ -3534,6 +3620,13 @@ def _render_call(name: str, args: list[str]) -> str:
         return (
             f"coalesce(try_element_at(map_from_arrays({args[1]}, "
             f"{args[2]}), {args[0]}), {args[3]})"
+        )
+    if name == "transform" and len(args) == 3:
+        # the defaultless form: unmatched values pass through AS-IS
+        # (CH requires x and to[] to share a type here)
+        return (
+            f"coalesce(try_element_at(map_from_arrays({args[1]}, "
+            f"{args[2]}), {args[0]}), {args[0]})"
         )
     if name == "avgWeighted" and len(args) == 2:
         # weighted mean; accumulates in DOUBLE (the arraySum policy)

@@ -4453,3 +4453,38 @@ def test_r10_scalar_batch7(spark):
     assert one("medianDeterministic(5.0, 1)") == 5.0
     with pytest.raises(DialectError, match="crc32"):
         transpile("SELECT CRC64(s) FROM t")
+
+
+def test_r10_scalar_batch8(spark):
+    """r10 audit batch 8: IP codecs, Morton space-filling pair,
+    defaultless transform, byte-tool refusals."""
+    one = lambda e: spark.sql(  # noqa: E731
+        transpile(f"SELECT {e} AS v")
+    ).collect()[0].v
+    assert one("isIPv6String('2001:db8::1')") is True
+    assert one("isIPv6String('::ffff:1.2.3.4')") is True
+    assert one("isIPv6String('1.2.3.4')") is False
+    assert one("isIPv6String('2001:db8::zz')") is False
+    r = one("IPv4CIDRToRange(toIPv4('192.168.5.2'), 16)")
+    assert (r.lo, r.hi) == ("192.168.0.0", "192.168.255.255")
+    # positional access rides the named_struct literal machinery
+    assert one(
+        "IPv4CIDRToRange(toIPv4('10.1.2.3'), 8).1"
+    ) == "10.0.0.0"
+    assert one("IPv4ToIPv6(toIPv4('1.2.3.4'))") == "::ffff:1.2.3.4"
+    # Morton roundtrip at 32 bits/dim
+    d = one("mortonDecode(2, mortonEncode(123456, 789))")
+    assert (d.x, d.y) == (123456, 789)
+    assert one("mortonEncode(0, 1)") == 2  # y takes odd bit positions
+    assert one("transform(5, [1, 5], [10, 50])") == 50
+    assert one("transform(7, [1, 5], [10, 50])") == 7  # pass-through
+    assert one("toStringCutToZero(concat('ab', chr(0), 'cd'))") == "ab"
+    assert one("simpleJSONHas('{\"a\":1}', 'a')") is True
+    assert one("simpleJSONHas('{\"a\":1}', 'z')") is False
+    for bad, msg in [
+        ("hilbertEncode(1, 2)", "morton"),
+        ("reinterpretAsUInt64(s)", "little-endian"),
+        ("mortonEncode(1, 2, 3)", "pairwise"),
+    ]:
+        with pytest.raises(DialectError, match=msg):
+            transpile(f"SELECT {bad} FROM t")

@@ -305,6 +305,32 @@ CANDIDATES = [
     "leftPad(s, 15)", "rightPad(s, 15, '.')",
     "substringIndexUTF8(s, 'l', 2)",
     "initialQueryID()".replace("initialQueryID()", "lower(s)"),
+    # r10 audit batch 8: IP codecs, Morton/space-filling, JSON
+    # stringification, 64-bit unix codecs, misc encodings
+    "IPv4NumToString(x + 16909060)", "IPv4StringToNum('1.2.3.4')",
+    "toIPv4('1.2.3.4')", "isIPv4String(s)", "isIPv6String(s)",
+    "IPv4ToIPv6(x + 16909060)", "IPv4CIDRToRange(toIPv4('1.2.3.4'), 16)",
+    "toJSONString(a)", "toJSONString(m)",
+    "mortonEncode(x, g)", "mortonDecode(2, x)",
+    "hilbertEncode(x, g)",
+    "toUnixTimestamp64Micro(ts)", "toUnixTimestamp64Nano(ts)",
+    "fromUnixTimestamp64Milli(x)", "fromUnixTimestamp64Micro(x)",
+    "bitSlice(s, 1, 8)", "byteSize(x)",
+    "reinterpretAsUInt64(s)", "reinterpretAsString(x)",
+    "toFixedString(s, 20)", "toStringCutToZero(s)",
+    "defaultValueOfTypeName('Int64')",
+    "isNotNull(x)", "isNull(x)",
+    # ifNotFinite/isNaN probed on expressions that CANNOT hit Spark's
+    # ANSI division error (v/0 throws in Spark where CH yields inf —
+    # the documented ANSI arithmetic divergence, not these functions)
+    "ifNotFinite(exp(1000), v)", "isNaN(sqrt(v - 9000))",
+    # defaultless transform: CH requires x and to[] to share a type
+    "transform(g, [0, 1], [10, 11])",
+    "caseWithExpression(g, 0, 'a', 1, 'b', 'z')",
+    "toColumnTypeName(x)", "dumpColumnStructure(x)",
+    "visitParamExtractRaw('{\"a\":1}', 'a')",
+    "simpleJSONExtractRaw('{\"a\":1}', 'a')",
+    "simpleJSONHas('{\"a\":1}', 'a')",
 ]
 
 
