@@ -2924,6 +2924,86 @@ def _render_call(name: str, args: list[str]) -> str:
             f"concat(format_string('%.2f', CAST({x} AS DOUBLE) / "
             f"power(1000, {p})), ' ', element_at({units}, {p} + 1))"
         )
+    if name == "formatReadableQuantity" and len(args) == 1:
+        # 1234567 → '1.23 million' (CH: thousand/million/billion/
+        # trillion words, %.2f mantissa; values < 1000 print plain
+        # %.2f with no unit) — the DecimalSize pattern with word
+        # units and an empty zeroth unit
+        x = args[0]
+        units = (
+            "array('', ' thousand', ' million', ' billion', "
+            "' trillion', ' quadrillion')"
+        )
+        p = (
+            f"CAST(least(greatest(floor(log(1000, "
+            f"greatest(abs(CAST({x} AS DOUBLE)), 1.0))), 0), 5) AS INT)"
+        )
+        return (
+            f"concat(format_string('%.2f', CAST({x} AS DOUBLE) / "
+            f"power(1000, {p})), element_at({units}, {p} + 1))"
+        )
+    if name == "arrayReduce" and len(args) >= 2:
+        # arrayReduce('agg', arr): the common aggregate heads map to
+        # their row-local array folds (same policies as the arrayX
+        # spellings: sum/avg accumulate in DOUBLE); parametric or
+        # multi-array heads refuse with the spell-it-directly pointer
+        head = args[0].strip().strip("'\"")
+        a = args[1]
+        if len(args) == 2:
+            forms = {
+                "sum": (
+                    f"aggregate({a}, CAST(0 AS DOUBLE), "
+                    "(__acc, __x) -> __acc + __x)"
+                ),
+                "min": f"array_min({a})",
+                "max": f"array_max({a})",
+                "avg": (
+                    f"CASE WHEN size({a}) = 0 THEN NULL ELSE "
+                    f"aggregate({a}, CAST(0 AS DOUBLE), "
+                    f"(__acc, __x) -> __acc + __x) / size({a}) END"
+                ),
+                "count": f"size({a})",
+                "uniqExact": f"size(array_distinct({a}))",
+                "any": f"try_element_at({a}, 1)",
+                "anyLast": f"try_element_at({a}, -1)",
+                "groupArray": a,
+                "groupUniqArray": f"array_distinct({a})",
+            }
+            if head in forms:
+                return forms[head]
+        raise DialectError(
+            f"arrayReduce({args[0]}, …): only the plain single-array "
+            "heads map (sum/min/max/avg/count/uniqExact/any/anyLast/"
+            "groupArray/groupUniqArray) — spell parametric or "
+            "multi-array reductions with the array functions directly "
+            "(arraySum, quantiles via array_sort + element_at)"
+        )
+    if name == "countDigits" and len(args) == 1:
+        # decimal digits excluding sign and point (CH counts a
+        # Decimal's integer+fraction digits together)
+        return (
+            f"length(translate(CAST({args[0]} AS STRING), '-.', ''))"
+        )
+    if name.endswith("Resample"):
+        raise DialectError(
+            f"{name}: the -Resample combinator buckets by a key range "
+            "— GROUP BY the bucket directly: "
+            "intDiv(key - start, step) with a HAVING range"
+        )
+    if name in ("extractAllGroupsHorizontal", "extractAllGroupsVertical"):
+        raise DialectError(
+            f"{name}: per-match group matrices — extractGroups "
+            "(first match) and extractAll (one group, all matches) "
+            "transpile; regexp_extract_all(s, pat, n) is the direct "
+            "Spark spelling per group"
+        )
+    if name.startswith("multiFuzzyMatch"):
+        raise DialectError(
+            f"{name}: fuzzy regex matching is a Hyperscan-specific "
+            "register — ngramSearch/ngramDistance transpile for "
+            "fuzzy containment, operators/fuzzy.py for distributed "
+            "fuzzy joins"
+        )
     if name == "parseTimeDelta" and len(args) == 1:
         lit = args[0]
         if lit[:1] not in "'\"":

@@ -4488,3 +4488,29 @@ def test_r10_scalar_batch8(spark):
     ]:
         with pytest.raises(DialectError, match=msg):
             transpile(f"SELECT {bad} FROM t")
+
+
+def test_r10_scalar_batch9(spark):
+    """r10 audit batch 9: arrayReduce common heads, readable
+    quantities, decimal strings, digit counts."""
+    one = lambda e: spark.sql(  # noqa: E731
+        transpile(f"SELECT {e} AS v")
+    ).collect()[0].v
+    assert one("formatReadableQuantity(1234567)") == "1.23 million"
+    assert one("formatReadableQuantity(123)") == "123.00"
+    assert one("arrayReduce('sum', [1, 2, 3])") == 6.0
+    assert one("arrayReduce('uniqExact', [1, 2, 2])") == 2
+    assert one("arrayReduce('anyLast', [1, 2, 9])") == 9
+    assert one("arrayReduce('groupUniqArray', [2, 1, 2])") in (
+        [1, 2], [2, 1]
+    )
+    assert one("toDecimalString(2.5678, 2)") == "2.57"
+    assert one("countDigits(-12045)") == 5
+    for bad, msg in [
+        ("arrayReduce('quantile(0.5)', [1.0])", "directly"),
+        ("sumResample(0, 10, 2)(x, g)", "bucket"),
+        ("multiFuzzyMatchAny(s, 2, ['x'])", "Hyperscan"),
+        ("extractAllGroupsHorizontal(s, '(a)')", "extractGroups"),
+    ]:
+        with pytest.raises(DialectError, match=msg):
+            transpile(f"SELECT {bad} FROM t")

@@ -331,6 +331,14 @@ CANDIDATES = [
     "visitParamExtractRaw('{\"a\":1}', 'a')",
     "simpleJSONExtractRaw('{\"a\":1}', 'a')",
     "simpleJSONHas('{\"a\":1}', 'a')",
+    # r10 audit batch 9: arrayReduce heads, readable quantities,
+    # decimal strings, digit counts, resample/fuzzy-regex walls
+    "arrayReduce('sum', a)", "arrayReduce('max', a)",
+    "arrayReduce('uniqExact', a)", "arrayReduce('quantile(0.5)', a)",
+    "formatReadableQuantity(1234567)", "toDecimalString(v, 3)",
+    "countDigits(x + 100)", "sumResample(0, 10, 2)(x, g)",
+    "extractAllGroupsHorizontal(s, '([a-z]+)')",
+    "multiFuzzyMatchAny(s, 2, ['hel+o'])",
 ]
 
 
