@@ -1851,26 +1851,46 @@ def _render_call(name: str, args: list[str]) -> str:
             f"{octet}\\\\.{octet}$')"
         )
     if name == "isIPv6String" and len(args) == 1:
-        # the complete RFC 4291 textual grammar (all :: compressions
-        # + IPv4-mapped tails) as one anchored alternation — the
-        # standard reference pattern, r10 batch 8
+        # RFC 4291 textual grammar in two steps: a well-formed
+        # embedded-IPv4 tail (preceded by ':') first rewrites to the
+        # two hex groups '0:0' it occupies, then ONE pure-hex
+        # alternation validates every compression uniformly — the
+        # single-regex reference pattern misses uncompressed and
+        # long-prefix v4 forms like 0:0:0:0:0:ffff:1.2.3.4
+        # (code-review r10b; the rewrite covers ALL v4 placements by
+        # construction)
         h = "[0-9A-Fa-f]{1,4}"
         o4 = "(25[0-5]|(2[0-4]|1?[0-9])?[0-9])"
         v4 = f"({o4}\\\\.){{3}}{o4}"
-        pat = (
+        pure = (
             f"^(({h}:){{7}}{h}|({h}:){{1,7}}:|({h}:){{1,6}}:{h}|"
             f"({h}:){{1,5}}(:{h}){{1,2}}|({h}:){{1,4}}(:{h}){{1,3}}|"
             f"({h}:){{1,3}}(:{h}){{1,4}}|({h}:){{1,2}}(:{h}){{1,5}}|"
-            f"{h}:((:{h}){{1,6}})|:((:{h}){{1,7}}|:)|"
-            f"::(ffff(:0{{1,4}})?:)?{v4}|({h}:){{1,4}}:{v4})$"
+            f"{h}:((:{h}){{1,6}})|:((:{h}){{1,7}}|:))$"
         )
-        return f"({args[0]} RLIKE '{pat}')"
+        s0 = args[0]
+        norm = (
+            f"CASE WHEN {s0} RLIKE '^.*:{v4}$' THEN "
+            f"regexp_replace({s0}, '{v4}$', '0:0') ELSE {s0} END"
+        )
+        return f"(({norm}) RLIKE '{pure}')"
     if name == "IPv4CIDRToRange" and len(args) == 2:
         # (ip, prefix) → the subnet's (lo, hi) pair; the numeric mask
         # is exact BIGINT arithmetic, the dotted strings reuse the
         # IPv4NumToString fold.  Fields are positional via the
-        # named_struct literal machinery (range.1/.2 work)
+        # named_struct literal machinery (range.1/.2 work).  The
+        # prefix must be a LITERAL in [0, 32]: Spark's shiftleft
+        # masks the shift count mod 64, so an out-of-range prefix
+        # would produce garbage dotted strings where CH throws
+        # (code-review r10b)
         ip, b = args
+        bs = b.strip()
+        if not bs.isdigit() or int(bs) > 32:
+            raise DialectError(
+                "IPv4CIDRToRange needs a literal prefix length in "
+                "[0, 32] (ClickHouse throws on larger prefixes; "
+                "Spark's shift would silently wrap)"
+            )
         width = f"shiftleft(CAST(1 AS BIGINT), 32 - CAST({b} AS INT))"
         lo = f"(CAST({ip} AS BIGINT) - pmod(CAST({ip} AS BIGINT), {width}))"
         hi = f"({lo} + {width} - 1)"
@@ -1911,6 +1931,12 @@ def _render_call(name: str, args: list[str]) -> str:
             f"named_struct('x', {unzvalue_expr(z, True, bits=32)}, "
             f"'y', {unzvalue_expr(z, False, bits=32)})"
         )
+    if name == "mortonDecode":
+        raise DialectError(
+            "mortonDecode: only the 2-dimension form maps (the "
+            "mortonEncode inverse at 32 bits/dim) — de-interleave "
+            "other dimension counts pairwise"
+        )
     if name in ("hilbertEncode", "hilbertDecode"):
         raise DialectError(
             f"{name}: Hilbert-curve indexing has no Spark register — "
@@ -1930,11 +1956,24 @@ def _render_call(name: str, args: list[str]) -> str:
         # role parity with toTypeName (CH shows the internal column
         # representation; typeof is the Spark-side truth either way)
         return f"typeof({args[0]})"
-    if name in ("simpleJSONHas", "visitParamHas") and len(args) == 2 \
-            and args[1][:1] in "'\"":
-        return (
-            f"(get_json_object({args[0]}, "
-            f"'$.{args[1][1:-1]}') IS NOT NULL)"
+    if name in ("simpleJSONHas", "visitParamHas"):
+        # simpleJSON*/visitParam* are CH's RAW-TEXT scanners: they
+        # find '"key":' at ANY nesting depth (that is the documented
+        # fast-path contract), so the faithful spelling is a regex
+        # scan, not a get_json_object root path (code-review r10b —
+        # the path form missed nested keys and split dotted keys)
+        if len(args) == 2 and args[1][:1] in "'\"":
+            import re as _re
+
+            key = _re.escape(args[1][1:-1]).replace("\\", "\\\\")
+            return (
+                f"regexp_like({args[0]}, "
+                f"'\"{key}\"\\\\s*:')"
+            )
+        raise DialectError(
+            f"{name} needs a literal key (the raw-text scan pattern "
+            "is built at transpile time); use get_json_object for "
+            "dynamic paths"
         )
     if name == "bar" and len(args) == 4:
         x, mn, mx, w = args
@@ -2112,9 +2151,21 @@ def _render_call(name: str, args: list[str]) -> str:
             "bitHammingDistance all transpile"
         )
     if name == "char" and len(args) >= 2:
-        # multi-codepoint form: CH concatenates one char per argument
-        # (the 1-arg form passes through to Spark's native char)
-        return "concat(" + ", ".join(f"char({a})" for a in args) + ")"
+        # CH char() assembles raw BYTES (mod 256), not codepoints —
+        # multi-arg char is how CH builds multibyte UTF-8 (char(208,
+        # 176) = the two bytes D0 B0 = 'а'), so Spark's
+        # codepoint-based char() would silently produce different
+        # text for any byte >= 128 (code-review r10b).  Assemble via
+        # hex → unhex → UTF-8 decode; byte runs that are not valid
+        # UTF-8 surface replacement chars (the JVM string seam, CH
+        # returns the raw bytes).  The 1-arg form passes through to
+        # Spark's native char: identical for ASCII, and the
+        # single-byte >= 128 case is not meaningful UTF-8 either way
+        hexes = ", ".join(
+            f"lpad(hex(CAST(pmod({a}, 256) AS BIGINT)), 2, '0')"
+            for a in args
+        )
+        return f"decode(unhex(concat({hexes})), 'UTF-8')"
     if name == "toLastDayOfWeek" and len(args) == 1:
         d = args[0]
         # Sunday-start week (ClickHouse default mode) ends Saturday
@@ -2983,6 +3034,13 @@ def _render_call(name: str, args: list[str]) -> str:
         # Decimal's integer+fraction digits together)
         return (
             f"length(translate(CAST({args[0]} AS STRING), '-.', ''))"
+        )
+    if name == "arrayNormalizedGini":
+        raise DialectError(
+            "arrayNormalizedGini: the normalized-Gini ranking "
+            "coefficient has no Spark register here — arrayAUC / "
+            "arrayROCAUC transpile for ranking quality, or compute "
+            "the Lorenz sums explicitly over array_sort"
         )
     if name.endswith("Resample"):
         raise DialectError(
@@ -8604,24 +8662,52 @@ def _rewrite_byte_swap(toks: list[str]) -> list[str]:
                 else:
                     ok = False
                 if ok:
+                    unsigned = m.group(1) == "U"
                     width = int(m.group(2)) // 8
+                    # bind the argument ONCE via the single-element
+                    # transform trick (the _exp_time_decayed
+                    # precedent): the reassembly references it
+                    # width times, and a non-deterministic or
+                    # expensive inner expression must not re-evaluate
+                    # per byte (code-review r10b)
                     x = f"CAST(toInt64({''.join(inside)}) AS BIGINT)"
                     if width == 1:
-                        expr = f"({x} & 255)"
+                        body = "(__bs & 255)"
                     else:
                         terms = " + ".join(
-                            f"shiftleft(shiftrightunsigned({x}, "
+                            "shiftleft(shiftrightunsigned(__bs, "
                             f"{8 * b}) & 255, {8 * (width - 1 - b)})"
                             for b in range(width)
                         )
-                        expr = f"({terms})"
-                    out.append(expr)
+                        body = f"({terms})"
+                    if not unsigned and width < 8:
+                        # sign-extend back to the DECLARED width: the
+                        # reassembled value is the unsigned byte view;
+                        # CH returns IntN, so a swapped high byte
+                        # >= 0x80 must read negative (byteSwap(
+                        # toInt16(-2)) = -257, not 65279 —
+                        # code-review r10b).  Width 8 sign-lands
+                        # naturally via shiftleft into bit 63.
+                        half = 1 << (8 * width - 1)
+                        full = 1 << (8 * width)
+                        body = (
+                            f"(CASE WHEN {body} >= {half} THEN "
+                            f"{body} - {full} ELSE {body} END)"
+                        )
+                    out.append(
+                        f"transform(array({x}), __bs -> {body})[1]"
+                    )
                     i = k
                     changed = True
                     continue
         out.append(t)
         i += 1
-    return _tokens("".join(out)) if changed else out
+    if changed:
+        # re-scan: a byteSwap nested inside the rewritten argument is
+        # emitted into the replacement text and needs its own pass
+        # (code-review r10b)
+        return _rewrite_byte_swap(_tokens("".join(out)))
+    return out
 
 
 def _is_frame_kw(toks: list[str], i: int) -> bool:
@@ -8928,13 +9014,16 @@ def _rewrite_tuple_index(sql: str) -> str:
     toks = _tokens(sql)
     i = 2
     while i < len(toks):
+        # whitespace-tolerant backward look (``t . 1`` is legal SQL
+        # spacing — code-review r10b): p1 = the '.', p2 = its target
+        p1 = _prev_code(toks, i - 1) if toks[i].isdigit() else -1
+        p2 = _prev_code(toks, p1 - 1) if p1 >= 1 else -1
         if (
-            toks[i - 1] == "."
-            and toks[i].isdigit()
-            and toks[i - 2] == ")"
+            toks[i].isdigit() and p1 >= 0 and toks[p1] == "."
+            and p2 >= 0 and toks[p2] == ")"
         ):
             # match backward to the opening paren
-            depth, j = 1, i - 3
+            depth, j = 1, p2 - 1
             while j >= 0 and depth:
                 if toks[j] == ")":
                     depth += 1
@@ -8948,7 +9037,7 @@ def _rewrite_tuple_index(sql: str) -> str:
                 # field names: string literals at depth-1 positions
                 # 1, 3, 5… of the argument list
                 names, depth, argpos = [], 0, 0
-                for t in toks[j + 1:i - 2]:
+                for t in toks[j + 1:p2]:
                     if t == "(":
                         depth += 1
                     elif t == ")":
@@ -8965,19 +9054,26 @@ def _rewrite_tuple_index(sql: str) -> str:
                 # kv[n].N — CH's UNNAMED Array(Tuple) element access
                 # (JSONExtractKeysAndValuesRaw is the tuple-returning
                 # rewrite whose names are NOT inline literals): the
-                # struct fields are the fixed (k, v) pair (r10)
+                # struct fields are the fixed (k, v) pair (r10); a
+                # position beyond the pair refuses instead of leaking
+                # the opaque parser error (code-review r10b)
                 inner = _next_code(toks, j + 2)
                 if (
                     inner < len(toks)
                     and _is_ident(toks[inner])
                     and toks[inner] == "ch_json_kv_raw"
-                    and toks[i] in ("1", "2")
                 ):
+                    if toks[i] not in ("1", "2"):
+                        raise DialectError(
+                            f".{toks[i]}: "
+                            "JSONExtractKeysAndValuesRaw elements "
+                            "are 2-tuples — only .1 (key) and .2 "
+                            "(raw value) exist"
+                        )
                     toks[i] = "`k`" if toks[i] == "1" else "`v`"
         elif (
-            toks[i - 1] == "."
-            and toks[i].isdigit()
-            and _is_ident(toks[i - 2])
+            toks[i].isdigit() and p1 >= 0 and toks[p1] == "."
+            and p2 >= 0 and _is_ident(toks[p2])
         ):
             # positional access on a bare identifier (a lambda var or
             # a tuple-valued alias): Spark structs are name-addressed
@@ -8985,11 +9081,11 @@ def _rewrite_tuple_index(sql: str) -> str:
             # pointer instead of leaking an opaque unresolved-column
             # error (the pass-through contract)
             raise DialectError(
-                f"{toks[i - 2]}.{toks[i]}: positional tuple access "
+                f"{toks[p2]}.{toks[i]}: positional tuple access "
                 "on a column/lambda variable — Spark structs are "
                 "name-addressed; use the field names (the "
                 "JSONExtractKeysAndValuesRaw element fields are "
-                f"{toks[i - 2]}.k / {toks[i - 2]}.v; other "
+                f"{toks[p2]}.k / {toks[p2]}.v; other "
                 "tuple-returning rewrites document theirs), or index "
                 "the element directly (arr[n].1 works)"
             )

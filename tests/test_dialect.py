@@ -4481,10 +4481,30 @@ def test_r10_scalar_batch8(spark):
     assert one("toStringCutToZero(concat('ab', chr(0), 'cd'))") == "ab"
     assert one("simpleJSONHas('{\"a\":1}', 'a')") is True
     assert one("simpleJSONHas('{\"a\":1}', 'z')") is False
+    # second-review regressions (r10b): signed byteSwap widths
+    # sign-extend, nested byteSwap re-scans, char() assembles BYTES,
+    # IPv6 embedded-v4 forms validate via the normalize-then-check
+    # two-step, simpleJSONHas scans ANY depth like CH's raw-text
+    # fast path, kv positions beyond .2 refuse
+    assert one("byteSwap(toInt16(-2))") == -257
+    assert one("byteSwap(toInt32(-1))") == -1
+    assert one(
+        "byteSwap(toUInt32(byteSwap(toUInt32(123456789))))"
+    ) == 123456789
+    assert one("char(208, 176)") == "\u0430"  # Cyrillic а from bytes
+    assert one("isIPv6String('0:0:0:0:0:ffff:1.2.3.4')") is True
+    assert one("isIPv6String('1:2:3:4:5::1.2.3.4')") is True
+    assert one("isIPv6String('1:2:3:4:5:6:7:8:9')") is False
+    assert one("simpleJSONHas('{\"a\":{\"b\":1}}', 'b')") is True
     for bad, msg in [
         ("hilbertEncode(1, 2)", "morton"),
         ("reinterpretAsUInt64(s)", "little-endian"),
         ("mortonEncode(1, 2, 3)", "pairwise"),
+        ("mortonDecode(3, x)", "pairwise"),
+        ("IPv4CIDRToRange(toIPv4('1.2.3.4'), 33)", "prefix"),
+        ("simpleJSONHas(s, k)", "literal key"),
+        ("arrayNormalizedGini(a, a)", "arrayAUC"),
+        ("JSONExtractKeysAndValuesRaw(j)[1].3", "2-tuples"),
     ]:
         with pytest.raises(DialectError, match=msg):
             transpile(f"SELECT {bad} FROM t")

@@ -249,7 +249,7 @@ CANDIDATES = [
     "positionCaseInsensitiveUTF8(s, 'WORLD')",
     "toValidUTF8(s)", "repeat(s, 2)", "space(3)",
     "concatWithSeparator('-', s, s)", "soundex(s)",
-    "isValidASCII(s)".replace("isValidASCII(s)", "ascii(s)"),
+    "ascii(s)",  # (isValidASCII is not real CH surface)
     "sinh(v)", "cosh(v)", "tanh(v)", "asinh(v)", "acosh(v + 1)",
     "atanh(v / 9)", "atan2(v, 1.0)", "hypot(v, 1.0)",
     "tuplePlus((1, 2), (3, 4))", "tupleMinus((1, 2), (3, 4))",
@@ -280,9 +280,7 @@ CANDIDATES = [
     "varPop(v)", "varSamp(v)", "stddevPop(v)", "stddevSamp(v)",
     "anyIf(s, g = 1)", "argMaxIf(s, v, g = 1)", "avgIf(v, g = 1)",
     "minIf(v, g = 1)", "maxIf(v, g = 1)", "countIf(g = 1)",
-    "sumDistinct(x)", "avgDistinct(x)".replace(
-        "avgDistinct(x)", "uniqCombined64(x)"
-    ),
+    "sumDistinct(x)", "avgDistinct(x)", "uniqCombined64(x)",
     "row_number() OVER (ORDER BY x)",
     "dense_rank() OVER (ORDER BY g)",
     "percent_rank() OVER (ORDER BY x)",
@@ -293,9 +291,7 @@ CANDIDATES = [
     "last_value(x) OVER (ORDER BY x)",
     "arrayUnion(a, [9])", "arraySymmetricDifference(a, [1, 9])",
     "arrayPartialSort(2, a)", "arrayPartialReverseSort(2, a)",
-    "arrayShuffle(a, 42)", "arrayNormalizedGini(a, a)".replace(
-        "arrayNormalizedGini(a, a)", "arrayAvg(a)"
-    ),
+    "arrayShuffle(a, 42)", "arrayNormalizedGini(a, a)",
     "arrayLast(__e -> __e > 1, a)", "arrayFirstIndex(__e -> __e > 1, a)",
     "arrayLastIndex(__e -> __e > 1, a)", "arrayFirstOrNull(__e -> __e > 1, a)",
     "toBool(1)", "toDate32(ts)", "toDateTime64(ts, 3)",
@@ -304,7 +300,7 @@ CANDIDATES = [
     "positionUTF8(s, 'l')", "locate('l', s)",
     "leftPad(s, 15)", "rightPad(s, 15, '.')",
     "substringIndexUTF8(s, 'l', 2)",
-    "initialQueryID()".replace("initialQueryID()", "lower(s)"),
+    "initialQueryID()",  # refuses: server introspection
     # r10 audit batch 8: IP codecs, Morton/space-filling, JSON
     # stringification, 64-bit unix codecs, misc encodings
     "IPv4NumToString(x + 16909060)", "IPv4StringToNum('1.2.3.4')",
