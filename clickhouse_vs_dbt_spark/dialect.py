@@ -402,6 +402,14 @@ class DialectError(ValueError):
     """Raised for malformed input (unbalanced parens in a call)."""
 
 
+class DialectWarning(UserWarning):
+    """Transpile-time heads-up for a mapping that is deliberately
+    DIVERGENT in a documented way (ADVICE r10): the statement still
+    maps and runs, but a semantic property a pipeline might rely on
+    (e.g. per-row randomness of generateUUIDv4(expr)) differs from
+    ClickHouse.  Filterable like any warnings category."""
+
+
 def _tokens(sql: str) -> list[str]:
     return _TOKEN_RE.findall(sql)
 
@@ -1700,7 +1708,21 @@ def _render_call(name: str, args: list[str]) -> str:
         # argument (a documented determinism upgrade serving test
         # reproducibility; version/variant nibbles keep the RFC 4122
         # v4/v7 shape, but the v7 timestamp field is hash bits, not
-        # wall clock — use the zero-arg form for time-ordered ids)
+        # wall clock — use the zero-arg form for time-ordered ids).
+        # The divergence is surfaced at TRANSPILE time (ADVICE r10):
+        # duplicate argument values yield duplicate ids here, while CH
+        # still gives every row fresh random bits.
+        import warnings
+
+        warnings.warn(
+            f"{name}(expr) maps to a DETERMINISTIC md5 tier: equal "
+            "argument values produce EQUAL ids (ClickHouse uses the "
+            "argument only to defeat CSE and every row stays random)."
+            f" Use {name}() when per-row uniqueness is required — see"
+            " MIGRATION.md",
+            DialectWarning,
+            stacklevel=2,
+        )
         ver = name[-1]
         h = f"md5(CAST({args[0]} AS STRING))"
         var = (
@@ -1747,6 +1769,19 @@ def _render_call(name: str, args: list[str]) -> str:
         # deterministic tier: 60 bits folded from the argument's md5
         # (top bits zero like the real sign/reserved bits); trades
         # time-ordering for reproducibility, like the UUID tier above
+        # (same ADVICE-r10 transpile-time warning: equal args → equal
+        # ids, unlike CH's always-fresh bits)
+        import warnings
+
+        warnings.warn(
+            "generateSnowflakeID(expr) maps to a DETERMINISTIC md5 "
+            "tier: equal argument values produce EQUAL ids "
+            "(ClickHouse uses the argument only to defeat CSE and "
+            "every row stays random). Use generateSnowflakeID() when "
+            "per-row uniqueness is required — see MIGRATION.md",
+            DialectWarning,
+            stacklevel=2,
+        )
         h = f"md5(CAST({args[0]} AS STRING))"
         return (
             f"aggregate(transform(sequence(1, 15), __i -> "
@@ -8729,12 +8764,13 @@ def _is_frame_kw(toks: list[str], i: int) -> bool:
     return bool(re.fullmatch(r"\d+(\.\d+)?", nxt))
 
 
-def _frame_spec(spec: list[str]) -> tuple[bool, bool, bool]:
+def _frame_spec(spec: list[str]) -> tuple[bool, list[str], list[str]]:
     """Inspect a parenthesized window-spec token list: returns
-    ``(has_explicit_frame, frame_start_is_unbounded_preceding,
-    frame_end_is_unbounded_following)``.  No explicit frame reports
-    the SQL default ``RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT
-    ROW`` — start unbounded, end not."""
+    ``(has_explicit_frame, start_words, end_words)`` where the bound
+    words are the UPPER-cased identifier tokens of each frame bound
+    (numeric offsets are not identifiers, so ``2 PRECEDING`` reports
+    as ``["PRECEDING"]``).  No explicit frame reports the SQL default
+    ``RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW``."""
     depth = 0
     for i, t in enumerate(spec):
         if t == "(":
@@ -8755,12 +8791,8 @@ def _frame_spec(spec: list[str]) -> tuple[bool, bool, bool]:
                 start, end = words[1:k], words[k + 1:]
             else:  # short form: the single bound is the START
                 start, end = words, ["CURRENT", "ROW"]
-            return (
-                True,
-                start[:2] == ["UNBOUNDED", "PRECEDING"],
-                end[:2] == ["UNBOUNDED", "FOLLOWING"],
-            )
-    return (False, True, False)
+            return (True, start, end)
+    return (False, ["UNBOUNDED", "PRECEDING"], ["CURRENT", "ROW"])
 
 
 def _guard_in_frame(toks: list[str]) -> list[str]:
@@ -8794,15 +8826,32 @@ def _guard_in_frame(toks: list[str]) -> list[str]:
     there refuses with an inline-the-spec hint."""
 
     def named_spec(name: str) -> list[str] | None:
-        for m in range(len(toks) - 2):
-            if (
-                _is_ident(toks[m]) and toks[m] == name
-                and (a := _next_code(toks, m + 1)) < len(toks)
-                and _is_ident(toks[a]) and toks[a].upper() == "AS"
-                and (p := _next_code(toks, a + 1)) < len(toks)
-                and toks[p] == "("
-            ):
-                return toks[p:_match_close(toks, p) + 1]
+        # Anchored to the WINDOW keyword (ADVICE r10): a bare
+        # "<name> AS (" scan would misread a CTE that shares the
+        # window's name (WITH w AS (...) ... OVER w) as the spec.
+        for m in range(len(toks)):
+            if not (_is_ident(toks[m]) and toks[m].upper() == "WINDOW"):
+                continue
+            j = _next_code(toks, m + 1)
+            # walk the definition list: name AS (spec) [, name AS (…)]*
+            while j < len(toks) and _is_ident(toks[j]):
+                nm = toks[j]
+                a = _next_code(toks, j + 1)
+                if not (
+                    a < len(toks) and _is_ident(toks[a])
+                    and toks[a].upper() == "AS"
+                ):
+                    break
+                p = _next_code(toks, a + 1)
+                if not (p < len(toks) and toks[p] == "("):
+                    break
+                close_ = _match_close(toks, p)
+                if nm == name:
+                    return toks[p:close_ + 1]
+                c = _next_code(toks, close_ + 1)
+                if not (c < len(toks) and toks[c] == ","):
+                    break
+                j = _next_code(toks, c + 1)
         return None
 
     i = 0
@@ -8838,23 +8887,42 @@ def _guard_in_frame(toks: list[str]) -> list[str]:
                 )
         else:
             raise DialectError(f"{t}: malformed OVER clause")
-        has_frame, start_up, end_uf = _frame_spec(spec)
-        if t == "lagInFrame" and not start_up:
+        has_frame, start, end = _frame_spec(spec)
+        start_up = start[:2] == ["UNBOUNDED", "PRECEDING"]
+        end_uf = end[:2] == ["UNBOUNDED", "FOLLOWING"]
+        # The offset row must also be INSIDE the frame on the other
+        # side (ADVICE r10, medium): lagInFrame over … AND 2 PRECEDING
+        # returns the default for offsets past the frame END, and
+        # leadInFrame over 2 FOLLOWING AND … returns the default for
+        # offsets before the frame START — both map to plain lag/lead
+        # only when the near bound reaches CURRENT ROW.
+        end_reaches_cur = end[:2] == ["CURRENT", "ROW"] or (
+            "FOLLOWING" in end
+        )
+        start_reaches_cur = start[:2] == ["CURRENT", "ROW"] or (
+            "PRECEDING" in start
+        )
+        if t == "lagInFrame" and not (start_up and end_reaches_cur):
             raise DialectError(
-                "lagInFrame with a frame that does not start at "
-                "UNBOUNDED PRECEDING clips the lookback in ClickHouse, "
-                "and Spark's lag() ignores frames — spell the clipping "
-                "explicitly (e.g. CASE on row_number) or widen the "
-                "frame start to UNBOUNDED PRECEDING"
+                "lagInFrame only reaches rows INSIDE the frame: a "
+                "frame that does not span UNBOUNDED PRECEDING through "
+                "at least CURRENT ROW clips the lookback in "
+                "ClickHouse (offsets outside it return the default), "
+                "and Spark's lag() ignores frames — spell the "
+                "clipping explicitly (e.g. CASE on row_number) or "
+                "widen the frame to cover UNBOUNDED PRECEDING AND "
+                "CURRENT ROW"
             )
-        if t == "leadInFrame" and not end_uf:
+        if t == "leadInFrame" and not (end_uf and start_reaches_cur):
             raise DialectError(
                 "leadInFrame only reaches rows INSIDE the frame, and "
-                "this frame ends at/before CURRENT ROW — ClickHouse "
-                "returns the default value for every non-peer row "
-                "here, while Spark's lead() ignores frames entirely. "
-                "For standard lead semantics spell ROWS BETWEEN "
-                "UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING"
+                "this frame does not span CURRENT ROW through "
+                "UNBOUNDED FOLLOWING — ClickHouse returns the default "
+                "value for rows outside it (including every non-peer "
+                "row under the default frame), while Spark's lead() "
+                "ignores frames entirely. For standard lead semantics "
+                "spell ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED "
+                "FOLLOWING"
             )
         if has_frame:
             if not inline:
@@ -10269,9 +10337,13 @@ def run_clickhouse_script(
             # collide with a queue name must not refuse an unrelated
             # query (ADVICE r9).
             stoks = _tokens(stmt)
-            depth = 0
-            in_from = False  # inside a FROM list at depth 0
-            expect_rel = False  # the next identifier is a relation
+            # Relation position is tracked PER paren depth (ADVICE
+            # r10): a queue referenced inside a subquery or CTE body
+            # (SELECT * FROM (SELECT * FROM kafka_q)) must refuse
+            # too, so every nesting level carries its own
+            # in_from/expect_rel state instead of being skipped.
+            in_from = [False]  # inside a FROM list, per depth
+            expect_rel = [False]  # next identifier is a relation
             _CLAUSE_KW = (
                 "WHERE", "GROUP", "ORDER", "LIMIT", "HAVING",
                 "WINDOW", "UNION", "INTERSECT", "EXCEPT",
@@ -10281,17 +10353,24 @@ def run_clickhouse_script(
             while ti < len(stoks):
                 t = stoks[ti]
                 if t in ("(", "["):
-                    depth += 1
+                    in_from.append(False)
+                    expect_rel.append(False)
                 elif t in (")", "]"):
-                    depth -= 1
-                elif depth == 0 and _is_ident(t):
+                    if len(in_from) > 1:
+                        in_from.pop()
+                        expect_rel.pop()
+                    # a parenthesized relation fills the outer slot
+                    # (FROM (SELECT …) alias: the alias is not a
+                    # relation)
+                    expect_rel[-1] = False
+                elif _is_ident(t):
                     up = t.upper()
                     if up in ("FROM", "JOIN"):
-                        in_from = up == "FROM" or in_from
-                        expect_rel = True
+                        in_from[-1] = up == "FROM" or in_from[-1]
+                        expect_rel[-1] = True
                     elif up in _CLAUSE_KW:
-                        in_from = expect_rel = False
-                    elif expect_rel:
+                        in_from[-1] = expect_rel[-1] = False
+                    elif expect_rel[-1]:
                         # dotted chain: db.kafka_q must refuse on the
                         # LAST component too (code-review r10)
                         parts = [t]
@@ -10317,11 +10396,11 @@ def run_clickhouse_script(
                                     "read the stream with streaming."
                                     "kafka_source.kafka_read_stream"
                                 )
-                        expect_rel = False
-                elif depth == 0 and t == "," and in_from:
+                        expect_rel[-1] = False
+                elif t == "," and in_from[-1]:
                     # comma-separated FROM list re-arms relation
                     # position (code-review r10)
-                    expect_rel = True
+                    expect_rel[-1] = True
                 ti += 1
             df = spark.sql(
                 transpile(

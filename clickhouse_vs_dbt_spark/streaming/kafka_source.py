@@ -77,43 +77,93 @@ def parse_kafka_value(raw: DataFrame, name: str) -> DataFrame:
         parsed = F.from_csv(val, info.schema_ddl)
     elif info.fmt.upper() == "CSVWITHNAMES":
         # CSVWithNames: ClickHouse reads the FIRST line of each Kafka
-        # message as a header and the remaining lines as data rows
-        # (input_format_with_names_use_header maps columns BY NAME) —
-        # so a message is a multi-row block, not one row.  Split on
-        # newlines, VALIDATE the header against the declared column
-        # list, explode the data lines, from_csv each — all JVM
-        # built-ins, no Python in the hot path.  A message whose
-        # header is not the canonical declared order yields NULL
-        # columns for its rows (the same malformed-record contract as
-        # the CSV branch above: reordered-column blocks would need a
-        # per-message dynamic projection, which from_csv's fixed
-        # schema cannot express — refusing them loudly beats parsing
-        # them positionally wrong; code-review r10).  Blank trailing
-        # lines are dropped; a header-only message yields no rows.
-        # Known limit, documented: a quoted field containing a raw
-        # newline spans lines and its fragments parse to NULL columns
-        # (the line splitter is newline-based, like CH's own
+        # message as a header and the remaining lines as data rows —
+        # so a message is a multi-row block, not one row — and under
+        # input_format_with_names_use_header=1 (the default) maps
+        # header columns BY NAME, not by position (ADVICE r10).
+        # Split on newlines, read the header as a trimmed/unquoted
+        # name array, explode the data lines, then per message:
+        #
+        # * canonical header (declared order) → direct from_csv;
+        # * a PERMUTATION of the declared names (reordered / spaced /
+        #   quoted header) → by-name projection: parse the line with
+        #   an all-string positional schema (from_csv, so CSV quoting
+        #   is honored), pick each declared column's field via its
+        #   array_position in the header, re-serialize in canonical
+        #   order with to_csv, and re-parse with the declared schema
+        #   so type coercion is byte-identical to the canonical path;
+        # * anything else (unknown / missing / duplicate names) →
+        #   raise_error loudly — NOT silent NULL rows (the old
+        #   behavior this branch replaces).
+        #
+        # All JVM built-ins, no Python in the hot path.  Blank
+        # trailing lines are dropped; a header-only message yields no
+        # rows.  Known limit, documented: a quoted field containing a
+        # raw newline spans lines and its fragments parse to NULL
+        # columns (the line splitter is newline-based, like CH's own
         # row-delimited Kafka framing).
         from pyspark.sql.types import StructType
 
         names = StructType.fromDDL(info.schema_ddl).fieldNames()
+        n = len(names)
+        decl_arr = F.array(*[F.lit(x) for x in names])
         lines = F.split(val, "\r?\n")
-        header_ok = F.trim(F.element_at(lines, 1)) == F.lit(
-            ",".join(names)
+        hdr = F.transform(
+            F.split(F.element_at(lines, 1), ","),
+            lambda s: F.regexp_replace(F.trim(s), '^"|"$', ""),
         )
         body = F.filter(
             F.slice(lines, 2, F.greatest(F.size(lines) - 1, F.lit(0))),
             lambda s: s != "",
         )
+        gen_ddl = ", ".join(f"__c{i} string" for i in range(n))
+        exploded = raw.select(
+            hdr.alias("__hdr"), F.explode(body).alias("__line")
+        )
+        canonical = F.col("__hdr") == decl_arr
+        permuted = (
+            (F.size(F.col("__hdr")) == n)
+            & (F.size(F.array_distinct(F.col("__hdr"))) == n)
+            & (F.size(F.array_except(F.col("__hdr"), decl_arr)) == 0)
+        )
+        pos_fields = F.from_csv(F.col("__line"), gen_ddl)
+        pos_arr = F.array(
+            *[pos_fields.getField(f"__c{i}") for i in range(n)]
+        )
+        by_name = F.from_csv(
+            F.to_csv(
+                F.struct(
+                    *[
+                        F.element_at(
+                            pos_arr,
+                            F.array_position(
+                                F.col("__hdr"), F.lit(nm)
+                            ).cast("int"),
+                        ).alias(nm)
+                        for nm in names
+                    ]
+                )
+            ),
+            info.schema_ddl,
+        )
         return (
-            raw.select(
-                header_ok.alias("__hok"), F.explode(body).alias("__line")
-            )
-            .select(
-                F.when(
-                    F.col("__hok"),
-                    F.from_csv(F.col("__line"), info.schema_ddl),
-                ).alias("__r")
+            exploded.select(
+                F.when(canonical, F.from_csv(F.col("__line"), info.schema_ddl))
+                .when(permuted, by_name)
+                .otherwise(
+                    F.raise_error(
+                        F.concat(
+                            F.lit(
+                                "CSVWithNames header does not match "
+                                f"the declared columns {names} of "
+                                f"{name} (by-name mapping needs a "
+                                "permutation of them): "
+                            ),
+                            F.array_join(F.col("__hdr"), ","),
+                        )
+                    )
+                )
+                .alias("__r")
             )
             .select("__r.*")
         )

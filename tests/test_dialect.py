@@ -4167,6 +4167,64 @@ def test_r10_in_frame_guard(spark):
     assert [r.p for r in spark.sql(q).collect()] == [None, 0, 1, 2, 3]
 
 
+def test_r11_in_frame_far_bound(spark):
+    """ADVICE r10 (medium): the offset row must be inside the frame on
+    BOTH sides.  lagInFrame over … AND 2 PRECEDING and leadInFrame
+    over 2 FOLLOWING AND … return the default in ClickHouse for
+    offsets that land in the gap next to CURRENT ROW, so plain
+    lag/lead diverge — refuse both."""
+    with pytest.raises(DialectError, match="CURRENT ROW"):
+        transpile(
+            "SELECT lagInFrame(x, 1) OVER (ORDER BY x ROWS BETWEEN "
+            "UNBOUNDED PRECEDING AND 2 PRECEDING) FROM if_t"
+        )
+    with pytest.raises(DialectError, match="CURRENT ROW"):
+        transpile(
+            "SELECT leadInFrame(x, 1) OVER (ORDER BY x ROWS BETWEEN "
+            "2 FOLLOWING AND UNBOUNDED FOLLOWING) FROM if_t"
+        )
+    # frames that do reach CURRENT ROW on the near side still map
+    q = transpile(
+        "SELECT leadInFrame(x, 1) OVER (ORDER BY x ROWS BETWEEN "
+        "CURRENT ROW AND UNBOUNDED FOLLOWING) AS nx FROM if_t"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW if_t AS "
+        "SELECT id AS x FROM range(5)"
+    )
+    assert [r.nx for r in spark.sql(q).collect()] == [1, 2, 3, 4, None]
+    q = transpile(
+        "SELECT lagInFrame(x, 1) OVER (ORDER BY x ROWS BETWEEN "
+        "UNBOUNDED PRECEDING AND 1 FOLLOWING) AS p FROM if_t"
+    )
+    assert [r.p for r in spark.sql(q).collect()] == [None, 0, 1, 2, 3]
+
+
+def test_r11_named_window_cte_collision(spark):
+    """ADVICE r10: a CTE sharing a named window's name must not be
+    misread as the window spec — the scan is anchored to the WINDOW
+    keyword."""
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW if_t AS "
+        "SELECT id AS x FROM range(5)"
+    )
+    # CTE `w` has a frame-looking body; the real WINDOW w is frameless
+    # and must resolve (a spec-anchored scan; the old statement-wide
+    # scan read the CTE and refused).
+    q = transpile(
+        "WITH w AS (SELECT x FROM if_t) "
+        "SELECT lagInFrame(x, 1) OVER w AS p FROM w "
+        "WINDOW w AS (ORDER BY x)"
+    )
+    assert [r.p for r in spark.sql(q).collect()] == [None, 0, 1, 2, 3]
+    # second definition in a multi-window clause resolves too
+    q = transpile(
+        "SELECT lagInFrame(x, 1) OVER w2 AS p FROM if_t "
+        "WINDOW w1 AS (PARTITION BY x), w2 AS (ORDER BY x)"
+    )
+    assert [r.p for r in spark.sql(q).collect()] == [None, 0, 1, 2, 3]
+
+
 def test_r10_sum_with_overflow(spark):
     """sumWithOverflow wraps at the INLINE-declared width (the CH DDL
     width is invisible to the transpiler, so the bare-column form
@@ -4282,6 +4340,29 @@ def test_r10_id_generators(spark):
     )).collect()
     assert len({r.u for r in rows}) == 64
     assert len({r.s for r in rows}) == 64
+
+
+def test_r11_id_generator_warning():
+    """ADVICE r10: the one-arg deterministic id tier is a silent
+    runtime divergence (equal args → equal ids; CH stays random), so
+    the transpiler surfaces it as a DialectWarning with the zero-arg
+    pointer; the faithful zero-arg forms stay silent."""
+    import warnings
+
+    from clickhouse_vs_dbt_spark.dialect import DialectWarning
+
+    for expr in (
+        "generateUUIDv4(x)", "generateUUIDv7(x)",
+        "generateSnowflakeID(x)",
+    ):
+        with pytest.warns(DialectWarning, match="EQUAL ids"):
+            transpile(f"SELECT {expr} FROM t")
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", DialectWarning)
+        transpile(
+            "SELECT generateUUIDv4(), generateUUIDv7(), "
+            "generateSnowflakeID()"
+        )
 
 
 def test_r10_regexp_quote_meta(spark):

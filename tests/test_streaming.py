@@ -214,16 +214,39 @@ def test_kafka_value_parse_csv_with_names(spark):
             tuple(r) for r in parse_kafka_value(raw, "csvn_q").collect()
         )
         assert got == [(7, "foo", 1.5), (8, "bar", 2.5), (9, "baz", 3.5)]
-        # a REORDERED header cannot be parsed positionally against the
-        # fixed from_csv schema — its rows yield NULL columns (the
-        # malformed-record contract), never silently transposed values
-        # (code-review r10)
-        bad = spark.createDataFrame(
+        # a REORDERED header maps BY NAME, exactly like ClickHouse's
+        # input_format_with_names_use_header=1 (ADVICE r10: the old
+        # positional contract silently emitted all-NULL rows here)
+        perm = spark.createDataFrame(
             [(b"4", b"v,name,k\n1.5,foo,7")],
             "key binary, value binary",
         )
-        rows = parse_kafka_value(bad, "csvn_q").collect()
-        assert len(rows) == 1 and tuple(rows[0]) == (None, None, None)
+        rows = parse_kafka_value(perm, "csvn_q").collect()
+        assert len(rows) == 1 and tuple(rows[0]) == (7, "foo", 1.5)
+        # spaced / quoted header names normalize before matching
+        spaced = spark.createDataFrame(
+            [(b"5", b' k , "name" ,v\n7,foo,1.5')],
+            "key binary, value binary",
+        )
+        rows = parse_kafka_value(spaced, "csvn_q").collect()
+        assert len(rows) == 1 and tuple(rows[0]) == (7, "foo", 1.5)
+        # quoting survives the by-name re-serialization round-trip
+        quoted = spark.createDataFrame(
+            [(b"6", b'name,k,v\n"a,b",7,1.5')],
+            "key binary, value binary",
+        )
+        rows = parse_kafka_value(quoted, "csvn_q").collect()
+        assert len(rows) == 1 and tuple(rows[0]) == (7, "a,b", 1.5)
+        # an unknown / non-permutation header fails LOUDLY — never
+        # silent NULL data rows
+        bad = spark.createDataFrame(
+            [(b"7", b"k,nope,v\n7,foo,1.5")],
+            "key binary, value binary",
+        )
+        import pytest
+
+        with pytest.raises(Exception, match="does not match"):
+            parse_kafka_value(bad, "csvn_q").collect()
     finally:
         unregister_kafka_info("csvn_q")
 
@@ -275,5 +298,30 @@ def test_kafka_queue_batch_access_refuses(spark):
             run_clickhouse_script(
                 spark, "SELECT count() FROM db.guard_q;"
             )
+        # ...and relations at ANY paren depth: a queue inside a
+        # subquery or CTE body must refuse too (ADVICE r10)
+        with pytest.raises(DialectError, match="streaming consumer"):
+            run_clickhouse_script(
+                spark,
+                "SELECT * FROM (SELECT * FROM guard_q);",
+            )
+        with pytest.raises(DialectError, match="streaming consumer"):
+            run_clickhouse_script(
+                spark,
+                "WITH c AS (SELECT k FROM guard_q) "
+                "SELECT count() FROM c;",
+            )
+        # while a colliding alias inside a subquery still passes
+        [(got,)] = run_clickhouse_script(
+            spark,
+            "SELECT guard_q FROM (SELECT 1 AS guard_q);",
+        )[0][1].collect()
+        assert got == 1
+        # and a subquery's alias is not relation position
+        [(got,)] = run_clickhouse_script(
+            spark,
+            "SELECT a FROM (SELECT 1 AS a) other_t;",
+        )[0][1].collect()
+        assert got == 1
     finally:
         unregister_kafka_info("guard_q")
