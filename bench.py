@@ -335,6 +335,44 @@ def main() -> int:
         "events_gap_fill", "events_rollup_hierarchy",
     ]
     r01_total = round(sum(timings.get(q, 0.0) for q in r01_subset), 3)
+    # In-round perf tripwire (VERDICT r10 item 7): diff per-query
+    # calibration-normalized time against the newest archived
+    # BENCH_full and surface every >1.5× mover — fuzzy_part_pairs
+    # regressed 2.09× silently in r10 because only totals were
+    # reported.  A small absolute floor (norm ≥ 0.5, i.e. half the
+    # calibration kernel) keeps sub-100 ms micro-queries from
+    # tripping on scheduler noise.
+    regressions: dict[str, dict[str, float]] = {}
+    try:
+        import glob as _glob
+
+        here0 = os.path.dirname(os.path.abspath(__file__))
+        fulls = sorted(
+            p
+            for p in _glob.glob(os.path.join(here0, "BENCH_full_r*.json"))
+            if re.search(r"BENCH_full_r(\d+)\.json$", p)
+        )
+        if fulls and calib:
+            prev = json.load(open(fulls[-1]))
+            prev_norm = prev.get("queries_norm") or {}
+            for q, sec in timings.items():
+                nn = sec / calib
+                pn = prev_norm.get(q)
+                if pn and pn > 0 and nn >= 0.5 and nn / pn > 1.5:
+                    regressions[q] = {
+                        "prev_norm": round(pn, 2),
+                        "norm": round(nn, 2),
+                        "ratio": round(nn / pn, 2),
+                    }
+            for q, r in sorted(regressions.items()):
+                print(
+                    f"bench: REGRESSION {q}: norm {r['prev_norm']} -> "
+                    f"{r['norm']} ({r['ratio']}x vs {fulls[-1]})",
+                    file=sys.stderr,
+                )
+    except (OSError, ValueError, KeyError) as exc:
+        print(f"bench: regression diff failed: {exc}", file=sys.stderr)
+
     payload = {
         "metric": "headline_total",
         "value": total,
@@ -353,6 +391,9 @@ def main() -> int:
         "queries_norm": {
             k: round(v / calib, 2) for k, v in timings.items()
         } if calib else None,
+        # >1.5× normalized movers vs the previous archived BENCH_full
+        # (empty = no regression; the in-round tripwire, r11)
+        "regressions": regressions,
     }
     print(json.dumps(payload))
     # The driver's BENCH_r{N}.json stores only the tail of stdout, which
