@@ -244,6 +244,17 @@ HEADLINE = [
     "dialect_probe16",
     "dialect_probe17",
     "dialect_probe18",
+    # round-10 additions: fuzzy metrics, JSON path walk, overflow sums,
+    # id generators
+    "dialect_fuzzy_family",
+    "dialect_json_paths",
+    "dialect_sum_overflow",
+    "dialect_uuid_generators",
+    # round-11 additions: -Resample buckets, reinterpret/tuple/group
+    # matrices, Hilbert indexing
+    "dialect_resample",
+    "dialect_reinterpret_tuples",
+    "dialect_hilbert",
 ]
 
 

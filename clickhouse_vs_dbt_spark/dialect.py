@@ -414,6 +414,31 @@ def _tokens(sql: str) -> list[str]:
     return _TOKEN_RE.findall(sql)
 
 
+def _literal_capture_groups(name: str, pat: str) -> int:
+    """Capture-group count of a LITERAL regex argument (rendered
+    token, quotes included) — drives the transpile-time expansion of
+    the extractGroups / extractAllGroups* family.  Non-literal
+    patterns refuse (the count is unknowable), as does a pattern with
+    no groups."""
+    if pat[:1] not in "'\"":
+        raise DialectError(
+            f"{name} needs a literal pattern (the capture-group "
+            "count drives the expansion); use regexp_extract[_all]"
+            "(s, re, i) for dynamic patterns"
+        )
+    body, groups, i = pat[1:-1], 0, 0
+    while i < len(body):
+        if body[i] == "\\":
+            i += 2
+            continue
+        if body[i] == "(" and body[i + 1:i + 2] != "?":
+            groups += 1
+        i += 1
+    if not groups:
+        raise DialectError(f"{name}: pattern has no capture groups")
+    return groups
+
+
 def _is_ident(tok: str) -> bool:
     return bool(_IDENT_RE.match(tok))
 
@@ -1972,19 +1997,32 @@ def _render_call(name: str, args: list[str]) -> str:
             "mortonEncode inverse at 32 bits/dim) — de-interleave "
             "other dimension counts pairwise"
         )
+    if name == "hilbertEncode" and len(args) in (1, 2):
+        # 2-D Hilbert index (VERDICT r10 item 6) — the classic xy2d
+        # fold from operators/zorder.py; ClickHouse's convention (doc
+        # example hilbertEncode(3, 4) = 31) is the classic algorithm
+        # with the argument order swapped, applied here.  The 1-arg
+        # form is CH's documented identity.
+        from clickhouse_vs_dbt_spark.operators.zorder import hilbert_expr
+        if len(args) == 1:
+            return f"CAST({args[0]} AS BIGINT)"
+        return hilbert_expr(args[1], args[0])
+    if name == "hilbertDecode" and len(args) == 2 and args[0] == "2":
+        from clickhouse_vs_dbt_spark.operators.zorder import unhilbert_expr
+        d = f"CAST({args[1]} AS BIGINT)"
+        # classic (x, y) swap back into CH's output order
+        return (
+            f"named_struct('x', {unhilbert_expr(d, False)}, "
+            f"'y', {unhilbert_expr(d, True)})"
+        )
     if name in ("hilbertEncode", "hilbertDecode"):
         raise DialectError(
-            f"{name}: Hilbert-curve indexing has no Spark register — "
-            "mortonEncode/mortonDecode map (same locality role, "
-            "simpler bit algebra), and operators/zorder.py is the "
-            "layout machinery"
+            f"{name}: only the 1-/2-dimension forms map (64-bit code, "
+            "32 bits per dimension, the mortonEncode contract) — "
+            "operators/zorder.py is the layout machinery"
         )
     if name.startswith("reinterpretAs"):
-        raise DialectError(
-            f"{name}: raw byte reinterpretation depends on CH's "
-            "little-endian in-memory layout — spell the bytes "
-            "explicitly: hex()/unhex() + conv() transpile"
-        )
+        return _reinterpret(name, args)
     if name == "toStringCutToZero" and len(args) == 1:
         return f"substring_index({args[0]}, chr(0), 1)"
     if name == "toColumnTypeName" and len(args) == 1:
@@ -2178,12 +2216,58 @@ def _render_call(name: str, args: list[str]) -> str:
         "tupleNegate", "tupleMultiplyByNumber", "tupleDivideByNumber",
         "tupleHammingDistance",
     ):
+        # Numeric tuple arithmetic (VERDICT r10 item 5, flips the
+        # batch-6 refusal for LITERAL-arity tuples): when every tuple
+        # operand is spelled inline — ``(a, b)`` or ``tuple(a, b)`` —
+        # the arity is known at transpile time and the operation
+        # expands to per-field struct arithmetic.  Column-reference
+        # tuples (unknown arity) keep the spell-as-arrays refusal.
+        one_arg = name == "tupleNegate"
+        by_number = name in (
+            "tupleMultiplyByNumber", "tupleDivideByNumber",
+        )
+        n_tuples = 1 if (one_arg or by_number) else 2
+        fields = [_tuple_fields(a) for a in args[:n_tuples]]
+        if (
+            len(args) == (1 if one_arg else 2)
+            and all(f is not None for f in fields)
+            and len({len(f) for f in fields}) == 1
+        ):
+            fa = fields[0]
+            if name == "tupleNegate":
+                body = [f"(-({x}))" for x in fa]
+            elif by_number:
+                op = "*" if name == "tupleMultiplyByNumber" else "/"
+                body = [f"(({x}) {op} ({args[1]}))" for x in fa]
+            elif name == "tupleHammingDistance":
+                return "(" + " + ".join(
+                    f"CAST(NOT (({x}) <=> ({y})) AS INT)"
+                    for x, y in zip(fa, fields[1])
+                ) + ")"
+            else:
+                op = {
+                    "tuplePlus": "+", "tupleMinus": "-",
+                    "tupleMultiply": "*", "tupleDivide": "/",
+                }[name]
+                body = [
+                    f"(({x}) {op} ({y}))"
+                    for x, y in zip(fa, fields[1])
+                ]
+            return f"struct({', '.join(body)})"
+        if (
+            not one_arg and not by_number and len(args) == 2
+            and None not in fields
+        ):
+            raise DialectError(
+                f"{name}: tuple operands have different arities "
+                f"({len(fields[0])} vs {len(fields[1])})"
+            )
         raise DialectError(
-            f"{name}: tuple vector arithmetic needs the tuple's arity "
-            "and element types (Spark structs are heterogeneous "
-            "records, not vectors) — spell the vectors as ARRAYS: "
-            "zip_with arithmetic, arrayDotProduct, L1/L2Distance and "
-            "bitHammingDistance all transpile"
+            f"{name}: tuple vector arithmetic transpiles for LITERAL "
+            "tuples — (a, b) or tuple(a, b) — whose arity is known at "
+            "transpile time (r11); for column tuples spell the "
+            "vectors as ARRAYS: zip_with arithmetic, arrayDotProduct, "
+            "L1/L2Distance and bitHammingDistance all transpile"
         )
     if name == "char" and len(args) >= 2:
         # CH char() assembles raw BYTES (mod 256), not codepoints —
@@ -2424,22 +2508,7 @@ def _render_call(name: str, args: list[str]) -> str:
         )
     if name == "extractGroups" and len(args) == 2:
         s, pat = args
-        if pat[:1] not in "'\"":
-            raise DialectError(
-                "extractGroups needs a literal pattern (the capture-"
-                "group count drives the expansion); use "
-                "regexp_extract(s, re, i) for dynamic patterns"
-            )
-        body, groups, i = pat[1:-1], 0, 0
-        while i < len(body):
-            if body[i] == "\\":
-                i += 2
-                continue
-            if body[i] == "(" and body[i + 1:i + 2] != "?":
-                groups += 1
-            i += 1
-        if not groups:
-            raise DialectError("extractGroups: pattern has no groups")
+        groups = _literal_capture_groups(name, pat)
         parts = ", ".join(
             f"regexp_extract({s}, {pat}, {g})"
             for g in range(1, groups + 1)
@@ -2448,6 +2517,35 @@ def _render_call(name: str, args: list[str]) -> str:
         return (
             f"(CASE WHEN regexp_like({s}, {pat}) "
             f"THEN array({parts}) ELSE array() END)"
+        )
+    if name in (
+        "extractAllGroupsHorizontal", "extractAllGroupsVertical",
+        "extractAllGroups",
+    ) and len(args) == 2:
+        # Per-match group matrices (VERDICT r10 item 3, flips the
+        # batch-9 refusal).  Horizontal: one array per capture group
+        # holding that group across ALL matches — regexp_extract_all
+        # per group (the pattern is literal, so the group count folds
+        # at transpile time, the extractGroups precedent).  Vertical
+        # (and its alias extractAllGroups): one array per MATCH
+        # holding all groups — the transpose, built by indexing the
+        # horizontal arrays inside a transform (the array(…)[1] bind
+        # trick keeps each regexp_extract_all spelled once).  No
+        # matches: Horizontal gives N empty arrays, Vertical gives []
+        # — both fall out of regexp_extract_all's empty result,
+        # matching CH's documented asymmetry.
+        s, pat = args
+        groups = _literal_capture_groups(name, pat)
+        per_group = ", ".join(
+            f"regexp_extract_all({s}, {pat}, {g})"
+            for g in range(1, groups + 1)
+        )
+        if name == "extractAllGroupsHorizontal":
+            return f"array({per_group})"
+        return (
+            f"element_at(transform(array(array({per_group})), "
+            "__eag -> transform(element_at(__eag, 1), (__x, __i) -> "
+            "transform(__eag, __g -> element_at(__g, __i + 1)))), 1)"
         )
     # --- r8 batch 8: tuples, bitmaps, XML escapes, relative nums ---
     if name == "tupleElement" and len(args) == 2:
@@ -3079,16 +3177,10 @@ def _render_call(name: str, args: list[str]) -> str:
         )
     if name.endswith("Resample"):
         raise DialectError(
-            f"{name}: the -Resample combinator buckets by a key range "
-            "— GROUP BY the bucket directly: "
-            "intDiv(key - start, step) with a HAVING range"
-        )
-    if name in ("extractAllGroupsHorizontal", "extractAllGroupsVertical"):
-        raise DialectError(
-            f"{name}: per-match group matrices — extractGroups "
-            "(first match) and extractAll (one group, all matches) "
-            "transpile; regexp_extract_all(s, pat, n) is the direct "
-            "Spark spelling per group"
+            f"{name}: -Resample is parametric — write "
+            f"{name}(start, stop, step)(args…, key) (the two-list "
+            "spelling transpiles to one -If aggregate per bucket, "
+            "r11), or GROUP BY intDiv(key - start, step) directly"
         )
     if name.startswith("multiFuzzyMatch"):
         raise DialectError(
@@ -5174,8 +5266,88 @@ def _rewrite_map_apply(lam: str, m: str) -> str:
     )
 
 
+#: aggregate heads whose ``-If`` spelling renders here — the surface
+#: the -Resample rewrite (below) can expand onto.  Anything else
+#: refuses with the GROUP-BY pointer rather than emitting an unknown
+#: ``fooIf`` passthrough.
+_RESAMPLE_HEADS = (
+    frozenset(_IF_BASES)
+    | {"count", "uniqExact", "corr", "covarPop", "covarSamp",
+       "stddevPop", "stddevSamp", "varPop", "varSamp"}
+)
+
+
 def _render_parametric(name: str, params: list[str], args: list[str]) -> str:
     """CH parametric aggregates: ``fn(params)(args)``."""
+    if name.endswith("Resample") and len(name) > len("Resample"):
+        # -Resample combinator (VERDICT r10 item 2):
+        # ``fooResample(start, stop, step)(args…, key)`` aggregates
+        # each subinterval [start + i·step, min(start + (i+1)·step,
+        # stop)) of the key independently and returns the ARRAY of
+        # results.  start/stop/step are CH-mandated literals, so the
+        # bucket list folds at TRANSPILE time into one -If aggregate
+        # per bucket — map-side partial aggregation over a single
+        # pass, no extra shuffle, the same plan a hand-written
+        # FILTER-per-bucket GROUP BY would get.
+        head = name[: -len("Resample")]
+        if head not in _RESAMPLE_HEADS:
+            raise DialectError(
+                f"{name}: -Resample transpiles for the -If-capable "
+                "heads (" + ", ".join(sorted(_RESAMPLE_HEADS)) + ") — "
+                "GROUP BY intDiv(key - start, step) for other "
+                "aggregates"
+            )
+        if len(params) != 3:
+            raise DialectError(
+                f"{name}: exactly one (start, stop, step) triple "
+                "transpiles — multiple resampling keys need explicit "
+                "GROUP BY buckets"
+            )
+
+        def _num(tok: str, what: str) -> float:
+            tok = tok.strip()
+            try:
+                return (
+                    float(tok)
+                    if ("." in tok or "e" in tok.lower())
+                    else int(tok)
+                )
+            except ValueError:
+                raise DialectError(
+                    f"{name}: {what} must be a numeric literal — the "
+                    "bucket list expands at transpile time"
+                ) from None
+
+        start = _num(params[0], "start")
+        stop = _num(params[1], "stop")
+        step = _num(params[2], "step")
+        if step <= 0 or stop <= start:
+            raise DialectError(
+                f"{name}: requires stop > start and step > 0"
+            )
+        import math
+
+        n = math.ceil((stop - start) / step)
+        if n > 256:
+            raise DialectError(
+                f"{name}: {n} buckets would expand to {n} aggregate "
+                "expressions — GROUP BY intDiv(key - start, step) "
+                "with a HAVING range instead"
+            )
+        min_args = 1 if head == "count" else 2
+        if len(args) < min_args:
+            raise DialectError(
+                f"{name}: the argument list is (…aggregate args, "
+                "resampling key)"
+            )
+        key, head_args = args[-1], args[:-1]
+        buckets = []
+        for i in range(n):
+            lo = start + i * step
+            hi = min(start + (i + 1) * step, stop)
+            cond = f"(({key}) >= {lo} AND ({key}) < {hi})"
+            buckets.append(_render_call(head + "If", head_args + [cond]))
+        return f"array({', '.join(buckets)})"
     if name == "quantile" and len(params) == 1:
         return f"percentile_approx({args[0]}, {params[0]})"
     if name == "quantileExact" and len(params) == 1:
@@ -5651,7 +5823,13 @@ def _walk(
             name = t
             first, k = _parse_args(toks, j)
             j2 = _next_code(toks, k)
-            if name in _PARAMETRIC and j2 < end and toks[j2] == "(":
+            if (
+                name in _PARAMETRIC
+                or (
+                    name.endswith("Resample")
+                    and len(name) > len("Resample")
+                )
+            ) and j2 < end and toks[j2] == "(":
                 second, k2 = _parse_args(toks, j2)
                 primary_start = len(out)
                 out.append(_render_parametric(name, first, second))
@@ -8255,6 +8433,211 @@ def _split_top_commas(text: str) -> list[str]:
     if cur:
         parts.append("".join(cur))
     return parts
+
+
+#: fixed-width reinterpret targets: name → (byte width, signed)
+_REINTERPRET_INTS = {
+    "UInt8": (1, False), "UInt16": (2, False),
+    "UInt32": (4, False), "UInt64": (8, False),
+    "Int8": (1, True), "Int16": (2, True),
+    "Int32": (4, True), "Int64": (8, True),
+}
+
+
+def _reinterpret(name: str, args: list[str]) -> str:
+    """Fixed-width ``reinterpretAs*`` (VERDICT r10 item 4, flips the
+    batch-8 refusal).  ClickHouse reinterprets the VALUE's
+    little-endian in-memory bytes; the Spark spelling is pure byte
+    algebra — hex → zero-pad to the target width → byte-order
+    reversal (little- to big-endian) → conv — so no UDF and no JVM
+    byte-copy.
+
+    Contract per input type, dispatched on ``typeof`` (foldable, so
+    the CASE collapses at optimization):
+
+    * STRING input → the documented CH behavior: the first ``w``
+      bytes of the string, zero-padded when short, little-endian.
+      (Spark strings hex as UTF-8; CH strings are raw bytes —
+      identical for the ASCII payloads these functions are used on.)
+    * INTEGRAL input to an integer target → CH's width truncation:
+      value mod 2⁸ʷ with two's-complement re-signing, the same byte
+      result without a string detour.
+    * anything else (float/date/decimal inputs, whose byte image
+      depends on a source width Spark has already erased) →
+      raise_error at RUNTIME with the spell-the-bytes pointer —
+      loud, never a silent wrong reinterpretation.
+
+    Variable-width / engine-layout targets (FixedString, UUID, the
+    128/256-bit widths) keep the refusal."""
+    if len(args) != 1:
+        raise DialectError(f"{name} takes exactly one argument")
+    x = args[0]
+    target = name[len("reinterpretAs"):]
+
+    def hex_le_to_be(w: int) -> str:
+        # first w bytes' hex, zero-padded, then byte-pair reversal;
+        # the array-bind keeps the hex() spelled once
+        h = f"rpad(substr(hex({x}), 1, {2 * w}), {2 * w}, '0')"
+        if w == 1:
+            return h
+        rev = ", ".join(
+            f"substr(__ri, {2 * i - 1}, 2)" for i in range(w, 1, -1)
+        )
+        return (
+            f"element_at(transform(array({h}), "
+            f"__ri -> concat({rev}, substr(__ri, 1, 2))), 1)"
+        )
+
+    guard = (
+        f"raise_error(concat('{name}: a ', typeof({x}), ' input''s "
+        "byte image depends on a source width Spark has erased — "
+        "spell the bytes explicitly (hex()/unhex() + conv() "
+        "transpile)'))"
+    )
+    int_types = "('tinyint', 'smallint', 'int', 'bigint')"
+
+    if target in _REINTERPRET_INTS:
+        w, signed = _REINTERPRET_INTS[target]
+        be = hex_le_to_be(w)
+        if w < 8:
+            u = f"CAST(conv({be}, 16, 10) AS BIGINT)"
+            half, full = 1 << (8 * w - 1), 1 << (8 * w)
+            s_str = (
+                f"(CASE WHEN {u} >= {half} THEN {u} - {full} "
+                f"ELSE {u} END)" if signed else u
+            )
+            s_num = (
+                f"(CASE WHEN pmod({x}, {full}) >= {half} "
+                f"THEN pmod({x}, {full}) - {full} "
+                f"ELSE pmod({x}, {full}) END)"
+                if signed else f"pmod({x}, {full})"
+            )
+            s_num = f"CAST({s_num} AS BIGINT)"
+        elif signed:  # Int64: conv's signed base re-signs 64-bit
+            s_str = f"CAST(conv({be}, 16, -10) AS BIGINT)"
+            s_num = f"CAST({x} AS BIGINT)"
+        else:  # UInt64 exceeds BIGINT: decimal algebra
+            s_str = f"CAST(conv({be}, 16, 10) AS DECIMAL(20, 0))"
+            s_num = (
+                f"CAST(pmod(CAST({x} AS DECIMAL(20, 0)), "
+                "18446744073709551616) AS DECIMAL(20, 0))"
+            )
+        return (
+            f"(CASE WHEN typeof({x}) = 'string' THEN {s_str} "
+            f"WHEN typeof({x}) IN {int_types} THEN {s_num} "
+            f"ELSE {guard} END)"
+        )
+    if target in ("Date", "DateTime"):
+        w = 2 if target == "Date" else 4
+        be = hex_le_to_be(w)
+        u = f"CAST(conv({be}, 16, 10) AS BIGINT)"
+        n = f"CAST(pmod({x}, {1 << (8 * w)}) AS BIGINT)"
+        wrap = (
+            "date_add(DATE '1970-01-01', CAST({v} AS INT))"
+            if target == "Date" else "timestamp_seconds({v})"
+        )
+        return (
+            f"(CASE WHEN typeof({x}) = 'string' THEN {wrap.format(v=u)} "
+            f"WHEN typeof({x}) IN {int_types} THEN {wrap.format(v=n)} "
+            f"ELSE {guard} END)"
+        )
+    if target in ("Float32", "Float64"):
+        # IEEE 754 assembly from the little-endian bit image: sign /
+        # exponent / mantissa extracted with bit ops, value rebuilt as
+        # sign · (implicit-one + mantissa) · 2^(exp − bias − mantbits).
+        # Every factor is an exact power or an integer ≤ 2⁵³, so the
+        # double product is bit-exact, including denormals (exp = 0)
+        # and ±Inf/NaN (exp all-ones).
+        w, ebits, mbits = (4, 8, 23) if target == "Float32" else (8, 11, 52)
+        be = hex_le_to_be(w)
+        bits = (
+            f"CAST(conv({be}, 16, {'-10' if w == 8 else '10'}) AS BIGINT)"
+        )
+        emask = (1 << ebits) - 1
+        mmask = (1 << mbits) - 1
+        bias_off = (1 << (ebits - 1)) - 1 + mbits
+        sign = (
+            f"(CASE WHEN {{b}} < 0 THEN -1.0D ELSE 1.0D END)"
+            if w == 8 else
+            f"(CASE WHEN shiftrightunsigned({{b}}, 31) % 2 = 1 "
+            "THEN -1.0D ELSE 1.0D END)"
+        )
+        body = (
+            f"(CASE WHEN (shiftrightunsigned(__fb, {mbits}) & {emask}) "
+            f"= {emask} THEN (CASE WHEN (__fb & {mmask}) = 0 THEN "
+            f"{sign.format(b='__fb')} * CAST('Infinity' AS DOUBLE) "
+            "ELSE CAST('NaN' AS DOUBLE) END) "
+            f"WHEN (shiftrightunsigned(__fb, {mbits}) & {emask}) = 0 "
+            f"THEN {sign.format(b='__fb')} * (__fb & {mmask}) "
+            f"* pow(2.0D, {1 - bias_off}) "
+            f"ELSE {sign.format(b='__fb')} "
+            f"* ({1 << mbits} + (__fb & {mmask})) "
+            f"* pow(2.0D, (shiftrightunsigned(__fb, {mbits}) "
+            f"& {emask}) - {bias_off}) END)"
+        )
+        out = (
+            f"element_at(transform(array({bits}), __fb -> {body}), 1)"
+        )
+        if target == "Float32":
+            out = f"CAST({out} AS FLOAT)"
+        return (
+            f"(CASE WHEN typeof({x}) = 'string' THEN {out} "
+            f"ELSE {guard} END)"
+        )
+    if target == "String":
+        # number → the value's little-endian bytes, trailing null
+        # bytes dropped (CH).  Negative values' byte image is
+        # width-dependent (trailing FF runs are kept) — runtime
+        # refusal, same contract as above.
+        be16 = (
+            "element_at(transform(array(lpad(hex(__rs), 16, '0')), "
+            "__ri -> concat(" + ", ".join(
+                f"substr(__ri, {2 * i - 1}, 2)" for i in range(8, 1, -1)
+            ) + ", substr(__ri, 1, 2))), 1)"
+        )
+        return (
+            f"(CASE WHEN typeof({x}) IN {int_types} THEN "
+            f"(CASE WHEN {x} < 0 THEN {guard} ELSE "
+            f"element_at(transform(array(CAST({x} AS BIGINT)), "
+            f"__rs -> decode(unhex(regexp_replace({be16}, "
+            "'(00)+$', '')), 'UTF-8')), 1) END) "
+            f"ELSE {guard} END)"
+        )
+    raise DialectError(
+        f"{name}: this target depends on CH's engine byte layout "
+        "(FixedString padding, UUID halves, 128/256-bit widths) — "
+        "the fixed-width UInt/Int8-64, Float32/64, Date, DateTime "
+        "and String targets transpile (r11); spell anything else "
+        "with hex()/unhex() + conv()"
+    )
+
+
+def _tuple_fields(arg: str) -> list[str] | None:
+    """Field expressions of a RENDERED literal-arity tuple — either
+    ``struct(f1, …)`` (what ``tuple(…)`` renders to) or a bare
+    parenthesized ``(f1, f2, …)`` group — else ``None`` (a column
+    reference or call result: arity unknown at transpile time)."""
+    toks = _tokens(arg.strip())
+    i = _next_code(toks, 0)
+    if i >= len(toks):
+        return None
+    if _is_ident(toks[i]) and toks[i] == "struct":
+        j = _next_code(toks, i + 1)
+        if j < len(toks) and toks[j] == "(":
+            close = _match_close(toks, j)
+            if _next_code(toks, close + 1) >= len(toks):
+                inner = "".join(toks[j + 1:close])
+                fields = [p.strip() for p in _split_top_commas(inner)]
+                return fields or None
+    if toks[i] == "(":
+        close = _match_close(toks, i)
+        if _next_code(toks, close + 1) >= len(toks):
+            inner = "".join(toks[i + 1:close])
+            fields = [p.strip() for p in _split_top_commas(inner)]
+            # a 1-element paren group is expression grouping, not a
+            # tuple
+            return fields if len(fields) >= 2 else None
+    return None
 
 
 def _top_order_by(body: list[str]) -> str | None:
@@ -14146,6 +14529,201 @@ def q_dialect_fuzzy_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_clickhouse_sql(spark, _CH_FUZZY_FAMILY, sf_dir, ("part",))
 
 
+# 31 (r11). -Resample combinator (VERDICT r10 item 2): the parametric
+#     fooResample(start, stop, step)(args…, key) spelling expands at
+#     transpile time to one -If aggregate per key bucket and returns
+#     the bucket ARRAY — four -If-capable heads gated (count, decimal
+#     sum, max, uniqExact; all hash-stable), buckets split out via the
+#     1-based subscript so the driver canonicalizer never hashes list
+#     cells.  The last bucket [41, 51) exercises the shorter-tail rule
+#     (stop cuts the subinterval).
+_CH_RESAMPLE = """
+SELECT l_returnflag,
+       c[1] AS c1, c[2] AS c2, c[3] AS c3,
+       toFloat64(s[1]) AS s1, toFloat64(s[2]) AS s2,
+       toFloat64(s[3]) AS s3,
+       m[1] AS m1, m[3] AS m3,
+       u[1] AS u1, u[2] AS u2
+FROM (
+  SELECT l_returnflag,
+         countResample(1, 51, 20)(l_quantity) AS c,
+         sumResample(1, 51, 20)(toDecimal64(l_extendedprice, 2),
+                                l_quantity) AS s,
+         maxResample(1, 51, 20)(l_discount, l_quantity) AS m,
+         uniqExactResample(1, 51, 20)(l_suppkey, l_quantity) AS u
+  FROM lineitem
+  GROUP BY l_returnflag
+)
+ORDER BY l_returnflag
+"""
+
+O_RESAMPLE = """
+SELECT l_returnflag,
+       count(*) FILTER (WHERE l_quantity >= 1 AND l_quantity < 21) AS c1,
+       count(*) FILTER (WHERE l_quantity >= 21 AND l_quantity < 41) AS c2,
+       count(*) FILTER (WHERE l_quantity >= 41 AND l_quantity < 51) AS c3,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+            FILTER (WHERE l_quantity >= 1 AND l_quantity < 21)
+            AS DOUBLE) AS s1,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+            FILTER (WHERE l_quantity >= 21 AND l_quantity < 41)
+            AS DOUBLE) AS s2,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+            FILTER (WHERE l_quantity >= 41 AND l_quantity < 51)
+            AS DOUBLE) AS s3,
+       max(l_discount)
+           FILTER (WHERE l_quantity >= 1 AND l_quantity < 21) AS m1,
+       max(l_discount)
+           FILTER (WHERE l_quantity >= 41 AND l_quantity < 51) AS m3,
+       count(DISTINCT l_suppkey)
+           FILTER (WHERE l_quantity >= 1 AND l_quantity < 21) AS u1,
+       count(DISTINCT l_suppkey)
+           FILTER (WHERE l_quantity >= 21 AND l_quantity < 41) AS u2
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+def q_dialect_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verbatim ClickHouse -Resample combinator query (module doc)."""
+    return run_clickhouse_sql(spark, _CH_RESAMPLE, sf_dir, ("lineitem",))
+
+
+# 32 (r11). fixed-width reinterpretAs* byte algebra + literal-tuple
+#     arithmetic + extractAllGroups matrices (VERDICT r10 items 3-5,
+#     flipping the batch-6/8/9 refusals).  String inputs exercise the
+#     little-endian byte pipeline against DuckDB's independent
+#     ascii·256^i spelling (incl. the zero-pad of names shorter than
+#     the width); integral inputs exercise the width-truncation path
+#     (192+k%64 lands in the signed-negative half).  Tuple results
+#     project through tupleElement so no struct reaches the driver
+#     canonicalizer; the group matrices flatten via arrayStringConcat.
+_CH_REINTERPRET_TUPLES = """
+SELECT p_partkey AS k,
+       reinterpretAsUInt16(substring(p_name, 1, 2)) AS u16,
+       reinterpretAsUInt32(substring(p_name, 1, 4)) AS u32,
+       toString(reinterpretAsUInt64(substring(p_name, 1, 8))) AS u64,
+       reinterpretAsInt8(192 + p_partkey % 64) AS i8,
+       reinterpretAsUInt8(p_partkey * 7) AS u8,
+       reinterpretAsString(65 + p_partkey % 26) AS ch,
+       reinterpretAsDate(p_partkey % 20000) AS d,
+       tupleElement(tuplePlus((p_partkey, p_size), (7, 11)), 'col1')
+           AS tp1,
+       tupleElement(tupleMultiply((p_partkey, p_size), (2, 3)), 'col2')
+           AS tm2,
+       tupleElement(tupleNegate((p_size, p_partkey)), 'col1') AS tn1,
+       tupleHammingDistance((p_partkey % 2, p_size % 3, 1),
+                            (0, 0, 1)) AS thd,
+       arrayStringConcat(arrayMap(g -> arrayStringConcat(g, '|'),
+           extractAllGroupsVertical(p_name, '(\\\\w+) (\\\\w+)')), ';')
+           AS vg,
+       arrayStringConcat(
+           extractAllGroupsHorizontal(p_name, '([a-z]+)o([a-z]+)')[1],
+           ',') AS hg
+FROM part WHERE p_partkey <= 300 ORDER BY p_partkey
+"""
+
+O_REINTERPRET_TUPLES = r"""
+SELECT p_partkey AS k,
+       CAST(ascii(substring(p_name, 1, 1))
+            + 256 * ascii(substring(p_name, 2, 1)) AS BIGINT) AS u16,
+       CAST(ascii(substring(p_name, 1, 1))
+            + 256 * ascii(substring(p_name, 2, 1))
+            + 65536 * ascii(substring(p_name, 3, 1))
+            + 16777216 * ascii(substring(p_name, 4, 1)) AS BIGINT)
+           AS u32,
+       CAST(CAST(ascii(substring(p_name, 1, 1)) AS BIGINT)
+            + 256 * ascii(substring(p_name, 2, 1))
+            + 65536 * ascii(substring(p_name, 3, 1))
+            + 16777216 * ascii(substring(p_name, 4, 1))
+            + 4294967296 * ascii(substring(p_name, 5, 1))
+            + 1099511627776 * ascii(substring(p_name, 6, 1))
+            + 281474976710656 * ascii(substring(p_name, 7, 1))
+            + 72057594037927936 * ascii(substring(p_name, 8, 1))
+            AS VARCHAR) AS u64,
+       CAST(192 + p_partkey % 64 - 256 AS BIGINT) AS i8,
+       CAST((p_partkey * 7) % 256 AS BIGINT) AS u8,
+       chr(CAST(65 + p_partkey % 26 AS INT)) AS ch,
+       CAST(DATE '1970-01-01'
+            + (p_partkey % 20000) * INTERVAL 1 DAY AS DATE) AS d,
+       p_partkey + 7 AS tp1,
+       p_size * 3 AS tm2,
+       -p_size AS tn1,
+       CAST(p_partkey % 2 != 0 AS INT) + CAST(p_size % 3 != 0 AS INT)
+           + 0 AS thd,
+       COALESCE(array_to_string(list_transform(
+           generate_series(1, len(regexp_extract_all(p_name,
+               '(\w+) (\w+)', 1))),
+           i -> regexp_extract_all(p_name, '(\w+) (\w+)', 1)[i]
+                || '|'
+                || regexp_extract_all(p_name, '(\w+) (\w+)', 2)[i]),
+           ';'), '') AS vg,
+       COALESCE(array_to_string(regexp_extract_all(p_name,
+           '([a-z]+)o([a-z]+)', 1), ','), '') AS hg
+FROM part WHERE p_partkey <= 300 ORDER BY p_partkey
+"""
+
+
+def q_dialect_reinterpret_tuples(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Verbatim CH reinterpret/tuple/group-matrix query (module doc)."""
+    return run_clickhouse_sql(
+        spark, _CH_REINTERPRET_TUPLES, sf_dir, ("part",)
+    )
+
+
+# 33 (r11). hilbertEncode/hilbertDecode (VERDICT r10 item 6): the 2-D
+#     Hilbert index fold (operators/zorder.py) through the dialect —
+#     the query proves in-engine bijectivity (decode∘encode = id on
+#     every row, the zorder xback/yback precedent) and the DuckDB
+#     oracle replays the exact 32-level fold as a recursive CTE, so
+#     the curve itself (not just the roundtrip) is value-checked.
+_CH_HILBERT = """
+SELECT o_orderkey AS k,
+       hilbertEncode(o_orderkey % 512, intDiv(o_orderkey, 7) % 512)
+           AS h,
+       tupleElement(hilbertDecode(2, hilbertEncode(o_orderkey % 512,
+           intDiv(o_orderkey, 7) % 512)), 'x') AS xb,
+       tupleElement(hilbertDecode(2, hilbertEncode(o_orderkey % 512,
+           intDiv(o_orderkey, 7) % 512)), 'y') AS yb,
+       hilbertEncode(o_orderkey) AS ident
+FROM orders WHERE o_orderkey <= 400 ORDER BY k
+"""
+
+O_HILBERT = """
+WITH RECURSIVE pts AS (
+  SELECT o_orderkey AS k,
+         CAST((o_orderkey // 7) % 512 AS BIGINT) AS x0,
+         CAST(o_orderkey % 512 AS BIGINT) AS y0
+  FROM orders WHERE o_orderkey <= 400
+),
+f AS (
+  SELECT k, x0 AS x, y0 AS y, CAST(0 AS BIGINT) AS d, 31 AS i FROM pts
+  UNION ALL
+  SELECT k,
+         CASE WHEN ry = 1 THEN x WHEN rx = 1 THEN s - 1 - y ELSE y END,
+         CASE WHEN ry = 1 THEN y WHEN rx = 1 THEN s - 1 - x ELSE x END,
+         d + s * s * xor(3 * rx, ry),
+         i - 1
+  FROM (SELECT k, x, y, d, i,
+               CAST(1 AS BIGINT) << i AS s,
+               (x >> i) & 1 AS rx, (y >> i) & 1 AS ry
+        FROM f WHERE i >= 0) t
+)
+SELECT p.k AS k, f.d AS h, p.y0 AS xb, p.x0 AS yb,
+       CAST(p.k AS BIGINT) AS ident
+FROM pts p JOIN f ON f.k = p.k AND f.i = -1
+ORDER BY k
+"""
+
+
+def q_dialect_hilbert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verbatim CH hilbertEncode/Decode query (module doc)."""
+    return run_clickhouse_sql(spark, _CH_HILBERT, sf_dir, ("orders",))
+
+
 QUERIES = {
     "dialect_strings": q_dialect_strings,
     "ch_script_lifecycle": q_ch_script_lifecycle,
@@ -14187,6 +14765,9 @@ QUERIES = {
     "dialect_json_paths": q_dialect_json_paths,
     "dialect_sum_overflow": q_dialect_sum_overflow,
     "dialect_uuid_generators": q_dialect_uuid_generators,
+    "dialect_resample": q_dialect_resample,
+    "dialect_reinterpret_tuples": q_dialect_reinterpret_tuples,
+    "dialect_hilbert": q_dialect_hilbert,
     "dialect_star_modifiers": q_dialect_star_modifiers,
     "dialect_sample_clause": q_dialect_sample_clause,
     "dialect_sample_rows": q_dialect_sample_rows,
@@ -14267,6 +14848,9 @@ ORACLES = {
     "dialect_json_paths": O_JSON_PATHS,
     "dialect_sum_overflow": O_SUM_OVERFLOW,
     "dialect_uuid_generators": O_UUID_GENERATORS,
+    "dialect_resample": O_RESAMPLE,
+    "dialect_reinterpret_tuples": O_REINTERPRET_TUPLES,
+    "dialect_hilbert": O_HILBERT,
     "dialect_star_modifiers": O_STAR_MODIFIERS,
     "dialect_sample_clause": _o_sample_dialect(),
     "dialect_sample_rows": _o_sample_rows(),

@@ -4609,9 +4609,179 @@ def test_r10_scalar_batch9(spark):
     assert one("countDigits(-12045)") == 5
     for bad, msg in [
         ("arrayReduce('quantile(0.5)', [1.0])", "directly"),
-        ("sumResample(0, 10, 2)(x, g)", "bucket"),
+        # sumResample(…)(…) and extractAllGroups* map since r11 —
+        # their tests live in test_r11_* below
         ("multiFuzzyMatchAny(s, 2, ['x'])", "Hyperscan"),
-        ("extractAllGroupsHorizontal(s, '(a)')", "extractGroups"),
     ]:
         with pytest.raises(DialectError, match=msg):
             transpile(f"SELECT {bad} FROM t")
+
+
+def test_r11_resample_combinator(spark):
+    """-Resample (VERDICT r10 item 2): literal (start, stop, step)
+    expands to one -If aggregate per bucket, returned as the bucket
+    array; the tail bucket clips at stop; non-literal params, unknown
+    heads, and bucket blowups refuse."""
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW rs_t AS "
+        "SELECT id AS x, id % 7 AS key FROM range(100)"
+    )
+    r = spark.sql(transpile(
+        "SELECT countResample(0, 7, 3)(key) AS c, "
+        "sumResample(0, 7, 3)(x, key) AS s, "
+        "minResample(0, 7, 3)(x, key) AS mn, "
+        "uniqExactResample(0, 7, 3)(x % 10, key) AS u FROM rs_t"
+    )).collect()[0]
+    rows = [(x, x % 7) for x in range(100)]
+    exp_c = [
+        sum(1 for _, k in rows if lo <= k < hi)
+        for lo, hi in ((0, 3), (3, 6), (6, 7))
+    ]
+    exp_s = [
+        sum(x for x, k in rows if lo <= k < hi)
+        for lo, hi in ((0, 3), (3, 6), (6, 7))
+    ]
+    exp_u = [
+        len({x % 10 for x, k in rows if lo <= k < hi})
+        for lo, hi in ((0, 3), (3, 6), (6, 7))
+    ]
+    assert r.c == exp_c and r.s == exp_s and r.u == exp_u
+    assert r.mn[2] == 6  # tail bucket is key ∈ [6, 7)
+    for bad, msg in [
+        ("sumResample(0, 10, 2)", "parametric"),  # one-list form
+        ("sumResample(a, 10, 2)(x, g)", "literal"),
+        ("sumResample(0, 10)(x, g)", "triple"),
+        ("quantileResample(0, 10, 2)(x, g)", "If-capable"),
+        ("sumResample(0, 1000000, 1)(x, g)", "GROUP BY"),
+        ("sumResample(10, 0, 2)(x, g)", "stop > start"),
+    ]:
+        with pytest.raises(DialectError, match=msg):
+            transpile(f"SELECT {bad} FROM t")
+
+
+def test_r11_extract_all_groups(spark):
+    """extractAllGroupsHorizontal/Vertical (VERDICT r10 item 3):
+    per-group arrays across matches / per-match group rows, with CH's
+    documented no-match asymmetry (N empty arrays vs [])."""
+    one = lambda e: spark.sql(  # noqa: E731
+        transpile(f"SELECT {e} AS v")
+    ).collect()[0].v
+    h = one(
+        r"extractAllGroupsHorizontal('k1=v1, k2=v2', '(\\w+)=(\\w+)')"
+    )
+    v = one(
+        r"extractAllGroupsVertical('k1=v1, k2=v2', '(\\w+)=(\\w+)')"
+    )
+    assert h == [["k1", "k2"], ["v1", "v2"]]
+    assert v == [["k1", "v1"], ["k2", "v2"]]
+    assert one(
+        r"extractAllGroupsHorizontal('no', '(\\d+)-(\\d+)')"
+    ) == [[], []]
+    assert one(r"extractAllGroupsVertical('no', '(\\d+)-(\\d+)')") == []
+    with pytest.raises(DialectError, match="literal pattern"):
+        transpile("SELECT extractAllGroupsHorizontal(s, p) FROM t")
+    with pytest.raises(DialectError, match="capture groups"):
+        transpile(r"SELECT extractAllGroupsVertical(s, 'ab+') FROM t")
+
+
+def test_r11_tuple_arithmetic(spark):
+    """Literal-arity tuple arithmetic (VERDICT r10 item 5): per-field
+    struct expansion for (a, b) / tuple(a, b) spellings; column
+    tuples and arity mismatches refuse."""
+    r = spark.sql(transpile(
+        "SELECT tuplePlus((1, 2.5), (10, 20)) AS p, "
+        "tupleMinus(tuple(5, 7), (1, 2)) AS m, "
+        "tupleMultiply((2, 3), (4, 5)) AS x, "
+        "tupleNegate((1, -2, 3)) AS n, "
+        "tupleMultiplyByNumber((1, 2), 3) AS mn, "
+        "tupleHammingDistance((1, 2, 3), (1, 9, 3)) AS hd"
+    )).collect()[0]
+    assert tuple(r.p) == (11, 22.5) and tuple(r.m) == (4, 5)
+    assert tuple(r.x) == (8, 15) and tuple(r.n) == (-1, 2, -3)
+    assert tuple(r.mn) == (3, 6) and r.hd == 1
+    with pytest.raises(DialectError, match="LITERAL"):
+        transpile("SELECT tuplePlus(t, (1, 2)) FROM x")
+    with pytest.raises(DialectError, match="arities"):
+        transpile("SELECT tupleMinus((1, 2), (1, 2, 3))")
+
+
+def test_r11_reinterpret_family(spark):
+    """Fixed-width reinterpretAs* (VERDICT r10 item 4): string inputs
+    take the little-endian byte image (struct.pack is the ground
+    truth), integral inputs width-truncate, everything else refuses
+    loudly at runtime; engine-layout targets refuse at transpile."""
+    import struct
+
+    one = lambda e: spark.sql(  # noqa: E731
+        transpile(f"SELECT {e} AS v")
+    ).collect()[0].v
+    assert one("reinterpretAsUInt8('a')") == 97
+    assert one("reinterpretAsUInt16('ab')") == struct.unpack(
+        "<H", b"ab"
+    )[0]
+    assert one("reinterpretAsUInt32('abcd')") == struct.unpack(
+        "<I", b"abcd"
+    )[0]
+    # short string zero-pads
+    assert one("reinterpretAsUInt32('ab')") == struct.unpack(
+        "<I", b"ab\x00\x00"
+    )[0]
+    assert one("toString(reinterpretAsUInt64('abcdefgh'))") == str(
+        struct.unpack("<Q", b"abcdefgh")[0]
+    )
+    assert one("reinterpretAsInt64('abcdefgh')") == struct.unpack(
+        "<q", b"abcdefgh"
+    )[0]
+    # integral inputs: width truncation + two's-complement re-sign
+    assert one("reinterpretAsInt8(255)") == -1
+    assert one("reinterpretAsUInt8(300)") == 44
+    # number → LE bytes, trailing nulls dropped
+    assert one("reinterpretAsString(97)") == "a"
+    assert one("reinterpretAsString(25185)") == "ab"
+    assert one("reinterpretAsString(0)") == ""
+    # float bit images are exact
+    assert one("reinterpretAsFloat64('somebytes')") == struct.unpack(
+        "<d", b"somebyte"
+    )[0]
+    assert one("reinterpretAsFloat32('abcd')") == struct.unpack(
+        "<f", b"abcd"
+    )[0]
+    assert one("reinterpretAsFloat64('')") == 0.0
+    import datetime
+
+    assert one("reinterpretAsDate(17000)") == datetime.date(
+        1970, 1, 1
+    ) + datetime.timedelta(days=17000)
+    # runtime refusals: erased-width inputs, negative-to-string
+    for bad in (
+        "reinterpretAsUInt32(1.5)", "reinterpretAsString(-1)",
+        "reinterpretAsFloat64(7)",
+    ):
+        with pytest.raises(Exception, match="byte image"):
+            spark.sql(transpile(f"SELECT {bad} AS v")).collect()
+    with pytest.raises(DialectError, match="engine byte layout"):
+        transpile("SELECT reinterpretAsUUID(s) FROM t")
+
+
+def test_r11_hilbert(spark):
+    """hilbertEncode/Decode (VERDICT r10 item 6): the CH doc example
+    pair (hilbertEncode(3,4)=31 / hilbertDecode(2,31)=(3,4)), the
+    1-arg identity, and in-engine bijectivity over a grid."""
+    r = spark.sql(transpile(
+        "SELECT hilbertEncode(3, 4) AS e, hilbertEncode(7) AS i, "
+        "hilbertDecode(2, 31) AS d"
+    )).collect()[0]
+    assert r.e == 31 and r.i == 7 and (r.d.x, r.d.y) == (3, 4)
+    bad = spark.sql(transpile(
+        "SELECT count() AS n FROM ("
+        "  SELECT number % 37 AS x, intDiv(number, 37) % 29 AS y "
+        "  FROM numbers(1073)) "
+        "WHERE tupleElement(hilbertDecode(2, hilbertEncode(x, y)), "
+        "'x') != x OR tupleElement(hilbertDecode(2, "
+        "hilbertEncode(x, y)), 'y') != y"
+    )).collect()[0].n
+    assert bad == 0
+    with pytest.raises(DialectError, match="2-dimension"):
+        transpile("SELECT hilbertEncode(x, y, z) FROM t")
+    with pytest.raises(DialectError, match="2-dimension"):
+        transpile("SELECT hilbertDecode(3, d) FROM t")

@@ -335,6 +335,26 @@ CANDIDATES = [
     "countDigits(x + 100)", "sumResample(0, 10, 2)(x, g)",
     "extractAllGroupsHorizontal(s, '([a-z]+)')",
     "multiFuzzyMatchAny(s, 2, ['hel+o'])",
+    # r11: the VERDICT-r10 refusal flips (Resample above now maps too)
+    # plus their remaining walls
+    "countResample(0, 8, 4)(x)",
+    "avgResample(0, 8, 4)(v, x)",
+    "extractAllGroupsVertical(s, '(\\\\w+) (\\\\w+)')",
+    "tuplePlus((x, 2), (1, x))", "tupleMinus(tuple(x, 5), (1, 2))",
+    "tupleMultiply((x, 2), (3, 4))", "tupleNegate((x, 1))",
+    "tupleMultiplyByNumber((x, 2), 3)",
+    "tupleDivideByNumber((4.0, 6.0), 2)",
+    "tupleHammingDistance((x, 1, g), (0, 1, 2))",
+    "tuplePlus(m, m)",
+    "reinterpretAsUInt16(s)", "reinterpretAsUInt64(s)",
+    "reinterpretAsInt8(x + 250)", "reinterpretAsUInt32(x)",
+    "reinterpretAsString(x)", "reinterpretAsFloat64(s)",
+    "reinterpretAsFloat32(s)", "reinterpretAsDate(x)",
+    "reinterpretAsDateTime(x)", "reinterpretAsUUID(s)",
+    "reinterpretAsFixedString(x)", "reinterpretAsUInt128(s)",
+    "hilbertEncode(x, g)", "hilbertEncode(x)",
+    "hilbertDecode(2, x)", "hilbertEncode(x, g, x)",
+    "hilbertDecode(3, x)",
 ]
 
 
