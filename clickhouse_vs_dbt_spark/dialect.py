@@ -8740,13 +8740,76 @@ def _rewrite_paste_join(toks: list[str]) -> list[str]:
         l_sql, r_sql = "".join(l_body), "".join(r_body)
         repl = (
             f"(SELECT * EXCEPT (__paste_n) FROM "
-            f"(SELECT *, row_number() OVER (ORDER BY {lo}) "
-            f"AS __paste_n FROM ({l_sql})) "
-            f"JOIN (SELECT *, row_number() OVER (ORDER BY {ro}) "
-            f"AS __paste_n FROM ({r_sql})) "
+            f"{_paste_ranked_side(l_sql, lo)} "
+            f"JOIN {_paste_ranked_side(r_sql, ro)} "
             f"USING (__paste_n))"
         )
         toks[lopen:rclose + 1] = _tokens(repl)
+
+
+def _paste_ranked_side(side_sql: str, order_keys: str) -> str:
+    """One PASTE JOIN side with its global position column.
+
+    Default (r9): ``row_number() OVER (ORDER BY keys)`` — a global
+    window, one total sort on a single partition.  When the FIRST
+    order key is direction-less (no ASC/DESC/NULLS modifier), the
+    rank is RANGE-PARTITIONED instead (VERDICT r10 stretch item 9,
+    the pipeline.py prefix-sum pattern spelled in pure SQL):
+
+    1. bucket rows by fixed-width ranges of ``try_cast(key AS
+       DOUBLE)`` (min/max from a broadcast one-row stats subquery;
+       non-numeric or NULL keys coalesce into bucket 0, which for an
+       all-string key degrades to exactly the old single-partition
+       plan — never a wrong rank);
+    2. ``row_number()`` WITHIN each bucket (parallel windows);
+    3. add each bucket's exclusive prefix count (a ≤64-row metadata
+       window, not a data-scale sort).
+
+    Value-bucketing keeps ties inside one bucket, so the result
+    equals the global form row-for-row.  The side subquery is spelled
+    three times (rows / stats / counts) — three parallel scans beat
+    one single-partition total sort at any real scale, and Spark's
+    exchange reuse collapses the duplicates when it can."""
+    global_form = (
+        f"(SELECT *, row_number() OVER (ORDER BY {order_keys}) "
+        f"AS __paste_n FROM ({side_sql}))"
+    )
+    first = _split_top_commas(order_keys)[0].strip()
+    f_toks = [t for t in _tokens(first) if not _is_skippable(t)]
+    if any(
+        _is_ident(t) and t.upper() in ("ASC", "DESC", "NULLS")
+        for t in f_toks
+    ):
+        return global_form
+    k = f"try_cast(({first}) AS DOUBLE)"
+    nb = 64
+    bucket = (
+        f"coalesce(least({nb - 1}, greatest(0, "
+        f"CAST(floor(({k} - __plo) / __pwd) AS INT))), 0)"
+    )
+    stats = (
+        f"(SELECT min({k}) AS __plo, "
+        f"greatest((max({k}) - min({k})) / {nb}, 1e-9d) AS __pwd "
+        f"FROM ({side_sql}))"
+    )
+    bucketed = (
+        f"(SELECT *, {bucket} AS __pb FROM ({side_sql}) "
+        f"CROSS JOIN {stats})"
+    )
+    offsets = (
+        f"(SELECT __pb AS __pb2, coalesce(sum(__pn) OVER "
+        "(ORDER BY __pb ROWS BETWEEN UNBOUNDED PRECEDING AND "
+        "1 PRECEDING), CAST(0 AS BIGINT)) AS __poff "
+        f"FROM (SELECT __pb, count(*) AS __pn FROM {bucketed} "
+        "GROUP BY __pb))"
+    )
+    return (
+        f"(SELECT * EXCEPT (__pb, __plo, __pwd, __pb2, __poff, "
+        "__pn_in), __poff + __pn_in AS __paste_n "
+        "FROM (SELECT *, row_number() OVER (PARTITION BY "
+        f"__pb ORDER BY {order_keys}) AS __pn_in FROM {bucketed}) "
+        f"JOIN {offsets} ON __pb = __pb2)"
+    )
 
 
 def transpile(sql: str, resolve_columns=None, engine_info=None) -> str:

@@ -3234,6 +3234,52 @@ def test_r9_paste_join(spark):
         )
 
 
+def test_r11_paste_join_range_partitioned(spark):
+    """r11 stretch (VERDICT r10 item 9): a direction-less first order
+    key ranks via the range-partitioned two-pass scheme (bucket by
+    try_cast value range + within-bucket row_number + prefix counts)
+    instead of one global single-partition window — value-identical
+    to the global form, including string keys (which coalesce into
+    one bucket, i.e. exactly the old plan) and multi-key orders."""
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW pjr_a AS "
+        "SELECT id AS x, id * 3 AS v FROM range(2000)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW pjr_b AS "
+        "SELECT id AS y, concat('s', lpad(CAST(id AS STRING), 4, "
+        "'0')) AS s FROM range(1990)"
+    )
+    q = transpile(
+        "SELECT * FROM (SELECT x, v FROM pjr_a ORDER BY x) "
+        "PASTE JOIN (SELECT y, s FROM pjr_b ORDER BY y)"
+    )
+    rows = spark.sql(q).collect()
+    assert len(rows) == 1990  # min-length trim
+    assert all(r.x == r.y for r in rows)  # positions align exactly
+    # the numeric-key sides carry NO global row_number window: every
+    # rank window partitions by the bucket column (the only global
+    # window left is the <=64-row prefix-count sum over metadata)
+    plan = spark.sql(q)._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "row_number()" in line and "Window" in line:
+            assert "__pb" in line, line
+    # string first key: degenerate single-bucket path, still correct
+    q2 = transpile(
+        "SELECT * FROM (SELECT s FROM pjr_b ORDER BY s) "
+        "PASTE JOIN (SELECT x FROM pjr_a ORDER BY x)"
+    )
+    m = {r.x: r.s for r in spark.sql(q2).collect()}
+    assert m[0] == "s0000" and m[1989] == "s1989" and m[77] == "s0077"
+    # multi-key order with direction-less first key
+    q3 = transpile(
+        "SELECT * FROM (SELECT v, x FROM pjr_a ORDER BY v, x) "
+        "PASTE JOIN (SELECT y FROM pjr_b ORDER BY y)"
+    )
+    m3 = {r.y: r.x for r in spark.sql(q3).collect()}
+    assert m3[0] == 0 and m3[1989] == 1989
+
+
 def test_parenless_using(spark):
     """ClickHouse's paren-less USING k1, k2 form in ANY and ASOF
     joins (plus the GLOBAL prefix) — same plans as the (k1, k2)
