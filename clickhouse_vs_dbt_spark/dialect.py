@@ -2023,6 +2023,42 @@ def _render_call(name: str, args: list[str]) -> str:
         )
     if name.startswith("reinterpretAs"):
         return _reinterpret(name, args)
+    if name == "widthBucket" and len(args) == 4:
+        # identical histogram-bucket contract (0 below, count+1 above)
+        return f"width_bucket({joined})"
+    if name in ("jumpConsistentHash", "kostikConsistentHash"):
+        raise DialectError(
+            f"{name}: the jump-hash bit contract needs wrapping "
+            "unsigned 64-bit multiplies Spark's ANSI BIGINT cannot "
+            "spell — pmod(xxhash64(x), n) is THIS engine's stable "
+            "consistent bucketing (re-derive persisted buckets on "
+            "migration, the cityHash64 contract)"
+        )
+    if name in ("sqidEncode", "sqidDecode", "sqid"):
+        raise DialectError(
+            f"{name}: the Sqids codec is an external-library "
+            "alphabet contract — base58Encode/Decode transpile for "
+            "short-id needs"
+        )
+    if name in ("formatQuery", "formatQuerySingleLine"):
+        raise DialectError(
+            f"{name}: pretty-printing requires ClickHouse's own "
+            "parser — EXPLAIN SYNTAX through run_clickhouse_script "
+            "shows the transpiled Spark SQL instead"
+        )
+    if name in ("getSetting", "getSettingOrDefault"):
+        raise DialectError(
+            f"{name}: ClickHouse server settings have no Spark "
+            "analog — read Spark conf via spark.conf.get in the "
+            "application, not in SQL"
+        )
+    if name == "arrayLevenshtein" and len(args) == 2:
+        raise DialectError(
+            "arrayLevenshtein: element-level edit distance needs an "
+            "O(n·m) DP register — levenshteinDistance transpiles for "
+            "strings; for arrays compare via arrayJaccardIndex or "
+            "spell the DP with aggregate()"
+        )
     if name == "toStringCutToZero" and len(args) == 1:
         return f"substring_index({args[0]}, chr(0), 1)"
     if name == "toColumnTypeName" and len(args) == 1:
@@ -2213,7 +2249,9 @@ def _render_call(name: str, args: list[str]) -> str:
         return f"({args[0]} {op} {args[1]})"
     if name in (
         "tuplePlus", "tupleMinus", "tupleMultiply", "tupleDivide",
-        "tupleNegate", "tupleMultiplyByNumber", "tupleDivideByNumber",
+        "tupleIntDiv", "tupleModulo", "tupleNegate",
+        "tupleMultiplyByNumber", "tupleDivideByNumber",
+        "tupleIntDivByNumber", "tupleModuloByNumber", "tupleConcat",
         "tupleHammingDistance",
     ):
         # Numeric tuple arithmetic (VERDICT r10 item 5, flips the
@@ -2225,11 +2263,19 @@ def _render_call(name: str, args: list[str]) -> str:
         one_arg = name == "tupleNegate"
         by_number = name in (
             "tupleMultiplyByNumber", "tupleDivideByNumber",
+            "tupleIntDivByNumber", "tupleModuloByNumber",
         )
+        if name == "tupleConcat":
+            # n-ary: every operand must be a literal tuple (any arity)
+            fields = [_tuple_fields(a) for a in args]
+            if args and all(f is not None for f in fields):
+                flat = [x for f in fields for x in f]
+                return f"struct({', '.join(flat)})"
         n_tuples = 1 if (one_arg or by_number) else 2
         fields = [_tuple_fields(a) for a in args[:n_tuples]]
         if (
-            len(args) == (1 if one_arg else 2)
+            name != "tupleConcat"
+            and len(args) == (1 if one_arg else 2)
             and all(f is not None for f in fields)
             and len({len(f) for f in fields}) == 1
         ):
@@ -2237,7 +2283,12 @@ def _render_call(name: str, args: list[str]) -> str:
             if name == "tupleNegate":
                 body = [f"(-({x}))" for x in fa]
             elif by_number:
-                op = "*" if name == "tupleMultiplyByNumber" else "/"
+                op = {
+                    "tupleMultiplyByNumber": "*",
+                    "tupleDivideByNumber": "/",
+                    "tupleIntDivByNumber": "DIV",
+                    "tupleModuloByNumber": "%",
+                }[name]
                 body = [f"(({x}) {op} ({args[1]}))" for x in fa]
             elif name == "tupleHammingDistance":
                 return "(" + " + ".join(
@@ -2248,6 +2299,7 @@ def _render_call(name: str, args: list[str]) -> str:
                 op = {
                     "tuplePlus": "+", "tupleMinus": "-",
                     "tupleMultiply": "*", "tupleDivide": "/",
+                    "tupleIntDiv": "DIV", "tupleModulo": "%",
                 }[name]
                 body = [
                     f"(({x}) {op} ({y}))"

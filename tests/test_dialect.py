@@ -4555,8 +4555,10 @@ def test_r10_scalar_batch6(spark):
         "dateSub(CAST('2024-03-15' AS DATE), INTERVAL 1 MONTH)"
     )).startswith("2024-02-15")
     assert one("char(72, 105)") == "Hi"
+    # literal tuples map since r11 (test_r11_tuple_arithmetic); the
+    # column-tuple form keeps the spell-as-ARRAYS refusal
     with pytest.raises(DialectError, match="ARRAYS"):
-        transpile("SELECT tuplePlus((1, 2), (3, 4))")
+        transpile("SELECT tuplePlus(t1, t2) FROM x")
 
 
 def test_r10_scalar_batch7(spark):
@@ -4624,8 +4626,11 @@ def test_r10_scalar_batch8(spark):
     assert one("isIPv6String('1:2:3:4:5:6:7:8:9')") is False
     assert one("simpleJSONHas('{\"a\":{\"b\":1}}', 'b')") is True
     for bad, msg in [
-        ("hilbertEncode(1, 2)", "morton"),
-        ("reinterpretAsUInt64(s)", "little-endian"),
+        # hilbertEncode(x, y) and fixed-width reinterpretAs* map
+        # since r11 (test_r11_hilbert / test_r11_reinterpret_family);
+        # the still-refused forms:
+        ("hilbertEncode(1, 2, 3)", "2-dimension"),
+        ("reinterpretAsUInt128(s)", "engine byte layout"),
         ("mortonEncode(1, 2, 3)", "pairwise"),
         ("mortonDecode(3, x)", "pairwise"),
         ("IPv4CIDRToRange(toIPv4('1.2.3.4'), 33)", "prefix"),
@@ -4831,3 +4836,34 @@ def test_r11_hilbert(spark):
         transpile("SELECT hilbertEncode(x, y, z) FROM t")
     with pytest.raises(DialectError, match="2-dimension"):
         transpile("SELECT hilbertDecode(3, d) FROM t")
+
+
+def test_r11_scalar_batch10(spark):
+    """r11 audit batch 10: width_bucket parity, the integer/concat
+    tuple-vector forms, and the consistent-hash / Sqids / formatQuery
+    / getSetting / arrayLevenshtein refusal walls."""
+    one = lambda e: spark.sql(  # noqa: E731
+        transpile(f"SELECT {e} AS v")
+    ).collect()[0].v
+    assert one("widthBucket(5.5, 0, 10, 4)") == 3
+    assert one("widthBucket(-1, 0, 10, 4)") == 0  # below → 0
+    assert one("widthBucket(11, 0, 10, 4)") == 5  # above → count+1
+    assert tuple(one("tupleConcat((1, 2), (3, 4), tuple(5))")) == (
+        1, 2, 3, 4, 5,
+    )
+    assert tuple(one("tupleIntDiv((10, 9), (3, 2))")) == (3, 4)
+    # C-style modulo: sign follows the dividend (CH parity)
+    assert tuple(one("tupleModulo((10, -9), (3, 2))")) == (1, -1)
+    assert tuple(one("tupleIntDivByNumber((10, 9), 3)")) == (3, 3)
+    assert tuple(one("tupleModuloByNumber((10, 9), 3)")) == (1, 0)
+    for bad, msg in [
+        ("jumpConsistentHash(x, 8)", "bucketing"),
+        ("kostikConsistentHash(x, 8)", "bucketing"),
+        ("sqidEncode(x)", "Sqids"),
+        ("formatQuery(s)", "parser"),
+        ("getSetting('max_threads')", "settings"),
+        ("arrayLevenshtein(a, b)", "arrayJaccardIndex"),
+        ("tupleConcat(t, (1, 2))", "LITERAL"),
+    ]:
+        with pytest.raises(DialectError, match=msg):
+            transpile(f"SELECT {bad} FROM t")

@@ -355,6 +355,18 @@ CANDIDATES = [
     "hilbertEncode(x, g)", "hilbertEncode(x)",
     "hilbertDecode(2, x)", "hilbertEncode(x, g, x)",
     "hilbertDecode(3, x)",
+    # r11 audit batch 10: histogram buckets, the full tuple-vector
+    # family, consistent-hash / codec / parser walls
+    "widthBucket(v, 0, 10, 4)",
+    "tupleConcat((x, 2), (3, 4), tuple(5))",
+    "tupleIntDiv((x, 9), (3, 2))", "tupleModulo((x, 9), (3, 2))",
+    "tupleIntDivByNumber((x, 9), 3)", "tupleModuloByNumber((x, 9), 3)",
+    "tupleConcat(m, (1, 2))",
+    "jumpConsistentHash(x, 8)", "kostikConsistentHash(x, 8)",
+    "sqidEncode(x)", "sqidDecode('a')",
+    "formatQuery('SELECT 1')", "formatQuerySingleLine('SELECT 1')",
+    "getSetting('max_threads')", "arrayLevenshtein(a, a)",
+    "locate('l', s)", "soundex(s)", "space(3)",
 ]
 
 
