@@ -427,12 +427,30 @@ def _literal_capture_groups(name: str, pat: str) -> int:
             "(s, re, i) for dynamic patterns"
         )
     body, groups, i = pat[1:-1], 0, 0
+    in_class = False
     while i < len(body):
-        if body[i] == "\\":
+        c = body[i]
+        if c == "\\":
             i += 2
             continue
-        if body[i] == "(" and body[i + 1:i + 2] != "?":
-            groups += 1
+        if in_class:
+            # a '(' inside [...] is a literal, not a group
+            # (code-review r11)
+            in_class = c != "]"
+            i += 1
+            continue
+        if c == "[":
+            in_class = True
+        elif c == "(":
+            nxt = body[i + 1:i + 2]
+            if nxt != "?":
+                groups += 1
+            elif body[i + 2:i + 3] == "<" and body[i + 3:i + 4] not in (
+                "=", "!",
+            ):
+                # Java named capture (?<name>…) IS numbered
+                # (code-review r11); (?<= / (?<! are lookbehinds
+                groups += 1
         i += 1
     if not groups:
         raise DialectError(f"{name}: pattern has no capture groups")
@@ -5398,7 +5416,15 @@ def _render_parametric(name: str, params: list[str], args: list[str]) -> str:
             lo = start + i * step
             hi = min(start + (i + 1) * step, stop)
             cond = f"(({key}) >= {lo} AND ({key}) < {hi})"
-            buckets.append(_render_call(head + "If", head_args + [cond]))
+            cell = _render_call(head + "If", head_args + [cond])
+            if head == "sum":
+                # an EMPTY bucket: CH's non-Nullable sum yields 0, the
+                # Spark CASE-masked sum yields NULL (code-review r11).
+                # count/uniq/uniqExact already return 0; the remaining
+                # heads (min/max/avg/any…) keep NULL — a documented
+                # refinement of CH's type-default footgun (MIGRATION.md)
+                cell = f"coalesce({cell}, 0)"
+            buckets.append(cell)
         return f"array({', '.join(buckets)})"
     if name == "quantile" and len(params) == 1:
         return f"percentile_approx({args[0]}, {params[0]})"
@@ -8639,20 +8665,32 @@ def _reinterpret(name: str, args: list[str]) -> str:
     if target == "String":
         # number → the value's little-endian bytes, trailing null
         # bytes dropped (CH).  Negative values' byte image is
-        # width-dependent (trailing FF runs are kept) — runtime
-        # refusal, same contract as above.
+        # width-dependent (trailing FF runs are kept), and a byte
+        # ≥ 0x80 is not valid single-byte UTF-8 (Spark strings are
+        # UTF-8; CH strings are raw bytes) — both get the loud
+        # runtime refusal, never an opaque charset crash or a
+        # silently different string (code-review r11).
         be16 = (
             "element_at(transform(array(lpad(hex(__rs), 16, '0')), "
             "__ri -> concat(" + ", ".join(
                 f"substr(__ri, {2 * i - 1}, 2)" for i in range(8, 1, -1)
             ) + ", substr(__ri, 1, 2))), 1)"
         )
+        ascii_or_raise = (
+            "CASE WHEN regexp_like(__rh, '^([0-7][0-9A-F])*$') "
+            "THEN decode(unhex(__rh), 'UTF-8') "
+            "ELSE raise_error(concat('reinterpretAsString: byte "
+            "image 0x', __rh, ' has non-ASCII bytes — Spark strings "
+            "are UTF-8 and cannot carry raw CH bytes; spell "
+            "hex()/unhex() explicitly')) END"
+        )
         return (
             f"(CASE WHEN typeof({x}) IN {int_types} THEN "
             f"(CASE WHEN {x} < 0 THEN {guard} ELSE "
             f"element_at(transform(array(CAST({x} AS BIGINT)), "
-            f"__rs -> decode(unhex(regexp_replace({be16}, "
-            "'(00)+$', '')), 'UTF-8')), 1) END) "
+            f"__rs -> element_at(transform(array("
+            f"regexp_replace({be16}, '(00)+$', '')), "
+            f"__rh -> {ascii_or_raise}), 1)), 1) END) "
             f"ELSE {guard} END)"
         )
     raise DialectError(
@@ -8819,9 +8857,22 @@ def _paste_ranked_side(side_sql: str, order_keys: str) -> str:
 
     Value-bucketing keeps ties inside one bucket, so the result
     equals the global form row-for-row.  The side subquery is spelled
-    three times (rows / stats / counts) — three parallel scans beat
-    one single-partition total sort at any real scale, and Spark's
-    exchange reuse collapses the duplicates when it can."""
+    FOUR times (rows + offsets, each with its stats scan) — parallel
+    scans beat one single-partition total sort at any real scale, and
+    Spark's exchange reuse collapses duplicates when it can; because
+    the scans must agree row-for-row, a side whose row SET is not a
+    pure function of its text (a top-level LIMIT — tie-cutting is
+    arbitrary — or a rand()/uuid() call) keeps the single-scan global
+    form (code-review r11).
+
+    The bucket key is typed through a foldable ``typeof`` dispatch
+    (code-review r11): numeric/decimal keys bucket on their value,
+    date/timestamp keys on their epoch number, EVERYTHING ELSE —
+    including strings, whose lexicographic order disagrees with a
+    numeric cast ('5' > '10') — lands in bucket 0, i.e. exactly the
+    old single-partition plan, never a wrong rank.  The value is
+    routed through a STRING cast first so no key type can fail
+    analysis (try_cast(DATE AS DOUBLE) is an analysis-time error)."""
     global_form = (
         f"(SELECT *, row_number() OVER (ORDER BY {order_keys}) "
         f"AS __paste_n FROM ({side_sql}))"
@@ -8833,7 +8884,31 @@ def _paste_ranked_side(side_sql: str, order_keys: str) -> str:
         for t in f_toks
     ):
         return global_form
-    k = f"try_cast(({first}) AS DOUBLE)"
+    s_toks = _tokens(side_sql)
+    depth = 0
+    for t in s_toks:
+        if t in ("(", "["):
+            depth += 1
+        elif t in (")", "]"):
+            depth -= 1
+        elif _is_ident(t) and (
+            (depth == 0 and t.upper() == "LIMIT")
+            or t in ("rand", "randn", "uuid", "shuffle",
+                     "generateUUIDv4", "generateUUIDv7",
+                     "generateSnowflakeID", "randCanonical")
+        ):
+            return global_form
+    k = (
+        f"(CASE WHEN typeof({first}) IN ('tinyint', 'smallint', "
+        "'int', 'bigint', 'float', 'double') OR "
+        f"typeof({first}) LIKE 'decimal%' "
+        f"THEN try_cast(try_cast(({first}) AS STRING) AS DOUBLE) "
+        f"WHEN typeof({first}) = 'date' THEN CAST(unix_date("
+        f"try_cast(try_cast(({first}) AS STRING) AS DATE)) AS DOUBLE) "
+        f"WHEN typeof({first}) = 'timestamp' THEN CAST(try_cast("
+        f"try_cast(({first}) AS STRING) AS TIMESTAMP) AS DOUBLE) "
+        "ELSE CAST(NULL AS DOUBLE) END)"
+    )
     nb = 64
     bucket = (
         f"coalesce(least({nb - 1}, greatest(0, "
@@ -10842,28 +10917,54 @@ def run_clickhouse_script(
             # in_from/expect_rel state instead of being skipped.
             in_from = [False]  # inside a FROM list, per depth
             expect_rel = [False]  # next identifier is a relation
+            in_call = [False]  # this paren level is a CALL arg list
             _CLAUSE_KW = (
                 "WHERE", "GROUP", "ORDER", "LIMIT", "HAVING",
                 "WINDOW", "UNION", "INTERSECT", "EXCEPT",
                 "SETTINGS", "FORMAT", "SELECT", "ON", "USING",
             )
+            # keywords that legitimately precede a '(' WITHOUT making
+            # it a function-call arg list (subquery / list contexts)
+            _PRE_PAREN_KW = frozenset(
+                _CLAUSE_KW + (
+                    "FROM", "JOIN", "IN", "EXISTS", "AS", "BY",
+                    "VALUES", "ALL", "ANY", "SOME", "AND", "OR",
+                    "NOT", "WHEN", "THEN", "ELSE", "CASE", "END",
+                    "BETWEEN", "LIKE", "ILIKE", "RLIKE", "IS",
+                    "CROSS", "INNER", "LEFT", "RIGHT", "FULL",
+                    "OUTER", "SEMI", "ANTI", "LATERAL", "DISTINCT",
+                    "WITH", "OFFSET", "ASOF", "GLOBAL", "PASTE",
+                )
+            )
+            prev_code = ""
             ti = 0
             while ti < len(stoks):
                 t = stoks[ti]
                 if t in ("(", "["):
                     in_from.append(False)
                     expect_rel.append(False)
+                    # f( — the level is a call arg list: the keyword
+                    # forms extract(YEAR FROM x) / substring(x FROM
+                    # 1) / trim(… FROM x) carry a FROM that is NOT
+                    # relation position (code-review r11)
+                    in_call.append(
+                        t == "("
+                        and bool(prev_code)
+                        and _is_ident(prev_code)
+                        and prev_code.upper() not in _PRE_PAREN_KW
+                    )
                 elif t in (")", "]"):
                     if len(in_from) > 1:
                         in_from.pop()
                         expect_rel.pop()
+                        in_call.pop()
                     # a parenthesized relation fills the outer slot
                     # (FROM (SELECT …) alias: the alias is not a
                     # relation)
                     expect_rel[-1] = False
                 elif _is_ident(t):
                     up = t.upper()
-                    if up in ("FROM", "JOIN"):
+                    if up in ("FROM", "JOIN") and not in_call[-1]:
                         in_from[-1] = up == "FROM" or in_from[-1]
                         expect_rel[-1] = True
                     elif up in _CLAUSE_KW:
@@ -10899,6 +11000,8 @@ def run_clickhouse_script(
                     # comma-separated FROM list re-arms relation
                     # position (code-review r10)
                     expect_rel[-1] = True
+                if not _is_skippable(t):
+                    prev_code = t
                 ti += 1
             df = spark.sql(
                 transpile(
@@ -14677,14 +14780,14 @@ SELECT l_returnflag,
        count(*) FILTER (WHERE l_quantity >= 1 AND l_quantity < 21) AS c1,
        count(*) FILTER (WHERE l_quantity >= 21 AND l_quantity < 41) AS c2,
        count(*) FILTER (WHERE l_quantity >= 41 AND l_quantity < 51) AS c3,
-       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
-            FILTER (WHERE l_quantity >= 1 AND l_quantity < 21)
+       CAST(COALESCE(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+            FILTER (WHERE l_quantity >= 1 AND l_quantity < 21), 0)
             AS DOUBLE) AS s1,
-       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
-            FILTER (WHERE l_quantity >= 21 AND l_quantity < 41)
+       CAST(COALESCE(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+            FILTER (WHERE l_quantity >= 21 AND l_quantity < 41), 0)
             AS DOUBLE) AS s2,
-       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
-            FILTER (WHERE l_quantity >= 41 AND l_quantity < 51)
+       CAST(COALESCE(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+            FILTER (WHERE l_quantity >= 41 AND l_quantity < 51), 0)
             AS DOUBLE) AS s3,
        max(l_discount)
            FILTER (WHERE l_quantity >= 1 AND l_quantity < 21) AS m1,

@@ -108,21 +108,50 @@ def parse_kafka_value(raw: DataFrame, name: str) -> DataFrame:
         n = len(names)
         decl_arr = F.array(*[F.lit(x) for x in names])
         lines = F.split(val, "\r?\n")
+        gen_ddl = ", ".join(f"__c{i} string" for i in range(n))
+        # The header is CSV too: parse it with from_csv so a legally
+        # QUOTED name — including one containing a comma — unquotes
+        # exactly like a data field (code-review r11: the old raw
+        # comma split mis-split '"a,b",k,v' and rejected the valid
+        # message).  The quote-blind field COUNT comes from splitting
+        # after quoted segments are masked, so an over-wide header
+        # ('k,name,v,extra') still rejects even though from_csv would
+        # silently drop the extras.
+        hdr_struct = F.from_csv(
+            F.element_at(lines, 1),
+            gen_ddl,
+            # spaced-then-quoted names (' "name" ') must unquote:
+            # from_csv reads with whitespace-keeping defaults, which
+            # would leave the quotes literal
+            {
+                "ignoreLeadingWhiteSpace": "true",
+                "ignoreTrailingWhiteSpace": "true",
+            },
+        )
         hdr = F.transform(
-            F.split(F.element_at(lines, 1), ","),
-            lambda s: F.regexp_replace(F.trim(s), '^"|"$', ""),
+            F.array(*[hdr_struct.getField(f"__c{i}") for i in range(n)]),
+            lambda s: F.trim(s),
+        )
+        hdr_n = F.size(
+            F.split(
+                F.regexp_replace(
+                    F.element_at(lines, 1), '"([^"]|"")*"', "q"
+                ),
+                ",",
+            )
         )
         body = F.filter(
             F.slice(lines, 2, F.greatest(F.size(lines) - 1, F.lit(0))),
             lambda s: s != "",
         )
-        gen_ddl = ", ".join(f"__c{i} string" for i in range(n))
         exploded = raw.select(
-            hdr.alias("__hdr"), F.explode(body).alias("__line")
+            hdr.alias("__hdr"),
+            hdr_n.alias("__hn"),
+            F.explode(body).alias("__line"),
         )
-        canonical = F.col("__hdr") == decl_arr
+        canonical = (F.col("__hdr") == decl_arr) & (F.col("__hn") == n)
         permuted = (
-            (F.size(F.col("__hdr")) == n)
+            (F.col("__hn") == n)
             & (F.size(F.array_distinct(F.col("__hdr"))) == n)
             & (F.size(F.array_except(F.col("__hdr"), decl_arr)) == 0)
         )

@@ -4733,6 +4733,18 @@ def test_r11_extract_all_groups(spark):
         transpile("SELECT extractAllGroupsHorizontal(s, p) FROM t")
     with pytest.raises(DialectError, match="capture groups"):
         transpile(r"SELECT extractAllGroupsVertical(s, 'ab+') FROM t")
+    # group counting (code-review r11): Java named captures ARE
+    # numbered; '(' inside a character class is a literal
+    assert one(
+        r"extractAllGroupsVertical('k=1 j=2', '(\\w+)=(?<v>\\d)')"
+    ) == [["k", "1"], ["j", "2"]]
+    assert one(
+        r"extractAllGroupsHorizontal('a(b', '([(])')"
+    ) == [["("]]
+    # lookbehind groups are NOT numbered
+    assert one(
+        r"extractGroups('xa1', '(?<=x)(\\w)(\\d)')"
+    ) == ["a", "1"]
 
 
 def test_r11_tuple_arithmetic(spark):
@@ -4810,6 +4822,12 @@ def test_r11_reinterpret_family(spark):
     ):
         with pytest.raises(Exception, match="byte image"):
             spark.sql(transpile(f"SELECT {bad} AS v")).collect()
+    # a byte >= 0x80 in the image is not single-byte UTF-8: loud,
+    # named refusal — not an opaque charset crash (code-review r11)
+    with pytest.raises(Exception, match="non-ASCII bytes"):
+        spark.sql(
+            transpile("SELECT reinterpretAsString(200) AS v")
+        ).collect()
     with pytest.raises(DialectError, match="engine byte layout"):
         transpile("SELECT reinterpretAsUUID(s) FROM t")
 

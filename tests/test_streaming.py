@@ -247,6 +247,16 @@ def test_kafka_value_parse_csv_with_names(spark):
 
         with pytest.raises(Exception, match="does not match"):
             parse_kafka_value(bad, "csvn_q").collect()
+        # a quoted header name containing a comma parses as ONE field
+        # (code-review r11: the raw comma split mis-split it); it is
+        # not a declared name, so the loud rejection fires — and an
+        # over-wide header rejects despite from_csv dropping extras
+        for payload in (b'"a,b",k,v\n1,2,3', b"k,name,v,extra\n7,foo,1.5,9"):
+            widebad = spark.createDataFrame(
+                [(b"8", payload)], "key binary, value binary"
+            )
+            with pytest.raises(Exception, match="does not match"):
+                parse_kafka_value(widebad, "csvn_q").collect()
     finally:
         unregister_kafka_info("csvn_q")
 
@@ -323,5 +333,30 @@ def test_kafka_queue_batch_access_refuses(spark):
             "SELECT a FROM (SELECT 1 AS a) other_t;",
         )[0][1].collect()
         assert got == 1
+        # the FROM inside extract()/substring()/trim() keyword syntax
+        # is NOT relation position (code-review r11): a colliding
+        # column name must not refuse
+        spark.sql(
+            "CREATE OR REPLACE TEMP VIEW guard_col_t AS "
+            "SELECT DATE '2024-03-15' AS guard_q, ' x ' AS sp"
+        )
+        [(got,)] = run_clickhouse_script(
+            spark,
+            "SELECT extract(YEAR FROM guard_q) AS y FROM guard_col_t;",
+        )[0][1].collect()
+        assert got == 2024
+        [(got,)] = run_clickhouse_script(
+            spark,
+            "SELECT trim(BOTH ' ' FROM sp) AS v FROM guard_col_t;",
+        )[0][1].collect()
+        assert got == "x"
+        # ...while a queue inside a FROM-position subquery of a call
+        # argument still refuses
+        with pytest.raises(DialectError, match="streaming consumer"):
+            run_clickhouse_script(
+                spark,
+                "SELECT length((SELECT CAST(count(*) AS STRING) "
+                "FROM guard_q));",
+            )
     finally:
         unregister_kafka_info("guard_q")
