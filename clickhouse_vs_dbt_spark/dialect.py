@@ -2077,6 +2077,150 @@ def _render_call(name: str, args: list[str]) -> str:
             "strings; for arrays compare via arrayJaccardIndex or "
             "spell the DP with aggregate()"
         )
+    # --- r11 audit batch 11: weekday modes, window-view functions,
+    #     URL surgery, byte hamming, wide date constructors, tz ---
+    if name == "toDayOfWeek" and len(args) in (1, 2):
+        # CH modes over Spark's weekday() (Mon=0..Sun=6) /
+        # dayofweek() (Sun=1..Sat=7); the 3-arg timezone form refuses
+        mode = args[1].strip() if len(args) == 2 else "0"
+        spell = {
+            "0": f"(weekday({args[0]}) + 1)",
+            "1": f"weekday({args[0]})",
+            "2": f"(dayofweek({args[0]}) - 1)",
+            "3": f"dayofweek({args[0]})",
+        }.get(mode)
+        if spell is None:
+            raise DialectError(
+                "toDayOfWeek: mode must be the literal 0-3 "
+                "(Mon-first 1-7 / 0-6, Sun-first 0-6 / 1-7)"
+            )
+        return spell
+    if name == "toDayOfWeek":
+        raise DialectError(
+            "toDayOfWeek: the timezone-argument form is not "
+            "transpiled (session time zone is pinned UTC) — convert "
+            "explicitly with from_utc_timestamp"
+        )
+    if name in (
+        "tumble", "hop", "tumbleStart", "tumbleEnd", "hopStart",
+        "hopEnd",
+    ):
+        def _ivl(a: str) -> tuple[str, int]:
+            m = re.fullmatch(
+                r"(?is)\s*INTERVAL\s+(\d+)\s+(\w+)\s*", a
+            )
+            secs = {
+                "SECOND": 1, "MINUTE": 60, "HOUR": 3600,
+                "DAY": 86400, "WEEK": 604800,
+            }.get(m.group(2).upper(), 0) if m else 0
+            if m is None or not secs:
+                raise DialectError(
+                    f"{name}: the window size must be a literal "
+                    "INTERVAL n (SECOND|MINUTE|HOUR|DAY|WEEK) — "
+                    "Spark's time windows take constant fixed-width "
+                    "durations"
+                )
+            n = int(m.group(1))
+            return f"'{n} {m.group(2).lower()}'", n * secs
+
+        if name in ("hopStart", "hopEnd"):
+            raise DialectError(
+                f"{name}: a row belongs to SEVERAL hopping windows, "
+                "so the scalar start/end is ambiguous — GROUP BY "
+                "hop(time, slide, size) and read the window struct's "
+                ".start/.end"
+            )
+        want = 2 if name.startswith("tumble") else 3
+        if len(args) != want:
+            raise DialectError(
+                f"{name}: expected "
+                f"({'time, size' if want == 2 else 'time, slide, size'})"
+                " — the timezone form is not transpiled"
+            )
+        if name == "tumble":
+            return f"window({args[0]}, {_ivl(args[1])[0]})"
+        if name in ("tumbleStart", "tumbleEnd"):
+            # arithmetic truncation, NOT window(): Spark allows only
+            # one TimeWindow expression per projection, so start/end
+            # must not consume it (the toStartOfInterval spelling)
+            _, s = _ivl(args[1])
+            start = (
+                f"timestamp_seconds(unix_timestamp({args[0]}) "
+                f"div {s} * {s})"
+            )
+            if name == "tumbleEnd":
+                return (
+                    f"timestamp_seconds(unix_timestamp({args[0]}) "
+                    f"div {s} * {s} + {s})"
+                )
+            return start
+        # CH hop(time, hop_interval, window_interval) ↔ Spark
+        # window(time, windowDuration, slideDuration)
+        return (
+            f"window({args[0]}, {_ivl(args[2])[0]}, {_ivl(args[1])[0]})"
+        )
+    if name == "cutURLParameter" and len(args) == 2:
+        u, p = args
+        if p.strip()[:1] not in "'\"":
+            raise DialectError(
+                "cutURLParameter: the parameter name must be a "
+                "literal (it is regex-escaped at transpile time)"
+            )
+        pn = re.escape(p.strip()[1:-1]).replace("\\", "\\\\")
+        # drop 'name=value' (or bare 'name') plus ONE separator, then
+        # tidy a dangling '?'/'&' before the fragment or end
+        return (
+            f"regexp_replace(regexp_replace({u}, "
+            f"'([?&]){pn}(=[^&#]*)?(&|(?=#)|$)', '$1'), "
+            "'[?&](#|$)', '$1')"
+        )
+    if name == "byteHammingDistance" and len(args) == 2:
+        # positional byte mismatches over the shorter image plus the
+        # length difference — computed on hex pairs, so it is
+        # BYTE-true on non-ASCII too (Spark substr is char-based)
+        a, b = args
+        return (
+            "element_at(transform("
+            f"array(struct(hex({a}) AS h1, hex({b}) AS h2)), __bh -> "
+            "aggregate(sequence(0, CAST(least(length(__bh.h1), "
+            "length(__bh.h2)) / 2 AS INT)), "
+            "CAST(abs(length(__bh.h1) - length(__bh.h2)) / 2 AS "
+            "BIGINT), (__acc, __i) -> __acc + IF(__i = 0 OR "
+            "substr(__bh.h1, __i * 2 - 1, 2) = "
+            "substr(__bh.h2, __i * 2 - 1, 2), 0, 1))), 1)"
+        )
+    if name == "makeDate32" and len(args) == 3:
+        return f"make_date({joined})"
+    if name == "makeDateTime64" and len(args) == 6:
+        return f"make_timestamp({joined})"
+    if name == "makeDateTime64" and len(args) == 7:
+        # 7th arg: fraction in units of 10^-precision (default 3, ms)
+        y, mo, d, h, mi, s, fr = args
+        return (
+            f"make_timestamp({y}, {mo}, {d}, {h}, {mi}, "
+            f"({s}) + ({fr}) / 1000.0)"
+        )
+    if name == "makeDateTime64":
+        raise DialectError(
+            "makeDateTime64: the precision/timezone forms are not "
+            "transpiled — Spark timestamps are fixed micro-precision "
+            "in the session zone; scale the fraction yourself"
+        )
+    if name in ("timeZone", "timezone", "serverTimeZone",
+                "serverTimezone") and not args:
+        return "current_timezone()"
+    if name == "timeZoneOf" and len(args) == 1:
+        # every Spark timestamp renders in the session zone — that IS
+        # the value's zone in this engine
+        return "current_timezone()"
+    if name in ("toTimeZone", "toTimezone"):
+        raise DialectError(
+            f"{name}: ClickHouse re-labels the DISPLAY zone without "
+            "moving the instant; Spark has no per-value time zone, "
+            "and from_utc_timestamp MOVES the instant — a silent "
+            "epoch divergence. Render in another zone explicitly "
+            "with date_format + from_utc_timestamp at the edge"
+        )
     if name == "toStringCutToZero" and len(args) == 1:
         return f"substring_index({args[0]}, chr(0), 1)"
     if name == "toColumnTypeName" and len(args) == 1:
@@ -2757,7 +2901,9 @@ def _render_call(name: str, args: list[str]) -> str:
             f"filter(split({args[0]}, '[^A-Za-z0-9]+'), "
             f"__t -> __t != '')"
         )
-    if name == "stringJaccardIndex" and len(args) == 2:
+    if name in (
+        "stringJaccardIndex", "stringJaccardIndexUTF8",
+    ) and len(args) == 2:
         # Jaccard over the two strings' character sets (CH: byte
         # sets; identical on ASCII, character-level on UTF8 here —
         # the UTF8-safe refinement).  Both empty → 0 gram sets →
@@ -3597,9 +3743,11 @@ def _render_call(name: str, args: list[str]) -> str:
             "UNSPECIFIED (CH documents it as arbitrary) — use "
             "mapSort/mapReverseSort for the deterministic full sort"
         )
-    if name in (
-        "minSampleSizeContinuous", "minSampleSizeConversion",
-    ):
+    if name.startswith("minSampleSize"):
+        # prefix match (r11 audit batch 11): CH spells both
+        # minSampleSizeContinuous AND the historical
+        # minSampleSizeContinous — a name-list check let the
+        # misspelled alias pass through silently
         raise DialectError(
             f"{name}: needs normal quantiles of runtime power/alpha "
             "arguments (no Catalyst inverse-CDF); for literal "
@@ -3654,12 +3802,15 @@ def _render_call(name: str, args: list[str]) -> str:
             "[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$' "
             f"THEN lower({s0}) END"
         )
-    if name == "mapAdd" and len(args) == 2:
-        # Map-typed form: union keys, sum values (missing = 0)
+    if name == "mapExtractKeyLike" and len(args) == 2:
+        return f"map_filter({args[0]}, (k, v) -> k LIKE {args[1]})"
+    if name in ("mapAdd", "mapSubtract") and len(args) == 2:
+        # Map-typed form: union keys, sum/subtract values (missing=0)
         a, b = args
+        op = "+" if name == "mapAdd" else "-"
         return (
             f"map_zip_with({a}, {b}, "
-            "(k, x, y) -> coalesce(x, 0) + coalesce(y, 0))"
+            f"(k, x, y) -> coalesce(x, 0) {op} coalesce(y, 0))"
         )
     if name == "JSONExtractKeysAndValues" and len(args) == 2:
         from clickhouse_vs_dbt_spark.ddl import convert_type
@@ -5256,6 +5407,11 @@ def _render_call(name: str, args: list[str]) -> str:
             return _topk_exact(args[0], "10")
         if name == "topKWeighted" and len(args) == 2:
             return _topk_weighted_exact(args[0], args[1], "10")
+        if name in (
+            "quantileExactWeighted", "medianExactWeighted",
+        ) and len(args) == 2:
+            # CH default level 0.5 (the median form)
+            return _weighted_exact_quantile(args[0], args[1], "0.5")
         raise DialectError(
             f"{name} is a parametric aggregate — write "
             f"{name}(params)({joined})"
@@ -5347,8 +5503,48 @@ _RESAMPLE_HEADS = (
 )
 
 
+def _weighted_exact_quantile(v: str, w: str, p: str) -> str:
+    """``quantileExactWeighted(p)(v, w)`` as one aggregate expression
+    (r11 audit batch 11): collect the (value, weight) pairs, sort by
+    value, and return the smallest value whose CUMULATIVE weight
+    reaches ``p · Σw`` — ClickHouse's non-interpolating exact-weighted
+    rule, the same contract the ``weighted_median`` operator's window
+    spelling pins (operators/stats.py).  O(group) memory at the
+    collect (the documented collect-class), then a row-local fold."""
+    return (
+        "element_at(transform(array(array_sort(collect_list("
+        f"named_struct('v', CAST({v} AS DOUBLE), "
+        f"'w', CAST({w} AS DOUBLE))))), "
+        "__qw -> aggregate(__qw, "
+        "named_struct('acc', CAST(0 AS DOUBLE), "
+        "'res', CAST(NULL AS DOUBLE), "
+        f"'thr', ({p}) * aggregate(__qw, CAST(0 AS DOUBLE), "
+        "(__a, __e) -> __a + __e.w)), "
+        "(__s, __e) -> CASE WHEN __s.res IS NOT NULL THEN __s "
+        "WHEN __s.acc + __e.w >= __s.thr THEN "
+        "named_struct('acc', __s.acc + __e.w, 'res', __e.v, "
+        "'thr', __s.thr) "
+        "ELSE named_struct('acc', __s.acc + __e.w, 'res', __s.res, "
+        "'thr', __s.thr) END, "
+        "__s -> __s.res)), 1)"
+    )
+
+
 def _render_parametric(name: str, params: list[str], args: list[str]) -> str:
     """CH parametric aggregates: ``fn(params)(args)``."""
+    if name in (
+        "quantileExactWeighted", "quantilesExactWeighted",
+        "medianExactWeighted",
+    ) and len(args) == 2 and params:
+        cells = [
+            _weighted_exact_quantile(args[0], args[1], p)
+            for p in params
+        ]
+        if name == "quantilesExactWeighted":
+            return f"array({', '.join(cells)})"
+        if len(params) != 1:
+            raise DialectError(f"{name} takes exactly one level")
+        return cells[0]
     if name.endswith("Resample") and len(name) > len("Resample"):
         # -Resample combinator (VERDICT r10 item 2):
         # ``fooResample(start, stop, step)(args…, key)`` aggregates
@@ -5794,6 +5990,9 @@ def _render_parametric(name: str, params: list[str], args: list[str]) -> str:
 
 
 _PARAMETRIC = {
+    "quantileExactWeighted",
+    "quantilesExactWeighted",
+    "medianExactWeighted",
     "meanZTest",
     "quantilesGK",
     "quantile",

@@ -4885,3 +4885,84 @@ def test_r11_scalar_batch10(spark):
     ]:
         with pytest.raises(DialectError, match=msg):
             transpile(f"SELECT {bad} FROM t")
+
+
+def test_r11_scalar_batch11(spark):
+    """r11 audit batch 11: weekday modes, window-view functions, URL
+    parameter surgery, byte-true hamming, wide date constructors, the
+    tz family, and exact weighted quantiles."""
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW b11_t AS SELECT id AS x, "
+        "CAST(id % 5 AS DOUBLE) AS v, CAST(id % 3 + 1 AS BIGINT) AS w, "
+        "timestamp_seconds(1700000000 + id * 600) AS ts FROM range(100)"
+    )
+    one = lambda e: spark.sql(  # noqa: E731
+        transpile(f"SELECT {e} AS v FROM b11_t LIMIT 1")
+    ).collect()[0].v
+    import datetime
+
+    wd = datetime.datetime.utcfromtimestamp(1700000000).weekday()
+    assert one("toDayOfWeek(ts)") == wd + 1  # Mon-first 1-7
+    assert one("toDayOfWeek(ts, 1)") == wd
+    assert one("toDayOfWeek(ts, 2)") == (wd + 1) % 7
+    assert one("toDayOfWeek(ts, 3)") == (wd + 1) % 7 + 1
+    assert one("byteHammingDistance('abc', 'abd')") == 1
+    assert one("byteHammingDistance('abc', 'a')") == 2
+    assert one("byteHammingDistance('', '')") == 0
+    assert one(
+        "cutURLParameter('http://x.com/a?q=1&r=2#f', 'q')"
+    ) == "http://x.com/a?r=2#f"
+    assert one(
+        "cutURLParameter('http://x.com/a?q=1', 'q')"
+    ) == "http://x.com/a"
+    assert str(one("makeDate32(2024, 3, 15)")) == "2024-03-15"
+    assert one("timeZone()") == "UTC" and one("timeZoneOf(ts)") == "UTC"
+    assert dict(one("mapSubtract(map('k', 5), map('k', 2))")) == {
+        "k": 3
+    }
+    assert dict(
+        one("mapExtractKeyLike(map('ka', 1, 'xb', 2), 'k%')")
+    ) == {"ka": 1}
+    # tumble/hop: one TimeWindow per query; start/end are arithmetic
+    s, e = spark.sql(transpile(
+        "SELECT tumbleStart(ts, INTERVAL 1 HOUR) AS s, "
+        "tumbleEnd(ts, INTERVAL 1 HOUR) AS e FROM b11_t LIMIT 1"
+    )).collect()[0]
+    assert (e - s).total_seconds() == 3600
+    n = spark.sql(transpile(
+        "SELECT hop(ts, INTERVAL 30 MINUTE, INTERVAL 1 HOUR) AS w, "
+        "count() AS n FROM b11_t "
+        "GROUP BY hop(ts, INTERVAL 30 MINUTE, INTERVAL 1 HOUR)"
+    )).agg({"n": "sum"}).collect()[0][0]
+    assert n == 200  # every row belongs to two hopping windows
+    # exact weighted quantiles vs a Python reference
+    rows = [(float(i % 5), i % 3 + 1) for i in range(100)]
+
+    def wq(p):
+        pairs = sorted(rows)
+        tot = sum(w for _, w in pairs)
+        acc = 0
+        for v_, w_ in pairs:
+            acc += w_
+            if acc >= p * tot:
+                return v_
+
+    got = spark.sql(transpile(
+        "SELECT quantileExactWeighted(0.3)(v, w) AS q3, "
+        "medianExactWeighted(v, w) AS md, "
+        "quantilesExactWeighted(0.25, 0.75)(v, w) AS qs, "
+        "quantileExactWeighted(v, w) AS qd FROM b11_t"
+    )).collect()[0]
+    assert got.q3 == wq(0.3) and got.md == wq(0.5)
+    assert got.qd == wq(0.5) and got.qs == [wq(0.25), wq(0.75)]
+    for bad, msg in [
+        ("minSampleSizeContinous(1, 2, 3, 4, 5)", "inverse-CDF"),
+        ("toTimeZone(ts, 'UTC')", "instant"),
+        ("toDayOfWeek(ts, 9)", "mode"),
+        ("hopStart(ts, INTERVAL 1 MINUTE, INTERVAL 1 HOUR)",
+         "ambiguous"),
+        ("tumble(ts, INTERVAL 1 MONTH)", "fixed-width"),
+        ("cutURLParameter(u, p)", "literal"),
+    ]:
+        with pytest.raises(DialectError, match=msg):
+            transpile(f"SELECT {bad} FROM t")

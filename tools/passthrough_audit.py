@@ -367,6 +367,30 @@ CANDIDATES = [
     "formatQuery('SELECT 1')", "formatQuerySingleLine('SELECT 1')",
     "getSetting('max_threads')", "arrayLevenshtein(a, a)",
     "locate('l', s)", "soundex(s)", "space(3)",
+    # r11 audit batch 11: weekday modes, window-view functions, URL
+    # surgery, byte hamming, wide constructors, tz family, weighted
+    # exact quantiles, and the same-name same-semantics passthroughs
+    "toDayOfWeek(ts)", "toDayOfWeek(ts, 1)", "toDayOfWeek(ts, 3)",
+    "tumble(ts, INTERVAL 1 HOUR)",
+    "tumbleStart(ts, INTERVAL 30 MINUTE)",
+    "tumbleEnd(ts, INTERVAL 30 MINUTE)",
+    "hop(ts, INTERVAL 30 MINUTE, INTERVAL 1 HOUR)",
+    "hopStart(ts, INTERVAL 30 MINUTE, INTERVAL 1 HOUR)",
+    "cutURLParameter(u, 'q')", "cutURLParameter(u, s)",
+    "byteHammingDistance(s, 'Hello Vorld')",
+    "stringJaccardIndexUTF8(s, 'hello')",
+    "makeDate32(2024, 3, 15)",
+    "makeDateTime64(2024, 3, 15, 10, 30, 45)",
+    "makeDateTime64(2024, 3, 15, 10, 30, 45, 123)",
+    "timeZone()", "serverTimeZone()", "timeZoneOf(ts)",
+    "toTimeZone(ts, 'UTC')",
+    "mapSubtract(im, im)", "mapExtractKeyLike(m, 'k%')",
+    "minSampleSizeContinous(10, 2, 0.05, 0.8, 0.05)",
+    "quantileExactWeighted(0.5)(v, x)",
+    "quantileExactWeighted(v, x)",
+    "quantilesExactWeighted(0.25, 0.75)(v, x)",
+    "medianExactWeighted(v, x)",
+    "log1p(v)", "cbrt(v)", "degrees(v)", "radians(v)",
 ]
 
 
