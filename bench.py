@@ -255,6 +255,8 @@ HEADLINE = [
     "dialect_resample",
     "dialect_reinterpret_tuples",
     "dialect_hilbert",
+    "dialect_weighted_quantiles",
+    "dialect_tumble",
 ]
 
 

@@ -15141,6 +15141,83 @@ def q_dialect_hilbert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_clickhouse_sql(spark, _CH_HILBERT, sf_dir, ("orders",))
 
 
+# 34 (r11). quantileExactWeighted family (audit batch 11): CH's
+#     non-interpolating exact-weighted rule — smallest value whose
+#     cumulative weight reaches level·Σw — as a collect-and-fold
+#     aggregate, checked against DuckDB's independent cumulative-
+#     window spelling (the operators/stats.py weighted_median
+#     construction generalized to three levels).  Integer weights
+#     keep every comparison exact in both engines.
+_CH_WEIGHTED_QUANTILES = """
+SELECT l_returnflag,
+       quantileExactWeighted(0.25)(l_quantity, l_linenumber) AS q25,
+       medianExactWeighted(l_quantity, l_linenumber) AS q50,
+       quantileExactWeighted(0.75)(l_quantity, l_linenumber) AS q75,
+       quantileExactWeighted(l_quantity, l_linenumber) AS qdef
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+O_WEIGHTED_QUANTILES = """
+WITH agg AS (
+  SELECT l_returnflag AS g, l_quantity AS x,
+         CAST(SUM(l_linenumber) AS BIGINT) AS wt
+  FROM lineitem GROUP BY g, x),
+cum AS (
+  SELECT g, x,
+         SUM(wt) OVER (PARTITION BY g ORDER BY x) AS cw,
+         SUM(wt) OVER (PARTITION BY g) AS tot
+  FROM agg)
+SELECT g AS l_returnflag,
+       MIN(CASE WHEN cw >= 0.25 * tot THEN x END) AS q25,
+       MIN(CASE WHEN cw >= 0.5 * tot THEN x END) AS q50,
+       MIN(CASE WHEN cw >= 0.75 * tot THEN x END) AS q75,
+       MIN(CASE WHEN cw >= 0.5 * tot THEN x END) AS qdef
+FROM cum GROUP BY g ORDER BY g
+"""
+
+
+def q_dialect_weighted_quantiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Verbatim CH exact-weighted quantile query (module doc)."""
+    return run_clickhouse_sql(
+        spark, _CH_WEIGHTED_QUANTILES, sf_dir, ("lineitem",)
+    )
+
+
+# 35 (r11). tumble window-view functions (audit batch 11): Spark's
+#     window() is the tumbling GROUP BY; DuckDB's time_bucket is the
+#     independent oracle.  tumbleStart/tumbleEnd are the arithmetic
+#     truncation, so one projection can carry several.
+_CH_TUMBLE = """
+SELECT toUnixTimestamp(tumbleStart(ts, INTERVAL 1 HOUR)) AS ws,
+       toUnixTimestamp(tumbleEnd(ts, INTERVAL 1 HOUR)) AS we,
+       count() AS n,
+       uniqExact(user_id) AS u
+FROM events
+GROUP BY ws, we
+ORDER BY ws
+"""
+
+O_TUMBLE = """
+SELECT CAST(epoch(time_bucket(INTERVAL 1 hour, ts)) AS BIGINT) AS ws,
+       CAST(epoch(time_bucket(INTERVAL 1 hour, ts)) AS BIGINT)
+           + 3600 AS we,
+       count(*) AS n,
+       count(DISTINCT user_id) AS u
+FROM events
+GROUP BY 1, 2
+ORDER BY ws
+"""
+
+
+def q_dialect_tumble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verbatim CH tumbling-window query (module doc)."""
+    return run_clickhouse_sql(spark, _CH_TUMBLE, sf_dir, ("events",))
+
+
 QUERIES = {
     "dialect_strings": q_dialect_strings,
     "ch_script_lifecycle": q_ch_script_lifecycle,
@@ -15185,6 +15262,8 @@ QUERIES = {
     "dialect_resample": q_dialect_resample,
     "dialect_reinterpret_tuples": q_dialect_reinterpret_tuples,
     "dialect_hilbert": q_dialect_hilbert,
+    "dialect_weighted_quantiles": q_dialect_weighted_quantiles,
+    "dialect_tumble": q_dialect_tumble,
     "dialect_star_modifiers": q_dialect_star_modifiers,
     "dialect_sample_clause": q_dialect_sample_clause,
     "dialect_sample_rows": q_dialect_sample_rows,
@@ -15268,6 +15347,8 @@ ORACLES = {
     "dialect_resample": O_RESAMPLE,
     "dialect_reinterpret_tuples": O_REINTERPRET_TUPLES,
     "dialect_hilbert": O_HILBERT,
+    "dialect_weighted_quantiles": O_WEIGHTED_QUANTILES,
+    "dialect_tumble": O_TUMBLE,
     "dialect_star_modifiers": O_STAR_MODIFIERS,
     "dialect_sample_clause": _o_sample_dialect(),
     "dialect_sample_rows": _o_sample_rows(),
