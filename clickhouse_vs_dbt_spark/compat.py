@@ -528,6 +528,29 @@ def _register_vectorized(spark: SparkSession) -> None:
         "ch_base58_decode", pandas_udf("string")(_unary_str(_b58dec))
     )
 
+    # RFC 4648 base32 (r11 audit batch 12) — same Arrow-codec seam as
+    # base58 above; CH returns padded upper-case output and throws on
+    # invalid input, which b32encode/b32decode both match
+    def _b32enc(s: str) -> str:
+        import base64 as _b64
+
+        return _b64.b32encode(s.encode("utf-8")).decode("ascii")
+
+    def _b32dec(s: str) -> str:
+        import base64 as _b64
+
+        try:
+            return _b64.b32decode(s.encode("ascii")).decode("utf-8")
+        except Exception as exc:
+            raise ValueError(f"base32Decode: invalid input: {exc}")
+
+    spark.udf.register(
+        "ch_base32_encode", pandas_udf("string")(_unary_str(_b32enc))
+    )
+    spark.udf.register(
+        "ch_base32_decode", pandas_udf("string")(_unary_str(_b32dec))
+    )
+
     def _walk_jsonpath(doc, steps: list):
         # JSONPath semantics, unlike the indices_or_keys walk above:
         # an integer subscript indexes LISTS ONLY — '$.a[0]' on an

@@ -3920,6 +3920,21 @@ def _render_call(name: str, args: list[str]) -> str:
                   f"({se1}) * ({se1}) / (({n1}) - 1)))")
         return (f"named_struct('t_stat', {t}, "
                 f"'p_value', ch_t_pvalue({t}, {df}))")
+    if name == "studentTTestOneSample" and len(args) == 2:
+        # one-sample t-test against a population mean (r11 batch 12):
+        # the same flat decimal power sums and exact Student tail as
+        # the two-sample form above
+        x, mu = args
+        d = "DECIMAL(38,6)"
+        n = f"CAST(count({x}) AS DOUBLE)"
+        s = f"CAST(sum(CAST({x} AS {d})) AS DOUBLE)"
+        q = f"CAST(sum(CAST(({x}) * ({x}) AS {d})) AS DOUBLE)"
+        m = f"(({s}) / ({n}))"
+        v = f"((({q}) - ({s}) * ({s}) / ({n})) / (({n}) - 1))"
+        t = f"((({m}) - ({mu})) / sqrt(({v}) / ({n})))"
+        df = f"(({n}) - 1)"
+        return (f"named_struct('t_stat', {t}, "
+                f"'p_value', ch_t_pvalue({t}, {df}))")
     if name in (
         "mannWhitneyUTest", "kolmogorovSmirnovTest",
         "cramersV", "cramersVBiasCorrected", "theilsU", "contingency",
@@ -4344,6 +4359,55 @@ def _render_call(name: str, args: list[str]) -> str:
         fn = ("ch_base58_encode" if name == "base58Encode"
               else "ch_base58_decode")
         return f"{fn}({args[0]})"
+    if name in ("base32Encode", "base32Decode") and len(args) == 1:
+        # RFC 4648 base32 (r11 batch 12): same Arrow-codec seam
+        fn = ("ch_base32_encode" if name == "base32Encode"
+              else "ch_base32_decode")
+        return f"{fn}({args[0]})"
+    if name in (
+        "base64URLEncode", "base64UrlEncode",
+    ) and len(args) == 1:
+        # RFC 4648 §5 URL-safe alphabet, padding stripped (CH)
+        return (
+            f"TRIM(TRAILING '=' FROM translate(base64(CAST({args[0]} "
+            "AS BINARY)), '+/', '-_'))"
+        )
+    if name in (
+        "base64URLDecode", "base64UrlDecode",
+        "tryBase64URLDecode", "tryBase64UrlDecode",
+    ) and len(args) == 1:
+        # re-pad to a 4-char boundary, restore the standard alphabet,
+        # decode — the try* forms share the strict spelling (the
+        # base64Decode/tryBase64Decode precedent: they differ only on
+        # malformed input)
+        return (
+            f"CAST(unbase64(concat(translate({args[0]}, '-_', "
+            f"'+/'), repeat('=', (4 - length({args[0]}) % 4) % 4))) "
+            "AS STRING)"
+        )
+    if name in ("bin", "unbin"):
+        raise DialectError(
+            f"{name}: CH renders the value's FIXED-WIDTH byte image "
+            "as bits (bin(toUInt8(10)) = '00001010'), but the source "
+            "width is erased here — spell it explicitly: "
+            "lpad(bin(x), 8·width, '0') for integers, conv(s, 2, 10) "
+            "to read bit strings back"
+        )
+    if name == "bitPositionsToArray" and len(args) == 1:
+        # ascending 0-based positions of set bits over the 64-bit
+        # image (negative BIGINTs = the high bits, two's complement)
+        return (
+            f"filter(sequence(0, 63), __bp -> "
+            f"(shiftrightunsigned(CAST({args[0]} AS BIGINT), __bp) "
+            "& 1) = 1)"
+        )
+    if name == "extractTextFromHTML":
+        raise DialectError(
+            "extractTextFromHTML: CH ships a full HTML/CDATA/script "
+            "parser — approximate with "
+            "regexp_replace(s, '<[^>]*>', '') if tag-stripping is "
+            "enough"
+        )
     if name == "exp2" and len(args) == 1:
         return f"power(2, {args[0]})"
     if name == "exp10" and len(args) == 1:

@@ -4966,3 +4966,48 @@ def test_r11_scalar_batch11(spark):
     ]:
         with pytest.raises(DialectError, match=msg):
             transpile(f"SELECT {bad} FROM t")
+
+
+def test_r11_scalar_batch12(spark):
+    """r11 audit batch 12: base32/base64url codecs, set-bit
+    positions, the one-sample t-test, and the bin/HTML walls."""
+    import base64 as _b64
+    import math
+    import statistics
+
+    one = lambda e: spark.sql(  # noqa: E731
+        transpile(f"SELECT {e} AS v")
+    ).collect()[0].v
+    assert one("base32Encode('Hello')") == _b64.b32encode(
+        b"Hello"
+    ).decode()
+    assert one("base32Decode('JBSWY3DP')") == "Hello"
+    assert one("base64URLEncode('https://clickhouse.com')") == (
+        _b64.urlsafe_b64encode(b"https://clickhouse.com")
+        .decode().rstrip("=")
+    )
+    assert one(
+        "base64URLDecode(base64UrlEncode('hi there?&x=1'))"
+    ) == "hi there?&x=1"
+    assert one("bitPositionsToArray(11)") == [0, 1, 3]
+    assert len(one("bitPositionsToArray(-1)")) == 64
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW tt1_t AS "
+        "SELECT CAST(id % 7 AS DOUBLE) AS v FROM range(200)"
+    )
+    row = spark.sql(transpile(
+        "SELECT studentTTestOneSample(v, 2.5) AS r FROM tt1_t"
+    )).collect()[0].r
+    vals = [float(i % 7) for i in range(200)]
+    t_ref = (statistics.mean(vals) - 2.5) / (
+        statistics.stdev(vals) / math.sqrt(len(vals))
+    )
+    assert abs(row.t_stat - t_ref) < 1e-9
+    assert 0 <= row.p_value <= 1
+    for bad, msg in [
+        ("bin(x)", "FIXED-WIDTH"),
+        ("unbin(s)", "FIXED-WIDTH"),
+        ("extractTextFromHTML(s)", "parser"),
+    ]:
+        with pytest.raises(DialectError, match=msg):
+            transpile(f"SELECT {bad} FROM t")

@@ -391,6 +391,17 @@ CANDIDATES = [
     "quantilesExactWeighted(0.25, 0.75)(v, x)",
     "medianExactWeighted(v, x)",
     "log1p(v)", "cbrt(v)", "degrees(v)", "radians(v)",
+    # r11 audit batch 12: base32/base64url codecs, bit positions,
+    # one-sample t-test, bin/HTML walls, same-name passthroughs
+    "base32Encode(s)", "base32Decode('JBSWY3DP')",
+    "base64URLEncode(s)", "base64UrlEncode(s)",
+    "base64URLDecode(base64URLEncode(s))",
+    "tryBase64URLDecode(base64URLEncode(s))",
+    "bitPositionsToArray(x)", "bitPositionsToArray(x - 4)",
+    "studentTTestOneSample(v, 0.5)",
+    "bin(x)", "unbin(s)", "extractTextFromHTML(s)",
+    "printf('%s=%d', s, x)", "repeat(s, 2)",
+    "minSampleSizeConversion(0.1, 0.02, 0.8, 0.05)",
 ]
 
 
