@@ -4975,6 +4975,7 @@ def test_r11_scalar_batch12(spark):
     import math
     import statistics
 
+    register_clickhouse_compat(spark)
     one = lambda e: spark.sql(  # noqa: E731
         transpile(f"SELECT {e} AS v")
     ).collect()[0].v
