@@ -277,6 +277,29 @@ _CAST = {
     "toDateTime": "TIMESTAMP",
 }
 
+# to<T>OrZero / OrNull / OrDefault defensive-cast family (r11 audit
+# batch 13 — these leaked as silent passthroughs): Spark target type,
+# the CH-width range guard for the unsigned types whose Spark type is
+# wider (None = the Spark type's own range already matches), and the
+# CH zero value of the type
+_OR_CAST = {
+    "toInt8": ("TINYINT", None, "0"),
+    "toInt16": ("SMALLINT", None, "0"),
+    "toInt32": ("INT", None, "0"),
+    "toInt64": ("BIGINT", None, "0"),
+    "toUInt8": ("SMALLINT", (0, 255), "0"),
+    "toUInt16": ("INT", (0, 65535), "0"),
+    "toUInt32": ("BIGINT", (0, 4294967295), "0"),
+    # documented narrowing: Spark has no UInt64 — non-negative BIGINT
+    "toUInt64": ("BIGINT", (0, 9223372036854775807), "0"),
+    "toFloat32": ("FLOAT", None, "CAST(0 AS FLOAT)"),
+    "toFloat64": ("DOUBLE", None, "CAST(0 AS DOUBLE)"),
+    "toDate": ("DATE", None, "DATE '1970-01-01'"),
+    "toDate32": ("DATE", None, "DATE '1900-01-01'"),
+    "toDateTime": ("TIMESTAMP", None, "timestamp_seconds(0)"),
+    "toDateTime64": ("TIMESTAMP", None, "timestamp_seconds(0)"),
+}
+
 # -If combinator bases: CH fnIf(x, cond) == fn over rows where cond
 # (the CASE mask's NULLs are skipped by every base here — including
 # the collect family, where collect_list/collect_set drop NULLs)
@@ -2076,6 +2099,120 @@ def _render_call(name: str, args: list[str]) -> str:
             "O(n·m) DP register — levenshteinDistance transpiles for "
             "strings; for arrays compare via arrayJaccardIndex or "
             "spell the DP with aggregate()"
+        )
+    # --- r11 audit batch 13: field-change date surgery, string
+    #     byte stats, readable-size parse, misc aliases ---
+    if name in (
+        "changeYear", "changeMonth", "changeDay", "changeHour",
+        "changeMinute", "changeSecond",
+    ) and len(args) == 2:
+        # CH sets one datetime field, SATURATING invalid results
+        # (changeDay(.., 31) in a 30-day month clamps) — spelled as a
+        # delta via timestampadd, with the day/new-value clamped to
+        # the valid range first so no branch can roll over or throw
+        x, n = args
+        unit = name[len("change"):].upper()
+        cur = {
+            "YEAR": f"year({x})", "MONTH": f"month({x})",
+            "DAY": f"day({x})", "HOUR": f"hour({x})",
+            "MINUTE": f"minute({x})", "SECOND": f"second({x})",
+        }[unit]
+        clamp = {
+            "MONTH": (1, 12), "DAY": None,
+            "HOUR": (0, 23), "MINUTE": (0, 59), "SECOND": (0, 59),
+        }.get(unit)
+        if unit == "DAY":
+            new = (
+                f"least(greatest(({n}), 1), "
+                f"day(last_day({x})))"
+            )
+        elif clamp:
+            new = f"least(greatest(({n}), {clamp[0]}), {clamp[1]})"
+        else:
+            new = f"({n})"
+        return f"timestampadd({unit}, {new} - {cur}, {x})"
+    if name == "mid" and len(args) in (2, 3):
+        return f"substring({joined})"
+    if name == "firstLine" and len(args) == 1:
+        return f"element_at(split({args[0]}, '\\r?\\n'), 1)"
+    if name in (
+        "stringBytesUniq", "stringBytesEntropy",
+    ) and len(args) == 1:
+        # byte-level stats over the UTF-8 image, computed on hex
+        # pairs (byte-true on non-ASCII; the byteHammingDistance
+        # seam).  Entropy: −Σ (c/n)·log2(c/n) over byte counts —
+        # O(n·distinct) row-local lambda work, '' → 0
+        pairs = (
+            "transform(sequence(0, CAST(length(__sb) / 2 AS INT)), "
+            "__i -> IF(__i = 0, '', substr(__sb, __i * 2 - 1, 2)))"
+        )
+        arr = f"filter({pairs}, __p -> __p != '')"
+        if name == "stringBytesUniq":
+            body = f"size(array_distinct({arr}))"
+        else:
+            body = (
+                f"coalesce(aggregate(array_distinct({arr}), "
+                "CAST(0 AS DOUBLE), (__ac, __d) -> __ac - "
+                f"(size(filter({arr}, __q -> __q = __d)) / "
+                f"(length(__sb) / 2)) * "
+                f"log2(size(filter({arr}, __q -> __q = __d)) / "
+                "(length(__sb) / 2))), CAST(0 AS DOUBLE))"
+            )
+        return (
+            f"element_at(transform(array(hex({args[0]})), "
+            f"__sb -> {body}), 1)"
+        )
+    if name == "visibleWidth" and len(args) == 1:
+        # CH's Pretty-format display width ≈ one column per char;
+        # char count is the Spark-side truth
+        return f"length(CAST({args[0]} AS STRING))"
+    if name.startswith("parseReadableSize") and len(args) == 1:
+        # inverse of formatReadableSize: number + (KiB|KB|…) unit →
+        # bytes, rounded up (CH returns UInt64).  Both the 1024- and
+        # 1000-based unit families; OrNull/OrZero fall back on an
+        # unrecognized unit, the plain form raises
+        unit_pow = (
+            "CASE upper(__pu) WHEN 'B' THEN 0.0D "
+            "WHEN 'KIB' THEN 1.0D WHEN 'MIB' THEN 2.0D "
+            "WHEN 'GIB' THEN 3.0D WHEN 'TIB' THEN 4.0D "
+            "WHEN 'PIB' THEN 5.0D WHEN 'EIB' THEN 6.0D END"
+        )
+        unit_pow10 = (
+            "CASE upper(__pu) WHEN 'KB' THEN 3.0D "
+            "WHEN 'MB' THEN 6.0D WHEN 'GB' THEN 9.0D "
+            "WHEN 'TB' THEN 12.0D WHEN 'PB' THEN 15.0D "
+            "WHEN 'EB' THEN 18.0D END"
+        )
+        num = (
+            f"try_cast(regexp_extract({args[0]}, "
+            "'^\\\\s*([0-9.]+)\\\\s*([A-Za-z]+)\\\\s*$', 1) AS DOUBLE)"
+        )
+        val = (
+            "element_at(transform(array(regexp_extract("
+            f"{args[0]}, '^\\\\s*([0-9.]+)\\\\s*([A-Za-z]+)\\\\s*$', "
+            f"2)), __pu -> CASE WHEN {unit_pow} IS NOT NULL THEN "
+            f"CAST(ceil({num} * power(1024.0D, {unit_pow})) AS "
+            f"BIGINT) WHEN {unit_pow10} IS NOT NULL THEN "
+            f"CAST(ceil({num} * power(10.0D, {unit_pow10})) AS "
+            "BIGINT) END), 1)"
+        )
+        if name == "parseReadableSizeOrNull":
+            return val
+        if name == "parseReadableSizeOrZero":
+            return f"coalesce({val}, CAST(0 AS BIGINT))"
+        return (
+            f"coalesce({val}, raise_error(concat("
+            f"'parseReadableSize: unparseable input: ', {args[0]})))"
+        )
+    if name == "decodeURLFormComponent" and len(args) == 1:
+        # the form variant additionally maps '+' to space
+        return f"url_decode(replace({args[0]}, '+', ' '))"
+    if name in (
+        "structureToProtobufSchema", "structureToCapnProtoSchema",
+    ):
+        raise DialectError(
+            f"{name}: wire-schema generation is CH-serializer-"
+            "internal — Spark schemas print via df.schema.simpleString"
         )
     # --- r11 audit batch 11: weekday modes, window-view functions,
     #     URL surgery, byte hamming, wide date constructors, tz ---
@@ -4013,6 +4150,78 @@ def _render_call(name: str, args: list[str]) -> str:
         return f"array({', '.join(parts)})"
     if name in _CAST:
         return f"CAST({joined} AS {_CAST[name]})"
+    if name.startswith("IPv4StringToNum") and name != "IPv4StringToNum":
+        # OrNull/OrZero/OrDefault forms of the IPv4 parse (r11
+        # batch 13) — route through the toIPv4 tier below
+        return _render_call(
+            "toIPv4" + name[len("IPv4StringToNum"):], args
+        )
+    if name in ("toIPv6", "IPv6StringToNum") or name.startswith(
+        "IPv6StringToNum"
+    ):
+        raise DialectError(
+            f"{name}: IPv6 values are 16-byte binaries with no Spark "
+            "register — isIPv6String validates the string form; keep "
+            "addresses as strings in this engine"
+        )
+    if (
+        name.endswith(("OrZero", "OrNull", "OrDefault"))
+        and name.startswith("to")
+    ):
+        # defensive-cast family (r11 batch 13): parse-or-fallback via
+        # TRY_CAST, with the CH width-range guard for unsigned targets
+        # whose Spark type is wider.  CH's parser is stricter than
+        # Spark's cast on surrounding whitespace (' 1' parses here,
+        # fails in CH) — documented; the failure DIRECTION (never an
+        # exception, always the fallback) matches.
+        suffix = next(
+            s for s in ("OrDefault", "OrZero", "OrNull")
+            if name.endswith(s)
+        )
+        base = name[: -len(suffix)]
+        if base in ("toIPv4", "toIPv6"):
+            if base == "toIPv6":
+                raise DialectError(
+                    f"{name}: IPv6 values are 16-byte binaries with "
+                    "no Spark register — isIPv6String validates, "
+                    "cutIPv6/IPv6NumToString-free pipelines keep the "
+                    "string form"
+                )
+            # guard the numeric conversion with the RFC grammar
+            valid = _render_call("isIPv4String", [args[0]])
+            val = _render_call("toIPv4", [args[0]])
+            v = f"(CASE WHEN {valid} THEN {val} END)"
+            if suffix == "OrNull":
+                return v
+            dflt = args[1] if len(args) > 1 else "CAST(0 AS BIGINT)"
+            return f"coalesce({v}, {dflt})"
+        dec = {"toDecimal32": 9, "toDecimal64": 18,
+               "toDecimal128": 38}.get(base)
+        if dec is not None and len(args) >= 2:
+            t, rng = f"DECIMAL({dec}, {args[1]})", None
+            zero = f"CAST(0 AS {t})"
+            x, dflt = args[0], args[2] if len(args) > 2 else None
+        elif base in _OR_CAST and len(args) in (1, 2):
+            t, rng, zero = _OR_CAST[base]
+            x, dflt = args[0], args[1] if len(args) > 1 else None
+        else:
+            raise DialectError(
+                f"{name}: the OrZero/OrNull/OrDefault tier covers "
+                "the fixed-width numeric, Date[32], DateTime[64] and "
+                "Decimal32/64/128 targets — other targets need an "
+                "explicit TRY_CAST"
+            )
+        v = f"TRY_CAST({x} AS {t})"
+        if rng is not None:
+            v = (
+                f"(CASE WHEN {v} BETWEEN {rng[0]} AND {rng[1]} "
+                f"THEN {v} END)"
+            )
+        if suffix == "OrNull":
+            return v
+        if suffix == "OrDefault" and dflt is not None:
+            return f"coalesce({v}, CAST({dflt} AS {t}))"
+        return f"coalesce({v}, {zero})"
     if name == "toDecimal32" and len(args) == 2:
         return f"CAST({args[0]} AS DECIMAL(9, {args[1]}))"
     if name == "toDecimal64" and len(args) == 2:

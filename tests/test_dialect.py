@@ -5012,3 +5012,57 @@ def test_r11_scalar_batch12(spark):
     ]:
         with pytest.raises(DialectError, match=msg):
             transpile(f"SELECT {bad} FROM t")
+
+
+def test_r11_scalar_batch13(spark):
+    """r11 audit batch 13: the to*OrZero/OrNull/OrDefault defensive-
+    cast family (with CH width-range guards), field-change date
+    surgery with saturation, string byte statistics, readable-size
+    parsing, and the guarded IPv4 forms."""
+    one = lambda e: spark.sql(  # noqa: E731
+        transpile(f"SELECT {e} AS v")
+    ).collect()[0].v
+    # defensive casts: fallback on parse failure AND on CH-width
+    # overflow (300 does not fit UInt8 even though SMALLINT holds it)
+    assert one("toUInt8OrZero('300')") == 0
+    assert one("toUInt8OrZero('25')") == 25
+    assert one("toUInt32OrNull('abc')") is None
+    assert one("toUInt32OrNull('-1')") is None
+    assert one("toInt64OrDefault('x', 9)") == 9
+    assert one("toFloat64OrZero('1.5')") == 1.5
+    assert str(one("toDateOrZero('nope')")) == "1970-01-01"
+    assert str(one("toDate32OrZero('nope')")) == "1900-01-01"
+    assert one("toDecimal64OrNull('2.345', 2)") == __import__(
+        "decimal"
+    ).Decimal("2.35")
+    # field changes saturate like CH (Feb 29 → Feb 28, day 31 → 29)
+    assert str(one(
+        "changeYear(toDateTime('2020-02-29 10:11:12'), 2021)"
+    )).startswith("2021-02-28")
+    assert str(one(
+        "changeDay(toDateTime('2024-02-10 05:00:00'), 31)"
+    )).startswith("2024-02-29")
+    assert str(one(
+        "changeMonth(toDateTime('2024-01-31 00:00:00'), 2)"
+    )).startswith("2024-02-29")
+    assert one("mid('Hello', 2, 3)") == "ell"
+    assert one(r"firstLine('a\nb\nc')") == "a"
+    assert one("stringBytesUniq('Hello')") == 4
+    assert one("stringBytesEntropy('aabb')") == 1.0
+    assert one("stringBytesUniq('')") == 0
+    assert one("parseReadableSize('1 KiB')") == 1024
+    assert one("parseReadableSize('1.5 MB')") == 1_500_000
+    assert one("parseReadableSizeOrZero('zz')") == 0
+    assert one("parseReadableSizeOrNull('3 GiB')") == 3 * 1024 ** 3
+    assert one("decodeURLFormComponent('a+b%20c')") == "a b c"
+    assert one("toIPv4OrNull('1.2.3.4')") == 16909060
+    assert one("toIPv4OrNull('999.2.3.4')") is None
+    assert one("IPv4StringToNumOrDefault('bad', 7)") == 7
+    for bad, msg in [
+        ("toIPv6(s)", "binaries"),
+        ("IPv6StringToNumOrNull(s)", "binaries"),
+        ("toUInt256OrZero(s)", "tier"),
+        ("structureToProtobufSchema(s)", "serializer"),
+    ]:
+        with pytest.raises(DialectError, match=msg):
+            transpile(f"SELECT {bad} FROM t")

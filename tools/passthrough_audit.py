@@ -402,6 +402,27 @@ CANDIDATES = [
     "bin(x)", "unbin(s)", "extractTextFromHTML(s)",
     "printf('%s=%d', s, x)", "repeat(s, 2)",
     "minSampleSizeConversion(0.1, 0.02, 0.8, 0.05)",
+    # r11 audit batch 13: defensive-cast family, field-change date
+    # surgery, string byte stats, readable-size parse, IPv4/IPv6
+    # guarded forms, misc aliases
+    "toUInt8OrZero(s)", "toUInt8OrZero('300')", "toUInt32OrNull(s)",
+    "toInt64OrZero(s)", "toFloat64OrZero(s)", "toDateOrNull(s)",
+    "toDateTimeOrZero(s)", "toDate32OrZero(s)",
+    "toDecimal64OrNull(s, 2)", "toUInt32OrDefault(s, 7)",
+    "toUInt64OrZero(s)", "toUInt256OrZero(s)",
+    "toIPv4OrNull('1.2.3.4')", "IPv4StringToNumOrZero(s)",
+    "IPv4StringToNumOrDefault(s, 7)", "toIPv6(s)",
+    "IPv6StringToNumOrNull(s)",
+    "changeYear(ts, 2020)", "changeMonth(ts, 2)", "changeDay(ts, 31)",
+    "changeHour(ts, 23)", "changeMinute(ts, 5)", "changeSecond(ts, 6)",
+    "mid(s, 2, 3)", "firstLine(s)",
+    "stringBytesUniq(s)", "stringBytesEntropy(s)",
+    "visibleWidth(s)",
+    "parseReadableSize('1 KiB')", "parseReadableSizeOrNull(s)",
+    "parseReadableSizeOrZero(s)",
+    "decodeURLFormComponent(s)",
+    "structureToProtobufSchema(s)",
+    "overlay(s, 'XX', 2)", "isnull(x)", "isNotNull(x)", "version()",
 ]
 
 
