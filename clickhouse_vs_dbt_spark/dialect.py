@@ -5805,6 +5805,16 @@ def _weighted_exact_quantile(v: str, w: str, p: str) -> str:
 
 def _render_parametric(name: str, params: list[str], args: list[str]) -> str:
     """CH parametric aggregates: ``fn(params)(args)``."""
+    if name == "groupConcat" and len(params) == 1 and len(args) in (
+        1, 2,
+    ):
+        # parametric separator spelling groupConcat(sep)(x[, limit])
+        if len(args) == 2:
+            return (
+                f"array_join(slice(collect_list({args[0]}), 1, "
+                f"{args[1]}), {params[0]})"
+            )
+        return f"array_join(collect_list({args[0]}), {params[0]})"
     if name in (
         "quantileExactWeighted", "quantilesExactWeighted",
         "medianExactWeighted",
@@ -6263,6 +6273,7 @@ def _render_parametric(name: str, params: list[str], args: list[str]) -> str:
 
 
 _PARAMETRIC = {
+    "groupConcat",
     "quantileExactWeighted",
     "quantilesExactWeighted",
     "medianExactWeighted",

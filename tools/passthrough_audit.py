@@ -423,6 +423,8 @@ CANDIDATES = [
     "decodeURLFormComponent(s)",
     "structureToProtobufSchema(s)",
     "overlay(s, 'XX', 2)", "isnull(x)", "isNotNull(x)", "version()",
+    "groupConcat(', ')(s)", "groupConcat('-')(s, 2)", "groupConcat(s)",
+    "sumOrNull(x)", "uniqExactOrNull(x)", "anyRespectNulls(x)",
 ]
 
 
