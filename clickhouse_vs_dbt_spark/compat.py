@@ -544,11 +544,23 @@ def _register_vectorized(spark: SparkSession) -> None:
         except Exception as exc:
             raise ValueError(f"base32Decode: invalid input: {exc}")
 
+    def _b32trydec(s: str) -> str | None:
+        import base64 as _b64
+
+        try:
+            return _b64.b32decode(s.encode("ascii")).decode("utf-8")
+        except Exception:
+            return None
+
     spark.udf.register(
         "ch_base32_encode", pandas_udf("string")(_unary_str(_b32enc))
     )
     spark.udf.register(
         "ch_base32_decode", pandas_udf("string")(_unary_str(_b32dec))
+    )
+    spark.udf.register(
+        "ch_base32_trydecode",
+        pandas_udf("string")(_unary_str(_b32trydec)),
     )
 
     def _walk_jsonpath(doc, steps: list):

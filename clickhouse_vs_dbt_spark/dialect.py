@@ -2134,7 +2134,9 @@ def _render_call(name: str, args: list[str]) -> str:
     if name == "mid" and len(args) in (2, 3):
         return f"substring({joined})"
     if name == "firstLine" and len(args) == 1:
-        return f"element_at(split({args[0]}, '\\r?\\n'), 1)"
+        # CRLF, lone LF, AND lone CR all terminate a line in CH
+        # (code-review r11b)
+        return f"element_at(split({args[0]}, '\\r\\n|[\\r\\n]'), 1)"
     if name in (
         "stringBytesUniq", "stringBytesEntropy",
     ) and len(args) == 1:
@@ -2150,13 +2152,16 @@ def _render_call(name: str, args: list[str]) -> str:
         if name == "stringBytesUniq":
             body = f"size(array_distinct({arr}))"
         else:
+            # no coalesce: the empty-array fold already yields the
+            # 0.0 seed, and a NULL input must stay NULL like
+            # stringBytesUniq (code-review r11b)
             body = (
-                f"coalesce(aggregate(array_distinct({arr}), "
+                f"aggregate(array_distinct({arr}), "
                 "CAST(0 AS DOUBLE), (__ac, __d) -> __ac - "
                 f"(size(filter({arr}, __q -> __q = __d)) / "
                 f"(length(__sb) / 2)) * "
                 f"log2(size(filter({arr}, __q -> __q = __d)) / "
-                "(length(__sb) / 2))), CAST(0 AS DOUBLE))"
+                "(length(__sb) / 2)))"
             )
         return (
             f"element_at(transform(array(hex({args[0]})), "
@@ -2246,16 +2251,20 @@ def _render_call(name: str, args: list[str]) -> str:
             m = re.fullmatch(
                 r"(?is)\s*INTERVAL\s+(\d+)\s+(\w+)\s*", a
             )
+            # no WEEK: CH aligns weekly windows to MONDAY, Spark's
+            # window()/epoch arithmetic to the Thursday epoch — a
+            # silent bucket shift (code-review r11b)
             secs = {
                 "SECOND": 1, "MINUTE": 60, "HOUR": 3600,
-                "DAY": 86400, "WEEK": 604800,
+                "DAY": 86400,
             }.get(m.group(2).upper(), 0) if m else 0
             if m is None or not secs:
                 raise DialectError(
                     f"{name}: the window size must be a literal "
-                    "INTERVAL n (SECOND|MINUTE|HOUR|DAY|WEEK) — "
-                    "Spark's time windows take constant fixed-width "
-                    "durations"
+                    "INTERVAL n (SECOND|MINUTE|HOUR|DAY) — Spark's "
+                    "time windows take constant fixed-width "
+                    "durations, and WEEK would bucket from the epoch "
+                    "(Thursday) where ClickHouse aligns to Monday"
                 )
             n = int(m.group(1))
             return f"'{n} {m.group(2).lower()}'", n * secs
@@ -2279,18 +2288,17 @@ def _render_call(name: str, args: list[str]) -> str:
         if name in ("tumbleStart", "tumbleEnd"):
             # arithmetic truncation, NOT window(): Spark allows only
             # one TimeWindow expression per projection, so start/end
-            # must not consume it (the toStartOfInterval spelling)
+            # must not consume it.  pmod (always non-negative), not
+            # div: div truncates toward zero, which buckets pre-1970
+            # timestamps one window late (code-review r11b)
             _, s = _ivl(args[1])
-            start = (
-                f"timestamp_seconds(unix_timestamp({args[0]}) "
-                f"div {s} * {s})"
+            base_s = (
+                f"(unix_timestamp({args[0]}) - "
+                f"pmod(unix_timestamp({args[0]}), {s}))"
             )
             if name == "tumbleEnd":
-                return (
-                    f"timestamp_seconds(unix_timestamp({args[0]}) "
-                    f"div {s} * {s} + {s})"
-                )
-            return start
+                return f"timestamp_seconds({base_s} + {s})"
+            return f"timestamp_seconds({base_s})"
         # CH hop(time, hop_interval, window_interval) ↔ Spark
         # window(time, windowDuration, slideDuration)
         return (
@@ -2305,11 +2313,17 @@ def _render_call(name: str, args: list[str]) -> str:
             )
         pn = re.escape(p.strip()[1:-1]).replace("\\", "\\\\")
         # drop 'name=value' (or bare 'name') plus ONE separator, then
-        # tidy a dangling '?'/'&' before the fragment or end
+        # tidy a dangling '?'/'&' — but ONLY when a removal actually
+        # happened: an input that already ends '…?' must come back
+        # unchanged like CH (code-review r11b)
+        cut = (
+            f"regexp_replace(__cu, "
+            f"'([?&]){pn}(=[^&#]*)?(&|(?=#)|$)', '$1')"
+        )
         return (
-            f"regexp_replace(regexp_replace({u}, "
-            f"'([?&]){pn}(=[^&#]*)?(&|(?=#)|$)', '$1'), "
-            "'[?&](#|$)', '$1')"
+            f"element_at(transform(array({u}), __cu -> "
+            f"CASE WHEN {cut} = __cu THEN __cu "
+            f"ELSE regexp_replace({cut}, '[?&](#|$)', '$1') END), 1)"
         )
     if name == "byteHammingDistance" and len(args) == 2:
         # positional byte mismatches over the shorter image plus the
@@ -4201,8 +4215,49 @@ def _render_call(name: str, args: list[str]) -> str:
             t, rng = f"DECIMAL({dec}, {args[1]})", None
             zero = f"CAST(0 AS {t})"
             x, dflt = args[0], args[2] if len(args) > 2 else None
+        elif base == "toDateTime64" and len(args) >= 2:
+            # CH: toDateTime64Or*(expr, SCALE[, timezone[, default]])
+            # — the scale folds into Spark's fixed micros; a non-UTC
+            # timezone refuses (session zone is pinned), and the
+            # default is the FOURTH argument, never the second
+            # (code-review r11b)
+            if len(args) >= 3 and args[2].strip().strip(
+                "'\""
+            ).upper() != "UTC":
+                raise DialectError(
+                    f"{name}: only the 'UTC' timezone form maps "
+                    "(session time zone is pinned UTC)"
+                )
+            t, rng, zero = _OR_CAST["toDateTime64"]
+            x = args[0]
+            dflt = args[3] if len(args) > 3 else None
+        elif base == "toDateTime" and len(args) == 2:
+            # CH: toDateTimeOr*(expr[, timezone[, default]]) — the
+            # 2-arg form's second argument is a TIMEZONE, not the
+            # default (code-review r11b)
+            if args[1].strip().strip("'\"").upper() != "UTC":
+                raise DialectError(
+                    f"{name}: only the 'UTC' timezone form maps "
+                    "(session time zone is pinned UTC)"
+                )
+            t, rng, zero = _OR_CAST["toDateTime"]
+            x, dflt = args[0], None
+        elif base == "toDateTime" and len(args) == 3:
+            if args[1].strip().strip("'\"").upper() != "UTC":
+                raise DialectError(
+                    f"{name}: only the 'UTC' timezone form maps "
+                    "(session time zone is pinned UTC)"
+                )
+            t, rng, zero = _OR_CAST["toDateTime"]
+            x, dflt = args[0], args[2]
         elif base in _OR_CAST and len(args) in (1, 2):
             t, rng, zero = _OR_CAST[base]
+            if len(args) == 2 and suffix != "OrDefault":
+                raise DialectError(
+                    f"{name}: the one-argument form maps — a second "
+                    "argument here is a timezone/width CH feature "
+                    "with no Spark analog"
+                )
             x, dflt = args[0], args[1] if len(args) > 1 else None
         else:
             raise DialectError(
@@ -4568,10 +4623,16 @@ def _render_call(name: str, args: list[str]) -> str:
         fn = ("ch_base58_encode" if name == "base58Encode"
               else "ch_base58_decode")
         return f"{fn}({args[0]})"
-    if name in ("base32Encode", "base32Decode") and len(args) == 1:
-        # RFC 4648 base32 (r11 batch 12): same Arrow-codec seam
-        fn = ("ch_base32_encode" if name == "base32Encode"
-              else "ch_base32_decode")
+    if name in (
+        "base32Encode", "base32Decode", "tryBase32Decode",
+    ) and len(args) == 1:
+        # RFC 4648 base32 (r11 batch 12): same Arrow-codec seam; the
+        # try form yields NULL on invalid input instead of raising
+        fn = {
+            "base32Encode": "ch_base32_encode",
+            "base32Decode": "ch_base32_decode",
+            "tryBase32Decode": "ch_base32_trydecode",
+        }[name]
         return f"{fn}({args[0]})"
     if name in (
         "base64URLEncode", "base64UrlEncode",
@@ -4603,12 +4664,19 @@ def _render_call(name: str, args: list[str]) -> str:
             "to read bit strings back"
         )
     if name == "bitPositionsToArray" and len(args) == 1:
-        # ascending 0-based positions of set bits over the 64-bit
-        # image (negative BIGINTs = the high bits, two's complement)
+        # ascending 0-based positions of set bits.  NEGATIVE inputs
+        # refuse at runtime: their bit image is width-dependent
+        # (toInt8(-1) has 8 set bits in CH, 64 here) — the same
+        # erased-width hazard that keeps bin/unbin refused
+        # (code-review r11b)
         return (
-            f"filter(sequence(0, 63), __bp -> "
+            f"(CASE WHEN ({args[0]}) < 0 THEN "
+            "raise_error('bitPositionsToArray: a negative value''s "
+            "bit image depends on the source width Spark has erased "
+            "— mask to the width first (bitAnd(x, 255) for Int8)') "
+            f"ELSE filter(sequence(0, 63), __bp -> "
             f"(shiftrightunsigned(CAST({args[0]} AS BIGINT), __bp) "
-            "& 1) = 1)"
+            "& 1) = 1) END)"
         )
     if name == "extractTextFromHTML":
         raise DialectError(
@@ -5805,14 +5873,17 @@ def _weighted_exact_quantile(v: str, w: str, p: str) -> str:
 
 def _render_parametric(name: str, params: list[str], args: list[str]) -> str:
     """CH parametric aggregates: ``fn(params)(args)``."""
-    if name == "groupConcat" and len(params) == 1 and len(args) in (
-        1, 2,
-    ):
-        # parametric separator spelling groupConcat(sep)(x[, limit])
-        if len(args) == 2:
+    if name == "groupConcat" and len(params) in (1, 2) and len(
+        args
+    ) == 1:
+        # CH parametric spelling groupConcat(sep[, limit])(x) —
+        # delimiter and limit are both PARAMETERS, the aggregate is
+        # unary (code-review r11b: the first cut invented a
+        # (sep)(x, limit) form CH rejects)
+        if len(params) == 2:
             return (
                 f"array_join(slice(collect_list({args[0]}), 1, "
-                f"{args[1]}), {params[0]})"
+                f"{params[1]}), {params[0]})"
             )
         return f"array_join(collect_list({args[0]}), {params[0]})"
     if name in (
@@ -12273,7 +12344,8 @@ def q_dialect_any_join_on(spark: SparkSession, sf_dir: str) -> DataFrame:
 #      exploded via ARRAY JOIN at the gate boundary so every output
 #      column is scalar (driver canonicalizer, CORRECTNESS_r05).
 _CH_COMBINATORS2 = """
-SELECT cohort, sa, mna, mxa, ca, aa, sd, cn, mk, mv
+SELECT cohort, sa, mna, mxa, ca, aa, sd, cn, mk,
+       toFloat64(mv) / 100 AS mv
 FROM (
   SELECT user_id % 10 AS cohort,
          sumArray([toFloat64(user_id % 3), toFloat64(event_id % 5)]) AS sa,
@@ -12283,12 +12355,16 @@ FROM (
          avgArray([toFloat64(event_id % 7)]) AS aa,
          sumDistinct(user_id % 7) AS sd,
          countOrNull(CASE WHEN value > 1000 THEN 1 END) AS cn,
-         sumMap([event_type], [value]) AS sm
+         sumMap([event_type], [toInt64(round(value * 100))]) AS sm
   FROM events
   GROUP BY cohort
 )
 ARRAY JOIN (sm).keys AS mk, (sm).values AS mv
 """
+# mv accumulates exact integer CENTS (value carries 2 decimals — the
+# operators/stats.py weighted-median contract) so the per-key sums
+# are associative and partition-order-free; a plain double sumMap
+# diverged from DuckDB in the 7th significant digit at sf0.1 (r11).
 
 O_COMBINATORS2 = """
 WITH scalars AS (
@@ -12303,7 +12379,9 @@ WITH scalars AS (
          NULLIF(COUNT(CASE WHEN value > 1000 THEN 1 END), 0) AS cn
   FROM events GROUP BY 1),
 per_key AS (
-  SELECT user_id % 10 AS cohort, event_type AS mk, SUM(value) AS mv
+  SELECT user_id % 10 AS cohort, event_type AS mk,
+         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+           / 100 AS mv
   FROM events GROUP BY 1, 2)
 SELECT s.cohort, s.sa, s.mna, s.mxa, s.ca, s.aa, s.sd, s.cn,
        p.mk, p.mv

@@ -273,14 +273,17 @@ def _centroid_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     flat = e.select(
         "label", F.posexplode("embedding").alias("pos", "component")
     )
+    # tie-free 6-decimal quantization: floor(x·10⁶ + 0.5)/10⁶ over the
+    # IDENTICAL double both engines compute (exact decimal sum ÷
+    # count) — round(x, 6) differs between Spark (BigDecimal HALF_UP
+    # on the binary expansion) and DuckDB exactly at tie boundaries,
+    # which one sf0.1 (label, pos) cell hit (r11)
+    mean = (
+        F.sum(F.col("component").cast("double").cast(DEC)).cast("double")
+        / F.count("component")
+    )
     return flat.groupBy("label", "pos").agg(
-        F.round(
-            (
-                F.sum(F.col("component").cast("double").cast(DEC)).cast("double")
-                / F.count("component")
-            ),
-            6,
-        ).alias("c"),
+        (F.floor(mean * 1e6 + F.lit(0.5)) / 1e6).alias("c"),
         F.count("component").alias("n"),
     )
 
@@ -325,8 +328,8 @@ WITH flat AS (
   SELECT label, pos - 1 AS pos, embedding[pos] AS component
   FROM embeddings, generate_series(1, {EMBED_DIM}) AS t(pos))
 SELECT label, pos,
-       round(CAST(SUM(CAST(CAST(component AS DOUBLE) AS DECIMAL(18,6))) AS DOUBLE)
-             / COUNT(component), 6) AS c,
+       floor(CAST(SUM(CAST(CAST(component AS DOUBLE) AS DECIMAL(18,6))) AS DOUBLE)
+             / COUNT(component) * 1e6 + 0.5) / 1e6 AS c,
        COUNT(component) AS n_vectors
 FROM flat GROUP BY label, pos
 ORDER BY label, pos

@@ -4991,7 +4991,11 @@ def test_r11_scalar_batch12(spark):
         "base64URLDecode(base64UrlEncode('hi there?&x=1'))"
     ) == "hi there?&x=1"
     assert one("bitPositionsToArray(11)") == [0, 1, 3]
-    assert len(one("bitPositionsToArray(-1)")) == 64
+    # negative values: the bit image is width-dependent (erased here)
+    # — loud runtime refusal, the bin/unbin contract (review r11b)
+    with pytest.raises(Exception, match="source width"):
+        one("bitPositionsToArray(-1)")
+    assert one("bitPositionsToArray(bitAnd(-1, 255))") == list(range(8))
     spark.sql(
         "CREATE OR REPLACE TEMP VIEW tt1_t AS "
         "SELECT CAST(id % 7 AS DOUBLE) AS v FROM range(200)"
@@ -5066,3 +5070,60 @@ def test_r11_scalar_batch13(spark):
     ]:
         with pytest.raises(DialectError, match=msg):
             transpile(f"SELECT {bad} FROM t")
+
+
+def test_r11b_review_fixes(spark):
+    """Second code-review pass (r11b): CH argument semantics and edge
+    contracts in the batch 11-13 additions."""
+    register_clickhouse_compat(spark)
+    one = lambda e: spark.sql(  # noqa: E731
+        transpile(f"SELECT {e} AS v")
+    ).collect()[0].v
+    # groupConcat: delimiter AND limit are PARAMETERS (CH spelling)
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW gc_t AS "
+        "SELECT concat('v', id) AS s FROM range(4)"
+    )
+    got = spark.sql(transpile(
+        "SELECT groupConcat(', ', 2)(s) AS a, groupConcat(', ')(s) "
+        "AS b FROM gc_t"
+    )).collect()[0]
+    assert got.a == "v0, v1" and got.b == "v0, v1, v2, v3"
+    # toDateTime Or* second arg is a TIMEZONE, never the default
+    assert one("toDateTimeOrDefault('bad', 'UTC')") == __import__(
+        "datetime"
+    ).datetime(1970, 1, 1)
+    with pytest.raises(DialectError, match="UTC"):
+        transpile("SELECT toDateTimeOrNull(s, 'Asia/Tokyo') FROM t")
+    # toDateTime64 Or*: (expr, scale[, tz[, default]])
+    assert one("toDateTime64OrZero('bad', 3)") == __import__(
+        "datetime"
+    ).datetime(1970, 1, 1)
+    # tumble WEEK refuses (Monday-vs-epoch alignment)
+    with pytest.raises(DialectError, match="Monday"):
+        transpile("SELECT tumble(ts, INTERVAL 1 WEEK) FROM t")
+    # tumbleStart floors (never truncates toward zero) pre-epoch
+    pre = one(
+        "tumbleStart(toDateTime('1969-12-31 23:30:00'), "
+        "INTERVAL 1 HOUR)"
+    )
+    assert str(pre).startswith("1969-12-31 23:00")
+    # firstLine: lone \r terminates too
+    assert one(r"firstLine('a\rb')") == "a"
+    # entropy of NULL stays NULL (uniq/entropy agree)
+    assert one("stringBytesEntropy(CAST(NULL AS STRING))") is None
+    assert one("stringBytesUniq(CAST(NULL AS STRING))") is None
+    # cutURLParameter: no-op inputs come back byte-identical
+    assert one(
+        "cutURLParameter('http://x/a?', 'q')"
+    ) == "http://x/a?"
+    assert one(
+        "cutURLParameter('http://x/a?b=1&#f', 'q')"
+    ) == "http://x/a?b=1&#f"
+    # tryBase32Decode: NULL on invalid, value on valid
+    assert one("tryBase32Decode('JBSWY3DP')") == "Hello"
+    assert one("tryBase32Decode('!!bad!!')") is None
+    # OrZero/OrNull reject a stray second argument instead of
+    # silently ignoring it
+    with pytest.raises(DialectError, match="one-argument"):
+        transpile("SELECT toUInt32OrZero(s, 7) FROM t")

@@ -397,7 +397,8 @@ CANDIDATES = [
     "base64URLEncode(s)", "base64UrlEncode(s)",
     "base64URLDecode(base64URLEncode(s))",
     "tryBase64URLDecode(base64URLEncode(s))",
-    "bitPositionsToArray(x)", "bitPositionsToArray(x - 4)",
+    "bitPositionsToArray(x)", "bitPositionsToArray(bitAnd(x - 4, 255))",
+
     "studentTTestOneSample(v, 0.5)",
     "bin(x)", "unbin(s)", "extractTextFromHTML(s)",
     "printf('%s=%d', s, x)", "repeat(s, 2)",
@@ -423,8 +424,17 @@ CANDIDATES = [
     "decodeURLFormComponent(s)",
     "structureToProtobufSchema(s)",
     "overlay(s, 'XX', 2)", "isnull(x)", "isNotNull(x)", "version()",
-    "groupConcat(', ')(s)", "groupConcat('-')(s, 2)", "groupConcat(s)",
+    "groupConcat(', ')(s)", "groupConcat('-', 2)(s)", "groupConcat(s)",
     "sumOrNull(x)", "uniqExactOrNull(x)", "anyRespectNulls(x)",
+    # r11b code-review follow-ups
+    "tryBase32Decode('JBSWY3DP')", "tryBase32Decode('!!bad!!')",
+    "toDateTimeOrDefault(s, 'UTC')", "toDateTimeOrDefault(s, 'UTC', ts)",
+    "toDateTime64OrZero(s, 3)", "toDateTime64OrDefault(s, 3, 'UTC', ts)",
+    "toDateTimeOrNull(s, 'Asia/Tokyo')",
+    "tumble(ts, INTERVAL 1 WEEK)",
+    "groupConcat(', ', 2)(s)",
+    "cutURLParameter('http://x/a?', 'q')",
+    "firstLine(s)",
 ]
 
 
