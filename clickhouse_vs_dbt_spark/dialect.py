@@ -5854,8 +5854,13 @@ def _weighted_exact_quantile(v: str, w: str, p: str) -> str:
     collect (the documented collect-class), then a row-local fold."""
     return (
         "element_at(transform(array(array_sort(collect_list("
+        # NULL values/weights are SKIPPED like every CH aggregate —
+        # collect_list drops NULL entries, so the CASE masks the whole
+        # struct when either side is NULL (code-review r11b: NULL
+        # structs inflated Σw and shifted the threshold)
+        f"CASE WHEN ({v}) IS NOT NULL AND ({w}) IS NOT NULL THEN "
         f"named_struct('v', CAST({v} AS DOUBLE), "
-        f"'w', CAST({w} AS DOUBLE))))), "
+        f"'w', CAST({w} AS DOUBLE)) END))), "
         "__qw -> aggregate(__qw, "
         "named_struct('acc', CAST(0 AS DOUBLE), "
         "'res', CAST(NULL AS DOUBLE), "

@@ -5123,6 +5123,15 @@ def test_r11b_review_fixes(spark):
     # tryBase32Decode: NULL on invalid, value on valid
     assert one("tryBase32Decode('JBSWY3DP')") == "Hello"
     assert one("tryBase32Decode('!!bad!!')") is None
+    # weighted quantiles skip NULL values/weights like CH aggregates
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW wqn_t AS SELECT * FROM VALUES "
+        "(CAST(NULL AS DOUBLE), 1.0), (1.0, 1.0), (2.0, 1.0), "
+        "(3.0, 1.0) AS t(v, w)"
+    )
+    assert spark.sql(transpile(
+        "SELECT medianExactWeighted(v, w) AS m FROM wqn_t"
+    )).collect()[0].m == 2.0
     # OrZero/OrNull reject a stray second argument instead of
     # silently ignoring it
     with pytest.raises(DialectError, match="one-argument"):
