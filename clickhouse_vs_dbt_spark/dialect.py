@@ -1574,12 +1574,26 @@ def _render_call(name: str, args: list[str]) -> str:
     if name in (
         "cityHash64", "sipHash64", "farmHash64", "metroHash64",
         "farmFingerprint64", "halfMD5", "xxHash64", "wyHash64",
+        "intHash64", "murmurHash2_64", "murmurHash3_64",
+        "gccMurmurHash", "kafkaMurmurHash",
     ) and args:
         # role parity, not bit parity: stable 64-bit bucketing hash
         # within THIS engine (xxhash64/seed-42).  Values differ from
         # ClickHouse's — re-derive persisted hashes on migration
         # (MIGRATION.md).
         return f"xxhash64({joined})"
+    if name in (
+        "intHash32", "murmurHash2_32", "murmurHash3_32",
+    ) and args:
+        # 32-bit tier of the same role-parity family
+        return f"(xxhash64({joined}) & 4294967295)"
+    if name == "murmurHash3_128" and args:
+        # 128-bit fingerprint role → md5 binary (the sipHash128 seam)
+        inner = (
+            args[0] if len(args) == 1
+            else f"concat_ws(char(1), {joined})"
+        )
+        return f"unhex(md5({inner}))"
     if name == "sipHash128" and args:
         # 128-bit fingerprint role → the md5 digest (binary, same
         # width); same role-parity caveat as the 64-bit family
@@ -2099,6 +2113,201 @@ def _render_call(name: str, args: list[str]) -> str:
             "O(n·m) DP register — levenshteinDistance transpiles for "
             "strings; for arrays compare via arrayJaccardIndex or "
             "spell the DP with aggregate()"
+        )
+    # --- r11 audit batch 14: numeric datestamps, case-insensitive
+    #     search variants, MJD guards, geo angle, random strings ---
+    if name == "toYYYYMMDD" and len(args) == 1:
+        return f"CAST(date_format({args[0]}, 'yyyyMMdd') AS BIGINT)"
+    if name == "toYYYYMMDDhhmmss" and len(args) == 1:
+        return (
+            f"CAST(date_format({args[0]}, 'yyyyMMddHHmmss') AS BIGINT)"
+        )
+    if name in (
+        "multiSearchAnyCaseInsensitive",
+        "multiSearchFirstIndexCaseInsensitive",
+        "multiSearchFirstPositionCaseInsensitive",
+        "multiSearchAllPositionsCaseInsensitive",
+    ) and len(args) == 2:
+        # lowercase both sides and delegate to the mapped base form
+        base = name[: -len("CaseInsensitive")]
+        return _render_call(
+            base,
+            [f"lower({args[0]})",
+             f"transform({args[1]}, __ci -> lower(__ci))"],
+        )
+    if name == "hasTokenCaseInsensitive" and len(args) == 2:
+        lo = args[1]
+        if lo.strip()[:1] in "'\"":
+            lo = lo.strip()[:1] + lo.strip()[1:-1].lower() + lo.strip()[-1:]
+        return _render_call("hasToken", [f"lower({args[0]})", lo])
+    if name in ("hasTokenOrNull", "hasTokenCaseInsensitiveOrNull") \
+            and len(args) == 2:
+        # CH: NULL when the needle is not a single token (contains
+        # separators) — decidable at transpile time for the literal
+        # needles the base form requires
+        tok = args[1].strip()
+        if tok[:1] in "'\"" and not re.fullmatch(
+            r"[0-9A-Za-z_]+", tok[1:-1]
+        ):
+            return "CAST(NULL AS BOOLEAN)"
+        return _render_call(name.removesuffix("OrNull"), args)
+    if name == "countMatchesCaseInsensitive" and len(args) == 2 and (
+        args[1].strip()[:1] in "'\""
+    ):
+        pat = args[1].strip()
+        return (
+            f"regexp_count({args[0]}, "
+            f"{pat[0]}(?i){pat[1:-1]}{pat[-1]})"
+        )
+    if name == "fromModifiedJulianDayOrNull" and len(args) == 1:
+        # CH's supported MJD range; outside it the plain form throws
+        # and OrNull yields NULL
+        return (
+            f"(CASE WHEN ({args[0]}) BETWEEN -678941 AND 2973119 "
+            f"THEN date_add(DATE'1858-11-17', "
+            f"CAST({args[0]} AS INT)) END)"
+        )
+    if name == "toModifiedJulianDayOrNull" and len(args) == 1:
+        return (
+            f"datediff(TRY_CAST({args[0]} AS DATE), DATE'1858-11-17')"
+        )
+    if name == "greatCircleAngle" and len(args) == 4:
+        # central angle in DEGREES: the distance expression divided by
+        # CH's sphere radius, converted from radians
+        dist = _render_call("greatCircleDistance", args)
+        return f"(degrees(({dist}) / 6372797.560856))"
+    if name == "randomPrintableASCII" and len(args) == 1:
+        # n independent uniform chars from the 95 printable ASCII
+        # codes (32..126), like CH
+        return (
+            f"array_join(transform(sequence(1, CAST({args[0]} AS "
+            "INT)), __rp -> char(32 + CAST(floor(rand() * 95) AS "
+            "INT))), '')"
+        )
+    if name in ("randomString", "randomStringUTF8"):
+        raise DialectError(
+            f"{name}: random BYTE/codepoint strings are not valid "
+            "Spark UTF-8 strings — randomPrintableASCII(n) transpiles"
+        )
+    if name == "randConstant":
+        raise DialectError(
+            "randConstant: per-BLOCK constants are a CH execution "
+            "detail — rand() (per row) transpiles; for one value per "
+            "query compute it in the driver and inline it"
+        )
+    if name in (
+        "generateRandomStructure", "revision",
+        "zookeeperSessionUptime", "FQDN",
+    ):
+        # hostName/uptime/blockNumber… already refuse below
+        raise DialectError(
+            f"{name}: ClickHouse server introspection — read Spark "
+            "application state through the SparkContext, not SQL"
+        )
+    if name in (
+        "pointInPolygon", "pointInEllipses", "polygonAreaCartesian",
+        "polygonsIntersectionCartesian", "readWKTPoint",
+        "readWKTPolygon",
+    ):
+        raise DialectError(
+            f"{name}: polygon geometry needs a geo library register "
+            "— greatCircleDistance/geoDistance/greatCircleAngle "
+            "transpile for point math"
+        )
+    if name == "geohashEncode" and len(args) in (2, 3):
+        # public geohash algorithm (the hilbertEncode precedent): 5
+        # bits per character, longitude first, interval halving — one
+        # codegen fold building the ≤60-bit code, then base32 chars.
+        # Precision must be a literal (it sizes the fold).
+        p_tok = args[2].strip() if len(args) == 3 else "12"
+        if not re.fullmatch(r"\d+", p_tok) or not (
+            1 <= int(p_tok) <= 12
+        ):
+            raise DialectError(
+                "geohashEncode: precision must be a literal 1-12"
+            )
+        p = int(p_tok)
+        lon, lat = args[0], args[1]
+
+        def half(axis_lo, axis_hi, v, one):
+            mid = f"(__g.{axis_lo} + __g.{axis_hi}) / 2"
+            keep = {
+                "alo": "__g.alo", "ahi": "__g.ahi",
+                "blo": "__g.blo", "bhi": "__g.bhi",
+            }
+            hi_side = dict(keep, **{axis_lo: mid})
+            lo_side = dict(keep, **{axis_hi: mid})
+            mk = lambda d, c: (  # noqa: E731
+                "named_struct("
+                + ", ".join(f"'{k}', {v_}" for k, v_ in d.items())
+                + f", 'c', __g.c * 2 + {c})"
+            )
+            return (
+                f"(CASE WHEN ({v}) >= {mid} THEN {mk(hi_side, 1)} "
+                f"ELSE {mk(lo_side, 0)} END)"
+            )
+
+        lam = (
+            "(__g, __i) -> CASE WHEN __i % 2 = 0 THEN "
+            + half("alo", "ahi", lon, 1)
+            + " ELSE " + half("blo", "bhi", lat, 1) + " END"
+        )
+        st0 = (
+            "named_struct('alo', CAST(-180 AS DOUBLE), "
+            "'ahi', CAST(180 AS DOUBLE), "
+            "'blo', CAST(-90 AS DOUBLE), 'bhi', CAST(90 AS DOUBLE), "
+            "'c', CAST(0 AS BIGINT))"
+        )
+        fin = (
+            f"__g -> array_join(transform(sequence(1, {p}), __j -> "
+            "substr('0123456789bcdefghjkmnpqrstuvwxyz', "
+            f"CAST((shiftrightunsigned(__g.c, 5 * ({p} - __j)) & 31) "
+            "+ 1 AS INT), 1)), '')"
+        )
+        return f"aggregate(sequence(0, {5 * p - 1}), {st0}, {lam}, {fin})"
+    if name == "geohashDecode" and len(args) == 1:
+        # inverse fold: chars → 5-bit groups → interval halving; the
+        # cell CENTER comes back as ('longitude', 'latitude').
+        # Invalid characters or >12 chars raise at runtime (CH throws
+        # too) — never a silently wrong coordinate.
+        s = args[0]
+        code = (
+            "aggregate(sequence(1, length(__gs)), CAST(0 AS BIGINT), "
+            "(__c, __j) -> __c * 32 + "
+            "(instr('0123456789bcdefghjkmnpqrstuvwxyz', "
+            "substr(__gs, __j, 1)) - 1))"
+        )
+        body = (
+            "aggregate(sequence(0, 5 * length(__gs) - 1), "
+            "named_struct('alo', CAST(-180 AS DOUBLE), "
+            "'ahi', CAST(180 AS DOUBLE), 'blo', CAST(-90 AS DOUBLE), "
+            "'bhi', CAST(90 AS DOUBLE)), "
+            "(__g, __i) -> CASE WHEN __i % 2 = 0 THEN "
+            f"(CASE WHEN (shiftrightunsigned({code}, "
+            "5 * length(__gs) - 1 - __i) & 1) = 1 THEN "
+            "named_struct('alo', (__g.alo + __g.ahi) / 2, "
+            "'ahi', __g.ahi, 'blo', __g.blo, 'bhi', __g.bhi) "
+            "ELSE named_struct('alo', __g.alo, "
+            "'ahi', (__g.alo + __g.ahi) / 2, 'blo', __g.blo, "
+            "'bhi', __g.bhi) END) "
+            f"ELSE (CASE WHEN (shiftrightunsigned({code}, "
+            "5 * length(__gs) - 1 - __i) & 1) = 1 THEN "
+            "named_struct('alo', __g.alo, 'ahi', __g.ahi, "
+            "'blo', (__g.blo + __g.bhi) / 2, 'bhi', __g.bhi) "
+            "ELSE named_struct('alo', __g.alo, 'ahi', __g.ahi, "
+            "'blo', __g.blo, 'bhi', (__g.blo + __g.bhi) / 2) END) "
+            "END, "
+            "__g -> named_struct("
+            "'longitude', (__g.alo + __g.ahi) / 2, "
+            "'latitude', (__g.blo + __g.bhi) / 2))"
+        )
+        return (
+            f"element_at(transform(array(lower({s})), __gs -> "
+            "CASE WHEN length(__gs) BETWEEN 1 AND 12 AND "
+            "regexp_like(__gs, "
+            "'^[0-9bcdefghjkmnpqrstuvwxyz]+$') "
+            f"THEN {body} ELSE raise_error(concat('geohashDecode: "
+            "invalid geohash: ', __gs)) END), 1)"
         )
     # --- r11 audit batch 13: field-change date surgery, string
     #     byte stats, readable-size parse, misc aliases ---

@@ -5136,3 +5136,67 @@ def test_r11b_review_fixes(spark):
     # silently ignoring it
     with pytest.raises(DialectError, match="one-argument"):
         transpile("SELECT toUInt32OrZero(s, 7) FROM t")
+
+
+def test_r11_scalar_batch14(spark):
+    """r11 audit batch 14: numeric datestamps, case-insensitive
+    search variants, MJD guards, geohash folds, the hash role-parity
+    widening, and the random-string / geometry walls."""
+    one = lambda e: spark.sql(  # noqa: E731
+        transpile(f"SELECT {e} AS v")
+    ).collect()[0].v
+    assert one(
+        "toYYYYMMDD(toDateTime('2024-03-15 10:30:45'))"
+    ) == 20240315
+    assert one(
+        "toYYYYMMDDhhmmss(toDateTime('2024-03-15 10:30:45'))"
+    ) == 20240315103045
+    assert one(
+        "multiSearchAnyCaseInsensitive('Hello World', ['WORLD'])"
+    ) is True
+    assert one(
+        "multiSearchFirstIndexCaseInsensitive('Hello World', "
+        "['x', 'WORLD'])"
+    ) == 2
+    assert one(
+        "hasTokenCaseInsensitive('Hello World', 'HELLO')"
+    ) is True
+    assert one("hasTokenOrNull('Hello World', 'bad token')") is None
+    assert one("hasTokenOrNull('Hello World', 'World')") is True
+    assert one("countMatchesCaseInsensitive('Hello', 'L+')") == 1
+    assert str(one("fromModifiedJulianDayOrNull(50000)")) == (
+        "1995-10-10"
+    )
+    assert one("fromModifiedJulianDayOrNull(99999999)") is None
+    assert one("toModifiedJulianDayOrNull('2024-03-15')") == 60384
+    assert one("toModifiedJulianDayOrNull('zz')") is None
+    assert abs(one("greatCircleAngle(0, 0, 0, 1)") - 1.0) < 0.01
+    assert len(one("randomPrintableASCII(7)")) == 7
+    assert 0 <= one("intHash32(7)") < 2 ** 32
+    # geohash: the classic (lon -5.6, lat 42.6) → 'ezs42' pin plus an
+    # in-engine decode∘encode roundtrip over a world grid
+    assert one("geohashEncode(-5.6, 42.6, 5)") == "ezs42"
+    d = one("geohashDecode('ezs42')")
+    assert abs(d.longitude + 5.6) < 0.03 and abs(d.latitude - 42.6) < 0.03
+    bad = spark.sql(transpile(
+        "SELECT count() AS n FROM ("
+        "  SELECT number % 36 * 10 - 175.0 AS lon, "
+        "  intDiv(number, 36) % 18 * 10 - 85.0 AS lat "
+        "  FROM numbers(648)) "
+        "WHERE abs(tupleElement(geohashDecode(geohashEncode(lon, "
+        "lat, 12)), 'longitude') - lon) > 1e-6 "
+        "OR abs(tupleElement(geohashDecode(geohashEncode(lon, lat, "
+        "12)), 'latitude') - lat) > 1e-6"
+    )).collect()[0].n
+    assert bad == 0
+    with pytest.raises(Exception, match="invalid geohash"):
+        one("geohashDecode('!!')")
+    for bad_e, msg in [
+        ("geohashEncode(1.0, 2.0, p)", "literal"),
+        ("randomString(5)", "randomPrintableASCII"),
+        ("randConstant()", "per-BLOCK"),
+        ("pointInPolygon((0,0), [(0,0)])", "geo library"),
+        ("revision()", "introspection"),
+    ]:
+        with pytest.raises(DialectError, match=msg):
+            transpile(f"SELECT {bad_e} FROM t")

@@ -435,6 +435,28 @@ CANDIDATES = [
     "groupConcat(', ', 2)(s)",
     "cutURLParameter('http://x/a?', 'q')",
     "firstLine(s)",
+    # r11 audit batch 14: numeric datestamps, CI search variants, MJD
+    # guards, geohash, hash role-parity widening, random/geo walls
+    "toYYYYMMDD(ts)", "toYYYYMMDDhhmmss(ts)",
+    "multiSearchAnyCaseInsensitive(s, ['WORLD'])",
+    "multiSearchFirstIndexCaseInsensitive(s, ['x', 'WORLD'])",
+    "multiSearchFirstPositionCaseInsensitive(s, ['WORLD'])",
+    "multiSearchAllPositionsCaseInsensitive(s, ['WORLD'])",
+    "hasTokenCaseInsensitive(s, 'HELLO')",
+    "hasTokenOrNull(s, 'bad token')", "hasTokenOrNull(s, 'World')",
+    "countMatchesCaseInsensitive(s, 'L+')",
+    "fromModifiedJulianDayOrNull(x)",
+    "toModifiedJulianDayOrNull(s)",
+    "greatCircleAngle(0, 0, 1, 1)",
+    "geohashEncode(13.36, 38.11, 8)", "geohashEncode(13.36, 38.11)",
+    "geohashDecode('ezs42')",
+    "randomPrintableASCII(5)", "randomString(5)", "randConstant()",
+    "intHash32(x)", "intHash64(x)", "murmurHash2_32(s)",
+    "murmurHash2_64(s)", "murmurHash3_32(s)", "murmurHash3_64(s)",
+    "murmurHash3_128(s)", "gccMurmurHash(s)", "kafkaMurmurHash(s)",
+    "pointInPolygon((0, 0), [(0, 0), (1, 0), (0, 1)])",
+    "generateRandomStructure(3)", "revision()",
+    "instr(s, 'l')", "nullIf(x, 0)", "ifNull(x, 0)",
 ]
 
 
