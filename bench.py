@@ -257,6 +257,7 @@ HEADLINE = [
     "dialect_hilbert",
     "dialect_weighted_quantiles",
     "dialect_tumble",
+    "dialect_probe19",
 ]
 
 

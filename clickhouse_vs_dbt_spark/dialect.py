@@ -15794,6 +15794,67 @@ def q_dialect_tumble(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_clickhouse_sql(spark, _CH_TUMBLE, sf_dir, ("events",))
 
 
+# 36 (r11). audit batches 13-14 value gate: defensive casts (digit
+#     parse, letter → 0), numeric datestamps, saturating date-field
+#     surgery, firstLine, byte hamming (DuckDB's native hamming is
+#     the independent spelling), mid, readable-size parse, literal
+#     tuple hamming, set-bit positions — all per-row over orders.
+_CH_PROBE19 = """
+SELECT o_orderkey AS k,
+       toYYYYMMDD(o_orderdate) AS ymd,
+       toUInt32OrZero(substring(o_orderpriority, 1, 1)) AS pz,
+       toUInt32OrZero(o_orderstatus) AS sz,
+       toInt64OrNull(concat('1', toString(o_orderkey % 100))) AS pn,
+       toDate(changeDay(o_orderdate, 15)) AS cd,
+       toDate(changeMonth(o_orderdate, 2)) AS cm,
+       firstLine(concat(o_orderstatus, '\\n', o_orderpriority)) AS fl,
+       byteHammingDistance(substring(o_orderpriority, 1, 5),
+                           lpad(toString(o_orderkey % 1000), 5, '0'))
+           AS bh,
+       mid(o_orderpriority, 2, 5) AS md,
+       parseReadableSize(concat(toString(o_orderkey % 50 + 1),
+                                ' KiB')) AS prs,
+       tupleHammingDistance((o_orderkey % 2, o_orderkey % 3),
+                            (0, 0)) AS thd,
+       arrayStringConcat(arrayMap(x -> toString(x),
+           bitPositionsToArray(o_orderkey % 256)), ',') AS bp
+FROM orders WHERE o_orderkey <= 500 ORDER BY k
+"""
+
+O_PROBE19 = """
+SELECT o_orderkey AS k,
+       CAST(strftime(o_orderdate, '%Y%m%d') AS BIGINT) AS ymd,
+       COALESCE(TRY_CAST(substring(o_orderpriority, 1, 1) AS BIGINT),
+                0) AS pz,
+       COALESCE(TRY_CAST(o_orderstatus AS BIGINT), 0) AS sz,
+       TRY_CAST(concat('1', CAST(o_orderkey % 100 AS VARCHAR))
+                AS BIGINT) AS pn,
+       CAST(o_orderdate
+            + (15 - day(o_orderdate)) * INTERVAL 1 DAY AS DATE) AS cd,
+       CAST(o_orderdate
+            + (2 - month(o_orderdate)) * INTERVAL 1 MONTH AS DATE)
+           AS cm,
+       o_orderstatus AS fl,
+       CAST(hamming(substring(o_orderpriority, 1, 5),
+                    lpad(CAST(o_orderkey % 1000 AS VARCHAR), 5, '0'))
+            AS BIGINT) AS bh,
+       substring(o_orderpriority, 2, 5) AS md,
+       CAST((o_orderkey % 50 + 1) * 1024 AS BIGINT) AS prs,
+       CAST(o_orderkey % 2 != 0 AS INT)
+           + CAST(o_orderkey % 3 != 0 AS INT) AS thd,
+       COALESCE(array_to_string(list_transform(list_filter(
+           generate_series(0, 7),
+           i -> (((o_orderkey % 256) >> i) & 1) = 1),
+           i -> CAST(i AS VARCHAR)), ','), '') AS bp
+FROM orders WHERE o_orderkey <= 500 ORDER BY k
+"""
+
+
+def q_dialect_probe19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verbatim CH batch 13-14 probe query (module doc)."""
+    return run_clickhouse_sql(spark, _CH_PROBE19, sf_dir, ("orders",))
+
+
 QUERIES = {
     "dialect_strings": q_dialect_strings,
     "ch_script_lifecycle": q_ch_script_lifecycle,
@@ -15840,6 +15901,7 @@ QUERIES = {
     "dialect_hilbert": q_dialect_hilbert,
     "dialect_weighted_quantiles": q_dialect_weighted_quantiles,
     "dialect_tumble": q_dialect_tumble,
+    "dialect_probe19": q_dialect_probe19,
     "dialect_star_modifiers": q_dialect_star_modifiers,
     "dialect_sample_clause": q_dialect_sample_clause,
     "dialect_sample_rows": q_dialect_sample_rows,
@@ -15925,6 +15987,7 @@ ORACLES = {
     "dialect_hilbert": O_HILBERT,
     "dialect_weighted_quantiles": O_WEIGHTED_QUANTILES,
     "dialect_tumble": O_TUMBLE,
+    "dialect_probe19": O_PROBE19,
     "dialect_star_modifiers": O_STAR_MODIFIERS,
     "dialect_sample_clause": _o_sample_dialect(),
     "dialect_sample_rows": _o_sample_rows(),
