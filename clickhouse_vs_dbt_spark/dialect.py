@@ -15674,16 +15674,23 @@ def q_dialect_reinterpret_tuples(
 #     oracle replays the exact 32-level fold as a recursive CTE, so
 #     the curve itself (not just the roundtrip) is value-checked.
 _CH_HILBERT = """
-SELECT o_orderkey AS k,
-       hilbertEncode(o_orderkey % 512, intDiv(o_orderkey, 7) % 512)
-           AS h,
-       tupleElement(hilbertDecode(2, hilbertEncode(o_orderkey % 512,
-           intDiv(o_orderkey, 7) % 512)), 'x') AS xb,
-       tupleElement(hilbertDecode(2, hilbertEncode(o_orderkey % 512,
-           intDiv(o_orderkey, 7) % 512)), 'y') AS yb,
-       hilbertEncode(o_orderkey) AS ident
-FROM orders WHERE o_orderkey <= 400 ORDER BY k
+SELECT k, h, tupleElement(d, 'x') AS xb, tupleElement(d, 'y') AS yb,
+       ident
+FROM (
+  SELECT k, h, hilbertDecode(2, h) AS d, ident
+  FROM (
+    SELECT o_orderkey AS k,
+           hilbertEncode(o_orderkey % 512,
+                         intDiv(o_orderkey, 7) % 512) AS h,
+           hilbertEncode(o_orderkey) AS ident
+    FROM orders WHERE o_orderkey <= 400
+  )
+)
+ORDER BY k
 """
+# the encode/decode folds bind ONCE in subqueries: each is a 32-level
+# expression tree, and spelling them per output column tripled the
+# ANALYSIS cost (4.1 s at 400 rows — r11 bench)
 
 O_HILBERT = """
 WITH RECURSIVE pts AS (
