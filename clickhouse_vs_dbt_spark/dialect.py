@@ -1582,19 +1582,7 @@ def _render_call(name: str, args: list[str]) -> str:
         # ClickHouse's — re-derive persisted hashes on migration
         # (MIGRATION.md).
         return f"xxhash64({joined})"
-    if name in (
-        "intHash32", "murmurHash2_32", "murmurHash3_32",
-    ) and args:
-        # 32-bit tier of the same role-parity family
-        return f"(xxhash64({joined}) & 4294967295)"
-    if name == "murmurHash3_128" and args:
-        # 128-bit fingerprint role → md5 binary (the sipHash128 seam)
-        inner = (
-            args[0] if len(args) == 1
-            else f"concat_ws(char(1), {joined})"
-        )
-        return f"unhex(md5({inner}))"
-    if name == "sipHash128" and args:
+    if name in ("sipHash128", "murmurHash3_128") and args:
         # 128-bit fingerprint role → the md5 digest (binary, same
         # width); same role-parity caveat as the 64-bit family
         inner = (
@@ -1613,7 +1601,10 @@ def _render_call(name: str, args: list[str]) -> str:
             "— compute it in the external system's runtime, or use "
             "xxHash64/cityHash64 for engine-internal bucketing"
         )
-    if name == "xxHash32" and args:
+    if name in (
+        "xxHash32", "intHash32", "murmurHash2_32", "murmurHash3_32",
+    ) and args:
+        # 32-bit tier of the role-parity hash family
         return f"(xxhash64({joined}) & 4294967295)"
     if name == "arrayZip" and len(args) >= 2:
         return f"arrays_zip({joined})"
@@ -2116,12 +2107,20 @@ def _render_call(name: str, args: list[str]) -> str:
         )
     # --- r11 audit batch 14: numeric datestamps, case-insensitive
     #     search variants, MJD guards, geo angle, random strings ---
-    if name == "toYYYYMMDD" and len(args) == 1:
-        return f"CAST(date_format({args[0]}, 'yyyyMMdd') AS BIGINT)"
-    if name == "toYYYYMMDDhhmmss" and len(args) == 1:
-        return (
-            f"CAST(date_format({args[0]}, 'yyyyMMddHHmmss') AS BIGINT)"
-        )
+    if name in ("toYYYYMMDD", "toYYYYMMDDhhmmss") and len(args) in (
+        1, 2,
+    ):
+        # the optional second argument is a timezone (the toDateTime
+        # precedent: only 'UTC' maps, the session zone is pinned)
+        if len(args) == 2 and args[1].strip().strip(
+            "'\""
+        ).upper() != "UTC":
+            raise DialectError(
+                f"{name}: only the 'UTC' timezone form maps "
+                "(session time zone is pinned UTC)"
+            )
+        fmt = "yyyyMMdd" if name == "toYYYYMMDD" else "yyyyMMddHHmmss"
+        return f"CAST(date_format({args[0]}, '{fmt}') AS BIGINT)"
     if name in (
         "multiSearchAnyCaseInsensitive",
         "multiSearchFirstIndexCaseInsensitive",
@@ -2144,26 +2143,35 @@ def _render_call(name: str, args: list[str]) -> str:
             and len(args) == 2:
         # CH: NULL when the needle is not a single token (contains
         # separators) — decidable at transpile time for the literal
-        # needles the base form requires
+        # needles the base form requires.  CH's tokenizer: ASCII
+        # alphanumerics and non-ASCII bytes are token characters,
+        # everything else (INCLUDING '_') separates (code-review
+        # r11c — the first cut used \\w, which has '_' backwards and
+        # rejected non-ASCII)
         tok = args[1].strip()
-        if tok[:1] in "'\"" and not re.fullmatch(
-            r"[0-9A-Za-z_]+", tok[1:-1]
+        if tok[:1] in "'\"" and not all(
+            (c.isascii() and c.isalnum()) or not c.isascii()
+            for c in tok[1:-1]
         ):
             return "CAST(NULL AS BOOLEAN)"
         return _render_call(name.removesuffix("OrNull"), args)
-    if name == "countMatchesCaseInsensitive" and len(args) == 2 and (
-        args[1].strip()[:1] in "'\""
-    ):
+    if name == "countMatchesCaseInsensitive" and len(args) == 2:
         pat = args[1].strip()
+        if pat[:1] in "'\"":
+            return (
+                f"regexp_count({args[0]}, "
+                f"{pat[0]}(?i){pat[1:-1]}{pat[-1]})"
+            )
+        # dynamic pattern: prepend the flag at runtime (code-review
+        # r11c — this form leaked through verbatim)
         return (
-            f"regexp_count({args[0]}, "
-            f"{pat[0]}(?i){pat[1:-1]}{pat[-1]})"
+            f"regexp_count({args[0]}, concat('(?i)', {args[1]}))"
         )
     if name == "fromModifiedJulianDayOrNull" and len(args) == 1:
-        # CH's supported MJD range; outside it the plain form throws
-        # and OrNull yields NULL
+        # CH's documented MJD range 0000-01-01..9999-12-31; outside
+        # it the plain form throws and OrNull yields NULL
         return (
-            f"(CASE WHEN ({args[0]}) BETWEEN -678941 AND 2973119 "
+            f"(CASE WHEN ({args[0]}) BETWEEN -678941 AND 2973483 "
             f"THEN date_add(DATE'1858-11-17', "
             f"CAST({args[0]} AS INT)) END)"
         )
@@ -2178,11 +2186,13 @@ def _render_call(name: str, args: list[str]) -> str:
         return f"(degrees(({dist}) / 6372797.560856))"
     if name == "randomPrintableASCII" and len(args) == 1:
         # n independent uniform chars from the 95 printable ASCII
-        # codes (32..126), like CH
+        # codes (32..126), like CH.  n < 1 → '' (Spark's
+        # sequence(1, 0) DESCENDS to [1, 0] — code-review r11c)
         return (
+            f"(CASE WHEN CAST({args[0]} AS INT) < 1 THEN '' ELSE "
             f"array_join(transform(sequence(1, CAST({args[0]} AS "
             "INT)), __rp -> char(32 + CAST(floor(rand() * 95) AS "
-            "INT))), '')"
+            "INT))), '') END)"
         )
     if name in ("randomString", "randomStringUTF8"):
         raise DialectError(
@@ -2229,7 +2239,7 @@ def _render_call(name: str, args: list[str]) -> str:
         p = int(p_tok)
         lon, lat = args[0], args[1]
 
-        def half(axis_lo, axis_hi, v, one):
+        def half(axis_lo, axis_hi, v):
             mid = f"(__g.{axis_lo} + __g.{axis_hi}) / 2"
             keep = {
                 "alo": "__g.alo", "ahi": "__g.ahi",
@@ -2249,8 +2259,8 @@ def _render_call(name: str, args: list[str]) -> str:
 
         lam = (
             "(__g, __i) -> CASE WHEN __i % 2 = 0 THEN "
-            + half("alo", "ahi", lon, 1)
-            + " ELSE " + half("blo", "bhi", lat, 1) + " END"
+            + half("alo", "ahi", lon)
+            + " ELSE " + half("blo", "bhi", lat) + " END"
         )
         st0 = (
             "named_struct('alo', CAST(-180 AS DOUBLE), "
@@ -2264,13 +2274,24 @@ def _render_call(name: str, args: list[str]) -> str:
             f"CAST((shiftrightunsigned(__g.c, 5 * ({p} - __j)) & 31) "
             "+ 1 AS INT), 1)), '')"
         )
-        return f"aggregate(sequence(0, {5 * p - 1}), {st0}, {lam}, {fin})"
+        # NULL coordinates → NULL, never a valid-looking hash of the
+        # zero branch (code-review r11c)
+        return (
+            f"(CASE WHEN ({lon}) IS NULL OR ({lat}) IS NULL THEN "
+            "CAST(NULL AS STRING) ELSE "
+            f"aggregate(sequence(0, {5 * p - 1}), {st0}, {lam}, {fin})"
+            " END)"
+        )
     if name == "geohashDecode" and len(args) == 1:
         # inverse fold: chars → 5-bit groups → interval halving; the
         # cell CENTER comes back as ('longitude', 'latitude').
         # Invalid characters or >12 chars raise at runtime (CH throws
         # too) — never a silently wrong coordinate.
         s = args[0]
+        # the char→bits code binds ONCE per row in a second transform
+        # level (__gc), never inside the per-bit lambda (code-review
+        # r11c: inlining it re-ran the O(len) fold on every one of the
+        # 5·len bits — the hilbert-query lesson one level down)
         code = (
             "aggregate(sequence(1, length(__gs)), CAST(0 AS BIGINT), "
             "(__c, __j) -> __c * 32 + "
@@ -2283,14 +2304,14 @@ def _render_call(name: str, args: list[str]) -> str:
             "'ahi', CAST(180 AS DOUBLE), 'blo', CAST(-90 AS DOUBLE), "
             "'bhi', CAST(90 AS DOUBLE)), "
             "(__g, __i) -> CASE WHEN __i % 2 = 0 THEN "
-            f"(CASE WHEN (shiftrightunsigned({code}, "
+            "(CASE WHEN (shiftrightunsigned(__gc, "
             "5 * length(__gs) - 1 - __i) & 1) = 1 THEN "
             "named_struct('alo', (__g.alo + __g.ahi) / 2, "
             "'ahi', __g.ahi, 'blo', __g.blo, 'bhi', __g.bhi) "
             "ELSE named_struct('alo', __g.alo, "
             "'ahi', (__g.alo + __g.ahi) / 2, 'blo', __g.blo, "
             "'bhi', __g.bhi) END) "
-            f"ELSE (CASE WHEN (shiftrightunsigned({code}, "
+            "ELSE (CASE WHEN (shiftrightunsigned(__gc, "
             "5 * length(__gs) - 1 - __i) & 1) = 1 THEN "
             "named_struct('alo', __g.alo, 'ahi', __g.ahi, "
             "'blo', (__g.blo + __g.bhi) / 2, 'bhi', __g.bhi) "
@@ -2301,12 +2322,17 @@ def _render_call(name: str, args: list[str]) -> str:
             "'longitude', (__g.alo + __g.ahi) / 2, "
             "'latitude', (__g.blo + __g.bhi) / 2))"
         )
+        bound = (
+            f"element_at(transform(array({code}), __gc -> {body}), 1)"
+        )
         return (
             f"element_at(transform(array(lower({s})), __gs -> "
-            "CASE WHEN length(__gs) BETWEEN 1 AND 12 AND "
+            # NULL input → NULL (CH); invalid text → loud error
+            "CASE WHEN __gs IS NULL THEN NULL "
+            "WHEN length(__gs) BETWEEN 1 AND 12 AND "
             "regexp_like(__gs, "
             "'^[0-9bcdefghjkmnpqrstuvwxyz]+$') "
-            f"THEN {body} ELSE raise_error(concat('geohashDecode: "
+            f"THEN {bound} ELSE raise_error(concat('geohashDecode: "
             "invalid geohash: ', __gs)) END), 1)"
         )
     # --- r11 audit batch 13: field-change date surgery, string

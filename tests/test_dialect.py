@@ -5191,6 +5191,27 @@ def test_r11_scalar_batch14(spark):
     assert bad == 0
     with pytest.raises(Exception, match="invalid geohash"):
         one("geohashDecode('!!')")
+    # r11c review fixes: NULL semantics, n<1 strings, the CH MJD
+    # range end, dynamic CI patterns, tz forms, '_'-separator tokens
+    assert one("geohashEncode(CAST(NULL AS DOUBLE), 42.6, 5)") is None
+    assert one("geohashDecode(CAST(NULL AS STRING))") is None
+    assert one("randomPrintableASCII(0)") == ""
+    assert str(one("fromModifiedJulianDayOrNull(2973483)")) == (
+        "9999-12-31"
+    )
+    assert one("fromModifiedJulianDayOrNull(2973484)") is None
+    assert one(
+        "countMatchesCaseInsensitive('Hello', concat('L', '+'))"
+    ) == 1
+    assert one(
+        "toYYYYMMDD(toDateTime('2024-03-15 10:30:45'), 'UTC')"
+    ) == 20240315
+    with pytest.raises(DialectError, match="UTC"):
+        transpile("SELECT toYYYYMMDD(ts, 'Asia/Tokyo') FROM t")
+    assert one("hasTokenOrNull('a_b c', 'a_b')") is None
+    with pytest.raises(DialectError, match="alphanumeric"):
+        transpile("SELECT hasTokenOrNull('x', 'look\u00e9')")
+    assert one("murmurHash3_128('abc') = sipHash128('abc')") is True
     for bad_e, msg in [
         ("geohashEncode(1.0, 2.0, p)", "literal"),
         ("randomString(5)", "randomPrintableASCII"),
