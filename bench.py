@@ -361,10 +361,20 @@ def main() -> int:
         import glob as _glob
 
         here0 = os.path.dirname(os.path.abspath(__file__))
+        # numeric round sort (ADVICE r11): lexicographic order only
+        # worked while round numbers shared a width — r100 (or an
+        # unpadded archive) would silently pick a stale baseline
         fulls = sorted(
-            p
-            for p in _glob.glob(os.path.join(here0, "BENCH_full_r*.json"))
-            if re.search(r"BENCH_full_r(\d+)\.json$", p)
+            (
+                p
+                for p in _glob.glob(
+                    os.path.join(here0, "BENCH_full_r*.json")
+                )
+                if re.search(r"BENCH_full_r(\d+)\.json$", p)
+            ),
+            key=lambda p: int(
+                re.search(r"BENCH_full_r(\d+)\.json$", p).group(1)
+            ),
         )
         if fulls and calib:
             prev = json.load(open(fulls[-1]))

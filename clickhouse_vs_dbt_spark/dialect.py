@@ -2839,8 +2839,12 @@ def _render_call(name: str, args: list[str]) -> str:
                 }[name]
                 body = [f"(({x}) {op} ({args[1]}))" for x in fa]
             elif name == "tupleHammingDistance":
+                # plain != so a NULL component propagates NULL
+                # through the sum — CH's Nullable-element equality
+                # returns NULL, not 0/1 (ADVICE r11; the earlier
+                # null-safe <=> counted NULL-vs-value as 1)
                 return "(" + " + ".join(
-                    f"CAST(NOT (({x}) <=> ({y})) AS INT)"
+                    f"CAST((({x}) != ({y})) AS INT)"
                     for x, y in zip(fa, fields[1])
                 ) + ")"
             else:
@@ -9704,13 +9708,20 @@ def _paste_ranked_side(side_sql: str, order_keys: str) -> str:
         "ELSE CAST(NULL AS DOUBLE) END)"
     )
     nb = 64
+    # NaN routes to the TOP bucket (ADVICE r11): ORDER BY sorts NaN
+    # after every double, but floor((NaN-lo)/wd) casts to NULL and
+    # the coalesce would park it in bucket 0 — mis-pairing ranks vs
+    # the global form.  The stats likewise see NaN as NULL (nanvl),
+    # else a single NaN poisons max() and the width.
     bucket = (
+        f"CASE WHEN isnan(coalesce({k}, 0d)) THEN {nb - 1} ELSE "
         f"coalesce(least({nb - 1}, greatest(0, "
-        f"CAST(floor(({k} - __plo) / __pwd) AS INT))), 0)"
+        f"CAST(floor(({k} - __plo) / __pwd) AS INT))), 0) END"
     )
+    knn = f"nanvl({k}, CAST(NULL AS DOUBLE))"
     stats = (
-        f"(SELECT min({k}) AS __plo, "
-        f"greatest((max({k}) - min({k})) / {nb}, 1e-9d) AS __pwd "
+        f"(SELECT min({knn}) AS __plo, "
+        f"greatest((max({knn}) - min({knn})) / {nb}, 1e-9d) AS __pwd "
         f"FROM ({side_sql}))"
     )
     bucketed = (

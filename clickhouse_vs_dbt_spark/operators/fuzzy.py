@@ -45,6 +45,28 @@ MAX_DIST = 2
 _NSEG = MAX_DIST + 1
 
 
+def _broadcast_threshold_bytes(spark: SparkSession) -> int:
+    """``spark.sql.autoBroadcastJoinThreshold`` in bytes (the gate for
+    the PassJoin probe-leg hint, ADVICE r11).  ``-1`` (broadcast off)
+    gates the hint off too; unit-suffixed values parse the way Spark
+    does (b/k/m/g, case-insensitive, optional trailing 'b')."""
+    raw = str(
+        spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10m")
+    ).strip().lower()
+    try:
+        import re as _re
+
+        m = _re.fullmatch(r"(-?\d+)\s*([kmgt]?)b?", raw)
+        if not m:
+            return 10 * 1024 * 1024
+        n = int(m.group(1))
+        mult = {"": 1, "k": 1024, "m": 1024**2,
+                "g": 1024**3, "t": 1024**4}[m.group(2)]
+        return n * mult if n >= 0 else 0
+    except Exception:
+        return 10 * 1024 * 1024
+
+
 def _name_pairs(names: DataFrame) -> DataFrame:
     """PassJoin over distinct ``(brand, name, L)`` rows: unordered
     distinct-name pairs within MAX_DIST, as (brand, name_a, name_b,
@@ -115,17 +137,32 @@ def _name_pairs(names: DataFrame) -> DataFrame:
     # VERDICT r10 item 1).  The probe leg is exactly _NSEG rows per
     # DISTINCT name — the dictionary-encoded design bounds it by
     # vocabulary, not corpus, so it stays broadcastable at 100× data
-    # (distinct names grow sublinearly; flip the hint off if a
-    # catalog's name dictionary outgrows executor memory and the join
-    # reverts to the shuffle path unchanged).  Broadcasting removes
-    # BOTH the join's two shuffle legs, and with it the need for the
-    # index side's pre-join dropDuplicates — duplicate (segno, seg)
-    # keys (shifted substrings that coincide) only duplicate
-    # CANDIDATES, which the name-level dropDuplicates below already
-    # collapses; measured value-identical and ~2× faster at sf0.1.
+    # (distinct names grow sublinearly).  Broadcasting removes BOTH
+    # the join's two shuffle legs, and with it the need for the index
+    # side's pre-join dropDuplicates — duplicate (segno, seg) keys
+    # (shifted substrings that coincide) only duplicate CANDIDATES,
+    # which the name-level dropDuplicates below already collapses;
+    # measured value-identical and ~2× faster at sf0.1.  The hint is
+    # GATED on a measured size estimate (ADVICE r11): one cheap agg
+    # over the distinct-name relation sizes the probe leg against
+    # spark.sql.autoBroadcastJoinThreshold, so an oversized name
+    # dictionary degrades to the shuffle join instead of OOMing the
+    # driver — no human in the loop.
+    probe = a
+    est = names.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg(F.length("name")).alias("alen"),
+    ).first()
+    # per probe row: seg (≤ name len) + name_a (len) + brand + la +
+    # segno + struct/row overhead ≈ 2·len + 64 bytes, × _NSEG rows
+    est_bytes = int(
+        (est["n"] or 0) * _NSEG * (2 * float(est["alen"] or 0) + 64)
+    )
+    if est_bytes <= _broadcast_threshold_bytes(names.sparkSession):
+        probe = F.broadcast(a)
     dist = F.levenshtein(F.col("name_a"), F.col("name_b"))
     return (
-        F.broadcast(a).join(b, ["brand", "la", "segno", "seg"])
+        probe.join(b, ["brand", "la", "segno", "seg"])
         .filter(F.col("name_a") < F.col("name_b"))
         .select("brand", "name_a", "name_b")
         .dropDuplicates(["brand", "name_a", "name_b"])

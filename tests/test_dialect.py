@@ -3280,6 +3280,33 @@ def test_r11_paste_join_range_partitioned(spark):
     assert m3[0] == 0 and m3[1989] == 1989
 
 
+def test_r12_paste_join_nan_key(spark):
+    """ADVICE r11: a NaN double first key must rank LAST (ORDER BY
+    sorts NaN after every double) — the bucket CASE routes NaN to the
+    top bucket and the min/max stats see NaN as NULL, so the two-pass
+    rank agrees with the global form instead of parking NaN rows in
+    bucket 0."""
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW pjn_a AS "
+        "SELECT CASE WHEN id = 3 THEN double('NaN') "
+        "WHEN id = 7 THEN CAST(NULL AS DOUBLE) "
+        "ELSE CAST(id AS DOUBLE) END AS d, id AS tag FROM range(200)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW pjn_b AS "
+        "SELECT id AS pos FROM range(200)"
+    )
+    q = transpile(
+        "SELECT * FROM (SELECT d, tag FROM pjn_a ORDER BY d) "
+        "PASTE JOIN (SELECT pos FROM pjn_b ORDER BY pos)"
+    )
+    rows = {r.pos: r.tag for r in spark.sql(q).collect()}
+    # Spark ASC order: NULL first, then doubles, NaN last
+    assert rows[0] == 7          # the NULL key ranks first
+    assert rows[199] == 3        # the NaN key ranks LAST, not first
+    assert rows[1] == 0 and rows[2] == 1  # plain keys shift by one
+
+
 def test_parenless_using(spark):
     """ClickHouse's paren-less USING k1, k2 form in ANY and ASOF
     joins (plus the GLOBAL prefix) — same plans as the (k1, k2)
@@ -4762,6 +4789,15 @@ def test_r11_tuple_arithmetic(spark):
     assert tuple(r.p) == (11, 22.5) and tuple(r.m) == (4, 5)
     assert tuple(r.x) == (8, 15) and tuple(r.n) == (-1, 2, -3)
     assert tuple(r.mn) == (3, 6) and r.hd == 1
+    # NULL components propagate NULL through the hamming sum —
+    # ClickHouse's Nullable equality, not a fabricated 0/1 count
+    # (ADVICE r11)
+    rn = spark.sql(transpile(
+        "SELECT tupleHammingDistance((1, NULL), (1, 2)) AS a, "
+        "tupleHammingDistance((NULL, 2), (NULL, 2)) AS b, "
+        "tupleHammingDistance((1, 2), (1, 3)) AS c"
+    )).collect()[0]
+    assert rn.a is None and rn.b is None and rn.c == 1
     with pytest.raises(DialectError, match="LITERAL"):
         transpile("SELECT tuplePlus(t, (1, 2)) FROM x")
     with pytest.raises(DialectError, match="arities"):

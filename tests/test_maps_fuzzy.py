@@ -58,3 +58,31 @@ def test_fuzzy_pairs_symmetric_and_thresholded(spark, sf_dir):
             assert r.name_a == r.name_b
         else:
             assert r.name_a != r.name_b
+
+
+def test_fuzzy_broadcast_gate(spark, sf_dir):
+    """ADVICE r11: the PassJoin probe-leg broadcast hint is gated on
+    the measured distinct-name size vs autoBroadcastJoinThreshold —
+    an oversized dictionary degrades to the shuffle join with the
+    SAME result set instead of OOMing on an unconditional hint."""
+    base = {
+        (r.key_a, r.key_b, r.dist)
+        for r in fuzzy.q_fuzzy_part_pairs(spark, sf_dir).collect()
+    }
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        assert fuzzy._broadcast_threshold_bytes(spark) == 0
+        gated = {
+            (r.key_a, r.key_b, r.dist)
+            for r in fuzzy.q_fuzzy_part_pairs(spark, sf_dir).collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert gated == base
+    # unit parse: Spark-style suffixed values and plain bytes
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10m")
+    try:
+        assert fuzzy._broadcast_threshold_bytes(spark) == 10 * 1024**2
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
