@@ -7572,21 +7572,12 @@ _ASOF_LATERAL = {
 }
 
 
-def _asof_union_window(
-    toks, splice_start, strict, l_alias, right_ref, r_alias, key_pairs,
-    uclose, resolve_columns, direction="ge",
-):
-    """The scale-shaped ASOF rewrite (events_asof_join's plan): tag
-    right rows side=1 and the left's DISTINCT key pairs side=0, union,
-    carry each right value column forward with ``last_value(...,
-    true)`` over (eq keys, ORDER BY ts, side DESC — a tie on ts picks
-    the right row, ClickHouse's ``>=`` strictness), keep the side=0
-    rows, and equi-join back with USING.  One window shuffle on the
-    equality keys + the join-back — linear, no per-row candidate
-    scan.  Returns the replacement string, or None when the left
-    relation isn't a simple FROM item or the right columns can't be
-    resolved (caller falls back to the LATERAL form)."""
-    # left relation: [FROM] <dotted name | (subquery)> [AS] [alias]
+def _left_from_item(toks, splice_start):
+    """The text of the single FROM item immediately before a join
+    keyword at ``splice_start`` — ``FROM <dotted name | (subquery)>
+    [AS] [alias]`` — or None when the left side is a join chain or
+    comma list (the union/derived-relation rewrites need a relation
+    they can re-scan)."""
     q = _prev_code(toks, splice_start - 1)
     if q < 0 or not _is_ident(toks[q]):
         return None
@@ -7643,8 +7634,27 @@ def _asof_union_window(
     else:
         before = p2
     if before < 0 or toks[before].upper() != "FROM":
+        return None
+    return "".join(toks[rel_start: q + 1]).strip()
+
+
+def _asof_union_window(
+    toks, splice_start, strict, l_alias, right_ref, r_alias, key_pairs,
+    uclose, resolve_columns, direction="ge",
+):
+    """The scale-shaped ASOF rewrite (events_asof_join's plan): tag
+    right rows side=1 and the left's DISTINCT key pairs side=0, union,
+    carry each right value column forward with ``last_value(...,
+    true)`` over (eq keys, ORDER BY ts, side DESC — a tie on ts picks
+    the right row, ClickHouse's ``>=`` strictness), keep the side=0
+    rows, and equi-join back with USING.  One window shuffle on the
+    equality keys + the join-back — linear, no per-row candidate
+    scan.  Returns the replacement string, or None when the left
+    relation isn't a simple FROM item or the right columns can't be
+    resolved (caller falls back to the LATERAL form)."""
+    left_rel = _left_from_item(toks, splice_start)
+    if left_rel is None:
         return None  # left side is a join chain / comma list
-    left_rel = "".join(toks[rel_start : q + 1]).strip()
     rcols = resolve_columns(right_ref)
     if not rcols:
         return None
@@ -8040,7 +8050,19 @@ def _rewrite_any_join(toks: list[str], resolve_columns=None) -> list[str]:
             # build side is unique on every joined column)
             keys = _parse_any_on_keys(toks, r2, r_alias)
             if keys is None:
-                return toks  # non-equi / unqualified → backstop
+                # mixed equality + inequality conjuncts: the
+                # derived-relation / LATERAL forms (r12)
+                lat = _any_ineq_rewrite(
+                    toks, splice_start, strict, right_ref, r_alias,
+                    r2, resolve_columns,
+                )
+                if lat is None:
+                    return toks  # no equality key / no resolver →
+                    # backstop refusal
+                start, end, text = lat
+                toks[start:end] = [text]
+                toks = _tokens("".join(toks))
+                continue
             splice_end = r2  # keep ON + conjuncts in place
             using = None
         else:
@@ -8090,11 +8112,10 @@ def _rewrite_any_join(toks: list[str], resolve_columns=None) -> list[str]:
         toks = _tokens("".join(toks))
 
 
-def _parse_any_on_keys(toks, on_i, r_alias):
-    """The right-side key columns of an all-equality ANY JOIN ON
-    clause, or None when any conjunct is not ``<a>.<c> = <b>.<c>``
-    with exactly one side ``r_alias``-qualified (the backstop refusal
-    then points at ``any_left_join``)."""
+def _any_on_span(toks, on_i):
+    """(start, end) token indices of an ON clause's conjunct span —
+    from the first conjunct token to the next same-depth clause
+    keyword / join / closing paren / semicolon."""
     stop = {
         "WHERE", "GROUP", "ORDER", "LIMIT", "HAVING", "UNION",
         "SETTINGS", "WINDOW", "JOIN", "LEFT", "RIGHT", "INNER",
@@ -8116,6 +8137,12 @@ def _parse_any_on_keys(toks, on_i, r_alias):
         ):
             break
         end += 1
+    return i, end
+
+
+def _any_on_conjuncts(toks, i, end):
+    """AND-split conjunct token lists of an ON span (code tokens
+    only, parens opaque)."""
     span = [t for t in toks[i:end] if not _is_skippable(t)]
     conjuncts: list[list[str]] = [[]]
     d = 0
@@ -8128,22 +8155,232 @@ def _parse_any_on_keys(toks, on_i, r_alias):
             conjuncts.append([])
         else:
             conjuncts[-1].append(t)
+    return conjuncts
+
+
+def _parse_any_on_keys(toks, on_i, r_alias):
+    """The right-side key columns of an all-equality ANY JOIN ON
+    clause, or None when any conjunct is not ``<a>.<c> = <b>.<c>``
+    with exactly one side ``r_alias``-qualified (the caller then
+    tries the inequality LATERAL form, and the backstop refusal
+    points at ``any_left_join``)."""
+    i, end = _any_on_span(toks, on_i)
     keys: list[str] = []
-    for c in conjuncts:
-        if (
-            len(c) != 7
-            or c[1] != "." or c[5] != "."
-            or not all(_is_ident(c[k]) for k in (0, 2, 4, 6))
-            or c[3] != "="
-        ):
+    for c in _any_on_conjuncts(toks, i, end):
+        k = _eq_conjunct_right_key(c, r_alias)
+        if k is None:
             return None
-        a_q, a_c, b_q, b_c = c[0], c[2], c[4], c[6]
-        if (a_q == r_alias) == (b_q == r_alias):
-            return None  # both or neither right-qualified
-        keys.append(a_c if a_q == r_alias else b_c)
+        keys.append(k)
     if not keys:
         return None
     return list(dict.fromkeys(keys))
+
+
+def _eq_conjunct_right_key(c: list[str], r_alias: str):
+    """The right-side column of one ``<a>.<c> = <b>.<c>`` conjunct
+    with exactly one side ``r_alias``-qualified, else None."""
+    if (
+        len(c) != 7
+        or c[1] != "." or c[5] != "."
+        or not all(_is_ident(c[k]) for k in (0, 2, 4, 6))
+        or c[3] != "="
+    ):
+        return None
+    a_q, a_c, b_q, b_c = c[0], c[2], c[4], c[6]
+    if (a_q == r_alias) == (b_q == r_alias):
+        return None  # both or neither right-qualified
+    return a_c if a_q == r_alias else b_c
+
+
+_CMP_SINGLE = {"=", "<", ">"}
+
+
+def _split_cmp_conjunct(c: list[str]):
+    """Split one conjunct's code tokens on its depth-0 comparison
+    operator → (lhs tokens, op string, rhs tokens), or None (no
+    depth-0 comparison — e.g. an OR group or function predicate)."""
+    depth = 0
+    for n, t in enumerate(c):
+        if t in ("(", "["):
+            depth += 1
+        elif t in (")", "]"):
+            depth -= 1
+        elif depth == 0 and (t in _CMP_SINGLE or t == "!"):
+            nxt = c[n + 1] if n + 1 < len(c) else ""
+            if t == "!" and nxt != "=":
+                return None
+            if t == "!" or (t == "<" and nxt in ("=", ">")) or (
+                t in (">", "<") and nxt == "="
+            ):
+                return c[:n], t + nxt, c[n + 2:]
+            return c[:n], t, c[n + 1:]
+    return None
+
+
+def _refs_alias(ts: list[str], alias: str) -> bool:
+    """True when the token list uses ``alias`` as a ``alias.col``
+    qualifier."""
+    for n, t in enumerate(ts):
+        if t == alias and n + 1 < len(ts) and ts[n + 1] == ".":
+            return True
+    return False
+
+
+def _any_ineq_rewrite(
+    toks, splice_start, strict, right_ref, r_alias, on_i,
+    resolve_columns,
+):
+    """ANY JOIN with a non-equality ON (VERDICT r11 item 3, flips the
+    r6 refusal): each left row keeps at most one matching right row,
+    and inequality conjuncts make the match left-row-dependent, so
+    the all-equality pre-collapse can't apply.  Two emission shapes,
+    the ASOF precedent:
+
+    * **Derived-relation form** (the 100 TB shape, preferred): build
+      the DISTINCT tuple of every LEFT-side operand the ON clause
+      uses, hash-join it to the right side on the equality conjuncts
+      (inequalities ride as join conditions — never a nested loop),
+      keep the lexicographic-minimum right row per tuple via one
+      rank window, and equi-join back on the operand expressions.
+      One distinct-agg over the left + two keyed shuffles; the
+      join-back is one-row-per-tuple so the ANY contract holds
+      structurally.  Needs a simple left FROM item, a resolvable
+      right side, and each conjunct shaped ``<left expr> CMP <right
+      expr>`` with left references qualified by the left item.
+
+    * **Correlated LATERAL top-1 fallback** — correct for any
+      conjunct shape, but Catalyst's decorrelation fans the right
+      side against the DISTINCT domain of the correlated operands
+      with a nested-loop join (measured 86 s vs 2 s on the gated
+      query at sf0.01), so it only serves shapes the derived form
+      can't own.
+
+    At least ONE both-side equality conjunct is required either way
+    (the hash key); without it the backstop refusal stands.
+    ClickHouse picks an arbitrary matching row; both forms pick the
+    lexicographic minimum over all right columns — the documented
+    deterministic refinement (the all-equality collapse's contract).
+    Returns (start, end, replacement) token splice or None."""
+    if resolve_columns is None:
+        return None
+    i, end = _any_on_span(toks, on_i)
+    conjuncts = _any_on_conjuncts(toks, i, end)
+    n_eq = sum(
+        1 for c in conjuncts
+        if _eq_conjunct_right_key(c, r_alias) is not None
+    )
+    if n_eq == 0 or n_eq == len(conjuncts):
+        return None  # no hash key / all-equality handled elsewhere
+    rcols = resolve_columns(right_ref)
+    if not rcols:
+        return None
+    repl = _any_ineq_derived(
+        toks, splice_start, strict, right_ref, r_alias, conjuncts,
+        rcols,
+    )
+    if repl is None:
+        repl = _any_ineq_lateral(
+            toks, i, end, strict, right_ref, r_alias, rcols,
+        )
+    if repl is None:
+        return None
+    return splice_start, end, repl
+
+
+def _any_ineq_derived(
+    toks, splice_start, strict, right_ref, r_alias, conjuncts, rcols,
+):
+    """The derived-relation scale form (see
+    :func:`_any_ineq_rewrite`), or None when a conjunct/left shape
+    disqualifies it."""
+    left_rel = _left_from_item(toks, splice_start)
+    if left_rel is None:
+        return None
+    l_alias_i = _prev_code(toks, splice_start - 1)
+    l_alias = toks[l_alias_i] if l_alias_i >= 0 else ""
+    if any(c.startswith("__any_") for c in rcols):
+        return None
+    lexprs: list[str] = []
+    slot: dict[str, int] = {}
+    conds: list[str] = []
+    for c in conjuncts:
+        parts = _split_cmp_conjunct(c)
+        if parts is None:
+            return None
+        lhs, op, rhs = parts
+        l_on_left = True
+        if _refs_alias(lhs, r_alias) and not _refs_alias(rhs, r_alias):
+            lhs, rhs = rhs, lhs  # right operand was spelled first
+            l_on_left = False
+        elif not (
+            _refs_alias(rhs, r_alias) and not _refs_alias(lhs, r_alias)
+        ):
+            return None  # both/neither sides right-qualified
+        if not lhs or not rhs:
+            return None
+        # left operand: every qualifier must be the left item's alias
+        for n, t in enumerate(lhs):
+            if (
+                _is_ident(t) and n + 1 < len(lhs) and lhs[n + 1] == "."
+                and t != l_alias
+            ):
+                return None  # three-way reference: lateral fallback
+        ltext = " ".join(lhs)
+        rtext = " ".join(
+            "__any_r" if (
+                t == r_alias and n + 1 < len(rhs) and rhs[n + 1] == "."
+            ) else t
+            for n, t in enumerate(rhs)
+        )
+        key = _norm_expr(ltext)
+        if key not in slot:
+            slot[key] = len(lexprs)
+            lexprs.append(ltext)
+        lk = f"__any_lk{slot[key]}"
+        conds.append(
+            f"{lk} {op} {rtext}" if l_on_left else f"{rtext} {op} {lk}"
+        )
+    dcols = ", ".join(
+        f"{e} AS __any_lk{n}" for n, e in enumerate(lexprs)
+    )
+    lkcsv = ", ".join(f"__any_lk{n}" for n in range(len(lexprs)))
+    rsel = ", ".join(f"__any_r.{c} AS {c}" for c in rcols)
+    rord = ", ".join(f"__any_r.{c}" for c in rcols)
+    derived = (
+        f"(SELECT * EXCEPT (__any_rn) FROM ("
+        f"SELECT {lkcsv}, {rsel}, row_number() OVER ("
+        f"PARTITION BY {lkcsv} ORDER BY {rord}) AS __any_rn "
+        f"FROM (SELECT DISTINCT {dcols} FROM {left_rel}) __any_d "
+        f"JOIN {right_ref} __any_r ON {' AND '.join(conds)}"
+        f") __any_t WHERE __any_rn = 1)"
+    )
+    jkind = "LEFT JOIN" if strict == "LEFT" else "JOIN"
+    back = " AND ".join(
+        f"{r_alias}.__any_lk{n} = {e}" for n, e in enumerate(lexprs)
+    )
+    return f" {jkind} {derived} {r_alias} ON {back} "
+
+
+def _any_ineq_lateral(
+    toks, i, end, strict, right_ref, r_alias, rcols,
+):
+    """The correlated LATERAL top-1 fallback (see
+    :func:`_any_ineq_rewrite`)."""
+    # rename the right alias's qualifier uses inside the moved ON
+    # text (it becomes the lateral's inner table)
+    body = list(toks[i:end])
+    for n, t in enumerate(body):
+        if t == r_alias:
+            nx = _next_code(body, n + 1)
+            if nx < len(body) and body[nx] == ".":
+                body[n] = "__any_c"
+    conds = "".join(body).strip()
+    ordcsv = ", ".join(f"__any_c.{c}" for c in rcols)
+    jkind = "LEFT JOIN" if strict == "LEFT" else "JOIN"
+    return (
+        f" {jkind} LATERAL (SELECT * FROM {right_ref} __any_c "
+        f"WHERE {conds} ORDER BY {ordcsv} LIMIT 1) {r_alias} ON TRUE "
+    )
 
 
 def _rewrite_final(toks, resolve_columns=None, engine_info=None):
@@ -9744,6 +9981,579 @@ def _paste_ranked_side(side_sql: str, order_keys: str) -> str:
     )
 
 
+#: the exact-weighted quantile aggregate family (statement re-plan
+#: below + the expression-position collect fold in
+#: :func:`_weighted_exact_quantile`)
+_QW_FAMILY = (
+    "quantileExactWeighted", "quantilesExactWeighted",
+    "medianExactWeighted",
+)
+
+
+def _norm_expr(text: str) -> str:
+    """Whitespace/comment-insensitive normal form for structural
+    expression matching (idents uppercased — SQL keyword/function
+    case folds; quoted strings stay verbatim)."""
+    return " ".join(
+        t.upper() if _is_ident(t) else t
+        for t in _tokens(text)
+        if not _is_skippable(t)
+    )
+
+
+def _qw_parse_item(item: str):
+    """Classify one select-list item for the weighted-quantile
+    re-plan.  Returns ``("key", expr, outname)`` for a projected
+    group key, ``("q", levels, is_array, v, w, alias)`` for a
+    weighted-quantile call, or ``None`` when the item doesn't fit the
+    narrow ownable shape (caller falls back to the collect form)."""
+    ts = [t for t in _tokens(item) if not _is_skippable(t)]
+    if not ts:
+        return None
+    alias = None
+    if (
+        len(ts) >= 3
+        and _is_ident(ts[-2]) and ts[-2].upper() == "AS"
+        and _is_ident(ts[-1])
+    ):
+        alias, ts = ts[-1], ts[:-2]
+    has_q = any(_is_ident(t) and t in _QW_FAMILY for t in ts)
+    if not has_q:
+        if len(ts) == 1 and _is_ident(ts[0]):
+            return ("key", ts[0], alias or ts[0])
+        if alias is None:
+            return None  # unaliased expression: CH's auto-name is
+            # the call text, which Spark can't reproduce
+        return ("key", "".join(ts), alias)
+    # the WHOLE item must be fn(group1)[(group2)]
+    if alias is None or not _is_ident(ts[0]) or ts[0] not in _QW_FAMILY:
+        return None
+    name = ts[0]
+    if len(ts) < 2 or ts[1] != "(":
+        return None
+    c1 = _match_close(ts, 1)
+    groups = ["".join(ts[2:c1])]
+    rest = c1 + 1
+    if rest < len(ts):
+        if ts[rest] != "(" or _match_close(ts, rest) != len(ts) - 1:
+            return None
+        groups.append("".join(ts[rest + 1:-1]))
+    if len(groups) == 1:
+        # quantileExactWeighted(v, w) / medianExactWeighted(v, w):
+        # default level 0.5 (quantiles* REQUIRES levels)
+        if name == "quantilesExactWeighted":
+            return None
+        args = _split_top_commas(groups[0])
+        if len(args) != 2:
+            return None
+        return ("q", ["0.5"], False, args[0].strip(), args[1].strip(),
+                alias)
+    params = [p.strip() for p in _split_top_commas(groups[0])]
+    args = [a.strip() for a in _split_top_commas(groups[1])]
+    if len(args) != 2 or not params:
+        return None
+    if name == "medianExactWeighted":
+        return None  # median takes no level parameter
+    if name == "quantileExactWeighted" and len(params) != 1:
+        return None  # exactly one level (the renderer refuses too)
+    if not all(
+        re.fullmatch(r"\d+(\.\d+)?([eE]-?\d+)?", p) for p in params
+    ):
+        return None  # non-literal levels stay on the collect path
+    return ("q", params, name == "quantilesExactWeighted",
+            args[0].strip(), args[1].strip(), alias)
+
+
+def _qw_replan(toks: list[str], s: int, e: int):
+    """The value-compressed two-pass plan for a SELECT segment whose
+    aggregates are all exact-weighted quantiles (VERDICT r11 item 1).
+
+    ClickHouse's quantileExactWeighted state is a (value → Σweight)
+    hash map — O(distinct values), not O(rows).  The collect fold in
+    :func:`_weighted_exact_quantile` is O(rows per group), the one
+    remaining 100×-scale hazard of r11.  When the transpiler owns the
+    whole statement it re-plans to the same shape CH (and the DuckDB
+    oracle) uses:
+
+    1. pre-aggregate ``GROUP BY (keys, value)`` → Σweight — map-side
+       partial aggregation compresses to distinct values before any
+       shuffle;
+    2. cumulative-weight window over the ≤distinct-values rows
+       (partitioned by the group keys, ordered by value) plus its
+       partition max (== total weight: weights are non-negative);
+    3. per level p: ``MIN(value WHERE cumw >= p·total)`` — CH's
+       non-interpolating smallest-value-reaching-threshold rule.
+
+    NULL contract (matches the collect fold): a (v, w) pair with
+    either side NULL is skipped — the pre-agg masks its weight out of
+    the CASE sum, and the final MIN requires a non-NULL Σweight so a
+    value carried only by masked pairs can never be picked.  A group
+    with no valid pairs yields NULL (its total is NULL, the CASE
+    never fires).
+
+    Returns the replacement SQL string, or None when the segment
+    doesn't match the narrow ownable shape (plain GROUP BY of
+    projected keys, only weighted-quantile aggregates sharing one
+    (v, w) pair, no HAVING/QUALIFY/set-ops/WITH/PREWHERE) — the
+    expression-position collect fold then applies unchanged."""
+    spans = _select_clause_spans(toks, s, e)
+    if spans is None:
+        return None
+    sel_text = spans["select"]
+    from_text = spans["from"]
+    where_text = spans.get("where", "")
+    group_text = spans.get("group", "")
+    order_text = spans.get("order", "")
+    limit_text = spans.get("limit", "")
+    if group_text and _norm_expr(group_text).split(" ")[0] in (
+        "ALL", "GROUPING", "ROLLUP", "CUBE",
+    ):
+        return None
+    items = [
+        _qw_parse_item(it) for it in _split_top_commas(sel_text)
+    ]
+    if not items or any(it is None for it in items):
+        return None
+    qs = [it for it in items if it[0] == "q"]
+    if not qs:
+        return None
+    vw = {(_norm_expr(q[3]), _norm_expr(q[4])) for q in qs}
+    if len(vw) != 1:
+        return None  # one shared (value, weight) pair only
+    v, w = qs[0][3], qs[0][4]
+    keys = [it for it in items if it[0] == "key"]
+    # group items → inner aliases; each projected key must match one
+    gitems = (
+        [g.strip() for g in _split_top_commas(group_text)]
+        if group_text else []
+    )
+    if not gitems and keys:
+        return None  # non-grouped non-aggregate select items
+    norm_g = []
+    for g in gitems:
+        if re.fullmatch(r"\d+", g):  # GROUP BY ordinal
+            n = int(g)
+            if not (1 <= n <= len(items)) or items[n - 1][0] != "key":
+                return None
+            norm_g.append(_norm_expr(items[n - 1][1]))
+        else:
+            norm_g.append(_norm_expr(g))
+    # dedup group keys, keep first-seen order, remember expressions
+    gexprs: list[str] = []
+    seen: dict[str, int] = {}
+    for g, ng in zip(gitems, norm_g):
+        if ng not in seen:
+            seen[ng] = len(gexprs)
+            gexprs.append(
+                items[int(g) - 1][1] if re.fullmatch(r"\d+", g) else g
+            )
+    key_slot: dict[int, int] = {}
+    for n, it in enumerate(items):
+        if it[0] != "key":
+            continue
+        ne = _norm_expr(it[1])
+        slot = seen.get(ne)
+        if slot is None and _is_ident(it[1]):
+            # GROUP BY may name the select alias
+            slot = seen.get(_norm_expr(it[2]))
+        if slot is None:
+            # select alias used in GROUP BY: match alias text
+            for gi, g in enumerate(gexprs):
+                if _norm_expr(g) == _norm_expr(it[2]):
+                    slot = gi
+                    break
+        if slot is None:
+            return None
+        key_slot[n] = slot
+    outnames = [
+        it[2] if it[0] == "key" else it[5] for it in items
+    ]
+    # ORDER BY may reference only output names / ordinals / direction
+    # keywords — it runs on the OUTER projection
+    if order_text:
+        for t in _tokens(order_text):
+            if _is_skippable(t) or not _is_ident(t):
+                continue
+            if t.upper() in ("ASC", "DESC", "NULLS", "FIRST", "LAST"):
+                continue
+            if t not in outnames:
+                return None
+    ks = ", ".join(f"__qw_k{n}" for n in range(len(gexprs)))
+    part = f"PARTITION BY {ks} " if gexprs else ""
+    k_sel = "".join(f"{g} AS __qw_k{n}, " for n, g in enumerate(gexprs))
+    pre = (
+        f"SELECT {k_sel}CAST(({v}) AS DOUBLE) AS __qw_x, "
+        f"sum(CASE WHEN ({v}) IS NOT NULL AND ({w}) IS NOT NULL "
+        f"THEN CAST(({w}) AS DOUBLE) END) AS __qw_wt "
+        f"FROM {from_text}"
+        + (f" WHERE {where_text}" if where_text else "")
+        + " GROUP BY "
+        + ", ".join(str(n + 1) for n in range(len(gexprs) + 1))
+    )
+    cum1 = (
+        f"SELECT *, sum(__qw_wt) OVER ({part}ORDER BY __qw_x) "
+        f"AS __qw_cw FROM ({pre}) __qw_pre"
+    )
+    # total = the partition-max of the cumulative sum (weights are
+    # non-negative — CH's weight type is UInt), so cw == tot holds
+    # EXACTLY at the last value even for fractional weights where an
+    # independently-ordered re-sum could differ in the last ulp
+    cum2 = (
+        f"SELECT *, max(__qw_cw) OVER ({part.rstrip()}) AS __qw_tot "
+        f"FROM ({cum1}) __qw_cum1"
+    )
+
+    def cell(level: str) -> str:
+        return (
+            f"MIN(CASE WHEN __qw_wt IS NOT NULL AND "
+            f"__qw_cw >= ({level}) * __qw_tot THEN __qw_x END)"
+        )
+
+    out_items = []
+    for n, it in enumerate(items):
+        if it[0] == "key":
+            out_items.append(f"__qw_k{key_slot[n]} AS {it[2]}")
+        else:
+            _, levels, is_arr, _, _, alias = it
+            cells = [cell(p) for p in levels]
+            body = (
+                f"array({', '.join(cells)})" if is_arr else cells[0]
+            )
+            out_items.append(f"{body} AS {alias}")
+    sql = (
+        f"SELECT {', '.join(out_items)} FROM ({cum2}) __qw_cum"
+        + (f" GROUP BY {ks}" if gexprs else "")
+        + (f" ORDER BY {order_text}" if order_text else "")
+        + (f" {limit_text}" if limit_text else "")
+    )
+    return sql
+
+
+def _select_clause_spans(toks: list[str], s: int, e: int):
+    """Clause texts of a FLAT SELECT segment — the shared parse of
+    the statement-level re-plans (weighted quantile, bounded
+    groupConcat).  Returns ``{"select", "from"[, "where"][, "group"]
+    [, "order"][, "limit"]}`` (limit keeps its LIMIT keyword), or
+    None when the segment contains a construct the re-plans don't
+    own: DISTINCT, HAVING/QUALIFY/WINDOW/SETTINGS/PREWHERE, set ops,
+    WITH (scalars/FILL/TOTALS arrive spelled WITH), OVER,
+    INTERPOLATE, FORMAT, a missing FROM, duplicated or out-of-order
+    clauses."""
+    i = _next_code(toks, s)
+    if i >= e or not _is_ident(toks[i]) or toks[i].upper() != "SELECT":
+        return None
+    j = _next_code(toks, i + 1)
+    if j < e and _is_ident(toks[j]) and toks[j].upper() in (
+        "DISTINCT", "ALL",
+    ):
+        return None
+    clause: dict[str, int] = {}
+    depth = 0
+    idx = i + 1
+    while idx < e:
+        t = toks[idx]
+        if t in ("(", "["):
+            depth += 1
+        elif t in (")", "]"):
+            depth -= 1
+        elif depth == 0 and _is_ident(t):
+            u = t.upper()
+            if u in (
+                "HAVING", "QUALIFY", "SETTINGS", "WINDOW", "PREWHERE",
+                "UNION", "EXCEPT", "INTERSECT", "FORMAT", "WITH",
+                "OVER", "TOTALS", "INTERPOLATE",
+            ):
+                return None
+            if u in ("FROM", "WHERE", "LIMIT"):
+                if u in clause:
+                    return None
+                clause[u] = idx
+            elif u in ("GROUP", "ORDER"):
+                nx = _next_code(toks, idx + 1)
+                if nx < e and toks[nx].upper() == "BY":
+                    if u in clause:
+                        return None
+                    clause[u] = idx
+        idx += 1
+    if "FROM" not in clause:
+        return None
+    order = [k for k in ("FROM", "WHERE", "GROUP", "ORDER", "LIMIT")
+             if k in clause]
+    pos_list = [clause[k] for k in order]
+    if pos_list != sorted(pos_list):
+        return None
+    bounds = pos_list + [e]
+
+    def span(kw: str, two_word: bool = False) -> str:
+        b = bounds[order.index(kw) + 1]
+        st = clause[kw] + 1
+        if two_word:  # GROUP BY / ORDER BY: hop over the BY token
+            st = _next_code(toks, st) + 1
+        return "".join(toks[st:b]).strip()
+
+    out = {
+        "select": "".join(toks[i + 1: clause["FROM"]]).strip(),
+        "from": span("FROM"),
+    }
+    if "WHERE" in clause:
+        out["where"] = span("WHERE")
+    if "GROUP" in clause:
+        out["group"] = span("GROUP", True)
+    if "ORDER" in clause:
+        out["order"] = span("ORDER", True)
+    if "LIMIT" in clause:
+        out["limit"] = "".join(toks[clause["LIMIT"]: e]).strip()
+    return out
+
+
+def _rewrite_group_concat_limit(toks: list[str]) -> list[str]:
+    """Statement-owned bounded form of ``groupConcat(sep, limit)(x)``
+    (VERDICT r11 item 7).  The expression renderer's
+    ``slice(collect_list(x), 1, limit)`` collects the WHOLE group
+    before truncating — O(group) state.  When the owning SELECT is a
+    flat grouped query, a per-group ``row_number`` pre-rank masks
+    every row past ``limit`` to NULL *before* collection
+    (``collect_list`` drops NULLs), so the aggregate state is bounded
+    by ``limit`` regardless of group size.  The rank orders non-NULL
+    values first (CH skips NULLs without consuming the limit) and
+    ties break on a read-order id, preserving the renderer's
+    partition-order contract (CH's own order is unspecified).  One
+    extra window shuffle on the group keys, which the following
+    GROUP BY reuses.  Segments the re-plan can't own (joins, SELECT
+    *, ordinal GROUP BY, dynamic limits) keep the slice form."""
+    scan = 0
+    while True:
+        hit = None
+        for n in range(scan, len(toks)):
+            if toks[n] != "groupConcat":
+                continue
+            j = _next_code(toks, n + 1)
+            if j >= len(toks) or toks[j] != "(":
+                continue
+            c1 = _match_close(toks, j)
+            k = _next_code(toks, c1 + 1)
+            if k >= len(toks) or toks[k] != "(":
+                continue
+            if len(_split_top_commas("".join(toks[j + 1:c1]))) == 2:
+                hit = n
+                break
+        if hit is None:
+            return toks
+        seg = _owning_select_segment(toks, hit)
+        repl = _gc_replan(toks, seg[0], seg[1])
+        if repl is None:
+            scan = hit + 1
+            continue
+        toks[seg[0]: seg[1]] = _tokens(" " + repl + " ")
+        scan = 0
+
+
+def _gc_replan(toks: list[str], s: int, e: int):
+    """The bounded groupConcat re-plan for one SELECT segment (see
+    :func:`_rewrite_group_concat_limit`), or None when the segment
+    isn't ownable."""
+    spans = _select_clause_spans(toks, s, e)
+    if spans is None:
+        return None
+    sel_text = spans["select"]
+    from_text = spans["from"]
+    where_text = spans.get("where", "")
+    group_text = spans.get("group", "")
+    order_text = spans.get("order", "")
+    limit_text = spans.get("limit", "")
+    # single plain relation only: a depth-0 JOIN/comma would lose its
+    # aliases behind the wrap
+    fcode = [t for t in _tokens(from_text) if not _is_skippable(t)]
+    depth = 0
+    for t in fcode:
+        if t in ("(", "["):
+            depth += 1
+        elif t in (")", "]"):
+            depth -= 1
+        elif depth == 0 and (
+            t == ","
+            or (_is_ident(t) and t.upper() in (
+                "JOIN", "LATERAL", "ARRAY", "LEFT", "RIGHT", "INNER",
+                "FULL", "CROSS", "PASTE", "ASOF", "ANY",
+            ))
+        ):
+            return None
+    acode = fcode[:-1] if fcode and fcode[-1].upper() == "FINAL" \
+        else fcode
+    if not acode:
+        return None
+    if acode[-1] == ")":
+        alias = "__gc_src"  # unaliased subquery: nothing can qualify
+    elif _is_ident(acode[-1]):
+        if len(acode) >= 2 and acode[-2] == ".":
+            alias = acode[-1]  # dotted name: last component
+        elif len(acode) >= 2 and (
+            acode[-2] == ")" or _is_ident(acode[-2])
+            or acode[-2] == "."
+        ):
+            alias = acode[-1]  # explicit [AS] alias
+        else:
+            alias = acode[-1]
+    else:
+        return None
+    gitems = (
+        [g.strip() for g in _split_top_commas(group_text)]
+        if group_text else []
+    )
+    if gitems and _norm_expr(group_text).split(" ")[0] in (
+        "ALL", "GROUPING", "ROLLUP", "CUBE",
+    ):
+        return None
+    if any(re.fullmatch(r"\d+", g) for g in gitems):
+        return None  # ordinal keys: no expression to partition on
+    # every parametric groupConcat in the segment must sit in the
+    # select span (an ORDER BY copy would silently keep slice state)
+    sel_toks = _tokens(sel_text)
+    calls = []  # (start, end_exclusive, sep, limit, x) in sel_toks
+    n = 0
+    while n < len(sel_toks):
+        t = sel_toks[n]
+        if t == "groupConcat":
+            j = _next_code(sel_toks, n + 1)
+            if j < len(sel_toks) and sel_toks[j] == "(":
+                c1 = _match_close(sel_toks, j)
+                k = _next_code(sel_toks, c1 + 1)
+                params = _split_top_commas(
+                    "".join(sel_toks[j + 1:c1])
+                )
+                if (
+                    k < len(sel_toks) and sel_toks[k] == "("
+                    and len(params) == 2
+                ):
+                    c2 = _match_close(sel_toks, k)
+                    args = _split_top_commas(
+                        "".join(sel_toks[k + 1:c2])
+                    )
+                    if len(args) != 1:
+                        return None
+                    lim = params[1].strip()
+                    if not re.fullmatch(r"\d+", lim) or int(lim) < 1:
+                        return None  # dynamic limit: slice form
+                    calls.append(
+                        (n, c2 + 1, params[0].strip(), lim,
+                         args[0].strip())
+                    )
+                    n = c2 + 1
+                    continue
+        n += 1
+    if not calls:
+        return None
+    # bail on SELECT * (the wrap's helper columns would leak) and on
+    # any parametric groupConcat OUTSIDE the select span
+    depth = 0
+    for t in sel_toks:
+        if t in ("(", "["):
+            depth += 1
+        elif t in (")", "]"):
+            depth -= 1
+        elif depth == 0 and t == "*":
+            return None
+    n_seg = sum(
+        1 for m in range(s, e)
+        if toks[m] == "groupConcat"
+        and (j := _next_code(toks, m + 1)) < e and toks[j] == "("
+        and (k := _next_code(toks, _match_close(toks, j) + 1)) < e
+        and toks[k] == "("
+        and len(_split_top_commas(
+            "".join(toks[j + 1:_match_close(toks, j)])
+        )) == 2
+    )
+    if n_seg != len(calls):
+        return None
+    # one rank column per distinct concat operand
+    xs: list[str] = []
+    x_slot: dict[str, int] = {}
+    for _, _, _, _, x in calls:
+        nx = _norm_expr(x)
+        if nx not in x_slot:
+            x_slot[nx] = len(xs)
+            xs.append(x)
+    part = (
+        f"PARTITION BY {', '.join(gitems)} " if gitems else ""
+    )
+    rn_cols = ", ".join(
+        f"row_number() OVER ({part}ORDER BY (({x}) IS NULL), "
+        f"__gc_ord) AS __gc_rn{i}"
+        for i, x in enumerate(xs)
+    )
+    new_sel = []
+    pos = 0
+    for st, en, sep, lim, x in calls:
+        new_sel.append("".join(sel_toks[pos:st]))
+        i = x_slot[_norm_expr(x)]
+        new_sel.append(
+            f"array_join(collect_list(CASE WHEN __gc_rn{i} <= {lim} "
+            f"THEN ({x}) END), {sep})"
+        )
+        pos = en
+    new_sel.append("".join(sel_toks[pos:]))
+    inner1 = (
+        f"SELECT *, monotonically_increasing_id() AS __gc_ord "
+        f"FROM {from_text}"
+        + (f" WHERE {where_text}" if where_text else "")
+    )
+    inner2 = (
+        f"SELECT *, {rn_cols} FROM ({inner1}) {alias}"
+    )
+    return (
+        f"SELECT {''.join(new_sel)} FROM ({inner2}) {alias}"
+        + (f" GROUP BY {group_text}" if group_text else "")
+        + (f" ORDER BY {order_text}" if order_text else "")
+        + (f" {limit_text}" if limit_text else "")
+    )
+
+
+def _owning_select_segment(
+    toks: list[str], hit: int
+) -> tuple[int, int]:
+    """The innermost parenthesized ``(SELECT …)`` segment containing
+    token ``hit``, else the whole statement — the ownership unit of
+    the statement-level re-plans."""
+    stack: list[int] = []
+    for n in range(hit):
+        if toks[n] == "(":
+            stack.append(n)
+        elif toks[n] == ")":
+            if stack:
+                stack.pop()
+    for open_i in reversed(stack):
+        fc = _next_code(toks, open_i + 1)
+        if (
+            fc < len(toks) and _is_ident(toks[fc])
+            and toks[fc].upper() == "SELECT"
+        ):
+            return (open_i + 1, _match_close(toks, open_i))
+    return (0, len(toks))
+
+
+def _rewrite_weighted_quantile(toks: list[str]) -> list[str]:
+    """Find each exact-weighted-quantile call's owning SELECT segment
+    (the innermost parenthesized SELECT, else the whole statement)
+    and attempt the two-pass re-plan; segments that don't match fall
+    through to the collect-fold rendering unchanged."""
+    scan = 0
+    while True:
+        hit = None
+        for n in range(scan, len(toks)):
+            if _is_ident(toks[n]) and toks[n] in _QW_FAMILY:
+                hit = n
+                break
+        if hit is None:
+            return toks
+        seg = _owning_select_segment(toks, hit)
+        repl = _qw_replan(toks, seg[0], seg[1])
+        if repl is None:
+            scan = hit + 1
+            continue
+        toks[seg[0]: seg[1]] = _tokens(" " + repl + " ")
+        scan = 0
+
+
 def transpile(sql: str, resolve_columns=None, engine_info=None) -> str:
     """Rewrite a ClickHouse-dialect query into Spark SQL (see module
     doc).  Unrecognized constructs pass through verbatim.
@@ -9768,6 +10578,8 @@ def transpile(sql: str, resolve_columns=None, engine_info=None) -> str:
     toks = _rewrite_with_fill(toks, resolve_columns)
     toks = _rewrite_asof(toks, resolve_columns)
     toks = _rewrite_any_join(toks, resolve_columns)
+    toks = _rewrite_weighted_quantile(toks)
+    toks = _rewrite_group_concat_limit(toks)
     toks = _rewrite_final(toks, resolve_columns, engine_info)
     toks = _rewrite_clauses(toks)
     toks = _rewrite_window_derivative(toks)
@@ -12585,6 +13397,54 @@ def q_dialect_any_join_on(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Verbatim ClickHouse ANY LEFT JOIN ON query (module doc)."""
     return run_clickhouse_sql(
         spark, _CH_ANY_JOIN_ON, sf_dir, ("orders", "lineitem")
+    )
+
+
+# 12b3 (r12). ANY JOIN with a NON-equality ON conjunct (VERDICT r11
+#       item 3, flips the r6 refusal): the match set depends on the
+#       left row, so the keyed right-side collapse can't apply — the
+#       rewrite emits a correlated LATERAL top-1 that Catalyst
+#       decorrelates into an equality-key hash join + per-left-row
+#       rank (see _any_ineq_lateral).  Deterministic pick: the
+#       lexicographic minimum over ALL right columns, which the
+#       DuckDB oracle spells as the same row_number window over the
+#       plain fan-out join.  Dates compare as DATE on both sides.
+_CH_ANY_JOIN_INEQ = """
+SELECT o.o_orderkey AS k, toFloat64(o.o_totalprice) AS tp,
+       s.sd AS sd, toFloat64(s.qty) AS qty
+FROM orders o
+ANY LEFT JOIN (
+    SELECT l_orderkey AS lk, toDate(l_shipdate) AS sd,
+           l_quantity AS qty
+    FROM lineitem
+) s ON s.lk = o.o_orderkey AND s.sd > toDate(o.o_orderdate)
+WHERE o.o_orderkey % 7 = 0
+ORDER BY k
+"""
+
+O_ANY_JOIN_INEQ = """
+WITH j AS (
+  SELECT o.o_orderkey AS k, o.o_totalprice AS tp, s.sd, s.qty,
+         row_number() OVER (PARTITION BY o.o_orderkey
+             ORDER BY s.lk, s.sd, s.qty) AS rn
+  FROM orders o
+  LEFT JOIN (
+      SELECT l_orderkey AS lk, CAST(l_shipdate AS DATE) AS sd,
+             l_quantity AS qty
+      FROM lineitem
+  ) s ON s.lk = o.o_orderkey AND s.sd > CAST(o.o_orderdate AS DATE)
+  WHERE o.o_orderkey % 7 = 0)
+SELECT k, CAST(tp AS DOUBLE) AS tp, sd, CAST(qty AS DOUBLE) AS qty
+FROM j WHERE rn = 1 ORDER BY k
+"""
+
+
+def q_dialect_any_join_ineq(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Verbatim ClickHouse inequality ANY JOIN (module doc #12b3)."""
+    return run_clickhouse_sql(
+        spark, _CH_ANY_JOIN_INEQ, sf_dir, ("orders", "lineitem")
     )
 
 
@@ -15807,6 +16667,47 @@ def q_dialect_weighted_quantiles(
     )
 
 
+# 34b (r12). bounded groupConcat(sep, limit) (VERDICT r11 item 7):
+#     the statement-owned re-plan masks rows past the limit with a
+#     per-group row_number BEFORE collection, so aggregate state is
+#     O(limit) not O(group).  The gate uses values CONSTANT within
+#     each group, so the assertion is order-free (CH's concat order
+#     is unspecified); the NULL-skip contract (NULL values don't
+#     consume the limit) rides the CASE-masked second cell.  Unit
+#     tests pin the selection semantics on ordered fixtures.
+_CH_GROUP_CONCAT_BOUNDED = """
+SELECT o_orderstatus,
+       groupConcat(',', 3)(o_orderstatus) AS tag3,
+       groupConcat('|', 5)(CASE WHEN o_orderkey % 2 = 0
+                           THEN o_orderstatus END) AS even5
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+O_GROUP_CONCAT_BOUNDED = """
+SELECT o_orderstatus,
+       rtrim(repeat(concat(o_orderstatus, ','),
+                    LEAST(3, COUNT(*))), ',') AS tag3,
+       rtrim(repeat(concat(o_orderstatus, '|'),
+                    CAST(LEAST(5, SUM(CASE WHEN o_orderkey % 2 = 0
+                                      THEN 1 ELSE 0 END))
+                         AS BIGINT)), '|') AS even5
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+def q_dialect_group_concat_bounded(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Verbatim CH bounded-groupConcat query (module doc #34b)."""
+    return run_clickhouse_sql(
+        spark, _CH_GROUP_CONCAT_BOUNDED, sf_dir, ("orders",)
+    )
+
+
 # 35 (r11). tumble window-view functions (audit batch 11): Spark's
 #     window() is the tumbling GROUP BY; DuckDB's time_bucket is the
 #     independent oracle.  tumbleStart/tumbleEnd are the arithmetic
@@ -15909,6 +16810,7 @@ QUERIES = {
     "ch_script_schema_evolution": q_ch_script_schema_evolution,
     "dialect_any_join": q_dialect_any_join,
     "dialect_any_join_on": q_dialect_any_join_on,
+    "dialect_any_join_ineq": q_dialect_any_join_ineq,
     "dialect_combinators2": q_dialect_combinators2,
     "dialect_numbers": q_dialect_numbers,
     "dialect_file_read": q_dialect_file_read,
@@ -15944,6 +16846,7 @@ QUERIES = {
     "dialect_reinterpret_tuples": q_dialect_reinterpret_tuples,
     "dialect_hilbert": q_dialect_hilbert,
     "dialect_weighted_quantiles": q_dialect_weighted_quantiles,
+    "dialect_group_concat_bounded": q_dialect_group_concat_bounded,
     "dialect_tumble": q_dialect_tumble,
     "dialect_probe19": q_dialect_probe19,
     "dialect_star_modifiers": q_dialect_star_modifiers,
@@ -15995,6 +16898,7 @@ ORACLES = {
     "ch_script_schema_evolution": O_CH_SCRIPT_SCHEMA_EVOLUTION,
     "dialect_any_join": O_ANY_JOIN,
     "dialect_any_join_on": O_ANY_JOIN_ON,
+    "dialect_any_join_ineq": O_ANY_JOIN_INEQ,
     "dialect_combinators2": O_COMBINATORS2,
     "dialect_numbers": O_NUMBERS,
     "dialect_file_read": O_FILE_READ,
@@ -16030,6 +16934,7 @@ ORACLES = {
     "dialect_reinterpret_tuples": O_REINTERPRET_TUPLES,
     "dialect_hilbert": O_HILBERT,
     "dialect_weighted_quantiles": O_WEIGHTED_QUANTILES,
+    "dialect_group_concat_bounded": O_GROUP_CONCAT_BOUNDED,
     "dialect_tumble": O_TUMBLE,
     "dialect_probe19": O_PROBE19,
     "dialect_star_modifiers": O_STAR_MODIFIERS,

@@ -5257,3 +5257,178 @@ def test_r11_scalar_batch14(spark):
     ]:
         with pytest.raises(DialectError, match=msg):
             transpile(f"SELECT {bad_e} FROM t")
+
+
+def test_r12_weighted_quantile_replan(spark):
+    """VERDICT r11 item 1: when the statement is owned, the
+    exact-weighted quantile family re-plans to the value-compressed
+    two-pass form (pre-GROUP BY (keys, value) → Σweight, cumulative
+    window, threshold MIN) — O(distinct values) state instead of the
+    collect fold's O(rows); expression positions and mixed-aggregate
+    selects keep the fold."""
+    owned = transpile(
+        "SELECT l_returnflag, "
+        "quantileExactWeighted(0.25)(l_quantity, l_linenumber) AS q "
+        "FROM lineitem GROUP BY l_returnflag"
+    )
+    assert "collect_list" not in owned and "__qw_cw" in owned
+    # expression position → fold; extra aggregate → fold; two
+    # different (v, w) pairs → fold
+    for sql in (
+        "SELECT quantileExactWeighted(0.5)(v, w) + 1 AS q FROM t",
+        "SELECT k, count() AS n, "
+        "quantileExactWeighted(0.5)(v, w) AS q FROM t GROUP BY k",
+        "SELECT quantileExactWeighted(0.5)(v, w) AS a, "
+        "quantileExactWeighted(0.5)(v2, w) AS b FROM t",
+    ):
+        assert "collect_list" in transpile(sql), sql
+    # semantics incl. NULL pairs (skipped without consuming weight)
+    # and a group with NO valid pairs (NULL result) — the two plans
+    # must agree exactly
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW qw_t AS "
+        "SELECT CASE WHEN id % 11 = 0 THEN NULL "
+        "ELSE CAST(id % 7 AS DOUBLE) END AS v, "
+        "CASE WHEN id % 13 = 0 THEN NULL ELSE id % 3 + 1 END AS w, "
+        "CASE WHEN id < 20 THEN 'dead' ELSE concat('g', id % 2) END "
+        "AS k FROM range(200) "
+        "WHERE id >= 20 OR id % 11 = 0 OR id % 13 = 0"
+    )
+    two_pass = spark.sql(transpile(
+        "SELECT k, quantileExactWeighted(0.25)(v, w) AS q25, "
+        "quantilesExactWeighted(0.5, 0.9)(v, w) AS qs "
+        "FROM qw_t GROUP BY k ORDER BY k"
+    ))
+    fold = spark.sql(transpile(
+        "SELECT k, quantileExactWeighted(0.25)(v, w) + 0 AS q25, "
+        "arrayMap(x -> x + 0, "
+        "quantilesExactWeighted(0.5, 0.9)(v, w)) AS qs "
+        "FROM qw_t GROUP BY k ORDER BY k"
+    ))
+    a, b = two_pass.collect(), fold.collect()
+    assert [r.k for r in a] == [r.k for r in b]
+    for ra, rb in zip(a, b):
+        assert ra.q25 == rb.q25 and ra.qs == rb.qs
+    dead = [r for r in a if r.k == "dead"][0]
+    assert dead.q25 is None and dead.qs == [None, None]
+    # GROUP BY ordinal and alias spellings are owned too
+    for g in ("GROUP BY 1", "GROUP BY kk"):
+        out = transpile(
+            "SELECT k AS kk, "
+            f"quantileExactWeighted(0.5)(v, w) AS q FROM qw_t {g}"
+        )
+        assert "collect_list" not in out, g
+
+
+def test_r12_group_concat_bounded(spark):
+    """VERDICT r11 item 7: statement-owned groupConcat(sep, limit)
+    masks rows past the limit BEFORE collection (state O(limit));
+    NULL values don't consume the limit; unowned shapes keep the
+    slice form."""
+    owned = transpile(
+        "SELECT k, groupConcat(',', 2)(s) AS g FROM t GROUP BY k"
+    )
+    assert "__gc_rn0" in owned and "slice(" not in owned
+    for sql in (
+        # join: wrap would strip aliases → slice form
+        "SELECT a.k, groupConcat(',', 2)(b.s) AS g "
+        "FROM a JOIN b ON a.k = b.k GROUP BY a.k",
+        # dynamic limit
+        "SELECT k, groupConcat(',', n)(s) AS g FROM t GROUP BY k",
+        # SELECT * would leak the helper columns
+        "SELECT *, groupConcat(',', 2)(s) AS g FROM t GROUP BY k",
+    ):
+        assert "slice(collect_list" in transpile(sql), sql
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW gcb_t AS "
+        "SELECT id % 4 AS k, "
+        "CASE WHEN id % 3 = 0 THEN NULL "
+        "ELSE concat('v', id) END AS s FROM range(12)"
+    )
+    rows = {
+        r.k: r.g for r in spark.sql(transpile(
+            "SELECT k, groupConcat(',', 2)(s) AS g "
+            "FROM gcb_t GROUP BY k ORDER BY k"
+        )).collect()
+    }
+    # group k=0: ids 0,4,8 → s NULL,v4,v8 → NULLs skipped, 2 kept
+    assert rows[0] == "v4,v8"
+    # group k=1: ids 1,5,9 → v1,v5,NULL → exactly 2 non-null
+    assert rows[1] == "v1,v5"
+    # group k=2: ids 2,6,10 → v2,NULL,v10
+    assert rows[2] == "v2,v10"
+    # group k=3: ids 3,7,11 → NULL,v7,v11
+    assert rows[3] == "v7,v11"
+
+
+def test_r12_any_join_inequality_on(spark):
+    """VERDICT r11 item 3: ANY [LEFT] JOIN with mixed equality +
+    inequality ON conjuncts.  Preferred emission is the
+    derived-relation form (distinct left operand tuples hash-joined
+    on the equality keys, rank window, equi-join back — no nested
+    loop, no LATERAL); shapes it can't own fall back to the
+    correlated LATERAL top-1; a conjunct list with NO both-side
+    equality keeps the backstop refusal."""
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW ai_l AS SELECT id % 5 AS k, "
+        "CAST(id AS DOUBLE) AS lv FROM range(20)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW ai_r AS SELECT id % 5 AS k, "
+        "CAST(id AS DOUBLE) AS rv, concat('t', id) AS tag "
+        "FROM range(40)"
+    )
+    res = lambda rel: {  # noqa: E731
+        "ai_l": ["k", "lv"], "ai_r": ["k", "rv", "tag"],
+    }.get(rel.strip())
+    q = transpile(
+        "SELECT l.k AS k, l.lv AS lv, r.rv AS rv, r.tag AS tag "
+        "FROM ai_l l ANY LEFT JOIN ai_r r "
+        "ON r.k = l.k AND r.rv > l.lv ORDER BY k, lv",
+        resolve_columns=res,
+    )
+    assert "__any_lk" in q and "LATERAL" not in q
+    rows = spark.sql(q).collect()
+    assert len(rows) == 20  # |left| preserved, never fanned out
+    rts = [(i % 5, float(i), "t%d" % i) for i in range(40)]
+    for r in rows:
+        cand = sorted(
+            c for c in rts if c[0] == r.k and c[1] > r.lv
+        )
+        want = cand[0] if cand else None
+        got = (r.k, r.rv, r.tag) if r.rv is not None else None
+        assert got == want, (tuple(r), want)
+    # inner form drops unmatched left rows
+    qi = transpile(
+        "SELECT l.k AS k FROM ai_l l ANY JOIN ai_r r "
+        "ON r.k = l.k AND r.rv > l.lv",
+        resolve_columns=res,
+    )
+    n_match = sum(
+        1 for i in range(20)
+        if any(c[0] == i % 5 and c[1] > float(i) for c in rts)
+    )
+    assert spark.sql(qi).count() == n_match
+    # expression left operand still derives (the 86s lateral shape)
+    qe = transpile(
+        "SELECT l.k AS k, r.rv AS rv FROM ai_l l ANY LEFT JOIN ai_r "
+        "r ON r.k = l.k AND r.rv > l.lv + 1 ORDER BY k",
+        resolve_columns=res,
+    )
+    assert "__any_lk" in qe and "LATERAL" not in qe
+    # an OR group has no depth-0 comparison → LATERAL fallback,
+    # still correct
+    ql = transpile(
+        "SELECT l.k AS k, r.rv AS rv FROM ai_l l ANY LEFT JOIN ai_r "
+        "r ON r.k = l.k AND (r.rv > l.lv OR r.rv < 1) ORDER BY k",
+        resolve_columns=res,
+    )
+    assert "LATERAL" in ql
+    assert spark.sql(ql).count() == 20
+    # no both-side equality conjunct → the backstop refusal stands
+    with pytest.raises(DialectError, match="any_left_join"):
+        transpile(
+            "SELECT l.k FROM ai_l l ANY LEFT JOIN ai_r r "
+            "ON r.rv > l.lv",
+            resolve_columns=res,
+        )

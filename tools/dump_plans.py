@@ -113,6 +113,19 @@ SHOWCASE = [
                            "single position join — the inherent "
                            "positional-semantics sort, nothing "
                            "quadratic (r9)"),
+    ("dialect_weighted_quantiles", "quantileExactWeighted two-pass "
+                                   "re-plan: partial+final pre-GROUP "
+                                   "BY (keys, value) compresses to "
+                                   "distinct values BEFORE the "
+                                   "cumulative window — O(distinct) "
+                                   "state, CH's own shape (r12)"),
+    ("dialect_group_concat_bounded", "groupConcat(sep, limit): "
+                                     "row_number pre-rank masks rows "
+                                     "past the limit BEFORE "
+                                     "collect_list — O(limit) "
+                                     "aggregate state, window "
+                                     "partitioning reused by the "
+                                     "GROUP BY (r12)"),
 ]
 
 
