@@ -9407,11 +9407,6 @@ def _rewrite_sample_clause(toks: list[str], engine_info=None):
             if k >= len(toks) or not re.match(r"\d", toks[k]):
                 raise DialectError("SAMPLE ... OFFSET needs a fraction")
             off_frac, after = _sample_fraction(toks, k)
-        if isinstance(frac, tuple) and off_frac is not None:
-            raise DialectError(
-                "SAMPLE <row-count> OFFSET is not supported; "
-                "use fractional SAMPLE k OFFSET m"
-            )
         end = after - 1  # last token of the SAMPLE clause
         # the relation before SAMPLE: walk back to the nearest FROM at
         # the same depth; the span must be a simple table reference
@@ -9490,20 +9485,29 @@ def _rewrite_sample_clause(toks: list[str], engine_info=None):
             # subquery at EXECUTION time (a metadata-cheap count; no
             # table statistics needed at transpile time) — the slice
             # stays the same deterministic hash range, just with a
-            # runtime upper bound.  OFFSET is keyspace-fractional in
-            # CH and refuses with the row form (checked at parse).
+            # runtime upper bound.  A keyspace-fractional OFFSET m
+            # shifts the slice start (VERDICT r11 item 4, flips the
+            # r8 refusal): the width is the same runtime n/COUNT(*)
+            # fraction, clamped to the remaining keyspace, so
+            # SAMPLE n OFFSET m reads ≈n rows starting at fraction m
+            # — disjoint from any slice ending at or before m, the
+            # same contract as the fractional form.
             n_rows = frac[1]
+            lo = int(4294967296 * (off_frac or 0))
             # floor() BEFORE the BIGINT cast: Spark's double->bigint
             # cast truncates but DuckDB's rounds-to-nearest, so an
             # explicitly-truncating form keeps the engine and oracle
             # bounds bit-identical (ADVICE r8)
             hi_dyn = (
-                f"CAST(floor(least(CAST(4294967296 AS DOUBLE), "
+                f"CAST(floor(least(CAST({4294967296 - lo} AS DOUBLE), "
                 f"4294967296.0 * {n_rows} / greatest(CAST(1 AS "
                 f"BIGINT), (SELECT COUNT(*) FROM {table})))) "
                 f"AS BIGINT)"
             )
-            pred = f"{h} < {hi_dyn}"
+            if lo:
+                pred = f"{h} >= {lo} AND {h} < {lo} + {hi_dyn}"
+            else:
+                pred = f"{h} < {hi_dyn}"
         else:
             # lo/hi truncate the EXACT rational off and off+frac, so
             # a slice's upper bound equals the next slice's lower
@@ -15194,13 +15198,20 @@ ENGINE = MergeTree
 ORDER BY o_orderkey
 SAMPLE BY intHash32(o_orderkey);
 
-SELECT o_orderstatus,
+SELECT 'plain' AS leg, o_orderstatus,
        count() AS n_sampled,
        min(o_orderkey) AS min_key,
        max(o_orderkey) AS max_key
 FROM sample_orders_n SAMPLE 3000
 GROUP BY o_orderstatus
-ORDER BY o_orderstatus;
+UNION ALL
+SELECT 'offset' AS leg, o_orderstatus,
+       count() AS n_sampled,
+       min(o_orderkey) AS min_key,
+       max(o_orderkey) AS max_key
+FROM sample_orders_n SAMPLE 2000 OFFSET 3/10
+GROUP BY o_orderstatus
+ORDER BY leg, o_orderstatus;
 """
 
 
@@ -15217,15 +15228,32 @@ def _o_sample_rows() -> str:
         "4294967296.0 * 3000 / greatest(CAST(1 AS BIGINT), "
         "(SELECT COUNT(*) FROM orders)))) AS BIGINT)"
     )
+    # the OFFSET leg (r12): start at floor(2^32·3/10), width clamped
+    # to the REMAINING keyspace — byte-identical arithmetic to the
+    # engine side's lo/hi_dyn
+    lo2 = int(4294967296 * 3 // 10)
+    hi2 = (
+        f"CAST(floor(least(CAST({4294967296 - lo2} AS DOUBLE), "
+        "4294967296.0 * 2000 / greatest(CAST(1 AS BIGINT), "
+        "(SELECT COUNT(*) FROM orders)))) AS BIGINT)"
+    )
     return f"""
-SELECT o_orderstatus,
+SELECT 'plain' AS leg, o_orderstatus,
        COUNT(*) AS n_sampled,
        MIN(o_orderkey) AS min_key,
        MAX(o_orderkey) AS max_key
 FROM orders
 WHERE {h} < {hi}
 GROUP BY o_orderstatus
-ORDER BY o_orderstatus
+UNION ALL
+SELECT 'offset' AS leg, o_orderstatus,
+       COUNT(*) AS n_sampled,
+       MIN(o_orderkey) AS min_key,
+       MAX(o_orderkey) AS max_key
+FROM orders
+WHERE {h} >= {lo2} AND {h} < {lo2} + {hi2}
+GROUP BY o_orderstatus
+ORDER BY leg, o_orderstatus
 """
 
 

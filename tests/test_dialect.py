@@ -1852,9 +1852,9 @@ def test_sample_clause_route(spark, sf_dir):
         transpile("SELECT * FROM t SAMPLE 0.1")
     with pytest.raises(DialectError, match="SAMPLE BY"):
         transpile("SELECT * FROM t SAMPLE 1000")
-    # row-count OFFSET combinations refuse
-    with pytest.raises(DialectError, match="row-count> OFFSET"):
-        transpile("SELECT * FROM t SAMPLE 1000 OFFSET 1/2")
+    # a row-count OFFSET (rows after the OFFSET keyword) refuses —
+    # CH offsets are keyspace fractions; SAMPLE n OFFSET m maps
+    # since r12 (checked below)
     with pytest.raises(DialectError, match="fraction of the keyspace"):
         transpile("SELECT * FROM t SAMPLE 1/2 OFFSET 3")
     script = f"""
@@ -1927,6 +1927,53 @@ SELECT count() AS n FROM samp_t SAMPLE 1/2;
         )
     ).collect()[0].n
     assert n_all == total
+    # r12 (VERDICT r11 item 4): SAMPLE n OFFSET m — the runtime
+    # COUNT(*) width starts at the keyspace fraction m; a slice at
+    # OFFSET 0 and one at the matching fraction stay disjoint, and
+    # the width clamps to the REMAINING keyspace near the top
+    n_off = spark.sql(
+        transpile(
+            "SELECT count() AS n FROM samp_t SAMPLE 200 OFFSET 1/2",
+            engine_info=_ddl.lookup_engine_info,
+        )
+    ).collect()[0].n
+    assert 0.5 * 200 <= n_off <= 2.0 * 200
+    got = spark.sql(
+        transpile(
+            "SELECT min(o_orderkey) AS a, max(o_orderkey) AS b "
+            "FROM samp_t SAMPLE 200 OFFSET 1/2",
+            engine_info=_ddl.lookup_engine_info,
+        )
+    ).collect()[0]
+    lo_keys = {
+        r.o_orderkey
+        for r in spark.sql(
+            transpile(
+                "SELECT o_orderkey FROM samp_t SAMPLE 200",
+                engine_info=_ddl.lookup_engine_info,
+            )
+        ).collect()
+    }
+    off_keys = {
+        r.o_orderkey
+        for r in spark.sql(
+            transpile(
+                "SELECT o_orderkey FROM samp_t SAMPLE 200 OFFSET 1/2",
+                engine_info=_ddl.lookup_engine_info,
+            )
+        ).collect()
+    }
+    assert got.a is not None and lo_keys.isdisjoint(off_keys)
+    # near the top of the keyspace the width clamps: the slice never
+    # wraps, so everything it returns hashes >= the offset bound
+    n_top = spark.sql(
+        transpile(
+            f"SELECT count() AS n FROM samp_t SAMPLE {total * 10} "
+            "OFFSET 9/10",
+            engine_info=_ddl.lookup_engine_info,
+        )
+    ).collect()[0].n
+    assert 0 < n_top < total * 0.2
 
 
 def test_script_schema_evolution_statements(spark):
