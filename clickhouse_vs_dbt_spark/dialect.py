@@ -11853,6 +11853,102 @@ def _move_detached_partition(
     spark.sql(f"REFRESH TABLE {target}")
 
 
+#: DETACH TABLE stash: name → (SHOW CREATE TABLE text, location URI,
+#: partitioned flag).  Session-lifetime, like ClickHouse's in-memory
+#: detached set (PERMANENTLY persists across server restarts there;
+#: here both forms live until ATTACH or process end).
+_DETACHED_TABLES: dict[str, tuple[str, str, bool]] = {}
+
+
+def _detach_table(spark: "SparkSession", target: str) -> None:
+    """DETACH TABLE (VERDICT r11 item 5, flips the r6 refusal): drop
+    the catalog entry but KEEP the data — ClickHouse's
+    metadata-lifecycle contract.  Spark's DROP TABLE deletes a
+    managed table's storage, so the data directory is first renamed
+    to ``<location>.detached`` through the table's own Hadoop
+    FileSystem (any scheme), then the entry is dropped; the captured
+    ``SHOW CREATE TABLE`` text + location go to the stash for
+    ATTACH.  O(1) metadata + one directory rename, no data scan —
+    the same cost contract as the partition DETACH."""
+    name = target.strip("`")
+    if not spark.catalog.tableExists(name):
+        raise DialectError(f"DETACH TABLE: no table {name!r}")
+    if name in _DETACHED_TABLES:
+        raise DialectError(
+            f"DETACH TABLE: {name!r} already has a detached image"
+        )
+    create = str(
+        spark.sql(f"SHOW CREATE TABLE {name}").collect()[0][0]
+    )
+    loc = _table_location_uri(spark, name)
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    HPath = jvm.org.apache.hadoop.fs.Path
+    live = HPath(loc)
+    parked = HPath(loc.rstrip("/") + ".detached")
+    fs = live.getFileSystem(conf)
+    if fs.exists(parked):
+        raise DialectError(
+            f"DETACH TABLE: stale detached directory at "
+            f"{parked.toString()}"
+        )
+    moved = fs.exists(live) and fs.rename(live, parked)
+    if fs.exists(live) and not moved:
+        raise DialectError(
+            f"filesystem refused to move {loc} aside for DETACH"
+        )
+    spark.sql(f"DROP TABLE {name}")
+    _DETACHED_TABLES[name] = (
+        create, loc, "PARTITIONED BY" in create.upper()
+    )
+
+
+def _attach_table(spark: "SparkSession", target: str) -> None:
+    """ATTACH TABLE: move the parked data directory back and replay
+    the captured CREATE TABLE (partitioned tables re-register their
+    directories via RECOVER PARTITIONS).  Only tables detached in
+    this session attach by bare name — ClickHouse's bare ATTACH
+    reads server-local metadata that has no Spark twin, so unknown
+    names refuse with the full-definition pointer."""
+    name = target.strip("`")
+    st = _DETACHED_TABLES.get(name)
+    if st is None:
+        raise DialectError(
+            f"ATTACH TABLE: {name!r} has no detached image in this "
+            "session — use CREATE TABLE (the DDL front door) with "
+            "the original definition to register over existing data"
+        )
+    create, loc, partitioned = st
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    HPath = jvm.org.apache.hadoop.fs.Path
+    live = HPath(loc)
+    parked = HPath(loc.rstrip("/") + ".detached")
+    fs = live.getFileSystem(conf)
+    if fs.exists(parked) and fs.exists(live):
+        raise DialectError(
+            f"ATTACH TABLE: both live and detached directories "
+            f"exist for {name!r}"
+        )
+    # create FIRST (a managed CREATE refuses over an existing
+    # location), then swap the parked data directory back in place
+    # of whatever empty directory the create laid down — the table
+    # stays managed, so a later DROP keeps ClickHouse's
+    # drop-removes-data semantics
+    spark.sql(create)
+    if fs.exists(parked):
+        if fs.exists(live):
+            fs.delete(live, True)  # the create's empty skeleton
+        if not fs.rename(parked, live):
+            raise DialectError(
+                f"filesystem refused to restore {loc} for ATTACH"
+            )
+    if partitioned:
+        spark.sql(f"ALTER TABLE {name} RECOVER PARTITIONS")
+    spark.sql(f"REFRESH TABLE {name}")
+    del _DETACHED_TABLES[name]
+
+
 def _table_location_uri(spark: "SparkSession", target: str) -> str:
     """Schemed storage URI (``file:/…``, ``s3a://…``) — for Hadoop
     FileSystem operations, where the scheme picks the filesystem.
@@ -12478,13 +12574,39 @@ def run_clickhouse_script(
                 [(1, n)], "result int, n_rows long"
             )
             results.append(("check", df))
+        elif (
+            dm2 := _re.match(
+                r"(?is)\s*DETACH\s+TABLE\s+(?:IF\s+EXISTS\s+)?"
+                r"([A-Za-z_][A-Za-z0-9_.`]*)"
+                r"(\s+PERMANENTLY)?(\s+SYNC)?\s*$",
+                stmt,
+            )
+        ) is not None:
+            # park-and-unregister (r12, VERDICT r11 item 5): data
+            # stays on disk, catalog entry goes; PERMANENTLY only
+            # changes restart behavior in CH — both forms stash until
+            # ATTACH here (session-lifetime catalog)
+            target = dm2.group(1)
+            _detach_table(spark, target)
+            results.append(("detach_table", target))
+        elif (
+            am2 := _re.match(
+                r"(?is)\s*ATTACH\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?"
+                r"([A-Za-z_][A-Za-z0-9_.`]*)\s*$",
+                stmt,
+            )
+        ) is not None:
+            target = am2.group(1)
+            _attach_table(spark, target)
+            results.append(("attach_table", target))
         elif _re.match(r"(?is)\s*(ATTACH|DETACH)\s+", stmt):
             raise DialectError(
-                "ATTACH/DETACH manage ClickHouse's on-disk metadata "
-                "lifecycle; Spark external tables already separate "
-                "data from catalog — use CREATE TABLE (the DDL front "
-                "door) / DROP TABLE (data files remain at the "
-                "location)"
+                "bare DETACH/ATTACH TABLE map since r12 (park-and-"
+                "restore over the table's storage); this spelling "
+                "(full-definition ATTACH, DETACH DATABASE/VIEW/"
+                "DICTIONARY) manages ClickHouse server metadata with "
+                "no Spark twin — use CREATE TABLE (the DDL front "
+                "door) / DROP TABLE instead"
             )
         elif _re.match(r"(?is)\s*KILL\s+", stmt):
             raise DialectError(
@@ -15578,6 +15700,82 @@ def q_ch_script_detach(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# 16d2 (r12). DETACH TABLE / ATTACH TABLE (VERDICT r11 item 5, flips
+#      the r6 refusal): park-and-restore over the table's own storage
+#      — DETACH renames the data directory aside and drops the
+#      catalog entry (data survives, name unresolvable); ATTACH
+#      replays the captured CREATE and swaps the directory back.  The
+#      mid-state pin (catalog no longer resolves the name) rides the
+#      'detached' row; the 'attached' rows must equal the straight
+#      aggregate over orders — wrong if DETACH lost data or ATTACH
+#      re-registered a stale image.
+_CH_DETACH_TABLE_SCRIPT1 = """
+CREATE TABLE dtt_orders
+(o_orderkey Int64, o_orderstatus String, o_totalprice Float64)
+ENGINE = MergeTree ORDER BY o_orderkey;
+
+INSERT INTO dtt_orders
+SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders;
+
+DETACH TABLE dtt_orders;
+"""
+
+_CH_DETACH_TABLE_SCRIPT2 = """
+ATTACH TABLE dtt_orders;
+
+SELECT o_orderstatus, count() AS n,
+       toFloat64(sum(toDecimal64(o_totalprice, 2))) AS total
+FROM dtt_orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus;
+"""
+
+O_DETACH_TABLE = """
+SELECT 'detached' AS stage, '' AS o_orderstatus,
+       CAST(0 AS BIGINT) AS n, CAST(0.0 AS DOUBLE) AS total
+UNION ALL
+SELECT 'attached', o_orderstatus, COUNT(*),
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+FROM orders GROUP BY o_orderstatus
+ORDER BY stage, o_orderstatus
+"""
+
+
+def q_ch_script_detach_table(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Verbatim ClickHouse DETACH/ATTACH TABLE scripts (module doc
+    #16d2)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    register_views(spark, sf_dir, ("orders",))
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix(
+        "file:"
+    )
+    spark.sql("DROP TABLE IF EXISTS dtt_orders")
+    shutil.rmtree(f"{wh}/dtt_orders", ignore_errors=True)
+    shutil.rmtree(f"{wh}/dtt_orders.detached", ignore_errors=True)
+    _DETACHED_TABLES.pop("dtt_orders", None)
+    run_clickhouse_script(
+        spark, _CH_DETACH_TABLE_SCRIPT1, overwrite_existing=True
+    )
+    # mid-state pin: the detached name must be unresolvable (0)
+    gone = 1 if spark.catalog.tableExists("dtt_orders") else 0
+    r2 = run_clickhouse_script(spark, _CH_DETACH_TABLE_SCRIPT2)
+    stage1 = spark.createDataFrame(
+        [("detached", "", gone, 0.0)],
+        "stage string, o_orderstatus string, n long, total double",
+    )
+    stage2 = r2[-1][1].withColumn("stage", F.lit("attached")).select(
+        "stage", "o_orderstatus", "n", "total"
+    )
+    return stage1.unionByName(stage2).orderBy(
+        "stage", "o_orderstatus"
+    )
+
+
 # 16. full operational lifecycle through the script runner: CREATE
 #     (Replacing DDL) → INSERT … SELECT FROM file() (fires nothing —
 #     no MV — but exercises the trigger path) → ALTER DELETE →
@@ -16834,6 +17032,7 @@ QUERIES = {
     "ch_script_blue_green": q_ch_script_blue_green,
     "ch_script_retention": q_ch_script_retention,
     "ch_script_detach": q_ch_script_detach,
+    "ch_script_detach_table": q_ch_script_detach_table,
     "ch_script_partition_ops": q_ch_script_partition_ops,
     "ch_script_schema_evolution": q_ch_script_schema_evolution,
     "dialect_any_join": q_dialect_any_join,
@@ -16922,6 +17121,7 @@ ORACLES = {
     "ch_script_blue_green": O_BLUE_GREEN,
     "ch_script_retention": O_RETENTION_SCRIPT,
     "ch_script_detach": O_DETACH_SCRIPT,
+    "ch_script_detach_table": O_DETACH_TABLE,
     "ch_script_partition_ops": O_PARTITION_OPS,
     "ch_script_schema_evolution": O_CH_SCRIPT_SCHEMA_EVOLUTION,
     "dialect_any_join": O_ANY_JOIN,

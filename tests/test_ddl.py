@@ -902,3 +902,65 @@ FROM src GROUP BY g;""",
         ).collect()
     }
     assert got == {"x": ("z", "w"), "y": ("n", "m")}
+
+
+def test_r12_detach_attach_table(spark, sf_dir):
+    """VERDICT r11 item 5: DETACH TABLE parks the data directory and
+    drops the catalog entry (data survives, name unresolvable);
+    ATTACH TABLE re-creates from the captured DDL and swaps the data
+    back — managed, so a later DROP keeps ClickHouse's
+    drop-removes-data contract.  Unknown names and full-definition
+    ATTACH refuse with pointers."""
+    import shutil
+
+    from clickhouse_vs_dbt_spark.dialect import (
+        DialectError,
+        _DETACHED_TABLES,
+        run_clickhouse_script,
+    )
+
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix(
+        "file:"
+    )
+    for t in ("da_t",):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"{wh}/{t}", ignore_errors=True)
+        shutil.rmtree(f"{wh}/{t}.detached", ignore_errors=True)
+        _DETACHED_TABLES.pop(t, None)
+    run_clickhouse_script(
+        spark,
+        """
+CREATE TABLE da_t (k Int64, y Int32)
+ENGINE = MergeTree PARTITION BY y ORDER BY k;
+INSERT INTO da_t SELECT number, toInt32(number % 3) FROM numbers(30);
+DETACH TABLE da_t;
+""",
+        overwrite_existing=True,
+    )
+    assert not spark.catalog.tableExists("da_t")
+    import os
+
+    assert os.path.isdir(f"{wh}/da_t.detached")  # data survived
+    # double DETACH refuses; ATTACH of a never-detached name refuses
+    with pytest.raises(DialectError, match="no table"):
+        run_clickhouse_script(spark, "DETACH TABLE da_t;")
+    with pytest.raises(DialectError, match="detached image"):
+        run_clickhouse_script(spark, "ATTACH TABLE nope_t;")
+    res = run_clickhouse_script(
+        spark,
+        "ATTACH TABLE da_t;\n"
+        "SELECT y, count() AS n FROM da_t GROUP BY y ORDER BY y;",
+    )
+    rows = {r.y: r.n for r in res[-1][1].collect()}
+    assert rows == {0: 10, 1: 10, 2: 10}
+    # managed drop semantics survive the round trip: DROP removes
+    # the storage again
+    spark.sql("DROP TABLE da_t")
+    assert not os.path.isdir(f"{wh}/da_t")
+    # full-definition ATTACH / other object kinds keep the refusal
+    with pytest.raises(DialectError, match="front door"):
+        run_clickhouse_script(
+            spark, "ATTACH TABLE x (k Int64) ENGINE = MergeTree ORDER BY k;"
+        )
+    with pytest.raises(DialectError, match="front door"):
+        run_clickhouse_script(spark, "DETACH DATABASE d;")
