@@ -168,6 +168,23 @@ def t_pvalue(t: float, df: float) -> float:
     return _betainc(df / (df + t * t), df / 2.0, 0.5)
 
 
+def f_pvalue(f: float, d1: float, d2: float) -> float:
+    """Upper-tail F(d1, d2) p-value: I_{d2/(d2+d1·f)}(d2/2, d1/2) —
+    the one-way ANOVA tail (analysisOfVariance, r12 audit batch 15).
+    The ENGINE computes this in pure SQL (dialect._betainc_sql, a
+    Lanczos-lgamma + fixed-iteration Lentz fold — a Python UDF can't
+    ride an aggregate whose arguments contain lambdas); this Python
+    twin is the unit-test reference the SQL register is pinned
+    against."""
+    if f is None or d1 is None or d2 is None or d1 <= 0 or d2 <= 0:
+        return None
+    if f != f:  # NaN
+        return float("nan")
+    if f <= 0.0:
+        return 1.0
+    return _betainc(d2 / (d2 + d1 * f), d2 / 2.0, d1 / 2.0)
+
+
 #: bump when the vectorized set below changes — the registration
 #: digest must move or live sessions keep stale definitions
 _VECTORIZED_VERSION = 12  # r10: + base58 codecs

@@ -1284,6 +1284,101 @@ def _literal_json_steps(args: list[str]) -> str | None:
     return f"'{enc}'"
 
 
+def _lgamma_sql(z: str) -> str:
+    """ln Γ(z) for z > 0 as pure SQL arithmetic — Lanczos g=7, n=9
+    (the public-domain coefficient set), |rel err| ≲ 1e-13.  Powers
+    the SQL incomplete-beta register below; kept UDF-free so the
+    expression survives inside lambdas and whole-stage codegen."""
+    cs = (676.5203681218851, -1259.1392167224028, 771.32342877765313,
+          -176.61502916214059, 12.507343278686905,
+          -0.13857109526572012, 9.9843695780195716e-6,
+          1.5056327351493116e-7)
+    ser = "0.99999999999980993d" + "".join(
+        f" + ({c!r}d / (({z}) + {i}))" for i, c in enumerate(cs)
+    )
+    t = f"(({z}) + 6.5d)"
+    return (
+        f"(0.9189385332046727d + (({z}) - 0.5d) * ln({t}) - {t} "
+        f"+ ln({ser}))"
+    )
+
+
+def _betacore_sql(x: str, a: str, b: str, iters: int = 500) -> str:
+    """The convergent-side incomplete-beta core: front · h / a with
+    ``h`` from a FIXED-iteration Lentz continued fraction (Numerical
+    Recipes betacf), spelled as one aggregate() fold over
+    sequence(1, iters).  Converged iterations multiply h by exactly
+    1.0, so the fixed count needs no early exit; 500 double
+    half-steps cover df up to ~10⁶ on the flipped (fast) side.
+    Callers must guarantee 0 < x < 1 and the x ≤ (a+1)/(a+b+2)
+    orientation (see _betainc_sql)."""
+    lg = _lgamma_sql
+    front = (
+        f"exp({lg(f'({a}) + ({b})')} - {lg(a)} - {lg(b)} "
+        f"+ ({a}) * ln({x}) + ({b}) * ln(1.0d - ({x})))"
+    )
+    g = lambda e: f"IF(abs({e}) < 1e-300d, 1e-300d, {e})"  # noqa: E731
+    step = (
+        "element_at(transform(array(named_struct("
+        f"'aa1', __m * (({b}) - __m) * ({x}) / "
+        f"((({a}) - 1.0d + 2.0d * __m) * (({a}) + 2.0d * __m)), "
+        f"'aa2', -((({a}) + __m) * (({a}) + ({b}) + __m)) * ({x}) / "
+        f"((({a}) + 2.0d * __m) * (({a}) + 1.0d + 2.0d * __m)))), "
+        "__t -> element_at(transform(array(named_struct("
+        "'d1', 1.0d / " + g("1.0d + __t.aa1 * __s.d") + ", "
+        "'c1', " + g("1.0d + __t.aa1 / __s.c") + ")), "
+        "__u -> element_at(transform(array(named_struct("
+        "'d2', 1.0d / " + g("1.0d + __t.aa2 * __u.d1") + ", "
+        "'c2', " + g("1.0d + __t.aa2 / __u.c1") + ")), "
+        "__w -> named_struct('c', __w.c2, 'd', __w.d2, "
+        "'h', __s.h * __u.d1 * __u.c1 * __w.d2 * __w.c2)), 1)), 1)), 1)"
+    )
+    init = (
+        "element_at(transform(array(named_struct('d0', 1.0d / "
+        + g(f"1.0d - (({a}) + ({b})) * ({x}) / (({a}) + 1.0d)")
+        + ")), __z -> named_struct('c', 1.0d, 'd', __z.d0, "
+        "'h', __z.d0)), 1)"
+    )
+    return (
+        f"({front} * aggregate(sequence(1, {iters}), {init}, "
+        f"(__s, __m) -> {step}, __s -> __s.h) / ({a}))"
+    )
+
+
+def _betainc_sql(x: str, a: str, b: str) -> str:
+    """Regularized incomplete beta I_x(a, b) in pure SQL — the same
+    algorithm as compat._betainc (which stays as the unit-test
+    reference): evaluate the continued fraction on whichever side of
+    x = (a+1)/(a+b+2) converges, reflecting via I_x(a,b) =
+    1 − I_{1−x}(b,a).  |abs err| ≲ 3e-11 across the tested (a, b)
+    grid.  Exists because scalar Python UDFs cannot be extracted
+    from an Aggregate whose argument tree contains lambda functions
+    (Spark UNSUPPORTED_FEATURE / interpreter gap) — the statistical
+    aggregates that need a Beta tail on top of fold-built statistics
+    (analysisOfVariance) must stay UDF-free end to end."""
+    bind = (
+        f"named_struct('f', ({x}) > ((({a}) + 1.0d) / "
+        f"(({a}) + ({b}) + 2.0d)), 'x', CAST(({x}) AS DOUBLE), "
+        f"'a', CAST(({a}) AS DOUBLE), 'b', CAST(({b}) AS DOUBLE))"
+    )
+    core = _betacore_sql("__p.x", "__p.a", "__p.b")
+    inner = (
+        "element_at(transform(array(named_struct("
+        "'x', IF(__bi.f, 1.0d - __bi.x, __bi.x), "
+        "'a', IF(__bi.f, __bi.b, __bi.a), "
+        "'b', IF(__bi.f, __bi.a, __bi.b))), "
+        f"__p -> {core}), 1)"
+    )
+    return (
+        f"element_at(transform(array({bind}), __bi -> "
+        "CASE WHEN __bi.x IS NULL OR __bi.a IS NULL OR __bi.b IS NULL "
+        "THEN CAST(NULL AS DOUBLE) "
+        "WHEN __bi.x <= 0.0d THEN 0.0d "
+        "WHEN __bi.x >= 1.0d THEN 1.0d "
+        f"WHEN __bi.f THEN 1.0d - {inner} ELSE {inner} END), 1)"
+    )
+
+
 def _render_call(name: str, args: list[str]) -> str:
     joined = ", ".join(args)
     if name == "multiIf":
@@ -1937,8 +2032,207 @@ def _render_call(name: str, args: list[str]) -> str:
         return f"levenshtein({args[0]}, {args[1]})"
     if name == "initcapUTF8" and len(args) == 1:
         return f"initcap({args[0]})"
+    # ---- r12 audit batch 15 ----------------------------------------
+    if name == "ignore" and args:
+        # CH: evaluates its arguments and always returns 0 (a
+        # constant-folding / benchmarking helper); Spark has no
+        # forced-evaluation analog and none is needed
+        return "0"
+    if name == "indexHint" and args:
+        # CH: returns 1; the argument only steers granule selection.
+        # Spark's scan pruning comes from real predicates, so the
+        # hint's VALUE is the whole mapping
+        return "1"
+    if name == "isConstant" and len(args) == 1:
+        # transpile-time foldability approximation: an expression
+        # with no column/function identifiers is a constant.  CH
+        # answers from the query pipeline (pi() etc. count as
+        # constant there); this register covers the literal tier and
+        # answers 0 for anything name-shaped — documented refinement
+        consts = ("NULL", "TRUE", "FALSE", "AND", "OR", "NOT", "IS",
+                  "IN", "INTERVAL", "DATE", "TIMESTAMP", "CAST", "AS")
+        has_ident = any(
+            _is_ident(t) and t.upper() not in consts
+            for t in _tokens(args[0])
+        )
+        return "0" if has_ident else "1"
+    if name == "timezoneOf" and len(args) == 1:
+        # the session pins UTC (session.py) and Spark timestamps are
+        # zone-less instants, so every DateTime column's zone IS the
+        # session zone
+        return f"IF(({args[0]}) IS NULL, NULL, 'UTC')"
+    if name == "encodeURLFormComponent" and len(args) == 1:
+        # application/x-www-form-urlencoded: space → '+', which is
+        # exactly Spark's url_encode
+        return f"url_encode({args[0]})"
+    if name == "IPv4NumToStringClassC" and len(args) == 1:
+        # args[0] must be parenthesized BEFORE div: `a + b div c`
+        # binds as `a + (b div c)` (the probe20 gate caught this)
+        x = f"({args[0]})"
+        o = lambda e: f"CAST({e} AS STRING)"  # noqa: E731
+        return (
+            f"concat_ws('.', {o(f'({x} div 16777216) % 256')}, "
+            f"{o(f'({x} div 65536) % 256')}, "
+            f"{o(f'({x} div 256) % 256')}, 'xxx')"
+        )
+    if name == "isIPAddressInRange" and len(args) == 2:
+        addr, cidr = args
+        if ":" in cidr or ":" in addr:
+            raise DialectError(
+                "isIPAddressInRange over IPv6 needs the 128-bit "
+                "binary tier (the toIPv6 wall); the IPv4 dotted-quad "
+                "form transpiles"
+            )
+        num = (
+            lambda s: f"aggregate(split({s}, '\\\\.'), "  # noqa: E731
+            f"CAST(0 AS BIGINT), "
+            f"(__a, __o) -> __a * 256 + CAST(__o AS BIGINT))"
+        )
+        net = f"element_at(split({cidr}, '/'), 1)"
+        p = f"CAST(element_at(split({cidr}, '/'), 2) AS INT)"
+        return (
+            f"(CASE WHEN {p} <= 0 THEN true ELSE "
+            f"shiftright({num(addr)}, 32 - {p}) = "
+            f"shiftright({num(net)}, 32 - {p}) END)"
+        )
+    if name.endswith("MappedArrays") and len(args) == 2 and name[
+        : -len("MappedArrays")
+    ] in ("sum", "min", "max"):
+        # CH synonyms of the two-array sumMap/minMap/maxMap spelling
+        return _render_call(name[: -len("MappedArrays")] + "Map", args)
+    if name == "accurateCastOrDefault" and len(args) in (2, 3) \
+            and args[1].startswith("'") and args[1].endswith("'"):
+        from clickhouse_vs_dbt_spark.ddl import convert_type
+
+        t = convert_type(args[1][1:-1])
+        inner = f"TRY_CAST({args[0]} AS {t})"
+        if len(args) == 3:
+            return f"coalesce({inner}, CAST({args[2]} AS {t}))"
+        # 2-arg form: the type's default value (CH: 0 / '' / epoch)
+        zero = {
+            "STRING": "''", "DATE": "DATE'1970-01-01'",
+            "TIMESTAMP": "TIMESTAMP'1970-01-01 00:00:00'",
+            "TIMESTAMP_NTZ": "TIMESTAMP'1970-01-01 00:00:00'",
+        }.get(t.upper().split("(")[0], "0")
+        return f"coalesce({inner}, CAST({zero} AS {t}))"
+    if name == "arrayLevenshteinDistance" and len(args) == 2:
+        # classic two-row DP as nested folds: the outer aggregate
+        # walks a's elements, the inner rebuilds the DP row over b's
+        # indices (prefix-dependent, so transform can't express it).
+        # Both arrays bind ONCE via the single-element transform.
+        # Empty-side guards dodge Spark's DESCENDING sequence(1, 0).
+        return (
+            f"element_at(transform(array(named_struct("
+            f"'a', {args[0]}, 'b', {args[1]})), __lv -> "
+            "CASE WHEN size(__lv.a) = 0 THEN CAST(size(__lv.b) AS BIGINT) "
+            "WHEN size(__lv.b) = 0 THEN CAST(size(__lv.a) AS BIGINT) "
+            "ELSE element_at(aggregate(__lv.a, "
+            "transform(sequence(0, size(__lv.b)), "
+            "__j -> CAST(__j AS BIGINT)), "
+            "(__row, __ai) -> aggregate(sequence(1, size(__lv.b)), "
+            "array(element_at(__row, 1) + 1), "
+            "(__cur, __j) -> concat(__cur, array(least("
+            "element_at(__row, __j + 1) + 1, "
+            "element_at(__cur, __j) + 1, "
+            "element_at(__row, __j) + CASE WHEN __ai <=> "
+            "element_at(__lv.b, __j) THEN 0 ELSE 1 END))))), "
+            "-1) END), 1)"
+        )
+    if name == "analysisOfVariance" and len(args) == 2:
+        # one-way ANOVA over (value, category): sort the collected
+        # (g, v) pairs by group so one indexed fold accumulates the
+        # per-group sufficient statistics (Σv_g)²/n_g without typing
+        # the group key into the state; F = (SSB/(k−1))/(SSW/(n−k)),
+        # p = the F upper tail via the shared incomplete-beta
+        # register (compat.ch_f_pvalue, aggregate-output rows only).
+        # Collect-class state like the quantileExact tier —
+        # documented; CH's own state is per-distinct-group.
+        v, g = args
+        pairs = (
+            f"array_sort(collect_list(CASE WHEN ({v}) IS NOT NULL "
+            f"AND ({g}) IS NOT NULL THEN named_struct('g', {g}, "
+            f"'v', CAST({v} AS DOUBLE)) END))"
+        )
+        fold = (
+            "aggregate(sequence(1, size(__av)), "
+            "named_struct('gn', 0.0d, 'gs', 0.0d, 'k', 0.0d, "
+            "'n', 0.0d, 'sv', 0.0d, 'svv', 0.0d, 'acc', 0.0d), "
+            "(__s, __i) -> CASE WHEN __i = 1 OR NOT "
+            "(element_at(__av, __i).g <=> element_at(__av, __i - 1).g) "
+            "THEN named_struct("
+            "'gn', 1.0d, 'gs', element_at(__av, __i).v, "
+            "'k', __s.k + 1, 'n', __s.n + 1, "
+            "'sv', __s.sv + element_at(__av, __i).v, "
+            "'svv', __s.svv + element_at(__av, __i).v * "
+            "element_at(__av, __i).v, "
+            "'acc', __s.acc + IF(__i = 1, 0.0d, "
+            "__s.gs * __s.gs / __s.gn)) "
+            "ELSE named_struct("
+            "'gn', __s.gn + 1, 'gs', __s.gs + element_at(__av, __i).v, "
+            "'k', __s.k, 'n', __s.n + 1, "
+            "'sv', __s.sv + element_at(__av, __i).v, "
+            "'svv', __s.svv + element_at(__av, __i).v * "
+            "element_at(__av, __i).v, "
+            "'acc', __s.acc) END, "
+            "__s -> named_struct('k', __s.k, 'n', __s.n, "
+            "'sv', __s.sv, 'svv', __s.svv, "
+            "'acc', __s.acc + IF(__s.n > 0, "
+            "__s.gs * __s.gs / __s.gn, 0.0d)))"
+        )
+        # p-value via the PURE-SQL Beta tail (_betainc_sql): a Python
+        # UDF cannot be extracted from an Aggregate whose argument
+        # tree contains lambdas, and the fold IS lambdas — so the
+        # whole tuple stays in Catalyst expressions end to end
+        fstat = (
+            "CASE WHEN __st.k >= 2 AND __st.n > __st.k AND "
+            "(__st.svv - __st.acc) > 0 THEN "
+            "((__st.acc - __st.sv * __st.sv / __st.n) / (__st.k - 1)) "
+            "/ ((__st.svv - __st.acc) / (__st.n - __st.k)) END"
+        )
+        pval = _betainc_sql(
+            "(__st.n - __st.k) / ((__st.n - __st.k) + "
+            f"(__st.k - 1) * ({fstat}))",
+            "(__st.n - __st.k) / 2.0d",
+            "(__st.k - 1) / 2.0d",
+        )
+        # the named_struct stays OUTERMOST (each field carries its
+        # own fold bind): the positional `.N` tuple rewrite matches a
+        # literal named_struct, and `.1` access then prunes the
+        # p-value's Beta fold entirely via CreateNamedStruct
+        # simplification
+        wrap = (
+            lambda body: f"element_at(transform(array({pairs}), "
+            f"__av -> element_at(transform(array({fold}), "
+            f"__st -> {body}), 1)), 1)"
+        )
+        return (
+            f"named_struct('f_statistic', {wrap(fstat)}, "
+            f"'p_value', {wrap(pval)})"
+        )
+    if name in ("displayName", "getMacro", "blockSerializedSize"):
+        raise DialectError(
+            f"{name} reads ClickHouse server configuration/state — "
+            "the hostName/uptime/block* introspection wall"
+        )
+    if name == "geoDistance":
+        raise DialectError(
+            "geoDistance computes on the WGS-84 ellipsoid with a "
+            "CH-version-specific series; greatCircleDistance "
+            "(spherical, transpiles) is the portable register — "
+            "spell ellipsoid geodesics explicitly if the ~0.3% "
+            "difference matters"
+        )
+    if name == "arrayEnumerateUniqRanked" and args:
+        raise DialectError(
+            "arrayEnumerateUniqRanked's depth-ranked numbering has "
+            "no bounded Spark fold here — arrayEnumerateUniq (which "
+            "transpiles) covers the flat case"
+        )
+    # ---- end batch 15 ----------------------------------------------
     if name == "IPv4NumToString" and len(args) == 1:
-        x = args[0]
+        # same pre-div parenthesization as the ClassC form (r12):
+        # `a + b div c` binds as `a + (b div c)`
+        x = f"({args[0]})"
         o = lambda e: f"CAST({e} AS STRING)"  # noqa: E731
         return (
             f"concat_ws('.', {o(f'({x} div 16777216) % 256')}, "
@@ -3102,7 +3396,10 @@ def _render_call(name: str, args: list[str]) -> str:
         # compat registry (libm-exact, vectorized transfer); the only
         # sanctioned non-expression scalars besides ch_t_pvalue
         return f"ch_{name}({args[0]})"
-    if name in ("normalizeQuery", "normalizedQueryHash"):
+    if name in (
+        "normalizeQuery", "normalizedQueryHash",
+        "normalizeQueryKeepNames", "normalizedQueryHashKeepNames",
+    ):
         raise DialectError(
             f"{name}: ClickHouse's literal-masking rules are "
             "version-specific (silent divergence risk) — spell the "
@@ -16934,6 +17231,110 @@ def q_dialect_group_concat_bounded(
     )
 
 
+# 37 (r12). audit batch 15 value gate (per-row tier): class-C IP
+#     rendering, IPv4 CIDR membership (second-octet analytic oracle),
+#     defensive accurateCastOrDefault, the array-Levenshtein DP fold
+#     on an analytically-known shape (equal first elements → distance
+#     = second-element inequality), form-encoding (+ for space; the
+#     DuckDB oracle respells its %20), and the constant-register
+#     trio ignore/indexHint/isConstant plus session-pinned
+#     timezoneOf.
+_CH_PROBE20 = """
+SELECT o_orderkey AS k,
+       IPv4NumToStringClassC((o_orderkey % 200) * 65536 + 258) AS ipc,
+       isIPAddressInRange(concat('10.', toString(o_orderkey % 256),
+                                 '.3.4'), '10.128.0.0/9') AS ipr,
+       accurateCastOrDefault(o_orderpriority, 'UInt8', 99) AS acd,
+       accurateCastOrDefault(substring(o_orderpriority, 1, 1),
+                             'Int64') AS ac1,
+       arrayLevenshteinDistance([o_orderkey % 3, o_orderkey % 5],
+                                [o_orderkey % 3, o_orderkey % 7])
+         AS ald,
+       encodeURLFormComponent(concat(o_orderstatus, ' ',
+                                     o_orderpriority)) AS euf,
+       ignore(o_orderkey) AS ig,
+       indexHint(o_orderkey > 0) AS ih,
+       isConstant(o_orderkey) AS ic0,
+       isConstant(1 + 2) AS ic1,
+       timezoneOf(toDateTime(o_orderdate)) AS tz
+FROM orders
+WHERE o_orderkey % 11 = 0
+ORDER BY k
+"""
+
+O_PROBE20 = """
+SELECT o_orderkey AS k,
+       concat('0.', CAST(o_orderkey % 200 AS VARCHAR), '.1.xxx')
+         AS ipc,
+       (o_orderkey % 256) >= 128 AS ipr,
+       CAST(coalesce(TRY_CAST(o_orderpriority AS SMALLINT), 99)
+            AS SMALLINT) AS acd,
+       CAST(substring(o_orderpriority, 1, 1) AS BIGINT) AS ac1,
+       CAST(CASE WHEN o_orderkey % 5 = o_orderkey % 7
+                 THEN 0 ELSE 1 END AS BIGINT) AS ald,
+       replace(concat(o_orderstatus, ' ', o_orderpriority), ' ', '+')
+         AS euf,
+       0 AS ig, 1 AS ih, 0 AS ic0, 1 AS ic1, 'UTC' AS tz
+FROM orders
+WHERE o_orderkey % 11 = 0
+ORDER BY k
+"""
+
+
+def q_dialect_probe20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verbatim CH batch-15 per-row probe (module doc #37)."""
+    return run_clickhouse_sql(spark, _CH_PROBE20, sf_dir, ("orders",))
+
+
+# 37b (r12). one-way ANOVA: analysisOfVariance(value, category) as a
+#     group-contiguous indexed fold over the sorted (g, v) pairs —
+#     collect-class state, documented — with the p-value computed by
+#     the PURE-SQL incomplete-beta register (_betainc_sql: Lanczos
+#     lgamma + fixed-iteration Lentz fold; a Python UDF cannot ride
+#     an Aggregate whose arguments contain lambdas).  Integer values
+#     make every sufficient statistic exact in both engines, so the
+#     F gate is bit-stable; the p-value half has no DuckDB spelling
+#     and is value-pinned against compat.f_pvalue in
+#     tests/test_dialect.py (the t-test precedent).
+_CH_ANOVA = """
+SELECT o_orderstatus,
+       floor(analysisOfVariance(toFloat64(o_orderkey % 97),
+                                o_orderpriority).1 * 1000000 + 0.5)
+         / 1000000 AS f_stat
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+O_ANOVA = """
+WITH cell AS (
+  SELECT o_orderstatus AS st, o_orderpriority AS g,
+         COUNT(*) AS n_g,
+         SUM(CAST(o_orderkey % 97 AS DOUBLE)) AS s_g
+  FROM orders GROUP BY 1, 2),
+tot AS (
+  SELECT st, SUM(n_g) AS n, SUM(s_g) AS sv,
+         COUNT(*) AS k, SUM(s_g * s_g / n_g) AS acc
+  FROM cell GROUP BY st),
+sq AS (
+  SELECT o_orderstatus AS st,
+         SUM(CAST(o_orderkey % 97 AS DOUBLE)
+             * CAST(o_orderkey % 97 AS DOUBLE)) AS svv
+  FROM orders GROUP BY 1)
+SELECT tot.st AS o_orderstatus,
+       floor(((acc - sv * sv / n) / (k - 1))
+             / ((svv - acc) / (n - k)) * 1000000 + 0.5)
+         / 1000000 AS f_stat
+FROM tot JOIN sq ON tot.st = sq.st
+ORDER BY o_orderstatus
+"""
+
+
+def q_dialect_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verbatim CH analysisOfVariance query (module doc #37b)."""
+    return run_clickhouse_sql(spark, _CH_ANOVA, sf_dir, ("orders",))
+
+
 # 35 (r11). tumble window-view functions (audit batch 11): Spark's
 #     window() is the tumbling GROUP BY; DuckDB's time_bucket is the
 #     independent oracle.  tumbleStart/tumbleEnd are the arithmetic
@@ -17074,6 +17475,8 @@ QUERIES = {
     "dialect_hilbert": q_dialect_hilbert,
     "dialect_weighted_quantiles": q_dialect_weighted_quantiles,
     "dialect_group_concat_bounded": q_dialect_group_concat_bounded,
+    "dialect_probe20": q_dialect_probe20,
+    "dialect_anova": q_dialect_anova,
     "dialect_tumble": q_dialect_tumble,
     "dialect_probe19": q_dialect_probe19,
     "dialect_star_modifiers": q_dialect_star_modifiers,
@@ -17163,6 +17566,8 @@ ORACLES = {
     "dialect_hilbert": O_HILBERT,
     "dialect_weighted_quantiles": O_WEIGHTED_QUANTILES,
     "dialect_group_concat_bounded": O_GROUP_CONCAT_BOUNDED,
+    "dialect_probe20": O_PROBE20,
+    "dialect_anova": O_ANOVA,
     "dialect_tumble": O_TUMBLE,
     "dialect_probe19": O_PROBE19,
     "dialect_star_modifiers": O_STAR_MODIFIERS,

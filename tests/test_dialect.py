@@ -698,11 +698,20 @@ def test_any_join_using_collapses_right_side():
     )
     assert "min(struct(v1))" in out and "GROUP BY k1, k2" in out
     assert "ON l.a = rr.k1" in out and "rr.k2 = l.b" in out
-    # a non-equality conjunct falls through to the refusal
+    # mixed equality + inequality conjuncts map since r12 (the
+    # derived-relation form — test_r12_any_join_inequality_on); a
+    # conjunct list with NO both-side equality still refuses
+    out_ineq = transpile(
+        "SELECT * FROM l ANY LEFT JOIN r rr ON l.a = rr.k1 "
+        "AND l.b > rr.k2",
+        resolve_columns=lambda rel: (
+            ["k1", "k2", "v1"] if "r" in rel else None
+        ),
+    )
+    assert "__any_lk" in out_ineq
     with pytest.raises(DialectError, match="any_left_join"):
         transpile(
-            "SELECT * FROM l ANY LEFT JOIN r rr ON l.a = rr.k1 "
-            "AND l.b > rr.k2",
+            "SELECT * FROM l ANY LEFT JOIN r rr ON l.b > rr.k2",
             resolve_columns=lambda rel: (
                 ["k1", "k2", "v1"] if "r" in rel else None
             ),
@@ -5479,3 +5488,156 @@ def test_r12_any_join_inequality_on(spark):
             "ON r.rv > l.lv",
             resolve_columns=res,
         )
+
+
+def test_r12_scalar_batch15(spark):
+    """r12 audit batch 15: constants register, IPv4 class-C/CIDR,
+    defensive cast defaults, mapped-array aggregate synonyms, the
+    array-Levenshtein DP fold, form encoding, and the refusal walls
+    (server state, ellipsoid geoDistance, ranked enumeration,
+    KeepNames normalization)."""
+    register_clickhouse_compat(spark)
+    one = lambda e: spark.sql(  # noqa: E731
+        transpile(f"SELECT {e} AS v")
+    ).collect()[0].v
+    assert one("ignore(42, 'x')") == 0
+    assert one("indexHint(1 > 2)") == 1
+    assert one("isConstant(1 + 2 * 3)") == 1
+    assert one("isConstant(NULL)") == 1
+    assert transpile("SELECT isConstant(x) FROM t").find(" 0 ") > 0
+    assert one("timezoneOf(now())") == "UTC"
+    assert one("timezoneOf(CAST(NULL AS TIMESTAMP))") is None
+    assert one("IPv4NumToStringClassC(3232235777)") == "192.168.1.xxx"
+    # pre-div parenthesization (the probe20 catch): an additive arg
+    assert one("IPv4NumToString(3232235520 + 257)") == "192.168.1.1"
+    assert one(
+        "isIPAddressInRange('192.168.1.77', '192.168.1.0/24')"
+    ) is True
+    assert one(
+        "isIPAddressInRange('192.168.2.0', '192.168.1.0/24')"
+    ) is False
+    assert one("isIPAddressInRange('8.8.8.8', '0.0.0.0/0')") is True
+    assert one(
+        "isIPAddressInRange('10.0.0.1', '10.0.0.1/32')"
+    ) is True
+    with pytest.raises(DialectError, match="IPv6"):
+        transpile("SELECT isIPAddressInRange(s, '::1/128') FROM t")
+    assert one("encodeURLFormComponent('a b+c')") == "a+b%2Bc"
+    assert one("accurateCastOrDefault('zz', 'UInt8', 7)") == 7
+    assert one("accurateCastOrDefault('200', 'UInt8', 7)") == 200
+    assert one("accurateCastOrDefault('zz', 'Int64')") == 0
+    assert one("accurateCastOrDefault('zz', 'String')") == "zz"
+    assert one("accurateCastOrDefault('zz', 'Date')") == __import__(
+        "datetime"
+    ).date(1970, 1, 1)
+    # the *MappedArrays synonyms return the two-array sumMap shape
+    sm = one("sumMappedArrays([1, 1, 2], [10, 5, 7])")
+    assert list(sm.keys) == [1, 2] and list(sm.values) == [15, 7]
+    mm = one("maxMappedArrays([1, 1], [3, 9])")
+    assert list(mm.keys) == [1] and list(mm.values) == [9]
+    # array Levenshtein vs a Python reference on assorted shapes
+    import functools
+
+    def alev(a, b):
+        @functools.lru_cache(None)
+        def d(i, j):
+            if i == 0:
+                return j
+            if j == 0:
+                return i
+            return min(
+                d(i - 1, j) + 1, d(i, j - 1) + 1,
+                d(i - 1, j - 1) + (a[i - 1] != b[j - 1]),
+            )
+        return d(len(a), len(b))
+
+    cases = [
+        ([1, 2, 3], [1, 2, 3]), ([1, 2, 3, 4], [1, 3, 4, 5]),
+        ([], [1, 2]), ([5], []), ([1, 1, 1], [1]),
+        ([3, 1, 4, 1, 5], [1, 4, 1]), ([2], [9]),
+    ]
+    for a, b in cases:
+        aa = f"CAST(array({', '.join(map(str, a))}) AS ARRAY<INT>)"
+        bb = f"CAST(array({', '.join(map(str, b))}) AS ARRAY<INT>)"
+        got = one(f"arrayLevenshteinDistance({aa}, {bb})")
+        assert got == alev(tuple(a), tuple(b)), (a, b, got)
+    # soundex resolves through Spark's native (classic algorithm)
+    assert one("soundex('Robert')") == "R163"
+    for bad, msg in [
+        ("displayName()", "server"),
+        ("getMacro('replica')", "server"),
+        ("blockSerializedSize(x)", "server"),
+        ("geoDistance(1.0, 2.0, 3.0, 4.0)", "ellipsoid"),
+        ("arrayEnumerateUniqRanked(a)", "ranked"),
+        ("normalizeQueryKeepNames(s)", "masking"),
+    ]:
+        with pytest.raises(DialectError, match=msg):
+            transpile(f"SELECT {bad} FROM t")
+
+
+def test_r12_anova_and_sql_betainc(spark):
+    """analysisOfVariance: the group-contiguous fold F statistic and
+    the PURE-SQL incomplete-beta p-value, pinned against the Python
+    reference (compat.f_pvalue / compat._betainc) — including a
+    large-df case that stresses the fixed-iteration Lentz fold."""
+    from clickhouse_vs_dbt_spark.compat import (
+        _betainc,
+        f_pvalue,
+        register_clickhouse_compat,
+    )
+    from clickhouse_vs_dbt_spark.dialect import _betainc_sql
+
+    register_clickhouse_compat(spark)
+    # direct SQL-ibeta pin over a parameter grid
+    grid = [
+        (0.3, 0.5, 0.5), (0.7, 2.5, 17.0), (0.01, 1.0, 150.0),
+        (0.9999, 3.0, 2.0), (0.4, 1500.0, 0.5), (0.55, 750.0, 2.0),
+    ]
+    cells = ", ".join(
+        _betainc_sql(f"{x!r}d", f"{a!r}d", f"{b!r}d") + f" AS c{i}"
+        for i, (x, a, b) in enumerate(grid)
+    )
+    row = spark.sql(f"SELECT {cells}").collect()[0]
+    for i, (x, a, b) in enumerate(grid):
+        assert abs(row[i] - _betainc(x, a, b)) < 1e-9, (x, a, b)
+    # end-to-end ANOVA vs a NumPy-free Python reference, with NULLs
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW anv_t AS SELECT "
+        "CASE WHEN id % 17 = 0 THEN NULL ELSE id % 4 END AS g, "
+        "CASE WHEN id % 19 = 0 THEN NULL "
+        "ELSE CAST(id % 23 AS DOUBLE) + (id % 4) * 3 END AS v "
+        "FROM range(2000)"
+    )
+    got = spark.sql(transpile(
+        "SELECT analysisOfVariance(v, g) AS a FROM anv_t"
+    )).collect()[0].a
+    rows = [
+        (i % 4, float(i % 23) + (i % 4) * 3)
+        for i in range(2000)
+        if i % 17 != 0 and i % 19 != 0
+    ]
+    groups: dict = {}
+    for g, v in rows:
+        groups.setdefault(g, []).append(v)
+    n, k = len(rows), len(groups)
+    gm = sum(v for _, v in rows) / n
+    ssb = sum(
+        len(vs) * (sum(vs) / len(vs) - gm) ** 2
+        for vs in groups.values()
+    )
+    ssw = sum(
+        sum((x - sum(vs) / len(vs)) ** 2 for x in vs)
+        for vs in groups.values()
+    )
+    F = (ssb / (k - 1)) / (ssw / (n - k))
+    assert abs(got.f_statistic - F) < 1e-8 * max(1.0, F)
+    assert abs(got.p_value - f_pvalue(F, k - 1, n - k)) < 1e-9
+    # tuple access prunes to the F half; degenerate inputs are NULL
+    f1 = spark.sql(transpile(
+        "SELECT analysisOfVariance(v, g).1 AS f FROM anv_t"
+    )).collect()[0].f
+    assert abs(f1 - F) < 1e-8 * max(1.0, F)
+    deg = spark.sql(transpile(
+        "SELECT analysisOfVariance(v, 1) AS a FROM anv_t"
+    )).collect()[0].a
+    assert deg.f_statistic is None and deg.p_value is None

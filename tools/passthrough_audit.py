@@ -457,6 +457,89 @@ CANDIDATES = [
     "pointInPolygon((0, 0), [(0, 0), (1, 0), (0, 1)])",
     "generateRandomStructure(3)", "revision()",
     "instr(s, 'l')", "nullIf(x, 0)", "ifNull(x, 0)",
+    # r12 audit batch 15: constants register (ignore/indexHint/
+    # isConstant/timezoneOf), class-C + CIDR IPv4 forms, form
+    # encoding, defensive cast default, mapped-array aggregate
+    # synonyms, array Levenshtein DP, pure-SQL one-way ANOVA,
+    # server-state + ellipsoid + ranked-enumeration walls, plus
+    # same-name Spark natives (soundex) and already-mapped spellings
+    # the earlier batches never pinned
+    "ignore(x)", "ignore(x, s)", "indexHint(x > 1)",
+    "isConstant(1 + 2)", "isConstant(x)", "timezoneOf(ts)",
+    "IPv4NumToStringClassC(x)", "IPv4NumToStringClassC(x * 65536 + 2)",
+    "isIPAddressInRange('192.168.1.9', '192.168.1.0/24')",
+    "encodeURLFormComponent(s)", "accurateCastOrDefault(s, 'Int64')",
+    "accurateCastOrDefault(s, 'UInt8', 7)",
+    "sumMappedArrays([g], [x])", "minMappedArrays([g], [x])",
+    "maxMappedArrays([g], [x])",
+    "arrayLevenshteinDistance(a, a)",
+    "analysisOfVariance(v, g)", "soundex(s)",
+    "normalizeQueryKeepNames(s)", "normalizedQueryHashKeepNames(s)",
+    "displayName()", "getMacro('replica')", "blockSerializedSize(x)",
+    "geoDistance(1.0, 2.0, 3.0, 4.0)", "arrayEnumerateUniqRanked(a)",
+    "isIPAddressInRange(s, '::1/128')",
+    "toValidUTF8(s)", "tokens(s)", "splitByNonAlpha(s)",
+    "splitByWhitespace(s)", "splitByRegexp('\\\\W+', s)",
+    "ngrams(s, 3)", "substringIndex(s, 'l', 2)",
+    "countMatches(s, 'l+')", "stringJaccardIndex(s, 'hello')",
+    "byteSize(s)", "formatQuery('select 1')",
+    "formatQuerySingleLine('select  1')",
+    "initcap(s)", "isValidUTF8(s)", "reverseUTF8(s)",
+    "editDistanceUTF8(s, 'x')", "damerauLevenshteinDistance(s, 'x')",
+    "toStartOfSecond(ts)", "toStartOfMillisecond(ts)",
+    "toStartOfMicrosecond(ts)", "toStartOfNanosecond(ts)",
+    "toISOYear(ts)", "monthName(ts)", "dateName('year', ts)",
+    "toRelativeWeekNum(ts)", "toRelativeQuarterNum(ts)",
+    "toStartOfTenMinutes(ts)", "toStartOfFifteenMinutes(ts)",
+    "timeSlot(ts)", "toUnixTimestamp64Milli(ts)",
+    "fromUnixTimestamp64Milli(x)", "fromUnixTimestamp64Micro(x)",
+    "toModifiedJulianDay('2024-03-15')", "addQuarters(ts, 1)",
+    "subtractQuarters(ts, 1)", "toQuarter(ts)", "toDayOfYear(ts)",
+    "UTCTimestamp()", "nowInBlock()", "serverTimezone()",
+    "toTimezone(ts, 'UTC')",
+    "arrayRotateLeft(a, 1)", "arrayRotateRight(a, 1)",
+    "arrayShiftLeft(a, 1)", "arrayShiftRight(a, 1, 0)",
+    "arrayPartialSort(2, a)", "arrayPartialReverseSort(2, a)",
+    "arrayJaccardIndex(a, a)", "arrayRandomSample(a, 2)",
+    "arrayZipUnaligned(a, sa)", "arrayFirstOrNull(x -> x > 1, a)",
+    "arrayLastOrNull(x -> x > 1, a)", "arrayFlatten([a, a])",
+    "arrayDotProduct(a, a)", "arrayNormalizedGini(a, a)",
+    "mortonEncode(x, x)", "mortonDecode(2, x)",
+    "bitSlice(s, 1, 4)", "bitTest(x, 0)", "bitTestAll(x, 0, 1)",
+    "bitTestAny(x, 0, 1)", "bitRotateLeft(x, 2)",
+    "bitRotateRight(x, 2)", "bitShiftLeft(x, 2)",
+    "bitShiftRight(x, 2)", "bitCount(x)",
+    "cutWWW(u)", "domainWithoutWWW(u)", "topLevelDomain(u)",
+    "firstSignificantSubdomain(u)", "port(u)", "netloc(u)",
+    "queryString(u)", "fragment(u)", "queryStringAndFragment(u)",
+    "cutQueryString(u)", "cutFragment(u)",
+    "cutQueryStringAndFragment(u)", "extractURLParameters(u)",
+    "extractURLParameterNames(u)", "encodeURLComponent(s)",
+    "decodeURLComponent(u)", "isIPv4String(s)", "isIPv6String(s)",
+    "IPv4ToIPv6(x)",
+    "JSONExtractRaw('{\"a\": [1, 2]}', 'a')",
+    "JSONExtractArrayRaw('[1, 2]')",
+    "JSONHas('{\"a\": 1}', 'a')", "toJSONString(m)",
+    "JSON_EXISTS('{\"a\": 1}', '$.a')",
+    "JSON_VALUE('{\"a\": 1}', '$.a')",
+    "deltaSum(v)", "deltaSumTimestamp(v, x)", "sparkbar(5)(x, v)",
+    "rankCorr(v, x)", "quantileTimingWeighted(0.5)(v, x)",
+    "quantileTDigestWeighted(0.5)(v, x)", "quantileDD(0.01, 0.5)(v)",
+    "quantileBFloat16Weighted(0.5)(v, x)", "sumMapFiltered([1])(im)",
+    "categoricalInformationValue(g = 1, x % 2 = 0)",
+    "largestTriangleThreeBuckets(3)(x, v)",
+    "first_value_respect_nulls(s)", "contingency(g, x % 2)",
+    "transform(g, [0, 1], ['a', 'b'], 'z')",
+    "formatReadableQuantity(x)", "formatReadableTimeDelta(x)",
+    "bar(v, 0, 10, 10)", "materialize(x)", "identity(x)",
+    "currentDatabase()", "currentUser()",
+    "greatCircleAngle(1.0, 2.0, 3.0, 4.0)",
+    "pointInEllipses(1.0, 2.0, 0.0, 0.0, 3.0, 3.0)",
+    "minSampleSizeConversion(0.1, 0.05, 0.8, 0.05)",
+    "toBool('true')", "toUInt128(x)", "toInt128OrNull(s)",
+    "toColumnTypeName(x)", "dumpColumnStructure(x)",
+    "defaultValueOfArgumentType(x)", "defaultValueOfTypeName('Int64')",
+    "byteSwap(x)",
 ]
 
 
