@@ -2052,7 +2052,11 @@ def _render_call(name: str, args: list[str]) -> str:
         consts = ("NULL", "TRUE", "FALSE", "AND", "OR", "NOT", "IS",
                   "IN", "INTERVAL", "DATE", "TIMESTAMP", "CAST", "AS")
         has_ident = any(
-            _is_ident(t) and t.upper() not in consts
+            (_is_ident(t) and t.upper() not in consts)
+            # quoted identifiers are COLUMN references too
+            # (code-review r12a: a backtick token fails _IDENT_RE and
+            # answered "constant")
+            or t.startswith("`")
             for t in _tokens(args[0])
         )
         return "0" if has_ident else "1"
@@ -2067,13 +2071,16 @@ def _render_call(name: str, args: list[str]) -> str:
         return f"url_encode({args[0]})"
     if name == "IPv4NumToStringClassC" and len(args) == 1:
         # args[0] must be parenthesized BEFORE div: `a + b div c`
-        # binds as `a + (b div c)` (the probe20 gate caught this)
+        # binds as `a + (b div c)` (the probe20 gate caught this).
+        # NULL guard: concat_ws SKIPS NULL octets (would fabricate
+        # 'xxx' for a NULL address — code-review r12a)
         x = f"({args[0]})"
         o = lambda e: f"CAST({e} AS STRING)"  # noqa: E731
         return (
+            f"IF({x} IS NULL, NULL, "
             f"concat_ws('.', {o(f'({x} div 16777216) % 256')}, "
             f"{o(f'({x} div 65536) % 256')}, "
-            f"{o(f'({x} div 256) % 256')}, 'xxx')"
+            f"{o(f'({x} div 256) % 256')}, 'xxx'))"
         )
     if name == "isIPAddressInRange" and len(args) == 2:
         addr, cidr = args
@@ -2102,9 +2109,20 @@ def _render_call(name: str, args: list[str]) -> str:
         return _render_call(name[: -len("MappedArrays")] + "Map", args)
     if name == "accurateCastOrDefault" and len(args) in (2, 3) \
             and args[1].startswith("'") and args[1].endswith("'"):
+        # delegate to the defensive-cast family when the target has a
+        # guarded register: accurateCastOrDefault('300', 'UInt8', d)
+        # must return d — the CH WIDTH range, not the wider Spark
+        # type's (code-review r12a)
+        cht = args[1][1:-1].strip()
+        if f"to{cht}" in _OR_CAST:
+            if len(args) == 3:
+                return _render_call(
+                    f"to{cht}OrDefault", [args[0], args[2]]
+                )
+            return _render_call(f"to{cht}OrZero", [args[0]])
         from clickhouse_vs_dbt_spark.ddl import convert_type
 
-        t = convert_type(args[1][1:-1])
+        t = convert_type(cht)
         inner = f"TRY_CAST({args[0]} AS {t})"
         if len(args) == 3:
             return f"coalesce({inner}, CAST({args[2]} AS {t}))"
@@ -2230,14 +2248,17 @@ def _render_call(name: str, args: list[str]) -> str:
         )
     # ---- end batch 15 ----------------------------------------------
     if name == "IPv4NumToString" and len(args) == 1:
-        # same pre-div parenthesization as the ClassC form (r12):
-        # `a + b div c` binds as `a + (b div c)`
+        # same pre-div parenthesization and NULL guard as the ClassC
+        # form (r12): `a + b div c` binds as `a + (b div c)`, and
+        # concat_ws over all-NULL octets fabricates '' instead of
+        # NULL
         x = f"({args[0]})"
         o = lambda e: f"CAST({e} AS STRING)"  # noqa: E731
         return (
+            f"IF({x} IS NULL, NULL, "
             f"concat_ws('.', {o(f'({x} div 16777216) % 256')}, "
             f"{o(f'({x} div 65536) % 256')}, "
-            f"{o(f'({x} div 256) % 256')}, {o(f'{x} % 256')})"
+            f"{o(f'({x} div 256) % 256')}, {o(f'{x} % 256')}))"
         )
     if name in ("IPv4StringToNum", "toIPv4") and len(args) == 1:
         return (
@@ -8571,10 +8592,33 @@ def _any_ineq_rewrite(
     rcols = resolve_columns(right_ref)
     if not rcols:
         return None
-    repl = _any_ineq_derived(
-        toks, splice_start, strict, right_ref, r_alias, conjuncts,
-        rcols,
-    )
+    # a star projection over the join would expose the derived
+    # form's __any_lk* helper columns (code-review r12a) — the
+    # LATERAL form's output is exactly the right table's columns, so
+    # it serves SELECT * / r.* shapes instead
+    seg = _owning_select_segment(toks, splice_start)
+    star = False
+    depth = 0
+    for n in range(seg[0], seg[1]):
+        t = toks[n]
+        if t in ("(", "["):
+            depth += 1
+        elif t in (")", "]"):
+            depth -= 1
+        elif _is_ident(t) and depth == 0 and t.upper() == "FROM":
+            break
+        elif t == "*" and (
+            depth == 0
+            or toks[_prev_code(toks, n - 1)] == "."
+        ):
+            star = True
+            break
+    repl = None
+    if not star:
+        repl = _any_ineq_derived(
+            toks, splice_start, strict, right_ref, r_alias, conjuncts,
+            rcols,
+        )
     if repl is None:
         repl = _any_ineq_lateral(
             toks, i, end, strict, right_ref, r_alias, rcols,
@@ -10454,15 +10498,20 @@ def _qw_replan(toks: list[str], s: int, e: int):
             continue
         ne = _norm_expr(it[1])
         slot = seen.get(ne)
-        if slot is None and _is_ident(it[1]):
-            # GROUP BY may name the select alias
-            slot = seen.get(_norm_expr(it[2]))
         if slot is None:
-            # select alias used in GROUP BY: match alias text
-            for gi, g in enumerate(gexprs):
-                if _norm_expr(g) == _norm_expr(it[2]):
-                    slot = gi
-                    break
+            # GROUP BY names the select ALIAS: match it, and swap
+            # the underlying EXPRESSION into the inner key list —
+            # the alias doesn't exist in the pre-aggregate's scope
+            # (code-review r12a)
+            alias_slot = seen.get(_norm_expr(it[2]))
+            if alias_slot is None:
+                for gi, g in enumerate(gexprs):
+                    if _norm_expr(g) == _norm_expr(it[2]):
+                        alias_slot = gi
+                        break
+            if alias_slot is not None:
+                gexprs[alias_slot] = it[1]
+                slot = alias_slot
         if slot is None:
             return None
         key_slot[n] = slot
@@ -10707,6 +10756,24 @@ def _gc_replan(toks: list[str], s: int, e: int):
         return None
     if any(re.fullmatch(r"\d+", g) for g in gitems):
         return None  # ordinal keys: no expression to partition on
+    # GROUP BY may name SELECT aliases — the window's PARTITION BY
+    # runs inside the wrap where aliases don't exist, so substitute
+    # each alias-shaped group item with its select expression
+    # (code-review r12a); the OUTER group_text stays verbatim (the
+    # outer scope still has the aliases)
+    amap: dict[str, str] = {}
+    for it in _split_top_commas(sel_text):
+        its = [t for t in _tokens(it) if not _is_skippable(t)]
+        if (
+            len(its) >= 3 and _is_ident(its[-1])
+            and its[-2].upper() == "AS"
+        ):
+            amap[its[-1]] = "".join(its[:-2])
+    gitems = [
+        amap.get(g, g) if _is_ident(g) else g for g in gitems
+    ]
+    if any("groupConcat" in _tokens(g) for g in gitems):
+        return None  # a group item resolved to an aggregate alias
     # every parametric groupConcat in the segment must sit in the
     # select span (an ORDER BY copy would silently keep slice state)
     sel_toks = _tokens(sel_text)
@@ -12873,7 +12940,7 @@ def run_clickhouse_script(
             results.append(("check", df))
         elif (
             dm2 := _re.match(
-                r"(?is)\s*DETACH\s+TABLE\s+(?:IF\s+EXISTS\s+)?"
+                r"(?is)\s*DETACH\s+TABLE\s+(IF\s+EXISTS\s+)?"
                 r"([A-Za-z_][A-Za-z0-9_.`]*)"
                 r"(\s+PERMANENTLY)?(\s+SYNC)?\s*$",
                 stmt,
@@ -12882,20 +12949,33 @@ def run_clickhouse_script(
             # park-and-unregister (r12, VERDICT r11 item 5): data
             # stays on disk, catalog entry goes; PERMANENTLY only
             # changes restart behavior in CH — both forms stash until
-            # ATTACH here (session-lifetime catalog)
-            target = dm2.group(1)
-            _detach_table(spark, target)
-            results.append(("detach_table", target))
+            # ATTACH here (session-lifetime catalog).  IF EXISTS
+            # no-ops on a missing table (code-review r12a: idempotent
+            # CH runbooks must not abort mid-script)
+            target = dm2.group(2)
+            if dm2.group(1) and not spark.catalog.tableExists(
+                target.strip("`")
+            ):
+                results.append(("detach_table_noop", target))
+            else:
+                _detach_table(spark, target)
+                results.append(("detach_table", target))
         elif (
             am2 := _re.match(
-                r"(?is)\s*ATTACH\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?"
+                r"(?is)\s*ATTACH\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?"
                 r"([A-Za-z_][A-Za-z0-9_.`]*)\s*$",
                 stmt,
             )
         ) is not None:
-            target = am2.group(1)
-            _attach_table(spark, target)
-            results.append(("attach_table", target))
+            # IF NOT EXISTS no-ops when the name already resolves
+            target = am2.group(2)
+            if am2.group(1) and spark.catalog.tableExists(
+                target.strip("`")
+            ):
+                results.append(("attach_table_noop", target))
+            else:
+                _attach_table(spark, target)
+                results.append(("attach_table", target))
         elif _re.match(r"(?is)\s*(ATTACH|DETACH)\s+", stmt):
             raise DialectError(
                 "bare DETACH/ATTACH TABLE map since r12 (park-and-"

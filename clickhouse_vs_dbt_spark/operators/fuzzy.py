@@ -180,9 +180,14 @@ def q_fuzzy_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_name").alias("name"),
         F.col("p_brand").alias("brand"),
     )
+    # persist the distinct-name relation: the broadcast gate's size
+    # estimate (one agg action), the probe leg and the index leg all
+    # scan it — without the pin each pays the corpus distinct again
+    # (code-review r12a).  Vocabulary-bounded by design, so the
+    # cached footprint is dictionary-sized, not corpus-sized.
     names = p.select("brand", "name").distinct().withColumn(
         "L", F.length("name")
-    )
+    ).persist()
     np_ = _name_pairs(names)
 
     # distance-0 pairs: same (brand, name), different keys

@@ -964,3 +964,20 @@ DETACH TABLE da_t;
         )
     with pytest.raises(DialectError, match="front door"):
         run_clickhouse_script(spark, "DETACH DATABASE d;")
+    # IF EXISTS / IF NOT EXISTS no-op instead of aborting the script
+    # (code-review r12a: idempotent CH runbooks)
+    r = run_clickhouse_script(
+        spark, "DETACH TABLE IF EXISTS never_made;"
+    )
+    assert r[-1][0] == "detach_table_noop"
+    spark.sql("CREATE OR REPLACE TEMP VIEW da_probe AS SELECT 1 AS x")
+    run_clickhouse_script(
+        spark,
+        "CREATE TABLE da_t2 (k Int64) ENGINE = MergeTree ORDER BY k;",
+        overwrite_existing=True,
+    )
+    r2 = run_clickhouse_script(
+        spark, "ATTACH TABLE IF NOT EXISTS da_t2;"
+    )
+    assert r2[-1][0] == "attach_table_noop"
+    spark.sql("DROP TABLE IF EXISTS da_t2")

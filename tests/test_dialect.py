@@ -5367,13 +5367,20 @@ def test_r12_weighted_quantile_replan(spark):
         assert ra.q25 == rb.q25 and ra.qs == rb.qs
     dead = [r for r in a if r.k == "dead"][0]
     assert dead.q25 is None and dead.qs == [None, None]
-    # GROUP BY ordinal and alias spellings are owned too
+    # GROUP BY ordinal and alias spellings are owned too — and must
+    # EXECUTE: the alias doesn't exist in the pre-aggregate's scope,
+    # so the inner key list must carry the expression
+    # (code-review r12a)
     for g in ("GROUP BY 1", "GROUP BY kk"):
         out = transpile(
             "SELECT k AS kk, "
-            f"quantileExactWeighted(0.5)(v, w) AS q FROM qw_t {g}"
+            f"quantileExactWeighted(0.5)(v, w) AS q FROM qw_t {g} "
+            "ORDER BY kk"
         )
         assert "collect_list" not in out, g
+        rows = spark.sql(out).collect()
+        assert [r.kk for r in rows] == ["dead", "g0", "g1"], g
+        assert rows[1].q is not None
 
 
 def test_r12_group_concat_bounded(spark):
@@ -5415,6 +5422,15 @@ def test_r12_group_concat_bounded(spark):
     assert rows[2] == "v2,v10"
     # group k=3: ids 3,7,11 → NULL,v7,v11
     assert rows[3] == "v7,v11"
+    # GROUP BY the select ALIAS still executes: the window partitions
+    # on the substituted expression, not the alias (code-review r12a)
+    rows2 = {
+        r.kk: r.g for r in spark.sql(transpile(
+            "SELECT k AS kk, groupConcat(',', 2)(s) AS g "
+            "FROM gcb_t GROUP BY kk ORDER BY kk"
+        )).collect()
+    }
+    assert rows2 == rows
 
 
 def test_r12_any_join_inequality_on(spark):
@@ -5488,6 +5504,17 @@ def test_r12_any_join_inequality_on(spark):
             "ON r.rv > l.lv",
             resolve_columns=res,
         )
+    # star projection routes to the LATERAL form: the derived form
+    # would leak its __any_lk* helper columns into SELECT *
+    # (code-review r12a)
+    qs_ = transpile(
+        "SELECT * FROM ai_l l ANY LEFT JOIN ai_r r "
+        "ON r.k = l.k AND r.rv > l.lv",
+        resolve_columns=res,
+    )
+    assert "LATERAL" in qs_ and "__any_lk" not in qs_
+    cols = spark.sql(qs_).columns
+    assert cols == ["k", "lv", "k", "rv", "tag"]
 
 
 def test_r12_scalar_batch15(spark):
@@ -5525,6 +5552,18 @@ def test_r12_scalar_batch15(spark):
     assert one("encodeURLFormComponent('a b+c')") == "a+b%2Bc"
     assert one("accurateCastOrDefault('zz', 'UInt8', 7)") == 7
     assert one("accurateCastOrDefault('200', 'UInt8', 7)") == 200
+    # CH WIDTH range, not the wider Spark type's (code-review r12a)
+    assert one("accurateCastOrDefault('300', 'UInt8', 7)") == 7
+    assert one("accurateCastOrDefault('-5', 'UInt8', 7)") == 7
+    assert one("accurateCastOrDefault('300', 'UInt16')") == 300
+    # NULL address stays NULL — concat_ws would fabricate a string
+    assert one(
+        "IPv4NumToStringClassC(CAST(NULL AS BIGINT))"
+    ) is None
+    assert one("IPv4NumToString(CAST(NULL AS BIGINT))") is None
+    assert " 0 " in transpile(
+        "SELECT isConstant(`quoted col`) FROM t"
+    )
     assert one("accurateCastOrDefault('zz', 'Int64')") == 0
     assert one("accurateCastOrDefault('zz', 'String')") == "zz"
     assert one("accurateCastOrDefault('zz', 'Date')") == __import__(
