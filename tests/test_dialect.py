@@ -699,8 +699,10 @@ def test_any_join_using_collapses_right_side():
     assert "min(struct(v1))" in out and "GROUP BY k1, k2" in out
     assert "ON l.a = rr.k1" in out and "rr.k2 = l.b" in out
     # mixed equality + inequality conjuncts map since r12 (the
-    # derived-relation form — test_r12_any_join_inequality_on); a
-    # conjunct list with NO both-side equality still refuses
+    # derived-relation form — test_r12_any_join_inequality_on); this
+    # SELECT * shape takes the LATERAL form so no helper columns
+    # leak into the star; a conjunct list with NO both-side equality
+    # still refuses
     out_ineq = transpile(
         "SELECT * FROM l ANY LEFT JOIN r rr ON l.a = rr.k1 "
         "AND l.b > rr.k2",
@@ -708,7 +710,7 @@ def test_any_join_using_collapses_right_side():
             ["k1", "k2", "v1"] if "r" in rel else None
         ),
     )
-    assert "__any_lk" in out_ineq
+    assert "LATERAL" in out_ineq and "__any_lk" not in out_ineq
     with pytest.raises(DialectError, match="any_left_join"):
         transpile(
             "SELECT * FROM l ANY LEFT JOIN r rr ON l.b > rr.k2",
