@@ -7896,13 +7896,27 @@ def _left_from_item(toks, splice_start):
     [AS] [alias]`` — or None when the left side is a join chain or
     comma list (the union/derived-relation rewrites need a relation
     they can re-scan)."""
+    span = _left_from_item_span(toks, splice_start)
+    if span is None:
+        return None
+    return "".join(toks[span[0]: span[1] + 1]).strip()
+
+
+def _left_from_item_span(toks, splice_start):
+    """(rel_start, last_token, rel_core_text, alias) of the single
+    FROM item before ``splice_start``, or None — the span-level twin
+    of :func:`_left_from_item` for rewrites that REPLACE the left
+    item (ANY RIGHT JOIN's left-side collapse)."""
     q = _prev_code(toks, splice_start - 1)
     if q < 0 or not _is_ident(toks[q]):
         return None
     p2 = _prev_code(toks, q - 1)
     rel_start = q
+    core_end = q
+    alias = toks[q]
     if p2 >= 0 and toks[p2] == ".":
         # dotted name used without alias: walk the chain back
+        # (alias = the last dotted component, CH/Spark's default)
         i = p2
         while i >= 0 and toks[i] == ".":
             j = _prev_code(toks, i - 1)
@@ -7913,6 +7927,7 @@ def _left_from_item(toks, splice_start):
         before = i
     elif p2 >= 0 and toks[p2] == ")":
         rel_start = _match_open(toks, p2)
+        core_end = p2
         before = _prev_code(toks, rel_start - 1)
         if before >= 0 and toks[before].upper() == "AS":
             before = _prev_code(toks, before - 1)
@@ -7920,8 +7935,10 @@ def _left_from_item(toks, splice_start):
         j = _prev_code(toks, p2 - 1)
         if j >= 0 and toks[j] == ")":
             rel_start = _match_open(toks, j)
+            core_end = j
         elif j >= 0 and _is_ident(toks[j]):
             rel_start = j
+            core_end = j
             while True:
                 k2 = _prev_code(toks, rel_start - 1)
                 if k2 >= 0 and toks[k2] == ".":
@@ -7939,6 +7956,7 @@ def _left_from_item(toks, splice_start):
     ):
         # table name + alias (possibly dotted table)
         rel_start = p2
+        core_end = p2
         while True:
             k2 = _prev_code(toks, rel_start - 1)
             if k2 >= 0 and toks[k2] == ".":
@@ -7953,7 +7971,8 @@ def _left_from_item(toks, splice_start):
         before = p2
     if before < 0 or toks[before].upper() != "FROM":
         return None
-    return "".join(toks[rel_start: q + 1]).strip()
+    core = "".join(toks[rel_start: core_end + 1]).strip()
+    return rel_start, q, core, alias
 
 
 def _asof_union_window(
@@ -8304,7 +8323,7 @@ def _rewrite_any_join(toks: list[str], resolve_columns=None) -> list[str]:
                 continue
             j = _next_code(toks, i + 1)
             u1 = toks[j].upper() if j < len(toks) else ""
-            if u1 in ("LEFT", "INNER"):
+            if u1 in ("LEFT", "INNER", "RIGHT"):
                 j2 = _next_code(toks, j + 1)
                 if j2 < len(toks) and toks[j2].upper() == "JOIN":
                     found = (i, j2, u1)
@@ -8312,7 +8331,9 @@ def _rewrite_any_join(toks: list[str], resolve_columns=None) -> list[str]:
             elif u1 == "JOIN":
                 strict = "INNER"
                 p = _prev_code(toks, i - 1)
-                if p >= 0 and toks[p].upper() in ("LEFT", "INNER"):
+                if p >= 0 and toks[p].upper() in (
+                    "LEFT", "INNER", "RIGHT",
+                ):
                     strict = toks[p].upper()
                     found = (p, j, strict)
                 else:
@@ -8360,6 +8381,20 @@ def _rewrite_any_join(toks: list[str], resolve_columns=None) -> list[str]:
             if need_alias:
                 return toks
             r_alias = right_ref.split(".")[-1].strip("`")
+        if strict == "RIGHT":
+            # ANY RIGHT JOIN (r12): each RIGHT row keeps at most one
+            # left row — the mirror of the LEFT form, so the LEFT
+            # side collapses to one row per key before the join
+            # (left-side-only shuffle, output exactly |right| rows
+            # for the RIGHT-outer form).  Same deterministic
+            # min-struct refinement of CH's arbitrary pick.
+            toks2 = _any_right_collapse(
+                toks, splice_start, join_i, r2, resolve_columns,
+            )
+            if toks2 is None:
+                return toks  # backstop refusal names the operators
+            toks = toks2
+            continue
         if toks[r2].upper() == "ON":
             # ON form: all conjuncts must be equalities with exactly
             # one side right-qualified; the right side collapses to
@@ -8492,6 +8527,62 @@ def _parse_any_on_keys(toks, on_i, r_alias):
     if not keys:
         return None
     return list(dict.fromkeys(keys))
+
+
+def _any_right_collapse(
+    toks, splice_start, join_i, r2, resolve_columns,
+):
+    """The ANY RIGHT JOIN left-side collapse (see the caller): parse
+    the USING keys / left-qualified ON keys, replace the left FROM
+    item with its keyed ``min(struct(vals))`` collapse, and drop the
+    ANY strictness keyword.  Returns the re-tokenized list, or None
+    when the shape isn't ownable (join-chain left, no resolver,
+    non-equality ON)."""
+    if resolve_columns is None:
+        return None
+    span = _left_from_item_span(toks, splice_start)
+    if span is None:
+        return None
+    rel_start, rel_last, left_core, l_alias = span
+    if toks[r2].upper() == "USING":
+        u = _next_code(toks, r2 + 1)
+        if u < len(toks) and toks[u] == "(":
+            uclose = _match_close(toks, u)
+            keys = [t for t in toks[u + 1: uclose] if _is_ident(t)]
+        elif u < len(toks) and _is_ident(toks[u]):
+            keys, p = [toks[u]], u
+            while True:
+                q1 = _next_code(toks, p + 1)
+                if q1 >= len(toks) or toks[q1] != ",":
+                    break
+                q2 = _next_code(toks, q1 + 1)
+                if q2 >= len(toks) or not _is_ident(toks[q2]):
+                    break
+                keys.append(toks[q2])
+                p = q2
+        else:
+            return None
+    else:  # ON: all-equality conjuncts, LEFT-qualified keys
+        keys = _parse_any_on_keys(toks, r2, l_alias)
+        if keys is None:
+            return None
+    lcols = resolve_columns(left_core)
+    if not lcols or any(k not in lcols for k in keys):
+        return None
+    vals = [c for c in lcols if c not in keys]
+    kcsv = ", ".join(keys)
+    if vals:
+        picked = ", ".join(f"__any_s.{c} AS {c}" for c in vals)
+        collapsed = (
+            f"(SELECT {kcsv}, {picked} FROM (SELECT {kcsv}, "
+            f"min(struct({', '.join(vals)})) AS __any_s "
+            f"FROM {left_core} GROUP BY {kcsv}) __any_g)"
+        )
+    else:
+        collapsed = f"(SELECT DISTINCT {kcsv} FROM {left_core})"
+    toks[splice_start: join_i + 1] = [" RIGHT JOIN "]
+    toks[rel_start: rel_last + 1] = [f"{collapsed} {l_alias}"]
+    return _tokens("".join(toks))
 
 
 def _eq_conjunct_right_key(c: list[str], r_alias: str):
@@ -13903,6 +13994,46 @@ def q_dialect_any_join_on(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# 12b4 (r12). ANY RIGHT JOIN — the mirror of the LEFT form: each
+#       RIGHT row keeps at most one left match, so the LEFT side
+#       collapses to one row per ON/USING key before the join
+#       (left-side-only shuffle, |right| output rows).  Deterministic
+#       pick = lexicographic min struct over the left value columns,
+#       which the DuckDB oracle spells as the row_number window.
+_CH_ANY_RIGHT_JOIN = """
+SELECT c.c_custkey AS k, c.c_mktsegment AS seg,
+       o.o_orderkey AS first_ok, toFloat64(o.o_totalprice) AS tp
+FROM (SELECT o_custkey, o_orderkey, o_totalprice FROM orders) o
+ANY RIGHT JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_custkey % 13 = 0
+ORDER BY k
+"""
+
+O_ANY_RIGHT_JOIN = """
+WITH fo AS (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+             ORDER BY o_orderkey, o_totalprice) AS rn
+  FROM orders)
+SELECT c.c_custkey AS k, c.c_mktsegment AS seg,
+       fo.o_orderkey AS first_ok,
+       CAST(fo.o_totalprice AS DOUBLE) AS tp
+FROM customer c
+LEFT JOIN fo ON fo.o_custkey = c.c_custkey AND fo.rn = 1
+WHERE c.c_custkey % 13 = 0
+ORDER BY k
+"""
+
+
+def q_dialect_any_right_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Verbatim ClickHouse ANY RIGHT JOIN (module doc #12b4)."""
+    return run_clickhouse_sql(
+        spark, _CH_ANY_RIGHT_JOIN, sf_dir, ("orders", "customer")
+    )
+
+
 # 12b3 (r12). ANY JOIN with a NON-equality ON conjunct (VERDICT r11
 #       item 3, flips the r6 refusal): the match set depends on the
 #       left row, so the keyed right-side collapse can't apply — the
@@ -17519,6 +17650,7 @@ QUERIES = {
     "dialect_any_join": q_dialect_any_join,
     "dialect_any_join_on": q_dialect_any_join_on,
     "dialect_any_join_ineq": q_dialect_any_join_ineq,
+    "dialect_any_right_join": q_dialect_any_right_join,
     "dialect_combinators2": q_dialect_combinators2,
     "dialect_numbers": q_dialect_numbers,
     "dialect_file_read": q_dialect_file_read,
@@ -17610,6 +17742,7 @@ ORACLES = {
     "dialect_any_join": O_ANY_JOIN,
     "dialect_any_join_on": O_ANY_JOIN_ON,
     "dialect_any_join_ineq": O_ANY_JOIN_INEQ,
+    "dialect_any_right_join": O_ANY_RIGHT_JOIN,
     "dialect_combinators2": O_COMBINATORS2,
     "dialect_numbers": O_NUMBERS,
     "dialect_file_read": O_FILE_READ,

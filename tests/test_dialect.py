@@ -5682,3 +5682,44 @@ def test_r12_anova_and_sql_betainc(spark):
         "SELECT analysisOfVariance(v, 1) AS a FROM anv_t"
     )).collect()[0].a
     assert deg.f_statistic is None and deg.p_value is None
+
+
+def test_r12_any_right_join(spark):
+    """ANY RIGHT JOIN (r12): the LEFT side collapses to one row per
+    key before the join — |right| output rows, deterministic
+    min-struct pick; both keyword orders parse; resolver-less calls
+    keep the backstop refusal."""
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW arj_l AS SELECT id % 3 AS k, "
+        "CAST(id AS DOUBLE) AS lv FROM range(9)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW arj_r AS SELECT id % 5 AS k, "
+        "concat('r', id) AS tag FROM range(10)"
+    )
+    res = lambda rel: {  # noqa: E731
+        "arj_l": ["k", "lv"], "arj_r": ["k", "tag"],
+    }.get(rel.strip())
+    lmin = {
+        k: min(float(i) for i in range(9) if i % 3 == k)
+        for k in range(3)
+    }
+    for sql in (
+        "SELECT k, lv, tag FROM arj_l ANY RIGHT JOIN arj_r USING (k)",
+        "SELECT k, lv, tag FROM arj_l RIGHT ANY JOIN arj_r USING (k)",
+    ):
+        rows = spark.sql(transpile(sql, resolve_columns=res)).collect()
+        assert len(rows) == 10, sql  # |right| preserved
+        for r in rows:
+            want = lmin.get(r.k)
+            assert r.lv == want, (sql, tuple(r))
+    # ON form with differently-qualified keys
+    q = transpile(
+        "SELECT r.tag AS tag, l.lv AS lv FROM arj_l l "
+        "ANY RIGHT JOIN arj_r r ON l.k = r.k",
+        resolve_columns=res,
+    )
+    rows = spark.sql(q).collect()
+    assert len(rows) == 10
+    with pytest.raises(DialectError, match="strictness"):
+        transpile("SELECT * FROM arj_l ANY RIGHT JOIN arj_r USING (k)")
