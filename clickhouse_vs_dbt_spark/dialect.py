@@ -2112,9 +2112,15 @@ def _render_call(name: str, args: list[str]) -> str:
         # delegate to the defensive-cast family when the target has a
         # guarded register: accurateCastOrDefault('300', 'UInt8', d)
         # must return d — the CH WIDTH range, not the wider Spark
-        # type's (code-review r12a)
+        # type's (code-review r12a).  DateTime/DateTime64 are
+        # EXCLUDED: their Or* twins take timezone/scale as the second
+        # argument, so the delegation would drop or misread the
+        # default (code-review r12b) — the plain TRY_CAST path below
+        # is already faithful for them (no width issue on TIMESTAMP)
         cht = args[1][1:-1].strip()
-        if f"to{cht}" in _OR_CAST:
+        if f"to{cht}" in _OR_CAST and cht not in (
+            "DateTime", "DateTime64",
+        ):
             if len(args) == 3:
                 return _render_call(
                     f"to{cht}OrDefault", [args[0], args[2]]
@@ -8419,27 +8425,10 @@ def _rewrite_any_join(toks: list[str], resolve_columns=None) -> list[str]:
             splice_end = r2  # keep ON + conjuncts in place
             using = None
         else:
-            u = _next_code(toks, r2 + 1)
-            if u < len(toks) and toks[u] == "(":
-                uclose = _match_close(toks, u)
-                keys = [t for t in toks[u + 1 : uclose] if _is_ident(t)]
-                splice_end = uclose
-            elif u < len(toks) and _is_ident(toks[u]):
-                # paren-less CH form: USING k1, k2 — idents and commas
-                # up to the next clause boundary
-                keys, splice_end, p = [toks[u]], u, u
-                while True:
-                    q1 = _next_code(toks, p + 1)
-                    if q1 >= len(toks) or toks[q1] != ",":
-                        break
-                    q2 = _next_code(toks, q1 + 1)
-                    if q2 >= len(toks) or not _is_ident(toks[q2]):
-                        break
-                    keys.append(toks[q2])
-                    splice_end = q2
-                    p = q2
-            else:
+            parsed = _parse_using_keys(toks, r2)
+            if parsed is None:
                 return toks
+            keys, splice_end = parsed
             using = keys
         rcols = resolve_columns(right_ref)
         if not rcols or any(k not in rcols for k in keys):
@@ -8529,6 +8518,33 @@ def _parse_any_on_keys(toks, on_i, r_alias):
     return list(dict.fromkeys(keys))
 
 
+def _parse_using_keys(toks, r2):
+    """``USING (k1, k2)`` / paren-less ``USING k1, k2`` starting at
+    the USING token ``r2`` → (key list, last consumed token index),
+    or None — shared by the ANY LEFT/INNER right-collapse and the
+    ANY RIGHT left-collapse (code-review r12b deduplication)."""
+    u = _next_code(toks, r2 + 1)
+    if u < len(toks) and toks[u] == "(":
+        uclose = _match_close(toks, u)
+        return (
+            [t for t in toks[u + 1: uclose] if _is_ident(t)], uclose,
+        )
+    if u < len(toks) and _is_ident(toks[u]):
+        keys, end, p = [toks[u]], u, u
+        while True:
+            q1 = _next_code(toks, p + 1)
+            if q1 >= len(toks) or toks[q1] != ",":
+                break
+            q2 = _next_code(toks, q1 + 1)
+            if q2 >= len(toks) or not _is_ident(toks[q2]):
+                break
+            keys.append(toks[q2])
+            end = q2
+            p = q2
+        return keys, end
+    return None
+
+
 def _any_right_collapse(
     toks, splice_start, join_i, r2, resolve_columns,
 ):
@@ -8545,23 +8561,10 @@ def _any_right_collapse(
         return None
     rel_start, rel_last, left_core, l_alias = span
     if toks[r2].upper() == "USING":
-        u = _next_code(toks, r2 + 1)
-        if u < len(toks) and toks[u] == "(":
-            uclose = _match_close(toks, u)
-            keys = [t for t in toks[u + 1: uclose] if _is_ident(t)]
-        elif u < len(toks) and _is_ident(toks[u]):
-            keys, p = [toks[u]], u
-            while True:
-                q1 = _next_code(toks, p + 1)
-                if q1 >= len(toks) or toks[q1] != ",":
-                    break
-                q2 = _next_code(toks, q1 + 1)
-                if q2 >= len(toks) or not _is_ident(toks[q2]):
-                    break
-                keys.append(toks[q2])
-                p = q2
-        else:
+        parsed = _parse_using_keys(toks, r2)
+        if parsed is None:
             return None
+        keys = parsed[0]
     else:  # ON: all-equality conjuncts, LEFT-qualified keys
         keys = _parse_any_on_keys(toks, r2, l_alias)
         if keys is None:
@@ -8686,11 +8689,27 @@ def _any_ineq_rewrite(
     # a star projection over the join would expose the derived
     # form's __any_lk* helper columns (code-review r12a) — the
     # LATERAL form's output is exactly the right table's columns, so
-    # it serves SELECT * / r.* shapes instead
+    # it serves SELECT * / r.* shapes instead.  Scan the select list
+    # of the SELECT that OWNS this join (the last depth-0 SELECT
+    # before the join, not the segment start — a UNION's first
+    # branch must not mask the second's star; code-review r12b), and
+    # only count a '*' that follows SELECT / ',' / '.' — after an
+    # identifier or ')' it is multiplication, which must not demote
+    # the plan to the LATERAL fallback.
     seg = _owning_select_segment(toks, splice_start)
+    sel_i = seg[0]
+    depth = 0
+    for n in range(seg[0], min(splice_start, seg[1])):
+        t = toks[n]
+        if t in ("(", "["):
+            depth += 1
+        elif t in (")", "]"):
+            depth -= 1
+        elif depth == 0 and _is_ident(t) and t.upper() == "SELECT":
+            sel_i = n
     star = False
     depth = 0
-    for n in range(seg[0], seg[1]):
+    for n in range(sel_i, seg[1]):
         t = toks[n]
         if t in ("(", "["):
             depth += 1
@@ -8698,12 +8717,15 @@ def _any_ineq_rewrite(
             depth -= 1
         elif _is_ident(t) and depth == 0 and t.upper() == "FROM":
             break
-        elif t == "*" and (
-            depth == 0
-            or toks[_prev_code(toks, n - 1)] == "."
-        ):
-            star = True
-            break
+        elif t == "*":
+            p = _prev_code(toks, n - 1)
+            prev = toks[p] if p >= 0 else ""
+            if prev == "." or prev == "," or (
+                _is_ident(prev) and prev.upper() in ("SELECT", "ALL",
+                                                     "DISTINCT")
+            ):
+                star = True
+                break
     repl = None
     if not star:
         repl = _any_ineq_derived(
@@ -10460,7 +10482,7 @@ def _qw_parse_item(item: str):
         if alias is None:
             return None  # unaliased expression: CH's auto-name is
             # the call text, which Spark can't reproduce
-        return ("key", "".join(ts), alias)
+        return ("key", " ".join(ts), alias)
     # the WHOLE item must be fn(group1)[(group2)]
     if alias is None or not _is_ident(ts[0]) or ts[0] not in _QW_FAMILY:
         return None
@@ -10468,12 +10490,12 @@ def _qw_parse_item(item: str):
     if len(ts) < 2 or ts[1] != "(":
         return None
     c1 = _match_close(ts, 1)
-    groups = ["".join(ts[2:c1])]
+    groups = [" ".join(ts[2:c1])]
     rest = c1 + 1
     if rest < len(ts):
         if ts[rest] != "(" or _match_close(ts, rest) != len(ts) - 1:
             return None
-        groups.append("".join(ts[rest + 1:-1]))
+        groups.append(" ".join(ts[rest + 1:-1]))
     if len(groups) == 1:
         # quantileExactWeighted(v, w) / medianExactWeighted(v, w):
         # default level 0.5 (quantiles* REQUIRES levels)
@@ -10859,7 +10881,25 @@ def _gc_replan(toks: list[str], s: int, e: int):
             len(its) >= 3 and _is_ident(its[-1])
             and its[-2].upper() == "AS"
         ):
-            amap[its[-1]] = "".join(its[:-2])
+            amap[its[-1]] = " ".join(its[:-2])
+        elif (
+            # CH's bare `expr alias` form (code-review r12b): a
+            # trailing identifier directly after an identifier, ')'
+            # or a literal is an alias — without the mapping the
+            # window would partition on a name that doesn't exist
+            # inside the wrap
+            len(its) >= 2 and _is_ident(its[-1])
+            and its[-1].upper() != "END"
+            and (
+                its[-2] == ")"
+                or (_is_ident(its[-2])
+                    and its[-2].upper() not in ("AS", "AND", "OR",
+                                                "NOT", "IS", "IN"))
+                or re.fullmatch(r"[\d.']+.*", its[-2] or "")
+            )
+            and (len(its) < 3 or its[-2] != ".")
+        ):
+            amap[its[-1]] = " ".join(its[:-1])
     gitems = [
         amap.get(g, g) if _is_ident(g) else g for g in gitems
     ]
@@ -10878,7 +10918,7 @@ def _gc_replan(toks: list[str], s: int, e: int):
                 c1 = _match_close(sel_toks, j)
                 k = _next_code(sel_toks, c1 + 1)
                 params = _split_top_commas(
-                    "".join(sel_toks[j + 1:c1])
+                    " ".join(sel_toks[j + 1:c1])
                 )
                 if (
                     k < len(sel_toks) and sel_toks[k] == "("
@@ -10886,7 +10926,7 @@ def _gc_replan(toks: list[str], s: int, e: int):
                 ):
                     c2 = _match_close(sel_toks, k)
                     args = _split_top_commas(
-                        "".join(sel_toks[k + 1:c2])
+                        " ".join(sel_toks[k + 1:c2])
                     )
                     if len(args) != 1:
                         return None
@@ -10919,7 +10959,7 @@ def _gc_replan(toks: list[str], s: int, e: int):
         and (k := _next_code(toks, _match_close(toks, j) + 1)) < e
         and toks[k] == "("
         and len(_split_top_commas(
-            "".join(toks[j + 1:_match_close(toks, j)])
+            " ".join(toks[j + 1:_match_close(toks, j)])
         )) == 2
     )
     if n_seg != len(calls):

@@ -44,6 +44,9 @@ from clickhouse_vs_dbt_spark.catalog import load_table
 MAX_DIST = 2
 _NSEG = MAX_DIST + 1
 
+#: the one live distinct-name cache pin (see q_fuzzy_part_pairs)
+_NAMES_PIN: DataFrame | None = None
+
 
 def _broadcast_threshold_bytes(spark: SparkSession) -> int:
     """``spark.sql.autoBroadcastJoinThreshold`` in bytes (the gate for
@@ -184,10 +187,20 @@ def q_fuzzy_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # estimate (one agg action), the probe leg and the index leg all
     # scan it — without the pin each pays the corpus distinct again
     # (code-review r12a).  Vocabulary-bounded by design, so the
-    # cached footprint is dictionary-sized, not corpus-sized.
+    # cached footprint is dictionary-sized; still, each call releases
+    # the PREVIOUS call's pin so repeated invocations hold at most
+    # one cached copy (code-review r12b: the bench/sweep loops call
+    # this many times per session).
+    global _NAMES_PIN
     names = p.select("brand", "name").distinct().withColumn(
         "L", F.length("name")
     ).persist()
+    if _NAMES_PIN is not None:
+        try:
+            _NAMES_PIN.unpersist(blocking=False)
+        except Exception:
+            pass
+    _NAMES_PIN = names
     np_ = _name_pairs(names)
 
     # distance-0 pairs: same (brand, name), different keys

@@ -973,7 +973,6 @@ DETACH TABLE da_t;
         spark, "DETACH TABLE IF EXISTS never_made;"
     )
     assert r[-1][0] == "detach_table_noop"
-    spark.sql("CREATE OR REPLACE TEMP VIEW da_probe AS SELECT 1 AS x")
     run_clickhouse_script(
         spark,
         "CREATE TABLE da_t2 (k Int64) ENGINE = MergeTree ORDER BY k;",

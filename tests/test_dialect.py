@@ -5383,6 +5383,14 @@ def test_r12_weighted_quantile_replan(spark):
         rows = spark.sql(out).collect()
         assert [r.kk for r in rows] == ["dead", "g0", "g1"], g
         assert rows[1].q is not None
+    # a multi-word aliased key expression keeps its token spacing in
+    # the inner scope (code-review r12b: CAST(kASINT) fused)
+    rows = spark.sql(transpile(
+        "SELECT upper(CAST(k AS String)) AS kk, "
+        "quantileExactWeighted(0.5)(v, w) AS q "
+        "FROM qw_t GROUP BY kk ORDER BY kk"
+    )).collect()
+    assert [r.kk for r in rows] == ["DEAD", "G0", "G1"]
 
 
 def test_r12_group_concat_bounded(spark):
@@ -5433,6 +5441,19 @@ def test_r12_group_concat_bounded(spark):
         )).collect()
     }
     assert rows2 == rows
+    # multi-word aliased key + the bare `expr alias` form both
+    # substitute the EXPRESSION into the window's partition keys
+    # (code-review r12b)
+    for sql in (
+        "SELECT CAST(k AS String) AS kk, groupConcat(',', 2)(s) AS g "
+        "FROM gcb_t GROUP BY kk ORDER BY kk",
+        "SELECT CAST(k AS String) kk, groupConcat(',', 2)(s) AS g "
+        "FROM gcb_t GROUP BY kk ORDER BY kk",
+    ):
+        rows3 = {
+            int(r.kk): r.g for r in spark.sql(transpile(sql)).collect()
+        }
+        assert rows3 == rows, sql
 
 
 def test_r12_any_join_inequality_on(spark):
@@ -5517,6 +5538,28 @@ def test_r12_any_join_inequality_on(spark):
     assert "LATERAL" in qs_ and "__any_lk" not in qs_
     cols = spark.sql(qs_).columns
     assert cols == ["k", "lv", "k", "rv", "tag"]
+    # multiplication is NOT a star: the derived form must serve it
+    # (code-review r12b: a '*' after an identifier demoted the plan
+    # to the 43x LATERAL path)
+    qm = transpile(
+        "SELECT l.lv * 2 AS dbl, r.rv AS rv FROM ai_l l "
+        "ANY LEFT JOIN ai_r r ON r.k = l.k AND r.rv > l.lv",
+        resolve_columns=res,
+    )
+    assert "__any_lk" in qm and "LATERAL" not in qm
+    # a star in a LATER select (second UNION branch) still routes
+    # ITS join to the LATERAL form — the scan anchors at the SELECT
+    # owning the join, not the segment start (code-review r12b)
+    qu = transpile(
+        "SELECT l.k AS k, r.rv AS rv FROM ai_l l ANY LEFT JOIN ai_r "
+        "r ON r.k = l.k AND r.rv > l.lv "
+        "UNION ALL "
+        "SELECT * FROM ai_l l2 "
+        "ANY LEFT JOIN ai_r r2 ON r2.k = l2.k AND r2.rv > l2.lv",
+        resolve_columns=res,
+    )
+    # first branch derived, star branch lateral
+    assert "__any_lk" in qu and "LATERAL" in qu
 
 
 def test_r12_scalar_batch15(spark):
@@ -5558,6 +5601,17 @@ def test_r12_scalar_batch15(spark):
     assert one("accurateCastOrDefault('300', 'UInt8', 7)") == 7
     assert one("accurateCastOrDefault('-5', 'UInt8', 7)") == 7
     assert one("accurateCastOrDefault('300', 'UInt16')") == 300
+    # DateTime targets keep the plain TRY_CAST path — their Or*
+    # twins take timezone/scale as arg 2, so delegating would drop
+    # the default (code-review r12b)
+    assert one(
+        "accurateCastOrDefault('zz', 'DateTime', "
+        "toDateTime('2024-01-02 03:04:05'))"
+    ) == __import__("datetime").datetime(2024, 1, 2, 3, 4, 5)
+    assert one(
+        "accurateCastOrDefault('zz', 'DateTime64', "
+        "toDateTime('2024-01-02 03:04:05'))"
+    ) == __import__("datetime").datetime(2024, 1, 2, 3, 4, 5)
     # NULL address stays NULL — concat_ws would fabricate a string
     assert one(
         "IPv4NumToStringClassC(CAST(NULL AS BIGINT))"
