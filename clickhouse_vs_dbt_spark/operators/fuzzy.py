@@ -44,8 +44,10 @@ from clickhouse_vs_dbt_spark.catalog import load_table
 MAX_DIST = 2
 _NSEG = MAX_DIST + 1
 
-#: the one live distinct-name cache pin (see q_fuzzy_part_pairs)
-_NAMES_PIN: DataFrame | None = None
+#: broadcast-gate statistics memo: input key → (distinct-name count,
+#: avg name length).  Immutable-input statistics, so first-call-only
+#: cost (see q_fuzzy_part_pairs).
+_NAME_STATS: dict[str, tuple[int, float]] = {}
 
 
 def _broadcast_threshold_bytes(spark: SparkSession) -> int:
@@ -70,10 +72,11 @@ def _broadcast_threshold_bytes(spark: SparkSession) -> int:
         return 10 * 1024 * 1024
 
 
-def _name_pairs(names: DataFrame) -> DataFrame:
+def _name_pairs(names: DataFrame, stats_key: str | None = None) -> DataFrame:
     """PassJoin over distinct ``(brand, name, L)`` rows: unordered
     distinct-name pairs within MAX_DIST, as (brand, name_a, name_b,
-    dist) with name_a < name_b."""
+    dist) with name_a < name_b.  ``stats_key`` memoizes the broadcast
+    gate's size estimate per immutable input (see _NAME_STATS)."""
     base = (F.col("la") / F.lit(_NSEG)).cast("int")
     rem = F.col("la") % F.lit(_NSEG)
 
@@ -152,15 +155,19 @@ def _name_pairs(names: DataFrame) -> DataFrame:
     # dictionary degrades to the shuffle join instead of OOMing the
     # driver — no human in the loop.
     probe = a
-    est = names.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.avg(F.length("name")).alias("alen"),
-    ).first()
+    if stats_key is not None and stats_key in _NAME_STATS:
+        n_names, alen = _NAME_STATS[stats_key]
+    else:
+        est = names.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg(F.length("name")).alias("alen"),
+        ).first()
+        n_names, alen = int(est["n"] or 0), float(est["alen"] or 0)
+        if stats_key is not None:
+            _NAME_STATS[stats_key] = (n_names, alen)
     # per probe row: seg (≤ name len) + name_a (len) + brand + la +
     # segno + struct/row overhead ≈ 2·len + 64 bytes, × _NSEG rows
-    est_bytes = int(
-        (est["n"] or 0) * _NSEG * (2 * float(est["alen"] or 0) + 64)
-    )
+    est_bytes = int(n_names * _NSEG * (2 * alen + 64))
     if est_bytes <= _broadcast_threshold_bytes(names.sparkSession):
         probe = F.broadcast(a)
     dist = F.levenshtein(F.col("name_a"), F.col("name_b"))
@@ -183,25 +190,18 @@ def q_fuzzy_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_name").alias("name"),
         F.col("p_brand").alias("brand"),
     )
-    # persist the distinct-name relation: the broadcast gate's size
-    # estimate (one agg action), the probe leg and the index leg all
-    # scan it — without the pin each pays the corpus distinct again
-    # (code-review r12a).  Vocabulary-bounded by design, so the
-    # cached footprint is dictionary-sized; still, each call releases
-    # the PREVIOUS call's pin so repeated invocations hold at most
-    # one cached copy (code-review r12b: the bench/sweep loops call
-    # this many times per session).
-    global _NAMES_PIN
+    # the broadcast gate's size estimate is MEMOIZED per input path
+    # (the rank-corr scratch-memo precedent): the two statistics are
+    # deterministic for an immutable dataset, so only the FIRST call
+    # pays the extra distinct scan — repeated invocations keep r11's
+    # single-DAG plan where AQE's ReusedExchange computes the
+    # distinct once for both PassJoin legs (a session-lifetime
+    # .persist() pin was the r12a attempt; the memo holds two scalars
+    # instead of a cached relation)
     names = p.select("brand", "name").distinct().withColumn(
         "L", F.length("name")
-    ).persist()
-    if _NAMES_PIN is not None:
-        try:
-            _NAMES_PIN.unpersist(blocking=False)
-        except Exception:
-            pass
-    _NAMES_PIN = names
-    np_ = _name_pairs(names)
+    )
+    np_ = _name_pairs(names, stats_key=f"{sf_dir}/part")
 
     # distance-0 pairs: same (brand, name), different keys
     a, b = p.alias("a"), p.alias("b")
