@@ -187,7 +187,7 @@ def f_pvalue(f: float, d1: float, d2: float) -> float:
 
 #: bump when the vectorized set below changes — the registration
 #: digest must move or live sessions keep stale definitions
-_VECTORIZED_VERSION = 12  # r10: + base58 codecs
+_VECTORIZED_VERSION = 13  # r12: + ch_try_base58_decode
 
 
 def _register_vectorized(spark: SparkSession) -> None:
@@ -543,6 +543,17 @@ def _register_vectorized(spark: SparkSession) -> None:
     )
     spark.udf.register(
         "ch_base58_decode", pandas_udf("string")(_unary_str(_b58dec))
+    )
+
+    def _b58try(s: str):
+        # tryBase58Decode (r12 batch 16): NULL on invalid, never throws
+        try:
+            return _b58dec(s)
+        except (ValueError, UnicodeDecodeError):
+            return None
+
+    spark.udf.register(
+        "ch_try_base58_decode", pandas_udf("string")(_unary_str(_b58try))
     )
 
     # RFC 4648 base32 (r11 audit batch 12) — same Arrow-codec seam as

@@ -2252,7 +2252,105 @@ def _render_call(name: str, args: list[str]) -> str:
             "no bounded Spark fold here — arrayEnumerateUniq (which "
             "transpiles) covers the flat case"
         )
-    # ---- end batch 15 ----------------------------------------------
+    # ---- r12 audit batch 16 ----------------------------------------
+    if name == "nothing" and args:
+        # CH's internal type-Nothing aggregate: always NULL
+        return "CAST(NULL AS STRING)"
+    if name == "toTimeWithFixedDate" and len(args) == 1:
+        return _render_call("toTime", args)  # newer alias of toTime
+    if name == "tryBase58Decode" and len(args) == 1:
+        # NULL-on-invalid twin of base58Decode (compat Arrow UDF)
+        return f"ch_try_base58_decode({args[0]})"
+    if name == "addTupleOfIntervals" and len(args) == 2:
+        fields = _tuple_fields(args[1])
+        if fields is None:
+            raise DialectError(
+                "addTupleOfIntervals: the interval tuple must be a "
+                "LITERAL — (INTERVAL 1 DAY, INTERVAL 1 MONTH) — so "
+                "the additions unroll at transpile time"
+            )
+        return "(" + args[0] + "".join(f" + {f}" for f in fields) + ")"
+    if name == "tupleNames" and len(args) == 1:
+        fields = _tuple_fields(args[0])
+        if fields is None:
+            raise DialectError(
+                "tupleNames transpiles for LITERAL tuples (unnamed "
+                "fields enumerate as '1', '2', …); column tuples "
+                "keep their Spark struct schema — use toTypeName"
+            )
+        ns = ", ".join(f"'{n + 1}'" for n in range(len(fields)))
+        return f"array({ns})"
+    if name == "tupleElement" and len(args) == 3:
+        # 3-arg form: default when the index is out of bounds — for
+        # literal tuples + literal index this folds at transpile time
+        fields = _tuple_fields(args[0])
+        if fields is not None and re.fullmatch(
+            r"\d+", args[1].strip()
+        ):
+            idx = int(args[1])
+            if 1 <= idx <= len(fields):
+                return f"({fields[idx - 1]})"
+            return f"({args[2]})"
+        raise DialectError(
+            "tupleElement(t, n, default) transpiles for a LITERAL "
+            "tuple and index (the arity is a compile-time fact); "
+            "in-bounds access needs no default — use t.n"
+        )
+    if name == "throwIf" and len(args) in (1, 2):
+        # CH: raises when the condition is true, else returns 0 —
+        # Spark's assert_true is the same contract inverted (NULL on
+        # pass, raise on fail)
+        msg = args[1] if len(args) == 2 else "'throwIf'"
+        return (
+            f"(CASE WHEN assert_true(NOT ({args[0]}), {msg}) IS NULL "
+            "THEN 0 END)"
+        )
+    if name in (
+        "transactionID", "getOSKernelVersion", "currentProfiles",
+        "enabledRoles", "enabledProfiles", "currentRoles", "tcpPort",
+        "filesystemAvailable", "filesystemCapacity",
+        "filesystemUnreserved", "serverUUID",
+    ):
+        raise DialectError(
+            f"{name} reads ClickHouse server state/config — the "
+            "hostName/uptime/block* introspection wall"
+        )
+    if name == "hasColumnInTable":
+        raise DialectError(
+            "hasColumnInTable reads the server catalog at runtime; "
+            "ask the Spark catalog instead "
+            "(spark.catalog.listColumns)"
+        )
+    if name == "catboostEvaluate":
+        raise DialectError(
+            "catboostEvaluate needs the CatBoost model runtime — "
+            "score with a Spark ML pipeline / pandas UDF instead"
+        )
+    if name == "partitionID":
+        raise DialectError(
+            "partitionID computes ClickHouse's engine-layout "
+            "partition key hash; Spark's layout is directory "
+            "partitioning — use the partition column value itself"
+        )
+    if name == "shardNum":
+        raise DialectError(
+            "shardNum is a ClickHouse-cluster routing concept; "
+            "spark_partition_id() is the (different) Spark analog — "
+            "task partition, not cluster shard"
+        )
+    if name == "convertCharset":
+        raise DialectError(
+            "convertCharset needs ICU byte-level transcoding and "
+            "BINARY columns (Spark strings are UTF-8) — use "
+            "encode(s, charset)/decode(b, charset) over binary data"
+        )
+    if name == "arrayReduceInRanges":
+        raise DialectError(
+            "arrayReduceInRanges: spell the ranges with arraySlice + "
+            "arrayReduce (both transpile) — the range list is "
+            "usually literal, so the unrolling is mechanical"
+        )
+    # ---- end batch 15/16 -------------------------------------------
     if name == "IPv4NumToString" and len(args) == 1:
         # same pre-div parenthesization and NULL guard as the ClassC
         # form (r12): `a + b div c` binds as `a + (b div c)`, and
@@ -17537,6 +17635,49 @@ def q_dialect_probe20(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_clickhouse_sql(spark, _CH_PROBE20, sf_dir, ("orders",))
 
 
+# 37c (r12). audit batch 16 value gate: base58 round-trip identity
+#     (the oracle just echoes the column; the invalid-charset probe
+#     pins the NULL tier), fixed-date time extraction as epoch
+#     arithmetic, unrolled tuple-of-intervals addition (both engines
+#     apply left-to-right), literal tupleElement-with-default, and
+#     the assert_true-backed throwIf pass branch.
+_CH_PROBE21 = """
+SELECT o_orderkey AS k,
+       tryBase58Decode(base58Encode(o_orderpriority)) AS rt,
+       tryBase58Decode(concat(o_orderpriority, '0')) AS bad,
+       toUnixTimestamp(toTimeWithFixedDate(addSeconds(
+           toDateTime(o_orderdate), o_orderkey % 86000))) AS tf,
+       addTupleOfIntervals(toDate(o_orderdate),
+           (INTERVAL 1 DAY, INTERVAL 1 MONTH)) AS ati,
+       tupleElement((o_orderkey % 5, o_orderkey % 7), 2, -1) AS te,
+       tupleElement((o_orderkey % 5, o_orderkey % 7), 9, -1) AS td,
+       throwIf(o_orderkey < 0) AS ti
+FROM orders
+WHERE o_orderkey % 17 = 0
+ORDER BY k
+"""
+
+O_PROBE21 = """
+SELECT o_orderkey AS k,
+       o_orderpriority AS rt,
+       CAST(NULL AS VARCHAR) AS bad,
+       86400 + (o_orderkey % 86000) AS tf,
+       CAST(CAST(o_orderdate AS DATE) + INTERVAL 1 DAY
+           + INTERVAL 1 MONTH AS DATE) AS ati,
+       CAST(o_orderkey % 7 AS BIGINT) AS te,
+       CAST(-1 AS BIGINT) AS td,
+       0 AS ti
+FROM orders
+WHERE o_orderkey % 17 = 0
+ORDER BY k
+"""
+
+
+def q_dialect_probe21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verbatim CH batch-16 per-row probe (module doc #37c)."""
+    return run_clickhouse_sql(spark, _CH_PROBE21, sf_dir, ("orders",))
+
+
 # 37b (r12). one-way ANOVA: analysisOfVariance(value, category) as a
 #     group-contiguous indexed fold over the sorted (g, v) pairs —
 #     collect-class state, documented — with the p-value computed by
@@ -17728,6 +17869,7 @@ QUERIES = {
     "dialect_weighted_quantiles": q_dialect_weighted_quantiles,
     "dialect_group_concat_bounded": q_dialect_group_concat_bounded,
     "dialect_probe20": q_dialect_probe20,
+    "dialect_probe21": q_dialect_probe21,
     "dialect_anova": q_dialect_anova,
     "dialect_tumble": q_dialect_tumble,
     "dialect_probe19": q_dialect_probe19,
@@ -17820,6 +17962,7 @@ ORACLES = {
     "dialect_weighted_quantiles": O_WEIGHTED_QUANTILES,
     "dialect_group_concat_bounded": O_GROUP_CONCAT_BOUNDED,
     "dialect_probe20": O_PROBE20,
+    "dialect_probe21": O_PROBE21,
     "dialect_anova": O_ANOVA,
     "dialect_tumble": O_TUMBLE,
     "dialect_probe19": O_PROBE19,

@@ -5777,3 +5777,44 @@ def test_r12_any_right_join(spark):
     assert len(rows) == 10
     with pytest.raises(DialectError, match="strictness"):
         transpile("SELECT * FROM arj_l ANY RIGHT JOIN arj_r USING (k)")
+
+
+def test_r12_scalar_batch16(spark):
+    """r12 audit batch 16: tuple-of-intervals unrolling, literal
+    tupleNames/tupleElement-with-default, throwIf via assert_true,
+    NULL-safe base58, the type-Nothing aggregate, fixed-date time
+    alias, and the server-state/model/charset walls."""
+    register_clickhouse_compat(spark)
+    one = lambda e: spark.sql(  # noqa: E731
+        transpile(f"SELECT {e} AS v")
+    ).collect()[0].v
+    assert one("nothing(1)") is None
+    assert str(one(
+        "toTimeWithFixedDate(toDateTime('2024-03-15 10:30:45'))"
+    )).startswith("1970-01-02 10:30:45")
+    assert one("tryBase58Decode(base58Encode('hello'))") == "hello"
+    assert one("tryBase58Decode('0OIl')") is None  # invalid alphabet
+    assert str(one(
+        "addTupleOfIntervals(toDate('2024-01-31'), "
+        "(INTERVAL 1 DAY, INTERVAL 1 MONTH))"
+    )) == "2024-03-01"
+    assert one("tupleNames((7, 'x', 3.0))") == ["1", "2", "3"]
+    assert one("tupleElement((10, 20), 2, 0)") == 20
+    assert one("tupleElement((10, 20), 9, -1)") == -1
+    assert one("throwIf(1 > 2)") == 0
+    with pytest.raises(Exception, match="boom"):
+        spark.sql(transpile(
+            "SELECT throwIf(2 > 1, 'boom') AS v"
+        )).collect()
+    with pytest.raises(DialectError, match="LITERAL"):
+        transpile("SELECT addTupleOfIntervals(ts, t) FROM x")
+    for bad, m in [
+        ("transactionID()", "server"),
+        ("hasColumnInTable('d', 't', 'c')", "catalog"),
+        ("catboostEvaluate('m', v)", "CatBoost"),
+        ("partitionID(x)", "layout"), ("shardNum()", "shard"),
+        ("convertCharset(s, 'a', 'b')", "ICU"),
+        ("arrayReduceInRanges('sum', [(1, 2)], a)", "arraySlice"),
+    ]:
+        with pytest.raises(DialectError, match=m):
+            transpile(f"SELECT {bad} FROM t")

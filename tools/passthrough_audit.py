@@ -540,6 +540,52 @@ CANDIDATES = [
     "toColumnTypeName(x)", "dumpColumnStructure(x)",
     "defaultValueOfArgumentType(x)", "defaultValueOfTypeName('Int64')",
     "byteSwap(x)",
+    # r12 audit batch 16: tuple-of-intervals arithmetic, literal
+    # tupleNames/tupleElement-with-default, throwIf -> assert_true,
+    # NULL-safe base58, type-Nothing aggregate, Spark-native
+    # same-name scalars (log1p/cbrt/degrees/radians/cosh/acosh/
+    # isNull/isNotNull execute natively with identical math), and
+    # the server-state/model-runtime/charset walls
+    "nothing(x)", "toTimeWithFixedDate(ts)",
+    "tryBase58Decode(s)", "tryBase58Decode('0OIl')",
+    "addTupleOfIntervals(ts, (INTERVAL 1 DAY, INTERVAL 1 MONTH))",
+    "tupleNames((1, 'a'))", "tupleElement((1, 2), 2, 0)",
+    "tupleElement((1, 2), 9, -1)", "throwIf(x > 1e18)",
+    "throwIf(x > 1e18, 'too big')",
+    "log1p(v)", "cbrt(v)", "degrees(v)", "radians(v)", "cosh(v)",
+    "acosh(v + 1)", "isNull(x)", "isNotNull(x)", "factorial(5)",
+    "exp2(v)", "exp10(v)", "intExp2(x)", "intExp10(x)",
+    "positiveModulo(-5, 3)", "toNullable(x)", "assumeNotNull(x)",
+    "isZeroOrNull(x)", "toDecimalString(v, 3)",
+    "divideDecimal(toDecimal64(1, 2), toDecimal64(3, 2))",
+    "multiplyDecimal(toDecimal64(2, 2), toDecimal64(3, 2))",
+    "groupArrayMovingAvg(x)", "groupArrayMovingSum(3)(x)",
+    "exponentialMovingAverage(5)(v, x)",
+    "quantileExactHigh(0.5)(v)", "quantileExactLow(0.5)(v)",
+    "avgIf(v, g = 1)", "argMinIf(s, v, g = 1)", "medianIf(v, g = 1)",
+    "groupUniqArrayIf(x, g = 1)", "stddevPopIf(v, g = 1)",
+    "extractAll(s, '[a-z]+')", "extract(s, '[a-z]+')",
+    "makeDate(2024, 3, 15)", "makeDateTime(2024, 3, 15, 10, 0, 0)",
+    "YYYYMMDDhhmmssToDateTime(20240315100000)",
+    "age('day', ts, ts)", "dateDiff('week', ts, ts)",
+    "toStartOfWeek(ts, 1)", "toWeek(ts, 3)",
+    "tupleToNameValuePairs(('a', 'b'))",
+    "arrayElement(a, 1)", "has(a, 1)", "arrayReverse(a)",
+    "arrayReduce('sum', a)", "mapApply((k0, v0) -> (k0, v0 + 1), m)",
+    "minSampleSizeContinuous(100.0, 10.0, 0.05, 0.8, 0.05)",
+    "proportionsZTest(10, 11, 100, 100, 0.95, 'unpooled')",
+    "widthBucket(v, 0, 10, 5)", "visibleWidth(s)",
+    "formatReadableSize(x)", "bin(toUInt8(10))",
+    "transactionID()", "getOSKernelVersion()", "currentProfiles()",
+    "enabledRoles()", "tcpPort()", "filesystemAvailable()",
+    "serverUUID()", "hasColumnInTable('d', 't', 'c')",
+    "catboostEvaluate('m.bin', v)", "partitionID(x)", "shardNum()",
+    "convertCharset(s, 'UTF-8', 'latin1')",
+    "arrayReduceInRanges('sum', [(1, 2)], a)",
+    "stem('en', s)", "detectLanguage(s)", "synonyms('ext', s)",
+    "ngramSimHash(s)", "wordShingleMinHash(s)",
+    "sequenceNextNode('forward', 'head')(ts, s, g = 0, g = 1)",
+    "aggThrow(0.0)(x)", "base64URLEncode(s)", "sqidEncode(x)",
 ]
 
 
