@@ -2948,7 +2948,7 @@ def test_r8_scalar_batch3(spark):
     for bad, msg in [
         ("nonNegativeDerivative(a, s)", "block"),
         ("nowInBlock()", "per ClickHouse block"),
-        ("serverUUID()", "server instance"),
+        ("serverUUID()", "server state"),
         ("mapApply(m)", "exactly"),
         ("mapApply(k -> k, m)", "two parameters"),
         ("mapApply((k, v) -> k, m)", "tuple"),
