@@ -2253,9 +2253,12 @@ def _render_call(name: str, args: list[str]) -> str:
             "transpiles) covers the flat case"
         )
     # ---- r12 audit batch 16 ----------------------------------------
-    if name == "nothing" and args:
-        # CH's internal type-Nothing aggregate: always NULL
-        return "CAST(NULL AS STRING)"
+    if name == "nothing":
+        # CH's internal type-Nothing AGGREGATE: always NULL — spelled
+        # as an aggregate so grouped/global queries keep their
+        # collapse-to-one-row shape (code-review r12c: a scalar NULL
+        # returned one row per input row); zero-arg form included
+        return "max(CAST(NULL AS STRING))"
     if name == "toTimeWithFixedDate" and len(args) == 1:
         return _render_call("toTime", args)  # newer alias of toTime
     if name == "tryBase58Decode" and len(args) == 1:
@@ -2296,20 +2299,27 @@ def _render_call(name: str, args: list[str]) -> str:
             "tuple and index (the arity is a compile-time fact); "
             "in-bounds access needs no default — use t.n"
         )
-    if name == "throwIf" and len(args) in (1, 2):
-        # CH: raises when the condition is true, else returns 0 —
-        # Spark's assert_true is the same contract inverted (NULL on
-        # pass, raise on fail)
-        msg = args[1] if len(args) == 2 else "'throwIf'"
+    if name == "throwIf" and len(args) in (1, 2, 3):
+        # CH: raises when the condition is NON-ZERO (numeric contract
+        # — code-review r12c: Spark's NOT needs a boolean, so route
+        # through CAST AS BOOLEAN), returns 0 otherwise, and a NULL
+        # condition returns NULL WITHOUT throwing.  The 3-arg custom
+        # error code has no Spark channel and is dropped (the message
+        # still carries).  assert_true is the inverted contract:
+        # NULL on pass, raise on fail.
+        c = args[0]
+        msg = args[1] if len(args) >= 2 else "'throwIf'"
         return (
-            f"(CASE WHEN assert_true(NOT ({args[0]}), {msg}) IS NULL "
-            "THEN 0 END)"
+            f"(CASE WHEN assert_true(({c}) IS NULL OR "
+            f"NOT CAST(({c}) AS BOOLEAN), {msg}) IS NULL "
+            f"THEN IF(({c}) IS NULL, CAST(NULL AS INT), 0) END)"
         )
     if name in (
         "transactionID", "getOSKernelVersion", "currentProfiles",
         "enabledRoles", "enabledProfiles", "currentRoles", "tcpPort",
         "filesystemAvailable", "filesystemCapacity",
-        "filesystemUnreserved", "serverUUID",
+        "filesystemUnreserved",
+        # (serverUUID keeps its ORIGINAL wall below — better pointer)
     ):
         raise DialectError(
             f"{name} reads ClickHouse server state/config — the "
@@ -8815,7 +8825,10 @@ def _any_ineq_rewrite(
             depth -= 1
         elif _is_ident(t) and depth == 0 and t.upper() == "FROM":
             break
-        elif t == "*":
+        elif t == "*" and depth == 0:
+            # depth 0 only: a star inside a parenthesized scalar
+            # subquery can't leak the derived form's helper columns
+            # (code-review r12c)
             p = _prev_code(toks, n - 1)
             prev = toks[p] if p >= 0 else ""
             if prev == "." or prev == "," or (
@@ -10909,6 +10922,16 @@ def _rewrite_group_concat_limit(toks: list[str]) -> list[str]:
         scan = 0
 
 
+#: SQL infix/structural keywords that can precede a trailing
+#: identifier WITHOUT making it a bare alias (code-review r12c: the
+#: bare-alias heuristic must not read `v MOD k` as alias 'k')
+_SQL_INFIX_KEYWORDS = frozenset(
+    "AS AND OR NOT IS IN MOD DIV LIKE ILIKE RLIKE REGEXP BETWEEN "
+    "XOR OVER THEN ELSE WHEN CASE END INTERVAL DISTINCT ALL ANY "
+    "SOME EXISTS ASC DESC FROM ESCAPE COLLATE".split()
+)
+
+
 def _gc_replan(toks: list[str], s: int, e: int):
     """The bounded groupConcat re-plan for one SELECT segment (see
     :func:`_rewrite_group_concat_limit`), or None when the segment
@@ -10982,17 +11005,17 @@ def _gc_replan(toks: list[str], s: int, e: int):
             amap[its[-1]] = " ".join(its[:-2])
         elif (
             # CH's bare `expr alias` form (code-review r12b): a
-            # trailing identifier directly after an identifier, ')'
-            # or a literal is an alias — without the mapping the
-            # window would partition on a name that doesn't exist
-            # inside the wrap
+            # trailing identifier directly after ')', ']', a literal
+            # or a NON-KEYWORD identifier is an alias — without the
+            # mapping the window would partition on a name that
+            # doesn't exist inside the wrap.  Infix keywords (MOD,
+            # LIKE, …) are NOT expression ends (code-review r12c).
             len(its) >= 2 and _is_ident(its[-1])
             and its[-1].upper() != "END"
             and (
-                its[-2] == ")"
+                its[-2] in (")", "]")
                 or (_is_ident(its[-2])
-                    and its[-2].upper() not in ("AS", "AND", "OR",
-                                                "NOT", "IS", "IN"))
+                    and its[-2].upper() not in _SQL_INFIX_KEYWORDS)
                 or re.fullmatch(r"[\d.']+.*", its[-2] or "")
             )
             and (len(its) < 3 or its[-2] != ".")
@@ -11041,15 +11064,20 @@ def _gc_replan(toks: list[str], s: int, e: int):
     if not calls:
         return None
     # bail on SELECT * (the wrap's helper columns would leak) and on
-    # any parametric groupConcat OUTSIDE the select span
+    # any parametric groupConcat OUTSIDE the select span.  Only a
+    # PROJECTION star counts — after SELECT / ',' / '.' — never
+    # depth-0 multiplication (code-review r12c)
     depth = 0
-    for t in sel_toks:
+    for n, t in enumerate(sel_toks):
         if t in ("(", "["):
             depth += 1
         elif t in (")", "]"):
             depth -= 1
         elif depth == 0 and t == "*":
-            return None
+            p = _prev_code(sel_toks, n - 1)
+            prev = sel_toks[p] if p >= 0 else ""
+            if prev in (".", ",", ""):
+                return None
     n_seg = sum(
         1 for m in range(s, e)
         if toks[m] == "groupConcat"

@@ -50,6 +50,22 @@ _NSEG = MAX_DIST + 1
 _NAME_STATS: dict[str, tuple[int, float]] = {}
 
 
+def _stats_key(sf_dir: str) -> str | None:
+    """Memo key for the part table's gate statistics: path + mtime +
+    size, so a REGENERATED dataset at the same path invalidates the
+    entry instead of reusing a stale (possibly tiny) estimate
+    (code-review r12c: a stale under-estimate re-opens the
+    broadcast-OOM path the gate exists to close)."""
+    import os
+
+    path = f"{sf_dir}/part.parquet"
+    try:
+        st = os.stat(path)
+        return f"{path}:{st.st_mtime_ns}:{st.st_size}"
+    except OSError:
+        return None  # unknown layout: skip the memo, re-estimate
+
+
 def _broadcast_threshold_bytes(spark: SparkSession) -> int:
     """``spark.sql.autoBroadcastJoinThreshold`` in bytes (the gate for
     the PassJoin probe-leg hint, ADVICE r11).  ``-1`` (broadcast off)
@@ -201,7 +217,7 @@ def q_fuzzy_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     names = p.select("brand", "name").distinct().withColumn(
         "L", F.length("name")
     )
-    np_ = _name_pairs(names, stats_key=f"{sf_dir}/part")
+    np_ = _name_pairs(names, stats_key=_stats_key(sf_dir))
 
     # distance-0 pairs: same (brand, name), different keys
     a, b = p.alias("a"), p.alias("b")

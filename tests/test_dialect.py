@@ -2948,7 +2948,7 @@ def test_r8_scalar_batch3(spark):
     for bad, msg in [
         ("nonNegativeDerivative(a, s)", "block"),
         ("nowInBlock()", "per ClickHouse block"),
-        ("serverUUID()", "server state"),
+        ("serverUUID()", "server instance"),
         ("mapApply(m)", "exactly"),
         ("mapApply(k -> k, m)", "two parameters"),
         ("mapApply((k, v) -> k, m)", "tuple"),
@@ -5818,3 +5818,48 @@ def test_r12_scalar_batch16(spark):
     ]:
         with pytest.raises(DialectError, match=m):
             transpile(f"SELECT {bad} FROM t")
+
+
+def test_r12c_review_fixes(spark):
+    """Third-review fixes: nothing() keeps aggregate shape, throwIf
+    handles NULL/numeric/3-arg, infix keywords and brackets in the
+    bare-alias heuristic, multiplication is not a star in either
+    re-plan, scalar-subquery stars don't demote the ANY join."""
+    register_clickhouse_compat(spark)
+    one = lambda e: spark.sql(  # noqa: E731
+        transpile(f"SELECT {e} AS v")
+    ).collect()[0].v
+    spark.sql("CREATE OR REPLACE TEMP VIEW rc5 AS "
+              "SELECT id AS x FROM range(5)")
+    rows = spark.sql(transpile(
+        "SELECT nothing(x) AS v FROM rc5"
+    )).collect()
+    assert len(rows) == 1 and rows[0].v is None  # aggregate collapse
+    assert one("throwIf(CAST(NULL AS BOOLEAN))") is None  # no throw
+    assert one("throwIf(0)") == 0  # numeric zero passes
+    with pytest.raises(Exception, match="num"):
+        spark.sql(transpile(
+            "SELECT throwIf(3, 'num', 42) AS v"  # 3-arg, code dropped
+        )).collect()
+    # MOD is an infix keyword, not an expression end; bracket-ended
+    # expressions DO take bare aliases
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW rc_t AS SELECT id % 3 AS k, "
+        "array(id, 9) AS arr, concat('v', id) AS s FROM range(9)"
+    )
+    o = transpile(
+        "SELECT k MOD 2 AS m, groupConcat(',', 2)(s) AS g "
+        "FROM rc_t GROUP BY k MOD 2"
+    )
+    assert "PARTITION BY k MOD 2" in o.replace("  ", " ")
+    rows2 = spark.sql(transpile(
+        "SELECT arr[1] kk, groupConcat(',', 9)(s) AS g "
+        "FROM rc_t GROUP BY kk ORDER BY kk"
+    )).collect()
+    assert [r.kk for r in rows2] == [0, 1, 2, 3, 4, 5, 6, 7, 8]
+    # depth-0 multiplication doesn't kill the bounded re-plan
+    o2 = transpile(
+        "SELECT k AS kk, k * 2 AS d, groupConcat(',', 2)(s) AS g "
+        "FROM rc_t GROUP BY k"
+    )
+    assert "__gc_rn" in o2
