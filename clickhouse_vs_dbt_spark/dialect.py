@@ -2033,10 +2033,11 @@ def _render_call(name: str, args: list[str]) -> str:
     if name == "initcapUTF8" and len(args) == 1:
         return f"initcap({args[0]})"
     # ---- r12 audit batch 15 ----------------------------------------
-    if name == "ignore" and args:
+    if name == "ignore":
         # CH: evaluates its arguments and always returns 0 (a
         # constant-folding / benchmarking helper); Spark has no
-        # forced-evaluation analog and none is needed
+        # forced-evaluation analog and none is needed.  The zero-arg
+        # form ignore() is valid CH too (ADVICE r12)
         return "0"
     if name == "indexHint" and args:
         # CH: returns 1; the argument only steers granule selection.
@@ -2097,8 +2098,14 @@ def _render_call(name: str, args: list[str]) -> str:
         )
         net = f"element_at(split({cidr}, '/'), 1)"
         p = f"CAST(element_at(split({cidr}, '/'), 2) AS INT)"
+        # prefix > 32 is an invalid IPv4 CIDR — CH throws; Spark's
+        # shiftright would mask the negative shift Java-style and
+        # return a silently-wrong membership, so answer false
+        # (documented refinement, mirrors the p <= 0 guard;
+        # ADVICE r12)
         return (
-            f"(CASE WHEN {p} <= 0 THEN true ELSE "
+            f"(CASE WHEN {p} <= 0 THEN true "
+            f"WHEN {p} > 32 THEN false ELSE "
             f"shiftright({num(addr)}, 32 - {p}) = "
             f"shiftright({num(net)}, 32 - {p}) END)"
         )
@@ -2238,13 +2245,61 @@ def _render_call(name: str, args: list[str]) -> str:
             f"{name} reads ClickHouse server configuration/state — "
             "the hostName/uptime/block* introspection wall"
         )
-    if name == "geoDistance":
-        raise DialectError(
-            "geoDistance computes on the WGS-84 ellipsoid with a "
-            "CH-version-specific series; greatCircleDistance "
-            "(spherical, transpiles) is the portable register — "
-            "spell ellipsoid geodesics explicitly if the ~0.3% "
-            "difference matters"
+    if name == "geoDistance" and len(args) == 4:
+        # WGS-84 ellipsoid distance via the Andoyer–Lambert
+        # first-order flattening correction (public formula —
+        # Astronomical Algorithms ch. 11 / classic geodesy texts):
+        # relative error vs the true geodesic is O(f²) ≈ 1.1e-5,
+        # inside CH geoDistance's own documented accuracy band.
+        # Pure Catalyst arithmetic; the named_struct/transform
+        # ladder binds each intermediate once (the _betainc_sql
+        # precedent), and the same formula spells in the DuckDB
+        # oracle (O_GEO_DIST_ELL below; tolerance in MIGRATION.md).
+        # Args are (lon1, lat1, lon2, lat2) degrees, result meters.
+        lon1, lat1, lon2, lat2 = args
+        # F = mean latitude, G = half lat difference, L = half lon
+        # difference (all radians)
+        bind1 = (
+            "named_struct("
+            f"'f', radians(CAST(({lat1}) AS DOUBLE) + ({lat2})) "
+            "/ 2.0d, "
+            f"'g', radians(CAST(({lat1}) AS DOUBLE) - ({lat2})) "
+            "/ 2.0d, "
+            f"'l', radians(CAST(({lon1}) AS DOUBLE) - ({lon2})) "
+            "/ 2.0d)"
+        )
+        bind2 = (
+            "named_struct("
+            "'s', pow(sin(__ad.g), 2) * pow(cos(__ad.l), 2) + "
+            "pow(cos(__ad.f), 2) * pow(sin(__ad.l), 2), "
+            "'c', pow(cos(__ad.g), 2) * pow(cos(__ad.l), 2) + "
+            "pow(sin(__ad.f), 2) * pow(sin(__ad.l), 2), "
+            "'sf', pow(sin(__ad.f), 2) * pow(cos(__ad.g), 2), "
+            "'cf', pow(cos(__ad.f), 2) * pow(sin(__ad.g), 2))"
+        )
+        # D = 2ωa with ω = atan(√(S/C)); H1 = (3R−1)/2C,
+        # H2 = (3R+1)/2S, R = √(SC)/ω;
+        # d = D(1 + f·H1·sin²F·cos²G − f·H2·cos²F·sin²G).
+        # S ≤ 0 ⇒ coincident points (0); C ≤ 0 ⇒ antipodal, where
+        # every first-order series degenerates — return the
+        # ellipse-mean πa(1−f/2) limit
+        body = (
+            "CASE WHEN __sc.s <= 0.0d THEN 0.0d "
+            "WHEN __sc.c <= 0.0d THEN "
+            "pi() * 6378137.0d * (1.0d - 0.5d / 298.257223563d) "
+            "ELSE element_at(transform(array(named_struct("
+            "'w', atan(sqrt(__sc.s / __sc.c)))), __w -> "
+            "2.0d * __w.w * 6378137.0d * (1.0d + "
+            "(1.0d / 298.257223563d) * ("
+            "(3.0d * sqrt(__sc.s * __sc.c) / __w.w - 1.0d) "
+            "/ (2.0d * __sc.c) * __sc.sf - "
+            "(3.0d * sqrt(__sc.s * __sc.c) / __w.w + 1.0d) "
+            "/ (2.0d * __sc.s) * __sc.cf))), 1) END"
+        )
+        return (
+            f"element_at(transform(array({bind1}), __ad -> "
+            f"element_at(transform(array({bind2}), __sc -> "
+            f"{body}), 1)), 1)"
         )
     if name == "arrayEnumerateUniqRanked" and args:
         raise DialectError(
@@ -10939,6 +10994,15 @@ def _gc_replan(toks: list[str], s: int, e: int):
     spans = _select_clause_spans(toks, s, e)
     if spans is None:
         return None
+    if any(
+        _is_ident(t) and t.startswith("__gc_")
+        for t in toks[s:e]
+    ):
+        # the wrap injects __gc_ord/__gc_rn* helper columns via
+        # SELECT *; a source column sharing the prefix would collide
+        # as a duplicate/ambiguous name, so keep the slice form
+        # (ADVICE r12 — mirrors the ANY-join __any_* rcols guard)
+        return None
     sel_text = spans["select"]
     from_text = spans["from"]
     where_text = spans.get("where", "")
@@ -12550,6 +12614,18 @@ def _attach_table(spark: "SparkSession", target: str) -> None:
         raise DialectError(
             f"ATTACH TABLE: both live and detached directories "
             f"exist for {name!r}"
+        )
+    if not fs.exists(parked) and not fs.exists(live):
+        # the parked '.detached' directory vanished (removed
+        # externally) and no live data survives: proceeding would
+        # attach the CREATE's EMPTY skeleton and mask the data loss
+        # as success (ADVICE r12).  Keep the stash entry so the
+        # failure is re-diagnosable.
+        raise DialectError(
+            f"ATTACH TABLE: detached data directory "
+            f"{parked.toString()} is missing and no live data "
+            f"remains for {name!r} — refusing to attach an empty "
+            f"table over lost data"
         )
     # create FIRST (a managed CREATE refuses over an existing
     # location), then swap the parked data directory back in place
@@ -17847,6 +17923,73 @@ def q_dialect_probe19(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_clickhouse_sql(spark, _CH_PROBE19, sf_dir, ("orders",))
 
 
+# 38 (r13). geoDistance: WGS-84 ellipsoid distance as Andoyer–Lambert
+#     first-order-flattening arithmetic (VERDICT r12 item 4 — the
+#     refusal flipped).  Synthetic exact-grid lat/lon from customer
+#     keys (the geo.py precedent); per-row distances round to whole
+#     meters BEFORE aggregation so the ≤1-ulp libm wobble between
+#     JVM and DuckDB trig cannot move a value, then integer
+#     sum/min/max/intDiv are exact in both engines.
+_CH_GEO_DIST = """
+SELECT nationkey,
+       count() AS n,
+       min(dm) AS d_min,
+       max(dm) AS d_max,
+       intDiv(sum(dm), count()) AS d_avg
+FROM (
+  SELECT c_nationkey AS nationkey,
+         toInt64(round(geoDistance(
+             toFloat64((c_custkey * 104729) % 36000) / 100 - 180,
+             toFloat64((c_custkey * 7919) % 14000) / 100 - 70,
+             13.405, 52.52))) AS dm
+  FROM customer)
+GROUP BY nationkey
+ORDER BY nationkey
+"""
+
+O_GEO_DIST_ELL = """
+WITH pts AS (
+  SELECT c_nationkey AS nationkey,
+         radians((CAST((c_custkey * 7919) % 14000 AS DOUBLE)/100.0
+                  - 70.0) + 52.52) / 2.0 AS f,
+         radians((CAST((c_custkey * 7919) % 14000 AS DOUBLE)/100.0
+                  - 70.0) - 52.52) / 2.0 AS g,
+         radians((CAST((c_custkey * 104729) % 36000 AS DOUBLE)/100.0
+                  - 180.0) - 13.405) / 2.0 AS l
+  FROM customer),
+sc AS (
+  SELECT nationkey,
+         pow(sin(g),2)*pow(cos(l),2) + pow(cos(f),2)*pow(sin(l),2)
+             AS s,
+         pow(cos(g),2)*pow(cos(l),2) + pow(sin(f),2)*pow(sin(l),2)
+             AS c,
+         pow(sin(f),2)*pow(cos(g),2) AS sf,
+         pow(cos(f),2)*pow(sin(g),2) AS cf
+  FROM pts),
+d AS (
+  SELECT nationkey,
+         CAST(round(CASE WHEN s <= 0 THEN 0.0
+           WHEN c <= 0 THEN pi() * 6378137.0 * (1.0
+                - 0.5/298.257223563)
+           ELSE 2.0 * atan(sqrt(s / c)) * 6378137.0 * (1.0
+             + (1.0/298.257223563) * (
+                 (3.0*sqrt(s*c)/atan(sqrt(s / c)) - 1.0)
+                   / (2.0*c) * sf
+                 - (3.0*sqrt(s*c)/atan(sqrt(s / c)) + 1.0)
+                   / (2.0*s) * cf))
+         END) AS BIGINT) AS dm
+  FROM sc)
+SELECT nationkey, COUNT(*) AS n, MIN(dm) AS d_min, MAX(dm) AS d_max,
+       CAST(SUM(dm) // COUNT(*) AS BIGINT) AS d_avg
+FROM d GROUP BY nationkey ORDER BY nationkey
+"""
+
+
+def q_dialect_geo_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verbatim CH geoDistance query (module doc #38)."""
+    return run_clickhouse_sql(spark, _CH_GEO_DIST, sf_dir, ("customer",))
+
+
 QUERIES = {
     "dialect_strings": q_dialect_strings,
     "ch_script_lifecycle": q_ch_script_lifecycle,
@@ -17899,6 +18042,7 @@ QUERIES = {
     "dialect_probe20": q_dialect_probe20,
     "dialect_probe21": q_dialect_probe21,
     "dialect_anova": q_dialect_anova,
+    "dialect_geo_distance": q_dialect_geo_distance,
     "dialect_tumble": q_dialect_tumble,
     "dialect_probe19": q_dialect_probe19,
     "dialect_star_modifiers": q_dialect_star_modifiers,
@@ -17992,6 +18136,7 @@ ORACLES = {
     "dialect_probe20": O_PROBE20,
     "dialect_probe21": O_PROBE21,
     "dialect_anova": O_ANOVA,
+    "dialect_geo_distance": O_GEO_DIST_ELL,
     "dialect_tumble": O_TUMBLE,
     "dialect_probe19": O_PROBE19,
     "dialect_star_modifiers": O_STAR_MODIFIERS,

@@ -983,3 +983,42 @@ DETACH TABLE da_t;
     )
     assert r2[-1][0] == "attach_table_noop"
     spark.sql("DROP TABLE IF EXISTS da_t2")
+
+
+def test_r13_attach_missing_parked_refuses(spark):
+    """ADVICE r12: ATTACH of a table whose parked '.detached'
+    directory vanished (removed externally) refuses instead of
+    silently attaching the CREATE's empty skeleton over the data
+    loss; the stash entry survives so the failure stays
+    re-diagnosable."""
+    import os
+    import shutil
+
+    from clickhouse_vs_dbt_spark.dialect import (
+        DialectError,
+        _DETACHED_TABLES,
+        run_clickhouse_script,
+    )
+
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix(
+        "file:"
+    )
+    spark.sql("DROP TABLE IF EXISTS da_gone")
+    shutil.rmtree(f"{wh}/da_gone", ignore_errors=True)
+    shutil.rmtree(f"{wh}/da_gone.detached", ignore_errors=True)
+    _DETACHED_TABLES.pop("da_gone", None)
+    run_clickhouse_script(
+        spark,
+        """
+CREATE TABLE da_gone (k Int64) ENGINE = MergeTree ORDER BY k;
+INSERT INTO da_gone SELECT number FROM numbers(5);
+DETACH TABLE da_gone;
+""",
+        overwrite_existing=True,
+    )
+    shutil.rmtree(f"{wh}/da_gone.detached")
+    with pytest.raises(DialectError, match="missing"):
+        run_clickhouse_script(spark, "ATTACH TABLE da_gone;")
+    assert "da_gone" in _DETACHED_TABLES  # stash survives the refuse
+    assert not os.path.isdir(f"{wh}/da_gone")  # no empty skeleton
+    _DETACHED_TABLES.pop("da_gone", None)

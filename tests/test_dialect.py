@@ -5410,6 +5410,10 @@ def test_r12_group_concat_bounded(spark):
         "SELECT k, groupConcat(',', n)(s) AS g FROM t GROUP BY k",
         # SELECT * would leak the helper columns
         "SELECT *, groupConcat(',', 2)(s) AS g FROM t GROUP BY k",
+        # a source column sharing the __gc_ helper prefix would
+        # collide with the wrap's injected columns (ADVICE r12)
+        "SELECT k, groupConcat(',', 2)(__gc_ord) AS g "
+        "FROM t GROUP BY k",
     ):
         assert "slice(collect_list" in transpile(sql), sql
     spark.sql(
@@ -5573,6 +5577,7 @@ def test_r12_scalar_batch15(spark):
         transpile(f"SELECT {e} AS v")
     ).collect()[0].v
     assert one("ignore(42, 'x')") == 0
+    assert one("ignore()") == 0  # zero-arg form is valid CH (ADVICE r12)
     assert one("indexHint(1 > 2)") == 1
     assert one("isConstant(1 + 2 * 3)") == 1
     assert one("isConstant(NULL)") == 1
@@ -5592,6 +5597,11 @@ def test_r12_scalar_batch15(spark):
     assert one(
         "isIPAddressInRange('10.0.0.1', '10.0.0.1/32')"
     ) is True
+    # invalid prefix > 32: CH throws; we answer false rather than the
+    # Java-masked-shift wrong membership (ADVICE r12)
+    assert one(
+        "isIPAddressInRange('10.0.0.1', '10.0.0.0/33')"
+    ) is False
     with pytest.raises(DialectError, match="IPv6"):
         transpile("SELECT isIPAddressInRange(s, '::1/128') FROM t")
     assert one("encodeURLFormComponent('a b+c')") == "a+b%2Bc"
@@ -5662,12 +5672,91 @@ def test_r12_scalar_batch15(spark):
         ("displayName()", "server"),
         ("getMacro('replica')", "server"),
         ("blockSerializedSize(x)", "server"),
-        ("geoDistance(1.0, 2.0, 3.0, 4.0)", "ellipsoid"),
         ("arrayEnumerateUniqRanked(a)", "ranked"),
         ("normalizeQueryKeepNames(s)", "masking"),
     ]:
         with pytest.raises(DialectError, match=msg):
             transpile(f"SELECT {bad} FROM t")
+
+
+def test_r13_geo_distance_ellipsoid(spark):
+    """geoDistance (VERDICT r12 item 4, refusal flipped): WGS-84
+    Andoyer–Lambert arithmetic pinned against an in-test Vincenty
+    inverse (the public exact-geodesic algorithm, ~0.5 mm) to 1e-4
+    relative — Andoyer's own error is O(f²) ≈ 1e-5 — plus the
+    coincident / NULL guards."""
+    import math
+
+    register_clickhouse_compat(spark)
+    one = lambda e: spark.sql(  # noqa: E731
+        transpile(f"SELECT {e} AS v")
+    ).collect()[0].v
+
+    def vincenty(lon1, lat1, lon2, lat2):
+        a, f = 6378137.0, 1 / 298.257223563
+        b = a * (1 - f)
+        L = math.radians(lon2 - lon1)
+        U1 = math.atan((1 - f) * math.tan(math.radians(lat1)))
+        U2 = math.atan((1 - f) * math.tan(math.radians(lat2)))
+        sU1, cU1 = math.sin(U1), math.cos(U1)
+        sU2, cU2 = math.sin(U2), math.cos(U2)
+        lam = L
+        for _ in range(200):
+            sl, cl = math.sin(lam), math.cos(lam)
+            s_sig = math.hypot(cU2 * sl, cU1 * sU2 - sU1 * cU2 * cl)
+            if s_sig == 0:
+                return 0.0
+            c_sig = sU1 * sU2 + cU1 * cU2 * cl
+            sig = math.atan2(s_sig, c_sig)
+            sin_a = cU1 * cU2 * sl / s_sig
+            cos2a = 1 - sin_a * sin_a
+            c2sm = (
+                c_sig - 2 * sU1 * sU2 / cos2a if cos2a else 0.0
+            )
+            C = f / 16 * cos2a * (4 + f * (4 - 3 * cos2a))
+            prev = lam
+            lam = L + (1 - C) * f * sin_a * (
+                sig + C * s_sig
+                * (c2sm + C * c_sig * (-1 + 2 * c2sm * c2sm))
+            )
+            if abs(lam - prev) < 1e-12:
+                break
+        u2 = cos2a * (a * a - b * b) / (b * b)
+        A = 1 + u2 / 16384 * (
+            4096 + u2 * (-768 + u2 * (320 - 175 * u2))
+        )
+        B = u2 / 1024 * (256 + u2 * (-128 + u2 * (74 - 47 * u2)))
+        dsig = B * s_sig * (c2sm + B / 4 * (
+            c_sig * (-1 + 2 * c2sm * c2sm)
+            - B / 6 * c2sm * (-3 + 4 * s_sig * s_sig)
+            * (-3 + 4 * c2sm * c2sm)
+        ))
+        return b * A * (sig - dsig)
+
+    pairs = [
+        (13.405, 52.52, 2.3522, 48.8566),        # Berlin–Paris
+        (-74.0060, 40.7128, 13.405, 52.52),      # NYC–Berlin
+        (151.2093, -33.8688, -0.1278, 51.5074),  # Sydney–London
+        (0.0, 0.0, 90.0, 0.0),                   # equatorial quarter
+        (10.0, 60.0, 20.0, -60.0),               # long meridional haul
+        (5.0, 45.0, 5.001, 45.001),              # ~135 m short hop
+    ]
+    for lon1, lat1, lon2, lat2 in pairs:
+        ref = vincenty(lon1, lat1, lon2, lat2)
+        got = one(f"geoDistance({lon1}, {lat1}, {lon2}, {lat2})")
+        assert abs(got - ref) / ref < 1e-4, (
+            lon1, lat1, lon2, lat2, got, ref,
+        )
+    assert one("geoDistance(13.405, 52.52, 13.405, 52.52)") == 0.0
+    assert one(
+        "geoDistance(CAST(NULL AS DOUBLE), 1.0, 2.0, 3.0)"
+    ) is None
+    # stays spherical-distinct: geoDistance ≠ greatCircleDistance
+    e = one("geoDistance(2.3522, 48.8566, -74.0060, 40.7128)")
+    s = one(
+        "greatCircleDistance(2.3522, 48.8566, -74.0060, 40.7128)"
+    )
+    assert abs(e - s) / s > 1e-4  # the ellipsoid correction is real
 
 
 def test_r12_anova_and_sql_betainc(spark):
