@@ -10948,8 +10948,10 @@ def _rewrite_group_concat_limit(toks: list[str]) -> list[str]:
     ties break on a read-order id, preserving the renderer's
     partition-order contract (CH's own order is unspecified).  One
     extra window shuffle on the group keys, which the following
-    GROUP BY reuses.  Segments the re-plan can't own (joins, SELECT
-    *, ordinal GROUP BY, dynamic limits) keep the slice form."""
+    GROUP BY reuses.  Plain joined FROMs route to the projecting
+    :func:`_gc_replan_joined` form (r13); segments neither form owns
+    (SELECT *, dynamic limits, mixed aggregates over joins,
+    ASOF/ANY/PASTE/ARRAY/LATERAL) keep the slice form."""
     scan = 0
     while True:
         hit = None
@@ -10987,6 +10989,201 @@ _SQL_INFIX_KEYWORDS = frozenset(
 )
 
 
+def _gc_parse_item(item: str):
+    """Classify one select-list item for the JOIN-owned bounded
+    groupConcat re-plan (the :func:`_qw_parse_item` shape).  Returns
+    ``("key", expr, outname)`` for a projected group key,
+    ``("gc", sep, lim, x, alias)`` for a whole-item
+    ``groupConcat(sep, lim)(x) AS alias`` call, or None when the item
+    doesn't fit (caller keeps the slice form)."""
+    ts = [t for t in _tokens(item) if not _is_skippable(t)]
+    if not ts:
+        return None
+    alias = None
+    if (
+        len(ts) >= 3
+        and _is_ident(ts[-2]) and ts[-2].upper() == "AS"
+        and _is_ident(ts[-1])
+    ):
+        alias, ts = ts[-1], ts[:-2]
+    if "groupConcat" not in ts:
+        if len(ts) == 1 and _is_ident(ts[0]):
+            return ("key", ts[0], alias or ts[0])
+        if (
+            len(ts) % 2 == 1 and _is_ident(ts[-1])
+            and all(
+                _is_ident(t) if n % 2 == 0 else t == "."
+                for n, t in enumerate(ts)
+            )
+        ):
+            # dotted path a.k: CH/Spark output name is the last
+            # component
+            return ("key", "".join(ts), alias or ts[-1])
+        if alias is None:
+            return None  # unaliased expression: CH's auto-name is
+            # the call text, which Spark can't reproduce
+        return ("key", " ".join(ts), alias)
+    # the WHOLE item must be groupConcat(sep, lim)(x)
+    if (
+        alias is None or ts[0] != "groupConcat"
+        or len(ts) < 2 or ts[1] != "("
+    ):
+        return None
+    c1 = _match_close(ts, 1)
+    params = _split_top_commas(" ".join(ts[2:c1]))
+    rest = c1 + 1
+    if (
+        rest >= len(ts) or ts[rest] != "("
+        or _match_close(ts, rest) != len(ts) - 1
+        or len(params) != 2
+    ):
+        return None
+    args = _split_top_commas(" ".join(ts[rest + 1:-1]))
+    if len(args) != 1:
+        return None
+    lim = params[1].strip()
+    if not re.fullmatch(r"\d+", lim) or int(lim) < 1:
+        return None  # dynamic limit: slice form
+    return ("gc", params[0].strip(), lim, args[0].strip(), alias)
+
+
+def _gc_replan_joined(toks: list[str], s: int, e: int, spans: dict):
+    """Join-owned bounded groupConcat (VERDICT r12 item 3): the
+    single-relation form's ``SELECT *`` wrap would strip the join's
+    relation aliases, so this narrower form PROJECTS the group keys
+    and concat operands through an explicit inner select over the
+    verbatim from_text — the :func:`_qw_replan` precedent: qualified
+    refs resolve in the inner scope where the join aliases still
+    exist, and everything downstream (rank windows, masked collects,
+    the final GROUP BY) runs on ``__gc_k*``/``__gc_x*`` aliases.
+    Ownable shape: every select item is a projected group key or a
+    whole ``groupConcat(sep, lim)(x) AS alias`` call; mixed
+    aggregates, unaliased expressions, and set-semantics joins
+    (ASOF/ANY/PASTE/ARRAY/LATERAL, pre-screened by the caller) keep
+    the O(group) slice form."""
+    sel_text = spans["select"]
+    from_text = spans["from"]
+    where_text = spans.get("where", "")
+    group_text = spans.get("group", "")
+    order_text = spans.get("order", "")
+    limit_text = spans.get("limit", "")
+    if group_text and _norm_expr(group_text).split(" ")[0] in (
+        "ALL", "GROUPING", "ROLLUP", "CUBE",
+    ):
+        return None
+    items = [
+        _gc_parse_item(it) for it in _split_top_commas(sel_text)
+    ]
+    if not items or any(it is None for it in items):
+        return None
+    gcs = [it for it in items if it[0] == "gc"]
+    if not gcs:
+        return None
+    keys = [it for it in items if it[0] == "key"]
+    gitems = (
+        [g.strip() for g in _split_top_commas(group_text)]
+        if group_text else []
+    )
+    if not gitems and keys:
+        return None  # non-grouped non-aggregate select items
+    if any("groupConcat" in _tokens(g) for g in gitems):
+        return None
+    # GROUP BY ordinals → the select item they name (must be a key)
+    norm_g: list[str] = []
+    for g in gitems:
+        if re.fullmatch(r"\d+", g):
+            n = int(g)
+            if not (1 <= n <= len(items)) or items[n - 1][0] != "key":
+                return None
+            norm_g.append(_norm_expr(items[n - 1][1]))
+        else:
+            norm_g.append(_norm_expr(g))
+    gexprs: list[str] = []
+    seen: dict[str, int] = {}
+    for g, ng in zip(gitems, norm_g):
+        if ng not in seen:
+            seen[ng] = len(gexprs)
+            gexprs.append(
+                items[int(g) - 1][1] if re.fullmatch(r"\d+", g) else g
+            )
+    key_slot: dict[int, int] = {}
+    for n, it in enumerate(items):
+        if it[0] != "key":
+            continue
+        ne = _norm_expr(it[1])
+        slot = seen.get(ne)
+        if slot is None:
+            # GROUP BY names the select ALIAS: swap the underlying
+            # expression into the inner key list (the alias doesn't
+            # exist in the pre-projection's scope)
+            alias_slot = seen.get(_norm_expr(it[2]))
+            if alias_slot is None:
+                for gi, g in enumerate(gexprs):
+                    if _norm_expr(g) == _norm_expr(it[2]):
+                        alias_slot = gi
+                        break
+            if alias_slot is not None:
+                gexprs[alias_slot] = it[1]
+                slot = alias_slot
+        if slot is None:
+            return None
+        key_slot[n] = slot
+    outnames = [it[2] if it[0] == "key" else it[4] for it in items]
+    # ORDER BY runs on the outer projection: output names only
+    if order_text:
+        for t in _tokens(order_text):
+            if _is_skippable(t) or not _is_ident(t):
+                continue
+            if t.upper() in ("ASC", "DESC", "NULLS", "FIRST", "LAST"):
+                continue
+            if t not in outnames:
+                return None
+    xs: list[str] = []
+    x_slot: dict[str, int] = {}
+    for it in gcs:
+        nx = _norm_expr(it[3])
+        if nx not in x_slot:
+            x_slot[nx] = len(xs)
+            xs.append(it[3])
+    ks = ", ".join(f"__gc_k{n}" for n in range(len(gexprs)))
+    part = f"PARTITION BY {ks} " if gexprs else ""
+    k_sel = "".join(
+        f"{g} AS __gc_k{n}, " for n, g in enumerate(gexprs)
+    )
+    x_sel = "".join(
+        f"({x}) AS __gc_x{i}, " for i, x in enumerate(xs)
+    )
+    inner1 = (
+        f"SELECT {k_sel}{x_sel}"
+        "monotonically_increasing_id() AS __gc_ord "
+        f"FROM {from_text}"
+        + (f" WHERE {where_text}" if where_text else "")
+    )
+    rn_cols = ", ".join(
+        f"row_number() OVER ({part}ORDER BY (__gc_x{i} IS NULL), "
+        f"__gc_ord) AS __gc_rn{i}"
+        for i in range(len(xs))
+    )
+    inner2 = f"SELECT *, {rn_cols} FROM ({inner1}) __gc_j1"
+    out_items = []
+    for n, it in enumerate(items):
+        if it[0] == "key":
+            out_items.append(f"__gc_k{key_slot[n]} AS {it[2]}")
+        else:
+            _, sep, lim, x, alias = it
+            i = x_slot[_norm_expr(x)]
+            out_items.append(
+                f"array_join(collect_list(CASE WHEN __gc_rn{i} <= "
+                f"{lim} THEN __gc_x{i} END), {sep}) AS {alias}"
+            )
+    return (
+        f"SELECT {', '.join(out_items)} FROM ({inner2}) __gc_j2"
+        + (f" GROUP BY {ks}" if gexprs else "")
+        + (f" ORDER BY {order_text}" if order_text else "")
+        + (f" {limit_text}" if limit_text else "")
+    )
+
+
 def _gc_replan(toks: list[str], s: int, e: int):
     """The bounded groupConcat re-plan for one SELECT segment (see
     :func:`_rewrite_group_concat_limit`), or None when the segment
@@ -11009,23 +11206,28 @@ def _gc_replan(toks: list[str], s: int, e: int):
     group_text = spans.get("group", "")
     order_text = spans.get("order", "")
     limit_text = spans.get("limit", "")
-    # single plain relation only: a depth-0 JOIN/comma would lose its
-    # aliases behind the wrap
+    # a depth-0 JOIN/comma would lose its aliases behind the
+    # SELECT-* wrap — route plain joins to the projecting form
+    # (VERDICT r12 item 3); ASOF/ANY/PASTE/ARRAY/LATERAL keep the
+    # slice form (their rewrites own the statement shape)
     fcode = [t for t in _tokens(from_text) if not _is_skippable(t)]
     depth = 0
+    joined = False
     for t in fcode:
         if t in ("(", "["):
             depth += 1
         elif t in (")", "]"):
             depth -= 1
-        elif depth == 0 and (
-            t == ","
-            or (_is_ident(t) and t.upper() in (
-                "JOIN", "LATERAL", "ARRAY", "LEFT", "RIGHT", "INNER",
-                "FULL", "CROSS", "PASTE", "ASOF", "ANY",
-            ))
+        elif depth == 0 and _is_ident(t) and t.upper() in (
+            "LATERAL", "ARRAY", "PASTE", "ASOF", "ANY",
         ):
             return None
+        elif depth == 0 and (
+            t == "," or (_is_ident(t) and t.upper() == "JOIN")
+        ):
+            joined = True
+    if joined:
+        return _gc_replan_joined(toks, s, e, spans)
     acode = fcode[:-1] if fcode and fcode[-1].upper() == "FINAL" \
         else fcode
     if not acode:
@@ -17684,6 +17886,46 @@ def q_dialect_group_concat_bounded(
     )
 
 
+# 34c (r13). JOIN-owned bounded groupConcat (VERDICT r12 item 3):
+#     the projecting re-plan carries qualified refs through an
+#     explicit inner select over the verbatim join, so grouped joins
+#     keep the O(limit) masked-collect state instead of falling back
+#     to the O(group) slice.  Group-constant values keep the
+#     assertion order-free (the #34b strategy); the NULL-skip
+#     contract rides the CASE-masked second cell.
+_CH_GROUP_CONCAT_JOIN = """
+SELECT c.c_mktsegment AS seg,
+       groupConcat(',', 3)(c.c_mktsegment) AS tag3,
+       groupConcat('|', 4)(CASE WHEN o.o_orderkey % 2 = 0
+                           THEN c.c_mktsegment END) AS even4
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+ORDER BY seg
+"""
+
+O_GROUP_CONCAT_JOIN = """
+SELECT c_mktsegment AS seg,
+       rtrim(repeat(concat(c_mktsegment, ','),
+                    LEAST(3, COUNT(*))), ',') AS tag3,
+       rtrim(repeat(concat(c_mktsegment, '|'),
+                    CAST(LEAST(4, SUM(CASE WHEN o_orderkey % 2 = 0
+                                      THEN 1 ELSE 0 END))
+                         AS BIGINT)), '|') AS even4
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+ORDER BY seg
+"""
+
+
+def q_dialect_group_concat_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Verbatim CH join-shaped bounded-groupConcat query (#34c)."""
+    return run_clickhouse_sql(
+        spark, _CH_GROUP_CONCAT_JOIN, sf_dir, ("orders", "customer")
+    )
+
+
 # 37 (r12). audit batch 15 value gate (per-row tier): class-C IP
 #     rendering, IPv4 CIDR membership (second-octet analytic oracle),
 #     defensive accurateCastOrDefault, the array-Levenshtein DP fold
@@ -18039,6 +18281,7 @@ QUERIES = {
     "dialect_hilbert": q_dialect_hilbert,
     "dialect_weighted_quantiles": q_dialect_weighted_quantiles,
     "dialect_group_concat_bounded": q_dialect_group_concat_bounded,
+    "dialect_group_concat_join": q_dialect_group_concat_join,
     "dialect_probe20": q_dialect_probe20,
     "dialect_probe21": q_dialect_probe21,
     "dialect_anova": q_dialect_anova,
@@ -18133,6 +18376,7 @@ ORACLES = {
     "dialect_hilbert": O_HILBERT,
     "dialect_weighted_quantiles": O_WEIGHTED_QUANTILES,
     "dialect_group_concat_bounded": O_GROUP_CONCAT_BOUNDED,
+    "dialect_group_concat_join": O_GROUP_CONCAT_JOIN,
     "dialect_probe20": O_PROBE20,
     "dialect_probe21": O_PROBE21,
     "dialect_anova": O_ANOVA,

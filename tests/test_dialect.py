@@ -5402,12 +5402,22 @@ def test_r12_group_concat_bounded(spark):
         "SELECT k, groupConcat(',', 2)(s) AS g FROM t GROUP BY k"
     )
     assert "__gc_rn0" in owned and "slice(" not in owned
-    for sql in (
-        # join: wrap would strip aliases → slice form
+    # joined FROM now re-plans through the projecting form (r13)
+    j = transpile(
         "SELECT a.k, groupConcat(',', 2)(b.s) AS g "
-        "FROM a JOIN b ON a.k = b.k GROUP BY a.k",
+        "FROM a JOIN b ON a.k = b.k GROUP BY a.k"
+    )
+    assert "__gc_rn0" in j and "slice(" not in j
+    for sql in (
         # dynamic limit
         "SELECT k, groupConcat(',', n)(s) AS g FROM t GROUP BY k",
+        # mixed aggregate over a JOIN: the projecting form can't
+        # carry count(*) through, so the slice form stays
+        "SELECT a.k, count() AS n, groupConcat(',', 2)(b.s) AS g "
+        "FROM a JOIN b ON a.k = b.k GROUP BY a.k",
+        # ASOF stays un-owned (its own rewrite owns the statement)
+        "SELECT a.k, groupConcat(',', 2)(b.s) AS g "
+        "FROM a ASOF JOIN b ON a.k = b.k AND a.t >= b.t GROUP BY a.k",
         # SELECT * would leak the helper columns
         "SELECT *, groupConcat(',', 2)(s) AS g FROM t GROUP BY k",
         # a source column sharing the __gc_ helper prefix would
@@ -5458,6 +5468,48 @@ def test_r12_group_concat_bounded(spark):
             int(r.kk): r.g for r in spark.sql(transpile(sql)).collect()
         }
         assert rows3 == rows, sql
+
+
+def test_r13_group_concat_bounded_join(spark):
+    """VERDICT r12 item 3: the bounded groupConcat re-plan owns
+    joined FROMs via the projecting form — qualified refs resolve in
+    the inner scope, the rank window masks rows past the limit
+    BEFORE collection, and NULLs don't consume the limit."""
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW gcj_d AS "
+        "SELECT id AS k, concat('n', id) AS nm FROM range(4)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW gcj_f AS "
+        "SELECT id % 4 AS fk, "
+        "CASE WHEN id % 3 = 0 THEN NULL "
+        "ELSE concat('v', id) END AS s FROM range(12)"
+    )
+    sql = (
+        "SELECT d.nm AS nm, groupConcat(',', 2)(f.s) AS g "
+        "FROM gcj_f f JOIN gcj_d d ON f.fk = d.k "
+        "GROUP BY d.nm ORDER BY nm"
+    )
+    out = transpile(sql)
+    assert "__gc_rn0" in out and "slice(" not in out
+    rows = {r.nm: r.g for r in spark.sql(out).collect()}
+    assert rows == {
+        "n0": "v4,v8", "n1": "v1,v5", "n2": "v2,v10", "n3": "v7,v11",
+    }
+    # two concat operands over the join share the projection; a
+    # grouped-but-unprojected second key and a WHERE both survive
+    sql2 = (
+        "SELECT d.nm AS nm, groupConcat(',', 1)(f.s) AS g1, "
+        "groupConcat('|', 2)(upper(f.s)) AS g2 "
+        "FROM gcj_f f JOIN gcj_d d ON f.fk = d.k "
+        "WHERE f.fk < 2 GROUP BY d.nm, d.k ORDER BY nm"
+    )
+    out2 = transpile(sql2)
+    assert "__gc_rn1" in out2 and "slice(" not in out2
+    rows2 = {r.nm: (r.g1, r.g2) for r in spark.sql(out2).collect()}
+    assert rows2 == {
+        "n0": ("v4", "V4|V8"), "n1": ("v1", "V1|V5"),
+    }
 
 
 def test_r12_any_join_inequality_on(spark):

@@ -126,6 +126,13 @@ SHOWCASE = [
                                      "aggregate state, window "
                                      "partitioning reused by the "
                                      "GROUP BY (r12)"),
+    ("dialect_group_concat_join", "JOIN-owned bounded groupConcat: "
+                                  "group keys and concat operands "
+                                  "projected through the verbatim "
+                                  "join (broadcast dim), then the "
+                                  "same masked-collect rank window "
+                                  "— O(limit) state over joins "
+                                  "(r13)"),
 ]
 
 
