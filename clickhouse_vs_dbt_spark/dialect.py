@@ -12848,6 +12848,71 @@ def _attach_table(spark: "SparkSession", target: str) -> None:
     del _DETACHED_TABLES[name]
 
 
+def _attach_table_full(
+    spark: "SparkSession", target: str, stmt: str
+) -> None:
+    """Full-definition ``ATTACH TABLE t (cols…) ENGINE = …`` (VERDICT
+    r12 item 5): compose a CREATE from the inline definition —
+    through the DDL front door, so engine info (ORDER BY / SAMPLE BY
+    / MergeTree family) registers for FINAL/SAMPLE — with the bare
+    form's park-and-restore directory adoption.  With a parked image
+    (this session's DETACH), the INLINE definition replaces the
+    captured one — the backup/restore runbook spelling — and the data
+    directory is adopted at whatever location the new CREATE
+    resolves.  With no parked image the statement degrades to the
+    CREATE alone (ClickHouse's attach-over-an-empty-directory is an
+    empty table).  The CREATE runs before any directory move, so a
+    bad definition leaves both the stash and the parked data intact."""
+    from clickhouse_vs_dbt_spark import ddl as _ddl
+
+    name = target.strip("`")
+    if spark.catalog.tableExists(name):
+        raise DialectError(
+            f"ATTACH TABLE: {name!r} already exists — ClickHouse "
+            "errors here; write ATTACH TABLE IF NOT EXISTS to keep "
+            "the live table"
+        )
+    create_stmt = re.sub(
+        r"(?is)^\s*ATTACH\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?",
+        "CREATE TABLE ", stmt, count=1,
+    )
+    out_ddl = _ddl.transpile_ddl(create_stmt)
+    st = _DETACHED_TABLES.get(name)
+    if st is None:
+        if out_ddl:
+            spark.sql(out_ddl)
+        return
+    _, loc, _ = st  # the inline definition supersedes the captured one
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    HPath = jvm.org.apache.hadoop.fs.Path
+    parked = HPath(loc.rstrip("/") + ".detached")
+    fs = parked.getFileSystem(conf)
+    if not fs.exists(parked):
+        raise DialectError(
+            f"ATTACH TABLE: detached data directory "
+            f"{parked.toString()} is missing for {name!r} — refusing "
+            "to attach an empty table over lost data"
+        )
+    if out_ddl:
+        spark.sql(out_ddl)
+    # adopt at the location the NEW create resolved (normally the
+    # same warehouse path; a differing location still restores
+    # correctly because the rename targets the live table's own dir)
+    live = HPath(_table_location_uri(spark, name))
+    if fs.exists(live):
+        fs.delete(live, True)  # the create's empty skeleton
+    if not fs.rename(parked, live):
+        raise DialectError(
+            f"filesystem refused to restore {live.toString()} for "
+            "ATTACH"
+        )
+    if "PARTITIONED BY" in (out_ddl or "").upper():
+        spark.sql(f"ALTER TABLE {name} RECOVER PARTITIONS")
+    spark.sql(f"REFRESH TABLE {name}")
+    del _DETACHED_TABLES[name]
+
+
 def _table_location_uri(spark: "SparkSession", target: str) -> str:
     """Schemed storage URI (``file:/…``, ``s3a://…``) — for Hadoop
     FileSystem operations, where the scheme picks the filesystem.
@@ -13511,14 +13576,33 @@ def run_clickhouse_script(
             else:
                 _attach_table(spark, target)
                 results.append(("attach_table", target))
+        elif (
+            af := _re.match(
+                r"(?is)\s*ATTACH\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?"
+                r"([A-Za-z_][A-Za-z0-9_.`]*)\s*\(",
+                stmt,
+            )
+        ) is not None:
+            # full-definition ATTACH (r13, VERDICT r12 item 5):
+            # CREATE from the inline DDL + adopt the parked directory
+            target = af.group(2)
+            if af.group(1) and spark.catalog.tableExists(
+                target.strip("`")
+            ):
+                results.append(("attach_table_noop", target))
+            else:
+                _attach_table_full(spark, target, stmt)
+                results.append(("attach_table_full", target))
         elif _re.match(r"(?is)\s*(ATTACH|DETACH)\s+", stmt):
             raise DialectError(
-                "bare DETACH/ATTACH TABLE map since r12 (park-and-"
-                "restore over the table's storage); this spelling "
-                "(full-definition ATTACH, DETACH DATABASE/VIEW/"
-                "DICTIONARY) manages ClickHouse server metadata with "
-                "no Spark twin — use CREATE TABLE (the DDL front "
-                "door) / DROP TABLE instead"
+                "bare and full-definition DETACH/ATTACH TABLE map "
+                "(park-and-restore over the table's storage; the "
+                "inline-DDL form composes CREATE with directory "
+                "adoption); this spelling (DETACH DATABASE/VIEW/"
+                "DICTIONARY, ATTACH PARTITION without ALTER) manages "
+                "ClickHouse server metadata with no Spark twin — use "
+                "CREATE TABLE (the DDL front door) / DROP TABLE "
+                "instead"
             )
         elif _re.match(r"(?is)\s*KILL\s+", stmt):
             raise DialectError(
@@ -16728,6 +16812,83 @@ def q_ch_script_detach_table(
     )
 
 
+# 16d3 (r13). full-definition ATTACH TABLE (VERDICT r12 item 5):
+#      backup/restore runbooks write `ATTACH TABLE t (cols…)
+#      ENGINE=…` with the definition inline instead of relying on
+#      server metadata.  The script runner composes a CREATE from the
+#      inline DDL (front door — engine info registers) with the
+#      park-and-restore directory adoption; the 'attached' rows must
+#      equal the straight aggregate over orders — wrong if the inline
+#      definition mis-mapped or the adoption lost data.
+_CH_ATTACH_FULL_SCRIPT1 = """
+CREATE TABLE dtf_orders
+(o_orderkey Int64, o_orderstatus String, o_totalprice Float64)
+ENGINE = MergeTree ORDER BY o_orderkey;
+
+INSERT INTO dtf_orders
+SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders;
+
+DETACH TABLE dtf_orders;
+"""
+
+_CH_ATTACH_FULL_SCRIPT2 = """
+ATTACH TABLE dtf_orders
+(o_orderkey Int64, o_orderstatus String, o_totalprice Float64)
+ENGINE = MergeTree ORDER BY o_orderkey;
+
+SELECT o_orderstatus, count() AS n,
+       toFloat64(sum(toDecimal64(o_totalprice, 2))) AS total
+FROM dtf_orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus;
+"""
+
+O_ATTACH_FULL = """
+SELECT 'detached' AS stage, '' AS o_orderstatus,
+       CAST(0 AS BIGINT) AS n, CAST(0.0 AS DOUBLE) AS total
+UNION ALL
+SELECT 'attached', o_orderstatus, COUNT(*),
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+FROM orders GROUP BY o_orderstatus
+ORDER BY stage, o_orderstatus
+"""
+
+
+def q_ch_script_attach_full(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Verbatim ClickHouse DETACH → full-definition ATTACH scripts
+    (module doc #16d3)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    register_views(spark, sf_dir, ("orders",))
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix(
+        "file:"
+    )
+    spark.sql("DROP TABLE IF EXISTS dtf_orders")
+    shutil.rmtree(f"{wh}/dtf_orders", ignore_errors=True)
+    shutil.rmtree(f"{wh}/dtf_orders.detached", ignore_errors=True)
+    _DETACHED_TABLES.pop("dtf_orders", None)
+    run_clickhouse_script(
+        spark, _CH_ATTACH_FULL_SCRIPT1, overwrite_existing=True
+    )
+    # mid-state pin: the detached name must be unresolvable (0)
+    gone = 1 if spark.catalog.tableExists("dtf_orders") else 0
+    r2 = run_clickhouse_script(spark, _CH_ATTACH_FULL_SCRIPT2)
+    stage1 = spark.createDataFrame(
+        [("detached", "", gone, 0.0)],
+        "stage string, o_orderstatus string, n long, total double",
+    )
+    stage2 = r2[-1][1].withColumn("stage", F.lit("attached")).select(
+        "stage", "o_orderstatus", "n", "total"
+    )
+    return stage1.unionByName(stage2).orderBy(
+        "stage", "o_orderstatus"
+    )
+
+
 # 16. full operational lifecycle through the script runner: CREATE
 #     (Replacing DDL) → INSERT … SELECT FROM file() (fires nothing —
 #     no MV — but exercises the trigger path) → ALTER DELETE →
@@ -18239,6 +18400,7 @@ QUERIES = {
     "ch_script_retention": q_ch_script_retention,
     "ch_script_detach": q_ch_script_detach,
     "ch_script_detach_table": q_ch_script_detach_table,
+    "ch_script_attach_full": q_ch_script_attach_full,
     "ch_script_partition_ops": q_ch_script_partition_ops,
     "ch_script_schema_evolution": q_ch_script_schema_evolution,
     "dialect_any_join": q_dialect_any_join,
@@ -18334,6 +18496,7 @@ ORACLES = {
     "ch_script_retention": O_RETENTION_SCRIPT,
     "ch_script_detach": O_DETACH_SCRIPT,
     "ch_script_detach_table": O_DETACH_TABLE,
+    "ch_script_attach_full": O_ATTACH_FULL,
     "ch_script_partition_ops": O_PARTITION_OPS,
     "ch_script_schema_evolution": O_CH_SCRIPT_SCHEMA_EVOLUTION,
     "dialect_any_join": O_ANY_JOIN,

@@ -960,11 +960,8 @@ DETACH TABLE da_t;
     # the storage again
     spark.sql("DROP TABLE da_t")
     assert not os.path.isdir(f"{wh}/da_t")
-    # full-definition ATTACH / other object kinds keep the refusal
-    with pytest.raises(DialectError, match="front door"):
-        run_clickhouse_script(
-            spark, "ATTACH TABLE x (k Int64) ENGINE = MergeTree ORDER BY k;"
-        )
+    # other object kinds keep the refusal (full-definition ATTACH
+    # TABLE maps since r13 — test_r13_attach_table_full_definition)
     with pytest.raises(DialectError, match="front door"):
         run_clickhouse_script(spark, "DETACH DATABASE d;")
     # IF EXISTS / IF NOT EXISTS no-op instead of aborting the script
@@ -983,6 +980,83 @@ DETACH TABLE da_t;
     )
     assert r2[-1][0] == "attach_table_noop"
     spark.sql("DROP TABLE IF EXISTS da_t2")
+
+
+def test_r13_attach_table_full_definition(spark):
+    """VERDICT r12 item 5: `ATTACH TABLE t (cols…) ENGINE = …`
+    composes CREATE-from-inline-DDL with the parked-directory
+    adoption — the backup/restore runbook spelling.  Data survives
+    the DETACH → full-definition ATTACH round trip; with no parked
+    image the statement degrades to an empty CREATE (CH's
+    attach-over-empty-directory); attaching over a live name refuses
+    unless IF NOT EXISTS."""
+    import os
+    import shutil
+
+    import pyspark.sql.utils  # noqa: F401
+
+    from clickhouse_vs_dbt_spark.dialect import (
+        DialectError,
+        _DETACHED_TABLES,
+        run_clickhouse_script,
+    )
+
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix(
+        "file:"
+    )
+    for t in ("daf_t", "daf_fresh"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"{wh}/{t}", ignore_errors=True)
+        shutil.rmtree(f"{wh}/{t}.detached", ignore_errors=True)
+        _DETACHED_TABLES.pop(t, None)
+    run_clickhouse_script(
+        spark,
+        """
+CREATE TABLE daf_t (k Int64, y Int32)
+ENGINE = MergeTree PARTITION BY y ORDER BY k;
+INSERT INTO daf_t SELECT number, toInt32(number % 3) FROM numbers(30);
+DETACH TABLE daf_t;
+""",
+        overwrite_existing=True,
+    )
+    assert not spark.catalog.tableExists("daf_t")
+    res = run_clickhouse_script(
+        spark,
+        """
+ATTACH TABLE daf_t (k Int64, y Int32)
+ENGINE = MergeTree PARTITION BY y ORDER BY k;
+SELECT y, count() AS n FROM daf_t GROUP BY y ORDER BY y;
+""",
+    )
+    assert res[-2][0] == "attach_table_full"
+    rows = {r.y: r.n for r in res[-1][1].collect()}
+    assert rows == {0: 10, 1: 10, 2: 10}
+    assert "daf_t" not in _DETACHED_TABLES
+    # attaching over the now-live name refuses; IF NOT EXISTS no-ops
+    with pytest.raises(DialectError, match="already exists"):
+        run_clickhouse_script(
+            spark,
+            "ATTACH TABLE daf_t (k Int64, y Int32) "
+            "ENGINE = MergeTree PARTITION BY y ORDER BY k;",
+        )
+    r2 = run_clickhouse_script(
+        spark,
+        "ATTACH TABLE IF NOT EXISTS daf_t (k Int64, y Int32) "
+        "ENGINE = MergeTree PARTITION BY y ORDER BY k;",
+    )
+    assert r2[-1][0] == "attach_table_noop"
+    spark.sql("DROP TABLE daf_t")
+    assert not os.path.isdir(f"{wh}/daf_t")  # managed-drop contract
+    # no parked image: degrades to the empty CREATE (CH semantics)
+    r3 = run_clickhouse_script(
+        spark,
+        "ATTACH TABLE daf_fresh (k Int64) "
+        "ENGINE = MergeTree ORDER BY k;\n"
+        "SELECT count() AS n FROM daf_fresh;",
+    )
+    assert r3[-2][0] == "attach_table_full"
+    assert r3[-1][1].collect()[0].n == 0
+    spark.sql("DROP TABLE IF EXISTS daf_fresh")
 
 
 def test_r13_attach_missing_parked_refuses(spark):
