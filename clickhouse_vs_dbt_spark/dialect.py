@@ -1849,6 +1849,71 @@ def _render_call(name: str, args: list[str]) -> str:
         return f"CAST({args[0]} AS TIMESTAMP)"
     if name == "parseDateTimeBestEffortOrNull" and len(args) == 1:
         return f"TRY_CAST({args[0]} AS TIMESTAMP)"
+    if name in (
+        "parseDateTimeBestEffortOrZero",
+        "parseDateTime32BestEffortOrZero",
+    ) and len(args) == 1:
+        # CH's Or-Zero contract: the type's default (epoch) on failure
+        return (
+            f"coalesce(TRY_CAST({args[0]} AS TIMESTAMP), "
+            "TIMESTAMP'1970-01-01 00:00:00')"
+        )
+    if name in (
+        "parseDateTime32BestEffort", "parseDateTime64BestEffort",
+    ) and len(args) == 1:
+        return f"CAST({args[0]} AS TIMESTAMP)"
+    if name in (
+        "parseDateTime32BestEffortOrNull",
+        "parseDateTime64BestEffortOrNull",
+    ) and len(args) == 1:
+        return f"TRY_CAST({args[0]} AS TIMESTAMP)"
+    if name in (
+        "parseDateTimeInJodaSyntax",
+        "parseDateTimeInJodaSyntaxOrNull",
+    ) and len(args) == 2:
+        # Joda patterns (yyyy/MM/dd/HH/mm/ss…) are the same pattern
+        # letters Spark's java.time formatter reads — pass through
+        fn = (
+            "to_timestamp" if name == "parseDateTimeInJodaSyntax"
+            else "try_to_timestamp"
+        )
+        return f"{fn}({args[0]}, {args[1]})"
+    if name == "parseDateTimeInJodaSyntaxOrZero" and len(args) == 2:
+        return (
+            f"coalesce(try_to_timestamp({args[0]}, {args[1]}), "
+            "TIMESTAMP'1970-01-01 00:00:00')"
+        )
+    if name == "parseDateTimeOrZero" and len(args) == 2 \
+            and args[1].strip().startswith("'"):
+        fmt = _strftime_to_jdk(args[1].strip()[1:-1])
+        return (
+            f"coalesce(try_to_timestamp({args[0]}, '{fmt}'), "
+            "TIMESTAMP'1970-01-01 00:00:00')"
+        )
+    if name == "timeZoneOffset" and len(args) == 1:
+        # session timezone is pinned UTC (the timezoneOf precedent)
+        return f"IF(({args[0]}) IS NULL, NULL, 0)"
+    if name in (
+        "dateTimeToSnowflakeID", "dateTime64ToSnowflakeID",
+    ) and len(args) in (1, 2):
+        # snowflake ID = (ms since the given epoch) << 22; default
+        # epoch is Twitter's 1288834974657 (CH's own default)
+        ep = args[1] if len(args) == 2 else "1288834974657"
+        return (
+            f"shiftleft(unix_millis(CAST({args[0]} AS TIMESTAMP)) "
+            f"- ({ep}), 22)"
+        )
+    if name == "ULIDStringToDateTime" and len(args) == 1:
+        # the first 10 ULID chars are Crockford-base32 of the ms
+        # timestamp; invalid alphabet chars contribute -1 per digit
+        # instead of CH's throw (documented refinement — the
+        # MACStringToNum arithmetic-parse precedent)
+        return (
+            f"timestamp_millis(aggregate(sequence(1, 10), "
+            f"CAST(0 AS BIGINT), (__ua, __ui) -> __ua * 32 + "
+            f"locate(substring(upper({args[0]}), __ui, 1), "
+            f"'0123456789ABCDEFGHJKMNPQRSTVWXYZ') - 1))"
+        )
     if name in ("parseDateTime", "parseDateTimeOrNull") and len(
         args
     ) == 2 and args[1].strip().startswith("'"):
@@ -2082,6 +2147,118 @@ def _render_call(name: str, args: list[str]) -> str:
             f"concat_ws('.', {o(f'({x} div 16777216) % 256')}, "
             f"{o(f'({x} div 65536) % 256')}, "
             f"{o(f'({x} div 256) % 256')}, 'xxx'))"
+        )
+    if name == "MACNumToString" and len(args) == 1:
+        x = args[0]
+        pairs = ", ".join(
+            f"CAST(({x}) div {256 ** i} AS INT) % 256"
+            for i in (5, 4, 3, 2, 1, 0)
+        )
+        # format_string returns NULL when the input is NULL, so the
+        # whole concat propagates
+        return (
+            f"IF(({x}) IS NULL, NULL, upper(format_string("
+            f"'%02x:%02x:%02x:%02x:%02x:%02x', {pairs})))"
+        )
+    if name in ("MACStringToNum", "MACStringToOUI") and len(args) == 1:
+        src = (
+            args[0] if name == "MACStringToNum"
+            else f"slice(split({args[0]}, ':'), 1, 3)"
+        )
+        if name == "MACStringToNum":
+            src = f"split({args[0]}, ':')"
+        # hex-pair fold; malformed groups conv to NULL and propagate
+        # (CH returns 0 on malformed input — NULL is the defensive
+        # analog, documented)
+        return (
+            f"aggregate({src}, CAST(0 AS BIGINT), "
+            f"(__ma, __mo) -> __ma * 256 + "
+            f"CAST(conv(__mo, 16, 10) AS BIGINT))"
+        )
+    if name in ("encrypt", "decrypt", "tryDecrypt") and len(args) >= 3:
+        # audit batch 17: AES through Spark's native aes_encrypt/
+        # aes_decrypt.  The mode must be a literal 'aes-<bits>-<mode>'
+        # so the Spark mode string folds at transpile time; Spark
+        # infers the key SIZE from the key itself, so a literal key
+        # whose length contradicts <bits> refuses here (CH errors at
+        # runtime; silently downgrading to AES-128 would be wrong).
+        # Layout note (documented): for CBC/GCM Spark prepends the
+        # random/given IV to the ciphertext while CH stores only the
+        # ciphertext — decrypt(encrypt(…)) round-trips within this
+        # engine; cross-engine ciphertext exchange needs GCM with an
+        # explicit layout shim.
+        mode_txt = args[0].strip()
+        if not (mode_txt.startswith("'") and mode_txt.endswith("'")):
+            raise DialectError(
+                f"{name}: the cipher mode must be a literal string"
+            )
+        m = re.fullmatch(
+            r"aes-(128|192|256)-(ecb|cbc|gcm)", mode_txt[1:-1].lower()
+        )
+        if not m:
+            raise DialectError(
+                f"{name}: only aes-128/192/256-ecb/cbc/gcm map to "
+                "Spark's aes_encrypt/aes_decrypt; other ciphers "
+                "(ofb/cfb/ctr) have no JVM-side register"
+            )
+        bits, mode = int(m.group(1)), m.group(2).upper()
+        key_txt = args[2].strip()
+        if (
+            key_txt.startswith("'") and key_txt.endswith("'")
+            and len(key_txt[1:-1].encode()) != bits // 8
+        ):
+            raise DialectError(
+                f"{name}: aes-{bits} needs a {bits // 8}-byte key "
+                f"(got {len(key_txt[1:-1].encode())} bytes) — Spark "
+                "sizes the cipher from the key, so a mismatch would "
+                "silently change the algorithm"
+            )
+        fn = {
+            "encrypt": "aes_encrypt", "decrypt": "aes_decrypt",
+            "tryDecrypt": "try_aes_decrypt",
+        }[name]
+        extra = ""
+        if len(args) >= 4 and mode != "ECB":
+            extra = f", CAST({args[3]} AS BINARY)"  # explicit iv
+            if len(args) >= 5 and mode == "GCM":
+                extra += f", CAST({args[4]} AS BINARY)"  # aad
+        return (
+            f"{fn}(CAST({args[1]} AS BINARY), "
+            f"CAST({args[2]} AS BINARY), '{mode}', 'DEFAULT'{extra})"
+        )
+    if name in ("aes_encrypt_mysql", "aes_decrypt_mysql"):
+        raise DialectError(
+            f"{name}: MySQL's key-folding scheme (XOR-wrapped "
+            "over-length keys) has no Spark twin — use encrypt/"
+            "decrypt with an exact-length key"
+        )
+    if name in ("MD4", "keccak256", "BLAKE3", "SHA512_256"):
+        raise DialectError(
+            f"{name}: no JVM-side digest register (Spark ships "
+            "md5/sha1/sha2/crc32 and xxhash64) — use those, or a "
+            "pandas_udf for legacy digests"
+        )
+    if name == "flameGraph":
+        raise DialectError(
+            "flameGraph aggregates ClickHouse trace-log samples — "
+            "profile Spark through the Spark UI / event log, not SQL"
+        )
+    if name in (
+        "seriesOutliersDetectTukey", "seriesPeriodDetectFFT",
+        "seriesDecomposeSTL",
+    ):
+        raise DialectError(
+            f"{name}: ClickHouse's in-array series DSP — over rows "
+            "use the gated time-series operators "
+            "(operators/timeseries.py: LTTB downsample, gap fill, "
+            "rank correlation) or spell the window analysis "
+            "explicitly"
+        )
+    if name == "geohashesInBox":
+        raise DialectError(
+            "geohashesInBox enumerates a cover grid (unbounded "
+            "output per row) — geohashEncode/geohashDecode transpile; "
+            "generate covers driver-side and join on the encoded cell"
         )
     if name == "isIPAddressInRange" and len(args) == 2:
         addr, cidr = args
@@ -2678,10 +2855,25 @@ def _render_call(name: str, args: list[str]) -> str:
             "INT)), __rp -> char(32 + CAST(floor(rand() * 95) AS "
             "INT))), '') END)"
         )
-    if name in ("randomString", "randomStringUTF8"):
+    if name in (
+        "randomString", "randomStringUTF8", "randomFixedString",
+    ):
         raise DialectError(
             f"{name}: random BYTE/codepoint strings are not valid "
             "Spark UTF-8 strings — randomPrintableASCII(n) transpiles"
+        )
+    if name == "fuzzBits" and len(args) == 2:
+        raise DialectError(
+            "fuzzBits flips raw BYTES (a query-fuzzing utility) — "
+            "strings here are UTF-8 values with no byte-addressable "
+            "register; perturb explicitly with randomPrintableASCII "
+            "or rand()-gated CASE edits"
+        )
+    if name == "generateULID" and not args:
+        raise DialectError(
+            "generateULID: no ULID writer register — uuid()/"
+            "generateUUIDv4 covers unique-id generation; the read "
+            "side ULIDStringToDateTime transpiles"
         )
     if name == "randConstant":
         raise DialectError(
@@ -3401,6 +3593,75 @@ def _render_call(name: str, args: list[str]) -> str:
         return f"CAST(IF(rand() < ({args[0]}), 1, 0) AS INT)"
     if name == "randExponential" and len(args) == 1:
         return f"(-ln(rand()) / ({args[0]}))"
+    # ---- r13 audit batch 17: the remaining rand* distributions ----
+    # exact transforms/folds over rand()/randn() — Spark evaluates
+    # nondeterministic expressions per lambda invocation, so each
+    # sequence step draws fresh (verified; the folds are O(param)
+    # per row, the same cost class as CH's per-row samplers)
+    if name == "randLogNormal" and len(args) == 2:
+        return f"exp(({args[0]}) + ({args[1]}) * randn())"
+    if name == "randChiSquared" and len(args) == 1:
+        return (
+            f"aggregate(sequence(1, CAST({args[0]} AS INT)), "
+            f"CAST(0.0 AS DOUBLE), "
+            f"(__ra, __ri) -> __ra + pow(randn(), 2.0d))"
+        )
+    if name == "randStudentT" and len(args) == 1:
+        k = args[0]
+        chi = _render_call("randChiSquared", [k])
+        return f"(randn() / sqrt({chi} / ({k})))"
+    if name == "randFisherF" and len(args) == 2:
+        d1, d2 = args
+        c1 = _render_call("randChiSquared", [d1])
+        c2 = _render_call("randChiSquared", [d2])
+        return f"((({c1}) / ({d1})) / (({c2}) / ({d2})))"
+    if name == "randBinomial" and len(args) == 2:
+        n, p = args
+        return (
+            f"aggregate(sequence(1, CAST({n} AS INT)), "
+            f"CAST(0 AS BIGINT), "
+            f"(__ra, __ri) -> __ra + IF(rand() < ({p}), 1, 0))"
+        )
+    if name == "randNegativeBinomial" and len(args) == 2:
+        raise DialectError(
+            "randNegativeBinomial: unbounded trial count has no "
+            "fixed-iteration fold — compose randPoisson over a "
+            "gamma-mixed rate, or sample via randUniform inverse-CDF"
+        )
+    if name == "randPoisson" and len(args) == 1:
+        # Knuth's product-of-uniforms sampler as a fixed-iteration
+        # fold: k = #{m : Π U_i ≥ e^-λ} — the product is monotone
+        # decreasing, so the count freezes itself after the crossing.
+        # λ must be a transpile-time literal to size the fold
+        # (λ + 12√λ + 30 iterations covers the tail to ~1e-28).
+        lam_txt = args[0].strip()
+        if not re.fullmatch(r"\d+(\.\d+)?", lam_txt):
+            raise DialectError(
+                "randPoisson needs a LITERAL rate to size its "
+                "fixed-iteration fold — for expression rates use "
+                "the normal approximation: randNormal(l, sqrt(l))"
+            )
+        import math as _math
+
+        lam = float(lam_txt)
+        if lam > 1000:
+            raise DialectError(
+                "randPoisson rate > 1000: use the normal "
+                "approximation randNormal(l, sqrt(l)) (relative "
+                "skew < 1%% there)"
+            )
+        iters = int(_math.ceil(lam + 12 * _math.sqrt(lam) + 30))
+        big_l = repr(_math.exp(-lam))
+        return (
+            f"aggregate(sequence(1, {iters}), "
+            f"named_struct('p', CAST(1.0 AS DOUBLE), "
+            f"'k', CAST(0 AS BIGINT)), "
+            f"(__rs, __ri) -> element_at(transform("
+            f"array(__rs.p * rand()), "
+            f"__p2 -> named_struct('p', __p2, "
+            f"'k', __rs.k + IF(__p2 >= {big_l}d, 1, 0))), 1), "
+            f"__rs -> __rs.k)"
+        )
     if name == "positiveModulo" and len(args) == 2:
         return f"pmod({args[0]}, {args[1]})"
     if name == "toDecimalString" and len(args) == 2:
@@ -3550,9 +3811,14 @@ def _render_call(name: str, args: list[str]) -> str:
             f"+ (size(filter({sc}, __v -> __v = element_at({sc}, __i)"
             f")) + 1) / 2.0, CAST(0 AS DOUBLE)))"
         )
+        # try_divide: an array with no positive (or no negative)
+        # labels has an undefined AUC — CH yields nan; NULL is the
+        # deterministic Spark-typed analog (the boundingRatio
+        # precedent; audit batch 17 — the plain division raised
+        # DIVIDE_BY_ZERO under ANSI)
         return (
-            f"(({npos_rank} - ({p}) * (({p}) + 1) / 2.0) "
-            f"/ (({p}) * (size({sc}) - ({p}))))"
+            f"try_divide({npos_rank} - ({p}) * (({p}) + 1) / 2.0, "
+            f"({p}) * (size({sc}) - ({p})))"
         )
     if name == "caseWithExpression" and len(args) >= 4:
         # caseWithExpression(x, v1, r1, …, default) — the CASE x
@@ -3690,6 +3956,41 @@ def _render_call(name: str, args: list[str]) -> str:
         return f"(size(array_except({args[1]}, {args[0]})) = 0)"
     if name in ("bitmapMin", "bitmapMax") and len(args) == 1:
         return f"array_{name[-3:].lower()}({args[0]})"
+    # ---- r13 audit batch 17: bitmap subset/transform family --------
+    if name == "bitmapSubsetInRange" and len(args) == 3:
+        b, lo, hi = args
+        return (
+            f"array_sort(filter(array_distinct({b}), "
+            f"__bv -> __bv >= ({lo}) AND __bv < ({hi})))"
+        )
+    if name == "bitmapSubsetLimit" and len(args) == 3:
+        # members >= start, smallest `limit` of them (CH keeps the
+        # lowest values — the sorted canonical form makes that a
+        # prefix slice)
+        b, lo, lim = args
+        return (
+            f"slice(array_sort(filter(array_distinct({b}), "
+            f"__bv -> __bv >= ({lo}))), 1, CAST({lim} AS INT))"
+        )
+    if name == "subBitmap" and len(args) == 3:
+        # CH offset is 0-based over the sorted value set
+        b, off, card = args
+        return (
+            f"slice(array_sort(array_distinct({b})), "
+            f"CAST(({off}) + 1 AS INT), CAST({card} AS INT))"
+        )
+    if name == "bitmapTransform" and len(args) == 3:
+        # replace members found in from_arr with the same-index
+        # to_arr value, pass others through, re-canonicalize (the
+        # result is a SET: collisions collapse, like CH)
+        b, frm, to = args
+        return (
+            f"array_sort(array_distinct(transform("
+            f"array_distinct({b}), "
+            f"__bv -> IF(array_position({frm}, __bv) > 0, "
+            f"element_at({to}, "
+            f"CAST(array_position({frm}, __bv) AS INT)), __bv))))"
+        )
     if name == "arrayUnion" and len(args) >= 2:
         out = args[0]
         for nxt in args[1:]:
@@ -4011,6 +4312,40 @@ def _render_call(name: str, args: list[str]) -> str:
         na = f"sqrt({_dsum(a, 'CAST(__v AS DOUBLE) * __v')})"
         nb = f"sqrt({_dsum(b, 'CAST(__v AS DOUBLE) * __v')})"
         return f"(1.0 - ({dot}) / (({na}) * ({nb})))"
+    if name == "LpNorm" and len(args) == 2:
+        # audit batch 17: general-p Minkowski norm — same fold shape
+        # as the fixed-p family above
+        a, p = args
+        s = (
+            f"aggregate(transform({a}, __v -> "
+            f"power(abs(CAST(__v AS DOUBLE)), CAST({p} AS DOUBLE))), "
+            f"CAST(0 AS DOUBLE), (__ac, __v) -> __ac + __v)"
+        )
+        return f"power({s}, 1.0d / ({p}))"
+    if name == "LpDistance" and len(args) == 3:
+        a, b, p = args
+        diff = (
+            f"zip_with({a}, {b}, (__p, __q) -> "
+            f"CAST(__p AS DOUBLE) - __q)"
+        )
+        return _render_call("LpNorm", [diff, p])
+    if name in (
+        "L1Normalize", "L2Normalize", "LinfNormalize",
+    ) and len(args) == 1:
+        # audit batch 17: scale to unit norm; a zero vector yields
+        # NULL components (CH: inf/nan — try_divide is the
+        # deterministic analog, the boundingRatio precedent)
+        nrm = _render_call(name[: -len("alize")], args)  # e.g. L1Norm
+        return (
+            f"transform({args[0]}, "
+            f"__v -> try_divide(CAST(__v AS DOUBLE), {nrm}))"
+        )
+    if name == "LpNormalize" and len(args) == 2:
+        nrm = _render_call("LpNorm", args)
+        return (
+            f"transform({args[0]}, "
+            f"__v -> try_divide(CAST(__v AS DOUBLE), {nrm}))"
+        )
     if name == "arrayFold" and len(args) == 3:
         # CH arrayFold(lambda, arr, init) ≡ Spark
         # aggregate(arr, init, lambda) — same (acc, x) lambda order
@@ -4573,6 +4908,10 @@ def _render_call(name: str, args: list[str]) -> str:
         fn = ("to_utc_timestamp" if name.startswith("to")
               else "from_utc_timestamp")
         return f"{fn}({args[0]}, {args[1]})"
+    if name == "YYYYMMDDToDate32" and len(args) == 1:
+        return _render_call("YYYYMMDDToDate", args)  # one DATE type
+    if name == "YYYYMMDDhhmmssToDateTime64" and len(args) == 1:
+        return _render_call("YYYYMMDDhhmmssToDateTime", args)
     if name == "YYYYMMDDToDate" and len(args) == 1:
         # invalid numbers yield NULL (Spark's parse-miss marker; CH
         # yields its zero date — the documented miss-value divergence
@@ -5478,6 +5817,37 @@ def _render_call(name: str, args: list[str]) -> str:
         if name == "arrayReverseFill":
             fold = f"reverse({fold})"
         return fold
+    if name in ("arraySplit", "arrayReverseSplit") and len(args) == 3:
+        # two-array form (audit batch 17): the lambda sees elements
+        # of BOTH arrays but only the FIRST array is split — zip the
+        # value with the evaluated flag into structs, run the
+        # single-array machinery on the struct's flag, unwrap
+        lam, a1, a2 = args
+        lm2 = re.match(
+            r"(?s)\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*,\s*"
+            r"([A-Za-z_][A-Za-z0-9_]*)\s*\)\s*->\s*(.+)$",
+            lam,
+        )
+        if not lm2:
+            raise DialectError(
+                f"{name} over two arrays needs a two-parameter "
+                "lambda: (x, y) -> …"
+            )
+        p1, p2, body = lm2.group(1), lm2.group(2), lm2.group(3).strip()
+        pred = "".join(
+            "__zx" if (_is_ident(t) and t == p1)
+            else "__zy" if (_is_ident(t) and t == p2) else t
+            for t in _tokens(body)
+        )
+        zipped = (
+            f"zip_with({a1}, {a2}, (__zx, __zy) -> "
+            f"named_struct('v', __zx, 'f', ({pred})))"
+        )
+        inner = _render_call(name, ["__zs -> __zs.f", zipped])
+        return (
+            f"transform({inner}, "
+            f"__zg -> transform(__zg, __zs2 -> __zs2.v))"
+        )
     if name in ("arraySplit", "arrayReverseSplit") and len(args) == 2:
         # arraySplit starts a new subarray BEFORE each element where
         # the predicate is true (the first subarray always starts at
@@ -9987,6 +10357,67 @@ def _rewrite_system_tables(toks: list[str]) -> list[str]:
     return toks
 
 
+#: SAMPLE <row-count> scalar-count memo: table name → (storage
+#: signature, COUNT(*)).  Bounded by distinct sampled table names.
+_TABLE_COUNT_MEMO: dict[str, tuple[str, int]] = {}
+
+
+def _memoized_table_count(table: str):
+    """Scalar ``COUNT(*)`` for the ``SAMPLE <row-count>`` form,
+    memoized per immutable table storage (VERDICT r12 item 6; the
+    fuzzy ``_NAME_STATS`` precedent).  ClickHouse reads this count
+    from part metadata; Spark's footer-only count-star is cheap but
+    still a job per execution — repeated row-count samples over
+    unchanged files skip it, and the folded literal lets Catalyst
+    turn the whole hash-range bound into a constant.  The key is the
+    table's LOCAL storage signature (every file's relative path,
+    size and mtime_ns under the location), so any INSERT, mutation,
+    OPTIMIZE rewrite or re-create invalidates the entry.  Non-local
+    locations, views, and missing sessions return None — the runtime
+    scalar-subquery form stays, correct under all of them."""
+    try:
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.getActiveSession()
+        if spark is None:
+            return None
+        loc = None
+        for row in spark.sql(
+            f"DESCRIBE FORMATTED {table}"
+        ).collect():
+            if str(row[0]).strip() == "Location":
+                loc = str(row[1]).strip()
+                break
+        if not loc or not loc.startswith("file:"):
+            return None
+        import os
+
+        root = loc.removeprefix("file:")
+        if not os.path.exists(root):
+            return None
+        parts = []
+        if os.path.isfile(root):  # path_override to a single file
+            st = os.stat(root)
+            parts.append(f".:{st.st_size}:{st.st_mtime_ns}")
+        for dirpath, _dirs, files in os.walk(root):
+            for fn in files:
+                p = os.path.join(dirpath, fn)
+                st = os.stat(p)
+                parts.append(
+                    f"{os.path.relpath(p, root)}:{st.st_size}:"
+                    f"{st.st_mtime_ns}"
+                )
+        sig = loc + "|" + "|".join(sorted(parts))
+        ent = _TABLE_COUNT_MEMO.get(table)
+        if ent is not None and ent[0] == sig:
+            return ent[1]
+        n = spark.table(table).count()
+        _TABLE_COUNT_MEMO[table] = (sig, n)
+        return n
+    except Exception:
+        return None  # any surprise keeps the subquery form
+
+
 def _rewrite_sample_clause(toks: list[str], engine_info=None):
     """``FROM t SAMPLE k [OFFSET m]`` → deterministic hash-range
     slice on the table's ``SAMPLE BY`` column (captured by the DDL
@@ -10100,6 +10531,11 @@ def _rewrite_sample_clause(toks: list[str], engine_info=None):
 
         h = mix_hash_sql("spark", key)
         if isinstance(frac, tuple):  # SAMPLE <row-count> (r8)
+            memo_n = _memoized_table_count(table)
+            count_expr = (
+                str(memo_n) if memo_n is not None
+                else f"(SELECT COUNT(*) FROM {table})"
+            )
             # ClickHouse's approximate-row-count form: "at least n
             # rows".  The fraction comes from a scalar COUNT(*)
             # subquery at EXECUTION time (a metadata-cheap count; no
@@ -10121,7 +10557,7 @@ def _rewrite_sample_clause(toks: list[str], engine_info=None):
             hi_dyn = (
                 f"CAST(floor(least(CAST({4294967296 - lo} AS DOUBLE), "
                 f"4294967296.0 * {n_rows} / greatest(CAST(1 AS "
-                f"BIGINT), (SELECT COUNT(*) FROM {table})))) "
+                f"BIGINT), {count_expr}))) "
                 f"AS BIGINT)"
             )
             if lo:

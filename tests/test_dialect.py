@@ -1975,6 +1975,45 @@ SELECT count() AS n FROM samp_t SAMPLE 1/2;
         ).collect()
     }
     assert got.a is not None and lo_keys.isdisjoint(off_keys)
+    # r13 (VERDICT r12 item 6): the row-count fraction memoizes the
+    # scalar COUNT(*) per immutable storage — with an active session
+    # and a file: location the transpile folds the count to a
+    # LITERAL (no scalar subquery left in the SQL), and the bound
+    # value matches the live count
+    s_memo = transpile(
+        "SELECT count() AS n FROM samp_t SAMPLE 200",
+        engine_info=_ddl.lookup_engine_info,
+    )
+    assert "(SELECTCOUNT" not in s_memo.upper().replace(" ", "")
+    assert str(total) in s_memo
+    assert spark.sql(s_memo).collect()[0].n == n_rows
+    # storage-signature invalidation: an INSERT into a managed
+    # sampled table changes the folded literal on the next transpile
+    run_clickhouse_script(
+        spark,
+        """
+CREATE TABLE samp_memo_t (k Int64)
+ENGINE = MergeTree ORDER BY k SAMPLE BY intHash32(k);
+INSERT INTO samp_memo_t SELECT number FROM numbers(100);
+""",
+        overwrite_existing=True,
+    )
+    s1 = transpile(
+        "SELECT count() AS n FROM samp_memo_t SAMPLE 10",
+        engine_info=_ddl.lookup_engine_info,
+    )
+    assert "/ greatest(CAST(1 AS BIGINT), 100)" in s1
+    run_clickhouse_script(
+        spark,
+        "INSERT INTO samp_memo_t SELECT number + 100 "
+        "FROM numbers(50);",
+    )
+    s2 = transpile(
+        "SELECT count() AS n FROM samp_memo_t SAMPLE 10",
+        engine_info=_ddl.lookup_engine_info,
+    )
+    assert "/ greatest(CAST(1 AS BIGINT), 150)" in s2
+    spark.sql("DROP TABLE IF EXISTS samp_memo_t")
     # near the top of the keyspace the width clamps: the slice never
     # wraps, so everything it returns hashes >= the offset bound
     n_top = spark.sql(
