@@ -1666,11 +1666,31 @@ def _render_call(name: str, args: list[str]) -> str:
             return f"unhex(sha1({args[0]}))"
         bits = name[3:]
         return f"unhex(sha2({args[0]}, {bits}))"
+    if name in ("sipHash64Keyed", "sipHash128Keyed",
+                "sipHash128Reference", "sipHash128ReferenceKeyed"):
+        raise DialectError(
+            f"{name}: KEYED SipHash is a bit-specified MAC (the key "
+            "IS the contract, role parity is not enough) — unkeyed "
+            "sipHash64/128 map as role-parity hashes; for keyed "
+            "digests use sha2 over key||value explicitly"
+        )
+    if name == "URLHash" and len(args) == 1:
+        # CH: hash of the URL with a trailing slash/hash-mark
+        # stripped; same role-parity contract as the 64-bit family
+        # below (audit batch 17)
+        return (
+            f"xxhash64(regexp_replace({args[0]}, '[/#]$', ''))"
+        )
+    if name == "URLHash" and len(args) == 2:
+        raise DialectError(
+            "URLHash(url, N) hashes the N-level URLHierarchy prefix "
+            "— spell it: URLHash(element_at(URLHierarchy(url), N))"
+        )
     if name in (
         "cityHash64", "sipHash64", "farmHash64", "metroHash64",
         "farmFingerprint64", "halfMD5", "xxHash64", "wyHash64",
         "intHash64", "murmurHash2_64", "murmurHash3_64",
-        "gccMurmurHash", "kafkaMurmurHash",
+        "gccMurmurHash", "kafkaMurmurHash", "xxh3",
     ) and args:
         # role parity, not bit parity: stable 64-bit bucketing hash
         # within THIS engine (xxhash64/seed-42).  Values differ from
@@ -1896,9 +1916,11 @@ def _render_call(name: str, args: list[str]) -> str:
     if name in (
         "dateTimeToSnowflakeID", "dateTime64ToSnowflakeID",
     ) and len(args) in (1, 2):
-        # snowflake ID = (ms since the given epoch) << 22; default
-        # epoch is Twitter's 1288834974657 (CH's own default)
-        ep = args[1] if len(args) == 2 else "1288834974657"
+        # snowflake ID = (ms since the given epoch) << 22; CH's
+        # default epoch is 0 (1970-01-01), matching the read-side
+        # snowflakeIDToDateTime register — pass Twitter's
+        # 1288834974657 explicitly for twitter-era IDs
+        ep = args[1] if len(args) == 2 else "0"
         return (
             f"shiftleft(unix_millis(CAST({args[0]} AS TIMESTAMP)) "
             f"- ({ep}), 22)"
@@ -2151,7 +2173,7 @@ def _render_call(name: str, args: list[str]) -> str:
     if name == "MACNumToString" and len(args) == 1:
         x = args[0]
         pairs = ", ".join(
-            f"CAST(({x}) div {256 ** i} AS INT) % 256"
+            f"CAST((({x}) div {256 ** i}) % 256 AS INT)"
             for i in (5, 4, 3, 2, 1, 0)
         )
         # format_string returns NULL when the input is NULL, so the
@@ -3409,16 +3431,40 @@ def _render_call(name: str, args: list[str]) -> str:
             "INTERVAL 1 WEEK/MONTH/QUARTER/YEAR"
         )
     if name.startswith("toInterval") and len(args) == 1:
-        pos = {
-            "Year": 0, "Month": 1, "Week": 2, "Day": 3,
-            "Hour": 4, "Minute": 5, "Second": 6,
-        }.get(name[len("toInterval"):])
-        if pos is not None:
-            mk = ["0"] * 7
-            mk[pos] = args[0]
-            return f"make_interval({', '.join(mk)})"
-        if name == "toIntervalQuarter":
-            return f"make_interval(0, ({args[0]}) * 3)"
+        # ANSI interval constructors (make_ym_interval /
+        # make_dt_interval), NOT make_interval: Spark's legacy
+        # CalendarIntervalType cannot be collected through PySpark
+        # (CalendarIntervalType.fromInternal is unimplemented), while
+        # the ANSI year-month/day-time types both collect and add to
+        # timestamps (audit batch 17)
+        unit = name[len("toInterval"):]
+        if unit == "Year":
+            return f"make_ym_interval({args[0]}, 0)"
+        if unit == "Quarter":
+            return f"make_ym_interval(0, ({args[0]}) * 3)"
+        if unit == "Month":
+            return f"make_ym_interval(0, {args[0]})"
+        if unit in ("Week", "Day"):
+            # day-PRECISION cast: DATE + INTERVAL DAY stays DATE
+            # (the full DAY TO SECOND type would promote to
+            # TIMESTAMP, unlike CH's Date + day-interval)
+            d = (
+                f"({args[0]}) * 7" if unit == "Week" else args[0]
+            )
+            return (
+                f"CAST(make_dt_interval({d}, 0, 0, 0) "
+                f"AS INTERVAL DAY)"
+            )
+        dt = {
+            "Hour": f"0, {args[0]}, 0, 0",
+            "Minute": f"0, 0, {args[0]}, 0",
+            "Second": f"0, 0, 0, {args[0]}",
+            "Millisecond": f"0, 0, 0, ({args[0]}) / 1000.0",
+            "Microsecond": f"0, 0, 0, ({args[0]}) / 1000000.0",
+            "Nanosecond": f"0, 0, 0, ({args[0]}) / 1000000000.0",
+        }.get(unit)
+        if dt is not None:
+            return f"make_dt_interval({dt})"
     if name == "mapFromArrays" and len(args) == 2:
         return f"map_from_arrays({args[0]}, {args[1]})"
     if name == "mapFilter" and len(args) == 2:
@@ -5927,6 +5973,22 @@ def _render_call(name: str, args: list[str]) -> str:
             f"array_max(map_keys(__mp))), "
             f"__mk -> coalesce(try_element_at(__mp, __mk), 0)) "
             f") END), 1)"
+        )
+    if name in ("sumMapWithOverflow", "sumMappedArraysWithOverflow") \
+            and args:
+        # wrap-around overflow cannot happen on the BIGINT/DOUBLE
+        # tier sumMap accumulates in — same values (audit batch 17)
+        return _render_call("sumMap", args)
+    if name == "finalizeAggregation" and len(args) == 1:
+        # the initializeAggregation compose is handled by the
+        # _rewrite_finalize_compose token pre-pass (the renderer is
+        # bottom-up, so the family tag is gone by now); anything
+        # reaching here is a stored state column
+        raise DialectError(
+            "finalizeAggregation over a stored state column: the "
+            "expression text carries no aggregate family — read the "
+            "table through the -Merge registers (SELECT "
+            "sumMerge(state_col) … — dialect_state_merge*)"
         )
     if name == "initializeAggregation" and len(args) >= 2 \
             and args[0][:1] in "'\"":
@@ -11907,6 +11969,7 @@ def transpile(sql: str, resolve_columns=None, engine_info=None) -> str:
     toks = _rewrite_any_join(toks, resolve_columns)
     toks = _rewrite_weighted_quantile(toks)
     toks = _rewrite_group_concat_limit(toks)
+    toks = _rewrite_finalize_compose(toks)
     toks = _rewrite_final(toks, resolve_columns, engine_info)
     toks = _rewrite_clauses(toks)
     toks = _rewrite_window_derivative(toks)
@@ -11917,6 +11980,53 @@ def transpile(sql: str, resolve_columns=None, engine_info=None) -> str:
     return _rewrite_distinct_window(
         _rewrite_tuple_index(_walk(toks, 0, len(toks)))
     )
+
+
+def _rewrite_finalize_compose(toks: list[str]) -> list[str]:
+    """``finalizeAggregation(initializeAggregation('fState', …))`` —
+    the per-row compose finalizes in closed form.  Runs as a token
+    PRE-pass: the expression renderer is bottom-up, so by the time
+    finalizeAggregation would render, its argument is already the
+    rendered state constructor with no family tag left (audit batch
+    17).  Stored state columns keep the -Merge refusal in
+    _render_call."""
+    n = 0
+    while n < len(toks):
+        if toks[n] != "finalizeAggregation":
+            n += 1
+            continue
+        j = _next_code(toks, n + 1)
+        if j >= len(toks) or toks[j] != "(":
+            n += 1
+            continue
+        c = _match_close(toks, j)
+        inner = [t for t in toks[j + 1:c] if not _is_skippable(t)]
+        if not (
+            len(inner) >= 4 and inner[0] == "initializeAggregation"
+            and inner[1] == "(" and inner[-1] == ")"
+            and inner[2][:1] in "'\""
+        ):
+            n += 1
+            continue
+        head = inner[2].strip("'\"")
+        inner_text = "".join(toks[j + 1:c])
+        if head in ("sumState", "minState", "maxState", "anyState",
+                    "countState", "groupArrayState"):
+            repl = inner_text  # the state IS the finalized value
+        elif head == "avgState":
+            repl = (
+                f"element_at(transform(array({inner_text}), "
+                f"__fa -> try_divide(CAST(__fa.s AS DOUBLE), "
+                f"__fa.c)), 1)"
+            )
+        elif head in ("uniqExactState", "groupBitmapState"):
+            repl = f"size(array_distinct({inner_text}))"
+        else:
+            n += 1  # unknown family: the renderer refusal applies
+            continue
+        toks[n:c + 1] = _tokens(f" {repl} ")
+        n += 1
+    return toks
 
 
 def _rewrite_limit_offset_comma(toks: list[str]) -> list[str]:

@@ -5770,6 +5770,122 @@ def test_r12_scalar_batch15(spark):
             transpile(f"SELECT {bad} FROM t")
 
 
+def test_r13_scalar_batch17(spark):
+    """Value gate for the audit batch-17 mappings (the batch-15/16
+    precedent): MAC codecs round-trip, ULID/snowflake read-write,
+    bitmap subset family, Minkowski norms, AES round-trip, OrZero
+    parse forms, interval constructors (collectable AND
+    date-typed), two-array arraySplit, the finalizeAggregation
+    compose, and distribution sanity for the rand* folds."""
+    register_clickhouse_compat(spark)
+    one = lambda e: spark.sql(  # noqa: E731
+        transpile(f"SELECT {e} AS v")
+    ).collect()[0].v
+    # MAC codecs
+    assert one("MACNumToString(1108152157446)") == "01:02:03:04:05:06"
+    assert one("MACStringToNum('01:02:03:04:05:06')") == 1108152157446
+    assert one("MACStringToOUI('01:02:03:04:05:06')") == 66051
+    assert one(
+        "MACNumToString(MACStringToNum('AB:CD:EF:00:11:22'))"
+    ) == "AB:CD:EF:00:11:22"
+    # ULID read-side: pinned against an independent Python
+    # Crockford-base32 decode of the same ULID (1672188037616 ms)
+    ts = one("ULIDStringToDateTime('01GNB2S2FGN2P93QPXDNB4EN2R')")
+    assert str(ts) == "2022-12-28 00:40:37.616000"
+    # snowflake write/read round-trip
+    assert str(one(
+        "snowflakeIDToDateTime(dateTimeToSnowflakeID("
+        "toDateTime('2024-03-15 10:30:45')))"
+    )).startswith("2024-03-15 10:30:45")
+    # bitmap subsets over the sorted-distinct-array canonical form
+    assert one(
+        "bitmapToArray(bitmapSubsetInRange([5, 1, 3, 9], 2, 9))"
+    ) == [3, 5]
+    assert one(
+        "bitmapToArray(bitmapSubsetLimit([5, 1, 3, 9], 2, 2))"
+    ) == [3, 5]
+    assert one("bitmapToArray(subBitmap([5, 1, 3, 9], 1, 2))") \
+        == [3, 5]
+    assert one(
+        "bitmapToArray(bitmapTransform([5, 1, 3], [3], [7]))"
+    ) == [1, 5, 7]
+    # Minkowski general-p family
+    assert abs(one("LpNorm([3.0, 4.0], 2)") - 5.0) < 1e-12
+    assert abs(one("LpNorm([1.0, 2.0, 3.0], 1)") - 6.0) < 1e-12
+    assert abs(one("LpDistance([1.0, 2.0], [4.0, 6.0], 2)") - 5.0) \
+        < 1e-12
+    nv = one("L2Normalize([3.0, 4.0])")
+    assert abs(nv[0] - 0.6) < 1e-12 and abs(nv[1] - 0.8) < 1e-12
+    assert one("L1Normalize([0.0, 0.0])") == [None, None]
+    # AES round-trip (ECB exact; Spark native aes_* )
+    assert one(
+        "CAST(decrypt('aes-128-ecb', encrypt('aes-128-ecb', 'msg', "
+        "'0123456789abcdef'), '0123456789abcdef') AS STRING)"
+    ) == "msg"
+    with pytest.raises(DialectError, match="key"):
+        transpile("SELECT encrypt('aes-256-cbc', s, 'short') FROM t")
+    with pytest.raises(DialectError, match="cipher"):
+        transpile("SELECT encrypt('aes-128-ofb', s, k) FROM t")
+    # OrZero parse forms: epoch on failure
+    assert str(one("parseDateTimeBestEffortOrZero('garbage')")) \
+        == "1970-01-01 00:00:00"
+    assert str(one(
+        "parseDateTimeInJodaSyntax('2024-03-15', 'yyyy-MM-dd')"
+    )).startswith("2024-03-15")
+    # interval constructors collect AND keep DATE typing for days
+    assert str(one(
+        "CAST('2024-01-01' AS DATE) + toIntervalDay(3)"
+    )) == "2024-01-04"
+    assert str(one(
+        "toDateTime('2024-01-01 00:00:00') + toIntervalSecond(90)"
+    )) == "2024-01-01 00:01:30"
+    assert str(one(
+        "CAST('2024-01-31' AS DATE) + toIntervalMonth(1)"
+    )) == "2024-02-29"
+    # two-array arraySplit: split [1,2,3,4] where flag array is 1
+    assert one(
+        "arraySplit((x, f) -> f = 1, [1, 2, 3, 4], [0, 1, 0, 1])"
+    ) == [[1], [2, 3], [4]]
+    assert one(
+        "arrayReverseSplit((x, f) -> f = 1, [1, 2, 3, 4], "
+        "[0, 1, 0, 1])"
+    ) == [[1, 2], [3, 4]]
+    # finalizeAggregation compose
+    assert one(
+        "finalizeAggregation(initializeAggregation('sumState', 7))"
+    ) == 7
+    assert abs(one(
+        "finalizeAggregation(initializeAggregation('avgState', 3.5))"
+    ) - 3.5) < 1e-12
+    with pytest.raises(DialectError, match="Merge"):
+        transpile("SELECT finalizeAggregation(st) FROM t")
+    # timeZoneOffset: session pinned UTC
+    assert one("timeZoneOffset(now())") == 0
+    assert one("timeZoneOffset(CAST(NULL AS TIMESTAMP))") is None
+    # YYYYMMDDToDate32 = the one DATE type
+    assert str(one("YYYYMMDDToDate32(20240315)")) == "2024-03-15"
+    # rand* distribution sanity: bounds + law-of-large-numbers means
+    # (4096 draws; 6σ tolerances — deterministic-failure-free)
+    # (drawn in a per-row subquery: Spark bans nondeterministic
+    # expressions INSIDE aggregate arguments)
+    row = spark.sql(transpile(
+        "SELECT avg(b) AS b, avg(p) AS p, avg(c) AS c, avg(l) AS l, "
+        "max(b) AS bmax, min(b) AS bmin FROM ("
+        "SELECT randBinomial(10, 0.5) AS b, randPoisson(4) AS p, "
+        "randChiSquared(5) AS c, randLogNormal(0.0, 0.25) AS l "
+        "FROM numbers(4096))"
+    )).collect()[0]
+    assert abs(row.b - 5.0) < 6 * 1.58 / 64      # σ=√2.5/√n
+    assert abs(row.p - 4.0) < 6 * 2.0 / 64
+    assert abs(row.c - 5.0) < 6 * 3.16 / 64
+    assert abs(row.l - 1.0317) < 0.1             # e^{σ²/2}
+    assert 0 <= row.bmin and row.bmax <= 10
+    # URLHash strips exactly one trailing slash
+    assert one(
+        "URLHash('http://e.com/a/') = URLHash('http://e.com/a')"
+    ) is True
+
+
 def test_r13_geo_distance_ellipsoid(spark):
     """geoDistance (VERDICT r12 item 4, refusal flipped): WGS-84
     Andoyer–Lambert arithmetic pinned against an in-test Vincenty
