@@ -1675,11 +1675,11 @@ def _render_call(name: str, args: list[str]) -> str:
             "digests use sha2 over key||value explicitly"
         )
     if name == "URLHash" and len(args) == 1:
-        # CH: hash of the URL with a trailing slash/hash-mark
-        # stripped; same role-parity contract as the 64-bit family
-        # below (audit batch 17)
+        # CH: hash of the URL with one trailing /, # or ? stripped;
+        # same role-parity contract as the 64-bit family below
+        # (audit batch 17; '?' added code-review r13a)
         return (
-            f"xxhash64(regexp_replace({args[0]}, '[/#]$', ''))"
+            f"xxhash64(regexp_replace({args[0]}, '[/#?]$', ''))"
         )
     if name == "URLHash" and len(args) == 2:
         raise DialectError(
@@ -1890,19 +1890,40 @@ def _render_call(name: str, args: list[str]) -> str:
     if name in (
         "parseDateTimeInJodaSyntax",
         "parseDateTimeInJodaSyntaxOrNull",
+        "parseDateTimeInJodaSyntaxOrZero",
     ) and len(args) == 2:
-        # Joda patterns (yyyy/MM/dd/HH/mm/ss…) are the same pattern
-        # letters Spark's java.time formatter reads — pass through
+        # most Joda letters (yyyy/MM/dd/HH/mm/ss…) coincide with
+        # Spark's java.time letters, but NOT all: Joda Y is
+        # year-of-era (java.time Y = week-based-year — silently
+        # shifted dates near year boundaries), Joda x is weekyear
+        # (java.time x = zone offset), Joda e is day-of-week-number
+        # (code-review r13a).  Literal patterns translate Y→y and
+        # refuse x/e; non-literal patterns refuse.
+        fmt_txt = args[1].strip()
+        if not (fmt_txt.startswith("'") and fmt_txt.endswith("'")):
+            raise DialectError(
+                f"{name}: the pattern must be a literal so the "
+                "Joda→java.time letter audit can run at transpile "
+                "time"
+            )
+        body = fmt_txt[1:-1]
+        if "x" in body or "e" in body:
+            raise DialectError(
+                f"{name}: Joda 'x' (weekyear) / 'e' (day-of-week "
+                "number) have no same-letter java.time twin — spell "
+                "the field with java.time letters via parseDateTime"
+            )
+        body = body.replace("Y", "y")  # year-of-era ≈ y for CE dates
         fn = (
             "to_timestamp" if name == "parseDateTimeInJodaSyntax"
             else "try_to_timestamp"
         )
-        return f"{fn}({args[0]}, {args[1]})"
-    if name == "parseDateTimeInJodaSyntaxOrZero" and len(args) == 2:
-        return (
-            f"coalesce(try_to_timestamp({args[0]}, {args[1]}), "
-            "TIMESTAMP'1970-01-01 00:00:00')"
-        )
+        out = f"{fn}({args[0]}, '{body}')"
+        if name.endswith("OrZero"):
+            return (
+                f"coalesce({out}, TIMESTAMP'1970-01-01 00:00:00')"
+            )
+        return out
     if name == "parseDateTimeOrZero" and len(args) == 2 \
             and args[1].strip().startswith("'"):
         fmt = _strftime_to_jdk(args[1].strip()[1:-1])
@@ -2183,12 +2204,9 @@ def _render_call(name: str, args: list[str]) -> str:
             f"'%02x:%02x:%02x:%02x:%02x:%02x', {pairs})))"
         )
     if name in ("MACStringToNum", "MACStringToOUI") and len(args) == 1:
-        src = (
-            args[0] if name == "MACStringToNum"
-            else f"slice(split({args[0]}, ':'), 1, 3)"
-        )
-        if name == "MACStringToNum":
-            src = f"split({args[0]}, ':')"
+        src = f"split({args[0]}, ':')"
+        if name == "MACStringToOUI":
+            src = f"slice({src}, 1, 3)"
         # hex-pair fold; malformed groups conv to NULL and propagate
         # (CH returns 0 on malformed input — NULL is the defensive
         # analog, documented)
@@ -2240,6 +2258,19 @@ def _render_call(name: str, args: list[str]) -> str:
             "tryDecrypt": "try_aes_decrypt",
         }[name]
         extra = ""
+        if len(args) >= 4 and name != "encrypt":
+            # Spark's aes_decrypt has NO iv parameter (signature:
+            # input, key, mode, padding, aad) — it reads the IV from
+            # the ciphertext prefix aes_encrypt wrote.  Passing CH's
+            # explicit-iv decrypt through would land the IV in the
+            # AAD slot (code-review r13a)
+            raise DialectError(
+                f"{name} with an explicit IV: Spark's AES layout "
+                "embeds the IV in the ciphertext prefix (aes_decrypt "
+                "takes no iv) — decrypt ciphertext produced by "
+                "encrypt() here, or strip/prepend the IV explicitly "
+                "for foreign ciphertext"
+            )
         if len(args) >= 4 and mode != "ECB":
             extra = f", CAST({args[3]} AS BINARY)"  # explicit iv
             if len(args) >= 5 and mode == "GCM":
@@ -3647,10 +3678,15 @@ def _render_call(name: str, args: list[str]) -> str:
     if name == "randLogNormal" and len(args) == 2:
         return f"exp(({args[0]}) + ({args[1]}) * randn())"
     if name == "randChiSquared" and len(args) == 1:
+        # k < 1 guard: Spark's sequence(1, 0) DESCENDS to [1, 0]
+        # (two draws instead of none — code-review r13a, the
+        # randomPrintableASCII precedent)
         return (
+            f"(CASE WHEN CAST({args[0]} AS INT) < 1 "
+            f"THEN CAST(0.0 AS DOUBLE) ELSE "
             f"aggregate(sequence(1, CAST({args[0]} AS INT)), "
             f"CAST(0.0 AS DOUBLE), "
-            f"(__ra, __ri) -> __ra + pow(randn(), 2.0d))"
+            f"(__ra, __ri) -> __ra + pow(randn(), 2.0d)) END)"
         )
     if name == "randStudentT" and len(args) == 1:
         k = args[0]
@@ -3662,11 +3698,14 @@ def _render_call(name: str, args: list[str]) -> str:
         c2 = _render_call("randChiSquared", [d2])
         return f"((({c1}) / ({d1})) / (({c2}) / ({d2})))"
     if name == "randBinomial" and len(args) == 2:
+        # n < 1 guard: same sequence(1, 0) descending-ramp hazard
         n, p = args
         return (
+            f"(CASE WHEN CAST({n} AS INT) < 1 "
+            f"THEN CAST(0 AS BIGINT) ELSE "
             f"aggregate(sequence(1, CAST({n} AS INT)), "
             f"CAST(0 AS BIGINT), "
-            f"(__ra, __ri) -> __ra + IF(rand() < ({p}), 1, 0))"
+            f"(__ra, __ri) -> __ra + IF(rand() < ({p}), 1, 0)) END)"
         )
     if name == "randNegativeBinomial" and len(args) == 2:
         raise DialectError(
@@ -3690,11 +3729,14 @@ def _render_call(name: str, args: list[str]) -> str:
         import math as _math
 
         lam = float(lam_txt)
-        if lam > 1000:
+        if lam > 700:
+            # exp(-λ) underflows to 0.0 past ~746, which would make
+            # the fold's threshold vacuous and the result a CONSTANT
+            # (code-review r13a) — and the fold is O(λ) anyway
             raise DialectError(
-                "randPoisson rate > 1000: use the normal "
-                "approximation randNormal(l, sqrt(l)) (relative "
-                "skew < 1%% there)"
+                "randPoisson rate > 700: exp(-rate) underflows the "
+                "double threshold — use the normal approximation "
+                "randNormal(l, sqrt(l)) (relative skew < 2%% there)"
             )
         iters = int(_math.ceil(lam + 12 * _math.sqrt(lam) + 30))
         big_l = repr(_math.exp(-lam))
@@ -10599,11 +10641,16 @@ def _rewrite_sample_clause(toks: list[str], engine_info=None):
                 else f"(SELECT COUNT(*) FROM {table})"
             )
             # ClickHouse's approximate-row-count form: "at least n
-            # rows".  The fraction comes from a scalar COUNT(*)
-            # subquery at EXECUTION time (a metadata-cheap count; no
-            # table statistics needed at transpile time) — the slice
-            # stays the same deterministic hash range, just with a
-            # runtime upper bound.  A keyspace-fractional OFFSET m
+            # rows".  The fraction comes from the table's COUNT(*) —
+            # memoized per immutable storage and folded as a LITERAL
+            # when a session + local location allow (r13), else a
+            # scalar subquery.  The fold binds the bound to the
+            # TRANSPILE-time snapshot: the front-door runners
+            # (run_clickhouse_sql / run_clickhouse_script) transpile
+            # per execution, so freshness is preserved there — a
+            # caller caching the transpiled string gets snapshot
+            # semantics, the same binding CH gets reading part
+            # metadata at submission (code-review r13a, documented).  A keyspace-fractional OFFSET m
             # shifts the slice start (VERDICT r11 item 4, flips the
             # r8 refusal): the width is the same runtime n/COUNT(*)
             # fraction, clamped to the remaining keyspace, so
@@ -13424,39 +13471,45 @@ def _attach_table_full(
     )
     out_ddl = _ddl.transpile_ddl(create_stmt)
     st = _DETACHED_TABLES.get(name)
-    if st is None:
-        if out_ddl:
-            spark.sql(out_ddl)
-        return
-    _, loc, _ = st  # the inline definition supersedes the captured one
     jvm = spark.sparkContext._jvm
     conf = spark.sparkContext._jsc.hadoopConfiguration()
     HPath = jvm.org.apache.hadoop.fs.Path
-    parked = HPath(loc.rstrip("/") + ".detached")
-    fs = parked.getFileSystem(conf)
-    if not fs.exists(parked):
-        raise DialectError(
-            f"ATTACH TABLE: detached data directory "
-            f"{parked.toString()} is missing for {name!r} — refusing "
-            "to attach an empty table over lost data"
-        )
+    if st is not None:
+        # this session's stash pins the parked location; the INLINE
+        # definition supersedes the captured one
+        parked = HPath(st[1].rstrip("/") + ".detached")
+        fs = parked.getFileSystem(conf)
+        if not fs.exists(parked):
+            raise DialectError(
+                f"ATTACH TABLE: detached data directory "
+                f"{parked.toString()} is missing for {name!r} — "
+                "refusing to attach an empty table over lost data"
+            )
     if out_ddl:
         spark.sql(out_ddl)
-    # adopt at the location the NEW create resolved (normally the
-    # same warehouse path; a differing location still restores
-    # correctly because the rename targets the live table's own dir)
-    live = HPath(_table_location_uri(spark, name))
-    if fs.exists(live):
-        fs.delete(live, True)  # the create's empty skeleton
-    if not fs.rename(parked, live):
-        raise DialectError(
-            f"filesystem refused to restore {live.toString()} for "
-            "ATTACH"
-        )
-    if "PARTITIONED BY" in (out_ddl or "").upper():
-        spark.sql(f"ALTER TABLE {name} RECOVER PARTITIONS")
-    spark.sql(f"REFRESH TABLE {name}")
-    del _DETACHED_TABLES[name]
+    # adopt at the location the NEW create resolved; with no stash
+    # (cross-session/restart restore — code-review r13a) a
+    # '<loc>.detached' directory sitting beside the create's
+    # location is adopted the same way, matching ClickHouse's
+    # attach-over-existing-data contract.  No parked directory at
+    # all = the empty CREATE (CH attach-over-empty-directory).
+    loc = _table_location_uri(spark, name)
+    live = HPath(loc)
+    fs = live.getFileSystem(conf)
+    if st is None:
+        parked = HPath(loc.rstrip("/") + ".detached")
+    if fs.exists(parked):
+        if fs.exists(live):
+            fs.delete(live, True)  # the create's empty skeleton
+        if not fs.rename(parked, live):
+            raise DialectError(
+                f"filesystem refused to restore {live.toString()} "
+                "for ATTACH"
+            )
+        if "PARTITIONED BY" in (out_ddl or "").upper():
+            spark.sql(f"ALTER TABLE {name} RECOVER PARTITIONS")
+        spark.sql(f"REFRESH TABLE {name}")
+    _DETACHED_TABLES.pop(name, None)
 
 
 def _table_location_uri(spark: "SparkSession", target: str) -> str:

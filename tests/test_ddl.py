@@ -1057,6 +1057,28 @@ SELECT y, count() AS n FROM daf_t GROUP BY y ORDER BY y;
     assert r3[-2][0] == "attach_table_full"
     assert r3[-1][1].collect()[0].n == 0
     spark.sql("DROP TABLE IF EXISTS daf_fresh")
+    # CROSS-SESSION restore (code-review r13a): an on-disk
+    # '<loc>.detached' directory with NO in-process stash entry
+    # (restart simulation) is adopted, not shadowed by an empty
+    # create
+    run_clickhouse_script(
+        spark,
+        """
+CREATE TABLE daf_x (k Int64) ENGINE = MergeTree ORDER BY k;
+INSERT INTO daf_x SELECT number FROM numbers(7);
+DETACH TABLE daf_x;
+""",
+        overwrite_existing=True,
+    )
+    _DETACHED_TABLES.pop("daf_x", None)  # simulate a new session
+    r4 = run_clickhouse_script(
+        spark,
+        "ATTACH TABLE daf_x (k Int64) "
+        "ENGINE = MergeTree ORDER BY k;\n"
+        "SELECT count() AS n FROM daf_x;",
+    )
+    assert r4[-1][1].collect()[0].n == 7
+    spark.sql("DROP TABLE IF EXISTS daf_x")
 
 
 def test_r13_attach_missing_parked_refuses(spark):

@@ -5880,10 +5880,32 @@ def test_r13_scalar_batch17(spark):
     assert abs(row.c - 5.0) < 6 * 3.16 / 64
     assert abs(row.l - 1.0317) < 0.1             # e^{σ²/2}
     assert 0 <= row.bmin and row.bmax <= 10
-    # URLHash strips exactly one trailing slash
+    # URLHash strips one trailing /, # or ? (code-review r13a)
     assert one(
         "URLHash('http://e.com/a/') = URLHash('http://e.com/a')"
     ) is True
+    assert one(
+        "URLHash('http://e.com/a?') = URLHash('http://e.com/a')"
+    ) is True
+    # n/k < 1: sequence(1, 0) would descend — guarded to 0
+    assert one("randBinomial(0, 0.5)") == 0
+    assert one("randChiSquared(0)") == 0.0
+    # Joda Y is YEAR-OF-ERA, not java.time's week-based-year
+    assert str(one(
+        "parseDateTimeInJodaSyntax('2021-01-01', 'YYYY-MM-dd')"
+    )).startswith("2021-01-01")
+    with pytest.raises(DialectError, match="weekyear|day-of-week"):
+        transpile(
+            "SELECT parseDateTimeInJodaSyntax(s, 'xxxx-MM-dd') FROM t"
+        )
+    # decrypt with an explicit IV: Spark's layout has no iv slot
+    with pytest.raises(DialectError, match="IV"):
+        transpile(
+            "SELECT decrypt('aes-256-cbc', s, k, iv) FROM t"
+        )
+    # Poisson underflow guard (exp(-λ) = 0.0 would be a constant)
+    with pytest.raises(DialectError, match="underflow"):
+        transpile("SELECT randPoisson(800) FROM t")
 
 
 def test_r13_geo_distance_ellipsoid(spark):
