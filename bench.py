@@ -258,6 +258,12 @@ HEADLINE = [
     "dialect_weighted_quantiles",
     "dialect_tumble",
     "dialect_probe19",
+    # round-13 additions: the WGS-84 geoDistance flip, the
+    # join-owned bounded groupConcat, and the full-definition
+    # ATTACH restore script
+    "dialect_geo_distance",
+    "dialect_group_concat_join",
+    "ch_script_attach_full",
 ]
 
 
