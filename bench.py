@@ -264,6 +264,7 @@ HEADLINE = [
     "dialect_geo_distance",
     "dialect_group_concat_join",
     "ch_script_attach_full",
+    "dialect_probe22",
 ]
 
 

@@ -18992,6 +18992,85 @@ def q_dialect_geo_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_clickhouse_sql(spark, _CH_GEO_DIST, sf_dir, ("customer",))
 
 
+# 39 (r13). audit batch 17 value gate (per-row tier): MAC codec
+#     round-trips (the numeric side is the oracle's closed form),
+#     bitmap subset family over key-derived arrays, general-p
+#     Minkowski norm (micro-rounded — libm cbrt wobble), URLHash
+#     trailing-separator equality (engine-independent boolean),
+#     pinned-UTC timeZoneOffset, YYYYMMDDToDate32, snowflake and
+#     ULID read/write round-trips as epoch integers, ANSI interval
+#     date-typing, and the finalizeAggregation compose.
+_CH_PROBE22 = """
+SELECT o_orderkey AS k,
+       MACNumToString(o_orderkey * 4099) AS mac,
+       MACStringToNum(MACNumToString(o_orderkey * 4099)) AS macrt,
+       MACStringToOUI(MACNumToString(o_orderkey * 4099)) AS oui,
+       arrayStringConcat(arrayMap(x -> toString(x),
+           bitmapToArray(bitmapSubsetInRange(
+               [o_orderkey % 7, o_orderkey % 5, o_orderkey % 3],
+               1, 5))), ',') AS bsr,
+       arrayStringConcat(arrayMap(x -> toString(x),
+           bitmapToArray(subBitmap(
+               [o_orderkey % 7, o_orderkey % 5, o_orderkey % 3],
+               0, 2))), ',') AS sb,
+       floor(LpNorm([toFloat64(o_orderkey % 13), 2.0, 1.0], 3)
+             * 1000000 + 0.5) / 1000000 AS lp,
+       toInt64(URLHash('http://e.com/a/')
+               = URLHash('http://e.com/a')) AS uh,
+       toInt64(timeZoneOffset(
+           toDateTime('2024-01-01 00:00:00'))) AS tzo,
+       YYYYMMDDToDate32(20240315) AS d32,
+       toUnixTimestamp(snowflakeIDToDateTime(dateTimeToSnowflakeID(
+           toDateTime('2024-03-15 10:30:45')))) AS sf_rt,
+       toUnixTimestamp64Milli(toDateTime64(
+           ULIDStringToDateTime('01GNB2S2FGN2P93QPXDNB4EN2R'), 3))
+           AS ulid_ms,
+       CAST(o_orderdate + toIntervalDay(o_orderkey % 5) AS DATE)
+           AS dplus,
+       finalizeAggregation(initializeAggregation('avgState',
+           toFloat64(o_orderkey % 97))) AS fin
+FROM orders WHERE o_orderkey <= 400 ORDER BY k
+"""
+
+O_PROBE22 = r"""
+SELECT o_orderkey AS k,
+       printf('%02X:%02X:%02X:%02X:%02X:%02X',
+              (o_orderkey * 4099) // 1099511627776 % 256,
+              (o_orderkey * 4099) // 4294967296 % 256,
+              (o_orderkey * 4099) // 16777216 % 256,
+              (o_orderkey * 4099) // 65536 % 256,
+              (o_orderkey * 4099) // 256 % 256,
+              (o_orderkey * 4099) % 256) AS mac,
+       o_orderkey * 4099 AS macrt,
+       (o_orderkey * 4099) // 16777216 AS oui,
+       COALESCE(array_to_string(list_sort(list_distinct(list_filter(
+           [o_orderkey % 7, o_orderkey % 5, o_orderkey % 3],
+           x -> x >= 1 AND x < 5))), ','), '') AS bsr,
+       COALESCE(array_to_string((list_sort(list_distinct(
+           [o_orderkey % 7, o_orderkey % 5, o_orderkey % 3])))[1:2],
+           ','), '') AS sb,
+       floor(power(list_sum(list_transform(
+           [CAST(o_orderkey % 13 AS DOUBLE), 2.0, 1.0],
+           x -> power(abs(x), 3.0))), 1.0/3.0)
+           * 1000000 + 0.5) / 1000000 AS lp,
+       CAST(1 AS BIGINT) AS uh,
+       CAST(0 AS BIGINT) AS tzo,
+       DATE '2024-03-15' AS d32,
+       CAST(epoch(TIMESTAMP '2024-03-15 10:30:45') AS BIGINT)
+           AS sf_rt,
+       CAST(1672188037616 AS BIGINT) AS ulid_ms,
+       CAST(o_orderdate + (o_orderkey % 5) * INTERVAL 1 DAY AS DATE)
+           AS dplus,
+       CAST(o_orderkey % 97 AS DOUBLE) AS fin
+FROM orders WHERE o_orderkey <= 400 ORDER BY k
+"""
+
+
+def q_dialect_probe22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verbatim CH batch-17 per-row probe (module doc #39)."""
+    return run_clickhouse_sql(spark, _CH_PROBE22, sf_dir, ("orders",))
+
+
 QUERIES = {
     "dialect_strings": q_dialect_strings,
     "ch_script_lifecycle": q_ch_script_lifecycle,
@@ -19045,6 +19124,7 @@ QUERIES = {
     "dialect_group_concat_join": q_dialect_group_concat_join,
     "dialect_probe20": q_dialect_probe20,
     "dialect_probe21": q_dialect_probe21,
+    "dialect_probe22": q_dialect_probe22,
     "dialect_anova": q_dialect_anova,
     "dialect_geo_distance": q_dialect_geo_distance,
     "dialect_tumble": q_dialect_tumble,
@@ -19141,6 +19221,7 @@ ORACLES = {
     "dialect_group_concat_join": O_GROUP_CONCAT_JOIN,
     "dialect_probe20": O_PROBE20,
     "dialect_probe21": O_PROBE21,
+    "dialect_probe22": O_PROBE22,
     "dialect_anova": O_ANOVA,
     "dialect_geo_distance": O_GEO_DIST_ELL,
     "dialect_tumble": O_TUMBLE,
