@@ -187,7 +187,7 @@ def f_pvalue(f: float, d1: float, d2: float) -> float:
 
 #: bump when the vectorized set below changes — the registration
 #: digest must move or live sessions keep stale definitions
-_VECTORIZED_VERSION = 13  # r12: + ch_try_base58_decode
+_VECTORIZED_VERSION = 14  # r13: + ch_replace_regexp_one/_all_br
 
 
 def _register_vectorized(spark: SparkSession) -> None:
@@ -537,6 +537,38 @@ def _register_vectorized(spark: SparkSession) -> None:
             )
 
         return apply
+
+    import re as _re_mod
+
+    def _regexp_sub(count: int):
+        def apply(
+            h: pd.Series, p: pd.Series, r: pd.Series
+        ) -> pd.Series:
+            return pd.Series(
+                [
+                    None
+                    if hv is None or pv is None or rv is None
+                    else _re_mod.sub(pv, rv, hv, count=count)
+                    for hv, pv, rv in zip(h, p, r)
+                ],
+                dtype="object",
+            )
+
+        return apply
+
+    # replaceRegexpOne (first match only — Java has no builtin
+    # replaceFirst in Spark SQL) and the backref-bearing
+    # replaceRegexpAll tier: CH replacement backrefs are \N, which
+    # Python's re.sub reads natively (Java's regexp_replace reads
+    # $N) — r13 wave 3
+    spark.udf.register(
+        "ch_replace_regexp_one",
+        pandas_udf("string")(_regexp_sub(1)),
+    )
+    spark.udf.register(
+        "ch_replace_regexp_all_br",
+        pandas_udf("string")(_regexp_sub(0)),
+    )
 
     spark.udf.register(
         "ch_base58_encode", pandas_udf("string")(_unary_str(_b58enc))

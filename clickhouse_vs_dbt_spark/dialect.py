@@ -220,10 +220,12 @@ _RENAME = {
     "trimRight": "rtrim",
     "reverseUTF8": "reverse",
     "substringUTF8": "substring",
-    "positionUTF8": "instr",
+    # positionUTF8 handled by the position register (2- and 3-arg)
     "toUpperUTF8": "upper",
     "toLowerUTF8": "lower",
     "concatAssumeInjective": "concat",
+    "overlayUTF8": "overlay",  # JVM strings are UTF-8 native
+    "indexOfAssumeSorted": "array_position",  # sortedness is a hint
     "roundBankers": "bround",
     "base64Encode": "base64",
     "mapKeys": "map_keys",
@@ -2469,6 +2471,34 @@ def _render_call(name: str, args: list[str]) -> str:
         return (
             f"named_struct('f_statistic', {wrap(fstat)}, "
             f"'p_value', {wrap(pval)})"
+        )
+    if name == "currentSchemas" and len(args) <= 1:
+        # postgres-compat schema list; one catalog database here
+        return "array(current_database())"
+    if name == "dictGetHierarchy" or name == "dictGetDescendants" \
+            or name == "dictIsIn":
+        raise DialectError(
+            f"{name}: hierarchical dictionaries are not registered "
+            "here — flatten the hierarchy into a closure table and "
+            "join, or use dictGet on each level"
+        )
+    if name.startswith("regionTo") or name == "regionIn":
+        raise DialectError(
+            f"{name} reads ClickHouse's embedded geobase files — "
+            "join a regions dimension table instead"
+        )
+    if name in (
+        "demangle", "addressToLine", "addressToLineWithInlines",
+        "addressToSymbol", "tid", "logTrace",
+    ):
+        raise DialectError(
+            f"{name}: ClickHouse trace/introspection — profile "
+            "Spark through the Spark UI / event log"
+        )
+    if name == "connectionId" or name == "connection_id":
+        raise DialectError(
+            "connectionId reads server connection state (the "
+            "tcpPort/serverUUID wall)"
         )
     if name in ("displayName", "getMacro", "blockSerializedSize"):
         raise DialectError(
@@ -5434,6 +5464,25 @@ def _render_call(name: str, args: list[str]) -> str:
         return f"CAST({args[0]} AS DECIMAL(9, {args[1]}))"
     if name == "toDecimal64" and len(args) == 2:
         return f"CAST({args[0]} AS DECIMAL(18, {args[1]}))"
+    if name == "toDecimal128" and len(args) == 2:
+        # Spark's maximum DECIMAL precision (38) covers Decimal128's
+        # full range (wave 3)
+        return f"CAST({args[0]} AS DECIMAL(38, {args[1]}))"
+    if name == "toDecimal256" and len(args) == 2:
+        raise DialectError(
+            "toDecimal256: 76-digit precision exceeds Spark's "
+            "DECIMAL(38) ceiling — toDecimal128 (38 digits) "
+            "transpiles"
+        )
+    if name == "toLowCardinality" and len(args) == 1:
+        return args[0]  # a storage-encoding hint; values unchanged
+    if name in ("lowCardinalityIndices", "lowCardinalityKeys"):
+        raise DialectError(
+            f"{name} introspects ClickHouse's per-part dictionary "
+            "encoding — no Spark twin (columnar dictionaries are a "
+            "parquet encoding detail); dense_rank() OVER (ORDER BY "
+            "col) computes a portable dictionary index"
+        )
     if name == "any" and len(args) == 1:
         # ClickHouse aggregates skip NULLs; Spark's any_value/last
         # retain them unless ignoreNulls is passed
@@ -5750,6 +5799,72 @@ def _render_call(name: str, args: list[str]) -> str:
             f"coalesce(try_element_at(__acc, -1), CAST(0 AS DOUBLE)) "
             f"+ CAST(__x AS DOUBLE)))"
         )
+    if name in ("replaceOne", "replaceOneUTF8") and len(args) == 3:
+        # first-occurrence literal replace: locate-splice, the
+        # position bound once via the transform ladder (wave 3)
+        h, n, r = args
+        return (
+            f"element_at(transform(array(locate({n}, {h})), "
+            f"__rp -> IF(__rp IS NULL OR __rp = 0, {h}, "
+            f"concat(substring({h}, 1, __rp - 1), {r}, "
+            f"substring({h}, __rp + length({n}))))), 1)"
+        )
+    if name == "replaceRegexpOne" and len(args) == 3:
+        # first-match regex replace with CH's \N replacement
+        # backrefs — Python re via the Arrow compat seam (Spark's
+        # regexp_replace replaces ALL and reads $N refs)
+        return (
+            f"ch_replace_regexp_one({args[0]}, {args[1]}, {args[2]})"
+        )
+    if name == "replaceRegexpAll" and len(args) == 3 and (
+        re.search(r"\\+[0-9]", args[2]) or "$" in args[2]
+    ):
+        # backref-bearing (or $-containing) replacements: CH reads
+        # \N and literal $; Java's regexp_replace reads $N — route
+        # through the same re.sub seam so both divergences close
+        return (
+            f"ch_replace_regexp_all_br({args[0]}, {args[1]}, "
+            f"{args[2]})"
+        )
+    if name == "multiMatchAnyIndex" and len(args) == 2:
+        # 1-based index of a matching pattern (0 = none).  Spark's
+        # rlike needs a FOLDABLE pattern, so the array must be a
+        # bracket literal, unrolled to a first-match CASE — a
+        # deterministic refinement of CH's any-match pick
+        arr = args[1].strip()
+        if arr.startswith("[") and arr.endswith("]"):
+            body = arr[1:-1]
+        elif (
+            arr.startswith("array(") and arr.endswith(")")
+        ):  # the [..] literal may already be rewritten to array(…)
+            body = arr[len("array("):-1]
+        else:
+            raise DialectError(
+                "multiMatchAnyIndex needs a LITERAL pattern array "
+                "(Spark regex patterns must fold at plan time) — "
+                "spell dynamic pattern sets as OR'd match() calls"
+            )
+        pats = _split_top_commas(body)
+        cells = " ".join(
+            f"WHEN {args[0]} RLIKE {p.strip()} THEN {i + 1}"
+            for i, p in enumerate(pats)
+        )
+        return f"(CASE {cells} ELSE 0 END)"
+    if name in ("position", "positionUTF8") and len(args) == 2:
+        # CH's arg order is (haystack, needle); Spark's NATIVE
+        # position(substr, str) is REVERSED, so the former
+        # pass-through silently answered 0-for-found (audit wave 3
+        # value catch, r13) — instr has CH's order
+        return f"instr({args[0]}, {args[1]})"
+    if name in ("position", "positionUTF8") and len(args) == 3:
+        # start-position form: Spark locate(substr, str, pos)
+        return f"locate({args[1]}, {args[0]}, {args[2]})"
+    if name in (
+        "positionCaseInsensitive", "positionCaseInsensitiveUTF8"
+    ) and len(args) == 3:
+        return (
+            f"locate(lower({args[1]}), lower({args[0]}), {args[2]})"
+        )
     if name in (
         "positionCaseInsensitive", "positionCaseInsensitiveUTF8"
     ) and len(args) == 2:
@@ -5762,11 +5877,16 @@ def _render_call(name: str, args: list[str]) -> str:
         # 1-based first position per needle, 0 when absent — instr's
         # exact contract, mapped over the needle array (r10 batch 6)
         return f"transform({args[1]}, __ms -> instr({args[0]}, __ms))"
-    if name == "countSubstrings" and len(args) == 2:
+    if name in ("countSubstrings", "countSubstringsUTF8") \
+            and len(args) == 2:
         h, nd = args
         return (
             f"((length({h}) - length(replace({h}, {nd}, ''))) "
             f"DIV length({nd}))"
+        )
+    if name == "countSubstringsCaseInsensitiveUTF8" and len(args) == 2:
+        return _render_call(
+            "countSubstringsCaseInsensitive", args
         )
     if name in ("base64Decode", "tryBase64Decode") and len(args) == 1:
         return f"CAST(unbase64({args[0]}) AS STRING)"
@@ -6867,6 +6987,29 @@ def _render_call(name: str, args: list[str]) -> str:
         base = name[: -len("DistinctIf")]
         return (
             f"{base}(DISTINCT CASE WHEN {args[1]} THEN {args[0]} END)"
+        )
+    if name == "avgForEach" and len(args) == 1:
+        # element-wise mean: the sum fold over the value cast and
+        # the same fold over a 0/1 presence cast, divided (NULL
+        # elements don't count — CH's avg NULL-skip; an all-NULL
+        # position yields NULL via try_divide) — wave 3
+        s = _render_call("sumForEach", args)
+        c = (
+            f"aggregate(collect_list({args[0]}), "
+            f"CAST(array() AS ARRAY<DOUBLE>), "
+            f"(__acc, __x) -> CASE WHEN size(__acc) >= size(__x) "
+            f"THEN zip_with(__acc, transform(__x, __e -> "
+            f"IF(__e IS NULL, CAST(0 AS DOUBLE), 1.0d)), "
+            f"(__p, __q) -> coalesce(__p, CAST(0 AS DOUBLE)) + "
+            f"coalesce(__q, CAST(0 AS DOUBLE))) "
+            f"ELSE zip_with(transform(__x, __e -> "
+            f"IF(__e IS NULL, CAST(0 AS DOUBLE), 1.0d)), __acc, "
+            f"(__q, __p) -> coalesce(__p, CAST(0 AS DOUBLE)) + "
+            f"coalesce(__q, CAST(0 AS DOUBLE))) END)"
+        )
+        return (
+            f"zip_with({s}, {c}, "
+            f"(__sv, __cv) -> try_divide(__sv, __cv))"
         )
     if (
         name.endswith("ForEach")

@@ -5906,6 +5906,42 @@ def test_r13_scalar_batch17(spark):
     # Poisson underflow guard (exp(-λ) = 0.0 would be a constant)
     with pytest.raises(DialectError, match="underflow"):
         transpile("SELECT randPoisson(800) FROM t")
+    # wave 3: the position ARG-ORDER catch — CH position(haystack,
+    # needle); Spark's native position(substr, str) is reversed, so
+    # the old pass-through answered 0-for-found
+    assert one("position('Hello World', 'l')") == 3
+    assert one("position('Hello World', 'l', 4)") == 4
+    assert one("positionUTF8('Hello World', 'World')") == 7
+    assert one("position('Hello World', 'zz')") == 0
+    # first-match replace tier
+    assert one("replaceOne('aXbXc', 'X', '_')") == "a_bXc"
+    assert one("replaceOne('abc', 'z', '_')") == "abc"
+    assert one("replaceRegexpOne('a1b2', '[0-9]', '#')") == "a#b2"
+    # CH \\N replacement backrefs (Java's regexp_replace reads $N)
+    assert one(
+        "replaceRegexpAll('ab12cd', '([0-9])', '<\\\\1>')"
+    ) == "ab<1><2>cd"
+    assert one(
+        "replaceRegexpOne('ab12cd', '([0-9])', '<\\\\1>')"
+    ) == "ab<1>2cd"
+    assert one("replaceRegexpAll('a1b', '[0-9]', '$')") == "a$b"
+    # multiMatchAnyIndex over a literal pattern array
+    assert one(
+        "multiMatchAnyIndex('Hello', ['z+', 'l+', 'H'])"
+    ) == 2
+    assert one("multiMatchAnyIndex('Hello', ['z+'])") == 0
+    # avgForEach: element-wise mean, NULL-skipping per position
+    rows_fe = spark.sql(transpile(
+        "SELECT avgForEach(a) AS m FROM (SELECT "
+        "IF(number = 0, [1.0, 4.0], [3.0, NULL]) AS a "
+        "FROM numbers(2))"
+    )).collect()
+    assert rows_fe[0].m == [2.0, 4.0]
+    # decimal ceiling + low-cardinality hint
+    assert float(one("toDecimal128('2.5', 3)")) == 2.5
+    with pytest.raises(DialectError, match="38"):
+        transpile("SELECT toDecimal256(v, 3) FROM t")
+    assert one("toLowCardinality('x')") == "x"
 
 
 def test_r13_geo_distance_ellipsoid(spark):
