@@ -541,6 +541,16 @@ def _register_vectorized(spark: SparkSession) -> None:
     import re as _re_mod
 
     def _regexp_sub(count: int):
+        def _sub(pv: str, rv: str, hv: str) -> str:
+            # CH's whole-match backref is \0; Python re reads \0 as
+            # a NUL escape — spell it \g<0> (code-review r13b).  An
+            # ESCAPED backslash before the 0 (runtime \\0 = literal
+            # backslash + '0') must not convert.
+            rv = _re_mod.sub(
+                r"((?:^|[^\\])(?:\\\\)*)\\0", r"\1\\g<0>", rv
+            )
+            return _re_mod.sub(pv, rv, hv, count=count)
+
         def apply(
             h: pd.Series, p: pd.Series, r: pd.Series
         ) -> pd.Series:
@@ -548,7 +558,7 @@ def _register_vectorized(spark: SparkSession) -> None:
                 [
                     None
                     if hv is None or pv is None or rv is None
-                    else _re_mod.sub(pv, rv, hv, count=count)
+                    else _sub(pv, rv, hv)
                     for hv, pv, rv in zip(h, p, r)
                 ],
                 dtype="object",

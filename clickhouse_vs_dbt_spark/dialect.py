@@ -1908,14 +1908,39 @@ def _render_call(name: str, args: list[str]) -> str:
                 "Joda→java.time letter audit can run at transpile "
                 "time"
             )
-        body = fmt_txt[1:-1]
-        if "x" in body or "e" in body:
-            raise DialectError(
-                f"{name}: Joda 'x' (weekyear) / 'e' (day-of-week "
-                "number) have no same-letter java.time twin — spell "
-                "the field with java.time letters via parseDateTime"
-            )
-        body = body.replace("Y", "y")  # year-of-era ≈ y for CE dates
+        # decode the SQL literal ('' → ') to the RUNTIME pattern,
+        # walk it with Joda quote semantics ('…' literal text,
+        # '' = literal quote) so quoted text neither trips the x/e
+        # refusal nor has its Y rewritten (code-review r13b), then
+        # re-encode for the emitted SQL
+        rt = fmt_txt[1:-1].replace("''", "'")
+        out_chars: list[str] = []
+        in_q = False
+        ci = 0
+        while ci < len(rt):
+            ch_ = rt[ci]
+            if ch_ == "'":
+                if in_q and ci + 1 < len(rt) and rt[ci + 1] == "'":
+                    out_chars.append("''")  # Joda literal quote
+                    ci += 2
+                    continue
+                out_chars.append("'")
+                in_q = not in_q
+            elif in_q:
+                out_chars.append(ch_)
+            elif ch_ in ("x", "e"):
+                raise DialectError(
+                    f"{name}: Joda 'x' (weekyear) / 'e' "
+                    "(day-of-week number) have no same-letter "
+                    "java.time twin — spell the field with "
+                    "java.time letters via parseDateTime"
+                )
+            elif ch_ == "Y":
+                out_chars.append("y")  # year-of-era ≈ y for CE dates
+            else:
+                out_chars.append(ch_)
+            ci += 1
+        body = "".join(out_chars).replace("'", "''")
         fn = (
             "to_timestamp" if name == "parseDateTimeInJodaSyntax"
             else "try_to_timestamp"
@@ -5475,7 +5500,9 @@ def _render_call(name: str, args: list[str]) -> str:
             "transpiles"
         )
     if name == "toLowCardinality" and len(args) == 1:
-        return args[0]  # a storage-encoding hint; values unchanged
+        # a storage-encoding hint; values unchanged (parenthesized —
+        # a compound argument must keep its precedence, r13b)
+        return f"({args[0]})"
     if name in ("lowCardinalityIndices", "lowCardinalityKeys"):
         raise DialectError(
             f"{name} introspects ClickHouse's per-part dictionary "
@@ -5801,13 +5828,17 @@ def _render_call(name: str, args: list[str]) -> str:
         )
     if name in ("replaceOne", "replaceOneUTF8") and len(args) == 3:
         # first-occurrence literal replace: locate-splice, the
-        # position bound once via the transform ladder (wave 3)
+        # position bound once via the transform ladder (wave 3).
+        # Every argument NULL-propagates like CH (a NULL needle or
+        # replacement answers NULL even when no match, r13b)
         h, n, r = args
         return (
             f"element_at(transform(array(locate({n}, {h})), "
-            f"__rp -> IF(__rp IS NULL OR __rp = 0, {h}, "
-            f"concat(substring({h}, 1, __rp - 1), {r}, "
-            f"substring({h}, __rp + length({n}))))), 1)"
+            f"__rp -> CASE WHEN __rp IS NULL OR ({r}) IS NULL "
+            f"THEN CAST(NULL AS STRING) "
+            f"WHEN __rp = 0 THEN {h} "
+            f"ELSE concat(substring({h}, 1, __rp - 1), {r}, "
+            f"substring({h}, __rp + length({n}))) END), 1)"
         )
     if name == "replaceRegexpOne" and len(args) == 3:
         # first-match regex replace with CH's \N replacement
@@ -5816,16 +5847,23 @@ def _render_call(name: str, args: list[str]) -> str:
         return (
             f"ch_replace_regexp_one({args[0]}, {args[1]}, {args[2]})"
         )
-    if name == "replaceRegexpAll" and len(args) == 3 and (
-        re.search(r"\\+[0-9]", args[2]) or "$" in args[2]
-    ):
-        # backref-bearing (or $-containing) replacements: CH reads
-        # \N and literal $; Java's regexp_replace reads $N — route
-        # through the same re.sub seam so both divergences close
-        return (
-            f"ch_replace_regexp_all_br({args[0]}, {args[1]}, "
-            f"{args[2]})"
+    if name == "replaceRegexpAll" and len(args) == 3:
+        # CH replacements read \N backrefs and literal $; Java's
+        # regexp_replace reads $N and throws on stray $.  Only a
+        # LITERAL replacement free of both stays on the native fast
+        # path; backref/$-bearing literals AND non-literal
+        # (column/expression) replacements route through the re.sub
+        # seam (r13b — a column holding '$1' must not substitute)
+        rt = args[2].strip()
+        plain_literal = (
+            rt.startswith("'") and rt.endswith("'")
+            and not re.search(r"\\+[0-9]", rt) and "$" not in rt
         )
+        if not plain_literal:
+            return (
+                f"ch_replace_regexp_all_br({args[0]}, {args[1]}, "
+                f"{args[2]})"
+            )
     if name == "multiMatchAnyIndex" and len(args) == 2:
         # 1-based index of a matching pattern (0 = none).  Spark's
         # rlike needs a FOLDABLE pattern, so the array must be a
@@ -5844,17 +5882,30 @@ def _render_call(name: str, args: list[str]) -> str:
                 "(Spark regex patterns must fold at plan time) — "
                 "spell dynamic pattern sets as OR'd match() calls"
             )
-        pats = _split_top_commas(body)
+        pats = [
+            p for p in _split_top_commas(body) if p.strip()
+        ]
+        if not pats:
+            return "0"  # CH: empty pattern set matches nothing
+        # bind the haystack once (an expensive or nondeterministic
+        # haystack must not be re-evaluated per arm, r13b)
         cells = " ".join(
-            f"WHEN {args[0]} RLIKE {p.strip()} THEN {i + 1}"
+            f"WHEN __mh RLIKE {p.strip()} THEN {i + 1}"
             for i, p in enumerate(pats)
         )
-        return f"(CASE {cells} ELSE 0 END)"
+        return (
+            f"element_at(transform(array({args[0]}), __mh -> "
+            f"CASE {cells} ELSE 0 END), 1)"
+        )
     if name in ("position", "positionUTF8") and len(args) == 2:
         # CH's arg order is (haystack, needle); Spark's NATIVE
         # position(substr, str) is REVERSED, so the former
         # pass-through silently answered 0-for-found (audit wave 3
-        # value catch, r13) — instr has CH's order
+        # value catch, r13) — instr has CH's order.  Offsets are
+        # CHARACTER-based for both names (bare CH position counts
+        # BYTES; JVM strings have no byte addressing — the
+        # documented position() UTF8 seam, same policy as
+        # countSubstrings/overlayUTF8; identical on ASCII data)
         return f"instr({args[0]}, {args[1]})"
     if name in ("position", "positionUTF8") and len(args) == 3:
         # start-position form: Spark locate(substr, str, pos)
@@ -6989,27 +7040,38 @@ def _render_call(name: str, args: list[str]) -> str:
             f"{base}(DISTINCT CASE WHEN {args[1]} THEN {args[0]} END)"
         )
     if name == "avgForEach" and len(args) == 1:
-        # element-wise mean: the sum fold over the value cast and
-        # the same fold over a 0/1 presence cast, divided (NULL
-        # elements don't count — CH's avg NULL-skip; an all-NULL
-        # position yields NULL via try_divide) — wave 3
-        s = _render_call("sumForEach", args)
-        c = (
-            f"aggregate(collect_list({args[0]}), "
-            f"CAST(array() AS ARRAY<DOUBLE>), "
-            f"(__acc, __x) -> CASE WHEN size(__acc) >= size(__x) "
-            f"THEN zip_with(__acc, transform(__x, __e -> "
-            f"IF(__e IS NULL, CAST(0 AS DOUBLE), 1.0d)), "
-            f"(__p, __q) -> coalesce(__p, CAST(0 AS DOUBLE)) + "
-            f"coalesce(__q, CAST(0 AS DOUBLE))) "
-            f"ELSE zip_with(transform(__x, __e -> "
-            f"IF(__e IS NULL, CAST(0 AS DOUBLE), 1.0d)), __acc, "
-            f"(__q, __p) -> coalesce(__p, CAST(0 AS DOUBLE)) + "
-            f"coalesce(__q, CAST(0 AS DOUBLE))) END)"
+        # element-wise mean: ONE collect_list, bound via the
+        # transform ladder, feeding a single fold that accumulates
+        # (sum, count) struct arrays per position (NULL elements
+        # don't count — CH's avg NULL-skip; an all-NULL position
+        # yields NULL via try_divide).  Wave 3; single-aggregation
+        # shape per code-review r13b.
+        a = args[0]
+        cell = (
+            "named_struct('s', coalesce(__p.s, CAST(0 AS DOUBLE)) + "
+            "coalesce(CAST(__q AS DOUBLE), CAST(0 AS DOUBLE)), "
+            "'c', coalesce(__p.c, CAST(0 AS DOUBLE)) + "
+            "IF(__q IS NULL, CAST(0 AS DOUBLE), 1.0d))"
+        )
+        pad = (
+            "named_struct('s', CAST(0 AS DOUBLE), "
+            "'c', CAST(0 AS DOUBLE))"
+        )
+        fold = (
+            f"aggregate(__fe, "
+            f"CAST(array() AS "
+            f"ARRAY<STRUCT<s: DOUBLE, c: DOUBLE>>), "
+            f"(__acc, __x) -> zip_with("
+            f"CASE WHEN size(__acc) >= size(__x) THEN __acc "
+            f"ELSE concat(__acc, array_repeat({pad}, "
+            f"size(__x) - size(__acc))) END, "
+            f"__x, (__p0, __q) -> element_at(transform(array("
+            f"coalesce(__p0, {pad})), __p -> {cell}), 1)))"
         )
         return (
-            f"zip_with({s}, {c}, "
-            f"(__sv, __cv) -> try_divide(__sv, __cv))"
+            f"element_at(transform(array(collect_list({a})), "
+            f"__fe -> transform({fold}, "
+            f"__sc2 -> try_divide(__sc2.s, __sc2.c))), 1)"
         )
     if (
         name.endswith("ForEach")

@@ -5925,6 +5925,30 @@ def test_r13_scalar_batch17(spark):
         "replaceRegexpOne('ab12cd', '([0-9])', '<\\\\1>')"
     ) == "ab<1>2cd"
     assert one("replaceRegexpAll('a1b', '[0-9]', '$')") == "a$b"
+    # CH \\0 = the whole match (Python re would read NUL) — r13b
+    assert one(
+        r"replaceRegexpAll('hello', 'l+', '[\\0]')"
+    ) == "he[ll]o"
+    # Joda-quoted literal text: Y inside quotes survives, e inside
+    # quotes doesn't trip the weekyear refusal (r13b)
+    assert str(one(
+        "parseDateTimeInJodaSyntax('2021 Year 03', "
+        "'yyyy ''Year'' MM')"
+    )).startswith("2021-03-01")
+    # empty pattern set matches nothing; NULL-propagating replaceOne
+    assert one("multiMatchAnyIndex('x', [])") == 0
+    assert one("replaceOne('abc', 'z', CAST(NULL AS STRING))") is None
+    assert one("replaceOne('abc', CAST(NULL AS STRING), 'x')") is None
+    # toLowCardinality keeps compound-argument precedence (r13b)
+    assert one(
+        "toLowCardinality(1 = 1 OR 1 = 2) AND 1 = 2"
+    ) is False
+    # ragged avgForEach: short rows pad, not truncate (r13b)
+    rows_rg = spark.sql(transpile(
+        "SELECT avgForEach(a) AS m FROM (SELECT "
+        "IF(number = 0, [1.0], [3.0, 4.0]) AS a FROM numbers(2))"
+    )).collect()
+    assert rows_rg[0].m == [2.0, 4.0]
     # multiMatchAnyIndex over a literal pattern array
     assert one(
         "multiMatchAnyIndex('Hello', ['z+', 'l+', 'H'])"
