@@ -398,12 +398,22 @@ def main() -> int:
                     best2 = min(best2, time.perf_counter() - t0)
                 best2 = round(best2, 3)
                 nn2 = best2 / calib
+                # raw seconds ride along so a CALIBRATION-median
+                # shift is visible at a glance: same-code r13 pair
+                # measured raw totals −10% while the calib kernel
+                # moved −22%, inflating every norm +17% — a flagged
+                # query whose raw seconds are flat is a denominator
+                # artifact, not a plan change
+                prev_q = (prev.get("queries") or {}).get(q)
                 entry = {
                     "prev_norm": round(pn, 2),
                     "norm": round(nn, 2),
                     "ratio": round(nn / pn, 2),
                     "rerun_norm": round(nn2, 2),
                     "rerun_ratio": round(nn2 / pn, 2),
+                    "prev_sec": prev_q,
+                    "sec": sec,
+                    "rerun_sec": best2,
                 }
                 timings[q] = min(timings[q], best2)
                 if nn2 / pn > 1.5:
