@@ -187,7 +187,7 @@ def f_pvalue(f: float, d1: float, d2: float) -> float:
 
 #: bump when the vectorized set below changes — the registration
 #: digest must move or live sessions keep stale definitions
-_VECTORIZED_VERSION = 14  # r13: + ch_replace_regexp_one/_all_br
+_VECTORIZED_VERSION = 15  # r13c: adjacent-\0 conversion fix
 
 
 def _register_vectorized(spark: SparkSession) -> None:
@@ -541,15 +541,37 @@ def _register_vectorized(spark: SparkSession) -> None:
     import re as _re_mod
 
     def _regexp_sub(count: int):
-        def _sub(pv: str, rv: str, hv: str) -> str:
+        def _cvt0(rv: str) -> str:
             # CH's whole-match backref is \0; Python re reads \0 as
-            # a NUL escape — spell it \g<0> (code-review r13b).  An
-            # ESCAPED backslash before the 0 (runtime \\0 = literal
-            # backslash + '0') must not convert.
-            rv = _re_mod.sub(
-                r"((?:^|[^\\])(?:\\\\)*)\\0", r"\1\\g<0>", rv
-            )
-            return _re_mod.sub(pv, rv, hv, count=count)
+            # a NUL escape — spell it \g<0> (code-review r13b).  A
+            # char scan with a backslash-run counter: converts every
+            # \0 behind an EVEN run (so \\0 = escaped backslash +
+            # '0' survives), including ADJACENT backrefs \0\0 that a
+            # single regex pass misses (code-review r13c)
+            out: list[str] = []
+            i = 0
+            bs = 0
+            while i < len(rv):
+                c = rv[i]
+                if c == "\\":
+                    if (
+                        i + 1 < len(rv) and rv[i + 1] == "0"
+                        and bs % 2 == 0
+                    ):
+                        out.append("\\g<0>")
+                        i += 2
+                        bs = 0
+                        continue
+                    out.append(c)
+                    bs += 1
+                else:
+                    out.append(c)
+                    bs = 0
+                i += 1
+            return "".join(out)
+
+        def _sub(pv: str, rv: str, hv: str) -> str:
+            return _re_mod.sub(pv, _cvt0(rv), hv, count=count)
 
         def apply(
             h: pd.Series, p: pd.Series, r: pd.Series

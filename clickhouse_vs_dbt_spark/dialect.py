@@ -1924,6 +1924,16 @@ def _render_call(name: str, args: list[str]) -> str:
                     out_chars.append("''")  # Joda literal quote
                     ci += 2
                     continue
+                if (
+                    not in_q and ci + 1 < len(rt)
+                    and rt[ci + 1] == "'"
+                ):
+                    # standalone '' OUTSIDE a quoted run: Joda
+                    # parses it as an EMPTY literal (a no-op);
+                    # java.time would demand a literal quote in the
+                    # input — drop it (code-review r13c)
+                    ci += 2
+                    continue
                 out_chars.append("'")
                 in_q = not in_q
             elif in_q:
@@ -5854,11 +5864,30 @@ def _render_call(name: str, args: list[str]) -> str:
         # path; backref/$-bearing literals AND non-literal
         # (column/expression) replacements route through the re.sub
         # seam (r13b — a column holding '$1' must not substitute)
-        rt = args[2].strip()
+        rts = [
+            t for t in _tokens(args[2]) if not _is_skippable(t)
+        ]
+        # exactly ONE string token = a true literal ('a' || col
+        # || 'b' starts and ends with quotes but is dynamic —
+        # code-review r13c)
         plain_literal = (
-            rt.startswith("'") and rt.endswith("'")
-            and not re.search(r"\\+[0-9]", rt) and "$" not in rt
+            len(rts) == 1 and rts[0].startswith("'")
+            and not re.search(r"\\+[0-9]", rts[0])
+            and "$" not in rts[0]
         )
+        pat = args[1].strip()
+        if not plain_literal and pat.startswith("'") \
+                and pat.endswith("'"):
+            # the seam runs Python re: a literal pattern it cannot
+            # compile (\p{..}, possessive quantifiers) keeps the
+            # native Java path — Java-$N replacement semantics on
+            # that corner are documented (code-review r13c)
+            try:
+                import re as _re_chk
+
+                _re_chk.compile(pat[1:-1])
+            except _re_chk.error:
+                plain_literal = True
         if not plain_literal:
             return (
                 f"ch_replace_regexp_all_br({args[0]}, {args[1]}, "

@@ -5925,10 +5925,24 @@ def test_r13_scalar_batch17(spark):
         "replaceRegexpOne('ab12cd', '([0-9])', '<\\\\1>')"
     ) == "ab<1>2cd"
     assert one("replaceRegexpAll('a1b', '[0-9]', '$')") == "a$b"
-    # CH \\0 = the whole match (Python re would read NUL) — r13b
+    # CH \\0 = the whole match (Python re would read NUL) — r13b;
+    # adjacent backrefs convert independently (r13c)
     assert one(
         r"replaceRegexpAll('hello', 'l+', '[\\0]')"
     ) == "he[ll]o"
+    assert one(
+        r"replaceRegexpAll('hello', 'l+', '\\0\\0')"
+    ) == "hellllo"
+    # a ||-concatenated (dynamic) replacement routes to the seam:
+    # literal $ stays literal (r13c)
+    assert one(
+        "replaceRegexpAll('a1b', '([0-9])', 'p' || '$' || 'q')"
+    ) == "ap$qb"
+    # standalone Joda '' is an EMPTY literal (no-op), not a
+    # mandatory quote char (r13c)
+    assert str(one(
+        "parseDateTimeInJodaSyntax('1030', 'HH''''mm')"
+    )).endswith("10:30:00")
     # Joda-quoted literal text: Y inside quotes survives, e inside
     # quotes doesn't trip the weekyear refusal (r13b)
     assert str(one(
