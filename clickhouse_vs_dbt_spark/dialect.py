@@ -5509,6 +5509,16 @@ def _render_call(name: str, args: list[str]) -> str:
             "DECIMAL(38) ceiling — toDecimal128 (38 digits) "
             "transpiles"
         )
+    if name in ("greatest", "least") and len(args) >= 2:
+        # ClickHouse's standard regular-function contract
+        # NULL-propagates: greatest(1, NULL) is NULL.  Spark's (and
+        # DuckDB's) greatest/least SKIP NULLs — a silent value
+        # divergence the wave-4 semantic sweep caught (r13c)
+        null_any = " OR ".join(f"({a}) IS NULL" for a in args)
+        return (
+            f"(CASE WHEN {null_any} THEN NULL "
+            f"ELSE {name}({joined}) END)"
+        )
     if name == "toLowCardinality" and len(args) == 1:
         # a storage-encoding hint; values unchanged (parenthesized —
         # a compound argument must keep its precedence, r13b)

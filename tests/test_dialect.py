@@ -1989,6 +1989,13 @@ SELECT count() AS n FROM samp_t SAMPLE 1/2;
     assert spark.sql(s_memo).collect()[0].n == n_rows
     # storage-signature invalidation: an INSERT into a managed
     # sampled table changes the folded literal on the next transpile
+    import shutil as _sh
+
+    _wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix(
+        "file:"
+    )
+    spark.sql("DROP TABLE IF EXISTS samp_memo_t")
+    _sh.rmtree(f"{_wh}/samp_memo_t", ignore_errors=True)
     run_clickhouse_script(
         spark,
         """
@@ -5957,6 +5964,12 @@ def test_r13_scalar_batch17(spark):
     assert one(
         "toLowCardinality(1 = 1 OR 1 = 2) AND 1 = 2"
     ) is False
+    # greatest/least NULL-propagate like CH regular functions
+    # (Spark's natives skip NULLs — wave-4 semantic sweep, r13c)
+    assert one("greatest(1, CAST(NULL AS INT), 3)") is None
+    assert one("least(1, CAST(NULL AS INT))") is None
+    assert one("greatest(1, 5, 3)") == 5
+    assert one("least(2.5, 1.5)") == 1.5
     # ragged avgForEach: short rows pad, not truncate (r13b)
     rows_rg = spark.sql(transpile(
         "SELECT avgForEach(a) AS m FROM (SELECT "
