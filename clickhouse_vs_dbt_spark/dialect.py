@@ -5513,7 +5513,11 @@ def _render_call(name: str, args: list[str]) -> str:
         # ClickHouse's standard regular-function contract
         # NULL-propagates: greatest(1, NULL) is NULL.  Spark's (and
         # DuckDB's) greatest/least SKIP NULLs — a silent value
-        # divergence the wave-4 semantic sweep caught (r13c)
+        # divergence the wave-4 semantic sweep caught (r13c).
+        # Token-level rewrites that pre-splice Spark SQL (sample
+        # clause, PASTE bucketing) spell their own GREATEST/LEAST
+        # UPPERCASE so re-rendering doesn't wrap them — CH's names
+        # are case-sensitive, so uppercase can never be CH input.
         null_any = " OR ".join(f"({a}) IS NULL" for a in args)
         return (
             f"(CASE WHEN {null_any} THEN NULL "
@@ -10908,8 +10912,8 @@ def _rewrite_sample_clause(toks: list[str], engine_info=None):
             # explicitly-truncating form keeps the engine and oracle
             # bounds bit-identical (ADVICE r8)
             hi_dyn = (
-                f"CAST(floor(least(CAST({4294967296 - lo} AS DOUBLE), "
-                f"4294967296.0 * {n_rows} / greatest(CAST(1 AS "
+                f"CAST(floor(LEAST(CAST({4294967296 - lo} AS DOUBLE), "
+                f"4294967296.0 * {n_rows} / GREATEST(CAST(1 AS "
                 f"BIGINT), {count_expr}))) "
                 f"AS BIGINT)"
             )
@@ -11365,13 +11369,13 @@ def _paste_ranked_side(side_sql: str, order_keys: str) -> str:
     # else a single NaN poisons max() and the width.
     bucket = (
         f"CASE WHEN isnan(coalesce({k}, 0d)) THEN {nb - 1} ELSE "
-        f"coalesce(least({nb - 1}, greatest(0, "
+        f"coalesce(LEAST({nb - 1}, GREATEST(0, "
         f"CAST(floor(({k} - __plo) / __pwd) AS INT))), 0) END"
     )
     knn = f"nanvl({k}, CAST(NULL AS DOUBLE))"
     stats = (
         f"(SELECT min({knn}) AS __plo, "
-        f"greatest((max({knn}) - min({knn})) / {nb}, 1e-9d) AS __pwd "
+        f"GREATEST((max({knn}) - min({knn})) / {nb}, 1e-9d) AS __pwd "
         f"FROM ({side_sql}))"
     )
     bucketed = (

@@ -2009,7 +2009,7 @@ INSERT INTO samp_memo_t SELECT number FROM numbers(100);
         "SELECT count() AS n FROM samp_memo_t SAMPLE 10",
         engine_info=_ddl.lookup_engine_info,
     )
-    assert "/ greatest(CAST(1 AS BIGINT), 100)" in s1
+    assert "/ GREATEST(CAST(1 AS BIGINT), 100)" in s1
     run_clickhouse_script(
         spark,
         "INSERT INTO samp_memo_t SELECT number + 100 "
@@ -2019,7 +2019,7 @@ INSERT INTO samp_memo_t SELECT number FROM numbers(100);
         "SELECT count() AS n FROM samp_memo_t SAMPLE 10",
         engine_info=_ddl.lookup_engine_info,
     )
-    assert "/ greatest(CAST(1 AS BIGINT), 150)" in s2
+    assert "/ GREATEST(CAST(1 AS BIGINT), 150)" in s2
     spark.sql("DROP TABLE IF EXISTS samp_memo_t")
     # near the top of the keyspace the width clamps: the slice never
     # wraps, so everything it returns hashes >= the offset bound
