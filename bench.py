@@ -259,12 +259,14 @@ HEADLINE = [
     "dialect_tumble",
     "dialect_probe19",
     # round-13 additions: the WGS-84 geoDistance flip, the
-    # join-owned bounded groupConcat, and the full-definition
-    # ATTACH restore script
+    # join-owned bounded groupConcat, the full-definition
+    # ATTACH restore script, and the no-equality ANY JOIN
+    # running-min form
     "dialect_geo_distance",
     "dialect_group_concat_join",
     "ch_script_attach_full",
     "dialect_probe22",
+    "dialect_any_join_noeq",
 ]
 
 

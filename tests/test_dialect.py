@@ -701,8 +701,9 @@ def test_any_join_using_collapses_right_side():
     # mixed equality + inequality conjuncts map since r12 (the
     # derived-relation form — test_r12_any_join_inequality_on); this
     # SELECT * shape takes the LATERAL form so no helper columns
-    # leak into the star; a conjunct list with NO both-side equality
-    # still refuses
+    # leak into the star; a no-equality conjunct list maps since r13
+    # (running-min form — test_r13_any_join_no_equality), and its
+    # star shape routes to LATERAL the same way
     out_ineq = transpile(
         "SELECT * FROM l ANY LEFT JOIN r rr ON l.a = rr.k1 "
         "AND l.b > rr.k2",
@@ -711,13 +712,13 @@ def test_any_join_using_collapses_right_side():
         ),
     )
     assert "LATERAL" in out_ineq and "__any_lk" not in out_ineq
-    with pytest.raises(DialectError, match="any_left_join"):
-        transpile(
-            "SELECT * FROM l ANY LEFT JOIN r rr ON l.b > rr.k2",
-            resolve_columns=lambda rel: (
-                ["k1", "k2", "v1"] if "r" in rel else None
-            ),
-        )
+    out_noeq = transpile(
+        "SELECT * FROM l ANY LEFT JOIN r rr ON l.b > rr.k2",
+        resolve_columns=lambda rel: (
+            ["k1", "k2", "v1"] if "r" in rel else None
+        ),
+    )
+    assert "LATERAL" in out_noeq and "__any_lk" not in out_noeq
 
 
 def test_limit_by_union_guard_and_parenthesized_branch():
@@ -5622,13 +5623,14 @@ def test_r12_any_join_inequality_on(spark):
     )
     assert "LATERAL" in ql
     assert spark.sql(ql).count() == 20
-    # no both-side equality conjunct → the backstop refusal stands
-    with pytest.raises(DialectError, match="any_left_join"):
-        transpile(
-            "SELECT l.k FROM ai_l l ANY LEFT JOIN ai_r r "
-            "ON r.rv > l.lv",
-            resolve_columns=res,
-        )
+    # no both-side equality conjunct: maps since r13 (running-min
+    # form — test_r13_any_join_no_equality covers semantics)
+    q0 = transpile(
+        "SELECT l.k FROM ai_l l ANY LEFT JOIN ai_r r "
+        "ON r.rv > l.lv",
+        resolve_columns=res,
+    )
+    assert "__any_lk0" in q0 and "LATERAL" not in q0
     # star projection routes to the LATERAL form: the derived form
     # would leak its __any_lk* helper columns into SELECT *
     # (code-review r12a)
@@ -5662,6 +5664,101 @@ def test_r12_any_join_inequality_on(spark):
     )
     # first branch derived, star branch lateral
     assert "__any_lk" in qu and "LATERAL" in qu
+
+
+def test_r13_any_join_no_equality(spark):
+    """VERDICT r12 final missing item: ANY JOIN with NO equality
+    conjunct.  A single order-comparison conjunct takes the
+    running-min form (per-value min(struct) group + one window over
+    distinct values + equi-join back — no theta join, no LATERAL);
+    all four operators and both strictness kinds agree with the
+    brute-force pick (lexicographic-min right row over the eligible
+    set); NULL comparison values match nothing; shapes the
+    running-min form can't own (multi-conjunct, !=, compound) fall
+    back to LATERAL and stay correct."""
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW nq_l AS SELECT CAST(id AS "
+        "DOUBLE) AS lv, id AS lid FROM range(12) UNION ALL "
+        "SELECT NULL, 99"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW nq_r AS SELECT "
+        "CAST(id % 7 AS DOUBLE) AS rv, concat('t', id) AS tag "
+        "FROM range(14) UNION ALL SELECT NULL, 'tnull'"
+    )
+    res = lambda rel: {  # noqa: E731
+        "nq_l": ["lv", "lid"], "nq_r": ["rv", "tag"],
+    }.get(rel.strip())
+    rts = [(float(i % 7), "t%d" % i) for i in range(14)]
+    lvs = [float(i) for i in range(12)] + [None]
+    ops = {
+        ">": lambda x, y: y < x, ">=": lambda x, y: y <= x,
+        "<": lambda x, y: y > x, "<=": lambda x, y: y >= x,
+    }
+    for op, pred in ops.items():
+        q = transpile(
+            f"SELECT l.lid AS lid, r.rv AS rv, r.tag AS tag "
+            f"FROM nq_l l ANY LEFT JOIN nq_r r ON l.lv {op} r.rv "
+            f"ORDER BY lid",
+            resolve_columns=res,
+        )
+        assert "__any_lk0" in q and "LATERAL" not in q, op
+        rows = spark.sql(q).collect()
+        assert len(rows) == 13, op  # |left| preserved, no fan-out
+        for r in rows:
+            lv = None if r.lid == 99 else float(r.lid)
+            cand = sorted(c for c in rts if lv is not None
+                          and pred(lv, c[0]))
+            want = cand[0] if cand else None
+            got = (r.rv, r.tag) if r.tag is not None else None
+            assert got == want, (op, tuple(r), want)
+        # inner strictness drops unmatched left rows
+        qi = transpile(
+            f"SELECT l.lid AS lid FROM nq_l l ANY JOIN nq_r r "
+            f"ON l.lv {op} r.rv",
+            resolve_columns=res,
+        )
+        n = sum(1 for lv in lvs if lv is not None
+                and any(pred(lv, c[0]) for c in rts))
+        assert spark.sql(qi).count() == n, op
+    # right operand spelled first: the operator flips with the swap
+    qsw = transpile(
+        "SELECT l.lid AS lid, r.tag AS tag FROM nq_l l "
+        "ANY LEFT JOIN nq_r r ON r.rv < l.lv ORDER BY lid",
+        resolve_columns=res,
+    )
+    assert "__any_lk0" in qsw
+    r3 = [r for r in spark.sql(qsw).collect() if r.lid == 3][0]
+    cand = sorted(c for c in rts if c[0] < 3.0)
+    assert r3.tag == cand[0][1]
+    # multi-conjunct pure-inequality → LATERAL fallback, correct
+    qm = transpile(
+        "SELECT l.lid AS lid, r.tag AS tag FROM nq_l l "
+        "ANY LEFT JOIN nq_r r ON l.lv > r.rv AND l.lv < r.rv + 3 "
+        "ORDER BY lid",
+        resolve_columns=res,
+    )
+    assert "LATERAL" in qm
+    for r in spark.sql(qm).collect():
+        lv = None if r.lid == 99 else float(r.lid)
+        cand = sorted(c for c in rts
+                      if lv is not None and c[0] < lv < c[0] + 3)
+        want = cand[0][1] if cand else None
+        assert r.tag == want, (tuple(r), want)
+    # != has no prefix ordering → LATERAL
+    qne = transpile(
+        "SELECT l.lid AS lid, r.tag AS tag FROM nq_l l "
+        "ANY LEFT JOIN nq_r r ON l.lv != r.rv",
+        resolve_columns=res,
+    )
+    assert "LATERAL" in qne
+    # un-parenthesized compound rhs must NOT be operand-spliced
+    qor = transpile(
+        "SELECT l.lid AS lid, r.tag AS tag FROM nq_l l "
+        "ANY LEFT JOIN nq_r r ON l.lv > r.rv OR r.rv IS NULL",
+        resolve_columns=res,
+    )
+    assert "LATERAL" in qor and "__any_lk" not in qor
 
 
 def test_r12_scalar_batch15(spark):
