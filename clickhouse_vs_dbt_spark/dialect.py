@@ -9369,7 +9369,10 @@ def _any_on_span(toks, on_i):
 
 def _any_on_conjuncts(toks, i, end):
     """AND-split conjunct token lists of an ON span (code tokens
-    only, parens opaque)."""
+    only, parens opaque).  Each conjunct is stripped of redundant
+    whole-conjunct parens — ``ON (l.x > r.y)`` must classify the
+    same as the bare spelling (code-review r13d: the wrapped form
+    silently fell to the 40x LATERAL plan)."""
     span = [t for t in toks[i:end] if not _is_skippable(t)]
     conjuncts: list[list[str]] = [[]]
     d = 0
@@ -9382,6 +9385,22 @@ def _any_on_conjuncts(toks, i, end):
             conjuncts.append([])
         else:
             conjuncts[-1].append(t)
+    for n, c in enumerate(conjuncts):
+        while len(c) >= 2 and c[0] == "(" and c[-1] == ")":
+            depth = 0
+            whole = True
+            for m, t in enumerate(c):
+                if t == "(":
+                    depth += 1
+                elif t == ")":
+                    depth -= 1
+                    if depth == 0 and m != len(c) - 1:
+                        whole = False  # e.g. (a) > (b)
+                        break
+            if not whole:
+                break
+            c = c[1:-1]
+        conjuncts[n] = c
     return conjuncts
 
 
@@ -9572,6 +9591,9 @@ def _any_ineq_rewrite(
         return None
     i, end = _any_on_span(toks, on_i)
     conjuncts = _any_on_conjuncts(toks, i, end)
+    if any(not c for c in conjuncts):
+        return None  # empty ON span / dangling AND → backstop
+        # refusal, not unparseable spliced SQL (code-review r13d)
     n_eq = sum(
         1 for c in conjuncts
         if _eq_conjunct_right_key(c, r_alias) is not None
@@ -9662,29 +9684,10 @@ def _any_ineq_derived(
     slot: dict[str, int] = {}
     conds: list[str] = []
     for c in conjuncts:
-        parts = _split_cmp_conjunct(c)
-        if parts is None:
+        sides = _any_cmp_sides(c, r_alias, l_alias)
+        if sides is None:
             return None
-        lhs, op, rhs = parts
-        if not _cmp_sides_clean(lhs, rhs):
-            return None  # compound conjunct: LATERAL keeps it verbatim
-        l_on_left = True
-        if _refs_alias(lhs, r_alias) and not _refs_alias(rhs, r_alias):
-            lhs, rhs = rhs, lhs  # right operand was spelled first
-            l_on_left = False
-        elif not (
-            _refs_alias(rhs, r_alias) and not _refs_alias(lhs, r_alias)
-        ):
-            return None  # both/neither sides right-qualified
-        if not lhs or not rhs:
-            return None
-        # left operand: every qualifier must be the left item's alias
-        for n, t in enumerate(lhs):
-            if (
-                _is_ident(t) and n + 1 < len(lhs) and lhs[n + 1] == "."
-                and t != l_alias
-            ):
-                return None  # three-way reference: lateral fallback
+        lhs, op, rhs, l_on_left = sides
         ltext = " ".join(lhs)
         rtext = " ".join(
             "__any_r" if (
@@ -9744,6 +9747,50 @@ def _cmp_sides_clean(*sides) -> bool:
     )
 
 
+def _any_cmp_sides(c, r_alias, l_alias):
+    """Normalise one ANY-JOIN ON conjunct to ``(lhs tokens, op, rhs
+    tokens, l_on_left)``: the left-item operand in lhs, the
+    right-side operand in rhs.  None (→ LATERAL fallback) when the
+    conjunct has no depth-0 comparison, is an un-parenthesized
+    compound (:func:`_cmp_sides_clean`), has both/neither side
+    right-qualified, or either operand references a table it cannot
+    resolve against — every lhs qualifier must be the left item's
+    alias and every rhs qualifier the right alias (code-review r13d:
+    a left/third-table reference inside the right operand would be
+    spliced into the right-only derived subquery where it is out of
+    scope).  Shared by the derived-relation and running-min forms so
+    the classification cannot diverge (code-review r13d)."""
+    parts = _split_cmp_conjunct(c)
+    if parts is None:
+        return None
+    lhs, op, rhs = parts
+    if not _cmp_sides_clean(lhs, rhs):
+        return None  # compound conjunct: LATERAL keeps it verbatim
+    l_on_left = True
+    if _refs_alias(lhs, r_alias) and not _refs_alias(rhs, r_alias):
+        lhs, rhs = rhs, lhs  # right operand was spelled first
+        l_on_left = False
+    elif not (
+        _refs_alias(rhs, r_alias) and not _refs_alias(lhs, r_alias)
+    ):
+        return None  # both/neither sides right-qualified
+    if not lhs or not rhs:
+        return None
+    for n, t in enumerate(lhs):
+        if (
+            _is_ident(t) and n + 1 < len(lhs) and lhs[n + 1] == "."
+            and t != l_alias
+        ):
+            return None  # three-way reference: lateral fallback
+    for n, t in enumerate(rhs):
+        if (
+            _is_ident(t) and n + 1 < len(rhs) and rhs[n + 1] == "."
+            and t != r_alias
+        ):
+            return None  # left/third-table ref in the right operand
+    return lhs, op, rhs, l_on_left
+
+
 def _any_noeq_derived(
     toks, splice_start, strict, right_ref, r_alias, conjuncts, rcols,
 ):
@@ -9782,21 +9829,6 @@ def _any_noeq_derived(
     LATERAL fallback owns those."""
     if len(conjuncts) != 1:
         return None
-    parts = _split_cmp_conjunct(conjuncts[0])
-    if parts is None:
-        return None
-    lhs, op, rhs = parts
-    if op not in _NOEQ_FLIP or not _cmp_sides_clean(lhs, rhs):
-        return None
-    if _refs_alias(lhs, r_alias) and not _refs_alias(rhs, r_alias):
-        lhs, rhs = rhs, lhs
-        op = _NOEQ_FLIP[op]  # right operand was spelled first
-    elif not (
-        _refs_alias(rhs, r_alias) and not _refs_alias(lhs, r_alias)
-    ):
-        return None  # both/neither sides right-qualified
-    if not lhs or not rhs:
-        return None
     left_rel = _left_from_item(toks, splice_start)
     if left_rel is None:
         return None
@@ -9804,12 +9836,14 @@ def _any_noeq_derived(
     l_alias = toks[l_alias_i] if l_alias_i >= 0 else ""
     if any(c.startswith("__any_") for c in rcols):
         return None
-    for n, t in enumerate(lhs):
-        if (
-            _is_ident(t) and n + 1 < len(lhs) and lhs[n + 1] == "."
-            and t != l_alias
-        ):
-            return None  # three-way reference: lateral fallback
+    sides = _any_cmp_sides(conjuncts[0], r_alias, l_alias)
+    if sides is None:
+        return None
+    lhs, op, rhs, l_on_left = sides
+    if op not in _NOEQ_FLIP:
+        return None
+    if not l_on_left:
+        op = _NOEQ_FLIP[op]  # right operand was spelled first
     ltext = " ".join(lhs)
     rtext = " ".join(
         "__any_r" if (
@@ -15579,7 +15613,8 @@ O_ANY_JOIN_INEQ = """
 WITH j AS (
   SELECT o.o_orderkey AS k, o.o_totalprice AS tp, s.sd, s.qty,
          row_number() OVER (PARTITION BY o.o_orderkey
-             ORDER BY s.lk, s.sd, s.qty) AS rn
+             ORDER BY s.lk NULLS FIRST, s.sd NULLS FIRST,
+                      s.qty NULLS FIRST) AS rn
   FROM orders o
   LEFT JOIN (
       SELECT l_orderkey AS lk, CAST(l_shipdate AS DATE) AS sd,
@@ -15636,14 +15671,16 @@ SELECT 1 AS leg, c.c_custkey AS k, s.nm AS nm, CAST(s.ab AS DOUBLE) AS ab
 FROM customer c
 LEFT JOIN LATERAL (
     SELECT s_acctbal AS ab, s_name AS nm FROM supplier
-    WHERE s_acctbal < c.c_acctbal ORDER BY 1, 2 LIMIT 1) s ON TRUE
+    WHERE s_acctbal < c.c_acctbal
+    ORDER BY 1 NULLS FIRST, 2 NULLS FIRST LIMIT 1) s ON TRUE
 WHERE c.c_custkey % 17 = 0
 UNION ALL
 SELECT 2 AS leg, c.c_custkey AS k, s.nm AS nm, CAST(s.ab AS DOUBLE) AS ab
 FROM customer c
 JOIN LATERAL (
     SELECT s_acctbal AS ab, s_name AS nm FROM supplier
-    WHERE c.c_acctbal <= s_acctbal ORDER BY 1, 2 LIMIT 1) s ON TRUE
+    WHERE c.c_acctbal <= s_acctbal
+    ORDER BY 1 NULLS FIRST, 2 NULLS FIRST LIMIT 1) s ON TRUE
 WHERE c.c_custkey % 17 = 0
 ORDER BY leg, k
 """

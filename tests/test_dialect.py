@@ -5759,6 +5759,79 @@ def test_r13_any_join_no_equality(spark):
         resolve_columns=res,
     )
     assert "LATERAL" in qor and "__any_lk" not in qor
+    # whole-conjunct parens classify like the bare spelling
+    # (code-review r13d: the wrapped form fell to the 40x LATERAL)
+    qp = transpile(
+        "SELECT l.lid AS lid, r.tag AS tag FROM nq_l l "
+        "ANY LEFT JOIN nq_r r ON ((l.lv > r.rv)) ORDER BY lid",
+        resolve_columns=res,
+    )
+    assert "__any_lk0" in qp and "LATERAL" not in qp
+    # ...but (a) > (b) keeps its operand parens
+    qpp = transpile(
+        "SELECT l.lid AS lid, r.tag AS tag FROM nq_l l "
+        "ANY LEFT JOIN nq_r r ON (l.lv) > (r.rv) ORDER BY lid",
+        resolve_columns=res,
+    )
+    assert "__any_lk0" in qpp
+    assert (spark.sql(qp).collect() == spark.sql(qpp).collect())
+    # a left-alias reference inside the RIGHT operand cannot resolve
+    # in the right-only derived subquery → LATERAL, still correct
+    # (code-review r13d)
+    qlr = transpile(
+        "SELECT l.lid AS lid, r.tag AS tag FROM nq_l l "
+        "ANY LEFT JOIN nq_r r ON l.lv > r.rv + l.lid ORDER BY lid",
+        resolve_columns=res,
+    )
+    assert "LATERAL" in qlr and "__any_lk" not in qlr
+    for r in spark.sql(qlr).collect():
+        lv = None if r.lid == 99 else float(r.lid)
+        cand = sorted(c for c in rts
+                      if lv is not None and lv > c[0] + r.lid)
+        want = cand[0][1] if cand else None
+        assert r.tag == want, (tuple(r), want)
+    # same hole in the mixed eq+ineq derived form (code-review r13d)
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW nq_r2 AS SELECT "
+        "CAST(id % 3 AS DOUBLE) AS k2, CAST(id % 7 AS DOUBLE) AS rv,"
+        " concat('t', id) AS tag FROM range(14)"
+    )
+    res2 = lambda rel: {  # noqa: E731
+        "nq_l": ["lv", "lid"], "nq_r2": ["k2", "rv", "tag"],
+    }.get(rel.strip())
+    qlr2 = transpile(
+        "SELECT l.lid AS lid, r.tag AS tag FROM nq_l l "
+        "ANY LEFT JOIN nq_r2 r ON r.k2 = l.lid % 3 "
+        "AND l.lv > r.rv + l.lid",
+        resolve_columns=res2,
+    )
+    assert "LATERAL" in qlr2 and "__any_lk" not in qlr2
+    spark.sql(qlr2).collect()  # must resolve and run
+    # empty ON span keeps the backstop refusal, never spliced SQL
+    with pytest.raises(DialectError, match="any_left_join"):
+        transpile(
+            "SELECT l.lid FROM nq_l l ANY LEFT JOIN nq_r r ON "
+            "WHERE l.lid > 0",
+            resolve_columns=res,
+        )
+    # NULL payload columns sort FIRST in the min-struct pick — the
+    # documented refinement both the engine and the DuckDB oracle
+    # spell (code-review r13d pinned the oracle to NULLS FIRST)
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW nq_r3 AS SELECT "
+        "CAST(1.0 AS DOUBLE) AS rv, CASE WHEN id = 0 THEN NULL "
+        "ELSE concat('t', id) END AS tag FROM range(3)"
+    )
+    res3 = lambda rel: {  # noqa: E731
+        "nq_l": ["lv", "lid"], "nq_r3": ["rv", "tag"],
+    }.get(rel.strip())
+    qn = transpile(
+        "SELECT l.lid AS lid, r.tag AS tag FROM nq_l l "
+        "ANY LEFT JOIN nq_r3 r ON l.lv > r.rv",
+        resolve_columns=res3,
+    )
+    picks = {r.tag for r in spark.sql(qn).collect() if r.lid not in (0, 1, 99)}
+    assert picks == {None}  # (1.0, NULL) beats (1.0, 't1'/'t2')
 
 
 def test_r12_scalar_batch15(spark):
