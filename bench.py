@@ -267,6 +267,7 @@ HEADLINE = [
     "ch_script_attach_full",
     "dialect_probe22",
     "dialect_any_join_noeq",
+    "dialect_probe23",
 ]
 
 

@@ -230,13 +230,40 @@ def _register_vectorized(spark: SparkSession) -> None:
 
         return apply
 
-    # erf/erfc/lgamma/tgamma have no Catalyst spelling and numpy
-    # ships none either — libm via math.*, Arrow-batched transfer
+    def _erfinv(x: float) -> float:
+        # inverse error function (r13 batch 18): Winitzki initial
+        # guess refined by three Newton steps against libm's exact
+        # erf — full double precision away from the +-1 poles
+        if x != x:
+            return float("nan")
+        if x >= 1.0:
+            return float("inf") if x == 1.0 else float("nan")
+        if x <= -1.0:
+            return float("-inf") if x == -1.0 else float("nan")
+        if x == 0.0:
+            return 0.0
+        a = 0.147
+        ln1mx2 = math.log(1.0 - x * x)
+        t = 2.0 / (math.pi * a) + ln1mx2 / 2.0
+        y = math.copysign(
+            math.sqrt(math.sqrt(t * t - ln1mx2 / a) - t), x
+        )
+        for _ in range(3):
+            err = math.erf(y) - x
+            y -= err / (
+                2.0 / math.sqrt(math.pi) * math.exp(-y * y)
+            )
+        return y
+
+    # erf/erfc/lgamma/tgamma/erfInv have no Catalyst spelling and
+    # numpy ships none either — libm via math.*, Arrow-batched
+    # transfer
     for ch_name, fn in (
         ("ch_erf", math.erf),
         ("ch_erfc", math.erfc),
         ("ch_lgamma", math.lgamma),
         ("ch_tgamma", math.gamma),
+        ("ch_erfinv", _erfinv),
     ):
         spark.udf.register(
             ch_name, pandas_udf("double")(_unary_math(fn))

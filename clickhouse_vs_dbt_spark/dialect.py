@@ -231,6 +231,7 @@ _RENAME = {
     "mapKeys": "map_keys",
     "mapValues": "map_values",
     "mapContains": "map_contains_key",
+    "mapContainsKey": "map_contains_key",  # r13 batch 18 alias
     # r8 batch 6 (third pass-through audit): engine-exact equivalents
     "toLastDayOfMonth": "last_day",
     "toQuarter": "quarter",
@@ -1381,7 +1382,22 @@ def _betainc_sql(x: str, a: str, b: str) -> str:
     )
 
 
+_B18_ALIASES = {
+    # r13 audit batch 18: CH-documented alias spellings of families
+    # the transpiler already owns — normalised before dispatch
+    "normL1": "L1Norm", "normL2": "L2Norm",
+    "normL2Squared": "L2SquaredNorm", "normLinf": "LinfNorm",
+    "normLp": "LpNorm",
+    "distanceL1": "L1Distance", "distanceL2": "L2Distance",
+    "distanceL2Squared": "L2SquaredDistance",
+    "distanceLinf": "LinfDistance", "distanceLp": "LpDistance",
+    "vectorSum": "tuplePlus", "vectorDifference": "tupleMinus",
+    "caseWithoutExpression": "multiIf",
+}
+
+
 def _render_call(name: str, args: list[str]) -> str:
+    name = _B18_ALIASES.get(name, name)
     joined = ", ".join(args)
     if name == "multiIf":
         return _case_chain(args)
@@ -1707,7 +1723,7 @@ def _render_call(name: str, args: list[str]) -> str:
             else f"concat_ws(char(1), {joined})"
         )
         return f"unhex(md5({inner}))"
-    if name in ("javaHash", "hiveHash") and args:
+    if name in ("javaHash", "javaHashUTF16LE", "hiveHash") and args:
         # INTEROP hashes: their whole purpose is bit-compat with an
         # external system (Java String.hashCode / Hive bucketing), so
         # the role-parity xxhash64 mapping would silently break the
@@ -1848,13 +1864,15 @@ def _render_call(name: str, args: list[str]) -> str:
         return f"(unix_timestamp({args[0]}) div 3600)"
     if name == "toRelativeMinuteNum" and len(args) == 1:
         return f"(unix_timestamp({args[0]}) div 60)"
-    if name in ("dateAdd", "dateSub") and len(args) == 3:
+    if name in (
+        "dateAdd", "dateSub", "timestampAdd", "timestampSub",
+    ) and len(args) == 3:
         unit = args[0].strip().strip("'\"").upper()
         if unit in (
             "YEAR", "QUARTER", "MONTH", "WEEK", "DAY",
             "HOUR", "MINUTE", "SECOND",
         ):
-            n = args[1] if name == "dateAdd" else f"-({args[1]})"
+            n = args[1] if name.endswith("Add") else f"-({args[1]})"
             return f"timestampadd({unit}, {n}, {args[2]})"
     if name == "dateDiff" and len(args) in (3, 4):
         unit = args[0].strip().strip("'\"").upper()
@@ -2510,8 +2528,8 @@ def _render_call(name: str, args: list[str]) -> str:
     if name == "currentSchemas" and len(args) <= 1:
         # postgres-compat schema list; one catalog database here
         return "array(current_database())"
-    if name == "dictGetHierarchy" or name == "dictGetDescendants" \
-            or name == "dictIsIn":
+    if name in ("dictGetHierarchy", "dictGetDescendants",
+                "dictGetChildren", "dictIsIn", "dictGetAll"):
         raise DialectError(
             f"{name}: hierarchical dictionaries are not registered "
             "here — flatten the hierarchy into a closure table and "
@@ -2668,7 +2686,8 @@ def _render_call(name: str, args: list[str]) -> str:
         "transactionID", "getOSKernelVersion", "currentProfiles",
         "enabledRoles", "enabledProfiles", "currentRoles", "tcpPort",
         "filesystemAvailable", "filesystemCapacity",
-        "filesystemUnreserved",
+        "filesystemUnreserved", "buildId", "getServerPort",
+        "globalVariable", "hasThreadFuzzer", "defaultRoles",
         # (serverUUID keeps its ORIGINAL wall below — better pointer)
     ):
         raise DialectError(
@@ -3617,7 +3636,8 @@ def _render_call(name: str, args: list[str]) -> str:
         "tuplePlus", "tupleMinus", "tupleMultiply", "tupleDivide",
         "tupleIntDiv", "tupleModulo", "tupleNegate",
         "tupleMultiplyByNumber", "tupleDivideByNumber",
-        "tupleIntDivByNumber", "tupleModuloByNumber", "tupleConcat",
+        "tupleIntDivByNumber", "tupleIntDivOrZeroByNumber",
+        "tupleModuloByNumber", "tupleConcat",
         "tupleHammingDistance",
     ):
         # Numeric tuple arithmetic (VERDICT r10 item 5, flips the
@@ -3629,7 +3649,8 @@ def _render_call(name: str, args: list[str]) -> str:
         one_arg = name == "tupleNegate"
         by_number = name in (
             "tupleMultiplyByNumber", "tupleDivideByNumber",
-            "tupleIntDivByNumber", "tupleModuloByNumber",
+            "tupleIntDivByNumber", "tupleIntDivOrZeroByNumber",
+            "tupleModuloByNumber",
         )
         if name == "tupleConcat":
             # n-ary: every operand must be a literal tuple (any arity)
@@ -3648,6 +3669,13 @@ def _render_call(name: str, args: list[str]) -> str:
             fa = fields[0]
             if name == "tupleNegate":
                 body = [f"(-({x}))" for x in fa]
+            elif name == "tupleIntDivOrZeroByNumber":
+                # the intDivOrZero guard per field (batch 18)
+                body = [
+                    f"(CASE WHEN ({args[1]}) = 0 THEN 0 "
+                    f"ELSE ({x}) DIV ({args[1]}) END)"
+                    for x in fa
+                ]
             elif by_number:
                 op = {
                     "tupleMultiplyByNumber": "*",
@@ -3723,6 +3751,149 @@ def _render_call(name: str, args: list[str]) -> str:
         return f"least({args[0]}, {args[1]})"
     if name == "clamp" and len(args) == 3:
         return f"least(greatest({args[0]}, {args[1]}), {args[2]})"
+    # ---- r13 audit batch 18 ---------------------------------------
+    if name == "mapContainsValue" and len(args) == 2:
+        return f"array_contains(map_values({args[0]}), {args[1]})"
+    if name in (
+        "mapPartialSort", "mapPartialReverseSort",
+    ) and len(args) == 2:
+        # CH: positions past the limit are in UNSPECIFIED order, so
+        # the full sort satisfies the contract (the arrayPartialSort
+        # precedent); the key-lambda 3-arg form keeps the mapSort
+        # pointer refusal
+        return _render_call(
+            "mapSort" if name == "mapPartialSort"
+            else "mapReverseSort", [args[1]],
+        )
+    if name == "extractKeyValuePairs" and 1 <= len(args) <= 3:
+        # str_to_map twin.  Delimiter args must be literal strings of
+        # regex-safe characters (they become Java-regex classes);
+        # CH's default pair delimiters are ',', ';' and space, the
+        # default kv delimiter ':'.  The quoting-character 4-arg form
+        # refuses: str_to_map has no quote handling.
+        kv = args[1] if len(args) > 1 else "':'"
+        pd_ = args[2] if len(args) > 2 else "', ;'"
+        for d in (kv, pd_):
+            if not (d.startswith("'") and d.endswith("'")):
+                raise DialectError(
+                    "extractKeyValuePairs: delimiters must be string "
+                    "literals"
+                )
+            if not all(
+                c.isalnum() or c in ", ;:|#&=@/ " for c in d[1:-1]
+            ):
+                raise DialectError(
+                    "extractKeyValuePairs: delimiter characters "
+                    "outside [a-z0-9 ,;:|#&=@/] need regex escaping "
+                    "— use str_to_map directly"
+                )
+        return (
+            f"str_to_map({args[0]}, '[{pd_[1:-1]}]+', "
+            f"'[{kv[1:-1]}]')"
+        )
+    if name == "appendTrailingCharIfAbsent" and len(args) == 2:
+        a, c = args
+        return (
+            f"(CASE WHEN ({a}) IS NULL OR ({c}) IS NULL THEN NULL "
+            f"WHEN endswith({a}, {c}) THEN ({a}) "
+            f"ELSE concat({a}, {c}) END)"
+        )
+    if name == "basename" and len(args) == 1:
+        # after the last '/' or '\' (CH file-path semantics)
+        return f"regexp_extract({args[0]}, '([^/\\\\\\\\]*)$', 1)"
+    if name == "byteSlice" and len(args) == 3:
+        # byte-wise substring: Spark substring over BINARY is
+        # byte-addressed; a slice through a multibyte boundary
+        # decodes with replacement chars where CH returns the raw
+        # bytes (MIGRATION.md)
+        return (
+            f"decode(substring(encode({args[0]}, 'UTF-8'), "
+            f"{args[1]}, {args[2]}), 'UTF-8')"
+        )
+    if name in ("bitmaskToArray", "bitmaskToList") and len(args) == 1:
+        n = args[0]
+        arr = (
+            f"filter(transform(sequence(0, 62), __i -> "
+            f"shiftleft(CAST(1 AS BIGINT), __i)), "
+            f"__p -> (CAST({n} AS BIGINT) & __p) != 0)"
+        )
+        if name == "bitmaskToList":
+            return (
+                f"array_join(transform({arr}, "
+                f"__p -> CAST(__p AS STRING)), ',')"
+            )
+        return arr
+    if name == "roundDown" and len(args) == 2:
+        # largest boundary <= x, else the lowest boundary (CH rule)
+        x, arr = args
+        return (
+            f"(CASE WHEN ({x}) IS NULL THEN NULL ELSE "
+            f"coalesce(array_max(filter({arr}, "
+            f"__e -> __e <= ({x}))), array_min({arr})) END)"
+        )
+    if name == "arrayPartialShuffle" and len(args) in (1, 2, 3):
+        # partial Fisher-Yates: the first `limit` positions are
+        # uniformly random and the tail order is UNSPECIFIED (CH
+        # docs), so the full shuffle / seeded permutation satisfies
+        # both halves — delegate with the limit dropped
+        if len(args) == 3:
+            return _render_call("arrayShuffle", [args[0], args[2]])
+        return _render_call("arrayShuffle", [args[0]])
+    if name == "reinterpret" and len(args) == 2 \
+            and args[1].startswith("'") and args[1].endswith("'"):
+        # generic form dispatches to the fixed-width reinterpretAs*
+        # register by its literal type name
+        return _render_call(
+            "reinterpretAs" + args[1][1:-1].strip(), [args[0]],
+        )
+    if name == "isNullable" and len(args) == 1:
+        # static type introspection: every parquet-read column is
+        # nullable in Spark, so a column-bearing expression answers
+        # 1 and a non-NULL literal answers 0 (the isConstant
+        # detection, same documented refinement)
+        toks18 = _tokens(args[0])
+        consts = ("TRUE", "FALSE", "AND", "OR", "NOT", "IS",
+                  "IN", "INTERVAL", "DATE", "TIMESTAMP", "CAST", "AS")
+        has_null = any(
+            _is_ident(t) and t.upper() == "NULL" for t in toks18
+        )
+        has_ident = any(
+            (_is_ident(t) and t.upper() not in consts + ("NULL",))
+            or t.startswith("`")
+            for t in toks18
+        )
+        return "1" if (has_null or has_ident) else "0"
+    if name in (
+        "parseDateTimeBestEffortUS",
+        "parseDateTimeBestEffortUSOrNull",
+        "parseDateTimeBestEffortUSOrZero",
+    ) and len(args) == 1:
+        # month-first tier of the BestEffort family
+        x = args[0]
+        best = (
+            f"coalesce(try_to_timestamp({x}, 'M/d/yyyy H:mm:ss'), "
+            f"try_to_timestamp({x}, 'M/d/yyyy H:mm'), "
+            f"try_to_timestamp({x}, 'M/d/yyyy'), "
+            f"try_to_timestamp({x}, 'M-d-yyyy H:mm:ss'), "
+            f"try_to_timestamp({x}, 'M-d-yyyy'), "
+            f"TRY_CAST({x} AS TIMESTAMP))"
+        )
+        if name.endswith("OrZero"):
+            # CH's Or-Zero contract: the type's default (epoch)
+            return (
+                f"coalesce({best}, TIMESTAMP'1970-01-01 00:00:00')"
+            )
+        return best
+    if name == "erfInv" and len(args) == 1:
+        return f"ch_erfinv({args[0]})"
+    if name == "isDecimalOverflow":
+        raise DialectError(
+            "isDecimalOverflow inspects a value against its Decimal "
+            "type's precision — Spark CASTs already NULL/raise on "
+            "overflow; compare against the precision bound "
+            "explicitly (abs(x) >= 10^p)"
+        )
+    # ---- end batch 18 ----------------------------------------------
     if name == "arrayShuffle" and len(args) == 1:
         return f"shuffle({args[0]})"
     if name == "arrayRandomSample" and len(args) == 2:
@@ -4374,11 +4545,17 @@ def _render_call(name: str, args: list[str]) -> str:
     # generateUUIDv7/generateSnowflakeID map above (r10): zero-arg →
     # faithful time-ordered construction; one-arg → the deterministic
     # md5 tier (documented determinism upgrade for test users)
-    if name in ("UUIDStringToNum", "UUIDNumToString"):
+    if name in ("UUIDStringToNum", "UUIDNumToString", "UUIDToNum"):
         raise DialectError(
             f"{name}: ClickHouse's internal UUID byte order is "
             "engine-specific; unhex(replace(s, '-', '')) gives the "
             "textual byte order"
+        )
+    if name in ("getSizeOfEnumType", "getTypeSerializationStreams"):
+        raise DialectError(
+            f"{name} inspects ClickHouse's type system (Enum value "
+            "sets / serialization stream layout) — no Spark analog; "
+            "read the schema via DESCRIBE instead"
         )
     if name in ("emptyArrayToSingle", "defaultValueOfArgumentType",
                 "defaultValueOfTypeName"):
@@ -4416,6 +4593,20 @@ def _render_call(name: str, args: list[str]) -> str:
     # --- r8 scalar batch 3: vectors, array HOFs, tokens, MJD ---
     if name in ("dotProduct", "scalarProduct") and len(args) == 2:
         a, b = args
+        # CH accepts tuples as well as arrays (batch 18): literal
+        # tuples expand per-field like the tuple-arithmetic family —
+        # zip_with would reject the struct operands
+        fa, fb = _tuple_fields(a), _tuple_fields(b)
+        if fa is not None and fb is not None:
+            if len(fa) != len(fb):
+                raise DialectError(
+                    f"{name}: tuple operands have different arities "
+                    f"({len(fa)} vs {len(fb)})"
+                )
+            return "(" + " + ".join(
+                f"(CAST(({x}) AS DOUBLE) * ({y}))"
+                for x, y in zip(fa, fb)
+            ) + ")"
         return (
             f"aggregate(zip_with({a}, {b}, (__p, __q) -> "
             f"CAST(__p AS DOUBLE) * __q), CAST(0 AS DOUBLE), "
@@ -5677,6 +5868,17 @@ def _render_call(name: str, args: list[str]) -> str:
             f"(CASE WHEN ({args[1]}) = 0 THEN 0 "
             f"ELSE ({args[0]}) DIV ({args[1]}) END)"
         )
+    if name in (
+        "divideOrNull", "intDivOrNull", "moduloOrNull",
+    ) and len(args) == 2:
+        # batch 18: NULL instead of the zero-divisor throw/inf
+        a, b = args
+        body = {
+            "divideOrNull": f"({a}) / ({b})",
+            "intDivOrNull": f"({a}) DIV ({b})",
+            "moduloOrNull": f"({a}) % ({b})",
+        }[name]
+        return f"(CASE WHEN ({b}) = 0 THEN NULL ELSE {body} END)"
     if name == "bitAnd" and len(args) == 2:
         return f"(({args[0]}) & ({args[1]}))"
     if name == "bitOr" and len(args) == 2:
@@ -13201,6 +13403,39 @@ def _rewrite_tuple_index(sql: str) -> str:
             k = j  # token before the '('
             while k >= 0 and toks[k].isspace():
                 k -= 1
+            # peel redundant wrapping parens — `(struct(…)).N` (the
+            # tuple-arithmetic emissions parenthesize themselves,
+            # batch 18): descend while the group is NOT a function's
+            # argument list (preceded by a non-keyword identifier)
+            # AND wraps exactly one call, keeping the `'(' at j+1 …
+            # ')' at p2` invariant the field scans below rely on
+            _pk = ("select", "where", "when", "then", "else", "and",
+                   "or", "not", "on", "by", "in", "as", "from",
+                   "having", "case", "end", "between", "union",
+                   "all", "distinct", "like", "return", "returns")
+            while (
+                k < 0 or not _is_ident(toks[k])
+                or toks[k].lower() in _pk
+            ):
+                inner = _next_code(toks, j + 2)
+                if inner < 0 or inner >= p2:
+                    break
+                if toks[inner] == "(":
+                    # pure paren-in-paren: descend without a call
+                    mc = _match_close(toks, inner)
+                    if mc < 0 or _next_code(toks, mc + 1) != p2:
+                        break
+                    j, p2 = inner - 1, mc
+                    continue
+                if not _is_ident(toks[inner]):
+                    break
+                nx = _next_code(toks, inner + 1)
+                if nx < 0 or nx >= p2 or toks[nx] != "(":
+                    break
+                mc = _match_close(toks, nx)
+                if mc < 0 or _next_code(toks, mc + 1) != p2:
+                    break
+                k, j, p2 = inner, nx - 1, mc
             if k >= 0 and toks[k].lower() == "named_struct":
                 # field names: string literals at depth-1 positions
                 # 1, 3, 5… of the argument list
@@ -13218,6 +13453,14 @@ def _rewrite_tuple_index(sql: str) -> str:
                 n = int(toks[i])
                 if 1 <= n <= len(names):
                     toks[i] = f"`{names[n - 1]}`"
+            elif k >= 0 and toks[k].lower() == "struct":
+                # UNNAMED struct from the tuple-arithmetic emissions
+                # (tuplePlus/vectorSum/tupleIntDivOrZeroByNumber…):
+                # Spark names computed fields col1..colN, and every
+                # field these rewrites emit is parenthesized
+                # arithmetic / CASE, never a bare column reference —
+                # so .N maps to .colN (batch 18)
+                toks[i] = f"`col{int(toks[i])}`"
             elif k >= 0 and toks[k].lower() == "try_element_at":
                 # kv[n].N — CH's UNNAMED Array(Tuple) element access
                 # (JSONExtractKeysAndValuesRaw is the tuple-returning
@@ -19557,6 +19800,110 @@ def q_dialect_probe22(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_clickhouse_sql(spark, _CH_PROBE22, sf_dir, ("orders",))
 
 
+# 40 (r13). Batch-18 per-row value gate: vector-norm alias family,
+#     tuple dot/sum/intdiv-or-zero forms, OrNull arithmetic, ym/dt
+#     interval constructors in arithmetic position, 3-arg
+#     timestampSub, map contains/partial-sort helpers, key-value
+#     extraction, trailing-char append, basename, byte slicing,
+#     bitmask expansion (sum of the expansion reproduces the mask),
+#     roundDown boundaries, isNullable literal tier, erfInv (libm
+#     Newton), US month-first BestEffort parse, and
+#     caseWithoutExpression.  Every column deterministic; DuckDB
+#     spells the arithmetic directly.
+_CH_PROBE23 = """
+SELECT o_orderkey AS k,
+       normL2([toFloat64(o_orderkey % 5), 4.0]) AS n2,
+       floor(LinfNormalize([toFloat64(o_orderkey % 7 + 1), 2.0])[1]
+             * 1000000 + 0.5) / 1000000 AS ln1,
+       distanceL1([toFloat64(o_orderkey % 9)], [2.0]) AS dl1,
+       scalarProduct((o_orderkey % 3, 2), (3, 4)) AS sp,
+       (vectorSum((o_orderkey % 3, 2), (1, 4))).1 AS vs1,
+       (tupleIntDivOrZeroByNumber((o_orderkey, 7),
+           o_orderkey % 3)).1 AS tdz,
+       divideOrNull(toFloat64(o_orderkey), o_orderkey % 2) AS dn,
+       intDivOrNull(o_orderkey, o_orderkey % 3) AS idn,
+       moduloOrNull(o_orderkey, o_orderkey % 4) AS mn,
+       toUnixTimestamp(timestampSub(MINUTE, 5,
+           toDateTime('2024-03-15 10:30:45'))) AS tsub,
+       CAST(toDateTime('2024-03-15 10:30:45')
+            + toIntervalMonth(o_orderkey % 3) AS DATE) AS dmon,
+       toInt64(mapContainsKey(map('k', 1), 'k')) AS mck,
+       toInt64(mapContainsValue(map('k', o_orderkey % 2), 1)) AS mcv,
+       extractKeyValuePairs('a:1,b:2')['b'] AS kvp,
+       appendTrailingCharIfAbsent('ab',
+           substring('bc', (o_orderkey % 2) + 1, 1)) AS atc,
+       basename('/x/y/f.txt') AS bn,
+       byteSlice('Hello World', 2, o_orderkey % 4 + 1) AS bs,
+       bitmaskToList(o_orderkey % 64) AS bml,
+       toInt64(arraySum(bitmaskToArray(o_orderkey % 64))) AS bma,
+       toFloat64(roundDown(toFloat64(o_orderkey % 9),
+           [2.0, 4.0, 6.0])) AS rd,
+       toInt64(isNullable(1)) AS inl,
+       floor(erfInv(0.5) * 1000000000 + 0.5) / 1000000000 AS ei,
+       toUnixTimestamp(parseDateTimeBestEffortUS(
+           '3/15/2024 10:30:00')) AS pus,
+       caseWithoutExpression(o_orderkey % 3 = 0, 'z',
+           o_orderkey % 3 = 1, 'o', 'x') AS cwe,
+       arrayStringConcat(arrayMap(x -> toString(x),
+           mapKeys(mapPartialSort(1, map(2, 20, 1, 10)))), ',')
+           AS mps
+FROM orders WHERE o_orderkey <= 400 ORDER BY k
+"""
+
+O_PROBE23 = r"""
+SELECT o_orderkey AS k,
+       sqrt(CAST((o_orderkey % 5) * (o_orderkey % 5) + 16 AS DOUBLE))
+           AS n2,
+       floor((CAST(o_orderkey % 7 + 1 AS DOUBLE) /
+              greatest(CAST(o_orderkey % 7 + 1 AS DOUBLE), 2.0))
+             * 1000000 + 0.5) / 1000000 AS ln1,
+       abs(CAST(o_orderkey % 9 AS DOUBLE) - 2.0) AS dl1,
+       CAST(3 * (o_orderkey % 3) + 8 AS DOUBLE) AS sp,
+       CAST((o_orderkey % 3) + 1 AS BIGINT) AS vs1,
+       CAST(CASE WHEN o_orderkey % 3 = 0 THEN 0
+            ELSE o_orderkey // (o_orderkey % 3) END AS BIGINT) AS tdz,
+       CASE WHEN o_orderkey % 2 = 0 THEN NULL
+            ELSE CAST(o_orderkey AS DOUBLE) END AS dn,
+       CAST(CASE WHEN o_orderkey % 3 = 0 THEN NULL
+            ELSE o_orderkey // (o_orderkey % 3) END AS BIGINT) AS idn,
+       CAST(CASE WHEN o_orderkey % 4 = 0 THEN NULL
+            ELSE o_orderkey % (o_orderkey % 4) END AS BIGINT) AS mn,
+       CAST(epoch(TIMESTAMP '2024-03-15 10:25:45') AS BIGINT)
+           AS tsub,
+       CAST(TIMESTAMP '2024-03-15 10:30:45'
+            + to_months(CAST(o_orderkey % 3 AS INT)) AS DATE)
+           AS dmon,
+       CAST(1 AS BIGINT) AS mck,
+       CAST(o_orderkey % 2 AS BIGINT) AS mcv,
+       '2' AS kvp,
+       CASE WHEN o_orderkey % 2 = 0 THEN 'ab' ELSE 'abc' END AS atc,
+       'f.txt' AS bn,
+       substring('Hello World', 2,
+                 CAST(o_orderkey % 4 + 1 AS INT)) AS bs,
+       COALESCE(array_to_string(list_transform(list_filter(
+           [1, 2, 4, 8, 16, 32],
+           p -> ((o_orderkey % 64) & p) != 0),
+           p -> CAST(p AS VARCHAR)), ','), '') AS bml,
+       CAST(o_orderkey % 64 AS BIGINT) AS bma,
+       CAST(CASE WHEN o_orderkey % 9 >= 6 THEN 6
+                 WHEN o_orderkey % 9 >= 4 THEN 4
+                 ELSE 2 END AS DOUBLE) AS rd,
+       CAST(0 AS BIGINT) AS inl,
+       CAST(0.476936276 AS DOUBLE) AS ei,
+       CAST(epoch(TIMESTAMP '2024-03-15 10:30:00') AS BIGINT)
+           AS pus,
+       CASE WHEN o_orderkey % 3 = 0 THEN 'z'
+            WHEN o_orderkey % 3 = 1 THEN 'o' ELSE 'x' END AS cwe,
+       '1,2' AS mps
+FROM orders WHERE o_orderkey <= 400 ORDER BY k
+"""
+
+
+def q_dialect_probe23(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verbatim CH batch-18 per-row probe (module doc #40)."""
+    return run_clickhouse_sql(spark, _CH_PROBE23, sf_dir, ("orders",))
+
+
 QUERIES = {
     "dialect_strings": q_dialect_strings,
     "ch_script_lifecycle": q_ch_script_lifecycle,
@@ -19612,6 +19959,7 @@ QUERIES = {
     "dialect_probe20": q_dialect_probe20,
     "dialect_probe21": q_dialect_probe21,
     "dialect_probe22": q_dialect_probe22,
+    "dialect_probe23": q_dialect_probe23,
     "dialect_anova": q_dialect_anova,
     "dialect_geo_distance": q_dialect_geo_distance,
     "dialect_tumble": q_dialect_tumble,
@@ -19710,6 +20058,7 @@ ORACLES = {
     "dialect_probe20": O_PROBE20,
     "dialect_probe21": O_PROBE21,
     "dialect_probe22": O_PROBE22,
+    "dialect_probe23": O_PROBE23,
     "dialect_anova": O_ANOVA,
     "dialect_geo_distance": O_GEO_DIST_ELL,
     "dialect_tumble": O_TUMBLE,
