@@ -1382,6 +1382,49 @@ def _betainc_sql(x: str, a: str, b: str) -> str:
     )
 
 
+# keywords/type names that appear in RENDERED Spark SQL constants —
+# the args reaching _render_call are already-transpiled text, so
+# CAST(1 AS INT) carries type-name identifiers that must not read as
+# column references (code-review r13e; shared by isConstant and
+# isNullable so the two registers cannot drift)
+_CONST_TOKENS = frozenset((
+    "NULL", "TRUE", "FALSE", "AND", "OR", "NOT", "IS", "IN",
+    "INTERVAL", "DATE", "TIMESTAMP", "CAST", "TRY_CAST", "AS",
+    "INT", "INTEGER", "BIGINT", "SMALLINT", "TINYINT", "FLOAT",
+    "DOUBLE", "DECIMAL", "STRING", "VARCHAR", "CHAR", "BOOLEAN",
+    "BINARY", "ARRAY", "MAP", "STRUCT", "YEAR", "MONTH", "DAY",
+    "HOUR", "MINUTE", "SECOND", "TO",
+))
+
+
+def _paren_whole(ts: list[str]) -> bool:
+    """True when ``ts``'s leading '(' closes at its LAST token —
+    i.e. the parens wrap the whole span, not two operand groups
+    like ``(a) > (b)``."""
+    depth = 0
+    for m, t in enumerate(ts):
+        if t == "(":
+            depth += 1
+        elif t == ")":
+            depth -= 1
+            if depth == 0:
+                return m == len(ts) - 1
+    return False
+
+
+def _has_column_ident(expr: str) -> bool:
+    """True when the rendered expression text contains a token that
+    reads as a column/function reference (see ``_CONST_TOKENS``)."""
+    return any(
+        (_is_ident(t) and t.upper() not in _CONST_TOKENS)
+        # quoted identifiers are COLUMN references too (code-review
+        # r12a: a backtick token fails _IDENT_RE and answered
+        # "constant")
+        or t.startswith("`")
+        for t in _tokens(expr)
+    )
+
+
 _B18_ALIASES = {
     # r13 audit batch 18: CH-documented alias spellings of families
     # the transpiler already owns — normalised before dispatch
@@ -2213,17 +2256,7 @@ def _render_call(name: str, args: list[str]) -> str:
         # answers from the query pipeline (pi() etc. count as
         # constant there); this register covers the literal tier and
         # answers 0 for anything name-shaped — documented refinement
-        consts = ("NULL", "TRUE", "FALSE", "AND", "OR", "NOT", "IS",
-                  "IN", "INTERVAL", "DATE", "TIMESTAMP", "CAST", "AS")
-        has_ident = any(
-            (_is_ident(t) and t.upper() not in consts)
-            # quoted identifiers are COLUMN references too
-            # (code-review r12a: a backtick token fails _IDENT_RE and
-            # answered "constant")
-            or t.startswith("`")
-            for t in _tokens(args[0])
-        )
-        return "0" if has_ident else "1"
+        return "0" if _has_column_ident(args[0]) else "1"
     if name == "timezoneOf" and len(args) == 1:
         # the session pins UTC (session.py) and Spark timestamps are
         # zone-less instants, so every DateTime column's zone IS the
@@ -3753,7 +3786,12 @@ def _render_call(name: str, args: list[str]) -> str:
         return f"least(greatest({args[0]}, {args[1]}), {args[2]})"
     # ---- r13 audit batch 18 ---------------------------------------
     if name == "mapContainsValue" and len(args) == 2:
-        return f"array_contains(map_values({args[0]}), {args[1]})"
+        # coalesce: array_contains NULL-propagates on a miss over
+        # NULL-valued entries where CH answers 0 (code-review r13e)
+        return (
+            f"coalesce(array_contains(map_values({args[0]}), "
+            f"{args[1]}), false)"
+        )
     if name in (
         "mapPartialSort", "mapPartialReverseSort",
     ) and len(args) == 2:
@@ -3764,6 +3802,12 @@ def _render_call(name: str, args: list[str]) -> str:
         return _render_call(
             "mapSort" if name == "mapPartialSort"
             else "mapReverseSort", [args[1]],
+        )
+    if name == "extractKeyValuePairs" and len(args) == 4:
+        raise DialectError(
+            "extractKeyValuePairs: the quoting-character form has no "
+            "str_to_map analog — pre-strip the quotes or parse with "
+            "a regexp_extract_all pipeline"
         )
     if name == "extractKeyValuePairs" and 1 <= len(args) <= 3:
         # str_to_map twin.  Delimiter args must be literal strings of
@@ -3811,11 +3855,20 @@ def _render_call(name: str, args: list[str]) -> str:
             f"{args[1]}, {args[2]}), 'UTF-8')"
         )
     if name in ("bitmaskToArray", "bitmaskToList") and len(args) == 1:
+        # bits 0..62 cover every non-negative Int64; a negative input
+        # means a CH UInt64 mask >= 2^63, beyond the engine's Int64
+        # width — raise rather than silently dropping the top bit
+        # (code-review r13e)
         n = args[0]
         arr = (
             f"filter(transform(sequence(0, 62), __i -> "
             f"shiftleft(CAST(1 AS BIGINT), __i)), "
             f"__p -> (CAST({n} AS BIGINT) & __p) != 0)"
+        )
+        arr = (
+            f"(CASE WHEN CAST({n} AS BIGINT) < 0 THEN "
+            f"raise_error('{name}: UInt64 masks above 2^63-1 are "
+            f"beyond the engine Int64 width') ELSE {arr} END)"
         )
         if name == "bitmaskToList":
             return (
@@ -3849,20 +3902,18 @@ def _render_call(name: str, args: list[str]) -> str:
     if name == "isNullable" and len(args) == 1:
         # static type introspection: every parquet-read column is
         # nullable in Spark, so a column-bearing expression answers
-        # 1 and a non-NULL literal answers 0 (the isConstant
-        # detection, same documented refinement)
-        toks18 = _tokens(args[0])
-        consts = ("TRUE", "FALSE", "AND", "OR", "NOT", "IS",
-                  "IN", "INTERVAL", "DATE", "TIMESTAMP", "CAST", "AS")
+        # 1 and a non-NULL constant answers 0 (the shared
+        # _has_column_ident detection — the args here are RENDERED
+        # Spark SQL, so cast type names must not read as columns;
+        # code-review r13e).  Limit of the refinement: toNullable()
+        # is identity in this engine, so isNullable(toNullable(1))
+        # answers 0 where CH answers 1 — nullability here is a
+        # storage-model property, not a wrapper type (MIGRATION.md)
         has_null = any(
-            _is_ident(t) and t.upper() == "NULL" for t in toks18
+            _is_ident(t) and t.upper() == "NULL"
+            for t in _tokens(args[0])
         )
-        has_ident = any(
-            (_is_ident(t) and t.upper() not in consts + ("NULL",))
-            or t.startswith("`")
-            for t in toks18
-        )
-        return "1" if (has_null or has_ident) else "0"
+        return "1" if (has_null or _has_column_ident(args[0])) else "0"
     if name in (
         "parseDateTimeBestEffortUS",
         "parseDateTimeBestEffortUSOrNull",
@@ -3875,6 +3926,7 @@ def _render_call(name: str, args: list[str]) -> str:
             f"try_to_timestamp({x}, 'M/d/yyyy H:mm'), "
             f"try_to_timestamp({x}, 'M/d/yyyy'), "
             f"try_to_timestamp({x}, 'M-d-yyyy H:mm:ss'), "
+            f"try_to_timestamp({x}, 'M-d-yyyy H:mm'), "
             f"try_to_timestamp({x}, 'M-d-yyyy'), "
             f"TRY_CAST({x} AS TIMESTAMP))"
         )
@@ -13454,13 +13506,41 @@ def _rewrite_tuple_index(sql: str) -> str:
                 if 1 <= n <= len(names):
                     toks[i] = f"`{names[n - 1]}`"
             elif k >= 0 and toks[k].lower() == "struct":
-                # UNNAMED struct from the tuple-arithmetic emissions
-                # (tuplePlus/vectorSum/tupleIntDivOrZeroByNumber…):
-                # Spark names computed fields col1..colN, and every
-                # field these rewrites emit is parenthesized
-                # arithmetic / CASE, never a bare column reference —
-                # so .N maps to .colN (batch 18)
-                toks[i] = f"`col{int(toks[i])}`"
+                # UNNAMED struct (tuple()/tuplePlus/vectorSum/…):
+                # Spark names a bare-column field after the COLUMN
+                # (parens are parse-transparent, so `(a)` too) and
+                # computed fields col1..colN — derive the Nth
+                # argument's actual name instead of assuming colN
+                # (code-review r13e: `tuple(a, b).1` must address
+                # `a`, not a nonexistent col1)
+                spans: list[list[str]] = [[]]
+                depth = 0
+                for t in toks[j + 2:p2]:
+                    if t in ("(", "["):
+                        depth += 1
+                    elif t in (")", "]"):
+                        depth -= 1
+                    if depth == 0 and t == ",":
+                        spans.append([])
+                    elif not t.isspace():
+                        spans[-1].append(t)
+                n = int(toks[i])
+                if 1 <= n <= len(spans):
+                    arg = spans[n - 1]
+                    while (
+                        len(arg) >= 2 and arg[0] == "("
+                        and arg[-1] == ")"
+                        and _paren_whole(arg)
+                    ):
+                        arg = arg[1:-1]
+                    if arg and all(
+                        _is_ident(t) or t == "." for t in arg
+                    ):
+                        # bare (possibly dotted) column: field name
+                        # is the last path component
+                        toks[i] = f"`{arg[-1]}`"
+                    else:
+                        toks[i] = f"`col{n}`"
             elif k >= 0 and toks[k].lower() == "try_element_at":
                 # kv[n].N — CH's UNNAMED Array(Tuple) element access
                 # (JSONExtractKeysAndValuesRaw is the tuple-returning
