@@ -1436,6 +1436,25 @@ _B18_ALIASES = {
     "distanceLinf": "LinfDistance", "distanceLp": "LpDistance",
     "vectorSum": "tuplePlus", "vectorDifference": "tupleMinus",
     "caseWithoutExpression": "multiIf",
+    # r13 audit batch 19: *UTF8 variants of the token/multi-search
+    # families — JVM strings are UTF-8 native and Spark positions
+    # are character-based, which is exactly the CH *UTF8 contract
+    "hasTokenUTF8": "hasToken",
+    "hasTokenCaseInsensitiveUTF8": "hasTokenCaseInsensitive",
+    "multiSearchAnyUTF8": "multiSearchAny",
+    "multiSearchFirstIndexUTF8": "multiSearchFirstIndex",
+    "multiSearchFirstPositionUTF8": "multiSearchFirstPosition",
+    "multiSearchAllPositionsUTF8": "multiSearchAllPositions",
+    "multiSearchAnyCaseInsensitiveUTF8":
+        "multiSearchAnyCaseInsensitive",
+    "multiSearchFirstIndexCaseInsensitiveUTF8":
+        "multiSearchFirstIndexCaseInsensitive",
+    "multiSearchFirstPositionCaseInsensitiveUTF8":
+        "multiSearchFirstPositionCaseInsensitive",
+    "multiSearchAllPositionsCaseInsensitiveUTF8":
+        "multiSearchAllPositionsCaseInsensitive",
+    "startsWithCaseInsensitiveUTF8": "startsWithCaseInsensitive",
+    "endsWithCaseInsensitiveUTF8": "endsWithCaseInsensitive",
 }
 
 
@@ -2674,6 +2693,16 @@ def _render_call(name: str, args: list[str]) -> str:
                 "the additions unroll at transpile time"
             )
         return "(" + args[0] + "".join(f" + {f}" for f in fields) + ")"
+    if name == "subtractTupleOfIntervals" and len(args) == 2:
+        # batch 19: the minus twin of addTupleOfIntervals
+        fields = _tuple_fields(args[1])
+        if fields is None:
+            raise DialectError(
+                "subtractTupleOfIntervals: the interval tuple must "
+                "be a LITERAL — (INTERVAL 1 DAY, INTERVAL 1 MONTH) — "
+                "so the subtractions unroll at transpile time"
+            )
+        return "(" + args[0] + "".join(f" - {f}" for f in fields) + ")"
     if name == "tupleNames" and len(args) == 1:
         fields = _tuple_fields(args[0])
         if fields is None:
@@ -4196,6 +4225,49 @@ def _render_call(name: str, args: list[str]) -> str:
             f"try_divide({npos_rank} - ({p}) * (({p}) + 1) / 2.0, "
             f"({p}) * (size({sc}) - ({p})))"
         )
+    if name in ("arrayPRAUC", "arrayAUCPR") and len(args) == 2:
+        # precision-recall AUC, CH's rectangle rule: walk (score,
+        # label) pairs sorted by score DESC; each positive adds the
+        # running precision; divide by total positives.  Equal
+        # scores walk in ARRAY order where CH's sort order on ties
+        # is unspecified — a deterministic refinement (the arrayAUC
+        # average-tie-rank precedent); no/all-positive labels yield
+        # NULL via try_divide (CH: nan).  CH docs example pins the
+        # value: arrayPRAUC([0.1,0.4,0.35,0.8],[0,0,1,1]) = 5/6.
+        sc, lb = args
+        pairs = (
+            f"array_sort(zip_with({sc}, {lb}, (__s, __l) -> "
+            f"named_struct('sc', CAST(__s AS DOUBLE), "
+            f"'lb', CAST(__l AS DOUBLE))), (__x, __y) -> "
+            f"CASE WHEN __x.sc > __y.sc THEN -1 "
+            f"WHEN __x.sc < __y.sc THEN 1 ELSE 0 END)"
+        )
+        return (
+            f"aggregate({pairs}, "
+            f"named_struct('tp', CAST(0 AS DOUBLE), "
+            f"'fp', CAST(0 AS DOUBLE), 'area', CAST(0 AS DOUBLE)), "
+            f"(__a, __e) -> IF(__e.lb > 0, "
+            f"named_struct('tp', __a.tp + 1, 'fp', __a.fp, "
+            f"'area', __a.area + (__a.tp + 1) / "
+            f"(__a.tp + 1 + __a.fp)), "
+            f"named_struct('tp', __a.tp, 'fp', __a.fp + 1, "
+            f"'area', __a.area)), "
+            f"__a -> try_divide(__a.area, __a.tp))"
+        )
+    if name == "toBFloat16":
+        raise DialectError(
+            "toBFloat16: Spark has no 16-bit float storage type — "
+            "CAST AS FLOAT keeps full float32 precision instead of "
+            "truncating the mantissa"
+        )
+    if name in ("wkt", "svg", "readWKTPoint", "readWKTPolygon",
+                "readWKTMultiPolygon", "readWKTRing",
+                "readWKTLineString", "readWKTMultiLineString"):
+        raise DialectError(
+            f"{name}: ClickHouse geometry-type serialization — no "
+            "Spark geometry type; keep coordinates as "
+            "struct/array columns"
+        )
     if name == "caseWithExpression" and len(args) >= 4:
         # caseWithExpression(x, v1, r1, …, default) — the CASE x
         # WHEN form spelled as a function
@@ -4434,6 +4506,10 @@ def _render_call(name: str, args: list[str]) -> str:
             "datediff(toStartOfWeek(d), toDate('1970-01-05')) div 7 "
             "for an explicit Monday-anchored week number"
         )
+    if name == "fromUnixTimestamp64Second" and len(args) == 1:
+        return f"timestamp_seconds({args[0]})"
+    if name == "toUnixTimestamp64Second" and len(args) == 1:
+        return f"unix_seconds({args[0]})"
     if name == "fromUnixTimestamp64Micro" and len(args) == 1:
         return f"timestamp_micros({args[0]})"
     if name == "toUnixTimestamp64Micro" and len(args) == 1:
@@ -5223,6 +5299,13 @@ def _render_call(name: str, args: list[str]) -> str:
         return _render_call(
             "countSubstrings", [f"lower({args[0]})", f"lower({args[1]})"]
         )
+    if name in (
+        "startsWithCaseInsensitive", "endsWithCaseInsensitive",
+    ) and len(args) == 2:
+        # batch 19: lowercase both sides (Unicode lower, a documented
+        # refinement of CH's ASCII-only non-UTF8 tier)
+        fn = "startswith" if name.startswith("starts") else "endswith"
+        return f"{fn}(lower({args[0]}), lower({args[1]}))"
     if name in ("startsWithUTF8", "endsWithUTF8") and len(args) == 2:
         # Spark strings are UTF-8 native — same function
         fn = "startswith" if name.startswith("starts") else "endswith"
@@ -19888,7 +19971,11 @@ def q_dialect_probe22(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     bitmask expansion (sum of the expansion reproduces the mask),
 #     roundDown boundaries, isNullable literal tier, erfInv (libm
 #     Newton), US month-first BestEffort parse, and
-#     caseWithoutExpression.  Every column deterministic; DuckDB
+#     caseWithoutExpression; batch 19 adds PR-AUC (CH docs
+#     example value 5/6 pinned in tests), case-insensitive
+#     startsWith, second-precision Unix64 codecs and the
+#     interval-tuple minus twin.  Every column deterministic;
+#     DuckDB
 #     spells the arithmetic directly.
 _CH_PROBE23 = """
 SELECT o_orderkey AS k,
@@ -19926,7 +20013,16 @@ SELECT o_orderkey AS k,
            o_orderkey % 3 = 1, 'o', 'x') AS cwe,
        arrayStringConcat(arrayMap(x -> toString(x),
            mapKeys(mapPartialSort(1, map(2, 20, 1, 10)))), ',')
-           AS mps
+           AS mps,
+       arrayPRAUC([0.1, 0.4, 0.35, 0.8],
+           [o_orderkey % 2, 0, 1, 1]) AS prauc,
+       toInt64(startsWithCaseInsensitive('Hello World',
+           substring('hx', (o_orderkey % 2) + 1, 1))) AS swci,
+       toUnixTimestamp64Second(fromUnixTimestamp64Second(
+           1710000000 + o_orderkey)) AS u64s,
+       CAST(subtractTupleOfIntervals(toDate('2024-03-15'),
+           (toIntervalDay(o_orderkey % 3), toIntervalMonth(1)))
+           AS DATE) AS subti
 FROM orders WHERE o_orderkey <= 400 ORDER BY k
 """
 
@@ -19974,7 +20070,15 @@ SELECT o_orderkey AS k,
            AS pus,
        CASE WHEN o_orderkey % 3 = 0 THEN 'z'
             WHEN o_orderkey % 3 = 1 THEN 'o' ELSE 'x' END AS cwe,
-       '1,2' AS mps
+       '1,2' AS mps,
+       CASE WHEN o_orderkey % 2 = 0 THEN (1.0 + 2.0/3.0) / 2.0
+            ELSE (1.0 + 2.0/3.0 + 3.0/4.0) / 3.0 END AS prauc,
+       CAST(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END
+           AS BIGINT) AS swci,
+       CAST(1710000000 + o_orderkey AS BIGINT) AS u64s,
+       CAST(TIMESTAMP '2024-03-15'
+            - to_days(CAST(o_orderkey % 3 AS INT))
+            - to_months(1) AS DATE) AS subti
 FROM orders WHERE o_orderkey <= 400 ORDER BY k
 """
 
