@@ -2692,7 +2692,9 @@ def _render_call(name: str, args: list[str]) -> str:
                 "LITERAL — (INTERVAL 1 DAY, INTERVAL 1 MONTH) — so "
                 "the additions unroll at transpile time"
             )
-        return "(" + args[0] + "".join(f" + {f}" for f in fields) + ")"
+        return "(" + args[0] + "".join(
+            f" + ({f})" for f in fields
+        ) + ")"
     if name == "subtractTupleOfIntervals" and len(args) == 2:
         # batch 19: the minus twin of addTupleOfIntervals
         fields = _tuple_fields(args[1])
@@ -2702,7 +2704,12 @@ def _render_call(name: str, args: list[str]) -> str:
                 "be a LITERAL — (INTERVAL 1 DAY, INTERVAL 1 MONTH) — "
                 "so the subtractions unroll at transpile time"
             )
-        return "(" + args[0] + "".join(f" - {f}" for f in fields) + ")"
+        # parenthesized per field: a compound field like
+        # (toIntervalDay(1) + toIntervalDay(2)) must keep its sign
+        # under the distributed minus (code-review r13f)
+        return "(" + args[0] + "".join(
+            f" - ({f})" for f in fields
+        ) + ")"
     if name == "tupleNames" and len(args) == 1:
         fields = _tuple_fields(args[0])
         if fields is None:
@@ -4231,8 +4238,9 @@ def _render_call(name: str, args: list[str]) -> str:
         # running precision; divide by total positives.  Equal
         # scores walk in ARRAY order where CH's sort order on ties
         # is unspecified — a deterministic refinement (the arrayAUC
-        # average-tie-rank precedent); no/all-positive labels yield
-        # NULL via try_divide (CH: nan).  CH docs example pins the
+        # average-tie-rank precedent); ZERO positive labels yield
+        # NULL via try_divide(0, 0) (CH: nan), all-positive yields
+        # 1.0 — every precision term is 1.  CH docs example pins the
         # value: arrayPRAUC([0.1,0.4,0.35,0.8],[0,0,1,1]) = 5/6.
         sc, lb = args
         pairs = (
@@ -4260,9 +4268,10 @@ def _render_call(name: str, args: list[str]) -> str:
             "CAST AS FLOAT keeps full float32 precision instead of "
             "truncating the mantissa"
         )
-    if name in ("wkt", "svg", "readWKTPoint", "readWKTPolygon",
-                "readWKTMultiPolygon", "readWKTRing",
+    if name in ("wkt", "svg", "readWKTMultiPolygon", "readWKTRing",
                 "readWKTLineString", "readWKTMultiLineString"):
+        # (readWKTPoint/readWKTPolygon refuse at the earlier polygon
+        # wall — not repeated here; code-review r13f)
         raise DialectError(
             f"{name}: ClickHouse geometry-type serialization — no "
             "Spark geometry type; keep coordinates as "
@@ -4506,6 +4515,22 @@ def _render_call(name: str, args: list[str]) -> str:
             "datediff(toStartOfWeek(d), toDate('1970-01-05')) div 7 "
             "for an explicit Monday-anchored week number"
         )
+    if name in (
+        "fromUnixTimestamp64Second", "fromUnixTimestamp64Milli",
+        "fromUnixTimestamp64Micro", "fromUnixTimestamp64Nano",
+    ) and len(args) == 2:
+        # optional-timezone form (code-review r13f): the session
+        # pins UTC — accept it, refuse any other zone (the
+        # toYYYYMMDD precedent)
+        tz = args[1].strip().strip("'\"")
+        if tz.upper() != "UTC":
+            raise DialectError(
+                f"{name}: only the 'UTC' timezone form maps "
+                "(session time zone is pinned UTC)"
+            )
+        return _render_call(name, args[:1])
+    if name == "fromUnixTimestamp64Milli" and len(args) == 1:
+        return f"timestamp_millis({args[0]})"
     if name == "fromUnixTimestamp64Second" and len(args) == 1:
         return f"timestamp_seconds({args[0]})"
     if name == "toUnixTimestamp64Second" and len(args) == 1:
