@@ -389,3 +389,20 @@ def test_categorical_assoc_joins_are_metadata_scale(spark, sf_dir):
     plan = _plan(q_stats_categorical_assoc(spark, sf_dir))
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_r13_noeq_any_join_plan_has_no_nested_loop(spark, sf_dir):
+    """dialect_any_join_noeq (the running-min form): the keyless ANY
+    JOIN must plan as per-value hash aggregation + a window over the
+    DISTINCT comparison values + a broadcast/hash equi-join back —
+    never a BroadcastNestedLoopJoin or CartesianProduct (the theta
+    join the rewrite exists to avoid)."""
+    from clickhouse_vs_dbt_spark.dialect import QUERIES
+
+    plan = _plan(QUERIES["dialect_any_join_noeq"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan
+    # the pick state is compressed before the window: a per-value
+    # partial+final HashAggregate pair over min(struct(...))
+    assert "HashAggregate" in plan and "min(" in plan
