@@ -2666,11 +2666,13 @@ def _render_call(name: str, args: list[str]) -> str:
             f"element_at(transform(array({bind2}), __sc -> "
             f"{body}), 1)), 1)"
         )
-    if name == "arrayEnumerateUniqRanked" and args:
+    if name in (
+        "arrayEnumerateUniqRanked", "arrayEnumerateDenseRanked",
+    ) and args:
         raise DialectError(
-            "arrayEnumerateUniqRanked's depth-ranked numbering has "
-            "no bounded Spark fold here — arrayEnumerateUniq (which "
-            "transpiles) covers the flat case"
+            f"{name}'s depth-ranked numbering has "
+            "no bounded Spark fold here — arrayEnumerateUniq/Dense "
+            "(which transpile) cover the flat case"
         )
     # ---- r12 audit batch 16 ----------------------------------------
     if name == "nothing":
@@ -3810,8 +3812,23 @@ def _render_call(name: str, args: list[str]) -> str:
         return f"CAST(date_add({d}, 7 - dayofweek({d})) AS DATE)"
     if name == "toDaysSinceYearZero" and len(args) == 1:
         return f"(datediff({args[0]}, DATE'1970-01-01') + 719528)"
-    if name == "fromDaysSinceYearZero" and len(args) == 1:
+    if name in (
+        "fromDaysSinceYearZero", "fromDaysSinceYearZero32",
+    ) and len(args) == 1:
         return f"date_add(DATE'1970-01-01', ({args[0]}) - 719528)"
+    if name == "fromModifiedJulianDate" and len(args) == 1:
+        # MJD epoch 1858-11-17 (wave 3); CH restricts to the Date32
+        # window [1900-01-01, 2299-12-31] = MJD [15020, 161116] and
+        # THROWS outside it — the plain form here computes the date
+        # anyway (graceful widening, documented), OrNull answers
+        # NULL exactly on CH's window
+        return f"date_add(DATE'1858-11-17', {args[0]})"
+    if name == "fromModifiedJulianDateOrNull" and len(args) == 1:
+        n = args[0]
+        return (
+            f"(CASE WHEN ({n}) BETWEEN 15020 AND 161116 "
+            f"THEN date_add(DATE'1858-11-17', {n}) END)"
+        )
     if name == "moduloOrZero" and len(args) == 2:
         return f"IF(({args[1]}) = 0, 0, ({args[0]}) % ({args[1]}))"
     if name == "max2" and len(args) == 2:
@@ -4703,6 +4720,16 @@ def _render_call(name: str, args: list[str]) -> str:
             f"{name}: ClickHouse's internal UUID byte order is "
             "engine-specific; unhex(replace(s, '-', '')) gives the "
             "textual byte order"
+        )
+    if name in ("distinctDynamicTypes", "distinctJSONPaths",
+                "distinctJSONPathsAndTypes", "dynamicType",
+                "dynamicElement", "isDynamicElementInSharedData",
+                "variantType", "variantElement"):
+        raise DialectError(
+            f"{name} inspects ClickHouse's Dynamic/Variant/JSON "
+            "column types — Spark columns are statically typed; "
+            "model the union explicitly (a struct of typed fields "
+            "or a tagged string column)"
         )
     if name in ("getSizeOfEnumType", "getTypeSerializationStreams"):
         raise DialectError(
@@ -7191,7 +7218,8 @@ def _render_call(name: str, args: list[str]) -> str:
         # RESPECT NULLS flavor of any — same unspecified-order
         # contract, NULLs eligible
         return f"any_value({args[0]}, false)"
-    if name in ("anyLastRespectNulls", "firstValueRespectNulls",
+    if name in ("anyLastRespectNulls", "anyLast_respect_nulls",
+                "firstValueRespectNulls",
                 "first_value_respect_nulls", "lastValueRespectNulls",
                 "last_value_respect_nulls") and len(args) == 1:
         fn = "first" if "first" in name.lower() else "last"
