@@ -133,6 +133,14 @@ SHOWCASE = [
                                   "same masked-collect rank window "
                                   "— O(limit) state over joins "
                                   "(r13)"),
+    ("dialect_any_join_noeq", "no-equality ANY JOIN (running-min "
+                              "form): per-value min(struct) "
+                              "partial+final HashAggregate pair, "
+                              "ONE window over the distinct "
+                              "comparison values, broadcast hash "
+                              "equi-join back — no "
+                              "BroadcastNestedLoopJoin, no "
+                              "CartesianProduct anywhere (r13)"),
 ]
 
 
