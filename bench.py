@@ -268,6 +268,7 @@ HEADLINE = [
     "dialect_probe22",
     "dialect_any_join_noeq",
     "dialect_probe23",
+    "dialect_probe24",
 ]
 
 

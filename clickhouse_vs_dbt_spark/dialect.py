@@ -1655,7 +1655,7 @@ def _render_call(name: str, args: list[str]) -> str:
         # the functional spelling of arr[n]: same 1-based/negative
         # contract, same documented NULL-vs-type-default OOB seam
         return f"try_element_at({args[0]}, {args[1]})"
-    if name == "randCanonical" and not args:
+    if name in ("randCanonical", "canonicalRand") and not args:
         return "rand()"
     if name == "UTCTimestamp" and not args:
         # session timezone is pinned UTC (session.py), so now() and
@@ -1960,6 +1960,26 @@ def _render_call(name: str, args: list[str]) -> str:
             f"coalesce(TRY_CAST({args[0]} AS TIMESTAMP), "
             "TIMESTAMP'1970-01-01 00:00:00')"
         )
+    if name in (
+        "parseDateTime64", "parseDateTime64OrNull",
+        "parseDateTime64OrZero",
+    ) and len(args) in (2, 3):
+        # (str, scale[, tz]) ISO-parse forms (batch 21): Spark
+        # timestamps are µs precision, so the scale argument only
+        # matters past 6 (truncation, documented); UTC-only zone
+        tz = args[2].strip().strip("'\"") if len(args) == 3 else "UTC"
+        if tz not in ("UTC", "Etc/UTC", "Universal"):
+            raise DialectError(
+                f"{name}: only the 'UTC' timezone form maps "
+                "(session time zone is pinned UTC)"
+            )
+        if name.endswith("OrZero"):
+            return (
+                f"coalesce(TRY_CAST({args[0]} AS TIMESTAMP), "
+                "TIMESTAMP'1970-01-01 00:00:00')"
+            )
+        fn = "TRY_CAST" if name.endswith("OrNull") else "CAST"
+        return f"{fn}({args[0]} AS TIMESTAMP)"
     if name in (
         "parseDateTime32BestEffort", "parseDateTime64BestEffort",
     ) and len(args) == 1:
@@ -2276,6 +2296,26 @@ def _render_call(name: str, args: list[str]) -> str:
         # constant there); this register covers the literal tier and
         # answers 0 for anything name-shaped — documented refinement
         return "0" if _has_column_ident(args[0]) else "1"
+    if name in (
+        "toString", "toUnixTimestamp", "formatDateTime",
+        "formatDateTimeInJodaSyntax",
+    ) and len(args) >= 2 and args[-1].strip().strip("'\"") in (
+        "UTC", "Etc/UTC", "Universal",
+    ):
+        # trailing-timezone forms (batch 21): the session pins UTC,
+        # so the UTC spellings are the zoneless forms — strip the
+        # zone and re-dispatch; other zones refuse below via the
+        # non-UTC guard (the toYYYYMMDD precedent)
+        if name == "toString" and len(args) == 2:
+            return f"CAST({args[0]} AS STRING)"
+        return _render_call(name, args[:-1])
+    if name in (
+        "toString", "toUnixTimestamp",
+    ) and len(args) == 2:
+        raise DialectError(
+            f"{name}: only the 'UTC' timezone form maps "
+            "(session time zone is pinned UTC)"
+        )
     if name == "timezoneOf" and len(args) == 1:
         # the session pins UTC (session.py) and Spark timestamps are
         # zone-less instants, so every DateTime column's zone IS the
@@ -2759,11 +2799,31 @@ def _render_call(name: str, args: list[str]) -> str:
         "filesystemAvailable", "filesystemCapacity",
         "filesystemUnreserved", "buildId", "getServerPort",
         "globalVariable", "hasThreadFuzzer", "defaultRoles",
+        "initialQueryStartTime", "queryStartTime", "showCertificate",
         # (serverUUID keeps its ORIGINAL wall below — better pointer)
     ):
         raise DialectError(
             f"{name} reads ClickHouse server state/config — the "
             "hostName/uptime/block* introspection wall"
+        )
+    if name in ("jsonMergePatch", "JSONMergePatch") and args:
+        # RFC 7386 merge patch (batch 21): n-ary folds left through
+        # the 2-ary Arrow register
+        out = args[0]
+        for p in args[1:]:
+            out = f"ch_json_merge_patch({out}, {p})"
+        return out if len(args) > 1 else f"ch_json_merge_patch({out}, '{{}}')"
+    if name == "generateSerialID":
+        raise DialectError(
+            "generateSerialID reads a Keeper-backed counter — use "
+            "monotonically_increasing_id() (partition-unique) or a "
+            "row_number window for dense sequences"
+        )
+    if name == "icebergTruncate":
+        raise DialectError(
+            "icebergTruncate dispatches on the ARGUMENT TYPE "
+            "(Iceberg partition transform) — spell it directly: "
+            "v - pmod(v, W) for numerics, left(s, W) for strings"
         )
     if name == "hasColumnInTable":
         raise DialectError(
@@ -5987,6 +6047,27 @@ def _render_call(name: str, args: list[str]) -> str:
         return (
             f"(SELECT id AS number FROM range({args[0]}, "
             f"({args[0]}) + ({args[1]})))"
+        )
+    if name in (
+        "generateSeries", "generate_series",
+    ) and len(args) in (2, 3):
+        # table function (batch 21): INCLUSIVE [start, stop] with
+        # optional step — sequence() is inclusive too; the column is
+        # named generate_series (CH names it after the spelling
+        # used; this register emits the snake name for both).
+        # An empty range (stop < start, positive step) yields zero
+        # rows, matching CH.
+        step = args[2] if len(args) == 3 else "1"
+        a0 = f"CAST({args[0]} AS BIGINT)"
+        a1 = f"CAST({args[1]} AS BIGINT)"
+        st = f"CAST({step} AS BIGINT)"
+        # Spark's sequence() THROWS on inverted boundaries where CH
+        # yields zero rows — guard to an empty array
+        return (
+            f"(SELECT explode(CASE WHEN ({st} > 0 AND {a1} < {a0}) "
+            f"OR ({st} < 0 AND {a1} > {a0}) THEN array() "
+            f"ELSE sequence({a0}, {a1}, {st}) END) "
+            f"AS generate_series)"
         )
     if name in ("file", "s3", "url") and len(args) >= 2:
         # table functions over external storage: self-describing
@@ -20141,6 +20222,43 @@ def q_dialect_probe23(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_clickhouse_sql(spark, _CH_PROBE23, sf_dir, ("orders",))
 
 
+# 41 (r13). Batch-21 value gate: generate_series as a FROM-position
+#     table function (inclusive bounds, empty inverted range), RFC
+#     7386 jsonMergePatch (Arrow register, n-ary fold, null-removes),
+#     trailing-UTC toString/toUnixTimestamp forms, and the
+#     (str, scale[, tz]) parseDateTime64 family.  DuckDB's own
+#     generate_series has the same inclusive contract.
+_CH_PROBE24 = """
+SELECT g AS k,
+       jsonMergePatch('{"a":1,"c":3}',
+           concat('{"b":', toString(g), ',"c":null}')) AS jm,
+       toString(toDateTime('2024-03-15 10:30:45'), 'UTC') AS ts2,
+       toUnixTimestamp(toDateTime('2024-03-15 10:30:45'), 'UTC')
+           AS tu,
+       toUnixTimestamp(parseDateTime64('2024-03-15 10:30:45.123', 3))
+           AS pd,
+       toUnixTimestamp(parseDateTime64OrZero('garbage', 3)) AS pz
+FROM (SELECT generate_series AS g FROM generate_series(1, 9, 2)) t
+ORDER BY k
+"""
+
+O_PROBE24 = """
+SELECT g AS k,
+       '{"a":1,"b":' || CAST(g AS VARCHAR) || '}' AS jm,
+       '2024-03-15 10:30:45' AS ts2,
+       CAST(epoch(TIMESTAMP '2024-03-15 10:30:45') AS BIGINT) AS tu,
+       CAST(epoch(TIMESTAMP '2024-03-15 10:30:45') AS BIGINT) AS pd,
+       CAST(0 AS BIGINT) AS pz
+FROM generate_series(1, 9, 2) t(g)
+ORDER BY k
+"""
+
+
+def q_dialect_probe24(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verbatim CH batch-21 probe (module doc #41)."""
+    return run_clickhouse_sql(spark, _CH_PROBE24, sf_dir, ())
+
+
 QUERIES = {
     "dialect_strings": q_dialect_strings,
     "ch_script_lifecycle": q_ch_script_lifecycle,
@@ -20197,6 +20315,7 @@ QUERIES = {
     "dialect_probe21": q_dialect_probe21,
     "dialect_probe22": q_dialect_probe22,
     "dialect_probe23": q_dialect_probe23,
+    "dialect_probe24": q_dialect_probe24,
     "dialect_anova": q_dialect_anova,
     "dialect_geo_distance": q_dialect_geo_distance,
     "dialect_tumble": q_dialect_tumble,
@@ -20296,6 +20415,7 @@ ORACLES = {
     "dialect_probe21": O_PROBE21,
     "dialect_probe22": O_PROBE22,
     "dialect_probe23": O_PROBE23,
+    "dialect_probe24": O_PROBE24,
     "dialect_anova": O_ANOVA,
     "dialect_geo_distance": O_GEO_DIST_ELL,
     "dialect_tumble": O_TUMBLE,
