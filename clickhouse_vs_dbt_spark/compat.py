@@ -269,44 +269,6 @@ def _register_vectorized(spark: SparkSession) -> None:
             ch_name, pandas_udf("double")(_unary_math(fn))
         )
 
-    import json as _json
-
-    @pandas_udf("string")
-    def ch_json_merge_patch(a: pd.Series, b: pd.Series) -> pd.Series:
-        # RFC 7386 JSON merge patch (r13 batch 21): null patch
-        # values REMOVE keys, objects merge recursively, anything
-        # else replaces.  Compact separators like CH; key order is
-        # target-first-then-appended (python dicts preserve
-        # insertion order — the RFC walk's natural order).  Invalid
-        # JSON answers NULL (the never-throw graceful tier;
-        # ClickHouse throws there — MIGRATION.md).
-        def _patch(t, p):
-            if not isinstance(p, dict):
-                return p
-            out = dict(t) if isinstance(t, dict) else {}
-            for k, v in p.items():
-                if v is None:
-                    out.pop(k, None)
-                else:
-                    out[k] = _patch(out.get(k), v)
-            return out
-
-        vals = []
-        for x, y in zip(a, b):
-            if pd.isna(x) or pd.isna(y):
-                vals.append(None)
-                continue
-            try:
-                vals.append(_json.dumps(
-                    _patch(_json.loads(x), _json.loads(y)),
-                    separators=(",", ":"),
-                ))
-            except (ValueError, TypeError):
-                vals.append(None)
-        return pd.Series(vals, dtype="object")
-
-    spark.udf.register("ch_json_merge_patch", ch_json_merge_patch)
-
     import unicodedata
 
     @pandas_udf("string")

@@ -409,19 +409,48 @@ _STRFTIME_MAP = [
 
 
 def _strftime_to_jdk(fmt: str) -> str:
-    # escape '%%' (literal percent) FIRST: doing it after the code
-    # substitutions would both mis-expand '%%Y' (literal % + Y) as
-    # '%' + yyyy and leave a residual '%' that the unsupported-code
-    # check below rejects even though '%%' is supported
-    sentinel = "\x00"
-    fmt = fmt.replace("%%", sentinel)
-    for ch_code, jdk in _STRFTIME_MAP:
-        fmt = fmt.replace(ch_code, jdk)
-    if "%" in fmt:
-        raise DialectError(
-            f"formatDateTime: unsupported strftime code in {fmt!r}"
-        )
-    return fmt.replace(sentinel, "%")
+    # walk code-by-code so LITERAL text between % codes gets
+    # single-quoted for the JDK pattern syntax — CH treats non-%
+    # characters as literals, while bare letters are reserved JDK
+    # pattern chars (code-review r13g: formatDateTime(ts, 'UTC')
+    # must print the literal text UTC, not die on pattern 'U').
+    # '%%' is a literal percent.
+    codes = dict(_STRFTIME_MAP)
+    out: list[str] = []
+    lit: list[str] = []
+
+    def flush() -> None:
+        if lit:
+            seg = "".join(lit)
+            if any(c.isalpha() for c in seg) or "'" in seg:
+                seg = "'" + seg.replace("'", "''") + "'"
+            out.append(seg)
+            lit.clear()
+
+    i = 0
+    while i < len(fmt):
+        if fmt[i] == "%":
+            if fmt[i:i + 2] == "%%":
+                lit.append("%")
+                i += 2
+                continue
+            code = fmt[i:i + 2]
+            if code not in codes:
+                raise DialectError(
+                    f"formatDateTime: unsupported strftime code "
+                    f"{code!r} in {fmt!r}"
+                )
+            flush()
+            out.append(codes[code])
+            i += 2
+        else:
+            lit.append(fmt[i])
+            i += 1
+    flush()
+    # every caller embeds the pattern in a single-quoted SQL string
+    # literal — double the JDK quote chars so they survive SQL
+    # parsing (the parser collapses '' back to one quote)
+    return "".join(out).replace("'", "''")
 
 
 class DialectError(ValueError):
@@ -1963,23 +1992,60 @@ def _render_call(name: str, args: list[str]) -> str:
     if name in (
         "parseDateTime64", "parseDateTime64OrNull",
         "parseDateTime64OrZero",
+    ) and len(args) >= 2:
+        # the FORMAT twin of parseDateTime (CH 24.x:
+        # parseDateTime64(str, format[, tz]) — code-review r13g: the
+        # first cut modeled a (str, scale) spelling that is actually
+        # parseDateTime64BestEffort's signature)
+        if re.fullmatch(r"\d+", args[1].strip()):
+            raise DialectError(
+                f"{name} takes a FORMAT string as its second "
+                "argument; the (value, scale[, tz]) spelling is "
+                "parseDateTime64BestEffort"
+            )
+        a = list(args)
+        if len(a) == 3:
+            tz = a[2].strip().strip("'\"")
+            if tz not in ("UTC", "Etc/UTC", "Universal"):
+                raise DialectError(
+                    f"{name}: only the 'UTC' timezone form maps "
+                    "(session time zone is pinned UTC)"
+                )
+            a = a[:2]
+        return _render_call(
+            "parseDateTime" + name[len("parseDateTime64"):], a,
+        )
+    if name in (
+        "parseDateTime64BestEffort",
+        "parseDateTime64BestEffortOrNull",
+        "parseDateTime64BestEffortOrZero",
     ) and len(args) in (2, 3):
-        # (str, scale[, tz]) ISO-parse forms (batch 21): Spark
-        # timestamps are µs precision, so the scale argument only
-        # matters past 6 (truncation, documented); UTC-only zone
+        # (str, scale[, tz]): CH TRUNCATES to the declared scale —
+        # sub-6 scales matter (code-review r13g); literal scale only
         tz = args[2].strip().strip("'\"") if len(args) == 3 else "UTC"
         if tz not in ("UTC", "Etc/UTC", "Universal"):
             raise DialectError(
                 f"{name}: only the 'UTC' timezone form maps "
                 "(session time zone is pinned UTC)"
             )
+        if not re.fullmatch(r"\d+", args[1].strip()):
+            raise DialectError(
+                f"{name}: the scale must be a literal integer"
+            )
+        scale = int(args[1])
+        fn = "TRY_CAST" if not name.endswith("BestEffort") else "CAST"
+        base = f"{fn}({args[0]} AS TIMESTAMP)"
+        if scale < 6:
+            f = 10 ** (6 - scale)
+            base = (
+                f"timestamp_micros(CAST(floor(unix_micros({base}) "
+                f"/ {f}.0) AS BIGINT) * {f})"
+            )
         if name.endswith("OrZero"):
             return (
-                f"coalesce(TRY_CAST({args[0]} AS TIMESTAMP), "
-                "TIMESTAMP'1970-01-01 00:00:00')"
+                f"coalesce({base}, TIMESTAMP'1970-01-01 00:00:00')"
             )
-        fn = "TRY_CAST" if name.endswith("OrNull") else "CAST"
-        return f"{fn}({args[0]} AS TIMESTAMP)"
+        return base
     if name in (
         "parseDateTime32BestEffort", "parseDateTime64BestEffort",
     ) and len(args) == 1:
@@ -2296,26 +2362,30 @@ def _render_call(name: str, args: list[str]) -> str:
         # constant there); this register covers the literal tier and
         # answers 0 for anything name-shaped — documented refinement
         return "0" if _has_column_ident(args[0]) else "1"
-    if name in (
-        "toString", "toUnixTimestamp", "formatDateTime",
-        "formatDateTimeInJodaSyntax",
-    ) and len(args) >= 2 and args[-1].strip().strip("'\"") in (
-        "UTC", "Etc/UTC", "Universal",
-    ):
-        # trailing-timezone forms (batch 21): the session pins UTC,
-        # so the UTC spellings are the zoneless forms — strip the
-        # zone and re-dispatch; other zones refuse below via the
-        # non-UTC guard (the toYYYYMMDD precedent)
-        if name == "toString" and len(args) == 2:
-            return f"CAST({args[0]} AS STRING)"
-        return _render_call(name, args[:-1])
-    if name in (
-        "toString", "toUnixTimestamp",
-    ) and len(args) == 2:
-        raise DialectError(
-            f"{name}: only the 'UTC' timezone form maps "
-            "(session time zone is pinned UTC)"
-        )
+    _tz_arity = {
+        # trailing-timezone forms (batch 21): function → the arity
+        # at which the LAST argument is the zone.  formatDateTime's
+        # 2-arg spelling is (ts, format) — a format string equal to
+        # the literal text 'UTC' is valid CH output, so only the
+        # 3-arg form carries a zone (code-review r13g)
+        "toString": (2,), "toUnixTimestamp": (2,),
+        "toDateTime": (2,), "toDate": (2,),
+        "formatDateTime": (3,), "formatDateTimeInJodaSyntax": (3,),
+        "toDateTime64": (3,),
+    }
+    if name in _tz_arity and len(args) in _tz_arity[name]:
+        tz = args[-1].strip().strip("'\"")
+        if tz in ("UTC", "Etc/UTC", "Universal"):
+            # the session pins UTC, so the UTC spellings are the
+            # zoneless forms — strip the zone and re-dispatch
+            if name == "toString":
+                return f"CAST({args[0]} AS STRING)"
+            return _render_call(name, args[:-1])
+        if args[-1].strip().startswith("'"):
+            raise DialectError(
+                f"{name}: only the 'UTC' timezone form maps "
+                "(session time zone is pinned UTC)"
+            )
     if name == "timezoneOf" and len(args) == 1:
         # the session pins UTC (session.py) and Spark timestamps are
         # zone-less instants, so every DateTime column's zone IS the
@@ -2806,13 +2876,6 @@ def _render_call(name: str, args: list[str]) -> str:
             f"{name} reads ClickHouse server state/config — the "
             "hostName/uptime/block* introspection wall"
         )
-    if name in ("jsonMergePatch", "JSONMergePatch") and args:
-        # RFC 7386 merge patch (batch 21): n-ary folds left through
-        # the 2-ary Arrow register
-        out = args[0]
-        for p in args[1:]:
-            out = f"ch_json_merge_patch({out}, {p})"
-        return out if len(args) > 1 else f"ch_json_merge_patch({out}, '{{}}')"
     if name == "generateSerialID":
         raise DialectError(
             "generateSerialID reads a Keeper-backed counter — use "
@@ -6058,16 +6121,15 @@ def _render_call(name: str, args: list[str]) -> str:
         # An empty range (stop < start, positive step) yields zero
         # rows, matching CH.
         step = args[2] if len(args) == 3 else "1"
-        a0 = f"CAST({args[0]} AS BIGINT)"
-        a1 = f"CAST({args[1]} AS BIGINT)"
-        st = f"CAST({step} AS BIGINT)"
-        # Spark's sequence() THROWS on inverted boundaries where CH
-        # yields zero rows — guard to an empty array
+        # lazy, partitioned range() like the numbers() register (a
+        # sequence()-array form materialized the whole range on one
+        # row — code-review r13g); range()'s exclusive end becomes
+        # inclusive via +-1, and an inverted range yields zero rows
+        # natively, matching CH
         return (
-            f"(SELECT explode(CASE WHEN ({st} > 0 AND {a1} < {a0}) "
-            f"OR ({st} < 0 AND {a1} > {a0}) THEN array() "
-            f"ELSE sequence({a0}, {a1}, {st}) END) "
-            f"AS generate_series)"
+            f"(SELECT id AS generate_series FROM range("
+            f"{args[0]}, ({args[1]}) + (CASE WHEN ({step}) > 0 "
+            f"THEN 1 ELSE -1 END), {step}))"
         )
     if name in ("file", "s3", "url") and len(args) >= 2:
         # table functions over external storage: self-describing
@@ -7399,7 +7461,10 @@ def _render_call(name: str, args: list[str]) -> str:
             path = "$." + ".".join(a[1:-1] for a in args[1:])
             j = f"get_json_object({j}, '{path}')"
         return f"json_object_keys({j})"
-    if name == "JSONMergePatch" and len(args) >= 2:
+    if name in ("JSONMergePatch", "jsonMergePatch") and len(args) == 1:
+        # 1-arg form normalizes the document (merge with {} — batch 21)
+        return f"ch_json_merge_patch({args[0]}, '{{}}')"
+    if name in ("JSONMergePatch", "jsonMergePatch") and len(args) >= 2:
         # RFC 7386 merge patch via the stdlib json module (compat.py
         # ch_json_merge_patch, Arrow-batched) — compact serialization,
         # target key order preserved then patch-added keys, exactly
@@ -20225,8 +20290,11 @@ def q_dialect_probe23(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 41 (r13). Batch-21 value gate: generate_series as a FROM-position
 #     table function (inclusive bounds, empty inverted range), RFC
 #     7386 jsonMergePatch (Arrow register, n-ary fold, null-removes),
-#     trailing-UTC toString/toUnixTimestamp forms, and the
-#     (str, scale[, tz]) parseDateTime64 family.  DuckDB's own
+#     trailing-UTC toString/toUnixTimestamp forms, the
+#     parseDateTime64 format twin and the scale-TRUNCATING
+#     (str, scale[, tz]) parseDateTime64BestEffort family, plus
+#     literal-text quoting in the strftime converter
+#     (code-review r13g).  DuckDB's own
 #     generate_series has the same inclusive contract.
 _CH_PROBE24 = """
 SELECT g AS k,
@@ -20235,9 +20303,12 @@ SELECT g AS k,
        toString(toDateTime('2024-03-15 10:30:45'), 'UTC') AS ts2,
        toUnixTimestamp(toDateTime('2024-03-15 10:30:45'), 'UTC')
            AS tu,
-       toUnixTimestamp(parseDateTime64('2024-03-15 10:30:45.123', 3))
-           AS pd,
-       toUnixTimestamp(parseDateTime64OrZero('garbage', 3)) AS pz
+       toUnixTimestamp64Milli(parseDateTime64BestEffort(
+           '2024-03-15 10:30:45.123456', 3)) AS pd,
+       toUnixTimestamp(parseDateTime64BestEffortOrZero(
+           'garbage', 3)) AS pz,
+       formatDateTime(toDateTime('2024-03-15 10:30:45'),
+           '%Y year, day %d') AS fdt
 FROM (SELECT generate_series AS g FROM generate_series(1, 9, 2)) t
 ORDER BY k
 """
@@ -20247,8 +20318,10 @@ SELECT g AS k,
        '{"a":1,"b":' || CAST(g AS VARCHAR) || '}' AS jm,
        '2024-03-15 10:30:45' AS ts2,
        CAST(epoch(TIMESTAMP '2024-03-15 10:30:45') AS BIGINT) AS tu,
-       CAST(epoch(TIMESTAMP '2024-03-15 10:30:45') AS BIGINT) AS pd,
-       CAST(0 AS BIGINT) AS pz
+       CAST(epoch_ms(TIMESTAMP '2024-03-15 10:30:45.123')
+           AS BIGINT) AS pd,
+       CAST(0 AS BIGINT) AS pz,
+       '2024 year, day 15' AS fdt
 FROM generate_series(1, 9, 2) t(g)
 ORDER BY k
 """
