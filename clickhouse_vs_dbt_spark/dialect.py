@@ -401,10 +401,17 @@ _URL_PARTS = {
 # ClickHouse formatDateTime uses strftime-style codes; Spark
 # date_format takes JDK patterns — literal format strings convert
 _STRFTIME_MAP = [
+    # MySQL-flavored codes, ClickHouse's formatDateTime/parseDateTime
+    # dialect.  %M is the full MONTH NAME and %i the minute — CH's
+    # default since 23.1 (formatdatetime_parsedatetime_m_is_month_name
+    # = 1); the pre-23.1 %M-as-minute reading is NOT honored here
+    # (code-review r13g; MIGRATION.md)
     ("%Y", "yyyy"), ("%y", "yy"), ("%m", "MM"), ("%d", "dd"),
-    ("%H", "HH"), ("%M", "mm"), ("%S", "ss"), ("%j", "DDD"),
-    ("%F", "yyyy-MM-dd"), ("%T", "HH:mm:ss"), ("%e", "d"),
-    ("%G", "YYYY"), ("%V", "ww"), ("%a", "EEE"), ("%b", "MMM"),
+    ("%H", "HH"), ("%M", "MMMM"), ("%i", "mm"), ("%S", "ss"),
+    ("%s", "ss"), ("%j", "DDD"), ("%F", "yyyy-MM-dd"),
+    ("%T", "HH:mm:ss"), ("%R", "HH:mm"), ("%e", "d"),
+    ("%c", "M"), ("%G", "YYYY"), ("%V", "ww"), ("%a", "EEE"),
+    ("%b", "MMM"), ("%W", "EEEE"), ("%p", "a"), ("%f", "SSSSSS"),
 ]
 
 

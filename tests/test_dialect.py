@@ -1138,7 +1138,9 @@ def test_json_url_strftime_families():
         transpile("domainWithoutWWW(u)")
     )
     assert transpile("queryString(u)") == "parse_url(u, 'QUERY')"
-    assert transpile("formatDateTime(d, '%Y-%m-%d %H:%M:%S')") == (
+    # %i is the minute; %M is the full MONTH NAME (ClickHouse's
+    # MySQL-dialect default since 23.1 — code-review r13g)
+    assert transpile("formatDateTime(d, '%Y-%m-%d %H:%i:%S')") == (
         "date_format(d, 'yyyy-MM-dd HH:mm:ss')"
     )
     with pytest.raises(DialectError, match="strftime"):
