@@ -2322,7 +2322,14 @@ def _render_call(name: str, args: list[str]) -> str:
             f"size(json_object_keys({j})))"
         )
     if name == "toJSONString" and len(args) == 1:
-        return f"to_json({args[0]})"
+        # uniform for every type (batch 22): serialize a 1-element
+        # wrapper array and strip its brackets — scalars JSON-quote
+        # like CH, containers serialize as themselves (to_json alone
+        # rejects non-container types)
+        return (
+            f"regexp_extract(to_json(array({args[0]})), "
+            f"'^\\\\[(.*)\\\\]$', 1)"
+        )
     if name == "multiMatchAny" and len(args) == 2:
         return f"exists({args[1]}, __mm -> {args[0]} RLIKE __mm)"
     if name == "multiSearchFirstPosition" and len(args) == 2:
@@ -3826,12 +3833,14 @@ def _render_call(name: str, args: list[str]) -> str:
                 "Quarters": "QUARTER"}[unit]
         n = args[1] if name.startswith("add") else f"-({args[1]})"
         return f"timestampadd({unit}, {n}, {args[0]})"
-    if name in ("timestampAdd", "timestampSub", "dateAdd", "dateSub") \
+    if name in ("timestampAdd", "timestampSub", "dateAdd", "dateSub",
+                "addDate", "subDate") \
             and len(args) == 2 \
             and re.match(r"(?i)^\s*INTERVAL\b", args[1] or ""):
         # the (ts, INTERVAL n unit) 2-arg spelling (the 3-arg unit
         # forms map elsewhere) — native interval arithmetic
-        op = "-" if name.endswith("Sub") else "+"
+        op = "-" if name in ("timestampSub", "dateSub", "subDate") \
+            else "+"
         return f"({args[0]} {op} {args[1]})"
     if name in (
         "tuplePlus", "tupleMinus", "tupleMultiply", "tupleDivide",
@@ -4231,10 +4240,31 @@ def _render_call(name: str, args: list[str]) -> str:
     if name == "toValidUTF8" and len(args) == 1:
         # JVM strings are already valid UTF-8 by construction
         return args[0]
-    if name == "tokens" and len(args) == 1:
-        return (
-            f"filter(split({args[0]}, '[^a-zA-Z0-9]+'), "
-            f"__t -> __t != '')"
+    if name == "tokens" and len(args) in (1, 2, 3):
+        mode = (
+            args[1].strip().strip("'\"").lower()
+            if len(args) > 1 else "default"
+        )
+        if mode in ("default", "splitbynonalpha"):
+            return (
+                f"filter(split({args[0]}, '[^a-zA-Z0-9]+'), "
+                f"__t -> __t != '')"
+            )
+        if mode == "ngram" and len(args) == 3:
+            # sliding character n-grams (batch 22); shorter-than-N
+            # input yields an empty array like CH
+            a, n = args[0], args[2]
+            # explicit empty guard: sequence(1, 0) runs DESCENDING
+            # in Spark, which duplicated the input for short strings
+            return (
+                f"(CASE WHEN length({a}) < ({n}) THEN "
+                f"CAST(array() AS ARRAY<STRING>) ELSE "
+                f"transform(sequence(1, length({a}) - ({n}) + 1), "
+                f"__i -> substring({a}, __i, {n})) END)"
+            )
+        raise DialectError(
+            "tokens: the 'default' and 'ngram' tokenizers map; the "
+            "'split' separator-list mode is splitByString's job"
         )
     if name in ("snowflakeToDateTime", "snowflakeToDateTime64") and args:
         # Twitter snowflake: ms since 2010-11-04 epoch in bits 22+
@@ -4261,7 +4291,9 @@ def _render_call(name: str, args: list[str]) -> str:
         form = name.removeprefix("normalizeUTF8")
         return f"ch_normalize_utf8({args[0]}, '{form}')"
     if name in ("stem", "synonyms", "lemmatize", "detectLanguage",
-                "detectCharset", "detectLanguageMixed"):
+                "detectCharset", "detectLanguageMixed",
+                "detectLanguageUnknown", "detectProgrammingLanguage",
+                "detectTonality"):
         raise DialectError(
             f"{name}: model-backed NLP — use the text operators "
             "(operators/text.py: text_langid n-gram language ID, "
