@@ -410,8 +410,12 @@ _STRFTIME_MAP = [
     ("%H", "HH"), ("%M", "MMMM"), ("%i", "mm"), ("%S", "ss"),
     ("%s", "ss"), ("%j", "DDD"), ("%F", "yyyy-MM-dd"),
     ("%T", "HH:mm:ss"), ("%R", "HH:mm"), ("%e", "d"),
-    ("%c", "M"), ("%G", "YYYY"), ("%V", "ww"), ("%a", "EEE"),
+    # %c zero-pads in CH's dialect (01-12), unlike MySQL
+    ("%c", "MM"), ("%a", "EEE"),
     ("%b", "MMM"), ("%W", "EEEE"), ("%p", "a"), ("%f", "SSSSSS"),
+    # %G/%V (week-based year/week) are NOT here: Spark bans
+    # week-based patterns since 3.3, so they refuse at transpile
+    # time via the unsupported-code check (code-review r13h)
 ]
 
 
@@ -2170,7 +2174,19 @@ def _render_call(name: str, args: list[str]) -> str:
     if name in ("parseDateTime", "parseDateTimeOrNull") and len(
         args
     ) == 2 and args[1].strip().startswith("'"):
-        fmt = _strftime_to_jdk(args[1].strip()[1:-1])
+        raw_fmt = args[1].strip()[1:-1]
+        for bad in ("%W", "%a"):
+            if bad in raw_fmt.replace("%%", ""):
+                # Spark forbids 'E' day-name patterns on the PARSE
+                # side — even try_to_timestamp throws at pattern
+                # compile, breaking the OrNull contract (code-review
+                # r13h)
+                raise DialectError(
+                    f"{name}: the {bad} day-name code cannot PARSE "
+                    "on Spark (week-day patterns are format-only); "
+                    "drop the day name from the format"
+                )
+        fmt = _strftime_to_jdk(raw_fmt)
         fn = (
             "to_timestamp"
             if name == "parseDateTime"
@@ -2325,10 +2341,15 @@ def _render_call(name: str, args: list[str]) -> str:
         # uniform for every type (batch 22): serialize a 1-element
         # wrapper array and strip its brackets — scalars JSON-quote
         # like CH, containers serialize as themselves (to_json alone
-        # rejects non-container types)
+        # rejects non-container types).  substring, not a regex: '.'
+        # misses unescaped U+2028/U+2029 line terminators and
+        # regexp_extract would silently answer '' (code-review
+        # r13h); the transform let-binding evaluates to_json once.
+        # DateTime args serialize in Spark's ISO JSON shape
+        # (2024-03-15T10:30:45.000Z), not CH's — MIGRATION.md.
         return (
-            f"regexp_extract(to_json(array({args[0]})), "
-            f"'^\\\\[(.*)\\\\]$', 1)"
+            f"element_at(transform(array(to_json(array({args[0]}))), "
+            f"__j -> substring(__j, 2, length(__j) - 2)), 1)"
         )
     if name == "multiMatchAny" and len(args) == 2:
         return f"exists({args[1]}, __mm -> {args[0]} RLIKE __mm)"
@@ -4250,7 +4271,9 @@ def _render_call(name: str, args: list[str]) -> str:
                 f"filter(split({args[0]}, '[^a-zA-Z0-9]+'), "
                 f"__t -> __t != '')"
             )
-        if mode == "ngram" and len(args) == 3:
+        if mode == "ngram" and len(args) in (2, 3):
+            if len(args) == 2:
+                args = [args[0], args[1], "3"]  # CH default N
             # sliding character n-grams (batch 22); shorter-than-N
             # input yields an empty array like CH
             a, n = args[0], args[2]
@@ -4263,8 +4286,9 @@ def _render_call(name: str, args: list[str]) -> str:
                 f"__i -> substring({a}, __i, {n})) END)"
             )
         raise DialectError(
-            "tokens: the 'default' and 'ngram' tokenizers map; the "
-            "'split' separator-list mode is splitByString's job"
+            f"tokens: tokenizer {mode!r} does not map — 'default' "
+            "and 'ngram' transpile; the 'split' separator-list mode "
+            "is splitByString's job"
         )
     if name in ("snowflakeToDateTime", "snowflakeToDateTime64") and args:
         # Twitter snowflake: ms since 2010-11-04 epoch in bits 22+

@@ -6440,3 +6440,41 @@ def test_r12c_review_fixes(spark):
         "FROM rc_t GROUP BY k"
     )
     assert "__gc_rn" in o2
+
+
+def test_r13_batch22_value_pins(spark):
+    """Batch 22 value pins (code-review r13h: the audit only proves
+    map-or-refuse, not values): any-type toJSONString incl. the
+    U+2028 line terminator a regex strip silently dropped,
+    addDate/subDate arithmetic, ngram tokenizer output and its
+    defaults, and the parse-side day-name ban."""
+    import pytest as _pytest
+
+    one = lambda e: spark.sql(  # noqa: E731
+        transpile(f"SELECT {e} AS v")
+    ).collect()[0].v
+    assert one("toJSONString('hi')") == '"hi"'
+    assert one("toJSONString(42)") == "42"
+    assert one("toJSONString([1, 2])") == "[1,2]"
+    assert one("toJSONString(map('a', 1))") == '{"a":1}'
+    assert one("toJSONString(CAST(NULL AS INT))") == "null"
+    got = one("toJSONString(concat('a', char(8232), 'b'))")
+    assert got.startswith('"a') and got.endswith('b"')  # not ''
+    assert str(one(
+        "addDate(CAST('2024-03-15' AS DATE), INTERVAL 3 DAY)"
+    )) == "2024-03-18"
+    assert str(one(
+        "subDate(CAST('2024-03-15' AS DATE), INTERVAL 1 MONTH)"
+    )) == "2024-02-15"
+    assert one("tokens('abcde', 'ngram', 3)") == ["abc", "bcd", "cde"]
+    assert one("tokens('abcd', 'ngram')") == ["abc", "bcd"]  # N=3
+    assert one("tokens('ab', 'ngram', 3)") == []
+    assert one("tokens('Hi there, world')") == ["Hi", "there", "world"]
+    # %c zero-pads (CH dialect), %W/%a are format-only
+    assert one(
+        "formatDateTime(CAST('2024-03-15' AS TIMESTAMP), '%c')"
+    ) == "03"
+    with _pytest.raises(DialectError, match="format-only"):
+        transpile("SELECT parseDateTimeOrNull('Friday', '%W')")
+    with _pytest.raises(DialectError, match="unsupported"):
+        transpile("SELECT formatDateTime(ts, '%V') FROM t")
