@@ -2905,6 +2905,7 @@ def _render_call(name: str, args: list[str]) -> str:
         "filesystemUnreserved", "buildId", "getServerPort",
         "globalVariable", "hasThreadFuzzer", "defaultRoles",
         "initialQueryStartTime", "queryStartTime", "showCertificate",
+        "hostname", "getMaxTableNameLengthForDatabase",
         # (serverUUID keeps its ORIGINAL wall below — better pointer)
     ):
         raise DialectError(
@@ -3970,6 +3971,14 @@ def _render_call(name: str, args: list[str]) -> str:
         d = args[0]
         # Sunday-start week (ClickHouse default mode) ends Saturday
         return f"CAST(date_add({d}, 7 - dayofweek({d})) AS DATE)"
+    if name == "toStartOfISOYear" and len(args) == 1:
+        # Monday of ISO week 1 = the week containing Jan 4 of the
+        # ISO year (batch 23); extract(YEAROFWEEK) is Spark's ISO
+        # week-year
+        return (
+            f"CAST(date_trunc('week', make_date("
+            f"extract(YEAROFWEEK FROM {args[0]}), 1, 4)) AS DATE)"
+        )
     if name == "toDaysSinceYearZero" and len(args) == 1:
         return f"(datediff({args[0]}, DATE'1970-01-01') + 719528)"
     if name in (
@@ -5787,7 +5796,7 @@ def _render_call(name: str, args: list[str]) -> str:
         )
     if name in (
         "deltaSum", "deltaSumTimestamp", "groupArrayMovingSum",
-        "groupArrayMovingAvg",
+        "groupArrayMovingAvg", "deltaSumIf", "deltaSumTimestampIf",
     ):
         raise DialectError(
             f"{name} is order-dependent inside an aggregate (ClickHouse "
@@ -6137,6 +6146,14 @@ def _render_call(name: str, args: list[str]) -> str:
             "(__l, __r) -> CASE WHEN __l.k < __r.k THEN -1 "
             "WHEN __l.k > __r.k THEN 1 ELSE 0 END), __s -> __s.v)"
         )
+    if name in (
+        "medianTiming", "medianTDigest", "medianBFloat16",
+    ) and len(args) == 1:
+        # median* = the parametric quantile* register at p=0.5
+        # (batch 23)
+        return _render_parametric(
+            "quantile" + name[len("median"):], ["0.5"], [args[0]],
+        )
     if name == "medianDeterministic" and len(args) == 2:
         # (x, determinator) at p=0.5: the determinator only stabilizes
         # CH's sampling — percentile_approx is already deterministic
@@ -6236,6 +6253,13 @@ def _render_call(name: str, args: list[str]) -> str:
         return (
             f"(sum(CAST(({x}) AS DOUBLE) * ({w})) / "
             f"sum(CAST(({w}) AS DOUBLE)))"
+        )
+    if name == "anyHeavyIf" and len(args) == 2:
+        # -If combinator over the heavy-hitter pick (batch 23): mask
+        # non-qualifying rows to NULL — the mode fold below ignores
+        # NULL inputs like CH's -If row filter
+        return _render_call(
+            "anyHeavy", [f"(CASE WHEN {args[1]} THEN {args[0]} END)"],
         )
     if name == "anyHeavy" and len(args) == 1:
         # CH's heavy-hitter pick → Spark's exact mode (deterministic
