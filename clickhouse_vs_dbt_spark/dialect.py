@@ -6154,6 +6154,13 @@ def _render_call(name: str, args: list[str]) -> str:
         return _render_parametric(
             "quantile" + name[len("median"):], ["0.5"], [args[0]],
         )
+    if name in (
+        "medianTimingIf", "medianTDigestIf", "medianBFloat16If",
+    ) and len(args) == 2:
+        # the -If combinator of the sketch twins (code-review r13i)
+        return _render_parametric(
+            "quantile" + name[len("median"):], ["0.5"], args,
+        )
     if name == "medianDeterministic" and len(args) == 2:
         # (x, determinator) at p=0.5: the determinator only stabilizes
         # CH's sampling — percentile_approx is already deterministic
