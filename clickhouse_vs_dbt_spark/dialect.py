@@ -464,6 +464,24 @@ def _strftime_to_jdk(fmt: str) -> str:
     return "".join(out).replace("'", "''")
 
 
+def _ban_dayname_parse(name: str, raw_fmt: str) -> None:
+    """Spark forbids 'E' day-name patterns on the PARSE side — even
+    try_to_timestamp throws at pattern COMPILE time, so the OrNull /
+    OrZero never-throw contracts would break at runtime.  Shared by
+    every strftime parse entry point (ADVICE r13: the first cut
+    guarded only parseDateTime/parseDateTimeOrNull, so
+    parseDateTimeOrZero — and parseDateTime64OrZero, which dispatches
+    into it — turned the transpile-time refusal into a runtime
+    crash)."""
+    for bad in ("%W", "%a"):
+        if bad in raw_fmt.replace("%%", ""):
+            raise DialectError(
+                f"{name}: the {bad} day-name code cannot PARSE "
+                "on Spark (week-day patterns are format-only); "
+                "drop the day name from the format"
+            )
+
+
 class DialectError(ValueError):
     """Raised for malformed input (unbalanced parens in a call)."""
 
@@ -1426,14 +1444,25 @@ def _betainc_sql(x: str, a: str, b: str) -> str:
 # the args reaching _render_call are already-transpiled text, so
 # CAST(1 AS INT) carries type-name identifiers that must not read as
 # column references (code-review r13e; shared by isConstant and
-# isNullable so the two registers cannot drift)
+# isNullable so the two registers cannot drift).  Reserved words
+# here are constant in EVERY position; type names and interval units
+# are in _CTX_CONST_TOKENS instead, constant only in a type context —
+# bare, they are legal (and common) column names like `month` or
+# `year`, which must keep reading as column references (ADVICE r13)
 _CONST_TOKENS = frozenset((
     "NULL", "TRUE", "FALSE", "AND", "OR", "NOT", "IS", "IN",
-    "INTERVAL", "DATE", "TIMESTAMP", "CAST", "TRY_CAST", "AS",
-    "INT", "INTEGER", "BIGINT", "SMALLINT", "TINYINT", "FLOAT",
-    "DOUBLE", "DECIMAL", "STRING", "VARCHAR", "CHAR", "BOOLEAN",
-    "BINARY", "ARRAY", "MAP", "STRUCT", "YEAR", "MONTH", "DAY",
-    "HOUR", "MINUTE", "SECOND", "TO",
+    "INTERVAL", "CAST", "TRY_CAST", "AS", "TO",
+))
+
+# constant only when the surrounding tokens spell a type or typed
+# literal: after AS / INTERVAL / '<', before a string literal or '<'
+# or '(' (typed literals DATE'…', generics ARRAY<INT>, extraction
+# functions year(…) — the inner args carry their own idents)
+_CTX_CONST_TOKENS = frozenset((
+    "DATE", "TIMESTAMP", "INT", "INTEGER", "BIGINT", "SMALLINT",
+    "TINYINT", "FLOAT", "DOUBLE", "DECIMAL", "STRING", "VARCHAR",
+    "CHAR", "BOOLEAN", "BINARY", "ARRAY", "MAP", "STRUCT",
+    "YEAR", "MONTH", "DAY", "HOUR", "MINUTE", "SECOND",
 ))
 
 
@@ -1454,15 +1483,42 @@ def _paren_whole(ts: list[str]) -> bool:
 
 def _has_column_ident(expr: str) -> bool:
     """True when the rendered expression text contains a token that
-    reads as a column/function reference (see ``_CONST_TOKENS``)."""
-    return any(
-        (_is_ident(t) and t.upper() not in _CONST_TOKENS)
+    reads as a column/function reference.  Reserved words
+    (``_CONST_TOKENS``) never do; type/unit names
+    (``_CTX_CONST_TOKENS``) don't ONLY in a type or typed-literal
+    context — a bare ``month`` or ``year`` is a column reference
+    (ADVICE r13: the flat set made isConstant(month) answer 1)."""
+    ts = [
+        t for t in _tokens(expr)
+        if not t.isspace() and not t.startswith(("--", "/*"))
+    ]
+    for i, t in enumerate(ts):
         # quoted identifiers are COLUMN references too (code-review
         # r12a: a backtick token fails _IDENT_RE and answered
         # "constant")
-        or t.startswith("`")
-        for t in _tokens(expr)
-    )
+        if t.startswith("`"):
+            return True
+        if not _is_ident(t):
+            continue
+        up = t.upper()
+        if up in _CONST_TOKENS:
+            continue
+        if up in _CTX_CONST_TOKENS:
+            prev = ts[i - 1].upper() if i else ""
+            prev2 = ts[i - 2].upper() if i >= 2 else ""
+            nxt = ts[i + 1] if i + 1 < len(ts) else ""
+            if (
+                prev in ("AS", "INTERVAL", "<")
+                or prev2 == "INTERVAL"  # INTERVAL 1 DAY
+                or nxt.startswith("'")  # DATE'…' typed literal
+                or nxt in ("<", "(")    # ARRAY<INT>, year(…)
+                # MAP<STRING,INT>: second type name follows ','
+                or (prev == "," and prev2 in _CTX_CONST_TOKENS)
+            ):
+                continue
+            return True
+        return True
+    return False
 
 
 _B18_ALIASES = {
@@ -2140,7 +2196,9 @@ def _render_call(name: str, args: list[str]) -> str:
         return out
     if name == "parseDateTimeOrZero" and len(args) == 2 \
             and args[1].strip().startswith("'"):
-        fmt = _strftime_to_jdk(args[1].strip()[1:-1])
+        raw_fmt = args[1].strip()[1:-1]
+        _ban_dayname_parse(name, raw_fmt)
+        fmt = _strftime_to_jdk(raw_fmt)
         return (
             f"coalesce(try_to_timestamp({args[0]}, '{fmt}'), "
             "TIMESTAMP'1970-01-01 00:00:00')"
@@ -2175,17 +2233,7 @@ def _render_call(name: str, args: list[str]) -> str:
         args
     ) == 2 and args[1].strip().startswith("'"):
         raw_fmt = args[1].strip()[1:-1]
-        for bad in ("%W", "%a"):
-            if bad in raw_fmt.replace("%%", ""):
-                # Spark forbids 'E' day-name patterns on the PARSE
-                # side — even try_to_timestamp throws at pattern
-                # compile, breaking the OrNull contract (code-review
-                # r13h)
-                raise DialectError(
-                    f"{name}: the {bad} day-name code cannot PARSE "
-                    "on Spark (week-day patterns are format-only); "
-                    "drop the day name from the format"
-                )
+        _ban_dayname_parse(name, raw_fmt)
         fmt = _strftime_to_jdk(raw_fmt)
         fn = (
             "to_timestamp"
@@ -4053,9 +4101,22 @@ def _render_call(name: str, args: list[str]) -> str:
                     "outside [a-z0-9 ,;:|#&=@/] need regex escaping "
                     "— use str_to_map directly"
                 )
+        # FIRST-win duplicate-key dedup in the fold (ADVICE r13):
+        # str_to_map throws at runtime on duplicate keys under
+        # Spark's default spark.sql.mapKeyDedupPolicy=EXCEPTION,
+        # while ClickHouse's Map physically keeps every pair and
+        # map[key] lookup answers the FIRST — the fold below keeps
+        # the first pair per key.  O(pairs²) via map_keys scan, but
+        # pairs-per-row is input-text-bounded, not data-scale.
+        pair_re, kv_re = f"'[{pd_[1:-1]}]+'", f"'[{kv[1:-1]}]'"
+        key_of = f"get(split(__kvp, {kv_re}, 2), 0)"
+        val_of = f"get(split(__kvp, {kv_re}, 2), 1)"
         return (
-            f"str_to_map({args[0]}, '[{pd_[1:-1]}]+', "
-            f"'[{kv[1:-1]}]')"
+            f"aggregate(split({args[0]}, {pair_re}), "
+            "CAST(map() AS MAP<STRING,STRING>), "
+            "(__kvm, __kvp) -> IF("
+            f"array_contains(map_keys(__kvm), {key_of}), __kvm, "
+            f"map_concat(__kvm, map({key_of}, {val_of}))))"
         )
     if name == "appendTrailingCharIfAbsent" and len(args) == 2:
         a, c = args
@@ -10438,13 +10499,18 @@ def _any_noeq_derived(
        value-compression class, VERDICT r12);
     2. UNION ALL the DISTINCT left operand values as probe rows
        (payload NULL — Spark widens NullType to the build struct)
-       and take ``min(struct) OVER (ORDER BY value, tag ROWS
-       UNBOUNDED PRECEDING..1 PRECEDING)``: for strict comparisons
-       probes sort BEFORE same-value build rows (tag 0 vs 1) so
-       equal values stay outside the frame; non-strict reverses the
-       tags; < and <= flip the sort direction.  The window is
-       single-partition but runs over distinct values only — the
-       weighted-quantile precedent;
+       and take the running ``min(struct)`` over ``(value, tag)``
+       order: for strict comparisons probes sort BEFORE same-value
+       build rows (tag 0 vs 1) so equal values stay outside the
+       frame; non-strict reverses the tags; < and <= flip the sort
+       direction.  The running min is RANGE-PARTITIONED (VERDICT
+       r13 — a global window was one task at high comparison-value
+       cardinality): value-bucket the union via
+       :func:`_range_bucket_sql`, per-bucket exclusive-frame
+       ``min(struct) OVER (PARTITION BY bucket ...)`` in parallel,
+       then fold in the ≤64-row cross-bucket prefix mins (walked in
+       sort direction) with a null-skipping CASE min through a
+       broadcast join — the PASTE JOIN two-pass rank scheme;
     3. keep probe rows with a non-NULL running min and equi-join
        back on the operand expression.  The probe side is unique
        per value → no fan-out; ANY LEFT keeps unmatched left rows
@@ -10489,12 +10555,7 @@ def _any_noeq_derived(
     ptag, btag = (0, 1) if op in (">", "<") else (1, 0)
     rcsv = ", ".join(rcols)
     unpack = ", ".join(f"__any_b.{c} AS {c}" for c in rcols)
-    derived = (
-        f"(SELECT __any_lk0, {unpack} FROM ("
-        f"SELECT __any_v AS __any_lk0, __any_t, "
-        f"min(__any_s) OVER (ORDER BY __any_v {vdir}, __any_t "
-        f"ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) "
-        f"AS __any_b FROM ("
+    union_sql = (
         f"SELECT __any_v, {btag} AS __any_t, "
         f"min(struct({rcsv})) AS __any_s "
         f"FROM (SELECT __any_r.*, {rtext} AS __any_v "
@@ -10504,7 +10565,65 @@ def _any_noeq_derived(
         f"SELECT DISTINCT {ltext} AS __any_v, {ptag} AS __any_t, "
         f"NULL AS __any_s FROM {left_rel} "
         f"WHERE ({ltext}) IS NOT NULL"
-        f") __any_u) __any_w "
+    )
+    # RANGE-PARTITIONED two-pass running min (VERDICT r13: the
+    # global ORDER BY window was a SinglePartition exchange over
+    # the distinct comparison values — O(rows) for a
+    # high-cardinality float operand at scale).  The PASTE JOIN
+    # rank scheme (:func:`_range_bucket_sql`): bucket the union by
+    # fixed-width value ranges (stats from a broadcast one-row
+    # scan of the RIGHT side — probe values outside the range
+    # clamp to the edge buckets, bucketing only needs
+    # order-consistency), run the exclusive-frame min per bucket
+    # in parallel, fold in each bucket's full min through a
+    # ≤64-row prefix window walked in sort direction, and combine
+    # with null-skipping least().  Ties share a bucket (monotone
+    # map), so prior buckets are strictly before the current row
+    # and the result equals the global form row-for-row.  The
+    # union is spelled twice (rows + bucket totals) — Spark's
+    # exchange reuse collapses the duplicate GROUP BY, and the
+    # bucket-totals leg reduces to ≤64 rows before its window.
+    nb = 64
+    bucket, knn = _range_bucket_sql(
+        "__any_v", nb, "__any_plo", "__any_pwd",
+    )
+    stats = (
+        f"(SELECT min({knn}) AS __any_plo, "
+        f"GREATEST((max({knn}) - min({knn})) / {nb}, 1e-9d) "
+        f"AS __any_pwd "
+        f"FROM (SELECT {rtext} AS __any_v "
+        f"FROM {right_ref} __any_r) __any_sv "
+        f"WHERE __any_v IS NOT NULL)"
+    )
+    bucketed = (
+        f"(SELECT *, {bucket} AS __any_pb "
+        f"FROM ({union_sql}) __any_u CROSS JOIN {stats} __any_st)"
+    )
+    premins = (
+        f"(SELECT __any_pb AS __any_pb2, min(__any_bm) OVER "
+        f"(ORDER BY __any_pb {vdir} "
+        f"ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) "
+        f"AS __any_pre "
+        f"FROM (SELECT __any_pb, min(__any_s) AS __any_bm "
+        f"FROM {bucketed} __any_bt GROUP BY __any_pb) __any_bg)"
+    )
+    derived = (
+        f"(SELECT __any_lk0, {unpack} FROM ("
+        f"SELECT __any_v AS __any_lk0, __any_t, "
+        # NULL-SKIPPING struct min — spelled as CASE, not least():
+        # the spliced text re-enters the transpiler, whose least
+        # register keeps ClickHouse's NULL-PROPAGATING semantics
+        f"CASE WHEN __any_bw IS NULL THEN __any_pre "
+        f"WHEN __any_pre IS NULL THEN __any_bw "
+        f"WHEN __any_pre < __any_bw THEN __any_pre "
+        f"ELSE __any_bw END AS __any_b FROM ("
+        f"SELECT __any_v, __any_t, __any_pb, "
+        f"min(__any_s) OVER (PARTITION BY __any_pb "
+        f"ORDER BY __any_v {vdir}, __any_t "
+        f"ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) "
+        f"AS __any_bw FROM {bucketed} __any_bb) __any_win "
+        f"JOIN {premins} __any_pm ON __any_pb = __any_pb2"
+        f") __any_w "
         f"WHERE __any_t = {ptag} AND __any_b IS NOT NULL)"
     )
     jkind = "LEFT JOIN" if strict == "LEFT" else "JOIN"
@@ -12097,6 +12216,57 @@ def _rewrite_paste_join(toks: list[str]) -> list[str]:
         toks[lopen:rclose + 1] = _tokens(repl)
 
 
+def _range_bucket_sql(
+    val: str, nb: int, lo: str, wd: str,
+) -> tuple[str, str]:
+    """``(bucket_expr, nan_safe_key)`` for range-bucketing ``val``
+    into ``nb`` fixed-width buckets against stats columns ``lo``
+    (range min) / ``wd`` (bucket width) — the two-pass
+    range-partition scheme shared by the PASTE JOIN rank
+    (:func:`_paste_ranked_side`) and the no-equi ANY JOIN running
+    min (:func:`_any_noeq_derived`).
+
+    The bucket key is typed through a foldable ``typeof`` dispatch
+    (code-review r11): numeric/decimal keys bucket on their value,
+    date/timestamp keys on their epoch number, EVERYTHING ELSE —
+    including strings, whose lexicographic order disagrees with a
+    numeric cast ('5' > '10') — lands in bucket 0, i.e. exactly the
+    single-partition plan, never a wrong order.  The value routes
+    through a STRING cast first so no key type can fail analysis
+    (try_cast(DATE AS DOUBLE) is an analysis-time error).
+
+    NaN routes to the TOP bucket (ADVICE r11): ORDER BY sorts NaN
+    after every double, but floor((NaN-lo)/wd) casts to NULL and
+    the coalesce would park it in bucket 0 — breaking the
+    bucket-order/value-order agreement.  The stats side must see
+    NaN as NULL (``nan_safe_key``), else one NaN poisons max() and
+    the width.  Bucketing is a MONOTONE map of the value, so equal
+    values always share a bucket and out-of-range values clamp to
+    the edge buckets — order-consistency, not exact ranges, is the
+    contract."""
+    k = (
+        f"(CASE WHEN typeof({val}) IN ('tinyint', 'smallint', "
+        "'int', 'bigint', 'float', 'double') OR "
+        f"typeof({val}) LIKE 'decimal%' "
+        f"THEN try_cast(try_cast(({val}) AS STRING) AS DOUBLE) "
+        f"WHEN typeof({val}) = 'date' THEN CAST(unix_date("
+        f"try_cast(try_cast(({val}) AS STRING) AS DATE)) AS DOUBLE) "
+        f"WHEN typeof({val}) = 'timestamp' THEN CAST(try_cast("
+        f"try_cast(({val}) AS STRING) AS TIMESTAMP) AS DOUBLE) "
+        "ELSE CAST(NULL AS DOUBLE) END)"
+    )
+    # clamp in DOUBLE, then cast: a value far outside the stats
+    # range (the ANY JOIN probe side is bucketed against right-side
+    # stats) would overflow an INT cast under ANSI before a
+    # post-cast clamp could save it
+    bucket = (
+        f"CASE WHEN isnan(coalesce({k}, 0d)) THEN {nb - 1} ELSE "
+        f"coalesce(CAST(LEAST(CAST({nb - 1} AS DOUBLE), GREATEST("
+        f"0d, floor(({k} - {lo}) / {wd}))) AS INT), 0) END"
+    )
+    return bucket, f"nanvl({k}, CAST(NULL AS DOUBLE))"
+
+
 def _paste_ranked_side(side_sql: str, order_keys: str) -> str:
     """One PASTE JOIN side with its global position column.
 
@@ -12158,29 +12328,8 @@ def _paste_ranked_side(side_sql: str, order_keys: str) -> str:
                      "generateSnowflakeID", "randCanonical")
         ):
             return global_form
-    k = (
-        f"(CASE WHEN typeof({first}) IN ('tinyint', 'smallint', "
-        "'int', 'bigint', 'float', 'double') OR "
-        f"typeof({first}) LIKE 'decimal%' "
-        f"THEN try_cast(try_cast(({first}) AS STRING) AS DOUBLE) "
-        f"WHEN typeof({first}) = 'date' THEN CAST(unix_date("
-        f"try_cast(try_cast(({first}) AS STRING) AS DATE)) AS DOUBLE) "
-        f"WHEN typeof({first}) = 'timestamp' THEN CAST(try_cast("
-        f"try_cast(({first}) AS STRING) AS TIMESTAMP) AS DOUBLE) "
-        "ELSE CAST(NULL AS DOUBLE) END)"
-    )
     nb = 64
-    # NaN routes to the TOP bucket (ADVICE r11): ORDER BY sorts NaN
-    # after every double, but floor((NaN-lo)/wd) casts to NULL and
-    # the coalesce would park it in bucket 0 — mis-pairing ranks vs
-    # the global form.  The stats likewise see NaN as NULL (nanvl),
-    # else a single NaN poisons max() and the width.
-    bucket = (
-        f"CASE WHEN isnan(coalesce({k}, 0d)) THEN {nb - 1} ELSE "
-        f"coalesce(LEAST({nb - 1}, GREATEST(0, "
-        f"CAST(floor(({k} - __plo) / __pwd) AS INT))), 0) END"
-    )
-    knn = f"nanvl({k}, CAST(NULL AS DOUBLE))"
+    bucket, knn = _range_bucket_sql(first, nb, "__plo", "__pwd")
     stats = (
         f"(SELECT min({knn}) AS __plo, "
         f"GREATEST((max({knn}) - min({knn})) / {nb}, 1e-9d) AS __pwd "

@@ -6478,3 +6478,43 @@ def test_r13_batch22_value_pins(spark):
         transpile("SELECT parseDateTimeOrNull('Friday', '%W')")
     with _pytest.raises(DialectError, match="unsupported"):
         transpile("SELECT formatDateTime(ts, '%V') FROM t")
+
+
+def test_r14_advice_fixes(spark):
+    """ADVICE r13 items: (1) the %W/%a parse-side day-name ban now
+    covers parseDateTimeOrZero and the parseDateTime64OrZero
+    dispatch into it (the OrZero never-throw contract); (2) bare
+    type/unit tokens (month, year, date...) read as COLUMN references
+    in isConstant/isNullable while type contexts stay constant;
+    (3) extractKeyValuePairs survives duplicate keys (first-win)
+    instead of throwing under mapKeyDedupPolicy=EXCEPTION."""
+    register_clickhouse_compat(spark)
+    one = lambda e: spark.sql(  # noqa: E731
+        transpile(f"SELECT {e} AS v")
+    ).collect()[0].v
+    # (1) day-name ban covers every strftime parse entry point
+    with pytest.raises(DialectError, match="format-only"):
+        transpile("SELECT parseDateTimeOrZero('Friday', '%W')")
+    with pytest.raises(DialectError, match="format-only"):
+        transpile("SELECT parseDateTime64OrZero('Fri', '%a')")
+    assert str(one(
+        "parseDateTimeOrZero('zz', '%Y-%m-%d')"
+    )) == "1970-01-01 00:00:00"  # OrZero contract intact
+    # (2) bare month/year are columns...
+    assert " 0 " in transpile("SELECT isConstant(month) FROM t")
+    assert " 0 " in transpile("SELECT isConstant(year + 1) FROM t")
+    assert " 1 " in transpile("SELECT isNullable(year) FROM t")
+    # ...while type/typed-literal/interval contexts stay constant
+    assert one("isConstant(CAST(1 AS INT))") == 1
+    assert one("isConstant(CAST(1 AS DECIMAL(10, 2)))") == 1
+    assert one(
+        "isConstant(CAST('2024-03-15' AS DATE) + INTERVAL 3 DAY)"
+    ) == 1
+    assert one("isConstant(CAST(map() AS MAP<STRING, INT>))") == 1
+    # (3) duplicate keys: first pair wins, no runtime throw
+    kv = one("extractKeyValuePairs('a:1,a:2,b:3')")
+    assert kv == {"a": "1", "b": "3"}
+    assert one("extractKeyValuePairs('a:1,b:2')['b']") == "2"
+    assert one("extractKeyValuePairs('x=1&x=2', '=', '&')") == {
+        "x": "1"
+    }

@@ -393,16 +393,33 @@ def test_categorical_assoc_joins_are_metadata_scale(spark, sf_dir):
 
 def test_r13_noeq_any_join_plan_has_no_nested_loop(spark, sf_dir):
     """dialect_any_join_noeq (the running-min form): the keyless ANY
-    JOIN must plan as per-value hash aggregation + a window over the
-    DISTINCT comparison values + a broadcast/hash equi-join back —
-    never a BroadcastNestedLoopJoin or CartesianProduct (the theta
-    join the rewrite exists to avoid)."""
+    JOIN must plan as per-value hash aggregation + a RANGE-BUCKETED
+    running-min window + a broadcast/hash equi-join back — never a
+    CartesianProduct or a data×data nested loop (the theta join the
+    rewrite exists to avoid).  r14: the running-min window must be
+    PARTITIONED by the value bucket (VERDICT r13 — the global window
+    was an Exchange SinglePartition over the distinct comparison
+    values, one task at high cardinality); the only nested-loop
+    joins allowed are the one-row stats broadcasts (Cross with a
+    single-row build side — the PASTE JOIN scheme's shape)."""
+    import re
+
     from clickhouse_vs_dbt_spark.dialect import QUERIES
 
     plan = _plan(QUERIES["dialect_any_join_noeq"](spark, sf_dir))
-    assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
-    assert "Window" in plan
+    # nested loops only as scalar-stats broadcasts, never a join kind
+    # that could be data×data
+    for line in plan.splitlines():
+        if "BroadcastNestedLoopJoin" in line:
+            assert "Cross" in line, line
+    # the running-min window over __any_s is bucket-partitioned —
+    # not a SinglePartition global sort
+    m = re.search(
+        r"Window \[min\(__any_s[^\n]*windowspecdefinition\("
+        r"(__any_pb\#\d+), __any_v", plan,
+    )
+    assert m, "bucket-partitioned running-min window missing"
     # the pick state is compressed before the window: a per-value
-    # partial+final HashAggregate pair over min(struct(...))
-    assert "HashAggregate" in plan and "min(" in plan
+    # partial+final aggregate pair over min(struct(...))
+    assert "min(struct(" in plan.replace("_struct", "struct")

@@ -135,12 +135,15 @@ SHOWCASE = [
                                   "(r13)"),
     ("dialect_any_join_noeq", "no-equality ANY JOIN (running-min "
                               "form): per-value min(struct) "
-                              "partial+final HashAggregate pair, "
-                              "ONE window over the distinct "
-                              "comparison values, broadcast hash "
-                              "equi-join back — no "
-                              "BroadcastNestedLoopJoin, no "
-                              "CartesianProduct anywhere (r13)"),
+                              "partial+final aggregate pair, then "
+                              "a RANGE-BUCKETED running-min window "
+                              "(PARTITION BY value bucket — r14, "
+                              "no SinglePartition exchange on the "
+                              "data path) + a ≤64-row cross-bucket "
+                              "prefix-min broadcast, equi-join "
+                              "back — no CartesianProduct, nested "
+                              "loops only as one-row stats "
+                              "broadcasts (r13→r14)"),
 ]
 
 
