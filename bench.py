@@ -311,13 +311,42 @@ def main() -> int:
             "sum((id % 1048576) * 2654435761 % 1000003) AS s"
         ).write.format("noop").mode("overwrite").save()
 
-    _calib_kernel()  # untimed: the first run is JIT-cold (~1.8× slow)
+    # r14 (VERDICT r13 item 5): the r13 same-code byte-identical
+    # bench pair measured THIS kernel drifting −22% while real
+    # queries moved the other way — the single warmup left JIT/
+    # thermal transients in the sample.  Now: TWO discarded warmups
+    # (C2 compilation of the hash loop finishes in the second run),
+    # median of SEVEN, and the relative spread recorded as
+    # calib_spread so every archive documents its own denominator
+    # stability.  A second, independent kernel (string hash — a
+    # different JIT/memory profile) is recorded as calib2_sec for
+    # cross-checking a suspect axis; the NORMS stay on kernel 1,
+    # which every archived round used.
+    _calib_kernel()  # untimed: JIT-cold (~1.8× slow)
+    _calib_kernel()  # untimed: C2 recompile can land mid-second-run
     calib_runs: list[float] = []
-    for _ in range(5):
+    for _ in range(7):
         t0 = time.perf_counter()
         _calib_kernel()
         calib_runs.append(round(time.perf_counter() - t0, 3))
     calib = round(sorted(calib_runs)[len(calib_runs) // 2], 3)
+    calib_spread = round(
+        (max(calib_runs) - min(calib_runs)) / calib, 3
+    ) if calib else None
+
+    def _calib_kernel2() -> None:
+        spark.range(0, 100_000_000, 1, 32).selectExpr(
+            # % bounds the sum below 2^63 (ANSI-safe)
+            "sum(xxhash64(CAST(id AS STRING)) % 1000003) AS s"
+        ).write.format("noop").mode("overwrite").save()
+
+    _calib_kernel2()  # untimed warmup
+    calib2_runs: list[float] = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _calib_kernel2()
+        calib2_runs.append(round(time.perf_counter() - t0, 3))
+    calib2 = round(sorted(calib2_runs)[len(calib2_runs) // 2], 3)
 
     # Best-of-2 per query: the second run has Catalyst planning + codegen
     # JIT warm, i.e. steady-state throughput — the quantity that scales to
@@ -466,6 +495,15 @@ def main() -> int:
         "r01_subset_total": r01_total,
         "calib_sec": calib,
         "calib_runs": calib_runs,
+        # (max-min)/median over the 7 recorded runs — the
+        # denominator's own stability; read norms with a band this
+        # wide at minimum (r14, VERDICT r13 item 5)
+        "calib_spread": calib_spread,
+        # independent second kernel (string-hash profile): when the
+        # two kernels disagree on direction vs last round, the axis
+        # moved, not the code
+        "calib2_sec": calib2,
+        "calib2_runs": calib2_runs,
         # calibration-normalized figures: seconds ÷ calib_sec — the
         # cross-round-comparable axis (SCALING.md "environment drift").
         # Units: multiples of the fixed 2B-row codegen workload.

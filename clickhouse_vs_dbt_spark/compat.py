@@ -187,7 +187,7 @@ def f_pvalue(f: float, d1: float, d2: float) -> float:
 
 #: bump when the vectorized set below changes — the registration
 #: digest must move or live sessions keep stale definitions
-_VECTORIZED_VERSION = 15  # r13c: adjacent-\0 conversion fix
+_VECTORIZED_VERSION = 16  # r14: ch_siphash64_keyed (SipHash-2-4)
 
 
 def _register_vectorized(spark: SparkSession) -> None:
@@ -843,6 +843,75 @@ def _register_vectorized(spark: SparkSession) -> None:
         "ch_jaro_winkler",
         pandas_udf("double")(_binary_str(_jaro_winkler, "object")),
     )
+
+    # SipHash-2-4 (r14, VERDICT r13 item 6): the public keyed MAC
+    # (Aumasson & Bernstein 2012) over UTF-8 string bytes —
+    # BIT-EXACT to ClickHouse's sipHash64Keyed for String data and
+    # to the paper's reference vectors (pinned in tests).  Arrow
+    # batch transfer; pure-int Python per row — a MAC register, not
+    # a bucketing hash (xxhash64 keeps the hot role-parity path).
+    _M64 = (1 << 64) - 1
+
+    def _rotl(x: int, b: int) -> int:
+        return ((x << b) | (x >> (64 - b))) & _M64
+
+    def _sipround(v0, v1, v2, v3):
+        v0 = (v0 + v1) & _M64
+        v1 = _rotl(v1, 13) ^ v0
+        v0 = _rotl(v0, 32)
+        v2 = (v2 + v3) & _M64
+        v3 = _rotl(v3, 16) ^ v2
+        v0 = (v0 + v3) & _M64
+        v3 = _rotl(v3, 21) ^ v0
+        v2 = (v2 + v1) & _M64
+        v1 = _rotl(v1, 17) ^ v2
+        v2 = _rotl(v2, 32)
+        return v0, v1, v2, v3
+
+    def _siphash24(k0: int, k1: int, data: bytes) -> int:
+        v0 = k0 ^ 0x736F6D6570736575
+        v1 = k1 ^ 0x646F72616E646F6D
+        v2 = k0 ^ 0x6C7967656E657261
+        v3 = k1 ^ 0x7465646279746573
+        i = 0
+        while i + 8 <= len(data):
+            m = int.from_bytes(data[i : i + 8], "little")
+            i += 8
+            v3 ^= m
+            v0, v1, v2, v3 = _sipround(v0, v1, v2, v3)
+            v0, v1, v2, v3 = _sipround(v0, v1, v2, v3)
+            v0 ^= m
+        tail = data[i:] + b"\x00" * (8 - (len(data) - i))
+        m = ((len(data) & 0xFF) << 56) | int.from_bytes(
+            tail[:7] + b"\x00", "little"
+        )
+        v3 ^= m
+        v0, v1, v2, v3 = _sipround(v0, v1, v2, v3)
+        v0, v1, v2, v3 = _sipround(v0, v1, v2, v3)
+        v0 ^= m
+        v2 ^= 0xFF
+        for _ in range(4):
+            v0, v1, v2, v3 = _sipround(v0, v1, v2, v3)
+        return (v0 ^ v1 ^ v2 ^ v3) & _M64
+
+    @pandas_udf("bigint")
+    def ch_siphash64_keyed(
+        k0: pd.Series, k1: pd.Series, s: pd.Series
+    ) -> pd.Series:
+        out = []
+        for a, b, v in zip(k0, k1, s):
+            if a is None or b is None or v is None:
+                out.append(None)
+                continue
+            h = _siphash24(
+                int(a) & _M64, int(b) & _M64, v.encode("utf-8")
+            )
+            # UInt64 → two's-complement BIGINT (the repo's hash
+            # convention: values >= 2^63 read negative)
+            out.append(h - (1 << 64) if h >= (1 << 63) else h)
+        return pd.Series(out, dtype="object")
+
+    spark.udf.register("ch_siphash64_keyed", ch_siphash64_keyed)
 
 
 # --- gated proof: a query written verbatim in the ClickHouse dialect ---

@@ -1466,6 +1466,41 @@ _CTX_CONST_TOKENS = frozenset((
 ))
 
 
+# rendered-Spark call heads that ALWAYS produce an array — drives
+# the length() array/string dispatch (r14); conservative: ambiguous
+# heads (concat, reverse, element_at) stay out, so they keep the
+# string reading
+_ARRAY_HEADS = frozenset((
+    "array", "transform", "split", "sequence", "slice", "flatten",
+    "filter", "sort_array", "array_sort", "array_distinct",
+    "array_remove", "array_compact", "array_repeat", "array_union",
+    "array_intersect", "array_except", "array_insert", "array_agg",
+    "arrays_zip", "zip_with", "map_keys", "map_values",
+    "map_entries", "collect_list", "collect_set", "shuffle",
+    "regexp_extract_all", "json_object_keys", "array_prepend",
+    "array_append",
+))
+
+
+def _array_headed(expr: str) -> bool:
+    """True when the rendered expression is WHOLLY a single call to
+    a known array-producing function (see ``_ARRAY_HEADS``) —
+    trailing operators or subscripts (``split(s, ',')[1]``)
+    disqualify, since those re-scalar the value."""
+    ts = [t for t in _tokens(expr) if not _is_skippable(t)]
+    while (
+        len(ts) >= 2 and ts[0] == "("
+        and _match_close(ts, 0) == len(ts) - 1
+    ):
+        ts = ts[1:-1]
+    if (
+        len(ts) >= 3 and _is_ident(ts[0]) and ts[1] == "("
+        and ts[0].lower() in _ARRAY_HEADS
+    ):
+        return _match_close(ts, 1) == len(ts) - 1
+    return False
+
+
 def _paren_whole(ts: list[str]) -> bool:
     """True when ``ts``'s leading '(' closes at its LAST token —
     i.e. the parens wrap the whole span, not two operand groups
@@ -1842,12 +1877,42 @@ def _render_call(name: str, args: list[str]) -> str:
             return f"unhex(sha1({args[0]}))"
         bits = name[3:]
         return f"unhex(sha2({args[0]}, {bits}))"
-    if name in ("sipHash64Keyed", "sipHash128Keyed",
+    if name == "sipHash64Keyed" and len(args) == 2:
+        # BIT-EXACT SipHash-2-4 MAC (r14 flip of the batch-17 wall;
+        # Arrow register ch_siphash64_keyed, paper-vector-pinned).
+        # The key tuple must be a 2-element literal/expression pair;
+        # STRING data carries the bit-exact contract (CH hashes a
+        # numeric argument's little-endian BYTES — a numeric here
+        # would hash its decimal text; MIGRATION.md).  The UInt64
+        # result reads as two's-complement BIGINT.
+        kt = args[0].strip()
+        if kt.startswith("struct(") and kt.endswith(")"):
+            kt = kt[len("struct("):-1]
+        elif kt.startswith("(") and kt.endswith(")"):
+            kt = kt[1:-1]
+        parts = [
+            p.strip() for p in _split_top_commas(kt) if p.strip()
+        ] if kt else []
+        if len(parts) != 2:
+            raise DialectError(
+                "sipHash64Keyed: the first argument must be the "
+                "(k0, k1) key tuple"
+            )
+        return (
+            f"ch_siphash64_keyed({parts[0]}, {parts[1]}, {args[1]})"
+        )
+    if name == "sipHash64Keyed" and len(args) > 2:
+        raise DialectError(
+            "sipHash64Keyed: multi-argument data chains per-field "
+            "hashes in ClickHouse — concat the fields explicitly to "
+            "pin the byte layout"
+        )
+    if name in ("sipHash128Keyed",
                 "sipHash128Reference", "sipHash128ReferenceKeyed"):
         raise DialectError(
-            f"{name}: KEYED SipHash is a bit-specified MAC (the key "
-            "IS the contract, role parity is not enough) — unkeyed "
-            "sipHash64/128 map as role-parity hashes; for keyed "
+            f"{name}: the 128-bit SipHash variants return FixedString"
+            "(16) byte states with a different finalization — "
+            "sipHash64Keyed transpiles bit-exactly; for wider keyed "
             "digests use sha2 over key||value explicitly"
         )
     if name == "URLHash" and len(args) == 1:
@@ -2596,16 +2661,77 @@ def _render_call(name: str, args: list[str]) -> str:
             "flameGraph aggregates ClickHouse trace-log samples — "
             "profile Spark through the Spark UI / event log, not SQL"
         )
-    if name in (
-        "seriesOutliersDetectTukey", "seriesPeriodDetectFFT",
-        "seriesDecomposeSTL",
-    ):
+    if name in ("seriesPeriodDetectFFT", "seriesDecomposeSTL"):
         raise DialectError(
             f"{name}: ClickHouse's in-array series DSP — over rows "
             "use the gated time-series operators "
             "(operators/timeseries.py: LTTB downsample, gap fill, "
             "rank correlation) or spell the window analysis "
             "explicitly"
+        )
+    if name == "seriesOutliersDetectTukey" and len(args) in (1, 4):
+        # Tukey-fence outlier scores (VERDICT r13 item 4): pure
+        # quartile arithmetic over one array — no DSP.  CH's
+        # quantile here (pinned by BOTH docs examples): pos = n*p;
+        # integral pos averages sorted[pos-1..pos] (1-based), else
+        # takes sorted[floor(pos)+1] — i.e. the CDF midpoint method,
+        # NOT the (n-1)p interpolation the quantileExact family
+        # uses.  Score = distance beyond the K·IQR fence, else 0.
+        # Percentiles/K must be literals (CH requires constants;
+        # they fold into the expression), percentiles in
+        # [0.02, 0.98], K >= 0, series length >= 4 — all CH's own
+        # argument contract.
+        if len(args) == 4:
+            lits = []
+            for a_ in args[1:]:
+                if not re.fullmatch(r"-?\d+(\.\d+)?", a_.strip()):
+                    raise DialectError(
+                        "seriesOutliersDetectTukey: percentiles and "
+                        "K must be numeric literals"
+                    )
+                lits.append(float(a_))
+            pmin, pmax, kf = lits
+            if not (0.02 <= pmin <= 0.98 and 0.02 <= pmax <= 0.98):
+                raise DialectError(
+                    "seriesOutliersDetectTukey: percentiles must be "
+                    "in [0.02, 0.98]"
+                )
+            if kf < 0:
+                raise DialectError(
+                    "seriesOutliersDetectTukey: K must be >= 0"
+                )
+        else:
+            pmin, pmax, kf = 0.25, 0.75, 1.5
+
+        def _tukey_q(p: float) -> str:
+            pos = f"(CAST(size(__ss) AS DOUBLE) * {p!r}d)"
+            return (
+                f"IF({pos} = floor({pos}), "
+                f"(element_at(__ss, CAST({pos} AS INT)) + "
+                f"element_at(__ss, CAST({pos} AS INT) + 1)) / 2.0d, "
+                f"element_at(__ss, CAST(floor({pos}) AS INT) + 1))"
+            )
+
+        # the argument is bound ONCE (__sr) — an arbitrarily large
+        # series expression must not be copied into every tier of
+        # the fold (analysis/codegen cost scales with tree size)
+        return (
+            f"element_at(transform(array({args[0]}), __sr -> "
+            "IF(size(__sr) < 4, "
+            "raise_error('seriesOutliersDetectTukey: the series "
+            "must contain at least 4 values'), "
+            "element_at(transform(array(array_sort(transform(__sr, "
+            "__so -> CAST(__so AS DOUBLE)))), __ss -> "
+            f"element_at(transform(array(named_struct("
+            f"'q1', {_tukey_q(pmin)}, 'q3', {_tukey_q(pmax)})), "
+            f"__sq -> element_at(transform(array(named_struct("
+            f"'lo', __sq.q1 - {kf!r}d * (__sq.q3 - __sq.q1), "
+            f"'hi', __sq.q3 + {kf!r}d * (__sq.q3 - __sq.q1))), "
+            f"__sf -> transform(__sr, __sx0 -> "
+            "element_at(transform(array(CAST(__sx0 AS DOUBLE)), "
+            "__sx -> CASE WHEN __sx < __sf.lo THEN __sf.lo - __sx "
+            "WHEN __sx > __sf.hi THEN __sx - __sf.hi "
+            "ELSE 0.0d END), 1))), 1)), 1)), 1))), 1)"
         )
     if name == "geohashesInBox":
         raise DialectError(
@@ -3284,11 +3410,57 @@ def _render_call(name: str, args: list[str]) -> str:
             "register; perturb explicitly with randomPrintableASCII "
             "or rand()-gated CASE edits"
         )
-    if name == "generateULID" and not args:
-        raise DialectError(
-            "generateULID: no ULID writer register — uuid()/"
-            "generateUUIDv4 covers unique-id generation; the read "
-            "side ULIDStringToDateTime transpiles"
+    if name == "generateULID" and len(args) <= 1:
+        # ULID writer (r14 flip of the batch-17 wall; public spec:
+        # 48-bit ms timestamp + 80 random bits, Crockford base32,
+        # 26 chars).  Zero-arg: wall-clock now() + two per-row
+        # 40-bit rand() draws, bound ONCE via the let-binding so
+        # every character reads the same draw.  One-arg: the
+        # generateUUIDv4(expr) DETERMINISTIC md5 tier — CH uses the
+        # argument only to defeat CSE; here all 128 bits derive
+        # from md5(arg), so the timestamp field is hash bits
+        # (DialectWarning, MIGRATION.md).  Round-trips through the
+        # ULIDStringToDateTime read register.
+        if args:
+            import warnings
+
+            warnings.warn(
+                "generateULID(expr) maps to a DETERMINISTIC md5 "
+                "tier: equal argument values produce EQUAL ids and "
+                "the timestamp field is hash bits, not wall clock "
+                "(ClickHouse keeps every row random). Use "
+                "generateULID() for real time-ordered ids — see "
+                "MIGRATION.md",
+                DialectWarning,
+                stacklevel=2,
+            )
+            h = f"md5(CAST({args[0]} AS STRING))"
+            bind = (
+                f"named_struct("
+                f"'t', CAST(conv(substr({h}, 1, 12), 16, 10) AS BIGINT), "
+                f"'a', CAST(conv(substr({h}, 13, 10), 16, 10) AS BIGINT), "
+                f"'b', CAST(conv(substr({h}, 23, 10), 16, 10) AS BIGINT))"
+            )
+        else:
+            bind = (
+                "named_struct('t', unix_millis(now()), "
+                "'a', CAST(floor(rand() * 1099511627776.0d) AS BIGINT), "
+                "'b', CAST(floor(rand() * 1099511627776.0d) AS BIGINT))"
+            )
+        al = "'0123456789ABCDEFGHJKMNPQRSTVWXYZ'"
+        chars = [
+            f"substr({al}, CAST((shiftright(__u.t, {45 - 5 * i}) & 31) "
+            "AS INT) + 1, 1)"
+            for i in range(10)
+        ] + [
+            f"substr({al}, CAST((shiftright(__u.{f}, {35 - 5 * j}) & 31) "
+            "AS INT) + 1, 1)"
+            for f in ("a", "b")
+            for j in range(8)
+        ]
+        return (
+            f"element_at(transform(array({bind}), __u -> "
+            f"concat({', '.join(chars)})), 1)"
         )
     if name == "randConstant":
         raise DialectError(
@@ -3307,13 +3479,13 @@ def _render_call(name: str, args: list[str]) -> str:
         )
     if name in (
         "pointInPolygon", "pointInEllipses", "polygonAreaCartesian",
-        "polygonsIntersectionCartesian", "readWKTPoint",
-        "readWKTPolygon",
+        "polygonsIntersectionCartesian",
     ):
         raise DialectError(
             f"{name}: polygon geometry needs a geo library register "
             "— greatCircleDistance/geoDistance/greatCircleAngle "
-            "transpile for point math"
+            "transpile for point math; readWKT*/wkt transpile for "
+            "WKT serialization"
         )
     if name == "geohashEncode" and len(args) in (2, 3):
         # public geohash algorithm (the hilbertEncode precedent): 5
@@ -4541,14 +4713,133 @@ def _render_call(name: str, args: list[str]) -> str:
             "CAST AS FLOAT keeps full float32 precision instead of "
             "truncating the mantissa"
         )
-    if name in ("wkt", "svg", "readWKTMultiPolygon", "readWKTRing",
-                "readWKTLineString", "readWKTMultiLineString"):
-        # (readWKTPoint/readWKTPolygon refuse at the earlier polygon
-        # wall — not repeated here; code-review r13f)
+    if name == "svg":
         raise DialectError(
-            f"{name}: ClickHouse geometry-type serialization — no "
-            "Spark geometry type; keep coordinates as "
-            "struct/array columns"
+            "svg: SVG-path geometry rendering has no Spark analog — "
+            "wkt() transpiles for text serialization; render SVG in "
+            "the presentation layer"
+        )
+    # --- WKT geometry text format (VERDICT r13 item 3: a public
+    # text format parsable with pure string/array ops — no geo
+    # library).  ClickHouse's geometry model maps onto plain Spark
+    # types: Point = struct(x,y DOUBLE), Ring/LineString =
+    # array<point>, Polygon = array<ring>, MultiPolygon =
+    # array<polygon>.  Parse side: regexp strip the tag + outer
+    # parens, split rings on ')…(' seams, points on commas —
+    # malformed text reaches an ANSI CAST('' AS DOUBLE) and throws,
+    # keeping CH's throw-on-bad-WKT contract.  readWKTRing follows
+    # boost::geometry (CH's parser): a Ring reads POLYGON((…)) text
+    # with a single ring.
+    if name in (
+        "readWKTPoint", "readWKTRing", "readWKTLineString",
+        "readWKTPolygon", "readWKTMultiPolygon",
+        "readWKTMultiLineString",
+    ) and len(args) == 1:
+        s = args[0]
+
+        def _wkt_points(txt: str) -> str:
+            # "x1 y1, x2 y2" → array<struct<x,y DOUBLE>>
+            return (
+                f"transform(split({txt}, ','), __wp -> named_struct("
+                "'x', CAST(element_at(split(trim(__wp), '\\\\s+'), "
+                "1) AS DOUBLE), "
+                "'y', CAST(element_at(split(trim(__wp), '\\\\s+'), "
+                "2) AS DOUBLE)))"
+            )
+
+        if name == "readWKTPoint":
+            num = "(-?[0-9.eE+]+)"
+            pre = (
+                f"regexp_extract({s}, '^\\\\s*POINT\\\\s*\\\\("
+                f"\\\\s*{num}\\\\s+{num}\\\\s*\\\\)\\\\s*$', "
+            )
+            return (
+                f"named_struct('x', CAST({pre}1) AS DOUBLE), "
+                f"'y', CAST({pre}2) AS DOUBLE))"
+            )
+        if name == "readWKTLineString":
+            body = (
+                f"regexp_extract({s}, '^\\\\s*LINESTRING\\\\s*"
+                f"\\\\((.*)\\\\)\\\\s*$', 1)"
+            )
+            return _wkt_points(body)
+        if name == "readWKTRing":
+            body = (
+                f"regexp_extract({s}, '^\\\\s*POLYGON\\\\s*\\\\("
+                f"\\\\s*\\\\((.*)\\\\)\\\\s*\\\\)\\\\s*$', 1)"
+            )
+            return _wkt_points(body)
+        if name == "readWKTPolygon":
+            body = (
+                f"regexp_extract({s}, '^\\\\s*POLYGON\\\\s*\\\\("
+                f"\\\\s*\\\\((.*)\\\\)\\\\s*\\\\)\\\\s*$', 1)"
+            )
+            return (
+                f"transform(split({body}, "
+                f"'\\\\)\\\\s*,\\\\s*\\\\('), "
+                f"__wr -> {_wkt_points('__wr')})"
+            )
+        if name == "readWKTMultiLineString":
+            body = (
+                f"regexp_extract({s}, '^\\\\s*MULTILINESTRING"
+                f"\\\\s*\\\\(\\\\s*\\\\((.*)\\\\)\\\\s*\\\\)"
+                f"\\\\s*$', 1)"
+            )
+            return (
+                f"transform(split({body}, "
+                f"'\\\\)\\\\s*,\\\\s*\\\\('), "
+                f"__wr -> {_wkt_points('__wr')})"
+            )
+        # readWKTMultiPolygon: strip three paren layers, split
+        # polygons on the '))…((' seam, rings on the ')…(' seam
+        body = (
+            f"regexp_extract({s}, '^\\\\s*MULTIPOLYGON\\\\s*\\\\("
+            f"\\\\s*\\\\(\\\\s*\\\\((.*)\\\\)\\\\s*\\\\)\\\\s*"
+            f"\\\\)\\\\s*$', 1)"
+        )
+        return (
+            f"transform(split({body}, "
+            f"'\\\\)\\\\s*\\\\)\\\\s*,\\\\s*\\\\(\\\\s*\\\\('), "
+            f"__wpg -> transform(split(__wpg, "
+            f"'\\\\)\\\\s*,\\\\s*\\\\('), "
+            f"__wr -> {_wkt_points('__wr')}))"
+        )
+    if name == "wkt" and len(args) == 1:
+        # Serialize side.  The argument's nesting depth is a RUNTIME
+        # property Spark types won't reveal at transpile time — so
+        # serialize through to_json (works for any struct/array
+        # nesting), collapse each two-field object to "x y" text,
+        # turn brackets into parens, and dispatch the WKT tag on the
+        # leading paren depth: 0 → POINT, 1 → POLYGON((ring)) (the
+        # Ring reading, CH docs' own wkt([...]) example), 2 →
+        # POLYGON, 3 → MULTIPOLYGON.  Divergences (MIGRATION.md):
+        # CH's distinct LineString TYPE serializes as LINESTRING —
+        # the plain-array representation can't carry that tag, so
+        # the Ring reading wins; rings serialize as stored (no
+        # boost-style closure correction); doubles print via JSON
+        # shortest form with a trailing-'.0' strip, so exponent-
+        # formatted extremes keep the E notation.  A leftover brace
+        # or quote after the point collapse means the argument was
+        # not a point/ring/polygon nesting — raise, keeping CH's
+        # type-error contract.
+        clean = (
+            f"regexp_replace(translate(regexp_replace("
+            f"to_json({args[0]}), "
+            "'\\\\{\"[^\"]+\":(-?[^,]+),\"[^\"]+\":(-?[^}]+)\\\\}', "
+            "'$1 $2'), '[]', '()'), '\\\\.0(?![0-9])', '')"
+        )
+        return (
+            f"element_at(transform(array({clean}), __wg -> "
+            "CASE WHEN __wg RLIKE '[{\"]' THEN "
+            "CAST(raise_error(concat('wkt: not a point/ring/"
+            "polygon/multipolygon shape: ', __wg)) AS STRING) "
+            "WHEN left(__wg, 1) <> '(' "
+            "THEN concat('POINT(', __wg, ')') "
+            "WHEN left(__wg, 2) <> '((' "
+            "THEN concat('POLYGON(', __wg, ')') "
+            "WHEN left(__wg, 3) <> '(((' "
+            "THEN concat('POLYGON', __wg) "
+            "ELSE concat('MULTIPOLYGON', __wg) END), 1)"
         )
     if name == "caseWithExpression" and len(args) >= 4:
         # caseWithExpression(x, v1, r1, …, default) — the CASE x
@@ -6380,6 +6671,17 @@ def _render_call(name: str, args: list[str]) -> str:
     if name == "isInfinite" and len(args) == 1:
         return f"(abs({args[0]}) = CAST('Infinity' AS DOUBLE))"
     # --- r8 batch 9: SQL/JSON standard forms + typed/array extract ---
+    if name == "length" and len(args) == 1:
+        # CH length() is array-or-string; Spark's is string-only.
+        # When the RENDERED argument is wholly one known
+        # array-producing call (r14 — the readWKT* family made
+        # length-of-array common), dispatch to size(); everything
+        # else (columns, lambda vars, concats) keeps the string
+        # reading — Spark's analyzer names the mismatch if the
+        # value is really an array (MIGRATION.md)
+        if _array_headed(args[0]):
+            return f"size({args[0]})"
+        return f"length({args[0]})"
     if name == "lengthUTF8" and len(args) == 1:
         return f"length({args[0]})"  # Spark length counts characters
     if name == "isValidUTF8" and len(args) == 1:
@@ -20326,6 +20628,242 @@ def q_dialect_geo_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_clickhouse_sql(spark, _CH_GEO_DIST, sf_dir, ("customer",))
 
 
+# 40 (r14). WKT geometry serialization (VERDICT r13 item 3): parse
+#     and emit WKT POINT/LINESTRING/POLYGON/MULTIPOLYGON with pure
+#     string/array ops — data-driven point/polygon round-trips plus
+#     literal-shaped ring/hole/multipolygon cardinalities.  The
+#     DuckDB oracle rebuilds the same text with plain string concat
+#     (no spatial extension), so the comparison pins both the parse
+#     arithmetic and the serializer's byte format.
+_CH_WKT = """
+SELECT c_custkey AS k,
+       wkt((toFloat64(c_custkey % 97), toFloat64(c_custkey % 89)))
+           AS wp,
+       toFloat64(readWKTPoint(concat('POINT (',
+           toString(c_custkey % 50), ' ',
+           toString(c_custkey % 7), ')')).1) AS px,
+       toInt64(length(readWKTRing(
+           'POLYGON ((0 0, 10 0, 10 10, 0 10))'))) AS rn,
+       toInt64(length(arrayFlatten(readWKTPolygon(
+           'POLYGON ((0 0, 10 0, 10 10, 0 10), (4 4, 5 4, 5 5, 4 5))'
+       )))) AS pn,
+       toInt64(length(readWKTMultiPolygon(
+           'MULTIPOLYGON (((0 0, 5 0, 5 5)), ((10 10, 11 10, 11 11, 10 11)))'
+       ))) AS mp,
+       toInt64(length(readWKTMultiLineString(
+           'MULTILINESTRING ((1 1, 2 2), (3 3, 4 4), (5 5, 6 6))'
+       ))) AS ml,
+       toInt64(length(readWKTLineString(concat('LINESTRING (0 0, ',
+           toString(c_custkey % 13), ' 5, 9 9)')))) AS ln,
+       wkt(readWKTPolygon(concat('POLYGON ((0 0, ',
+           toString(c_custkey % 9), ' 3, 7 7))'))) AS wpg
+FROM customer
+WHERE c_custkey % 11 = 0
+ORDER BY k
+"""
+
+O_WKT = """
+SELECT c_custkey AS k,
+       'POINT(' || CAST(c_custkey % 97 AS VARCHAR) || ' '
+           || CAST(c_custkey % 89 AS VARCHAR) || ')' AS wp,
+       CAST(c_custkey % 50 AS DOUBLE) AS px,
+       CAST(4 AS BIGINT) AS rn,
+       CAST(8 AS BIGINT) AS pn,
+       CAST(2 AS BIGINT) AS mp,
+       CAST(3 AS BIGINT) AS ml,
+       CAST(3 AS BIGINT) AS ln,
+       'POLYGON((0 0,' || CAST(c_custkey % 9 AS VARCHAR)
+           || ' 3,7 7))' AS wpg
+FROM customer
+WHERE c_custkey % 11 = 0
+ORDER BY k
+"""
+
+
+def q_dialect_wkt_geometry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verbatim CH WKT parse/serialize query (module doc #40)."""
+    return run_clickhouse_sql(spark, _CH_WKT, sf_dir, ("customer",))
+
+
+# 41 (r14). seriesOutliersDetectTukey (VERDICT r13 item 4): Tukey
+#     fences over key-derived series with a planted spike.  Two
+#     shapes: n=16 with default params exercises the INTEGRAL-pos
+#     quantile branch (average of the two straddling values — the
+#     docs' 27-score example form), n=13 with (0.2, 0.8, 3.0)
+#     exercises the FRACTIONAL-pos branch.  All arithmetic is exact
+#     in binary (integer-valued doubles, quarter-step fences), so
+#     the DuckDB oracle — the same formula over list ops —
+#     hash-matches bit-for-bit.  Outputs scalarized (sum / max /
+#     outlier count): the driver gate cannot hash array columns.
+_CH_SERIES_TUKEY = """
+SELECT k,
+       toFloat64(arraySum(s1)) AS ssum,
+       toInt64(arrayCount(x -> x > 0, s1)) AS nout,
+       toFloat64(arrayMax(s2)) AS smax,
+       toInt64(arrayCount(x -> x > 0, s2)) AS nout2
+FROM (
+  SELECT o_orderkey AS k,
+         seriesOutliersDetectTukey(arrayConcat(
+             arrayMap(i -> toFloat64((o_orderkey * 7919 + i * 104729) % 23),
+                      range(1, 16)), [1000.0])) AS s1,
+         seriesOutliersDetectTukey(arrayConcat(
+             arrayMap(i -> toFloat64((o_orderkey * 104729 + i * 7919) % 31),
+                      range(1, 13)), [-500.0]), 0.2, 0.8, 3.0) AS s2
+  FROM orders
+  WHERE o_orderkey % 101 = 0)
+ORDER BY k
+"""
+
+O_SERIES_TUKEY = """
+WITH base AS (
+  SELECT o_orderkey AS k,
+         list_concat(list_transform(range(1, 16),
+             i -> CAST((o_orderkey * 7919 + i * 104729) % 23 AS DOUBLE)),
+             [1000.0]) AS a1,
+         list_concat(list_transform(range(1, 13),
+             i -> CAST((o_orderkey * 104729 + i * 7919) % 31 AS DOUBLE)),
+             [-500.0]) AS a2
+  FROM orders WHERE o_orderkey % 101 = 0),
+srt AS (
+  SELECT k, a1, a2, list_sort(a1) AS s1, list_sort(a2) AS s2,
+         CAST(len(a1) AS DOUBLE) AS n1, CAST(len(a2) AS DOUBLE) AS n2
+  FROM base),
+qq AS (
+  SELECT k, a1, a2,
+    CASE WHEN n1*0.25 = floor(n1*0.25)
+         THEN (s1[CAST(n1*0.25 AS INT)] + s1[CAST(n1*0.25 AS INT)+1])/2.0
+         ELSE s1[CAST(floor(n1*0.25) AS INT)+1] END AS q1a,
+    CASE WHEN n1*0.75 = floor(n1*0.75)
+         THEN (s1[CAST(n1*0.75 AS INT)] + s1[CAST(n1*0.75 AS INT)+1])/2.0
+         ELSE s1[CAST(floor(n1*0.75) AS INT)+1] END AS q3a,
+    CASE WHEN n2*0.2 = floor(n2*0.2)
+         THEN (s2[CAST(n2*0.2 AS INT)] + s2[CAST(n2*0.2 AS INT)+1])/2.0
+         ELSE s2[CAST(floor(n2*0.2) AS INT)+1] END AS q1b,
+    CASE WHEN n2*0.8 = floor(n2*0.8)
+         THEN (s2[CAST(n2*0.8 AS INT)] + s2[CAST(n2*0.8 AS INT)+1])/2.0
+         ELSE s2[CAST(floor(n2*0.8) AS INT)+1] END AS q3b
+  FROM srt),
+f AS (
+  SELECT k, a1, a2,
+         q1a - 1.5*(q3a - q1a) AS lo1, q3a + 1.5*(q3a - q1a) AS hi1,
+         q1b - 3.0*(q3b - q1b) AS lo2, q3b + 3.0*(q3b - q1b) AS hi2
+  FROM qq),
+sc AS (
+  SELECT k,
+    list_transform(a1, x -> CASE WHEN x < lo1 THEN lo1 - x
+        WHEN x > hi1 THEN x - hi1 ELSE 0.0 END) AS v1,
+    list_transform(a2, x -> CASE WHEN x < lo2 THEN lo2 - x
+        WHEN x > hi2 THEN x - hi2 ELSE 0.0 END) AS v2
+  FROM f)
+SELECT k,
+       list_aggregate(v1, 'sum') AS ssum,
+       CAST(len(list_filter(v1, x -> x > 0)) AS BIGINT) AS nout,
+       list_aggregate(v2, 'max') AS smax,
+       CAST(len(list_filter(v2, x -> x > 0)) AS BIGINT) AS nout2
+FROM sc
+ORDER BY k
+"""
+
+
+def q_dialect_series_tukey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verbatim CH Tukey-fence outlier query (module doc #41)."""
+    return run_clickhouse_sql(
+        spark, _CH_SERIES_TUKEY, sf_dir, ("orders",)
+    )
+
+
+# 42 (r14). audit batch 24 value gate: bit-exact keyed SipHash-2-4
+#     (the paper's key over data-derived strings — the DuckDB side
+#     pins the four distinct values computed from the reference
+#     implementation, itself pinned to the paper's test vectors in
+#     tests), the generateULID deterministic md5 tier (DuckDB
+#     REBUILDS the 26-char Crockford string from the same md5 bits
+#     via 0x-hex casts — not a literal pin), the
+#     ULIDStringToDateTime round-trip, and the random writer's
+#     shape.
+_CH_PROBE25 = """
+SELECT o_orderkey AS k,
+       sipHash64Keyed((506097522914230528, 1084818905618843912),
+           concat('row', toString(o_orderkey % 4))) AS sk,
+       sipHash64Keyed((0, 0), 'abc') AS sz,
+       generateULID(concat('u', toString(o_orderkey % 5))) AS ud,
+       toUnixTimestamp(ULIDStringToDateTime(
+           generateULID(concat('u', toString(o_orderkey % 5))))) AS urt,
+       toInt64(length(generateULID())) AS ulen
+FROM orders
+WHERE o_orderkey % 101 = 0
+ORDER BY k
+"""
+
+O_PROBE25 = """
+WITH h AS (
+  SELECT o_orderkey AS k,
+         md5(concat('u', CAST(o_orderkey % 5 AS VARCHAR))) AS hx
+  FROM orders WHERE o_orderkey % 101 = 0),
+bits AS (
+  SELECT k,
+         CAST(concat('0x', substring(hx, 1, 12)) AS BIGINT) AS t,
+         CAST(concat('0x', substring(hx, 13, 10)) AS BIGINT) AS a,
+         CAST(concat('0x', substring(hx, 23, 10)) AS BIGINT) AS b
+  FROM h),
+ud AS (
+  SELECT k, t,
+    substring('0123456789ABCDEFGHJKMNPQRSTVWXYZ', CAST((t >> 45) & 31 AS INT) + 1, 1)
+ || substring('0123456789ABCDEFGHJKMNPQRSTVWXYZ', CAST((t >> 40) & 31 AS INT) + 1, 1)
+ || substring('0123456789ABCDEFGHJKMNPQRSTVWXYZ', CAST((t >> 35) & 31 AS INT) + 1, 1)
+ || substring('0123456789ABCDEFGHJKMNPQRSTVWXYZ', CAST((t >> 30) & 31 AS INT) + 1, 1)
+ || substring('0123456789ABCDEFGHJKMNPQRSTVWXYZ', CAST((t >> 25) & 31 AS INT) + 1, 1)
+ || substring('0123456789ABCDEFGHJKMNPQRSTVWXYZ', CAST((t >> 20) & 31 AS INT) + 1, 1)
+ || substring('0123456789ABCDEFGHJKMNPQRSTVWXYZ', CAST((t >> 15) & 31 AS INT) + 1, 1)
+ || substring('0123456789ABCDEFGHJKMNPQRSTVWXYZ', CAST((t >> 10) & 31 AS INT) + 1, 1)
+ || substring('0123456789ABCDEFGHJKMNPQRSTVWXYZ', CAST((t >> 5) & 31 AS INT) + 1, 1)
+ || substring('0123456789ABCDEFGHJKMNPQRSTVWXYZ', CAST(t & 31 AS INT) + 1, 1)
+ || substring('0123456789ABCDEFGHJKMNPQRSTVWXYZ', CAST((a >> 35) & 31 AS INT) + 1, 1)
+ || substring('0123456789ABCDEFGHJKMNPQRSTVWXYZ', CAST((a >> 30) & 31 AS INT) + 1, 1)
+ || substring('0123456789ABCDEFGHJKMNPQRSTVWXYZ', CAST((a >> 25) & 31 AS INT) + 1, 1)
+ || substring('0123456789ABCDEFGHJKMNPQRSTVWXYZ', CAST((a >> 20) & 31 AS INT) + 1, 1)
+ || substring('0123456789ABCDEFGHJKMNPQRSTVWXYZ', CAST((a >> 15) & 31 AS INT) + 1, 1)
+ || substring('0123456789ABCDEFGHJKMNPQRSTVWXYZ', CAST((a >> 10) & 31 AS INT) + 1, 1)
+ || substring('0123456789ABCDEFGHJKMNPQRSTVWXYZ', CAST((a >> 5) & 31 AS INT) + 1, 1)
+ || substring('0123456789ABCDEFGHJKMNPQRSTVWXYZ', CAST(a & 31 AS INT) + 1, 1)
+ || substring('0123456789ABCDEFGHJKMNPQRSTVWXYZ', CAST((b >> 35) & 31 AS INT) + 1, 1)
+ || substring('0123456789ABCDEFGHJKMNPQRSTVWXYZ', CAST((b >> 30) & 31 AS INT) + 1, 1)
+ || substring('0123456789ABCDEFGHJKMNPQRSTVWXYZ', CAST((b >> 25) & 31 AS INT) + 1, 1)
+ || substring('0123456789ABCDEFGHJKMNPQRSTVWXYZ', CAST((b >> 20) & 31 AS INT) + 1, 1)
+ || substring('0123456789ABCDEFGHJKMNPQRSTVWXYZ', CAST((b >> 15) & 31 AS INT) + 1, 1)
+ || substring('0123456789ABCDEFGHJKMNPQRSTVWXYZ', CAST((b >> 10) & 31 AS INT) + 1, 1)
+ || substring('0123456789ABCDEFGHJKMNPQRSTVWXYZ', CAST((b >> 5) & 31 AS INT) + 1, 1)
+ || substring('0123456789ABCDEFGHJKMNPQRSTVWXYZ', CAST(b & 31 AS INT) + 1, 1)
+    AS u
+  FROM bits)
+SELECT k,
+       CASE k % 4
+         WHEN 0 THEN CAST(2274879399504740197 AS BIGINT)
+         WHEN 1 THEN CAST(-5338937529214986531 AS BIGINT)
+         WHEN 2 THEN CAST(8238763627560734016 AS BIGINT)
+         ELSE CAST(8868959380999491051 AS BIGINT)
+       END AS sk,
+       CAST(4596069200710135518 AS BIGINT) AS sz,
+       u AS ud,
+       CAST(t // 1000 AS BIGINT) AS urt,
+       CAST(26 AS BIGINT) AS ulen
+FROM ud
+ORDER BY k
+"""
+
+
+def q_dialect_probe25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verbatim CH keyed-SipHash / ULID-writer query (module doc
+    #42)."""
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", DialectWarning)
+        return run_clickhouse_sql(
+            spark, _CH_PROBE25, sf_dir, ("orders",)
+        )
+
+
 # 39 (r13). audit batch 17 value gate (per-row tier): MAC codec
 #     round-trips (the numeric side is the oracle's closed form),
 #     bitmap subset family over key-derived arrays, general-p
@@ -20634,6 +21172,9 @@ QUERIES = {
     "dialect_probe24": q_dialect_probe24,
     "dialect_anova": q_dialect_anova,
     "dialect_geo_distance": q_dialect_geo_distance,
+    "dialect_wkt_geometry": q_dialect_wkt_geometry,
+    "dialect_series_tukey": q_dialect_series_tukey,
+    "dialect_probe25": q_dialect_probe25,
     "dialect_tumble": q_dialect_tumble,
     "dialect_probe19": q_dialect_probe19,
     "dialect_star_modifiers": q_dialect_star_modifiers,
@@ -20734,6 +21275,9 @@ ORACLES = {
     "dialect_probe24": O_PROBE24,
     "dialect_anova": O_ANOVA,
     "dialect_geo_distance": O_GEO_DIST_ELL,
+    "dialect_wkt_geometry": O_WKT,
+    "dialect_series_tukey": O_SERIES_TUKEY,
+    "dialect_probe25": O_PROBE25,
     "dialect_tumble": O_TUMBLE,
     "dialect_probe19": O_PROBE19,
     "dialect_star_modifiers": O_STAR_MODIFIERS,

@@ -6518,3 +6518,164 @@ def test_r14_advice_fixes(spark):
     assert one("extractKeyValuePairs('x=1&x=2', '=', '&')") == {
         "x": "1"
     }
+
+
+def test_r14_wkt_geometry(spark):
+    """WKT serialization flip (VERDICT r13 item 3): readWKT* parse
+    POINT/LINESTRING/POLYGON/MULTIPOLYGON text into plain
+    struct/array columns with pure string ops; wkt() serializes any
+    point/ring/polygon/multipolygon nesting back through to_json
+    with CH's byte format (no space after tag, no space after
+    commas, integral doubles print bare).  length() dispatches to
+    size() for wholly-array-headed rendered arguments."""
+    register_clickhouse_compat(spark)
+    one = lambda e: spark.sql(  # noqa: E731
+        transpile(f"SELECT {e} AS v")
+    ).collect()[0].v
+    p = one("readWKTPoint('POINT (30 10)')")
+    assert (p.x, p.y) == (30.0, 10.0)
+    assert one("readWKTPoint('POINT(1.5 -2.25)').1") == 1.5
+    assert one("readWKTPoint('POINT (30 10)').2") == 10.0
+    ls = one("readWKTLineString('LINESTRING (1 1, 2 2, 3 3)')")
+    assert [(q.x, q.y) for q in ls] == [(1, 1), (2, 2), (3, 3)]
+    rg = one("readWKTRing('POLYGON ((0 0, 10 0, 10 10, 0 10))')")
+    assert len(rg) == 4 and (rg[2].x, rg[2].y) == (10.0, 10.0)
+    pg = one(
+        "readWKTPolygon('POLYGON ((0 0, 10 0, 10 10, 0 10), "
+        "(4 4, 5 4, 5 5, 4 5))')"
+    )
+    assert [len(r) for r in pg] == [4, 4]
+    assert (pg[1][0].x, pg[1][0].y) == (4.0, 4.0)
+    mp = one(
+        "readWKTMultiPolygon('MULTIPOLYGON (((0 0, 5 0, 5 5)), "
+        "((10 10, 11 10, 11 11)))')"
+    )
+    assert len(mp) == 2 and len(mp[1][0]) == 3
+    ml = one(
+        "readWKTMultiLineString('MULTILINESTRING ((1 1, 2 2), "
+        "(3 3, 4 4))')"
+    )
+    assert len(ml) == 2
+    # serialize side: CH byte format, docs-pinned shapes
+    assert one("wkt((0.5, 10.0))") == "POINT(0.5 10)"
+    assert one(
+        "wkt([(0., 0.), (10., 0.), (10., 10.), (0., 10.)])"
+    ) == "POLYGON((0 0,10 0,10 10,0 10))"
+    assert one(
+        "wkt(readWKTPolygon('POLYGON ((0 0, 10 0, 10 10, 0 10), "
+        "(4 4, 5 4, 5 5, 4 5))'))"
+    ) == "POLYGON((0 0,10 0,10 10,0 10),(4 4,5 4,5 5,4 5))"
+    assert one(
+        "wkt(readWKTMultiPolygon('MULTIPOLYGON (((0 0, 5 0, 5 5)), "
+        "((10 10, 11 10, 11 11)))'))"
+    ) == "MULTIPOLYGON(((0 0,5 0,5 5)),((10 10,11 10,11 11)))"
+    assert one("wkt(readWKTPoint('POINT (30 10)'))") == "POINT(30 10)"
+    # malformed WKT throws (the CH contract): bad tag reaches an
+    # ANSI CAST('' AS DOUBLE)
+    with pytest.raises(Exception, match="CAST_INVALID_INPUT|cast"):
+        one("readWKTPoint('LINESTRING (1 1, 2 2)')")
+    # wkt of a non-geometry nesting raises
+    with pytest.raises(Exception, match="not a point"):
+        one("wkt(((1.0, 2.0, 3.0)))")
+    # length() array/string dispatch
+    assert one("length(splitByChar(',', 'a,b,c'))") == 3
+    assert one("length('abc')") == 3
+    assert one("length(arrayFlatten([[1],[2,3]]))") == 3
+    # a subscripted array re-scalars: string length of 'bb'
+    assert one("length(splitByChar(',', 'a,bb,c')[2])") == 2
+
+
+def test_r14_series_tukey(spark):
+    """seriesOutliersDetectTukey flip (VERDICT r13 item 4) — both
+    ClickHouse docs examples pin the quantile method (pos = n*p with
+    integral-pos averaging, NOT (n-1)p interpolation), argument
+    validation keeps CH's contract, and the <4-element throw
+    survives at runtime."""
+    register_clickhouse_compat(spark)
+    one = lambda e: spark.sql(  # noqa: E731
+        transpile(f"SELECT {e} AS v")
+    ).collect()[0].v
+    # docs example 1: default params, integral-pos branch (n=16)
+    assert one(
+        "seriesOutliersDetectTukey([-3, 2, 15, 3, 5, 6, 4, 5, 12, "
+        "45, 12, 3, 3, 4, 5, 6])"
+    ) == [0, 0, 0, 0, 0, 0, 0, 0, 0, 27.0, 0, 0, 0, 0, 0, 0]
+    # docs example 2: explicit percentiles + K
+    assert one(
+        "seriesOutliersDetectTukey([-3, 2, 15, 3, 5, 6, 4.50, 5, "
+        "12, 45, 12, 3.40, 3, 4, 5, 6], 0.2, 0.8, 1.5)"
+    ) == [0, 0, 0, 0, 0, 0, 0, 0, 0, 19.5, 0, 0, 0, 0, 0, 0]
+    # low outliers score on the lower fence
+    got = one("seriesOutliersDetectTukey([5, 6, 5, 6, 5, 6, -100])")
+    assert got[-1] > 0 and all(x == 0 for x in got[:-1])
+    # CH's argument contract: <4 elements throws at RUNTIME
+    with pytest.raises(Exception, match="at least 4"):
+        one("seriesOutliersDetectTukey([1.0, 2.0, 9.0])")
+    with pytest.raises(DialectError, match="0.02"):
+        transpile("SELECT seriesOutliersDetectTukey([1,2,3,4], "
+                  "0.01, 0.75, 1.5)")
+    with pytest.raises(DialectError, match="literal"):
+        transpile("SELECT seriesOutliersDetectTukey(a, v, 0.75, "
+                  "1.5) FROM t")
+    with pytest.raises(DialectError, match=">= 0"):
+        transpile("SELECT seriesOutliersDetectTukey([1,2,3,4], "
+                  "0.25, 0.75, -1)")
+
+
+def test_r14_siphash_keyed_and_ulid(spark):
+    """Batch-24 depth flips (VERDICT r13 item 6): sipHash64Keyed is
+    BIT-EXACT SipHash-2-4 — the paper's reference vectors (key
+    0x0706050403020100/0x0f0e0d0c0b0a0908 over 0..n-byte inputs)
+    pin the Arrow register; generateULID round-trips through
+    ULIDStringToDateTime and the deterministic tier is a pure
+    function of its argument."""
+    import datetime
+    import warnings
+
+    from clickhouse_vs_dbt_spark.dialect import DialectWarning
+
+    register_clickhouse_compat(spark)
+    one = lambda e: spark.sql(  # noqa: E731
+        transpile(f"SELECT {e} AS v")
+    ).collect()[0].v
+    k = "(506097522914230528, 1084818905618843912)"
+    u64 = lambda v: v & ((1 << 64) - 1)  # noqa: E731
+    # SipHash-2-4 paper test vectors (Aumasson & Bernstein 2012,
+    # appendix A): inputs '', 00, 00..07
+    assert u64(one(f"sipHash64Keyed({k}, '')")) == 0x726FDB47DD0E0E31
+    assert u64(one(
+        f"sipHash64Keyed({k}, char(0))"
+    )) == 0x74F839C593DC67FD
+    eight = "concat(" + ", ".join(
+        f"char({i})" for i in range(8)
+    ) + ")"
+    assert u64(one(
+        f"sipHash64Keyed({k}, {eight})"
+    )) == 0x93F5F5799A932462
+    # NULL propagation + key-tuple validation
+    assert one(f"sipHash64Keyed({k}, CAST(NULL AS STRING))") is None
+    with pytest.raises(DialectError, match="key tuple"):
+        transpile("SELECT sipHash64Keyed(1, 'x')")
+    with pytest.raises(DialectError, match="concat"):
+        transpile("SELECT sipHash64Keyed((0, 0), 'x', 'y')")
+    with pytest.raises(DialectError, match="128"):
+        transpile("SELECT sipHash128Keyed((0, 0), 'x')")
+    # ULID: shape, alphabet, time round-trip
+    import re as _re
+
+    u0 = one("generateULID()")
+    assert len(u0) == 26 and _re.fullmatch(
+        "[0-9A-HJKMNP-TV-Z]{26}", u0
+    )
+    rt = one("ULIDStringToDateTime(generateULID())")
+    assert abs(
+        (rt - datetime.datetime.utcnow()).total_seconds()
+    ) < 600
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", DialectWarning)
+        a = one("generateULID('seed')")
+        b = one("generateULID('seed')")
+        c = one("generateULID('other')")
+    assert a == b == "7Y9G7K1AHNKH0XKYD5YTE8RGCJ" and a != c
+    with pytest.warns(DialectWarning, match="DETERMINISTIC"):
+        transpile("SELECT generateULID('x')")
