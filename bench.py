@@ -340,9 +340,13 @@ def main() -> int:
             "sum(xxhash64(CAST(id AS STRING)) % 1000003) AS s"
         ).write.format("noop").mode("overwrite").save()
 
-    _calib_kernel2()  # untimed warmup
+    # same two-warmup discipline as kernel 1 — a single warmup is
+    # exactly the C2-transient hole this change closes
+    # (code-review r14a)
+    _calib_kernel2()
+    _calib_kernel2()
     calib2_runs: list[float] = []
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.perf_counter()
         _calib_kernel2()
         calib2_runs.append(round(time.perf_counter() - t0, 3))

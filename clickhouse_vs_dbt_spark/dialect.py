@@ -1541,14 +1541,30 @@ def _has_column_ident(expr: str) -> bool:
         if up in _CTX_CONST_TOKENS:
             prev = ts[i - 1].upper() if i else ""
             prev2 = ts[i - 2].upper() if i >= 2 else ""
+            prev3 = ts[i - 3] if i >= 3 else ""
             nxt = ts[i + 1] if i + 1 < len(ts) else ""
             if (
-                prev in ("AS", "INTERVAL", "<")
+                prev in ("AS", "INTERVAL")
                 or prev2 == "INTERVAL"  # INTERVAL 1 DAY
+                # INTERVAL '1 2' DAY TO HOUR — the trailing unit
+                # (code-review r14a: the flat set handled it)
+                or (prev == "TO" and prev2 in _CTX_CONST_TOKENS)
                 or nxt.startswith("'")  # DATE'…' typed literal
-                or nxt in ("<", "(")    # ARRAY<INT>, year(…)
+                or nxt == "("           # year(…)
+                # generic heads only: a '<' next to an arbitrary
+                # unit name is a COMPARISON (month < year), not a
+                # type (code-review r14a)
+                or (nxt == "<" and up in ("ARRAY", "MAP", "STRUCT"))
+                or (prev == "<" and prev2 in (
+                    "ARRAY", "MAP", "STRUCT",
+                ))
                 # MAP<STRING,INT>: second type name follows ','
-                or (prev == "," and prev2 in _CTX_CONST_TOKENS)
+                # INSIDE a generic chain — the '<' anchor keeps
+                # array(DATE'…', month) reading month as a column
+                or (
+                    prev == "," and prev2 in _CTX_CONST_TOKENS
+                    and prev3 == "<"
+                )
             ):
                 continue
             return True
@@ -1898,14 +1914,25 @@ def _render_call(name: str, args: list[str]) -> str:
                 "sipHash64Keyed: the first argument must be the "
                 "(k0, k1) key tuple"
             )
+        # STRING-cast the data so a numeric argument hashes its
+        # decimal text (the documented divergence) instead of
+        # crashing the Arrow register on .encode (code-review r14a)
         return (
-            f"ch_siphash64_keyed({parts[0]}, {parts[1]}, {args[1]})"
+            f"ch_siphash64_keyed({parts[0]}, {parts[1]}, "
+            f"CAST({args[1]} AS STRING))"
         )
     if name == "sipHash64Keyed" and len(args) > 2:
         raise DialectError(
             "sipHash64Keyed: multi-argument data chains per-field "
             "hashes in ClickHouse — concat the fields explicitly to "
             "pin the byte layout"
+        )
+    if name == "sipHash64Keyed":
+        # 0/1-arg forms must REFUSE, not leak the CH name into a
+        # Spark unresolved-function error (code-review r14a)
+        raise DialectError(
+            "sipHash64Keyed takes ((k0, k1), data) — exactly two "
+            "arguments"
         )
     if name in ("sipHash128Keyed",
                 "sipHash128Reference", "sipHash128ReferenceKeyed"):
@@ -2733,6 +2760,13 @@ def _render_call(name: str, args: list[str]) -> str:
             "WHEN __sx > __sf.hi THEN __sx - __sf.hi "
             "ELSE 0.0d END), 1))), 1)), 1)), 1))), 1)"
         )
+    if name == "seriesOutliersDetectTukey":
+        # 2/3/5+-arg forms refuse instead of leaking the CH name
+        # into a Spark unresolved-function error (code-review r14a)
+        raise DialectError(
+            "seriesOutliersDetectTukey takes (series) or "
+            "(series, min_percentile, max_percentile, K)"
+        )
     if name == "geohashesInBox":
         raise DialectError(
             "geohashesInBox enumerates a cover grid (unbounded "
@@ -3461,6 +3495,11 @@ def _render_call(name: str, args: list[str]) -> str:
         return (
             f"element_at(transform(array({bind}), __u -> "
             f"concat({', '.join(chars)})), 1)"
+        )
+    if name == "generateULID":
+        raise DialectError(
+            "generateULID takes zero arguments (random) or one "
+            "(the deterministic md5 tier)"
         )
     if name == "randConstant":
         raise DialectError(
@@ -4748,7 +4787,9 @@ def _render_call(name: str, args: list[str]) -> str:
             )
 
         if name == "readWKTPoint":
-            num = "(-?[0-9.eE+]+)"
+            # trailing '-' keeps negative exponents (1.5e-3) inside
+            # the class (code-review r14a)
+            num = "(-?[0-9.eE+-]+)"
             pre = (
                 f"regexp_extract({s}, '^\\\\s*POINT\\\\s*\\\\("
                 f"\\\\s*{num}\\\\s+{num}\\\\s*\\\\)\\\\s*$', "
@@ -4804,6 +4845,16 @@ def _render_call(name: str, args: list[str]) -> str:
             f"'\\\\)\\\\s*,\\\\s*\\\\('), "
             f"__wr -> {_wkt_points('__wr')}))"
         )
+    if name in (
+        "readWKTPoint", "readWKTRing", "readWKTLineString",
+        "readWKTPolygon", "readWKTMultiPolygon",
+        "readWKTMultiLineString",
+    ) or (name == "wkt" and len(args) != 1):
+        # wrong arity refuses, never leaks the CH name
+        # (code-review r14a)
+        raise DialectError(
+            f"{name} takes exactly one argument"
+        )
     if name == "wkt" and len(args) == 1:
         # Serialize side.  The argument's nesting depth is a RUNTIME
         # property Spark types won't reveal at transpile time — so
@@ -4830,7 +4881,12 @@ def _render_call(name: str, args: list[str]) -> str:
         )
         return (
             f"element_at(transform(array({clean}), __wg -> "
-            "CASE WHEN __wg RLIKE '[{\"]' THEN "
+            # the second alternative catches arrays of PLAIN
+            # numbers (a bare atom between (/, and ,/) with no
+            # space is a scalar, not an 'x y' pair) — CH raises a
+            # type error for such nestings (code-review r14a)
+            "CASE WHEN __wg RLIKE "
+            "'[{\"]|[(,](-?[0-9.eE+-]+)[,)]' THEN "
             "CAST(raise_error(concat('wkt: not a point/ring/"
             "polygon/multipolygon shape: ', __wg)) AS STRING) "
             "WHEN left(__wg, 1) <> '(' "

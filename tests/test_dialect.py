@@ -6679,3 +6679,37 @@ def test_r14_siphash_keyed_and_ulid(spark):
     assert a == b == "7Y9G7K1AHNKH0XKYD5YTE8RGCJ" and a != c
     with pytest.warns(DialectWarning, match="DETERMINISTIC"):
         transpile("SELECT generateULID('x')")
+
+
+def test_r14_review_fixes(spark):
+    """Code-review r14a findings: numeric SipHash data hashes its
+    decimal text (the documented divergence) instead of crashing the
+    Arrow register; '<' next to a unit-named column is a COMPARISON,
+    not a generic type (and INTERVAL ... DAY TO HOUR stays
+    constant); negative exponents parse in POINT coordinates; wkt of
+    a plain-number nesting raises; wrong arities refuse instead of
+    leaking CH names into unresolved-function errors."""
+    register_clickhouse_compat(spark)
+    one = lambda e: spark.sql(  # noqa: E731
+        transpile(f"SELECT {e} AS v")
+    ).collect()[0].v
+    assert one("sipHash64Keyed((0, 0), 42)") == -7234506614731780355
+    assert " 0 " in transpile(
+        "SELECT isConstant(month < year) FROM t"
+    )
+    assert one(
+        "isConstant(CAST('2 01:02' AS INTERVAL DAY TO HOUR))"
+    ) == 1
+    p = one("readWKTPoint('POINT (1.5e-3 2)')")
+    assert (p.x, p.y) == (0.0015, 2.0)
+    with pytest.raises(Exception, match="not a point"):
+        one("wkt([[1.0, 2.0]])")
+    for bad in (
+        "seriesOutliersDetectTukey([1,2,3,4], 0.2)",
+        "sipHash64Keyed(1)",
+        "generateULID(1, 2)",
+        "wkt((1., 2.), 'x')",
+        "readWKTPoint('a', 'b')",
+    ):
+        with pytest.raises(DialectError):
+            transpile(f"SELECT {bad}")
