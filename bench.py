@@ -269,6 +269,11 @@ HEADLINE = [
     "dialect_any_join_noeq",
     "dialect_probe23",
     "dialect_probe24",
+    # r14 additions
+    "dialect_wkt_geometry",
+    "dialect_series_tukey",
+    "dialect_probe25",
+    "dialect_probe26",
 ]
 
 

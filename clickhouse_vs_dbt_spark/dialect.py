@@ -5517,6 +5517,49 @@ def _render_call(name: str, args: list[str]) -> str:
         return f"try_element_at(filter({arr}, {lam}), -1)"
     if name == "arrayStringConcat" and len(args) == 1:
         return f"array_join({args[0]}, '')"
+    if name in (
+        "hasSubsequence", "hasSubsequenceUTF8",
+        "hasSubsequenceCaseInsensitive",
+        "hasSubsequenceCaseInsensitiveUTF8",
+    ) and len(args) == 2:
+        # needle chars must appear in haystack in ORDER, not
+        # necessarily contiguously (r14 batch 25): a single greedy
+        # left-to-right fold over the haystack's characters is
+        # optimal for subsequence matching.  *UTF8 twins are aliases
+        # (JVM strings are char-addressed); CaseInsensitive lowers
+        # both sides.  CH returns UInt8 — the boolean maps like the
+        # rest of the has* family.
+        h, n = args
+        if "CaseInsensitive" in name:
+            h, n = f"lower({h})", f"lower({n})"
+        return (
+            f"(aggregate(split({h}, ''), 0, (__hq, __hc) -> "
+            f"IF(__hq < length({n}) AND __hc = "
+            f"substr({n}, __hq + 1, 1), __hq + 1, __hq)) "
+            f"= length({n}))"
+        )
+    if name == "sparseGrams":
+        raise DialectError(
+            "sparseGrams: the segment boundaries are defined by "
+            "ClickHouse's internal n-gram hash comparisons — "
+            "tokens()/arrayShingles/ngrams cover tokenization"
+        )
+    if name == "UUIDv7ToDateTime" and len(args) in (1, 2):
+        # the first 48 UUIDv7 bits are unix milliseconds (RFC 9562)
+        # — strip dashes, hex-fold the 12 leading nibbles (r14
+        # batch 25; the ULIDStringToDateTime precedent).  Only the
+        # UTC timezone form maps (session pinned UTC).
+        if len(args) == 2:
+            tz = args[1].strip().strip("'\"")
+            if tz not in ("UTC", "Etc/UTC", "Universal"):
+                raise DialectError(
+                    "UUIDv7ToDateTime: only the 'UTC' timezone form "
+                    "maps (session time zone is pinned UTC)"
+                )
+        return (
+            f"timestamp_millis(CAST(conv(substr(translate("
+            f"{args[0]}, '-', ''), 1, 12), 16, 10) AS BIGINT))"
+        )
     if name == "hasSubstr" and len(args) == 2:
         # element-wise <=> instead of whole-array = : scalar
         # comparison coerces mixed numeric element types (a DECIMAL
@@ -20920,6 +20963,57 @@ def q_dialect_probe25(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
 
+# 43 (r14). audit batch 25 value gate: greedy-fold subsequence
+#     matching (hs1 varies with whether the k%7 and k%10 digits
+#     collide — the needle's middle char must appear between the
+#     haystack's 'r' and trailing 'e'), and the UUIDv7 read-side
+#     (48-bit ms prefix, RFC 9562) over md5-derived uuid text the
+#     DuckDB oracle rebuilds with a 0x-hex cast.
+_CH_PROBE26 = """
+SELECT o_orderkey AS k,
+       toInt64(hasSubsequence(
+           concat('gar', toString(o_orderkey % 7), 'bage'),
+           concat('r', toString(o_orderkey % 10), 'e'))) AS hs1,
+       toInt64(hasSubsequence('garbage', 'arg')) AS hs2,
+       toInt64(hasSubsequenceCaseInsensitive(
+           'Hello World', concat('hw', toString(o_orderkey % 2))))
+           AS hs3,
+       toUnixTimestamp(UUIDv7ToDateTime(concat(
+           substring(lower(hex(MD5(toString(o_orderkey)))), 1, 8),
+           '-',
+           substring(lower(hex(MD5(toString(o_orderkey)))), 9, 4),
+           '-7',
+           substring(lower(hex(MD5(toString(o_orderkey)))), 13, 3),
+           '-9',
+           substring(lower(hex(MD5(toString(o_orderkey)))), 17, 3),
+           '-',
+           substring(lower(hex(MD5(toString(o_orderkey)))), 21, 12)
+       ))) AS u7
+FROM orders
+WHERE o_orderkey % 101 = 0
+ORDER BY k
+"""
+
+O_PROBE26 = """
+SELECT o_orderkey AS k,
+       CAST(CASE WHEN (o_orderkey % 7) = (o_orderkey % 10)
+            THEN 1 ELSE 0 END AS BIGINT) AS hs1,
+       CAST(1 AS BIGINT) AS hs2,
+       CAST(0 AS BIGINT) AS hs3,
+       CAST(CAST(concat('0x', substring(
+           md5(CAST(o_orderkey AS VARCHAR)), 1, 12)) AS BIGINT)
+           // 1000 AS BIGINT) AS u7
+FROM orders
+WHERE o_orderkey % 101 = 0
+ORDER BY k
+"""
+
+
+def q_dialect_probe26(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verbatim CH subsequence / UUIDv7 query (module doc #43)."""
+    return run_clickhouse_sql(spark, _CH_PROBE26, sf_dir, ("orders",))
+
+
 # 39 (r13). audit batch 17 value gate (per-row tier): MAC codec
 #     round-trips (the numeric side is the oracle's closed form),
 #     bitmap subset family over key-derived arrays, general-p
@@ -21231,6 +21325,7 @@ QUERIES = {
     "dialect_wkt_geometry": q_dialect_wkt_geometry,
     "dialect_series_tukey": q_dialect_series_tukey,
     "dialect_probe25": q_dialect_probe25,
+    "dialect_probe26": q_dialect_probe26,
     "dialect_tumble": q_dialect_tumble,
     "dialect_probe19": q_dialect_probe19,
     "dialect_star_modifiers": q_dialect_star_modifiers,
@@ -21334,6 +21429,7 @@ ORACLES = {
     "dialect_wkt_geometry": O_WKT,
     "dialect_series_tukey": O_SERIES_TUKEY,
     "dialect_probe25": O_PROBE25,
+    "dialect_probe26": O_PROBE26,
     "dialect_tumble": O_TUMBLE,
     "dialect_probe19": O_PROBE19,
     "dialect_star_modifiers": O_STAR_MODIFIERS,

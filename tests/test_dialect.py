@@ -6713,3 +6713,33 @@ def test_r14_review_fixes(spark):
     ):
         with pytest.raises(DialectError):
             transpile(f"SELECT {bad}")
+
+
+def test_r14_batch25_subsequence_uuidv7(spark):
+    """Audit batch 25: hasSubsequence greedy fold (CH docs example
+    pinned), case-insensitive and *UTF8 twins, the UUIDv7 read-side
+    48-bit ms prefix (RFC 9562's own example uuid), and the
+    sparseGrams wall."""
+    register_clickhouse_compat(spark)
+    one = lambda e: spark.sql(  # noqa: E731
+        transpile(f"SELECT {e} AS v")
+    ).collect()[0].v
+    assert one("hasSubsequence('garbage', 'arg')") is True
+    assert one("hasSubsequence('garbage', 'arbw')") is False
+    assert one("hasSubsequence('abc', '')") is True
+    assert one("hasSubsequence('', 'a')") is False
+    assert one(
+        "hasSubsequenceCaseInsensitive('Hello World', 'hw')"
+    ) is True
+    assert one("hasSubsequenceUTF8('héllo', 'él')") is True
+    assert one(
+        "hasSubsequence(CAST(NULL AS STRING), 'a')"
+    ) is None
+    # RFC 9562 example UUIDv7: 2022-02-22T14:22:22-05:00
+    assert str(one(
+        "UUIDv7ToDateTime('017f22e2-79b0-7cc3-98c4-dc0c0c07398f')"
+    )) == "2022-02-22 19:22:22"
+    with pytest.raises(DialectError, match="UTC"):
+        transpile("SELECT UUIDv7ToDateTime(u, 'Asia/Tokyo') FROM t")
+    with pytest.raises(DialectError, match="tokens"):
+        transpile("SELECT sparseGrams(s) FROM t")
