@@ -5525,10 +5525,14 @@ def _render_call(name: str, args: list[str]) -> str:
         # needle chars must appear in haystack in ORDER, not
         # necessarily contiguously (r14 batch 25): a single greedy
         # left-to-right fold over the haystack's characters is
-        # optimal for subsequence matching.  *UTF8 twins are aliases
-        # (JVM strings are char-addressed); CaseInsensitive lowers
-        # both sides.  CH returns UInt8 — the boolean maps like the
-        # rest of the has* family.
+        # optimal for subsequence matching.  The fold is
+        # CHAR-addressed — that IS the *UTF8 contract; CH's BASE
+        # form scans bytes, so a multibyte haystack can diverge
+        # (CH finds the needle's UTF-8 bytes scattered across
+        # different characters' bytes — the batch-19 family-wide
+        # char-contract refinement, code-review r14b).
+        # CaseInsensitive lowers both sides.  CH returns UInt8 —
+        # the boolean maps like the rest of the has* family.
         h, n = args
         if "CaseInsensitive" in name:
             h, n = f"lower({h})", f"lower({n})"
@@ -5547,8 +5551,12 @@ def _render_call(name: str, args: list[str]) -> str:
     if name == "UUIDv7ToDateTime" and len(args) in (1, 2):
         # the first 48 UUIDv7 bits are unix milliseconds (RFC 9562)
         # — strip dashes, hex-fold the 12 leading nibbles (r14
-        # batch 25; the ULIDStringToDateTime precedent).  Only the
-        # UTC timezone form maps (session pinned UTC).
+        # batch 25; the ULIDStringToDateTime precedent).  CH guards
+        # the VERSION nibble: a non-v7 uuid answers the DateTime64
+        # zero (1970-01-01), not a bogus decode of random bits
+        # (code-review r14b) — nibble 13 of the dashless hex is the
+        # version field.  Only the UTC timezone form maps (session
+        # pinned UTC).
         if len(args) == 2:
             tz = args[1].strip().strip("'\"")
             if tz not in ("UTC", "Etc/UTC", "Universal"):
@@ -5557,8 +5565,10 @@ def _render_call(name: str, args: list[str]) -> str:
                     "maps (session time zone is pinned UTC)"
                 )
         return (
-            f"timestamp_millis(CAST(conv(substr(translate("
-            f"{args[0]}, '-', ''), 1, 12), 16, 10) AS BIGINT))"
+            f"element_at(transform(array(translate({args[0]}, "
+            f"'-', '')), __u7 -> IF(substr(__u7, 13, 1) = '7', "
+            f"timestamp_millis(CAST(conv(substr(__u7, 1, 12), "
+            f"16, 10) AS BIGINT)), timestamp_millis(0))), 1)"
         )
     if name == "hasSubstr" and len(args) == 2:
         # element-wise <=> instead of whole-array = : scalar
@@ -20988,7 +20998,9 @@ SELECT o_orderkey AS k,
            substring(lower(hex(MD5(toString(o_orderkey)))), 17, 3),
            '-',
            substring(lower(hex(MD5(toString(o_orderkey)))), 21, 12)
-       ))) AS u7
+       ))) AS u7,
+       toUnixTimestamp(UUIDv7ToDateTime(
+           '123e4567-e89b-42d3-a456-426614174000')) AS u7z
 FROM orders
 WHERE o_orderkey % 101 = 0
 ORDER BY k
@@ -21002,7 +21014,8 @@ SELECT o_orderkey AS k,
        CAST(0 AS BIGINT) AS hs3,
        CAST(CAST(concat('0x', substring(
            md5(CAST(o_orderkey AS VARCHAR)), 1, 12)) AS BIGINT)
-           // 1000 AS BIGINT) AS u7
+           // 1000 AS BIGINT) AS u7,
+       CAST(0 AS BIGINT) AS u7z
 FROM orders
 WHERE o_orderkey % 101 = 0
 ORDER BY k

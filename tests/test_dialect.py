@@ -6739,6 +6739,11 @@ def test_r14_batch25_subsequence_uuidv7(spark):
     assert str(one(
         "UUIDv7ToDateTime('017f22e2-79b0-7cc3-98c4-dc0c0c07398f')"
     )) == "2022-02-22 19:22:22"
+    # non-v7 uuid answers the DateTime64 zero, not a bogus decode
+    # of random bits (code-review r14b)
+    assert str(one(
+        "UUIDv7ToDateTime('123e4567-e89b-42d3-a456-426614174000')"
+    )) == "1970-01-01 00:00:00"
     with pytest.raises(DialectError, match="UTC"):
         transpile("SELECT UUIDv7ToDateTime(u, 'Asia/Tokyo') FROM t")
     with pytest.raises(DialectError, match="tokens"):
