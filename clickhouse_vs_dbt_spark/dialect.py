@@ -3501,6 +3501,20 @@ def _render_call(name: str, args: list[str]) -> str:
             "generateULID takes zero arguments (random) or one "
             "(the deterministic md5 tier)"
         )
+    if name == "kql":
+        raise DialectError(
+            "kql(): ClickHouse's experimental Kusto front-end — "
+            "write the query in ClickHouse SQL (the transpiler's "
+            "input dialect)"
+        )
+    if name == "evalMLMethod":
+        raise DialectError(
+            "evalMLMethod applies a server-side trained model STATE "
+            "(stochasticLinearRegression/LogisticRegression) — the "
+            "pure-SQL inference operator (operators/mlinfer.py, "
+            "ml_inference_sql) covers linear scoring with explicit "
+            "coefficients"
+        )
     if name == "randConstant":
         raise DialectError(
             "randConstant: per-BLOCK constants are a CH execution "
@@ -8428,6 +8442,35 @@ def _weighted_exact_quantile(v: str, w: str, p: str) -> str:
 
 def _render_parametric(name: str, params: list[str], args: list[str]) -> str:
     """CH parametric aggregates: ``fn(params)(args)``."""
+    if name in (
+        "quantileTimingWeighted", "quantileTDigestWeighted",
+        "quantileBFloat16Weighted",
+    ):
+        # weighted SKETCH twins take the exact-weighted register
+        # (r14 batch 26): CH's weighted sketches repeat each value
+        # by its weight inside the sketch — the exact cumulative-
+        # weight read is the deterministic refinement of that, the
+        # medianTiming→quantileTiming precedent one tier stronger
+        # (MIGRATION.md)
+        name = "quantileExactWeighted"
+    elif name in (
+        "quantilesTimingWeighted", "quantilesTDigestWeighted",
+        "quantilesBFloat16Weighted",
+    ):
+        name = "quantilesExactWeighted"
+    if name in (
+        "quantileDeterministic", "quantilesDeterministic",
+    ) and len(args) == 2 and params:
+        # the determinator only stabilizes CH's reservoir sampling —
+        # percentile_approx is already deterministic (the
+        # medianDeterministic precedent, r14 batch 26)
+        lv = (
+            params[0] if name == "quantileDeterministic"
+            else f"array({', '.join(params)})"
+        )
+        if name == "quantileDeterministic" and len(params) != 1:
+            raise DialectError(f"{name} takes exactly one level")
+        return f"percentile_approx({args[0]}, {lv})"
     if name == "groupConcat" and len(params) in (1, 2) and len(
         args
     ) == 1:
@@ -8535,7 +8578,8 @@ def _render_parametric(name: str, params: list[str], args: list[str]) -> str:
         return f"percentile_approx({args[0]}, {params[0]})"
     if name == "quantileExact" and len(params) == 1:
         return f"percentile({args[0]}, {params[0]})"
-    if name in ("quantiles", "quantilesTiming", "quantilesTDigest"):
+    if name in ("quantiles", "quantilesTiming", "quantilesTDigest",
+                "quantilesBFloat16"):
         return f"percentile_approx({args[0]}, array({', '.join(params)}))"
     if (
         name in ("quantileExactLow", "quantileExactHigh")
@@ -8925,6 +8969,15 @@ _PARAMETRIC = {
     "quantilesExact",
     "quantilesTiming",
     "quantilesTDigest",
+    "quantilesBFloat16",
+    "quantileTimingWeighted",
+    "quantileTDigestWeighted",
+    "quantileBFloat16Weighted",
+    "quantilesTimingWeighted",
+    "quantilesTDigestWeighted",
+    "quantilesBFloat16Weighted",
+    "quantileDeterministic",
+    "quantilesDeterministic",
     "quantileExactLow",
     "quantileExactHigh",
     "quantileExactIf",

@@ -6748,3 +6748,33 @@ def test_r14_batch25_subsequence_uuidv7(spark):
         transpile("SELECT UUIDv7ToDateTime(u, 'Asia/Tokyo') FROM t")
     with pytest.raises(DialectError, match="tokens"):
         transpile("SELECT sparseGrams(s) FROM t")
+
+
+def test_r14_batch26_weighted_sketch_quantiles(spark):
+    """Audit batch 26: weighted sketch-quantile twins take the
+    exact-weighted register (cumulative-weight threshold — pinned:
+    the weighted median of v=0..100 with weight v is 71, the first
+    value whose cumulative weight 2556 reaches half of 5050);
+    deterministic quantiles drop the determinator; plural
+    quantilesBFloat16; kql/evalMLMethod wall."""
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW b26 AS SELECT CAST(id AS "
+        "DOUBLE) AS v, id AS x FROM range(101)"
+    )
+    one = lambda e: spark.sql(  # noqa: E731
+        transpile(f"SELECT {e} AS r FROM b26")
+    ).collect()[0].r
+    assert one("quantileTimingWeighted(0.5)(v, x)") == 71.0
+    assert one("quantileTDigestWeighted(0.5)(v, x)") == 71.0
+    assert one("quantilesTimingWeighted(0.25, 0.75)(v, x)") == [
+        50.0, 87.0,
+    ]
+    assert one("quantileDeterministic(0.5)(v, x)") == 50.0
+    assert one("quantilesDeterministic(0.25, 0.75)(v, x)") == [
+        25.0, 75.0,
+    ]
+    assert one("quantilesBFloat16(0.25, 0.75)(v)") == [25.0, 75.0]
+    with pytest.raises(DialectError, match="Kusto"):
+        transpile("SELECT kql()")
+    with pytest.raises(DialectError, match="mlinfer"):
+        transpile("SELECT evalMLMethod(x) FROM t")
