@@ -8442,35 +8442,6 @@ def _weighted_exact_quantile(v: str, w: str, p: str) -> str:
 
 def _render_parametric(name: str, params: list[str], args: list[str]) -> str:
     """CH parametric aggregates: ``fn(params)(args)``."""
-    if name in (
-        "quantileTimingWeighted", "quantileTDigestWeighted",
-        "quantileBFloat16Weighted",
-    ):
-        # weighted SKETCH twins take the exact-weighted register
-        # (r14 batch 26): CH's weighted sketches repeat each value
-        # by its weight inside the sketch — the exact cumulative-
-        # weight read is the deterministic refinement of that, the
-        # medianTiming→quantileTiming precedent one tier stronger
-        # (MIGRATION.md)
-        name = "quantileExactWeighted"
-    elif name in (
-        "quantilesTimingWeighted", "quantilesTDigestWeighted",
-        "quantilesBFloat16Weighted",
-    ):
-        name = "quantilesExactWeighted"
-    if name in (
-        "quantileDeterministic", "quantilesDeterministic",
-    ) and len(args) == 2 and params:
-        # the determinator only stabilizes CH's reservoir sampling —
-        # percentile_approx is already deterministic (the
-        # medianDeterministic precedent, r14 batch 26)
-        lv = (
-            params[0] if name == "quantileDeterministic"
-            else f"array({', '.join(params)})"
-        )
-        if name == "quantileDeterministic" and len(params) != 1:
-            raise DialectError(f"{name} takes exactly one level")
-        return f"percentile_approx({args[0]}, {lv})"
     if name == "groupConcat" and len(params) in (1, 2) and len(
         args
     ) == 1:
@@ -8751,6 +8722,12 @@ def _render_parametric(name: str, params: list[str], args: list[str]) -> str:
         # (x, determinator): the determinator only stabilizes CH's
         # sampling — percentile_approx is already deterministic
         return f"percentile_approx({args[0]}, {params[0]})"
+    if name == "quantilesDeterministic" and params and args:
+        # the plural twin (r14 batch 26)
+        return (
+            f"percentile_approx({args[0]}, "
+            f"array({', '.join(params)}))"
+        )
     if (
         name.endswith("If")
         and name[:-2] in ("quantile", "quantileTDigest", "quantileTiming")
@@ -8970,13 +8947,6 @@ _PARAMETRIC = {
     "quantilesTiming",
     "quantilesTDigest",
     "quantilesBFloat16",
-    "quantileTimingWeighted",
-    "quantileTDigestWeighted",
-    "quantileBFloat16Weighted",
-    "quantilesTimingWeighted",
-    "quantilesTDigestWeighted",
-    "quantilesBFloat16Weighted",
-    "quantileDeterministic",
     "quantilesDeterministic",
     "quantileExactLow",
     "quantileExactHigh",
@@ -13683,6 +13653,7 @@ def transpile(sql: str, resolve_columns=None, engine_info=None) -> str:
     toks = _rewrite_with_fill(toks, resolve_columns)
     toks = _rewrite_asof(toks, resolve_columns)
     toks = _rewrite_any_join(toks, resolve_columns)
+    toks = _normalize_weighted_sketch(toks)
     toks = _rewrite_weighted_quantile(toks)
     toks = _rewrite_group_concat_limit(toks)
     toks = _rewrite_finalize_compose(toks)
@@ -13696,6 +13667,42 @@ def transpile(sql: str, resolve_columns=None, engine_info=None) -> str:
     return _rewrite_distinct_window(
         _rewrite_tuple_index(_walk(toks, 0, len(toks)))
     )
+
+
+# weighted SKETCH-quantile twins → the exact-weighted register (r14
+# batch 26): CH's weighted sketches repeat each value by its weight
+# inside the sketch, and the exact cumulative-weight read is the
+# deterministic refinement of that — the medianTiming→quantileTiming
+# precedent one tier stronger (MIGRATION.md; diagnostics for invalid
+# arities name the TARGET register).  Runs as a token PRE-pass so
+# every downstream tier — the statement-level value-compressed
+# re-plan (_rewrite_weighted_quantile), the parametric renderer, the
+# plain default-level 0.5 form, and the median spelling — serves the
+# twins through the one ExactWeighted code path (code-review r14c:
+# the first cut renamed inside _render_parametric, which skipped the
+# re-plan and left the twins on the O(rows-per-group) collect fold).
+_W_SKETCH_TWINS = {
+    "quantileTimingWeighted": "quantileExactWeighted",
+    "quantileTDigestWeighted": "quantileExactWeighted",
+    "quantileBFloat16Weighted": "quantileExactWeighted",
+    "quantilesTimingWeighted": "quantilesExactWeighted",
+    "quantilesTDigestWeighted": "quantilesExactWeighted",
+    "quantilesBFloat16Weighted": "quantilesExactWeighted",
+    "medianTimingWeighted": "medianExactWeighted",
+    "medianTDigestWeighted": "medianExactWeighted",
+    "medianBFloat16Weighted": "medianExactWeighted",
+}
+
+
+def _normalize_weighted_sketch(toks: list[str]) -> list[str]:
+    """Rename :data:`_W_SKETCH_TWINS` CALL tokens (ident followed by
+    '(') to their exact-weighted spellings."""
+    for n, t in enumerate(toks):
+        if t in _W_SKETCH_TWINS:
+            j = _next_code(toks, n + 1)
+            if j < len(toks) and toks[j] == "(":
+                toks[n] = _W_SKETCH_TWINS[t]
+    return toks
 
 
 def _rewrite_finalize_compose(toks: list[str]) -> list[str]:

@@ -6766,6 +6766,17 @@ def test_r14_batch26_weighted_sketch_quantiles(spark):
     ).collect()[0].r
     assert one("quantileTimingWeighted(0.5)(v, x)") == 71.0
     assert one("quantileTDigestWeighted(0.5)(v, x)") == 71.0
+    # median spellings and the plain default-level 0.5 form route
+    # through the same token normalization (code-review r14c)
+    assert one("medianTimingWeighted(v, x)") == 71.0
+    assert one("medianBFloat16Weighted(v, x)") == 71.0
+    assert one("quantileTDigestWeighted(v, x)") == 71.0
+    # statement position takes the value-compressed re-plan, not
+    # the collect fold (code-review r14c)
+    q = transpile(
+        "SELECT quantileTimingWeighted(0.5)(v, x) AS q FROM b26"
+    )
+    assert "collect_list" not in q
     assert one("quantilesTimingWeighted(0.25, 0.75)(v, x)") == [
         50.0, 87.0,
     ]
