@@ -900,7 +900,10 @@ def _register_vectorized(spark: SparkSession) -> None:
     ) -> pd.Series:
         out = []
         for a, b, v in zip(k0, k1, s):
-            if a is None or b is None or v is None:
+            # pd.isna, not `is None`: pandas widens a nullable
+            # BIGINT key batch to float64 with NaN for NULLs, which
+            # int() would throw on (code-review r14d)
+            if pd.isna(a) or pd.isna(b) or v is None:
                 out.append(None)
                 continue
             h = _siphash24(

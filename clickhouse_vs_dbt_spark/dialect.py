@@ -1516,6 +1516,25 @@ def _paren_whole(ts: list[str]) -> bool:
     return False
 
 
+def _interval_ctx(ts: list[str], i: int) -> bool:
+    """True when ``ts[i]`` sits at the UNIT position of an INTERVAL
+    literal: scanning back through at most four quantity tokens
+    (numbers, string literals, signs, parens) reaches INTERVAL."""
+    j, steps = i - 1, 0
+    while j >= 0 and steps < 5:
+        t = ts[j]
+        if _is_ident(t):
+            return t.upper() == "INTERVAL"
+        if not (
+            t in ("-", "+", "(", ")")
+            or t[:1].isdigit() or t[:1] in "'\""
+        ):
+            return False
+        j -= 1
+        steps += 1
+    return False
+
+
 def _has_column_ident(expr: str) -> bool:
     """True when the rendered expression text contains a token that
     reads as a column/function reference.  Reserved words
@@ -1545,7 +1564,12 @@ def _has_column_ident(expr: str) -> bool:
             nxt = ts[i + 1] if i + 1 < len(ts) else ""
             if (
                 prev in ("AS", "INTERVAL")
-                or prev2 == "INTERVAL"  # INTERVAL 1 DAY
+                # INTERVAL [-](1) DAY: scan back through the
+                # quantity tokens (numbers, strings, signs, parens)
+                # for the INTERVAL keyword (code-review r14d: the
+                # prev2-only rule missed negative/parenthesized
+                # quantities)
+                or _interval_ctx(ts, i)
                 # INTERVAL '1 2' DAY TO HOUR — the trailing unit
                 # (code-review r14a: the flat set handled it)
                 or (prev == "TO" and prev2 in _CTX_CONST_TOKENS)
@@ -6636,6 +6660,12 @@ def _render_call(name: str, args: list[str]) -> str:
         return _render_parametric(
             "quantile" + name[len("median"):], ["0.5"], args,
         )
+    if name == "medianExactWeightedIf" and len(args) == 3:
+        # the -If twin of the exact-weighted median: condition masks
+        # the value, the fold drops the NULL pair (code-review r14d)
+        return _weighted_exact_quantile(
+            f"CASE WHEN {args[2]} THEN {args[0]} END", args[1], "0.5",
+        )
     if name == "medianDeterministic" and len(args) == 2:
         # (x, determinator) at p=0.5: the determinator only stabilizes
         # CH's sampling — percentile_approx is already deterministic
@@ -8468,6 +8498,21 @@ def _render_parametric(name: str, params: list[str], args: list[str]) -> str:
         if len(params) != 1:
             raise DialectError(f"{name} takes exactly one level")
         return cells[0]
+    if name in (
+        "quantileExactWeightedIf", "quantilesExactWeightedIf",
+    ) and len(args) == 3 and params:
+        # -If combinator: mask the VALUE by the condition — the
+        # fold skips NULL (value, weight) pairs, so masked rows
+        # contribute neither weight nor value (code-review r14d)
+        v = f"CASE WHEN {args[2]} THEN {args[0]} END"
+        cells = [
+            _weighted_exact_quantile(v, args[1], p) for p in params
+        ]
+        if name == "quantilesExactWeightedIf":
+            return f"array({', '.join(cells)})"
+        if len(params) != 1:
+            raise DialectError(f"{name} takes exactly one level")
+        return cells[0]
     if name.endswith("Resample") and len(name) > len("Resample"):
         # -Resample combinator (VERDICT r10 item 2):
         # ``fooResample(start, stop, step)(args…, key)`` aggregates
@@ -8923,6 +8968,8 @@ _PARAMETRIC = {
     "groupConcat",
     "quantileExactWeighted",
     "quantilesExactWeighted",
+    "quantileExactWeightedIf",
+    "quantilesExactWeightedIf",
     "medianExactWeighted",
     "meanZTest",
     "quantilesGK",
@@ -13692,6 +13739,13 @@ _W_SKETCH_TWINS = {
     "medianTDigestWeighted": "medianExactWeighted",
     "medianBFloat16Weighted": "medianExactWeighted",
 }
+# the -If combinator forms normalize the same way (code-review r14d:
+# the bare-spelling map left median*WeightedIf leaking through) —
+# the ExactWeighted*If targets mask the VALUE by the condition,
+# which the NULL-skipping fold then drops
+_W_SKETCH_TWINS.update({
+    k + "If": v + "If" for k, v in list(_W_SKETCH_TWINS.items())
+})
 
 
 def _normalize_weighted_sketch(toks: list[str]) -> list[str]:

@@ -6777,6 +6777,31 @@ def test_r14_batch26_weighted_sketch_quantiles(spark):
         "SELECT quantileTimingWeighted(0.5)(v, x) AS q FROM b26"
     )
     assert "collect_list" not in q
+    # -If combinator forms (code-review r14d: the bare-spelling map
+    # left median*WeightedIf leaking): condition masks the value,
+    # the NULL-skipping fold drops the pair — weighted median over
+    # the EVEN values of 0..100 (weight v) is 72
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW b26c AS SELECT v, x, "
+        "CAST(x % 2 = 0 AS BOOLEAN) AS c FROM b26"
+    )
+    onec = lambda e: spark.sql(  # noqa: E731
+        transpile(f"SELECT {e} AS r FROM b26c")
+    ).collect()[0].r
+    assert onec("quantileExactWeightedIf(0.5)(v, x, c)") == 72.0
+    assert onec("quantileTimingWeightedIf(0.5)(v, x, c)") == 72.0
+    assert onec("medianTimingWeightedIf(v, x, c)") == 72.0
+    assert onec("medianExactWeightedIf(v, x, c)") == 72.0
+    assert onec(
+        "quantilesTDigestWeightedIf(0.25, 0.75)(v, x, c)"
+    ) == [50.0, 88.0]
+    # INTERVAL unit-position fixes (code-review r14d)
+    assert transpile(
+        "SELECT isConstant(INTERVAL -1 DAY) AS r"
+    ) == "SELECT 1 AS r"
+    assert transpile(
+        "SELECT isConstant(INTERVAL (1) DAY) AS r"
+    ) == "SELECT 1 AS r"
     assert one("quantilesTimingWeighted(0.25, 0.75)(v, x)") == [
         50.0, 87.0,
     ]
