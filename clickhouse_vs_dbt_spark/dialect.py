@@ -2536,6 +2536,11 @@ def _render_call(name: str, args: list[str]) -> str:
         return f"regexp_extract({h}, {p}, {grp})"
     if name == "notLike" and len(args) == 2:
         return f"(NOT ({args[0]} LIKE {args[1]}))"
+    if name == "notILike" and len(args) == 2:
+        # the functional NOT ILIKE (r14 batch 27)
+        return f"(NOT ({args[0]} ILIKE {args[1]}))"
+    if name == "ilike" and len(args) == 2:
+        return f"({args[0]} ILIKE {args[1]})"
     if name == "countMatches" and len(args) == 2:
         return f"regexp_count({args[0]}, {args[1]})"
     if name == "levenshteinDistance" and len(args) == 2:

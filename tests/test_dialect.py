@@ -6814,3 +6814,16 @@ def test_r14_batch26_weighted_sketch_quantiles(spark):
         transpile("SELECT kql()")
     with pytest.raises(DialectError, match="mlinfer"):
         transpile("SELECT evalMLMethod(x) FROM t")
+
+
+def test_r14_batch27_notilike(spark):
+    """Audit batch 27's one leak: the functional NOT ILIKE (and its
+    ilike twin) — NULL-propagating booleans like the notLike
+    precedent."""
+    one = lambda e: spark.sql(  # noqa: E731
+        transpile(f"SELECT {e} AS v")
+    ).collect()[0].v
+    assert one("notILike('Hello', '%ELL%')") is False
+    assert one("notILike('Hello', '%bye%')") is True
+    assert one("ilike('Hello', 'hell%')") is True
+    assert one("notILike(CAST(NULL AS STRING), '%x%')") is None
