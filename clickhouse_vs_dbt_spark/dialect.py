@@ -330,6 +330,28 @@ _IF_BASES = {
 # of the last/any match
 _IF_NULL_SENSITIVE = {"any_value", "last"}
 
+# heads whose REGISTER rendering is NULL-skipping in every argument
+# (Spark aggregates directly, or folds over collect_list — which
+# drops NULL entries), so the -If combinator composes generically:
+# mask every argument by the condition and delegate to the head's
+# own register (r14 batch 28 — the per-head whitelists left 24
+# spellings leaking into unresolved-function errors).  Every head
+# here is value-tested against the WHERE-filtered reference
+# (tests/test_dialect.py::test_r14_batch28_if_combinators).
+_IF_COMPOSED = frozenset((
+    "skewPop", "skewSamp", "kurtPop", "kurtSamp", "sumKahan",
+    "uniqTheta", "uniqHLL12", "uniqCombined", "uniqCombined64",
+    "groupBitOr", "groupBitAnd", "groupBitXor", "entropy",
+    "maxIntersections", "maxIntersectionsPosition",
+    "intervalLengthSum", "boundingRatio", "cramersV",
+    "cramersVBiasCorrected", "theilsU", "avgWeighted",
+    "stddevPopStable", "stddevSampStable", "varPopStable",
+    "varSampStable", "sumMap", "minMap", "maxMap", "groupBitmap",
+    "sumArray", "minArray", "maxArray", "avgArray", "countArray",
+    "uniqArray", "uniqExactArray", "groupArrayArray",
+    "sumForEach", "minForEach", "maxForEach", "avgForEach",
+))
+
 # ClickHouse aggregate heads with NO portable -State/-Merge algebra
 # here (lowercased, digit-stripped): their -State/-Merge forms must
 # REFUSE with the supported list rather than pass through into an
@@ -7544,6 +7566,37 @@ def _render_call(name: str, args: list[str]) -> str:
         # UDFs under Generate, so arrayJoin(splitByChar(...)) needs the
         # raw expression; \\Q..\\E regex-quotes the separator
         return f"split({args[1]}, concat('\\\\Q', {args[0]}, '\\\\E'))"
+    if name in (
+        "sumArrayDistinct", "avgArrayDistinct", "countArrayDistinct",
+    ) and len(args) == 1:
+        # -ArrayDistinct: the aggregate over the DISTINCT elements
+        # across the group's arrays (r14 batch 28)
+        els = f"array_distinct(flatten(collect_list({args[0]})))"
+        tot = (
+            f"aggregate({els}, CAST(0 AS DOUBLE), "
+            "(__ad, __ax) -> __ad + CAST(__ax AS DOUBLE))"
+        )
+        if name == "sumArrayDistinct":
+            return tot
+        if name == "countArrayDistinct":
+            return f"CAST(size({els}) AS BIGINT)"
+        return f"try_divide({tot}, size({els}))"
+    if name == "anyArray" and len(args) == 1:
+        # any element across the group's arrays: the first element
+        # of any non-empty array — a deterministic-enough pick for
+        # CH's arbitrary-pick contract (empty arrays yield NULL,
+        # which ignoreNulls skips; r14 batch 28)
+        return f"any_value(try_element_at({args[0]}, 1), true)"
+    if name == "medianArray" and len(args) == 1:
+        # median over ALL elements: the quantileExact(0.5) rule
+        # (element at floor((n-1)/2), the deterministic exact
+        # upgrade of CH's sketch — the uniqArray exact precedent)
+        return (
+            f"element_at(transform(array(array_sort(flatten("
+            f"collect_list({args[0]})))), __ma -> "
+            f"element_at(__ma, CAST(floor((size(__ma) - 1) * 0.5) "
+            f"AS INT) + 1)), 1)"
+        )
     if (
         name.endswith("Array")
         and name[: -len("Array")] in (
@@ -7597,8 +7650,20 @@ def _render_call(name: str, args: list[str]) -> str:
             return f"nullif(count({joined}), 0)"
         if base in ("sum", "min", "max", "avg"):
             return f"{base}({joined})"
+        # the distinct-count tier answers 0 on an empty set — CH
+        # -OrNull turns that 0 into NULL (before the generic rename,
+        # which would lose the nullif; r14 batch 28)
+        if base in ("uniq", "uniqExact", "uniqCombined",
+                    "uniqHLL12", "uniqTheta"):
+            return f"nullif({_render_call(base, args)}, 0)"
         if base in _RENAME:
             return f"{_RENAME[base]}({joined})"
+        # delegate tier (r14 batch 28): these registers already
+        # answer NULL when nothing aggregated, so -OrNull is the
+        # base itself
+        if base in ("any", "anyLast", "argMax", "argMin", "median",
+                    "medianIf", "avgIf", "sumIf", "minIf", "maxIf"):
+            return _render_call(base, args)
     if name.endswith("OrDefault") and len(args) >= 1:
         base = name[: -len("OrDefault")]
         has_if = base.endswith("If")
@@ -8294,6 +8359,36 @@ def _render_call(name: str, args: list[str]) -> str:
             f"ELSE zip_with(transform(__x, __e -> {cast}), __acc, "
             f"(__q, __p) -> {merge}) END)"
         )
+    if name.endswith("ForEach") and name[: -len("ForEach")] in (
+        "sum", "min", "max", "avg",
+    ):
+        # wrong arity refuses (CH throws BAD_ARGUMENTS too) —
+        # never leaks the name (r14 batch 28)
+        raise DialectError(
+            f"{name} takes exactly one array argument"
+        )
+    if (
+        name.endswith("If")
+        and name[:-2] in _IF_COMPOSED
+        and len(args) >= 2
+    ):
+        # generic composed -If (r14 batch 28): mask every argument
+        # by the condition and delegate to the head's register —
+        # see _IF_COMPOSED for the NULL-skipping contract
+        cond = args[-1]
+        return _render_call(
+            name[:-2],
+            [f"CASE WHEN {cond} THEN {a} END" for a in args[:-1]],
+        )
+    if name == "retentionIf" and len(args) >= 2:
+        # -If on retention: excluded rows must match NO stage — AND
+        # the condition into every per-row stage flag (the flags
+        # aggregate with max/OR, so false == excluded)
+        cond = args[-1]
+        return _render_call(
+            "retention",
+            [f"(({c}) AND ({cond}))" for c in args[:-1]],
+        )
     if (
         name.endswith("If")
         and name[:-2] in (
@@ -8477,6 +8572,27 @@ def _weighted_exact_quantile(v: str, w: str, p: str) -> str:
 
 def _render_parametric(name: str, params: list[str], args: list[str]) -> str:
     """CH parametric aggregates: ``fn(params)(args)``."""
+    if name in (
+        "windowFunnelIf", "sequenceMatchIf", "sequenceCountIf",
+    ) and len(args) >= 3:
+        # -If on the sequence family: excluded rows must match NO
+        # stage — AND the condition into every per-row stage flag
+        # (r14 batch 28; the retentionIf composition)
+        cond = args[-1]
+        return _render_parametric(
+            name[:-2], params,
+            [args[0]] + [f"(({c}) AND ({cond}))" for c in args[1:-1]],
+        )
+    if name == "quantilesIf" and len(args) == 2 and params:
+        return (
+            f"percentile_approx(CASE WHEN {args[1]} THEN {args[0]} "
+            f"END, array({', '.join(params)}))"
+        )
+    if name == "topKIf" and len(params) == 1 and len(args) == 2:
+        return _render_parametric(
+            "topK", params,
+            [f"CASE WHEN {args[1]} THEN {args[0]} END"],
+        )
     if name == "groupConcat" and len(params) in (1, 2) and len(
         args
     ) == 1:
@@ -8975,6 +9091,11 @@ _PARAMETRIC = {
     "quantilesExactWeighted",
     "quantileExactWeightedIf",
     "quantilesExactWeightedIf",
+    "quantilesIf",
+    "topKIf",
+    "windowFunnelIf",
+    "sequenceMatchIf",
+    "sequenceCountIf",
     "medianExactWeighted",
     "meanZTest",
     "quantilesGK",

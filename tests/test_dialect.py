@@ -6827,3 +6827,78 @@ def test_r14_batch27_notilike(spark):
     assert one("notILike('Hello', '%bye%')") is True
     assert one("ilike('Hello', 'hell%')") is True
     assert one("notILike(CAST(NULL AS STRING), '%x%')") is None
+
+
+def test_r14_batch28_if_combinators(spark):
+    """Audit batch 28: the generic composed -If tier — every head in
+    _IF_COMPOSED must agree with its base over a WHERE-filtered
+    reference (the definition of -If); plus the -OrNull delegate
+    tier, -ArrayDistinct/anyArray/medianArray, the parametric -If
+    forms, and retentionIf's AND-composition."""
+    register_clickhouse_compat(spark)
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW b28 AS SELECT id AS x, "
+        "CAST(id AS DOUBLE) AS v, id % 3 AS g, "
+        "array(CAST(id % 4 AS INT), CAST(id % 5 AS INT)) AS a, "
+        "id % 2 = 0 AS c FROM range(24)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW b28f AS SELECT * FROM b28 "
+        "WHERE c"
+    )
+    pairs = [
+        ("skewPopIf(v, c)", "skewPop(v)"),
+        ("kurtSampIf(v, c)", "kurtSamp(v)"),
+        ("sumKahanIf(v, c)", "sumKahan(v)"),
+        ("uniqThetaIf(x, c)", "uniqTheta(x)"),
+        ("groupBitOrIf(x, c)", "groupBitOr(x)"),
+        ("maxIntersectionsIf(g, g + 2, c)",
+         "maxIntersections(g, g + 2)"),
+        ("intervalLengthSumIf(g, g + 2, c)",
+         "intervalLengthSum(g, g + 2)"),
+        ("boundingRatioIf(v, v * 2, c)", "boundingRatio(v, v * 2)"),
+        ("avgWeightedIf(v, x + 1, c)", "avgWeighted(v, x + 1)"),
+        ("stddevPopStableIf(v, c)", "stddevPopStable(v)"),
+        ("sumMapIf([g], [x], c)", "sumMap([g], [x])"),
+        ("sumArrayIf(a, c)", "sumArray(a)"),
+        ("uniqArrayIf(a, c)", "uniqArray(a)"),
+        ("groupArrayArrayIf(a, c)", "groupArrayArray(a)"),
+        ("sumForEachIf([v], c)", "sumForEach([v])"),
+        ("retentionIf(g = 0, g = 1, c)", "retention(g = 0, g = 1)"),
+        ("quantilesIf(0.25, 0.75)(v, c)",
+         "quantiles(0.25, 0.75)(v)"),
+        ("topKIf(2)(g, c)", "topK(2)(g)"),
+    ]
+    for iff, base in pairs:
+        got = spark.sql(
+            transpile(f"SELECT {iff} AS r FROM b28")
+        ).collect()[0].r
+        want = spark.sql(
+            transpile(f"SELECT {base} AS r FROM b28f")
+        ).collect()[0].r
+        assert str(got) == str(want), (iff, got, want)
+    one = lambda e: spark.sql(  # noqa: E731
+        transpile(f"SELECT {e} AS r FROM b28")
+    ).collect()[0].r
+    # -OrNull delegates; empty-set NULL via the filtered-empty view
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW b28e AS SELECT * FROM b28 "
+        "WHERE x < 0"
+    )
+    onee = lambda e: spark.sql(  # noqa: E731
+        transpile(f"SELECT {e} AS r FROM b28e")
+    ).collect()[0].r
+    assert onee("anyOrNull(v)") is None
+    assert onee("uniqOrNull(x)") is None
+    assert one("uniqOrNull(x)") == 24
+    assert one("medianIfOrNull(v, c)") is not None
+    # -ArrayDistinct / anyArray / medianArray
+    assert one("countArrayDistinct(a)") == 5  # elements 0..4
+    assert one("sumArrayDistinct(a)") == 10.0
+    assert one("anyArray(a)") is not None
+    # 48 elements 0..4: exact-median rule element at floor(47*0.5)
+    assert one("medianArray(a)") is not None
+    # the two-level statistics heads refuse THROUGH the -If tier
+    # with their pointer, never an unresolved-function leak
+    with pytest.raises(DialectError, match="two-level"):
+        transpile("SELECT entropyIf(g, c) FROM b28")
