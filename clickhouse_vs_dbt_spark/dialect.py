@@ -7569,33 +7569,53 @@ def _render_call(name: str, args: list[str]) -> str:
     if name in (
         "sumArrayDistinct", "avgArrayDistinct", "countArrayDistinct",
     ) and len(args) == 1:
-        # -ArrayDistinct: the aggregate over the DISTINCT elements
-        # across the group's arrays (r14 batch 28)
-        els = f"array_distinct(flatten(collect_list({args[0]})))"
-        tot = (
-            f"aggregate({els}, CAST(0 AS DOUBLE), "
+        # -ArrayDistinct: the aggregate over the DISTINCT non-NULL
+        # elements across the group's arrays (code-review r14e: a
+        # NULL element poisoned the sum accumulator and inflated
+        # the count — CH aggregates skip NULLs).  count delegates
+        # to the uniqExactArray register (same contract); the
+        # element list is bound ONCE (Spark does not CSE across
+        # aggregate boundaries — the sumMap precedent).
+        if name == "countArrayDistinct":
+            return _render_call("uniqExactArray", args)
+        els = (
+            f"array_distinct(filter(flatten(collect_list("
+            f"{args[0]})), __af -> __af IS NOT NULL))"
+        )
+        body = (
+            "aggregate(__adl, CAST(0 AS DOUBLE), "
             "(__ad, __ax) -> __ad + CAST(__ax AS DOUBLE))"
         )
-        if name == "sumArrayDistinct":
-            return tot
-        if name == "countArrayDistinct":
-            return f"CAST(size({els}) AS BIGINT)"
-        return f"try_divide({tot}, size({els}))"
-    if name == "anyArray" and len(args) == 1:
-        # any element across the group's arrays: the first element
-        # of any non-empty array — a deterministic-enough pick for
-        # CH's arbitrary-pick contract (empty arrays yield NULL,
-        # which ignoreNulls skips; r14 batch 28)
-        return f"any_value(try_element_at({args[0]}, 1), true)"
-    if name == "medianArray" and len(args) == 1:
-        # median over ALL elements: the quantileExact(0.5) rule
-        # (element at floor((n-1)/2), the deterministic exact
-        # upgrade of CH's sketch — the uniqArray exact precedent)
+        if name == "avgArrayDistinct":
+            body = f"try_divide({body}, size(__adl))"
         return (
-            f"element_at(transform(array(array_sort(flatten("
-            f"collect_list({args[0]})))), __ma -> "
-            f"element_at(__ma, CAST(floor((size(__ma) - 1) * 0.5) "
-            f"AS INT) + 1)), 1)"
+            f"element_at(transform(array({els}), "
+            f"__adl -> {body}), 1)"
+        )
+    if name == "anyArray" and len(args) == 1:
+        # any NON-NULL element across the group's arrays (CH any
+        # skips NULLs): per row, the first non-null element; empty
+        # or all-null arrays yield NULL, which ignoreNulls skips
+        # (code-review r14e: sampling only position 1 missed
+        # non-null elements behind a NULL head)
+        return (
+            f"any_value(try_element_at(filter({args[0]}, "
+            f"__ax -> __ax IS NOT NULL), 1), true)"
+        )
+    if name == "medianArray" and len(args) == 1:
+        # median over the NON-NULL elements: the quantileExact(0.5)
+        # rule (element at floor((n-1)/2), the deterministic exact
+        # upgrade of CH's sketch — the uniqArray exact precedent).
+        # NULL elements are filtered before the sort (code-review
+        # r14e: they shifted the index), and an EMPTY element set
+        # answers NULL — the deterministic Spark-typed analog of
+        # CH's nan (the kurtPop precedent)
+        return (
+            f"element_at(transform(array(array_sort(filter(flatten("
+            f"collect_list({args[0]})), __mf -> __mf IS NOT NULL))), "
+            f"__ma -> IF(size(__ma) = 0, CAST(NULL AS DOUBLE), "
+            f"CAST(element_at(__ma, CAST(floor((size(__ma) - 1) "
+            f"* 0.5) AS INT) + 1) AS DOUBLE))), 1)"
         )
     if (
         name.endswith("Array")
@@ -7609,12 +7629,15 @@ def _render_call(name: str, args: list[str]) -> str:
             # -Array on groupArray concatenates the group's arrays
             return f"flatten(collect_list({args[0]}))"
         if name in ("uniqArray", "uniqExactArray"):
-            # distinct count across all elements — the exact tier
-            # (uniq is documented-approximate; exact is the
-            # deterministic upgrade, the quantile precedent)
+            # distinct count across all NON-NULL elements — the
+            # exact tier (uniq is documented-approximate; exact is
+            # the deterministic upgrade, the quantile precedent).
+            # NULL elements filtered: CH uniq* skips NULLs, and
+            # array_distinct would have kept one (code-review r14e)
             return (
-                f"CAST(size(array_distinct(flatten("
-                f"collect_list({args[0]})))) AS BIGINT)"
+                f"CAST(size(array_distinct(filter(flatten("
+                f"collect_list({args[0]})), "
+                f"__uf -> __uf IS NOT NULL))) AS BIGINT)"
             )
         # -Array combinator: the aggregate over every ELEMENT of the
         # row arrays in the group.  sum/avg accumulate in DOUBLE (the
@@ -7654,7 +7677,7 @@ def _render_call(name: str, args: list[str]) -> str:
         # -OrNull turns that 0 into NULL (before the generic rename,
         # which would lose the nullif; r14 batch 28)
         if base in ("uniq", "uniqExact", "uniqCombined",
-                    "uniqHLL12", "uniqTheta"):
+                    "uniqCombined64", "uniqHLL12", "uniqTheta"):
             return f"nullif({_render_call(base, args)}, 0)"
         if base in _RENAME:
             return f"{_RENAME[base]}({joined})"
@@ -8280,15 +8303,9 @@ def _render_call(name: str, args: list[str]) -> str:
         )
     if name in ("countIfOrNull",) and len(args) == 1:
         return f"nullif(count_if({args[0]}), 0)"
-    if (
-        name.endswith("IfOrNull")
-        and name[: -len("IfOrNull")] in ("sum", "min", "max", "avg")
-        and len(args) == 2
-    ):
-        # sum/min/max/avg are already NULL when nothing matched
-        return _render_call(name[: -len("OrNull")], args)
-    if name == "uniqExactOrNull" and len(args) >= 1:
-        return f"nullif(count(DISTINCT {joined}), 0)"
+    # (sum/min/max/avg)IfOrNull and uniqExactOrNull are served by
+    # the -OrNull delegate/nullif tiers above — the duplicate
+    # handlers that lived here were dead code (code-review r14e)
     if (
         name.endswith("DistinctIf")
         and name[: -len("DistinctIf")] in ("sum", "avg", "count")
@@ -8577,7 +8594,19 @@ def _render_parametric(name: str, params: list[str], args: list[str]) -> str:
     ) and len(args) >= 3:
         # -If on the sequence family: excluded rows must match NO
         # stage — AND the condition into every per-row stage flag
-        # (r14 batch 28; the retentionIf composition)
+        # (r14 batch 28; the retentionIf composition).  EXCEPT
+        # strict_order, which inspects NON-matching events (any
+        # no-match row breaks the chain): a masked excluded row is
+        # still visible to that rule where CH's -If removes it
+        # before the funnel — refuse (code-review r14e)
+        if name == "windowFunnelIf" and any(
+            "strict_order" in p for p in params
+        ):
+            raise DialectError(
+                "windowFunnelIf with strict_order: the excluded "
+                "rows would still break chains as no-match events "
+                "— filter the rows in a subquery instead"
+            )
         cond = args[-1]
         return _render_parametric(
             name[:-2], params,

@@ -6892,12 +6892,47 @@ def test_r14_batch28_if_combinators(spark):
     assert onee("uniqOrNull(x)") is None
     assert one("uniqOrNull(x)") == 24
     assert one("medianIfOrNull(v, c)") is not None
-    # -ArrayDistinct / anyArray / medianArray
+    # -ArrayDistinct / anyArray / medianArray — exact pins
+    # (code-review r14e: 'is not None' let three value bugs pass)
     assert one("countArrayDistinct(a)") == 5  # elements 0..4
     assert one("sumArrayDistinct(a)") == 10.0
-    assert one("anyArray(a)") is not None
-    # 48 elements 0..4: exact-median rule element at floor(47*0.5)
-    assert one("medianArray(a)") is not None
+    assert one("avgArrayDistinct(a)") == 2.0
+    assert one("anyArray(a)") in (0, 1, 2, 3, 4)
+    # 48 elements: counts 11/11/11/11/4 for 0..4 — the exact-median
+    # rule picks sorted position floor(47*0.5)+1 = 24 -> value 2
+    assert one("medianArray(a)") == 2.0
+    # NULL elements are SKIPPED (CH aggregate contract) and empty
+    # sets answer NULL, never throw (code-review r14e)
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW b28n AS SELECT CASE WHEN "
+        "id = 0 THEN array(CAST(NULL AS INT), CAST(5 AS INT)) "
+        "WHEN id = 1 THEN array(CAST(1 AS INT), CAST(NULL AS INT)) "
+        "ELSE CAST(array() AS ARRAY<INT>) END AS a FROM range(3)"
+    )
+    onen = lambda e: spark.sql(  # noqa: E731
+        transpile(f"SELECT {e} AS r FROM b28n")
+    ).collect()[0].r
+    assert onen("sumArrayDistinct(a)") == 6.0
+    assert onen("countArrayDistinct(a)") == 2
+    assert onen("uniqExactArray(a)") == 2
+    assert onen("anyArray(a)") in (1, 5)
+    assert onen("medianArray(a)") == 1.0  # sorted [1, 5] -> idx 1
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW b28z AS SELECT "
+        "CAST(array() AS ARRAY<INT>) AS a FROM range(2)"
+    )
+    onez = lambda e: spark.sql(  # noqa: E731
+        transpile(f"SELECT {e} AS r FROM b28z")
+    ).collect()[0].r
+    assert onez("medianArray(a)") is None  # empty set: NULL, no throw
+    assert onez("anyArray(a)") is None
+    # strict_order windowFunnelIf refuses (excluded rows would still
+    # break chains as no-match events — code-review r14e)
+    with pytest.raises(DialectError, match="strict_order"):
+        transpile(
+            "SELECT windowFunnelIf(10, 'strict_order')"
+            "(v, x = 1, x = 2, c) FROM b28"
+        )
     # the two-level statistics heads refuse THROUGH the -If tier
     # with their pointer, never an unresolved-function leak
     with pytest.raises(DialectError, match="two-level"):
