@@ -894,20 +894,33 @@ def _register_vectorized(spark: SparkSession) -> None:
             v0, v1, v2, v3 = _sipround(v0, v1, v2, v3)
         return (v0 ^ v1 ^ v2 ^ v3) & _M64
 
+    def _u64_key(t: str) -> int:
+        # keys arrive as STRING (dialect.py CASTs them): decimal
+        # text parses exactly over the full UInt64 range, where a
+        # nullable BIGINT batch would widen to float64 and int()
+        # would round >53-bit keys (ADVICE r14, medium)
+        try:
+            return int(t) & _M64
+        except ValueError:
+            # scientific/decimal text from a non-integer key cast —
+            # Decimal keeps it exact (no float64 rounding)
+            from decimal import Decimal
+
+            return int(Decimal(t)) & _M64
+
     @pandas_udf("bigint")
     def ch_siphash64_keyed(
         k0: pd.Series, k1: pd.Series, s: pd.Series
     ) -> pd.Series:
         out = []
         for a, b, v in zip(k0, k1, s):
-            # pd.isna, not `is None`: pandas widens a nullable
-            # BIGINT key batch to float64 with NaN for NULLs, which
-            # int() would throw on (code-review r14d)
+            # pd.isna covers both None (object/string batches) and
+            # NaN, whichever representation pandas delivers
             if pd.isna(a) or pd.isna(b) or v is None:
                 out.append(None)
                 continue
             h = _siphash24(
-                int(a) & _M64, int(b) & _M64, v.encode("utf-8")
+                _u64_key(a), _u64_key(b), v.encode("utf-8")
             )
             # UInt64 → two's-complement BIGINT (the repo's hash
             # convention: values >= 2^63 read negative)

@@ -341,15 +341,25 @@ _IF_NULL_SENSITIVE = {"any_value", "last"}
 _IF_COMPOSED = frozenset((
     "skewPop", "skewSamp", "kurtPop", "kurtSamp", "sumKahan",
     "uniqTheta", "uniqHLL12", "uniqCombined", "uniqCombined64",
-    "groupBitOr", "groupBitAnd", "groupBitXor", "entropy",
+    "groupBitOr", "groupBitAnd", "groupBitXor",
     "maxIntersections", "maxIntersectionsPosition",
-    "intervalLengthSum", "boundingRatio", "cramersV",
-    "cramersVBiasCorrected", "theilsU", "avgWeighted",
+    "intervalLengthSum", "boundingRatio", "avgWeighted",
     "stddevPopStable", "stddevSampStable", "varPopStable",
     "varSampStable", "sumMap", "minMap", "maxMap", "groupBitmap",
     "sumArray", "minArray", "maxArray", "avgArray", "countArray",
     "uniqArray", "uniqExactArray", "groupArrayArray",
     "sumForEach", "minForEach", "maxForEach", "avgForEach",
+))
+
+# heads whose -If form composes through the SAME mask-and-delegate
+# path but whose BASE register refuses (two-level aggregation —
+# entropy/cramersV/…): the delegation exists so `entropyIf(x, c)`
+# refuses with the base's actionable message instead of leaking an
+# unresolved-function error.  NOT value-tested — adding a real base
+# register later makes the -If form live, so value-gate it then
+# (ADVICE r14: the previous flat set overclaimed these as tested)
+_IF_REFUSE_THROUGH = frozenset((
+    "entropy", "cramersV", "cramersVBiasCorrected", "theilsU",
 ))
 
 # ClickHouse aggregate heads with NO portable -State/-Merge algebra
@@ -1557,6 +1567,59 @@ def _interval_ctx(ts: list[str], i: int) -> bool:
     return False
 
 
+def _type_span_idents(ts: list[str]) -> set[int]:
+    """Indices of identifier tokens inside an AS-rooted TYPE chain
+    in rendered expression text — nested generics
+    (``ARRAY<MAP<STRING, INT>>``), named struct fields
+    (``STRUCT<a: INT>``: both the field name and its type), and
+    precision parens (``DECIMAL(10, 2)``).  Anchoring generics to an
+    actual AS-rooted chain keeps ``array < month`` reading as a
+    COMPARISON between two columns, and the field-name/':' handling
+    keeps named-struct casts constant (ADVICE r14: the
+    '<'-adjacency rules misfired on both)."""
+    marked: set[int] = set()
+    n = len(ts)
+
+    def consume(j: int) -> int:
+        # one type: IDENT [<generic args>] [(precision args)]
+        if j >= n or not _is_ident(ts[j]):
+            return j
+        marked.add(j)
+        j += 1
+        if j < n and ts[j] == "<":
+            j += 1
+            while j < n and ts[j] != ">":
+                if _is_ident(ts[j]):
+                    if j + 1 < n and ts[j + 1] == ":":
+                        # named struct field — the NAME, then its
+                        # type after ':'
+                        marked.add(j)
+                        j = consume(j + 2)
+                    else:
+                        j = consume(j)
+                    continue
+                j += 1  # ',' between generic args
+            if j < n:
+                j += 1  # closing '>'
+        if j < n and ts[j] == "(":
+            depth = 1
+            j += 1
+            while j < n and depth:
+                depth += ts[j] == "("
+                depth -= ts[j] == ")"
+                j += 1
+        return j
+
+    for i, t in enumerate(ts):
+        if (
+            _is_ident(t) and t.upper() == "AS"
+            and i + 1 < n and _is_ident(ts[i + 1])
+            and ts[i + 1].upper() in _CTX_CONST_TOKENS
+        ):
+            consume(i + 1)
+    return marked
+
+
 def _has_column_ident(expr: str) -> bool:
     """True when the rendered expression text contains a token that
     reads as a column/function reference.  Reserved words
@@ -1568,6 +1631,7 @@ def _has_column_ident(expr: str) -> bool:
         t for t in _tokens(expr)
         if not t.isspace() and not t.startswith(("--", "/*"))
     ]
+    type_idx = _type_span_idents(ts)
     for i, t in enumerate(ts):
         # quoted identifiers are COLUMN references too (code-review
         # r12a: a backtick token fails _IDENT_RE and answered
@@ -1576,13 +1640,18 @@ def _has_column_ident(expr: str) -> bool:
             return True
         if not _is_ident(t):
             continue
+        # anything inside an AS-rooted type chain — type names,
+        # named-struct field names — is type text, not a column
+        # (ADVICE r14: replaces the '<'-adjacency rules, which
+        # misfired on `array < month` and on STRUCT<a: INT>)
+        if i in type_idx:
+            continue
         up = t.upper()
         if up in _CONST_TOKENS:
             continue
         if up in _CTX_CONST_TOKENS:
             prev = ts[i - 1].upper() if i else ""
             prev2 = ts[i - 2].upper() if i >= 2 else ""
-            prev3 = ts[i - 3] if i >= 3 else ""
             nxt = ts[i + 1] if i + 1 < len(ts) else ""
             if (
                 prev in ("AS", "INTERVAL")
@@ -1597,20 +1666,6 @@ def _has_column_ident(expr: str) -> bool:
                 or (prev == "TO" and prev2 in _CTX_CONST_TOKENS)
                 or nxt.startswith("'")  # DATE'…' typed literal
                 or nxt == "("           # year(…)
-                # generic heads only: a '<' next to an arbitrary
-                # unit name is a COMPARISON (month < year), not a
-                # type (code-review r14a)
-                or (nxt == "<" and up in ("ARRAY", "MAP", "STRUCT"))
-                or (prev == "<" and prev2 in (
-                    "ARRAY", "MAP", "STRUCT",
-                ))
-                # MAP<STRING,INT>: second type name follows ','
-                # INSIDE a generic chain — the '<' anchor keeps
-                # array(DATE'…', month) reading month as a column
-                or (
-                    prev == "," and prev2 in _CTX_CONST_TOKENS
-                    and prev3 == "<"
-                )
             ):
                 continue
             return True
@@ -1962,9 +2017,14 @@ def _render_call(name: str, args: list[str]) -> str:
             )
         # STRING-cast the data so a numeric argument hashes its
         # decimal text (the documented divergence) instead of
-        # crashing the Arrow register on .encode (code-review r14a)
+        # crashing the Arrow register on .encode (code-review r14a).
+        # The KEYS also travel as strings: a nullable BIGINT batch
+        # widens to float64 in pandas and int() then rounds keys
+        # with >53 significant bits — decimal text parses exactly
+        # over the full UInt64 range (ADVICE r14, medium)
         return (
-            f"ch_siphash64_keyed({parts[0]}, {parts[1]}, "
+            f"ch_siphash64_keyed(CAST({parts[0]} AS STRING), "
+            f"CAST({parts[1]} AS STRING), "
             f"CAST({args[1]} AS STRING))"
         )
     if name == "sipHash64Keyed" and len(args) > 2:
@@ -8386,12 +8446,13 @@ def _render_call(name: str, args: list[str]) -> str:
         )
     if (
         name.endswith("If")
-        and name[:-2] in _IF_COMPOSED
+        and name[:-2] in (_IF_COMPOSED | _IF_REFUSE_THROUGH)
         and len(args) >= 2
     ):
         # generic composed -If (r14 batch 28): mask every argument
         # by the condition and delegate to the head's register —
-        # see _IF_COMPOSED for the NULL-skipping contract
+        # see _IF_COMPOSED for the NULL-skipping contract and
+        # _IF_REFUSE_THROUGH for the heads that refuse at the base
         cond = args[-1]
         return _render_call(
             name[:-2],

@@ -6937,3 +6937,42 @@ def test_r14_batch28_if_combinators(spark):
     # with their pointer, never an unresolved-function leak
     with pytest.raises(DialectError, match="two-level"):
         transpile("SELECT entropyIf(g, c) FROM b28")
+
+
+def test_r15_advice_fixes(spark):
+    """ADVICE r14 regressions: (1) sipHash64Keyed keys travel as
+    STRINGS so a NULL in the batch can no longer float64-widen the
+    key Series and round a >53-bit key — the paper vector must hold
+    in the SAME batch as a NULL row; (2) `array < month` is a
+    COMPARISON between columns (non-constant) while named-struct /
+    nested-generic casts stay constant; (3) the two-level heads
+    refuse through the -If tier (split into _IF_REFUSE_THROUGH)."""
+    register_clickhouse_compat(spark)
+    # (1) one batch, three rows: NULL data + the paper key.  Before
+    # the fix, the NULL widened k0/k1 to float64 and
+    # int(5.060975229142305e17) != 506097522914230528.
+    spark.sql(
+        "SELECT explode(array('', CAST(NULL AS STRING), 'abc')) AS d"
+    ).createOrReplaceTempView("sip15")
+    rows = spark.sql(transpile(
+        "SELECT d, sipHash64Keyed("
+        "(506097522914230528, 1084818905618843912), d) AS h "
+        "FROM sip15 ORDER BY d NULLS FIRST"
+    )).collect()
+    u64 = lambda v: v & ((1 << 64) - 1)  # noqa: E731
+    assert rows[0].h is None
+    assert u64(rows[1].h) == 0x726FDB47DD0E0E31  # paper vector ''
+    # (2) generic-type context anchored to AS-rooted chains
+    const = lambda q: transpile(  # noqa: E731
+        f"SELECT isConstant({q})" + (" FROM t" if "x" in q or
+                                     "month" in q else "")
+    ).split()[1]
+    assert const("array < month") == "0"
+    assert const("CAST(NULL, 'Tuple(a Int64)')") == "1"
+    assert const("CAST(NULL, 'Map(String, Int64)')") == "1"
+    # a real column next to the cast still reads as a column
+    assert const("CAST(x, 'Array(Int64)')") == "0"
+    # (3) refuse-through heads: actionable message, no name leak
+    for head in ("entropyIf", "cramersVIf", "theilsUIf"):
+        with pytest.raises(DialectError, match="two-level"):
+            transpile(f"SELECT {head}(a, b, c) FROM t")
