@@ -868,11 +868,19 @@ def _register_vectorized(spark: SparkSession) -> None:
         v2 = _rotl(v2, 32)
         return v0, v1, v2, v3
 
-    def _siphash24(k0: int, k1: int, data: bytes) -> int:
+    def _sip_absorb(k0: int, k1: int, data: bytes, xor_ee: bool):
+        """SipHash-2-4 message absorption through the length block;
+        returns the (v0, v1, v2, v3) state ready for finalization.
+        ``xor_ee`` applies the 128-bit REFERENCE variant's
+        ``v1 ^= 0xEE`` initialization (Aumasson & Bernstein 2012,
+        reference impl's DOUBLE path); the 64-bit and ClickHouse
+        legacy-128 paths skip it."""
         v0 = k0 ^ 0x736F6D6570736575
         v1 = k1 ^ 0x646F72616E646F6D
         v2 = k0 ^ 0x6C7967656E657261
         v3 = k1 ^ 0x7465646279746573
+        if xor_ee:
+            v1 ^= 0xEE
         i = 0
         while i + 8 <= len(data):
             m = int.from_bytes(data[i : i + 8], "little")
@@ -889,10 +897,45 @@ def _register_vectorized(spark: SparkSession) -> None:
         v0, v1, v2, v3 = _sipround(v0, v1, v2, v3)
         v0, v1, v2, v3 = _sipround(v0, v1, v2, v3)
         v0 ^= m
+        return v0, v1, v2, v3
+
+    def _siphash24(k0: int, k1: int, data: bytes) -> int:
+        v0, v1, v2, v3 = _sip_absorb(k0, k1, data, xor_ee=False)
         v2 ^= 0xFF
         for _ in range(4):
             v0, v1, v2, v3 = _sipround(v0, v1, v2, v3)
         return (v0 ^ v1 ^ v2 ^ v3) & _M64
+
+    def _siphash128_legacy(k0: int, k1: int, data: bytes) -> bytes:
+        """ClickHouse's sipHash128: the 64-bit finalization, then
+        emit (v0^v1, v2^v3) little-endian — NOT the paper's 128-bit
+        construction (ClickHouse src/Common/SipHash.h get128;
+        its docs call out the divergence, hence the separate
+        sipHash128Reference).  Invariant used by the tests: the XOR
+        of the two halves is exactly sipHash64 of the same input."""
+        v0, v1, v2, v3 = _sip_absorb(k0, k1, data, xor_ee=False)
+        v2 ^= 0xFF
+        for _ in range(4):
+            v0, v1, v2, v3 = _sipround(v0, v1, v2, v3)
+        return ((v0 ^ v1) & _M64).to_bytes(8, "little") + (
+            (v2 ^ v3) & _M64
+        ).to_bytes(8, "little")
+
+    def _siphash128_ref(k0: int, k1: int, data: bytes) -> bytes:
+        """The paper's 128-bit SipHash-2-4 (reference impl DOUBLE
+        path): v1^=0xEE at init, first finalizer XORs 0xEE, second
+        finalizer XORs 0xDD into v1 — pinned against the reference
+        repo's vectors_sip128 in tests."""
+        v0, v1, v2, v3 = _sip_absorb(k0, k1, data, xor_ee=True)
+        v2 ^= 0xEE
+        for _ in range(4):
+            v0, v1, v2, v3 = _sipround(v0, v1, v2, v3)
+        b0 = (v0 ^ v1 ^ v2 ^ v3) & _M64
+        v1 ^= 0xDD
+        for _ in range(4):
+            v0, v1, v2, v3 = _sipround(v0, v1, v2, v3)
+        b1 = (v0 ^ v1 ^ v2 ^ v3) & _M64
+        return b0.to_bytes(8, "little") + b1.to_bytes(8, "little")
 
     def _u64_key(t: str) -> int:
         # keys arrive as STRING (dialect.py CASTs them): decimal
@@ -928,6 +971,30 @@ def _register_vectorized(spark: SparkSession) -> None:
         return pd.Series(out, dtype="object")
 
     spark.udf.register("ch_siphash64_keyed", ch_siphash64_keyed)
+
+    def _sip128_udf(core):
+        @pandas_udf("binary")
+        def _f(k0: pd.Series, k1: pd.Series, s: pd.Series) -> pd.Series:
+            out = []
+            for a, b, v in zip(k0, k1, s):
+                if pd.isna(a) or pd.isna(b) or v is None:
+                    out.append(None)
+                    continue
+                out.append(core(
+                    _u64_key(a), _u64_key(b), v.encode("utf-8")
+                ))
+            return pd.Series(out, dtype="object")
+        return _f
+
+    # 128-bit family (r15, VERDICT r14 item 2): BINARY(16) keeps
+    # ClickHouse's FixedString(16) byte contract — hex() composes on
+    # top exactly as in CH (MIGRATION.md documents the type seam)
+    spark.udf.register(
+        "ch_siphash128_keyed", _sip128_udf(_siphash128_legacy)
+    )
+    spark.udf.register(
+        "ch_siphash128_ref", _sip128_udf(_siphash128_ref)
+    )
 
 
 # --- gated proof: a query written verbatim in the ClickHouse dialect ---

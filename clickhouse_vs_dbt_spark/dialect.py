@@ -1706,6 +1706,20 @@ _B18_ALIASES = {
 }
 
 
+# bit-exact SipHash-2-4 family → (Arrow register, keyed?).  The
+# 64-bit unkeyed sipHash64 deliberately stays in the role-parity
+# xxhash64 set below: it is the hot BUCKETING hash, and a Python
+# register there would put an Arrow round-trip on every data-scale
+# hot path (MIGRATION.md documents the split contract)
+_SIP_KEYED = {
+    "sipHash64Keyed": ("ch_siphash64_keyed", True),
+    "sipHash128": ("ch_siphash128_keyed", False),
+    "sipHash128Keyed": ("ch_siphash128_keyed", True),
+    "sipHash128Reference": ("ch_siphash128_ref", False),
+    "sipHash128ReferenceKeyed": ("ch_siphash128_ref", True),
+}
+
+
 def _render_call(name: str, args: list[str]) -> str:
     name = _B18_ALIASES.get(name, name)
     joined = ", ".join(args)
@@ -1994,59 +2008,62 @@ def _render_call(name: str, args: list[str]) -> str:
             return f"unhex(sha1({args[0]}))"
         bits = name[3:]
         return f"unhex(sha2({args[0]}, {bits}))"
-    if name == "sipHash64Keyed" and len(args) == 2:
-        # BIT-EXACT SipHash-2-4 MAC (r14 flip of the batch-17 wall;
-        # Arrow register ch_siphash64_keyed, paper-vector-pinned).
-        # The key tuple must be a 2-element literal/expression pair;
-        # STRING data carries the bit-exact contract (CH hashes a
-        # numeric argument's little-endian BYTES — a numeric here
-        # would hash its decimal text; MIGRATION.md).  The UInt64
-        # result reads as two's-complement BIGINT.
-        kt = args[0].strip()
-        if kt.startswith("struct(") and kt.endswith(")"):
-            kt = kt[len("struct("):-1]
-        elif kt.startswith("(") and kt.endswith(")"):
-            kt = kt[1:-1]
-        parts = [
-            p.strip() for p in _split_top_commas(kt) if p.strip()
-        ] if kt else []
-        if len(parts) != 2:
-            raise DialectError(
-                "sipHash64Keyed: the first argument must be the "
-                "(k0, k1) key tuple"
-            )
-        # STRING-cast the data so a numeric argument hashes its
-        # decimal text (the documented divergence) instead of
-        # crashing the Arrow register on .encode (code-review r14a).
-        # The KEYS also travel as strings: a nullable BIGINT batch
-        # widens to float64 in pandas and int() then rounds keys
-        # with >53 significant bits — decimal text parses exactly
-        # over the full UInt64 range (ADVICE r14, medium)
+    if name in _SIP_KEYED:
+        # BIT-EXACT SipHash-2-4 family (64-bit r14; 128-bit family
+        # r15, VERDICT r14 item 2).  Keyed forms take ((k0, k1),
+        # data); unkeyed 128-bit forms use the zero key (ClickHouse
+        # src/Common/SipHash.h).  STRING data carries the bit-exact
+        # contract (CH hashes a numeric argument's little-endian
+        # BYTES — a numeric here hashes its decimal text;
+        # MIGRATION.md).  The KEYS travel as strings too: a nullable
+        # BIGINT batch widens to float64 in pandas and int() then
+        # rounds >53-bit keys — decimal text parses exactly over the
+        # full UInt64 range (ADVICE r14, medium).  128-bit results
+        # are BINARY(16) — ClickHouse's FixedString(16) byte layout,
+        # so hex() composes identically (MIGRATION.md type seam).
+        register, keyed = _SIP_KEYED[name]
+        if keyed:
+            if len(args) != 2:
+                if len(args) > 2:
+                    raise DialectError(
+                        f"{name}: multi-argument data chains "
+                        "per-field hashes in ClickHouse — concat "
+                        "the fields explicitly to pin the byte "
+                        "layout"
+                    )
+                # 0/1-arg forms must REFUSE, not leak the CH name
+                # into a Spark unresolved-function error (r14a)
+                raise DialectError(
+                    f"{name} takes ((k0, k1), data) — exactly two "
+                    "arguments"
+                )
+            kt = args[0].strip()
+            if kt.startswith("struct(") and kt.endswith(")"):
+                kt = kt[len("struct("):-1]
+            elif kt.startswith("(") and kt.endswith(")"):
+                kt = kt[1:-1]
+            parts = [
+                p.strip() for p in _split_top_commas(kt) if p.strip()
+            ] if kt else []
+            if len(parts) != 2:
+                raise DialectError(
+                    f"{name}: the first argument must be the "
+                    "(k0, k1) key tuple"
+                )
+            k0, k1, data = parts[0], parts[1], args[1]
+        else:
+            if len(args) != 1:
+                raise DialectError(
+                    f"{name}: multi-argument data chains per-field "
+                    "hashes in ClickHouse — concat the fields "
+                    "explicitly to pin the byte layout"
+                    if len(args) > 1 else
+                    f"{name} takes exactly one argument"
+                )
+            k0, k1, data = "0", "0", args[0]
         return (
-            f"ch_siphash64_keyed(CAST({parts[0]} AS STRING), "
-            f"CAST({parts[1]} AS STRING), "
-            f"CAST({args[1]} AS STRING))"
-        )
-    if name == "sipHash64Keyed" and len(args) > 2:
-        raise DialectError(
-            "sipHash64Keyed: multi-argument data chains per-field "
-            "hashes in ClickHouse — concat the fields explicitly to "
-            "pin the byte layout"
-        )
-    if name == "sipHash64Keyed":
-        # 0/1-arg forms must REFUSE, not leak the CH name into a
-        # Spark unresolved-function error (code-review r14a)
-        raise DialectError(
-            "sipHash64Keyed takes ((k0, k1), data) — exactly two "
-            "arguments"
-        )
-    if name in ("sipHash128Keyed",
-                "sipHash128Reference", "sipHash128ReferenceKeyed"):
-        raise DialectError(
-            f"{name}: the 128-bit SipHash variants return FixedString"
-            "(16) byte states with a different finalization — "
-            "sipHash64Keyed transpiles bit-exactly; for wider keyed "
-            "digests use sha2 over key||value explicitly"
+            f"{register}(CAST({k0} AS STRING), "
+            f"CAST({k1} AS STRING), CAST({data} AS STRING))"
         )
     if name == "URLHash" and len(args) == 1:
         # CH: hash of the URL with one trailing /, # or ? stripped;
@@ -2071,9 +2088,10 @@ def _render_call(name: str, args: list[str]) -> str:
         # ClickHouse's — re-derive persisted hashes on migration
         # (MIGRATION.md).
         return f"xxhash64({joined})"
-    if name in ("sipHash128", "murmurHash3_128") and args:
+    if name == "murmurHash3_128" and args:
         # 128-bit fingerprint role → the md5 digest (binary, same
-        # width); same role-parity caveat as the 64-bit family
+        # width); same role-parity caveat as the 64-bit family.
+        # (sipHash128 left this set in r15 — it is bit-exact now.)
         inner = (
             args[0] if len(args) == 1
             else f"concat_ws(char(1), {joined})"
@@ -21357,6 +21375,56 @@ def q_dialect_probe26(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_clickhouse_sql(spark, _CH_PROBE26, sf_dir, ("orders",))
 
 
+# 44 (r15). the bit-exact 128-bit SipHash family (VERDICT r14 item
+#     2): sipHash128[Keyed] is ClickHouse's legacy construction
+#     (src/Common/SipHash.h get128: 64-bit finalization, v0^v1 ||
+#     v2^v3 LE), sipHash128Reference[Keyed] the paper's double
+#     finalizer — vectors_sip128-pinned in tests.  The DuckDB side
+#     pins the per-input hex values computed by the test-pinned
+#     implementation (literal-pin tier, like probe25's keyed MAC:
+#     DuckDB has no SipHash).  BINARY(16) results travel as hex()
+#     text — the FixedString(16) seam (MIGRATION.md).
+_CH_PROBE27 = """
+SELECT o_orderkey AS k,
+       hex(sipHash128Keyed((506097522914230528, 1084818905618843912),
+           concat('row', toString(o_orderkey % 4)))) AS h128,
+       hex(sipHash128ReferenceKeyed(
+           (506097522914230528, 1084818905618843912),
+           concat('row', toString(o_orderkey % 4)))) AS r128,
+       hex(sipHash128('abc')) AS z128,
+       hex(sipHash128Reference('abc')) AS zr128
+FROM orders
+WHERE o_orderkey % 101 = 0
+ORDER BY k
+"""
+
+O_PROBE27 = """
+SELECT o_orderkey AS k,
+       CASE o_orderkey % 4
+         WHEN 0 THEN '01EDAC633AF4D90B6492F9B1F80A4814'
+         WHEN 1 THEN '9218D5F6E3559A534F8EF653791D72E6'
+         WHEN 2 THEN 'D0293D5E3A86FA7890A4170FE471AF0A'
+         ELSE '5C623E151141CB3CB7AFE922809EDF47'
+       END AS h128,
+       CASE o_orderkey % 4
+         WHEN 0 THEN '4E1286D8B2AA68D9CC09EC18DC7EDE13'
+         WHEN 1 THEN 'EBB030819CF04C1193FE0B82971D14C7'
+         WHEN 2 THEN 'DF99144C9C60AC1331A3D10897C6DC3A'
+         ELSE '8068B3342A23E7B46262FECBC04DD29F'
+       END AS r128,
+       'B6B415A2DA966B6C685A65E54C12A353' AS z128,
+       '6C95DEC302962FA8CA5E69C1D5D15478' AS zr128
+FROM orders
+WHERE o_orderkey % 101 = 0
+ORDER BY k
+"""
+
+
+def q_dialect_probe27(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verbatim CH 128-bit SipHash query (module doc #44)."""
+    return run_clickhouse_sql(spark, _CH_PROBE27, sf_dir, ("orders",))
+
+
 # 39 (r13). audit batch 17 value gate (per-row tier): MAC codec
 #     round-trips (the numeric side is the oracle's closed form),
 #     bitmap subset family over key-derived arrays, general-p
@@ -21669,6 +21737,7 @@ QUERIES = {
     "dialect_series_tukey": q_dialect_series_tukey,
     "dialect_probe25": q_dialect_probe25,
     "dialect_probe26": q_dialect_probe26,
+    "dialect_probe27": q_dialect_probe27,
     "dialect_tumble": q_dialect_tumble,
     "dialect_probe19": q_dialect_probe19,
     "dialect_star_modifiers": q_dialect_star_modifiers,
@@ -21773,6 +21842,7 @@ ORACLES = {
     "dialect_series_tukey": O_SERIES_TUKEY,
     "dialect_probe25": O_PROBE25,
     "dialect_probe26": O_PROBE26,
+    "dialect_probe27": O_PROBE27,
     "dialect_tumble": O_TUMBLE,
     "dialect_probe19": O_PROBE19,
     "dialect_star_modifiers": O_STAR_MODIFIERS,

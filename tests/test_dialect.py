@@ -5354,7 +5354,10 @@ def test_r11_scalar_batch14(spark):
     assert one("hasTokenOrNull('a_b c', 'a_b')") is None
     with pytest.raises(DialectError, match="alphanumeric"):
         transpile("SELECT hasTokenOrNull('x', 'look\u00e9')")
-    assert one("murmurHash3_128('abc') = sipHash128('abc')") is True
+    # r15: sipHash128 is bit-exact now, murmurHash3_128 stays md5
+    # role-parity — the two must DIFFER
+    assert one("murmurHash3_128('abc') = sipHash128('abc')") is False
+    assert one("length(murmurHash3_128('abc'))") == 16
     for bad_e, msg in [
         ("geohashEncode(1.0, 2.0, p)", "literal"),
         ("randomString(5)", "randomPrintableASCII"),
@@ -6658,8 +6661,10 @@ def test_r14_siphash_keyed_and_ulid(spark):
         transpile("SELECT sipHash64Keyed(1, 'x')")
     with pytest.raises(DialectError, match="concat"):
         transpile("SELECT sipHash64Keyed((0, 0), 'x', 'y')")
-    with pytest.raises(DialectError, match="128"):
-        transpile("SELECT sipHash128Keyed((0, 0), 'x')")
+    # r15: the 128-bit family maps now (test_r15_siphash128_family)
+    assert "ch_siphash128_keyed" in transpile(
+        "SELECT sipHash128Keyed((0, 0), 'x')"
+    )
     # ULID: shape, alphabet, time round-trip
     import re as _re
 
@@ -6976,3 +6981,58 @@ def test_r15_advice_fixes(spark):
     for head in ("entropyIf", "cramersVIf", "theilsUIf"):
         with pytest.raises(DialectError, match="two-level"):
             transpile(f"SELECT {head}(a, b, c) FROM t")
+
+
+def test_r15_siphash128_family(spark):
+    """VERDICT r14 item 2: the 128-bit SipHash family is bit-exact.
+    sipHash128Reference[Keyed] pins the reference repo's public
+    vectors_sip128 (key 000102..0f); sipHash128[Keyed] is
+    ClickHouse's legacy construction (src/Common/SipHash.h get128:
+    64-bit finalization, emit v0^v1 || v2^v3 LE), pinned via the
+    derived invariant XOR(half0, half1) == sipHash64 of the same
+    input.  All return BINARY(16) — FixedString(16)'s bytes — so
+    hex() composes exactly as in ClickHouse."""
+    register_clickhouse_compat(spark)
+    one = lambda e: spark.sql(  # noqa: E731
+        transpile(f"SELECT {e} AS v")
+    ).collect()[0].v
+    k = "(506097522914230528, 1084818905618843912)"
+    # reference vectors (veorq/SipHash vectors.h, sip128)
+    assert one(
+        f"hex(sipHash128ReferenceKeyed({k}, ''))"
+    ) == "A3817F04BA25A8E66DF67214C7550293"
+    assert one(
+        f"hex(sipHash128ReferenceKeyed({k}, char(0)))"
+    ) == "DA87C1D86B99AF44347659119B22FC45"
+    eight = "concat(" + ", ".join(
+        f"char({i})" for i in range(8)
+    ) + ")"
+    assert one(
+        f"hex(sipHash128ReferenceKeyed({k}, {eight}))"
+    ) == "3B62A9BA6258F5610F83E264F31497B4"
+    # legacy invariant: XOR of the halves == sipHash64 (same key)
+    h = one(f"sipHash128Keyed({k}, 'abc')")
+    h64 = one(f"sipHash64Keyed({k}, 'abc')")
+    lo = int.from_bytes(bytes(h[:8]), "little")
+    hi = int.from_bytes(bytes(h[8:]), "little")
+    assert (lo ^ hi) == (h64 & ((1 << 64) - 1))
+    # unkeyed forms are the zero-key forms
+    assert one(
+        "sipHash128('x') = sipHash128Keyed((0, 0), 'x')"
+    ) is True
+    assert one(
+        "sipHash128Reference('x') = "
+        "sipHash128ReferenceKeyed((0, 0), 'x')"
+    ) is True
+    assert one("sipHash128('x') = sipHash128Reference('x')") is False
+    # NULL propagation and arity refusals
+    assert one("sipHash128(CAST(NULL AS STRING))") is None
+    for bad, msg in [
+        ("sipHash128('a', 'b')", "concat"),
+        ("sipHash128Keyed((0, 0), 'a', 'b')", "concat"),
+        ("sipHash128Keyed(1, 'x')", "key tuple"),
+        ("sipHash128Reference()", "one argument"),
+        ("sipHash128ReferenceKeyed((0, 0))", "two"),
+    ]:
+        with pytest.raises(DialectError, match=msg):
+            transpile(f"SELECT {bad}")
