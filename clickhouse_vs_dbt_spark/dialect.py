@@ -2817,13 +2817,74 @@ def _render_call(name: str, args: list[str]) -> str:
             "flameGraph aggregates ClickHouse trace-log samples — "
             "profile Spark through the Spark UI / event log, not SQL"
         )
-    if name in ("seriesPeriodDetectFFT", "seriesDecomposeSTL"):
+    if name == "seriesDecomposeSTL":
         raise DialectError(
-            f"{name}: ClickHouse's in-array series DSP — over rows "
-            "use the gated time-series operators "
-            "(operators/timeseries.py: LTTB downsample, gap fill, "
-            "rank correlation) or spell the window analysis "
-            "explicitly"
+            "seriesDecomposeSTL: real iterative DSP (LOESS season/"
+            "trend fitting) — over rows use the gated time-series "
+            "operators (operators/timeseries.py: LTTB downsample, "
+            "gap fill, rank correlation) or spell the window "
+            "analysis explicitly"
+        )
+    if name == "seriesPeriodDetectFFT" and len(args) == 1:
+        # Period detection (r15, VERDICT r14 item 3 — was walled
+        # with STL): CH computes the FFT periodogram and returns
+        # round(n / argmax_k |X_k|²) over the positive-frequency
+        # bins as Float64.  A deterministic O(n²) DFT cos/sin fold
+        # is value-identical for the argmax (the transform is
+        # exact up to fp rounding): power(k) = re² + im², k ∈
+        # [1, ⌊n/2⌋], strict > keeps the LOWEST k on ties (CH's
+        # scan order).  Subtracting the mean is a no-op off bin 0
+        # (a constant's DFT is zero at k ≠ 0), and bin 0 is
+        # excluded — so centering the series first is analytically
+        # free; we DO center (__fs = x - mean) so a constant series
+        # zeroes every term EXACTLY in fp and the degenerate
+        # all-zero spectrum → NaN (without centering, twiddle
+        # rounding noise would elect an arbitrary bin).  < 4 points
+        # throws (CH BAD_ARGUMENTS).  Both docs examples pinned in
+        # tests.  Bounded-array contract: O(n²) work per row —
+        # fine for series columns, not a frame aggregator.  The
+        # argument is bound ONCE (__fr) per the tree-size lesson.
+        n = "size(__fs)"
+        bin_power = (
+            "element_at(transform(array("
+            f"aggregate(sequence(0, {n} - 1), "
+            "named_struct('re', 0.0d, 'im', 0.0d), "
+            "(__fb, __ft) -> named_struct("
+            "'re', __fb.re + element_at(__fs, __ft + 1) * "
+            f"cos(2.0d * pi() * __fk * __ft / {n}), "
+            "'im', __fb.im - element_at(__fs, __ft + 1) * "
+            f"sin(2.0d * pi() * __fk * __ft / {n})))), "
+            "__ff -> __ff.re * __ff.re + __ff.im * __ff.im), 1)"
+        )
+        best = (
+            f"aggregate(sequence(1, CAST(floor({n} / 2) AS INT)), "
+            "named_struct('m', 0.0d, 'k', 0), "
+            f"(__fa, __fk) -> element_at(transform(array({bin_power}"
+            "), __fp -> IF(__fp > __fa.m, "
+            "named_struct('m', __fp, 'k', __fk), __fa)), 1))"
+        )
+        body = (
+            f"element_at(transform(array({best}), "
+            "__fw -> IF(__fw.k = 0, CAST('NaN' AS DOUBLE), "
+            f"round(CAST({n} AS DOUBLE) / __fw.k))), 1)"
+        )
+        return (
+            f"element_at(transform(array({args[0]}), __fr -> "
+            "IF(size(__fr) < 4, "
+            "raise_error('seriesPeriodDetectFFT: the series must "
+            "contain at least 4 values'), "
+            "element_at(transform(array(transform(__fr, "
+            "__f0 -> CAST(__f0 AS DOUBLE))), __fd -> "
+            "element_at(transform(array("
+            "aggregate(__fd, 0.0d, (__fc, __fv) -> __fc + __fv) "
+            "/ size(__fd)), __fm -> "
+            "element_at(transform(array(transform(__fd, "
+            "__f1 -> __f1 - __fm)), __fs -> "
+            f"{body}), 1)), 1)), 1))), 1)"
+        )
+    if name == "seriesPeriodDetectFFT":
+        raise DialectError(
+            "seriesPeriodDetectFFT takes exactly one series array"
         )
     if name == "seriesOutliersDetectTukey" and len(args) in (1, 4):
         # Tukey-fence outlier scores (VERDICT r13 item 4): pure
@@ -21425,6 +21486,49 @@ def q_dialect_probe27(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_clickhouse_sql(spark, _CH_PROBE27, sf_dir, ("orders",))
 
 
+# 45 (r15). seriesPeriodDetectFFT (VERDICT r14 item 3 — was walled
+#     with STL): periodogram argmax as a pure-SQL O(n²) DFT cos/sin
+#     fold, mean-centered so a constant series hits the exact-zero
+#     degenerate NaN tier.  The oracle is CLOSED-FORM: a sawtooth
+#     x % p over a length divisible by p has its spectral peak at
+#     exactly n/p (the fundamental dominates — 1/m coefficient
+#     decay), so the detected period IS the construction period.
+#     Both CH docs examples are value-pinned in tests; this gate
+#     varies the period with the data.  The second column is the
+#     NON-divisible leakage case (100/6 cycles: the peak bin lands
+#     at 16 or 17, both round to 6.0) at a length that keeps the
+#     O(n²) fold off the bench's critical path (the docs' length
+#     1000 costs 500k transcendental evals per ROW; tests pin it
+#     once).
+_CH_SERIES_FFT = """
+SELECT o_orderkey AS k,
+       seriesPeriodDetectFFT(arrayMap(
+           x -> toFloat64(x % (o_orderkey % 4 + 3)),
+           range(60))) AS period,
+       seriesPeriodDetectFFT(arrayMap(
+           x -> toFloat64(abs((x % 6) - 3)), range(100))) AS p6
+FROM orders
+WHERE o_orderkey % 211 = 0
+ORDER BY k
+"""
+
+O_SERIES_FFT = """
+SELECT o_orderkey AS k,
+       CAST(o_orderkey % 4 + 3 AS DOUBLE) AS period,
+       CAST(6 AS DOUBLE) AS p6
+FROM orders
+WHERE o_orderkey % 211 = 0
+ORDER BY k
+"""
+
+
+def q_dialect_series_fft(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verbatim CH period-detection query (module doc #45)."""
+    return run_clickhouse_sql(
+        spark, _CH_SERIES_FFT, sf_dir, ("orders",)
+    )
+
+
 # 39 (r13). audit batch 17 value gate (per-row tier): MAC codec
 #     round-trips (the numeric side is the oracle's closed form),
 #     bitmap subset family over key-derived arrays, general-p
@@ -21738,6 +21842,7 @@ QUERIES = {
     "dialect_probe25": q_dialect_probe25,
     "dialect_probe26": q_dialect_probe26,
     "dialect_probe27": q_dialect_probe27,
+    "dialect_series_fft": q_dialect_series_fft,
     "dialect_tumble": q_dialect_tumble,
     "dialect_probe19": q_dialect_probe19,
     "dialect_star_modifiers": q_dialect_star_modifiers,
@@ -21843,6 +21948,7 @@ ORACLES = {
     "dialect_probe25": O_PROBE25,
     "dialect_probe26": O_PROBE26,
     "dialect_probe27": O_PROBE27,
+    "dialect_series_fft": O_SERIES_FFT,
     "dialect_tumble": O_TUMBLE,
     "dialect_probe19": O_PROBE19,
     "dialect_star_modifiers": O_STAR_MODIFIERS,

@@ -7036,3 +7036,41 @@ def test_r15_siphash128_family(spark):
     ]:
         with pytest.raises(DialectError, match=msg):
             transpile(f"SELECT {bad}")
+
+
+def test_r15_series_period_fft(spark):
+    """VERDICT r14 item 3: seriesPeriodDetectFFT as a mean-centered
+    pure-SQL DFT periodogram argmax.  Both ClickHouse docs examples
+    pinned (the 21-point period-3 series and the length-1000
+    triangle wave), the degenerate constant series hits the exact
+    NaN tier (centering zeroes the spectrum in fp exactly), mean
+    offset is irrelevant off bin 0, < 4 points throws at runtime,
+    wrong arity refuses at transpile time."""
+    import math
+
+    register_clickhouse_compat(spark)
+    one = lambda e: spark.sql(  # noqa: E731
+        transpile(f"SELECT {e} AS v")
+    ).collect()[0].v
+    assert one(
+        "seriesPeriodDetectFFT([1, 4, 6, 1, 4, 6, 1, 4, 6, 1, 4, 6, "
+        "1, 4, 6, 1, 4, 6, 1, 4, 6])"
+    ) == 3.0
+    assert one(
+        "seriesPeriodDetectFFT(arrayMap(x -> abs((x % 6) - 3), "
+        "range(1000)))"
+    ) == 6.0
+    assert math.isnan(one("seriesPeriodDetectFFT([5, 5, 5, 5, 5])"))
+    assert one(
+        "seriesPeriodDetectFFT([101, 104, 106, 101, 104, 106, 101, "
+        "104, 106, 101, 104, 106])"
+    ) == 3.0
+    assert one(
+        "seriesPeriodDetectFFT(CAST(NULL AS ARRAY<DOUBLE>))"
+    ) is None
+    with pytest.raises(Exception, match="at least 4"):
+        one("seriesPeriodDetectFFT([1, 2, 3])")
+    with pytest.raises(DialectError, match="one series"):
+        transpile("SELECT seriesPeriodDetectFFT([1,2,3,4], 2)")
+    with pytest.raises(DialectError, match="STL"):
+        transpile("SELECT seriesDecomposeSTL([1,2,3,4], 3)")
