@@ -8695,14 +8695,26 @@ _RESAMPLE_HEADS = (
 )
 
 
+#: hard bound on the expression-position weighted-quantile collect
+#: state (r15, VERDICT r14 item 4): pairs per GROUP.  Groups larger
+#: than this refuse at runtime with a pointer to the statement-owned
+#: value-compressed re-plan — the collect is bounded-by-constant, not
+#: data-shaped.  2^20 structs ≈ 16 MiB of executor state per group.
+_QW_COLLECT_CAP = 1 << 20
+
+
 def _weighted_exact_quantile(v: str, w: str, p: str) -> str:
     """``quantileExactWeighted(p)(v, w)`` as one aggregate expression
     (r11 audit batch 11): collect the (value, weight) pairs, sort by
     value, and return the smallest value whose CUMULATIVE weight
     reaches ``p · Σw`` — ClickHouse's non-interpolating exact-weighted
     rule, the same contract the ``weighted_median`` operator's window
-    spelling pins (operators/stats.py).  O(group) memory at the
-    collect (the documented collect-class), then a row-local fold."""
+    spelling pins (operators/stats.py).  The collect is CAPPED at
+    ``_QW_COLLECT_CAP`` pairs per group (r15: VERDICT r14 item 4 —
+    larger groups raise with a pointer to the statement-owned
+    re-plan, which keeps O(distinct values) state); statements the
+    transpiler owns never reach this fold (``_qw_replan``, including
+    whitelisted scalar expression positions since r15)."""
     return (
         "element_at(transform(array(array_sort(collect_list("
         # NULL values/weights are SKIPPED like every CH aggregate —
@@ -8712,7 +8724,13 @@ def _weighted_exact_quantile(v: str, w: str, p: str) -> str:
         f"CASE WHEN ({v}) IS NOT NULL AND ({w}) IS NOT NULL THEN "
         f"named_struct('v', CAST({v} AS DOUBLE), "
         f"'w', CAST({w} AS DOUBLE)) END))), "
-        "__qw -> aggregate(__qw, "
+        f"__qw -> IF(size(__qw) > {_QW_COLLECT_CAP}, "
+        "raise_error('quantileExactWeighted in expression position "
+        f"holds the (value, weight) pairs in group state; this "
+        f"group exceeds {_QW_COLLECT_CAP} pairs - use the plain "
+        "SELECT ... GROUP BY spelling, which re-plans to the "
+        "value-compressed two-pass window (O(distinct values))'), "
+        "aggregate(__qw, "
         "named_struct('acc', CAST(0 AS DOUBLE), "
         "'res', CAST(NULL AS DOUBLE), "
         f"'thr', ({p}) * aggregate(__qw, CAST(0 AS DOUBLE), "
@@ -8723,7 +8741,7 @@ def _weighted_exact_quantile(v: str, w: str, p: str) -> str:
         "'thr', __s.thr) "
         "ELSE named_struct('acc', __s.acc + __e.w, 'res', __s.res, "
         "'thr', __s.thr) END, "
-        "__s -> __s.res)), 1)"
+        "__s -> __s.res))), 1)"
     )
 
 
@@ -13151,12 +13169,105 @@ def _norm_expr(text: str) -> str:
     )
 
 
+def _qw_parse_call(name: str, groups: list[str]):
+    """Parse one ``fn(group1)[(group2)]`` weighted-quantile call into
+    ``(levels, is_array, v, w)``, or None when the call doesn't fit
+    the ownable shape (non-literal levels, wrong arity)."""
+    if len(groups) == 1:
+        # quantileExactWeighted(v, w) / medianExactWeighted(v, w):
+        # default level 0.5 (quantiles* REQUIRES levels)
+        if name == "quantilesExactWeighted":
+            return None
+        args = _split_top_commas(groups[0])
+        if len(args) != 2:
+            return None
+        return (["0.5"], False, args[0].strip(), args[1].strip())
+    params = [p.strip() for p in _split_top_commas(groups[0])]
+    args = [a.strip() for a in _split_top_commas(groups[1])]
+    if len(args) != 2 or not params:
+        return None
+    if name == "medianExactWeighted":
+        return None  # median takes no level parameter
+    if name == "quantileExactWeighted" and len(params) != 1:
+        return None  # exactly one level (the renderer refuses too)
+    if not all(
+        re.fullmatch(r"\d+(\.\d+)?([eE]-?\d+)?", p) for p in params
+    ):
+        return None  # non-literal levels stay on the collect path
+    return (params, name == "quantilesExactWeighted",
+            args[0].strip(), args[1].strip())
+
+
+#: scalar heads allowed AROUND a weighted-quantile call in an
+#: expression-position select item (r15, VERDICT r14 item 4): the
+#: residual runs on the OUTER projection, where an aggregate head
+#: (sum, avg, …) would silently aggregate the distinct-value rows —
+#: so only these whitelisted scalar wrappers (plus the CH ``to*``
+#: cast family by shape) qualify; anything else stays on the capped
+#: collect path
+_QW_RESIDUAL_HEADS = frozenset((
+    "ROUND", "FLOOR", "CEIL", "CEILING", "ABS", "SQRT", "EXP", "LN",
+    "LOG", "LOG2", "LOG10", "POWER", "POW", "CAST", "TRY_CAST",
+    "COALESCE", "NULLIF", "GREATEST", "LEAST", "IF", "IFNULL",
+    "NVL", "SIGN", "ARRAY", "ELEMENT_AT", "CONCAT", "INTDIV",
+    "MODULO", "PLUS", "MINUS", "MULTIPLY", "DIVIDE",
+))
+
+#: non-head identifier tokens legal in a residual (operators /
+#: literals are not identifiers and pass untouched)
+_QW_RESIDUAL_WORDS = frozenset((
+    "CASE", "WHEN", "THEN", "ELSE", "END", "AND", "OR", "NOT", "IS",
+    "NULL", "TRUE", "FALSE", "IN", "BETWEEN", "AS", "DOUBLE",
+    "FLOAT", "INT", "BIGINT", "DECIMAL", "STRING",
+))
+
+
+def _qw_extract_calls(ts: list[str]):
+    """Replace every ``_QW_FAMILY`` call ``fn(g1)[(g2)]`` in ``ts``
+    with a placeholder token ``__qw_cN``.  Returns
+    ``(template_tokens, specs)`` with one ``_qw_parse_call`` tuple
+    per placeholder, or None when any call is malformed/unownable."""
+    out: list[str] = []
+    specs: list[tuple] = []
+    i = 0
+    while i < len(ts):
+        t = ts[i]
+        if (
+            _is_ident(t) and t in _QW_FAMILY
+            and i + 1 < len(ts) and ts[i + 1] == "("
+        ):
+            c1 = _match_close(ts, i + 1)
+            if c1 is None:
+                return None
+            groups = [" ".join(ts[i + 2:c1])]
+            j = c1 + 1
+            if j < len(ts) and ts[j] == "(":
+                c2 = _match_close(ts, j)
+                if c2 is None:
+                    return None
+                groups.append(" ".join(ts[j + 1:c2]))
+                j = c2 + 1
+            spec = _qw_parse_call(t, groups)
+            if spec is None:
+                return None
+            out.append(f"__qw_c{len(specs)}")
+            specs.append(spec)
+            i = j
+            continue
+        out.append(t)
+        i += 1
+    return out, specs
+
+
 def _qw_parse_item(item: str):
     """Classify one select-list item for the weighted-quantile
     re-plan.  Returns ``("key", expr, outname)`` for a projected
-    group key, ``("q", levels, is_array, v, w, alias)`` for a
-    weighted-quantile call, or ``None`` when the item doesn't fit the
-    narrow ownable shape (caller falls back to the collect form)."""
+    group key, ``("q", levels, is_array, v, w, alias)`` for a bare
+    weighted-quantile call, ``("expr", template_tokens, specs,
+    alias)`` for a quantile call NESTED in a whitelisted scalar
+    expression (r15: VERDICT r14 item 4 — expression positions), or
+    ``None`` when the item doesn't fit any ownable shape (caller
+    falls back to the capped collect form)."""
     ts = [t for t in _tokens(item) if not _is_skippable(t)]
     if not ts:
         return None
@@ -13175,43 +13286,57 @@ def _qw_parse_item(item: str):
             return None  # unaliased expression: CH's auto-name is
             # the call text, which Spark can't reproduce
         return ("key", " ".join(ts), alias)
-    # the WHOLE item must be fn(group1)[(group2)]
-    if alias is None or not _is_ident(ts[0]) or ts[0] not in _QW_FAMILY:
+    if alias is None:
         return None
-    name = ts[0]
-    if len(ts) < 2 or ts[1] != "(":
+    # the wholly-call fast path: fn(group1)[(group2)]
+    if _is_ident(ts[0]) and ts[0] in _QW_FAMILY and len(ts) >= 2 \
+            and ts[1] == "(":
+        c1 = _match_close(ts, 1)
+        if c1 == len(ts) - 1:
+            spec = _qw_parse_call(ts[0], [" ".join(ts[2:c1])])
+            if spec is None:
+                return None
+            return ("q", *spec, alias)
+        rest = c1 + 1
+        if (
+            rest < len(ts) and ts[rest] == "("
+            and _match_close(ts, rest) == len(ts) - 1
+        ):
+            spec = _qw_parse_call(
+                ts[0],
+                [" ".join(ts[2:c1]), " ".join(ts[rest + 1:-1])],
+            )
+            if spec is None:
+                return None
+            return ("q", *spec, alias)
+    # expression position: extract the calls, vet the residual
+    ext = _qw_extract_calls(ts)
+    if ext is None:
         return None
-    c1 = _match_close(ts, 1)
-    groups = [" ".join(ts[2:c1])]
-    rest = c1 + 1
-    if rest < len(ts):
-        if ts[rest] != "(" or _match_close(ts, rest) != len(ts) - 1:
-            return None
-        groups.append(" ".join(ts[rest + 1:-1]))
-    if len(groups) == 1:
-        # quantileExactWeighted(v, w) / medianExactWeighted(v, w):
-        # default level 0.5 (quantiles* REQUIRES levels)
-        if name == "quantilesExactWeighted":
-            return None
-        args = _split_top_commas(groups[0])
-        if len(args) != 2:
-            return None
-        return ("q", ["0.5"], False, args[0].strip(), args[1].strip(),
-                alias)
-    params = [p.strip() for p in _split_top_commas(groups[0])]
-    args = [a.strip() for a in _split_top_commas(groups[1])]
-    if len(args) != 2 or not params:
+    template, specs = ext
+    if not specs:
         return None
-    if name == "medianExactWeighted":
-        return None  # median takes no level parameter
-    if name == "quantileExactWeighted" and len(params) != 1:
-        return None  # exactly one level (the renderer refuses too)
-    if not all(
-        re.fullmatch(r"\d+(\.\d+)?([eE]-?\d+)?", p) for p in params
-    ):
-        return None  # non-literal levels stay on the collect path
-    return ("q", params, name == "quantilesExactWeighted",
-            args[0].strip(), args[1].strip(), alias)
+    for n, t in enumerate(template):
+        if not _is_ident(t) or t.startswith("__qw_c"):
+            continue
+        up = t.upper()
+        nxt = template[n + 1] if n + 1 < len(template) else ""
+        if nxt == "(":
+            # function head: whitelisted scalars or the CH to* cast
+            # family; aggregate heads must NOT run on the outer
+            # projection
+            if up in _QW_RESIDUAL_HEADS or re.fullmatch(
+                r"to[A-Z]\w*", t
+            ):
+                continue
+            return None
+        if up in _QW_RESIDUAL_WORDS:
+            continue
+        # a bare identifier: only a group key may survive on the
+        # outer projection — _qw_replan substitutes __qw_kN or
+        # rejects the statement
+        continue
+    return ("expr", template, specs, alias)
 
 
 def _qw_replan(toks: list[str], s: int, e: int):
@@ -13265,12 +13390,19 @@ def _qw_replan(toks: list[str], s: int, e: int):
     if not items or any(it is None for it in items):
         return None
     qs = [it for it in items if it[0] == "q"]
-    if not qs:
+    # nested expression positions contribute their extracted calls
+    # to the shared-(v, w) constraint too (r15)
+    espncs = [
+        spec for it in items if it[0] == "expr" for spec in it[2]
+    ]
+    if not qs and not espncs:
         return None
-    vw = {(_norm_expr(q[3]), _norm_expr(q[4])) for q in qs}
+    vw = {(_norm_expr(q[3]), _norm_expr(q[4])) for q in qs} | {
+        (_norm_expr(sp[2]), _norm_expr(sp[3])) for sp in espncs
+    }
     if len(vw) != 1:
         return None  # one shared (value, weight) pair only
-    v, w = qs[0][3], qs[0][4]
+    v, w = (qs[0][3], qs[0][4]) if qs else (espncs[0][2], espncs[0][3])
     keys = [it for it in items if it[0] == "key"]
     # group items → inner aliases; each projected key must match one
     gitems = (
@@ -13321,7 +13453,9 @@ def _qw_replan(toks: list[str], s: int, e: int):
             return None
         key_slot[n] = slot
     outnames = [
-        it[2] if it[0] == "key" else it[5] for it in items
+        it[2] if it[0] == "key"
+        else (it[3] if it[0] == "expr" else it[5])
+        for it in items
     ]
     # ORDER BY may reference only output names / ordinals / direction
     # keywords — it runs on the OUTER projection
@@ -13364,17 +13498,42 @@ def _qw_replan(toks: list[str], s: int, e: int):
             f"__qw_cw >= ({level}) * __qw_tot THEN __qw_x END)"
         )
 
+    def q_body(levels: list[str], is_arr: bool) -> str:
+        cells = [cell(p) for p in levels]
+        return f"array({', '.join(cells)})" if is_arr else cells[0]
+
     out_items = []
     for n, it in enumerate(items):
         if it[0] == "key":
             out_items.append(f"__qw_k{key_slot[n]} AS {it[2]}")
+        elif it[0] == "expr":
+            # r15 expression position: placeholders become the
+            # aggregate cells; a bare identifier must be a group
+            # key (substituted) or the statement is unownable
+            template, specs, alias = it[1], it[2], it[3]
+            parts: list[str] = []
+            for m, t in enumerate(template):
+                if _is_ident(t) and t.startswith("__qw_c"):
+                    sp = specs[int(t[len("__qw_c"):])]
+                    parts.append(f"({q_body(sp[0], sp[1])})")
+                    continue
+                nxt = (
+                    template[m + 1] if m + 1 < len(template) else ""
+                )
+                if (
+                    _is_ident(t) and nxt != "("
+                    and t.upper() not in _QW_RESIDUAL_WORDS
+                ):
+                    slot = seen.get(_norm_expr(t))
+                    if slot is None:
+                        return None
+                    parts.append(f"__qw_k{slot}")
+                    continue
+                parts.append(t)
+            out_items.append(f"{' '.join(parts)} AS {alias}")
         else:
             _, levels, is_arr, _, _, alias = it
-            cells = [cell(p) for p in levels]
-            body = (
-                f"array({', '.join(cells)})" if is_arr else cells[0]
-            )
-            out_items.append(f"{body} AS {alias}")
+            out_items.append(f"{q_body(levels, is_arr)} AS {alias}")
     sql = (
         f"SELECT {', '.join(out_items)} FROM ({cum2}) __qw_cum"
         + (f" GROUP BY {ks}" if gexprs else "")
@@ -20759,6 +20918,53 @@ def q_dialect_weighted_quantiles(
     )
 
 
+# 34c (r15, VERDICT r14 item 4). exact-weighted quantiles in
+#     EXPRESSION positions: nested in whitelisted scalar wrappers
+#     (round, arithmetic between two calls, a group key in the
+#     residual), the statement still re-plans to the
+#     value-compressed two-pass window — tests pin that the
+#     rendered SQL carries no collect; this gate pins the VALUES
+#     against DuckDB's independent cumulative-window spelling.
+_CH_QW_EXPR = """
+SELECT l_returnflag,
+       round(quantileExactWeighted(0.9)(l_quantity, l_linenumber)
+             - quantileExactWeighted(0.1)(l_quantity, l_linenumber),
+             3) AS spread,
+       toInt64(quantileExactWeighted(0.5)(l_quantity, l_linenumber))
+           AS med_i
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+O_QW_EXPR = """
+WITH agg AS (
+  SELECT l_returnflag AS g, l_quantity AS x,
+         CAST(SUM(l_linenumber) AS BIGINT) AS wt
+  FROM lineitem GROUP BY g, x),
+cum AS (
+  SELECT g, x,
+         SUM(wt) OVER (PARTITION BY g ORDER BY x) AS cw,
+         SUM(wt) OVER (PARTITION BY g) AS tot
+  FROM agg)
+SELECT g AS l_returnflag,
+       round(MIN(CASE WHEN cw >= 0.9 * tot THEN x END)
+             - MIN(CASE WHEN cw >= 0.1 * tot THEN x END), 3)
+           AS spread,
+       CAST(MIN(CASE WHEN cw >= 0.5 * tot THEN x END) AS BIGINT)
+           AS med_i
+FROM cum GROUP BY g ORDER BY g
+"""
+
+
+def q_dialect_qw_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verbatim CH expression-position weighted-quantile query
+    (module doc #34c)."""
+    return run_clickhouse_sql(
+        spark, _CH_QW_EXPR, sf_dir, ("lineitem",)
+    )
+
+
 # 34b (r12). bounded groupConcat(sep, limit) (VERDICT r11 item 7):
 #     the statement-owned re-plan masks rows past the limit with a
 #     per-group row_number BEFORE collection, so aggregate state is
@@ -21828,6 +22034,7 @@ QUERIES = {
     "dialect_reinterpret_tuples": q_dialect_reinterpret_tuples,
     "dialect_hilbert": q_dialect_hilbert,
     "dialect_weighted_quantiles": q_dialect_weighted_quantiles,
+    "dialect_qw_expr": q_dialect_qw_expr,
     "dialect_group_concat_bounded": q_dialect_group_concat_bounded,
     "dialect_group_concat_join": q_dialect_group_concat_join,
     "dialect_probe20": q_dialect_probe20,
@@ -21934,6 +22141,7 @@ ORACLES = {
     "dialect_reinterpret_tuples": O_REINTERPRET_TUPLES,
     "dialect_hilbert": O_HILBERT,
     "dialect_weighted_quantiles": O_WEIGHTED_QUANTILES,
+    "dialect_qw_expr": O_QW_EXPR,
     "dialect_group_concat_bounded": O_GROUP_CONCAT_BOUNDED,
     "dialect_group_concat_join": O_GROUP_CONCAT_JOIN,
     "dialect_probe20": O_PROBE20,

@@ -5382,10 +5382,12 @@ def test_r12_weighted_quantile_replan(spark):
         "FROM lineitem GROUP BY l_returnflag"
     )
     assert "collect_list" not in owned and "__qw_cw" in owned
-    # expression position → fold; extra aggregate → fold; two
-    # different (v, w) pairs → fold
+    # r15: whitelisted-scalar expression positions re-plan too
+    assert "collect_list" not in transpile(
+        "SELECT quantileExactWeighted(0.5)(v, w) + 1 AS q FROM t"
+    )
+    # extra aggregate → fold; two different (v, w) pairs → fold
     for sql in (
-        "SELECT quantileExactWeighted(0.5)(v, w) + 1 AS q FROM t",
         "SELECT k, count() AS n, "
         "quantileExactWeighted(0.5)(v, w) AS q FROM t GROUP BY k",
         "SELECT quantileExactWeighted(0.5)(v, w) AS a, "
@@ -5409,12 +5411,15 @@ def test_r12_weighted_quantile_replan(spark):
         "quantilesExactWeighted(0.5, 0.9)(v, w) AS qs "
         "FROM qw_t GROUP BY k ORDER BY k"
     ))
-    fold = spark.sql(transpile(
-        "SELECT k, quantileExactWeighted(0.25)(v, w) + 0 AS q25, "
-        "arrayMap(x -> x + 0, "
-        "quantilesExactWeighted(0.5, 0.9)(v, w)) AS qs "
-        "FROM qw_t GROUP BY k ORDER BY k"
-    ))
+    # HAVING keeps the statement off the re-plan (r15: a bare `+ 0`
+    # no longer forces the fold — expression positions re-plan)
+    fold_sql = transpile(
+        "SELECT k, quantileExactWeighted(0.25)(v, w) AS q25, "
+        "quantilesExactWeighted(0.5, 0.9)(v, w) AS qs "
+        "FROM qw_t GROUP BY k HAVING count(*) >= 0 ORDER BY k"
+    )
+    assert "collect_list" in fold_sql
+    fold = spark.sql(fold_sql)
     a, b = two_pass.collect(), fold.collect()
     assert [r.k for r in a] == [r.k for r in b]
     for ra, rb in zip(a, b):
@@ -7074,3 +7079,74 @@ def test_r15_series_period_fft(spark):
         transpile("SELECT seriesPeriodDetectFFT([1,2,3,4], 2)")
     with pytest.raises(DialectError, match="STL"):
         transpile("SELECT seriesDecomposeSTL([1,2,3,4], 3)")
+
+
+def test_r15_qw_expression_replan(spark):
+    """VERDICT r14 item 4: weighted-quantile calls nested in
+    whitelisted scalar expressions re-plan to the value-compressed
+    two-pass form; the residual evaluates on the OUTER projection
+    (group keys substitute as __qw_kN); unownable shapes (aggregate
+    heads, foreign idents, HAVING) fall to the collect fold, which
+    is now CAPPED — the census assertion: every rendered collect in
+    this family carries the runtime size guard."""
+    register_clickhouse_compat(spark)
+    # transpile-level ownership
+    for sql in (
+        "SELECT g, round(quantileExactWeighted(0.9)(v, w), 2) AS q "
+        "FROM t GROUP BY g",
+        "SELECT g, quantileExactWeighted(0.9)(v, w) - "
+        "quantileExactWeighted(0.1)(v, w) AS iqr FROM t GROUP BY g",
+        "SELECT g, round(quantileExactWeighted(0.5)(v, w) + g, 1) "
+        "AS q FROM t GROUP BY g",
+        "SELECT toInt64(quantileExactWeighted(0.5)(v, w)) AS q "
+        "FROM t",
+    ):
+        out = transpile(sql)
+        assert "collect_list" not in out and "__qw_cw" in out, sql
+    # unownable residuals fall back — and EVERY fold is capped
+    for sql in (
+        "SELECT g, sum(v) + quantileExactWeighted(0.5)(v, w) AS q "
+        "FROM t GROUP BY g",
+        "SELECT g, quantileExactWeighted(0.5)(v, w) + z AS q "
+        "FROM t GROUP BY g",
+        "SELECT quantileExactWeighted(0.5)(v, w) AS q FROM t "
+        "GROUP BY g HAVING count(*) > 0",
+    ):
+        out = transpile(sql)
+        assert "collect_list" in out, sql
+        assert str(1 << 20) in out and "raise_error" in out, sql
+    # runtime agreement: re-planned expression position == fold
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW qw_e AS "
+        "SELECT CAST(id % 7 AS DOUBLE) AS v, id % 3 + 1 AS w, "
+        "concat('g', id % 2) AS k FROM range(100)"
+    )
+    rep = spark.sql(transpile(
+        "SELECT k, round(quantileExactWeighted(0.9)(v, w) - "
+        "quantileExactWeighted(0.1)(v, w), 3) AS iqr "
+        "FROM qw_e GROUP BY k ORDER BY k"
+    ))
+    assert "__qw_cw" in transpile(
+        "SELECT k, round(quantileExactWeighted(0.9)(v, w) - "
+        "quantileExactWeighted(0.1)(v, w), 3) AS iqr "
+        "FROM qw_e GROUP BY k ORDER BY k"
+    )
+    fold = spark.sql(transpile(
+        "SELECT k, round(quantileExactWeighted(0.9)(v, w) - "
+        "quantileExactWeighted(0.1)(v, w), 3) AS iqr "
+        "FROM qw_e GROUP BY k HAVING count(*) > 0 ORDER BY k"
+    ))
+    assert [(r.k, r.iqr) for r in rep.collect()] == [
+        (r.k, r.iqr) for r in fold.collect()
+    ]
+    # the cap actually fires: a tiny test-scoped cap via the module
+    # constant is not patchable per-query, so exercise the guard
+    # branch directly with the rendered SQL shape
+    guarded = spark.sql(
+        "SELECT element_at(transform(array(array_sort("
+        "collect_list(named_struct('v', CAST(id AS DOUBLE), "
+        "'w', 1.0d)))), __qw -> IF(size(__qw) > 5, "
+        "raise_error('cap'), CAST(size(__qw) AS DOUBLE))), 1) AS r "
+        "FROM range(4)"
+    ).collect()[0].r
+    assert guarded == 4.0
