@@ -945,11 +945,21 @@ def _register_vectorized(spark: SparkSession) -> None:
         try:
             return int(t) & _M64
         except ValueError:
-            # scientific/decimal text from a non-integer key cast —
-            # Decimal keeps it exact (no float64 rounding)
+            # scientific/decimal text from a wider numeric key cast
+            # — Decimal keeps it exact (no float64 rounding), but a
+            # NON-integral key must refuse: ClickHouse rejects a
+            # Float64 key tuple outright, and silently truncating
+            # would produce plausible-looking wrong MACs
+            # (code-review r15a)
             from decimal import Decimal
 
-            return int(Decimal(t)) & _M64
+            d = Decimal(t)
+            if d != d.to_integral_value():
+                raise ValueError(
+                    "sipHash keyed: (k0, k1) must be integers "
+                    f"(UInt64) — got {t!r}"
+                )
+            return int(d) & _M64
 
     @pandas_udf("bigint")
     def ch_siphash64_keyed(

@@ -362,6 +362,10 @@ _IF_REFUSE_THROUGH = frozenset((
     "entropy", "cramersV", "cramersVBiasCorrected", "theilsU",
 ))
 
+#: the full -If delegation domain — precomputed (code-review r15a:
+#: the inline union allocated a fresh set on every -If dispatch)
+_IF_DELEGATED = _IF_COMPOSED | _IF_REFUSE_THROUGH
+
 # ClickHouse aggregate heads with NO portable -State/-Merge algebra
 # here (lowercased, digit-stripped): their -State/-Merge forms must
 # REFUSE with the supported list rather than pass through into an
@@ -2860,7 +2864,13 @@ def _render_call(name: str, args: list[str]) -> str:
             f"aggregate(sequence(1, CAST(floor({n} / 2) AS INT)), "
             "named_struct('m', 0.0d, 'k', 0), "
             f"(__fa, __fk) -> element_at(transform(array({bin_power}"
-            "), __fp -> IF(__fp > __fa.m, "
+            # NOT isnan: Spark orders NaN above every number, so a
+            # NaN-poisoned bin (NaN in the input series) would win
+            # the argmax and elect an arbitrary period — C++'s
+            # `power > max` is false for NaN, so CH never elects
+            # one; skipping NaN powers reproduces that (all-NaN
+            # spectrum → k = 0 → the NaN tier) (code-review r15a)
+            "), __fp -> IF(__fp > __fa.m AND NOT isnan(__fp), "
             "named_struct('m', __fp, 'k', __fk), __fa)), 1))"
         )
         body = (
@@ -8523,19 +8533,27 @@ def _render_call(name: str, args: list[str]) -> str:
         raise DialectError(
             f"{name} takes exactly one array argument"
         )
-    if (
-        name.endswith("If")
-        and name[:-2] in (_IF_COMPOSED | _IF_REFUSE_THROUGH)
-        and len(args) >= 2
-    ):
-        # generic composed -If (r14 batch 28): mask every argument
-        # by the condition and delegate to the head's register —
-        # see _IF_COMPOSED for the NULL-skipping contract and
-        # _IF_REFUSE_THROUGH for the heads that refuse at the base
-        cond = args[-1]
-        return _render_call(
-            name[:-2],
-            [f"CASE WHEN {cond} THEN {a} END" for a in args[:-1]],
+    if name.endswith("If") and name[:-2] in _IF_DELEGATED:
+        if len(args) >= 2:
+            # generic composed -If (r14 batch 28): mask every
+            # argument by the condition and delegate to the head's
+            # register — see _IF_COMPOSED for the NULL-skipping
+            # contract and _IF_REFUSE_THROUGH for the heads that
+            # refuse at the base
+            cond = args[-1]
+            return _render_call(
+                name[:-2],
+                [f"CASE WHEN {cond} THEN {a} END" for a in args[:-1]],
+            )
+        # wrong arity (code-review r15a: entropyIf(g) leaked the CH
+        # name): the two-level heads refuse THROUGH the base with
+        # their actionable pointer; the composed heads get the
+        # arity message
+        if name[:-2] in _IF_REFUSE_THROUGH:
+            return _render_call(name[:-2], args)
+        raise DialectError(
+            f"{name} takes the {name[:-2]} arguments plus a "
+            "trailing condition"
         )
     if name == "retentionIf" and len(args) >= 2:
         # -If on retention: excluded rows must match NO stage — AND
@@ -8695,11 +8713,14 @@ _RESAMPLE_HEADS = (
 )
 
 
-#: hard bound on the expression-position weighted-quantile collect
-#: state (r15, VERDICT r14 item 4): pairs per GROUP.  Groups larger
-#: than this refuse at runtime with a pointer to the statement-owned
-#: value-compressed re-plan — the collect is bounded-by-constant, not
-#: data-shaped.  2^20 structs ≈ 16 MiB of executor state per group.
+#: contract bound on the expression-position weighted-quantile
+#: collect (r15, VERDICT r14 item 4): pairs per GROUP.  Groups
+#: larger than this refuse LOUDLY at runtime with a pointer to the
+#: statement-owned value-compressed re-plan.  NOTE the guard runs
+#: after collect_list materializes, so it enforces the contract (no
+#: silent wrong-scale use) — it does not shrink the transient
+#: collect memory itself; the re-plan is the scale path
+#: (code-review r15a: the first comment overclaimed "bounded").
 _QW_COLLECT_CAP = 1 << 20
 
 
@@ -13222,6 +13243,31 @@ _QW_RESIDUAL_WORDS = frozenset((
 ))
 
 
+#: two-char operators the single-char tokenizer splits — re-joined
+#: without the space (code-review r15a: ' '.join emitted '> =')
+_QW_COMPOUNDS = frozenset((
+    (">", "="), ("<", "="), ("!", "="), ("<", ">"), ("|", "|"),
+    (":", ":"),
+))
+
+
+def _join_code_tokens(ts: list[str]) -> str:
+    """Re-join code tokens into VALID SQL text: no space around '.'
+    (dot-leading decimals ``.5``, qualified names ``t.x``) and none
+    inside split two-char operators (code-review r15a: a plain
+    ``' '.join`` emitted ``'. 5'`` and ``'> ='``, both parse
+    errors)."""
+    out: list[str] = []
+    for n, t in enumerate(ts):
+        if out and not (
+            t == "." or ts[n - 1] == "."
+            or (ts[n - 1], t) in _QW_COMPOUNDS
+        ):
+            out.append(" ")
+        out.append(t)
+    return "".join(out)
+
+
 def _qw_extract_calls(ts: list[str]):
     """Replace every ``_QW_FAMILY`` call ``fn(g1)[(g2)]`` in ``ts``
     with a placeholder token ``__qw_cN``.  Returns
@@ -13322,11 +13368,15 @@ def _qw_parse_item(item: str):
         up = t.upper()
         nxt = template[n + 1] if n + 1 < len(template) else ""
         if nxt == "(":
-            # function head: whitelisted scalars or the CH to* cast
-            # family; aggregate heads must NOT run on the outer
-            # projection
-            if up in _QW_RESIDUAL_HEADS or re.fullmatch(
-                r"to[A-Z]\w*", t
+            # function head: whitelisted scalars, the CH to* cast
+            # family, or a type word with precision parens
+            # (DECIMAL(10, 2) — code-review r15a: the head check
+            # ran first and rejected it); aggregate heads must NOT
+            # run on the outer projection
+            if (
+                up in _QW_RESIDUAL_HEADS
+                or up in _QW_RESIDUAL_WORDS
+                or re.fullmatch(r"to[A-Z]\w*", t)
             ):
                 continue
             return None
@@ -13530,7 +13580,9 @@ def _qw_replan(toks: list[str], s: int, e: int):
                     parts.append(f"__qw_k{slot}")
                     continue
                 parts.append(t)
-            out_items.append(f"{' '.join(parts)} AS {alias}")
+            out_items.append(
+                f"{_join_code_tokens(parts)} AS {alias}"
+            )
         else:
             _, levels, is_arr, _, _, alias = it
             out_items.append(f"{q_body(levels, is_arr)} AS {alias}")

@@ -7150,3 +7150,48 @@ def test_r15_qw_expression_replan(spark):
         "FROM range(4)"
     ).collect()[0].r
     assert guarded == 4.0
+
+
+def test_r15_review_fixes(spark):
+    """Code-review r15a findings: dot-leading decimals and split
+    two-char operators survive the expression-position re-join;
+    CAST(... AS DECIMAL(p, s)) residuals re-plan; a NaN in the FFT
+    series yields NaN (Spark's NaN-is-largest would elect k=1);
+    arity-1 -If forms refuse instead of leaking; a non-integral
+    SipHash key raises instead of silently truncating."""
+    import math
+
+    register_clickhouse_compat(spark)
+    one = lambda e: spark.sql(  # noqa: E731
+        transpile(f"SELECT {e} AS v")
+    ).collect()[0].v
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW qw_r AS SELECT "
+        "CAST(id % 7 AS DOUBLE) v, id % 3 + 1 w2, "
+        "concat('g', id % 2) g FROM range(100)"
+    )
+    r = spark.sql(transpile(
+        "SELECT g, quantileExactWeighted(0.5)(v, w2) + .5 AS q "
+        "FROM qw_r GROUP BY g ORDER BY g"
+    )).collect()
+    assert [x.q for x in r] == [3.5, 3.5]
+    r2 = spark.sql(transpile(
+        "SELECT g, if(quantileExactWeighted(0.5)(v, w2) >= 3, 1, 0) "
+        "AS hi FROM qw_r GROUP BY g ORDER BY g"
+    )).collect()
+    assert [x.hi for x in r2] == [1, 1]
+    dec = transpile(
+        "SELECT g, CAST(quantileExactWeighted(0.5)(v, w2) "
+        "AS DECIMAL(10, 2)) AS q FROM qw_r GROUP BY g"
+    )
+    assert "collect_list" not in dec and "__qw_cw" in dec
+    assert math.isnan(one(
+        "seriesPeriodDetectFFT([1.0, toFloat64('NaN'), 2.0, 3.0, "
+        "4.0, 5.0])"
+    ))
+    with pytest.raises(DialectError, match="two-level"):
+        transpile("SELECT entropyIf(g) FROM t")
+    with pytest.raises(DialectError, match="condition"):
+        transpile("SELECT skewPopIf(v) FROM t")
+    with pytest.raises(Exception, match="integer"):
+        one("sipHash64Keyed((0.5, 0), 'x')")
