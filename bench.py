@@ -351,11 +351,14 @@ def main() -> int:
     _calib_kernel2()
     _calib_kernel2()
     calib2_runs: list[float] = []
-    for _ in range(5):
+    for _ in range(7):
         t0 = time.perf_counter()
         _calib_kernel2()
         calib2_runs.append(round(time.perf_counter() - t0, 3))
     calib2 = round(sorted(calib2_runs)[len(calib2_runs) // 2], 3)
+    calib2_spread = round(
+        (max(calib2_runs) - min(calib2_runs)) / calib2, 3
+    ) if calib2 else None
 
     # Best-of-2 per query: the second run has Catalyst planning + codegen
     # JIT warm, i.e. steady-state throughput — the quantity that scales to
@@ -513,6 +516,22 @@ def main() -> int:
         # moved, not the code
         "calib2_sec": calib2,
         "calib2_runs": calib2_runs,
+        "calib2_spread": calib2_spread,
+        # self-calibrating pick (r15, VERDICT r14 item 5): which
+        # kernel's norms to TRUST this round — the one with the
+        # lower measured spread.  Read rule (SCALING.md): compare
+        # rounds on headline_norm when calib_pick == "calib", on
+        # headline_norm2 when "calib2"; cross-kernel comparisons
+        # are meaningless (different workloads, different scales)
+        "calib_pick": (
+            "calib2"
+            if (
+                calib_spread is not None
+                and calib2_spread is not None
+                and calib2_spread < calib_spread
+            )
+            else "calib"
+        ),
         # calibration-normalized figures: seconds ÷ calib_sec — the
         # cross-round-comparable axis (SCALING.md "environment drift").
         # Units: multiples of the fixed 2B-row codegen workload.
@@ -521,6 +540,17 @@ def main() -> int:
         "queries_norm": {
             k: round(v / calib, 2) for k, v in timings.items()
         } if calib else None,
+        # the same figures on the SECOND kernel's axis (r15,
+        # VERDICT r14 item 5): archived every round so whichever
+        # kernel is steadier (calib_pick) has a full norm history
+        # to read against
+        "headline_norm2": round(total / calib2, 2) if calib2 else None,
+        "r01_subset_norm2": (
+            round(r01_total / calib2, 2) if calib2 else None
+        ),
+        "queries_norm2": {
+            k: round(v / calib2, 2) for k, v in timings.items()
+        } if calib2 else None,
         # >1.5× normalized movers vs the previous archived BENCH_full
         # whose confirm-rerun ALSO exceeded 1.5× (empty = no
         # confirmed regression; the in-round tripwire, r11 + r13)
