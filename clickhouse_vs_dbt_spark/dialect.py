@@ -366,6 +366,17 @@ _IF_REFUSE_THROUGH = frozenset((
 #: the inline union allocated a fresh set on every -If dispatch)
 _IF_DELEGATED = _IF_COMPOSED | _IF_REFUSE_THROUGH
 
+#: heads ClickHouse documents as SimpleAggregateFunction-compatible
+#: (docs: data-types/simpleaggregatefunction): for these the partial
+#: state IS the finished value, so the -SimpleState combinator
+#: delegates to the base register (r15 batch 29)
+_SIMPLE_STATE_HEADS = frozenset((
+    "any", "anyLast", "min", "max", "sum", "sumWithOverflow",
+    "groupBitAnd", "groupBitOr", "groupBitXor",
+    "groupArrayArray", "groupUniqArrayArray",
+    "sumMap", "minMap", "maxMap",
+))
+
 # ClickHouse aggregate heads with NO portable -State/-Merge algebra
 # here (lowercased, digit-stripped): their -State/-Merge forms must
 # REFUSE with the supported list rather than pass through into an
@@ -2999,10 +3010,12 @@ def _render_call(name: str, args: list[str]) -> str:
             f"shiftright({num(addr)}, 32 - {p}) = "
             f"shiftright({num(net)}, 32 - {p}) END)"
         )
-    if name.endswith("MappedArrays") and len(args) == 2 and name[
+    if name.endswith("MappedArrays") and name[
         : -len("MappedArrays")
     ] in ("sum", "min", "max"):
-        # CH synonyms of the two-array sumMap/minMap/maxMap spelling
+        # CH synonyms of the sumMap/minMap/maxMap spellings — any
+        # arity delegates (the base register validates; r15 batch
+        # 29: the two-arg gate leaked the single-Map-column form)
         return _render_call(name[: -len("MappedArrays")] + "Map", args)
     if name == "accurateCastOrDefault" and len(args) in (2, 3) \
             and args[1].startswith("'") and args[1].endswith("'"):
@@ -7770,13 +7783,22 @@ def _render_call(name: str, args: list[str]) -> str:
         name.endswith("Array")
         and name[: -len("Array")] in (
             "sum", "min", "max", "avg", "count", "groupArray",
-            "uniq", "uniqExact",
+            "uniq", "uniqExact", "groupUniqArray",
         )
         and len(args) == 1
     ):
         if name == "groupArrayArray":
             # -Array on groupArray concatenates the group's arrays
             return f"flatten(collect_list({args[0]}))"
+        if name == "groupUniqArrayArray":
+            # set union of the group's array elements — sorted for
+            # deterministic output (CH's set order is unspecified;
+            # the groupBitmap precedent) (r15 batch 29: the name
+            # leaked through the batch-28 set)
+            return (
+                f"array_sort(array_distinct(flatten("
+                f"collect_list({args[0]}))))"
+            )
         if name in ("uniqArray", "uniqExactArray"):
             # distinct count across all NON-NULL elements — the
             # exact tier (uniq is documented-approximate; exact is
@@ -7868,6 +7890,17 @@ def _render_call(name: str, args: list[str]) -> str:
                 "zero value, which needs type information — spell it "
                 f"as coalesce({base}(x), <default>)"
             )
+    if (
+        name.endswith("SimpleState")
+        and name[: -len("SimpleState")] in _SIMPLE_STATE_HEADS
+    ):
+        # r15 batch 29: SimpleAggregateFunction's "state" IS the
+        # finished value (that is the type's whole point — merge is
+        # just the aggregate re-applied), so -SimpleState delegates
+        # to the base register for every head CH documents as
+        # SimpleAggregateFunction-compatible.  sumWithOverflow
+        # refuses THROUGH the base (width declaration needed).
+        return _render_call(name[: -len("SimpleState")], args)
     for suffix in ("SimpleState", "MergeState", "State", "Merge"):
         if name.endswith(suffix) and len(name) > len(suffix):
             base = name[: -len(suffix)]
@@ -8232,6 +8265,67 @@ def _render_call(name: str, args: list[str]) -> str:
             f"element_at(transform(array({inner}), "
             f"__mt -> map_from_arrays(__mt.keys, __mt.values)), 1)"
         )
+    if name in ("avgMap", "countMap") and len(args) == 1:
+        # -Map combinator members the sum/min/max trio doesn't cover
+        # (r15 batch 29): per-key count = sumMap over 1s (NULL
+        # values skip, like every CH aggregate); per-key avg = the
+        # two maps zipped keywise.  Map-typed input like the
+        # sumMap(m) form; count values are BIGINT (CH UInt64), avg
+        # DOUBLE (CH Float64).
+        m = args[0]
+        ones = (
+            f"map_from_arrays(map_keys({m}), "
+            f"transform(map_values({m}), __cm -> "
+            f"IF(__cm IS NULL, CAST(NULL AS INT), 1)))"
+        )
+        cnt = _render_call("sumMap", [ones])
+        if name == "countMap":
+            return (
+                f"element_at(transform(array({cnt}), __cm2 -> "
+                "transform_values(__cm2, (__ck, __cv) -> "
+                "CAST(__cv AS BIGINT))), 1)"
+            )
+        s_map = _render_call("sumMap", [m])
+        return (
+            f"element_at(transform(array(named_struct("
+            f"'s', {s_map}, 'c', {cnt})), __am -> "
+            "map_zip_with(__am.s, __am.c, "
+            "(__mk, __mv, __mc) -> __mv / __mc)), 1)"
+        )
+    if name.endswith("Map") and len(args) == 1 and name[:-3] in (
+        "uniq", "uniqExact", "any", "anyLast", "median",
+        "groupArray", "groupUniqArray", "argMax", "argMin",
+    ):
+        raise DialectError(
+            f"{name}: the -Map combinator re-aggregates per map key "
+            "— ARRAY JOIN mapEntries(m) and GROUP BY the key, or "
+            "use sum/min/max/avg/countMap"
+        )
+    if name in ("hasAnyTokens", "hasAllTokens") and len(args) == 2:
+        # CH 24.x full-text helpers: OR/AND composition over the
+        # hasToken word-boundary regex (r15 batch 29).  Needles must
+        # be a literal array — each token builds its regex at
+        # transpile time (the hasToken contract).
+        arr = args[1].strip()
+        m_ = re.fullmatch(r"array\((.*)\)", arr, re.DOTALL)
+        if not m_:
+            raise DialectError(
+                f"{name}: needles must be a literal array — each "
+                "token builds a word-boundary regex at transpile "
+                "time (the hasToken contract)"
+            )
+        needles = [
+            p.strip() for p in _split_top_commas(m_.group(1))
+            if p.strip()
+        ]
+        if not needles:
+            # vacuous: ANY over nothing is false, ALL is true
+            return "false" if name == "hasAnyTokens" else "true"
+        cells = [
+            _render_call("hasToken", [args[0], n]) for n in needles
+        ]
+        op = " OR " if name == "hasAnyTokens" else " AND "
+        return "(" + op.join(f"({c})" for c in cells) + ")"
     if name == "groupConcat" and len(args) in (1, 2):
         # CH groupConcat/group_concat — same unspecified-order
         # contract as groupArray→collect_list (documented)
@@ -21787,6 +21881,141 @@ def q_dialect_series_fft(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# 46 (r15). audit batch 29 value gate, per-row tier: the CH 24.x
+#     scalar wave — clamp, punycode round-trip (RFC 3492: pure-ASCII
+#     input appends '-'), editDistance (DuckDB levenshtein is the
+#     independent oracle), stringJaccardIndex (DuckDB jaccard — both
+#     character-set based), countEqual / arrayJaccardIndex list
+#     algebra, arrayRotateLeft / arrayShiftLeft(+default),
+#     hasAnyTokens / hasAllTokens literal-array expansion over the
+#     hasToken word-boundary regex, and the days-since-year-zero
+#     codec pair (1970-01-01 = 719528).
+_CH_PROBE28 = """
+SELECT o_orderkey AS k,
+       clamp(toFloat64(o_orderkey % 100), 10.0, 50.0) AS cl,
+       punycodeEncode(concat('str', toString(o_orderkey % 4))) AS pe,
+       punycodeDecode(punycodeEncode(
+           concat('u', toString(o_orderkey % 3)))) AS prt,
+       toInt64(editDistance(o_orderpriority, o_orderstatus)) AS ed,
+       stringJaccardIndex(o_orderpriority, '2-HIGH') AS sj,
+       toInt64(countEqual(
+           [o_orderkey % 7, o_orderkey % 5, 3], 3)) AS ceq,
+       arrayJaccardIndex([o_orderkey % 4, 9], [9, 2]) AS aj,
+       arrayStringConcat(arrayMap(x -> toString(x),
+           arrayRotateLeft(
+               [o_orderkey % 5, o_orderkey % 3, 7], 1)), ',') AS rot,
+       arrayStringConcat(arrayMap(x -> toString(x),
+           arrayShiftLeft(
+               [o_orderkey % 5, o_orderkey % 3, 7], 1, 99)), ',')
+           AS shl,
+       hasAnyTokens(o_orderpriority, ['URGENT', 'HIGH']) AS hat,
+       hasAllTokens(o_orderpriority, ['2', 'HIGH']) AS hall,
+       toInt64(toDaysSinceYearZero(CAST(o_orderdate AS DATE))) AS dz,
+       toString(fromDaysSinceYearZero(
+           toDaysSinceYearZero(CAST(o_orderdate AS DATE)))) AS frt
+FROM orders
+WHERE o_orderkey % 101 = 0
+ORDER BY k
+"""
+
+O_PROBE28 = """
+SELECT o_orderkey AS k,
+       greatest(10.0, least(CAST(o_orderkey % 100 AS DOUBLE), 50.0))
+           AS cl,
+       concat('str', CAST(o_orderkey % 4 AS VARCHAR), '-') AS pe,
+       concat('u', CAST(o_orderkey % 3 AS VARCHAR)) AS prt,
+       CAST(levenshtein(o_orderpriority, o_orderstatus) AS BIGINT)
+           AS ed,
+       jaccard(o_orderpriority, '2-HIGH') AS sj,
+       CAST(len(list_filter(
+           [o_orderkey % 7, o_orderkey % 5, 3], x -> x = 3))
+           AS BIGINT) AS ceq,
+       CAST(len(list_intersect([o_orderkey % 4, 9], [9, 2]))
+            AS DOUBLE) /
+       len(list_distinct(list_concat([o_orderkey % 4, 9], [9, 2])))
+           AS aj,
+       concat(CAST(o_orderkey % 3 AS VARCHAR), ',7,',
+              CAST(o_orderkey % 5 AS VARCHAR)) AS rot,
+       concat(CAST(o_orderkey % 3 AS VARCHAR), ',7,99') AS shl,
+       regexp_matches(o_orderpriority, '\\b(URGENT|HIGH)\\b') AS hat,
+       (o_orderpriority = '2-HIGH') AS hall,
+       CAST(datediff('day', DATE '1970-01-01', o_orderdate)
+            + 719528 AS BIGINT) AS dz,
+       strftime(o_orderdate, '%Y-%m-%d') AS frt
+FROM orders
+WHERE o_orderkey % 101 = 0
+ORDER BY k
+"""
+
+
+def q_dialect_probe28(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verbatim CH 24.x scalar-wave query (module doc #46)."""
+    return run_clickhouse_sql(spark, _CH_PROBE28, sf_dir, ("orders",))
+
+
+# 47 (r15). audit batch 29 value gate, aggregate tier: the
+#     -SimpleState delegates (SimpleAggregateFunction's state IS the
+#     finished value), the Map-typed -Map combinator members
+#     (avgMap / countMap over integer-valued doubles — sums exact in
+#     fp, so Spark and DuckDB divide the same rationals), the
+#     sumMappedArrays Map-column synonym, and the
+#     groupUniqArrayArray set union (sorted — CH's set order is
+#     unspecified, the groupBitmap precedent).
+_CH_PROBE29 = """
+SELECT o_orderstatus AS st,
+       minSimpleState(o_totalprice) AS mn,
+       maxSimpleState(o_totalprice) AS mx,
+       toInt64(sumSimpleState(o_orderkey % 100)) AS sm,
+       toInt64(groupBitOrSimpleState(o_orderkey % 255)) AS bor,
+       arrayStringConcat(arrayMap(x -> toString(x),
+           groupUniqArrayArraySimpleState(
+               [o_orderkey % 7, o_orderkey % 11])), ',') AS guaa,
+       avgMap(map('a', toFloat64(o_orderkey % 7),
+                  'b', toFloat64(o_orderkey % 3)))['a'] AS av_a,
+       avgMap(map('a', toFloat64(o_orderkey % 7),
+                  'b', toFloat64(o_orderkey % 3)))['b'] AS av_b,
+       toInt64(countMap(map('a', o_orderkey % 7,
+                            'b', o_orderkey % 3))['a']) AS ct_a,
+       sumMappedArrays(map('a', toFloat64(o_orderkey % 7),
+                           'b', toFloat64(o_orderkey % 3)))['b']
+           AS sm_b
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY st
+"""
+
+O_PROBE29 = """
+WITH u AS (
+  SELECT o_orderstatus AS st, o_orderkey % 7 AS v FROM orders
+  UNION
+  SELECT o_orderstatus, o_orderkey % 11 FROM orders)
+SELECT o.st, o.mn, o.mx, o.sm, o.bor, g.guaa,
+       o.av_a, o.av_b, o.ct_a, o.sm_b
+FROM (
+  SELECT o_orderstatus AS st,
+         min(o_totalprice) AS mn,
+         max(o_totalprice) AS mx,
+         CAST(sum(o_orderkey % 100) AS BIGINT) AS sm,
+         CAST(bit_or(o_orderkey % 255) AS BIGINT) AS bor,
+         avg(CAST(o_orderkey % 7 AS DOUBLE)) AS av_a,
+         avg(CAST(o_orderkey % 3 AS DOUBLE)) AS av_b,
+         CAST(count(*) AS BIGINT) AS ct_a,
+         CAST(sum(o_orderkey % 3) AS DOUBLE) AS sm_b
+  FROM orders GROUP BY st) o
+JOIN (
+  SELECT st, array_to_string(list_sort(list(v)), ',') AS guaa
+  FROM (SELECT DISTINCT st, v FROM u) GROUP BY st) g
+ON o.st = g.st
+ORDER BY o.st
+"""
+
+
+def q_dialect_probe29(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verbatim CH batch-29 aggregate-combinator query (module doc
+    #47)."""
+    return run_clickhouse_sql(spark, _CH_PROBE29, sf_dir, ("orders",))
+
+
 # 39 (r13). audit batch 17 value gate (per-row tier): MAC codec
 #     round-trips (the numeric side is the oracle's closed form),
 #     bitmap subset family over key-derived arrays, general-p
@@ -22102,6 +22331,8 @@ QUERIES = {
     "dialect_probe26": q_dialect_probe26,
     "dialect_probe27": q_dialect_probe27,
     "dialect_series_fft": q_dialect_series_fft,
+    "dialect_probe28": q_dialect_probe28,
+    "dialect_probe29": q_dialect_probe29,
     "dialect_tumble": q_dialect_tumble,
     "dialect_probe19": q_dialect_probe19,
     "dialect_star_modifiers": q_dialect_star_modifiers,
@@ -22209,6 +22440,8 @@ ORACLES = {
     "dialect_probe26": O_PROBE26,
     "dialect_probe27": O_PROBE27,
     "dialect_series_fft": O_SERIES_FFT,
+    "dialect_probe28": O_PROBE28,
+    "dialect_probe29": O_PROBE29,
     "dialect_tumble": O_TUMBLE,
     "dialect_probe19": O_PROBE19,
     "dialect_star_modifiers": O_STAR_MODIFIERS,

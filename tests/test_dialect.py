@@ -7195,3 +7195,63 @@ def test_r15_review_fixes(spark):
         transpile("SELECT skewPopIf(v) FROM t")
     with pytest.raises(Exception, match="integer"):
         one("sipHash64Keyed((0.5, 0), 'x')")
+
+
+def test_r15_batch29(spark):
+    """Audit batch 29: the -SimpleState ring delegates to the base
+    register for every SimpleAggregateFunction-compatible head
+    (state IS the value), groupUniqArrayArray is the sorted set
+    union, the Map-typed -Map combinator gains avg/count (exact
+    integer-valued-double division), sumMappedArrays delegates any
+    arity, hasAnyTokens/hasAllTokens expand literal arrays over the
+    hasToken regex, and the unownable heads refuse with pointers."""
+    register_clickhouse_compat(spark)
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW b29 AS SELECT id AS x, "
+        "CAST(id % 7 AS DOUBLE) AS v, array(id % 3, id % 5) AS a, "
+        "map('a', CAST(id % 7 AS DOUBLE), 'b', CAST(id % 3 AS "
+        "DOUBLE)) AS m FROM range(20)"
+    )
+    one = lambda e: spark.sql(  # noqa: E731
+        transpile(f"SELECT {e} AS r FROM b29")
+    ).collect()[0].r
+    assert one("minSimpleState(v)") == 0.0
+    assert one("maxSimpleState(v)") == 6.0
+    assert one("sumSimpleState(x)") == 190
+    assert one("groupBitOrSimpleState(x)") == 31
+    assert one("anyLastSimpleState(x)") == 19
+    assert one("groupUniqArrayArray(a)") == [0, 1, 2, 3, 4]
+    assert one("groupUniqArrayArraySimpleState(a)") == [0, 1, 2, 3, 4]
+    # avg of id%7 over 0..19: sum = 21 + 21 + 15 = 57, n = 20
+    assert one("avgMap(m)['a']") == 57.0 / 20
+    assert one("countMap(m)['b']") == 20
+    assert one("sumMappedArrays(m)['b']") == sum(
+        i % 3 for i in range(20)
+    )
+    lit = lambda e: spark.sql(  # noqa: E731
+        transpile(f"SELECT {e} AS r")
+    ).collect()[0].r
+    assert lit("hasAnyTokens('tok0 word', ['tok0', 'zz'])") is True
+    assert lit("hasAllTokens('tok0 word', ['tok0', 'zz'])") is False
+    assert lit("hasAnyTokens('x', [])") is False
+    assert lit("clamp(75.0, 10.0, 50.0)") == 50.0
+    assert lit("punycodeEncode('str3')") == "str3-"
+    assert lit("arrayRotateLeft([1, 2, 7], 1)") == [2, 7, 1]
+    assert lit("arrayShiftLeft([1, 2, 7], 1, 99)") == [2, 7, 99]
+    assert lit("countEqual([3, 5, 3], 3)") == 2
+    assert lit("arrayJaccardIndex([1, 2], [1, 3])") == 1.0 / 3
+    assert lit(
+        "toDaysSinceYearZero(toDate('1970-01-01'))"
+    ) == 719528
+    assert str(lit(
+        "fromDaysSinceYearZero(toDaysSinceYearZero("
+        "toDate('1995-06-17')))"
+    )) == "1995-06-17"
+    for bad, msg in [
+        ("uniqMap(m)", "ARRAY JOIN"),
+        ("anyMap(m)", "ARRAY JOIN"),
+        ("hasAnyTokens('x', a)", "literal array"),
+        ("sumWithOverflowSimpleState(x)", "width"),
+    ]:
+        with pytest.raises(DialectError, match=msg):
+            transpile(f"SELECT {bad} FROM b29")
