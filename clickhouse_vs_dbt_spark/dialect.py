@@ -349,6 +349,9 @@ _IF_COMPOSED = frozenset((
     "sumArray", "minArray", "maxArray", "avgArray", "countArray",
     "uniqArray", "uniqExactArray", "groupArrayArray",
     "sumForEach", "minForEach", "maxForEach", "avgForEach",
+    # r15b batch-29 heads: masking the single argument by the
+    # condition drops excluded rows at collect (NULL map/array)
+    "groupUniqArrayArray", "avgMap", "countMap",
 ))
 
 # heads whose -If form composes through the SAME mask-and-delegate
@@ -393,7 +396,8 @@ _CH_AGG_HEADS = frozenset(
     exponentialmovingaverage uniqtheta intervalLengthSum
     simplelinearregression stochasticlinearregression
     stochasticlogisticregression largesttrianglethreebuckets
-    intervallengthsum""".lower().split()
+    intervallengthsum groupuniqarrayarray avgmap countmap
+    """.lower().split()
 )
 
 
@@ -4487,11 +4491,18 @@ def _render_call(name: str, args: list[str]) -> str:
     if name == "moduloOrZero" and len(args) == 2:
         return f"IF(({args[1]}) = 0, 0, ({args[0]}) % ({args[1]}))"
     if name == "max2" and len(args) == 2:
-        return f"greatest({args[0]}, {args[1]})"
+        # delegate to the greatest REGISTER: CH NULL-propagates
+        # where Spark's raw greatest() skips NULL args (r15b — the
+        # least/greatest registers wrap for exactly this)
+        return _render_call("greatest", args)
     if name == "min2" and len(args) == 2:
-        return f"least({args[0]}, {args[1]})"
+        return _render_call("least", args)
     if name == "clamp" and len(args) == 3:
-        return f"least(greatest({args[0]}, {args[1]}), {args[2]})"
+        return _render_call(
+            "least",
+            [f"({_render_call('greatest', [args[0], args[1]])})",
+             args[2]],
+        )
     # ---- r13 audit batch 18 ---------------------------------------
     if name == "mapContainsValue" and len(args) == 2:
         # coalesce: array_contains NULL-propagates on a miss over
@@ -6967,7 +6978,12 @@ def _render_call(name: str, args: list[str]) -> str:
         # refinement of "some frequent value")
         return f"mode({args[0]})"
     if name == "countEqual" and len(args) == 2:
-        return f"size(filter({args[0]}, __ce -> __ce = ({args[1]})))"
+        # <=>: CH counts NULL needles against NULL elements
+        # (docs pin countEqual([1, 2, NULL, NULL], NULL) = 2) —
+        # '=' would drop every NULL comparison (r15b)
+        return (
+            f"size(filter({args[0]}, __ce -> __ce <=> ({args[1]})))"
+        )
     if name == "arrayAvg" and len(args) == 1:
         a = args[0]
         return (
@@ -7795,9 +7811,13 @@ def _render_call(name: str, args: list[str]) -> str:
             # deterministic output (CH's set order is unspecified;
             # the groupBitmap precedent) (r15 batch 29: the name
             # leaked through the batch-28 set)
+            # NULL elements filtered: CH groupUniqArray skips
+            # NULLs and array_distinct would keep one (the r14e
+            # uniqArray lesson; r15b)
             return (
-                f"array_sort(array_distinct(flatten("
-                f"collect_list({args[0]}))))"
+                f"array_sort(array_distinct(filter(flatten("
+                f"collect_list({args[0]})), "
+                f"__gu -> __gu IS NOT NULL)))"
             )
         if name in ("uniqArray", "uniqExactArray"):
             # distinct count across all NON-NULL elements — the
@@ -8256,8 +8276,13 @@ def _render_call(name: str, args: list[str]) -> str:
         # Map-typed argument form (CH 22.x+): same per-key reduction,
         # but returned as a MAP (CH returns Map for Map input) — run
         # the tuple-of-arrays fold over (map_keys, map_values) and
-        # re-assemble
-        m = args[0]
+        # re-assemble.  NULL-valued entries are filtered FIRST (CH
+        # aggregates skip NULLs; the raw fold would NULL-poison the
+        # key — r15b)
+        m = (
+            f"map_filter({args[0]}, "
+            "(__mk0, __mv0) -> __mv0 IS NOT NULL)"
+        )
         inner = _render_call(
             name, [f"map_keys({m})", f"map_values({m})"]
         )
@@ -8267,30 +8292,47 @@ def _render_call(name: str, args: list[str]) -> str:
         )
     if name in ("avgMap", "countMap") and len(args) == 1:
         # -Map combinator members the sum/min/max trio doesn't cover
-        # (r15 batch 29): per-key count = sumMap over 1s (NULL
-        # values skip, like every CH aggregate); per-key avg = the
-        # two maps zipped keywise.  Map-typed input like the
-        # sumMap(m) form; count values are BIGINT (CH UInt64), avg
-        # DOUBLE (CH Float64).
+        # (r15 batch 29): ONE RLE fold over the group's sorted
+        # (key, value) entries accumulating per-key (sum, count) —
+        # the map argument is spliced exactly ONCE via map_entries
+        # (r15b: the first cut composed two sumMap folds, splicing
+        # the argument six times and NULL-poisoning keys — the fold
+        # FILTERS NULL values per CH's skip contract; a key whose
+        # values are all NULL is absent from the result).  count
+        # values are BIGINT (CH UInt64), avg DOUBLE (CH Float64).
         m = args[0]
-        ones = (
-            f"map_from_arrays(map_keys({m}), "
-            f"transform(map_values({m}), __cm -> "
-            f"IF(__cm IS NULL, CAST(NULL AS INT), 1)))"
+        entries = (
+            f"filter(transform(map_entries({m}), __me -> "
+            "named_struct('k', __me.key, "
+            "'v', CAST(__me.value AS DOUBLE))), "
+            "__mf -> __mf.v IS NOT NULL)"
         )
-        cnt = _render_call("sumMap", [ones])
-        if name == "countMap":
-            return (
-                f"element_at(transform(array({cnt}), __cm2 -> "
-                "transform_values(__cm2, (__ck, __cv) -> "
-                "CAST(__cv AS BIGINT))), 1)"
-            )
-        s_map = _render_call("sumMap", [m])
+        # typed empty accumulator derived FROM the input (map keys
+        # may be any type — a hardcoded STRING seed would miscast)
+        seed = (
+            "transform(slice(__mp, 1, 0), __z -> named_struct("
+            "'k', __z.k, 's', __z.v, 'c', CAST(1 AS BIGINT)))"
+        )
+        fold = (
+            "aggregate(__mp, " + seed + ", "
+            "(__ac, __p) -> IF(size(__ac) > 0 AND "
+            "element_at(__ac, -1).k = __p.k, "
+            "concat(slice(__ac, 1, size(__ac) - 1), "
+            "array(named_struct('k', __p.k, "
+            "'s', element_at(__ac, -1).s + __p.v, "
+            "'c', element_at(__ac, -1).c + 1))), "
+            "concat(__ac, array(named_struct('k', __p.k, "
+            "'s', __p.v, 'c', CAST(1 AS BIGINT))))))"
+        )
+        cell = (
+            "__q.s / __q.c" if name == "avgMap" else "__q.c"
+        )
         return (
-            f"element_at(transform(array(named_struct("
-            f"'s', {s_map}, 'c', {cnt})), __am -> "
-            "map_zip_with(__am.s, __am.c, "
-            "(__mk, __mv, __mc) -> __mv / __mc)), 1)"
+            "element_at(transform(array(element_at(transform(array("
+            f"array_sort(flatten(collect_list({entries})))), "
+            f"__mp -> {fold}), 1)), __mr -> map_from_arrays("
+            "transform(__mr, __q -> __q.k), "
+            f"transform(__mr, __q -> {cell}))), 1)"
         )
     if name.endswith("Map") and len(args) == 1 and name[:-3] in (
         "uniq", "uniqExact", "any", "anyLast", "median",
@@ -8326,6 +8368,12 @@ def _render_call(name: str, args: list[str]) -> str:
         ]
         op = " OR " if name == "hasAnyTokens" else " AND "
         return "(" + op.join(f"({c})" for c in cells) + ")"
+    if name in ("hasAnyTokens", "hasAllTokens"):
+        # wrong arity must refuse, not leak the CH name (r15b)
+        raise DialectError(
+            f"{name} takes (input, ['token', …]) — exactly two "
+            "arguments"
+        )
     if name == "groupConcat" and len(args) in (1, 2):
         # CH groupConcat/group_concat — same unspecified-order
         # contract as groupArray→collect_list (documented)
@@ -13341,7 +13389,7 @@ _QW_RESIDUAL_WORDS = frozenset((
 #: without the space (code-review r15a: ' '.join emitted '> =')
 _QW_COMPOUNDS = frozenset((
     (">", "="), ("<", "="), ("!", "="), ("<", ">"), ("|", "|"),
-    (":", ":"),
+    (":", ":"), ("=", "="),  # CH's == equality alias (r15b)
 ))
 
 

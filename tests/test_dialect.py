@@ -1083,9 +1083,9 @@ def test_scalar_extras_round5():
     assert transpile("bitCount(a)") == "bit_count(a)"
     assert transpile("isNaN(x)") == "isnan(x)"
     assert "NOT isnan(x)" in transpile("isFinite(x)")
-    assert "filter(arr, __ce -> __ce = (3))" in transpile(
+    assert "filter(arr, __ce -> __ce <=> (3))" in transpile(
         "countEqual(arr, 3)"
-    )
+    )  # <=>: NULL-as-value semantics (r15b)
     assert "/ size(arr))" in transpile("arrayAvg(arr)")
     assert "acc * CAST(x AS DOUBLE)" in transpile("arrayProduct(arr)")
 
@@ -7255,3 +7255,55 @@ def test_r15_batch29(spark):
     ]:
         with pytest.raises(DialectError, match=msg):
             transpile(f"SELECT {bad} FROM b29")
+
+
+def test_r15_batch29_review_fixes(spark):
+    """Code-review r15b findings on batch 29: == survives the
+    re-join; groupUniqArrayArray and the Map-typed folds skip NULL
+    values (no key poisoning); clamp/min2/max2 NULL-propagate like
+    CH; countEqual counts NULL needles (docs example); the new heads
+    close the combinator ring (-If composes, -State/-Merge and wrong
+    arities refuse)."""
+    register_clickhouse_compat(spark)
+    one = lambda e: spark.sql(  # noqa: E731
+        transpile(f"SELECT {e} AS v")
+    ).collect()[0].v
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW b29n AS SELECT id AS x, "
+        "map('a', CASE WHEN id = 1 THEN CAST(NULL AS DOUBLE) "
+        "ELSE CAST(id AS DOUBLE) END) AS m, "
+        "array(CAST(id AS INT), CASE WHEN id = 1 THEN "
+        "CAST(NULL AS INT) END) AS a FROM range(3)"
+    )
+    agg = lambda e: spark.sql(  # noqa: E731
+        transpile(f"SELECT {e} AS r FROM b29n")
+    ).collect()[0].r
+    assert agg("countMap(m)['a']") == 2
+    assert agg("avgMap(m)['a']") == 1.0
+    assert agg("sumMap(m)['a']") == 2.0
+    assert agg("avgMapIf(m, x <> 0)['a']") == 2.0
+    assert agg("countMap(map(x % 2, 1.0))[0]") == 2
+    assert agg("groupUniqArrayArray(a)") == [0, 1, 2]
+    assert one("clamp(toFloat64OrNull('x'), 1.0, 3.0)") is None
+    assert one("min2(toFloat64OrNull('x'), 1.0)") is None
+    assert one("max2(toFloat64OrNull('x'), 1.0)") is None
+    assert one("countEqual([1, 2, NULL, NULL], NULL)") == 2
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW qw_eq AS SELECT "
+        "CAST(id % 7 AS DOUBLE) v, id % 3 + 1 w2, "
+        "concat('g', id % 2) g FROM range(100)"
+    )
+    r = spark.sql(transpile(
+        "SELECT g, if(quantileExactWeighted(0.5)(v, w2) == 3, 1, 0) "
+        "AS hi FROM qw_eq GROUP BY g ORDER BY g"
+    )).collect()
+    assert [x.hi for x in r] == [1, 1]
+    assert "ch_" not in transpile(
+        "SELECT groupUniqArrayArrayIf(a, x > 1) FROM b29n"
+    )
+    for bad in (
+        "groupUniqArrayArrayState(a)", "avgMapState(m)",
+        "countMapMerge(m)", "hasAnyTokens(s)",
+    ):
+        with pytest.raises(DialectError):
+            transpile(f"SELECT {bad} FROM t")
