@@ -1956,6 +1956,10 @@ def _render_call(name: str, args: list[str]) -> str:
         # natively and errors LOUDLY on mixed year-month/day-time
         # (CH builds a tuple there; no silent divergence either way)
         return f"({args[0]} + {args[1]})"
+    if name == "subtractInterval" and len(args) == 2:
+        # the subtraction twin (r15 batch 30: addInterval mapped,
+        # subtractInterval leaked)
+        return f"({args[0]} - {args[1]})"
     if name == "intExp2" and len(args) == 1:
         return f"shiftleft(CAST(1 AS BIGINT), CAST({args[0]} AS INT))"
     if name == "intExp10" and len(args) == 1:
@@ -3075,6 +3079,52 @@ def _render_call(name: str, args: list[str]) -> str:
             "element_at(__row, __j) + CASE WHEN __ai <=> "
             "element_at(__lv.b, __j) THEN 0 ELSE 1 END))))), "
             "-1) END), 1)"
+        )
+    if name == "arrayLevenshteinDistanceWeighted" and len(args) == 4:
+        # weighted DP (r15 batch 30): deletion costs
+        # from_weights[i], insertion to_weights[j], substitution
+        # (equal ? 0 : wa[i] + wb[j]) — ClickHouse's cost model,
+        # docs example (['A','B','C'], ['A','K','L'], [1,2,3],
+        # [3,4,5]) = 14 pinned in tests.  Float64 result; same
+        # two-row nested-fold shape as arrayLevenshteinDistance;
+        # the four arrays bind ONCE via the struct; mismatched
+        # weight lengths throw (CH BAD_ARGUMENTS).
+        return (
+            f"element_at(transform(array(named_struct("
+            f"'a', {args[0]}, 'b', {args[1]}, "
+            f"'wa', {args[2]}, 'wb', {args[3]})), __lw -> "
+            "CASE WHEN size(__lw.a) != size(__lw.wa) "
+            "OR size(__lw.b) != size(__lw.wb) THEN "
+            "raise_error('arrayLevenshteinDistanceWeighted: each "
+            "array needs one weight per element') "
+            "WHEN size(__lw.a) = 0 THEN aggregate(__lw.wb, 0.0d, "
+            "(__s, __w) -> __s + CAST(__w AS DOUBLE)) "
+            "WHEN size(__lw.b) = 0 THEN aggregate(__lw.wa, 0.0d, "
+            "(__s, __w) -> __s + CAST(__w AS DOUBLE)) "
+            "ELSE element_at(aggregate(sequence(1, size(__lw.a)), "
+            "aggregate(sequence(1, size(__lw.b)), array(0.0d), "
+            "(__r0, __j) -> concat(__r0, array("
+            "element_at(__r0, -1) + "
+            "CAST(element_at(__lw.wb, __j) AS DOUBLE)))), "
+            "(__row, __i) -> aggregate(sequence(1, size(__lw.b)), "
+            "array(element_at(__row, 1) + "
+            "CAST(element_at(__lw.wa, __i) AS DOUBLE)), "
+            "(__cur, __j) -> concat(__cur, array(least("
+            "element_at(__row, __j + 1) + "
+            "CAST(element_at(__lw.wa, __i) AS DOUBLE), "
+            "element_at(__cur, __j) + "
+            "CAST(element_at(__lw.wb, __j) AS DOUBLE), "
+            "element_at(__row, __j) + CASE WHEN "
+            "element_at(__lw.a, __i) <=> element_at(__lw.b, __j) "
+            "THEN 0.0d ELSE "
+            "CAST(element_at(__lw.wa, __i) AS DOUBLE) + "
+            "CAST(element_at(__lw.wb, __j) AS DOUBLE) END))))), "
+            "-1) END), 1)"
+        )
+    if name == "arrayLevenshteinDistanceWeighted":
+        raise DialectError(
+            "arrayLevenshteinDistanceWeighted takes (from, to, "
+            "from_weights, to_weights)"
         )
     if name == "analysisOfVariance" and len(args) == 2:
         # one-way ANOVA over (value, category): sort the collected
@@ -9106,6 +9156,31 @@ def _render_parametric(name: str, params: list[str], args: list[str]) -> str:
         # all ClickHouse approximate-quantile registers; the Spark
         # register is percentile_approx — same role, different sketch
         return f"percentile_approx({args[0]}, {params[0]})"
+    if (
+        name in ("quantileDD", "medianDD")
+        and len(params) >= 1 and len(args) == 1
+    ):
+        # DDSketch(relative_accuracy[, level]) — the approximate-
+        # quantile ROLE → percentile_approx (the quantileTDigest/
+        # Timing/BFloat16 precedent: same contract class, different
+        # sketch; the relative-accuracy parameter has no
+        # percentile_approx twin and is documented as absorbed)
+        if name == "quantileDD" and len(params) > 2:
+            raise DialectError(
+                "quantileDD takes (relative_accuracy[, level]) — "
+                "use quantilesDD for multiple levels"
+            )
+        level = (
+            params[1]
+            if name == "quantileDD" and len(params) == 2 else "0.5"
+        )
+        return f"percentile_approx({args[0]}, {level})"
+    if name == "quantilesDD" and len(params) >= 2 and len(args) == 1:
+        levels = params[1:]
+        return (
+            f"percentile_approx({args[0]}, "
+            f"array({', '.join(levels)}))"
+        )
     if name == "quantileGK" and len(params) == 2 and len(args) == 1:
         # Greenwald-Khanna(accuracy, level) — percentile_approx IS
         # a GK-family sketch with the same (expr, level, accuracy)
@@ -9457,6 +9532,9 @@ _PARAMETRIC = {
     "maxMapFiltered",
     "quantileBFloat16",
     "quantileGK",
+    "quantileDD",
+    "quantilesDD",
+    "medianDD",
     "quantileExactInclusive",
     "quantileExactExclusive",
     "quantilesExactInclusive",
@@ -22064,6 +22142,52 @@ def q_dialect_probe29(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_clickhouse_sql(spark, _CH_PROBE29, sf_dir, ("orders",))
 
 
+# 48 (r15). audit batch 30 value gate: arrayLevenshteinDistance-
+#     Weighted (CH's per-element cost model — docs example pinned in
+#     tests; the gate uses length-1 arrays whose DP collapses to the
+#     closed form min(sub, del+ins) = wa+wb on mismatch), the
+#     subtractInterval twin, and the number-theory scalars
+#     (positiveModulo's [0, n) contract, gcd/lcm, bitTest, factorial)
+#     against DuckDB's own built-ins.
+_CH_PROBE30 = """
+SELECT o_orderkey AS k,
+       arrayLevenshteinDistanceWeighted(
+           [o_orderkey % 3], [o_orderkey % 5],
+           [1.0 + o_orderkey % 2], [2.0]) AS alw,
+       toString(subtractInterval(
+           toDateTime('2024-03-15 10:00:00'), INTERVAL 1 DAY))
+           AS subi,
+       toInt64(positiveModulo(0 - o_orderkey % 7, 3)) AS pm,
+       toInt64(gcd(o_orderkey % 12 + 1, 18)) AS g,
+       toInt64(lcm(o_orderkey % 4 + 1, 6)) AS l,
+       toInt64(bitTest(o_orderkey, 0)) AS bt,
+       toInt64(factorial(o_orderkey % 6)) AS fac
+FROM orders
+WHERE o_orderkey % 101 = 0
+ORDER BY k
+"""
+
+O_PROBE30 = """
+SELECT o_orderkey AS k,
+       CAST(CASE WHEN o_orderkey % 3 = o_orderkey % 5 THEN 0.0
+            ELSE 3.0 + o_orderkey % 2 END AS DOUBLE) AS alw,
+       '2024-03-14 10:00:00' AS subi,
+       CAST((((0 - o_orderkey % 7) % 3) + 3) % 3 AS BIGINT) AS pm,
+       CAST(gcd(o_orderkey % 12 + 1, 18) AS BIGINT) AS g,
+       CAST(lcm(o_orderkey % 4 + 1, 6) AS BIGINT) AS l,
+       CAST(o_orderkey % 2 AS BIGINT) AS bt,
+       CAST(factorial(CAST(o_orderkey % 6 AS INT)) AS BIGINT) AS fac
+FROM orders
+WHERE o_orderkey % 101 = 0
+ORDER BY k
+"""
+
+
+def q_dialect_probe30(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verbatim CH batch-30 query (module doc #48)."""
+    return run_clickhouse_sql(spark, _CH_PROBE30, sf_dir, ("orders",))
+
+
 # 39 (r13). audit batch 17 value gate (per-row tier): MAC codec
 #     round-trips (the numeric side is the oracle's closed form),
 #     bitmap subset family over key-derived arrays, general-p
@@ -22381,6 +22505,7 @@ QUERIES = {
     "dialect_series_fft": q_dialect_series_fft,
     "dialect_probe28": q_dialect_probe28,
     "dialect_probe29": q_dialect_probe29,
+    "dialect_probe30": q_dialect_probe30,
     "dialect_tumble": q_dialect_tumble,
     "dialect_probe19": q_dialect_probe19,
     "dialect_star_modifiers": q_dialect_star_modifiers,
@@ -22490,6 +22615,7 @@ ORACLES = {
     "dialect_series_fft": O_SERIES_FFT,
     "dialect_probe28": O_PROBE28,
     "dialect_probe29": O_PROBE29,
+    "dialect_probe30": O_PROBE30,
     "dialect_tumble": O_TUMBLE,
     "dialect_probe19": O_PROBE19,
     "dialect_star_modifiers": O_STAR_MODIFIERS,

@@ -7307,3 +7307,64 @@ def test_r15_batch29_review_fixes(spark):
     ):
         with pytest.raises(DialectError):
             transpile(f"SELECT {bad} FROM t")
+
+
+def test_r15_quantile_dd(spark):
+    """quantileDD/quantilesDD/medianDD (DDSketch) join the sketch-
+    quantile family on the percentile_approx register — same
+    approximate-quantile role, documented sketch difference; the
+    relative-accuracy parameter is absorbed (the quantileTDigest
+    precedent).  Exact on this integer fixture."""
+    register_clickhouse_compat(spark)
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW ddq AS "
+        "SELECT CAST(id AS DOUBLE) v FROM range(101)"
+    )
+    one = lambda e: spark.sql(  # noqa: E731
+        transpile(f"SELECT {e} AS r FROM ddq")
+    ).collect()[0].r
+    assert one("quantileDD(0.01, 0.5)(v)") == 50.0
+    assert one("quantileDD(0.01)(v)") == 50.0
+    assert one("medianDD(0.01)(v)") == 50.0
+    assert one("quantilesDD(0.01, 0.25, 0.75)(v)") == [25.0, 75.0]
+    with pytest.raises(DialectError, match="quantilesDD"):
+        transpile("SELECT quantileDD(0.01, 0.5, 0.9)(v) FROM ddq")
+
+
+def test_r15_batch30(spark):
+    """Audit batch 30: arrayLevenshteinDistanceWeighted implements
+    ClickHouse's per-element cost model (docs example pinned: 14),
+    subtractInterval is the addInterval twin, and the wave re-pins
+    the number-theory/bit/date-shift scalars.  quantileDD family
+    joins the sketch register (test_r15_quantile_dd)."""
+    register_clickhouse_compat(spark)
+    one = lambda e: spark.sql(  # noqa: E731
+        transpile(f"SELECT {e} AS v")
+    ).collect()[0].v
+    assert one(
+        "arrayLevenshteinDistanceWeighted(['A', 'B', 'C'], "
+        "['A', 'K', 'L'], [1.0, 2.0, 3.0], [3.0, 4.0, 5.0])"
+    ) == 14.0
+    assert one(
+        "arrayLevenshteinDistanceWeighted([1], [1], [3.0], [4.0])"
+    ) == 0.0
+    assert one(
+        "arrayLevenshteinDistanceWeighted([1, 2], [1], "
+        "[1.0, 5.0], [1.0])"
+    ) == 5.0
+    assert one(
+        "arrayLevenshteinDistanceWeighted(emptyArrayInt64(), "
+        "[1, 2], emptyArrayFloat64(), [2.0, 3.0])"
+    ) == 5.0
+    with pytest.raises(Exception, match="one weight"):
+        one("arrayLevenshteinDistanceWeighted([1], [2], "
+            "[1.0, 2.0], [1.0])")
+    with pytest.raises(DialectError, match="from_weights"):
+        transpile(
+            "SELECT arrayLevenshteinDistanceWeighted([1], [2], [1.0])"
+        )
+    assert str(one(
+        "subtractInterval(toDateTime('2024-03-15 10:00:00'), "
+        "INTERVAL 1 DAY)"
+    )) == "2024-03-14 10:00:00"
+    assert one("positiveModulo(0 - 5, 3)") == 1
