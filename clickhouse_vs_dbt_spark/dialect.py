@@ -9165,15 +9165,15 @@ def _render_parametric(name: str, params: list[str], args: list[str]) -> str:
         # Timing/BFloat16 precedent: same contract class, different
         # sketch; the relative-accuracy parameter has no
         # percentile_approx twin and is documented as absorbed)
-        if name == "quantileDD" and len(params) > 2:
+        # medianDD is CH's literal alias of quantileDD — it honors
+        # an explicit level the same way (code-review r15c: the
+        # name-gated check silently pinned medianDD to 0.5)
+        if len(params) > 2:
             raise DialectError(
-                "quantileDD takes (relative_accuracy[, level]) — "
+                f"{name} takes (relative_accuracy[, level]) — "
                 "use quantilesDD for multiple levels"
             )
-        level = (
-            params[1]
-            if name == "quantileDD" and len(params) == 2 else "0.5"
-        )
+        level = params[1] if len(params) == 2 else "0.5"
         return f"percentile_approx({args[0]}, {level})"
     if name == "quantilesDD" and len(params) >= 2 and len(args) == 1:
         levels = params[1:]

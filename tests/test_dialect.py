@@ -7326,9 +7326,14 @@ def test_r15_quantile_dd(spark):
     assert one("quantileDD(0.01, 0.5)(v)") == 50.0
     assert one("quantileDD(0.01)(v)") == 50.0
     assert one("medianDD(0.01)(v)") == 50.0
+    # medianDD is CH's literal quantileDD alias — an explicit level
+    # is honored (code-review r15c)
+    assert one("medianDD(0.01, 0.9)(v)") == 90.0
     assert one("quantilesDD(0.01, 0.25, 0.75)(v)") == [25.0, 75.0]
-    with pytest.raises(DialectError, match="quantilesDD"):
-        transpile("SELECT quantileDD(0.01, 0.5, 0.9)(v) FROM ddq")
+    for bad in ("quantileDD(0.01, 0.5, 0.9)(v)",
+                "medianDD(0.01, 0.5, 0.9)(v)"):
+        with pytest.raises(DialectError, match="quantilesDD"):
+            transpile(f"SELECT {bad} FROM ddq")
 
 
 def test_r15_batch30(spark):
