@@ -144,6 +144,20 @@ SHOWCASE = [
                               "back — no CartesianProduct, nested "
                               "loops only as one-row stats "
                               "broadcasts (r13→r14)"),
+    ("dialect_qw_expr", "weighted quantiles in EXPRESSION positions "
+                        "(round/arithmetic residuals): the same "
+                        "value-compressed two-pass plan — pre-GROUP "
+                        "BY (keys, value) partial+final pair, "
+                        "cumulative window over ≤distinct values, "
+                        "threshold MIN — no collect_list anywhere "
+                        "(r15)"),
+    ("dialect_series_fft", "per-row in-array DFT periodogram: pure "
+                           "scan-stage HOF codegen, zero shuffle "
+                           "below the final sort (r15)"),
+    ("dialect_probe29", "batch-29 aggregate combinators: map-entry "
+                        "RLE folds ride the ordinary "
+                        "partial+final HashAggregate pair — "
+                        "collect-class state per GROUP only (r15)"),
 ]
 
 
