@@ -10144,21 +10144,31 @@ def _rewrite_limit_by(toks: list[str], resolve_columns=None) -> list[str]:
             f"row_number() OVER (PARTITION BY {by_text} "
             f"ORDER BY {win_ord}) AS __limit_by_rn"
         )
+        refs = {
+            t
+            for t in _tokens(f"{by_text}, {win_ord}")
+            if _is_ident(t)
+            and t.upper() not in (
+                "ASC", "DESC", "NULLS", "FIRST", "LAST",
+                "AND", "OR", "NOT", "CASE", "WHEN", "THEN",
+                "ELSE", "END", "IS", "NULL", "IN",
+            )
+        }
         inject = False
-        if resolve_columns is not None:
-            head_cols = resolve_columns(f"({head_text})")
-            if head_cols is not None:
-                refs = {
-                    t
-                    for t in _tokens(f"{by_text}, {win_ord}")
-                    if _is_ident(t)
-                    and t.upper() not in (
-                        "ASC", "DESC", "NULLS", "FIRST", "LAST",
-                        "AND", "OR", "NOT", "CASE", "WHEN", "THEN",
-                        "ELSE", "END", "IS", "NULL", "IN",
-                    )
-                }
-                inject = any(r not in head_cols for r in refs)
+        head_cols = (
+            resolve_columns(f"({head_text})")
+            if resolve_columns is not None else None
+        )
+        if head_cols is None:
+            # resolver-blind fallback (r15 batch 31): decide from
+            # the TEXTUAL select list — a BY/ORDER ref that is not
+            # an output name of the head needs the inject path (CH
+            # ranks by unselected base columns; the simple wrap
+            # left them unresolvable over temp views the catalog
+            # resolver doesn't know)
+            head_cols = _select_out_names(head_text)
+        if head_cols is not None:
+            inject = any(r not in head_cols for r in refs)
         if inject:
             # rank inside the query's own select list, where
             # unselected base-table columns are in scope
@@ -11948,6 +11958,393 @@ def _rewrite_with_scalars(toks: list[str]) -> list[str]:
             out.append(t)
     prefix = f"WITH {', '.join(keep)} " if keep else ""
     return _tokens(prefix + "".join(out))
+
+
+def _rewrite_bare_having(toks: list[str]) -> list[str]:
+    """ClickHouse allows ``HAVING`` without GROUP BY on a
+    NON-aggregating select, where it filters the result rows (alias
+    references resolve) — Spark raises MISSING_GROUP_BY (r15 batch
+    31).  Conservative wrap: only for a FLAT statement (single
+    depth-0 SELECT, no set ops), a select list with no call parens
+    (so provably no aggregates — aggregate+HAVING is native Spark),
+    and a HAVING condition whose identifiers are all output names of
+    the head: ``SELECT * FROM (head) __hv WHERE cond [tail]``."""
+    depth = 0
+    sel = from_i = group_i = having_i = None
+    n = len(toks)
+    for i, t in enumerate(toks):
+        if t in ("(", "["):
+            depth += 1
+        elif t in (")", "]"):
+            depth -= 1
+        elif depth == 0 and _is_ident(t):
+            u = t.upper()
+            if u == "SELECT":
+                if sel is not None:
+                    return toks  # set op / multi-select — skip
+                sel = i
+            elif u in ("UNION", "INTERSECT", "EXCEPT"):
+                return toks
+            elif u == "FROM" and sel is not None and from_i is None:
+                from_i = i
+            elif u == "GROUP":
+                group_i = i
+            elif u == "HAVING" and having_i is None:
+                having_i = i
+    if (
+        sel is None or from_i is None or having_i is None
+        or group_i is not None
+    ):
+        return toks
+    if any("(" in t for t in toks[sel + 1:from_i]):
+        return toks  # calls in the select list — could aggregate
+    # condition span: HAVING .. depth-0 ORDER/LIMIT/SETTINGS/';'/end
+    depth = 0
+    cond_end = n
+    for i in range(having_i + 1, n):
+        t = toks[i]
+        if t in ("(", "["):
+            depth += 1
+        elif t in (")", "]"):
+            depth -= 1
+        elif depth == 0 and (
+            t == ";" or (
+                _is_ident(t)
+                and t.upper() in ("ORDER", "LIMIT", "SETTINGS",
+                                  "FORMAT")
+            )
+        ):
+            cond_end = i
+            break
+    head = "".join(toks[sel:having_i]).strip()
+    cond = "".join(toks[having_i + 1:cond_end]).strip()
+    names = _select_out_names(head)
+    if not cond or names is None:
+        return toks
+    cond_refs = {
+        t for t in _tokens(cond)
+        if _is_ident(t) and t.upper() not in (
+            "AND", "OR", "NOT", "IS", "NULL", "TRUE", "FALSE", "IN",
+            "BETWEEN", "LIKE", "CASE", "WHEN", "THEN", "ELSE", "END",
+        )
+    }
+    if any(r not in names for r in cond_refs):
+        return toks  # unselected base columns — leave to Spark
+    tail = "".join(toks[cond_end:])
+    return _tokens(
+        f"SELECT * FROM ({head}) __hv WHERE {cond} {tail}"
+    )
+
+
+#: identifier tokens that may directly precede a TUPLE's open paren
+#: (keyword context, not a function call) — the tuple-IN rewrite's
+#: call-vs-tuple disambiguation
+_TUPLE_CTX_KEYWORDS = frozenset((
+    "WHERE", "AND", "OR", "NOT", "ON", "WHEN", "THEN", "ELSE",
+    "CASE", "SELECT", "HAVING", "BY", "IN", "IS", "LIKE", "SET",
+    "PREWHERE", "RETURN", "ALL", "ANY", "END",
+))
+
+
+def _rewrite_tuple_in(toks: list[str]) -> list[str]:
+    """``(a, b) [NOT] IN ((1, 1), (2, 2))`` → an equality
+    disjunction (r15 batch 31): Spark parses both sides as structs
+    and rejects the comparison on FIELD-NAME mismatch
+    (named_struct('a', a, …) vs col1/col2), so the tuple-literal
+    membership form passed through as an AnalysisException.  NOT IN
+    wraps the disjunction in NOT(…) to keep three-valued NULL
+    semantics.  Subquery RHS and scalar lhs are untouched (Spark
+    handles those natively)."""
+    changed = True
+    while changed:
+        changed = False
+        for i, t in enumerate(toks):
+            if not (_is_ident(t) and t.upper() == "IN"):
+                continue
+            p = _prev_code(toks, i - 1)
+            if p < 0 or toks[p] != ")":
+                continue
+            # lhs tuple: walk back to the matching open paren
+            depth = 0
+            lo = None
+            for j in range(p, -1, -1):
+                if toks[j] == ")":
+                    depth += 1
+                elif toks[j] == "(":
+                    depth -= 1
+                    if depth == 0:
+                        lo = j
+                        break
+            if lo is None:
+                continue
+            lhs = [
+                s.strip()
+                for s in _split_top_commas(
+                    "".join(toks[lo + 1:p])
+                )
+            ]
+            if len(lhs) < 2:
+                continue  # scalar parenthesized expr — native IN
+            # a function call's close-paren also precedes IN:
+            # f(a, b) IN (...) — the token before the open paren
+            # must NOT be an identifier/')'/']'
+            pb = _prev_code(toks, lo - 1)
+            if pb >= 0 and (
+                toks[pb] in (")", "]")
+                or (
+                    _is_ident(toks[pb])
+                    and toks[pb].upper() not in _TUPLE_CTX_KEYWORDS
+                )
+            ):
+                continue  # f(a, b) IN (...) — a call, not a tuple
+            # NOT before the tuple?  CH spells (t) NOT IN (...) —
+            # the NOT sits between ')' and IN
+            # (we matched ')' directly before IN, so NOT can only
+            # precede the lhs tuple in the function-style spelling;
+            # handle the infix NOT IN form below instead)
+            rhs_open = _next_code(toks, i + 1)
+            if rhs_open >= len(toks) or toks[rhs_open] != "(":
+                continue
+            rhs_close = _match_close(toks, rhs_open)
+            if rhs_close is None:
+                continue
+            inner = _next_code(toks, rhs_open + 1)
+            if inner < len(toks) and _is_ident(toks[inner]) and \
+                    toks[inner].upper() in ("SELECT", "WITH"):
+                continue  # subquery — native
+            elems = [
+                s.strip()
+                for s in _split_top_commas(
+                    "".join(toks[rhs_open + 1:rhs_close])
+                )
+            ]
+            tuples = []
+            for el in elems:
+                if not (el.startswith("(") and el.endswith(")")):
+                    tuples = None
+                    break
+                parts = [
+                    s.strip()
+                    for s in _split_top_commas(el[1:-1])
+                ]
+                if len(parts) != len(lhs):
+                    raise DialectError(
+                        "tuple IN: every right-hand tuple needs "
+                        f"{len(lhs)} elements"
+                    )
+                tuples.append(parts)
+            if not tuples:
+                continue
+            disj = " OR ".join(
+                "("
+                + " AND ".join(
+                    f"({le}) = ({re_})"
+                    for le, re_ in zip(lhs, parts)
+                )
+                + ")"
+                for parts in tuples
+            )
+            # infix NOT: `(a, b) NOT IN (…)` tokenizes as
+            # ')' NOT IN — p points at ')' only when NOT is absent,
+            # so check the token between ')' and IN
+            toks[lo:rhs_close + 1] = _tokens(f"({disj})")
+            changed = True
+            break
+        if not changed:
+            # second pass for NOT IN: ')' NOT IN '('
+            for i, t in enumerate(toks):
+                if not (_is_ident(t) and t.upper() == "NOT"):
+                    continue
+                nin = _next_code(toks, i + 1)
+                if nin >= len(toks) or not (
+                    _is_ident(toks[nin])
+                    and toks[nin].upper() == "IN"
+                ):
+                    continue
+                p = _prev_code(toks, i - 1)
+                if p < 0 or toks[p] != ")":
+                    continue
+                # rewrite as NOT ((t) IN (...)) and loop again
+                depth = 0
+                lo = None
+                for j in range(p, -1, -1):
+                    if toks[j] == ")":
+                        depth += 1
+                    elif toks[j] == "(":
+                        depth -= 1
+                        if depth == 0:
+                            lo = j
+                            break
+                if lo is None:
+                    continue
+                if len(_split_top_commas(
+                    "".join(toks[lo + 1:p])
+                )) < 2:
+                    continue
+                pb = _prev_code(toks, lo - 1)
+                if pb >= 0 and (
+                    toks[pb] in (")", "]")
+                    or (
+                        _is_ident(toks[pb])
+                        and toks[pb].upper()
+                        not in _TUPLE_CTX_KEYWORDS
+                    )
+                ):
+                    continue
+                rhs_open = _next_code(toks, nin + 1)
+                if rhs_open >= len(toks) or toks[rhs_open] != "(":
+                    continue
+                rhs_close = _match_close(toks, rhs_open)
+                if rhs_close is None:
+                    continue
+                inner = _next_code(toks, rhs_open + 1)
+                if inner < len(toks) and _is_ident(toks[inner]) \
+                        and toks[inner].upper() in ("SELECT", "WITH"):
+                    continue
+                toks = (
+                    toks[:lo]
+                    + _tokens(" NOT (")
+                    + toks[lo:i]
+                    + toks[nin:rhs_close + 1]
+                    + _tokens(") ")
+                    + toks[rhs_close + 1:]
+                )
+                changed = True
+                break
+    return toks
+
+
+def _rewrite_offset_fetch(toks: list[str]) -> list[str]:
+    """ANSI ``[OFFSET n ROW[S]] FETCH FIRST|NEXT m ROW[S]
+    ONLY|WITH TIES`` → the LIMIT spelling Spark parses (r15 batch
+    31: the form passed through verbatim as a parse error).  ONLY →
+    ``LIMIT m OFFSET n``; WITH TIES → ``LIMIT m WITH TIES`` (the
+    existing ties machinery), refused with a nonzero OFFSET (the
+    two-pass boundary plan has no offset tier)."""
+    out: list[str] = []
+    i = 0
+    n = len(toks)
+
+    def code(j):
+        return _next_code(toks, j)
+
+    while i < n:
+        t = toks[i]
+        if not (_is_ident(t) and t.upper() in ("OFFSET", "FETCH")):
+            out.append(t)
+            i += 1
+            continue
+        # try to match the full ANSI shape starting here
+        off = None
+        j = i
+        if t.upper() == "OFFSET":
+            j1 = code(j + 1)
+            j2 = code(j1 + 1) if j1 < n else n
+            if (
+                j1 < n and re.fullmatch(r"\d+", toks[j1])
+                and j2 < n and toks[j2].upper() in ("ROW", "ROWS")
+            ):
+                nxt = code(j2 + 1)
+                if nxt < n and toks[nxt].upper() == "FETCH":
+                    off = int(toks[j1])
+                    j = nxt
+                else:
+                    # plain OFFSET n ROWS (no FETCH): Spark has no
+                    # ROW(S) word — emit OFFSET n
+                    out.append(f" OFFSET {toks[j1]} ")
+                    i = j2 + 1
+                    continue
+            else:
+                out.append(t)
+                i += 1
+                continue
+        if j < n and toks[j].upper() == "FETCH":
+            f1 = code(j + 1)
+            f2 = code(f1 + 1) if f1 < n else n
+            f3 = code(f2 + 1) if f2 < n else n
+            if (
+                f1 < n and toks[f1].upper() in ("FIRST", "NEXT")
+                and f2 < n and re.fullmatch(r"\d+", toks[f2])
+                and f3 < n and toks[f3].upper() in ("ROW", "ROWS")
+            ):
+                f4 = code(f3 + 1)
+                cnt = toks[f2]
+                if f4 < n and toks[f4].upper() == "ONLY":
+                    out.append(
+                        f" LIMIT {cnt}"
+                        + (f" OFFSET {off}" if off else " ")
+                    )
+                    i = f4 + 1
+                    continue
+                if (
+                    f4 < n and toks[f4].upper() == "WITH"
+                    and code(f4 + 1) < n
+                    and toks[code(f4 + 1)].upper() == "TIES"
+                ):
+                    if off:
+                        raise DialectError(
+                            "OFFSET … FETCH … WITH TIES: the ties "
+                            "boundary plan has no offset tier — "
+                            "drop the OFFSET or use ONLY"
+                        )
+                    out.append(f" LIMIT {cnt} WITH TIES ")
+                    i = code(f4 + 1) + 1
+                    continue
+            raise DialectError(
+                "FETCH takes FIRST|NEXT <n> ROW[S] ONLY|WITH TIES"
+            )
+        out.append(t)
+        i += 1
+    return _tokens("".join(out))
+
+
+def _select_out_names(head_text: str):
+    """Output column names of a flat SELECT, parsed TEXTUALLY —
+    the resolver-blind tier of the LIMIT BY inject decision (r15
+    batch 31).  Returns None when the list can't be enumerated
+    ('*' present, top-level DISTINCT — injecting a window into a
+    DISTINCT select would change its semantics — or no SELECT/FROM
+    shape)."""
+    toks = _tokens(head_text)
+    sel = from_i = None
+    depth = 0
+    for i, t in enumerate(toks):
+        if t in ("(", "["):
+            depth += 1
+        elif t in (")", "]"):
+            depth -= 1
+        elif depth == 0 and _is_ident(t):
+            u = t.upper()
+            if u == "SELECT" and sel is None:
+                sel = i
+            elif u == "DISTINCT" and sel is not None and from_i is None:
+                return None
+            elif u == "FROM" and sel is not None:
+                from_i = i
+                break
+    if sel is None or from_i is None:
+        return None
+    names: set[str] = set()
+    for item in _split_top_commas("".join(toks[sel + 1:from_i])):
+        ts = [t for t in _tokens(item) if not _is_skippable(t)]
+        if not ts:
+            continue
+        if "*" in ts:
+            return None
+        if (
+            len(ts) >= 3 and _is_ident(ts[-1])
+            and ts[-2].upper() == "AS"
+        ):
+            names.add(ts[-1])
+        elif len(ts) == 1 and _is_ident(ts[0]):
+            names.add(ts[0])
+        elif (
+            len(ts) == 3 and ts[1] == "." and _is_ident(ts[2])
+            and _is_ident(ts[0])
+        ):
+            names.add(ts[2])  # t.x projects as x
+        # other shapes contribute no name (CH auto-names by text)
+    return names
 
 
 def _rewrite_distinct_on(toks: list[str]) -> list[str]:
@@ -14417,8 +14814,11 @@ def transpile(sql: str, resolve_columns=None, engine_info=None) -> str:
     toks = _rewrite_star_modifiers(toks, resolve_columns)
     toks = _rewrite_type_casts(toks)
     toks = _rewrite_ternary(toks)
+    toks = _rewrite_tuple_in(toks)
+    toks = _rewrite_bare_having(toks)
     toks = _rewrite_in_table(toks, resolve_columns)
     toks = _rewrite_with_scalars(toks)
+    toks = _rewrite_offset_fetch(toks)
     toks = _rewrite_limit_ties(toks)
     toks = _rewrite_distinct_on(toks)
     toks = _rewrite_limit_by(toks, resolve_columns)
@@ -22188,6 +22588,51 @@ def q_dialect_probe30(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_clickhouse_sql(spark, _CH_PROBE30, sf_dir, ("orders",))
 
 
+# 49 (r15). audit batch 31, STATEMENT-form tier: four CH statement
+#     shapes that leaked as Spark analysis/parse errors — tuple
+#     [NOT] IN over literal tuple lists (→ equality disjunction;
+#     Spark's struct comparison trips on field names), DISTINCT ON
+#     with an UNSELECTED key (the LIMIT BY inject path now has a
+#     resolver-blind textual tier), HAVING without GROUP BY on a
+#     non-aggregating select (CH filters result rows; → subquery
+#     wrap), and ANSI OFFSET … FETCH FIRST … ROWS ONLY (→ LIMIT/
+#     OFFSET).  One query composes all four; the DuckDB oracle
+#     spells each out relationally.
+_CH_STATEMENT_FORMS = """
+SELECT k, st FROM (
+    SELECT DISTINCT ON (o_custkey)
+           o_orderkey AS k, o_orderstatus AS st
+    FROM orders
+    WHERE (o_orderkey % 7, o_orderkey % 3) NOT IN ((1, 1), (2, 2))
+    ORDER BY o_custkey, o_orderkey
+) HAVING k % 2 = 0
+ORDER BY k
+OFFSET 1 ROW FETCH FIRST 40 ROWS ONLY
+"""
+
+O_STATEMENT_FORMS = """
+WITH f AS (
+  SELECT o_orderkey AS k, o_orderstatus AS st,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderkey) AS rn
+  FROM orders
+  WHERE NOT ((o_orderkey % 7 = 1 AND o_orderkey % 3 = 1)
+          OR (o_orderkey % 7 = 2 AND o_orderkey % 3 = 2))
+)
+SELECT k, st FROM f WHERE rn = 1 AND k % 2 = 0
+ORDER BY k LIMIT 40 OFFSET 1
+"""
+
+
+def q_dialect_statement_forms(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Verbatim CH statement-forms query (module doc #49)."""
+    return run_clickhouse_sql(
+        spark, _CH_STATEMENT_FORMS, sf_dir, ("orders",)
+    )
+
+
 # 39 (r13). audit batch 17 value gate (per-row tier): MAC codec
 #     round-trips (the numeric side is the oracle's closed form),
 #     bitmap subset family over key-derived arrays, general-p
@@ -22506,6 +22951,7 @@ QUERIES = {
     "dialect_probe28": q_dialect_probe28,
     "dialect_probe29": q_dialect_probe29,
     "dialect_probe30": q_dialect_probe30,
+    "dialect_statement_forms": q_dialect_statement_forms,
     "dialect_tumble": q_dialect_tumble,
     "dialect_probe19": q_dialect_probe19,
     "dialect_star_modifiers": q_dialect_star_modifiers,
@@ -22616,6 +23062,7 @@ ORACLES = {
     "dialect_probe28": O_PROBE28,
     "dialect_probe29": O_PROBE29,
     "dialect_probe30": O_PROBE30,
+    "dialect_statement_forms": O_STATEMENT_FORMS,
     "dialect_tumble": O_TUMBLE,
     "dialect_probe19": O_PROBE19,
     "dialect_star_modifiers": O_STAR_MODIFIERS,

@@ -7373,3 +7373,63 @@ def test_r15_batch30(spark):
         "INTERVAL 1 DAY)"
     )) == "2024-03-14 10:00:00"
     assert one("positiveModulo(0 - 5, 3)") == 1
+
+
+def test_r15_statement_forms(spark):
+    """Audit batch 31, statement tier: tuple [NOT] IN literal lists
+    expand to equality disjunctions; DISTINCT ON / LIMIT BY rank by
+    UNSELECTED keys via the resolver-blind textual inject; bare
+    HAVING (no GROUP BY, no aggregates) wraps as a post-projection
+    filter; ANSI OFFSET/FETCH maps to LIMIT/OFFSET (WITH TIES rides
+    the ties machinery; ties+offset refuses)."""
+    register_clickhouse_compat(spark)
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW sf31 AS SELECT id AS x, "
+        "id % 3 AS g FROM range(20)"
+    )
+    run = lambda q: spark.sql(transpile(q)).collect()  # noqa: E731
+    assert [r.x for r in run(
+        "SELECT x FROM sf31 WHERE (x, g) IN ((1, 1), (2, 2)) "
+        "ORDER BY x"
+    )] == [1, 2]
+    assert [r.x for r in run(
+        "SELECT x FROM sf31 WHERE (x, g) NOT IN ((1, 1), (2, 2)) "
+        "AND x < 4 ORDER BY x"
+    )] == [0, 3]
+    # call-vs-tuple disambiguation and native forms untouched
+    assert [r.x for r in run(
+        "SELECT x FROM sf31 WHERE greatest(x, g) IN (2, 3) "
+        "ORDER BY x"
+    )] == [2, 3]
+    assert len(run(
+        "SELECT x FROM sf31 WHERE x IN (SELECT g FROM sf31)"
+    )) == 3
+    with pytest.raises(DialectError, match="tuple IN"):
+        transpile("SELECT x FROM sf31 WHERE (x, g) IN ((1, 1, 3))")
+    assert [r.x for r in run(
+        "SELECT DISTINCT ON (g) x FROM sf31 ORDER BY g, x"
+    )] == [0, 1, 2]
+    assert sorted(r.x for r in run(
+        "SELECT x FROM sf31 ORDER BY x LIMIT 2 BY g"
+    )) == [0, 1, 2, 3, 4, 5]
+    assert [r.y for r in run(
+        "SELECT x AS y FROM sf31 HAVING y > 16 ORDER BY y"
+    )] == [17, 18, 19]
+    assert [r.sx for r in run(
+        "SELECT sum(x) AS sx FROM sf31 HAVING sx > 10"
+    )] == [190]
+    assert [r.x for r in run(
+        "SELECT x FROM sf31 ORDER BY x OFFSET 2 ROWS "
+        "FETCH FIRST 3 ROWS ONLY"
+    )] == [2, 3, 4]
+    assert [r.x for r in run(
+        "SELECT x FROM sf31 ORDER BY x OFFSET 17 ROWS"
+    )] == [17, 18, 19]
+    assert sorted(r.g for r in run(
+        "SELECT g FROM sf31 ORDER BY g FETCH FIRST 7 ROWS WITH TIES"
+    )) == [0] * 7
+    with pytest.raises(DialectError, match="offset"):
+        transpile(
+            "SELECT x FROM sf31 ORDER BY x OFFSET 2 ROWS "
+            "FETCH FIRST 3 ROWS WITH TIES"
+        )
