@@ -10144,14 +10144,23 @@ def _rewrite_limit_by(toks: list[str], resolve_columns=None) -> list[str]:
             f"row_number() OVER (PARTITION BY {by_text} "
             f"ORDER BY {win_ord}) AS __limit_by_rn"
         )
+        ref_toks = [
+            t for t in _tokens(f"{by_text}, {win_ord}")
+            if not _is_skippable(t)
+        ]
         refs = {
-            t
-            for t in _tokens(f"{by_text}, {win_ord}")
+            t.lower()
+            for m, t in enumerate(ref_toks)
             if _is_ident(t)
             and t.upper() not in (
                 "ASC", "DESC", "NULLS", "FIRST", "LAST",
                 "AND", "OR", "NOT", "CASE", "WHEN", "THEN",
                 "ELSE", "END", "IS", "NULL", "IN",
+            )
+            # a head followed by '(' is a FUNCTION, not a column
+            # ref (code-review r15c: lower(y) forced inject)
+            and not (
+                m + 1 < len(ref_toks) and ref_toks[m + 1] == "("
             )
         }
         inject = False
@@ -10168,7 +10177,10 @@ def _rewrite_limit_by(toks: list[str], resolve_columns=None) -> list[str]:
             # resolver doesn't know)
             head_cols = _select_out_names(head_text)
         if head_cols is not None:
-            inject = any(r not in head_cols for r in refs)
+            # Spark resolves identifiers case-insensitively —
+            # compare casefolded (code-review r15c)
+            cols_cf = {c.lower() for c in head_cols}
+            inject = any(r not in cols_cf for r in refs)
         if inject:
             # rank inside the query's own select list, where
             # unselected base-table columns are in scope
@@ -12011,7 +12023,7 @@ def _rewrite_bare_having(toks: list[str]) -> list[str]:
             t == ";" or (
                 _is_ident(t)
                 and t.upper() in ("ORDER", "LIMIT", "SETTINGS",
-                                  "FORMAT")
+                                  "FORMAT", "OFFSET", "FETCH")
             )
         ):
             cond_end = i
@@ -12046,6 +12058,70 @@ _TUPLE_CTX_KEYWORDS = frozenset((
 ))
 
 
+def _tuple_in_lhs(toks: list[str], p: int):
+    """Shared lhs validation for the tuple-IN rewrite: ``toks[p]``
+    is the ')' before [NOT] IN.  Returns the matching open-paren
+    index when the group is a genuine TUPLE of >= 2 elements (not a
+    function call's argument list, not a row subquery), else
+    None."""
+    depth = 0
+    lo = None
+    for j in range(p, -1, -1):
+        if toks[j] == ")":
+            depth += 1
+        elif toks[j] == "(":
+            depth -= 1
+            if depth == 0:
+                lo = j
+                break
+    if lo is None:
+        return None
+    first = _next_code(toks, lo + 1)
+    if first < len(toks) and _is_ident(toks[first]) and \
+            toks[first].upper() in ("SELECT", "WITH"):
+        return None  # row subquery lhs — leave verbatim (r15c)
+    if len(_split_top_commas("".join(toks[lo + 1:p]))) < 2:
+        return None  # scalar parenthesized expr — native IN
+    pb = _prev_code(toks, lo - 1)
+    if pb >= 0 and (
+        toks[pb] in (")", "]")
+        or (
+            _is_ident(toks[pb])
+            and toks[pb].upper() not in _TUPLE_CTX_KEYWORDS
+        )
+    ):
+        return None  # f(a, b) IN (...) — a call, not a tuple
+    return lo
+
+
+def _tuple_eq(le: str, re_: str) -> str:
+    """Element equality for the tuple-IN expansion — RECURSIVE for
+    nested tuples (r15c: a raw ``(a, b) = (1, 1)`` reproduces the
+    struct field-name mismatch the rewrite exists to fix)."""
+    l_ = le.strip()
+    r_ = re_.strip()
+    if (
+        l_.startswith("(") and l_.endswith(")")
+        and r_.startswith("(") and r_.endswith(")")
+    ):
+        lp = [x.strip() for x in _split_top_commas(l_[1:-1])]
+        rp = [x.strip() for x in _split_top_commas(r_[1:-1])]
+        if len(lp) >= 2 or len(rp) >= 2:
+            if len(lp) != len(rp):
+                raise DialectError(
+                    "tuple IN: nested tuple arities differ "
+                    f"({len(lp)} vs {len(rp)})"
+                )
+            return (
+                "("
+                + " AND ".join(
+                    _tuple_eq(a, b) for a, b in zip(lp, rp)
+                )
+                + ")"
+            )
+    return f"({l_}) = ({r_})"
+
+
 def _rewrite_tuple_in(toks: list[str]) -> list[str]:
     """``(a, b) [NOT] IN ((1, 1), (2, 2))`` → an equality
     disjunction (r15 batch 31): Spark parses both sides as structs
@@ -12053,68 +12129,72 @@ def _rewrite_tuple_in(toks: list[str]) -> list[str]:
     (named_struct('a', a, …) vs col1/col2), so the tuple-literal
     membership form passed through as an AnalysisException.  NOT IN
     wraps the disjunction in NOT(…) to keep three-valued NULL
-    semantics.  Subquery RHS and scalar lhs are untouched (Spark
-    handles those natively)."""
+    semantics.  Subquery RHS/LHS and scalar lhs are untouched
+    (Spark handles those natively); nested tuple elements expand
+    recursively."""
     changed = True
     while changed:
         changed = False
+        # NOT IN first: normalize ') NOT IN (' to 'NOT ((t) IN (…))'
+        # so the plain pass below serves both spellings
+        for i, t in enumerate(toks):
+            if not (_is_ident(t) and t.upper() == "NOT"):
+                continue
+            nin = _next_code(toks, i + 1)
+            if nin >= len(toks) or not (
+                _is_ident(toks[nin]) and toks[nin].upper() == "IN"
+            ):
+                continue
+            p = _prev_code(toks, i - 1)
+            if p < 0 or toks[p] != ")":
+                continue
+            lo = _tuple_in_lhs(toks, p)
+            if lo is None:
+                continue
+            rhs_open = _next_code(toks, nin + 1)
+            if rhs_open >= len(toks) or toks[rhs_open] != "(":
+                continue
+            rhs_close = _match_close(toks, rhs_open)
+            inner = _next_code(toks, rhs_open + 1)
+            if inner < len(toks) and _is_ident(toks[inner]) and \
+                    toks[inner].upper() in ("SELECT", "WITH"):
+                continue
+            toks = (
+                toks[:lo]
+                + _tokens(" NOT (")
+                + toks[lo:i]
+                + toks[nin:rhs_close + 1]
+                + _tokens(") ")
+                + toks[rhs_close + 1:]
+            )
+            changed = True
+            break
+        if changed:
+            continue
         for i, t in enumerate(toks):
             if not (_is_ident(t) and t.upper() == "IN"):
                 continue
             p = _prev_code(toks, i - 1)
             if p < 0 or toks[p] != ")":
                 continue
-            # lhs tuple: walk back to the matching open paren
-            depth = 0
-            lo = None
-            for j in range(p, -1, -1):
-                if toks[j] == ")":
-                    depth += 1
-                elif toks[j] == "(":
-                    depth -= 1
-                    if depth == 0:
-                        lo = j
-                        break
+            lo = _tuple_in_lhs(toks, p)
             if lo is None:
                 continue
             lhs = [
-                s.strip()
-                for s in _split_top_commas(
-                    "".join(toks[lo + 1:p])
-                )
+                x.strip()
+                for x in _split_top_commas("".join(toks[lo + 1:p]))
             ]
-            if len(lhs) < 2:
-                continue  # scalar parenthesized expr — native IN
-            # a function call's close-paren also precedes IN:
-            # f(a, b) IN (...) — the token before the open paren
-            # must NOT be an identifier/')'/']'
-            pb = _prev_code(toks, lo - 1)
-            if pb >= 0 and (
-                toks[pb] in (")", "]")
-                or (
-                    _is_ident(toks[pb])
-                    and toks[pb].upper() not in _TUPLE_CTX_KEYWORDS
-                )
-            ):
-                continue  # f(a, b) IN (...) — a call, not a tuple
-            # NOT before the tuple?  CH spells (t) NOT IN (...) —
-            # the NOT sits between ')' and IN
-            # (we matched ')' directly before IN, so NOT can only
-            # precede the lhs tuple in the function-style spelling;
-            # handle the infix NOT IN form below instead)
             rhs_open = _next_code(toks, i + 1)
             if rhs_open >= len(toks) or toks[rhs_open] != "(":
                 continue
             rhs_close = _match_close(toks, rhs_open)
-            if rhs_close is None:
-                continue
             inner = _next_code(toks, rhs_open + 1)
             if inner < len(toks) and _is_ident(toks[inner]) and \
                     toks[inner].upper() in ("SELECT", "WITH"):
                 continue  # subquery — native
             elems = [
-                s.strip()
-                for s in _split_top_commas(
+                x.strip()
+                for x in _split_top_commas(
                     "".join(toks[rhs_open + 1:rhs_close])
                 )
             ]
@@ -12124,8 +12204,7 @@ def _rewrite_tuple_in(toks: list[str]) -> list[str]:
                     tuples = None
                     break
                 parts = [
-                    s.strip()
-                    for s in _split_top_commas(el[1:-1])
+                    x.strip() for x in _split_top_commas(el[1:-1])
                 ]
                 if len(parts) != len(lhs):
                     raise DialectError(
@@ -12138,79 +12217,15 @@ def _rewrite_tuple_in(toks: list[str]) -> list[str]:
             disj = " OR ".join(
                 "("
                 + " AND ".join(
-                    f"({le}) = ({re_})"
+                    _tuple_eq(le, re_)
                     for le, re_ in zip(lhs, parts)
                 )
                 + ")"
                 for parts in tuples
             )
-            # infix NOT: `(a, b) NOT IN (…)` tokenizes as
-            # ')' NOT IN — p points at ')' only when NOT is absent,
-            # so check the token between ')' and IN
             toks[lo:rhs_close + 1] = _tokens(f"({disj})")
             changed = True
             break
-        if not changed:
-            # second pass for NOT IN: ')' NOT IN '('
-            for i, t in enumerate(toks):
-                if not (_is_ident(t) and t.upper() == "NOT"):
-                    continue
-                nin = _next_code(toks, i + 1)
-                if nin >= len(toks) or not (
-                    _is_ident(toks[nin])
-                    and toks[nin].upper() == "IN"
-                ):
-                    continue
-                p = _prev_code(toks, i - 1)
-                if p < 0 or toks[p] != ")":
-                    continue
-                # rewrite as NOT ((t) IN (...)) and loop again
-                depth = 0
-                lo = None
-                for j in range(p, -1, -1):
-                    if toks[j] == ")":
-                        depth += 1
-                    elif toks[j] == "(":
-                        depth -= 1
-                        if depth == 0:
-                            lo = j
-                            break
-                if lo is None:
-                    continue
-                if len(_split_top_commas(
-                    "".join(toks[lo + 1:p])
-                )) < 2:
-                    continue
-                pb = _prev_code(toks, lo - 1)
-                if pb >= 0 and (
-                    toks[pb] in (")", "]")
-                    or (
-                        _is_ident(toks[pb])
-                        and toks[pb].upper()
-                        not in _TUPLE_CTX_KEYWORDS
-                    )
-                ):
-                    continue
-                rhs_open = _next_code(toks, nin + 1)
-                if rhs_open >= len(toks) or toks[rhs_open] != "(":
-                    continue
-                rhs_close = _match_close(toks, rhs_open)
-                if rhs_close is None:
-                    continue
-                inner = _next_code(toks, rhs_open + 1)
-                if inner < len(toks) and _is_ident(toks[inner]) \
-                        and toks[inner].upper() in ("SELECT", "WITH"):
-                    continue
-                toks = (
-                    toks[:lo]
-                    + _tokens(" NOT (")
-                    + toks[lo:i]
-                    + toks[nin:rhs_close + 1]
-                    + _tokens(") ")
-                    + toks[rhs_close + 1:]
-                )
-                changed = True
-                break
     return toks
 
 
@@ -12290,9 +12305,17 @@ def _rewrite_offset_fetch(toks: list[str]) -> list[str]:
                     out.append(f" LIMIT {cnt} WITH TIES ")
                     i = code(f4 + 1) + 1
                     continue
-            raise DialectError(
-                "FETCH takes FIRST|NEXT <n> ROW[S] ONLY|WITH TIES"
-            )
+            if (
+                f1 < n and toks[f1].upper() in ("FIRST", "NEXT")
+            ):
+                # matched prefix, malformed tail — refuse with the
+                # grammar instead of leaking a parse error
+                raise DialectError(
+                    "FETCH takes FIRST|NEXT <n> ROW[S] "
+                    "ONLY|WITH TIES"
+                )
+            # bare identifier `fetch` (a legal column name in both
+            # engines) — pass through (code-review r15c)
         out.append(t)
         i += 1
     return _tokens("".join(out))
@@ -12335,14 +12358,25 @@ def _select_out_names(head_text: str):
             len(ts) >= 3 and _is_ident(ts[-1])
             and ts[-2].upper() == "AS"
         ):
-            names.add(ts[-1])
+            names.add(ts[-1].lower())
         elif len(ts) == 1 and _is_ident(ts[0]):
-            names.add(ts[0])
+            names.add(ts[0].lower())
         elif (
             len(ts) == 3 and ts[1] == "." and _is_ident(ts[2])
             and _is_ident(ts[0])
         ):
-            names.add(ts[2])  # t.x projects as x
+            names.add(ts[2].lower())  # t.x projects as x
+        elif (
+            len(ts) >= 2 and _is_ident(ts[-1])
+            and (
+                _is_ident(ts[-2]) or ts[-2] in (")", "]")
+                or ts[-2][:1].isdigit() or ts[-2][:1] in "'\""
+            )
+        ):
+            # AS-less implicit alias: `SELECT x y` / `f(x) y`
+            # (code-review r15c: missing it flipped working wrap
+            # queries into the lateral-alias inject path)
+            names.add(ts[-1].lower())
         # other shapes contribute no name (CH auto-names by text)
     return names
 

@@ -7433,3 +7433,36 @@ def test_r15_statement_forms(spark):
             "SELECT x FROM sf31 ORDER BY x OFFSET 2 ROWS "
             "FETCH FIRST 3 ROWS WITH TIES"
         )
+
+
+def test_r15_statement_review_fixes(spark):
+    """Code-review r15c on batch 31: AS-less implicit aliases,
+    function heads in BY, and case-mismatched alias refs no longer
+    force the lateral-alias inject path; a row-subquery LHS passes
+    through verbatim; a bare `fetch` column survives; bare HAVING
+    composes with OFFSET/FETCH; nested tuple elements expand
+    recursively."""
+    register_clickhouse_compat(spark)
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW r15c AS SELECT id AS x, "
+        "id % 3 AS g FROM range(12)"
+    )
+    run = lambda q: spark.sql(transpile(q)).collect()  # noqa: E731
+    assert len(run("SELECT g y FROM r15c LIMIT 1 BY y")) == 3
+    assert len(run("SELECT g AS y FROM r15c LIMIT 1 BY abs(y)")) == 3
+    assert len(run("SELECT g AS Foo FROM r15c LIMIT 1 BY foo")) == 3
+    spark.sql("CREATE OR REPLACE TEMP VIEW tf15 AS SELECT 1 AS fetch")
+    assert run("SELECT fetch FROM tf15")[0][0] == 1
+    assert [r.y for r in run(
+        "SELECT x AS y FROM r15c HAVING y > 1 ORDER BY y "
+        "OFFSET 1 ROW FETCH FIRST 2 ROWS ONLY"
+    )] == [3, 4]
+    assert [r.x for r in run(
+        "SELECT x FROM r15c WHERE ((g, x), g) IN "
+        "(((1, 1), 1), ((2, 2), 2)) ORDER BY x"
+    )] == [1, 2]
+    # row-subquery lhs: not shredded into element comparisons
+    out = transpile(
+        "SELECT 1 FROM r15c WHERE (SELECT x, g FROM r15c) IN ((1, 2))"
+    )
+    assert "= (2)" not in out
