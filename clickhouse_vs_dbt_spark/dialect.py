@@ -3080,6 +3080,10 @@ def _render_call(name: str, args: list[str]) -> str:
             "element_at(__lv.b, __j) THEN 0 ELSE 1 END))))), "
             "-1) END), 1)"
         )
+    if name == "replicate" and len(args) == 2:
+        # CH's internal broadcast helper: x repeated once per
+        # element of arr (r15 batch 32)
+        return f"transform({args[1]}, __rp -> {args[0]})"
     if name == "arrayLevenshteinDistanceWeighted" and len(args) == 4:
         # weighted DP (r15 batch 30): deletion costs
         # from_weights[i], insertion to_weights[j], substitution

@@ -7466,3 +7466,20 @@ def test_r15_statement_review_fixes(spark):
         "SELECT 1 FROM r15c WHERE (SELECT x, g FROM r15c) IN ((1, 2))"
     )
     assert "= (2)" not in out
+
+
+def test_r15_batch32(spark):
+    """Audit batch 32 (re-pin wave + one mapping): replicate(x, arr)
+    broadcasts x once per element; the 3-arg transform keeps x on
+    no-match; block-scope functions wall with CH-block rationale."""
+    register_clickhouse_compat(spark)
+    one = lambda e: spark.sql(  # noqa: E731
+        transpile(f"SELECT {e} AS v")
+    ).collect()[0].v
+    assert one("replicate(7, [1, 2, 3])") == [7, 7, 7]
+    assert one("transform(7, [0, 1], [10, 20])") == 7
+    assert one("transform(1, [0, 1], [10, 20])") == 20
+    for bad in ("runningDifference(x)", "neighbor(x, 1)",
+                "blockSize()", "rowNumberInBlock()"):
+        with pytest.raises(DialectError):
+            transpile(f"SELECT {bad} FROM t")
