@@ -274,6 +274,14 @@ HEADLINE = [
     "dialect_series_tukey",
     "dialect_probe25",
     "dialect_probe26",
+    # r15 additions
+    "dialect_probe27",
+    "dialect_series_fft",
+    "dialect_qw_expr",
+    "dialect_probe28",
+    "dialect_probe29",
+    "dialect_probe30",
+    "dialect_statement_forms",
 ]
 
 

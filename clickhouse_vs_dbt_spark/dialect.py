@@ -22524,7 +22524,11 @@ def q_dialect_probe28(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     fp, so Spark and DuckDB divide the same rationals), the
 #     sumMappedArrays Map-column synonym, and the
 #     groupUniqArrayArray set union (sorted — CH's set order is
-#     unspecified, the groupBitmap precedent).
+#     unspecified, the groupBitmap precedent).  The input is
+#     SLICED (k % 11): these are collect-class aggregates whose
+#     state is O(group) — the gate checks VALUES, the slice keeps
+#     the probe off the bench's collect-scale path (r15 bench
+#     read).
 _CH_PROBE29 = """
 SELECT o_orderstatus AS st,
        minSimpleState(o_totalprice) AS mn,
@@ -22544,6 +22548,7 @@ SELECT o_orderstatus AS st,
                            'b', toFloat64(o_orderkey % 3)))['b']
            AS sm_b
 FROM orders
+WHERE o_orderkey % 11 = 0
 GROUP BY o_orderstatus
 ORDER BY st
 """
@@ -22551,8 +22556,10 @@ ORDER BY st
 O_PROBE29 = """
 WITH u AS (
   SELECT o_orderstatus AS st, o_orderkey % 7 AS v FROM orders
+  WHERE o_orderkey % 11 = 0
   UNION
-  SELECT o_orderstatus, o_orderkey % 11 FROM orders)
+  SELECT o_orderstatus, o_orderkey % 11 FROM orders
+  WHERE o_orderkey % 11 = 0)
 SELECT o.st, o.mn, o.mx, o.sm, o.bor, g.guaa,
        o.av_a, o.av_b, o.ct_a, o.sm_b
 FROM (
@@ -22565,7 +22572,7 @@ FROM (
          avg(CAST(o_orderkey % 3 AS DOUBLE)) AS av_b,
          CAST(count(*) AS BIGINT) AS ct_a,
          CAST(sum(o_orderkey % 3) AS DOUBLE) AS sm_b
-  FROM orders GROUP BY st) o
+  FROM orders WHERE o_orderkey % 11 = 0 GROUP BY st) o
 JOIN (
   SELECT st, array_to_string(list_sort(list(v)), ',') AS guaa
   FROM (SELECT DISTINCT st, v FROM u) GROUP BY st) g
