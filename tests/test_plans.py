@@ -272,6 +272,22 @@ def test_limit_by_dialect_is_single_keyed_window(spark, sf_dir):
     assert "row_number" in plan and "Join" not in plan
 
 
+def test_limit_by_analog_group_limit_is_partial_final(spark, sf_dir):
+    """limit_by_analog (the r15 rerun-confirmed bench mover — SCALING.md
+    r16 adjudication) must keep the two-stage WindowGroupLimit shape:
+    the Partial stage caps every input partition at n rows per key
+    BEFORE the keyed exchange, so the shuffle is metadata-sized at any
+    scale.  Either degradation mode (Partial lost → full-table shuffle;
+    WindowGroupLimit lost → full per-key sort) fails here."""
+    from clickhouse_vs_dbt_spark.operators.relational import (
+        q_limit_by_analog,
+    )
+
+    plan = _plan(q_limit_by_analog(spark, sf_dir))
+    assert plan.count("WindowGroupLimit") == 2
+    assert "Partial" in plan and "Final" in plan
+
+
 def test_funnel_fold_prefilters_chain_types(spark, sf_dir):
     """The windowFunnel fold must collect only the three chain event
     types — the pushed scan filter keeps non-chain events out of the
