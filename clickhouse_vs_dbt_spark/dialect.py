@@ -3709,11 +3709,55 @@ def _render_call(name: str, args: list[str]) -> str:
             "Spark UTF-8 strings — randomPrintableASCII(n) transpiles"
         )
     if name == "fuzzBits" and len(args) == 2:
+        # r16 flip of the batch-17 wall (VERDICT r15 item 5, the
+        # generateULID(expr)/canonicalRand deterministic style).
+        # ClickHouse fuzzBits(s, prob) flips each BIT of s with
+        # probability prob using server randomness; this tier is
+        # DETERMINISTIC: bit j of byte i flips iff the j-th 16-bit
+        # word of md5(s || ':' || i) lands under prob (resolution
+        # 1/65536 — draws are (w + 0.5)/65536 so prob=0 flips
+        # nothing and prob>=1 flips every bit).  Returns BINARY of
+        # the UTF-8 byte length (fuzzed bytes are rarely valid
+        # UTF-8 — the same reason the old wall refused; hex()
+        # composes as in CH, and prob=0 round-trips via
+        # CAST(.. AS STRING)).  The input binds ONCE (__fs), the
+        # hex image and per-byte md5 once each (__fb/__h).
+        import warnings
+
+        warnings.warn(
+            "fuzzBits(s, prob) maps to a DETERMINISTIC md5-seeded "
+            "tier: equal (s, prob) inputs produce EQUAL output "
+            "(ClickHouse redraws per call), flip probability is "
+            "quantized to 1/65536, and the result is BINARY — see "
+            "MIGRATION.md",
+            DialectWarning,
+            stacklevel=2,
+        )
+        mask = " + ".join(
+            f"(CASE WHEN (CAST(conv(substr(__h, {4 * j + 1}, 4), "
+            f"16, 10) AS INT) + 0.5) / 65536.0 < __fb.p THEN "
+            f"{1 << j} ELSE 0 END)"
+            for j in range(8)
+        )
+        perbyte = (
+            "element_at(transform(array(md5(concat(__fb.s, ':', "
+            "CAST(__i AS STRING)))), __h -> lpad(upper(conv(CAST(("
+            "CAST(conv(substr(__fb.hx, 2 * __i - 1, 2), 16, 10) "
+            f"AS INT) ^ ({mask})) AS STRING), 10, 16)), 2, '0')), 1)"
+        )
+        return (
+            f"element_at(transform(array(CAST({args[0]} AS STRING)), "
+            "__fs -> element_at(transform(array(named_struct("
+            "'s', __fs, 'hx', hex(CAST(__fs AS BINARY)), "
+            f"'p', CAST({args[1]} AS DOUBLE))), __fb -> "
+            "CASE WHEN length(__fb.hx) < 2 THEN unhex('') ELSE "
+            "unhex(array_join(transform(sequence(1, "
+            "CAST(length(__fb.hx) AS INT) DIV 2), __i -> "
+            f"{perbyte}), '')) END), 1)), 1)"
+        )
+    if name == "fuzzBits":
         raise DialectError(
-            "fuzzBits flips raw BYTES (a query-fuzzing utility) — "
-            "strings here are UTF-8 values with no byte-addressable "
-            "register; perturb explicitly with randomPrintableASCII "
-            "or rand()-gated CASE edits"
+            "fuzzBits(s, prob) takes exactly two arguments"
         )
     if name == "generateULID" and len(args) <= 1:
         # ULID writer (r14 flip of the batch-17 wall; public spec:
@@ -22678,6 +22722,83 @@ def q_dialect_statement_forms(
     )
 
 
+# 50 (r16). fuzzBits deterministic-tier value gate (VERDICT r15
+#     item 5 — the last named flippable refusal).  The DuckDB side
+#     REBUILDS the md5-seeded construction bit-for-bit (not a
+#     literal pin): per byte i, bit j flips iff the j-th 16-bit
+#     word of md5(s':'i) lands under prob.  Columns: fz/fzu are the
+#     real gates (derived ASCII string at p=.25; multi-byte UTF-8
+#     'café' at p=.1 — the byte-addressability the old wall said was
+#     impossible), fzl pins length preservation, fid the p=0
+#     identity, fall the p>=1 all-bits closed form (every byte
+#     XOR 0xFF, md5 not consulted because draws are < 1 surely).
+_CH_PROBE31 = """
+SELECT o_orderkey AS k,
+       hex(fuzzBits(concat('fz', toString(o_orderkey % 7)), 0.25))
+           AS fz,
+       hex(fuzzBits('café', 0.1)) AS fzu,
+       toInt64(length(hex(fuzzBits(
+           concat('fz', toString(o_orderkey % 7)), 0.25)))) AS fzl,
+       toInt64(hex(fuzzBits(o_orderstatus, 0.0))
+               = hex(o_orderstatus)) AS fid,
+       hex(fuzzBits(o_orderstatus, 1.0)) AS fall
+FROM orders
+WHERE o_orderkey % 101 = 0
+ORDER BY k
+"""
+
+
+def _o_fuzz_mask(s_sql: str, p: str) -> str:
+    """DuckDB mask rebuild for one byte __i of ``s_sql`` at literal
+    probability ``p`` (oracle-side twin of the dialect register)."""
+    return " + ".join(
+        f"(CASE WHEN (CAST(concat('0x', substring(md5(concat({s_sql}"
+        f", ':', CAST(__i AS VARCHAR))), {4 * j + 1}, 4)) AS INT) "
+        f"+ 0.5) / 65536.0 < {p} THEN {1 << j} ELSE 0 END)"
+        for j in range(8)
+    )
+
+
+def _o_fuzz_hex(s_sql: str, mask: str) -> str:
+    """DuckDB hex image of ``s_sql`` with per-byte ``mask`` XORed."""
+    return (
+        f"array_to_string(list_transform(range(1, "
+        f"length(hex({s_sql})) // 2 + 1), __i -> printf('%02X', "
+        f"xor(CAST(concat('0x', substring(hex({s_sql}), "
+        f"2 * __i - 1, 2)) AS INT), {mask}))), '')"
+    )
+
+
+O_PROBE31 = f"""
+WITH b AS (
+  SELECT o_orderkey AS k,
+         concat('fz', CAST(o_orderkey % 7 AS VARCHAR)) AS s1,
+         'café' AS s2,
+         o_orderstatus AS st
+  FROM orders WHERE o_orderkey % 101 = 0)
+SELECT k,
+       {_o_fuzz_hex('s1', _o_fuzz_mask('s1', '0.25'))} AS fz,
+       {_o_fuzz_hex('s2', _o_fuzz_mask('s2', '0.1'))} AS fzu,
+       CAST(length({_o_fuzz_hex('s1', _o_fuzz_mask('s1', '0.25'))})
+            AS BIGINT) AS fzl,
+       CAST(1 AS BIGINT) AS fid,
+       {_o_fuzz_hex('st', '255')} AS fall
+FROM b
+ORDER BY k
+"""
+
+
+def q_dialect_probe31(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verbatim CH fuzzBits query (module doc #50)."""
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", DialectWarning)
+        return run_clickhouse_sql(
+            spark, _CH_PROBE31, sf_dir, ("orders",)
+        )
+
+
 # 39 (r13). audit batch 17 value gate (per-row tier): MAC codec
 #     round-trips (the numeric side is the oracle's closed form),
 #     bitmap subset family over key-derived arrays, general-p
@@ -22997,6 +23118,7 @@ QUERIES = {
     "dialect_probe29": q_dialect_probe29,
     "dialect_probe30": q_dialect_probe30,
     "dialect_statement_forms": q_dialect_statement_forms,
+    "dialect_probe31": q_dialect_probe31,
     "dialect_tumble": q_dialect_tumble,
     "dialect_probe19": q_dialect_probe19,
     "dialect_star_modifiers": q_dialect_star_modifiers,
@@ -23108,6 +23230,7 @@ ORACLES = {
     "dialect_probe29": O_PROBE29,
     "dialect_probe30": O_PROBE30,
     "dialect_statement_forms": O_STATEMENT_FORMS,
+    "dialect_probe31": O_PROBE31,
     "dialect_tumble": O_TUMBLE,
     "dialect_probe19": O_PROBE19,
     "dialect_star_modifiers": O_STAR_MODIFIERS,

@@ -7483,3 +7483,47 @@ def test_r15_batch32(spark):
                 "blockSize()", "rowNumberInBlock()"):
         with pytest.raises(DialectError):
             transpile(f"SELECT {bad} FROM t")
+
+
+def test_r16_fuzzbits_deterministic_tier(spark):
+    """fuzzBits flip (VERDICT r15 item 5, the last named flippable
+    refusal): the md5-seeded deterministic tier.  Pins: prototype
+    byte-exact values (independently rebuilt in DuckDB by the
+    O_PROBE31 oracle), p=0 identity (valid-UTF-8 round trip), p>=1
+    all-bits closed form (every byte XOR 0xFF), multi-byte UTF-8
+    byte addressability, empty-string/NULL edges, determinism,
+    wrong-arity refusal, and the DETERMINISTIC DialectWarning."""
+    import warnings
+
+    from clickhouse_vs_dbt_spark.dialect import DialectWarning
+
+    register_clickhouse_compat(spark)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", DialectWarning)
+        one = lambda e: spark.sql(  # noqa: E731
+            transpile(f"SELECT {e} AS v")
+        ).collect()[0].v
+        assert one("hex(fuzzBits('café', 0.25))") == "6B4126DE88"
+        assert (
+            one("hex(fuzzBits('hello world', 0.1))")
+            == "79456469EF21336F724CE4"
+        )
+        # p=0: identity, still valid UTF-8 after the byte round trip
+        assert one(
+            "toString(CAST(fuzzBits('café', 0.0) AS String))"
+        ) == "café"
+        # p>=1: every 16-bit draw is < 1.0, so every bit flips
+        assert one("hex(fuzzBits('abc', 1.0))") == "9E9D9C"
+        # edges: empty in, empty out; NULL propagates
+        assert one("hex(fuzzBits('', 0.5))") == ""
+        assert one(
+            "fuzzBits(CAST(NULL AS String), 0.5)"
+        ) is None
+        # deterministic: equal inputs, equal bytes
+        assert one(
+            "hex(fuzzBits('seed', 0.3)) = hex(fuzzBits('seed', 0.3))"
+        ) is True
+    with pytest.raises(DialectError, match="two arguments"):
+        transpile("SELECT fuzzBits(s)")
+    with pytest.warns(DialectWarning, match="DETERMINISTIC"):
+        transpile("SELECT fuzzBits('x', 0.1)")
