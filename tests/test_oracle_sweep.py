@@ -49,7 +49,10 @@ def test_rotating_never_sampled_slice_cross_scale():
     r8 item 7), 30 → 40 in r11 (VERDICT r10 item 8: the driver
     resampled zero new queries in r10, cumulative coverage stuck at
     157/310, so this slice is the only instrument walking the
-    153-query tail — 40/round closes it in ~4 rounds)."""
+    153-query tail — 40/round closes it in ~4 rounds), 40 → 60 in
+    r16 (VERDICT r15 item 6: driver coverage stalled at 162/341 for
+    a third round, so the ~180-query tail should recycle every ~3
+    rounds, not ~6)."""
     import glob
     import json
 
@@ -63,8 +66,8 @@ def test_rotating_never_sampled_slice_cross_scale():
     never = sorted(set(entry.queries()) - sampled)
     if not never:
         pytest.skip("every query has been driver-sampled")
-    off = (len(rounds) * 40) % max(len(never), 1)
-    slice_ = (never + never)[off : off + 40][: len(never)]
+    off = (len(rounds) * 60) % max(len(never), 1)
+    slice_ = (never + never)[off : off + 60][: len(never)]
     proc = subprocess.run(
         [sys.executable, "tools/oracle_check.py",
          "/root/testdata/sf0.001", *slice_],
