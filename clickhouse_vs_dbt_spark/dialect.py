@@ -4338,7 +4338,17 @@ def _render_call(name: str, args: list[str]) -> str:
             return f"coalesce({sub}, {args[3]})"
         return sub
     # --- r7 probe batch 6: interval/map/misc migrant scalars ---
-    if name == "toStartOfInterval" and len(args) == 2:
+    # r16 audit batch 33 widens the register: the 3-arg ORIGIN form
+    # (CH 24.x) previously fell through as a LEAK; month-class
+    # INTERVAL n > 1 refused.  Second-class origins map with exact
+    # pmod arithmetic (pmod, not div — pre-origin timestamps floor
+    # down like CH, never toward zero); month-class n > 1 aligns in
+    # exact integer months since 1970-01 (add_months from the epoch,
+    # DATE result — CH's month-class result type); month-class WITH
+    # an origin refuses (CH steps calendar months from the origin's
+    # own day-of-month — Spark's months_between is 31-day-convention
+    # fractional, not that contract).
+    if name == "toStartOfInterval" and len(args) in (2, 3):
         im = re.match(
             r"(?is)\s*INTERVAL\s+(\d+)\s+(\w+)\s*$", args[1]
         )
@@ -4347,6 +4357,23 @@ def _render_call(name: str, args: list[str]) -> str:
             t = args[0]
             secs = {"SECOND": 1, "MINUTE": 60, "HOUR": 3600,
                     "DAY": 86400}.get(unit)
+            if len(args) == 3:
+                if secs is None:
+                    raise DialectError(
+                        "toStartOfInterval with origin maps for "
+                        "second-class units (SECOND/MINUTE/HOUR/DAY)"
+                        " — month-class units step calendar months "
+                        "from the origin's own day-of-month; spell "
+                        "with add_months arithmetic explicitly"
+                    )
+                w = n * secs
+                return (
+                    f"element_at(transform(array(named_struct("
+                    f"'t', unix_timestamp({t}), "
+                    f"'o', unix_timestamp({args[2]}))), __si -> "
+                    f"timestamp_seconds(__si.t "
+                    f"- pmod(__si.t - __si.o, {w}))), 1)"
+                )
             if secs is not None:
                 w = n * secs
                 if w == 86400:
@@ -4359,9 +4386,63 @@ def _render_call(name: str, args: list[str]) -> str:
                 "WEEK", "MONTH", "QUARTER", "YEAR",
             ):
                 return f"date_trunc('{unit.lower()}', {t})"
+            months = {"MONTH": 1, "QUARTER": 3, "YEAR": 12}.get(unit)
+            if months is not None:
+                m = n * months
+                return (
+                    f"element_at(transform(array("
+                    f"(year({t}) - 1970) * 12 + month({t}) - 1), "
+                    f"__mo -> add_months(DATE'1970-01-01', "
+                    f"__mo - pmod(__mo, {m}))), 1)"
+                )
         raise DialectError(
-            "toStartOfInterval: INTERVAL n SECOND/MINUTE/HOUR/DAY or "
-            "INTERVAL 1 WEEK/MONTH/QUARTER/YEAR"
+            "toStartOfInterval: INTERVAL n SECOND/MINUTE/HOUR/DAY/"
+            "MONTH/QUARTER/YEAR or INTERVAL 1 WEEK, optionally with "
+            "a second-class origin"
+        )
+    if name == "toStartOfInterval":
+        raise DialectError(
+            "toStartOfInterval takes 2 or 3 arguments"
+        )
+    if name == "stringCompare" and len(args) == 2:
+        # CH 25.1 three-way comparison.  Spark's UTF8String
+        # comparison is BYTE-wise (UTF-8 storage), the same order CH
+        # compares in — no collation detour.  NULL in either operand
+        # propagates (CH Nullable contract).
+        return (
+            f"element_at(transform(array(named_struct("
+            f"'a', {args[0]}, 'b', {args[1]})), __sc -> "
+            f"CASE WHEN __sc.a IS NULL OR __sc.b IS NULL "
+            f"THEN CAST(NULL AS INT) "
+            f"WHEN __sc.a = __sc.b THEN 0 "
+            f"WHEN __sc.a < __sc.b THEN -1 ELSE 1 END), 1)"
+        )
+    if name == "stringCompare":
+        raise DialectError(
+            "stringCompare maps in its 2-argument form; the "
+            "5-argument (offset, length) form's byte offsets have no "
+            "char-addressed Spark twin — spell the slice with "
+            "substring() explicitly and compare the pieces"
+        )
+    if name in ("searchAny", "searchAll"):
+        raise DialectError(
+            f"{name} queries a TEXT INDEX (CH 25.x experimental "
+            "full-text index; results depend on the index's "
+            "tokenizer) — hasAnyTokens/hasAllTokens cover the "
+            "token-match semantics without an index"
+        )
+    if name.startswith("numericIndexedVector"):
+        raise DialectError(
+            "numericIndexedVector* operates on CH's bit-sliced-index "
+            "vector STATE (25.x experimental) — keyed map/array "
+            "algebra (sumMap, mapAdd, zip_with) covers the pointwise "
+            "operations"
+        )
+    if name == "estimateCompressionRatio":
+        raise DialectError(
+            "estimateCompressionRatio samples the server codec "
+            "pipeline — compression is a storage property here "
+            "(parquet codec config), not an expression"
         )
     if name.startswith("toInterval") and len(args) == 1:
         # ANSI interval constructors (make_ym_interval /
@@ -14920,7 +15001,9 @@ def transpile(sql: str, resolve_columns=None, engine_info=None) -> str:
     toks = _guard_in_frame(toks)
     toks = _tokens("".join(toks))  # re-tokenize after clause splices
     return _rewrite_distinct_window(
-        _rewrite_tuple_index(_walk(toks, 0, len(toks)))
+        _rewrite_compound_window(
+            _rewrite_tuple_index(_walk(toks, 0, len(toks)))
+        )
     )
 
 
@@ -15103,6 +15186,135 @@ def _rewrite_distinct_window(sql: str) -> str:
                                     f"{over})"
                                 )
         i += 1
+    return "".join(toks)
+
+
+_WINDOW_OK_HEADS = frozenset((
+    "sum", "count", "avg", "mean", "min", "max", "collect_list",
+    "collect_set", "percentile", "percentile_approx",
+    "approx_count_distinct", "max_by", "min_by", "first",
+    "first_value", "last", "last_value", "any_value", "stddev",
+    "stddev_pop", "stddev_samp", "variance", "var_pop", "var_samp",
+    "covar_pop", "covar_samp", "corr", "skewness", "kurtosis",
+    "bit_or", "bit_and", "bit_xor", "bool_or", "bool_and",
+    "count_if", "row_number", "rank", "dense_rank", "ntile", "lag",
+    "lead", "nth_value", "cume_dist", "percent_rank", "try_sum",
+    "try_avg", "mode", "median", "regr_slope", "regr_intercept",
+    "regr_count", "regr_avgx", "regr_avgy", "regr_r2",
+))
+
+_INNER_AGG_HEADS = frozenset(
+    h for h in _WINDOW_OK_HEADS
+    if h not in (
+        "row_number", "rank", "dense_rank", "ntile", "lag", "lead",
+        "nth_value", "cume_dist", "percent_rank",
+    )
+)
+
+
+def _prev_code(toks: list[str], i: int) -> int:
+    """Index of the previous non-whitespace, non-comment token, or
+    -1."""
+    while i >= 0 and _is_skippable(toks[i]):
+        i -= 1
+    return i
+
+
+def _match_open(toks: list[str], close_i: int) -> int:
+    """Backward twin of ``_match_close``: index of the '(' matching
+    the ')' at ``close_i``, or -1."""
+    depth = 0
+    k = close_i
+    while k >= 0:
+        if toks[k] == ")":
+            depth += 1
+        elif toks[k] == "(":
+            depth -= 1
+            if depth == 0:
+                return k
+        k -= 1
+    return -1
+
+
+def _rewrite_compound_window(sql: str) -> str:
+    """Aggregate-as-window for COMPOUND-render heads (r16 audit
+    batch 33): CH allows ANY aggregate as a window function, but a
+    register whose render is a scalar fold over inner aggregates
+    (topK's RLE fold, sumCount's struct, avgWeighted's sum ratio,
+    the moment folds, sum/min/maxMap, groupArraySorted, …) leaves
+    ``<fold-expr> OVER (spec)`` — Spark parses the whole fold as the
+    window expression and fails MISSING_GROUP_BY (or a parse error
+    for paren-headed renders).  The fold is scalar post-processing
+    of its inner aggregates, so CH's window semantics are EXACTLY
+    the fold applied per-row to frame-scoped inner aggregates:
+    relocate the OVER spec onto every inner Spark aggregate call and
+    drop the outer one.  Plain-call heads (sum, max_by, percentile,
+    collect_list, ranking functions) are left untouched;
+    ``count(DISTINCT …) OVER`` produced by the relocation falls
+    through to ``_rewrite_distinct_window`` downstream, which runs
+    after this pass for exactly that reason.  Runs on the final
+    rendered SQL, like the DISTINCT-window pass."""
+    if "OVER" not in sql and "over" not in sql:
+        return sql
+    toks = _tokens(sql)
+    i = 0
+    while i < len(toks):
+        t = toks[i]
+        if not (_is_ident(t) and t.upper() == "OVER"):
+            i += 1
+            continue
+        close_i = _prev_code(toks, i - 1)
+        if close_i < 0 or toks[close_i] != ")":
+            i += 1
+            continue
+        open_i = _match_open(toks, close_i)
+        if open_i < 0:
+            i += 1
+            continue
+        head_i = _prev_code(toks, open_i - 1)
+        has_head = head_i >= 0 and _is_ident(toks[head_i])
+        if has_head and toks[head_i].lower() in _WINDOW_OK_HEADS:
+            i += 1
+            continue
+        # chained calls/subscripts before the head: extend left over
+        # ident/')'/']' runs so element_at(transform(...), 1) spans
+        # from element_at, and a bare grouping paren spans itself
+        expr_start = head_i if has_head else open_i
+        spec_i = _next_code(toks, i + 1)
+        if spec_i >= len(toks):
+            i += 1
+            continue
+        if toks[spec_i] == "(":
+            spec_end = _match_close(toks, spec_i)
+        elif _is_ident(toks[spec_i]):
+            spec_end = spec_i
+        else:
+            i += 1
+            continue
+        over_text = " " + "".join(toks[i:spec_end + 1])
+        expr = toks[expr_start:close_i + 1]
+        # attach the spec after every inner aggregate call
+        out: list[str] = []
+        k = 0
+        found = False
+        while k < len(expr):
+            e = expr[k]
+            out.append(e)
+            if _is_ident(e) and e.lower() in _INNER_AGG_HEADS:
+                nxt = _next_code(expr, k + 1)
+                if nxt < len(expr) and expr[nxt] == "(":
+                    close2 = _match_close(expr, nxt)
+                    out.extend(expr[k + 1:close2 + 1])
+                    out.append(over_text)
+                    found = True
+                    k = close2 + 1
+                    continue
+            k += 1
+        if not found:
+            i += 1
+            continue
+        toks[expr_start:spec_end + 1] = out
+        i = expr_start
     return "".join(toks)
 
 
@@ -22799,6 +23011,108 @@ def q_dialect_probe31(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
 
+# 51 (r16). audit batch 33 value gate, statement + scalar tier:
+#     GROUP BY ALL / ORDER BY ALL pass through to Spark's native
+#     forms (same non-aggregate-projection grouping rule as CH —
+#     pinned here rather than assumed), stringCompare's three-way
+#     byte comparison, and the widened toStartOfInterval register:
+#     month-class INTERVAL n > 1 (exact integer months since
+#     1970-01) and the 3-arg second-class ORIGIN form (exact pmod
+#     arithmetic — 90-minute buckets anchored half past the hour).
+_CH_PROBE32 = """
+SELECT o_orderstatus AS st,
+       round(sum(o_totalprice), 2) AS rev,
+       toInt64(count()) AS n,
+       toInt64(stringCompare(min(o_orderpriority),
+                             max(o_orderpriority))) AS sc,
+       toString(toStartOfInterval(min(o_orderdate),
+                                  INTERVAL 2 MONTH)) AS ms,
+       toString(toStartOfInterval(max(o_orderdate),
+           INTERVAL 90 MINUTE,
+           toDateTime('1995-01-01 00:30:00'))) AS og
+FROM orders
+WHERE o_orderkey % 11 = 0
+GROUP BY ALL
+ORDER BY ALL
+"""
+
+O_PROBE32 = """
+SELECT o_orderstatus AS st,
+       round(sum(o_totalprice), 2) AS rev,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(CASE WHEN min(o_orderpriority) = max(o_orderpriority)
+                 THEN 0
+                 WHEN min(o_orderpriority) < max(o_orderpriority)
+                 THEN -1 ELSE 1 END AS BIGINT) AS sc,
+       strftime(DATE '1970-01-01' + to_months(CAST(
+           ((year(min(o_orderdate)) - 1970) * 12
+            + month(min(o_orderdate)) - 1)
+           - ((year(min(o_orderdate)) - 1970) * 12
+              + month(min(o_orderdate)) - 1) % 2 AS INT)),
+           '%Y-%m-%d') AS ms,
+       strftime(make_timestamp(CAST(
+           (epoch(max(o_orderdate))
+            - ((epoch(max(o_orderdate))
+                - epoch(TIMESTAMP '1995-01-01 00:30:00')) % 5400
+               + 5400) % 5400) * 1000000 AS BIGINT)),
+           '%Y-%m-%d %H:%M:%S') AS og
+FROM orders
+WHERE o_orderkey % 11 = 0
+GROUP BY st
+ORDER BY st
+"""
+
+
+def q_dialect_probe32(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verbatim CH batch-33 query (module doc #51)."""
+    return run_clickhouse_sql(spark, _CH_PROBE32, sf_dir, ("orders",))
+
+
+# 52 (r16). audit batch 33, window-position aggregate heads: CH
+#     allows any aggregate as a window function; the transpiler's
+#     renamed heads must compose with OVER (argMax → max_by OVER,
+#     groupArray → collect_list OVER with CH's cumulative default
+#     frame spelled explicitly).  The DuckDB oracle spells the
+#     last-row-per-partition window values as plain group
+#     aggregates (arg_max, ordered list) — equivalent at rn = n.
+_CH_WINDOW_HEADS = """
+SELECT ck, last_st, arr FROM (
+    SELECT o_custkey AS ck,
+           argMax(o_orderstatus, o_orderkey)
+               OVER (PARTITION BY o_custkey) AS last_st,
+           arrayStringConcat(arrayMap(x -> toString(x),
+               groupArray(o_orderkey % 10)
+                   OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW)), ',') AS arr,
+           row_number() OVER (PARTITION BY o_custkey
+                              ORDER BY o_orderkey) AS rn,
+           count(*) OVER (PARTITION BY o_custkey) AS n
+    FROM orders WHERE o_orderkey % 101 = 0
+)
+WHERE rn = n
+ORDER BY ck
+"""
+
+O_WINDOW_HEADS = """
+SELECT o_custkey AS ck,
+       arg_max(o_orderstatus, o_orderkey) AS last_st,
+       array_to_string(list(o_orderkey % 10 ORDER BY o_orderkey),
+                       ',') AS arr
+FROM orders WHERE o_orderkey % 101 = 0
+GROUP BY ck ORDER BY ck
+"""
+
+
+def q_dialect_window_heads(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Verbatim CH window-position-heads query (module doc #52)."""
+    return run_clickhouse_sql(
+        spark, _CH_WINDOW_HEADS, sf_dir, ("orders",)
+    )
+
+
 # 39 (r13). audit batch 17 value gate (per-row tier): MAC codec
 #     round-trips (the numeric side is the oracle's closed form),
 #     bitmap subset family over key-derived arrays, general-p
@@ -23119,6 +23433,8 @@ QUERIES = {
     "dialect_probe30": q_dialect_probe30,
     "dialect_statement_forms": q_dialect_statement_forms,
     "dialect_probe31": q_dialect_probe31,
+    "dialect_probe32": q_dialect_probe32,
+    "dialect_window_heads": q_dialect_window_heads,
     "dialect_tumble": q_dialect_tumble,
     "dialect_probe19": q_dialect_probe19,
     "dialect_star_modifiers": q_dialect_star_modifiers,
@@ -23231,6 +23547,8 @@ ORACLES = {
     "dialect_probe30": O_PROBE30,
     "dialect_statement_forms": O_STATEMENT_FORMS,
     "dialect_probe31": O_PROBE31,
+    "dialect_probe32": O_PROBE32,
+    "dialect_window_heads": O_WINDOW_HEADS,
     "dialect_tumble": O_TUMBLE,
     "dialect_probe19": O_PROBE19,
     "dialect_star_modifiers": O_STAR_MODIFIERS,

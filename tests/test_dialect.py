@@ -7527,3 +7527,92 @@ def test_r16_fuzzbits_deterministic_tier(spark):
         transpile("SELECT fuzzBits(s)")
     with pytest.warns(DialectWarning, match="DETERMINISTIC"):
         transpile("SELECT fuzzBits('x', 0.1)")
+
+
+def test_r16_batch33(spark):
+    """Audit batch 33: stringCompare's three-way BYTE comparison,
+    the widened toStartOfInterval register (month-class n>1 in exact
+    epoch months; second-class ORIGIN arithmetic — the CH docs' 1-day
+    origin example pinned; pre-origin values floor onto the same
+    grid), GROUP BY ALL / ORDER BY ALL pass-through, and the walls
+    for text-index / indexed-vector / codec-estimation functions."""
+    register_clickhouse_compat(spark)
+    one = lambda e: spark.sql(  # noqa: E731
+        transpile(f"SELECT {e} AS v")
+    ).collect()[0].v
+    assert one("stringCompare('a', 'b')") == -1
+    assert one("stringCompare('b', 'a')") == 1
+    assert one("stringCompare('a', 'a')") == 0
+    assert one("stringCompare('a', CAST(NULL AS String))") is None
+    # UTF-8 BYTE order (not collation): 'é' = C3A9 sorts above 'z'
+    assert one("stringCompare('é', 'z')") == 1
+    ti = lambda e: one(f"toString({e})")  # noqa: E731
+    assert ti(
+        "toStartOfInterval(toDateTime('2024-05-15 10:00:00'), "
+        "INTERVAL 2 MONTH)"
+    ) == "2024-05-01"
+    assert ti(
+        "toStartOfInterval(toDateTime('2024-05-15 10:00:00'), "
+        "INTERVAL 3 QUARTER)"
+    ) == "2024-01-01"
+    assert ti(
+        "toStartOfInterval(toDateTime('2024-05-15 10:00:00'), "
+        "INTERVAL 5 YEAR)"
+    ) == "2020-01-01"
+    assert ti(
+        "toStartOfInterval(toDateTime('2023-01-02 14:42:50'), "
+        "INTERVAL 1 DAY, toDateTime('2023-01-01 14:00:00'))"
+    ) == "2023-01-02 14:00:00"
+    assert ti(
+        "toStartOfInterval(toDateTime('2022-12-31 23:00:00'), "
+        "INTERVAL 1 DAY, toDateTime('2023-01-01 14:00:00'))"
+    ) == "2022-12-31 14:00:00"
+    for bad in (
+        "toStartOfInterval(ts, INTERVAL 2 MONTH, ts)",
+        "toStartOfInterval(ts)",
+        "stringCompare(s, 'x', 0, 0, 3)",
+        "searchAny(s, ['a'])",
+        "searchAll(s, ['a'])",
+        "numericIndexedVectorBuild(m)",
+        "estimateCompressionRatio(s)",
+    ):
+        with pytest.raises(DialectError):
+            transpile(f"SELECT {bad} FROM t")
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW r16w AS SELECT id AS x, "
+        "CAST(id AS DOUBLE) AS v, id % 2 AS g FROM range(6)"
+    )
+    rows = spark.sql(transpile(
+        "SELECT g, sum(x) AS s FROM r16w GROUP BY ALL ORDER BY ALL"
+    )).collect()
+    assert [(r.g, r.s) for r in rows] == [(0, 6), (1, 9)]
+
+
+def test_r16_compound_window_relocation(spark):
+    """Compound-render aggregate heads as WINDOW functions (the
+    batch-33 leak class): the OVER spec relocates onto every inner
+    Spark aggregate, so the scalar fold applies per-row to
+    frame-scoped aggregates — exact CH aggregate-as-window
+    semantics.  Value pins over a two-group range."""
+    register_clickhouse_compat(spark)
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW r16cw AS SELECT id AS x, "
+        "CAST(id AS DOUBLE) AS v, id % 2 AS g FROM range(6)"
+    )
+    q = lambda e: spark.sql(transpile(  # noqa: E731
+        f"SELECT g, {e} AS r FROM r16cw ORDER BY g, x"
+    )).collect()
+    aw = q("avgWeighted(v, x) OVER (PARTITION BY g)")
+    assert abs(aw[0].r - 20.0 / 6.0) < 1e-12
+    assert abs(aw[-1].r - 35.0 / 9.0) < 1e-12
+    tk = q("topK(2)(x) OVER (PARTITION BY g)")
+    assert tk[0].r == [0, 2] and tk[-1].r == [1, 3]
+    sc = q("sumCount(x) OVER (PARTITION BY g)")
+    assert (sc[0].r["sum"], sc[0].r["count"]) == (6, 3)
+    gs = q("groupArraySorted(2)(x) OVER (PARTITION BY g)")
+    assert gs[0].r == [0, 2] and gs[-1].r == [1, 3]
+    # plain heads keep their single-call spelling (no relocation)
+    out = transpile(
+        "SELECT argMax(s, v) OVER (PARTITION BY g) FROM t"
+    )
+    assert "max_by(s, v) OVER" in out

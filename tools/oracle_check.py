@@ -141,6 +141,25 @@ def table_hash_fast(cols) -> str:
     return h.hexdigest()[:16]
 
 
+def _strip_utc(tbl):
+    """Cast ``timestamp[*, tz=UTC]`` columns to naive timestamps.
+    The session timezone is pinned UTC, so Spark's ``collect()``
+    returns NAIVE datetimes at the UTC wall clock — but ``toArrow``
+    keeps tz=UTC, and ``value_repr``'s isoformat would then print a
+    ``+00:00`` suffix the DuckDB side never has (the r16 drift on
+    dialect_asof_join/with_fill_expr).  Casting tz-aware → naive in
+    Arrow keeps the same wall-clock instant."""
+    import pyarrow as pa
+
+    for i, f in enumerate(tbl.schema):
+        if pa.types.is_timestamp(f.type) and f.type.tz == "UTC":
+            tbl = tbl.set_column(
+                i, f.name,
+                tbl.column(i).cast(pa.timestamp(f.type.unit)),
+            )
+    return tbl
+
+
 def _tbl_rows(tbl) -> list[tuple]:
     """Arrow table → list of row tuples in table column order (the
     slow-path shape ``table_hash`` expects)."""
@@ -335,7 +354,7 @@ def main() -> int:
             continue
         stbl = None
         try:
-            stbl = sdf.toArrow()
+            stbl = _strip_utc(sdf.toArrow())
             n_spark = stbl.num_rows
         except Exception:
             srows = [tuple(r) for r in sdf.collect()]
