@@ -845,7 +845,9 @@ class MaterializedView:
             self.target = tempfile.mkdtemp(prefix=f"mv_state_{self.name}_")
         self._version += 1
         path = f"{self.target}/v{self._version}"
-        df.write.mode("overwrite").parquet(path)
+        from clickhouse_vs_dbt_spark.catalog import rebalanced as _rb
+
+        _rb(df).write.mode("overwrite").parquet(path)
         self._state = spark.read.parquet(path)
         return self._register(spark, self._state)
 
@@ -1192,7 +1194,10 @@ def transpile_materialized_view(
 from pyspark.sql import DataFrame, SparkSession  # noqa: E402
 from pyspark.sql import functions as F  # noqa: E402
 
-from clickhouse_vs_dbt_spark.catalog import load_table  # noqa: E402
+from clickhouse_vs_dbt_spark.catalog import (  # noqa: E402
+    load_table,
+    rebalanced,
+)
 
 # reference README.md:158-170 character-for-character, with the two
 # placeholder substitutions the reference itself instructs the user to
@@ -1604,7 +1609,7 @@ def q_ddl_final_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(2).cast("smallint").alias("ver"),
     )
     path = tempfile.mkdtemp(prefix="ddl_final_") + "/orders_versioned"
-    v1.unionByName(v2).write.mode("overwrite").parquet(path)
+    rebalanced(v1.unionByName(v2)).write.mode("overwrite").parquet(path)
     spark.sql("DROP TABLE IF EXISTS orders_versioned")
     spark.sql(transpile_ddl(REFERENCE_REPLACING_DDL, path_override=path))
     from clickhouse_vs_dbt_spark.dialect import run_clickhouse_sql
@@ -1742,9 +1747,9 @@ def q_ddl_final_versioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     path = tempfile.mkdtemp(prefix="ddl_final_vc_") + "/orders_vc"
-    p1.unionByName(c1).unionByName(p2).unionByName(c2).write.mode(
-        "overwrite"
-    ).parquet(path)
+    rebalanced(
+        p1.unionByName(c1).unionByName(p2).unionByName(c2)
+    ).write.mode("overwrite").parquet(path)
     spark.sql("DROP TABLE IF EXISTS orders_vc")
     spark.sql(transpile_ddl(REFERENCE_VC_DDL, path_override=path))
     from clickhouse_vs_dbt_spark.dialect import run_clickhouse_sql
@@ -1822,7 +1827,7 @@ def q_ddl_final_summing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderstatus AS tag",
     )
     path = tempfile.mkdtemp(prefix="ddl_final_sum_") + "/orders_sum"
-    rows.write.mode("overwrite").parquet(path)
+    rebalanced(rows).write.mode("overwrite").parquet(path)
     spark.sql("DROP TABLE IF EXISTS orders_sum")
     spark.sql(transpile_ddl(REFERENCE_SUM_DDL, path_override=path))
     from clickhouse_vs_dbt_spark.dialect import run_clickhouse_sql
@@ -1892,9 +1897,9 @@ def q_ddl_final_collapsing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("*", F.lit(-1).cast("tinyint").alias("sign"))
     )
     path = tempfile.mkdtemp(prefix="ddl_final_cl_") + "/orders_cl"
-    s1.unionByName(c1).unionByName(s2).unionByName(c2).write.mode(
-        "overwrite"
-    ).parquet(path)
+    rebalanced(
+        s1.unionByName(c1).unionByName(s2).unionByName(c2)
+    ).write.mode("overwrite").parquet(path)
     spark.sql("DROP TABLE IF EXISTS orders_cl")
     spark.sql(transpile_ddl(REFERENCE_COLLAPSING_DDL, path_override=path))
     from clickhouse_vs_dbt_spark.dialect import run_clickhouse_sql

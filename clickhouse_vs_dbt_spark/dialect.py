@@ -122,7 +122,11 @@ import re
 
 from pyspark.sql import DataFrame, SparkSession
 
-from clickhouse_vs_dbt_spark.catalog import load_table, register_views
+from clickhouse_vs_dbt_spark.catalog import (
+    load_table,
+    rebalanced,
+    register_views,
+)
 from clickhouse_vs_dbt_spark.compat import register_clickhouse_compat
 
 _TOKEN_RE = re.compile(
@@ -16131,7 +16135,7 @@ def _copy_on_write(spark: "SparkSession", target: str, df) -> None:
 
     path = _table_location(spark, target)
     tmp = tempfile.mkdtemp(prefix="ch_mutate_")
-    df.write.mode("overwrite").parquet(tmp)
+    rebalanced(df).write.mode("overwrite").parquet(tmp)
     for f in glob.glob(os.path.join(path, "*")):
         if os.path.isdir(f):
             shutil.rmtree(f)
@@ -16157,7 +16161,7 @@ def _recreate_table_as(spark: "SparkSession", target: str, df) -> None:
 
     loc = _table_location(spark, target)
     tmp = tempfile.mkdtemp(prefix="ch_schema_")
-    df.write.mode("overwrite").parquet(tmp)
+    rebalanced(df).write.mode("overwrite").parquet(tmp)
     cols = ", ".join(f"{n} {t}" for n, t in df.dtypes)
     spark.sql(f"DROP TABLE {target}")
     os.makedirs(loc, exist_ok=True)
@@ -16216,7 +16220,27 @@ def _apply_schema_change(
             )
         else:
             dexpr = _CH_TYPE_ZERO.get(t.upper().split("(")[0], "0")
-        spark.sql(f"ALTER TABLE {target} ADD COLUMNS ({name} {t})")
+        # Metadata-only fast path (guide §1.2 — remove the pass
+        # outright): ClickHouse's own ADD COLUMN is metadata-only
+        # (existing parts fill the default at read time), and Spark's
+        # DEFAULT column machinery (spark.sql.defaultColumn, 3.4+)
+        # implements the identical fill-on-read contract for parquet
+        # tables via the column's EXISTS_DEFAULT — so a CONSTANT
+        # default needs no table rewrite at all.  Non-foldable
+        # defaults (expressions over other columns) keep the
+        # copy-on-write rewrite below, exactly as before.
+        from pyspark.errors import AnalysisException
+
+        try:
+            spark.sql(
+                f"ALTER TABLE {target} ADD COLUMNS "
+                f"({name} {t} DEFAULT ({dexpr}))"
+            )
+            return
+        except AnalysisException:
+            pass  # non-constant default → rewrite path
+        if name not in dict(spark.table(target).dtypes):
+            spark.sql(f"ALTER TABLE {target} ADD COLUMNS ({name} {t})")
         df = spark.sql(
             f"SELECT * EXCEPT ({name}), CAST(({dexpr}) AS {t}) AS {name} "
             f"FROM {target}"
@@ -16409,7 +16433,7 @@ def _partition_scoped_rewrite(
     val = part.strip().strip("'\"")
     pdir = os.path.join(base, f"{pcol}={val}")
     tmp = tempfile.mkdtemp(prefix="ch_mutate_part_")
-    df.drop(pcol).write.mode("overwrite").parquet(tmp)
+    rebalanced(df.drop(pcol)).write.mode("overwrite").parquet(tmp)
     shutil.rmtree(pdir, ignore_errors=True)
     os.makedirs(pdir, exist_ok=True)
     for f in glob.glob(os.path.join(tmp, "*")):
@@ -17014,7 +17038,14 @@ def run_clickhouse_script(
                 else f"SELECT * FROM ({body_sql})"
             )
             batch = batch.toDF(*ins_cols).select(*cols)
-            batch.write.insertInto(target)
+            # REBALANCE keyed by the table's PARTITION BY column when
+            # it has one (one right-sized file per partition instead
+            # of one per task × partition — catalog.rebalanced)
+            info = _ddl.lookup_engine_info(target)
+            pcol = getattr(info, "partition_by", None) if info else None
+            rebalanced(batch, *((pcol,) if pcol else ())).write.insertInto(
+                target
+            )
             short = target.split(".")[-1].strip("`")
             fired = []
             for mv in mvs:
@@ -17900,9 +17931,11 @@ def q_dialect_file_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     path = tempfile.mkdtemp(prefix="dialect_file_") + "/orders_slice"
-    load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_orderstatus", "o_totalprice"
-    ).filter("o_orderkey % 5 = 0").write.mode("overwrite").parquet(path)
+    rebalanced(
+        load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        ).filter("o_orderkey % 5 = 0")
+    ).write.mode("overwrite").parquet(path)
     ch = f"""
     SELECT o_orderstatus,
            count() AS n,
@@ -20785,15 +20818,17 @@ def q_ch_script_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_orderstatus", "o_totalprice"
     )
     # version-1 rows for all orders
-    o.selectExpr("*", "CAST(1 AS BIGINT) AS ver").write.mode(
-        "overwrite"
-    ).parquet(tbl_path)
+    rebalanced(
+        o.selectExpr("*", "CAST(1 AS BIGINT) AS ver")
+    ).write.mode("overwrite").parquet(tbl_path)
     # version-2 restatements for every third key, shipped via file()
-    o.filter("o_orderkey % 3 = 0").selectExpr(
-        "o_orderkey",
-        "'U' AS o_orderstatus",
-        "o_totalprice + 100.0 AS o_totalprice",
-        "CAST(2 AS BIGINT) AS ver",
+    rebalanced(
+        o.filter("o_orderkey % 3 = 0").selectExpr(
+            "o_orderkey",
+            "'U' AS o_orderstatus",
+            "o_totalprice + 100.0 AS o_totalprice",
+            "CAST(2 AS BIGINT) AS ver",
+        )
     ).write.mode("overwrite").parquet(ins_path)
     script = f"""
     CREATE TABLE lc_t (o_orderkey UInt64, o_orderstatus String,
@@ -20856,7 +20891,7 @@ def q_ch_script_schema_evolution(
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
     )
-    o.write.mode("overwrite").parquet(src)
+    rebalanced(o).write.mode("overwrite").parquet(src)
     tbl_path = base + "/evo_t"
     script = f"""
     CREATE TABLE evo_t (o_orderkey UInt64, o_orderstatus String,

@@ -36,6 +36,8 @@ from graphlib import TopologicalSorter
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from clickhouse_vs_dbt_spark.catalog import rebalanced
+
 
 @contextlib.contextmanager
 def _conf(spark: SparkSession, key: str, value: str):
@@ -361,7 +363,12 @@ class ModelRunner:
         retention policy, update state, re-register the temp view."""
         new_path = f"{self.warehouse_dir}/{model.name}_v{version}"
         shutil.rmtree(new_path, ignore_errors=True)
-        writer = df.write.mode("overwrite")
+        # REBALANCE before the write (catalog.rebalanced): right-sized
+        # files, one per partition value locally instead of one per
+        # (task × partition value)
+        writer = rebalanced(df, *(model.partition_by or ())).write.mode(
+            "overwrite"
+        )
         if model.partition_by:
             writer = writer.partitionBy(*model.partition_by)
         writer.parquet(new_path)
@@ -402,7 +409,9 @@ class ModelRunner:
             version = 0
             path = f"{self.warehouse_dir}/{model.name}_v0"
             shutil.rmtree(path, ignore_errors=True)
-            writer = batch.write.mode("overwrite")
+            writer = rebalanced(
+                batch, *(model.partition_by or ())
+            ).write.mode("overwrite")
             if model.partition_by:
                 writer = writer.partitionBy(*model.partition_by)
             writer.parquet(path)
@@ -416,12 +425,12 @@ class ModelRunner:
             version, path = state
             with _conf(self.spark, "spark.sql.sources.partitionOverwriteMode",
                        "dynamic"):
-                batch.write.mode("overwrite").partitionBy(
-                    *model.partition_by
-                ).parquet(path)
+                rebalanced(batch, *model.partition_by).write.mode(
+                    "overwrite"
+                ).partitionBy(*model.partition_by).parquet(path)
         else:
             version, path = state
-            batch.write.mode("append").parquet(path)
+            rebalanced(batch).write.mode("append").parquet(path)
 
         self._incr_state[model.name] = (version, path)
         return self.spark.read.parquet(path)
@@ -446,7 +455,9 @@ class ModelRunner:
             self.warehouse_dir = tempfile.mkdtemp(prefix="spark_models_")
         path = f"{self.warehouse_dir}/{model.name}"
         shutil.rmtree(path, ignore_errors=True)
-        writer = df.write.mode("overwrite")
+        writer = rebalanced(df, *(model.partition_by or ())).write.mode(
+            "overwrite"
+        )
         if model.partition_by:
             writer = writer.partitionBy(*model.partition_by)
         writer.parquet(path)

@@ -304,16 +304,31 @@ def _envelope_batches(spark: SparkSession, sf_dir: str) -> str:
         F.col("ts").cast("timestamp").alias("timestamp"),
     )
     out = tempfile.mkdtemp(prefix="kafka_envelope_")
+    # ONE producer job instead of N_FILES filtered single-task scans
+    # (guide §1.2/§2.4: the old loop scanned + JSON-encoded the whole
+    # events fixture once per batch file, 3 jobs × 1 task each;
+    # measured r16 this halved the gate).  repartition on the batch id
+    # gives each batch value exactly one task, and the parquet writer
+    # opens one file per partition-directory per task — so each
+    # __batch=i directory holds exactly one part file, preserving the
+    # one-file-per-trigger replay contract (maxFilesPerTrigger=1).
+    tmp = os.path.join(out, "_tmp")
+    (
+        payload.withColumn(
+            "__batch", (F.col("offset") % N_FILES).cast("int")
+        )
+        .repartition(N_FILES, "__batch")
+        .write.mode("overwrite")
+        .partitionBy("__batch")
+        .parquet(tmp)
+    )
     for i in range(N_FILES):
-        tmp = os.path.join(out, f"_tmp{i}")
-        payload.filter(F.col("offset") % N_FILES == i).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(tmp)
-        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        part = glob.glob(os.path.join(tmp, f"__batch={i}", "part-*.parquet"))
+        assert len(part) == 1, part
         dst = os.path.join(out, f"batch{i}.parquet")
-        shutil.move(part, dst)
-        shutil.rmtree(tmp)
+        shutil.move(part[0], dst)
         os.utime(dst, (1_000_000_000 + 100 * i,) * 2)
+    shutil.rmtree(tmp)
     return out
 
 
