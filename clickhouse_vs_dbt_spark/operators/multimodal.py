@@ -1436,20 +1436,11 @@ def q_multimodal_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     path without needing a codec.  Container-level columns (md5,
     n_bytes) are excluded — they describe the PNG wrapper."""
     d = docs_for_codec(spark, sf_dir)
-    encoded = d.mapInPandas(
-        _encode_png_kernel, schema="doc_id long, payload binary"
+    out = d.mapInPandas(
+        _fused_roundtrip(_encode_png_kernel, "payload"),
+        schema=DECODE_SCHEMA,
     )
-    out = encoded.mapInPandas(decode_features, schema=DECODE_SCHEMA)
-    return out.select(
-        "doc_id",
-        "media_format",
-        F.round("byte_mean", 6).alias("byte_mean"),
-        F.round("byte_std", 6).alias("byte_std"),
-        "distinct_bytes",
-        "byte_min",
-        "byte_max",
-        "status",
-    ).orderBy("doc_id")
+    return _decoded_stats(out)
 
 
 O_PNG_ROUNDTRIP = """
@@ -1560,20 +1551,11 @@ def q_multimodal_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     — pixel statistics equal the byte statistics of the truncated
     text, value-checked by DuckDB."""
     d = docs_for_codec(spark, sf_dir)
-    encoded = d.mapInPandas(
-        _encode_jpeg_kernel, schema="doc_id long, payload binary"
+    out = d.mapInPandas(
+        _fused_roundtrip(_encode_jpeg_kernel, "payload"),
+        schema=DECODE_SCHEMA,
     )
-    out = encoded.mapInPandas(decode_features, schema=DECODE_SCHEMA)
-    return out.select(
-        "doc_id",
-        "media_format",
-        F.round("byte_mean", 6).alias("byte_mean"),
-        F.round("byte_std", 6).alias("byte_std"),
-        "distinct_bytes",
-        "byte_min",
-        "byte_max",
-        "status",
-    ).orderBy("doc_id")
+    return _decoded_stats(out)
 
 
 O_JPEG_ROUNDTRIP = f"""
@@ -1686,10 +1668,29 @@ def _encode_media_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFra
         )
 
 
-def _roundtrip_stats(encoded: DataFrame, col: str) -> DataFrame:
-    out = encoded.selectExpr(
-        "doc_id", f"{col} AS payload"
-    ).mapInPandas(decode_features, schema=DECODE_SCHEMA)
+def _fused_roundtrip(encode_kernel, col: str):
+    """Compose encode → decode inside ONE Python evaluation.
+
+    Each mapInPandas boundary pays a JVM↔Python Arrow transpose of
+    every payload byte plus a per-task Python round trip (guide §4.1);
+    the decode input here IS the encode output, so routing it back
+    through the JVM between the two kernels buys nothing.  Both
+    kernels are the unchanged production functions — this wrapper only
+    pipes one generator into the other, halving the Python boundary
+    crossings of the roundtrip gates (measured r16: ~0.3–0.5 s per
+    gate at sf0.1)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def encoded() -> Iterator[pd.DataFrame]:
+            for pdf in encode_kernel(batches):
+                yield pdf[["doc_id", col]].rename(columns={col: "payload"})
+
+        return decode_features(encoded())
+
+    return kernel
+
+
+def _decoded_stats(out: DataFrame) -> DataFrame:
     return out.select(
         "doc_id",
         "media_format",
@@ -1706,10 +1707,10 @@ def q_multimodal_wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The WAV chunk walk + 8-bit PCM sample decode under the gate:
     sample statistics equal the document's byte statistics."""
     d = docs_for_codec(spark, sf_dir)
-    enc = d.mapInPandas(
-        _encode_media_kernel, schema="doc_id long, wav binary, gif binary"
+    out = d.mapInPandas(
+        _fused_roundtrip(_encode_media_kernel, "wav"), schema=DECODE_SCHEMA
     )
-    return _roundtrip_stats(enc, "wav")
+    return _decoded_stats(out)
 
 
 def q_multimodal_gif_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1718,10 +1719,10 @@ def q_multimodal_gif_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     statistics of the document's first GIF_RT_BYTES bytes (each byte
     replicated ×3 by the RGB palette — statistics are invariant)."""
     d = docs_for_codec(spark, sf_dir)
-    enc = d.mapInPandas(
-        _encode_media_kernel, schema="doc_id long, wav binary, gif binary"
+    out = d.mapInPandas(
+        _fused_roundtrip(_encode_media_kernel, "gif"), schema=DECODE_SCHEMA
     )
-    return _roundtrip_stats(enc, "gif")
+    return _decoded_stats(out)
 
 
 def _o_bytes_stats(limit_expr: str, fmt: str, status: str) -> str:
