@@ -2872,15 +2872,27 @@ def _render_call(name: str, args: list[str]) -> str:
         # fine for series columns, not a frame aggregator.  The
         # argument is bound ONCE (__fr) per the tree-size lesson.
         n = "size(__fs)"
+        # Twiddle factors come from n-entry cos/sin TABLES computed
+        # once per row (r16, guide §1.2: don't recompute what a pass
+        # can precompute): the k-th bin's t-th factor is
+        # cos(2π·((k·t) mod n)/n), so the O(n²) MAC loop does two
+        # array lookups per term instead of two libm trig calls —
+        # measured ~2× on the gate.  cos(2π·((kt) mod n)/n) equals
+        # cos(2π·kt/n) analytically (period n); fp placement of the
+        # argument differs at ulp scale, which cannot move the
+        # periodogram argmax off a real peak, and the exact-zero
+        # constant-series tier is untouched (centered zeros multiply
+        # the table entries to exact 0.0 either way).  __fw/__fv name
+        # the tables; the argmax fold below is unchanged.
         bin_power = (
             "element_at(transform(array("
             f"aggregate(sequence(0, {n} - 1), "
             "named_struct('re', 0.0d, 'im', 0.0d), "
             "(__fb, __ft) -> named_struct("
             "'re', __fb.re + element_at(__fs, __ft + 1) * "
-            f"cos(2.0d * pi() * __fk * __ft / {n}), "
+            f"element_at(__fv, CAST((__fk * __ft) % {n} AS INT) + 1), "
             "'im', __fb.im - element_at(__fs, __ft + 1) * "
-            f"sin(2.0d * pi() * __fk * __ft / {n})))), "
+            f"element_at(__fu, CAST((__fk * __ft) % {n} AS INT) + 1)))), "
             "__ff -> __ff.re * __ff.re + __ff.im * __ff.im), 1)"
         )
         best = (
@@ -2901,6 +2913,17 @@ def _render_call(name: str, args: list[str]) -> str:
             "__fw -> IF(__fw.k = 0, CAST('NaN' AS DOUBLE), "
             f"round(CAST({n} AS DOUBLE) / __fw.k))), 1)"
         )
+        # bind the cos (__fv) and sin (__fu) twiddle tables once per
+        # row, inside the __fs scope so `n` resolves
+        tables = (
+            "element_at(transform(array("
+            f"transform(sequence(0, {n} - 1), "
+            f"__fi -> cos(2.0d * pi() * __fi / {n}))), __fv -> "
+            "element_at(transform(array("
+            f"transform(sequence(0, {n} - 1), "
+            f"__fi -> sin(2.0d * pi() * __fi / {n}))), __fu -> "
+            f"{body}), 1)), 1)"
+        )
         return (
             f"element_at(transform(array({args[0]}), __fr -> "
             "IF(size(__fr) < 4, "
@@ -2909,11 +2932,11 @@ def _render_call(name: str, args: list[str]) -> str:
             "element_at(transform(array(transform(__fr, "
             "__f0 -> CAST(__f0 AS DOUBLE))), __fd -> "
             "element_at(transform(array("
-            "aggregate(__fd, 0.0d, (__fc, __fv) -> __fc + __fv) "
+            "aggregate(__fd, 0.0d, (__fc, __fa) -> __fc + __fa) "
             "/ size(__fd)), __fm -> "
             "element_at(transform(array(transform(__fd, "
             "__f1 -> __f1 - __fm)), __fs -> "
-            f"{body}), 1)), 1)), 1))), 1)"
+            f"{tables}), 1)), 1)), 1))), 1)"
         )
     if name == "seriesPeriodDetectFFT":
         raise DialectError(
