@@ -845,9 +845,12 @@ class MaterializedView:
             self.target = tempfile.mkdtemp(prefix=f"mv_state_{self.name}_")
         self._version += 1
         path = f"{self.target}/v{self._version}"
-        from clickhouse_vs_dbt_spark.catalog import rebalanced as _rb
-
-        _rb(df).write.mode("overwrite").parquet(path)
+        # NO rebalance here (r16, measured): the state is a tiny
+        # post-aggregation relation AQE has already coalesced to ~1
+        # partition — a REBALANCE hint only adds a shuffle (~+0.2 s
+        # per publish on the ddl_mv_* gates); the write is 1 small
+        # file either way
+        df.write.mode("overwrite").parquet(path)
         self._state = spark.read.parquet(path)
         return self._register(spark, self._state)
 

@@ -24,7 +24,6 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from clickhouse_vs_dbt_spark.catalog import rebalanced
 
 from clickhouse_vs_dbt_spark.operators.common import sql_dsum
 from clickhouse_vs_dbt_spark.streaming.events_stream import (
@@ -94,9 +93,8 @@ def q_events_stream_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             )
         state["version"] += 1
-        rebalanced(partial).write.mode("overwrite").parquet(
-            f"{base}/v{state['version']}"
-        )
+        # post-aggregation state: already AQE-coalesced, no rebalance (r16)
+        partial.write.mode("overwrite").parquet(f"{base}/v{state['version']}")
 
     stream = normalize_ts(
         spark.readStream.schema(events_raw_schema(spark, sf_dir))

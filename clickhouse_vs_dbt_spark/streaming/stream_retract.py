@@ -35,7 +35,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from clickhouse_vs_dbt_spark.catalog import load_table, rebalanced
+from clickhouse_vs_dbt_spark.catalog import load_table
 from clickhouse_vs_dbt_spark.operators.mergetree import _collapsing_sql
 
 _DEC18 = "decimal(18,6)"
@@ -131,7 +131,8 @@ def make_fold_batch(base: str, state: dict):
                     F.sum("net_amount_dec").cast(_DEC38).alias("net_amount_dec"),
                 )
             )
-        rebalanced(partial).write.mode("overwrite").parquet(f"{base}/v{bid}")
+        # post-aggregation state: already AQE-coalesced, no rebalance (r16)
+        partial.write.mode("overwrite").parquet(f"{base}/v{bid}")
         state["last_committed"] = bid
 
     return fold_batch

@@ -27,7 +27,6 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from clickhouse_vs_dbt_spark.catalog import rebalanced
 from clickhouse_vs_dbt_spark.operators.common import DEC
 from clickhouse_vs_dbt_spark.streaming.events_stream import events_raw_schema
 from clickhouse_vs_dbt_spark.streaming.stream_dedup import (
@@ -65,9 +64,7 @@ def q_events_stream_upsert(
                 batch.select("event_id"), on="event_id", how="left_anti"
             ).unionByName(batch)
         state["version"] += 1
-        rebalanced(merged).write.mode("overwrite").parquet(
-            f"{base}/v{state['version']}"
-        )
+        merged.write.mode("overwrite").parquet(f"{base}/v{state['version']}")
 
     q = (
         raw.writeStream.foreachBatch(merge_batch)
