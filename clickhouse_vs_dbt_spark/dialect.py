@@ -1209,17 +1209,26 @@ def _hll_num() -> str:
 
 
 def _uniq_state_sql(x: str) -> str:
-    """(bucket, rank) code set of the HLL(p=8) sketch of ``x``."""
+    """(bucket, rank) code set of the HLL(p=8) sketch of ``x``.
+
+    The md5-prefix hash is bound ONCE per row through a one-element
+    ``transform`` (r16, guide §1.2): the register code references the
+    hash three times (bucket, zero-guard, rank), and Catalyst's
+    interpreted aggregate-child evaluation has no common-subexpression
+    elimination — the old inline spelling computed md5+conv three
+    times per input row (measured ~2× the state-build cost on
+    dialect_state_merge3).  Same arithmetic on the same hash value —
+    bit-identical codes."""
     from clickhouse_vs_dbt_spark.operators.dedup import md5p_sql
 
     h = md5p_sql(f"CAST({x} AS STRING)", "spark")
-    w = f"({h}) div {_HLL_M}"
     rank = (
-        f"CASE WHEN {w} = 0 THEN 53 ELSE 53 - length(bin({w})) END"
+        f"CASE WHEN __uh div {_HLL_M} = 0 THEN 53 "
+        f"ELSE 53 - length(bin(__uh div {_HLL_M})) END"
     )
     return (
-        f"array_sort(collect_set(CAST(({h}) % {_HLL_M} * 64 "
-        f"+ ({rank}) AS INT)))"
+        f"array_sort(collect_set(element_at(transform(array({h}), "
+        f"__uh -> CAST(__uh % {_HLL_M} * 64 + ({rank}) AS INT)), 1)))"
     )
 
 
