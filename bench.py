@@ -282,6 +282,10 @@ HEADLINE = [
     "dialect_probe29",
     "dialect_probe30",
     "dialect_statement_forms",
+    # r16 (mid-build audit batch 33) additions
+    "dialect_probe31",
+    "dialect_probe32",
+    "dialect_window_heads",
 ]
 
 

@@ -892,14 +892,14 @@ class MaterializedView:
                     # uniq/uniqExact states merge as a set union
                     # (deterministically sorted for stable storage)
                     return F.expr(
-                        f"array_sort(array_distinct(flatten("
+                        f"sort_array(array_distinct(flatten("
                         f"collect_list({a}))))"
                     ).alias(a)
                 if fn == "sorted_union":
                     # quantileExact multiset states merge as a sorted
                     # concat (duplicates kept — it IS a multiset)
                     return F.expr(
-                        f"array_sort(flatten(collect_list({a})))"
+                        f"sort_array(flatten(collect_list({a})))"
                     ).alias(a)
                 return getattr(F, fn)(a).cast(dtypes[a]).alias(a)
 
@@ -1050,7 +1050,7 @@ def transpile_materialized_view(
             aggs.append((st_col, "set_union"))
             if count_distinct:
                 items.append(
-                    f"array_sort(collect_set(CAST(({arg}) AS STRING)))"
+                    f"sort_array(collect_set(CAST(({arg}) AS STRING)))"
                     f" AS {st_col}"
                 )
                 read_items.append(
@@ -1101,7 +1101,7 @@ def transpile_materialized_view(
             st_col = f"{alias}__st"
             aggs.append((st_col, "sorted_union"))
             items.append(
-                f"array_sort(collect_list(CAST(({x}) AS DOUBLE)))"
+                f"sort_array(collect_list(CAST(({x}) AS DOUBLE)))"
                 f" AS {st_col}"
             )
             read_items.append(

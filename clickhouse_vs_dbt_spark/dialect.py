@@ -671,7 +671,7 @@ def _topk_exact(x: str, k: str) -> str:
     divergence: exact counts, value-ordered ties); the sketch-shaped
     scale operator is ``events_topk_sketch``.
     """
-    sorted_ = f"array_sort(collect_list({x}))"
+    sorted_ = f"sort_array(collect_list({x}))"
     zero = (
         f"transform(slice({sorted_}, 1, 0), "
         f"v -> named_struct('v', v, 'c', CAST(0 AS BIGINT)))"
@@ -701,7 +701,7 @@ def _topk_weighted_exact(x: str, w: str, k: str) -> str:
     approximate — this is the deterministic exact tier (the dedicated
     scale operator is ``events_topk_weighted``)."""
     sorted_ = (
-        f"array_sort(collect_list(named_struct('v', {x}, "
+        f"sort_array(collect_list(named_struct('v', {x}, "
         f"'w', CAST({w} AS BIGINT))))"
     )
     zero = (
@@ -738,7 +738,7 @@ def _sequence_count_fold(ts: str, conds: list[str]) -> str:
     n = len(conds)
     cs = ", ".join(conds)
     sorted_ = (
-        f"transform(array_sort(collect_list(named_struct('t', {ts}, "
+        f"transform(sort_array(collect_list(named_struct('t', {ts}, "
         f"'cs', array({cs})))), s -> s.cs)"
     )
     step = (
@@ -779,7 +779,7 @@ def _window_funnel_fold(win_us: str, ts: str, conds: list[str]) -> str:
     # chain-type prefilter q_events_funnel_window applies by hand).
     any_cond = " OR ".join(f"coalesce(({c}), false)" for c in conds)
     evs = (
-        f"array_sort(collect_list(CASE WHEN {any_cond} "
+        f"sort_array(collect_list(CASE WHEN {any_cond} "
         f"THEN {elem} END))"
     )
     zero = f"array_repeat(CAST(NULL AS BIGINT), {n})"
@@ -836,13 +836,13 @@ def _window_funnel_modes_fold(
         f"'m', array({', '.join(conds)}))"
     )
     if strict_order:
-        evs = f"array_sort(collect_list({elem}))"
+        evs = f"sort_array(collect_list({elem}))"
     else:
         any_cond = " OR ".join(
             f"coalesce(({c}), false)" for c in conds
         )
         evs = (
-            f"array_sort(collect_list(CASE WHEN {any_cond} "
+            f"sort_array(collect_list(CASE WHEN {any_cond} "
             f"THEN {elem} END))"
         )
     null_lv = (
@@ -1020,7 +1020,7 @@ def _sequence_match_fold(
     )
     any_cond = " OR ".join(f"coalesce(({c}), false)" for c in conds)
     evs = (
-        f"array_sort(collect_list(CASE WHEN {any_cond} "
+        f"sort_array(collect_list(CASE WHEN {any_cond} "
         f"THEN {elem} END))"
     )
     null_lv = (
@@ -1109,7 +1109,7 @@ def _sequence_match_fold_anchors(
     )
     any_cond = " OR ".join(f"coalesce(({c}), false)" for c in conds)
     evs = (
-        f"array_sort(collect_list(CASE WHEN {any_cond} "
+        f"sort_array(collect_list(CASE WHEN {any_cond} "
         f"THEN {elem} END))"
     )
     zero = (
@@ -1227,7 +1227,7 @@ def _uniq_state_sql(x: str) -> str:
         f"ELSE 53 - length(bin(__uh div {_HLL_M})) END"
     )
     return (
-        f"array_sort(collect_set(element_at(transform(array({h}), "
+        f"sort_array(collect_set(element_at(transform(array({h}), "
         f"__uh -> CAST(__uh % {_HLL_M} * 64 + ({rank}) AS INT)), 1)))"
     )
 
@@ -1271,13 +1271,13 @@ def _uniq_merge_sql(st: str, restate: bool) -> str:
     (uniqMergeState), else finalizes to the BIGINT estimate."""
     merged = f"array_distinct(flatten(collect_list({st})))"
     if restate:
-        return f"array_sort({merged})"
+        return f"sort_array({merged})"
     return _uniq_finalize_sql(merged)
 
 
 def _q_state_sql(x: str) -> str:
     """Exact-multiset quantile state: the sorted value array."""
-    return f"array_sort(collect_list(CAST({x} AS DOUBLE)))"
+    return f"sort_array(collect_list(CAST({x} AS DOUBLE)))"
 
 
 def _q_finalize_sql(st_expr: str, level: str) -> str:
@@ -1305,7 +1305,7 @@ def _q_finalize_sql(st_expr: str, level: str) -> str:
 def _q_merge_sql(st: str, level: str, restate: bool) -> str:
     """Merge sorted-multiset quantile states; finalize per
     :func:`_q_finalize_sql`."""
-    merged = f"array_sort(flatten(collect_list({st})))"
+    merged = f"sort_array(flatten(collect_list({st})))"
     if restate:
         return merged
     return _q_finalize_sql(merged, level)
@@ -1344,7 +1344,7 @@ def _qt_state_sql(x: str) -> str:
         "(v, c) -> named_struct('v', v, 'c', c)) END)"
     )
     return (
-        f"transform(array(array_sort(collect_list("
+        f"transform(array(sort_array(collect_list("
         f"{_qt_clamp_sql(x)}))), L -> {fold})[0]"
     )
 
@@ -1354,7 +1354,7 @@ def _qt_merge_sql(st: str, level: str, restate: bool) -> str:
     valid state — the read-off fold accumulates per ENTRY in sorted
     order); finalize = smallest v whose cumulative count reaches
     ceil(level·n) (exact integer arithmetic, no float read-off)."""
-    merged = f"array_sort(flatten(collect_list({st})))"
+    merged = f"sort_array(flatten(collect_list({st})))"
     if restate:
         return merged
     total = "aggregate(E, CAST(0 AS BIGINT), (a, e) -> a + e.c)"
@@ -3177,7 +3177,7 @@ def _render_call(name: str, args: list[str]) -> str:
         # documented; CH's own state is per-distinct-group.
         v, g = args
         pairs = (
-            f"array_sort(collect_list(CASE WHEN ({v}) IS NOT NULL "
+            f"sort_array(collect_list(CASE WHEN ({v}) IS NOT NULL "
             f"AND ({g}) IS NOT NULL THEN named_struct('g', {g}, "
             f"'v', CAST({v} AS DOUBLE)) END))"
         )
@@ -6403,7 +6403,7 @@ def _render_call(name: str, args: list[str]) -> str:
         # running-max fold; bounded per-group state, codegen HOFs
         s0, e0 = args
         pts = (
-            f"array_sort(flatten(collect_list(array("
+            f"sort_array(flatten(collect_list(array("
             f"named_struct('p', CAST({s0} AS DOUBLE), 'd', 1), "
             f"named_struct('p', CAST({e0} AS DOUBLE), 'd', -1)))))"
         )
@@ -6420,7 +6420,7 @@ def _render_call(name: str, args: list[str]) -> str:
         # strict > keeps the first peak on ties
         s0, e0 = args
         pts = (
-            f"array_sort(flatten(collect_list(array("
+            f"sort_array(flatten(collect_list(array("
             f"named_struct('p', CAST({s0} AS DOUBLE), 'd', 1), "
             f"named_struct('p', CAST({e0} AS DOUBLE), 'd', -1)))))"
         )
@@ -6441,7 +6441,7 @@ def _render_call(name: str, args: list[str]) -> str:
         # DOUBLE (the arraySum policy)
         s0, e0 = args
         iv = (
-            f"array_sort(collect_list(named_struct("
+            f"sort_array(collect_list(named_struct("
             f"'s', CAST({s0} AS DOUBLE), 'e', CAST({e0} AS DOUBLE))))"
         )
         return (
@@ -6589,7 +6589,7 @@ def _render_call(name: str, args: list[str]) -> str:
             return f"({sz} > 0)"
         return f"({sz} = size({m}))"
     if name in ("mapSort", "mapReverseSort") and len(args) == 1:
-        ents = f"array_sort(map_entries({args[0]}))"
+        ents = f"sort_array(map_entries({args[0]}))"
         if name == "mapReverseSort":
             ents = f"reverse({ents})"
         return f"map_from_entries({ents})"
@@ -8004,7 +8004,7 @@ def _render_call(name: str, args: list[str]) -> str:
         # answers NULL — the deterministic Spark-typed analog of
         # CH's nan (the kurtPop precedent)
         return (
-            f"element_at(transform(array(array_sort(filter(flatten("
+            f"element_at(transform(array(sort_array(filter(flatten("
             f"collect_list({args[0]})), __mf -> __mf IS NOT NULL))), "
             f"__ma -> IF(size(__ma) = 0, CAST(NULL AS DOUBLE), "
             f"CAST(element_at(__ma, CAST(floor((size(__ma) - 1) "
@@ -8030,7 +8030,7 @@ def _render_call(name: str, args: list[str]) -> str:
             # NULLs and array_distinct would keep one (the r14e
             # uniqArray lesson; r15b)
             return (
-                f"array_sort(array_distinct(filter(flatten("
+                f"sort_array(array_distinct(filter(flatten("
                 f"collect_list({args[0]})), "
                 f"__gu -> __gu IS NOT NULL)))"
             )
@@ -8226,7 +8226,7 @@ def _render_call(name: str, args: list[str]) -> str:
                         raise DialectError(
                             f"{name} takes one argument"
                         )
-                    return f"array_sort(collect_set({args[0]}))"
+                    return f"sort_array(collect_set({args[0]}))"
                 if len(args) != 1:
                     raise DialectError(
                         f"{name} takes the single state column"
@@ -8235,7 +8235,7 @@ def _render_call(name: str, args: list[str]) -> str:
                     f"array_distinct(flatten(collect_list({args[0]})))"
                 )
                 if suffix == "MergeState":
-                    return f"array_sort({merged})"
+                    return f"sort_array({merged})"
                 return f"CAST(size({merged}) AS BIGINT)"
             if base == "uniqExact" and suffix in (
                 "State", "Merge", "MergeState",
@@ -8250,12 +8250,12 @@ def _render_call(name: str, args: list[str]) -> str:
                             raise DialectError(f"{name} needs (x, cond)")
                         x, cond = args
                         return (
-                            f"array_sort(collect_set("
+                            f"sort_array(collect_set("
                             f"CASE WHEN {cond} THEN {x} END))"
                         )
                     if len(args) != 1:
                         raise DialectError(f"{name} takes one argument")
-                    return f"array_sort(collect_set({args[0]}))"
+                    return f"sort_array(collect_set({args[0]}))"
                 if len(args) != 1:
                     raise DialectError(
                         f"{name} takes the single state column"
@@ -8264,7 +8264,7 @@ def _render_call(name: str, args: list[str]) -> str:
                     f"array_distinct(flatten(collect_list({args[0]})))"
                 )
                 if suffix == "MergeState":
-                    return f"array_sort({merged})"
+                    return f"sort_array({merged})"
                 return f"CAST(size({merged}) AS BIGINT)"
             if base == "groupArray" and suffix in (
                 "State", "Merge", "MergeState",
@@ -8544,7 +8544,7 @@ def _render_call(name: str, args: list[str]) -> str:
         )
         return (
             "element_at(transform(array(element_at(transform(array("
-            f"array_sort(flatten(collect_list({entries})))), "
+            f"sort_array(flatten(collect_list({entries})))), "
             f"__mp -> {fold}), 1)), __mr -> map_from_arrays("
             "transform(__mr, __q -> __q.k), "
             f"transform(__mr, __q -> {cell}))), 1)"
@@ -8769,7 +8769,7 @@ def _render_call(name: str, args: list[str]) -> str:
             )
         )
         pairs = (
-            f"array_sort(flatten(collect_list(zip_with({args[0]}, "
+            f"sort_array(flatten(collect_list(zip_with({args[0]}, "
             f"{args[1]}, (a, b) -> named_struct('k', a, 'v', "
             "CAST(b AS DOUBLE))))))"
         )
@@ -9094,7 +9094,7 @@ def _weighted_exact_quantile(v: str, w: str, p: str) -> str:
     transpiler owns never reach this fold (``_qw_replan``, including
     whitelisted scalar expression positions since r15)."""
     return (
-        "element_at(transform(array(array_sort(collect_list("
+        "element_at(transform(array(sort_array(collect_list("
         # NULL values/weights are SKIPPED like every CH aggregate —
         # collect_list drops NULL entries, so the CASE masks the whole
         # struct when either side is NULL (code-review r11b: NULL
@@ -9294,7 +9294,7 @@ def _render_parametric(name: str, params: list[str], args: list[str]) -> str:
         x, p = args[0], params[0]
         fn = "floor" if name == "quantileExactLow" else "ceil"
         return (
-            f"element_at(array_sort(collect_list({x})), "
+            f"element_at(sort_array(collect_list({x})), "
             f"CAST({fn}((count({x}) - 1) * ({p})) + 1 AS INT))"
         )
     if name == "quantilesExact":
@@ -9312,7 +9312,7 @@ def _render_parametric(name: str, params: list[str], args: list[str]) -> str:
     if name == "groupArraySorted" and len(params) == 1 and len(args) == 1:
         # exact: the n smallest values in order (CH semantics)
         return (
-            f"slice(array_sort(collect_list({args[0]})), 1, {params[0]})"
+            f"slice(sort_array(collect_list({args[0]})), 1, {params[0]})"
         )
     if (
         name in ("quantileTDigest", "quantileTiming", "quantileBFloat16")
@@ -9396,7 +9396,7 @@ def _render_parametric(name: str, params: list[str], args: list[str]) -> str:
         else:
             body = exc(params[0])
         return (
-            f"element_at(transform(array(array_sort(collect_list("
+            f"element_at(transform(array(sort_array(collect_list("
             f"CAST({x} AS DOUBLE)))), __q -> {body}), 1)"
         )
     if name == "quantileInterpolatedWeighted" and params:
@@ -9427,7 +9427,7 @@ def _render_parametric(name: str, params: list[str], args: list[str]) -> str:
             "spark",
         )
         return (
-            f"transform(slice(array_sort(transform("
+            f"transform(slice(sort_array(transform("
             f"collect_list({args[0]}), __gs -> "
             f"named_struct('h', {h}, 'x', __gs))), 1, {n}), "
             f"__gp -> __gp.x)"
@@ -9447,7 +9447,7 @@ def _render_parametric(name: str, params: list[str], args: list[str]) -> str:
             # empty/short cases guard explicitly
             k = f"least(CAST({n} AS INT), size(__ga))"
             return (
-                f"element_at(transform(array(array_sort("
+                f"element_at(transform(array(sort_array("
                 f"collect_list(named_struct('o', {ordc}, 'x', {x})))), "
                 f"__ga -> CASE WHEN size(__ga) = 0 OR ({n}) <= 0 "
                 f"THEN slice(transform(__ga, __ge -> __ge.x), 1, 0) "

@@ -64,7 +64,7 @@ per AS (
 arr AS (
   SELECT user_id,
          COUNT(*) AS n_keys,
-         array_sort(collect_list(struct(k, s, mn, mx))) AS es
+         sort_array(collect_list(struct(k, s, mn, mx))) AS es
   FROM per GROUP BY user_id)
 SELECT user_id, n_keys,
        concat_ws(',', transform(es, e -> concat(e.k, ':', CAST(e.s AS STRING)))) AS sum_map,

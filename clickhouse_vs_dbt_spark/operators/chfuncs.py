@@ -58,7 +58,7 @@ def q_events_funnel_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     chain = e.filter(F.col("event_type").isin("view", "click", "purchase"))
     per_user = chain.groupBy("user_id").agg(
         F.expr(
-            "array_sort(collect_list(struct(unix_micros(ts) AS ts, "
+            "sort_array(collect_list(struct(unix_micros(ts) AS ts, "
             "event_type AS et)))"
         ).alias("evs")
     )

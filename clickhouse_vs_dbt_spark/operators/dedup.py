@@ -269,7 +269,7 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.expr(
             md5p_sql(
-                "concat_ws(',', transform(array_sort(collect_list(struct(seed, mh))), "
+                "concat_ws(',', transform(sort_array(collect_list(struct(seed, mh))), "
                 "t -> CAST(t.mh AS STRING)))",
                 "spark",
             )

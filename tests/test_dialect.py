@@ -110,7 +110,7 @@ REWRITES = [
     ("quantileTiming(0.99)(t)", "percentile_approx(t, 0.99)"),
     (
         "groupArraySorted(3)(x)",
-        "slice(array_sort(collect_list(x)), 1, 3)",
+        "slice(sort_array(collect_list(x)), 1, 3)",
     ),
     ("median(x)", "percentile_approx(x, 0.5)"),
     ("medianExact(x)", "percentile(x, 0.5)"),
@@ -636,7 +636,7 @@ def test_analytics_aggregate_transpiles():
         "SELECT windowFunnel(3600)(ts, a = 1, b = 2, c = 3) AS lvl "
         "FROM t GROUP BY u"
     )
-    assert "aggregate(array_sort(collect_list(" in out
+    assert "aggregate(sort_array(collect_list(" in out
     assert "array_repeat(CAST(NULL AS BIGINT), 3)" in out
     assert "CAST(3600 AS BIGINT) * 1000000" in out
     # windowFunnel modes transpile since r8 (the per-level
@@ -897,15 +897,15 @@ def test_combinator_families_round5():
     assert transpile("avgIfMerge(a)") == (
         "(CAST(sum((a).s) AS DOUBLE) / CAST(sum((a).c) AS DOUBLE))"
     )
-    assert transpile("uniqExactState(x)") == "array_sort(collect_set(x))"
+    assert transpile("uniqExactState(x)") == "sort_array(collect_set(x))"
     assert transpile("uniqExactMerge(u)") == (
         "CAST(size(array_distinct(flatten(collect_list(u)))) AS BIGINT)"
     )
     assert transpile("uniqExactMergeState(u)") == (
-        "array_sort(array_distinct(flatten(collect_list(u))))"
+        "sort_array(array_distinct(flatten(collect_list(u))))"
     )
     assert transpile("uniqExactIfState(x, c)") == (
-        "array_sort(collect_set(CASE WHEN c THEN x END))"
+        "sort_array(collect_set(CASE WHEN c THEN x END))"
     )
     assert transpile("groupArrayState(x)") == "collect_list(x)"
     assert transpile("groupArrayMerge(g)") == "flatten(collect_list(g))"
