@@ -20668,10 +20668,22 @@ def q_ch_script_detach(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (bounded: one row per order year)
     detached_rows = r1[-1][1].collect()
     r2 = run_clickhouse_script(spark, _CH_DETACH_SCRIPT2)
+    # pin the attached-state verdict too (bounded, one row per year):
+    # this gate is the only one whose partition FILES move on disk
+    # between two scripts, and deferring the post-ATTACH read to
+    # whenever the caller evaluates the returned plan left a window
+    # in which the re-listing could observe stale catalog/file-cache
+    # state (seen once as an empty attached stage in a full-suite
+    # sweep at sf0.001, r16; unreproducible in isolation).  Both
+    # stages now read det_orders AT SCRIPT TIME, which is also the
+    # semantics the runbook describes.
+    attached_rows = r2[-1][1].collect()
     stage1 = spark.createDataFrame(
         detached_rows, r1[-1][1].schema
     ).withColumn("stage", F.lit("detached"))
-    stage2 = r2[-1][1].withColumn("stage", F.lit("attached"))
+    stage2 = spark.createDataFrame(
+        attached_rows, r2[-1][1].schema
+    ).withColumn("stage", F.lit("attached"))
     return (
         stage1.unionByName(stage2)
         .select("stage", "o_year", "n", "total")
