@@ -2891,17 +2891,22 @@ def _render_call(name: str, args: list[str]) -> str:
         # argument differs at ulp scale, which cannot move the
         # periodogram argmax off a real peak, and the exact-zero
         # constant-series tier is untouched (centered zeros multiply
-        # the table entries to exact 0.0 either way).  __fw/__fv name
-        # the tables; the argmax fold below is unchanged.
+        # the table entries to exact 0.0 either way).  __fv is the
+        # cos table, __fu the sin table; the argmax fold below is
+        # unchanged.  k·t is computed in BIGINT — the INT product
+        # overflows for series past ~2^16 elements (review r16a),
+        # where the replaced double-promoted spelling was exact.
         bin_power = (
             "element_at(transform(array("
             f"aggregate(sequence(0, {n} - 1), "
             "named_struct('re', 0.0d, 'im', 0.0d), "
             "(__fb, __ft) -> named_struct("
             "'re', __fb.re + element_at(__fs, __ft + 1) * "
-            f"element_at(__fv, CAST((__fk * __ft) % {n} AS INT) + 1), "
+            "element_at(__fv, CAST((CAST(__fk AS BIGINT) * __ft) "
+            f"% {n} AS INT) + 1), "
             "'im', __fb.im - element_at(__fs, __ft + 1) * "
-            f"element_at(__fu, CAST((__fk * __ft) % {n} AS INT) + 1)))), "
+            "element_at(__fu, CAST((CAST(__fk AS BIGINT) * __ft) "
+            f"% {n} AS INT) + 1)))), "
             "__ff -> __ff.re * __ff.re + __ff.im * __ff.im), 1)"
         )
         best = (

@@ -354,21 +354,31 @@ class ModelRunner:
             )
         version, path = state
         cur = self.spark.read.parquet(path).coalesce(max(target_files, 1))
-        return self._write_version(model, version + 1, cur)
+        # rebalance=False: compact() manages its own layout — a
+        # REBALANCE shuffle on top of the coalesce would override the
+        # caller's target_files with AQE's advisory sizing (review
+        # r16a)
+        return self._write_version(model, version + 1, cur, rebalance=False)
 
     def _write_version(
-        self, model: Model, version: int, df: DataFrame
+        self, model: Model, version: int, df: DataFrame,
+        rebalance: bool = True,
     ) -> DataFrame:
         """Write ``df`` as the model's version ``version``, apply the
-        retention policy, update state, re-register the temp view."""
+        retention policy, update state, re-register the temp view.
+        ``rebalance=False`` skips the pre-write REBALANCE for callers
+        that manage the layout themselves (compact)."""
         new_path = f"{self.warehouse_dir}/{model.name}_v{version}"
         shutil.rmtree(new_path, ignore_errors=True)
         # REBALANCE before the write (catalog.rebalanced): right-sized
         # files, one per partition value locally instead of one per
         # (task × partition value)
-        writer = rebalanced(df, *(model.partition_by or ())).write.mode(
-            "overwrite"
+        out_df = (
+            rebalanced(df, *(model.partition_by or ()))
+            if rebalance
+            else df
         )
+        writer = out_df.write.mode("overwrite")
         if model.partition_by:
             writer = writer.partitionBy(*model.partition_by)
         writer.parquet(new_path)

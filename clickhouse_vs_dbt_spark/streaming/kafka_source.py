@@ -324,9 +324,25 @@ def _envelope_batches(spark: SparkSession, sf_dir: str) -> str:
     )
     for i in range(N_FILES):
         part = glob.glob(os.path.join(tmp, f"__batch={i}", "part-*.parquet"))
-        assert len(part) == 1, part
         dst = os.path.join(out, f"batch{i}.parquet")
-        shutil.move(part[0], dst)
+        if not part:
+            # a batch residue with zero rows produces no partition
+            # directory — write the empty batch file the old
+            # per-batch loop produced, so the replay still sees
+            # N_FILES triggers (review r16a; unreachable with the
+            # dense event_id fixtures, by construction)
+            empty = payload.limit(0).coalesce(1)
+            etmp = os.path.join(out, f"_empty{i}")
+            empty.write.mode("overwrite").parquet(etmp)
+            part = glob.glob(os.path.join(etmp, "part-*.parquet"))
+            shutil.move(part[0], dst)
+            shutil.rmtree(etmp)
+        elif len(part) == 1:
+            shutil.move(part[0], dst)
+        else:  # one task per repartition key -> one file per dir
+            raise RuntimeError(
+                f"envelope batch {i} unexpectedly split: {part}"
+            )
         os.utime(dst, (1_000_000_000 + 100 * i,) * 2)
     shutil.rmtree(tmp)
     return out

@@ -263,27 +263,23 @@ def test_mutation_is_versioned_and_compaction_reduces_files(spark, tmp_path):
     # size for the mutation only — the exact multi-file layout
     # rebalance produces at cluster scale — so the compaction
     # assertion still exercises a real file-count reduction.
-    knobs = {
-        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "128b",
-        "spark.sql.adaptive.coalescePartitions.minPartitionSize": "1b",
-        "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
-    }
-    prior = {k: spark.conf.get(k, None) for k in knobs}
-    for k, v in knobs.items():
-        spark.conf.set(k, v)
-    try:
+    from clickhouse_vs_dbt_spark.plans.models import _conf
+
+    with _conf(
+        spark, "spark.sql.adaptive.advisoryPartitionSizeInBytes", "128b"
+    ), _conf(
+        spark, "spark.sql.adaptive.coalescePartitions.minPartitionSize", "1b"
+    ), _conf(
+        spark,
+        "spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        "false",
+    ):
         out = runner.mutate(
             "m",
             delete_where="id % 10 = 0",
             set_exprs={"v": "v + 100"},
             update_where="id < 50",
         )
-    finally:
-        for k, v in prior.items():
-            if v is None:
-                spark.conf.unset(k)
-            else:
-                spark.conf.set(k, v)
     assert out.count() == 90
     assert out.filter("id % 10 = 0").count() == 0
     assert out.filter("id = 1").collect()[0]["v"] == 101
