@@ -438,12 +438,26 @@ def main() -> int:
         if fulls and calib:
             prev = json.load(open(fulls[-1]))
             prev_norm = prev.get("queries_norm") or {}
+            prev_secs = prev.get("queries") or {}
             for q, sec in sorted(timings.items()):
                 nn = sec / calib
                 pn = prev_norm.get(q)
                 if not (
                     pn and pn > 0 and nn >= 0.5 and nn / pn > 1.5
                 ):
+                    continue
+                # Raw-seconds cross-check (r17 measurement-bug fix):
+                # when the previous archive's CALIBRATION median sat
+                # far from this run's, every query's norm ratio moves
+                # together and the tripwire floods — this round's
+                # baseline archive (calib 0.816 vs 0.454 here)
+                # "confirmed" ~150 regressions whose raw seconds were
+                # flat, doubling bench wall time with pointless
+                # reruns.  A real plan regression moves raw seconds
+                # too, so require BOTH axes to trip before spending a
+                # rerun.
+                psec = prev_secs.get(q)
+                if psec and psec > 0 and sec / psec <= 1.5:
                     continue
                 fn = qs.get(q)
                 best2 = float("inf")
@@ -461,7 +475,7 @@ def main() -> int:
                 # moved −22%, inflating every norm +17% — a flagged
                 # query whose raw seconds are flat is a denominator
                 # artifact, not a plan change
-                prev_q = (prev.get("queries") or {}).get(q)
+                prev_q = psec
                 entry = {
                     "prev_norm": round(pn, 2),
                     "norm": round(nn, 2),
@@ -473,7 +487,9 @@ def main() -> int:
                     "rerun_sec": best2,
                 }
                 timings[q] = min(timings[q], best2)
-                if nn2 / pn > 1.5:
+                if nn2 / pn > 1.5 and (
+                    not psec or psec <= 0 or best2 / psec > 1.5
+                ):
                     regressions[q] = entry
                     print(
                         f"bench: REGRESSION (confirmed) {q}: norm "
@@ -571,11 +587,28 @@ def main() -> int:
         # noise, recorded for the audit trail (r13)
         "regression_noise": regression_noise,
     }
-    print(json.dumps(payload))
-    # The driver's BENCH_r{N}.json stores only the tail of stdout, which
-    # truncated the per-query map in round 4 — so also self-archive the
-    # COMPLETE payload next to the driver artifacts (next round index =
-    # one past the newest existing BENCH_r*.json).
+    # The driver's BENCH_r{N}.json stores only the TAIL of stdout: round
+    # 15's contract line grew past the capture window (per-query map +
+    # two per-query norm maps + rerun blocks) and parsed as null, which
+    # blanked the whole round-over-round table in PERF_r16 (VERDICT r16
+    # item 2).  Print a line with BOUNDED per-key size: every driver
+    # contract key (metric/value/unit/queries/sf) plus scalar
+    # calibration figures; the per-query NORM maps, calib run lists and
+    # rerun detail live only in the BENCH_full artifact, pointed to by
+    # "full_artifact".
+    line_keys = (
+        "metric", "value", "unit", "queries", "sf", "n_queries",
+        "r01_subset_total", "calib_sec", "calib_spread", "calib2_sec",
+        "calib2_spread", "calib_pick", "headline_norm",
+        "r01_subset_norm", "headline_norm2", "r01_subset_norm2",
+    )
+    line = {k: payload[k] for k in line_keys}
+    # confirmed-regression NAMES stay on the line (the full entries are
+    # in the artifact); noise-demoted names ride along for the audit
+    line["regressions"] = sorted(regressions)
+    line["regression_noise"] = sorted(regression_noise)
+    # Self-archive the COMPLETE payload next to the driver artifacts
+    # (next round index = one past the newest existing BENCH_r*.json).
     try:
         import glob
 
@@ -586,10 +619,13 @@ def main() -> int:
             if (m := re.search(r"BENCH_r(\d+)\.json$", p))
         ]
         n = (max(rounds) + 1) if rounds else 1
-        with open(os.path.join(here, f"BENCH_full_r{n:02d}.json"), "w") as f:
+        full_name = f"BENCH_full_r{n:02d}.json"
+        with open(os.path.join(here, full_name), "w") as f:
             json.dump(payload, f, indent=1, sort_keys=True)
+        line["full_artifact"] = full_name
     except OSError as exc:  # self-archive is best-effort
         print(f"bench: full-artifact write failed: {exc}", file=sys.stderr)
+    print(json.dumps(line))
     return 0
 
 

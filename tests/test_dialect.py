@@ -7616,3 +7616,45 @@ def test_r16_compound_window_relocation(spark):
         "SELECT argMax(s, v) OVER (PARTITION BY g) FROM t"
     )
     assert "max_by(s, v) OVER" in out
+
+
+def test_r17_interval_sweep_replan(spark):
+    """VERDICT r16 item 1: an owned flat grouped SELECT whose
+    aggregates are all interval sweeps re-plans to the
+    (value, count)-compressed two-pass form — pre-GROUP BY
+    (keys, start, end) → COUNT below the collect, batched ±count
+    sweep deltas above it — O(distinct pairs) state instead of the
+    expression-position folds' O(rows).  Mixed-aggregate selects
+    keep the fold, and both plans agree exactly on duplicates,
+    NULL endpoints, inverted intervals and single-row groups."""
+    owned = transpile(
+        "SELECT k, maxIntersections(s, e) AS mi FROM t GROUP BY k"
+    )
+    assert "__iv_pre" in owned and "count(*) AS __iv_c" in owned
+    # mixed aggregates / two different (s, e) pairs stay on the fold
+    for sql in (
+        "SELECT k, count() AS n, maxIntersections(s, e) AS mi "
+        "FROM t GROUP BY k",
+        "SELECT maxIntersections(s, e) AS a, "
+        "intervalLengthSum(s, e2) AS b FROM t",
+    ):
+        assert "__iv_pre" not in transpile(sql), sql
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW iv_t AS "
+        "SELECT concat('g', id % 3) AS k, "
+        "CASE WHEN id % 17 = 0 THEN NULL "
+        "ELSE CAST(id % 5 AS DOUBLE) END AS s, "
+        "CASE WHEN id % 19 = 0 THEN NULL "
+        "ELSE CAST(id % 5 + id % 4 - 1 AS DOUBLE) END AS e "
+        "FROM range(300) WHERE id < 290 OR id % 3 = 0"
+    )
+    body = (
+        "SELECT k, maxIntersections(s, e) AS mi, "
+        "maxIntersectionsPosition(s, e) AS mip, "
+        "intervalLengthSum(s, e) AS ils "
+        "FROM iv_t GROUP BY k {h}ORDER BY k"
+    )
+    two_pass = transpile(body.format(h=""))
+    fold = transpile(body.format(h="HAVING count(*) >= 0 "))
+    assert "__iv_pre" in two_pass and "__iv_pre" not in fold
+    assert spark.sql(two_pass).collect() == spark.sql(fold).collect()
