@@ -16516,8 +16516,28 @@ def _apply_schema_change(
                 f"({name} {t} DEFAULT ({dexpr}))"
             )
             return
-        except AnalysisException:
-            pass  # non-constant default → rewrite path
+        except AnalysisException as exc:
+            # Expected here: non-constant defaults (expressions over
+            # other columns) — INVALID_DEFAULT_VALUE.* — take the
+            # copy-on-write rewrite below.  Anything else (bad type,
+            # unresolvable table, defaultColumn disabled) would
+            # resurface from the rewrite with a confusing message, so
+            # log what was swallowed before rerouting (ADVICE r16).
+            cond = (
+                exc.getCondition()
+                if hasattr(exc, "getCondition") else None
+            )
+            if cond and not str(cond).startswith(
+                "INVALID_DEFAULT_VALUE"
+            ):
+                import sys as _sys
+
+                print(
+                    f"ALTER TABLE {target} ADD COLUMN {name}: "
+                    f"metadata-only path failed with {cond}; taking "
+                    "the copy-on-write rewrite",
+                    file=_sys.stderr,
+                )
         if name not in dict(spark.table(target).dtypes):
             spark.sql(f"ALTER TABLE {target} ADD COLUMNS ({name} {t})")
         df = spark.sql(
@@ -17322,6 +17342,13 @@ def run_clickhouse_script(
             # of one per task × partition — catalog.rebalanced)
             info = _ddl.lookup_engine_info(target)
             pcol = getattr(info, "partition_by", None) if info else None
+            # partition_by is captured at CREATE time and not updated
+            # by ALTER ... RENAME COLUMN — validate against the
+            # batch's live columns so a renamed partition column
+            # degrades to an unkeyed rebalance instead of failing
+            # analysis on a stale name (ADVICE r16)
+            if pcol and pcol not in batch.columns:
+                pcol = None
             rebalanced(batch, *((pcol,) if pcol else ())).write.insertInto(
                 target
             )

@@ -318,6 +318,12 @@ def _envelope_batches(spark: SparkSession, sf_dir: str) -> str:
             "__batch", (F.col("offset") % N_FILES).cast("int")
         )
         .repartition(N_FILES, "__batch")
+        # shuffle fetch order is nondeterministic where the old
+        # per-batch scans preserved scan order — sort each batch file
+        # by offset so the replay bytes are deterministic run-to-run
+        # (ADVICE r16; a local sort of one batch per task, no extra
+        # exchange)
+        .sortWithinPartitions("offset")
         .write.mode("overwrite")
         .partitionBy("__batch")
         .parquet(tmp)
