@@ -439,3 +439,39 @@ def test_r13_noeq_any_join_plan_has_no_nested_loop(spark, sf_dir):
     # the pick state is compressed before the window: a per-value
     # partial+final aggregate pair over min(struct(...))
     assert "min(struct(" in plan.replace("_struct", "struct")
+
+
+def test_r17_group_array_tiers_window_group_limit(spark, sf_dir):
+    """VERDICT r16 item 4: the owned groupArraySample/groupArrayLast
+    statement re-plans to ranked subqueries whose ``rank <= n``
+    filters Spark rewrites into Partial/Final WindowGroupLimit pairs
+    — each tier ships at most n rows per group per map partition
+    into its keyed exchange instead of collecting whole groups.
+    Either degradation (re-plan lost → collect fold; Partial limit
+    lost → full-group shuffle) fails here."""
+    from clickhouse_vs_dbt_spark.dialect import (
+        q_dialect_group_array_tiers,
+    )
+
+    plan = _plan(q_dialect_group_array_tiers(spark, sf_dir))
+    # two tiers x Partial+Final
+    assert plan.count("WindowGroupLimit") == 4
+    assert "Partial" in plan and "Final" in plan
+
+
+def test_r17_interval_sweeps_preaggregates(spark, sf_dir):
+    """VERDICT r16 item 1: the owned interval-sweep statement
+    pre-aggregates GROUP BY (keys, start, end) -> COUNT below the
+    collect — the partial HashAggregate compresses duplicate
+    endpoint pairs map-side before any shuffle, so the sweep folds
+    see distinct pairs with batched deltas, not every row."""
+    from clickhouse_vs_dbt_spark.dialect import (
+        q_dialect_interval_sweeps,
+    )
+
+    plan = _plan(q_dialect_interval_sweeps(spark, sf_dir))
+    assert "__iv_s" in plan and "__iv_c" in plan
+    # the (keys, s, e) pre-aggregate: partial + final HashAggregate
+    # below the ObjectHashAggregate collect stage
+    assert plan.count("HashAggregate") >= 2
+    assert "ObjectHashAggregate" in plan
