@@ -60,13 +60,26 @@ def _rechunk(spark: SparkSession, sf_dir: str, name: str) -> str | None:
     if path is None:
         import tempfile
 
-        import pyarrow.parquet as pq
-
-        if pq.ParquetFile(src).num_row_groups > 4:
-            _CHUNK_CACHE[key] = ""  # already splittable; no rewrite
+        n = spark.sparkContext.defaultParallelism
+        # Splittability is governed by BYTE ranges, not row groups:
+        # Spark carves a file into ceil(size / maxPartitionBytes)
+        # splits (plus openCost padding), so a 108 MB ten-row-group
+        # file still scans as ONE task under the 128 MB default —
+        # the r17 sf1 scaling probe measured flat 8-vs-32-core
+        # ratios for exactly this reason.  Rewrite whenever the
+        # file's natural split count leaves cores idle.
+        try:
+            mpb = int(
+                spark.conf.get(
+                    "spark.sql.files.maxPartitionBytes", "134217728"
+                ).lower().removesuffix("b")
+            )
+        except ValueError:
+            mpb = 128 * 1024 * 1024
+        if os.path.getsize(src) // mpb >= n:
+            _CHUNK_CACHE[key] = ""  # already splits wide enough
             return None
         path = tempfile.mkdtemp(prefix=f"fixture_chunks_{name}_")
-        n = spark.sparkContext.defaultParallelism
         spark.read.parquet(src).repartition(n).write.mode("overwrite").parquet(path)
         _CHUNK_CACHE[key] = path
     return path or None

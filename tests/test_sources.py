@@ -144,3 +144,49 @@ def test_objectstore_scan_routes_through_viewfs(spark, sf_dir):
     assert f"viewfs://{name}" in plan
     assert "PushedFilters: [IsNotNull(o_totalprice), GreaterThan(o_totalprice" in plan
     assert df.count() > 0
+
+
+def test_rechunk_splits_by_bytes_not_row_groups(spark, tmp_path):
+    """r17: a large single FILE scans as ceil(size/maxPartitionBytes)
+    tasks no matter how many row groups it has — the fixture
+    normalizer must rewrite whenever the byte-range split count
+    leaves cores idle, and skip only when the file already splits
+    wide enough (the sf1 scaling-probe regression: a 108 MB
+    ten-row-group lineitem scanned single-task)."""
+    import pyspark.sql.functions as F
+
+    from clickhouse_vs_dbt_spark import catalog as cat
+
+    src_dir = str(tmp_path)
+    # ~1.2 MB incompressible file so it passes _CHUNK_MIN_BYTES
+    spark.range(40_000).select(
+        F.col("id"),
+        F.md5(F.col("id").cast("string")).alias("a"),
+        F.sha2(F.col("id").cast("string"), 256).alias("b"),
+    ).coalesce(1).write.mode("overwrite").parquet(src_dir + "/_tmp")
+    import glob
+    import os
+    import shutil
+
+    part = glob.glob(src_dir + "/_tmp/part-*.parquet")[0]
+    shutil.move(part, src_dir + "/orders.parquet")
+    assert os.path.getsize(src_dir + "/orders.parquet") > cat._CHUNK_MIN_BYTES
+
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        # wide-enough case: tiny advisory split -> no rewrite
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "4096")
+        cat._CHUNK_CACHE.pop((src_dir, "orders"), None)
+        assert cat._rechunk(spark, src_dir, "orders") is None
+        # single-split case: default 128 MB -> rewrite to n chunks
+        spark.conf.set(
+            "spark.sql.files.maxPartitionBytes", "134217728"
+        )
+        cat._CHUNK_CACHE.pop((src_dir, "orders"), None)
+        path = cat._rechunk(spark, src_dir, "orders")
+        assert path is not None
+        n = spark.sparkContext.defaultParallelism
+        assert len(glob.glob(path + "/part-*.parquet")) == n
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+        cat._CHUNK_CACHE.pop((src_dir, "orders"), None)
