@@ -541,6 +541,30 @@ def _max_intersections_sql(dialect: str) -> str:
         if dialect == "spark"
         else "{'c': concurrent, 'negt': -t}"
     )
+    # Spark inlines WITH-CTEs per reference, and exchange reuse dedups
+    # only the scan+shuffle — the UNION ALL's TWO references of
+    # `intervals`, times the two consumers of `boundaries`, re-ran the
+    # whole session-derivation subtree (sort + 2 windows + 2
+    # aggregates) FOUR times (r17, executed-plan dump).  One explode
+    # per interval row halves the references and the total compute;
+    # WALL time at sf0.1 is unchanged (best-of-6 fresh-session pair:
+    # 1.117 vs 1.104 s — the 32-core box absorbs the duplicate
+    # branches in idle capacity), so this is a total-work/§1.2 win
+    # that pays at full cluster utilization, claimed as nothing more.
+    # (An eager localCheckpoint collapsing the remaining 2× measured
+    # SLOWER — the materialization job costs more than the saved
+    # subtree.)  DuckDB materializes CTEs referenced more than once,
+    # so the oracle keeps the UNION ALL.
+    if dialect == "spark":
+        boundaries_body = f"""  SELECT b.t, b.delta, b.t {idiv} {day_us} AS day FROM (
+    SELECT explode(array(named_struct('t', st, 'delta', 1),
+                         named_struct('t', en, 'delta', -1))) AS b
+    FROM intervals)"""
+    else:
+        boundaries_body = f"""  SELECT t, delta, t {idiv} {day_us} AS day FROM (
+    SELECT st AS t, 1 AS delta FROM intervals
+    UNION ALL
+    SELECT en, -1 FROM intervals)"""
     return f"""
 WITH marked AS (
   SELECT user_id, ts,
@@ -558,10 +582,7 @@ intervals AS (
   SELECT user_id, sid, {eus}(MIN(ts)) AS st, {eus}(MAX(ts)) AS en
   FROM sessions GROUP BY user_id, sid),
 boundaries AS (
-  SELECT t, delta, t {idiv} {day_us} AS day FROM (
-    SELECT st AS t, 1 AS delta FROM intervals
-    UNION ALL
-    SELECT en, -1 FROM intervals)),
+{boundaries_body}),
 day_totals AS (
   SELECT day, SUM(delta) AS day_sum FROM boundaries GROUP BY day),
 day_offsets AS (
