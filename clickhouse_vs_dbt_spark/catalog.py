@@ -68,12 +68,18 @@ def _rechunk(spark: SparkSession, sf_dir: str, name: str) -> str | None:
         # the r17 sf1 scaling probe measured flat 8-vs-32-core
         # ratios for exactly this reason.  Rewrite whenever the
         # file's natural split count leaves cores idle.
+        raw = spark.conf.get(
+            "spark.sql.files.maxPartitionBytes", "134217728"
+        ).strip().lower().removesuffix("b")
+        # Spark byte-size strings carry k/m/g/t suffixes ('512m',
+        # '1g'); a bare-number-only parse would silently fall back
+        # to 128 MB and mis-decide the rewrite (review r17a)
+        mult = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30,
+                "t": 1 << 40}.get(raw[-1:], 1)
+        if mult > 1:
+            raw = raw[:-1]
         try:
-            mpb = int(
-                spark.conf.get(
-                    "spark.sql.files.maxPartitionBytes", "134217728"
-                ).lower().removesuffix("b")
-            )
+            mpb = int(raw) * mult
         except ValueError:
             mpb = 128 * 1024 * 1024
         if os.path.getsize(src) // mpb >= n:

@@ -7658,3 +7658,44 @@ def test_r17_interval_sweep_replan(spark):
     fold = transpile(body.format(h="HAVING count(*) >= 0 "))
     assert "__iv_pre" in two_pass and "__iv_pre" not in fold
     assert spark.sql(two_pass).collect() == spark.sql(fold).collect()
+
+
+def test_r17_group_array_replan_null_and_residual_edges(spark):
+    """Review r17a pins: (1) a group whose sample argument is
+    all-NULL survives the re-plan with an empty array (an inner
+    NULL filter would drop the whole row); (2) a top-level OR in
+    the user WHERE keeps its semantics and NULL elements never
+    enter the sample; (3) compound operators inside call arguments
+    re-join as valid SQL; (4) group-key references inside a tier
+    residual emit QUALIFIED names so a two-tier join stays
+    unambiguous."""
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW ga_rt AS "
+        "SELECT concat('g', id % 3) AS k, "
+        "CASE WHEN id % 3 = 0 OR id % 7 = 0 THEN NULL ELSE id END "
+        "AS x, id AS o, id % 2 AS a, id % 5 AS b FROM range(60)"
+    )
+    body = (
+        "SELECT k, groupArraySample(3, 9)(x) AS smp FROM ga_rt "
+        "{w}GROUP BY k {h}ORDER BY k"
+    )
+    for w in ("", "WHERE a = 1 OR b = 2 "):
+        two = transpile(body.format(w=w, h=""))
+        fold = transpile(body.format(w=w, h="HAVING count(*) >= 0 "))
+        assert "__ga_t0" in two and "__ga_t0" not in fold
+        rows = spark.sql(two).collect()
+        assert rows == spark.sql(fold).collect(), w
+        assert rows[0].smp == []  # the all-NULL group, kept
+    out = transpile(
+        "SELECT k, maxIntersections(if(s >= 0.5, s, e), e) AS mi "
+        "FROM t GROUP BY k"
+    )
+    assert "> =" not in out and "__iv_pre" in out
+    out = transpile(
+        "SELECT k, arrayMap(y -> y, groupArraySample(3)(x)) AS a, "
+        "arrayStringConcat(arrayMap(q -> toString(q), "
+        "groupArrayLast(2)(x, o)), k) AS b "
+        "FROM ga_rt GROUP BY k ORDER BY k"
+    )
+    assert "__ga_t0.__ga_k0" in out
+    assert len(spark.sql(out).collect()) == 3
